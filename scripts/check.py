@@ -1,0 +1,52 @@
+#!/usr/bin/env python3
+"""Dev-only replica of the driver's correctness gate (NOT part of the
+library): reads Verify output (<out>/<name>/ parquet + oracle_sql.json),
+runs each oracle SQL in DuckDB over the sf tables, and compares
+(column-name-sorted, row-sorted) values exactly.
+
+Usage: python3 scripts/check.py <sfDir> <verifyOutDir>
+"""
+import json, sys, glob
+import duckdb
+import pandas as pd
+
+sfdir, outdir = sys.argv[1], sys.argv[2]
+con = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders",
+          "lineitem","events","documents","embeddings"]:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
+
+oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+ok = fail = 0
+for name, sql in sorted(oracle.items()):
+    files = glob.glob(f"{outdir}/{name}/*.parquet")
+    if not files:
+        print(f"FAIL {name}: no spark output"); fail += 1; continue
+    got = pd.concat([pd.read_parquet(f) for f in sorted(files)], ignore_index=True)
+    try:
+        exp = con.sql(sql).df()
+    except Exception as e:
+        print(f"FAIL {name}: oracle error {e}"); fail += 1; continue
+    got = got.reindex(sorted(got.columns), axis=1)
+    exp = exp.reindex(sorted(exp.columns), axis=1)
+    if list(got.columns) != list(exp.columns):
+        print(f"FAIL {name}: cols {list(got.columns)} vs {list(exp.columns)}"); fail += 1; continue
+    if len(got) != len(exp):
+        print(f"FAIL {name}: rows {len(got)} vs {len(exp)}"); fail += 1; continue
+    g = got.sort_values(by=list(got.columns), ignore_index=True)
+    e = exp.sort_values(by=list(exp.columns), ignore_index=True)
+    try:
+        pd.testing.assert_frame_equal(g, e, check_dtype=False, check_exact=True)
+        print(f"ok   {name} ({len(got)} rows)"); ok += 1
+    except AssertionError as ex:
+        msg = str(ex).split("\n")
+        print(f"FAIL {name}: {' | '.join(msg[:6])}")
+        # show first differing cells
+        for c in g.columns:
+            neq = (g[c] != e[c]) & ~(g[c].isna() & e[c].isna())
+            if neq.any():
+                i = neq.idxmax()
+                print(f"     col={c} row={i}: spark={g[c][i]!r} duckdb={e[c][i]!r} (n={int(neq.sum())})")
+        fail += 1
+print(f"\n{ok} ok, {fail} fail")
+sys.exit(1 if fail else 0)

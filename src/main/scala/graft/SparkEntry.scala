@@ -1,13 +1,511 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.etl.{Clean, Features, Validate}
+import graft.analytics.Summary
+
+/** Driver contract — see SURVEY.md §2 for the operator inventory.
+  *
+  * Numeric-determinism convention (required both for hash-stable results
+  * across shuffle partition orders AND for bit-exact parity with the
+  * DuckDB oracle): money/double measures are summed as DECIMAL(24,8)
+  * (exact, order-independent), rounded once to DECIMAL(24,2) (both
+  * engines round half-away-from-zero), and converted to DOUBLE once
+  * (exact while the unscaled value < 2^53). Counts stay BIGINT; rates
+  * are integer-exact sums divided in double.
+  */
 object SparkEntry {
+
+  /** Order-independent exact "money" sum → double (see convention above). */
+  private def moneySum(c: Column): Column =
+    sum(c.cast("decimal(24,8)")).cast("decimal(24,2)").cast("double")
+
+  // NOTE: DuckDB's decimal→decimal scale-down CAST truncates, so the
+  // oracle uses ROUND(,2) (half-away-from-zero, = Spark's HALF_UP cast).
+  private val MONEY_SUM_SQL = "CAST(ROUND(SUM(CAST(%s AS DECIMAL(24,8))), 2) AS DOUBLE)"
+  private def moneySumSql(e: String): String = MONEY_SUM_SQL.format(e)
+
+  private def ts(s: String): Column = lit(s).cast("timestamp")
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q1_agg")(spark, "/root/testdata/sf0.001")
+
+  // ---------------------------------------------------------------- C. core
+
+  private def q1Agg(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") <= ts("1998-09-02 00:00:00"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        moneySum(col("l_quantity")).as("sum_qty"),
+        moneySum(col("l_extendedprice")).as("sum_base_price"),
+        moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+        moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+        (moneySum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+        (moneySum(col("l_extendedprice")) / count(lit(1))).as("avg_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  private val q1AggSql =
+    s"""SELECT l_returnflag, l_linestatus,
+       |  ${moneySumSql("l_quantity")} AS sum_qty,
+       |  ${moneySumSql("l_extendedprice")} AS sum_base_price,
+       |  ${moneySumSql("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
+       |  ${moneySumSql("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)")} AS sum_charge,
+       |  ${moneySumSql("l_quantity")} / COUNT(*) AS avg_qty,
+       |  ${moneySumSql("l_extendedprice")} / COUNT(*) AS avg_price,
+       |  COUNT(*) AS count_order
+       |FROM lineitem
+       |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+       |GROUP BY l_returnflag, l_linestatus
+       |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  private def q3JoinAgg(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val ord = Tables.orders(s, dir).filter(col("o_orderdate") < ts("1997-06-01 00:00:00"))
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    val li = Tables.lineitem(s, dir).filter(col("l_shipdate") > ts("1997-06-01 00:00:00"))
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  private val q3JoinAggSql =
+    s"""SELECT l_orderkey, o_orderdate, o_orderpriority,
+       |  ${moneySumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |WHERE c_mktsegment = 'BUILDING'
+       |  AND o_orderdate < TIMESTAMP '1997-06-01 00:00:00'
+       |  AND l_shipdate > TIMESTAMP '1997-06-01 00:00:00'
+       |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+       |ORDER BY revenue DESC, l_orderkey
+       |LIMIT 10""".stripMargin
+
+  private def q5MultiJoin(s: SparkSession, dir: String): DataFrame = {
+    val region = Tables.region(s, dir)
+    val nation = Tables.nation(s, dir)
+    val supplier = Tables.supplier(s, dir)
+    val cust = Tables.customer(s, dir).select("c_custkey", "c_nationkey")
+    val ord = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= ts("1996-01-01 00:00:00") &&
+        col("o_orderdate") < ts("1998-01-01 00:00:00"))
+      .select("o_orderkey", "o_custkey")
+    val li = Tables.lineitem(s, dir)
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
+      .join(cust, col("o_custkey") === col("c_custkey") &&
+        col("s_nationkey") === col("c_nationkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy(col("r_name"), col("revenue").desc, col("n_name"))
+  }
+
+  private val q5MultiJoinSql =
+    s"""SELECT r_name, n_name,
+       |  ${moneySumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN customer ON o_custkey = c_custkey AND s_nationkey = c_nationkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+       |GROUP BY r_name, n_name
+       |ORDER BY r_name, revenue DESC, n_name""".stripMargin
+
+  private def qTopk(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(15)
+
+  private val qTopkSql =
+    """SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+      |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 15""".stripMargin
+
+  private def qWindow(s: SparkSession, dir: String): DataFrame = {
+    val byPrice = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val byDate = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, dir)
+      .withColumn("rn", row_number().over(byPrice))
+      .withColumn("running_spend",
+        sum(col("o_totalprice").cast("decimal(24,2)")).over(byDate).cast("double"))
+      .filter(col("rn") <= 3)
+      .select("o_custkey", "o_orderkey", "o_totalprice", "rn", "running_spend")
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  private val qWindowSql =
+    """SELECT o_custkey, o_orderkey, o_totalprice, rn, running_spend FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(24,2))) OVER (
+      |      PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+      |  FROM orders) t
+      |WHERE rn <= 3
+      |ORDER BY o_custkey, rn""".stripMargin
+
+  private def qSemiAnti(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir)
+    val ord = Tables.orders(s, dir).select("o_custkey")
+    val semi = cust.join(ord, col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+      .select(lit("with_orders").as("kind"), col("c_mktsegment"), col("n"))
+    val anti = cust.join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+      .select(lit("no_orders").as("kind"), col("c_mktsegment"), col("n"))
+    semi.unionAll(anti).orderBy(col("kind"), col("c_mktsegment"))
+  }
+
+  private val qSemiAntiSql =
+    """SELECT 'with_orders' AS kind, c_mktsegment, COUNT(*) AS n
+      |FROM customer c WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      |GROUP BY c_mktsegment
+      |UNION ALL
+      |SELECT 'no_orders' AS kind, c_mktsegment, COUNT(*) AS n
+      |FROM customer c WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      |GROUP BY c_mktsegment
+      |ORDER BY kind, c_mktsegment""".stripMargin
+
+  private def qRollup(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .rollup(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"), moneySum(col("o_totalprice")).as("total_price"))
+      .orderBy(asc_nulls_first("o_orderpriority"), asc_nulls_first("o_orderstatus"))
+
+  private val qRollupSql =
+    s"""SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n_orders,
+       |  ${moneySumSql("o_totalprice")} AS total_price
+       |FROM orders
+       |GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+       |ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin
+
+  /** Gap-based sessionization (30-min inactivity gap) — one shuffle on
+    * user_id, two window passes, then a session-grain aggregate. */
+  private def qEventsSessionize(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > lit(1800000000L), 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        moneySum(col("value")).as("session_value"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  private val qEventsSessionizeSql =
+    s"""WITH flagged AS (
+       |  SELECT user_id, event_id, ts, value,
+       |    CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+       |           OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+       |         THEN 1 ELSE 0 END AS new_session
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+       |), sessions AS (
+       |  SELECT user_id, ts, value,
+       |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+       |  FROM flagged
+       |)
+       |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       |  COUNT(*) AS n_events, MIN(ts) AS session_start, MAX(ts) AS session_end,
+       |  ${moneySumSql("value")} AS session_value
+       |FROM sessions
+       |GROUP BY user_id, session_id
+       |ORDER BY user_id, session_id""".stripMargin
+
+  private def qEventsWindowAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"),
+        moneySum(col("value")).as("total_value"))
+      .orderBy(col("hour"), col("event_type"))
+
+  private val qEventsWindowAggSql =
+    s"""SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n,
+       |  COUNT(DISTINCT user_id) AS n_users, ${moneySumSql("value")} AS total_value
+       |FROM events
+       |GROUP BY 1, 2
+       |ORDER BY hour, event_type""".stripMargin
+
+  // ------------------------------------------------------------- A. ETL core
+
+  /** Coerce-then-impute (reference transform.py §1): a string column with
+    * junk values is try_cast to double (junk → NULL), then median-imputed.
+    * NULLs are synthesized deterministically (the testdata has none). */
+  private def etlCleanImpute(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.lineitem(s, dir)
+      .withColumn("qty_str",
+        when(col("l_quantity") === 1.0, lit("n/a")).otherwise(col("l_quantity").cast("string")))
+      .select("l_orderkey", "l_linenumber", "qty_str")
+    val coerced = Clean.coerceNumeric(base, Seq("qty_str"))
+      .withColumnRenamed("qty_str", "qty_filled")
+    Clean.imputeMedian(coerced, Seq("qty_filled"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  private val etlCleanImputeSql =
+    """WITH b AS (
+      |  SELECT l_orderkey, l_linenumber,
+      |    TRY_CAST(CASE WHEN l_quantity = 1.0 THEN 'n/a'
+      |                  ELSE CAST(l_quantity AS VARCHAR) END AS DOUBLE) AS q
+      |  FROM lineitem)
+      |SELECT l_orderkey, l_linenumber,
+      |  COALESCE(q, (SELECT quantile_cont(q, 0.5) FROM b)) AS qty_filled
+      |FROM b ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  private def etlFillUnknown(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(s, dir)
+      .withColumn("prio", when(col("o_orderpriority") === "5-LOW", lit(null: String))
+        .otherwise(col("o_orderpriority")))
+    Clean.fillConstant(base, Seq("prio"))
+      .groupBy(col("prio")).agg(count(lit(1)).as("n"))
+      .orderBy(col("prio"))
+  }
+
+  private val etlFillUnknownSql =
+    """SELECT COALESCE(NULLIF(o_orderpriority, '5-LOW'), 'Unknown') AS prio, COUNT(*) AS n
+      |FROM orders GROUP BY 1 ORDER BY prio""".stripMargin
+
+  private def etlBucketize(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .withColumn("bal_group", Features.bucketize(col("c_acctbal"),
+        Seq(-1000.0, 0.0, 2500.0, 5000.0, Double.PositiveInfinity),
+        Seq("negative", "low", "mid", "high")))
+      .select("c_custkey", "c_acctbal", "bal_group")
+      .orderBy(col("c_custkey"))
+
+  private val etlBucketizeSql =
+    """SELECT c_custkey, c_acctbal,
+      |  CASE WHEN c_acctbal > -1000.0 AND c_acctbal <= 0.0 THEN 'negative'
+      |       WHEN c_acctbal > 0.0 AND c_acctbal <= 2500.0 THEN 'low'
+      |       WHEN c_acctbal > 2500.0 AND c_acctbal <= 5000.0 THEN 'mid'
+      |       WHEN c_acctbal > 5000.0 THEN 'high' END AS bal_group
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
+  private def etlSegment(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .withColumn("price_segment", Features.segment3(col("o_totalprice"), 100000.0, 300000.0))
+      .select("o_orderkey", "o_totalprice", "price_segment")
+      .orderBy(col("o_orderkey"))
+
+  private val etlSegmentSql =
+    """SELECT o_orderkey, o_totalprice,
+      |  CASE WHEN o_totalprice < 100000.0 THEN 'Low'
+      |       WHEN o_totalprice <= 300000.0 THEN 'Medium'
+      |       ELSE 'High' END AS price_segment
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  private def etlFlags(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("is_conversion", Features.memberFlag(col("event_type"), Seq("purchase", "signup")))
+      .withColumn("is_click", Features.yesFlag(col("event_type"), "click"))
+      .select("event_id", "event_type", "is_conversion", "is_click")
+      .orderBy(col("event_id"))
+
+  private val etlFlagsSql =
+    """SELECT event_id, event_type,
+      |  CASE WHEN lower(trim(event_type)) IN ('purchase', 'signup') THEN 1 ELSE 0 END AS is_conversion,
+      |  CASE WHEN lower(trim(event_type)) = 'click' THEN 1 ELSE 0 END AS is_click
+      |FROM events ORDER BY event_id""".stripMargin
+
+  private def etlCodeMap(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .withColumn("priority_code", Features.codeMap(col("o_orderpriority"),
+        Map("1-urgent" -> 1, "2-high" -> 2, "3-medium" -> 3)))
+      .select("o_orderkey", "o_orderpriority", "priority_code")
+      .orderBy(col("o_orderkey"))
+
+  private val etlCodeMapSql =
+    """SELECT o_orderkey, o_orderpriority,
+      |  CASE lower(trim(o_orderpriority))
+      |    WHEN '1-urgent' THEN 1 WHEN '2-high' THEN 2 WHEN '3-medium' THEN 3
+      |    ELSE -1 END AS priority_code
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  /** Column drop + snake_case normalization before load
+    * (reference load.py:118-138, transform.py drops customerID/gender). */
+  private def etlNormalizeCols(s: SparkSession, dir: String): DataFrame = {
+    val dropped = Tables.customer(s, dir).drop("c_name")
+    dropped.columns.foldLeft(dropped)((d, c) =>
+      d.withColumnRenamed(c, Features.snakeCase(c)))
+      .orderBy(col("c_custkey"))
+  }
+
+  private val etlNormalizeColsSql =
+    """SELECT c_custkey, c_nationkey, c_acctbal, c_mktsegment
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
+  private def etlValidate(s: SparkSession, dir: String): DataFrame =
+    Validate.run(Tables.orders(s, dir), Seq(
+      Validate.noNulls("o_orderkey"),
+      Validate.minRows(1000L),
+      Validate.domainSubset("o_orderstatus", Seq("F", "O", "P")),
+      Validate.domainComplete("o_orderpriority",
+        Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")),
+      Validate.inRange("o_totalprice", 0.0, 1000000.0)
+    )).orderBy(col("rule"))
+
+  private val etlValidateSql =
+    """SELECT 'no_nulls_o_orderkey' AS rule,
+      |  CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS metric,
+      |  SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) = 0 AS passed FROM orders
+      |UNION ALL
+      |SELECT 'row_count', COUNT(*), COUNT(*) >= 1000 FROM orders
+      |UNION ALL
+      |SELECT 'domain_subset_o_orderstatus',
+      |  CAST(SUM(CASE WHEN o_orderstatus NOT IN ('F','O','P') AND o_orderstatus IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT),
+      |  SUM(CASE WHEN o_orderstatus NOT IN ('F','O','P') AND o_orderstatus IS NOT NULL THEN 1 ELSE 0 END) = 0 FROM orders
+      |UNION ALL
+      |SELECT 'domain_complete_o_orderpriority',
+      |  CAST(COUNT(DISTINCT CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW') THEN o_orderpriority END) AS BIGINT),
+      |  COUNT(DISTINCT CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW') THEN o_orderpriority END) = 5 FROM orders
+      |UNION ALL
+      |SELECT 'in_range_o_totalprice',
+      |  CAST(SUM(CASE WHEN o_totalprice < 0.0 OR o_totalprice > 1000000.0 THEN 1 ELSE 0 END) AS BIGINT),
+      |  SUM(CASE WHEN o_totalprice < 0.0 OR o_totalprice > 1000000.0 THEN 1 ELSE 0 END) = 0 FROM orders
+      |ORDER BY rule""".stripMargin
+
+  // ------------------------------------------------------------ B. analytics
+
+  private def anSummaryStats(s: SparkSession, dir: String): DataFrame =
+    Summary.summaryStats(Tables.orders(s, dir), col("o_orderstatus") === "F")
+      .orderBy(col("metric"))
+
+  private val anSummaryStatsSql =
+    """SELECT metric, value FROM (
+      |  SELECT 'total_rows' AS metric, CAST(COUNT(*) AS DOUBLE) AS value FROM orders
+      |  UNION ALL
+      |  SELECT 'unique_rows', CAST(COUNT(*) AS DOUBLE) FROM (SELECT DISTINCT * FROM orders)
+      |  UNION ALL
+      |  SELECT 'flag_percentage',
+      |    SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) * 100.0 / COUNT(*) FROM orders
+      |) ORDER BY metric""".stripMargin
+
+  private def anRateByGroup(s: SparkSession, dir: String): DataFrame =
+    Summary.rateByGroup(Tables.orders(s, dir), "o_orderpriority",
+      col("o_orderstatus") === "F")
+
+  private val anRateByGroupSql =
+    """SELECT o_orderpriority,
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS rate
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  private def anValueCountsPct(s: SparkSession, dir: String): DataFrame =
+    Summary.valueCountsPct(Tables.customer(s, dir), "c_mktsegment")
+
+  private val anValueCountsPctSql =
+    """SELECT c_mktsegment, COUNT(*) AS count,
+      |  ROUND(COUNT(*) * 100.0 / SUM(COUNT(*)) OVER (), 2) AS pct
+      |FROM customer GROUP BY c_mktsegment
+      |ORDER BY count DESC, c_mktsegment""".stripMargin
+
+  private def anAvgByGroup(s: SparkSession, dir: String): DataFrame =
+    Summary.avgByGroup(Tables.orders(s, dir), "o_orderpriority", "o_totalprice")
+
+  private val anAvgByGroupSql =
+    """SELECT o_orderpriority,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE) / COUNT(o_totalprice) AS avg_o_totalprice
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  private def anPivotCrosstab(s: SparkSession, dir: String): DataFrame =
+    Summary.crosstab(Tables.orders(s, dir), "o_orderpriority", "o_orderstatus",
+      Seq("F", "O", "P"))
+
+  private val anPivotCrosstabSql =
+    """SELECT o_orderpriority,
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS f_count,
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS o_count,
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS p_count
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  private def anHistogram(s: SparkSession, dir: String): DataFrame =
+    Summary.histogram(Tables.orders(s, dir), "o_totalprice", 0.0, 500000.0, 20)
+
+  private val anHistogramSql =
+    """SELECT CAST(LEAST(GREATEST(FLOOR((o_totalprice - 0.0) / 25000.0), 0), 19) AS INT) AS bucket,
+      |  0.0 + CAST(LEAST(GREATEST(FLOOR((o_totalprice - 0.0) / 25000.0), 0), 19) AS INT) * 25000.0 AS lo,
+      |  COUNT(*) AS count
+      |FROM orders WHERE o_totalprice IS NOT NULL
+      |GROUP BY 1, 2 ORDER BY bucket""".stripMargin
+
+  // ----------------------------------------------------------------- wiring
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> (q1Agg _),
+    "q3_join_agg" -> (q3JoinAgg _),
+    "q5_multi_join" -> (q5MultiJoin _),
+    "q_topk" -> (qTopk _),
+    "q_window" -> (qWindow _),
+    "q_semi_anti" -> (qSemiAnti _),
+    "q_rollup" -> (qRollup _),
+    "q_events_sessionize" -> (qEventsSessionize _),
+    "q_events_window_agg" -> (qEventsWindowAgg _),
+    "etl_clean_impute" -> (etlCleanImpute _),
+    "etl_fill_unknown" -> (etlFillUnknown _),
+    "etl_bucketize" -> (etlBucketize _),
+    "etl_segment" -> (etlSegment _),
+    "etl_flags" -> (etlFlags _),
+    "etl_code_map" -> (etlCodeMap _),
+    "etl_normalize_cols" -> (etlNormalizeCols _),
+    "etl_validate" -> (etlValidate _),
+    "an_summary_stats" -> (anSummaryStats _),
+    "an_rate_by_group" -> (anRateByGroup _),
+    "an_value_counts_pct" -> (anValueCountsPct _),
+    "an_avg_by_group" -> (anAvgByGroup _),
+    "an_pivot_crosstab" -> (anPivotCrosstab _),
+    "an_histogram" -> (anHistogram _)
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" -> q1AggSql,
+    "q3_join_agg" -> q3JoinAggSql,
+    "q5_multi_join" -> q5MultiJoinSql,
+    "q_topk" -> qTopkSql,
+    "q_window" -> qWindowSql,
+    "q_semi_anti" -> qSemiAntiSql,
+    "q_rollup" -> qRollupSql,
+    "q_events_sessionize" -> qEventsSessionizeSql,
+    "q_events_window_agg" -> qEventsWindowAggSql,
+    "etl_clean_impute" -> etlCleanImputeSql,
+    "etl_fill_unknown" -> etlFillUnknownSql,
+    "etl_bucketize" -> etlBucketizeSql,
+    "etl_segment" -> etlSegmentSql,
+    "etl_flags" -> etlFlagsSql,
+    "etl_code_map" -> etlCodeMapSql,
+    "etl_normalize_cols" -> etlNormalizeColsSql,
+    "etl_validate" -> etlValidateSql,
+    "an_summary_stats" -> anSummaryStatsSql,
+    "an_rate_by_group" -> anRateByGroupSql,
+    "an_value_counts_pct" -> anValueCountsPctSql,
+    "an_avg_by_group" -> anAvgByGroupSql,
+    "an_pivot_crosstab" -> anPivotCrosstabSql,
+    "an_histogram" -> anHistogramSql
+  )
 }

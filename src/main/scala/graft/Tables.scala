@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver's star schema (see TESTDATA.md).
+  *
+  * Plain parquet scans — Catalyst pushes filters/projections into the
+  * scan, so callers should NOT cache or materialize here; every query
+  * composes lazily on top of these.
+  */
+object Tables {
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame   = t(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame   = t(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = t(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = t(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame     = t(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame   = t(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = t(s, d, "lineitem")
+  /** events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized reader
+    * rejects; read nanos as long and truncate to micros (exactly what
+    * DuckDB does when it loads the same file, so oracle-compatible). */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(s, d, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+  def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
+}

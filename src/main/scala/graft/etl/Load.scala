@@ -1,0 +1,69 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+
+/** Load stage: sinks with fallback (reference: scripts/load.py —
+  * batched Supabase inserts with retry/backoff, falling back to a local
+  * file copy when the remote is unavailable or its schema rejects rows).
+  *
+  * Spark-native re-expression: a `Sink` is a terminal write of a
+  * DataFrame; `FallbackSink` tries sinks in order. The JDBC sink is the
+  * Postgres-equivalent of the reference's Supabase table load — Spark's
+  * JDBC writer already batches per partition (`batchsize`) and
+  * parallelizes across executors (`numPartitions`), replacing the
+  * reference's driver-side 200-row loop with a distributed write.
+  */
+object Load {
+
+  trait Sink { def write(df: DataFrame): Unit }
+
+  final case class ParquetSink(path: String,
+                               partitionBy: Seq[String] = Nil,
+                               mode: SaveMode = SaveMode.Overwrite) extends Sink {
+    def write(df: DataFrame): Unit = {
+      val w = df.write.mode(mode)
+      (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+    }
+  }
+
+  final case class CsvSink(path: String, header: Boolean = true,
+                           mode: SaveMode = SaveMode.Overwrite) extends Sink {
+    def write(df: DataFrame): Unit =
+      df.write.mode(mode).option("header", header.toString).csv(path)
+  }
+
+  /** JDBC batch load (reference: load.py:95-210). `batchSize` maps the
+    * reference's insert batching; `numPartitions` bounds connection
+    * fan-out from a large cluster. Column names are snake_cased to match
+    * unquoted Postgres identifiers (load.py:118-138). */
+  final case class JdbcSink(url: String, table: String,
+                            properties: java.util.Properties = new java.util.Properties(),
+                            batchSize: Int = 1000, numPartitions: Int = 8,
+                            mode: SaveMode = SaveMode.Append) extends Sink {
+    def write(df: DataFrame): Unit = {
+      val renamed = df.columns.foldLeft(df)((d, c) =>
+        d.withColumnRenamed(c, Features.snakeCase(c)))
+      renamed
+        .repartition(numPartitions)
+        .write.mode(mode)
+        .option("batchsize", batchSize.toString)
+        .jdbc(url, table, properties)
+    }
+  }
+
+  /** Try each sink in order; first success wins (load.py's
+    * remote-then-local-copy behavior). Retries are per-sink. */
+  final case class FallbackSink(sinks: Seq[Sink], retriesPerSink: Int = 2) extends Sink {
+    def write(df: DataFrame): Unit = {
+      var lastErr: Throwable = null
+      sinks.foreach { s =>
+        var attempt = 0
+        while (attempt <= retriesPerSink) {
+          try { s.write(df); return }
+          catch { case e: Throwable => lastErr = e; attempt += 1 }
+        }
+      }
+      throw new RuntimeException("all sinks failed", lastErr)
+    }
+  }
+}

@@ -1,0 +1,28 @@
+package graft.etl
+
+import org.apache.spark.sql.DataFrame
+
+/** Composable ETL pipeline: extract → transforms → validate → load.
+  * The whole chain is ONE lazy Catalyst plan until the final sink write
+  * (stats jobs inside imputation excepted) — the engine-level equivalent
+  * of the reference's extract.py → transform.py → validate.py → load.py
+  * file handoff, without materializing intermediate copies.
+  */
+final case class Pipeline(stages: Seq[DataFrame => DataFrame] = Nil,
+                          rules: Seq[Validate.Rule] = Nil) {
+  def transform(f: DataFrame => DataFrame): Pipeline = copy(stages = stages :+ f)
+  def validate(rs: Validate.Rule*): Pipeline = copy(rules = rules ++ rs)
+
+  def apply(df: DataFrame): DataFrame = stages.foldLeft(df)((d, f) => f(d))
+
+  /** Run transforms, gate on validation, then write. Returns the
+    * validation report. Throws if validation fails (nothing is loaded). */
+  def run(df: DataFrame, sink: Load.Sink): DataFrame = {
+    val out = apply(df)
+    val report = Validate.run(out, rules)
+    if (rules.nonEmpty && !Validate.allPassed(out, rules))
+      throw new IllegalStateException("validation failed; load aborted")
+    sink.write(out)
+    report
+  }
+}

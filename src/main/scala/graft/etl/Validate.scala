@@ -1,0 +1,67 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Rule-based validation (reference: scripts/validate.py).
+  *
+  * Each rule is an aggregate expression over the whole frame; `run`
+  * evaluates ALL rules in a single distributed aggregate job (one scan,
+  * map-side partial aggregation) and returns one row per rule —
+  * the Spark-native version of the reference's sequential pandas checks
+  * (no-null required columns: validate.py:66-72; categorical-domain
+  * completeness: validate.py:95-117; row counts: validate.py:75-80).
+  */
+object Validate {
+
+  final case class Rule(name: String, metric: Column, passed: Column)
+
+  /** Required columns contain no NULLs. */
+  def noNulls(c: String): Rule = {
+    val nulls = sum(col(c).isNull.cast("long"))
+    Rule(s"no_nulls_$c", nulls, nulls === lit(0L))
+  }
+
+  /** Row count is at least `min`. */
+  def minRows(min: Long): Rule = {
+    val n = count(lit(1))
+    Rule("row_count", n, n >= lit(min))
+  }
+
+  /** Every expected category value occurs at least once. */
+  def domainComplete(c: String, expected: Seq[String]): Rule = {
+    val seen = size(collect_set(when(col(c).isin(expected: _*), col(c))))
+    Rule(s"domain_complete_$c", seen.cast("long"), seen === lit(expected.size))
+  }
+
+  /** Observed values are a subset of the allowed domain. */
+  def domainSubset(c: String, allowed: Seq[Any]): Rule = {
+    val bad = sum((!col(c).isin(allowed: _*) && col(c).isNotNull).cast("long"))
+    Rule(s"domain_subset_$c", bad, bad === lit(0L))
+  }
+
+  /** Values fall within [lo, hi]. */
+  def inRange(c: String, lo: Double, hi: Double): Rule = {
+    val bad = sum((col(c) < lit(lo) || col(c) > lit(hi)).cast("long"))
+    Rule(s"in_range_$c", bad, bad === lit(0L))
+  }
+
+  /** Evaluate all rules in ONE aggregate pass; returns
+    * (rule string, metric long, passed boolean) rows. */
+  def run(df: DataFrame, rules: Seq[Rule]): DataFrame = {
+    val aggs = rules.flatMap(r =>
+      Seq(r.metric.cast("long").as(s"m_${r.name}"), r.passed.as(s"p_${r.name}")))
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    // Pivot the single wide row into (rule, metric, passed) — stack is a
+    // driver-free transpose of an already-aggregated 1-row frame.
+    val stacked = rules.map(r =>
+      s"'${r.name}', m_${r.name}, p_${r.name}").mkString(", ")
+    one.selectExpr(
+      s"stack(${rules.size}, $stacked) as (rule, metric, passed)")
+  }
+
+  /** True iff every rule passed (drives pipeline gating, cf. validate.py
+    * summary block). */
+  def allPassed(df: DataFrame, rules: Seq[Rule]): Boolean =
+    run(df, rules).agg(min(col("passed"))).head().getBoolean(0)
+}
