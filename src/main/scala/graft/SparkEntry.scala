@@ -455,6 +455,193 @@ object SparkEntry {
       |FROM orders WHERE o_totalprice IS NOT NULL
       |GROUP BY 1, 2 ORDER BY bucket""".stripMargin
 
+  // -------------------------------------------------- D. training-data ops
+
+  private def dedupExact(s: SparkSession, dir: String): DataFrame =
+    graft.dedup.Dedup.exact(Tables.documents(s, dir), "text", "doc_id")
+      .orderBy(col("text_hash"))
+
+  private val dedupExactSql =
+    """SELECT md5(text) AS text_hash, MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
+      |FROM documents GROUP BY 1 ORDER BY text_hash""".stripMargin
+
+  /** DuckDB-side word-3-gram distinct shingle list (1-based lists). */
+  private val duckShingles =
+    """SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+      |    for i in range(1, len(w)-1)]) AS shingles
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)""".stripMargin
+
+  private def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame =
+    graft.dedup.Dedup.ngramJaccardPairs(Tables.documents(s, dir), "text", "doc_id",
+        k = 3, tau = 0.05)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  private val dedupNgramJaccardSql =
+    s"""WITH sh AS ($duckShingles)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  len(list_intersect(a.shingles, b.shingles)) * 1.0 /
+       |    (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) AS jaccard
+       |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |WHERE len(list_intersect(a.shingles, b.shingles)) * 1.0 /
+       |    (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) >= 0.05
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** MinHash-LSH candidates verified by exact Jaccard. The oracle is the
+    * EXACT τ>=0.5 pair set: valid because verification removes all false
+    * positives and the 16×4 banding's recall at τ>=0.5 is empirically
+    * complete on this corpus (checked against the brute-force pairs). */
+  private def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame =
+    graft.dedup.Dedup.minhashLshPairs(Tables.documents(s, dir), "text", "doc_id",
+        k = 3, tau = 0.5)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  private val dedupMinhashLshSql =
+    s"""WITH sh AS ($duckShingles)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  len(list_intersect(a.shingles, b.shingles)) * 1.0 /
+       |    (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) AS jaccard
+       |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |WHERE len(list_intersect(a.shingles, b.shingles)) * 1.0 /
+       |    (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) >= 0.5
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** SimHash pairs — Spark-hash based (no SQL oracle; rows-only check +
+    * ScalaTest semantics spec). */
+  private def dedupSimhash(s: SparkSession, dir: String): DataFrame =
+    graft.dedup.Dedup.simhashPairs(Tables.documents(s, dir), "text", "doc_id",
+        maxHamming = 3)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  private def dedupEmbedding(s: SparkSession, dir: String): DataFrame =
+    graft.dedup.Dedup.embeddingPairs(Tables.embeddings(s, dir), "vec_id", "embedding",
+        tau = 0.4)
+      .orderBy(col("vec_a"), col("vec_b"))
+
+  private val dedupEmbeddingSql =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+      |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |  ROUND(list_cosine_similarity(a.v, b.v), 6) AS sim
+      |FROM e a JOIN e b ON a.vec_id < b.vec_id
+      |WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+      |ORDER BY vec_a, vec_b""".stripMargin
+
+  private def simTopkCosine(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    graft.similarity.VectorOps.bruteForceTopK(
+        emb, emb.filter(col("vec_id") % 50 === 0), k = 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val simTopkCosineSql =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |q AS (SELECT vec_id, v FROM e WHERE vec_id % 50 = 0),
+      |s AS (
+      |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+      |    ROUND(list_cosine_similarity(q.v, e.v), 6) AS sim
+      |  FROM q JOIN e ON e.vec_id <> q.vec_id)
+      |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, sim FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+      |  FROM s) t
+      |WHERE rank <= 5
+      |ORDER BY query_id, rank""".stripMargin
+
+  /** LSH-bucketed ANN — Spark-hash bucketing (rows-only check; recall vs
+    * the brute-force baseline is asserted in ScalaTest). */
+  private def simLshAnn(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    graft.similarity.VectorOps.lshTopK(
+        emb, emb.filter(col("vec_id") % 50 === 0), k = 5, dim = 64)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private def textLangid(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), graft.text.TextFunctions.langId(col("text")).as("lang_pred"))
+      .orderBy(col("doc_id"))
+
+  private val textLangidSql = {
+    def cnt(ws: Seq[String]) =
+      s"len(list_filter(string_split(text, ' '), x -> x IN (${ws.map(w => s"'$w'").mkString(",")})))"
+    val de = cnt(graft.text.TextFunctions.Stopwords("de"))
+    val en = cnt(graft.text.TextFunctions.Stopwords("en"))
+    val es = cnt(graft.text.TextFunctions.Stopwords("es"))
+    val fr = cnt(graft.text.TextFunctions.Stopwords("fr"))
+    s"""SELECT doc_id,
+       |  CASE WHEN GREATEST($de, $en, $es, $fr) = 0 THEN 'und'
+       |       WHEN $de = GREATEST($de, $en, $es, $fr) THEN 'de'
+       |       WHEN $en = GREATEST($de, $en, $es, $fr) THEN 'en'
+       |       WHEN $es = GREATEST($de, $en, $es, $fr) THEN 'es'
+       |       WHEN $fr = GREATEST($de, $en, $es, $fr) THEN 'fr'
+       |       ELSE 'und' END AS lang_pred
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  private def textQuality(s: SparkSession, dir: String): DataFrame = {
+    val cols = graft.text.TextFunctions.qualityColumns(col("text"))
+    val intCols = Set("n_chars", "n_words")
+    Tables.documents(s, dir)
+      .select(col("doc_id") +: cols.map { case (n, c) =>
+        (if (intCols(n)) c.cast("long") else c).as(n) }: _*)
+      .orderBy(col("doc_id"))
+  }
+
+  private val textQualitySql =
+    """SELECT doc_id,
+      |  CAST(length(text) AS BIGINT) AS n_chars,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+      |  len(list_distinct(string_split(text, ' '))) * 1.0 / len(string_split(text, ' ')) AS distinct_ratio,
+      |  len(list_filter(string_split(text, ' '), x -> x IN ('the','a','and','of','is'))) * 1.0
+      |    / len(string_split(text, ' ')) AS stopword_ratio,
+      |  len(regexp_extract_all(text, '[^a-z0-9 ]')) * 1.0 / length(text) AS punct_ratio,
+      |  (length(text) - len(string_split(text, ' ')) + 1) * 1.0 / len(string_split(text, ' ')) AS mean_word_len,
+      |  (len(list_distinct(string_split(text, ' '))) * 1.0 / len(string_split(text, ' '))) * 0.5
+      |    + LEAST((len(list_filter(string_split(text, ' '), x -> x IN ('the','a','and','of','is'))) * 1.0
+      |        / len(string_split(text, ' '))) * 4.0, 1.0) * 0.3
+      |    + (1.0 - LEAST((len(regexp_extract_all(text, '[^a-z0-9 ]')) * 1.0 / length(text)) * 10.0, 1.0)) * 0.2
+      |    AS quality_score
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  private def textTokens(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        graft.text.TextFunctions.tokenCount(col("text")).cast("long").as("n_ws_tokens"),
+        graft.text.TextFunctions.bpeTokenEstimate(col("text")).cast("long").as("n_bpe_tokens"),
+        (length(col("text")) * lit(1.0) /
+          graft.text.TextFunctions.bpeTokenEstimate(col("text"))).as("chars_per_token"))
+      .orderBy(col("doc_id"))
+
+  private val textTokensSql =
+    """SELECT doc_id,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+      |  CAST(len(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_bpe_tokens,
+      |  length(text) * 1.0 / len(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9 ]')) AS chars_per_token
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  private def textFingerprint(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        graft.text.TextFunctions.contentFingerprint(col("text")).as("content_fp"),
+        substring(graft.text.TextFunctions.contentFingerprint(col("text")), 1, 8).as("fp_prefix"))
+      .orderBy(col("doc_id"))
+
+  private val textFingerprintSql =
+    """SELECT doc_id, md5(text) AS content_fp, substr(md5(text), 1, 8) AS fp_prefix
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  private def mmBinaryMeta(s: SparkSession, dir: String): DataFrame =
+    graft.multimodal.BinaryColumns.decodedFrame(
+        Tables.documents(s, dir), "text", "doc_id")(s)
+      .orderBy(col("doc_id"))
+
+  private val mmBinaryMetaSql =
+    """SELECT doc_id,
+      |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+      |  sha256(text) AS sha256,
+      |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      |  CAST(ascii(substr(text, 1, 1)) AS INT) AS head_byte,
+      |  'stub-v1' AS decoder
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   // ----------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -480,7 +667,19 @@ object SparkEntry {
     "an_value_counts_pct" -> (anValueCountsPct _),
     "an_avg_by_group" -> (anAvgByGroup _),
     "an_pivot_crosstab" -> (anPivotCrosstab _),
-    "an_histogram" -> (anHistogram _)
+    "an_histogram" -> (anHistogram _),
+    "dedup_exact" -> (dedupExact _),
+    "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
+    "dedup_minhash_lsh" -> (dedupMinhashLsh _),
+    "dedup_simhash" -> (dedupSimhash _),
+    "dedup_embedding" -> (dedupEmbedding _),
+    "sim_topk_cosine" -> (simTopkCosine _),
+    "sim_lsh_ann" -> (simLshAnn _),
+    "text_langid" -> (textLangid _),
+    "text_quality" -> (textQuality _),
+    "text_tokens" -> (textTokens _),
+    "text_fingerprint" -> (textFingerprint _),
+    "mm_binary_meta" -> (mmBinaryMeta _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -506,6 +705,16 @@ object SparkEntry {
     "an_value_counts_pct" -> anValueCountsPctSql,
     "an_avg_by_group" -> anAvgByGroupSql,
     "an_pivot_crosstab" -> anPivotCrosstabSql,
-    "an_histogram" -> anHistogramSql
+    "an_histogram" -> anHistogramSql,
+    "dedup_exact" -> dedupExactSql,
+    "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
+    "dedup_minhash_lsh" -> dedupMinhashLshSql,
+    "dedup_embedding" -> dedupEmbeddingSql,
+    "sim_topk_cosine" -> simTopkCosineSql,
+    "text_langid" -> textLangidSql,
+    "text_quality" -> textQualitySql,
+    "text_tokens" -> textTokensSql,
+    "text_fingerprint" -> textFingerprintSql,
+    "mm_binary_meta" -> mmBinaryMetaSql
   )
 }

@@ -1,0 +1,149 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.text.TextFunctions
+import graft.similarity.VectorOps
+
+/** Deduplication operators for training-data pipelines.
+  *
+  * Scale posture: every variant shuffles fingerprints/ids, never
+  * document bodies; candidate generation is sub-quadratic (hash
+  * buckets / LSH bands); only verified candidates are materialized.
+  */
+object Dedup {
+
+  /** Exact dedup by content hash: one hash-aggregate; the shuffle
+    * carries (md5, id) only. Keeper = min id per hash. */
+  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("text_hash"))
+      .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"))
+
+  /** Per-doc distinct word k-gram shingle sets (the base for Jaccard
+    * and MinHash variants). */
+  def shingleSets(df: DataFrame, textCol: String, idCol: String, k: Int = 3): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+      TextFunctions.shingles(col(textCol), k).as("shingles"))
+
+  /** Exact n-gram Jaccard near-dup pairs (doc_a < doc_b, jaccard >= tau).
+    *
+    * MapReduce shape: explode (shingle, id), self-join on shingle to
+    * count the intersection per pair, then join per-doc set sizes.
+    * The pair space never materializes beyond pairs that share at
+    * least one shingle. */
+  def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
+                        k: Int = 3, tau: Double = 0.05): DataFrame = {
+    val sets = shingleSets(df, textCol, idCol, k)
+    val sizes = sets.select(col("doc_id"), size(col("shingles")).as("n_sh"))
+    val posting = sets.select(col("doc_id"), explode(col("shingles")).as("sh"))
+    val common = posting.as("x").join(posting.as("y"),
+        col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "na"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "nb"), "doc_b")
+      .withColumn("jaccard",
+        col("n_common") * lit(1.0) / (col("na") + col("nb") - col("n_common")))
+      .filter(col("jaccard") >= tau)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  // ------------------------------------------------------------- MinHash-LSH
+
+  /** Deterministic 32-bit affine permutation parameters. */
+  private[dedup] def minhashPerms(nPerms: Int, seed: Long): Seq[(Long, Long)] = {
+    val rng = new scala.util.Random(seed)
+    Seq.fill(nPerms)((rng.nextInt(Int.MaxValue).toLong + 1L, rng.nextInt(Int.MaxValue).toLong))
+  }
+
+  private val MersennePrime = 4294967311L // smallest prime > 2^32
+
+  /** MinHash signature column (array<bigint>, length nPerms) over a
+    * shingle-set column: h_i(S) = min over s in S of (a_i * x32(s) + b_i)
+    * mod p, with x32 = xxhash64 folded to 32 bits (keeps a*x+b < 2^63). */
+  def minhashSignature(shinglesCol: Column, nPerms: Int = 64, seed: Long = 42L): Column = {
+    val h32 = transform(shinglesCol, s => pmod(xxhash64(s), lit(1L << 32)))
+    array(minhashPerms(nPerms, seed).map { case (a, b) =>
+      array_min(transform(h32, x => pmod(x * lit(a) + lit(b), lit(MersennePrime))))
+    }: _*)
+  }
+
+  /** MinHash + LSH banding near-dup pairs, verified by exact Jaccard.
+    *
+    * nBands bands of rowsPerBand rows → candidate pairs are ids sharing
+    * one band hash (shuffle carries (band_hash, id) only); candidates
+    * are then verified with the exact shingle-set Jaccard, so the output
+    * has no false positives — recall is the only approximation.
+    * Default 16 bands × 4 rows targets the τ≈0.5 knee. */
+  def minhashLshPairs(df: DataFrame, textCol: String, idCol: String,
+                      k: Int = 3, tau: Double = 0.5,
+                      nBands: Int = 16, rowsPerBand: Int = 4,
+                      seed: Long = 42L): DataFrame = {
+    val sets = shingleSets(df, textCol, idCol, k)
+      .withColumn("sig", minhashSignature(col("shingles"), nBands * rowsPerBand, seed))
+    val bands = sets.select(col("doc_id"),
+        explode(array((0 until nBands).map(b => struct(lit(b).as("band_id"),
+          xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("band_hash"))): _*)).as("b"))
+      .select(col("doc_id"), col("b.band_id"), col("b.band_hash"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band_id") === col("y.band_id") &&
+          col("x.band_hash") === col("y.band_hash") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    // verify candidates with exact Jaccard (joins back tiny shingle sets)
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("shingles").as("sha")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("shingles").as("shb")), "doc_b")
+      .withColumn("n_common", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("jaccard", col("n_common") * lit(1.0) /
+        (size(col("sha")) + size(col("shb")) - col("n_common")))
+      .filter(col("jaccard") >= tau)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  // ----------------------------------------------------------------- SimHash
+
+  /** 64-bit SimHash per doc over word hashes (native Catalyst expr). */
+  def simhash(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+      graft.functions.SimHash64.simhash64(
+        transform(array_distinct(TextFunctions.words(col(textCol))), w => xxhash64(w)))
+        .as("simhash"))
+
+  /** SimHash near-dup pairs with Hamming distance <= maxHamming.
+    * Candidate generation: 4 × 16-bit bands (pigeonhole: any pair with
+    * hamming <= 3 shares at least one exact band; for larger budgets
+    * more/smaller bands would be used). Verification: bit_count(xor). */
+  def simhashPairs(df: DataFrame, textCol: String, idCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val sh = simhash(df, textCol, idCol)
+    val bands = sh.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(b => struct(lit(b).as("band_id"),
+        shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL)).as("band_key"))): _*)).as("b"))
+      .select(col("doc_id"), col("simhash"), col("b.band_id"), col("b.band_key"))
+    bands.as("x").join(bands.as("y"),
+        col("x.band_id") === col("y.band_id") &&
+          col("x.band_key") === col("y.band_key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Embedding-cosine near-dup pairs above `tau`. Brute-force O(n²)
+    * pair enumeration — the exact baseline / oracle shape; the scale
+    * path is LSH bucketing (VectorOps.lshTopK) to prune candidates. */
+  def embeddingPairs(df: DataFrame, idCol: String, vecCol: String,
+                     tau: Double): DataFrame = {
+    val e = df.select(col(idCol).as("id"), VectorOps.toDouble(col(vecCol)).as("v"))
+    e.as("a").join(e.as("b"), col("a.id") < col("b.id"))
+      .withColumn("sim", VectorOps.cosine(col("a.v"), col("b.v")))
+      .filter(col("sim") >= tau)
+      .select(col("a.id").as("vec_a"), col("b.id").as("vec_b"),
+        round(col("sim"), 6).as("sim"))
+  }
+}

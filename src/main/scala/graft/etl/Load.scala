@@ -56,14 +56,17 @@ object Load {
   final case class FallbackSink(sinks: Seq[Sink], retriesPerSink: Int = 2) extends Sink {
     def write(df: DataFrame): Unit = {
       var lastErr: Throwable = null
-      sinks.foreach { s =>
+      var done = false
+      val it = sinks.iterator
+      while (!done && it.hasNext) {
+        val s = it.next()
         var attempt = 0
-        while (attempt <= retriesPerSink) {
-          try { s.write(df); return }
-          catch { case e: Throwable => lastErr = e; attempt += 1 }
+        while (!done && attempt <= retriesPerSink) {
+          try { s.write(df); done = true }
+          catch { case scala.util.control.NonFatal(e) => lastErr = e; attempt += 1 }
         }
       }
-      throw new RuntimeException("all sinks failed", lastErr)
+      if (!done) throw new RuntimeException("all sinks failed", lastErr)
     }
   }
 }

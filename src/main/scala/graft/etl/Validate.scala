@@ -47,15 +47,16 @@ object Validate {
   }
 
   /** Evaluate all rules in ONE aggregate pass; returns
-    * (rule string, metric long, passed boolean) rows. */
+    * (rule string, metric long, passed boolean) rows. Internal aliases
+    * are positional so duplicate rule names can't collide. */
   def run(df: DataFrame, rules: Seq[Rule]): DataFrame = {
-    val aggs = rules.flatMap(r =>
-      Seq(r.metric.cast("long").as(s"m_${r.name}"), r.passed.as(s"p_${r.name}")))
+    val aggs = rules.zipWithIndex.flatMap { case (r, i) =>
+      Seq(r.metric.cast("long").as(s"m_$i"), r.passed.as(s"p_$i")) }
     val one = df.agg(aggs.head, aggs.tail: _*)
     // Pivot the single wide row into (rule, metric, passed) — stack is a
     // driver-free transpose of an already-aggregated 1-row frame.
-    val stacked = rules.map(r =>
-      s"'${r.name}', m_${r.name}, p_${r.name}").mkString(", ")
+    val stacked = rules.zipWithIndex.map { case (r, i) =>
+      s"'${r.name}', m_$i, p_$i" }.mkString(", ")
     one.selectExpr(
       s"stack(${rules.size}, $stacked) as (rule, metric, passed)")
   }

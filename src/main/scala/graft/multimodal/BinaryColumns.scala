@@ -1,0 +1,60 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: media as opaque `binary` columns with
+  * typed metadata, and a per-partition batch "decode" stage.
+  *
+  * The decode itself is STUBBED (no image/audio codecs in this
+  * environment — `decodeBatch` computes deterministic byte-level
+  * features instead), but the Spark-side shape is the real one:
+  * payload bytes + metadata struct travel columnar; decode runs via
+  * `mapPartitions` so a real decoder would amortize model/codec init
+  * per partition (exactly how Pandas-UDF/mapInPandas batches behave);
+  * results re-join the frame on id. Partitioning and schema are what
+  * a 100 TB media pipeline would use — only the codec call is fake.
+  */
+object BinaryColumns {
+
+  /** Decoded-feature record produced by the stub decoder. */
+  final case class DecodedMeta(doc_id: Long, n_bytes: Long, head_byte: Int, decoder: String)
+
+  /** Attach an opaque binary payload + metadata struct for a text
+    * column (stand-in for image/audio bytes in the testdata). */
+  def withPayload(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol).cast("long").as("doc_id"),
+      encode(col(textCol), "UTF-8").as("payload"),
+      struct(
+        lit("text/plain").as("media_type"),
+        octet_length(encode(col(textCol), "UTF-8")).as("byte_len"),
+        sha2(encode(col(textCol), "UTF-8"), 256).as("sha256")).as("meta"))
+
+  /** STUB decoder: where a real pipeline would decode image/audio bytes
+    * (per-partition batch, codec initialized once per partition), this
+    * computes deterministic byte features. The `???`-shaped seam is
+    * `decodeOne`. */
+  def decodeStub(payloads: DataFrame)(implicit spark: SparkSession): Dataset[DecodedMeta] = {
+    import spark.implicits._
+    payloads.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // real pipeline: val codec = Codec.open()  (once per partition)
+        it.map { case (id, bytes) => decodeOne(id, bytes) }
+      }
+  }
+
+  /** The seam a real decoder would fill; deterministic fake features. */
+  private def decodeOne(id: Long, bytes: Array[Byte]): DecodedMeta =
+    DecodedMeta(id, bytes.length.toLong,
+      if (bytes.isEmpty) -1 else bytes(0) & 0xFF, "stub-v1")
+
+  /** Full plumbing: payload → batch decode → re-join metadata. */
+  def decodedFrame(df: DataFrame, textCol: String, idCol: String)
+                  (implicit spark: SparkSession): DataFrame = {
+    val p = withPayload(df, textCol, idCol)
+    decodeStub(p)(spark).toDF()
+      .join(p.select(col("doc_id"), col("meta.byte_len").as("byte_len"),
+        col("meta.sha256").as("sha256")), "doc_id")
+      .select("doc_id", "byte_len", "sha256", "n_bytes", "head_byte", "decoder")
+  }
+}

@@ -1,0 +1,111 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Vector similarity over `array<float>` embedding columns.
+  *
+  * Math is composed from `zip_with`/`aggregate` (sequential left fold —
+  * deterministic summation order, codegen'd, no UDF). Elements are cast
+  * to double before arithmetic so precision matches any double-based
+  * oracle to ~1e-14 relative.
+  */
+object VectorOps {
+
+  /** Elementwise cast to array<double>. */
+  def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+  /** Dot product: sequential fold, deterministic. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force cosine top-k: exact baseline (and the verifier for the
+    * LSH path). The query side is broadcast, so the big side streams
+    * with no shuffle; cost is O(|queries| * n) — use only when the
+    * query set is small or as an oracle at sampled scale.
+    *
+    * Ranking is over `round(cosine, 6)` with id tie-break, which makes
+    * the top-k reproducible across engines and partition orders even
+    * when two neighbors differ by < 1e-6.
+    */
+  def bruteForceTopK(embeddings: DataFrame, queries: DataFrame, k: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = embeddings.select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("nv"))
+    val q = queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    e.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", round(cosine(col("qv"), col("nv")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "sim")
+  }
+
+  /** Random-hyperplane LSH signature: `nBits` sign bits packed in a
+    * long. Planes are derived from a seeded splitmix64 (deterministic,
+    * no stored model). The scale path for ANN: group by signature
+    * prefix buckets, search within buckets.
+    */
+  def lshSignature(v: Column, dim: Int, nBits: Int = 16, seed: Long = 42L): Column = {
+    val planes = hyperplanes(dim, nBits, seed)
+    val bits = planes.zipWithIndex.map { case (p, i) =>
+      val proj = aggregate(
+        zip_with(v, lit(p.toArray), (x, c) => x.cast("double") * c),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj > 0.0, lit(1L << i)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Deterministic pseudo-random unit-free hyperplanes (splitmix64 →
+    * uniform in [-1, 1); normalization is irrelevant for sign tests). */
+  def hyperplanes(dim: Int, nBits: Int, seed: Long): Seq[Seq[Double]] = {
+    var x = seed
+    def next(): Long = {
+      x += 0x9e3779b97f4a7c15L
+      var z = x
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    Seq.fill(nBits)(Seq.fill(dim)((next() >>> 11) * (1.0 / (1L << 52)) - 1.0))
+  }
+
+  /** LSH-bucketed approximate top-k: candidates share the signature in
+    * at least one of `nBands` band projections (multi-probe by banding
+    * the signature bits), then exact cosine ranks within candidates.
+    * Shuffles only (band_key, id, vec) — never the O(n²) pair space.
+    */
+  def lshTopK(embeddings: DataFrame, queries: DataFrame, k: Int, dim: Int,
+              nBits: Int = 16, nBands: Int = 4,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bandBits = nBits / nBands
+    val mask = (1L << bandBits) - 1
+    def banded(df: DataFrame, id: String, vec: String): DataFrame = {
+      val sig = lshSignature(col(vec), dim, nBits)
+      df.select(col(id), toDouble(col(vec)).as(vec), sig.as("sig"))
+        .withColumn("band", explode(array((0 until nBands).map(b =>
+          struct(lit(b).as("band_id"),
+            shiftright(col("sig"), b * bandBits).bitwiseAND(mask).as("band_key"))): _*)))
+        .select(col(id), col(vec), col("band.band_id"), col("band.band_key"))
+    }
+    val e = banded(embeddings.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv")), "neighbor_id", "nv")
+    val q = banded(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")), "query_id", "qv")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    e.join(q, Seq("band_id", "band_key"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select("query_id", "neighbor_id", "qv", "nv").distinct()
+      .withColumn("sim", round(cosine(col("qv"), col("nv")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "sim")
+  }
+}

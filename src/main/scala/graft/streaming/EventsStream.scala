@@ -1,0 +1,87 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming counterparts of the batch event operators:
+  * the same windowed aggregate and sessionization semantics, expressed
+  * incrementally (watermark-bounded state instead of a full-shuffle
+  * batch window). At 100 TB/day the batch queries backfill history and
+  * these run the live tail — the standard lambda-free kappa split.
+  */
+object EventsStream {
+
+  /** Tumbling-window count/sum per event_type with a watermark bound on
+    * state (late events beyond the watermark are dropped, exactly the
+    * batch date_trunc aggregate's semantics for on-time data). */
+  def windowedAgg(events: DataFrame,
+                  window_ : String = "1 hour",
+                  watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(24,8)")).cast("decimal(24,2)").cast("double")
+          .as("total_value"))
+      .select(col("window.start").as("hour"), col("event_type"), col("n"), col("total_value"))
+
+  final case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                      event_type: String, value: Double)
+  final case class SessionAcc(sessionId: Long, nEvents: Long, start: Long, end: Long,
+                              value: Double)
+  final case class SessionOut(user_id: Long, session_id: Long, n_events: Long,
+                              session_start: java.sql.Timestamp,
+                              session_end: java.sql.Timestamp, session_value: Double)
+
+  /** Stateful gap sessionization (30-min inactivity), the incremental
+    * twin of the batch lag/cumsum query: per-user state holds only the
+    * open session; a processing-time timeout flushes idle users.
+    * Emits a session when the gap closes it or the state times out. */
+  def sessionize(events: Dataset[Ev], gapMinutes: Long = 30,
+                 idleTimeout: Boolean = true)
+                (implicit spark: SparkSession): Dataset[SessionOut] = {
+    import spark.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+
+    def update(userId: Long, evs: Iterator[Ev],
+               state: GroupState[SessionAcc]): Iterator[SessionOut] = {
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        Iterator(SessionOut(userId, s.sessionId, s.nEvents,
+          new java.sql.Timestamp(s.start / 1000), new java.sql.Timestamp(s.end / 1000), s.value))
+      } else {
+        val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+        var acc = state.getOption
+        val closed = Seq.newBuilder[SessionOut]
+        sorted.foreach { e =>
+          val us = e.ts.getTime * 1000
+          acc match {
+            case Some(a) if us - a.end <= gapUs =>
+              acc = Some(a.copy(nEvents = a.nEvents + 1, end = us, value = a.value + e.value))
+            case Some(a) =>
+              closed += SessionOut(userId, a.sessionId, a.nEvents,
+                new java.sql.Timestamp(a.start / 1000), new java.sql.Timestamp(a.end / 1000), a.value)
+              acc = Some(SessionAcc(a.sessionId + 1, 1, us, us, e.value))
+            case None =>
+              acc = Some(SessionAcc(1, 1, us, us, e.value))
+          }
+        }
+        acc.foreach { a =>
+          state.update(a)
+          if (idleTimeout) state.setTimeoutDuration(s"$gapMinutes minutes")
+        }
+        closed.result().iterator
+      }
+    }
+
+    // idleTimeout=false keeps batches purely data-driven (deterministic
+    // tests); true adds processing-time flush of idle users' open sessions.
+    val timeoutConf =
+      if (idleTimeout) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf)(update)
+  }
+}

@@ -1,0 +1,94 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: token counting,
+  * quality scoring, language ID, fingerprinting. All pure `Column`
+  * expressions (codegen'd, one projection pass at any scale, no UDFs).
+  */
+object TextFunctions {
+
+  /** Default stopword markers per language (tiny on purpose — the
+    * heuristic needs only high-frequency markers, not a lexicon). */
+  val Stopwords: Map[String, Seq[String]] = Map(
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "en" -> Seq("the", "a", "and", "of", "is"),
+    "es" -> Seq("el", "la", "los", "de", "es"),
+    "fr" -> Seq("le", "la", "les", "et", "est"))
+
+  /** Whitespace word array (single-space tokenizer; callers normalize
+    * whitespace upstream if needed). */
+  def words(c: Column): Column = split(c, " ")
+
+  /** Whitespace token count. */
+  def tokenCount(c: Column): Column = size(words(c))
+
+  /** BPE-ish token estimate: alnum runs + individual punctuation marks
+    * (the usual pre-tokenizer shape). */
+  def bpeTokenEstimate(c: Column): Column =
+    regexp_count(c, lit("[a-z0-9]+|[^a-z0-9 ]"))
+
+  /** Count of words from `set` (exact membership on the word array). */
+  def markerCount(c: Column, set: Seq[String]): Column = {
+    val arr = words(c)
+    size(filter(arr, w => w.isin(set: _*)))
+  }
+
+  /** Heuristic language ID from per-language marker-word counts.
+    * Deterministic tie-break: languages checked in alphabetical order,
+    * `>=` against the global max, so the earliest language wins ties;
+    * all-zero counts → "und". */
+  def langId(c: Column, markers: Map[String, Seq[String]] = Stopwords): Column = {
+    val langs = markers.keys.toSeq.sorted
+    val counts = langs.map(l => l -> markerCount(c, markers(l))).toMap
+    val mx = greatest(langs.map(counts): _*)
+    langs.foldLeft(when(mx === 0, lit("und"))) { (acc, l) =>
+      acc.when(counts(l) === mx, lit(l))
+    }.otherwise(lit("und"))
+  }
+
+  /** Quality signals: char count, word count, distinct-word ratio,
+    * stopword ratio, punctuation ratio, mean word length — plus a
+    * composite score in [0,1]-ish. Returns the named columns. */
+  def qualityColumns(c: Column): Seq[(String, Column)] = {
+    val w = words(c)
+    val nChars = length(c)
+    val nWords = size(w)
+    val distinctRatio = size(array_distinct(w)) * lit(1.0) / nWords
+    val stopRatio = markerCount(c, Stopwords("en")) * lit(1.0) / nWords
+    val punctRatio = regexp_count(c, lit("[^a-z0-9 ]")) * lit(1.0) / nChars
+    val meanWordLen = (nChars - nWords + lit(1)) * lit(1.0) / nWords
+    val score = distinctRatio * lit(0.5) +
+      least(stopRatio * lit(4.0), lit(1.0)) * lit(0.3) +
+      (lit(1.0) - least(punctRatio * lit(10.0), lit(1.0))) * lit(0.2)
+    Seq(
+      "n_chars" -> nChars,
+      "n_words" -> nWords,
+      "distinct_ratio" -> distinctRatio,
+      "stopword_ratio" -> stopRatio,
+      "punct_ratio" -> punctRatio,
+      "mean_word_len" -> meanWordLen,
+      "quality_score" -> score)
+  }
+
+  /** Exact content fingerprint (md5 hex — stable across engines). */
+  def contentFingerprint(c: Column): Column = md5(c)
+
+  /** Winnowing-style rolling fingerprint: min/max xxhash64 over word
+    * k-shingles — a compact sketch for shift-tolerant near-dup checks.
+    * (Spark-hash based, so verified by ScalaTest rather than SQL oracle.) */
+  def shingleSketch(c: Column, k: Int = 3): Column = {
+    val sh = shingles(c, k)
+    val hs = transform(sh, s => xxhash64(s))
+    struct(array_min(hs).as("min_hash"), array_max(hs).as("max_hash"),
+      size(hs).as("n_shingles"))
+  }
+
+  /** Distinct word k-gram shingles of a text column. */
+  def shingles(c: Column, k: Int = 3): Column = {
+    val w = words(c)
+    array_distinct(transform(sequence(lit(0), size(w) - lit(k)),
+      i => concat_ws(" ", (0 until k).map(j => element_at(w, i + lit(j + 1))): _*)))
+  }
+}

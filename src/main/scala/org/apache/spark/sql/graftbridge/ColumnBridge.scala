@@ -1,0 +1,15 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge to Spark's `private[sql]` Column ↔ Expression converters so
+  * custom Catalyst expressions can be exposed as user-facing Columns
+  * (the usual pattern for Spark extension libraries on 4.x, where
+  * `new Column(expr)` / `col.expr` are no longer public).
+  */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

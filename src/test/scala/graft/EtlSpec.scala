@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.etl._
+
+class EtlSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bucketize uses (lo, hi] bins like pd.cut") {
+    val df = Seq(-1.0, 0.0, 0.5, 2500.0, 2500.1, 9999.0).toDF("x")
+      .withColumn("b", Features.bucketize(col("x"),
+        Seq(-1000.0, 0.0, 2500.0, 5000.0, Double.PositiveInfinity),
+        Seq("neg", "low", "mid", "high")))
+    val got = df.select("b").as[String].collect().toSeq
+    assert(got == Seq("neg", "neg", "low", "low", "mid", "high"))
+  }
+
+  test("segment3 boundaries: < lo Low, <= hi Medium, else High") {
+    val df = Seq(29.9, 30.0, 70.0, 70.1).toDF("x")
+      .withColumn("s", Features.segment3(col("x"), 30, 70))
+    assert(df.select("s").as[String].collect().toSeq ==
+      Seq("Low", "Medium", "Medium", "High"))
+  }
+
+  test("codeMap normalizes and falls back to -1") {
+    val df = Seq("Month-to-Month", " ONE YEAR ", "two year", "weird").toDF("c")
+      .withColumn("code", Features.codeMap(col("c"),
+        Map("month-to-month" -> 0, "one year" -> 1, "two year" -> 2)))
+    assert(df.select("code").as[Int].collect().toSeq == Seq(0, 1, 2, -1))
+  }
+
+  test("snakeCase matches the reference's load normalization") {
+    assert(Features.snakeCase("SeniorCitizen") == "senior_citizen")
+    assert(Features.snakeCase("MonthlyCharges") == "monthly_charges")
+    assert(Features.snakeCase("tenure_group") == "tenure_group")
+    assert(Features.snakeCase("has internet!service") == "has_internet_service")
+  }
+
+  test("imputeMedian fills nulls with the exact interpolated median") {
+    val df = Seq[Option[Double]](Some(1), Some(2), Some(4), Some(8), None).toDF("x")
+    val got = Clean.imputeMedian(df, Seq("x")).agg(sum($"x")).as[Double].head()
+    assert(got == 1 + 2 + 4 + 8 + 3.0) // median of {1,2,4,8} = 3.0
+  }
+
+  test("coerceNumeric turns junk into NULL") {
+    val df = Seq("1.5", "n/a", "2").toDF("x")
+    val got = Clean.coerceNumeric(df, Seq("x")).select("x").as[Option[Double]].collect()
+    assert(got.toSeq == Seq(Some(1.5), None, Some(2.0)))
+  }
+
+  test("Validate.run evaluates all rules in one pass") {
+    val df = Seq((1, "a"), (2, "b"), (3, "a")).toDF("id", "cat")
+    val rules = Seq(Validate.noNulls("id"), Validate.minRows(2),
+      Validate.domainSubset("cat", Seq("a", "b")),
+      Validate.domainComplete("cat", Seq("a", "b")))
+    val rep = Validate.run(df, rules)
+    assert(rep.count() == 4)
+    assert(rep.filter(!col("passed")).count() == 0)
+    assert(Validate.allPassed(df, rules))
+    assert(!Validate.allPassed(df, rules :+ Validate.minRows(100)))
+  }
+
+  test("Pipeline gates load on validation and writes through the sink") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    val df = Seq((1, 10.0), (2, 20.0)).toDF("id", "v")
+    val p = Pipeline()
+      .transform(_.withColumn("v2", $"v" * 2))
+      .validate(Validate.noNulls("v2"), Validate.minRows(1))
+    p.run(df, Load.ParquetSink(s"$tmp/out"))
+    assert(spark.read.parquet(s"$tmp/out").count() == 2)
+
+    val bad = Pipeline().validate(Validate.minRows(100))
+    intercept[IllegalStateException] { bad.run(df, Load.ParquetSink(s"$tmp/out2")) }
+    assert(!new java.io.File(s"$tmp/out2").exists())
+  }
+
+  test("FallbackSink falls through to the next sink") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_fb").toString
+    val df = Seq(1, 2, 3).toDF("id")
+    val failing = new Load.Sink { def write(d: org.apache.spark.sql.DataFrame): Unit =
+      throw new RuntimeException("remote down") }
+    Load.FallbackSink(Seq(failing, Load.ParquetSink(s"$tmp/local")), retriesPerSink = 1).write(df)
+    assert(spark.read.parquet(s"$tmp/local").count() == 3)
+  }
+}

@@ -1,0 +1,28 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.multimodal.BinaryColumns
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("payload + metadata struct carries bytes columnar") {
+    val df = Seq((1L, "hello"), (2L, "")).toDF("doc_id", "text")
+    val p = BinaryColumns.withPayload(df, "text", "doc_id").orderBy("doc_id")
+    val r = p.select($"doc_id", $"meta.byte_len", $"meta.media_type").as[(Long, Int, String)].collect()
+    assert(r.toSeq == Seq((1L, 5, "text/plain"), (2L, 0, "text/plain")))
+  }
+
+  test("decode stub runs per-partition and matches metadata") {
+    implicit val ss = spark
+    val df = Seq((1L, "hello"), (2L, "x")).toDF("doc_id", "text")
+    val out = BinaryColumns.decodedFrame(df, "text", "doc_id").orderBy("doc_id")
+    val rows = out.select("doc_id", "byte_len", "n_bytes", "head_byte", "decoder")
+      .as[(Long, Long, Long, Int, String)].collect()
+    assert(rows.toSeq == Seq((1L, 5L, 5L, 'h'.toInt, "stub-v1"), (2L, 1L, 1L, 'x'.toInt, "stub-v1")))
+    // sha256 of the payload equals sha256 of the text bytes
+    val sha = out.filter($"doc_id" === 1).select("sha256").as[String].head()
+    assert(sha == java.security.MessageDigest.getInstance("SHA-256")
+      .digest("hello".getBytes("UTF-8")).map("%02x".format(_)).mkString)
+  }
+}

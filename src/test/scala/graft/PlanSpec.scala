@@ -1,0 +1,44 @@
+package graft
+
+/** Scale-posture assertions: the physical plans must show parquet
+  * pushdown, broadcast of dims, and whole-stage codegen — the things
+  * that keep these queries viable at 100 TB (SURVEY.md §5).
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sfDir)
+    df.queryExecution.executedPlan.toString()
+  }
+
+  test("q1_agg pushes the shipdate filter and prunes columns at the scan") {
+    val p = plan("q1_agg")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)
+    assert(!p.contains("l_orderkey"), "column pruning should drop unused l_orderkey")
+  }
+
+  test("q5_multi_join broadcasts the dimension tables") {
+    val p = plan("q5_multi_join")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q3_join_agg broadcasts the filtered customer side") {
+    val p = plan("q3_join_agg")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)"), p)
+  }
+
+  test("etl_segment stays in one whole-stage codegen projection") {
+    val df = SparkEntry.queries("etl_segment")(spark, sfDir)
+    df.collect() // finalize the adaptive plan so codegen spans are visible
+    val p = df.queryExecution.executedPlan.toString()
+    // "*(n)" prefixes mark whole-stage-codegen spans in the plan string
+    assert(p.contains("*(1) Project"), p)
+  }
+
+  test("dedup_exact aggregates on the hash, not the document body") {
+    val df = SparkEntry.queries("dedup_exact")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString()
+    assert(p.contains("HashAggregate"), p)
+  }
+}

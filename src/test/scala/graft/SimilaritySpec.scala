@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.similarity.VectorOps
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine of identical vectors is 1, orthogonal is 0") {
+    val df = Seq((Seq(1.0f, 0f, 0f), Seq(1.0f, 0f, 0f), Seq(0f, 1.0f, 0f)))
+      .toDF("a", "b", "c")
+    val r = df.select(
+      VectorOps.cosine(VectorOps.toDouble($"a"), VectorOps.toDouble($"b")),
+      VectorOps.cosine(VectorOps.toDouble($"a"), VectorOps.toDouble($"c")))
+      .as[(Double, Double)].head()
+    assert(math.abs(r._1 - 1.0) < 1e-12 && math.abs(r._2) < 1e-12)
+  }
+
+  test("bruteForceTopK ranks by similarity with id tie-break") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val q = emb.filter($"vec_id" === 0)
+    val top = VectorOps.bruteForceTopK(emb, q, k = 3).orderBy("rank")
+      .as[(Long, Long, Int, Double)].collect()
+    assert(top.length == 3)
+    assert(top.map(_._4).toSeq == top.map(_._4).toSeq.sorted.reverse)
+    assert(!top.exists(_._2 == 0L)) // self excluded
+  }
+
+  test("lshTopK recall@5 vs brute force is reasonable for 16-bit/4-band") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val q = emb.filter($"vec_id" % 20 === 0)
+    val exact = VectorOps.bruteForceTopK(emb, q, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = VectorOps.lshTopK(emb, q, k = 5, dim = 64)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    info(f"LSH recall@5 = $recall%.2f (candidates from 4 bands of 4 bits)")
+    assert(recall > 0.2) // near-random embeddings: banding prunes hard
+  }
+}

@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.EventsStream
+import graft.streaming.EventsStream.Ev
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(min: Int) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+
+  test("windowedAgg: tumbling hour windows over a memory stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    in.addData(
+      Ev(1, ts(0), 1, "click", 1.0), Ev(2, ts(10), 1, "click", 2.0),
+      Ev(3, ts(70), 2, "view", 5.0))
+    val q = EventsStream.windowedAgg(in.toDF(), "1 hour", "2 hours")
+      .writeStream.outputMode("complete").format("memory").queryName("wagg").start()
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("wagg").orderBy("hour", "event_type")
+      .select("event_type", "n", "total_value").as[(String, Long, Double)].collect()
+    assert(out.toSeq == Seq(("click", 2L, 3.0), ("view", 1L, 5.0)))
+  }
+
+  test("sessionize: gap closes a session, state emits it") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val ss = spark
+    val in = MemoryStream[Ev]
+    val q = EventsStream.sessionize(in.toDS(), gapMinutes = 30, idleTimeout = false)
+      .writeStream.outputMode("append").format("memory").queryName("sess").start()
+    // batch 1: two events 10 min apart (same session), then 90-min gap event
+    in.addData(Ev(1, ts(0), 7, "click", 1.0), Ev(2, ts(10), 7, "click", 2.0))
+    q.processAllAvailable()
+    in.addData(Ev(3, ts(100), 7, "view", 4.0))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("sess")
+      .select("user_id", "session_id", "n_events", "session_value")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    // the first session (2 events, value 3.0) must have been emitted when
+    // the 90-min-later event arrived
+    assert(out.contains((7L, 1L, 2L, 3.0)))
+  }
+}

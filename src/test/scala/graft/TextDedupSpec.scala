@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.text.TextFunctions
+import graft.dedup.Dedup
+
+class TextDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("langId picks the language with most markers; und when none") {
+    val df = Seq(
+      "the cat is on a mat and the dog",
+      "el perro y la casa de los gatos es",
+      "der hund und die katze ist das tier",
+      "le chat et la maison les arbres est",
+      "xyzzy plugh quux").toDF("text")
+      .withColumn("lang", TextFunctions.langId(col("text")))
+    assert(df.select("lang").as[String].collect().toSeq ==
+      Seq("en", "es", "de", "fr", "und"))
+  }
+
+  test("token counts: whitespace vs BPE-ish estimate") {
+    val df = Seq("hello world foo").toDF("text")
+    assert(df.select(TextFunctions.tokenCount(col("text"))).as[Int].head() == 3)
+    assert(df.select(TextFunctions.bpeTokenEstimate(col("text"))).as[Int].head() == 3)
+  }
+
+  test("shingles: distinct word 3-grams in order windows") {
+    val got = Seq("a b c d c d").toDF("t")
+      .select(TextFunctions.shingles(col("t"), 3)).as[Seq[String]].head()
+    assert(got.toSet == Set("a b c", "b c d", "c d c", "d c d"))
+  }
+
+  test("exact dedup keeps min id per content hash") {
+    val df = Seq((10L, "same text"), (3L, "same text"), (7L, "other")).toDF("doc_id", "text")
+    val got = Dedup.exact(df, "text", "doc_id")
+      .select("keeper_id", "n_copies").as[(Long, Long)].collect().toSet
+    assert(got == Set((3L, 2L), (7L, 1L)))
+  }
+
+  test("simhash: identical texts collide, disjoint texts differ") {
+    val df = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+      (3L, "totally different words here instead now")).toDF("doc_id", "text")
+    val hs = Dedup.simhash(df, "text", "doc_id").orderBy("doc_id")
+      .select("simhash").as[Long].collect()
+    assert(hs(0) == hs(1))
+    assert(java.lang.Long.bitCount(hs(0) ^ hs(2)) > 3)
+  }
+
+  test("simhashPairs finds the duplicate pair only") {
+    val df = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+      (3L, "totally different words here instead now")).toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(df, "text", "doc_id", maxHamming = 3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("minhash signature similarity approximates jaccard") {
+    // two near-identical docs (one word changed) vs an unrelated doc
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val near = (1 to 40).map(i => if (i == 40) "CHANGED" else s"w$i").mkString(" ")
+    val far = (100 to 140).map(i => s"v$i").mkString(" ")
+    val df = Seq((1L, base), (2L, near), (3L, far)).toDF("doc_id", "text")
+    val sets = Dedup.shingleSets(df, "text", "doc_id")
+      .withColumn("sig", Dedup.minhashSignature(col("shingles")))
+    val sigs = sets.orderBy("doc_id").select("sig").as[Seq[Long]].collect()
+    def simEst(a: Seq[Long], b: Seq[Long]) =
+      a.zip(b).count { case (x, y) => x == y } / 64.0
+    assert(simEst(sigs(0), sigs(1)) > 0.7)   // true jaccard = 35/41 ≈ 0.85
+    assert(simEst(sigs(0), sigs(2)) < 0.2)   // true jaccard = 0
+  }
+
+  test("minhashLshPairs recovers high-jaccard pairs with no false positives") {
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val near = (1 to 40).map(i => if (i == 40) "CHANGED" else s"w$i").mkString(" ")
+    val far = (100 to 140).map(i => s"v$i").mkString(" ")
+    val df = Seq((1L, base), (2L, near), (3L, far)).toDF("doc_id", "text")
+    val got = Dedup.minhashLshPairs(df, "text", "doc_id", tau = 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L)))
+  }
+
+  test("ngramJaccardPairs computes exact jaccard") {
+    val df = Seq((1L, "a b c d e"), (2L, "a b c d f"), (3L, "x y z q r")).toDF("doc_id", "text")
+    // shingles(1)={abc,bcd,cde}, shingles(2)={abc,bcd,cdf}; jaccard = 2/4
+    val got = Dedup.ngramJaccardPairs(df, "text", "doc_id", tau = 0.4)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == Set((1L, 2L, 0.5)))
+  }
+}
