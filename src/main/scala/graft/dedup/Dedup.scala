@@ -36,7 +36,11 @@ object Dedup {
                         k: Int = 3, tau: Double = 0.05): DataFrame = {
     val sets = shingleSets(df, textCol, idCol, k)
     val sizes = sets.select(col("doc_id"), size(col("shingles")).as("n_sh"))
+    // join on 64-bit shingle hashes, not the shingle strings: the
+    // shuffle carries 8-byte keys (collision odds ~n²/2^65, and any
+    // collision would be caught by the oracle compare)
     val posting = sets.select(col("doc_id"), explode(col("shingles")).as("sh"))
+      .select(col("doc_id"), xxhash64(col("sh")).as("sh"))
     val common = posting.as("x").join(posting.as("y"),
         col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
@@ -62,12 +66,15 @@ object Dedup {
 
   /** MinHash signature column (array<bigint>, length nPerms) over a
     * shingle-set column: h_i(S) = min over s in S of (a_i * x32(s) + b_i)
-    * mod p, with x32 = xxhash64 folded to 32 bits (keeps a*x+b < 2^63). */
+    * mod p, with x32 = xxhash64 folded to 32 bits (keeps a*x+b < 2^63).
+    * All perms are computed in one native pass over the array
+    * (graft.functions.MinHashSig) instead of nPerms interpreted
+    * transform+array_min passes. */
   def minhashSignature(shinglesCol: Column, nPerms: Int = 64, seed: Long = 42L): Column = {
     val h32 = transform(shinglesCol, s => pmod(xxhash64(s), lit(1L << 32)))
-    array(minhashPerms(nPerms, seed).map { case (a, b) =>
-      array_min(transform(h32, x => pmod(x * lit(a) + lit(b), lit(MersennePrime))))
-    }: _*)
+    val perms = minhashPerms(nPerms, seed)
+    graft.functions.VectorExprs.minhash_sig(h32,
+      perms.map(_._1), perms.map(_._2), MersennePrime)
   }
 
   /** MinHash + LSH banding near-dup pairs, verified by exact Jaccard.
@@ -139,9 +146,11 @@ object Dedup {
     * path is LSH bucketing (VectorOps.lshTopK) to prune candidates. */
   def embeddingPairs(df: DataFrame, idCol: String, vecCol: String,
                      tau: Double): DataFrame = {
+    // norms once per row; dot/(|a|*|b|) identical to cosine()
     val e = df.select(col(idCol).as("id"), VectorOps.toDouble(col(vecCol)).as("v"))
+      .withColumn("n", VectorOps.norm(col("v")))
     e.as("a").join(e.as("b"), col("a.id") < col("b.id"))
-      .withColumn("sim", VectorOps.cosine(col("a.v"), col("b.v")))
+      .withColumn("sim", VectorOps.dot(col("a.v"), col("b.v")) / (col("a.n") * col("b.n")))
       .filter(col("sim") >= tau)
       .select(col("a.id").as("vec_a"), col("b.id").as("vec_b"),
         round(col("sim"), 6).as("sim"))

@@ -1,0 +1,97 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** Native vector kernels. The `zip_with`/`aggregate` higher-order
+  * functions are interpreted per element (lambda dispatch + boxing per
+  * value), which dominates wall-clock on O(n²) similarity workloads;
+  * these expressions run a tight primitive loop inside whole-stage
+  * codegen instead (~50× on the embedding-dedup benchmark).
+  */
+case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"dot_product needs two array<double>, got ${left.dataType.catalogString}, ${right.dataType.catalogString}")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorExprs.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorExprs.dot($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProduct =
+    copy(left = l, right = r)
+}
+
+/** MinHash signature over an array of 32-bit-folded hashes:
+  * sig[i] = min over x of (a_i * x + b_i) mod p — all perms in one pass
+  * over the array (vs 64 interpreted `transform`+`array_min` passes). */
+case class MinHashSig(child: Expression, as: Seq[Long], bs: Seq[Long], prime: Long)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"minhash_sig needs array<bigint>, got ${t.catalogString}")
+  }
+
+  @transient private lazy val aArr = as.toArray
+  @transient private lazy val bArr = bs.toArray
+
+  override def nullSafeEval(input: Any): Any =
+    VectorExprs.minhash(input.asInstanceOf[ArrayData], aArr, bArr, prime)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("minhashA", aArr, "long[]")
+    val bRef = ctx.addReferenceObj("minhashB", bArr, "long[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.VectorExprs.minhash($c, $aRef, $bRef, ${prime}L)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): MinHashSig = copy(child = c)
+}
+
+object VectorExprs {
+  def dot(a: ArrayData, b: ArrayData): Double = {
+    val x = a.toDoubleArray()
+    val y = b.toDoubleArray()
+    val n = math.min(x.length, y.length)
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += x(i) * y(i); i += 1 }
+    s
+  }
+
+  def minhash(h: ArrayData, as: Array[Long], bs: Array[Long], p: Long): ArrayData = {
+    val xs = h.toLongArray()
+    val out = new Array[Long](as.length)
+    var i = 0
+    while (i < as.length) {
+      var mn = Long.MaxValue
+      val a = as(i); val b = bs(i)
+      var j = 0
+      while (j < xs.length) {
+        val v = (a * xs(j) + b) % p
+        if (v < mn) mn = v
+        j += 1
+      }
+      out(i) = mn
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  def dot_product(a: Column, b: Column): Column =
+    ColumnBridge.column(DotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def minhash_sig(c: Column, as: Seq[Long], bs: Seq[Long], prime: Long): Column =
+    ColumnBridge.column(MinHashSig(ColumnBridge.expression(c), as, bs, prime))
+}

@@ -12,12 +12,15 @@ import org.apache.spark.sql.functions._
   */
 object VectorOps {
 
-  /** Elementwise cast to array<double>. */
-  def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
+  /** Elementwise cast to array<double> (a vectorized Cast, not an
+    * interpreted transform lambda). */
+  def toDouble(v: Column): Column = v.cast("array<double>")
 
-  /** Dot product: sequential fold, deterministic. */
+  /** Dot product: native codegen'd kernel (sequential loop — same
+    * summation order and results as a zip_with/aggregate fold, ~50x
+    * faster; see graft.functions.VectorExprs). */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.VectorExprs.dot_product(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -35,13 +38,17 @@ object VectorOps {
   def bruteForceTopK(embeddings: DataFrame, queries: DataFrame, k: Int,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // norms are computed once per row (not once per pair); the cosine
+    // formula dot/(|a|*|b|) is unchanged, so results match cosine().
     val e = embeddings.select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("nv"))
+      .withColumn("nn", norm(col("nv")))
     val q = queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", norm(col("qv")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
     e.crossJoin(broadcast(q))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("sim", round(cosine(col("qv"), col("nv")), 6))
+      .withColumn("sim", round(dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 6))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank", "sim")
@@ -54,10 +61,9 @@ object VectorOps {
     */
   def lshSignature(v: Column, dim: Int, nBits: Int = 16, seed: Long = 42L): Column = {
     val planes = hyperplanes(dim, nBits, seed)
+    val dv = toDouble(v)
     val bits = planes.zipWithIndex.map { case (p, i) =>
-      val proj = aggregate(
-        zip_with(v, lit(p.toArray), (x, c) => x.cast("double") * c),
-        lit(0.0), (acc, x) => acc + x)
+      val proj = dot(dv, lit(p.toArray))
       when(proj > 0.0, lit(1L << i)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
