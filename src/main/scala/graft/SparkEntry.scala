@@ -254,6 +254,50 @@ object SparkEntry {
        |GROUP BY 1, 2
        |ORDER BY hour, event_type""".stripMargin
 
+  /** Promo revenue share per ship month (TPC-H Q14 shape): fact ⋈
+    * broadcast dim, conditional aggregation, ratio of exact sums. */
+  private def q14Promo(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= ts("1997-01-01 00:00:00") &&
+        col("l_shipdate") < ts("1998-01-01 00:00:00"))
+      .select("l_partkey", "l_extendedprice", "l_discount", "l_shipdate")
+    val part = Tables.part(s, dir).select("p_partkey", "p_type")
+    val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .groupBy(date_trunc("month", col("l_shipdate")).as("ship_month"))
+      .agg(
+        moneySum(when(col("p_type") === "PROMO", rev).otherwise(lit(0.0))).as("promo_revenue"),
+        moneySum(rev).as("total_revenue"))
+      .withColumn("promo_pct", col("promo_revenue") * lit(100.0) / col("total_revenue"))
+      .orderBy(col("ship_month"))
+  }
+
+  private val q14PromoSql =
+    s"""SELECT ship_month, promo_revenue, total_revenue,
+       |  promo_revenue * 100.0 / total_revenue AS promo_pct
+       |FROM (
+       |  SELECT date_trunc('month', l_shipdate) AS ship_month,
+       |    ${moneySumSql("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END")} AS promo_revenue,
+       |    ${moneySumSql("l_extendedprice * (1.0 - l_discount)")} AS total_revenue
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey
+       |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+       |    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+       |  GROUP BY 1) t
+       |ORDER BY ship_month""".stripMargin
+
+  private def qCube(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .cube(col("o_orderstatus"), year(col("o_orderdate")).as("order_year"))
+      .agg(count(lit(1)).as("n_orders"), moneySum(col("o_totalprice")).as("total_price"))
+      .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("order_year"))
+
+  private val qCubeSql =
+    s"""SELECT o_orderstatus, CAST(year(o_orderdate) AS INT) AS order_year,
+       |  COUNT(*) AS n_orders, ${moneySumSql("o_totalprice")} AS total_price
+       |FROM orders
+       |GROUP BY CUBE(o_orderstatus, CAST(year(o_orderdate) AS INT))
+       |ORDER BY o_orderstatus NULLS FIRST, order_year NULLS FIRST""".stripMargin
+
   // ------------------------------------------------------------- A. ETL core
 
   /** Coerce-then-impute (reference transform.py §1): a string column with
@@ -390,6 +434,52 @@ object SparkEntry {
       |SELECT 'in_range_o_totalprice',
       |  CAST(SUM(CASE WHEN o_totalprice < 0.0 OR o_totalprice > 1000000.0 THEN 1 ELSE 0 END) AS BIGINT),
       |  SUM(CASE WHEN o_totalprice < 0.0 OR o_totalprice > 1000000.0 THEN 1 ELSE 0 END) = 0 FROM orders
+      |ORDER BY rule""".stripMargin
+
+  private def etlDateFeatures(s: SparkSession, dir: String): DataFrame = {
+    val feats = graft.etl.Features.dateFeatures(col("o_orderdate"))
+    Tables.orders(s, dir)
+      .select(col("o_orderkey") +: col("o_orderdate") +:
+        feats.map { case (n, c) => c.cast("int").as(n) }: _*)
+      .orderBy(col("o_orderkey"))
+  }
+
+  private val etlDateFeaturesSql =
+    """SELECT o_orderkey, o_orderdate,
+      |  CAST(year(o_orderdate) AS INT) AS year,
+      |  CAST(quarter(o_orderdate) AS INT) AS quarter,
+      |  CAST(month(o_orderdate) AS INT) AS month,
+      |  CAST(day(o_orderdate) AS INT) AS day,
+      |  CAST(CASE WHEN day(o_orderdate) = 1 THEN 1 ELSE 0 END AS INT) AS is_month_start,
+      |  CAST(day(last_day(o_orderdate)) AS INT) AS days_in_month
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  /** Cross-table integrity: FK orphan counts + key uniqueness, one
+    * (rule, metric, passed) report (validate.py's reconciliation idea
+    * generalized to referential checks). */
+  private def etlFkCheck(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(s, dir)
+    val r1 = Validate.refIntegrity(orders, "o_custkey", Tables.customer(s, dir), "c_custkey")
+    val r2 = Validate.refIntegrity(Tables.lineitem(s, dir), "l_orderkey", orders, "o_orderkey")
+    val r3 = Validate.run(orders, Seq(Validate.uniqueKey("o_orderkey")))
+    r1.unionAll(r2).unionAll(r3).orderBy(col("rule"))
+  }
+
+  private val etlFkCheckSql =
+    """SELECT 'ref_integrity_o_custkey_to_c_custkey' AS rule,
+      |  CAST(COUNT(*) AS BIGINT) AS metric, COUNT(*) = 0 AS passed
+      |FROM orders o WHERE o_custkey IS NOT NULL
+      |  AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+      |UNION ALL
+      |SELECT 'ref_integrity_l_orderkey_to_o_orderkey',
+      |  CAST(COUNT(*) AS BIGINT), COUNT(*) = 0
+      |FROM lineitem l WHERE l_orderkey IS NOT NULL
+      |  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+      |UNION ALL
+      |SELECT 'unique_key_o_orderkey',
+      |  CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT),
+      |  COUNT(*) - COUNT(DISTINCT o_orderkey) = 0
+      |FROM orders
       |ORDER BY rule""".stripMargin
 
   // ------------------------------------------------------------ B. analytics
@@ -554,6 +644,14 @@ object SparkEntry {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** IVF-bucketed ANN (rows-only check; recall asserted in ScalaTest). */
+  private def simIvfAnn(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    graft.similarity.VectorOps.ivfTopK(
+        emb, emb.filter(col("vec_id") % 50 === 0), k = 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   private def textLangid(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(col("doc_id"), graft.text.TextFunctions.langId(col("text")).as("lang_pred"))
@@ -654,6 +752,11 @@ object SparkEntry {
     "q_rollup" -> (qRollup _),
     "q_events_sessionize" -> (qEventsSessionize _),
     "q_events_window_agg" -> (qEventsWindowAgg _),
+    "q14_promo" -> (q14Promo _),
+    "q_cube" -> (qCube _),
+    "etl_date_features" -> (etlDateFeatures _),
+    "etl_fk_check" -> (etlFkCheck _),
+    "sim_ivf_ann" -> (simIvfAnn _),
     "etl_clean_impute" -> (etlCleanImpute _),
     "etl_fill_unknown" -> (etlFillUnknown _),
     "etl_bucketize" -> (etlBucketize _),
@@ -692,6 +795,10 @@ object SparkEntry {
     "q_rollup" -> qRollupSql,
     "q_events_sessionize" -> qEventsSessionizeSql,
     "q_events_window_agg" -> qEventsWindowAggSql,
+    "q14_promo" -> q14PromoSql,
+    "q_cube" -> qCubeSql,
+    "etl_date_features" -> etlDateFeaturesSql,
+    "etl_fk_check" -> etlFkCheckSql,
     "etl_clean_impute" -> etlCleanImputeSql,
     "etl_fill_unknown" -> etlFillUnknownSql,
     "etl_bucketize" -> etlBucketizeSql,

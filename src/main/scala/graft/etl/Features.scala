@@ -58,6 +58,18 @@ object Features {
     }.otherwise(lit(fallback))
   }
 
+  /** Calendar feature expansion for a timestamp column — the usual ETL
+    * date dimensions (year/quarter/month/day; day-of-week is omitted on
+    * purpose: engines disagree on week-start conventions, use
+    * `dayofweek` explicitly where one convention is committed to). */
+  def dateFeatures(c: Column): Seq[(String, Column)] = Seq(
+    "year" -> year(c),
+    "quarter" -> quarter(c),
+    "month" -> month(c),
+    "day" -> dayofmonth(c),
+    "is_month_start" -> (dayofmonth(c) === 1).cast("int"),
+    "days_in_month" -> dayofmonth(last_day(c)))
+
   /** snake_case column normalization (reference: scripts/load.py:118-123):
     * camelCase boundary → underscore, non-alphanumerics → underscore,
     * lowercase, trim underscores. */

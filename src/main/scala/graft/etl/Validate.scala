@@ -46,6 +46,26 @@ object Validate {
     Rule(s"in_range_$c", bad, bad === lit(0L))
   }
 
+  /** Column is a unique key (duplicate count is the metric). */
+  def uniqueKey(c: String): Rule = {
+    val dups = count(lit(1)) - count_distinct(col(c))
+    Rule(s"unique_key_$c", dups, dups === lit(0L))
+  }
+
+  /** Referential integrity: fk values of `child` all exist in `parent`'s
+    * pk. Not a single-frame Rule — a broadcast-friendly anti-join count
+    * (at dim-scale parents Catalyst broadcasts; fact-fact FKs shuffle on
+    * the key only). Returns the same (rule, metric, passed) shape. */
+  def refIntegrity(child: DataFrame, fk: String,
+                   parent: DataFrame, pk: String): DataFrame = {
+    val orphans = child.select(col(fk)).filter(col(fk).isNotNull)
+      .join(parent.select(col(pk)), col(fk) === col(pk), "left_anti")
+    orphans.agg(count(lit(1)).as("orphans"))
+      .select(lit(s"ref_integrity_${fk}_to_$pk").as("rule"),
+        col("orphans").cast("long").as("metric"),
+        (col("orphans") === 0L).as("passed"))
+  }
+
   /** Evaluate all rules in ONE aggregate pass; returns
     * (rule string, metric long, passed boolean) rows. Internal aliases
     * are positional so duplicate rule names can't collide. */

@@ -83,6 +83,47 @@ object VectorOps {
     Seq.fill(nBits)(Seq.fill(dim)((next() >>> 11) * (1.0 / (1L << 52)) - 1.0))
   }
 
+  /** IVF-style approximate top-k: a deterministic coarse quantizer
+    * (first `nCells` vectors by id serve as centroids — a k-means-free
+    * stand-in with the same plumbing), every vector is assigned to its
+    * nearest centroid cell, and each query probes its `nProbe` nearest
+    * cells. Shuffles carry (cell_id, id, vec); the pair space is pruned
+    * to probed cells — the standard IVF trade of recall for fan-out. */
+  def ivfTopK(embeddings: DataFrame, queries: DataFrame, k: Int,
+              nCells: Int = 16, nProbe: Int = 4,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = embeddings.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
+      .withColumn("n", norm(col("v")))
+    val cents = e.orderBy(col("id")).limit(nCells)
+      .select(col("id").as("cell_id"), col("v").as("cv"), col("n").as("cn"))
+    def assign(df: DataFrame, probes: Int): DataFrame = {
+      val w = Window.partitionBy(col("id"))
+        .orderBy(col("csim").desc, col("cell_id"))
+      df.crossJoin(broadcast(cents))
+        .withColumn("csim", dot(col("v"), col("cv")) / (col("n") * col("cn")))
+        .withColumn("crank", row_number().over(w))
+        .filter(col("crank") <= probes)
+        .drop("cv", "cn", "csim", "crank")
+    }
+    val cells = assign(e, 1)
+      .select(col("id").as("neighbor_id"), col("v").as("nv"), col("n").as("nn"), col("cell_id"))
+    val probed = assign(
+        queries.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
+          .withColumn("n", norm(col("v"))), nProbe)
+      .select(col("id").as("query_id"), col("v").as("qv"), col("n").as("qn"), col("cell_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    cells.join(probed, Seq("cell_id"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), col("qv"), col("nv"), col("qn"), col("nn"))
+      .distinct()
+      .withColumn("sim", round(dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "sim")
+  }
+
   /** LSH-bucketed approximate top-k: candidates share the signature in
     * at least one of `nBands` band projections (multi-probe by banding
     * the signature bits), then exact cosine ranks within candidates.

@@ -26,6 +26,14 @@ object EventsStream {
           .as("total_value"))
       .select(col("window.start").as("hour"), col("event_type"), col("n"), col("total_value"))
 
+  /** Streaming exact dedup on key columns, with watermark-bounded state
+    * (the incremental twin of Dedup.exact: late duplicates beyond the
+    * watermark age out of state instead of growing it unboundedly). */
+  def dedupStream(events: DataFrame, keyCols: Seq[String],
+                  watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
   final case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                       event_type: String, value: Double)
   final case class SessionAcc(sessionId: Long, nEvents: Long, start: Long, end: Long,

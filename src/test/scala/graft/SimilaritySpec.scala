@@ -26,6 +26,18 @@ class SimilaritySpec extends SparkSpec {
     assert(!top.exists(_._2 == 0L)) // self excluded
   }
 
+  test("ivfTopK probes nearest cells and recalls most true neighbors") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val q = emb.filter($"vec_id" % 20 === 0)
+    val exact = graft.similarity.VectorOps.bruteForceTopK(emb, q, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = graft.similarity.VectorOps.ivfTopK(emb, q, k = 5, nCells = 8, nProbe = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    info(f"IVF recall@5 = $recall%.2f (8 cells, 4 probes)")
+    assert(recall > 0.3)
+  }
+
   test("lshTopK recall@5 vs brute force is reasonable for 16-bit/4-band") {
     val emb = Tables.embeddings(spark, sfDir)
     val q = emb.filter($"vec_id" % 20 === 0)

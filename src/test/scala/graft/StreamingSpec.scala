@@ -24,6 +24,18 @@ class StreamingSpec extends SparkSpec {
     assert(out.toSeq == Seq(("click", 2L, 3.0), ("view", 1L, 5.0)))
   }
 
+  test("dedupStream drops duplicate keys within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    in.addData(
+      Ev(1, ts(0), 1, "click", 1.0), Ev(1, ts(1), 1, "click", 1.0),
+      Ev(2, ts(2), 1, "view", 2.0))
+    val q = EventsStream.dedupStream(in.toDF(), Seq("event_id"), "1 hour")
+      .writeStream.outputMode("append").format("memory").queryName("dedup").start()
+    q.processAllAvailable(); q.stop()
+    assert(spark.table("dedup").select("event_id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+  }
+
   test("sessionize: gap closes a session, state emits it") {
     implicit val sqlCtx = spark.sqlContext
     implicit val ss = spark
