@@ -13,6 +13,7 @@ object Engine {
     val spark = SparkSession.builder()
       .master(master)
       .appName("graft")
+      .withExtensions(new graft.functions.GraftExtensions)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

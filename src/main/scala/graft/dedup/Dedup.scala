@@ -35,6 +35,7 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         k: Int = 3, tau: Double = 0.05): DataFrame = {
     val sets = shingleSets(df, textCol, idCol, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sets.select(col("doc_id"), size(col("shingles")).as("n_sh"))
     // join on 64-bit shingle hashes, not the shingle strings: the
     // shuffle carries 8-byte keys (collision odds ~n²/2^65, and any
@@ -88,8 +89,12 @@ object Dedup {
                       k: Int = 3, tau: Double = 0.5,
                       nBands: Int = 16, rowsPerBand: Int = 4,
                       seed: Long = 42L): DataFrame = {
+    // persisted: the self-join + two verification joins would otherwise
+    // recompute shingling/signatures 4x (ContextCleaner reclaims the
+    // cache once the plan is unreachable)
     val sets = shingleSets(df, textCol, idCol, k)
       .withColumn("sig", minhashSignature(col("shingles"), nBands * rowsPerBand, seed))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bands = sets.select(col("doc_id"),
         explode(array((0 until nBands).map(b => struct(lit(b).as("band_id"),
           xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("band_hash"))): _*)).as("b"))

@@ -31,6 +31,14 @@ class TextDedupSpec extends SparkSpec {
     assert(got.toSet == Set("a b c", "b c d", "c d c", "d c d"))
   }
 
+  test("simhash64 and dot_product are registered as SQL functions") {
+    val h = spark.sql("SELECT simhash64(array(1L, 3L)) AS h").as[Long].head()
+    assert(h == 1L) // bit0: two votes set; bit1: one of two -> tie broken to 0
+    val d = spark.sql("SELECT dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+      .as[Double].head()
+    assert(d == 11.0)
+  }
+
   test("exact dedup keeps min id per content hash") {
     val df = Seq((10L, "same text"), (3L, "same text"), (7L, "other")).toDF("doc_id", "text")
     val got = Dedup.exact(df, "text", "doc_id")
