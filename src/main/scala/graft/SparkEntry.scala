@@ -298,6 +298,80 @@ object SparkEntry {
        |GROUP BY CUBE(o_orderstatus, CAST(year(o_orderdate) AS INT))
        |ORDER BY o_orderstatus NULLS FIRST, order_year NULLS FIRST""".stripMargin
 
+  /** As-of join: each click matched to the user's latest prior (or
+    * simultaneous) purchase. Oracle uses a correlated LATERAL top-1 so
+    * the tie-break (max purchase id at equal ts) is pinned on both
+    * engines. */
+  private def qAsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("pts"))
+    graft.operators.AsOf.joinPrior(clicks, purchases, Seq("user_id"),
+        "ts", "pts", Seq("purchase_id", "pts"))
+      // epoch micros, not timestamp: DuckDB's lateral re-times to a
+      // different resolution than the NANOS parquet column
+      .withColumn("asof_pts_us", unix_micros(col("asof_pts")))
+      .drop("asof_pts")
+      .orderBy(col("event_id"))
+  }
+
+  private val qAsofJoinSql =
+    """WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+      |p AS (SELECT event_id AS purchase_id, user_id, ts AS pts FROM events WHERE event_type = 'purchase')
+      |SELECT c.event_id, c.user_id, c.ts,
+      |  m.purchase_id AS asof_purchase_id, epoch_us(m.pts) AS asof_pts_us
+      |FROM c LEFT JOIN LATERAL (
+      |  SELECT purchase_id, pts FROM p
+      |  WHERE p.user_id = c.user_id AND p.pts <= c.ts
+      |  ORDER BY p.pts DESC, p.purchase_id DESC LIMIT 1) m ON true
+      |ORDER BY c.event_id""".stripMargin
+
+  /** Salted skew join — identical results to the plain join, with the
+    * hot-key rows split across `salts` reducers. */
+  private def qSkewJoin(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    val ord = Tables.orders(s, dir)
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+    graft.operators.SkewJoin.saltedInner(li, ord, "l_orderkey", salts = 16)
+      .groupBy(col("o_orderpriority"))
+      .agg(moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  private val qSkewJoinSql =
+    s"""SELECT o_orderpriority,
+       |  ${moneySumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+       |  COUNT(*) AS n_items
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  private def qSetops(s: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(s, dir)
+    val f = ord.filter(col("o_orderstatus") === "F").select("o_custkey")
+    val o = ord.filter(col("o_orderstatus") === "O").select("o_custkey")
+    val both = f.intersect(o).agg(count(lit(1)).as("n"))
+      .select(lit("f_and_o").as("kind"), col("n"))
+    val only = f.except(o).agg(count(lit(1)).as("n"))
+      .select(lit("f_not_o").as("kind"), col("n"))
+    both.unionAll(only).orderBy(col("kind"))
+  }
+
+  private val qSetopsSql =
+    """SELECT 'f_and_o' AS kind, COUNT(*) AS n FROM (
+      |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      |  INTERSECT
+      |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+      |UNION ALL
+      |SELECT 'f_not_o', COUNT(*) FROM (
+      |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      |  EXCEPT
+      |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+      |ORDER BY kind""".stripMargin
+
   // ------------------------------------------------------------- A. ETL core
 
   /** Coerce-then-impute (reference transform.py §1): a string column with
@@ -481,6 +555,57 @@ object SparkEntry {
       |  COUNT(*) - COUNT(DISTINCT o_orderkey) = 0
       |FROM orders
       |ORDER BY rule""".stripMargin
+
+  private def etlStringNorm(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .select(col("c_custkey"),
+        upper(col("c_name")).as("name_upper"),
+        regexp_replace(col("c_name"), "[0-9]+", "#").as("name_tpl"),
+        length(col("c_name")).cast("long").as("name_len"),
+        lpad(col("c_custkey").cast("string"), 10, "0").as("key_pad"),
+        concat_ws("|", col("c_mktsegment"), col("c_name")).as("tagged"))
+      .orderBy(col("c_custkey"))
+
+  private val etlStringNormSql =
+    """SELECT c_custkey,
+      |  upper(c_name) AS name_upper,
+      |  regexp_replace(c_name, '[0-9]+', '#', 'g') AS name_tpl,
+      |  CAST(length(c_name) AS BIGINT) AS name_len,
+      |  lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS key_pad,
+      |  concat_ws('|', c_mktsegment, c_name) AS tagged
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
+  private def etlJsonExtract(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("parsed", from_json(col("props"),
+        org.apache.spark.sql.types.StructType.fromDDL("k INT")))
+      .select(col("event_id"), col("parsed.k").cast("long").as("k_val"))
+      .orderBy(col("event_id"))
+
+  private val etlJsonExtractSql =
+    """SELECT event_id,
+      |  CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k_val
+      |FROM events ORDER BY event_id""".stripMargin
+
+  private def etlSample(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.hashSample(
+        Tables.orders(s, dir), col("o_orderkey"), rate16 = 4)
+      .select("o_orderkey", "o_totalprice")
+      .orderBy(col("o_orderkey"))
+
+  private val etlSampleSql =
+    """SELECT o_orderkey, o_totalprice FROM orders
+      |WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) < '4'
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** Sketch aggregates (HLL distinct, t-digest quantile) — approximate
+    * by design, so checked by ScalaTest tolerance vs the exact values
+    * rather than a hash oracle. */
+  private def anApproxStats(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir).agg(
+      approx_count_distinct(col("o_custkey")).as("approx_customers"),
+      percentile_approx(col("o_totalprice"), lit(0.5), lit(1000)).as("approx_median_price"),
+      count(lit(1)).as("n"))
 
   // ------------------------------------------------------------ B. analytics
 
@@ -757,6 +882,13 @@ object SparkEntry {
     "etl_date_features" -> (etlDateFeatures _),
     "etl_fk_check" -> (etlFkCheck _),
     "sim_ivf_ann" -> (simIvfAnn _),
+    "q_asof_join" -> (qAsofJoin _),
+    "q_skew_join" -> (qSkewJoin _),
+    "q_setops" -> (qSetops _),
+    "etl_string_norm" -> (etlStringNorm _),
+    "etl_json_extract" -> (etlJsonExtract _),
+    "etl_sample" -> (etlSample _),
+    "an_approx_stats" -> (anApproxStats _),
     "etl_clean_impute" -> (etlCleanImpute _),
     "etl_fill_unknown" -> (etlFillUnknown _),
     "etl_bucketize" -> (etlBucketize _),
@@ -799,6 +931,12 @@ object SparkEntry {
     "q_cube" -> qCubeSql,
     "etl_date_features" -> etlDateFeaturesSql,
     "etl_fk_check" -> etlFkCheckSql,
+    "q_asof_join" -> qAsofJoinSql,
+    "q_skew_join" -> qSkewJoinSql,
+    "q_setops" -> qSetopsSql,
+    "etl_string_norm" -> etlStringNormSql,
+    "etl_json_extract" -> etlJsonExtractSql,
+    "etl_sample" -> etlSampleSql,
     "etl_clean_impute" -> etlCleanImputeSql,
     "etl_fill_unknown" -> etlFillUnknownSql,
     "etl_bucketize" -> etlBucketizeSql,

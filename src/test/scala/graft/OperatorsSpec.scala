@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{AsOf, Sampling, SkewJoin}
+
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def t(min: Int) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+
+  test("AsOf.joinPrior picks the latest right row at-or-before each left ts") {
+    val clicks = Seq((1L, 7L, t(10)), (2L, 7L, t(30)), (3L, 8L, t(5)))
+      .toDF("event_id", "user_id", "ts")
+    val purchases = Seq((100L, 7L, t(0)), (101L, 7L, t(30)), (102L, 9L, t(0)))
+      .toDF("purchase_id", "user_id", "pts")
+    val got = AsOf.joinPrior(clicks, purchases, Seq("user_id"), "ts", "pts",
+        Seq("purchase_id", "pts"))
+      .select("event_id", "asof_purchase_id").as[(Long, Option[Long])]
+      .collect().toMap
+    assert(got(1L).contains(100L)) // only t(0) purchase is prior
+    assert(got(2L).contains(101L)) // boundary-inclusive: same-ts purchase wins
+    assert(got(3L).isEmpty)        // user 8 never purchased
+  }
+
+  test("salted join equals the plain join") {
+    val li = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_quantity")
+    val ord = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+    val plain = li.join(ord, "l_orderkey").count()
+    val salted = SkewJoin.saltedInner(li, ord, "l_orderkey", salts = 8).count()
+    assert(plain == salted)
+  }
+
+  test("hash sample is deterministic and near the target rate") {
+    val ord = Tables.orders(spark, sfDir)
+    val n = ord.count().toDouble
+    val s1 = Sampling.hashSample(ord, col("o_orderkey"), 4)
+    val s2 = Sampling.hashSample(ord, col("o_orderkey"), 4)
+    assert(s1.count() == s2.count())
+    val rate = s1.count() / n
+    assert(rate > 0.15 && rate < 0.35) // target 25%
+    assert(Sampling.hashSample(ord, col("o_orderkey"), 16).count() == n.toLong)
+    assert(Sampling.hashSample(ord, col("o_orderkey"), 0).count() == 0L)
+  }
+
+  test("approx stats land within tolerance of exact values") {
+    val ord = Tables.orders(spark, sfDir)
+    val row = SparkEntry.queries("an_approx_stats")(spark, sfDir).head()
+    val exactCust = ord.select(count_distinct(col("o_custkey"))).as[Long].head()
+    val exactMed = ord.select(percentile(col("o_totalprice"), lit(0.5))).as[Double].head()
+    assert(math.abs(row.getLong(0) - exactCust) <= 0.05 * exactCust)
+    assert(math.abs(row.getDouble(1) - exactMed) <= 0.05 * exactMed)
+  }
+}
