@@ -607,6 +607,90 @@ object SparkEntry {
       percentile_approx(col("o_totalprice"), lit(0.5), lit(1000)).as("approx_median_price"),
       count(lit(1)).as("n"))
 
+  /** Second-moment statistics (stddev, correlation) computed from EXACT
+    * decimal power sums rather than Spark's streaming co-moments, whose
+    * low bits depend on partition merge order — same closed formulas on
+    * both engines, bit-identical results. */
+  private def anStatsMoments(s: SparkSession, dir: String): DataFrame = {
+    def dsum(c: Column) = sum(c.cast("decimal(38,8)")).cast("double")
+    val x = col("l_quantity"); val y = col("l_extendedprice")
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        dsum(x).as("sx"), dsum(y).as("sy"),
+        dsum(x * x).as("sxx"), dsum(y * y).as("syy"), dsum(x * y).as("sxy"))
+      // rounded: the squared-price sums overflow the 2^53 exact window,
+      // so the two engines' decimal→double conversions can differ by
+      // 1 ulp; rounding leaves ~6 orders of margin over that wobble
+      .select(col("l_returnflag"), col("n"),
+        round((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1), 6).as("var_qty"),
+        round(sqrt((col("syy") - col("sy") * col("sy") / col("n")) / (col("n") - 1)), 6).as("stddev_price"),
+        round((col("sxy") - col("sx") * col("sy") / col("n")) /
+          (sqrt(col("sxx") - col("sx") * col("sx") / col("n")) *
+            sqrt(col("syy") - col("sy") * col("sy") / col("n"))), 9).as("corr_qty_price"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  private val anStatsMomentsSql =
+    """WITH m AS (
+      |  SELECT l_returnflag, COUNT(*) AS n,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(38,8))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,8))) AS DOUBLE) AS sy,
+      |    CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,8))) AS DOUBLE) AS sxx,
+      |    CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,8))) AS DOUBLE) AS syy,
+      |    CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,8))) AS DOUBLE) AS sxy
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag, n,
+      |  ROUND((sxx - sx * sx / n) / (n - 1), 6) AS var_qty,
+      |  ROUND(sqrt((syy - sy * sy / n) / (n - 1)), 6) AS stddev_price,
+      |  ROUND((sxy - sx * sy / n) / (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n)), 9) AS corr_qty_price
+      |FROM m ORDER BY l_returnflag""".stripMargin
+
+  /** Window-function suite: lag/lead/ntile/percent_rank/dense_rank over
+    * per-customer order history. */
+  private def qWindowFuncs(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+        lead(col("o_totalprice"), 1).over(w).as("next_price"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        dense_rank().over(w).as("drank"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  private val qWindowFuncsSql =
+    """SELECT o_custkey, o_orderkey, o_totalprice,
+      |  LAG(o_totalprice, 1) OVER w AS prev_price,
+      |  LEAD(o_totalprice, 1) OVER w AS next_price,
+      |  CAST(NTILE(4) OVER w AS INT) AS quartile,
+      |  PERCENT_RANK() OVER w AS pct_rank,
+      |  CAST(DENSE_RANK() OVER w AS INT) AS drank
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  /** Argmax per group with pinned tie-break (row_number, not max_by —
+    * max_by picks arbitrarily among ties). */
+  private def qArgmax(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    Tables.customer(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("c_mktsegment", "c_custkey", "c_acctbal")
+      .orderBy(col("c_mktsegment"))
+  }
+
+  private val qArgmaxSql =
+    """SELECT c_mktsegment, c_custkey, c_acctbal FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+      |    ORDER BY c_acctbal DESC, c_custkey) AS rn
+      |  FROM customer) t
+      |WHERE rn = 1 ORDER BY c_mktsegment""".stripMargin
+
   // ------------------------------------------------------------ B. analytics
 
   private def anSummaryStats(s: SparkSession, dir: String): DataFrame =
@@ -889,6 +973,9 @@ object SparkEntry {
     "etl_json_extract" -> (etlJsonExtract _),
     "etl_sample" -> (etlSample _),
     "an_approx_stats" -> (anApproxStats _),
+    "an_stats_moments" -> (anStatsMoments _),
+    "q_window_funcs" -> (qWindowFuncs _),
+    "q_argmax" -> (qArgmax _),
     "etl_clean_impute" -> (etlCleanImpute _),
     "etl_fill_unknown" -> (etlFillUnknown _),
     "etl_bucketize" -> (etlBucketize _),
@@ -937,6 +1024,9 @@ object SparkEntry {
     "etl_string_norm" -> etlStringNormSql,
     "etl_json_extract" -> etlJsonExtractSql,
     "etl_sample" -> etlSampleSql,
+    "an_stats_moments" -> anStatsMomentsSql,
+    "q_window_funcs" -> qWindowFuncsSql,
+    "q_argmax" -> qArgmaxSql,
     "etl_clean_impute" -> etlCleanImputeSql,
     "etl_fill_unknown" -> etlFillUnknownSql,
     "etl_bucketize" -> etlBucketizeSql,
