@@ -59,7 +59,43 @@ case class MinHashSig(child: Expression, as: Seq[Long], bs: Seq[Long], prime: Lo
   override protected def withNewChildInternal(c: Expression): MinHashSig = copy(child = c)
 }
 
+/** Distinct word k-gram shingles of a string, in one native pass
+  * (split + window join + first-occurrence dedup) — replaces an
+  * interpreted transform(sequence)+concat_ws+array_distinct chain that
+  * dominated dedup wall-clock. Fewer than k words → empty array. */
+case class WordShingles(child: Expression, k: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"word_shingles needs string, got ${t.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    VectorExprs.shingles(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.VectorExprs.shingles($c, $k)")
+
+  override protected def withNewChildInternal(c: Expression): WordShingles = copy(child = c)
+}
+
 object VectorExprs {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  def shingles(text: UTF8String, k: Int): ArrayData = {
+    val words = text.toString.split(" ", -1)
+    val out = new java.util.LinkedHashSet[UTF8String]
+    var i = 0
+    while (i + k <= words.length) {
+      val sb = new java.lang.StringBuilder(words(i))
+      var j = 1
+      while (j < k) { sb.append(' ').append(words(i + j)); j += 1 }
+      out.add(UTF8String.fromString(sb.toString))
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      out.toArray(new Array[AnyRef](out.size())))
+  }
   def dot(a: ArrayData, b: ArrayData): Double = {
     val x = a.toDoubleArray()
     val y = b.toDoubleArray()
@@ -94,4 +130,7 @@ object VectorExprs {
 
   def minhash_sig(c: Column, as: Seq[Long], bs: Seq[Long], prime: Long): Column =
     ColumnBridge.column(MinHashSig(ColumnBridge.expression(c), as, bs, prime))
+
+  def word_shingles(c: Column, k: Int): Column =
+    ColumnBridge.column(WordShingles(ColumnBridge.expression(c), k))
 }

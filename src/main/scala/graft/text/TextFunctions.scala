@@ -85,10 +85,8 @@ object TextFunctions {
       size(hs).as("n_shingles"))
   }
 
-  /** Distinct word k-gram shingles of a text column. */
-  def shingles(c: Column, k: Int = 3): Column = {
-    val w = words(c)
-    array_distinct(transform(sequence(lit(0), size(w) - lit(k)),
-      i => concat_ws(" ", (0 until k).map(j => element_at(w, i + lit(j + 1))): _*)))
-  }
+  /** Distinct word k-gram shingles of a text column (native one-pass
+    * kernel; first-occurrence order, empty array below k words). */
+  def shingles(c: Column, k: Int = 3): Column =
+    graft.functions.VectorExprs.word_shingles(c, k)
 }
