@@ -27,4 +27,15 @@ object Extract {
     val r = spark.read.option("mode", "PERMISSIVE")
     schema.fold(r.option("inferSchema", "true"))(s => r.schema(s)).json(path)
   }
+
+  /** JDBC extract with partitioned parallel reads (the reverse of
+    * Load.JdbcSink): `partitionColumn`+bounds split the table into
+    * `numPartitions` range scans so a large table streams through many
+    * executors instead of one connection. */
+  def jdbc(spark: SparkSession, url: String, table: String,
+           partitionColumn: String, lowerBound: Long, upperBound: Long,
+           numPartitions: Int = 8,
+           properties: java.util.Properties = new java.util.Properties()): DataFrame =
+    spark.read.jdbc(url, table, partitionColumn, lowerBound, upperBound,
+      numPartitions, properties)
 }

@@ -76,6 +76,6 @@ object Features {
   def snakeCase(name: String): String =
     name.replaceAll("([a-z0-9])([A-Z])", "$1_$2")
       .replaceAll("[^0-9a-zA-Z_]+", "_")
-      .stripPrefix("_").stripSuffix("_")
+      .replaceAll("^_+|_+$", "") // python strip('_'): ALL edge underscores
       .toLowerCase
 }

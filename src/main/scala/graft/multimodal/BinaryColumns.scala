@@ -48,6 +48,23 @@ object BinaryColumns {
     DecodedMeta(id, bytes.length.toLong,
       if (bytes.isEmpty) -1 else bytes(0) & 0xFF, "stub-v1")
 
+  /** Frame-sampling shape for video/audio payloads: chop the byte
+    * stream into fixed `frameSize` chunks and keep every `stride`-th
+    * one — the Spark-side plumbing (explode to a frames table keyed by
+    * (doc_id, frame_no)) is real; the chunking stands in for codec
+    * frame extraction. */
+  def frameSample(payloads: DataFrame, frameSize: Int = 16, stride: Int = 4)
+                 (implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    payloads.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        bytes.grouped(frameSize).zipWithIndex
+          .filter { case (_, i) => i % stride == 0 }
+          .map { case (frame, i) => (id, i, frame.length, frame) }
+      }
+      .toDF("doc_id", "frame_no", "frame_len", "frame_bytes")
+  }
+
   /** Full plumbing: payload → batch decode → re-join metadata. */
   def decodedFrame(df: DataFrame, textCol: String, idCol: String)
                   (implicit spark: SparkSession): DataFrame = {

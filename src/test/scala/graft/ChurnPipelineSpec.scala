@@ -57,6 +57,31 @@ class ChurnPipelineSpec extends SparkSpec {
     assert(math.abs(rate - 26.54) < 0.01)
   }
 
+  test("ChurnReport reproduces the reference's processed artifact set") {
+    val a = graft.analytics.ChurnReport.build(staged)
+    // summary: 3 metric rows, churn pct matches the dataset
+    val summ = a.summary.as[(String, Double)].collect().toMap
+    assert(summ("total_rows") == 7043.0)
+    assert(math.abs(summ("flag_percentage") - 26.54) < 0.01)
+    // avg by contract has the reference's three contract types
+    assert(a.avgByContract.count() == 3)
+    // tenure counts cover all four groups and sum to the row count
+    val tc = a.tenureCounts.as[(String, Long)].collect().toMap
+    assert(tc.keySet == Set("New", "Regular", "Loyal", "Champion"))
+    assert(tc.values.sum == 7043L)
+    // pivot: counts reconcile and rate formula holds
+    val p = a.pivot.select("not_churned_count", "churned_count", "total", "churn_rate_pct")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(p.forall { case (n0, n1, t, r) =>
+      n0 + n1 == t && math.abs(r - math.round(n1 * 100000.0 / t) / 1000.0) < 1e-9 })
+    // writes land as the five csv artifacts
+    val tmp = java.nio.file.Files.createTempDirectory("churn_report").toString
+    graft.analytics.ChurnReport.write(a, tmp)
+    val names = new java.io.File(tmp).listFiles().map(_.getName).toSet
+    assert(names == Set("analysis_summary", "avg_monthly_by_contract",
+      "tenure_group_counts", "internet_service_distribution", "pivot_churn_tenure"))
+  }
+
   test("engineered features have the reference's distributions") {
     val byContract = staged.groupBy("contract_type_code").count()
       .as[(Int, Long)].collect().toMap

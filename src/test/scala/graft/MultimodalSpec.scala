@@ -13,6 +13,16 @@ class MultimodalSpec extends SparkSpec {
     assert(r.toSeq == Seq((1L, 5, "text/plain"), (2L, 0, "text/plain")))
   }
 
+  test("frameSample chops payloads into strided fixed-size frames") {
+    implicit val ss = spark
+    val df = Seq((1L, "a" * 40)).toDF("doc_id", "text")
+    val frames = BinaryColumns.frameSample(
+      BinaryColumns.withPayload(df, "text", "doc_id"), frameSize = 16, stride = 2)
+    val rows = frames.select("frame_no", "frame_len").as[(Int, Int)].collect().toSet
+    // 40 bytes -> chunks of 16,16,8 at indexes 0,1,2; stride 2 keeps 0 and 2
+    assert(rows == Set((0, 16), (2, 8)))
+  }
+
   test("decode stub runs per-partition and matches metadata") {
     implicit val ss = spark
     val df = Seq((1L, "hello"), (2L, "x")).toDF("doc_id", "text")
