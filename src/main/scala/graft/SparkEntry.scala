@@ -646,6 +646,25 @@ object SparkEntry {
       |  ROUND((sxy - sx * sy / n) / (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n)), 9) AS corr_qty_price
       |FROM m ORDER BY l_returnflag""".stripMargin
 
+  /** Exact interpolated quantiles per group (Spark `percentile` ==
+    * DuckDB `quantile_cont` semantics), rounded to absorb the engines'
+    * differing interpolation arithmetic at the last ulp. */
+  private def anQuantilesByGroup(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        round(percentile(col("o_totalprice"), lit(0.25)), 4).as("p25"),
+        round(percentile(col("o_totalprice"), lit(0.5)), 4).as("p50"),
+        round(percentile(col("o_totalprice"), lit(0.75)), 4).as("p75"))
+      .orderBy(col("o_orderpriority"))
+
+  private val anQuantilesByGroupSql =
+    """SELECT o_orderpriority,
+      |  ROUND(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+      |  ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+      |  ROUND(quantile_cont(o_totalprice, 0.75), 4) AS p75
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   /** Window-function suite: lag/lead/ntile/percent_rank/dense_rank over
     * per-customer order history. */
   private def qWindowFuncs(s: SparkSession, dir: String): DataFrame = {
@@ -974,6 +993,7 @@ object SparkEntry {
     "etl_sample" -> (etlSample _),
     "an_approx_stats" -> (anApproxStats _),
     "an_stats_moments" -> (anStatsMoments _),
+    "an_quantiles_by_group" -> (anQuantilesByGroup _),
     "q_window_funcs" -> (qWindowFuncs _),
     "q_argmax" -> (qArgmax _),
     "etl_clean_impute" -> (etlCleanImpute _),
@@ -1025,6 +1045,7 @@ object SparkEntry {
     "etl_json_extract" -> etlJsonExtractSql,
     "etl_sample" -> etlSampleSql,
     "an_stats_moments" -> anStatsMomentsSql,
+    "an_quantiles_by_group" -> anQuantilesByGroupSql,
     "q_window_funcs" -> qWindowFuncsSql,
     "q_argmax" -> qArgmaxSql,
     "etl_clean_impute" -> etlCleanImputeSql,

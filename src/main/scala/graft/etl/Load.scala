@@ -51,6 +51,23 @@ object Load {
     }
   }
 
+  /** Bucketed managed-table sink: rows are hash-bucketed (and sorted)
+    * by the join/agg key at write time, so later equi-joins and
+    * aggregations on that key run shuffle-free — the standard layout
+    * investment for fact tables that are joined repeatedly at scale.
+    * (See PlanSpec: a join of two tables bucketed on the same key by
+    * the same bucket count plans with no Exchange.) */
+  final case class BucketedTableSink(table: String, bucketCol: String,
+                                     numBuckets: Int = 32,
+                                     sortCol: Option[String] = None,
+                                     mode: SaveMode = SaveMode.Overwrite) extends Sink {
+    def write(df: DataFrame): Unit = {
+      val w = df.write.mode(mode).format("parquet")
+        .bucketBy(numBuckets, bucketCol)
+      sortCol.fold(w)(s => w.sortBy(s)).saveAsTable(table)
+    }
+  }
+
   /** Try each sink in order; first success wins (load.py's
     * remote-then-local-copy behavior). Retries are per-sink. */
   final case class FallbackSink(sinks: Seq[Sink], retriesPerSink: Int = 2) extends Sink {

@@ -36,6 +36,32 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("*(1) Project"), p)
   }
 
+  test("tables bucketed on the join key join with zero shuffle") {
+    val spark2 = spark
+    import graft.etl.Load
+    spark2.sql("DROP TABLE IF EXISTS b_orders")
+    spark2.sql("DROP TABLE IF EXISTS b_customer")
+    Load.BucketedTableSink("b_orders", "o_custkey", 8)
+      .write(Tables.orders(spark2, sfDir))
+    Load.BucketedTableSink("b_customer", "c_custkey", 8)
+      .write(Tables.customer(spark2, sfDir))
+    // force a sort-merge join so the assertion exercises bucketing,
+    // not broadcast
+    val prev = spark2.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark2.table("b_orders")
+        .join(spark2.table("b_customer"),
+          org.apache.spark.sql.functions.col("o_custkey") ===
+            org.apache.spark.sql.functions.col("c_custkey"))
+      joined.collect()
+      val p = joined.queryExecution.executedPlan.toString()
+      assert(p.contains("SortMergeJoin"), p)
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"bucketed join should not shuffle:\n$p")
+    } finally spark2.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("dedup_exact aggregates on the hash, not the document body") {
     val df = SparkEntry.queries("dedup_exact")(spark, sfDir)
     val p = df.queryExecution.executedPlan.toString()
