@@ -968,6 +968,71 @@ object SparkEntry {
       |  'stub-v1' AS decoder
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Ordered funnel over the event stream: view → click (at/after the
+    * first view) → purchase (at/after that click), counted per user.
+    * Three same-key aggregates; every join co-partitions on user_id. */
+  private def anFunnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select("user_id", "event_type", "ts")
+    val v = ev.groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === "view", col("ts"))).as("v_ts"))
+    val c = ev.join(v, "user_id")
+      .groupBy(col("user_id"), col("v_ts"))
+      .agg(min(when(col("event_type") === "click" && col("ts") >= col("v_ts"), col("ts"))).as("c_ts"))
+    val p = ev.join(c, "user_id")
+      .groupBy(col("user_id"), col("v_ts"), col("c_ts"))
+      .agg(min(when(col("event_type") === "purchase" && col("ts") >= col("c_ts"), col("ts"))).as("p_ts"))
+    p.agg(
+      count(lit(1)).as("n_users"),
+      sum(col("v_ts").isNotNull.cast("long")).as("n_view"),
+      sum(col("c_ts").isNotNull.cast("long")).as("n_view_click"),
+      sum(col("p_ts").isNotNull.cast("long")).as("n_view_click_purchase"))
+  }
+
+  private val anFunnelSql =
+    """WITH v AS (
+      |  SELECT user_id, MIN(CASE WHEN event_type = 'view' THEN ts END) AS v_ts
+      |  FROM events GROUP BY user_id),
+      |c AS (
+      |  SELECT e.user_id, v.v_ts,
+      |    MIN(CASE WHEN e.event_type = 'click' AND e.ts >= v.v_ts THEN e.ts END) AS c_ts
+      |  FROM events e JOIN v ON e.user_id = v.user_id
+      |  GROUP BY e.user_id, v.v_ts),
+      |p AS (
+      |  SELECT e.user_id, c.v_ts, c.c_ts,
+      |    MIN(CASE WHEN e.event_type = 'purchase' AND e.ts >= c.c_ts THEN e.ts END) AS p_ts
+      |  FROM events e JOIN c ON e.user_id = c.user_id
+      |  GROUP BY e.user_id, c.v_ts, c.c_ts)
+      |SELECT COUNT(*) AS n_users,
+      |  CAST(SUM(CASE WHEN v_ts IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+      |  CAST(SUM(CASE WHEN c_ts IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_view_click,
+      |  CAST(SUM(CASE WHEN p_ts IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_view_click_purchase
+      |FROM p""".stripMargin
+
+  /** Day-grain cohort retention: users grouped by first-seen day,
+    * counted distinct per day offset. */
+  private def anRetentionCohort(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+    val first = ev.groupBy(col("user_id")).agg(min(col("day")).as("cohort"))
+    ev.join(first, "user_id")
+      // ISO string, not DATE: date columns round-trip as different
+      // logical types through parquet vs a SQL client
+      .groupBy(date_format(col("cohort"), "yyyy-MM-dd").as("cohort"),
+        datediff(col("day"), col("cohort")).as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("cohort"), col("day_offset"))
+  }
+
+  private val anRetentionCohortSql =
+    """WITH f AS (
+      |  SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort
+      |  FROM events GROUP BY user_id)
+      |SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort,
+      |  CAST(date_diff('day', f.cohort, CAST(e.ts AS DATE)) AS INT) AS day_offset,
+      |  COUNT(DISTINCT e.user_id) AS n_users
+      |FROM events e JOIN f ON e.user_id = f.user_id
+      |GROUP BY 1, 2 ORDER BY cohort, day_offset""".stripMargin
+
   // ----------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -994,6 +1059,8 @@ object SparkEntry {
     "an_approx_stats" -> (anApproxStats _),
     "an_stats_moments" -> (anStatsMoments _),
     "an_quantiles_by_group" -> (anQuantilesByGroup _),
+    "an_funnel" -> (anFunnel _),
+    "an_retention_cohort" -> (anRetentionCohort _),
     "q_window_funcs" -> (qWindowFuncs _),
     "q_argmax" -> (qArgmax _),
     "etl_clean_impute" -> (etlCleanImpute _),
@@ -1046,6 +1113,8 @@ object SparkEntry {
     "etl_sample" -> etlSampleSql,
     "an_stats_moments" -> anStatsMomentsSql,
     "an_quantiles_by_group" -> anQuantilesByGroupSql,
+    "an_funnel" -> anFunnelSql,
+    "an_retention_cohort" -> anRetentionCohortSql,
     "q_window_funcs" -> qWindowFuncsSql,
     "q_argmax" -> qArgmaxSql,
     "etl_clean_impute" -> etlCleanImputeSql,

@@ -41,6 +41,18 @@ class PlanSpec extends SparkSpec {
     import graft.etl.Load
     spark2.sql("DROP TABLE IF EXISTS b_orders")
     spark2.sql("DROP TABLE IF EXISTS b_customer")
+    // the in-memory catalog forgets tables between JVMs but their
+    // warehouse dirs persist — clear them or saveAsTable refuses
+    Seq("b_orders", "b_customer").foreach { t =>
+      val dir = new java.io.File(s"spark-warehouse/$t")
+      if (dir.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(dir)
+      }
+    }
     Load.BucketedTableSink("b_orders", "o_custkey", 8)
       .write(Tables.orders(spark2, sfDir))
     Load.BucketedTableSink("b_customer", "c_custkey", 8)
