@@ -665,6 +665,49 @@ object SparkEntry {
       |  ROUND(quantile_cont(o_totalprice, 0.75), 4) AS p75
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** Group-wise top-k through the bounded-memory typed Aggregator
+    * (O(k) state per group with map-side combine — see
+    * graft.functions.TopKAggregate) instead of a full window sort.
+    * Results identical to the rank() formulation, which is the oracle. */
+  private def qTopkPerGroup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val agg = new graft.functions.TopKAggregate(5)
+    Tables.orders(s, dir)
+      .select(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
+      .as[(String, Double, Long)]
+      .groupByKey(_._1)
+      .mapValues(r => (r._2, r._3))
+      .agg(agg.toColumn.name("topk"))
+      .flatMap { case (prio, topk) =>
+        topk.zipWithIndex.map { case ((price, key), i) => (prio, key, price, i + 1) }
+      }
+      .toDF("o_orderpriority", "o_orderkey", "o_totalprice", "rank")
+      .orderBy(col("o_orderpriority"), col("rank"))
+  }
+
+  private val qTopkPerGroupSql =
+    """SELECT o_orderpriority, o_orderkey, o_totalprice, CAST(rn AS INT) AS rank
+      |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+      |        ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |      FROM orders) t
+      |WHERE rn <= 5
+      |ORDER BY o_orderpriority, rank""".stripMargin
+
+  /** Corpus bigram document frequencies (top 20). */
+  private def textNgramFreq(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(explode(graft.text.TextFunctions.shingles(col("text"), 2)).as("ngram"))
+      .groupBy(col("ngram")).agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("ngram"))
+      .limit(20)
+
+  private val textNgramFreqSql =
+    """WITH sh AS (
+      |  SELECT doc_id, unnest(list_distinct([w[i] || ' ' || w[i+1] for i in range(1, len(w))])) AS ngram
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))
+      |SELECT ngram, COUNT(*) AS df FROM sh
+      |GROUP BY ngram ORDER BY df DESC, ngram LIMIT 20""".stripMargin
+
   /** Window-function suite: lag/lead/ntile/percent_rank/dense_rank over
     * per-customer order history. */
   private def qWindowFuncs(s: SparkSession, dir: String): DataFrame = {
@@ -1061,6 +1104,8 @@ object SparkEntry {
     "an_quantiles_by_group" -> (anQuantilesByGroup _),
     "an_funnel" -> (anFunnel _),
     "an_retention_cohort" -> (anRetentionCohort _),
+    "q_topk_per_group" -> (qTopkPerGroup _),
+    "text_ngram_freq" -> (textNgramFreq _),
     "q_window_funcs" -> (qWindowFuncs _),
     "q_argmax" -> (qArgmax _),
     "etl_clean_impute" -> (etlCleanImpute _),
@@ -1115,6 +1160,8 @@ object SparkEntry {
     "an_quantiles_by_group" -> anQuantilesByGroupSql,
     "an_funnel" -> anFunnelSql,
     "an_retention_cohort" -> anRetentionCohortSql,
+    "q_topk_per_group" -> qTopkPerGroupSql,
+    "text_ngram_freq" -> textNgramFreqSql,
     "q_window_funcs" -> qWindowFuncsSql,
     "q_argmax" -> qArgmaxSql,
     "etl_clean_impute" -> etlCleanImputeSql,

@@ -43,6 +43,19 @@ class OperatorsSpec extends SparkSpec {
     assert(Sampling.hashSample(ord, col("o_orderkey"), 0).count() == 0L)
   }
 
+  test("TopKAggregate keeps the best k with deterministic tie-break") {
+    val agg = new graft.functions.TopKAggregate(3)
+    val items = Seq((5.0, 10L), (5.0, 2L), (7.0, 9L), (1.0, 1L), (7.0, 3L))
+    val merged = items.foldLeft(agg.zero)((b, x) => agg.reduce(b, x))
+    // split-merge must agree with sequential reduce
+    val (l, r) = items.splitAt(2)
+    val m2 = agg.merge(
+      l.foldLeft(agg.zero)((b, x) => agg.reduce(b, x)),
+      r.foldLeft(agg.zero)((b, x) => agg.reduce(b, x)))
+    assert(agg.finish(merged) == agg.finish(m2))
+    assert(agg.finish(merged) == Seq((7.0, 3L), (7.0, 9L), (5.0, 2L)))
+  }
+
   test("approx stats land within tolerance of exact values") {
     val ord = Tables.orders(spark, sfDir)
     val row = SparkEntry.queries("an_approx_stats")(spark, sfDir).head()
