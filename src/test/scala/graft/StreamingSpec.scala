@@ -36,6 +36,26 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("dedup").select("event_id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
   }
 
+  test("file-source streaming over the real events parquet replays the batch agg") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // the file source wants a directory: stage the file into one
+    val dir = java.nio.file.Files.createTempDirectory("events_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      dir.resolve("part-0.parquet"))
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .parquet(dir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val q = EventsStream.windowedAgg(stream, "1 hour", "2 hours")
+      .writeStream.outputMode("complete").format("memory").queryName("fileagg").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("fileagg")
+      .agg(sum("n")).as[Long].head()
+    val batch = Tables.events(spark, sfDir).count()
+    assert(streamed == batch)
+  }
+
   test("sessionize: gap closes a session, state emits it") {
     implicit val sqlCtx = spark.sqlContext
     implicit val ss = spark
