@@ -5,10 +5,11 @@ import org.apache.spark.sql.functions._
 
 /** Vector similarity over `array<float>` embedding columns.
   *
-  * Math is composed from `zip_with`/`aggregate` (sequential left fold —
-  * deterministic summation order, codegen'd, no UDF). Elements are cast
-  * to double before arithmetic so precision matches any double-based
-  * oracle to ~1e-14 relative.
+  * Kernels are native codegen'd expressions (graft.functions.DotProduct:
+  * a sequential primitive loop — deterministic summation order, no UDF,
+  * no per-element lambda dispatch). Elements are cast to double before
+  * arithmetic so precision matches any double-based oracle to ~1e-14
+  * relative.
   */
 object VectorOps {
 
