@@ -1076,6 +1076,53 @@ object SparkEntry {
       |FROM events e JOIN f ON e.user_id = f.user_id
       |GROUP BY 1, 2 ORDER BY cohort, day_offset""".stripMargin
 
+  /** Array-agg coverage: per-group sorted distinct collection, emitted
+    * as a joined string (engine-portable; raw list columns compare
+    * poorly across clients). */
+  private def qCollect(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        array_join(array_sort(collect_set(col("o_orderstatus"))), ",").as("statuses"),
+        countDistinct(col("o_orderstatus")).as("n_statuses"))
+      .orderBy(col("o_orderpriority"))
+
+  private val qCollectSql =
+    """SELECT o_orderpriority,
+      |  string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses,
+      |  COUNT(DISTINCT o_orderstatus) AS n_statuses
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** Upsert / latest-record-wins merge (the SCD & Delta-MERGE pattern
+    * composed from built-ins): a base table unioned with an updates
+    * slice, deduped per key by (version desc) with row_number — NOT
+    * dropDuplicates, whose survivor is partition-order-dependent.
+    * Output re-aggregates so the check stays compact. */
+  private def qMergeLatest(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"), lit(1).as("version"))
+    val updates = Tables.orders(s, dir).filter(col("o_orderstatus") === "O")
+      .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
+        (col("o_totalprice") * lit(1.1)).as("o_totalprice"), lit(2).as("version"))
+    val w = Window.partitionBy(col("o_orderkey")).orderBy(col("version").desc)
+    base.unionAll(updates)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("total"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  private val qMergeLatestSql =
+    s"""WITH merged AS (
+       |  SELECT * FROM (
+       |    SELECT o_orderkey, o_orderstatus, o_totalprice, 1 AS version FROM orders
+       |    UNION ALL
+       |    SELECT o_orderkey, 'U', o_totalprice * 1.1, 2 FROM orders WHERE o_orderstatus = 'O')
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY o_orderkey ORDER BY version DESC) = 1)
+       |SELECT o_orderstatus, COUNT(*) AS n, ${moneySumSql("o_totalprice")} AS total
+       |FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   // ----------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1106,6 +1153,8 @@ object SparkEntry {
     "an_retention_cohort" -> (anRetentionCohort _),
     "q_topk_per_group" -> (qTopkPerGroup _),
     "text_ngram_freq" -> (textNgramFreq _),
+    "q_collect" -> (qCollect _),
+    "q_merge_latest" -> (qMergeLatest _),
     "q_window_funcs" -> (qWindowFuncs _),
     "q_argmax" -> (qArgmax _),
     "etl_clean_impute" -> (etlCleanImpute _),
@@ -1162,6 +1211,8 @@ object SparkEntry {
     "an_retention_cohort" -> anRetentionCohortSql,
     "q_topk_per_group" -> qTopkPerGroupSql,
     "text_ngram_freq" -> textNgramFreqSql,
+    "q_collect" -> qCollectSql,
+    "q_merge_latest" -> qMergeLatestSql,
     "q_window_funcs" -> qWindowFuncsSql,
     "q_argmax" -> qArgmaxSql,
     "etl_clean_impute" -> etlCleanImputeSql,
