@@ -21,6 +21,15 @@ object Engine {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    // getOrCreate silently reuses a pre-existing session: runtime SQL
+    // configs above ARE re-applied to it, but extensions (the graft SQL
+    // function registry) are NOT. Fail fast instead of returning a
+    // session that breaks the engine's determinism conventions.
+    if (!spark.catalog.functionExists("simhash64"))
+      throw new IllegalStateException(
+        "Engine.session: getOrCreate returned a pre-existing SparkSession " +
+          "built without GraftExtensions — graft SQL functions are missing. " +
+          "Stop that session first, or build yours via Engine.session.")
     spark.sparkContext.setLogLevel("WARN")
     spark
   }

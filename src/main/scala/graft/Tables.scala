@@ -22,10 +22,17 @@ object Tables {
   def lineitem(s: SparkSession, d: String): DataFrame = t(s, d, "lineitem")
   /** events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized reader
     * rejects; read nanos as long and truncate to micros (exactly what
-    * DuckDB does when it loads the same file, so oracle-compatible). */
+    * DuckDB does when it loads the same file, so oracle-compatible).
+    *
+    * The legacy conf is scoped to a cloned session (`newSession`: same
+    * SparkContext, private SQLConf) instead of mutating the caller's
+    * session — a later parquet read of a nanos column elsewhere in the
+    * caller's session still fails fast. The scan relation captures the
+    * clone, so execution under any driving session keeps the setting. */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, d, "events")
+    val scoped = s.newSession()
+    scoped.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(scoped, d, "events")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")

@@ -61,18 +61,22 @@ object Summary {
   }
 
   /** One-metric-per-row summary (ipynb cell 9): total rows, exact-distinct
-    * rows, rate of a flag. Distinct is a hash-aggregate over all columns. */
+    * rows, rate of a flag — all three from ONE aggregate job (the
+    * distinct count is a count_distinct over a struct of every column,
+    * planned as an Expand + two-phase hash aggregate). The rate
+    * coalesces to 0.0 on an empty input instead of NPE-ing. */
   def summaryStats(df: DataFrame, flag: Column): DataFrame = {
-    val total = df.count()
-    val uniq = df.distinct().count()
-    val rate = df.agg((sum(flag.cast("long")) * lit(100.0) / count(lit(1))).as("r"))
-      .head().getDouble(0)
+    val row = df.agg(
+      count(lit(1)).as("total"),
+      count_distinct(struct(df.columns.map(col): _*)).as("uniq"),
+      coalesce(sum(flag.cast("long")) * lit(100.0) / count(lit(1)), lit(0.0)).as("rate")
+    ).head()
     val spark = df.sparkSession
     import spark.implicits._
     Seq(
-      ("total_rows", total.toDouble),
-      ("unique_rows", uniq.toDouble),
-      ("flag_percentage", rate)
+      ("total_rows", row.getLong(0).toDouble),
+      ("unique_rows", row.getLong(1).toDouble),
+      ("flag_percentage", row.getDouble(2))
     ).toDF("metric", "value")
   }
 }

@@ -26,11 +26,15 @@ case class SimHash64(child: Expression) extends UnaryExpression {
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
-    SimHash64.eval(arr)
+    SimHash64.compute(arr)
   }
 
+  // NOTE: the kernel must NOT be named `eval` — the case class inherits
+  // eval(InternalRow) from Expression, which suppresses the companion's
+  // static forwarder, so generated Java would resolve to the instance
+  // method and fail to compile (stage-wide interpreted fallback).
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.SimHash64.eval($c)")
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimHash64.compute($c)")
 
   override protected def withNewChildInternal(newChild: Expression): SimHash64 =
     copy(child = newChild)
@@ -38,7 +42,7 @@ case class SimHash64(child: Expression) extends UnaryExpression {
 
 object SimHash64 {
   /** Shared by interpreted eval and generated code. */
-  def eval(arr: ArrayData): Long = {
+  def compute(arr: ArrayData): Long = {
     val votes = new Array[Int](64)
     val n = arr.numElements()
     var i = 0

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StructField, StructType}
 
 /** As-of (point-in-time) join: for each left row, the latest right row
   * with rightTs <= leftTs within the same partition key.
@@ -10,41 +11,50 @@ import org.apache.spark.sql.functions._
   * Spark lacks the operator; per the composition-first rule this is
   * expressed with built-ins — a union + one window pass — rather than a
   * custom SparkPlan: both sides shuffle ONCE on the key, the timeline
-  * merge happens inside the sort of a single window, and `last(...,
-  * ignoreNulls)` carries the most recent right row forward. That is
-  * exactly the merge an AsOfJoinExec would hand-code, with Tungsten
-  * sort + codegen for free. Right rows sort before left rows at equal
-  * timestamps, making the join boundary-inclusive.
+  * merge happens inside the sort of a single window, and one
+  * `last(struct, ignoreNulls)` carries the most recent right row
+  * forward. That is exactly the merge an AsOfJoinExec would hand-code,
+  * with Tungsten sort + codegen for free. Right rows sort before left
+  * rows at equal timestamps, making the join boundary-inclusive.
   */
 object AsOf {
 
   /** @param partitionCols key columns present in BOTH sides
     * @param carry right-side columns to attach to each left row
-    *              (returned as `asof_<name>`, NULL when no prior row) */
+    *              (returned as `asof_<name>`, NULL when no prior row).
+    *              All carried values come from the SAME right row — the
+    *              carry travels as ONE struct through a single
+    *              last(ignoreNulls) window, so a right row with NULL in
+    *              one carry column and non-NULL in another can never mix
+    *              values across rows. */
   def joinPrior(left: DataFrame, right: DataFrame, partitionCols: Seq[String],
                 leftTs: String, rightTs: String, carry: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
+    val carryType = StructType(carry.map(c =>
+      StructField(c, right.schema(c).dataType, nullable = true)))
     val lTagged = left
       .withColumn("_t", col(leftTs))
       .withColumn("_side", lit(1))
-      .select((leftCols.map(col) :+ col("_t") :+ col("_side")) ++
-        carry.map(c => lit(null).cast(right.schema(c).dataType).as(s"_c_$c")): _*)
+      .withColumn("_c", lit(null).cast(carryType))
+      .select(leftCols.map(col) :+ col("_t") :+ col("_side") :+ col("_c"): _*)
     val rTagged = right
       .withColumn("_t", col(rightTs))
       .withColumn("_side", lit(0))
-      .select((leftCols.map(c =>
+      .withColumn("_c", struct(carry.map(c => col(c).as(c)): _*))
+      .select(leftCols.map(c =>
         if (partitionCols.contains(c)) col(c)
         else lit(null).cast(left.schema(c).dataType).as(c)) :+
-        col("_t") :+ col("_side")) ++ carry.map(c => col(c).as(s"_c_$c")): _*)
-    // carry columns participate in the sort so equal-timestamp right
-    // rows resolve deterministically (the max carry tuple wins)
+        col("_t") :+ col("_side") :+ col("_c"): _*)
+    // the carry struct participates in the sort so equal-timestamp right
+    // rows resolve deterministically (the lexicographically max carry
+    // tuple wins — field order = `carry` order)
     val w = Window.partitionBy(partitionCols.map(col): _*)
-      .orderBy(col("_t") +: col("_side") +: carry.map(c => col(s"_c_$c")): _*)
+      .orderBy(col("_t"), col("_side"), col("_c"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = carry.foldLeft(lTagged.unionAll(rTagged)) { (d, c) =>
-      d.withColumn(s"_m_$c", last(col(s"_c_$c"), ignoreNulls = true).over(w))
-    }
-    carried.filter(col("_side") === 1)
-      .select(leftCols.map(col) ++ carry.map(c => col(s"_m_$c").as(s"asof_$c")): _*)
+    lTagged.unionAll(rTagged)
+      .withColumn("_m", last(col("_c"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+      .select(leftCols.map(col) ++
+        carry.map(c => col("_m").getField(c).as(s"asof_$c")): _*)
   }
 }

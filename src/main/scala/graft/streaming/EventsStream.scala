@@ -67,7 +67,14 @@ object EventsStream {
           val us = e.ts.getTime * 1000
           acc match {
             case Some(a) if us - a.end <= gapUs =>
-              acc = Some(a.copy(nEvents = a.nEvents + 1, end = us, value = a.value + e.value))
+              // max(): an out-of-order event from a later micro-batch
+              // that lands inside the open session must not rewind its
+              // end and corrupt subsequent gap decisions. Events are
+              // sorted within a batch; cross-batch order is assumed
+              // (no event-time watermark here) — a late event more than
+              // gapUs older than the open session's end still closes it.
+              acc = Some(a.copy(nEvents = a.nEvents + 1,
+                end = math.max(a.end, us), value = a.value + e.value))
             case Some(a) =>
               closed += SessionOut(userId, a.sessionId, a.nEvents,
                 new java.sql.Timestamp(a.start / 1000), new java.sql.Timestamp(a.end / 1000), a.value)

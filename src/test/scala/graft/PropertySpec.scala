@@ -29,14 +29,14 @@ class PropertySpec extends AnyFunSuite {
     assert(a.flatten.forall(x => x >= -1.0 && x < 1.0))
   }
 
-  test("SimHash64.eval edge cases and determinism") {
+  test("SimHash64.compute edge cases and determinism") {
     import org.apache.spark.sql.catalyst.util.ArrayData
-    assert(graft.functions.SimHash64.eval(
+    assert(graft.functions.SimHash64.compute(
       ArrayData.toArrayData(Array.fill(3)(-1L))) == -1L)
-    assert(graft.functions.SimHash64.eval(ArrayData.toArrayData(Array.empty[Long])) == 0L)
+    assert(graft.functions.SimHash64.compute(ArrayData.toArrayData(Array.empty[Long])) == 0L)
     samples(Gen.listOfN(5, Gen.long), 100).foreach { xs =>
-      val h1 = graft.functions.SimHash64.eval(ArrayData.toArrayData(xs.toArray))
-      val h2 = graft.functions.SimHash64.eval(ArrayData.toArrayData(xs.toArray))
+      val h1 = graft.functions.SimHash64.compute(ArrayData.toArrayData(xs.toArray))
+      val h2 = graft.functions.SimHash64.compute(ArrayData.toArrayData(xs.toArray))
       assert(h1 == h2)
     }
   }
