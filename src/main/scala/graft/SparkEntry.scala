@@ -335,7 +335,7 @@ object SparkEntry {
       .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
     val ord = Tables.orders(s, dir)
       .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
-    graft.operators.SkewJoin.saltedInner(li, ord, "l_orderkey", salts = 8)
+    graft.operators.SkewJoin.saltedInner(li, ord, "l_orderkey", salts = 4)
       .groupBy(col("o_orderpriority"))
       .agg(moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
         count(lit(1)).as("n_items"))

@@ -79,6 +79,30 @@ case class WordShingles(child: Expression, k: Int) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): WordShingles = copy(child = c)
 }
 
+/** Random-hyperplane LSH signature: bit i of the output is set iff
+  * dot(v, plane_i) > 0. One pass over the vector per plane, all planes
+  * in one tiny generated call — replaces nBits separate literal-array
+  * DotProducts + a when/add chain, whose generated code dominated
+  * cold-start (Janino compile) on the ANN queries. */
+case class LshSignature(child: Expression, planes: Array[Double], nBits: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"lsh_signature needs array<double>, got ${t.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    VectorExprs.lshSig(input.asInstanceOf[ArrayData], planes, nBits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("lshPlanes", planes, "double[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.VectorExprs.lshSig($c, $ref, $nBits)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): LshSignature = copy(child = c)
+}
+
 object VectorExprs {
   import org.apache.spark.unsafe.types.UTF8String
 
@@ -125,6 +149,23 @@ object VectorExprs {
     org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
   }
 
+  /** planes is the row-major flattening of nBits × dim hyperplanes. */
+  def lshSig(v: ArrayData, planes: Array[Double], nBits: Int): Long = {
+    val x = v.toDoubleArray()
+    val dim = x.length
+    var out = 0L
+    var i = 0
+    while (i < nBits) {
+      val off = i * dim
+      var s = 0.0
+      var j = 0
+      while (j < dim) { s += x(j) * planes(off + j); j += 1 }
+      if (s > 0.0) out |= (1L << i)
+      i += 1
+    }
+    out
+  }
+
   def dot_product(a: Column, b: Column): Column =
     ColumnBridge.column(DotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
@@ -133,4 +174,7 @@ object VectorExprs {
 
   def word_shingles(c: Column, k: Int): Column =
     ColumnBridge.column(WordShingles(ColumnBridge.expression(c), k))
+
+  def lsh_signature(c: Column, planes: Array[Double], nBits: Int): Column =
+    ColumnBridge.column(LshSignature(ColumnBridge.expression(c), planes, nBits))
 }

@@ -60,15 +60,9 @@ object VectorOps {
     * no stored model). The scale path for ANN: group by signature
     * prefix buckets, search within buckets.
     */
-  def lshSignature(v: Column, dim: Int, nBits: Int = 16, seed: Long = 42L): Column = {
-    val planes = hyperplanes(dim, nBits, seed)
-    val dv = toDouble(v)
-    val bits = planes.zipWithIndex.map { case (p, i) =>
-      val proj = dot(dv, lit(p.toArray))
-      when(proj > 0.0, lit(1L << i)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
-  }
+  def lshSignature(v: Column, dim: Int, nBits: Int = 16, seed: Long = 42L): Column =
+    graft.functions.VectorExprs.lsh_signature(
+      toDouble(v), hyperplanes(dim, nBits, seed).flatten.toArray, nBits)
 
   /** Deterministic pseudo-random unit-free hyperplanes (splitmix64 →
     * uniform in [-1, 1); normalization is irrelevant for sign tests). */
@@ -115,11 +109,13 @@ object VectorOps {
       .select(col("id").as("query_id"), col("v").as("qv"), col("n").as("qn"), col("cell_id"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
+    // sim is computed BEFORE the pair dedup so the groupBy shuffles
+    // (query_id, neighbor_id, sim) scalars, never the vectors; a pair
+    // probed via several cells yields identical sims, so max == any.
     cells.join(probed, Seq("cell_id"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .select(col("query_id"), col("neighbor_id"), col("qv"), col("nv"), col("qn"), col("nn"))
-      .distinct()
       .withColumn("sim", round(dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 6))
+      .groupBy(col("query_id"), col("neighbor_id")).agg(max(col("sim")).as("sim"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank", "sim")
@@ -136,22 +132,26 @@ object VectorOps {
     import org.apache.spark.sql.expressions.Window
     val bandBits = nBits / nBands
     val mask = (1L << bandBits) - 1
-    def banded(df: DataFrame, id: String, vec: String): DataFrame = {
+    def banded(df: DataFrame, id: String, vec: String, nrm: String): DataFrame = {
       val sig = lshSignature(col(vec), dim, nBits)
       df.select(col(id), toDouble(col(vec)).as(vec), sig.as("sig"))
+        .withColumn(nrm, norm(col(vec)))
         .withColumn("band", explode(array((0 until nBands).map(b =>
           struct(lit(b).as("band_id"),
             shiftright(col("sig"), b * bandBits).bitwiseAND(mask).as("band_key"))): _*)))
-        .select(col(id), col(vec), col("band.band_id"), col("band.band_key"))
+        .select(col(id), col(vec), col(nrm), col("band.band_id"), col("band.band_key"))
     }
-    val e = banded(embeddings.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv")), "neighbor_id", "nv")
-    val q = banded(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")), "query_id", "qv")
+    val e = banded(embeddings.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv")), "neighbor_id", "nv", "nn")
+    val q = banded(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")), "query_id", "qv", "qn")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
+    // norms per row (not per pair); sim before the pair dedup so the
+    // groupBy shuffles scalar triples, never the vectors (multi-band
+    // hits of a pair produce identical sims — max == any).
     e.join(q, Seq("band_id", "band_key"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .select("query_id", "neighbor_id", "qv", "nv").distinct()
-      .withColumn("sim", round(cosine(col("qv"), col("nv")), 6))
+      .withColumn("sim", round(dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 6))
+      .groupBy(col("query_id"), col("neighbor_id")).agg(max(col("sim")).as("sim"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank", "sim")
