@@ -866,6 +866,24 @@ object SparkEntry {
        |    (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) >= 0.5
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Prefix-filtered exact all-pairs Jaccard (PPJoin). The oracle is the
+    * plain exact pair set at the same tau — prefix filtering prunes
+    * candidates, never results. */
+  private def dedupPpjoin(s: SparkSession, dir: String): DataFrame =
+    graft.dedup.Dedup.ppjoinJaccardPairs(Tables.documents(s, dir), "text", "doc_id",
+        k = 3, tau = 0.6)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  private val dedupPpjoinSql =
+    s"""WITH sh AS ($duckShingles)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  len(list_intersect(a.shingles, b.shingles)) * 1.0 /
+       |    (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) AS jaccard
+       |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |WHERE len(list_intersect(a.shingles, b.shingles)) * 1.0 /
+       |    (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) >= 0.6
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   /** SimHash pairs — Spark-hash based (no SQL oracle; rows-only check +
     * ScalaTest semantics spec). */
   private def dedupSimhash(s: SparkSession, dir: String): DataFrame =
@@ -920,6 +938,18 @@ object SparkEntry {
     val emb = Tables.embeddings(s, dir)
     graft.similarity.VectorOps.ivfTopK(
         emb, emb.filter(col("vec_id") % 50 === 0), k = 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** IVF with a TRAINED spherical-k-means coarse quantizer (rows-only
+    * check; recall + training monotonicity asserted in ScalaTest). */
+  private def simIvfKmeans(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val cents = graft.similarity.KMeans.fit(emb, "vec_id", "embedding",
+      k = 16, iters = 3)
+    graft.similarity.VectorOps.ivfTopK(
+        emb, emb.filter(col("vec_id") % 50 === 0), k = 5,
+        centroids = Some(cents))
       .orderBy(col("query_id"), col("rank"))
   }
 
@@ -996,6 +1026,73 @@ object SparkEntry {
   private val textFingerprintSql =
     """SELECT doc_id, md5(text) AS content_fp, substr(md5(text), 1, 8) AS fp_prefix
       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Sequence packing: documents → fixed-token-budget training bins,
+    * sharded by content hash so shards pack in parallel. */
+  private def textPack(s: SparkSession, dir: String): DataFrame =
+    graft.text.Packing.packBins(
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            graft.text.TextFunctions.bpeTokenEstimate(col("text")).cast("long").as("n_tokens")),
+        "doc_id", "n_tokens", budget = 2048L, shards = 8)
+      .select("doc_id", "n_tokens", "shard", "n_tokens_cum", "bin")
+      .orderBy(col("doc_id"))
+
+  private val textPackSql =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    CAST(len(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_tokens,
+      |    CAST(((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+      |        + strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) % 8 AS INT) AS shard
+      |  FROM documents)
+      |SELECT doc_id, n_tokens, shard,
+      |  SUM(n_tokens) OVER w AS n_tokens_cum,
+      |  CAST(FLOOR((SUM(n_tokens) OVER w - n_tokens) / 2048.0) AS BIGINT) AS bin
+      |FROM t
+      |WINDOW w AS (PARTITION BY shard ORDER BY doc_id
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |ORDER BY doc_id""".stripMargin
+
+  /** Stratified deterministic sample: min(n, |group|) rows per group by
+    * md5(key) order — reproducible per-stratum holdouts. */
+  private def etlStratifiedSample(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.stratified(
+        Tables.orders(s, dir), col("o_orderpriority"), col("o_orderkey"), n = 100)
+      .select("o_orderkey", "o_orderpriority", "o_totalprice")
+      .orderBy(col("o_orderpriority"), col("o_orderkey"))
+
+  private val etlStratifiedSampleSql =
+    """SELECT o_orderkey, o_orderpriority, o_totalprice FROM (
+      |  SELECT o_orderkey, o_orderpriority, o_totalprice,
+      |    ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+      |      ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey) AS rn
+      |  FROM orders) t
+      |WHERE rn <= 100
+      |ORDER BY o_orderpriority, o_orderkey""".stripMargin
+
+  /** Per-group z-score outlier report from exact decimal power sums. */
+  private def anOutliers(s: SparkSession, dir: String): DataFrame =
+    graft.analytics.Outliers.zScoreReport(Tables.orders(s, dir),
+      "o_orderpriority", "o_totalprice", zTau = 2.0)
+
+  private val anOutliersSql =
+    """WITH m AS (
+      |  SELECT o_orderpriority, COUNT(*) AS n,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(38,8))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(o_totalprice * o_totalprice AS DECIMAL(38,8))) AS DOUBLE) AS sxx
+      |  FROM orders GROUP BY o_orderpriority),
+      |s AS (
+      |  SELECT o_orderpriority, n, sx / n AS mean,
+      |    sqrt((sxx - sx * sx / n) / (n - 1)) AS stddev
+      |  FROM m)
+      |SELECT o.o_orderpriority, MAX(s.n) AS n,
+      |  ROUND(MAX(s.mean), 6) AS mean,
+      |  ROUND(MAX(s.stddev), 6) AS stddev,
+      |  CAST(SUM(CASE WHEN abs((o.o_totalprice - s.mean) / s.stddev) > 2.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+      |  ROUND(MAX(abs((o.o_totalprice - s.mean) / s.stddev)), 6) AS max_abs_z
+      |FROM orders o JOIN s ON o.o_orderpriority = s.o_orderpriority
+      |GROUP BY o.o_orderpriority
+      |ORDER BY o.o_orderpriority""".stripMargin
 
   private def mmBinaryMeta(s: SparkSession, dir: String): DataFrame =
     graft.multimodal.BinaryColumns.decodedFrame(
@@ -1175,9 +1272,14 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_simhash" -> (dedupSimhash _),
+    "dedup_ppjoin" -> (dedupPpjoin _),
     "dedup_embedding" -> (dedupEmbedding _),
     "sim_topk_cosine" -> (simTopkCosine _),
     "sim_lsh_ann" -> (simLshAnn _),
+    "sim_ivf_kmeans" -> (simIvfKmeans _),
+    "text_pack" -> (textPack _),
+    "etl_stratified_sample" -> (etlStratifiedSample _),
+    "an_outliers" -> (anOutliers _),
     "text_langid" -> (textLangid _),
     "text_quality" -> (textQuality _),
     "text_tokens" -> (textTokens _),
@@ -1232,7 +1334,11 @@ object SparkEntry {
     "dedup_exact" -> dedupExactSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
     "dedup_minhash_lsh" -> dedupMinhashLshSql,
+    "dedup_ppjoin" -> dedupPpjoinSql,
     "dedup_embedding" -> dedupEmbeddingSql,
+    "text_pack" -> textPackSql,
+    "etl_stratified_sample" -> etlStratifiedSampleSql,
+    "an_outliers" -> anOutliersSql,
     "sim_topk_cosine" -> simTopkCosineSql,
     "text_langid" -> textLangidSql,
     "text_quality" -> textQualitySql,

@@ -55,6 +55,59 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Prefix-filtered exact all-pairs Jaccard (PPJoin-style): identical
+    * output to [[ngramJaccardPairs]], far fewer candidates at scale.
+    *
+    * Shingles are globally ordered rarest-first (document frequency asc,
+    * hash tie-break); a doc with n shingles only posts its first
+    * n - ceil(tau*n) + 1 tokens. Any pair with J >= tau shares
+    * o >= ceil(tau*max(na,nb)) tokens, and by pigeonhole at least one
+    * falls in BOTH prefixes — so joining prefix postings loses nothing,
+    * while the Zipf head (stopword n-grams, the fan-out killers) sits at
+    * the END of the order and never enters the candidate join at
+    * moderate tau. Candidates are verified with the exact intersection,
+    * so there are no false positives either. */
+  def ppjoinJaccardPairs(df: DataFrame, textCol: String, idCol: String,
+                         k: Int = 3, tau: Double = 0.6): DataFrame = {
+    // everything past shingling runs on 8-byte xxhash64 tokens — the
+    // shuffles (df-order, prefix postings, verification sets) never
+    // carry shingle strings. A cross-doc hash collision would need
+    // ~2^32 distinct shingles to matter (and the oracle would catch it).
+    // sorted: verification counts overlap with a native merge pass
+    val hsets = shingleSets(df, textCol, idCol, k)
+      .select(col("doc_id"),
+        sort_array(transform(col("shingles"), s => xxhash64(s))).as("hsh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val posting = hsets.select(col("doc_id"), explode(col("hsh")).as("sh"))
+    val dfreq = posting.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val ordered = posting.join(dfreq, "sh")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("sh")))).as("toks"))
+      .select(col("doc_id"),
+        transform(col("toks"), t => t.getField("sh")).as("toks"))
+    // floor(n*(1-tau)) + 1 == n - ceil(tau*n) + 1; the 1e-9 nudge keeps
+    // the floor from dropping below an exact-integer product and
+    // shortening the prefix by one (a longer prefix is merely slower,
+    // a shorter one loses pairs)
+    val prefixLen =
+      (size(col("toks")).cast("double") * lit(1.0 - tau) + lit(1e-9)).cast("int") + lit(1)
+    val pp = ordered
+      .select(col("doc_id"), explode(slice(col("toks"), lit(1), prefixLen)).as("sh"))
+    val cand = pp.as("x").join(pp.as("y"),
+        col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(hsets.select(col("doc_id").as("doc_a"), col("hsh").as("sha")), "doc_a")
+      .join(hsets.select(col("doc_id").as("doc_b"), col("hsh").as("shb")), "doc_b")
+      .withColumn("n_common",
+        graft.functions.VectorExprs.sorted_intersect_count(col("sha"), col("shb")))
+      .withColumn("jaccard", col("n_common") * lit(1.0) /
+        (size(col("sha")) + size(col("shb")) - col("n_common")))
+      .filter(col("jaccard") >= tau)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
   // ------------------------------------------------------------- MinHash-LSH
 
   /** Deterministic 32-bit affine permutation parameters. */

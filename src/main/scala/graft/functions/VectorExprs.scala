@@ -103,6 +103,54 @@ case class LshSignature(child: Expression, planes: Array[Double], nBits: Int)
   override protected def withNewChildInternal(c: Expression): LshSignature = copy(child = c)
 }
 
+/** Index of the unit-normalized centroid with the largest dot product
+  * against the input vector (== nearest by cosine; == nearest by L2 on
+  * the unit sphere). The k × dim centroid matrix rides along as a
+  * reference object, so cluster assignment is a map-only codegen'd
+  * projection — no join, no shuffle. Ties break to the lowest index. */
+case class NearestCentroid(child: Expression, cents: Array[Double], k: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"nearest_centroid needs array<double>, got ${t.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    VectorExprs.nearestCentroid(input.asInstanceOf[ArrayData], cents, k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroids", cents, "double[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.VectorExprs.nearestCentroid($c, $ref, $k)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): NearestCentroid = copy(child = c)
+}
+
+/** |A ∩ B| for two SORTED long arrays — one merge pass, no per-row hash
+  * set (vs the interpreted ArrayIntersect + size), for set-overlap
+  * verification over hashed token sets. Inputs must be sorted; sets
+  * (distinct elements) give exact intersection cardinality. */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"sorted_intersect_count needs two array<bigint>, got ${left.dataType.catalogString}, ${right.dataType.catalogString}")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorExprs.sortedIntersectCount(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorExprs.sortedIntersectCount($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SortedIntersectCount =
+    copy(left = l, right = r)
+}
+
 object VectorExprs {
   import org.apache.spark.unsafe.types.UTF8String
 
@@ -166,6 +214,36 @@ object VectorExprs {
     out
   }
 
+  /** cents is the row-major flattening of k × dim centroids. */
+  def nearestCentroid(v: ArrayData, cents: Array[Double], k: Int): Int = {
+    val x = v.toDoubleArray()
+    val dim = x.length
+    var best = 0
+    var bestS = Double.NegativeInfinity
+    var c = 0
+    while (c < k) {
+      val off = c * dim
+      var s = 0.0
+      var j = 0
+      while (j < dim) { s += x(j) * cents(off + j); j += 1 }
+      if (s > bestS) { bestS = s; best = c }
+      c += 1
+    }
+    best
+  }
+
+  def sortedIntersectCount(a: ArrayData, b: ArrayData): Int = {
+    val x = a.toLongArray()
+    val y = b.toLongArray()
+    var i = 0; var j = 0; var c = 0
+    while (i < x.length && j < y.length) {
+      if (x(i) < y(j)) i += 1
+      else if (x(i) > y(j)) j += 1
+      else { c += 1; i += 1; j += 1 }
+    }
+    c
+  }
+
   def dot_product(a: Column, b: Column): Column =
     ColumnBridge.column(DotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
@@ -177,4 +255,11 @@ object VectorExprs {
 
   def lsh_signature(c: Column, planes: Array[Double], nBits: Int): Column =
     ColumnBridge.column(LshSignature(ColumnBridge.expression(c), planes, nBits))
+
+  def nearest_centroid(c: Column, cents: Array[Double], k: Int): Column =
+    ColumnBridge.column(NearestCentroid(ColumnBridge.expression(c), cents, k))
+
+  def sorted_intersect_count(a: Column, b: Column): Column =
+    ColumnBridge.column(SortedIntersectCount(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

@@ -18,4 +18,18 @@ object Sampling {
     val bound = "0123456789abcdefg".charAt(rate16).toString
     df.filter(substring(md5(keyCol.cast("string")), 1, 1) < lit(bound))
   }
+
+  /** Stratified deterministic sample: exactly min(n, |group|) rows per
+    * group, chosen by md5(key) order (key tie-break) — a reproducible
+    * per-stratum holdout regardless of partitioning or engine. One
+    * shuffle on the group column; the window never sorts more than a
+    * group's rows. */
+  def stratified(df: DataFrame, groupCol: Column, keyCol: Column, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(groupCol)
+      .orderBy(md5(keyCol.cast("string")), keyCol)
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= n)
+      .drop("_rn")
+  }
 }

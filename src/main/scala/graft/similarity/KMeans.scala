@@ -1,0 +1,77 @@
+package graft.similarity
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Spherical k-means trainer for the IVF coarse quantizer.
+  *
+  * Lloyd's iterations, Spark-shaped: assignment is a map-only projection
+  * (the centroid matrix rides into codegen as a reference object —
+  * graft.functions.NearestCentroid; no join, no shuffle), and the
+  * update is one (cell, pos) partial-aggregated shuffle whose result is
+  * k × dim running sums — the only thing that ever reaches the driver.
+  * At 100 TB the per-iteration cost is a single scan + a k*dim-sized
+  * aggregate, which is the textbook distributed k-means layout.
+  *
+  * Spherical variant: centroids are unit-normalized after every update,
+  * so argmax-dot assignment == nearest-by-cosine — the same metric the
+  * IVF probe path (VectorOps.ivfTopK) ranks with. Deterministic: init
+  * is the k lowest-id vectors, ties break to the lowest cell index, no
+  * RNG anywhere.
+  */
+object KMeans {
+
+  /** @return k centroids (unit-normalized, row per cell), in cell order.
+    *         Cells that lose all members keep their previous centroid. */
+  def fit(df: DataFrame, idCol: String, vecCol: String,
+          k: Int, iters: Int): Array[Array[Double]] = {
+    val v = df.select(col(idCol).as("id"), VectorOps.toDouble(col(vecCol)).as("v"))
+    def unit(x: Array[Double]): Array[Double] = {
+      val n = math.sqrt(x.map(d => d * d).sum)
+      if (n == 0.0) x else x.map(_ / n)
+    }
+    var cents: Array[Array[Double]] = v.orderBy(col("id")).limit(k)
+      .collect().map(r => unit(r.getSeq[Double](1).toArray))
+    var it = 0
+    while (it < iters) {
+      val assigned = v.withColumn("cell",
+        graft.functions.VectorExprs.nearest_centroid(col("v"), cents.flatten, k))
+      // decimal sum: order-independent across partition merges, so the
+      // trained centroids are bit-identical run to run. unit(sum) ==
+      // unit(mean) — normalization absorbs the 1/n factor.
+      val sums = assigned
+        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(sum(col("x").cast("decimal(38,15)")).cast("double").as("sx"))
+        .collect()
+      val next = cents.map(_.clone)
+      sums.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+      cents = next.map(unit)
+      it += 1
+    }
+    cents
+  }
+
+  /** Mean cosine of each vector to its assigned centroid — the spherical
+    * analogue of inertia (higher is tighter; non-decreasing over
+    * Lloyd's iterations up to normalization). */
+  def meanAssignedCosine(df: DataFrame, idCol: String, vecCol: String,
+                         cents: Array[Array[Double]]): Double = {
+    val v = df.select(VectorOps.toDouble(col(vecCol)).as("v"))
+      .withColumn("cell",
+        graft.functions.VectorExprs.nearest_centroid(col("v"), cents.flatten, cents.length))
+    val centsDf = centroidsFrame(df.sparkSession, cents)
+      .select(col("cell_id").as("cell"), col("cv"))
+    v.join(broadcast(centsDf), "cell")
+      .select(avg(VectorOps.dot(col("v"), col("cv")) / VectorOps.norm(col("v"))).as("m"))
+      .head().getDouble(0)
+  }
+
+  /** Trained centroids as a (cell_id, cv) frame, for the IVF probe path. */
+  def centroidsFrame(spark: org.apache.spark.sql.SparkSession,
+                     cents: Array[Array[Double]]): DataFrame = {
+    import spark.implicits._
+    cents.zipWithIndex.map { case (c, i) => (i.toLong, c.toSeq) }
+      .toSeq.toDF("cell_id", "cv")
+  }
+}

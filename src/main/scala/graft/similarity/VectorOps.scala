@@ -78,20 +78,28 @@ object VectorOps {
     Seq.fill(nBits)(Seq.fill(dim)((next() >>> 11) * (1.0 / (1L << 52)) - 1.0))
   }
 
-  /** IVF-style approximate top-k: a deterministic coarse quantizer
-    * (first `nCells` vectors by id serve as centroids — a k-means-free
-    * stand-in with the same plumbing), every vector is assigned to its
-    * nearest centroid cell, and each query probes its `nProbe` nearest
-    * cells. Shuffles carry (cell_id, id, vec); the pair space is pruned
-    * to probed cells — the standard IVF trade of recall for fan-out. */
+  /** IVF-style approximate top-k: every vector is assigned to its
+    * nearest coarse-quantizer cell, and each query probes its `nProbe`
+    * nearest cells. Shuffles carry (cell_id, id, vec); the pair space is
+    * pruned to probed cells — the standard IVF trade of recall for
+    * fan-out.
+    *
+    * `centroids`: pass a trained quantizer (KMeans.fit) for real cells;
+    * when None, the first `nCells` vectors by id serve as centroids — a
+    * k-means-free deterministic stand-in with the same plumbing. */
   def ivfTopK(embeddings: DataFrame, queries: DataFrame, k: Int,
               nCells: Int = 16, nProbe: Int = 4,
-              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              centroids: Option[Array[Array[Double]]] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = embeddings.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
       .withColumn("n", norm(col("v")))
-    val cents = e.orderBy(col("id")).limit(nCells)
-      .select(col("id").as("cell_id"), col("v").as("cv"), col("n").as("cn"))
+    val cents = centroids match {
+      case Some(cs) => KMeans.centroidsFrame(embeddings.sparkSession, cs)
+        .withColumn("cn", norm(col("cv")))
+      case None => e.orderBy(col("id")).limit(nCells)
+        .select(col("id").as("cell_id"), col("v").as("cv"), col("n").as("cn"))
+    }
     def assign(df: DataFrame, probes: Int): DataFrame = {
       val w = Window.partitionBy(col("id"))
         .orderBy(col("csim").desc, col("cell_id"))

@@ -26,6 +26,14 @@ object EventsStream {
           .as("total_value"))
       .select(col("window.start").as("hour"), col("event_type"), col("n"), col("total_value"))
 
+  /** Stream-static enrichment: each micro-batch joins the static dim
+    * snapshot with a broadcast hash join — no shuffle of the stream, no
+    * state. The static side is re-planned per batch, so a swapped-in
+    * dim file is picked up without restarting the query (Spark's
+    * standard dimension-refresh pattern). */
+  def enrich(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
+    stream.join(broadcast(dim), Seq(key), "left")
+
   /** Streaming exact dedup on key columns, with watermark-bounded state
     * (the incremental twin of Dedup.exact: late duplicates beyond the
     * watermark age out of state instead of growing it unboundedly). */

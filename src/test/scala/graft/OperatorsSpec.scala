@@ -56,6 +56,19 @@ class OperatorsSpec extends SparkSpec {
     assert(agg.finish(merged) == Seq((7.0, 3L), (7.0, 9L), (5.0, 2L)))
   }
 
+  test("stratified sample takes exactly min(n, group size) per group, deterministically") {
+    val ord = Tables.orders(spark, sfDir)
+    val got = Sampling.stratified(ord, col("o_orderpriority"), col("o_orderkey"), 50)
+    val sizes = got.groupBy("o_orderpriority").count()
+      .as[(String, Long)].collect().toMap
+    val full = ord.groupBy("o_orderpriority").count()
+      .as[(String, Long)].collect().toMap
+    full.foreach { case (g, n) => assert(sizes(g) == math.min(50L, n)) }
+    val again = Sampling.stratified(ord, col("o_orderpriority"), col("o_orderkey"), 50)
+    assert(got.select("o_orderkey").as[Long].collect().sorted.toSeq ==
+      again.select("o_orderkey").as[Long].collect().sorted.toSeq)
+  }
+
   test("approx stats land within tolerance of exact values") {
     val ord = Tables.orders(spark, sfDir)
     val row = SparkEntry.queries("an_approx_stats")(spark, sfDir).head()

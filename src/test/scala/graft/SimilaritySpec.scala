@@ -38,6 +38,30 @@ class SimilaritySpec extends SparkSpec {
     assert(recall > 0.3)
   }
 
+  test("KMeans.fit tightens clusters and feeds ivfTopK a usable quantizer") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val init = graft.similarity.KMeans.fit(emb, "vec_id", "embedding", k = 8, iters = 0)
+    val trained = graft.similarity.KMeans.fit(emb, "vec_id", "embedding", k = 8, iters = 3)
+    val mInit = graft.similarity.KMeans.meanAssignedCosine(emb, "vec_id", "embedding", init)
+    val mTrained = graft.similarity.KMeans.meanAssignedCosine(emb, "vec_id", "embedding", trained)
+    info(f"mean assigned cosine: init=$mInit%.4f trained=$mTrained%.4f")
+    // Lloyd's objective is monotone; the /|v| weighting can wobble a hair
+    assert(mTrained >= mInit - 1e-3)
+    // deterministic: refit gives bit-identical centroids
+    val again = graft.similarity.KMeans.fit(emb, "vec_id", "embedding", k = 8, iters = 3)
+    assert(trained.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+
+    val q = emb.filter($"vec_id" % 20 === 0)
+    val exact = VectorOps.bruteForceTopK(emb, q, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = VectorOps.ivfTopK(emb, q, k = 5, nProbe = 4,
+        centroids = Some(trained))
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    info(f"trained-IVF recall@5 = $recall%.2f (8 cells, 4 probes)")
+    assert(recall > 0.3)
+  }
+
   test("lshTopK recall@5 vs brute force is reasonable for 16-bit/4-band") {
     val emb = Tables.embeddings(spark, sfDir)
     val q = emb.filter($"vec_id" % 20 === 0)

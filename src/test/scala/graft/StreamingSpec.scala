@@ -75,4 +75,19 @@ class StreamingSpec extends SparkSpec {
     // the 90-min-later event arrived
     assert(out.contains((7L, 1L, 2L, 3.0)))
   }
+
+  test("enrich joins each micro-batch against the static dim by broadcast") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    in.addData(
+      Ev(1, ts(0), 7, "click", 1.0), Ev(2, ts(1), 8, "view", 2.0),
+      Ev(3, ts(2), 99, "click", 3.0)) // user 99 missing from the dim
+    val dim = Seq((7L, "GOLD"), (8L, "SILVER")).toDF("user_id", "tier")
+    val q = EventsStream.enrich(in.toDF(), dim, "user_id")
+      .writeStream.outputMode("append").format("memory").queryName("enriched").start()
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("enriched").select("event_id", "tier")
+      .as[(Long, Option[String])].collect().toMap
+    assert(out == Map(1L -> Some("GOLD"), 2L -> Some("SILVER"), 3L -> None))
+  }
 }

@@ -95,4 +95,36 @@ class TextDedupSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect().toSet
     assert(got == Set((1L, 2L, 0.5)))
   }
+
+  test("ppjoinJaccardPairs equals the unfiltered exact pair set") {
+    val docs = Tables.documents(spark, sfDir)
+    for (tau <- Seq(0.2, 0.5)) {
+      val plain = Dedup.ngramJaccardPairs(docs, "text", "doc_id", tau = tau)
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+      val pp = Dedup.ppjoinJaccardPairs(docs, "text", "doc_id", tau = tau)
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+      assert(pp == plain, s"prefix filtering changed the tau=$tau pair set")
+    }
+  }
+
+  test("packBins: greedy fill respects the budget bound per (shard, bin)") {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        graft.text.TextFunctions.bpeTokenEstimate(col("text")).cast("long").as("n_tokens"))
+    val packed = graft.text.Packing.packBins(docs, "doc_id", "n_tokens",
+      budget = 512L, shards = 4)
+    // a greedy sequential packer never exceeds budget + the straddling doc
+    val viol = packed.groupBy("shard", "bin")
+      .agg(sum("n_tokens").as("fill"), max("n_tokens").as("mx"))
+      .filter(col("fill") > lit(512L) + col("mx"))
+      .count()
+    assert(viol == 0)
+    // deterministic: same input → same assignment
+    val a = packed.select("doc_id", "shard", "bin").collect().toSet
+    val b = graft.text.Packing.packBins(docs, "doc_id", "n_tokens", 512L, 4)
+      .select("doc_id", "shard", "bin").collect().toSet
+    assert(a == b)
+    // every doc present exactly once
+    assert(packed.count() == docs.count())
+  }
 }
