@@ -349,6 +349,29 @@ object SparkEntry {
        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** Bloom-pruned exact semi-join: the probe side is pre-filtered by a
+    * broadcast-size Bloom sketch of the build keys (map-only, inside
+    * the scan), then an exact semi-join removes false positives — same
+    * result as the plain semi-join with far fewer rows entering the
+    * exchange. */
+  private def qBloomSemi(s: SparkSession, dir: String): DataFrame = {
+    val building = Tables.customer(s, dir)
+      .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    graft.operators.BloomPrune.semiJoin(
+        Tables.orders(s, dir), "o_custkey", building, "c_custkey",
+        expectedKeys = 100000L, fpp = 0.01)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("total"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  private val qBloomSemiSql =
+    s"""SELECT o_orderpriority, COUNT(*) AS n, ${moneySumSql("o_totalprice")} AS total
+       |FROM orders o
+       |WHERE EXISTS (SELECT 1 FROM customer c
+       |              WHERE c.c_custkey = o.o_custkey AND c.c_mktsegment = 'BUILDING')
+       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   private def qSetops(s: SparkSession, dir: String): DataFrame = {
     val ord = Tables.orders(s, dir)
     val f = ord.filter(col("o_orderstatus") === "F").select("o_custkey")
@@ -1027,6 +1050,83 @@ object SparkEntry {
     """SELECT doc_id, md5(text) AS content_fp, substr(md5(text), 1, 8) AS fp_prefix
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** TF-IDF top-3 terms per document: one posting aggregate for tf, one
+    * for df, idf = ln(N/df); scores rounded once, rank pinned by
+    * (score desc, term). */
+  private def textTfidf(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val n = docs.count()
+    val words = docs.select(col("doc_id"),
+      explode(graft.text.TextFunctions.words(col("text"))).as("term"),
+      size(graft.text.TextFunctions.words(col("text"))).as("nw"))
+    // persisted: df derives from tf (one row per doc-term), so the
+    // explode+aggregate runs once, not once per branch
+    val tf = words.groupBy(col("doc_id"), col("term"), col("nw"))
+      .agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val df_ = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term"))
+    tf.join(broadcast(df_), "term")
+      .withColumn("score",
+        round((col("tf") / col("nw")) * log(lit(n.toDouble) / col("df")), 8))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("term"), col("rank"), col("score"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
+  private val textTfidfSql =
+    """WITH w AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+      |    len(string_split(text, ' ')) AS nw
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, nw, COUNT(*) AS tf FROM w GROUP BY doc_id, term, nw),
+      |df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM w GROUP BY term),
+      |n AS (SELECT COUNT(*) AS n FROM documents)
+      |SELECT doc_id, term, CAST(rank AS INT) AS rank, score FROM (
+      |  SELECT tf.doc_id, tf.term,
+      |    ROUND((tf.tf * 1.0 / tf.nw) * ln(n.n * 1.0 / df.df), 8) AS score,
+      |    ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+      |      ORDER BY ROUND((tf.tf * 1.0 / tf.nw) * ln(n.n * 1.0 / df.df), 8) DESC, tf.term) AS rank
+      |  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n) t
+      |WHERE rank <= 3
+      |ORDER BY doc_id, rank""".stripMargin
+
+  /** Language-balanced corpus sample: language-ID then a deterministic
+    * per-language cap — operator composition (text.langId ∘
+    * Sampling.stratified), the standard "balance the long tail" step. */
+  private def textLangSample(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.stratified(
+        Tables.documents(s, dir)
+          .select(col("doc_id"), graft.text.TextFunctions.langId(col("text")).as("lang")),
+        col("lang"), col("doc_id"), n = 50)
+      .orderBy(col("lang"), col("doc_id"))
+
+  private val textLangSampleSql = {
+    def cnt(ws: Seq[String]) =
+      s"len(list_filter(string_split(text, ' '), x -> x IN (${ws.map(w => s"'$w'").mkString(",")})))"
+    val de = cnt(graft.text.TextFunctions.Stopwords("de"))
+    val en = cnt(graft.text.TextFunctions.Stopwords("en"))
+    val es = cnt(graft.text.TextFunctions.Stopwords("es"))
+    val fr = cnt(graft.text.TextFunctions.Stopwords("fr"))
+    s"""WITH l AS (
+       |  SELECT doc_id,
+       |    CASE WHEN GREATEST($de, $en, $es, $fr) = 0 THEN 'und'
+       |         WHEN $de = GREATEST($de, $en, $es, $fr) THEN 'de'
+       |         WHEN $en = GREATEST($de, $en, $es, $fr) THEN 'en'
+       |         WHEN $es = GREATEST($de, $en, $es, $fr) THEN 'es'
+       |         WHEN $fr = GREATEST($de, $en, $es, $fr) THEN 'fr'
+       |         ELSE 'und' END AS lang
+       |  FROM documents)
+       |SELECT doc_id, lang FROM (
+       |  SELECT doc_id, lang, ROW_NUMBER() OVER (PARTITION BY lang
+       |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+       |  FROM l) t
+       |WHERE rn <= 50
+       |ORDER BY lang, doc_id""".stripMargin
+  }
+
   /** Sequence packing: documents → fixed-token-budget training bins,
     * sharded by content hash so shards pack in parallel. */
   private def textPack(s: SparkSession, dir: String): DataFrame =
@@ -1278,8 +1378,11 @@ object SparkEntry {
     "sim_lsh_ann" -> (simLshAnn _),
     "sim_ivf_kmeans" -> (simIvfKmeans _),
     "text_pack" -> (textPack _),
+    "text_tfidf" -> (textTfidf _),
+    "text_lang_sample" -> (textLangSample _),
     "etl_stratified_sample" -> (etlStratifiedSample _),
     "an_outliers" -> (anOutliers _),
+    "q_bloom_semi" -> (qBloomSemi _),
     "text_langid" -> (textLangid _),
     "text_quality" -> (textQuality _),
     "text_tokens" -> (textTokens _),
@@ -1337,8 +1440,11 @@ object SparkEntry {
     "dedup_ppjoin" -> dedupPpjoinSql,
     "dedup_embedding" -> dedupEmbeddingSql,
     "text_pack" -> textPackSql,
+    "text_tfidf" -> textTfidfSql,
+    "text_lang_sample" -> textLangSampleSql,
     "etl_stratified_sample" -> etlStratifiedSampleSql,
     "an_outliers" -> anOutliersSql,
+    "q_bloom_semi" -> qBloomSemiSql,
     "sim_topk_cosine" -> simTopkCosineSql,
     "text_langid" -> textLangidSql,
     "text_quality" -> textQualitySql,

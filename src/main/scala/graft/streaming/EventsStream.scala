@@ -34,6 +34,23 @@ object EventsStream {
   def enrich(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
     stream.join(broadcast(dim), Seq(key), "left")
 
+  /** Stream-stream interval join: each left event matches right events
+    * for the same key whose timestamp falls in [left.ts - lookback,
+    * left.ts]. Both sides carry watermarks, so the join state is
+    * bounded — Spark drops right-side state older than the watermark +
+    * interval. The canonical attribution shape (click ⟵ prior purchase
+    * window) running incrementally. */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+                   leftTs: String, rightTs: String,
+                   lookback: String = "30 minutes",
+                   watermark: String = "1 hour"): DataFrame = {
+    val r = right.columns.foldLeft(right)((d, c) => d.withColumnRenamed(c, s"r_$c"))
+    left.withWatermark(leftTs, watermark)
+      .join(r.withWatermark(s"r_$rightTs", watermark),
+        expr(s"$key = r_$key AND r_$rightTs >= $leftTs - interval $lookback" +
+          s" AND r_$rightTs <= $leftTs"))
+  }
+
   /** Streaming exact dedup on key columns, with watermark-bounded state
     * (the incremental twin of Dedup.exact: late duplicates beyond the
     * watermark age out of state instead of growing it unboundedly). */

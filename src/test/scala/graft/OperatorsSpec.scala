@@ -69,6 +69,22 @@ class OperatorsSpec extends SparkSpec {
       again.select("o_orderkey").as[Long].collect().sorted.toSeq)
   }
 
+  test("bloom-pruned semi-join equals the plain semi-join exactly") {
+    val ord = Tables.orders(spark, sfDir)
+    val cust = Tables.customer(spark, sfDir)
+      .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val plain = ord.join(cust, col("o_custkey") === col("c_custkey"), "left_semi")
+      .select("o_orderkey").as[Long].collect().sorted.toSeq
+    val pruned = graft.operators.BloomPrune.semiJoin(ord, "o_custkey", cust, "c_custkey")
+      .select("o_orderkey").as[Long].collect().sorted.toSeq
+    assert(pruned == plain)
+    // no false negatives: every build key passes the sketch
+    val bf = graft.operators.BloomPrune.bloomOf(cust, "c_custkey", 10000L, 0.01)
+    val misses = cust.filter(!graft.operators.BloomPrune.mightContain(col("c_custkey"), bf))
+      .count()
+    assert(misses == 0)
+  }
+
   test("approx stats land within tolerance of exact values") {
     val ord = Tables.orders(spark, sfDir)
     val row = SparkEntry.queries("an_approx_stats")(spark, sfDir).head()

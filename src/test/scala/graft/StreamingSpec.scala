@@ -76,6 +76,25 @@ class StreamingSpec extends SparkSpec {
     assert(out.contains((7L, 1L, 2L, 3.0)))
   }
 
+  test("intervalJoin matches right events inside the lookback window only") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Ev]
+    val purchases = MemoryStream[Ev]
+    clicks.addData(Ev(1, ts(60), 7, "click", 0.0), Ev(2, ts(60), 8, "click", 0.0))
+    purchases.addData(
+      Ev(100, ts(40), 7, "purchase", 5.0),  // 20 min before → matches
+      Ev(101, ts(0), 7, "purchase", 9.0),   // 60 min before → outside 30-min lookback
+      Ev(102, ts(61), 8, "purchase", 7.0))  // after the click → no match
+    val q = EventsStream.intervalJoin(
+        clicks.toDF(), purchases.toDF(), "user_id", "ts", "ts",
+        lookback = "30 minutes", watermark = "2 hours")
+      .select(col("event_id"), col("r_event_id"))
+      .writeStream.outputMode("append").format("memory").queryName("ij").start()
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("ij").as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 100L)))
+  }
+
   test("enrich joins each micro-batch against the static dim by broadcast") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Ev]
