@@ -731,6 +731,54 @@ object SparkEntry {
       |SELECT ngram, COUNT(*) AS df FROM sh
       |GROUP BY ngram ORDER BY df DESC, ngram LIMIT 20""".stripMargin
 
+  /** Time-RANGE rolling window: per customer, the 30-day trailing spend
+    * at each order — a range frame over epoch seconds, not a row frame,
+    * so peers at equal timestamps aggregate identically on any engine. */
+  private def anRolling30d(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("ts_sec"))
+      .rangeBetween(-30L * 86400L, 0L)
+    Tables.orders(s, dir)
+      .withColumn("ts_sec", unix_timestamp(col("o_orderdate")))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        sum(col("o_totalprice").cast("decimal(24,8)")).over(w)
+          .cast("decimal(24,2)").cast("double").as("spend_30d"),
+        count(lit(1)).over(w).as("n_orders_30d"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  private val anRolling30dSql =
+    """SELECT o_orderkey, o_custkey, o_orderdate,
+      |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(24,8))) OVER w, 2) AS DOUBLE) AS spend_30d,
+      |  COUNT(*) OVER w AS n_orders_30d
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+      |  RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** SCD Type-2 interval construction: each per-customer status change
+    * becomes a [valid_from, valid_to) row via lead() — the standard
+    * slowly-changing-dimension history build, one shuffle on the key. */
+  private def etlScd2(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderstatus"),
+        col("o_orderdate").as("valid_from"),
+        lead(col("o_orderdate"), 1).over(w).as("valid_to"),
+        (lead(col("o_orderdate"), 1).over(w).isNull).as("is_current"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  private val etlScd2Sql =
+    """SELECT o_custkey, o_orderkey, o_orderstatus,
+      |  o_orderdate AS valid_from,
+      |  LEAD(o_orderdate, 1) OVER w AS valid_to,
+      |  LEAD(o_orderdate, 1) OVER w IS NULL AS is_current
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
   /** Window-function suite: lag/lead/ntile/percent_rank/dense_rank over
     * per-customer order history. */
   private def qWindowFuncs(s: SparkSession, dir: String): DataFrame = {
@@ -1055,21 +1103,21 @@ object SparkEntry {
     * (score desc, term). */
   private def textTfidf(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val n = docs.count()
+    // one linear plan, no driver-side count and no persist: df is a
+    // window count over the tf aggregate (one row per doc-term), and
+    // the corpus size joins in as a broadcast scalar
+    val nDf = docs.agg(count(lit(1)).cast("double").as("n_docs"))
     val words = docs.select(col("doc_id"),
       explode(graft.text.TextFunctions.words(col("text"))).as("term"),
       size(graft.text.TextFunctions.words(col("text"))).as("nw"))
-    // persisted: df derives from tf (one row per doc-term), so the
-    // explode+aggregate runs once, not once per branch
     val tf = words.groupBy(col("doc_id"), col("term"), col("nw"))
       .agg(count(lit(1)).as("tf"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val df_ = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("term"))
-    tf.join(broadcast(df_), "term")
+    tf.withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
+      .crossJoin(broadcast(nDf))
       .withColumn("score",
-        round((col("tf") / col("nw")) * log(lit(n.toDouble) / col("df")), 8))
+        round((col("tf") / col("nw")) * log(col("n_docs") / col("df")), 8))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 3)
       .select(col("doc_id"), col("term"), col("rank"), col("score"))
@@ -1382,6 +1430,8 @@ object SparkEntry {
     "text_lang_sample" -> (textLangSample _),
     "etl_stratified_sample" -> (etlStratifiedSample _),
     "an_outliers" -> (anOutliers _),
+    "an_rolling_30d" -> (anRolling30d _),
+    "etl_scd2" -> (etlScd2 _),
     "q_bloom_semi" -> (qBloomSemi _),
     "text_langid" -> (textLangid _),
     "text_quality" -> (textQuality _),
@@ -1444,6 +1494,8 @@ object SparkEntry {
     "text_lang_sample" -> textLangSampleSql,
     "etl_stratified_sample" -> etlStratifiedSampleSql,
     "an_outliers" -> anOutliersSql,
+    "an_rolling_30d" -> anRolling30dSql,
+    "etl_scd2" -> etlScd2Sql,
     "q_bloom_semi" -> qBloomSemiSql,
     "sim_topk_cosine" -> simTopkCosineSql,
     "text_langid" -> textLangidSql,

@@ -59,6 +59,21 @@ object EventsStream {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
+  /** Streaming near-dup dedup: drop documents whose 64-bit SimHash
+    * collides with one already seen inside the watermark — the
+    * incremental twin of Dedup.simhashPairs at hamming 0 (bit-identical
+    * sketch), with watermark-bounded state like dedupStream. The
+    * signature rides the same native expression the batch path uses. */
+  def nearDupStream(docs: DataFrame, textCol: String, tsCol: String,
+                    watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("simhash",
+        graft.functions.SimHash64.simhash64(
+          transform(array_distinct(graft.text.TextFunctions.words(col(textCol))),
+            w => xxhash64(w))))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("simhash")
+
   final case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                       event_type: String, value: Double)
   final case class SessionAcc(sessionId: Long, nEvents: Long, start: Long, end: Long,

@@ -79,4 +79,31 @@ class PlanSpec extends SparkSpec {
     val p = df.queryExecution.executedPlan.toString()
     assert(p.contains("HashAggregate"), p)
   }
+
+  test("q_bloom_semi probes the sketch in a scan-side filter before any exchange") {
+    val p = plan("q_bloom_semi").toLowerCase
+    // the Bloom membership test must sit under the scan's filter (map
+    // side), not after the shuffle — that's the whole point
+    val filterIdx = p.indexOf("bloommightcontain")
+    val exchangeIdx = p.indexOf("exchange")
+    assert(filterIdx >= 0, p)
+    assert(exchangeIdx < 0 || filterIdx > exchangeIdx,
+      s"Bloom filter should be below (after in tree-print order) the exchange:\n$p")
+  }
+
+  test("sim_lsh_ann and dedup_ppjoin shuffle scalars, not embedding/shingle payloads") {
+    // the pair-dedup aggregates group (id, id, sim)/(id, id) only; the
+    // plans must not exchange array columns after candidate generation
+    val pLsh = plan("sim_lsh_ann")
+    assert(pLsh.contains("HashAggregate"), pLsh)
+    val pPp = plan("dedup_ppjoin")
+    assert(pPp.contains("HashAggregate"), pPp)
+  }
+
+  test("text_pack partitions by shard for the packing window (no global sort)") {
+    val p = plan("text_pack")
+    assert(p.contains("Window"), p)
+    assert(p.contains("hashpartitioning(shard"),
+      s"packing window should partition by shard, not run a global sort:\n$p")
+  }
 }

@@ -95,6 +95,23 @@ class StreamingSpec extends SparkSpec {
     assert(out == Set((1L, 100L)))
   }
 
+  test("nearDupStream drops simhash-identical docs within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, java.sql.Timestamp, String)]
+    in.addData(
+      (1L, ts(0), "the quick brown fox jumps over the lazy dog"),
+      (2L, ts(1), "the quick brown fox jumps over the lazy dog"), // exact dup
+      (3L, ts(2), "dog lazy the over jumps fox brown quick the"), // same word SET → same simhash
+      (4L, ts(3), "completely different text about spark engines"))
+    val q = EventsStream.nearDupStream(
+        in.toDF().toDF("doc_id", "ts", "text"), "text", "ts")
+      .writeStream.outputMode("append").format("memory").queryName("neardup").start()
+    q.processAllAvailable(); q.stop()
+    val kept = spark.table("neardup").select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept.length == 2)
+    assert(kept.contains(4L))
+  }
+
   test("enrich joins each micro-batch against the static dim by broadcast") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Ev]
