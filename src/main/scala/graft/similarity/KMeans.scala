@@ -32,10 +32,12 @@ object KMeans {
     }
     var cents: Array[Array[Double]] = v.orderBy(col("id")).limit(k)
       .collect().map(r => unit(r.getSeq[Double](1).toArray))
+    // fewer vectors than k → fewer cells; index strictly by cents.length
+    // so the native kernel never reads past the centroid matrix
     var it = 0
     while (it < iters) {
       val assigned = v.withColumn("cell",
-        graft.functions.VectorExprs.nearest_centroid(col("v"), cents.flatten, k))
+        graft.functions.VectorExprs.nearest_centroid(col("v"), cents.flatten, cents.length))
       // decimal sum: order-independent across partition merges, so the
       // trained centroids are bit-identical run to run. unit(sum) ==
       // unit(mean) — normalization absorbs the 1/n factor.

@@ -37,6 +37,8 @@ object Packing {
     * @return input columns + shard, bin, n_tokens_cum */
   def packBins(df: DataFrame, idCol: String, tokensCol: String,
                budget: Long, shards: Int = 16): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    require(shards > 0 && shards <= 256, s"shards must be in [1, 256], got $shards")
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -82,4 +82,18 @@ class EtlSpec extends SparkSpec {
     Load.FallbackSink(Seq(failing, Load.ParquetSink(s"$tmp/local")), retriesPerSink = 1).write(df)
     assert(spark.read.parquet(s"$tmp/local").count() == 3)
   }
+
+  test("date-partitioned parquet sink prunes partitions on filtered read-back") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_part").toString
+    val ev = Tables.events(spark, sfDir).withColumn("day", to_date(col("ts")))
+    Load.ParquetSink(s"$tmp/events", partitionBy = Seq("day")).write(ev)
+    val day = ev.select(min(col("day"))).collect()(0).getDate(0)
+    val read = spark.read.parquet(s"$tmp/events").filter(col("day") === lit(day))
+    assert(read.count() == ev.filter(col("day") === lit(day)).count())
+    val p = read.queryExecution.executedPlan.toString()
+    // partition value filters must land in PartitionFilters (pruned at
+    // listing time), not in PushedFilters/post-scan Filter
+    assert(p.contains("PartitionFilters: [isnotnull(day"), p)
+  }
 }
