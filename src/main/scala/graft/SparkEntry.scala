@@ -285,6 +285,24 @@ object SparkEntry {
        |  GROUP BY 1) t
        |ORDER BY ship_month""".stripMargin
 
+  /** Explicit GROUPING SETS — the general form rollup/cube specialize:
+    * per-status totals, per-priority totals, and the grand total in one
+    * Expand + single aggregate pass. */
+  private def qGroupingSets(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq()),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"), moneySum(col("o_totalprice")).as("total_price"))
+      .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
+
+  private val qGroupingSetsSql =
+    s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+       |  ${moneySumSql("o_totalprice")} AS total_price
+       |FROM orders
+       |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+       |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
+
   private def qCube(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
       .cube(col("o_orderstatus"), year(col("o_orderdate")).as("order_year"))
@@ -1382,6 +1400,7 @@ object SparkEntry {
     "q_events_window_agg" -> (qEventsWindowAgg _),
     "q14_promo" -> (q14Promo _),
     "q_cube" -> (qCube _),
+    "q_grouping_sets" -> (qGroupingSets _),
     "etl_date_features" -> (etlDateFeatures _),
     "etl_fk_check" -> (etlFkCheck _),
     "sim_ivf_ann" -> (simIvfAnn _),
@@ -1452,6 +1471,7 @@ object SparkEntry {
     "q_events_window_agg" -> qEventsWindowAggSql,
     "q14_promo" -> q14PromoSql,
     "q_cube" -> qCubeSql,
+    "q_grouping_sets" -> qGroupingSetsSql,
     "etl_date_features" -> etlDateFeaturesSql,
     "etl_fk_check" -> etlFkCheckSql,
     "q_asof_join" -> qAsofJoinSql,

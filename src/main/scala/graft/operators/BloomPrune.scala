@@ -56,10 +56,23 @@ object BloomPrune {
   def mightContain(keyCol: Column, bf: BloomFilter): Column =
     ColumnBridge.column(BloomMightContain(ColumnBridge.expression(keyCol), bf))
 
-  /** Exact left-semi join with Bloom pre-pruning of the probe side. */
+  /** Exact left-semi join with Bloom pre-pruning of the probe side.
+    *
+    * Integral keys only: a silent cast of e.g. a string key to long
+    * would null every probe and return an EMPTY result — fail loudly
+    * instead. (Widening int→long is lossless and matches the sketch's
+    * long insertion path.) */
   def semiJoin(probe: DataFrame, probeKey: String,
                build: DataFrame, buildKey: String,
                expectedKeys: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val integral: Set[org.apache.spark.sql.types.DataType] =
+      Set(ByteType, ShortType, IntegerType, LongType)
+    val pt = probe.schema(probeKey).dataType
+    val bt = build.schema(buildKey).dataType
+    require(integral(pt) && integral(bt),
+      s"BloomPrune.semiJoin needs integral keys, got $probeKey: ${pt.catalogString}, " +
+        s"$buildKey: ${bt.catalogString}")
     val bf = bloomOf(build, buildKey, expectedKeys, fpp)
     probe
       .filter(mightContain(col(probeKey).cast("long"), bf))
