@@ -390,6 +390,32 @@ object SparkEntry {
        |              WHERE c.c_custkey = o.o_custkey AND c.c_mktsegment = 'BUILDING')
        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** INTERSECT ALL / EXCEPT ALL — the multiset variants (kept distinct
+    * from q_setops' set semantics; Spark plans them as aggregated
+    * replication counts, not row-by-row loops). */
+  private def qSetopsAll(s: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(s, dir)
+    val f = ord.filter(col("o_orderstatus") === "F").select("o_custkey")
+    val o = ord.filter(col("o_orderstatus") === "O").select("o_custkey")
+    val both = f.intersectAll(o).agg(count(lit(1)).as("n"))
+      .select(lit("f_and_o_all").as("kind"), col("n"))
+    val only = f.exceptAll(o).agg(count(lit(1)).as("n"))
+      .select(lit("f_not_o_all").as("kind"), col("n"))
+    both.unionAll(only).orderBy(col("kind"))
+  }
+
+  private val qSetopsAllSql =
+    """SELECT 'f_and_o_all' AS kind, COUNT(*) AS n FROM (
+      |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      |  INTERSECT ALL
+      |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+      |UNION ALL
+      |SELECT 'f_not_o_all', COUNT(*) FROM (
+      |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      |  EXCEPT ALL
+      |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+      |ORDER BY kind""".stripMargin
+
   private def qSetops(s: SparkSession, dir: String): DataFrame = {
     val ord = Tables.orders(s, dir)
     val f = ord.filter(col("o_orderstatus") === "F").select("o_custkey")
@@ -638,6 +664,75 @@ object SparkEntry {
     """SELECT o_orderkey, o_totalprice FROM orders
       |WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) < '4'
       |ORDER BY o_orderkey""".stripMargin
+
+  /** Quantile bucketing (pd.qcut's distributed shape): ONE tiny
+    * aggregate computes the quartile boundaries, then assignment is a
+    * map-only CASE — no global sort, no ntile window over all rows.
+    * Boundaries are rounded once on both engines so an on-boundary row
+    * can't flip buckets over a last-ulp interpolation difference. */
+  private def etlQuantileBucketize(s: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(s, dir)
+    val qs = ord.agg(
+      round(percentile(col("o_totalprice"), lit(0.25)), 4),
+      round(percentile(col("o_totalprice"), lit(0.5)), 4),
+      round(percentile(col("o_totalprice"), lit(0.75)), 4)).head()
+    val (q1, q2, q3) = (qs.getDouble(0), qs.getDouble(1), qs.getDouble(2))
+    ord.select(col("o_orderkey"), col("o_totalprice"),
+        when(col("o_totalprice") <= q1, "q1")
+          .when(col("o_totalprice") <= q2, "q2")
+          .when(col("o_totalprice") <= q3, "q3")
+          .otherwise("q4").as("price_quartile"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  private val etlQuantileBucketizeSql =
+    """WITH q AS (
+      |  SELECT ROUND(quantile_cont(o_totalprice, 0.25), 4) AS q1,
+      |         ROUND(quantile_cont(o_totalprice, 0.5), 4) AS q2,
+      |         ROUND(quantile_cont(o_totalprice, 0.75), 4) AS q3
+      |  FROM orders)
+      |SELECT o_orderkey, o_totalprice,
+      |  CASE WHEN o_totalprice <= q.q1 THEN 'q1'
+      |       WHEN o_totalprice <= q.q2 THEN 'q2'
+      |       WHEN o_totalprice <= q.q3 THEN 'q3'
+      |       ELSE 'q4' END AS price_quartile
+      |FROM orders CROSS JOIN q
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** Time-series resample with gap filling: the full hourly spine
+    * (sequence + explode × distinct series) left-joins the observed
+    * aggregate; missing hours fill with zeros. */
+  private def anResample(s: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(s, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), moneySum(col("value")).as("total_value"))
+    val bounds = hourly.agg(min(col("hour")).as("lo"), max(col("hour")).as("hi"))
+    val spine = bounds
+      .select(explode(sequence(col("lo"), col("hi"), expr("interval 1 hour"))).as("hour"))
+      .crossJoin(hourly.select(col("event_type")).distinct())
+    spine.join(hourly, Seq("hour", "event_type"), "left")
+      .select(col("hour"), col("event_type"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("total_value"), lit(0.0)).as("total_value"))
+      .orderBy(col("hour"), col("event_type"))
+  }
+
+  private val anResampleSql =
+    s"""WITH hourly AS (
+       |  SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n,
+       |    ${moneySumSql("value")} AS total_value
+       |  FROM events GROUP BY 1, 2),
+       |spine AS (
+       |  SELECT unnest(generate_series((SELECT MIN(hour) FROM hourly),
+       |                                (SELECT MAX(hour) FROM hourly),
+       |                                INTERVAL 1 HOUR)) AS hour),
+       |grid AS (SELECT s.hour, t.event_type
+       |         FROM spine s CROSS JOIN (SELECT DISTINCT event_type FROM hourly) t)
+       |SELECT g.hour, g.event_type,
+       |  COALESCE(h.n, 0) AS n, COALESCE(h.total_value, 0.0) AS total_value
+       |FROM grid g LEFT JOIN hourly h
+       |  ON g.hour = h.hour AND g.event_type = h.event_type
+       |ORDER BY g.hour, g.event_type""".stripMargin
 
   /** Sketch aggregates (HLL distinct, t-digest quantile) — approximate
     * by design, so checked by ScalaTest tolerance vs the exact values
@@ -1407,6 +1502,9 @@ object SparkEntry {
     "q_asof_join" -> (qAsofJoin _),
     "q_skew_join" -> (qSkewJoin _),
     "q_setops" -> (qSetops _),
+    "q_setops_all" -> (qSetopsAll _),
+    "etl_quantile_bucketize" -> (etlQuantileBucketize _),
+    "an_resample" -> (anResample _),
     "etl_string_norm" -> (etlStringNorm _),
     "etl_json_extract" -> (etlJsonExtract _),
     "etl_sample" -> (etlSample _),
@@ -1477,6 +1575,9 @@ object SparkEntry {
     "q_asof_join" -> qAsofJoinSql,
     "q_skew_join" -> qSkewJoinSql,
     "q_setops" -> qSetopsSql,
+    "q_setops_all" -> qSetopsAllSql,
+    "etl_quantile_bucketize" -> etlQuantileBucketizeSql,
+    "an_resample" -> anResampleSql,
     "etl_string_norm" -> etlStringNormSql,
     "etl_json_extract" -> etlJsonExtractSql,
     "etl_sample" -> etlSampleSql,
