@@ -69,8 +69,10 @@ object Load {
   }
 
   /** Try each sink in order; first success wins (load.py's
-    * remote-then-local-copy behavior). Retries are per-sink. */
-  final case class FallbackSink(sinks: Seq[Sink], retriesPerSink: Int = 2) extends Sink {
+    * remote-then-local-copy behavior). Retries are per-sink, with
+    * linear backoff between attempts (load.py's sleep-and-retry). */
+  final case class FallbackSink(sinks: Seq[Sink], retriesPerSink: Int = 2,
+                                backoffMs: Long = 0L) extends Sink {
     def write(df: DataFrame): Unit = {
       var lastErr: Throwable = null
       var done = false
@@ -80,7 +82,12 @@ object Load {
         var attempt = 0
         while (!done && attempt <= retriesPerSink) {
           try { s.write(df); done = true }
-          catch { case scala.util.control.NonFatal(e) => lastErr = e; attempt += 1 }
+          catch {
+            case scala.util.control.NonFatal(e) =>
+              lastErr = e; attempt += 1
+              if (attempt <= retriesPerSink && backoffMs > 0)
+                Thread.sleep(backoffMs * attempt)
+          }
         }
       }
       if (!done) throw new RuntimeException("all sinks failed", lastErr)

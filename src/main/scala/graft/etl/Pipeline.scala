@@ -16,13 +16,24 @@ final case class Pipeline(stages: Seq[DataFrame => DataFrame] = Nil,
   def apply(df: DataFrame): DataFrame = stages.foldLeft(df)((d, f) => f(d))
 
   /** Run transforms, gate on validation, then write. Returns the
-    * validation report. Throws if validation fails (nothing is loaded). */
+    * validation report. Throws if validation fails (nothing is loaded).
+    * The validation aggregate runs ONCE: the report is materialized,
+    * the gate reads the collected rows, and the returned frame is built
+    * from them — not a lazy plan that would re-scan on every action. */
   def run(df: DataFrame, sink: Load.Sink): DataFrame = {
     val out = apply(df)
-    val report = Validate.run(out, rules)
-    if (rules.nonEmpty && !Validate.allPassed(out, rules))
+    val spark = out.sparkSession
+    val reportSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "rule STRING, metric BIGINT, passed BOOLEAN")
+    if (rules.isEmpty) {
+      sink.write(out)
+      return spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        reportSchema)
+    }
+    val rows = Validate.run(out, rules).collect()
+    if (rows.exists(r => !r.getBoolean(2)))
       throw new IllegalStateException("validation failed; load aborted")
     sink.write(out)
-    report
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), reportSchema)
   }
 }

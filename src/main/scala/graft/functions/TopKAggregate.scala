@@ -21,8 +21,12 @@ class TopKAggregate(k: Int) extends Aggregator[(Double, Long), Seq[(Double, Long
 
   override def zero: Seq[(Double, Long)] = Vector.empty
 
+  // buffers stay sorted (merge/reduce both emit sorted), so a full
+  // buffer whose worst entry beats the incoming row is returned as-is —
+  // the O(1) path taken by almost every row of a large group
   override def reduce(buf: Seq[(Double, Long)], in: (Double, Long)): Seq[(Double, Long)] =
-    merge(buf, Vector(in))
+    if (buf.size >= k && better(buf.last, in)) buf
+    else merge(buf, Vector(in))
 
   override def merge(a: Seq[(Double, Long)], b: Seq[(Double, Long)]): Seq[(Double, Long)] =
     (a ++ b).sortWith(better).take(k)
