@@ -120,7 +120,10 @@ object VectorOps {
     // sim is computed BEFORE the pair dedup so the groupBy shuffles
     // (query_id, neighbor_id, sim) scalars, never the vectors; a pair
     // probed via several cells yields identical sims, so max == any.
-    cells.join(probed, Seq("cell_id"))
+    // The probed QUERY side broadcasts (it's the small side by design —
+    // without the hint, unknown post-window stats fall back to a
+    // sort-merge join that shuffles the whole corpus).
+    cells.join(broadcast(probed), Seq("cell_id"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("sim", round(dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 6))
       .groupBy(col("query_id"), col("neighbor_id")).agg(max(col("sim")).as("sim"))
@@ -155,8 +158,9 @@ object VectorOps {
       .orderBy(col("sim").desc, col("neighbor_id"))
     // norms per row (not per pair); sim before the pair dedup so the
     // groupBy shuffles scalar triples, never the vectors (multi-band
-    // hits of a pair produce identical sims — max == any).
-    e.join(q, Seq("band_id", "band_key"))
+    // hits of a pair produce identical sims — max == any). Query side
+    // broadcasts explicitly — the corpus never shuffles for the join.
+    e.join(broadcast(q), Seq("band_id", "band_key"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("sim", round(dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 6))
       .groupBy(col("query_id"), col("neighbor_id")).agg(max(col("sim")).as("sim"))
