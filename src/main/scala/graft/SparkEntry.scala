@@ -595,6 +595,30 @@ object SparkEntry {
       |  CAST(day(last_day(o_orderdate)) AS INT) AS days_in_month
       |FROM orders ORDER BY o_orderkey""".stripMargin
 
+  /** Wide→long unpivot (pandas melt): the four lineitem measures become
+    * (metric, value) rows — one Expand pass, no join, no shuffle until
+    * the demo sort. */
+  private def etlUnpivot(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_orderkey") <= 100)
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax")),
+        "metric", "value")
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("metric"))
+
+  private val etlUnpivotSql =
+    """SELECT l_orderkey, l_linenumber, metric, value FROM (
+      |  SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS value FROM lineitem
+      |  UNION ALL
+      |  SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+      |  UNION ALL
+      |  SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+      |  UNION ALL
+      |  SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem)
+      |WHERE l_orderkey <= 100
+      |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin
+
   /** Cross-table integrity: FK orphan counts + key uniqueness, one
     * (rule, metric, passed) report (validate.py's reconciliation idea
     * generalized to referential checks). */
@@ -1526,6 +1550,7 @@ object SparkEntry {
     "etl_flags" -> (etlFlags _),
     "etl_code_map" -> (etlCodeMap _),
     "etl_normalize_cols" -> (etlNormalizeCols _),
+    "etl_unpivot" -> (etlUnpivot _),
     "etl_validate" -> (etlValidate _),
     "an_summary_stats" -> (anSummaryStats _),
     "an_rate_by_group" -> (anRateByGroup _),
@@ -1598,6 +1623,7 @@ object SparkEntry {
     "etl_flags" -> etlFlagsSql,
     "etl_code_map" -> etlCodeMapSql,
     "etl_normalize_cols" -> etlNormalizeColsSql,
+    "etl_unpivot" -> etlUnpivotSql,
     "etl_validate" -> etlValidateSql,
     "an_summary_stats" -> anSummaryStatsSql,
     "an_rate_by_group" -> anRateByGroupSql,

@@ -11,6 +11,14 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * or `SparkSession.builder().withExtensions(new GraftExtensions)`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  /** Extract a required foldable Int argument (e.g. the shingle width). */
+  private def intArg(e: Expression, fn: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case _ => throw new IllegalArgumentException(
+      s"$fn expects a literal INT argument, got $e")
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       new FunctionIdentifier("simhash64"),
@@ -20,5 +28,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
       (children: Seq[Expression]) => DotProduct(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("word_shingles"),
+      new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
+      (children: Seq[Expression]) =>
+        WordShingles(children(0), intArg(children(1), "word_shingles"))))
+    ext.injectFunction((
+      new FunctionIdentifier("sorted_intersect_count"),
+      new ExpressionInfo(classOf[SortedIntersectCount].getName, "sorted_intersect_count"),
+      (children: Seq[Expression]) => SortedIntersectCount(children(0), children(1))))
   }
 }

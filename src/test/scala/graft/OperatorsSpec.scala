@@ -85,6 +85,33 @@ class OperatorsSpec extends SparkSpec {
     assert(misses == 0)
   }
 
+  test("skewReport flags a whale key and saltedInnerAuto still equals plain join") {
+    val uniform = Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey")
+    val rUni = SkewJoin.skewReport(uniform, "o_orderkey")
+    assert(rUni.suggestedSalts == 1) // unique key: no salting suggested
+    // build a whale: half the rows share one key
+    val whale = uniform.withColumn("k",
+      when(col("o_orderkey") % 2 === 0, lit(0L)).otherwise(col("o_orderkey")))
+    val rWhale = SkewJoin.skewReport(whale, "k")
+    assert(rWhale.skewRatio > 4.0 && rWhale.suggestedSalts > 1)
+    val dim = whale.select(col("k")).distinct().withColumn("tag", col("k") * 2)
+    val plain = whale.join(dim, Seq("k")).count()
+    val auto = SkewJoin.saltedInnerAuto(whale, dim, "k").count()
+    assert(plain == auto)
+  }
+
+  test("graft SQL functions registered via extensions work from spark.sql") {
+    val r = spark.sql(
+      """SELECT simhash64(array(1L, 2L, 3L)) AS sh,
+        |  dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS dp,
+        |  word_shingles('a b c d', 2) AS ws,
+        |  sorted_intersect_count(array(1L, 3L, 5L), array(3L, 4L, 5L)) AS ic
+        |""".stripMargin).head()
+    assert(r.getDouble(1) == 11.0)
+    assert(r.getSeq[String](2) == Seq("a b", "b c", "c d"))
+    assert(r.getInt(3) == 2)
+  }
+
   test("approx stats land within tolerance of exact values") {
     val ord = Tables.orders(spark, sfDir)
     val row = SparkEntry.queries("an_approx_stats")(spark, sfDir).head()
