@@ -74,6 +74,59 @@ object EventsStream {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("simhash")
 
+  final case class BandHit(band_id: Int, band_hash: Long, doc_id: Long)
+  final case class CandPair(doc_a: Long, doc_b: Long, band_id: Int)
+
+  /** Streaming MinHash-LSH candidate pairs: each arriving document's
+    * band hashes are matched against the per-bucket state of doc ids
+    * seen so far — the incremental twin of Dedup.minhashLshPairs'
+    * candidate stage. State is keyed on (band_id, band_hash); a pair
+    * sharing several bands emits once per band (dedup downstream, like
+    * the batch path's distinct). With `idleTimeout` a processing-time
+    * timeout evicts cold buckets, bounding state like the batch job's
+    * corpus window; exact-Jaccard verification joins remain a batch
+    * concern on the emitted candidates. */
+  def minhashCandidatesStream(docs: DataFrame, textCol: String, idCol: String,
+                              k: Int = 3, nBands: Int = 16, rowsPerBand: Int = 4,
+                              idleMinutes: Long = 60, idleTimeout: Boolean = true)
+                             (implicit spark: SparkSession): Dataset[CandPair] = {
+    import spark.implicits._
+    val sigs = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        graft.dedup.Dedup.minhashSignature(
+          graft.text.TextFunctions.shingles(col(textCol), k),
+          nPerms = nBands * rowsPerBand).as("sig"))
+      .select(col("doc_id"), explode(array((0 until nBands).map(b =>
+        struct(lit(b).as("band_id"),
+          xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("band_hash"))): _*)).as("b"))
+      .select(col("b.band_id"), col("b.band_hash"), col("doc_id"))
+      .as[BandHit]
+
+    def update(key: (Int, Long), hits: Iterator[BandHit],
+               state: GroupState[Seq[Long]]): Iterator[CandPair] = {
+      if (state.hasTimedOut) { state.remove(); Iterator.empty }
+      else {
+        var seen = state.getOption.getOrElse(Vector.empty)
+        val out = Seq.newBuilder[CandPair]
+        hits.toSeq.map(_.doc_id).distinct.sorted.foreach { id =>
+          if (!seen.contains(id)) {
+            seen.foreach(prev => out += CandPair(math.min(prev, id), math.max(prev, id), key._1))
+            seen = seen :+ id
+          }
+        }
+        state.update(seen)
+        if (idleTimeout) state.setTimeoutDuration(s"$idleMinutes minutes")
+        out.result().iterator
+      }
+    }
+
+    val timeoutConf =
+      if (idleTimeout) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    sigs.groupByKey(h => (h.band_id, h.band_hash))
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf)(update)
+  }
+
   final case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                       event_type: String, value: Double)
   final case class SessionAcc(sessionId: Long, nEvents: Long, start: Long, end: Long,

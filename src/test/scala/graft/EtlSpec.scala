@@ -83,6 +83,23 @@ class EtlSpec extends SparkSpec {
     assert(spark.read.parquet(s"$tmp/local").count() == 3)
   }
 
+  test("analytics operators survive empty inputs") {
+    import org.apache.spark.sql.functions._
+    val empty = Tables.orders(spark, sfDir).filter(lit(false))
+    val ss = graft.analytics.Summary.summaryStats(empty, col("o_orderstatus") === "F")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(ss == Map("total_rows" -> 0.0, "unique_rows" -> 0.0, "flag_percentage" -> 0.0))
+    assert(graft.analytics.Summary.valueCountsPct(empty, "o_orderstatus").count() == 0)
+    assert(graft.analytics.Summary.histogram(empty, "o_totalprice", 0, 100, 4).count() == 0)
+    assert(graft.analytics.Outliers.zScoreReport(empty, "o_orderpriority",
+      "o_totalprice", 2.0).count() == 0)
+    assert(graft.operators.Sampling.stratified(empty,
+      col("o_orderpriority"), col("o_orderkey"), 5).count() == 0)
+    assert(graft.text.Packing.packBins(
+      empty.select(col("o_orderkey").as("doc_id"), lit(1L).as("n_tokens")),
+      "doc_id", "n_tokens", 100L, 4).count() == 0)
+  }
+
   test("date-partitioned parquet sink prunes partitions on filtered read-back") {
     import org.apache.spark.sql.functions._
     val tmp = java.nio.file.Files.createTempDirectory("graft_part").toString

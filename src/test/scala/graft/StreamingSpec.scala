@@ -95,6 +95,25 @@ class StreamingSpec extends SparkSpec {
     assert(out == Set((1L, 100L)))
   }
 
+  test("minhashCandidatesStream emits cross-batch candidate pairs from band state") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val ss = spark
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val near = (1 to 40).map(i => if (i == 40) "CHANGED" else s"w$i").mkString(" ")
+    val far = (100 to 140).map(i => s"v$i").mkString(" ")
+    val in = MemoryStream[(Long, String)]
+    val q = EventsStream.minhashCandidatesStream(
+        in.toDF().toDF("doc_id", "text"), "text", "doc_id", idleTimeout = false)
+      .writeStream.outputMode("append").format("memory").queryName("mhcand").start()
+    in.addData((1L, base), (3L, far))
+    q.processAllAvailable()
+    in.addData((2L, near)) // later batch: must pair with doc 1 via band state
+    q.processAllAvailable(); q.stop()
+    val pairs = spark.table("mhcand").select("doc_a", "doc_b")
+      .distinct().as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
   test("nearDupStream drops simhash-identical docs within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, java.sql.Timestamp, String)]
