@@ -65,6 +65,50 @@ object BinaryColumns {
       .toDF("doc_id", "frame_no", "frame_len", "frame_bytes")
   }
 
+  /** STUB feature extractor: bytes → fixed-dim float vector. A real
+    * pipeline runs an image/audio encoder per partition batch here
+    * (model loaded once per partition, exactly this mapPartitions
+    * shape — the Scala analogue of mapInPandas); the stub derives a
+    * deterministic pseudo-embedding from rolling byte hashes so the
+    * OUTPUT SCHEMA (`array<float>`, unit-normalized) and partition
+    * behavior are the real thing and can feed the similarity operators
+    * directly. */
+  def featureExtractStub(payloads: DataFrame, dim: Int = 64)
+                        (implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    payloads.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // real pipeline: val model = Encoder.load()  (once per partition)
+        it.map { case (id, bytes) =>
+          val v = new Array[Float](dim)
+          var h = 1125899906842597L // deterministic seed
+          var i = 0
+          while (i < bytes.length) {
+            h = h * 31 + (bytes(i) & 0xFF)
+            v(i % dim) += ((h >>> 16) & 0xFFFF) / 65536.0f - 0.5f
+            i += 1
+          }
+          val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+          (id, if (n == 0.0) v.toSeq else v.map(x => (x / n).toFloat).toSeq)
+        }
+      }
+      .toDF("doc_id", "embedding")
+  }
+
+  /** STUB resize: pad-or-truncate the payload to `targetBytes` (a real
+    * pipeline decodes, resizes pixels, re-encodes); metadata records
+    * both sizes so downstream stages can audit the transform. */
+  def resizeStub(payloads: DataFrame, targetBytes: Int)
+                (implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    payloads.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .map { case (id, bytes) =>
+        val out = java.util.Arrays.copyOf(bytes, targetBytes)
+        (id, out, bytes.length, targetBytes)
+      }
+      .toDF("doc_id", "payload", "orig_bytes", "resized_bytes")
+  }
+
   /** Full plumbing: payload → batch decode → re-join metadata. */
   def decodedFrame(df: DataFrame, textCol: String, idCol: String)
                   (implicit spark: SparkSession): DataFrame = {

@@ -23,6 +23,35 @@ class MultimodalSpec extends SparkSpec {
     assert(rows == Set((0, 16), (2, 8)))
   }
 
+  test("featureExtractStub emits unit vectors that feed the similarity operators") {
+    implicit val ss = spark
+    val df = Seq((1L, "hello world"), (2L, "hello world"), (3L, "entirely different"))
+      .toDF("doc_id", "text")
+    val emb = BinaryColumns.featureExtractStub(
+      BinaryColumns.withPayload(df, "text", "doc_id"), dim = 16)
+    val rows = emb.orderBy("doc_id").as[(Long, Seq[Float])].collect()
+    assert(rows.forall(_._2.length == 16))
+    assert(rows(0)._2 == rows(1)._2) // deterministic: same bytes → same vector
+    val norm = math.sqrt(rows(0)._2.map(x => x.toDouble * x).sum)
+    assert(math.abs(norm - 1.0) < 1e-5)
+    // plumbing compatibility: the output schema drives the ANN baseline as-is
+    val top = graft.similarity.VectorOps.bruteForceTopK(
+      emb, emb.filter($"doc_id" === 1), k = 1, idCol = "doc_id", vecCol = "embedding")
+    val best = top.select("neighbor_id").as[Long].head()
+    assert(best == 2L) // the byte-identical doc is the nearest neighbor
+  }
+
+  test("resizeStub pads or truncates payloads and records both sizes") {
+    implicit val ss = spark
+    val df = Seq((1L, "abcdef"), (2L, "ab")).toDF("doc_id", "text")
+    val r = BinaryColumns.resizeStub(
+      BinaryColumns.withPayload(df, "text", "doc_id"), targetBytes = 4)
+      .orderBy("doc_id")
+      .select("doc_id", "orig_bytes", "resized_bytes")
+      .as[(Long, Int, Int)].collect()
+    assert(r.toSeq == Seq((1L, 6, 4), (2L, 2, 4)))
+  }
+
   test("decode stub runs per-partition and matches metadata") {
     implicit val ss = spark
     val df = Seq((1L, "hello"), (2L, "x")).toDF("doc_id", "text")
