@@ -1007,6 +1007,24 @@ object SparkEntry {
     Summary.crosstab(Tables.orders(s, dir), "o_orderpriority", "o_orderstatus",
       Seq("F", "O", "P"))
 
+  /** Spark's native pivot operator (vs an_pivot_crosstab's manual
+    * conditional aggregation): explicit value list keeps it one
+    * aggregate pass with no distinct-values pre-scan. */
+  private def qPivot(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(moneySum(col("o_totalprice")))
+      .withColumnsRenamed(Map("F" -> "f_total", "O" -> "o_total", "P" -> "p_total"))
+      .orderBy(col("o_orderpriority"))
+
+  private val qPivotSql =
+    s"""SELECT o_orderpriority,
+       |  ${moneySumSql("CASE WHEN o_orderstatus = 'F' THEN o_totalprice END")} AS f_total,
+       |  ${moneySumSql("CASE WHEN o_orderstatus = 'O' THEN o_totalprice END")} AS o_total,
+       |  ${moneySumSql("CASE WHEN o_orderstatus = 'P' THEN o_totalprice END")} AS p_total
+       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   private val anPivotCrosstabSql =
     """SELECT o_orderpriority,
       |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS f_count,
@@ -1557,6 +1575,7 @@ object SparkEntry {
     "an_value_counts_pct" -> (anValueCountsPct _),
     "an_avg_by_group" -> (anAvgByGroup _),
     "an_pivot_crosstab" -> (anPivotCrosstab _),
+    "q_pivot" -> (qPivot _),
     "an_histogram" -> (anHistogram _),
     "dedup_exact" -> (dedupExact _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
@@ -1630,6 +1649,7 @@ object SparkEntry {
     "an_value_counts_pct" -> anValueCountsPctSql,
     "an_avg_by_group" -> anAvgByGroupSql,
     "an_pivot_crosstab" -> anPivotCrosstabSql,
+    "q_pivot" -> qPivotSql,
     "an_histogram" -> anHistogramSql,
     "dedup_exact" -> dedupExactSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,

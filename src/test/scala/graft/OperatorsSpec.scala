@@ -22,6 +22,22 @@ class OperatorsSpec extends SparkSpec {
     assert(got(3L).isEmpty)        // user 8 never purchased
   }
 
+  test("AsOf carries ALL columns from the same right row when one is NULL") {
+    // round-1 advice scenario: a later right row with a NULL carry
+    // column must not inherit that column from an earlier right row
+    val clicks = Seq((1L, 7L, t(60))).toDF("event_id", "user_id", "ts")
+    val quotes = Seq(
+      (Some(100L), Some(10.0), 7L, t(10)),  // older row: both fields set
+      (Some(101L), None: Option[Double], 7L, t(50))) // latest row: price NULL
+      .toDF("quote_id", "price", "user_id", "qts")
+    val got = AsOf.joinPrior(clicks, quotes, Seq("user_id"), "ts", "qts",
+        Seq("quote_id", "price"))
+      .select("asof_quote_id", "asof_price")
+      .as[(Option[Long], Option[Double])].head()
+    assert(got._1.contains(101L))
+    assert(got._2.isEmpty, "price must be the latest row's NULL, not 10.0 from the older row")
+  }
+
   test("salted join equals the plain join") {
     val li = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_quantity")
     val ord = Tables.orders(spark, sfDir)
