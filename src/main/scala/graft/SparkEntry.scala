@@ -619,6 +619,65 @@ object SparkEntry {
       |WHERE l_orderkey <= 100
       |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin
 
+  /** Frequency + target encoding (categorical → numeric features): one
+    * aggregate over the category, broadcast back — the standard
+    * train-time encoder shape (at scale the tiny code table broadcasts;
+    * the fact side never shuffles). */
+  private def etlFreqEncode(s: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(s, dir)
+    val enc = ord.groupBy(col("o_orderpriority")).agg(
+      count(lit(1)).as("cnt"),
+      sum((col("o_orderstatus") === "F").cast("long")).as("nf"))
+    val total = ord.count()
+    ord.join(broadcast(enc), "o_orderpriority")
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        round(col("cnt") / lit(total.toDouble), 8).as("freq_enc"),
+        round(col("nf") / col("cnt").cast("double"), 8).as("target_enc"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  private val etlFreqEncodeSql =
+    """WITH e AS (
+      |  SELECT o_orderpriority, COUNT(*) AS cnt,
+      |    SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS nf
+      |  FROM orders GROUP BY o_orderpriority),
+      |t AS (SELECT COUNT(*) AS total FROM orders)
+      |SELECT o.o_orderkey, o.o_orderpriority,
+      |  ROUND(e.cnt / (t.total * 1.0), 8) AS freq_enc,
+      |  ROUND(e.nf / (e.cnt * 1.0), 8) AS target_enc
+      |FROM orders o JOIN e ON o.o_orderpriority = e.o_orderpriority CROSS JOIN t
+      |ORDER BY o.o_orderkey""".stripMargin
+
+  /** Column profiling report: null and exact-distinct counts for a set
+    * of columns in ONE aggregate pass (multi-distinct plans as a single
+    * Expand) — the schema-quality sibling of etl_validate. */
+  private def etlProfile(s: SparkSession, dir: String): DataFrame = {
+    val cols_ = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+    val aggs = cols_.flatMap(c => Seq(
+      sum(col(c).isNull.cast("long")).as(s"nulls_$c"),
+      count_distinct(col(c)).as(s"dist_$c")))
+    val stacked = cols_.map(c => s"'$c', nulls_$c, dist_$c").mkString(", ")
+    Tables.orders(s, dir)
+      .agg(aggs.head, aggs.tail: _*)
+      .selectExpr(s"stack(${cols_.size}, $stacked) AS (column_name, n_nulls, n_distinct)")
+      .orderBy(col("column_name"))
+  }
+
+  private val etlProfileSql =
+    """SELECT 'o_orderkey' AS column_name,
+      |  CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+      |  COUNT(DISTINCT o_orderkey) AS n_distinct FROM orders
+      |UNION ALL
+      |SELECT 'o_custkey', CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+      |  COUNT(DISTINCT o_custkey) FROM orders
+      |UNION ALL
+      |SELECT 'o_orderstatus', CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+      |  COUNT(DISTINCT o_orderstatus) FROM orders
+      |UNION ALL
+      |SELECT 'o_orderpriority', CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+      |  COUNT(DISTINCT o_orderpriority) FROM orders
+      |ORDER BY column_name""".stripMargin
+
   /** Cross-table integrity: FK orphan counts + key uniqueness, one
     * (rule, metric, passed) report (validate.py's reconciliation idea
     * generalized to referential checks). */
@@ -1569,6 +1628,8 @@ object SparkEntry {
     "etl_code_map" -> (etlCodeMap _),
     "etl_normalize_cols" -> (etlNormalizeCols _),
     "etl_unpivot" -> (etlUnpivot _),
+    "etl_freq_encode" -> (etlFreqEncode _),
+    "etl_profile" -> (etlProfile _),
     "etl_validate" -> (etlValidate _),
     "an_summary_stats" -> (anSummaryStats _),
     "an_rate_by_group" -> (anRateByGroup _),
@@ -1643,6 +1704,8 @@ object SparkEntry {
     "etl_code_map" -> etlCodeMapSql,
     "etl_normalize_cols" -> etlNormalizeColsSql,
     "etl_unpivot" -> etlUnpivotSql,
+    "etl_freq_encode" -> etlFreqEncodeSql,
+    "etl_profile" -> etlProfileSql,
     "etl_validate" -> etlValidateSql,
     "an_summary_stats" -> anSummaryStatsSql,
     "an_rate_by_group" -> anRateByGroupSql,
