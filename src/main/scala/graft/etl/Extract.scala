@@ -23,6 +23,9 @@ object Extract {
   def parquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   def json(spark: SparkSession, path: String, schema: Option[StructType] = None): DataFrame = {
     val r = spark.read.option("mode", "PERMISSIVE")
     schema.fold(r.option("inferSchema", "true"))(s => r.schema(s)).json(path)

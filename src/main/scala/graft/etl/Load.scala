@@ -32,6 +32,15 @@ object Load {
       df.write.mode(mode).option("header", header.toString).csv(path)
   }
 
+  final case class OrcSink(path: String,
+                           partitionBy: Seq[String] = Nil,
+                           mode: SaveMode = SaveMode.Overwrite) extends Sink {
+    def write(df: DataFrame): Unit = {
+      val w = df.write.mode(mode)
+      (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).orc(path)
+    }
+  }
+
   /** JDBC batch load (reference: load.py:95-210). `batchSize` maps the
     * reference's insert batching; `numPartitions` bounds connection
     * fan-out from a large cluster. Column names are snake_cased to match

@@ -100,6 +100,16 @@ class EtlSpec extends SparkSpec {
       "doc_id", "n_tokens", 100L, 4).count() == 0)
   }
 
+  test("orc sink/source roundtrips the orders slice") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    val ord = Tables.orders(spark, sfDir).limit(100)
+    Load.OrcSink(s"$tmp/orders").write(ord)
+    val back = Extract.orc(spark, s"$tmp/orders")
+    assert(back.count() == 100)
+    assert(back.schema == ord.schema)
+  }
+
   test("date-partitioned parquet sink prunes partitions on filtered read-back") {
     import org.apache.spark.sql.functions._
     val tmp = java.nio.file.Files.createTempDirectory("graft_part").toString
