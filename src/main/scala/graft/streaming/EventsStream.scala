@@ -74,6 +74,21 @@ object EventsStream {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("simhash")
 
+  /** Streaming → Load.Sink bridge: every micro-batch is handed to the
+    * batch sink chain via foreachBatch, so the reference's
+    * retry/backoff/fallback load semantics (Load.FallbackSink) apply to
+    * streams unchanged. Use an Append-mode sink — each batch lands
+    * incrementally; exactly-once is the checkpoint + idempotent-sink
+    * contract, as with any foreachBatch writer. */
+  def toSink(df: DataFrame, sink: graft.etl.Load.Sink,
+             checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        sink.write(batch.toDF())
+      }
+      .start()
+
   final case class BandHit(band_id: Int, band_hash: Long, doc_id: Long)
   final case class CandPair(doc_a: Long, doc_b: Long, band_id: Int)
 

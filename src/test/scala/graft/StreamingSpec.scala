@@ -95,6 +95,26 @@ class StreamingSpec extends SparkSpec {
     assert(out == Set((1L, 100L)))
   }
 
+  test("toSink lands each micro-batch through the fallback sink chain") {
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_sink").toString
+    val in = MemoryStream[Ev]
+    val failing = new graft.etl.Load.Sink {
+      def write(d: org.apache.spark.sql.DataFrame): Unit =
+        throw new RuntimeException("remote down")
+    }
+    val chain = graft.etl.Load.FallbackSink(Seq(
+      failing,
+      graft.etl.Load.ParquetSink(s"$tmp/out",
+        mode = org.apache.spark.sql.SaveMode.Append)), retriesPerSink = 0)
+    val q = EventsStream.toSink(in.toDF(), chain, s"$tmp/ckpt")
+    in.addData(Ev(1, ts(0), 1, "click", 1.0), Ev(2, ts(1), 2, "view", 2.0))
+    q.processAllAvailable()
+    in.addData(Ev(3, ts(2), 3, "click", 3.0))
+    q.processAllAvailable(); q.stop()
+    assert(spark.read.parquet(s"$tmp/out").count() == 3)
+  }
+
   test("minhashCandidatesStream emits cross-batch candidate pairs from band state") {
     implicit val sqlCtx = spark.sqlContext
     implicit val ss = spark
