@@ -13,15 +13,18 @@ object Summary {
 
   /** Value counts + percentage distribution (ipynb cell 8,
     * `internet_service_distribution`). NULLs bucket as `nullLabel`.
-    * The pct denominator reuses a window over the aggregated (small)
-    * result, not a second scan of the input. */
+    * The pct denominator re-aggregates the (small) counts result and
+    * joins back as a broadcast scalar — no second scan of the input,
+    * and no single-partition global window even when the column has
+    * enormous cardinality. */
   def valueCountsPct(df: DataFrame, c: String, nullLabel: String = "UNKNOWN"): DataFrame = {
     val counts = df
       .groupBy(coalesce(col(c).cast("string"), lit(nullLabel)).as(c))
       .agg(count(lit(1)).as("count"))
     counts
-      .withColumn("pct",
-        round(col("count") * lit(100.0) / sum(col("count")).over(), 2))
+      .crossJoin(broadcast(counts.agg(sum(col("count")).as("_total"))))
+      .withColumn("pct", round(col("count") * lit(100.0) / col("_total"), 2))
+      .drop("_total")
       .orderBy(col("count").desc, col(c))
   }
 
