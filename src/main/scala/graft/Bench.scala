@@ -21,6 +21,14 @@ object Bench {
         org.apache.spark.sql.expressions.Window.partitionBy("r_regionkey")
           .orderBy("count")))
       .collect()
+    // touch the remaining operator families once (ObjectHashAggregate /
+    // percentile, Expand / explode+sequence, BroadcastExchange,
+    // count_distinct) — class-loading only, still 5 rows
+    warm.selectExpr("percentile(r_regionkey, 0.5)", "count(distinct r_regionkey)",
+      "approx_count_distinct(r_regionkey)").collect()
+    warm.selectExpr("explode(sequence(1, 3)) AS x").groupBy("x").count().collect()
+    warm.join(org.apache.spark.sql.functions.broadcast(
+      warm.select("r_regionkey")), "r_regionkey").collect()
     // dev-only knobs (driver sets neither): ONLY=comma-list to subset,
     // REPEAT=n to re-run each query and keep the fastest (warm) time
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
