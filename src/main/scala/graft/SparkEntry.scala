@@ -390,6 +390,27 @@ object SparkEntry {
        |              WHERE c.c_custkey = o.o_custkey AND c.c_mktsegment = 'BUILDING')
        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** Null-safe equi-join (`<=>`): NULL keys match each other — Spark
+    * plans EqualNullSafe as a regular hash-join key, so this costs the
+    * same as a plain equi-join (no null-bucket fallback). */
+  private def qNullSafeJoin(s: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(s, dir)
+      .select(nullif(col("o_custkey") % 100, lit(0)).as("lk"), col("o_totalprice"))
+    val cust = Tables.customer(s, dir)
+      .select(nullif(col("c_custkey") % 100, lit(0)).as("rk"))
+    ord.join(cust, col("lk") <=> col("rk"))
+      .groupBy(col("lk").as("k"))
+      .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("total"))
+      .orderBy(asc_nulls_first("k"))
+  }
+
+  private val qNullSafeJoinSql =
+    s"""SELECT lk AS k, COUNT(*) AS n, ${moneySumSql("o_totalprice")} AS total
+       |FROM (SELECT NULLIF(o_custkey % 100, 0) AS lk, o_totalprice FROM orders) o
+       |JOIN (SELECT NULLIF(c_custkey % 100, 0) AS rk FROM customer) c
+       |  ON o.lk IS NOT DISTINCT FROM c.rk
+       |GROUP BY lk ORDER BY k NULLS FIRST""".stripMargin
+
   /** INTERSECT ALL / EXCEPT ALL — the multiset variants (kept distinct
     * from q_setops' set semantics; Spark plans them as aggregated
     * replication counts, not row-by-row loops). */
@@ -1604,6 +1625,7 @@ object SparkEntry {
     "q_skew_join" -> (qSkewJoin _),
     "q_setops" -> (qSetops _),
     "q_setops_all" -> (qSetopsAll _),
+    "q_null_safe_join" -> (qNullSafeJoin _),
     "etl_quantile_bucketize" -> (etlQuantileBucketize _),
     "an_resample" -> (anResample _),
     "etl_string_norm" -> (etlStringNorm _),
@@ -1681,6 +1703,7 @@ object SparkEntry {
     "q_skew_join" -> qSkewJoinSql,
     "q_setops" -> qSetopsSql,
     "q_setops_all" -> qSetopsAllSql,
+    "q_null_safe_join" -> qNullSafeJoinSql,
     "etl_quantile_bucketize" -> etlQuantileBucketizeSql,
     "an_resample" -> anResampleSql,
     "etl_string_norm" -> etlStringNormSql,
