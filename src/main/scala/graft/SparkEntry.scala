@@ -1338,18 +1338,21 @@ object SparkEntry {
     * (score desc, term). */
   private def textTfidf(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    // one linear plan, no driver-side count and no persist: df is a
-    // window count over the tf aggregate (one row per doc-term), and
-    // the corpus size joins in as a broadcast scalar
+    // df comes from a partial-aggregated groupBy over the tf rows (one
+    // row per doc-term, so count per term = document frequency) joined
+    // back broadcast — a term-partitioned window would serialize each
+    // Zipf-head term's posting list through a single task; the corpus
+    // size joins in as a broadcast scalar
     val nDf = docs.agg(count(lit(1)).cast("double").as("n_docs"))
     val words = docs.select(col("doc_id"),
       explode(graft.text.TextFunctions.words(col("text"))).as("term"),
       size(graft.text.TextFunctions.words(col("text"))).as("nw"))
     val tf = words.groupBy(col("doc_id"), col("term"), col("nw"))
       .agg(count(lit(1)).as("tf"))
+    val dfCounts = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("term"))
-    tf.withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
+    tf.join(broadcast(dfCounts), "term")
       .crossJoin(broadcast(nDf))
       .withColumn("score",
         round((col("tf") / col("nw")) * log(col("n_docs") / col("df")), 8))
@@ -1429,7 +1432,7 @@ object SparkEntry {
       |        + strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) % 8 AS INT) AS shard
       |  FROM documents)
       |SELECT doc_id, n_tokens, shard,
-      |  SUM(n_tokens) OVER w AS n_tokens_cum,
+      |  CAST(SUM(n_tokens) OVER w AS BIGINT) AS n_tokens_cum,
       |  CAST(FLOOR((SUM(n_tokens) OVER w - n_tokens) / 2048.0) AS BIGINT) AS bin
       |FROM t
       |WINDOW w AS (PARTITION BY shard ORDER BY doc_id

@@ -11,6 +11,15 @@ import graft.similarity.VectorOps
   * Scale posture: every variant shuffles fingerprints/ids, never
   * document bodies; candidate generation is sub-quadratic (hash
   * buckets / LSH bands); only verified candidates are materialized.
+  *
+  * Caching contract: [[ngramJaccardPairs]], [[ppjoinJaccardPairs]] and
+  * [[minhashLshPairs]] persist their shingle/signature frame
+  * (MEMORY_AND_DISK) because the candidate self-join plus verification
+  * joins would otherwise recompute shingling 3–4×. The cache lives as
+  * long as the returned plan is reachable; Spark's ContextCleaner
+  * reclaims it once the caller drops the DataFrame. Callers that keep
+  * many result frames alive in one session can bound the footprint by
+  * materializing (write/collect) and then dropping the frame.
   */
 object Dedup {
 
@@ -203,7 +212,10 @@ object Dedup {
     * pair enumeration — the exact baseline / oracle shape; the scale
     * path is LSH bucketing (VectorOps.lshTopK) to prune candidates. */
   def embeddingPairs(df: DataFrame, idCol: String, vecCol: String,
-                     tau: Double): DataFrame = {
+                     tau: Double,
+                     maxRows: Int = VectorOps.QuadraticGuardRows): DataFrame = {
+    VectorOps.guardQuadratic(df, maxRows, "embeddingPairs",
+      "minhashLshPairs or VectorOps.lshTopK (bucketed candidates)")
     // norms once per row; dot/(|a|*|b|) identical to cosine()
     val e = df.select(col(idCol).as("id"), VectorOps.toDouble(col(vecCol)).as("v"))
       .withColumn("n", VectorOps.norm(col("v")))

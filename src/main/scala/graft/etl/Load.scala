@@ -1,6 +1,6 @@
 package graft.etl
 
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 
 /** Load stage: sinks with fallback (reference: scripts/load.py —
   * batched Supabase inserts with retry/backoff, falling back to a local
@@ -15,7 +15,30 @@ import org.apache.spark.sql.{DataFrame, SaveMode}
   */
 object Load {
 
-  trait Sink { def write(df: DataFrame): Unit }
+  trait Sink {
+    def write(df: DataFrame): Unit
+
+    /** The sink's contents re-read as a frame, when the sink holds a
+      * complete re-readable snapshot of the last write (Overwrite-mode
+      * file/table sinks). Append-mode sinks return None — their count
+      * includes prior loads, so snapshot reconciliation doesn't apply. */
+    def readBack(spark: SparkSession): Option[DataFrame] = None
+  }
+
+  /** Post-load row-count reconciliation (reference scripts/
+    * validate.py:75–80 — source count vs the count actually loaded):
+    * re-reads the sink and compares counts, throwing on a short write
+    * (partial load, lost partition). Sinks without a re-readable
+    * snapshot are skipped. Count-only: the read-back never deserializes
+    * row contents for columnar sinks. */
+  def reconcile(source: DataFrame, sink: Sink): Unit =
+    sink.readBack(source.sparkSession).foreach { back =>
+      val loaded = back.count()
+      val src = source.count()
+      if (loaded != src)
+        throw new IllegalStateException(
+          s"load reconciliation failed: source has $src rows, sink read back $loaded")
+    }
 
   final case class ParquetSink(path: String,
                                partitionBy: Seq[String] = Nil,
@@ -24,12 +47,18 @@ object Load {
       val w = df.write.mode(mode)
       (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
     }
+    override def readBack(spark: SparkSession): Option[DataFrame] =
+      if (mode == SaveMode.Overwrite) Some(spark.read.parquet(path)) else None
   }
 
   final case class CsvSink(path: String, header: Boolean = true,
                            mode: SaveMode = SaveMode.Overwrite) extends Sink {
     def write(df: DataFrame): Unit =
       df.write.mode(mode).option("header", header.toString).csv(path)
+    override def readBack(spark: SparkSession): Option[DataFrame] =
+      if (mode == SaveMode.Overwrite)
+        Some(spark.read.option("header", header.toString).csv(path))
+      else None
   }
 
   final case class OrcSink(path: String,
@@ -39,6 +68,17 @@ object Load {
       val w = df.write.mode(mode)
       (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).orc(path)
     }
+    override def readBack(spark: SparkSession): Option[DataFrame] =
+      if (mode == SaveMode.Overwrite) Some(spark.read.orc(path)) else None
+  }
+
+  /** JSON lines sink (reference etl_analysis.ipynb writes an
+    * analysis_summary.json next to the CSV outputs — cells 3/9). */
+  final case class JsonSink(path: String,
+                            mode: SaveMode = SaveMode.Overwrite) extends Sink {
+    def write(df: DataFrame): Unit = df.write.mode(mode).json(path)
+    override def readBack(spark: SparkSession): Option[DataFrame] =
+      if (mode == SaveMode.Overwrite) Some(spark.read.json(path)) else None
   }
 
   /** JDBC batch load (reference: load.py:95-210). `batchSize` maps the
@@ -58,6 +98,9 @@ object Load {
         .option("batchsize", batchSize.toString)
         .jdbc(url, table, properties)
     }
+    override def readBack(spark: SparkSession): Option[DataFrame] =
+      if (mode == SaveMode.Overwrite) Some(spark.read.jdbc(url, table, properties))
+      else None
   }
 
   /** Bucketed managed-table sink: rows are hash-bucketed (and sorted)
@@ -75,6 +118,8 @@ object Load {
         .bucketBy(numBuckets, bucketCol)
       sortCol.fold(w)(s => w.sortBy(s)).saveAsTable(table)
     }
+    override def readBack(spark: SparkSession): Option[DataFrame] =
+      if (mode == SaveMode.Overwrite) Some(spark.table(table)) else None
   }
 
   /** Try each sink in order; first success wins (load.py's
@@ -82,6 +127,10 @@ object Load {
     * linear backoff between attempts (load.py's sleep-and-retry). */
   final case class FallbackSink(sinks: Seq[Sink], retriesPerSink: Int = 2,
                                 backoffMs: Long = 0L) extends Sink {
+    /** The sink the last successful write landed in — read-back (and so
+      * reconciliation) targets it, not the first-choice sink. */
+    @volatile private var lastSucceeded: Option[Sink] = None
+
     def write(df: DataFrame): Unit = {
       var lastErr: Throwable = null
       var done = false
@@ -90,7 +139,7 @@ object Load {
         val s = it.next()
         var attempt = 0
         while (!done && attempt <= retriesPerSink) {
-          try { s.write(df); done = true }
+          try { s.write(df); done = true; lastSucceeded = Some(s) }
           catch {
             case scala.util.control.NonFatal(e) =>
               lastErr = e; attempt += 1
@@ -101,5 +150,7 @@ object Load {
       }
       if (!done) throw new RuntimeException("all sinks failed", lastErr)
     }
+    override def readBack(spark: SparkSession): Option[DataFrame] =
+      lastSucceeded.flatMap(_.readBack(spark))
   }
 }

@@ -127,6 +127,31 @@ case class NearestCentroid(child: Expression, cents: Array[Double], k: Int)
   override protected def withNewChildInternal(c: Expression): NearestCentroid = copy(child = c)
 }
 
+/** Indices of the `n` unit-normalized centroids with the largest dot
+  * products against the input vector, best first (== n nearest by
+  * cosine). Same reference-object layout as NearestCentroid, so
+  * multi-probe IVF cell selection is a map-only codegen'd projection —
+  * no crossJoin against the centroid frame, no per-id window sort.
+  * Ties break to the lowest index; n is clamped to k. */
+case class NearestCentroidsN(child: Expression, cents: Array[Double], k: Int, n: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"nearest_centroids_n needs array<double>, got ${t.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    VectorExprs.nearestCentroidsN(input.asInstanceOf[ArrayData], cents, k, n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroids", cents, "double[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.VectorExprs.nearestCentroidsN($c, $ref, $k, $n)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): NearestCentroidsN = copy(child = c)
+}
+
 /** |A ∩ B| for two SORTED long arrays — one merge pass, no per-row hash
   * set (vs the interpreted ArrayIntersect + size), for set-overlap
   * verification over hashed token sets. Inputs must be sorted; sets
@@ -232,6 +257,40 @@ object VectorExprs {
     best
   }
 
+  /** Top-n centroid indices by dot product, best first; partial
+    * selection over the k dots (n is small — probe counts, not k). */
+  def nearestCentroidsN(v: ArrayData, cents: Array[Double], k: Int, n: Int): ArrayData = {
+    val x = v.toDoubleArray()
+    val dim = x.length
+    val dots = new Array[Double](k)
+    var c = 0
+    while (c < k) {
+      val off = c * dim
+      var s = 0.0
+      var j = 0
+      while (j < dim) { s += x(j) * cents(off + j); j += 1 }
+      dots(c) = s
+      c += 1
+    }
+    val m = math.min(n, k)
+    val out = new Array[Int](m)
+    val taken = new Array[Boolean](k)
+    var slot = 0
+    while (slot < m) {
+      var best = -1
+      var bestS = Double.NegativeInfinity
+      var i = 0
+      while (i < k) {
+        if (!taken(i) && dots(i) > bestS) { bestS = dots(i); best = i }
+        i += 1
+      }
+      taken(best) = true
+      out(slot) = best
+      slot += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
   def sortedIntersectCount(a: ArrayData, b: ArrayData): Int = {
     val x = a.toLongArray()
     val y = b.toLongArray()
@@ -258,6 +317,9 @@ object VectorExprs {
 
   def nearest_centroid(c: Column, cents: Array[Double], k: Int): Column =
     ColumnBridge.column(NearestCentroid(ColumnBridge.expression(c), cents, k))
+
+  def nearest_centroids_n(c: Column, cents: Array[Double], k: Int, n: Int): Column =
+    ColumnBridge.column(NearestCentroidsN(ColumnBridge.expression(c), cents, k, n))
 
   def sorted_intersect_count(a: Column, b: Column): Column =
     ColumnBridge.column(SortedIntersectCount(

@@ -26,9 +26,9 @@ object SkewJoin {
   }
 
   /** Skew report for a join key: the heaviest key's share of the rows
-    * and the skew ratio vs a perfectly uniform key. One aggregate job
-    * (top-k heavy hitters by exact count — at 100 TB swap the exact
-    * groupBy for approx heavy hitters; the decision logic is the same). */
+    * and the skew ratio vs a perfectly uniform key. [[skewReport]] is
+    * exact (full per-key shuffle — fine for diagnostics);
+    * [[skewReportSketch]] bounds the shuffle for the 100 TB path. */
   final case class SkewReport(nRows: Long, nKeys: Long, maxKeyCount: Long,
                               skewRatio: Double) {
     /** Salt factor that splits the heaviest key into roughly
@@ -41,7 +41,36 @@ object SkewJoin {
     val row = df.groupBy(col(key)).agg(count(lit(1)).as("n"))
       .agg(sum(col("n")).as("rows"), count(lit(1)).as("keys"), max(col("n")).as("mx"))
       .head()
-    val (rows, keys, mx) = (row.getLong(0), row.getLong(1), row.getLong(2))
+    // empty input: zero groups → sum/max aggregate to NULL, count to 0
+    if (row.isNullAt(0)) SkewReport(0L, 0L, 0L, 0.0)
+    else {
+      val (rows, keys, mx) = (row.getLong(0), row.getLong(1), row.getLong(2))
+      SkewReport(rows, keys, mx,
+        if (keys == 0) 0.0 else mx.toDouble * keys / math.max(1L, rows))
+    }
+  }
+
+  /** Sketch-based skew report: same decision inputs as [[skewReport]]
+    * without the full per-key shuffle. Keys hash into `depth` rows of
+    * `buckets` counters (count-min shape), so the shuffle after map-side
+    * combine carries at most depth × buckets rows regardless of input
+    * size; the heaviest key's count is upper-bounded by the smallest
+    * per-row max bucket (every key lands in one bucket per row, so each
+    * row's max bucket ≥ the true max; collisions only ever inflate it —
+    * the failure mode is salting a join that didn't need it, never
+    * missing a whale). nKeys is HyperLogLog (approx_count_distinct). */
+  def skewReportSketch(df: DataFrame, key: String,
+                       buckets: Int = 1 << 12, depth: Int = 3): SkewReport = {
+    val stats = df.agg(count(lit(1)).as("rows"),
+      approx_count_distinct(col(key)).as("keys")).head()
+    val (rows, keys) = (stats.getLong(0), stats.getLong(1))
+    if (rows == 0L) return SkewReport(0L, 0L, 0L, 0.0)
+    // (row d, bucket) packed into one long: d * buckets + h_d(key)
+    val mx = df.select(explode(array((0 until depth).map(d =>
+        lit(d.toLong * buckets) + pmod(xxhash64(lit(d), col(key)), lit(buckets))): _*)).as("db"))
+      .groupBy(col("db")).agg(count(lit(1)).as("n"))
+      .groupBy(floor(col("db") / buckets).as("d")).agg(max(col("n")).as("mx"))
+      .agg(min(col("mx")).as("est")).head().getLong(0)
     SkewReport(rows, keys, mx,
       if (keys == 0) 0.0 else mx.toDouble * keys / math.max(1L, rows))
   }
@@ -49,9 +78,10 @@ object SkewJoin {
   /** Measure, then salt only if the heaviest key is far above uniform
     * (skewRatio > 4): the auto-tuned entry point — plain join for
     * well-distributed keys, salted with a data-derived factor for
-    * whales. */
+    * whales. The measurement is the bounded-shuffle sketch
+    * ([[skewReportSketch]]), so the decision itself is 100 TB-safe. */
   def saltedInnerAuto(probe: DataFrame, build: DataFrame, key: String): DataFrame = {
-    val r = skewReport(probe, key)
+    val r = skewReportSketch(probe, key)
     if (r.suggestedSalts <= 1) probe.join(build, Seq(key))
     else saltedInner(probe, build, key, r.suggestedSalts)
   }

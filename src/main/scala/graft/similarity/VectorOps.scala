@@ -17,6 +17,22 @@ object VectorOps {
     * interpreted transform lambda). */
   def toDouble(v: Column): Column = v.cast("array<double>")
 
+  /** Default circuit-breaker for the documented O(n²)/O(q·n) exact
+    * baselines: they are oracles for the bucketed paths, not the scale
+    * path, and must not silently run all-pairs on a 100 TB corpus. */
+  val QuadraticGuardRows: Int = 2000000
+
+  /** Fails fast when `df` exceeds `maxRows` (LocalLimit stops the scan
+    * early, so the check is cheap even on a huge input). Raise the cap
+    * explicitly to run an exact baseline on a larger corpus. */
+  private[graft] def guardQuadratic(df: DataFrame, maxRows: Int,
+                                    op: String, alt: String): Unit = {
+    val n = df.select(df.columns.head).limit(maxRows + 1).count()
+    require(n <= maxRows,
+      s"$op is an exact quadratic baseline guarded at $maxRows rows; " +
+        s"use $alt at scale, or raise the cap explicitly")
+  }
+
   /** Dot product: native codegen'd kernel (sequential loop — same
     * summation order and results as a zip_with/aggregate fold, ~50x
     * faster; see graft.functions.VectorExprs). */
@@ -37,8 +53,11 @@ object VectorOps {
     * when two neighbors differ by < 1e-6.
     */
   def bruteForceTopK(embeddings: DataFrame, queries: DataFrame, k: Int,
-                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                     idCol: String = "vec_id", vecCol: String = "embedding",
+                     maxCorpusRows: Int = QuadraticGuardRows): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    guardQuadratic(embeddings, maxCorpusRows, "bruteForceTopK",
+      "lshTopK or ivfTopK (bucketed ANN)")
     // norms are computed once per row (not once per pair); the cosine
     // formula dot/(|a|*|b|) is unchanged, so results match cosine().
     val e = embeddings.select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("nv"))
@@ -94,26 +113,28 @@ object VectorOps {
     import org.apache.spark.sql.expressions.Window
     val e = embeddings.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
       .withColumn("n", norm(col("v")))
-    val cents = centroids match {
-      case Some(cs) => KMeans.centroidsFrame(embeddings.sparkSession, cs)
-        .withColumn("cn", norm(col("cv")))
+    // Centroids live on the driver (k × dim — model-sized, same as
+    // KMeans.fit) and unit-normalize so argmax-dot == nearest-by-cosine;
+    // cell assignment is then a MAP-ONLY native kernel on both sides —
+    // no crossJoin × nCells expansion, no per-id window shuffle+sort.
+    def unit(x: Array[Double]): Array[Double] = {
+      val n = math.sqrt(x.map(d => d * d).sum)
+      if (n == 0.0) x else x.map(_ / n)
+    }
+    val centArr: Array[Array[Double]] = (centroids match {
+      case Some(cs) => cs
       case None => e.orderBy(col("id")).limit(nCells)
-        .select(col("id").as("cell_id"), col("v").as("cv"), col("n").as("cn"))
-    }
-    def assign(df: DataFrame, probes: Int): DataFrame = {
-      val w = Window.partitionBy(col("id"))
-        .orderBy(col("csim").desc, col("cell_id"))
-      df.crossJoin(broadcast(cents))
-        .withColumn("csim", dot(col("v"), col("cv")) / (col("n") * col("cn")))
-        .withColumn("crank", row_number().over(w))
-        .filter(col("crank") <= probes)
-        .drop("cv", "cn", "csim", "crank")
-    }
-    val cells = assign(e, 1)
+        .collect().map(_.getSeq[Double](1).toArray)
+    }).map(unit)
+    val flat = centArr.flatten
+    val kCells = centArr.length
+    val cells = e
+      .withColumn("cell_id", graft.functions.VectorExprs.nearest_centroid(col("v"), flat, kCells))
       .select(col("id").as("neighbor_id"), col("v").as("nv"), col("n").as("nn"), col("cell_id"))
-    val probed = assign(
-        queries.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
-          .withColumn("n", norm(col("v"))), nProbe)
+    val probed = queries.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
+      .withColumn("n", norm(col("v")))
+      .withColumn("cell_id", explode(
+        graft.functions.VectorExprs.nearest_centroids_n(col("v"), flat, kCells, nProbe)))
       .select(col("id").as("query_id"), col("v").as("qv"), col("n").as("qn"), col("cell_id"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))

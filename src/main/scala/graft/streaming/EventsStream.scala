@@ -81,13 +81,40 @@ object EventsStream {
     * incrementally; exactly-once is the checkpoint + idempotent-sink
     * contract, as with any foreachBatch writer. */
   def toSink(df: DataFrame, sink: graft.etl.Load.Sink,
-             checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+             checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    requireAppendable(sink)
     df.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         sink.write(batch.toDF())
       }
       .start()
+  }
+
+  /** A non-Append file/table sink under foreachBatch silently overwrites
+    * every prior micro-batch — reject it up front instead of losing
+    * data; FallbackSink is checked recursively. */
+  private def requireAppendable(sink: graft.etl.Load.Sink): Unit = {
+    import graft.etl.Load._
+    import org.apache.spark.sql.SaveMode
+    def mode(s: Sink): Option[SaveMode] = s match {
+      case p: ParquetSink => Some(p.mode)
+      case c: CsvSink => Some(c.mode)
+      case o: OrcSink => Some(o.mode)
+      case j: JsonSink => Some(j.mode)
+      case b: BucketedTableSink => Some(b.mode)
+      case j: JdbcSink => Some(j.mode)
+      case _ => None
+    }
+    def check(s: Sink): Unit = s match {
+      case f: FallbackSink => f.sinks.foreach(check)
+      case other => mode(other).foreach(m =>
+        require(m == org.apache.spark.sql.SaveMode.Append,
+          s"streaming toSink needs SaveMode.Append sinks (got $m on $other): " +
+            "each micro-batch would overwrite the previous one"))
+    }
+    check(sink)
+  }
 
   final case class BandHit(band_id: Int, band_hash: Long, doc_id: Long)
   final case class CandPair(doc_a: Long, doc_b: Long, band_id: Int)
@@ -100,10 +127,21 @@ object EventsStream {
     * the batch path's distinct). With `idleTimeout` a processing-time
     * timeout evicts cold buckets, bounding state like the batch job's
     * corpus window; exact-Jaccard verification joins remain a batch
-    * concern on the emitted candidates. */
+    * concern on the emitted candidates.
+    *
+    * Hot-band circuit breaker: a band key shared by a Zipf-head shingle
+    * pattern would otherwise accumulate unbounded ids and emit O(n²)
+    * pairs. Per-bucket membership is capped at `maxBucketIds`; once a
+    * bucket is full, later ids in that bucket are dropped (not paired) —
+    * total emission per bucket is bounded by maxBucketIds·(maxBucketIds−1)/2
+    * for the bucket's lifetime, and a band that hot is near-useless for
+    * similarity anyway (the batch ppjoin path prefix-filters it out).
+    * Membership checks use a hash set, so a batch costs O(hits) not
+    * O(hits·|bucket|). */
   def minhashCandidatesStream(docs: DataFrame, textCol: String, idCol: String,
                               k: Int = 3, nBands: Int = 16, rowsPerBand: Int = 4,
-                              idleMinutes: Long = 60, idleTimeout: Boolean = true)
+                              idleMinutes: Long = 60, idleTimeout: Boolean = true,
+                              maxBucketIds: Int = 256)
                              (implicit spark: SparkSession): Dataset[CandPair] = {
     import spark.implicits._
     val sigs = docs
@@ -121,12 +159,16 @@ object EventsStream {
                state: GroupState[Seq[Long]]): Iterator[CandPair] = {
       if (state.hasTimedOut) { state.remove(); Iterator.empty }
       else {
+        // state stays an (encodable) Seq; the hash set is rebuilt per
+        // invocation for O(1) membership — |bucket| ≤ maxBucketIds
         var seen = state.getOption.getOrElse(Vector.empty)
+        val seenSet = scala.collection.mutable.HashSet.from(seen)
         val out = Seq.newBuilder[CandPair]
         hits.toSeq.map(_.doc_id).distinct.sorted.foreach { id =>
-          if (!seen.contains(id)) {
+          if (!seenSet.contains(id) && seenSet.size < maxBucketIds) {
             seen.foreach(prev => out += CandPair(math.min(prev, id), math.max(prev, id), key._1))
             seen = seen :+ id
+            seenSet += id
           }
         }
         state.update(seen)
