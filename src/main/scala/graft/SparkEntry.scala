@@ -1606,6 +1606,150 @@ object SparkEntry {
        |SELECT o_orderstatus, COUNT(*) AS n, ${moneySumSql("o_totalprice")} AS total
        |FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  /** Binned range join (no equi key): purchases matched to the "view"
+    * events in their trailing 5-minute window. Without bucketing this
+    * plans as a BroadcastNestedLoopJoin (O(n·m)); RangeJoin turns it
+    * into a hash join on 5-minute bins + an exact re-check. */
+  private def qRangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val views = ev.filter(col("event_type") === "view").select(col("ts").as("v_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), (col("ts") - expr("INTERVAL 5 MINUTES")).as("lo"),
+        col("ts").as("hi"))
+    graft.operators.RangeJoin.pointInIntervalTs(views, "v_ts", purchases, "lo", "hi",
+        binSeconds = 300)
+      .groupBy(col("event_id")).agg(count(lit(1)).as("n_prior_views"))
+      .orderBy(col("event_id"))
+  }
+
+  private val qRangeJoinSql =
+    """SELECT p.event_id, COUNT(*) AS n_prior_views
+      |FROM events p JOIN events v
+      |  ON v.ts >= p.ts - INTERVAL 5 MINUTE AND v.ts < p.ts
+      |WHERE p.event_type = 'purchase' AND v.event_type = 'view'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Near-dup pairs → KEEP/DROP clusters: connected components over the
+    * exact n-gram Jaccard pair list (min reachable id = cluster id).
+    * The oracle recomputes the transitive closure with a recursive CTE. */
+  private def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = graft.dedup.Dedup.ngramJaccardPairs(
+      Tables.documents(s, dir), "text", "doc_id", k = 3, tau = 0.05)
+    graft.dedup.Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+      .select(col("id").as("doc_id"), col("cluster_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val dedupClustersSql =
+    s"""WITH RECURSIVE sh AS ($duckShingles),
+       |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |  WHERE len(list_intersect(a.shingles, b.shingles)) * 1.0 /
+       |    (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) >= 0.05),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |walk(id, lbl) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, w.lbl FROM walk w JOIN edges e ON e.dst = w.id)
+       |SELECT id AS doc_id, MIN(lbl) AS cluster_id FROM walk GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Sliding-window sequence chunking (RAG/pretraining shape): 64-token
+    * chunks on a 48-token stride (16-token overlap), one Expand pass —
+    * starts come from `sequence(0, n-1, stride)`, the chunk itself is a
+    * slice. No shuffle at all: chunking is embarrassingly row-local. */
+  private def textChunk(s: SparkSession, dir: String): DataFrame = {
+    val (chunkLen, stride) = (64, 48)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), graft.text.TextFunctions.words(col("text")).as("w"))
+      .select(col("doc_id"), col("w"),
+        posexplode(sequence(lit(0), size(col("w")) - 1, lit(stride))).as(Seq("chunk_id", "start")))
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        concat_ws(" ", slice(col("w"), col("start") + 1, lit(chunkLen))).as("chunk"),
+        size(slice(col("w"), col("start") + 1, lit(chunkLen))).cast("long").as("n_tokens"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
+  private val textChunkSql =
+    """WITH w AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+      |s AS (SELECT doc_id, w, unnest(range(0, len(w), 48)) AS start FROM w)
+      |SELECT doc_id, CAST(start/48 AS BIGINT) AS chunk_id,
+      |  array_to_string(w[start+1 : least(start+64, len(w))], ' ') AS chunk,
+      |  least(start+64, len(w)) - start AS n_tokens
+      |FROM s ORDER BY doc_id, chunk_id""".stripMargin
+
+  /** Gopher-style repetition signals: the fraction of tokens taken by
+    * the most frequent unigram / bigram per document — the standard
+    * filter for degenerate repetitive text in pretraining corpora. One
+    * union'd explode + two partial-aggregated shuffles on (doc, gram);
+    * no windows, so Zipf-head grams never serialize through one task. */
+  private def textRepetition(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val w = graft.text.TextFunctions.words(col("text"))
+    val uni = docs.select(col("doc_id"), lit("uni").as("g"), explode(w).as("gram"))
+    val bi = docs.select(col("doc_id"), lit("bi").as("g"),
+      explode(transform(sequence(lit(1), size(w) - 1),
+        i => concat_ws(" ", element_at(w, i), element_at(w, i + 1)))).as("gram"))
+    uni.unionAll(bi)
+      .groupBy(col("doc_id"), col("g"), col("gram")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"), col("g")).agg(max(col("c")).as("mx"), sum(col("c")).as("tot"))
+      .groupBy(col("doc_id"))
+      .agg(
+        max(when(col("g") === "uni", round(col("mx") * lit(1.0) / col("tot"), 8))).as("top_word_frac"),
+        max(when(col("g") === "bi", round(col("mx") * lit(1.0) / col("tot"), 8))).as("top_bigram_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val textRepetitionSql =
+    """WITH w AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+      |grams AS (
+      |  SELECT doc_id, 'uni' AS g, unnest(w) AS gram FROM w
+      |  UNION ALL
+      |  SELECT doc_id, 'bi' AS g,
+      |    unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS gram FROM w),
+      |cnt AS (SELECT doc_id, g, gram, COUNT(*) AS c FROM grams GROUP BY 1,2,3),
+      |agg AS (SELECT doc_id, g, MAX(c) AS mx, SUM(c) AS tot FROM cnt GROUP BY 1,2)
+      |SELECT doc_id,
+      |  MAX(CASE WHEN g='uni' THEN ROUND(mx * 1.0 / tot, 8) END) AS top_word_frac,
+      |  MAX(CASE WHEN g='bi' THEN ROUND(mx * 1.0 / tot, 8) END) AS top_bigram_frac
+      |FROM agg GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** int8 scalar quantization report over the embedding corpus —
+    * per-vector affine codes + dequantization MSE (the quality gate
+    * before committing to 4×-smaller storage). Map-only. */
+  private def simQuantize(s: SparkSession, dir: String): DataFrame =
+    graft.similarity.Quantize.report(Tables.embeddings(s, dir), "vec_id", "embedding")
+      .orderBy(col("vec_id"))
+
+  private val simQuantizeSql =
+    """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      |p AS (SELECT vec_id, v, list_aggregate(v,'min') AS vmin, list_aggregate(v,'max') AS vmax,
+      |      (list_aggregate(v,'max') - list_aggregate(v,'min'))/255.0 AS scale FROM e)
+      |SELECT vec_id, ROUND(vmin,6) AS v_min, ROUND(vmax,6) AS v_max,
+      |  ROUND(list_aggregate(list_transform(v, x -> CASE WHEN scale = 0 THEN 0.0 ELSE
+      |     (x - (vmin + FLOOR((x - vmin)/scale + 0.5)*scale)) * (x - (vmin + FLOOR((x - vmin)/scale + 0.5)*scale)) END), 'sum') / len(v), 12) AS mse
+      |FROM p ORDER BY vec_id""".stripMargin
+
+  /** Schema-drift tolerant projection (reference notebook `safe_find`):
+    * the upstream delivered arbitrarily re-cased/re-spaced column names;
+    * SchemaResolver maps the expected names back on, then the query
+    * proceeds as if nothing drifted. Resolution is driver-side only —
+    * the physical plan is identical to the undrifted query's. */
+  private def etlResolveCols(s: SparkSession, dir: String): DataFrame = {
+    val drifted = Tables.orders(s, dir).toDF(
+      "Order Key", "CUST_KEY", "OrderStatus", "Total-Price", "order date", "Priority")
+    val resolved = graft.etl.SchemaResolver.select(drifted, Seq(
+      "o_orderstatus" -> Seq("status", "order_status"),
+      "total_price" -> Seq("totalprice", "total price")))
+    resolved.groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), moneySum(col("total_price")).as("total"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  private val etlResolveColsSql =
+    s"""SELECT o_orderstatus, COUNT(*) AS n, ${moneySumSql("o_totalprice")} AS total
+       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   // ----------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1684,7 +1828,13 @@ object SparkEntry {
     "text_quality" -> (textQuality _),
     "text_tokens" -> (textTokens _),
     "text_fingerprint" -> (textFingerprint _),
-    "mm_binary_meta" -> (mmBinaryMeta _)
+    "mm_binary_meta" -> (mmBinaryMeta _),
+    "q_range_join" -> (qRangeJoin _),
+    "dedup_clusters" -> (dedupClusters _),
+    "text_chunk" -> (textChunk _),
+    "text_repetition" -> (textRepetition _),
+    "sim_quantize" -> (simQuantize _),
+    "etl_resolve_cols" -> (etlResolveCols _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1758,6 +1908,12 @@ object SparkEntry {
     "text_quality" -> textQualitySql,
     "text_tokens" -> textTokensSql,
     "text_fingerprint" -> textFingerprintSql,
-    "mm_binary_meta" -> mmBinaryMetaSql
+    "mm_binary_meta" -> mmBinaryMetaSql,
+    "q_range_join" -> qRangeJoinSql,
+    "dedup_clusters" -> dedupClustersSql,
+    "text_chunk" -> textChunkSql,
+    "text_repetition" -> textRepetitionSql,
+    "sim_quantize" -> simQuantizeSql,
+    "etl_resolve_cols" -> etlResolveColsSql
   )
 }

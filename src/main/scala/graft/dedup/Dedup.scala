@@ -225,4 +225,58 @@ object Dedup {
       .select(col("a.id").as("vec_a"), col("b.id").as("vec_b"),
         round(col("sim"), 6).as("sim"))
   }
+
+  /** Connected components over a near-dup pair list → (id, cluster_id),
+    * cluster_id = the smallest id reachable through any chain of pairs.
+    * This is the step that turns pairwise near-dup verdicts into
+    * KEEP/DROP decisions: keep cluster_id == id, drop the rest — without
+    * it, transitive duplicates (A~B, B~C but A!~C) survive pairwise
+    * filtering.
+    *
+    * Algorithm: iterative min-label propagation. Each round hash-joins
+    * the current labels to the (bidirectional) edge list, takes the min
+    * label over each node's neighborhood, and stops when no label
+    * changed. Rounds = longest min-label path (component diameter), and
+    * near-dup components are shallow by construction (near-dups of
+    * near-dups), so this converges in a handful of shuffles; each round
+    * shuffles (id, label) longs only, never content. For adversarial
+    * long-chain graphs, the alternating large-star/small-star variant
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond")
+    * drops rounds to O(log n) at the cost of re-writing edges per round;
+    * the label-propagation shape below is the right trade for dedup
+    * graphs. `localCheckpoint` truncates each round's lineage so the
+    * plan doesn't deepen geometrically.
+    *
+    * `maxIters` is a safety valve (throws rather than emitting a
+    * half-converged clustering). */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+                          maxIters: Int = 50): DataFrame = {
+    val fwd = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+    val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.groupBy(col("src").as("id"))
+      .agg(least(min(col("dst")), first(col("src"))).as("cluster_id"))
+      .localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      // candidate label per node = min(own, min over neighbors' labels)
+      val viaNeighbor = edges.join(labels.withColumnRenamed("id", "dst"), "dst")
+        .select(col("src").as("id"), col("cluster_id"))
+      val next = labels.union(viaNeighbor)
+        .groupBy("id").agg(min(col("cluster_id")).as("cluster_id"))
+        .localCheckpoint()
+      converged = next.join(labels.withColumnRenamed("cluster_id", "prev"), "id")
+        .filter(col("cluster_id") =!= col("prev"))
+        .isEmpty
+      labels = next
+      iter += 1
+    }
+    edges.unpersist(blocking = false)
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIters rounds — " +
+          "pathological chain graph; use the large-star/small-star variant")
+    labels
+  }
 }

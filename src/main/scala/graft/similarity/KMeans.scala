@@ -26,14 +26,35 @@ object KMeans {
   def fit(df: DataFrame, idCol: String, vecCol: String,
           k: Int, iters: Int): Array[Array[Double]] = {
     val v = df.select(col(idCol).as("id"), VectorOps.toDouble(col(vecCol)).as("v"))
-    def unit(x: Array[Double]): Array[Double] = {
-      val n = math.sqrt(x.map(d => d * d).sum)
-      if (n == 0.0) x else x.map(_ / n)
-    }
-    var cents: Array[Array[Double]] = v.orderBy(col("id")).limit(k)
-      .collect().map(r => unit(r.getSeq[Double](1).toArray))
     // fewer vectors than k → fewer cells; index strictly by cents.length
     // so the native kernel never reads past the centroid matrix
+    val init = v.orderBy(col("id")).limit(k)
+      .collect().map(r => unit(r.getSeq[Double](1).toArray))
+    lloyd(v, init, iters)
+  }
+
+  /** Incremental re-clustering: re-run Lloyd's seeded from an already
+    * trained quantizer over a fresh (appended/drifted) corpus slice.
+    * The warm start converges in 1–2 iterations when drift is mild, so
+    * a 100 TB pipeline can keep its IVF cells current with periodic
+    * cheap refits instead of full retrains — and cell ids stay aligned
+    * with the previous model (cells move, they are not re-created), so
+    * previously assigned partitions only need reassignment where the
+    * moved boundary actually crosses them. */
+  def refit(df: DataFrame, idCol: String, vecCol: String,
+            centroids: Array[Array[Double]], iters: Int): Array[Array[Double]] = {
+    val v = df.select(col(idCol).as("id"), VectorOps.toDouble(col(vecCol)).as("v"))
+    lloyd(v, centroids.map(unit), iters)
+  }
+
+  private def unit(x: Array[Double]): Array[Double] = {
+    val n = math.sqrt(x.map(d => d * d).sum)
+    if (n == 0.0) x else x.map(_ / n)
+  }
+
+  private def lloyd(v: DataFrame, init: Array[Array[Double]],
+                    iters: Int): Array[Array[Double]] = {
+    var cents: Array[Array[Double]] = init
     var it = 0
     while (it < iters) {
       val assigned = v.withColumn("cell",
