@@ -29,6 +29,19 @@ object Bench {
     warm.selectExpr("explode(sequence(1, 3)) AS x").groupBy("x").count().collect()
     warm.join(org.apache.spark.sql.functions.broadcast(
       warm.select("r_regionkey")), "r_regionkey").collect()
+    // one count() per table: pulls the parquet files through the OS page
+    // cache once so the first timed query per table isn't charged the
+    // cold-read cost its peers don't pay (query order is map-iteration
+    // order, so which query paid it was arbitrary run to run). Spark
+    // caches nothing here — no .cache(), results discarded.
+    Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "documents", "embeddings")
+      .foreach(t => spark.read.parquet(s"$sfDir/$t.parquet").count())
+    locally {
+      val es = spark.newSession()
+      es.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      es.read.parquet(s"$sfDir/events.parquet").count()
+    }
     // dev-only knobs (driver sets neither): ONLY=comma-list to subset,
     // REPEAT=n to re-run each query and keep the fastest (warm) time
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)

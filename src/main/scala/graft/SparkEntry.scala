@@ -398,9 +398,20 @@ object SparkEntry {
       .select(nullif(col("o_custkey") % 100, lit(0)).as("lk"), col("o_totalprice"))
     val cust = Tables.customer(s, dir)
       .select(nullif(col("c_custkey") % 100, lit(0)).as("rk"))
-    ord.join(cust, col("lk") <=> col("rk"))
-      .groupBy(col("lk").as("k"))
-      .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("total"))
+    // aggregate pushdown below the join: with only ~100 distinct keys
+    // the raw join fans out |orders/key| × |customers/key| rows per key
+    // (O(n·m/k) total) just to be counted away. Both sides pre-aggregate
+    // to one row per key, the null-safe join runs on key-count rows, and
+    // the measures recombine exactly: count = n_ord × n_cust and
+    // sum = sum_ord × n_cust (DECIMAL, so the product is order-exact,
+    // same value as summing the replicated rows). */
+    val ordAgg = ord.groupBy(col("lk"))
+      .agg(count(lit(1)).as("no"),
+        sum(col("o_totalprice").cast("decimal(24,8)")).as("sp"))
+    val custAgg = cust.groupBy(col("rk")).agg(count(lit(1)).as("nc"))
+    ordAgg.join(custAgg, col("lk") <=> col("rk"))
+      .select(col("lk").as("k"), (col("no") * col("nc")).as("n"),
+        (col("sp") * col("nc")).cast("decimal(24,2)").cast("double").as("total"))
       .orderBy(asc_nulls_first("k"))
   }
 
@@ -1342,13 +1353,17 @@ object SparkEntry {
     // row per doc-term, so count per term = document frequency) joined
     // back broadcast — a term-partitioned window would serialize each
     // Zipf-head term's posting list through a single task; the corpus
-    // size joins in as a broadcast scalar
+    // size joins in as a broadcast scalar. tf is persisted because BOTH
+    // branches (df counts and the scoring join) consume it — without the
+    // cache the explode+aggregate runs twice (AQE re-plans each branch,
+    // so exchange reuse does not deduplicate them).
     val nDf = docs.agg(count(lit(1)).cast("double").as("n_docs"))
     val words = docs.select(col("doc_id"),
       explode(graft.text.TextFunctions.words(col("text"))).as("term"),
       size(graft.text.TextFunctions.words(col("text"))).as("nw"))
     val tf = words.groupBy(col("doc_id"), col("term"), col("nw"))
       .agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfCounts = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("term"))
@@ -1680,23 +1695,33 @@ object SparkEntry {
 
   /** Gopher-style repetition signals: the fraction of tokens taken by
     * the most frequent unigram / bigram per document — the standard
-    * filter for degenerate repetitive text in pretraining corpora. One
-    * union'd explode + two partial-aggregated shuffles on (doc, gram);
-    * no windows, so Zipf-head grams never serialize through one task. */
+    * filter for degenerate repetitive text in pretraining corpora.
+    * Fully ROW-LOCAL: the top-gram count is the longest run in the
+    * sorted gram array (sort + one fold per row), so the whole query is
+    * a projection — no explode, no shuffle, nothing keyed on Zipf-head
+    * grams. The exploded groupBy formulation computes the same values
+    * with 3 shuffles of |corpus tokens| rows; per-document metrics
+    * should never leave the row. */
+  private def topRunFrac(arr: Column): Column = {
+    val sorted = array_sort(arr)
+    val best = aggregate(sorted,
+      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
+      (s, x) => {
+        val run = when(x === s("prev"), s("run") + 1).otherwise(lit(1))
+        struct(x.as("prev"), run.as("run"), greatest(s("best"), run).as("best"))
+      },
+      s => s("best"))
+    best * lit(1.0) / size(arr)
+  }
+
   private def textRepetition(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
     val w = graft.text.TextFunctions.words(col("text"))
-    val uni = docs.select(col("doc_id"), lit("uni").as("g"), explode(w).as("gram"))
-    val bi = docs.select(col("doc_id"), lit("bi").as("g"),
-      explode(transform(sequence(lit(1), size(w) - 1),
-        i => concat_ws(" ", element_at(w, i), element_at(w, i + 1)))).as("gram"))
-    uni.unionAll(bi)
-      .groupBy(col("doc_id"), col("g"), col("gram")).agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id"), col("g")).agg(max(col("c")).as("mx"), sum(col("c")).as("tot"))
-      .groupBy(col("doc_id"))
-      .agg(
-        max(when(col("g") === "uni", round(col("mx") * lit(1.0) / col("tot"), 8))).as("top_word_frac"),
-        max(when(col("g") === "bi", round(col("mx") * lit(1.0) / col("tot"), 8))).as("top_bigram_frac"))
+    val bigrams = transform(sequence(lit(1), size(w) - 1),
+      i => concat_ws(" ", element_at(w, i), element_at(w, i + 1)))
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        round(topRunFrac(w), 8).as("top_word_frac"),
+        round(topRunFrac(bigrams), 8).as("top_bigram_frac"))
       .orderBy(col("doc_id"))
   }
 

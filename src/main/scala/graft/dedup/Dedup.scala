@@ -233,42 +233,50 @@ object Dedup {
     * it, transitive duplicates (A~B, B~C but A!~C) survive pairwise
     * filtering.
     *
-    * Algorithm: iterative min-label propagation. Each round hash-joins
-    * the current labels to the (bidirectional) edge list, takes the min
-    * label over each node's neighborhood, and stops when no label
-    * changed. Rounds = longest min-label path (component diameter), and
-    * near-dup components are shallow by construction (near-dups of
-    * near-dups), so this converges in a handful of shuffles; each round
-    * shuffles (id, label) longs only, never content. For adversarial
-    * long-chain graphs, the alternating large-star/small-star variant
-    * (Kiveris et al., "Connected Components in MapReduce and Beyond")
-    * drops rounds to O(log n) at the cost of re-writing edges per round;
-    * the label-propagation shape below is the right trade for dedup
-    * graphs. `localCheckpoint` truncates each round's lineage so the
-    * plan doesn't deepen geometrically.
+    * Algorithm: min-label propagation with pointer jumping. Each round
+    * a node's new label is the min over (a) its own label, (b) its
+    * neighbors' labels, and (c) its LABEL's label — (c) is the
+    * pointer-jumping/path-halving step, which collapses a chain of
+    * length d in O(log d) rounds instead of O(d), so even adversarial
+    * long-chain graphs converge in a handful of shuffles; every round
+    * shuffles (id, label) longs only, never content. (The alternating
+    * large-star/small-star formulation — Kiveris et al., "Connected
+    * Components in MapReduce and Beyond" — achieves the same bound by
+    * rewriting edges; jumping on the label table keeps the edge set
+    * immutable and cacheable.) `localCheckpoint` truncates each round's
+    * lineage so the plan doesn't deepen geometrically.
     *
-    * `maxIters` is a safety valve (throws rather than emitting a
-    * half-converged clustering). */
+    * Convergence check is free: labels only ever decrease, so the label
+    * sum is strictly monotone until fixpoint — one tiny aggregate per
+    * round, no join against the previous labels. `maxIters` is a safety
+    * valve (throws rather than emitting a half-converged clustering). */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           maxIters: Int = 50): DataFrame = {
     val fwd = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
     val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def labelSum(l: DataFrame): Long =
+      l.agg(sum(col("cluster_id").cast("decimal(38,0)"))).head().getDecimal(0).longValueExact()
     var labels = edges.groupBy(col("src").as("id"))
       .agg(least(min(col("dst")), first(col("src"))).as("cluster_id"))
       .localCheckpoint()
+    var prevSum = labelSum(labels)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
-      // candidate label per node = min(own, min over neighbors' labels)
       val viaNeighbor = edges.join(labels.withColumnRenamed("id", "dst"), "dst")
         .select(col("src").as("id"), col("cluster_id"))
-      val next = labels.union(viaNeighbor)
+      // pointer jump: node's label's label (labels is a function, so the
+      // self-join fans out by at most 1 row per node)
+      val viaJump = labels.as("x").join(
+          labels.select(col("id").as("cluster_id"), col("cluster_id").as("jumped")), "cluster_id")
+        .select(col("id"), col("jumped").as("cluster_id"))
+      val next = labels.union(viaNeighbor).union(viaJump)
         .groupBy("id").agg(min(col("cluster_id")).as("cluster_id"))
         .localCheckpoint()
-      converged = next.join(labels.withColumnRenamed("cluster_id", "prev"), "id")
-        .filter(col("cluster_id") =!= col("prev"))
-        .isEmpty
+      val s = labelSum(next)
+      converged = s == prevSum
+      prevSum = s
       labels = next
       iter += 1
     }
@@ -276,7 +284,7 @@ object Dedup {
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIters rounds — " +
-          "pathological chain graph; use the large-star/small-star variant")
+          "pathological graph; raise maxIters")
     labels
   }
 }
