@@ -4,12 +4,11 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // the engine's real posture (AQE + coalescing + skew handling +
+    // graft extensions) — benching a stripped-down session measured a
+    // configuration no user would run
+    val spark = Engine.session(master = s"local[$cpus]",
+      shufflePartitions = cpus.toInt)
     // session warmup: JIT/codegen/shuffle/parquet-reader init so the
     // first timed query isn't charged the one-time machinery cost. Runs
     // over the 5-row region table — class-loading warmup, not data
@@ -48,8 +47,22 @@ object Bench {
     val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "1").toInt
     val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
+    // per-query isolation (outside the timed region): drop every cached
+    // block the previous query left behind — dedup builders persist
+    // shingle frames, connectedComponents leaves its final label RDD —
+    // so query N+1 neither pays for nor profits from query N's blocks.
+    // (r4 lesson: leaked MEMORY_AND_DISK frames drifted the whole board
+    // 1.55×.) The GC keeps heap pressure from one query's tenured
+    // garbage leaking into the next query's time.
+    def isolate(): Unit = {
+      graft.dedup.Dedup.releaseCaches()
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      System.gc()
+    }
     val results = selected.map { case (name, fn) =>
       val times = (1 to repeat).map { _ =>
+        isolate()
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() }
         catch { case _: Throwable => failed += name; -1L }

@@ -15,13 +15,31 @@ import graft.similarity.VectorOps
   * Caching contract: [[ngramJaccardPairs]], [[ppjoinJaccardPairs]] and
   * [[minhashLshPairs]] persist their shingle/signature frame
   * (MEMORY_AND_DISK) because the candidate self-join plus verification
-  * joins would otherwise recompute shingling 3–4×. The cache lives as
-  * long as the returned plan is reachable; Spark's ContextCleaner
-  * reclaims it once the caller drops the DataFrame. Callers that keep
-  * many result frames alive in one session can bound the footprint by
-  * materializing (write/collect) and then dropping the frame.
+  * joins would otherwise recompute shingling 3–4×. Each persisted
+  * frame is registered in an owned-cache list; call [[releaseCaches]]
+  * once results are materialized to free every graft-owned block
+  * (results recompute from source if re-evaluated afterwards —
+  * correctness is unaffected, only the reuse speedup is gone). A
+  * benchmark or long-running session should release between operators;
+  * `spark.catalog.clearCache()` also covers these (they live in the
+  * session CacheManager), but releaseCaches spares unrelated caches.
   */
 object Dedup {
+
+  private val owned = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+
+  private def persistOwned(df: DataFrame): DataFrame = synchronized {
+    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    owned += df
+    df
+  }
+
+  /** Unpersist every shingle/signature frame any dedup builder has
+    * cached in this JVM. Safe at any time. */
+  def releaseCaches(): Unit = synchronized {
+    owned.foreach(_.unpersist(blocking = false))
+    owned.clear()
+  }
 
   /** Exact dedup by content hash: one hash-aggregate; the shuffle
     * carries (md5, id) only. Keeper = min id per hash. */
@@ -43,8 +61,7 @@ object Dedup {
     * least one shingle. */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         k: Int = 3, tau: Double = 0.05): DataFrame = {
-    val sets = shingleSets(df, textCol, idCol, k)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sets = persistOwned(shingleSets(df, textCol, idCol, k))
     val sizes = sets.select(col("doc_id"), size(col("shingles")).as("n_sh"))
     // join on 64-bit shingle hashes, not the shingle strings: the
     // shuffle carries 8-byte keys (collision odds ~n²/2^65, and any
@@ -83,10 +100,9 @@ object Dedup {
     // carry shingle strings. A cross-doc hash collision would need
     // ~2^32 distinct shingles to matter (and the oracle would catch it).
     // sorted: verification counts overlap with a native merge pass
-    val hsets = shingleSets(df, textCol, idCol, k)
+    val hsets = persistOwned(shingleSets(df, textCol, idCol, k)
       .select(col("doc_id"),
-        sort_array(transform(col("shingles"), s => xxhash64(s))).as("hsh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        sort_array(transform(col("shingles"), s => xxhash64(s))).as("hsh")))
     val posting = hsets.select(col("doc_id"), explode(col("hsh")).as("sh"))
     val dfreq = posting.groupBy(col("sh")).agg(count(lit(1)).as("df"))
     val ordered = posting.join(dfreq, "sh")
@@ -154,9 +170,8 @@ object Dedup {
     // persisted: the self-join + two verification joins would otherwise
     // recompute shingling/signatures 4x (ContextCleaner reclaims the
     // cache once the plan is unreachable)
-    val sets = shingleSets(df, textCol, idCol, k)
-      .withColumn("sig", minhashSignature(col("shingles"), nBands * rowsPerBand, seed))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sets = persistOwned(shingleSets(df, textCol, idCol, k)
+      .withColumn("sig", minhashSignature(col("shingles"), nBands * rowsPerBand, seed)))
     val bands = sets.select(col("doc_id"),
         explode(array((0 until nBands).map(b => struct(lit(b).as("band_id"),
           xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("band_hash"))): _*)).as("b"))
@@ -240,43 +255,65 @@ object Dedup {
     * length d in O(log d) rounds instead of O(d), so even adversarial
     * long-chain graphs converge in a handful of shuffles; every round
     * shuffles (id, label) longs only, never content. (The alternating
-    * large-star/small-star formulation — Kiveris et al., "Connected
-    * Components in MapReduce and Beyond" — achieves the same bound by
-    * rewriting edges; jumping on the label table keeps the edge set
-    * immutable and cacheable.) `localCheckpoint` truncates each round's
-    * lineage so the plan doesn't deepen geometrically.
+    * large-star/small-star formulation — [[connectedComponentsStar]] —
+    * achieves the same bound by rewriting edges; jumping keeps the edge
+    * set immutable and cacheable, the right trade when pairs ≪ corpus.)
     *
-    * Convergence check is free: labels only ever decrease, so the label
-    * sum is strictly monotone until fixpoint — one tiny aggregate per
-    * round, no join against the previous labels. `maxIters` is a safety
-    * valve (throws rather than emitting a half-converged clustering). */
+    * The loop core is a pair-RDD with ONE fixed small HashPartitioner —
+    * label tables hold two longs per node that appears in a pair, tiny
+    * next to the corpus, so per-round shuffles run at ≤8 partitions
+    * instead of the session width, and the edges⋈labels join is NARROW
+    * (both sides co-partitioned; the edge set never re-shuffles after
+    * its initial materialization). One action per round: the convergence
+    * aggregate doubles as the job that materializes the round (labels
+    * only ever decrease, so the label sum is strictly monotone until
+    * fixpoint — no join against the previous labels). Every third round
+    * localCheckpoints to truncate lineage; each round explicitly
+    * unpersists the previous round's blocks, so peak footprint is two
+    * label tables + the edge list regardless of round count. `maxIters`
+    * is a safety valve (throws rather than emitting a half-converged
+    * clustering).
+    *
+    * The returned frame is backed by the final materialized label RDD
+    * (footprint = output size); all intermediate blocks are released
+    * before return. */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           maxIters: Int = 50): DataFrame = {
-    val fwd = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
-    val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    def labelSum(l: DataFrame): Long =
-      l.agg(sum(col("cluster_id").cast("decimal(38,0)"))).head().getDecimal(0).longValueExact()
-    var labels = edges.groupBy(col("src").as("id"))
-      .agg(least(min(col("dst")), first(col("src"))).as("cluster_id"))
-      .localCheckpoint()
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val level = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val p = new org.apache.spark.HashPartitioner(
+      math.min(8, spark.sparkContext.defaultParallelism))
+    val fwd = pairs.select(col(aCol).cast("long"), col(bCol).cast("long"))
+      .as[(Long, Long)].rdd
+    // keyed by dst, value src (symmetric) — labels(dst) joined narrowly
+    // propagates to src
+    val edges = fwd.flatMap { case (a, b) => Iterator((a, b), (b, a)) }
+      .partitionBy(p).persist(level)
+    // BigInt sum: exact and overflow-free for any id domain; the label
+    // table is small by construction so boxing cost is irrelevant
+    def labelSum(l: org.apache.spark.rdd.RDD[(Long, Long)]): BigInt =
+      l.aggregate(BigInt(0))((acc, kv) => acc + kv._2, _ + _)
+    var labels = edges.reduceByKey(p, math.min(_: Long, _: Long))
+      .mapPartitions(_.map { case (id, mn) => (id, math.min(id, mn)) },
+        preservesPartitioning = true)
+      .persist(level)
     var prevSum = labelSum(labels)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
-      val viaNeighbor = edges.join(labels.withColumnRenamed("id", "dst"), "dst")
-        .select(col("src").as("id"), col("cluster_id"))
-      // pointer jump: node's label's label (labels is a function, so the
-      // self-join fans out by at most 1 row per node)
-      val viaJump = labels.as("x").join(
-          labels.select(col("id").as("cluster_id"), col("cluster_id").as("jumped")), "cluster_id")
-        .select(col("id"), col("jumped").as("cluster_id"))
+      val viaNeighbor = edges.join(labels) // narrow: both sides on p
+        .map { case (_, (src, lbl)) => (src, lbl) }
+      val viaJump = labels.map { case (id, lbl) => (lbl, id) }
+        .join(labels, p) // labels side narrow; swapped side is tiny
+        .map { case (_, (id, lbl2)) => (id, lbl2) }
       val next = labels.union(viaNeighbor).union(viaJump)
-        .groupBy("id").agg(min(col("cluster_id")).as("cluster_id"))
-        .localCheckpoint()
-      val s = labelSum(next)
+        .reduceByKey(p, math.min(_: Long, _: Long))
+      if (iter % 3 == 2) next.localCheckpoint() else next.persist(level)
+      val s = labelSum(next) // the ONE action: materializes + checks
       converged = s == prevSum
       prevSum = s
+      labels.unpersist(blocking = false)
       labels = next
       iter += 1
     }
@@ -285,6 +322,6 @@ object Dedup {
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIters rounds — " +
           "pathological graph; raise maxIters")
-    labels
+    labels.toDF("id", "cluster_id")
   }
 }
