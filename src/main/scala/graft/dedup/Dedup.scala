@@ -234,7 +234,12 @@ object Dedup {
     // norms once per row; dot/(|a|*|b|) identical to cosine()
     val e = df.select(col(idCol).as("id"), VectorOps.toDouble(col(vecCol)).as("v"))
       .withColumn("n", VectorOps.norm(col("v")))
-    e.as("a").join(e.as("b"), col("a.id") < col("b.id"))
+    // the streamed side of the nested-loop join inherits the scan's
+    // split count — one small parquet file = ONE partition = the whole
+    // O(n²) pair scan on a single core. Spread it across the cluster;
+    // the shuffle moves n rows, the join does n²/2 dot products.
+    val streamed = e.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    streamed.as("a").join(broadcast(e).as("b"), col("a.id") < col("b.id"))
       .withColumn("sim", VectorOps.dot(col("a.v"), col("b.v")) / (col("a.n") * col("b.n")))
       .filter(col("sim") >= tau)
       .select(col("a.id").as("vec_a"), col("b.id").as("vec_b"),

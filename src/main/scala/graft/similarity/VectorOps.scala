@@ -60,8 +60,14 @@ object VectorOps {
       "lshTopK or ivfTopK (bucketed ANN)")
     // norms are computed once per row (not once per pair); the cosine
     // formula dot/(|a|*|b|) is unchanged, so results match cosine().
+    val spark = embeddings.sparkSession
+    // corpus side streams against the broadcast query set; a small
+    // single-file corpus scan would otherwise put the whole O(q·n)
+    // work on one partition — spread it first (shuffle is O(n), the
+    // scan below it is O(q·n))
     val e = embeddings.select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("nv"))
       .withColumn("nn", norm(col("nv")))
+      .repartition(spark.sparkContext.defaultParallelism)
     val q = queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv"))
       .withColumn("qn", norm(col("qv")))
     val w = Window.partitionBy(col("query_id"))
