@@ -1280,6 +1280,22 @@ object SparkEntry {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Product-quantized ANN (rows-only check; recall + compression
+    * trade vs int8 asserted in ScalaTest). Same fit-once posture as
+    * [[simIvfKmeans]]: the codebooks are a per-corpus model. */
+  private val pqModels =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.similarity.Quantize.PqModel]
+
+  private def simPq(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val model = pqModels.computeIfAbsent(dir,
+      _ => graft.similarity.Quantize.pqTrain(emb, "vec_id", "embedding",
+        dim = 64, m = 8, k = 16, iters = 2))
+    graft.similarity.Quantize.pqTopK(
+        emb, emb.filter(col("vec_id") % 50 === 0), k = 5, model)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   private def textLangid(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(col("doc_id"), graft.text.TextFunctions.langId(col("text")).as("lang_pred"))
@@ -1300,6 +1316,33 @@ object SparkEntry {
        |       WHEN $fr = GREATEST($de, $en, $es, $fr) THEN 'fr'
        |       ELSE 'und' END AS lang_pred
        |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  /** Trigram-profile language ID (the langid upgrade): same contract
+    * as text_langid, scored from character trigrams instead of 5
+    * marker words. The oracle recomputes the identical replace-
+    * shrinkage trigram counts in SQL. */
+  private def textLangid3(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        graft.text.TextFunctions.langIdTrigram(col("text")).as("lang_pred"))
+      .orderBy(col("doc_id"))
+
+  private val textLangid3Sql = {
+    def score(tris: Seq[String]) =
+      tris.map(t => s"(len(t) - len(replace(t, '$t', ''))) / 3").mkString(" + ")
+    val p = graft.text.TextFunctions.TrigramProfiles
+    val (de, en, es, fr) = (score(p("de")), score(p("en")), score(p("es")), score(p("fr")))
+    s"""WITH padded AS (SELECT doc_id, ' ' || lower(text) || ' ' AS t FROM documents),
+       |s AS (SELECT doc_id, $de AS sde, $en AS sen, $es AS ses, $fr AS sfr FROM padded)
+       |SELECT doc_id,
+       |  CASE WHEN GREATEST(sde, sen, ses, sfr) = 0 THEN 'und'
+       |       WHEN sde = GREATEST(sde, sen, ses, sfr) THEN 'de'
+       |       WHEN sen = GREATEST(sde, sen, ses, sfr) THEN 'en'
+       |       WHEN ses = GREATEST(sde, sen, ses, sfr) THEN 'es'
+       |       WHEN sfr = GREATEST(sde, sen, ses, sfr) THEN 'fr'
+       |       ELSE 'und' END AS lang_pred
+       |FROM s ORDER BY doc_id""".stripMargin
   }
 
   private def textQuality(s: SparkSession, dir: String): DataFrame = {
@@ -1851,6 +1894,7 @@ object SparkEntry {
     "sim_topk_cosine" -> (simTopkCosine _),
     "sim_lsh_ann" -> (simLshAnn _),
     "sim_ivf_kmeans" -> (simIvfKmeans _),
+    "sim_pq" -> (simPq _),
     "text_pack" -> (textPack _),
     "text_tfidf" -> (textTfidf _),
     "text_lang_sample" -> (textLangSample _),
@@ -1860,6 +1904,7 @@ object SparkEntry {
     "etl_scd2" -> (etlScd2 _),
     "q_bloom_semi" -> (qBloomSemi _),
     "text_langid" -> (textLangid _),
+    "text_langid3" -> (textLangid3 _),
     "text_quality" -> (textQuality _),
     "text_tokens" -> (textTokens _),
     "text_fingerprint" -> (textFingerprint _),
@@ -1940,6 +1985,7 @@ object SparkEntry {
     "q_bloom_semi" -> qBloomSemiSql,
     "sim_topk_cosine" -> simTopkCosineSql,
     "text_langid" -> textLangidSql,
+    "text_langid3" -> textLangid3Sql,
     "text_quality" -> textQualitySql,
     "text_tokens" -> textTokensSql,
     "text_fingerprint" -> textFingerprintSql,

@@ -329,4 +329,98 @@ object Dedup {
           "pathological graph; raise maxIters")
     labels.toDF("id", "cluster_id")
   }
+
+  /** Connected components by alternating large-star/small-star edge
+    * rewriting (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC'14 — public algorithm). Same output contract as
+    * [[connectedComponents]]: (id, cluster_id = component min).
+    *
+    * When to prefer which: pointer jumping keeps the EDGE set immutable
+    * and iterates on a node→label table — ideal when pairs ≪ corpus
+    * (the near-dup case). This variant never materializes a global
+    * label table at all; it rewrites the edge set itself until every
+    * component is a star centered on its minimum, so per-round state is
+    * bounded by the (shrinking) edge list — the right shape when the
+    * graph is so large that even (id, label) for all nodes is a
+    * skew/memory hazard. Both ends land in O(log n) rounds.
+    *
+    * Mechanics per round, all on (long, long) pairs under one fixed
+    * partitioner, min computed via map-side-combining reduceByKey (no
+    * adjacency lists are ever collected, so a high-degree star center
+    * never concentrates memory on one task):
+    *  - large-star: every node u links its LARGER neighbors to
+    *    m(u) = min(Γ⁺(u));
+    *  - small-star: every node u links its smaller neighbors and
+    *    itself to its minimum smaller neighbor.
+    * Convergence = edge-set fixpoint, detected by an order-independent
+    * (count, hash-sum) signature computed in the same action that
+    * materializes the round; stale rounds are unpersisted eagerly and
+    * every third round localCheckpoints to truncate lineage. */
+  def connectedComponentsStar(pairs: DataFrame, aCol: String, bCol: String,
+                              maxIters: Int = 50): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val level = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val sc = spark.sparkContext
+    val p = new org.apache.spark.HashPartitioner(sc.defaultParallelism)
+    val minL = math.min(_: Long, _: Long)
+    type Edges = org.apache.spark.rdd.RDD[(Long, Long)]
+
+    // canonical form throughout: (hi, lo), hi > lo, deduped, no loops
+    def largeStar(e: Edges): Edges = {
+      val sym = e.flatMap { case (u, v) => Iterator((u, v), (v, u)) }
+      val m = sym.reduceByKey(p, minL)
+        .mapPartitions(_.map { case (u, mn) => (u, math.min(u, mn)) },
+          preservesPartitioning = true)
+      sym.join(m) // co-partitioned on p → narrow
+        .flatMap { case (u, (v, mu)) =>
+          if (v > u) Iterator((v, mu)) else Iterator.empty } // v > u ≥ mu
+        .distinct(p.numPartitions)
+    }
+    def smallStar(e: Edges): Edges = {
+      val byHi = e.partitionBy(p)
+      val m = byHi.reduceByKey(p, minL) // min smaller-neighbor; < u
+      val withM = byHi.join(m) // narrow on p
+      val moved = withM.flatMap { case (_, (v, mu)) =>
+        if (v != mu) Iterator((v, mu)) else Iterator.empty } // v > mu
+      moved.union(m).distinct(p.numPartitions)
+    }
+    // order-independent signature; computed in the materializing action
+    def sig(e: Edges): (Long, Long) =
+      e.aggregate((0L, 0L))(
+        (acc, t) => (acc._1 + 1L,
+          acc._2 + scala.util.hashing.byteswap64(t._1 * 0x9E3779B97F4A7C15L + t._2)),
+        (a, b) => (a._1 + b._1, a._2 + b._2))
+
+    var edges: Edges = pairs
+      .select(col(aCol).cast("long"), col(bCol).cast("long"))
+      .as[(Long, Long)].rdd
+      .flatMap { case (a, b) =>
+        if (a == b) Iterator.empty
+        else Iterator((math.max(a, b), math.min(a, b))) }
+      .distinct(p.numPartitions)
+      .persist(level)
+    var prevSig = sig(edges)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      val next = smallStar(largeStar(edges))
+      if (iter % 3 == 2) next.localCheckpoint() else next.persist(level)
+      val s = sig(next)
+      converged = s == prevSig
+      prevSig = s
+      edges.unpersist(blocking = false)
+      edges = next
+      iter += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponentsStar did not converge in $maxIters rounds — " +
+          "raise maxIters")
+    // fixpoint is a star per component: every edge is (member, center)
+    val labels = edges
+      .flatMap { case (v, c) => Iterator((v, c), (c, c)) }
+      .reduceByKey(p, minL)
+    labels.toDF("id", "cluster_id")
+  }
 }

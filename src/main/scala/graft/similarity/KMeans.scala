@@ -52,6 +52,45 @@ object KMeans {
     if (n == 0.0) x else x.map(_ / n)
   }
 
+  /** Plain (L2) Lloyd's — the variant product quantization needs:
+    * sub-codebook centroids are MEANS, not directions, so no unit
+    * normalization, and assignment is nearest-by-Euclidean.
+    *
+    * Same distributed shape as [[fit]] (map-only assignment, one
+    * partial-aggregated (cell, pos) shuffle per iteration, k×dim to
+    * the driver). Assignment reuses the argmax-dot native kernel via
+    * the bias trick: argmin ‖x−c‖² == argmax (x·c − ‖c‖²/2), i.e. the
+    * dot of [x, 1] against [c, −‖c‖²/2] — one extra coordinate instead
+    * of a second kernel. Deterministic init: the k lowest-id vectors. */
+  def fitL2(df: DataFrame, idCol: String, vecCol: String,
+            k: Int, iters: Int): Array[Array[Double]] = {
+    val v = df.select(col(idCol).as("id"), VectorOps.toDouble(col(vecCol)).as("v"))
+    var cents = v.orderBy(col("id")).limit(k)
+      .collect().map(_.getSeq[Double](1).toArray)
+    var it = 0
+    while (it < iters) {
+      val assigned = v.withColumn("cell",
+        graft.functions.VectorExprs.nearest_centroid(
+          concat(col("v"), array(lit(1.0))), augmented(cents), cents.length))
+      val sums = assigned
+        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(sum(col("x").cast("decimal(38,15)")).cast("double").as("sx"),
+          count(lit(1)).as("n"))
+        .collect()
+      val next = cents.map(_.clone) // empty cells keep their centroid
+      sums.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2) / r.getLong(3))
+      cents = next
+      it += 1
+    }
+    cents
+  }
+
+  /** Centroids flattened with the −‖c‖²/2 bias coordinate appended —
+    * the reference object for L2-nearest assignment via the dot kernel. */
+  private[similarity] def augmented(cents: Array[Array[Double]]): Array[Double] =
+    cents.flatMap(c => c :+ (-0.5 * c.map(d => d * d).sum))
+
   private def lloyd(v: DataFrame, init: Array[Array[Double]],
                     iters: Int): Array[Array[Double]] = {
     var cents: Array[Array[Double]] = init

@@ -55,4 +55,75 @@ object Quantize {
       round(vmax, 6).as("v_max"),
       round(mse(v, vmin, scale), 12).as("mse"))
   }
+
+  // -------------------------------------------------- product quantization
+
+  /** Trained PQ codebooks: `m` contiguous subspaces of `subDim` dims,
+    * `k` centroids each. A vector's code is m small ints — m bytes of
+    * storage (k ≤ 256) against 4·dim bytes of float32: 32× compression
+    * at dim=64/m=8 vs int8's 4×, traded against coarser reconstruction
+    * (see the recall spec). Model size is m·k·subDim doubles — driver/
+    * broadcast-sized, like the IVF coarse quantizer. */
+  final case class PqModel(m: Int, k: Int, subDim: Int,
+                           codebooks: Array[Array[Array[Double]]])
+
+  /** Train per-subspace codebooks with plain-L2 Lloyd's
+    * ([[KMeans.fitL2]]): m independent small k-means over sliced
+    * sub-vectors. Deterministic (lowest-id init, decimal sums). */
+  def pqTrain(df: DataFrame, idCol: String, vecCol: String,
+              dim: Int, m: Int = 8, k: Int = 16, iters: Int = 2): PqModel = {
+    require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
+    val sub = dim / m
+    val v = col(vecCol).cast("array<double>")
+    val books = (0 until m).map { s =>
+      KMeans.fitL2(
+        df.select(col(idCol).as("id"), slice(v, s * sub + 1, sub).as("v")),
+        "id", "v", k, iters)
+    }.toArray
+    PqModel(m, k, sub, books)
+  }
+
+  /** PQ codes (array<int>, length m): per subspace, the L2-nearest
+    * codebook entry — map-only native kernels, one per subspace. */
+  def pqEncode(v: Column, model: PqModel): Column =
+    array((0 until model.m).map { s =>
+      graft.functions.VectorExprs.nearest_centroid(
+        concat(slice(v.cast("array<double>"), s * model.subDim + 1, model.subDim),
+          array(lit(1.0))),
+        KMeans.augmented(model.codebooks(s)), model.k)
+    }: _*)
+
+  /** Reconstructed vector from PQ codes: per-subspace codebook lookup
+    * (a slice of the flattened codebook literal), concatenated. */
+  def pqDecode(codes: Column, model: PqModel): Column =
+    concat((0 until model.m).map { s =>
+      val bk = typedlit(model.codebooks(s).flatten.toSeq)
+      slice(bk, element_at(codes, s + 1) * model.subDim + 1, lit(model.subDim))
+    }: _*)
+
+  /** Asymmetric-distance top-k: corpus vectors are scored through their
+    * PQ reconstruction (what a production store would hold), queries
+    * stay exact — the standard ADC trade. Output contract matches
+    * VectorOps.bruteForceTopK: (query_id, neighbor_id, rank, sim). */
+  def pqTopK(embeddings: DataFrame, queries: DataFrame, k: Int, model: PqModel,
+             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = embeddings.sparkSession
+    val rec = embeddings.select(col(idCol).as("neighbor_id"),
+        pqDecode(pqEncode(col(vecCol), model), model).as("nv"))
+      .withColumn("nn", VectorOps.norm(col("nv")))
+      .repartition(spark.sparkContext.defaultParallelism) // see bruteForceTopK
+    val q = queries.select(col(idCol).as("query_id"),
+        col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("qn", VectorOps.norm(col("qv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    rec.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim",
+        round(VectorOps.dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "sim")
+  }
 }

@@ -119,6 +119,22 @@ object EventsStream {
   final case class BandHit(band_id: Int, band_hash: Long, doc_id: Long)
   final case class CandPair(doc_a: Long, doc_b: Long, band_id: Int)
 
+  /** Accumulator-backed observability for [[minhashCandidatesStream]]'s
+    * state store: `hotBandDrops` counts ids refused by a full bucket
+    * (the circuit breaker firing), `evictedBuckets` counts idle buckets
+    * removed by timeout. Executor-side transitions, driver-side
+    * visibility — the knobs an operator watches to size maxBucketIds
+    * and the idle window in production. */
+  final case class MinHashStreamMetrics(
+      hotBandDrops: org.apache.spark.util.LongAccumulator,
+      evictedBuckets: org.apache.spark.util.LongAccumulator)
+  object MinHashStreamMetrics {
+    def apply(spark: SparkSession): MinHashStreamMetrics =
+      MinHashStreamMetrics(
+        spark.sparkContext.longAccumulator("graft.minhash.hotBandDrops"),
+        spark.sparkContext.longAccumulator("graft.minhash.evictedBuckets"))
+  }
+
   /** Streaming MinHash-LSH candidate pairs: each arriving document's
     * band hashes are matched against the per-bucket state of doc ids
     * seen so far — the incremental twin of Dedup.minhashLshPairs'
@@ -141,7 +157,8 @@ object EventsStream {
   def minhashCandidatesStream(docs: DataFrame, textCol: String, idCol: String,
                               k: Int = 3, nBands: Int = 16, rowsPerBand: Int = 4,
                               idleMinutes: Long = 60, idleTimeout: Boolean = true,
-                              maxBucketIds: Int = 256)
+                              maxBucketIds: Int = 256,
+                              metrics: Option[MinHashStreamMetrics] = None)
                              (implicit spark: SparkSession): Dataset[CandPair] = {
     import spark.implicits._
     val sigs = docs
@@ -157,18 +174,23 @@ object EventsStream {
 
     def update(key: (Int, Long), hits: Iterator[BandHit],
                state: GroupState[Seq[Long]]): Iterator[CandPair] = {
-      if (state.hasTimedOut) { state.remove(); Iterator.empty }
-      else {
+      if (state.hasTimedOut) {
+        state.remove()
+        metrics.foreach(_.evictedBuckets.add(1))
+        Iterator.empty
+      } else {
         // state stays an (encodable) Seq; the hash set is rebuilt per
         // invocation for O(1) membership — |bucket| ≤ maxBucketIds
         var seen = state.getOption.getOrElse(Vector.empty)
         val seenSet = scala.collection.mutable.HashSet.from(seen)
         val out = Seq.newBuilder[CandPair]
         hits.toSeq.map(_.doc_id).distinct.sorted.foreach { id =>
-          if (!seenSet.contains(id) && seenSet.size < maxBucketIds) {
-            seen.foreach(prev => out += CandPair(math.min(prev, id), math.max(prev, id), key._1))
-            seen = seen :+ id
-            seenSet += id
+          if (!seenSet.contains(id)) {
+            if (seenSet.size < maxBucketIds) {
+              seen.foreach(prev => out += CandPair(math.min(prev, id), math.max(prev, id), key._1))
+              seen = seen :+ id
+              seenSet += id
+            } else metrics.foreach(_.hotBandDrops.add(1))
           }
         }
         state.update(seen)

@@ -48,6 +48,43 @@ object TextFunctions {
     }.otherwise(lit("und"))
   }
 
+  /** Characteristic character-trigram profiles for [[langIdTrigram]]:
+    * high-frequency function-word and morphology trigrams per language
+    * (public linguistic commonplaces, ASCII-only so char counting is
+    * engine-portable). Much more robust than the 5-marker-word
+    * heuristic: trigrams fire inside arbitrary vocabulary ("sch"/"ung"
+    * match any German derivation, not just a stopword hit), so short
+    * and stopword-poor text still accumulates signal. */
+  val TrigramProfiles: Map[String, Seq[String]] = Map(
+    "de" -> Seq("der", "ein", "ich", "sch", "che", "und", "ung", "cht", "die", "gen"),
+    "en" -> Seq("the", "ing", "and", "tio", "ent", "of ", "ed ", "to ", "is ", " th"),
+    "es" -> Seq("cio", "aci", "que", "los", "ado", "nte", "era", "os ", "rio", " es"),
+    "fr" -> Seq("les", "une", "eur", "oir", "ons", "eau", "ien", "ant", "pas", " le", "iqu", " et"))
+
+  /** Occurrences of the literal `tri` (length 3) in `padded` counted by
+    * replace-shrinkage — one codegen'd string pass per trigram, no
+    * regex engine. Greedy left-to-right non-overlap, same as SQL
+    * replace() everywhere. */
+  private def trigramOccurrences(padded: Column, tri: String): Column =
+    (length(padded) - length(replace(padded, lit(tri), lit("")))) / lit(3)
+
+  /** Character-trigram language ID over [[TrigramProfiles]] (pure
+    * Column algebra — map-only, codegen'd, no UDF): pad+lowercase once,
+    * score = total profile-trigram occurrences, argmax with the same
+    * deterministic contract as [[langId]] (alphabetical tie-break,
+    * all-zero → "und"). */
+  def langIdTrigram(c: Column,
+                    profiles: Map[String, Seq[String]] = TrigramProfiles): Column = {
+    val padded = concat(lit(" "), lower(c), lit(" "))
+    val langs = profiles.keys.toSeq.sorted
+    val scores = langs.map(l =>
+      l -> profiles(l).map(t => trigramOccurrences(padded, t)).reduce(_ + _)).toMap
+    val mx = greatest(langs.map(scores): _*)
+    langs.foldLeft(when(mx === 0, lit("und"))) { (acc, l) =>
+      acc.when(scores(l) === mx, lit(l))
+    }.otherwise(lit("und"))
+  }
+
   /** Quality signals: char count, word count, distinct-word ratio,
     * stopword ratio, punctuation ratio, mean word length — plus a
     * composite score in [0,1]-ish. Returns the named columns. */

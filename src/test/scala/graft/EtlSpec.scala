@@ -123,4 +123,34 @@ class EtlSpec extends SparkSpec {
     // listing time), not in PushedFilters/post-scan Filter
     assert(p.contains("PartitionFilters: [isnotnull(day"), p)
   }
+
+  test("JdbcSink round-trips through an embedded Derby database") {
+    import org.apache.spark.sql.SaveMode
+    // Embedded in-memory Derby (ships with Spark) stands in for the
+    // reference's hosted Postgres: write → readBack → reconcile is
+    // load.py:95–210's insert + count-check, networkless.
+    val url = "jdbc:derby:memory:graftdb;create=true"
+    val df = Seq((1L, "a", 10.5), (2L, "b", 20.5), (3L, "c", 30.5))
+      .toDF("id", "CustomerName", "MonthlyCharges")
+    val sink = Load.JdbcSink(url, "churn_load", numPartitions = 2,
+      mode = SaveMode.Overwrite)
+    sink.write(df)
+    val back = sink.readBack(spark).get
+    assert(back.count() == 3)
+    // identifiers snake_cased on the way out, like the reference's
+    // unquoted-Postgres load normalization
+    assert(back.columns.map(_.toLowerCase).toSet ==
+      Set("id", "customer_name", "monthly_charges"))
+    assert(back.select(sum($"monthly_charges")).as[Double].head() == 61.5)
+    Load.reconcile(df, sink) // counts agree → no throw
+    // sabotage the sink behind Spark's back: reconcile must now flag
+    // the short load, exactly like validate.py's count check
+    val conn = java.sql.DriverManager.getConnection(url)
+    // Spark passes the table name through unquoted (Derby folds it to
+    // CHURN_LOAD) but quotes column identifiers case-exactly
+    try conn.createStatement().executeUpdate(
+      "DELETE FROM churn_load WHERE \"id\" = 3")
+    finally conn.close()
+    intercept[IllegalStateException] { Load.reconcile(df, sink) }
+  }
 }

@@ -134,6 +134,43 @@ class StreamingSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("minhash band state survives a checkpoint restart and stays bounded") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val ss = spark
+    val tmp = java.nio.file.Files.createTempDirectory("graft_mh_ckpt").toString
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val in = MemoryStream[(Long, String)]
+    val metrics = EventsStream.MinHashStreamMetrics(spark)
+    val got = java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[(Long, Long), java.lang.Boolean])
+    // foreachBatch sink: unlike the memory sink it supports recovery
+    def start() = EventsStream.minhashCandidatesStream(
+        in.toDF().toDF("doc_id", "text"), "text", "doc_id",
+        idleTimeout = false, maxBucketIds = 4, metrics = Some(metrics))
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[EventsStream.CandPair], _: Long) =>
+        b.collect().foreach(p => got.add((p.doc_a, p.doc_b))); ()
+      }
+      .start()
+    // batch 1: four identical docs fill every band bucket to the cap
+    val q1 = start()
+    in.addData((1L, base), (2L, base), (3L, base), (4L, base))
+    q1.processAllAvailable(); q1.stop()
+    // restart from the checkpoint: the versioned state store must
+    // remember the full buckets...
+    val q2 = start()
+    in.addData((5L, base), (6L, base))
+    q2.processAllAvailable(); q2.stop()
+    import scala.jdk.CollectionConverters._
+    val pairs = got.asScala.toSet
+    // ...so docs 5/6 are refused by the hot-band breaker instead of
+    // pairing — had state been lost, (5,6) would land in fresh buckets
+    // and emit. Membership stays ≤ maxBucketIds for the bucket's life.
+    assert(pairs == Set((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)))
+    assert(metrics.hotBandDrops.value > 0, "drops must be observable")
+  }
+
   test("nearDupStream drops simhash-identical docs within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, java.sql.Timestamp, String)]
