@@ -1406,17 +1406,20 @@ object SparkEntry {
     // row per doc-term, so count per term = document frequency) joined
     // back broadcast — a term-partitioned window would serialize each
     // Zipf-head term's posting list through a single task; the corpus
-    // size joins in as a broadcast scalar. tf is persisted because BOTH
-    // branches (df counts and the scoring join) consume it — without the
-    // cache the explode+aggregate runs twice (AQE re-plans each branch,
-    // so exchange reuse does not deduplicate them).
+    // size joins in as a broadcast scalar. tf is eagerly checkpointed
+    // because BOTH branches (df counts and the scoring join) consume
+    // it — without materialization the explode+aggregate runs twice
+    // (AQE re-plans each branch, so exchange reuse does not
+    // deduplicate them), and a lazy persist still pays a second
+    // plan+probe pass. tf is the post-combine (doc, term) table — tiny
+    // next to the exploded token stream it summarizes.
     val nDf = docs.agg(count(lit(1)).cast("double").as("n_docs"))
     val words = docs.select(col("doc_id"),
       explode(graft.text.TextFunctions.words(col("text"))).as("term"),
       size(graft.text.TextFunctions.words(col("text"))).as("nw"))
     val tf = words.groupBy(col("doc_id"), col("term"), col("nw"))
       .agg(count(lit(1)).as("tf"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     val dfCounts = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("term"))

@@ -57,4 +57,36 @@ object AsOf {
       .select(leftCols.map(col) ++
         carry.map(c => col("_m").getField(c).as(s"asof_$c")): _*)
   }
+
+  /** Bucketed-layout-aware as-of join: same result contract as
+    * [[joinPrior]], shaped for inputs that are ALREADY hash-bucketed by
+    * the key (Load.BucketedTableSink with the same bucket count on both
+    * sides — the standard layout investment for repeatedly-joined
+    * tables). The right side folds into one sorted timeline array per
+    * key and equi-joins the left; both the fold's grouping and the join
+    * read their required distribution straight off the bucketed scans,
+    * so the whole operator plans with ZERO Exchange — where
+    * [[joinPrior]]'s union+window must shuffle both sides on every run,
+    * this pays the shuffle once at layout time (see OperatorsSpec: the
+    * plan is asserted exchange-free, and results equal joinPrior's).
+    *
+    * The per-key timeline materializes as one array, so this variant
+    * fits dimension-history right sides (SCD tables: versions per key,
+    * not unbounded event streams); each left row picks its prior row
+    * with a row-local scan of that array. Equal-timestamp ties resolve
+    * like joinPrior: the lexicographically greatest carry tuple wins
+    * (sort_array orders by ts first, then carry fields). */
+  def joinPriorBucketed(left: DataFrame, right: DataFrame, partitionCols: Seq[String],
+                        leftTs: String, rightTs: String, carry: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val tl = right
+      .groupBy(partitionCols.map(col): _*)
+      .agg(sort_array(collect_list(
+        struct(col(rightTs).as("_ts") +: carry.map(c => col(c).as(c)): _*))).as("_tl"))
+    left.join(tl, partitionCols, "left")
+      .withColumn("_m", try_element_at(
+        filter(col("_tl"), e => e.getField("_ts") <= col(leftTs)), lit(-1)))
+      .select(leftCols.map(col) ++
+        carry.map(c => col("_m").getField(c).as(s"asof_$c")): _*)
+  }
 }

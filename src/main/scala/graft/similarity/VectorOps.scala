@@ -115,10 +115,22 @@ object VectorOps {
   def ivfTopK(embeddings: DataFrame, queries: DataFrame, k: Int,
               nCells: Int = 16, nProbe: Int = 4,
               idCol: String = "vec_id", vecCol: String = "embedding",
-              centroids: Option[Array[Array[Double]]] = None): DataFrame = {
+              centroids: Option[Array[Array[Double]]] = None): DataFrame =
+    ivfTopKImpl(embeddings, queries, k, nCells, nProbe, idCol, vecCol,
+      centroids, identity)
+
+  /** `storedVec` maps the corpus vector to what the index actually
+    * stores for ranking (identity for raw float vectors; the PQ
+    * reconstruction for [[ivfPqTopK]]). Cell ASSIGNMENT always uses
+    * the original vector — index-time information — only ranking goes
+    * through the stored form. */
+  private def ivfTopKImpl(embeddings: DataFrame, queries: DataFrame, k: Int,
+                          nCells: Int, nProbe: Int,
+                          idCol: String, vecCol: String,
+                          centroids: Option[Array[Array[Double]]],
+                          storedVec: Column => Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = embeddings.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
-      .withColumn("n", norm(col("v")))
     // Centroids live on the driver (k × dim — model-sized, same as
     // KMeans.fit) and unit-normalize so argmax-dot == nearest-by-cosine;
     // cell assignment is then a MAP-ONLY native kernel on both sides —
@@ -136,7 +148,8 @@ object VectorOps {
     val kCells = centArr.length
     val cells = e
       .withColumn("cell_id", graft.functions.VectorExprs.nearest_centroid(col("v"), flat, kCells))
-      .select(col("id").as("neighbor_id"), col("v").as("nv"), col("n").as("nn"), col("cell_id"))
+      .select(col("id").as("neighbor_id"), storedVec(col("v")).as("nv"), col("cell_id"))
+      .withColumn("nn", norm(col("nv")))
     val probed = queries.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
       .withColumn("n", norm(col("v")))
       .withColumn("cell_id", explode(
@@ -158,6 +171,24 @@ object VectorOps {
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank", "sim")
   }
+
+  /** IVF+PQ composed index (the standard billion-scale ANN layout —
+    * Jégou et al., "Product Quantization for Nearest Neighbor Search",
+    * TPAMI'11): the IVF coarse quantizer prunes the candidate set to
+    * the query's nProbe nearest cells, and within them candidates are
+    * ranked through their PQ reconstruction (asymmetric distance) —
+    * the corpus stores m-byte codes, not float vectors. Same plan
+    * shape as [[ivfTopK]] (map-only cell assignment both sides, query
+    * side broadcast, scalar-only pair dedup); the decode is fused into
+    * the scan projection. Exact queries, compressed corpus: recall
+    * loss comes from cell pruning ∘ code coarseness, both spec'd. */
+  def ivfPqTopK(embeddings: DataFrame, queries: DataFrame, k: Int,
+                model: Quantize.PqModel,
+                nCells: Int = 16, nProbe: Int = 4,
+                idCol: String = "vec_id", vecCol: String = "embedding",
+                centroids: Option[Array[Array[Double]]] = None): DataFrame =
+    ivfTopKImpl(embeddings, queries, k, nCells, nProbe, idCol, vecCol,
+      centroids, v => Quantize.pqDecode(Quantize.pqEncode(v, model), model))
 
   /** LSH-bucketed approximate top-k: candidates share the signature in
     * at least one of `nBands` band projections (multi-probe by banding

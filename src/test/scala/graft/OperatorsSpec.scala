@@ -38,6 +38,59 @@ class OperatorsSpec extends SparkSpec {
     assert(got._2.isEmpty, "price must be the latest row's NULL, not 10.0 from the older row")
   }
 
+  test("joinPriorBucketed equals joinPrior and plans zero Exchange on bucketed tables") {
+    import graft.etl.Load
+    // semantics first, on plain frames: same scenarios as the
+    // joinPrior specs (boundary-inclusive, never-purchased → NULL)
+    val clicks = Seq((1L, 7L, t(10)), (2L, 7L, t(30)), (3L, 8L, t(5)))
+      .toDF("event_id", "user_id", "ts")
+    val purchases = Seq((100L, 7L, t(0)), (101L, 7L, t(30)), (102L, 9L, t(0)))
+      .toDF("purchase_id", "user_id", "pts")
+    val viaWindow = AsOf.joinPrior(clicks, purchases, Seq("user_id"), "ts", "pts",
+        Seq("purchase_id", "pts"))
+      .select("event_id", "asof_purchase_id").as[(Long, Option[Long])].collect().toMap
+    val viaBucketPlan = AsOf.joinPriorBucketed(clicks, purchases, Seq("user_id"), "ts", "pts",
+        Seq("purchase_id", "pts"))
+      .select("event_id", "asof_purchase_id").as[(Long, Option[Long])].collect().toMap
+    assert(viaWindow == viaBucketPlan)
+
+    // layout payoff: both sides bucketed on the key by the same count →
+    // the WHOLE as-of join (fold + join) must plan without any Exchange
+    Seq("b_asof_left", "b_asof_right").foreach { tb =>
+      spark.sql(s"DROP TABLE IF EXISTS $tb")
+      val dir = new java.io.File(s"spark-warehouse/$tb")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+      }
+      if (dir.exists()) rm(dir)
+    }
+    val ev = Tables.events(spark, sfDir)
+    Load.BucketedTableSink("b_asof_left", "user_id", 8)
+      .write(ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts"))
+    Load.BucketedTableSink("b_asof_right", "user_id", 8)
+      .write(ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("pts")))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = AsOf.joinPriorBucketed(
+        spark.table("b_asof_left"), spark.table("b_asof_right"),
+        Seq("user_id"), "ts", "pts", Seq("purchase_id"))
+      val p = joined.queryExecution.executedPlan.toString()
+      assert(!p.contains("Exchange"), s"bucketed as-of join should not shuffle:\n$p")
+      // and it must agree with the window formulation on real data
+      val a = joined.select("event_id", "asof_purchase_id")
+        .as[(Long, Option[Long])].collect().toMap
+      val b = AsOf.joinPrior(
+          spark.table("b_asof_left"), spark.table("b_asof_right"),
+          Seq("user_id"), "ts", "pts", Seq("purchase_id"))
+        .select("event_id", "asof_purchase_id")
+        .as[(Long, Option[Long])].collect().toMap
+      assert(a == b)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("salted join equals the plain join") {
     val li = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_quantity")
     val ord = Tables.orders(spark, sfDir)

@@ -105,6 +105,24 @@ class Round5Spec extends SparkSpec {
     assert(i8Recall >= pqRecall - 0.05, "finer quantization should not recall less")
   }
 
+  test("IVF+PQ composed index keeps useful recall through cells AND codes") {
+    import graft.similarity.{KMeans, Quantize, VectorOps}
+    val emb = Tables.embeddings(spark, sfDir)
+    val q = emb.filter($"vec_id" % 20 === 0)
+    val exact = VectorOps.bruteForceTopK(emb, q, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val model = Quantize.pqTrain(emb, "vec_id", "embedding", dim = 64, m = 8, k = 32, iters = 3)
+    val cents = KMeans.fit(emb, "vec_id", "embedding", k = 8, iters = 2)
+    val got = VectorOps.ivfPqTopK(emb, q, k = 5, model,
+        nCells = 8, nProbe = 4, centroids = Some(cents))
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & got).size.toDouble / exact.size
+    info(f"IVF+PQ recall@5 = $recall%.2f (8 cells / 4 probes over 32x-compressed codes)")
+    // two stacked approximations (cell pruning ∘ code coarseness) —
+    // the floor is necessarily below either alone
+    assert(recall > 0.2)
+  }
+
   // ------------------------------------------------ trigram language ID
 
   test("trigram langid beats marker words on a mixed natural corpus") {
