@@ -26,6 +26,12 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // same hygiene as Bench.isolate(): dedup builders and the CC
+      // loop leave materialized blocks behind; 84 queries of
+      // accumulation is avoidable memory pressure
+      graft.dedup.Dedup.releaseCaches()
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
