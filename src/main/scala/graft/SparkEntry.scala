@@ -1133,6 +1133,98 @@ object SparkEntry {
       |FROM orders WHERE o_totalprice IS NOT NULL
       |GROUP BY 1, 2 ORDER BY bucket""".stripMargin
 
+  /** Count-Min heavy-hitter probe: one-pass depth-3/width-1024 sketch
+    * over lineitem supplier keys, then point estimates for suppkeys
+    * 1..20 next to the exact counts. The sketch shuffle is ≤ 3·1024
+    * rows per task at ANY input scale — contrast the exact count's
+    * full `groupBy(l_suppkey)` shuffle (kept here only because the
+    * probe set is verification-sized). DuckDB replays the identical
+    * bucket math, so `est` is hash-verified, not just bounds-checked.
+    */
+  private def anCmsHeavy(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).select(col("l_suppkey"))
+    val cells = graft.functions.Sketches.cmsCells(li, col("l_suppkey"), 1024)
+    val probes = s.range(1, 21).select(col("id").as("suppkey"))
+    val exact = li.groupBy(col("l_suppkey").cast("long").as("suppkey"))
+      .agg(count(lit(1)).as("exact_count"))
+    graft.functions.Sketches.cmsEstimate(cells, probes, col("suppkey"), 1024)
+      .withColumnRenamed("k", "suppkey")
+      .join(broadcast(exact.join(broadcast(probes), Seq("suppkey"))), Seq("suppkey"), "left")
+      .select(col("suppkey"), col("est"),
+        coalesce(col("exact_count"), lit(0L)).as("exact_count"))
+  }
+
+  private val anCmsHeavySql =
+    """WITH seeds(d, a, b) AS (VALUES (0, 1000003, 12289), (1, 998244353, 769), (2, 786433, 65537)),
+      |k_rows AS (SELECT CAST(l_suppkey AS BIGINT) AS k FROM lineitem),
+      |cells AS (
+      |  SELECT d, ((k * a + b) % 2147483647) % 1024 AS bucket, count(*) AS c
+      |  FROM k_rows CROSS JOIN seeds GROUP BY 1, 2),
+      |probes AS (SELECT CAST(range AS BIGINT) AS suppkey FROM range(1, 21)),
+      |pb AS (SELECT suppkey, d, ((suppkey * a + b) % 2147483647) % 1024 AS bucket
+      |       FROM probes CROSS JOIN seeds),
+      |est AS (SELECT suppkey, min(coalesce(c, 0)) AS est
+      |        FROM pb LEFT JOIN cells USING (d, bucket) GROUP BY 1),
+      |ex AS (SELECT CAST(l_suppkey AS BIGINT) AS suppkey, count(*) AS exact_count
+      |       FROM lineitem GROUP BY 1)
+      |SELECT p.suppkey, e.est, coalesce(x.exact_count, 0) AS exact_count
+      |FROM probes p JOIN est e USING (suppkey) LEFT JOIN ex x USING (suppkey)""".stripMargin
+
+  /** HyperLogLog distinct customers per order priority plus a merged
+    * "ALL" row computed by register-wise max of the per-group sketches
+    * — the mergeability that lets a 1000-executor cluster union
+    * per-partition sketches instead of re-scanning. z_scaled is an
+    * exact integer (sum of powers of two), so the oracle compares the
+    * sketch state itself bit-for-bit; `est` adds one deterministic
+    * double division on top. Exact distincts ride along for reference.
+    */
+  private def anHllDistinct(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Sketches
+    val m = 64
+    val ords = Tables.orders(s, dir)
+      .select(col("o_orderpriority").as("grp"), col("o_custkey"))
+    val perGrp = Sketches.hllRegisters(ords, col("o_custkey"), m, Seq("grp"))
+    val merged = perGrp.groupBy(col("register"))
+      .agg(max("rho").as("rho")).withColumn("grp", lit("ALL"))
+    val z = perGrp.unionByName(merged)
+      .groupBy("grp").agg(Sketches.hllZScaled(m))
+    val exact = ords.groupBy("grp").agg(countDistinct(col("o_custkey")).as("exact_distinct"))
+      .unionByName(ords.agg(countDistinct(col("o_custkey")).as("exact_distinct"))
+        .withColumn("grp", lit("ALL")))
+    z.select(col("grp"), col("z_scaled"),
+        Sketches.hllEstimate(m, col("z_scaled")).as("est"))
+      .join(broadcast(exact), Seq("grp"))
+  }
+
+  private val anHllDistinctSql =
+    s"""WITH t1 AS (
+      |  SELECT o_orderpriority AS grp,
+      |         ((CAST(o_custkey AS BIGINT) * 1000003 + 12289) % 2147483647) AS x
+      |  FROM orders),
+      |t2 AS (SELECT grp, xor(x, x >> 15) AS x FROM t1),
+      |t3 AS (SELECT grp, (x * 786433) % 2147483647 AS x FROM t2),
+      |h_rows AS (SELECT grp, xor(x, x >> 13) AS h FROM t3),
+      |hit AS (
+      |  SELECT grp, h % 64 AS register,
+      |         max(CASE WHEN h // 64 = 0 THEN 26 ELSE 26 - length(bin(h // 64)) END) AS rho
+      |  FROM h_rows GROUP BY 1, 2),
+      |spine AS (SELECT grp, CAST(range AS BIGINT) AS register
+      |          FROM (SELECT DISTINCT o_orderpriority AS grp FROM orders) CROSS JOIN range(0, 64)),
+      |full_regs AS (SELECT s.grp, s.register, coalesce(t.rho, 0) AS rho
+      |              FROM spine s LEFT JOIN hit t USING (grp, register)),
+      |all_regs AS (SELECT 'ALL' AS grp, register, max(rho) AS rho FROM full_regs GROUP BY 2),
+      |both_regs AS (SELECT * FROM full_regs UNION ALL SELECT * FROM all_regs),
+      |z AS (SELECT grp, CAST(sum(67108864 // (1 << rho)) AS BIGINT) AS z_scaled
+      |      FROM both_regs GROUP BY 1),
+      |ex AS (SELECT o_orderpriority AS grp, count(DISTINCT o_custkey) AS exact_distinct
+      |       FROM orders GROUP BY 1
+      |       UNION ALL
+      |       SELECT 'ALL', count(DISTINCT o_custkey) FROM orders)
+      |SELECT z.grp, z.z_scaled,
+      |       CAST(floor(${graft.functions.Sketches.hllAlphaNum(64)} / z.z_scaled) AS BIGINT) AS est,
+      |       ex.exact_distinct
+      |FROM z JOIN ex USING (grp)""".stripMargin
+
   // -------------------------------------------------- D. training-data ops
 
   private def dedupExact(s: SparkSession, dir: String): DataFrame =
@@ -1917,7 +2009,9 @@ object SparkEntry {
     "text_chunk" -> (textChunk _),
     "text_repetition" -> (textRepetition _),
     "sim_quantize" -> (simQuantize _),
-    "etl_resolve_cols" -> (etlResolveCols _)
+    "etl_resolve_cols" -> (etlResolveCols _),
+    "an_cms_heavy" -> (anCmsHeavy _),
+    "an_hll_distinct" -> (anHllDistinct _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1998,6 +2092,8 @@ object SparkEntry {
     "text_chunk" -> textChunkSql,
     "text_repetition" -> textRepetitionSql,
     "sim_quantize" -> simQuantizeSql,
-    "etl_resolve_cols" -> etlResolveColsSql
+    "etl_resolve_cols" -> etlResolveColsSql,
+    "an_cms_heavy" -> anCmsHeavySql,
+    "an_hll_distinct" -> anHllDistinctSql
   )
 }

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.Sketches
+
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  // --------------------------------------------------------- Count-Min
+
+  test("CMS estimates dominate exact counts and are tight at low load") {
+    // 50 keys, key k appearing k times → 1275 increments into 3×1024
+    // cells: collisions are rare, most estimates should be exact
+    val rows = (1 to 50).flatMap(k => Seq.fill(k)(k)).toDF("k")
+    val cells = Sketches.cmsCells(rows, col("k"), 1024)
+    val probes = (1 to 50).toDF("k")
+    val est = Sketches.cmsEstimate(cells, probes, col("k"), 1024)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (1 to 50).foreach { k =>
+      assert(est(k.toLong) >= k, s"CMS must never under-count: key $k est ${est(k.toLong)}")
+    }
+    val exactHits = (1 to 50).count(k => est(k.toLong) == k)
+    assert(exactHits >= 45, s"width 1024 at load 1275 should be near-exact, got $exactHits/50")
+  }
+
+  test("CMS unseen keys estimate 0 unless a bucket collides") {
+    val rows = Seq(1, 2, 3).toDF("k")
+    val cells = Sketches.cmsCells(rows, col("k"), 1024)
+    val est = Sketches.cmsEstimate(cells, Seq(900001, 900002).toDF("k"), col("k"), 1024)
+      .collect().map(_.getLong(1))
+    est.foreach(e => assert(e <= 3, "unseen key estimate bounded by total mass"))
+  }
+
+  test("CMS cell counts conserve total mass per depth") {
+    val n = 5000
+    val rows = spark.range(n).select((col("id") % 137).as("k"))
+    val perDepth = Sketches.cmsCells(rows, col("k"), 256)
+      .groupBy("d").agg(sum("c").as("mass")).collect()
+    assert(perDepth.length == 3)
+    perDepth.foreach(r => assert(r.getLong(1) == n, s"depth ${r.get(0)} lost mass"))
+  }
+
+  // -------------------------------------------------------- HyperLogLog
+
+  test("HLL estimate lands within 3 standard errors of true cardinality") {
+    val m = 64
+    val se = 1.04 / math.sqrt(m) // ~13%
+    for (trueN <- Seq(500, 2000, 10000)) {
+      val rows = spark.range(trueN).select((col("id") * 2654435761L).as("k"))
+      val regs = Sketches.hllRegisters(rows, col("k"), m)
+      assert(regs.count() == m, "spine must materialize every register")
+      val z = regs.agg(Sketches.hllZScaled(m)).select(
+        Sketches.hllEstimate(m, col("z_scaled"))).as[Long].head()
+      val relErr = math.abs(z.toDouble - trueN) / trueN
+      assert(relErr < 3 * se, s"n=$trueN est=$z relErr=$relErr")
+    }
+  }
+
+  test("HLL register tables merge by element-wise max (union semantics)") {
+    val m = 64
+    val left = spark.range(0, 3000).select(col("id").as("k"))
+    val right = spark.range(2000, 6000).select(col("id").as("k"))
+    val both = left.unionByName(right)
+    val merged = Sketches.hllRegisters(left, col("k"), m)
+      .unionByName(Sketches.hllRegisters(right, col("k"), m))
+      .groupBy("register").agg(max("rho").as("rho"))
+    val direct = Sketches.hllRegisters(both, col("k"), m)
+    assert(merged.except(direct).count() == 0 && direct.except(merged).count() == 0,
+      "sketch of union must equal merge of sketches")
+  }
+
+  test("HLL z_scaled is the exact scaled harmonic sum") {
+    val m = 64
+    val regs = Sketches.hllRegisters(spark.range(100).toDF("k"), col("k"), m)
+    val z = regs.agg(Sketches.hllZScaled(m)).as[Long].head()
+    val manual = regs.collect().map(r => (1L << 26) >> r.getInt(1)).sum
+    assert(z == manual)
+  }
+}
