@@ -1342,6 +1342,17 @@ object SparkEntry {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** LSH ANN with the band layout planned from a recall target instead
+    * of hand-picked constants (rows-only check; the planner's S-curve
+    * math and the recall floor are exact-checked in LshTuningSpec). */
+  private def simLshAuto(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    graft.similarity.VectorOps.lshTopKAuto(
+        emb, emb.filter(col("vec_id") % 50 === 0), k = 5, dim = 64,
+        simThreshold = 0.9, recall = 0.9, bgSim = 0.0, maxBgProb = 0.1)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** IVF-bucketed ANN (rows-only check; recall asserted in ScalaTest). */
   private def simIvfAnn(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
@@ -2011,7 +2022,8 @@ object SparkEntry {
     "sim_quantize" -> (simQuantize _),
     "etl_resolve_cols" -> (etlResolveCols _),
     "an_cms_heavy" -> (anCmsHeavy _),
-    "an_hll_distinct" -> (anHllDistinct _)
+    "an_hll_distinct" -> (anHllDistinct _),
+    "sim_lsh_auto" -> (simLshAuto _)
   )
 
   def oracleSql: Map[String, String] = Map(

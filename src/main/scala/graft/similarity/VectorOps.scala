@@ -190,6 +190,21 @@ object VectorOps {
     ivfTopKImpl(embeddings, queries, k, nCells, nProbe, idCol, vecCol,
       centroids, v => Quantize.pqDecode(Quantize.pqEncode(v, model), model))
 
+  /** [[lshTopK]] with the band layout chosen analytically from a recall
+    * target by [[LshTuning.tuneCosine]] instead of hand-picked
+    * constants: the planner minimizes total signature bits (= explode
+    * fan-out = shuffle volume) subject to the recall floor at
+    * `simThreshold` and the candidate-probability ceiling `maxBgProb`
+    * for background pairs at `bgSim`. */
+  def lshTopKAuto(embeddings: DataFrame, queries: DataFrame, k: Int, dim: Int,
+                  simThreshold: Double = 0.7, recall: Double = 0.9,
+                  maxBits: Int = 64, bgSim: Double = 0.0, maxBgProb: Double = 1.0,
+                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val plan = LshTuning.tuneCosine(simThreshold, recall, maxBits, bgSim, maxBgProb)
+    lshTopK(embeddings, queries, k, dim,
+      nBits = plan.totalHashes, nBands = plan.bands, idCol = idCol, vecCol = vecCol)
+  }
+
   /** LSH-bucketed approximate top-k: candidates share the signature in
     * at least one of `nBands` band projections (multi-probe by banding
     * the signature bits), then exact cosine ranks within candidates.
