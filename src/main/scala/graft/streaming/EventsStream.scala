@@ -214,12 +214,34 @@ object EventsStream {
                               session_start: java.sql.Timestamp,
                               session_end: java.sql.Timestamp, session_value: Double)
 
+  /** Accumulator-backed observability for [[sessionize]]'s state store,
+    * mirroring [[MinHashStreamMetrics]]: `gapCloses` counts sessions
+    * closed by a later event beyond the gap, `idleFlushes` counts open
+    * sessions emitted by the processing-time timeout, `lateEventClamps`
+    * counts cross-batch out-of-order events that landed inside an open
+    * session with ts before its end (the max() clamp engaging). A
+    * rising clamp rate tells the operator upstream delivery is
+    * reordering beyond a micro-batch — the signal to widen the gap or
+    * move to event-time watermarks. */
+  final case class SessionStreamMetrics(
+      gapCloses: org.apache.spark.util.LongAccumulator,
+      idleFlushes: org.apache.spark.util.LongAccumulator,
+      lateEventClamps: org.apache.spark.util.LongAccumulator)
+  object SessionStreamMetrics {
+    def apply(spark: SparkSession): SessionStreamMetrics =
+      SessionStreamMetrics(
+        spark.sparkContext.longAccumulator("graft.sessionize.gapCloses"),
+        spark.sparkContext.longAccumulator("graft.sessionize.idleFlushes"),
+        spark.sparkContext.longAccumulator("graft.sessionize.lateEventClamps"))
+  }
+
   /** Stateful gap sessionization (30-min inactivity), the incremental
     * twin of the batch lag/cumsum query: per-user state holds only the
     * open session; a processing-time timeout flushes idle users.
     * Emits a session when the gap closes it or the state times out. */
   def sessionize(events: Dataset[Ev], gapMinutes: Long = 30,
-                 idleTimeout: Boolean = true)
+                 idleTimeout: Boolean = true,
+                 metrics: Option[SessionStreamMetrics] = None)
                 (implicit spark: SparkSession): Dataset[SessionOut] = {
     import spark.implicits._
     val gapUs = gapMinutes * 60L * 1000000L
@@ -229,6 +251,7 @@ object EventsStream {
       if (state.hasTimedOut) {
         val s = state.get
         state.remove()
+        metrics.foreach(_.idleFlushes.add(1))
         Iterator(SessionOut(userId, s.sessionId, s.nEvents,
           new java.sql.Timestamp(s.start / 1000), new java.sql.Timestamp(s.end / 1000), s.value))
       } else {
@@ -245,11 +268,13 @@ object EventsStream {
               // sorted within a batch; cross-batch order is assumed
               // (no event-time watermark here) — a late event more than
               // gapUs older than the open session's end still closes it.
+              if (us < a.end) metrics.foreach(_.lateEventClamps.add(1))
               acc = Some(a.copy(nEvents = a.nEvents + 1,
                 end = math.max(a.end, us), value = a.value + e.value))
             case Some(a) =>
               closed += SessionOut(userId, a.sessionId, a.nEvents,
                 new java.sql.Timestamp(a.start / 1000), new java.sql.Timestamp(a.end / 1000), a.value)
+              metrics.foreach(_.gapCloses.add(1))
               acc = Some(SessionAcc(a.sessionId + 1, 1, us, us, e.value))
             case None =>
               acc = Some(SessionAcc(1, 1, us, us, e.value))

@@ -76,6 +76,37 @@ class StreamingSpec extends SparkSpec {
     assert(out.contains((7L, 1L, 2L, 3.0)))
   }
 
+  test("sessionize metrics observe gap closes and late-event clamps") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val ss = spark
+    val in = MemoryStream[Ev]
+    val metrics = EventsStream.SessionStreamMetrics(spark)
+    val q = EventsStream.sessionize(in.toDS(), gapMinutes = 30,
+        idleTimeout = false, metrics = Some(metrics))
+      .writeStream.outputMode("append").format("memory").queryName("sessm").start()
+    // batch 1: open a session for user 7 ending at t=10
+    in.addData(Ev(1, ts(0), 7, "click", 1.0), Ev(2, ts(10), 7, "click", 2.0))
+    q.processAllAvailable()
+    // batch 2: a cross-batch straggler inside the open session (t=5 <
+    // end=10) must clamp, not rewind the end
+    in.addData(Ev(3, ts(5), 7, "view", 1.0))
+    q.processAllAvailable()
+    // batch 3: 90-min gap closes session 1 and opens session 2
+    in.addData(Ev(4, ts(100), 7, "view", 4.0))
+    q.processAllAvailable()
+    q.stop()
+    assert(metrics.lateEventClamps.value == 1,
+      s"one straggler expected, saw ${metrics.lateEventClamps.value}")
+    assert(metrics.gapCloses.value == 1,
+      s"one gap close expected, saw ${metrics.gapCloses.value}")
+    assert(metrics.idleFlushes.value == 0, "no timeout configured")
+    // the closed session absorbed the straggler: 3 events, value 4.0
+    val closed = spark.table("sessm")
+      .select("user_id", "session_id", "n_events", "session_value")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(closed.contains((7L, 1L, 3L, 4.0)))
+  }
+
   test("intervalJoin matches right events inside the lookback window only") {
     implicit val sqlCtx = spark.sqlContext
     val clicks = MemoryStream[Ev]
