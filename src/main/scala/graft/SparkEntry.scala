@@ -1517,9 +1517,13 @@ object SparkEntry {
     // plan+probe pass. tf is the post-combine (doc, term) table — tiny
     // next to the exploded token stream it summarizes.
     val nDf = docs.agg(count(lit(1)).cast("double").as("n_docs"))
-    val words = docs.select(col("doc_id"),
-      explode(graft.text.TextFunctions.words(col("text"))).as("term"),
-      size(graft.text.TextFunctions.words(col("text"))).as("nw"))
+    // tokenize ONCE into a named column before the Generate — inlining
+    // words(text) into both explode() and size() re-runs the regex
+    // tokenizer per expression (Catalyst does not CSE across a
+    // Generate boundary)
+    val words = docs
+      .select(col("doc_id"), graft.text.TextFunctions.words(col("text")).as("ws"))
+      .select(col("doc_id"), explode(col("ws")).as("term"), size(col("ws")).as("nw"))
     val tf = words.groupBy(col("doc_id"), col("term"), col("nw"))
       .agg(count(lit(1)).as("tf"))
       .localCheckpoint()
