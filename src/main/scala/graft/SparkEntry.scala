@@ -1225,6 +1225,25 @@ object SparkEntry {
       |       ex.exact_distinct
       |FROM z JOIN ex USING (grp)""".stripMargin
 
+  /** Space-Saving heavy hitters over a 32-key domain: capacity 64 ≥
+    * distinct keys puts the sketch in its exact regime (no eviction →
+    * deterministic, DuckDB-comparable counts, err = 0); the eviction /
+    * merge-widening regime is property-tested in SpaceSavingSpec. The
+    * buffer is O(capacity) per task and combines map-side — at 100 TB
+    * the shuffle carries 64 counters per task, not the key space. */
+  private def anHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ks = Tables.lineitem(s, dir)
+      .select((col("l_suppkey") % 32).cast("long").as("k")).as[Long]
+    ks.select(new graft.functions.SpaceSaving(64).toColumn.name("hh"))
+      .select(explode(col("hh")).as("h"))
+      .select(col("h._1").as("k"), col("h._2").as("est"), col("h._3").as("err"))
+  }
+
+  private val anHeavyHittersSql =
+    """SELECT l_suppkey % 32 AS k, count(*) AS est, CAST(0 AS BIGINT) AS err
+      |FROM lineitem GROUP BY 1""".stripMargin
+
   // -------------------------------------------------- D. training-data ops
 
   private def dedupExact(s: SparkSession, dir: String): DataFrame =
@@ -2027,7 +2046,8 @@ object SparkEntry {
     "etl_resolve_cols" -> (etlResolveCols _),
     "an_cms_heavy" -> (anCmsHeavy _),
     "an_hll_distinct" -> (anHllDistinct _),
-    "sim_lsh_auto" -> (simLshAuto _)
+    "sim_lsh_auto" -> (simLshAuto _),
+    "an_heavy_hitters" -> (anHeavyHitters _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2110,6 +2130,7 @@ object SparkEntry {
     "sim_quantize" -> simQuantizeSql,
     "etl_resolve_cols" -> etlResolveColsSql,
     "an_cms_heavy" -> anCmsHeavySql,
-    "an_hll_distinct" -> anHllDistinctSql
+    "an_hll_distinct" -> anHllDistinctSql,
+    "an_heavy_hitters" -> anHeavyHittersSql
   )
 }

@@ -147,4 +147,24 @@ object Sketches {
     */
   def hllEstimate(m: Int, zScaled: Column): Column =
     floor(lit(hllAlphaNum(m)) / zScaled).cast("long")
+
+  /** Set-operation estimates from two register tables (same m, same
+    * hash): |A∪B| comes from the element-wise-max merged table — an
+    * HLL-native operation — and |A∩B| by inclusion-exclusion
+    * est(A)+est(B)−est(A∪B), clamped at 0. One row:
+    * (est_a, est_b, est_union, est_intersect). Intersection error
+    * compounds the three estimates' errors, so it is a triage number,
+    * not a measurement — fine for "how much does corpus B overlap A"
+    * routing decisions at 100 TB, where the exact answer is a join too
+    * far. */
+  def hllSetEstimates(regsA: DataFrame, regsB: DataFrame, m: Int): DataFrame = {
+    def z(regs: DataFrame, name: String): DataFrame =
+      regs.agg(hllZScaled(m)).select(hllEstimate(m, col("z_scaled")).as(name))
+    val zu = z(
+      regsA.unionByName(regsB).groupBy("register").agg(max("rho").as("rho")),
+      "est_union")
+    z(regsA, "est_a").crossJoin(z(regsB, "est_b")).crossJoin(zu)
+      .withColumn("est_intersect",
+        greatest(lit(0L), col("est_a") + col("est_b") - col("est_union")))
+  }
 }

@@ -206,6 +206,33 @@ object EventsStream {
       .flatMapGroupsWithState(OutputMode.Append, timeoutConf)(update)
   }
 
+  /** EVENT-TIME sessionization on the native `session_window` operator
+    * — the declarative twin of [[sessionize]]: Catalyst owns the state
+    * store (merging session windows per update), the watermark bounds
+    * state and handles cross-batch stragglers by event time, and a
+    * session is emitted exactly once when the watermark passes its
+    * close. Prefer this when event time is trustworthy; the
+    * flatMapGroupsWithState variant remains for processing-time flush
+    * semantics and custom per-session state.
+    *
+    * Works identically over a batch DataFrame (session_window is a
+    * plain grouping expression there) — StreamingSpec asserts
+    * stream ≡ batch on the same data.
+    */
+  def sessionizeEventTime(events: DataFrame, gap: String = "30 minutes",
+                          watermark: String = "1 hour"): DataFrame = {
+    val src = if (events.isStreaming) events.withWatermark("ts", watermark) else events
+    src
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(24,8)")).cast("decimal(24,2)").cast("double")
+          .as("session_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("session_value"))
+  }
+
   final case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                       event_type: String, value: Double)
   final case class SessionAcc(sessionId: Long, nEvents: Long, start: Long, end: Long,

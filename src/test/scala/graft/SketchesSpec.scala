@@ -69,6 +69,42 @@ class SketchesSpec extends SparkSpec {
       "sketch of union must equal merge of sketches")
   }
 
+  test("HLL set estimates: union via register max, intersection by inclusion-exclusion") {
+    val m = 1024
+    // |A| = 6000, |B| = 5000, |A∩B| = 3000
+    val a = spark.range(0, 6000).select(col("id").as("k"))
+    val b = spark.range(3000, 8000).select(col("id").as("k"))
+    val regsA = Sketches.hllRegisters(a, col("k"), m)
+    val regsB = Sketches.hllRegisters(b, col("k"), m)
+    val r = Sketches.hllSetEstimates(regsA, regsB, m).collect().head
+    val (estA, estB, estU, estI) =
+      (r.getAs[Long]("est_a"), r.getAs[Long]("est_b"),
+        r.getAs[Long]("est_union"), r.getAs[Long]("est_intersect"))
+    info(s"A=$estA (6000) B=$estB (5000) U=$estU (8000) I=$estI (3000)")
+    assert(math.abs(estU - 8000.0) / 8000 < 0.15, s"union est $estU")
+    // inclusion-exclusion compounds three errors — triage-grade bound
+    assert(math.abs(estI - 3000.0) / 3000 < 0.35, s"intersect est $estI")
+  }
+
+  test("CMS cells over a stream equal the batch sketch on the same data") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val data = (1 to 500).map(i => (i % 37).toLong)
+    val in = MemoryStream[Long]
+    in.addData(data.take(250): _*)
+    val q = Sketches.cmsCells(in.toDF().toDF("k"), col("k"), 256)
+      .writeStream.outputMode("complete").format("memory").queryName("cmsstream").start()
+    q.processAllAvailable()
+    in.addData(data.drop(250): _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("cmsstream")
+      .as[(Int, Long, Long)].collect().toSet
+    val batch = Sketches.cmsCells(data.toDF("k"), col("k"), 256)
+      .as[(Int, Long, Long)].collect().toSet
+    assert(streamed == batch, "incremental sketch must equal the batch sketch")
+  }
+
   test("HLL z_scaled is the exact scaled harmonic sum") {
     val m = 64
     val regs = Sketches.hllRegisters(spark.range(100).toDF("k"), col("k"), m)

@@ -107,6 +107,38 @@ class StreamingSpec extends SparkSpec {
     assert(closed.contains((7L, 1L, 3L, 4.0)))
   }
 
+  test("sessionizeEventTime: native session_window, stream equals batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = EventsStream.sessionizeEventTime(in.toDF(), "30 minutes", "1 hour")
+      .writeStream.outputMode("append").format("memory").queryName("sessw").start()
+    val evs = Seq(
+      Ev(1, ts(0), 7, "click", 1.0), Ev(2, ts(10), 7, "click", 2.0),
+      Ev(3, ts(5), 8, "view", 4.0))
+    in.addData(evs: _*)
+    q.processAllAvailable()
+    // 90-min-later event closes user 7's first session; the high ts
+    // also advances the watermark past both early session closes
+    val late = Ev(4, ts(100), 7, "view", 8.0)
+    in.addData(late)
+    q.processAllAvailable()
+    // one more batch so the previous batch's watermark emits finals
+    in.addData(Ev(5, ts(300), 9, "click", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("sessw")
+      .select("user_id", "n_events", "session_value")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(streamed.contains((7L, 2L, 3.0)), s"user 7 session 1 missing from $streamed")
+    assert(streamed.contains((8L, 1L, 4.0)), s"user 8 session missing from $streamed")
+    // the SAME operator over the same rows as a batch DataFrame agrees
+    // on every closed session (batch emits open ones too)
+    val batch = EventsStream.sessionizeEventTime((evs :+ late).toDF(), "30 minutes")
+      .select("user_id", "n_events", "session_value")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(streamed.subsetOf(batch), s"stream $streamed not within batch $batch")
+  }
+
   test("intervalJoin matches right events inside the lookback window only") {
     implicit val sqlCtx = spark.sqlContext
     val clicks = MemoryStream[Ev]
