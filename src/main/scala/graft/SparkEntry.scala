@@ -1244,6 +1244,40 @@ object SparkEntry {
     """SELECT l_suppkey % 32 AS k, count(*) AS est, CAST(0 AS BIGINT) AS err
       |FROM lineitem GROUP BY 1""".stripMargin
 
+  /** Benchmark decontamination: flag corpus documents sharing any
+    * 5-token shingle with a benchmark set (docs 0..19 stand in for the
+    * held-out eval set) — the GPT-3/Pile-style n-gram contamination
+    * check. The benchmark gram set is tiny by construction and
+    * broadcasts; the corpus side explodes to (doc_id, gram) and
+    * semi-joins without shuffling, then the count aggregate carries
+    * only matched scalars — at 100 TB the corpus never moves, exactly
+    * like the other broadcast-probe operators. */
+  private def textContaminate(s: SparkSession, dir: String): DataFrame = {
+    val grams = Tables.documents(s, dir)
+      .select(col("doc_id"), graft.text.TextFunctions.words(col("text")).as("ws"))
+      // sequence(1, n) with n < 1 would generate DESCENDING [1..n] —
+      // guard short docs to an empty gram list instead
+      .select(col("doc_id"), explode(expr(
+        """CASE WHEN size(ws) >= 5
+          |THEN transform(sequence(1, size(ws) - 4), i -> array_join(slice(ws, i, 5), ' '))
+          |ELSE array() END""".stripMargin)).as("gram"))
+    val bench = grams.filter(col("doc_id") < 20).select("gram").distinct()
+    grams.filter(col("doc_id") >= 20)
+      .join(broadcast(bench), Seq("gram"), "left_semi")
+      .groupBy("doc_id").agg(countDistinct(col("gram")).as("n_hits"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val textContaminateSql =
+    """WITH lists AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+      |grams AS (SELECT doc_id, array_to_string(l[i:i+4], ' ') AS gram
+      |          FROM lists, UNNEST(range(1, greatest(len(l) - 3, 1))) AS t(i)),
+      |bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id < 20)
+      |SELECT g.doc_id, count(DISTINCT g.gram) AS n_hits
+      |FROM grams g JOIN bench b USING (gram)
+      |WHERE g.doc_id >= 20
+      |GROUP BY 1 ORDER BY doc_id""".stripMargin
+
   // -------------------------------------------------- D. training-data ops
 
   private def dedupExact(s: SparkSession, dir: String): DataFrame =
@@ -2047,7 +2081,8 @@ object SparkEntry {
     "an_cms_heavy" -> (anCmsHeavy _),
     "an_hll_distinct" -> (anHllDistinct _),
     "sim_lsh_auto" -> (simLshAuto _),
-    "an_heavy_hitters" -> (anHeavyHitters _)
+    "an_heavy_hitters" -> (anHeavyHitters _),
+    "text_contaminate" -> (textContaminate _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2131,6 +2166,7 @@ object SparkEntry {
     "etl_resolve_cols" -> etlResolveColsSql,
     "an_cms_heavy" -> anCmsHeavySql,
     "an_hll_distinct" -> anHllDistinctSql,
-    "an_heavy_hitters" -> anHeavyHittersSql
+    "an_heavy_hitters" -> anHeavyHittersSql,
+    "text_contaminate" -> textContaminateSql
   )
 }

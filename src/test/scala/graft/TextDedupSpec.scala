@@ -7,6 +7,21 @@ import graft.dedup.Dedup
 class TextDedupSpec extends SparkSpec {
   import spark.implicits._
 
+  test("contamination guard: sub-shingle docs produce no grams, no crash") {
+    // mirrors SparkEntry.textContaminate's CASE guard — sequence(1, n)
+    // with n < 1 would otherwise generate a DESCENDING range
+    val df = Seq((1L, "a b c"), (2L, "a b c d e f g h")).toDF("doc_id", "text")
+    val grams = df
+      .select(col("doc_id"), graft.text.TextFunctions.words(col("text")).as("ws"))
+      .select(col("doc_id"), explode(expr(
+        """CASE WHEN size(ws) >= 5
+          |THEN transform(sequence(1, size(ws) - 4), i -> array_join(slice(ws, i, 5), ' '))
+          |ELSE array() END""".stripMargin)).as("gram"))
+      .collect()
+    assert(grams.forall(_.getLong(0) == 2L), "3-word doc must yield zero grams")
+    assert(grams.length == 4, "8 words -> 4 five-grams")
+  }
+
   test("langId picks the language with most markers; und when none") {
     val df = Seq(
       "the cat is on a mat and the dog",
