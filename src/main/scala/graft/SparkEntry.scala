@@ -1244,6 +1244,47 @@ object SparkEntry {
     """SELECT l_suppkey % 32 AS k, count(*) AS est, CAST(0 AS BIGINT) AS err
       |FROM lineitem GROUP BY 1""".stripMargin
 
+  /** Join-cardinality estimation by CMS inner product (Cormode &
+    * Muthukrishnan §4.2): |A ⋈ B on k| = Σ_k f_A(k)·f_B(k), estimated
+    * as min over depths of the bucket-wise count product — each side
+    * is ONE fixed-size sketch pass, no shuffle of either table, which
+    * is how a planner sizes a 100 TB join before running it. The
+    * expected overestimate is n_A·n_B/width per depth (width 16384
+    * keeps it under ~10% here); the exact join count rides along to
+    * show the error. DuckDB replays both sketches and the product, so
+    * the ESTIMATE itself is hash-verified. */
+  private def anJoinSizeEst(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Sketches
+    val w = 16384
+    val oc = Sketches.cmsCells(
+      Tables.orders(s, dir).select(col("o_custkey")), col("o_custkey"), w)
+    val cc = Sketches.cmsCells(
+      Tables.customer(s, dir).select(col("c_custkey")), col("c_custkey"), w)
+    val est = oc.withColumnRenamed("c", "ca")
+      .join(cc.withColumnRenamed("c", "cb"), Seq("d", "bucket"))
+      .groupBy("d").agg(sum(col("ca") * col("cb")).as("z"))
+      .agg(min(col("z")).as("est_join_rows"))
+    val exact = Tables.orders(s, dir)
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .agg(count(lit(1)).as("exact_join_rows"))
+    est.crossJoin(exact)
+  }
+
+  private val anJoinSizeEstSql =
+    """WITH seeds(d, a, b) AS (VALUES (0, 1000003, 12289), (1, 998244353, 769), (2, 786433, 65537)),
+      |oc AS (SELECT d, ((CAST(o_custkey AS BIGINT) * a + b) % 2147483647) % 16384 AS bucket,
+      |              count(*) AS ca
+      |       FROM orders CROSS JOIN seeds GROUP BY 1, 2),
+      |cc AS (SELECT d, ((CAST(c_custkey AS BIGINT) * a + b) % 2147483647) % 16384 AS bucket,
+      |              count(*) AS cb
+      |       FROM customer CROSS JOIN seeds GROUP BY 1, 2),
+      |z AS (SELECT oc.d, sum(oc.ca * cc.cb) AS z
+      |      FROM oc JOIN cc ON oc.d = cc.d AND oc.bucket = cc.bucket GROUP BY 1),
+      |est AS (SELECT CAST(min(z) AS BIGINT) AS est_join_rows FROM z),
+      |ex AS (SELECT count(*) AS exact_join_rows
+      |       FROM orders JOIN customer ON o_custkey = c_custkey)
+      |SELECT est.est_join_rows, ex.exact_join_rows FROM est, ex""".stripMargin
+
   /** Benchmark decontamination: flag corpus documents sharing any
     * 5-token shingle with a benchmark set (docs 0..19 stand in for the
     * held-out eval set) — the GPT-3/Pile-style n-gram contamination
@@ -2082,7 +2123,8 @@ object SparkEntry {
     "an_hll_distinct" -> (anHllDistinct _),
     "sim_lsh_auto" -> (simLshAuto _),
     "an_heavy_hitters" -> (anHeavyHitters _),
-    "text_contaminate" -> (textContaminate _)
+    "text_contaminate" -> (textContaminate _),
+    "an_join_size_est" -> (anJoinSizeEst _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2167,6 +2209,7 @@ object SparkEntry {
     "an_cms_heavy" -> anCmsHeavySql,
     "an_hll_distinct" -> anHllDistinctSql,
     "an_heavy_hitters" -> anHeavyHittersSql,
-    "text_contaminate" -> textContaminateSql
+    "text_contaminate" -> textContaminateSql,
+    "an_join_size_est" -> anJoinSizeEstSql
   )
 }

@@ -97,8 +97,13 @@ object Sketches {
     * the table of the union — see the rolled-up "ALL" row in
     * SparkEntry.anHllDistinct.
     */
-  def hllRegisters(rows: DataFrame, key: Column, m: Int, groupCols: Seq[String] = Nil,
-                   a: Long = 1000003L, b: Long = 12289L, a2: Long = 786433L): DataFrame = {
+  /** The streamable half of [[hllRegisters]]: max-rho per HIT register
+    * only (no spine fill). A single groupBy-max, so it runs unchanged
+    * as a Structured Streaming aggregation (update/complete mode) —
+    * max is monotone, which is what makes HLL state incrementally
+    * maintainable; apply the spine + estimate math to the snapshot. */
+  def hllHits(rows: DataFrame, key: Column, m: Int, groupCols: Seq[String] = Nil,
+              a: Long = 1000003L, b: Long = 12289L, a2: Long = 786433L): DataFrame = {
     val remWidth = hllRemWidth(m)
     val h = temper(key, a, b, a2)
     // h < 2^31 so the double division below is exact; bin() yields the
@@ -107,9 +112,15 @@ object Sketches {
     val rho = when(rem === 0, lit(remWidth + 1))
       .otherwise(lit(remWidth) + 1 - length(bin(rem)))
     val gCols = groupCols.map(col)
-    val hit = rows.select(gCols :+ (h % m).as("register") :+ rho.as("rho"): _*)
+    rows.select(gCols :+ (h % m).as("register") :+ rho.as("rho"): _*)
       .groupBy(gCols :+ col("register"): _*)
       .agg(max("rho").as("rho"))
+  }
+
+  def hllRegisters(rows: DataFrame, key: Column, m: Int, groupCols: Seq[String] = Nil,
+                   a: Long = 1000003L, b: Long = 12289L, a2: Long = 786433L): DataFrame = {
+    val hit = hllHits(rows, key, m, groupCols, a, b, a2)
+    val gCols = groupCols.map(col)
     val spark = rows.sparkSession
     val regs = spark.range(0, m).select(col("id").as("register"))
     val spine =

@@ -105,6 +105,23 @@ class SketchesSpec extends SparkSpec {
     assert(streamed == batch, "incremental sketch must equal the batch sketch")
   }
 
+  test("HLL hits over a stream equal the batch aggregation on the same data") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val data = (1L to 4000L)
+    val in = MemoryStream[Long]
+    in.addData(data.take(1500): _*)
+    val q = Sketches.hllHits(in.toDF().toDF("k"), col("k"), 64)
+      .writeStream.outputMode("complete").format("memory").queryName("hllstream").start()
+    q.processAllAvailable()
+    in.addData(data.drop(1500): _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("hllstream").as[(Long, Int)].collect().toSet
+    val batch = Sketches.hllHits(data.toDF("k"), col("k"), 64).as[(Long, Int)].collect().toSet
+    assert(streamed == batch, "incremental max-rho state must equal the batch sketch")
+  }
+
   test("HLL z_scaled is the exact scaled harmonic sum") {
     val m = 64
     val regs = Sketches.hllRegisters(spark.range(100).toDF("k"), col("k"), m)
