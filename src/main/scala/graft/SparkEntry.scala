@@ -1350,6 +1350,32 @@ object SparkEntry {
        |    (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) >= 0.05
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Incremental dedup: the newest fifth of the corpus (by doc_id)
+    * arrives as today's batch and pairs only against the historical
+    * 80% — corpus×corpus work never re-runs. The cutoff is relative
+    * (0.8·(max+1)) so the batch/corpus shape holds at every SF; the
+    * max() comes from parquet footer stats, not a data scan. */
+  private def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val cut = docs.agg(floor((max(col("doc_id")) + 1) * 0.8).cast("long"))
+      .head().getLong(0)
+    graft.dedup.Dedup.incrementalJaccardPairs(
+        docs.filter(col("doc_id") >= cut), docs.filter(col("doc_id") < cut),
+        "text", "doc_id", k = 3, tau = 0.05)
+      .orderBy(col("doc_new"), col("doc_old"))
+  }
+
+  private val dedupIncrementalSql =
+    s"""WITH sh AS ($duckShingles),
+       |cut AS (SELECT CAST(floor((max(doc_id) + 1) * 0.8) AS BIGINT) AS cut FROM documents)
+       |SELECT a.doc_id AS doc_new, b.doc_id AS doc_old,
+       |  len(list_intersect(a.shingles, b.shingles)) * 1.0 /
+       |    (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) AS jaccard
+       |FROM sh a JOIN sh b ON a.doc_id >= (SELECT cut FROM cut) AND b.doc_id < (SELECT cut FROM cut)
+       |WHERE len(list_intersect(a.shingles, b.shingles)) * 1.0 /
+       |    (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) >= 0.05
+       |ORDER BY doc_new, doc_old""".stripMargin
+
   /** MinHash-LSH candidates verified by exact Jaccard. The oracle is the
     * EXACT τ>=0.5 pair set: valid because verification removes all false
     * positives and the 16×4 banding's recall at τ>=0.5 is empirically
@@ -2124,7 +2150,8 @@ object SparkEntry {
     "sim_lsh_auto" -> (simLshAuto _),
     "an_heavy_hitters" -> (anHeavyHitters _),
     "text_contaminate" -> (textContaminate _),
-    "an_join_size_est" -> (anJoinSizeEst _)
+    "an_join_size_est" -> (anJoinSizeEst _),
+    "dedup_incremental" -> (dedupIncremental _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2210,6 +2237,7 @@ object SparkEntry {
     "an_hll_distinct" -> anHllDistinctSql,
     "an_heavy_hitters" -> anHeavyHittersSql,
     "text_contaminate" -> textContaminateSql,
-    "an_join_size_est" -> anJoinSizeEstSql
+    "an_join_size_est" -> anJoinSizeEstSql,
+    "dedup_incremental" -> dedupIncrementalSql
   )
 }

@@ -81,6 +81,36 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Incremental near-dup: (new doc, corpus doc) pairs with J ≥ tau —
+    * the daily-ingest shape. Only new×corpus postings join; the
+    * historical corpus is PROBED, never self-paired, so a day's
+    * increment costs O(|new| · shared postings) regardless of corpus
+    * size — re-running the symmetric all-pairs op over corpus+new
+    * would redo the entire corpus×corpus work each day. Downstream:
+    * drop new docs that pair with the corpus (or with an earlier
+    * new-batch doc via the symmetric op over the small batch alone).
+    */
+  def incrementalJaccardPairs(newDf: DataFrame, corpus: DataFrame,
+                              textCol: String, idCol: String,
+                              k: Int = 3, tau: Double = 0.05): DataFrame = {
+    val newSets = persistOwned(shingleSets(newDf, textCol, idCol, k))
+    val oldSets = persistOwned(shingleSets(corpus, textCol, idCol, k))
+    def posting(sets: DataFrame) =
+      sets.select(col("doc_id"), explode(col("shingles")).as("sh"))
+        .select(col("doc_id"), xxhash64(col("sh")).as("sh"))
+    def sizes(sets: DataFrame, id: String, n: String) =
+      sets.select(col("doc_id").as(id), size(col("shingles")).as(n))
+    posting(newSets).as("x").join(posting(oldSets).as("y"), "sh")
+      .groupBy(col("x.doc_id").as("doc_new"), col("y.doc_id").as("doc_old"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(sizes(newSets, "doc_new", "na"), "doc_new")
+      .join(sizes(oldSets, "doc_old", "nb"), "doc_old")
+      .withColumn("jaccard",
+        col("n_common") * lit(1.0) / (col("na") + col("nb") - col("n_common")))
+      .filter(col("jaccard") >= tau)
+      .select("doc_new", "doc_old", "jaccard")
+  }
+
   /** Prefix-filtered exact all-pairs Jaccard (PPJoin-style): identical
     * output to [[ngramJaccardPairs]], far fewer candidates at scale.
     *

@@ -22,6 +22,19 @@ class TextDedupSpec extends SparkSpec {
     assert(grams.length == 4, "8 words -> 4 five-grams")
   }
 
+  test("incrementalJaccardPairs equals the cross-slice of the symmetric op") {
+    val docs = Tables.documents(spark, sfDir)
+    val inc = Dedup.incrementalJaccardPairs(
+        docs.filter($"doc_id" >= 400), docs.filter($"doc_id" < 400), "text", "doc_id")
+      .select("doc_new", "doc_old").as[(Long, Long)].collect().toSet
+    // the symmetric op emits doc_a < doc_b, so a cross pair is (old, new)
+    val symPairs: Set[(Long, Long)] = Dedup.ngramJaccardPairs(docs, "text", "doc_id")
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val expected = symPairs.collect { case (a, b) if a < 400 && b >= 400 => (b, a) }
+    assert(inc == expected, s"incremental $inc != symmetric cross-slice $expected")
+    Dedup.releaseCaches()
+  }
+
   test("langId picks the language with most markers; und when none") {
     val df = Seq(
       "the cat is on a mat and the dog",
