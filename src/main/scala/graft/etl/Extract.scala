@@ -23,6 +23,16 @@ object Extract {
   def parquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Parquet read across schema-evolved file generations: mergeSchema
+    * unions every footer's schema (added columns read as NULL in older
+    * files) instead of trusting one random file's schema — the
+    * standard posture for a long-lived landing dir whose producer
+    * gained columns over time. Merge cost is one footer per file at
+    * planning, not a data scan; keep it OFF (the default read) for
+    * single-generation tables where footers agree. */
+  def parquetEvolved(spark: SparkSession, paths: String*): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(paths: _*)
+
   def orc(spark: SparkSession, path: String): DataFrame =
     spark.read.orc(path)
 

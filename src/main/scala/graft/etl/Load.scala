@@ -153,4 +153,46 @@ object Load {
     override def readBack(spark: SparkSession): Option[DataFrame] =
       lastSucceeded.flatMap(_.readBack(spark))
   }
+
+  /** Small-files compaction: rewrite a parquet directory into
+    * ~`targetBytes`-sized files. Streaming sinks and per-batch appends
+    * fragment a table into thousands of KB-scale files, and at 100 TB
+    * the scan then pays one open/footer-parse per file and the
+    * scheduler one task per file — compaction is the standing
+    * maintenance job every lakehouse runs. Sizing uses the actual
+    * on-disk bytes (filesystem listing, no data scan); the rewrite is
+    * one `coalesce` job — no shuffle, each output file concatenates
+    * whole input partitions. Writes to a temp sibling then swaps, so a
+    * failed rewrite never destroys the source.
+    *
+    * Returns (filesBefore, filesAfter).
+    */
+  def compactParquet(spark: SparkSession, dir: String,
+                     targetBytes: Long = 128L << 20): (Int, Int) = {
+    require(targetBytes > 0)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(conf)
+    val parts = fs.listStatus(path)
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    val totalBytes = parts.map(_.getLen).sum
+    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    val tmp = new org.apache.hadoop.fs.Path(dir + "_compact_tmp")
+    fs.delete(tmp, true)
+    spark.read.parquet(dir).coalesce(nOut)
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    // swap: the destination disappears only after the rewrite succeeded
+    val bak = new org.apache.hadoop.fs.Path(dir + "_compact_old")
+    fs.delete(bak, true)
+    if (!fs.rename(path, bak))
+      throw new IllegalStateException(s"compaction swap failed for $dir")
+    if (!fs.rename(tmp, path)) {
+      fs.rename(bak, path) // roll back
+      throw new IllegalStateException(s"compaction swap failed for $dir")
+    }
+    fs.delete(bak, true)
+    val after = fs.listStatus(path)
+      .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    (parts.length, after)
+  }
 }

@@ -153,4 +153,36 @@ class EtlSpec extends SparkSpec {
     finally conn.close()
     intercept[IllegalStateException] { Load.reconcile(df, sink) }
   }
+
+  test("compactParquet rewrites fragments into sized files and keeps every row") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val dir = s"$tmp/frag"
+    // 200 partitions of a 5000-row frame -> 200 tiny files
+    spark.range(5000).selectExpr("id", "id % 7 AS g")
+      .repartition(200).write.parquet(dir)
+    val before = new java.io.File(dir).listFiles.count(_.getName.endsWith(".parquet"))
+    assert(before > 100, s"fixture should be fragmented, saw $before files")
+    val (reported, after) = graft.etl.Load.compactParquet(spark, dir, targetBytes = 1L << 20)
+    assert(reported == before)
+    assert(after < 10, s"compaction should collapse the file count, got $after")
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 5000)
+    assert(back.agg(org.apache.spark.sql.functions.sum("id")).head().getLong(0)
+      == 5000L * 4999 / 2, "content must survive the swap")
+    assert(!new java.io.File(s"${dir}_compact_tmp").exists, "temp dir must be cleaned")
+    assert(!new java.io.File(s"${dir}_compact_old").exists, "backup dir must be cleaned")
+  }
+
+  test("parquetEvolved merges schema generations, old files read NULL for new cols") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_evolve").toString
+    spark.range(3).selectExpr("id", "id * 2 AS a")
+      .write.parquet(s"$tmp/gen1")
+    spark.range(3, 6).selectExpr("id", "id * 2 AS a", "'x' AS b")
+      .write.parquet(s"$tmp/gen2")
+    val merged = graft.etl.Extract.parquetEvolved(spark, s"$tmp/gen1", s"$tmp/gen2")
+    assert(merged.columns.toSet == Set("id", "a", "b"))
+    assert(merged.count() == 6)
+    assert(merged.filter("b IS NULL").count() == 3, "gen1 rows must read NULL b")
+    assert(merged.filter("b = 'x'").count() == 3)
+  }
 }
