@@ -115,6 +115,26 @@ object TextFunctions {
   /** Winnowing-style rolling fingerprint: min/max xxhash64 over word
     * k-shingles — a compact sketch for shift-tolerant near-dup checks.
     * (Spark-hash based, so verified by ScalaTest rather than SQL oracle.) */
+  /** PII redaction: mask emails, international/US-style phone numbers,
+    * and IPv4 addresses with typed placeholders — the scrub pass every
+    * training-data pipeline runs before text leaves the landing zone.
+    * Three chained `regexp_replace` expressions: still one codegen'd
+    * projection, no UDF, linear in text size at any scale. Patterns are
+    * deliberately conservative (precision over recall): a redactor
+    * that eats version strings or timestamps corrupts more data than
+    * it protects. Order matters — emails first, so user@host never
+    * survives as a "phone-like" digit run; IPv4 before phone, so
+    * dotted quads don't half-match the phone pattern. */
+  def redactPii(c: Column): Column = {
+    val email = regexp_replace(c,
+      lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"), lit("<EMAIL>"))
+    val ip = regexp_replace(email,
+      lit("\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"), lit("<IP>"))
+    regexp_replace(ip,
+      lit("(?<!\\d)(?:\\+\\d{1,2} )?(?:\\(\\d{3}\\) ?|\\d{3}[-.])\\d{3}[-.]\\d{4}(?!\\d)"),
+      lit("<PHONE>"))
+  }
+
   def shingleSketch(c: Column, k: Int = 3): Column = {
     val sh = shingles(c, k)
     val hs = transform(sh, s => xxhash64(s))

@@ -68,4 +68,23 @@ class SpaceSavingSpec extends SparkSpec {
     val many = run(small, capacity = 32, parts = 13).toSet
     assert(one == many, "exact regime must be partition-order invariant")
   }
+
+  test("space-saving as a streaming aggregation equals the batch sketch (exact regime)") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val data = (1 to 600).map(i => (i % 23).toLong)
+    val in = MemoryStream[Long]
+    in.addData(data.take(300): _*)
+    val q = in.toDS()
+      .select(new SpaceSaving(64).toColumn.name("hh"))
+      .writeStream.outputMode("complete").format("memory").queryName("sshh").start()
+    q.processAllAvailable()
+    in.addData(data.drop(300): _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("sshh").as[Seq[(Long, Long, Long)]].head().toSet
+    val batch = spark.createDataset(data)
+      .select(new SpaceSaving(64).toColumn.name("hh")).head().toSet
+    assert(streamed == batch, "incremental counter state must equal the batch sketch")
+  }
 }

@@ -35,6 +35,22 @@ class TextDedupSpec extends SparkSpec {
     Dedup.releaseCaches()
   }
 
+  test("redactPii masks emails, phones, IPs and leaves lookalikes alone") {
+    val cases = Seq(
+      ("contact bob.smith+x@corp.example.org today", "contact <EMAIL> today"),
+      ("call 555-123-4567 or (555) 123-4567 now", "call <PHONE> or <PHONE> now"),
+      ("intl +1 555-123-4567 ok", "intl <PHONE> ok"),
+      ("host 192.168.001.1 down", "host <IP> down"),
+      // precision over recall: versions, years, plain number pairs survive
+      ("v1.2.3 released 2024 batch 100 200", "v1.2.3 released 2024 batch 100 200"),
+      ("id 1234567890123 is not a phone", "id 1234567890123 is not a phone"))
+    val out = cases.map(_._1).toDF("t")
+      .select(TextFunctions.redactPii(col("t"))).as[String].collect()
+    out.zip(cases.map(_._2)).foreach { case (got, want) =>
+      assert(got == want, s"got '$got', want '$want'")
+    }
+  }
+
   test("langId picks the language with most markers; und when none") {
     val df = Seq(
       "the cat is on a mat and the dog",
