@@ -177,22 +177,54 @@ object Load {
       .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
     val totalBytes = parts.map(_.getLen).sum
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
-    val tmp = new org.apache.hadoop.fs.Path(dir + "_compact_tmp")
-    fs.delete(tmp, true)
-    spark.read.parquet(dir).coalesce(nOut)
-      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    // swap: the destination disappears only after the rewrite succeeded
-    val bak = new org.apache.hadoop.fs.Path(dir + "_compact_old")
-    fs.delete(bak, true)
-    if (!fs.rename(path, bak))
-      throw new IllegalStateException(s"compaction swap failed for $dir")
-    if (!fs.rename(tmp, path)) {
-      fs.rename(bak, path) // roll back
-      throw new IllegalStateException(s"compaction swap failed for $dir")
-    }
-    fs.delete(bak, true)
+    rewriteSwap(spark, dir, spark.read.parquet(dir).coalesce(nOut))
     val after = fs.listStatus(path)
       .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
     (parts.length, after)
+  }
+
+  /** File-based upsert (MERGE by key, latest wins): rows of `updates`
+    * replace target rows sharing their key; unmatched target rows are
+    * kept, unmatched updates inserted. The merge is one left_anti join
+    * (broadcast when the update batch is small — the common CDC shape)
+    * plus a union; the rewrite goes through the same temp-and-swap as
+    * [[compactParquet]], so a failed merge never corrupts the target.
+    * This is the poor-lakehouse MERGE INTO for plain parquet dirs —
+    * rewriting the whole table per batch; at real CDC volume, partition
+    * the target and merge only touched partitions. */
+  def upsertParquet(spark: SparkSession, dir: String, updates: DataFrame,
+                    keyCols: Seq[String]): Unit = {
+    require(keyCols.nonEmpty)
+    val target = spark.read.parquet(dir)
+    val merged = updates.unionByName(
+      target.join(broadcast(updates.select(keyCols.map(org.apache.spark.sql.functions.col): _*)),
+        keyCols, "left_anti"))
+    rewriteSwap(spark, dir, merged)
+  }
+
+  private def broadcast(df: DataFrame): DataFrame =
+    org.apache.spark.sql.functions.broadcast(df)
+
+  /** Materialize `replacement` into a temp sibling of `dir`, then swap
+    * it in place (backup-rename-restore): the source stays intact until
+    * the rewrite has fully succeeded. The replacement plan may READ
+    * `dir` — it is computed against the original files before any
+    * rename happens. */
+  private def rewriteSwap(spark: SparkSession, dir: String, replacement: DataFrame): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(conf)
+    val tmp = new org.apache.hadoop.fs.Path(dir + "_rewrite_tmp")
+    fs.delete(tmp, true)
+    replacement.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    val bak = new org.apache.hadoop.fs.Path(dir + "_rewrite_old")
+    fs.delete(bak, true)
+    if (!fs.rename(path, bak))
+      throw new IllegalStateException(s"rewrite swap failed for $dir")
+    if (!fs.rename(tmp, path)) {
+      fs.rename(bak, path) // roll back
+      throw new IllegalStateException(s"rewrite swap failed for $dir")
+    }
+    fs.delete(bak, true)
   }
 }

@@ -169,8 +169,8 @@ class EtlSpec extends SparkSpec {
     assert(back.count() == 5000)
     assert(back.agg(org.apache.spark.sql.functions.sum("id")).head().getLong(0)
       == 5000L * 4999 / 2, "content must survive the swap")
-    assert(!new java.io.File(s"${dir}_compact_tmp").exists, "temp dir must be cleaned")
-    assert(!new java.io.File(s"${dir}_compact_old").exists, "backup dir must be cleaned")
+    assert(!new java.io.File(s"${dir}_rewrite_tmp").exists, "temp dir must be cleaned")
+    assert(!new java.io.File(s"${dir}_rewrite_old").exists, "backup dir must be cleaned")
   }
 
   test("parquetEvolved merges schema generations, old files read NULL for new cols") {
@@ -184,5 +184,18 @@ class EtlSpec extends SparkSpec {
     assert(merged.count() == 6)
     assert(merged.filter("b IS NULL").count() == 3, "gen1 rows must read NULL b")
     assert(merged.filter("b = 'x'").count() == 3)
+  }
+
+  test("upsertParquet merges by key: update wins, unmatched rows survive") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_upsert").toString
+    val dir = s"$tmp/tbl"
+    Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30)).toDF("k", "name", "v")
+      .write.parquet(dir)
+    val updates = Seq((2L, "b2", 99), (4L, "d", 40)).toDF("k", "name", "v")
+    graft.etl.Load.upsertParquet(spark, dir, updates, Seq("k"))
+    val got = spark.read.parquet(dir).as[(Long, String, Int)].collect().toSet
+    assert(got == Set((1L, "a", 10), (2L, "b2", 99), (3L, "c", 30), (4L, "d", 40)))
+    assert(!new java.io.File(s"${dir}_rewrite_tmp").exists)
+    assert(!new java.io.File(s"${dir}_rewrite_old").exists)
   }
 }
