@@ -1997,6 +1997,56 @@ object SparkEntry {
     best * lit(1.0) / size(arr)
   }
 
+  /** The composed C4/Gopher-style quality gate: every keep/drop signal
+    * (length, lexical diversity, top-word repetition, language) in ONE
+    * row-local projection — a single scan, one tokenize, no shuffle
+    * except the presentation sort. `reasons` lists every failed check
+    * (concat_ws drops the null passes), so the drop report doubles as
+    * the filter audit log a 100 TB curation run needs. */
+  private def textFilterPipeline(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.TextFunctions
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), TextFunctions.words(col("text")).as("ws"))
+    val nWords = size(col("ws"))
+    val distinctRatio = size(array_distinct(col("ws"))) * lit(1.0) / nWords
+    val checks = Seq(
+      "too_short" -> (nWords < 10),
+      "low_diversity" -> (distinctRatio < 0.2),
+      "repetitive" -> (topRunFrac(col("ws")) > 0.2),
+      "not_en" -> (TextFunctions.langIdWords(col("ws")) =!= "en"))
+    docs
+      .withColumn("reasons", concat_ws(",",
+        checks.map { case (n, c) => when(c, lit(n)) }: _*))
+      .select(col("doc_id"), (col("reasons") === "").as("keep"), col("reasons"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val textFilterPipelineSql = {
+    def cnt(ws: Seq[String]) =
+      s"len(list_filter(w, x -> x IN (${ws.map(w => s"'$w'").mkString(",")})))"
+    val de = cnt(graft.text.TextFunctions.Stopwords("de"))
+    val en = cnt(graft.text.TextFunctions.Stopwords("en"))
+    val es = cnt(graft.text.TextFunctions.Stopwords("es"))
+    val fr = cnt(graft.text.TextFunctions.Stopwords("fr"))
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |cnt AS (SELECT doc_id, gram, count(*) AS c
+       |        FROM (SELECT doc_id, unnest(w) AS gram FROM w) GROUP BY 1, 2),
+       |top AS (SELECT doc_id, max(c) * 1.0 / sum(c) AS top_word_frac FROM cnt GROUP BY 1),
+       |sig AS (SELECT w.doc_id,
+       |  concat_ws(',',
+       |    CASE WHEN len(w) < 10 THEN 'too_short' END,
+       |    CASE WHEN len(list_distinct(w)) * 1.0 / len(w) < 0.2 THEN 'low_diversity' END,
+       |    CASE WHEN top.top_word_frac > 0.2 THEN 'repetitive' END,
+       |    CASE WHEN (CASE WHEN GREATEST($de, $en, $es, $fr) = 0 THEN 'und'
+       |               WHEN $de = GREATEST($de, $en, $es, $fr) THEN 'de'
+       |               WHEN $en = GREATEST($de, $en, $es, $fr) THEN 'en'
+       |               WHEN $es = GREATEST($de, $en, $es, $fr) THEN 'es'
+       |               WHEN $fr = GREATEST($de, $en, $es, $fr) THEN 'fr'
+       |               ELSE 'und' END) <> 'en' THEN 'not_en' END) AS reasons
+       |  FROM w JOIN top USING (doc_id))
+       |SELECT doc_id, reasons = '' AS keep, reasons FROM sig ORDER BY doc_id""".stripMargin
+  }
+
   private def textRepetition(s: SparkSession, dir: String): DataFrame = {
     val w = graft.text.TextFunctions.words(col("text"))
     val bigrams = transform(sequence(lit(1), size(w) - 1),
@@ -2151,7 +2201,8 @@ object SparkEntry {
     "an_heavy_hitters" -> (anHeavyHitters _),
     "text_contaminate" -> (textContaminate _),
     "an_join_size_est" -> (anJoinSizeEst _),
-    "dedup_incremental" -> (dedupIncremental _)
+    "dedup_incremental" -> (dedupIncremental _),
+    "text_filter_pipeline" -> (textFilterPipeline _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2238,6 +2289,7 @@ object SparkEntry {
     "an_heavy_hitters" -> anHeavyHittersSql,
     "text_contaminate" -> textContaminateSql,
     "an_join_size_est" -> anJoinSizeEstSql,
-    "dedup_incremental" -> dedupIncrementalSql
+    "dedup_incremental" -> dedupIncrementalSql,
+    "text_filter_pipeline" -> textFilterPipelineSql
   )
 }

@@ -183,6 +183,23 @@ object Load {
     (parts.length, after)
   }
 
+  /** Write through a sink with ONE-PASS load metrics via Spark's
+    * Observation API: the named aggregates ride the write job itself —
+    * no second scan, unlike the reference's validate step re-reading
+    * what it just loaded (scripts/validate.py:75–80). Typical metrics:
+    * `count(lit(1))`, per-column null counts, `sum` of a measure for
+    * balance checks. Returns the observed values after the write
+    * completes. At 100 TB a re-scan for row counts doubles the load
+    * cost; observation makes the audit free. */
+  def writeObserved(df: DataFrame, sink: Sink,
+                    metrics: Map[String, org.apache.spark.sql.Column]): Map[String, Any] = {
+    require(metrics.nonEmpty)
+    val obs = new org.apache.spark.sql.Observation()
+    val cols = metrics.toSeq.map { case (n, c) => c.as(n) }
+    sink.write(df.observe(obs, cols.head, cols.tail: _*))
+    obs.get
+  }
+
   /** File-based upsert (MERGE by key, latest wins): rows of `updates`
     * replace target rows sharing their key; unmatched target rows are
     * kept, unmatched updates inserted. The merge is one left_anti join

@@ -30,18 +30,26 @@ object TextFunctions {
     regexp_count(c, lit("[a-z0-9]+|[^a-z0-9 ]"))
 
   /** Count of words from `set` (exact membership on the word array). */
-  def markerCount(c: Column, set: Seq[String]): Column = {
-    val arr = words(c)
+  def markerCount(c: Column, set: Seq[String]): Column =
+    markerCountWords(words(c), set)
+
+  /** [[markerCount]] over an already-tokenized word array — use when
+    * several signals share one split (re-splitting per signal is the
+    * text_tfidf double-tokenize lesson). */
+  def markerCountWords(arr: Column, set: Seq[String]): Column =
     size(filter(arr, w => w.isin(set: _*)))
-  }
 
   /** Heuristic language ID from per-language marker-word counts.
     * Deterministic tie-break: languages checked in alphabetical order,
     * `>=` against the global max, so the earliest language wins ties;
     * all-zero counts → "und". */
-  def langId(c: Column, markers: Map[String, Seq[String]] = Stopwords): Column = {
+  def langId(c: Column, markers: Map[String, Seq[String]] = Stopwords): Column =
+    langIdWords(words(c), markers)
+
+  /** [[langId]] over an already-tokenized word array. */
+  def langIdWords(arr: Column, markers: Map[String, Seq[String]] = Stopwords): Column = {
     val langs = markers.keys.toSeq.sorted
-    val counts = langs.map(l => l -> markerCount(c, markers(l))).toMap
+    val counts = langs.map(l => l -> markerCountWords(arr, markers(l))).toMap
     val mx = greatest(langs.map(counts): _*)
     langs.foldLeft(when(mx === 0, lit("und"))) { (acc, l) =>
       acc.when(counts(l) === mx, lit(l))

@@ -198,4 +198,18 @@ class EtlSpec extends SparkSpec {
     assert(!new java.io.File(s"${dir}_rewrite_tmp").exists)
     assert(!new java.io.File(s"${dir}_rewrite_old").exists)
   }
+
+  test("writeObserved reports load metrics from the write pass itself") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_observe").toString
+    val df = Seq((1L, Some(10)), (2L, None), (3L, Some(30))).toDF("k", "v")
+    val got = graft.etl.Load.writeObserved(df,
+      graft.etl.Load.ParquetSink(s"$tmp/out"),
+      Map("rows" -> count(lit(1)), "null_v" -> count(when(col("v").isNull, 1)),
+          "sum_v" -> sum(col("v"))))
+    assert(got("rows") == 3L, s"got $got")
+    assert(got("null_v") == 1L)
+    assert(got("sum_v") == 40L)
+    assert(spark.read.parquet(s"$tmp/out").count() == 3, "write must still land")
+  }
 }
