@@ -219,6 +219,44 @@ object Load {
     rewriteSwap(spark, dir, merged)
   }
 
+  /** Partition-scoped upsert: the scale path [[upsertParquet]] points
+    * at. Only partitions present in the CDC batch are read (partition
+    * pruning keeps the scan to touched subdirs), merged, and swapped —
+    * a day's worth of updates against a 100 TB date-partitioned table
+    * rewrites one date's files, not the table. Untouched partition
+    * directories are never opened or renamed. */
+  def upsertPartitioned(spark: SparkSession, dir: String, updates: DataFrame,
+                        keyCols: Seq[String], partitionCol: String): Unit = {
+    require(keyCols.nonEmpty && !keyCols.contains(partitionCol))
+    import org.apache.spark.sql.functions.col
+    val touched = updates.select(col(partitionCol)).distinct().collect().map(_.get(0))
+    if (touched.isEmpty) return
+    val target = spark.read.parquet(dir).filter(col(partitionCol).isin(touched: _*))
+    val merged = updates.unionByName(
+      target.join(broadcast(updates.select((keyCols :+ partitionCol).map(col): _*)),
+        keyCols :+ partitionCol, "left_anti"))
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    val tmp = dir + "_rewrite_tmp"
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    merged.write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(tmp)
+    touched.foreach { v =>
+      val sub = s"$partitionCol=$v"
+      val dst = new org.apache.hadoop.fs.Path(s"$dir/$sub")
+      val src = new org.apache.hadoop.fs.Path(s"$tmp/$sub")
+      val bak = new org.apache.hadoop.fs.Path(s"$dir/${sub}_rewrite_old")
+      fs.delete(bak, true)
+      if (fs.exists(dst) && !fs.rename(dst, bak))
+        throw new IllegalStateException(s"upsert swap failed for $dst")
+      if (!fs.rename(src, dst)) {
+        fs.rename(bak, dst)
+        throw new IllegalStateException(s"upsert swap failed for $dst")
+      }
+      fs.delete(bak, true)
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+  }
+
   private def broadcast(df: DataFrame): DataFrame =
     org.apache.spark.sql.functions.broadcast(df)
 

@@ -212,4 +212,25 @@ class EtlSpec extends SparkSpec {
     assert(got("sum_v") == 40L)
     assert(spark.read.parquet(s"$tmp/out").count() == 3, "write must still land")
   }
+
+  test("upsertPartitioned rewrites only touched partitions") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_pupsert").toString
+    val dir = s"$tmp/tbl"
+    Seq((1L, "d1", 10), (2L, "d1", 20), (3L, "d2", 30), (4L, "d3", 40))
+      .toDF("k", "dt", "v")
+      .write.partitionBy("dt").parquet(dir)
+    def files(p: String) = new java.io.File(p).listFiles
+      .filter(_.getName.endsWith(".parquet")).map(f => (f.getName, f.lastModified)).toSet
+    val d2Before = files(s"$dir/dt=d2")
+    val d3Before = files(s"$dir/dt=d3")
+    val updates = Seq((2L, "d1", 99), (5L, "d1", 50)).toDF("k", "dt", "v")
+    graft.etl.Load.upsertPartitioned(spark, dir, updates, Seq("k"), "dt")
+    val got = spark.read.parquet(dir).select("k", "dt", "v")
+      .as[(Long, String, Int)].collect().toSet
+    assert(got == Set((1L, "d1", 10), (2L, "d1", 99), (5L, "d1", 50),
+      (3L, "d2", 30), (4L, "d3", 40)))
+    assert(files(s"$dir/dt=d2") == d2Before, "untouched partition files must not move")
+    assert(files(s"$dir/dt=d3") == d3Before, "untouched partition files must not move")
+    assert(!new java.io.File(s"${dir}_rewrite_tmp").exists)
+  }
 }

@@ -40,6 +40,18 @@ class SketchesSpec extends SparkSpec {
     perDepth.foreach(r => assert(r.getLong(1) == n, s"depth ${r.get(0)} lost mass"))
   }
 
+  test("CMS cells merge by cellwise sum (sketch of union = sum of sketches)") {
+    val a = (1 to 400).map(i => (i % 53).toLong).toDF("k")
+    val b = (1 to 300).map(i => (i % 31).toLong).toDF("k")
+    val direct = Sketches.cmsCells(a.unionByName(b), col("k"), 256)
+      .as[(Int, Long, Long)].collect().toSet
+    val merged = Sketches.cmsCells(a, col("k"), 256)
+      .unionByName(Sketches.cmsCells(b, col("k"), 256))
+      .groupBy("d", "bucket").agg(sum("c").as("c"))
+      .as[(Int, Long, Long)].collect().toSet
+    assert(direct == merged)
+  }
+
   // -------------------------------------------------------- HyperLogLog
 
   test("HLL estimate lands within 3 standard errors of true cardinality") {
