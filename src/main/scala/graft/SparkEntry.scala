@@ -1319,6 +1319,57 @@ object SparkEntry {
       |WHERE g.doc_id >= 20
       |GROUP BY 1 ORDER BY doc_id""".stripMargin
 
+  /** KMV/theta distinct sketch per order priority + an ALL rollup: the
+    * k smallest distinct tempered hashes are a uniform sample of the
+    * key set, the estimate is one integer division — everything
+    * deterministic, so the oracle hash-verifies the sample size, θ,
+    * AND the estimate (contrast an_hll_distinct, where only the
+    * register state is integer-exact). Groups under k distinct keys
+    * land in the exact regime (est = true distinct). The aggregator
+    * carries O(k) state map-side — same shuffle shape as top-k. */
+  private def anThetaDistinct(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.{KmvSketch, Sketches}
+    val k = 256
+    val ords = Tables.orders(s, dir)
+      .select(col("o_orderpriority").as("grp"),
+        Sketches.temperedHash(col("o_custkey")).as("h"))
+      .as[(String, Long)]
+    val perGrp = ords.groupByKey(_._1)
+      .agg(new KmvSketch[(String, Long)](k, _._2).toColumn.name("sample"))
+      .toDF("grp", "sample")
+    val all = ords.map(_._2)
+      .select(new KmvSketch[Long](k, identity).toColumn.name("sample"))
+      .toDF("sample").withColumn("grp", lit("ALL"))
+    perGrp.unionByName(all)
+      .select(col("grp"),
+        size(col("sample")).cast("long").as("n_sample"),
+        element_at(col("sample"), -1).as("theta_h"),
+        when(size(col("sample")) < k, size(col("sample")).cast("long"))
+          .otherwise(expr(s"${(k - 1).toLong * graft.functions.Sketches.P} div element_at(sample, -1)"))
+          .as("est"))
+  }
+
+  private val anThetaDistinctSql =
+    s"""WITH t1 AS (
+      |  SELECT o_orderpriority AS grp,
+      |         ((CAST(o_custkey AS BIGINT) * 1000003 + 12289) % 2147483647) AS x
+      |  FROM orders),
+      |t2 AS (SELECT grp, xor(x, x >> 15) AS x FROM t1),
+      |t3 AS (SELECT grp, (x * 786433) % 2147483647 AS x FROM t2),
+      |h_rows AS (SELECT grp, xor(x, x >> 13) AS h FROM t3),
+      |dh AS (SELECT DISTINCT grp, h FROM h_rows),
+      |rk AS (SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS r FROM dh),
+      |g AS (SELECT grp, count(*) AS n_sample, max(h) AS theta_h FROM rk WHERE r <= 256 GROUP BY 1),
+      |alldh AS (SELECT DISTINCT h FROM h_rows),
+      |allrk AS (SELECT h, row_number() OVER (ORDER BY h) AS r FROM alldh),
+      |allg AS (SELECT 'ALL' AS grp, count(*) AS n_sample, max(h) AS theta_h FROM allrk WHERE r <= 256),
+      |u AS (SELECT * FROM g UNION ALL SELECT * FROM allg)
+      |SELECT grp, n_sample, theta_h,
+      |  CASE WHEN n_sample < 256 THEN n_sample
+      |       ELSE ${255L * graft.functions.Sketches.P} // theta_h END AS est
+      |FROM u""".stripMargin
+
   // -------------------------------------------------- D. training-data ops
 
   private def dedupExact(s: SparkSession, dir: String): DataFrame =
@@ -2202,7 +2253,8 @@ object SparkEntry {
     "text_contaminate" -> (textContaminate _),
     "an_join_size_est" -> (anJoinSizeEst _),
     "dedup_incremental" -> (dedupIncremental _),
-    "text_filter_pipeline" -> (textFilterPipeline _)
+    "text_filter_pipeline" -> (textFilterPipeline _),
+    "an_theta_distinct" -> (anThetaDistinct _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2290,6 +2342,7 @@ object SparkEntry {
     "text_contaminate" -> textContaminateSql,
     "an_join_size_est" -> anJoinSizeEstSql,
     "dedup_incremental" -> dedupIncrementalSql,
-    "text_filter_pipeline" -> textFilterPipelineSql
+    "text_filter_pipeline" -> textFilterPipelineSql,
+    "an_theta_distinct" -> anThetaDistinctSql
   )
 }

@@ -83,6 +83,12 @@ object Sketches {
       .agg(min(coalesce(col("c"), lit(0L))).as("est"))
   }
 
+  /** The tempered hash as a public Column — shared by HLL registers and
+    * KMV sampling so every sketch sees the same key → hash mapping (and
+    * every oracle replays one definition). */
+  def temperedHash(key: Column, a: Long = 1000003L, b: Long = 12289L,
+                   a2: Long = 786433L): Column = temper(key, a, b, a2)
+
   /** Bits of hash left after taking the register index (m = 2^p). */
   def hllRemWidth(m: Int): Int = {
     require(m > 0 && (m & (m - 1)) == 0, s"m must be a power of two, got $m")

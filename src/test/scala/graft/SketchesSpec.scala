@@ -134,6 +134,53 @@ class SketchesSpec extends SparkSpec {
     assert(streamed == batch, "incremental max-rho state must equal the batch sketch")
   }
 
+  // -------------------------------------------------------- KMV / theta
+
+  import graft.functions.KmvSketch
+
+  private def kmvOf(data: Seq[Long], k: Int, parts: Int): Seq[Long] = {
+    import org.apache.spark.sql.functions.col
+    spark.createDataset(data).repartition(parts)
+      .select(graft.functions.Sketches.temperedHash(col("value")).as("h")).as[Long]
+      .select(new KmvSketch[Long](k, identity).toColumn)
+      .head()
+  }
+
+  test("KMV sample is partition-invariant and merges to the union sketch") {
+    val a = (1L to 3000L)
+    val b = (2000L to 5000L)
+    val k = 128
+    assert(kmvOf(a, k, 1) == kmvOf(a, k, 17), "k-min of a set is partition-invariant")
+    val merged = KmvSketch.union(Seq(kmvOf(a, k, 5), kmvOf(b, k, 5)), k)
+    assert(merged == kmvOf(a ++ b, k, 5), "merge of sketches = sketch of union")
+  }
+
+  test("KMV estimate: exact under k distinct, within 3 standard errors above") {
+    val k = 256
+    val small = kmvOf((1L to 100L), k, 4)
+    assert(KmvSketch.estimate(small, k) == 100L, "n < k is the exact regime")
+    for (n <- Seq(5000, 20000)) {
+      val est = KmvSketch.estimate(kmvOf((1L to n.toLong), k, 8), k)
+      val se = 1.0 / math.sqrt(k - 2)
+      val relErr = math.abs(est.toDouble - n) / n
+      assert(relErr < 3 * se, s"n=$n est=$est relErr=$relErr")
+    }
+  }
+
+  test("theta intersection estimates overlap without inclusion-exclusion") {
+    val k = 256
+    // |A| = 6000, |B| = 5000, |A∩B| = 3000 — same shape as the HLL case
+    val a = kmvOf((1L to 6000L), k, 8)
+    val b = kmvOf((3001L to 8000L), k, 8)
+    val est = KmvSketch.thetaIntersect(a, b, k)
+    info(s"theta intersect est=$est (true 3000)")
+    assert(math.abs(est - 3000.0) / 3000 < 0.3, s"est $est")
+    // complete-sample regime: intersection is exact
+    val sa = kmvOf((1L to 150L), k, 4)
+    val sb = kmvOf((100L to 250L), k, 4)
+    assert(KmvSketch.thetaIntersect(sa, sb, k) == 51L)
+  }
+
   test("HLL z_scaled is the exact scaled harmonic sum") {
     val m = 64
     val regs = Sketches.hllRegisters(spark.range(100).toDF("k"), col("k"), m)
