@@ -91,6 +91,39 @@ object EventsStream {
       .start()
   }
 
+  /** CDC landing: each micro-batch MERGEs into a partitioned parquet
+    * table via Load.upsertPartitioned — latest-wins per key, only
+    * batch-touched partitions rewritten. Exactly-once comes from the
+    * checkpoint plus the merge's idempotence: replaying a batch
+    * re-applies the same key→row state, so a post-failure duplicate
+    * batch cannot double rows (unlike a blind append sink). Within a
+    * batch, later rows win on key collision via the dedup below
+    * (foreachBatch gives no cross-row ordering beyond the frame, so
+    * CDC feeds should carry a version column; tie-break here is
+    * max by `versionCol`). */
+  def toUpsertSink(df: DataFrame, dir: String, keyCols: Seq[String],
+                   partitionCol: String, versionCol: String,
+                   checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.functions.row_number
+        val spark = batch.sparkSession
+        val w = Window.partitionBy((keyCols :+ partitionCol).map(col): _*)
+          .orderBy(col(versionCol).desc)
+        val latest = batch.toDF()
+          .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+          .drop("__rn")
+        val fs = new org.apache.hadoop.fs.Path(dir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(new org.apache.hadoop.fs.Path(dir)))
+          latest.write.partitionBy(partitionCol).parquet(dir)
+        else
+          graft.etl.Load.upsertPartitioned(spark, dir, latest, keyCols, partitionCol)
+      }
+      .start()
+
   /** A non-Append file/table sink under foreachBatch silently overwrites
     * every prior micro-batch — reject it up front instead of losing
     * data; FallbackSink is checked recursively. */

@@ -265,4 +265,26 @@ class StreamingSpec extends SparkSpec {
       .as[(Long, Option[String])].collect().toMap
     assert(out == Map(1L -> Some("GOLD"), 2L -> Some("SILVER"), 3L -> None))
   }
+
+  test("toUpsertSink lands CDC batches as latest-wins merges per partition") {
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cdc").toString
+    val dir = s"$tmp/tbl"
+    val in = MemoryStream[(Long, String, Int, Long)] // k, dt, v, version
+    val q = EventsStream.toUpsertSink(
+      in.toDF().toDF("k", "dt", "v", "ver"), dir,
+      keyCols = Seq("k"), partitionCol = "dt", versionCol = "ver",
+      checkpointDir = s"$tmp/ckpt")
+    in.addData((1L, "d1", 10, 1L), (2L, "d1", 20, 1L), (3L, "d2", 30, 1L))
+    q.processAllAvailable()
+    // batch 2: update k=2 (two versions in one batch — max ver wins),
+    // insert k=4 into the untouched d2
+    in.addData((2L, "d1", 21, 2L), (2L, "d1", 22, 3L), (4L, "d2", 40, 1L))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.read.parquet(dir).select("k", "dt", "v")
+      .as[(Long, String, Int)].collect().toSet
+    assert(got == Set((1L, "d1", 10), (2L, "d1", 22), (3L, "d2", 30), (4L, "d2", 40)),
+      s"got $got")
+  }
 }
