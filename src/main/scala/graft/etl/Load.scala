@@ -219,6 +219,30 @@ object Load {
     rewriteSwap(spark, dir, merged)
   }
 
+  /** [[compactParquet]] for a partitioned table: each `pcol=value`
+    * subdirectory is sized and rewritten independently, and partitions
+    * already within the file budget are SKIPPED entirely — the
+    * steady-state maintenance pass touches only the partitions the
+    * last ingest fragmented (on a date-partitioned table: today's).
+    * Returns (partition → (filesBefore, filesAfter)) for rewritten
+    * partitions only. */
+  def compactPartitioned(spark: SparkSession, dir: String,
+                         targetBytes: Long = 128L << 20,
+                         maxFilesTolerated: Int = 4): Map[String, (Int, Int)] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(conf)
+    fs.listStatus(root)
+      .filter(d => d.isDirectory && d.getPath.getName.contains("="))
+      .flatMap { d =>
+        val nFiles = fs.listStatus(d.getPath)
+          .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        if (nFiles <= maxFilesTolerated) None
+        else Some(d.getPath.getName ->
+          compactParquet(spark, d.getPath.toString, targetBytes))
+      }.toMap
+  }
+
   /** Partition-scoped upsert: the scale path [[upsertParquet]] points
     * at. Only partitions present in the CDC batch are read (partition
     * pruning keeps the scan to touched subdirs), merged, and swapped —

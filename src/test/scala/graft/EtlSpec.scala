@@ -233,4 +233,22 @@ class EtlSpec extends SparkSpec {
     assert(files(s"$dir/dt=d3") == d3Before, "untouched partition files must not move")
     assert(!new java.io.File(s"${dir}_rewrite_tmp").exists)
   }
+
+  test("compactPartitioned rewrites only fragmented partitions") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_pcompact").toString
+    val dir = s"$tmp/tbl"
+    // d1: fragmented into ~20 files; d2: a single tidy file
+    spark.range(2000).selectExpr("id", "'d1' AS dt").repartition(20)
+      .write.partitionBy("dt").parquet(dir)
+    spark.range(2000, 2100).selectExpr("id", "'d2' AS dt").coalesce(1)
+      .write.mode("append").partitionBy("dt").parquet(dir)
+    def files(p: String) = new java.io.File(p).listFiles
+      .filter(_.getName.endsWith(".parquet")).map(f => (f.getName, f.lastModified)).toSet
+    val d2Before = files(s"$dir/dt=d2")
+    val report = graft.etl.Load.compactPartitioned(spark, dir, targetBytes = 1L << 20)
+    assert(report.keySet == Set("dt=d1"), s"only d1 should compact, got $report")
+    assert(report("dt=d1")._1 == 20 && report("dt=d1")._2 < 5)
+    assert(files(s"$dir/dt=d2") == d2Before, "tidy partition must be untouched")
+    assert(spark.read.parquet(dir).count() == 2100)
+  }
 }
