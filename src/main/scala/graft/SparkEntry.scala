@@ -1370,6 +1370,39 @@ object SparkEntry {
       |       ELSE ${255L * graft.functions.Sketches.P} // theta_h END AS est
       |FROM u""".stripMargin
 
+  /** KLL quantile-sketch rank probes per order status: each group
+    * aggregates into an O(k) compactor hierarchy (map-side combined,
+    * mergeable — the shuffle carries one sketch per task, never the
+    * values), then fixed price thresholds are ranked against the
+    * flattened summary. k = 16384 ≥ the largest verify-scale group, so
+    * no compaction fires, errBound = 0 and every rank is the EXACT
+    * count of rows ≤ probe — hash-verified. At bench scale and beyond,
+    * compactions fire and the sketch self-certifies its rank error
+    * (the compaction regime is property-tested in SketchesSpec against
+    * that bound). */
+  private def anKllRank(s: SparkSession, dir: String): DataFrame = {
+    val kll = udaf(new graft.functions.KllSketch(16384))
+    val probes = typedLit(Seq(75000.0, 150000.0, 300000.0))
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderstatus").as("grp"))
+      .agg(kll(col("o_totalprice").cast("double")).as("sk"))
+      .select(col("grp"), explode(probes).as("probe"), col("sk"))
+      .select(col("grp"), col("probe"),
+        aggregate(
+          filter(col("sk.items"), i => i.getField("value") <= col("probe")),
+          lit(0L), (acc, i) => acc + i.getField("weight")).as("rank_est"),
+        col("sk.n").as("n"),
+        col("sk.errBound").as("err_bound"))
+  }
+
+  private val anKllRankSql =
+    """WITH p(probe) AS (VALUES (CAST(75000.0 AS DOUBLE)), (150000.0), (300000.0))
+      |SELECT o_orderstatus AS grp, p.probe,
+      |       count(*) FILTER (WHERE o_totalprice <= p.probe) AS rank_est,
+      |       count(*) AS n, CAST(0 AS BIGINT) AS err_bound
+      |FROM orders CROSS JOIN p
+      |GROUP BY 1, 2""".stripMargin
+
   // -------------------------------------------------- D. training-data ops
 
   private def dedupExact(s: SparkSession, dir: String): DataFrame =
@@ -2254,7 +2287,8 @@ object SparkEntry {
     "an_join_size_est" -> (anJoinSizeEst _),
     "dedup_incremental" -> (dedupIncremental _),
     "text_filter_pipeline" -> (textFilterPipeline _),
-    "an_theta_distinct" -> (anThetaDistinct _)
+    "an_theta_distinct" -> (anThetaDistinct _),
+    "an_kll_rank" -> (anKllRank _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2343,6 +2377,7 @@ object SparkEntry {
     "an_join_size_est" -> anJoinSizeEstSql,
     "dedup_incremental" -> dedupIncrementalSql,
     "text_filter_pipeline" -> textFilterPipelineSql,
-    "an_theta_distinct" -> anThetaDistinctSql
+    "an_theta_distinct" -> anThetaDistinctSql,
+    "an_kll_rank" -> anKllRankSql
   )
 }

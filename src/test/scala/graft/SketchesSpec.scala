@@ -181,6 +181,78 @@ class SketchesSpec extends SparkSpec {
     assert(KmvSketch.thetaIntersect(sa, sb, k) == 51L)
   }
 
+  // ------------------------------------------------------------- KLL
+
+  import graft.functions.{KllSketch, KllSummary}
+
+  private def kllOf(vals: Seq[Double], k: Int, parts: Int): KllSummary =
+    spark.createDataset(vals).repartition(parts)
+      .select(new KllSketch(k).toColumn).head()
+
+  test("KLL exact regime: no compaction, errBound 0, every rank exact") {
+    // permutation of 0..799 so insertion order ≠ value order
+    val vals = Seq.tabulate(800)(i => ((i * 37) % 800).toDouble)
+    val s = kllOf(vals, 1024, 8)
+    assert(s.n == 800 && s.errBound == 0)
+    assert(s.items.map(_.weight).sum == 800, "weight conservation")
+    for (x <- Seq(-1.0, 0.0, 100.5, 400.0, 799.0, 1000.0)) {
+      val trueRank = vals.count(_ <= x).toLong
+      assert(KllSketch.rank(s, x) == trueRank, s"rank($x)")
+    }
+  }
+
+  test("KLL compaction regime: ranks within the self-certified bound, bound sub-linear") {
+    val n = 20000
+    val k = 256
+    val rnd = new scala.util.Random(42)
+    val vals = rnd.shuffle((0 until n).toVector).map(_.toDouble)
+    val s = kllOf(vals, k, 16)
+    assert(s.n == n, "n is exact through compaction and merge")
+    assert(s.items.map(_.weight).sum == n, "compaction preserves total weight")
+    assert(s.errBound > 0, "k=256 over 20k values must compact")
+    // deterministic equal-capacity bound ≈ (n/k)·log2(n/k) ≈ 500; merge
+    // re-compactions widen it — n/8 is the sub-linear sanity ceiling
+    assert(s.errBound <= n / 8, s"errBound ${s.errBound} not sub-linear")
+    var worst = 0L
+    for (x <- 0 until n by 97) {
+      val err = math.abs(KllSketch.rank(s, x.toDouble) - (x + 1L))
+      assert(err <= s.errBound, s"rank($x) err $err > certified ${s.errBound}")
+      worst = math.max(worst, err)
+    }
+    info(s"n=$n k=$k errBound=${s.errBound} worstObserved=$worst")
+  }
+
+  test("KLL quantiles are monotone and land within errBound + max weight of p·n") {
+    val n = 10000
+    val vals = new scala.util.Random(7).shuffle((0 until n).toVector).map(_.toDouble)
+    val s = kllOf(vals, 128, 8)
+    val ps = Seq(0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
+    val qs = ps.map(p => KllSketch.quantile(s, p))
+    assert(qs == qs.sorted, "quantiles must be monotone in p")
+    val maxW = s.items.map(_.weight).max
+    for ((p, q) <- ps.zip(qs)) {
+      // values ARE ranks here (0..n-1 → true_rank(q) = q+1)
+      val trueRank = q + 1
+      assert(math.abs(trueRank - p * n) <= s.errBound + maxW,
+        s"q($p)=$q trueRank=$trueRank target=${p * n} bound=${s.errBound + maxW}")
+    }
+  }
+
+  test("KLL merge is order-insensitive in its guarantee (many small merges)") {
+    // aggregate the same data under very different partitionings; the
+    // certified bound must hold for each resulting sketch
+    val n = 5000
+    val vals = Seq.tabulate(n)(i => ((i * 131) % n).toDouble)
+    for (parts <- Seq(1, 3, 32)) {
+      val s = kllOf(vals, 64, parts)
+      assert(s.n == n)
+      for (x <- 0 until n by 499) {
+        val err = math.abs(KllSketch.rank(s, x.toDouble) - (x + 1L))
+        assert(err <= s.errBound, s"parts=$parts rank($x) err $err > ${s.errBound}")
+      }
+    }
+  }
+
   test("HLL z_scaled is the exact scaled harmonic sum") {
     val m = 64
     val regs = Sketches.hllRegisters(spark.range(100).toDF("k"), col("k"), m)
