@@ -1403,6 +1403,41 @@ object SparkEntry {
       |FROM orders CROSS JOIN p
       |GROUP BY 1, 2""".stripMargin
 
+  /** Weighted sample without replacement, k = 100 over orders weighted
+    * by price — A-Res priority sampling (Efraimidis & Spirakis, IPL'06:
+    * top-k by u^(1/w) is a weight-proportional sample) made
+    * DETERMINISTIC by drawing u from the tempered hash of the key:
+    * u = (h+1)/2^31 is exact in double (the divisor is a power of
+    * two), so both engines compute identical priorities and the oracle
+    * hash-verifies the SAMPLE ITSELF — no seeded-RNG parity games.
+    * The top-k runs through [[graft.functions.TopKAggregate]]: O(k)
+    * state per task, combined map-side, so a 100 TB scan shuffles k
+    * survivors per task, never the population (the global-sort
+    * formulation would shuffle everything). pow() is the one libm op
+    * (1-ulp engine skew) — priorities are spread ~10^8 ulp apart, so a
+    * rank flip needs a ~10^-8-relative tie; the id tie-break covers
+    * exact equality. */
+  private def etlWeightedSample(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(s, dir)
+    graft.operators.Sampling
+      .weightedSample(orders, col("o_orderkey"), col("o_totalprice"), 100)
+      .select("id")
+      .join(orders.select(col("o_orderkey").cast("long").as("id"),
+        col("o_totalprice").cast("double").as("w")), "id")
+  }
+
+  private val etlWeightedSampleSql =
+    """WITH t1 AS (SELECT CAST(o_orderkey AS BIGINT) AS id,
+      |                   CAST(o_totalprice AS DOUBLE) AS w,
+      |                   ((CAST(o_orderkey AS BIGINT) * 1000003 + 12289) % 2147483647) AS x
+      |            FROM orders),
+      |t2 AS (SELECT id, w, xor(x, x >> 15) AS x FROM t1),
+      |t3 AS (SELECT id, w, (x * 786433) % 2147483647 AS x FROM t2),
+      |pri AS (SELECT id, w,
+      |               pow((xor(x, x >> 13) + 1) / 2147483648.0, 1.0 / w) AS p
+      |        FROM t3)
+      |SELECT id, w FROM pri ORDER BY p DESC, id LIMIT 100""".stripMargin
+
   // -------------------------------------------------- D. training-data ops
 
   private def dedupExact(s: SparkSession, dir: String): DataFrame =
@@ -2288,7 +2323,8 @@ object SparkEntry {
     "dedup_incremental" -> (dedupIncremental _),
     "text_filter_pipeline" -> (textFilterPipeline _),
     "an_theta_distinct" -> (anThetaDistinct _),
-    "an_kll_rank" -> (anKllRank _)
+    "an_kll_rank" -> (anKllRank _),
+    "etl_weighted_sample" -> (etlWeightedSample _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2378,6 +2414,7 @@ object SparkEntry {
     "dedup_incremental" -> dedupIncrementalSql,
     "text_filter_pipeline" -> textFilterPipelineSql,
     "an_theta_distinct" -> anThetaDistinctSql,
-    "an_kll_rank" -> anKllRankSql
+    "an_kll_rank" -> anKllRankSql,
+    "etl_weighted_sample" -> etlWeightedSampleSql
   )
 }

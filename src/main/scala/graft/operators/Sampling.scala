@@ -32,4 +32,32 @@ object Sampling {
       .filter(col("_rn") <= n)
       .drop("_rn")
   }
+
+  /** Weighted sample without replacement, k rows, P(i in sample) ∝
+    * weight — A-Res priority sampling (Efraimidis & Spirakis, IPL'06):
+    * the top k rows by u_i^(1/w_i) with u_i uniform are exactly a
+    * weight-proportional draw. Deterministic like everything above:
+    * u = (temperedHash(key)+1)/2^31 (exact in double — power-of-two
+    * divisor), so the same sample falls out on every engine and run.
+    * Returns (id, priority) — join back to the source for payload
+    * columns, keeping the aggregate's shuffle k-bounded.
+    *
+    * Scale shape: the top-k runs through [[graft.functions
+    * .TopKAggregate]] — O(k) buffer per task, combined map-side, so a
+    * 100 TB scan shuffles k survivors per task rather than globally
+    * sorting the population by priority. */
+  def weightedSample(df: DataFrame, keyCol: Column, weightCol: Column, k: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val pri = df
+      .select(keyCol.cast("long").as("id"), weightCol.cast("double").as("w"))
+      .withColumn("u",
+        (graft.functions.Sketches.temperedHash(col("id")) + 1).cast("double")
+          / lit(2147483648.0))
+      .select(pow(col("u"), lit(1.0) / col("w")).as("p"), col("id"))
+      .as[(Double, Long)]
+    pri.select(new graft.functions.TopKAggregate(k).toColumn.name("top"))
+      .select(explode(col("top")).as("t"))
+      .select(col("t._2").as("id"), col("t._1").as("priority"))
+  }
 }

@@ -125,6 +125,32 @@ class OperatorsSpec extends SparkSpec {
     assert(agg.finish(merged) == Seq((7.0, 3L), (7.0, 9L), (5.0, 2L)))
   }
 
+  test("A-Res weighted sample: deterministic, weight-respecting, partition-invariant") {
+    import spark.implicits._
+    // 1000 unit-weight rows + one row carrying half the total mass:
+    // u^(1/w) with w = 1000 is ≈ 1 for any u ≥ tiny, so the heavy row
+    // must survive any top-100 cut
+    val rows = ((1L to 1000L).map(i => (i, 1.0)) :+ (5000L, 1000.0)).toDF("id", "w")
+    val got = Sampling.weightedSample(rows, col("id"), col("w"), 100)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(got.length == 100)
+    assert(got.contains(5000L), "the dominant-weight row must be sampled")
+    // partition-invariance: a different layout yields the same sample
+    val again = Sampling.weightedSample(rows.repartition(17), col("id"), col("w"), 100)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(got == again)
+    // uniform weights degrade to the hash top-k: replaying the priority
+    // math locally must pick the same ids
+    val uni = (1L to 500L).toDF("id").withColumn("w", lit(1.0))
+    val sample = Sampling.weightedSample(uni, col("id"), col("w"), 50)
+      .select("id").as[Long].collect().toSet
+    val hashes = uni.select(col("id"),
+        graft.functions.Sketches.temperedHash(col("id")).as("h"))
+      .as[(Long, Long)].collect()
+    val expect = hashes.sortBy { case (id, h) => (-h, id) }.take(50).map(_._1).toSet
+    assert(sample == expect, "w=1 sample must be the top-k by hash")
+  }
+
   test("stratified sample takes exactly min(n, group size) per group, deterministically") {
     val ord = Tables.orders(spark, sfDir)
     val got = Sampling.stratified(ord, col("o_orderpriority"), col("o_orderkey"), 50)

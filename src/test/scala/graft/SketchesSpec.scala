@@ -253,6 +253,35 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("KLL state maintains incrementally in a streaming aggregation") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.Row
+    val n = 4000
+    val vals = new scala.util.Random(3).shuffle((0 until n).toVector).map(_.toDouble)
+    val in = MemoryStream[Double]
+    in.addData(vals.take(1500): _*)
+    val q = in.toDF().toDF("v")
+      .agg(udaf(new KllSketch(64)).apply(col("v")).as("sk"))
+      .writeStream.outputMode("complete").format("memory").queryName("kllstream").start()
+    q.processAllAvailable()
+    in.addData(vals.drop(1500): _*)
+    q.processAllAvailable()
+    q.stop()
+    // the sketch buffer IS the streaming state; the certified-bound
+    // invariant must survive however the micro-batches merged into it
+    val row = spark.table("kllstream").select("sk.*").head()
+    val items = row.getAs[scala.collection.Seq[Row]]("items")
+      .map(r => (r.getAs[Double]("value"), r.getAs[Long]("weight")))
+    assert(row.getAs[Long]("n") == n, "n is exact across micro-batches")
+    assert(items.map(_._2).sum == n, "weight conservation across micro-batches")
+    val err = row.getAs[Long]("errBound")
+    for (x <- 0 until n by 331) {
+      val est = items.filter(_._1 <= x).map(_._2).sum
+      assert(math.abs(est - (x + 1L)) <= err, s"rank($x) outside certified bound $err")
+    }
+  }
+
   test("HLL z_scaled is the exact scaled harmonic sum") {
     val m = 64
     val regs = Sketches.hllRegisters(spark.range(100).toDF("k"), col("k"), m)
