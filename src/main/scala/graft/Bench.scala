@@ -81,16 +81,49 @@ object Bench {
       }
       name -> times.min
     }
-    // times rounded to ms and a standalone total line first: the driver
-    // captures a bounded tail of stdout, and full-precision doubles made
-    // the one-line JSON long enough to truncate in earlier rounds
-    def ms(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + ms(v) }
-      .mkString("{", ",", "}")
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${results.size},"errors":$errs,"sf":"$sfDir"}""")
+    // full per-query line first (for logs/humans), then the bounded line
+    // LAST: the driver keeps only the final ~2000 chars of stdout and
+    // parses the last JSON line in them. With 90+ queries the full line
+    // outgrew that tail (round 5 lost all per-query telemetry to exactly
+    // this), so the driver-facing line caps itself — slowest queries
+    // first, the fast remainder rolled up under "omitted".
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + ms(v) }
+      .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    println(boundedLine(total, results.toSeq, errs, sfDir))
     spark.stop()
+  }
+
+  def ms(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
+  /** The driver-facing JSON line, guaranteed ≤ `MaxLineChars` so it fits
+    * the driver's 2000-char stdout tail alongside sbt's ~75-char epilogue.
+    * Queries are emitted slowest-first until the budget is spent; the
+    * remainder is summarized as {"omitted":{"n":…,"sec":…}} so the total
+    * always reconciles with the listed entries.
+    */
+  val MaxLineChars = 1750
+  def boundedLine(total: Double, results: Seq[(String, Double)],
+                  errs: String, sfDir: String): String = {
+    val head = s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${results.size},"errors":$errs,"sf":"$sfDir","queries":{"""
+    val tailReserve = """},"omitted":{"n":999,"sec":99999.999}}""".length
+    val entries = results.sortBy { case (_, t) => -t }
+      .map { case (k, v) => "\"" + k + "\":" + ms(v) }
+    val sb = new StringBuilder(head)
+    var kept = 0
+    var len = head.length
+    var full = false
+    entries.foreach { e =>
+      val add = e.length + (if (kept > 0) 1 else 0)
+      if (!full && len + add + tailReserve <= MaxLineChars) {
+        if (kept > 0) sb.append(',')
+        sb.append(e); len += add; kept += 1
+      } else full = true // stop at the first non-fit so kept is a prefix
+    }
+    val omitted = results.sortBy { case (_, t) => -t }.drop(kept)
+    sb.append(s"""},"omitted":{"n":${omitted.size},"sec":${ms(omitted.map(_._2).sum)}}}""")
+    sb.toString
   }
 }
