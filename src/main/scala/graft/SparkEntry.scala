@@ -2227,6 +2227,36 @@ object SparkEntry {
     s"""SELECT o_orderstatus, COUNT(*) AS n, ${moneySumSql("o_totalprice")} AS total
        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  /** Customer-level enrichment (order count + lifetime spend on every
+    * order row) through the opt-in plans.AggJoinToWindow optimizer pass:
+    * the self-join-with-aggregate is rewritten to a single-scan Window
+    * (WindowRewriteSpec asserts one scan, a Window, no Join). The conf
+    * is scoped to a cloned session; the oracle runs the plain join form,
+    * so the rewrite must be result-identical. At scale this is the
+    * sort-merge-regime win: one exchange+sort instead of scan×2 + two
+    * exchanges + join when the key cardinality is too big to broadcast.
+    */
+  private def qAggJoinWindow(s: SparkSession, dir: String): DataFrame = {
+    val scoped = s.newSession()
+    scoped.conf.set(graft.plans.AggJoinToWindow.ConfKey, "true")
+    val o = Tables.orders(scoped, dir)
+    val agg = o.groupBy("o_custkey").agg(
+      count(lit(1)).as("cust_orders"),
+      moneySum(col("o_totalprice")).as("cust_spend"))
+    o.select("o_orderkey", "o_custkey", "o_totalprice")
+      .join(agg, "o_custkey")
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("cust_orders"), col("cust_spend"))
+  }
+
+  private val qAggJoinWindowSql =
+    s"""SELECT o.o_orderkey, o.o_custkey, a.cust_orders, a.cust_spend
+       |FROM orders o
+       |JOIN (SELECT o_custkey, COUNT(*) AS cust_orders,
+       |        ${moneySumSql("o_totalprice")} AS cust_spend
+       |      FROM orders GROUP BY o_custkey) a
+       |  ON o.o_custkey = a.o_custkey""".stripMargin
+
   // ----------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2309,6 +2339,7 @@ object SparkEntry {
     "text_fingerprint" -> (textFingerprint _),
     "mm_binary_meta" -> (mmBinaryMeta _),
     "q_range_join" -> (qRangeJoin _),
+    "q_agg_join_window" -> (qAggJoinWindow _),
     "dedup_clusters" -> (dedupClusters _),
     "text_chunk" -> (textChunk _),
     "text_repetition" -> (textRepetition _),
@@ -2401,6 +2432,7 @@ object SparkEntry {
     "text_fingerprint" -> textFingerprintSql,
     "mm_binary_meta" -> mmBinaryMetaSql,
     "q_range_join" -> qRangeJoinSql,
+    "q_agg_join_window" -> qAggJoinWindowSql,
     "dedup_clusters" -> dedupClustersSql,
     "text_chunk" -> textChunkSql,
     "text_repetition" -> textRepetitionSql,

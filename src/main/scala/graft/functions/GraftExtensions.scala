@@ -20,6 +20,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // window-join optimization pass (opt-in via conf; see the rule's
+    // scaladoc for the broadcast-vs-sort-merge regime trade-off)
+    ext.injectOptimizerRule(_ => graft.plans.AggJoinToWindow)
     ext.injectFunction((
       new FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
