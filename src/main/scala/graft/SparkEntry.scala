@@ -1448,6 +1448,53 @@ object SparkEntry {
     """SELECT md5(text) AS text_hash, MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
       |FROM documents GROUP BY 1 ORDER BY text_hash""".stripMargin
 
+  /** Segment-level dedup (the CCNet paragraph/line-dedup shape): split
+    * each document into non-overlapping 10-token segments, find segments
+    * occurring in more than 2 distinct documents, drop those
+    * occurrences, and reassemble the cleaned text in order. Scale shape:
+    * the duplicated-segment set is small by construction (only repeats
+    * survive the HAVING) and broadcasts; the corpus explodes to
+    * (doc_id, idx, segment) once and anti-joins the broadcast set
+    * without shuffling, so the only corpus-sized shuffle is the
+    * reassembly groupBy(doc_id). Documents whose every segment is
+    * boilerplate vanish — that is the inner-semantics contract. */
+  private def dedupSegments(s: SparkSession, dir: String): DataFrame = {
+    val segLen = 10
+    val segs = Tables.documents(s, dir)
+      .select(col("doc_id"), graft.text.TextFunctions.words(col("text")).as("ws"))
+      .select(col("doc_id"),
+        expr(s"CAST(ceil(size(ws) / $segLen.0) AS INT)").as("n_seg"),
+        expr(
+          s"""CASE WHEN size(ws) >= 1
+             |THEN transform(sequence(0, CAST(ceil(size(ws) / $segLen.0) AS INT) - 1),
+             |               i -> array_join(slice(ws, i * $segLen + 1, $segLen), ' '))
+             |ELSE array() END""".stripMargin).as("arr"))
+      .select(col("doc_id"), col("n_seg"),
+        posexplode(col("arr")).as(Seq("idx", "seg")))
+    val dup = segs.groupBy("seg")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") > 2).select("seg")
+    segs.join(broadcast(dup), Seq("seg"), "left_anti")
+      .groupBy("doc_id")
+      .agg(max(col("n_seg")).as("n_seg"),
+        count(lit(1)).as("n_kept"),
+        expr("array_join(transform(array_sort(collect_list(struct(idx, seg))), x -> x.seg), ' ')")
+          .as("clean_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val dedupSegmentsSql =
+    """WITH lists AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+      |segs AS (SELECT doc_id, CAST(i AS INT) AS idx,
+      |         array_to_string(l[(i*10+1):(i*10+10)], ' ') AS seg,
+      |         CAST(ceil(len(l) / 10.0) AS INT) AS n_seg
+      |         FROM lists, UNNEST(range(CAST(ceil(len(l) / 10.0) AS BIGINT))) AS t(i)),
+      |dup AS (SELECT seg FROM segs GROUP BY seg HAVING count(DISTINCT doc_id) > 2)
+      |SELECT doc_id, max(n_seg) AS n_seg, count(*) AS n_kept,
+      |       string_agg(seg, ' ' ORDER BY idx) AS clean_text
+      |FROM segs WHERE seg NOT IN (SELECT seg FROM dup)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** DuckDB-side word-3-gram distinct shingle list (1-based lists). */
   private val duckShingles =
     """SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
@@ -2315,6 +2362,7 @@ object SparkEntry {
     "q_pivot" -> (qPivot _),
     "an_histogram" -> (anHistogram _),
     "dedup_exact" -> (dedupExact _),
+    "dedup_segments" -> (dedupSegments _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_simhash" -> (dedupSimhash _),
@@ -2412,6 +2460,7 @@ object SparkEntry {
     "q_pivot" -> qPivotSql,
     "an_histogram" -> anHistogramSql,
     "dedup_exact" -> dedupExactSql,
+    "dedup_segments" -> dedupSegmentsSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
     "dedup_minhash_lsh" -> dedupMinhashLshSql,
     "dedup_ppjoin" -> dedupPpjoinSql,
