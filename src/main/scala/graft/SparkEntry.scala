@@ -1495,6 +1495,45 @@ object SparkEntry {
       |FROM segs WHERE seg NOT IN (SELECT seg FROM dup)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Domain mixing with fractional epochs (the training-mixture shape:
+    * per-source sampling rate ρ, where ρ>1 up-samples by duplication
+    * and ρ<1 down-samples): every doc emits floor(ρ) full copies plus
+    * one more iff its deterministic md5-uniform falls under frac(ρ),
+    * so realized counts converge to ρ·n per source and the exact row
+    * set replays on any engine. Here ρ is derived from the source id
+    * (0.25/1.0/1.75/2.5 by index mod 4) so the oracle can recompute it;
+    * in production ρ comes from a mixture plan table. Pure map-side —
+    * project + explode, zero shuffle (the orderBy is presentation). */
+  private def textMixEpochs(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("m", regexp_extract(col("source"), "(\\d+)", 1).cast("int") % 4)
+      .withColumn("full_copies",
+        expr("CASE m WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 1 ELSE 2 END"))
+      .withColumn("thr",
+        expr("CASE m WHEN 0 THEN '4' WHEN 1 THEN '0' WHEN 2 THEN 'c' ELSE '8' END"))
+      .withColumn("n_copies", col("full_copies") +
+        when(substring(md5(concat(col("doc_id").cast("string"), lit(":"), col("source"))), 1, 1)
+          < col("thr"), 1).otherwise(0))
+      // sequence(0, -1) generates DESCENDING [0,-1] — guard n_copies=0
+      .select(col("doc_id"), col("source"),
+        explode(expr(
+          "CASE WHEN n_copies >= 1 THEN sequence(0, n_copies - 1) ELSE array() END"))
+          .as("epoch_i"))
+      .select(col("doc_id"), col("source"), col("epoch_i").cast("long").as("epoch"))
+      .orderBy(col("doc_id"), col("epoch"))
+
+  private val textMixEpochsSql =
+    """WITH d AS (SELECT doc_id, source,
+      |        CAST(regexp_extract(source, '(\d+)', 1) AS INT) % 4 AS m FROM documents),
+      |c AS (SELECT doc_id, source,
+      |        (CASE m WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 1 ELSE 2 END) +
+      |        (CASE WHEN substr(md5(doc_id || ':' || source), 1, 1) <
+      |              (CASE m WHEN 0 THEN '4' WHEN 1 THEN '0' WHEN 2 THEN 'c' ELSE '8' END)
+      |         THEN 1 ELSE 0 END) AS n FROM d)
+      |SELECT doc_id, source, CAST(t.e AS BIGINT) AS epoch
+      |FROM c, UNNEST(range(c.n)) AS t(e)
+      |ORDER BY doc_id, epoch""".stripMargin
+
   /** DuckDB-side word-3-gram distinct shingle list (1-based lists). */
   private val duckShingles =
     """SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
@@ -2363,6 +2402,7 @@ object SparkEntry {
     "an_histogram" -> (anHistogram _),
     "dedup_exact" -> (dedupExact _),
     "dedup_segments" -> (dedupSegments _),
+    "text_mix_epochs" -> (textMixEpochs _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_simhash" -> (dedupSimhash _),
@@ -2461,6 +2501,7 @@ object SparkEntry {
     "an_histogram" -> anHistogramSql,
     "dedup_exact" -> dedupExactSql,
     "dedup_segments" -> dedupSegmentsSql,
+    "text_mix_epochs" -> textMixEpochsSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
     "dedup_minhash_lsh" -> dedupMinhashLshSql,
     "dedup_ppjoin" -> dedupPpjoinSql,
