@@ -1319,6 +1319,42 @@ object SparkEntry {
       |WHERE g.doc_id >= 20
       |GROUP BY 1 ORDER BY doc_id""".stripMargin
 
+  /** Tail-exact quantiles (the REQ/t-digest use case, answered exactly):
+    * TailQuantiles keeps the exact smallest/largest 1024 values in O(T)
+    * mergeable state, so every probe within the retained tails — min,
+    * p0.0001, p0.001, p0.999, p0.9999, max — is the TRUE order
+    * statistic, hash-verified against DuckDB's row_number, not bounds-
+    * checked. Budget rule: q stays exact while min(ceil(qn), n−ceil(qn))
+    * ≤ T (T=1024 covers p0.001 to n=1M, p0.0001 to n=10M); body
+    * quantiles belong to an_kll_rank. One tiny aggregate, no sort, no
+    * shuffle of raw rows. */
+  private def anTailQuantiles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val agg = new graft.functions.TailQuantiles(1024)
+    val st = Tables.lineitem(s, dir).select(col("l_extendedprice")).as[Double]
+      .groupByKey(_ => 0)
+      .agg(agg.toColumn.name("st"))
+      .select(col("st._1").as("n"), col("st._2").as("lo"), col("st._3").as("hi"))
+    val probes = Seq(0.0, 0.0001, 0.001, 0.999, 0.9999, 1.0)
+    st.select(explode(array(probes.map(lit): _*)).as("q"),
+        col("n"), col("lo"), col("hi"))
+      .withColumn("rnk", greatest(lit(1L), ceil(col("q") * col("n")).cast("long")))
+      .withColumn("value", expr(
+        """CASE WHEN rnk <= size(lo) THEN lo[CAST(rnk - 1 AS INT)]
+          |ELSE hi[CAST(size(hi) - 1 - (n - rnk) AS INT)] END""".stripMargin))
+      .select(col("q"), col("rnk"), col("value"))
+      .orderBy(col("q"))
+  }
+
+  private val anTailQuantilesSql =
+    """WITH nn AS (SELECT count(*) AS n FROM lineitem),
+      |probes(q) AS (VALUES (0.0),(0.0001),(0.001),(0.999),(0.9999),(1.0)),
+      |r AS (SELECT q, greatest(1, CAST(ceil(q * nn.n) AS BIGINT)) AS rnk FROM probes, nn),
+      |s AS (SELECT l_extendedprice AS v,
+      |      row_number() OVER (ORDER BY l_extendedprice) AS rn FROM lineitem)
+      |SELECT CAST(r.q AS DOUBLE) AS q, r.rnk, s.v AS value
+      |FROM r JOIN s ON s.rn = r.rnk ORDER BY q""".stripMargin
+
   /** KMV/theta distinct sketch per order priority + an ALL rollup: the
     * k smallest distinct tempered hashes are a uniform sample of the
     * key set, the estimate is one integer division — everything
@@ -2403,6 +2439,7 @@ object SparkEntry {
     "dedup_exact" -> (dedupExact _),
     "dedup_segments" -> (dedupSegments _),
     "text_mix_epochs" -> (textMixEpochs _),
+    "an_tail_quantiles" -> (anTailQuantiles _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_simhash" -> (dedupSimhash _),
@@ -2502,6 +2539,7 @@ object SparkEntry {
     "dedup_exact" -> dedupExactSql,
     "dedup_segments" -> dedupSegmentsSql,
     "text_mix_epochs" -> textMixEpochsSql,
+    "an_tail_quantiles" -> anTailQuantilesSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
     "dedup_minhash_lsh" -> dedupMinhashLshSql,
     "dedup_ppjoin" -> dedupPpjoinSql,
