@@ -1,0 +1,137 @@
+package graft.etl
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import com.fasterxml.jackson.databind.ObjectMapper
+import scala.jdk.CollectionConverters._
+
+/** Manifest-based snapshot versioning for plain parquet directories —
+  * the reproducibility primitive a training pipeline needs ("the run
+  * trained on corpus@v12") without a table-format dependency.
+  *
+  * Layout:
+  * {{{
+  *   <table>/data/v<version>-<uuid>/part-*.parquet   immutable commit dirs
+  *   <table>/_manifests/v<00000version>.json         file list per version
+  * }}}
+  *
+  * Every commit writes its data files to a fresh commit dir, then
+  * publishes manifest v(N+1) — `append` carries the parent's file list
+  * forward, `overwrite` starts fresh. The manifest create uses
+  * FileSystem.create(overwrite = false): two writers racing to the same
+  * version see exactly one winner; the loser gets a
+  * ConcurrentModificationException and must re-read and retry
+  * (optimistic concurrency, the Delta/Iceberg commit protocol shape).
+  * Readers pin a version and see an immutable file set — a reader on
+  * v12 is unaffected by later commits OR by compaction/vacuum of newer
+  * versions, because data files are never mutated in place.
+  *
+  * At 100 TB the manifest stays driver-sized (one line per file, not
+  * per row) and `read` hands Spark the exact file list — no directory
+  * listing of the whole table, which on object stores is the difference
+  * between a millisecond plan and a minutes-long LIST storm.
+  */
+object Snapshots {
+
+  final case class Manifest(version: Int, op: String, parent: Int, files: Seq[String])
+
+  private val mapper = new ObjectMapper()
+
+  private def fs(s: SparkSession, p: String): FileSystem =
+    new Path(p).getFileSystem(s.sparkContext.hadoopConfiguration)
+
+  private def manifestPath(table: String, v: Int): Path =
+    new Path(s"$table/_manifests/v${"%05d".format(v)}.json")
+
+  def latestVersion(s: SparkSession, table: String): Int = {
+    val dir = new Path(s"$table/_manifests")
+    val f = fs(s, table)
+    if (!f.exists(dir)) 0
+    else f.listStatus(dir).map(_.getPath.getName)
+      .collect { case n if n.startsWith("v") && n.endsWith(".json") =>
+        n.stripPrefix("v").stripSuffix(".json").toInt }
+      .foldLeft(0)(math.max)
+  }
+
+  def readManifest(s: SparkSession, table: String, version: Int): Manifest = {
+    val in = fs(s, table).open(manifestPath(table, version))
+    val node = try mapper.readTree(in) finally in.close()
+    Manifest(
+      node.get("version").asInt,
+      node.get("op").asText,
+      node.get("parent").asInt,
+      node.get("files").elements().asScala.map(_.asText).toSeq)
+  }
+
+  /** Write `df` as a new snapshot. `op` is "append" (parent's files are
+    * carried forward) or "overwrite" (fresh file list). Returns the
+    * committed version. Throws ConcurrentModificationException when
+    * another writer published the same version first — nothing partial
+    * is visible in that case (the orphan commit dir is unreferenced and
+    * reclaimed by vacuum).
+    */
+  def commit(df: DataFrame, table: String, op: String = "append",
+             targetVersion: Option[Int] = None): Int = {
+    require(op == "append" || op == "overwrite", s"unknown op $op")
+    val s = df.sparkSession
+    val f = fs(s, table)
+    // targetVersion is the CAS handle: a writer that read latest = N
+    // passes N+1 and conflicts if anyone committed in between. Without
+    // it the latest is re-read here, which narrows but cannot close the
+    // window — the manifest create below is what guarantees one winner.
+    val version = targetVersion.getOrElse(latestVersion(s, table) + 1)
+    val parent = version - 1
+    val commitDir = s"$table/data/v$version-${java.util.UUID.randomUUID().toString.take(8)}"
+    df.write.parquet(commitDir)
+    val newFiles = f.listStatus(new Path(commitDir)).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet")).map(_.toString).sorted.toSeq
+    val carried =
+      if (op == "append" && parent > 0) readManifest(s, table, parent).files else Nil
+    val m = mapper.createObjectNode()
+    m.put("version", version); m.put("op", op); m.put("parent", parent)
+    val arr = m.putArray("files")
+    (carried ++ newFiles).foreach(arr.add)
+    val target = manifestPath(table, version)
+    f.mkdirs(target.getParent)
+    // overwrite=false IS the commit protocol: exactly one writer wins v
+    val out =
+      try f.create(target, false)
+      catch { case _: java.io.IOException =>
+        throw new java.util.ConcurrentModificationException(
+          s"$table version $version was committed by another writer; re-read and retry")
+      }
+    try out.write(mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(m))
+    finally out.close()
+    version
+  }
+
+  /** Read a pinned snapshot (default: latest). The returned frame scans
+    * exactly the manifest's file list.
+    */
+  def read(s: SparkSession, table: String, version: Option[Int] = None): DataFrame = {
+    val v = version.getOrElse(latestVersion(s, table))
+    require(v > 0, s"$table has no committed snapshots")
+    val files = readManifest(s, table, v).files
+    s.read.parquet(files: _*)
+  }
+
+  /** Delete data files referenced by NO manifest >= `keepFrom` (older
+    * snapshots become unreadable — their manifests are dropped too).
+    * Returns the number of data files removed.
+    */
+  def vacuum(s: SparkSession, table: String, keepFrom: Int): Int = {
+    val f = fs(s, table)
+    val latest = latestVersion(s, table)
+    val keep = (keepFrom to latest)
+      .flatMap(v => readManifest(s, table, v).files).toSet
+    (1 until keepFrom).foreach(v => f.delete(manifestPath(table, v), false))
+    val dataDir = new Path(s"$table/data")
+    if (!f.exists(dataDir)) return 0
+    val all = f.listStatus(dataDir).flatMap { d =>
+      if (d.isDirectory) f.listStatus(d.getPath).toSeq else Seq(d)
+    }.map(_.getPath).filter(_.getName.endsWith(".parquet"))
+    val orphans = all.filterNot(p => keep.contains(p.toString))
+    orphans.foreach(p => f.delete(p, false))
+    orphans.length
+  }
+}
