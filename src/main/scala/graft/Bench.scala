@@ -81,7 +81,6 @@ object Bench {
       }
       name -> times.min
     }
-    val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // full per-query line first (for logs/humans), then the bounded line
     // LAST: the driver keeps only the final ~2000 chars of stdout and
@@ -91,8 +90,9 @@ object Bench {
     // first, the fast remainder rolled up under "omitted".
     val qs = results.map { case (k, v) => "\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
-    println(boundedLine(total, results.toSeq, errs, sfDir))
+    val allErrs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"errors":$allErrs,"sf":"$sfDir"}""")
+    println(boundedLine(total, results.toSeq, failed.toSeq, sfDir))
     spark.stop()
   }
 
@@ -102,28 +102,38 @@ object Bench {
     * the driver's 2000-char stdout tail alongside sbt's ~75-char epilogue.
     * Queries are emitted slowest-first until the budget is spent; the
     * remainder is summarized as {"omitted":{"n":…,"sec":…}} so the total
-    * always reconciles with the listed entries.
+    * always reconciles with the listed entries. Error names are capped
+    * the same way (first `ErrBudgetChars` worth listed, the rest rolled
+    * into "errors_omitted"), and the omitted-suffix width is computed
+    * from the ACTUAL dropped entries, not a guessed reserve — so the
+    * bound holds for any query count, any error count, any magnitude.
     */
   val MaxLineChars = 1750
+  val ErrBudgetChars = 300
   def boundedLine(total: Double, results: Seq[(String, Double)],
-                  errs: String, sfDir: String): String = {
-    val head = s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${results.size},"errors":$errs,"sf":"$sfDir","queries":{"""
-    val tailReserve = """},"omitted":{"n":999,"sec":99999.999}}""".length
-    val entries = results.sortBy { case (_, t) => -t }
-      .map { case (k, v) => "\"" + k + "\":" + ms(v) }
-    val sb = new StringBuilder(head)
-    var kept = 0
-    var len = head.length
-    var full = false
-    entries.foreach { e =>
-      val add = e.length + (if (kept > 0) 1 else 0)
-      if (!full && len + add + tailReserve <= MaxLineChars) {
-        if (kept > 0) sb.append(',')
-        sb.append(e); len += add; kept += 1
-      } else full = true // stop at the first non-fit so kept is a prefix
+                  failed: Seq[String], sfDir: String): String = {
+    // errors: list names until the error budget is spent, count the rest
+    val errKept = scala.collection.mutable.ArrayBuffer.empty[String]
+    var errLen = 0
+    failed.foreach { n =>
+      if (errLen + n.length + 3 <= ErrBudgetChars) { errKept += n; errLen += n.length + 3 }
     }
-    val omitted = results.sortBy { case (_, t) => -t }.drop(kept)
-    sb.append(s"""},"omitted":{"n":${omitted.size},"sec":${ms(omitted.map(_._2).sum)}}}""")
-    sb.toString
+    val errsOmitted = failed.size - errKept.size
+    val errField = errKept.map("\"" + _ + "\"").mkString("[", ",", "]") +
+      (if (errsOmitted > 0) s""","errors_omitted":$errsOmitted""" else "")
+    val head = s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${results.size},"errors":$errField,"sf":"$sfDir","queries":{"""
+    val sorted = results.sortBy { case (_, t) => -t }
+    val entries = sorted.map { case (k, v) => "\"" + k + "\":" + ms(v) }
+    // exact-width packing: the candidate line for `k` kept entries uses
+    // the true omitted suffix for THOSE dropped entries, so no reserve
+    // guess can undershoot (the r7 hazard: 6-digit omitted seconds)
+    def lineFor(k: Int): String =
+      head + entries.take(k).mkString(",") + {
+        val om = sorted.drop(k)
+        s"""},"omitted":{"n":${om.size},"sec":${ms(om.map(_._2).sum)}}}"""
+      }
+    var kept = entries.length
+    while (kept > 0 && lineFor(kept).length > MaxLineChars) kept -= 1
+    lineFor(kept)
   }
 }

@@ -8,12 +8,12 @@ import org.apache.spark.sql.SparkSession
 object Plans {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
-    val spark = SparkSession.builder()
-      .master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // Engine.session, not a raw builder: the audit must inspect the
+    // plans users get — with GraftExtensions loaded (AggJoinToWindow
+    // and the SQL function registry), AQE on, the engine's shuffle
+    // parallelism. A bare session showed q_agg_join_window's
+    // UNREWRITTEN plan.
+    val spark: SparkSession = Engine.session("local[8]", shufflePartitions = 8)
     spark.sparkContext.setLogLevel("ERROR")
     def count(p: String, tok: String): Int = {
       var i = 0; var n = 0

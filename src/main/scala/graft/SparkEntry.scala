@@ -1325,9 +1325,11 @@ object SparkEntry {
     * p0.0001, p0.001, p0.999, p0.9999, max — is the TRUE order
     * statistic, hash-verified against DuckDB's row_number, not bounds-
     * checked. Budget rule: q stays exact while min(ceil(qn), n−ceil(qn))
-    * ≤ T (T=1024 covers p0.001 to n=1M, p0.0001 to n=10M); body
-    * quantiles belong to an_kll_rank. One tiny aggregate, no sort, no
-    * shuffle of raw rows. */
+    * ≤ T (T=1024 covers p0.001 to n=1M, p0.0001 to n=10M); probes past
+    * the budget answer NULL with exact=false (TailQuantiles.probe) and
+    * route to the KLL body sketch, an_kll_rank — no negative-index
+    * hazard when the scale factor grows. One tiny aggregate, no sort,
+    * no shuffle of raw rows. */
   private def anTailQuantiles(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val agg = new graft.functions.TailQuantiles(1024)
@@ -1335,24 +1337,21 @@ object SparkEntry {
       .groupByKey(_ => 0)
       .agg(agg.toColumn.name("st"))
       .select(col("st._1").as("n"), col("st._2").as("lo"), col("st._3").as("hi"))
-    val probes = Seq(0.0, 0.0001, 0.001, 0.999, 0.9999, 1.0)
-    st.select(explode(array(probes.map(lit): _*)).as("q"),
-        col("n"), col("lo"), col("hi"))
-      .withColumn("rnk", greatest(lit(1L), ceil(col("q") * col("n")).cast("long")))
-      .withColumn("value", expr(
-        """CASE WHEN rnk <= size(lo) THEN lo[CAST(rnk - 1 AS INT)]
-          |ELSE hi[CAST(size(hi) - 1 - (n - rnk) AS INT)] END""".stripMargin))
-      .select(col("q"), col("rnk"), col("value"))
-      .orderBy(col("q"))
+    graft.functions.TailQuantiles.probe(st,
+      Seq(0.0, 0.0001, 0.001, 0.999, 0.9999, 1.0))
   }
 
   private val anTailQuantilesSql =
     """WITH nn AS (SELECT count(*) AS n FROM lineitem),
       |probes(q) AS (VALUES (0.0),(0.0001),(0.001),(0.999),(0.9999),(1.0)),
-      |r AS (SELECT q, greatest(1, CAST(ceil(q * nn.n) AS BIGINT)) AS rnk FROM probes, nn),
+      |r AS (SELECT q, greatest(1, CAST(ceil(q * nn.n) AS BIGINT)) AS rnk, nn.n AS n
+      |      FROM probes, nn),
       |s AS (SELECT l_extendedprice AS v,
       |      row_number() OVER (ORDER BY l_extendedprice) AS rn FROM lineitem)
-      |SELECT CAST(r.q AS DOUBLE) AS q, r.rnk, s.v AS value
+      |SELECT CAST(r.q AS DOUBLE) AS q, r.rnk,
+      |       CASE WHEN r.rnk <= least(1024, r.n) OR r.n - r.rnk < least(1024, r.n)
+      |            THEN s.v END AS value,
+      |       (r.rnk <= least(1024, r.n) OR r.n - r.rnk < least(1024, r.n)) AS exact
       |FROM r JOIN s ON s.rn = r.rnk ORDER BY q""".stripMargin
 
   /** KMV/theta distinct sketch per order priority + an ALL rollup: the
@@ -1493,7 +1492,13 @@ object SparkEntry {
     * (doc_id, idx, segment) once and anti-joins the broadcast set
     * without shuffling, so the only corpus-sized shuffle is the
     * reassembly groupBy(doc_id). Documents whose every segment is
-    * boilerplate vanish — that is the inner-semantics contract. */
+    * boilerplate vanish — that is the inner-semantics contract.
+    *
+    * The dup-detection aggregate and the anti-join run on
+    * xxhash64(seg), never the segment text (the Dedup.exact posture,
+    * Dedup.scala): the corpus-wide exchange carries 16 bytes per
+    * (hash, doc) pair instead of 10-token strings, so the ONLY
+    * text-bearing shuffle is the per-document reassembly. */
   private def dedupSegments(s: SparkSession, dir: String): DataFrame = {
     val segLen = 10
     val segs = Tables.documents(s, dir)
@@ -1507,10 +1512,11 @@ object SparkEntry {
              |ELSE array() END""".stripMargin).as("arr"))
       .select(col("doc_id"), col("n_seg"),
         posexplode(col("arr")).as(Seq("idx", "seg")))
-    val dup = segs.groupBy("seg")
+      .withColumn("seg_h", xxhash64(col("seg")))
+    val dup = segs.groupBy("seg_h")
       .agg(countDistinct(col("doc_id")).as("nd"))
-      .filter(col("nd") > 2).select("seg")
-    segs.join(broadcast(dup), Seq("seg"), "left_anti")
+      .filter(col("nd") > 2).select("seg_h")
+    segs.join(broadcast(dup), Seq("seg_h"), "left_anti")
       .groupBy("doc_id")
       .agg(max(col("n_seg")).as("n_seg"),
         count(lit(1)).as("n_kept"),
@@ -2379,6 +2385,74 @@ object SparkEntry {
        |      FROM orders GROUP BY o_custkey) a
        |  ON o.o_custkey = a.o_custkey""".stripMargin
 
+  /** Snapshots + IncrementalAgg end-to-end under the hard oracle:
+    * orders lands in three append commits on a fresh manifest table,
+    * the aggregate state is built at v1 and refreshed to v3 by
+    * scanning ONLY the files each commit added (never the whole
+    * table — the 100 TB point of delta maintenance), and the final
+    * state is emitted. The DuckDB oracle aggregates the full orders
+    * table in one shot: the incremental path must be bit-identical
+    * (IncrementalAgg's exact DECIMAL(24,8) mergeable-state contract).
+    */
+  private def etlSnapshotAgg(s: SparkSession, dir: String): DataFrame = {
+    import graft.etl.{IncrementalAgg, Snapshots}
+    val table = java.nio.file.Files.createTempDirectory("graft_snapagg")
+      .toAbsolutePath.toString + "/orders_snap"
+    val o = Tables.orders(s, dir)
+      .select(col("o_orderstatus"), col("o_totalprice"), col("o_orderkey"))
+    (0 to 2).foreach { i =>
+      Snapshots.commit(
+        o.filter(col("o_orderkey") % 3 === i).drop("o_orderkey"), table, "append")
+    }
+    val keys = Seq("o_orderstatus"); val measures = Seq("o_totalprice")
+    val st1 = IncrementalAgg.aggregate(Snapshots.read(s, table, Some(1)), keys, measures)
+    val st2 = IncrementalAgg.refresh(st1, IncrementalAgg.delta(s, table, 1, 2), keys, measures)
+    val st3 = IncrementalAgg.refresh(st2, IncrementalAgg.delta(s, table, 2, 3), keys, measures)
+    st3.select(col("o_orderstatus"), col("n"),
+        col("sum_o_totalprice").cast("decimal(24,2)").cast("double").as("spend"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  private val etlSnapshotAggSql =
+    s"""SELECT o_orderstatus, COUNT(*) AS n, ${moneySumSql("o_totalprice")} AS spend
+       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  /** Snapshot pinned reads / time travel under the hard oracle: v1 and
+    * v2 append two thirds of orders, v3 OVERWRITES with the last third.
+    * A reader pinned to v2 must see exactly v1+v2's rows; the latest
+    * reader sees only v3's — both aggregated and union'd with a version
+    * tag, so the oracle (which recomputes each slice from the source
+    * table) verifies immutability AND overwrite semantics by hash.
+    */
+  private def etlSnapshotRead(s: SparkSession, dir: String): DataFrame = {
+    import graft.etl.Snapshots
+    val table = java.nio.file.Files.createTempDirectory("graft_snapread")
+      .toAbsolutePath.toString + "/orders_snap"
+    val o = Tables.orders(s, dir)
+      .select(col("o_orderstatus"), col("o_totalprice"), col("o_orderkey"))
+    Snapshots.commit(o.filter(col("o_orderkey") % 3 === 0).drop("o_orderkey"), table, "append")
+    Snapshots.commit(o.filter(col("o_orderkey") % 3 === 1).drop("o_orderkey"), table, "append")
+    Snapshots.commit(o.filter(col("o_orderkey") % 3 === 2).drop("o_orderkey"), table, "overwrite")
+    def agg(df: DataFrame, tag: String): DataFrame =
+      df.groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("spend"))
+        .withColumn("snap", lit(tag))
+    agg(Snapshots.read(s, table, Some(2)), "v2")
+      .unionByName(agg(Snapshots.read(s, table), "v3"))
+      .orderBy(col("snap"), col("o_orderstatus"))
+  }
+
+  private val etlSnapshotReadSql =
+    s"""WITH t AS (SELECT o_orderstatus, o_totalprice, o_orderkey % 3 AS m FROM orders),
+       |v2 AS (SELECT o_orderstatus, COUNT(*) AS n,
+       |         ${moneySumSql("o_totalprice")} AS spend, 'v2' AS snap
+       |       FROM t WHERE m IN (0, 1) GROUP BY o_orderstatus),
+       |v3 AS (SELECT o_orderstatus, COUNT(*) AS n,
+       |         ${moneySumSql("o_totalprice")} AS spend, 'v3' AS snap
+       |       FROM t WHERE m = 2 GROUP BY o_orderstatus)
+       |SELECT * FROM v2 UNION ALL SELECT * FROM v3
+       |ORDER BY snap, o_orderstatus""".stripMargin
+
   // ----------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2480,7 +2554,9 @@ object SparkEntry {
     "text_filter_pipeline" -> (textFilterPipeline _),
     "an_theta_distinct" -> (anThetaDistinct _),
     "an_kll_rank" -> (anKllRank _),
-    "etl_weighted_sample" -> (etlWeightedSample _)
+    "etl_weighted_sample" -> (etlWeightedSample _),
+    "etl_snapshot_agg" -> (etlSnapshotAgg _),
+    "etl_snapshot_read" -> (etlSnapshotRead _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2575,6 +2651,8 @@ object SparkEntry {
     "text_filter_pipeline" -> textFilterPipelineSql,
     "an_theta_distinct" -> anThetaDistinctSql,
     "an_kll_rank" -> anKllRankSql,
-    "etl_weighted_sample" -> etlWeightedSampleSql
+    "etl_weighted_sample" -> etlWeightedSampleSql,
+    "etl_snapshot_agg" -> etlSnapshotAggSql,
+    "etl_snapshot_read" -> etlSnapshotReadSql
   )
 }

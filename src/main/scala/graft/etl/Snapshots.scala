@@ -115,11 +115,27 @@ object Snapshots {
     s.read.parquet(files: _*)
   }
 
+  /** Retention grace for vacuum: an unreferenced data file younger than
+    * this is presumed to belong to an in-flight commit whose manifest
+    * has not been published yet, and is left alone (the Delta-style
+    * retention rule). Size it well above the longest plausible gap
+    * between a writer's data write and its manifest publish.
+    */
+  val DefaultVacuumGraceMs: Long = 20L * 60 * 1000
+
   /** Delete data files referenced by NO manifest >= `keepFrom` (older
     * snapshots become unreadable — their manifests are dropped too).
     * Returns the number of data files removed.
+    *
+    * Concurrency: commit() writes data files FIRST and publishes the
+    * manifest after, so a naive "delete everything unreferenced" races
+    * an in-flight committer — vacuum removes its just-written files,
+    * then the manifest publishes pointing at deleted data (silent loss).
+    * The guard: unreferenced files modified within `graceMs` are kept.
+    * Pass graceMs = 0 only when no writer can be in flight.
     */
-  def vacuum(s: SparkSession, table: String, keepFrom: Int): Int = {
+  def vacuum(s: SparkSession, table: String, keepFrom: Int,
+             graceMs: Long = DefaultVacuumGraceMs): Int = {
     val f = fs(s, table)
     val latest = latestVersion(s, table)
     val keep = (keepFrom to latest)
@@ -127,11 +143,13 @@ object Snapshots {
     (1 until keepFrom).foreach(v => f.delete(manifestPath(table, v), false))
     val dataDir = new Path(s"$table/data")
     if (!f.exists(dataDir)) return 0
+    val cutoff = System.currentTimeMillis() - graceMs
     val all = f.listStatus(dataDir).flatMap { d =>
       if (d.isDirectory) f.listStatus(d.getPath).toSeq else Seq(d)
-    }.map(_.getPath).filter(_.getName.endsWith(".parquet"))
-    val orphans = all.filterNot(p => keep.contains(p.toString))
-    orphans.foreach(p => f.delete(p, false))
+    }.filter(_.getPath.getName.endsWith(".parquet"))
+    val orphans = all.filterNot(st => keep.contains(st.getPath.toString))
+      .filter(_.getModificationTime < cutoff)
+    orphans.foreach(st => f.delete(st.getPath, false))
     orphans.length
   }
 }

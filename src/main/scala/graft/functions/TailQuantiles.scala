@@ -60,3 +60,29 @@ class TailQuantiles(t: Int)
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Long, Seq[Double], Seq[Double])]()
   override def outputEncoder: Encoder[(Long, Seq[Double], Seq[Double])] = bufferEncoder
 }
+
+object TailQuantiles {
+  import org.apache.spark.sql.DataFrame
+  import org.apache.spark.sql.functions._
+
+  /** Explode `probes` against a single-row (n, lo, hi) tail state and
+    * answer each rank exactly iff it falls inside a retained tail.
+    * Out-of-budget probes — rank deeper than T from both ends, which
+    * happens the first time n outgrows 2T (e.g. p0.001 on sf1's 6M-row
+    * lineitem with T=1024 gives rnk=6000 > size(lo)) — yield
+    * value = NULL with exact = false instead of silently indexing
+    * `hi` with a large negative offset (NULL under non-ANSI, throw
+    * under ANSI): the caller routes inexact probes to the KLL body
+    * sketch (an_kll_rank). */
+  def probe(st: DataFrame, probes: Seq[Double]): DataFrame =
+    st.select(explode(array(probes.map(lit): _*)).as("q"),
+        col("n"), col("lo"), col("hi"))
+      .withColumn("rnk", greatest(lit(1L), ceil(col("q") * col("n")).cast("long")))
+      .withColumn("exact", expr("rnk <= size(lo) OR n - rnk < size(hi)"))
+      .withColumn("value", expr(
+        """CASE WHEN rnk <= size(lo) THEN lo[CAST(rnk - 1 AS INT)]
+          |WHEN n - rnk < size(hi) THEN hi[CAST(size(hi) - 1 - (n - rnk) AS INT)]
+          |END""".stripMargin))
+      .select(col("q"), col("rnk"), col("value"), col("exact"))
+      .orderBy(col("q"))
+}

@@ -1,7 +1,10 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, LongType}
 
 /** Multi-dimensional data layout: Z-order (Morton-curve) clustering.
   *
@@ -58,6 +61,36 @@ object Layout {
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
   }
 
+  /** Hilbert-curve index of the low 16 bits of two non-negative ints.
+    * Same contract as [[zOrder2]] but along the Hilbert curve, which is
+    * CONTINUOUS: consecutive indexes are always grid-adjacent, so any
+    * contiguous index range (= any range-partitioned file) has a tight
+    * bounding box. Morton ranges that straddle a quadrant boundary jump
+    * across the grid and inflate that file's min/max envelope on both
+    * columns — the effect shows up exactly when nFiles is not a power
+    * of 4 and range bounds cut mid-block (LayoutSpec measures it).
+    * A native expression (static-call codegen) because the xy2d bit
+    * rotation is iterative — unrolled Column algebra would blow up the
+    * expression tree exponentially. */
+  def hilbert2(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(HilbertIndex(
+      ColumnBridge.expression(a.cast("long")),
+      ColumnBridge.expression(b.cast("long"))))
+  }
+
+  /** Reference implementation for specs (same bit layout). */
+  def hilbertRef(a: Int, b: Int): Long = Hilbert.xy2d(16, a.toLong, b.toLong)
+
+  /** [[zOrderWrite]] along the Hilbert curve. */
+  def hilbertWrite(df: DataFrame, a: Column, b: Column, path: String,
+                   nFiles: Int): Unit = {
+    val h = hilbert2(a, b)
+    df.repartitionByRange(nFiles, h)
+      .sortWithinPartitions(h)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+  }
+
   /** Files whose footer [min, max] of `column` intersects [lo, hi] — a
     * driver-side replica of the scan planner's skipping decision, used
     * to MEASURE a layout (one tiny agg per file; stats-only reads). */
@@ -75,4 +108,51 @@ object Layout {
         r.getLong(1) >= lo && r.getLong(0) <= hi
       }.toSeq
   }
+}
+
+/** Hilbert xy2d kernel, shared by interpreted eval and generated code
+  * (the classic iterative-rotation form; see Hamilton, "Compact Hilbert
+  * Indices", or Wikipedia "Hilbert curve" — public algorithm). */
+object Hilbert {
+  def xy2d(bits: Int, xIn: Long, yIn: Long): Long = {
+    val mask = (1L << bits) - 1
+    var x = xIn & mask
+    var y = yIn & mask
+    var d = 0L
+    var s = 1L << (bits - 1)
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1L else 0L
+      val ry = if ((y & s) > 0) 1L else 0L
+      d += s * s * ((3 * rx) ^ ry)
+      // rotate the quadrant so the sub-curve orientation lines up
+      if (ry == 0) {
+        if (rx == 1) { x = s - 1 - x; y = s - 1 - y }
+        val t = x; x = y; y = t
+      }
+      s >>= 1
+    }
+    d
+  }
+}
+
+/** hilbert(a, b) over the low 16 bits of two longs — native expression
+  * so the iterative kernel stays inside whole-stage codegen. */
+case class HilbertIndex(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes() = {
+    if (left.dataType == LongType && right.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"hilbert needs (bigint, bigint), got (${left.dataType.catalogString}, ${right.dataType.catalogString})")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    Hilbert.xy2d(16, a.asInstanceOf[Long], b.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.operators.Hilbert.xy2d(16, $a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): HilbertIndex =
+    copy(left = newLeft, right = newRight)
 }

@@ -61,13 +61,28 @@ object AggJoinToWindow extends Rule[LogicalPlan] with PredicateHelper {
 
   private def supported(fn: AggregateFunction): Boolean = fn match {
     case _: Sum | _: Count | _: Min | _: Max | _: Average => true
+    // First/Last carry the usual "arbitrary pick absent ordering"
+    // contract in BOTH plans (hash-agg merge order vs window row
+    // order): the rewrite maps pick-nondeterminism to
+    // pick-nondeterminism, which is only observable when the picked
+    // column is not functionally dependent on the group key
+    case _: First | _: Last => true
     case _ => false
   }
 
   private def exprValue(ne: NamedExpression): Expression = ne match {
     case Alias(c, _) => c
     case a: Attribute => a
+    case other => other // GetStructField-style named wrappers: compare as-is
   }
+
+  /** A subtree containing rand()/uuid()/monotonically_increasing_id()
+    * can pass semanticEquals while the join plan evaluates it TWICE
+    * (different draws per scan) and the rewrite once — Spark's own
+    * rules guard collapse/pushdown on `deterministic` for exactly this.
+    */
+  private def allDeterministic(p: LogicalPlan): Boolean =
+    !p.exists(_.expressions.exists(e => !e.deterministic))
 
   /** Match the agg-side subtree `r` against the left subtree `l` and
     * return a map from r's output exprIds to l's output attributes, or
@@ -103,6 +118,7 @@ object AggJoinToWindow extends Rule[LogicalPlan] with PredicateHelper {
 
   private def rewrite(j: Join, left: LogicalPlan, agg: Aggregate,
                       cond: Expression): Option[LogicalPlan] = {
+    if (!allDeterministic(left) || !allDeterministic(agg)) return None
     val core1 = stripAttrProject(left)
     val twin: Map[ExprId, Attribute] =
       align(core1, stripAttrProject(agg.child)) match {

@@ -13,7 +13,7 @@ class BenchLineSpec extends AnyFunSuite {
 
   test("bounded line stays under the tail budget with 300 long-named queries") {
     val results = (1 to 300).map(i => (f"some_quite_long_query_name_$i%03d", i * 0.037))
-    val line = Bench.boundedLine(results.map(_._2).sum, results, "[]", "/root/testdata/sf0.1")
+    val line = Bench.boundedLine(results.map(_._2).sum, results, Seq.empty, "/root/testdata/sf0.1")
     assert(line.length <= Bench.MaxLineChars, s"line length ${line.length}")
     val node = mapper.readTree(line)
     assert(node.get("metric").asText == "total")
@@ -31,7 +31,7 @@ class BenchLineSpec extends AnyFunSuite {
 
   test("small result sets fit entirely with omitted n=0") {
     val results = Seq(("q1_agg", 0.482), ("q3_join_agg", 1.203), ("q_topk", 0.231))
-    val line = Bench.boundedLine(1.916, results, "[]", "/root/testdata/sf0.01")
+    val line = Bench.boundedLine(1.916, results, Seq.empty, "/root/testdata/sf0.01")
     val node = mapper.readTree(line)
     assert(node.get("queries").size() == 3)
     assert(node.get("omitted").get("n").asInt == 0)
@@ -39,8 +39,40 @@ class BenchLineSpec extends AnyFunSuite {
   }
 
   test("empty results still produce a parseable line") {
-    val line = Bench.boundedLine(0.0, Seq.empty, "[]", "/x")
+    val line = Bench.boundedLine(0.0, Seq.empty, Seq.empty, "/x")
     val node = mapper.readTree(line)
     assert(node.get("n_queries").asInt == 0)
+  }
+
+  test("property: many-error, huge-total boards always stay under the budget") {
+    import org.scalacheck.Gen
+    val gen = for {
+      nQ <- Gen.choose(0, 320)
+      nameLen <- Gen.choose(3, 40)
+      nErr <- Gen.choose(0, 200)
+      mag <- Gen.oneOf(0.04, 7.3, 1234.5, 987654.321) // up to 9-digit totals
+    } yield (nQ, nameLen, nErr, mag)
+    val cases = (1 to 40).flatMap(i =>
+      gen.apply(Gen.Parameters.default, org.scalacheck.rng.Seed(i.toLong)))
+    assert(cases.nonEmpty)
+    cases.foreach { case (nQ, nameLen, nErr, mag) =>
+      val results = (1 to nQ).map(i => (("q" * nameLen) + i, i * mag))
+      val failed = (1 to nErr).map(i => ("broken_query_name_" * 2) + i)
+      val line = Bench.boundedLine(results.map(_._2).sum, results, failed, "/root/testdata/sf0.1")
+      assert(line.length <= Bench.MaxLineChars,
+        s"($nQ,$nameLen,$nErr,$mag): length ${line.length}")
+      val node = mapper.readTree(line) // parseable JSON
+      assert(node.get("n_queries").asInt == nQ)
+      assert(node.get("errors").isArray)
+      // every error is accounted for: listed + errors_omitted == nErr
+      val listedErrs = node.get("errors").size()
+      val omittedErrs = if (node.has("errors_omitted")) node.get("errors_omitted").asInt else 0
+      assert(listedErrs + omittedErrs == nErr)
+      // listed + omitted queries reconcile with the total
+      import scala.jdk.CollectionConverters._
+      val listed = node.get("queries").properties().asScala.map(_.getValue.asDouble).sum
+      val recon = listed + node.get("omitted").get("sec").asDouble
+      assert(math.abs(recon - node.get("value").asDouble) <= 0.002 * (nQ + 1), s"recon $recon")
+    }
   }
 }

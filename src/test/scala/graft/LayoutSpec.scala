@@ -16,17 +16,21 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  // 40k rows over a 512×512 grid of (cust, amount).
+  // Hash-repartition on the data columns pins each partition's CONTENT
+  // as a pure function of the values, and sortWithinPartitions pins the
+  // ROW ORDER — so repartitionByRange's reservoir-sampled bounds see a
+  // fully deterministic input regardless of how spark.range was split
+  // (which varies when the suite shares a JVM and made this spec flaky).
+  private def gridDf = spark.range(40000).select(
+    (col("id") * 2654435761L % 512).as("cust"),
+    (col("id") * 40503L % 512).as("amount"))
+    .repartition(8, col("cust"), col("amount"))
+    .sortWithinPartitions("cust", "amount")
+
   test("z-ordered layout prunes files on BOTH dimensions, linear only on one") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_zorder").toString
-    // 40k rows over a 512×512 grid of (cust, amount)
-    // Hash-repartition on the data columns so each partition's CONTENT is a
-    // pure function of the values — repartitionByRange's bound-sampling then
-    // sees the same input regardless of how spark.range was split (which
-    // varies when the suite shares a JVM and made this spec flaky).
-    val df = spark.range(40000).select(
-      (col("id") * 2654435761L % 512).as("cust"),
-      (col("id") * 40503L % 512).as("amount"))
-      .repartition(8, col("cust"), col("amount"))
+    val df = gridDf
     val nFiles = 16
     // linear layout: range-sorted by cust only
     df.repartitionByRange(nFiles, col("cust")).sortWithinPartitions("cust")
@@ -54,9 +58,71 @@ class LayoutSpec extends SparkSpec {
       "z-order must prune at least one file on EACH dimension")
     assert(zCust + zAmt <= nFiles + 2,
       "z-order candidates must stay near half the files per dimension")
+    // per-dimension cap with slack: the combined budget alone would
+    // admit a 15/3 split where one dimension stopped pruning
+    assert(zCust <= nFiles / 2 + 2 && zAmt <= nFiles / 2 + 2,
+      s"each dimension must stay near nFiles/2: cust=$zCust amount=$zAmt")
     assert(zAmt < linearAmt,
       "z-order must beat the linear layout on its unsorted dimension")
     // and the data survives intact
     assert(spark.read.parquet(s"$tmp/zorder").count() == 40000)
+  }
+
+  test("hilbert2 matches the reference; bits=5 sub-curve is a continuous bijection") {
+    val pairs = for (a <- Seq(0, 1, 7, 255, 4095, 65535); b <- Seq(0, 2, 99, 65535))
+      yield (a, b)
+    val got = pairs.toDF("a", "b")
+      .select(Layout.hilbert2(col("a"), col("b"))).as[Long].collect()
+    got.zip(pairs).foreach { case (h, (a, b)) =>
+      assert(h == Layout.hilbertRef(a, b), s"($a, $b)")
+    }
+    // 32×32 grid at bits=5: a bijection onto 0..1023 whose consecutive
+    // indices are always grid-adjacent — the continuity Morton lacks
+    // (and the reason contiguous Hilbert file ranges get tight boxes)
+    val cells = (for (x <- 0 until 32; y <- 0 until 32)
+      yield graft.operators.Hilbert.xy2d(5, x, y) -> (x, y)).toMap
+    assert(cells.keySet == (0L until 1024L).toSet)
+    (0L until 1023L).foreach { d =>
+      val (x1, y1) = cells(d); val (x2, y2) = cells(d + 1)
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1, s"jump at index $d")
+    }
+  }
+
+  test("hilbert layout prunes at least as well as morton off the power-of-4 grid") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_hilbert").toString
+    val df = gridDf
+    // 24 files: NOT a power of 4, so range bounds cut mid-block and
+    // Morton's quadrant jumps inflate some files' min/max envelopes;
+    // Hilbert ranges stay contiguous in space
+    val nFiles = 24
+    Layout.zOrderWrite(df, col("cust"), col("amount"), s"$tmp/morton", nFiles)
+    Layout.hilbertWrite(df, col("cust"), col("amount"), s"$tmp/hilbert", nFiles)
+    // per-file stats read ONCE per layout; probes evaluated driver-side
+    def stats(path: String): Seq[(Long, Long, Long, Long)] = {
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(new org.apache.hadoop.fs.Path(path))
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        .map { f =>
+          val r = spark.read.parquet(f.getPath.toString)
+            .agg(min("cust"), max("cust"), min("amount"), max("amount")).head()
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+        }.toSeq
+    }
+    val probes = Seq((0L, 31L), (100L, 131L), (250L, 281L), (400L, 431L))
+    def hits(st: Seq[(Long, Long, Long, Long)], dim: String): Int =
+      probes.map { case (lo, hi) =>
+        st.count { case (cLo, cHi, aLo, aHi) =>
+          if (dim == "cust") cHi >= lo && cLo <= hi else aHi >= lo && aLo <= hi
+        }
+      }.sum
+    val (ms, hs) = (stats(s"$tmp/morton"), stats(s"$tmp/hilbert"))
+    val (mCust, mAmt) = (hits(ms, "cust"), hits(ms, "amount"))
+    val (hCust, hAmt) = (hits(hs, "cust"), hits(hs, "amount"))
+    info(s"candidates over ${probes.size} probes × $nFiles files — " +
+      s"morton: cust=$mCust amount=$mAmt; hilbert: cust=$hCust amount=$hAmt")
+    assert(hCust <= mCust, s"hilbert cust $hCust vs morton $mCust")
+    assert(hAmt <= mAmt, s"hilbert amount $hAmt vs morton $mAmt")
+    assert(spark.read.parquet(s"$tmp/hilbert").count() == 40000)
   }
 }

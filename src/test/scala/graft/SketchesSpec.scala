@@ -134,6 +134,56 @@ class SketchesSpec extends SparkSpec {
     assert(streamed == batch, "incremental max-rho state must equal the batch sketch")
   }
 
+  test("tail-quantile state over a stream equals the batch state on the same data") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // order-independent sorted-multiset truncation: the incremental
+    // state (old buffer merged with each micro-batch) must land on the
+    // SAME (n, lo, hi) as the one-shot batch aggregation
+    val data = (1 to 3000).map(i => ((i * 7919) % 3001).toDouble)
+    val agg = new graft.functions.TailQuantiles(32)
+    val in = MemoryStream[Double]
+    in.addData(data.take(1200): _*)
+    val q = in.toDS().groupByKey(_ => 0).agg(agg.toColumn.name("st"))
+      .writeStream.outputMode("complete").format("memory").queryName("tqstream").start()
+    q.processAllAvailable()
+    in.addData(data.drop(1200): _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("tqstream")
+      .select("st._1", "st._2", "st._3").as[(Long, Seq[Double], Seq[Double])].collect().head
+    val batch = spark.createDataset(data).groupByKey(_ => 0).agg(agg.toColumn.name("st"))
+      .select("st._1", "st._2", "st._3").as[(Long, Seq[Double], Seq[Double])].collect().head
+    assert(streamed == batch, "incremental tail state must equal the batch state")
+  }
+
+  test("KLL summary over a stream equals the batch sketch in the exact regime") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.functions.{KllSketch, KllSummary}
+    // n <= k: no compaction fires, so the flattened summary is the full
+    // sorted multiset with weight 1 and errBound 0 — stream and batch
+    // must agree bit-for-bit, and every rank probe is an exact count
+    val kll = udaf(new KllSketch(256))
+    val data = (1 to 200).map(i => ((i * 37) % 211).toDouble)
+    val in = MemoryStream[Double]
+    in.addData(data.take(90): _*)
+    val q = in.toDF().toDF("v").groupBy().agg(kll(col("v")).as("sk"))
+      .writeStream.outputMode("complete").format("memory").queryName("kllstream").start()
+    q.processAllAvailable()
+    in.addData(data.drop(90): _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("kllstream").select("sk.*").as[KllSummary].collect().head
+    val batch = data.toDF("v").groupBy().agg(kll(col("v")).as("sk"))
+      .select("sk.*").as[KllSummary].collect().head
+    assert(streamed == batch, "incremental KLL state must equal the batch sketch")
+    assert(streamed.errBound == 0L && streamed.n == data.size)
+    Seq(0.0, 50.0, 105.0, 211.0).foreach { x =>
+      assert(KllSketch.rank(streamed, x) == data.count(_ <= x).toLong)
+    }
+  }
+
   // -------------------------------------------------------- KMV / theta
 
   import graft.functions.KmvSketch

@@ -55,10 +55,42 @@ class SnapshotsSpec extends SparkSpec {
     Snapshots.commit(docs.limit(10), t, "append")
     Snapshots.commit(docs.limit(10), t, "overwrite") // v1 files now orphanable
     Snapshots.commit(docs.limit(10), t, "append")
-    val removed = Snapshots.vacuum(spark, t, keepFrom = 2)
+    // graceMs = 0: the test IS the single writer, nothing is in flight
+    val removed = Snapshots.vacuum(spark, t, keepFrom = 2, graceMs = 0)
     assert(removed > 0)
     assert(Snapshots.read(spark, t, Some(2)).count() == 10)
     assert(Snapshots.read(spark, t, Some(3)).count() == 20)
     intercept[Exception] { Snapshots.read(spark, t, Some(1)).count() }
+  }
+
+  test("vacuum grace window spares an in-flight commit's data files") {
+    val t = freshTable()
+    val docs = Tables.documents(spark, sfDir)
+    Snapshots.commit(docs.limit(10), t, "append")
+    Snapshots.commit(docs.limit(10), t, "overwrite") // v1 orphanable
+    // in-flight writer: data files written, manifest NOT yet published
+    val inflight = s"$t/data/v3-inflight"
+    docs.limit(7).write.parquet(inflight)
+    // age the genuinely-dead v1 files past the grace cutoff so the
+    // default-grace vacuum still reclaims them — but not the fresh
+    // in-flight files
+    val f = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = System.currentTimeMillis() - 24L * 3600 * 1000
+    val v1Files = Snapshots.readManifest(spark, t, 1).files
+    v1Files.foreach(p => f.setTimes(new org.apache.hadoop.fs.Path(p), old, old))
+    val removed = Snapshots.vacuum(spark, t, keepFrom = 2)
+    assert(removed == v1Files.size)
+    // the committer now publishes its manifest — the snapshot it
+    // promises must be fully readable (this is the data-loss race)
+    val files = f.listStatus(new org.apache.hadoop.fs.Path(inflight))
+      .map(_.getPath.toString).filter(_.endsWith(".parquet")).sorted
+    assert(files.nonEmpty)
+    val m = new java.io.File(s"$t/_manifests/v00003.json")
+    val fileList = files.map("\"" + _ + "\"").mkString(",")
+    java.nio.file.Files.write(m.toPath,
+      s"""{"version":3,"op":"overwrite","parent":2,"files":[$fileList]}""".getBytes)
+    assert(Snapshots.read(spark, t).count() == 7)
+    assert(Snapshots.read(spark, t, Some(3)).count() == 7)
   }
 }

@@ -76,6 +76,50 @@ class WindowRewriteSpec extends SparkSpec {
     assert(n == spark.read.parquet(s"$sfDir/orders.parquet").count())
   }
 
+  test("does not fire on non-deterministic subtrees") {
+    val s = withFlag(true)
+    // rand() passes semanticEquals between the two scans, but the join
+    // plan draws it twice and the rewrite would draw it once — the
+    // exact collapse Spark's own rules guard on `deterministic`
+    val o = s.read.parquet(s"$sfDir/orders.parquet")
+      .withColumn("r", rand(42)).select("o_orderkey", "o_custkey", "r")
+    val df = o.join(o.groupBy("o_custkey").agg(sum("r").as("sr")), "o_custkey")
+    assert(hasJoin(df) && !hasWindow(df))
+  }
+
+  test("property: qualifying plans with First/Last rewrite result-identically") {
+    import org.scalacheck.Gen
+    val gen = for {
+      nRows <- Gen.choose(20, 200)
+      nKeys <- Gen.choose(1, 10)
+      mult  <- Gen.choose(1, 7)
+    } yield (nRows, nKeys, mult)
+    val cases = (1 to 10).flatMap(i =>
+      gen.apply(Gen.Parameters.default, org.scalacheck.rng.Seed(i.toLong)))
+    assert(cases.nonEmpty)
+    cases.foreach { case (nRows, nKeys, mult) =>
+      // `dep` is functionally dependent on the group key, so
+      // First/Last are deterministic and the two plans must agree
+      // exactly — the pick-nondeterminism caveat never triggers
+      def q(s: SparkSession): DataFrame = {
+        val base = s.range(nRows)
+          .select((col("id") % nKeys).as("k"),
+            ((col("id") % nKeys) * mult).as("dep"),
+            (col("id") * 13 % 101).as("v"))
+        base.join(base.groupBy("k").agg(
+          first("dep").as("f"), last("dep").as("l"),
+          sum("v").as("s"), count(lit(1)).as("c"), max("v").as("mx")), "k")
+      }
+      val on = q(withFlag(true))
+      val off = q(withFlag(false))
+      assert(hasWindow(on) && !hasJoin(on),
+        s"($nRows,$nKeys,$mult): ${on.queryExecution.optimizedPlan}")
+      assert(hasJoin(off) && !hasWindow(off))
+      assert(on.collect().map(_.toSeq).toSet == off.collect().map(_.toSeq).toSet,
+        s"($nRows,$nKeys,$mult)")
+    }
+  }
+
   test("does not fire on distinct aggregates") {
     val s = withFlag(true)
     val o = s.read.parquet(s"$sfDir/orders.parquet")
