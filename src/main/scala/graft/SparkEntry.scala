@@ -2453,6 +2453,111 @@ object SparkEntry {
        |SELECT * FROM v2 UNION ALL SELECT * FROM v3
        |ORDER BY snap, o_orderstatus""".stripMargin
 
+  /** MERGE-by-key upsert end-to-end under the hard oracle: the base
+    * table (orders with key % 4 ≠ 3) lands in a fresh parquet dir, then
+    * one CDC batch UPDATES every key % 8 == 0 row (price +1000, status
+    * 'U') and INSERTS the held-out key % 4 == 3 rows. Load.upsertParquet
+    * merges batch-wins-by-key (broadcast anti-join, temp-and-swap
+    * rewrite); the per-status digest of the REWRITTEN DIR is emitted and
+    * the oracle reconstructs the same MERGE in SQL — so the sink's merge
+    * semantics, not just a frame transform, is what gets hash-checked.
+    */
+  private def etlUpsert(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_upsert")
+      .toAbsolutePath.toString + "/orders"
+    val o = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    o.filter(col("o_orderkey") % 4 =!= 3).write.parquet(tmp)
+    val updates = o.filter(col("o_orderkey") % 8 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0))
+        .withColumn("o_orderstatus", lit("U"))
+      .unionByName(o.filter(col("o_orderkey") % 4 === 3))
+    graft.etl.Load.upsertParquet(s, tmp, updates, Seq("o_orderkey"))
+    s.read.parquet(tmp)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("spend"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  private val etlUpsertSql =
+    s"""WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+       |              FROM orders WHERE o_orderkey % 4 <> 3),
+       |upd AS (SELECT o_orderkey, 'U' AS o_orderstatus,
+       |               o_totalprice + 1000.0 AS o_totalprice
+       |        FROM orders WHERE o_orderkey % 8 = 0
+       |        UNION ALL
+       |        SELECT o_orderkey, o_orderstatus, o_totalprice
+       |        FROM orders WHERE o_orderkey % 4 = 3),
+       |merged AS (SELECT * FROM upd
+       |           UNION ALL
+       |           SELECT b.* FROM base b
+       |           WHERE b.o_orderkey NOT IN (SELECT o_orderkey FROM upd))
+       |SELECT o_orderstatus, COUNT(*) AS n, ${moneySumSql("o_totalprice")} AS spend
+       |FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  /** Partition-scoped upsert under the hard oracle — the genuine 100 TB
+    * path: orders partitioned by order-year, a CDC batch touching ONLY
+    * year 1996 (price +500 on key % 16 == 0). upsertPartitioned prunes
+    * the scan and the rewrite to the touched partition (untouched year
+    * dirs are never opened); the emitted per-year digest proves both
+    * the merge AND that every other partition survived byte-identical.
+    */
+  private def etlUpsertPart(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_upsert_part")
+      .toAbsolutePath.toString + "/orders"
+    val o = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_totalprice"),
+        year(col("o_orderdate")).as("o_year"))
+    o.write.partitionBy("o_year").parquet(tmp)
+    val updates = o.filter(col("o_year") === 1996 && col("o_orderkey") % 16 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + lit(500.0))
+    graft.etl.Load.upsertPartitioned(s, tmp, updates, Seq("o_orderkey"), "o_year")
+    s.read.parquet(tmp)
+      .groupBy(col("o_year").cast("int").as("o_year"))
+      .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("spend"))
+      .orderBy(col("o_year"))
+  }
+
+  private val etlUpsertPartSql =
+    s"""WITH t AS (SELECT o_orderkey, o_totalprice,
+       |                  CAST(year(o_orderdate) AS INT) AS o_year FROM orders),
+       |merged AS (SELECT o_orderkey, o_totalprice + 500.0 AS o_totalprice, o_year
+       |           FROM t WHERE o_year = 1996 AND o_orderkey % 16 = 0
+       |           UNION ALL
+       |           SELECT * FROM t
+       |           WHERE NOT (o_year = 1996 AND o_orderkey % 16 = 0))
+       |SELECT o_year, COUNT(*) AS n, ${moneySumSql("o_totalprice")} AS spend
+       |FROM merged GROUP BY o_year ORDER BY o_year""".stripMargin
+
+  /** Schema-evolution read under the hard oracle: generation 1 files
+    * carry (o_orderkey, o_totalprice), generation 2 adds o_orderstatus.
+    * Extract.parquetEvolved merges the schemas so gen-1 rows surface the
+    * added column as NULL — the digest groups by the evolved column and
+    * the oracle recomputes the same split from the source table, so the
+    * mergeSchema semantics (old files don't block new columns) is what
+    * gets hash-verified. */
+  private def etlSchemaEvolve(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_evolve")
+      .toAbsolutePath.toString + "/orders"
+    val o = Tables.orders(s, dir)
+    o.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .write.parquet(s"$tmp/gen=1")
+    o.filter(col("o_orderkey") % 2 === 1)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      .write.parquet(s"$tmp/gen=2")
+    graft.etl.Extract.parquetEvolved(s, tmp)
+      .groupBy(coalesce(col("o_orderstatus"), lit("<pre-evolution>")).as("status"))
+      .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("spend"))
+      .orderBy(col("status"))
+  }
+
+  private val etlSchemaEvolveSql =
+    s"""SELECT CASE WHEN o_orderkey % 2 = 0 THEN '<pre-evolution>'
+       |            ELSE o_orderstatus END AS status,
+       |       COUNT(*) AS n, ${moneySumSql("o_totalprice")} AS spend
+       |FROM orders GROUP BY status ORDER BY status""".stripMargin
+
   // ----------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2556,7 +2661,10 @@ object SparkEntry {
     "an_kll_rank" -> (anKllRank _),
     "etl_weighted_sample" -> (etlWeightedSample _),
     "etl_snapshot_agg" -> (etlSnapshotAgg _),
-    "etl_snapshot_read" -> (etlSnapshotRead _)
+    "etl_snapshot_read" -> (etlSnapshotRead _),
+    "etl_upsert" -> (etlUpsert _),
+    "etl_upsert_part" -> (etlUpsertPart _),
+    "etl_schema_evolve" -> (etlSchemaEvolve _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2653,6 +2761,9 @@ object SparkEntry {
     "an_kll_rank" -> anKllRankSql,
     "etl_weighted_sample" -> etlWeightedSampleSql,
     "etl_snapshot_agg" -> etlSnapshotAggSql,
-    "etl_snapshot_read" -> etlSnapshotReadSql
+    "etl_snapshot_read" -> etlSnapshotReadSql,
+    "etl_upsert" -> etlUpsertSql,
+    "etl_upsert_part" -> etlUpsertPartSql,
+    "etl_schema_evolve" -> etlSchemaEvolveSql
   )
 }

@@ -7,12 +7,11 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // Engine.session (extensions + AQE), same as Bench: the correctness
+    // dump must exercise the session users get — with a bare builder the
+    // AggJoinToWindow conf was set but the rule was never injected, so
+    // q_agg_join_window's oracle check ran the UNREWRITTEN plan.
+    val spark: SparkSession = Engine.session(s"local[$cpus]", shufflePartitions = cpus.toInt)
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // dev-only knob (driver sets nothing): ONLY=comma-list to subset,

@@ -1,6 +1,6 @@
 package graft.etl
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Incremental materialized-aggregate maintenance over Snapshots
@@ -58,5 +58,36 @@ object IncrementalAgg {
       .agg(sum(col("n")).cast("long").as("n"),
         measures.map(m =>
           sum(col(s"sum_$m")).cast("decimal(24,8)").as(s"sum_$m")): _*)
+  }
+
+  /** The sketch analogue of [[aggregate]] for DISTINCT counts — the
+    * canonical non-decomposable aggregate. State is the HLL register
+    * table per key group (keys…, register, rho); rho-max is monotone,
+    * so refresh is an element-wise max with the delta's state and the
+    * same delta-only scan discipline applies. Exactly the "mergeable
+    * summaries ride the refresh" path the decimal sums can't cover.
+    */
+  def hllState(df: DataFrame, keys: Seq[String], keyCol: Column, m: Int): DataFrame =
+    graft.functions.Sketches.hllHits(df, keyCol, m, keys)
+
+  /** Element-wise register max of the state and the delta's state. */
+  def refreshHll(state: DataFrame, deltaDf: DataFrame,
+                 keys: Seq[String], keyCol: Column, m: Int): DataFrame =
+    state.unionByName(hllState(deltaDf, keys, keyCol, m))
+      .groupBy((keys :+ "register").map(col): _*)
+      .agg(max("rho").as("rho"))
+
+  /** Distinct estimate per key group from a state snapshot. Never-hit
+    * registers (rho = 0) contribute S = 2^(remWidth+1) each to the
+    * harmonic sum, so the spine is closed-form: no register-table fill.
+    */
+  def hllEstimateFrom(state: DataFrame, keys: Seq[String], m: Int): DataFrame = {
+    import graft.functions.Sketches
+    val s = 1L << (Sketches.hllRemWidth(m) + 1)
+    state.groupBy(keys.map(col): _*)
+      .agg((sum(expr(s"shiftright(cast($s as bigint), rho)")) +
+        (lit(m.toLong) - count(lit(1))) * s).as("z_scaled"))
+      .select(keys.map(col) :+
+        Sketches.hllEstimate(m, col("z_scaled")).as("est_distinct"): _*)
   }
 }

@@ -115,6 +115,29 @@ object Snapshots {
     s.read.parquet(files: _*)
   }
 
+  /** Small-files compaction INSIDE the snapshot protocol: rewrite the
+    * latest snapshot's content into ~`targetFiles` files and publish it
+    * as an overwrite commit. Readers pinned to older versions are
+    * untouched (immutable data dirs; the old files stay until vacuum),
+    * new readers plan over the compacted layout, and the CAS handle
+    * makes compaction safely concurrent with writers — if an append
+    * lands first, compact loses the race and retries against the new
+    * latest instead of silently dropping that append. Returns the
+    * committed version. */
+  @annotation.tailrec
+  def compact(s: SparkSession, table: String, targetFiles: Int = 1): Int = {
+    val v = latestVersion(s, table)
+    require(v > 0, s"$table has no committed snapshots")
+    val attempt =
+      try Some(commit(read(s, table, Some(v)).coalesce(targetFiles),
+        table, "overwrite", targetVersion = Some(v + 1)))
+      catch { case _: java.util.ConcurrentModificationException => None }
+    attempt match {
+      case Some(committed) => committed
+      case None => compact(s, table, targetFiles)
+    }
+  }
+
   /** Retention grace for vacuum: an unreferenced data file younger than
     * this is presumed to belong to an in-flight commit whose manifest
     * has not been published yet, and is left alone (the Delta-style

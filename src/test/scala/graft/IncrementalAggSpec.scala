@@ -55,4 +55,34 @@ class IncrementalAggSpec extends SparkSpec {
       IncrementalAgg.delta(spark, t, 1, 2)
     }
   }
+
+  test("HLL distinct state rides the delta-only refresh: registers AND estimate equal the full recompute") {
+    val t = freshTable()
+    val orders = Tables.orders(spark, sfDir)
+    Snapshots.commit(orders.where(col("o_orderkey") % 3 === 0), t, "append")
+    Snapshots.commit(orders.where(col("o_orderkey") % 3 === 1), t, "append")
+    Snapshots.commit(orders.where(col("o_orderkey") % 3 === 2), t, "append")
+    val m = 64
+    val key = col("o_custkey")
+    val st1 = IncrementalAgg.hllState(Snapshots.read(spark, t, Some(1)), keys, key, m)
+    val st2 = IncrementalAgg.refreshHll(st1, IncrementalAgg.delta(spark, t, 1, 2), keys, key, m)
+    val st3 = IncrementalAgg.refreshHll(st2, IncrementalAgg.delta(spark, t, 2, 3), keys, key, m)
+    val full = IncrementalAgg.hllState(Snapshots.read(spark, t, Some(3)), keys, key, m)
+    // register table: rho-max is monotone, so the incremental state is
+    // the element-wise max of the deltas == the one-shot state, exactly
+    assert(st3.collect().map(_.toSeq).toSet == full.collect().map(_.toSeq).toSet)
+    // and the derived estimates (closed-form spine) match too, within
+    // the usual HLL error of the true per-group distinct counts
+    val est = IncrementalAgg.hllEstimateFrom(st3, keys, m)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val estFull = IncrementalAgg.hllEstimateFrom(full, keys, m)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est == estFull && est.nonEmpty)
+    val truth = Snapshots.read(spark, t, Some(3))
+      .groupBy(col("o_orderstatus")).agg(countDistinct(col("o_custkey")).as("d"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    truth.foreach { case (g, d) =>
+      assert(math.abs(est(g) - d).toDouble / d < 0.35, s"$g: est ${est(g)} vs true $d")
+    }
+  }
 }

@@ -63,6 +63,29 @@ class SnapshotsSpec extends SparkSpec {
     intercept[Exception] { Snapshots.read(spark, t, Some(1)).count() }
   }
 
+  test("compact rewrites the latest snapshot without changing its content") {
+    val t = freshTable()
+    val docs = Tables.documents(spark, sfDir)
+    Snapshots.commit(docs.limit(30).repartition(6), t, "append")
+    Snapshots.commit(docs.limit(20).repartition(6), t, "append")
+    val before = Snapshots.read(spark, t).select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val manyFiles = Snapshots.readManifest(spark, t, 2).files.size
+    assert(manyFiles > 2, s"expected a fragmented layout, got $manyFiles files")
+    val v = Snapshots.compact(spark, t, targetFiles = 1)
+    assert(v == 3)
+    assert(Snapshots.readManifest(spark, t, v).files.size == 1)
+    val after = Snapshots.read(spark, t).select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(after == before)
+    // pinned pre-compaction readers still see their immutable version
+    assert(Snapshots.read(spark, t, Some(2)).count() == 50)
+    // and vacuum (no writers in flight) reclaims the fragmented files
+    val removed = Snapshots.vacuum(spark, t, keepFrom = v, graceMs = 0)
+    assert(removed == manyFiles)
+    assert(Snapshots.read(spark, t).count() == 50)
+  }
+
   test("vacuum grace window spares an in-flight commit's data files") {
     val t = freshTable()
     val docs = Tables.documents(spark, sfDir)
