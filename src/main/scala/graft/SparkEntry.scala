@@ -2558,6 +2558,33 @@ object SparkEntry {
        |       COUNT(*) AS n, ${moneySumSql("o_totalprice")} AS spend
        |FROM orders GROUP BY status ORDER BY status""".stripMargin
 
+  /** Small-files compaction under the hard oracle: orders lands
+    * fragmented (64 tiny files), Load.compactParquet rewrites the dir
+    * to its size-targeted file count via temp-and-swap, and the digest
+    * of the COMPACTED DIR is hash-checked against the source table —
+    * the maintenance pass must be a pure layout change, byte-preserving
+    * on content. The file-count policy itself is asserted in EtlSpec;
+    * here the oracle guards what compaction must never touch: the rows.
+    */
+  private def etlCompact(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_compact")
+      .toAbsolutePath.toString + "/orders"
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .repartition(64).write.parquet(tmp)
+    graft.etl.Load.compactParquet(s, tmp)
+    s.read.parquet(tmp)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("spend"),
+        sum(col("o_orderkey")).as("key_sum"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  private val etlCompactSql =
+    s"""SELECT o_orderstatus, COUNT(*) AS n, ${moneySumSql("o_totalprice")} AS spend,
+       |       SUM(o_orderkey) AS key_sum
+       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   // ----------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2664,7 +2691,8 @@ object SparkEntry {
     "etl_snapshot_read" -> (etlSnapshotRead _),
     "etl_upsert" -> (etlUpsert _),
     "etl_upsert_part" -> (etlUpsertPart _),
-    "etl_schema_evolve" -> (etlSchemaEvolve _)
+    "etl_schema_evolve" -> (etlSchemaEvolve _),
+    "etl_compact" -> (etlCompact _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2764,6 +2792,7 @@ object SparkEntry {
     "etl_snapshot_read" -> etlSnapshotReadSql,
     "etl_upsert" -> etlUpsertSql,
     "etl_upsert_part" -> etlUpsertPartSql,
-    "etl_schema_evolve" -> etlSchemaEvolveSql
+    "etl_schema_evolve" -> etlSchemaEvolveSql,
+    "etl_compact" -> etlCompactSql
   )
 }

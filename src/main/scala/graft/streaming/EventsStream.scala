@@ -124,6 +124,41 @@ object EventsStream {
       }
       .start()
 
+  /** Land one micro-batch as snapshot version batchId+1 through the
+    * Snapshots CAS commit. Returns true if THIS call published the
+    * version, false when it was already committed — i.e. a post-failure
+    * replay of the same batch — in which case the batch is a no-op (its
+    * orphaned data files are reclaimed by Snapshots.vacuum). */
+  def commitBatchSnapshot(batch: DataFrame, table: String, batchId: Long): Boolean =
+    try {
+      graft.etl.Snapshots.commit(batch, table, "append",
+        targetVersion = Some(batchId.toInt + 1))
+      true
+    } catch { case _: java.util.ConcurrentModificationException => false }
+
+  /** Streaming → Snapshots bridge with EXACTLY-ONCE batch commits: each
+    * micro-batch appends snapshot version batchId+1, so the version
+    * ladder mirrors the batch ladder and a replayed batch (checkpoint
+    * recovery re-delivers the last uncommitted-to-sink batch) targets an
+    * already-published version, loses the manifest CAS, and is skipped.
+    * The commit protocol itself supplies the idempotence a blind append
+    * sink lacks — no dedup column, no two-phase bookkeeping. Readers
+    * always see a manifest-consistent prefix of the stream, and any
+    * pinned version is a reproducible training-data cut.
+    *
+    * Contract: the table is OWNED by this stream from version 0 (batch
+    * ids and versions must stay aligned); maintenance compaction/vacuum
+    * is fine, other writers are not. */
+  def toSnapshotSink(df: DataFrame, table: String,
+                     checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        commitBatchSnapshot(batch.toDF(), table, batchId)
+        ()
+      }
+      .start()
+
   /** A non-Append file/table sink under foreachBatch silently overwrites
     * every prior micro-batch — reject it up front instead of losing
     * data; FallbackSink is checked recursively. */

@@ -17,6 +17,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("l_orderkey"), "column pruning should drop unused l_orderkey")
   }
 
+  test("dedup_segments: no exchange is partitioned on raw segment text") {
+    val p = plan("dedup_segments")
+    // dup detection and the anti-join key on xxhash64(seg); the only
+    // text-bearing exchange is the reassembly groupBy(doc_id). An
+    // exchange PARTITIONED on seg would ship 10-token strings
+    // corpus-wide — the 100 TB bandwidth hazard this layout avoids.
+    assert(!p.contains("hashpartitioning(seg#"), p)
+    assert(p.contains("hashpartitioning(seg_h#") || p.contains("hashpartitioning(doc_id#"), p)
+  }
+
   test("q5_multi_join broadcasts the dimension tables") {
     val p = plan("q5_multi_join")
     assert(p.contains("BroadcastHashJoin"), p)

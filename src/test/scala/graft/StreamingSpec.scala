@@ -24,6 +24,34 @@ class StreamingSpec extends SparkSpec {
     assert(out.toSeq == Seq(("click", 2L, 3.0), ("view", 1L, 5.0)))
   }
 
+  test("toSnapshotSink: one snapshot version per batch, replayed batches skipped") {
+    import graft.etl.Snapshots
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_snapsink").toString
+    val t = s"$dir/events_snap"
+    val in = MemoryStream[Ev]
+    in.addData(Ev(1, ts(0), 1, "click", 1.0), Ev(2, ts(1), 1, "view", 2.0))
+    val q = EventsStream.toSnapshotSink(in.toDF(), t, s"$dir/ckpt")
+    q.processAllAvailable()
+    in.addData(Ev(3, ts(2), 2, "click", 3.0))
+    q.processAllAvailable()
+    q.stop()
+    // version ladder mirrors the batch ladder; reads are cumulative
+    assert(Snapshots.latestVersion(spark, t) == 2)
+    assert(Snapshots.read(spark, t, Some(1)).count() == 2)
+    assert(Snapshots.read(spark, t).count() == 3)
+    // post-failure replay: batch 0 arrives again — the CAS commit makes
+    // it a no-op instead of double-appending its rows
+    val replay = Snapshots.read(spark, t, Some(1))
+    assert(!EventsStream.commitBatchSnapshot(replay, t, 0L))
+    assert(Snapshots.latestVersion(spark, t) == 2)
+    assert(Snapshots.read(spark, t).count() == 3)
+    // the replay's orphaned files are inside the grace window, so an
+    // immediate maintenance vacuum must NOT break the published versions
+    Snapshots.vacuum(spark, t, keepFrom = 1)
+    assert(Snapshots.read(spark, t).count() == 3)
+  }
+
   test("dedupStream drops duplicate keys within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Ev]
