@@ -1225,6 +1225,49 @@ object SparkEntry {
       |       ex.exact_distinct
       |FROM z JOIN ex USING (grp)""".stripMargin
 
+  /** HLL set-operation estimates between two customer cohorts (orders
+    * with even vs %3==0 order keys — overlapping by construction):
+    * |A∪B| from the element-wise-max merged register table (an
+    * HLL-native operation), |A∩B| by inclusion-exclusion. The register
+    * pipeline is the same tempered integer hash the oracle replays, so
+    * est_a/est_b/est_union/est_intersect are ALL hash-verified — the
+    * triage-grade error model is documented, but the arithmetic is
+    * bit-exact. At 100 TB this answers "how much does corpus B overlap
+    * A" with two fixed-size sketch passes and no join. */
+  private def anHllSetEst(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Sketches
+    val m = 64
+    val o = Tables.orders(s, dir)
+    val a = Sketches.hllRegisters(o.filter(col("o_orderkey") % 2 === 0), col("o_custkey"), m)
+    val b = Sketches.hllRegisters(o.filter(col("o_orderkey") % 3 === 0), col("o_custkey"), m)
+    Sketches.hllSetEstimates(a, b, m)
+  }
+
+  private val anHllSetEstSql = {
+    val alphaNum = graft.functions.Sketches.hllAlphaNum(64)
+    def regs(name: String, pred: String) =
+      s"""${name}_t1 AS (SELECT ((CAST(o_custkey AS BIGINT) * 1000003 + 12289) % 2147483647) AS x
+         |  FROM orders WHERE $pred),
+         |${name}_t2 AS (SELECT xor(x, x >> 15) AS x FROM ${name}_t1),
+         |${name}_t3 AS (SELECT (x * 786433) % 2147483647 AS x FROM ${name}_t2),
+         |${name}_h AS (SELECT xor(x, x >> 13) AS h FROM ${name}_t3),
+         |${name}_hit AS (SELECT h % 64 AS register,
+         |    max(CASE WHEN h // 64 = 0 THEN 26 ELSE 26 - length(bin(h // 64)) END) AS rho
+         |  FROM ${name}_h GROUP BY 1),
+         |${name}_regs AS (SELECT CAST(s.range AS BIGINT) AS register, coalesce(t.rho, 0) AS rho
+         |  FROM range(0, 64) s LEFT JOIN ${name}_hit t ON s.range = t.register)""".stripMargin
+    s"""WITH ${regs("a", "o_orderkey % 2 = 0")},
+       |${regs("b", "o_orderkey % 3 = 0")},
+       |u_regs AS (SELECT register, max(rho) AS rho
+       |  FROM (SELECT * FROM a_regs UNION ALL SELECT * FROM b_regs) GROUP BY 1),
+       |za AS (SELECT CAST(floor($alphaNum / sum(67108864 // (1 << rho))) AS BIGINT) AS est_a FROM a_regs),
+       |zb AS (SELECT CAST(floor($alphaNum / sum(67108864 // (1 << rho))) AS BIGINT) AS est_b FROM b_regs),
+       |zu AS (SELECT CAST(floor($alphaNum / sum(67108864 // (1 << rho))) AS BIGINT) AS est_union FROM u_regs)
+       |SELECT est_a, est_b, est_union,
+       |       greatest(CAST(0 AS BIGINT), est_a + est_b - est_union) AS est_intersect
+       |FROM za CROSS JOIN zb CROSS JOIN zu""".stripMargin
+  }
+
   /** Space-Saving heavy hitters over a 32-key domain: capacity 64 ≥
     * distinct keys puts the sketch in its exact regime (no eviction →
     * deterministic, DuckDB-comparable counts, err = 0); the eviction /
@@ -2585,6 +2628,61 @@ object SparkEntry {
        |       SUM(o_orderkey) AS key_sum
        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  /** CSV sink → source round-trip under the hard oracle: orders goes
+    * out through Load.CsvSink and back in through Extract.csv with an
+    * explicit schema, and the digest of what came BACK is hash-checked
+    * against the source table — so the text serialization (Double
+    * shortest-round-trip formatting, header handling, NULL encoding) is
+    * what gets verified, not just the write call succeeding. */
+  private def etlCsvRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_csv")
+      .toAbsolutePath.toString + "/orders"
+    val o = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    graft.etl.Load.CsvSink(tmp).write(o)
+    val schema = StructType(Seq(
+      StructField("o_orderkey", LongType), StructField("o_orderstatus", StringType),
+      StructField("o_totalprice", DoubleType)))
+    graft.etl.Extract.csv(s, tmp, Some(schema))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("spend"),
+        sum(col("o_orderkey")).as("key_sum"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  private val etlCsvRoundtripSql =
+    s"""SELECT o_orderstatus, COUNT(*) AS n, ${moneySumSql("o_totalprice")} AS spend,
+       |       SUM(o_orderkey) AS key_sum
+       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  /** One-pass load audit under the hard oracle: orders is written
+    * through a sink with Load.writeObserved, whose metrics (row count,
+    * null count, exact money sum) ride the write job via the
+    * Observation API — no second scan. The OBSERVED values are emitted
+    * as the query result and hash-checked against DuckDB recomputing
+    * them from the source: the audit numbers a 100 TB load reports for
+    * free must be the exact truth, not an approximation. */
+  private def etlWriteObserved(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_obs")
+      .toAbsolutePath.toString + "/orders"
+    val o = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val m = graft.etl.Load.writeObserved(o, graft.etl.Load.ParquetSink(tmp),
+      Map("n" -> count(lit(1)),
+        "n_null_status" -> sum(when(col("o_orderstatus").isNull, 1L).otherwise(0L)),
+        "spend" -> moneySum(col("o_totalprice"))))
+    Seq((m("n").asInstanceOf[Long], m("n_null_status").asInstanceOf[Long],
+      m("spend").asInstanceOf[Double])).toDF("n", "n_null_status", "spend")
+  }
+
+  private val etlWriteObservedSql =
+    s"""SELECT COUNT(*) AS n,
+       |  SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS n_null_status,
+       |  ${moneySumSql("o_totalprice")} AS spend
+       |FROM orders""".stripMargin
+
   // ----------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2692,7 +2790,10 @@ object SparkEntry {
     "etl_upsert" -> (etlUpsert _),
     "etl_upsert_part" -> (etlUpsertPart _),
     "etl_schema_evolve" -> (etlSchemaEvolve _),
-    "etl_compact" -> (etlCompact _)
+    "etl_compact" -> (etlCompact _),
+    "etl_csv_roundtrip" -> (etlCsvRoundtrip _),
+    "etl_write_observed" -> (etlWriteObserved _),
+    "an_hll_set_est" -> (anHllSetEst _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2793,6 +2894,9 @@ object SparkEntry {
     "etl_upsert" -> etlUpsertSql,
     "etl_upsert_part" -> etlUpsertPartSql,
     "etl_schema_evolve" -> etlSchemaEvolveSql,
-    "etl_compact" -> etlCompactSql
+    "etl_compact" -> etlCompactSql,
+    "etl_csv_roundtrip" -> etlCsvRoundtripSql,
+    "etl_write_observed" -> etlWriteObservedSql,
+    "an_hll_set_est" -> anHllSetEstSql
   )
 }
