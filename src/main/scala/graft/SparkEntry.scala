@@ -2683,6 +2683,37 @@ object SparkEntry {
        |  ${moneySumSql("o_totalprice")} AS spend
        |FROM orders""".stripMargin
 
+  /** JDBC sink → source round-trip under the hard oracle (the
+    * reference's hosted-database load, stood in by embedded Derby —
+    * networkless, ships with Spark): a deterministic orders slice goes
+    * out through JdbcSink (batched inserts, snake_cased identifiers)
+    * and back via readBack, and the digest of what the DATABASE returns
+    * is hash-checked against the source table — type mapping (double ↔
+    * DOUBLE, string ↔ CLOB), batching, and identifier normalization all
+    * sit inside the verified loop. Each invocation uses a fresh
+    * in-memory db name, so bench repeats don't collide. */
+  private def etlJdbcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val db = "graftq" + java.util.UUID.randomUUID().toString.take(8)
+    val url = s"jdbc:derby:memory:$db;create=true"
+    val o = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .filter(col("o_orderkey") % 10 === 0) // JDBC-sized slice, still 1.5k+ rows
+    val sink = graft.etl.Load.JdbcSink(url, "orders_load", numPartitions = 4,
+      mode = org.apache.spark.sql.SaveMode.Overwrite)
+    sink.write(o)
+    sink.readBack(s).get
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("spend"),
+        sum(col("o_orderkey")).as("key_sum"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  private val etlJdbcRoundtripSql =
+    s"""SELECT o_orderstatus, COUNT(*) AS n, ${moneySumSql("o_totalprice")} AS spend,
+       |       SUM(o_orderkey) AS key_sum
+       |FROM orders WHERE o_orderkey % 10 = 0
+       |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   // ----------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2793,7 +2824,8 @@ object SparkEntry {
     "etl_compact" -> (etlCompact _),
     "etl_csv_roundtrip" -> (etlCsvRoundtrip _),
     "etl_write_observed" -> (etlWriteObserved _),
-    "an_hll_set_est" -> (anHllSetEst _)
+    "an_hll_set_est" -> (anHllSetEst _),
+    "etl_jdbc_roundtrip" -> (etlJdbcRoundtrip _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2897,6 +2929,7 @@ object SparkEntry {
     "etl_compact" -> etlCompactSql,
     "etl_csv_roundtrip" -> etlCsvRoundtripSql,
     "etl_write_observed" -> etlWriteObservedSql,
-    "an_hll_set_est" -> anHllSetEstSql
+    "an_hll_set_est" -> anHllSetEstSql,
+    "etl_jdbc_roundtrip" -> etlJdbcRoundtripSql
   )
 }
