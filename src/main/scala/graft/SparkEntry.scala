@@ -1268,6 +1268,29 @@ object SparkEntry {
        |FROM za CROSS JOIN zb CROSS JOIN zu""".stripMargin
   }
 
+  /** t-digest body quantiles per return flag (SURVEY's last declared
+    * leftover): mergeable O(δ) centroid state per group, k1 scale
+    * function concentrating resolution at the tails. Estimates are
+    * partition-split dependent within the t-digest rank-error envelope,
+    * so this is oracle=rows (stable 3×4 output grid) with the accuracy
+    * envelope pinned in TDigestSpec — the hash-verifiable quantile
+    * family lives in an_kll_rank / an_tail_quantiles. The per-group
+    * digests are centroid lists small enough to collect; the probe
+    * evaluation is driver-side arithmetic over that model-sized state
+    * (same posture as KMeans centroids). */
+  private def anTdigest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val td = udaf(new graft.functions.TDigest(100))
+    val probes = Seq(0.25, 0.5, 0.75, 0.95)
+    val digests = Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag").as("grp"))
+      .agg(td(col("l_extendedprice")).as("cs"))
+      .as[(String, Seq[graft.functions.Centroid])].collect()
+    val out = for ((g, cs) <- digests.toSeq; q <- probes)
+      yield (g, q, graft.functions.TDigest.quantile(cs, q))
+    out.toDF("grp", "q", "est").orderBy(col("grp"), col("q"))
+  }
+
   /** Space-Saving heavy hitters over a 32-key domain: capacity 64 ≥
     * distinct keys puts the sketch in its exact regime (no eviction →
     * deterministic, DuckDB-comparable counts, err = 0); the eviction /
@@ -2714,6 +2737,65 @@ object SparkEntry {
        |FROM orders WHERE o_orderkey % 10 = 0
        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  /** JSON sink → source round-trip under the hard oracle, completing
+    * the text-format pair with [[etlCsvRoundtrip]]: line-delimited JSON
+    * out through Load.JsonSink, back through Extract.json with an
+    * explicit schema (no inference pass at scale), digest hash-checked
+    * against the source — number formatting and field completeness are
+    * what's on trial. */
+  private def etlJsonRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_json")
+      .toAbsolutePath.toString + "/orders"
+    val o = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    graft.etl.Load.JsonSink(tmp).write(o)
+    val schema = StructType(Seq(
+      StructField("o_orderkey", LongType), StructField("o_orderstatus", StringType),
+      StructField("o_totalprice", DoubleType)))
+    graft.etl.Extract.json(s, tmp, Some(schema))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("spend"),
+        sum(col("o_orderkey")).as("key_sum"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  private val etlJsonRoundtripSql =
+    s"""SELECT o_orderstatus, COUNT(*) AS n, ${moneySumSql("o_totalprice")} AS spend,
+       |       SUM(o_orderkey) AS key_sum
+       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  /** Multimodal frame sampling under the hard oracle: payloads (UTF-8
+    * bytes standing in for media) are chopped into 16-byte frames and
+    * every 4th is kept — the video/audio frame-extraction plumbing.
+    * The per-doc digest (frame count, kept bytes, last frame index) is
+    * pure integer arithmetic over byte lengths, so DuckDB recomputes it
+    * exactly from strlen(text): the explode shape, stride filter, and
+    * short-last-frame handling are all hash-verified, complementing
+    * mm_binary_meta's metadata checks. */
+  private def mmFrameDigest(s: SparkSession, dir: String): DataFrame = {
+    implicit val sp: SparkSession = s
+    val p = graft.multimodal.BinaryColumns.withPayload(
+      Tables.documents(s, dir), "text", "doc_id")
+    graft.multimodal.BinaryColumns.frameSample(p, frameSize = 16, stride = 4)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_frames"),
+        sum(col("frame_len")).as("frame_bytes"),
+        max(col("frame_no")).cast("long").as("last_frame"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val mmFrameDigestSql =
+    """WITH d AS (SELECT doc_id, strlen(text) AS len FROM documents),
+      |c AS (SELECT doc_id, len, CAST(ceil(len / 16.0) AS BIGINT) AS n_chunks FROM d)
+      |SELECT doc_id,
+      |  (n_chunks - 1) // 4 + 1 AS n_frames,
+      |  16 * ((n_chunks - 1) // 4 + 1)
+      |    - CASE WHEN (n_chunks - 1) % 4 = 0 AND len % 16 > 0
+      |           THEN 16 - (len % 16) ELSE 0 END AS frame_bytes,
+      |  4 * ((n_chunks - 1) // 4) AS last_frame
+      |FROM c ORDER BY doc_id""".stripMargin
+
   // ----------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2825,7 +2907,10 @@ object SparkEntry {
     "etl_csv_roundtrip" -> (etlCsvRoundtrip _),
     "etl_write_observed" -> (etlWriteObserved _),
     "an_hll_set_est" -> (anHllSetEst _),
-    "etl_jdbc_roundtrip" -> (etlJdbcRoundtrip _)
+    "etl_jdbc_roundtrip" -> (etlJdbcRoundtrip _),
+    "etl_json_roundtrip" -> (etlJsonRoundtrip _),
+    "an_tdigest" -> (anTdigest _),
+    "mm_frame_digest" -> (mmFrameDigest _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2930,6 +3015,8 @@ object SparkEntry {
     "etl_csv_roundtrip" -> etlCsvRoundtripSql,
     "etl_write_observed" -> etlWriteObservedSql,
     "an_hll_set_est" -> anHllSetEstSql,
-    "etl_jdbc_roundtrip" -> etlJdbcRoundtripSql
+    "etl_jdbc_roundtrip" -> etlJdbcRoundtripSql,
+    "etl_json_roundtrip" -> etlJsonRoundtripSql,
+    "mm_frame_digest" -> mmFrameDigestSql
   )
 }
