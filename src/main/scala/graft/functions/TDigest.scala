@@ -45,11 +45,27 @@ class TDigest(delta: Int = 100, bufSize: Int = 512)
   private def k(q: Double): Double =
     delta / (2.0 * math.Pi) * math.asin(2.0 * math.min(1.0, math.max(0.0, q)) - 1.0)
 
+  private def isSortedByMean(cs: Seq[Centroid]): Boolean = {
+    var i = 1
+    while (i < cs.size) {
+      if (cs(i).mean < cs(i - 1).mean) return false
+      i += 1
+    }
+    true
+  }
+
   /** Greedy left-to-right merge of the sorted (centroids ∪ buffer)
     * multiset: a neighbor joins the current centroid while the merged
-    * span stays within one k-unit. Deterministic given the multiset. */
+    * span stays within one k-unit. Deterministic given the multiset.
+    *
+    * The no-op fast path requires the centroid list to be SORTED, not
+    * just small: merge() concatenates two sorted runs, and quantile()/
+    * cdf() walk cumulative mass assuming global mean order — skipping
+    * the sort for a small unsorted concat silently corrupted every
+    * estimate (caught by the streaming-envelope spec). */
   private[functions] def compress(b: TDigestBuf): TDigestBuf = {
-    if (b.buffer.isEmpty && b.centroids.size <= 2 * delta) return b
+    if (b.buffer.isEmpty && b.centroids.size <= 2 * delta &&
+      isSortedByMean(b.centroids)) return b
     val all = (b.centroids ++ b.buffer.map(Centroid(_, 1L)))
       .sortBy(c => (c.mean, c.weight))
     if (all.isEmpty) return TDigestBuf(Vector.empty, Vector.empty, b.n)

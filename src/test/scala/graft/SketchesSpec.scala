@@ -184,6 +184,33 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("t-digest over a stream lands inside the batch rank-error envelope") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.functions.{Centroid, TDigest}
+    // t-digest state is split-dependent, so stream ≠ batch bit-for-bit
+    // (unlike TailQuantiles/KLL-exact above); the contract is the
+    // ENVELOPE: streamed estimates carry the same ≤2% rank error
+    val td = udaf(new TDigest(100))
+    val data = (1 to 6000).map(i => ((i * 7919) % 6001).toDouble)
+    val sorted = data.sorted
+    val in = MemoryStream[Double]
+    in.addData(data.take(2500): _*)
+    val q = in.toDF().toDF("v").groupBy().agg(td(col("v")).as("cs"))
+      .writeStream.outputMode("complete").format("memory").queryName("tdstream").start()
+    q.processAllAvailable()
+    in.addData(data.drop(2500): _*)
+    q.processAllAvailable()
+    q.stop()
+    val cs = spark.table("tdstream").as[Seq[Centroid]].collect().head
+    assert(cs.map(_.weight).sum == data.size.toLong)
+    Seq(0.1, 0.5, 0.9).foreach { p =>
+      val est = TDigest.quantile(cs, p)
+      val rank = sorted.count(_ <= est).toDouble / data.size
+      assert(math.abs(rank - p) <= 0.02, s"p=$p streamed rank $rank")
+    }
+  }
+
   // -------------------------------------------------------- KMV / theta
 
   import graft.functions.KmvSketch

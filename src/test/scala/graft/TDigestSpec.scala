@@ -74,6 +74,27 @@ class TDigestSpec extends AnyFunSuite {
     }
   }
 
+  test("small-digest merges keep the envelope (regression: unsorted-concat fast path)") {
+    // two partition digests whose concatenated centroid lists stay
+    // UNDER 2δ: the compress fast path used to return the unsorted
+    // concat, and quantile() walking it produced up to 36% rank error.
+    // The fast path now requires sorted-by-mean, so this merge regime
+    // must match the one-shot digest's accuracy.
+    val agg = new TDigest(100)
+    val data = (1 to 6000).map(i => ((i * 7919) % 6001).toDouble)
+    val dsorted = data.sorted
+    val b1 = data.take(2500).grouped(625).map(p => run(agg, p)).reduce(agg.merge)
+    val b2 = data.drop(2500).grouped(875).map(p => run(agg, p)).reduce(agg.merge)
+    val cs = agg.finish(agg.merge(b1, b2))
+    assert(cs.map(_.mean) == cs.map(_.mean).sorted)
+    assert(cs.map(_.weight).sum == data.size.toLong)
+    Seq(0.1, 0.5, 0.9).foreach { q =>
+      val est = TDigest.quantile(cs, q)
+      val rank = dsorted.count(_ <= est).toDouble / data.size
+      assert(math.abs(rank - q) <= 0.01, s"q=$q rank $rank")
+    }
+  }
+
   test("a fixed reduce order is fully deterministic") {
     val agg = new TDigest(100)
     val a = agg.finish(run(agg, xs))
