@@ -2796,6 +2796,34 @@ object SparkEntry {
       |  4 * ((n_chunks - 1) // 4) AS last_frame
       |FROM c ORDER BY doc_id""".stripMargin
 
+  /** Multi-dimensional layout under the hard oracle: orders is
+    * REWRITTEN along the Hilbert curve over (custkey mod 512, price
+    * bucket) — the Layout.hilbertWrite path, range-exchange and all —
+    * and a 2-D box filter runs over the clustered copy. The oracle
+    * recomputes the box from the source table, so the clustering
+    * rewrite provably loses and duplicates nothing; the file-skipping
+    * WIN of the layout is measured separately in LayoutSpec (footer
+    * stats), since pruning is a planner effect the digest can't see. */
+  private def etlLayoutBox(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_layout")
+      .toAbsolutePath.toString + "/orders"
+    val o = Tables.orders(s, dir).select(
+      col("o_orderkey"), (col("o_custkey") % 512).as("cx"),
+      floor(col("o_totalprice") / 1000).as("py"))
+    graft.operators.Layout.hilbertWrite(o, col("cx"), col("py"), tmp, 16)
+    s.read.parquet(tmp)
+      .filter(col("cx").between(100, 131) && col("py").between(20, 60))
+      .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"),
+        min(col("cx")).as("min_cx"), max(col("py")).as("max_py"))
+  }
+
+  private val etlLayoutBoxSql =
+    """WITH t AS (SELECT o_orderkey, o_custkey % 512 AS cx,
+      |                  CAST(floor(o_totalprice / 1000) AS BIGINT) AS py FROM orders)
+      |SELECT COUNT(*) AS n, SUM(o_orderkey) AS key_sum,
+      |       MIN(cx) AS min_cx, MAX(py) AS max_py
+      |FROM t WHERE cx BETWEEN 100 AND 131 AND py BETWEEN 20 AND 60""".stripMargin
+
   // ----------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2910,7 +2938,8 @@ object SparkEntry {
     "etl_jdbc_roundtrip" -> (etlJdbcRoundtrip _),
     "etl_json_roundtrip" -> (etlJsonRoundtrip _),
     "an_tdigest" -> (anTdigest _),
-    "mm_frame_digest" -> (mmFrameDigest _)
+    "mm_frame_digest" -> (mmFrameDigest _),
+    "etl_layout_box" -> (etlLayoutBox _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3017,6 +3046,7 @@ object SparkEntry {
     "an_hll_set_est" -> anHllSetEstSql,
     "etl_jdbc_roundtrip" -> etlJdbcRoundtripSql,
     "etl_json_roundtrip" -> etlJsonRoundtripSql,
-    "mm_frame_digest" -> mmFrameDigestSql
+    "mm_frame_digest" -> mmFrameDigestSql,
+    "etl_layout_box" -> etlLayoutBoxSql
   )
 }
