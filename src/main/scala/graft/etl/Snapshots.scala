@@ -125,7 +125,8 @@ object Snapshots {
     * latest instead of silently dropping that append. Returns the
     * committed version. */
   @annotation.tailrec
-  def compact(s: SparkSession, table: String, targetFiles: Int = 1): Int = {
+  def compact(s: SparkSession, table: String, targetFiles: Int = 1,
+              maxRetries: Int = 5): Int = {
     val v = latestVersion(s, table)
     require(v > 0, s"$table has no committed snapshots")
     val attempt =
@@ -134,7 +135,12 @@ object Snapshots {
       catch { case _: java.util.ConcurrentModificationException => None }
     attempt match {
       case Some(committed) => committed
-      case None => compact(s, table, targetFiles)
+      case None if maxRetries > 0 => compact(s, table, targetFiles, maxRetries - 1)
+      case None => throw new IllegalStateException(
+        // bounded: each retry re-reads the whole table, so losing the
+        // CAS forever to a hot writer must fail loud, not livelock
+        s"compact($table) lost the commit race $maxRetries times; " +
+          "run it when the writer cadence allows")
     }
   }
 
@@ -161,6 +167,10 @@ object Snapshots {
              graceMs: Long = DefaultVacuumGraceMs): Int = {
     val f = fs(s, table)
     val latest = latestVersion(s, table)
+    // keepFrom beyond latest would drop every manifest and leave the
+    // table unreadable — that is a caller bug, not a retention policy
+    require(keepFrom >= 1 && keepFrom <= latest,
+      s"vacuum keepFrom=$keepFrom must be in [1, latest=$latest] for $table")
     val keep = (keepFrom to latest)
       .flatMap(v => readManifest(s, table, v).files).toSet
     (1 until keepFrom).foreach(v => f.delete(manifestPath(table, v), false))

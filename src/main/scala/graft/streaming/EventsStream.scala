@@ -132,7 +132,7 @@ object EventsStream {
   def commitBatchSnapshot(batch: DataFrame, table: String, batchId: Long): Boolean =
     try {
       graft.etl.Snapshots.commit(batch, table, "append",
-        targetVersion = Some(batchId.toInt + 1))
+        targetVersion = Some(math.toIntExact(batchId + 1)))
       true
     } catch { case _: java.util.ConcurrentModificationException => false }
 

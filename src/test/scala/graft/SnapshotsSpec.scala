@@ -86,6 +86,15 @@ class SnapshotsSpec extends SparkSpec {
     assert(Snapshots.read(spark, t).count() == 50)
   }
 
+  test("vacuum refuses a keepFrom beyond latest (would orphan the table)") {
+    val t = freshTable()
+    Snapshots.commit(Tables.documents(spark, sfDir).limit(5), t, "append")
+    intercept[IllegalArgumentException] {
+      Snapshots.vacuum(spark, t, keepFrom = 99, graceMs = 0)
+    }
+    assert(Snapshots.read(spark, t).count() == 5)
+  }
+
   test("vacuum grace window spares an in-flight commit's data files") {
     val t = freshTable()
     val docs = Tables.documents(spark, sfDir)
