@@ -2265,6 +2265,20 @@ object SparkEntry {
        |  SELECT e.src, w.lbl FROM walk w JOIN edges e ON e.dst = w.id)
        |SELECT id AS doc_id, MIN(lbl) AS cluster_id FROM walk GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** [[dedupClusters]] through the OTHER components engine: alternating
+    * large-star/small-star edge rewriting (Kiveris et al.), the shape
+    * for graphs where even the (id, label) table is a memory hazard.
+    * Same pair list, same oracle, same min-label contract — so the
+    * driver's hash gate now pins BOTH scale paths to the recursive-CTE
+    * transitive closure, not just the pointer-jumping one. */
+  private def dedupClustersStar(s: SparkSession, dir: String): DataFrame = {
+    val pairs = graft.dedup.Dedup.ngramJaccardPairs(
+      Tables.documents(s, dir), "text", "doc_id", k = 3, tau = 0.05)
+    graft.dedup.Dedup.connectedComponentsStar(pairs, "doc_a", "doc_b")
+      .select(col("id").as("doc_id"), col("cluster_id"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Sliding-window sequence chunking (RAG/pretraining shape): 64-token
     * chunks on a 48-token stride (16-token overlap), one Expand pass —
     * starts come from `sequence(0, n-1, stride)`, the chunk itself is a
@@ -2939,7 +2953,8 @@ object SparkEntry {
     "etl_json_roundtrip" -> (etlJsonRoundtrip _),
     "an_tdigest" -> (anTdigest _),
     "mm_frame_digest" -> (mmFrameDigest _),
-    "etl_layout_box" -> (etlLayoutBox _)
+    "etl_layout_box" -> (etlLayoutBox _),
+    "dedup_clusters_star" -> (dedupClustersStar _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3047,6 +3062,7 @@ object SparkEntry {
     "etl_jdbc_roundtrip" -> etlJdbcRoundtripSql,
     "etl_json_roundtrip" -> etlJsonRoundtripSql,
     "mm_frame_digest" -> mmFrameDigestSql,
-    "etl_layout_box" -> etlLayoutBoxSql
+    "etl_layout_box" -> etlLayoutBoxSql,
+    "dedup_clusters_star" -> dedupClustersSql
   )
 }
