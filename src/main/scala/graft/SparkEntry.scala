@@ -2838,6 +2838,153 @@ object SparkEntry {
       |       MIN(cx) AS min_cx, MAX(py) AS max_py
       |FROM t WHERE cx BETWEEN 100 AND 131 AND py BETWEEN 20 AND 60""".stripMargin
 
+  /** Per-group OLS regression (slope / intercept / r²) of extended
+    * price on quantity, computed from EXACT decimal power sums — the
+    * same one-shuffle closed-form pattern as [[anStatsMoments]], so the
+    * fit is a single partial-aggregable pass no matter the table size
+    * (the co-moment state is 5 decimals + a count per group; Spark's
+    * streaming regr_* would be merge-order-sensitive in the low bits).
+    */
+  private def anLinreg(s: SparkSession, dir: String): DataFrame = {
+    def dsum(c: Column) = sum(c.cast("decimal(38,8)")).cast("double")
+    val x = col("l_quantity"); val y = col("l_extendedprice")
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        dsum(x).as("sx"), dsum(y).as("sy"),
+        dsum(x * x).as("sxx"), dsum(y * y).as("syy"), dsum(x * y).as("sxy"))
+      .select(col("l_returnflag"), col("n"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")), 6).as("slope"),
+        round((col("sy") - col("sx") *
+            ((col("n") * col("sxy") - col("sx") * col("sy")) /
+             (col("n") * col("sxx") - col("sx") * col("sx")))) / col("n"), 4)
+          .as("intercept"),
+        round(
+          pow(col("n") * col("sxy") - col("sx") * col("sy"), 2) /
+          ((col("n") * col("sxx") - col("sx") * col("sx")) *
+           (col("n") * col("syy") - col("sy") * col("sy"))), 9).as("r2"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  private val anLinregSql =
+    """WITH m AS (
+      |  SELECT l_returnflag, COUNT(*) AS n,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(38,8))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,8))) AS DOUBLE) AS sy,
+      |    CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,8))) AS DOUBLE) AS sxx,
+      |    CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,8))) AS DOUBLE) AS syy,
+      |    CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,8))) AS DOUBLE) AS sxy
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag, n,
+      |  ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+      |  ROUND((sy - sx * ((n * sxy - sx * sy) / (n * sxx - sx * sx))) / n, 4) AS intercept,
+      |  ROUND(POW(n * sxy - sx * sy, 2) /
+      |        ((n * sxx - sx * sx) * (n * syy - sy * sy)), 9) AS r2
+      |FROM m ORDER BY l_returnflag""".stripMargin
+
+  /** Gaps-and-islands: per supplier, 7-day shipment coverage intervals
+    * merged into maximal overlapping runs ("islands") with one window
+    * pass — cummax of interval end over the preceding rows marks island
+    * starts, a running sum of those flags numbers the islands. Classic
+    * interval-merge without a self-join: two sorts on the same
+    * (suppkey) partitioning, so at 100 TB it is one exchange + in-
+    * partition sorts, never an O(n²) overlap join. Tie order is pinned
+    * (start, end, orderkey, linenumber) for cross-engine determinism. */
+  private def qGapsIslands(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).select(
+      col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+      col("l_shipdate").as("start_ts"),
+      (col("l_shipdate") + expr("INTERVAL 7 DAYS")).as("end_ts"))
+    val ord = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("start_ts"), col("end_ts"), col("l_orderkey"), col("l_linenumber"))
+    val prevMax = max(col("end_ts")).over(
+      ord.rowsBetween(Window.unboundedPreceding, -1))
+    val flagged = li.withColumn("new_island",
+      when(prevMax.isNull || col("start_ts") > prevMax, 1L).otherwise(0L))
+    val islands = flagged.withColumn("island",
+      sum(col("new_island")).over(ord.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("l_suppkey"), col("island"))
+      .agg(min(col("start_ts")).as("i_start"), max(col("end_ts")).as("i_end"),
+        count(lit(1)).as("n_intervals"))
+    islands.groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n_islands"),
+        sum(datediff(col("i_end"), col("i_start"))).as("covered_days"),
+        max(datediff(col("i_end"), col("i_start"))).as("max_island_days"),
+        sum(col("n_intervals")).as("n_intervals"))
+      .orderBy(col("l_suppkey"))
+  }
+
+  private val qGapsIslandsSql =
+    """WITH iv AS (
+      |  SELECT l_suppkey, l_orderkey, l_linenumber,
+      |         l_shipdate AS start_ts,
+      |         l_shipdate + INTERVAL 7 DAY AS end_ts
+      |  FROM lineitem),
+      |flagged AS (
+      |  SELECT *, CASE WHEN prev_max IS NULL OR start_ts > prev_max
+      |                 THEN 1 ELSE 0 END AS new_island
+      |  FROM (SELECT *, MAX(end_ts) OVER (PARTITION BY l_suppkey
+      |          ORDER BY start_ts, end_ts, l_orderkey, l_linenumber
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+      |        FROM iv) t),
+      |numbered AS (
+      |  SELECT *, SUM(new_island) OVER (PARTITION BY l_suppkey
+      |    ORDER BY start_ts, end_ts, l_orderkey, l_linenumber
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      |  FROM flagged),
+      |islands AS (
+      |  SELECT l_suppkey, island, MIN(start_ts) AS i_start,
+      |         MAX(end_ts) AS i_end, COUNT(*) AS n_intervals
+      |  FROM numbered GROUP BY l_suppkey, island)
+      |SELECT l_suppkey, COUNT(*) AS n_islands,
+      |  SUM(date_diff('day', i_start, i_end)) AS covered_days,
+      |  MAX(date_diff('day', i_start, i_end)) AS max_island_days,
+      |  SUM(n_intervals) AS n_intervals
+      |FROM islands GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin
+
+  /** Robust (median/MAD) outlier report per order priority — the
+    * z-score screen of [[anOutliers]] breaks down when the outliers
+    * themselves inflate the stddev; median absolute deviation doesn't.
+    * Two grouped exact-percentile passes with the 5-row group medians
+    * broadcast back — no per-row state, shuffles only on the group key.
+    */
+  private def anMadOutliers(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).select(col("o_orderpriority"), col("o_totalprice"))
+    val med = o.groupBy(col("o_orderpriority"))
+      .agg(percentile(col("o_totalprice"), lit(0.5)).as("med"))
+    val dev = o.join(broadcast(med), "o_orderpriority")
+      .withColumn("adev", abs(col("o_totalprice") - col("med")))
+    val mad = dev.groupBy(col("o_orderpriority"))
+      .agg(percentile(col("adev"), lit(0.5)).as("mad"))
+    dev.join(broadcast(mad), "o_orderpriority")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        round(first(col("med")), 4).as("med"),
+        round(first(col("mad")), 4).as("mad"),
+        sum(when(lit(0.6745) * col("adev") / col("mad") > 3.5, 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  private val anMadOutliersSql =
+    """WITH med AS (
+      |  SELECT o_orderpriority, quantile_cont(o_totalprice, 0.5) AS med
+      |  FROM orders GROUP BY o_orderpriority),
+      |dev AS (
+      |  SELECT o.o_orderpriority, o.o_totalprice, m.med,
+      |         ABS(o.o_totalprice - m.med) AS adev
+      |  FROM orders o JOIN med m USING (o_orderpriority)),
+      |mad AS (
+      |  SELECT o_orderpriority, quantile_cont(adev, 0.5) AS mad
+      |  FROM dev GROUP BY o_orderpriority)
+      |SELECT d.o_orderpriority, COUNT(*) AS n,
+      |  ROUND(ANY_VALUE(d.med), 4) AS med,
+      |  ROUND(ANY_VALUE(m.mad), 4) AS mad,
+      |  SUM(CASE WHEN 0.6745 * d.adev / m.mad > 3.5 THEN 1 ELSE 0 END) AS n_outliers
+      |FROM dev d JOIN mad m USING (o_orderpriority)
+      |GROUP BY d.o_orderpriority ORDER BY d.o_orderpriority""".stripMargin
+
   // ----------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2954,7 +3101,10 @@ object SparkEntry {
     "an_tdigest" -> (anTdigest _),
     "mm_frame_digest" -> (mmFrameDigest _),
     "etl_layout_box" -> (etlLayoutBox _),
-    "dedup_clusters_star" -> (dedupClustersStar _)
+    "dedup_clusters_star" -> (dedupClustersStar _),
+    "an_linreg" -> (anLinreg _),
+    "q_gaps_islands" -> (qGapsIslands _),
+    "an_mad_outliers" -> (anMadOutliers _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3063,6 +3213,9 @@ object SparkEntry {
     "etl_json_roundtrip" -> etlJsonRoundtripSql,
     "mm_frame_digest" -> mmFrameDigestSql,
     "etl_layout_box" -> etlLayoutBoxSql,
-    "dedup_clusters_star" -> dedupClustersSql
+    "dedup_clusters_star" -> dedupClustersSql,
+    "an_linreg" -> anLinregSql,
+    "q_gaps_islands" -> qGapsIslandsSql,
+    "an_mad_outliers" -> anMadOutliersSql
   )
 }

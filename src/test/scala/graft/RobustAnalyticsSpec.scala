@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantics checks for the round-8 analytics additions: OLS regression
+  * from exact power sums, gaps-and-islands interval merging, and
+  * median/MAD robust outliers. The DuckDB oracle guards cross-engine
+  * value equality; these specs pin the MATH on constructed inputs where
+  * the right answer is known in closed form.
+  */
+class RobustAnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("an_linreg recovers an exact line (slope 2, intercept 1, r2 1)") {
+    val tmp = java.nio.file.Files.createTempDirectory("linreg_toy").toString
+    // y = 2x + 1 exactly, one group; decimal power sums must recover it
+    // with zero residual.
+    (1 to 100).map(i => (i.toDouble, 2.0 * i + 1.0, "A"))
+      .toDF("l_quantity", "l_extendedprice", "l_returnflag")
+      .write.parquet(s"$tmp/lineitem.parquet")
+    val r = SparkEntry.queries("an_linreg")(spark, tmp).collect()
+    assert(r.length == 1)
+    val row = r(0)
+    assert(row.getAs[Double]("slope") == 2.0)
+    assert(row.getAs[Double]("intercept") == 1.0)
+    assert(row.getAs[Double]("r2") == 1.0)
+  }
+
+  test("q_gaps_islands merges overlapping intervals into known islands") {
+    val tmp = java.nio.file.Files.createTempDirectory("islands_toy").toString
+    // Supplier 1: ships on day 0, 5, 20 → [0,7]∪[5,12] merge, [20,27]
+    // stands alone → 2 islands, covered 12+7=19 days, max 12.
+    // Supplier 2: ships on day 0 only → 1 island of 7 days.
+    def d(day: Int) = java.sql.Timestamp.valueOf(f"1997-01-${day + 1}%02d 00:00:00")
+    Seq(
+      (1L, 10L, 1, d(0)), (1L, 11L, 1, d(5)), (1L, 12L, 1, d(20)),
+      (2L, 13L, 1, d(0)))
+      .toDF("l_suppkey", "l_orderkey", "l_linenumber", "l_shipdate")
+      .write.parquet(s"$tmp/lineitem.parquet")
+    val r = SparkEntry.queries("q_gaps_islands")(spark, tmp)
+      .collect().map(x => (x.getAs[Long]("l_suppkey"),
+        (x.getAs[Long]("n_islands"), x.getAs[Long]("covered_days"),
+         x.getAs[Int]("max_island_days"), x.getAs[Long]("n_intervals")))).toMap
+    assert(r(1L) == ((2L, 19L, 12, 3L)))
+    assert(r(2L) == ((1L, 7L, 7, 1L)))
+  }
+
+  test("q_gaps_islands conserves intervals and bounds islands on sf data") {
+    val agg = SparkEntry.queries("q_gaps_islands")(spark, sfDir)
+      .agg(sum("n_intervals").as("iv"), sum("n_islands").as("is"),
+        min(col("covered_days") - col("max_island_days")).as("slack"))
+      .collect()(0)
+    val liRows = Tables.lineitem(spark, sfDir).count()
+    assert(agg.getAs[Long]("iv") == liRows)        // every row lands in an island
+    assert(agg.getAs[Long]("is") <= liRows)        // islands never exceed intervals
+    assert(agg.getAs[Long]("slack") >= 0L)         // longest island ≤ total coverage
+  }
+
+  test("an_mad_outliers flags injected gross outliers, robust to them") {
+    val tmp = java.nio.file.Files.createTempDirectory("mad_toy").toString
+    // 98 inliers tightly around 100 (unit-ish MAD) + 2 gross outliers.
+    // The MEDIAN/MAD screen must keep med≈100, mad small, and flag
+    // exactly the 2 planted points — a plain z-score on this data has
+    // its stddev blown up by the outliers themselves.
+    val inliers = (1 to 98).map(i => ("P", 100.0 + (i % 11) - 5.0))
+    val planted = Seq(("P", 100000.0), ("P", -100000.0))
+    (inliers ++ planted).toDF("o_orderpriority", "o_totalprice")
+      .write.parquet(s"$tmp/orders.parquet")
+    val r = SparkEntry.queries("an_mad_outliers")(spark, tmp).collect()(0)
+    assert(math.abs(r.getAs[Double]("med") - 100.0) <= 1.0)
+    assert(r.getAs[Double]("mad") <= 6.0)
+    assert(r.getAs[Long]("n_outliers") == 2L)
+  }
+}
