@@ -2985,6 +2985,77 @@ object SparkEntry {
       |FROM dev d JOIN mad m USING (o_orderpriority)
       |GROUP BY d.o_orderpriority ORDER BY d.o_orderpriority""".stripMargin
 
+  /** Unicode NFC normalization under the hard oracle. The corpus is
+    * ASCII, so the query MANUFACTURES decomposed text deterministically
+    * (every 'e' becomes 'e' + U+0301 combining acute) and then runs the
+    * codegen'd [[graft.functions.NfcNormalize]] expression, which must
+    * compose those sequences back to precomposed 'é'. The per-doc char
+    * counts before/after plus an md5 of the normalized UTF-8 bytes are
+    * hash-checked against DuckDB's nfc_normalize — so the composition
+    * actually happening (length shrinks by exactly the injected count)
+    * is what's verified, not an identity pass. Row-local, map-only. */
+  private def textNfc(s: SparkSession, dir: String): DataFrame = {
+    val decomposed = regexp_replace(col("text"), "e", "e\u0301")
+    val norm = graft.functions.NfcNormalize.nfc(decomposed)
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        length(decomposed).as("n_chars_dec"),
+        length(norm).as("n_chars_nfc"),
+        md5(norm.cast("binary")).as("nfc_digest"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val textNfcSql =
+    """WITH t AS (SELECT doc_id, replace(text, 'e', 'e' || chr(769)) AS dec
+      |           FROM documents)
+      |SELECT doc_id,
+      |  length(dec) AS n_chars_dec,
+      |  length(nfc_normalize(dec)) AS n_chars_nfc,
+      |  md5(nfc_normalize(dec)) AS nfc_digest
+      |FROM t ORDER BY doc_id""".stripMargin
+
+  /** Edit-distance (Levenshtein) near-dup detection with prefix
+    * blocking — the fuzzy-matching complement to the token-set dedup
+    * family: two deterministic blocking keys (head-16 and a mid-slice)
+    * shrink the candidate space to same-block pairs, then the exact
+    * distance over 128-char heads confirms. At 100 TB the joins are
+    * ordinary hash-equi-joins on short keys and the quadratic work is
+    * confined to same-block groups (cap enforced by block design, same
+    * posture as the LSH band join); never an all-pairs scan. */
+  private def dedupEditdist(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select(col("doc_id"),
+      substring(col("text"), 1, 16).as("b1"),
+      substring(col("text"), 65, 16).as("b2"),
+      substring(col("text"), 1, 128).as("head"))
+    val a = d.select(col("doc_id").as("id_a"), col("b1"), col("b2"), col("head").as("head_a"))
+    val b = d.select(col("doc_id").as("id_b"), col("b1").as("c1"), col("b2").as("c2"), col("head").as("head_b"))
+    val byB1 = a.join(b, col("b1") === col("c1") && col("id_a") < col("id_b"))
+    val byB2 = a.join(b, col("b2") === col("c2") && col("id_a") < col("id_b"))
+    byB1.select("id_a", "id_b", "head_a", "head_b")
+      .unionByName(byB2.select("id_a", "id_b", "head_a", "head_b"))
+      .distinct()
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("head_a"), col("head_b")).as("dist"))
+      .filter(col("dist") <= 8)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  private val dedupEditdistSql =
+    """WITH d AS (SELECT doc_id, substr(text, 1, 16) AS b1,
+      |                  substr(text, 65, 16) AS b2,
+      |                  substr(text, 1, 128) AS head
+      |           FROM documents),
+      |cand AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |         a.head AS head_a, b.head AS head_b
+      |  FROM d a JOIN d b ON a.b1 = b.b1 AND a.doc_id < b.doc_id
+      |  UNION
+      |  SELECT a.doc_id, b.doc_id, a.head, b.head
+      |  FROM d a JOIN d b ON a.b2 = b.b2 AND a.doc_id < b.doc_id)
+      |SELECT id_a, id_b, levenshtein(head_a, head_b) AS dist
+      |FROM cand WHERE levenshtein(head_a, head_b) <= 8
+      |ORDER BY id_a, id_b""".stripMargin
+
   // ----------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3104,7 +3175,9 @@ object SparkEntry {
     "dedup_clusters_star" -> (dedupClustersStar _),
     "an_linreg" -> (anLinreg _),
     "q_gaps_islands" -> (qGapsIslands _),
-    "an_mad_outliers" -> (anMadOutliers _)
+    "an_mad_outliers" -> (anMadOutliers _),
+    "text_nfc" -> (textNfc _),
+    "dedup_editdist" -> (dedupEditdist _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3216,6 +3289,8 @@ object SparkEntry {
     "dedup_clusters_star" -> dedupClustersSql,
     "an_linreg" -> anLinregSql,
     "q_gaps_islands" -> qGapsIslandsSql,
-    "an_mad_outliers" -> anMadOutliersSql
+    "an_mad_outliers" -> anMadOutliersSql,
+    "text_nfc" -> textNfcSql,
+    "dedup_editdist" -> dedupEditdistSql
   )
 }
