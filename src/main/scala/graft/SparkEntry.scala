@@ -3056,6 +3056,82 @@ object SparkEntry {
       |FROM cand WHERE levenshtein(head_a, head_b) <= 8
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** Copy-on-write row-level DELETE under the hard oracle: orders lands
+    * range-clustered on the key, then Snapshots.delete removes a narrow
+    * key range — rewriting ONLY the files that contain matches (the
+    * carry-forward of untouched files is asserted in SnapshotsSpec).
+    * Both the pinned pre-delete version and the post-delete latest are
+    * digested, so immutability of history AND the delete semantics are
+    * hash-checked together. */
+  private def etlSnapshotDelete(s: SparkSession, dir: String): DataFrame = {
+    import graft.etl.Snapshots
+    val table = java.nio.file.Files.createTempDirectory("graft_snapdel")
+      .toAbsolutePath.toString + "/orders_snap"
+    val o = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .repartitionByRange(8, col("o_orderkey"))
+    Snapshots.commit(o, table, "append")
+    Snapshots.delete(s, table, col("o_orderkey") <= 2000)
+    def agg(df: DataFrame, tag: String): DataFrame =
+      df.groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("spend"))
+        .withColumn("snap", lit(tag))
+    agg(Snapshots.read(s, table, Some(1)), "v1")
+      .unionByName(agg(Snapshots.read(s, table), "v2"))
+      .orderBy(col("snap"), col("o_orderstatus"))
+  }
+
+  private val etlSnapshotDeleteSql =
+    s"""WITH v1 AS (SELECT o_orderstatus, COUNT(*) AS n,
+       |         ${moneySumSql("o_totalprice")} AS spend, 'v1' AS snap
+       |       FROM orders GROUP BY o_orderstatus),
+       |v2 AS (SELECT o_orderstatus, COUNT(*) AS n,
+       |         ${moneySumSql("o_totalprice")} AS spend, 'v2' AS snap
+       |       FROM orders WHERE NOT (o_orderkey <= 2000)
+       |       GROUP BY o_orderstatus)
+       |SELECT * FROM v1 UNION ALL SELECT * FROM v2
+       |ORDER BY snap, o_orderstatus""".stripMargin
+
+  /** Snapshot version diff under the hard oracle: v1 is the base
+    * orders slice, v2 overwrites it with a CDC-shaped transform (drop
+    * key % 11 rows, reprice key % 5 rows). Snapshots.diff tags the
+    * multiset delta added/removed; the digest groups it by change ×
+    * status and the oracle reconstructs the same delta with EXCEPT ALL
+    * — so the diff audit ("what did this commit do") is itself what
+    * gets hash-verified. */
+  private def etlSnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    import graft.etl.Snapshots
+    val table = java.nio.file.Files.createTempDirectory("graft_snapdiff")
+      .toAbsolutePath.toString + "/orders_snap"
+    val o = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    Snapshots.commit(o, table, "append")
+    val v2 = o.filter(col("o_orderkey") % 11 =!= 0)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 5 === 0, col("o_totalprice") + lit(100.0))
+          .otherwise(col("o_totalprice")))
+    Snapshots.commit(v2, table, "overwrite")
+    Snapshots.diff(s, table, 1, 2)
+      .groupBy(col("change"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("spend"))
+      .orderBy(col("change"), col("o_orderstatus"))
+  }
+
+  private val etlSnapshotDiffSql =
+    s"""WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+       |v2 AS (SELECT o_orderkey, o_orderstatus,
+       |         CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 100.0
+       |              ELSE o_totalprice END AS o_totalprice
+       |       FROM base WHERE o_orderkey % 11 <> 0),
+       |delta AS (
+       |  SELECT *, 'added' AS change FROM (SELECT * FROM v2 EXCEPT ALL SELECT * FROM base)
+       |  UNION ALL
+       |  SELECT *, 'removed' AS change FROM (SELECT * FROM base EXCEPT ALL SELECT * FROM v2))
+       |SELECT change, o_orderstatus, COUNT(*) AS n,
+       |       ${moneySumSql("o_totalprice")} AS spend
+       |FROM delta GROUP BY change, o_orderstatus
+       |ORDER BY change, o_orderstatus""".stripMargin
+
   // ----------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3177,7 +3253,9 @@ object SparkEntry {
     "q_gaps_islands" -> (qGapsIslands _),
     "an_mad_outliers" -> (anMadOutliers _),
     "text_nfc" -> (textNfc _),
-    "dedup_editdist" -> (dedupEditdist _)
+    "dedup_editdist" -> (dedupEditdist _),
+    "etl_snapshot_delete" -> (etlSnapshotDelete _),
+    "etl_snapshot_diff" -> (etlSnapshotDiff _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3291,6 +3369,8 @@ object SparkEntry {
     "q_gaps_islands" -> qGapsIslandsSql,
     "an_mad_outliers" -> anMadOutliersSql,
     "text_nfc" -> textNfcSql,
-    "dedup_editdist" -> dedupEditdistSql
+    "dedup_editdist" -> dedupEditdistSql,
+    "etl_snapshot_delete" -> etlSnapshotDeleteSql,
+    "etl_snapshot_diff" -> etlSnapshotDiffSql
   )
 }

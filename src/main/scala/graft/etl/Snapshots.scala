@@ -87,13 +87,22 @@ object Snapshots {
       .filter(_.getName.endsWith(".parquet")).map(_.toString).sorted.toSeq
     val carried =
       if (op == "append" && parent > 0) readManifest(s, table, parent).files else Nil
+    publishManifest(f, table, version, op, parent, carried ++ newFiles)
+    version
+  }
+
+  /** CAS-publish manifest `version` with an explicit file list — the
+    * single commit point shared by commit(), delete(), and any future
+    * file-level operation. overwrite=false IS the protocol: exactly one
+    * writer wins a version. */
+  private def publishManifest(f: FileSystem, table: String, version: Int,
+                              op: String, parent: Int, files: Seq[String]): Unit = {
     val m = mapper.createObjectNode()
     m.put("version", version); m.put("op", op); m.put("parent", parent)
     val arr = m.putArray("files")
-    (carried ++ newFiles).foreach(arr.add)
+    files.foreach(arr.add)
     val target = manifestPath(table, version)
     f.mkdirs(target.getParent)
-    // overwrite=false IS the commit protocol: exactly one writer wins v
     val out =
       try f.create(target, false)
       catch { case _: java.io.IOException =>
@@ -102,7 +111,57 @@ object Snapshots {
       }
     try out.write(mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(m))
     finally out.close()
-    version
+  }
+
+  /** Copy-on-write row-level DELETE inside the snapshot protocol: only
+    * the data files that actually CONTAIN matching rows are rewritten
+    * (predicate-filtered); every untouched file is carried forward into
+    * the new manifest by reference. At 100 TB this is the difference
+    * between rewriting a table and rewriting the handful of files a
+    * targeted delete touches — the Delta/Iceberg CoW shape. The match
+    * scan uses the same pinned file list the rewrite does, so a
+    * concurrent append can't leak rows past the predicate; the manifest
+    * CAS then guarantees one winner. Returns the new version (or the
+    * current one when nothing matched — no empty commit).
+    */
+  def delete(s: SparkSession, table: String, predicate: org.apache.spark.sql.Column): Int = {
+    import org.apache.spark.sql.functions.input_file_name
+    val f = fs(s, table)
+    val v = latestVersion(s, table)
+    require(v > 0, s"$table has no committed snapshots")
+    val files = readManifest(s, table, v).files
+    // normalize scheme/slash variants (file:/ vs file:///) before
+    // comparing manifest paths with input_file_name()'s spelling
+    def norm(p: String): String = new Path(p).toUri.getPath
+    val touched = s.read.parquet(files: _*).filter(predicate)
+      .select(input_file_name().as("f")).distinct()
+      .collect().map(r => norm(r.getString(0))).toSet // driver-sized: file names
+    if (touched.isEmpty) return v
+    val (rewrite, carry) = files.partition(p => touched.contains(norm(p)))
+    val commitDir = s"$table/data/v${v + 1}-${java.util.UUID.randomUUID().toString.take(8)}"
+    // keep-filter must be NULL-safe: a row where the predicate is NULL
+    // is NOT matched (SQL semantics), so it must survive the rewrite —
+    // plain !predicate would evaluate NULL and silently drop it
+    import org.apache.spark.sql.functions.{coalesce, lit, not}
+    s.read.parquet(rewrite: _*)
+      .filter(not(coalesce(predicate, lit(false)))).write.parquet(commitDir)
+    val newFiles = f.listStatus(new Path(commitDir)).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet")).map(_.toString).sorted.toSeq
+    publishManifest(f, table, v + 1, "delete", v, carry ++ newFiles)
+    v + 1
+  }
+
+  /** Multiset row diff between two pinned versions: what `delete`/
+    * `commit` actually changed, as data. Rows in v2 not in v1 (with
+    * multiplicity) are tagged `added`, the reverse `removed` — the
+    * audit primitive for "what did this commit do to corpus@vN".
+    * exceptAll is a hash aggregation on the row content, no sort. */
+  def diff(s: SparkSession, table: String, v1: Int, v2: Int): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val a = read(s, table, Some(v1))
+    val b = read(s, table, Some(v2))
+    b.exceptAll(a).withColumn("change", lit("added"))
+      .unionByName(a.exceptAll(b).withColumn("change", lit("removed")))
   }
 
   /** Read a pinned snapshot (default: latest). The returned frame scans

@@ -125,4 +125,59 @@ class SnapshotsSpec extends SparkSpec {
     assert(Snapshots.read(spark, t).count() == 7)
     assert(Snapshots.read(spark, t, Some(3)).count() == 7)
   }
+
+  test("delete rewrites only the files containing matches (CoW file pruning)") {
+    import spark.implicits._
+    val t = freshTable()
+    // range-clustered: 8 files each holding a contiguous id range
+    val df = (1L to 800L).toDF("id").withColumn("v", col("id") * 2)
+      .repartitionByRange(8, col("id"))
+    Snapshots.commit(df, t, "append")
+    val before = Snapshots.readManifest(spark, t, 1).files
+    val v2 = Snapshots.delete(spark, t, col("id") <= 100)
+    assert(v2 == 2)
+    val after = Snapshots.readManifest(spark, t, 2).files
+    val carried = after.toSet.intersect(before.toSet)
+    // only the file(s) holding ids 1..100 were rewritten; the rest of
+    // the 8-file layout rides forward by reference
+    assert(carried.size >= 6, s"carried ${carried.size} of ${before.size}")
+    assert(after.toSet != before.toSet)
+    assert(Snapshots.read(spark, t).count() == 700)
+    assert(Snapshots.read(spark, t, Some(1)).count() == 800) // history immutable
+    assert(Snapshots.read(spark, t).filter(col("id") <= 100).count() == 0)
+  }
+
+  test("delete keeps rows where the predicate evaluates NULL (SQL match semantics)") {
+    import spark.implicits._
+    val t = freshTable()
+    val df = Seq((1L, Some("a")), (2L, None: Option[String]), (3L, Some("b")))
+      .toDF("id", "tag")
+    Snapshots.commit(df, t, "append")
+    Snapshots.delete(spark, t, col("tag") === "a")
+    val left = Snapshots.read(spark, t).orderBy("id").collect()
+    // row 2 has tag NULL → predicate NULL → NOT matched → must survive
+    assert(left.map(_.getLong(0)).toSeq == Seq(2L, 3L))
+  }
+
+  test("delete with no matches is a no-op commit (version unchanged)") {
+    import spark.implicits._
+    val t = freshTable()
+    Snapshots.commit((1L to 10L).toDF("id"), t, "append")
+    val v = Snapshots.delete(spark, t, col("id") > 999)
+    assert(v == 1)
+    assert(Snapshots.latestVersion(spark, t) == 1)
+  }
+
+  test("diff reports the multiset delta between versions") {
+    import spark.implicits._
+    val t = freshTable()
+    Snapshots.commit(Seq((1L, 10.0), (2L, 20.0), (2L, 20.0), (3L, 30.0))
+      .toDF("id", "v"), t, "append")
+    // v2: drop one duplicate of id 2, reprice id 3, keep id 1
+    Snapshots.commit(Seq((1L, 10.0), (2L, 20.0), (3L, 35.0))
+      .toDF("id", "v"), t, "overwrite")
+    val d = Snapshots.diff(spark, t, 1, 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSet
+    assert(d == Set((3L, 35.0, "added"), (3L, 30.0, "removed"), (2L, 20.0, "removed")))
+  }
 }
