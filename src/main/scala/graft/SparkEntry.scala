@@ -3132,6 +3132,41 @@ object SparkEntry {
        |FROM delta GROUP BY change, o_orderstatus
        |ORDER BY change, o_orderstatus""".stripMargin
 
+  /** Time-weighted average per user — the IoT/metrics aggregate where a
+    * reading holds until the next one arrives, so plain AVG over-weights
+    * bursts. One window pass (lead on the per-user timeline) then a
+    * grouped sum: hold durations are exact integer micros, the
+    * value×duration products go through decimal sums for
+    * order-independence, and the final division happens once in double.
+    * Same shuffle shape as SCD2: a single exchange on the key. */
+  private def anTwa(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .withColumn("dur_us",
+        lead(unix_micros(col("ts")), 1).over(w) - unix_micros(col("ts")))
+      .filter(col("dur_us").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_holds"),
+        sum(col("dur_us")).as("span_us"),
+        round(
+          sum((col("value") * col("dur_us")).cast("decimal(38,6)")).cast("double") /
+            sum(col("dur_us")).cast("double"), 6).as("twa"))
+      .orderBy(col("user_id"))
+  }
+
+  private val anTwaSql =
+    """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus, value FROM events),
+      |d AS (SELECT user_id, value,
+      |        LEAD(tus, 1) OVER (PARTITION BY user_id ORDER BY tus, event_id) - tus AS dur_us
+      |      FROM e)
+      |SELECT user_id, COUNT(*) AS n_holds, SUM(dur_us) AS span_us,
+      |  ROUND(CAST(SUM(CAST(value * dur_us AS DECIMAL(38,6))) AS DOUBLE) /
+      |        CAST(SUM(dur_us) AS DOUBLE), 6) AS twa
+      |FROM d WHERE dur_us IS NOT NULL
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
   // ----------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3255,7 +3290,8 @@ object SparkEntry {
     "text_nfc" -> (textNfc _),
     "dedup_editdist" -> (dedupEditdist _),
     "etl_snapshot_delete" -> (etlSnapshotDelete _),
-    "etl_snapshot_diff" -> (etlSnapshotDiff _)
+    "etl_snapshot_diff" -> (etlSnapshotDiff _),
+    "an_twa" -> (anTwa _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3371,6 +3407,7 @@ object SparkEntry {
     "text_nfc" -> textNfcSql,
     "dedup_editdist" -> dedupEditdistSql,
     "etl_snapshot_delete" -> etlSnapshotDeleteSql,
-    "etl_snapshot_diff" -> etlSnapshotDiffSql
+    "etl_snapshot_diff" -> etlSnapshotDiffSql,
+    "an_twa" -> anTwaSql
   )
 }

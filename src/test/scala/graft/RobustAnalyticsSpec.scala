@@ -56,6 +56,20 @@ class RobustAnalyticsSpec extends SparkSpec {
     assert(agg.getAs[Long]("slack") >= 0L)         // longest island ≤ total coverage
   }
 
+  test("an_twa weights each reading by its hold duration") {
+    val tmp = java.nio.file.Files.createTempDirectory("twa_toy").toString
+    // user 1: value 10 held 1s, value 20 held 3s, final reading open
+    // → TWA = (10·1 + 20·3) / 4 = 17.5 ; plain AVG would say 43.
+    def ns(sec: Long) = sec * 1000000000L
+    Seq((1L, 1L, ns(0), 10.0), (1L, 2L, ns(1), 20.0), (1L, 3L, ns(4), 99.0))
+      .toDF("user_id", "event_id", "ts", "value")
+      .write.parquet(s"$tmp/events.parquet")
+    val r = SparkEntry.queries("an_twa")(spark, tmp).collect()(0)
+    assert(r.getAs[Long]("n_holds") == 2L)
+    assert(r.getAs[Long]("span_us") == 4000000L)
+    assert(r.getAs[Double]("twa") == 17.5)
+  }
+
   test("an_mad_outliers flags injected gross outliers, robust to them") {
     val tmp = java.nio.file.Files.createTempDirectory("mad_toy").toString
     // 98 inliers tightly around 100 (unit-ish MAD) + 2 gross outliers.

@@ -359,6 +359,38 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("KMV/theta sample maintains incrementally in a streaming aggregation") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.functions.{KmvSketch, Sketches}
+    val k = 64
+    val keys = new scala.util.Random(7).shuffle(
+      (1L to 3000L).flatMap(x => Seq(x, x)).toVector) // dups: sketch must distinct
+    def sketched(df: org.apache.spark.sql.DataFrame) = {
+      import spark.implicits._
+      df.select(Sketches.temperedHash(col("value")).as("h")).as[Long]
+        .select(udaf(new KmvSketch[Long](k, identity)).apply(col("h")).as("sample"))
+    }
+    val in = MemoryStream[Long]
+    in.addData(keys.take(1000): _*)
+    val q = sketched(in.toDF())
+      .writeStream.outputMode("complete").format("memory").queryName("kmvstream").start()
+    q.processAllAvailable()
+    in.addData(keys.drop(1000): _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("kmvstream")
+      .head().getAs[scala.collection.Seq[Long]]("sample")
+    import spark.implicits._
+    val batch = sketched(keys.toDF("value"))
+      .head().getAs[scala.collection.Seq[Long]]("sample")
+    // deterministic k-smallest-distinct merge ⇒ stream ≡ batch exactly,
+    // however the micro-batches sliced the input
+    assert(streamed == batch)
+    val est = KmvSketch.estimate(streamed.toVector, k)
+    assert(math.abs(est - 3000L) <= 3000L / 2, s"theta estimate $est wildly off")
+  }
+
   test("HLL z_scaled is the exact scaled harmonic sum") {
     val m = 64
     val regs = Sketches.hllRegisters(spark.range(100).toDF("k"), col("k"), m)
