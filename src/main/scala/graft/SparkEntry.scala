@@ -3132,6 +3132,43 @@ object SparkEntry {
        |FROM delta GROUP BY change, o_orderstatus
        |ORDER BY change, o_orderstatus""".stripMargin
 
+  /** Zero-copy rollback under the hard oracle: v1 is the good table, v2
+    * overwrites it with a corrupted load (half the rows dropped, prices
+    * doubled), restore publishes v3 referencing v1's files — one
+    * manifest write, no data movement at any table size. The digest
+    * reads BOTH the bad v2 (still pinned-readable for forensics) and
+    * the restored latest; the oracle recomputes each from the source,
+    * so restore-equals-original is what's hash-verified. */
+  private def etlSnapshotRestore(s: SparkSession, dir: String): DataFrame = {
+    import graft.etl.Snapshots
+    val table = java.nio.file.Files.createTempDirectory("graft_snaprestore")
+      .toAbsolutePath.toString + "/orders_snap"
+    val o = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    Snapshots.commit(o, table, "append")
+    Snapshots.commit(
+      o.filter(col("o_orderkey") % 2 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2), table, "overwrite")
+    Snapshots.restore(s, table, 1)
+    def agg(df: DataFrame, tag: String): DataFrame =
+      df.groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("spend"))
+        .withColumn("snap", lit(tag))
+    agg(Snapshots.read(s, table, Some(2)), "bad")
+      .unionByName(agg(Snapshots.read(s, table), "restored"))
+      .orderBy(col("snap"), col("o_orderstatus"))
+  }
+
+  private val etlSnapshotRestoreSql =
+    s"""WITH bad AS (SELECT o_orderstatus, COUNT(*) AS n,
+       |         ${moneySumSql("o_totalprice * 2")} AS spend, 'bad' AS snap
+       |       FROM orders WHERE o_orderkey % 2 = 0 GROUP BY o_orderstatus),
+       |res AS (SELECT o_orderstatus, COUNT(*) AS n,
+       |         ${moneySumSql("o_totalprice")} AS spend, 'restored' AS snap
+       |       FROM orders GROUP BY o_orderstatus)
+       |SELECT * FROM bad UNION ALL SELECT * FROM res
+       |ORDER BY snap, o_orderstatus""".stripMargin
+
   /** Time-weighted average per user — the IoT/metrics aggregate where a
     * reading holds until the next one arrives, so plain AVG over-weights
     * bursts. One window pass (lead on the per-user timeline) then a
@@ -3291,7 +3328,8 @@ object SparkEntry {
     "dedup_editdist" -> (dedupEditdist _),
     "etl_snapshot_delete" -> (etlSnapshotDelete _),
     "etl_snapshot_diff" -> (etlSnapshotDiff _),
-    "an_twa" -> (anTwa _)
+    "an_twa" -> (anTwa _),
+    "etl_snapshot_restore" -> (etlSnapshotRestore _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3408,6 +3446,7 @@ object SparkEntry {
     "dedup_editdist" -> dedupEditdistSql,
     "etl_snapshot_delete" -> etlSnapshotDeleteSql,
     "etl_snapshot_diff" -> etlSnapshotDiffSql,
-    "an_twa" -> anTwaSql
+    "an_twa" -> anTwaSql,
+    "etl_snapshot_restore" -> etlSnapshotRestoreSql
   )
 }

@@ -151,6 +151,21 @@ object Snapshots {
     v + 1
   }
 
+  /** Roll the table back to pinned version `toVersion` — published as a
+    * NEW version referencing the OLD version's files (history is
+    * preserved; nothing is rewritten or deleted, because data dirs are
+    * immutable — the Delta RESTORE shape). Zero data movement at any
+    * table size: the restore is one manifest write. The bad versions
+    * stay readable for forensics until vacuum retires them. */
+  def restore(s: SparkSession, table: String, toVersion: Int): Int = {
+    val latest = latestVersion(s, table)
+    require(toVersion >= 1 && toVersion <= latest,
+      s"restore toVersion=$toVersion must be in [1, latest=$latest] for $table")
+    val files = readManifest(s, table, toVersion).files
+    publishManifest(fs(s, table), table, latest + 1, "restore", latest, files)
+    latest + 1
+  }
+
   /** Multiset row diff between two pinned versions: what `delete`/
     * `commit` actually changed, as data. Rows in v2 not in v1 (with
     * multiplicity) are tagged `added`, the reverse `removed` — the

@@ -40,5 +40,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("sorted_intersect_count"),
       new ExpressionInfo(classOf[SortedIntersectCount].getName, "sorted_intersect_count"),
       (children: Seq[Expression]) => SortedIntersectCount(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      (children: Seq[Expression]) => NfcNormalize(children.head)))
   }
 }

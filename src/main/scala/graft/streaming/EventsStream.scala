@@ -391,4 +391,43 @@ object EventsStream {
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, timeoutConf)(update)
   }
+
+  final case class HoldOut(user_id: Long, dur_us: Long, value: Double)
+
+  /** Streaming time-weighted-average feed: the incremental twin of the
+    * batch an_twa query. Per-user state is ONE reading (the open hold);
+    * each arriving event closes the previous hold and emits
+    * (user, duration_micros, held_value) — downstream a plain grouped
+    * sum of value·dur / sum dur gives the running TWA, so the unbounded
+    * part of the computation (the event log) never sits in state.
+    * Within a micro-batch events are sorted by (ts, event_id);
+    * cross-batch order is assumed (same contract as [[sessionize]]) and
+    * a LATE event — older than the open hold — is dropped, not allowed
+    * to fabricate a negative duration. */
+  def twaStream(events: Dataset[Ev])
+               (implicit spark: SparkSession): Dataset[HoldOut] = {
+    import spark.implicits._
+
+    def update(userId: Long, evs: Iterator[Ev],
+               state: GroupState[(Long, Double)]): Iterator[HoldOut] = {
+      val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      var acc = state.getOption
+      val closed = Seq.newBuilder[HoldOut]
+      sorted.foreach { e =>
+        val us = e.ts.getTime * 1000
+        acc match {
+          case Some((t0, v0)) if us >= t0 =>
+            closed += HoldOut(userId, us - t0, v0)
+            acc = Some((us, e.value))
+          case Some(_) => () // late event: would rewind the open hold
+          case None => acc = Some((us, e.value))
+        }
+      }
+      acc.foreach(state.update)
+      closed.result().iterator
+    }
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
+  }
 }

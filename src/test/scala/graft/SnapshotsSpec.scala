@@ -168,6 +168,21 @@ class SnapshotsSpec extends SparkSpec {
     assert(Snapshots.latestVersion(spark, t) == 1)
   }
 
+  test("restore rolls back by reference: no data movement, history intact") {
+    val docs = Tables.documents(spark, sfDir)
+    val t = freshTable()
+    Snapshots.commit(docs.limit(30), t, "append")
+    Snapshots.commit(docs.limit(5), t, "overwrite") // the bad load
+    val v3 = Snapshots.restore(spark, t, 1)
+    assert(v3 == 3)
+    assert(Snapshots.read(spark, t).count() == 30)          // back to good
+    assert(Snapshots.read(spark, t, Some(2)).count() == 5)  // forensics intact
+    // zero-copy: the restored manifest references v1's files verbatim
+    assert(Snapshots.readManifest(spark, t, 3).files ==
+      Snapshots.readManifest(spark, t, 1).files)
+    assert(Snapshots.readManifest(spark, t, 3).op == "restore")
+  }
+
   test("diff reports the multiset delta between versions") {
     import spark.implicits._
     val t = freshTable()

@@ -104,6 +104,30 @@ class StreamingSpec extends SparkSpec {
     assert(out.contains((7L, 1L, 2L, 3.0)))
   }
 
+  test("twaStream: emitted holds reproduce the batch time-weighted average") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val ss = spark
+    val in = MemoryStream[Ev]
+    val q = EventsStream.twaStream(in.toDS())
+      .writeStream.outputMode("append").format("memory").queryName("twa").start()
+    // user 7: 10 held 1 min, 20 held 3 min (closed by the batch-2 event);
+    // the final reading stays open in state and contributes nothing yet
+    in.addData(Ev(1, ts(0), 7, "r", 10.0), Ev(2, ts(1), 7, "r", 20.0))
+    q.processAllAvailable()
+    in.addData(Ev(3, ts(4), 7, "r", 99.0))
+    q.processAllAvailable()
+    // a LATE event in a later batch (older than the open hold) must be
+    // dropped, not allowed to fabricate a negative duration
+    in.addData(Ev(4, ts(2), 7, "r", 55.0))
+    q.processAllAvailable()
+    q.stop()
+    val holds = spark.table("twa").as[EventsStream.HoldOut].collect()
+    assert(holds.map(h => (h.dur_us, h.value)).toSet ==
+      Set((60000000L, 10.0), (180000000L, 20.0)))
+    val twa = holds.map(h => h.value * h.dur_us).sum / holds.map(_.dur_us).sum
+    assert(twa == (10.0 * 1 + 20.0 * 3) / 4) // ≡ the batch an_twa math
+  }
+
   test("sessionize metrics observe gap closes and late-event clamps") {
     implicit val sqlCtx = spark.sqlContext
     implicit val ss = spark

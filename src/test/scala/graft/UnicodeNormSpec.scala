@@ -45,6 +45,14 @@ class UnicodeNormSpec extends SparkSpec {
     assert(NfcNormalize.compute(ascii) eq ascii) // fast path: same object back
   }
 
+  test("nfc_normalize is registered as a SQL function via GraftExtensions") {
+    // TestSession builds through Engine.session, which loads the
+    // extensions — the SQL surface must see the same native expression
+    val out = spark.sql("SELECT nfc_normalize('café') AS n")
+      .head().getString(0)
+    assert(out == "café")
+  }
+
   test("text_nfc digest equals md5 of the composed bytes") {
     val r = SparkEntry.queries("text_nfc")(spark, sfDir).limit(5).collect()
     r.foreach { row =>
