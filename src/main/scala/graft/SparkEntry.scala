@@ -3204,6 +3204,97 @@ object SparkEntry {
       |FROM d WHERE dur_us IS NOT NULL
       |GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** Benford first-digit screen — the classic anomaly/fraud test on a
+    * money column: observed leading-digit frequencies vs the Benford
+    * expectation log10(1+1/d), with per-digit chi-square contributions.
+    * The digit is extracted through INTEGER string conversion (never
+    * double formatting, which engines disagree on); counts are exact,
+    * the only floating math is the final expected/chi2 arithmetic on
+    * exactly-equal inputs, rounded. One groupBy on a 9-value key. */
+  private def anBenford(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      // floor, not a bare bigint cast: Spark's double→long truncates
+      // while other engines round — floor pins the semantics everywhere
+      .select(substring(floor(col("o_totalprice")).cast("bigint").cast("string"), 1, 1)
+        .cast("int").as("digit"))
+      .filter(col("digit") >= 1) // sub-1.0 values have no leading digit
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val tot = o.agg(sum(col("n")).cast("double").as("tot"))
+    o.crossJoin(broadcast(tot))
+      .withColumn("expected", col("tot") * log(10.0, lit(1.0) + lit(1.0) / col("digit")))
+      .select(col("digit"), col("n"),
+        round(col("n") / col("tot"), 6).as("pct"),
+        round(col("expected"), 2).as("exp_n"),
+        round(pow(col("n") - col("expected"), 2) / col("expected"), 6).as("chi2_part"))
+      .orderBy(col("digit"))
+  }
+
+  private val anBenfordSql =
+    """WITH d AS (SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+      |           FROM orders),
+      |c AS (SELECT digit, COUNT(*) AS n FROM d WHERE digit >= 1 GROUP BY digit),
+      |t AS (SELECT CAST(SUM(n) AS DOUBLE) AS tot FROM c)
+      |SELECT digit, n,
+      |  ROUND(n / tot, 6) AS pct,
+      |  ROUND(tot * log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 2) AS exp_n,
+      |  ROUND(POW(n - tot * log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 2)
+      |        / (tot * log10(1.0 + 1.0 / CAST(digit AS DOUBLE))), 6) AS chi2_part
+      |FROM c, t ORDER BY digit""".stripMargin
+
+  /** Sliding mean-shift scan — change detection over the daily revenue
+    * series: at each day, the mean of the trailing 14 days vs the mean
+    * of the leading 14 days (two RANGE frames over epoch days), flag
+    * where the level moved by more than the threshold. Both window
+    * means come from exact decimal sums ÷ exact counts, so the scan is
+    * engine-reproducible; the series itself is one groupBy of the fact
+    * table and the windows never leave the single time-ordered
+    * partition spine (range-partitioned by date at scale). */
+  private def anMeanShift(s: SparkSession, dir: String): DataFrame = {
+    // cents as BIGINT: every window sum, mean (integer division at 1e-4
+    // scale) and the threshold compare below is pure integer arithmetic
+    // — bit-identical on any engine, no double-rounding boundaries
+    val daily = Tables.lineitem(s, dir)
+      .groupBy(date_trunc("day", col("l_shipdate")).as("day"))
+      .agg((sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(24,8)")).cast("decimal(24,2)") * 100)
+        .cast("bigint").as("rev_c"))
+      .withColumn("d", datediff(col("day").cast("date"), lit("1992-01-01").cast("date")))
+    val pre = Window.orderBy(col("d")).rangeBetween(-14, -1)
+    val post = Window.orderBy(col("d")).rangeBetween(0, 13)
+    daily
+      .withColumn("pre_s", sum(col("rev_c")).over(pre) * 100)
+      .withColumn("pre_n", count(lit(1)).over(pre))
+      .withColumn("post_s", sum(col("rev_c")).over(post) * 100)
+      .withColumn("post_n", count(lit(1)).over(post))
+      .withColumn("pre_q", expr("pre_s div pre_n"))
+      .withColumn("post_q", expr("post_s div post_n"))
+      .filter(col("pre_q").isNotNull)
+      .select(col("day"),
+        (col("pre_q") / 10000.0).as("pre_mean"),
+        (col("post_q") / 10000.0).as("post_mean"),
+        ((col("post_q") - col("pre_q")) / 10000.0).as("shift"),
+        (abs(col("post_q") - col("pre_q")) * 2 > col("pre_q")).as("flagged"))
+      .orderBy(col("day"))
+  }
+
+  private val anMeanShiftSql =
+    """WITH daily AS (
+      |  SELECT date_trunc('day', l_shipdate) AS day,
+      |         CAST(ROUND(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,8))), 2) * 100 AS BIGINT) AS rev_c
+      |  FROM lineitem GROUP BY 1),
+      |dd AS (SELECT day, rev_c,
+      |         date_diff('day', DATE '1992-01-01', CAST(day AS DATE)) AS d FROM daily),
+      |w AS (SELECT day,
+      |        (SUM(rev_c) OVER pre * 100) // (COUNT(*) OVER pre) AS pre_q,
+      |        (SUM(rev_c) OVER post * 100) // (COUNT(*) OVER post) AS post_q
+      |      FROM dd
+      |      WINDOW pre AS (ORDER BY d RANGE BETWEEN 14 PRECEDING AND 1 PRECEDING),
+      |             post AS (ORDER BY d RANGE BETWEEN CURRENT ROW AND 13 FOLLOWING))
+      |SELECT day, pre_q / 10000.0 AS pre_mean, post_q / 10000.0 AS post_mean,
+      |  (post_q - pre_q) / 10000.0 AS shift,
+      |  ABS(post_q - pre_q) * 2 > pre_q AS flagged
+      |FROM w WHERE pre_q IS NOT NULL ORDER BY day""".stripMargin
+
   // ----------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3329,7 +3420,9 @@ object SparkEntry {
     "etl_snapshot_delete" -> (etlSnapshotDelete _),
     "etl_snapshot_diff" -> (etlSnapshotDiff _),
     "an_twa" -> (anTwa _),
-    "etl_snapshot_restore" -> (etlSnapshotRestore _)
+    "etl_snapshot_restore" -> (etlSnapshotRestore _),
+    "an_benford" -> (anBenford _),
+    "an_mean_shift" -> (anMeanShift _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3447,6 +3540,8 @@ object SparkEntry {
     "etl_snapshot_delete" -> etlSnapshotDeleteSql,
     "etl_snapshot_diff" -> etlSnapshotDiffSql,
     "an_twa" -> anTwaSql,
-    "etl_snapshot_restore" -> etlSnapshotRestoreSql
+    "etl_snapshot_restore" -> etlSnapshotRestoreSql,
+    "an_benford" -> anBenfordSql,
+    "an_mean_shift" -> anMeanShiftSql
   )
 }

@@ -26,10 +26,13 @@ object IncrementalAgg {
   /** Exact mergeable aggregate: keys -> (sum_<m> DECIMAL(24,8) per
     * measure, n rows).
     */
-  def aggregate(df: DataFrame, keys: Seq[String], measures: Seq[String]): DataFrame =
+  def aggregate(df: DataFrame, keys: Seq[String], measures: Seq[String],
+                minMaxMeasures: Seq[String] = Nil): DataFrame =
     df.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("n"),
-        measures.map(m => sum(col(m).cast("decimal(24,8)")).as(s"sum_$m")): _*)
+        measures.map(m => sum(col(m).cast("decimal(24,8)")).as(s"sum_$m")) ++
+          minMaxMeasures.flatMap(m => Seq(
+            min(col(m)).as(s"min_$m"), max(col(m)).as(s"max_$m"))): _*)
 
   /** The rows `toVersion` added on top of `fromVersion` (append-only
     * lineage required). Scans only the added files.
@@ -51,13 +54,19 @@ object IncrementalAgg {
     * sums, sum of counts. Exact because every column is decimal/long.
     */
   def refresh(state: DataFrame, deltaDf: DataFrame,
-              keys: Seq[String], measures: Seq[String]): DataFrame = {
-    val deltaState = aggregate(deltaDf, keys, measures)
+              keys: Seq[String], measures: Seq[String],
+              minMaxMeasures: Seq[String] = Nil): DataFrame = {
+    val deltaState = aggregate(deltaDf, keys, measures, minMaxMeasures)
     state.unionByName(deltaState)
       .groupBy(keys.map(col): _*)
       .agg(sum(col("n")).cast("long").as("n"),
         measures.map(m =>
-          sum(col(s"sum_$m")).cast("decimal(24,8)").as(s"sum_$m")): _*)
+          sum(col(s"sum_$m")).cast("decimal(24,8)").as(s"sum_$m")) ++
+          // min-of-mins / max-of-maxes: mergeable under append-only
+          // lineage (a delete could retract the extremum — exactly what
+          // delta()'s append-only check already refuses)
+          minMaxMeasures.flatMap(m => Seq(
+            min(col(s"min_$m")).as(s"min_$m"), max(col(s"max_$m")).as(s"max_$m"))): _*)
   }
 
   /** The sketch analogue of [[aggregate]] for DISTINCT counts — the

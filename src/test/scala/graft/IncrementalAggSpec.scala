@@ -34,6 +34,30 @@ class IncrementalAggSpec extends SparkSpec {
     assert(refreshed == full && full.nonEmpty)
   }
 
+  test("min/max measures ride the refresh and equal the full recompute") {
+    val t = freshTable()
+    val orders = Tables.orders(spark, sfDir)
+    Snapshots.commit(orders.where(col("o_orderkey") % 3 === 0), t, "append")
+    Snapshots.commit(orders.where(col("o_orderkey") % 3 =!= 0), t, "append")
+    val state1 = IncrementalAgg.aggregate(
+      Snapshots.read(spark, t, Some(1)), keys, measures, minMaxMeasures = measures)
+    val refreshed = IncrementalAgg.refresh(state1,
+        IncrementalAgg.delta(spark, t, 1, 2), keys, measures, minMaxMeasures = measures)
+      .collect().map(_.toSeq).toSet
+    val full = IncrementalAgg.aggregate(
+        Snapshots.read(spark, t, Some(2)), keys, measures, minMaxMeasures = measures)
+      .collect().map(_.toSeq).toSet
+    assert(refreshed == full && full.nonEmpty)
+    // and the maintained extremes are the true ones
+    val cols = IncrementalAgg.aggregate(
+      Snapshots.read(spark, t, Some(2)), keys, measures, minMaxMeasures = measures)
+    val row = cols.where(col("o_orderstatus") === "O")
+      .select("min_o_totalprice", "max_o_totalprice").head()
+    val truth = Snapshots.read(spark, t, Some(2)).where(col("o_orderstatus") === "O")
+      .agg(min("o_totalprice"), max("o_totalprice")).head()
+    assert(row.getDouble(0) == truth.getDouble(0) && row.getDouble(1) == truth.getDouble(1))
+  }
+
   test("delta scans only the appended files") {
     val t = freshTable()
     val orders = Tables.orders(spark, sfDir)

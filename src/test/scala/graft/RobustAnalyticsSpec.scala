@@ -70,6 +70,42 @@ class RobustAnalyticsSpec extends SparkSpec {
     assert(r.getAs[Double]("twa") == 17.5)
   }
 
+  test("an_benford: a Benford-conforming sample has tiny chi2, pcts sum to 1") {
+    val tmp = java.nio.file.Files.createTempDirectory("benford_toy").toString
+    // construct counts proportional to the Benford pmf exactly:
+    // 1000·log10(1+1/d) copies of a d-leading value
+    val rows = (1 to 9).flatMap { d =>
+      val n = math.round(100000 * math.log10(1.0 + 1.0 / d)).toInt
+      Seq.fill(n)(d * 100.0 + 1.0)
+    }
+    rows.toDF("o_totalprice").write.parquet(s"$tmp/orders.parquet")
+    val r = SparkEntry.queries("an_benford")(spark, tmp).collect()
+    assert(r.map(_.getAs[Int]("digit")).toSeq == (1 to 9))
+    assert(math.abs(r.map(_.getAs[Double]("pct")).sum - 1.0) < 1e-4)
+    assert(r.map(_.getAs[Double]("chi2_part")).sum < 0.01) // conforming data
+  }
+
+  test("an_mean_shift flags a constructed level change, not the steady state") {
+    val tmp = java.nio.file.Files.createTempDirectory("shift_toy").toString
+    // 60 days at revenue 100/day, then 60 days at 400/day: the scan
+    // must flag days bracketing day 60 and stay quiet elsewhere
+    def day(i: Int) = java.sql.Timestamp.valueOf(
+      java.time.LocalDate.of(1992, 1, 1).plusDays(i).atStartOfDay())
+    val rows = (0 until 120).map(i =>
+      (day(i), if (i < 60) 100.0 else 400.0, 0.0))
+    rows.toDF("l_shipdate", "l_extendedprice", "l_discount")
+      .write.parquet(s"$tmp/lineitem.parquet")
+    val r = SparkEntry.queries("an_mean_shift")(spark, tmp)
+      .collect().map(x => (x.getAs[java.sql.Timestamp]("day")
+        .toLocalDateTime.getDayOfYear, x.getAs[Boolean]("flagged")))
+    val flaggedDays = r.filter(_._2).map(_._1)
+    assert(flaggedDays.nonEmpty)
+    // all flags cluster around the change point (day-of-year 61 = index 60)
+    assert(flaggedDays.forall(d => d >= 48 && d <= 75), flaggedDays.mkString(","))
+    // steady-state regions stay quiet
+    assert(r.filter(x => x._1 < 45 || x._1 > 80).forall(!_._2))
+  }
+
   test("an_mad_outliers flags injected gross outliers, robust to them") {
     val tmp = java.nio.file.Files.createTempDirectory("mad_toy").toString
     // 98 inliers tightly around 100 (unit-ish MAD) + 2 gross outliers.
