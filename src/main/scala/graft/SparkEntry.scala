@@ -3295,6 +3295,78 @@ object SparkEntry {
       |  ABS(post_q - pre_q) * 2 > pre_q AS flagged
       |FROM w WHERE pre_q IS NOT NULL ORDER BY day""".stripMargin
 
+  /** PageRank over the customer–supplier trading network (undirected:
+    * both edge directions materialized), five power iterations at
+    * damping 0.85 — iterative graph compute under the hard oracle. The
+    * determinism discipline that makes a 5-deep iterated float
+    * computation hash-comparable across engines: per-edge contributions
+    * are a single double division (IEEE-identical everywhere), each
+    * gather goes through DECIMAL(38,18) sums (order-independent), and
+    * the damping update is straight-line double arithmetic — so both
+    * engines walk bit-identical rank vectors; only the final emission
+    * is rounded. At scale each iteration is one shuffle of (node, rank)
+    * joined against the static edge list — the dedup_clusters execution
+    * shape with a rank payload instead of labels. */
+  private def qPagerank(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
+    val ord = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+    val cs = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("p"))
+      .distinct()
+    // the edge list and degrees are STATIC across iterations — persist
+    // them or the lazy 5-iteration plan recomputes the scan+distinct+
+    // join spine five times (Verify/Bench isolation clears the cache
+    // after each query, same discipline as the dedup builders)
+    val edges = cs.select(col("c").as("src"), col("p").as("dst"))
+      .unionByName(cs.select(col("p").as("src"), col("c").as("dst")))
+      .distinct().persist()
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg")).persist()
+    val nodes = edges.select(col("src").as("node")).distinct()
+    val n = nodes.count() // scalar: the node count parameterizes the teleport term
+    var rank = nodes.withColumn("rank", lit(1.0) / n)
+    (1 to 5).foreach { _ =>
+      // rank and deg are node-sized (≪ edges): broadcast both so each
+      // iteration's only exchange is the gather groupBy on dst
+      rank = edges
+        .join(broadcast(rank.withColumnRenamed("node", "src")), "src")
+        .join(broadcast(deg), "src")
+        .groupBy(col("dst").as("node"))
+        .agg(sum((col("rank") / col("outdeg").cast("double"))
+          .cast("decimal(38,18)")).as("gather"))
+        .select(col("node"),
+          (lit(0.15) / n + lit(0.85) * col("gather").cast("double")).as("rank"))
+    }
+    rank.select(col("node"), round(col("rank"), 9).as("rank"))
+      .orderBy(col("node"))
+  }
+
+  private val qPagerankSql: String = {
+    val iter = (1 to 5).map { k =>
+      s"""r$k AS (
+         |  SELECT e.dst AS node,
+         |    CAST(0.15 AS DOUBLE) / (SELECT n FROM nn)
+         |      + 0.85 * CAST(SUM(CAST(r.rank / CAST(dg.outdeg AS DOUBLE)
+         |                             AS DECIMAL(38,18))) AS DOUBLE) AS rank
+         |  FROM edges e
+         |  JOIN r${k - 1} r ON e.src = r.node
+         |  JOIN deg dg ON dg.src = e.src
+         |  GROUP BY e.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH cs AS (
+       |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS p
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |edges AS (
+       |  SELECT c AS src, p AS dst FROM cs
+       |  UNION
+       |  SELECT p AS src, c AS dst FROM cs),
+       |deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+       |nodes AS (SELECT DISTINCT src AS node FROM edges),
+       |nn AS (SELECT COUNT(*) AS n FROM nodes),
+       |r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS rank FROM nodes),
+       |$iter
+       |SELECT node, ROUND(rank, 9) AS rank FROM r5 ORDER BY node""".stripMargin
+  }
+
   // ----------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3422,7 +3494,8 @@ object SparkEntry {
     "an_twa" -> (anTwa _),
     "etl_snapshot_restore" -> (etlSnapshotRestore _),
     "an_benford" -> (anBenford _),
-    "an_mean_shift" -> (anMeanShift _)
+    "an_mean_shift" -> (anMeanShift _),
+    "q_pagerank" -> (qPagerank _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3542,6 +3615,7 @@ object SparkEntry {
     "an_twa" -> anTwaSql,
     "etl_snapshot_restore" -> etlSnapshotRestoreSql,
     "an_benford" -> anBenfordSql,
-    "an_mean_shift" -> anMeanShiftSql
+    "an_mean_shift" -> anMeanShiftSql,
+    "q_pagerank" -> qPagerankSql
   )
 }

@@ -106,6 +106,26 @@ class RobustAnalyticsSpec extends SparkSpec {
     assert(r.filter(x => x._1 < 45 || x._1 > 80).forall(!_._2))
   }
 
+  test("q_pagerank: hub outranks leaves on a star, total rank mass ≈ 1") {
+    val tmp = java.nio.file.Files.createTempDirectory("pagerank_toy").toString
+    // customer 1 trades with suppliers 1..4: a 5-node star whose hub
+    // (the customer) must collect the most rank
+    (1 to 4).map(sk => (sk.toLong, sk.toLong))
+      .toDF("l_orderkey", "l_suppkey")
+      .write.parquet(s"$tmp/lineitem.parquet")
+    (1 to 4).map(ok => (ok.toLong, 1L))
+      .toDF("o_orderkey", "o_custkey")
+      .write.parquet(s"$tmp/orders.parquet")
+    val r = SparkEntry.queries("q_pagerank")(spark, tmp)
+      .collect().map(x => (x.getAs[Long]("node"), x.getAs[Double]("rank"))).toMap
+    assert(r.size == 5)
+    val hub = r(2L) // custkey 1 → node id 2
+    val leaves = r.removed(2L).values.toSeq
+    assert(leaves.forall(hub > _))
+    assert(leaves.distinct.size == 1) // symmetric leaves share one rank
+    assert(math.abs(r.values.sum - 1.0) < 1e-6) // stochastic: mass conserved
+  }
+
   test("an_mad_outliers flags injected gross outliers, robust to them") {
     val tmp = java.nio.file.Files.createTempDirectory("mad_toy").toString
     // 98 inliers tightly around 100 (unit-ish MAD) + 2 gross outliers.
