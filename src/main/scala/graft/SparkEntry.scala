@@ -3367,6 +3367,133 @@ object SparkEntry {
        |SELECT node, ROUND(rank, 9) AS rank FROM r5 ORDER BY node""".stripMargin
   }
 
+  /** Bucket-co-located join under the hard oracle — the brief's
+    * "pre-partitioning for co-located joins" made concrete: both sides
+    * land as 16-bucket sorted tables on the join key, broadcast is
+    * disabled in a scoped session, and the join planner consumes the
+    * bucketed layout directly — a SortMergeJoin with ZERO exchange and
+    * zero sort on either side (asserted in spec). At 100 TB this is the
+    * fact-to-fact join without shuffling either table. The digest is
+    * collected (5 rows) so the scratch tables can be dropped eagerly. */
+  private def qBucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    import graft.etl.Load.BucketedTableSink
+    val scoped = s.newSession()
+    scoped.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // one-file-per-bucket sorted scans may declare their sort order
+    // (post-3.0 this is behind a legacy flag; scoped here, not global)
+    scoped.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    val sfx = java.util.UUID.randomUUID().toString.take(8)
+    val tOrd = s"orders_bkt_$sfx"; val tCust = s"cust_bkt_$sfx"
+    try {
+      BucketedTableSink(tOrd, "o_custkey", 16, sortCol = Some("o_custkey"), oneFilePerBucket = true)
+        .write(Tables.orders(scoped, dir).select("o_custkey", "o_totalprice"))
+      BucketedTableSink(tCust, "c_custkey", 16, sortCol = Some("c_custkey"), oneFilePerBucket = true)
+        .write(Tables.customer(scoped, dir).select("c_custkey", "c_mktsegment"))
+      val rows = scoped.table(tOrd)
+        .join(scoped.table(tCust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("spend"))
+        .orderBy(col("c_mktsegment"))
+        .collect() // 5 rows — lets the scratch tables drop before return
+      import scala.jdk.CollectionConverters._
+      s.createDataFrame(rows.toSeq.asJava,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("c_mktsegment",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("n",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("spend",
+            org.apache.spark.sql.types.DoubleType))))
+    } finally {
+      scoped.sql(s"DROP TABLE IF EXISTS $tOrd")
+      scoped.sql(s"DROP TABLE IF EXISTS $tCust")
+    }
+  }
+
+  private val qBucketedJoinSql =
+    s"""SELECT c_mktsegment, COUNT(*) AS n, ${moneySumSql("o_totalprice")} AS spend
+       |FROM orders JOIN customer ON o_custkey = c_custkey
+       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  /** Lag-k autocorrelation of the daily revenue series (k = 1 and 7 —
+    * day-over-day persistence and weekly seasonality): pairs from a lag
+    * window, then the exact-decimal-power-sum correlation of
+    * [[anStatsMoments]] over each pair set. One narrow window pass plus
+    * a two-row aggregate. */
+  private def anAutocorr(s: SparkSession, dir: String): DataFrame = {
+    def dsum(c: Column) = sum(c.cast("decimal(38,8)")).cast("double")
+    val daily = Tables.lineitem(s, dir)
+      .groupBy(date_trunc("day", col("l_shipdate")).as("day"))
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(24,8)")).cast("decimal(24,2)").cast("double").as("rev"))
+    val w = Window.orderBy(col("day"))
+    val lagged = daily.select(col("rev").as("x"),
+      lag(col("rev"), 1).over(w).as("l1"),
+      lag(col("rev"), 7).over(w).as("l7"))
+    def corrOf(yc: String) = {
+      val p = lagged.filter(col(yc).isNotNull)
+        .agg(count(lit(1)).as("n"), dsum(col("x")).as("sx"), dsum(col(yc)).as("sy"),
+          dsum(col("x") * col("x")).as("sxx"), dsum(col(yc) * col(yc)).as("syy"),
+          dsum(col("x") * col(yc)).as("sxy"))
+      p.select(lit(yc).as("lag"), col("n"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+           sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 9).as("autocorr"))
+    }
+    corrOf("l1").unionByName(corrOf("l7")).orderBy(col("lag"))
+  }
+
+  private val anAutocorrSql =
+    """WITH daily AS (
+      |  SELECT date_trunc('day', l_shipdate) AS day,
+      |    CAST(ROUND(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,8))), 2) AS DOUBLE) AS rev
+      |  FROM lineitem GROUP BY 1),
+      |lagged AS (
+      |  SELECT rev AS x,
+      |    LAG(rev, 1) OVER (ORDER BY day) AS l1,
+      |    LAG(rev, 7) OVER (ORDER BY day) AS l7
+      |  FROM daily),
+      |s AS (
+      |  SELECT 'l1' AS lag, COUNT(*) AS n,
+      |    CAST(SUM(CAST(x AS DECIMAL(38,8))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(l1 AS DECIMAL(38,8))) AS DOUBLE) AS sy,
+      |    CAST(SUM(CAST(x * x AS DECIMAL(38,8))) AS DOUBLE) AS sxx,
+      |    CAST(SUM(CAST(l1 * l1 AS DECIMAL(38,8))) AS DOUBLE) AS syy,
+      |    CAST(SUM(CAST(x * l1 AS DECIMAL(38,8))) AS DOUBLE) AS sxy
+      |  FROM lagged WHERE l1 IS NOT NULL
+      |  UNION ALL
+      |  SELECT 'l7', COUNT(*),
+      |    CAST(SUM(CAST(x AS DECIMAL(38,8))) AS DOUBLE),
+      |    CAST(SUM(CAST(l7 AS DECIMAL(38,8))) AS DOUBLE),
+      |    CAST(SUM(CAST(x * x AS DECIMAL(38,8))) AS DOUBLE),
+      |    CAST(SUM(CAST(l7 * l7 AS DECIMAL(38,8))) AS DOUBLE),
+      |    CAST(SUM(CAST(x * l7 AS DECIMAL(38,8))) AS DOUBLE)
+      |  FROM lagged WHERE l7 IS NOT NULL)
+      |SELECT lag, n,
+      |  ROUND((n * sxy - sx * sy) /
+      |        (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 9) AS autocorr
+      |FROM s ORDER BY lag""".stripMargin
+
+  /** Deterministic surrogate-key assignment — the scale-safe replacement for
+    * monotonically_increasing_id (whose values depend on partition
+    * layout): key = md5 of the natural key, auditable and reproducible
+    * on any engine/cluster/partitioning. The digest counts keys,
+    * distinct keys (collision audit: must be equal), and pins the
+    * lexicographic extremes. */
+  private def etlSurrogateKeys(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(md5(concat_ws("|", lit("ord"), col("o_orderkey"))).as("sk"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("sk")).as("n_distinct"),
+        min(col("sk")).as("sk_min"), max(col("sk")).as("sk_max"))
+
+  private val etlSurrogateKeysSql =
+    """WITH k AS (SELECT md5('ord' || '|' || CAST(o_orderkey AS VARCHAR)) AS sk
+      |           FROM orders)
+      |SELECT COUNT(*) AS n, COUNT(DISTINCT sk) AS n_distinct,
+      |       MIN(sk) AS sk_min, MAX(sk) AS sk_max
+      |FROM k""".stripMargin
+
   // ----------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3495,7 +3622,10 @@ object SparkEntry {
     "etl_snapshot_restore" -> (etlSnapshotRestore _),
     "an_benford" -> (anBenford _),
     "an_mean_shift" -> (anMeanShift _),
-    "q_pagerank" -> (qPagerank _)
+    "q_pagerank" -> (qPagerank _),
+    "q_bucketed_join" -> (qBucketedJoin _),
+    "an_autocorr" -> (anAutocorr _),
+    "etl_surrogate_keys" -> (etlSurrogateKeys _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3616,6 +3746,9 @@ object SparkEntry {
     "etl_snapshot_restore" -> etlSnapshotRestoreSql,
     "an_benford" -> anBenfordSql,
     "an_mean_shift" -> anMeanShiftSql,
-    "q_pagerank" -> qPagerankSql
+    "q_pagerank" -> qPagerankSql,
+    "q_bucketed_join" -> qBucketedJoinSql,
+    "an_autocorr" -> anAutocorrSql,
+    "etl_surrogate_keys" -> etlSurrogateKeysSql
   )
 }

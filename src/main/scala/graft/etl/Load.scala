@@ -112,9 +112,17 @@ object Load {
   final case class BucketedTableSink(table: String, bucketCol: String,
                                      numBuckets: Int = 32,
                                      sortCol: Option[String] = None,
-                                     mode: SaveMode = SaveMode.Overwrite) extends Sink {
+                                     mode: SaveMode = SaveMode.Overwrite,
+                                     oneFilePerBucket: Boolean = false) extends Sink {
     def write(df: DataFrame): Unit = {
-      val w = df.write.mode(mode).format("parquet")
+      // repartition on the bucket column (same murmur3 hash bucketBy
+      // uses) → each task owns whole buckets → ONE file per bucket —
+      // the layout Spark requires before it trusts the written sort
+      // order and elides the per-side Sort under a bucketed join
+      val in = if (oneFilePerBucket)
+        df.repartition(numBuckets, org.apache.spark.sql.functions.col(bucketCol))
+      else df
+      val w = in.write.mode(mode).format("parquet")
         .bucketBy(numBuckets, bucketCol)
       sortCol.fold(w)(s => w.sortBy(s)).saveAsTable(table)
     }
