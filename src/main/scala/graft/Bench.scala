@@ -59,6 +59,7 @@ object Bench {
     // garbage leaking into the next query's time.
     def isolate(): Unit = {
       graft.dedup.Dedup.releaseCaches()
+      graft.operators.PrefixSum.releaseCaches()
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       if (!sys.env.contains("SPARK_GRAFT_NOGC")) System.gc()

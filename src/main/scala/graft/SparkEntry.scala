@@ -3494,6 +3494,226 @@ object SparkEntry {
       |       MIN(sk) AS sk_min, MAX(sk) AS sk_max
       |FROM k""".stripMargin
 
+  /** Two-sample Kolmogorov–Smirnov test between the finished ('F') and
+    * open ('O') order-price distributions — the train/serve
+    * distribution-drift check a feature pipeline runs before every
+    * refresh. Integer-exact: prices become cents BIGINT through the
+    * decimal cast (never a double*100 truncation), the two ECDFs are
+    * cumulative counts over DISTINCT cents values, and the KS statistic
+    * is maximized as the integer cross-product |c1·n2 − c2·n1| — only
+    * the final d_stat emission divides. Scale shape: one groupBy
+    * collapses the corpus to distinct values, then
+    * [[graft.operators.PrefixSum]] computes both running counts as a
+    * distributed two-pass scan — no single-partition window anywhere.
+    * Ties are impossible after the distinct-value aggregate, so the
+    * scan's unique-order-key contract holds. */
+  private def anKsDrift(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(s, dir)
+      .filter(col("o_orderstatus").isin("F", "O"))
+      .select((col("o_totalprice").cast("decimal(24,2)") * 100).cast("bigint").as("v"),
+        when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("g1"),
+        when(col("o_orderstatus") === "O", 1L).otherwise(0L).as("g2"))
+    val perV = base.groupBy("v").agg(sum(col("g1")).as("c1"), sum(col("g2")).as("c2"))
+    val cum = graft.operators.PrefixSum.withRunningTotals(perV, Seq("v"), Seq("c1", "c2"))
+    val tot = perV.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+    cum.crossJoin(broadcast(tot))
+      .select(col("v"), col("n1"), col("n2"),
+        abs(col("c1_cum") * col("n2") - col("c2_cum") * col("n1")).as("d_num"))
+      .agg(max(struct(col("d_num"), col("v"), col("n1"), col("n2"))).as("m"))
+      .select(col("m.n1").as("n1"), col("m.n2").as("n2"),
+        col("m.d_num").as("d_num"), col("m.v").as("v_at"),
+        round((col("m.d_num").cast("double") / col("m.n1").cast("double"))
+          / col("m.n2").cast("double"), 9).as("d_stat"))
+  }
+
+  private val anKsDriftSql =
+    """WITH b AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(24,2)) * 100 AS BIGINT) AS v,
+      |                  o_orderstatus AS st
+      |           FROM orders WHERE o_orderstatus IN ('F','O')),
+      |p AS (SELECT v, COUNT(*) FILTER (WHERE st = 'F') AS c1,
+      |               COUNT(*) FILTER (WHERE st = 'O') AS c2
+      |      FROM b GROUP BY v),
+      |c AS (SELECT v, CAST(SUM(c1) OVER (ORDER BY v) AS BIGINT) AS c1c,
+      |               CAST(SUM(c2) OVER (ORDER BY v) AS BIGINT) AS c2c FROM p),
+      |t AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2 FROM p),
+      |d AS (SELECT v, n1, n2, CAST(ABS(c1c*n2 - c2c*n1) AS BIGINT) AS d_num FROM c, t)
+      |SELECT n1, n2, d_num, v AS v_at,
+      |       ROUND((CAST(d_num AS DOUBLE) / CAST(n1 AS DOUBLE)) / CAST(n2 AS DOUBLE), 9) AS d_stat
+      |FROM d ORDER BY d_num DESC, v DESC LIMIT 1""".stripMargin
+
+  /** Gini coefficient of customer spend concentration (the
+    * "how skewed is my corpus/revenue" audit): per-customer spend in
+    * cents BIGINT, globally ranked ascending by (spend, custkey) —
+    * a UNIQUE order, so ranks are well-defined — through the
+    * [[graft.operators.PrefixSum]] distributed scan instead of a
+    * single-partition ROW_NUMBER window. G = (2·Σrᵢxᵢ − (n+1)·Σxᵢ)
+    * / (n·Σxᵢ): the rank-weighted sum goes through DECIMAL(38,0)
+    * (the per-element product stays in BIGINT range; the SUM would
+    * not past sf1), and only the final ratio divides in double. */
+  private def anGini(s: SparkSession, dir: String): DataFrame = {
+    val spend = Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg((sum(col("o_totalprice").cast("decimal(24,8)")).cast("decimal(24,2)") * 100)
+        .cast("bigint").as("x"))
+    val ranked = graft.operators.PrefixSum
+      .withRunningTotals(spend, Seq("x", "o_custkey"), Seq("x"))
+    val a = ranked.agg(count(lit(1)).as("n"), sum(col("x")).as("sum_cents"),
+      sum((col("x") * col("rn")).cast("decimal(38,0)")).cast("double").as("w"))
+    a.select(col("n"), col("sum_cents"), col("w").as("rank_weighted"),
+      round((lit(2.0) * col("w")
+          - (col("n").cast("double") + lit(1.0)) * col("sum_cents").cast("double"))
+        / (col("n").cast("double") * col("sum_cents").cast("double")), 9).as("gini"))
+  }
+
+  private val anGiniSql =
+    """WITH spend AS (SELECT o_custkey,
+      |    CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(24,8))), 2) * 100 AS BIGINT) AS x
+      |  FROM orders GROUP BY o_custkey),
+      |r AS (SELECT x, ROW_NUMBER() OVER (ORDER BY x, o_custkey) AS rn FROM spend),
+      |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sum_cents,
+      |             CAST(SUM(CAST(x * rn AS DECIMAL(38,0))) AS DOUBLE) AS w FROM r)
+      |SELECT n, sum_cents, w AS rank_weighted,
+      |  ROUND((2.0*w - (CAST(n AS DOUBLE)+1.0)*CAST(sum_cents AS DOUBLE)) /
+      |        (CAST(n AS DOUBLE)*CAST(sum_cents AS DOUBLE)), 9) AS gini
+      |FROM a""".stripMargin
+
+  /** k-anonymity audit (Sweeney, IJUFKS'02) over a quasi-identifier
+    * tuple — the privacy gate a training-data release runs before
+    * shipping: group customers by (nation, market segment, account-
+    * balance band) and report the k (smallest group), how many groups
+    * fall under k=5, and how many rows sit in those re-identifiable
+    * groups. One groupBy plus a summary aggregate; the band boundary
+    * uses the shared parquet doubles through identical IEEE ops on
+    * both engines, so banding is cross-engine stable. */
+  private def etlKanon(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .groupBy(col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / 1000.0).cast("bigint").as("bal_band"))
+      .agg(count(lit(1)).as("sz"))
+      .agg(count(lit(1)).as("n_groups"), min(col("sz")).as("k_anonymity"),
+        sum(when(col("sz") < 5, 1L).otherwise(0L)).as("groups_lt5"),
+        sum(when(col("sz") < 5, col("sz")).otherwise(0L)).as("rows_at_risk"))
+
+  private val etlKanonSql =
+    """WITH g AS (SELECT c_nationkey, c_mktsegment,
+      |                  CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+      |                  COUNT(*) AS sz
+      |           FROM customer GROUP BY 1, 2, 3)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_groups, MIN(sz) AS k_anonymity,
+      |       CAST(SUM(CASE WHEN sz < 5 THEN 1 ELSE 0 END) AS BIGINT) AS groups_lt5,
+      |       CAST(SUM(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT) AS rows_at_risk
+      |FROM g""".stripMargin
+
+  /** Leakage-free k-fold target encoding — the ML-prep shape where a
+    * category's target rate must be computed WITHOUT each row's own
+    * fold (plain target encoding leaks the label into the feature;
+    * the k-fold exclusion is the standard fix). fold = natural key mod
+    * 5 (deterministic, engine-portable), per-(category, fold) counts in
+    * one groupBy, and each fold's out-of-fold encoding comes from the
+    * category total minus its own fold via a window over the tiny
+    * (cat × fold) aggregate — the corpus is scanned once; integers
+    * throughout, one final division. */
+  private def etlKfoldEncode(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(s, dir).select(
+      col("o_orderpriority").as("cat"),
+      (col("o_orderkey") % 5).as("fold"),
+      when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("y"))
+    val pf = base.groupBy("cat", "fold")
+      .agg(count(lit(1)).as("n_f"), sum("y").as("pos_f"))
+    val w = Window.partitionBy("cat")
+    pf.select(col("cat"), col("fold"), col("n_f"), col("pos_f"),
+        (sum("n_f").over(w) - col("n_f")).as("n_out"),
+        (sum("pos_f").over(w) - col("pos_f")).as("pos_out"))
+      .withColumn("enc",
+        round(col("pos_out").cast("double") / col("n_out").cast("double"), 9))
+      .orderBy("cat", "fold")
+  }
+
+  private val etlKfoldEncodeSql =
+    """WITH b AS (SELECT o_orderpriority AS cat, o_orderkey % 5 AS fold,
+      |                  CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+      |           FROM orders),
+      |pf AS (SELECT cat, fold, COUNT(*) AS n_f, CAST(SUM(y) AS BIGINT) AS pos_f
+      |       FROM b GROUP BY 1, 2),
+      |o AS (SELECT cat, fold, n_f, pos_f,
+      |        CAST(SUM(n_f) OVER (PARTITION BY cat) - n_f AS BIGINT) AS n_out,
+      |        CAST(SUM(pos_f) OVER (PARTITION BY cat) - pos_f AS BIGINT) AS pos_out
+      |      FROM pf)
+      |SELECT cat, fold, n_f, pos_f, n_out, pos_out,
+      |       ROUND(CAST(pos_out AS DOUBLE) / CAST(n_out AS DOUBLE), 9) AS enc
+      |FROM o ORDER BY cat, fold""".stripMargin
+
+  /** Hashing-trick feature bucketing (Weinberger et al., ICML'09) with
+    * a collision audit: categorical features hash into 32 buckets via
+    * two md5 hex nibbles — nibble values through
+    * instr('0123456789abcdef', ·), so the hash is replayable on any
+    * engine with md5/substr/instr, unlike engine-native hash()
+    * functions. 256 two-nibble values mod 32 is exactly uniform. The
+    * audit reports rows and DISTINCT feature values per bucket (the
+    * collision structure the dimensionality reduction trades away).
+    * Map-side projection + one groupBy on a small int key. */
+  private def etlFeatureHash(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val feats = c.select(concat(lit("seg="), col("c_mktsegment")).as("feat"))
+      .unionAll(c.select(concat(lit("nat="), col("c_nationkey").cast("string")).as("feat")))
+    feats
+      .withColumn("bucket", expr(
+        """((instr('0123456789abcdef', substr(md5(feat), 1, 1)) - 1) * 16
+          | + instr('0123456789abcdef', substr(md5(feat), 2, 1)) - 1) % 32""".stripMargin)
+        .cast("long"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), countDistinct(col("feat")).as("n_values"))
+      .orderBy("bucket")
+  }
+
+  private val etlFeatureHashSql =
+    """WITH f AS (SELECT 'seg=' || c_mktsegment AS feat FROM customer
+      |           UNION ALL
+      |           SELECT 'nat=' || CAST(c_nationkey AS VARCHAR) FROM customer),
+      |h AS (SELECT feat,
+      |        CAST(((instr('0123456789abcdef', substr(md5(feat), 1, 1)) - 1) * 16
+      |              + instr('0123456789abcdef', substr(md5(feat), 2, 1)) - 1) % 32
+      |             AS BIGINT) AS bucket
+      |      FROM f)
+      |SELECT bucket, COUNT(*) AS n, COUNT(DISTINCT feat) AS n_values
+      |FROM h GROUP BY bucket ORDER BY bucket""".stripMargin
+
+  /** Day-of-week seasonality decomposition of the daily revenue series:
+    * per-ISO-weekday day counts, revenue cents, the integer deviation
+    * numerator rev·total_days − total_rev·n_days (sign = above/below
+    * trend, exact), and the seasonal index (dow mean ÷ overall mean).
+    * The series is one groupBy of the fact table; the dow rollup is a
+    * 7-row aggregate with its totals broadcast back. */
+  private def anSeasonalDow(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.lineitem(s, dir)
+      .groupBy(date_trunc("day", col("l_shipdate")).as("day"))
+      .agg((sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(24,8)")).cast("decimal(24,2)") * 100)
+        .cast("bigint").as("rev_c"))
+    val byDow = daily
+      .groupBy((weekday(col("day")) + 1).cast("long").as("dow"))
+      .agg(count(lit(1)).as("n_days"), sum("rev_c").as("rev"))
+    val tot = byDow.agg(sum("n_days").as("td"), sum("rev").as("tr"))
+    byDow.crossJoin(broadcast(tot))
+      .select(col("dow"), col("n_days"), col("rev"),
+        (col("rev") * col("td") - col("tr") * col("n_days")).as("dev_num"),
+        round((col("rev").cast("double") / col("n_days").cast("double"))
+          / (col("tr").cast("double") / col("td").cast("double")), 9).as("seasonal_idx"))
+      .orderBy("dow")
+  }
+
+  private val anSeasonalDowSql =
+    """WITH daily AS (SELECT date_trunc('day', l_shipdate) AS day,
+      |    CAST(ROUND(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,8))), 2) * 100 AS BIGINT) AS rev_c
+      |  FROM lineitem GROUP BY 1),
+      |d AS (SELECT CAST(isodow(CAST(day AS DATE)) AS BIGINT) AS dow, COUNT(*) AS n_days,
+      |             CAST(SUM(rev_c) AS BIGINT) AS rev FROM daily GROUP BY 1),
+      |t AS (SELECT CAST(SUM(n_days) AS BIGINT) AS td, CAST(SUM(rev) AS BIGINT) AS tr FROM d)
+      |SELECT dow, n_days, rev, CAST(rev*td - tr*n_days AS BIGINT) AS dev_num,
+      |  ROUND((CAST(rev AS DOUBLE) / CAST(n_days AS DOUBLE)) /
+      |        (CAST(tr AS DOUBLE) / CAST(td AS DOUBLE)), 9) AS seasonal_idx
+      |FROM d, t ORDER BY dow""".stripMargin
+
   // ----------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3625,7 +3845,13 @@ object SparkEntry {
     "q_pagerank" -> (qPagerank _),
     "q_bucketed_join" -> (qBucketedJoin _),
     "an_autocorr" -> (anAutocorr _),
-    "etl_surrogate_keys" -> (etlSurrogateKeys _)
+    "etl_surrogate_keys" -> (etlSurrogateKeys _),
+    "an_ks_drift" -> (anKsDrift _),
+    "an_gini" -> (anGini _),
+    "etl_kanon" -> (etlKanon _),
+    "etl_kfold_encode" -> (etlKfoldEncode _),
+    "etl_feature_hash" -> (etlFeatureHash _),
+    "an_seasonal_dow" -> (anSeasonalDow _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3749,6 +3975,12 @@ object SparkEntry {
     "q_pagerank" -> qPagerankSql,
     "q_bucketed_join" -> qBucketedJoinSql,
     "an_autocorr" -> anAutocorrSql,
-    "etl_surrogate_keys" -> etlSurrogateKeysSql
+    "etl_surrogate_keys" -> etlSurrogateKeysSql,
+    "an_ks_drift" -> anKsDriftSql,
+    "an_gini" -> anGiniSql,
+    "etl_kanon" -> etlKanonSql,
+    "etl_kfold_encode" -> etlKfoldEncodeSql,
+    "etl_feature_hash" -> etlFeatureHashSql,
+    "an_seasonal_dow" -> anSeasonalDowSql
   )
 }

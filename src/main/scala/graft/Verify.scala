@@ -29,6 +29,7 @@ object Verify {
       // loop leave materialized blocks behind; 84 queries of
       // accumulation is avoidable memory pressure
       graft.dedup.Dedup.releaseCaches()
+      graft.operators.PrefixSum.releaseCaches()
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     }

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.PrefixSum
+
+class PrefixSumSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("running totals and ranks equal the single-partition window") {
+    // unique order key, values spread over many input partitions
+    val df = spark.range(0, 5000).repartition(16)
+      .select((col("id") * 37 % 4999).as("k"), (col("id") % 100 + 1).as("v"))
+      .groupBy("k").agg(sum("v").as("v")) // distinct keys
+    val got = PrefixSum.withRunningTotals(df, Seq("k"), Seq("v"), numParts = 8)
+      .select("k", "v_cum", "rn")
+    val w = org.apache.spark.sql.expressions.Window.orderBy("k")
+    val want = df.select(col("k"), sum("v").over(w).as("v_cum"),
+      row_number().over(w).cast("long").as("rn"))
+    assert(got.except(want).isEmpty && want.except(got).isEmpty,
+      "distributed scan must equal the window formulation")
+    PrefixSum.releaseCaches()
+  }
+
+  test("empty and single-partition inputs scan cleanly") {
+    val empty = Seq.empty[(Long, Long)].toDF("k", "v")
+    assert(PrefixSum.withRunningTotals(empty, Seq("k"), Seq("v")).count() == 0)
+    val one = Seq((5L, 7L), (2L, 3L)).toDF("k", "v")
+    val got = PrefixSum.withRunningTotals(one, Seq("k"), Seq("v"), numParts = 4)
+      .select("k", "v_cum", "rn").as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((2L, 3L, 1L), (5L, 10L, 2L)))
+    PrefixSum.releaseCaches()
+  }
+
+  test("multiple sum columns accumulate independently") {
+    val df = Seq((1L, 10L, 1L), (2L, 20L, 0L), (3L, 30L, 1L)).toDF("k", "a", "b")
+    val got = PrefixSum.withRunningTotals(df, Seq("k"), Seq("a", "b"), numParts = 2)
+      .select("k", "a_cum", "b_cum").as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((1L, 10L, 1L), (2L, 30L, 1L), (3L, 60L, 2L)))
+    PrefixSum.releaseCaches()
+  }
+
+  test("the scan plan has no single-partition window exchange") {
+    val df = spark.range(0, 1000).select(col("id").as("k"), lit(1L).as("v"))
+    val plan = PrefixSum.withRunningTotals(df, Seq("k"), Seq("v"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"scan must not fall back to a window:\n$plan")
+    assert(!plan.contains("SinglePartition"), s"no single-partition exchange:\n$plan")
+    PrefixSum.releaseCaches()
+  }
+}
