@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Toy/invariant pins for the ML-prep and drift queries (the oracle
+  * checks exact values at sf0.01; these pin the SEMANTICS). */
+class MlPrepSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("kfold encoding excludes exactly the row's own fold") {
+    val got = SparkEntry.queries("etl_kfold_encode")(spark, sfDir)
+      .select("cat", "fold", "n_f", "pos_f", "n_out", "pos_out")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    // per category: n_out + n_f is the same total for every fold, and
+    // pos_out + pos_f the same positive total — i.e. each fold's
+    // encoding saw the whole category MINUS itself, never itself
+    got.groupBy(_._1).foreach { case (cat, rows) =>
+      val totals = rows.map(r => (r._3 + r._5, r._4 + r._6)).distinct
+      assert(totals.length == 1, s"$cat: folds disagree on the category total: $totals")
+      rows.foreach { r =>
+        assert(r._5 == totals.head._1 - r._3, s"$cat fold ${r._2}: own rows leaked")
+      }
+    }
+  }
+
+  test("feature hashing stays in [0, 32) and conserves rows") {
+    val nCust = Tables.customer(spark, sfDir).count()
+    val got = SparkEntry.queries("etl_feature_hash")(spark, sfDir)
+      .select("bucket", "n").as[(Long, Long)].collect()
+    assert(got.forall(r => r._1 >= 0 && r._1 < 32))
+    assert(got.map(_._2).sum == 2 * nCust, "every (row, feature) must land in a bucket")
+  }
+
+  test("weekday seasonality deviations sum to zero exactly") {
+    val got = SparkEntry.queries("an_seasonal_dow")(spark, sfDir)
+      .select("dow", "dev_num").as[(Long, Long)].collect()
+    assert(got.map(_._1).toSet.subsetOf((1L to 7L).toSet))
+    assert(got.map(_._2).sum == 0L,
+      "rev·total_days − total_rev·n_days must cancel over the week")
+  }
+
+  test("KS drift statistic is maximal and within [0, 1]") {
+    val row = SparkEntry.queries("an_ks_drift")(spark, sfDir).collect().head
+    val (n1, n2, dNum) = (row.getLong(0), row.getLong(1), row.getLong(2))
+    val d = row.getDouble(4)
+    assert(d >= 0.0 && d <= 1.0)
+    assert(dNum <= n1 * n2, "numerator cannot exceed the ECDF scale")
+    graft.operators.PrefixSum.releaseCaches()
+  }
+
+  test("gini of a uniform distribution is ~0 and of one-winner is ~1") {
+    // invariant check straight from the rank formula the query uses
+    def gini(xs: Seq[Long]): Double = {
+      val s = xs.sorted; val n = s.length.toLong
+      val w = s.zipWithIndex.map { case (x, i) => x * (i + 1L) }.sum
+      (2.0 * w - (n + 1.0) * s.sum) / (n.toDouble * s.sum)
+    }
+    assert(math.abs(gini(Seq.fill(100)(5L))) < 1e-9)
+    assert(gini(Seq.fill(99)(0L) :+ 1000L) > 0.97)
+    val g = SparkEntry.queries("an_gini")(spark, sfDir).collect().head.getDouble(3)
+    assert(g > 0.0 && g < 1.0, s"spend concentration out of range: $g")
+    graft.operators.PrefixSum.releaseCaches()
+  }
+}
