@@ -3714,6 +3714,79 @@ object SparkEntry {
       |        (CAST(tr AS DOUBLE) / CAST(td AS DOUBLE)), 9) AS seasonal_idx
       |FROM d, t ORDER BY dow""".stripMargin
 
+  /** Truncated EWMA of the daily revenue series with DYADIC weights —
+    * α = 1/2, so the k-th lag's weight 2^(19−k) is exactly
+    * representable and the whole smoothing numerator is one BIGINT
+    * dot-product over the last 20 days: bit-identical on any engine,
+    * where a recursive float EWMA would drift by evaluation order.
+    * Truncation at 20 taps discards < 2^-20 of the mass (the standard
+    * windowed-EWMA form); warm-up rows (rn < 20) are not emitted. One
+    * groupBy builds the series; the lag window rides the same
+    * time-ordered spine as [[anMeanShift]] (range-partitioned by date
+    * at scale). */
+  private def anEwma(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.lineitem(s, dir)
+      .groupBy(date_trunc("day", col("l_shipdate")).as("day"))
+      .agg((sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(24,8)")).cast("decimal(24,2)") * 100)
+        .cast("bigint").as("rev_c"))
+    val w = Window.orderBy(col("day"))
+    val num = (0 until 20)
+      .map(k => lag(col("rev_c"), k).over(w) * lit(1L << (19 - k)))
+      .reduce(_ + _)
+    daily
+      .select(col("day"), col("rev_c"),
+        row_number().over(w).as("rn"), num.as("ewma_num"))
+      .filter(col("rn") >= 20)
+      .select(col("day"), col("rev_c"), col("ewma_num"),
+        // no ROUND: the division of a shared BIGINT by two constants is
+        // already bit-identical IEEE; rounding to 9 places would
+        // DIVERGE by an ulp where engines' round impls disagree
+        (col("ewma_num").cast("double") / lit(1048575.0) / lit(100.0)).as("ewma"))
+      .orderBy(col("day"))
+  }
+
+  private val anEwmaSql = {
+    val terms = (0 until 20)
+      .map(k => s"LAG(rev_c, $k) OVER (ORDER BY day) * ${1L << (19 - k)}")
+      .mkString(" + ")
+    s"""WITH daily AS (SELECT date_trunc('day', l_shipdate) AS day,
+       |    CAST(ROUND(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,8))), 2) * 100 AS BIGINT) AS rev_c
+       |  FROM lineitem GROUP BY 1),
+       |w AS (SELECT day, rev_c, ROW_NUMBER() OVER (ORDER BY day) AS rn,
+       |        $terms AS ewma_num
+       |      FROM daily)
+       |SELECT day, rev_c, CAST(ewma_num AS BIGINT) AS ewma_num,
+       |  CAST(ewma_num AS DOUBLE) / 1048575.0 / 100.0 AS ewma
+       |FROM w WHERE rn >= 20 ORDER BY day""".stripMargin
+  }
+
+  /** ORC sink → source round-trip under the hard oracle, completing the
+    * columnar-format pair with parquet (`etl_compact`/`etl_upsert`):
+    * orders goes out through Load.OrcSink and back through Extract.orc,
+    * and the digest of what came BACK is hash-checked against the
+    * source — ORC's type mapping (double, string, bigint) and
+    * stripe-level round-tripping are what's verified. ORC ships in
+    * Spark proper; predicate pushdown and column pruning apply to the
+    * read-back scan exactly as for parquet. */
+  private def etlOrcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_orc")
+      .toAbsolutePath.toString + "/orders"
+    val o = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    graft.etl.Load.OrcSink(tmp).write(o)
+    graft.etl.Extract.orc(s, tmp)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("spend"),
+        sum(col("o_orderkey")).as("key_sum"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  private val etlOrcRoundtripSql =
+    s"""SELECT o_orderstatus, COUNT(*) AS n, ${moneySumSql("o_totalprice")} AS spend,
+       |       SUM(o_orderkey) AS key_sum
+       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   // ----------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3851,7 +3924,9 @@ object SparkEntry {
     "etl_kanon" -> (etlKanon _),
     "etl_kfold_encode" -> (etlKfoldEncode _),
     "etl_feature_hash" -> (etlFeatureHash _),
-    "an_seasonal_dow" -> (anSeasonalDow _)
+    "an_seasonal_dow" -> (anSeasonalDow _),
+    "an_ewma" -> (anEwma _),
+    "etl_orc_roundtrip" -> (etlOrcRoundtrip _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3981,6 +4056,8 @@ object SparkEntry {
     "etl_kanon" -> etlKanonSql,
     "etl_kfold_encode" -> etlKfoldEncodeSql,
     "etl_feature_hash" -> etlFeatureHashSql,
-    "an_seasonal_dow" -> anSeasonalDowSql
+    "an_seasonal_dow" -> anSeasonalDowSql,
+    "an_ewma" -> anEwmaSql,
+    "etl_orc_roundtrip" -> etlOrcRoundtripSql
   )
 }

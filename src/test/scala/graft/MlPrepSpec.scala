@@ -48,6 +48,22 @@ class MlPrepSpec extends SparkSpec {
     graft.operators.PrefixSum.releaseCaches()
   }
 
+  test("dyadic EWMA numerator equals the explicit 20-tap dot product") {
+    val daily = Tables.lineitem(spark, sfDir)
+      .groupBy(date_trunc("day", col("l_shipdate")).as("day"))
+      .agg((sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(24,8)")).cast("decimal(24,2)") * 100)
+        .cast("bigint").as("rev_c"))
+      .orderBy("day").as[(java.sql.Timestamp, Long)].collect()
+    val want = daily.sliding(20).map { w =>
+      (w.last._1, w.zipWithIndex.map { case ((_, v), i) => v * (1L << i) }.sum)
+    }.toMap
+    val got = SparkEntry.queries("an_ewma")(spark, sfDir)
+      .select("day", "ewma_num").as[(java.sql.Timestamp, Long)].collect()
+    assert(got.nonEmpty && got.forall { case (d, n) => want(d) == n },
+      "window dot product must match the driver-side recomputation")
+  }
+
   test("gini of a uniform distribution is ~0 and of one-winner is ~1") {
     // invariant check straight from the rank formula the query uses
     def gini(xs: Seq[Long]): Double = {
