@@ -3787,6 +3787,80 @@ object SparkEntry {
        |       SUM(o_orderkey) AS key_sum
        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  /** Categorical distribution drift via the chi-square statistic —
+    * completes the drift pair with [[anKsDrift]] (numeric): the
+    * order-priority mix before 1995 (reference window) vs after
+    * (current window). Integer-exact cross-products: dev_num =
+    * c·R − r·C (sums to zero over categories, a spec invariant), and
+    * the per-category chi-square part (c−e)²/e algebraically
+    * rearranged to dev_num²/(R·C·r) — evaluated as an explicit
+    * double expression tree both engines compute bit-identically
+    * (no ROUND: shared integer inputs + same IEEE ops need none).
+    * One groupBy over the fact table; totals broadcast back. */
+  private def anChi2Drift(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(s, dir).select(col("o_orderpriority").as("cat"),
+      when(col("o_orderdate") < lit("1995-01-01").cast("timestamp"), 1L)
+        .otherwise(0L).as("is_ref"))
+    val perCat = base.groupBy("cat")
+      .agg(sum(col("is_ref")).as("r"), sum(lit(1L) - col("is_ref")).as("c"))
+    val tot = perCat.agg(sum("r").as("rt"), sum("c").as("ct"))
+    val dn = col("c") * col("rt") - col("r") * col("ct")
+    perCat.crossJoin(broadcast(tot))
+      .select(col("cat"), col("r"), col("c"), dn.as("dev_num"),
+        when(col("r") > 0,
+          (dn.cast("double") * dn.cast("double")) /
+            ((col("rt").cast("double") * col("ct").cast("double")) * col("r").cast("double")))
+          .as("chi2_part"))
+      .orderBy("cat")
+  }
+
+  private val anChi2DriftSql =
+    """WITH b AS (SELECT o_orderpriority AS cat,
+      |                  CASE WHEN o_orderdate < TIMESTAMP '1995-01-01' THEN 1 ELSE 0 END AS is_ref
+      |           FROM orders),
+      |p AS (SELECT cat, CAST(SUM(is_ref) AS BIGINT) AS r,
+      |             CAST(SUM(1 - is_ref) AS BIGINT) AS c FROM b GROUP BY cat),
+      |t AS (SELECT CAST(SUM(r) AS BIGINT) AS rt, CAST(SUM(c) AS BIGINT) AS ct FROM p)
+      |SELECT cat, r, c, CAST(c*rt - r*ct AS BIGINT) AS dev_num,
+      |  CASE WHEN r > 0 THEN
+      |    (CAST(c*rt - r*ct AS DOUBLE) * CAST(c*rt - r*ct AS DOUBLE))
+      |    / ((CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)) * CAST(r AS DOUBLE))
+      |  END AS chi2_part
+      |FROM p, t ORDER BY cat""".stripMargin
+
+  /** k-anonymity generalization ladder — the fix for what [[etlKanon]]
+    * audits: evaluate candidate quasi-identifier coarsenings
+    * (account-balance band widths 500→5000) in ONE pass by exploding
+    * each row into every candidate width, then report per width the
+    * group count, the achieved k, and rows still under k=5 — the
+    * release picks the narrowest width whose k clears the bar
+    * (generalize minimally, Sweeney'02 §5). Shuffle is |widths|×rows
+    * of small tuples, one exchange. */
+  private def etlKanonGeneralize(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .select(col("c_nationkey"), col("c_mktsegment"), col("c_acctbal"),
+        explode(array(lit(500), lit(1000), lit(2000), lit(5000))).as("width"))
+      .groupBy(col("width"), col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / col("width").cast("double")).cast("bigint").as("band"))
+      .agg(count(lit(1)).as("sz"))
+      .groupBy(col("width").cast("long").as("width"))
+      .agg(count(lit(1)).as("n_groups"), min("sz").as("k"),
+        sum(when(col("sz") < 5, col("sz")).otherwise(0L)).as("rows_at_risk"))
+      .withColumn("meets_k5", col("k") >= 5)
+      .orderBy("width")
+
+  private val etlKanonGeneralizeSql =
+    """WITH w AS (SELECT UNNEST([500, 1000, 2000, 5000]) AS width),
+      |g AS (SELECT width, c_nationkey, c_mktsegment,
+      |             CAST(FLOOR(c_acctbal / CAST(width AS DOUBLE)) AS BIGINT) AS band,
+      |             COUNT(*) AS sz
+      |      FROM customer, w GROUP BY 1, 2, 3, 4),
+      |a AS (SELECT CAST(width AS BIGINT) AS width, COUNT(*) AS n_groups, MIN(sz) AS k,
+      |             CAST(SUM(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT) AS rows_at_risk
+      |      FROM g GROUP BY 1)
+      |SELECT width, n_groups, k, rows_at_risk, k >= 5 AS meets_k5
+      |FROM a ORDER BY width""".stripMargin
+
   // ----------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3926,7 +4000,9 @@ object SparkEntry {
     "etl_feature_hash" -> (etlFeatureHash _),
     "an_seasonal_dow" -> (anSeasonalDow _),
     "an_ewma" -> (anEwma _),
-    "etl_orc_roundtrip" -> (etlOrcRoundtrip _)
+    "etl_orc_roundtrip" -> (etlOrcRoundtrip _),
+    "an_chi2_drift" -> (anChi2Drift _),
+    "etl_kanon_generalize" -> (etlKanonGeneralize _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4058,6 +4134,8 @@ object SparkEntry {
     "etl_feature_hash" -> etlFeatureHashSql,
     "an_seasonal_dow" -> anSeasonalDowSql,
     "an_ewma" -> anEwmaSql,
-    "etl_orc_roundtrip" -> etlOrcRoundtripSql
+    "etl_orc_roundtrip" -> etlOrcRoundtripSql,
+    "an_chi2_drift" -> anChi2DriftSql,
+    "etl_kanon_generalize" -> etlKanonGeneralizeSql
   )
 }

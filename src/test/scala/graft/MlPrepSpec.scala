@@ -48,6 +48,23 @@ class MlPrepSpec extends SparkSpec {
     graft.operators.PrefixSum.releaseCaches()
   }
 
+  test("chi-square drift deviations cancel and parts are nonnegative") {
+    val got = SparkEntry.queries("an_chi2_drift")(spark, sfDir)
+      .select("dev_num", "chi2_part")
+      .as[(Long, Option[Double])].collect()
+    assert(got.map(_._1).sum == 0L, "c·R − r·C must cancel over categories")
+    assert(got.flatMap(_._2).forall(_ >= 0.0))
+  }
+
+  test("k-anonymity generalization: k never shrinks when bands merge") {
+    val k = SparkEntry.queries("etl_kanon_generalize")(spark, sfDir)
+      .select("width", "k").as[(Long, Long)].collect().toMap
+    // 1000/2000/5000-bands are unions of 500-bands (and 2000 of 1000,
+    // 5000 of 1000): merged groups can only grow
+    assert(k(1000L) >= k(500L) && k(2000L) >= k(1000L) && k(5000L) >= k(1000L),
+      s"coarsening must not lower k: $k")
+  }
+
   test("dyadic EWMA numerator equals the explicit 20-tap dot product") {
     val daily = Tables.lineitem(spark, sfDir)
       .groupBy(date_trunc("day", col("l_shipdate")).as("day"))
