@@ -430,4 +430,63 @@ object EventsStream {
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
   }
+
+  final case class FunnelSt(epoch: Long, vMin: Long, clicks: Seq[Long], cStar: Long,
+                            purchases: Seq[Long], pStar: Long)
+  final case class FunnelSnap(user_id: Long, epoch: Long,
+                              v_ts: Option[Long], c_ts: Option[Long], p_ts: Option[Long])
+
+  /** Streaming ordered funnel (view → click ≥ view → purchase ≥ click),
+    * the incremental twin of the batch an_funnel query — EXACT under
+    * arbitrary cross-batch arrival order, which is where naive
+    * streaming funnels go wrong: a late-arriving EARLIER view can
+    * retroactively make an already-seen click eligible, so "keep only
+    * the current best" state is insufficient. The sufficient bounded
+    * state kept here: the min view (it only improves downward), the
+    * current best click cStar PLUS every click BELOW it (each could
+    * become the answer when the min view drops; clicks above cStar can
+    * never win because cStar stays eligible as vMin falls), and
+    * symmetrically for purchases below pStar (eligible set grows
+    * downward as cStar falls). Buffers prune at the event-time
+    * watermark — a view older than the watermark can no longer arrive,
+    * so buffered candidates below it are dead; state is bounded by the
+    * per-user event count inside the watermark horizon. Emits one
+    * snapshot per (user, micro-batch) tagged with a state epoch; the
+    * max-epoch row is the current funnel position. */
+  def funnelStream(events: Dataset[Ev])
+                  (implicit spark: SparkSession): Dataset[FunnelSnap] = {
+    import spark.implicits._
+    val Unset = Long.MaxValue
+
+    def update(userId: Long, evs: Iterator[Ev],
+               state: GroupState[FunnelSt]): Iterator[FunnelSnap] = {
+      // no watermark configured → no event-time bound → keep everything
+      // (getCurrentWatermarkMs throws rather than returning 0 then)
+      val wm = scala.util.Try(state.getCurrentWatermarkMs()).getOrElse(0L)
+      val es = evs.toSeq
+      val st0 = state.getOption.getOrElse(FunnelSt(0L, Unset, Nil, Unset, Nil, Unset))
+      def arrived(t: String) =
+        es.filter(e => e.event_type == t && e.ts.getTime >= wm).map(_.ts.getTime)
+      val vMin = (st0.vMin +: arrived("view")).min
+      val clickCand = (st0.clicks ++ arrived("click")).filter(_ >= wm) ++
+        (if (st0.cStar != Unset) Seq(st0.cStar) else Nil)
+      val cStar = clickCand.filter(c => vMin != Unset && c >= vMin)
+        .minOption.getOrElse(Unset)
+      val purchCand = (st0.purchases ++ arrived("purchase")).filter(_ >= wm) ++
+        (if (st0.pStar != Unset) Seq(st0.pStar) else Nil)
+      val pStar = purchCand.filter(p => cStar != Unset && p >= cStar)
+        .minOption.getOrElse(Unset)
+      val st1 = FunnelSt(st0.epoch + 1, vMin,
+        clickCand.filter(_ < cStar).distinct.sorted,
+        cStar,
+        purchCand.filter(_ < pStar).distinct.sorted,
+        pStar)
+      state.update(st1)
+      def opt(x: Long) = if (x == Unset) None else Some(x)
+      Iterator(FunnelSnap(userId, st1.epoch, opt(vMin), opt(cStar), opt(pStar)))
+    }
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
+  }
 }

@@ -339,4 +339,59 @@ class StreamingSpec extends SparkSpec {
     assert(got == Set((1L, "d1", 10), (2L, "d1", 22), (3L, "d2", 30), (4L, "d2", 40)),
       s"got $got")
   }
+
+  test("funnelStream: a late earlier view retroactively rescues a buffered click") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val ss = spark
+    val in = MemoryStream[Ev]
+    val q = EventsStream.funnelStream(in.toDS())
+      .writeStream.outputMode("append").format("memory").queryName("funl").start()
+    // batch 1: click@10 and purchase@15 arrive BEFORE any eligible view
+    in.addData(Ev(1, ts(10), 1, "click", 0), Ev(2, ts(15), 1, "purchase", 0),
+      Ev(3, ts(20), 1, "view", 0))
+    q.processAllAvailable()
+    val mid = spark.table("funl").orderBy(desc("epoch")).head()
+    assert(mid.isNullAt(mid.fieldIndex("c_ts")),
+      "click@10 predates view@20 — not yet eligible")
+    // batch 2: a LATE view@5 makes click@10 (and then purchase@15) eligible
+    in.addData(Ev(4, ts(5), 1, "view", 0))
+    q.processAllAvailable(); q.stop()
+    val fin = spark.table("funl").orderBy(desc("epoch")).head()
+    assert(fin.getAs[Long]("v_ts") == ts(5).getTime
+      && fin.getAs[Long]("c_ts") == ts(10).getTime
+      && fin.getAs[Long]("p_ts") == ts(15).getTime,
+      s"buffered candidates must re-qualify when the min view drops: $fin")
+  }
+
+  test("funnelStream over shuffled micro-batches equals the batch funnel") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val ss = spark
+    val evs = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Ev].collect().toSeq
+    // deterministic shuffle, split into 3 arrival batches
+    val mixed = evs.sortBy(e => (e.event_id * 2654435761L) % 1000003)
+    val thirds = mixed.grouped((mixed.size + 2) / 3).toSeq
+    val in = MemoryStream[Ev]
+    val q = EventsStream.funnelStream(in.toDS())
+      .writeStream.outputMode("append").format("memory").queryName("funl2").start()
+    thirds.foreach { b => in.addData(b); q.processAllAvailable() }
+    q.stop()
+    val streamed = spark.table("funl2")
+      .groupBy("user_id").agg(max(struct(col("epoch"), col("v_ts"), col("c_ts"), col("p_ts"))).as("m"))
+      .select(col("user_id"), col("m.v_ts"), col("m.c_ts"), col("m.p_ts"))
+      .as[(Long, Option[Long], Option[Long], Option[Long])].collect()
+      .map { case (u, v, c, p) => u -> (v, c, p) }.toMap
+    // batch reference: min view, min click >= view, min purchase >= click
+    val batch = evs.groupBy(_.user_id).map { case (u, es) =>
+      val v = es.filter(_.event_type == "view").map(_.ts.getTime).minOption
+      val c = v.flatMap(vt => es.filter(e => e.event_type == "click" && e.ts.getTime >= vt)
+        .map(_.ts.getTime).minOption)
+      val p = c.flatMap(ct => es.filter(e => e.event_type == "purchase" && e.ts.getTime >= ct)
+        .map(_.ts.getTime).minOption)
+      u -> (v, c, p)
+    }
+    assert(streamed == batch,
+      "stream funnel must equal the batch funnel whatever the arrival slicing")
+  }
 }
