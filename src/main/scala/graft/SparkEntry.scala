@@ -3861,6 +3861,125 @@ object SparkEntry {
       |SELECT width, n_groups, k, rows_at_risk, k >= 5 AS meets_k5
       |FROM a ORDER BY width""".stripMargin
 
+  /** Exact global order statistics (p25/p50/p75 of line-item price as
+    * TRUE lower order statistics, rank ⌈q·n⌉) WITHOUT approxQuantile
+    * and without a global sort: collapse to distinct cents values, run
+    * the [[graft.operators.PrefixSum]] distributed scan for cumulative
+    * counts, and pick each probe's crossing row (first cum ≥ rank) with
+    * a 3-row broadcast — the scan is the only exchange beyond the
+    * distinct-value groupBy. Rank arithmetic is pure integer
+    * (⌈qn⌉ via (q·n + d−1) div d), so the emitted values are exact
+    * order statistics, not interpolations. */
+  private def qExactMedian(s: SparkSession, dir: String): DataFrame = {
+    val perV = Tables.lineitem(s, dir)
+      .groupBy((col("l_extendedprice").cast("decimal(24,2)") * 100).cast("bigint").as("v"))
+      .agg(count(lit(1)).as("cnt"))
+    val scan = graft.operators.PrefixSum.withRunningTotals(perV, Seq("v"), Seq("cnt"))
+    val probes = perV.agg(sum("cnt").as("n"))
+      .select(explode(array(lit(25L), lit(50L), lit(75L))).as("pct"), col("n"))
+      .withColumn("r", expr(
+        "CASE pct WHEN 25 THEN (n+3) div 4 WHEN 50 THEN (n+1) div 2 ELSE (3*n+3) div 4 END"))
+    scan.crossJoin(broadcast(probes))
+      .filter(col("cnt_cum") >= col("r") && col("cnt_cum") - col("cnt") < col("r"))
+      .select(col("pct"), col("r").as("rank"), col("n"), col("v").as("value"))
+      .orderBy("pct")
+  }
+
+  private val qExactMedianSql =
+    """WITH p AS (SELECT CAST(CAST(l_extendedprice AS DECIMAL(24,2)) * 100 AS BIGINT) AS v,
+      |                  COUNT(*) AS cnt
+      |           FROM lineitem GROUP BY 1),
+      |c AS (SELECT v, cnt, CAST(SUM(cnt) OVER (ORDER BY v) AS BIGINT) AS cum FROM p),
+      |t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM p),
+      |pr AS (SELECT pct, n,
+      |         CASE pct WHEN 25 THEN (n+3)//4 WHEN 50 THEN (n+1)//2 ELSE (3*n+3)//4 END AS r
+      |       FROM t, (SELECT UNNEST([CAST(25 AS BIGINT), 50, 75]) AS pct))
+      |SELECT pct, r AS rank, n, v AS value
+      |FROM c, pr WHERE cum >= r AND cum - cnt < r ORDER BY pct""".stripMargin
+
+  /** Deterministic pseudonymization (salted md5 tokens) with the two
+    * audits that make masking production-safe: a collision audit
+    * (distinct tokens must equal distinct keys) and a JOINABILITY
+    * audit — fact rows mapped through the same token function must
+    * join the masked dimension exactly as the raw keys did, proving
+    * referential integrity survives the masking. Tokens are
+    * engine-portable (md5 over a salted decimal string), so a
+    * downstream system can re-derive them; row-local projection +
+    * one join on the 14-char token. */
+  private def etlPseudonymize(s: SparkSession, dir: String): DataFrame = {
+    def tok(c: Column): Column =
+      concat(lit("c-"), substring(md5(concat(lit("s1|"), c.cast("string"))), 1, 12))
+    val cust = Tables.customer(s, dir).select(tok(col("c_custkey")).as("t"))
+    val ords = Tables.orders(s, dir).select(tok(col("o_custkey")).as("t"))
+    val a = cust.agg(count(lit(1)).as("n_cust"), countDistinct(col("t")).as("n_tokens"))
+    val j = ords.join(cust.distinct(), Seq("t")).agg(count(lit(1)).as("n_orders_joined"))
+    val o = Tables.orders(s, dir).agg(count(lit(1)).as("n_orders"))
+    a.crossJoin(j).crossJoin(o)
+      .select(col("n_cust"), col("n_tokens"),
+        (col("n_cust") - col("n_tokens")).as("n_collisions"),
+        col("n_orders"), col("n_orders_joined"))
+  }
+
+  private val etlPseudonymizeSql =
+    """WITH ct AS (SELECT 'c-' || substr(md5('s1|' || CAST(c_custkey AS VARCHAR)), 1, 12) AS t
+      |            FROM customer),
+      |ot AS (SELECT 'c-' || substr(md5('s1|' || CAST(o_custkey AS VARCHAR)), 1, 12) AS t
+      |       FROM orders),
+      |a AS (SELECT COUNT(*) AS n_cust, COUNT(DISTINCT t) AS n_tokens FROM ct),
+      |j AS (SELECT COUNT(*) AS n_orders_joined
+      |      FROM ot JOIN (SELECT DISTINCT t FROM ct) d USING (t)),
+      |o AS (SELECT COUNT(*) AS n_orders FROM orders)
+      |SELECT n_cust, n_tokens, CAST(n_cust - n_tokens AS BIGINT) AS n_collisions,
+      |       n_orders, n_orders_joined
+      |FROM a, j, o""".stripMargin
+
+  /** Two-proportion z-test (A/B experiment readout): variants by
+    * user-id parity, success = the user ever made a HIGH-VALUE
+    * purchase (≥100 — plain "ever purchased" is degenerate here: every
+    * user converts and the pooled variance is zero). Counts are exact
+    * integers; the z statistic is one shared double expression tree —
+    * division and sqrt are both correctly-rounded under IEEE 754, so
+    * both engines emit the IDENTICAL double with no rounding fuzz.
+    * Two same-key aggregates, then a 2-row pivot. */
+  private def anAbtest(s: SparkSession, dir: String): DataFrame = {
+    val zExpr =
+      """(CAST(c1 AS DOUBLE)/CAST(n1 AS DOUBLE) - CAST(c2 AS DOUBLE)/CAST(n2 AS DOUBLE))
+        | / sqrt((CAST(c1+c2 AS DOUBLE)/CAST(n1+n2 AS DOUBLE))
+        |        * (1.0 - CAST(c1+c2 AS DOUBLE)/CAST(n1+n2 AS DOUBLE))
+        |        * (1.0/CAST(n1 AS DOUBLE) + 1.0/CAST(n2 AS DOUBLE)))""".stripMargin
+    Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(max((col("event_type") === "purchase" && col("value") >= 100.0)
+        .cast("long")).as("conv"))
+      .groupBy((col("user_id") % 2).as("variant"))
+      .agg(count(lit(1)).as("n"), sum("conv").as("c"))
+      .agg(sum(when(col("variant") === 0, col("n"))).as("n1"),
+        sum(when(col("variant") === 0, col("c"))).as("c1"),
+        sum(when(col("variant") === 1, col("n"))).as("n2"),
+        sum(when(col("variant") === 1, col("c"))).as("c2"))
+      .withColumn("z", expr(zExpr))
+  }
+
+  private val anAbtestSql =
+    """WITH u AS (SELECT user_id,
+      |             MAX(CASE WHEN event_type = 'purchase' AND value >= 100.0
+      |                 THEN 1 ELSE 0 END) AS conv
+      |           FROM events GROUP BY user_id),
+      |v AS (SELECT user_id % 2 AS variant, COUNT(*) AS n, CAST(SUM(conv) AS BIGINT) AS c
+      |      FROM u GROUP BY 1),
+      |w AS (SELECT
+      |        CAST(SUM(CASE WHEN variant = 0 THEN n END) AS BIGINT) AS n1,
+      |        CAST(SUM(CASE WHEN variant = 0 THEN c END) AS BIGINT) AS c1,
+      |        CAST(SUM(CASE WHEN variant = 1 THEN n END) AS BIGINT) AS n2,
+      |        CAST(SUM(CASE WHEN variant = 1 THEN c END) AS BIGINT) AS c2
+      |      FROM v)
+      |SELECT n1, c1, n2, c2,
+      |  (CAST(c1 AS DOUBLE)/CAST(n1 AS DOUBLE) - CAST(c2 AS DOUBLE)/CAST(n2 AS DOUBLE))
+      |  / sqrt((CAST(c1+c2 AS DOUBLE)/CAST(n1+n2 AS DOUBLE))
+      |         * (1.0 - CAST(c1+c2 AS DOUBLE)/CAST(n1+n2 AS DOUBLE))
+      |         * (1.0/CAST(n1 AS DOUBLE) + 1.0/CAST(n2 AS DOUBLE))) AS z
+      |FROM w""".stripMargin
+
   // ----------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4002,7 +4121,10 @@ object SparkEntry {
     "an_ewma" -> (anEwma _),
     "etl_orc_roundtrip" -> (etlOrcRoundtrip _),
     "an_chi2_drift" -> (anChi2Drift _),
-    "etl_kanon_generalize" -> (etlKanonGeneralize _)
+    "etl_kanon_generalize" -> (etlKanonGeneralize _),
+    "q_exact_median" -> (qExactMedian _),
+    "etl_pseudonymize" -> (etlPseudonymize _),
+    "an_abtest" -> (anAbtest _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4136,6 +4258,9 @@ object SparkEntry {
     "an_ewma" -> anEwmaSql,
     "etl_orc_roundtrip" -> etlOrcRoundtripSql,
     "an_chi2_drift" -> anChi2DriftSql,
-    "etl_kanon_generalize" -> etlKanonGeneralizeSql
+    "etl_kanon_generalize" -> etlKanonGeneralizeSql,
+    "q_exact_median" -> qExactMedianSql,
+    "etl_pseudonymize" -> etlPseudonymizeSql,
+    "an_abtest" -> anAbtestSql
   )
 }

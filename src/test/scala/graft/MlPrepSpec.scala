@@ -81,6 +81,34 @@ class MlPrepSpec extends SparkSpec {
       "window dot product must match the driver-side recomputation")
   }
 
+  test("exact order statistics are ordered and sit at their ranks") {
+    val got = SparkEntry.queries("q_exact_median")(spark, sfDir)
+      .select("pct", "rank", "n", "value").as[(Long, Long, Long, Long)].collect()
+      .sortBy(_._1)
+    assert(got.map(_._1).toSeq == Seq(25L, 50L, 75L))
+    assert(got.map(_._4).toSeq == got.map(_._4).sorted.toSeq, "quartiles must be ordered")
+    val n = got.head._3
+    assert(got.map(_._2).toSeq == Seq((n + 3) / 4, (n + 1) / 2, (3 * n + 3) / 4))
+    graft.operators.PrefixSum.releaseCaches()
+  }
+
+  test("pseudonymization preserves joinability with zero collisions") {
+    val r = SparkEntry.queries("etl_pseudonymize")(spark, sfDir).collect().head
+    assert(r.getAs[Long]("n_collisions") == 0L, "salted md5 tokens must stay distinct")
+    assert(r.getAs[Long]("n_orders_joined") == r.getAs[Long]("n_orders"),
+      "every fact row must still join its masked dimension row")
+  }
+
+  test("a/b z-statistic is finite and reconstructible from the counts") {
+    val r = SparkEntry.queries("an_abtest")(spark, sfDir).collect().head
+    val (n1, c1, n2, c2, z) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getDouble(4))
+    val (p1, p2, pp) = (c1.toDouble / n1, c2.toDouble / n2,
+      (c1 + c2).toDouble / (n1 + n2))
+    val want = (p1 - p2) / math.sqrt(pp * (1.0 - pp) * (1.0 / n1 + 1.0 / n2))
+    assert(!z.isNaN && !z.isInfinite && math.abs(z - want) < 1e-12)
+  }
+
   test("gini of a uniform distribution is ~0 and of one-winner is ~1") {
     // invariant check straight from the rank formula the query uses
     def gini(xs: Seq[Long]): Double = {
