@@ -3980,6 +3980,116 @@ object SparkEntry {
       |         * (1.0/CAST(n1 AS DOUBLE) + 1.0/CAST(n2 AS DOUBLE))) AS z
       |FROM w""".stripMargin
 
+  /** Shannon entropy of the corpus composition (source mix and language
+    * mix — the "how diverse is my training mixture" audit). Numeric
+    * discipline for an irrational-valued aggregate: H = ln(N) −
+    * (Σ c·ln c)/N, where each c·ln c term is cast to DECIMAL(38,18)
+    * before summing (order-independent, the q_pagerank gather
+    * pattern — a plain double sum would be partition-order dependent),
+    * and the emission is ROUND(·, 6) to absorb the ≤1-ulp libm ln()
+    * skew between engines (the an_benford precedent). Normalized
+    * entropy H/ln(k) reads as 0..1 balance. One groupBy per dimension
+    * over tiny category tables. */
+  private def anEntropy(s: SparkSession, dir: String): DataFrame = {
+    def entropyOf(dim: String): DataFrame = {
+      val cat = Tables.documents(s, dir).groupBy(col(dim).as("cat"))
+        .agg(count(lit(1)).as("c"))
+      cat.agg(count(lit(1)).as("k"), sum("c").as("n"),
+          sum((col("c").cast("double") * log(col("c").cast("double")))
+            .cast("decimal(38,18)")).as("s"))
+        .select(lit(dim).as("dim"), col("k"), col("n"),
+          round(log(col("n").cast("double"))
+            - col("s").cast("double") / col("n").cast("double"), 6).as("h_nats"),
+          round((log(col("n").cast("double"))
+            - col("s").cast("double") / col("n").cast("double"))
+            / log(col("k").cast("double")), 6).as("h_norm"))
+    }
+    entropyOf("source").unionByName(entropyOf("lang")).orderBy("dim")
+  }
+
+  private val anEntropySql = {
+    def one(dim: String) =
+      s"""SELECT '$dim' AS dim, k, n,
+         |  ROUND(ln(CAST(n AS DOUBLE)) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6) AS h_nats,
+         |  ROUND((ln(CAST(n AS DOUBLE)) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+         |        / ln(CAST(k AS DOUBLE)), 6) AS h_norm
+         |FROM (SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(c) AS BIGINT) AS n,
+         |             SUM(CAST(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)) AS DECIMAL(38,18))) AS s
+         |      FROM (SELECT $dim, COUNT(*) AS c FROM documents GROUP BY $dim))""".stripMargin
+    s"""${one("source")}
+       |UNION ALL
+       |${one("lang")}
+       |ORDER BY dim""".stripMargin
+  }
+
+  /** Zipf-law slope of the token frequency spectrum — the corpus
+    * health probe (natural text runs slope ≈ −1; templated/duplicated
+    * corpora flatten or steepen it): top-50 token document frequencies,
+    * OLS of ln(freq) on ln(rank) with the deterministic (freq desc,
+    * token) rank tie-break. The regression sums go through
+    * DECIMAL(38,18) (order-independent) and emit under ROUND(·, 6)
+    * (libm ulp absorption, as [[anEntropy]]). Token counting is the
+    * text_ngram_freq shape; the spectrum fit runs on 50 rows. */
+  private def textZipf(s: SparkSession, dir: String): DataFrame = {
+    val top = Tables.documents(s, dir)
+      .select(explode(split(lower(col("text")), "\\s+")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy("tok").agg(count(lit(1)).as("f"))
+      .orderBy(col("f").desc, col("tok")).limit(50)
+    val xy = top.select(
+      log(row_number().over(Window.orderBy(col("f").desc, col("tok"))).cast("double")).as("x"),
+      log(col("f").cast("double")).as("y"))
+    def dsum(c: Column) = sum(c.cast("decimal(38,18)"))
+    xy.agg(count(lit(1)).as("n"), dsum(col("x")).as("sx"), dsum(col("y")).as("sy"),
+        dsum(col("x") * col("x")).as("sxx"), dsum(col("x") * col("y")).as("sxy"))
+      .select(col("n"),
+        round((col("n").cast("double") * col("sxy").cast("double")
+            - col("sx").cast("double") * col("sy").cast("double"))
+          / (col("n").cast("double") * col("sxx").cast("double")
+            - col("sx").cast("double") * col("sx").cast("double")), 6).as("zipf_slope"))
+  }
+
+  private val textZipfSql =
+    """WITH tok AS (
+      |  SELECT t AS tok, COUNT(*) AS f
+      |  FROM (SELECT UNNEST(string_split_regex(lower(text), '\s+')) AS t FROM documents)
+      |  WHERE len(t) > 0 GROUP BY t ORDER BY f DESC, tok LIMIT 50),
+      |xy AS (SELECT ln(CAST(ROW_NUMBER() OVER (ORDER BY f DESC, tok) AS DOUBLE)) AS x,
+      |              ln(CAST(f AS DOUBLE)) AS y FROM tok),
+      |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |             SUM(CAST(x AS DECIMAL(38,18))) AS sx, SUM(CAST(y AS DECIMAL(38,18))) AS sy,
+      |             SUM(CAST(x*x AS DECIMAL(38,18))) AS sxx, SUM(CAST(x*y AS DECIMAL(38,18))) AS sxy
+      |      FROM xy)
+      |SELECT n,
+      |  ROUND((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+      |        / (CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)), 6)
+      |    AS zipf_slope
+      |FROM a""".stripMargin
+
+  /** Cumulative user-growth curve: each user's first-seen day, new
+    * users per day, and the running total through the
+    * [[graft.operators.PrefixSum]] distributed scan (days are unique
+    * after the per-day rollup — the scan's contract). Two same-key
+    * exchanges (user, then day); the growth curve never funnels
+    * through a single-partition window. */
+  private def anUserGrowth(s: SparkSession, dir: String): DataFrame = {
+    val firstSeen = Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(min(date_trunc("day", col("ts"))).as("day"))
+    val perDay = firstSeen.groupBy("day").agg(count(lit(1)).as("new_users"))
+    graft.operators.PrefixSum.withRunningTotals(perDay, Seq("day"), Seq("new_users"))
+      .select(col("day"), col("new_users"), col("new_users_cum").as("cum_users"))
+      .orderBy("day")
+  }
+
+  private val anUserGrowthSql =
+    """WITH f AS (SELECT user_id, MIN(date_trunc('day', ts)) AS day
+      |           FROM events GROUP BY user_id),
+      |d AS (SELECT day, COUNT(*) AS new_users FROM f GROUP BY day)
+      |SELECT day, new_users,
+      |       CAST(SUM(new_users) OVER (ORDER BY day) AS BIGINT) AS cum_users
+      |FROM d ORDER BY day""".stripMargin
+
   // ----------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4124,7 +4234,10 @@ object SparkEntry {
     "etl_kanon_generalize" -> (etlKanonGeneralize _),
     "q_exact_median" -> (qExactMedian _),
     "etl_pseudonymize" -> (etlPseudonymize _),
-    "an_abtest" -> (anAbtest _)
+    "an_abtest" -> (anAbtest _),
+    "an_entropy" -> (anEntropy _),
+    "text_zipf" -> (textZipf _),
+    "an_user_growth" -> (anUserGrowth _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4261,6 +4374,9 @@ object SparkEntry {
     "etl_kanon_generalize" -> etlKanonGeneralizeSql,
     "q_exact_median" -> qExactMedianSql,
     "etl_pseudonymize" -> etlPseudonymizeSql,
-    "an_abtest" -> anAbtestSql
+    "an_abtest" -> anAbtestSql,
+    "an_entropy" -> anEntropySql,
+    "text_zipf" -> textZipfSql,
+    "an_user_growth" -> anUserGrowthSql
   )
 }

@@ -109,6 +109,31 @@ class MlPrepSpec extends SparkSpec {
     assert(!z.isNaN && !z.isInfinite && math.abs(z - want) < 1e-12)
   }
 
+  test("entropy is positive and normalized entropy is at most 1") {
+    val got = SparkEntry.queries("an_entropy")(spark, sfDir)
+      .select("dim", "h_nats", "h_norm").as[(String, Double, Double)].collect()
+    assert(got.map(_._1).toSet == Set("source", "lang"))
+    got.foreach { case (d, h, hn) =>
+      assert(h >= 0.0 && hn >= 0.0 && hn <= 1.0 + 1e-9, s"$d: h=$h h_norm=$hn")
+    }
+  }
+
+  test("zipf slope of natural-ish text is negative") {
+    val slope = SparkEntry.queries("text_zipf")(spark, sfDir)
+      .collect().head.getDouble(1)
+    assert(slope < 0.0, s"frequency must fall with rank: $slope")
+  }
+
+  test("user growth curve is monotone and ends at the user count") {
+    val nUsers = Tables.events(spark, sfDir).select("user_id").distinct().count()
+    val got = SparkEntry.queries("an_user_growth")(spark, sfDir)
+      .select("day", "new_users", "cum_users")
+      .as[(java.sql.Timestamp, Long, Long)].collect().sortBy(_._1.getTime)
+    assert(got.map(_._3).toSeq == got.map(_._3).sorted.toSeq)
+    assert(got.map(_._2).sum == nUsers && got.last._3 == nUsers)
+    graft.operators.PrefixSum.releaseCaches()
+  }
+
   test("gini of a uniform distribution is ~0 and of one-winner is ~1") {
     // invariant check straight from the rank formula the query uses
     def gini(xs: Seq[Long]): Double = {
