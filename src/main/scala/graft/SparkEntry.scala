@@ -4090,6 +4090,116 @@ object SparkEntry {
       |       CAST(SUM(new_users) OVER (ORDER BY day) AS BIGINT) AS cum_users
       |FROM d ORDER BY day""".stripMargin
 
+  /** CUSUM change-point detection over the daily revenue series —
+    * the classic "when did the level move" scan, fully integer: the
+    * per-day deviation is scaled by n (dev = rev·n − S, so no division
+    * ever happens) and its running sum comes from the
+    * [[graft.operators.PrefixSum]] distributed scan; the extreme
+    * excursions and their argmax/argmin days (struct-ordered
+    * tie-breaks) are the change-point report. Complements
+    * [[anMeanShift]] (local windows) with the global-drift view. */
+  private def anCusum(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.lineitem(s, dir)
+      .groupBy(date_trunc("day", col("l_shipdate")).as("day"))
+      .agg((sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(24,8)")).cast("decimal(24,2)") * 100)
+        .cast("bigint").as("rev_c"))
+    val tot = daily.agg(count(lit(1)).as("n"), sum("rev_c").as("s"))
+    val dev = daily.crossJoin(broadcast(tot))
+      .select(col("day"), (col("rev_c") * col("n") - col("s")).as("dev"))
+    val scan = graft.operators.PrefixSum.withRunningTotals(dev, Seq("day"), Seq("dev"))
+    scan.agg(count(lit(1)).as("n"),
+        max(struct(col("dev_cum"), col("day"))).as("hi"),
+        min(struct(col("dev_cum"), col("day"))).as("lo"))
+      .select(col("n"), col("hi.dev_cum").as("max_cusum"), col("hi.day").as("max_day"),
+        col("lo.dev_cum").as("min_cusum"), col("lo.day").as("min_day"))
+  }
+
+  private val anCusumSql =
+    """WITH daily AS (SELECT date_trunc('day', l_shipdate) AS day,
+      |    CAST(ROUND(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,8))), 2) * 100 AS BIGINT) AS rev_c
+      |  FROM lineitem GROUP BY 1),
+      |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(rev_c) AS BIGINT) AS s FROM daily),
+      |c AS (SELECT day, CAST(SUM(rev_c*n - s) OVER (ORDER BY day) AS BIGINT) AS cum
+      |      FROM daily, t),
+      |hi AS (SELECT cum AS max_cusum, day AS max_day FROM c ORDER BY cum DESC, day DESC LIMIT 1),
+      |lo AS (SELECT cum AS min_cusum, day AS min_day FROM c ORDER BY cum ASC, day ASC LIMIT 1)
+      |SELECT n, max_cusum, max_day, min_cusum, min_day FROM t, hi, lo""".stripMargin
+
+  /** Cohort lifetime-value matrix: users grouped by first-seen day,
+    * purchase revenue rolled up per (cohort, day-age), and the
+    * running LTV per cohort — the window partitions BY COHORT, so the
+    * cumulative sum never leaves a key's partition (contrast the
+    * global scans above). Revenue stays in cents BIGINT end to end. */
+  private def anCohortLtv(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val firstSeen = ev.groupBy(col("user_id"))
+      .agg(min(date_trunc("day", col("ts"))).as("cohort_day"))
+    val rev = ev.filter(col("event_type") === "purchase")
+      .join(firstSeen, "user_id")
+      .groupBy(col("cohort_day"),
+        datediff(date_trunc("day", col("ts")).cast("date"),
+          col("cohort_day").cast("date")).cast("long").as("age"))
+      .agg((sum(col("value").cast("decimal(24,8)")).cast("decimal(24,2)") * 100)
+        .cast("bigint").as("rev_c"))
+    val w = Window.partitionBy("cohort_day").orderBy("age")
+    rev.withColumn("ltv_c", sum("rev_c").over(w))
+      .orderBy("cohort_day", "age")
+  }
+
+  private val anCohortLtvSql =
+    """WITH f AS (SELECT user_id, MIN(date_trunc('day', ts)) AS cohort_day
+      |           FROM events GROUP BY user_id),
+      |r AS (SELECT cohort_day,
+      |        CAST(date_diff('day', CAST(cohort_day AS DATE),
+      |                       CAST(date_trunc('day', e.ts) AS DATE)) AS BIGINT) AS age,
+      |        CAST(ROUND(SUM(CAST(e.value AS DECIMAL(24,8))), 2) * 100 AS BIGINT) AS rev_c
+      |      FROM events e JOIN f USING (user_id)
+      |      WHERE e.event_type = 'purchase'
+      |      GROUP BY 1, 2)
+      |SELECT cohort_day, age, rev_c,
+      |       CAST(SUM(rev_c) OVER (PARTITION BY cohort_day ORDER BY age) AS BIGINT) AS ltv_c
+      |FROM r ORDER BY cohort_day, age""".stripMargin
+
+  /** Seasonal-naive forecast backtest (ŷ_t = y_{t−7}) over the last 28
+    * days of the revenue series — the baseline any forecasting pipeline
+    * must beat, with integer-exact error accounting: per-day absolute
+    * errors in cents, summed exactly; the relative error is one final
+    * division. Lag + tail-filter on the time spine; everything before
+    * the 28-day holdout only feeds the lag. */
+  private def anForecastNaive(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.lineitem(s, dir)
+      .groupBy(date_trunc("day", col("l_shipdate")).as("day"))
+      .agg((sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(24,8)")).cast("decimal(24,2)") * 100)
+        .cast("bigint").as("rev_c"))
+    val w = Window.orderBy(col("day"))
+    daily
+      .select(col("day"), col("rev_c"),
+        lag(col("rev_c"), 7).over(w).as("pred_c"),
+        row_number().over(Window.orderBy(col("day").desc)).as("rd"))
+      .filter(col("rd") <= 28 && col("pred_c").isNotNull)
+      .agg(count(lit(1)).as("n"),
+        sum(abs(col("rev_c") - col("pred_c"))).as("abs_err_c"),
+        sum("rev_c").as("actual_c"))
+      .withColumn("rel_err",
+        col("abs_err_c").cast("double") / col("actual_c").cast("double"))
+  }
+
+  private val anForecastNaiveSql =
+    """WITH daily AS (SELECT date_trunc('day', l_shipdate) AS day,
+      |    CAST(ROUND(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,8))), 2) * 100 AS BIGINT) AS rev_c
+      |  FROM lineitem GROUP BY 1),
+      |l AS (SELECT day, rev_c,
+      |        LAG(rev_c, 7) OVER (ORDER BY day) AS pred_c,
+      |        ROW_NUMBER() OVER (ORDER BY day DESC) AS rd
+      |      FROM daily)
+      |SELECT COUNT(*) AS n,
+      |  CAST(SUM(ABS(rev_c - pred_c)) AS BIGINT) AS abs_err_c,
+      |  CAST(SUM(rev_c) AS BIGINT) AS actual_c,
+      |  CAST(SUM(ABS(rev_c - pred_c)) AS DOUBLE) / CAST(SUM(rev_c) AS DOUBLE) AS rel_err
+      |FROM l WHERE rd <= 28 AND pred_c IS NOT NULL""".stripMargin
+
   // ----------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4237,7 +4347,10 @@ object SparkEntry {
     "an_abtest" -> (anAbtest _),
     "an_entropy" -> (anEntropy _),
     "text_zipf" -> (textZipf _),
-    "an_user_growth" -> (anUserGrowth _)
+    "an_user_growth" -> (anUserGrowth _),
+    "an_cusum" -> (anCusum _),
+    "an_cohort_ltv" -> (anCohortLtv _),
+    "an_forecast_naive" -> (anForecastNaive _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4377,6 +4490,9 @@ object SparkEntry {
     "an_abtest" -> anAbtestSql,
     "an_entropy" -> anEntropySql,
     "text_zipf" -> textZipfSql,
-    "an_user_growth" -> anUserGrowthSql
+    "an_user_growth" -> anUserGrowthSql,
+    "an_cusum" -> anCusumSql,
+    "an_cohort_ltv" -> anCohortLtvSql,
+    "an_forecast_naive" -> anForecastNaiveSql
   )
 }

@@ -134,6 +134,30 @@ class MlPrepSpec extends SparkSpec {
     graft.operators.PrefixSum.releaseCaches()
   }
 
+  test("cusum brackets zero: the excursion returns home because deviations cancel") {
+    val r = SparkEntry.queries("an_cusum")(spark, sfDir).collect().head
+    assert(r.getAs[Long]("max_cusum") >= 0L && r.getAs[Long]("min_cusum") <= 0L,
+      "sum of (rev·n − S) over all days is exactly zero, so 0 is always attained")
+    graft.operators.PrefixSum.releaseCaches()
+  }
+
+  test("cohort LTV is monotone within each cohort and ends at its total") {
+    val got = SparkEntry.queries("an_cohort_ltv")(spark, sfDir)
+      .select("cohort_day", "age", "rev_c", "ltv_c")
+      .as[(java.sql.Timestamp, Long, Long, Long)].collect()
+    got.groupBy(_._1).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._4).toSeq == sorted.map(_._3).scanLeft(0L)(_ + _).tail.toSeq,
+        "running LTV must be the prefix sum of the cohort's per-age revenue")
+    }
+  }
+
+  test("seasonal-naive backtest covers the 28-day holdout") {
+    val r = SparkEntry.queries("an_forecast_naive")(spark, sfDir).collect().head
+    assert(r.getAs[Long]("n") == 28L)
+    assert(r.getAs[Double]("rel_err") >= 0.0)
+  }
+
   test("gini of a uniform distribution is ~0 and of one-winner is ~1") {
     // invariant check straight from the rank formula the query uses
     def gini(xs: Seq[Long]): Double = {
