@@ -110,6 +110,31 @@ class PlanSpec extends SparkSpec {
     assert(pPp.contains("HashAggregate"), pPp)
   }
 
+  test("an_ks_drift and an_gini scan without a single-partition window") {
+    // the only SinglePartition exchanges allowed are the 1-row scalar
+    // totals; the ROW-sized cumulation must ride the distributed scan,
+    // i.e. no Window operator anywhere in the plan
+    Seq("an_ks_drift", "an_gini").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Window"), s"$q must use the distributed scan, not a window:\n$p")
+    }
+    graft.operators.PrefixSum.releaseCaches()
+  }
+
+  test("q_exact_median probes crossing rows via a tiny broadcast, not a sort") {
+    val p = plan("q_exact_median")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("Window"), s"rank probing must not fall back to a window:\n$p")
+    graft.operators.PrefixSum.releaseCaches()
+  }
+
+  test("an_cohort_ltv's cumulative window is partitioned by cohort") {
+    val p = plan("an_cohort_ltv")
+    assert(p.contains("Window"), p)
+    assert(!p.contains("SinglePartition"),
+      s"per-cohort running sums must stay inside the cohort partitions:\n$p")
+  }
+
   test("text_pack partitions by shard for the packing window (no global sort)") {
     val p = plan("text_pack")
     assert(p.contains("Window"), p)
