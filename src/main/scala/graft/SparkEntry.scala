@@ -4200,6 +4200,146 @@ object SparkEntry {
       |  CAST(SUM(ABS(rev_c - pred_c)) AS DOUBLE) / CAST(SUM(rev_c) AS DOUBLE) AS rel_err
       |FROM l WHERE rd <= 28 AND pred_c IS NOT NULL""".stripMargin
 
+  /** Top user journeys: each user's first five events (deterministic
+    * (ts, event_id) order) joined into a path string, counted and
+    * ranked — the product-analytics "what do users actually do" query.
+    * The per-user window is PARTITIONED (never global), path assembly
+    * is the dedup_segments sorted-collect idiom, and only the tiny
+    * path→count table is globally ranked. */
+  private def anUserPaths(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), row_number().over(w).as("rn"))
+      .filter(col("rn") <= 5)
+      .groupBy("user_id")
+      .agg(expr("array_join(transform(array_sort(collect_list(struct(rn, event_type))), x -> x.event_type), '>')")
+        .as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path")).limit(10)
+  }
+
+  private val anUserPathsSql =
+    """WITH e AS (SELECT user_id, event_type,
+      |             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      |           FROM events),
+      |p AS (SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+      |      FROM e WHERE rn <= 5 GROUP BY user_id)
+      |SELECT path, COUNT(*) AS n FROM p GROUP BY path
+      |ORDER BY n DESC, path LIMIT 10""".stripMargin
+
+  /** Event-type Markov transition matrix (the path-analysis companion
+    * to [[anUserPaths]]): per-user lag pairs under the deterministic
+    * (ts, event_id) order, integer transition counts, and row
+    * probabilities as one shared double division. The lag window is
+    * per-user partitioned; the (from × to) matrix is category-sized. */
+  private def anMarkov(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val pairs = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type").as("to_type"),
+        lag(col("event_type"), 1).over(w).as("from_type"))
+      .filter(col("from_type").isNotNull)
+      .groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+    val wf = Window.partitionBy("from_type")
+    pairs
+      .withColumn("row_total", sum("n").over(wf))
+      .withColumn("p", col("n").cast("double") / col("row_total").cast("double"))
+      .orderBy("from_type", "to_type")
+  }
+
+  private val anMarkovSql =
+    """WITH e AS (SELECT user_id, event_type AS to_type,
+      |             LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS from_type
+      |           FROM events),
+      |c AS (SELECT from_type, to_type, COUNT(*) AS n
+      |      FROM e WHERE from_type IS NOT NULL GROUP BY 1, 2)
+      |SELECT from_type, to_type, n,
+      |       CAST(SUM(n) OVER (PARTITION BY from_type) AS BIGINT) AS row_total,
+      |       CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p
+      |FROM c ORDER BY from_type, to_type""".stripMargin
+
+  /** RFM segmentation (recency / frequency / monetary quintiles) with
+    * the scale-correct assignment: exact quintile BOUNDARIES come from
+    * [[graft.operators.PrefixSum]] crossing-row probes over each
+    * dimension's distinct-value counts (the q_exact_median machinery,
+    * rank ⌈k·n/5⌉), the 12 boundary values broadcast back, and every
+    * customer is scored MAP-SIDE against them — no global rank over
+    * the customer table itself. Ties share a bucket (boundaries are
+    * order statistics), so the segmentation is deterministic on any
+    * engine. Emits segment sizes and per-segment averages. */
+  private def anRfm(s: SparkSession, dir: String): DataFrame = {
+    val maxDate = Tables.orders(s, dir).agg(max(col("o_orderdate")).as("mx"))
+    val rfm = Tables.orders(s, dir).crossJoin(broadcast(maxDate))
+      .groupBy(col("o_custkey"))
+      .agg(min(datediff(col("mx").cast("date"), col("o_orderdate").cast("date")).cast("long"))
+          .as("recency"),
+        count(lit(1)).as("frequency"),
+        (sum(col("o_totalprice").cast("decimal(24,8)")).cast("decimal(24,2)") * 100)
+          .cast("bigint").as("monetary"))
+    def boundaries(dim: String): DataFrame = {
+      val perV = rfm.groupBy(col(dim).as("v")).agg(count(lit(1)).as("cnt"))
+      val scan = graft.operators.PrefixSum.withRunningTotals(perV, Seq("v"), Seq("cnt"))
+      val probes = perV.agg(sum("cnt").as("n"))
+        .select(explode(array(lit(1L), lit(2L), lit(3L), lit(4L))).as("k"), col("n"))
+        .withColumn("r", expr("(k * n + 4) div 5"))
+      scan.crossJoin(broadcast(probes))
+        .filter(col("cnt_cum") >= col("r") && col("cnt_cum") - col("cnt") < col("r"))
+        .groupBy(lit(dim).as("dim")).pivot(col("k"), Seq(1, 2, 3, 4)).agg(first(col("v")))
+        .select(col("dim"), col("1").as("b1"), col("2").as("b2"),
+          col("3").as("b3"), col("4").as("b4"))
+    }
+    val b = boundaries("recency").unionByName(boundaries("frequency"))
+      .unionByName(boundaries("monetary"))
+    def score(dim: String): Column =
+      when(col(dim) <= col(s"${dim}_b.b1"), 1L)
+        .when(col(dim) <= col(s"${dim}_b.b2"), 2L)
+        .when(col(dim) <= col(s"${dim}_b.b3"), 3L)
+        .when(col(dim) <= col(s"${dim}_b.b4"), 4L).otherwise(5L)
+    val scored = Seq("recency", "frequency", "monetary").foldLeft(rfm) { (df, dim) =>
+      df.crossJoin(broadcast(b.filter(col("dim") === dim).drop("dim").as(s"${dim}_b")))
+        .withColumn(s"${dim.head}q", score(dim))
+    }
+    scored.groupBy(col("rq"), col("fq"), col("mq"))
+      .agg(count(lit(1)).as("n_customers"), sum(col("monetary")).as("monetary_c"))
+      .orderBy("rq", "fq", "mq")
+  }
+
+  private val anRfmSql = {
+    def bounds(dim: String) =
+      s"""SELECT '$dim' AS dim,
+         |  MIN(CASE WHEN k = 1 THEN v END) AS b1, MIN(CASE WHEN k = 2 THEN v END) AS b2,
+         |  MIN(CASE WHEN k = 3 THEN v END) AS b3, MIN(CASE WHEN k = 4 THEN v END) AS b4
+         |FROM (
+         |  SELECT k, v FROM
+         |    (SELECT v, cnt, CAST(SUM(cnt) OVER (ORDER BY v) AS BIGINT) AS cum
+         |     FROM (SELECT $dim AS v, COUNT(*) AS cnt FROM rfm GROUP BY 1)) c,
+         |    (SELECT k, (k * n + 4)//5 AS r
+         |     FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM rfm),
+         |          (SELECT UNNEST([CAST(1 AS BIGINT), 2, 3, 4]) AS k)) p
+         |  WHERE cum >= r AND cum - cnt < r)""".stripMargin
+    s"""WITH mx AS (SELECT MAX(o_orderdate) AS mx FROM orders),
+       |rfm AS (SELECT o_custkey,
+       |          CAST(MIN(date_diff('day', CAST(o_orderdate AS DATE), CAST(mx AS DATE))) AS BIGINT) AS recency,
+       |          COUNT(*) AS frequency,
+       |          CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(24,8))), 2) * 100 AS BIGINT) AS monetary
+       |        FROM orders, mx GROUP BY o_custkey),
+       |b AS (${bounds("recency")} UNION ALL ${bounds("frequency")} UNION ALL ${bounds("monetary")}),
+       |scored AS (SELECT
+       |    CASE WHEN recency <= rb.b1 THEN 1 WHEN recency <= rb.b2 THEN 2
+       |         WHEN recency <= rb.b3 THEN 3 WHEN recency <= rb.b4 THEN 4 ELSE 5 END AS rq,
+       |    CASE WHEN frequency <= fb.b1 THEN 1 WHEN frequency <= fb.b2 THEN 2
+       |         WHEN frequency <= fb.b3 THEN 3 WHEN frequency <= fb.b4 THEN 4 ELSE 5 END AS fq,
+       |    CASE WHEN monetary <= mb.b1 THEN 1 WHEN monetary <= mb.b2 THEN 2
+       |         WHEN monetary <= mb.b3 THEN 3 WHEN monetary <= mb.b4 THEN 4 ELSE 5 END AS mq,
+       |    monetary
+       |  FROM rfm,
+       |       (SELECT * FROM b WHERE dim = 'recency') rb,
+       |       (SELECT * FROM b WHERE dim = 'frequency') fb,
+       |       (SELECT * FROM b WHERE dim = 'monetary') mb)
+       |SELECT CAST(rq AS BIGINT) AS rq, CAST(fq AS BIGINT) AS fq, CAST(mq AS BIGINT) AS mq,
+       |       COUNT(*) AS n_customers, CAST(SUM(monetary) AS BIGINT) AS monetary_c
+       |FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+  }
+
   // ----------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4350,7 +4490,10 @@ object SparkEntry {
     "an_user_growth" -> (anUserGrowth _),
     "an_cusum" -> (anCusum _),
     "an_cohort_ltv" -> (anCohortLtv _),
-    "an_forecast_naive" -> (anForecastNaive _)
+    "an_forecast_naive" -> (anForecastNaive _),
+    "an_user_paths" -> (anUserPaths _),
+    "an_markov" -> (anMarkov _),
+    "an_rfm" -> (anRfm _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4493,6 +4636,9 @@ object SparkEntry {
     "an_user_growth" -> anUserGrowthSql,
     "an_cusum" -> anCusumSql,
     "an_cohort_ltv" -> anCohortLtvSql,
-    "an_forecast_naive" -> anForecastNaiveSql
+    "an_forecast_naive" -> anForecastNaiveSql,
+    "an_user_paths" -> anUserPathsSql,
+    "an_markov" -> anMarkovSql,
+    "an_rfm" -> anRfmSql
   )
 }

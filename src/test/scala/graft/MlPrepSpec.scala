@@ -158,6 +158,25 @@ class MlPrepSpec extends SparkSpec {
     assert(r.getAs[Double]("rel_err") >= 0.0)
   }
 
+  test("markov transition rows are proper probability distributions") {
+    val got = SparkEntry.queries("an_markov")(spark, sfDir)
+      .select("from_type", "n", "row_total", "p")
+      .as[(String, Long, Long, Double)].collect()
+    got.groupBy(_._1).foreach { case (ft, rows) =>
+      assert(rows.map(_._2).sum == rows.head._3, s"$ft: counts must sum to the row total")
+      assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-9, s"$ft: probabilities must sum to 1")
+    }
+  }
+
+  test("rfm assigns every customer and keeps quintiles in 1..5") {
+    val nCust = Tables.orders(spark, sfDir).select("o_custkey").distinct().count()
+    val got = SparkEntry.queries("an_rfm")(spark, sfDir)
+      .select("rq", "fq", "mq", "n_customers").as[(Long, Long, Long, Long)].collect()
+    assert(got.map(_._4).sum == nCust, "segmentation must partition the customers")
+    assert(got.forall(r => Seq(r._1, r._2, r._3).forall(q => q >= 1 && q <= 5)))
+    graft.operators.PrefixSum.releaseCaches()
+  }
+
   test("gini of a uniform distribution is ~0 and of one-winner is ~1") {
     // invariant check straight from the rank formula the query uses
     def gini(xs: Seq[Long]): Double = {

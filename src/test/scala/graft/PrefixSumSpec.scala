@@ -39,6 +39,24 @@ class PrefixSumSpec extends SparkSpec {
     PrefixSum.releaseCaches()
   }
 
+  test("property: scan equals the driver-side prefix sum on random datasets") {
+    import org.scalacheck.Gen
+    (1 to 8).foreach { seed =>
+      val vals = Gen.listOfN(40 + seed * 13, Gen.chooseNum(-1000L, 1000L))
+        .apply(Gen.Parameters.default, org.scalacheck.rng.Seed(seed.toLong))
+        .getOrElse(Nil)
+      val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("k", "v")
+        .repartition(5)
+      val nP = 1 + seed % 7
+      val got = PrefixSum.withRunningTotals(df, Seq("k"), Seq("v"), numParts = nP)
+        .select("k", "v_cum", "rn").as[(Long, Long, Long)].collect().sortBy(_._1)
+      val want = vals.scanLeft(0L)(_ + _).tail.zipWithIndex
+        .map { case (c, i) => (i.toLong, c, i + 1L) }
+      assert(got.toSeq == want, s"seed=$seed numParts=$nP")
+      PrefixSum.releaseCaches()
+    }
+  }
+
   test("the scan plan has no single-partition window exchange") {
     val df = spark.range(0, 1000).select(col("id").as("k"), lit(1L).as("v"))
     val plan = PrefixSum.withRunningTotals(df, Seq("k"), Seq("v"))
