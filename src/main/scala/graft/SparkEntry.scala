@@ -4340,6 +4340,48 @@ object SparkEntry {
        |FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
   }
 
+  /** TPC-H Q7 shape (volume shipping between two nations by year): the
+    * two-dimension star where BOTH fact sides carry a nation attribute.
+    * Scale discipline: each nation dim is filtered to the pair BEFORE
+    * its join (membership prefilter — the OR only couples sides at the
+    * end, so the asymmetric pair filter runs on the reduced rows), both
+    * dims broadcast, and the date filter pushes to the lineitem scan. */
+  private def q7Volume(s: SparkSession, dir: String): DataFrame = {
+    val pair = Seq("NATION_3", "NATION_7")
+    val li = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate").between("1995-01-01", "1996-12-31"))
+    val n1 = Tables.nation(s, dir).filter(col("n_name").isin(pair: _*))
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val n2 = Tables.nation(s, dir).filter(col("n_name").isin(pair: _*))
+      .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+    li.join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  private val q7VolumeSql =
+    s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       |  ${moneySumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue
+       |FROM lineitem
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+       |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+       |WHERE n1.n_name IN ('NATION_3', 'NATION_7')
+       |  AND n2.n_name IN ('NATION_3', 'NATION_7')
+       |  AND n1.n_name <> n2.n_name
+       |  AND l_shipdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31'
+       |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
   // ----------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4493,7 +4535,8 @@ object SparkEntry {
     "an_forecast_naive" -> (anForecastNaive _),
     "an_user_paths" -> (anUserPaths _),
     "an_markov" -> (anMarkov _),
-    "an_rfm" -> (anRfm _)
+    "an_rfm" -> (anRfm _),
+    "q7_volume" -> (q7Volume _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4639,6 +4682,7 @@ object SparkEntry {
     "an_forecast_naive" -> anForecastNaiveSql,
     "an_user_paths" -> anUserPathsSql,
     "an_markov" -> anMarkovSql,
-    "an_rfm" -> anRfmSql
+    "an_rfm" -> anRfmSql,
+    "q7_volume" -> q7VolumeSql
   )
 }

@@ -489,4 +489,33 @@ object EventsStream {
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
   }
+
+  final case class DriftOut(batch_id: Long, n: Long, n_types: Long, chi2: Double)
+
+  /** Streaming data-quality gate: every micro-batch's event-type mix is
+    * chi-square-tested against a broadcast REFERENCE distribution (the
+    * batch an_chi2_drift semantics, applied to the live tail) and the
+    * per-batch statistic handed to the caller — the hook where a
+    * production pipeline pages or quarantines a batch whose input mix
+    * shifted. Each test is one grouped count per batch; the collect is
+    * category-sized (distinct event types), never row-sized. Types
+    * absent from the reference contribute o²/ε-style mass via a
+    * pseudo-expected floor so novel categories register as drift
+    * instead of vanishing. */
+  def driftStream(events: DataFrame, reference: Map[String, Double],
+                  onBatch: DriftOut => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream.outputMode("append")
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        val counts = df.groupBy("event_type").count()
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val n = counts.values.sum
+        val types = (reference.keySet ++ counts.keySet).toSeq.sorted
+        val chi2 = if (n == 0) 0.0 else types.map { t =>
+          val o = counts.getOrElse(t, 0L).toDouble
+          val e = math.max(reference.getOrElse(t, 0.0) * n, 0.5) // novel-type floor
+          (o - e) * (o - e) / e
+        }.sum
+        onBatch(DriftOut(id, n, types.size.toLong, chi2))
+      }
+      .start()
 }

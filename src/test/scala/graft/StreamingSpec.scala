@@ -369,19 +369,6 @@ class StreamingSpec extends SparkSpec {
     val evs = Tables.events(spark, sfDir)
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
       .as[Ev].collect().toSeq
-    // deterministic shuffle, split into 3 arrival batches
-    val mixed = evs.sortBy(e => (e.event_id * 2654435761L) % 1000003)
-    val thirds = mixed.grouped((mixed.size + 2) / 3).toSeq
-    val in = MemoryStream[Ev]
-    val q = EventsStream.funnelStream(in.toDS())
-      .writeStream.outputMode("append").format("memory").queryName("funl2").start()
-    thirds.foreach { b => in.addData(b); q.processAllAvailable() }
-    q.stop()
-    val streamed = spark.table("funl2")
-      .groupBy("user_id").agg(max(struct(col("epoch"), col("v_ts"), col("c_ts"), col("p_ts"))).as("m"))
-      .select(col("user_id"), col("m.v_ts"), col("m.c_ts"), col("m.p_ts"))
-      .as[(Long, Option[Long], Option[Long], Option[Long])].collect()
-      .map { case (u, v, c, p) => u -> (v, c, p) }.toMap
     // batch reference: min view, min click >= view, min purchase >= click
     val batch = evs.groupBy(_.user_id).map { case (u, es) =>
       val v = es.filter(_.event_type == "view").map(_.ts.getTime).minOption
@@ -391,7 +378,44 @@ class StreamingSpec extends SparkSpec {
         .map(_.ts.getTime).minOption)
       u -> (v, c, p)
     }
-    assert(streamed == batch,
-      "stream funnel must equal the batch funnel whatever the arrival slicing")
+    // two adversarial arrival orders × different micro-batch slicings
+    val orderings = Seq(
+      ("fwd", evs.sortBy(e => (e.event_id * 2654435761L) % 1000003), 3),
+      ("rev", evs.sortBy(e => -e.ts.getTime), 5)) // time-reversed: every view late
+    orderings.foreach { case (tag, mixed, k) =>
+      val in = MemoryStream[Ev]
+      val q = EventsStream.funnelStream(in.toDS())
+        .writeStream.outputMode("append").format("memory").queryName(s"funl_$tag").start()
+      mixed.grouped((mixed.size + k - 1) / k).foreach { b =>
+        in.addData(b); q.processAllAvailable()
+      }
+      q.stop()
+      val streamed = spark.table(s"funl_$tag")
+        .groupBy("user_id").agg(max(struct(col("epoch"), col("v_ts"), col("c_ts"), col("p_ts"))).as("m"))
+        .select(col("user_id"), col("m.v_ts"), col("m.c_ts"), col("m.p_ts"))
+        .as[(Long, Option[Long], Option[Long], Option[Long])].collect()
+        .map { case (u, v, c, p) => u -> (v, c, p) }.toMap
+      assert(streamed == batch,
+        s"stream funnel must equal the batch funnel under the '$tag' arrival order")
+    }
+  }
+
+  test("driftStream flags a skewed micro-batch and passes a conforming one") {
+    implicit val sqlCtx = spark.sqlContext
+    val ref = Map("view" -> 0.5, "click" -> 0.5)
+    val got = scala.collection.mutable.ArrayBuffer.empty[EventsStream.DriftOut]
+    val in = MemoryStream[Ev]
+    val q = EventsStream.driftStream(in.toDF(), ref, got.synchronized { got += _ })
+    // batch 0 conforms to the reference exactly
+    in.addData((1 to 40).map(i =>
+      Ev(i, ts(i), i % 7, if (i % 2 == 0) "view" else "click", 1.0)))
+    q.processAllAvailable()
+    // batch 1: all purchases — a type the reference has never seen
+    in.addData((41 to 80).map(i => Ev(i, ts(i), i % 7, "purchase", 1.0)))
+    q.processAllAvailable(); q.stop()
+    val byBatch = got.sortBy(_.batch_id)
+    assert(byBatch.size == 2)
+    assert(byBatch(0).chi2 < 1.0, s"conforming batch must score ~0: ${byBatch(0)}")
+    assert(byBatch(1).chi2 > 100.0, s"novel-type batch must blow up: ${byBatch(1)}")
   }
 }
