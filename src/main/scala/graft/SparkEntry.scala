@@ -4382,6 +4382,105 @@ object SparkEntry {
        |  AND l_shipdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31'
        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
 
+  /** Lorenz curve deciles (the chartable companion to [[anGini]]):
+    * customers ranked by spend, decile = ((rn−1)·10) div n + 1, per-
+    * decile spend and the cumulative share at each decile boundary —
+    * rank AND running spend come from ONE [[graft.operators.PrefixSum]]
+    * pass (the scan emits both), the boundary value is max(cum) inside
+    * each decile (cum is monotone), and shares divide once at the end.
+    * Integer-exact until the final two divisions. */
+  private def anLorenz(s: SparkSession, dir: String): DataFrame = {
+    val spend = Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg((sum(col("o_totalprice").cast("decimal(24,8)")).cast("decimal(24,2)") * 100)
+        .cast("bigint").as("x"))
+    val scan = graft.operators.PrefixSum
+      .withRunningTotals(spend, Seq("x", "o_custkey"), Seq("x"))
+    val tot = spend.agg(count(lit(1)).as("n"), sum("x").as("s"))
+    scan.crossJoin(broadcast(tot))
+      .withColumn("decile", expr("((rn - 1) * 10) div n + 1"))
+      .groupBy("decile", "s")
+      .agg(count(lit(1)).as("n_cust"), sum("x").as("spend_c"), max("x_cum").as("cum_c"))
+      .select(col("decile"), col("n_cust"), col("spend_c"), col("cum_c"),
+        (col("spend_c").cast("double") / col("s").cast("double")).as("share"),
+        (col("cum_c").cast("double") / col("s").cast("double")).as("cum_share"))
+      .orderBy("decile")
+  }
+
+  private val anLorenzSql =
+    """WITH spend AS (SELECT o_custkey,
+      |    CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(24,8))), 2) * 100 AS BIGINT) AS x
+      |  FROM orders GROUP BY o_custkey),
+      |r AS (SELECT x, ROW_NUMBER() OVER (ORDER BY x, o_custkey) AS rn,
+      |             CAST(SUM(x) OVER (ORDER BY x, o_custkey) AS BIGINT) AS x_cum
+      |      FROM spend),
+      |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS s FROM spend),
+      |d AS (SELECT ((rn - 1) * 10)//n + 1 AS decile, s,
+      |             COUNT(*) AS n_cust, CAST(SUM(x) AS BIGINT) AS spend_c,
+      |             CAST(MAX(x_cum) AS BIGINT) AS cum_c
+      |      FROM r, t GROUP BY 1, 2)
+      |SELECT CAST(decile AS BIGINT) AS decile, n_cust, spend_c, cum_c,
+      |       CAST(spend_c AS DOUBLE) / CAST(s AS DOUBLE) AS share,
+      |       CAST(cum_c AS DOUBLE) / CAST(s AS DOUBLE) AS cum_share
+      |FROM d ORDER BY decile""".stripMargin
+
+  /** ε-differentially-private release of group counts with SEEDED
+    * Laplace noise (Dwork et al. TCC'06; seeded DP = the reproducible-
+    * release variant: the noise draw is a deterministic function of a
+    * salted group hash, so reruns and the oracle replay the exact same
+    * release). The uniform comes from six md5 hex nibbles (engine-
+    * portable, as etl_feature_hash), inverse-CDF'd through the shared
+    * Laplace formula; ROUND(·,6) absorbs libm ln ulp skew. Sensitivity
+    * 1 count query, scale b = 2 ⇒ ε = 0.5. Map-side after one
+    * groupBy. */
+  private def etlDpCounts(s: SparkSession, dir: String): DataFrame = {
+    def nib(i: Int) = s"(instr('0123456789abcdef', substr(md5('dp1|' || cat), $i, 1)) - 1)"
+    val uExpr = s"(((((${nib(1)} * 16 + ${nib(2)}) * 16 + ${nib(3)}) * 16 + ${nib(4)}) * 16 + ${nib(5)}) * 16 + ${nib(6)}) / 16777216.0"
+    val noisy = s"ROUND(c + (-2.0 * sign($uExpr - 0.5) * ln(1.0 - 2.0 * abs($uExpr - 0.5))), 6)"
+    Tables.customer(s, dir)
+      .groupBy(col("c_mktsegment").as("cat"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("noisy_count", expr(noisy))
+      .select(col("cat"), col("noisy_count"))
+      .orderBy("cat")
+  }
+
+  private val etlDpCountsSql = {
+    def nib(i: Int) = s"(instr('0123456789abcdef', substr(md5('dp1|' || cat), $i, 1)) - 1)"
+    val uExpr = s"(((((${nib(1)} * 16 + ${nib(2)}) * 16 + ${nib(3)}) * 16 + ${nib(4)}) * 16 + ${nib(5)}) * 16 + ${nib(6)}) / 16777216.0"
+    s"""WITH g AS (SELECT c_mktsegment AS cat, COUNT(*) AS c FROM customer GROUP BY 1)
+       |SELECT cat,
+       |  ROUND(c + (-2.0 * sign($uExpr - 0.5) * ln(1.0 - 2.0 * abs($uExpr - 0.5))), 6) AS noisy_count
+       |FROM g ORDER BY cat""".stripMargin
+  }
+
+  /** Sample-ratio-mismatch check — the A/B trust gate that runs BEFORE
+    * [[anAbtest]] reads out: user counts per variant vs the designed
+    * 50/50 split, chi-square (n0−n1)²/(n0+n1) with 1 df, flagged at
+    * the 95% critical value. Pure integers until one division. */
+  private def anAbSrm(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("user_id")).distinct()
+      .groupBy((col("user_id") % 2).as("variant"))
+      .agg(count(lit(1)).as("n"))
+      .agg(sum(when(col("variant") === 0, col("n"))).as("n0"),
+        sum(when(col("variant") === 1, col("n"))).as("n1"))
+      .select(col("n0"), col("n1"),
+        ((col("n0") - col("n1")) * (col("n0") - col("n1"))).as("srm_num"),
+        (((col("n0") - col("n1")) * (col("n0") - col("n1"))).cast("double")
+          / (col("n0") + col("n1")).cast("double")).as("chi2"))
+      .withColumn("srm_detected", col("chi2") > 3.841)
+
+  private val anAbSrmSql =
+    """WITH u AS (SELECT DISTINCT user_id FROM events),
+      |v AS (SELECT user_id % 2 AS variant, COUNT(*) AS n FROM u GROUP BY 1),
+      |w AS (SELECT CAST(SUM(CASE WHEN variant = 0 THEN n END) AS BIGINT) AS n0,
+      |             CAST(SUM(CASE WHEN variant = 1 THEN n END) AS BIGINT) AS n1 FROM v)
+      |SELECT n0, n1, CAST((n0 - n1) * (n0 - n1) AS BIGINT) AS srm_num,
+      |  CAST((n0 - n1) * (n0 - n1) AS DOUBLE) / CAST(n0 + n1 AS DOUBLE) AS chi2,
+      |  (CAST((n0 - n1) * (n0 - n1) AS DOUBLE) / CAST(n0 + n1 AS DOUBLE)) > 3.841 AS srm_detected
+      |FROM w""".stripMargin
+
   // ----------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4536,7 +4635,10 @@ object SparkEntry {
     "an_user_paths" -> (anUserPaths _),
     "an_markov" -> (anMarkov _),
     "an_rfm" -> (anRfm _),
-    "q7_volume" -> (q7Volume _)
+    "q7_volume" -> (q7Volume _),
+    "an_lorenz" -> (anLorenz _),
+    "etl_dp_counts" -> (etlDpCounts _),
+    "an_ab_srm" -> (anAbSrm _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4683,6 +4785,9 @@ object SparkEntry {
     "an_user_paths" -> anUserPathsSql,
     "an_markov" -> anMarkovSql,
     "an_rfm" -> anRfmSql,
-    "q7_volume" -> q7VolumeSql
+    "q7_volume" -> q7VolumeSql,
+    "an_lorenz" -> anLorenzSql,
+    "etl_dp_counts" -> etlDpCountsSql,
+    "an_ab_srm" -> anAbSrmSql
   )
 }

@@ -177,6 +177,35 @@ class MlPrepSpec extends SparkSpec {
     graft.operators.PrefixSum.releaseCaches()
   }
 
+  test("lorenz deciles: shares sum to one, cumulative share is monotone to 1.0") {
+    val got = SparkEntry.queries("an_lorenz")(spark, sfDir)
+      .select("decile", "share", "cum_share").as[(Long, Double, Double)].collect()
+      .sortBy(_._1)
+    assert(math.abs(got.map(_._2).sum - 1.0) < 1e-9)
+    assert(got.map(_._3).toSeq == got.map(_._3).sorted.toSeq)
+    assert(math.abs(got.last._3 - 1.0) < 1e-12)
+    graft.operators.PrefixSum.releaseCaches()
+  }
+
+  test("dp counts are reproducible and actually noised") {
+    val a = SparkEntry.queries("etl_dp_counts")(spark, sfDir)
+      .as[(String, Double)].collect().toMap
+    val b = SparkEntry.queries("etl_dp_counts")(spark, sfDir)
+      .as[(String, Double)].collect().toMap
+    assert(a == b, "seeded DP must replay the exact same release")
+    val raw = Tables.customer(spark, sfDir).groupBy("c_mktsegment").count()
+      .as[(String, Long)].collect().toMap
+    assert(a.exists { case (k, v) => math.abs(v - raw(k)) > 1e-6 },
+      "the Laplace mechanism must actually perturb")
+  }
+
+  test("srm chi-square reconstructs from the variant counts") {
+    val r = SparkEntry.queries("an_ab_srm")(spark, sfDir).collect().head
+    val (n0, n1) = (r.getAs[Long]("n0"), r.getAs[Long]("n1"))
+    val want = math.pow((n0 - n1).toDouble, 2) / (n0 + n1).toDouble
+    assert(math.abs(r.getAs[Double]("chi2") - want) < 1e-12)
+  }
+
   test("gini of a uniform distribution is ~0 and of one-winner is ~1") {
     // invariant check straight from the rank formula the query uses
     def gini(xs: Seq[Long]): Double = {
