@@ -4481,6 +4481,100 @@ object SparkEntry {
       |  (CAST((n0 - n1) * (n0 - n1) AS DOUBLE) / CAST(n0 + n1 AS DOUBLE)) > 3.841 AS srm_detected
       |FROM w""".stripMargin
 
+  /** Time-hierarchy ROLLUP (year → quarter → month revenue with
+    * subtotals at every level) — the calendar companion to the
+    * categorical q_rollup: one Expand pass, partial aggregation before
+    * the shuffle, NULL level markers disambiguated by GROUPING(). */
+  private def qTimeRollup(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(year(col("o_orderdate")).cast("long").as("y"),
+        quarter(col("o_orderdate")).cast("long").as("q"),
+        month(col("o_orderdate")).cast("long").as("m"),
+        col("o_totalprice"))
+      .rollup(col("y"), col("q"), col("m"))
+      .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("revenue"))
+      // y/q/m are never NULL in the data, so NULL markers identify the
+      // rollup level portably (no reliance on engine GROUPING() support)
+      .withColumn("lvl", expr(
+        """CAST(CASE WHEN y IS NULL THEN 4 ELSE 0 END
+          |   + CASE WHEN q IS NULL THEN 2 ELSE 0 END
+          |   + CASE WHEN m IS NULL THEN 1 ELSE 0 END AS BIGINT)""".stripMargin))
+      .orderBy(col("lvl").desc, col("y"), col("q"), col("m"))
+
+  private val qTimeRollupSql =
+    s"""WITH b AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
+       |  CAST(quarter(o_orderdate) AS BIGINT) AS q,
+       |  CAST(month(o_orderdate) AS BIGINT) AS m, o_totalprice FROM orders),
+       |r AS (SELECT y, q, m, COUNT(*) AS n, ${moneySumSql("o_totalprice")} AS revenue
+       |      FROM b GROUP BY ROLLUP (y, q, m))
+       |SELECT y, q, m, n, revenue,
+       |  CAST(CASE WHEN y IS NULL THEN 4 ELSE 0 END
+       |     + CASE WHEN q IS NULL THEN 2 ELSE 0 END
+       |     + CASE WHEN m IS NULL THEN 1 ELSE 0 END AS BIGINT) AS lvl
+       |FROM r ORDER BY lvl DESC, y, q, m""".stripMargin
+
+  /** Malformed-input coercion audit, end-to-end through the PERMISSIVE
+    * text path: a CSV is WRITTEN with deterministic corruption ('N/A'
+    * injected into the price of every 97th key — the reference data's
+    * TotalCharges blanks), read back with a typed schema (malformed
+    * numerics coerce to NULL rather than failing the load), and the
+    * audit counts rows, coerced NULLs, and the surviving money sum.
+    * The oracle recomputes all three arithmetically from the clean
+    * table, so the text round-trip AND the coercion rule are what's
+    * hash-verified. */
+  private def etlCoerceAudit(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_coerce")
+      .toAbsolutePath.toString + "/orders"
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"),
+        when(col("o_orderkey") % 97 === 0, lit("N/A"))
+          .otherwise(col("o_totalprice").cast("string")).as("o_totalprice"))
+      .write.mode("overwrite").option("header", "true").csv(tmp)
+    val schema = StructType(Seq(
+      StructField("o_orderkey", LongType), StructField("o_totalprice", DoubleType)))
+    graft.etl.Extract.csv(s, tmp, Some(schema))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").isNull.cast("long")).as("n_coerced"),
+        moneySum(col("o_totalprice")).as("clean_sum"))
+  }
+
+  private val etlCoerceAuditSql =
+    s"""SELECT COUNT(*) AS n,
+       |  CAST(SUM(CASE WHEN o_orderkey % 97 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_coerced,
+       |  ${moneySumSql("CASE WHEN o_orderkey % 97 = 0 THEN NULL ELSE o_totalprice END")} AS clean_sum
+       |FROM orders""".stripMargin
+
+  /** Order-independent whole-table content fingerprint — the
+    * reconciliation primitive for "are these two copies identical"
+    * across engines/clusters without sorting or moving the table: each
+    * row hashes to an md5-derived 48-bit integer (hex nibbles through
+    * the engine-portable instr trick), and the fingerprint is the
+    * exact SUM — commutative, so partitioning and order are
+    * irrelevant, and any single-row change shifts it. Map-side
+    * projection + one scalar aggregate. */
+  private def etlTableFingerprint(s: SparkSession, dir: String): DataFrame = {
+    def nib(i: Int) = s"(instr('0123456789abcdef', substr(h, $i, 1)) - 1)"
+    // fold in BIGINT from the first term — 16^12 = 2^48 overflows INT32
+    val h48 = (2 to 12).map(nib)
+      .foldLeft(s"CAST(${nib(1)} AS BIGINT)")((a, b) => s"($a * 16 + $b)")
+    Tables.orders(s, dir)
+      .select(md5(concat_ws("|", col("o_orderkey"), col("o_orderstatus"),
+        col("o_orderpriority"))).as("h"))
+      .selectExpr(s"CAST($h48 AS BIGINT) AS hv")
+      .agg(count(lit(1)).as("n"), sum(col("hv")).as("fingerprint"))
+  }
+
+  private val etlTableFingerprintSql = {
+    def nib(i: Int) = s"(instr('0123456789abcdef', substr(h, $i, 1)) - 1)"
+    val h48 = (2 to 12).map(nib)
+      .foldLeft(s"CAST(${nib(1)} AS BIGINT)")((a, b) => s"($a * 16 + $b)")
+    s"""WITH r AS (SELECT md5(CAST(o_orderkey AS VARCHAR) || '|' || o_orderstatus
+       |                      || '|' || o_orderpriority) AS h FROM orders)
+       |SELECT COUNT(*) AS n, CAST(SUM(CAST($h48 AS BIGINT)) AS BIGINT) AS fingerprint
+       |FROM r""".stripMargin
+  }
+
   // ----------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4638,7 +4732,10 @@ object SparkEntry {
     "q7_volume" -> (q7Volume _),
     "an_lorenz" -> (anLorenz _),
     "etl_dp_counts" -> (etlDpCounts _),
-    "an_ab_srm" -> (anAbSrm _)
+    "an_ab_srm" -> (anAbSrm _),
+    "q_time_rollup" -> (qTimeRollup _),
+    "etl_coerce_audit" -> (etlCoerceAudit _),
+    "etl_table_fingerprint" -> (etlTableFingerprint _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4788,6 +4885,9 @@ object SparkEntry {
     "q7_volume" -> q7VolumeSql,
     "an_lorenz" -> anLorenzSql,
     "etl_dp_counts" -> etlDpCountsSql,
-    "an_ab_srm" -> anAbSrmSql
+    "an_ab_srm" -> anAbSrmSql,
+    "q_time_rollup" -> qTimeRollupSql,
+    "etl_coerce_audit" -> etlCoerceAuditSql,
+    "etl_table_fingerprint" -> etlTableFingerprintSql
   )
 }

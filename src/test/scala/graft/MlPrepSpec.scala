@@ -206,6 +206,42 @@ class MlPrepSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("chi2") - want) < 1e-12)
   }
 
+  test("time rollup: levels are the rollup lattice and the grand total matches") {
+    val nOrders = Tables.orders(spark, sfDir).count()
+    val got = SparkEntry.queries("q_time_rollup")(spark, sfDir)
+      .select("lvl", "n").as[(Long, Long)].collect()
+    assert(got.map(_._1).toSet.subsetOf(Set(0L, 1L, 3L, 7L)))
+    assert(got.filter(_._1 == 7L).map(_._2).toSeq == Seq(nOrders))
+    // every level partitions the same row universe
+    Seq(0L, 1L, 3L).foreach { l =>
+      assert(got.filter(_._1 == l).map(_._2).sum == nOrders, s"level $l")
+    }
+  }
+
+  test("coercion audit counts exactly the corrupted keys") {
+    val expect = Tables.orders(spark, sfDir)
+      .filter(col("o_orderkey") % 97 === 0).count()
+    val r = SparkEntry.queries("etl_coerce_audit")(spark, sfDir).collect().head
+    assert(r.getAs[Long]("n_coerced") == expect)
+    assert(r.getAs[Long]("n") == Tables.orders(spark, sfDir).count())
+  }
+
+  test("table fingerprint matches a driver-side recomputation") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val rows = Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_orderstatus", "o_orderpriority")
+      .as[(Long, String, String)].collect()
+    val want = rows.map { case (k, st, pr) =>
+      val h = md.digest(s"$k|$st|$pr".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(h.take(12), 16)
+    }.sum
+    val r = SparkEntry.queries("etl_table_fingerprint")(spark, sfDir).collect().head
+    assert(r.getAs[Long]("n") == rows.length.toLong)
+    assert(r.getAs[Long]("fingerprint") == want,
+      "the md5-derived 48-bit row hashes must sum identically")
+  }
+
   test("gini of a uniform distribution is ~0 and of one-winner is ~1") {
     // invariant check straight from the rank formula the query uses
     def gini(xs: Seq[Long]): Double = {

@@ -400,6 +400,44 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("property: funnelStream is arrival-order invariant on random event soups") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val ss = spark
+    import org.scalacheck.Gen
+    (1 to 4).foreach { seed =>
+      val evGen = for {
+        u <- Gen.chooseNum(1L, 3L)
+        t <- Gen.chooseNum(0, 60)
+        ty <- Gen.oneOf("view", "click", "purchase", "error")
+      } yield (u, t, ty)
+      val raw = Gen.listOfN(24, evGen)
+        .apply(Gen.Parameters.default, org.scalacheck.rng.Seed(seed.toLong))
+        .getOrElse(Nil)
+      val evs = raw.zipWithIndex.map { case ((u, t, ty), i) =>
+        Ev(i.toLong, ts(t), u, ty, 0.0) }
+      val batch = evs.groupBy(_.user_id).map { case (u, es) =>
+        val v = es.filter(_.event_type == "view").map(_.ts.getTime).minOption
+        val c = v.flatMap(vt => es.filter(e => e.event_type == "click" && e.ts.getTime >= vt)
+          .map(_.ts.getTime).minOption)
+        val p = c.flatMap(ct => es.filter(e => e.event_type == "purchase" && e.ts.getTime >= ct)
+          .map(_.ts.getTime).minOption)
+        u -> (v, c, p)
+      }
+      val arrival = new scala.util.Random(seed).shuffle(evs)
+      val in = MemoryStream[Ev]
+      val q = EventsStream.funnelStream(in.toDS())
+        .writeStream.outputMode("append").format("memory").queryName(s"funlp_$seed").start()
+      arrival.grouped(7).foreach { b => in.addData(b); q.processAllAvailable() }
+      q.stop()
+      val streamed = spark.table(s"funlp_$seed")
+        .groupBy("user_id").agg(max(struct(col("epoch"), col("v_ts"), col("c_ts"), col("p_ts"))).as("m"))
+        .select(col("user_id"), col("m.v_ts"), col("m.c_ts"), col("m.p_ts"))
+        .as[(Long, Option[Long], Option[Long], Option[Long])].collect()
+        .map { case (u, v, c, p) => u -> (v, c, p) }.toMap
+      assert(streamed == batch, s"seed=$seed arrival=$arrival")
+    }
+  }
+
   test("driftStream flags a skewed micro-batch and passes a conforming one") {
     implicit val sqlCtx = spark.sqlContext
     val ref = Map("view" -> 0.5, "click" -> 0.5)
