@@ -4575,6 +4575,90 @@ object SparkEntry {
        |FROM r""".stripMargin
   }
 
+  /** DAU / WAU / stickiness — the product-analytics heartbeat, built
+    * with the scale-correct trick for windowed DISTINCT (which window
+    * functions cannot express): each (user, active-day) pair explodes
+    * into the 7 report days it contributes to, then one groupBy counts
+    * distinct users per report day. Work is 7× the distinct activity
+    * pairs — linear, partitioned, no cross-day state. */
+  private def anDauWau(s: SparkSession, dir: String): DataFrame = {
+    val ud = Tables.events(s, dir)
+      .select(to_date(col("ts")).as("d"), col("user_id")).distinct()
+    val wau = ud
+      .select(explode(sequence(col("d"), date_add(col("d"), 6))).as("report_day"),
+        col("user_id"))
+      .groupBy("report_day").agg(countDistinct("user_id").as("wau"))
+    val dau = ud.groupBy(col("d").as("report_day"))
+      .agg(countDistinct("user_id").as("dau"))
+    wau.join(dau, Seq("report_day"), "left")
+      .select(col("report_day").cast("timestamp").as("report_day"),
+        coalesce(col("dau"), lit(0L)).as("dau"), col("wau"),
+        (coalesce(col("dau"), lit(0L)).cast("double") / col("wau").cast("double"))
+          .as("stickiness"))
+      .orderBy("report_day")
+  }
+
+  private val anDauWauSql =
+    """WITH ud AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+      |w AS (SELECT d + CAST(k AS INTEGER) AS report_day, user_id
+      |      FROM ud, (SELECT UNNEST(range(7)) AS k)),
+      |wau AS (SELECT report_day, COUNT(DISTINCT user_id) AS wau FROM w GROUP BY 1),
+      |dau AS (SELECT d AS report_day, COUNT(DISTINCT user_id) AS dau FROM ud GROUP BY 1)
+      |SELECT CAST(report_day AS TIMESTAMP) AS report_day,
+      |  CAST(COALESCE(dau, 0) AS BIGINT) AS dau, wau,
+      |  CAST(COALESCE(dau, 0) AS DOUBLE) / CAST(wau AS DOUBLE) AS stickiness
+      |FROM wau LEFT JOIN dau USING (report_day) ORDER BY report_day""".stripMargin
+
+  /** Quality-aware dedup: near-dup clusters keep their BEST document
+    * (highest composite quality score, doc-id tie-break) instead of the
+    * arbitrary min-id — the policy real corpus dedup ships with. Joins
+    * the [[dedupClusters]] components with the [[textQuality]] score
+    * (both independently hash-verified) and arg-maxes per cluster; the
+    * quality doubles are bit-identical across engines, so the ordering
+    * — and therefore the keeper choice — replays exactly. */
+  private def dedupKeepBest(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val pairs = graft.dedup.Dedup.ngramJaccardPairs(docs, "text", "doc_id", k = 3, tau = 0.05)
+    val clusters = graft.dedup.Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+      .select(col("id").as("doc_id"), col("cluster_id"))
+    val q = graft.text.TextFunctions.qualityColumns(col("text")).toMap.apply("quality_score")
+    val joined = clusters.join(docs.select(col("doc_id"), q.as("q")), "doc_id")
+    joined.groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_docs"),
+        expr("max_by(doc_id, struct(q, -doc_id))").as("keeper_id"))
+      .withColumn("n_dropped", col("n_docs") - 1)
+      .orderBy("cluster_id")
+  }
+
+  private val dedupKeepBestSql =
+    s"""WITH RECURSIVE sh AS ($duckShingles),
+       |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |  WHERE len(list_intersect(a.shingles, b.shingles)) * 1.0 /
+       |    (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) >= 0.05),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |walk(id, lbl) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, w.lbl FROM walk w JOIN edges e ON e.dst = w.id),
+       |cl AS (SELECT id AS doc_id, MIN(lbl) AS cluster_id FROM walk GROUP BY 1),
+       |q AS (SELECT doc_id,
+       |  (len(list_distinct(string_split(text, ' '))) * 1.0 / len(string_split(text, ' '))) * 0.5
+       |    + LEAST((len(list_filter(string_split(text, ' '), x -> x IN ('the','a','and','of','is'))) * 1.0
+       |        / len(string_split(text, ' '))) * 4.0, 1.0) * 0.3
+       |    + (1.0 - LEAST((len(regexp_extract_all(text, '[^a-z0-9 ]')) * 1.0 / length(text)) * 10.0, 1.0)) * 0.2
+       |    AS q
+       |  FROM documents),
+       |j AS (SELECT cl.cluster_id, cl.doc_id, q.q FROM cl JOIN q USING (doc_id)),
+       |r AS (SELECT cluster_id, doc_id,
+       |        ROW_NUMBER() OVER (PARTITION BY cluster_id ORDER BY q DESC, doc_id) AS rk
+       |      FROM j)
+       |SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  MIN(CASE WHEN rk = 1 THEN doc_id END) AS keeper_id,
+       |  CAST(COUNT(*) - 1 AS BIGINT) AS n_dropped
+       |FROM r GROUP BY cluster_id ORDER BY cluster_id""".stripMargin
+
   // ----------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4735,7 +4819,9 @@ object SparkEntry {
     "an_ab_srm" -> (anAbSrm _),
     "q_time_rollup" -> (qTimeRollup _),
     "etl_coerce_audit" -> (etlCoerceAudit _),
-    "etl_table_fingerprint" -> (etlTableFingerprint _)
+    "etl_table_fingerprint" -> (etlTableFingerprint _),
+    "an_dau_wau" -> (anDauWau _),
+    "dedup_keep_best" -> (dedupKeepBest _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4888,6 +4974,8 @@ object SparkEntry {
     "an_ab_srm" -> anAbSrmSql,
     "q_time_rollup" -> qTimeRollupSql,
     "etl_coerce_audit" -> etlCoerceAuditSql,
-    "etl_table_fingerprint" -> etlTableFingerprintSql
+    "etl_table_fingerprint" -> etlTableFingerprintSql,
+    "an_dau_wau" -> anDauWauSql,
+    "dedup_keep_best" -> dedupKeepBestSql
   )
 }

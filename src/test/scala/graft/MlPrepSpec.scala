@@ -242,6 +242,28 @@ class MlPrepSpec extends SparkSpec {
       "the md5-derived 48-bit row hashes must sum identically")
   }
 
+  test("wau dominates dau and stickiness stays in (0, 1]") {
+    val got = SparkEntry.queries("an_dau_wau")(spark, sfDir)
+      .select("dau", "wau", "stickiness").as[(Long, Long, Double)].collect()
+    got.foreach { case (dau, wau, st) =>
+      assert(wau >= dau, "a day's actives are a subset of its trailing week's")
+      assert(st >= 0.0 && st <= 1.0)
+    }
+  }
+
+  test("keep-best dedup keeps the highest-quality doc of every cluster") {
+    val keep = SparkEntry.queries("dedup_keep_best")(spark, sfDir)
+      .select("cluster_id", "keeper_id", "n_docs")
+      .as[(Long, Long, Long)].collect()
+    val clusters = SparkEntry.queries("dedup_clusters")(spark, sfDir)
+      .as[(Long, Long)].collect().groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    keep.foreach { case (cid, kid, n) =>
+      assert(clusters(cid).contains(kid) && clusters(cid).size.toLong == n,
+        s"keeper must come from its own cluster: $cid")
+    }
+    graft.dedup.Dedup.releaseCaches()
+  }
+
   test("gini of a uniform distribution is ~0 and of one-winner is ~1") {
     // invariant check straight from the rank formula the query uses
     def gini(xs: Seq[Long]): Double = {
