@@ -4659,6 +4659,97 @@ object SparkEntry {
        |  CAST(COUNT(*) - 1 AS BIGINT) AS n_dropped
        |FROM r GROUP BY cluster_id ORDER BY cluster_id""".stripMargin
 
+  /** Normalization-aware exact dedup: documents hash AFTER lowercasing,
+    * punctuation stripping, and whitespace collapse — the cheap
+    * canonicalization that catches trivially-reformatted copies plain
+    * content hashing misses. Emits the audit delta: raw-distinct vs
+    * normalized-distinct (the extra merges are the near-free wins
+    * before any MinHash machinery runs). Shuffles hashes only. */
+  private def dedupNormalized(s: SparkSession, dir: String): DataFrame = {
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+    Tables.documents(s, dir)
+      .select(md5(col("text")).as("h_raw"), md5(norm).as("h_norm"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("h_raw")).as("n_raw_distinct"),
+        countDistinct(col("h_norm")).as("n_norm_distinct"))
+      .withColumn("n_extra_merged", col("n_raw_distinct") - col("n_norm_distinct"))
+  }
+
+  private val dedupNormalizedSql =
+    """WITH h AS (SELECT md5(text) AS h_raw,
+      |  md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+      |                          ' +', ' ', 'g'))) AS h_norm
+      |  FROM documents)
+      |SELECT COUNT(*) AS n_docs,
+      |  COUNT(DISTINCT h_raw) AS n_raw_distinct,
+      |  COUNT(DISTINCT h_norm) AS n_norm_distinct,
+      |  CAST(COUNT(DISTINCT h_raw) - COUNT(DISTINCT h_norm) AS BIGINT) AS n_extra_merged
+      |FROM h""".stripMargin
+
+  /** Experiment power readout — the minimum detectable effect at
+    * 80% power / 95% confidence for the CURRENT variant sizes and
+    * pooled conversion (the "is this test even worth running longer"
+    * answer, computed alongside [[anAbtest]]/[[anAbSrm]]):
+    * MDE = (z_α/2 + z_β)·√(2·p̂(1−p̂)/n̄). Constants and one shared
+    * IEEE sqrt ⇒ bit-identical, no rounding. */
+  private def anPower(s: SparkSession, dir: String): DataFrame = {
+    val mdeExpr =
+      """(1.959963985 + 0.841621234)
+        | * sqrt(2.0 * (CAST(c1+c2 AS DOUBLE)/CAST(n1+n2 AS DOUBLE))
+        |             * (1.0 - CAST(c1+c2 AS DOUBLE)/CAST(n1+n2 AS DOUBLE))
+        |             / (CAST(n1+n2 AS DOUBLE) / 2.0))""".stripMargin
+    Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(max((col("event_type") === "purchase" && col("value") >= 100.0)
+        .cast("long")).as("conv"))
+      .groupBy((col("user_id") % 2).as("variant"))
+      .agg(count(lit(1)).as("n"), sum("conv").as("c"))
+      .agg(sum(when(col("variant") === 0, col("n"))).as("n1"),
+        sum(when(col("variant") === 0, col("c"))).as("c1"),
+        sum(when(col("variant") === 1, col("n"))).as("n2"),
+        sum(when(col("variant") === 1, col("c"))).as("c2"))
+      .withColumn("p_pool", expr("CAST(c1+c2 AS DOUBLE)/CAST(n1+n2 AS DOUBLE)"))
+      .withColumn("mde", expr(mdeExpr))
+  }
+
+  private val anPowerSql =
+    """WITH u AS (SELECT user_id,
+      |             MAX(CASE WHEN event_type = 'purchase' AND value >= 100.0
+      |                 THEN 1 ELSE 0 END) AS conv
+      |           FROM events GROUP BY user_id),
+      |v AS (SELECT user_id % 2 AS variant, COUNT(*) AS n, CAST(SUM(conv) AS BIGINT) AS c
+      |      FROM u GROUP BY 1),
+      |w AS (SELECT
+      |        CAST(SUM(CASE WHEN variant = 0 THEN n END) AS BIGINT) AS n1,
+      |        CAST(SUM(CASE WHEN variant = 0 THEN c END) AS BIGINT) AS c1,
+      |        CAST(SUM(CASE WHEN variant = 1 THEN n END) AS BIGINT) AS n2,
+      |        CAST(SUM(CASE WHEN variant = 1 THEN c END) AS BIGINT) AS c2
+      |      FROM v)
+      |SELECT n1, c1, n2, c2,
+      |  CAST(c1+c2 AS DOUBLE)/CAST(n1+n2 AS DOUBLE) AS p_pool,
+      |  (1.959963985 + 0.841621234)
+      |  * sqrt(2.0 * (CAST(c1+c2 AS DOUBLE)/CAST(n1+n2 AS DOUBLE))
+      |              * (1.0 - CAST(c1+c2 AS DOUBLE)/CAST(n1+n2 AS DOUBLE))
+      |              / (CAST(n1+n2 AS DOUBLE) / 2.0)) AS mde
+      |FROM w""".stripMargin
+
+  /** Weekday × hour activity heatmap (the ops-dashboard staple): event
+    * counts and exact money volume per (ISO weekday, hour-of-day) cell.
+    * One groupBy on a 7×24-bounded key. */
+  private def anHeatmap(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy((weekday(col("ts")) + 1).cast("long").as("dow"),
+        hour(col("ts")).cast("long").as("hod"))
+      .agg(count(lit(1)).as("n"), moneySum(col("value")).as("volume"))
+      .orderBy("dow", "hod")
+
+  private val anHeatmapSql =
+    s"""SELECT CAST(isodow(CAST(ts AS DATE)) AS BIGINT) AS dow,
+       |  CAST(hour(ts) AS BIGINT) AS hod,
+       |  COUNT(*) AS n, ${moneySumSql("value")} AS volume
+       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // ----------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4821,7 +4912,10 @@ object SparkEntry {
     "etl_coerce_audit" -> (etlCoerceAudit _),
     "etl_table_fingerprint" -> (etlTableFingerprint _),
     "an_dau_wau" -> (anDauWau _),
-    "dedup_keep_best" -> (dedupKeepBest _)
+    "dedup_keep_best" -> (dedupKeepBest _),
+    "dedup_normalized" -> (dedupNormalized _),
+    "an_power" -> (anPower _),
+    "an_heatmap" -> (anHeatmap _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4976,6 +5070,9 @@ object SparkEntry {
     "etl_coerce_audit" -> etlCoerceAuditSql,
     "etl_table_fingerprint" -> etlTableFingerprintSql,
     "an_dau_wau" -> anDauWauSql,
-    "dedup_keep_best" -> dedupKeepBestSql
+    "dedup_keep_best" -> dedupKeepBestSql,
+    "dedup_normalized" -> dedupNormalizedSql,
+    "an_power" -> anPowerSql,
+    "an_heatmap" -> anHeatmapSql
   )
 }

@@ -264,6 +264,30 @@ class MlPrepSpec extends SparkSpec {
     graft.dedup.Dedup.releaseCaches()
   }
 
+  test("normalized dedup merges at least as much as raw hashing") {
+    val r = SparkEntry.queries("dedup_normalized")(spark, sfDir).collect().head
+    assert(r.getAs[Long]("n_norm_distinct") <= r.getAs[Long]("n_raw_distinct"))
+    assert(r.getAs[Long]("n_raw_distinct") <= r.getAs[Long]("n_docs"))
+  }
+
+  test("mde reconstructs from the pooled proportion and shrinks with n") {
+    val r = SparkEntry.queries("an_power")(spark, sfDir).collect().head
+    val (n1, c1, n2, c2) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val p = (c1 + c2).toDouble / (n1 + n2)
+    val want = (1.959963985 + 0.841621234) *
+      math.sqrt(2.0 * p * (1.0 - p) / ((n1 + n2).toDouble / 2.0))
+    assert(math.abs(r.getAs[Double]("mde") - want) < 1e-12)
+    assert(r.getAs[Double]("mde") > 0.0)
+  }
+
+  test("heatmap covers only valid calendar cells and conserves events") {
+    val nEvents = Tables.events(spark, sfDir).count()
+    val got = SparkEntry.queries("an_heatmap")(spark, sfDir)
+      .select("dow", "hod", "n").as[(Long, Long, Long)].collect()
+    assert(got.forall(r => r._1 >= 1 && r._1 <= 7 && r._2 >= 0 && r._2 <= 23))
+    assert(got.map(_._3).sum == nEvents)
+  }
+
   test("gini of a uniform distribution is ~0 and of one-winner is ~1") {
     // invariant check straight from the rank formula the query uses
     def gini(xs: Seq[Long]): Double = {
