@@ -4268,6 +4268,10 @@ object SparkEntry {
     * engine. Emits segment sizes and per-segment averages. */
   private def anRfm(s: SparkSession, dir: String): DataFrame = {
     val maxDate = Tables.orders(s, dir).agg(max(col("o_orderdate")).as("mx"))
+    // cached: the per-customer aggregate feeds three boundary scans AND
+    // the final scoring pass — uncached it recomputes the orders groupBy
+    // seven times (measured 2× the whole query's cost at sf0.1).
+    // Freed by the harness-wide clearCache between queries.
     val rfm = Tables.orders(s, dir).crossJoin(broadcast(maxDate))
       .groupBy(col("o_custkey"))
       .agg(min(datediff(col("mx").cast("date"), col("o_orderdate").cast("date")).cast("long"))
@@ -4275,9 +4279,14 @@ object SparkEntry {
         count(lit(1)).as("frequency"),
         (sum(col("o_totalprice").cast("decimal(24,8)")).cast("decimal(24,2)") * 100)
           .cast("bigint").as("monetary"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def boundaries(dim: String): DataFrame = {
       val perV = rfm.groupBy(col(dim).as("v")).agg(count(lit(1)).as("cnt"))
-      val scan = graft.operators.PrefixSum.withRunningTotals(perV, Seq("v"), Seq("cnt"))
+      // distinct-value tables here are customer-aggregate-sized; 8
+      // scan partitions keep the two narrow passes from being all
+      // task-scheduling overhead
+      val scan = graft.operators.PrefixSum.withRunningTotals(perV, Seq("v"), Seq("cnt"),
+        numParts = 8)
       val probes = perV.agg(sum("cnt").as("n"))
         .select(explode(array(lit(1L), lit(2L), lit(3L), lit(4L))).as("k"), col("n"))
         .withColumn("r", expr("(k * n + 4) div 5"))
@@ -4287,16 +4296,22 @@ object SparkEntry {
         .select(col("dim"), col("1").as("b1"), col("2").as("b2"),
           col("3").as("b3"), col("4").as("b4"))
     }
-    val b = boundaries("recency").unionByName(boundaries("frequency"))
-      .unionByName(boundaries("monetary"))
-    def score(dim: String): Column =
-      when(col(dim) <= col(s"${dim}_b.b1"), 1L)
-        .when(col(dim) <= col(s"${dim}_b.b2"), 2L)
-        .when(col(dim) <= col(s"${dim}_b.b3"), 3L)
-        .when(col(dim) <= col(s"${dim}_b.b4"), 4L).otherwise(5L)
+    // 12 boundary values — model-sized, collected once and scored as
+    // literals (the KMeans-centroids pattern); a DataFrame-side join
+    // would re-evaluate the three scans per use
+    val b: Map[String, Array[Long]] =
+      (boundaries("recency").unionByName(boundaries("frequency"))
+        .unionByName(boundaries("monetary")))
+        .collect()
+        .map(r => r.getString(0) -> Array(r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toMap
+    def score(dim: String): Column = {
+      val bs = b(dim)
+      when(col(dim) <= bs(0), 1L).when(col(dim) <= bs(1), 2L)
+        .when(col(dim) <= bs(2), 3L).when(col(dim) <= bs(3), 4L).otherwise(5L)
+    }
     val scored = Seq("recency", "frequency", "monetary").foldLeft(rfm) { (df, dim) =>
-      df.crossJoin(broadcast(b.filter(col("dim") === dim).drop("dim").as(s"${dim}_b")))
-        .withColumn(s"${dim.head}q", score(dim))
+      df.withColumn(s"${dim.head}q", score(dim))
     }
     scored.groupBy(col("rq"), col("fq"), col("mq"))
       .agg(count(lit(1)).as("n_customers"), sum(col("monetary")).as("monetary_c"))
