@@ -4765,6 +4765,85 @@ object SparkEntry {
        |  COUNT(*) AS n, ${moneySumSql("value")} AS volume
        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** New-vs-returning daily split (the growth dashboard's second
+    * line after [[anUserGrowth]]): per active (user, day), new iff the
+    * day is the user's first-seen day; one distinct pass, one join
+    * back on user_id, one day rollup. */
+  private def anNewReturning(s: SparkSession, dir: String): DataFrame = {
+    val ud = Tables.events(s, dir)
+      .select(date_trunc("day", col("ts")).as("day"), col("user_id")).distinct()
+    val first = ud.groupBy("user_id").agg(min("day").as("first_day"))
+    ud.join(first, "user_id")
+      .groupBy("day")
+      .agg(sum((col("day") === col("first_day")).cast("long")).as("n_new"),
+        sum((col("day") =!= col("first_day")).cast("long")).as("n_returning"))
+      .orderBy("day")
+  }
+
+  private val anNewReturningSql =
+    """WITH ud AS (SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events),
+      |f AS (SELECT user_id, MIN(day) AS first_day FROM ud GROUP BY user_id)
+      |SELECT day,
+      |  CAST(SUM(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+      |  CAST(SUM(CASE WHEN day <> first_day THEN 1 ELSE 0 END) AS BIGINT) AS n_returning
+      |FROM ud JOIN f USING (user_id) GROUP BY day ORDER BY day""".stripMargin
+
+  /** View→purchase conversion-lag histogram: per converting user, the
+    * whole days between the first view and the first purchase at or
+    * after it, bucketed — the funnel-latency readout that tells a
+    * growth team whether conversion is an impulse or a deliberation.
+    * Integer day arithmetic on the shared millisecond timestamps. */
+  private def anConversionLag(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select("user_id", "event_type", "ts")
+    val v = ev.groupBy("user_id")
+      .agg(min(when(col("event_type") === "view", col("ts"))).as("v_ts"))
+    val p = ev.join(v, "user_id")
+      .groupBy(col("user_id"), col("v_ts"))
+      .agg(min(when(col("event_type") === "purchase" && col("ts") >= col("v_ts"), col("ts")))
+        .as("p_ts"))
+      .filter(col("v_ts").isNotNull && col("p_ts").isNotNull)
+    p.groupBy(datediff(col("p_ts").cast("date"), col("v_ts").cast("date"))
+        .cast("long").as("lag_days"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("lag_days")
+  }
+
+  private val anConversionLagSql =
+    """WITH v AS (SELECT user_id, MIN(CASE WHEN event_type = 'view' THEN ts END) AS v_ts
+      |           FROM events GROUP BY user_id),
+      |p AS (SELECT e.user_id, v.v_ts,
+      |        MIN(CASE WHEN e.event_type = 'purchase' AND e.ts >= v.v_ts THEN e.ts END) AS p_ts
+      |      FROM events e JOIN v USING (user_id)
+      |      GROUP BY e.user_id, v.v_ts)
+      |SELECT CAST(date_diff('day', CAST(v_ts AS DATE), CAST(p_ts AS DATE)) AS BIGINT) AS lag_days,
+      |       COUNT(*) AS n_users
+      |FROM p WHERE v_ts IS NOT NULL AND p_ts IS NOT NULL
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Partition-layout audit before a partitioned write: row counts per
+    * candidate partition value (order month), the size envelope, and
+    * the skew ratio max/avg — the number that says whether this
+    * partitioning produces one elephant task at 100 TB. One bounded-key
+    * groupBy plus a summary aggregate. */
+  private def etlPartitionAudit(s: SparkSession, dir: String): DataFrame = {
+    val perPart = Tables.orders(s, dir)
+      .groupBy(date_trunc("month", col("o_orderdate")).as("part"))
+      .agg(count(lit(1)).as("rows"))
+    perPart.agg(count(lit(1)).as("n_partitions"),
+        min("rows").as("rows_min"), max("rows").as("rows_max"),
+        sum("rows").as("rows_total"))
+      .withColumn("skew_ratio", expr(
+        "CAST(rows_max AS DOUBLE) * CAST(n_partitions AS DOUBLE) / CAST(rows_total AS DOUBLE)"))
+  }
+
+  private val etlPartitionAuditSql =
+    """WITH p AS (SELECT date_trunc('month', o_orderdate) AS part, COUNT(*) AS rows
+      |           FROM orders GROUP BY 1)
+      |SELECT COUNT(*) AS n_partitions, MIN(rows) AS rows_min, MAX(rows) AS rows_max,
+      |  CAST(SUM(rows) AS BIGINT) AS rows_total,
+      |  CAST(MAX(rows) AS DOUBLE) * CAST(COUNT(*) AS DOUBLE) / CAST(SUM(rows) AS DOUBLE) AS skew_ratio
+      |FROM p""".stripMargin
+
   // ----------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4930,7 +5009,10 @@ object SparkEntry {
     "dedup_keep_best" -> (dedupKeepBest _),
     "dedup_normalized" -> (dedupNormalized _),
     "an_power" -> (anPower _),
-    "an_heatmap" -> (anHeatmap _)
+    "an_heatmap" -> (anHeatmap _),
+    "an_new_returning" -> (anNewReturning _),
+    "an_conversion_lag" -> (anConversionLag _),
+    "etl_partition_audit" -> (etlPartitionAudit _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5088,6 +5170,9 @@ object SparkEntry {
     "dedup_keep_best" -> dedupKeepBestSql,
     "dedup_normalized" -> dedupNormalizedSql,
     "an_power" -> anPowerSql,
-    "an_heatmap" -> anHeatmapSql
+    "an_heatmap" -> anHeatmapSql,
+    "an_new_returning" -> anNewReturningSql,
+    "an_conversion_lag" -> anConversionLagSql,
+    "etl_partition_audit" -> etlPartitionAuditSql
   )
 }

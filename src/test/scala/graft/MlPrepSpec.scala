@@ -288,6 +288,36 @@ class MlPrepSpec extends SparkSpec {
     assert(got.map(_._3).sum == nEvents)
   }
 
+  test("new + returning actives reconcile with the growth curve") {
+    val growth = SparkEntry.queries("an_user_growth")(spark, sfDir)
+      .select("day", "new_users").as[(java.sql.Timestamp, Long)].collect().toMap
+    val got = SparkEntry.queries("an_new_returning")(spark, sfDir)
+      .select("day", "n_new", "n_returning")
+      .as[(java.sql.Timestamp, Long, Long)].collect()
+    got.foreach { case (d, nNew, _) =>
+      assert(growth.getOrElse(d, 0L) == nNew,
+        s"$d: per-day new users must equal the growth curve's")
+    }
+    graft.operators.PrefixSum.releaseCaches()
+  }
+
+  test("conversion lags are nonnegative and bounded by converters") {
+    val funnel = SparkEntry.queries("an_funnel")(spark, sfDir).collect().head
+    val got = SparkEntry.queries("an_conversion_lag")(spark, sfDir)
+      .select("lag_days", "n_users").as[(Long, Long)].collect()
+    assert(got.forall(_._1 >= 0L))
+    // view→purchase-after-view converters are a SUPERSET of the strict
+    // view→click→purchase funnel's final stage
+    assert(got.map(_._2).sum >= funnel.getAs[Long]("n_view_click_purchase"))
+  }
+
+  test("partition audit: envelope brackets the mean and skew >= 1") {
+    val r = SparkEntry.queries("etl_partition_audit")(spark, sfDir).collect().head
+    val (n, mn, mx, tot) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(mn * n <= tot && tot <= mx * n)
+    assert(r.getAs[Double]("skew_ratio") >= 1.0)
+  }
+
   test("gini of a uniform distribution is ~0 and of one-winner is ~1") {
     // invariant check straight from the rank formula the query uses
     def gini(xs: Seq[Long]): Double = {
