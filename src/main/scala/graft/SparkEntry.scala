@@ -4844,6 +4844,75 @@ object SparkEntry {
       |  CAST(MAX(rows) AS DOUBLE) * CAST(COUNT(*) AS DOUBLE) / CAST(SUM(rows) AS DOUBLE) AS skew_ratio
       |FROM p""".stripMargin
 
+  /** Market-basket pair affinity: parts bought together in an order,
+    * top pairs by co-occurrence with LIFT (P(ab)/(P(a)·P(b)) — the
+    * "is this pairing real or just two popular items" correction).
+    * Pair explosion is bounded by lines-per-order² (order-local
+    * self-join on the order key, never a corpus cross join); item
+    * marginals broadcast back. Counts exact; lift is one shared
+    * double expression. */
+  private def anBasket(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val tot = li.agg(countDistinct(col("ok")).as("n_orders"))
+    val pairs = li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("part_a"), col("b.pk").as("part_b"))
+      .agg(count(lit(1)).as("n_ab"))
+    val marg = li.groupBy(col("pk")).agg(count(lit(1)).as("n_one"))
+    pairs
+      .join(broadcast(marg.select(col("pk").as("part_a"), col("n_one").as("n_a"))), "part_a")
+      .join(broadcast(marg.select(col("pk").as("part_b"), col("n_one").as("n_b"))), "part_b")
+      .orderBy(col("n_ab").desc, col("part_a"), col("part_b")).limit(20)
+      .crossJoin(broadcast(tot))
+      .select(col("part_a"), col("part_b"), col("n_ab"), col("n_a"), col("n_b"),
+        expr("CAST(n_ab AS DOUBLE) * CAST(n_orders AS DOUBLE) / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))")
+          .as("lift"))
+  }
+
+  private val anBasketSql =
+    """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |t AS (SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n_orders FROM li),
+      |p AS (SELECT a.pk AS part_a, b.pk AS part_b, COUNT(*) AS n_ab
+      |      FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+      |      GROUP BY 1, 2),
+      |m AS (SELECT pk, COUNT(*) AS n_one FROM li GROUP BY pk),
+      |top AS (SELECT part_a, part_b, n_ab FROM p
+      |        ORDER BY n_ab DESC, part_a, part_b LIMIT 20)
+      |SELECT part_a, part_b, n_ab, ma.n_one AS n_a, mb.n_one AS n_b,
+      |  CAST(n_ab AS DOUBLE) * CAST(n_orders AS DOUBLE)
+      |    / (CAST(ma.n_one AS DOUBLE) * CAST(mb.n_one AS DOUBLE)) AS lift
+      |FROM top JOIN m ma ON top.part_a = ma.pk
+      |         JOIN m mb ON top.part_b = mb.pk, t
+      |ORDER BY n_ab DESC, part_a, part_b""".stripMargin
+
+  /** Dedup threshold tuning curve: how many near-dup pairs each Jaccard
+    * cutoff would keep — computed in ONE pass over the pair list (pairs
+    * explode into every threshold at or below their similarity), so
+    * choosing τ costs one scan instead of re-running the dedup per
+    * candidate. The curve is monotone by construction (spec). */
+  private def dedupThresholdSweep(s: SparkSession, dir: String): DataFrame = {
+    val pairs = graft.dedup.Dedup.ngramJaccardPairs(
+      Tables.documents(s, dir), "text", "doc_id", k = 3, tau = 0.05)
+    pairs
+      .select(explode(expr(
+        "filter(array(0.05D, 0.1D, 0.2D, 0.3D, 0.4D, 0.5D), t -> jaccard >= t)"))
+        .as("threshold"))
+      .groupBy("threshold").agg(count(lit(1)).as("n_pairs"))
+      .orderBy("threshold")
+  }
+
+  private val dedupThresholdSweepSql =
+    s"""WITH sh AS ($duckShingles),
+       |pairs AS (SELECT len(list_intersect(a.shingles, b.shingles)) * 1.0 /
+       |    (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) AS jaccard
+       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+       |k AS (SELECT UNNEST(list_filter([0.05, 0.1, 0.2, 0.3, 0.4, 0.5], t -> jaccard >= t))
+       |        AS threshold
+       |      FROM pairs WHERE jaccard >= 0.05)
+       |SELECT threshold, COUNT(*) AS n_pairs
+       |FROM k GROUP BY threshold ORDER BY threshold""".stripMargin
+
   // ----------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -5012,7 +5081,9 @@ object SparkEntry {
     "an_heatmap" -> (anHeatmap _),
     "an_new_returning" -> (anNewReturning _),
     "an_conversion_lag" -> (anConversionLag _),
-    "etl_partition_audit" -> (etlPartitionAudit _)
+    "etl_partition_audit" -> (etlPartitionAudit _),
+    "an_basket" -> (anBasket _),
+    "dedup_threshold_sweep" -> (dedupThresholdSweep _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5173,6 +5244,8 @@ object SparkEntry {
     "an_heatmap" -> anHeatmapSql,
     "an_new_returning" -> anNewReturningSql,
     "an_conversion_lag" -> anConversionLagSql,
-    "etl_partition_audit" -> etlPartitionAuditSql
+    "etl_partition_audit" -> etlPartitionAuditSql,
+    "an_basket" -> anBasketSql,
+    "dedup_threshold_sweep" -> dedupThresholdSweepSql
   )
 }

@@ -318,6 +318,26 @@ class MlPrepSpec extends SparkSpec {
     assert(r.getAs[Double]("skew_ratio") >= 1.0)
   }
 
+  test("basket pairs reconstruct lift from the marginals") {
+    val got = SparkEntry.queries("an_basket")(spark, sfDir).collect()
+    val nOrders = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey").distinct().count()
+    got.foreach { r =>
+      val want = r.getAs[Long]("n_ab").toDouble * nOrders /
+        (r.getAs[Long]("n_a").toDouble * r.getAs[Long]("n_b"))
+      assert(math.abs(r.getAs[Double]("lift") - want) < 1e-12)
+      assert(r.getAs[Long]("part_a") < r.getAs[Long]("part_b"))
+    }
+  }
+
+  test("threshold sweep is monotone nonincreasing") {
+    val got = SparkEntry.queries("dedup_threshold_sweep")(spark, sfDir)
+      .select("threshold", "n_pairs").as[(Double, Long)].collect().sortBy(_._1)
+    assert(got.map(_._2).toSeq == got.map(_._2).sorted.reverse.toSeq,
+      "raising the cutoff can only drop pairs")
+    graft.dedup.Dedup.releaseCaches()
+  }
+
   test("gini of a uniform distribution is ~0 and of one-winner is ~1") {
     // invariant check straight from the rank formula the query uses
     def gini(xs: Seq[Long]): Double = {
