@@ -4913,6 +4913,78 @@ object SparkEntry {
        |SELECT threshold, COUNT(*) AS n_pairs
        |FROM k GROUP BY threshold ORDER BY threshold""".stripMargin
 
+  /** Pareto concentration readout — "how few customers cover 50/80/90%
+    * of revenue": customers ranked by spend DESCENDING through the
+    * [[graft.operators.PrefixSum]] scan (order key (−spend, custkey) —
+    * unique, so ranks are well-defined), each target share answered by
+    * its integer-exact crossing row (cum·100 ⋛ t·total — no division
+    * until the emitted percentage). The 80/20 rule, measured. */
+  private def anPareto(s: SparkSession, dir: String): DataFrame = {
+    val spend = Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg((sum(col("o_totalprice").cast("decimal(24,8)")).cast("decimal(24,2)") * 100)
+        .cast("bigint").as("x"))
+      .withColumn("neg", -col("x"))
+    val scan = graft.operators.PrefixSum
+      .withRunningTotals(spend, Seq("neg", "o_custkey"), Seq("x"))
+    val tot = spend.agg(count(lit(1)).as("n"), sum("x").as("s"))
+    scan.crossJoin(broadcast(tot))
+      .select(col("rn"), col("x"), col("x_cum"), col("n"), col("s"),
+        explode(array(lit(50L), lit(80L), lit(90L))).as("target_pct"))
+      .filter(col("x_cum") * 100 >= col("target_pct") * col("s") &&
+        (col("x_cum") - col("x")) * 100 < col("target_pct") * col("s"))
+      .select(col("target_pct"), col("rn").as("n_customers"), col("n"),
+        (col("rn").cast("double") / col("n").cast("double")).as("pct_customers"))
+      .orderBy("target_pct")
+  }
+
+  private val anParetoSql =
+    """WITH spend AS (SELECT o_custkey,
+      |    CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(24,8))), 2) * 100 AS BIGINT) AS x
+      |  FROM orders GROUP BY o_custkey),
+      |r AS (SELECT x, ROW_NUMBER() OVER (ORDER BY -x, o_custkey) AS rn,
+      |             CAST(SUM(x) OVER (ORDER BY -x, o_custkey) AS BIGINT) AS x_cum
+      |      FROM spend),
+      |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS s FROM spend),
+      |k AS (SELECT UNNEST([CAST(50 AS BIGINT), 80, 90]) AS target_pct)
+      |SELECT target_pct, CAST(rn AS BIGINT) AS n_customers, n,
+      |       CAST(rn AS DOUBLE) / CAST(n AS DOUBLE) AS pct_customers
+      |FROM r, t, k
+      |WHERE x_cum * 100 >= target_pct * s AND (x_cum - x) * 100 < target_pct * s
+      |ORDER BY target_pct""".stripMargin
+
+  /** Cross-source contamination matrix — which corpus sources
+    * near-duplicate each other (the curation question behind source
+    * weighting and decontamination): undirected (source, source) pair
+    * counts over the exact Jaccard near-dup list. Pair list is the
+    * shared sub-quadratic builder; the doc→source join is
+    * broadcast-sized. */
+  private def dedupSourceMatrix(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val pairs = graft.dedup.Dedup.ngramJaccardPairs(docs, "text", "doc_id", k = 3, tau = 0.05)
+    val src = docs.select(col("doc_id"), col("source"))
+    pairs
+      .join(broadcast(src.select(col("doc_id").as("doc_a"), col("source").as("sa"))), "doc_a")
+      .join(broadcast(src.select(col("doc_id").as("doc_b"), col("source").as("sb"))), "doc_b")
+      .groupBy(least(col("sa"), col("sb")).as("source_x"),
+        greatest(col("sa"), col("sb")).as("source_y"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("source_x", "source_y")
+  }
+
+  private val dedupSourceMatrixSql =
+    s"""WITH sh AS ($duckShingles),
+       |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |  WHERE len(list_intersect(a.shingles, b.shingles)) * 1.0 /
+       |    (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) >= 0.05)
+       |SELECT LEAST(da.source, db.source) AS source_x,
+       |       GREATEST(da.source, db.source) AS source_y,
+       |       COUNT(*) AS n_pairs
+       |FROM pairs JOIN documents da ON pairs.doc_a = da.doc_id
+       |           JOIN documents db ON pairs.doc_b = db.doc_id
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // ----------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -5083,7 +5155,9 @@ object SparkEntry {
     "an_conversion_lag" -> (anConversionLag _),
     "etl_partition_audit" -> (etlPartitionAudit _),
     "an_basket" -> (anBasket _),
-    "dedup_threshold_sweep" -> (dedupThresholdSweep _)
+    "dedup_threshold_sweep" -> (dedupThresholdSweep _),
+    "an_pareto" -> (anPareto _),
+    "dedup_source_matrix" -> (dedupSourceMatrix _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5246,6 +5320,8 @@ object SparkEntry {
     "an_conversion_lag" -> anConversionLagSql,
     "etl_partition_audit" -> etlPartitionAuditSql,
     "an_basket" -> anBasketSql,
-    "dedup_threshold_sweep" -> dedupThresholdSweepSql
+    "dedup_threshold_sweep" -> dedupThresholdSweepSql,
+    "an_pareto" -> anParetoSql,
+    "dedup_source_matrix" -> dedupSourceMatrixSql
   )
 }

@@ -338,6 +338,28 @@ class MlPrepSpec extends SparkSpec {
     graft.dedup.Dedup.releaseCaches()
   }
 
+  test("pareto crossings are monotone in the target share") {
+    val got = SparkEntry.queries("an_pareto")(spark, sfDir)
+      .select("target_pct", "n_customers", "pct_customers")
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    assert(got.map(_._1).toSeq == Seq(50L, 80L, 90L))
+    assert(got.map(_._2).toSeq == got.map(_._2).sorted.toSeq,
+      "more revenue share needs at least as many customers")
+    assert(got.forall(r => r._3 > 0.0 && r._3 <= 1.0))
+    graft.operators.PrefixSum.releaseCaches()
+  }
+
+  test("source matrix pair counts reconcile with the pair list total") {
+    val docs = Tables.documents(spark, sfDir)
+    val nPairs = graft.dedup.Dedup
+      .ngramJaccardPairs(docs, "text", "doc_id", k = 3, tau = 0.05).count()
+    val got = SparkEntry.queries("dedup_source_matrix")(spark, sfDir)
+      .select("source_x", "source_y", "n_pairs").as[(String, String, Long)].collect()
+    assert(got.map(_._3).sum == nPairs, "every near-dup pair lands in one cell")
+    assert(got.forall(r => r._1 <= r._2), "matrix must be undirected-normalized")
+    graft.dedup.Dedup.releaseCaches()
+  }
+
   test("gini of a uniform distribution is ~0 and of one-winner is ~1") {
     // invariant check straight from the rank formula the query uses
     def gini(xs: Seq[Long]): Double = {
