@@ -3789,7 +3789,7 @@ object SparkEntry {
 
   /** Categorical distribution drift via the chi-square statistic —
     * completes the drift pair with [[anKsDrift]] (numeric): the
-    * order-priority mix before 1995 (reference window) vs after
+    * order-priority mix before 1998 (reference window) vs after
     * (current window). Integer-exact cross-products: dev_num =
     * c·R − r·C (sums to zero over categories, a spec invariant), and
     * the per-category chi-square part (c−e)²/e algebraically
@@ -3799,7 +3799,7 @@ object SparkEntry {
     * One groupBy over the fact table; totals broadcast back. */
   private def anChi2Drift(s: SparkSession, dir: String): DataFrame = {
     val base = Tables.orders(s, dir).select(col("o_orderpriority").as("cat"),
-      when(col("o_orderdate") < lit("1995-01-01").cast("timestamp"), 1L)
+      when(col("o_orderdate") < lit("1998-01-01").cast("timestamp"), 1L)
         .otherwise(0L).as("is_ref"))
     val perCat = base.groupBy("cat")
       .agg(sum(col("is_ref")).as("r"), sum(lit(1L) - col("is_ref")).as("c"))
@@ -3816,7 +3816,7 @@ object SparkEntry {
 
   private val anChi2DriftSql =
     """WITH b AS (SELECT o_orderpriority AS cat,
-      |                  CASE WHEN o_orderdate < TIMESTAMP '1995-01-01' THEN 1 ELSE 0 END AS is_ref
+      |                  CASE WHEN o_orderdate < TIMESTAMP '1998-01-01' THEN 1 ELSE 0 END AS is_ref
       |           FROM orders),
       |p AS (SELECT cat, CAST(SUM(is_ref) AS BIGINT) AS r,
       |             CAST(SUM(1 - is_ref) AS BIGINT) AS c FROM b GROUP BY cat),
@@ -4985,6 +4985,51 @@ object SparkEntry {
        |           JOIN documents db ON pairs.doc_b = db.doc_id
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Column-level profile drift between the reference and current
+    * windows (the table-health companion to [[anKsDrift]]/
+    * [[anChi2Drift]]'s distribution tests): row counts, distinct
+    * cardinalities of the categorical columns, and the exact-cents
+    * price mean, each emitted as (metric, ref, cur, rel_delta) rows.
+    * One aggregate per window over the fact table; the report is
+    * metric-count-sized. Means divide exact integers in shared IEEE
+    * doubles; rel_delta = cur/ref − 1. */
+  private def anProfileDrift(s: SparkSession, dir: String): DataFrame = {
+    def profile(label: String, f: Column): DataFrame =
+      Tables.orders(s, dir).filter(f)
+        .agg(count(lit(1)).cast("double").as("n_rows"),
+          countDistinct(col("o_orderpriority")).cast("double").as("nd_priority"),
+          countDistinct(col("o_orderstatus")).cast("double").as("nd_status"),
+          (sum((col("o_totalprice").cast("decimal(24,2)") * 100).cast("bigint"))
+            .cast("double") / count(lit(1)).cast("double")).as("mean_cents"))
+        .select(explode(expr(
+          """array(struct('n_rows' AS metric, n_rows AS v),
+            |      struct('nd_priority' AS metric, nd_priority AS v),
+            |      struct('nd_status' AS metric, nd_status AS v),
+            |      struct('mean_cents' AS metric, mean_cents AS v))""".stripMargin)).as(label))
+        .select(col(s"$label.metric").as("metric"), col(s"$label.v").as(label))
+    val split = lit("1998-01-01").cast("timestamp")
+    profile("ref", col("o_orderdate") < split)
+      .join(profile("cur", col("o_orderdate") >= split), "metric")
+      .withColumn("rel_delta", expr("cur / ref - 1.0"))
+      .orderBy("metric")
+  }
+
+  private val anProfileDriftSql = {
+    def win(label: String, cond: String) =
+      s"""SELECT m AS metric, v AS $label FROM (
+         |  SELECT UNNEST(['n_rows', 'nd_priority', 'nd_status', 'mean_cents']) AS m,
+         |         UNNEST([CAST(COUNT(*) AS DOUBLE),
+         |                 CAST(COUNT(DISTINCT o_orderpriority) AS DOUBLE),
+         |                 CAST(COUNT(DISTINCT o_orderstatus) AS DOUBLE),
+         |                 CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(24,2)) * 100 AS BIGINT)) AS DOUBLE)
+         |                   / CAST(COUNT(*) AS DOUBLE)]) AS v
+         |  FROM orders WHERE $cond)""".stripMargin
+    s"""WITH r AS (${win("ref", "o_orderdate < TIMESTAMP '1998-01-01'")}),
+       |c AS (${win("cur", "o_orderdate >= TIMESTAMP '1998-01-01'")})
+       |SELECT metric, ref, cur, cur / ref - 1.0 AS rel_delta
+       |FROM r JOIN c USING (metric) ORDER BY metric""".stripMargin
+  }
+
   // ----------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -5157,7 +5202,8 @@ object SparkEntry {
     "an_basket" -> (anBasket _),
     "dedup_threshold_sweep" -> (dedupThresholdSweep _),
     "an_pareto" -> (anPareto _),
-    "dedup_source_matrix" -> (dedupSourceMatrix _)
+    "dedup_source_matrix" -> (dedupSourceMatrix _),
+    "an_profile_drift" -> (anProfileDrift _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5322,6 +5368,7 @@ object SparkEntry {
     "an_basket" -> anBasketSql,
     "dedup_threshold_sweep" -> dedupThresholdSweepSql,
     "an_pareto" -> anParetoSql,
-    "dedup_source_matrix" -> dedupSourceMatrixSql
+    "dedup_source_matrix" -> dedupSourceMatrixSql,
+    "an_profile_drift" -> anProfileDriftSql
   )
 }

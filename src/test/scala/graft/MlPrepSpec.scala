@@ -50,10 +50,19 @@ class MlPrepSpec extends SparkSpec {
 
   test("chi-square drift deviations cancel and parts are nonnegative") {
     val got = SparkEntry.queries("an_chi2_drift")(spark, sfDir)
-      .select("dev_num", "chi2_part")
-      .as[(Long, Option[Double])].collect()
-    assert(got.map(_._1).sum == 0L, "c·R − r·C must cancel over categories")
-    assert(got.flatMap(_._2).forall(_ >= 0.0))
+      .select("r", "dev_num", "chi2_part")
+      .as[(Long, Long, Option[Double])].collect()
+    assert(got.map(_._2).sum == 0L, "c·R − r·C must cancel over categories")
+    assert(got.flatMap(_._3).forall(_ >= 0.0))
+    assert(got.map(_._1).sum > 0L, "the reference window must not be empty")
+  }
+
+  test("profile drift emits every metric with a nonempty reference") {
+    val got = SparkEntry.queries("an_profile_drift")(spark, sfDir)
+      .select("metric", "ref", "cur").as[(String, Double, Double)].collect()
+    assert(got.map(_._1).toSet ==
+      Set("n_rows", "nd_priority", "nd_status", "mean_cents"))
+    assert(got.forall(r => r._2 > 0.0 && r._3 > 0.0))
   }
 
   test("k-anonymity generalization: k never shrinks when bands merge") {
