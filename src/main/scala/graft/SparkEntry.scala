@@ -5030,6 +5030,62 @@ object SparkEntry {
        |FROM r JOIN c USING (metric) ORDER BY metric""".stripMargin
   }
 
+  /** Inter-purchase interval histogram (repeat-purchase cadence): per
+    * user, the whole days between consecutive purchases (partitioned
+    * lag window, (ts, event_id) tie-break), rolled into a global gap
+    * histogram — the "how often do buyers come back" readout. */
+  private def anRepeatPurchase(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .filter(col("prev_ts").isNotNull)
+      .groupBy(datediff(col("ts").cast("date"), col("prev_ts").cast("date"))
+        .cast("long").as("gap_days"))
+      .agg(count(lit(1)).as("n_gaps"))
+      .orderBy("gap_days")
+  }
+
+  private val anRepeatPurchaseSql =
+    """WITH p AS (SELECT user_id, ts, event_id,
+      |             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      |           FROM events WHERE event_type = 'purchase')
+      |SELECT CAST(date_diff('day', CAST(prev_ts AS DATE), CAST(ts AS DATE)) AS BIGINT) AS gap_days,
+      |       COUNT(*) AS n_gaps
+      |FROM p WHERE prev_ts IS NOT NULL
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Month-over-month revenue growth per priority segment: exact-cents
+    * monthly rollup, previous month from a SEGMENT-partitioned lag
+    * window (never a global spine), growth as one shared division.
+    * First months are not emitted (no baseline). */
+  private def qMomGrowth(s: SparkSession, dir: String): DataFrame = {
+    val monthly = Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority").as("seg"),
+        date_trunc("month", col("o_orderdate")).as("month"))
+      .agg((sum(col("o_totalprice").cast("decimal(24,8)")).cast("decimal(24,2)") * 100)
+        .cast("bigint").as("rev_c"))
+    val w = Window.partitionBy("seg").orderBy("month")
+    monthly
+      .withColumn("prev_c", lag(col("rev_c"), 1).over(w))
+      .filter(col("prev_c").isNotNull)
+      .select(col("seg"), col("month"), col("rev_c"), col("prev_c"),
+        (col("rev_c").cast("double") / col("prev_c").cast("double") - 1.0).as("growth"))
+      .orderBy("seg", "month")
+  }
+
+  private val qMomGrowthSql =
+    """WITH m AS (SELECT o_orderpriority AS seg, date_trunc('month', o_orderdate) AS month,
+      |    CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(24,8))), 2) * 100 AS BIGINT) AS rev_c
+      |  FROM orders GROUP BY 1, 2),
+      |l AS (SELECT seg, month, rev_c,
+      |        LAG(rev_c) OVER (PARTITION BY seg ORDER BY month) AS prev_c
+      |      FROM m)
+      |SELECT seg, month, rev_c, prev_c,
+      |       CAST(rev_c AS DOUBLE) / CAST(prev_c AS DOUBLE) - 1.0 AS growth
+      |FROM l WHERE prev_c IS NOT NULL ORDER BY seg, month""".stripMargin
+
   // ----------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -5203,7 +5259,9 @@ object SparkEntry {
     "dedup_threshold_sweep" -> (dedupThresholdSweep _),
     "an_pareto" -> (anPareto _),
     "dedup_source_matrix" -> (dedupSourceMatrix _),
-    "an_profile_drift" -> (anProfileDrift _)
+    "an_profile_drift" -> (anProfileDrift _),
+    "an_repeat_purchase" -> (anRepeatPurchase _),
+    "q_mom_growth" -> (qMomGrowth _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5369,6 +5427,8 @@ object SparkEntry {
     "dedup_threshold_sweep" -> dedupThresholdSweepSql,
     "an_pareto" -> anParetoSql,
     "dedup_source_matrix" -> dedupSourceMatrixSql,
-    "an_profile_drift" -> anProfileDriftSql
+    "an_profile_drift" -> anProfileDriftSql,
+    "an_repeat_purchase" -> anRepeatPurchaseSql,
+    "q_mom_growth" -> qMomGrowthSql
   )
 }

@@ -369,6 +369,26 @@ class MlPrepSpec extends SparkSpec {
     graft.dedup.Dedup.releaseCaches()
   }
 
+  test("repeat-purchase gaps conserve the consecutive-pair count") {
+    val purchases = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .groupBy("user_id").count().as[(Long, Long)].collect()
+    val wantPairs = purchases.map(r => math.max(0L, r._2 - 1)).sum
+    val got = SparkEntry.queries("an_repeat_purchase")(spark, sfDir)
+      .select("gap_days", "n_gaps").as[(Long, Long)].collect()
+    assert(got.map(_._2).sum == wantPairs, "one gap per consecutive purchase pair")
+    assert(got.forall(_._1 >= 0L))
+  }
+
+  test("mom growth reconstructs from the revenue columns") {
+    val got = SparkEntry.queries("q_mom_growth")(spark, sfDir)
+      .select("rev_c", "prev_c", "growth").as[(Long, Long, Double)].collect()
+    got.foreach { case (rev, prev, g) =>
+      assert(math.abs(g - (rev.toDouble / prev - 1.0)) < 1e-12)
+    }
+    assert(got.nonEmpty)
+  }
+
   test("gini of a uniform distribution is ~0 and of one-winner is ~1") {
     // invariant check straight from the rank formula the query uses
     def gini(xs: Seq[Long]): Double = {
