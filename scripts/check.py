@@ -18,9 +18,30 @@ for t in ["region","nation","customer","supplier","part","orders",
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 ok = fail = 0
+
+# Keep SURVEY §2's [q] inventory in lockstep with SparkEntry.queries: every
+# `key` [q] token in SURVEY.md must name a registered query and vice versa.
+# Skipped automatically on SPARK_GRAFT_ONLY subset runs (oracle has few keys).
+import os, re
+if not os.environ.get("SPARK_GRAFT_ONLY"):
+    survey = open(os.path.join(os.path.dirname(__file__), "..", "SURVEY.md")).read()
+    declared = set(re.findall(r"`([a-z0-9_]+)`(?:[^`|]*)\[q\]", survey))
+    registered = set()
+    reg_file = f"{outdir}/registered_queries.json"
+    if os.path.exists(reg_file):
+        registered = set(json.load(open(reg_file)))
+    if registered:
+        if declared - registered:
+            print(f"FAIL survey-sync: in SURVEY §2 but not registered: {sorted(declared - registered)}")
+            fail += 1
+        if registered - declared:
+            print(f"FAIL survey-sync: registered but missing a SURVEY §2 [q] row: {sorted(registered - declared)}")
+            fail += 1
 for name, sql in sorted(oracle.items()):
     files = glob.glob(f"{outdir}/{name}/*.parquet")
     if not files:
+        if os.environ.get("SPARK_GRAFT_ONLY"):
+            continue  # subset Verify run — absent queries weren't requested
         print(f"FAIL {name}: no spark output"); fail += 1; continue
     got = pd.concat([pd.read_parquet(f) for f in sorted(files)], ignore_index=True)
     try:
@@ -35,6 +56,17 @@ for name, sql in sorted(oracle.items()):
         print(f"FAIL {name}: rows {len(got)} vs {len(exp)}"); fail += 1; continue
     g = got.sort_values(by=list(got.columns), ignore_index=True)
     e = exp.sort_values(by=list(exp.columns), ignore_index=True)
+    # Mirror the driver's representation-sensitive hash: an int64 Spark
+    # column vs a float64/object oracle column (DuckDB HUGEINT from a bare
+    # SUM(bigint)) hashes differently even when values are equal, so treat
+    # integer-vs-float kind mismatches as failures before the value compare.
+    kind_bad = [c for c in g.columns
+                if {g[c].dtype.kind, e[c].dtype.kind} == {"i", "f"}
+                or (g[c].dtype.kind in "if") != (e[c].dtype.kind in "if")]
+    if kind_bad:
+        print(f"FAIL {name}: dtype-kind mismatch "
+              + ", ".join(f"{c}: spark={g[c].dtype} duckdb={e[c].dtype}" for c in kind_bad))
+        fail += 1; continue
     try:
         pd.testing.assert_frame_equal(g, e, check_dtype=False, check_exact=True)
         print(f"ok   {name} ({len(got)} rows)"); ok += 1

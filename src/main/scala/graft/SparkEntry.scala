@@ -30,6 +30,22 @@ object SparkEntry {
 
   private def ts(s: String): Column = lit(s).cast("timestamp")
 
+  /** Fixed per-query scratch dir, wiped before each invocation: fresh-dir
+    * semantics for the CAS/versioned/temp-and-swap machinery WITHOUT
+    * accumulating a full table copy per Bench/Verify repeat (a fresh
+    * createTempDirectory per run leaked one orders copy per iteration). */
+  private def scratchDir(name: String): String = {
+    val root = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft_scratch", name)
+    if (java.nio.file.Files.exists(root)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+    java.nio.file.Files.createDirectories(root)
+    root.toAbsolutePath.toString
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q1_agg")(spark, "/root/testdata/sf0.001")
@@ -2476,8 +2492,7 @@ object SparkEntry {
     */
   private def etlSnapshotAgg(s: SparkSession, dir: String): DataFrame = {
     import graft.etl.{IncrementalAgg, Snapshots}
-    val table = java.nio.file.Files.createTempDirectory("graft_snapagg")
-      .toAbsolutePath.toString + "/orders_snap"
+    val table = scratchDir("snapagg") + "/orders_snap"
     val o = Tables.orders(s, dir)
       .select(col("o_orderstatus"), col("o_totalprice"), col("o_orderkey"))
     (0 to 2).foreach { i =>
@@ -2506,8 +2521,7 @@ object SparkEntry {
     */
   private def etlSnapshotRead(s: SparkSession, dir: String): DataFrame = {
     import graft.etl.Snapshots
-    val table = java.nio.file.Files.createTempDirectory("graft_snapread")
-      .toAbsolutePath.toString + "/orders_snap"
+    val table = scratchDir("snapread") + "/orders_snap"
     val o = Tables.orders(s, dir)
       .select(col("o_orderstatus"), col("o_totalprice"), col("o_orderkey"))
     Snapshots.commit(o.filter(col("o_orderkey") % 3 === 0).drop("o_orderkey"), table, "append")
@@ -2543,8 +2557,7 @@ object SparkEntry {
     * semantics, not just a frame transform, is what gets hash-checked.
     */
   private def etlUpsert(s: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_upsert")
-      .toAbsolutePath.toString + "/orders"
+    val tmp = scratchDir("upsert") + "/orders"
     val o = Tables.orders(s, dir)
       .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
     o.filter(col("o_orderkey") % 4 =!= 3).write.parquet(tmp)
@@ -2583,8 +2596,7 @@ object SparkEntry {
     * the merge AND that every other partition survived byte-identical.
     */
   private def etlUpsertPart(s: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_upsert_part")
-      .toAbsolutePath.toString + "/orders"
+    val tmp = scratchDir("upsert_part") + "/orders"
     val o = Tables.orders(s, dir)
       .select(col("o_orderkey"), col("o_totalprice"),
         year(col("o_orderdate")).as("o_year"))
@@ -2617,8 +2629,7 @@ object SparkEntry {
     * mergeSchema semantics (old files don't block new columns) is what
     * gets hash-verified. */
   private def etlSchemaEvolve(s: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_evolve")
-      .toAbsolutePath.toString + "/orders"
+    val tmp = scratchDir("evolve") + "/orders"
     val o = Tables.orders(s, dir)
     o.filter(col("o_orderkey") % 2 === 0)
       .select(col("o_orderkey"), col("o_totalprice"))
@@ -2647,8 +2658,7 @@ object SparkEntry {
     * here the oracle guards what compaction must never touch: the rows.
     */
   private def etlCompact(s: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_compact")
-      .toAbsolutePath.toString + "/orders"
+    val tmp = scratchDir("compact") + "/orders"
     Tables.orders(s, dir)
       .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
       .repartition(64).write.parquet(tmp)
@@ -2662,7 +2672,7 @@ object SparkEntry {
 
   private val etlCompactSql =
     s"""SELECT o_orderstatus, COUNT(*) AS n, ${moneySumSql("o_totalprice")} AS spend,
-       |       SUM(o_orderkey) AS key_sum
+       |       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
   /** CSV sink → source round-trip under the hard oracle: orders goes
@@ -2673,8 +2683,7 @@ object SparkEntry {
     * what gets verified, not just the write call succeeding. */
   private def etlCsvRoundtrip(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types._
-    val tmp = java.nio.file.Files.createTempDirectory("graft_csv")
-      .toAbsolutePath.toString + "/orders"
+    val tmp = scratchDir("csv") + "/orders"
     val o = Tables.orders(s, dir)
       .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
     graft.etl.Load.CsvSink(tmp).write(o)
@@ -2690,7 +2699,7 @@ object SparkEntry {
 
   private val etlCsvRoundtripSql =
     s"""SELECT o_orderstatus, COUNT(*) AS n, ${moneySumSql("o_totalprice")} AS spend,
-       |       SUM(o_orderkey) AS key_sum
+       |       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
   /** One-pass load audit under the hard oracle: orders is written
@@ -2702,8 +2711,7 @@ object SparkEntry {
     * free must be the exact truth, not an approximation. */
   private def etlWriteObserved(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val tmp = java.nio.file.Files.createTempDirectory("graft_obs")
-      .toAbsolutePath.toString + "/orders"
+    val tmp = scratchDir("obs") + "/orders"
     val o = Tables.orders(s, dir)
       .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
     val m = graft.etl.Load.writeObserved(o, graft.etl.Load.ParquetSink(tmp),
@@ -2716,7 +2724,7 @@ object SparkEntry {
 
   private val etlWriteObservedSql =
     s"""SELECT COUNT(*) AS n,
-       |  SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS n_null_status,
+       |  CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_status,
        |  ${moneySumSql("o_totalprice")} AS spend
        |FROM orders""".stripMargin
 
@@ -2747,7 +2755,7 @@ object SparkEntry {
 
   private val etlJdbcRoundtripSql =
     s"""SELECT o_orderstatus, COUNT(*) AS n, ${moneySumSql("o_totalprice")} AS spend,
-       |       SUM(o_orderkey) AS key_sum
+       |       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
        |FROM orders WHERE o_orderkey % 10 = 0
        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
@@ -2759,8 +2767,7 @@ object SparkEntry {
     * what's on trial. */
   private def etlJsonRoundtrip(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types._
-    val tmp = java.nio.file.Files.createTempDirectory("graft_json")
-      .toAbsolutePath.toString + "/orders"
+    val tmp = scratchDir("json") + "/orders"
     val o = Tables.orders(s, dir)
       .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
     graft.etl.Load.JsonSink(tmp).write(o)
@@ -2776,7 +2783,7 @@ object SparkEntry {
 
   private val etlJsonRoundtripSql =
     s"""SELECT o_orderstatus, COUNT(*) AS n, ${moneySumSql("o_totalprice")} AS spend,
-       |       SUM(o_orderkey) AS key_sum
+       |       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
   /** Multimodal frame sampling under the hard oracle: payloads (UTF-8
@@ -2819,8 +2826,7 @@ object SparkEntry {
     * WIN of the layout is measured separately in LayoutSpec (footer
     * stats), since pruning is a planner effect the digest can't see. */
   private def etlLayoutBox(s: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_layout")
-      .toAbsolutePath.toString + "/orders"
+    val tmp = scratchDir("layout") + "/orders"
     val o = Tables.orders(s, dir).select(
       col("o_orderkey"), (col("o_custkey") % 512).as("cx"),
       floor(col("o_totalprice") / 1000).as("py"))
@@ -2834,7 +2840,7 @@ object SparkEntry {
   private val etlLayoutBoxSql =
     """WITH t AS (SELECT o_orderkey, o_custkey % 512 AS cx,
       |                  CAST(floor(o_totalprice / 1000) AS BIGINT) AS py FROM orders)
-      |SELECT COUNT(*) AS n, SUM(o_orderkey) AS key_sum,
+      |SELECT COUNT(*) AS n, CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
       |       MIN(cx) AS min_cx, MAX(py) AS max_py
       |FROM t WHERE cx BETWEEN 100 AND 131 AND py BETWEEN 20 AND 60""".stripMargin
 
@@ -2860,10 +2866,14 @@ object SparkEntry {
             ((col("n") * col("sxy") - col("sx") * col("sy")) /
              (col("n") * col("sxx") - col("sx") * col("sx")))) / col("n"), 4)
           .as("intercept"),
-        round(
-          pow(col("n") * col("sxy") - col("sx") * col("sy"), 2) /
+        // r² at ROUND(·,6): the n·sxy − sx·sy numerator CANCELS, so the
+        // engines' last-ulp skew is amplified ~1e3× and unrounded emission
+        // diverges (measured: 1e-13 relative at sf0.01) — 6 places absorbs
+        // it; square via IEEE multiply, not libm pow
+        round(((col("n") * col("sxy") - col("sx") * col("sy")) *
+          (col("n") * col("sxy") - col("sx") * col("sy"))) /
           ((col("n") * col("sxx") - col("sx") * col("sx")) *
-           (col("n") * col("syy") - col("sy") * col("sy"))), 9).as("r2"))
+           (col("n") * col("syy") - col("sy") * col("sy"))), 6).as("r2"))
       .orderBy(col("l_returnflag"))
   }
 
@@ -2879,8 +2889,8 @@ object SparkEntry {
       |SELECT l_returnflag, n,
       |  ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
       |  ROUND((sy - sx * ((n * sxy - sx * sy) / (n * sxx - sx * sx))) / n, 4) AS intercept,
-      |  ROUND(POW(n * sxy - sx * sy, 2) /
-      |        ((n * sxx - sx * sx) * (n * syy - sy * sy)), 9) AS r2
+      |  ROUND(((n * sxy - sx * sy) * (n * sxy - sx * sy)) /
+      |        ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
       |FROM m ORDER BY l_returnflag""".stripMargin
 
   /** Gaps-and-islands: per supplier, 7-day shipment coverage intervals
@@ -2909,8 +2919,8 @@ object SparkEntry {
         count(lit(1)).as("n_intervals"))
     islands.groupBy(col("l_suppkey"))
       .agg(count(lit(1)).as("n_islands"),
-        sum(datediff(col("i_end"), col("i_start"))).as("covered_days"),
-        max(datediff(col("i_end"), col("i_start"))).as("max_island_days"),
+        sum(datediff(col("i_end"), col("i_start")).cast("long")).as("covered_days"),
+        max(datediff(col("i_end"), col("i_start")).cast("long")).as("max_island_days"),
         sum(col("n_intervals")).as("n_intervals"))
       .orderBy(col("l_suppkey"))
   }
@@ -2938,9 +2948,9 @@ object SparkEntry {
       |         MAX(end_ts) AS i_end, COUNT(*) AS n_intervals
       |  FROM numbered GROUP BY l_suppkey, island)
       |SELECT l_suppkey, COUNT(*) AS n_islands,
-      |  SUM(date_diff('day', i_start, i_end)) AS covered_days,
-      |  MAX(date_diff('day', i_start, i_end)) AS max_island_days,
-      |  SUM(n_intervals) AS n_intervals
+      |  CAST(SUM(date_diff('day', i_start, i_end)) AS BIGINT) AS covered_days,
+      |  CAST(MAX(date_diff('day', i_start, i_end)) AS BIGINT) AS max_island_days,
+      |  CAST(SUM(n_intervals) AS BIGINT) AS n_intervals
       |FROM islands GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin
 
   /** Robust (median/MAD) outlier report per order priority — the
@@ -2981,7 +2991,7 @@ object SparkEntry {
       |SELECT d.o_orderpriority, COUNT(*) AS n,
       |  ROUND(ANY_VALUE(d.med), 4) AS med,
       |  ROUND(ANY_VALUE(m.mad), 4) AS mad,
-      |  SUM(CASE WHEN 0.6745 * d.adev / m.mad > 3.5 THEN 1 ELSE 0 END) AS n_outliers
+      |  CAST(SUM(CASE WHEN 0.6745 * d.adev / m.mad > 3.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
       |FROM dev d JOIN mad m USING (o_orderpriority)
       |GROUP BY d.o_orderpriority ORDER BY d.o_orderpriority""".stripMargin
 
@@ -3065,8 +3075,7 @@ object SparkEntry {
     * hash-checked together. */
   private def etlSnapshotDelete(s: SparkSession, dir: String): DataFrame = {
     import graft.etl.Snapshots
-    val table = java.nio.file.Files.createTempDirectory("graft_snapdel")
-      .toAbsolutePath.toString + "/orders_snap"
+    val table = scratchDir("snapdel") + "/orders_snap"
     val o = Tables.orders(s, dir)
       .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
       .repartitionByRange(8, col("o_orderkey"))
@@ -3101,8 +3110,7 @@ object SparkEntry {
     * gets hash-verified. */
   private def etlSnapshotDiff(s: SparkSession, dir: String): DataFrame = {
     import graft.etl.Snapshots
-    val table = java.nio.file.Files.createTempDirectory("graft_snapdiff")
-      .toAbsolutePath.toString + "/orders_snap"
+    val table = scratchDir("snapdiff") + "/orders_snap"
     val o = Tables.orders(s, dir)
       .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
     Snapshots.commit(o, table, "append")
@@ -3141,8 +3149,7 @@ object SparkEntry {
     * so restore-equals-original is what's hash-verified. */
   private def etlSnapshotRestore(s: SparkSession, dir: String): DataFrame = {
     import graft.etl.Snapshots
-    val table = java.nio.file.Files.createTempDirectory("graft_snaprestore")
-      .toAbsolutePath.toString + "/orders_snap"
+    val table = scratchDir("snaprestore") + "/orders_snap"
     val o = Tables.orders(s, dir)
       .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
     Snapshots.commit(o, table, "append")
@@ -3198,7 +3205,7 @@ object SparkEntry {
       |d AS (SELECT user_id, value,
       |        LEAD(tus, 1) OVER (PARTITION BY user_id ORDER BY tus, event_id) - tus AS dur_us
       |      FROM e)
-      |SELECT user_id, COUNT(*) AS n_holds, SUM(dur_us) AS span_us,
+      |SELECT user_id, COUNT(*) AS n_holds, CAST(SUM(dur_us) AS BIGINT) AS span_us,
       |  ROUND(CAST(SUM(CAST(value * dur_us AS DECIMAL(38,6))) AS DOUBLE) /
       |        CAST(SUM(dur_us) AS DOUBLE), 6) AS twa
       |FROM d WHERE dur_us IS NOT NULL
@@ -3298,15 +3305,25 @@ object SparkEntry {
   /** PageRank over the customer–supplier trading network (undirected:
     * both edge directions materialized), five power iterations at
     * damping 0.85 — iterative graph compute under the hard oracle. The
-    * determinism discipline that makes a 5-deep iterated float
-    * computation hash-comparable across engines: per-edge contributions
-    * are a single double division (IEEE-identical everywhere), each
-    * gather goes through DECIMAL(38,18) sums (order-independent), and
-    * the damping update is straight-line double arithmetic — so both
-    * engines walk bit-identical rank vectors; only the final emission
-    * is rounded. At scale each iteration is one shuffle of (node, rank)
-    * joined against the static edge list — the dedup_clusters execution
-    * shape with a rank payload instead of labels. */
+    * determinism discipline that makes a 5-deep iterated computation
+    * hash-comparable across engines: ranks live in FIXED-POINT BIGINT
+    * (scale 10^15) — per-edge contributions are floor divisions of
+    * nonnegative integers, gathers are exact integer sums, and the
+    * damping update 3·S/(20n) + 17·g/20 is integer arithmetic too, so
+    * both engines walk IDENTICAL rank vectors by construction. (A
+    * double iteration is NOT replayable: Spark's double→DECIMAL(38,18)
+    * cast goes through shortest-roundtrip toString while DuckDB
+    * converts the exact binary value — measured 1-ulp skew at the 18th
+    * decimal.) The floor quantization loses < n·10⁻¹⁵ of rank mass per
+    * iteration — noise, and identically on every engine. Only the
+    * final emission divides into double (int→double is IEEE
+    * correctly-rounded). At scale each iteration shuffles ONLY the
+    * node-sized rank
+    * vector: the edge⋈degree adjacency is static, pre-partitioned on
+    * src once and persisted, so no node-sized broadcast ever happens —
+    * the dedup_clusters execution shape with a rank payload instead of
+    * labels, and the posture that survives a graph too big for any
+    * executor's memory. */
   private def qPagerank(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
     val ord = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
@@ -3319,24 +3336,28 @@ object SparkEntry {
     // after each query, same discipline as the dedup builders)
     val edges = cs.select(col("c").as("src"), col("p").as("dst"))
       .unionByName(cs.select(col("p").as("src"), col("c").as("dst")))
-      .distinct().persist()
-    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg")).persist()
-    val nodes = edges.select(col("src").as("node")).distinct()
+      .distinct()
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    // edge⋈degree is STATIC across iterations: join it once, hash-
+    // partition on src, persist — each iteration then shuffle-joins the
+    // node-sized rank vector against the co-located adjacency (rank is
+    // the ONLY moving exchange; nothing node-sized is ever broadcast,
+    // so the plan holds when the graph outgrows executor memory)
+    val adj = edges.join(deg, "src").repartition(col("src")).persist()
+    val nodes = adj.select(col("src").as("node")).distinct()
     val n = nodes.count() // scalar: the node count parameterizes the teleport term
-    var rank = nodes.withColumn("rank", lit(1.0) / n)
+    val S = 1000000000000000L // fixed-point scale 10^15
+    var rank = nodes.withColumn("rank_f", lit(S / n)) // floor(S/n), exact
     (1 to 5).foreach { _ =>
-      // rank and deg are node-sized (≪ edges): broadcast both so each
-      // iteration's only exchange is the gather groupBy on dst
-      rank = edges
-        .join(broadcast(rank.withColumnRenamed("node", "src")), "src")
-        .join(broadcast(deg), "src")
+      rank = adj
+        .join(rank.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst").as("node"))
-        .agg(sum((col("rank") / col("outdeg").cast("double"))
-          .cast("decimal(38,18)")).as("gather"))
+        .agg(sum(expr("rank_f div outdeg")).as("gather"))
         .select(col("node"),
-          (lit(0.15) / n + lit(0.85) * col("gather").cast("double")).as("rank"))
+          (lit(3 * S / (20 * n)) + expr("17 * gather div 20")).as("rank_f"))
     }
-    rank.select(col("node"), round(col("rank"), 9).as("rank"))
+    rank.select(col("node"),
+        (col("rank_f").cast("double") / lit(S.toDouble)).as("rank"))
       .orderBy(col("node"))
   }
 
@@ -3344,9 +3365,8 @@ object SparkEntry {
     val iter = (1 to 5).map { k =>
       s"""r$k AS (
          |  SELECT e.dst AS node,
-         |    CAST(0.15 AS DOUBLE) / (SELECT n FROM nn)
-         |      + 0.85 * CAST(SUM(CAST(r.rank / CAST(dg.outdeg AS DOUBLE)
-         |                             AS DECIMAL(38,18))) AS DOUBLE) AS rank
+         |    3000000000000000 // (20 * (SELECT n FROM nn))
+         |      + (17 * SUM(r.rank_f // dg.outdeg)) // 20 AS rank_f
          |  FROM edges e
          |  JOIN r${k - 1} r ON e.src = r.node
          |  JOIN deg dg ON dg.src = e.src
@@ -3362,9 +3382,10 @@ object SparkEntry {
        |deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
        |nodes AS (SELECT DISTINCT src AS node FROM edges),
        |nn AS (SELECT COUNT(*) AS n FROM nodes),
-       |r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS rank FROM nodes),
+       |r0 AS (SELECT node, 1000000000000000 // (SELECT n FROM nn) AS rank_f FROM nodes),
        |$iter
-       |SELECT node, ROUND(rank, 9) AS rank FROM r5 ORDER BY node""".stripMargin
+       |SELECT node, CAST(rank_f AS DOUBLE) / 1000000000000000.0 AS rank
+       |FROM r5 ORDER BY node""".stripMargin
   }
 
   /** Bucket-co-located join under the hard oracle — the brief's
@@ -3522,8 +3543,11 @@ object SparkEntry {
       .agg(max(struct(col("d_num"), col("v"), col("n1"), col("n2"))).as("m"))
       .select(col("m.n1").as("n1"), col("m.n2").as("n2"),
         col("m.d_num").as("d_num"), col("m.v").as("v_at"),
-        round((col("m.d_num").cast("double") / col("m.n1").cast("double"))
-          / col("m.n2").cast("double"), 9).as("d_stat"))
+        // unrounded: exact-int divisions are IEEE correctly-rounded, so the
+        // identical expression tree is bit-identical cross-engine; ROUND(·,9)
+        // itself is the divergent op (SURVEY §5, the an_ewma lesson)
+        ((col("m.d_num").cast("double") / col("m.n1").cast("double"))
+          / col("m.n2").cast("double")).as("d_stat"))
   }
 
   private val anKsDriftSql =
@@ -3538,7 +3562,7 @@ object SparkEntry {
       |t AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2 FROM p),
       |d AS (SELECT v, n1, n2, CAST(ABS(c1c*n2 - c2c*n1) AS BIGINT) AS d_num FROM c, t)
       |SELECT n1, n2, d_num, v AS v_at,
-      |       ROUND((CAST(d_num AS DOUBLE) / CAST(n1 AS DOUBLE)) / CAST(n2 AS DOUBLE), 9) AS d_stat
+      |       (CAST(d_num AS DOUBLE) / CAST(n1 AS DOUBLE)) / CAST(n2 AS DOUBLE) AS d_stat
       |FROM d ORDER BY d_num DESC, v DESC LIMIT 1""".stripMargin
 
   /** Gini coefficient of customer spend concentration (the
@@ -3559,10 +3583,12 @@ object SparkEntry {
       .withRunningTotals(spend, Seq("x", "o_custkey"), Seq("x"))
     val a = ranked.agg(count(lit(1)).as("n"), sum(col("x")).as("sum_cents"),
       sum((col("x") * col("rn")).cast("decimal(38,0)")).cast("double").as("w"))
+    // unrounded: every input is an exactly-cast integer and the tree is
+    // identical on both engines — +,·,/ are IEEE correctly-rounded
     a.select(col("n"), col("sum_cents"), col("w").as("rank_weighted"),
-      round((lit(2.0) * col("w")
+      ((lit(2.0) * col("w")
           - (col("n").cast("double") + lit(1.0)) * col("sum_cents").cast("double"))
-        / (col("n").cast("double") * col("sum_cents").cast("double")), 9).as("gini"))
+        / (col("n").cast("double") * col("sum_cents").cast("double"))).as("gini"))
   }
 
   private val anGiniSql =
@@ -3573,8 +3599,8 @@ object SparkEntry {
       |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sum_cents,
       |             CAST(SUM(CAST(x * rn AS DECIMAL(38,0))) AS DOUBLE) AS w FROM r)
       |SELECT n, sum_cents, w AS rank_weighted,
-      |  ROUND((2.0*w - (CAST(n AS DOUBLE)+1.0)*CAST(sum_cents AS DOUBLE)) /
-      |        (CAST(n AS DOUBLE)*CAST(sum_cents AS DOUBLE)), 9) AS gini
+      |  (2.0*w - (CAST(n AS DOUBLE)+1.0)*CAST(sum_cents AS DOUBLE)) /
+      |  (CAST(n AS DOUBLE)*CAST(sum_cents AS DOUBLE)) AS gini
       |FROM a""".stripMargin
 
   /** k-anonymity audit (Sweeney, IJUFKS'02) over a quasi-identifier
@@ -3624,8 +3650,12 @@ object SparkEntry {
     pf.select(col("cat"), col("fold"), col("n_f"), col("pos_f"),
         (sum("n_f").over(w) - col("n_f")).as("n_out"),
         (sum("pos_f").over(w) - col("pos_f")).as("pos_out"))
+      // unrounded single int/int division (IEEE, cross-engine identical);
+      // guarded: a category living in one fold has n_out=0 and the engines
+      // disagree on double x/0 (Spark NULL vs DuckDB inf) — emit NULL
       .withColumn("enc",
-        round(col("pos_out").cast("double") / col("n_out").cast("double"), 9))
+        when(col("n_out") > 0,
+          col("pos_out").cast("double") / col("n_out").cast("double")))
       .orderBy("cat", "fold")
   }
 
@@ -3640,7 +3670,8 @@ object SparkEntry {
       |        CAST(SUM(pos_f) OVER (PARTITION BY cat) - pos_f AS BIGINT) AS pos_out
       |      FROM pf)
       |SELECT cat, fold, n_f, pos_f, n_out, pos_out,
-      |       ROUND(CAST(pos_out AS DOUBLE) / CAST(n_out AS DOUBLE), 9) AS enc
+      |       CASE WHEN n_out > 0
+      |            THEN CAST(pos_out AS DOUBLE) / CAST(n_out AS DOUBLE) END AS enc
       |FROM o ORDER BY cat, fold""".stripMargin
 
   /** Hashing-trick feature bucketing (Weinberger et al., ICML'09) with
@@ -3697,8 +3728,9 @@ object SparkEntry {
     byDow.crossJoin(broadcast(tot))
       .select(col("dow"), col("n_days"), col("rev"),
         (col("rev") * col("td") - col("tr") * col("n_days")).as("dev_num"),
-        round((col("rev").cast("double") / col("n_days").cast("double"))
-          / (col("tr").cast("double") / col("td").cast("double")), 9).as("seasonal_idx"))
+        // unrounded: int-fed IEEE divisions, identical tree both engines
+        ((col("rev").cast("double") / col("n_days").cast("double"))
+          / (col("tr").cast("double") / col("td").cast("double"))).as("seasonal_idx"))
       .orderBy("dow")
   }
 
@@ -3710,8 +3742,8 @@ object SparkEntry {
       |             CAST(SUM(rev_c) AS BIGINT) AS rev FROM daily GROUP BY 1),
       |t AS (SELECT CAST(SUM(n_days) AS BIGINT) AS td, CAST(SUM(rev) AS BIGINT) AS tr FROM d)
       |SELECT dow, n_days, rev, CAST(rev*td - tr*n_days AS BIGINT) AS dev_num,
-      |  ROUND((CAST(rev AS DOUBLE) / CAST(n_days AS DOUBLE)) /
-      |        (CAST(tr AS DOUBLE) / CAST(td AS DOUBLE)), 9) AS seasonal_idx
+      |  (CAST(rev AS DOUBLE) / CAST(n_days AS DOUBLE)) /
+      |  (CAST(tr AS DOUBLE) / CAST(td AS DOUBLE)) AS seasonal_idx
       |FROM d, t ORDER BY dow""".stripMargin
 
   /** Truncated EWMA of the daily revenue series with DYADIC weights —
@@ -3770,8 +3802,7 @@ object SparkEntry {
     * Spark proper; predicate pushdown and column pruning apply to the
     * read-back scan exactly as for parquet. */
   private def etlOrcRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_orc")
-      .toAbsolutePath.toString + "/orders"
+    val tmp = scratchDir("orc") + "/orders"
     val o = Tables.orders(s, dir)
       .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
     graft.etl.Load.OrcSink(tmp).write(o)
@@ -3784,7 +3815,7 @@ object SparkEntry {
 
   private val etlOrcRoundtripSql =
     s"""SELECT o_orderstatus, COUNT(*) AS n, ${moneySumSql("o_totalprice")} AS spend,
-       |       SUM(o_orderkey) AS key_sum
+       |       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
   /** Categorical distribution drift via the chi-square statistic —
@@ -4539,8 +4570,7 @@ object SparkEntry {
     * hash-verified. */
   private def etlCoerceAudit(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types._
-    val tmp = java.nio.file.Files.createTempDirectory("graft_coerce")
-      .toAbsolutePath.toString + "/orders"
+    val tmp = scratchDir("coerce") + "/orders"
     Tables.orders(s, dir)
       .select(col("o_orderkey"),
         when(col("o_orderkey") % 97 === 0, lit("N/A"))
@@ -4566,8 +4596,13 @@ object SparkEntry {
     * row hashes to an md5-derived 48-bit integer (hex nibbles through
     * the engine-portable instr trick), and the fingerprint is the
     * exact SUM — commutative, so partitioning and order are
-    * irrelevant, and any single-row change shifts it. Map-side
-    * projection + one scalar aggregate. */
+    * irrelevant, and any single-row change shifts it. The sum runs in
+    * DECIMAL(38,0) and is emitted as a digit string: uniform 48-bit
+    * terms mean the BIGINT sum would wrap past ~65K rows (n·2^47 >
+    * Long.MaxValue), silently on Spark and loudly on engines that
+    * widen — decimal accumulation keeps the fingerprint exact to
+    * ~10^23 rows, and the string emission pins one cross-engine
+    * representation. Map-side projection + one scalar aggregate. */
   private def etlTableFingerprint(s: SparkSession, dir: String): DataFrame = {
     def nib(i: Int) = s"(instr('0123456789abcdef', substr(h, $i, 1)) - 1)"
     // fold in BIGINT from the first term — 16^12 = 2^48 overflows INT32
@@ -4577,7 +4612,9 @@ object SparkEntry {
       .select(md5(concat_ws("|", col("o_orderkey"), col("o_orderstatus"),
         col("o_orderpriority"))).as("h"))
       .selectExpr(s"CAST($h48 AS BIGINT) AS hv")
-      .agg(count(lit(1)).as("n"), sum(col("hv")).as("fingerprint"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("hv").cast("decimal(38,0)")).cast("decimal(38,0)")
+          .cast("string").as("fingerprint"))
   }
 
   private val etlTableFingerprintSql = {
@@ -4586,7 +4623,8 @@ object SparkEntry {
       .foldLeft(s"CAST(${nib(1)} AS BIGINT)")((a, b) => s"($a * 16 + $b)")
     s"""WITH r AS (SELECT md5(CAST(o_orderkey AS VARCHAR) || '|' || o_orderstatus
        |                      || '|' || o_orderpriority) AS h FROM orders)
-       |SELECT COUNT(*) AS n, CAST(SUM(CAST($h48 AS BIGINT)) AS BIGINT) AS fingerprint
+       |SELECT COUNT(*) AS n,
+       |  CAST(CAST(SUM(CAST(CAST($h48 AS BIGINT) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS VARCHAR) AS fingerprint
        |FROM r""".stripMargin
   }
 

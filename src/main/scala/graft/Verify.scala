@@ -48,6 +48,10 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // full registered key list (independent of ONLY subsetting) so
+    // check.py can assert SURVEY §2 ↔ SparkEntry.queries lockstep
+    Files.writeString(Paths.get(s"$outDir/registered_queries.json"),
+      SparkEntry.queries.keys.toSeq.sorted.map(q).mkString("[", ",", "]"))
     spark.stop()
   }
 }
