@@ -913,17 +913,54 @@ object SparkEntry {
       |  ROUND((sxy - sx * sy / n) / (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n)), 9) AS corr_qty_price
       |FROM m ORDER BY l_returnflag""".stripMargin
 
-  /** Exact interpolated quantiles per group (Spark `percentile` ==
-    * DuckDB `quantile_cont` semantics), rounded to absorb the engines'
-    * differing interpolation arithmetic at the last ulp. */
-  private def anQuantilesByGroup(s: SparkSession, dir: String): DataFrame =
-    Tables.orders(s, dir)
-      .groupBy(col("o_orderpriority"))
-      .agg(
-        round(percentile(col("o_totalprice"), lit(0.25)), 4).as("p25"),
-        round(percentile(col("o_totalprice"), lit(0.5)), 4).as("p50"),
-        round(percentile(col("o_totalprice"), lit(0.75)), 4).as("p75"))
+  /** Exact interpolated quantiles per group (`quantile_cont`
+    * semantics: position q·(n−1), linear interpolation) WITHOUT a
+    * value-buffering percentile aggregate — Spark's exact `percentile`
+    * holds a per-group value→count map, which on a continuous money
+    * column grows linearly with the data (the 100×-scale memory
+    * cliff). Instead: collapse to distinct (group, cents) counts, run
+    * ONE [[graft.operators.PrefixSum]] scan over the composite
+    * (group, value) order — per-group cumulative = global running
+    * total − the group's offset, where offsets come from the
+    * groups-sized totals table — then pick each probe rank's crossing
+    * row. Interpolation fractions are quarters ((n−1)·pct mod 100 ∈
+    * {0,25,50,75}), so the interpolated cents value is exact binary
+    * and the 4-dp emission can never sit on a rounding boundary
+    * (multiples of $0.0025 are even multiples of the $0.00005
+    * half-step). State: distinct values only, fully distributed. */
+  private def anQuantilesByGroup(s: SparkSession, dir: String): DataFrame = {
+    val perV = Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority").as("g"),
+        (col("o_totalprice").cast("decimal(24,2)") * 100).cast("bigint").as("v"))
+      .agg(count(lit(1)).as("cnt"))
+    val scan = graft.operators.PrefixSum.withRunningTotals(perV, Seq("g", "v"), Seq("cnt"))
+    // group-count-sized (5 rows): offsets of each group within the scan
+    val wOff = Window.orderBy("g").rowsBetween(Window.unboundedPreceding, -1)
+    val probes = perV.groupBy("g").agg(sum("cnt").as("n"))
+      .withColumn("off", coalesce(sum("n").over(wOff), lit(0L)))
+      .select(col("g"), col("n"), col("off"),
+        explode(array(lit(25L), lit(50L), lit(75L))).as("pct"))
+      .withColumn("k_lo", expr("(n - 1) * pct div 100 + 1"))
+      .withColumn("rem", expr("(n - 1) * pct % 100"))
+      .withColumn("k_hi", col("k_lo") + when(col("rem") > 0, 1L).otherwise(0L))
+    val hitLo = col("cum") >= col("k_lo") && col("cum") - col("cnt") < col("k_lo")
+    val hitHi = col("cum") >= col("k_hi") && col("cum") - col("cnt") < col("k_hi")
+    scan.join(broadcast(probes), Seq("g"))
+      .withColumn("cum", col("cnt_cum") - col("off"))
+      .filter(hitLo || hitHi)
+      .groupBy(col("g"), col("pct"))
+      .agg(max(when(hitLo, col("v"))).as("v_lo"),
+        max(when(hitHi, col("v"))).as("v_hi"),
+        first(col("rem")).as("rem"))
+      .withColumn("value", round(
+        (col("v_lo").cast("double") + col("rem").cast("double") / 100.0
+          * (col("v_hi") - col("v_lo")).cast("double")) / 100.0, 4))
+      .groupBy(col("g").as("o_orderpriority"))
+      .agg(max(when(col("pct") === 25, col("value"))).as("p25"),
+        max(when(col("pct") === 50, col("value"))).as("p50"),
+        max(when(col("pct") === 75, col("value"))).as("p75"))
       .orderBy(col("o_orderpriority"))
+  }
 
   private val anQuantilesByGroupSql =
     """SELECT o_orderpriority,
@@ -2953,47 +2990,93 @@ object SparkEntry {
       |  CAST(SUM(n_intervals) AS BIGINT) AS n_intervals
       |FROM islands GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin
 
+  /** Per-group exact median as an INTEGER in doubled units (med2 =
+    * v@⌈n/2⌉ + v@(⌊n/2⌋+1), i.e. 2·median — integral whether n is odd
+    * or even): distinct-value counts + one [[graft.operators.PrefixSum]]
+    * scan over the composite (group, value) order, per-group cumulative
+    * = global running total − group offset (offsets from the
+    * groups-sized totals table). No value-buffering aggregate; state is
+    * distinct values, fully distributed. Input must be (g, v, cnt). */
+  private def groupedMedian2(perV: DataFrame, g: String, v: String): DataFrame = {
+    val scan = graft.operators.PrefixSum.withRunningTotals(perV, Seq(g, v), Seq("cnt"))
+    val wOff = Window.orderBy(g).rowsBetween(Window.unboundedPreceding, -1)
+    val probes = perV.groupBy(g).agg(sum("cnt").as("n"))
+      .withColumn("off", coalesce(sum("n").over(wOff), lit(0L)))
+      .withColumn("k_lo", expr("(n + 1) div 2"))
+      .withColumn("k_hi", expr("n div 2 + 1"))
+    val hitLo = col("cum") >= col("k_lo") && col("cum") - col("cnt") < col("k_lo")
+    val hitHi = col("cum") >= col("k_hi") && col("cum") - col("cnt") < col("k_hi")
+    scan.join(broadcast(probes), Seq(g))
+      .withColumn("cum", col("cnt_cum") - col("off"))
+      .filter(hitLo || hitHi)
+      .groupBy(col(g))
+      .agg((max(when(hitLo, col(v))) + max(when(hitHi, col(v)))).as("med2"),
+        first(col("n")).as("n"))
+  }
+
   /** Robust (median/MAD) outlier report per order priority — the
     * z-score screen of [[anOutliers]] breaks down when the outliers
     * themselves inflate the stddev; median absolute deviation doesn't.
-    * Two grouped exact-percentile passes with the 5-row group medians
-    * broadcast back — no per-row state, shuffles only on the group key.
-    */
+    * INTEGER-EXACT throughout (the r8 percentile-scale rewrite):
+    * prices become cents, each median runs through [[groupedMedian2]]
+    * in doubled units (med2 half-cents, mad4 quarter-cents — the
+    * n-even midpoint stays integral), and the outlier screen
+    * 0.6745·adev/mad > 3.5 clears denominators into the pure-integer
+    * compare 13490·adev_hc > 35000·mad4 — no float boundary anywhere.
+    * Only the med/mad emission divides into double: exact values with
+    * ≤5 decimal places, so ROUND(·,6) is identity-safe (4 was not —
+    * quarter-cents sit ON the 4-dp half-step). Replaces two grouped
+    * exact-`percentile` passes whose per-group value→count buffers
+    * grew linearly with the data — the 100×-scale memory cliff. */
   private def anMadOutliers(s: SparkSession, dir: String): DataFrame = {
-    val o = Tables.orders(s, dir).select(col("o_orderpriority"), col("o_totalprice"))
-    val med = o.groupBy(col("o_orderpriority"))
-      .agg(percentile(col("o_totalprice"), lit(0.5)).as("med"))
-    val dev = o.join(broadcast(med), "o_orderpriority")
-      .withColumn("adev", abs(col("o_totalprice") - col("med")))
-    val mad = dev.groupBy(col("o_orderpriority"))
-      .agg(percentile(col("adev"), lit(0.5)).as("mad"))
-    dev.join(broadcast(mad), "o_orderpriority")
-      .groupBy(col("o_orderpriority"))
+    val o = Tables.orders(s, dir).select(col("o_orderpriority").as("g"),
+      (col("o_totalprice").cast("decimal(24,2)") * 100).cast("bigint").as("v"))
+    val med = groupedMedian2(
+      o.groupBy(col("g"), col("v")).agg(count(lit(1)).as("cnt")), "g", "v")
+    // dev feeds BOTH the mad median and the final screen — persist so the
+    // orders scan + med join run once (released by Verify/Bench isolation)
+    val dev = o.join(broadcast(med.select(col("g"), col("med2"))), Seq("g"))
+      .select(col("g"), abs(col("v") * 2 - col("med2")).as("adev")) // half-cents
+      .persist()
+    val mad = groupedMedian2(
+      dev.groupBy(col("g"), col("adev")).agg(count(lit(1)).as("cnt")), "g", "adev")
+      .select(col("g"), col("med2").as("mad4")) // quarter-cents (2× half-cents)
+    dev.join(broadcast(mad), Seq("g")).join(broadcast(med), Seq("g"))
+      .groupBy(col("g").as("o_orderpriority"))
       .agg(count(lit(1)).as("n"),
-        round(first(col("med")), 4).as("med"),
-        round(first(col("mad")), 4).as("mad"),
-        sum(when(lit(0.6745) * col("adev") / col("mad") > 3.5, 1L)
+        round(first(col("med2")).cast("double") / 200.0, 6).as("med"),
+        round(first(col("mad4")).cast("double") / 400.0, 6).as("mad"),
+        sum(when(lit(13490L) * col("adev") > lit(35000L) * col("mad4"), 1L)
           .otherwise(0L)).as("n_outliers"))
       .orderBy(col("o_orderpriority"))
   }
 
   private val anMadOutliersSql =
-    """WITH med AS (
-      |  SELECT o_orderpriority, quantile_cont(o_totalprice, 0.5) AS med
-      |  FROM orders GROUP BY o_orderpriority),
-      |dev AS (
-      |  SELECT o.o_orderpriority, o.o_totalprice, m.med,
-      |         ABS(o.o_totalprice - m.med) AS adev
-      |  FROM orders o JOIN med m USING (o_orderpriority)),
-      |mad AS (
-      |  SELECT o_orderpriority, quantile_cont(adev, 0.5) AS mad
-      |  FROM dev GROUP BY o_orderpriority)
-      |SELECT d.o_orderpriority, COUNT(*) AS n,
-      |  ROUND(ANY_VALUE(d.med), 4) AS med,
-      |  ROUND(ANY_VALUE(m.mad), 4) AS mad,
-      |  CAST(SUM(CASE WHEN 0.6745 * d.adev / m.mad > 3.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
-      |FROM dev d JOIN mad m USING (o_orderpriority)
-      |GROUP BY d.o_orderpriority ORDER BY d.o_orderpriority""".stripMargin
+    """WITH o AS (SELECT o_orderpriority AS g,
+      |                  CAST(CAST(o_totalprice AS DECIMAL(24,2)) * 100 AS BIGINT) AS v
+      |           FROM orders),
+      |pv AS (SELECT g, v, COUNT(*) AS cnt FROM o GROUP BY 1, 2),
+      |cv AS (SELECT g, v, cnt, CAST(SUM(cnt) OVER (PARTITION BY g ORDER BY v) AS BIGINT) AS cum
+      |       FROM pv),
+      |tv AS (SELECT g, CAST(SUM(cnt) AS BIGINT) AS n FROM pv GROUP BY g),
+      |med AS (SELECT c.g,
+      |          CAST(MAX(CASE WHEN cum >= (n+1)//2 AND cum - cnt < (n+1)//2 THEN v END)
+      |             + MAX(CASE WHEN cum >= n//2+1 AND cum - cnt < n//2+1 THEN v END) AS BIGINT) AS med2
+      |        FROM cv c JOIN tv USING (g) GROUP BY c.g),
+      |dev AS (SELECT o.g, ABS(o.v * 2 - m.med2) AS adev FROM o JOIN med m USING (g)),
+      |pa AS (SELECT g, adev, COUNT(*) AS cnt FROM dev GROUP BY 1, 2),
+      |ca AS (SELECT g, adev, cnt, CAST(SUM(cnt) OVER (PARTITION BY g ORDER BY adev) AS BIGINT) AS cum
+      |       FROM pa),
+      |mad AS (SELECT c.g,
+      |          CAST(MAX(CASE WHEN cum >= (n+1)//2 AND cum - cnt < (n+1)//2 THEN adev END)
+      |             + MAX(CASE WHEN cum >= n//2+1 AND cum - cnt < n//2+1 THEN adev END) AS BIGINT) AS mad4
+      |        FROM ca c JOIN tv USING (g) GROUP BY c.g)
+      |SELECT d.g AS o_orderpriority, COUNT(*) AS n,
+      |  ROUND(CAST(ANY_VALUE(m.med2) AS DOUBLE) / 200.0, 6) AS med,
+      |  ROUND(CAST(ANY_VALUE(a.mad4) AS DOUBLE) / 400.0, 6) AS mad,
+      |  CAST(SUM(CASE WHEN 13490 * d.adev > 35000 * a.mad4 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      |FROM dev d JOIN mad a USING (g) JOIN med m USING (g)
+      |GROUP BY d.g ORDER BY d.g""".stripMargin
 
   /** Unicode NFC normalization under the hard oracle. The corpus is
     * ASCII, so the query MANUFACTURES decomposed text deterministically

@@ -240,14 +240,16 @@ class MlPrepSpec extends SparkSpec {
     val rows = Tables.orders(spark, sfDir)
       .select("o_orderkey", "o_orderstatus", "o_orderpriority")
       .as[(Long, String, String)].collect()
+    // BigInt accumulation mirrors the query's DECIMAL(38,0) sum (a Long
+    // sum of uniform 48-bit terms wraps past ~65K rows)
     val want = rows.map { case (k, st, pr) =>
       val h = md.digest(s"$k|$st|$pr".getBytes("UTF-8"))
         .map("%02x".format(_)).mkString
-      java.lang.Long.parseLong(h.take(12), 16)
+      BigInt(java.lang.Long.parseLong(h.take(12), 16))
     }.sum
     val r = SparkEntry.queries("etl_table_fingerprint")(spark, sfDir).collect().head
     assert(r.getAs[Long]("n") == rows.length.toLong)
-    assert(r.getAs[Long]("fingerprint") == want,
+    assert(BigInt(r.getAs[String]("fingerprint")) == want,
       "the md5-derived 48-bit row hashes must sum identically")
   }
 
