@@ -5207,9 +5207,394 @@ object SparkEntry {
       |       CAST(rev_c AS DOUBLE) / CAST(prev_c AS DOUBLE) - 1.0 AS growth
       |FROM l WHERE prev_c IS NOT NULL ORDER BY seg, month""".stripMargin
 
+  /** CDC log compaction — the change-capture primitive every lakehouse
+    * ingest needs: a log of I/U/D operations with per-key sequence
+    * numbers collapses to latest-op-wins final state, deletes drop the
+    * key entirely. The log is MANUFACTURED deterministically from
+    * orders (inserts = all keys; updates flip every 5th key to status
+    * 'U' at seq 2; deletes remove every 7th key at seq 3), compaction
+    * is one row_number window over (key, seq desc) — a single exchange
+    * on the key, the upsertParquet/q_merge_latest execution shape —
+    * and the digest aggregates the SURVIVING state per status, so
+    * op precedence, delete semantics, and the seq tie-break are all
+    * hash-verified. At 100 TB: shuffle carries (key, seq, op, status,
+    * cents) — never full rows of a wide table. */
+  private def etlCdcCompact(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).select(col("o_orderkey").as("k"),
+      col("o_orderstatus").as("st"),
+      (col("o_totalprice").cast("decimal(24,2)") * 100).cast("bigint").as("cents"))
+    val ins = o.select(col("k"), lit(1L).as("seq"), lit("I").as("op"),
+      col("st"), col("cents"))
+    val upd = o.filter(col("k") % 5 === 0).select(col("k"), lit(2L).as("seq"),
+      lit("U").as("op"), lit("U").as("st"), (col("cents") + 100L).as("cents"))
+    val del = o.filter(col("k") % 7 === 0).select(col("k"), lit(3L).as("seq"),
+      lit("D").as("op"), lit(null).cast("string").as("st"),
+      lit(null).cast("bigint").as("cents"))
+    val log = ins.unionByName(upd).unionByName(del)
+    val w = Window.partitionBy(col("k")).orderBy(col("seq").desc)
+    log.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("op") =!= "D")
+      .groupBy(col("st"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents_sum"),
+        sum(col("k")).as("key_sum"))
+      .orderBy(col("st"))
+  }
+
+  private val etlCdcCompactSql =
+    """WITH o AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+      |                  CAST(CAST(o_totalprice AS DECIMAL(24,2)) * 100 AS BIGINT) AS cents
+      |           FROM orders),
+      |log AS (
+      |  SELECT k, CAST(1 AS BIGINT) AS seq, 'I' AS op, st, cents FROM o
+      |  UNION ALL
+      |  SELECT k, 2, 'U', 'U', cents + 100 FROM o WHERE k % 5 = 0
+      |  UNION ALL
+      |  SELECT k, 3, 'D', NULL, NULL FROM o WHERE k % 7 = 0),
+      |latest AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+      |  FROM log)
+      |SELECT st, COUNT(*) AS n,
+      |       CAST(SUM(cents) AS BIGINT) AS cents_sum,
+      |       CAST(SUM(k) AS BIGINT) AS key_sum
+      |FROM latest WHERE rn = 1 AND op <> 'D'
+      |GROUP BY st ORDER BY st""".stripMargin
+
+  /** SCD2 dimension lookup — the fact-side counterpart of [[etlScd2]]:
+    * facts join the slowly-changing dimension AT THEIR OWN EVENT TIME
+    * (interval membership against [valid_from, valid_to)), not at the
+    * dimension's latest state. The versioned dimension is built
+    * deterministically (every 4th customer changes segment to
+    * 'MOVED-<old>' on 1995-07-01; others carry one open-ended
+    * version), and the join is an equi-join on custkey + a range
+    * filter on the date — at scale ONE shuffle on the key, never a
+    * range-only join, because the key carries the co-location and the
+    * interval predicate prunes per-row (the classic late-arriving-fact
+    * lookup). The digest groups revenue by the segment THE FACT SAW,
+    * so version selection is what's hash-verified. */
+  private def qScd2Lookup(s: SparkSession, dir: String): DataFrame = {
+    val cut = ts("1995-07-01")
+    val cust = Tables.customer(s, dir).select(col("c_custkey"), col("c_mktsegment"))
+    val v1 = cust.select(col("c_custkey"), col("c_mktsegment").as("seg"),
+      ts("1990-01-01").as("vfrom"),
+      when(col("c_custkey") % 4 === 0, cut).otherwise(ts("2999-01-01")).as("vto"))
+    val v2 = cust.filter(col("c_custkey") % 4 === 0)
+      .select(col("c_custkey"), concat(lit("MOVED-"), col("c_mktsegment")).as("seg"),
+        cut.as("vfrom"), ts("2999-01-01").as("vto"))
+    val dim = v1.unionByName(v2)
+    Tables.orders(s, dir)
+      .join(dim, col("o_custkey") === col("c_custkey")
+        && col("o_orderdate") >= col("vfrom") && col("o_orderdate") < col("vto"))
+      .groupBy(col("seg"))
+      .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("revenue"),
+        sum(col("o_orderkey")).as("key_sum"))
+      .orderBy(col("seg"))
+  }
+
+  private val qScd2LookupSql =
+    s"""WITH v1 AS (SELECT c_custkey, c_mktsegment AS seg,
+       |             TIMESTAMP '1990-01-01' AS vfrom,
+       |             CASE WHEN c_custkey % 4 = 0 THEN TIMESTAMP '1995-07-01'
+       |                  ELSE TIMESTAMP '2999-01-01' END AS vto
+       |            FROM customer),
+       |v2 AS (SELECT c_custkey, 'MOVED-' || c_mktsegment AS seg,
+       |              TIMESTAMP '1995-07-01' AS vfrom, TIMESTAMP '2999-01-01' AS vto
+       |       FROM customer WHERE c_custkey % 4 = 0),
+       |dim AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+       |SELECT seg, COUNT(*) AS n, ${moneySumSql("o_totalprice")} AS revenue,
+       |       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+       |FROM orders JOIN dim ON o_custkey = c_custkey
+       |  AND o_orderdate >= vfrom AND o_orderdate < vto
+       |GROUP BY seg ORDER BY seg""".stripMargin
+
+  /** Exact WEIGHTED median per group — the robust center of a weighted
+    * distribution (price weighted by shipped quantity): the value at
+    * weight-rank ⌈W/2⌉ / ⌊W/2⌋+1, computed by [[groupedMedian2]] with
+    * integer quantity weights as the counts — the same distinct-value
+    * + PrefixSum order-statistic scan, zero value-buffering state.
+    * Emitted in doubled units → exact at 6 dp. */
+  private def anWeightedMedian(s: SparkSession, dir: String): DataFrame = {
+    val perV = Tables.lineitem(s, dir)
+      .select(col("l_returnflag").as("g"),
+        (col("l_extendedprice").cast("decimal(24,2)") * 100).cast("bigint").as("v"),
+        col("l_quantity").cast("bigint").as("w"))
+      .groupBy(col("g"), col("v")).agg(sum(col("w")).as("cnt"))
+    groupedMedian2(perV, "g", "v")
+      .select(col("g").as("l_returnflag"), col("n").as("total_weight"),
+        round(col("med2").cast("double") / 200.0, 6).as("wmedian"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  private val anWeightedMedianSql =
+    """WITH b AS (SELECT l_returnflag AS g,
+      |                  CAST(CAST(l_extendedprice AS DECIMAL(24,2)) * 100 AS BIGINT) AS v,
+      |                  CAST(l_quantity AS BIGINT) AS w
+      |           FROM lineitem),
+      |pv AS (SELECT g, v, CAST(SUM(w) AS BIGINT) AS cnt FROM b GROUP BY 1, 2),
+      |cv AS (SELECT g, v, cnt, CAST(SUM(cnt) OVER (PARTITION BY g ORDER BY v) AS BIGINT) AS cum
+      |       FROM pv),
+      |tv AS (SELECT g, CAST(SUM(cnt) AS BIGINT) AS n FROM pv GROUP BY g)
+      |SELECT c.g AS l_returnflag, MAX(n) AS total_weight,
+      |  ROUND(CAST(MAX(CASE WHEN cum >= (n+1)//2 AND cum - cnt < (n+1)//2 THEN v END)
+      |           + MAX(CASE WHEN cum >= n//2+1 AND cum - cnt < n//2+1 THEN v END)
+      |        AS DOUBLE) / 200.0, 6) AS wmedian
+      |FROM cv c JOIN tv USING (g) GROUP BY c.g ORDER BY c.g""".stripMargin
+
+  /** Sweep-line concurrency — "how many sessions are open at once",
+    * the capacity-planning primitive window functions can't express
+    * directly at scale: each event holds a slot for one hour, the
+    * hold becomes a +1 delta at its start and a −1 at its end, and
+    * the running sum of deltas over the GLOBAL time order — the
+    * [[graft.operators.PrefixSum]] distributed scan, not a
+    * single-partition window — is the concurrency curve; per day,
+    * emit the max and the closing value. Tie order (t, delta, event
+    * id) closes holds BEFORE opening new ones at the same instant, so
+    * touching holds never double-count — and makes the scan's order
+    * key unique, its determinism contract. Pure integers end-to-end. */
+  private def anConcurrency(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(unix_micros(col("ts")).as("t"), col("event_id"))
+    val deltas = ev.select(col("t"), lit(1L).as("d"), col("event_id"))
+      .unionByName(ev.select((col("t") + 3600000000L).as("t"),
+        lit(-1L).as("d"), col("event_id")))
+    val scan = graft.operators.PrefixSum
+      .withRunningTotals(deltas, Seq("t", "d", "event_id"), Seq("d"))
+    scan.groupBy(date_trunc("day", timestamp_micros(col("t"))).as("day"))
+      .agg(max(col("d_cum")).as("max_conc"), min(col("d_cum")).as("min_conc"),
+        count(lit(1)).as("n_points"))
+      .orderBy(col("day"))
+  }
+
+  private val anConcurrencySql =
+    """WITH ev AS (SELECT epoch_us(ts) AS t, event_id FROM events),
+      |d AS (SELECT t, CAST(1 AS BIGINT) AS d, event_id FROM ev
+      |      UNION ALL
+      |      SELECT t + 3600000000, -1, event_id FROM ev),
+      |c AS (SELECT t, CAST(SUM(d) OVER (ORDER BY t, d, event_id) AS BIGINT) AS run
+      |      FROM d)
+      |SELECT date_trunc('day', make_timestamp(t)) AS day,
+      |       MAX(run) AS max_conc, MIN(run) AS min_conc, COUNT(*) AS n_points
+      |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Linear revenue attribution — each user's purchase value is split
+    * equally across their view/click touchpoints, INTEGER-EXACT: per
+    * touch floor(V/k) cents with the remainder V mod k credited to the
+    * user's earliest touch (deterministic tie-break on (ts, event id)),
+    * so total credited cents reconcile to total purchase cents
+    * EXACTLY — the audit property float attribution can't give. Users
+    * with purchases but no touchpoints land in a '(none)' bucket, so
+    * the reconciliation covers every cent. Per-user aggregates + one
+    * per-user window; shuffles on user_id only. */
+  private def anAttribution(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("user_id"), col("event_id"),
+      col("ts"), col("event_type"),
+      (col("value").cast("decimal(24,2)") * 100).cast("bigint").as("cents"))
+    val v = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id")).agg(sum(col("cents")).as("v"))
+    val touches = ev.filter(col("event_type").isin("view", "click"))
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+    val k = touches.groupBy(col("user_id")).agg(count(lit(1)).as("k"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val credited = touches.join(v, "user_id").join(k, "user_id")
+      .withColumn("rn", row_number().over(w))
+      .select(col("event_type"),
+        (expr("v div k") + when(col("rn") === 1, col("v") % col("k"))
+          .otherwise(0L)).as("credit"))
+    val untouched = v.join(k, Seq("user_id"), "left_anti")
+      .select(lit("(none)").as("event_type"), col("v").as("credit"))
+    credited.unionByName(untouched)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("credit")).as("credit_cents"))
+      .orderBy(col("event_type"))
+  }
+
+  private val anAttributionSql =
+    """WITH ev AS (SELECT user_id, event_id, ts, event_type,
+      |                   CAST(CAST(value AS DECIMAL(24,2)) * 100 AS BIGINT) AS cents
+      |            FROM events),
+      |v AS (SELECT user_id, CAST(SUM(cents) AS BIGINT) AS v FROM ev
+      |      WHERE event_type = 'purchase' GROUP BY user_id),
+      |t AS (SELECT user_id, event_id, ts, event_type FROM ev
+      |      WHERE event_type IN ('view', 'click')),
+      |k AS (SELECT user_id, COUNT(*) AS k FROM t GROUP BY user_id),
+      |c AS (SELECT t.event_type,
+      |        v // k + CASE WHEN ROW_NUMBER() OVER (PARTITION BY t.user_id
+      |                        ORDER BY t.ts, t.event_id) = 1
+      |                      THEN v % k ELSE 0 END AS credit
+      |      FROM t JOIN v USING (user_id) JOIN k USING (user_id)),
+      |u AS (SELECT '(none)' AS event_type, v AS credit
+      |      FROM v WHERE user_id NOT IN (SELECT user_id FROM k))
+      |SELECT event_type, COUNT(*) AS n, CAST(SUM(credit) AS BIGINT) AS credit_cents
+      |FROM (SELECT * FROM c UNION ALL SELECT * FROM u)
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Corpus-trained bigram language-model scoring — the perplexity-ish
+    * quality screen a training-data pipeline runs to find unnatural
+    * text (boilerplate, shuffled tokens score low): bigram and unigram
+    * counts over the whole corpus (two groupBys), then each document's
+    * mean log transition probability ln(c(a,b)/c(a)) via a shuffle
+    * join of its bigrams against the model. Bigrams are generated
+    * map-side (adjacent-pair transform over the token array, no
+    * self-join). Per-doc means emit at ROUND(·,6): ln is libm (±1 ulp
+    * cross-engine) and the per-doc sum is short, so 6 places absorb
+    * it — the an_entropy discipline. Top/bottom-scoring docs are
+    * what a curation pass would keep/drop. */
+  private def anBigramLogprob(s: SparkSession, dir: String): DataFrame = {
+    // drop empty tokens INSIDE the array (leading/trailing-space splits
+    // differ between engines) and guard 1-token docs (Spark's
+    // sequence(0,-1) is a descending range, not empty)
+    val toks = Tables.documents(s, dir).select(col("doc_id"),
+      expr("filter(split(lower(text), '\\\\s+'), x -> x != '')").as("w"))
+      .filter(size(col("w")) >= 2)
+    val bi = toks.select(col("doc_id"), explode(expr(
+      "transform(sequence(0, size(w) - 2), i -> struct(w[i] AS a, w[i + 1] AS b))"))
+      .as("p")).select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
+    val cab = bi.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_ab"))
+    val ca = bi.groupBy(col("a")).agg(count(lit(1)).as("c_a"))
+    bi.join(cab, Seq("a", "b")).join(ca, Seq("a"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(log(col("c_ab").cast("double") / col("c_a").cast("double")))
+          / count(lit(1)).cast("double"), 6).as("mean_logprob"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val anBigramLogprobSql =
+    """WITH toks AS (SELECT doc_id,
+      |                list_filter(string_split_regex(lower(text), '\s+'),
+      |                            x -> x <> '') AS w
+      |              FROM documents
+      |              WHERE len(list_filter(string_split_regex(lower(text), '\s+'),
+      |                                    x -> x <> '')) >= 2),
+      |bi AS (SELECT doc_id, w[i] AS a, w[i + 1] AS b
+      |       FROM toks, UNNEST(range(1, len(w))) AS r(i)),
+      |cab AS (SELECT a, b, COUNT(*) AS c_ab FROM bi GROUP BY 1, 2),
+      |ca AS (SELECT a, COUNT(*) AS c_a FROM bi GROUP BY 1)
+      |SELECT doc_id, COUNT(*) AS n_bigrams,
+      |       ROUND(SUM(ln(CAST(c_ab AS DOUBLE) / CAST(c_a AS DOUBLE)))
+      |             / CAST(COUNT(*) AS DOUBLE), 6) AS mean_logprob
+      |FROM bi JOIN cab USING (a, b) JOIN ca USING (a)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** PII scan/redaction audit — the privacy screen before a corpus
+    * ships: the ASCII test corpus carries no PII, so the query
+    * MANUFACTURES it deterministically (every 3rd doc gains an email,
+    * every 5th a phone number — the [[textNfc]] injection discipline),
+    * then counts matches and verifies the redacted length drop
+    * per doc. Patterns stay in the regex subset whose semantics are
+    * identical across Java regex and RE2-style engines (character
+    * classes, +, literal dot). Row-local, map-only — the 100 TB shape
+    * is a pure projection. */
+  private def textPiiAudit(s: SparkSession, dir: String): DataFrame = {
+    val injected = Tables.documents(s, dir).select(col("doc_id"),
+      concat(col("text"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" user"), col("doc_id").cast("string"), lit("@example.com")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" 555-01"), lpad((col("doc_id") % 100).cast("string"), 2, "0")))
+          .otherwise(lit(""))).as("t"))
+    // [.] instead of \. — identical across engines AND sidesteps the
+    // string-literal backslash-escape differences between Spark SQL
+    // and DuckDB entirely
+    val emailRe = "[a-z0-9]+@[a-z0-9]+[.][a-z]+"
+    val phoneRe = "[0-9]{3}-[0-9]{4,6}"
+    injected.select(col("doc_id"),
+        size(expr(s"regexp_extract_all(t, '$emailRe', 0)")).cast("long").as("n_email"),
+        size(expr(s"regexp_extract_all(t, '$phoneRe', 0)")).cast("long").as("n_phone"),
+        (length(col("t")) - length(
+          regexp_replace(regexp_replace(col("t"), emailRe, "<EMAIL>"),
+            phoneRe, "<PHONE>"))).as("len_drop"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val textPiiAuditSql =
+    """WITH inj AS (SELECT doc_id,
+      |    text || CASE WHEN doc_id % 3 = 0
+      |                 THEN ' user' || CAST(doc_id AS VARCHAR) || '@example.com'
+      |                 ELSE '' END
+      |         || CASE WHEN doc_id % 5 = 0
+      |                 THEN ' 555-01' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+      |                 ELSE '' END AS t
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(len(regexp_extract_all(t, '[a-z0-9]+@[a-z0-9]+[.][a-z]+')) AS BIGINT) AS n_email,
+      |  CAST(len(regexp_extract_all(t, '[0-9]{3}-[0-9]{4,6}')) AS BIGINT) AS n_phone,
+      |  CAST(strlen(t) - strlen(regexp_replace(regexp_replace(t,
+      |    '[a-z0-9]+@[a-z0-9]+[.][a-z]+', '<EMAIL>', 'g'),
+      |    '[0-9]{3}-[0-9]{4,6}', '<PHONE>', 'g')) AS BIGINT) AS len_drop
+      |FROM inj ORDER BY doc_id""".stripMargin
+
+  /** Merkle-style partition reconciliation — "which shards of these
+    * two 100 TB copies differ", answered by exchanging BUCKET
+    * fingerprints instead of rows: both copies (B carries
+    * deterministic corruption — every 101st key's price bumped one
+    * cent, every 997th key dropped) fold each row's md5-derived
+    * 48-bit hash into a per-bucket DECIMAL(38,0) sum + count
+    * ([[etlTableFingerprint]]'s primitive, bucketed by key mod 64),
+    * and a full outer join of the 64-row summaries flags the buckets
+    * needing repair. Only flagged buckets would be re-shipped — the
+    * anti-entropy protocol of replicated stores, as one declarative
+    * plan. */
+  private def etlMerkleDiff(s: SparkSession, dir: String): DataFrame = {
+    def nib(src: String, i: Int) = s"(instr('0123456789abcdef', substr($src, $i, 1)) - 1)"
+    def h48(src: String) = (2 to 12).map(nib(src, _))
+      .foldLeft(s"CAST(${nib(src, 1)} AS BIGINT)")((a, b) => s"($a * 16 + $b)")
+    val base = Tables.orders(s, dir).select(col("o_orderkey").as("k"),
+      (col("o_totalprice").cast("decimal(24,2)") * 100).cast("bigint").as("cents"))
+    val a = base
+    val b = base.filter(col("k") % 997 =!= 0)
+      .select(col("k"), when(col("k") % 101 === 0, col("cents") + 1L)
+        .otherwise(col("cents")).as("cents"))
+    def buckets(df: DataFrame, side: String) = df
+      .withColumn("h", md5(concat_ws("|", col("k"), col("cents"))))
+      .selectExpr("k % 64 AS bucket", s"CAST(${h48("h")} AS BIGINT) AS hv")
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as(s"n_$side"),
+        sum(col("hv").cast("decimal(38,0)")).cast("decimal(38,0)")
+          .cast("string").as(s"fp_$side"))
+    buckets(a, "a").join(buckets(b, "b"), Seq("bucket"), "full_outer")
+      .select(col("bucket"), col("n_a"), col("n_b"),
+        (col("n_a") <=> col("n_b") && col("fp_a") <=> col("fp_b")).as("in_sync"))
+      .orderBy(col("bucket"))
+  }
+
+  private val etlMerkleDiffSql = {
+    def nib(i: Int) = s"(instr('0123456789abcdef', substr(h, $i, 1)) - 1)"
+    val h48 = (2 to 12).map(nib)
+      .foldLeft(s"CAST(${nib(1)} AS BIGINT)")((a, b) => s"($a * 16 + $b)")
+    s"""WITH base AS (SELECT o_orderkey AS k,
+       |                CAST(CAST(o_totalprice AS DECIMAL(24,2)) * 100 AS BIGINT) AS cents
+       |              FROM orders),
+       |a AS (SELECT k, cents FROM base),
+       |b AS (SELECT k, CASE WHEN k % 101 = 0 THEN cents + 1 ELSE cents END AS cents
+       |      FROM base WHERE k % 997 <> 0),
+       |ha AS (SELECT k % 64 AS bucket,
+       |              md5(CAST(k AS VARCHAR) || '|' || CAST(cents AS VARCHAR)) AS h FROM a),
+       |hb AS (SELECT k % 64 AS bucket,
+       |              md5(CAST(k AS VARCHAR) || '|' || CAST(cents AS VARCHAR)) AS h FROM b),
+       |fa AS (SELECT bucket, COUNT(*) AS n_a,
+       |         CAST(CAST(SUM(CAST(CAST($h48 AS BIGINT) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS VARCHAR) AS fp_a
+       |       FROM ha GROUP BY bucket),
+       |fb AS (SELECT bucket, COUNT(*) AS n_b,
+       |         CAST(CAST(SUM(CAST(CAST($h48 AS BIGINT) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS VARCHAR) AS fp_b
+       |       FROM hb GROUP BY bucket)
+       |SELECT bucket, n_a, n_b,
+       |       (n_a IS NOT DISTINCT FROM n_b AND fp_a IS NOT DISTINCT FROM fp_b) AS in_sync
+       |FROM fa FULL OUTER JOIN fb USING (bucket)
+       |ORDER BY bucket""".stripMargin
+  }
+
   // ----------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_cdc_compact" -> (etlCdcCompact _),
+    "q_scd2_lookup" -> (qScd2Lookup _),
+    "an_weighted_median" -> (anWeightedMedian _),
+    "an_concurrency" -> (anConcurrency _),
+    "an_attribution" -> (anAttribution _),
+    "an_bigram_logprob" -> (anBigramLogprob _),
+    "text_pii_audit" -> (textPiiAudit _),
+    "etl_merkle_diff" -> (etlMerkleDiff _),
     "q1_agg" -> (q1Agg _),
     "q3_join_agg" -> (q3JoinAgg _),
     "q5_multi_join" -> (q5MultiJoin _),
@@ -5386,6 +5771,14 @@ object SparkEntry {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "etl_cdc_compact" -> etlCdcCompactSql,
+    "q_scd2_lookup" -> qScd2LookupSql,
+    "an_weighted_median" -> anWeightedMedianSql,
+    "an_concurrency" -> anConcurrencySql,
+    "an_attribution" -> anAttributionSql,
+    "an_bigram_logprob" -> anBigramLogprobSql,
+    "text_pii_audit" -> textPiiAuditSql,
+    "etl_merkle_diff" -> etlMerkleDiffSql,
     "q1_agg" -> q1AggSql,
     "q3_join_agg" -> q3JoinAggSql,
     "q5_multi_join" -> q5MultiJoinSql,

@@ -31,6 +31,101 @@ class MlPrepSpec extends SparkSpec {
     assert(got.map(_._2).sum == 2 * nCust, "every (row, feature) must land in a bucket")
   }
 
+  test("cdc compaction: deletes drop every 7th key, updates win over inserts") {
+    val keys = Tables.orders(spark, sfDir).select("o_orderkey").as[Long].collect().toSet
+    val got = SparkEntry.queries("etl_cdc_compact")(spark, sfDir)
+      .select("st", "n", "key_sum").as[(String, Long, Long)].collect()
+    val surviving = keys.filterNot(_ % 7 == 0)
+    assert(got.map(_._2).sum == surviving.size.toLong,
+      "compacted state must hold exactly the non-deleted keys")
+    assert(got.map(_._3).sum == surviving.sum,
+      "compacted key space must be exactly the non-deleted keys")
+    val uRow = got.find(_._1 == "U").get
+    assert(uRow._2 == surviving.count(_ % 5 == 0).toLong,
+      "every surviving %5 key must carry the update's status, not the insert's")
+  }
+
+  test("attribution credits reconcile to purchase cents exactly") {
+    val purchases = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .select((col("value").cast("decimal(24,2)") * 100).cast("bigint"))
+      .as[Long].collect().sum
+    val got = SparkEntry.queries("an_attribution")(spark, sfDir)
+      .select("credit_cents").as[Long].collect()
+    assert(got.sum == purchases,
+      "integer linear attribution must conserve every cent")
+  }
+
+  test("concurrency curve never goes negative and peaks above the floor") {
+    val got = SparkEntry.queries("an_concurrency")(spark, sfDir)
+      .select("max_conc", "min_conc").as[(Long, Long)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (mx, mn) =>
+      assert(mn >= 0, "open-hold count can never be negative")
+      assert(mx >= mn)
+    }
+  }
+
+  test("weighted median matches a driver-side weighted brute force") {
+    val rows = Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"),
+        (col("l_extendedprice").cast("decimal(24,2)") * 100).cast("bigint"),
+        col("l_quantity").cast("bigint"))
+      .as[(String, Long, Long)].collect()
+    val want = rows.groupBy(_._1).map { case (g, rs) =>
+      val expanded = rs.sortBy(_._2) // (flag, cents, weight) ascending by value
+      val total = rs.map(_._3).sum
+      def at(rank: Long): Long = {
+        var cum = 0L
+        expanded.find { r => cum += r._3; cum >= rank }.get._2
+      }
+      g -> (at((total + 1) / 2) + at(total / 2 + 1))
+    }
+    val got = SparkEntry.queries("an_weighted_median")(spark, sfDir)
+      .select("l_returnflag", "wmedian").as[(String, Double)].collect()
+    got.foreach { case (g, wm) =>
+      assert(wm == math.rint(want(g).toDouble / 200.0 * 1e6) / 1e6 ||
+        math.abs(wm - want(g).toDouble / 200.0) < 1e-9, s"flag $g")
+    }
+  }
+
+  test("merkle diff flags exactly the buckets containing corrupted keys") {
+    val keys = Tables.orders(spark, sfDir).select("o_orderkey").as[Long].collect()
+    val dirty = keys.filter(k => k % 101 == 0 || k % 997 == 0).map(_ % 64).toSet
+    val got = SparkEntry.queries("etl_merkle_diff")(spark, sfDir)
+      .select("bucket", "in_sync").as[(Long, Boolean)].collect()
+    assert(got.length == 64)
+    got.foreach { case (b, sync) =>
+      assert(sync == !dirty.contains(b), s"bucket $b")
+    }
+  }
+
+  test("pii audit finds every injected email/phone and nothing in clean docs") {
+    val got = SparkEntry.queries("text_pii_audit")(spark, sfDir)
+      .select("doc_id", "n_email", "n_phone", "len_drop")
+      .as[(Long, Long, Long, Long)].collect()
+    got.foreach { case (id, ne, np, drop) =>
+      assert(ne == (if (id % 3 == 0) 1L else 0L), s"doc $id email")
+      assert(np == (if (id % 5 == 0) 1L else 0L), s"doc $id phone")
+      if (id % 3 != 0 && id % 5 != 0) assert(drop == 0L, s"doc $id clean")
+      else assert(drop > 0L, s"doc $id must shrink under redaction")
+    }
+  }
+
+  test("bigram logprob is non-positive and covers every multi-token doc") {
+    val got = SparkEntry.queries("an_bigram_logprob")(spark, sfDir)
+      .select("mean_logprob").as[Double].collect()
+    assert(got.length == Tables.documents(spark, sfDir).count().toInt)
+    got.foreach(lp => assert(lp <= 0.0, "transition probabilities are <= 1"))
+  }
+
+  test("scd2 lookup routes every order to exactly one dimension version") {
+    val n = Tables.orders(spark, sfDir).count()
+    val got = SparkEntry.queries("q_scd2_lookup")(spark, sfDir)
+      .select("n").as[Long].collect()
+    assert(got.sum == n, "interval membership must partition the fact table")
+  }
+
   test("weekday seasonality deviations sum to zero exactly") {
     val got = SparkEntry.queries("an_seasonal_dow")(spark, sfDir)
       .select("dow", "dev_num").as[(Long, Long)].collect()
