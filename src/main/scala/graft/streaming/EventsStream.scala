@@ -518,4 +518,36 @@ object EventsStream {
         onBatch(DriftOut(id, n, types.size.toLong, chi2))
       }
       .start()
+
+  final case class CdcOp(k: Long, seq: Long, op: String,
+                         st: Option[String], cents: Option[Long])
+  final case class CdcRow(k: Long, live: Boolean, seq: Long,
+                          st: Option[String], cents: Option[Long])
+
+  /** Streaming CDC materialization — the incremental twin of the batch
+    * etl_cdc_compact query: per-key state holds the single highest-
+    * sequence op seen so far (O(keys), never O(ops)), each micro-batch
+    * emits the key's NEW materialized row only when its seq advances
+    * (live=false is a delete tombstone), and a replayed or out-of-order
+    * op loses to the state's seq — so ANY interleaving of the change
+    * log across micro-batches converges to the batch compaction
+    * (property-tested against etl_cdc_compact in StreamingSpec). */
+  def cdcStream(ops: Dataset[CdcOp])
+               (implicit spark: SparkSession): Dataset[CdcRow] = {
+    import spark.implicits._
+    // the emitted row doubles as the state record — one encoder, O(1)/key
+    def update(k: Long, it: Iterator[CdcOp],
+               state: GroupState[CdcRow]): Iterator[CdcRow] = {
+      val batchBest = it.reduceOption((a, b) => if (a.seq >= b.seq) a else b)
+      batchBest match {
+        case Some(bb) if state.getOption.forall(_.seq < bb.seq) =>
+          val row = CdcRow(k, bb.op != "D", bb.seq, bb.st, bb.cents)
+          state.update(row)
+          Iterator(row)
+        case _ => Iterator.empty
+      }
+    }
+    ops.groupByKey(_.k)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(update)
+  }
 }

@@ -141,4 +141,45 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("hashpartitioning(shard"),
       s"packing window should partition by shard, not run a global sort:\n$p")
   }
+
+  test("q_scd2_lookup extracts the equi-key; the interval is a join filter, not a NLJ") {
+    val p = plan("q_scd2_lookup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"interval membership must ride the custkey equi-join:\n$p")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
+  }
+
+  test("etl_cdc_compact compacts via group-limit, one exchange on the key") {
+    val p = plan("etl_cdc_compact")
+    // Spark rewrites row_number()=1 into WindowGroupLimit with a map-side
+    // partial pass — the top-1-per-key shape that never materializes the
+    // full per-key sort output downstream
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.count(_ == 'W') > 0 && p.contains("hashpartitioning(k#"), p)
+  }
+
+  test("q_pagerank never broadcasts the node-sized rank side") {
+    // the adjacency may broadcast while small under AQE, but the rank
+    // vector must arrive by shuffle: no BroadcastExchange subtree may
+    // contain the gather aggregate (the producer of rank_f)
+    val df = SparkEntry.queries("q_pagerank")(spark, sfDir)
+    val phys = df.queryExecution.executedPlan
+    val bad = phys.collect {
+      case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+        if b.child.collect {
+          case h: org.apache.spark.sql.execution.aggregate.HashAggregateExec
+            if h.output.exists(_.name.startsWith("rank")) => h
+        }.nonEmpty => b
+    }
+    assert(bad.isEmpty, s"rank vector must shuffle, not broadcast:\n${bad.headOption}")
+  }
+
+  test("an_weighted_median and an_quantiles_by_group run on the distributed scan") {
+    Seq("an_weighted_median", "an_quantiles_by_group").foreach { q =>
+      val p = plan(q)
+      // no exact-percentile value-buffering aggregate anywhere
+      assert(!p.contains("percentile"), s"$q must not buffer values per group:\n$p")
+    }
+    graft.operators.PrefixSum.releaseCaches()
+  }
 }

@@ -456,4 +456,40 @@ class StreamingSpec extends SparkSpec {
     assert(byBatch(0).chi2 < 1.0, s"conforming batch must score ~0: ${byBatch(0)}")
     assert(byBatch(1).chi2 > 100.0, s"novel-type batch must blow up: ${byBatch(1)}")
   }
+
+  test("cdcStream converges to the batch compaction under shuffled micro-batches") {
+    import EventsStream.{CdcOp, CdcRow}
+    implicit val sqlCtx = spark.sqlContext
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    // the SAME manufactured change log as etl_cdc_compact, scrambled
+    // across micro-batches by a deterministic hash — arrival order and
+    // batch slicing must not matter
+    val base = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
+        (col("o_totalprice").cast("decimal(24,2)") * 100).cast("bigint").as("cents"))
+      .as[(Long, String, Long)].collect()
+    val log = (base.map { case (k, st, c) => CdcOp(k, 1, "I", Some(st), Some(c)) }
+      ++ base.filter(_._1 % 5 == 0).map { case (k, _, c) =>
+        CdcOp(k, 2, "U", Some("U"), Some(c + 100)) }
+      ++ base.filter(_._1 % 7 == 0).map { case (k, _, _) =>
+        CdcOp(k, 3, "D", None, None) })
+      .sortBy(op => (op.k * 2654435761L + op.seq * 40503L) % 104729)
+    val in = MemoryStream[CdcOp]
+    val q = EventsStream.cdcStream(in.toDS()).writeStream
+      .outputMode("update").format("memory").queryName("cdc").start()
+    log.grouped(math.max(1, log.length / 3 + 1)).foreach { slice =>
+      in.addData(slice); q.processAllAvailable()
+    }
+    q.stop()
+    val finalState = spark.table("cdc").as[CdcRow].collect()
+      .groupBy(_.k).map { case (_, rs) => rs.maxBy(_.seq) }
+      .filter(_.live).toSeq
+    val got = finalState.groupBy(_.st.get).map { case (st, rs) =>
+      (st, rs.size.toLong, rs.map(_.cents.get).sum, rs.map(_.k).sum)
+    }.toSet
+    val want = SparkEntry.queries("etl_cdc_compact")(spark, sfDir)
+      .select("st", "n", "cents_sum", "key_sum")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(got == want, "streamed materialization must equal batch compaction")
+  }
 }
