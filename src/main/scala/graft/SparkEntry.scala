@@ -894,7 +894,7 @@ object SparkEntry {
         round(sqrt((col("syy") - col("sy") * col("sy") / col("n")) / (col("n") - 1)), 6).as("stddev_price"),
         round((col("sxy") - col("sx") * col("sy") / col("n")) /
           (sqrt(col("sxx") - col("sx") * col("sx") / col("n")) *
-            sqrt(col("syy") - col("sy") * col("sy") / col("n"))), 9).as("corr_qty_price"))
+            sqrt(col("syy") - col("sy") * col("sy") / col("n"))), 6).as("corr_qty_price"))
       .orderBy(col("l_returnflag"))
   }
 
@@ -910,7 +910,7 @@ object SparkEntry {
       |SELECT l_returnflag, n,
       |  ROUND((sxx - sx * sx / n) / (n - 1), 6) AS var_qty,
       |  ROUND(sqrt((syy - sy * sy / n) / (n - 1)), 6) AS stddev_price,
-      |  ROUND((sxy - sx * sy / n) / (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n)), 9) AS corr_qty_price
+      |  ROUND((sxy - sx * sy / n) / (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n)), 6) AS corr_qty_price
       |FROM m ORDER BY l_returnflag""".stripMargin
 
   /** Exact interpolated quantiles per group (`quantile_cont`
