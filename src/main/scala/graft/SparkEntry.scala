@@ -5584,9 +5584,111 @@ object SparkEntry {
        |ORDER BY bucket""".stripMargin
   }
 
+  /** One-hot categorical encoding ([[graft.etl.Features.oneHot]] —
+    * pd.get_dummies shape, fixed category list so the schema is
+    * data-independent). Map-only projection; indicators land as INT so
+    * a downstream feature matrix can sum them without casts. */
+  private def etlOnehot(s: SparkSession, dir: String): DataFrame = {
+    val cols = Features.oneHot(col("o_orderpriority"),
+      Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"), "prio") ++
+      Features.oneHot(col("o_orderstatus"), Seq("F", "O", "P"), "status")
+    Tables.orders(s, dir)
+      .select(col("o_orderkey") +: cols.map { case (n, c) => c.as(n) }: _*)
+      .orderBy(col("o_orderkey"))
+  }
+
+  private val etlOnehotSql =
+    """SELECT o_orderkey,
+      |  CAST(o_orderpriority = '1-URGENT' AS INT) AS prio_1_urgent,
+      |  CAST(o_orderpriority = '2-HIGH' AS INT) AS prio_2_high,
+      |  CAST(o_orderpriority = '3-MEDIUM' AS INT) AS prio_3_medium,
+      |  CAST(o_orderpriority = '4-NOT SPECIFIED' AS INT) AS prio_4_not_specified,
+      |  CAST(o_orderpriority = '5-LOW' AS INT) AS prio_5_low,
+      |  CAST(o_orderstatus = 'F' AS INT) AS status_f,
+      |  CAST(o_orderstatus = 'O' AS INT) AS status_o,
+      |  CAST(o_orderstatus = 'P' AS INT) AS status_p
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  /** Per-segment feature scaling — z-score and min-max of account
+    * balance, the standard ML-prep normalizations. ONE tiny per-segment
+    * aggregate (decimal sums, exact) broadcast back onto the rows; the
+    * scaling itself is a map-only projection. The z-score rounds at 6
+    * (the decimal→double sum conversions carry a 1-ulp wobble past the
+    * 2^53 window — the an_stats_moments discipline); min-max divides
+    * bit-identical doubles and ships unrounded. */
+  private def etlScale(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    def dsum(x: Column) = sum(x.cast("decimal(38,8)")).cast("double")
+    val stats = c.groupBy(col("c_mktsegment")).agg(
+      count(lit(1)).as("n"),
+      dsum(col("c_acctbal")).as("sx"),
+      dsum(col("c_acctbal") * col("c_acctbal")).as("sxx"),
+      min(col("c_acctbal")).as("mn"), max(col("c_acctbal")).as("mx"))
+    c.join(broadcast(stats), Seq("c_mktsegment"))
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+        round((col("c_acctbal") - col("sx") / col("n")) /
+          sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1)), 6)
+          .as("z"),
+        ((col("c_acctbal") - col("mn")) / (col("mx") - col("mn"))).as("minmax"))
+      .orderBy(col("c_custkey"))
+  }
+
+  private val etlScaleSql =
+    """WITH st AS (SELECT c_mktsegment, COUNT(*) AS n,
+      |    CAST(SUM(CAST(c_acctbal AS DECIMAL(38,8))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(c_acctbal * c_acctbal AS DECIMAL(38,8))) AS DOUBLE) AS sxx,
+      |    MIN(c_acctbal) AS mn, MAX(c_acctbal) AS mx
+      |  FROM customer GROUP BY 1)
+      |SELECT c_custkey, c_mktsegment, c_acctbal,
+      |  ROUND((c_acctbal - sx / n) / sqrt((sxx - sx * sx / n) / (n - 1)), 6) AS z,
+      |  (c_acctbal - mn) / (mx - mn) AS minmax
+      |FROM customer JOIN st USING (c_mktsegment) ORDER BY c_custkey""".stripMargin
+
+  /** Behavioral churn by market segment — the telecom-reference question
+    * asked of activity data instead of a label column: a customer is
+    * churned when their last order is >90 days before the corpus' max
+    * order date, never-active when they have no orders at all. One
+    * per-customer aggregate + one custkey-partitioned join; the anchor
+    * date is a 1-row broadcast. The rate divides exact integer counts
+    * (IEEE division, bit-identical) so it ships unrounded. */
+  private def anChurnRate(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val anchor = o.agg(max(col("o_orderdate")).as("mx"))
+    val last = o.groupBy(col("o_custkey")).agg(max(col("o_orderdate")).as("last_order"))
+    val cutoff = col("mx") - expr("INTERVAL 90 DAYS")
+    val churnedCond = col("last_order").isNull || col("last_order") < cutoff
+    Tables.customer(s, dir)
+      .join(last, col("c_custkey") === col("o_custkey"), "left")
+      .crossJoin(broadcast(anchor))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(when(col("last_order") >= cutoff, 1L).otherwise(0L)).as("n_active"),
+        sum(when(col("last_order").isNotNull && col("last_order") < cutoff, 1L)
+          .otherwise(0L)).as("n_churned"),
+        sum(when(col("last_order").isNull, 1L).otherwise(0L)).as("n_never"),
+        (sum(when(churnedCond, 1L).otherwise(0L)).cast("double") /
+          count(lit(1)).cast("double")).as("churn_rate"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  private val anChurnRateSql =
+    """WITH a AS (SELECT MAX(o_orderdate) AS mx FROM orders),
+      |l AS (SELECT o_custkey, MAX(o_orderdate) AS last_order FROM orders GROUP BY 1)
+      |SELECT c_mktsegment, COUNT(*) AS n_customers,
+      |  CAST(SUM(CASE WHEN last_order >= mx - INTERVAL 90 DAY THEN 1 ELSE 0 END) AS BIGINT) AS n_active,
+      |  CAST(SUM(CASE WHEN last_order IS NOT NULL AND last_order < mx - INTERVAL 90 DAY THEN 1 ELSE 0 END) AS BIGINT) AS n_churned,
+      |  CAST(SUM(CASE WHEN last_order IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_never,
+      |  CAST(SUM(CASE WHEN last_order IS NULL OR last_order < mx - INTERVAL 90 DAY THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE) AS churn_rate
+      |FROM customer LEFT JOIN l ON c_custkey = o_custkey CROSS JOIN a
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ----------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_onehot" -> (etlOnehot _),
+    "etl_scale" -> (etlScale _),
+    "an_churn_rate" -> (anChurnRate _),
     "etl_cdc_compact" -> (etlCdcCompact _),
     "q_scd2_lookup" -> (qScd2Lookup _),
     "an_weighted_median" -> (anWeightedMedian _),
@@ -5771,6 +5873,9 @@ object SparkEntry {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "etl_onehot" -> etlOnehotSql,
+    "etl_scale" -> etlScaleSql,
+    "an_churn_rate" -> anChurnRateSql,
     "etl_cdc_compact" -> etlCdcCompactSql,
     "q_scd2_lookup" -> qScd2LookupSql,
     "an_weighted_median" -> anWeightedMedianSql,

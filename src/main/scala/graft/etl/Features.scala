@@ -70,6 +70,16 @@ object Features {
     "is_month_start" -> (dayofmonth(c) === 1).cast("int"),
     "days_in_month" -> dayofmonth(last_day(c)))
 
+  /** One-hot indicator expansion for a categorical column — pandas
+    * `pd.get_dummies` shape with the category list FIXED up front:
+    * a data-independent schema, where deriving columns from observed
+    * distinct values would mean a driver round-trip and a schema that
+    * shifts with the data at scale. Unlisted values produce all-zero
+    * rows (get_dummies' behavior for unseen categories at transform
+    * time). Pure projection — map-only at any scale. */
+  def oneHot(c: Column, values: Seq[String], prefix: String): Seq[(String, Column)] =
+    values.map(v => s"${prefix}_${snakeCase(v)}" -> (c === lit(v)).cast("int"))
+
   /** snake_case column normalization (reference: scripts/load.py:118-123):
     * camelCase boundary → underscore, non-alphanumerics → underscore,
     * lowercase, trim underscores. */

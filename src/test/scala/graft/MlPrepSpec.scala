@@ -499,4 +499,42 @@ class MlPrepSpec extends SparkSpec {
     assert(g > 0.0 && g < 1.0, s"spend concentration out of range: $g")
     graft.operators.PrefixSum.releaseCaches()
   }
+
+  test("one-hot rows carry exactly one priority and one status indicator") {
+    val got = SparkEntry.queries("etl_onehot")(spark, sfDir)
+    val prio = got.columns.filter(_.startsWith("prio_"))
+    val status = got.columns.filter(_.startsWith("status_"))
+    assert(prio.length == 5 && status.length == 3)
+    val sums = got.select(
+      prio.map(col).reduce(_ + _).as("p"),
+      status.map(col).reduce(_ + _).as("st"))
+      .groupBy("p", "st").count().as[(Int, Int, Long)].collect()
+    assert(sums.length == 1 && sums.head._1 == 1 && sums.head._2 == 1,
+      "every category value must hit exactly one indicator")
+  }
+
+  test("scaling: per-segment z-scores center on 0, min-max spans [0,1]") {
+    val got = SparkEntry.queries("etl_scale")(spark, sfDir)
+    val bySeg = got.groupBy("c_mktsegment")
+      .agg(avg("z"), min("minmax"), max("minmax"), count(lit(1)))
+      .as[(String, Double, Double, Double, Long)].collect()
+    assert(bySeg.nonEmpty)
+    bySeg.foreach { case (seg, zbar, mn, mx, n) =>
+      assert(math.abs(zbar) < 1e-6, s"$seg: z-mean $zbar (n=$n)")
+      assert(mn == 0.0 && mx == 1.0, s"$seg: minmax range [$mn, $mx]")
+    }
+  }
+
+  test("churn partitions every customer into active/churned/never") {
+    val got = SparkEntry.queries("an_churn_rate")(spark, sfDir)
+      .select("n_customers", "n_active", "n_churned", "n_never", "churn_rate")
+      .as[(Long, Long, Long, Long, Double)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (n, a, c, nv, rate) =>
+      assert(a + c + nv == n, "the three states must partition the segment")
+      assert(rate == (c + nv).toDouble / n)
+    }
+    val total = Tables.customer(spark, sfDir).count()
+    assert(got.map(_._1).sum == total, "every customer lands in a segment row")
+  }
 }
