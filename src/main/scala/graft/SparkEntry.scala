@@ -5683,12 +5683,131 @@ object SparkEntry {
       |FROM customer LEFT JOIN l ON c_custkey = o_custkey CROSS JOIN a
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Pairwise Pearson correlation matrix over the four lineitem
+    * measures — ONE aggregate pass computes every moment (4 sums, 4
+    * square-sums, 6 cross-sums, all decimal-exact), then the 6 pair
+    * rows are map-only projections of that single 1-row result. The
+    * naive alternative (one corr() call per pair) scans the table 6
+    * times. Emits at ROUND(·,6): the decimal→double conversions carry
+    * a 1-ulp wobble past the 2^53 window (an_stats_moments). */
+  private def anCorrMatrix(s: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("l_quantity" -> "qty", "l_extendedprice" -> "price",
+      "l_discount" -> "disc", "l_tax" -> "tax")
+    val pairs = cols.combinations(2).map { case Seq(a, b) => (a, b) }.toSeq
+    def dsum(x: Column) = sum(x.cast("decimal(38,8)")).cast("double")
+    val aggs = Seq(count(lit(1)).as("n")) ++
+      cols.map { case (c, a) => dsum(col(c)).as(s"s_$a") } ++
+      cols.map { case (c, a) => dsum(col(c) * col(c)).as(s"ss_$a") } ++
+      pairs.map { case ((ca, aa), (cb, ab)) =>
+        dsum(col(ca) * col(cb)).as(s"sp_${aa}_$ab") }
+    val m = Tables.lineitem(s, dir).agg(aggs.head, aggs.tail: _*)
+    pairs.map { case ((_, aa), (_, ab)) =>
+      m.select(lit(aa).as("col_a"), lit(ab).as("col_b"),
+        round((col(s"sp_${aa}_$ab") - col(s"s_$aa") * col(s"s_$ab") / col("n")) /
+          (sqrt(col(s"ss_$aa") - col(s"s_$aa") * col(s"s_$aa") / col("n")) *
+            sqrt(col(s"ss_$ab") - col(s"s_$ab") * col(s"s_$ab") / col("n"))), 6)
+          .as("corr"))
+    }.reduce(_ unionByName _).orderBy(col("col_a"), col("col_b"))
+  }
+
+  private val anCorrMatrixSql = {
+    val cols = Seq("l_quantity" -> "qty", "l_extendedprice" -> "price",
+      "l_discount" -> "disc", "l_tax" -> "tax")
+    val pairs = cols.combinations(2).map { case Seq(a, b) => (a, b) }.toSeq
+    val sums = cols.map { case (c, a) =>
+      s"CAST(SUM(CAST($c AS DECIMAL(38,8))) AS DOUBLE) AS s_$a, " +
+        s"CAST(SUM(CAST($c * $c AS DECIMAL(38,8))) AS DOUBLE) AS ss_$a" }
+    val cross = pairs.map { case ((ca, aa), (cb, ab)) =>
+      s"CAST(SUM(CAST($ca * $cb AS DECIMAL(38,8))) AS DOUBLE) AS sp_${aa}_$ab" }
+    val rows = pairs.map { case ((_, aa), (_, ab)) =>
+      s"""SELECT '$aa' AS col_a, '$ab' AS col_b,
+         |  ROUND((sp_${aa}_$ab - s_$aa * s_$ab / n) /
+         |    (sqrt(ss_$aa - s_$aa * s_$aa / n) * sqrt(ss_$ab - s_$ab * s_$ab / n)), 6) AS corr
+         |FROM m""".stripMargin }
+    s"""WITH m AS (SELECT COUNT(*) AS n,
+       |  ${(sums ++ cross).mkString(",\n  ")}
+       |  FROM lineitem)
+       |${rows.mkString("\nUNION ALL\n")}
+       |ORDER BY col_a, col_b""".stripMargin
+  }
+
+  /** Shard-manifest packing for a training corpus — documents are
+    * assigned to byte-capped shards (the WebDataset/tar-shard layout)
+    * by NEXT-FIT over the canonical (source, doc_id) order: a doc's
+    * shard is its start offset in the concatenated stream divided by
+    * the cap. The global running offset is ONE
+    * [[graft.operators.PrefixSum]] scan (no single-partition window);
+    * everything after is an ordinary shard_id aggregate. The manifest
+    * (doc ranges + byte totals per shard) is what a downstream loader
+    * seeks into. */
+  private def mmShardPack(s: SparkSession, dir: String): DataFrame = {
+    val cap = 32768L
+    val d = Tables.documents(s, dir).select(col("source"), col("doc_id"),
+      octet_length(col("text")).cast("bigint").as("bytes"))
+    val scan = graft.operators.PrefixSum.withRunningTotals(
+      d, Seq("source", "doc_id"), Seq("bytes"))
+    scan.select(col("source"), col("doc_id"), col("bytes"),
+        expr(s"(bytes_cum - bytes) div $cap").as("shard_id"))
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("bytes")).as("shard_bytes"),
+        countDistinct(col("source")).as("n_sources"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .orderBy(col("shard_id"))
+  }
+
+  private val mmShardPackSql =
+    """WITH d AS (SELECT source, doc_id,
+      |             CAST(strlen(text) AS BIGINT) AS bytes FROM documents),
+      |c AS (SELECT source, doc_id, bytes,
+      |        CAST(SUM(bytes) OVER (ORDER BY source, doc_id) AS BIGINT) AS cum
+      |      FROM d)
+      |SELECT (cum - bytes) // 32768 AS shard_id, COUNT(*) AS n_docs,
+      |  CAST(SUM(bytes) AS BIGINT) AS shard_bytes,
+      |  COUNT(DISTINCT source) AS n_sources,
+      |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+      |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Early-arriving facts (Kimball's late-arriving dimension): orders
+    * referencing customers missing from the dimension snapshot (a
+    * deterministic ~87% md5 subset stands in for the lagging dim feed)
+    * are counted and their distinct missing members surfaced — the
+    * rows a warehouse would land as "inferred members" to be enriched
+    * when the dimension catches up. One custkey join (broadcast-able
+    * dim at this shape, shuffle-partitioned when the dim is wide). */
+  private def etlEarlyFact(s: SparkSession, dir: String): DataFrame = {
+    val dim = Tables.customer(s, dir)
+      .filter(substring(md5(col("c_custkey").cast("string")), 1, 1) < "e")
+      .select(col("c_custkey"))
+    Tables.orders(s, dir)
+      .join(dim, col("o_custkey") === col("c_custkey"), "left")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_facts"),
+        sum(when(col("c_custkey").isNotNull, 1L).otherwise(0L)).as("n_matched"),
+        sum(when(col("c_custkey").isNull, 1L).otherwise(0L)).as("n_inferred"),
+        countDistinct(when(col("c_custkey").isNull, col("o_custkey")))
+          .as("n_inferred_members"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  private val etlEarlyFactSql =
+    """WITH dim AS (SELECT c_custkey FROM customer
+      |             WHERE substr(md5(CAST(c_custkey AS VARCHAR)), 1, 1) < 'e')
+      |SELECT o_orderstatus, COUNT(*) AS n_facts,
+      |  CAST(SUM(CASE WHEN c_custkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+      |  CAST(SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_inferred,
+      |  COUNT(DISTINCT CASE WHEN c_custkey IS NULL THEN o_custkey END) AS n_inferred_members
+      |FROM orders LEFT JOIN dim ON o_custkey = c_custkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ----------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "etl_onehot" -> (etlOnehot _),
     "etl_scale" -> (etlScale _),
     "an_churn_rate" -> (anChurnRate _),
+    "an_corr_matrix" -> (anCorrMatrix _),
+    "mm_shard_pack" -> (mmShardPack _),
+    "etl_early_fact" -> (etlEarlyFact _),
     "etl_cdc_compact" -> (etlCdcCompact _),
     "q_scd2_lookup" -> (qScd2Lookup _),
     "an_weighted_median" -> (anWeightedMedian _),
@@ -5876,6 +5995,9 @@ object SparkEntry {
     "etl_onehot" -> etlOnehotSql,
     "etl_scale" -> etlScaleSql,
     "an_churn_rate" -> anChurnRateSql,
+    "an_corr_matrix" -> anCorrMatrixSql,
+    "mm_shard_pack" -> mmShardPackSql,
+    "etl_early_fact" -> etlEarlyFactSql,
     "etl_cdc_compact" -> etlCdcCompactSql,
     "q_scd2_lookup" -> qScd2LookupSql,
     "an_weighted_median" -> anWeightedMedianSql,

@@ -525,6 +525,51 @@ class MlPrepSpec extends SparkSpec {
     }
   }
 
+  test("corr matrix agrees with Spark's built-in corr on every pair") {
+    val got = SparkEntry.queries("an_corr_matrix")(spark, sfDir)
+      .select("col_a", "col_b", "corr").as[(String, String, Double)].collect()
+    assert(got.length == 6, "4 measures must yield 6 unordered pairs")
+    val li = Tables.lineitem(spark, sfDir)
+    val name = Map("qty" -> "l_quantity", "price" -> "l_extendedprice",
+      "disc" -> "l_discount", "tax" -> "l_tax")
+    got.foreach { case (a, b, c) =>
+      assert(c >= -1.0 && c <= 1.0, s"($a,$b) out of range: $c")
+      val want = li.agg(corr(col(name(a)), col(name(b)))).head().getDouble(0)
+      assert(math.abs(c - want) < 1e-5, s"($a,$b): $c vs built-in $want")
+    }
+  }
+
+  test("shard packing conserves bytes and respects the next-fit cap") {
+    val cap = 32768L
+    val docs = Tables.documents(spark, sfDir)
+      .select(octet_length(col("text")).cast("long")).as[Long].collect()
+    val got = SparkEntry.queries("mm_shard_pack")(spark, sfDir)
+      .select("shard_id", "n_docs", "shard_bytes").as[(Long, Long, Long)].collect()
+    assert(got.map(_._3).sum == docs.sum, "every byte lands in exactly one shard")
+    assert(got.map(_._2).sum == docs.length.toLong, "every doc lands in exactly one shard")
+    val ids = got.map(_._1).sorted
+    assert(ids.head == 0 && ids.last == ids.length - 1, "shard ids must be contiguous")
+    // next-fit: a shard holds docs whose START offsets fall inside its
+    // cap window, so its size is < cap + the largest straddling doc
+    got.foreach { case (id, _, bytes) =>
+      assert(bytes < cap + docs.max, s"shard $id overflows: $bytes")
+    }
+    graft.operators.PrefixSum.releaseCaches()
+  }
+
+  test("early facts split exactly into matched + inferred") {
+    val got = SparkEntry.queries("etl_early_fact")(spark, sfDir)
+      .select("n_facts", "n_matched", "n_inferred", "n_inferred_members")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (f, m, i, im) =>
+      assert(m + i == f, "matched and inferred must partition the facts")
+      assert(im <= i, "distinct missing members cannot exceed inferred fact rows")
+      assert(i > 0, "the md5 dim subset must leave some facts unmatched")
+    }
+    assert(got.map(_._1).sum == Tables.orders(spark, sfDir).count())
+  }
+
   test("churn partitions every customer into active/churned/never") {
     val got = SparkEntry.queries("an_churn_rate")(spark, sfDir)
       .select("n_customers", "n_active", "n_churned", "n_never", "churn_rate")
