@@ -5799,6 +5799,94 @@ object SparkEntry {
       |FROM orders LEFT JOIN dim ON o_custkey = c_custkey
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Triangle census of the supplier co-purchase graph (suppliers are
+    * adjacent when they ship the same part). The bipartite→unipartite
+    * projection is HUB-CAPPED: parts with >20 distinct suppliers are
+    * dropped before pairing, bounding the per-part fan-out at C(20,2)
+    * — the standard guard that keeps a co-occurrence projection from
+    * going quadratic on hot keys at scale. Triangles close u<v<w paths
+    * with two edge-keyed shuffle joins (no broadcast of anything
+    * data-sized); wedges come from the degree table. The clustering
+    * coefficient divides exact integers — bit-identical, unrounded. */
+  private def qTriangles(s: SparkSession, dir: String): DataFrame = {
+    val sp = Tables.lineitem(s, dir)
+      .select(col("l_suppkey").as("sk"), col("l_partkey").as("pk")).distinct()
+    val ok = sp.join(
+      sp.groupBy(col("pk")).agg(count(lit(1)).as("nsup"))
+        .filter(col("nsup") <= 20), Seq("pk"))
+    val e = ok.as("a").join(ok.as("b"), Seq("pk"))
+      .filter(col("a.sk") < col("b.sk"))
+      .select(col("a.sk").as("u"), col("b.sk").as("v")).distinct()
+    val degs = e.select(col("u").as("x")).unionAll(e.select(col("v").as("x")))
+      .groupBy(col("x")).agg(count(lit(1)).as("d"))
+    val tri = e.as("e1").join(e.as("e2"), col("e1.v") === col("e2.u"))
+      .join(e.as("e3"),
+        col("e1.u") === col("e3.u") && col("e2.v") === col("e3.v"))
+      .agg(count(lit(1)).as("n_triangles"))
+    degs.agg(count(lit(1)).as("n_nodes"),
+        sum(expr("d * (d - 1) div 2")).as("n_wedges"))
+      .crossJoin(e.agg(count(lit(1)).as("n_edges")))
+      .crossJoin(tri)
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"),
+        (lit(3.0) * col("n_triangles").cast("double") /
+          col("n_wedges").cast("double")).as("global_cc"))
+  }
+
+  private val qTrianglesSql =
+    """WITH sp AS (SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk FROM lineitem),
+      |pd AS (SELECT pk, COUNT(*) AS nsup FROM sp GROUP BY 1),
+      |ok AS (SELECT sp.sk, sp.pk FROM sp JOIN pd USING (pk) WHERE nsup <= 20),
+      |e AS (SELECT DISTINCT a.sk AS u, b.sk AS v
+      |      FROM ok a JOIN ok b ON a.pk = b.pk AND a.sk < b.sk),
+      |d AS (SELECT x, COUNT(*) AS dg
+      |      FROM (SELECT u AS x FROM e UNION ALL SELECT v AS x FROM e) GROUP BY 1),
+      |tri AS (SELECT COUNT(*) AS n_triangles
+      |        FROM e e1 JOIN e e2 ON e1.v = e2.u
+      |          JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+      |dagg AS (SELECT COUNT(*) AS n_nodes,
+      |           CAST(SUM(dg * (dg - 1) // 2) AS BIGINT) AS n_wedges FROM d),
+      |ne AS (SELECT COUNT(*) AS n_edges FROM e)
+      |SELECT n_nodes, n_edges, n_wedges, n_triangles,
+      |  3.0 * CAST(n_triangles AS DOUBLE) / CAST(n_wedges AS DOUBLE) AS global_cc
+      |FROM dagg, ne, tri""".stripMargin
+
+  /** Two-stage ANN: int8-quantized candidate scan → exact cosine
+    * rerank ([[graft.similarity.VectorOps.quantizedRerankTopK]]).
+    * Every step is deterministic (exact integer candidate dots,
+    * half-up codes, 6-dp rerank with id tie-breaks), so unlike the
+    * LSH/IVF family this retrieval path sits under the full hash
+    * oracle rather than a recall spec. */
+  private def simRerank(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    graft.similarity.VectorOps.quantizedRerankTopK(
+        emb, emb.filter(col("vec_id") % 50 === 0), c = 20, k = 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val simRerankSql =
+    """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      |p AS (SELECT vec_id, v,
+      |        list_aggregate(list_transform(v, x -> abs(x)), 'max') / 127.0 AS s FROM e),
+      |c AS (SELECT vec_id, v,
+      |        list_transform(v, x -> CASE WHEN s = 0 THEN 0.0
+      |                                    ELSE FLOOR(x / s + 0.5) END) AS q
+      |      FROM p),
+      |n AS (SELECT vec_id, v, q, list_dot_product(q, q) AS n2 FROM c),
+      |qs AS (SELECT * FROM n WHERE vec_id % 50 = 0),
+      |s1 AS (SELECT qs.vec_id AS query_id, n.vec_id AS neighbor_id,
+      |         qs.v AS qv, n.v AS nv,
+      |         list_dot_product(qs.q, n.q) / sqrt(qs.n2 * n.n2) AS qscore
+      |       FROM qs JOIN n ON n.vec_id <> qs.vec_id),
+      |s2 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+      |                   ORDER BY qscore DESC, neighbor_id) AS crank FROM s1),
+      |s3 AS (SELECT query_id, neighbor_id,
+      |         ROUND(list_cosine_similarity(qv, nv), 6) AS sim
+      |       FROM s2 WHERE crank <= 20)
+      |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, sim FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+      |              ORDER BY sim DESC, neighbor_id) AS rank FROM s3) t
+      |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   // ----------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -5808,6 +5896,8 @@ object SparkEntry {
     "an_corr_matrix" -> (anCorrMatrix _),
     "mm_shard_pack" -> (mmShardPack _),
     "etl_early_fact" -> (etlEarlyFact _),
+    "q_triangles" -> (qTriangles _),
+    "sim_rerank" -> (simRerank _),
     "etl_cdc_compact" -> (etlCdcCompact _),
     "q_scd2_lookup" -> (qScd2Lookup _),
     "an_weighted_median" -> (anWeightedMedian _),
@@ -5998,6 +6088,8 @@ object SparkEntry {
     "an_corr_matrix" -> anCorrMatrixSql,
     "mm_shard_pack" -> mmShardPackSql,
     "etl_early_fact" -> etlEarlyFactSql,
+    "q_triangles" -> qTrianglesSql,
+    "sim_rerank" -> simRerankSql,
     "etl_cdc_compact" -> etlCdcCompactSql,
     "q_scd2_lookup" -> qScd2LookupSql,
     "an_weighted_median" -> anWeightedMedianSql,

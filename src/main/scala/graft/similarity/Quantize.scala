@@ -33,6 +33,19 @@ object Quantize {
       when(scale === 0, lit(0))
         .otherwise(floor((x - vmin) / scale + lit(0.5)).cast("int")))
 
+  /** Symmetric (zero-preserving) int8 scale: max|x| / 127. Unlike the
+    * affine map above there is NO offset, so the code vector stays
+    * PARALLEL to the input and code-domain cosine tracks true cosine —
+    * the right quantization for a similarity candidate scan, where the
+    * affine form's per-vector shift rotates every angle. */
+  def symScale(v: Column): Column =
+    array_max(transform(v, x => abs(x))) / lit(127.0)
+
+  /** Symmetric codes in [-127, 127] (half-up rounding, like encode). */
+  def encodeSym(v: Column, s: Column): Column =
+    transform(v, x =>
+      when(s === 0, lit(0)).otherwise(floor(x / s + lit(0.5)).cast("int")))
+
   /** Dequantized vector from codes + params. */
   def decode(codes: Column, vmin: Column, scale: Column): Column =
     transform(codes, q => vmin + q.cast("double") * scale)

@@ -80,6 +80,56 @@ object VectorOps {
       .select("query_id", "neighbor_id", "rank", "sim")
   }
 
+  /** Two-stage retrieval: int8-quantized candidate generation, exact
+    * cosine rerank — the standard recall/throughput trade where the
+    * first pass streams 4×-smaller codes (a memory-bandwidth scan) and
+    * the expensive float cosine only touches the top-C survivors per
+    * query. Quantization is SYMMETRIC ([[Quantize.encodeSym]]): codes
+    * stay parallel to the input, so the candidate score — code dot
+    * over the root of the code-norm product, a ratio of EXACT integers
+    * (≤64·127² each, far inside 2^53) — tracks true cosine and is
+    * bit-identical on any engine (IEEE division and sqrt are correctly
+    * rounded). Candidate ties break on neighbor id; the rerank rounds
+    * at 6 like [[bruteForceTopK]], so the final ordering is
+    * reproducible across engines and partition orders. */
+  def quantizedRerankTopK(embeddings: DataFrame, queries: DataFrame,
+                          c: Int, k: Int,
+                          idCol: String = "vec_id", vecCol: String = "embedding",
+                          maxCorpusRows: Int = QuadraticGuardRows): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(c >= k, s"candidate pool c=$c must cover the final k=$k")
+    guardQuadratic(embeddings, maxCorpusRows, "quantizedRerankTopK",
+      "lshTopK or ivfTopK (bucketed ANN) feeding the same rerank")
+    val spark = embeddings.sparkSession
+    def coded(df: DataFrame, id: String, vec: String,
+              codes: String, norm2: String): DataFrame = {
+      val v = toDouble(col(vecCol))
+      // codes as doubles so the dot kernel applies; values are exact
+      // small ints, so the integer dots are exact whatever the sum order
+      val q = Quantize.encodeSym(v, Quantize.symScale(v)).cast("array<double>")
+      df.select(col(idCol).as(id), v.as(vec), q.as(codes))
+        .withColumn(norm2, dot(col(codes), col(codes)))
+    }
+    val e = coded(embeddings, "neighbor_id", "nv", "nq", "nn2")
+      .repartition(spark.sparkContext.defaultParallelism) // see bruteForceTopK
+    val q = coded(queries, "query_id", "qv", "qq", "qn2")
+    val wCand = Window.partitionBy(col("query_id"))
+      .orderBy(col("qscore").desc, col("neighbor_id"))
+    val wFinal = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    e.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("qscore",
+        dot(col("qq"), col("nq")) / sqrt(col("qn2") * col("nn2")))
+      .withColumn("crank", row_number().over(wCand))
+      .filter(col("crank") <= c)
+      .withColumn("sim", round(dot(col("qv"), col("nv")) /
+        (norm(col("qv")) * norm(col("nv"))), 6))
+      .withColumn("rank", row_number().over(wFinal))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "sim")
+  }
+
   /** Random-hyperplane LSH signature: `nBits` sign bits packed in a
     * long. Planes are derived from a seeded splitmix64 (deterministic,
     * no stored model). The scale path for ANN: group by signature

@@ -215,4 +215,28 @@ class OperatorsSpec extends SparkSpec {
     assert(math.abs(row.getLong(0) - exactCust) <= 0.05 * exactCust)
     assert(math.abs(row.getDouble(1) - exactMed) <= 0.05 * exactMed)
   }
+
+  test("triangle census matches a driver-side adjacency-set count") {
+    val sp = Tables.lineitem(spark, sfDir)
+      .select(col("l_suppkey"), col("l_partkey")).distinct()
+      .as[(Long, Long)].collect()
+    val byPart = sp.groupBy(_._2).filter(_._2.length <= 20)
+    val edges = byPart.values.flatMap { rows =>
+      val sks = rows.map(_._1).distinct.sorted
+      for (i <- sks.indices; j <- i + 1 until sks.length) yield (sks(i), sks(j))
+    }.toSet
+    val adj = edges.groupBy(_._1).map { case (u, es) => u -> es.map(_._2) }
+    val wantTri = edges.toSeq.map { case (u, v) =>
+      (adj.getOrElse(u, Set.empty) & adj.getOrElse(v, Set.empty)).size.toLong
+    }.sum
+    val degs = (edges.toSeq.map(_._1) ++ edges.toSeq.map(_._2))
+      .groupBy(identity).values.map(_.length.toLong)
+    val wantWedges = degs.map(d => d * (d - 1) / 2).sum
+    val row = SparkEntry.queries("q_triangles")(spark, sfDir).head()
+    assert(row.getAs[Long]("n_edges") == edges.size.toLong)
+    assert(row.getAs[Long]("n_triangles") == wantTri)
+    assert(row.getAs[Long]("n_wedges") == wantWedges)
+    val cc = row.getAs[Double]("global_cc")
+    assert(cc >= 0.0 && cc <= 1.0, s"clustering coefficient out of range: $cc")
+  }
 }

@@ -73,4 +73,30 @@ class SimilaritySpec extends SparkSpec {
     info(f"LSH recall@5 = $recall%.2f (candidates from 4 bands of 4 bits)")
     assert(recall > 0.2) // near-random embeddings: banding prunes hard
   }
+
+  test("quantized rerank with a full candidate pool IS brute force") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val q = emb.filter($"vec_id" % 100 === 0)
+    val n = emb.count().toInt
+    val exact = VectorOps.bruteForceTopK(emb, q, k = 5)
+      .as[(Long, Long, Int, Double)].collect().toSet
+    val full = VectorOps.quantizedRerankTopK(emb, q, c = n, k = 5)
+      .as[(Long, Long, Int, Double)].collect().toSet
+    assert(full == exact,
+      "c = corpus means the rerank sees every neighbor — must equal brute force")
+  }
+
+  test("quantized rerank recall@5 at c=20 beats the LSH floor") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val q = emb.filter($"vec_id" % 20 === 0)
+    val exact = VectorOps.bruteForceTopK(emb, q, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val rer = VectorOps.quantizedRerankTopK(emb, q, c = 20, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & rer).size.toDouble / exact.size
+    info(f"quantized-rerank recall@5 = $recall%.2f (c=20)")
+    // int8 candidate ranking tracks exact cosine closely — far above
+    // the random-ish LSH banding floor
+    assert(recall > 0.7)
+  }
 }
