@@ -5887,6 +5887,113 @@ object SparkEntry {
       |              ORDER BY sim DESC, neighbor_id) AS rank FROM s3) t
       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  /** Kaplan–Meier survival curve over customer lifetimes (first→last
+    * order days; a customer still active at the 90-day recency cutoff
+    * is CENSORED, not an event — the distinction that makes KM the
+    * right estimator where a naive churn histogram is biased). Risk
+    * sets come from lifetime-value counts with a cumulative window
+    * over the DISTINCT-lifetime table (bounded by the calendar span,
+    * not the row count — the an_ewma small-series discipline); the
+    * survival product is exp∘Σln over event times only, emitted at
+    * ROUND(·,6) to absorb libm ulp skew (an_entropy), with the
+    * everyone-churns terminal row pinned to exactly 0 on both engines
+    * (Spark ln(0) is NULL, DuckDB -inf — the CASE sidesteps both). */
+  private def anKaplanMeier(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val anchor = o.agg(max(col("o_orderdate")).as("mx"))
+    val cust = o.groupBy(col("o_custkey"))
+      .agg(min(col("o_orderdate")).as("f"), max(col("o_orderdate")).as("l"))
+      .crossJoin(broadcast(anchor))
+      .select(datediff(col("l"), col("f")).cast("bigint").as("t"),
+        (col("l") < col("mx") - expr("INTERVAL 90 DAYS")).cast("int").as("ev"))
+    val byT = cust.groupBy(col("t"))
+      .agg(count(lit(1)).as("n_at"), sum(col("ev")).cast("long").as("d"))
+    val wPrev = Window.orderBy(col("t")).rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.orderBy(col("t")).rowsBetween(Window.unboundedPreceding, 0)
+    byT.crossJoin(broadcast(cust.agg(count(lit(1)).as("n_total"))))
+      .withColumn("n_risk",
+        col("n_total") - coalesce(sum(col("n_at")).over(wPrev), lit(0L)))
+      .filter(col("d") > 0)
+      .withColumn("surv", when(col("d") === col("n_risk"), lit(0.0))
+        .otherwise(round(exp(sum(
+          log(lit(1.0) - col("d").cast("double") / col("n_risk").cast("double")))
+          .over(wCum)), 6)))
+      .select(col("t"), col("n_risk"), col("d"), col("surv"))
+      .orderBy(col("t"))
+  }
+
+  private val anKaplanMeierSql =
+    """WITH a AS (SELECT MAX(o_orderdate) AS mx FROM orders),
+      |c AS (SELECT o_custkey, MIN(o_orderdate) AS f, MAX(o_orderdate) AS l
+      |      FROM orders GROUP BY 1),
+      |cust AS (SELECT CAST(date_diff('day', f, l) AS BIGINT) AS t,
+      |                CASE WHEN l < mx - INTERVAL 90 DAY THEN 1 ELSE 0 END AS ev
+      |         FROM c CROSS JOIN a),
+      |byt AS (SELECT t, COUNT(*) AS n_at, CAST(SUM(ev) AS BIGINT) AS d
+      |        FROM cust GROUP BY 1),
+      |tot AS (SELECT COUNT(*) AS n_total FROM cust),
+      |r AS (SELECT t, d, n_total - COALESCE(CAST(SUM(n_at) OVER (ORDER BY t
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS n_risk
+      |      FROM byt CROSS JOIN tot)
+      |SELECT t, n_risk, d,
+      |  CASE WHEN d = n_risk THEN 0.0
+      |       ELSE ROUND(EXP(SUM(LN(1.0 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE)))
+      |              OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6)
+      |  END AS surv
+      |FROM r WHERE d > 0 ORDER BY t""".stripMargin
+
+  /** kNN label classification over the embedding corpus — the eval a
+    * pipeline runs to check an embedding space separates its labels:
+    * top-5 cosine neighbors vote (plurality, smallest-label tie-break
+    * — every step deterministic, so unlike most ML evals this one
+    * sits under the full hash oracle), scored per true label. The
+    * neighbor search is the [[graft.similarity.VectorOps
+    * .bruteForceTopK]] exact baseline on a query sample; at corpus
+    * scale the same vote runs unchanged over lshTopK/ivfTopK
+    * candidates. */
+  private def simKnnClassify(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val labels = emb.select(col("vec_id"), col("label"))
+    val top = graft.similarity.VectorOps.bruteForceTopK(
+      emb, emb.filter(col("vec_id") % 10 === 0), k = 5)
+    val votes = top.join(labels.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+      .groupBy(col("query_id"), col("label")).agg(count(lit(1)).as("cnt"))
+    val wVote = Window.partitionBy(col("query_id"))
+      .orderBy(col("cnt").desc, col("label"))
+    val pred = votes.withColumn("rn", row_number().over(wVote))
+      .filter(col("rn") === 1)
+      .select(col("query_id"), col("label").as("pred"))
+    pred.join(labels.withColumnRenamed("vec_id", "query_id"), "query_id")
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("pred") === col("label"), 1L).otherwise(0L)).as("n_correct"))
+      .withColumn("acc",
+        col("n_correct").cast("double") / col("n").cast("double"))
+      .orderBy(col("label"))
+  }
+
+  private val simKnnClassifySql =
+    """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+      |q AS (SELECT vec_id, label, v FROM e WHERE vec_id % 10 = 0),
+      |s AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, e.label AS nlabel,
+      |        ROUND(list_cosine_similarity(q.v, e.v), 6) AS sim
+      |      FROM q JOIN e ON e.vec_id <> q.vec_id),
+      |top AS (SELECT query_id, nlabel FROM (
+      |          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+      |                      ORDER BY sim DESC, neighbor_id) AS rank FROM s) t
+      |        WHERE rank <= 5),
+      |votes AS (SELECT query_id, nlabel, COUNT(*) AS cnt FROM top GROUP BY 1, 2),
+      |pred AS (SELECT query_id, nlabel AS pred FROM (
+      |           SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+      |                       ORDER BY cnt DESC, nlabel) AS rn FROM votes) t
+      |         WHERE rn = 1)
+      |SELECT q.label, COUNT(*) AS n,
+      |  CAST(SUM(CASE WHEN p.pred = q.label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+      |  CAST(SUM(CASE WHEN p.pred = q.label THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE) AS acc
+      |FROM pred p JOIN q ON p.query_id = q.vec_id
+      |GROUP BY q.label ORDER BY q.label""".stripMargin
+
   // ----------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -5898,6 +6005,8 @@ object SparkEntry {
     "etl_early_fact" -> (etlEarlyFact _),
     "q_triangles" -> (qTriangles _),
     "sim_rerank" -> (simRerank _),
+    "an_kaplan_meier" -> (anKaplanMeier _),
+    "sim_knn_classify" -> (simKnnClassify _),
     "etl_cdc_compact" -> (etlCdcCompact _),
     "q_scd2_lookup" -> (qScd2Lookup _),
     "an_weighted_median" -> (anWeightedMedian _),
@@ -6090,6 +6199,8 @@ object SparkEntry {
     "etl_early_fact" -> etlEarlyFactSql,
     "q_triangles" -> qTrianglesSql,
     "sim_rerank" -> simRerankSql,
+    "an_kaplan_meier" -> anKaplanMeierSql,
+    "sim_knn_classify" -> simKnnClassifySql,
     "etl_cdc_compact" -> etlCdcCompactSql,
     "q_scd2_lookup" -> qScd2LookupSql,
     "an_weighted_median" -> anWeightedMedianSql,

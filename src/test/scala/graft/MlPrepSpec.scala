@@ -525,6 +525,26 @@ class MlPrepSpec extends SparkSpec {
     }
   }
 
+  test("kaplan-meier curve is monotone and risk sets shrink") {
+    val got = SparkEntry.queries("an_kaplan_meier")(spark, sfDir)
+      .select("t", "n_risk", "d", "surv").as[(Long, Long, Long, Double)].collect()
+    assert(got.nonEmpty)
+    got.sliding(2).foreach {
+      case Array((t1, r1, _, s1), (t2, r2, _, s2)) =>
+        assert(t1 < t2, "event times strictly increase")
+        assert(r2 < r1, "the risk set loses at least the previous events")
+        assert(s2 <= s1 + 1e-12, s"survival must not increase: $s1 -> $s2")
+      case _ =>
+    }
+    got.foreach { case (t, r, d, sv) =>
+      assert(d >= 1 && d <= r, s"t=$t: events $d must fit the risk set $r")
+      assert(sv >= 0.0 && sv <= 1.0)
+    }
+    val total = Tables.orders(spark, sfDir)
+      .select(count_distinct(col("o_custkey"))).as[Long].head()
+    assert(got.head._2 <= total, "first risk set is at most every customer")
+  }
+
   test("corr matrix agrees with Spark's built-in corr on every pair") {
     val got = SparkEntry.queries("an_corr_matrix")(spark, sfDir)
       .select("col_a", "col_b", "corr").as[(String, String, Double)].collect()

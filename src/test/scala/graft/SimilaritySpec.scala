@@ -99,4 +99,16 @@ class SimilaritySpec extends SparkSpec {
     // the random-ish LSH banding floor
     assert(recall > 0.7)
   }
+
+  test("knn classification partitions the query sample and bounds accuracy") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val nQueries = emb.filter($"vec_id" % 10 === 0).count()
+    val got = SparkEntry.queries("sim_knn_classify")(spark, sfDir)
+      .select("n", "n_correct", "acc").as[(Long, Long, Double)].collect()
+    assert(got.map(_._1).sum == nQueries, "every query votes exactly once")
+    got.foreach { case (n, c, a) =>
+      assert(c <= n)
+      assert(math.abs(a - c.toDouble / n) < 1e-12)
+    }
+  }
 }
