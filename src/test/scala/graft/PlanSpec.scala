@@ -182,4 +182,40 @@ class PlanSpec extends SparkSpec {
     }
     graft.operators.PrefixSum.releaseCaches()
   }
+
+  test("q_triangles closes paths with keyed joins — nothing cartesian") {
+    // the triangle closure must join on edge keys; a cartesian or
+    // nested-loop plan would be O(E²) pairs at any scale. (The final
+    // 1-row × 1-row result crossjoins are fine — they never carry data.)
+    val df = SparkEntry.queries("q_triangles")(spark, sfDir)
+    val phys = df.queryExecution.executedPlan
+    val bad = phys.collect {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+      case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+        // 1-row aggregate spines are scalar glue, not data joins
+        if !b.left.isInstanceOf[org.apache.spark.sql.execution.aggregate.HashAggregateExec] &&
+          !b.right.isInstanceOf[org.apache.spark.sql.execution.aggregate.HashAggregateExec] => b
+    }
+    assert(bad.isEmpty, s"triangle closure must stay equi-keyed:\n${bad.headOption}")
+  }
+
+  test("mm_shard_pack assigns shards without a single-partition window") {
+    val p = plan("mm_shard_pack")
+    assert(!p.contains("Window"), s"the offset scan must be PrefixSum, not a window:\n$p")
+    graft.operators.PrefixSum.releaseCaches()
+  }
+
+  test("sim_rerank broadcasts the query side only — the corpus streams") {
+    val df = SparkEntry.queries("sim_rerank")(spark, sfDir)
+    val phys = df.queryExecution.executedPlan
+    val bad = phys.collect {
+      case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+        if b.child.collect {
+          case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => s
+        }.nonEmpty => b
+    }
+    // the corpus side carries the repartition shuffle; if it were
+    // broadcast the whole embedding store would land on every executor
+    assert(bad.isEmpty, s"corpus (repartitioned) side must not broadcast:\n${bad.headOption}")
+  }
 }
