@@ -5994,6 +5994,147 @@ object SparkEntry {
       |FROM pred p JOIN q ON p.query_id = q.vec_id
       |GROUP BY q.label ORDER BY q.label""".stripMargin
 
+  /** Directed shingle containment ([[graft.dedup.Dedup
+    * .containmentPairs]]) — the asymmetric screen Jaccard can't do: a
+    * short doc quoted whole inside a long one. Hash-verified against
+    * the exact list-intersection oracle. */
+  private def dedupContainment(s: SparkSession, dir: String): DataFrame =
+    graft.dedup.Dedup.containmentPairs(Tables.documents(s, dir), "text", "doc_id",
+        k = 3, tau = 0.5)
+      .orderBy(col("src"), col("dst"))
+
+  private val dedupContainmentSql =
+    s"""WITH sh AS ($duckShingles),
+       |common AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    len(list_intersect(a.shingles, b.shingles)) AS n_common,
+       |    len(a.shingles) AS na, len(b.shingles) AS nb
+       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |  WHERE len(list_intersect(a.shingles, b.shingles)) > 0),
+       |dir AS (
+       |  SELECT doc_a AS src, doc_b AS dst, n_common * 1.0 / na AS containment FROM common
+       |  UNION ALL
+       |  SELECT doc_b AS src, doc_a AS dst, n_common * 1.0 / nb AS containment FROM common)
+       |SELECT src, dst, containment FROM dir
+       |WHERE containment >= 0.5 ORDER BY src, dst""".stripMargin
+
+  /** Winsorized mean per order priority — the robust mean where the
+    * tails are CLIPPED to the p10/p90 order statistics instead of
+    * dropped (trimming changes n; winsorizing doesn't). Boundaries are
+    * exact type-1 quantiles in cents (pure integer ranks ⌈n/10⌉ and
+    * ⌈9n/10⌉ — no interpolation) probed from the same distinct-value
+    * PrefixSum scan as [[groupedMedian2]]; the clipped mean divides an
+    * exact BIGINT cent sum — no value-buffering aggregate anywhere,
+    * bit-identical on both engines unrounded. */
+  private def anWinsorize(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).select(col("o_orderpriority").as("g"),
+      (col("o_totalprice").cast("decimal(24,2)") * 100).cast("bigint").as("v"))
+    val perV = o.groupBy(col("g"), col("v")).agg(count(lit(1)).as("cnt"))
+    val scan = graft.operators.PrefixSum.withRunningTotals(perV, Seq("g", "v"), Seq("cnt"))
+    val wOff = Window.orderBy(col("g")).rowsBetween(Window.unboundedPreceding, -1)
+    val probes = perV.groupBy(col("g")).agg(sum(col("cnt")).as("n"))
+      .withColumn("off", coalesce(sum(col("n")).over(wOff), lit(0L)))
+      .withColumn("r_lo", expr("(n + 9) div 10"))
+      .withColumn("r_hi", expr("(9 * n + 9) div 10"))
+    val hitLo = col("cum") >= col("r_lo") && col("cum") - col("cnt") < col("r_lo")
+    val hitHi = col("cum") >= col("r_hi") && col("cum") - col("cnt") < col("r_hi")
+    val bounds = scan.join(broadcast(probes), Seq("g"))
+      .withColumn("cum", col("cnt_cum") - col("off"))
+      .filter(hitLo || hitHi)
+      .groupBy(col("g"))
+      .agg(max(when(hitLo, col("v"))).as("lo"), max(when(hitHi, col("v"))).as("hi"))
+    o.join(broadcast(bounds), Seq("g"))
+      .select(col("g"), greatest(col("lo"), least(col("hi"), col("v"))).as("w"),
+        (col("v") < col("lo") || col("v") > col("hi")).cast("long").as("clipped"))
+      .groupBy(col("g").as("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), sum(col("clipped")).as("n_clipped"),
+        (sum(col("w")).cast("double") / count(lit(1)).cast("double") / lit(100.0))
+          .as("wmean"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  private val anWinsorizeSql =
+    """WITH o AS (SELECT o_orderpriority AS g,
+      |                  CAST(CAST(o_totalprice AS DECIMAL(24,2)) * 100 AS BIGINT) AS v
+      |           FROM orders),
+      |pv AS (SELECT g, v, COUNT(*) AS cnt FROM o GROUP BY 1, 2),
+      |cv AS (SELECT g, v, cnt, CAST(SUM(cnt) OVER (PARTITION BY g ORDER BY v) AS BIGINT) AS cum
+      |       FROM pv),
+      |tv AS (SELECT g, CAST(SUM(cnt) AS BIGINT) AS n FROM pv GROUP BY g),
+      |b AS (SELECT c.g,
+      |        CAST(MAX(CASE WHEN cum >= (n+9)//10 AND cum - cnt < (n+9)//10 THEN v END) AS BIGINT) AS lo,
+      |        CAST(MAX(CASE WHEN cum >= (9*n+9)//10 AND cum - cnt < (9*n+9)//10 THEN v END) AS BIGINT) AS hi
+      |      FROM cv c JOIN tv USING (g) GROUP BY c.g)
+      |SELECT o.g AS o_orderpriority, COUNT(*) AS n,
+      |  CAST(SUM(CASE WHEN o.v < b.lo OR o.v > b.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+      |  CAST(SUM(GREATEST(b.lo, LEAST(b.hi, o.v))) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE) / 100.0 AS wmean
+      |FROM o JOIN b USING (g)
+      |GROUP BY o.g ORDER BY o.g""".stripMargin
+
+  /** Decile lift table — the model-eval staple: customers deciled by
+    * account balance (the stand-in score), behavioral churn as the
+    * outcome, per-decile rate + cumulative lift vs the base rate.
+    * Deciling runs on distinct-value counts (a value's rows share a
+    * decile — ties never straddle) through the PrefixSum scan: no
+    * global sort, no ntile window over all rows. Every emitted rate
+    * is a ratio of exact integers — unrounded, bit-identical. */
+  private def anDecileLift(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val anchor = o.agg(max(col("o_orderdate")).as("mx"))
+    val last = o.groupBy(col("o_custkey")).agg(max(col("o_orderdate")).as("last_order"))
+    val sc = Tables.customer(s, dir)
+      .join(last, col("c_custkey") === col("o_custkey"), "left")
+      .crossJoin(broadcast(anchor))
+      .select((col("c_acctbal").cast("decimal(24,2)") * 100).cast("bigint").as("v"),
+        (col("last_order").isNull ||
+          col("last_order") < col("mx") - expr("INTERVAL 90 DAYS")).cast("long").as("churn"))
+    val perV = sc.groupBy(col("v"))
+      .agg(count(lit(1)).as("cnt"), sum(col("churn")).as("ch"))
+    val tot = perV.agg(sum(col("cnt")).as("n_total"), sum(col("ch")).as("ch_total"))
+    val scan = graft.operators.PrefixSum.withRunningTotals(perV, Seq("v"), Seq("cnt"))
+    val wCum = Window.orderBy(col("decile")).rowsBetween(Window.unboundedPreceding, 0)
+    scan.crossJoin(broadcast(tot))
+      .select(expr("((cnt_cum - 1) * 10) div n_total + 1").as("decile"),
+        col("cnt"), col("ch"), col("n_total"), col("ch_total"))
+      .groupBy(col("decile"))
+      .agg(sum(col("cnt")).as("n_cust"), sum(col("ch")).as("n_churn"),
+        first(col("n_total")).as("n_total"), first(col("ch_total")).as("ch_total"))
+      .withColumn("churn_rate",
+        col("n_churn").cast("double") / col("n_cust").cast("double"))
+      .withColumn("cum_lift",
+        (sum(col("n_churn")).over(wCum).cast("double") /
+          sum(col("n_cust")).over(wCum).cast("double")) /
+          (col("ch_total").cast("double") / col("n_total").cast("double")))
+      .select(col("decile"), col("n_cust"), col("n_churn"),
+        col("churn_rate"), col("cum_lift"))
+      .orderBy(col("decile"))
+  }
+
+  private val anDecileLiftSql =
+    """WITH a AS (SELECT MAX(o_orderdate) AS mx FROM orders),
+      |l AS (SELECT o_custkey, MAX(o_orderdate) AS last_order FROM orders GROUP BY 1),
+      |sc AS (SELECT CAST(CAST(c_acctbal AS DECIMAL(24,2)) * 100 AS BIGINT) AS v,
+      |         CASE WHEN last_order IS NULL OR last_order < mx - INTERVAL 90 DAY
+      |              THEN 1 ELSE 0 END AS churn
+      |       FROM customer LEFT JOIN l ON c_custkey = o_custkey CROSS JOIN a),
+      |pv AS (SELECT v, COUNT(*) AS cnt, CAST(SUM(churn) AS BIGINT) AS ch
+      |       FROM sc GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_total,
+      |               CAST(SUM(ch) AS BIGINT) AS ch_total FROM pv),
+      |cv AS (SELECT v, cnt, ch, CAST(SUM(cnt) OVER (ORDER BY v) AS BIGINT) AS cum
+      |       FROM pv),
+      |bd AS (SELECT ((cum - 1) * 10) // n_total + 1 AS decile,
+      |         CAST(SUM(cnt) AS BIGINT) AS n_cust, CAST(SUM(ch) AS BIGINT) AS n_churn,
+      |         ANY_VALUE(n_total) AS n_total, ANY_VALUE(ch_total) AS ch_total
+      |       FROM cv CROSS JOIN tot GROUP BY 1)
+      |SELECT decile, n_cust, n_churn,
+      |  CAST(n_churn AS DOUBLE) / CAST(n_cust AS DOUBLE) AS churn_rate,
+      |  (CAST(CAST(SUM(n_churn) OVER (ORDER BY decile) AS BIGINT) AS DOUBLE) /
+      |   CAST(CAST(SUM(n_cust) OVER (ORDER BY decile) AS BIGINT) AS DOUBLE)) /
+      |  (CAST(ch_total AS DOUBLE) / CAST(n_total AS DOUBLE)) AS cum_lift
+      |FROM bd ORDER BY decile""".stripMargin
+
   // ----------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -6007,6 +6148,9 @@ object SparkEntry {
     "sim_rerank" -> (simRerank _),
     "an_kaplan_meier" -> (anKaplanMeier _),
     "sim_knn_classify" -> (simKnnClassify _),
+    "dedup_containment" -> (dedupContainment _),
+    "an_winsorize" -> (anWinsorize _),
+    "an_decile_lift" -> (anDecileLift _),
     "etl_cdc_compact" -> (etlCdcCompact _),
     "q_scd2_lookup" -> (qScd2Lookup _),
     "an_weighted_median" -> (anWeightedMedian _),
@@ -6201,6 +6345,9 @@ object SparkEntry {
     "sim_rerank" -> simRerankSql,
     "an_kaplan_meier" -> anKaplanMeierSql,
     "sim_knn_classify" -> simKnnClassifySql,
+    "dedup_containment" -> dedupContainmentSql,
+    "an_winsorize" -> anWinsorizeSql,
+    "an_decile_lift" -> anDecileLiftSql,
     "etl_cdc_compact" -> etlCdcCompactSql,
     "q_scd2_lookup" -> qScd2LookupSql,
     "an_weighted_median" -> anWeightedMedianSql,

@@ -81,6 +81,33 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Directed shingle-containment pairs: C(src→dst) = |S∩D| / |S| ≥ tau
+    * — the ASYMMETRIC near-dup measure. Jaccard misses a short document
+    * quoted whole inside a long one (the union denominator swamps the
+    * overlap); containment flags it, which is why contamination and
+    * quote/boilerplate screens key on containment, not similarity.
+    * Same posting-list shape as [[ngramJaccardPairs]] (intersections
+    * counted once per unordered pair over 8-byte shingle hashes), then
+    * each pair emits both directions against its own size. */
+  def containmentPairs(df: DataFrame, textCol: String, idCol: String,
+                       k: Int = 3, tau: Double = 0.5): DataFrame = {
+    val sets = persistOwned(shingleSets(df, textCol, idCol, k))
+    val sizes = sets.select(col("doc_id"), size(col("shingles")).as("n_sh"))
+    val posting = sets.select(col("doc_id"), explode(col("shingles")).as("sh"))
+      .select(col("doc_id"), xxhash64(col("sh")).as("sh"))
+    val common = posting.as("x").join(posting.as("y"),
+        col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "na"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "nb"), "doc_b")
+    val ab = common.select(col("doc_a").as("src"), col("doc_b").as("dst"),
+      (col("n_common") * lit(1.0) / col("na")).as("containment"))
+    val ba = common.select(col("doc_b").as("src"), col("doc_a").as("dst"),
+      (col("n_common") * lit(1.0) / col("nb")).as("containment"))
+    ab.unionByName(ba).filter(col("containment") >= tau)
+  }
+
   /** Incremental near-dup: (new doc, corpus doc) pairs with J ≥ tau —
     * the daily-ingest shape. Only new×corpus postings join; the
     * historical corpus is PROBED, never self-paired, so a day's

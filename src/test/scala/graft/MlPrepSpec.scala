@@ -525,6 +525,46 @@ class MlPrepSpec extends SparkSpec {
     }
   }
 
+  test("winsorized mean matches a driver-side clip at exact p10/p90 ranks") {
+    val rows = Tables.orders(spark, sfDir)
+      .select(col("o_orderpriority"),
+        (col("o_totalprice").cast("decimal(24,2)") * 100).cast("bigint"))
+      .as[(String, Long)].collect()
+    val want = rows.groupBy(_._1).map { case (g, rs) =>
+      val s = rs.map(_._2).sorted
+      val n = s.length
+      val lo = s((n + 9) / 10 - 1)        // type-1 quantile, 1-based rank
+      val hi = s((9 * n + 9) / 10 - 1)
+      val clipped = s.map(v => math.max(lo, math.min(hi, v)))
+      g -> (s.count(v => v < lo || v > hi).toLong,
+        clipped.sum.toDouble / n / 100.0)
+    }
+    val got = SparkEntry.queries("an_winsorize")(spark, sfDir)
+      .select("o_orderpriority", "n_clipped", "wmean")
+      .as[(String, Long, Double)].collect()
+    got.foreach { case (g, nc, wm) =>
+      assert((nc, wm) == want(g), s"$g: ($nc, $wm) vs ${want(g)}")
+    }
+    graft.operators.PrefixSum.releaseCaches()
+  }
+
+  test("decile lift covers every customer and closes at lift 1.0") {
+    val got = SparkEntry.queries("an_decile_lift")(spark, sfDir)
+      .select("decile", "n_cust", "n_churn", "churn_rate", "cum_lift")
+      .as[(Long, Long, Long, Double, Double)].collect().sortBy(_._1)
+    assert(got.map(_._1).toSeq == (1L to 10L), "exactly deciles 1..10")
+    assert(got.map(_._2).sum == Tables.customer(spark, sfDir).count())
+    got.foreach { case (d, n, c, r, _) =>
+      assert(c <= n && math.abs(r - c.toDouble / n) < 1e-15, s"decile $d")
+    }
+    assert(got.last._5 == 1.0,
+      "cumulative lift over all deciles IS the base rate — exactly 1")
+    // ties aside, deciles are near-equal sized
+    val sizes = got.map(_._2)
+    assert(sizes.max <= sizes.min * 2, s"decile sizes skewed: ${sizes.toSeq}")
+    graft.operators.PrefixSum.releaseCaches()
+  }
+
   test("kaplan-meier curve is monotone and risk sets shrink") {
     val got = SparkEntry.queries("an_kaplan_meier")(spark, sfDir)
       .select("t", "n_risk", "d", "surv").as[(Long, Long, Long, Double)].collect()

@@ -151,6 +151,37 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("containmentPairs flags a quoted-whole short doc that jaccard misses") {
+    // doc 1 is contained verbatim in doc 2 (C(1→2)=1) while jaccard is
+    // diluted by doc 2's extra length — the asymmetric case
+    val df = Seq(
+      (1L, "a b c d e"),                              // 3 shingles
+      (2L, "a b c d e f g h i j k l m n o p q r s"),  // 17 shingles, superset
+      (3L, "x y z q r")).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(df, "text", "doc_id", tau = 0.9)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == Set((1L, 2L, 1.0)), s"got $got")
+    val j = Dedup.ngramJaccardPairs(df, "text", "doc_id", tau = 0.9)
+      .collect()
+    assert(j.isEmpty, "jaccard at the same tau must miss the quoted doc")
+  }
+
+  test("containmentPairs is exact against a driver-side recompute") {
+    val docs = Tables.documents(spark, sfDir)
+    val got = Dedup.containmentPairs(docs, "text", "doc_id", tau = 0.5)
+      .as[(Long, Long, Double)].collect()
+    assert(got.nonEmpty)
+    val ids = got.flatMap(p => Seq(p._1, p._2)).distinct.toSeq
+    val sets = Dedup.shingleSets(docs.filter(col("doc_id").isin(ids: _*)), "text", "doc_id")
+      .as[(Long, Seq[String])].collect().toMap.map { case (k, v) => k -> v.toSet }
+    got.foreach { case (src, dst, c) =>
+      val want = (sets(src) & sets(dst)).size.toDouble / sets(src).size
+      assert(c == want, s"($src→$dst): $c vs $want")
+      assert(c >= 0.5)
+    }
+    Dedup.releaseCaches()
+  }
+
   test("packBins: greedy fill respects the budget bound per (shard, bin)") {
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id"),
