@@ -6135,6 +6135,97 @@ object SparkEntry {
       |  (CAST(ch_total AS DOUBLE) / CAST(n_total AS DOUBLE)) AS cum_lift
       |FROM bd ORDER BY decile""".stripMargin
 
+  /** Classical seasonal decomposition of daily revenue: trend = the
+    * centered 7-day moving window, seasonal = per-ISO-dow mean of the
+    * detrended series. INTEGER-EXACT until the single final division:
+    * interior days (full 7-day window) satisfy 7·detrended = 7·rev_c −
+    * trend_sum in cents — an exact BIGINT — so the per-dow seasonal is
+    * one exact-int ratio, not an order-dependent double sum. The RANGE
+    * frame runs over the day INDEX (calendar gaps shrink the window
+    * and those edge days are excluded with the n_w=7 filter rather
+    * than fudged). Bounded distinct-day series — the an_ewma
+    * small-series window discipline. */
+  private def anSeasonalDecompose(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.lineitem(s, dir)
+      .groupBy(date_trunc("day", col("l_shipdate")).as("day"))
+      .agg((sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(24,8)")).cast("decimal(24,2)") * 100)
+        .cast("bigint").as("rev_c"))
+      .withColumn("di",
+        datediff(col("day"), lit("1992-01-01").cast("date")).cast("long"))
+    val w = Window.orderBy(col("di")).rangeBetween(-3, 3)
+    daily
+      .select(col("day"), col("rev_c"),
+        sum(col("rev_c")).over(w).as("tsum"), count(lit(1)).over(w).as("nw"))
+      .filter(col("nw") === 7)
+      .groupBy((weekday(col("day")) + 1).cast("long").as("dow"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("rev_c")).as("rc"),
+        sum(lit(7L) * col("rev_c") - col("tsum")).as("dev_c7"))
+      .select(col("dow"), col("n_days"),
+        (col("rc").cast("double") / col("n_days").cast("double") / lit(100.0))
+          .as("mean_rev"),
+        (col("dev_c7").cast("double") / col("n_days").cast("double") / lit(700.0))
+          .as("seasonal"))
+      .orderBy(col("dow"))
+  }
+
+  private val anSeasonalDecomposeSql =
+    """WITH daily AS (SELECT date_trunc('day', l_shipdate) AS day,
+      |    CAST(ROUND(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,8))), 2) * 100 AS BIGINT) AS rev_c
+      |  FROM lineitem GROUP BY 1),
+      |ix AS (SELECT day, rev_c,
+      |         CAST(date_diff('day', DATE '1992-01-01', CAST(day AS DATE)) AS BIGINT) AS di
+      |       FROM daily),
+      |t AS (SELECT day, rev_c,
+      |        CAST(SUM(rev_c) OVER (ORDER BY di RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT) AS tsum,
+      |        COUNT(*) OVER (ORDER BY di RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS nw
+      |      FROM ix)
+      |SELECT CAST(isodow(CAST(day AS DATE)) AS BIGINT) AS dow, COUNT(*) AS n_days,
+      |  CAST(CAST(SUM(rev_c) AS BIGINT) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 100.0 AS mean_rev,
+      |  CAST(CAST(SUM(7 * rev_c - tsum) AS BIGINT) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 700.0 AS seasonal
+      |FROM t WHERE nw = 7 GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Price elasticity of demand per brand: OLS slope of ln(quantity)
+    * on ln(1 − discount). The libm-dependent ln terms are evaluated
+    * once per DISTINCT (discount, quantity) cell (tiny domain) with
+    * counts as weights, and every weighted term is cast to
+    * DECIMAL(38,18) before SUM — the order-independent gather the
+    * q_pagerank/an_entropy rules record — so the only cross-engine
+    * skew is the ≤1-ulp ln itself, absorbed by the ROUND(·,6)
+    * emission even through the covariance cancellation. */
+  private def anPriceElasticity(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).join(
+      broadcast(Tables.part(s, dir).select(col("p_partkey"), col("p_brand"))),
+      col("l_partkey") === col("p_partkey"))
+    val perV = li.groupBy(col("p_brand"), col("l_discount").as("d"),
+        col("l_quantity").as("q"))
+      .agg(count(lit(1)).as("cnt"))
+    def g(x: Column) = sum((col("cnt") * x).cast("decimal(38,18)")).cast("double")
+    val x = log(lit(1.0) - col("d"))
+    val y = log(col("q"))
+    perV.groupBy(col("p_brand"))
+      .agg(sum(col("cnt")).as("n"),
+        g(x).as("sx"), g(y).as("sy"), g(x * x).as("sxx"), g(x * y).as("sxy"))
+      .select(col("p_brand"), col("n"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")), 6).as("elasticity"))
+      .orderBy(col("p_brand"))
+  }
+
+  private val anPriceElasticitySql =
+    """WITH li AS (SELECT p_brand, l_discount AS d, l_quantity AS q, COUNT(*) AS cnt
+      |            FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1, 2, 3),
+      |m AS (SELECT p_brand, CAST(SUM(cnt) AS BIGINT) AS n,
+      |        CAST(SUM(CAST(cnt * ln(1.0 - d) AS DECIMAL(38,18))) AS DOUBLE) AS sx,
+      |        CAST(SUM(CAST(cnt * ln(q) AS DECIMAL(38,18))) AS DOUBLE) AS sy,
+      |        CAST(SUM(CAST(cnt * (ln(1.0 - d) * ln(1.0 - d)) AS DECIMAL(38,18))) AS DOUBLE) AS sxx,
+      |        CAST(SUM(CAST(cnt * (ln(1.0 - d) * ln(q)) AS DECIMAL(38,18))) AS DOUBLE) AS sxy
+      |      FROM li GROUP BY 1)
+      |SELECT p_brand, n,
+      |  ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS elasticity
+      |FROM m ORDER BY p_brand""".stripMargin
+
   // ----------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -6151,6 +6242,8 @@ object SparkEntry {
     "dedup_containment" -> (dedupContainment _),
     "an_winsorize" -> (anWinsorize _),
     "an_decile_lift" -> (anDecileLift _),
+    "an_seasonal_decompose" -> (anSeasonalDecompose _),
+    "an_price_elasticity" -> (anPriceElasticity _),
     "etl_cdc_compact" -> (etlCdcCompact _),
     "q_scd2_lookup" -> (qScd2Lookup _),
     "an_weighted_median" -> (anWeightedMedian _),
@@ -6348,6 +6441,8 @@ object SparkEntry {
     "dedup_containment" -> dedupContainmentSql,
     "an_winsorize" -> anWinsorizeSql,
     "an_decile_lift" -> anDecileLiftSql,
+    "an_seasonal_decompose" -> anSeasonalDecomposeSql,
+    "an_price_elasticity" -> anPriceElasticitySql,
     "etl_cdc_compact" -> etlCdcCompactSql,
     "q_scd2_lookup" -> qScd2LookupSql,
     "an_weighted_median" -> anWeightedMedianSql,

@@ -565,6 +565,58 @@ class MlPrepSpec extends SparkSpec {
     graft.operators.PrefixSum.releaseCaches()
   }
 
+  test("seasonal decomposition matches a driver-side recompute exactly") {
+    val daily = Tables.lineitem(spark, sfDir)
+      .groupBy(date_trunc("day", col("l_shipdate")).as("day"))
+      .agg((sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(24,8)")).cast("decimal(24,2)") * 100)
+        .cast("bigint").as("rev_c"))
+      .select(datediff(col("day"), lit("1992-01-01").cast("date")).cast("long"),
+        col("rev_c"),
+        (weekday(col("day")) + 1).cast("long"))
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    val byDi = daily.map(r => r._1 -> r).toMap
+    val interior = daily.flatMap { case (di, rc, dow) =>
+      val win = (di - 3 to di + 3).flatMap(byDi.get)
+      if (win.length == 7) Some((dow, rc, win.map(_._2).sum)) else None
+    }
+    val want = interior.groupBy(_._1).map { case (dow, rs) =>
+      val n = rs.length
+      dow -> (n.toLong,
+        rs.map(_._2).sum.toDouble / n / 100.0,
+        rs.map(r => 7L * r._2 - r._3).sum.toDouble / n / 700.0)
+    }
+    val got = SparkEntry.queries("an_seasonal_decompose")(spark, sfDir)
+      .select("dow", "n_days", "mean_rev", "seasonal")
+      .as[(Long, Long, Double, Double)].collect()
+    assert(got.length == 7)
+    got.foreach { case (dow, n, mr, se) =>
+      assert((n, mr, se) == want(dow), s"dow $dow: ($n,$mr,$se) vs ${want(dow)}")
+    }
+  }
+
+  test("price elasticity tracks a plain-double OLS recompute per brand") {
+    val cells = Tables.lineitem(spark, sfDir)
+      .join(Tables.part(spark, sfDir), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("l_discount"), col("l_quantity"))
+      .agg(count(lit(1)).as("cnt"))
+      .as[(String, Double, Double, Long)].collect()
+    val want = cells.groupBy(_._1).map { case (b, rs) =>
+      val n = rs.map(_._4).sum.toDouble
+      def s(f: (Double, Double) => Double) =
+        rs.map(r => r._4 * f(math.log(1.0 - r._2), math.log(r._3))).sum
+      val (sx, sy) = (s((x, _) => x), s((_, y) => y))
+      val (sxx, sxy) = (s((x, _) => x * x), s((x, y) => x * y))
+      b -> (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    }
+    val got = SparkEntry.queries("an_price_elasticity")(spark, sfDir)
+      .select("p_brand", "elasticity").as[(String, Double)].collect()
+    assert(got.length == want.size)
+    got.foreach { case (b, e) =>
+      assert(math.abs(e - want(b)) < 1e-6 * (1 + math.abs(want(b))), s"$b: $e vs ${want(b)}")
+    }
+  }
+
   test("kaplan-meier curve is monotone and risk sets shrink") {
     val got = SparkEntry.queries("an_kaplan_meier")(spark, sfDir)
       .select("t", "n_risk", "d", "surv").as[(Long, Long, Long, Double)].collect()
