@@ -175,7 +175,8 @@ class PlanSpec extends SparkSpec {
   }
 
   test("an_weighted_median and an_quantiles_by_group run on the distributed scan") {
-    Seq("an_weighted_median", "an_quantiles_by_group").foreach { q =>
+    Seq("an_weighted_median", "an_quantiles_by_group",
+        "an_winsorize", "an_decile_lift").foreach { q =>
       val p = plan(q)
       // no exact-percentile value-buffering aggregate anywhere
       assert(!p.contains("percentile"), s"$q must not buffer values per group:\n$p")
