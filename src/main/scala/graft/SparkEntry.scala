@@ -800,14 +800,41 @@ object SparkEntry {
     * aggregate computes the quartile boundaries, then assignment is a
     * map-only CASE — no global sort, no ntile window over all rows.
     * Boundaries are rounded once on both engines so an on-boundary row
-    * can't flip buckets over a last-ulp interpolation difference. */
+    * can't flip buckets over a last-ulp interpolation difference.
+    *
+    * The boundaries themselves come from the PrefixSum distinct-value
+    * scan (rank probes at ⌊q(n−1)⌋+1 and +1, interpolated with the
+    * exact quarter fraction in cents — quarter-cent values are even
+    * multiples of the 4-dp half-step, so the rounding can never flip),
+    * NOT from the exact `percentile` aggregate: that buffers a
+    * value→count map of every distinct price in ONE aggregator — the
+    * same 100×-scale memory cliff the per-group queries shed in r8,
+    * just global. */
   private def etlQuantileBucketize(s: SparkSession, dir: String): DataFrame = {
     val ord = Tables.orders(s, dir)
-    val qs = ord.agg(
-      round(percentile(col("o_totalprice"), lit(0.25)), 4),
-      round(percentile(col("o_totalprice"), lit(0.5)), 4),
-      round(percentile(col("o_totalprice"), lit(0.75)), 4)).head()
-    val (q1, q2, q3) = (qs.getDouble(0), qs.getDouble(1), qs.getDouble(2))
+    val perV = ord
+      .select((col("o_totalprice").cast("decimal(24,2)") * 100).cast("bigint").as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("cnt"))
+    val scan = graft.operators.PrefixSum.withRunningTotals(perV, Seq("v"), Seq("cnt"))
+    val probes = perV.agg(sum(col("cnt")).as("n"))
+      .select(explode(array(lit(1L), lit(2L), lit(3L))).as("qid"), col("n"))
+      .select(col("qid"), (col("qid") * (col("n") - 1)).as("pos4"))
+      .select(col("qid"), expr("pos4 div 4 + 1").as("r_lo"), (col("pos4") % 4).as("f4"))
+    val hitLo = col("cnt_cum") >= col("r_lo") && col("cnt_cum") - col("cnt") < col("r_lo")
+    val hitHi = col("cnt_cum") >= col("r_lo") + 1 &&
+      col("cnt_cum") - col("cnt") < col("r_lo") + 1
+    val qs = scan.crossJoin(broadcast(probes))
+      .filter(hitLo || hitHi)
+      .groupBy(col("qid"))
+      .agg(max(when(hitLo, col("v"))).as("v_lo"),
+        max(when(hitHi, col("v"))).as("v_hi"), first(col("f4")).as("f4"))
+      .select(col("qid"),
+        round((col("v_lo").cast("double") + col("f4").cast("double") / lit(4.0) *
+          (coalesce(col("v_hi"), col("v_lo")) - col("v_lo")).cast("double")) / lit(100.0), 4)
+          .as("q"))
+      .orderBy(col("qid"))
+      .collect()
+    val (q1, q2, q3) = (qs(0).getDouble(1), qs(1).getDouble(1), qs(2).getDouble(1))
     ord.select(col("o_orderkey"), col("o_totalprice"),
         when(col("o_totalprice") <= q1, "q1")
           .when(col("o_totalprice") <= q2, "q2")
