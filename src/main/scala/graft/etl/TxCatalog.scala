@@ -1,0 +1,115 @@
+package graft.etl
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import com.fasterxml.jackson.databind.ObjectMapper
+import scala.jdk.CollectionConverters._
+
+/** Multi-table atomic commits over [[Snapshots]] tables — the
+  * cross-table consistency a training pipeline needs: "this run
+  * trained on corpus@v12 WITH labels@v5", flipped as one unit.
+  *
+  * Layout:
+  * {{{
+  *   <root>/<table>/...                    ordinary Snapshots tables
+  *   <root>/_catalog/v<00000version>.json  (table → snapshot version) pins
+  * }}}
+  *
+  * The protocol stages each table's data + per-table manifest FIRST
+  * (plain [[Snapshots.commit]]), then CAS-publishes the catalog
+  * manifest with `FileSystem.create(overwrite = false)` — the same
+  * one-winner commit point Snapshots uses. The catalog pointer flip is
+  * the atomicity boundary: a reader that resolves table pins through
+  * [[read]] either sees ALL of a commit's tables or none of them. A
+  * loser's staged per-table versions stay on disk but are referenced
+  * by no catalog version — dead data until vacuumed, exactly the
+  * two-phase shape real table formats use for multi-table
+  * transactions (data is invisible until the pointer flips; direct
+  * per-table readers bypass the boundary and are documented as such).
+  *
+  * At 100 TB the catalog manifest is a handful of (name, int) pairs —
+  * driver-sized regardless of table size — and resolution costs one
+  * small JSON read before the per-table manifest reads.
+  */
+object TxCatalog {
+
+  final case class CatalogManifest(version: Int, parent: Int, tables: Map[String, Int])
+
+  private val mapper = new ObjectMapper()
+
+  private def fs(s: SparkSession, p: String): FileSystem =
+    new Path(p).getFileSystem(s.sparkContext.hadoopConfiguration)
+
+  private def catalogPath(root: String, v: Int): Path =
+    new Path(s"$root/_catalog/v${"%05d".format(v)}.json")
+
+  def latestVersion(s: SparkSession, root: String): Int = {
+    val dir = new Path(s"$root/_catalog")
+    val f = fs(s, root)
+    if (!f.exists(dir)) 0
+    else f.listStatus(dir).map(_.getPath.getName)
+      .collect { case n if n.startsWith("v") && n.endsWith(".json") =>
+        n.stripPrefix("v").stripSuffix(".json").toInt }
+      .foldLeft(0)(math.max)
+  }
+
+  def readCatalog(s: SparkSession, root: String, version: Int): CatalogManifest = {
+    val in = fs(s, root).open(catalogPath(root, version))
+    val node = try mapper.readTree(in) finally in.close()
+    val tables = node.get("tables").fields().asScala
+      .map(e => e.getKey -> e.getValue.asInt).toMap
+    CatalogManifest(node.get("version").asInt, node.get("parent").asInt, tables)
+  }
+
+  /** Atomically commit a set of table writes as one catalog version.
+    * Tables absent from `writes` carry their parent-catalog pin
+    * forward unchanged. Pass `targetVersion` as the CAS handle after
+    * reading the latest (same contract as [[Snapshots.commit]]); on a
+    * race, exactly one writer's catalog version lands and the loser
+    * gets a ConcurrentModificationException — its staged table
+    * versions are never referenced. Returns the catalog version. */
+  def commitAll(s: SparkSession, root: String,
+                writes: Seq[(String, DataFrame, String)],
+                targetVersion: Option[Int] = None): Int = {
+    require(writes.nonEmpty, "a catalog commit needs at least one table write")
+    val staged = writes.map { case (t, df, op) =>
+      t -> Snapshots.commit(df, s"$root/$t", op)
+    }.toMap
+    val version = targetVersion.getOrElse(latestVersion(s, root) + 1)
+    val parent = version - 1
+    val carried = if (parent > 0) readCatalog(s, root, parent).tables else Map.empty[String, Int]
+    publish(fs(s, root), root, version, parent, carried ++ staged)
+    version
+  }
+
+  /** Read `table` at the pin recorded by catalog `version` (latest
+    * catalog when absent) — the consistency boundary: every table read
+    * through one catalog version belongs to the same atomic commit. */
+  def read(s: SparkSession, root: String, table: String,
+           version: Option[Int] = None): DataFrame = {
+    val v = version.getOrElse(latestVersion(s, root))
+    val pins = readCatalog(s, root, v).tables
+    val pin = pins.getOrElse(table,
+      throw new IllegalArgumentException(
+        s"catalog v$v of $root pins no table '$table' (has: ${pins.keys.toSeq.sorted.mkString(", ")})"))
+    Snapshots.read(s, s"$root/$table", Some(pin))
+  }
+
+  private def publish(f: FileSystem, root: String, version: Int,
+                      parent: Int, tables: Map[String, Int]): Unit = {
+    val m = mapper.createObjectNode()
+    m.put("version", version); m.put("parent", parent)
+    val tn = m.putObject("tables")
+    tables.toSeq.sortBy(_._1).foreach { case (t, v) => tn.put(t, v) }
+    val target = catalogPath(root, version)
+    f.mkdirs(target.getParent)
+    val out =
+      try f.create(target, false)
+      catch { case _: java.io.IOException =>
+        throw new java.util.ConcurrentModificationException(
+          s"catalog $root version $version was committed by another writer; re-read and retry")
+      }
+    try out.write(mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(m))
+    finally out.close()
+  }
+}

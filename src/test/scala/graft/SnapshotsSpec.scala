@@ -195,4 +195,67 @@ class SnapshotsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSet
     assert(d == Set((3L, 35.0, "added"), (3L, 30.0, "removed"), (2L, 20.0, "removed")))
   }
+
+  private def freshRoot(): String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_cat").toFile
+    d.deleteOnExit()
+    s"${d.getAbsolutePath}/warehouse"
+  }
+
+  test("catalog commit pins every table of a version together") {
+    import graft.etl.TxCatalog
+    val root = freshRoot()
+    val docs = Tables.documents(spark, sfDir)
+    val v1 = TxCatalog.commitAll(spark, root, Seq(
+      ("corpus", docs.limit(30), "append"),
+      ("labels", docs.limit(30).select(col("doc_id"), col("lang")), "append")))
+    val v2 = TxCatalog.commitAll(spark, root, Seq(
+      ("corpus", docs.limit(10), "overwrite"),
+      ("labels", docs.limit(10).select(col("doc_id"), col("lang")), "overwrite")))
+    assert((v1, v2) == (1, 2))
+    // a reader resolving through catalog v1 sees the PAIRED state even
+    // after v2 overwrote both tables
+    assert(TxCatalog.read(spark, root, "corpus", Some(1)).count() == 30)
+    assert(TxCatalog.read(spark, root, "labels", Some(1)).count() == 30)
+    assert(TxCatalog.read(spark, root, "corpus").count() == 10)
+    assert(TxCatalog.read(spark, root, "labels").count() == 10)
+  }
+
+  test("catalog carries unwritten tables forward; missing table is an error") {
+    import graft.etl.TxCatalog
+    val root = freshRoot()
+    val docs = Tables.documents(spark, sfDir)
+    TxCatalog.commitAll(spark, root, Seq(
+      ("corpus", docs.limit(20), "append"),
+      ("labels", docs.limit(20).select(col("doc_id"), col("lang")), "append")))
+    // v2 touches only the corpus — labels must keep its v1 pin
+    TxCatalog.commitAll(spark, root, Seq(("corpus", docs.limit(5), "overwrite")))
+    assert(TxCatalog.read(spark, root, "corpus").count() == 5)
+    assert(TxCatalog.read(spark, root, "labels").count() == 20)
+    assert(TxCatalog.readCatalog(spark, root, 2).tables("labels") == 1)
+    intercept[IllegalArgumentException] {
+      TxCatalog.read(spark, root, "embeddings")
+    }
+  }
+
+  test("two catalog writers racing to the same version: exactly one wins") {
+    import graft.etl.TxCatalog
+    val root = freshRoot()
+    val docs = Tables.documents(spark, sfDir)
+    TxCatalog.commitAll(spark, root, Seq(("corpus", docs.limit(10), "append")))
+    val target = TxCatalog.latestVersion(spark, root) + 1
+    TxCatalog.commitAll(spark, root,
+      Seq(("corpus", docs.limit(3), "overwrite")), Some(target))
+    // the second writer staged table data but must lose the pointer flip
+    intercept[java.util.ConcurrentModificationException] {
+      TxCatalog.commitAll(spark, root,
+        Seq(("corpus", docs.limit(7), "overwrite")), Some(target))
+    }
+    // catalog still resolves the winner's pin; the loser's staged table
+    // version exists but no catalog version references it
+    assert(TxCatalog.read(spark, root, "corpus").count() == 3)
+    val pinned = TxCatalog.readCatalog(spark, root, target).tables("corpus")
+    assert(Snapshots.latestVersion(spark, s"$root/corpus") > pinned,
+      "the loser's staged snapshot is orphaned, not referenced")
+  }
 }
