@@ -75,10 +75,21 @@ object TxCatalog {
     val staged = writes.map { case (t, df, op) =>
       t -> Snapshots.commit(df, s"$root/$t", op)
     }.toMap
+    commitPins(s, root, staged, targetVersion)
+  }
+
+  /** Pointer-flip-only commit: publish a catalog version pinning
+    * already-staged table versions (the second phase of the protocol,
+    * exposed for writers — e.g. a streaming sink — that stage table
+    * commits with their own CAS handles). Pins must reference
+    * existing per-table snapshot versions. */
+  def commitPins(s: SparkSession, root: String, pins: Map[String, Int],
+                 targetVersion: Option[Int] = None): Int = {
+    require(pins.nonEmpty, "a catalog commit needs at least one pin")
     val version = targetVersion.getOrElse(latestVersion(s, root) + 1)
     val parent = version - 1
     val carried = if (parent > 0) readCatalog(s, root, parent).tables else Map.empty[String, Int]
-    publish(fs(s, root), root, version, parent, carried ++ staged)
+    publish(fs(s, root), root, version, parent, carried ++ pins)
     version
   }
 

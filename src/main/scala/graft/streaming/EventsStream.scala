@@ -159,6 +159,45 @@ object EventsStream {
       }
       .start()
 
+  /** Land one micro-batch across N derived tables as ONE atomic
+    * catalog version (batchId+1) — the multi-table twin of
+    * [[commitBatchSnapshot]]. Phase 1 stages each split's rows as
+    * per-table snapshot version batchId+1 (each with its own CAS: on
+    * a partial-failure replay, already-staged tables no-op and only
+    * the missing ones land); phase 2 flips the catalog pointer with
+    * the same CAS handle. A fully-replayed batch loses the catalog
+    * CAS and returns false — readers resolving through the catalog
+    * see each batch's tables exactly once, together. */
+  def commitBatchCatalog(batch: DataFrame, root: String, batchId: Long,
+                         splits: Seq[(String, DataFrame => DataFrame)]): Boolean = {
+    val v = math.toIntExact(batchId + 1)
+    splits.foreach { case (t, derive) =>
+      try { graft.etl.Snapshots.commit(derive(batch), s"$root/$t", "append", Some(v)); () }
+      catch { case _: java.util.ConcurrentModificationException => () }
+    }
+    try {
+      graft.etl.TxCatalog.commitPins(batch.sparkSession, root,
+        splits.map(_._1 -> v).toMap, Some(v))
+      true
+    } catch { case _: java.util.ConcurrentModificationException => false }
+  }
+
+  /** Streaming → multi-table catalog bridge: every micro-batch lands
+    * its derived tables (e.g. raw rows + per-type stats) as one atomic
+    * catalog version, exactly-once under replay (see
+    * [[commitBatchCatalog]]). Contract: the catalog root is OWNED by
+    * this stream from version 0, like [[toSnapshotSink]]'s table. */
+  def toCatalogSink(df: DataFrame, root: String, checkpointDir: String,
+                    splits: Seq[(String, DataFrame => DataFrame)])
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        commitBatchCatalog(batch.toDF(), root, batchId, splits)
+        ()
+      }
+      .start()
+
   /** A non-Append file/table sink under foreachBatch silently overwrites
     * every prior micro-batch — reject it up front instead of losing
     * data; FallbackSink is checked recursively. */

@@ -52,6 +52,44 @@ class StreamingSpec extends SparkSpec {
     assert(Snapshots.read(spark, t).count() == 3)
   }
 
+  test("toCatalogSink: derived tables land together, one catalog version per batch") {
+    import graft.etl.{Snapshots, TxCatalog}
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_catsink").toString
+    val root = s"$dir/warehouse"
+    val splits: Seq[(String, org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)] = Seq(
+      "raw" -> (b => b),
+      "stats" -> (b => b.groupBy(col("event_type")).agg(count(lit(1)).as("n"))))
+    val in = MemoryStream[Ev]
+    in.addData(Ev(1, ts(0), 1, "click", 1.0), Ev(2, ts(1), 1, "view", 2.0))
+    val q = EventsStream.toCatalogSink(in.toDF(), root, s"$dir/ckpt", splits)
+    q.processAllAvailable()
+    in.addData(Ev(3, ts(2), 2, "click", 3.0))
+    q.processAllAvailable()
+    q.stop()
+    // one catalog version per batch; both tables pinned at the batch version
+    assert(TxCatalog.latestVersion(spark, root) == 2)
+    assert(TxCatalog.readCatalog(spark, root, 2).tables == Map("raw" -> 2, "stats" -> 2))
+    assert(TxCatalog.read(spark, root, "raw").count() == 3)
+    // stats appends one aggregate row-set per batch: 2 (b0: click,view) + 1 (b1: click)
+    assert(TxCatalog.read(spark, root, "stats").count() == 3)
+    // catalog v1 is the batch-0 pair, still consistent after batch 1
+    assert(TxCatalog.read(spark, root, "raw", Some(1)).count() == 2)
+    assert(TxCatalog.read(spark, root, "stats", Some(1)).count() == 2)
+    // full replay of batch 0: every CAS loses, nothing moves
+    val replay = TxCatalog.read(spark, root, "raw", Some(1))
+    assert(!EventsStream.commitBatchCatalog(replay, root, 0L, splits))
+    assert(TxCatalog.latestVersion(spark, root) == 2)
+    assert(Snapshots.latestVersion(spark, s"$root/raw") == 2)
+    assert(TxCatalog.read(spark, root, "raw").count() == 3)
+    // partial-failure replay: table 'raw' already staged v3, catalog not
+    // flipped — the replayed batch completes the missing split and flips
+    Snapshots.commit(replay.limit(1), s"$root/raw", "append", Some(3))
+    assert(EventsStream.commitBatchCatalog(replay.limit(1), root, 2L, splits))
+    assert(TxCatalog.readCatalog(spark, root, 3).tables == Map("raw" -> 3, "stats" -> 3))
+    assert(TxCatalog.read(spark, root, "raw").count() == 4)
+  }
+
   test("dedupStream drops duplicate keys within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Ev]
