@@ -6253,6 +6253,110 @@ object SparkEntry {
       |  ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS elasticity
       |FROM m ORDER BY p_brand""".stripMargin
 
+  /** Peak detection over daily revenue — a day is a peak when it
+    * strictly dominates BOTH its ±3-day flanks (directional RANGE
+    * windows over the day index, so calendar gaps shrink a flank
+    * instead of sliding rows in) and clears an integer prominence
+    * gate: 20·(rev − flank_max) > rev, i.e. >5% above the taller
+    * flank. Pure integer cents compares — bit-identical anywhere;
+    * emitted prominence is the exact cent gap. Edge days with an
+    * empty flank can't be peaks (the marketing-calendar convention:
+    * a peak needs both sides). */
+  private def anPeaks(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.lineitem(s, dir)
+      .groupBy(date_trunc("day", col("l_shipdate")).as("day"))
+      .agg((sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(24,8)")).cast("decimal(24,2)") * 100)
+        .cast("bigint").as("rev_c"))
+      .withColumn("di",
+        datediff(col("day"), lit("1992-01-01").cast("date")).cast("long"))
+    val wL = Window.orderBy(col("di")).rangeBetween(-3, -1)
+    val wR = Window.orderBy(col("di")).rangeBetween(1, 3)
+    daily
+      .select(col("day"), col("rev_c"),
+        max(col("rev_c")).over(wL).as("ml"), max(col("rev_c")).over(wR).as("mr"))
+      .filter(col("ml").isNotNull && col("mr").isNotNull &&
+        col("rev_c") > col("ml") && col("rev_c") > col("mr") &&
+        lit(20L) * (col("rev_c") - greatest(col("ml"), col("mr"))) > col("rev_c"))
+      .select(col("day"), col("rev_c"),
+        (col("rev_c") - greatest(col("ml"), col("mr"))).as("prominence_c"))
+      .orderBy(col("day"))
+  }
+
+  private val anPeaksSql =
+    """WITH daily AS (SELECT date_trunc('day', l_shipdate) AS day,
+      |    CAST(ROUND(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,8))), 2) * 100 AS BIGINT) AS rev_c
+      |  FROM lineitem GROUP BY 1),
+      |ix AS (SELECT day, rev_c,
+      |         CAST(date_diff('day', DATE '1992-01-01', CAST(day AS DATE)) AS BIGINT) AS di
+      |       FROM daily),
+      |f AS (SELECT day, rev_c,
+      |        CAST(MAX(rev_c) OVER (ORDER BY di RANGE BETWEEN 3 PRECEDING AND 1 PRECEDING) AS BIGINT) AS ml,
+      |        CAST(MAX(rev_c) OVER (ORDER BY di RANGE BETWEEN 1 FOLLOWING AND 3 FOLLOWING) AS BIGINT) AS mr
+      |      FROM ix)
+      |SELECT day, rev_c, CAST(rev_c - GREATEST(ml, mr) AS BIGINT) AS prominence_c
+      |FROM f
+      |WHERE ml IS NOT NULL AND mr IS NOT NULL
+      |  AND rev_c > ml AND rev_c > mr
+      |  AND 20 * (rev_c - GREATEST(ml, mr)) > rev_c
+      |ORDER BY day""".stripMargin
+
+  /** Wald–Wolfowitz runs test on the daily revenue direction series —
+    * "is the day-over-day up/down sequence random, or does momentum/
+    * mean-reversion structure it?" Runs are counted with one lag
+    * compare + sum (flat days dropped, the standard tie handling);
+    * the z statistic (R − μ)/σ with μ = 2n₁n₂/n + 1 and σ² =
+    * 2n₁n₂(2n₁n₂ − n)/(n²(n−1)) is pure IEEE arithmetic on exact
+    * integers — division and sqrt are correctly rounded, so the
+    * emission is bit-identical unrounded on any engine. */
+  private def anRunsTest(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.lineitem(s, dir)
+      .groupBy(date_trunc("day", col("l_shipdate")).as("day"))
+      .agg((sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(24,8)")).cast("decimal(24,2)") * 100)
+        .cast("bigint").as("rev_c"))
+    val wLag = Window.orderBy(col("day"))
+    val moves = daily
+      .withColumn("prev", lag(col("rev_c"), 1).over(wLag))
+      .filter(col("prev").isNotNull && col("rev_c") =!= col("prev"))
+      .withColumn("up", (col("rev_c") > col("prev")).cast("long"))
+    val runs = moves
+      .withColumn("pu", lag(col("up"), 1).over(wLag))
+      .select(
+        sum(col("up")).as("n_up"),
+        sum(lit(1L) - col("up")).as("n_down"),
+        (sum(when(col("pu").isNull || col("pu") =!= col("up"), 1L)
+          .otherwise(0L))).as("n_runs"))
+    runs.select(col("n_up"), col("n_down"), col("n_runs"),
+        (lit(2.0) * col("n_up") * col("n_down") /
+          (col("n_up") + col("n_down")) + lit(1.0)).as("expected_runs"))
+      .withColumn("z",
+        (col("n_runs") - col("expected_runs")) /
+          sqrt((lit(2.0) * col("n_up") * col("n_down") *
+            (lit(2.0) * col("n_up") * col("n_down") - col("n_up") - col("n_down"))) /
+            ((col("n_up") + col("n_down")) * (col("n_up") + col("n_down")) *
+              (col("n_up") + col("n_down") - lit(1.0)))))
+  }
+
+  private val anRunsTestSql =
+    """WITH daily AS (SELECT date_trunc('day', l_shipdate) AS day,
+      |    CAST(ROUND(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,8))), 2) * 100 AS BIGINT) AS rev_c
+      |  FROM lineitem GROUP BY 1),
+      |m AS (SELECT day, rev_c, LAG(rev_c) OVER (ORDER BY day) AS prev FROM daily),
+      |mv AS (SELECT day, CASE WHEN rev_c > prev THEN 1 ELSE 0 END AS up
+      |       FROM m WHERE prev IS NOT NULL AND rev_c <> prev),
+      |r AS (SELECT up, LAG(up) OVER (ORDER BY day) AS pu FROM mv),
+      |agg AS (SELECT CAST(SUM(up) AS BIGINT) AS n_up,
+      |               CAST(SUM(1 - up) AS BIGINT) AS n_down,
+      |               CAST(SUM(CASE WHEN pu IS NULL OR pu <> up THEN 1 ELSE 0 END) AS BIGINT) AS n_runs
+      |        FROM r)
+      |SELECT n_up, n_down, n_runs,
+      |  2.0 * n_up * n_down / (n_up + n_down) + 1.0 AS expected_runs,
+      |  (n_runs - (2.0 * n_up * n_down / (n_up + n_down) + 1.0)) /
+      |  sqrt((2.0 * n_up * n_down * (2.0 * n_up * n_down - n_up - n_down)) /
+      |       ((n_up + n_down) * (n_up + n_down) * (n_up + n_down - 1.0))) AS z
+      |FROM agg""".stripMargin
+
   // ----------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -6271,6 +6375,8 @@ object SparkEntry {
     "an_decile_lift" -> (anDecileLift _),
     "an_seasonal_decompose" -> (anSeasonalDecompose _),
     "an_price_elasticity" -> (anPriceElasticity _),
+    "an_peaks" -> (anPeaks _),
+    "an_runs_test" -> (anRunsTest _),
     "etl_cdc_compact" -> (etlCdcCompact _),
     "q_scd2_lookup" -> (qScd2Lookup _),
     "an_weighted_median" -> (anWeightedMedian _),
@@ -6470,6 +6576,8 @@ object SparkEntry {
     "an_decile_lift" -> anDecileLiftSql,
     "an_seasonal_decompose" -> anSeasonalDecomposeSql,
     "an_price_elasticity" -> anPriceElasticitySql,
+    "an_peaks" -> anPeaksSql,
+    "an_runs_test" -> anRunsTestSql,
     "etl_cdc_compact" -> etlCdcCompactSql,
     "q_scd2_lookup" -> qScd2LookupSql,
     "an_weighted_median" -> anWeightedMedianSql,

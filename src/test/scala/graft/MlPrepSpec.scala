@@ -565,6 +565,53 @@ class MlPrepSpec extends SparkSpec {
     graft.operators.PrefixSum.releaseCaches()
   }
 
+  private def dailyRevCents(): Array[(Long, Long)] =
+    Tables.lineitem(spark, sfDir)
+      .groupBy(date_trunc("day", col("l_shipdate")).as("day"))
+      .agg((sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(24,8)")).cast("decimal(24,2)") * 100)
+        .cast("bigint").as("rev_c"))
+      .select(datediff(col("day"), lit("1992-01-01").cast("date")).cast("long"),
+        col("rev_c"))
+      .as[(Long, Long)].collect().sortBy(_._1)
+
+  test("peak detection matches a driver-side flank scan") {
+    val series = dailyRevCents()
+    val byDi = series.toMap
+    val want = series.flatMap { case (di, rc) =>
+      val ml = (di - 3 to di - 1).flatMap(byDi.get)
+      val mr = (di + 1 to di + 3).flatMap(byDi.get)
+      if (ml.nonEmpty && mr.nonEmpty && rc > ml.max && rc > mr.max &&
+        20L * (rc - math.max(ml.max, mr.max)) > rc)
+        Some(di -> (rc - math.max(ml.max, mr.max)))
+      else None
+    }.toMap
+    val got = SparkEntry.queries("an_peaks")(spark, sfDir)
+      .select(datediff(col("day"), lit("1992-01-01").cast("date")).cast("long"),
+        col("prominence_c"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == want, s"peaks differ: got ${got.size}, want ${want.size}")
+    assert(got.nonEmpty, "a noisy daily series must produce some peaks")
+  }
+
+  test("runs test reconstructs from the direction sequence") {
+    val series = dailyRevCents().map(_._2)
+    val moves = series.sliding(2).collect {
+      case Array(a, b) if a != b => b > a
+    }.toSeq
+    val runs = 1 + moves.sliding(2).count {
+      case Seq(a, b) => a != b
+      case _ => false
+    }
+    val row = SparkEntry.queries("an_runs_test")(spark, sfDir).head()
+    assert(row.getAs[Long]("n_up") == moves.count(identity).toLong)
+    assert(row.getAs[Long]("n_down") == moves.count(!_).toLong)
+    assert(row.getAs[Long]("n_runs") == runs.toLong)
+    val (u, d) = (moves.count(identity).toDouble, moves.count(!_).toDouble)
+    val mu = 2.0 * u * d / (u + d) + 1.0
+    assert(math.abs(row.getAs[Double]("expected_runs") - mu) < 1e-9)
+  }
+
   test("seasonal decomposition matches a driver-side recompute exactly") {
     val daily = Tables.lineitem(spark, sfDir)
       .groupBy(date_trunc("day", col("l_shipdate")).as("day"))
