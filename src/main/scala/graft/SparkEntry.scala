@@ -6357,6 +6357,60 @@ object SparkEntry {
       |       ((n_up + n_down) * (n_up + n_down) * (n_up + n_down - 1.0))) AS z
       |FROM agg""".stripMargin
 
+  /** Exact 7-day rolling DISTINCT users per day — the metric that
+    * defeats naive partial aggregation (distinct counts don't merge
+    * across sliding windows). The scale shape: a user is active on day
+    * d iff they have an event in [d−6, d], i.e. iff d falls in the
+    * union of [a, a+6] intervals over their active days — so merge
+    * each user's overlapping intervals (gaps-and-islands with a 6-day
+    * extension, one per-user window), emit ±1 sweep deltas at interval
+    * ends, and ONE [[graft.operators.PrefixSum]] scan over the day
+    * axis yields every day's exact count. Work is O(active user-days),
+    * never O(days × users); the spine is folded in as zero-deltas so
+    * quiet days emit 0 rather than vanish. The oracle cross-checks
+    * with the O(days·events) range-join + COUNT(DISTINCT) definition
+    * — tractable at sf, which is exactly what an oracle is for. */
+  private def anRollingDistinct(s: SparkSession, dir: String): DataFrame = {
+    val epoch = lit("1970-01-01").cast("date")
+    val days = Tables.events(s, dir)
+      .select(col("user_id"),
+        datediff(date_trunc("day", col("ts")), epoch).cast("long").as("d"))
+      .distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("d"))
+    val isl = days
+      .withColumn("prev", lag(col("d"), 1).over(w))
+      .withColumn("brk",
+        when(col("prev").isNull || col("d") - col("prev") > 6, 1L).otherwise(0L))
+      .withColumn("island",
+        sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("island"))
+      .agg(min(col("d")).as("s"), (max(col("d")) + 6).as("e"))
+    val deltas = isl.select(col("s").as("d"), lit(1L).as("delta"))
+      .unionByName(isl.select((col("e") + 1).as("d"), lit(-1L).as("delta")))
+    val bounds = days.agg(min(col("d")).as("lo"), max(col("d")).as("hi"))
+    val spine = bounds
+      .select(explode(sequence(col("lo"), col("hi"))).as("d"), lit(0L).as("delta"))
+    val merged = deltas.unionByName(spine)
+      .groupBy(col("d")).agg(sum(col("delta")).as("delta"))
+    graft.operators.PrefixSum.withRunningTotals(merged, Seq("d"), Seq("delta"))
+      .crossJoin(broadcast(bounds))
+      .filter(col("d") >= col("lo") && col("d") <= col("hi"))
+      .select(date_add(epoch, col("d").cast("int")).cast("timestamp").as("day"),
+        col("delta_cum").as("n_active_7d"))
+      .orderBy(col("day"))
+  }
+
+  private val anRollingDistinctSql =
+    """WITH ev AS (SELECT DISTINCT user_id,
+      |    CAST(date_diff('day', DATE '1970-01-01', CAST(date_trunc('day', ts) AS DATE)) AS BIGINT) AS d
+      |  FROM events),
+      |b AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM ev),
+      |spine AS (SELECT CAST(t.d AS BIGINT) AS d FROM b, UNNEST(range(b.lo, b.hi + 1)) AS t(d))
+      |SELECT CAST(DATE '1970-01-01' + CAST(s.d AS INTEGER) AS TIMESTAMP) AS day,
+      |  COUNT(DISTINCT e.user_id) AS n_active_7d
+      |FROM spine s LEFT JOIN ev e ON e.d BETWEEN s.d - 6 AND s.d
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ----------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -6377,6 +6431,7 @@ object SparkEntry {
     "an_price_elasticity" -> (anPriceElasticity _),
     "an_peaks" -> (anPeaks _),
     "an_runs_test" -> (anRunsTest _),
+    "an_rolling_distinct" -> (anRollingDistinct _),
     "etl_cdc_compact" -> (etlCdcCompact _),
     "q_scd2_lookup" -> (qScd2Lookup _),
     "an_weighted_median" -> (anWeightedMedian _),
@@ -6578,6 +6633,7 @@ object SparkEntry {
     "an_price_elasticity" -> anPriceElasticitySql,
     "an_peaks" -> anPeaksSql,
     "an_runs_test" -> anRunsTestSql,
+    "an_rolling_distinct" -> anRollingDistinctSql,
     "etl_cdc_compact" -> etlCdcCompactSql,
     "q_scd2_lookup" -> qScd2LookupSql,
     "an_weighted_median" -> anWeightedMedianSql,

@@ -575,6 +575,24 @@ class MlPrepSpec extends SparkSpec {
         col("rev_c"))
       .as[(Long, Long)].collect().sortBy(_._1)
 
+  test("rolling 7-day distinct users matches the brute-force window count") {
+    val active = Tables.events(spark, sfDir)
+      .select(col("user_id"),
+        datediff(date_trunc("day", col("ts")), lit("1970-01-01").cast("date")).cast("long"))
+      .distinct().as[(Long, Long)].collect()
+    val (lo, hi) = (active.map(_._2).min, active.map(_._2).max)
+    val want = (lo to hi).map { d =>
+      d -> active.filter(a => a._2 >= d - 6 && a._2 <= d).map(_._1).distinct.length.toLong
+    }.toMap
+    val got = SparkEntry.queries("an_rolling_distinct")(spark, sfDir)
+      .select(datediff(col("day"), lit("1970-01-01").cast("date")).cast("long"),
+        col("n_active_7d"))
+      .as[(Long, Long)].collect()
+    assert(got.length == (hi - lo + 1), "one row per day of the span, quiet days included")
+    got.foreach { case (d, n) => assert(n == want(d), s"day $d: $n vs ${want(d)}") }
+    graft.operators.PrefixSum.releaseCaches()
+  }
+
   test("peak detection matches a driver-side flank scan") {
     val series = dailyRevCents()
     val byDi = series.toMap
