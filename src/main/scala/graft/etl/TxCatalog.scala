@@ -93,6 +93,25 @@ object TxCatalog {
     version
   }
 
+  /** Atomic cross-table row erasure — the right-to-be-forgotten shape:
+    * run a copy-on-write [[Snapshots.delete]] on EVERY listed table
+    * (only files containing matches rewrite; see delete's contract),
+    * then flip one catalog pointer pinning all the post-delete
+    * versions together. Readers resolving through the catalog never
+    * see a half-erased state: before the flip every pin is pre-delete,
+    * after it every pin is post-delete. Tables where nothing matched
+    * re-pin their current version (delete no-ops). Returns the new
+    * catalog version. */
+  def deleteAll(s: SparkSession, root: String, tables: Seq[String],
+                predicate: String => org.apache.spark.sql.Column,
+                targetVersion: Option[Int] = None): Int = {
+    require(tables.nonEmpty, "erasure needs at least one table")
+    val pins = tables.map { t =>
+      t -> Snapshots.delete(s, s"$root/$t", predicate(t))
+    }.toMap
+    commitPins(s, root, pins, targetVersion)
+  }
+
   /** Read `table` at the pin recorded by catalog `version` (latest
     * catalog when absent) — the consistency boundary: every table read
     * through one catalog version belongs to the same atomic commit. */

@@ -238,6 +238,36 @@ class SnapshotsSpec extends SparkSpec {
     }
   }
 
+  test("deleteAll erases a user from every table behind one pointer flip") {
+    import graft.etl.TxCatalog
+    val root = freshRoot()
+    val docs = Tables.documents(spark, sfDir).limit(40)
+    TxCatalog.commitAll(spark, root, Seq(
+      ("corpus", docs, "append"),
+      ("labels", docs.select(col("doc_id"), col("lang")), "append")))
+    val victim = docs.select(min(col("doc_id"))).head().getLong(0)
+    val v2 = TxCatalog.deleteAll(spark, root, Seq("corpus", "labels"),
+      _ => col("doc_id") === victim)
+    assert(v2 == 2)
+    // post-flip: the id is gone from BOTH tables
+    Seq("corpus", "labels").foreach { t =>
+      assert(TxCatalog.read(spark, root, t).filter(col("doc_id") === victim).count() == 0, t)
+      assert(TxCatalog.read(spark, root, t).count() == 39, t)
+    }
+    // pre-flip catalog v1 still shows the un-erased pair (forensics pin)
+    Seq("corpus", "labels").foreach { t =>
+      assert(TxCatalog.read(spark, root, t, Some(1)).count() == 40, t)
+    }
+    // erasing an id that matches nothing re-pins current versions: the
+    // catalog advances but no table version churns
+    val corpusBefore = Snapshots.latestVersion(spark, s"$root/corpus")
+    val v3 = TxCatalog.deleteAll(spark, root, Seq("corpus", "labels"),
+      _ => col("doc_id") === -1L)
+    assert(v3 == 3)
+    assert(Snapshots.latestVersion(spark, s"$root/corpus") == corpusBefore)
+    assert(TxCatalog.readCatalog(spark, root, 3).tables("corpus") == corpusBefore)
+  }
+
   test("two catalog writers racing to the same version: exactly one wins") {
     import graft.etl.TxCatalog
     val root = freshRoot()
