@@ -206,6 +206,20 @@ class PlanSpec extends SparkSpec {
     graft.operators.PrefixSum.releaseCaches()
   }
 
+  test("an_rolling_distinct: day-axis cumulation rides the scan, user windows stay keyed") {
+    val df = SparkEntry.queries("an_rolling_distinct")(spark, sfDir)
+    val phys = df.queryExecution.executedPlan
+    // the per-user island windows are partitioned by user_id; nothing
+    // row-sized may cumulate under a SinglePartition window (the day
+    // axis goes through PrefixSum)
+    val bad = phys.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+        if w.partitionSpec.isEmpty => w
+    }
+    assert(bad.isEmpty, s"unpartitioned window in the plan:\n${bad.headOption}")
+    graft.operators.PrefixSum.releaseCaches()
+  }
+
   test("sim_rerank broadcasts the query side only — the corpus streams") {
     val df = SparkEntry.queries("sim_rerank")(spark, sfDir)
     val phys = df.queryExecution.executedPlan
