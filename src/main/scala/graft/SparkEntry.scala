@@ -6411,6 +6411,173 @@ object SparkEntry {
       |FROM spine s LEFT JOIN ev e ON e.d BETWEEN s.d - 6 AND s.d
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** One-way ANOVA across customer market segments on order totals —
+    * "does segment explain spend?". Numeric discipline for an
+    * O(N)-row sum-of-squares: values are exact cents, the grand mean
+    * is pre-subtracted as an INTEGER shift m0 = S div N (SSB/SST are
+    * shift-invariant, and centering keeps every squared term small
+    * enough that Σ(v−m0)² is an exact DECIMAL(38,0) at any SF instead
+    * of a drifting double). SSB gathers the per-group s'²/n doubles
+    * through DECIMAL(38,18) (order-independent, the q_pagerank
+    * pattern); SST converts ONE exact integer; F is then pure IEEE on
+    * identical expression trees — bit-stable unrounded. Two narrow
+    * aggregations (per-group, then a 5-row gather) + one broadcast of
+    * a single grand-total row: no shuffle beyond the segment groupBy. */
+  private def anAnova(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .join(broadcast(Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("g"),
+        (col("o_totalprice").cast("decimal(24,2)") * 100).cast("bigint").as("v"))
+    val grand = o.agg(sum(col("v")).as("s0"), count(lit(1)).as("n0"))
+      .select(expr("s0 div n0").as("m0"))
+    val per = o.crossJoin(broadcast(grand))
+      .select(col("g"), (col("v") - col("m0")).as("c"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n_g"), sum(col("c")).as("sp_g"),
+        sum((col("c").cast("decimal(18,0)") * col("c").cast("decimal(18,0)"))
+          .cast("decimal(38,0)")).as("qp_g"))
+    per.agg(count(lit(1)).as("k"), sum(col("n_g")).as("n"),
+        sum(col("sp_g")).as("sp"), sum(col("qp_g")).as("qp"),
+        sum((col("sp_g").cast("double") * col("sp_g").cast("double") /
+          col("n_g").cast("double")).cast("decimal(38,18)")).as("ssb_gather"))
+      .select(col("k"), col("n"),
+        (col("ssb_gather").cast("double") -
+          col("sp").cast("double") * col("sp").cast("double") /
+            col("n").cast("double")).as("ss_between"),
+        (col("qp").cast("double") -
+          col("sp").cast("double") * col("sp").cast("double") /
+            col("n").cast("double")).as("ss_total"))
+      .select(col("k"), col("n"), col("ss_between"),
+        (col("ss_total") - col("ss_between")).as("ss_within"),
+        ((col("ss_between") / (col("k") - lit(1)).cast("double")) /
+          ((col("ss_total") - col("ss_between")) /
+            (col("n") - col("k")).cast("double"))).as("f_stat"))
+  }
+
+  private val anAnovaSql =
+    """WITH o AS (SELECT c.c_mktsegment AS g,
+      |    CAST(CAST(o.o_totalprice AS DECIMAL(24,2)) * 100 AS BIGINT) AS v
+      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+      |m AS (SELECT CAST(SUM(v) AS BIGINT) // COUNT(*) AS m0 FROM o),
+      |per AS (SELECT g, COUNT(*) AS n_g,
+      |    CAST(SUM(v - m0) AS BIGINT) AS sp_g,
+      |    CAST(SUM(CAST(CAST(v - m0 AS DECIMAL(18,0)) * CAST(v - m0 AS DECIMAL(18,0))
+      |             AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS qp_g
+      |  FROM o CROSS JOIN m GROUP BY g),
+      |t AS (SELECT COUNT(*) AS k, CAST(SUM(n_g) AS BIGINT) AS n,
+      |        CAST(SUM(sp_g) AS BIGINT) AS sp,
+      |        CAST(SUM(qp_g) AS DECIMAL(38,0)) AS qp,
+      |        CAST(SUM(CAST(CAST(sp_g AS DOUBLE) * CAST(sp_g AS DOUBLE)
+      |              / CAST(n_g AS DOUBLE) AS DECIMAL(38,18))) AS DECIMAL(38,18)) AS ssb_gather
+      |      FROM per),
+      |d AS (SELECT k, n,
+      |        CAST(ssb_gather AS DOUBLE)
+      |          - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE) / CAST(n AS DOUBLE) AS ss_between,
+      |        CAST(qp AS DOUBLE)
+      |          - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE) / CAST(n AS DOUBLE) AS ss_total
+      |      FROM t)
+      |SELECT k, n, ss_between, ss_total - ss_between AS ss_within,
+      |  (ss_between / CAST(k - 1 AS DOUBLE))
+      |    / ((ss_total - ss_between) / CAST(n - k AS DOUBLE)) AS f_stat
+      |FROM d""".stripMargin
+
+  /** Mann–Whitney U (rank-sum) test — urgent vs low-priority order
+    * totals, the nonparametric two-sample location test. Ranks are
+    * midranks over the POOLED sample, computed scale-first: aggregate
+    * to distinct cent values (value → total count, group-1 count),
+    * then ONE [[graft.operators.PrefixSum]] scan gives each value's
+    * exclusive cumulative count, so its doubled midrank 2·r̄ =
+    * 2·cum_before + t + 1 is an exact integer — no global row window,
+    * no half-rank doubles. The doubled rank sum 2R₁, the tie term
+    * Σ(t³−t), n₁, n₂ are exact BIGINTs (overflow needs N > ~3e9 rows
+    * in the two priority classes); U, the tie-corrected σ, and z are
+    * pure IEEE on those ints — emitted unrounded, bit-stable. */
+  private def anMannWhitney(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+      .select((col("o_orderpriority") === "1-URGENT").cast("long").as("g1"),
+        (col("o_totalprice").cast("decimal(24,2)") * 100).cast("bigint").as("v"))
+    val perV = o.groupBy(col("v"))
+      .agg(count(lit(1)).as("cnt"), sum(col("g1")).as("c1"))
+    val scan = graft.operators.PrefixSum.withRunningTotals(perV, Seq("v"), Seq("cnt"))
+    scan
+      .select(col("cnt"), col("c1"),
+        (lit(2L) * (col("cnt_cum") - col("cnt")) + col("cnt") + lit(1L)).as("r2"))
+      .agg(sum(col("c1")).as("n1"), sum(col("cnt") - col("c1")).as("n2"),
+        sum(col("c1") * col("r2")).as("r2_1"),
+        sum(col("cnt") * col("cnt") * col("cnt") - col("cnt")).as("ties"))
+      .select(col("n1"), col("n2"), col("r2_1"), col("ties"),
+        ((col("r2_1") - col("n1") * (col("n1") + lit(1L))).cast("double") / lit(2.0))
+          .as("u1"))
+      .withColumn("z",
+        (col("u1") - col("n1").cast("double") * col("n2").cast("double") / lit(2.0)) /
+          sqrt((col("n1").cast("double") * col("n2").cast("double") / lit(12.0)) *
+            ((col("n1") + col("n2") + lit(1L)).cast("double") -
+              col("ties").cast("double") /
+                ((col("n1") + col("n2")).cast("double") *
+                  (col("n1") + col("n2") - lit(1L)).cast("double")))))
+  }
+
+  private val anMannWhitneySql =
+    """WITH o AS (SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS g1,
+      |    CAST(CAST(o_totalprice AS DECIMAL(24,2)) * 100 AS BIGINT) AS v
+      |  FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+      |pv AS (SELECT v, COUNT(*) AS cnt, CAST(SUM(g1) AS BIGINT) AS c1 FROM o GROUP BY v),
+      |cv AS (SELECT cnt, c1,
+      |         2 * (CAST(SUM(cnt) OVER (ORDER BY v) AS BIGINT) - cnt) + cnt + 1 AS r2
+      |       FROM pv),
+      |agg AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+      |          CAST(SUM(cnt - c1) AS BIGINT) AS n2,
+      |          CAST(SUM(c1 * r2) AS BIGINT) AS r2_1,
+      |          CAST(SUM(cnt * cnt * cnt - cnt) AS BIGINT) AS ties
+      |        FROM cv)
+      |SELECT n1, n2, r2_1, ties,
+      |  CAST(r2_1 - n1 * (n1 + 1) AS DOUBLE) / 2.0 AS u1,
+      |  (CAST(r2_1 - n1 * (n1 + 1) AS DOUBLE) / 2.0
+      |     - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2.0)
+      |  / sqrt((CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0)
+      |         * (CAST(n1 + n2 + 1 AS DOUBLE)
+      |            - CAST(ties AS DOUBLE)
+      |              / (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 - 1 AS DOUBLE)))) AS z
+      |FROM agg""".stripMargin
+
+  /** Degree distribution of the co-purchase part graph — the shape
+    * audit run before any graph algorithm (q_pagerank, q_triangles)
+    * to pick hub caps and partition counts. Edges are distinct
+    * same-order part pairs: the self-join keys on l_orderkey, so each
+    * order contributes ≤ C(items,2) local pairs (TPC-H orders hold ≤7
+    * lines — the join is narrow-per-key and never quadratic in the
+    * table); degree = distinct-neighbor count over the symmetrized
+    * pair set; the histogram is a tiny final groupBy. */
+  private def qDegreeHist(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val l2 = li.select(col("ok"), col("pk").as("pk2"))
+    val pairs = li.join(l2, Seq("ok"))
+      .filter(col("pk") < col("pk2"))
+      .select(col("pk").as("a"), col("pk2").as("b"))
+      .distinct()
+    val deg = pairs.select(col("a").as("node"))
+      .union(pairs.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+    deg.groupBy(col("degree")).agg(count(lit(1)).as("n_parts"))
+      .orderBy(col("degree"))
+  }
+
+  private val qDegreeHistSql =
+    """WITH pairs AS (
+      |  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+      |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      |  WHERE a.l_partkey < b.l_partkey),
+      |deg AS (SELECT node, COUNT(*) AS degree FROM (
+      |          SELECT a AS node FROM pairs
+      |          UNION ALL
+      |          SELECT b AS node FROM pairs) GROUP BY node)
+      |SELECT degree, COUNT(*) AS n_parts FROM deg
+      |GROUP BY degree ORDER BY degree""".stripMargin
+
   // ----------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -6432,6 +6599,9 @@ object SparkEntry {
     "an_peaks" -> (anPeaks _),
     "an_runs_test" -> (anRunsTest _),
     "an_rolling_distinct" -> (anRollingDistinct _),
+    "an_anova" -> (anAnova _),
+    "an_mannwhitney" -> (anMannWhitney _),
+    "q_degree_hist" -> (qDegreeHist _),
     "etl_cdc_compact" -> (etlCdcCompact _),
     "q_scd2_lookup" -> (qScd2Lookup _),
     "an_weighted_median" -> (anWeightedMedian _),
@@ -6634,6 +6804,9 @@ object SparkEntry {
     "an_peaks" -> anPeaksSql,
     "an_runs_test" -> anRunsTestSql,
     "an_rolling_distinct" -> anRollingDistinctSql,
+    "an_anova" -> anAnovaSql,
+    "an_mannwhitney" -> anMannWhitneySql,
+    "q_degree_hist" -> qDegreeHistSql,
     "etl_cdc_compact" -> etlCdcCompactSql,
     "q_scd2_lookup" -> qScd2LookupSql,
     "an_weighted_median" -> anWeightedMedianSql,

@@ -759,4 +759,53 @@ class MlPrepSpec extends SparkSpec {
     val total = Tables.customer(spark, sfDir).count()
     assert(got.map(_._1).sum == total, "every customer lands in a segment row")
   }
+
+  test("ANOVA decomposes SST into non-negative between + within") {
+    val got = SparkEntry.queries("an_anova")(spark, sfDir)
+      .select("k", "n", "ss_between", "ss_within", "f_stat")
+      .as[(Long, Long, Double, Double, Double)].head()
+    val (k, n, ssb, ssw, f) = got
+    assert(k == 5, "TPC-H has 5 market segments")
+    assert(n == Tables.orders(spark, sfDir).count())
+    assert(ssb >= 0 && ssw >= 0, s"sum of squares must be non-negative: $ssb / $ssw")
+    assert(f >= 0 && !f.isNaN, s"F out of range: $f")
+    val fWant = (ssb / (k - 1).toDouble) / (ssw / (n - k).toDouble)
+    assert(f == fWant, "F must recompose from the emitted decomposition")
+  }
+
+  test("Mann-Whitney U matches a driver-side midrank brute force") {
+    val got = SparkEntry.queries("an_mannwhitney")(spark, sfDir)
+      .select("n1", "n2", "u1", "z").as[(Long, Long, Double, Double)].head()
+    graft.operators.PrefixSum.releaseCaches()
+    val rows = Tables.orders(spark, sfDir)
+      .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+      .select((col("o_orderpriority") === "1-URGENT").cast("boolean"),
+        (col("o_totalprice").cast("decimal(24,2)") * 100).cast("bigint"))
+      .as[(Boolean, Long)].collect()
+    assert(got._1 == rows.count(_._1) && got._2 == rows.count(!_._1))
+    // midranks the quadratic way: rank = #smaller + (#equal + 1) / 2
+    val r1 = rows.filter(_._1).map { case (_, v) =>
+      rows.count(_._2 < v) + (rows.count(_._2 == v) + 1) / 2.0
+    }.sum
+    val u1Want = r1 - got._1 * (got._1 + 1) / 2.0
+    assert(got._3 == u1Want, s"U1 ${got._3} vs brute force $u1Want")
+    assert(!got._4.isNaN)
+  }
+
+  test("degree histogram obeys the handshake lemma") {
+    val got = SparkEntry.queries("q_degree_hist")(spark, sfDir)
+      .select("degree", "n_parts").as[(Long, Long)].collect()
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey")).as[(Long, Long)].collect()
+      .groupBy(_._1).values
+    val edges = li.flatMap { grp =>
+      val ps = grp.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+    }.toSet
+    assert(got.map(r => r._1 * r._2).sum == 2L * edges.size,
+      "sum of degrees must be twice the edge count")
+    assert(got.map(_._2).sum == edges.flatMap(e => Seq(e._1, e._2)).size,
+      "every connected part appears in exactly one degree bucket")
+    assert(got.forall(_._1 >= 1), "degree-0 nodes cannot appear")
+  }
 }

@@ -233,4 +233,23 @@ class PlanSpec extends SparkSpec {
     // broadcast the whole embedding store would land on every executor
     assert(bad.isEmpty, s"corpus (repartitioned) side must not broadcast:\n${bad.headOption}")
   }
+
+  test("an_mannwhitney ranks without any window at all") {
+    val df = SparkEntry.queries("an_mannwhitney")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString()
+    // pooled midranks come from the PrefixSum scan over distinct cent
+    // values — a rank() window over N rows would be the scale cliff
+    assert(!p.contains("Window"), s"midranks must ride the scan, not a window:\n$p")
+    graft.operators.PrefixSum.releaseCaches()
+  }
+
+  test("q_degree_hist closes pairs equi-keyed on the order key") {
+    val df = SparkEntry.queries("q_degree_hist")(spark, sfDir)
+    val phys = df.queryExecution.executedPlan
+    val bad = phys.collect {
+      case b: org.apache.spark.sql.execution.joins.CartesianProductExec => b
+      case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+    }
+    assert(bad.isEmpty, s"pair generation must stay keyed on l_orderkey:\n${bad.headOption}")
+  }
 }
