@@ -6543,6 +6543,81 @@ object SparkEntry {
       |              / (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 - 1 AS DOUBLE)))) AS z
       |FROM agg""".stripMargin
 
+  /** Kruskal–Wallis H across ALL five order priorities — the k-group
+    * extension of [[anMannWhitney]], same scale posture: ONE pooled
+    * PrefixSum scan over distinct cent values yields every value's
+    * doubled midrank as an exact integer; per-group doubled rank sums
+    * 2R_g are exact BIGINTs; the deviation form H = 12/(N(N+1)) ·
+    * Σ(2R_g − n_g(N+1))²/(4n_g) keeps each squared term centered
+    * (group-mean-rank deviations, not raw rank sums — the an_anova m0
+    * trick in rank space) before the DECIMAL(38,18) gather; the tie
+    * correction divides by 1 − Σ(t³−t)/(N³−N) in pure IEEE. H is
+    * emitted ROUND(·,6): once the gathered term sum crosses 2⁵³ the
+    * decimal→double re-conversion rounds engine-dependently in the
+    * last ulp (seen at sf0.1), the exact skew class the 6dp rule
+    * absorbs. */
+  private def anKruskal(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .select(col("o_orderpriority").as("g"),
+        (col("o_totalprice").cast("decimal(24,2)") * 100).cast("bigint").as("v"))
+    val perV = o.groupBy(col("v")).agg(count(lit(1)).as("cnt"))
+    val scan = graft.operators.PrefixSum.withRunningTotals(perV, Seq("v"), Seq("cnt"))
+      .select(col("v"),
+        (lit(2L) * (col("cnt_cum") - col("cnt")) + col("cnt") + lit(1L)).as("r2"),
+        col("cnt"))
+    val grand = scan.agg(sum(col("cnt")).as("n"),
+      sum(col("cnt") * col("cnt") * col("cnt") - col("cnt")).as("ties"))
+    val perG = o.groupBy(col("g"), col("v")).agg(count(lit(1)).as("c"))
+      .join(scan.select(col("v"), col("r2")), Seq("v"))
+      .groupBy(col("g"))
+      .agg(sum(col("c")).as("n_g"), sum(col("c") * col("r2")).as("r2_g"))
+    perG.crossJoin(broadcast(grand))
+      .select(col("n_g"),
+        ((col("r2_g") - col("n_g") * (col("n") + lit(1L))).cast("double") *
+          (col("r2_g") - col("n_g") * (col("n") + lit(1L))).cast("double") /
+          (lit(4.0) * col("n_g").cast("double"))).as("term"),
+        col("n"), col("ties"))
+      .groupBy(col("n"), col("ties"))
+      .agg(count(lit(1)).as("k"),
+        sum(col("term").cast("decimal(38,18)")).as("dev_gather"))
+      .select(col("k"), col("n"),
+        round(lit(12.0) / (col("n").cast("double") * (col("n") + lit(1L)).cast("double")) *
+          col("dev_gather").cast("double") /
+          (lit(1.0) - col("ties").cast("double") /
+            (col("n").cast("double") * col("n").cast("double") *
+              col("n").cast("double") - col("n").cast("double"))), 6).as("h_stat"))
+  }
+
+  private val anKruskalSql =
+    """WITH o AS (SELECT o_orderpriority AS g,
+      |    CAST(CAST(o_totalprice AS DECIMAL(24,2)) * 100 AS BIGINT) AS v
+      |  FROM orders),
+      |pv AS (SELECT v, COUNT(*) AS cnt FROM o GROUP BY v),
+      |cv AS (SELECT v, 2 * (CAST(SUM(cnt) OVER (ORDER BY v) AS BIGINT) - cnt) + cnt + 1 AS r2,
+      |         cnt
+      |       FROM pv),
+      |grand AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+      |            CAST(SUM(cnt * cnt * cnt - cnt) AS BIGINT) AS ties
+      |          FROM cv),
+      |pg AS (SELECT g, CAST(SUM(c) AS BIGINT) AS n_g, CAST(SUM(c * r2) AS BIGINT) AS r2_g
+      |       FROM (SELECT g, o.v, COUNT(*) AS c FROM o GROUP BY g, o.v) gv
+      |       JOIN cv ON gv.v = cv.v GROUP BY g),
+      |terms AS (SELECT n_g,
+      |            CAST(r2_g - n_g * (n + 1) AS DOUBLE) * CAST(r2_g - n_g * (n + 1) AS DOUBLE)
+      |              / (4.0 * CAST(n_g AS DOUBLE)) AS term,
+      |            n, ties
+      |          FROM pg CROSS JOIN grand),
+      |agg AS (SELECT n, ties, COUNT(*) AS k,
+      |          CAST(SUM(CAST(term AS DECIMAL(38,18))) AS DECIMAL(38,18)) AS dev_gather
+      |        FROM terms GROUP BY n, ties)
+      |SELECT k, n,
+      |  ROUND(12.0 / (CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE))
+      |    * CAST(dev_gather AS DOUBLE)
+      |    / (1.0 - CAST(ties AS DOUBLE)
+      |             / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+      |                - CAST(n AS DOUBLE))), 6) AS h_stat
+      |FROM agg""".stripMargin
+
   /** Degree distribution of the co-purchase part graph — the shape
     * audit run before any graph algorithm (q_pagerank, q_triangles)
     * to pick hub caps and partition counts. Edges are distinct
@@ -6601,6 +6676,7 @@ object SparkEntry {
     "an_rolling_distinct" -> (anRollingDistinct _),
     "an_anova" -> (anAnova _),
     "an_mannwhitney" -> (anMannWhitney _),
+    "an_kruskal" -> (anKruskal _),
     "q_degree_hist" -> (qDegreeHist _),
     "etl_cdc_compact" -> (etlCdcCompact _),
     "q_scd2_lookup" -> (qScd2Lookup _),
@@ -6806,6 +6882,7 @@ object SparkEntry {
     "an_rolling_distinct" -> anRollingDistinctSql,
     "an_anova" -> anAnovaSql,
     "an_mannwhitney" -> anMannWhitneySql,
+    "an_kruskal" -> anKruskalSql,
     "q_degree_hist" -> qDegreeHistSql,
     "etl_cdc_compact" -> etlCdcCompactSql,
     "q_scd2_lookup" -> qScd2LookupSql,

@@ -792,6 +792,30 @@ class MlPrepSpec extends SparkSpec {
     assert(!got._4.isNaN)
   }
 
+  test("Kruskal-Wallis H matches a driver-side midrank brute force") {
+    val got = SparkEntry.queries("an_kruskal")(spark, sfDir)
+      .select("k", "n", "h_stat").as[(Long, Long, Double)].head()
+    graft.operators.PrefixSum.releaseCaches()
+    assert(got._1 == 5, "TPC-H has 5 order priorities")
+    val rows = Tables.orders(spark, sfDir)
+      .select(col("o_orderpriority"),
+        (col("o_totalprice").cast("decimal(24,2)") * 100).cast("bigint"))
+      .as[(String, Long)].collect()
+    assert(got._2 == rows.length)
+    val n = rows.length.toDouble
+    val rank = rows.map { case (_, v) =>
+      rows.count(_._2 < v) + (rows.count(_._2 == v) + 1) / 2.0
+    }
+    val dev = rows.map(_._1).zip(rank).groupBy(_._1).values.map { grp =>
+      val rs = grp.map(_._2).sum
+      (rs - grp.length * (n + 1) / 2.0) * (rs - grp.length * (n + 1) / 2.0) / grp.length
+    }.sum
+    val ties = rows.groupBy(_._2).values
+      .map(g => g.length.toDouble * g.length * g.length - g.length).sum
+    val hWant = 12.0 / (n * (n + 1)) * dev / (1.0 - ties / (n * n * n - n))
+    assert(math.abs(got._3 - hWant) < 1e-6, s"H ${got._3} vs brute force $hWant")
+  }
+
   test("degree histogram obeys the handshake lemma") {
     val got = SparkEntry.queries("q_degree_hist")(spark, sfDir)
       .select("degree", "n_parts").as[(Long, Long)].collect()
