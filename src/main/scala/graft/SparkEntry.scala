@@ -30,17 +30,25 @@ object SparkEntry {
 
   private def ts(s: String): Column = lit(s).cast("timestamp")
 
-  /** Fixed per-query scratch dir, wiped before each invocation: fresh-dir
-    * semantics for the CAS/versioned/temp-and-swap machinery WITHOUT
-    * accumulating a full table copy per Bench/Verify repeat (a fresh
-    * createTempDirectory per run leaked one orders copy per iteration). */
+  /** Per-process scratch root: reused across Bench/Verify repeats inside
+    * one JVM (no table-copy leak per iteration) but unique per process, so
+    * a Bench overlapping a Verify in another JVM can't wipe each other's
+    * live table files mid-query. */
+  private val scratchRoot: java.nio.file.Path = java.nio.file.Paths.get(
+    sys.props("java.io.tmpdir"), "graft_scratch",
+    s"pid-${ProcessHandle.current().pid()}")
+
+  /** Per-query scratch dir under [[scratchRoot]], wiped before each
+    * invocation: fresh-dir semantics for the CAS/versioned/temp-and-swap
+    * machinery without accumulating state across repeats. */
   private def scratchDir(name: String): String = {
-    val root = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), "graft_scratch", name)
+    val root = scratchRoot.resolve(name)
     if (java.nio.file.Files.exists(root)) {
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+      val walk = java.nio.file.Files.walk(root)
+      try walk.iterator().asScala.toSeq.reverse
         .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
     }
     java.nio.file.Files.createDirectories(root)
     root.toAbsolutePath.toString
@@ -5477,10 +5485,15 @@ object SparkEntry {
       .as("p")).select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
     val cab = bi.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_ab"))
     val ca = bi.groupBy(col("a")).agg(count(lit(1)).as("c_a"))
+    // Gather the libm ln terms in DECIMAL(38,18) so the per-doc sum is
+    // order-independent (the q_pagerank gather rule) — a plain double sum
+    // over a shuffle join is partition-order-dependent and can flip a
+    // ROUND(·,6) boundary between runs/engines.
     bi.join(cab, Seq("a", "b")).join(ca, Seq("a"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"),
-        round(sum(log(col("c_ab").cast("double") / col("c_a").cast("double")))
+        round(sum(log(col("c_ab").cast("double") / col("c_a").cast("double"))
+            .cast("decimal(38,18)")).cast("double")
           / count(lit(1)).cast("double"), 6).as("mean_logprob"))
       .orderBy(col("doc_id"))
   }
@@ -5497,7 +5510,8 @@ object SparkEntry {
       |cab AS (SELECT a, b, COUNT(*) AS c_ab FROM bi GROUP BY 1, 2),
       |ca AS (SELECT a, COUNT(*) AS c_a FROM bi GROUP BY 1)
       |SELECT doc_id, COUNT(*) AS n_bigrams,
-      |       ROUND(SUM(ln(CAST(c_ab AS DOUBLE) / CAST(c_a AS DOUBLE)))
+      |       ROUND(CAST(SUM(CAST(ln(CAST(c_ab AS DOUBLE) / CAST(c_a AS DOUBLE))
+      |                           AS DECIMAL(38,18))) AS DOUBLE)
       |             / CAST(COUNT(*) AS DOUBLE), 6) AS mean_logprob
       |FROM bi JOIN cab USING (a, b) JOIN ca USING (a)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin

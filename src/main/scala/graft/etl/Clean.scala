@@ -29,31 +29,52 @@ object Clean {
   def coerceNumeric(df: DataFrame, cols: Seq[String], to: DataType = DoubleType): DataFrame =
     cols.foldLeft(df)((d, c) => d.withColumn(c, expr(s"try_cast(`$c` AS ${to.sql})")))
 
-  /** Interpolated exact median of one column from distinct-value counts
-    * + a PrefixSum rank scan: value at rank ⌊(n−1)/2⌋+1, interpolated
-    * halfway to the next distinct crossing when n is even — the same
-    * lo+(hi−lo)·frac arithmetic `percentile`/`quantile_cont` use, so
-    * the spliced literal is bit-identical to theirs. */
-  private def medianDistributed(df: DataFrame, c: String): Double = {
-    val perV = df.select(col(c).cast(DoubleType).as("v"))
+  /** Interpolated exact medians of ALL columns in ONE input pass: melt
+    * to (column, value), aggregate to distinct-value counts, then a
+    * single PrefixSum rank scan ordered by (column, value) — the global
+    * running total minus each column's exclusive offset is that
+    * column's within-column rank. Value at rank ⌊(n−1)/2⌋+1,
+    * interpolated halfway to the next distinct crossing when n is
+    * even — the same lo+(hi−lo)·frac arithmetic
+    * `percentile`/`quantile_cont` use, so the spliced literals are
+    * bit-identical to theirs. Columns with no non-null rows map to 0.0
+    * (the constant-fill fallback). */
+  private def mediansDistributed(df: DataFrame, cols: Seq[String]): Map[String, Double] = {
+    val melted = df.select(explode(array(cols.map(c =>
+        struct(lit(c).as("c"), col(c).cast(DoubleType).as("v"))): _*)).as("p"))
+      .select(col("p.c").as("c"), col("p.v").as("v"))
       .filter(col("v").isNotNull)
-      .groupBy(col("v")).agg(count(lit(1)).as("cnt"))
-    val nRow = perV.agg(sum(col("cnt"))).head()
-    if (nRow.isNullAt(0) || nRow.getLong(0) == 0L) return 0.0
-    val n = nRow.getLong(0)
-    val rLo = (n - 1) / 2 + 1
-    val scan = graft.operators.PrefixSum.withRunningTotals(perV, Seq("v"), Seq("cnt"))
-    val hitLo = col("cnt_cum") >= rLo && col("cnt_cum") - col("cnt") < rLo
-    val hitHi = col("cnt_cum") >= rLo + 1 && col("cnt_cum") - col("cnt") < rLo + 1
-    val row = scan.filter(hitLo || hitHi)
+    val perV = melted.groupBy(col("c"), col("v")).agg(count(lit(1)).as("cnt"))
+    val scan = graft.operators.PrefixSum.withRunningTotals(perV, Seq("c", "v"), Seq("cnt"))
+    // per-column totals re-walk the scan's cached sorted input — one job,
+    // driver-sized result (one row per column)
+    val totals = scan.groupBy(col("c")).agg(sum(col("cnt")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    if (totals.isEmpty) return cols.map(_ -> 0.0).toMap
+    // exclusive prefix offsets in the scan's own (c ascending) order
+    var acc = 0L
+    val offs = totals.keys.toSeq.sorted.map { c =>
+      val o = c -> acc; acc += totals(c); o
+    }.toMap
+    def perCol(m: Map[String, Long]): Column =
+      m.foldLeft(lit(0L))((e, kv) => when(col("c") === kv._1, kv._2).otherwise(e))
+    val rLos = totals.map { case (c, n) => c -> ((n - 1) / 2 + 1) }
+    val lc = col("cnt_cum") - perCol(offs)
+    val rLo = perCol(rLos)
+    val hitLo = lc >= rLo && lc - col("cnt") < rLo
+    val hitHi = lc >= rLo + 1 && lc - col("cnt") < rLo + 1
+    val found = scan.filter(hitLo || hitHi)
+      .groupBy(col("c"))
       .agg(max(when(hitLo, col("v"))).as("lo"), max(when(hitHi, col("v"))).as("hi"))
-      .head()
-    val lo = row.getDouble(0)
-    if (n % 2 == 1) lo else lo + (row.getDouble(1) - lo) * 0.5
+      .collect().map { r =>
+        val c = r.getString(0); val lo = r.getDouble(1)
+        c -> (if (totals(c) % 2 == 1) lo else lo + (r.getDouble(2) - lo) * 0.5)
+      }.toMap
+    cols.map(c => c -> found.getOrElse(c, 0.0)).toMap
   }
 
   private def medians(df: DataFrame, cols: Seq[String], exact: Boolean): Map[String, Double] = {
-    if (exact) return cols.map(c => c -> medianDistributed(df, c)).toMap
+    if (exact) return mediansDistributed(df, cols)
     val aggs = cols.map { c =>
       percentile_approx(col(c), lit(0.5), lit(10000)).cast(DoubleType).as(c)
     }

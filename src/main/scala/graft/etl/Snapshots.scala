@@ -103,11 +103,19 @@ object Snapshots {
     files.foreach(arr.add)
     val target = manifestPath(table, version)
     f.mkdirs(target.getParent)
+    // Lost-CAS detection must not swallow real I/O failures: translate to
+    // ConcurrentModificationException only when the target manifest already
+    // exists (another writer won); anything else propagates and fails the
+    // commit so no checkpoint advances past a version that never landed.
     val out =
       try f.create(target, false)
-      catch { case _: java.io.IOException =>
-        throw new java.util.ConcurrentModificationException(
-          s"$table version $version was committed by another writer; re-read and retry")
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+          throw new java.util.ConcurrentModificationException(
+            s"$table version $version was committed by another writer; re-read and retry")
+        case _: java.io.IOException if f.exists(target) =>
+          throw new java.util.ConcurrentModificationException(
+            s"$table version $version was committed by another writer; re-read and retry")
       }
     try out.write(mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(m))
     finally out.close()

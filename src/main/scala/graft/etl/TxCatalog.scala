@@ -133,11 +133,20 @@ object TxCatalog {
     tables.toSeq.sortBy(_._1).foreach { case (t, v) => tn.put(t, v) }
     val target = catalogPath(root, version)
     f.mkdirs(target.getParent)
+    // Only a genuinely lost CAS (the target already exists) becomes
+    // ConcurrentModificationException; any other I/O failure (disk full,
+    // permissions, transient FS error) must propagate so a caller that
+    // treats CME as "replayed batch" cannot advance past a commit that
+    // never landed.
     val out =
       try f.create(target, false)
-      catch { case _: java.io.IOException =>
-        throw new java.util.ConcurrentModificationException(
-          s"catalog $root version $version was committed by another writer; re-read and retry")
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+          throw new java.util.ConcurrentModificationException(
+            s"catalog $root version $version was committed by another writer; re-read and retry")
+        case _: java.io.IOException if f.exists(target) =>
+          throw new java.util.ConcurrentModificationException(
+            s"catalog $root version $version was committed by another writer; re-read and retry")
       }
     try out.write(mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(m))
     finally out.close()
