@@ -53,116 +53,32 @@ object Dedup {
     df.select(col(idCol).as("doc_id"),
       TextFunctions.shingles(col(textCol), k).as("shingles"))
 
-  /** Exact n-gram Jaccard near-dup pairs (doc_a < doc_b, jaccard >= tau).
-    *
-    * MapReduce shape: explode (shingle, id), self-join on shingle to
-    * count the intersection per pair, then join per-doc set sizes.
-    * The pair space never materializes beyond pairs that share at
-    * least one shingle. */
-  def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
-                        k: Int = 3, tau: Double = 0.05): DataFrame = {
-    val sets = persistOwned(shingleSets(df, textCol, idCol, k))
-    val sizes = sets.select(col("doc_id"), size(col("shingles")).as("n_sh"))
-    // join on 64-bit shingle hashes, not the shingle strings: the
-    // shuffle carries 8-byte keys (collision odds ~n²/2^65, and any
-    // collision would be caught by the oracle compare)
-    val posting = sets.select(col("doc_id"), explode(col("shingles")).as("sh"))
-      .select(col("doc_id"), xxhash64(col("sh")).as("sh"))
-    val common = posting.as("x").join(posting.as("y"),
-        col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("n_common"))
-    common
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "na"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "nb"), "doc_b")
-      .withColumn("jaccard",
-        col("n_common") * lit(1.0) / (col("na") + col("nb") - col("n_common")))
-      .filter(col("jaccard") >= tau)
-      .select("doc_a", "doc_b", "jaccard")
-  }
-
-  /** Directed shingle-containment pairs: C(src→dst) = |S∩D| / |S| ≥ tau
-    * — the ASYMMETRIC near-dup measure. Jaccard misses a short document
-    * quoted whole inside a long one (the union denominator swamps the
-    * overlap); containment flags it, which is why contamination and
-    * quote/boilerplate screens key on containment, not similarity.
-    * Same posting-list shape as [[ngramJaccardPairs]] (intersections
-    * counted once per unordered pair over 8-byte shingle hashes), then
-    * each pair emits both directions against its own size. */
-  def containmentPairs(df: DataFrame, textCol: String, idCol: String,
-                       k: Int = 3, tau: Double = 0.5): DataFrame = {
-    val sets = persistOwned(shingleSets(df, textCol, idCol, k))
-    val sizes = sets.select(col("doc_id"), size(col("shingles")).as("n_sh"))
-    val posting = sets.select(col("doc_id"), explode(col("shingles")).as("sh"))
-      .select(col("doc_id"), xxhash64(col("sh")).as("sh"))
-    val common = posting.as("x").join(posting.as("y"),
-        col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("n_common"))
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "na"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "nb"), "doc_b")
-    val ab = common.select(col("doc_a").as("src"), col("doc_b").as("dst"),
-      (col("n_common") * lit(1.0) / col("na")).as("containment"))
-    val ba = common.select(col("doc_b").as("src"), col("doc_a").as("dst"),
-      (col("n_common") * lit(1.0) / col("nb")).as("containment"))
-    ab.unionByName(ba).filter(col("containment") >= tau)
-  }
-
-  /** Incremental near-dup: (new doc, corpus doc) pairs with J ≥ tau —
-    * the daily-ingest shape. Only new×corpus postings join; the
-    * historical corpus is PROBED, never self-paired, so a day's
-    * increment costs O(|new| · shared postings) regardless of corpus
-    * size — re-running the symmetric all-pairs op over corpus+new
-    * would redo the entire corpus×corpus work each day. Downstream:
-    * drop new docs that pair with the corpus (or with an earlier
-    * new-batch doc via the symmetric op over the small batch alone).
-    */
-  def incrementalJaccardPairs(newDf: DataFrame, corpus: DataFrame,
-                              textCol: String, idCol: String,
-                              k: Int = 3, tau: Double = 0.05): DataFrame = {
-    val newSets = persistOwned(shingleSets(newDf, textCol, idCol, k))
-    val oldSets = persistOwned(shingleSets(corpus, textCol, idCol, k))
-    def posting(sets: DataFrame) =
-      sets.select(col("doc_id"), explode(col("shingles")).as("sh"))
-        .select(col("doc_id"), xxhash64(col("sh")).as("sh"))
-    def sizes(sets: DataFrame, id: String, n: String) =
-      sets.select(col("doc_id").as(id), size(col("shingles")).as(n))
-    posting(newSets).as("x").join(posting(oldSets).as("y"), "sh")
-      .groupBy(col("x.doc_id").as("doc_new"), col("y.doc_id").as("doc_old"))
-      .agg(count(lit(1)).as("n_common"))
-      .join(sizes(newSets, "doc_new", "na"), "doc_new")
-      .join(sizes(oldSets, "doc_old", "nb"), "doc_old")
-      .withColumn("jaccard",
-        col("n_common") * lit(1.0) / (col("na") + col("nb") - col("n_common")))
-      .filter(col("jaccard") >= tau)
-      .select("doc_new", "doc_old", "jaccard")
-  }
-
-  /** Prefix-filtered exact all-pairs Jaccard (PPJoin-style): identical
-    * output to [[ngramJaccardPairs]], far fewer candidates at scale.
-    *
-    * Shingles are globally ordered rarest-first (document frequency asc,
-    * hash tie-break); a doc with n shingles only posts its first
-    * n - ceil(tau*n) + 1 tokens. Any pair with J >= tau shares
-    * o >= ceil(tau*max(na,nb)) tokens, and by pigeonhole at least one
-    * falls in BOTH prefixes — so joining prefix postings loses nothing,
-    * while the Zipf head (stopword n-grams, the fan-out killers) sits at
-    * the END of the order and never enters the candidate join at
-    * moderate tau. Candidates are verified with the exact intersection,
-    * so there are no false positives either. */
-  def ppjoinJaccardPairs(df: DataFrame, textCol: String, idCol: String,
-                         k: Int = 3, tau: Double = 0.6): DataFrame = {
-    // everything past shingling runs on 8-byte xxhash64 tokens — the
-    // shuffles (df-order, prefix postings, verification sets) never
-    // carry shingle strings. A cross-doc hash collision would need
-    // ~2^32 distinct shingles to matter (and the oracle would catch it).
-    // sorted: verification counts overlap with a native merge pass
-    val hsets = persistOwned(shingleSets(df, textCol, idCol, k)
+  /** Per-doc sorted xxhash64 shingle arrays — the shared near-dup
+    * input: every downstream shuffle carries 8-byte tokens, never
+    * shingle strings (collision odds ~n²/2^65; the oracle compare
+    * would catch one), and verification counts overlap with a native
+    * merge pass over the sorted arrays. */
+  private def hashedSets(df: DataFrame, textCol: String, idCol: String, k: Int): DataFrame =
+    shingleSets(df, textCol, idCol, k)
       .select(col("doc_id"),
-        sort_array(transform(col("shingles"), s => xxhash64(s))).as("hsh")))
-    val posting = hsets.select(col("doc_id"), explode(col("hsh")).as("sh"))
-    val dfreq = posting.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-    val ordered = posting.join(dfreq, "sh")
+        sort_array(transform(col("shingles"), s => xxhash64(s))).as("hsh"))
+
+  private def fullPostings(hsets: DataFrame): DataFrame =
+    hsets.select(col("doc_id"), explode(col("hsh")).as("sh"))
+
+  /** PPJoin prefix postings: under a global frequency-ascending total
+    * order (document frequency asc, hash tie-break) each doc posts only
+    * its first n - ceil(tau·n) + 1 tokens. Any pair with J ≥ tau shares
+    * o ≥ ceil(tau·max(na,nb)) tokens, and by pigeonhole at least one
+    * falls in BOTH prefixes — prefix joins lose nothing. The Zipf head
+    * (boilerplate shingles, the fan-out killers) sits at the END of the
+    * order: a shingle hot enough to rank in a doc's top ceil(tau·n)−1
+    * never enters the candidate join for that doc, which is what bounds
+    * the posting self-join's skew — a shingle shared by every doc
+    * produces ZERO candidate rows instead of n²/2 (exposed to the
+    * planted-hot-shingle spec via [[prefixPostingsForSpec]]). */
+  private def prefixPostings(hsets: DataFrame, dfreq: DataFrame, tau: Double): DataFrame = {
+    val ordered = fullPostings(hsets).join(dfreq, "sh")
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(struct(col("df"), col("sh")))).as("toks"))
       .select(col("doc_id"),
@@ -173,22 +89,128 @@ object Dedup {
     // a shorter one loses pairs)
     val prefixLen =
       (size(col("toks")).cast("double") * lit(1.0 - tau) + lit(1e-9)).cast("int") + lit(1)
-    val pp = ordered
-      .select(col("doc_id"), explode(slice(col("toks"), lit(1), prefixLen)).as("sh"))
-    val cand = pp.as("x").join(pp.as("y"),
-        col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
+    ordered.select(col("doc_id"), explode(slice(col("toks"), lit(1), prefixLen)).as("sh"))
+  }
+
+  /** Spec hook: the prefix postings a corpus would emit at `tau`, for
+    * asserting frequency-boundedness (a planted hot shingle must be
+    * absent). */
+  private[graft] def prefixPostingsForSpec(df: DataFrame, textCol: String, idCol: String,
+                                           k: Int, tau: Double): DataFrame = {
+    val hsets = hashedSets(df, textCol, idCol, k)
+    val dfreq = fullPostings(hsets).groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    prefixPostings(hsets, dfreq, tau)
+  }
+
+  /** Exact-verify unordered candidate pairs against two hashed-set
+    * frames and keep J ≥ tau, emitting (aCol, bCol, jaccard). */
+  private def jaccardVerified(cand: DataFrame, hsetsA: DataFrame, hsetsB: DataFrame,
+                              aCol: String, bCol: String, tau: Double): DataFrame =
     cand
-      .join(hsets.select(col("doc_id").as("doc_a"), col("hsh").as("sha")), "doc_a")
-      .join(hsets.select(col("doc_id").as("doc_b"), col("hsh").as("shb")), "doc_b")
+      .join(hsetsA.select(col("doc_id").as(aCol), col("hsh").as("sha")), aCol)
+      .join(hsetsB.select(col("doc_id").as(bCol), col("hsh").as("shb")), bCol)
       .withColumn("n_common",
         graft.functions.VectorExprs.sorted_intersect_count(col("sha"), col("shb")))
       .withColumn("jaccard", col("n_common") * lit(1.0) /
         (size(col("sha")) + size(col("shb")) - col("n_common")))
       .filter(col("jaccard") >= tau)
-      .select("doc_a", "doc_b", "jaccard")
+      .select(aCol, bCol, "jaccard")
+
+  /** Exact n-gram Jaccard near-dup pairs (doc_a < doc_b, jaccard >= tau),
+    * routed through the PPJoin prefix filter at EVERY tau: candidates
+    * come from the df-ordered prefix self-join (see [[prefixPostings]]
+    * for the lossless-pruning argument), then each candidate is verified
+    * with the exact sorted-array intersection — identical output to the
+    * naive posting self-join, but a boilerplate shingle shared by n docs
+    * can no longer fan out n²/2 join rows: hot tokens fall past the
+    * prefix for every doc with more than ~1/tau shingles. */
+  def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
+                        k: Int = 3, tau: Double = 0.05): DataFrame = {
+    val hsets = persistOwned(hashedSets(df, textCol, idCol, k))
+    val posting = fullPostings(hsets)
+    val dfreq = posting.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val pp = prefixPostings(hsets, dfreq, tau)
+    val cand = pp.as("x").join(pp.as("y"),
+        col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    jaccardVerified(cand, hsets, hsets, "doc_a", "doc_b", tau)
   }
+
+  /** Directed shingle-containment pairs: C(src→dst) = |S∩D| / |S| ≥ tau
+    * — the ASYMMETRIC near-dup measure. Jaccard misses a short document
+    * quoted whole inside a long one (the union denominator swamps the
+    * overlap); containment flags it, which is why contamination and
+    * quote/boilerplate screens key on containment, not similarity.
+    *
+    * Candidates come from a containment-adapted prefix filter: a pair
+    * qualifies in direction src→dst only if o ≥ ceil(tau·n_src), so if
+    * all overlap tokens sat past src's prefix there would be at most
+    * ceil(tau·n_src) − 1 < o of them — contradiction; at least one
+    * overlap token is in src's PREFIX, and dst posts everything. Joining
+    * prefix×full postings therefore catches both directions via the
+    * unordered union, while a hot shingle only fans out against the few
+    * docs whose prefix still carries it — not the whole corpus². Each
+    * candidate is then verified with the exact intersection. */
+  def containmentPairs(df: DataFrame, textCol: String, idCol: String,
+                       k: Int = 3, tau: Double = 0.5): DataFrame = {
+    val hsets = persistOwned(hashedSets(df, textCol, idCol, k))
+    val posting = fullPostings(hsets)
+    val dfreq = posting.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val pp = prefixPostings(hsets, dfreq, tau)
+    val cand = pp.as("x").join(posting.as("y"),
+        col("x.sh") === col("y.sh") && col("x.doc_id") =!= col("y.doc_id"))
+      .select(least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"))
+      .distinct()
+    val common = cand
+      .join(hsets.select(col("doc_id").as("doc_a"), col("hsh").as("sha")), "doc_a")
+      .join(hsets.select(col("doc_id").as("doc_b"), col("hsh").as("shb")), "doc_b")
+      .withColumn("n_common",
+        graft.functions.VectorExprs.sorted_intersect_count(col("sha"), col("shb")))
+      .select(col("doc_a"), col("doc_b"), col("n_common"),
+        size(col("sha")).as("na"), size(col("shb")).as("nb"))
+    val ab = common.select(col("doc_a").as("src"), col("doc_b").as("dst"),
+      (col("n_common") * lit(1.0) / col("na")).as("containment"))
+    val ba = common.select(col("doc_b").as("src"), col("doc_a").as("dst"),
+      (col("n_common") * lit(1.0) / col("nb")).as("containment"))
+    ab.unionByName(ba).filter(col("containment") >= tau)
+  }
+
+  /** Incremental near-dup: (new doc, corpus doc) pairs with J ≥ tau —
+    * the daily-ingest shape. Only new×corpus candidates join; the
+    * historical corpus is PROBED, never self-paired, so a day's
+    * increment costs O(|new| · shared prefix postings) — re-running the
+    * symmetric all-pairs op over corpus+new would redo the entire
+    * corpus×corpus work each day. Both sides' prefixes are taken under
+    * ONE global order (document frequency over the union), so the
+    * PPJoin pigeonhole argument carries over to the cross-set join and
+    * a boilerplate shingle shared across the corpus stays out of the
+    * candidate join. Downstream: drop new docs that pair with the
+    * corpus (or with an earlier new-batch doc via the symmetric op
+    * over the small batch alone). */
+  def incrementalJaccardPairs(newDf: DataFrame, corpus: DataFrame,
+                              textCol: String, idCol: String,
+                              k: Int = 3, tau: Double = 0.05): DataFrame = {
+    val newSets = persistOwned(hashedSets(newDf, textCol, idCol, k))
+    val oldSets = persistOwned(hashedSets(corpus, textCol, idCol, k))
+    val dfreq = fullPostings(newSets).unionByName(fullPostings(oldSets))
+      .groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val cand = prefixPostings(newSets, dfreq, tau).as("x")
+      .join(prefixPostings(oldSets, dfreq, tau).as("y"), col("x.sh") === col("y.sh"))
+      .select(col("x.doc_id").as("doc_new"), col("y.doc_id").as("doc_old"))
+      .distinct()
+    jaccardVerified(cand, newSets, oldSets, "doc_new", "doc_old", tau)
+  }
+
+  /** Prefix-filtered exact all-pairs Jaccard (PPJoin-style) at a
+    * high-similarity tau, where the prefix filter prunes hardest. */
+  def ppjoinJaccardPairs(df: DataFrame, textCol: String, idCol: String,
+                         k: Int = 3, tau: Double = 0.6): DataFrame =
+    // [[ngramJaccardPairs]] IS the PPJoin pipeline now (prefix-filtered
+    // candidates + exact verification at every tau); this name survives
+    // as the explicitly-tuned high-tau entry point.
+    ngramJaccardPairs(df, textCol, idCol, k, tau)
 
   // ------------------------------------------------------------- MinHash-LSH
 

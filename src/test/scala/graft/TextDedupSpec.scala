@@ -140,15 +140,48 @@ class TextDedupSpec extends SparkSpec {
     assert(got == Set((1L, 2L, 0.5)))
   }
 
-  test("ppjoinJaccardPairs equals the unfiltered exact pair set") {
+  test("prefix-filtered jaccard pairs equal a driver-side brute force") {
+    // the independent exactness witness: ngramJaccardPairs now routes
+    // through the PPJoin prefix filter at every tau, so the check is
+    // against sets recomputed outside the candidate machinery entirely
     val docs = Tables.documents(spark, sfDir)
-    for (tau <- Seq(0.2, 0.5)) {
-      val plain = Dedup.ngramJaccardPairs(docs, "text", "doc_id", tau = tau)
+    val sets = Dedup.shingleSets(docs, "text", "doc_id")
+      .as[(Long, Seq[String])].collect().map { case (k, v) => k -> v.toSet }
+    for (tau <- Seq(0.05, 0.2, 0.5)) {
+      val want = (for {
+        (a, sa) <- sets; (b, sb) <- sets if a < b
+        o = (sa & sb).size
+        if o.toDouble / (sa.size + sb.size - o) >= tau
+      } yield (a, b)).toSet
+      val got = Dedup.ngramJaccardPairs(docs, "text", "doc_id", tau = tau)
         .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
-      val pp = Dedup.ppjoinJaccardPairs(docs, "text", "doc_id", tau = tau)
-        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
-      assert(pp == plain, s"prefix filtering changed the tau=$tau pair set")
+      assert(got == want, s"tau=$tau: prefix filtering changed the pair set")
     }
+    Dedup.releaseCaches()
+  }
+
+  test("a corpus-wide hot shingle never enters the candidate join") {
+    // every doc shares ONE boilerplate shingle ("lorem ipsum dolor",
+    // fenced by per-doc-unique words so exactly one window is shared);
+    // the naive posting self-join would fan out n·(n−1)/2 rows on it.
+    // With 31 distinct shingles/doc and tau=0.05 the prefix drops
+    // ceil(0.05·31)−1 = 1 token per doc — by document frequency that
+    // is exactly the hot one, so its prefix-posting count must be ZERO.
+    val n = 500
+    val docs = (1 to n).map { i =>
+      val u = (1 to 30).map(w => s"u${i}w$w")
+      (i.toLong,
+        (u.take(15) :+ "lorem ipsum dolor").mkString(" ") + " " + u.drop(15).mkString(" "))
+    }.toDF("doc_id", "text")
+    val hot = spark.range(1).select(xxhash64(lit("lorem ipsum dolor"))).as[Long].head()
+    val pp = Dedup.prefixPostingsForSpec(docs, "text", "doc_id", k = 3, tau = 0.05)
+      .groupBy($"sh").count().as[(Long, Long)].collect().toMap
+    assert(!pp.contains(hot), s"hot shingle posted ${pp.getOrElse(hot, 0L)} times into the prefix join")
+    assert(pp.values.forall(_ == 1L), "every surviving posting must be doc-unique")
+    // and the full operator stays exact: all true jaccards are
+    // 1/(31+31-1) ≈ 0.016 < tau, so the verified pair set is empty
+    assert(Dedup.ngramJaccardPairs(docs, "text", "doc_id", tau = 0.05).isEmpty)
+    Dedup.releaseCaches()
   }
 
   test("containmentPairs flags a quoted-whole short doc that jaccard misses") {
