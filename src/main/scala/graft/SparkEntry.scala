@@ -820,11 +820,12 @@ object SparkEntry {
     * just global. */
   private def etlQuantileBucketize(s: SparkSession, dir: String): DataFrame = {
     val ord = Tables.orders(s, dir)
-    val perV = ord
+    val raw = ord
       .select((col("o_totalprice").cast("decimal(24,2)") * 100).cast("bigint").as("v"))
-      .groupBy(col("v")).agg(count(lit(1)).as("cnt"))
-    val scan = graft.operators.PrefixSum.withRunningTotals(perV, Seq("v"), Seq("cnt"))
-    val probes = perV.agg(sum(col("cnt")).as("n"))
+    // raw-row scan (run-length merge in-pass) — the distinct-value
+    // groupBy reduced nothing over near-unique prices
+    val scan = graft.operators.PrefixSum.distinctRunningCounts(raw, Seq("v"))
+    val probes = raw.agg(count(lit(1)).as("n"))
       .select(explode(array(lit(1L), lit(2L), lit(3L))).as("qid"), col("n"))
       .select(col("qid"), (col("qid") * (col("n") - 1)).as("pos4"))
       .select(col("qid"), expr("pos4 div 4 + 1").as("r_lo"), (col("pos4") % 4).as("f4"))
@@ -964,14 +965,15 @@ object SparkEntry {
     * (multiples of $0.0025 are even multiples of the $0.00005
     * half-step). State: distinct values only, fully distributed. */
   private def anQuantilesByGroup(s: SparkSession, dir: String): DataFrame = {
-    val perV = Tables.orders(s, dir)
-      .groupBy(col("o_orderpriority").as("g"),
+    val raw = Tables.orders(s, dir)
+      .select(col("o_orderpriority").as("g"),
         (col("o_totalprice").cast("decimal(24,2)") * 100).cast("bigint").as("v"))
-      .agg(count(lit(1)).as("cnt"))
-    val scan = graft.operators.PrefixSum.withRunningTotals(perV, Seq("g", "v"), Seq("cnt"))
+    // raw-row scan (run-length merge in-pass) — the distinct-value
+    // groupBy reduced nothing over near-unique prices
+    val scan = graft.operators.PrefixSum.distinctRunningCounts(raw, Seq("g", "v"))
     // group-count-sized (5 rows): offsets of each group within the scan
     val wOff = Window.orderBy("g").rowsBetween(Window.unboundedPreceding, -1)
-    val probes = perV.groupBy("g").agg(sum("cnt").as("n"))
+    val probes = raw.groupBy("g").agg(count(lit(1)).as("n"))
       .withColumn("off", coalesce(sum("n").over(wOff), lit(0L)))
       .select(col("g"), col("n"), col("off"),
         explode(array(lit(25L), lit(50L), lit(75L))).as("pct"))
@@ -3063,25 +3065,60 @@ object SparkEntry {
     * quarter-cents sit ON the 4-dp half-step). Replaces two grouped
     * exact-`percentile` passes whose per-group value→count buffers
     * grew linearly with the data — the 100×-scale memory cliff. */
+  /** Per-group med2 picked from a [[graft.operators.PrefixSum
+    * .distinctRunningCounts]] scan over RAW (g, v) rows — no groupBy
+    * exchange anywhere: multiplicities fall out of the sorted scan's
+    * run-length merge, and only the groups-sized probe table aggregates. */
+  private def groupedMedian2Raw(raw: DataFrame, g: String, v: String): DataFrame = {
+    val scan = graft.operators.PrefixSum.distinctRunningCounts(raw, Seq(g, v))
+    val wOff = Window.orderBy(g).rowsBetween(Window.unboundedPreceding, -1)
+    val probes = raw.groupBy(g).agg(count(lit(1)).as("n"))
+      .withColumn("off", coalesce(sum("n").over(wOff), lit(0L)))
+      .withColumn("k_lo", expr("(n + 1) div 2"))
+      .withColumn("k_hi", expr("n div 2 + 1"))
+    val hitLo = col("cum") >= col("k_lo") && col("cum") - col("cnt") < col("k_lo")
+    val hitHi = col("cum") >= col("k_hi") && col("cum") - col("cnt") < col("k_hi")
+    scan.join(broadcast(probes), Seq(g))
+      .withColumn("cum", col("cnt_cum") - col("off"))
+      .filter(hitLo || hitHi)
+      .groupBy(col(g))
+      .agg((max(when(hitLo, col(v))) + max(when(hitHi, col(v)))).as("med2"),
+        first(col("n")).as("n"))
+  }
+
   private def anMadOutliers(s: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(s, dir).select(col("o_orderpriority").as("g"),
       (col("o_totalprice").cast("decimal(24,2)") * 100).cast("bigint").as("v"))
-    val med = groupedMedian2(
-      o.groupBy(col("g"), col("v")).agg(count(lit(1)).as("cnt")), "g", "v")
-    // dev feeds BOTH the mad median and the final screen — persist so the
-    // orders scan + med join run once (released by Verify/Bench isolation)
-    val dev = o.join(broadcast(med.select(col("g"), col("med2"))), Seq("g"))
+    // raw-row medians: near-unique prices make a distinct-value groupBy
+    // a no-reduction hash aggregate (it DOUBLED this query's bench
+    // entry), so both medians run distinctRunningCounts scans over raw
+    // rows and the outlier screen reuses the mad scan's distinct
+    // (g, adev, cnt) rows — the orders-sized frame is never aggregated,
+    // only range-sorted
+    val med = groupedMedian2Raw(o, "g", "v").select(col("g"), col("med2"))
+    val dev = o.join(broadcast(med), Seq("g"))
       .select(col("g"), abs(col("v") * 2 - col("med2")).as("adev")) // half-cents
-      .persist()
-    val mad = groupedMedian2(
-      dev.groupBy(col("g"), col("adev")).agg(count(lit(1)).as("cnt")), "g", "adev")
-      .select(col("g"), col("med2").as("mad4")) // quarter-cents (2× half-cents)
-    dev.join(broadcast(mad), Seq("g")).join(broadcast(med), Seq("g"))
+    val madScan = graft.operators.PrefixSum.distinctRunningCounts(dev, Seq("g", "adev"))
+    val wOff = Window.orderBy(col("g")).rowsBetween(Window.unboundedPreceding, -1)
+    val probes = o.groupBy(col("g")).agg(count(lit(1)).as("n"))
+      .withColumn("off", coalesce(sum("n").over(wOff), lit(0L)))
+      .withColumn("k_lo", expr("(n + 1) div 2"))
+      .withColumn("k_hi", expr("n div 2 + 1"))
+    val hitLo = col("cum") >= col("k_lo") && col("cum") - col("cnt") < col("k_lo")
+    val hitHi = col("cum") >= col("k_hi") && col("cum") - col("cnt") < col("k_hi")
+    val mad = madScan.join(broadcast(probes), Seq("g"))
+      .withColumn("cum", col("cnt_cum") - col("off"))
+      .filter(hitLo || hitHi)
+      .groupBy(col("g"))
+      .agg((max(when(hitLo, col("adev"))) + max(when(hitHi, col("adev")))).as("mad4"))
+    // final screen over the mad scan's distinct rows (cnt-weighted), not
+    // the raw deviation frame — quarter-cents mad4 vs half-cents adev
+    madScan.join(broadcast(mad), Seq("g")).join(broadcast(med), Seq("g"))
       .groupBy(col("g").as("o_orderpriority"))
-      .agg(count(lit(1)).as("n"),
+      .agg(sum(col("cnt")).as("n"),
         round(first(col("med2")).cast("double") / 200.0, 6).as("med"),
         round(first(col("mad4")).cast("double") / 400.0, 6).as("mad"),
-        sum(when(lit(13490L) * col("adev") > lit(35000L) * col("mad4"), 1L)
+        sum(when(lit(13490L) * col("adev") > lit(35000L) * col("mad4"), col("cnt"))
           .otherwise(0L)).as("n_outliers"))
       .orderBy(col("o_orderpriority"))
   }
@@ -4020,11 +4057,13 @@ object SparkEntry {
     * (⌈qn⌉ via (q·n + d−1) div d), so the emitted values are exact
     * order statistics, not interpolations. */
   private def qExactMedian(s: SparkSession, dir: String): DataFrame = {
-    val perV = Tables.lineitem(s, dir)
-      .groupBy((col("l_extendedprice").cast("decimal(24,2)") * 100).cast("bigint").as("v"))
-      .agg(count(lit(1)).as("cnt"))
-    val scan = graft.operators.PrefixSum.withRunningTotals(perV, Seq("v"), Seq("cnt"))
-    val probes = perV.agg(sum("cnt").as("n"))
+    val raw = Tables.lineitem(s, dir)
+      .select((col("l_extendedprice").cast("decimal(24,2)") * 100).cast("bigint").as("v"))
+    // raw-row scan: near-unique prices make the distinct-value groupBy a
+    // no-reduction hash aggregate; run-length merging inside the sorted
+    // scan gets the same (v, cnt, cnt_cum) rows for one exchange
+    val scan = graft.operators.PrefixSum.distinctRunningCounts(raw, Seq("v"))
+    val probes = raw.agg(count(lit(1)).as("n"))
       .select(explode(array(lit(25L), lit(50L), lit(75L))).as("pct"), col("n"))
       .withColumn("r", expr(
         "CASE pct WHEN 25 THEN (n+3) div 4 WHEN 50 THEN (n+1) div 2 ELSE (3*n+3) div 4 END"))
@@ -5348,12 +5387,28 @@ object SparkEntry {
     * + PrefixSum order-statistic scan, zero value-buffering state.
     * Emitted in doubled units → exact at 6 dp. */
   private def anWeightedMedian(s: SparkSession, dir: String): DataFrame = {
-    val perV = Tables.lineitem(s, dir)
+    val raw = Tables.lineitem(s, dir)
       .select(col("l_returnflag").as("g"),
         (col("l_extendedprice").cast("decimal(24,2)") * 100).cast("bigint").as("v"),
         col("l_quantity").cast("bigint").as("w"))
-      .groupBy(col("g"), col("v")).agg(sum(col("w")).as("cnt"))
-    groupedMedian2(perV, "g", "v")
+    // raw-row scan with weight run-sums (sumCols): same hit logic as
+    // [[groupedMedian2]] but cnt/cum are WEIGHTS, and the no-reduction
+    // distinct-value groupBy over near-unique prices is gone
+    val scan = graft.operators.PrefixSum.distinctRunningCounts(
+      raw, Seq("g", "v"), sumCols = Seq("w"))
+    val wOff = Window.orderBy(col("g")).rowsBetween(Window.unboundedPreceding, -1)
+    val probes = raw.groupBy(col("g")).agg(sum(col("w")).as("n"))
+      .withColumn("off", coalesce(sum("n").over(wOff), lit(0L)))
+      .withColumn("k_lo", expr("(n + 1) div 2"))
+      .withColumn("k_hi", expr("n div 2 + 1"))
+    val hitLo = col("cum") >= col("k_lo") && col("cum") - col("w") < col("k_lo")
+    val hitHi = col("cum") >= col("k_hi") && col("cum") - col("w") < col("k_hi")
+    scan.join(broadcast(probes), Seq("g"))
+      .withColumn("cum", col("w_cum") - col("off"))
+      .filter(hitLo || hitHi)
+      .groupBy(col("g"))
+      .agg((max(when(hitLo, col("v"))) + max(when(hitHi, col("v")))).as("med2"),
+        first(col("n")).as("n"))
       .select(col("g").as("l_returnflag"), col("n").as("total_weight"),
         round(col("med2").cast("double") / 200.0, 6).as("wmedian"))
       .orderBy(col("l_returnflag"))
@@ -6070,10 +6125,11 @@ object SparkEntry {
   private def anWinsorize(s: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(s, dir).select(col("o_orderpriority").as("g"),
       (col("o_totalprice").cast("decimal(24,2)") * 100).cast("bigint").as("v"))
-    val perV = o.groupBy(col("g"), col("v")).agg(count(lit(1)).as("cnt"))
-    val scan = graft.operators.PrefixSum.withRunningTotals(perV, Seq("g", "v"), Seq("cnt"))
+    // raw-row scan (run-length merge in-pass) — the distinct-value
+    // groupBy reduced nothing over near-unique prices
+    val scan = graft.operators.PrefixSum.distinctRunningCounts(o, Seq("g", "v"))
     val wOff = Window.orderBy(col("g")).rowsBetween(Window.unboundedPreceding, -1)
-    val probes = perV.groupBy(col("g")).agg(sum(col("cnt")).as("n"))
+    val probes = o.groupBy(col("g")).agg(count(lit(1)).as("n"))
       .withColumn("off", coalesce(sum(col("n")).over(wOff), lit(0L)))
       .withColumn("r_lo", expr("(n + 9) div 10"))
       .withColumn("r_hi", expr("(9 * n + 9) div 10"))

@@ -42,6 +42,99 @@ object PrefixSum {
     owned.clear()
   }
 
+  /** Persist `df` under this object's owned-cache lifecycle (released
+    * by [[releaseCaches]]) — for callers that build their own scan but
+    * share the Verify/Bench per-query release point. */
+  def persistOwned(df: DataFrame): DataFrame = synchronized {
+    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    owned += df
+    df
+  }
+
+  /** Distinct-key running counts straight from RAW (possibly duplicated)
+    * rows: one output row per distinct `orderCols` key carrying `cnt`
+    * (multiplicity) and `cnt_cum` (rows ≤ key in the total order).
+    *
+    * Equivalent to `df.groupBy(orderCols).count()` piped through
+    * [[withRunningTotals]], minus the aggregation exchange: after the
+    * range repartition equal keys are contiguous within one partition
+    * (RangePartitioner never splits equal keys), so multiplicities fall
+    * out of a run-length merge inside the scan pass itself. That matters
+    * when keys are near-unique — a partial hash aggregate over 1.5M
+    * distinct keys builds a map per partition and reduces nothing, pure
+    * overhead this path never pays. Output values are
+    * boundary-independent (cnt and cnt_cum are global properties of the
+    * key), so the sampling-dependent partitioning cannot leak into
+    * results.
+    *
+    * `sumCols` (must be LongType) additionally emit the per-key sum
+    * under the column's own name plus a `<c>_cum` running total — the
+    * weighted-rank shape (weighted medians, midranks). */
+  def distinctRunningCounts(df: DataFrame, orderCols: Seq[String],
+      sumCols: Seq[String] = Nil, numParts: Int = 32): DataFrame = {
+    val spark = df.sparkSession
+    val sorted = df.select((orderCols ++ sumCols).map(col): _*)
+      .repartitionByRange(numParts, orderCols.map(col): _*)
+      .sortWithinPartitions(orderCols.map(col): _*)
+    persistOwned(sorted)
+    val rdd = sorted.rdd // single instance: both passes see one partitioning
+    val nP = rdd.getNumPartitions
+    val k = orderCols.length
+    val m = sumCols.length
+    val subs: Map[Int, (Long, Array[Long])] = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var n = 0L; val s = new Array[Long](m)
+      it.foreach { r =>
+        n += 1
+        var j = 0; while (j < m) { s(j) += r.getLong(k + j); j += 1 }
+      }
+      Iterator((pid, (n, s)))
+    }.collect().toMap
+    val offN = new Array[Long](nP)
+    val offS = new Array[Array[Long]](nP)
+    var accN = 0L; var accS = new Array[Long](m)
+    for (p <- 0 until nP) {
+      offN(p) = accN; offS(p) = accS.clone()
+      subs.get(p).foreach { case (n, s) =>
+        accN += n; accS = accS.zip(s).map { case (a, b) => a + b }
+      }
+    }
+    val out = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var cum = offN(pid)
+      val scum = offS(pid).clone()
+      new Iterator[Row] {
+        private var pending: Row = null
+        def hasNext: Boolean = pending != null || it.hasNext
+        def next(): Row = {
+          val key = if (pending != null) pending else it.next()
+          pending = null
+          var cnt = 1L
+          val sums = new Array[Long](m)
+          var j = 0; while (j < m) { sums(j) = key.getLong(k + j); j += 1 }
+          var done = false
+          while (!done && it.hasNext) {
+            val r = it.next()
+            var same = true; j = 0
+            while (same && j < k) { if (r.get(j) != key.get(j)) same = false; j += 1 }
+            if (same) {
+              cnt += 1
+              j = 0; while (j < m) { sums(j) += r.getLong(k + j); j += 1 }
+            } else { pending = r; done = true }
+          }
+          cum += cnt
+          j = 0; while (j < m) { scum(j) += sums(j); j += 1 }
+          Row.fromSeq(key.toSeq.take(k) ++ (cnt +: cum +:
+            (0 until m).flatMap(i => Seq(sums(i), scum(i)))))
+        }
+      }
+    }
+    val outSchema = StructType(sorted.schema.fields.take(k) ++
+      (StructField("cnt", LongType, nullable = false) ::
+        StructField("cnt_cum", LongType, nullable = false) :: Nil) ++
+      sumCols.flatMap(c => Seq(StructField(c, LongType, nullable = false),
+        StructField(c + "_cum", LongType, nullable = false))))
+    spark.createDataFrame(out, outSchema)
+  }
+
   /** Append `<c>_cum` running totals (one per `sumCols` entry, which
     * must be LongType) and a 1-based global-rank column `rankCol`, all
     * under the total order of `orderCols` (a unique key of `df`). */

@@ -57,6 +57,36 @@ class PrefixSumSpec extends SparkSpec {
     }
   }
 
+  test("distinctRunningCounts equals groupBy + withRunningTotals on raw rows") {
+    // duplicate-heavy raw keys across many input partitions: the
+    // run-length path must reproduce the aggregate-then-scan result
+    val raw = spark.range(0, 4000).repartition(11)
+      .select((col("id") % 97).as("k"), (col("id") % 7 + 1).as("w"))
+    val got = PrefixSum.distinctRunningCounts(raw, Seq("k"), sumCols = Seq("w"),
+        numParts = 8)
+      .select("k", "cnt", "cnt_cum", "w", "w_cum")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    val perV = raw.groupBy("k").agg(count(lit(1)).as("cnt"), sum("w").as("w"))
+    val want = PrefixSum.withRunningTotals(perV, Seq("k"), Seq("cnt", "w"), numParts = 8)
+      .select("k", "cnt", "cnt_cum", "w", "w_cum")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == want.toSeq,
+      "raw-row run-length scan must equal the aggregate-then-scan formulation")
+    PrefixSum.releaseCaches()
+  }
+
+  test("distinctRunningCounts handles empty input and fewer keys than partitions") {
+    val empty = Seq.empty[(Long, Long)].toDF("k", "w")
+    assert(PrefixSum.distinctRunningCounts(empty, Seq("k")).count() == 0)
+    val tiny = Seq((5L, 1L), (5L, 2L), (2L, 4L)).toDF("k", "w")
+    val got = PrefixSum.distinctRunningCounts(tiny, Seq("k"), sumCols = Seq("w"),
+        numParts = 16)
+      .select("k", "cnt", "cnt_cum", "w", "w_cum")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((2L, 1L, 1L, 4L, 4L), (5L, 2L, 3L, 3L, 7L)))
+    PrefixSum.releaseCaches()
+  }
+
   test("the scan plan has no single-partition window exchange") {
     val df = spark.range(0, 1000).select(col("id").as("k"), lit(1L).as("v"))
     val plan = PrefixSum.withRunningTotals(df, Seq("k"), Seq("v"))
