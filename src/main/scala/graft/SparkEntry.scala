@@ -1856,25 +1856,80 @@ object SparkEntry {
       |WHERE rank <= 5
       |ORDER BY query_id, rank""".stripMargin
 
-  /** LSH-bucketed ANN — Spark-hash bucketing (rows-only check; recall vs
-    * the brute-force baseline is asserted in ScalaTest). */
+  /** DuckDB replay of [[graft.similarity.VectorOps.lshTopKPortable]]:
+    * derives the SAME md5-nibble integer hyperplanes in SQL, quantizes
+    * vectors to the same BIGINT micro-units, reassembles band keys from
+    * exact-integer sign bits, and ranks candidates by 6-dp cosine with
+    * id tie-breaks — every step integer-exact or correctly-rounded, so
+    * the hash oracle holds bit-for-bit. */
+  private def lshOracleSql(nBits: Int, nBands: Int, dim: Int = 64, k: Int = 5): String = {
+    val bandBits = nBits / nBands
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |vq AS (SELECT vec_id,
+       |    list_transform(v, x -> CAST(round(x * 1000000.0) AS BIGINT)) AS q
+       |  FROM e),
+       |planes AS (SELECT t1.range AS i, t2.range AS j,
+       |    2 * (instr('0123456789abcdef', substr(md5('lsh:' ||
+       |      CAST(t1.range AS VARCHAR) || ':' || CAST(t2.range AS VARCHAR)), 1, 1)) - 1) - 15 AS h
+       |  FROM range(0, $nBits) t1, range(0, $dim) t2),
+       |bits AS (SELECT vq.vec_id, p.i,
+       |    CASE WHEN SUM(p.h * vq.q[CAST(p.j AS INT) + 1]) >= 0 THEN 1 ELSE 0 END AS b
+       |  FROM vq CROSS JOIN planes p GROUP BY vq.vec_id, p.i),
+       |bands AS (SELECT vec_id, CAST(i // $bandBits AS INT) AS band_id,
+       |    CAST(SUM(b * (1 << CAST(i % $bandBits AS INT))) AS BIGINT) AS band_key
+       |  FROM bits GROUP BY 1, 2),
+       |pairs AS (SELECT DISTINCT qb.vec_id AS query_id, nb.vec_id AS neighbor_id
+       |  FROM bands qb JOIN bands nb USING (band_id, band_key)
+       |  WHERE qb.vec_id % 50 = 0 AND nb.vec_id <> qb.vec_id),
+       |scored AS (SELECT p.query_id, p.neighbor_id,
+       |    ROUND(list_cosine_similarity(eq.v, en.v), 6) AS sim
+       |  FROM pairs p JOIN e eq ON eq.vec_id = p.query_id
+       |               JOIN e en ON en.vec_id = p.neighbor_id)
+       |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, sim FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY sim DESC, neighbor_id) AS rank
+       |  FROM scored) t
+       |WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** LSH-bucketed ANN under the FULL hash oracle: the signature uses
+    * [[graft.similarity.VectorOps.md5Hyperplanes]] integer planes
+    * against micro-unit-quantized vectors, so the DuckDB oracle
+    * replays bucket assignment, candidate join, and ranking
+    * bit-for-bit (recall vs brute force additionally asserted in
+    * ScalaTest). */
   private def simLshAnn(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
-    graft.similarity.VectorOps.lshTopK(
+    graft.similarity.VectorOps.lshTopKPortable(
         emb, emb.filter(col("vec_id") % 50 === 0), k = 5, dim = 64)
       .orderBy(col("query_id"), col("rank"))
   }
 
+  private val simLshAnnSql = lshOracleSql(nBits = 16, nBands = 4)
+
+  /** The (bands × rows) layout [[graft.similarity.LshTuning]] plans for
+    * sim_lsh_auto — computed once so the Spark query and its DuckDB
+    * oracle agree on the same constants by construction. */
+  private val lshAutoPlan =
+    graft.similarity.LshTuning.tuneCosine(
+      simThreshold = 0.9, recall = 0.9, maxHashes = 64,
+      bgSim = 0.0, maxBgProb = 0.1)
+
   /** LSH ANN with the band layout planned from a recall target instead
-    * of hand-picked constants (rows-only check; the planner's S-curve
-    * math and the recall floor are exact-checked in LshTuningSpec). */
+    * of hand-picked constants (planner S-curve math exact-checked in
+    * LshTuningSpec). Same portable signature as [[simLshAnn]], so the
+    * tuned layout also sits under the full hash oracle. */
   private def simLshAuto(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
-    graft.similarity.VectorOps.lshTopKAuto(
+    graft.similarity.VectorOps.lshTopKPortable(
         emb, emb.filter(col("vec_id") % 50 === 0), k = 5, dim = 64,
-        simThreshold = 0.9, recall = 0.9, bgSim = 0.0, maxBgProb = 0.1)
+        nBits = lshAutoPlan.totalHashes, nBands = lshAutoPlan.bands)
       .orderBy(col("query_id"), col("rank"))
   }
+
+  private val simLshAutoSql =
+    lshOracleSql(nBits = lshAutoPlan.totalHashes, nBands = lshAutoPlan.bands)
 
   /** IVF-bucketed ANN (rows-only check; recall asserted in ScalaTest). */
   private def simIvfAnn(s: SparkSession, dir: String): DataFrame = {
@@ -7031,6 +7086,8 @@ object SparkEntry {
     "etl_scd2" -> etlScd2Sql,
     "q_bloom_semi" -> qBloomSemiSql,
     "sim_topk_cosine" -> simTopkCosineSql,
+    "sim_lsh_ann" -> simLshAnnSql,
+    "sim_lsh_auto" -> simLshAutoSql,
     "text_langid" -> textLangidSql,
     "text_langid3" -> textLangid3Sql,
     "text_quality" -> textQualitySql,

@@ -263,7 +263,6 @@ object VectorOps {
   def lshTopK(embeddings: DataFrame, queries: DataFrame, k: Int, dim: Int,
               nBits: Int = 16, nBands: Int = 4,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val bandBits = nBits / nBands
     val mask = (1L << bandBits) - 1
     def banded(df: DataFrame, id: String, vec: String, nrm: String): DataFrame = {
@@ -277,12 +276,75 @@ object VectorOps {
     }
     val e = banded(embeddings.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv")), "neighbor_id", "nv", "nn")
     val q = banded(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")), "query_id", "qv", "qn")
+    bandCandidateTopK(e, q, k)
+  }
+
+  /** Engine-portable md5-derived integer hyperplanes: component (i, j)
+    * is `2·nibble − 15` where nibble is the first hex digit of
+    * md5("lsh:i:j") — odd integers in [−15, 15], never zero, uniform
+    * over 16 levels (plenty for a sign test). Any SQL engine with
+    * md5() replays the exact derivation, which is what lets the LSH
+    * retrieval queries sit under the full hash oracle instead of a
+    * rows-only check. */
+  def md5Hyperplanes(dim: Int, nBits: Int): Array[Array[Long]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(nBits) { i =>
+      Array.tabulate(dim) { j =>
+        val nib = (md.digest(s"lsh:$i:$j".getBytes("UTF-8"))(0) >> 4) & 0xf
+        2L * nib - 15L
+      }
+    }
+  }
+
+  /** [[lshTopK]] with an ENGINE-PORTABLE signature: [[md5Hyperplanes]]
+    * integer planes against the embedding quantized to exact BIGINT
+    * micro-units (`round(x·1e6)`), so every sign bit compares an exact
+    * integer sum — order-independent and bit-replayable in a SQL
+    * oracle, unlike [[lshSignature]]'s splitmix doubles. Band keys are
+    * assembled directly from the sign bits (no 64-bit packing cap, so
+    * tuned plans past 64 total hashes still fit). Same SRP retrieval
+    * family: the 1e-6 quantization perturbs each plane's decision
+    * boundary by far less than the vectors' own scale. */
+  def lshTopKPortable(embeddings: DataFrame, queries: DataFrame, k: Int, dim: Int,
+                      nBits: Int = 16, nBands: Int = 4,
+                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(nBits % nBands == 0, s"nBits=$nBits must split evenly into nBands=$nBands")
+    val bandBits = nBits / nBands
+    val planes = md5Hyperplanes(dim, nBits)
+    def banded(df: DataFrame, id: String, vec: String, nrm: String): DataFrame = {
+      val vq = transform(toDouble(col(vec)),
+        x => round(x * lit(1000000.0)).cast("long"))
+      // one exact-integer dot per plane, codegen'd HOFs end to end
+      val scores = planes.map { h =>
+        aggregate(zip_with(vq, typedLit(h.toSeq), (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x)
+      }
+      val bandStructs = (0 until nBands).map { b =>
+        val key = (0 until bandBits).map { p =>
+          when(scores(b * bandBits + p) >= 0, lit(1L << p)).otherwise(lit(0L))
+        }.reduce(_ + _)
+        struct(lit(b).as("band_id"), key.as("band_key"))
+      }
+      df.select(col(id), toDouble(col(vec)).as(vec))
+        .withColumn(nrm, norm(col(vec)))
+        .withColumn("band", explode(array(bandStructs: _*)))
+        .select(col(id), col(vec), col(nrm), col("band.band_id"), col("band.band_key"))
+    }
+    val e = banded(embeddings.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv")), "neighbor_id", "nv", "nn")
+    val q = banded(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")), "query_id", "qv", "qn")
+    bandCandidateTopK(e, q, k)
+  }
+
+  /** Shared LSH tail: equi-join banded corpus × banded queries, exact
+    * cosine, pair dedup, per-query top-k. Norms per row (not per
+    * pair); sim before the pair dedup so the groupBy shuffles scalar
+    * triples, never the vectors (multi-band hits of a pair produce
+    * identical sims — max == any). Query side broadcasts explicitly —
+    * the corpus never shuffles for the join. */
+  private def bandCandidateTopK(e: DataFrame, q: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
-    // norms per row (not per pair); sim before the pair dedup so the
-    // groupBy shuffles scalar triples, never the vectors (multi-band
-    // hits of a pair produce identical sims — max == any). Query side
-    // broadcasts explicitly — the corpus never shuffles for the join.
     e.join(broadcast(q), Seq("band_id", "band_key"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("sim", round(dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 6))

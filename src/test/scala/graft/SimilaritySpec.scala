@@ -74,6 +74,18 @@ class SimilaritySpec extends SparkSpec {
     assert(recall > 0.2) // near-random embeddings: banding prunes hard
   }
 
+  test("lshTopKPortable recall@5 vs brute force matches the splitmix path's ballpark") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val q = emb.filter($"vec_id" % 20 === 0)
+    val exact = VectorOps.bruteForceTopK(emb, q, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = VectorOps.lshTopKPortable(emb, q, k = 5, dim = 64)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    info(f"portable-LSH recall@5 = $recall%.2f (md5 planes, 4 bands of 4 bits)")
+    assert(recall > 0.2) // same SRP family and band layout as lshTopK
+  }
+
   test("quantized rerank with a full candidate pool IS brute force") {
     val emb = Tables.embeddings(spark, sfDir)
     val q = emb.filter($"vec_id" % 100 === 0)
