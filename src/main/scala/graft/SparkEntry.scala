@@ -1931,11 +1931,16 @@ object SparkEntry {
   private val simLshAutoSql =
     lshOracleSql(nBits = lshAutoPlan.totalHashes, nBands = lshAutoPlan.bands)
 
-  /** IVF-bucketed ANN (rows-only check; recall asserted in ScalaTest). */
+  /** IVF-bucketed ANN (rows-only check). Emits a per-query
+    * `recall_at_k` column joined against the brute-force ground truth
+    * inside the query — the rows check pins retrieval quality, not
+    * just shape; the floor is additionally asserted in ScalaTest. */
   private def simIvfAnn(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
-    graft.similarity.VectorOps.ivfTopK(
-        emb, emb.filter(col("vec_id") % 50 === 0), k = 5)
+    val q = emb.filter(col("vec_id") % 50 === 0)
+    val approx = graft.similarity.VectorOps.ivfTopK(emb, q, k = 5)
+    graft.similarity.VectorOps.withRecallAtK(
+        approx, graft.similarity.VectorOps.bruteForceTopK(emb, q, k = 5), k = 5)
       .orderBy(col("query_id"), col("rank"))
   }
 
@@ -1955,9 +1960,11 @@ object SparkEntry {
     val emb = Tables.embeddings(s, dir)
     val cents = kmeansModels.computeIfAbsent((dir, 16, 3),
       _ => graft.similarity.KMeans.fit(emb, "vec_id", "embedding", k = 16, iters = 3))
-    graft.similarity.VectorOps.ivfTopK(
-        emb, emb.filter(col("vec_id") % 50 === 0), k = 5,
-        centroids = Some(cents))
+    val q = emb.filter(col("vec_id") % 50 === 0)
+    val approx = graft.similarity.VectorOps.ivfTopK(
+      emb, q, k = 5, centroids = Some(cents))
+    graft.similarity.VectorOps.withRecallAtK(
+        approx, graft.similarity.VectorOps.bruteForceTopK(emb, q, k = 5), k = 5)
       .orderBy(col("query_id"), col("rank"))
   }
 
@@ -1972,8 +1979,10 @@ object SparkEntry {
     val model = pqModels.computeIfAbsent(dir,
       _ => graft.similarity.Quantize.pqTrain(emb, "vec_id", "embedding",
         dim = 64, m = 8, k = 16, iters = 2))
-    graft.similarity.Quantize.pqTopK(
-        emb, emb.filter(col("vec_id") % 50 === 0), k = 5, model)
+    val q = emb.filter(col("vec_id") % 50 === 0)
+    val approx = graft.similarity.Quantize.pqTopK(emb, q, k = 5, model)
+    graft.similarity.VectorOps.withRecallAtK(
+        approx, graft.similarity.VectorOps.bruteForceTopK(emb, q, k = 5), k = 5)
       .orderBy(col("query_id"), col("rank"))
   }
 

@@ -335,6 +335,25 @@ object VectorOps {
     bandCandidateTopK(e, q, k)
   }
 
+  /** Append a per-query `recall_at_k` column: the fraction of
+    * `exact`'s top-k neighbors (the brute-force ground truth) that
+    * `approx` retrieved for that query. Both inputs use the
+    * (query_id, neighbor_id) contract of the top-k operators. The
+    * denominator is k even when a starved bucket returned fewer rows —
+    * the standard ANN recall@k. Joins are query-set-sized (sampled
+    * eval), so the metric rides along at scale for free; emitting it
+    * inside the query makes retrieval QUALITY part of what the
+    * correctness gate pins, not just result shape. */
+  def withRecallAtK(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
+    val hits = approx.join(
+        exact.select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("query_id"))
+      .agg((count(lit(1)).cast("double") / k).as("recall_at_k"))
+    approx.join(broadcast(hits), Seq("query_id"), "left")
+      .withColumn("recall_at_k", coalesce(col("recall_at_k"), lit(0.0)))
+  }
+
   /** Shared LSH tail: equi-join banded corpus × banded queries, exact
     * cosine, pair dedup, per-query top-k. Norms per row (not per
     * pair); sim before the pair dedup so the groupBy shuffles scalar

@@ -62,6 +62,28 @@ class SimilaritySpec extends SparkSpec {
     assert(recall > 0.3)
   }
 
+  test("withRecallAtK emits the externally-computed recall and holds the IVF floor") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val q = emb.filter($"vec_id" % 20 === 0)
+    val exact = VectorOps.bruteForceTopK(emb, q, k = 5)
+    val approx = VectorOps.ivfTopK(emb, q, k = 5)
+    val out = VectorOps.withRecallAtK(approx, exact, k = 5)
+    // one recall value per query, equal to the set-intersection recall
+    val emitted = out.select("query_id", "recall_at_k").distinct()
+      .as[(Long, Double)].collect().toMap
+    val truth = exact.select("query_id", "neighbor_id").as[(Long, Long)]
+      .collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val got = approx.select("query_id", "neighbor_id").as[(Long, Long)]
+      .collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    emitted.foreach { case (qid, r) =>
+      val expect = (truth(qid) & got.getOrElse(qid, Set.empty)).size / 5.0
+      assert(r === expect, s"query $qid emitted $r, recomputed $expect")
+    }
+    val mean = emitted.values.sum / emitted.size
+    info(f"mean emitted IVF recall@5 = $mean%.2f")
+    assert(mean > 0.3) // the quality floor the rows-check now carries
+  }
+
   test("lshTopK recall@5 vs brute force is reasonable for 16-bit/4-band") {
     val emb = Tables.embeddings(spark, sfDir)
     val q = emb.filter($"vec_id" % 20 === 0)
