@@ -2259,6 +2259,53 @@ object SparkEntry {
       |  'stub-v1' AS decoder
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** REAL image decode under the hash oracle: each document gets a
+    * genuine 24-bit BMP synthesized from md5-nibble pixel bytes
+    * (engine-portable derivation), ENCODED in the actual on-disk
+    * format (bottom-up BGR rows, 4-byte-padded strides) and DECODED
+    * back by the header-parsing pixel-walking reader
+    * ([[graft.multimodal.BinaryColumns.decodeBmp]]) in mapPartitions.
+    * The oracle rederives the pixel bytes in SQL and checks geometry,
+    * exact integer channel sums, and the encoder's stride/file-size
+    * arithmetic — a mis-parse of padding, channel order, or row flip
+    * breaks the hash. Variable per-doc geometry exercises every
+    * padding case (w ∈ 1..5 → stride pad 1,2,0,3,1). */
+  private def mmDecodeStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir).select(col("doc_id").cast("long")).as[Long]
+    val payloads = docs.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { id =>
+        val w = 1 + (id % 5).toInt; val h = 1 + (id % 3).toInt
+        val rgb = Array.tabulate(3 * w * h) { p =>
+          // byte = first two md5 hex nibbles, the oracle's derivation
+          md.digest(s"px:$id:$p".getBytes("UTF-8"))(0)
+        }
+        (id, graft.multimodal.BinaryColumns.encodeBmp(w, h, rgb))
+      }
+    }.toDF("doc_id", "payload")
+    graft.multimodal.BinaryColumns.decodeBmpBatch(payloads)(s).toDF()
+      .orderBy(col("doc_id"))
+  }
+
+  private val mmDecodeStatsSql =
+    """WITH d AS (SELECT doc_id, CAST(1 + doc_id % 5 AS INT) AS width,
+      |    CAST(1 + doc_id % 3 AS INT) AS height FROM documents),
+      |px AS (SELECT d.doc_id, d.width, d.height, p.range AS p,
+      |    16 * (instr('0123456789abcdef', substr(md5('px:' ||
+      |      CAST(d.doc_id AS VARCHAR) || ':' || CAST(p.range AS VARCHAR)), 1, 1)) - 1)
+      |       + (instr('0123456789abcdef', substr(md5('px:' ||
+      |      CAST(d.doc_id AS VARCHAR) || ':' || CAST(p.range AS VARCHAR)), 2, 1)) - 1) AS v
+      |  FROM d CROSS JOIN range(0, 45) p
+      |  WHERE p.range < 3 * d.width * d.height)
+      |SELECT doc_id, MAX(width) AS width, MAX(height) AS height, 24 AS bpp,
+      |  CAST(MAX(width) * MAX(height) AS BIGINT) AS n_px,
+      |  CAST(SUM(CASE WHEN p % 3 = 0 THEN v END) AS BIGINT) AS sum_r,
+      |  CAST(SUM(CASE WHEN p % 3 = 1 THEN v END) AS BIGINT) AS sum_g,
+      |  CAST(SUM(CASE WHEN p % 3 = 2 THEN v END) AS BIGINT) AS sum_b,
+      |  CAST(54 + ((3 * MAX(width) + 3) // 4) * 4 * MAX(height) AS BIGINT) AS file_bytes
+      |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** Ordered funnel over the event stream: view → click (at/after the
     * first view) → purchase (at/after that click), counted per user.
     * Three same-key aggregates; every join co-partitions on user_id. */
@@ -6901,6 +6948,7 @@ object SparkEntry {
     "text_tokens" -> (textTokens _),
     "text_fingerprint" -> (textFingerprint _),
     "mm_binary_meta" -> (mmBinaryMeta _),
+    "mm_decode_stats" -> (mmDecodeStats _),
     "q_range_join" -> (qRangeJoin _),
     "q_agg_join_window" -> (qAggJoinWindow _),
     "dedup_clusters" -> (dedupClusters _),
@@ -7103,6 +7151,7 @@ object SparkEntry {
     "text_tokens" -> textTokensSql,
     "text_fingerprint" -> textFingerprintSql,
     "mm_binary_meta" -> mmBinaryMetaSql,
+    "mm_decode_stats" -> mmDecodeStatsSql,
     "q_range_join" -> qRangeJoinSql,
     "q_agg_join_window" -> qAggJoinWindowSql,
     "dedup_clusters" -> dedupClustersSql,

@@ -109,6 +109,95 @@ object BinaryColumns {
       .toDF("doc_id", "payload", "orig_bytes", "resized_bytes")
   }
 
+  /** Decoded-image record produced by the REAL [[decodeBmp]] parser:
+    * header geometry plus exact per-channel pixel sums (integers — no
+    * float wobble, so the fields sit under the full hash oracle). */
+  final case class BmpStats(doc_id: Long, width: Int, height: Int, bpp: Int,
+                            n_px: Long, sum_r: Long, sum_g: Long, sum_b: Long,
+                            file_bytes: Long)
+
+  /** REAL 24-bit BMP encoder: BITMAPFILEHEADER + BITMAPINFOHEADER +
+    * bottom-up rows of BGR pixels, each row zero-padded to a 4-byte
+    * boundary — the actual on-disk format, not a fake container.
+    * `rgb` is top-down row-major R,G,B triples (3·w·h bytes). */
+  def encodeBmp(width: Int, height: Int, rgb: Array[Byte]): Array[Byte] = {
+    require(rgb.length == 3 * width * height,
+      s"need ${3 * width * height} RGB bytes, got ${rgb.length}")
+    val stride = (3 * width + 3) / 4 * 4
+    val dataSize = stride * height
+    val fileSize = 54 + dataSize
+    val out = java.nio.ByteBuffer.allocate(fileSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put('B'.toByte).put('M'.toByte).putInt(fileSize)
+      .putShort(0).putShort(0).putInt(54)                  // data offset
+    out.putInt(40).putInt(width).putInt(height)            // BITMAPINFOHEADER
+      .putShort(1).putShort(24).putInt(0).putInt(dataSize)
+      .putInt(2835).putInt(2835).putInt(0).putInt(0)
+    var y = height - 1                                     // bottom-up rows
+    while (y >= 0) {
+      var x = 0
+      while (x < width) {
+        val p = 3 * (y * width + x)
+        out.put(rgb(p + 2)).put(rgb(p + 1)).put(rgb(p))    // BGR on disk
+        x += 1
+      }
+      var pad = stride - 3 * width
+      while (pad > 0) { out.put(0: Byte); pad -= 1 }
+      y -= 1
+    }
+    out.array()
+  }
+
+  /** REAL 24-bit BMP decoder: validates the 'BM' signature, reads the
+    * little-endian headers (data offset, geometry, bpp, compression),
+    * walks the bottom-up padded rows and accumulates exact per-channel
+    * sums in top-down RGB terms. Throws on anything it does not
+    * support — a decoder that silently mis-parses would be worse than
+    * the stub it replaces. */
+  def decodeBmp(id: Long, bytes: Array[Byte]): BmpStats = {
+    val in = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    require(bytes.length >= 54 && in.get(0) == 'B' && in.get(1) == 'M',
+      s"doc $id: not a BMP payload")
+    val fileSize = in.getInt(2)
+    val dataOff = in.getInt(10)
+    val width = in.getInt(18)
+    val height = in.getInt(22)
+    val bpp = in.getShort(28).toInt
+    val compression = in.getInt(30)
+    require(bpp == 24 && compression == 0,
+      s"doc $id: only uncompressed 24-bit BMP supported, got bpp=$bpp compression=$compression")
+    require(width > 0 && height > 0, s"doc $id: unsupported geometry ${width}x$height")
+    val stride = (3 * width + 3) / 4 * 4
+    require(bytes.length >= dataOff + stride * height,
+      s"doc $id: truncated pixel data")
+    var sumR = 0L; var sumG = 0L; var sumB = 0L
+    var y = 0
+    while (y < height) {
+      val rowOff = dataOff + (height - 1 - y) * stride    // un-flip bottom-up
+      var x = 0
+      while (x < width) {
+        val o = rowOff + 3 * x
+        sumB += bytes(o) & 0xFF                           // BGR on disk
+        sumG += bytes(o + 1) & 0xFF
+        sumR += bytes(o + 2) & 0xFF
+        x += 1
+      }
+      y += 1
+    }
+    BmpStats(id, width, height, bpp, width.toLong * height,
+      sumR, sumG, sumB, fileSize.toLong)
+  }
+
+  /** Per-partition batch decode of BMP payloads — the same
+    * mapPartitions seam as [[decodeStub]], now running a real parser
+    * (codec state would init once per partition in the iterator
+    * wrapper). */
+  def decodeBmpBatch(payloads: DataFrame)(implicit spark: SparkSession): Dataset[BmpStats] = {
+    import spark.implicits._
+    payloads.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it => it.map { case (id, bytes) => decodeBmp(id, bytes) } }
+  }
+
   /** Full plumbing: payload → batch decode → re-join metadata. */
   def decodedFrame(df: DataFrame, textCol: String, idCol: String)
                   (implicit spark: SparkSession): DataFrame = {

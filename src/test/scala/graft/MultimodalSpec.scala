@@ -52,6 +52,31 @@ class MultimodalSpec extends SparkSpec {
     assert(r.toSeq == Seq((1L, 6, 4), (2L, 2, 4)))
   }
 
+  test("BMP encode/decode round-trips exact channel sums at every stride padding") {
+    // w 1..5 covers row paddings 1,2,0,3,1; h varies row count
+    for (w <- 1 to 5; h <- 1 to 3) {
+      val rgb = Array.tabulate(3 * w * h)(i => ((i * 37 + 11) % 256).toByte)
+      val bmp = BinaryColumns.encodeBmp(w, h, rgb)
+      val st = BinaryColumns.decodeBmp(7L, bmp)
+      assert((st.width, st.height, st.bpp, st.n_px) == (w, h, 24, w.toLong * h))
+      assert(st.file_bytes == bmp.length.toLong)
+      def sum(ch: Int) = rgb.indices.filter(_ % 3 == ch).map(i => (rgb(i) & 0xFF).toLong).sum
+      assert((st.sum_r, st.sum_g, st.sum_b) == (sum(0), sum(1), sum(2)),
+        s"channel sums diverged at ${w}x$h")
+    }
+  }
+
+  test("decodeBmp rejects non-BMP and unsupported payloads") {
+    implicit val ss = spark
+    intercept[IllegalArgumentException] {
+      BinaryColumns.decodeBmp(1L, "not a bitmap at all, just text".getBytes)
+    }
+    // valid header, wrong bpp: flip the bit-count field to 8
+    val bmp = BinaryColumns.encodeBmp(2, 2, Array.fill(12)(3: Byte))
+    bmp(28) = 8
+    intercept[IllegalArgumentException] { BinaryColumns.decodeBmp(2L, bmp) }
+  }
+
   test("decode stub runs per-partition and matches metadata") {
     implicit val ss = spark
     val df = Seq((1L, "hello"), (2L, "x")).toDF("doc_id", "text")
