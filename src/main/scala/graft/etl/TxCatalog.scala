@@ -125,6 +125,64 @@ object TxCatalog {
     Snapshots.read(s, s"$root/$table", Some(pin))
   }
 
+  /** Reclaim race losers' staged table versions — the two-phase
+    * protocol's garbage. A commitAll loser stages per-table snapshot
+    * versions that no catalog version ever references; they are
+    * invisible (correct) but accumulate forever (leak). Keeps every
+    * per-table version pinned by a retained catalog (≥
+    * `keepFromCatalog`) plus any version younger than `graceMs` — an
+    * in-flight two-phase commit that staged its tables but has not
+    * flipped the catalog pointer yet must survive, exactly the
+    * [[Snapshots.vacuum]] grace contract. Catalog manifests below
+    * `keepFromCatalog` are pruned too (catalog-level retention: table
+    * history not reachable from a retained catalog is gone). Returns
+    * the number of deleted manifests + data files. */
+  def vacuum(s: SparkSession, root: String, keepFromCatalog: Int,
+             graceMs: Long = Snapshots.DefaultVacuumGraceMs): Int = {
+    val f = fs(s, root)
+    val latestCat = latestVersion(s, root)
+    require(keepFromCatalog >= 1 && keepFromCatalog <= latestCat,
+      s"vacuum keepFromCatalog=$keepFromCatalog must be in [1, latest=$latestCat] for $root")
+    val cutoff = System.currentTimeMillis() - graceMs
+    val referenced: Map[String, Set[Int]] =
+      (keepFromCatalog to latestCat).flatMap(v => readCatalog(s, root, v).tables.toSeq)
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    (1 until keepFromCatalog).foreach(v => f.delete(catalogPath(root, v), false))
+    var removed = 0
+    val tables = f.listStatus(new Path(root)).filter(_.isDirectory)
+      .map(_.getPath.getName).filterNot(_ == "_catalog")
+    for (t <- tables) {
+      val tPath = s"$root/$t"
+      val mDir = new Path(s"$tPath/_manifests")
+      if (f.exists(mDir)) {
+        val manifests = f.listStatus(mDir).filter { st =>
+          val n = st.getPath.getName
+          n.startsWith("v") && n.endsWith(".json")
+        }
+        def vOf(n: String): Int = n.stripPrefix("v").stripSuffix(".json").toInt
+        // keep: catalog-pinned, or young enough to be an in-flight commit
+        val keepV = manifests.filter { st =>
+          referenced.getOrElse(t, Set.empty).contains(vOf(st.getPath.getName)) ||
+            st.getModificationTime >= cutoff
+        }.map(st => vOf(st.getPath.getName)).toSet
+        val keepFiles = keepV.flatMap(v => Snapshots.readManifest(s, tPath, v).files)
+        manifests.filterNot(st => keepV.contains(vOf(st.getPath.getName))).foreach { st =>
+          f.delete(st.getPath, false); removed += 1
+        }
+        val dataDir = new Path(s"$tPath/data")
+        if (f.exists(dataDir)) {
+          val all = f.listStatus(dataDir).flatMap { d =>
+            if (d.isDirectory) f.listStatus(d.getPath).toSeq else Seq(d)
+          }.filter(_.getPath.getName.endsWith(".parquet"))
+          val orphans = all.filterNot(st => keepFiles.contains(st.getPath.toString))
+            .filter(_.getModificationTime < cutoff)
+          orphans.foreach { st => f.delete(st.getPath, false); removed += 1 }
+        }
+      }
+    }
+    removed
+  }
+
   private def publish(f: FileSystem, root: String, version: Int,
                       parent: Int, tables: Map[String, Int]): Unit = {
     val m = mapper.createObjectNode()

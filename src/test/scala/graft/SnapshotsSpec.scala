@@ -288,4 +288,32 @@ class SnapshotsSpec extends SparkSpec {
     assert(Snapshots.latestVersion(spark, s"$root/corpus") > pinned,
       "the loser's staged snapshot is orphaned, not referenced")
   }
+
+  test("catalog vacuum reclaims race losers' staged versions, spares in-flight commits") {
+    import graft.etl.TxCatalog
+    val root = freshRoot()
+    val docs = Tables.documents(spark, sfDir)
+    TxCatalog.commitAll(spark, root, Seq(("corpus", docs.limit(30), "append")))
+    TxCatalog.commitAll(spark, root, Seq(("corpus", docs.limit(10), "overwrite")))
+    // a race loser's staged snapshot: committed at table level, never pinned
+    val orphanV = Snapshots.commit(docs.limit(7), s"$root/corpus", "overwrite")
+    assert(TxCatalog.readCatalog(spark, root, 2).tables("corpus") != orphanV)
+    // generous grace: the staged version could still be an in-flight
+    // two-phase commit, so nothing may be reclaimed yet
+    assert(TxCatalog.vacuum(spark, root, keepFromCatalog = 1,
+      graceMs = 60 * 60 * 1000L) == 0)
+    assert(Snapshots.read(spark, s"$root/corpus", Some(orphanV)).count() == 7)
+    // zero grace: the orphan manifest and its unreferenced files go
+    val removed = TxCatalog.vacuum(spark, root, keepFromCatalog = 1, graceMs = 0L)
+    assert(removed > 0, "expected the orphaned staged version to be reclaimed")
+    intercept[Exception] { Snapshots.read(spark, s"$root/corpus", Some(orphanV)).count() }
+    // every catalog-pinned read still resolves after the vacuum
+    assert(TxCatalog.read(spark, root, "corpus", Some(1)).count() == 30)
+    assert(TxCatalog.read(spark, root, "corpus", Some(2)).count() == 10)
+    // catalog-level retention: dropping catalog v1 prunes its pins too
+    val removed2 = TxCatalog.vacuum(spark, root, keepFromCatalog = 2, graceMs = 0L)
+    assert(removed2 > 0)
+    assert(TxCatalog.read(spark, root, "corpus").count() == 10)
+    intercept[Exception] { TxCatalog.readCatalog(spark, root, 1) }
+  }
 }
