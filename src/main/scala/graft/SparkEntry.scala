@@ -1931,18 +1931,74 @@ object SparkEntry {
   private val simLshAutoSql =
     lshOracleSql(nBits = lshAutoPlan.totalHashes, nBands = lshAutoPlan.bands)
 
-  /** IVF-bucketed ANN (rows-only check). Emits a per-query
-    * `recall_at_k` column joined against the brute-force ground truth
-    * inside the query — the rows check pins retrieval quality, not
-    * just shape; the floor is additionally asserted in ScalaTest. */
+  /** IVF-bucketed ANN under the FULL hash oracle:
+    * [[graft.similarity.VectorOps.ivfTopKPortable]] scores every cell
+    * as an exact-integer dot over one correctly-rounded sqrt and
+    * division, so the DuckDB oracle replays cell assignment, nProbe
+    * probing, candidate ranking AND the brute-force recall join
+    * bit-for-bit. Emits per-query `recall_at_k` vs the in-query exact
+    * truth (floor additionally asserted in ScalaTest). */
   private def simIvfAnn(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     val q = emb.filter(col("vec_id") % 50 === 0)
-    val approx = graft.similarity.VectorOps.ivfTopK(emb, q, k = 5)
+    val approx = graft.similarity.VectorOps.ivfTopKPortable(emb, q, k = 5)
     graft.similarity.VectorOps.withRecallAtK(
         approx, graft.similarity.VectorOps.bruteForceTopK(emb, q, k = 5), k = 5)
       .orderBy(col("query_id"), col("rank"))
   }
+
+  /** DuckDB replay of [[graft.similarity.VectorOps.ivfTopKPortable]]
+    * plus the recall join: same first-16-by-id centroids quantized to
+    * BIGINT micro-units, exact integer dots, one sqrt/division per
+    * score — every ranked value bit-identical to the Spark side. */
+  private val simIvfAnnSql =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |vq AS (SELECT vec_id, list_transform(v, x -> CAST(round(x * 1000000.0) AS BIGINT)) AS q
+      |       FROM e),
+      |cent AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cell_id,
+      |                list_transform(v, x -> CAST(round(x * 1000000.0) AS BIGINT)) AS c
+      |         FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 16) t0),
+      |cn AS (SELECT cell_id,
+      |              sqrt(CAST(CAST(list_sum(list_transform(c, x -> x * x)) AS BIGINT) AS DOUBLE)) AS nrm
+      |       FROM cent),
+      |comp AS (SELECT cell_id, t.range AS j, c[CAST(t.range AS INT) + 1] AS cj
+      |         FROM cent, range(0, 64) t),
+      |dots AS (SELECT vq.vec_id, comp.cell_id,
+      |                CAST(SUM(comp.cj * vq.q[CAST(comp.j AS INT) + 1]) AS BIGINT) AS dt
+      |         FROM vq CROSS JOIN comp GROUP BY 1, 2),
+      |ranked AS (SELECT d.vec_id, d.cell_id,
+      |                  ROW_NUMBER() OVER (PARTITION BY d.vec_id
+      |                    ORDER BY CAST(d.dt AS DOUBLE) / cn.nrm DESC, d.cell_id) AS rn
+      |           FROM dots d JOIN cn USING (cell_id)),
+      |assign AS (SELECT vec_id AS neighbor_id, cell_id FROM ranked WHERE rn = 1),
+      |probes AS (SELECT vec_id AS query_id, cell_id FROM ranked
+      |           WHERE rn <= 4 AND vec_id % 50 = 0),
+      |pairs AS (SELECT DISTINCT p.query_id, a.neighbor_id
+      |          FROM probes p JOIN assign a USING (cell_id)
+      |          WHERE a.neighbor_id <> p.query_id),
+      |scored AS (SELECT p.query_id, p.neighbor_id,
+      |                  ROUND(list_cosine_similarity(eq.v, en.v), 6) AS sim
+      |           FROM pairs p JOIN e eq ON eq.vec_id = p.query_id
+      |                        JOIN e en ON en.vec_id = p.neighbor_id),
+      |topk AS (SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, sim FROM (
+      |           SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+      |               ORDER BY sim DESC, neighbor_id) AS rank
+      |           FROM scored) t WHERE rank <= 5),
+      |exact AS (SELECT query_id, neighbor_id FROM (
+      |            SELECT q.vec_id AS query_id, e2.vec_id AS neighbor_id,
+      |                   ROW_NUMBER() OVER (PARTITION BY q.vec_id
+      |                     ORDER BY ROUND(list_cosine_similarity(q.v, e2.v), 6) DESC,
+      |                              e2.vec_id) AS r
+      |            FROM e q JOIN e e2 ON e2.vec_id <> q.vec_id
+      |            WHERE q.vec_id % 50 = 0) tx WHERE r <= 5),
+      |rec AS (SELECT t.query_id, COUNT(*) / 5.0 AS recall_at_k
+      |        FROM topk t JOIN exact x
+      |          ON x.query_id = t.query_id AND x.neighbor_id = t.neighbor_id
+      |        GROUP BY 1)
+      |SELECT t.query_id, t.neighbor_id, t.rank, t.sim,
+      |       COALESCE(r.recall_at_k, 0.0) AS recall_at_k
+      |FROM topk t LEFT JOIN rec r USING (query_id)
+      |ORDER BY query_id, rank""".stripMargin
 
   /** IVF with a TRAINED spherical-k-means coarse quantizer (rows-only
     * check; recall + training monotonicity asserted in ScalaTest).
@@ -7144,6 +7200,7 @@ object SparkEntry {
     "q_bloom_semi" -> qBloomSemiSql,
     "sim_topk_cosine" -> simTopkCosineSql,
     "sim_lsh_ann" -> simLshAnnSql,
+    "sim_ivf_ann" -> simIvfAnnSql,
     "sim_lsh_auto" -> simLshAutoSql,
     "text_langid" -> textLangidSql,
     "text_langid3" -> textLangid3Sql,

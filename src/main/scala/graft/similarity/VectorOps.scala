@@ -335,6 +335,70 @@ object VectorOps {
     bandCandidateTopK(e, q, k)
   }
 
+  /** [[ivfTopK]] with an ENGINE-PORTABLE cell geometry — the IVF
+    * counterpart of [[lshTopKPortable]]. The stand-in coarse quantizer
+    * (first `nCells` corpus vectors by id, the same deterministic
+    * choice as `ivfTopK(centroids = None)`) is quantized to exact
+    * BIGINT micro-units IN-ENGINE (`round(x·1e6)`, the same
+    * half-away-from-zero any SQL round applies), and every cell score
+    * is `dot_int / ‖c_int‖`: the integer dot is exact (≤ 64·10¹² per
+    * term, sum far inside 2^53, so its double image is exact) and the
+    * norm is one sqrt of an exact integer — correctly-rounded IEEE
+    * ops end to end, so assignment and probing rank BIT-IDENTICAL
+    * scores in any engine. That is what lets `sim_ivf_ann` sit under
+    * the full hash oracle instead of a rows-only check. Ordering cells
+    * by dot/‖c‖ equals ordering by cosine (‖q‖ is constant per
+    * vector), so retrieval semantics match [[ivfTopK]]; ties break to
+    * the lowest cell index on both sides. */
+  def ivfTopKPortable(embeddings: DataFrame, queries: DataFrame, k: Int,
+                      nCells: Int = 16, nProbe: Int = 4,
+                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = embeddings.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
+    val quant: Column => Column =
+      v => transform(v, x => round(x * lit(1000000.0)).cast("long"))
+    // model-sized driver state (nCells × dim), the KMeans.fit posture;
+    // quantized in-engine so the micro-unit rounding is the engine's own.
+    val cents: Array[Array[Long]] = e.orderBy(col("id")).limit(nCells)
+      .select(quant(col("v")).as("q"))
+      .collect().map(_.getSeq[Long](0).toArray)
+    val cnorms: Array[Double] = cents.map(c => math.sqrt(c.map(x => x * x).sum.toDouble))
+    def cellScores(vq: Column): Seq[Column] = cents.zip(cnorms).map { case (c, n) =>
+      aggregate(zip_with(vq, typedLit(c.toSeq), (a, b) => a * b),
+        lit(0L), (acc, x) => acc + x).cast("double") / lit(n)
+    }
+    // corpus: map-only argmax assignment (array_position takes the
+    // FIRST max, i.e. the lowest cell index on score ties)
+    val cells = e
+      .withColumn("scores", array(cellScores(quant(col("v"))): _*))
+      .withColumn("cell_id",
+        (array_position(col("scores"), array_max(col("scores"))) - 1).cast("int"))
+      .select(col("id").as("neighbor_id"), col("v").as("nv"), col("cell_id"))
+      .withColumn("nn", norm(col("nv")))
+    // queries: top-nProbe cells (score desc, cell asc); the query set is
+    // the small sampled side, so the posexplode + window stays tiny
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("cell_id"))
+    val probed = queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", norm(col("qv")))
+      .select(col("query_id"), col("qv"), col("qn"),
+        posexplode(array(cellScores(quant(col("qv"))): _*)).as(Seq("cell_id", "score")))
+      .withColumn("prb", row_number().over(wProbe))
+      .filter(col("prb") <= nProbe)
+      .select(col("query_id"), col("qv"), col("qn"), col("cell_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    // same tail as ivfTopKImpl: sim before the pair dedup so the groupBy
+    // shuffles scalars only; the query side broadcasts
+    cells.join(broadcast(probed), Seq("cell_id"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", round(dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 6))
+      .groupBy(col("query_id"), col("neighbor_id")).agg(max(col("sim")).as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "sim")
+  }
+
   /** Append a per-query `recall_at_k` column: the fraction of
     * `exact`'s top-k neighbors (the brute-force ground truth) that
     * `approx` retrieved for that query. Both inputs use the

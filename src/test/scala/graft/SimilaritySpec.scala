@@ -38,6 +38,26 @@ class SimilaritySpec extends SparkSpec {
     assert(recall > 0.3)
   }
 
+  test("ivfTopKPortable keeps IVF retrieval quality under portable cell geometry") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val q = emb.filter($"vec_id" % 20 === 0)
+    val exact = VectorOps.bruteForceTopK(emb, q, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val portable = VectorOps.ivfTopKPortable(emb, q, k = 5)
+    val got = portable.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & got).size.toDouble / exact.size
+    info(f"portable-IVF recall@5 = $recall%.2f (16 cells, 4 probes)")
+    assert(recall > 0.3)
+    // the micro-unit quantization is a boundary perturbation, not a
+    // different geometry: assignment agrees with the double-precision
+    // path on (nearly) every vector
+    val ref = VectorOps.ivfTopK(emb, q, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val agree = (ref & got).size.toDouble / math.max(ref.size, got.size)
+    info(f"portable vs double-path neighbor agreement = $agree%.2f")
+    assert(agree > 0.9)
+  }
+
   test("KMeans.fit tightens clusters and feeds ivfTopK a usable quantizer") {
     val emb = Tables.embeddings(spark, sfDir)
     val init = graft.similarity.KMeans.fit(emb, "vec_id", "embedding", k = 8, iters = 0)
