@@ -1816,12 +1816,49 @@ object SparkEntry {
        |    (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) >= 0.6
        |ORDER BY doc_a, doc_b""".stripMargin
 
-  /** SimHash pairs — Spark-hash based (no SQL oracle; rows-only check +
-    * ScalaTest semantics spec). */
+  /** SimHash pairs under the FULL hash oracle: the per-word hash is
+    * [[graft.dedup.Dedup.portableWordHash]] (first 15 md5 hex digits
+    * as a BIGINT), and everything downstream — bit votes, majority
+    * threshold, 16-bit banding, Hamming distance — is exact integer
+    * arithmetic, so the DuckDB oracle rederives the signatures and
+    * pairs bit-for-bit. */
   private def dedupSimhash(s: SparkSession, dir: String): DataFrame =
     graft.dedup.Dedup.simhashPairs(Tables.documents(s, dir), "text", "doc_id",
-        maxHamming = 3)
+        maxHamming = 3, wordHash = graft.dedup.Dedup.portableWordHash)
       .orderBy(col("doc_a"), col("doc_b"))
+
+  /** DuckDB replay of the portable SimHash pipeline: identical word
+    * split, md5-nibble 60-bit word hashes, per-bit ±1 vote sums,
+    * majority bits reassembled to the signature, 4×16-bit candidate
+    * bands, popcount(xor) Hamming — exact integers end to end. */
+  private val dedupSimhashSql = {
+    def nib(i: Int) = s"(instr('0123456789abcdef', substr(h, $i, 1)) - 1)"
+    val h60 = (2 to 15).map(nib)
+      .foldLeft(s"CAST(${nib(1)} AS BIGINT)")((a, b) => s"($a * 16 + $b)")
+    s"""WITH w AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS wd
+       |           FROM documents),
+       |hx AS (SELECT doc_id, md5(wd) AS h FROM w),
+       |hv AS (SELECT doc_id, $h60 AS hv FROM hx),
+       |bits AS (SELECT doc_id, t.range AS b,
+       |                CASE WHEN SUM(CASE WHEN ((hv >> CAST(t.range AS INT)) & 1) = 1
+       |                                   THEN 1 ELSE -1 END) > 0 THEN 1 ELSE 0 END AS bit
+       |         FROM hv, range(0, 60) t GROUP BY 1, 2),
+       |sh AS (SELECT doc_id,
+       |              CAST(SUM(bit * (CAST(1 AS BIGINT) << CAST(b AS INT))) AS BIGINT) AS simhash
+       |       FROM bits GROUP BY 1),
+       |bands AS (SELECT doc_id, simhash, t.range AS band_id,
+       |                 (simhash >> (CAST(t.range AS INT) * 16)) & 65535 AS band_key
+       |          FROM sh, range(0, 4) t),
+       |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       |                x.simhash AS sa, y.simhash AS sb
+       |         FROM bands x JOIN bands y
+       |           ON x.band_id = y.band_id AND x.band_key = y.band_key
+       |              AND x.doc_id < y.doc_id)
+       |SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+       |FROM cand
+       |WHERE bit_count(xor(sa, sb)) <= 3
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
 
   private def dedupEmbedding(s: SparkSession, dir: String): DataFrame =
     graft.dedup.Dedup.embeddingPairs(Tables.embeddings(s, dir), "vec_id", "embedding",
@@ -7189,6 +7226,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
     "dedup_minhash_lsh" -> dedupMinhashLshSql,
     "dedup_ppjoin" -> dedupPpjoinSql,
+    "dedup_simhash" -> dedupSimhashSql,
     "dedup_embedding" -> dedupEmbeddingSql,
     "text_pack" -> textPackSql,
     "text_tfidf" -> textTfidfSql,

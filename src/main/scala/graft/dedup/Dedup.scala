@@ -274,20 +274,35 @@ object Dedup {
 
   // ----------------------------------------------------------------- SimHash
 
-  /** 64-bit SimHash per doc over word hashes (native Catalyst expr). */
-  def simhash(df: DataFrame, textCol: String, idCol: String): DataFrame =
+  /** 64-bit SimHash per doc over word hashes (native Catalyst expr).
+    * `wordHash` picks the per-word hash family: xxhash64 (default —
+    * the fast native kernel) or [[portableWordHash]] (md5-derived, so
+    * a SQL oracle can replay the signature bit-for-bit). */
+  def simhash(df: DataFrame, textCol: String, idCol: String,
+              wordHash: Column => Column = xxhash64(_)): DataFrame =
     df.select(col(idCol).as("doc_id"),
       graft.functions.SimHash64.simhash64(
-        transform(array_distinct(TextFunctions.words(col(textCol))), w => xxhash64(w)))
+        transform(array_distinct(TextFunctions.words(col(textCol))), wordHash))
         .as("simhash"))
+
+  /** Engine-portable 60-bit word hash: the first 15 hex digits of
+    * md5(w) as a BIGINT. Any SQL engine rederives it (hex nibbles via
+    * the instr trick), which lets the SimHash vote/threshold/banding
+    * pipeline — all exact integer ops — sit under a full hash oracle.
+    * 60 of 64 bits carry signal (the top nibble is always 0, so those
+    * vote-sums are all-negative and the output bits 0 on both sides);
+    * Hamming geometry within the used bits is unchanged. */
+  def portableWordHash(w: Column): Column =
+    conv(substring(md5(w), 1, 15), 16, 10).cast("long")
 
   /** SimHash near-dup pairs with Hamming distance <= maxHamming.
     * Candidate generation: 4 × 16-bit bands (pigeonhole: any pair with
     * hamming <= 3 shares at least one exact band; for larger budgets
     * more/smaller bands would be used). Verification: bit_count(xor). */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
-                   maxHamming: Int = 3): DataFrame = {
-    val sh = simhash(df, textCol, idCol)
+                   maxHamming: Int = 3,
+                   wordHash: Column => Column = xxhash64(_)): DataFrame = {
+    val sh = simhash(df, textCol, idCol, wordHash)
     val bands = sh.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map(b => struct(lit(b).as("band_id"),
         shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL)).as("band_key"))): _*)).as("b"))
