@@ -2399,6 +2399,69 @@ object SparkEntry {
       |  CAST(54 + ((3 * MAX(width) + 3) // 4) * 4 * MAX(height) AS BIGINT) AS file_bytes
       |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** REAL audio decode under the hash oracle — the WAV twin of
+    * [[mmDecodeStats]]: each document gets a genuine RIFF/WAVE PCM
+    * payload (16-bit LE mono samples synthesized from md5 nibbles,
+    * engine-portable), encoded in the actual container format and
+    * decoded back by the chunk-walking parser
+    * ([[graft.multimodal.BinaryColumns.decodeWav]]) in mapPartitions.
+    * The oracle rederives the samples in SQL and checks format
+    * fields, exact integer amplitude sums, strict sign-change zero
+    * crossings, and container size arithmetic — a mis-parse of chunk
+    * offsets, sample signedness, or LE byte order breaks the hash.
+    * Variable per-doc geometry (n ∈ 32..48, rate ∈ {8,9,10} kHz)
+    * exercises length and truncating-duration cases. */
+  private def mmWavStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir).select(col("doc_id").cast("long")).as[Long]
+    val payloads = docs.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { id =>
+        val n = 32 + (id % 17).toInt
+        val rate = 8000 + 1000 * (id % 3).toInt
+        val samples = Array.tabulate(n) { p =>
+          val d = md.digest(s"au:$id:$p".getBytes("UTF-8"))
+          // s16 = first four md5 hex nibbles, the oracle's derivation
+          (((d(0) & 0xFF) << 8) | (d(1) & 0xFF)).toShort
+        }
+        (id, graft.multimodal.BinaryColumns.encodeWav(rate, samples))
+      }
+    }.toDF("doc_id", "payload")
+    graft.multimodal.BinaryColumns.decodeWavBatch(payloads)(s).toDF()
+      .orderBy(col("doc_id"))
+  }
+
+  private val mmWavStatsSql = {
+    def nib(i: Int) = s"(instr('0123456789abcdef', substr(h, $i, 1)) - 1)"
+    val u16 = s"(((${nib(1)} * 16 + ${nib(2)}) * 16 + ${nib(3)}) * 16 + ${nib(4)})"
+    s"""WITH d AS (SELECT doc_id, CAST(32 + doc_id % 17 AS INT) AS n,
+       |                  CAST(8000 + 1000 * (doc_id % 3) AS INT) AS rate
+       |           FROM documents),
+       |smp0 AS (SELECT d.doc_id, d.n, d.rate, p.range AS p,
+       |                md5('au:' || CAST(d.doc_id AS VARCHAR) || ':' ||
+       |                    CAST(p.range AS VARCHAR)) AS h
+       |         FROM d CROSS JOIN range(0, 49) p WHERE p.range < d.n),
+       |sv AS (SELECT doc_id, n, rate, p,
+       |              CASE WHEN $u16 >= 32768 THEN $u16 - 65536 ELSE $u16 END AS v
+       |       FROM smp0),
+       |lg AS (SELECT doc_id, v, LAG(v) OVER (PARTITION BY doc_id ORDER BY p) AS pv
+       |       FROM sv),
+       |zc AS (SELECT doc_id,
+       |              CAST(SUM(CASE WHEN pv * v < 0 THEN 1 ELSE 0 END) AS BIGINT) AS zero_cross
+       |       FROM lg GROUP BY doc_id),
+       |ag AS (SELECT doc_id, MAX(n) AS n, MAX(rate) AS rate,
+       |              CAST(SUM(ABS(v)) AS BIGINT) AS sum_abs,
+       |              CAST(MAX(ABS(v)) AS BIGINT) AS max_abs,
+       |              CAST(SUM(v) AS BIGINT) AS sum_v
+       |       FROM sv GROUP BY doc_id)
+       |SELECT a.doc_id, CAST(a.n AS BIGINT) AS n_samples, a.rate AS sample_rate,
+       |       CAST(a.n * 1000000 // a.rate AS BIGINT) AS duration_us,
+       |       a.sum_abs, a.max_abs, a.sum_v, z.zero_cross,
+       |       CAST(44 + 2 * a.n AS BIGINT) AS file_bytes
+       |FROM ag a JOIN zc z USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Ordered funnel over the event stream: view → click (at/after the
     * first view) → purchase (at/after that click), counted per user.
     * Three same-key aggregates; every join co-partitions on user_id. */
@@ -7042,6 +7105,7 @@ object SparkEntry {
     "text_fingerprint" -> (textFingerprint _),
     "mm_binary_meta" -> (mmBinaryMeta _),
     "mm_decode_stats" -> (mmDecodeStats _),
+    "mm_wav_stats" -> (mmWavStats _),
     "q_range_join" -> (qRangeJoin _),
     "q_agg_join_window" -> (qAggJoinWindow _),
     "dedup_clusters" -> (dedupClusters _),
@@ -7247,6 +7311,7 @@ object SparkEntry {
     "text_fingerprint" -> textFingerprintSql,
     "mm_binary_meta" -> mmBinaryMetaSql,
     "mm_decode_stats" -> mmDecodeStatsSql,
+    "mm_wav_stats" -> mmWavStatsSql,
     "q_range_join" -> qRangeJoinSql,
     "q_agg_join_window" -> qAggJoinWindowSql,
     "dedup_clusters" -> dedupClustersSql,

@@ -198,6 +198,85 @@ object BinaryColumns {
       .mapPartitions { it => it.map { case (id, bytes) => decodeBmp(id, bytes) } }
   }
 
+  /** Decoded-audio record produced by the REAL [[decodeWav]] parser:
+    * format fields plus exact integer sample statistics (abs/sum/max,
+    * strict sign-change zero crossings) — no float wobble, so every
+    * field sits under the full hash oracle. */
+  final case class WavStats(doc_id: Long, n_samples: Long, sample_rate: Int,
+                            duration_us: Long, sum_abs: Long, max_abs: Long,
+                            sum_v: Long, zero_cross: Long, file_bytes: Long)
+
+  /** REAL PCM WAV encoder: RIFF/WAVE container with a 16-byte `fmt `
+    * chunk (PCM, mono, 16-bit little-endian) and a `data` chunk of
+    * LE int16 samples — the actual on-disk format. */
+  def encodeWav(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    val dataSize = 2 * samples.length
+    val out = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+    out.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1)                            // PCM, mono
+      .putInt(sampleRate).putInt(sampleRate * 2)          // byte rate
+      .putShort(2).putShort(16)                           // block align, bps
+    out.put("data".getBytes("US-ASCII")).putInt(dataSize)
+    samples.foreach(out.putShort)
+    out.array()
+  }
+
+  /** REAL WAV decoder: validates RIFF/WAVE, WALKS the chunk list
+    * (tolerating unknown chunks and odd-size padding per spec) to find
+    * `fmt ` and `data`, requires PCM/mono/16-bit, then accumulates
+    * exact integer sample stats. duration_us is exact integer
+    * microseconds (n·10⁶ / rate, truncating). Throws on anything it
+    * does not support. */
+  def decodeWav(id: Long, bytes: Array[Byte]): WavStats = {
+    val in = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def tag(off: Int) = new String(bytes, off, 4, "US-ASCII")
+    require(bytes.length >= 44 && tag(0) == "RIFF" && tag(8) == "WAVE",
+      s"doc $id: not a WAV payload")
+    var off = 12
+    var fmtOff = -1; var dataOff = -1; var dataSize = -1
+    while (off + 8 <= bytes.length && (fmtOff < 0 || dataOff < 0)) {
+      val sz = in.getInt(off + 4)
+      tag(off) match {
+        case "fmt " => fmtOff = off + 8
+        case "data" => dataOff = off + 8; dataSize = sz
+        case _ => ()
+      }
+      off += 8 + sz + (sz & 1)                            // chunks pad to even
+    }
+    require(fmtOff >= 0 && dataOff >= 0, s"doc $id: missing fmt/data chunk")
+    val audioFormat = in.getShort(fmtOff).toInt
+    val channels = in.getShort(fmtOff + 2).toInt
+    val rate = in.getInt(fmtOff + 4)
+    val bps = in.getShort(fmtOff + 14).toInt
+    require(audioFormat == 1 && channels == 1 && bps == 16,
+      s"doc $id: only PCM mono 16-bit supported, got fmt=$audioFormat ch=$channels bps=$bps")
+    require(bytes.length >= dataOff + dataSize, s"doc $id: truncated sample data")
+    val n = dataSize / 2
+    var sumAbs = 0L; var maxAbs = 0L; var sum = 0L; var zc = 0L
+    var prev = 0; var i = 0
+    while (i < n) {
+      val v = in.getShort(dataOff + 2 * i).toInt
+      val a = math.abs(v).toLong
+      sumAbs += a; sum += v
+      if (a > maxAbs) maxAbs = a
+      if (i > 0 && prev * v < 0) zc += 1                  // strict sign change
+      prev = v; i += 1
+    }
+    WavStats(id, n.toLong, rate, n.toLong * 1000000L / rate,
+      sumAbs, maxAbs, sum, zc, bytes.length.toLong)
+  }
+
+  /** Per-partition batch decode of WAV payloads — the same
+    * mapPartitions seam as [[decodeBmpBatch]]. */
+  def decodeWavBatch(payloads: DataFrame)(implicit spark: SparkSession): Dataset[WavStats] = {
+    import spark.implicits._
+    payloads.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it => it.map { case (id, bytes) => decodeWav(id, bytes) } }
+  }
+
   /** Full plumbing: payload → batch decode → re-join metadata. */
   def decodedFrame(df: DataFrame, textCol: String, idCol: String)
                   (implicit spark: SparkSession): DataFrame = {

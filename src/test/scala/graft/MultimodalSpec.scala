@@ -66,6 +66,46 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("WAV encode/decode round-trips exact sample stats and survives chunk walking") {
+    val rnd = new scala.util.Random(7)
+    for (n <- Seq(1, 2, 33, 48); rate <- Seq(8000, 44100)) {
+      val samples = Array.fill(n)(rnd.nextInt(65536).toShort)
+      val wav = BinaryColumns.encodeWav(rate, samples)
+      assert(wav.length == 44 + 2 * n)
+      val st = BinaryColumns.decodeWav(9L, wav)
+      val ints = samples.map(_.toInt)
+      assert(st.n_samples == n && st.sample_rate == rate)
+      assert(st.duration_us == n.toLong * 1000000L / rate)
+      assert(st.sum_abs == ints.map(v => math.abs(v).toLong).sum)
+      assert(st.max_abs == ints.map(v => math.abs(v).toLong).max)
+      assert(st.sum_v == ints.map(_.toLong).sum)
+      assert(st.zero_cross ==
+        ints.sliding(2).count(p => p.length == 2 && p(0) * p(1) < 0))
+      assert(st.file_bytes == wav.length)
+    }
+    // the parser walks chunks, it does not assume fixed offsets:
+    // splice an unknown odd-sized chunk (padded to even) before data
+    val base = BinaryColumns.encodeWav(8000, Array[Short](100, -100, 50))
+    val extra = java.nio.ByteBuffer.allocate(8 + 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .put("LIST".getBytes("US-ASCII")).putInt(3).put(Array[Byte](1, 2, 3, 0))
+    val spliced = base.take(36) ++ extra.array() ++ base.drop(36)
+    java.nio.ByteBuffer.wrap(spliced).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(4, spliced.length - 8)
+    val st2 = BinaryColumns.decodeWav(10L, spliced)
+    assert(st2.n_samples == 3 && st2.zero_cross == 2 && st2.sum_v == 50L)
+  }
+
+  test("decodeWav rejects non-WAV and unsupported payloads") {
+    intercept[IllegalArgumentException] {
+      BinaryColumns.decodeWav(1L, "definitely not RIFF audio content ....".getBytes)
+    }
+    // valid container, stereo: flip the channel-count field to 2
+    val wav = BinaryColumns.encodeWav(8000, Array[Short](1, 2, 3))
+    wav(22) = 2
+    intercept[IllegalArgumentException] { BinaryColumns.decodeWav(2L, wav) }
+  }
+
   test("decodeBmp rejects non-BMP and unsupported payloads") {
     implicit val ss = spark
     intercept[IllegalArgumentException] {
