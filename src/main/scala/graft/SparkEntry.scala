@@ -2462,6 +2462,65 @@ object SparkEntry {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** REAL video decode under the hash oracle — completing the
+    * image/audio/video triple: each document gets a genuine AVI
+    * container (RIFF with hdrl/strl headers and a movi LIST of
+    * uncompressed bottom-up DIB frames) synthesized from md5-nibble
+    * pixel bytes, decoded back by the nested-LIST chunk walker
+    * ([[graft.multimodal.BinaryColumns.decodeAvi]]) in mapPartitions.
+    * The oracle rederives every frame's pixels in SQL and checks
+    * geometry, exact channel sums, the (index+1)-weighted frame sum
+    * (order-sensitive — a frame-order mis-parse breaks the hash), and
+    * the full container size arithmetic. */
+  private def mmAviFrames(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir).select(col("doc_id").cast("long")).as[Long]
+    val payloads = docs.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { id =>
+        val w = 2 + (id % 3).toInt; val h = 1 + (id % 2).toInt
+        val nf = 2 + (id % 4).toInt
+        val uspf = 33333 + (id % 2).toInt * 6667
+        val frames = Array.tabulate(nf) { f =>
+          Array.tabulate(3 * w * h) { p =>
+            // byte = first two md5 hex nibbles, the oracle's derivation
+            md.digest(s"fr:$id:$f:$p".getBytes("UTF-8"))(0)
+          }
+        }
+        (id, graft.multimodal.BinaryColumns.encodeAvi(w, h, uspf, frames))
+      }
+    }.toDF("doc_id", "payload")
+    graft.multimodal.BinaryColumns.decodeAviBatch(payloads)(s).toDF()
+      .orderBy(col("doc_id"))
+  }
+
+  private val mmAviFramesSql = {
+    def nib(i: Int) = s"(instr('0123456789abcdef', substr(h, $i, 1)) - 1)"
+    s"""WITH d AS (SELECT doc_id, CAST(2 + doc_id % 3 AS INT) AS w,
+       |                  CAST(1 + doc_id % 2 AS INT) AS ht,
+       |                  CAST(2 + doc_id % 4 AS INT) AS nf,
+       |                  CAST(33333 + (doc_id % 2) * 6667 AS BIGINT) AS uspf
+       |           FROM documents),
+       |px0 AS (SELECT d.doc_id, d.w, d.ht, d.nf, d.uspf, f.range AS f, p.range AS p,
+       |               md5('fr:' || CAST(d.doc_id AS VARCHAR) || ':' ||
+       |                   CAST(f.range AS VARCHAR) || ':' || CAST(p.range AS VARCHAR)) AS h
+       |        FROM d CROSS JOIN range(0, 5) f CROSS JOIN range(0, 24) p
+       |        WHERE f.range < d.nf AND p.range < 3 * d.w * d.ht),
+       |px AS (SELECT doc_id, w, ht, nf, uspf, f, p,
+       |              16 * ${nib(1)} + ${nib(2)} AS v
+       |       FROM px0)
+       |SELECT doc_id, CAST(MAX(nf) AS BIGINT) AS n_frames,
+       |       MAX(w) AS width, MAX(ht) AS height,
+       |       MAX(uspf) AS us_per_frame,
+       |       CAST(MAX(nf) * MAX(w) * MAX(ht) AS BIGINT) AS n_px_total,
+       |       CAST(SUM(CASE WHEN p % 3 = 0 THEN v END) AS BIGINT) AS sum_r,
+       |       CAST(SUM(CASE WHEN p % 3 = 1 THEN v END) AS BIGINT) AS sum_g,
+       |       CAST(SUM(CASE WHEN p % 3 = 2 THEN v END) AS BIGINT) AS sum_b,
+       |       CAST(SUM((f + 1) * v) AS BIGINT) AS wsum,
+       |       CAST(224 + MAX(nf) * (8 + ((3 * MAX(w) + 3) // 4) * 4 * MAX(ht)) AS BIGINT) AS file_bytes
+       |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   /** Ordered funnel over the event stream: view → click (at/after the
     * first view) → purchase (at/after that click), counted per user.
     * Three same-key aggregates; every join co-partitions on user_id. */
@@ -6250,6 +6309,61 @@ object SparkEntry {
       |              ORDER BY sim DESC, neighbor_id) AS rank FROM s3) t
       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  /** THREE-stage retrieval — the production ANN composition: LSH band
+    * candidates → int8 candidate scan → exact cosine rerank
+    * ([[graft.similarity.VectorOps.lshRerankTopK]]). Sub-quadratic
+    * end to end AND fully deterministic, so unlike a sampled-recall
+    * check the whole pipeline sits under the hash oracle: portable SRP
+    * bands, exact-integer code scores, 6-dp rerank. */
+  private def simLshRerank(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    graft.similarity.VectorOps.lshRerankTopK(
+        emb, emb.filter(col("vec_id") % 50 === 0), c = 20, k = 5, dim = 64)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** DuckDB replay of [[simLshRerank]]: the [[lshOracleSql]] band
+    * derivation feeds the [[simRerankSql]] quantized-scan + rerank
+    * tail — every stage exact-integer or correctly-rounded. */
+  private val simLshRerankSql =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |vq AS (SELECT vec_id,
+      |    list_transform(v, x -> CAST(round(x * 1000000.0) AS BIGINT)) AS q
+      |  FROM e),
+      |planes AS (SELECT t1.range AS i, t2.range AS j,
+      |    2 * (instr('0123456789abcdef', substr(md5('lsh:' ||
+      |      CAST(t1.range AS VARCHAR) || ':' || CAST(t2.range AS VARCHAR)), 1, 1)) - 1) - 15 AS h
+      |  FROM range(0, 16) t1, range(0, 64) t2),
+      |bits AS (SELECT vq.vec_id, p.i,
+      |    CASE WHEN SUM(p.h * vq.q[CAST(p.j AS INT) + 1]) >= 0 THEN 1 ELSE 0 END AS b
+      |  FROM vq CROSS JOIN planes p GROUP BY vq.vec_id, p.i),
+      |bands AS (SELECT vec_id, CAST(i // 4 AS INT) AS band_id,
+      |    CAST(SUM(b * (1 << CAST(i % 4 AS INT))) AS BIGINT) AS band_key
+      |  FROM bits GROUP BY 1, 2),
+      |pairs AS (SELECT DISTINCT qb.vec_id AS query_id, nb.vec_id AS neighbor_id
+      |  FROM bands qb JOIN bands nb USING (band_id, band_key)
+      |  WHERE qb.vec_id % 50 = 0 AND nb.vec_id <> qb.vec_id),
+      |p8 AS (SELECT vec_id, v,
+      |        list_aggregate(list_transform(v, x -> abs(x)), 'max') / 127.0 AS s FROM e),
+      |c8 AS (SELECT vec_id, v,
+      |        list_transform(v, x -> CASE WHEN s = 0 THEN 0.0
+      |                                    ELSE FLOOR(x / s + 0.5) END) AS q
+      |      FROM p8),
+      |n8 AS (SELECT vec_id, v, q, list_dot_product(q, q) AS n2 FROM c8),
+      |s1 AS (SELECT pr.query_id, pr.neighbor_id, qn.v AS qv, nn.v AS nv,
+      |         list_dot_product(qn.q, nn.q) / sqrt(qn.n2 * nn.n2) AS qscore
+      |       FROM pairs pr JOIN n8 qn ON qn.vec_id = pr.query_id
+      |                     JOIN n8 nn ON nn.vec_id = pr.neighbor_id),
+      |s2 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+      |                   ORDER BY qscore DESC, neighbor_id) AS crank FROM s1),
+      |s3 AS (SELECT query_id, neighbor_id,
+      |         ROUND(list_cosine_similarity(qv, nv), 6) AS sim
+      |       FROM s2 WHERE crank <= 20)
+      |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, sim FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+      |              ORDER BY sim DESC, neighbor_id) AS rank FROM s3) t
+      |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   /** Kaplan–Meier survival curve over customer lifetimes (first→last
     * order days; a customer still active at the 90-day recency cutoff
     * is CENSORED, not an event — the distinction that makes KM the
@@ -7001,6 +7115,7 @@ object SparkEntry {
     "etl_early_fact" -> (etlEarlyFact _),
     "q_triangles" -> (qTriangles _),
     "sim_rerank" -> (simRerank _),
+    "sim_lsh_rerank" -> (simLshRerank _),
     "an_kaplan_meier" -> (anKaplanMeier _),
     "sim_knn_classify" -> (simKnnClassify _),
     "dedup_containment" -> (dedupContainment _),
@@ -7106,6 +7221,7 @@ object SparkEntry {
     "mm_binary_meta" -> (mmBinaryMeta _),
     "mm_decode_stats" -> (mmDecodeStats _),
     "mm_wav_stats" -> (mmWavStats _),
+    "mm_avi_frames" -> (mmAviFrames _),
     "q_range_join" -> (qRangeJoin _),
     "q_agg_join_window" -> (qAggJoinWindow _),
     "dedup_clusters" -> (dedupClusters _),
@@ -7209,6 +7325,7 @@ object SparkEntry {
     "etl_early_fact" -> etlEarlyFactSql,
     "q_triangles" -> qTrianglesSql,
     "sim_rerank" -> simRerankSql,
+    "sim_lsh_rerank" -> simLshRerankSql,
     "an_kaplan_meier" -> anKaplanMeierSql,
     "sim_knn_classify" -> simKnnClassifySql,
     "dedup_containment" -> dedupContainmentSql,
@@ -7312,6 +7429,7 @@ object SparkEntry {
     "mm_binary_meta" -> mmBinaryMetaSql,
     "mm_decode_stats" -> mmDecodeStatsSql,
     "mm_wav_stats" -> mmWavStatsSql,
+    "mm_avi_frames" -> mmAviFramesSql,
     "q_range_join" -> qRangeJoinSql,
     "q_agg_join_window" -> qAggJoinWindowSql,
     "dedup_clusters" -> dedupClustersSql,

@@ -277,6 +277,141 @@ object BinaryColumns {
       .mapPartitions { it => it.map { case (id, bytes) => decodeWav(id, bytes) } }
   }
 
+  /** Decoded-video record produced by the REAL [[decodeAvi]] parser:
+    * container geometry plus exact integer pixel statistics across all
+    * frames. `wsum` weights each frame's pixel total by (index+1), so
+    * a frame-order mis-parse breaks the hash even when per-frame
+    * content is identical-up-to-permutation. */
+  final case class AviStats(doc_id: Long, n_frames: Long, width: Int, height: Int,
+                            us_per_frame: Long, n_px_total: Long,
+                            sum_r: Long, sum_g: Long, sum_b: Long,
+                            wsum: Long, file_bytes: Long)
+
+  /** REAL minimal AVI encoder: RIFF('AVI ') with a LIST('hdrl')
+    * carrying a 56-byte 'avih' main header and a LIST('strl') with a
+    * 56-byte 'strh' ('vids'/'DIB ') and 40-byte BITMAPINFOHEADER
+    * 'strf', then a LIST('movi') of '00db' chunks — each an
+    * uncompressed bottom-up BGR DIB frame with 4-byte-padded rows,
+    * exactly the BMP pixel layout. `frames` are top-down row-major
+    * R,G,B triples (3·w·h bytes each). */
+  def encodeAvi(width: Int, height: Int, usPerFrame: Int,
+                frames: Array[Array[Byte]]): Array[Byte] = {
+    require(frames.forall(_.length == 3 * width * height),
+      s"every frame needs ${3 * width * height} RGB bytes")
+    val stride = (3 * width + 3) / 4 * 4
+    val frameBytes = stride * height
+    val moviSize = 4 + frames.length * (8 + frameBytes)    // 'movi' + chunks
+    val hdrlSize = 4 + (8 + 56) + (12 + (8 + 56) + (8 + 40))
+    val fileSize = 12 + (8 + hdrlSize) + (8 + moviSize)
+    val out = java.nio.ByteBuffer.allocate(fileSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fourcc(s: String) = out.put(s.getBytes("US-ASCII"))
+    fourcc("RIFF"); out.putInt(fileSize - 8); fourcc("AVI ")
+    fourcc("LIST"); out.putInt(hdrlSize); fourcc("hdrl")
+    fourcc("avih"); out.putInt(56)
+    out.putInt(usPerFrame).putInt(0).putInt(0).putInt(0)   // usPerFrame, maxBps, pad, flags
+      .putInt(frames.length).putInt(0).putInt(1).putInt(0) // totalFrames, initial, streams, bufSize
+      .putInt(width).putInt(height)
+      .putInt(0).putInt(0).putInt(0).putInt(0)             // reserved[4]
+    fourcc("LIST"); out.putInt(4 + 64 + 48); fourcc("strl")   // 'strl' + strh + strf
+    fourcc("strh"); out.putInt(56)
+    fourcc("vids"); fourcc("DIB ")
+    out.putInt(0).putInt(0).putInt(0)                      // flags, prio+lang, initial
+      .putInt(usPerFrame).putInt(1000000)                  // scale, rate (fps = rate/scale)
+      .putInt(0).putInt(frames.length).putInt(frameBytes)  // start, length, bufSize
+      .putInt(-1).putInt(0)                                // quality, sampleSize
+      .putShort(0).putShort(0).putShort(width.toShort).putShort(height.toShort)
+    fourcc("strf"); out.putInt(40)
+    out.putInt(40).putInt(width).putInt(height)            // BITMAPINFOHEADER
+      .putShort(1).putShort(24).putInt(0).putInt(frameBytes)
+      .putInt(0).putInt(0).putInt(0).putInt(0)
+    fourcc("LIST"); out.putInt(moviSize); fourcc("movi")
+    frames.foreach { rgb =>
+      fourcc("00db"); out.putInt(frameBytes)
+      var y = height - 1                                   // bottom-up rows
+      while (y >= 0) {
+        var x = 0
+        while (x < width) {
+          val p = 3 * (y * width + x)
+          out.put(rgb(p + 2)).put(rgb(p + 1)).put(rgb(p))  // BGR on disk
+          x += 1
+        }
+        var pad = stride - 3 * width
+        while (pad > 0) { out.put(0: Byte); pad -= 1 }
+        y -= 1
+      }
+    }
+    out.array()
+  }
+
+  /** REAL AVI decoder: validates RIFF/'AVI ', walks the top-level
+    * chunk list to find LIST('hdrl') and LIST('movi') (tolerating
+    * unknown chunks and odd-size padding), reads geometry from the
+    * 'avih' header inside hdrl, then walks the movi sub-chunks
+    * accumulating exact per-channel sums over the bottom-up padded
+    * DIB frames. Throws on unsupported layouts. */
+  def decodeAvi(id: Long, bytes: Array[Byte]): AviStats = {
+    val in = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def tag(off: Int) = new String(bytes, off, 4, "US-ASCII")
+    require(bytes.length >= 12 && tag(0) == "RIFF" && tag(8) == "AVI ",
+      s"doc $id: not an AVI payload")
+    var off = 12
+    var hdrlOff = -1; var moviOff = -1; var moviEnd = -1
+    while (off + 8 <= bytes.length && (hdrlOff < 0 || moviOff < 0)) {
+      val sz = in.getInt(off + 4)
+      if (tag(off) == "LIST" && off + 12 <= bytes.length) tag(off + 8) match {
+        case "hdrl" => hdrlOff = off + 12
+        case "movi" => moviOff = off + 12; moviEnd = off + 8 + sz
+        case _ => ()
+      }
+      off += 8 + sz + (sz & 1)                             // chunks pad to even
+    }
+    require(hdrlOff >= 0 && moviOff >= 0, s"doc $id: missing hdrl/movi list")
+    require(tag(hdrlOff) == "avih", s"doc $id: hdrl does not start with avih")
+    val usPerFrame = in.getInt(hdrlOff + 8)
+    val width = in.getInt(hdrlOff + 8 + 32)
+    val height = in.getInt(hdrlOff + 8 + 36)
+    require(width > 0 && height > 0, s"doc $id: unsupported geometry ${width}x$height")
+    val stride = (3 * width + 3) / 4 * 4
+    var sumR = 0L; var sumG = 0L; var sumB = 0L; var wsum = 0L
+    var nFrames = 0L
+    var f = moviOff
+    while (f + 8 <= moviEnd) {
+      val sz = in.getInt(f + 4)
+      if (tag(f) == "00db") {
+        require(sz == stride * height, s"doc $id: frame size $sz != ${stride * height}")
+        var frameTotal = 0L
+        var y = 0
+        while (y < height) {
+          val rowOff = f + 8 + (height - 1 - y) * stride   // un-flip bottom-up
+          var x = 0
+          while (x < width) {
+            val o = rowOff + 3 * x
+            val b = bytes(o) & 0xFF; val g = bytes(o + 1) & 0xFF; val r = bytes(o + 2) & 0xFF
+            sumB += b; sumG += g; sumR += r
+            frameTotal += r + g + b
+            x += 1
+          }
+          y += 1
+        }
+        nFrames += 1
+        wsum += nFrames * frameTotal                       // (index+1) weight
+      }
+      f += 8 + sz + (sz & 1)
+    }
+    AviStats(id, nFrames, width, height, usPerFrame.toLong,
+      nFrames * width.toLong * height.toLong, sumR, sumG, sumB, wsum,
+      bytes.length.toLong)
+  }
+
+  /** Per-partition batch decode of AVI payloads — the same
+    * mapPartitions seam as [[decodeBmpBatch]]/[[decodeWavBatch]]. */
+  def decodeAviBatch(payloads: DataFrame)(implicit spark: SparkSession): Dataset[AviStats] = {
+    import spark.implicits._
+    payloads.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it => it.map { case (id, bytes) => decodeAvi(id, bytes) } }
+  }
+
   /** Full plumbing: payload → batch decode → re-join metadata. */
   def decodedFrame(df: DataFrame, textCol: String, idCol: String)
                   (implicit spark: SparkSession): DataFrame = {

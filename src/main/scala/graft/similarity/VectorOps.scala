@@ -305,34 +305,95 @@ object VectorOps {
     * tuned plans past 64 total hashes still fit). Same SRP retrieval
     * family: the 1e-6 quantization perturbs each plane's decision
     * boundary by far less than the vectors' own scale. */
-  def lshTopKPortable(embeddings: DataFrame, queries: DataFrame, k: Int, dim: Int,
-                      nBits: Int = 16, nBands: Int = 4,
-                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+  /** The engine-portable SRP band array for one vector: [[md5Hyperplanes]]
+    * integer planes against the micro-unit-quantized vector, one
+    * exact-integer dot per plane (codegen'd HOFs), sign bits assembled
+    * per band into (band_id, band_key) structs. Shared by
+    * [[lshTopKPortable]] and [[lshRerankTopK]]. */
+  private def portableBandArray(vec: Column, dim: Int, nBits: Int, nBands: Int): Column = {
     require(nBits % nBands == 0, s"nBits=$nBits must split evenly into nBands=$nBands")
     val bandBits = nBits / nBands
     val planes = md5Hyperplanes(dim, nBits)
+    val vq = transform(toDouble(vec), x => round(x * lit(1000000.0)).cast("long"))
+    val scores = planes.map { h =>
+      aggregate(zip_with(vq, typedLit(h.toSeq), (a, b) => a * b),
+        lit(0L), (acc, x) => acc + x)
+    }
+    val bandStructs = (0 until nBands).map { b =>
+      val key = (0 until bandBits).map { p =>
+        when(scores(b * bandBits + p) >= 0, lit(1L << p)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      struct(lit(b).as("band_id"), key.as("band_key"))
+    }
+    array(bandStructs: _*)
+  }
+
+  def lshTopKPortable(embeddings: DataFrame, queries: DataFrame, k: Int, dim: Int,
+                      nBits: Int = 16, nBands: Int = 4,
+                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     def banded(df: DataFrame, id: String, vec: String, nrm: String): DataFrame = {
-      val vq = transform(toDouble(col(vec)),
-        x => round(x * lit(1000000.0)).cast("long"))
-      // one exact-integer dot per plane, codegen'd HOFs end to end
-      val scores = planes.map { h =>
-        aggregate(zip_with(vq, typedLit(h.toSeq), (a, b) => a * b),
-          lit(0L), (acc, x) => acc + x)
-      }
-      val bandStructs = (0 until nBands).map { b =>
-        val key = (0 until bandBits).map { p =>
-          when(scores(b * bandBits + p) >= 0, lit(1L << p)).otherwise(lit(0L))
-        }.reduce(_ + _)
-        struct(lit(b).as("band_id"), key.as("band_key"))
-      }
       df.select(col(id), toDouble(col(vec)).as(vec))
         .withColumn(nrm, norm(col(vec)))
-        .withColumn("band", explode(array(bandStructs: _*)))
+        .withColumn("band", explode(portableBandArray(col(vec), dim, nBits, nBands)))
         .select(col(id), col(vec), col(nrm), col("band.band_id"), col("band.band_key"))
     }
     val e = banded(embeddings.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv")), "neighbor_id", "nv", "nn")
     val q = banded(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")), "query_id", "qv", "qn")
     bandCandidateTopK(e, q, k)
+  }
+
+  /** THREE-stage production retrieval: LSH band candidates →
+    * int8-quantized candidate scoring → exact cosine rerank of the
+    * top-`c` survivors. This is [[quantizedRerankTopK]] with its
+    * quadratic stage-1 scan replaced by the [[lshTopKPortable]] band
+    * join, so the whole path is sub-quadratic AND deterministic:
+    * portable SRP bands (exact integer sign dots), symmetric int8
+    * candidate scores (ratios of exact integers), 6-dp rerank with id
+    * tie-breaks — every stage replayable bit-for-bit by a SQL oracle.
+    * The candidate set (≤ c per query after pruning) re-joins the
+    * float-vector table for the rerank by broadcast, so the corpus
+    * never shuffles: at scale the codes table is the only full scan,
+    * the float table is touched c·|queries| times. */
+  def lshRerankTopK(embeddings: DataFrame, queries: DataFrame, c: Int, k: Int,
+                    dim: Int, nBits: Int = 16, nBands: Int = 4,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(c >= k, s"candidate pool c=$c must cover the final k=$k")
+    def coded(df: DataFrame, id: String, codes: String, norm2: String): DataFrame = {
+      val v = toDouble(col(vecCol))
+      // codes as doubles so the dot kernel applies; exact small ints
+      val q = Quantize.encodeSym(v, Quantize.symScale(v)).cast("array<double>")
+      df.select(col(idCol).as(id), q.as(codes),
+          explode(portableBandArray(col(vecCol), dim, nBits, nBands)).as("band"))
+        .withColumn(norm2, dot(col(codes), col(codes)))
+        .select(col(id), col(codes), col(norm2), col("band.band_id"), col("band.band_key"))
+    }
+    val e = coded(embeddings, "neighbor_id", "nq", "nn2")
+    val q = coded(queries, "query_id", "qq", "qn2")
+    val wCand = Window.partitionBy(col("query_id"))
+      .orderBy(col("qscore").desc, col("neighbor_id"))
+    val wFinal = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    // stage 1+2: band join over codes only (the float vectors never
+    // ride the candidate shuffle); multi-band duplicates of a pair
+    // score identically, so max == any
+    val cand = e.join(broadcast(q), Seq("band_id", "band_key"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("qscore", dot(col("qq"), col("nq")) / sqrt(col("qn2") * col("nn2")))
+      .groupBy(col("query_id"), col("neighbor_id")).agg(max(col("qscore")).as("qscore"))
+      .withColumn("crank", row_number().over(wCand))
+      .filter(col("crank") <= c)
+    // stage 3: survivors (≤ c per query — broadcastable by design)
+    // fetch float vectors for the exact rerank; the corpus side streams
+    val qv = queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", norm(col("qv")))
+    val ev = embeddings.select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("nv"))
+      .withColumn("nn", norm(col("nv")))
+    ev.join(broadcast(cand.join(broadcast(qv), Seq("query_id"))), Seq("neighbor_id"))
+      .withColumn("sim", round(dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 6))
+      .withColumn("rank", row_number().over(wFinal))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "sim")
   }
 
   /** [[ivfTopK]] with an ENGINE-PORTABLE cell geometry — the IVF

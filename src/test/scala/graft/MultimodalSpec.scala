@@ -96,6 +96,36 @@ class MultimodalSpec extends SparkSpec {
     assert(st2.n_samples == 3 && st2.zero_cross == 2 && st2.sum_v == 50L)
   }
 
+  test("AVI encode/decode round-trips exact frame stats at every stride padding") {
+    val rnd = new scala.util.Random(11)
+    for (w <- 1 to 5; h <- Seq(1, 3); nf <- Seq(1, 4)) {
+      val frames = Array.fill(nf)(Array.fill(3 * w * h)(rnd.nextInt(256).toByte))
+      val avi = BinaryColumns.encodeAvi(w, h, 40000, frames)
+      val st = BinaryColumns.decodeAvi(5L, avi)
+      assert(st.n_frames == nf && st.width == w && st.height == h)
+      assert(st.us_per_frame == 40000L && st.file_bytes == avi.length)
+      def chan(c: Int) = frames.flatMap(_.indices.filter(_ % 3 == c).map(i => 0L))
+      def sum(c: Int) = frames.map(fr =>
+        fr.indices.filter(_ % 3 == c).map(i => (fr(i) & 0xFF).toLong).sum).sum
+      assert((st.sum_r, st.sum_g, st.sum_b) == (sum(0), sum(1), sum(2)),
+        s"channel sums diverged at ${w}x$h x$nf")
+      val wsum = frames.zipWithIndex.map { case (fr, f) =>
+        (f + 1).toLong * fr.map(b => (b & 0xFF).toLong).sum }.sum
+      assert(st.wsum == wsum, s"order-weighted sum diverged at ${w}x$h x$nf")
+    }
+    // frame ORDER is pinned: swapping two distinct frames must change wsum
+    val fa = Array.fill(3)(10: Byte); val fb = Array.fill(3)(20: Byte)
+    val s1 = BinaryColumns.decodeAvi(6L, BinaryColumns.encodeAvi(1, 1, 1, Array(fa, fb)))
+    val s2 = BinaryColumns.decodeAvi(6L, BinaryColumns.encodeAvi(1, 1, 1, Array(fb, fa)))
+    assert(s1.sum_r == s2.sum_r && s1.wsum != s2.wsum)
+  }
+
+  test("decodeAvi rejects non-AVI payloads") {
+    intercept[IllegalArgumentException] {
+      BinaryColumns.decodeAvi(1L, "RIFFxxxxWAVEnot a movie container".getBytes)
+    }
+  }
+
   test("decodeWav rejects non-WAV and unsupported payloads") {
     intercept[IllegalArgumentException] {
       BinaryColumns.decodeWav(1L, "definitely not RIFF audio content ....".getBytes)

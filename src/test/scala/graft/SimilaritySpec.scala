@@ -58,6 +58,23 @@ class SimilaritySpec extends SparkSpec {
     assert(agree > 0.9)
   }
 
+  test("lshRerankTopK composes LSH candidates with the exact rerank") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val q = emb.filter($"vec_id" % 20 === 0)
+    val exact = VectorOps.bruteForceTopK(emb, q, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val got = VectorOps.lshRerankTopK(emb, q, c = 20, k = 5, dim = 64)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & got).size.toDouble / exact.size
+    info(f"LSH+rerank recall@5 = $recall%.2f (16 bits / 4 bands, c = 20)")
+    assert(recall > 0.3)
+    // within the LSH candidate pool the rerank is exact: every emitted
+    // neighbor must also be an LSH-candidate of its query
+    val cands = VectorOps.lshTopKPortable(emb, q, k = 1000000, dim = 64)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(got.subsetOf(cands))
+  }
+
   test("KMeans.fit tightens clusters and feeds ivfTopK a usable quantizer") {
     val emb = Tables.embeddings(spark, sfDir)
     val init = graft.similarity.KMeans.fit(emb, "vec_id", "embedding", k = 8, iters = 0)
