@@ -20,9 +20,13 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame     = t(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame   = t(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = t(s, d, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized reader
-    * rejects; read nanos as long and truncate to micros (exactly what
-    * DuckDB does when it loads the same file, so oracle-compatible).
+  /** events.ts has shipped in two physical forms across testdata
+    * generations: parquet TIMESTAMP(NANOS) (which Spark's vectorized
+    * reader rejects — read nanos as long and truncate to micros, exactly
+    * what DuckDB does on the same file) and plain TIMESTAMP(MICROS)
+    * (read natively as TIMESTAMP_NTZ). Branch on the actual read type so
+    * both land as a session-UTC TIMESTAMP with identical micros, keeping
+    * every downstream query and the DuckDB oracle representation-stable.
     *
     * The legacy conf is scoped to a cloned session (`newSession`: same
     * SparkContext, private SQLConf) instead of mutating the caller's
@@ -32,8 +36,13 @@ object Tables {
   def events(s: SparkSession, d: String): DataFrame = {
     val scoped = s.newSession()
     scoped.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(scoped, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val df = t(scoped, d, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => // nanos-as-long generation
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => // native micros generation: NTZ -> LTZ is value-identical under UTC
+        df.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")

@@ -110,9 +110,14 @@ class StreamingSpec extends SparkSpec {
       java.nio.file.Paths.get(s"$sfDir/events.parquet"),
       dir.resolve("part-0.parquet"))
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    val stream = spark.readStream.schema(schema)
-      .parquet(dir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = spark.readStream.schema(schema).parquet(dir.toString)
+    // same two-generation ts handling as Tables.events (nanos-as-long vs
+    // native micros) so the spec survives either testdata layout
+    val stream = schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
     val q = EventsStream.windowedAgg(stream, "1 hour", "2 hours")
       .writeStream.outputMode("complete").format("memory").queryName("fileagg").start()
     q.processAllAvailable(); q.stop()
