@@ -7104,6 +7104,419 @@ object SparkEntry {
       |SELECT degree, COUNT(*) AS n_parts FROM deg
       |GROUP BY degree ORDER BY degree""".stripMargin
 
+  /** Single-source BFS shortest paths over the undirected customer–
+    * supplier co-transaction graph (same bipartite node encoding as
+    * q_pagerank) — the graph surface widened from centrality/closure to
+    * path analytics. Four min-plus relaxation rounds from customer node
+    * 0; every distance is an exact integer, so the unrolled-CTE DuckDB
+    * oracle replays the frontier bit-for-bit. Scale posture matches
+    * q_pagerank: the static edge list is hash-partitioned on src and
+    * persisted ONCE; each round shuffles only the node-sized
+    * (node, dist) vector into the co-located adjacency — nothing
+    * node-sized is broadcast and no frontier ever lands on the driver,
+    * so the plan survives graphs that outgrow executor memory. */
+  private def qShortestPath(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
+    val ord = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+    val cs = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("p"))
+      .distinct()
+    val edges = cs.select(col("c").as("src"), col("p").as("dst"))
+      .unionByName(cs.select(col("p").as("src"), col("c").as("dst")))
+      .distinct()
+      .repartition(col("src")).persist()
+    // each round references the prior dist TWICE (carry + relax), so an
+    // untruncated lineage doubles per round (~2^k plan + recompute blow-up);
+    // localCheckpoint each node-sized round (the dedup_clusters iterative
+    // discipline): truncates the lineage so round k+1 plans against a plain
+    // RDD scan of round k, not its whole ancestry. Executor-local storage,
+    // node-sized — at cluster scale swap for reliable checkpointing if
+    // executors are preemptible.
+    var dist = s.range(1).select(lit(0L).as("node"), lit(0L).as("dist"))
+      .localCheckpoint(true)
+    (1 to 4).foreach { _ =>
+      val relaxed = edges
+        .join(dist.withColumnRenamed("node", "src").withColumnRenamed("dist", "d0"), "src")
+        .select(col("dst").as("node"), (col("d0") + lit(1L)).as("dist"))
+      dist = dist.unionByName(relaxed)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint(true)
+    }
+    dist.orderBy(col("node"))
+  }
+
+  private val qShortestPathSql: String = {
+    val iter = (1 to 4).map { k =>
+      s"""d$k AS (SELECT node, MIN(dist) AS dist FROM (
+         |  SELECT node, dist FROM d${k - 1}
+         |  UNION ALL
+         |  SELECT e.dst, r.dist + 1 FROM edges e JOIN d${k - 1} r ON e.src = r.node) u
+         |GROUP BY node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH cs AS (
+       |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS p
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |edges AS (
+       |  SELECT c AS src, p AS dst FROM cs
+       |  UNION
+       |  SELECT p AS src, c AS dst FROM cs),
+       |d0 AS (SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist),
+       |$iter
+       |SELECT node, dist FROM d4 ORDER BY node""".stripMargin
+  }
+
+  /** Cumulative Poisson(1) CDF at scale 2^48, floor'd — fixed literals
+    * shared verbatim with the oracle so the inverse-CDF draw is pure
+    * integer comparison on both engines (never runtime exp()/factorial). */
+  private val poissonCdf48 = Seq(
+    103548857136060L, 207097714272121L, 258872142840152L, 276130285696162L,
+    280444821410164L, 281307728552965L, 281451546410098L, 281472091818260L)
+
+  /** Poisson-bootstrap 95% CI for the mean order value — resampling
+    * uncertainty at pipeline scale without materializing B resamples:
+    * every row draws a deterministic pseudo-Poisson(1) weight per
+    * replica from md5(o_orderkey, b) bits (the engine-portable nibble
+    * recipe), so all 64 replicas ride ONE scan with map-side partial
+    * aggregation and the replica frame is 64 rows. Replica means are
+    * IEEE divisions of exact integer sums, the CI bounds are order
+    * statistics of the 64-row frame — every intermediate is exact and
+    * the DuckDB oracle replays the whole construction bit-for-bit.
+    * At 100 TB the exploded (row × 64) stream never shuffles at full
+    * width: partial aggregation collapses it to 64 rows per task. */
+  private def anBootstrapCi(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).select(col("o_orderkey").as("k"),
+      (col("o_totalprice").cast("decimal(24,2)") * 100).cast("bigint").as("v"))
+    val drawn = o.select(col("k"), col("v"),
+        explode(sequence(lit(0), lit(63))).as("b"))
+      .withColumn("u48",
+        conv(substring(md5(concat(col("k"), lit("_"), col("b"))), 1, 12), 16, 10)
+          .cast("long"))
+      .withColumn("w", poissonCdf48.map(t => when(col("u48") >= t, 1L).otherwise(0L))
+        .reduce(_ + _))
+    val reps = drawn.groupBy(col("b"))
+      .agg(sum(col("w")).as("n_eff"), sum(col("w") * col("v")).as("tot"))
+      .select(col("b"),
+        (col("tot").cast("double") / col("n_eff").cast("double")).as("mb"))
+    // 64 rows: the unpartitioned window is a 64-row sort, not a funnel
+    val ranked = reps.withColumn("rn",
+      row_number().over(Window.orderBy(col("mb"), col("b"))))
+    val lo = ranked.filter(col("rn") === 2).select(col("mb").as("lo_cents"))
+    val hi = ranked.filter(col("rn") === 63).select(col("mb").as("hi_cents"))
+    val base = o.agg(
+      (sum(col("v")).cast("double") / count(lit(1)).cast("double")).as("mean_cents"))
+    base.crossJoin(lo).crossJoin(hi).withColumn("n_boot", lit(64L))
+  }
+
+  private val anBootstrapCiSql: String = {
+    def nib(i: Int) = s"(instr('0123456789abcdef', substr(h, $i, 1)) - 1)"
+    val u48 = (2 to 12).map(nib)
+      .foldLeft(s"CAST(${nib(1)} AS BIGINT)")((a, b) => s"($a * 16 + $b)")
+    val w = poissonCdf48.map(t => s"(CASE WHEN u48 >= $t THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH o AS (SELECT o_orderkey AS k,
+       |    CAST(CAST(o_totalprice AS DECIMAL(24,2)) * 100 AS BIGINT) AS v
+       |  FROM orders),
+       |d AS (SELECT k, v, t.range AS b FROM o, range(0, 64) t),
+       |hx AS (SELECT b, v, md5(k || '_' || b) AS h FROM d),
+       |uw AS (SELECT b, v, $u48 AS u48 FROM hx),
+       |ww AS (SELECT b, v, $w AS w FROM uw),
+       |r AS (SELECT b, CAST(SUM(w) AS BIGINT) AS n_eff,
+       |        CAST(SUM(w * v) AS BIGINT) AS tot
+       |      FROM ww GROUP BY b),
+       |m AS (SELECT b, CAST(tot AS DOUBLE) / CAST(n_eff AS DOUBLE) AS mb FROM r),
+       |rk AS (SELECT mb, row_number() OVER (ORDER BY mb, b) AS rn FROM m),
+       |base AS (SELECT CAST(CAST(SUM(v) AS BIGINT) AS DOUBLE)
+       |                / CAST(COUNT(*) AS DOUBLE) AS mean_cents FROM o)
+       |SELECT base.mean_cents, lo.mb AS lo_cents, hi.mb AS hi_cents,
+       |  CAST(64 AS BIGINT) AS n_boot
+       |FROM base, (SELECT mb FROM rk WHERE rn = 2) lo,
+       |     (SELECT mb FROM rk WHERE rn = 63) hi""".stripMargin
+  }
+
+  /** Welch's unequal-variance t-test between two customer segments'
+    * order values — the two-sample mean comparison next to an_anova's
+    * k-group F and an_mannwhitney's rank test. Same exactness recipe as
+    * an_anova: integer grand-mean shift keeps Σdev and Σdev² exact
+    * (BIGINT / DECIMAL(38,0)) at any SF; t and the Welch–Satterthwaite
+    * df are straight-line IEEE over those sums, ROUND(·,6) because the
+    * DECIMAL(38,0)→double image crosses 2^53 at scale (the recorded
+    * an_kruskal ulp-skew class). One broadcast-joined scan, one
+    * two-group aggregate — map-side partial all the way. */
+  private def anWelchTtest(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .join(broadcast(Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+      .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+      .select(col("c_mktsegment").as("g"),
+        (col("o_totalprice").cast("decimal(24,2)") * 100).cast("bigint").as("v"))
+    val grand = o.agg(sum(col("v")).as("s0"), count(lit(1)).as("n0"))
+      .select(expr("s0 div n0").as("m0"))
+    val per = o.crossJoin(broadcast(grand))
+      .select(col("g"), (col("v") - col("m0")).as("c"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n_g"), sum(col("c")).as("sp_g"),
+        sum((col("c").cast("decimal(18,0)") * col("c").cast("decimal(18,0)"))
+          .cast("decimal(38,0)")).as("qp_g"))
+      .select(col("g"), col("n_g"),
+        (col("sp_g").cast("double") / col("n_g").cast("double")).as("mdev"),
+        ((col("qp_g").cast("double") -
+          col("sp_g").cast("double") * col("sp_g").cast("double") /
+            col("n_g").cast("double")) /
+          (col("n_g") - lit(1)).cast("double")).as("s2"))
+    val agg = per.agg(
+      max(when(col("g") === "BUILDING", col("n_g"))).as("n1"),
+      max(when(col("g") === "BUILDING", col("mdev"))).as("m1"),
+      max(when(col("g") === "BUILDING", col("s2"))).as("s21"),
+      max(when(col("g") === "MACHINERY", col("n_g"))).as("n2"),
+      max(when(col("g") === "MACHINERY", col("mdev"))).as("m2"),
+      max(when(col("g") === "MACHINERY", col("s2"))).as("s22"))
+    // se terms spelled x*x (not pow) — pow(x, 2.0) is not guaranteed
+    // correctly rounded and need not agree across engines
+    val se1 = col("s21") / col("n1").cast("double")
+    val se2 = col("s22") / col("n2").cast("double")
+    agg.select(col("n1"), col("n2"),
+      round((col("m1") - col("m2")) / sqrt(se1 + se2), 6).as("t_welch"),
+      round(((se1 + se2) * (se1 + se2)) /
+        (se1 * se1 / (col("n1") - lit(1)).cast("double") +
+         se2 * se2 / (col("n2") - lit(1)).cast("double")), 6).as("df_welch"))
+  }
+
+  private val anWelchTtestSql =
+    """WITH o AS (SELECT c.c_mktsegment AS g,
+      |    CAST(CAST(o.o_totalprice AS DECIMAL(24,2)) * 100 AS BIGINT) AS v
+      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |  WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')),
+      |m AS (SELECT CAST(SUM(v) AS BIGINT) // COUNT(*) AS m0 FROM o),
+      |per AS (SELECT g, COUNT(*) AS n_g,
+      |    CAST(SUM(v - m0) AS BIGINT) AS sp_g,
+      |    CAST(SUM(CAST(CAST(v - m0 AS DECIMAL(18,0)) * CAST(v - m0 AS DECIMAL(18,0))
+      |             AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS qp_g
+      |  FROM o CROSS JOIN m GROUP BY g),
+      |st AS (SELECT g, n_g,
+      |    CAST(sp_g AS DOUBLE) / CAST(n_g AS DOUBLE) AS mdev,
+      |    (CAST(qp_g AS DOUBLE) - CAST(sp_g AS DOUBLE) * CAST(sp_g AS DOUBLE)
+      |       / CAST(n_g AS DOUBLE)) / CAST(n_g - 1 AS DOUBLE) AS s2
+      |  FROM per),
+      |p AS (SELECT
+      |    MAX(CASE WHEN g = 'BUILDING' THEN n_g END) AS n1,
+      |    MAX(CASE WHEN g = 'BUILDING' THEN mdev END) AS m1,
+      |    MAX(CASE WHEN g = 'BUILDING' THEN s2 END) AS s21,
+      |    MAX(CASE WHEN g = 'MACHINERY' THEN n_g END) AS n2,
+      |    MAX(CASE WHEN g = 'MACHINERY' THEN mdev END) AS m2,
+      |    MAX(CASE WHEN g = 'MACHINERY' THEN s2 END) AS s22
+      |  FROM st)
+      |SELECT n1, n2,
+      |  ROUND((m1 - m2) / sqrt(s21 / n1 + s22 / n2), 6) AS t_welch,
+      |  ROUND(((s21 / n1 + s22 / n2) * (s21 / n1 + s22 / n2)) /
+      |    ((s21 / n1) * (s21 / n1) / (n1 - 1)
+      |     + (s22 / n2) * (s22 / n2) / (n2 - 1)), 6) AS df_welch
+      |FROM p""".stripMargin
+
+  /** Exact repeated-substring screen (the "dedup training data at the
+    * substring level" operator): every 8-word window is hashed, windows
+    * whose exact text occurs in ≥2 distinct docs are flagged, and each
+    * doc reports its window count, flagged count and longest CONSECUTIVE
+    * flagged run (gaps-islands per doc) — the run length is what
+    * separates boilerplate quotation from wholesale copying. Scale: the
+    * frequency join is an AGGREGATE posting join (gram → doc-frequency),
+    * not a pair join — a boilerplate gram in n docs costs n rows, never
+    * n²; windows are doc_id-partitioned for the run scan; only 16-byte
+    * hashes shuffle, never text. */
+  private def dedupSubstring(s: SparkSession, dir: String): DataFrame = {
+    val ws = split(col("text"), " ")
+    val grams = when(size(ws) >= 8,
+        transform(sequence(lit(1), size(ws) - 7),
+          i => md5(array_join(slice(ws, i, lit(8)), " "))))
+      .otherwise(array().cast("array<string>"))
+    val g = Tables.documents(s, dir)
+      .select(col("doc_id"), posexplode(grams).as(Seq("pos", "h")))
+    val df = g.groupBy(col("h")).agg(countDistinct(col("doc_id")).as("nd"))
+    val flagged = g.join(df, "h")
+      .select(col("doc_id"), col("pos"), (col("nd") >= 2).as("shared"))
+    val byDoc = flagged.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("shared"), 1L).otherwise(0L)).as("n_dup"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val runs = flagged.filter(col("shared"))
+      .withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("grp")).agg(count(lit(1)).as("run"))
+      .groupBy(col("doc_id")).agg(max(col("run")).as("max_run"))
+    byDoc.join(runs, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_windows"), col("n_dup"),
+        coalesce(col("max_run"), lit(0L)).as("max_run"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val dedupSubstringSql =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |l AS (SELECT doc_id, list_transform(range(1, greatest(len(ws) - 6, 1)),
+      |        i -> md5(array_to_string(ws[i:i+7], ' '))) AS lst FROM t),
+      |g AS (SELECT doc_id, generate_subscripts(lst, 1) - 1 AS pos,
+      |        unnest(lst) AS h FROM l),
+      |df AS (SELECT h, COUNT(DISTINCT doc_id) AS nd FROM g GROUP BY h),
+      |f AS (SELECT doc_id, pos, nd >= 2 AS shared FROM g JOIN df USING (h)),
+      |byd AS (SELECT doc_id, COUNT(*) AS n_windows,
+      |          CAST(SUM(CASE WHEN shared THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+      |        FROM f GROUP BY doc_id),
+      |runs AS (SELECT doc_id, CAST(MAX(run) AS BIGINT) AS max_run FROM (
+      |    SELECT doc_id, grp, COUNT(*) AS run FROM (
+      |      SELECT doc_id, pos,
+      |        pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      |      FROM f WHERE shared) x GROUP BY doc_id, grp) y GROUP BY doc_id)
+      |SELECT b.doc_id, b.n_windows, b.n_dup,
+      |  COALESCE(r.max_run, 0) AS max_run
+      |FROM byd b LEFT JOIN runs r USING (doc_id) ORDER BY b.doc_id""".stripMargin
+
+  /** Difference-in-differences estimator over the events stream — the
+    * quasi-experimental complement to an_abtest: 2×2 (treat × post)
+    * cell means of event value with the interaction contrast
+    * (m11−m10)−(m01−m00). Exactness: cents-BIGINT cell sums + counts
+    * (one partial-aggregable pass), means and the DiD are straight-line
+    * IEEE over those exact integers, emitted unrounded (the an_abtest
+    * rule: division trees over identical exact ints are bit-identical). */
+  private def anDid(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).select(
+      (col("user_id") % 2).cast("int").as("treat"),
+      (col("ts") >= lit("2024-01-16").cast("timestamp")).cast("int").as("post"),
+      (col("value").cast("decimal(24,2)") * 100).cast("bigint").as("v"))
+    val cells = e.groupBy(col("treat"), col("post"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("tot"))
+      .select(col("treat"), col("post"),
+        col("n"), (col("tot").cast("double") / col("n").cast("double")).as("m"))
+    def cell(t: Int, p: Int, c: String) =
+      max(when(col("treat") === t && col("post") === p, col(c)))
+    cells.agg(
+        cell(0, 0, "n").as("n00"), cell(0, 1, "n").as("n01"),
+        cell(1, 0, "n").as("n10"), cell(1, 1, "n").as("n11"),
+        cell(0, 0, "m").as("m00"), cell(0, 1, "m").as("m01"),
+        cell(1, 0, "m").as("m10"), cell(1, 1, "m").as("m11"))
+      .withColumn("did_cents",
+        (col("m11") - col("m10")) - (col("m01") - col("m00")))
+  }
+
+  private val anDidSql =
+    """WITH e AS (SELECT CAST(user_id % 2 AS INT) AS treat,
+      |    CAST(ts >= TIMESTAMP '2024-01-16' AS INT) AS post,
+      |    CAST(CAST(value AS DECIMAL(24,2)) * 100 AS BIGINT) AS v
+      |  FROM events),
+      |cells AS (SELECT treat, post, COUNT(*) AS n,
+      |    CAST(CAST(SUM(v) AS BIGINT) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS m
+      |  FROM e GROUP BY treat, post),
+      |p AS (SELECT
+      |    MAX(CASE WHEN treat = 0 AND post = 0 THEN n END) AS n00,
+      |    MAX(CASE WHEN treat = 0 AND post = 1 THEN n END) AS n01,
+      |    MAX(CASE WHEN treat = 1 AND post = 0 THEN n END) AS n10,
+      |    MAX(CASE WHEN treat = 1 AND post = 1 THEN n END) AS n11,
+      |    MAX(CASE WHEN treat = 0 AND post = 0 THEN m END) AS m00,
+      |    MAX(CASE WHEN treat = 0 AND post = 1 THEN m END) AS m01,
+      |    MAX(CASE WHEN treat = 1 AND post = 0 THEN m END) AS m10,
+      |    MAX(CASE WHEN treat = 1 AND post = 1 THEN m END) AS m11
+      |  FROM cells)
+      |SELECT n00, n01, n10, n11, m00, m01, m10, m11,
+      |  (m11 - m10) - (m01 - m00) AS did_cents
+      |FROM p""".stripMargin
+
+  /** l-diversity audit — the sensitive-attribute companion to etl_kanon:
+    * k-anonymity bounds re-identification but a uniform sensitive value
+    * inside a QI group still leaks; this reports, per (segment, nation)
+    * QI group over the order fact, the distinct-priority count l, and
+    * aggregates the min l, the groups below l=3 and the row mass exposed
+    * in them. One groupBy tree, counts only — exact at any SF. */
+  private def etlLdiversity(s: SparkSession, dir: String): DataFrame = {
+    val rows = Tables.orders(s, dir)
+      .join(broadcast(Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("seg"), col("c_nationkey").as("nat"),
+        col("o_orderpriority").as("sv"))
+    val groups = rows.groupBy(col("seg"), col("nat"))
+      .agg(count(lit(1)).as("n_rows"), countDistinct(col("sv")).as("l"))
+    groups.agg(count(lit(1)).as("n_groups"), min(col("l")).as("min_l"),
+      sum(when(col("l") < 3, 1L).otherwise(0L)).as("n_below_3"),
+      sum(when(col("l") < 3, col("n_rows")).otherwise(0L)).as("rows_exposed"),
+      sum(col("n_rows")).as("n_rows"))
+  }
+
+  private val etlLdiversitySql =
+    """WITH r AS (SELECT c.c_mktsegment AS seg, c.c_nationkey AS nat,
+      |    o.o_orderpriority AS sv
+      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+      |g AS (SELECT seg, nat, COUNT(*) AS n_rows, COUNT(DISTINCT sv) AS l
+      |      FROM r GROUP BY seg, nat)
+      |SELECT COUNT(*) AS n_groups, CAST(MIN(l) AS BIGINT) AS min_l,
+      |  CAST(SUM(CASE WHEN l < 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_below_3,
+      |  CAST(SUM(CASE WHEN l < 3 THEN n_rows ELSE 0 END) AS BIGINT) AS rows_exposed,
+      |  CAST(SUM(n_rows) AS BIGINT) AS n_rows
+      |FROM g""".stripMargin
+
+  /** Synchronous label-propagation communities over the customer–
+    * supplier graph — completes the graph family (centrality:
+    * q_pagerank, reach: q_shortest_path, closure: q_triangles,
+    * components: dedup_clusters) with community detection. Three
+    * synchronous rounds: every node adopts its neighborhood's plurality
+    * label, ties broken by the SMALLEST label — a deterministic integer
+    * argmax the DuckDB oracle replays with the same (count DESC, label
+    * ASC) window rank. Per round: one shuffle of the node-sized label
+    * vector into the co-located adjacency, one (dst,label) count, one
+    * dst-partitioned top-1 window (WindowGroupLimit keeps it partial);
+    * lineage localCheckpoint'd per round like q_shortest_path. */
+  private def qLabelProp(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
+    val ord = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+    val cs = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("p"))
+      .distinct()
+    val edges = cs.select(col("c").as("src"), col("p").as("dst"))
+      .unionByName(cs.select(col("p").as("src"), col("c").as("dst")))
+      .distinct()
+      .repartition(col("src")).persist()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl"))
+      .localCheckpoint(true)
+    (1 to 3).foreach { _ =>
+      val votes = edges
+        .join(labels.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node"), col("lbl"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy(col("node"))
+        .orderBy(col("cnt").desc, col("lbl").asc)
+      labels = votes.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).select(col("node"), col("lbl"))
+        .localCheckpoint(true)
+    }
+    labels.groupBy(col("lbl").as("community"))
+      .agg(count(lit(1)).as("n_nodes"), min(col("node")).as("min_node"),
+        max(col("node")).as("max_node"))
+      .orderBy(col("community"))
+  }
+
+  private val qLabelPropSql: String = {
+    val iter = (1 to 3).map { k =>
+      s"""l$k AS (
+         |  SELECT node, lbl FROM (
+         |    SELECT e.dst AS node, r.lbl, COUNT(*) AS cnt,
+         |      row_number() OVER (PARTITION BY e.dst
+         |                         ORDER BY COUNT(*) DESC, r.lbl ASC) AS rn
+         |    FROM edges e JOIN l${k - 1} r ON e.src = r.node
+         |    GROUP BY e.dst, r.lbl) v
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH cs AS (
+       |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS p
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |edges AS (
+       |  SELECT c AS src, p AS dst FROM cs
+       |  UNION
+       |  SELECT p AS src, c AS dst FROM cs),
+       |l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM edges),
+       |$iter
+       |SELECT lbl AS community, COUNT(*) AS n_nodes,
+       |  CAST(MIN(node) AS BIGINT) AS min_node,
+       |  CAST(MAX(node) AS BIGINT) AS max_node
+       |FROM l3 GROUP BY lbl ORDER BY community""".stripMargin
+  }
+
   // ----------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -7313,7 +7726,14 @@ object SparkEntry {
     "dedup_source_matrix" -> (dedupSourceMatrix _),
     "an_profile_drift" -> (anProfileDrift _),
     "an_repeat_purchase" -> (anRepeatPurchase _),
-    "q_mom_growth" -> (qMomGrowth _)
+    "q_mom_growth" -> (qMomGrowth _),
+    "q_shortest_path" -> (qShortestPath _),
+    "an_bootstrap_ci" -> (anBootstrapCi _),
+    "an_welch_ttest" -> (anWelchTtest _),
+    "dedup_substring" -> (dedupSubstring _),
+    "an_did" -> (anDid _),
+    "etl_ldiversity" -> (etlLdiversity _),
+    "q_label_prop" -> (qLabelProp _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -7519,6 +7939,13 @@ object SparkEntry {
     "dedup_source_matrix" -> dedupSourceMatrixSql,
     "an_profile_drift" -> anProfileDriftSql,
     "an_repeat_purchase" -> anRepeatPurchaseSql,
-    "q_mom_growth" -> qMomGrowthSql
+    "q_mom_growth" -> qMomGrowthSql,
+    "q_shortest_path" -> qShortestPathSql,
+    "an_bootstrap_ci" -> anBootstrapCiSql,
+    "an_welch_ttest" -> anWelchTtestSql,
+    "dedup_substring" -> dedupSubstringSql,
+    "an_did" -> anDidSql,
+    "etl_ldiversity" -> etlLdiversitySql,
+    "q_label_prop" -> qLabelPropSql
   )
 }

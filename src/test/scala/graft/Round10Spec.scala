@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantic pins for the round-10 batch-3 operators (the oracle checks
+  * exact values at sf0.01; these pin the MEANING of those values):
+  * BFS shortest paths, Poisson-bootstrap CI, Welch's t, and the exact
+  * repeated-substring screen. */
+class Round10Spec extends SparkSpec {
+  import spark.implicits._
+
+  test("shortest paths: source at 0, and every dist-d node touches a dist-(d-1) node") {
+    val dist = SparkEntry.queries("q_shortest_path")(spark, sfDir)
+      .select("node", "dist").as[(Long, Long)].collect().toMap
+    assert(dist(0L) == 0L, "the seed must be at distance 0")
+    assert(dist.values.forall(d => d >= 0 && d <= 4))
+    assert(dist.count(_._2 == 0L) == 1, "exactly one seed")
+    // rebuild the edge list and check the BFS tree property exactly
+    val li = Tables.lineitem(spark, sfDir).select(col("l_orderkey"), col("l_suppkey"))
+    val ord = Tables.orders(spark, sfDir).select(col("o_orderkey"), col("o_custkey"))
+    val cs = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("p"))
+      .distinct().as[(Long, Long)].collect()
+    val adj = (cs.map(e => e._1 -> e._2) ++ cs.map(e => e._2 -> e._1))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+    dist.filter(_._2 > 0).foreach { case (n, d) =>
+      assert(adj(n).exists(m => dist.get(m).contains(d - 1)),
+        s"node $n at dist $d has no neighbor at dist ${d - 1}")
+    }
+    // and nobody reachable in <=4 hops is missing or misranked: BFS by hand
+    var frontier = Set(0L); var seen = Map(0L -> 0L)
+    (1 to 4).foreach { d =>
+      frontier = frontier.flatMap(adj.getOrElse(_, Set.empty)) -- seen.keySet
+      seen = seen ++ frontier.map(_ -> d.toLong)
+      }
+    assert(dist == seen, "engine BFS must equal the reference BFS exactly")
+  }
+
+  test("bootstrap CI brackets the point mean and is non-degenerate") {
+    val r = SparkEntry.queries("an_bootstrap_ci")(spark, sfDir)
+      .select("mean_cents", "lo_cents", "hi_cents", "n_boot")
+      .as[(Double, Double, Double, Long)].head()
+    assert(r._4 == 64L)
+    assert(r._2 < r._3, "lower bound must sit strictly below upper")
+    assert(r._1 > r._2 && r._1 < r._3,
+      s"point mean ${r._1} outside the 95% CI [${r._2}, ${r._3}]")
+    // the CI half-width should be in the right ballpark: mean/sqrt(n)-ish,
+    // not zero-width and not wider than the mean itself
+    assert(r._3 - r._2 < r._1, "CI wider than the mean itself")
+  }
+
+  test("welch t: df sits between min(n)-1 and pooled n-2, t is finite") {
+    val r = SparkEntry.queries("an_welch_ttest")(spark, sfDir)
+      .select("n1", "n2", "t_welch", "df_welch")
+      .as[(Long, Long, Double, Double)].head()
+    assert(r._1 > 1 && r._2 > 1)
+    assert(!r._3.isNaN && !r._3.isInfinite)
+    // Welch–Satterthwaite df is bracketed by min(n1,n2)-1 and n1+n2-2
+    assert(r._4 >= math.min(r._1, r._2) - 1.0 && r._4 <= r._1 + r._2 - 2.0,
+      s"df ${r._4} outside [${math.min(r._1, r._2) - 1}, ${r._1 + r._2 - 2}]")
+  }
+
+  test("substring screen: planted full-text dups share their whole window run") {
+    val docs = Tables.documents(spark, sfDir)
+    // exact-duplicate texts (the corpus plants some): every window of such
+    // a doc recurs in its twin, so n_dup == n_windows and max_run == n_windows
+    val dupDocs = docs.groupBy(col("text")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2).join(docs, "text")
+      .select(col("doc_id")).as[Long].collect().toSet
+    val r = SparkEntry.queries("dedup_substring")(spark, sfDir)
+      .select("doc_id", "n_windows", "n_dup", "max_run")
+      .as[(Long, Long, Long, Long)].collect()
+    r.foreach { case (id, nw, nd, mr) =>
+      assert(nd <= nw, s"doc $id: flagged windows exceed total")
+      assert(mr <= nd, s"doc $id: run longer than flagged count")
+      if (dupDocs.contains(id) && nw > 0)
+        assert(nd == nw && mr == nw,
+          s"doc $id is an exact dup but only $nd/$nw windows flagged (run $mr)")
+    }
+    assert(r.exists(_._3 > 0), "corpus plants near-dups; someone must be flagged")
+  }
+
+  test("did: cells partition every event and the contrast is the cell algebra") {
+    val total = Tables.events(spark, sfDir).count()
+    val r = SparkEntry.queries("an_did")(spark, sfDir)
+      .select("n00", "n01", "n10", "n11", "m00", "m01", "m10", "m11", "did_cents")
+      .as[(Long, Long, Long, Long, Double, Double, Double, Double, Double)].head()
+    assert(r._1 + r._2 + r._3 + r._4 == total, "2x2 cells must partition the events")
+    assert(r._9 == (r._8 - r._7) - (r._6 - r._5), "did must equal its own cell algebra")
+  }
+
+  test("l-diversity: totals reconcile and bounds hold") {
+    val nOrders = Tables.orders(spark, sfDir).count()
+    val r = SparkEntry.queries("etl_ldiversity")(spark, sfDir)
+      .select("n_groups", "min_l", "n_below_3", "rows_exposed", "n_rows")
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(r._5 == nOrders, "every order row must be audited")
+    assert(r._2 >= 1 && r._2 <= 5, "priority cardinality bounds l")
+    assert(r._3 <= r._1 && r._4 <= r._5)
+  }
+
+  test("label propagation equals a reference in-memory run exactly") {
+    val li = Tables.lineitem(spark, sfDir).select(col("l_orderkey"), col("l_suppkey"))
+    val ord = Tables.orders(spark, sfDir).select(col("o_orderkey"), col("o_custkey"))
+    val cs = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("p"))
+      .distinct().as[(Long, Long)].collect()
+    val adj = (cs.map(e => e._1 -> e._2) ++ cs.map(e => e._2 -> e._1))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+    var lbl: Map[Long, Long] = adj.keys.map(n => n -> n).toMap
+    (1 to 3).foreach { _ =>
+      lbl = adj.map { case (n, nbrs) =>
+        val votes = nbrs.toSeq.map(lbl).groupBy(identity).map { case (l, xs) => (l, xs.size) }
+        // plurality, smallest label wins ties — the engine's exact rule
+        n -> votes.toSeq.sortBy { case (l, c) => (-c, l) }.head._1
+      }
+    }
+    val want = lbl.groupBy(_._2).map { case (c, m) =>
+      (c, m.size.toLong, m.keys.min, m.keys.max) }.toSet
+    val got = SparkEntry.queries("q_label_prop")(spark, sfDir)
+      .select("community", "n_nodes", "min_node", "max_node")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == want, "engine LPA must equal the reference run bit-for-bit")
+  }
+}
