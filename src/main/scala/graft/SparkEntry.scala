@@ -7450,6 +7450,110 @@ object SparkEntry {
       |  CAST(SUM(n_rows) AS BIGINT) AS n_rows
       |FROM g""".stripMargin
 
+  /** CUPED variance reduction — the pre-experiment-covariate adjustment
+    * that sits between an_ab_srm (trust) and an_abtest/an_did (effect):
+    * per user, pre-period and post-period value sums (X, Y) from ONE
+    * user-keyed pass; θ = cov(X,Y)/var(X) in the integer computational
+    * form (n·ΣXY − ΣX·ΣY over n·ΣX² − ΣX², cross-products accumulated
+    * in DECIMAL(38,0) — exact at any SF); per-variant adjusted means
+    * Ȳ_g − θ(X̄_g − X̄) and the realized variance-reduction factor.
+    * ROUND(·,6) on every emitted double: the decimal sums cross 2⁵³ at
+    * scale (the recorded an_kruskal decimal→double ulp class). */
+  private def anCuped(s: SparkSession, dir: String): DataFrame = {
+    val split = lit("2024-01-16").cast("timestamp")
+    val perUser = Tables.events(s, dir)
+      .select(col("user_id"),
+        (col("value").cast("decimal(24,2)") * 100).cast("bigint").as("v"),
+        (col("ts") < split).as("pre"))
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("pre"), col("v")).otherwise(0L)).as("x"),
+        sum(when(!col("pre"), col("v")).otherwise(0L)).as("y"))
+      .select(col("user_id"), col("x"), col("y"),
+        (col("user_id") % 2).cast("int").as("grp"))
+    def d38(c: Column) = c.cast("decimal(19,0)")
+    val tot = perUser.agg(
+      count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum((d38(col("x")) * d38(col("x"))).cast("decimal(38,0)")).as("sxx"),
+      sum((d38(col("x")) * d38(col("y"))).cast("decimal(38,0)")).as("sxy"),
+      sum((d38(col("y")) * d38(col("y"))).cast("decimal(38,0)")).as("syy"))
+    val grp = perUser.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_g"), sum(col("x")).as("sx_g"), sum(col("y")).as("sy_g"))
+    def g(i: Int, c: String) = max(when(col("grp") === i, col(c)))
+    val gw = grp.agg(
+      g(0, "n_g").as("n0"), g(0, "sx_g").as("sx0"), g(0, "sy_g").as("sy0"),
+      g(1, "n_g").as("n1"), g(1, "sx_g").as("sx1"), g(1, "sy_g").as("sy1"))
+    val nD = col("n").cast("double")
+    val theta = (nD * col("sxy").cast("double") -
+        col("sx").cast("double") * col("sy").cast("double")) /
+      (nD * col("sxx").cast("double") -
+        col("sx").cast("double") * col("sx").cast("double"))
+    val rho2 = ((nD * col("sxy").cast("double") -
+        col("sx").cast("double") * col("sy").cast("double")) *
+        (nD * col("sxy").cast("double") -
+          col("sx").cast("double") * col("sy").cast("double"))) /
+      ((nD * col("sxx").cast("double") -
+          col("sx").cast("double") * col("sx").cast("double")) *
+        (nD * col("syy").cast("double") -
+          col("sy").cast("double") * col("sy").cast("double")))
+    tot.crossJoin(gw).select(
+      col("n").as("n_users"),
+      round(theta, 6).as("theta"),
+      round(col("sy0").cast("double") / col("n0").cast("double"), 6).as("raw_mean_0"),
+      round(col("sy1").cast("double") / col("n1").cast("double"), 6).as("raw_mean_1"),
+      round(col("sy0").cast("double") / col("n0").cast("double") -
+        theta * (col("sx0").cast("double") / col("n0").cast("double") -
+          col("sx").cast("double") / nD), 6).as("adj_mean_0"),
+      round(col("sy1").cast("double") / col("n1").cast("double") -
+        theta * (col("sx1").cast("double") / col("n1").cast("double") -
+          col("sx").cast("double") / nD), 6).as("adj_mean_1"),
+      round(rho2, 6).as("var_reduction"))
+  }
+
+  private val anCupedSql =
+    """WITH pu AS (SELECT user_id,
+      |    CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16'
+      |        THEN CAST(CAST(value AS DECIMAL(24,2)) * 100 AS BIGINT)
+      |        ELSE 0 END) AS BIGINT) AS x,
+      |    CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+      |        THEN CAST(CAST(value AS DECIMAL(24,2)) * 100 AS BIGINT)
+      |        ELSE 0 END) AS BIGINT) AS y,
+      |    CAST(user_id % 2 AS INT) AS grp
+      |  FROM events GROUP BY user_id),
+      |tot AS (SELECT COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+      |    CAST(SUM(y) AS BIGINT) AS sy,
+      |    CAST(SUM(CAST(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0)) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxx,
+      |    CAST(SUM(CAST(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxy,
+      |    CAST(SUM(CAST(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS syy
+      |  FROM pu),
+      |gw AS (SELECT
+      |    MAX(CASE WHEN grp = 0 THEN n_g END) AS n0,
+      |    MAX(CASE WHEN grp = 0 THEN sx_g END) AS sx0,
+      |    MAX(CASE WHEN grp = 0 THEN sy_g END) AS sy0,
+      |    MAX(CASE WHEN grp = 1 THEN n_g END) AS n1,
+      |    MAX(CASE WHEN grp = 1 THEN sx_g END) AS sx1,
+      |    MAX(CASE WHEN grp = 1 THEN sy_g END) AS sy1
+      |  FROM (SELECT grp, COUNT(*) AS n_g, CAST(SUM(x) AS BIGINT) AS sx_g,
+      |          CAST(SUM(y) AS BIGINT) AS sy_g
+      |        FROM pu GROUP BY grp) g)
+      |SELECT n AS n_users,
+      |  ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |      / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS theta,
+      |  ROUND(CAST(sy0 AS DOUBLE) / CAST(n0 AS DOUBLE), 6) AS raw_mean_0,
+      |  ROUND(CAST(sy1 AS DOUBLE) / CAST(n1 AS DOUBLE), 6) AS raw_mean_1,
+      |  ROUND(CAST(sy0 AS DOUBLE) / CAST(n0 AS DOUBLE)
+      |    - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |       / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+      |      * (CAST(sx0 AS DOUBLE) / CAST(n0 AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS adj_mean_0,
+      |  ROUND(CAST(sy1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+      |    - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |       / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+      |      * (CAST(sx1 AS DOUBLE) / CAST(n1 AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS adj_mean_1,
+      |  ROUND(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |         * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+      |      / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |         * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS var_reduction
+      |FROM tot CROSS JOIN gw""".stripMargin
+
   /** Synchronous label-propagation communities over the customer–
     * supplier graph — completes the graph family (centrality:
     * q_pagerank, reach: q_shortest_path, closure: q_triangles,
@@ -7733,7 +7837,8 @@ object SparkEntry {
     "dedup_substring" -> (dedupSubstring _),
     "an_did" -> (anDid _),
     "etl_ldiversity" -> (etlLdiversity _),
-    "q_label_prop" -> (qLabelProp _)
+    "q_label_prop" -> (qLabelProp _),
+    "an_cuped" -> (anCuped _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -7946,6 +8051,7 @@ object SparkEntry {
     "dedup_substring" -> dedupSubstringSql,
     "an_did" -> anDidSql,
     "etl_ldiversity" -> etlLdiversitySql,
-    "q_label_prop" -> qLabelPropSql
+    "q_label_prop" -> qLabelPropSql,
+    "an_cuped" -> anCupedSql
   )
 }

@@ -99,6 +99,35 @@ class Round10Spec extends SparkSpec {
     assert(r._3 <= r._1 && r._4 <= r._5)
   }
 
+  test("cuped: theta minimizes the adjusted variance and rho2 matches") {
+    val split = java.sql.Timestamp.valueOf("2024-01-16 00:00:00")
+    val pu = Tables.events(spark, sfDir)
+      .select(col("user_id"),
+        (col("value").cast("decimal(24,2)") * 100).cast("bigint").as("v"),
+        (col("ts") < lit("2024-01-16").cast("timestamp")).as("pre"))
+      .groupBy("user_id")
+      .agg(sum(when(col("pre"), col("v")).otherwise(0L)).as("x"),
+        sum(when(!col("pre"), col("v")).otherwise(0L)).as("y"))
+      .select("x", "y").as[(Long, Long)].collect()
+    val r = SparkEntry.queries("an_cuped")(spark, sfDir)
+      .select("n_users", "theta", "var_reduction")
+      .as[(Long, Double, Double)].head()
+    assert(r._1 == pu.length.toLong)
+    def varAdj(t: Double): Double = {
+      val adj = pu.map { case (x, y) => y - t * x }
+      val m = adj.sum / adj.length
+      adj.map(a => (a - m) * (a - m)).sum / adj.length
+    }
+    val atTheta = varAdj(r._2)
+    assert(atTheta <= varAdj(r._2 + 0.01) && atTheta <= varAdj(r._2 - 0.01),
+      "theta must sit at the variance minimum")
+    assert(r._3 >= 0 && r._3 <= 1, "realized rho2 is a fraction")
+    // rho2 really is the realized reduction: var(Y) - var(Y - theta X) = rho2 * var(Y)
+    val vy = varAdj(0.0)
+    assert(math.abs((vy - atTheta) / vy - r._3) < 1e-4,
+      "var_reduction must equal the realized variance drop")
+  }
+
   test("label propagation equals a reference in-memory run exactly") {
     val li = Tables.lineitem(spark, sfDir).select(col("l_orderkey"), col("l_suppkey"))
     val ord = Tables.orders(spark, sfDir).select(col("o_orderkey"), col("o_custkey"))
