@@ -7168,7 +7168,7 @@ object SparkEntry {
   /** Cumulative Poisson(1) CDF at scale 2^48, floor'd — fixed literals
     * shared verbatim with the oracle so the inverse-CDF draw is pure
     * integer comparison on both engines (never runtime exp()/factorial). */
-  private val poissonCdf48 = Seq(
+  private[graft] val poissonCdf48 = Seq(
     103548857136060L, 207097714272121L, 258872142840152L, 276130285696162L,
     280444821410164L, 281307728552965L, 281451546410098L, 281472091818260L)
 

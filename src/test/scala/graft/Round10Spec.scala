@@ -128,6 +128,30 @@ class Round10Spec extends SparkSpec {
       "var_reduction must equal the realized variance drop")
   }
 
+  test("bootstrapStream replica frame equals the batch draw under scrambled slicing") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.EventsStream
+    import graft.streaming.EventsStream.Ev
+    implicit val sqlCtx = spark.sqlContext
+    def mkTs(min: Int) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+    val evs = (1 to 60).map(i => Ev(i.toLong, mkTs(i), i.toLong % 7, "click", i * 1.25))
+    // deterministic scramble, three uneven micro-batches
+    val shuffled = evs.sortBy(e => e.event_id * 2654435761L % 97)
+    val in = MemoryStream[Ev]
+    val q = EventsStream.bootstrapStream(in.toDF(), "event_id", "value", replicas = 16)
+      .writeStream.outputMode("complete").format("memory").queryName("boot").start()
+    in.addData(shuffled.take(5)); q.processAllAvailable()
+    in.addData(shuffled.slice(5, 41)); q.processAllAvailable()
+    in.addData(shuffled.drop(41)); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("boot").select("b", "n_eff", "tot")
+      .as[(Int, Long, Long)].collect().toSet
+    val want = EventsStream.bootstrapStream(evs.toDF(), "event_id", "value", replicas = 16)
+      .select("b", "n_eff", "tot").as[(Int, Long, Long)].collect().toSet
+    assert(got == want, "streamed replica sums must equal the batch draw bit-for-bit")
+    assert(got.size == 16 && got.forall(_._2 > 0))
+  }
+
   test("label propagation equals a reference in-memory run exactly") {
     val li = Tables.lineitem(spark, sfDir).select(col("l_orderkey"), col("l_suppkey"))
     val ord = Tables.orders(spark, sfDir).select(col("o_orderkey"), col("o_custkey"))
