@@ -89,6 +89,23 @@ object Sketches {
   def temperedHash(key: Column, a: Long = 1000003L, b: Long = 12289L,
                    a2: Long = 786433L): Column = temper(key, a, b, a2)
 
+  /** Cumulative Poisson(1) CDF at scale P, floor'd — fixed literals
+    * shared verbatim with oracle SQL so the inverse-CDF draw is pure
+    * integer comparison on both engines (never runtime exp/factorial). */
+  val PoissonCdfP: Seq[Long] = Seq(
+    790015083L, 1580030167L, 1975037709L, 2106706890L, 2139624185L,
+    2146207644L, 2147304887L, 2147461637L)
+
+  /** Deterministic pseudo-Poisson(1) weight for (key, replica) — the
+    * Poisson-bootstrap draw: one [[temperedHash]] of key·reps+replica
+    * (the temper breaks the sequential-key lattice), then the weight is
+    * how many CDF thresholds the uniform clears. All-integer (no string
+    * hash on the hot path) and replayed bit-for-bit by oracle SQL. */
+  def poissonWeight(key: Column, replica: Column, reps: Int): Column = {
+    val u = temperedHash(key * reps + replica)
+    PoissonCdfP.map(t => when(u >= t, 1L).otherwise(0L)).reduce(_ + _)
+  }
+
   /** Bits of hash left after taking the register index (m = 2^p). */
   def hllRemWidth(m: Int): Int = {
     require(m > 0 && (m & (m - 1)) == 0, s"m must be a power of two, got $m")

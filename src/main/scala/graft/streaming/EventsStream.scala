@@ -436,7 +436,7 @@ object EventsStream {
   /** Streaming Poisson-bootstrap replica sums: the incremental twin of
     * the batch an_bootstrap_ci query. Every replica weight is a
     * DETERMINISTIC function of (row key, replica id) — the same
-    * md5-nibble pseudo-Poisson(1) draw the batch query uses — so the
+    * tempered-mod-p pseudo-Poisson(1) draw the batch query uses — so the
     * per-replica (Σw, Σw·v) pairs are plain mergeable aggregates: each
     * micro-batch folds map-side, streaming state is exactly `replicas`
     * rows, and after ANY prefix of the stream the replica frame equals
@@ -448,11 +448,8 @@ object EventsStream {
     val drawn = events.select(col(keyCol).as("k"),
         (col(valueCol).cast("decimal(24,2)") * 100).cast("bigint").as("v"),
         explode(sequence(lit(0), lit(replicas - 1))).as("b"))
-      .withColumn("u48",
-        conv(substring(md5(concat(col("k"), lit("_"), col("b"))), 1, 12), 16, 10)
-          .cast("long"))
-      .withColumn("w", graft.SparkEntry.poissonCdf48
-        .map(t => when(col("u48") >= t, 1L).otherwise(0L)).reduce(_ + _))
+      .withColumn("w",
+        graft.functions.Sketches.poissonWeight(col("k"), col("b"), replicas))
     drawn.groupBy(col("b"))
       .agg(sum(col("w")).as("n_eff"), sum(col("w") * col("v")).as("tot"))
   }
