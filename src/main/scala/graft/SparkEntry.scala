@@ -7443,6 +7443,60 @@ object SparkEntry {
       |  CAST(SUM(n_rows) AS BIGINT) AS n_rows
       |FROM g""".stripMargin
 
+  /** Holt double-exponential smoothing (level + trend) over daily event
+    * revenue — completes the forecasting family (seasonal-naive:
+    * an_forecast_naive, flat EWMA: an_ewma, decomposition:
+    * an_seasonal_decompose) with the trend model. α = β = 1/2 makes
+    * every update an exact dyadic average of integer cents ((x+y)/2 —
+    * IEEE-exact, engine-portable like an_ewma's dyadic taps), so the
+    * whole recursion and the h-step forecasts are bit-identical in the
+    * oracle's 30 unrolled one-row CTE steps. The daily aggregate is the
+    * distributed part (one groupBy over the event log); the recursion
+    * folds over the ~30-row day series on the driver — model-sized
+    * state, the documented centroids pattern (a year is 365 doubles). */
+  private def anHoltForecast(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(sum((col("value").cast("decimal(24,2)") * 100).cast("bigint")).as("rev_c"))
+      .orderBy(col("day"))
+      .select(col("rev_c")).as[Long](org.apache.spark.sql.Encoders.scalaLong)
+      .collect()
+    require(daily.length >= 3, s"Holt needs >= 3 days, got ${daily.length}")
+    var l = daily(0).toDouble
+    var b = daily(1).toDouble - daily(0).toDouble
+    daily.drop(1).foreach { y =>
+      val lNew = (y.toDouble + (l + b)) / 2.0
+      b = ((lNew - l) + b) / 2.0
+      l = lNew
+    }
+    import s.implicits._
+    Seq((daily.length.toLong, l, b, l + 7.0 * b))
+      .toDF("n_days", "level_cents", "trend_cents", "fc7_cents")
+  }
+
+  private val anHoltForecastSql: String = {
+    // i-th observation (1-based) as a one-row scalar: day-ordered rank
+    def y(i: String) = s"(SELECT rev_c FROM r WHERE rn = $i)"
+    val steps = (2 to 31).map { t =>
+      s"""s$t AS (SELECT CASE WHEN n >= $t
+         |    THEN (CAST(${y(t.toString)} AS DOUBLE) + (l + b)) / 2.0 ELSE l END AS l,
+         |  CASE WHEN n >= $t
+         |    THEN (((CAST(${y(t.toString)} AS DOUBLE) + (l + b)) / 2.0 - l) + b) / 2.0
+         |    ELSE b END AS b, n
+         |  FROM s${t - 1})""".stripMargin
+    }.mkString(",\n")
+    s"""WITH daily AS (SELECT date_trunc('day', ts) AS day,
+       |    CAST(SUM(CAST(CAST(value AS DECIMAL(24,2)) * 100 AS BIGINT)) AS BIGINT) AS rev_c
+       |  FROM events GROUP BY 1),
+       |r AS (SELECT rev_c, ROW_NUMBER() OVER (ORDER BY day) AS rn FROM daily),
+       |s1 AS (SELECT CAST(${y("1")} AS DOUBLE) AS l,
+       |              CAST(${y("2")} AS DOUBLE) - CAST(${y("1")} AS DOUBLE) AS b,
+       |              (SELECT COUNT(*) FROM r) AS n),
+       |$steps
+       |SELECT n AS n_days, l AS level_cents, b AS trend_cents,
+       |  l + 7.0 * b AS fc7_cents FROM s31""".stripMargin
+  }
+
   /** CUPED variance reduction — the pre-experiment-covariate adjustment
     * that sits between an_ab_srm (trust) and an_abtest/an_did (effect):
     * per user, pre-period and post-period value sums (X, Y) from ONE
@@ -7831,7 +7885,8 @@ object SparkEntry {
     "an_did" -> (anDid _),
     "etl_ldiversity" -> (etlLdiversity _),
     "q_label_prop" -> (qLabelProp _),
-    "an_cuped" -> (anCuped _)
+    "an_cuped" -> (anCuped _),
+    "an_holt_forecast" -> (anHoltForecast _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -8045,6 +8100,7 @@ object SparkEntry {
     "an_did" -> anDidSql,
     "etl_ldiversity" -> etlLdiversitySql,
     "q_label_prop" -> qLabelPropSql,
-    "an_cuped" -> anCupedSql
+    "an_cuped" -> anCupedSql,
+    "an_holt_forecast" -> anHoltForecastSql
   )
 }

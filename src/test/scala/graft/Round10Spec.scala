@@ -152,6 +152,32 @@ class Round10Spec extends SparkSpec {
     assert(got.size == 16 && got.forall(_._2 > 0))
   }
 
+  test("holt: bit-identical to the reference fold, exact on a planted linear series") {
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(sum((col("value").cast("decimal(24,2)") * 100).cast("bigint")).as("rev_c"))
+      .orderBy("day").select("rev_c").as[Long].collect()
+    def holt(ys: Seq[Double]): (Double, Double) = {
+      var l = ys(0); var b = ys(1) - ys(0)
+      ys.drop(1).foreach { y =>
+        val ln = (y + (l + b)) / 2.0; b = ((ln - l) + b) / 2.0; l = ln
+      }
+      (l, b)
+    }
+    val r = SparkEntry.queries("an_holt_forecast")(spark, sfDir)
+      .select("n_days", "level_cents", "trend_cents", "fc7_cents")
+      .as[(Long, Double, Double, Double)].head()
+    assert(r._1 == daily.length.toLong)
+    val (l, b) = holt(daily.map(_.toDouble))
+    assert(r._2 == l && r._3 == b, "engine fold must equal the reference bit-for-bit")
+    assert(r._4 == l + 7.0 * b, "forecast must be the level+trend extrapolation")
+    // on a perfectly linear series the recursion locks on exactly:
+    // level = last value, trend = the slope (induction: l'=y_{t+1}, b'=c)
+    val lin = (0 until 20).map(t => 100.0 + 7.0 * t)
+    val (ll, lb) = holt(lin)
+    assert(ll == lin.last && lb == 7.0, "linear series must be recovered exactly")
+  }
+
   test("label propagation equals a reference in-memory run exactly") {
     val li = Tables.lineitem(spark, sfDir).select(col("l_orderkey"), col("l_suppkey"))
     val ord = Tables.orders(spark, sfDir).select(col("o_orderkey"), col("o_custkey"))
