@@ -7443,6 +7443,91 @@ object SparkEntry {
       |  CAST(SUM(n_rows) AS BIGINT) AS n_rows
       |FROM g""".stripMargin
 
+  /** URL canonicalization + variant collapse — the web-ingest ETL step
+    * (the corpus has no URL column, so deterministic messy variants are
+    * manufactured per doc, the text_pii_audit injection recipe): case
+    * noise, www. prefixes, explicit :443 default ports, trailing
+    * slashes, utm_* tracking params and fragments. Normalization is
+    * pure portable string algebra — split-at-#/? (never regex: Spark
+    * regex is java.util.regex, DuckDB is RE2 — not replay-safe),
+    * lowercase host, strip default port/www./trailing slash, drop
+    * utm_* params keeping the rest in order — and the canonical groups
+    * are hash-checked: 500 raw docs collapse to 50 canonicals. Row-local
+    * projection + one groupBy; scales like any dedup-key build. */
+  private def etlUrlNormalize(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val hostCore = concat(
+      when(id % 2 === 0, lit("www.")).otherwise(lit("")),
+      lit("cdn"), (id % 5).cast("string"), lit(".example.com"),
+      when(id % 5 === 0, lit(":443")).otherwise(lit("")))
+    val raw = concat(lit("https://"),
+      when(id % 3 === 0, upper(hostCore)).otherwise(hostCore),
+      lit("/docs/"), (id % 25).cast("string"),
+      when(id % 4 === 1, lit("/")).otherwise(lit("")),
+      when(id % 2 === 1 && id % 3 === 2,
+          concat(lit("?utm_source=feed&ref=2&utm_campaign="), (id % 7).cast("string")))
+        .when(id % 2 === 1,
+          concat(lit("?utm_source=feed&utm_campaign="), (id % 7).cast("string")))
+        .when(id % 3 === 2, lit("?ref=2")).otherwise(lit("")),
+      when(id % 4 === 2, concat(lit("#p"), (id % 3).cast("string"))).otherwise(lit("")))
+    Tables.documents(s, dir).select(id.as("doc_id"), raw.as("u"))
+      .withColumn("u1", substring_index(col("u"), "#", 1))
+      .withColumn("base", substring_index(col("u1"), "?", 1))
+      .withColumn("q", when(instr(col("u1"), "?") > 0,
+        substring_index(col("u1"), "?", -1)).otherwise(lit("")))
+      .withColumn("params", array_join(filter(split(col("q"), "&"),
+        p => p =!= lit("") && !p.startsWith("utm_")), "&"))
+      .withColumn("rest", expr("substring(base, 9)"))
+      .withColumn("hostport", substring_index(col("rest"), "/", 1))
+      .withColumn("path", expr("substring(rest, length(hostport) + 1)"))
+      .withColumn("h1", lower(col("hostport")))
+      .withColumn("h2", when(expr("substring(h1, length(h1) - 3)") === ":443",
+        expr("substring(h1, 1, length(h1) - 4)")).otherwise(col("h1")))
+      .withColumn("host", when(substring(col("h2"), 1, 4) === "www.",
+        expr("substring(h2, 5)")).otherwise(col("h2")))
+      .withColumn("cpath", when(length(col("path")) > 1 &&
+          expr("substring(path, length(path))") === "/",
+        expr("substring(path, 1, length(path) - 1)")).otherwise(col("path")))
+      .withColumn("canonical", concat(lit("https://"), col("host"), col("cpath"),
+        when(col("params") =!= "", concat(lit("?"), col("params"))).otherwise(lit(""))))
+      .groupBy(col("canonical"))
+      .agg(count(lit(1)).as("n_docs"), countDistinct(col("u")).as("n_variants"))
+      .orderBy(col("canonical"))
+  }
+
+  private val etlUrlNormalizeSql =
+    """WITH raw AS (SELECT doc_id,
+      |    'https://' ||
+      |    (CASE WHEN doc_id % 3 = 0
+      |      THEN upper((CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE '' END) || 'cdn' || (doc_id % 5) || '.example.com' || (CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END))
+      |      ELSE (CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE '' END) || 'cdn' || (doc_id % 5) || '.example.com' || (CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END) END) ||
+      |    '/docs/' || (doc_id % 25) ||
+      |    (CASE WHEN doc_id % 4 = 1 THEN '/' ELSE '' END) ||
+      |    (CASE WHEN doc_id % 2 = 1 AND doc_id % 3 = 2 THEN '?utm_source=feed&ref=2&utm_campaign=' || (doc_id % 7)
+      |          WHEN doc_id % 2 = 1 THEN '?utm_source=feed&utm_campaign=' || (doc_id % 7)
+      |          WHEN doc_id % 3 = 2 THEN '?ref=2' ELSE '' END) ||
+      |    (CASE WHEN doc_id % 4 = 2 THEN '#p' || (doc_id % 3) ELSE '' END) AS u
+      |  FROM documents),
+      |s1 AS (SELECT doc_id, u, split_part(u, '#', 1) AS u1 FROM raw),
+      |s2 AS (SELECT doc_id, u, split_part(u1, '?', 1) AS base, split_part(u1, '?', 2) AS q FROM s1),
+      |s3 AS (SELECT doc_id, u, base,
+      |    array_to_string(list_filter(string_split(q, '&'), p -> p <> '' AND NOT starts_with(p, 'utm_')), '&') AS params
+      |  FROM s2),
+      |s4 AS (SELECT doc_id, u, params, substr(base, 9) AS rest FROM s3),
+      |s5 AS (SELECT doc_id, u, params, split_part(rest, '/', 1) AS hostport,
+      |    substr(rest, length(split_part(rest, '/', 1)) + 1) AS path FROM s4),
+      |s6 AS (SELECT doc_id, u, params, path, lower(hostport) AS h1 FROM s5),
+      |s7 AS (SELECT doc_id, u, params, path,
+      |    CASE WHEN right(h1, 4) = ':443' THEN left(h1, length(h1) - 4) ELSE h1 END AS h2 FROM s6),
+      |s8 AS (SELECT doc_id, u, params, path,
+      |    CASE WHEN left(h2, 4) = 'www.' THEN substr(h2, 5) ELSE h2 END AS host FROM s7),
+      |s9 AS (SELECT doc_id, u, params, host,
+      |    CASE WHEN length(path) > 1 AND right(path, 1) = '/' THEN left(path, length(path) - 1) ELSE path END AS cpath FROM s8),
+      |canon AS (SELECT doc_id, u,
+      |    'https://' || host || cpath || (CASE WHEN params <> '' THEN '?' || params ELSE '' END) AS canonical FROM s9)
+      |SELECT canonical, COUNT(*) AS n_docs, COUNT(DISTINCT u) AS n_variants
+      |FROM canon GROUP BY canonical ORDER BY canonical""".stripMargin
+
   /** Holt double-exponential smoothing (level + trend) over daily event
     * revenue — completes the forecasting family (seasonal-naive:
     * an_forecast_naive, flat EWMA: an_ewma, decomposition:
@@ -7886,7 +7971,8 @@ object SparkEntry {
     "etl_ldiversity" -> (etlLdiversity _),
     "q_label_prop" -> (qLabelProp _),
     "an_cuped" -> (anCuped _),
-    "an_holt_forecast" -> (anHoltForecast _)
+    "an_holt_forecast" -> (anHoltForecast _),
+    "etl_url_normalize" -> (etlUrlNormalize _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -8101,6 +8187,7 @@ object SparkEntry {
     "etl_ldiversity" -> etlLdiversitySql,
     "q_label_prop" -> qLabelPropSql,
     "an_cuped" -> anCupedSql,
-    "an_holt_forecast" -> anHoltForecastSql
+    "an_holt_forecast" -> anHoltForecastSql,
+    "etl_url_normalize" -> etlUrlNormalizeSql
   )
 }

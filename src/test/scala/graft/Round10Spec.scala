@@ -178,6 +178,22 @@ class Round10Spec extends SparkSpec {
     assert(ll == lin.last && lb == 7.0, "linear series must be recovered exactly")
   }
 
+  test("url normalize: canonicals are clean and every doc is collapsed somewhere") {
+    val nDocs = Tables.documents(spark, sfDir).count()
+    val r = SparkEntry.queries("etl_url_normalize")(spark, sfDir)
+      .select("canonical", "n_docs", "n_variants")
+      .as[(String, Long, Long)].collect()
+    assert(r.map(_._2).sum == nDocs, "every doc must land in a canonical group")
+    r.foreach { case (c, nd, nv) =>
+      assert(nv >= 1 && nv <= nd)
+      assert(c.startsWith("https://cdn"), s"host not canonical: $c")
+      assert(!c.contains("#") && !c.contains("utm_") && !c.contains("www.")
+        && !c.contains(":443") && !c.endsWith("/"), s"residual mess in: $c")
+      assert(c == c.toLowerCase, s"case noise survived: $c")
+    }
+    assert(r.exists(_._3 > 1), "variant collapse must actually merge something")
+  }
+
   test("label propagation equals a reference in-memory run exactly") {
     val li = Tables.lineitem(spark, sfDir).select(col("l_orderkey"), col("l_suppkey"))
     val ord = Tables.orders(spark, sfDir).select(col("o_orderkey"), col("o_custkey"))
