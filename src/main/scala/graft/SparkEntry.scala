@@ -7226,6 +7226,79 @@ object SparkEntry {
        |     (SELECT mb FROM rk WHERE rn = 63) hi""".stripMargin
   }
 
+  /** CLUSTER bootstrap CI for a treatment effect — the methodologically
+    * honest uncertainty for unit-randomized metrics: the resampling unit
+    * is the CUSTOMER, not the order row, and because the Poisson weight
+    * is a deterministic function of (custkey, replica) every order of a
+    * customer shares its replica weight with ZERO extra shuffle or
+    * per-user pre-aggregation — cluster semantics fall out of the draw
+    * being keyed on the cluster id. Per replica: weighted group means,
+    * diff; CI = order statistics of the 64 replica diffs; the point
+    * estimate is the exact unweighted diff. Same all-integer tempered
+    * draw + partial-agg posture as an_bootstrap_ci. */
+  private def anBootstrapDiff(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).select(col("o_custkey").as("ck"),
+      (col("o_custkey") % 2).cast("int").as("g"),
+      (col("o_totalprice").cast("decimal(24,2)") * 100).cast("bigint").as("v"))
+    val drawn = o.select(col("ck"), col("g"), col("v"),
+        explode(sequence(lit(0), lit(63))).as("b"))
+      .withColumn("w",
+        graft.functions.Sketches.poissonWeight(col("ck"), col("b"), 64))
+    val reps = drawn.groupBy(col("b"))
+      .agg(sum(when(col("g") === 1, col("w")).otherwise(0L)).as("n1"),
+        sum(when(col("g") === 1, col("w") * col("v")).otherwise(0L)).as("t1"),
+        sum(when(col("g") === 0, col("w")).otherwise(0L)).as("n0"),
+        sum(when(col("g") === 0, col("w") * col("v")).otherwise(0L)).as("t0"))
+      .select(col("b"),
+        (col("t1").cast("double") / col("n1").cast("double") -
+          col("t0").cast("double") / col("n0").cast("double")).as("db"))
+    val ranked = reps.withColumn("rn",
+      row_number().over(Window.orderBy(col("db"), col("b"))))
+    val lo = ranked.filter(col("rn") === 2).select(col("db").as("lo_cents"))
+    val hi = ranked.filter(col("rn") === 63).select(col("db").as("hi_cents"))
+    val base = o.agg(
+      (sum(when(col("g") === 1, col("v"))).cast("double") /
+        sum(when(col("g") === 1, 1L).otherwise(0L)).cast("double") -
+       sum(when(col("g") === 0, col("v"))).cast("double") /
+        sum(when(col("g") === 0, 1L).otherwise(0L)).cast("double")).as("diff_cents"))
+    base.crossJoin(lo).crossJoin(hi).withColumn("n_boot", lit(64L))
+  }
+
+  private val anBootstrapDiffSql: String = {
+    val w = graft.functions.Sketches.PoissonCdfP
+      .map(t => s"(CASE WHEN u >= $t THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH o AS (SELECT o_custkey AS ck, CAST(o_custkey % 2 AS INT) AS g,
+       |    CAST(CAST(o_totalprice AS DECIMAL(24,2)) * 100 AS BIGINT) AS v
+       |  FROM orders),
+       |d AS (SELECT ck, g, v, t.range AS b FROM o, range(0, 64) t),
+       |t1 AS (SELECT g, v, b,
+       |    (((ck * 64 + b) % 2147483647) * 1000003 + 12289) % 2147483647 AS x
+       |  FROM d),
+       |t2 AS (SELECT g, v, b, xor(x, x >> 15) AS x FROM t1),
+       |t3 AS (SELECT g, v, b, (x * 786433) % 2147483647 AS x FROM t2),
+       |t4 AS (SELECT g, v, b, xor(x, x >> 13) AS u FROM t3),
+       |ww AS (SELECT g, v, b, $w AS w FROM t4),
+       |r AS (SELECT b,
+       |    CAST(SUM(CASE WHEN g = 1 THEN w ELSE 0 END) AS BIGINT) AS n1,
+       |    CAST(SUM(CASE WHEN g = 1 THEN w * v ELSE 0 END) AS BIGINT) AS t1,
+       |    CAST(SUM(CASE WHEN g = 0 THEN w ELSE 0 END) AS BIGINT) AS n0,
+       |    CAST(SUM(CASE WHEN g = 0 THEN w * v ELSE 0 END) AS BIGINT) AS t0
+       |  FROM ww GROUP BY b),
+       |m AS (SELECT b, CAST(t1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+       |             - CAST(t0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS db FROM r),
+       |rk AS (SELECT db, row_number() OVER (ORDER BY db, b) AS rn FROM m),
+       |base AS (SELECT
+       |    CAST(CAST(SUM(CASE WHEN g = 1 THEN v END) AS BIGINT) AS DOUBLE)
+       |      / CAST(SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+       |    - CAST(CAST(SUM(CASE WHEN g = 0 THEN v END) AS BIGINT) AS DOUBLE)
+       |      / CAST(SUM(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS diff_cents
+       |  FROM o)
+       |SELECT base.diff_cents, lo.db AS lo_cents, hi.db AS hi_cents,
+       |  CAST(64 AS BIGINT) AS n_boot
+       |FROM base, (SELECT db FROM rk WHERE rn = 2) lo,
+       |     (SELECT db FROM rk WHERE rn = 63) hi""".stripMargin
+  }
+
   /** Welch's unequal-variance t-test between two customer segments'
     * order values — the two-sample mean comparison next to an_anova's
     * k-group F and an_mannwhitney's rank test. Same exactness recipe as
@@ -7972,7 +8045,8 @@ object SparkEntry {
     "q_label_prop" -> (qLabelProp _),
     "an_cuped" -> (anCuped _),
     "an_holt_forecast" -> (anHoltForecast _),
-    "etl_url_normalize" -> (etlUrlNormalize _)
+    "etl_url_normalize" -> (etlUrlNormalize _),
+    "an_bootstrap_diff" -> (anBootstrapDiff _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -8188,6 +8262,7 @@ object SparkEntry {
     "q_label_prop" -> qLabelPropSql,
     "an_cuped" -> anCupedSql,
     "an_holt_forecast" -> anHoltForecastSql,
-    "etl_url_normalize" -> etlUrlNormalizeSql
+    "etl_url_normalize" -> etlUrlNormalizeSql,
+    "an_bootstrap_diff" -> anBootstrapDiffSql
   )
 }

@@ -49,6 +49,19 @@ class Round10Spec extends SparkSpec {
     assert(r._3 - r._2 < r._1, "CI wider than the mean itself")
   }
 
+  test("cluster bootstrap: CI brackets the exact treatment-effect point estimate") {
+    val r = SparkEntry.queries("an_bootstrap_diff")(spark, sfDir)
+      .select("diff_cents", "lo_cents", "hi_cents", "n_boot")
+      .as[(Double, Double, Double, Long)].head()
+    assert(r._4 == 64L)
+    assert(r._2 < r._3, "CI must have positive width")
+    assert(r._1 > r._2 && r._1 < r._3,
+      s"point diff ${r._1} outside the CI [${r._2}, ${r._3}]")
+    // null effect by construction (custkey parity is arbitrary): the CI
+    // must cover zero — a bootstrap that misses the null here is broken
+    assert(r._2 < 0 && r._3 > 0, s"null-effect CI excludes 0: [${r._2}, ${r._3}]")
+  }
+
   test("welch t: df sits between min(n)-1 and pooled n-2, t is finite") {
     val r = SparkEntry.queries("an_welch_ttest")(spark, sfDir)
       .select("n1", "n2", "t_welch", "df_welch")
