@@ -2363,6 +2363,81 @@ object SparkEntry {
     * arithmetic — a mis-parse of padding, channel order, or row flip
     * breaks the hash. Variable per-doc geometry exercises every
     * padding case (w ∈ 1..5 → stride pad 1,2,0,3,1). */
+  /** Perceptual-hash image dedup over REAL decodes — the multimodal ×
+    * dedup crossover: 8×8 images are synthesized from md5 nibbles
+    * (25 base patterns; per doc_id%4 class: exact copy, tiny-noise
+    * near-dup, or full-noise distinct), encoded as genuine 24-bit BMPs,
+    * decoded back by the real parser
+    * ([[graft.multimodal.BinaryColumns.decodeBmpPixels]]) in
+    * mapPartitions, and average-hashed (63-bit: gray > image mean per
+    * pixel — bit 63 dropped so the Σ bit·2^p gather stays inside BIGINT
+    * on both engines, the dedup_simhash precedent). Equal-hash groups
+    * (n≥2) are the perceptual-duplicate families — tiny-noise copies
+    * mostly land in their family's hash, full-noise docs drop out.
+    * Group-by on the 8-byte hash: linear, no pair join; the oracle
+    * rederives pixels, grays, mean and hash from the synthesis formula
+    * in SQL, so a mis-decode (row flip, BGR swap, stride slip) breaks
+    * the hash compare. */
+  private def mmImageDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir).select(col("doc_id").cast("long")).as[Long]
+    val hashes = docs.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def nib2(key: String): Int = {
+        val b0 = md.digest(key.getBytes("UTF-8"))(0)
+        ((b0 >> 4) & 0xF) * 16 + (b0 & 0xF)
+      }
+      it.map { id =>
+        val fam = id % 25
+        val rgb = Array.tabulate(192) { p =>
+          val base = nib2(s"img:$fam:$p")
+          val v =
+            if (id % 4 == 0) base
+            else if (id % 4 == 1) (base + nib2(s"n:$id:$p") % 4) % 256
+            else (base + nib2(s"n:$id:$p")) % 256
+          v.toByte
+        }
+        val px = graft.multimodal.BinaryColumns.decodeBmpPixels(id,
+          graft.multimodal.BinaryColumns.encodeBmp(8, 8, rgb))
+        val gray = Array.tabulate(64)(q =>
+          ((px(3 * q) & 0xFF) + (px(3 * q + 1) & 0xFF) + (px(3 * q + 2) & 0xFF)) / 3)
+        val mean = gray.sum / 64
+        var h = 0L; var q = 0
+        while (q < 63) { if (gray(q) > mean) h |= 1L << q; q += 1 }
+        (id, h)
+      }
+    }.toDF("doc_id", "ahash")
+    hashes.groupBy(col("ahash"))
+      .agg(count(lit(1)).as("n_imgs"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+      .filter(col("n_imgs") >= 2)
+      .orderBy(col("ahash"))
+  }
+
+  private val mmImageDedupSql: String = {
+    def nib2(expr: String) =
+      s"""(16 * (instr('0123456789abcdef', substr(md5($expr), 1, 1)) - 1)
+         | + (instr('0123456789abcdef', substr(md5($expr), 2, 1)) - 1))""".stripMargin
+    val b = nib2("'img:' || CAST(doc_id % 25 AS VARCHAR) || ':' || CAST(p.range AS VARCHAR)")
+    val n = nib2("'n:' || CAST(doc_id AS VARCHAR) || ':' || CAST(p.range AS VARCHAR)")
+    s"""WITH d AS (SELECT doc_id FROM documents),
+       |px AS (SELECT doc_id, p.range AS p,
+       |    CASE WHEN doc_id % 4 = 0 THEN $b
+       |         WHEN doc_id % 4 = 1 THEN ($b + ($n % 4)) % 256
+       |         ELSE ($b + $n) % 256 END AS v
+       |  FROM d CROSS JOIN range(0, 192) p),
+       |gr AS (SELECT doc_id, p // 3 AS q, CAST(SUM(v) // 3 AS BIGINT) AS gray
+       |       FROM px GROUP BY doc_id, p // 3),
+       |mn AS (SELECT doc_id, CAST(SUM(gray) // 64 AS BIGINT) AS mean
+       |       FROM gr GROUP BY doc_id),
+       |bits AS (SELECT g.doc_id,
+       |    CAST(SUM(CASE WHEN q < 63 AND gray > mean
+       |             THEN (CAST(1 AS BIGINT) << CAST(q AS INT)) ELSE 0 END) AS BIGINT) AS ahash
+       |  FROM gr g JOIN mn ON g.doc_id = mn.doc_id GROUP BY g.doc_id)
+       |SELECT ahash, COUNT(*) AS n_imgs, MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+       |FROM bits GROUP BY ahash HAVING COUNT(*) >= 2 ORDER BY ahash""".stripMargin
+  }
+
   private def mmDecodeStats(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, dir).select(col("doc_id").cast("long")).as[Long]
@@ -8046,7 +8121,8 @@ object SparkEntry {
     "an_cuped" -> (anCuped _),
     "an_holt_forecast" -> (anHoltForecast _),
     "etl_url_normalize" -> (etlUrlNormalize _),
-    "an_bootstrap_diff" -> (anBootstrapDiff _)
+    "an_bootstrap_diff" -> (anBootstrapDiff _),
+    "mm_image_dedup" -> (mmImageDedup _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -8263,6 +8339,7 @@ object SparkEntry {
     "an_cuped" -> anCupedSql,
     "an_holt_forecast" -> anHoltForecastSql,
     "etl_url_normalize" -> etlUrlNormalizeSql,
-    "an_bootstrap_diff" -> anBootstrapDiffSql
+    "an_bootstrap_diff" -> anBootstrapDiffSql,
+    "mm_image_dedup" -> mmImageDedupSql
   )
 }

@@ -188,6 +188,42 @@ object BinaryColumns {
       sumR, sumG, sumB, fileSize.toLong)
   }
 
+  /** REAL decode to top-down RGB pixel bytes — the [[decodeBmp]] walk
+    * returning the pixels instead of their sums (same validation, same
+    * bottom-up un-flip, same BGR→RGB swap). Feeds perceptual hashing,
+    * where the downstream consumer needs the raster, not statistics. */
+  def decodeBmpPixels(id: Long, bytes: Array[Byte]): Array[Byte] = {
+    val in = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    require(bytes.length >= 54 && in.get(0) == 'B' && in.get(1) == 'M',
+      s"doc $id: not a BMP payload")
+    val dataOff = in.getInt(10)
+    val width = in.getInt(18)
+    val height = in.getInt(22)
+    val bpp = in.getShort(28).toInt
+    val compression = in.getInt(30)
+    require(bpp == 24 && compression == 0,
+      s"doc $id: only uncompressed 24-bit BMP supported, got bpp=$bpp compression=$compression")
+    require(width > 0 && height > 0, s"doc $id: unsupported geometry ${width}x$height")
+    val stride = (3 * width + 3) / 4 * 4
+    require(bytes.length >= dataOff + stride * height,
+      s"doc $id: truncated pixel data")
+    val out = new Array[Byte](3 * width * height)
+    var y = 0
+    while (y < height) {
+      val rowOff = dataOff + (height - 1 - y) * stride
+      var x = 0
+      while (x < width) {
+        val o = rowOff + 3 * x; val p = 3 * (y * width + x)
+        out(p) = bytes(o + 2)      // R (BGR on disk)
+        out(p + 1) = bytes(o + 1)  // G
+        out(p + 2) = bytes(o)      // B
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
   /** Per-partition batch decode of BMP payloads — the same
     * mapPartitions seam as [[decodeStub]], now running a real parser
     * (codec state would init once per partition in the iterator

@@ -207,6 +207,23 @@ class Round10Spec extends SparkSpec {
     assert(r.exists(_._3 > 1), "variant collapse must actually merge something")
   }
 
+  test("image dedup: exact-copy family members always share a perceptual group") {
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id")).as[Long].collect()
+    val exactFams = docs.filter(_ % 4 == 0).groupBy(_ % 25).filter(_._2.length >= 2)
+    val r = SparkEntry.queries("mm_image_dedup")(spark, sfDir)
+      .select("ahash", "n_imgs", "min_doc", "max_doc")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(r.forall(_._2 >= 2))
+    // every exact-copy family with >=2 members must appear as (or inside)
+    // one group: identical pixels => identical ahash, so its min/max doc
+    // bracket must cover the family's ids
+    exactFams.foreach { case (fam, ids) =>
+      val hit = r.exists(g => g._2 >= ids.length && g._3 <= ids.min && g._4 >= ids.max)
+      assert(hit, s"exact family $fam (${ids.toSeq.sorted}) not grouped")
+    }
+    assert(r.nonEmpty, "perceptual groups must exist")
+  }
+
   test("label propagation equals a reference in-memory run exactly") {
     val li = Tables.lineitem(spark, sfDir).select(col("l_orderkey"), col("l_suppkey"))
     val ord = Tables.orders(spark, sfDir).select(col("o_orderkey"), col("o_custkey"))
