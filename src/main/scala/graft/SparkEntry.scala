@@ -1475,6 +1475,63 @@ object SparkEntry {
       |WHERE g.doc_id >= 20
       |GROUP BY 1 ORDER BY doc_id""".stripMargin
 
+  /** SPAN-level decontamination — the surgical complement to
+    * text_contaminate's doc-level screen: per corpus doc, WHERE the
+    * benchmark 5-grams land (window positions) and the longest
+    * consecutive contaminated run, which is what separates "drop the
+    * doc" from "cut the quoted span and keep the rest". Same posture as
+    * the dedup_substring islands scan (per-doc window, 16-byte hashes
+    * only) with the held-out gram set BROADCAST — the corpus never
+    * shuffles for membership, the documented decontamination shape. */
+  private def textContaminateSpans(s: SparkSession, dir: String): DataFrame = {
+    val ws = split(col("text"), " ")
+    val grams = when(size(ws) >= 5,
+        transform(sequence(lit(1), size(ws) - 4),
+          i => md5(array_join(slice(ws, i, lit(5)), " "))))
+      .otherwise(array().cast("array<string>"))
+    val g = Tables.documents(s, dir)
+      .select(col("doc_id"), posexplode(grams).as(Seq("pos", "h")))
+    val bench = g.filter(col("doc_id") < 20).select(col("h")).distinct()
+      .withColumn("hit", lit(1))
+    val flagged = g.filter(col("doc_id") >= 20)
+      .join(broadcast(bench), Seq("h"), "left")
+      .select(col("doc_id"), col("pos"), col("hit").isNotNull.as("c"))
+    val byDoc = flagged.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("c"), 1L).otherwise(0L)).as("n_contam"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val runs = flagged.filter(col("c"))
+      .withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("grp")).agg(count(lit(1)).as("run"))
+      .groupBy(col("doc_id")).agg(max(col("run")).as("max_run"))
+    byDoc.join(runs, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_windows"), col("n_contam"),
+        coalesce(col("max_run"), lit(0L)).as("max_run"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val textContaminateSpansSql =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |l AS (SELECT doc_id, list_transform(range(1, greatest(len(ws) - 3, 1)),
+      |        i -> md5(array_to_string(ws[i:i+4], ' '))) AS lst FROM t),
+      |g AS (SELECT doc_id, generate_subscripts(lst, 1) - 1 AS pos,
+      |        unnest(lst) AS h FROM l),
+      |bench AS (SELECT DISTINCT h FROM g WHERE doc_id < 20),
+      |f AS (SELECT g.doc_id, g.pos, b.h IS NOT NULL AS c
+      |      FROM g LEFT JOIN bench b ON g.h = b.h
+      |      WHERE g.doc_id >= 20),
+      |byd AS (SELECT doc_id, COUNT(*) AS n_windows,
+      |          CAST(SUM(CASE WHEN c THEN 1 ELSE 0 END) AS BIGINT) AS n_contam
+      |        FROM f GROUP BY doc_id),
+      |runs AS (SELECT doc_id, CAST(MAX(run) AS BIGINT) AS max_run FROM (
+      |    SELECT doc_id, grp, COUNT(*) AS run FROM (
+      |      SELECT doc_id, pos,
+      |        pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      |      FROM f WHERE c) x GROUP BY doc_id, grp) y GROUP BY doc_id)
+      |SELECT b.doc_id, b.n_windows, b.n_contam,
+      |  COALESCE(r.max_run, 0) AS max_run
+      |FROM byd b LEFT JOIN runs r USING (doc_id) ORDER BY b.doc_id""".stripMargin
+
   /** Tail-exact quantiles (the REQ/t-digest use case, answered exactly):
     * TailQuantiles keeps the exact smallest/largest 1024 values in O(T)
     * mergeable state, so every probe within the retained tails — min,
@@ -8122,7 +8179,8 @@ object SparkEntry {
     "an_holt_forecast" -> (anHoltForecast _),
     "etl_url_normalize" -> (etlUrlNormalize _),
     "an_bootstrap_diff" -> (anBootstrapDiff _),
-    "mm_image_dedup" -> (mmImageDedup _)
+    "mm_image_dedup" -> (mmImageDedup _),
+    "text_contaminate_spans" -> (textContaminateSpans _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -8340,6 +8398,7 @@ object SparkEntry {
     "an_holt_forecast" -> anHoltForecastSql,
     "etl_url_normalize" -> etlUrlNormalizeSql,
     "an_bootstrap_diff" -> anBootstrapDiffSql,
-    "mm_image_dedup" -> mmImageDedupSql
+    "mm_image_dedup" -> mmImageDedupSql,
+    "text_contaminate_spans" -> textContaminateSpansSql
   )
 }

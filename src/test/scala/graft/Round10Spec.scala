@@ -224,6 +224,21 @@ class Round10Spec extends SparkSpec {
     assert(r.nonEmpty, "perceptual groups must exist")
   }
 
+  test("span decontamination agrees with the doc-level screen on who is dirty") {
+    val docLevel = SparkEntry.queries("text_contaminate")(spark, sfDir)
+      .select("doc_id", "n_hits").as[(Long, Long)].collect().toMap
+    val spans = SparkEntry.queries("text_contaminate_spans")(spark, sfDir)
+      .select("doc_id", "n_windows", "n_contam", "max_run")
+      .as[(Long, Long, Long, Long)].collect()
+    spans.foreach { case (id, nw, nc, mr) =>
+      assert(nc <= nw && mr <= nc)
+      // text_contaminate emits only docs with hits; dirty here <=> listed there
+      assert((nc > 0) == docLevel.contains(id),
+        s"doc $id: span screen says contam=$nc but doc screen says ${docLevel.get(id)}")
+    }
+    assert(spans.exists(_._4 > 1), "planted dups must produce a contaminated RUN")
+  }
+
   test("label propagation equals a reference in-memory run exactly") {
     val li = Tables.lineitem(spark, sfDir).select(col("l_orderkey"), col("l_suppkey"))
     val ord = Tables.orders(spark, sfDir).select(col("o_orderkey"), col("o_custkey"))
