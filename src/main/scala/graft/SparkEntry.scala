@@ -1475,6 +1475,62 @@ object SparkEntry {
       |WHERE g.doc_id >= 20
       |GROUP BY 1 ORDER BY doc_id""".stripMargin
 
+  /** Quantile treatment effects — the distributional view an average
+    * treatment effect (an_did / an_bootstrap_diff) hides: per decile,
+    * the gap between the two groups' exact type-7 quantiles. Rides the
+    * same raw-row PrefixSum order-statistic scan as
+    * an_quantiles_by_group (no value-buffering percentile anywhere),
+    * with 2 groups × 9 deciles of rank probes broadcast into the scan;
+    * the interpolation and /100 cents→dollars emission reuse that
+    * query's proven ROUND(·,4) recipe, and the QTE is a difference of
+    * identically-rounded doubles — bit-identical by construction. */
+  private def anQte(s: SparkSession, dir: String): DataFrame = {
+    val raw = Tables.orders(s, dir)
+      .select((col("o_custkey") % 2).cast("int").as("g"),
+        (col("o_totalprice").cast("decimal(24,2)") * 100).cast("bigint").as("v"))
+    val scan = graft.operators.PrefixSum.distinctRunningCounts(raw, Seq("g", "v"))
+    val wOff = Window.orderBy("g").rowsBetween(Window.unboundedPreceding, -1)
+    val probes = raw.groupBy("g").agg(count(lit(1)).as("n"))
+      .withColumn("off", coalesce(sum("n").over(wOff), lit(0L)))
+      .select(col("g"), col("n"), col("off"),
+        explode(array((1 to 9).map(i => lit(i * 10L)): _*)).as("pct"))
+      .withColumn("k_lo", expr("(n - 1) * pct div 100 + 1"))
+      .withColumn("rem", expr("(n - 1) * pct % 100"))
+      .withColumn("k_hi", col("k_lo") + when(col("rem") > 0, 1L).otherwise(0L))
+    val hitLo = col("cum") >= col("k_lo") && col("cum") - col("cnt") < col("k_lo")
+    val hitHi = col("cum") >= col("k_hi") && col("cum") - col("cnt") < col("k_hi")
+    scan.join(broadcast(probes), Seq("g"))
+      .withColumn("cum", col("cnt_cum") - col("off"))
+      .filter(hitLo || hitHi)
+      .groupBy(col("g"), col("pct"))
+      .agg(max(when(hitLo, col("v"))).as("v_lo"),
+        max(when(hitHi, col("v"))).as("v_hi"),
+        first(col("rem")).as("rem"))
+      .withColumn("value", round(
+        (col("v_lo").cast("double") + col("rem").cast("double") / 100.0
+          * (col("v_hi") - col("v_lo")).cast("double")) / 100.0, 4))
+      .groupBy(col("pct"))
+      .agg(max(when(col("g") === 0, col("value"))).as("q_control"),
+        max(when(col("g") === 1, col("value"))).as("q_treat"))
+      .withColumn("qte", col("q_treat") - col("q_control"))
+      .orderBy(col("pct"))
+  }
+
+  private val anQteSql: String = {
+    val per = (1 to 9).map(i =>
+      s"SELECT g, CAST(${i * 10} AS BIGINT) AS pct, ROUND(quantile_cont(v, 0.$i), 4) AS q FROM o GROUP BY g")
+      .mkString("\n  UNION ALL ")
+    s"""WITH o AS (SELECT CAST(o_custkey % 2 AS INT) AS g, o_totalprice AS v
+       |  FROM orders),
+       |q AS (
+       |  $per)
+       |SELECT pct,
+       |  MAX(CASE WHEN g = 0 THEN q END) AS q_control,
+       |  MAX(CASE WHEN g = 1 THEN q END) AS q_treat,
+       |  MAX(CASE WHEN g = 1 THEN q END) - MAX(CASE WHEN g = 0 THEN q END) AS qte
+       |FROM q GROUP BY pct ORDER BY pct""".stripMargin
+  }
+
   /** SPAN-level decontamination — the surgical complement to
     * text_contaminate's doc-level screen: per corpus doc, WHERE the
     * benchmark 5-grams land (window positions) and the longest
@@ -8180,7 +8236,8 @@ object SparkEntry {
     "etl_url_normalize" -> (etlUrlNormalize _),
     "an_bootstrap_diff" -> (anBootstrapDiff _),
     "mm_image_dedup" -> (mmImageDedup _),
-    "text_contaminate_spans" -> (textContaminateSpans _)
+    "text_contaminate_spans" -> (textContaminateSpans _),
+    "an_qte" -> (anQte _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -8399,6 +8456,7 @@ object SparkEntry {
     "etl_url_normalize" -> etlUrlNormalizeSql,
     "an_bootstrap_diff" -> anBootstrapDiffSql,
     "mm_image_dedup" -> mmImageDedupSql,
-    "text_contaminate_spans" -> textContaminateSpansSql
+    "text_contaminate_spans" -> textContaminateSpansSql,
+    "an_qte" -> anQteSql
   )
 }

@@ -49,6 +49,16 @@ class Round10Spec extends SparkSpec {
     assert(r._3 - r._2 < r._1, "CI wider than the mean itself")
   }
 
+  test("qte: both quantile curves are monotone and cover all nine deciles") {
+    val r = SparkEntry.queries("an_qte")(spark, sfDir)
+      .select("pct", "q_control", "q_treat", "qte")
+      .as[(Long, Double, Double, Double)].collect().sortBy(_._1)
+    assert(r.map(_._1).toSeq == (1 to 9).map(_ * 10L))
+    assert(r.sliding(2).forall(p => p(0)._2 <= p(1)._2 && p(0)._3 <= p(1)._3),
+      "quantile curves must be monotone in the decile")
+    r.foreach { case (_, q0, q1, d) => assert(d == q1 - q0) }
+  }
+
   test("cluster bootstrap: CI brackets the exact treatment-effect point estimate") {
     val r = SparkEntry.queries("an_bootstrap_diff")(spark, sfDir)
       .select("diff_cents", "lo_cents", "hi_cents", "n_boot")
