@@ -1475,6 +1475,47 @@ object SparkEntry {
       |WHERE g.doc_id >= 20
       |GROUP BY 1 ORDER BY doc_id""".stripMargin
 
+  /** Row-level quarantine audit — [[graft.etl.Validate.quarantine]]
+    * under the hard oracle: two is-bad predicates route every order row
+    * to clean or quarantine-with-reasons, and the audit reports per-rule
+    * failure counts plus the clean / quarantined / multi-rule totals.
+    * The quarantined stream's reason counts are derived by exploding
+    * the ACTUAL `__reasons` arrays the split produced (not recomputed
+    * from the predicates), so the oracle verifies the routing itself.
+    * One row-local projection + one tiny aggregate — no shuffle of the
+    * table at any scale. */
+  private def etlQuarantine(s: SparkSession, dir: String): DataFrame = {
+    val rules = Seq(
+      "price_range" ->
+        !(col("o_totalprice") >= 1000.0 && col("o_totalprice") <= 400000.0),
+      "status_domain" -> !col("o_orderstatus").isin("F", "O"))
+    val (clean, bad) = graft.etl.Validate.quarantine(Tables.orders(s, dir), rules)
+    val perRule = bad.select(explode(col("__reasons")).as("rule"))
+      .groupBy(col("rule")).agg(count(lit(1)).as("n_rows"))
+    val totals = clean.agg(count(lit(1)).as("c")).crossJoin(
+        bad.agg(count(lit(1)).as("q"),
+          sum(when(size(col("__reasons")) > 1, 1L).otherwise(0L)).as("m")))
+      .selectExpr("stack(3, '_clean', c, '_quarantined', q, '_multi', m) as (rule, n_rows)")
+    perRule.unionByName(totals).orderBy(col("rule"))
+  }
+
+  private val etlQuarantineSql =
+    """WITH f AS (SELECT
+      |    (NOT (o_totalprice >= 1000.0 AND o_totalprice <= 400000.0)) AS f1,
+      |    (o_orderstatus NOT IN ('F', 'O')) AS f2
+      |  FROM orders)
+      |SELECT '_clean' AS rule,
+      |  CAST(SUM(CASE WHEN NOT (f1 OR f2) THEN 1 ELSE 0 END) AS BIGINT) AS n_rows FROM f
+      |UNION ALL SELECT '_multi',
+      |  CAST(SUM(CASE WHEN f1 AND f2 THEN 1 ELSE 0 END) AS BIGINT) FROM f
+      |UNION ALL SELECT '_quarantined',
+      |  CAST(SUM(CASE WHEN f1 OR f2 THEN 1 ELSE 0 END) AS BIGINT) FROM f
+      |UNION ALL SELECT 'price_range',
+      |  CAST(SUM(CASE WHEN f1 THEN 1 ELSE 0 END) AS BIGINT) FROM f
+      |UNION ALL SELECT 'status_domain',
+      |  CAST(SUM(CASE WHEN f2 THEN 1 ELSE 0 END) AS BIGINT) FROM f
+      |ORDER BY rule""".stripMargin
+
   /** Quantile treatment effects — the distributional view an average
     * treatment effect (an_did / an_bootstrap_diff) hides: per decile,
     * the gap between the two groups' exact type-7 quantiles. Rides the
@@ -8237,7 +8278,8 @@ object SparkEntry {
     "an_bootstrap_diff" -> (anBootstrapDiff _),
     "mm_image_dedup" -> (mmImageDedup _),
     "text_contaminate_spans" -> (textContaminateSpans _),
-    "an_qte" -> (anQte _)
+    "an_qte" -> (anQte _),
+    "etl_quarantine" -> (etlQuarantine _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -8457,6 +8499,7 @@ object SparkEntry {
     "an_bootstrap_diff" -> anBootstrapDiffSql,
     "mm_image_dedup" -> mmImageDedupSql,
     "text_contaminate_spans" -> textContaminateSpansSql,
-    "an_qte" -> anQteSql
+    "an_qte" -> anQteSql,
+    "etl_quarantine" -> etlQuarantineSql
   )
 }

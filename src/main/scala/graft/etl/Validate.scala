@@ -85,4 +85,20 @@ object Validate {
     * summary block). */
   def allPassed(df: DataFrame, rules: Seq[Rule]): Boolean =
     run(df, rules).agg(min(col("passed"))).head().getBoolean(0)
+
+  /** ROW-level quarantine split — the operational side of validation:
+    * `run` grades the table, this routes the rows. Each rule is
+    * (name, is-bad predicate); rows failing none go to the clean stream
+    * unchanged, rows failing any go to quarantine with a `__reasons`
+    * array naming every rule they tripped (so a fix-and-replay knows
+    * why each row was held). One row-local projection, no shuffle —
+    * both streams stay lazily composable onto the caller's sinks. */
+  def quarantine(df: DataFrame,
+                 rules: Seq[(String, Column)]): (DataFrame, DataFrame) = {
+    val reasons = array_compact(array(rules.map { case (n, bad) =>
+      when(bad, lit(n)) }: _*))
+    val tagged = df.withColumn("__reasons", reasons)
+    (tagged.filter(size(col("__reasons")) === 0).drop("__reasons"),
+      tagged.filter(size(col("__reasons")) > 0))
+  }
 }

@@ -49,6 +49,32 @@ class Round10Spec extends SparkSpec {
     assert(r._3 - r._2 < r._1, "CI wider than the mean itself")
   }
 
+  test("quarantine split conserves rows and reasons name exactly the tripped rules") {
+    import graft.etl.Validate
+    val o = Tables.orders(spark, sfDir)
+    val rules = Seq(
+      "price_range" ->
+        !(col("o_totalprice") >= 1000.0 && col("o_totalprice") <= 400000.0),
+      "status_domain" -> !col("o_orderstatus").isin("F", "O"))
+    val (clean, bad) = Validate.quarantine(o, rules)
+    assert(clean.count() + bad.count() == o.count(), "split must conserve rows")
+    assert(clean.columns.toSeq == o.columns.toSeq, "clean stream must be unchanged")
+    // every quarantined row's reasons must match a recheck of the predicates
+    val recheck = bad.select(col("__reasons"),
+      (!(col("o_totalprice") >= 1000.0 && col("o_totalprice") <= 400000.0)).as("f1"),
+      (!col("o_orderstatus").isin("F", "O")).as("f2"))
+      .as[(Seq[String], Boolean, Boolean)].collect()
+    recheck.foreach { case (rs, f1, f2) =>
+      assert(rs.contains("price_range") == f1 && rs.contains("status_domain") == f2)
+      assert(rs.nonEmpty)
+    }
+    val audit = SparkEntry.queries("etl_quarantine")(spark, sfDir)
+      .select("rule", "n_rows").as[(String, Long)].collect().toMap
+    assert(audit("_clean") + audit("_quarantined") == o.count())
+    assert(audit("price_range") + audit("status_domain") ==
+      audit("_quarantined") + audit("_multi"), "inclusion-exclusion must close")
+  }
+
   test("qte: both quantile curves are monotone and cover all nine deciles") {
     val r = SparkEntry.queries("an_qte")(spark, sfDir)
       .select("pct", "q_control", "q_treat", "qte")
