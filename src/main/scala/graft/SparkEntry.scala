@@ -1475,6 +1475,67 @@ object SparkEntry {
       |WHERE g.doc_id >= 20
       |GROUP BY 1 ORDER BY doc_id""".stripMargin
 
+  /** k-core decomposition (k=10, four synchronous peeling rounds —
+    * measured fixpoint is ≤2 rounds at every test SF, so four is past
+    * convergence; both engines run the SAME fixed rounds either way) —
+    * the graph-robustness screen next to q_degree_hist: nodes that
+    * survive repeated removal of under-connected neighbors, with their
+    * in-core degree. Each round joins the static co-located edge list
+    * against the alive set on BOTH endpoints and re-counts — the
+    * alive vector is the only moving exchange, localCheckpoint'd per
+    * round because each round references it twice (the q_shortest_path
+    * lineage discipline). */
+  private def qKcore(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
+    val ord = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+    val cs = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("p"))
+      .distinct()
+    val edges = cs.select(col("c").as("src"), col("p").as("dst"))
+      .unionByName(cs.select(col("p").as("src"), col("c").as("dst")))
+      .distinct()
+      .repartition(col("src")).persist()
+    var alive = edges.select(col("src").as("node")).distinct().localCheckpoint(true)
+    (1 to 4).foreach { _ =>
+      alive = edges
+        .join(alive.withColumnRenamed("node", "src"), "src")
+        .join(alive.withColumnRenamed("node", "dst"), "dst")
+        .groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("core_deg"))
+        .filter(col("core_deg") >= 10)
+        .select(col("node"))
+        .localCheckpoint(true)
+    }
+    edges
+      .join(alive.withColumnRenamed("node", "src"), "src")
+      .join(alive.withColumnRenamed("node", "dst"), "dst")
+      .groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("core_deg"))
+      .orderBy(col("node"))
+  }
+
+  private val qKcoreSql: String = {
+    val iter = (1 to 4).map { k =>
+      s"""a$k AS (SELECT e.src AS node FROM edges e
+         |  JOIN a${k - 1} s ON e.src = s.node
+         |  JOIN a${k - 1} t ON e.dst = t.node
+         |  GROUP BY e.src HAVING COUNT(*) >= 10)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH cs AS (
+       |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS p
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |edges AS (
+       |  SELECT c AS src, p AS dst FROM cs
+       |  UNION
+       |  SELECT p AS src, c AS dst FROM cs),
+       |a0 AS (SELECT DISTINCT src AS node FROM edges),
+       |$iter
+       |SELECT e.src AS node, COUNT(*) AS core_deg FROM edges e
+       |  JOIN a4 s ON e.src = s.node
+       |  JOIN a4 t ON e.dst = t.node
+       |GROUP BY e.src ORDER BY node""".stripMargin
+  }
+
   /** Row-level quarantine audit — [[graft.etl.Validate.quarantine]]
     * under the hard oracle: two is-bad predicates route every order row
     * to clean or quarantine-with-reasons, and the audit reports per-rule
@@ -8279,7 +8340,8 @@ object SparkEntry {
     "mm_image_dedup" -> (mmImageDedup _),
     "text_contaminate_spans" -> (textContaminateSpans _),
     "an_qte" -> (anQte _),
-    "etl_quarantine" -> (etlQuarantine _)
+    "etl_quarantine" -> (etlQuarantine _),
+    "q_kcore" -> (qKcore _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -8500,6 +8562,7 @@ object SparkEntry {
     "mm_image_dedup" -> mmImageDedupSql,
     "text_contaminate_spans" -> textContaminateSpansSql,
     "an_qte" -> anQteSql,
-    "etl_quarantine" -> etlQuarantineSql
+    "etl_quarantine" -> etlQuarantineSql,
+    "q_kcore" -> qKcoreSql
   )
 }

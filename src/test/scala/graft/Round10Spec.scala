@@ -275,6 +275,24 @@ class Round10Spec extends SparkSpec {
     assert(spans.exists(_._4 > 1), "planted dups must produce a contaminated RUN")
   }
 
+  test("kcore: every survivor keeps >= k in-core neighbors and the set is a fixpoint") {
+    val r = SparkEntry.queries("q_kcore")(spark, sfDir)
+      .select("node", "core_deg").as[(Long, Long)].collect().toMap
+    assert(r.nonEmpty, "the 10-core must be non-empty at this density")
+    assert(r.values.forall(_ >= 10), "emitted degree is the IN-CORE degree floor")
+    // fixpoint: recompute degrees within the emitted set from the raw edges
+    val li = Tables.lineitem(spark, sfDir).select(col("l_orderkey"), col("l_suppkey"))
+    val ord = Tables.orders(spark, sfDir).select(col("o_orderkey"), col("o_custkey"))
+    val cs = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("p"))
+      .distinct().as[(Long, Long)].collect()
+    val edges = (cs.map(e => e._1 -> e._2) ++ cs.map(e => e._2 -> e._1)).distinct
+    val inCore = edges.filter(e => r.contains(e._1) && r.contains(e._2))
+      .groupBy(_._1).map { case (n, es) => n -> es.length.toLong }
+    assert(inCore == r, "emitted degrees must equal the recomputed in-core degrees")
+    assert(inCore.values.forall(_ >= 10), "one more peel must remove nobody (fixpoint)")
+  }
+
   test("label propagation equals a reference in-memory run exactly") {
     val li = Tables.lineitem(spark, sfDir).select(col("l_orderkey"), col("l_suppkey"))
     val ord = Tables.orders(spark, sfDir).select(col("o_orderkey"), col("o_custkey"))
