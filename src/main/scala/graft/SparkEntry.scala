@@ -1475,6 +1475,52 @@ object SparkEntry {
       |WHERE g.doc_id >= 20
       |GROUP BY 1 ORDER BY doc_id""".stripMargin
 
+  /** Mann–Kendall trend test over daily revenue — the nonparametric
+    * complement to an_linreg's slope and an_runs_test's randomness
+    * check: S = Σ_{i<j} sign(y_j − y_i) over the ~30-day series, with
+    * the tie-corrected variance, both EXACT integers (the pair frame is
+    * days², tiny at any SF because the distributed part is the daily
+    * aggregate); z is one IEEE expression over those integers,
+    * ROUND(·,6) by the statistical-family convention. */
+  private def anMannKendall(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(sum((col("value").cast("decimal(24,2)") * 100).cast("bigint")).as("v"))
+    val a = daily.select(col("day").as("d1"), col("v").as("v1"))
+    val b = daily.select(col("day").as("d2"), col("v").as("v2"))
+    val pairs = a.join(b, col("d1") < col("d2"))
+      .agg(sum(signum(col("v2") - col("v1")).cast("long")).as("s_stat"))
+    val ties = daily.groupBy(col("v")).agg(count(lit(1)).as("t"))
+      .agg(sum(expr("t * (t - 1) * (2 * t + 5)")).as("tie_adj"),
+        sum(col("t")).as("n"))
+    pairs.crossJoin(ties)
+      .select(col("n"), col("s_stat"),
+        (expr("n * (n - 1) * (2 * n + 5)") - col("tie_adj")).as("var18x"))
+      .select(col("n"), col("s_stat"),
+        round(
+          when(col("s_stat") > 0, (col("s_stat") - 1).cast("double"))
+            .when(col("s_stat") < 0, (col("s_stat") + 1).cast("double"))
+            .otherwise(lit(0.0)) /
+            sqrt(col("var18x").cast("double") / lit(18.0)), 6).as("z_mk"))
+  }
+
+  private val anMannKendallSql =
+    """WITH daily AS (SELECT date_trunc('day', ts) AS day,
+      |    CAST(SUM(CAST(CAST(value AS DECIMAL(24,2)) * 100 AS BIGINT)) AS BIGINT) AS v
+      |  FROM events GROUP BY 1),
+      |p AS (SELECT CAST(SUM(CASE WHEN b.v > a.v THEN 1
+      |                           WHEN b.v < a.v THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+      |      FROM daily a JOIN daily b ON a.day < b.day),
+      |t AS (SELECT CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_adj,
+      |             CAST(SUM(t) AS BIGINT) AS n
+      |      FROM (SELECT COUNT(*) AS t FROM daily GROUP BY v) g)
+      |SELECT n, s_stat,
+      |  ROUND((CASE WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE)
+      |              WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE)
+      |              ELSE 0.0 END)
+      |    / sqrt(CAST(n * (n - 1) * (2 * n + 5) - tie_adj AS DOUBLE) / 18.0), 6) AS z_mk
+      |FROM p CROSS JOIN t""".stripMargin
+
   /** k-core decomposition (k=10, four synchronous peeling rounds —
     * measured fixpoint is ≤2 rounds at every test SF, so four is past
     * convergence; both engines run the SAME fixed rounds either way) —
@@ -8341,7 +8387,8 @@ object SparkEntry {
     "text_contaminate_spans" -> (textContaminateSpans _),
     "an_qte" -> (anQte _),
     "etl_quarantine" -> (etlQuarantine _),
-    "q_kcore" -> (qKcore _)
+    "q_kcore" -> (qKcore _),
+    "an_mann_kendall" -> (anMannKendall _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -8563,6 +8610,7 @@ object SparkEntry {
     "text_contaminate_spans" -> textContaminateSpansSql,
     "an_qte" -> anQteSql,
     "etl_quarantine" -> etlQuarantineSql,
-    "q_kcore" -> qKcoreSql
+    "q_kcore" -> qKcoreSql,
+    "an_mann_kendall" -> anMannKendallSql
   )
 }

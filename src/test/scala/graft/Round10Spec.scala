@@ -201,6 +201,21 @@ class Round10Spec extends SparkSpec {
     assert(got.size == 16 && got.forall(_._2 > 0))
   }
 
+  test("mann-kendall: S matches a reference pair count and z is sign-consistent") {
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(sum((col("value").cast("decimal(24,2)") * 100).cast("bigint")).as("v"))
+      .orderBy("day").select("v").as[Long].collect()
+    val sRef = (for { i <- daily.indices; j <- i + 1 until daily.length }
+      yield java.lang.Long.signum(daily(j) - daily(i)).toLong).sum
+    val r = SparkEntry.queries("an_mann_kendall")(spark, sfDir)
+      .select("n", "s_stat", "z_mk").as[(Long, Long, Double)].head()
+    assert(r._1 == daily.length.toLong)
+    assert(r._2 == sRef, "S must equal the exhaustive pair count")
+    assert(java.lang.Double.compare(math.signum(r._3), math.signum(sRef.toDouble)) == 0
+      || (sRef == 0 && r._3 == 0.0), "z must carry S's sign")
+  }
+
   test("holt: bit-identical to the reference fold, exact on a planted linear series") {
     val daily = Tables.events(spark, sfDir)
       .groupBy(date_trunc("day", col("ts")).as("day"))
