@@ -1521,6 +1521,51 @@ object SparkEntry {
       |    / sqrt(CAST(n * (n - 1) * (2 * n + 5) - tie_adj AS DOUBLE) / 18.0), 6) AS z_mk
       |FROM p CROSS JOIN t""".stripMargin
 
+  /** Theil–Sen robust slope over daily revenue — the estimator half of
+    * the Mann–Kendall pair (MK detects the trend, this sizes it,
+    * outlier-robustly): the median of all pairwise slopes. Day indices
+    * are exact integer ranks, each slope is ONE IEEE division of exact
+    * integers (identical on both engines), and the median is an order
+    * statistic over the days²-sized slope frame with a deterministic
+    * (slope, i, j) tie order — no numeric fuzz anywhere before the
+    * final ROUND(·,6) emission. Distributed part = the daily aggregate;
+    * the pair frame is tiny at any SF. */
+  private def anTheilSen(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(sum((col("value").cast("decimal(24,2)") * 100).cast("bigint")).as("v"))
+      .withColumn("i", row_number().over(Window.orderBy(col("day"))).cast("long"))
+    val a = daily.select(col("i").as("i1"), col("v").as("v1"))
+    val b = daily.select(col("i").as("i2"), col("v").as("v2"))
+    val slopes = a.join(b, col("i1") < col("i2"))
+      .select(col("i1"), col("i2"),
+        ((col("v2") - col("v1")).cast("double") /
+          (col("i2") - col("i1")).cast("double")).as("slope"))
+    val m = slopes.count()
+    val ranked = slopes.withColumn("rn",
+      row_number().over(Window.orderBy(col("slope"), col("i1"), col("i2"))))
+    val kLo = (m + 1) / 2; val kHi = m / 2 + 1
+    ranked.filter(col("rn") === kLo || col("rn") === kHi)
+      .agg(round((max(when(col("rn") === kLo, col("slope"))) +
+        max(when(col("rn") === kHi, col("slope")))) / 2.0, 6).as("slope_cpd"))
+      .select(lit(m).as("n_pairs"), col("slope_cpd"))
+  }
+
+  private val anTheilSenSql =
+    """WITH daily AS (SELECT date_trunc('day', ts) AS day,
+      |    CAST(SUM(CAST(CAST(value AS DECIMAL(24,2)) * 100 AS BIGINT)) AS BIGINT) AS v
+      |  FROM events GROUP BY 1),
+      |r AS (SELECT v, CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i FROM daily),
+      |sl AS (SELECT a.i AS i1, b.i AS i2,
+      |    CAST(b.v - a.v AS DOUBLE) / CAST(b.i - a.i AS DOUBLE) AS slope
+      |  FROM r a JOIN r b ON a.i < b.i),
+      |m AS (SELECT COUNT(*) AS m FROM sl),
+      |rk AS (SELECT slope, row_number() OVER (ORDER BY slope, i1, i2) AS rn FROM sl)
+      |SELECT m.m AS n_pairs,
+      |  ROUND(((SELECT slope FROM rk WHERE rn = (m.m + 1) // 2)
+      |       + (SELECT slope FROM rk WHERE rn = m.m // 2 + 1)) / 2.0, 6) AS slope_cpd
+      |FROM m""".stripMargin
+
   /** k-core decomposition (k=10, four synchronous peeling rounds —
     * measured fixpoint is ≤2 rounds at every test SF, so four is past
     * convergence; both engines run the SAME fixed rounds either way) —
@@ -8388,7 +8433,8 @@ object SparkEntry {
     "an_qte" -> (anQte _),
     "etl_quarantine" -> (etlQuarantine _),
     "q_kcore" -> (qKcore _),
-    "an_mann_kendall" -> (anMannKendall _)
+    "an_mann_kendall" -> (anMannKendall _),
+    "an_theil_sen" -> (anTheilSen _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -8611,6 +8657,7 @@ object SparkEntry {
     "an_qte" -> anQteSql,
     "etl_quarantine" -> etlQuarantineSql,
     "q_kcore" -> qKcoreSql,
-    "an_mann_kendall" -> anMannKendallSql
+    "an_mann_kendall" -> anMannKendallSql,
+    "an_theil_sen" -> anTheilSenSql
   )
 }

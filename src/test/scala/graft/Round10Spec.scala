@@ -216,6 +216,30 @@ class Round10Spec extends SparkSpec {
       || (sRef == 0 && r._3 == 0.0), "z must carry S's sign")
   }
 
+  test("theil-sen: equals the reference pairwise-slope median, robust to one outlier") {
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(sum((col("value").cast("decimal(24,2)") * 100).cast("bigint")).as("v"))
+      .orderBy("day").select("v").as[Long].collect()
+    def tsSlope(ys: Seq[Long]): Double = {
+      val sl = (for { i <- ys.indices; j <- i + 1 until ys.length }
+        yield (ys(j) - ys(i)).toDouble / (j - i).toDouble).sorted
+      val m = sl.length
+      (sl((m + 1) / 2 - 1) + sl(m / 2)) / 2.0
+    }
+    val r = SparkEntry.queries("an_theil_sen")(spark, sfDir)
+      .select("n_pairs", "slope_cpd").as[(Long, Double)].head()
+    assert(r._1 == daily.length.toLong * (daily.length - 1) / 2)
+    assert(math.abs(r._2 - tsSlope(daily)) < 1e-6,
+      "engine slope must equal the reference pairwise median")
+    // robustness: corrupting ONE observation moves the OLS slope far but
+    // the pairwise median barely (the whole point of the estimator)
+    val corrupted = daily.updated(daily.length / 2, daily.max * 100)
+    val clean = tsSlope(daily); val dirty = tsSlope(corrupted)
+    assert(math.abs(dirty - clean) < math.abs(daily.max * 99) / daily.length.toDouble,
+      "one outlier must not drag the median slope proportionally")
+  }
+
   test("holt: bit-identical to the reference fold, exact on a planted linear series") {
     val daily = Tables.events(spark, sfDir)
       .groupBy(date_trunc("day", col("ts")).as("day"))
