@@ -1497,11 +1497,15 @@ object SparkEntry {
       .select(col("n"), col("s_stat"),
         (expr("n * (n - 1) * (2 * n + 5)") - col("tie_adj")).as("var18x"))
       .select(col("n"), col("s_stat"),
+        // A constant (or single-day) series has var18x = 0; define z = 0
+        // there instead of emitting NULL/NaN from the zero division.
         round(
-          when(col("s_stat") > 0, (col("s_stat") - 1).cast("double"))
-            .when(col("s_stat") < 0, (col("s_stat") + 1).cast("double"))
-            .otherwise(lit(0.0)) /
-            sqrt(col("var18x").cast("double") / lit(18.0)), 6).as("z_mk"))
+          when(col("var18x") > 0,
+            when(col("s_stat") > 0, (col("s_stat") - 1).cast("double"))
+              .when(col("s_stat") < 0, (col("s_stat") + 1).cast("double"))
+              .otherwise(lit(0.0)) /
+              sqrt(col("var18x").cast("double") / lit(18.0)))
+            .otherwise(lit(0.0)), 6).as("z_mk"))
   }
 
   private val anMannKendallSql =
@@ -1515,10 +1519,12 @@ object SparkEntry {
       |             CAST(SUM(t) AS BIGINT) AS n
       |      FROM (SELECT COUNT(*) AS t FROM daily GROUP BY v) g)
       |SELECT n, s_stat,
-      |  ROUND((CASE WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE)
-      |              WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE)
-      |              ELSE 0.0 END)
-      |    / sqrt(CAST(n * (n - 1) * (2 * n + 5) - tie_adj AS DOUBLE) / 18.0), 6) AS z_mk
+      |  ROUND(CASE WHEN n * (n - 1) * (2 * n + 5) - tie_adj > 0 THEN
+      |    (CASE WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE)
+      |          WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE)
+      |          ELSE 0.0 END)
+      |    / sqrt(CAST(n * (n - 1) * (2 * n + 5) - tie_adj AS DOUBLE) / 18.0)
+      |    ELSE 0.0 END, 6) AS z_mk
       |FROM p CROSS JOIN t""".stripMargin
 
   /** Theil–Sen robust slope over daily revenue — the estimator half of
@@ -1541,14 +1547,22 @@ object SparkEntry {
       .select(col("i1"), col("i2"),
         ((col("v2") - col("v1")).cast("double") /
           (col("i2") - col("i1")).cast("double")).as("slope"))
-    val m = slopes.count()
-    val ranked = slopes.withColumn("rn",
-      row_number().over(Window.orderBy(col("slope"), col("i1"), col("i2"))))
-    val kLo = (m + 1) / 2; val kHi = m / 2 + 1
+    // Fully lazy: the pair count rides along as a window total instead of
+    // an eager .count() action (which recomputed the unpersisted pair join
+    // once for the count and again for the ranked result). The pair frame
+    // is days²-sized, so the single-partition windows are driver-cheap.
+    val ranked = slopes
+      .withColumn("rn",
+        row_number().over(Window.orderBy(col("slope"), col("i1"), col("i2"))))
+      .withColumn("m", count(lit(1)).over(
+        Window.partitionBy().rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    val kLo = floor((col("m") + 1) / 2)
+    val kHi = floor(col("m") / 2) + 1
     ranked.filter(col("rn") === kLo || col("rn") === kHi)
-      .agg(round((max(when(col("rn") === kLo, col("slope"))) +
-        max(when(col("rn") === kHi, col("slope")))) / 2.0, 6).as("slope_cpd"))
-      .select(lit(m).as("n_pairs"), col("slope_cpd"))
+      .agg(max(col("m")).as("n_pairs"),
+        round((max(when(col("rn") === kLo, col("slope"))) +
+          max(when(col("rn") === kHi, col("slope")))) / 2.0, 6).as("slope_cpd"))
+      .select(col("n_pairs"), col("slope_cpd"))
   }
 
   private val anTheilSenSql =
@@ -1602,6 +1616,10 @@ object SparkEntry {
       .join(alive.withColumnRenamed("node", "dst"), "dst")
       .groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("core_deg"))
+      // Re-assert the core bound on the emitted rows: if the fixed rounds
+      // ever stop short of the fixpoint at a larger SF, under-degree nodes
+      // are dropped here instead of being mislabeled as 10-core members.
+      .filter(col("core_deg") >= 10)
       .orderBy(col("node"))
   }
 
@@ -1624,7 +1642,7 @@ object SparkEntry {
        |SELECT e.src AS node, COUNT(*) AS core_deg FROM edges e
        |  JOIN a4 s ON e.src = s.node
        |  JOIN a4 t ON e.dst = t.node
-       |GROUP BY e.src ORDER BY node""".stripMargin
+       |GROUP BY e.src HAVING COUNT(*) >= 10 ORDER BY node""".stripMargin
   }
 
   /** Row-level quarantine audit — [[graft.etl.Validate.quarantine]]
@@ -2123,32 +2141,42 @@ object SparkEntry {
        |ORDER BY doc_a, doc_b""".stripMargin
 
   /** SimHash pairs under the FULL hash oracle: the per-word hash is
-    * [[graft.dedup.Dedup.portableWordHash]] (first 15 md5 hex digits
-    * as a BIGINT), and everything downstream — bit votes, majority
-    * threshold, 16-bit banding, Hamming distance — is exact integer
-    * arithmetic, so the DuckDB oracle rederives the signatures and
-    * pairs bit-for-bit. */
+    * [[graft.dedup.Dedup.fastPortableWordHash]] (two poly-mod-P
+    * code-point folds through the Sketches xor-shift temper, packed to
+    * 62 bits — the codegen'd [[graft.functions.PolyWordHash62]] kernel,
+    * ~8× cheaper than the md5-nibble form it replaced), and everything
+    * downstream — bit votes, majority threshold, 16-bit banding,
+    * Hamming distance — is exact integer arithmetic, so the DuckDB
+    * oracle rederives the signatures and pairs bit-for-bit. */
   private def dedupSimhash(s: SparkSession, dir: String): DataFrame =
     graft.dedup.Dedup.simhashPairs(Tables.documents(s, dir), "text", "doc_id",
-        maxHamming = 3, wordHash = graft.dedup.Dedup.portableWordHash)
+        maxHamming = 3, wordHash = graft.dedup.Dedup.fastPortableWordHash)
       .orderBy(col("doc_a"), col("doc_b"))
 
   /** DuckDB replay of the portable SimHash pipeline: identical word
-    * split, md5-nibble 60-bit word hashes, per-bit ±1 vote sums,
-    * majority bits reassembled to the signature, 4×16-bit candidate
-    * bands, popcount(xor) Hamming — exact integers end to end. */
+    * split, the poly+temper 62-bit word hash rederived code-point-by-
+    * code-point (list_reduce over ord() — same BIGINT fold as the
+    * codegen kernel), per-bit ±1 vote sums, majority bits reassembled
+    * to the signature, 4×16-bit candidate bands, popcount(xor) Hamming
+    * — exact integers end to end. */
   private val dedupSimhashSql = {
-    def nib(i: Int) = s"(instr('0123456789abcdef', substr(h, $i, 1)) - 1)"
-    val h60 = (2 to 15).map(nib)
-      .foldLeft(s"CAST(${nib(1)} AS BIGINT)")((a, b) => s"($a * 16 + $b)")
+    // poly fold acc=(acc*m+cp)%P over code points, then the xor-shift temper
+    def polyT(m: Int, a2: Long) = {
+      val p = s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 |      list_transform(split(wd, ''), c -> CAST(ord(c) AS BIGINT))),
+                 |      (acc, x) -> (acc * $m + x) % 2147483647)""".stripMargin
+      s"""xor((xor($p, $p >> 15) * $a2) % 2147483647,
+         |    ((xor($p, $p >> 15) * $a2) % 2147483647) >> 13)""".stripMargin
+    }
     s"""WITH w AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS wd
        |           FROM documents),
-       |hx AS (SELECT doc_id, md5(wd) AS h FROM w),
-       |hv AS (SELECT doc_id, $h60 AS hv FROM hx),
+       |hv AS (SELECT doc_id,
+       |         ${polyT(131, 786433L)} * 2147483648 + ${polyT(137, 65537L)} AS hv
+       |       FROM w),
        |bits AS (SELECT doc_id, t.range AS b,
        |                CASE WHEN SUM(CASE WHEN ((hv >> CAST(t.range AS INT)) & 1) = 1
        |                                   THEN 1 ELSE -1 END) > 0 THEN 1 ELSE 0 END AS bit
-       |         FROM hv, range(0, 60) t GROUP BY 1, 2),
+       |         FROM hv, range(0, 62) t GROUP BY 1, 2),
        |sh AS (SELECT doc_id,
        |              CAST(SUM(bit * (CAST(1 AS BIGINT) << CAST(b AS INT))) AS BIGINT) AS simhash
        |       FROM bits GROUP BY 1),
@@ -8001,6 +8029,10 @@ object SparkEntry {
       .select(col("rev_c")).as[Long](org.apache.spark.sql.Encoders.scalaLong)
       .collect()
     require(daily.length >= 3, s"Holt needs >= 3 days, got ${daily.length}")
+    // The oracle SQL unrolls exactly 31 recursion steps (s2..s31); a longer
+    // series would silently diverge from it, so fail loudly instead.
+    require(daily.length <= 31,
+      s"Holt oracle unrolls 31 steps; got ${daily.length} days — widen anHoltForecastSql first")
     var l = daily(0).toDouble
     var b = daily(1).toDouble - daily(0).toDouble
     daily.drop(1).foreach { y =>

@@ -295,6 +295,14 @@ object Dedup {
   def portableWordHash(w: Column): Column =
     conv(substring(md5(w), 1, 15), 16, 10).cast("long")
 
+  /** Engine-portable 62-bit word hash at ~1/8 the md5 cost: the
+    * codegen'd poly+temper kernel ([[graft.functions.PolyWordHash62]]).
+    * Same oracle-replayability contract as [[portableWordHash]] (a SQL
+    * engine rederives it with BIGINT fold/xor/shift — no md5), so it is
+    * the default for hot signature paths like dedup_simhash. */
+  def fastPortableWordHash(w: Column): Column =
+    graft.functions.PolyWordHash62.poly_word_hash62(w)
+
   /** SimHash near-dup pairs with Hamming distance <= maxHamming.
     * Candidate generation: 4 × 16-bit bands (pigeonhole: any pair with
     * hamming <= 3 shares at least one exact band; for larger budgets

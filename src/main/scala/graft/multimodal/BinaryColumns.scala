@@ -205,8 +205,14 @@ object BinaryColumns {
       s"doc $id: only uncompressed 24-bit BMP supported, got bpp=$bpp compression=$compression")
     require(width > 0 && height > 0, s"doc $id: unsupported geometry ${width}x$height")
     val stride = (3 * width + 3) / 4 * 4
-    require(bytes.length >= dataOff + stride * height,
+    // Bounds check in Long: a crafted header with huge width/height (or a
+    // negative dataOff) overflows the Int product, letting the truncation
+    // require pass and the pixel loop throw AIOOBE instead of this message.
+    require(dataOff >= 54 &&
+        bytes.length.toLong >= dataOff.toLong + stride.toLong * height.toLong,
       s"doc $id: truncated pixel data")
+    require(3L * width * height <= Int.MaxValue,
+      s"doc $id: raster too large ${width}x$height")
     val out = new Array[Byte](3 * width * height)
     var y = 0
     while (y < height) {

@@ -99,6 +99,29 @@ class TextDedupSpec extends SparkSpec {
     assert(java.lang.Long.bitCount(hs(0) ^ hs(2)) > 3)
   }
 
+  test("poly_word_hash62 matches the SQL-replay reference values") {
+    // Pinned against an independent DuckDB evaluation of the oracle
+    // fold (list_reduce over ord(split(w,'')) + temper) so the
+    // cross-engine contract can't drift silently. 'ö' exercises the
+    // code-point (not UTF-16 char) iteration; '' the empty fold.
+    val df = Seq("hello", "world", "", "a", "ö", "x y").toDF("w")
+      .select(graft.functions.PolyWordHash62.poly_word_hash62(col("w")).as("h"))
+    val got = df.as[Long].collect().toSeq
+    assert(got == Seq(4415785332527423899L, 3240425394917569701L, 0L,
+      163838229808743273L, 415508034017953606L, 3398169738402336674L))
+    // all hashes fit in bits 0..61 (SimHash top-bit caveat)
+    got.foreach(h => assert(h >= 0 && (h >> 62) == 0))
+  }
+
+  test("simhashPairs with fastPortableWordHash finds the duplicate pair only") {
+    val df = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+      (3L, "totally different words here instead now")).toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(df, "text", "doc_id", maxHamming = 3,
+        wordHash = Dedup.fastPortableWordHash)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
   test("simhashPairs finds the duplicate pair only") {
     val df = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
       (3L, "totally different words here instead now")).toDF("doc_id", "text")
