@@ -1580,10 +1580,11 @@ object SparkEntry {
       |       + (SELECT slope FROM rk WHERE rn = m.m // 2 + 1)) / 2.0, 6) AS slope_cpd
       |FROM m""".stripMargin
 
-  /** k-core decomposition (k=10, four synchronous peeling rounds —
-    * measured fixpoint is ≤2 rounds at every test SF, so four is past
-    * convergence; both engines run the SAME fixed rounds either way) —
-    * the graph-robustness screen next to q_degree_hist: nodes that
+  /** k-core decomposition (k=10, convergence-driven synchronous peeling
+    * via [[graft.operators.IterativeGraph.kcoreAlive]]; the DuckDB
+    * oracle unrolls 4 fixed rounds, equal to the fixpoint at every test
+    * SF where peeling settles in 1) — the graph-robustness screen next
+    * to q_degree_hist: nodes that
     * survive repeated removal of under-connected neighbors, with their
     * in-core degree. Each round joins the static co-located edge list
     * against the alive set on BOTH endpoints and re-counts — the
@@ -1600,17 +1601,11 @@ object SparkEntry {
       .unionByName(cs.select(col("p").as("src"), col("c").as("dst")))
       .distinct()
       .repartition(col("src")).persist()
-    var alive = edges.select(col("src").as("node")).distinct().localCheckpoint(true)
-    (1 to 4).foreach { _ =>
-      alive = edges
-        .join(alive.withColumnRenamed("node", "src"), "src")
-        .join(alive.withColumnRenamed("node", "dst"), "dst")
-        .groupBy(col("src").as("node"))
-        .agg(count(lit(1)).as("core_deg"))
-        .filter(col("core_deg") >= 10)
-        .select(col("node"))
-        .localCheckpoint(true)
-    }
+    // convergence-driven peeling (count-stable fixpoint, capped) — the
+    // oracle unrolls 4 fixed rounds, which equals the fixpoint whenever
+    // peeling settles within 4 (measured: 1 round at every test SF); at
+    // a 100× SF where 4 rounds would stop short, this keeps peeling.
+    val alive = graft.operators.IterativeGraph.kcoreAlive(edges, k = 10, maxRounds = 64)
     edges
       .join(alive.withColumnRenamed("node", "src"), "src")
       .join(alive.withColumnRenamed("node", "dst"), "dst")
@@ -7516,8 +7511,11 @@ object SparkEntry {
   /** Single-source BFS shortest paths over the undirected customer–
     * supplier co-transaction graph (same bipartite node encoding as
     * q_pagerank) — the graph surface widened from centrality/closure to
-    * path analytics. Four min-plus relaxation rounds from customer node
-    * 0; every distance is an exact integer, so the unrolled-CTE DuckDB
+    * path analytics. Convergence-driven min-plus relaxation from
+    * customer node 0 ([[graft.operators.IterativeGraph.bfsDistances]];
+    * the DuckDB oracle unrolls 4 fixed rounds, equal to the fixpoint at
+    * every test SF where BFS completes in 3); every distance is an
+    * exact integer, so the unrolled-CTE DuckDB
     * oracle replays the frontier bit-for-bit. Scale posture matches
     * q_pagerank: the static edge list is hash-partitioned on src and
     * persisted ONCE; each round shuffles only the node-sized
@@ -7534,24 +7532,14 @@ object SparkEntry {
       .unionByName(cs.select(col("p").as("src"), col("c").as("dst")))
       .distinct()
       .repartition(col("src")).persist()
-    // each round references the prior dist TWICE (carry + relax), so an
-    // untruncated lineage doubles per round (~2^k plan + recompute blow-up);
-    // localCheckpoint each node-sized round (the dedup_clusters iterative
-    // discipline): truncates the lineage so round k+1 plans against a plain
-    // RDD scan of round k, not its whole ancestry. Executor-local storage,
-    // node-sized — at cluster scale swap for reliable checkpointing if
-    // executors are preemptible.
-    var dist = s.range(1).select(lit(0L).as("node"), lit(0L).as("dist"))
-      .localCheckpoint(true)
-    (1 to 4).foreach { _ =>
-      val relaxed = edges
-        .join(dist.withColumnRenamed("node", "src").withColumnRenamed("dist", "d0"), "src")
-        .select(col("dst").as("node"), (col("d0") + lit(1L)).as("dist"))
-      dist = dist.unionByName(relaxed)
-        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
-        .localCheckpoint(true)
-    }
-    dist.orderBy(col("node"))
+    // convergence-driven min-plus relaxation (see IterativeGraph for the
+    // lineage/probe discipline) — the oracle unrolls 4 fixed rounds,
+    // which equals the fixpoint whenever BFS from node 0 completes in ≤4
+    // hops (measured: 3 at every test SF); at a 100× SF with a deeper
+    // graph this keeps relaxing instead of silently truncating paths.
+    val sources = s.range(1).select(lit(0L).as("node"), lit(0L).as("dist"))
+    graft.operators.IterativeGraph.bfsDistances(edges, sources, maxRounds = 64)
+      .orderBy(col("node"))
   }
 
   private val qShortestPathSql: String = {
@@ -8175,14 +8163,17 @@ object SparkEntry {
   /** Synchronous label-propagation communities over the customer–
     * supplier graph — completes the graph family (centrality:
     * q_pagerank, reach: q_shortest_path, closure: q_triangles,
-    * components: dedup_clusters) with community detection. Three
-    * synchronous rounds: every node adopts its neighborhood's plurality
-    * label, ties broken by the SMALLEST label — a deterministic integer
-    * argmax the DuckDB oracle replays with the same (count DESC, label
-    * ASC) window rank. Per round: one shuffle of the node-sized label
-    * vector into the co-located adjacency, one (dst,label) count, one
-    * dst-partitioned top-1 window (WindowGroupLimit keeps it partial);
-    * lineage localCheckpoint'd per round like q_shortest_path. */
+    * components: dedup_clusters) with community detection. Synchronous
+    * rounds to the stable-or-2-cycle stop
+    * ([[graft.operators.IterativeGraph.labelPropLabels]]; the DuckDB
+    * oracle unrolls 3 fixed rounds — a member of the measured period-2
+    * limit cycle at every test SF): every node adopts its
+    * neighborhood's plurality label, ties broken by the SMALLEST label
+    * — a deterministic integer argmax the DuckDB oracle replays with
+    * the same (count DESC, label ASC) window rank. Per round: one
+    * shuffle of the node-sized label vector into the co-located
+    * adjacency, one (dst,label) count, one dst-partitioned top-1 window
+    * (WindowGroupLimit keeps it partial). */
   private def qLabelProp(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
     val ord = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
@@ -8193,20 +8184,13 @@ object SparkEntry {
       .unionByName(cs.select(col("p").as("src"), col("c").as("dst")))
       .distinct()
       .repartition(col("src")).persist()
-    var labels = edges.select(col("src").as("node")).distinct()
-      .select(col("node"), col("node").as("lbl"))
-      .localCheckpoint(true)
-    (1 to 3).foreach { _ =>
-      val votes = edges
-        .join(labels.withColumnRenamed("node", "src"), "src")
-        .groupBy(col("dst").as("node"), col("lbl"))
-        .agg(count(lit(1)).as("cnt"))
-      val w = Window.partitionBy(col("node"))
-        .orderBy(col("cnt").desc, col("lbl").asc)
-      labels = votes.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1).select(col("node"), col("lbl"))
-        .localCheckpoint(true)
-    }
+    // Convergence-driven with 2-cycle detection: synchronous plurality
+    // LP on this bipartite graph enters the classic period-2 limit
+    // cycle (measured: by round 3 at every test SF, entry parity
+    // flipping between SFs), resolved to the parity-independent
+    // elementwise min of the two oscillating states — which the oracle
+    // replays as LEAST(l3, l4) on its fixed unroll.
+    val labels = graft.operators.IterativeGraph.labelPropLabels(edges, maxRounds = 32)
     labels.groupBy(col("lbl").as("community"))
       .agg(count(lit(1)).as("n_nodes"), min(col("node")).as("min_node"),
         max(col("node")).as("max_node"))
@@ -8214,7 +8198,7 @@ object SparkEntry {
   }
 
   private val qLabelPropSql: String = {
-    val iter = (1 to 3).map { k =>
+    val iter = (1 to 4).map { k =>
       s"""l$k AS (
          |  SELECT node, lbl FROM (
          |    SELECT e.dst AS node, r.lbl, COUNT(*) AS cnt,
@@ -8224,6 +8208,11 @@ object SparkEntry {
          |    GROUP BY e.dst, r.lbl) v
          |  WHERE rn = 1)""".stripMargin
     }.mkString(",\n")
+    // The kernel stops on fixpoint-or-2-cycle and resolves a cycle to
+    // the elementwise min of the two oscillating states; rounds 3 and 4
+    // are both past cycle entry at every test SF, so LEAST(l3, l4)
+    // replays that canonical member regardless of entry parity (and
+    // equals the fixpoint when LP converged by round 3).
     s"""WITH cs AS (
        |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS p
        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
@@ -8232,11 +8221,13 @@ object SparkEntry {
        |  UNION
        |  SELECT p AS src, c AS dst FROM cs),
        |l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM edges),
-       |$iter
+       |$iter,
+       |fin AS (SELECT a.node, LEAST(a.lbl, b.lbl) AS lbl
+       |        FROM l3 a JOIN l4 b ON a.node = b.node)
        |SELECT lbl AS community, COUNT(*) AS n_nodes,
        |  CAST(MIN(node) AS BIGINT) AS min_node,
        |  CAST(MAX(node) AS BIGINT) AS max_node
-       |FROM l3 GROUP BY lbl ORDER BY community""".stripMargin
+       |FROM fin GROUP BY lbl ORDER BY community""".stripMargin
   }
 
   // ----------------------------------------------------------------- wiring
