@@ -5198,31 +5198,40 @@ object SparkEntry {
         (sum(col("o_totalprice").cast("decimal(24,8)")).cast("decimal(24,2)") * 100)
           .cast("bigint").as("monetary"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    def boundaries(dim: String): DataFrame = {
-      val perV = rfm.groupBy(col(dim).as("v")).agg(count(lit(1)).as("cnt"))
-      // distinct-value tables here are customer-aggregate-sized; 8
-      // scan partitions keep the two narrow passes from being all
-      // task-scheduling overhead
-      val scan = graft.operators.PrefixSum.withRunningTotals(perV, Seq("v"), Seq("cnt"),
-        numParts = 8)
-      val probes = perV.agg(sum("cnt").as("n"))
-        .select(explode(array(lit(1L), lit(2L), lit(3L), lit(4L))).as("k"), col("n"))
-        .withColumn("r", expr("(k * n + 4) div 5"))
-      scan.crossJoin(broadcast(probes))
-        .filter(col("cnt_cum") >= col("r") && col("cnt_cum") - col("cnt") < col("r"))
-        .groupBy(lit(dim).as("dim")).pivot(col("k"), Seq(1, 2, 3, 4)).agg(first(col("v")))
-        .select(col("dim"), col("1").as("b1"), col("2").as("b2"),
-          col("3").as("b3"), col("4").as("b4"))
-    }
+    // ONE boundary pass for all three dimensions (was three separate
+    // distinct-value scans over the same per-customer aggregate): unpivot
+    // to (dim, v), count distinct values once, run a single PrefixSum
+    // scan ordered by (dim, v), and rebase each dim's running total by
+    // the lexicographically-prior dims' row counts — the Clean.medians
+    // fused-boundary precedent applied across dimensions.
+    val perV = rfm
+      .selectExpr("stack(3, 'recency', recency, 'frequency', frequency, " +
+        "'monetary', monetary) as (dim, v)")
+      .groupBy(col("dim"), col("v")).agg(count(lit(1)).as("cnt"))
+    // distinct-value tables here are customer-aggregate-sized; 8 scan
+    // partitions keep the narrow passes from being all task overhead
+    val scan = graft.operators.PrefixSum.withRunningTotals(perV, Seq("dim", "v"),
+      Seq("cnt"), numParts = 8)
+    val dimTot = perV.groupBy(col("dim")).agg(sum("cnt").as("n"))
+      .withColumn("off", coalesce(sum(col("n")).over(
+        Window.orderBy(col("dim")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val probes = dimTot
+      .select(col("dim"), col("n"), col("off"),
+        explode(array(lit(1L), lit(2L), lit(3L), lit(4L))).as("k"))
+      .withColumn("r", expr("(k * n + 4) div 5"))
+    val hits = scan.join(broadcast(probes), "dim")
+      .filter(col("cnt_cum") - col("off") >= col("r") &&
+        col("cnt_cum") - col("cnt") - col("off") < col("r"))
+      .groupBy(col("dim")).pivot(col("k"), Seq(1, 2, 3, 4)).agg(first(col("v")))
+      .select(col("dim"), col("1").as("b1"), col("2").as("b2"),
+        col("3").as("b3"), col("4").as("b4"))
     // 12 boundary values — model-sized, collected once and scored as
     // literals (the KMeans-centroids pattern); a DataFrame-side join
-    // would re-evaluate the three scans per use
-    val b: Map[String, Array[Long]] =
-      (boundaries("recency").unionByName(boundaries("frequency"))
-        .unionByName(boundaries("monetary")))
-        .collect()
-        .map(r => r.getString(0) -> Array(r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
-        .toMap
+    // would re-evaluate the scan per use
+    val b: Map[String, Array[Long]] = hits
+      .collect()
+      .map(r => r.getString(0) -> Array(r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
     def score(dim: String): Column = {
       val bs = b(dim)
       when(col(dim) <= bs(0), 1L).when(col(dim) <= bs(1), 2L)
