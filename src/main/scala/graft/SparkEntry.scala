@@ -2366,8 +2366,14 @@ object SparkEntry {
       |FROM topk t LEFT JOIN rec r USING (query_id)
       |ORDER BY query_id, rank""".stripMargin
 
-  /** IVF with a TRAINED spherical-k-means coarse quantizer (rows-only
-    * check; recall + training monotonicity asserted in ScalaTest).
+  /** IVF with a TRAINED coarse quantizer, promoted to the FULL hash
+    * oracle (round-10 verdict #6): training is
+    * [[graft.similarity.KMeans.fitIntPortable]] — integer micro-unit
+    * spherical Lloyd's with a fixed 3-iteration unroll — so the DuckDB
+    * oracle retrains the identical quantizer from the table and replays
+    * assignment, probing, ranking and recall bit-for-bit. The probe
+    * path is the shared [[graft.similarity.VectorOps.ivfTopKPortable]]
+    * scoring (exact integer dots, one sqrt/division per score).
     *
     * Fit once, probe many: the quantizer is a model, not part of the
     * query — a production pipeline trains it once per corpus version
@@ -2375,37 +2381,234 @@ object SparkEntry {
     * KMeans.refit warm starts). Memoized per (dataset, k, iters);
     * training is deterministic, so the cached centroids are identical
     * to a fresh fit. */
-  private val kmeansModels =
-    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int), Array[Array[Double]]]
+  private val kmeansIntModels =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int), Array[Array[Long]]]
 
   private def simIvfKmeans(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
-    val cents = kmeansModels.computeIfAbsent((dir, 16, 3),
-      _ => graft.similarity.KMeans.fit(emb, "vec_id", "embedding", k = 16, iters = 3))
+    val cents = kmeansIntModels.computeIfAbsent((dir, 16, 3),
+      _ => graft.similarity.KMeans.fitIntPortable(emb, "vec_id", "embedding",
+        k = 16, iters = 3))
     val q = emb.filter(col("vec_id") % 50 === 0)
-    val approx = graft.similarity.VectorOps.ivfTopK(
-      emb, q, k = 5, centroids = Some(cents))
+    val approx = graft.similarity.VectorOps.ivfTopKPortable(
+      emb, q, k = 5, centroidsInt = Some(cents))
     graft.similarity.VectorOps.withRecallAtK(
         approx, graft.similarity.VectorOps.bruteForceTopK(emb, q, k = 5), k = 5)
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** Product-quantized ANN (rows-only check; recall + compression
-    * trade vs int8 asserted in ScalaTest). Same fit-once posture as
-    * [[simIvfKmeans]]: the codebooks are a per-corpus model. */
-  private val pqModels =
-    new java.util.concurrent.ConcurrentHashMap[String, graft.similarity.Quantize.PqModel]
+  /** DuckDB replay of the trained-quantizer IVF: retrain the integer
+    * spherical k-means (3 unrolled Lloyd iterations — init from the 16
+    * lowest-id vectors, raw-integer-dot argmax assignment with ties to
+    * the lowest cell, exact BIGINT coordinate sums, truncating `//`
+    * mean, floor-micro-unit re-normalization), then the
+    * ivfTopKPortable probe/rank/recall pipeline against the trained
+    * cells. Every value is an exact integer or a correctly-rounded
+    * IEEE double, so the hash gate pins the TRAINING, not just the
+    * retrieval. */
+  private val simIvfKmeansSql: String = {
+    // one Lloyd iteration: cPrev -> cNext (carrying empty cells)
+    def iterSql(i: Int): String = {
+      val p = s"c${i - 1}"
+      s"""comp$i AS (SELECT cell_id, t.range AS j, c[CAST(t.range AS INT) + 1] AS cj
+         |         FROM $p, range(0, 64) t),
+         |asg$i AS (SELECT vec_id, cell_id FROM (
+         |           SELECT vq.vec_id, comp$i.cell_id,
+         |                  ROW_NUMBER() OVER (PARTITION BY vq.vec_id
+         |                    ORDER BY CAST(SUM(comp$i.cj * vq.q[CAST(comp$i.j AS INT) + 1]) AS BIGINT) DESC,
+         |                             comp$i.cell_id) AS rn
+         |           FROM vq CROSS JOIN comp$i GROUP BY 1, 2) t WHERE rn = 1),
+         |m$i AS (SELECT a.cell_id, t.range AS j,
+         |               CAST(SUM(vq.q[CAST(t.range AS INT) + 1]) AS BIGINT) // COUNT(*) AS m
+         |        FROM asg$i a JOIN vq USING (vec_id), range(0, 64) t
+         |        GROUP BY 1, 2),
+         |mn$i AS (SELECT cell_id, sqrt(CAST(CAST(SUM(m * m) AS BIGINT) AS DOUBLE)) AS nrm
+         |         FROM m$i GROUP BY 1),
+         |c$i AS (SELECT m.cell_id,
+         |               list(CAST(FLOOR(CAST(m.m AS DOUBLE) * 1000000.0 / mn.nrm) AS BIGINT)
+         |                    ORDER BY m.j) AS c
+         |        FROM m$i m JOIN mn$i mn USING (cell_id)
+         |        WHERE mn.nrm > 0 GROUP BY m.cell_id
+         |        UNION ALL
+         |        SELECT p.cell_id, p.c FROM $p p
+         |        WHERE p.cell_id NOT IN (SELECT cell_id FROM mn$i WHERE nrm > 0))""".stripMargin
+    }
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |vq AS (SELECT vec_id, list_transform(v, x -> CAST(round(x * 1000000.0) AS BIGINT)) AS q
+       |       FROM e),
+       |c0r AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cell_id, q
+       |        FROM (SELECT vec_id, q FROM vq ORDER BY vec_id LIMIT 16) t0),
+       |c0n AS (SELECT cell_id, sqrt(CAST(CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS DOUBLE)) AS nrm
+       |        FROM c0r),
+       |c0 AS (SELECT r.cell_id,
+       |              CASE WHEN n.nrm > 0
+       |                   THEN list_transform(r.q, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0 / n.nrm) AS BIGINT))
+       |                   ELSE r.q END AS c
+       |       FROM c0r r JOIN c0n n USING (cell_id)),
+       |${(1 to 3).map(iterSql).mkString(",\n")},
+       |cent AS (SELECT cell_id, c FROM c3),
+       |cn AS (SELECT cell_id,
+       |              sqrt(CAST(CAST(list_sum(list_transform(c, x -> x * x)) AS BIGINT) AS DOUBLE)) AS nrm
+       |       FROM cent),
+       |comp AS (SELECT cell_id, t.range AS j, c[CAST(t.range AS INT) + 1] AS cj
+       |         FROM cent, range(0, 64) t),
+       |dots AS (SELECT vq.vec_id, comp.cell_id,
+       |                CAST(SUM(comp.cj * vq.q[CAST(comp.j AS INT) + 1]) AS BIGINT) AS dt
+       |         FROM vq CROSS JOIN comp GROUP BY 1, 2),
+       |ranked AS (SELECT d.vec_id, d.cell_id,
+       |                  ROW_NUMBER() OVER (PARTITION BY d.vec_id
+       |                    ORDER BY CAST(d.dt AS DOUBLE) / cn.nrm DESC, d.cell_id) AS rn
+       |           FROM dots d JOIN cn USING (cell_id)),
+       |assign AS (SELECT vec_id AS neighbor_id, cell_id FROM ranked WHERE rn = 1),
+       |probes AS (SELECT vec_id AS query_id, cell_id FROM ranked
+       |           WHERE rn <= 4 AND vec_id % 50 = 0),
+       |pairs AS (SELECT DISTINCT p.query_id, a.neighbor_id
+       |          FROM probes p JOIN assign a USING (cell_id)
+       |          WHERE a.neighbor_id <> p.query_id),
+       |scored AS (SELECT p.query_id, p.neighbor_id,
+       |                  ROUND(list_cosine_similarity(eq.v, en.v), 6) AS sim
+       |           FROM pairs p JOIN e eq ON eq.vec_id = p.query_id
+       |                        JOIN e en ON en.vec_id = p.neighbor_id),
+       |topk AS (SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, sim FROM (
+       |           SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |               ORDER BY sim DESC, neighbor_id) AS rank
+       |           FROM scored) t WHERE rank <= 5),
+       |exact AS (SELECT query_id, neighbor_id FROM (
+       |            SELECT q.vec_id AS query_id, e2.vec_id AS neighbor_id,
+       |                   ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |                     ORDER BY ROUND(list_cosine_similarity(q.v, e2.v), 6) DESC,
+       |                              e2.vec_id) AS r
+       |            FROM e q JOIN e e2 ON e2.vec_id <> q.vec_id
+       |            WHERE q.vec_id % 50 = 0) tx WHERE r <= 5),
+       |rec AS (SELECT t.query_id, COUNT(*) / 5.0 AS recall_at_k
+       |        FROM topk t JOIN exact x
+       |          ON x.query_id = t.query_id AND x.neighbor_id = t.neighbor_id
+       |        GROUP BY 1)
+       |SELECT t.query_id, t.neighbor_id, t.rank, t.sim,
+       |       COALESCE(r.recall_at_k, 0.0) AS recall_at_k
+       |FROM topk t LEFT JOIN rec r USING (query_id)
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** Product-quantized ANN, promoted to the FULL hash oracle (round-10
+    * verdict #6): the per-subspace codebooks are trained by
+    * [[graft.similarity.Quantize.pqTrainIntPortable]] — integer
+    * micro-unit L2 Lloyd's with a fixed 2-iteration unroll — and the
+    * ADC ranking scores exact integer dots over the reconstructed
+    * integer vectors, so the DuckDB oracle retrains all 8 codebooks and
+    * replays encode/decode/rank/recall bit-for-bit. Same fit-once
+    * posture as [[simIvfKmeans]]: the codebooks are a per-corpus model
+    * (recall + compression trade vs int8 still asserted in ScalaTest). */
+  private val pqIntModels =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.similarity.Quantize.PqIntModel]
 
   private def simPq(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
-    val model = pqModels.computeIfAbsent(dir,
-      _ => graft.similarity.Quantize.pqTrain(emb, "vec_id", "embedding",
+    val model = pqIntModels.computeIfAbsent(dir,
+      _ => graft.similarity.Quantize.pqTrainIntPortable(emb, "vec_id", "embedding",
         dim = 64, m = 8, k = 16, iters = 2))
     val q = emb.filter(col("vec_id") % 50 === 0)
-    val approx = graft.similarity.Quantize.pqTopK(emb, q, k = 5, model)
+    val approx = graft.similarity.Quantize.pqTopKInt(emb, q, k = 5, model)
     graft.similarity.VectorOps.withRecallAtK(
         approx, graft.similarity.VectorOps.bruteForceTopK(emb, q, k = 5), k = 5)
       .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** DuckDB replay of the integer-PQ pipeline: retrain each of the 8
+    * sub-codebooks (2 unrolled L2 Lloyd iterations; argmin via the
+    * all-BIGINT 2·dot−‖c‖² form, ties → lowest code; truncating `//`
+    * means; empty cells carry), re-encode and reconstruct every corpus
+    * vector, ADC-rank with exact integer dots and one sqrt per norm,
+    * and re-derive recall@5 — the training itself sits under the hash
+    * gate. */
+  private val simPqSql: String = {
+    val m = 8; val sub = 8 // dim 64 = 8 subspaces × 8 coords
+    def lo(s: Int) = s * sub + 1
+    def hi(s: Int) = (s + 1) * sub
+    // one L2 Lloyd iteration for subspace s: b{s}_{i-1} -> b{s}_{i}
+    def iterSql(s: Int, i: Int): String = {
+      val p = s"b${s}_${i - 1}"
+      s"""bc${s}_$i AS (SELECT code, t.range AS j, c[CAST(t.range AS INT) + 1] AS cj
+         |        FROM $p, range(0, $sub) t),
+         |bn${s}_$i AS (SELECT code, CAST(list_sum(list_transform(c, x -> x * x)) AS BIGINT) AS n2
+         |        FROM $p),
+         |ba${s}_$i AS (SELECT vec_id, code FROM (
+         |          SELECT sv.vec_id, d.code,
+         |                 ROW_NUMBER() OVER (PARTITION BY sv.vec_id
+         |                   ORDER BY 2 * d.dt - n.n2 DESC, d.code) AS rn
+         |          FROM (SELECT bc.code, sv2.vec_id,
+         |                       CAST(SUM(bc.cj * sv2.sq[CAST(bc.j AS INT) + 1]) AS BIGINT) AS dt
+         |                FROM sv$s sv2 CROSS JOIN bc${s}_$i bc GROUP BY 1, 2) d
+         |          JOIN bn${s}_$i n USING (code) JOIN sv$s sv ON sv.vec_id = d.vec_id) t
+         |        WHERE rn = 1),
+         |bm${s}_$i AS (SELECT a.code, t.range AS j,
+         |               CAST(SUM(sv.sq[CAST(t.range AS INT) + 1]) AS BIGINT) // COUNT(*) AS mj
+         |        FROM ba${s}_$i a JOIN sv$s sv USING (vec_id), range(0, $sub) t
+         |        GROUP BY 1, 2),
+         |b${s}_$i AS (SELECT code, list(mj ORDER BY j) AS c FROM bm${s}_$i GROUP BY code
+         |        UNION ALL
+         |        SELECT p.code, p.c FROM $p p
+         |        WHERE p.code NOT IN (SELECT code FROM bm${s}_$i))""".stripMargin
+    }
+    val perSub = (0 until m).map { s =>
+      (s"""sv$s AS (SELECT vec_id, q[${lo(s)}:${hi(s)}] AS sq FROM vq),
+          |b${s}_0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS code, sq AS c
+          |        FROM (SELECT vec_id, sq FROM sv$s ORDER BY vec_id LIMIT 16) t0)""".stripMargin
+        +: (1 to 2).map(i => iterSql(s, i))).mkString(",\n")
+    }.mkString(",\n")
+    // final per-subspace encode against b{s}_2 and reconstruction
+    val encs = (0 until m).map { s =>
+      s"""fe$s AS (SELECT vec_id, code FROM (
+         |          SELECT d.vec_id, d.code,
+         |                 ROW_NUMBER() OVER (PARTITION BY d.vec_id
+         |                   ORDER BY 2 * d.dt - n.n2 DESC, d.code) AS rn
+         |          FROM (SELECT b.code, sv2.vec_id,
+         |                       CAST(list_sum(list_transform(list_zip(b.c, sv2.sq),
+         |                            z -> z[1] * z[2])) AS BIGINT) AS dt
+         |                FROM sv$s sv2 CROSS JOIN b${s}_2 b) d
+         |          JOIN (SELECT code, CAST(list_sum(list_transform(c, x -> x * x)) AS BIGINT) AS n2
+         |                FROM b${s}_2) n USING (code)) t
+         |        WHERE rn = 1),
+         |fd$s AS (SELECT e.vec_id, $s AS s, b.c FROM fe$s e JOIN b${s}_2 b USING (code))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |vq AS (SELECT vec_id, list_transform(v, x -> CAST(round(x * 1000000.0) AS BIGINT)) AS q
+       |       FROM e),
+       |$perSub,
+       |$encs,
+       |recd AS (SELECT vec_id, flatten(list(c ORDER BY s)) AS nv
+       |         FROM (${(0 until m).map(s => s"SELECT * FROM fd$s").mkString(" UNION ALL ")}) u
+       |         GROUP BY vec_id),
+       |nn2 AS (SELECT vec_id, CAST(list_sum(list_transform(nv, x -> x * x)) AS BIGINT) AS n2
+       |        FROM recd),
+       |qn2 AS (SELECT vec_id, CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS n2
+       |        FROM vq WHERE vec_id % 50 = 0),
+       |scored AS (SELECT q.vec_id AS query_id, r.vec_id AS neighbor_id,
+       |                  ROUND(CAST(CAST(list_sum(list_transform(list_zip(q.q, r.nv),
+       |                        z -> z[1] * z[2])) AS BIGINT) AS DOUBLE)
+       |                    / (sqrt(CAST(qn.n2 AS DOUBLE)) * sqrt(CAST(nn.n2 AS DOUBLE))), 6) AS sim
+       |           FROM vq q JOIN qn2 qn ON qn.vec_id = q.vec_id
+       |                     CROSS JOIN recd r JOIN nn2 nn ON nn.vec_id = r.vec_id
+       |           WHERE q.vec_id % 50 = 0 AND r.vec_id <> q.vec_id),
+       |topk AS (SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, sim FROM (
+       |           SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |               ORDER BY sim DESC, neighbor_id) AS rank
+       |           FROM scored) t WHERE rank <= 5),
+       |exact AS (SELECT query_id, neighbor_id FROM (
+       |            SELECT q.vec_id AS query_id, e2.vec_id AS neighbor_id,
+       |                   ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |                     ORDER BY ROUND(list_cosine_similarity(q.v, e2.v), 6) DESC,
+       |                              e2.vec_id) AS r
+       |            FROM e q JOIN e e2 ON e2.vec_id <> q.vec_id
+       |            WHERE q.vec_id % 50 = 0) tx WHERE r <= 5),
+       |rec AS (SELECT t.query_id, COUNT(*) / 5.0 AS recall_at_k
+       |        FROM topk t JOIN exact x
+       |          ON x.query_id = t.query_id AND x.neighbor_id = t.neighbor_id
+       |        GROUP BY 1)
+       |SELECT t.query_id, t.neighbor_id, t.rank, t.sim,
+       |       COALESCE(r.recall_at_k, 0.0) AS recall_at_k
+       |FROM topk t LEFT JOIN rec r USING (query_id)
+       |ORDER BY query_id, rank""".stripMargin
   }
 
   private def textLangid(s: SparkSession, dir: String): DataFrame =
@@ -8573,6 +8776,8 @@ object SparkEntry {
     "sim_topk_cosine" -> simTopkCosineSql,
     "sim_lsh_ann" -> simLshAnnSql,
     "sim_ivf_ann" -> simIvfAnnSql,
+    "sim_ivf_kmeans" -> simIvfKmeansSql,
+    "sim_pq" -> simPqSql,
     "sim_lsh_auto" -> simLshAutoSql,
     "text_langid" -> textLangidSql,
     "text_langid3" -> textLangid3Sql,

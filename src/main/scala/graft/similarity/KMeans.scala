@@ -52,6 +52,79 @@ object KMeans {
     if (n == 0.0) x else x.map(_ / n)
   }
 
+  /** Engine-portable INTEGER spherical k-means — the trained-quantizer
+    * path promoted from rows-only to the full hash oracle (round-10
+    * verdict #6): every training step is exact integer or correctly-
+    * rounded IEEE arithmetic, so a SQL engine replays the fit
+    * bit-for-bit with BIGINT `*`/`%`/`//`, one sqrt and one floor per
+    * centroid coordinate.
+    *
+    *  - vectors quantize in-engine to BIGINT micro-units
+    *    (round(x·1e6), half-away-from-zero on both engines);
+    *  - centroids live in micro-units, unit-normalized as
+    *    floor(c_i·1e6 / sqrt(Σc_j²)) — products ≤ ~2^42 stay exact in
+    *    double, sqrt and the division are correctly rounded, floor is
+    *    floor: identical on every IEEE-754 engine;
+    *  - assignment is argmax of the RAW integer dot (ties → lowest
+    *    cell), run through the codegen'd double kernel — every dot is
+    *    an exact integer < 2^53, so the double image IS the integer;
+    *  - the update is an exact BIGINT coordinate sum and a truncating
+    *    division by the member count (Scala `/` on Long ≡ SQL `//`).
+    *
+    * Same distributed shape as [[fit]]: map-only assignment, one
+    * (cell, pos) partial-aggregated shuffle per iteration, k×dim to
+    * the driver. Fixed `iters` (no early stop) so the oracle's unroll
+    * depth is part of the contract. */
+  def fitIntPortable(df: DataFrame, idCol: String, vecCol: String,
+                     k: Int, iters: Int): Array[Array[Long]] = {
+    val vq = df.select(col(idCol).as("id"),
+      transform(VectorOps.toDouble(col(vecCol)),
+        x => round(x * lit(1000000.0)).cast("long")).as("q"))
+    var cents: Array[Array[Long]] = vq.orderBy(col("id")).limit(k)
+      .collect().map(r => unitInt(r.getSeq[Long](1).toArray))
+    var it = 0
+    while (it < iters) {
+      val assigned = vq.withColumn("cell",
+        graft.functions.VectorExprs.nearest_centroid(
+          transform(col("q"), _.cast("double")),
+          cents.flatten.map(_.toDouble), cents.length))
+      val sums = assigned
+        .select(col("cell"), posexplode(col("q")).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+        .collect()
+      val next = cents.map(_.clone) // empty cells keep their centroid
+      val touched = sums.map(_.getInt(0)).distinct
+      val mean = touched.map(c => c -> next(c).clone).toMap
+      sums.foreach { r =>
+        mean(r.getInt(0))(r.getInt(1)) = r.getLong(2) / r.getLong(3)
+      }
+      // a degenerate all-zero mean keeps the previous centroid too
+      // (same carry rule as an empty cell — mirrored in the SQL replay)
+      touched.foreach { c =>
+        val m = mean(c)
+        if (m.exists(_ != 0L)) next(c) = unitInt(m)
+      }
+      cents = next
+      it += 1
+    }
+    cents
+  }
+
+  /** floor(x_i·1e6 / ‖x‖) per coordinate — micro-unit normalization
+    * with only exact-integer and correctly-rounded IEEE steps (see
+    * [[fitIntPortable]]). Zero vectors pass through. */
+  private def unitInt(x: Array[Long]): Array[Long] = {
+    var s = 0L
+    var i = 0
+    while (i < x.length) { s += x(i) * x(i); i += 1 }
+    if (s == 0L) x
+    else {
+      val n = math.sqrt(s.toDouble)
+      x.map(v => math.floor(v.toDouble * 1000000.0 / n).toLong)
+    }
+  }
+
   /** Plain (L2) Lloyd's — the variant product quantization needs:
     * sub-codebook centroids are MEANS, not directions, so no unit
     * normalization, and assignment is nearest-by-Euclidean.
@@ -90,6 +163,40 @@ object KMeans {
     * the reference object for L2-nearest assignment via the dot kernel. */
   private[similarity] def augmented(cents: Array[Array[Double]]): Array[Double] =
     cents.flatMap(c => c :+ (-0.5 * c.map(d => d * d).sum))
+
+  /** Engine-portable INTEGER plain-L2 Lloyd's over an already-quantized
+    * `(id, v: array<bigint>)` frame — the [[fitIntPortable]] recipe for
+    * the product-quantization sub-codebooks (means, not directions: no
+    * normalization). Assignment is argmin ‖x−c‖² == argmax
+    * (x·c − ‖c‖²/2) through the double dot kernel — with micro-unit
+    * integers every dot term, partial sum and the power-of-two-scaled
+    * bias are exact in double, so the double argmax IS the integer
+    * argmax a SQL engine computes as 2·dot − ‖c‖² in BIGINT (ties →
+    * lowest code on both). Update: exact BIGINT sums, truncating
+    * division by the member count; empty cells carry. */
+  def fitL2IntPortable(vq: DataFrame, k: Int, iters: Int): Array[Array[Long]] = {
+    var cents: Array[Array[Long]] = vq.orderBy(col("id")).limit(k)
+      .collect().map(_.getSeq[Long](1).toArray)
+    var it = 0
+    while (it < iters) {
+      val aug = cents.flatMap(c =>
+        c.map(_.toDouble) :+ (-0.5 * c.map(x => (x * x).toDouble).sum))
+      val assigned = vq.withColumn("cell",
+        graft.functions.VectorExprs.nearest_centroid(
+          concat(transform(col("v"), _.cast("double")), array(lit(1.0))),
+          aug, cents.length))
+      val sums = assigned
+        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+        .collect()
+      val next = cents.map(_.clone) // empty cells keep their centroid
+      sums.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getLong(2) / r.getLong(3))
+      cents = next
+      it += 1
+    }
+    cents
+  }
 
   private def lloyd(v: DataFrame, init: Array[Array[Double]],
                     iters: Int): Array[Array[Double]] = {

@@ -96,6 +96,84 @@ object Quantize {
     PqModel(m, k, sub, books)
   }
 
+  /** Integer-portable PQ model: micro-unit BIGINT codebooks trained by
+    * [[KMeans.fitL2IntPortable]] — every training / encode / ADC-rank
+    * step is exact-integer or correctly-rounded IEEE, so a SQL oracle
+    * retrains and replays the whole pipeline (the sim_pq hash-oracle
+    * promotion; float [[PqModel]] remains the general-purpose form). */
+  final case class PqIntModel(m: Int, k: Int, subDim: Int,
+                              codebooks: Array[Array[Array[Long]]])
+
+  /** Train integer micro-unit per-subspace codebooks (fixed unroll,
+    * in-engine round(x·1e6) quantization — the fitIntPortable recipe,
+    * L2 flavor). */
+  def pqTrainIntPortable(df: DataFrame, idCol: String, vecCol: String,
+                         dim: Int, m: Int = 8, k: Int = 16,
+                         iters: Int = 2): PqIntModel = {
+    require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
+    val sub = dim / m
+    val vq = df.select(col(idCol).as("id"),
+      transform(VectorOps.toDouble(col(vecCol)),
+        x => round(x * lit(1000000.0)).cast("long")).as("q"))
+    val books = (0 until m).map { s =>
+      KMeans.fitL2IntPortable(
+        vq.select(col("id"), slice(col("q"), s * sub + 1, sub).as("v")), k, iters)
+    }.toArray
+    PqIntModel(m, k, sub, books)
+  }
+
+  /** Integer PQ codes: per subspace, argmin-L2 codebook entry via the
+    * same exact-double bias kernel as training. `v` must already be the
+    * micro-unit BIGINT array. */
+  def pqEncodeInt(v: Column, model: PqIntModel): Column =
+    array((0 until model.m).map { s =>
+      val aug = model.codebooks(s).flatMap(c =>
+        c.map(_.toDouble) :+ (-0.5 * c.map(x => (x * x).toDouble).sum))
+      graft.functions.VectorExprs.nearest_centroid(
+        concat(transform(slice(v, s * model.subDim + 1, model.subDim), _.cast("double")),
+          array(lit(1.0))),
+        aug, model.k)
+    }: _*)
+
+  /** Reconstructed micro-unit vector from integer PQ codes. */
+  def pqDecodeInt(codes: Column, model: PqIntModel): Column =
+    concat((0 until model.m).map { s =>
+      val bk = typedlit(model.codebooks(s).flatten.toSeq)
+      slice(bk, element_at(codes, s + 1) * model.subDim + 1, lit(model.subDim))
+    }: _*)
+
+  /** ADC top-k against the integer model, hash-oracle-exact end to end:
+    * sim = int-dot(q_int, reconstructed_int) / (‖q_int‖·‖rec_int‖) —
+    * the dot and both squared norms are exact integers below 2^53 (the
+    * double kernel computes them exactly in any fold order), each norm
+    * is one correctly-rounded sqrt, and the emission rounds to 6 —
+    * bit-identical in any IEEE engine. Same distributed shape as
+    * [[pqTopK]]: encode/decode are map-only, the query side broadcasts,
+    * the corpus never shuffles. */
+  def pqTopKInt(embeddings: DataFrame, queries: DataFrame, k: Int, model: PqIntModel,
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = embeddings.sparkSession
+    val quant: Column => Column =
+      v => transform(VectorOps.toDouble(v), x => round(x * lit(1000000.0)).cast("long"))
+    def asD(c: Column) = transform(c, _.cast("double"))
+    val rec = embeddings.select(col(idCol).as("neighbor_id"),
+        asD(pqDecodeInt(pqEncodeInt(quant(col(vecCol)), model), model)).as("nv"))
+      .withColumn("nn", VectorOps.norm(col("nv")))
+      .repartition(spark.sparkContext.defaultParallelism) // see bruteForceTopK
+    val q = queries.select(col(idCol).as("query_id"), asD(quant(col(vecCol))).as("qv"))
+      .withColumn("qn", VectorOps.norm(col("qv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    rec.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim",
+        round(VectorOps.dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "sim")
+  }
+
   /** PQ codes (array<int>, length m): per subspace, the L2-nearest
     * codebook entry — map-only native kernels, one per subspace. */
   def pqEncode(v: Column, model: PqModel): Column =

@@ -413,16 +413,21 @@ object VectorOps {
     * the lowest cell index on both sides. */
   def ivfTopKPortable(embeddings: DataFrame, queries: DataFrame, k: Int,
                       nCells: Int = 16, nProbe: Int = 4,
-                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                      idCol: String = "vec_id", vecCol: String = "embedding",
+                      centroidsInt: Option[Array[Array[Long]]] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = embeddings.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
     val quant: Column => Column =
       v => transform(v, x => round(x * lit(1000000.0)).cast("long"))
     // model-sized driver state (nCells × dim), the KMeans.fit posture;
     // quantized in-engine so the micro-unit rounding is the engine's own.
-    val cents: Array[Array[Long]] = e.orderBy(col("id")).limit(nCells)
-      .select(quant(col("v")).as("q"))
-      .collect().map(_.getSeq[Long](0).toArray)
+    // `centroidsInt` swaps the first-nCells stand-in for a TRAINED
+    // integer quantizer (KMeans.fitIntPortable) with identical scoring
+    // semantics — the sim_ivf_kmeans promotion path.
+    val cents: Array[Array[Long]] = centroidsInt.getOrElse(
+      e.orderBy(col("id")).limit(nCells)
+        .select(quant(col("v")).as("q"))
+        .collect().map(_.getSeq[Long](0).toArray))
     val cnorms: Array[Double] = cents.map(c => math.sqrt(c.map(x => x * x).sum.toDouble))
     def cellScores(vq: Column): Seq[Column] = cents.zip(cnorms).map { case (c, n) =>
       aggregate(zip_with(vq, typedLit(c.toSeq), (a, b) => a * b),

@@ -182,4 +182,47 @@ class SimilaritySpec extends SparkSpec {
       assert(math.abs(a - c.toDouble / n) < 1e-12)
     }
   }
+
+  test("fitIntPortable trains a usable quantizer and is deterministic") {
+    import graft.similarity.{KMeans, VectorOps}
+    val emb = Tables.embeddings(spark, sfDir)
+    val a = KMeans.fitIntPortable(emb, "vec_id", "embedding", k = 16, iters = 3)
+    val b = KMeans.fitIntPortable(emb, "vec_id", "embedding", k = 16, iters = 3)
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+    // micro-unit-normalized: every centroid norm within floor-slack of 1e6
+    a.foreach { c =>
+      val n = math.sqrt(c.map(x => x.toDouble * x).sum)
+      // floor-normalization slack: floor rounds negative coordinates
+      // AWAY from zero, so the norm can exceed 1e6 by up to ~sqrt(dim)
+      assert(n > 999000.0 && n <= 1000008.0, s"norm $n out of micro-unit band")
+    }
+    // trained cells retrieve at least as well as the untrained stand-in
+    val q = emb.filter($"vec_id" % 20 === 0)
+    val exact = VectorOps.bruteForceTopK(emb, q, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val trained = VectorOps.ivfTopKPortable(emb, q, k = 5, centroidsInt = Some(a))
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val standIn = VectorOps.ivfTopKPortable(emb, q, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val rTrained = (exact & trained).size.toDouble / exact.size
+    val rStand = (exact & standIn).size.toDouble / exact.size
+    info(f"recall@5: trained = $rTrained%.2f, first-16 stand-in = $rStand%.2f")
+    assert(rTrained >= rStand - 0.05, "training should not lose retrieval quality")
+  }
+
+  test("pqTopKInt keeps PQ retrieval quality under the integer codebooks") {
+    import graft.similarity.{Quantize, VectorOps}
+    val emb = Tables.embeddings(spark, sfDir)
+    val q = emb.filter($"vec_id" % 20 === 0)
+    val exact = VectorOps.bruteForceTopK(emb, q, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val m = Quantize.pqTrainIntPortable(emb, "vec_id", "embedding",
+      dim = 64, m = 8, k = 16, iters = 2)
+    assert(m.codebooks.length == 8 && m.codebooks.forall(_.length == 16))
+    val got = Quantize.pqTopKInt(emb, q, k = 5, m)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & got).size.toDouble / exact.size
+    info(f"integer-PQ recall@5 = $recall%.2f")
+    assert(recall > 0.25, "integer PQ at 32x compression should stay useful")
+  }
 }
