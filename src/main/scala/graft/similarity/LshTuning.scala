@@ -72,4 +72,29 @@ object LshTuning {
                  bgSim: Double = 0.0, maxBgProb: Double = 1.0): Plan =
     tune(srpCollisionProb(simThreshold), recall, maxHashes,
       srpCollisionProb(bgSim), maxBgProb)
+
+  /** Candidate-budget knob C(recall) for the three-stage rerank
+    * ([[graft.similarity.VectorOps.lshRerankTopK]]): how deep the int8
+    * candidate pool must be so that, in expectation, the top-k true
+    * neighbors that the LSH bands surfaced are still inside the pool
+    * after background candidates dilute it.
+    *
+    * Expected pool composition per query under `plan`:
+    * k·candidateProb(pHit) hits + n·candidateProb(pBg) background. The
+    * int8 stage ranks by approximate cosine, so hits concentrate at the
+    * top; the budget takes the hit mass plus a `slack` multiple of the
+    * expected background mass ABOVE the hit band (background pairs that
+    * out-rank a truth pair are rare — slack 0.05 covers the observed
+    * int8 inversion rate at 64 dims) — floored at 2k, capped at n.
+    * This turns the exact quadratic rerank
+    * ([[graft.similarity.VectorOps.quantizedRerankTopK]]) into a
+    * formally fenced oracle baseline: a production caller derives C
+    * from a recall target instead of scanning the full corpus. */
+  def rerankBudget(k: Int, corpusRows: Long, plan: Plan,
+                   pHit: Double, pBg: Double, slack: Double = 0.05): Int = {
+    val hitMass = k * candidateProb(pHit, plan.bands, plan.rowsPerBand)
+    val bgMass = corpusRows * candidateProb(pBg, plan.bands, plan.rowsPerBand)
+    val c = math.ceil(hitMass + slack * bgMass).toLong.max(2L * k)
+    c.min(corpusRows).toInt
+  }
 }

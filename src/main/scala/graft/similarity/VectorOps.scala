@@ -99,7 +99,8 @@ object VectorOps {
     import org.apache.spark.sql.expressions.Window
     require(c >= k, s"candidate pool c=$c must cover the final k=$k")
     guardQuadratic(embeddings, maxCorpusRows, "quantizedRerankTopK",
-      "lshTopK or ivfTopK (bucketed ANN) feeding the same rerank")
+      "lshRerankTopK (the production three-stage alias: LSH band candidates " +
+        "-> int8 scoring -> exact rerank; plan c with LshTuning.rerankBudget)")
     val spark = embeddings.sparkSession
     def coded(df: DataFrame, id: String, vec: String,
               codes: String, norm2: String): DataFrame = {

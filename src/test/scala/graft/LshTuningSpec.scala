@@ -63,4 +63,27 @@ class LshTuningSpec extends SparkSpec {
     // design threshold, so this checks plumbing, not the S-curve
     assert(recall > 0.1)
   }
+
+  test("rerankBudget scales with background mass and respects its floor/cap") {
+    val plan = LshTuning.Plan(bands = 4, rowsPerBand = 4)
+    val pHit = LshTuning.srpCollisionProb(0.9)
+    val pBg = LshTuning.srpCollisionProb(0.0)
+    val small = LshTuning.rerankBudget(k = 5, corpusRows = 1000L, plan, pHit, pBg)
+    val large = LshTuning.rerankBudget(k = 5, corpusRows = 100000L, plan, pHit, pBg)
+    assert(small >= 10, "budget must cover at least 2k")
+    assert(large > small, "more corpus -> more background candidates -> deeper pool")
+    // sublinear in n: the budget is a slack fraction of expected
+    // background candidates, not the corpus
+    assert(large < 100000 * 0.2)
+    // degenerate corpus: capped at n
+    assert(LshTuning.rerankBudget(5, 8L, plan, pHit, pBg) == 8)
+    // the budgeted three-stage path actually retrieves: c from the knob
+    val emb = Tables.embeddings(spark, sfDir)
+    val q = emb.filter($"vec_id" % 20 === 0)
+    val n = emb.count()
+    val c = LshTuning.rerankBudget(5, n, plan, pHit, pBg)
+    val got = VectorOps.lshRerankTopK(emb, q, c = c, k = 5, dim = 64)
+      .groupBy("query_id").count().as[(Long, Long)].collect()
+    assert(got.nonEmpty && got.forall(_._2 <= 5))
+  }
 }
