@@ -1746,29 +1746,12 @@ object SparkEntry {
     * only) with the held-out gram set BROADCAST — the corpus never
     * shuffles for membership, the documented decontamination shape. */
   private def textContaminateSpans(s: SparkSession, dir: String): DataFrame = {
-    val ws = split(col("text"), " ")
-    val grams = when(size(ws) >= 5,
-        transform(sequence(lit(1), size(ws) - 4),
-          i => md5(array_join(slice(ws, i, lit(5)), " "))))
-      .otherwise(array().cast("array<string>"))
-    val g = Tables.documents(s, dir)
-      .select(col("doc_id"), posexplode(grams).as(Seq("pos", "h")))
-    val bench = g.filter(col("doc_id") < 20).select(col("h")).distinct()
-      .withColumn("hit", lit(1))
-    val flagged = g.filter(col("doc_id") >= 20)
-      .join(broadcast(bench), Seq("h"), "left")
-      .select(col("doc_id"), col("pos"), col("hit").isNotNull.as("c"))
-    val byDoc = flagged.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_windows"),
-        sum(when(col("c"), 1L).otherwise(0L)).as("n_contam"))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val runs = flagged.filter(col("c"))
-      .withColumn("grp", col("pos") - row_number().over(w))
-      .groupBy(col("doc_id"), col("grp")).agg(count(lit(1)).as("run"))
-      .groupBy(col("doc_id")).agg(max(col("run")).as("max_run"))
-    byDoc.join(runs, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_windows"), col("n_contam"),
-        coalesce(col("max_run"), lit(0L)).as("max_run"))
+    val docs = Tables.documents(s, dir)
+    val bench = graft.text.Decontam
+      .gramWindows(docs.filter(col("doc_id") < 20), "text", "doc_id")
+      .select(col("h")).distinct()
+    graft.text.Decontam
+      .spanStats(docs.filter(col("doc_id") >= 20), bench, "text", "doc_id")
       .orderBy(col("doc_id"))
   }
 

@@ -610,4 +610,32 @@ object EventsStream {
     ops.groupByKey(_.k)
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(update)
   }
+
+  /** Streaming span-level decontamination — the live-ingest twin of the
+    * batch text_contaminate_spans query (the last batch-only text
+    * operator a streaming pipeline would miss): each micro-batch of
+    * arriving documents is scored against the BROADCAST held-out gram
+    * set inside foreachBatch via the shared
+    * [[graft.text.Decontam.spanStats]] core, and the per-doc span
+    * records (doc_id, n_windows, n_contam, max_run, plus the batch id
+    * for run accounting) are handed to `land`.
+    *
+    * Exactness across arbitrary arrival slicing is structural, not
+    * stateful: a document is one row, so its windows/runs never
+    * straddle batches and the union of per-batch outputs equals the
+    * batch answer for any interleaving (pinned by the scrambled-slice
+    * parity spec). State is O(1) — the gram set is a static broadcast,
+    * nothing accumulates. Exactly-once = checkpoint + idempotent
+    * `land`, the toSink contract. */
+  def spanDecontamStream(docs: DataFrame, bench: DataFrame,
+                         textCol: String, idCol: String,
+                         checkpointDir: String)
+                        (land: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        land(graft.text.Decontam.spanStats(batch.toDF(), bench, textCol, idCol)
+          .withColumn("batch_id", org.apache.spark.sql.functions.lit(batchId)))
+      }
+      .start()
 }

@@ -292,6 +292,38 @@ class StreamingSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("spanDecontamStream: scrambled micro-batch slicing reproduces the batch span stats") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.documents(spark, sfDir).filter($"doc_id" < 120)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val bench = graft.text.Decontam.gramWindows(
+        Tables.documents(spark, sfDir).filter($"doc_id" < 20), "text", "doc_id")
+      .select("h").distinct().persist()
+    val corpus = docs.filter(_._1 >= 20)
+    val expected = graft.text.Decontam.spanStats(
+        corpus.toSeq.toDF("doc_id", "text"), bench, "text", "doc_id")
+      .select("doc_id", "n_windows", "n_contam", "max_run")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // scrambled arrival: deterministic shuffle, ragged slice sizes
+    val scrambled = corpus.sortBy(d => (d._1 * 2654435761L) % 97)
+    val slices = scrambled.grouped(17).toSeq
+    val tmp = java.nio.file.Files.createTempDirectory("graft_span_ckpt").toString
+    val in = MemoryStream[(Long, String)]
+    val landed = scala.collection.mutable.ArrayBuffer[Array[(Long, Long, Long, Long)]]()
+    val q = EventsStream.spanDecontamStream(
+        in.toDF().toDF("doc_id", "text"), bench, "text", "doc_id", tmp) { out =>
+      landed += out.select("doc_id", "n_windows", "n_contam", "max_run")
+        .as[(Long, Long, Long, Long)].collect()
+    }
+    slices.foreach { sl => in.addData(sl); q.processAllAvailable() }
+    q.stop()
+    val got = landed.flatten.toSet
+    assert(got == expected, "union of per-batch span stats must equal the batch run")
+    // every doc scored exactly once (no cross-batch duplication)
+    assert(landed.flatten.map(_._1).distinct.length == landed.flatten.length)
+    bench.unpersist()
+  }
+
   test("minhash band state survives a checkpoint restart and stays bounded") {
     implicit val sqlCtx = spark.sqlContext
     implicit val ss = spark
