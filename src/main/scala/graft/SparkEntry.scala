@@ -2684,6 +2684,45 @@ object SparkEntry {
       |  length(text) * 1.0 / len(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9 ]')) AS chars_per_token
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Real merge-table BPE token counts ([[graft.functions.BpeTokens]]
+    * — 32 ordered public merges, leftmost-greedy, codegen'd): training
+    * budgets are set in BPE tokens, and the whitespace/regex estimates
+    * (text_tokens) can be ~2× off on merge-heavy English. Row-local
+    * projection, no shuffle at any scale; the kernel's double-pass
+    * literal-replace semantics replay in SQL as a nested replace()
+    * chain, so the count sits under the full hash oracle. */
+  private def textBpeTokens(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        size(filter(split(col("text"), " "), w => w =!= lit("")))
+          .cast("long").as("n_words"),
+        graft.functions.BpeTokens.bpe_token_count(col("text")).as("n_bpe"))
+      .withColumn("bpe_per_word",
+        when(col("n_words") > 0,
+          round(col("n_bpe").cast("double") / col("n_words"), 6)).otherwise(lit(0.0)))
+      .orderBy(col("doc_id"))
+
+  private val textBpeTokensSql: String = {
+    val base = "' ' || array_to_string(split(w, ''), ' ') || ' '"
+    val chain = graft.functions.BpeTokens.Merges.foldLeft(base) { case (acc, (a, b)) =>
+      val p = s"' $a $b '"
+      val r = s"' $a$b '"
+      s"replace(replace($acc, $p, $r), $p, $r)"
+    }
+    s"""SELECT doc_id,
+       |  CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT) AS n_words,
+       |  CAST(COALESCE(list_sum(list_transform(
+       |         list_filter(string_split(text, ' '), w -> w <> ''),
+       |         w -> len(string_split(trim($chain), ' ')))), 0) AS BIGINT) AS n_bpe,
+       |  CASE WHEN len(list_filter(string_split(text, ' '), w -> w <> '')) > 0
+       |       THEN ROUND(CAST(COALESCE(list_sum(list_transform(
+       |              list_filter(string_split(text, ' '), w -> w <> ''),
+       |              w -> len(string_split(trim($chain), ' ')))), 0) AS DOUBLE)
+       |            / len(list_filter(string_split(text, ' '), w -> w <> '')), 6)
+       |       ELSE 0.0 END AS bpe_per_word
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
   private def textFingerprint(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(col("doc_id"),
@@ -8205,6 +8244,12 @@ object SparkEntry {
     * folds over the ~30-row day series on the driver — model-sized
     * state, the documented centroids pattern (a year is 365 doubles). */
   private def anHoltForecast(s: SparkSession, dir: String): DataFrame = {
+    // Driver-state bound: this collect is DAYS-sized (a year is 365
+    // longs), never row-sized — the distributed work is the groupBy
+    // above. At cluster scale the collected series needs no
+    // checkpointing; if the recursion itself ever moved executor-side
+    // (it does not), preemptible executors would want reliable
+    // checkpoint() instead of localCheckpoint (the IterativeGraph note).
     val daily = Tables.events(s, dir)
       .groupBy(date_trunc("day", col("ts")).as("day"))
       .agg(sum((col("value").cast("decimal(24,2)") * 100).cast("bigint")).as("rev_c"))
@@ -8538,6 +8583,7 @@ object SparkEntry {
     "text_langid3" -> (textLangid3 _),
     "text_quality" -> (textQuality _),
     "text_tokens" -> (textTokens _),
+    "text_bpe_tokens" -> (textBpeTokens _),
     "text_fingerprint" -> (textFingerprint _),
     "mm_binary_meta" -> (mmBinaryMeta _),
     "mm_decode_stats" -> (mmDecodeStats _),
@@ -8766,6 +8812,7 @@ object SparkEntry {
     "text_langid3" -> textLangid3Sql,
     "text_quality" -> textQualitySql,
     "text_tokens" -> textTokensSql,
+    "text_bpe_tokens" -> textBpeTokensSql,
     "text_fingerprint" -> textFingerprintSql,
     "mm_binary_meta" -> mmBinaryMetaSql,
     "mm_decode_stats" -> mmDecodeStatsSql,

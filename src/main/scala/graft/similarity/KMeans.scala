@@ -208,6 +208,12 @@ object KMeans {
       // decimal sum: order-independent across partition merges, so the
       // trained centroids are bit-identical run to run. unit(sum) ==
       // unit(mean) — normalization absorbs the 1/n factor.
+      // Driver-state bound: this collect is k×dim rows (the model),
+      // never corpus-sized — partial aggregation collapses the shuffle
+      // to one row per (cell, pos) per task. Lineage is re-planned from
+      // the source each iteration (no iterative frame to checkpoint);
+      // on preemptible executors the only recovery cost is re-scanning
+      // the assignment pass.
       val sums = assigned
         .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy(col("cell"), col("pos"))

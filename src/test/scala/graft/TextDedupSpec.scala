@@ -113,6 +113,25 @@ class TextDedupSpec extends SparkSpec {
     got.foreach(h => assert(h >= 0 && (h >> 62) == 0))
   }
 
+  test("BpeTokens: merges chain in rule order, double-pass closes adjacency skips") {
+    import graft.functions.BpeTokens
+    // t+h then th+e: 'the' collapses to one token
+    assert(BpeTokens.tokenize("the") == Seq("the"))
+    // chained adjacency: 'ananan' — a+n fires on every pair (the
+    // double-pass guarantee), then an+d is a no-op without 'd'
+    assert(BpeTokens.tokenize("ananan") == Seq("an", "an", "an"))
+    assert(BpeTokens.tokenize("and") == Seq("and"))
+    // unknown chars stay single units
+    assert(BpeTokens.tokenize("xyz") == Seq("x", "y", "z"))
+    assert(BpeTokens.tokenize("") == Seq.empty)
+    // whole-document count: words sum, doubled spaces contribute nothing
+    val df = Seq((1L, "the and  xyz"), (2L, ""), (3L, "that")).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"),
+        BpeTokens.bpe_token_count(col("text")).as("n")).as[(Long, Long)]
+      .collect().toMap
+    assert(got == Map(1L -> 5L, 2L -> 0L, 3L -> 1L)) // the(1)+and(1)+x,y,z(3); that = th+at merged by rule 32
+  }
+
   test("simhashPairs with fastPortableWordHash finds the duplicate pair only") {
     val df = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
       (3L, "totally different words here instead now")).toDF("doc_id", "text")
