@@ -1580,6 +1580,240 @@ object SparkEntry {
       |       + (SELECT slope FROM rk WHERE rn = m.m // 2 + 1)) / 2.0, 6) AS slope_cpd
       |FROM m""".stripMargin
 
+  /** Spearman rank correlation between daily revenue and daily event
+    * volume — the monotone-association screen that, unlike Pearson
+    * (an_corr_matrix), ignores the revenue distribution's heavy tail.
+    * Ranks are deterministic integer row_numbers with (value, day)
+    * tie-break (documented: ties take distinct consecutive ranks, not
+    * averaged — identical on both engines), so every sum in the
+    * Pearson-on-ranks formula is an exact integer; one sqrt + division
+    * at emission. Distributed part = the daily aggregate; the rank
+    * windows run on the days-sized frame. */
+  private def anSpearman(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(sum((col("value").cast("decimal(24,2)") * 100).cast("bigint")).as("v"),
+        count(lit(1)).as("m"))
+    val ranked = daily
+      .withColumn("r1", row_number().over(Window.orderBy(col("v"), col("day"))).cast("long"))
+      .withColumn("r2", row_number().over(Window.orderBy(col("m"), col("day"))).cast("long"))
+    ranked.agg(count(lit(1)).as("n"),
+        sum(col("r1") * col("r1")).as("s11"),
+        sum(col("r1") * col("r2")).as("s12"),
+        sum(col("r1")).as("s1"), sum(col("r2")).as("s2"),
+        sum(col("r2") * col("r2")).as("s22"))
+      .select(col("n"),
+        round((col("n") * col("s12") - col("s1") * col("s2")).cast("double") /
+          sqrt(((col("n") * col("s11") - col("s1") * col("s1")) *
+            (col("n") * col("s22") - col("s2") * col("s2"))).cast("double")), 6)
+          .as("rho"))
+  }
+
+  private val anSpearmanSql =
+    """WITH daily AS (SELECT date_trunc('day', ts) AS day,
+      |    CAST(SUM(CAST(CAST(value AS DECIMAL(24,2)) * 100 AS BIGINT)) AS BIGINT) AS v,
+      |    COUNT(*) AS m
+      |  FROM events GROUP BY 1),
+      |r AS (SELECT CAST(row_number() OVER (ORDER BY v, day) AS BIGINT) AS r1,
+      |             CAST(row_number() OVER (ORDER BY m, day) AS BIGINT) AS r2
+      |      FROM daily),
+      |a AS (SELECT COUNT(*) AS n,
+      |             CAST(SUM(r1 * r1) AS BIGINT) AS s11,
+      |             CAST(SUM(r1 * r2) AS BIGINT) AS s12,
+      |             CAST(SUM(r1) AS BIGINT) AS s1, CAST(SUM(r2) AS BIGINT) AS s2,
+      |             CAST(SUM(r2 * r2) AS BIGINT) AS s22
+      |      FROM r)
+      |SELECT n, ROUND(CAST(n * s12 - s1 * s2 AS DOUBLE)
+      |  / sqrt(CAST((n * s11 - s1 * s1) * (n * s22 - s2 * s2) AS DOUBLE)), 6) AS rho
+      |FROM a""".stripMargin
+
+  /** Kendall's tau-b between daily revenue and daily event volume —
+    * the pair-concordance companion to an_spearman (robust to ties by
+    * construction, the estimator Mann–Kendall's S generalizes). All
+    * counts are exact integers over the days² pair frame (tiny at any
+    * SF); tau-b's tie-corrected denominator takes one sqrt at
+    * emission. */
+  private def anKendallTau(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(sum((col("value").cast("decimal(24,2)") * 100).cast("bigint")).as("v"),
+        count(lit(1)).as("m"))
+    val a = daily.select(col("day").as("d1"), col("v").as("v1"), col("m").as("m1"))
+    val b = daily.select(col("day").as("d2"), col("v").as("v2"), col("m").as("m2"))
+    val pairs = a.join(b, col("d1") < col("d2"))
+      .agg(count(lit(1)).as("n0"),
+        sum(when((col("v2") > col("v1")) && (col("m2") > col("m1")), 1L)
+          .when((col("v2") < col("v1")) && (col("m2") < col("m1")), 1L)
+          .otherwise(0L)).as("conc"),
+        sum(when((col("v2") > col("v1")) && (col("m2") < col("m1")), 1L)
+          .when((col("v2") < col("v1")) && (col("m2") > col("m1")), 1L)
+          .otherwise(0L)).as("disc"),
+        sum(when(col("v1") === col("v2"), 1L).otherwise(0L)).as("tx"),
+        sum(when(col("m1") === col("m2"), 1L).otherwise(0L)).as("ty"))
+    pairs.select(col("n0"), (col("conc") - col("disc")).as("s_k"),
+        round((col("conc") - col("disc")).cast("double") /
+          sqrt(((col("n0") - col("tx")) * (col("n0") - col("ty"))).cast("double")), 6)
+          .as("tau_b"))
+  }
+
+  private val anKendallTauSql =
+    """WITH daily AS (SELECT date_trunc('day', ts) AS day,
+      |    CAST(SUM(CAST(CAST(value AS DECIMAL(24,2)) * 100 AS BIGINT)) AS BIGINT) AS v,
+      |    COUNT(*) AS m
+      |  FROM events GROUP BY 1),
+      |p AS (SELECT COUNT(*) AS n0,
+      |  CAST(SUM(CASE WHEN (b.v > a.v AND b.m > a.m) OR (b.v < a.v AND b.m < a.m)
+      |                THEN 1 ELSE 0 END) AS BIGINT) AS conc,
+      |  CAST(SUM(CASE WHEN (b.v > a.v AND b.m < a.m) OR (b.v < a.v AND b.m > a.m)
+      |                THEN 1 ELSE 0 END) AS BIGINT) AS disc,
+      |  CAST(SUM(CASE WHEN a.v = b.v THEN 1 ELSE 0 END) AS BIGINT) AS tx,
+      |  CAST(SUM(CASE WHEN a.m = b.m THEN 1 ELSE 0 END) AS BIGINT) AS ty
+      |  FROM daily a JOIN daily b ON a.day < b.day)
+      |SELECT n0, conc - disc AS s_k,
+      |  ROUND(CAST(conc - disc AS DOUBLE)
+      |    / sqrt(CAST((n0 - tx) * (n0 - ty) AS DOUBLE)), 6) AS tau_b
+      |FROM p""".stripMargin
+
+  /** Jarque–Bera normality screen on order totals — sits next to
+    * an_stats_moments (which stops at variance/correlation): skewness,
+    * excess kurtosis and the JB statistic from one pass of raw power
+    * sums in DECIMAL(38,0) cents (exact through Σv⁴ up to ~10⁹ rows —
+    * the an_kruskal decimal→double ulp class beyond 2^53, absorbed by
+    * ROUND 6). The formula replays in SQL in the identical operation
+    * order, so the doubles agree bit-for-bit before rounding. */
+  private def anJarqueBera(s: SparkSession, dir: String): DataFrame = {
+    val v = (col("o_totalprice").cast("decimal(24,2)") * 100).cast("decimal(38,0)")
+    def d(c: Column) = sum(c).cast("double")
+    val moments = Tables.orders(s, dir)
+      .agg(count(lit(1)).as("n"), d(v).as("s1"), d(v * v).as("s2"),
+        d(v * v * v).as("s3"), d(v * v * v * v).as("s4"))
+    val n = col("n").cast("double")
+    val mu = col("s1") / n
+    val m2 = col("s2") / n - mu * mu
+    val m3 = col("s3") / n - lit(3.0) * mu * (col("s2") / n) + lit(2.0) * mu * mu * mu
+    val m4 = col("s4") / n - lit(4.0) * mu * (col("s3") / n) +
+      lit(6.0) * mu * mu * (col("s2") / n) - lit(3.0) * mu * mu * mu * mu
+    val skew = m3 / sqrt(m2 * m2 * m2)
+    val kurt = m4 / (m2 * m2)
+    moments.select(col("n"),
+      round(skew, 6).as("skewness"),
+      round(kurt - 3.0, 6).as("excess_kurtosis"),
+      round(n / 6.0 * (skew * skew + (kurt - 3.0) * (kurt - 3.0) / 4.0), 6).as("jb_stat"))
+  }
+
+  private val anJarqueBeraSql =
+    """WITH m AS (SELECT COUNT(*) AS n,
+      |    CAST(SUM(v) AS DOUBLE) AS s1, CAST(SUM(v * v) AS DOUBLE) AS s2,
+      |    CAST(SUM(v * v * v) AS DOUBLE) AS s3,
+      |    CAST(SUM(v * v * v * v) AS DOUBLE) AS s4
+      |  FROM (SELECT CAST(CAST(CAST(o_totalprice AS DECIMAL(24,2)) * 100 AS BIGINT)
+      |               AS DECIMAL(38,0)) AS v FROM orders) t),
+      |d AS (SELECT n, CAST(n AS DOUBLE) AS nd, s1, s2, s3, s4,
+      |        s1 / CAST(n AS DOUBLE) AS mu FROM m),
+      |c AS (SELECT n, nd, mu,
+      |        s2 / nd - mu * mu AS m2,
+      |        s3 / nd - 3.0 * mu * (s2 / nd) + 2.0 * mu * mu * mu AS m3,
+      |        s4 / nd - 4.0 * mu * (s3 / nd) + 6.0 * mu * mu * (s2 / nd)
+      |          - 3.0 * mu * mu * mu * mu AS m4
+      |      FROM d)
+      |SELECT n, ROUND(m3 / sqrt(m2 * m2 * m2), 6) AS skewness,
+      |  ROUND(m4 / (m2 * m2) - 3.0, 6) AS excess_kurtosis,
+      |  ROUND(nd / 6.0 * ((m3 / sqrt(m2 * m2 * m2)) * (m3 / sqrt(m2 * m2 * m2))
+      |    + (m4 / (m2 * m2) - 3.0) * (m4 / (m2 * m2) - 3.0) / 4.0), 6) AS jb_stat
+      |FROM c""".stripMargin
+
+  /** Grubbs outlier statistic on order totals: G = max|v−μ|/s with the
+    * argmax order key (ties → lowest key) — the single-outlier screen
+    * next to an_mad_outliers' bulk screen. One moment pass + one
+    * argmax pass over the same scan; exact integer cents until the
+    * final division. (The t-based critical value is a lookup the
+    * caller applies; the statistic is the distributed part.) */
+  private def anGrubbs(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).select(col("o_orderkey").as("k"),
+      (col("o_totalprice").cast("decimal(24,2)") * 100).cast("bigint").as("v"))
+    val m = o.agg(count(lit(1)).as("n"),
+      sum(col("v").cast("decimal(38,0)")).cast("double").as("s1"),
+      sum((col("v").cast("decimal(38,0)") * col("v")).cast("decimal(38,0)"))
+        .cast("double").as("s2"))
+    val withStats = o.crossJoin(broadcast(m))
+      .withColumn("mu", col("s1") / col("n").cast("double"))
+      .withColumn("dev", abs(col("v").cast("double") - col("mu")))
+    val w = Window.orderBy(col("dev").desc, col("k"))
+    withStats.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("n"), col("k").as("suspect_key"), col("v").as("suspect_cents"),
+        round(col("dev") /
+          sqrt((col("s2") - col("s1") * col("s1") / col("n").cast("double")) /
+            (col("n").cast("double") - 1.0)), 6).as("g_stat"))
+  }
+
+  private val anGrubbsSql =
+    """WITH o AS (SELECT o_orderkey AS k,
+      |    CAST(CAST(o_totalprice AS DECIMAL(24,2)) * 100 AS BIGINT) AS v
+      |  FROM orders),
+      |m AS (SELECT COUNT(*) AS n,
+      |    CAST(SUM(CAST(v AS DECIMAL(38,0))) AS DOUBLE) AS s1,
+      |    CAST(SUM(CAST(CAST(v AS DECIMAL(38,0)) * v AS DECIMAL(38,0))) AS DOUBLE) AS s2
+      |  FROM o),
+      |d AS (SELECT o.k, o.v, m.n, m.s1, m.s2,
+      |        abs(CAST(o.v AS DOUBLE) - m.s1 / CAST(m.n AS DOUBLE)) AS dev,
+      |        row_number() OVER (ORDER BY abs(CAST(o.v AS DOUBLE)
+      |          - m.s1 / CAST(m.n AS DOUBLE)) DESC, o.k) AS rn
+      |      FROM o CROSS JOIN m)
+      |SELECT n, k AS suspect_key, v AS suspect_cents,
+      |  ROUND(dev / sqrt((s2 - s1 * s1 / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)), 6) AS g_stat
+      |FROM d WHERE rn = 1""".stripMargin
+
+  /** Cohen's d effect size between the two experiment arms (the
+    * an_abtest split): standardized mean difference with the pooled
+    * sample SD — the "is the lift big or just significant" companion
+    * the t-test family omits. One grouped moment pass in exact decimal
+    * cents; three IEEE ops at emission. */
+  private def anCohensD(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).select((col("o_custkey") % 2).cast("int").as("grp"),
+      (col("o_totalprice").cast("decimal(24,2)") * 100).cast("bigint").as("v"))
+    val g = o.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("v").cast("decimal(38,0)")).cast("double").as("s1"),
+        sum((col("v").cast("decimal(38,0)") * col("v")).cast("decimal(38,0)"))
+          .cast("double").as("s2"))
+    val p = g.groupBy()
+      .pivot(col("grp"), Seq(0, 1))
+      .agg(first(col("n")).as("n"), first(col("s1")).as("s1"), first(col("s2")).as("s2"))
+    def nn(i: Int) = col(s"${i}_n").cast("double")
+    def mu(i: Int) = col(s"${i}_s1") / nn(i)
+    def ss(i: Int) = col(s"${i}_s2") - col(s"${i}_s1") * col(s"${i}_s1") / nn(i)
+    p.select(col("0_n").as("n0"), col("1_n").as("n1"),
+      round(mu(1) / 100.0, 2).as("mean_1_usd"),
+      round(mu(0) / 100.0, 2).as("mean_0_usd"),
+      round((mu(1) - mu(0)) /
+        sqrt((ss(0) + ss(1)) / (nn(0) + nn(1) - 2.0)), 6).as("cohens_d"))
+  }
+
+  private val anCohensDSql =
+    """WITH o AS (SELECT CAST(o_custkey % 2 AS INT) AS grp,
+      |    CAST(CAST(o_totalprice AS DECIMAL(24,2)) * 100 AS BIGINT) AS v
+      |  FROM orders),
+      |g AS (SELECT grp, COUNT(*) AS n,
+      |    CAST(SUM(CAST(v AS DECIMAL(38,0))) AS DOUBLE) AS s1,
+      |    CAST(SUM(CAST(CAST(v AS DECIMAL(38,0)) * v AS DECIMAL(38,0))) AS DOUBLE) AS s2
+      |  FROM o GROUP BY grp),
+      |p AS (SELECT
+      |    MAX(CASE WHEN grp = 0 THEN n END) AS n0,
+      |    MAX(CASE WHEN grp = 1 THEN n END) AS n1,
+      |    MAX(CASE WHEN grp = 0 THEN s1 END) AS s10,
+      |    MAX(CASE WHEN grp = 1 THEN s1 END) AS s11,
+      |    MAX(CASE WHEN grp = 0 THEN s2 END) AS s20,
+      |    MAX(CASE WHEN grp = 1 THEN s2 END) AS s21
+      |  FROM g)
+      |SELECT n0, n1,
+      |  ROUND(s11 / CAST(n1 AS DOUBLE) / 100.0, 2) AS mean_1_usd,
+      |  ROUND(s10 / CAST(n0 AS DOUBLE) / 100.0, 2) AS mean_0_usd,
+      |  ROUND((s11 / CAST(n1 AS DOUBLE) - s10 / CAST(n0 AS DOUBLE))
+      |    / sqrt(((s20 - s10 * s10 / CAST(n0 AS DOUBLE))
+      |          + (s21 - s11 * s11 / CAST(n1 AS DOUBLE)))
+      |        / (CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE) - 2.0)), 6) AS cohens_d
+      |FROM p""".stripMargin
+
   /** k-core decomposition (k=10, convergence-driven synchronous peeling
     * via [[graft.operators.IterativeGraph.kcoreAlive]]; the DuckDB
     * oracle unrolls 4 fixed rounds, equal to the fixpoint at every test
@@ -8584,6 +8818,11 @@ object SparkEntry {
     "text_quality" -> (textQuality _),
     "text_tokens" -> (textTokens _),
     "text_bpe_tokens" -> (textBpeTokens _),
+    "an_spearman" -> (anSpearman _),
+    "an_kendall_tau" -> (anKendallTau _),
+    "an_jarque_bera" -> (anJarqueBera _),
+    "an_grubbs" -> (anGrubbs _),
+    "an_cohens_d" -> (anCohensD _),
     "text_fingerprint" -> (textFingerprint _),
     "mm_binary_meta" -> (mmBinaryMeta _),
     "mm_decode_stats" -> (mmDecodeStats _),
@@ -8813,6 +9052,11 @@ object SparkEntry {
     "text_quality" -> textQualitySql,
     "text_tokens" -> textTokensSql,
     "text_bpe_tokens" -> textBpeTokensSql,
+    "an_spearman" -> anSpearmanSql,
+    "an_kendall_tau" -> anKendallTauSql,
+    "an_jarque_bera" -> anJarqueBeraSql,
+    "an_grubbs" -> anGrubbsSql,
+    "an_cohens_d" -> anCohensDSql,
     "text_fingerprint" -> textFingerprintSql,
     "mm_binary_meta" -> mmBinaryMetaSql,
     "mm_decode_stats" -> mmDecodeStatsSql,
