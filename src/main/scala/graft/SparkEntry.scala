@@ -1814,6 +1814,298 @@ object SparkEntry {
       |        / (CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE) - 2.0)), 6) AS cohens_d
       |FROM p""".stripMargin
 
+  /** Brown–Forsythe (median-based Levene) variance-homogeneity test of
+    * account balances across market segments — the assumption check in
+    * front of the ANOVA/t-test family (an_anova assumes equal
+    * variances; this tests that). Per-group medians are EXACT order
+    * statistics kept in integer form as med2 = lo+hi middle values
+    * (2×median), deviations z2 = |2v − med2| are exact BIGINTs, and
+    * the one-way F on deviations comes from decimal Σz2/Σz2² sums —
+    * the whole statistic is integer until a handful of mirrored IEEE
+    * ops. Rank windows partition by segment (distributed), the
+    * 5-row median table broadcasts back. */
+  private def anLevene(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir).select(col("c_mktsegment").as("g"),
+      (col("c_acctbal").cast("decimal(24,2)") * 100).cast("bigint").as("v"),
+      col("c_custkey").as("k"))
+    val ranked = c
+      .withColumn("rn", row_number().over(Window.partitionBy(col("g"))
+        .orderBy(col("v"), col("k"))).cast("long"))
+      .withColumn("n_g", count(lit(1)).over(Window.partitionBy(col("g"))))
+    val med2 = ranked
+      .filter(col("rn") === expr("(n_g + 1) div 2") || col("rn") === expr("n_g div 2 + 1"))
+      .groupBy(col("g"))
+      .agg((sum(when(col("rn") === expr("(n_g + 1) div 2"), col("v")).otherwise(0L)) +
+        sum(when(col("rn") === expr("n_g div 2 + 1"), col("v")).otherwise(0L))).as("med2"))
+    val z = c.join(broadcast(med2), "g")
+      .select(col("g"), abs(lit(2L) * col("v") - col("med2")).as("z2"))
+    val gStats = z.groupBy(col("g"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("z2").cast("decimal(38,0)")).cast("double").as("sz"),
+        sum((col("z2").cast("decimal(38,0)") * col("z2")).cast("decimal(38,0)"))
+          .cast("double").as("qz"))
+    val agg = gStats.agg(count(lit(1)).as("k_groups"), sum(col("n")).as("n_total"),
+        sum(col("sz")).as("s_all"))
+    gStats.crossJoin(broadcast(agg))
+      .select(col("k_groups"), col("n_total"),
+        (col("n").cast("double") *
+          (col("sz") / (col("n").cast("double") * 2.0) -
+            col("s_all") / (col("n_total").cast("double") * 2.0)) *
+          (col("sz") / (col("n").cast("double") * 2.0) -
+            col("s_all") / (col("n_total").cast("double") * 2.0))).as("num_g"),
+        (col("qz") / 4.0 - col("sz") * col("sz") / (col("n").cast("double") * 4.0))
+          .as("den_g"))
+      .groupBy(col("k_groups"), col("n_total"))
+      .agg(sum(col("num_g")).as("num"), sum(col("den_g")).as("den"))
+      .select(col("k_groups"), col("n_total"),
+        round((col("n_total") - col("k_groups")).cast("double") /
+          (col("k_groups") - 1).cast("double") * col("num") / col("den"), 6)
+          .as("bf_f_stat"))
+  }
+
+  private val anLeveneSql =
+    """WITH c AS (SELECT c_mktsegment AS g,
+      |    CAST(CAST(c_acctbal AS DECIMAL(24,2)) * 100 AS BIGINT) AS v,
+      |    c_custkey AS k
+      |  FROM customer),
+      |r AS (SELECT g, v,
+      |        CAST(row_number() OVER (PARTITION BY g ORDER BY v, k) AS BIGINT) AS rn,
+      |        COUNT(*) OVER (PARTITION BY g) AS n_g
+      |      FROM c),
+      |med AS (SELECT g,
+      |          CAST(SUM(CASE WHEN rn = (n_g + 1) // 2 THEN v ELSE 0 END)
+      |             + SUM(CASE WHEN rn = n_g // 2 + 1 THEN v ELSE 0 END) AS BIGINT) AS med2
+      |        FROM r WHERE rn = (n_g + 1) // 2 OR rn = n_g // 2 + 1
+      |        GROUP BY g),
+      |z AS (SELECT c.g, abs(2 * c.v - med.med2) AS z2 FROM c JOIN med USING (g)),
+      |gs AS (SELECT g, COUNT(*) AS n,
+      |         CAST(SUM(CAST(z2 AS DECIMAL(38,0))) AS DOUBLE) AS sz,
+      |         CAST(SUM(CAST(CAST(z2 AS DECIMAL(38,0)) * z2 AS DECIMAL(38,0))) AS DOUBLE) AS qz
+      |       FROM z GROUP BY g),
+      |tot AS (SELECT COUNT(*) AS k_groups, CAST(SUM(n) AS BIGINT) AS n_total,
+      |          SUM(sz) AS s_all FROM gs),
+      |parts AS (SELECT t.k_groups, t.n_total,
+      |            CAST(g.n AS DOUBLE)
+      |              * (g.sz / (2.0 * CAST(g.n AS DOUBLE)) - t.s_all / (2.0 * CAST(t.n_total AS DOUBLE)))
+      |              * (g.sz / (2.0 * CAST(g.n AS DOUBLE)) - t.s_all / (2.0 * CAST(t.n_total AS DOUBLE))) AS num_g,
+      |            g.qz / 4.0 - g.sz * g.sz / (4.0 * CAST(g.n AS DOUBLE)) AS den_g
+      |          FROM gs g CROSS JOIN tot t)
+      |SELECT k_groups, n_total,
+      |  ROUND(CAST(n_total - k_groups AS DOUBLE) / CAST(k_groups - 1 AS DOUBLE)
+      |    * SUM(num_g) / SUM(den_g), 6) AS bf_f_stat
+      |FROM parts GROUP BY k_groups, n_total""".stripMargin
+
+  /** Nelson–Aalen cumulative hazard over the same churn survival frame
+    * as an_kaplan_meier (KM estimates survival multiplicatively; NA
+    * estimates the hazard additively and is the better-behaved
+    * estimator in heavy ties): H(t) = Σ d_i/n_i with its variance
+    * Σ d_i/n_i², both sequential cumulative window sums over the
+    * event-time frame — the risk-set construction is the one KM scan,
+    * the cumulation runs on the days-sized event table. */
+  private def anNelsonAalen(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val anchor = o.agg(max(col("o_orderdate")).as("mx"))
+    val cust = o.groupBy(col("o_custkey"))
+      .agg(min(col("o_orderdate")).as("f"), max(col("o_orderdate")).as("l"))
+      .crossJoin(broadcast(anchor))
+      .select(datediff(col("l"), col("f")).cast("bigint").as("t"),
+        (col("l") < col("mx") - expr("INTERVAL 90 DAYS")).cast("int").as("ev"))
+    val byT = cust.groupBy(col("t"))
+      .agg(count(lit(1)).as("n_at"), sum(col("ev")).cast("long").as("d"))
+    val wPrev = Window.orderBy(col("t")).rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.orderBy(col("t")).rowsBetween(Window.unboundedPreceding, 0)
+    byT.crossJoin(broadcast(cust.agg(count(lit(1)).as("n_total"))))
+      .withColumn("n_risk",
+        col("n_total") - coalesce(sum(col("n_at")).over(wPrev), lit(0L)))
+      .filter(col("d") > 0)
+      .withColumn("na_cumhaz", round(
+        sum(col("d").cast("double") / col("n_risk").cast("double")).over(wCum), 6))
+      .withColumn("na_var", round(
+        sum(col("d").cast("double") /
+          (col("n_risk").cast("double") * col("n_risk").cast("double"))).over(wCum), 6))
+      .select(col("t"), col("n_risk"), col("d"), col("na_cumhaz"), col("na_var"))
+      .orderBy(col("t"))
+  }
+
+  private val anNelsonAalenSql =
+    """WITH a AS (SELECT MAX(o_orderdate) AS mx FROM orders),
+      |c AS (SELECT o_custkey, MIN(o_orderdate) AS f, MAX(o_orderdate) AS l
+      |      FROM orders GROUP BY 1),
+      |cust AS (SELECT CAST(date_diff('day', f, l) AS BIGINT) AS t,
+      |                CASE WHEN l < mx - INTERVAL 90 DAY THEN 1 ELSE 0 END AS ev
+      |         FROM c CROSS JOIN a),
+      |byt AS (SELECT t, COUNT(*) AS n_at, CAST(SUM(ev) AS BIGINT) AS d
+      |        FROM cust GROUP BY 1),
+      |tot AS (SELECT COUNT(*) AS n_total FROM cust),
+      |r AS (SELECT t, d, n_total - COALESCE(CAST(SUM(n_at) OVER (ORDER BY t
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS n_risk
+      |      FROM byt CROSS JOIN tot)
+      |SELECT t, n_risk, d,
+      |  ROUND(SUM(CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE))
+      |    OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS na_cumhaz,
+      |  ROUND(SUM(CAST(d AS DOUBLE) / (CAST(n_risk AS DOUBLE) * CAST(n_risk AS DOUBLE)))
+      |    OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS na_var
+      |FROM r WHERE d > 0 ORDER BY t""".stripMargin
+
+  /** Page–Hinkley drift detector over daily revenue — the sequential
+    * change monitor next to an_cusum/an_mean_shift (PH tracks the
+    * cumulative deviation from the RUNNING mean, so it needs no
+    * reference window): m_t = Σ(x_s − mean_s), PH_t = m_t − min m_s.
+    * Every term is an integer sum divided once (running mean) and the
+    * cumulations are sequential ordered window sums — deterministic on
+    * both engines; the daily aggregate is the distributed part. */
+  private def anPageHinkley(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(sum((col("value").cast("decimal(24,2)") * 100).cast("bigint")).as("v"))
+    val wCum = Window.orderBy(col("day")).rowsBetween(Window.unboundedPreceding, 0)
+    val scored = daily
+      .withColumn("rn", row_number().over(Window.orderBy(col("day"))).cast("long"))
+      .withColumn("s", sum(col("v")).over(wCum))
+      .withColumn("dev", col("v").cast("double") -
+        col("s").cast("double") / col("rn").cast("double"))
+      .withColumn("m", sum(col("dev")).over(wCum))
+      .withColumn("ph", col("m") - min(col("m")).over(wCum))
+    scored.orderBy(col("ph").desc, col("day")).limit(1)
+      .select(col("rn").as("n_days_seen"), col("day").as("peak_day"),
+        round(col("ph") / 100.0, 6).as("ph_max_usd"))
+  }
+
+  private val anPageHinkleySql =
+    """WITH daily AS (SELECT date_trunc('day', ts) AS day,
+      |    CAST(SUM(CAST(CAST(value AS DECIMAL(24,2)) * 100 AS BIGINT)) AS BIGINT) AS v
+      |  FROM events GROUP BY 1),
+      |s1 AS (SELECT day, v,
+      |         CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS rn,
+      |         CAST(SUM(v) OVER (ORDER BY day
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS s
+      |       FROM daily),
+      |s2 AS (SELECT day, rn,
+      |         CAST(v AS DOUBLE) - CAST(s AS DOUBLE) / CAST(rn AS DOUBLE) AS dev
+      |       FROM s1),
+      |s3 AS (SELECT day, rn, SUM(dev) OVER (ORDER BY day
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m
+      |       FROM s2),
+      |s4 AS (SELECT day, rn, m - MIN(m) OVER (ORDER BY day
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph
+      |       FROM s3)
+      |SELECT rn AS n_days_seen, day AS peak_day, ROUND(ph / 100.0, 6) AS ph_max_usd
+      |FROM s4 ORDER BY ph DESC, day LIMIT 1""".stripMargin
+
+  /** Single change-point by binary segmentation over daily revenue —
+    * the locator the an_mean_shift detector implies: the split t that
+    * maximizes the between-segment SSE gain S_t²/t + (S_n−S_t)²/(n−t)
+    * − S_n²/n. Prefix sums are exact BIGINT cents (window-cumulated),
+    * the gain is a mirrored IEEE expression, argmax ties break to the
+    * earliest day. Daily aggregate distributed; the argmax runs on the
+    * days-sized frame. */
+  private def anChangepoint(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(sum((col("value").cast("decimal(24,2)") * 100).cast("bigint")).as("v"))
+    val wCum = Window.orderBy(col("day")).rowsBetween(Window.unboundedPreceding, 0)
+    val pre = daily
+      .withColumn("t", row_number().over(Window.orderBy(col("day"))).cast("long"))
+      .withColumn("s_t", sum(col("v")).over(wCum))
+    val tot = pre.agg(max(col("t")).as("n"), max(col("s_t")).as("s_n"))
+    val gains = pre.crossJoin(broadcast(tot))
+      .filter(col("t") < col("n"))
+      .withColumn("gain",
+        col("s_t").cast("double") * col("s_t").cast("double") / col("t").cast("double") +
+          (col("s_n") - col("s_t")).cast("double") * (col("s_n") - col("s_t")).cast("double") /
+            (col("n") - col("t")).cast("double") -
+          col("s_n").cast("double") * col("s_n").cast("double") / col("n").cast("double"))
+    gains.orderBy(col("gain").desc, col("day")).limit(1)
+      .select(col("day").as("split_day"), col("t"), col("n"),
+        round(col("s_t").cast("double") / col("t").cast("double") / 100.0, 2)
+          .as("mean_before_usd"),
+        round((col("s_n") - col("s_t")).cast("double") /
+          (col("n") - col("t")).cast("double") / 100.0, 2).as("mean_after_usd"),
+        round(col("gain") / 10000.0, 6).as("gain_usd2"))
+  }
+
+  private val anChangepointSql =
+    """WITH daily AS (SELECT date_trunc('day', ts) AS day,
+      |    CAST(SUM(CAST(CAST(value AS DECIMAL(24,2)) * 100 AS BIGINT)) AS BIGINT) AS v
+      |  FROM events GROUP BY 1),
+      |pre AS (SELECT day,
+      |          CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t,
+      |          CAST(SUM(v) OVER (ORDER BY day
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS s_t
+      |        FROM daily),
+      |tot AS (SELECT MAX(t) AS n, MAX(s_t) AS s_n FROM pre),
+      |g AS (SELECT day, t, n, s_t, s_n,
+      |        CAST(s_t AS DOUBLE) * CAST(s_t AS DOUBLE) / CAST(t AS DOUBLE)
+      |        + CAST(s_n - s_t AS DOUBLE) * CAST(s_n - s_t AS DOUBLE) / CAST(n - t AS DOUBLE)
+      |        - CAST(s_n AS DOUBLE) * CAST(s_n AS DOUBLE) / CAST(n AS DOUBLE) AS gain
+      |      FROM pre CROSS JOIN tot WHERE t < n)
+      |SELECT day AS split_day, t, n,
+      |  ROUND(CAST(s_t AS DOUBLE) / CAST(t AS DOUBLE) / 100.0, 2) AS mean_before_usd,
+      |  ROUND(CAST(s_n - s_t AS DOUBLE) / CAST(n - t AS DOUBLE) / 100.0, 2) AS mean_after_usd,
+      |  ROUND(gain / 10000.0, 6) AS gain_usd2
+      |FROM g ORDER BY gain DESC, day LIMIT 1""".stripMargin
+
+  /** Shewhart control chart with Western Electric rules over daily
+    * revenue — the SPC view of the series an_cusum/an_page_hinkley
+    * monitor sequentially: per day the z-score against the whole-series
+    * mean/SD, rule 1 (one point beyond 3σ) and rule 2 (two of three
+    * consecutive points beyond 2σ on the same side, via two lag
+    * windows). All inputs are exact integer cents; z is one mirrored
+    * IEEE expression; the flags are integer comparisons on identical
+    * doubles. */
+  private def anSpcRules(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(sum((col("value").cast("decimal(24,2)") * 100).cast("bigint")).as("v"))
+    val m = daily.agg(count(lit(1)).as("n"),
+      sum(col("v").cast("decimal(38,0)")).cast("double").as("s1"),
+      sum((col("v").cast("decimal(38,0)") * col("v")).cast("decimal(38,0)"))
+        .cast("double").as("s2"))
+    val wDay = Window.orderBy(col("day"))
+    daily.crossJoin(broadcast(m))
+      .withColumn("mu", col("s1") / col("n").cast("double"))
+      .withColumn("sd", sqrt((col("s2") - col("s1") * col("s1") / col("n").cast("double")) /
+        (col("n").cast("double") - 1.0)))
+      .withColumn("z", (col("v").cast("double") - col("mu")) / col("sd"))
+      .withColumn("b2", when(col("z") > 2.0, 1).when(col("z") < -2.0, -1).otherwise(0))
+      .withColumn("b2l1", coalesce(lag(col("b2"), 1).over(wDay), lit(0)))
+      .withColumn("b2l2", coalesce(lag(col("b2"), 2).over(wDay), lit(0)))
+      .select(col("day"), round(col("z"), 6).as("z"),
+        (abs(col("z")) > 3.0).as("rule1_beyond_3sd"),
+        ((when(col("b2") === 1, 1).otherwise(0) + when(col("b2l1") === 1, 1).otherwise(0) +
+          when(col("b2l2") === 1, 1).otherwise(0) >= 2) ||
+          (when(col("b2") === -1, 1).otherwise(0) + when(col("b2l1") === -1, 1).otherwise(0) +
+            when(col("b2l2") === -1, 1).otherwise(0) >= 2)).as("rule2_two_of_three_2sd"))
+      .orderBy(col("day"))
+  }
+
+  private val anSpcRulesSql =
+    """WITH daily AS (SELECT date_trunc('day', ts) AS day,
+      |    CAST(SUM(CAST(CAST(value AS DECIMAL(24,2)) * 100 AS BIGINT)) AS BIGINT) AS v
+      |  FROM events GROUP BY 1),
+      |m AS (SELECT COUNT(*) AS n,
+      |    CAST(SUM(CAST(v AS DECIMAL(38,0))) AS DOUBLE) AS s1,
+      |    CAST(SUM(CAST(CAST(v AS DECIMAL(38,0)) * v AS DECIMAL(38,0))) AS DOUBLE) AS s2
+      |  FROM daily),
+      |z AS (SELECT day,
+      |        (CAST(v AS DOUBLE) - s1 / CAST(n AS DOUBLE))
+      |          / sqrt((s2 - s1 * s1 / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)) AS z
+      |      FROM daily CROSS JOIN m),
+      |b AS (SELECT day, z,
+      |        CASE WHEN z > 2.0 THEN 1 WHEN z < -2.0 THEN -1 ELSE 0 END AS b2
+      |      FROM z),
+      |l AS (SELECT day, z, b2,
+      |        COALESCE(lag(b2, 1) OVER (ORDER BY day), 0) AS b2l1,
+      |        COALESCE(lag(b2, 2) OVER (ORDER BY day), 0) AS b2l2
+      |      FROM b)
+      |SELECT day, ROUND(z, 6) AS z,
+      |  abs(z) > 3.0 AS rule1_beyond_3sd,
+      |  ((CASE WHEN b2 = 1 THEN 1 ELSE 0 END + CASE WHEN b2l1 = 1 THEN 1 ELSE 0 END
+      |    + CASE WHEN b2l2 = 1 THEN 1 ELSE 0 END) >= 2)
+      |  OR ((CASE WHEN b2 = -1 THEN 1 ELSE 0 END + CASE WHEN b2l1 = -1 THEN 1 ELSE 0 END
+      |    + CASE WHEN b2l2 = -1 THEN 1 ELSE 0 END) >= 2) AS rule2_two_of_three_2sd
+      |FROM l ORDER BY day""".stripMargin
+
   /** k-core decomposition (k=10, convergence-driven synchronous peeling
     * via [[graft.operators.IterativeGraph.kcoreAlive]]; the DuckDB
     * oracle unrolls 4 fixed rounds, equal to the fixpoint at every test
@@ -8823,6 +9115,11 @@ object SparkEntry {
     "an_jarque_bera" -> (anJarqueBera _),
     "an_grubbs" -> (anGrubbs _),
     "an_cohens_d" -> (anCohensD _),
+    "an_levene" -> (anLevene _),
+    "an_nelson_aalen" -> (anNelsonAalen _),
+    "an_page_hinkley" -> (anPageHinkley _),
+    "an_changepoint" -> (anChangepoint _),
+    "an_spc_rules" -> (anSpcRules _),
     "text_fingerprint" -> (textFingerprint _),
     "mm_binary_meta" -> (mmBinaryMeta _),
     "mm_decode_stats" -> (mmDecodeStats _),
@@ -9057,6 +9354,11 @@ object SparkEntry {
     "an_jarque_bera" -> anJarqueBeraSql,
     "an_grubbs" -> anGrubbsSql,
     "an_cohens_d" -> anCohensDSql,
+    "an_levene" -> anLeveneSql,
+    "an_nelson_aalen" -> anNelsonAalenSql,
+    "an_page_hinkley" -> anPageHinkleySql,
+    "an_changepoint" -> anChangepointSql,
+    "an_spc_rules" -> anSpcRulesSql,
     "text_fingerprint" -> textFingerprintSql,
     "mm_binary_meta" -> mmBinaryMetaSql,
     "mm_decode_stats" -> mmDecodeStatsSql,
