@@ -1580,6 +1580,60 @@ object SparkEntry {
       |       + (SELECT slope FROM rk WHERE rn = m.m // 2 + 1)) / 2.0, 6) AS slope_cpd
       |FROM m""".stripMargin
 
+  /** Per-user interval-union coverage — merge each user's overlapping
+    * 30-minute activity intervals and report the union length and
+    * island count (the "how much wall-clock was this user actually
+    * active" question that naive per-event sums double-count). Island
+    * detection is the gaps-and-islands running-max pattern on exact
+    * epoch seconds: a new island starts where the interval's start
+    * clears the running max end; everything is integer, windows
+    * partition by user — fully distributed, no cross-user state. */
+  private def qIntervalCoverage(s: SparkSession, dir: String): DataFrame = {
+    val iv = Tables.events(s, dir)
+      .select(col("user_id"),
+        unix_micros(col("ts")).as("st"),
+        (unix_micros(col("ts")) + 1800L * 1000000L).as("en"))
+    val wSeq = Window.partitionBy(col("user_id")).orderBy(col("st"), col("en"))
+    val marked = iv
+      .withColumn("max_en_prev",
+        max(col("en")).over(wSeq.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("new_island",
+        when(col("max_en_prev").isNull || col("st") > col("max_en_prev"), 1L).otherwise(0L))
+      .withColumn("island",
+        sum(col("new_island")).over(wSeq.rowsBetween(Window.unboundedPreceding, 0)))
+    marked.groupBy(col("user_id"), col("island"))
+      .agg(min(col("st")).as("i_st"), max(col("en")).as("i_en"),
+        count(lit(1)).as("n_iv"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("n_iv")).as("n_intervals"),
+        count(lit(1)).as("n_islands"),
+        (sum(col("i_en") - col("i_st")) / lit(1000000L)).cast("long").as("covered_sec"))
+      .orderBy(col("user_id"))
+  }
+
+  private val qIntervalCoverageSql =
+    """WITH iv AS (SELECT user_id,
+      |    CAST(epoch_us(ts) AS BIGINT) AS st,
+      |    CAST(epoch_us(ts) AS BIGINT) + 1800 * 1000000 AS en
+      |  FROM events),
+      |mk AS (SELECT user_id, st, en,
+      |         MAX(en) OVER (PARTITION BY user_id ORDER BY st, en
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS max_en_prev
+      |       FROM iv),
+      |isl AS (SELECT user_id, st, en,
+      |          CAST(SUM(CASE WHEN max_en_prev IS NULL OR st > max_en_prev
+      |                        THEN 1 ELSE 0 END)
+      |            OVER (PARTITION BY user_id ORDER BY st, en
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS island
+      |        FROM mk),
+      |g AS (SELECT user_id, island, MIN(st) AS i_st, MAX(en) AS i_en,
+      |        COUNT(*) AS n_iv
+      |      FROM isl GROUP BY 1, 2)
+      |SELECT user_id, CAST(SUM(n_iv) AS BIGINT) AS n_intervals,
+      |  COUNT(*) AS n_islands,
+      |  CAST(CAST(SUM(i_en - i_st) AS BIGINT) // 1000000 AS BIGINT) AS covered_sec
+      |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin
+
   /** Spearman rank correlation between daily revenue and daily event
     * volume — the monotone-association screen that, unlike Pearson
     * (an_corr_matrix), ignores the revenue distribution's heavy tail.
@@ -3248,6 +3302,64 @@ object SparkEntry {
        |       ELSE 0.0 END AS bpe_per_word
        |FROM documents ORDER BY doc_id""".stripMargin
   }
+
+  /** Top-20 bigram collocations by pointwise mutual information — the
+    * phrase miner next to an_bigram_logprob (that one screens documents
+    * with corpus probabilities; this one surfaces the phrases
+    * themselves): PMI = ln((c_xy/N_bi) / ((c_x/N_u)(c_y/N_u))) over
+    * min-count-5 bigrams, ranked desc with (w1, w2) tie-break. Two
+    * posting-shaped partial-aggregated groupBys (bigrams, unigrams) —
+    * the shuffle carries token counts, never documents — then a tiny
+    * broadcast of the two totals; the standard distributed collocation
+    * shape at any corpus size. */
+  private def textPmiCollocations(s: SparkSession, dir: String): DataFrame = {
+    val ws = split(col("text"), " ")
+    val docs = Tables.documents(s, dir)
+    val bigrams = docs
+      .select(explode(when(size(ws) >= 2,
+        transform(sequence(lit(1), size(ws) - 1),
+          i => struct(element_at(ws, i).as("w1"), element_at(ws, i + 1).as("w2"))))
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("b"))
+      .select(col("b.w1"), col("b.w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_xy"))
+    val unigrams = docs.select(explode(ws).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c_w"))
+    val totals = bigrams.agg(sum(col("c_xy")).as("n_bi"))
+      .crossJoin(unigrams.agg(sum(col("c_w")).as("n_uni")))
+    bigrams.filter(col("c_xy") >= 5)
+      .join(unigrams.select(col("w").as("w1"), col("c_w").as("c_x")), "w1")
+      .join(unigrams.select(col("w").as("w2"), col("c_w").as("c_y")), "w2")
+      .crossJoin(broadcast(totals))
+      .withColumn("pmi", round(
+        log((col("c_xy").cast("double") / col("n_bi").cast("double")) /
+          ((col("c_x").cast("double") / col("n_uni").cast("double")) *
+            (col("c_y").cast("double") / col("n_uni").cast("double")))), 6))
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("pmi").desc, col("w1"), col("w2"))))
+      .filter(col("rnk") <= 20)
+      .select(col("rnk"), col("w1"), col("w2"), col("c_xy"), col("pmi"))
+      .orderBy(col("rnk"))
+  }
+
+  private val textPmiCollocationsSql =
+    """WITH t AS (SELECT string_split(text, ' ') AS ws FROM documents),
+      |bi AS (SELECT ws[CAST(i AS INT)] AS w1, ws[CAST(i AS INT) + 1] AS w2
+      |       FROM t, unnest(range(1, greatest(len(ws), 1))) AS u(i)),
+      |bg AS (SELECT w1, w2, COUNT(*) AS c_xy FROM bi GROUP BY 1, 2),
+      |un AS (SELECT unnest(ws) AS w FROM t),
+      |ug AS (SELECT w, COUNT(*) AS c_w FROM un GROUP BY 1),
+      |tot AS (SELECT (SELECT CAST(SUM(c_xy) AS BIGINT) FROM bg) AS n_bi,
+      |               (SELECT CAST(SUM(c_w) AS BIGINT) FROM ug) AS n_uni),
+      |sc AS (SELECT b.w1, b.w2, b.c_xy,
+      |         ROUND(ln((CAST(b.c_xy AS DOUBLE) / CAST(tot.n_bi AS DOUBLE))
+      |           / ((CAST(x.c_w AS DOUBLE) / CAST(tot.n_uni AS DOUBLE))
+      |              * (CAST(y.c_w AS DOUBLE) / CAST(tot.n_uni AS DOUBLE)))), 6) AS pmi
+      |       FROM bg b JOIN ug x ON x.w = b.w1 JOIN ug y ON y.w = b.w2
+      |            CROSS JOIN tot
+      |       WHERE b.c_xy >= 5)
+      |SELECT CAST(rnk AS BIGINT) AS rnk, w1, w2, c_xy, pmi FROM (
+      |  SELECT *, row_number() OVER (ORDER BY pmi DESC, w1, w2) AS rnk FROM sc) z
+      |WHERE rnk <= 20 ORDER BY rnk""".stripMargin
 
   private def textFingerprint(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
@@ -8822,6 +8934,172 @@ object SparkEntry {
        |  l + 7.0 * b AS fc7_cents FROM s31""".stripMargin
   }
 
+  /** Holt–Winters additive seasonal smoothing (period 7, α=β=γ=1/2) —
+    * an_holt_forecast plus the weekly seasonal ring the raw Holt model
+    * aliases into its trend. All three recursions use dyadic 1/2
+    * smoothing (IEEE-exact halvings, the an_ewma recipe); the only
+    * non-dyadic op is the one init division by 7 (a single correctly-
+    * rounded IEEE divide, identical on both engines). Level/trend
+    * init: l=mean(first week), b=0; seasonal init s_i = x_i − l. The
+    * oracle unrolls the t=8..31 recursion with the 7-slot seasonal
+    * ring carried through every CTE step. Daily aggregate distributed;
+    * the fold is days-sized driver state (the Holt posture). */
+  private def anHoltWinters(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(sum((col("value").cast("decimal(24,2)") * 100).cast("bigint")).as("rev_c"))
+      .orderBy(col("day"))
+      .select(col("rev_c")).as[Long](org.apache.spark.sql.Encoders.scalaLong)
+      .collect()
+    require(daily.length >= 8, s"Holt-Winters needs >= 8 days, got ${daily.length}")
+    require(daily.length <= 31,
+      s"oracle unrolls 31 steps; got ${daily.length} days — widen anHoltWintersSql first")
+    val x = daily.map(_.toDouble)
+    var l = x.take(7).sum / 7.0
+    var b = 0.0
+    val ring = Array.tabulate(7)(i => x(i) - l) // slot i == (t-1) % 7
+    var t = 8
+    while (t <= x.length) {
+      val xt = x(t - 1)
+      val slot = (t - 1) % 7
+      val sp = ring(slot)
+      val lNew = (xt - sp) / 2.0 + (l + b) / 2.0
+      val bNew = (lNew - l) / 2.0 + b / 2.0
+      ring(slot) = (xt - l - b) / 2.0 + sp / 2.0
+      l = lNew; b = bNew
+      t += 1
+    }
+    val n = x.length
+    val fc7 = l + 7.0 * b + ring((n + 6) % 7)
+    import s.implicits._
+    Seq((n.toLong, l, b, fc7)).toDF("n_days", "level_cents", "trend_cents", "fc7_cents")
+  }
+
+  private val anHoltWintersSql: String = {
+    def y(i: Int) = s"(SELECT rev_c FROM r WHERE rn = $i)"
+    val sInit = (0 until 7).map(i => s"CAST(${y(i + 1)} AS DOUBLE) - l AS s$i").mkString(", ")
+    val steps = (8 to 31).map { t =>
+      val slot = (t - 1) % 7
+      val carries = (0 until 7).filter(_ != slot).map(i => s"s$i").mkString(", ")
+      s"""s$t AS (SELECT n,
+         |  CASE WHEN n >= $t THEN (CAST(${y(t)} AS DOUBLE) - s$slot) / 2.0 + (l + b) / 2.0
+         |       ELSE l END AS l,
+         |  CASE WHEN n >= $t THEN (((CAST(${y(t)} AS DOUBLE) - s$slot) / 2.0 + (l + b) / 2.0) - l) / 2.0 + b / 2.0
+         |       ELSE b END AS b,
+         |  CASE WHEN n >= $t THEN (CAST(${y(t)} AS DOUBLE) - l - b) / 2.0 + s$slot / 2.0
+         |       ELSE s$slot END AS s$slot,
+         |  $carries
+         |  FROM s${t - 1})""".stripMargin
+    }.mkString(",\n")
+    val fcSlot = (0 until 7).map(i =>
+      s"WHEN (n + 6) % 7 = $i THEN s$i").mkString(" ")
+    s"""WITH daily AS (SELECT date_trunc('day', ts) AS day,
+       |    CAST(SUM(CAST(CAST(value AS DECIMAL(24,2)) * 100 AS BIGINT)) AS BIGINT) AS rev_c
+       |  FROM events GROUP BY 1),
+       |r AS (SELECT rev_c, ROW_NUMBER() OVER (ORDER BY day) AS rn FROM daily),
+       |i0 AS (SELECT (CAST(${y(1)} AS DOUBLE) + ${y(2)} + ${y(3)} + ${y(4)}
+       |             + ${y(5)} + ${y(6)} + ${y(7)}) / 7.0 AS l,
+       |              (SELECT COUNT(*) FROM r) AS n),
+       |s7 AS (SELECT n, l, 0.0 AS b, $sInit FROM i0),
+       |$steps
+       |SELECT n AS n_days, l AS level_cents, b AS trend_cents,
+       |  l + 7.0 * b + (CASE $fcSlot END) AS fc7_cents FROM s31""".stripMargin
+  }
+
+  /** Largest-Triangle-Three-Buckets downsampling of daily revenue to
+    * 12 points — the dashboard-decimation operator (keep the visual
+    * shape of a series with a fixed point budget): first/last pinned,
+    * 10 interior buckets, each bucket contributing the point with the
+    * largest triangle area against the PREVIOUS chosen point and the
+    * NEXT bucket's centroid. The selection is sequential by
+    * construction (each step needs the prior winner), so the fold runs
+    * on the collected days-sized series (the Holt driver-state
+    * posture) and the oracle unrolls the 10 bucket steps as CTEs; the
+    * area comparison is a mirrored IEEE expression over exact integer
+    * cents with argmax ties to the earliest day. */
+  private def anLttb(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(sum((col("value").cast("decimal(24,2)") * 100).cast("bigint")).as("v"))
+      .orderBy(col("day"))
+      .select(substring(col("day").cast("string"), 1, 10), col("v"))
+      .as[(String, Long)](org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.STRING, org.apache.spark.sql.Encoders.scalaLong))
+      .collect()
+    val n = daily.length
+    require(n >= 12, s"LTTB to 12 points needs >= 12 days, got $n")
+    val buckets = 10
+    // interior ranks 2..n-1 split into 10 buckets (rank space, 1-based)
+    def lo(i: Int) = (i.toLong * (n - 2) / buckets).toInt + 2
+    def hi(i: Int) = ((i + 1).toLong * (n - 2) / buckets).toInt + 1
+    val sel = scala.collection.mutable.ArrayBuffer[Int](1) // ranks, first pinned
+    var px = 1.0
+    var py = daily(0)._2.toDouble
+    (0 until buckets).foreach { i =>
+      val (ax, ay) =
+        if (i < buckets - 1) {
+          val r = (lo(i + 1) to hi(i + 1))
+          (r.map(_.toDouble).sum / r.size, r.map(k => daily(k - 1)._2.toDouble).sum / r.size)
+        } else (n.toDouble, daily(n - 1)._2.toDouble)
+      var bestR = lo(i)
+      var bestA = -1.0
+      (lo(i) to hi(i)).foreach { r =>
+        val x = r.toDouble
+        val y = daily(r - 1)._2.toDouble
+        val a = math.abs((px - ax) * (y - py) - (px - x) * (ay - py))
+        if (a > bestA) { bestA = a; bestR = r } // strict: ties keep earliest
+      }
+      sel += bestR
+      px = bestR.toDouble
+      py = daily(bestR - 1)._2.toDouble
+    }
+    sel += n
+    import s.implicits._
+    sel.toSeq.zipWithIndex
+      .map { case (r, i) =>
+        (i.toLong + 1, r.toLong, daily(r - 1)._1, daily(r - 1)._2) }
+      .toDF("seq", "x_rank", "day", "y_cents")
+  }
+
+  private val anLttbSql: String = {
+    // bucket i membership in rank space (n is a runtime scalar)
+    def loB(i: Int) = s"($i * (n - 2)) // 10 + 2"
+    def hiB(i: Int) = s"(${i + 1} * (n - 2)) // 10 + 1"
+    val steps = (0 until 10).map { i =>
+      val nextAvg =
+        if (i < 9)
+          s"""na$i AS (SELECT AVG(CAST(rn AS DOUBLE)) AS ax, AVG(CAST(v AS DOUBLE)) AS ay
+             |        FROM r CROSS JOIN t WHERE rn >= ${loB(i + 1)} AND rn <= ${hiB(i + 1)})""".stripMargin
+        else
+          s"""na$i AS (SELECT CAST(n AS DOUBLE) AS ax,
+             |               (SELECT CAST(v AS DOUBLE) FROM r CROSS JOIN t WHERE rn = n) AS ay
+             |        FROM t)""".stripMargin
+      val prev = if (i == 0) "sel_init" else s"sel${i - 1}"
+      s"""$nextAvg,
+         |sel$i AS (SELECT b.rn, b.v FROM r b CROSS JOIN t CROSS JOIN $prev p CROSS JOIN na$i a
+         |          WHERE b.rn >= ${loB(i)} AND b.rn <= ${hiB(i)}
+         |          ORDER BY abs((CAST(p.rn AS DOUBLE) - a.ax) * (CAST(b.v AS DOUBLE) - CAST(p.v AS DOUBLE))
+         |                     - (CAST(p.rn AS DOUBLE) - CAST(b.rn AS DOUBLE)) * (a.ay - CAST(p.v AS DOUBLE))) DESC,
+         |                   b.rn
+         |          LIMIT 1)""".stripMargin
+    }.mkString(",\n")
+    val picks = (Seq("SELECT 1 AS seq, rn, v FROM sel_init") ++
+      (0 until 10).map(i => s"SELECT ${i + 2} AS seq, rn, v FROM sel$i") ++
+      Seq("SELECT 12 AS seq, rn, v FROM r CROSS JOIN t WHERE rn = n")).mkString("\n  UNION ALL ")
+    s"""WITH daily AS (SELECT date_trunc('day', ts) AS day,
+       |    CAST(SUM(CAST(CAST(value AS DECIMAL(24,2)) * 100 AS BIGINT)) AS BIGINT) AS v
+       |  FROM events GROUP BY 1),
+       |r AS (SELECT day, v, CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS rn
+       |      FROM daily),
+       |t AS (SELECT COUNT(*) AS n FROM r),
+       |sel_init AS (SELECT rn, v FROM r WHERE rn = 1),
+       |$steps,
+       |p AS ($picks)
+       |SELECT CAST(p.seq AS BIGINT) AS seq, p.rn AS x_rank,
+       |       substr(CAST(r.day AS VARCHAR), 1, 10) AS day, p.v AS y_cents
+       |FROM p JOIN r ON r.rn = p.rn ORDER BY seq""".stripMargin
+  }
+
   /** CUPED variance reduction — the pre-experiment-covariate adjustment
     * that sits between an_ab_srm (trust) and an_abtest/an_did (effect):
     * per user, pre-period and post-period value sums (X, Y) from ONE
@@ -9116,6 +9394,10 @@ object SparkEntry {
     "an_grubbs" -> (anGrubbs _),
     "an_cohens_d" -> (anCohensD _),
     "an_levene" -> (anLevene _),
+    "an_holt_winters" -> (anHoltWinters _),
+    "text_pmi_collocations" -> (textPmiCollocations _),
+    "q_interval_coverage" -> (qIntervalCoverage _),
+    "an_lttb" -> (anLttb _),
     "an_nelson_aalen" -> (anNelsonAalen _),
     "an_page_hinkley" -> (anPageHinkley _),
     "an_changepoint" -> (anChangepoint _),
@@ -9355,6 +9637,10 @@ object SparkEntry {
     "an_grubbs" -> anGrubbsSql,
     "an_cohens_d" -> anCohensDSql,
     "an_levene" -> anLeveneSql,
+    "an_holt_winters" -> anHoltWintersSql,
+    "text_pmi_collocations" -> textPmiCollocationsSql,
+    "q_interval_coverage" -> qIntervalCoverageSql,
+    "an_lttb" -> anLttbSql,
     "an_nelson_aalen" -> anNelsonAalenSql,
     "an_page_hinkley" -> anPageHinkleySql,
     "an_changepoint" -> anChangepointSql,
