@@ -3719,6 +3719,49 @@ object SparkEntry {
       |  CAST(54 + ((3 * MAX(width) + 3) // 4) * 4 * MAX(height) AS BIGINT) AS file_bytes
       |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Region features from a REAL raster decode — the thumbnail/tiling
+    * operator over [[graft.multimodal.BinaryColumns.decodeBmpPixels]]
+    * (the decoder the perceptual-hash path uses, here under the hash
+    * oracle directly): larger synthetic BMPs (up to 16×12, md5-nibble
+    * pixels) are container-encoded, raster-decoded per partition, and
+    * reduced to a 2×2 grid of exact integer brightness sums. The
+    * oracle rederives every pixel byte AND the tile geometry in SQL,
+    * so a row-order flip, BGR swap, or stride mistake in the decoder
+    * breaks the hash. 4 rows per document, decode is map-only. */
+  private def mmImageTiles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir).select(col("doc_id").cast("long")).as[Long]
+    val payloads = docs.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { id =>
+        val w = 8 + (id % 9).toInt; val h = 8 + (id % 5).toInt
+        val rgb = Array.tabulate(3 * w * h) { p =>
+          md.digest(s"tile:$id:$p".getBytes("UTF-8"))(0)
+        }
+        (id, graft.multimodal.BinaryColumns.encodeBmp(w, h, rgb))
+      }
+    }.toDF("doc_id", "payload")
+    graft.multimodal.BinaryColumns.bmpTileBatch(payloads)(s).toDF()
+      .orderBy(col("doc_id"), col("tile"))
+  }
+
+  private val mmImageTilesSql =
+    """WITH d AS (SELECT doc_id, CAST(8 + doc_id % 9 AS INT) AS w,
+      |    CAST(8 + doc_id % 5 AS INT) AS h FROM documents),
+      |px AS (SELECT d.doc_id, d.w, d.h, p.range AS p,
+      |    16 * (instr('0123456789abcdef', substr(md5('tile:' ||
+      |      CAST(d.doc_id AS VARCHAR) || ':' || CAST(p.range AS VARCHAR)), 1, 1)) - 1)
+      |       + (instr('0123456789abcdef', substr(md5('tile:' ||
+      |      CAST(d.doc_id AS VARCHAR) || ':' || CAST(p.range AS VARCHAR)), 2, 1)) - 1) AS v
+      |  FROM d CROSS JOIN range(0, 576) p
+      |  WHERE p.range < 3 * d.w * d.h),
+      |t AS (SELECT doc_id, v,
+      |        CAST((2 * ((p // 3) // w) // h) * 2 + 2 * ((p // 3) % w) // w AS INT) AS tile
+      |      FROM px)
+      |SELECT doc_id, tile, CAST(COUNT(*) // 3 AS BIGINT) AS n_px,
+      |  CAST(SUM(v) AS BIGINT) AS sum_rgb
+      |FROM t GROUP BY doc_id, tile ORDER BY doc_id, tile""".stripMargin
+
   /** REAL audio decode under the hash oracle — the WAV twin of
     * [[mmDecodeStats]]: each document gets a genuine RIFF/WAVE PCM
     * payload (16-bit LE mono samples synthesized from md5 nibbles,
@@ -9153,6 +9196,95 @@ object SparkEntry {
        |FROM p JOIN r ON r.rn = p.rn ORDER BY seq""".stripMargin
   }
 
+  /** Partial autocorrelation (lags 1..5) of daily revenue via
+    * Durbin–Levinson — the AR-order picker an_autocorr motivates (ACF
+    * says "correlated"; PACF says "how many AR terms"). Lagged
+    * cross-products, head/tail sums and pair counts are EXACT decimal
+    * integers from one lag-window pass; every r_k and the whole DL
+    * recursion are evaluated from textual expressions SHARED verbatim
+    * with the oracle SQL (both engines parse the identical arithmetic
+    * → identical IEEE op order), so five chained rational recursions
+    * stay bit-identical before the final ROUND. */
+  private val pacfRs: Seq[(String, String)] =
+    Seq("mu" -> "sx / nd") ++ (1 to 5).map(k =>
+      s"r$k" -> (s"(a$k - mu * (h$k + t$k) + m$k * mu * mu) " +
+        s"/ (a0 - 2.0 * mu * sx + nd * mu * mu)"))
+
+  private val pacfSteps: Seq[(String, String)] = Seq(
+    "phi11" -> "r1",
+    "phi22" -> "(r2 - phi11 * r1) / (1.0 - phi11 * r1)",
+    "phi21" -> "phi11 - phi22 * phi11",
+    "phi33" -> "(r3 - (phi21 * r2 + phi22 * r1)) / (1.0 - (phi21 * r1 + phi22 * r2))",
+    "phi31" -> "phi21 - phi33 * phi22",
+    "phi32" -> "phi22 - phi33 * phi21",
+    "phi44" -> ("(r4 - (phi31 * r3 + phi32 * r2 + phi33 * r1)) " +
+      "/ (1.0 - (phi31 * r1 + phi32 * r2 + phi33 * r3))"),
+    "phi41" -> "phi31 - phi44 * phi33",
+    "phi42" -> "phi32 - phi44 * phi32",
+    "phi43" -> "phi33 - phi44 * phi31",
+    "phi55" -> ("(r5 - (phi41 * r4 + phi42 * r3 + phi43 * r2 + phi44 * r1)) " +
+      "/ (1.0 - (phi41 * r1 + phi42 * r2 + phi43 * r3 + phi44 * r4))"))
+
+  private def anPacf(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(sum((col("value").cast("decimal(24,2)") * 100).cast("bigint")).as("x"))
+    val w = Window.orderBy(col("day"))
+    val lagged = daily.select(col("x") +: (1 to 5).map(k =>
+      lag(col("x"), k).over(w).as(s"l$k")): _*)
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val aggs = Seq(count(lit(1)).cast("double").as("nd"),
+        sum(dec(col("x"))).cast("double").as("sx"),
+        sum(dec(col("x")) * col("x")).cast("double").as("a0")) ++
+      (1 to 5).flatMap { k =>
+        val lk = col(s"l$k")
+        Seq(sum(when(lk.isNotNull, dec(col("x")) * lk).otherwise(dec(lit(0))))
+            .cast("double").as(s"a$k"),
+          sum(when(lk.isNotNull, dec(lk)).otherwise(dec(lit(0)))).cast("double").as(s"h$k"),
+          sum(when(lk.isNotNull, dec(col("x"))).otherwise(dec(lit(0)))).cast("double").as(s"t$k"),
+          sum(when(lk.isNotNull, 1L).otherwise(0L)).cast("double").as(s"m$k"))
+      }
+    val base = lagged.agg(aggs.head, aggs.tail: _*)
+    val solved = (pacfRs ++ pacfSteps).foldLeft(base) { case (df, (n, e)) =>
+      df.selectExpr("*", s"$e AS $n")
+    }
+    solved.selectExpr("CAST(nd AS BIGINT) AS n_days",
+      "ROUND(phi11, 6) AS pacf_1", "ROUND(phi22, 6) AS pacf_2",
+      "ROUND(phi33, 6) AS pacf_3", "ROUND(phi44, 6) AS pacf_4",
+      "ROUND(phi55, 6) AS pacf_5")
+  }
+
+  private val anPacfSql: String = {
+    val aggCols = (1 to 5).map { k =>
+      s"""    CAST(SUM(CASE WHEN l$k IS NOT NULL THEN CAST(x AS DECIMAL(38,0)) * l$k ELSE 0 END) AS DOUBLE) AS a$k,
+         |    CAST(SUM(CASE WHEN l$k IS NOT NULL THEN CAST(l$k AS DECIMAL(38,0)) ELSE 0 END) AS DOUBLE) AS h$k,
+         |    CAST(SUM(CASE WHEN l$k IS NOT NULL THEN CAST(x AS DECIMAL(38,0)) ELSE 0 END) AS DOUBLE) AS t$k,
+         |    CAST(SUM(CASE WHEN l$k IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) AS m$k""".stripMargin
+    }.mkString(",\n")
+    val chain = (pacfRs ++ pacfSteps).zipWithIndex.map { case ((n, e), i) =>
+      val prev = if (i == 0) "base" else s"c${i - 1}"
+      s"c$i AS (SELECT *, $e AS $n FROM $prev)"
+    }.mkString(",\n")
+    val last = s"c${pacfRs.length + pacfSteps.length - 1}"
+    s"""WITH daily AS (SELECT date_trunc('day', ts) AS day,
+       |    CAST(SUM(CAST(CAST(value AS DECIMAL(24,2)) * 100 AS BIGINT)) AS BIGINT) AS x
+       |  FROM events GROUP BY 1),
+       |lagged AS (SELECT x,
+       |    ${(1 to 5).map(k => s"LAG(x, $k) OVER (ORDER BY day) AS l$k").mkString(", ")}
+       |  FROM daily),
+       |base AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd,
+       |    CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+       |    CAST(SUM(CAST(x AS DECIMAL(38,0)) * x) AS DOUBLE) AS a0,
+       |$aggCols
+       |  FROM lagged),
+       |$chain
+       |SELECT CAST(nd AS BIGINT) AS n_days,
+       |  ROUND(phi11, 6) AS pacf_1, ROUND(phi22, 6) AS pacf_2,
+       |  ROUND(phi33, 6) AS pacf_3, ROUND(phi44, 6) AS pacf_4,
+       |  ROUND(phi55, 6) AS pacf_5
+       |FROM $last""".stripMargin
+  }
+
   /** CUPED variance reduction — the pre-experiment-covariate adjustment
     * that sits between an_ab_srm (trust) and an_abtest/an_did (effect):
     * per user, pre-period and post-period value sums (X, Y) from ONE
@@ -9452,6 +9584,7 @@ object SparkEntry {
     "q_interval_coverage" -> (qIntervalCoverage _),
     "an_lttb" -> (anLttb _),
     "sim_mmr" -> (simMmr _),
+    "an_pacf" -> (anPacf _),
     "an_nelson_aalen" -> (anNelsonAalen _),
     "an_page_hinkley" -> (anPageHinkley _),
     "an_changepoint" -> (anChangepoint _),
@@ -9460,6 +9593,7 @@ object SparkEntry {
     "mm_binary_meta" -> (mmBinaryMeta _),
     "mm_decode_stats" -> (mmDecodeStats _),
     "mm_wav_stats" -> (mmWavStats _),
+    "mm_image_tiles" -> (mmImageTiles _),
     "mm_avi_frames" -> (mmAviFrames _),
     "q_range_join" -> (qRangeJoin _),
     "q_agg_join_window" -> (qAggJoinWindow _),
@@ -9696,6 +9830,7 @@ object SparkEntry {
     "q_interval_coverage" -> qIntervalCoverageSql,
     "an_lttb" -> anLttbSql,
     "sim_mmr" -> simMmrSql,
+    "an_pacf" -> anPacfSql,
     "an_nelson_aalen" -> anNelsonAalenSql,
     "an_page_hinkley" -> anPageHinkleySql,
     "an_changepoint" -> anChangepointSql,
@@ -9704,6 +9839,7 @@ object SparkEntry {
     "mm_binary_meta" -> mmBinaryMetaSql,
     "mm_decode_stats" -> mmDecodeStatsSql,
     "mm_wav_stats" -> mmWavStatsSql,
+    "mm_image_tiles" -> mmImageTilesSql,
     "mm_avi_frames" -> mmAviFramesSql,
     "q_range_join" -> qRangeJoinSql,
     "q_agg_join_window" -> qAggJoinWindowSql,

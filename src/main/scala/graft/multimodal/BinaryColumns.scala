@@ -240,6 +240,42 @@ object BinaryColumns {
       .mapPartitions { it => it.map { case (id, bytes) => decodeBmp(id, bytes) } }
   }
 
+  /** Per-tile record from a REAL raster decode ([[decodeBmpPixels]]):
+    * 2×2 tile grid, exact integer brightness sums — the thumbnail /
+    * region-features shape (every field integer → full hash oracle). */
+  final case class BmpTile(doc_id: Long, tile: Int, n_px: Long, sum_rgb: Long)
+
+  /** Decode each BMP payload with the raster decoder and emit 2×2 tile
+    * brightness sums: tile = (2y div h)·2 + (2x div w), brightness =
+    * r+g+b per pixel (unsigned). The per-partition batch-decode shape
+    * of [[decodeBmpBatch]], emitting 4 rows per document. */
+  def bmpTileBatch(payloads: DataFrame)(implicit spark: SparkSession): Dataset[BmpTile] = {
+    import spark.implicits._
+    payloads.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          val in = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          val w = in.getInt(18); val h = in.getInt(22)
+          val px = decodeBmpPixels(id, bytes)
+          val nPx = new Array[Long](4)
+          val sum = new Array[Long](4)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val t = (2 * y / h) * 2 + (2 * x / w)
+              val o = 3 * (y * w + x)
+              sum(t) += (px(o) & 0xFF) + (px(o + 1) & 0xFF) + (px(o + 2) & 0xFF)
+              nPx(t) += 1
+              x += 1
+            }
+            y += 1
+          }
+          (0 until 4).map(t => BmpTile(id, t, nPx(t), sum(t)))
+        }
+      }
+  }
+
   /** Decoded-audio record produced by the REAL [[decodeWav]] parser:
     * format fields plus exact integer sample statistics (abs/sum/max,
     * strict sign-change zero crossings) — no float wobble, so every
