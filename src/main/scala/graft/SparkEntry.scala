@@ -1634,6 +1634,155 @@ object SparkEntry {
       |  CAST(CAST(SUM(i_en - i_st) AS BIGINT) // 1000000 AS BIGINT) AS covered_sec
       |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** Orders exceeding 1.5× their OWN customer's average — the
+    * correlated-subquery decorrelation pattern: what SQL writes as a
+    * per-row subquery runs as one customer-partitioned window, and the
+    * comparison v > 1.5·avg is algebraically cleared to the EXACT
+    * integer test 2·v·n > 3·Σv (no doubles anywhere) — so the operator
+    * is pure window + integer filter, one shuffle on the customer key
+    * plus the segment dimension join. */
+  private def qCorrelatedExceed(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).select(col("o_custkey"),
+      (col("o_totalprice").cast("decimal(24,2)") * 100).cast("bigint").as("v"))
+    val w = Window.partitionBy(col("o_custkey"))
+    val flagged = o
+      .withColumn("s", sum(col("v")).over(w))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("exceed", lit(2L) * col("v") * col("n") > lit(3L) * col("s"))
+    flagged.join(Tables.customer(s, dir)
+        .select(col("c_custkey").as("o_custkey"), col("c_mktsegment").as("segment")),
+        "o_custkey")
+      .groupBy(col("segment"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(when(col("exceed"), 1L).otherwise(0L)).as("n_exceed"))
+      .withColumn("pct_exceed",
+        round(col("n_exceed").cast("double") / col("n_orders").cast("double"), 6))
+      .orderBy(col("segment"))
+  }
+
+  private val qCorrelatedExceedSql =
+    """WITH o AS (SELECT o_custkey,
+      |    CAST(CAST(o_totalprice AS DECIMAL(24,2)) * 100 AS BIGINT) AS v
+      |  FROM orders),
+      |f AS (SELECT o_custkey, v,
+      |        CAST(SUM(v) OVER (PARTITION BY o_custkey) AS BIGINT) AS s,
+      |        COUNT(*) OVER (PARTITION BY o_custkey) AS n
+      |      FROM o)
+      |SELECT c.c_mktsegment AS segment, COUNT(*) AS n_orders,
+      |  CAST(SUM(CASE WHEN 2 * f.v * f.n > 3 * f.s THEN 1 ELSE 0 END) AS BIGINT) AS n_exceed,
+      |  ROUND(CAST(SUM(CASE WHEN 2 * f.v * f.n > 3 * f.s THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE), 6) AS pct_exceed
+      |FROM f JOIN customer c ON c.c_custkey = f.o_custkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Monthly price indices (Laspeyres / Paasche / Fisher) of the parts
+    * basket vs the first month — the economics rollup the reference's
+    * revenue trends stop short of: did revenue move because of PRICE or
+    * VOLUME? Per-(part, month) unit prices are quantized once to
+    * DECIMAL(28,6) (the quantized-term trick: an irrational per-part
+    * ratio becomes an exact decimal BEFORE the basket sum, so the
+    * weighted sums are order-independent exact decimals on both
+    * engines), weights are integer quantities, and each index is one
+    * ratio of exact decimals. Shuffles: one (part, month) aggregate +
+    * one join against the broadcast base month. */
+  private def anPriceIndex(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).select(
+      date_trunc("month", col("l_shipdate")).as("month"), col("l_partkey"),
+      (col("l_extendedprice").cast("decimal(24,2)") * 100).cast("bigint").as("sp_c"),
+      col("l_quantity").cast("bigint").as("q"))
+    val pm = li.groupBy(col("month"), col("l_partkey"))
+      .agg(sum(col("sp_c")).as("sp"), sum(col("q")).as("sq"))
+      .withColumn("price6",
+        round(col("sp").cast("double") / col("sq").cast("double"), 6)
+          .cast("decimal(28,6)"))
+    val base = pm.crossJoin(broadcast(pm.agg(min(col("month")).as("m0"))))
+      .filter(col("month") === col("m0"))
+      .select(col("l_partkey"), col("price6").as("p0"), col("sq").as("q0"))
+    pm.join(base, "l_partkey")
+      .groupBy(col("month"))
+      .agg(count(lit(1)).as("n_parts"),
+        sum(col("price6") * col("q0")).cast("double").as("lt_num"),
+        sum(col("p0") * col("q0")).cast("double").as("lt_den"),
+        sum(col("price6") * col("sq")).cast("double").as("pa_num"),
+        sum(col("p0") * col("sq")).cast("double").as("pa_den"))
+      .select(substring(col("month").cast("string"), 1, 10).as("month"), col("n_parts"),
+        round(col("lt_num") / col("lt_den"), 6).as("laspeyres"),
+        round(col("pa_num") / col("pa_den"), 6).as("paasche"),
+        round(sqrt((col("lt_num") / col("lt_den")) * (col("pa_num") / col("pa_den"))), 6)
+          .as("fisher"))
+      .orderBy(col("month"))
+  }
+
+  private val anPriceIndexSql =
+    """WITH li AS (SELECT date_trunc('month', l_shipdate) AS month, l_partkey,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(24,2)) * 100 AS BIGINT) AS sp_c,
+      |    CAST(l_quantity AS BIGINT) AS q
+      |  FROM lineitem),
+      |pm AS (SELECT month, l_partkey,
+      |         CAST(SUM(sp_c) AS BIGINT) AS sp, CAST(SUM(q) AS BIGINT) AS sq
+      |       FROM li GROUP BY 1, 2),
+      |pq AS (SELECT month, l_partkey, sq,
+      |         CAST(ROUND(CAST(sp AS DOUBLE) / CAST(sq AS DOUBLE), 6) AS DECIMAL(28,6)) AS price6
+      |       FROM pm),
+      |m0 AS (SELECT MIN(month) AS m0 FROM pq),
+      |base AS (SELECT l_partkey, price6 AS p0, sq AS q0
+      |         FROM pq CROSS JOIN m0 WHERE month = m0)
+      |SELECT substr(CAST(t.month AS VARCHAR), 1, 10) AS month, COUNT(*) AS n_parts,
+      |  ROUND(CAST(SUM(t.price6 * b.q0) AS DOUBLE) / CAST(SUM(b.p0 * b.q0) AS DOUBLE), 6) AS laspeyres,
+      |  ROUND(CAST(SUM(t.price6 * t.sq) AS DOUBLE) / CAST(SUM(b.p0 * t.sq) AS DOUBLE), 6) AS paasche,
+      |  ROUND(sqrt((CAST(SUM(t.price6 * b.q0) AS DOUBLE) / CAST(SUM(b.p0 * b.q0) AS DOUBLE))
+      |           * (CAST(SUM(t.price6 * t.sq) AS DOUBLE) / CAST(SUM(b.p0 * t.sq) AS DOUBLE))), 6) AS fisher
+      |FROM pq t JOIN base b USING (l_partkey)
+      |GROUP BY 1 ORDER BY month""".stripMargin
+
+  /** Nearest-in-time as-of join ([[graft.operators.AsOf.joinNearest]]
+    * — pandas merge_asof direction='nearest'): each click matched to
+    * its closest purchase by the same user within ±2 h, ties to the
+    * prior side. One shuffle on the user key; the pick is a row-local
+    * compare of the backward and forward carries. */
+  private def qAsofNearest(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    graft.operators.AsOf.joinNearest(clicks, purchases, Seq("user_id"),
+        "ts", "ts", Seq("event_id"), toleranceUs = 7200000000L)
+      .select(col("event_id").as("click_id"),
+        col("asof_event_id").as("purchase_id"),
+        col("asof_delta_us").as("delta_us"))
+      .orderBy(col("click_id"))
+  }
+
+  private val qAsofNearestSql =
+    """WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+      |p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+      |pick AS (SELECT c.event_id AS click_id, c.ts,
+      |  (SELECT p.event_id FROM p WHERE p.user_id = c.user_id AND p.ts <= c.ts
+      |   ORDER BY p.ts DESC, p.event_id DESC LIMIT 1) AS prior_id,
+      |  (SELECT p.ts FROM p WHERE p.user_id = c.user_id AND p.ts <= c.ts
+      |   ORDER BY p.ts DESC, p.event_id DESC LIMIT 1) AS prior_ts,
+      |  (SELECT p.event_id FROM p WHERE p.user_id = c.user_id AND p.ts > c.ts
+      |   ORDER BY p.ts ASC, p.event_id ASC LIMIT 1) AS next_id,
+      |  (SELECT p.ts FROM p WHERE p.user_id = c.user_id AND p.ts > c.ts
+      |   ORDER BY p.ts ASC, p.event_id ASC LIMIT 1) AS next_ts
+      |  FROM c),
+      |d AS (SELECT click_id,
+      |        prior_id, next_id,
+      |        CAST(epoch_us(ts) AS BIGINT) - CAST(epoch_us(prior_ts) AS BIGINT) AS dp,
+      |        CAST(epoch_us(next_ts) AS BIGINT) - CAST(epoch_us(ts) AS BIGINT) AS dn
+      |      FROM pick)
+      |SELECT click_id,
+      |  CASE WHEN prior_id IS NOT NULL AND dp <= 7200000000
+      |            AND (next_id IS NULL OR dp <= dn) THEN prior_id
+      |       WHEN next_id IS NOT NULL AND dn <= 7200000000 THEN next_id
+      |       END AS purchase_id,
+      |  CASE WHEN prior_id IS NOT NULL AND dp <= 7200000000
+      |            AND (next_id IS NULL OR dp <= dn) THEN dp
+      |       WHEN next_id IS NOT NULL AND dn <= 7200000000 THEN -dn
+      |       END AS delta_us
+      |FROM d ORDER BY click_id""".stripMargin
+
   /** Spearman rank correlation between daily revenue and daily event
     * volume — the monotone-association screen that, unlike Pearson
     * (an_corr_matrix), ignores the revenue distribution's heavy tail.
@@ -9585,6 +9734,9 @@ object SparkEntry {
     "an_lttb" -> (anLttb _),
     "sim_mmr" -> (simMmr _),
     "an_pacf" -> (anPacf _),
+    "q_correlated_exceed" -> (qCorrelatedExceed _),
+    "an_price_index" -> (anPriceIndex _),
+    "q_asof_nearest_join" -> (qAsofNearest _),
     "an_nelson_aalen" -> (anNelsonAalen _),
     "an_page_hinkley" -> (anPageHinkley _),
     "an_changepoint" -> (anChangepoint _),
@@ -9831,6 +9983,9 @@ object SparkEntry {
     "an_lttb" -> anLttbSql,
     "sim_mmr" -> simMmrSql,
     "an_pacf" -> anPacfSql,
+    "q_correlated_exceed" -> qCorrelatedExceedSql,
+    "an_price_index" -> anPriceIndexSql,
+    "q_asof_nearest_join" -> qAsofNearestSql,
     "an_nelson_aalen" -> anNelsonAalenSql,
     "an_page_hinkley" -> anPageHinkleySql,
     "an_changepoint" -> anChangepointSql,

@@ -89,4 +89,54 @@ object AsOf {
       .select(leftCols.map(col) ++
         carry.map(c => col("_m").getField(c).as(s"asof_$c")): _*)
   }
+
+  /** Nearest-in-time as-of join (pandas `merge_asof(direction=
+    * 'nearest')`): for each left row, the right row minimizing
+    * |leftTs − rightTs| within `toleranceUs`, ties to the PRIOR side.
+    * Same single-shuffle union+window shape as [[joinPrior]] — one
+    * carry runs backward (last ignoreNulls over the preceding frame,
+    * boundary-inclusive) and one forward (first ignoreNulls over the
+    * following frame) inside the same sorted timeline, then a
+    * row-local pick. Returns the carried columns as `asof_<name>` plus
+    * `asof_delta_us` (signed leftTs − rightTs; NULL when nothing is in
+    * tolerance). */
+  def joinNearest(left: DataFrame, right: DataFrame, partitionCols: Seq[String],
+                  leftTs: String, rightTs: String, carry: Seq[String],
+                  toleranceUs: Long): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val carryType = StructType(
+      StructField("_ts", right.schema(rightTs).dataType, nullable = true) +:
+        carry.map(c => StructField(c, right.schema(c).dataType, nullable = true)))
+    val lTagged = left
+      .withColumn("_t", col(leftTs))
+      .withColumn("_side", lit(1))
+      .withColumn("_c", lit(null).cast(carryType))
+      .select(leftCols.map(col) :+ col("_t") :+ col("_side") :+ col("_c"): _*)
+    val rTagged = right
+      .withColumn("_t", col(rightTs))
+      .withColumn("_side", lit(0))
+      .withColumn("_c", struct(col(rightTs).as("_ts") +: carry.map(c => col(c).as(c)): _*))
+      .select(leftCols.map(c =>
+        if (partitionCols.contains(c)) col(c)
+        else lit(null).cast(left.schema(c).dataType).as(c)) :+
+        col("_t") :+ col("_side") :+ col("_c"): _*)
+    val ord = Window.partitionBy(partitionCols.map(col): _*)
+      .orderBy(col("_t"), col("_side"), col("_c"))
+    val u = lTagged.unionAll(rTagged)
+      .withColumn("_p", last(col("_c"), ignoreNulls = true)
+        .over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("_n", first(col("_c"), ignoreNulls = true)
+        .over(ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+      .filter(col("_side") === 1)
+    val dp = unix_micros(col("_t")) - unix_micros(col("_p").getField("_ts"))
+    val dn = unix_micros(col("_n").getField("_ts")) - unix_micros(col("_t"))
+    val pickPrior = col("_p").isNotNull && dp <= toleranceUs &&
+      (col("_n").isNull || dp <= dn)
+    val pickNext = col("_n").isNotNull && dn <= toleranceUs
+    val m = when(pickPrior, col("_p")).when(pickNext, col("_n"))
+    val delta = when(pickPrior, dp).when(pickNext, -dn)
+    u.select(leftCols.map(col) ++
+      carry.map(c => m.getField(c).as(s"asof_$c")) :+
+      delta.as("asof_delta_us"): _*)
+  }
 }

@@ -22,6 +22,24 @@ class OperatorsSpec extends SparkSpec {
     assert(got(3L).isEmpty)        // user 8 never purchased
   }
 
+  test("AsOf.joinNearest picks the closer side, ties to prior, respects tolerance") {
+    val clicks = Seq((1L, 7L, t(10)), (2L, 7L, t(100)), (3L, 8L, t(50)))
+      .toDF("event_id", "user_id", "ts")
+    val purchases = Seq((100L, 7L, t(6)), (101L, 7L, t(12)), (102L, 8L, t(50)))
+      .toDF("purchase_id", "user_id", "pts")
+    val got = AsOf.joinNearest(clicks, purchases, Seq("user_id"), "ts", "pts",
+        Seq("purchase_id"), toleranceUs = 10L * 60 * 1000000)
+      .select("event_id", "asof_purchase_id", "asof_delta_us")
+      .as[(Long, Option[Long], Option[Long])].collect()
+      .map { case (k, v, d) => k -> (v, d) }.toMap
+    // click 1 at t10: prior t6 (d=4min) vs next t12 (d=2min) -> next wins
+    assert(got(1L) == (Some(101L), Some(-2L * 60 * 1000000)))
+    // click 2 at t100: nearest purchase t12 is 88min away, over tolerance
+    assert(got(2L) == (None, None))
+    // click 3 at t50: equal-ts purchase -> prior side, delta 0
+    assert(got(3L) == (Some(102L), Some(0L)))
+  }
+
   test("AsOf carries ALL columns from the same right row when one is NULL") {
     // round-1 advice scenario: a later right row with a NULL carry
     // column must not inherit that column from an earlier right row

@@ -341,14 +341,18 @@ class Round10Spec extends SparkSpec {
     val adj = (cs.map(e => e._1 -> e._2) ++ cs.map(e => e._2 -> e._1))
       .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
     var lbl: Map[Long, Long] = adj.keys.map(n => n -> n).toMap
-    (1 to 3).foreach { _ =>
-      lbl = adj.map { case (n, nbrs) =>
-        val votes = nbrs.toSeq.map(lbl).groupBy(identity).map { case (l, xs) => (l, xs.size) }
-        // plurality, smallest label wins ties — the engine's exact rule
-        n -> votes.toSeq.sortBy { case (l, c) => (-c, l) }.head._1
-      }
+    def round(m: Map[Long, Long]): Map[Long, Long] = adj.map { case (n, nbrs) =>
+      val votes = nbrs.toSeq.map(m).groupBy(identity).map { case (l, xs) => (l, xs.size) }
+      // plurality, smallest label wins ties — the engine's exact rule
+      n -> votes.toSeq.sortBy { case (l, c) => (-c, l) }.head._1
     }
-    val want = lbl.groupBy(_._2).map { case (c, m) =>
+    // r11 convergence semantics: sync LPA 2-cycles on this bipartite
+    // graph; the engine resolves the cycle to the elementwise min of
+    // the two oscillating states — reference: min(l3, l4) per node
+    (1 to 3).foreach(_ => lbl = round(lbl))
+    val l4 = round(lbl)
+    val resolved = lbl.map { case (n, l) => n -> math.min(l, l4(n)) }
+    val want = resolved.groupBy(_._2).map { case (c, m) =>
       (c, m.size.toLong, m.keys.min, m.keys.max) }.toSet
     val got = SparkEntry.queries("q_label_prop")(spark, sfDir)
       .select("community", "n_nodes", "min_node", "max_node")
