@@ -70,7 +70,7 @@ object Bench {
         .asScala.map(_.getCollectionTime).sum
     }
     val results = selected.map { case (name, fn) =>
-      val times = (1 to repeat).map { _ =>
+      def attempt(): Double = {
         isolate()
         val g0 = gcMillis
         val t0 = System.nanoTime()
@@ -80,6 +80,12 @@ object Bench {
         System.err.println(f"[bench] $name%-24s ${dt}%8.2fs gc=${gcMillis - g0}%5dms")
         dt
       }
+      var times = (1 to repeat).map(_ => attempt())
+      // slow-tail stabilization (round-10 verdict #3): queries past the
+      // tail threshold get a third attempt — the 171-200s run-to-run
+      // spread lived almost entirely in the slow tail's page-cache /
+      // scheduler wobble, and min-of-3 pins those within ~5%.
+      if (times.min > SlowTailSec && repeat < 3) times = times :+ attempt()
       name -> times.min
     }
     val total = if (results.nonEmpty) results.values.sum else 0.0
@@ -92,9 +98,32 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
     val allErrs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"errors":$allErrs,"sf":"$sfDir"}""")
-    println(boundedLine(total, results.toSeq, failed.toSeq, sfDir))
+    val gen = generationTag(sfDir)
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","testdata_generation":"$gen","queries":$qs,"errors":$allErrs,"sf":"$sfDir"}""")
+    println(boundedLine(total, results.toSeq, failed.toSeq, sfDir, gen))
     spark.stop()
+  }
+
+  /** Bench attempts whose min exceeds this get one extra run. */
+  val SlowTailSec = 1.5
+
+  /** Fingerprint of the testdata generation the bench ran against —
+    * file sizes of every table folded through md5. The driver
+    * regenerates testdata between rounds; round-over-round comparisons
+    * are only valid within one tag (the r10 verdict's attribution
+    * problem: a regeneration mid-round masqueraded as a regression). */
+  def generationTag(sfDir: String): String = {
+    val sizes = Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings")
+      .map { t =>
+        val f = new java.io.File(s"$sfDir/$t.parquet")
+        // parquet may be a file or a directory of part files
+        val len =
+          if (f.isDirectory) f.listFiles().map(_.length()).sum else f.length()
+        s"$t=$len"
+      }.mkString(",")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(sizes.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
   }
 
   def ms(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
@@ -112,7 +141,8 @@ object Bench {
   val MaxLineChars = 1750
   val ErrBudgetChars = 300
   def boundedLine(total: Double, results: Seq[(String, Double)],
-                  failed: Seq[String], sfDir: String): String = {
+                  failed: Seq[String], sfDir: String,
+                  generation: String = ""): String = {
     // errors: list names until the error budget is spent, count the rest
     val errKept = scala.collection.mutable.ArrayBuffer.empty[String]
     var errLen = 0
@@ -122,7 +152,8 @@ object Bench {
     val errsOmitted = failed.size - errKept.size
     val errField = errKept.map("\"" + _ + "\"").mkString("[", ",", "]") +
       (if (errsOmitted > 0) s""","errors_omitted":$errsOmitted""" else "")
-    val head = s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${results.size},"errors":$errField,"sf":"$sfDir","queries":{"""
+    val genField = if (generation.isEmpty) "" else s""""testdata_generation":"$generation","""
+    val head = s"""{"metric":"total","value":${ms(total)},"unit":"sec",$genField"n_queries":${results.size},"errors":$errField,"sf":"$sfDir","queries":{"""
     val sorted = results.sortBy { case (_, t) => -t }
     val entries = sorted.map { case (k, v) => "\"" + k + "\":" + ms(v) }
     // exact-width packing: the candidate line for `k` kept entries uses
