@@ -9608,6 +9608,236 @@ object SparkEntry {
        |FROM fin GROUP BY lbl ORDER BY community""".stripMargin
   }
 
+  /** ROC AUC of account balance as a churn score — the ranking-quality
+    * readout a training pipeline wants before shipping a model feature
+    * (reference notebook's churn flag, promoted to an evaluation
+    * metric). Label = behavioral churn per [[anChurnRate]] (no order
+    * inside the 90-day recency window, never-ordered counts as
+    * churned); score = c_acctbal in cents. AUC is the Mann–Whitney
+    * identity AUC = (R₁ − n₁(n₁+1)/2)/(n₁n₀) computed on the
+    * [[anMannWhitney]] pooled-midrank posture: distinct cent values +
+    * ONE [[graft.operators.PrefixSum]] scan make the doubled midrank
+    * 2·r̄ = 2·cum_before + t + 1 an exact integer, so the doubled rank
+    * sum 2R₁ is an exact BIGINT and AUC is one division of exact
+    * integers — no global row window, bit-stable unrounded. */
+  private def anRocAuc(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val anchor = o.agg(max(col("o_orderdate")).as("mx"))
+    val last = o.groupBy(col("o_custkey")).agg(max(col("o_orderdate")).as("last_order"))
+    val cutoff = col("mx") - expr("INTERVAL 90 DAYS")
+    val labeled = Tables.customer(s, dir)
+      .join(last, col("c_custkey") === col("o_custkey"), "left")
+      .crossJoin(broadcast(anchor))
+      .select(
+        (col("last_order").isNull || col("last_order") < cutoff).cast("long").as("g1"),
+        (col("c_acctbal").cast("decimal(24,2)") * 100).cast("bigint").as("v"))
+    val perV = labeled.groupBy(col("v"))
+      .agg(count(lit(1)).as("cnt"), sum(col("g1")).as("c1"))
+    val scan = graft.operators.PrefixSum.withRunningTotals(perV, Seq("v"), Seq("cnt"))
+    scan
+      .select(col("cnt"), col("c1"),
+        (lit(2L) * (col("cnt_cum") - col("cnt")) + col("cnt") + lit(1L)).as("r2"))
+      .agg(sum(col("c1")).as("n1"), sum(col("cnt") - col("c1")).as("n0"),
+        sum(col("c1") * col("r2")).as("r2_1"))
+      .select(col("n1"), col("n0"),
+        ((col("r2_1") - col("n1") * (col("n1") + lit(1L))).cast("double") /
+          (lit(2.0) * col("n1").cast("double") * col("n0").cast("double")))
+          .as("auc"))
+  }
+
+  private val anRocAucSql =
+    """WITH a AS (SELECT MAX(o_orderdate) AS mx FROM orders),
+      |l AS (SELECT o_custkey, MAX(o_orderdate) AS last_order FROM orders GROUP BY 1),
+      |lab AS (SELECT
+      |    CASE WHEN last_order IS NULL OR last_order < mx - INTERVAL 90 DAY
+      |         THEN 1 ELSE 0 END AS g1,
+      |    CAST(CAST(c_acctbal AS DECIMAL(24,2)) * 100 AS BIGINT) AS v
+      |  FROM customer LEFT JOIN l ON c_custkey = o_custkey CROSS JOIN a),
+      |pv AS (SELECT v, COUNT(*) AS cnt, CAST(SUM(g1) AS BIGINT) AS c1 FROM lab GROUP BY v),
+      |cv AS (SELECT cnt, c1,
+      |         2 * (CAST(SUM(cnt) OVER (ORDER BY v) AS BIGINT) - cnt) + cnt + 1 AS r2
+      |       FROM pv),
+      |agg AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+      |          CAST(SUM(cnt - c1) AS BIGINT) AS n0,
+      |          CAST(SUM(c1 * r2) AS BIGINT) AS r2_1
+      |        FROM cv)
+      |SELECT n1, n0,
+      |  CAST(r2_1 - n1 * (n1 + 1) AS DOUBLE)
+      |    / (2.0 * CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE)) AS auc
+      |FROM agg""".stripMargin
+
+  /** Cramér's V association between market segment and nation over the
+    * customer dimension — the effect-size companion to the chi-square
+    * drift tests (an_chi2_drift reports the statistic; V normalizes it
+    * to [0,1] so "is this association material" survives N growing).
+    * Exact integer contingency cells o and marginals r, c; each cell's
+    * deviation numerator o·N − r·c is an exact BIGINT; the per-cell
+    * chi-square terms are IEEE doubles gathered through DECIMAL(38,18)
+    * (order-independent — the an_kruskal gather), ROUND(·,6) at
+    * emission. One groupBy tree + two tiny broadcast marginals. */
+  private def anCramersV(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.customer(s, dir)
+      .select(col("c_mktsegment").as("a"), col("c_nationkey").as("b"))
+    val cells = base.groupBy(col("a"), col("b")).agg(count(lit(1)).as("o"))
+    val rowm = cells.groupBy(col("a")).agg(sum(col("o")).as("r"))
+    val colm = cells.groupBy(col("b")).agg(sum(col("o")).as("c"))
+    val tot = cells.agg(sum(col("o")).as("n"),
+      countDistinct(col("a")).as("ka"), countDistinct(col("b")).as("kb"))
+    val dn = col("o") * col("n") - col("r") * col("c")
+    val terms = cells
+      .join(broadcast(rowm), "a").join(broadcast(colm), "b")
+      .crossJoin(broadcast(tot))
+      .select(col("n"), col("ka"), col("kb"),
+        ((dn.cast("double") * dn.cast("double")) /
+          (col("n").cast("double") * col("r").cast("double") * col("c").cast("double")))
+          .cast("decimal(38,18)").as("term"))
+    terms.groupBy(col("n"), col("ka"), col("kb"))
+      .agg(sum(col("term")).cast("double").as("chi2g"))
+      .select(col("n"), col("ka"), col("kb"),
+        round(col("chi2g") / col("n").cast("double"), 6).as("phi2"),
+        round(sqrt(col("chi2g") / (col("n").cast("double") *
+          least(col("ka") - 1, col("kb") - 1).cast("double"))), 6).as("v"))
+  }
+
+  private val anCramersVSql =
+    """WITH base AS (SELECT c_mktsegment AS a, c_nationkey AS b FROM customer),
+      |cells AS (SELECT a, b, COUNT(*) AS o FROM base GROUP BY a, b),
+      |rm AS (SELECT a, CAST(SUM(o) AS BIGINT) AS r FROM cells GROUP BY a),
+      |cm AS (SELECT b, CAST(SUM(o) AS BIGINT) AS c FROM cells GROUP BY b),
+      |t AS (SELECT CAST(SUM(o) AS BIGINT) AS n,
+      |        CAST(COUNT(DISTINCT a) AS BIGINT) AS ka,
+      |        CAST(COUNT(DISTINCT b) AS BIGINT) AS kb FROM cells),
+      |terms AS (SELECT n, ka, kb,
+      |    CAST((CAST(o*n - r*c AS DOUBLE) * CAST(o*n - r*c AS DOUBLE))
+      |      / (CAST(n AS DOUBLE) * CAST(r AS DOUBLE) * CAST(c AS DOUBLE))
+      |      AS DECIMAL(38,18)) AS term
+      |  FROM cells JOIN rm USING (a) JOIN cm USING (b) CROSS JOIN t),
+      |g AS (SELECT n, ka, kb, CAST(SUM(term) AS DOUBLE) AS chi2g
+      |      FROM terms GROUP BY n, ka, kb)
+      |SELECT n, ka, kb,
+      |  ROUND(chi2g / CAST(n AS DOUBLE), 6) AS phi2,
+      |  ROUND(sqrt(chi2g / (CAST(n AS DOUBLE)
+      |    * CAST(LEAST(ka - 1, kb - 1) AS DOUBLE))), 6) AS v
+      |FROM g""".stripMargin
+
+  /** Ljung–Box portmanteau test (lags 1..7) on daily revenue — "is
+    * there ANY autocorrelation left", the residual-whiteness gate a
+    * forecasting pipeline runs after an_holt_forecast/an_forecast_naive.
+    * Exactness recipe: the mean is cleared by the integer grand-shift
+    * (dev_t = n·x_t − S is an exact BIGINT of cents), every lag-k
+    * cross product Σ dev_t·dev_{t−k} and the denominator Σ dev_t² are
+    * exact DECIMAL(38,0) sums, each ρ_k = num_k/den is one division
+    * ROUND(·,6) (the gathered sums cross 2⁵³, the recorded
+    * decimal→double ulp-skew class), and Q = n(n+2)·Σ ρ_k²/(n−k) is
+    * straight-line IEEE over those identically-rounded doubles.
+    * Distributed part = the daily aggregate; the lag windows run on the
+    * days-sized frame. */
+  private def anLjungBox(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.lineitem(s, dir)
+      .groupBy(date_trunc("day", col("l_shipdate")).as("day"))
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(24,8)")).cast("decimal(24,2)").as("revd"))
+      .select(col("day"), (col("revd") * 100).cast("bigint").as("x"))
+    val tot = daily.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
+    val dev = daily.crossJoin(broadcast(tot))
+      .select(col("day"), col("n"), (col("n") * col("x") - col("sx")).as("d"))
+    val w = Window.orderBy(col("day"))
+    val lagged = dev.select(col("n") +: col("d") +:
+      (1 to 7).map(k => lag(col("d"), k).over(w).as(s"l$k")): _*)
+    // operands to DECIMAL(19,0) BEFORE the product: d is days·cents-sized
+    // (~1e12 at sf0.1) so a raw BIGINT d·d overflows long
+    def d19(c: Column) = c.cast("decimal(19,0)")
+    val sums = lagged.groupBy(col("n")).agg(
+      sum((d19(col("d")) * d19(col("d"))).cast("decimal(38,0)")).as("den"),
+      (1 to 7).map(k =>
+        sum((d19(col("d")) * d19(col(s"l$k"))).cast("decimal(38,0)")).as(s"num$k")): _*)
+    val rhos = sums.select(col("n") +: (1 to 7).map(k =>
+      round(col(s"num$k").cast("double") / col("den").cast("double"), 6)
+        .as(s"rho$k")): _*)
+    val qTerms = (1 to 7).map(k =>
+      col(s"rho$k") * col(s"rho$k") / (col("n") - lit(k)).cast("double"))
+    rhos.select(col("n") +: (1 to 7).map(k => col(s"rho$k")) :+
+      round(col("n").cast("double") * (col("n") + lit(2L)).cast("double") *
+        qTerms.reduce(_ + _), 6).as("q_lb"): _*)
+  }
+
+  private val anLjungBoxSql = {
+    val nums = (1 to 7).map(k =>
+      s"CAST(SUM(CAST(CAST(d AS DECIMAL(19,0)) * CAST(l$k AS DECIMAL(19,0)) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS num$k")
+      .mkString(",\n      ")
+    val lags = (1 to 7).map(k => s"LAG(d, $k) OVER (ORDER BY day) AS l$k").mkString(", ")
+    val rhos = (1 to 7).map(k =>
+      s"ROUND(CAST(num$k AS DOUBLE) / CAST(den AS DOUBLE), 6) AS rho$k").mkString(",\n      ")
+    val qTerms = (1 to 7).map(k => s"rho$k * rho$k / CAST(n - $k AS DOUBLE)").mkString(" + ")
+    s"""WITH daily AS (
+       |  SELECT date_trunc('day', l_shipdate) AS day,
+       |    CAST(ROUND(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,8))), 2) * 100 AS BIGINT) AS x
+       |  FROM lineitem GROUP BY 1),
+       |t AS (SELECT COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS sx FROM daily),
+       |dev AS (SELECT day, n, n * x - sx AS d FROM daily CROSS JOIN t),
+       |lagged AS (SELECT n, d, $lags FROM dev),
+       |s AS (SELECT n,
+       |      CAST(SUM(CAST(CAST(d AS DECIMAL(19,0)) * CAST(d AS DECIMAL(19,0)) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS den,
+       |      $nums
+       |      FROM lagged GROUP BY n),
+       |r AS (SELECT n,
+       |      $rhos
+       |      FROM s)
+       |SELECT n, rho1, rho2, rho3, rho4, rho5, rho6, rho7,
+       |  ROUND(CAST(n AS DOUBLE) * CAST(n + 2 AS DOUBLE) * ($qTerms), 6) AS q_lb
+       |FROM r""".stripMargin
+  }
+
+  /** Three-item market-basket affinity — the triple extension of
+    * [[anBasket]]: the pair lift can be high while the triple is pure
+    * coincidence (and vice versa: bundles). Same scale bound: triples
+    * are generated ORDER-LOCALLY (two self-joins on the order key with
+    * p₁<p₂<p₃ — at most C(lines-per-order,3) rows per order, never a
+    * corpus cross join), marginals broadcast, lift vs the independence
+    * rate n_abc·N²/(n_a·n_b·n_c) in exact-integer-fed doubles. */
+  private def anBasketTriples(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val tot = li.agg(countDistinct(col("ok")).as("n_orders"))
+    val triples = li.as("a")
+      .join(li.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .join(li.as("c"), col("a.ok") === col("c.ok") && col("b.pk") < col("c.pk"))
+      .groupBy(col("a.pk").as("part_a"), col("b.pk").as("part_b"), col("c.pk").as("part_c"))
+      .agg(count(lit(1)).as("n_abc"))
+    val marg = li.groupBy(col("pk")).agg(count(lit(1)).as("n_one"))
+    triples
+      .join(broadcast(marg.select(col("pk").as("part_a"), col("n_one").as("n_a"))), "part_a")
+      .join(broadcast(marg.select(col("pk").as("part_b"), col("n_one").as("n_b"))), "part_b")
+      .join(broadcast(marg.select(col("pk").as("part_c"), col("n_one").as("n_c"))), "part_c")
+      .orderBy(col("n_abc").desc, col("part_a"), col("part_b"), col("part_c")).limit(15)
+      .crossJoin(broadcast(tot))
+      .select(col("part_a"), col("part_b"), col("part_c"), col("n_abc"),
+        col("n_a"), col("n_b"), col("n_c"),
+        (col("n_abc").cast("double") * col("n_orders").cast("double") *
+          col("n_orders").cast("double") /
+          (col("n_a").cast("double") * col("n_b").cast("double") *
+            col("n_c").cast("double"))).as("lift3"))
+  }
+
+  private val anBasketTriplesSql =
+    """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |t AS (SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n_orders FROM li),
+      |p AS (SELECT a.pk AS part_a, b.pk AS part_b, c.pk AS part_c, COUNT(*) AS n_abc
+      |      FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+      |                JOIN li c ON a.ok = c.ok AND b.pk < c.pk
+      |      GROUP BY 1, 2, 3),
+      |m AS (SELECT pk, COUNT(*) AS n_one FROM li GROUP BY pk),
+      |top AS (SELECT part_a, part_b, part_c, n_abc FROM p
+      |        ORDER BY n_abc DESC, part_a, part_b, part_c LIMIT 15)
+      |SELECT part_a, part_b, part_c, n_abc,
+      |  ma.n_one AS n_a, mb.n_one AS n_b, mc.n_one AS n_c,
+      |  CAST(n_abc AS DOUBLE) * CAST(n_orders AS DOUBLE) * CAST(n_orders AS DOUBLE)
+      |    / (CAST(ma.n_one AS DOUBLE) * CAST(mb.n_one AS DOUBLE) * CAST(mc.n_one AS DOUBLE)) AS lift3
+      |FROM top JOIN m ma ON top.part_a = ma.pk
+      |         JOIN m mb ON top.part_b = mb.pk
+      |         JOIN m mc ON top.part_c = mc.pk, t
+      |ORDER BY n_abc DESC, part_a, part_b, part_c""".stripMargin
+
   // ----------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -9724,6 +9954,10 @@ object SparkEntry {
     "text_bpe_tokens" -> (textBpeTokens _),
     "an_spearman" -> (anSpearman _),
     "an_kendall_tau" -> (anKendallTau _),
+    "an_roc_auc" -> (anRocAuc _),
+    "an_cramers_v" -> (anCramersV _),
+    "an_ljung_box" -> (anLjungBox _),
+    "an_basket_triples" -> (anBasketTriples _),
     "an_jarque_bera" -> (anJarqueBera _),
     "an_grubbs" -> (anGrubbs _),
     "an_cohens_d" -> (anCohensD _),
@@ -9973,6 +10207,10 @@ object SparkEntry {
     "text_bpe_tokens" -> textBpeTokensSql,
     "an_spearman" -> anSpearmanSql,
     "an_kendall_tau" -> anKendallTauSql,
+    "an_roc_auc" -> anRocAucSql,
+    "an_cramers_v" -> anCramersVSql,
+    "an_ljung_box" -> anLjungBoxSql,
+    "an_basket_triples" -> anBasketTriplesSql,
     "an_jarque_bera" -> anJarqueBeraSql,
     "an_grubbs" -> anGrubbsSql,
     "an_cohens_d" -> anCohensDSql,
