@@ -9838,6 +9838,131 @@ object SparkEntry {
       |         JOIN m mc ON top.part_c = mc.pk, t
       |ORDER BY n_abc DESC, part_a, part_b, part_c""".stripMargin
 
+  /** Skyline (Pareto-front) query over orders, maximizing (totalprice,
+    * orderdate): the multi-criteria "best tradeoffs" operator a plain
+    * top-k cannot express — no order on the front dominates another.
+    * Scale shape: collapse to distinct price levels (level → max date,
+    * one exchange), then ONE [[graft.operators.PrefixSum.withRunningMax]]
+    * exclusive prefix-max scan in price-descending order decides every
+    * level's survival (`max date` > best date seen at any strictly
+    * higher price) — never the O(n²) dominance self-join the oracle
+    * runs as the definitional NOT EXISTS check. Survivor (price, date)
+    * pairs broadcast back onto orders so same-price-same-date ties all
+    * surface. Integer cents + epoch days end to end. */
+  private def qSkyline(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).select(col("o_orderkey"),
+      (col("o_totalprice").cast("decimal(24,2)") * 100).cast("bigint").as("p"),
+      datediff(col("o_orderdate").cast("date"), lit("1970-01-01").cast("date"))
+        .cast("long").as("d"))
+    val levels = o.groupBy(col("p")).agg(max(col("d")).as("maxd"))
+      .select((-col("p")).as("negp"), col("p"), col("maxd"))
+    val scan = graft.operators.PrefixSum.withRunningMax(levels, Seq("negp"), Seq("maxd"))
+    val front = scan.filter(col("maxd") > col("maxd_pmax"))
+      .select(col("p"), col("maxd").as("d"))
+    o.join(broadcast(front), Seq("p", "d"))
+      .select(col("o_orderkey"), col("p").as("price_cents"), col("d").as("day_no"))
+      .orderBy(col("price_cents").desc, col("o_orderkey"))
+  }
+
+  private val qSkylineSql =
+    """WITH o AS (SELECT o_orderkey,
+      |    CAST(CAST(o_totalprice AS DECIMAL(24,2)) * 100 AS BIGINT) AS p,
+      |    CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS d
+      |  FROM orders)
+      |SELECT o1.o_orderkey, o1.p AS price_cents, o1.d AS day_no
+      |FROM o o1
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM o o2
+      |  WHERE o2.p >= o1.p AND o2.d >= o1.d AND (o2.p > o1.p OR o2.d > o1.d))
+      |ORDER BY price_cents DESC, o_orderkey""".stripMargin
+
+  /** Key-sequence gap audit over the orderkeys SURVIVING a validation
+    * filter (status ≠ 'F') — the "did a whole range get dropped"
+    * reconciliation check: scattered single holes are ordinary rejects,
+    * a long contiguous dropped run is a systematic upstream failure
+    * (the full key space is dense, so every hole here is a filtered
+    * row). Two [[graft.operators.PrefixSum]] scans, no single-partition
+    * window: global rank turns contiguous runs into islands (key − rank
+    * is run-constant), islands aggregate to (start, end), a second rank
+    * scan pairs each island with its successor by an equi-join on
+    * rank+1, and the gap between them is emitted. Top-10 by
+    * (gap_len DESC, gap_start) — all exact integers. */
+  private def qSequenceGaps(s: SparkSession, dir: String): DataFrame = {
+    val keys = Tables.orders(s, dir).filter(col("o_orderstatus") =!= "F")
+      .select(col("o_orderkey").cast("long").as("k")).distinct()
+    val ranked = graft.operators.PrefixSum.withRunningTotals(keys, Seq("k"), Nil)
+    val islands = ranked.select(col("k"), (col("k") - col("rn")).as("isl"))
+      .groupBy(col("isl")).agg(min(col("k")).as("s"), max(col("k")).as("e"))
+    val iRanked = graft.operators.PrefixSum.withRunningTotals(
+      islands.select(col("s"), col("e")), Seq("s"), Nil)
+    val cur = iRanked.select(col("e").as("prev_end"), (col("rn") + 1).as("j"))
+    val nxt = iRanked.select(col("s").as("next_start"), col("rn").as("j"))
+    cur.join(nxt, "j")
+      .select(col("prev_end"), (col("prev_end") + 1).as("gap_start"),
+        (col("next_start") - col("prev_end") - 1).as("gap_len"))
+      .orderBy(col("gap_len").desc, col("gap_start")).limit(10)
+  }
+
+  private val qSequenceGapsSql =
+    """WITH d AS (SELECT DISTINCT CAST(o_orderkey AS BIGINT) AS k FROM orders
+      |           WHERE o_orderstatus <> 'F'),
+      |l AS (SELECT k, LEAD(k) OVER (ORDER BY k) AS nk FROM d)
+      |SELECT k AS prev_end, k + 1 AS gap_start, nk - k - 1 AS gap_len
+      |FROM l WHERE nk - k > 1
+      |ORDER BY gap_len DESC, gap_start LIMIT 10""".stripMargin
+
+  /** Link prediction over the order–supplier bipartite graph: for
+    * supplier pairs appearing in the same order, the three classic
+    * scores — common neighbors (co-orders), Jaccard of order sets, and
+    * Adamic–Adar Σ 1/ln(deg w) which discounts common neighbors that
+    * are promiscuous hubs. Scale bound: pair generation is ORDER-LOCAL
+    * (≤C(suppliers-per-order,2) per order — suppliers-per-order ≤
+    * lines-per-order ≤ 7 by schema), so the pair space never leaves
+    * the order key's partition; per-supplier order counts broadcast.
+    * Exactness: cn/n_a/n_b exact BIGINTs rank the top-20 (integer
+    * tie-break (cn DESC, s_a, s_b)); the Adamic–Adar libm ln terms are
+    * evaluated once per (order, pair) row and gathered through
+    * DECIMAL(38,18) (order-independent), ROUND(·,6) at emission — the
+    * an_price_elasticity recipe. */
+  private def qLinkPred(s: SparkSession, dir: String): DataFrame = {
+    val os = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk")).distinct()
+    val deg = os.groupBy(col("ok")).agg(count(lit(1)).as("deg"))
+    val withDeg = os.join(deg.filter(col("deg") >= 2), "ok")
+    val pairs = withDeg.as("a").join(withDeg.as("b"),
+        col("a.ok") === col("b.ok") && col("a.sk") < col("b.sk"))
+      .select(col("a.sk").as("s_a"), col("b.sk").as("s_b"),
+        (lit(1.0) / log(col("a.deg").cast("double"))).cast("decimal(38,18)").as("aaterm"))
+    val scored = pairs.groupBy(col("s_a"), col("s_b"))
+      .agg(count(lit(1)).as("cn"), sum(col("aaterm")).as("aag"))
+    val marg = os.groupBy(col("sk")).agg(count(lit(1)).as("n_one"))
+    scored
+      .join(broadcast(marg.select(col("sk").as("s_a"), col("n_one").as("n_a"))), "s_a")
+      .join(broadcast(marg.select(col("sk").as("s_b"), col("n_one").as("n_b"))), "s_b")
+      .orderBy(col("cn").desc, col("s_a"), col("s_b")).limit(20)
+      .select(col("s_a"), col("s_b"), col("cn"), col("n_a"), col("n_b"),
+        (col("cn").cast("double") /
+          (col("n_a") + col("n_b") - col("cn")).cast("double")).as("jaccard"),
+        round(col("aag").cast("double"), 6).as("adamic_adar"))
+  }
+
+  private val qLinkPredSql =
+    """WITH os AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem),
+      |dg AS (SELECT ok, COUNT(*) AS deg FROM os GROUP BY ok),
+      |wd AS (SELECT os.ok, os.sk, dg.deg FROM os JOIN dg ON os.ok = dg.ok WHERE dg.deg >= 2),
+      |p AS (SELECT a.sk AS s_a, b.sk AS s_b, COUNT(*) AS cn,
+      |        CAST(SUM(CAST(1.0 / ln(CAST(a.deg AS DOUBLE)) AS DECIMAL(38,18))) AS DECIMAL(38,18)) AS aag
+      |      FROM wd a JOIN wd b ON a.ok = b.ok AND a.sk < b.sk
+      |      GROUP BY 1, 2),
+      |m AS (SELECT sk, COUNT(*) AS n_one FROM os GROUP BY sk),
+      |top AS (SELECT s_a, s_b, cn, aag FROM p ORDER BY cn DESC, s_a, s_b LIMIT 20)
+      |SELECT s_a, s_b, cn, ma.n_one AS n_a, mb.n_one AS n_b,
+      |  CAST(cn AS DOUBLE) / CAST(ma.n_one + mb.n_one - cn AS DOUBLE) AS jaccard,
+      |  ROUND(CAST(aag AS DOUBLE), 6) AS adamic_adar
+      |FROM top JOIN m ma ON top.s_a = ma.sk
+      |         JOIN m mb ON top.s_b = mb.sk
+      |ORDER BY cn DESC, s_a, s_b""".stripMargin
+
   // ----------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -9958,6 +10083,9 @@ object SparkEntry {
     "an_cramers_v" -> (anCramersV _),
     "an_ljung_box" -> (anLjungBox _),
     "an_basket_triples" -> (anBasketTriples _),
+    "q_skyline" -> (qSkyline _),
+    "q_sequence_gaps" -> (qSequenceGaps _),
+    "q_link_pred" -> (qLinkPred _),
     "an_jarque_bera" -> (anJarqueBera _),
     "an_grubbs" -> (anGrubbs _),
     "an_cohens_d" -> (anCohensD _),
@@ -10211,6 +10339,9 @@ object SparkEntry {
     "an_cramers_v" -> anCramersVSql,
     "an_ljung_box" -> anLjungBoxSql,
     "an_basket_triples" -> anBasketTriplesSql,
+    "q_skyline" -> qSkylineSql,
+    "q_sequence_gaps" -> qSequenceGapsSql,
+    "q_link_pred" -> qLinkPredSql,
     "an_jarque_bera" -> anJarqueBeraSql,
     "an_grubbs" -> anGrubbsSql,
     "an_cohens_d" -> anCohensDSql,

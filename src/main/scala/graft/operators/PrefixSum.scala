@@ -135,6 +135,64 @@ object PrefixSum {
     spark.createDataFrame(out, outSchema)
   }
 
+  /** Append `<c>_pmax` EXCLUSIVE prefix maxima (one per `maxCols`
+    * entry, which must be LongType): for each row, the max of the
+    * column over all STRICTLY earlier rows in the `orderCols` total
+    * order, `Long.MinValue` for the first row. Same two-pass shape as
+    * [[withRunningTotals]] (max is associative — per-partition maxima
+    * fold into exclusive partition offsets), same determinism contract:
+    * `orderCols` must be a unique key. The exclusive form is the
+    * dominance-test primitive (skyline: "does any higher-ranked row
+    * already beat me"), where an inclusive running max would always
+    * include the row itself. */
+  def withRunningMax(df: DataFrame, orderCols: Seq[String], maxCols: Seq[String],
+      numParts: Int = 32): DataFrame = {
+    val spark = df.sparkSession
+    val sorted = df
+      .repartitionByRange(numParts, orderCols.map(col): _*)
+      .sortWithinPartitions(orderCols.map(col): _*)
+    synchronized {
+      sorted.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      owned += sorted
+    }
+    val schema = sorted.schema
+    val idx = maxCols.map(schema.fieldIndex).toArray
+    val rdd = sorted.rdd // single instance: both passes see one partitioning
+    val nP = rdd.getNumPartitions
+    val partMax: Map[Int, Array[Long]] = rdd.mapPartitionsWithIndex { (pid, it) =>
+      val s = Array.fill(idx.length)(Long.MinValue)
+      it.foreach { r =>
+        var j = 0
+        while (j < idx.length) {
+          val v = r.getLong(idx(j)); if (v > s(j)) s(j) = v; j += 1
+        }
+      }
+      Iterator((pid, s))
+    }.collect().toMap
+    val off = new Array[Array[Long]](nP)
+    var acc = Array.fill(idx.length)(Long.MinValue)
+    for (p <- 0 until nP) {
+      off(p) = acc.clone()
+      partMax.get(p).foreach { s =>
+        acc = acc.zip(s).map { case (a, b) => math.max(a, b) }
+      }
+    }
+    val out = rdd.mapPartitionsWithIndex { (pid, it) =>
+      val s = off(pid).clone()
+      it.map { r =>
+        val prev = s.clone()
+        var j = 0
+        while (j < idx.length) {
+          val v = r.getLong(idx(j)); if (v > s(j)) s(j) = v; j += 1
+        }
+        Row.fromSeq(r.toSeq ++ prev.toSeq)
+      }
+    }
+    val outSchema = StructType(schema.fields ++
+      maxCols.map(c => StructField(c + "_pmax", LongType, nullable = false)))
+    spark.createDataFrame(out, outSchema)
+  }
+
   /** Append `<c>_cum` running totals (one per `sumCols` entry, which
     * must be LongType) and a 1-based global-rank column `rankCol`, all
     * under the total order of `orderCols` (a unique key of `df`). */

@@ -39,6 +39,25 @@ class PrefixSumSpec extends SparkSpec {
     PrefixSum.releaseCaches()
   }
 
+  test("property: exclusive prefix max equals the driver-side scan on random datasets") {
+    import org.scalacheck.Gen
+    (1 to 6).foreach { seed =>
+      val vals = Gen.listOfN(30 + seed * 17, Gen.chooseNum(-1000L, 1000L))
+        .apply(Gen.Parameters.default, org.scalacheck.rng.Seed(seed.toLong + 100))
+        .getOrElse(Nil)
+      val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("k", "v")
+        .repartition(5)
+      val nP = 1 + seed % 5
+      val got = PrefixSum.withRunningMax(df, Seq("k"), Seq("v"), numParts = nP)
+        .select("k", "v_pmax").as[(Long, Long)].collect().sortBy(_._1)
+      // exclusive: max over strictly earlier keys, MinValue for the first
+      val want = vals.scanLeft(Long.MinValue)(math.max).init.zipWithIndex
+        .map { case (m, i) => (i.toLong, m) }
+      assert(got.toSeq == want, s"seed=$seed numParts=$nP")
+      PrefixSum.releaseCaches()
+    }
+  }
+
   test("property: scan equals the driver-side prefix sum on random datasets") {
     import org.scalacheck.Gen
     (1 to 8).foreach { seed =>
