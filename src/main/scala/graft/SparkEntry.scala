@@ -9963,6 +9963,155 @@ object SparkEntry {
       |         JOIN m mb ON top.s_b = mb.sk
       |ORDER BY cn DESC, s_a, s_b""".stripMargin
 
+  /** Windowed audio features from REAL RIFF/WAVE PCM decodes — the
+    * frame-level feature pass (energy / peak / zero-crossing per
+    * fixed-width window) an audio training pipeline runs before VAD or
+    * silence trimming. Payloads are genuine WAV containers synthesized
+    * from md5-derived int16 samples (the [[mmWavStats]] corpus),
+    * decoded per partition by
+    * [[graft.multimodal.BinaryColumns.decodeWavWindows]] into
+    * 16-sample windows of exact integer features; the oracle
+    * rederives samples AND window geometry from the doc ids, so a
+    * header mis-walk, sample misalignment, or window-boundary bug
+    * breaks the hash. Row-local end to end — no shuffle beyond the
+    * final presentation sort. */
+  private def mmAudioWindows(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir).select(col("doc_id").cast("long")).as[Long]
+    val payloads = docs.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { id =>
+        val n = 32 + (id % 17).toInt
+        val rate = 8000 + 1000 * (id % 3).toInt
+        val samples = Array.tabulate(n) { p =>
+          val d = md.digest(s"au:$id:$p".getBytes("UTF-8"))
+          (((d(0) & 0xFF) << 8) | (d(1) & 0xFF)).toShort
+        }
+        (id, graft.multimodal.BinaryColumns.encodeWav(rate, samples))
+      }
+    }.toDF("doc_id", "payload")
+    graft.multimodal.BinaryColumns.decodeWavWindowsBatch(payloads, win = 16)(s).toDF()
+      .orderBy(col("doc_id"), col("win_id"))
+  }
+
+  private val mmAudioWindowsSql = {
+    def nib(i: Int) = s"(instr('0123456789abcdef', substr(h, $i, 1)) - 1)"
+    val u16 = s"(((${nib(1)} * 16 + ${nib(2)}) * 16 + ${nib(3)}) * 16 + ${nib(4)})"
+    s"""WITH d AS (SELECT doc_id, CAST(32 + doc_id % 17 AS INT) AS n
+       |           FROM documents),
+       |smp0 AS (SELECT d.doc_id, p.range AS p,
+       |                md5('au:' || CAST(d.doc_id AS VARCHAR) || ':' ||
+       |                    CAST(p.range AS VARCHAR)) AS h
+       |         FROM d CROSS JOIN range(0, 49) p WHERE p.range < d.n),
+       |sv AS (SELECT doc_id, p, CAST(p // 16 AS INT) AS win_id,
+       |              CASE WHEN $u16 >= 32768 THEN $u16 - 65536 ELSE $u16 END AS v
+       |       FROM smp0),
+       |lg AS (SELECT doc_id, win_id, p, v,
+       |              LAG(v) OVER (PARTITION BY doc_id, win_id ORDER BY p) AS pv
+       |       FROM sv)
+       |SELECT doc_id, win_id, COUNT(*) AS n_in_win,
+       |       CAST(SUM(CAST(v AS BIGINT) * CAST(v AS BIGINT)) AS BIGINT) AS sum_sq,
+       |       CAST(MAX(ABS(v)) AS BIGINT) AS max_abs,
+       |       CAST(SUM(v) AS BIGINT) AS sum_v,
+       |       CAST(SUM(CASE WHEN pv * v < 0 THEN 1 ELSE 0 END) AS BIGINT) AS zero_cross
+       |FROM lg GROUP BY doc_id, win_id
+       |ORDER BY doc_id, win_id""".stripMargin
+  }
+
+  /** NDCG@5 retrieval-quality evaluation of the banded-LSH ANN path
+    * against the exact brute-force ranking — the graded companion to
+    * sim_ivf_ann's recall column (recall says WHETHER the true
+    * neighbors were found; NDCG says whether they surfaced at the TOP
+    * of the list). Relevance is binary membership in the exact top-5;
+    * DCG discounts by ln2/ln(rank+1) — the SAME straight-line libm
+    * expression both engines evaluate, gathered per query over ≤5 rows
+    * through DECIMAL(38,18) and ROUND(·,6) (the an_entropy libm-ulp
+    * recipe). The exact side is the documented O(q·n) evaluation
+    * baseline (guard posture of sim_ivf_ann's recall join); the
+    * retrieval path under test stays banded/sub-quadratic. A final
+    * query_id = −1 row carries the corpus mean of the per-query
+    * NDCGs. */
+  private def simNdcg(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+    val lsh = graft.similarity.VectorOps.lshTopKPortable(emb, queries, k = 5, dim = 64)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+    val exact = graft.similarity.VectorOps.bruteForceTopK(emb, queries, k = 5)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("rel"))
+    val dcgTerm = coalesce(col("rel"), lit(0L)).cast("double") *
+      log(lit(2.0)) / log((col("rank") + 1).cast("double"))
+    val idcgTerm = log(lit(2.0)) / log((col("rank") + 1).cast("double"))
+    val perQ = lsh.join(exact, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(sum(coalesce(col("rel"), lit(0L))).as("n_hits"),
+        sum(dcgTerm.cast("decimal(38,18)")).as("dcgg"),
+        sum(idcgTerm.cast("decimal(38,18)")).as("idcgg"))
+      .select(col("query_id"), col("n_hits"),
+        round(col("dcgg").cast("double") / col("idcgg").cast("double"), 6).as("ndcg"))
+    val mean = perQ.agg(count(lit(1)).as("nq"), sum(col("n_hits")).as("n_hits"),
+        sum(col("ndcg").cast("decimal(38,18)")).as("ng"))
+      .select(lit(-1L).as("query_id"), col("n_hits"),
+        round(col("ng").cast("double") / col("nq").cast("double"), 6).as("ndcg"))
+    perQ.unionByName(mean).orderBy(col("query_id"))
+  }
+
+  private val simNdcgSql = {
+    val lshCtes =
+      """e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |vq AS (SELECT vec_id,
+        |    list_transform(v, x -> CAST(round(x * 1000000.0) AS BIGINT)) AS q
+        |  FROM e),
+        |planes AS (SELECT t1.range AS i, t2.range AS j,
+        |    2 * (instr('0123456789abcdef', substr(md5('lsh:' ||
+        |      CAST(t1.range AS VARCHAR) || ':' || CAST(t2.range AS VARCHAR)), 1, 1)) - 1) - 15 AS h
+        |  FROM range(0, 16) t1, range(0, 64) t2),
+        |bits AS (SELECT vq.vec_id, p.i,
+        |    CASE WHEN SUM(p.h * vq.q[CAST(p.j AS INT) + 1]) >= 0 THEN 1 ELSE 0 END AS b
+        |  FROM vq CROSS JOIN planes p GROUP BY vq.vec_id, p.i),
+        |bands AS (SELECT vec_id, CAST(i // 4 AS INT) AS band_id,
+        |    CAST(SUM(b * (1 << CAST(i % 4 AS INT))) AS BIGINT) AS band_key
+        |  FROM bits GROUP BY 1, 2),
+        |pairs AS (SELECT DISTINCT qb.vec_id AS query_id, nb.vec_id AS neighbor_id
+        |  FROM bands qb JOIN bands nb USING (band_id, band_key)
+        |  WHERE qb.vec_id % 50 = 0 AND nb.vec_id <> qb.vec_id),
+        |scored AS (SELECT p.query_id, p.neighbor_id,
+        |    ROUND(list_cosine_similarity(eq.v, en.v), 6) AS sim
+        |  FROM pairs p JOIN e eq ON eq.vec_id = p.query_id
+        |               JOIN e en ON en.vec_id = p.neighbor_id),
+        |lsh AS (SELECT query_id, neighbor_id, rank FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY sim DESC, neighbor_id) AS rank
+        |  FROM scored) t WHERE rank <= 5),
+        |bf AS (SELECT q.vec_id AS query_id, e2.vec_id AS neighbor_id,
+        |    ROUND(list_cosine_similarity(q.v, e2.v), 6) AS sim
+        |  FROM e q JOIN e e2 ON e2.vec_id <> q.vec_id
+        |  WHERE q.vec_id % 50 = 0),
+        |exact AS (SELECT query_id, neighbor_id, 1 AS rel FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY sim DESC, neighbor_id) AS rank
+        |  FROM bf) t WHERE rank <= 5)""".stripMargin
+    s"""WITH $lshCtes,
+       |perq AS (SELECT l.query_id,
+       |    CAST(SUM(COALESCE(x.rel, 0)) AS BIGINT) AS n_hits,
+       |    CAST(SUM(CAST(CAST(COALESCE(x.rel, 0) AS DOUBLE) * ln(2.0)
+       |      / ln(CAST(l.rank + 1 AS DOUBLE)) AS DECIMAL(38,18))) AS DECIMAL(38,18)) AS dcgg,
+       |    CAST(SUM(CAST(ln(2.0)
+       |      / ln(CAST(l.rank + 1 AS DOUBLE)) AS DECIMAL(38,18))) AS DECIMAL(38,18)) AS idcgg
+       |  FROM lsh l LEFT JOIN exact x
+       |    ON l.query_id = x.query_id AND l.neighbor_id = x.neighbor_id
+       |  GROUP BY l.query_id),
+       |pq AS (SELECT query_id, n_hits,
+       |    ROUND(CAST(dcgg AS DOUBLE) / CAST(idcgg AS DOUBLE), 6) AS ndcg FROM perq),
+       |mean AS (SELECT CAST(-1 AS BIGINT) AS query_id,
+       |    CAST(SUM(n_hits) AS BIGINT) AS n_hits,
+       |    ROUND(CAST(CAST(SUM(CAST(ndcg AS DECIMAL(38,18))) AS DECIMAL(38,18)) AS DOUBLE)
+       |      / CAST(COUNT(*) AS DOUBLE), 6) AS ndcg
+       |  FROM pq)
+       |SELECT query_id, n_hits, ndcg FROM pq
+       |UNION ALL SELECT query_id, n_hits, ndcg FROM mean
+       |ORDER BY query_id""".stripMargin
+  }
+
   // ----------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -10086,6 +10235,8 @@ object SparkEntry {
     "q_skyline" -> (qSkyline _),
     "q_sequence_gaps" -> (qSequenceGaps _),
     "q_link_pred" -> (qLinkPred _),
+    "mm_audio_windows" -> (mmAudioWindows _),
+    "sim_ndcg" -> (simNdcg _),
     "an_jarque_bera" -> (anJarqueBera _),
     "an_grubbs" -> (anGrubbs _),
     "an_cohens_d" -> (anCohensD _),
@@ -10342,6 +10493,8 @@ object SparkEntry {
     "q_skyline" -> qSkylineSql,
     "q_sequence_gaps" -> qSequenceGapsSql,
     "q_link_pred" -> qLinkPredSql,
+    "mm_audio_windows" -> mmAudioWindowsSql,
+    "sim_ndcg" -> simNdcgSql,
     "an_jarque_bera" -> anJarqueBeraSql,
     "an_grubbs" -> anGrubbsSql,
     "an_cohens_d" -> anCohensDSql,

@@ -355,6 +355,70 @@ object BinaryColumns {
       .mapPartitions { it => it.map { case (id, bytes) => decodeWav(id, bytes) } }
   }
 
+  /** One fixed-width analysis window of a decoded PCM stream: exact
+    * integer energy (Σv²), peak, DC sum, and strict sign-change zero
+    * crossings counted WITHIN the window (both samples inside), so
+    * windows are independent and re-derivable from sample indices
+    * alone. */
+  final case class WavWindow(doc_id: Long, win_id: Int, n_in_win: Long,
+                             sum_sq: Long, max_abs: Long, sum_v: Long,
+                             zero_cross: Long)
+
+  /** REAL WAV decode → fixed-width windowed features (the frame-level
+    * feature extraction an audio training pipeline runs before VAD /
+    * silence trimming): same container walk as [[decodeWav]], then the
+    * sample stream splits into `win`-sample windows each accumulating
+    * exact integer features. int16² ≤ 2³⁰ so a window's energy sum is
+    * far inside BIGINT at any window size that fits memory. */
+  def decodeWavWindows(id: Long, bytes: Array[Byte], win: Int): Seq[WavWindow] = {
+    val in = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def tag(off: Int) = new String(bytes, off, 4, "US-ASCII")
+    require(bytes.length >= 44 && tag(0) == "RIFF" && tag(8) == "WAVE",
+      s"doc $id: not a WAV payload")
+    var off = 12
+    var fmtOff = -1; var dataOff = -1; var dataSize = -1
+    while (off + 8 <= bytes.length && (fmtOff < 0 || dataOff < 0)) {
+      val sz = in.getInt(off + 4)
+      tag(off) match {
+        case "fmt " => fmtOff = off + 8
+        case "data" => dataOff = off + 8; dataSize = sz
+        case _ => ()
+      }
+      off += 8 + sz + (sz & 1)
+    }
+    require(fmtOff >= 0 && dataOff >= 0, s"doc $id: missing fmt/data chunk")
+    require(in.getShort(fmtOff).toInt == 1 && in.getShort(fmtOff + 2).toInt == 1 &&
+      in.getShort(fmtOff + 14).toInt == 16, s"doc $id: only PCM mono 16-bit supported")
+    require(bytes.length >= dataOff + dataSize, s"doc $id: truncated sample data")
+    val n = dataSize / 2
+    val out = scala.collection.mutable.ArrayBuffer.empty[WavWindow]
+    var base = 0
+    while (base < n) {
+      val end = math.min(base + win, n)
+      var sumSq = 0L; var maxAbs = 0L; var sumV = 0L; var zc = 0L
+      var prev = 0; var i = base
+      while (i < end) {
+        val v = in.getShort(dataOff + 2 * i).toInt
+        sumSq += v.toLong * v; sumV += v
+        val a = math.abs(v).toLong; if (a > maxAbs) maxAbs = a
+        if (i > base && prev * v < 0) zc += 1
+        prev = v; i += 1
+      }
+      out += WavWindow(id, base / win, (end - base).toLong, sumSq, maxAbs, sumV, zc)
+      base += win
+    }
+    out.toSeq
+  }
+
+  /** Per-partition batch windowed decode — flatMap over the same
+    * mapPartitions seam as [[decodeWavBatch]]. */
+  def decodeWavWindowsBatch(payloads: DataFrame, win: Int)(
+      implicit spark: SparkSession): Dataset[WavWindow] = {
+    import spark.implicits._
+    payloads.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it => it.flatMap { case (id, bytes) => decodeWavWindows(id, bytes, win) } }
+  }
+
   /** Decoded-video record produced by the REAL [[decodeAvi]] parser:
     * container geometry plus exact integer pixel statistics across all
     * frames. `wsum` weights each frame's pixel total by (index+1), so

@@ -96,6 +96,32 @@ class MultimodalSpec extends SparkSpec {
     assert(st2.n_samples == 3 && st2.zero_cross == 2 && st2.sum_v == 50L)
   }
 
+  test("windowed WAV decode partitions the stream and reassembles to whole-file stats") {
+    val rnd = new scala.util.Random(11)
+    for (n <- Seq(1, 15, 16, 17, 48, 49)) {
+      val samples = Array.fill(n)(rnd.nextInt(65536).toShort)
+      val wav = BinaryColumns.encodeWav(8000, samples)
+      val wins = BinaryColumns.decodeWavWindows(3L, wav, win = 16)
+      val ints = samples.map(_.toInt)
+      // geometry: ceil(n/16) windows, ids contiguous, sizes sum to n
+      assert(wins.length == (n + 15) / 16)
+      assert(wins.map(_.win_id) == wins.indices.toSeq)
+      assert(wins.map(_.n_in_win).sum == n)
+      // reassembly: windowed sums fold back to the whole-file decode
+      val whole = BinaryColumns.decodeWav(3L, wav)
+      assert(wins.map(_.sum_v).sum == whole.sum_v)
+      assert(wins.map(_.max_abs).max == whole.max_abs)
+      assert(wins.map(_.sum_sq).sum ==
+        ints.map(v => v.toLong * v).sum)
+      // within-window zero crossings never exceed the whole-file count
+      // (boundary-pair crossings are excluded by construction)
+      assert(wins.map(_.zero_cross).sum <= whole.zero_cross)
+      val boundaryCrossings = (16 until n by 16)
+        .count(i => ints(i - 1) * ints(i) < 0)
+      assert(wins.map(_.zero_cross).sum + boundaryCrossings == whole.zero_cross)
+    }
+  }
+
   test("AVI encode/decode round-trips exact frame stats at every stride padding") {
     val rnd = new scala.util.Random(11)
     for (w <- 1 to 5; h <- Seq(1, 3); nf <- Seq(1, 4)) {
