@@ -3202,6 +3202,56 @@ object SparkEntry {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  /** SemDeDup semantic near-dup pruning under the FULL hash oracle:
+    * [[graft.similarity.VectorOps.semanticDedup]] assigns the corpus to
+    * the portable integer IVF cells (the sim_ivf_ann quantizer), pairs
+    * ONLY within a cell, and drops the higher id of any pair with
+    * round(cosine,6) ≥ 0.35, emitting (dropped, kept representative,
+    * sim, cell). Cell-local O(Σ|cell|²) — at 100 TB `nCells` scales
+    * with the corpus so cells stay bounded, the published SemDeDup
+    * shape (Abbas et al. 2023) — and the DuckDB oracle replays cell
+    * assignment and the drop set bit-for-bit. */
+  private def simSemanticDedup(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    graft.similarity.VectorOps.semanticDedup(emb, tau = 0.35)
+      .orderBy(col("drop_id"))
+  }
+
+  /** DuckDB replay of [[graft.similarity.VectorOps.semanticDedup]]:
+    * the sim_ivf_ann assign CTE, then the within-cell pair scan with
+    * the same keep-lowest-id drop policy and (sim DESC, keep_id)
+    * representative argmax. */
+  private val simSemanticDedupSql =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |vq AS (SELECT vec_id, list_transform(v, x -> CAST(round(x * 1000000.0) AS BIGINT)) AS q
+      |       FROM e),
+      |cent AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cell_id,
+      |                list_transform(v, x -> CAST(round(x * 1000000.0) AS BIGINT)) AS c
+      |         FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 16) t0),
+      |cn AS (SELECT cell_id,
+      |              sqrt(CAST(CAST(list_sum(list_transform(c, x -> x * x)) AS BIGINT) AS DOUBLE)) AS nrm
+      |       FROM cent),
+      |comp AS (SELECT cell_id, t.range AS j, c[CAST(t.range AS INT) + 1] AS cj
+      |         FROM cent, range(0, 64) t),
+      |dots AS (SELECT vq.vec_id, comp.cell_id,
+      |                CAST(SUM(comp.cj * vq.q[CAST(comp.j AS INT) + 1]) AS BIGINT) AS dt
+      |         FROM vq CROSS JOIN comp GROUP BY 1, 2),
+      |ranked AS (SELECT d.vec_id, d.cell_id,
+      |                  ROW_NUMBER() OVER (PARTITION BY d.vec_id
+      |                    ORDER BY CAST(d.dt AS DOUBLE) / cn.nrm DESC, d.cell_id) AS rn
+      |           FROM dots d JOIN cn USING (cell_id)),
+      |assign AS (SELECT vec_id AS id, cell_id FROM ranked WHERE rn = 1),
+      |p AS (SELECT b.id AS drop_id, a.id AS keep_id, a.cell_id,
+      |             ROUND(list_cosine_similarity(ea.v, eb.v), 6) AS sim
+      |      FROM assign a JOIN assign b ON a.cell_id = b.cell_id AND a.id < b.id
+      |      JOIN e ea ON ea.vec_id = a.id JOIN e eb ON eb.vec_id = b.id),
+      |r AS (SELECT drop_id, keep_id AS rep_id, sim, cell_id,
+      |             ROW_NUMBER() OVER (PARTITION BY drop_id
+      |               ORDER BY sim DESC, keep_id) AS rn
+      |      FROM p WHERE sim >= 0.35)
+      |SELECT drop_id, rep_id, sim, cell_id FROM r WHERE rn = 1
+      |ORDER BY drop_id""".stripMargin
+
   /** Product-quantized ANN, promoted to the FULL hash oracle (round-10
     * verdict #6): the per-subspace codebooks are trained by
     * [[graft.similarity.Quantize.pqTrainIntPortable]] — integer
@@ -6226,6 +6276,62 @@ object SparkEntry {
       |  CAST(SUM(ABS(rev_c - pred_c)) AS DOUBLE) / CAST(SUM(rev_c) AS DOUBLE) AS rel_err
       |FROM l WHERE rd <= 28 AND pred_c IS NOT NULL""".stripMargin
 
+  /** Multi-horizon rolling-origin backtest of the naive forecaster
+    * (ŷ_t = y_{t−h}, h = 1..7) over the last-28-day holdout of daily
+    * revenue — the "which lead time is still usable" evaluation a
+    * forecasting pipeline runs before promoting a model (one WAPE
+    * number per horizon, not one blended score). The horizon fan-out
+    * is a 7-element `sequence` explode on the day spine joined back by
+    * exact epoch-day keys; per-day errors are exact cents, MAE and
+    * signed bias sum as BIGINTs, and WAPE is the single final
+    * division. The spine is days-sized, so the global row_number
+    * window is bounded by the calendar, not the data. */
+  private def anMapeBacktest(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.lineitem(s, dir)
+      .groupBy(date_trunc("day", col("l_shipdate")).as("day"))
+      .agg((sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(24,8)")).cast("decimal(24,2)") * 100)
+        .cast("bigint").as("rev_c"))
+      .select(datediff(col("day").cast("date"), lit("1970-01-01").cast("date"))
+        .cast("long").as("dno"), col("rev_c"))
+    val holdout = daily
+      .withColumn("rd", row_number().over(Window.orderBy(col("dno").desc)))
+      .filter(col("rd") <= 28)
+      .select(col("dno"), col("rev_c"),
+        explode(sequence(lit(1L), lit(7L))).as("h"))
+      .withColumn("pdno", col("dno") - col("h"))
+    holdout
+      .join(daily.select(col("dno").as("pdno"), col("rev_c").as("pred_c")), "pdno")
+      .groupBy(col("h"))
+      .agg(count(lit(1)).as("n"),
+        sum(abs(col("rev_c") - col("pred_c"))).as("abs_err_c"),
+        sum(col("rev_c") - col("pred_c")).as("bias_c"),
+        sum("rev_c").as("actual_c"))
+      .withColumn("wape",
+        col("abs_err_c").cast("double") / col("actual_c").cast("double"))
+      .orderBy(col("h"))
+  }
+
+  private val anMapeBacktestSql =
+    """WITH daily AS (SELECT
+      |    CAST(date_diff('day', DATE '1970-01-01',
+      |                   CAST(date_trunc('day', l_shipdate) AS DATE)) AS BIGINT) AS dno,
+      |    CAST(ROUND(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,8))), 2) * 100 AS BIGINT) AS rev_c
+      |  FROM lineitem GROUP BY 1),
+      |hold AS (SELECT dno, rev_c FROM (
+      |    SELECT dno, rev_c, ROW_NUMBER() OVER (ORDER BY dno DESC) AS rd FROM daily) t
+      |  WHERE rd <= 28),
+      |x AS (SELECT CAST(t.range AS BIGINT) AS h, ho.dno, ho.rev_c
+      |      FROM hold ho CROSS JOIN range(1, 8) t),
+      |j AS (SELECT x.h, x.rev_c, p.rev_c AS pred_c
+      |      FROM x JOIN daily p ON p.dno = x.dno - x.h)
+      |SELECT h, COUNT(*) AS n,
+      |  CAST(SUM(ABS(rev_c - pred_c)) AS BIGINT) AS abs_err_c,
+      |  CAST(SUM(rev_c - pred_c) AS BIGINT) AS bias_c,
+      |  CAST(SUM(rev_c) AS BIGINT) AS actual_c,
+      |  CAST(SUM(ABS(rev_c - pred_c)) AS DOUBLE) / CAST(SUM(rev_c) AS DOUBLE) AS wape
+      |FROM j GROUP BY h ORDER BY h""".stripMargin
+
   /** Top user journeys: each user's first five events (deterministic
     * (ts, event_id) order) joined into a path string, counted and
     * ranked — the product-analytics "what do users actually do" query.
@@ -8455,6 +8561,80 @@ object SparkEntry {
       |    / ((ss_total - ss_between) / CAST(n - k AS DOUBLE)) AS f_stat
       |FROM d""".stripMargin
 
+  /** Tukey HSD post-hoc pairwise comparisons after [[anAnova]]: for
+    * every market-segment pair, the studentized-range statistic
+    * q = |mean_i − mean_j| / √(MSW/2 · (1/n_i + 1/n_j)) — the "WHICH
+    * groups differ" follow-up an omnibus F cannot answer. Reuses the
+    * exact-cents centered sums of the ANOVA (the m0 integer shift
+    * cancels in every mean difference), so per-group state is 3 exact
+    * numbers; the pair fan-out is k², a model-sized frame (k = number
+    * of segments), cross-joined with the 1-row MSW total — the only
+    * data-sized work is the same single groupBy as an_anova. Doubles
+    * are computed on identical expression trees both sides, emitted
+    * unrounded. */
+  private def anTukeyHsd(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .join(broadcast(Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("g"),
+        (col("o_totalprice").cast("decimal(24,2)") * 100).cast("bigint").as("v"))
+    val grand = o.agg(sum(col("v")).as("s0"), count(lit(1)).as("n0"))
+      .select(expr("s0 div n0").as("m0"))
+    val per = o.crossJoin(broadcast(grand))
+      .select(col("g"), (col("v") - col("m0")).as("c"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n_g"), sum(col("c")).as("sp_g"),
+        sum((col("c").cast("decimal(18,0)") * col("c").cast("decimal(18,0)"))
+          .cast("decimal(38,0)")).as("qp_g"))
+    val msw = per.agg(count(lit(1)).as("k"), sum(col("n_g")).as("n"),
+        sum(col("qp_g")).as("qp"),
+        sum((col("sp_g").cast("double") * col("sp_g").cast("double") /
+          col("n_g").cast("double")).cast("decimal(38,18)")).as("ssb_gather"))
+      .select(((col("qp").cast("double") - col("ssb_gather").cast("double")) /
+        (col("n") - col("k")).cast("double")).as("ms_within"))
+    val a = per.select(col("g").as("g_a"), col("n_g").as("n_a"), col("sp_g").as("sp_a"))
+    val b = per.select(col("g").as("g_b"), col("n_g").as("n_b"), col("sp_g").as("sp_b"))
+    a.join(broadcast(b), col("g_a") < col("g_b"))
+      .crossJoin(broadcast(msw))
+      .select(col("g_a"), col("g_b"), col("n_a"), col("n_b"),
+        (col("sp_a").cast("double") / col("n_a").cast("double") -
+          col("sp_b").cast("double") / col("n_b").cast("double")).as("mean_diff_c"),
+        (abs(col("sp_a").cast("double") / col("n_a").cast("double") -
+          col("sp_b").cast("double") / col("n_b").cast("double")) /
+          sqrt(col("ms_within") / lit(2.0) *
+            (lit(1.0) / col("n_a").cast("double") +
+              lit(1.0) / col("n_b").cast("double")))).as("q_stat"))
+      .orderBy(col("g_a"), col("g_b"))
+  }
+
+  private val anTukeyHsdSql =
+    """WITH o AS (SELECT c.c_mktsegment AS g,
+      |    CAST(CAST(o.o_totalprice AS DECIMAL(24,2)) * 100 AS BIGINT) AS v
+      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+      |m AS (SELECT CAST(SUM(v) AS BIGINT) // COUNT(*) AS m0 FROM o),
+      |per AS (SELECT g, COUNT(*) AS n_g,
+      |    CAST(SUM(v - m0) AS BIGINT) AS sp_g,
+      |    CAST(SUM(CAST(CAST(v - m0 AS DECIMAL(18,0)) * CAST(v - m0 AS DECIMAL(18,0))
+      |             AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS qp_g
+      |  FROM o CROSS JOIN m GROUP BY g),
+      |t AS (SELECT COUNT(*) AS k, CAST(SUM(n_g) AS BIGINT) AS n,
+      |        CAST(SUM(qp_g) AS DECIMAL(38,0)) AS qp,
+      |        CAST(SUM(CAST(CAST(sp_g AS DOUBLE) * CAST(sp_g AS DOUBLE)
+      |              / CAST(n_g AS DOUBLE) AS DECIMAL(38,18))) AS DECIMAL(38,18)) AS ssb_gather
+      |      FROM per),
+      |w AS (SELECT (CAST(qp AS DOUBLE) - CAST(ssb_gather AS DOUBLE))
+      |               / CAST(n - k AS DOUBLE) AS ms_within FROM t)
+      |SELECT a.g AS g_a, b.g AS g_b, a.n_g AS n_a, b.n_g AS n_b,
+      |  CAST(a.sp_g AS DOUBLE) / CAST(a.n_g AS DOUBLE)
+      |    - CAST(b.sp_g AS DOUBLE) / CAST(b.n_g AS DOUBLE) AS mean_diff_c,
+      |  ABS(CAST(a.sp_g AS DOUBLE) / CAST(a.n_g AS DOUBLE)
+      |      - CAST(b.sp_g AS DOUBLE) / CAST(b.n_g AS DOUBLE))
+      |    / sqrt(w.ms_within / 2.0
+      |           * (1.0 / CAST(a.n_g AS DOUBLE) + 1.0 / CAST(b.n_g AS DOUBLE))) AS q_stat
+      |FROM per a JOIN per b ON a.g < b.g CROSS JOIN w
+      |ORDER BY g_a, g_b""".stripMargin
+
   /** Mann–Whitney U (rank-sum) test — urgent vs low-priority order
     * totals, the nonparametric two-sample location test. Ranks are
     * midranks over the POOLED sample, computed scale-first: aggregate
@@ -10135,6 +10315,7 @@ object SparkEntry {
     "an_runs_test" -> (anRunsTest _),
     "an_rolling_distinct" -> (anRollingDistinct _),
     "an_anova" -> (anAnova _),
+    "an_tukey_hsd" -> (anTukeyHsd _),
     "an_mannwhitney" -> (anMannWhitney _),
     "an_kruskal" -> (anKruskal _),
     "q_degree_hist" -> (qDegreeHist _),
@@ -10212,6 +10393,7 @@ object SparkEntry {
     "sim_topk_cosine" -> (simTopkCosine _),
     "sim_lsh_ann" -> (simLshAnn _),
     "sim_ivf_kmeans" -> (simIvfKmeans _),
+    "sim_semantic_dedup" -> (simSemanticDedup _),
     "sim_pq" -> (simPq _),
     "text_pack" -> (textPack _),
     "text_tfidf" -> (textTfidf _),
@@ -10327,6 +10509,7 @@ object SparkEntry {
     "an_cusum" -> (anCusum _),
     "an_cohort_ltv" -> (anCohortLtv _),
     "an_forecast_naive" -> (anForecastNaive _),
+    "an_mape_backtest" -> (anMapeBacktest _),
     "an_user_paths" -> (anUserPaths _),
     "an_markov" -> (anMarkov _),
     "an_rfm" -> (anRfm _),
@@ -10393,6 +10576,7 @@ object SparkEntry {
     "an_runs_test" -> anRunsTestSql,
     "an_rolling_distinct" -> anRollingDistinctSql,
     "an_anova" -> anAnovaSql,
+    "an_tukey_hsd" -> anTukeyHsdSql,
     "an_mannwhitney" -> anMannWhitneySql,
     "an_kruskal" -> anKruskalSql,
     "q_degree_hist" -> qDegreeHistSql,
@@ -10477,6 +10661,7 @@ object SparkEntry {
     "sim_lsh_ann" -> simLshAnnSql,
     "sim_ivf_ann" -> simIvfAnnSql,
     "sim_ivf_kmeans" -> simIvfKmeansSql,
+    "sim_semantic_dedup" -> simSemanticDedupSql,
     "sim_pq" -> simPqSql,
     "sim_lsh_auto" -> simLshAutoSql,
     "text_langid" -> textLangidSql,
@@ -10583,6 +10768,7 @@ object SparkEntry {
     "an_cusum" -> anCusumSql,
     "an_cohort_ltv" -> anCohortLtvSql,
     "an_forecast_naive" -> anForecastNaiveSql,
+    "an_mape_backtest" -> anMapeBacktestSql,
     "an_user_paths" -> anUserPathsSql,
     "an_markov" -> anMarkovSql,
     "an_rfm" -> anRfmSql,

@@ -466,6 +466,60 @@ object VectorOps {
       .select("query_id", "neighbor_id", "rank", "sim")
   }
 
+  /** SemDeDup-style semantic near-duplicate pruning (Abbas et al. 2023,
+    * arXiv:2303.09540): assign every embedding to a coarse cell with the
+    * SAME engine-portable integer quantizer as [[ivfTopKPortable]]
+    * (first-`nCells`-by-id stand-in, or a trained `centroidsInt`), then
+    * compare pairs ONLY within a cell and drop the higher id of any
+    * pair whose `round(cosine, 6) >= tau`, reporting the kept
+    * representative (argmax sim, ties to the lowest keeper id — the
+    * keeper may itself be dropped against an even lower id, the
+    * standard pointer-style dup set). The pair space is cell-local —
+    * O(Σ|cell|²), never corpus² — and at scale `nCells` grows with the
+    * corpus so cells stay bounded (~corpus/nCells rows each): exactly
+    * the published SemDeDup recipe, with the quadratic work
+    * embarrassingly parallel per cell. Cell scores are exact integer
+    * dots over one sqrt/division (the ivfTopKPortable portability
+    * argument), so a SQL engine replays assignment AND the drop set
+    * bit-for-bit. */
+  def semanticDedup(embeddings: DataFrame, tau: Double, nCells: Int = 16,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    centroidsInt: Option[Array[Array[Long]]] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = embeddings.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
+    val quant: Column => Column =
+      v => transform(v, x => round(x * lit(1000000.0)).cast("long"))
+    // model-sized driver state (nCells × dim) — the KMeans.fit posture
+    val cents: Array[Array[Long]] = centroidsInt.getOrElse(
+      e.orderBy(col("id")).limit(nCells)
+        .select(quant(col("v")).as("q"))
+        .collect().map(_.getSeq[Long](0).toArray))
+    val cnorms: Array[Double] = cents.map(c => math.sqrt(c.map(x => x * x).sum.toDouble))
+    def cellScores(vq: Column): Seq[Column] = cents.zip(cnorms).map { case (c, n) =>
+      aggregate(zip_with(vq, typedLit(c.toSeq), (a, b) => a * b),
+        lit(0L), (acc, x) => acc + x).cast("double") / lit(n)
+    }
+    val cells = e
+      .withColumn("scores", array(cellScores(quant(col("v"))): _*))
+      .withColumn("cell_id",
+        (array_position(col("scores"), array_max(col("scores"))) - 1).cast("int"))
+      .select(col("id"), col("v"), col("cell_id"))
+      .withColumn("nrm", norm(col("v")))
+    val keepers = cells.select(col("cell_id"), col("id").as("keep_id"),
+      col("v").as("kv"), col("nrm").as("kn"))
+    val droppers = cells.select(col("cell_id"), col("id").as("drop_id"),
+      col("v").as("dv"), col("nrm").as("dn"))
+    val wRep = Window.partitionBy(col("drop_id"))
+      .orderBy(col("sim").desc, col("keep_id"))
+    keepers.join(droppers, Seq("cell_id"))
+      .filter(col("keep_id") < col("drop_id"))
+      .withColumn("sim", round(dot(col("kv"), col("dv")) / (col("kn") * col("dn")), 6))
+      .filter(col("sim") >= lit(tau))
+      .withColumn("rn", row_number().over(wRep))
+      .filter(col("rn") === 1)
+      .select(col("drop_id"), col("keep_id").as("rep_id"), col("sim"), col("cell_id"))
+  }
+
   /** Maximal-Marginal-Relevance diversified top-k: greedily pick k of
     * the `pool` strongest candidates, each step maximizing
     * λ·sim(q,d) − (1−λ)·max_{s∈S} sim(d,s) — the training-data

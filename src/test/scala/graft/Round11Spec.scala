@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantic pins for the round-11 additions (the oracle checks exact
+  * values at sf0.01; these pin the MEANING of those values): SemDeDup
+  * semantic pruning, Tukey HSD, and the multi-horizon backtest. */
+class Round11Spec extends SparkSpec {
+  import spark.implicits._
+
+  test("semantic dedup equals an independent in-driver SemDeDup at sf0.001") {
+    val tau = 0.35
+    val got = SparkEntry.queries("sim_semantic_dedup")(spark, sfDir)
+      .select("drop_id", "rep_id", "sim", "cell_id")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    // independent reimplementation: same portable integer quantizer,
+    // cell assignment, pair policy — computed wholly in the driver
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().sortBy(_._1)
+    val cents = vecs.take(16).map(_._2.map(x => math.round(x * 1e6)).toArray)
+    val cnorms = cents.map(c => math.sqrt(c.map(x => x.toDouble * x).sum))
+    def cell(v: Seq[Double]): Int = {
+      val q = v.map(x => math.round(x * 1e6)).toArray
+      val scores = cents.zip(cnorms).map { case (c, n) =>
+        c.zip(q).map { case (a, b) => a * b }.sum.toDouble / n
+      }
+      scores.indexOf(scores.max)
+    }
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      val r = d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+      BigDecimal(r).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val byCell = vecs.groupBy(v => cell(v._2))
+    val expected = byCell.toSeq.flatMap { case (cid, members) =>
+      val sorted = members.sortBy(_._1)
+      sorted.flatMap { case (did, dv) =>
+        val mates = sorted.filter(_._1 < did)
+          .map { case (kid, kv) => (kid, cos(kv, dv)) }
+          .filter(_._2 >= tau)
+        if (mates.isEmpty) None
+        else {
+          val (rid, s) = mates.minBy { case (kid, s) => (-s, kid) }
+          Some((did, rid, s, cid))
+        }
+      }
+    }.toSet
+    assert(got == expected, "drop set must equal the driver SemDeDup exactly")
+    assert(got.nonEmpty, "sf0.001 must surface at least one semantic dup")
+    got.foreach { case (d, r, s, _) =>
+      assert(r < d && s >= tau)
+    }
+  }
+
+  test("tukey hsd recomposes from raw per-segment stats") {
+    val got = SparkEntry.queries("an_tukey_hsd")(spark, sfDir)
+      .select("g_a", "g_b", "n_a", "n_b", "mean_diff_c", "q_stat")
+      .as[(String, String, Long, Long, Double, Double)].collect()
+    val vals = Tables.orders(spark, sfDir)
+      .join(Tables.customer(spark, sfDir)
+        .select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"),
+        (col("o_totalprice").cast("decimal(24,2)") * 100).cast("long"))
+      .as[(String, Long)].collect()
+    val groups = vals.groupBy(_._1).view.mapValues(_.map(_._2.toDouble)).toMap
+    val k = groups.size
+    assert(got.length == k * (k - 1) / 2, "one row per unordered segment pair")
+    val n = vals.length
+    val means = groups.view.mapValues(v => v.sum / v.length).toMap
+    val ssw = groups.values.map { v =>
+      val m = v.sum / v.length; v.map(x => (x - m) * (x - m)).sum
+    }.sum
+    val msw = ssw / (n - k)
+    got.foreach { case (ga, gb, na, nb, diff, q) =>
+      assert(ga < gb, "pairs are emitted in lexical order")
+      assert(na == groups(ga).length && nb == groups(gb).length)
+      val expDiff = means(ga) - means(gb)
+      assert(math.abs(diff - expDiff) < math.max(1.0, math.abs(expDiff)) * 1e-9,
+        s"mean diff $ga/$gb: $diff vs $expDiff")
+      val expQ = math.abs(expDiff) / math.sqrt(msw / 2.0 * (1.0 / na + 1.0 / nb))
+      assert(math.abs(q - expQ) < expQ * 1e-9, s"q $ga/$gb: $q vs $expQ")
+    }
+  }
+
+  test("mape backtest h=7 row reconciles with the seasonal-naive backtest") {
+    val rows = SparkEntry.queries("an_mape_backtest")(spark, sfDir)
+      .select("h", "n", "abs_err_c", "bias_c", "actual_c", "wape")
+      .as[(Long, Long, Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq == (1L to 7L), "exactly one row per horizon")
+    rows.foreach { case (_, nh, abs, _, act, wape) =>
+      assert(nh <= 28 && nh > 0)
+      assert(abs >= 0 && act > 0)
+      assert(math.abs(wape - abs.toDouble / act.toDouble) < 1e-12)
+    }
+    // independent driver recompute (calendar-day lag, NOT row lag — the
+    // backtest only scores horizons whose t−h day actually traded)
+    val daily = Tables.lineitem(spark, sfDir)
+      .groupBy(date_trunc("day", col("l_shipdate")).as("day"))
+      .agg((sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(24,8)")).cast("decimal(24,2)") * 100)
+        .cast("long").as("rev_c"))
+      .select(datediff(col("day").cast("date"), lit("1970-01-01").cast("date"))
+        .cast("long"), col("rev_c"))
+      .as[(Long, Long)].collect().toMap
+    val holdout = daily.keys.toSeq.sorted.takeRight(28)
+    rows.foreach { case (h, nh, abs, bias, act, _) =>
+      val scored = holdout.flatMap(d => daily.get(d - h).map(p => (daily(d), p)))
+      assert(nh == scored.length, s"h=$h n")
+      assert(abs == scored.map { case (a, p) => math.abs(a - p) }.sum, s"h=$h abs")
+      assert(bias == scored.map { case (a, p) => a - p }.sum, s"h=$h bias")
+      assert(act == scored.map(_._1).sum, s"h=$h actual")
+    }
+  }
+}
