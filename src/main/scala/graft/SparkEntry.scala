@@ -8635,6 +8635,206 @@ object SparkEntry {
       |FROM per a JOIN per b ON a.g < b.g CROSS JOIN w
       |ORDER BY g_a, g_b""".stripMargin
 
+  /** Friedman test across order priorities blocked by month — the
+    * nonparametric repeated-measures complement to [[anKruskal]]:
+    * monthly revenue per priority is ranked WITHIN each month, so a
+    * priority that consistently outranks the others is detected even
+    * when month-to-month level shifts swamp the between-group
+    * variance. Midranks stay integer as doubled ranks
+    * (2r = 2·cnt_less + cnt_eq + 1, the an_mannwhitney recipe, here
+    * from two tiny per-block windows over k=5 rows); only complete
+    * blocks (all 5 priorities) score. Q = 3·Σ(2R_j)²/(n·k·(k+1)) −
+    * 3·n·(k+1) — exact BIGINTs into straight-line IEEE, unrounded.
+    * One data-sized groupBy; everything after is months×5 rows. */
+  private def anFriedman(s: SparkSession, dir: String): DataFrame = {
+    val m = Tables.orders(s, dir)
+      .groupBy(date_trunc("month", col("o_orderdate")).as("blk"),
+        col("o_orderpriority").as("trt"))
+      .agg((sum(col("o_totalprice").cast("decimal(24,8)")).cast("decimal(24,2)") * 100)
+        .cast("bigint").as("v"))
+    val full = m.groupBy(col("blk")).agg(count(lit(1)).as("kk"))
+      .filter(col("kk") === 5).select(col("blk"))
+    val mm = m.join(full, "blk")
+    val wLess = Window.partitionBy(col("blk")).orderBy(col("v"))
+    val wEq = Window.partitionBy(col("blk"), col("v"))
+    val ranked = mm.select(col("blk"), col("trt"),
+      (lit(2) * (rank().over(wLess) - 1) + count(lit(1)).over(wEq) + 1)
+        .cast("long").as("r2"))
+    val perTrt = ranked.groupBy(col("trt")).agg(sum(col("r2")).as("s2"))
+    val nBlocks = full.agg(count(lit(1)).as("n"))
+    perTrt.agg(count(lit(1)).as("k"), sum(col("s2") * col("s2")).as("s2sq"))
+      .crossJoin(broadcast(nBlocks))
+      .select(col("k"), col("n"),
+        (lit(3.0) * col("s2sq").cast("double") /
+          (col("n") * col("k") * (col("k") + 1)).cast("double") -
+          (lit(3) * col("n") * (col("k") + 1)).cast("double")).as("q_friedman"))
+  }
+
+  private val anFriedmanSql =
+    """WITH m AS (SELECT date_trunc('month', o_orderdate) AS blk, o_orderpriority AS trt,
+      |    CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(24,8))), 2) * 100 AS BIGINT) AS v
+      |  FROM orders GROUP BY 1, 2),
+      |fb AS (SELECT blk FROM m GROUP BY blk HAVING COUNT(*) = 5),
+      |mm AS (SELECT m.* FROM m JOIN fb USING (blk)),
+      |r AS (SELECT trt, CAST(2 * (RANK() OVER (PARTITION BY blk ORDER BY v) - 1)
+      |             + COUNT(*) OVER (PARTITION BY blk, v) + 1 AS BIGINT) AS r2 FROM mm),
+      |s AS (SELECT trt, CAST(SUM(r2) AS BIGINT) AS s2 FROM r GROUP BY trt),
+      |t AS (SELECT COUNT(*) AS k, CAST(SUM(s2 * s2) AS BIGINT) AS s2sq FROM s),
+      |nb AS (SELECT COUNT(*) AS n FROM fb)
+      |SELECT k, n,
+      |  3.0 * CAST(s2sq AS DOUBLE) / CAST(n * k * (k + 1) AS DOUBLE)
+      |    - CAST(3 * n * (k + 1) AS DOUBLE) AS q_friedman
+      |FROM t, nb""".stripMargin
+
+  /** Herfindahl–Hirschman concentration of supplier revenue within
+    * each region — "is this region's supply chain one bankruptcy away
+    * from trouble". Exact cents per (region, supplier) from ONE
+    * data-sized groupBy (dims broadcast onto lineitem); shares are one
+    * division each and HHI gathers share² through DECIMAL(38,18)
+    * (order-independent), ROUND(·,6) at emission. */
+  private def anHhi(s: SparkSession, dir: String): DataFrame = {
+    val dims = Tables.supplier(s, dir).select(col("s_suppkey"), col("s_nationkey"))
+      .join(Tables.nation(s, dir).select(col("n_nationkey"), col("n_regionkey")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(Tables.region(s, dir).select(col("r_regionkey"), col("r_name")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("r_name"))
+    val rev = Tables.lineitem(s, dir)
+      .join(broadcast(dims), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("r_name"), col("s_suppkey"))
+      .agg((sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(24,8)")).cast("decimal(24,2)") * 100)
+        .cast("bigint").as("rev_c"))
+    val tot = rev.groupBy(col("r_name")).agg(sum(col("rev_c")).as("tot_c"))
+    rev.join(broadcast(tot), "r_name")
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        round(sum((col("rev_c").cast("double") / col("tot_c").cast("double") *
+            (col("rev_c").cast("double") / col("tot_c").cast("double")))
+          .cast("decimal(38,18)")).cast("double"), 6).as("hhi"))
+      .orderBy(col("r_name"))
+  }
+
+  private val anHhiSql =
+    """WITH dims AS (SELECT s.s_suppkey, r.r_name
+      |  FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+      |                  JOIN region r ON n.n_regionkey = r.r_regionkey),
+      |rev AS (SELECT d.r_name, l.l_suppkey,
+      |    CAST(ROUND(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(24,8))), 2) * 100 AS BIGINT) AS rev_c
+      |  FROM lineitem l JOIN dims d ON l.l_suppkey = d.s_suppkey
+      |  GROUP BY 1, 2),
+      |tot AS (SELECT r_name, CAST(SUM(rev_c) AS BIGINT) AS tot_c FROM rev GROUP BY 1)
+      |SELECT rev.r_name, COUNT(*) AS n_suppliers,
+      |  ROUND(CAST(CAST(SUM(CAST(CAST(rev_c AS DOUBLE) / CAST(tot_c AS DOUBLE)
+      |        * (CAST(rev_c AS DOUBLE) / CAST(tot_c AS DOUBLE)) AS DECIMAL(38,18)))
+      |      AS DECIMAL(38,18)) AS DOUBLE), 6) AS hhi
+      |FROM rev JOIN tot USING (r_name)
+      |GROUP BY rev.r_name ORDER BY rev.r_name""".stripMargin
+
+  /** Capture–recapture audience estimate (Chapman's corrected
+    * Lincoln–Petersen): users active in the first half-month are the
+    * marked sample, users active in the second half the recapture;
+    * N̂ = (n₁+1)(n₂+1)/(m+1) − 1 estimates the TRUE audience the two
+    * samples drew from — the "how many users do we actually have"
+    * answer when any one window undercounts. Two distinct-user scans
+    * (shuffles carry user ids only) collapse to one 1-row frame;
+    * N̂ and its standard error are straight-line IEEE over exact
+    * BIGINTs, unrounded. */
+  private def anCaptureRecapture(s: SparkSession, dir: String): DataFrame = {
+    val cut = lit("2024-01-16").cast("timestamp")
+    val e = Tables.events(s, dir)
+      .select(col("user_id"), (col("ts") < cut).as("first_half"))
+    val flags = e.groupBy(col("user_id"))
+      .agg(max(when(col("first_half"), 1L).otherwise(0L)).as("in1"),
+        max(when(!col("first_half"), 1L).otherwise(0L)).as("in2"))
+    flags.agg(sum(col("in1")).as("n1"), sum(col("in2")).as("n2"),
+        sum(col("in1") * col("in2")).as("m"))
+      .select(col("n1"), col("n2"), col("m"),
+        (((col("n1") + 1) * (col("n2") + 1)).cast("double") /
+          (col("m") + 1).cast("double") - lit(1.0)).as("n_hat"))
+      .withColumn("se_hat",
+        sqrt(((col("n1") + 1) * (col("n2") + 1)).cast("double") *
+          ((col("n1") - col("m")) * (col("n2") - col("m"))).cast("double") /
+          (((col("m") + 1) * (col("m") + 1)).cast("double") *
+            (col("m") + 2).cast("double"))))
+  }
+
+  private val anCaptureRecaptureSql =
+    """WITH f AS (SELECT user_id,
+      |    MAX(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END) AS in1,
+      |    MAX(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END) AS in2
+      |  FROM events GROUP BY user_id),
+      |t AS (SELECT CAST(SUM(in1) AS BIGINT) AS n1, CAST(SUM(in2) AS BIGINT) AS n2,
+      |        CAST(SUM(in1 * in2) AS BIGINT) AS m FROM f)
+      |SELECT n1, n2, m,
+      |  CAST((n1 + 1) * (n2 + 1) AS DOUBLE) / CAST(m + 1 AS DOUBLE) - 1.0 AS n_hat,
+      |  sqrt(CAST((n1 + 1) * (n2 + 1) AS DOUBLE)
+      |       * CAST((n1 - m) * (n2 - m) AS DOUBLE)
+      |       / (CAST((m + 1) * (m + 1) AS DOUBLE) * CAST(m + 2 AS DOUBLE))) AS se_hat
+      |FROM t""".stripMargin
+
+  /** Gumbel extreme-value fit over monthly block maxima of daily
+    * revenue (method of moments): β̂ = s·√6/π, μ̂ = x̄ − γ·β̂, plus the
+    * 12-month return level μ̂ − β̂·ln(−ln(1 − 1/12)) — the capacity
+    * question "what daily peak should next year expect". Daily cents →
+    * monthly maxima (two partial-aggregable passes); moments use the
+    * an_anova integer grand-shift so Σc² is an exact DECIMAL(38,0) at
+    * any SF; the fit is straight-line IEEE over those exact integers
+    * with γ and π as shared literals, unrounded. */
+  private def anGumbelMaxima(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.lineitem(s, dir)
+      .groupBy(date_trunc("day", col("l_shipdate")).as("day"))
+      .agg((sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(24,8)")).cast("decimal(24,2)") * 100)
+        .cast("bigint").as("rev_c"))
+    val maxima = daily.groupBy(date_trunc("month", col("day")).as("mon"))
+      .agg(max(col("rev_c")).as("mx"))
+    val grand = maxima.agg(sum(col("mx")).as("s0"), count(lit(1)).as("n0"))
+      .select(expr("s0 div n0").as("m0"))
+    maxima.crossJoin(broadcast(grand))
+      .select(col("m0"), (col("mx") - col("m0")).as("c"))
+      .agg(max(col("m0")).as("m0"), count(lit(1)).as("n"),
+        sum(col("c")).as("sp"),
+        sum((col("c").cast("decimal(18,0)") * col("c").cast("decimal(18,0)"))
+          .cast("decimal(38,0)")).as("qp"))
+      .select(col("n"),
+        (col("m0").cast("double") +
+          col("sp").cast("double") / col("n").cast("double")).as("mean_c"),
+        sqrt((col("qp").cast("double") -
+          col("sp").cast("double") * col("sp").cast("double") /
+            col("n").cast("double")) / (col("n") - 1).cast("double")).as("sd_c"))
+      .select(col("n"), col("mean_c"), col("sd_c"),
+        (col("sd_c") * sqrt(lit(6.0)) / lit(3.141592653589793)).as("beta_c"))
+      .select(col("n"), col("mean_c"), col("sd_c"), col("beta_c"),
+        (col("mean_c") - lit(0.5772156649015329) * col("beta_c")).as("mu_c"))
+      .withColumn("ret12_c",
+        col("mu_c") - col("beta_c") * log(-log(lit(1.0) - lit(1.0) / lit(12.0))))
+  }
+
+  private val anGumbelMaximaSql =
+    """WITH daily AS (SELECT date_trunc('day', l_shipdate) AS day,
+      |    CAST(ROUND(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,8))), 2) * 100 AS BIGINT) AS rev_c
+      |  FROM lineitem GROUP BY 1),
+      |mx AS (SELECT date_trunc('month', day) AS mon, MAX(rev_c) AS mx FROM daily GROUP BY 1),
+      |g AS (SELECT CAST(SUM(mx) AS BIGINT) // COUNT(*) AS m0 FROM mx),
+      |t AS (SELECT MAX(m0) AS m0, COUNT(*) AS n,
+      |        CAST(SUM(mx - m0) AS BIGINT) AS sp,
+      |        CAST(SUM(CAST(CAST(mx - m0 AS DECIMAL(18,0)) * CAST(mx - m0 AS DECIMAL(18,0))
+      |             AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS qp
+      |      FROM mx CROSS JOIN g),
+      |mo AS (SELECT n,
+      |         CAST(m0 AS DOUBLE) + CAST(sp AS DOUBLE) / CAST(n AS DOUBLE) AS mean_c,
+      |         sqrt((CAST(qp AS DOUBLE)
+      |               - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE) / CAST(n AS DOUBLE))
+      |              / CAST(n - 1 AS DOUBLE)) AS sd_c
+      |       FROM t),
+      |b AS (SELECT n, mean_c, sd_c, sd_c * sqrt(6.0) / 3.141592653589793 AS beta_c FROM mo),
+      |u AS (SELECT n, mean_c, sd_c, beta_c,
+      |        mean_c - 0.5772156649015329 * beta_c AS mu_c FROM b)
+      |SELECT n, mean_c, sd_c, beta_c, mu_c,
+      |  mu_c - beta_c * ln(-ln(1.0 - 1.0 / 12.0)) AS ret12_c
+      |FROM u""".stripMargin
+
   /** Mann–Whitney U (rank-sum) test — urgent vs low-priority order
     * totals, the nonparametric two-sample location test. Ranks are
     * midranks over the POOLED sample, computed scale-first: aggregate
@@ -10318,6 +10518,10 @@ object SparkEntry {
     "an_tukey_hsd" -> (anTukeyHsd _),
     "an_mannwhitney" -> (anMannWhitney _),
     "an_kruskal" -> (anKruskal _),
+    "an_friedman" -> (anFriedman _),
+    "an_hhi" -> (anHhi _),
+    "an_capture_recapture" -> (anCaptureRecapture _),
+    "an_gumbel_maxima" -> (anGumbelMaxima _),
     "q_degree_hist" -> (qDegreeHist _),
     "etl_cdc_compact" -> (etlCdcCompact _),
     "q_scd2_lookup" -> (qScd2Lookup _),
@@ -10579,6 +10783,10 @@ object SparkEntry {
     "an_tukey_hsd" -> anTukeyHsdSql,
     "an_mannwhitney" -> anMannWhitneySql,
     "an_kruskal" -> anKruskalSql,
+    "an_friedman" -> anFriedmanSql,
+    "an_hhi" -> anHhiSql,
+    "an_capture_recapture" -> anCaptureRecaptureSql,
+    "an_gumbel_maxima" -> anGumbelMaximaSql,
     "q_degree_hist" -> qDegreeHistSql,
     "etl_cdc_compact" -> etlCdcCompactSql,
     "q_scd2_lookup" -> qScd2LookupSql,

@@ -84,6 +84,83 @@ class Round11Spec extends SparkSpec {
     }
   }
 
+  test("friedman Q recomposes from an in-driver blocked midrank computation") {
+    val (k, n, q) = SparkEntry.queries("an_friedman")(spark, sfDir)
+      .select("k", "n", "q_friedman").as[(Long, Long, Double)].head()
+    val cells = Tables.orders(spark, sfDir)
+      .groupBy(date_trunc("month", col("o_orderdate")).as("blk"),
+        col("o_orderpriority").as("trt"))
+      .agg((sum(col("o_totalprice").cast("decimal(24,8)")).cast("decimal(24,2)") * 100)
+        .cast("long").as("v"))
+      .as[(java.sql.Timestamp, String, Long)].collect()
+    val blocks = cells.groupBy(_._1).filter(_._2.length == 5)
+    assert(n == blocks.size && k == 5)
+    val r2sums = blocks.values.toSeq.flatMap { rows =>
+      rows.map { case (_, trt, v) =>
+        val less = rows.count(_._3 < v); val eq = rows.count(_._3 == v)
+        trt -> (2L * less + eq + 1)
+      }
+    }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    assert(r2sums.size == 5)
+    val s2sq = r2sums.values.map(x => x * x).sum
+    val expQ = 3.0 * s2sq / (n * 5 * 6).toDouble - (3 * n * 6).toDouble
+    assert(math.abs(q - expQ) < 1e-9, s"$q vs $expQ")
+    assert(q >= 0.0)
+  }
+
+  test("hhi sits in [1/n, 1] per region and shares recompose") {
+    val rows = SparkEntry.queries("an_hhi")(spark, sfDir)
+      .select("r_name", "n_suppliers", "hhi").as[(String, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (r, ns, h) =>
+      assert(ns > 0)
+      assert(h >= 1.0 / ns - 1e-6 && h <= 1.0 + 1e-9,
+        s"region $r: HHI $h outside [1/$ns, 1]")
+    }
+  }
+
+  test("capture-recapture recomposes from independently counted samples") {
+    val (n1, n2, m, nHat, seHat) =
+      SparkEntry.queries("an_capture_recapture")(spark, sfDir)
+        .select("n1", "n2", "m", "n_hat", "se_hat")
+        .as[(Long, Long, Long, Double, Double)].head()
+    val byUser = Tables.events(spark, sfDir)
+      .select(col("user_id"), (col("ts") < lit("2024-01-16").cast("timestamp")))
+      .as[(Long, Boolean)].collect().groupBy(_._1)
+    val s1 = byUser.count(_._2.exists(_._2))
+    val s2 = byUser.count(_._2.exists(!_._2))
+    val both = byUser.count(u => u._2.exists(_._2) && u._2.exists(!_._2))
+    assert((n1, n2, m) == ((s1.toLong, s2.toLong, both.toLong)))
+    assert(m <= math.min(n1, n2))
+    val exp = (n1 + 1.0) * (n2 + 1.0) / (m + 1.0) - 1.0
+    assert(math.abs(nHat - exp) < 1e-9)
+    assert(nHat >= math.max(n1, n2) - 1e-9, "estimate cannot undercut a sample")
+    assert(seHat >= 0.0)
+  }
+
+  test("gumbel fit recomposes from collected monthly maxima") {
+    val (n, mean, sd, beta, mu, ret12) =
+      SparkEntry.queries("an_gumbel_maxima")(spark, sfDir)
+        .select("n", "mean_c", "sd_c", "beta_c", "mu_c", "ret12_c")
+        .as[(Long, Double, Double, Double, Double, Double)].head()
+    val maxima = Tables.lineitem(spark, sfDir)
+      .groupBy(date_trunc("day", col("l_shipdate")).as("day"))
+      .agg((sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(24,8)")).cast("decimal(24,2)") * 100)
+        .cast("long").as("rev_c"))
+      .groupBy(date_trunc("month", col("day"))).agg(max(col("rev_c")).as("mx"))
+      .select("mx").as[Long].collect()
+    assert(n == maxima.length && n > 10)
+    val xm = maxima.map(_.toDouble).sum / n
+    val s2 = maxima.map(x => (x - xm) * (x - xm)).sum / (n - 1)
+    assert(math.abs(mean - xm) < math.abs(xm) * 1e-9)
+    assert(math.abs(sd - math.sqrt(s2)) < math.sqrt(s2) * 1e-6)
+    val expBeta = math.sqrt(s2) * math.sqrt(6.0) / math.Pi
+    assert(math.abs(beta - expBeta) < expBeta * 1e-6)
+    assert(math.abs(mu - (xm - 0.5772156649015329 * expBeta)) < math.abs(xm) * 1e-6)
+    assert(ret12 > mu, "the 12-block return level must exceed the location")
+  }
+
   test("mape backtest h=7 row reconciles with the seasonal-naive backtest") {
     val rows = SparkEntry.queries("an_mape_backtest")(spark, sfDir)
       .select("h", "n", "abs_err_c", "bias_c", "actual_c", "wape")
