@@ -8835,6 +8835,159 @@ object SparkEntry {
       |  mu_c - beta_c * ln(-ln(1.0 - 1.0 / 12.0)) AS ret12_c
       |FROM u""".stripMargin
 
+  /** Instrumental-variable (Wald) estimator — the causal-inference
+    * step beyond [[anDid]]/[[anCuped]] when exposure is endogenous:
+    * with the deterministic user-parity instrument Z, exposure X =
+    * per-user view count and outcome Y = per-user purchase cents,
+    * β̂_IV = (Ȳ₁−Ȳ₀)/(X̄₁−X̄₀), plus the first-stage strength
+    * X̄₁−X̄₀ a practitioner must inspect before trusting the ratio.
+    * One per-user aggregate (ids+ints shuffle), a 2-row arm collapse,
+    * straight-line IEEE over exact BIGINTs, unrounded. */
+  private def anIvWald(s: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("x"),
+        sum(when(col("event_type") === "purchase",
+          (col("value").cast("decimal(24,2)") * 100).cast("bigint"))
+          .otherwise(0L)).as("y"))
+    perUser.groupBy((col("user_id") % 2).as("z"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"))
+      .agg(sum(when(col("z") === 1, col("n"))).as("n1"),
+        sum(when(col("z") === 0, col("n"))).as("n0"),
+        sum(when(col("z") === 1, col("sx"))).as("sx1"),
+        sum(when(col("z") === 0, col("sx"))).as("sx0"),
+        sum(when(col("z") === 1, col("sy"))).as("sy1"),
+        sum(when(col("z") === 0, col("sy"))).as("sy0"))
+      .select(col("n1"), col("n0"),
+        (col("sx1").cast("double") / col("n1").cast("double") -
+          col("sx0").cast("double") / col("n0").cast("double")).as("first_stage"),
+        (col("sy1").cast("double") / col("n1").cast("double") -
+          col("sy0").cast("double") / col("n0").cast("double")).as("reduced_form"))
+      .withColumn("beta_iv", col("reduced_form") / col("first_stage"))
+  }
+
+  private val anIvWaldSql =
+    """WITH u AS (SELECT user_id,
+      |    CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS x,
+      |    CAST(SUM(CASE WHEN event_type = 'purchase'
+      |             THEN CAST(CAST(value AS DECIMAL(24,2)) * 100 AS BIGINT) ELSE 0 END) AS BIGINT) AS y
+      |  FROM events GROUP BY user_id),
+      |z AS (SELECT user_id % 2 AS z, COUNT(*) AS n,
+      |        CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy
+      |      FROM u GROUP BY 1),
+      |t AS (SELECT
+      |    MAX(CASE WHEN z = 1 THEN n END) AS n1, MAX(CASE WHEN z = 0 THEN n END) AS n0,
+      |    MAX(CASE WHEN z = 1 THEN sx END) AS sx1, MAX(CASE WHEN z = 0 THEN sx END) AS sx0,
+      |    MAX(CASE WHEN z = 1 THEN sy END) AS sy1, MAX(CASE WHEN z = 0 THEN sy END) AS sy0
+      |  FROM z),
+      |d AS (SELECT n1, n0,
+      |        CAST(sx1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+      |          - CAST(sx0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS first_stage,
+      |        CAST(sy1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+      |          - CAST(sy0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS reduced_form
+      |      FROM t)
+      |SELECT n1, n0, first_stage, reduced_form,
+      |  reduced_form / first_stage AS beta_iv
+      |FROM d""".stripMargin
+
+  /** Post-stratified average treatment effect: users are stratified by
+    * PRE-period activity (first-half event count bucketed 0–2), treat
+    * is the parity split, and the outcome is second-half purchase
+    * cents; ATE = Σ_s (n_s/N)(ȳ₁ₛ − ȳ₀ₛ) — the variance-reduction
+    * design that stops a heavy-user imbalance from masquerading as an
+    * effect (the blocking complement to [[anCuped]]'s regression
+    * adjustment). Per-user flags → per-(stratum, arm) exact sums → a
+    * strata-sized frame; the weighted contrast gathers through
+    * DECIMAL(38,18) (order-independent), ROUND(·,6) at emission. */
+  private def anStratifiedAte(s: SparkSession, dir: String): DataFrame = {
+    val cut = lit("2024-01-16").cast("timestamp")
+    val perUser = Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("ts") < cut, 1L).otherwise(0L)).as("pre_n"),
+        sum(when(col("ts") >= cut && col("event_type") === "purchase",
+          (col("value").cast("decimal(24,2)") * 100).cast("bigint"))
+          .otherwise(0L)).as("y"))
+      .select((col("user_id") % 2).as("treat"),
+        least(col("pre_n"), lit(2L)).as("stratum"), col("y"))
+    val cells = perUser.groupBy(col("stratum"), col("treat"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("sy"))
+    val strata = cells.groupBy(col("stratum"))
+      .agg(sum(col("n")).as("n_s"),
+        sum(when(col("treat") === 1, col("sy"))).as("sy1"),
+        sum(when(col("treat") === 1, col("n"))).as("n1"),
+        sum(when(col("treat") === 0, col("sy"))).as("sy0"),
+        sum(when(col("treat") === 0, col("n"))).as("n0"))
+      .filter(col("n1") > 0 && col("n0") > 0)
+    val tot = strata.agg(sum(col("n_s")).as("nn"))
+    strata.crossJoin(broadcast(tot))
+      .agg(count(lit(1)).as("n_strata"), max(col("nn")).as("n_users"),
+        round(sum((col("n_s").cast("double") / col("nn").cast("double") *
+            (col("sy1").cast("double") / col("n1").cast("double") -
+              col("sy0").cast("double") / col("n0").cast("double")))
+          .cast("decimal(38,18)")).cast("double"), 6).as("ate_c"))
+  }
+
+  private val anStratifiedAteSql =
+    """WITH u AS (SELECT user_id % 2 AS treat,
+      |    LEAST(CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END) AS BIGINT), 2) AS stratum,
+      |    CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16' AND event_type = 'purchase'
+      |             THEN CAST(CAST(value AS DECIMAL(24,2)) * 100 AS BIGINT) ELSE 0 END) AS BIGINT) AS y
+      |  FROM events GROUP BY user_id),
+      |c AS (SELECT stratum, treat, COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS sy
+      |      FROM u GROUP BY 1, 2),
+      |s AS (SELECT stratum, CAST(SUM(n) AS BIGINT) AS n_s,
+      |        CAST(MAX(CASE WHEN treat = 1 THEN sy END) AS BIGINT) AS sy1,
+      |        CAST(MAX(CASE WHEN treat = 1 THEN n END) AS BIGINT) AS n1,
+      |        CAST(MAX(CASE WHEN treat = 0 THEN sy END) AS BIGINT) AS sy0,
+      |        CAST(MAX(CASE WHEN treat = 0 THEN n END) AS BIGINT) AS n0
+      |      FROM c GROUP BY stratum
+      |      HAVING n1 > 0 AND n0 > 0),
+      |t AS (SELECT CAST(SUM(n_s) AS BIGINT) AS nn FROM s)
+      |SELECT COUNT(*) AS n_strata, MAX(nn) AS n_users,
+      |  ROUND(CAST(CAST(SUM(CAST(CAST(n_s AS DOUBLE) / CAST(nn AS DOUBLE)
+      |        * (CAST(sy1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+      |           - CAST(sy0 AS DOUBLE) / CAST(n0 AS DOUBLE)) AS DECIMAL(38,18)))
+      |      AS DECIMAL(38,18)) AS DOUBLE), 6) AS ate_c
+      |FROM s CROSS JOIN t""".stripMargin
+
+  /** Index-of-dispersion (variance-to-mean) test of per-user daily
+    * event counts against the Poisson hypothesis — the "is activity
+    * bursty or memoryless" screen that decides whether rate metrics
+    * can assume independence. Counts are exact integers over ACTIVE
+    * (user, day) pairs (zero days are not observed exposure —
+    * documented choice); Σc and Σc² are exact BIGINTs, D = s²/x̄ and
+    * the χ²-approximating statistic (n−1)·D straight-line IEEE,
+    * unrounded. One data-sized groupBy, then scalars. */
+  private def anDispersion(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.events(s, dir)
+      .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("c"))
+    counts.agg(count(lit(1)).as("n"), sum(col("c")).as("sc"),
+        sum(col("c") * col("c")).as("sc2"))
+      .select(col("n"), col("sc"),
+        (col("sc").cast("double") / col("n").cast("double")).as("mean_c"),
+        ((col("sc2").cast("double") -
+          col("sc").cast("double") * col("sc").cast("double") /
+            col("n").cast("double")) / (col("n") - 1).cast("double")).as("var_c"))
+      .withColumn("dispersion", col("var_c") / col("mean_c"))
+      .withColumn("chi2_stat", (col("n") - 1).cast("double") * col("dispersion"))
+  }
+
+  private val anDispersionSql =
+    """WITH c AS (SELECT user_id, date_trunc('day', ts) AS day, COUNT(*) AS c
+      |  FROM events GROUP BY 1, 2),
+      |t AS (SELECT COUNT(*) AS n, CAST(SUM(c) AS BIGINT) AS sc,
+      |        CAST(SUM(c * c) AS BIGINT) AS sc2 FROM c),
+      |d AS (SELECT n, sc,
+      |        CAST(sc AS DOUBLE) / CAST(n AS DOUBLE) AS mean_c,
+      |        (CAST(sc2 AS DOUBLE)
+      |         - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE) / CAST(n AS DOUBLE))
+      |          / CAST(n - 1 AS DOUBLE) AS var_c
+      |      FROM t)
+      |SELECT n, sc, mean_c, var_c, var_c / mean_c AS dispersion,
+      |  CAST(n - 1 AS DOUBLE) * (var_c / mean_c) AS chi2_stat
+      |FROM d""".stripMargin
+
   /** Mann–Whitney U (rank-sum) test — urgent vs low-priority order
     * totals, the nonparametric two-sample location test. Ranks are
     * midranks over the POOLED sample, computed scale-first: aggregate
@@ -9004,6 +9157,114 @@ object SparkEntry {
       |          SELECT b AS node FROM pairs) GROUP BY node)
       |SELECT degree, COUNT(*) AS n_parts FROM deg
       |GROUP BY degree ORDER BY degree""".stripMargin
+
+  /** Degree assortativity of the part co-order graph (Newman's r):
+    * Pearson correlation of endpoint degrees over the directed-both-
+    * ways edge view — "do hub parts co-occur with hubs or with leaves",
+    * the one-number mixing diagnostic that decides whether hub-salting
+    * is needed before graph partitioning. Shapes: the same order-local
+    * pair builder as [[qDegreeHist]] (pairs never leave the order key's
+    * partition), degrees via one node-sized groupBy joined back by
+    * endpoint, and the correlation from exact BIGINT edge sums
+    * (Σj, Σjk, Σj² over both directions; the both-ways view makes
+    * Σk = Σj and Σk² = Σj² by construction) collapsed on one row;
+    * r is straight-line IEEE over those exact integers, unrounded. */
+  private def qAssortativity(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val l2 = li.select(col("ok"), col("pk").as("pk2"))
+    val pairs = li.join(l2, Seq("ok"))
+      .filter(col("pk") < col("pk2"))
+      .select(col("pk").as("a"), col("pk2").as("b"))
+      .distinct()
+    val deg = pairs.select(col("a").as("node"))
+      .union(pairs.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+    val dirEdges = pairs.select(col("a").as("u"), col("b").as("v"))
+      .union(pairs.select(col("b").as("u"), col("a").as("v")))
+    dirEdges
+      .join(deg.select(col("node").as("u"), col("degree").as("ju")), "u")
+      .join(deg.select(col("node").as("v"), col("degree").as("kv")), "v")
+      .agg(count(lit(1)).as("m"), sum(col("ju")).as("sj"),
+        sum(col("ju") * col("kv")).as("sjk"),
+        sum(col("ju") * col("ju")).as("sj2"))
+      .select(col("m"),
+        ((col("sjk").cast("double") / col("m").cast("double") -
+          (col("sj").cast("double") / col("m").cast("double")) *
+            (col("sj").cast("double") / col("m").cast("double"))) /
+          (col("sj2").cast("double") / col("m").cast("double") -
+            (col("sj").cast("double") / col("m").cast("double")) *
+              (col("sj").cast("double") / col("m").cast("double"))))
+          .as("assortativity"))
+  }
+
+  private val qAssortativitySql =
+    """WITH pairs AS (
+      |  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+      |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      |  WHERE a.l_partkey < b.l_partkey),
+      |deg AS (SELECT node, COUNT(*) AS degree FROM (
+      |          SELECT a AS node FROM pairs
+      |          UNION ALL
+      |          SELECT b AS node FROM pairs) GROUP BY node),
+      |de AS (SELECT a AS u, b AS v FROM pairs
+      |       UNION ALL
+      |       SELECT b AS u, a AS v FROM pairs),
+      |j AS (SELECT du.degree AS ju, dv.degree AS kv
+      |      FROM de JOIN deg du ON de.u = du.node
+      |              JOIN deg dv ON de.v = dv.node),
+      |t AS (SELECT COUNT(*) AS m, CAST(SUM(ju) AS BIGINT) AS sj,
+      |        CAST(SUM(ju * kv) AS BIGINT) AS sjk,
+      |        CAST(SUM(ju * ju) AS BIGINT) AS sj2 FROM j)
+      |SELECT m,
+      |  (CAST(sjk AS DOUBLE) / CAST(m AS DOUBLE)
+      |   - (CAST(sj AS DOUBLE) / CAST(m AS DOUBLE))
+      |     * (CAST(sj AS DOUBLE) / CAST(m AS DOUBLE)))
+      |  / (CAST(sj2 AS DOUBLE) / CAST(m AS DOUBLE)
+      |     - (CAST(sj AS DOUBLE) / CAST(m AS DOUBLE))
+      |       * (CAST(sj AS DOUBLE) / CAST(m AS DOUBLE))) AS assortativity
+      |FROM t""".stripMargin
+
+  /** Month-over-month top movers: the 15 parts with the largest
+    * absolute revenue swing between the final month of the data and
+    * the month before it — the "what changed" drill-down a rollup
+    * cannot answer. The two-month window comes from one 1-row max-day
+    * broadcast (no global sort of the fact table); per-(part, month)
+    * cents are exact, the month pivot is a two-arm conditional
+    * aggregate, and only the part-sized delta table is ranked. */
+  private def qTopMovers(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_partkey").as("pk"),
+        date_trunc("month", col("l_shipdate")).as("mon"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+    val lastMon = li.agg(max(col("mon")).as("m1"))
+      .select(col("m1"), add_months(col("m1"), -1).cast("timestamp").as("m0"))
+    val twoMon = li.crossJoin(broadcast(lastMon))
+      .filter(col("mon") === col("m1") || col("mon") === col("m0"))
+    twoMon.groupBy(col("pk"))
+      .agg((sum(when(col("mon") === col("m1"), col("rev")).otherwise(lit(0.0))
+          .cast("decimal(24,8)")).cast("decimal(24,2)") * 100)
+        .cast("bigint").as("rev1_c"),
+        (sum(when(col("mon") === col("m0"), col("rev")).otherwise(lit(0.0))
+          .cast("decimal(24,8)")).cast("decimal(24,2)") * 100)
+        .cast("bigint").as("rev0_c"))
+      .withColumn("delta_c", col("rev1_c") - col("rev0_c"))
+      .orderBy(abs(col("delta_c")).desc, col("pk")).limit(15)
+  }
+
+  private val qTopMoversSql =
+    """WITH li AS (SELECT l_partkey AS pk, date_trunc('month', l_shipdate) AS mon,
+      |    l_extendedprice * (1.0 - l_discount) AS rev
+      |  FROM lineitem),
+      |lm AS (SELECT MAX(mon) AS m1, MAX(mon) - INTERVAL 1 MONTH AS m0 FROM li),
+      |tm AS (SELECT li.* , lm.m1, lm.m0 FROM li CROSS JOIN lm
+      |       WHERE li.mon = lm.m1 OR li.mon = lm.m0),
+      |d AS (SELECT pk,
+      |    CAST(ROUND(SUM(CASE WHEN mon = m1 THEN CAST(rev AS DECIMAL(24,8)) ELSE CAST(0.0 AS DECIMAL(24,8)) END), 2) * 100 AS BIGINT) AS rev1_c,
+      |    CAST(ROUND(SUM(CASE WHEN mon = m0 THEN CAST(rev AS DECIMAL(24,8)) ELSE CAST(0.0 AS DECIMAL(24,8)) END), 2) * 100 AS BIGINT) AS rev0_c
+      |  FROM tm GROUP BY pk)
+      |SELECT pk, rev1_c, rev0_c, rev1_c - rev0_c AS delta_c
+      |FROM d ORDER BY ABS(rev1_c - rev0_c) DESC, pk LIMIT 15""".stripMargin
 
   /** Single-source BFS shortest paths over the undirected customer–
     * supplier co-transaction graph (same bipartite node encoding as
@@ -10523,6 +10784,8 @@ object SparkEntry {
     "an_capture_recapture" -> (anCaptureRecapture _),
     "an_gumbel_maxima" -> (anGumbelMaxima _),
     "q_degree_hist" -> (qDegreeHist _),
+    "q_assortativity" -> (qAssortativity _),
+    "q_top_movers" -> (qTopMovers _),
     "etl_cdc_compact" -> (etlCdcCompact _),
     "q_scd2_lookup" -> (qScd2Lookup _),
     "an_weighted_median" -> (anWeightedMedian _),
@@ -10744,6 +11007,9 @@ object SparkEntry {
     "an_welch_ttest" -> (anWelchTtest _),
     "dedup_substring" -> (dedupSubstring _),
     "an_did" -> (anDid _),
+    "an_iv_wald" -> (anIvWald _),
+    "an_stratified_ate" -> (anStratifiedAte _),
+    "an_dispersion" -> (anDispersion _),
     "etl_ldiversity" -> (etlLdiversity _),
     "q_label_prop" -> (qLabelProp _),
     "an_cuped" -> (anCuped _),
@@ -10788,6 +11054,8 @@ object SparkEntry {
     "an_capture_recapture" -> anCaptureRecaptureSql,
     "an_gumbel_maxima" -> anGumbelMaximaSql,
     "q_degree_hist" -> qDegreeHistSql,
+    "q_assortativity" -> qAssortativitySql,
+    "q_top_movers" -> qTopMoversSql,
     "etl_cdc_compact" -> etlCdcCompactSql,
     "q_scd2_lookup" -> qScd2LookupSql,
     "an_weighted_median" -> anWeightedMedianSql,
@@ -11007,6 +11275,9 @@ object SparkEntry {
     "an_welch_ttest" -> anWelchTtestSql,
     "dedup_substring" -> dedupSubstringSql,
     "an_did" -> anDidSql,
+    "an_iv_wald" -> anIvWaldSql,
+    "an_stratified_ate" -> anStratifiedAteSql,
+    "an_dispersion" -> anDispersionSql,
     "etl_ldiversity" -> etlLdiversitySql,
     "q_label_prop" -> qLabelPropSql,
     "an_cuped" -> anCupedSql,

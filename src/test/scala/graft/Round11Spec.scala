@@ -161,6 +161,105 @@ class Round11Spec extends SparkSpec {
     assert(ret12 > mu, "the 12-block return level must exceed the location")
   }
 
+  test("iv wald recomposes and equals reduced-form over first-stage") {
+    val (n1, n0, fs, rf, beta) = SparkEntry.queries("an_iv_wald")(spark, sfDir)
+      .select("n1", "n0", "first_stage", "reduced_form", "beta_iv")
+      .as[(Long, Long, Double, Double, Double)].head()
+    val users = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"),
+        (col("value").cast("decimal(24,2)") * 100).cast("long"))
+      .as[(Long, String, Long)].collect().groupBy(_._1)
+    assert(n1 + n0 == users.size)
+    val arms = users.toSeq.map { case (u, evs) =>
+      (u % 2, evs.count(_._2 == "view").toLong,
+        evs.filter(_._2 == "purchase").map(_._3).sum)
+    }
+    def mean(z: Long, f: Seq[(Long, Long, Long)] => Seq[Long]) = {
+      val g = arms.filter(_._1 == z); f(g).sum.toDouble / g.size
+    }
+    val expFs = mean(1, _.map(_._2)) - mean(0, _.map(_._2))
+    val expRf = mean(1, _.map(_._3)) - mean(0, _.map(_._3))
+    assert(math.abs(fs - expFs) < math.abs(expFs) * 1e-9 + 1e-9)
+    assert(math.abs(rf - expRf) < math.abs(expRf) * 1e-9 + 1e-9)
+    assert(math.abs(beta - rf / fs) < math.abs(beta) * 1e-12)
+  }
+
+  test("stratified ate recomposes from per-stratum arm means") {
+    val (nStrata, nUsers, ate) =
+      SparkEntry.queries("an_stratified_ate")(spark, sfDir)
+        .select("n_strata", "n_users", "ate_c").as[(Long, Long, Double)].head()
+    assert(nStrata >= 1 && nStrata <= 3)
+    val cut = java.sql.Timestamp.valueOf("2024-01-16 00:00:00")
+    val users = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_type"),
+        (col("value").cast("decimal(24,2)") * 100).cast("long"))
+      .as[(Long, java.sql.Timestamp, String, Long)].collect().groupBy(_._1)
+    val rows = users.toSeq.map { case (u, evs) =>
+      val pre = evs.count(_._2.before(cut)).toLong
+      val y = evs.filter(e => !e._2.before(cut) && e._3 == "purchase").map(_._4).sum
+      (u % 2, math.min(pre, 2L), y)
+    }
+    val strata = rows.groupBy(_._2).filter { case (_, rs) =>
+      rs.exists(_._1 == 1) && rs.exists(_._1 == 0)
+    }
+    val nn = strata.values.map(_.size).sum
+    assert(nUsers == nn && nStrata == strata.size)
+    val expAte = strata.values.map { rs =>
+      val t = rs.filter(_._1 == 1); val c = rs.filter(_._1 == 0)
+      rs.size.toDouble / nn *
+        (t.map(_._3).sum.toDouble / t.size - c.map(_._3).sum.toDouble / c.size)
+    }.sum
+    assert(math.abs(ate - expAte) < 1e-4, s"$ate vs $expAte")
+  }
+
+  test("dispersion recomposes from active-day counts") {
+    val (n, sc, mean, vr, d, chi2) = SparkEntry.queries("an_dispersion")(spark, sfDir)
+      .select("n", "sc", "mean_c", "var_c", "dispersion", "chi2_stat")
+      .as[(Long, Long, Double, Double, Double, Double)].head()
+    val counts = Tables.events(spark, sfDir)
+      .groupBy(col("user_id"), date_trunc("day", col("ts")))
+      .agg(count(lit(1)).cast("long").as("c")).select("c").as[Long].collect()
+    assert(n == counts.length && sc == counts.sum)
+    val xm = counts.sum.toDouble / n
+    val s2 = counts.map(c => (c - xm) * (c - xm)).sum / (n - 1)
+    assert(math.abs(mean - xm) < 1e-9 && math.abs(vr - s2) < s2 * 1e-6)
+    assert(math.abs(d - vr / mean) < 1e-12)
+    assert(math.abs(chi2 - (n - 1) * d) < math.abs(chi2) * 1e-12)
+  }
+
+  test("assortativity is a correlation in [-1, 1] and recomposes from edges") {
+    val (m, r) = SparkEntry.queries("q_assortativity")(spark, sfDir)
+      .select("m", "assortativity").as[(Long, Double)].head()
+    assert(r >= -1.0 - 1e-9 && r <= 1.0 + 1e-9)
+    val pairs = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey")).as[(Long, Long)].collect()
+      .groupBy(_._1).values.flatMap { rows =>
+        val ps = rows.map(_._2).distinct.sorted
+        for (i <- ps.indices; j <- i + 1 until ps.size) yield (ps(i), ps(j))
+      }.toSet
+    val deg = (pairs.toSeq.map(_._1) ++ pairs.toSeq.map(_._2))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val edges = pairs.toSeq.flatMap(p => Seq(p, p.swap))
+    assert(m == edges.size)
+    val js = edges.map(e => deg(e._1).toDouble)
+    val ks = edges.map(e => deg(e._2).toDouble)
+    val mj = js.sum / m; val mjk = js.zip(ks).map { case (a, b) => a * b }.sum / m
+    val mj2 = js.map(x => x * x).sum / m
+    val expR = (mjk - mj * mj) / (mj2 - mj * mj)
+    assert(math.abs(r - expR) < 1e-9, s"$r vs $expR")
+  }
+
+  test("top movers are the true top-15 by absolute swing") {
+    val rows = SparkEntry.queries("q_top_movers")(spark, sfDir)
+      .select("pk", "rev1_c", "rev0_c", "delta_c")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.length == 15)
+    rows.foreach { case (_, r1, r0, d) => assert(d == r1 - r0) }
+    val deltas = rows.map(r => math.abs(r._4))
+    assert(deltas.zip(deltas.tail).forall { case (a, b) => a >= b },
+      "emitted in descending absolute-swing order")
+  }
+
   test("mape backtest h=7 row reconciles with the seasonal-naive backtest") {
     val rows = SparkEntry.queries("an_mape_backtest")(spark, sfDir)
       .select("h", "n", "abs_err_c", "bias_c", "actual_c", "wape")
