@@ -152,6 +152,37 @@ case class NearestCentroidsN(child: Expression, cents: Array[Double], k: Int, n:
   override protected def withNewChildInternal(c: Expression): NearestCentroidsN = copy(child = c)
 }
 
+/** Argmax cell for an INTEGER-quantized vector against integer
+  * micro-unit centroids: per cell an exact Long dot over the row-major
+  * flattening, score = dot.toDouble / norm(cell), first max wins (ties
+  * to the lowest cell index). Bit-identical to the interpreted
+  * `aggregate(zip_with(...)) / norm` + `array_position(array_max)`
+  * formulation it replaces on the portable IVF paths (the integer dot
+  * is exact either way and the division is the same IEEE op), but runs
+  * as one tight primitive loop inside whole-stage codegen instead of
+  * nCells interpreted lambda folds per row. */
+case class NearestCellLong(child: Expression, cents: Array[Long], norms: Array[Double])
+    extends UnaryExpression {
+  require(norms.nonEmpty && cents.length % norms.length == 0,
+    s"row-major centroid flattening (${cents.length}) must split evenly over ${norms.length} cells")
+  override def dataType: DataType = IntegerType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"nearest_cell_long needs array<bigint>, got ${t.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    VectorExprs.nearestCellLong(input.asInstanceOf[ArrayData], cents, norms)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("cellCents", cents, "long[]")
+    val nRef = ctx.addReferenceObj("cellNorms", norms, "double[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.VectorExprs.nearestCellLong($c, $cRef, $nRef)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): NearestCellLong = copy(child = c)
+}
+
 /** |A ∩ B| for two SORTED long arrays — one merge pass, no per-row hash
   * set (vs the interpreted ArrayIntersect + size), for set-overlap
   * verification over hashed token sets. Inputs must be sorted; sets
@@ -303,6 +334,26 @@ object VectorExprs {
     c
   }
 
+  def nearestCellLong(v: ArrayData, cents: Array[Long], norms: Array[Double]): Int = {
+    val x = v.toLongArray()
+    val k = norms.length
+    val dim = cents.length / k
+    val n = math.min(x.length, dim)
+    var best = 0
+    var bestScore = Double.NegativeInfinity
+    var c = 0
+    while (c < k) {
+      var dt = 0L
+      val off = c * dim
+      var j = 0
+      while (j < n) { dt += cents(off + j) * x(j); j += 1 }
+      val score = dt.toDouble / norms(c)
+      if (score > bestScore) { bestScore = score; best = c }
+      c += 1
+    }
+    best
+  }
+
   def dot_product(a: Column, b: Column): Column =
     ColumnBridge.column(DotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
@@ -320,6 +371,9 @@ object VectorExprs {
 
   def nearest_centroids_n(c: Column, cents: Array[Double], k: Int, n: Int): Column =
     ColumnBridge.column(NearestCentroidsN(ColumnBridge.expression(c), cents, k, n))
+
+  def nearest_cell_long(c: Column, cents: Array[Long], norms: Array[Double]): Column =
+    ColumnBridge.column(NearestCellLong(ColumnBridge.expression(c), cents, norms))
 
   def sorted_intersect_count(a: Column, b: Column): Column =
     ColumnBridge.column(SortedIntersectCount(

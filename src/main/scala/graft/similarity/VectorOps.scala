@@ -434,12 +434,13 @@ object VectorOps {
       aggregate(zip_with(vq, typedLit(c.toSeq), (a, b) => a * b),
         lit(0L), (acc, x) => acc + x).cast("double") / lit(n)
     }
-    // corpus: map-only argmax assignment (array_position takes the
-    // FIRST max, i.e. the lowest cell index on score ties)
+    // corpus: map-only argmax assignment — one codegen'd primitive loop
+    // (graft.functions.NearestCellLong: exact Long dots, first max =
+    // lowest cell index on score ties, bit-identical to the interpreted
+    // aggregate/zip_with + array_position(array_max) form it replaced)
     val cells = e
-      .withColumn("scores", array(cellScores(quant(col("v"))): _*))
-      .withColumn("cell_id",
-        (array_position(col("scores"), array_max(col("scores"))) - 1).cast("int"))
+      .withColumn("cell_id", graft.functions.VectorExprs.nearest_cell_long(
+        quant(col("v")), cents.flatten, cnorms))
       .select(col("id").as("neighbor_id"), col("v").as("nv"), col("cell_id"))
       .withColumn("nn", norm(col("nv")))
     // queries: top-nProbe cells (score desc, cell asc); the query set is
@@ -495,14 +496,12 @@ object VectorOps {
         .select(quant(col("v")).as("q"))
         .collect().map(_.getSeq[Long](0).toArray))
     val cnorms: Array[Double] = cents.map(c => math.sqrt(c.map(x => x * x).sum.toDouble))
-    def cellScores(vq: Column): Seq[Column] = cents.zip(cnorms).map { case (c, n) =>
-      aggregate(zip_with(vq, typedLit(c.toSeq), (a, b) => a * b),
-        lit(0L), (acc, x) => acc + x).cast("double") / lit(n)
-    }
+    // map-only argmax assignment — the codegen'd NearestCellLong loop
+    // (exact Long dots / cell norm, ties to the lowest cell index),
+    // bit-identical to the ivfTopKPortable scoring the oracle replays
     val cells = e
-      .withColumn("scores", array(cellScores(quant(col("v"))): _*))
-      .withColumn("cell_id",
-        (array_position(col("scores"), array_max(col("scores"))) - 1).cast("int"))
+      .withColumn("cell_id", graft.functions.VectorExprs.nearest_cell_long(
+        quant(col("v")), cents.flatten, cnorms))
       .select(col("id"), col("v"), col("cell_id"))
       .withColumn("nrm", norm(col("v")))
     val keepers = cells.select(col("cell_id"), col("id").as("keep_id"),
@@ -541,8 +540,13 @@ object VectorOps {
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(k >= 1 && pool >= k, s"pool $pool must cover k=$k")
+    // persist the pool: every unrolled stage references `cands` (and
+    // `selected` references itself twice per step), so without a
+    // materialization barrier the O(q·n) retrieval subtree is
+    // re-evaluated ~2^k times in the final plan
     val cands = bruteForceTopK(embeddings, queries, pool, idCol, vecCol)
       .select(col("query_id"), col("neighbor_id").as("cand_id"), col("sim"))
+      .persist()
     val ev = embeddings.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
       .withColumn("nrm", norm(col("v")))
     // pool×pool candidate-pair sims per query (pool² is a constant)
@@ -577,7 +581,12 @@ object VectorOps {
         .filter(col("rn") === 1)
         .select(col("query_id"), col("cand_id"), col("sim"),
           col("redundancy"), lit(t).as("step"))
-      selected = selected.unionByName(pick)
+      // model-sized (queries × ≤t rows): localCheckpoint(eager=false)
+      // cuts the self-referencing lineage each step WITHOUT scheduling
+      // an extra materialization job per stage (persist() here cost a
+      // job round-trip per step; the doubling it prevented re-runs
+      // only tiny windows over the persisted `cands`/`dd` anyway)
+      selected = selected.unionByName(pick).localCheckpoint(false)
     }
     selected.select(col("query_id"), col("step"), col("cand_id"),
       col("sim"), round(col("redundancy"), 6).as("redundancy"))
