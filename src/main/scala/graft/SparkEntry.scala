@@ -10753,6 +10753,260 @@ object SparkEntry {
        |ORDER BY query_id""".stripMargin
   }
 
+  /** Wilcoxon signed-rank test over the PAIRED daily click-vs-view
+    * value series — the matched-pairs member of the nonparametric
+    * family (an_mannwhitney is the unpaired two-sample, an_friedman the
+    * k-sample blocked design; this is the n=2 blocked case with exact
+    * rank arithmetic instead of Friedman's within-block ranks). Daily
+    * cent sums per type are exact BIGINTs; zero diffs drop (the
+    * standard Wilcoxon reduction); midranks over |d| come from the
+    * distinct-|d| frame (days-sized, so the rank join is a broadcast):
+    * doubled midrank 2r = 2·(#strictly below) + ties + 1 is an exact
+    * integer, hence the doubled positive-rank sum W2 = 2·W⁺ is exact.
+    * z uses the tie-corrected variance with every input integer:
+    * 48·var = 2n(n+1)(2n+1) − Σ(t³−t), so z is ONE IEEE expression
+    * over exact BIGINTs, ROUND(·,6); a degenerate series (all diffs
+    * tied away or n < 2) pins z = 0 (the an_mann_kendall guard). */
+  private def anWilcoxonSignedRank(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    def dailyOf(t: String, out: String) = ev.filter(col("event_type") === t)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(sum((col("value").cast("decimal(24,2)") * 100).cast("bigint")).as(out))
+    val d = dailyOf("click", "a").join(dailyOf("view", "b"), "day")
+      .select((col("a") - col("b")).as("d"))
+      .filter(col("d") =!= 0)
+      .select(abs(col("d")).as("ad"), (col("d") > 0).cast("long").as("pos"))
+    // distinct-|d| frame: days-sized, so the sub-count join broadcasts
+    val pv = d.groupBy(col("ad"))
+      .agg(count(lit(1)).as("t"), sum(col("pos")).as("p"))
+    val below = pv.select(col("ad").as("ad2"), col("t").as("t2"))
+    val ranked = pv.join(broadcast(below), col("ad2") < col("ad"), "left")
+      .groupBy(col("ad"), col("t"), col("p"))
+      .agg(coalesce(sum(col("t2")), lit(0L)).as("nb"))
+      .select(col("t"), col("p"),
+        (lit(2L) * col("nb") + col("t") + lit(1L)).as("r2"))
+    ranked.agg(
+        sum(col("t")).as("n"),
+        sum(col("p") * col("r2")).as("w2"),
+        sum(col("t") * col("t") * col("t") - col("t")).as("tie3"))
+      .select(col("n"), col("w2"),
+        (lit(2L) * col("n") * (col("n") + 1) * (lit(2L) * col("n") + 1) -
+          col("tie3")).as("v48"))
+      .select(col("n").as("n_pairs"), col("w2").as("w_plus2"),
+        round(
+          when(col("v48") > 0,
+            (col("w2") - col("n") * (col("n") + 1) / 2).cast("double") /
+              sqrt(col("v48").cast("double") / lit(12.0)))
+            .otherwise(lit(0.0)), 6).as("z_w"))
+  }
+
+  private val anWilcoxonSignedRankSql =
+    """WITH da AS (SELECT date_trunc('day', ts) AS day,
+      |    CAST(SUM(CAST(CAST(value AS DECIMAL(24,2)) * 100 AS BIGINT)) AS BIGINT) AS a
+      |  FROM events WHERE event_type = 'click' GROUP BY 1),
+      |db AS (SELECT date_trunc('day', ts) AS day,
+      |    CAST(SUM(CAST(CAST(value AS DECIMAL(24,2)) * 100 AS BIGINT)) AS BIGINT) AS b
+      |  FROM events WHERE event_type = 'view' GROUP BY 1),
+      |d AS (SELECT abs(a - b) AS ad, CASE WHEN a - b > 0 THEN 1 ELSE 0 END AS pos
+      |      FROM da JOIN db USING (day) WHERE a <> b),
+      |pv AS (SELECT ad, COUNT(*) AS t, CAST(SUM(pos) AS BIGINT) AS p FROM d GROUP BY ad),
+      |rk AS (SELECT pv.ad, pv.t, pv.p,
+      |         2 * COALESCE((SELECT SUM(x.t) FROM pv x WHERE x.ad < pv.ad), 0) + pv.t + 1 AS r2
+      |       FROM pv),
+      |agg AS (SELECT CAST(SUM(t) AS BIGINT) AS n,
+      |          CAST(SUM(p * r2) AS BIGINT) AS w2,
+      |          CAST(SUM(t * t * t - t) AS BIGINT) AS tie3
+      |        FROM rk)
+      |SELECT n AS n_pairs, w2 AS w_plus2,
+      |  ROUND(CASE WHEN 2 * n * (n + 1) * (2 * n + 1) - tie3 > 0 THEN
+      |      CAST(w2 - n * (n + 1) / 2 AS DOUBLE)
+      |      / sqrt(CAST(2 * n * (n + 1) * (2 * n + 1) - tie3 AS DOUBLE) / 12.0)
+      |    ELSE 0.0 END, 6) AS z_w
+      |FROM agg""".stripMargin
+
+  /** Cliff's delta effect size between BUILDING and AUTOMOBILE order
+    * values — the magnitude companion to an_mannwhitney's significance
+    * readout (δ = P(X>Y) − P(X<Y), robust where Cohen's d assumes
+    * normality). Both dominance counts come from ONE distinct-cent-
+    * value [[graft.operators.PrefixSum]] scan carrying both groups'
+    * multiplicities: gt = Σ_v a(v)·cumB(<v), lt = Σ_v b(v)·cumA(<v) —
+    * exact BIGINTs, no pair join (the days² trick doesn't apply here:
+    * order values are data-sized, so dominance MUST come from the scan,
+    * not enumeration). δ is one exact-integer division, unrounded. */
+  private def anCliffsDelta(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).join(
+      Tables.customer(s, dir).filter(col("c_mktsegment").isin("BUILDING", "AUTOMOBILE"))
+        .select(col("c_custkey"), col("c_mktsegment")),
+      col("o_custkey") === col("c_custkey"))
+      .select((col("o_totalprice").cast("decimal(24,2)") * 100).cast("bigint").as("v"),
+        (col("c_mktsegment") === "BUILDING").cast("long").as("isa"))
+    val pv = o.groupBy(col("v"))
+      .agg(sum(col("isa")).as("ca"), sum(lit(1L) - col("isa")).as("cb"))
+    val scan = graft.operators.PrefixSum.withRunningTotals(pv, Seq("v"), Seq("ca", "cb"))
+    scan
+      .select(col("ca"), col("cb"),
+        (col("ca_cum") - col("ca")).as("cuma"), (col("cb_cum") - col("cb")).as("cumb"))
+      .agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"),
+        sum(col("ca") * col("cumb")).as("gt"),
+        sum(col("cb") * col("cuma")).as("lt"))
+      .select(col("n_a"), col("n_b"), col("gt"), col("lt"),
+        ((col("gt") - col("lt")).cast("double") /
+          (col("n_a") * col("n_b")).cast("double")).as("cliffs_delta"))
+  }
+
+  private val anCliffsDeltaSql =
+    """WITH o AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(24,2)) * 100 AS BIGINT) AS v,
+      |    CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS isa
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE')),
+      |pv AS (SELECT v, CAST(SUM(isa) AS BIGINT) AS ca,
+      |              CAST(SUM(1 - isa) AS BIGINT) AS cb FROM o GROUP BY v),
+      |sc AS (SELECT ca, cb,
+      |         CAST(SUM(ca) OVER (ORDER BY v) AS BIGINT) - ca AS cuma,
+      |         CAST(SUM(cb) OVER (ORDER BY v) AS BIGINT) - cb AS cumb
+      |       FROM pv),
+      |agg AS (SELECT CAST(SUM(ca) AS BIGINT) AS n_a, CAST(SUM(cb) AS BIGINT) AS n_b,
+      |          CAST(SUM(ca * cumb) AS BIGINT) AS gt,
+      |          CAST(SUM(cb * cuma) AS BIGINT) AS lt
+      |        FROM sc)
+      |SELECT n_a, n_b, gt, lt,
+      |  CAST(gt - lt AS DOUBLE) / CAST(n_a * n_b AS DOUBLE) AS cliffs_delta
+      |FROM agg""".stripMargin
+
+  /** Hodges–Lehmann location shift of the paired daily click-vs-view
+    * series: the median of all Walsh averages (dᵢ+dⱼ)/2, i ≤ j — the
+    * estimator the Wilcoxon signed-rank test inverts (its robust
+    * "how big is the shift" answer, 29% breakdown vs the mean-diff's
+    * 0%). The Walsh frame is days², tiny at any SF because the
+    * distributed work is the daily aggregate (the an_mann_kendall pair
+    * discipline); doubled sums s2 = dᵢ+dⱼ stay exact cents, and the
+    * median is an exact order statistic over the s2 multiset (lower +
+    * upper middle summed — still integer), so only the final /400
+    * (÷2 Walsh, ÷2 middle-pair, ÷100 cents) is IEEE, unrounded. */
+  private def anHodgesLehmann(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    def dailyOf(t: String, out: String) = ev.filter(col("event_type") === t)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(sum((col("value").cast("decimal(24,2)") * 100).cast("bigint")).as(out))
+    val d = dailyOf("click", "a").join(dailyOf("view", "b"), "day")
+      .select(col("day"), (col("a") - col("b")).as("d"))
+    val walsh = d.select(col("day").as("d1"), col("d").as("x"))
+      .join(d.select(col("day").as("d2"), col("d").as("y")), col("d1") <= col("d2"))
+      .select((col("x") + col("y")).as("s2"))
+    val pv = walsh.groupBy(col("s2")).agg(count(lit(1)).as("cnt"))
+    val scan = graft.operators.PrefixSum.withRunningTotals(pv, Seq("s2"), Seq("cnt"))
+    val tot = scan.agg(max(col("cnt_cum")).as("m"))
+    scan.crossJoin(broadcast(tot))
+      .select(col("s2"), col("cnt"), col("cnt_cum"), col("m"),
+        // floor-divide: Spark's `/` is DOUBLE division, and a fractional
+        // rank bound would shift the < / <= window off the oracle's //
+        floor((col("m") + 1) / 2).cast("long").as("k1"),
+        (floor(col("m") / 2).cast("long") + 1).as("k2"))
+      .agg(max(col("m")).as("n_walsh"),
+        sum(when(col("cnt_cum") - col("cnt") < col("k1") && col("k1") <= col("cnt_cum"),
+          col("s2")).otherwise(lit(0L))).as("lo2"),
+        sum(when(col("cnt_cum") - col("cnt") < col("k2") && col("k2") <= col("cnt_cum"),
+          col("s2")).otherwise(lit(0L))).as("hi2"))
+      .select(col("n_walsh"), col("lo2"), col("hi2"),
+        ((col("lo2") + col("hi2")).cast("double") / lit(400.0)).as("hl_shift"))
+  }
+
+  private val anHodgesLehmannSql =
+    """WITH da AS (SELECT date_trunc('day', ts) AS day,
+      |    CAST(SUM(CAST(CAST(value AS DECIMAL(24,2)) * 100 AS BIGINT)) AS BIGINT) AS a
+      |  FROM events WHERE event_type = 'click' GROUP BY 1),
+      |db AS (SELECT date_trunc('day', ts) AS day,
+      |    CAST(SUM(CAST(CAST(value AS DECIMAL(24,2)) * 100 AS BIGINT)) AS BIGINT) AS b
+      |  FROM events WHERE event_type = 'view' GROUP BY 1),
+      |d AS (SELECT day, a - b AS d FROM da JOIN db USING (day)),
+      |w AS (SELECT p.d + q.d AS s2 FROM d p JOIN d q ON p.day <= q.day),
+      |pv AS (SELECT s2, COUNT(*) AS cnt FROM w GROUP BY s2),
+      |sc AS (SELECT s2, cnt, CAST(SUM(cnt) OVER (ORDER BY s2) AS BIGINT) AS cnt_cum FROM pv),
+      |t AS (SELECT MAX(cnt_cum) AS m FROM sc),
+      |agg AS (SELECT MAX(m) AS n_walsh,
+      |    CAST(SUM(CASE WHEN cnt_cum - cnt < (m + 1) // 2 AND (m + 1) // 2 <= cnt_cum
+      |                  THEN s2 ELSE 0 END) AS BIGINT) AS lo2,
+      |    CAST(SUM(CASE WHEN cnt_cum - cnt < m // 2 + 1 AND m // 2 + 1 <= cnt_cum
+      |                  THEN s2 ELSE 0 END) AS BIGINT) AS hi2
+      |  FROM sc CROSS JOIN t)
+      |SELECT n_walsh, lo2, hi2, CAST(lo2 + hi2 AS DOUBLE) / 400.0 AS hl_shift
+      |FROM agg""".stripMargin
+
+  /** Mutual information between market segment and order price band —
+    * the symmetric dependence readout the chi-square family
+    * (an_chi2_drift / an_cramers_v) approximates linearly: MI sees ANY
+    * deviation from independence, and the normalized form
+    * NMI = MI/√(H_a·H_b) lands in [0,1] for cross-dataset comparison
+    * (the feature-selection screen a training pipeline runs before
+    * paying for a model fit). Contingency cells and marginals are
+    * exact BIGINTs from one groupBy tree + two broadcast marginals
+    * (the an_cramers_v posture); each plog term is IEEE gathered
+    * through DECIMAL(38,18) (order-independent sum — the an_kruskal
+    * gather), ROUND(·,6) at emission to absorb libm ulp skew. */
+  private def anMutualInfo(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(s, dir).join(
+      Tables.customer(s, dir).select(col("c_custkey"), col("c_mktsegment")),
+      col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("a"),
+        floor((col("o_totalprice").cast("decimal(24,2)") * 100).cast("bigint")
+          / lit(5000000L)).as("b"))
+    // cells is k_seg × k_band (≤ ~100 rows) but four branches hang off
+    // it — persist so the data-sized orders⋈customer aggregation runs
+    // once, not once per marginal (released at the Verify/Bench point)
+    val cells = graft.operators.PrefixSum.persistOwned(
+      base.groupBy(col("a"), col("b")).agg(count(lit(1)).as("o")))
+    val rowm = cells.groupBy(col("a")).agg(sum(col("o")).as("r"))
+    val colm = cells.groupBy(col("b")).agg(sum(col("o")).as("c"))
+    val tot = cells.agg(sum(col("o")).as("n"))
+    def gather(c: Column) = sum(c.cast("decimal(38,18)")).cast("decimal(38,18)")
+    val mi = cells
+      .join(broadcast(rowm), "a").join(broadcast(colm), "b")
+      .crossJoin(broadcast(tot))
+      .agg(max(col("n")).as("n"),
+        gather(col("o").cast("double") / col("n").cast("double") *
+          log((col("o") * col("n")).cast("double") /
+            (col("r") * col("c")).cast("double"))).as("mig"))
+    val ha = rowm.crossJoin(broadcast(tot))
+      .agg(gather(lit(-1.0) * col("r").cast("double") / col("n").cast("double") *
+        log(col("r").cast("double") / col("n").cast("double"))).as("hag"))
+    val hb = colm.crossJoin(broadcast(tot))
+      .agg(gather(lit(-1.0) * col("c").cast("double") / col("n").cast("double") *
+        log(col("c").cast("double") / col("n").cast("double"))).as("hbg"))
+    mi.crossJoin(ha).crossJoin(hb)
+      .select(col("n"),
+        round(col("mig").cast("double"), 6).as("mi"),
+        round(col("hag").cast("double"), 6).as("h_seg"),
+        round(col("hbg").cast("double"), 6).as("h_band"),
+        round(col("mig").cast("double") /
+          sqrt(col("hag").cast("double") * col("hbg").cast("double")), 6).as("nmi"))
+  }
+
+  private val anMutualInfoSql =
+    """WITH base AS (SELECT c_mktsegment AS a,
+      |    CAST(CAST(o_totalprice AS DECIMAL(24,2)) * 100 AS BIGINT) // 5000000 AS b
+      |  FROM orders JOIN customer ON o_custkey = c_custkey),
+      |cells AS (SELECT a, b, COUNT(*) AS o FROM base GROUP BY a, b),
+      |rm AS (SELECT a, CAST(SUM(o) AS BIGINT) AS r FROM cells GROUP BY a),
+      |cm AS (SELECT b, CAST(SUM(o) AS BIGINT) AS c FROM cells GROUP BY b),
+      |t AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells),
+      |mi AS (SELECT MAX(n) AS n,
+      |    CAST(SUM(CAST(CAST(o AS DOUBLE) / CAST(n AS DOUBLE)
+      |      * ln(CAST(o * n AS DOUBLE) / CAST(r * c AS DOUBLE)) AS DECIMAL(38,18)))
+      |      AS DECIMAL(38,18)) AS mig
+      |  FROM cells JOIN rm USING (a) JOIN cm USING (b) CROSS JOIN t),
+      |ha AS (SELECT CAST(SUM(CAST(-1.0 * CAST(r AS DOUBLE) / CAST(n AS DOUBLE)
+      |      * ln(CAST(r AS DOUBLE) / CAST(n AS DOUBLE)) AS DECIMAL(38,18)))
+      |      AS DECIMAL(38,18)) AS hag FROM rm CROSS JOIN t),
+      |hb AS (SELECT CAST(SUM(CAST(-1.0 * CAST(c AS DOUBLE) / CAST(n AS DOUBLE)
+      |      * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) AS DECIMAL(38,18)))
+      |      AS DECIMAL(38,18)) AS hbg FROM cm CROSS JOIN t)
+      |SELECT n, ROUND(CAST(mig AS DOUBLE), 6) AS mi,
+      |  ROUND(CAST(hag AS DOUBLE), 6) AS h_seg,
+      |  ROUND(CAST(hbg AS DOUBLE), 6) AS h_band,
+      |  ROUND(CAST(mig AS DOUBLE)
+      |    / sqrt(CAST(hag AS DOUBLE) * CAST(hbg AS DOUBLE)), 6) AS nmi
+      |FROM mi CROSS JOIN ha CROSS JOIN hb""".stripMargin
+
   // ----------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -10878,6 +11132,10 @@ object SparkEntry {
     "an_spearman" -> (anSpearman _),
     "an_kendall_tau" -> (anKendallTau _),
     "an_roc_auc" -> (anRocAuc _),
+    "an_wilcoxon" -> (anWilcoxonSignedRank _),
+    "an_cliffs_delta" -> (anCliffsDelta _),
+    "an_hodges_lehmann" -> (anHodgesLehmann _),
+    "an_mutual_info" -> (anMutualInfo _),
     "an_cramers_v" -> (anCramersV _),
     "an_ljung_box" -> (anLjungBox _),
     "an_basket_triples" -> (anBasketTriples _),
@@ -11148,6 +11406,10 @@ object SparkEntry {
     "an_spearman" -> anSpearmanSql,
     "an_kendall_tau" -> anKendallTauSql,
     "an_roc_auc" -> anRocAucSql,
+    "an_wilcoxon" -> anWilcoxonSignedRankSql,
+    "an_cliffs_delta" -> anCliffsDeltaSql,
+    "an_hodges_lehmann" -> anHodgesLehmannSql,
+    "an_mutual_info" -> anMutualInfoSql,
     "an_cramers_v" -> anCramersVSql,
     "an_ljung_box" -> anLjungBoxSql,
     "an_basket_triples" -> anBasketTriplesSql,
