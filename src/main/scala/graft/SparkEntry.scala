@@ -11007,6 +11007,188 @@ object SparkEntry {
       |    / sqrt(CAST(hag AS DOUBLE) * CAST(hbg AS DOUBLE)), 6) AS nmi
       |FROM mi CROSS JOIN ha CROSS JOIN hb""".stripMargin
 
+  /** Per-node (LOCAL) clustering coefficients of the supplier
+    * co-purchase graph — the node-level refinement of q_triangles'
+    * single global census: which suppliers sit in tightly-closed
+    * cliques vs open hubs (the feature a graph-ML pipeline attaches to
+    * each node). Same hub-capped projection as q_triangles (parts with
+    * >20 suppliers dropped — bounded fan-out at scale); each closed
+    * u<v<w triangle is credited to ALL THREE corners via one explode,
+    * so per-node counts need no second pass; cc = 2t/(d(d−1)) is one
+    * IEEE division of exact integers, unrounded. Top-20 by (cc DESC,
+    * node) over degree ≥ 3 nodes — a bounded, deterministic readout. */
+  private def qClusteringCoeff(s: SparkSession, dir: String): DataFrame = {
+    val sp = Tables.lineitem(s, dir)
+      .select(col("l_suppkey").as("sk"), col("l_partkey").as("pk")).distinct()
+    val ok = sp.join(
+      sp.groupBy(col("pk")).agg(count(lit(1)).as("nsup"))
+        .filter(col("nsup") <= 20), Seq("pk"))
+    val e = ok.as("a").join(ok.as("b"), Seq("pk"))
+      .filter(col("a.sk") < col("b.sk"))
+      .select(col("a.sk").as("u"), col("b.sk").as("v")).distinct()
+    val degs = e.select(col("u").as("x")).unionAll(e.select(col("v").as("x")))
+      .groupBy(col("x")).agg(count(lit(1)).as("d"))
+    val corners = e.as("e1").join(e.as("e2"), col("e1.v") === col("e2.u"))
+      .join(e.as("e3"),
+        col("e1.u") === col("e3.u") && col("e2.v") === col("e3.v"))
+      .select(explode(array(col("e1.u"), col("e1.v"), col("e2.v"))).as("x"))
+      .groupBy(col("x")).agg(count(lit(1)).as("t"))
+    degs.filter(col("d") >= 3)
+      .join(corners, Seq("x"), "left")
+      .select(col("x").as("supp"), col("d").as("degree"),
+        coalesce(col("t"), lit(0L)).as("n_tri"),
+        (lit(2.0) * coalesce(col("t"), lit(0L)).cast("double") /
+          (col("d") * (col("d") - 1)).cast("double")).as("local_cc"))
+      .orderBy(col("local_cc").desc, col("supp")).limit(20)
+  }
+
+  private val qClusteringCoeffSql =
+    """WITH sp AS (SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk FROM lineitem),
+      |pd AS (SELECT pk, COUNT(*) AS nsup FROM sp GROUP BY 1),
+      |ok AS (SELECT sp.sk, sp.pk FROM sp JOIN pd USING (pk) WHERE nsup <= 20),
+      |e AS (SELECT DISTINCT a.sk AS u, b.sk AS v
+      |      FROM ok a JOIN ok b ON a.pk = b.pk AND a.sk < b.sk),
+      |d AS (SELECT x, COUNT(*) AS dg
+      |      FROM (SELECT u AS x FROM e UNION ALL SELECT v AS x FROM e) GROUP BY 1),
+      |tc AS (SELECT x, COUNT(*) AS t FROM (
+      |         SELECT UNNEST([e1.u, e1.v, e2.v]) AS x
+      |         FROM e e1 JOIN e e2 ON e1.v = e2.u
+      |           JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v) GROUP BY 1)
+      |SELECT d.x AS supp, d.dg AS degree,
+      |  COALESCE(tc.t, 0) AS n_tri,
+      |  2.0 * CAST(COALESCE(tc.t, 0) AS DOUBLE)
+      |    / CAST(d.dg * (d.dg - 1) AS DOUBLE) AS local_cc
+      |FROM d LEFT JOIN tc ON d.x = tc.x
+      |WHERE d.dg >= 3
+      |ORDER BY local_cc DESC, supp LIMIT 20""".stripMargin
+
+  /** Newman modularity of the supplier co-purchase graph under the
+    * NATION partition — "does purchasing stay within borders?", the
+    * quality score that tells a platform whether nation is a real
+    * community axis before paying for graph clustering (q_label_prop
+    * discovers communities; this EVALUATES a given one). e_c (in-
+    * community edges), d_c (degree mass), and m are exact BIGINTs from
+    * the edge list joined twice against the tiny supplier→nation map
+    * (broadcast); Q = Σ_c [e_c/m − (d_c/2m)²] over ≤25 communities,
+    * gathered DECIMAL(38,18) (order-independent), ROUND(·,6). */
+  private def qModularity(s: SparkSession, dir: String): DataFrame = {
+    val sp = Tables.lineitem(s, dir)
+      .select(col("l_suppkey").as("sk"), col("l_partkey").as("pk")).distinct()
+    val ok = sp.join(
+      sp.groupBy(col("pk")).agg(count(lit(1)).as("nsup"))
+        .filter(col("nsup") <= 20), Seq("pk"))
+    val e = ok.as("a").join(ok.as("b"), Seq("pk"))
+      .filter(col("a.sk") < col("b.sk"))
+      .select(col("a.sk").as("u"), col("b.sk").as("v")).distinct()
+    val nat = Tables.supplier(s, dir)
+      .select(col("s_suppkey").as("k"), col("s_nationkey").as("c"))
+    val lab = e
+      .join(broadcast(nat.withColumnRenamed("k", "u").withColumnRenamed("c", "cu")), Seq("u"))
+      .join(broadcast(nat.withColumnRenamed("k", "v").withColumnRenamed("c", "cv")), Seq("v"))
+    val m = lab.agg(count(lit(1)).as("m"))
+    val ec = lab.filter(col("cu") === col("cv"))
+      .groupBy(col("cu").as("comm")).agg(count(lit(1)).as("e_in"))
+    val dc = lab.select(col("cu").as("comm")).unionAll(lab.select(col("cv").as("comm")))
+      .groupBy(col("comm")).agg(count(lit(1)).as("d_c"))
+    val terms = dc.join(ec, Seq("comm"), "left")
+      .select(col("comm"), coalesce(col("e_in"), lit(0L)).as("e_in"), col("d_c"))
+      .crossJoin(broadcast(m))
+      .select(col("comm"), col("e_in"), col("d_c"), col("m"),
+        (col("e_in").cast("double") / col("m").cast("double") -
+          (col("d_c").cast("double") / (lit(2.0) * col("m").cast("double"))) *
+          (col("d_c").cast("double") / (lit(2.0) * col("m").cast("double")))).as("q_term"))
+    terms.agg(count(lit(1)).as("n_comms"), max(col("m")).as("n_edges"),
+        sum(col("q_term").cast("decimal(38,18)")).cast("decimal(38,18)").as("qg"))
+      .select(col("n_comms"), col("n_edges"),
+        round(col("qg").cast("double"), 6).as("modularity"))
+  }
+
+  private val qModularitySql =
+    """WITH sp AS (SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk FROM lineitem),
+      |pd AS (SELECT pk, COUNT(*) AS nsup FROM sp GROUP BY 1),
+      |ok AS (SELECT sp.sk, sp.pk FROM sp JOIN pd USING (pk) WHERE nsup <= 20),
+      |e AS (SELECT DISTINCT a.sk AS u, b.sk AS v
+      |      FROM ok a JOIN ok b ON a.pk = b.pk AND a.sk < b.sk),
+      |lab AS (SELECT e.u, e.v, su.s_nationkey AS cu, sv.s_nationkey AS cv
+      |        FROM e JOIN supplier su ON e.u = su.s_suppkey
+      |               JOIN supplier sv ON e.v = sv.s_suppkey),
+      |m AS (SELECT COUNT(*) AS m FROM lab),
+      |ec AS (SELECT cu AS comm, COUNT(*) AS e_in FROM lab WHERE cu = cv GROUP BY 1),
+      |dc AS (SELECT comm, COUNT(*) AS d_c FROM (
+      |         SELECT cu AS comm FROM lab UNION ALL SELECT cv AS comm FROM lab) GROUP BY 1),
+      |terms AS (SELECT dc.comm, COALESCE(ec.e_in, 0) AS e_in, dc.d_c, m.m,
+      |    CAST(COALESCE(ec.e_in, 0) AS DOUBLE) / CAST(m.m AS DOUBLE)
+      |      - (CAST(dc.d_c AS DOUBLE) / (2.0 * CAST(m.m AS DOUBLE)))
+      |        * (CAST(dc.d_c AS DOUBLE) / (2.0 * CAST(m.m AS DOUBLE))) AS q_term
+      |  FROM dc LEFT JOIN ec ON dc.comm = ec.comm CROSS JOIN m)
+      |SELECT COUNT(*) AS n_comms, MAX(m) AS n_edges,
+      |  ROUND(CAST(CAST(SUM(CAST(q_term AS DECIMAL(38,18))) AS DECIMAL(38,18)) AS DOUBLE), 6)
+      |    AS modularity
+      |FROM terms""".stripMargin
+
+  /** HITS hubs-and-authorities over the directed customer→part
+    * purchase bipartite — the ranking pair PageRank can't express
+    * (q_pagerank scores one undirected role; HITS separates "broad
+    * buyers" from "widely-bought parts"). Two full mutual-
+    * reinforcement rounds with INTEGER max-rescale replacing the usual
+    * float L2 normalization: after every half-step x ← x·10⁶ div
+    * max(x), so every score is an exact BIGINT and the fixed-round
+    * unroll is bit-identical on any engine (the q_label_prop fixed-
+    * round oracle discipline; ranking stabilizes by round 2 on every
+    * test SF). Each half-step is one edge-keyed shuffle agg + a 1-row
+    * max broadcast — nothing node-sized is ever collected. */
+  private def qHits(s: SparkSession, dir: String): DataFrame = {
+    // the edge list feeds all four half-steps and each rescale reads its
+    // input twice (max + scale) — persist both or the lazy tree doubles
+    // per stage (2⁴ edge scans); released at the Verify/Bench point
+    val edges = graft.operators.PrefixSum.persistOwned(
+      Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+        .join(Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_partkey").as("p")).distinct())
+    def rescale(df0: DataFrame, key: String, v: String): DataFrame = {
+      val df = graft.operators.PrefixSum.persistOwned(df0)
+      val mx = df.agg(max(col(v)).as("mx"))
+      df.crossJoin(broadcast(mx))
+        .select(col(key), expr(s"$v * 1000000 div mx").as(v))
+    }
+    // round 1: a1(p) = Σ_c h0 = 10⁶·indeg(p), rescaled
+    val a1 = rescale(
+      edges.groupBy(col("p")).agg((count(lit(1)) * lit(1000000L)).as("a")), "p", "a")
+    val h1 = rescale(
+      edges.join(a1, Seq("p")).groupBy(col("c")).agg(sum(col("a")).as("h")), "c", "h")
+    val a2 = rescale(
+      edges.join(h1, Seq("c")).groupBy(col("p")).agg(sum(col("h")).as("a")), "p", "a")
+    val h2 = rescale(
+      edges.join(a2, Seq("p")).groupBy(col("c")).agg(sum(col("a")).as("h")), "c", "h")
+    val topA = a2.orderBy(col("a").desc, col("p")).limit(10)
+      .select(lit("authority").as("role"), col("p").as("node"), col("a").as("score"))
+    val topH = h2.orderBy(col("h").desc, col("c")).limit(10)
+      .select(lit("hub").as("role"), col("c").as("node"), col("h").as("score"))
+    topA.unionByName(topH).orderBy(col("role"), col("score").desc, col("node"))
+  }
+
+  private val qHitsSql =
+    """WITH edges AS (SELECT DISTINCT o_custkey AS c, l_partkey AS p
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      |a1r AS (SELECT p, COUNT(*) * 1000000 AS a FROM edges GROUP BY 1),
+      |a1 AS (SELECT p, a * 1000000 // (SELECT MAX(a) FROM a1r) AS a FROM a1r),
+      |h1r AS (SELECT c, CAST(SUM(a) AS BIGINT) AS h
+      |        FROM edges JOIN a1 USING (p) GROUP BY 1),
+      |h1 AS (SELECT c, h * 1000000 // (SELECT MAX(h) FROM h1r) AS h FROM h1r),
+      |a2r AS (SELECT p, CAST(SUM(h) AS BIGINT) AS a
+      |        FROM edges JOIN h1 USING (c) GROUP BY 1),
+      |a2 AS (SELECT p, a * 1000000 // (SELECT MAX(a) FROM a2r) AS a FROM a2r),
+      |h2r AS (SELECT c, CAST(SUM(a) AS BIGINT) AS h
+      |        FROM edges JOIN a2 USING (p) GROUP BY 1),
+      |h2 AS (SELECT c, h * 1000000 // (SELECT MAX(h) FROM h2r) AS h FROM h2r),
+      |ta AS (SELECT 'authority' AS role, p AS node, a AS score
+      |       FROM a2 ORDER BY a DESC, p LIMIT 10),
+      |th AS (SELECT 'hub' AS role, c AS node, h AS score
+      |       FROM h2 ORDER BY h DESC, c LIMIT 10)
+      |SELECT role, node, score FROM (SELECT * FROM ta UNION ALL SELECT * FROM th)
+      |ORDER BY role, score DESC, node""".stripMargin
+
   // ----------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -11142,6 +11324,9 @@ object SparkEntry {
     "q_skyline" -> (qSkyline _),
     "q_sequence_gaps" -> (qSequenceGaps _),
     "q_link_pred" -> (qLinkPred _),
+    "q_clustering_coeff" -> (qClusteringCoeff _),
+    "q_modularity" -> (qModularity _),
+    "q_hits" -> (qHits _),
     "mm_audio_windows" -> (mmAudioWindows _),
     "sim_ndcg" -> (simNdcg _),
     "an_jarque_bera" -> (anJarqueBera _),
@@ -11416,6 +11601,9 @@ object SparkEntry {
     "q_skyline" -> qSkylineSql,
     "q_sequence_gaps" -> qSequenceGapsSql,
     "q_link_pred" -> qLinkPredSql,
+    "q_clustering_coeff" -> qClusteringCoeffSql,
+    "q_modularity" -> qModularitySql,
+    "q_hits" -> qHitsSql,
     "mm_audio_windows" -> mmAudioWindowsSql,
     "sim_ndcg" -> simNdcgSql,
     "an_jarque_bera" -> anJarqueBeraSql,
