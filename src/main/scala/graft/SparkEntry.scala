@@ -11189,6 +11189,185 @@ object SparkEntry {
       |SELECT role, node, score FROM (SELECT * FROM ta UNION ALL SELECT * FROM th)
       |ORDER BY role, score DESC, node""".stripMargin
 
+  /** Fog-style readability per document — the curation signal that
+    * separates "simple training prose" from jargon walls where
+    * text_quality's ratios can't (they never see word SHAPE). Syllables
+    * are vowel-group counts via ONE translate (vowels→'a', every other
+    * letter→'b') + sentinel + substring-delete — pure portable string
+    * algebra, no regex (the etl_url_normalize replay-safety rule);
+    * the corpus has no sentence punctuation, so the Gunning-Fog grade
+    * uses the standard fixed 20-word pseudo-sentence. Row-local
+    * projection: no shuffle at any scale. */
+  private def textReadability(s: SparkSession, dir: String): DataFrame = {
+    val syllAgg =
+      """aggregate(filter(split(text, ' '), w -> w <> ''), 0L, (acc, w) ->
+        |  acc + greatest(1L,
+        |    length(translate(w, 'abcdefghijklmnopqrstuvwxyz',
+        |                        'abbbabbbabbbbbabbbbbabbbbb') || 'b') -
+        |    length(replace(translate(w, 'abcdefghijklmnopqrstuvwxyz',
+        |                                'abbbabbbabbbbbabbbbbabbbbb') || 'b',
+        |                   'ab', 'b'))))""".stripMargin.replace("\n", " ")
+    val complexCnt =
+      """size(filter(split(text, ' '), w -> w <> '' AND
+        |  length(translate(w, 'abcdefghijklmnopqrstuvwxyz',
+        |                      'abbbabbbabbbbbabbbbbabbbbb') || 'b') -
+        |  length(replace(translate(w, 'abcdefghijklmnopqrstuvwxyz',
+        |                              'abbbabbbabbbbbabbbbbabbbbb') || 'b',
+        |                 'ab', 'b')) >= 3))""".stripMargin.replace("\n", " ")
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        expr("size(filter(split(text, ' '), w -> w <> ''))").cast("long").as("n_words"),
+        expr(syllAgg).as("n_syll"),
+        expr(complexCnt).cast("long").as("n_complex"))
+      .filter(col("n_words") > 0)
+      .select(col("doc_id"), col("n_words"), col("n_syll"), col("n_complex"),
+        round(col("n_syll").cast("double") / col("n_words").cast("double"), 6)
+          .as("syll_per_word"),
+        round(lit(0.4) * (lit(20.0) +
+          lit(100.0) * col("n_complex").cast("double") / col("n_words").cast("double")), 4)
+          .as("fog_grade"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val textReadabilitySql = {
+    val tr = "translate(w, 'abcdefghijklmnopqrstuvwxyz', 'abbbabbbabbbbbabbbbbabbbbb') || 'b'"
+    s"""WITH d AS (SELECT doc_id,
+       |    list_filter(string_split(text, ' '), w -> w <> '') AS ws
+       |  FROM documents),
+       |c AS (SELECT doc_id,
+       |    CAST(len(ws) AS BIGINT) AS n_words,
+       |    CAST(COALESCE(list_sum(list_transform(ws, w ->
+       |      greatest(1, length($tr) - length(replace($tr, 'ab', 'b'))))), 0) AS BIGINT)
+       |      AS n_syll,
+       |    CAST(len(list_filter(ws, w ->
+       |      length($tr) - length(replace($tr, 'ab', 'b')) >= 3)) AS BIGINT) AS n_complex
+       |  FROM d)
+       |SELECT doc_id, n_words, n_syll, n_complex,
+       |  ROUND(CAST(n_syll AS DOUBLE) / CAST(n_words AS DOUBLE), 6) AS syll_per_word,
+       |  ROUND(0.4 * (20.0 + 100.0 * CAST(n_complex AS DOUBLE)
+       |    / CAST(n_words AS DOUBLE)), 4) AS fog_grade
+       |FROM c WHERE n_words > 0 ORDER BY doc_id""".stripMargin
+  }
+
+  /** Heaps-law vocabulary growth over the corpus in ingest order — the
+    * "is more data still buying new vocabulary" curve that decides
+    * when corpus collection saturates. Terms' first-occurrence doc ids
+    * come from one explode + min groupBy (no window over the token
+    * stream); 50-doc buckets then carry (tokens, new-vocab) through
+    * ONE [[graft.operators.PrefixSum]] scan — cumulative counts stay
+    * exact BIGINTs, and the Heaps exponent estimate
+    * ln(vocab)/ln(tokens) is one IEEE expression, ROUND(·,6). */
+  private def textVocabGrowth(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val words = docs.select(col("doc_id"),
+      explode(expr("filter(split(text, ' '), w -> w <> '')")).as("term"))
+    val firstDoc = words.groupBy(col("term")).agg(min(col("doc_id")).as("fd"))
+      .groupBy((col("fd") / 50).cast("bigint").as("bucket"))
+      .agg(count(lit(1)).as("vocab_new"))
+    val tokens = docs.select((col("doc_id") / 50).cast("bigint").as("bucket"),
+        expr("size(filter(split(text, ' '), w -> w <> ''))").cast("long").as("nw"))
+      .groupBy(col("bucket")).agg(sum(col("nw")).as("tokens"), count(lit(1)).as("n_docs"))
+    val merged = tokens.join(firstDoc, Seq("bucket"), "left")
+      .select(col("bucket"), col("n_docs"), col("tokens"),
+        coalesce(col("vocab_new"), lit(0L)).as("vocab_new"))
+    graft.operators.PrefixSum.withRunningTotals(merged, Seq("bucket"),
+        Seq("tokens", "vocab_new"))
+      .select(col("bucket"), col("n_docs"), col("tokens_cum"),
+        col("vocab_new_cum").as("vocab_cum"),
+        round(log(col("vocab_new_cum").cast("double")) /
+          log(col("tokens_cum").cast("double")), 6).as("heaps_beta"))
+      .orderBy(col("bucket"))
+  }
+
+  private val textVocabGrowthSql =
+    """WITH w AS (SELECT doc_id,
+      |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+      |  FROM documents),
+      |f1 AS (SELECT term, CAST(MIN(doc_id) // 50 AS BIGINT) AS bucket2
+      |       FROM w GROUP BY term),
+      |fd2 AS (SELECT bucket2, COUNT(*) AS vocab_new FROM f1 GROUP BY 1),
+      |tk AS (SELECT CAST(doc_id // 50 AS BIGINT) AS bucket,
+      |         CAST(SUM(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS BIGINT)
+      |           AS tokens,
+      |         COUNT(*) AS n_docs
+      |       FROM documents GROUP BY 1),
+      |m AS (SELECT bucket, n_docs, tokens, COALESCE(vocab_new, 0) AS vocab_new
+      |      FROM tk LEFT JOIN fd2 ON tk.bucket = fd2.bucket2)
+      |SELECT bucket, n_docs,
+      |  CAST(SUM(tokens) OVER (ORDER BY bucket) AS BIGINT) AS tokens_cum,
+      |  CAST(SUM(vocab_new) OVER (ORDER BY bucket) AS BIGINT) AS vocab_cum,
+      |  ROUND(ln(CAST(SUM(vocab_new) OVER (ORDER BY bucket) AS DOUBLE))
+      |    / ln(CAST(SUM(tokens) OVER (ORDER BY bucket) AS DOUBLE)), 6) AS heaps_beta
+      |FROM m ORDER BY bucket""".stripMargin
+
+  /** Jensen–Shannon divergence between two sources' unigram
+    * distributions — the symmetric, bounded [0, ln 2] drift metric for
+    * TEXT (an_ks_drift/an_chi2_drift watch numeric columns; corpus mix
+    * shift lives in the token distribution). Counts per term are exact
+    * BIGINTs from one explode + groupBy per side, full-outer joined on
+    * term (smoothing-free: JS is finite on disjoint support, which is
+    * WHY it beats KL here); each plog term gathers DECIMAL(38,18)
+    * (the an_kruskal order-independent sum), ROUND(·,6); js_norm
+    * divides by ln 2 for the [0,1] readout. */
+  private def textJsDivergence(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    def termCounts(src: String, out: String) = docs
+      .filter(col("source") === src)
+      .select(explode(expr("filter(split(text, ' '), w -> w <> '')")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as(out))
+    val p = termCounts("src0", "cp")
+    val q = termCounts("src1", "cq")
+    val joined = p.join(q, Seq("term"), "full_outer")
+      .select(col("term"), coalesce(col("cp"), lit(0L)).as("cp"),
+        coalesce(col("cq"), lit(0L)).as("cq"))
+    val tot = joined.agg(sum(col("cp")).as("np"), sum(col("cq")).as("nq"),
+      count(lit(1)).as("vocab"))
+    def gather(c: Column) = sum(c.cast("decimal(38,18)")).cast("decimal(38,18)")
+    val pp = col("cp").cast("double") / col("np").cast("double")
+    val qq = col("cq").cast("double") / col("nq").cast("double")
+    val mm = (pp + qq) / lit(2.0)
+    joined.crossJoin(broadcast(tot))
+      .agg(max(col("np")).as("n_src0"), max(col("nq")).as("n_src1"),
+        max(col("vocab")).as("vocab"),
+        gather(when(col("cp") > 0, pp * log(pp / mm)).otherwise(lit(0.0))).as("klp"),
+        gather(when(col("cq") > 0, qq * log(qq / mm)).otherwise(lit(0.0))).as("klq"))
+      .select(col("n_src0"), col("n_src1"), col("vocab"),
+        round((col("klp").cast("double") + col("klq").cast("double")) / 2.0, 6).as("js"),
+        round((col("klp").cast("double") + col("klq").cast("double")) / 2.0 /
+          math.log(2.0), 6).as("js_norm"))
+  }
+
+  private val textJsDivergenceSql =
+    """WITH p AS (SELECT unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS term
+      |           FROM documents WHERE source = 'src0'),
+      |pc AS (SELECT term, COUNT(*) AS cp FROM p GROUP BY term),
+      |q AS (SELECT unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS term
+      |      FROM documents WHERE source = 'src1'),
+      |qc AS (SELECT term, COUNT(*) AS cq FROM q GROUP BY term),
+      |j AS (SELECT COALESCE(pc.term, qc.term) AS term,
+      |        COALESCE(cp, 0) AS cp, COALESCE(cq, 0) AS cq
+      |      FROM pc FULL OUTER JOIN qc ON pc.term = qc.term),
+      |t AS (SELECT CAST(SUM(cp) AS BIGINT) AS np, CAST(SUM(cq) AS BIGINT) AS nq,
+      |        COUNT(*) AS vocab FROM j),
+      |g AS (SELECT MAX(np) AS n_src0, MAX(nq) AS n_src1, MAX(vocab) AS vocab,
+      |    CAST(SUM(CAST(CASE WHEN cp > 0 THEN
+      |      (CAST(cp AS DOUBLE) / CAST(np AS DOUBLE))
+      |        * ln((CAST(cp AS DOUBLE) / CAST(np AS DOUBLE))
+      |          / ((CAST(cp AS DOUBLE) / CAST(np AS DOUBLE)
+      |              + CAST(cq AS DOUBLE) / CAST(nq AS DOUBLE)) / 2.0))
+      |      ELSE 0.0 END AS DECIMAL(38,18))) AS DECIMAL(38,18)) AS klp,
+      |    CAST(SUM(CAST(CASE WHEN cq > 0 THEN
+      |      (CAST(cq AS DOUBLE) / CAST(nq AS DOUBLE))
+      |        * ln((CAST(cq AS DOUBLE) / CAST(nq AS DOUBLE))
+      |          / ((CAST(cp AS DOUBLE) / CAST(np AS DOUBLE)
+      |              + CAST(cq AS DOUBLE) / CAST(nq AS DOUBLE)) / 2.0))
+      |      ELSE 0.0 END AS DECIMAL(38,18))) AS DECIMAL(38,18)) AS klq
+      |  FROM j CROSS JOIN t)
+      |SELECT n_src0, n_src1, vocab,
+      |  ROUND((CAST(klp AS DOUBLE) + CAST(klq AS DOUBLE)) / 2.0, 6) AS js,
+      |  ROUND((CAST(klp AS DOUBLE) + CAST(klq AS DOUBLE)) / 2.0 / ln(2.0), 6) AS js_norm
+      |FROM g""".stripMargin
+
   // ----------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -11325,6 +11504,9 @@ object SparkEntry {
     "q_sequence_gaps" -> (qSequenceGaps _),
     "q_link_pred" -> (qLinkPred _),
     "q_clustering_coeff" -> (qClusteringCoeff _),
+    "text_readability" -> (textReadability _),
+    "text_vocab_growth" -> (textVocabGrowth _),
+    "text_js_divergence" -> (textJsDivergence _),
     "q_modularity" -> (qModularity _),
     "q_hits" -> (qHits _),
     "mm_audio_windows" -> (mmAudioWindows _),
@@ -11602,6 +11784,9 @@ object SparkEntry {
     "q_sequence_gaps" -> qSequenceGapsSql,
     "q_link_pred" -> qLinkPredSql,
     "q_clustering_coeff" -> qClusteringCoeffSql,
+    "text_readability" -> textReadabilitySql,
+    "text_vocab_growth" -> textVocabGrowthSql,
+    "text_js_divergence" -> textJsDivergenceSql,
     "q_modularity" -> qModularitySql,
     "q_hits" -> qHitsSql,
     "mm_audio_windows" -> mmAudioWindowsSql,
