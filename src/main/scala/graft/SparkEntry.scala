@@ -11368,6 +11368,112 @@ object SparkEntry {
       |  ROUND((CAST(klp AS DOUBLE) + CAST(klq AS DOUBLE)) / 2.0 / ln(2.0), 6) AS js_norm
       |FROM g""".stripMargin
 
+  /** 8-bin luminance histograms over REAL BMP decodes — the exposure/
+    * contrast profile an image-curation pipeline screens on (all-dark /
+    * all-blown images drop before any model-based scoring). Same
+    * synthesize→encode→genuinely-decode seam as mm_image_tiles
+    * ([[graft.multimodal.BinaryColumns.bmpHistogramBatch]]); lum =
+    * r+g+b per pixel, bin = lum div 96, all-zero bins emitted (fixed 8
+    * rows/doc — schema-stable). The oracle rederives every pixel from
+    * the md5 nibbles and rebuilds the histogram in SQL, so a channel-
+    * order or stride mis-decode breaks the hash. Row-local decode: no
+    * shuffle before the final order. */
+  private def mmImageHist(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir).select(col("doc_id").cast("long")).as[Long]
+    val payloads = docs.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { id =>
+        val w = 8 + (id % 5).toInt; val h = 8 + (id % 3).toInt
+        val rgb = Array.tabulate(3 * w * h) { p =>
+          md.digest(s"hist:$id:$p".getBytes("UTF-8"))(0)
+        }
+        (id, graft.multimodal.BinaryColumns.encodeBmp(w, h, rgb))
+      }
+    }.toDF("doc_id", "payload")
+    graft.multimodal.BinaryColumns.bmpHistogramBatch(payloads)(s).toDF()
+      .orderBy(col("doc_id"), col("bin"))
+  }
+
+  private val mmImageHistSql =
+    """WITH d AS (SELECT doc_id, CAST(8 + doc_id % 5 AS INT) AS w,
+      |    CAST(8 + doc_id % 3 AS INT) AS h FROM documents),
+      |px AS (SELECT d.doc_id, p.range // 3 AS px_id,
+      |    16 * (instr('0123456789abcdef', substr(md5('hist:' ||
+      |      CAST(d.doc_id AS VARCHAR) || ':' || CAST(p.range AS VARCHAR)), 1, 1)) - 1)
+      |       + (instr('0123456789abcdef', substr(md5('hist:' ||
+      |      CAST(d.doc_id AS VARCHAR) || ':' || CAST(p.range AS VARCHAR)), 2, 1)) - 1) AS v
+      |  FROM d CROSS JOIN range(0, 360) p
+      |  WHERE p.range < 3 * d.w * d.h),
+      |lum AS (SELECT doc_id, px_id, CAST(SUM(v) AS BIGINT) AS lum
+      |        FROM px GROUP BY doc_id, px_id),
+      |hist AS (SELECT doc_id, CAST(lum // 96 AS INT) AS bin,
+      |           COUNT(*) AS n_px, CAST(SUM(lum) AS BIGINT) AS sum_lum
+      |         FROM lum GROUP BY 1, 2)
+      |SELECT d.doc_id, CAST(b.range AS INT) AS bin,
+      |  COALESCE(h.n_px, 0) AS n_px, COALESCE(h.sum_lum, 0) AS sum_lum
+      |FROM (SELECT DISTINCT doc_id FROM d) d CROSS JOIN range(0, 8) b
+      |LEFT JOIN hist h ON h.doc_id = d.doc_id AND h.bin = b.range
+      |ORDER BY d.doc_id, bin""".stripMargin
+
+  /** Scene-cut detection over REAL AVI decodes — the shot-boundary
+    * pass a video-curation pipeline runs before frame sampling (sample
+    * per SCENE, not per fixed stride, or long static shots dominate).
+    * Synthesized videos carry genuine scene structure (frames within a
+    * 3-frame scene are identical by construction); the container is
+    * decoded per frame by the movi walker
+    * ([[graft.multimodal.BinaryColumns.aviFrameSumsBatch]]), then a
+    * doc-keyed lag window diffs consecutive exact frame totals and
+    * emits the boundaries where the total changes. The oracle
+    * rederives per-frame sums from the md5 nibbles and replays the
+    * same lag — a frame-order mis-parse breaks the hash. */
+  private def mmSceneCuts(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir).select(col("doc_id").cast("long")).as[Long]
+    val payloads = docs.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { id =>
+        val w = 2 + (id % 3).toInt; val h = 1 + (id % 2).toInt
+        val nf = 6 + (id % 4).toInt
+        val frames = Array.tabulate(nf) { f =>
+          Array.tabulate(3 * w * h) { p =>
+            md.digest(s"sc:$id:${f / 3}:$p".getBytes("UTF-8"))(0)
+          }
+        }
+        (id, graft.multimodal.BinaryColumns.encodeAvi(w, h, 33333, frames))
+      }
+    }.toDF("doc_id", "payload")
+    val sums = graft.multimodal.BinaryColumns.aviFrameSumsBatch(payloads)(s).toDF()
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+    sums.withColumn("prev_sum", lag(col("frame_sum"), 1).over(w))
+      .filter(col("prev_sum").isNotNull && col("prev_sum") =!= col("frame_sum"))
+      .select(col("doc_id"), col("frame_idx").cast("long").as("cut_at"),
+        col("prev_sum"), col("frame_sum"))
+      .orderBy(col("doc_id"), col("cut_at"))
+  }
+
+  private val mmSceneCutsSql =
+    """WITH d AS (SELECT doc_id, CAST(2 + doc_id % 3 AS INT) AS w,
+      |    CAST(1 + doc_id % 2 AS INT) AS ht,
+      |    CAST(6 + doc_id % 4 AS INT) AS nf FROM documents),
+      |px AS (SELECT d.doc_id, f.range AS f,
+      |    16 * (instr('0123456789abcdef', substr(md5('sc:' ||
+      |      CAST(d.doc_id AS VARCHAR) || ':' || CAST(f.range // 3 AS VARCHAR) || ':' ||
+      |      CAST(p.range AS VARCHAR)), 1, 1)) - 1)
+      |       + (instr('0123456789abcdef', substr(md5('sc:' ||
+      |      CAST(d.doc_id AS VARCHAR) || ':' || CAST(f.range // 3 AS VARCHAR) || ':' ||
+      |      CAST(p.range AS VARCHAR)), 2, 1)) - 1) AS v
+      |  FROM d CROSS JOIN range(0, 10) f CROSS JOIN range(0, 24) p
+      |  WHERE f.range < d.nf AND p.range < 3 * d.w * d.ht),
+      |fs AS (SELECT doc_id, f, CAST(SUM(v) AS BIGINT) AS frame_sum
+      |       FROM px GROUP BY doc_id, f),
+      |lg AS (SELECT doc_id, f, frame_sum,
+      |         LAG(frame_sum) OVER (PARTITION BY doc_id ORDER BY f) AS prev_sum
+      |       FROM fs)
+      |SELECT doc_id, CAST(f AS BIGINT) AS cut_at, prev_sum, frame_sum
+      |FROM lg WHERE prev_sum IS NOT NULL AND prev_sum <> frame_sum
+      |ORDER BY doc_id, cut_at""".stripMargin
+
   // ----------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -11505,6 +11611,8 @@ object SparkEntry {
     "q_link_pred" -> (qLinkPred _),
     "q_clustering_coeff" -> (qClusteringCoeff _),
     "text_readability" -> (textReadability _),
+    "mm_image_hist" -> (mmImageHist _),
+    "mm_scene_cuts" -> (mmSceneCuts _),
     "text_vocab_growth" -> (textVocabGrowth _),
     "text_js_divergence" -> (textJsDivergence _),
     "q_modularity" -> (qModularity _),
@@ -11785,6 +11893,8 @@ object SparkEntry {
     "q_link_pred" -> qLinkPredSql,
     "q_clustering_coeff" -> qClusteringCoeffSql,
     "text_readability" -> textReadabilitySql,
+    "mm_image_hist" -> mmImageHistSql,
+    "mm_scene_cuts" -> mmSceneCutsSql,
     "text_vocab_growth" -> textVocabGrowthSql,
     "text_js_divergence" -> textJsDivergenceSql,
     "q_modularity" -> qModularitySql,

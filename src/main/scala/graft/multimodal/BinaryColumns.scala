@@ -276,6 +276,83 @@ object BinaryColumns {
       }
   }
 
+  /** Per-luminance-bin record from a REAL raster decode: 8 bins over
+    * lum = r+g+b ∈ [0, 765], bin = lum div 96 — exact integers, full
+    * hash oracle. */
+  final case class BmpHistBin(doc_id: Long, bin: Int, n_px: Long, sum_lum: Long)
+
+  /** Decode each BMP payload with the raster decoder and emit its
+    * 8-bin luminance histogram (the exposure/contrast profile an image
+    * curation pipeline screens on before any model-based scoring).
+    * Same per-partition batch shape as [[bmpTileBatch]]; all-zero bins
+    * are emitted too (fixed 8 rows per document — schema-stable). */
+  def bmpHistogramBatch(payloads: DataFrame)(implicit spark: SparkSession): Dataset[BmpHistBin] = {
+    import spark.implicits._
+    payloads.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          val px = decodeBmpPixels(id, bytes)
+          val nPx = new Array[Long](8)
+          val sum = new Array[Long](8)
+          var i = 0
+          while (i < px.length) {
+            val lum = (px(i) & 0xFF) + (px(i + 1) & 0xFF) + (px(i + 2) & 0xFF)
+            val b = lum / 96
+            nPx(b) += 1
+            sum(b) += lum
+            i += 3
+          }
+          (0 until 8).map(b => BmpHistBin(id, b, nPx(b), sum(b)))
+        }
+      }
+  }
+
+  /** Per-frame record from the REAL [[decodeAvi]] walker: 0-based
+    * frame index + exact integer r+g+b total — the unit the
+    * scene-cut detector diffs. */
+  final case class AviFrame(doc_id: Long, frame_idx: Int, frame_sum: Long)
+
+  /** Decode each AVI payload and emit one row per movi 00db frame with
+    * its exact pixel-brightness total, in container order — the
+    * per-frame refinement of [[decodeAviBatch]]'s aggregates. */
+  def aviFrameSumsBatch(payloads: DataFrame)(implicit spark: SparkSession): Dataset[AviFrame] = {
+    import spark.implicits._
+    payloads.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          val in = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          def tag(off: Int) = new String(bytes, off, 4, "US-ASCII")
+          require(bytes.length >= 12 && tag(0) == "RIFF" && tag(8) == "AVI ",
+            s"doc $id: not an AVI payload")
+          var off = 12
+          var moviOff = -1; var moviEnd = -1
+          while (off + 8 <= bytes.length && moviOff < 0) {
+            val sz = in.getInt(off + 4)
+            if (tag(off) == "LIST" && off + 12 <= bytes.length && tag(off + 8) == "movi") {
+              moviOff = off + 12; moviEnd = off + 8 + sz
+            }
+            off += 8 + sz + (sz & 1)
+          }
+          require(moviOff >= 0, s"doc $id: missing movi list")
+          val frames = scala.collection.mutable.ArrayBuffer.empty[AviFrame]
+          var f = moviOff
+          while (f + 8 <= moviEnd) {
+            val sz = in.getInt(f + 4)
+            if (tag(f) == "00db") {
+              var total = 0L
+              var i = 0
+              while (i < sz) { total += bytes(f + 8 + i) & 0xFF; i += 1 }
+              // stride padding bytes are zero by construction of
+              // encodeAvi, so the raw-chunk total IS the pixel total
+              frames += AviFrame(id, frames.length, total)
+            }
+            f += 8 + sz + (sz & 1)
+          }
+          frames
+        }
+      }
+  }
+
   /** Decoded-audio record produced by the REAL [[decodeWav]] parser:
     * format fields plus exact integer sample statistics (abs/sum/max,
     * strict sign-change zero crossings) — no float wobble, so every
