@@ -11474,6 +11474,218 @@ object SparkEntry {
       |FROM lg WHERE prev_sum IS NOT NULL AND prev_sum <> frame_sum
       |ORDER BY doc_id, cut_at""".stripMargin
 
+  /** Average precision (PR-curve area) of the acctbal churn score —
+    * the rare-positive companion to an_roc_auc: ROC flatters a
+    * classifier when negatives dominate; AP weights by the positive
+    * class only, which is what a churn-save campaign actually pays
+    * for. Ties-grouped step interpolation needs NO neighbor access:
+    * AP = Σ_v (pos(v)/P) · precision(≥v) with both cumulative counts
+    * read off the SAME distinct-cent [[graft.operators.PrefixSum]]
+    * scan as an_roc_auc (score DESCENDS, so ≥v counts are total −
+    * below); each exact-rational term gathers DECIMAL(38,18),
+    * ROUND(·,6). */
+  private def anPrAuc(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val anchor = o.agg(max(col("o_orderdate")).as("mx"))
+    val last = o.groupBy(col("o_custkey")).agg(max(col("o_orderdate")).as("last_order"))
+    val cutoff = col("mx") - expr("INTERVAL 90 DAYS")
+    val labeled = Tables.customer(s, dir)
+      .join(last, col("c_custkey") === col("o_custkey"), "left")
+      .crossJoin(broadcast(anchor))
+      .select(
+        (col("last_order").isNull || col("last_order") < cutoff).cast("long").as("g1"),
+        (col("c_acctbal").cast("decimal(24,2)") * 100).cast("bigint").as("v"))
+    val perV = labeled.groupBy(col("v"))
+      .agg(count(lit(1)).as("cnt"), sum(col("g1")).as("c1"))
+    val scan = graft.operators.PrefixSum.withRunningTotals(perV, Seq("v"), Seq("cnt", "c1"))
+    val tot = scan.agg(max(col("cnt_cum")).as("n"), max(col("c1_cum")).as("p"))
+    scan.crossJoin(broadcast(tot))
+      .select(col("c1"), col("p"),
+        (col("p") - (col("c1_cum") - col("c1"))).as("tp_gte"),
+        (col("n") - (col("cnt_cum") - col("cnt"))).as("cnt_gte"))
+      .agg(max(col("p")).as("n_pos"),
+        sum((col("c1").cast("double") / col("p").cast("double") *
+          (col("tp_gte").cast("double") / col("cnt_gte").cast("double")))
+          .cast("decimal(38,18)")).cast("decimal(38,18)").as("apg"))
+      .select(col("n_pos"), round(col("apg").cast("double"), 6).as("avg_precision"))
+  }
+
+  private val anPrAucSql =
+    """WITH a AS (SELECT MAX(o_orderdate) AS mx FROM orders),
+      |l AS (SELECT o_custkey, MAX(o_orderdate) AS last_order FROM orders GROUP BY 1),
+      |lab AS (SELECT
+      |    CASE WHEN last_order IS NULL OR last_order < mx - INTERVAL 90 DAY
+      |         THEN 1 ELSE 0 END AS g1,
+      |    CAST(CAST(c_acctbal AS DECIMAL(24,2)) * 100 AS BIGINT) AS v
+      |  FROM customer LEFT JOIN l ON c_custkey = o_custkey CROSS JOIN a),
+      |pv AS (SELECT v, COUNT(*) AS cnt, CAST(SUM(g1) AS BIGINT) AS c1 FROM lab GROUP BY v),
+      |sc AS (SELECT cnt, c1,
+      |         CAST(SUM(cnt) OVER (ORDER BY v) AS BIGINT) AS cnt_cum,
+      |         CAST(SUM(c1) OVER (ORDER BY v) AS BIGINT) AS c1_cum
+      |       FROM pv),
+      |t AS (SELECT MAX(cnt_cum) AS n, MAX(c1_cum) AS p FROM sc)
+      |SELECT MAX(p) AS n_pos,
+      |  ROUND(CAST(CAST(SUM(CAST(
+      |    CAST(c1 AS DOUBLE) / CAST(p AS DOUBLE)
+      |      * (CAST(p - (c1_cum - c1) AS DOUBLE) / CAST(n - (cnt_cum - cnt) AS DOUBLE))
+      |    AS DECIMAL(38,18))) AS DECIMAL(38,18)) AS DOUBLE), 6) AS avg_precision
+      |FROM sc CROSS JOIN t""".stripMargin
+
+  /** Croston's intermittent-demand forecast per part — the estimator
+    * for the slow-moving long tail where an_forecast_naive/an_holt on
+    * the dense daily total are blind (most SKUs sell on a few days a
+    * month; forecasting their zeros as signal biases every EWMA).
+    * Demand SIZE and inter-arrival GAP each get the truncated DYADIC
+    * EWMA (α = 1/2, 8 taps — the an_ewma exactness trick: weights
+    * 2^(7−k) keep both numerators exact BIGINTs), evaluated at each
+    * part's LAST demand event via keyed lag windows (partitioned by
+    * part — nothing global); forecast/day = z_num/p_num, ONE IEEE
+    * division, ROUND(·,6). Parts need ≥ 9 events so all 8 gap taps
+    * exist. */
+  private def anCroston(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.lineitem(s, dir)
+      .groupBy(col("l_partkey").as("pk"), col("l_shipdate").as("day"))
+      .agg(sum((col("l_quantity").cast("decimal(24,2)") * 100).cast("bigint")).as("q"))
+    val w = Window.partitionBy(col("pk")).orderBy(col("day"))
+    val zNum = (0 until 8).map(k => lag(col("q"), k).over(w) * lit(1L << (7 - k))).reduce(_ + _)
+    val pNum = (0 until 8).map(k => lag(col("gap"), k).over(w) * lit(1L << (7 - k))).reduce(_ + _)
+    d.withColumn("gap", datediff(col("day"), lag(col("day"), 1).over(w)).cast("long"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_events", count(lit(1)).over(Window.partitionBy(col("pk"))))
+      .withColumn("z_num", zNum)
+      .withColumn("p_num", pNum)
+      .filter(col("rn") === col("n_events") && col("n_events") >= 9)
+      .select(col("pk"), col("n_events"), col("z_num"), col("p_num"),
+        round(col("z_num").cast("double") / col("p_num").cast("double"), 6)
+          .as("croston_per_day"))
+      .orderBy(col("pk"))
+  }
+
+  private val anCrostonSql = {
+    val zTerms = (0 until 8).map(k =>
+      s"LAG(q, $k) OVER (PARTITION BY pk ORDER BY day) * ${1L << (7 - k)}").mkString(" + ")
+    val pTerms = (0 until 8).map(k =>
+      s"LAG(gap, $k) OVER (PARTITION BY pk ORDER BY day) * ${1L << (7 - k)}").mkString(" + ")
+    s"""WITH d AS (SELECT l_partkey AS pk, l_shipdate AS day,
+       |    CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(24,2)) * 100 AS BIGINT)) AS BIGINT) AS q
+       |  FROM lineitem GROUP BY 1, 2),
+       |g AS (SELECT pk, day, q,
+       |        CAST(date_diff('day', LAG(day) OVER (PARTITION BY pk ORDER BY day), day)
+       |          AS BIGINT) AS gap,
+       |        ROW_NUMBER() OVER (PARTITION BY pk ORDER BY day) AS rn,
+       |        COUNT(*) OVER (PARTITION BY pk) AS n_events
+       |      FROM d),
+       |f AS (SELECT pk, n_events, rn,
+       |        $zTerms AS z_num,
+       |        $pTerms AS p_num
+       |      FROM g)
+       |SELECT pk, CAST(n_events AS BIGINT) AS n_events,
+       |  CAST(z_num AS BIGINT) AS z_num, CAST(p_num AS BIGINT) AS p_num,
+       |  ROUND(CAST(z_num AS DOUBLE) / CAST(p_num AS DOUBLE), 6) AS croston_per_day
+       |FROM f WHERE rn = n_events AND n_events >= 9
+       |ORDER BY pk""".stripMargin
+  }
+
+  /** SAX symbolization of the daily revenue series — the symbolic
+    * compression that turns a numeric time series into WORDS so motif
+    * mining / anomaly grep run on string machinery (the text-side
+    * operators) instead of floats. z-normalization uses μ and σ built
+    * from exact integer Σv and Σv² (one IEEE expression each, shared
+    * by both engines); 4-symbol alphabet at the standard N(0,1)
+    * quartile breakpoints ±0.6745 and 0; the per-week word is an
+    * ORDER-PINNED string aggregation (day-sorted), so the whole
+    * readout is deterministic text under the hash oracle. */
+  private def anSax(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.lineitem(s, dir)
+      .groupBy(date_trunc("day", col("l_shipdate")).as("day"))
+      .agg(sum((col("l_extendedprice").cast("decimal(24,2)") * 100).cast("bigint")).as("v"))
+    // v² in cents² tops BIGINT over a multi-year span — the square sum
+    // rides DECIMAL(38,0) (exact integers, order-independent)
+    val stats = daily.agg(count(lit(1)).as("n"), sum(col("v")).as("s1"),
+      sum(col("v").cast("decimal(38,0)") * col("v")).as("s2"))
+    val z = (col("v").cast("double") - col("s1").cast("double") / col("n").cast("double")) /
+      sqrt((col("s2").cast("double") * col("n").cast("double") -
+        col("s1").cast("double") * col("s1").cast("double")) /
+        (col("n").cast("double") * col("n").cast("double")))
+    daily.crossJoin(broadcast(stats))
+      .select(col("day"),
+        when(z < -0.6745, lit("a")).when(z < 0.0, lit("b"))
+          .when(z < 0.6745, lit("c")).otherwise(lit("d")).as("sym"))
+      .groupBy(date_trunc("week", col("day")).as("week"))
+      .agg(count(lit(1)).as("n_days"),
+        expr("array_join(transform(array_sort(collect_list(struct(day, sym))), x -> x.sym), '')")
+          .as("sax_word"))
+      .orderBy(col("week"))
+  }
+
+  private val anSaxSql =
+    """WITH daily AS (SELECT date_trunc('day', l_shipdate) AS day,
+      |    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(24,2)) * 100 AS BIGINT)) AS BIGINT) AS v
+      |  FROM lineitem GROUP BY 1),
+      |st AS (SELECT COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS s1,
+      |              CAST(SUM(CAST(v AS DECIMAL(38,0)) * v) AS DECIMAL(38,0)) AS s2
+      |       FROM daily),
+      |sym AS (SELECT day,
+      |    CASE WHEN (CAST(v AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+      |           / sqrt((CAST(s2 AS DOUBLE) * CAST(n AS DOUBLE)
+      |                   - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+      |                  / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) < -0.6745 THEN 'a'
+      |         WHEN (CAST(v AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+      |           / sqrt((CAST(s2 AS DOUBLE) * CAST(n AS DOUBLE)
+      |                   - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+      |                  / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) < 0.0 THEN 'b'
+      |         WHEN (CAST(v AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+      |           / sqrt((CAST(s2 AS DOUBLE) * CAST(n AS DOUBLE)
+      |                   - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+      |                  / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) < 0.6745 THEN 'c'
+      |         ELSE 'd' END AS sym
+      |  FROM daily CROSS JOIN st)
+      |SELECT date_trunc('week', day) AS week, COUNT(*) AS n_days,
+      |  string_agg(sym, '' ORDER BY day) AS sax_word
+      |FROM sym GROUP BY 1 ORDER BY week""".stripMargin
+
+  /** Rare-category collapse over the customer-nation axis of orders —
+    * the long-tail guard every categorical encoder needs BEFORE
+    * one-hot/target encoding (a category seen 12 times gets a noise
+    * embedding; collapsing the tail to OTHER caps cardinality at
+    * scale, where new tail categories appear continuously). Share
+    * test on exact integers (cnt·10000 < threshold·total — no float
+    * compare at the boundary); output keeps the collapse AUDITABLE:
+    * per surviving category + OTHER, member-category count and row
+    * coverage. */
+  private def etlRareCollapse(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(s, dir).join(
+      Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey")),
+      col("o_custkey") === col("c_custkey"))
+      .select(col("c_nationkey").as("cat"))
+    val counts = base.groupBy(col("cat")).agg(count(lit(1)).as("cnt"))
+    val tot = counts.agg(sum(col("cnt")).as("n"))
+    counts.crossJoin(broadcast(tot))
+      // keep categories with share >= 3% — exact integer cross-multiply
+      .select(when(col("cnt") * 10000 >= lit(300L) * col("n"),
+          col("cat").cast("string")).otherwise(lit("OTHER")).as("category"),
+        col("cnt"), col("n"))
+      .groupBy(col("category"))
+      .agg(count(lit(1)).as("n_source_cats"), sum(col("cnt")).as("n_rows"),
+        max(col("n")).as("n"))
+      .select(col("category"), col("n_source_cats"), col("n_rows"),
+        round(col("n_rows").cast("double") / col("n").cast("double"), 6).as("share"))
+      .orderBy(col("category"))
+  }
+
+  private val etlRareCollapseSql =
+    """WITH base AS (SELECT c_nationkey AS cat
+      |  FROM orders JOIN customer ON o_custkey = c_custkey),
+      |c AS (SELECT cat, COUNT(*) AS cnt FROM base GROUP BY cat),
+      |t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM c),
+      |m AS (SELECT CASE WHEN cnt * 10000 >= 300 * n THEN CAST(cat AS VARCHAR)
+      |                  ELSE 'OTHER' END AS category, cnt, n
+      |      FROM c CROSS JOIN t)
+      |SELECT category, COUNT(*) AS n_source_cats,
+      |  CAST(SUM(cnt) AS BIGINT) AS n_rows,
+      |  ROUND(CAST(SUM(cnt) AS DOUBLE) / CAST(MAX(n) AS DOUBLE), 6) AS share
+      |FROM m GROUP BY category ORDER BY category""".stripMargin
+
   // ----------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -11600,6 +11812,10 @@ object SparkEntry {
     "an_kendall_tau" -> (anKendallTau _),
     "an_roc_auc" -> (anRocAuc _),
     "an_wilcoxon" -> (anWilcoxonSignedRank _),
+    "an_pr_auc" -> (anPrAuc _),
+    "an_croston" -> (anCroston _),
+    "an_sax" -> (anSax _),
+    "etl_rare_collapse" -> (etlRareCollapse _),
     "an_cliffs_delta" -> (anCliffsDelta _),
     "an_hodges_lehmann" -> (anHodgesLehmann _),
     "an_mutual_info" -> (anMutualInfo _),
@@ -11882,6 +12098,10 @@ object SparkEntry {
     "an_kendall_tau" -> anKendallTauSql,
     "an_roc_auc" -> anRocAucSql,
     "an_wilcoxon" -> anWilcoxonSignedRankSql,
+    "an_pr_auc" -> anPrAucSql,
+    "an_croston" -> anCrostonSql,
+    "an_sax" -> anSaxSql,
+    "etl_rare_collapse" -> etlRareCollapseSql,
     "an_cliffs_delta" -> anCliffsDeltaSql,
     "an_hodges_lehmann" -> anHodgesLehmannSql,
     "an_mutual_info" -> anMutualInfoSql,
