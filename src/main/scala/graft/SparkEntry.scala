@@ -11686,6 +11686,242 @@ object SparkEntry {
       |  ROUND(CAST(SUM(cnt) AS DOUBLE) / CAST(MAX(n) AS DOUBLE), 6) AS share
       |FROM m GROUP BY category ORDER BY category""".stripMargin
 
+  /** Clustering-quality readout (purity + Adjusted Rand Index) of the
+    * portable IVF cell assignment against the embeddings' ground-truth
+    * labels — the evaluation that tells a curation pipeline whether its
+    * cheap geometric cells are a usable proxy for semantic classes
+    * before spending on supervised labeling. Assignment is the
+    * sim_ivf_ann/sim_semantic_dedup quantizer (map-only codegen'd
+    * argmax, oracle-replayed); the contingency table and all pair
+    * counts C(n,2) are exact BIGINTs, so purity and ARI are a handful
+    * of IEEE ops over exact integers, ROUND(·,6). */
+  private def simClusterPurity(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val e = emb.select(col("vec_id").as("id"),
+      graft.similarity.VectorOps.toDouble(col("embedding")).as("v"),
+      col("label").cast("long").as("lbl"))
+    val quant: Column => Column =
+      v => transform(v, x => round(x * lit(1000000.0)).cast("long"))
+    val cents: Array[Array[Long]] = e.orderBy(col("id")).limit(16)
+      .select(quant(col("v")).as("q"))
+      .collect().map(_.getSeq[Long](0).toArray)
+    val cnorms: Array[Double] = cents.map(c => math.sqrt(c.map(x => x * x).sum.toDouble))
+    val cells = e.withColumn("cell_id", graft.functions.VectorExprs.nearest_cell_long(
+        quant(col("v")), cents.flatten, cnorms))
+      .select(col("cell_id"), col("lbl"))
+    val cont = graft.operators.PrefixSum.persistOwned(
+      cells.groupBy(col("cell_id"), col("lbl")).agg(count(lit(1)).as("nij")))
+    val aRows = cont.groupBy(col("cell_id"))
+      .agg(sum(col("nij")).as("a"), max(col("nij")).as("mx"))
+    val bRows = cont.groupBy(col("lbl")).agg(sum(col("nij")).as("b"))
+    val sij = cont.agg(sum(expr("nij * (nij - 1) div 2")).as("sij"))
+    val sa = aRows.agg(sum(expr("a * (a - 1) div 2")).as("sa"),
+      sum(col("mx")).as("maxsum"), count(lit(1)).as("n_cells"), sum(col("a")).as("n"))
+    val sb = bRows.agg(sum(expr("b * (b - 1) div 2")).as("sb"),
+      count(lit(1)).as("n_labels"))
+    sij.crossJoin(sa).crossJoin(sb)
+      .select(col("n"), col("n_cells"), col("n_labels"),
+        round(col("maxsum").cast("double") / col("n").cast("double"), 6).as("purity"),
+        round(
+          (col("sij").cast("double") -
+            col("sa").cast("double") * col("sb").cast("double") /
+              (col("n") * (col("n") - 1) / 2).cast("double")) /
+          ((col("sa") + col("sb")).cast("double") / lit(2.0) -
+            col("sa").cast("double") * col("sb").cast("double") /
+              (col("n") * (col("n") - 1) / 2).cast("double")), 6).as("ari"))
+  }
+
+  private val simClusterPuritySql =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, CAST(label AS BIGINT) AS lbl
+      |           FROM embeddings),
+      |vq AS (SELECT vec_id, lbl,
+      |         list_transform(v, x -> CAST(round(x * 1000000.0) AS BIGINT)) AS q FROM e),
+      |cent AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cell_id,
+      |                list_transform(v, x -> CAST(round(x * 1000000.0) AS BIGINT)) AS c
+      |         FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 16) t0),
+      |cn AS (SELECT cell_id,
+      |         sqrt(CAST(CAST(list_sum(list_transform(c, x -> x * x)) AS BIGINT) AS DOUBLE)) AS nrm
+      |       FROM cent),
+      |comp AS (SELECT cell_id, t.range AS j, c[CAST(t.range AS INT) + 1] AS cj
+      |         FROM cent, range(0, 64) t),
+      |dots AS (SELECT vq.vec_id, vq.lbl, comp.cell_id,
+      |                CAST(SUM(comp.cj * vq.q[CAST(comp.j AS INT) + 1]) AS BIGINT) AS dt
+      |         FROM vq CROSS JOIN comp GROUP BY 1, 2, 3),
+      |ranked AS (SELECT d.vec_id, d.lbl, d.cell_id,
+      |                  ROW_NUMBER() OVER (PARTITION BY d.vec_id
+      |                    ORDER BY CAST(d.dt AS DOUBLE) / cn.nrm DESC, d.cell_id) AS rn
+      |           FROM dots d JOIN cn USING (cell_id)),
+      |cont AS (SELECT cell_id, lbl, COUNT(*) AS nij
+      |         FROM ranked WHERE rn = 1 GROUP BY 1, 2),
+      |ar AS (SELECT cell_id, CAST(SUM(nij) AS BIGINT) AS a,
+      |              CAST(MAX(nij) AS BIGINT) AS mx FROM cont GROUP BY 1),
+      |br AS (SELECT lbl, CAST(SUM(nij) AS BIGINT) AS b FROM cont GROUP BY 1),
+      |x AS (SELECT CAST(SUM(nij * (nij - 1) // 2) AS BIGINT) AS sij FROM cont),
+      |y AS (SELECT CAST(SUM(a * (a - 1) // 2) AS BIGINT) AS sa,
+      |             CAST(SUM(mx) AS BIGINT) AS maxsum,
+      |             COUNT(*) AS n_cells, CAST(SUM(a) AS BIGINT) AS n FROM ar),
+      |z AS (SELECT CAST(SUM(b * (b - 1) // 2) AS BIGINT) AS sb, COUNT(*) AS n_labels FROM br)
+      |SELECT n, n_cells, n_labels,
+      |  ROUND(CAST(maxsum AS DOUBLE) / CAST(n AS DOUBLE), 6) AS purity,
+      |  ROUND((CAST(sij AS DOUBLE)
+      |         - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE) / CAST(n * (n - 1) // 2 AS DOUBLE))
+      |      / ((CAST(sa AS DOUBLE) + CAST(sb AS DOUBLE)) / 2.0
+      |         - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE) / CAST(n * (n - 1) // 2 AS DOUBLE)),
+      |    6) AS ari
+      |FROM x CROSS JOIN y CROSS JOIN z""".stripMargin
+
+  /** Exact-replay permutation test on the paired daily click-vs-view
+    * diffs — the assumption-free significance check beside an_wilcoxon
+    * (that one relies on the normal approximation of the rank sum;
+    * this one builds the null by actually sign-flipping the pairs).
+    * The 128 "random" sign patterns are DETERMINISTIC tempered-hash
+    * draws keyed on (day-rank · 128 + replica) — the an_bootstrap_ci
+    * trick, so the DuckDB oracle replays every permutation bit-for-bit
+    * and the p-value is an exact rational (n_extreme+1)/(R+1). All
+    * 128 replica sums ride ONE scan of the days-sized diff frame with
+    * map-side partial aggregation. */
+  private def anPermutationTest(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    def dailyOf(t: String, out: String) = ev.filter(col("event_type") === t)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(sum((col("value").cast("decimal(24,2)") * 100).cast("bigint")).as(out))
+    val d0 = dailyOf("click", "a").join(dailyOf("view", "b"), "day")
+      .select(col("day"), (col("a") - col("b")).as("d"), lit(1L).as("one"))
+    // 1-based day rank without a global window: cnt_cum of the
+    // distinct-day PrefixSum scan IS the rank (one row per day)
+    val d = graft.operators.PrefixSum.persistOwned(
+      graft.operators.PrefixSum.withRunningTotals(d0, Seq("day"), Seq("one"))
+        .select(col("d"), col("one_cum").as("idx")))
+    val s0 = d.agg(sum(col("d")).as("s_obs"), count(lit(1)).as("n_days"))
+    val reps = d.select(col("d"), col("idx"), explode(sequence(lit(0), lit(127))).as("r"))
+      .withColumn("u", graft.functions.Sketches.temperedHash(
+        col("idx") * 128 + col("r")))
+      .select(col("r"),
+        (when(col("u") % 2 === 1, lit(-1L)).otherwise(lit(1L)) * col("d")).as("sd"))
+      .groupBy(col("r")).agg(sum(col("sd")).as("s_r"))
+    reps.crossJoin(broadcast(s0))
+      .agg(max(col("n_days")).as("n_days"), max(col("s_obs")).as("s_obs"),
+        sum((abs(col("s_r")) >= abs(col("s_obs"))).cast("long")).as("n_extreme"))
+      .select(col("n_days"), col("s_obs"), col("n_extreme"),
+        round((col("n_extreme") + 1).cast("double") / lit(129.0), 6).as("p_value"))
+  }
+
+  private val anPermutationTestSql =
+    """WITH da AS (SELECT date_trunc('day', ts) AS day,
+      |    CAST(SUM(CAST(CAST(value AS DECIMAL(24,2)) * 100 AS BIGINT)) AS BIGINT) AS a
+      |  FROM events WHERE event_type = 'click' GROUP BY 1),
+      |db AS (SELECT date_trunc('day', ts) AS day,
+      |    CAST(SUM(CAST(CAST(value AS DECIMAL(24,2)) * 100 AS BIGINT)) AS BIGINT) AS b
+      |  FROM events WHERE event_type = 'view' GROUP BY 1),
+      |d AS (SELECT a - b AS d, ROW_NUMBER() OVER (ORDER BY day) AS idx
+      |      FROM da JOIN db USING (day)),
+      |s0 AS (SELECT CAST(SUM(d) AS BIGINT) AS s_obs, COUNT(*) AS n_days FROM d),
+      |t1 AS (SELECT r.range AS r, d.d,
+      |    (((d.idx * 128 + r.range) % 2147483647) * 1000003 + 12289) % 2147483647 AS x
+      |  FROM d CROSS JOIN range(0, 128) r),
+      |t2 AS (SELECT r, d, xor(x, x >> 15) AS x FROM t1),
+      |t3 AS (SELECT r, d, (x * 786433) % 2147483647 AS x FROM t2),
+      |t4 AS (SELECT r, d, xor(x, x >> 13) AS u FROM t3),
+      |sr AS (SELECT r, CAST(SUM(CASE WHEN u % 2 = 1 THEN -d ELSE d END) AS BIGINT) AS s_r
+      |       FROM t4 GROUP BY r)
+      |SELECT MAX(n_days) AS n_days, MAX(s_obs) AS s_obs,
+      |  CAST(SUM(CASE WHEN ABS(s_r) >= ABS(s_obs) THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme,
+      |  ROUND(CAST(CAST(SUM(CASE WHEN ABS(s_r) >= ABS(s_obs) THEN 1 ELSE 0 END) AS BIGINT)
+      |    + 1 AS DOUBLE) / 129.0, 6) AS p_value
+      |FROM sr CROSS JOIN s0""".stripMargin
+
+  /** Log-rank test comparing BUILDING vs AUTOMOBILE churn survival —
+    * the two-sample significance companion to an_kaplan_meier's single
+    * curve (KM shows the curves; log-rank says whether they differ
+    * beyond risk-set noise). Same lifetime/censor construction
+    * (customer lifetime in days, 90-day recency censor); per distinct
+    * lifetime the at-risk counts come from ONE
+    * [[graft.operators.PrefixSum]] scan over (leavers₁, leavers₀,
+    * deaths₁, deaths₀) — n_g(t) = N_g − cum_g(<t), exact BIGINTs; the
+    * hypergeometric E and V terms are exact-integer-fed IEEE gathered
+    * DECIMAL(38,18) (nt ≤ 1 terms drop), z ROUND(·,6). */
+  private def anLogrank(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val anchor = o.agg(max(col("o_orderdate")).as("mx"))
+    val seg = Tables.customer(s, dir)
+      .filter(col("c_mktsegment").isin("BUILDING", "AUTOMOBILE"))
+      .select(col("c_custkey"), (col("c_mktsegment") === "BUILDING").cast("long").as("g"))
+    val cust = o.groupBy(col("o_custkey"))
+      .agg(min(col("o_orderdate")).as("f"), max(col("o_orderdate")).as("l"))
+      .join(seg, col("o_custkey") === col("c_custkey"))
+      .crossJoin(broadcast(anchor))
+      .select(datediff(col("l"), col("f")).cast("bigint").as("t"), col("g"),
+        (col("l") < col("mx") - expr("INTERVAL 90 DAYS")).cast("long").as("ev"))
+    val byT = cust.groupBy(col("t"))
+      .agg(sum(col("g")).as("c1"), sum(lit(1L) - col("g")).as("c0"),
+        sum(col("g") * col("ev")).as("d1"),
+        sum((lit(1L) - col("g")) * col("ev")).as("d0"))
+    val scan = graft.operators.PrefixSum.withRunningTotals(byT, Seq("t"),
+      Seq("c1", "c0", "d1", "d0"))
+    val tot = scan.agg(max(col("c1_cum")).as("n1t"), max(col("c0_cum")).as("n0t"))
+    def gather(c: Column) = sum(c.cast("decimal(38,18)")).cast("decimal(38,18)")
+    val n1 = (col("n1t") - (col("c1_cum") - col("c1"))).cast("double")
+    val n0 = (col("n0t") - (col("c0_cum") - col("c0"))).cast("double")
+    val nt = n1 + n0
+    val dt = (col("d1") + col("d0")).cast("double")
+    scan.crossJoin(broadcast(tot))
+      .filter(col("d1") + col("d0") > 0)
+      .agg(max(col("n1t")).as("n1"), max(col("n0t")).as("n0"),
+        sum(col("d1")).as("o1"),
+        gather(dt * n1 / nt).as("e1"),
+        gather(when(nt > 1.0,
+          dt * (n1 / nt) * (n0 / nt) * (nt - dt) / (nt - 1.0))
+          .otherwise(lit(0.0))).as("v"))
+      .select(col("n1"), col("n0"), col("o1"),
+        round(col("e1").cast("double"), 6).as("e1"),
+        round(
+          when(col("v").cast("double") > 0,
+            (col("o1").cast("double") - col("e1").cast("double")) /
+              sqrt(col("v").cast("double")))
+            .otherwise(lit(0.0)), 6).as("z_logrank"))
+  }
+
+  private val anLogrankSql =
+    """WITH a AS (SELECT MAX(o_orderdate) AS mx FROM orders),
+      |seg AS (SELECT c_custkey,
+      |          CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS g
+      |        FROM customer WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE')),
+      |cust AS (SELECT date_diff('day', MIN(o_orderdate), MAX(o_orderdate)) AS t, seg.g,
+      |           CASE WHEN MAX(o_orderdate) < MAX(a.mx) - INTERVAL 90 DAY
+      |                THEN 1 ELSE 0 END AS ev
+      |         FROM orders JOIN seg ON o_custkey = c_custkey CROSS JOIN a
+      |         GROUP BY o_custkey, seg.g),
+      |bt AS (SELECT t, CAST(SUM(g) AS BIGINT) AS c1, CAST(SUM(1 - g) AS BIGINT) AS c0,
+      |              CAST(SUM(g * ev) AS BIGINT) AS d1,
+      |              CAST(SUM((1 - g) * ev) AS BIGINT) AS d0
+      |       FROM cust GROUP BY t),
+      |sc AS (SELECT t, c1, c0, d1, d0,
+      |         CAST(SUM(c1) OVER (ORDER BY t) AS BIGINT) AS c1_cum,
+      |         CAST(SUM(c0) OVER (ORDER BY t) AS BIGINT) AS c0_cum
+      |       FROM bt),
+      |tt AS (SELECT MAX(c1_cum) AS n1t, MAX(c0_cum) AS n0t FROM sc),
+      |terms AS (SELECT d1, d0,
+      |    CAST(n1t - (c1_cum - c1) AS DOUBLE) AS n1,
+      |    CAST(n0t - (c0_cum - c0) AS DOUBLE) AS n0,
+      |    n1t, n0t
+      |  FROM sc CROSS JOIN tt WHERE d1 + d0 > 0)
+      |SELECT MAX(n1t) AS n1, MAX(n0t) AS n0, CAST(SUM(d1) AS BIGINT) AS o1,
+      |  ROUND(CAST(CAST(SUM(CAST(CAST(d1 + d0 AS DOUBLE) * n1 / (n1 + n0)
+      |    AS DECIMAL(38,18))) AS DECIMAL(38,18)) AS DOUBLE), 6) AS e1,
+      |  ROUND(CASE WHEN CAST(CAST(SUM(CAST(CASE WHEN n1 + n0 > 1.0 THEN
+      |        CAST(d1 + d0 AS DOUBLE) * (n1 / (n1 + n0)) * (n0 / (n1 + n0))
+      |          * (n1 + n0 - CAST(d1 + d0 AS DOUBLE)) / (n1 + n0 - 1.0)
+      |      ELSE 0.0 END AS DECIMAL(38,18))) AS DECIMAL(38,18)) AS DOUBLE) > 0
+      |    THEN (CAST(CAST(SUM(d1) AS BIGINT) AS DOUBLE)
+      |          - CAST(CAST(SUM(CAST(CAST(d1 + d0 AS DOUBLE) * n1 / (n1 + n0)
+      |              AS DECIMAL(38,18))) AS DECIMAL(38,18)) AS DOUBLE))
+      |      / sqrt(CAST(CAST(SUM(CAST(CASE WHEN n1 + n0 > 1.0 THEN
+      |          CAST(d1 + d0 AS DOUBLE) * (n1 / (n1 + n0)) * (n0 / (n1 + n0))
+      |            * (n1 + n0 - CAST(d1 + d0 AS DOUBLE)) / (n1 + n0 - 1.0)
+      |        ELSE 0.0 END AS DECIMAL(38,18))) AS DECIMAL(38,18)) AS DOUBLE))
+      |    ELSE 0.0 END, 6) AS z_logrank
+      |FROM terms""".stripMargin
+
   // ----------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -11813,6 +12049,9 @@ object SparkEntry {
     "an_roc_auc" -> (anRocAuc _),
     "an_wilcoxon" -> (anWilcoxonSignedRank _),
     "an_pr_auc" -> (anPrAuc _),
+    "sim_cluster_purity" -> (simClusterPurity _),
+    "an_permutation_test" -> (anPermutationTest _),
+    "an_logrank" -> (anLogrank _),
     "an_croston" -> (anCroston _),
     "an_sax" -> (anSax _),
     "etl_rare_collapse" -> (etlRareCollapse _),
@@ -12099,6 +12338,9 @@ object SparkEntry {
     "an_roc_auc" -> anRocAucSql,
     "an_wilcoxon" -> anWilcoxonSignedRankSql,
     "an_pr_auc" -> anPrAucSql,
+    "sim_cluster_purity" -> simClusterPuritySql,
+    "an_permutation_test" -> anPermutationTestSql,
+    "an_logrank" -> anLogrankSql,
     "an_croston" -> anCrostonSql,
     "an_sax" -> anSaxSql,
     "etl_rare_collapse" -> etlRareCollapseSql,
