@@ -11922,6 +11922,137 @@ object SparkEntry {
       |    ELSE 0.0 END, 6) AS z_logrank
       |FROM terms""".stripMargin
 
+  /** Growth accounting over daily active users — the four-way split
+    * (new / retained / resurrected / churned) that explains WHERE a
+    * DAU curve's movement comes from, which an_new_returning's two-way
+    * split can't (returning conflates "came back yesterday too" with
+    * "resurrected after a gap", and nothing counts leavers). Presence
+    * classes come from ONE distinct (user, day) frame: first day per
+    * user (new), a self equi-join on (user, day−1) for retained vs
+    * resurrected, and the mirror anti-side for churned attributed to
+    * the day AFTER the last visit — all keyed joins, exact BIGINT
+    * counts, full-outer merged on the day axis. */
+  private def anGrowthAccounting(s: SparkSession, dir: String): DataFrame = {
+    val ud = graft.operators.PrefixSum.persistOwned(
+      Tables.events(s, dir)
+        .select(date_trunc("day", col("ts")).as("day"), col("user_id")).distinct())
+    val first = ud.groupBy(col("user_id")).agg(min(col("day")).as("first_day"))
+    val prev = ud.select(col("user_id"),
+      (col("day") + expr("INTERVAL 1 DAY")).as("day"), lit(1L).as("was_prev"))
+    val today = ud.join(first, "user_id")
+      .join(prev, Seq("user_id", "day"), "left")
+      .groupBy(col("day"))
+      .agg(sum((col("day") === col("first_day")).cast("long")).as("n_new"),
+        sum((col("day") =!= col("first_day") && col("was_prev").isNotNull)
+          .cast("long")).as("n_retained"),
+        sum((col("day") =!= col("first_day") && col("was_prev").isNull)
+          .cast("long")).as("n_resurrected"))
+    val churn = prev.join(ud, Seq("user_id", "day"), "left_anti")
+      .groupBy(col("day")).agg(count(lit(1)).as("n_churned"))
+    today.join(churn, Seq("day"), "full_outer")
+      .select(col("day"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        coalesce(col("n_retained"), lit(0L)).as("n_retained"),
+        coalesce(col("n_resurrected"), lit(0L)).as("n_resurrected"),
+        coalesce(col("n_churned"), lit(0L)).as("n_churned"))
+      .orderBy(col("day"))
+  }
+
+  private val anGrowthAccountingSql =
+    """WITH ud AS (SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events),
+      |f AS (SELECT user_id, MIN(day) AS first_day FROM ud GROUP BY user_id),
+      |p AS (SELECT user_id, day + INTERVAL 1 DAY AS day, 1 AS was_prev FROM ud),
+      |t AS (SELECT ud.day,
+      |    CAST(SUM(CASE WHEN ud.day = f.first_day THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+      |    CAST(SUM(CASE WHEN ud.day <> f.first_day AND p.was_prev IS NOT NULL
+      |             THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+      |    CAST(SUM(CASE WHEN ud.day <> f.first_day AND p.was_prev IS NULL
+      |             THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+      |  FROM ud JOIN f USING (user_id)
+      |  LEFT JOIN p ON p.user_id = ud.user_id AND p.day = ud.day
+      |  GROUP BY ud.day),
+      |c AS (SELECT p.day, COUNT(*) AS n_churned
+      |      FROM p LEFT JOIN ud ON ud.user_id = p.user_id AND ud.day = p.day
+      |      WHERE ud.user_id IS NULL GROUP BY p.day)
+      |SELECT COALESCE(t.day, c.day) AS day,
+      |  COALESCE(n_new, 0) AS n_new, COALESCE(n_retained, 0) AS n_retained,
+      |  COALESCE(n_resurrected, 0) AS n_resurrected,
+      |  COALESCE(n_churned, 0) AS n_churned
+      |FROM t FULL OUTER JOIN c ON t.day = c.day
+      |ORDER BY day""".stripMargin
+
+  /** Energy-threshold VAD over REAL WAV decodes — the silence-trim
+    * pass an audio-curation pipeline runs before paying for
+    * transcription (mm_audio_windows emits the frame features; this
+    * DECIDES, per clip, what survives the trim). 8-sample windows from
+    * the genuine container decode
+    * ([[graft.multimodal.BinaryColumns.decodeWavWindowsBatch]]);
+    * active ⇔ energy sum_sq ≥ 8·3·10⁸ (an exact integer compare — no
+    * mean-square float at the boundary); per clip: active count,
+    * first/last active window (−1 when fully silent), and the
+    * trimmed-span window count. Oracle rederives window energies from
+    * the md5 sample synthesis and replays the threshold. */
+  private def mmAudioVad(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir).select(col("doc_id").cast("long")).as[Long]
+    val payloads = docs.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { id =>
+        val n = 32 + (id % 17).toInt
+        val rate = 8000 + 1000 * (id % 3).toInt
+        val samples = Array.tabulate(n) { p =>
+          val d = md.digest(s"au:$id:$p".getBytes("UTF-8"))
+          (((d(0) & 0xFF) << 8) | (d(1) & 0xFF)).toShort
+        }
+        (id, graft.multimodal.BinaryColumns.encodeWav(rate, samples))
+      }
+    }.toDF("doc_id", "payload")
+    val wins = graft.multimodal.BinaryColumns.decodeWavWindowsBatch(payloads, win = 8)(s)
+      .toDF()
+      .withColumn("active",
+        (col("sum_sq") >= col("n_in_win") * lit(300000000L)).cast("long"))
+    wins.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"), sum(col("active")).as("n_active"),
+        coalesce(min(when(col("active") === 1, col("win_id"))), lit(-1))
+          .cast("long").as("first_active"),
+        coalesce(max(when(col("active") === 1, col("win_id"))), lit(-1))
+          .cast("long").as("last_active"))
+      .withColumn("kept_windows",
+        when(col("n_active") > 0, col("last_active") - col("first_active") + 1)
+          .otherwise(lit(0L)))
+      .orderBy(col("doc_id"))
+  }
+
+  private val mmAudioVadSql = {
+    def nib(i: Int) = s"(instr('0123456789abcdef', substr(h, $i, 1)) - 1)"
+    val u16 = s"(((${nib(1)} * 16 + ${nib(2)}) * 16 + ${nib(3)}) * 16 + ${nib(4)})"
+    s"""WITH d AS (SELECT doc_id, CAST(32 + doc_id % 17 AS INT) AS n FROM documents),
+       |smp0 AS (SELECT d.doc_id, p.range AS p,
+       |                md5('au:' || CAST(d.doc_id AS VARCHAR) || ':' ||
+       |                    CAST(p.range AS VARCHAR)) AS h
+       |         FROM d CROSS JOIN range(0, 49) p WHERE p.range < d.n),
+       |sv AS (SELECT doc_id, p,
+       |              CASE WHEN $u16 >= 32768 THEN $u16 - 65536 ELSE $u16 END AS v
+       |       FROM smp0),
+       |w AS (SELECT doc_id, CAST(p // 8 AS INT) AS win_id, COUNT(*) AS n_in_win,
+       |             CAST(SUM(CAST(v AS BIGINT) * v) AS BIGINT) AS sum_sq
+       |      FROM sv GROUP BY 1, 2),
+       |act AS (SELECT doc_id, win_id,
+       |          CASE WHEN sum_sq >= n_in_win * 300000000 THEN 1 ELSE 0 END AS active
+       |        FROM w),
+       |ag AS (SELECT doc_id, COUNT(*) AS n_windows,
+       |         CAST(SUM(active) AS BIGINT) AS n_active,
+       |         CAST(COALESCE(MIN(CASE WHEN active = 1 THEN win_id END), -1) AS BIGINT)
+       |           AS first_active,
+       |         CAST(COALESCE(MAX(CASE WHEN active = 1 THEN win_id END), -1) AS BIGINT)
+       |           AS last_active
+       |       FROM act GROUP BY doc_id)
+       |SELECT doc_id, n_windows, n_active, first_active, last_active,
+       |  CASE WHEN n_active > 0 THEN last_active - first_active + 1
+       |       ELSE 0 END AS kept_windows
+       |FROM ag ORDER BY doc_id""".stripMargin
+  }
+
   // ----------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -12067,6 +12198,8 @@ object SparkEntry {
     "q_clustering_coeff" -> (qClusteringCoeff _),
     "text_readability" -> (textReadability _),
     "mm_image_hist" -> (mmImageHist _),
+    "an_growth_accounting" -> (anGrowthAccounting _),
+    "mm_audio_vad" -> (mmAudioVad _),
     "mm_scene_cuts" -> (mmSceneCuts _),
     "text_vocab_growth" -> (textVocabGrowth _),
     "text_js_divergence" -> (textJsDivergence _),
@@ -12356,6 +12489,8 @@ object SparkEntry {
     "q_clustering_coeff" -> qClusteringCoeffSql,
     "text_readability" -> textReadabilitySql,
     "mm_image_hist" -> mmImageHistSql,
+    "an_growth_accounting" -> anGrowthAccountingSql,
+    "mm_audio_vad" -> mmAudioVadSql,
     "mm_scene_cuts" -> mmSceneCutsSql,
     "text_vocab_growth" -> textVocabGrowthSql,
     "text_js_divergence" -> textJsDivergenceSql,
