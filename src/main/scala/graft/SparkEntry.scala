@@ -3213,7 +3213,14 @@ object SparkEntry {
     * assignment and the drop set bit-for-bit. */
   private def simSemanticDedup(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
-    graft.similarity.VectorOps.semanticDedup(emb, tau = 0.35)
+    // the published SemDeDup scale knob: cells GROW with the corpus so
+    // cell size (and the within-cell pair scan) stays bounded — with a
+    // FIXED nCells the O(Σ|cell|²) scan is O(n²/nCells), super-linear
+    // (the r11 sf1 probe measured exp 1.11 at fixed 16). n div 320
+    // keeps every driver test SF at exactly 16 cells, so the oracle
+    // surface is unchanged; the count() is one columnar-stats job.
+    val nCells = math.max(16L, emb.count() / 320L).toInt
+    graft.similarity.VectorOps.semanticDedup(emb, tau = 0.35, nCells = nCells)
       .orderBy(col("drop_id"))
   }
 
@@ -3225,9 +3232,11 @@ object SparkEntry {
     """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
       |vq AS (SELECT vec_id, list_transform(v, x -> CAST(round(x * 1000000.0) AS BIGINT)) AS q
       |       FROM e),
-      |cent AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cell_id,
-      |                list_transform(v, x -> CAST(round(x * 1000000.0) AS BIGINT)) AS c
-      |         FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 16) t0),
+      |kk AS (SELECT greatest(16, COUNT(*) // 320) AS k FROM e),
+      |cent AS (SELECT CAST(t0.rn - 1 AS INT) AS cell_id,
+      |                list_transform(t0.v, x -> CAST(round(x * 1000000.0) AS BIGINT)) AS c
+      |         FROM (SELECT vec_id, v, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn
+      |               FROM e) t0 CROSS JOIN kk WHERE t0.rn <= kk.k),
       |cn AS (SELECT cell_id,
       |              sqrt(CAST(CAST(list_sum(list_transform(c, x -> x * x)) AS BIGINT) AS DOUBLE)) AS nrm
       |       FROM cent),
