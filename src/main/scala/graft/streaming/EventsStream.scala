@@ -627,6 +627,47 @@ object EventsStream {
     * parity spec). State is O(1) — the gram set is a static broadcast,
     * nothing accumulates. Exactly-once = checkpoint + idempotent
     * `land`, the toSink contract. */
+  final case class FrameRow(doc_id: Long, frame_idx: Int, frame_sum: Long)
+  final case class CutOut(doc_id: Long, cut_at: Long, prev_sum: Long, frame_sum: Long)
+  final case class LastFrame(idx: Int, sum: Long)
+
+  /** Streaming twin of the batch scene-cut detector (mm_scene_cuts):
+    * per-video frames arrive as (doc_id, frame_idx, frame_sum) rows —
+    * the decode itself is row-local and runs upstream — and the ONLY
+    * state a shot-boundary decision needs is the previous frame, so
+    * the per-key state is one (idx, sum) pair regardless of video
+    * length (bounded state: a live ingest never buffers a video).
+    * Frames are sorted within a batch and assumed ordered across
+    * batches (the video-ingest contract, same posture as sessionize's
+    * cross-batch assumption); an out-of-order earlier frame cannot
+    * rewind the monotone state. Exact batch parity: feeding the same
+    * frames through any batch slicing emits exactly the batch query's
+    * cut set, because a cut depends only on the adjacent pair and the
+    * pair is reconstructed across the batch boundary from state. */
+  def sceneCutStream(frames: Dataset[FrameRow])
+                    (implicit spark: SparkSession): Dataset[CutOut] = {
+    import spark.implicits._
+    def update(id: Long, fs: Iterator[FrameRow],
+               state: GroupState[LastFrame]): Iterator[CutOut] = {
+      val sorted = fs.toSeq.sortBy(_.frame_idx)
+      var last = state.getOption
+      val cuts = Seq.newBuilder[CutOut]
+      sorted.foreach { f =>
+        last match {
+          case Some(l) if f.frame_idx == l.idx + 1 && f.frame_sum != l.sum =>
+            cuts += CutOut(id, f.frame_idx.toLong, l.sum, f.frame_sum)
+          case _ => ()
+        }
+        if (last.forall(_.idx < f.frame_idx))
+          last = Some(LastFrame(f.frame_idx, f.frame_sum))
+      }
+      last.foreach(state.update)
+      cuts.result().iterator
+    }
+    frames.groupByKey(_.doc_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
+  }
+
   def spanDecontamStream(docs: DataFrame, bench: DataFrame,
                          textCol: String, idCol: String,
                          checkpointDir: String)
