@@ -12062,6 +12062,214 @@ object SparkEntry {
        |FROM ag ORDER BY doc_id""".stripMargin
   }
 
+  /** KS separation statistic of the acctbal churn score — the
+    * credit-scoring companion to an_roc_auc/an_pr_auc: max over
+    * thresholds of |TPR − FPR|, the single "how far apart are the two
+    * score distributions" number risk teams gate models on. Both
+    * cumulative rates read off the SAME distinct-cent
+    * [[graft.operators.PrefixSum]] scan; the max is an order-
+    * independent aggregate over exact-rational terms, the argmax
+    * threshold ties to the LOWEST score cent via a conditional min
+    * against the 1-row max broadcast. ROUND(·,6) at emission. */
+  private def anKsModel(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val anchor = o.agg(max(col("o_orderdate")).as("mx"))
+    val last = o.groupBy(col("o_custkey")).agg(max(col("o_orderdate")).as("last_order"))
+    val cutoff = col("mx") - expr("INTERVAL 90 DAYS")
+    val labeled = Tables.customer(s, dir)
+      .join(last, col("c_custkey") === col("o_custkey"), "left")
+      .crossJoin(broadcast(anchor))
+      .select(
+        (col("last_order").isNull || col("last_order") < cutoff).cast("long").as("g1"),
+        (col("c_acctbal").cast("decimal(24,2)") * 100).cast("bigint").as("v"))
+    val perV = labeled.groupBy(col("v"))
+      .agg(count(lit(1)).as("cnt"), sum(col("g1")).as("c1"))
+    val scan = graft.operators.PrefixSum.persistOwned(
+      graft.operators.PrefixSum.withRunningTotals(perV, Seq("v"), Seq("cnt", "c1")))
+    val tot = scan.agg(max(col("cnt_cum")).as("n"), max(col("c1_cum")).as("p"))
+    val diffs = scan.crossJoin(broadcast(tot))
+      .select(col("v"), col("p"), (col("n") - col("p")).as("neg"),
+        abs(col("c1_cum").cast("double") / col("p").cast("double") -
+          (col("cnt_cum") - col("c1_cum")).cast("double") /
+            (col("n") - col("p")).cast("double")).as("sep"))
+    val mx = diffs.agg(max(col("sep")).as("ks_raw"))
+    diffs.crossJoin(broadcast(mx))
+      .agg(max(col("p")).as("n_pos"), max(col("neg")).as("n_neg"),
+        min(when(col("sep") === col("ks_raw"), col("v"))).as("ks_threshold_cents"),
+        max(col("ks_raw")).as("ks_raw"))
+      .select(col("n_pos"), col("n_neg"), col("ks_threshold_cents"),
+        round(col("ks_raw"), 6).as("ks"))
+  }
+
+  private val anKsModelSql =
+    """WITH a AS (SELECT MAX(o_orderdate) AS mx FROM orders),
+      |l AS (SELECT o_custkey, MAX(o_orderdate) AS last_order FROM orders GROUP BY 1),
+      |lab AS (SELECT
+      |    CASE WHEN last_order IS NULL OR last_order < mx - INTERVAL 90 DAY
+      |         THEN 1 ELSE 0 END AS g1,
+      |    CAST(CAST(c_acctbal AS DECIMAL(24,2)) * 100 AS BIGINT) AS v
+      |  FROM customer LEFT JOIN l ON c_custkey = o_custkey CROSS JOIN a),
+      |pv AS (SELECT v, COUNT(*) AS cnt, CAST(SUM(g1) AS BIGINT) AS c1 FROM lab GROUP BY v),
+      |sc AS (SELECT v,
+      |         CAST(SUM(cnt) OVER (ORDER BY v) AS BIGINT) AS cnt_cum,
+      |         CAST(SUM(c1) OVER (ORDER BY v) AS BIGINT) AS c1_cum
+      |       FROM pv),
+      |t AS (SELECT MAX(cnt_cum) AS n, MAX(c1_cum) AS p FROM sc),
+      |df AS (SELECT v, p, n - p AS neg,
+      |         ABS(CAST(c1_cum AS DOUBLE) / CAST(p AS DOUBLE)
+      |             - CAST(cnt_cum - c1_cum AS DOUBLE) / CAST(n - p AS DOUBLE)) AS sep
+      |       FROM sc CROSS JOIN t),
+      |m AS (SELECT MAX(sep) AS ks_raw FROM df)
+      |SELECT MAX(p) AS n_pos, MAX(neg) AS n_neg,
+      |  MIN(CASE WHEN sep = ks_raw THEN v END) AS ks_threshold_cents,
+      |  ROUND(MAX(ks_raw), 6) AS ks
+      |FROM df CROSS JOIN m""".stripMargin
+
+  /** Population Stability Index of the order-value distribution,
+    * early half vs late half of the calendar — the model-monitoring
+    * drift gate (PSI > 0.25 = retrain) beside text_js_divergence's
+    * corpus version: PSI is the industry band-level symmetric-KL on
+    * NUMERIC features. The split point is the data-derived midpoint
+    * day (exact integer day arithmetic — generation-proof, no
+    * hardcoded year); bands are the an_mutual_info 50k-dollar cents
+    * bands; band shares are exact rationals and each (pA−pB)·ln(pA/pB)
+    * term gathers DECIMAL(38,18) over bands present in BOTH halves
+    * (PSI is undefined on empty bands; the skipped mass is reported,
+    * not silently dropped). ROUND(·,6). */
+  private def anPsi(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val bounds = o.agg(min(col("o_orderdate")).as("mn"), max(col("o_orderdate")).as("mxd"))
+    val banded = o.crossJoin(broadcast(bounds))
+      .select(
+        (datediff(col("o_orderdate"), col("mn")) * 2 <
+          datediff(col("mxd"), col("mn"))).cast("long").as("early"),
+        floor((col("o_totalprice").cast("decimal(24,2)") * 100).cast("bigint")
+          / lit(5000000L)).as("band"))
+    val perBand = banded.groupBy(col("band"))
+      .agg(sum(col("early")).as("ca"), sum(lit(1L) - col("early")).as("cb"))
+    val tot = perBand.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+    def gather(c: Column) = sum(c.cast("decimal(38,18)")).cast("decimal(38,18)")
+    val pa = col("ca").cast("double") / col("na").cast("double")
+    val pb = col("cb").cast("double") / col("nb").cast("double")
+    perBand.crossJoin(broadcast(tot))
+      .agg(max(col("na")).as("n_early"), max(col("nb")).as("n_late"),
+        sum((col("ca") > 0 && col("cb") > 0).cast("long")).as("n_bands_used"),
+        sum(when(col("ca") === 0 || col("cb") === 0, col("ca") + col("cb"))
+          .otherwise(lit(0L))).as("n_rows_skipped"),
+        gather(when(col("ca") > 0 && col("cb") > 0,
+          (pa - pb) * log(pa / pb)).otherwise(lit(0.0))).as("psig"))
+      .select(col("n_early"), col("n_late"), col("n_bands_used"),
+        col("n_rows_skipped"), round(col("psig").cast("double"), 6).as("psi"))
+  }
+
+  private val anPsiSql =
+    """WITH b AS (SELECT MIN(o_orderdate) AS mn, MAX(o_orderdate) AS mxd FROM orders),
+      |bd AS (SELECT
+      |    CASE WHEN date_diff('day', mn, o_orderdate) * 2
+      |              < date_diff('day', mn, mxd) THEN 1 ELSE 0 END AS early,
+      |    CAST(CAST(o_totalprice AS DECIMAL(24,2)) * 100 AS BIGINT) // 5000000 AS band
+      |  FROM orders CROSS JOIN b),
+      |pb AS (SELECT band, CAST(SUM(early) AS BIGINT) AS ca,
+      |              CAST(SUM(1 - early) AS BIGINT) AS cb
+      |       FROM bd GROUP BY band),
+      |t AS (SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb FROM pb)
+      |SELECT MAX(na) AS n_early, MAX(nb) AS n_late,
+      |  CAST(SUM(CASE WHEN ca > 0 AND cb > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_bands_used,
+      |  CAST(SUM(CASE WHEN ca = 0 OR cb = 0 THEN ca + cb ELSE 0 END) AS BIGINT)
+      |    AS n_rows_skipped,
+      |  ROUND(CAST(CAST(SUM(CAST(CASE WHEN ca > 0 AND cb > 0 THEN
+      |      (CAST(ca AS DOUBLE) / CAST(na AS DOUBLE) - CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))
+      |      * ln((CAST(ca AS DOUBLE) / CAST(na AS DOUBLE))
+      |           / (CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE)))
+      |    ELSE 0.0 END AS DECIMAL(38,18))) AS DECIMAL(38,18)) AS DOUBLE), 6) AS psi
+      |FROM pb CROSS JOIN t""".stripMargin
+
+  /** Perceptual video dedup over REAL AVI decodes — the video member
+    * of the dedup family (mm_image_dedup hashes stills; a video's
+    * identity is its frame SEQUENCE, so the fingerprint concatenates
+    * per-frame average-hashes in order — two videos with the same
+    * frames shuffled do NOT collide). Three synthesis classes per
+    * 25-family corpus (exact copy / tiny-noise / full-noise), genuine
+    * encode→[[graft.multimodal.BinaryColumns.decodeAviFrames]] decode,
+    * 7-bit per-frame hash (gray > frame mean, last pixel dropped),
+    * fingerprint = Σ fh·128^f — exact BIGINT. Equal-fingerprint groups
+    * n≥2: linear group-by, no pair join; the oracle rederives every
+    * pixel so a frame-order or row-flip mis-decode breaks the hash. */
+  private def mmVideoDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir).select(col("doc_id").cast("long")).as[Long]
+    val prints = docs.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def nib2(key: String): Int = {
+        val b0 = md.digest(key.getBytes("UTF-8"))(0)
+        ((b0 >> 4) & 0xF) * 16 + (b0 & 0xF)
+      }
+      it.map { id =>
+        val fam = id % 25
+        val frames = Array.tabulate(3) { f =>
+          Array.tabulate(24) { p =>
+            val base = nib2(s"vid:$fam:$f:$p")
+            val v =
+              if (id % 4 == 0) base
+              else if (id % 4 == 1) (base + nib2(s"vn:$id:$f:$p") % 4) % 256
+              else (base + nib2(s"vn:$id:$f:$p")) % 256
+            v.toByte
+          }
+        }
+        val payload = graft.multimodal.BinaryColumns.encodeAvi(4, 2, 33333, frames)
+        val decoded = graft.multimodal.BinaryColumns.decodeAviFrames(id, payload)
+        var fp = 0L
+        var scale = 1L
+        decoded.foreach { rgb =>
+          val gray = Array.tabulate(8)(q =>
+            ((rgb(3 * q) & 0xFF) + (rgb(3 * q + 1) & 0xFF) + (rgb(3 * q + 2) & 0xFF)) / 3)
+          val mean = gray.sum / 8
+          var fh = 0L; var q = 0
+          while (q < 7) { if (gray(q) > mean) fh |= 1L << q; q += 1 }
+          fp += fh * scale
+          scale *= 128L
+        }
+        (id, fp)
+      }
+    }.toDF("doc_id", "vprint")
+    prints.groupBy(col("vprint"))
+      .agg(count(lit(1)).as("n_videos"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+      .filter(col("n_videos") >= 2)
+      .orderBy(col("vprint"))
+  }
+
+  private val mmVideoDedupSql: String = {
+    def nib2(expr: String) =
+      s"""(16 * (instr('0123456789abcdef', substr(md5($expr), 1, 1)) - 1)
+         | + (instr('0123456789abcdef', substr(md5($expr), 2, 1)) - 1))""".stripMargin
+    val b = nib2("'vid:' || CAST(doc_id % 25 AS VARCHAR) || ':' || CAST(f.range AS VARCHAR) || ':' || CAST(p.range AS VARCHAR)")
+    val n = nib2("'vn:' || CAST(doc_id AS VARCHAR) || ':' || CAST(f.range AS VARCHAR) || ':' || CAST(p.range AS VARCHAR)")
+    s"""WITH d AS (SELECT doc_id FROM documents),
+       |px AS (SELECT doc_id, f.range AS f, p.range AS p,
+       |    CASE WHEN doc_id % 4 = 0 THEN $b
+       |         WHEN doc_id % 4 = 1 THEN ($b + ($n % 4)) % 256
+       |         ELSE ($b + $n) % 256 END AS v
+       |  FROM d CROSS JOIN range(0, 3) f CROSS JOIN range(0, 24) p),
+       |gr AS (SELECT doc_id, f, p // 3 AS q, CAST(SUM(v) // 3 AS BIGINT) AS gray
+       |       FROM px GROUP BY doc_id, f, p // 3),
+       |mn AS (SELECT doc_id, f, CAST(SUM(gray) // 8 AS BIGINT) AS mean
+       |       FROM gr GROUP BY doc_id, f),
+       |fh AS (SELECT gr.doc_id, gr.f,
+       |         CAST(SUM(CASE WHEN gr.gray > mn.mean AND gr.q < 7
+       |                       THEN CAST(1 AS BIGINT) << CAST(gr.q AS INT)
+       |                       ELSE 0 END) AS BIGINT) AS fhash
+       |       FROM gr JOIN mn ON gr.doc_id = mn.doc_id AND gr.f = mn.f
+       |       GROUP BY gr.doc_id, gr.f),
+       |fp AS (SELECT doc_id,
+       |         CAST(SUM(fhash * (CAST(1 AS BIGINT) << CAST(7 * f AS INT))) AS BIGINT) AS vprint
+       |       FROM fh GROUP BY doc_id)
+       |SELECT vprint, COUNT(*) AS n_videos,
+       |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+       |FROM fp GROUP BY vprint HAVING COUNT(*) >= 2
+       |ORDER BY vprint""".stripMargin
+  }
+
   // ----------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -12192,6 +12400,9 @@ object SparkEntry {
     "sim_cluster_purity" -> (simClusterPurity _),
     "an_permutation_test" -> (anPermutationTest _),
     "an_logrank" -> (anLogrank _),
+    "an_ks_model" -> (anKsModel _),
+    "an_psi" -> (anPsi _),
+    "mm_video_dedup" -> (mmVideoDedup _),
     "an_croston" -> (anCroston _),
     "an_sax" -> (anSax _),
     "etl_rare_collapse" -> (etlRareCollapse _),
@@ -12483,6 +12694,9 @@ object SparkEntry {
     "sim_cluster_purity" -> simClusterPuritySql,
     "an_permutation_test" -> anPermutationTestSql,
     "an_logrank" -> anLogrankSql,
+    "an_ks_model" -> anKsModelSql,
+    "an_psi" -> anPsiSql,
+    "mm_video_dedup" -> mmVideoDedupSql,
     "an_croston" -> anCrostonSql,
     "an_sax" -> anSaxSql,
     "etl_rare_collapse" -> etlRareCollapseSql,

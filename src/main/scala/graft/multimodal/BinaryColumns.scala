@@ -353,6 +353,58 @@ object BinaryColumns {
       }
   }
 
+  /** REAL per-frame pixel decode: walk the movi LIST and return each
+    * 00db frame's RGB bytes row-major top-down (un-flips the bottom-up
+    * DIB rows, strips stride padding, un-swaps the on-disk BGR) — the
+    * frame-level twin of [[decodeBmpPixels]] for content-addressed
+    * video work (perceptual hashing, per-frame features). */
+  def decodeAviFrames(id: Long, bytes: Array[Byte]): Array[Array[Byte]] = {
+    val in = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def tag(off: Int) = new String(bytes, off, 4, "US-ASCII")
+    require(bytes.length >= 12 && tag(0) == "RIFF" && tag(8) == "AVI ",
+      s"doc $id: not an AVI payload")
+    var off = 12
+    var hdrlOff = -1; var moviOff = -1; var moviEnd = -1
+    while (off + 8 <= bytes.length && (hdrlOff < 0 || moviOff < 0)) {
+      val sz = in.getInt(off + 4)
+      if (tag(off) == "LIST" && off + 12 <= bytes.length) tag(off + 8) match {
+        case "hdrl" => hdrlOff = off + 12
+        case "movi" => moviOff = off + 12; moviEnd = off + 8 + sz
+        case _ => ()
+      }
+      off += 8 + sz + (sz & 1)
+    }
+    require(hdrlOff >= 0 && moviOff >= 0, s"doc $id: missing hdrl/movi list")
+    val width = in.getInt(hdrlOff + 8 + 32)
+    val height = in.getInt(hdrlOff + 8 + 36)
+    require(width > 0 && height > 0, s"doc $id: unsupported geometry ${width}x$height")
+    val stride = (3 * width + 3) / 4 * 4
+    val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    var f = moviOff
+    while (f + 8 <= moviEnd) {
+      val sz = in.getInt(f + 4)
+      if (tag(f) == "00db") {
+        require(sz == stride * height, s"doc $id: frame size $sz != ${stride * height}")
+        val rgb = new Array[Byte](3 * width * height)
+        var y = 0
+        while (y < height) {
+          val rowOff = f + 8 + (height - 1 - y) * stride
+          var x = 0
+          while (x < width) {
+            val o = rowOff + 3 * x
+            val d = 3 * (y * width + x)
+            rgb(d) = bytes(o + 2); rgb(d + 1) = bytes(o + 1); rgb(d + 2) = bytes(o)
+            x += 1
+          }
+          y += 1
+        }
+        frames += rgb
+      }
+      f += 8 + sz + (sz & 1)
+    }
+    frames.toArray
+  }
+
   /** Decoded-audio record produced by the REAL [[decodeWav]] parser:
     * format fields plus exact integer sample statistics (abs/sum/max,
     * strict sign-change zero crossings) — no float wobble, so every
