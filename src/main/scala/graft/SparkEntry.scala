@@ -12270,6 +12270,224 @@ object SparkEntry {
        |ORDER BY vprint""".stripMargin
   }
 
+  /** Hill tail-index estimator over order values — the heavy-tail
+    * gauge that says whether revenue concentration has a finite
+    * variance at all (an_gumbel_maxima models block maxima; Hill
+    * reads the tail exponent straight from the top order statistics,
+    * the standard fat-tail screen before trusting any mean-based
+    * capacity plan). Top-k membership with ties comes from the
+    * distinct-cent [[graft.operators.PrefixSum]] scan: per value,
+    * rows-in-top-k = clamp(k − rows_above, 0, cnt) and the (k+1)-th
+    * reference value is a conditional aggregate — no global sort of
+    * raw rows; ln terms gather DECIMAL(38,18), ROUND(·,6). */
+  private def anHillTail(s: SparkSession, dir: String): DataFrame = {
+    val k = 100L
+    val perV = Tables.orders(s, dir)
+      .select((col("o_totalprice").cast("decimal(24,2)") * 100).cast("bigint").as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("cnt"))
+    val scan = graft.operators.PrefixSum.persistOwned(
+      graft.operators.PrefixSum.withRunningTotals(perV, Seq("v"), Seq("cnt")))
+    val tot = scan.agg(max(col("cnt_cum")).as("n"))
+    val withAbove = scan.crossJoin(broadcast(tot))
+      .select(col("v"), col("cnt"), (col("n") - col("cnt_cum")).as("above"))
+    // x_ref = the (k+1)-th value from the top (rank ∈ [above+1, above+cnt])
+    val xref = withAbove
+      .agg(sum(when(col("above") < k + 1 && lit(k + 1) <= col("above") + col("cnt"),
+        col("v")).otherwise(lit(0L))).as("x_ref"))
+    def gather(c: Column) = sum(c.cast("decimal(38,18)")).cast("decimal(38,18)")
+    withAbove.crossJoin(broadcast(xref))
+      .select(col("v"), col("x_ref"),
+        greatest(lit(0L), least(col("cnt"), lit(k) - col("above"))).as("m"))
+      .agg(max(col("x_ref")).as("x_ref_cents"),
+        gather(col("m").cast("double") *
+          log(col("v").cast("double") / col("x_ref").cast("double"))).as("hg"))
+      .select(lit(k).as("k"), col("x_ref_cents"),
+        round(col("hg").cast("double") / lit(k.toDouble), 6).as("hill_inv_alpha"),
+        round(lit(k.toDouble) / col("hg").cast("double"), 6).as("tail_alpha"))
+  }
+
+  private val anHillTailSql =
+    """WITH pv AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(24,2)) * 100 AS BIGINT) AS v,
+      |              COUNT(*) AS cnt
+      |       FROM orders GROUP BY 1),
+      |sc AS (SELECT v, cnt, CAST(SUM(cnt) OVER (ORDER BY v) AS BIGINT) AS cnt_cum FROM pv),
+      |t AS (SELECT MAX(cnt_cum) AS n FROM sc),
+      |wa AS (SELECT v, cnt, n - cnt_cum AS above FROM sc CROSS JOIN t),
+      |xr AS (SELECT CAST(SUM(CASE WHEN above < 101 AND 101 <= above + cnt
+      |                            THEN v ELSE 0 END) AS BIGINT) AS x_ref FROM wa),
+      |g AS (SELECT MAX(x_ref) AS x_ref_cents,
+      |    CAST(SUM(CAST(CAST(greatest(0, least(cnt, 100 - above)) AS DOUBLE)
+      |      * ln(CAST(v AS DOUBLE) / CAST(x_ref AS DOUBLE)) AS DECIMAL(38,18)))
+      |      AS DECIMAL(38,18)) AS hg
+      |  FROM wa CROSS JOIN xr)
+      |SELECT CAST(100 AS BIGINT) AS k, x_ref_cents,
+      |  ROUND(CAST(hg AS DOUBLE) / 100.0, 6) AS hill_inv_alpha,
+      |  ROUND(100.0 / CAST(hg AS DOUBLE), 6) AS tail_alpha
+      |FROM g""".stripMargin
+
+  /** Best decision-stump split of the acctbal churn score by Gini
+    * gain — "is this feature worth a tree node", the single-feature
+    * importance probe a feature store runs before training (an_ks_model
+    * scores ranking power; Gini gain scores SPLITTING power, and the
+    * argmax threshold is the stump a 1-node tree would pick). Every
+    * candidate threshold's child impurities are exact rationals off
+    * the shared distinct-cent PrefixSum scan; gain maximization +
+    * lowest-cent tie-break reuse the an_ks_model conditional-min
+    * pattern. ROUND(·,6). */
+  private def anStumpSplit(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val anchor = o.agg(max(col("o_orderdate")).as("mx"))
+    val last = o.groupBy(col("o_custkey")).agg(max(col("o_orderdate")).as("last_order"))
+    val cutoff = col("mx") - expr("INTERVAL 90 DAYS")
+    val labeled = Tables.customer(s, dir)
+      .join(last, col("c_custkey") === col("o_custkey"), "left")
+      .crossJoin(broadcast(anchor))
+      .select(
+        (col("last_order").isNull || col("last_order") < cutoff).cast("long").as("g1"),
+        (col("c_acctbal").cast("decimal(24,2)") * 100).cast("bigint").as("v"))
+    val perV = labeled.groupBy(col("v"))
+      .agg(count(lit(1)).as("cnt"), sum(col("g1")).as("c1"))
+    val scan = graft.operators.PrefixSum.persistOwned(
+      graft.operators.PrefixSum.withRunningTotals(perV, Seq("v"), Seq("cnt", "c1")))
+    val tot = scan.agg(max(col("cnt_cum")).as("n"), max(col("c1_cum")).as("p"))
+    val nl = col("cnt_cum").cast("double")
+    val pl = col("c1_cum").cast("double")
+    val nr = (col("n") - col("cnt_cum")).cast("double")
+    val pr = (col("p") - col("c1_cum")).cast("double")
+    val nn = col("n").cast("double")
+    val pp = col("p").cast("double")
+    val giniParent = lit(1.0) - (pp / nn) * (pp / nn) -
+      ((nn - pp) / nn) * ((nn - pp) / nn)
+    val giniL = lit(1.0) - (pl / nl) * (pl / nl) - ((nl - pl) / nl) * ((nl - pl) / nl)
+    val giniR = lit(1.0) - (pr / nr) * (pr / nr) - ((nr - pr) / nr) * ((nr - pr) / nr)
+    val gain = giniParent - (nl / nn) * giniL - (nr / nn) * giniR
+    val cands = scan.crossJoin(broadcast(tot))
+      .filter(col("cnt_cum") < col("n")) // right child must be non-empty
+      .select(col("v"), col("cnt_cum").as("n_left"), col("c1_cum").as("pos_left"),
+        col("n"), col("p"), gain.as("gain"))
+    val mx = cands.agg(max(col("gain")).as("best_gain"))
+    cands.crossJoin(broadcast(mx))
+      .agg(max(col("n")).as("n"), max(col("p")).as("n_pos"),
+        min(when(col("gain") === col("best_gain"), col("v"))).as("split_cents"),
+        min(when(col("gain") === col("best_gain"), col("n_left"))).as("n_left"),
+        min(when(col("gain") === col("best_gain"), col("pos_left"))).as("pos_left"),
+        max(col("best_gain")).as("best_gain"))
+      .select(col("n"), col("n_pos"), col("split_cents"), col("n_left"), col("pos_left"),
+        round(col("best_gain"), 6).as("gini_gain"))
+  }
+
+  private val anStumpSplitSql =
+    """WITH a AS (SELECT MAX(o_orderdate) AS mx FROM orders),
+      |l AS (SELECT o_custkey, MAX(o_orderdate) AS last_order FROM orders GROUP BY 1),
+      |lab AS (SELECT
+      |    CASE WHEN last_order IS NULL OR last_order < mx - INTERVAL 90 DAY
+      |         THEN 1 ELSE 0 END AS g1,
+      |    CAST(CAST(c_acctbal AS DECIMAL(24,2)) * 100 AS BIGINT) AS v
+      |  FROM customer LEFT JOIN l ON c_custkey = o_custkey CROSS JOIN a),
+      |pv AS (SELECT v, COUNT(*) AS cnt, CAST(SUM(g1) AS BIGINT) AS c1 FROM lab GROUP BY v),
+      |sc AS (SELECT v,
+      |         CAST(SUM(cnt) OVER (ORDER BY v) AS BIGINT) AS cnt_cum,
+      |         CAST(SUM(c1) OVER (ORDER BY v) AS BIGINT) AS c1_cum
+      |       FROM pv),
+      |t AS (SELECT MAX(cnt_cum) AS n, MAX(c1_cum) AS p FROM sc),
+      |cd AS (SELECT v, cnt_cum AS n_left, c1_cum AS pos_left, n, p,
+      |    (1.0 - (CAST(p AS DOUBLE) / n) * (CAST(p AS DOUBLE) / n)
+      |         - (CAST(n - p AS DOUBLE) / n) * (CAST(n - p AS DOUBLE) / n))
+      |    - (CAST(cnt_cum AS DOUBLE) / n)
+      |      * (1.0 - (CAST(c1_cum AS DOUBLE) / cnt_cum) * (CAST(c1_cum AS DOUBLE) / cnt_cum)
+      |             - (CAST(cnt_cum - c1_cum AS DOUBLE) / cnt_cum)
+      |               * (CAST(cnt_cum - c1_cum AS DOUBLE) / cnt_cum))
+      |    - (CAST(n - cnt_cum AS DOUBLE) / n)
+      |      * (1.0 - (CAST(p - c1_cum AS DOUBLE) / (n - cnt_cum))
+      |               * (CAST(p - c1_cum AS DOUBLE) / (n - cnt_cum))
+      |             - (CAST((n - cnt_cum) - (p - c1_cum) AS DOUBLE) / (n - cnt_cum))
+      |               * (CAST((n - cnt_cum) - (p - c1_cum) AS DOUBLE) / (n - cnt_cum)))
+      |    AS gain
+      |  FROM sc CROSS JOIN t WHERE cnt_cum < n),
+      |m AS (SELECT MAX(gain) AS best_gain FROM cd)
+      |SELECT MAX(n) AS n, MAX(p) AS n_pos,
+      |  MIN(CASE WHEN gain = best_gain THEN v END) AS split_cents,
+      |  MIN(CASE WHEN gain = best_gain THEN n_left END) AS n_left,
+      |  MIN(CASE WHEN gain = best_gain THEN pos_left END) AS pos_left,
+      |  ROUND(MAX(best_gain), 6) AS gini_gain
+      |FROM cd CROSS JOIN m""".stripMargin
+
+  /** Price-volume-mix decomposition of revenue growth, early vs late
+    * calendar half, per market segment — the FP&A bridge that answers
+    * "did revenue move because we charged more, sold more, or sold a
+    * different mix" (an_mom_growth shows THAT revenue moved;
+    * q_top_movers shows WHO; this shows WHY). Laspeyres convention:
+    * price effect = (p_B − p_A)·q_A, volume effect = p_A·(q_B − q_A),
+    * cross = Δrev − price − volume (reported, not hidden). Quantities
+    * and cents revenues are exact BIGINTs from one lineitem pass; unit
+    * prices are single IEEE divisions; effects ROUND(·,2) in dollars.
+    * Segments present in only one half are dropped with their mass
+    * reported in the ALL row's cross term. */
+  private def anPriceVolumeMix(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val bounds = o.agg(min(col("o_orderdate")).as("mn"), max(col("o_orderdate")).as("mxd"))
+    val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_quantity"),
+      col("l_extendedprice"))
+    val seg = Tables.customer(s, dir).select(col("c_custkey"), col("c_mktsegment"))
+    val base = li.join(o.select(col("o_orderkey"), col("o_custkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(seg), col("o_custkey") === col("c_custkey"))
+      .crossJoin(broadcast(bounds))
+      .select(col("c_mktsegment").as("segment"),
+        (datediff(col("o_orderdate"), col("mn")) * 2 <
+          datediff(col("mxd"), col("mn"))).cast("long").as("early"),
+        (col("l_quantity").cast("decimal(24,2)") * 100).cast("bigint").as("q"),
+        (col("l_extendedprice").cast("decimal(24,2)") * 100).cast("bigint").as("r"))
+    val perSeg = base.groupBy(col("segment"))
+      .agg(sum(col("early") * col("q")).as("qa"),
+        sum((lit(1L) - col("early")) * col("q")).as("qb"),
+        sum(col("early") * col("r")).as("ra"),
+        sum((lit(1L) - col("early")) * col("r")).as("rb"))
+      .filter(col("qa") > 0 && col("qb") > 0)
+    val pa = col("ra").cast("double") / col("qa").cast("double")
+    val pb = col("rb").cast("double") / col("qb").cast("double")
+    perSeg
+      .select(col("segment"),
+        col("ra"), col("rb"),
+        round((pb - pa) * col("qa").cast("double") / lit(100.0) / lit(100.0), 2)
+          .as("price_effect"),
+        round(pa * (col("qb") - col("qa")).cast("double") / lit(100.0) / lit(100.0), 2)
+          .as("volume_effect"),
+        round(((col("rb") - col("ra")).cast("double") -
+          (pb - pa) * col("qa").cast("double") -
+          pa * (col("qb") - col("qa")).cast("double")) / lit(100.0) / lit(100.0), 2)
+          .as("cross_effect"))
+      .orderBy(col("segment"))
+  }
+
+  private val anPriceVolumeMixSql =
+    """WITH b AS (SELECT MIN(o_orderdate) AS mn, MAX(o_orderdate) AS mxd FROM orders),
+      |base AS (SELECT c_mktsegment AS segment,
+      |    CASE WHEN date_diff('day', mn, o_orderdate) * 2
+      |              < date_diff('day', mn, mxd) THEN 1 ELSE 0 END AS early,
+      |    CAST(CAST(l_quantity AS DECIMAL(24,2)) * 100 AS BIGINT) AS q,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(24,2)) * 100 AS BIGINT) AS r
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey CROSS JOIN b),
+      |ps AS (SELECT segment,
+      |         CAST(SUM(early * q) AS BIGINT) AS qa,
+      |         CAST(SUM((1 - early) * q) AS BIGINT) AS qb,
+      |         CAST(SUM(early * r) AS BIGINT) AS ra,
+      |         CAST(SUM((1 - early) * r) AS BIGINT) AS rb
+      |       FROM base GROUP BY segment
+      |       HAVING CAST(SUM(early * q) AS BIGINT) > 0
+      |          AND CAST(SUM((1 - early) * q) AS BIGINT) > 0)
+      |SELECT segment, ra, rb,
+      |  ROUND((CAST(rb AS DOUBLE) / qb - CAST(ra AS DOUBLE) / qa)
+      |    * CAST(qa AS DOUBLE) / 100.0 / 100.0, 2) AS price_effect,
+      |  ROUND(CAST(ra AS DOUBLE) / qa
+      |    * CAST(qb - qa AS DOUBLE) / 100.0 / 100.0, 2) AS volume_effect,
+      |  ROUND((CAST(rb - ra AS DOUBLE)
+      |    - (CAST(rb AS DOUBLE) / qb - CAST(ra AS DOUBLE) / qa) * CAST(qa AS DOUBLE)
+      |    - CAST(ra AS DOUBLE) / qa * CAST(qb - qa AS DOUBLE)) / 100.0 / 100.0, 2)
+      |    AS cross_effect
+      |FROM ps ORDER BY segment""".stripMargin
+
   // ----------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -12401,6 +12619,9 @@ object SparkEntry {
     "an_permutation_test" -> (anPermutationTest _),
     "an_logrank" -> (anLogrank _),
     "an_ks_model" -> (anKsModel _),
+    "an_hill_tail" -> (anHillTail _),
+    "an_stump_split" -> (anStumpSplit _),
+    "an_price_volume_mix" -> (anPriceVolumeMix _),
     "an_psi" -> (anPsi _),
     "mm_video_dedup" -> (mmVideoDedup _),
     "an_croston" -> (anCroston _),
@@ -12695,6 +12916,9 @@ object SparkEntry {
     "an_permutation_test" -> anPermutationTestSql,
     "an_logrank" -> anLogrankSql,
     "an_ks_model" -> anKsModelSql,
+    "an_hill_tail" -> anHillTailSql,
+    "an_stump_split" -> anStumpSplitSql,
+    "an_price_volume_mix" -> anPriceVolumeMixSql,
     "an_psi" -> anPsiSql,
     "mm_video_dedup" -> mmVideoDedupSql,
     "an_croston" -> anCrostonSql,
