@@ -12488,6 +12488,200 @@ object SparkEntry {
       |    AS cross_effect
       |FROM ps ORDER BY segment""".stripMargin
 
+  /** Qini step-area of acctbal as an uplift-targeting score, BUILDING
+    * (treated) vs AUTOMOBILE (control) churn — the causal-ML
+    * evaluation beside an_roc_auc's observational one: ROC asks "does
+    * the score rank churners", Qini asks "does targeting by the score
+    * capture incremental treated-vs-control difference". Ties-grouped
+    * RIGHT-endpoint step sum needs no neighbor access (the an_pr_auc
+    * recipe): at each distinct cent, the targeted-fraction increment
+    * and the Qini value q = Y_T − Y_C·N_T(v)/N_C(v) both read off ONE
+    * descending-cumulative PrefixSum scan; terms gather
+    * DECIMAL(38,18), ROUND(·,6); thresholds with no control mass yet
+    * contribute the uncorrected Y_T (the standard convention,
+    * deterministic on both engines). */
+  private def anQini(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val anchor = o.agg(max(col("o_orderdate")).as("mx"))
+    val last = o.groupBy(col("o_custkey")).agg(max(col("o_orderdate")).as("last_order"))
+    val cutoff = col("mx") - expr("INTERVAL 90 DAYS")
+    val labeled = Tables.customer(s, dir)
+      .filter(col("c_mktsegment").isin("BUILDING", "AUTOMOBILE"))
+      .join(last, col("c_custkey") === col("o_custkey"), "left")
+      .crossJoin(broadcast(anchor))
+      .select(
+        (col("c_mktsegment") === "BUILDING").cast("long").as("t"),
+        (col("last_order").isNull || col("last_order") < cutoff).cast("long").as("y"),
+        (col("c_acctbal").cast("decimal(24,2)") * 100).cast("bigint").as("v"))
+    val perV = labeled.groupBy(col("v"))
+      .agg(sum(col("t")).as("nt"), sum(lit(1L) - col("t")).as("nc"),
+        sum(col("t") * col("y")).as("yt"),
+        sum((lit(1L) - col("t")) * col("y")).as("yc"))
+    val scan = graft.operators.PrefixSum.persistOwned(
+      graft.operators.PrefixSum.withRunningTotals(perV, Seq("v"),
+        Seq("nt", "nc", "yt", "yc")))
+    val tot = scan.agg(max(col("nt_cum")).as("ntt"), max(col("nc_cum")).as("nct"),
+      max(col("yt_cum")).as("ytt"), max(col("yc_cum")).as("yct"))
+    def gather(c: Column) = sum(c.cast("decimal(38,18)")).cast("decimal(38,18)")
+    // score targets DESC: ≥v cumulatives = total − below
+    val ntg = (col("ntt") - (col("nt_cum") - col("nt"))).cast("double")
+    val ncg = (col("nct") - (col("nc_cum") - col("nc"))).cast("double")
+    val ytg = (col("ytt") - (col("yt_cum") - col("yt"))).cast("double")
+    val ycg = (col("yct") - (col("yc_cum") - col("yc"))).cast("double")
+    val q = when(ncg > 0, ytg - ycg * ntg / ncg).otherwise(ytg)
+    val inc = (col("nt") + col("nc")).cast("double") /
+      (col("ntt") + col("nct")).cast("double")
+    val area = scan.crossJoin(broadcast(tot))
+      .agg(gather(inc * q).as("qini_area"))
+    area.crossJoin(broadcast(tot))
+      .select(col("ntt").as("n_treated"), col("nct").as("n_control"),
+        round(col("ytt").cast("double") -
+          col("yct").cast("double") * col("ntt").cast("double") /
+            col("nct").cast("double"), 6).as("total_uplift"),
+        round(col("qini_area").cast("double"), 6).as("qini_step_area"))
+  }
+
+  private val anQiniSql =
+    """WITH a AS (SELECT MAX(o_orderdate) AS mx FROM orders),
+      |l AS (SELECT o_custkey, MAX(o_orderdate) AS last_order FROM orders GROUP BY 1),
+      |lab AS (SELECT
+      |    CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS t,
+      |    CASE WHEN last_order IS NULL OR last_order < mx - INTERVAL 90 DAY
+      |         THEN 1 ELSE 0 END AS y,
+      |    CAST(CAST(c_acctbal AS DECIMAL(24,2)) * 100 AS BIGINT) AS v
+      |  FROM customer LEFT JOIN l ON c_custkey = o_custkey CROSS JOIN a
+      |  WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE')),
+      |pv AS (SELECT v, CAST(SUM(t) AS BIGINT) AS nt, CAST(SUM(1 - t) AS BIGINT) AS nc,
+      |              CAST(SUM(t * y) AS BIGINT) AS yt,
+      |              CAST(SUM((1 - t) * y) AS BIGINT) AS yc
+      |       FROM lab GROUP BY v),
+      |sc AS (SELECT v, nt, nc, yt, yc,
+      |         CAST(SUM(nt) OVER (ORDER BY v) AS BIGINT) AS nt_cum,
+      |         CAST(SUM(nc) OVER (ORDER BY v) AS BIGINT) AS nc_cum,
+      |         CAST(SUM(yt) OVER (ORDER BY v) AS BIGINT) AS yt_cum,
+      |         CAST(SUM(yc) OVER (ORDER BY v) AS BIGINT) AS yc_cum
+      |       FROM pv),
+      |t AS (SELECT MAX(nt_cum) AS ntt, MAX(nc_cum) AS nct,
+      |             MAX(yt_cum) AS ytt, MAX(yc_cum) AS yct FROM sc),
+      |g AS (SELECT MAX(ntt) AS n_treated, MAX(nct) AS n_control,
+      |    CAST(SUM(CAST(
+      |      (CAST(nt + nc AS DOUBLE) / CAST(ntt + nct AS DOUBLE)) *
+      |      (CASE WHEN nct - (nc_cum - nc) > 0 THEN
+      |         CAST(ytt - (yt_cum - yt) AS DOUBLE)
+      |           - CAST(yct - (yc_cum - yc) AS DOUBLE)
+      |             * CAST(ntt - (nt_cum - nt) AS DOUBLE)
+      |             / CAST(nct - (nc_cum - nc) AS DOUBLE)
+      |       ELSE CAST(ytt - (yt_cum - yt) AS DOUBLE) END)
+      |      AS DECIMAL(38,18))) AS DECIMAL(38,18)) AS qini_area
+      |  FROM sc CROSS JOIN t)
+      |SELECT n_treated, n_control,
+      |  ROUND(CAST(ytt AS DOUBLE)
+      |    - CAST(yct AS DOUBLE) * CAST(ntt AS DOUBLE) / CAST(nct AS DOUBLE), 6)
+      |    AS total_uplift,
+      |  ROUND(CAST(qini_area AS DOUBLE), 6) AS qini_step_area
+      |FROM g CROSS JOIN t""".stripMargin
+
+  /** Cochran's Q test across the five event types' per-user
+    * participation flags — the BINARY-blocked member of the
+    * nonparametric family (an_friedman ranks continuous outcomes per
+    * block; Cochran's Q asks whether k binary "did the user do X"
+    * treatments differ, the engagement-mix significance test).
+    * Column totals G_j, row totals L_i, ΣL and ΣL² are ALL exact
+    * BIGINTs from two keyed aggregations; Q = k(k−1)·Σ(G−Ḡ)²/(kΣL −
+    * ΣL²) is one IEEE expression over them — computed with the
+    * integer identity k·Σ(kG−ΣG)² / (k²·(kΣL−ΣL²)·(k−1)⁻¹...) kept
+    * plainly as doubles fed by exact integers, ROUND(·,6);
+    * degenerate denominator pins Q = 0. */
+  private def anCochranQ(s: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "view", "purchase", "signup", "error")
+    val flags = Tables.events(s, dir)
+      .filter(col("event_type").isin(types: _*))
+      .select(col("user_id"), col("event_type")).distinct()
+    val rowT = flags.groupBy(col("user_id")).agg(count(lit(1)).as("li"))
+    val rows = rowT.agg(sum(col("li")).as("sl"),
+      sum(col("li") * col("li")).as("sl2"), count(lit(1)).as("n_users"))
+    val colT = flags.groupBy(col("event_type")).agg(count(lit(1)).as("g"))
+    val k = lit(types.size.toLong)
+    val cols = colT.agg(sum(col("g")).as("sg"),
+      sum(col("g") * col("g")).as("sg2"), count(lit(1)).as("k_present"))
+    rows.crossJoin(cols)
+      .select(col("n_users"), col("k_present"), col("sg"), col("sl"),
+        // k(k−1)(kΣG² − (ΣG)²)/k over k(kΣL − ΣL²)... algebra folded:
+        // Q = (k−1)(kΣG² − (ΣG)²) / (kΣL − ΣL²), all-integer inputs
+        round(
+          when(k * col("sl") - col("sl2") > 0,
+            ((k - 1) * (k * col("sg2") - col("sg") * col("sg"))).cast("double") /
+              (k * col("sl") - col("sl2")).cast("double"))
+            .otherwise(lit(0.0)), 6).as("cochran_q"))
+  }
+
+  private val anCochranQSql =
+    """WITH f AS (SELECT DISTINCT user_id, event_type FROM events
+      |           WHERE event_type IN ('click','view','purchase','signup','error')),
+      |r AS (SELECT CAST(SUM(li) AS BIGINT) AS sl,
+      |             CAST(SUM(li * li) AS BIGINT) AS sl2,
+      |             COUNT(*) AS n_users
+      |      FROM (SELECT user_id, COUNT(*) AS li FROM f GROUP BY user_id) t),
+      |c AS (SELECT CAST(SUM(g) AS BIGINT) AS sg,
+      |             CAST(SUM(g * g) AS BIGINT) AS sg2,
+      |             COUNT(*) AS k_present
+      |      FROM (SELECT event_type, COUNT(*) AS g FROM f GROUP BY event_type) t)
+      |SELECT n_users, k_present, sg, sl,
+      |  ROUND(CASE WHEN 5 * sl - sl2 > 0 THEN
+      |      CAST(4 * (5 * sg2 - sg * sg) AS DOUBLE) / CAST(5 * sl - sl2 AS DOUBLE)
+      |    ELSE 0.0 END, 6) AS cochran_q
+      |FROM r CROSS JOIN c""".stripMargin
+
+  /** Allen interval-relation census between each user's click and view
+    * activity intervals — the temporal-logic census that tells a
+    * sessionization/attribution design which join semantics the data
+    * actually needs (q_interval_coverage measures union mass; this
+    * classifies HOW the two signals' intervals relate). Intervals are
+    * the 30-minute windows of q_interval_coverage; every (click,view)
+    * interval pair per user is classified into the six symmetric
+    * Allen classes on exact epoch-micro endpoints (before / meets /
+    * overlaps / starts-or-finishes / contains / equals — strict
+    * integer comparisons, no float time). Pair fan-out is per-user
+    * bounded; the join is user-keyed. */
+  private def qIntervalRelations(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    def iv(t: String) = ev.filter(col("event_type") === t)
+      .select(col("user_id"),
+        unix_micros(col("ts")).as("st"),
+        (unix_micros(col("ts")) + 1800L * 1000000L).as("en"))
+    val c = iv("click").select(col("user_id"), col("st").as("ast"), col("en").as("aen"))
+    val v = iv("view").select(col("user_id"), col("st").as("bst"), col("en").as("ben"))
+    val rel = when(col("aen") < col("bst") || col("ben") < col("ast"), lit("before"))
+      .when(col("aen") === col("bst") || col("ben") === col("ast"), lit("meets"))
+      .when(col("ast") === col("bst") && col("aen") === col("ben"), lit("equals"))
+      .when((col("ast") < col("bst") && col("aen") > col("ben")) ||
+        (col("bst") < col("ast") && col("ben") > col("aen")), lit("contains"))
+      .when(col("ast") === col("bst") || col("aen") === col("ben"), lit("aligns"))
+      .otherwise(lit("overlaps"))
+    c.join(v, "user_id")
+      .select(rel.as("relation"))
+      .groupBy(col("relation")).agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("relation"))
+  }
+
+  private val qIntervalRelationsSql =
+    """WITH c AS (SELECT user_id, epoch_us(ts) AS ast,
+      |                  epoch_us(ts) + 1800 * 1000000 AS aen
+      |           FROM events WHERE event_type = 'click'),
+      |v AS (SELECT user_id, epoch_us(ts) AS bst,
+      |             epoch_us(ts) + 1800 * 1000000 AS ben
+      |      FROM events WHERE event_type = 'view'),
+      |p AS (SELECT CASE
+      |        WHEN aen < bst OR ben < ast THEN 'before'
+      |        WHEN aen = bst OR ben = ast THEN 'meets'
+      |        WHEN ast = bst AND aen = ben THEN 'equals'
+      |        WHEN (ast < bst AND aen > ben) OR (bst < ast AND ben > aen) THEN 'contains'
+      |        WHEN ast = bst OR aen = ben THEN 'aligns'
+      |        ELSE 'overlaps' END AS relation
+      |      FROM c JOIN v USING (user_id))
+      |SELECT relation, COUNT(*) AS n_pairs
+      |FROM p GROUP BY relation ORDER BY relation""".stripMargin
+
   // ----------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -12620,6 +12814,9 @@ object SparkEntry {
     "an_logrank" -> (anLogrank _),
     "an_ks_model" -> (anKsModel _),
     "an_hill_tail" -> (anHillTail _),
+    "an_qini" -> (anQini _),
+    "an_cochran_q" -> (anCochranQ _),
+    "q_interval_relations" -> (qIntervalRelations _),
     "an_stump_split" -> (anStumpSplit _),
     "an_price_volume_mix" -> (anPriceVolumeMix _),
     "an_psi" -> (anPsi _),
@@ -12917,6 +13114,9 @@ object SparkEntry {
     "an_logrank" -> anLogrankSql,
     "an_ks_model" -> anKsModelSql,
     "an_hill_tail" -> anHillTailSql,
+    "an_qini" -> anQiniSql,
+    "an_cochran_q" -> anCochranQSql,
+    "q_interval_relations" -> qIntervalRelationsSql,
     "an_stump_split" -> anStumpSplitSql,
     "an_price_volume_mix" -> anPriceVolumeMixSql,
     "an_psi" -> anPsiSql,
