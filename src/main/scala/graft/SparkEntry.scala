@@ -12682,6 +12682,162 @@ object SparkEntry {
       |SELECT relation, COUNT(*) AS n_pairs
       |FROM p GROUP BY relation ORDER BY relation""".stripMargin
 
+  /** Entropy rate of the per-user event-type Markov chain — how
+    * predictable the NEXT action is given the current one (an_markov
+    * publishes the transition matrix; the entropy rate compresses it
+    * to the one number that bounds any next-event model's achievable
+    * log-loss). Transitions come from a user-keyed lag window with
+    * the deterministic (ts, event_id) tie order; H = −Σ (n_ij/N)·
+    * ln(n_ij/n_i) over exact BIGINT counts — the empirical-π form,
+    * gathered DECIMAL(38,18), ROUND(·,6), with ln(k_states) reported
+    * for the normalized readout. */
+  private def anEntropyRate(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val trans = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .groupBy(col("prev"), col("event_type").as("cur"))
+      .agg(count(lit(1)).as("nij"))
+    val rowm = trans.groupBy(col("prev")).agg(sum(col("nij")).as("ni"))
+    val tot = trans.agg(sum(col("nij")).as("n"),
+      countDistinct(col("cur")).as("k_states"))
+    def gather(c: Column) = sum(c.cast("decimal(38,18)")).cast("decimal(38,18)")
+    trans.join(broadcast(rowm), "prev").crossJoin(broadcast(tot))
+      .agg(max(col("n")).as("n_transitions"), max(col("k_states")).as("k_states"),
+        gather(lit(-1.0) * col("nij").cast("double") / col("n").cast("double") *
+          log(col("nij").cast("double") / col("ni").cast("double"))).as("hg"))
+      .select(col("n_transitions"), col("k_states"),
+        round(col("hg").cast("double"), 6).as("entropy_rate"),
+        round(col("hg").cast("double") /
+          log(col("k_states").cast("double")), 6).as("normalized_rate"))
+  }
+
+  private val anEntropyRateSql =
+    """WITH tr AS (SELECT prev, event_type AS cur, COUNT(*) AS nij FROM (
+      |    SELECT user_id, event_type,
+      |           LAG(event_type) OVER (PARTITION BY user_id
+      |             ORDER BY ts, event_id) AS prev
+      |    FROM events) t
+      |  WHERE prev IS NOT NULL GROUP BY prev, event_type),
+      |rm AS (SELECT prev, CAST(SUM(nij) AS BIGINT) AS ni FROM tr GROUP BY prev),
+      |t AS (SELECT CAST(SUM(nij) AS BIGINT) AS n,
+      |             COUNT(DISTINCT cur) AS k_states FROM tr)
+      |SELECT MAX(n) AS n_transitions, MAX(k_states) AS k_states,
+      |  ROUND(CAST(CAST(SUM(CAST(-1.0 * CAST(nij AS DOUBLE) / CAST(n AS DOUBLE)
+      |    * ln(CAST(nij AS DOUBLE) / CAST(ni AS DOUBLE)) AS DECIMAL(38,18)))
+      |    AS DECIMAL(38,18)) AS DOUBLE), 6) AS entropy_rate,
+      |  ROUND(CAST(CAST(SUM(CAST(-1.0 * CAST(nij AS DOUBLE) / CAST(n AS DOUBLE)
+      |    * ln(CAST(nij AS DOUBLE) / CAST(ni AS DOUBLE)) AS DECIMAL(38,18)))
+      |    AS DECIMAL(38,18)) AS DOUBLE)
+      |    / ln(CAST(MAX(k_states) AS DOUBLE)), 6) AS normalized_rate
+      |FROM tr JOIN rm USING (prev) CROSS JOIN t""".stripMargin
+
+  /** Term burstiness (Fano factor) for the corpus's top-30 terms —
+    * the dispersion signal that separates topical words (bursty:
+    * present heavily in few docs) from function words (even spread),
+    * which TF-IDF conflates when document frequency saturates.
+    * Zero-count docs are IN the statistics (Fano over all D docs, not
+    * just containing docs): VMR = (D·Σc² − T²)/(D·T) — every input an
+    * exact BIGINT from one explode + groupBy, the ratio one IEEE
+    * division, ROUND(·,6); top-30 by (total DESC, term) is a bounded
+    * deterministic readout. */
+  private def textBurstiness(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val nDocs = docs.agg(count(lit(1)).as("d"))
+    val perDocTerm = docs
+      .select(col("doc_id"), explode(expr("filter(split(text, ' '), w -> w <> '')")).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("c"))
+    val perTerm = perDocTerm.groupBy(col("term"))
+      .agg(sum(col("c")).as("t"), sum(col("c") * col("c")).as("s2"),
+        count(lit(1)).as("df"))
+    perTerm.crossJoin(broadcast(nDocs))
+      .select(col("term"), col("t"), col("df"),
+        round((col("d") * col("s2") - col("t") * col("t")).cast("double") /
+          (col("d") * col("t")).cast("double"), 6).as("fano"))
+      .orderBy(col("t").desc, col("term")).limit(30)
+  }
+
+  private val textBurstinessSql =
+    """WITH d AS (SELECT COUNT(*) AS d FROM documents),
+      |pdt AS (SELECT doc_id, term, COUNT(*) AS c FROM (
+      |    SELECT doc_id, unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS term
+      |    FROM documents) t GROUP BY doc_id, term),
+      |pt AS (SELECT term, CAST(SUM(c) AS BIGINT) AS t,
+      |              CAST(SUM(c * c) AS BIGINT) AS s2,
+      |              COUNT(*) AS df
+      |       FROM pdt GROUP BY term)
+      |SELECT term, t, df,
+      |  ROUND(CAST(d.d * s2 - t * t AS DOUBLE) / CAST(d.d * t AS DOUBLE), 6) AS fano
+      |FROM pt CROSS JOIN d
+      |ORDER BY t DESC, term LIMIT 30""".stripMargin
+
+  /** Per-image luminance entropy over REAL BMP decodes — the
+    * information-content screen beside mm_image_hist's raw bins
+    * (uniform noise scores ln 8, a flat/blown image near 0; curation
+    * drops both tails). Same hist: synthesis and genuine container
+    * decode; the 8-bin histogram and its Shannon entropy are computed
+    * IN the decode kernel (row-local, zero shuffle before the final
+    * order), entropy over non-empty bins ROUND(·,6); the oracle
+    * rederives pixels→bins→entropy in SQL. */
+  private def mmImageEntropy(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir).select(col("doc_id").cast("long")).as[Long]
+    // the kernel emits non-empty (doc, bin, count) rows; the entropy
+    // SUM runs in the DataFrame through the DECIMAL(38,18) gather so
+    // term-addition order matches the oracle (a kernel-side double
+    // fold would sum in bin order while SQL sums in scan order)
+    val rows = docs.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.flatMap { id =>
+        val w = 8 + (id % 5).toInt; val h = 8 + (id % 3).toInt
+        val rgb = Array.tabulate(3 * w * h) { p =>
+          md.digest(s"hist:$id:$p".getBytes("UTF-8"))(0)
+        }
+        val px = graft.multimodal.BinaryColumns.decodeBmpPixels(id,
+          graft.multimodal.BinaryColumns.encodeBmp(w, h, rgb))
+        val bins = new Array[Long](8)
+        var i = 0
+        while (i < px.length) {
+          bins(((px(i) & 0xFF) + (px(i + 1) & 0xFF) + (px(i + 2) & 0xFF)) / 96) += 1
+          i += 3
+        }
+        (0 until 8).filter(bins(_) > 0)
+          .map(b => (id, (w * h).toLong, b, bins(b)))
+      }
+    }.toDF("doc_id", "n_px", "bin", "b")
+    def gather(c: Column) = sum(c.cast("decimal(38,18)")).cast("decimal(38,18)")
+    rows.groupBy(col("doc_id"))
+      .agg(max(col("n_px")).as("n_px"), count(lit(1)).as("n_bins_used"),
+        gather(lit(-1.0) * col("b").cast("double") / col("n_px").cast("double") *
+          log(col("b").cast("double") / col("n_px").cast("double"))).as("eg"))
+      .select(col("doc_id"), col("n_px"), col("n_bins_used"),
+        round(col("eg").cast("double"), 6).as("entropy"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val mmImageEntropySql =
+    """WITH d AS (SELECT doc_id, CAST(8 + doc_id % 5 AS INT) AS w,
+      |    CAST(8 + doc_id % 3 AS INT) AS h FROM documents),
+      |px AS (SELECT d.doc_id, d.w, d.h, p.range // 3 AS px_id,
+      |    16 * (instr('0123456789abcdef', substr(md5('hist:' ||
+      |      CAST(d.doc_id AS VARCHAR) || ':' || CAST(p.range AS VARCHAR)), 1, 1)) - 1)
+      |       + (instr('0123456789abcdef', substr(md5('hist:' ||
+      |      CAST(d.doc_id AS VARCHAR) || ':' || CAST(p.range AS VARCHAR)), 2, 1)) - 1) AS v
+      |  FROM d CROSS JOIN range(0, 360) p
+      |  WHERE p.range < 3 * d.w * d.h),
+      |lum AS (SELECT doc_id, MAX(w) AS w, MAX(h) AS h, px_id,
+      |               CAST(SUM(v) AS BIGINT) AS lum
+      |        FROM px GROUP BY doc_id, px_id),
+      |hist AS (SELECT doc_id, MAX(w * h) AS npx, lum // 96 AS bin, COUNT(*) AS b
+      |         FROM lum GROUP BY doc_id, lum // 96)
+      |SELECT doc_id, CAST(MAX(npx) AS BIGINT) AS n_px,
+      |  COUNT(*) AS n_bins_used,
+      |  ROUND(CAST(CAST(SUM(CAST(-1.0 * CAST(b AS DOUBLE) / CAST(npx AS DOUBLE)
+      |    * ln(CAST(b AS DOUBLE) / CAST(npx AS DOUBLE)) AS DECIMAL(38,18)))
+      |    AS DECIMAL(38,18)) AS DOUBLE), 6) AS entropy
+      |FROM hist GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ----------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -12815,6 +12971,9 @@ object SparkEntry {
     "an_ks_model" -> (anKsModel _),
     "an_hill_tail" -> (anHillTail _),
     "an_qini" -> (anQini _),
+    "an_entropy_rate" -> (anEntropyRate _),
+    "text_burstiness" -> (textBurstiness _),
+    "mm_image_entropy" -> (mmImageEntropy _),
     "an_cochran_q" -> (anCochranQ _),
     "q_interval_relations" -> (qIntervalRelations _),
     "an_stump_split" -> (anStumpSplit _),
@@ -13115,6 +13274,9 @@ object SparkEntry {
     "an_ks_model" -> anKsModelSql,
     "an_hill_tail" -> anHillTailSql,
     "an_qini" -> anQiniSql,
+    "an_entropy_rate" -> anEntropyRateSql,
+    "text_burstiness" -> textBurstinessSql,
+    "mm_image_entropy" -> mmImageEntropySql,
     "an_cochran_q" -> anCochranQSql,
     "q_interval_relations" -> qIntervalRelationsSql,
     "an_stump_split" -> anStumpSplitSql,
