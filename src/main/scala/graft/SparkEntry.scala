@@ -12838,6 +12838,219 @@ object SparkEntry {
       |    AS DECIMAL(38,18)) AS DOUBLE), 6) AS entropy
       |FROM hist GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Restricted mean survival time at τ = 365 days — the clinically
+    * standard "how many of the next 365 days does an average customer
+    * survive" summary that stays valid when hazards cross and the
+    * log-rank/hazard-ratio story breaks down (an_kaplan_meier draws
+    * the curve; RMST is its area up to τ). Same lifetime/censor
+    * construction and the same bounded distinct-lifetime axis; step
+    * widths come from LEAD on that axis (the KM cumulative-window
+    * precedent — the axis is calendar-bounded, never row-sized);
+    * survival steps reuse KM's ROUND(·,6) exp∘Σln, widths are exact
+    * integer days, and the area gathers DECIMAL(38,18), ROUND(·,4). */
+  private def anRmst(s: SparkSession, dir: String): DataFrame = {
+    val tau = 365L
+    val o = Tables.orders(s, dir)
+    val anchor = o.agg(max(col("o_orderdate")).as("mx"))
+    val cust = o.groupBy(col("o_custkey"))
+      .agg(min(col("o_orderdate")).as("f"), max(col("o_orderdate")).as("l"))
+      .crossJoin(broadcast(anchor))
+      .select(datediff(col("l"), col("f")).cast("bigint").as("t"),
+        (col("l") < col("mx") - expr("INTERVAL 90 DAYS")).cast("int").as("ev"))
+    val byT = cust.groupBy(col("t"))
+      .agg(count(lit(1)).as("n_at"), sum(col("ev")).cast("long").as("d"))
+    val wPrev = Window.orderBy(col("t")).rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.orderBy(col("t")).rowsBetween(Window.unboundedPreceding, 0)
+    val wLead = Window.orderBy(col("t"))
+    val steps = byT.crossJoin(broadcast(cust.agg(count(lit(1)).as("n_total"))))
+      .withColumn("n_risk",
+        col("n_total") - coalesce(sum(col("n_at")).over(wPrev), lit(0L)))
+      .filter(col("d") > 0)
+      .withColumn("surv", when(col("d") === col("n_risk"), lit(0.0))
+        .otherwise(round(exp(sum(
+          log(lit(1.0) - col("d").cast("double") / col("n_risk").cast("double")))
+          .over(wCum)), 6)))
+      .withColumn("t_next", coalesce(lead(col("t"), 1).over(wLead), lit(tau)))
+      .withColumn("width",
+        greatest(lit(0L), least(col("t_next"), lit(tau)) - least(col("t"), lit(tau))))
+    def gather(c: Column) = sum(c.cast("decimal(38,18)")).cast("decimal(38,18)")
+    val head = steps.agg(min(col("t")).as("t1"), max(col("n_total")).as("n"))
+    steps.agg(gather(col("surv") * col("width").cast("double")).as("areag"))
+      .crossJoin(broadcast(head))
+      .select(lit(tau).as("tau_days"), col("n"),
+        round(least(col("t1"), lit(tau)).cast("double") +
+          col("areag").cast("double"), 4).as("rmst_days"))
+  }
+
+  private val anRmstSql =
+    """WITH a AS (SELECT MAX(o_orderdate) AS mx FROM orders),
+      |c AS (SELECT o_custkey, MIN(o_orderdate) AS f, MAX(o_orderdate) AS l
+      |      FROM orders GROUP BY 1),
+      |cust AS (SELECT CAST(date_diff('day', f, l) AS BIGINT) AS t,
+      |                CASE WHEN l < mx - INTERVAL 90 DAY THEN 1 ELSE 0 END AS ev
+      |         FROM c CROSS JOIN a),
+      |byt AS (SELECT t, COUNT(*) AS n_at, CAST(SUM(ev) AS BIGINT) AS d
+      |        FROM cust GROUP BY 1),
+      |tot AS (SELECT COUNT(*) AS n_total FROM cust),
+      |r AS (SELECT t, d, n_total,
+      |        n_total - COALESCE(CAST(SUM(n_at) OVER (ORDER BY t
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS n_risk
+      |      FROM byt CROSS JOIN tot),
+      |ev AS (SELECT t, d, n_total, n_risk FROM r WHERE d > 0),
+      |st AS (SELECT t, n_total,
+      |         CASE WHEN d = n_risk THEN 0.0
+      |              ELSE ROUND(exp(SUM(ln(1.0 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE)))
+      |                OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6)
+      |         END AS surv,
+      |         COALESCE(LEAD(t) OVER (ORDER BY t), 365) AS t_next
+      |       FROM ev),
+      |w AS (SELECT surv, n_total, t,
+      |        greatest(0, least(t_next, 365) - least(t, 365)) AS width FROM st),
+      |g AS (SELECT MAX(n_total) AS n, MIN(t) AS t1,
+      |        CAST(SUM(CAST(surv * CAST(width AS DOUBLE) AS DECIMAL(38,18)))
+      |          AS DECIMAL(38,18)) AS areag
+      |      FROM w)
+      |SELECT CAST(365 AS BIGINT) AS tau_days, n,
+      |  ROUND(CAST(least(t1, 365) AS DOUBLE) + CAST(areag AS DOUBLE), 4) AS rmst_days
+      |FROM g""".stripMargin
+
+  /** DeLong standard error of the acctbal churn AUC — the uncertainty
+    * an_roc_auc's point estimate needs before two models can be
+    * compared honestly (an AUC of 0.62 ± 0.01 and one of 0.62 ± 0.2
+    * are different findings). Placement values per DISTINCT score cent
+    * come from the same PrefixSum cumulatives (doubled placements
+    * 2·below + at are exact BIGINTs); the placement variances S10/S01
+    * gather DECIMAL(38,18) around the exact-rational AUC; SE =
+    * √(S10/n1 + S01/n0), ROUND(·,6). */
+  private def anAucSe(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val anchor = o.agg(max(col("o_orderdate")).as("mx"))
+    val last = o.groupBy(col("o_custkey")).agg(max(col("o_orderdate")).as("last_order"))
+    val cutoff = col("mx") - expr("INTERVAL 90 DAYS")
+    val labeled = Tables.customer(s, dir)
+      .join(last, col("c_custkey") === col("o_custkey"), "left")
+      .crossJoin(broadcast(anchor))
+      .select(
+        (col("last_order").isNull || col("last_order") < cutoff).cast("long").as("g1"),
+        (col("c_acctbal").cast("decimal(24,2)") * 100).cast("bigint").as("v"))
+    val perV = labeled.groupBy(col("v"))
+      .agg(count(lit(1)).as("cnt"), sum(col("g1")).as("c1"))
+    val scan = graft.operators.PrefixSum.persistOwned(
+      graft.operators.PrefixSum.withRunningTotals(perV, Seq("v"), Seq("cnt", "c1")))
+    val tot = scan.agg(max(col("cnt_cum")).as("n"), max(col("c1_cum")).as("n1"))
+    def gather(c: Column) = sum(c.cast("decimal(38,18)")).cast("decimal(38,18)")
+    val c0 = col("cnt") - col("c1")
+    val negBelow = (col("cnt_cum") - col("cnt")) - (col("c1_cum") - col("c1"))
+    val posBelow = col("c1_cum") - col("c1")
+    val n0 = (col("n") - col("n1"))
+    val posAbove = col("n1") - col("c1_cum")
+    // AUC as the exact Mann–Whitney rational (the an_roc_auc identity)
+    val aucExpr = col("auc_num").cast("double") /
+      (lit(2.0) * col("n1").cast("double") * (col("n") - col("n1")).cast("double"))
+    val aucNum = scan.crossJoin(broadcast(tot))
+      .agg(sum(col("c1") * (lit(2L) * negBelow + c0)).as("auc_num"))
+    scan.crossJoin(broadcast(tot)).crossJoin(broadcast(aucNum))
+      .agg(max(col("n1")).as("n_pos"), max(n0).as("n_neg"),
+        max(aucExpr).as("auc"),
+        gather(col("c1").cast("double") *
+          ((lit(2L) * negBelow + c0).cast("double") /
+            (lit(2.0) * n0.cast("double")) - aucExpr) *
+          ((lit(2L) * negBelow + c0).cast("double") /
+            (lit(2.0) * n0.cast("double")) - aucExpr)).as("s10g"),
+        gather(c0.cast("double") *
+          ((lit(2L) * posAbove + col("c1")).cast("double") /
+            (lit(2.0) * col("n1").cast("double")) - aucExpr) *
+          ((lit(2L) * posAbove + col("c1")).cast("double") /
+            (lit(2.0) * col("n1").cast("double")) - aucExpr)).as("s01g"))
+      .select(col("n_pos"), col("n_neg"), round(col("auc"), 6).as("auc"),
+        round(sqrt(
+          col("s10g").cast("double") / (col("n_pos") - 1).cast("double") /
+            col("n_pos").cast("double") +
+          col("s01g").cast("double") / (col("n_neg") - 1).cast("double") /
+            col("n_neg").cast("double")), 6).as("auc_se"))
+  }
+
+  private val anAucSeSql =
+    """WITH a AS (SELECT MAX(o_orderdate) AS mx FROM orders),
+      |l AS (SELECT o_custkey, MAX(o_orderdate) AS last_order FROM orders GROUP BY 1),
+      |lab AS (SELECT
+      |    CASE WHEN last_order IS NULL OR last_order < mx - INTERVAL 90 DAY
+      |         THEN 1 ELSE 0 END AS g1,
+      |    CAST(CAST(c_acctbal AS DECIMAL(24,2)) * 100 AS BIGINT) AS v
+      |  FROM customer LEFT JOIN l ON c_custkey = o_custkey CROSS JOIN a),
+      |pv AS (SELECT v, COUNT(*) AS cnt, CAST(SUM(g1) AS BIGINT) AS c1 FROM lab GROUP BY v),
+      |sc AS (SELECT v, cnt, c1,
+      |         CAST(SUM(cnt) OVER (ORDER BY v) AS BIGINT) AS cnt_cum,
+      |         CAST(SUM(c1) OVER (ORDER BY v) AS BIGINT) AS c1_cum
+      |       FROM pv),
+      |t AS (SELECT MAX(cnt_cum) AS n, MAX(c1_cum) AS n1 FROM sc),
+      |an AS (SELECT CAST(SUM(c1 * (2 * ((cnt_cum - cnt) - (c1_cum - c1)) + (cnt - c1)))
+      |         AS BIGINT) AS auc_num
+      |       FROM sc CROSS JOIN t),
+      |g AS (SELECT MAX(n1) AS n_pos, MAX(n - n1) AS n_neg,
+      |    MAX(CAST(auc_num AS DOUBLE) / (2.0 * CAST(n1 AS DOUBLE) * CAST(n - n1 AS DOUBLE)))
+      |      AS auc,
+      |    CAST(SUM(CAST(CAST(c1 AS DOUBLE) *
+      |      (CAST(2 * ((cnt_cum - cnt) - (c1_cum - c1)) + (cnt - c1) AS DOUBLE)
+      |         / (2.0 * CAST(n - n1 AS DOUBLE))
+      |       - CAST(auc_num AS DOUBLE) / (2.0 * CAST(n1 AS DOUBLE) * CAST(n - n1 AS DOUBLE)))
+      |      * (CAST(2 * ((cnt_cum - cnt) - (c1_cum - c1)) + (cnt - c1) AS DOUBLE)
+      |         / (2.0 * CAST(n - n1 AS DOUBLE))
+      |       - CAST(auc_num AS DOUBLE) / (2.0 * CAST(n1 AS DOUBLE) * CAST(n - n1 AS DOUBLE)))
+      |      AS DECIMAL(38,18))) AS DECIMAL(38,18)) AS s10g,
+      |    CAST(SUM(CAST(CAST(cnt - c1 AS DOUBLE) *
+      |      (CAST(2 * (n1 - c1_cum) + c1 AS DOUBLE) / (2.0 * CAST(n1 AS DOUBLE))
+      |       - CAST(auc_num AS DOUBLE) / (2.0 * CAST(n1 AS DOUBLE) * CAST(n - n1 AS DOUBLE)))
+      |      * (CAST(2 * (n1 - c1_cum) + c1 AS DOUBLE) / (2.0 * CAST(n1 AS DOUBLE))
+      |       - CAST(auc_num AS DOUBLE) / (2.0 * CAST(n1 AS DOUBLE) * CAST(n - n1 AS DOUBLE)))
+      |      AS DECIMAL(38,18))) AS DECIMAL(38,18)) AS s01g
+      |  FROM sc CROSS JOIN t CROSS JOIN an)
+      |SELECT n_pos, n_neg, ROUND(auc, 6) AS auc,
+      |  ROUND(sqrt(CAST(s10g AS DOUBLE) / CAST(n_pos - 1 AS DOUBLE) / CAST(n_pos AS DOUBLE)
+      |           + CAST(s01g AS DOUBLE) / CAST(n_neg - 1 AS DOUBLE) / CAST(n_neg AS DOUBLE)),
+      |    6) AS auc_se
+      |FROM g""".stripMargin
+
+  /** Character-bigram entropy per language — the script-level
+    * complexity profile that separates languages (and catches
+    * mislabeled/garbled spans) where the word-level stopword counters
+    * (text_langid) need real words. Bigrams come from a pure
+    * sequence→substring projection (no regex); counts per (lang,
+    * bigram) are exact BIGINTs; H gathers DECIMAL(38,18) per language,
+    * ROUND(·,6), with the bigram vocabulary size beside it. */
+  private def textCharEntropy(s: SparkSession, dir: String): DataFrame = {
+    val grams = Tables.documents(s, dir)
+      .filter(length(col("text")) >= 2)
+      .select(col("lang"),
+        explode(expr("transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))"))
+          .as("bg"))
+      .groupBy(col("lang"), col("bg")).agg(count(lit(1)).as("c"))
+    val perLang = grams.groupBy(col("lang")).agg(sum(col("c")).as("n"))
+    def gather(c: Column) = sum(c.cast("decimal(38,18)")).cast("decimal(38,18)")
+    grams.join(broadcast(perLang), "lang")
+      .groupBy(col("lang"))
+      .agg(max(col("n")).as("n_bigrams"), count(lit(1)).as("vocab"),
+        gather(lit(-1.0) * col("c").cast("double") / col("n").cast("double") *
+          log(col("c").cast("double") / col("n").cast("double"))).as("hg"))
+      .select(col("lang"), col("n_bigrams"), col("vocab"),
+        round(col("hg").cast("double"), 6).as("char_entropy"))
+      .orderBy(col("lang"))
+  }
+
+  private val textCharEntropySql =
+    """WITH g AS (SELECT lang, bg, COUNT(*) AS c FROM (
+      |    SELECT lang, substr(text, CAST(i.range AS INT), 2) AS bg
+      |    FROM documents CROSS JOIN range(1, 10000) i
+      |    WHERE length(text) >= 2 AND i.range <= length(text) - 1) t
+      |  GROUP BY lang, bg),
+      |pl AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS n FROM g GROUP BY lang)
+      |SELECT g.lang, MAX(pl.n) AS n_bigrams, COUNT(*) AS vocab,
+      |  ROUND(CAST(CAST(SUM(CAST(-1.0 * CAST(c AS DOUBLE) / CAST(pl.n AS DOUBLE)
+      |    * ln(CAST(c AS DOUBLE) / CAST(pl.n AS DOUBLE)) AS DECIMAL(38,18)))
+      |    AS DECIMAL(38,18)) AS DOUBLE), 6) AS char_entropy
+      |FROM g JOIN pl USING (lang)
+      |GROUP BY g.lang ORDER BY g.lang""".stripMargin
+
   // ----------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -12972,6 +13185,9 @@ object SparkEntry {
     "an_hill_tail" -> (anHillTail _),
     "an_qini" -> (anQini _),
     "an_entropy_rate" -> (anEntropyRate _),
+    "an_rmst" -> (anRmst _),
+    "an_auc_se" -> (anAucSe _),
+    "text_char_entropy" -> (textCharEntropy _),
     "text_burstiness" -> (textBurstiness _),
     "mm_image_entropy" -> (mmImageEntropy _),
     "an_cochran_q" -> (anCochranQ _),
@@ -13275,6 +13491,9 @@ object SparkEntry {
     "an_hill_tail" -> anHillTailSql,
     "an_qini" -> anQiniSql,
     "an_entropy_rate" -> anEntropyRateSql,
+    "an_rmst" -> anRmstSql,
+    "an_auc_se" -> anAucSeSql,
+    "text_char_entropy" -> textCharEntropySql,
     "text_burstiness" -> textBurstinessSql,
     "mm_image_entropy" -> mmImageEntropySql,
     "an_cochran_q" -> anCochranQSql,
