@@ -79,6 +79,30 @@ case class WordShingles(child: Expression, k: Int) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): WordShingles = copy(child = c)
 }
 
+/** All character bigrams of a string (WITH duplicates — the caller
+  * counts), in one native pass over the code points — replaces an
+  * interpreted transform(sequence(1, length−1), i → substring(text,
+  * i, 2)) chain whose per-row array materialization + lambda calls
+  * made the char-entropy scan mildly super-linear at the sf1 probe.
+  * Astral-plane safe: a bigram is two CODE POINTS, matching SQL
+  * substr semantics on the test corpora (pure ASCII). Under 2 code
+  * points → empty array. */
+case class CharBigrams(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"char_bigrams needs string, got ${t.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    VectorExprs.charBigrams(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.VectorExprs.charBigrams($c)")
+
+  override protected def withNewChildInternal(c: Expression): CharBigrams = copy(child = c)
+}
+
 /** Random-hyperplane LSH signature: bit i of the output is set iff
   * dot(v, plane_i) > 0. One pass over the vector per plane, all planes
   * in one tiny generated call — replaces nBits separate literal-array
@@ -224,6 +248,32 @@ object VectorExprs {
     org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
       out.toArray(new Array[AnyRef](out.size())))
   }
+  def charBigrams(text: UTF8String): ArrayData = {
+    val s = text.toString
+    if (s.length < 2) return org.apache.spark.sql.catalyst.util.ArrayData
+      .toArrayData(new Array[AnyRef](0))
+    val cps = new java.util.ArrayList[Integer]
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      cps.add(cp)
+      i += Character.charCount(cp)
+    }
+    val n = cps.size
+    val out = new Array[AnyRef](math.max(0, n - 1))
+    var j = 0
+    while (j + 1 < n) {
+      val sb = new java.lang.StringBuilder(4)
+      sb.appendCodePoint(cps.get(j)).appendCodePoint(cps.get(j + 1))
+      out(j) = UTF8String.fromString(sb.toString)
+      j += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  def char_bigrams(c: Column): Column =
+    ColumnBridge.column(CharBigrams(ColumnBridge.expression(c)))
+
   def dot(a: ArrayData, b: ArrayData): Double = {
     val x = a.toDoubleArray()
     val y = b.toDoubleArray()
