@@ -42,12 +42,15 @@ object Bench {
       es.read.parquet(s"$sfDir/events.parquet").count()
     }
     // dev knobs: ONLY=comma-list to subset, REPEAT=n to override the
-    // per-query attempt count. Default is 2 attempts, keep the min:
-    // each attempt is fully cache-isolated (see isolate()), so the min
-    // measures the query, not one-off JVM/scheduler stalls — single-
-    // pass timings showed rare multi-second outliers on random queries.
+    // per-query attempt count. Default is 3 attempts, keep the MEDIAN
+    // (round-11 verdict #4): each attempt is fully cache-isolated (see
+    // isolate()), the median rejects both the one-off JVM/scheduler
+    // stall (which min also rejected) AND the lucky-fast outlier min
+    // kept, and the recorded per-query spread (max−min) makes the
+    // ±0.3 s noise band visible instead of polluting round-over-round
+    // comparisons.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "2").toInt
+    val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "3").toInt
     val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     // per-query isolation (outside the timed region): drop every cached
@@ -80,32 +83,32 @@ object Bench {
         System.err.println(f"[bench] $name%-24s ${dt}%8.2fs gc=${gcMillis - g0}%5dms")
         dt
       }
-      var times = (1 to repeat).map(_ => attempt())
-      // slow-tail stabilization (round-10 verdict #3): queries past the
-      // tail threshold get a third attempt — the 171-200s run-to-run
-      // spread lived almost entirely in the slow tail's page-cache /
-      // scheduler wobble, and min-of-3 pins those within ~5%.
-      if (times.min > SlowTailSec && repeat < 3) times = times :+ attempt()
-      name -> times.min
+      val times = (1 to repeat).map(_ => attempt()).sorted
+      // lower median for even attempt counts (dev REPEAT=2 → min,
+      // matching the old protocol for subset runs)
+      val med = times((times.size - 1) / 2)
+      name -> (med, times.last - times.head)
     }
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    // full per-query line first (for logs/humans), then the bounded line
-    // LAST: the driver keeps only the final ~2000 chars of stdout and
-    // parses the last JSON line in them. With 90+ queries the full line
-    // outgrew that tail (round 5 lost all per-query telemetry to exactly
-    // this), so the driver-facing line caps itself — slowest queries
-    // first, the fast remainder rolled up under "omitted".
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + ms(v) }
-      .mkString("{", ",", "}")
+    val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
+    // full per-query line first (for logs/humans — medians AND spreads),
+    // then the bounded line LAST: the driver keeps only the final ~2000
+    // chars of stdout and parses the last JSON line in them. With 90+
+    // queries the full line outgrew that tail (round 5 lost all
+    // per-query telemetry to exactly this), so the driver-facing line
+    // caps itself — slowest queries first, the fast remainder rolled up
+    // under "omitted", per-query spreads summarized as an aggregate
+    // dispersion block.
+    val qs = results.map { case (k, (v, sp)) =>
+      "\"" + k + "\":{\"med\":" + ms(v) + ",\"spread\":" + ms(sp) + "}"
+    }.mkString("{", ",", "}")
     val allErrs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val gen = generationTag(sfDir)
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","testdata_generation":"$gen","queries":$qs,"errors":$allErrs,"sf":"$sfDir"}""")
-    println(boundedLine(total, results.toSeq, failed.toSeq, sfDir, gen))
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","protocol":"median-of-$repeat","testdata_generation":"$gen","queries":$qs,"errors":$allErrs,"sf":"$sfDir"}""")
+    println(boundedLine(total, results.toSeq.map { case (k, (v, _)) => (k, v) },
+      failed.toSeq, sfDir, gen,
+      spreads = results.values.map(_._2).toSeq, attempts = repeat))
     spark.stop()
   }
-
-  /** Bench attempts whose min exceeds this get one extra run. */
-  val SlowTailSec = 1.5
 
   /** Fingerprint of the testdata generation the bench ran against —
     * file sizes of every table folded through md5. The driver
@@ -142,7 +145,20 @@ object Bench {
   val ErrBudgetChars = 300
   def boundedLine(total: Double, results: Seq[(String, Double)],
                   failed: Seq[String], sfDir: String,
-                  generation: String = ""): String = {
+                  generation: String = "",
+                  spreads: Seq[Double] = Nil, attempts: Int = 0): String = {
+    // aggregate dispersion of the median-of-N protocol: max and mean
+    // per-query spread plus how many queries moved more than the 0.3 s
+    // noise band — the round-over-round trust signal, kept aggregate so
+    // the bounded line's char budget still lists the slow tail
+    val dispField =
+      if (spreads.isEmpty) ""
+      else {
+        val m = spreads.max
+        val avg = spreads.sum / spreads.size
+        val over = spreads.count(_ > 0.3)
+        s""""protocol":"median-of-$attempts","dispersion":{"max_spread":${ms(m)},"mean_spread":${ms(avg)},"n_over_0.3s":$over},"""
+      }
     // errors: list names until the error budget is spent, count the rest
     val errKept = scala.collection.mutable.ArrayBuffer.empty[String]
     var errLen = 0
@@ -153,7 +169,7 @@ object Bench {
     val errField = errKept.map("\"" + _ + "\"").mkString("[", ",", "]") +
       (if (errsOmitted > 0) s""","errors_omitted":$errsOmitted""" else "")
     val genField = if (generation.isEmpty) "" else s""""testdata_generation":"$generation","""
-    val head = s"""{"metric":"total","value":${ms(total)},"unit":"sec",$genField"n_queries":${results.size},"errors":$errField,"sf":"$sfDir","queries":{"""
+    val head = s"""{"metric":"total","value":${ms(total)},"unit":"sec",$genField$dispField"n_queries":${results.size},"errors":$errField,"sf":"$sfDir","queries":{"""
     val sorted = results.sortBy { case (_, t) => -t }
     val entries = sorted.map { case (k, v) => "\"" + k + "\":" + ms(v) }
     // exact-width packing: the candidate line for `k` kept entries uses

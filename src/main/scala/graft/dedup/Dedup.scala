@@ -416,7 +416,8 @@ object Dedup {
         .map { case (_, (id, lbl2)) => (id, lbl2) }
       val next = labels.union(viaNeighbor).union(viaJump)
         .reduceByKey(p, math.min(_: Long, _: Long))
-      if (iter % 3 == 2) next.localCheckpoint() else next.persist(level)
+      if (iter % 3 == 2) graft.operators.Checkpoints.stabilizeRdd(next, level)
+      else next.persist(level)
       val s = labelSum(next) // the ONE action: materializes + checks
       converged = s == prevSum
       prevSum = s
@@ -507,7 +508,8 @@ object Dedup {
     var iter = 0
     while (!converged && iter < maxIters) {
       val next = smallStar(largeStar(edges))
-      if (iter % 3 == 2) next.localCheckpoint() else next.persist(level)
+      if (iter % 3 == 2) graft.operators.Checkpoints.stabilizeRdd(next, level)
+      else next.persist(level)
       val s = sig(next)
       converged = s == prevSig
       prevSig = s

@@ -189,6 +189,13 @@ case class NearestCellLong(child: Expression, cents: Array[Long], norms: Array[D
     extends UnaryExpression {
   require(norms.nonEmpty && cents.length % norms.length == 0,
     s"row-major centroid flattening (${cents.length}) must split evenly over ${norms.length} cells")
+  // a zero-norm centroid scores 0/0 = NaN: the Scala argmax's
+  // `score > bestScore` never selects NaN while a SQL oracle's
+  // ORDER BY score DESC sorts NaN first — a silent parity break.
+  // Degenerate centroids must fail loudly at model-construction time.
+  require(norms.forall(_ > 0.0),
+    s"nearest_cell_long: all ${norms.length} centroid norms must be > 0 " +
+      "(a zero-norm centroid makes the argmax NaN-ambiguous vs the SQL oracle)")
   override def dataType: DataType = IntegerType
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess

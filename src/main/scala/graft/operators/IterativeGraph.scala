@@ -25,13 +25,13 @@ import org.apache.spark.sql.functions._
   *    2-cycle (state == state two rounds back) and stops
   *    deterministically on the current state.
   *
-  * Every round localCheckpoint(true)s the node-sized moving frame: the
-  * loops reference the prior state more than once (carry + relax /
-  * double endpoint join), so an untruncated lineage doubles per round
-  * (~2^k planning blow-up). Executor-local storage is fine for the
-  * node-sized vectors; at cluster scale with preemptible executors swap
-  * for reliable `checkpoint()` — same discipline as the dedup_clusters
-  * pointer-jumping loop.
+  * Every round stabilizes the node-sized moving frame through
+  * [[Checkpoints.stabilize]] (localCheckpoint locally; reliable
+  * `checkpoint()` when `spark.graft.reliableCheckpoint=true` for
+  * preemptible-executor clusters): the loops reference the prior state
+  * more than once (carry + relax / double endpoint join), so an
+  * untruncated lineage doubles per round (~2^k planning blow-up) —
+  * same discipline as the dedup_clusters pointer-jumping loop.
   *
   * The per-round probe is an eager driver action by necessity (the
   * stopping decision IS driver control flow); each action reads a
@@ -42,6 +42,15 @@ import org.apache.spark.sql.functions._
   * the 100 TB-scale path analytics the brief adds on top.
   */
 object IterativeGraph {
+
+  private implicit class Stabilized(private val df: DataFrame) {
+    /** Per-round lineage cut via the engine checkpoint policy — LAZY:
+      * every loop below runs a probe action (fingerprint aggregate /
+      * count) immediately after the cut, so the probe job doubles as
+      * the materializer and each round schedules ONE job, not a
+      * materialize-then-probe pair. */
+    def stabilized: DataFrame = Checkpoints.stabilizeLazy(df)
+  }
 
   /** Single/multi-source min-plus BFS to the empty-frontier fixpoint.
     *
@@ -54,7 +63,7 @@ object IterativeGraph {
     * @return (node, dist) — exact hop counts for every reachable node
     */
   def bfsDistances(edges: DataFrame, sources: DataFrame, maxRounds: Int = 64): DataFrame = {
-    var dist = sources.select(col("node"), col("dist")).localCheckpoint(true)
+    var dist = sources.select(col("node"), col("dist")).stabilized
     // (reached-count, dist-sum): min-plus rounds only add nodes or
     // lower distances, so this pair is strictly "improving" until the
     // fixpoint — equality means converged.
@@ -70,7 +79,7 @@ object IterativeGraph {
         .select(col("dst").as("node"), (col("d0") + lit(1L)).as("dist"))
       dist = dist.unionByName(relaxed)
         .groupBy(col("node")).agg(min(col("dist")).as("dist"))
-        .localCheckpoint(true)
+        .stabilized
       val p = dist.agg(count(lit(1)), coalesce(sum(col("dist")), lit(0L)))
         .as[(Long, Long)](org.apache.spark.sql.Encoders.tuple(
           org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.scalaLong))
@@ -85,14 +94,14 @@ object IterativeGraph {
   /** Fixed-round BFS — the oracle-replay twin (the unrolled-CTE form).
     * Kept for the convergence spec's wrong-at-depth counterexample. */
   def bfsDistancesFixed(edges: DataFrame, sources: DataFrame, rounds: Int): DataFrame = {
-    var dist = sources.select(col("node"), col("dist")).localCheckpoint(true)
+    var dist = sources.select(col("node"), col("dist")).stabilized
     (1 to rounds).foreach { _ =>
       val relaxed = edges
         .join(dist.withColumnRenamed("node", "src").withColumnRenamed("dist", "d0"), "src")
         .select(col("dst").as("node"), (col("d0") + lit(1L)).as("dist"))
       dist = dist.unionByName(relaxed)
         .groupBy(col("node")).agg(min(col("dist")).as("dist"))
-        .localCheckpoint(true)
+        .stabilized
     }
     dist
   }
@@ -102,7 +111,7 @@ object IterativeGraph {
     * degrees from the edge list. Alive-set counts shrink monotonically,
     * so count-equality IS set-equality — the probe is one count. */
   def kcoreAlive(edges: DataFrame, k: Int, maxRounds: Int = 64): DataFrame = {
-    var alive = edges.select(col("src").as("node")).distinct().localCheckpoint(true)
+    var alive = edges.select(col("src").as("node")).distinct().stabilized
     var n = alive.count()
     var r = 0
     var converged = false
@@ -114,7 +123,7 @@ object IterativeGraph {
         .agg(count(lit(1)).as("core_deg"))
         .filter(col("core_deg") >= k)
         .select(col("node"))
-        .localCheckpoint(true)
+        .stabilized
       val m = alive.count()
       converged = m == n
       n = m
@@ -125,7 +134,7 @@ object IterativeGraph {
 
   /** Fixed-round peeling — the oracle-replay twin. */
   def kcoreAliveFixed(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
-    var alive = edges.select(col("src").as("node")).distinct().localCheckpoint(true)
+    var alive = edges.select(col("src").as("node")).distinct().stabilized
     (1 to rounds).foreach { _ =>
       alive = edges
         .join(alive.withColumnRenamed("node", "src"), "src")
@@ -134,7 +143,7 @@ object IterativeGraph {
         .agg(count(lit(1)).as("core_deg"))
         .filter(col("core_deg") >= k)
         .select(col("node"))
-        .localCheckpoint(true)
+        .stabilized
     }
     alive
   }
@@ -144,19 +153,46 @@ object IterativeGraph {
       .join(labels.withColumnRenamed("node", "src"), "src")
       .groupBy(col("dst").as("node"), col("lbl"))
       .agg(count(lit(1)).as("cnt"))
-    val w = Window.partitionBy(col("node"))
-      .orderBy(col("cnt").desc, col("lbl").asc)
-    votes.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1).select(col("node"), col("lbl"))
-      .localCheckpoint(true)
+    // plurality argmax as ONE aggregate instead of a row_number window:
+    // max(struct(cnt, -lbl)) = (highest count, ties → lowest label) —
+    // partial-aggregable and sort-free, where the window paid a full
+    // per-round sort of the (node, lbl) vote table
+    votes.groupBy(col("node"))
+      .agg(max(struct(col("cnt"), (-col("lbl")).as("neg"))).as("m"))
+      .select(col("node"), (-col("m.neg")).as("lbl"))
+      .stabilized
+  }
+
+  /** Order-insensitive state fingerprint of a (node, lbl) frame:
+    * (row count, sum of xxhash64(node, lbl)). One tiny aggregate
+    * action over the checkpointed node-sized frame — the cheap gate
+    * in front of the exact set-equality confirm. */
+  private def lpFingerprint(labels: DataFrame): (Long, BigDecimal) = {
+    // decimal(38,0) sum: xxhash64 spans the full Long range, so a plain
+    // long sum overflows (ANSI arithmetic aborts the job)
+    val r = labels.agg(count(lit(1)),
+      coalesce(sum(xxhash64(col("node"), col("lbl")).cast("decimal(38,0)")),
+        lit(0).cast("decimal(38,0)"))).head()
+    (r.getLong(0), BigDecimal(r.getDecimal(1)))
   }
 
   /** Synchronous plurality label propagation until labels are stable OR
     * the update enters the period-2 oscillation (state equals the state
     * two rounds back — the deterministic sync-LP cycle on bipartite
-    * neighborhoods); `maxRounds` hard-caps a longer limit cycle. Change
-    * detection is an exceptAll emptiness probe on the node-sized label
-    * frames (labels are not monotone, so a count/sum pair can alias).
+    * neighborhoods); `maxRounds` hard-caps a longer limit cycle.
+    *
+    * Change detection is fingerprint-gated: labels are not monotone,
+    * so a plain (count, sum) pair can alias across distinct states —
+    * but running the exact `exceptAll` set-compare every round costs a
+    * shuffle join + action on the node frame (TWO of them once 2-cycle
+    * detection is armed), which dominated the loop (round-11 bench:
+    * q_label_prop 8.1 s, slowest on the board). Instead each round
+    * computes one O(1)-row [[lpFingerprint]] aggregate and runs the
+    * exact `exceptAll` confirm ONLY when fingerprints match — in the
+    * common (non-colliding) case that is one tiny action per round and
+    * one exact confirm total at the fixpoint; a 64-bit hash-sum
+    * collision merely triggers a redundant confirm, never a wrong
+    * stop, so exactness is preserved.
     *
     * A 2-cycle is resolved to the ELEMENTWISE MIN of the two
     * oscillating states — a parity-independent canonical member: which
@@ -168,21 +204,28 @@ object IterativeGraph {
     * two equal states). */
   def labelPropLabels(edges: DataFrame, maxRounds: Int = 32): DataFrame = {
     var prevPrev: DataFrame = null
+    var fpPrevPrev: (Long, BigDecimal) = null
     var labels = edges.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("lbl"))
-      .localCheckpoint(true)
+      .stabilized
+    var fpLabels = lpFingerprint(labels)
     var r = 0
     while (r < maxRounds) {
       val next = lpRound(edges, labels)
-      if (next.exceptAll(labels).isEmpty) return next // true fixpoint
-      if (prevPrev != null && next.exceptAll(prevPrev).isEmpty) {
+      val fpNext = lpFingerprint(next)
+      // exact confirms run only behind a fingerprint match
+      if (fpNext == fpLabels && next.exceptAll(labels).isEmpty)
+        return next // true fixpoint
+      if (prevPrev != null && fpNext == fpPrevPrev && next.exceptAll(prevPrev).isEmpty) {
         // period-2 cycle {labels, next}: emit the canonical member-min
         return labels.withColumnRenamed("lbl", "la")
           .join(next.withColumnRenamed("lbl", "lb"), "node")
           .select(col("node"), least(col("la"), col("lb")).as("lbl"))
       }
       prevPrev = labels
+      fpPrevPrev = fpLabels
       labels = next
+      fpLabels = fpNext
       r += 1
     }
     labels
@@ -192,7 +235,7 @@ object IterativeGraph {
   def labelPropLabelsFixed(edges: DataFrame, rounds: Int): DataFrame = {
     var labels = edges.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("lbl"))
-      .localCheckpoint(true)
+      .stabilized
     (1 to rounds).foreach(_ => labels = lpRound(edges, labels))
     labels
   }

@@ -544,9 +544,12 @@ object VectorOps {
     // `selected` references itself twice per step), so without a
     // materialization barrier the O(q·n) retrieval subtree is
     // re-evaluated ~2^k times in the final plan
-    val cands = bruteForceTopK(embeddings, queries, pool, idCol, vecCol)
-      .select(col("query_id"), col("neighbor_id").as("cand_id"), col("sim"))
-      .persist()
+    // both persists route through the engine owned-cache registry so a
+    // long-lived Verify/Bench driver releases them at its per-query
+    // release point instead of accumulating blocks across queries
+    val cands = graft.operators.PrefixSum.persistOwned(
+      bruteForceTopK(embeddings, queries, pool, idCol, vecCol)
+        .select(col("query_id"), col("neighbor_id").as("cand_id"), col("sim")))
     val ev = embeddings.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
       .withColumn("nrm", norm(col("v")))
     // pool×pool candidate-pair sims per query (pool² is a constant)
@@ -556,7 +559,7 @@ object VectorOps {
       .filter(col("a.cand_id") =!= col("b.cand_id"))
       .select(col("query_id"), col("a.cand_id").as("a_id"), col("b.cand_id").as("b_id"),
         round(dot(col("a.cv"), col("b.cv")) / (col("a.cn") * col("b.cn")), 6).as("sim_ab"))
-      .persist()
+      .transform(graft.operators.PrefixSum.persistOwned)
     val wPick = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("cand_id"))
     var selected = cands
@@ -586,7 +589,7 @@ object VectorOps {
       // an extra materialization job per stage (persist() here cost a
       // job round-trip per step; the doubling it prevented re-runs
       // only tiny windows over the persisted `cands`/`dd` anyway)
-      selected = selected.unionByName(pick).localCheckpoint(false)
+      selected = graft.operators.Checkpoints.stabilizeLazy(selected.unionByName(pick))
     }
     selected.select(col("query_id"), col("step"), col("cand_id"),
       col("sim"), round(col("redundancy"), 6).as("redundancy"))

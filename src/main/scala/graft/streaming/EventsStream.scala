@@ -579,6 +579,55 @@ object EventsStream {
       }
       .start()
 
+  final case class PsiOut(batch_id: Long, n: Long, n_bands_used: Long,
+                          n_rows_skipped: Long, psi: Double)
+
+  /** Streaming banded-PSI gate — the NUMERIC drift companion to
+    * [[driftStream]]'s categorical chi-square (an_psi's live twin, the
+    * round-11 verdict's last missing streaming surface): each
+    * micro-batch's `value` column is banded with the same fixed cent
+    * width as the broadcast reference histogram and scored
+    * PSI = Σ_bands (p_batch − p_ref)·ln(p_batch / p_ref); bands with
+    * mass on only one side have no finite PSI term, so they are
+    * skipped and their combined row mass reported — exactly the
+    * an_psi accounting, applied per window. State-free by design (PSI
+    * is a per-window gate; the reference rides along as a band-count
+    * Map, model-sized) — the same foreachBatch posture as
+    * spanDecontamStream, and the same band arithmetic as an_psi so a
+    * reference histogram built by the batch query gates the stream
+    * without translation. The per-batch aggregate is one grouped
+    * count; the collect is band-sized, never row-sized. */
+  def psiStream(events: DataFrame, reference: Map[Long, Long], bandCents: Long,
+                onBatch: PsiOut => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(bandCents > 0, s"bandCents must be positive, got $bandCents")
+    val nRef = reference.values.sum
+    events.writeStream.outputMode("append")
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        val counts = df
+          .select(floor((col("value").cast("decimal(24,2)") * 100).cast("bigint")
+            / lit(bandCents)).cast("long").as("band"))
+          .groupBy("band").count()
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val n = counts.values.sum
+        var used = 0L
+        var skippedRows = 0L
+        var psi = 0.0
+        // deterministic band order so the double fold replays exactly
+        (reference.keySet ++ counts.keySet).toSeq.sorted.foreach { b =>
+          val o = counts.getOrElse(b, 0L)
+          val r = reference.getOrElse(b, 0L)
+          if (o > 0 && r > 0 && n > 0 && nRef > 0) {
+            used += 1
+            val pa = o.toDouble / n
+            val pb = r.toDouble / nRef
+            psi += (pa - pb) * math.log(pa / pb)
+          } else skippedRows += o + r
+        }
+        onBatch(PsiOut(id, n, used, skippedRows, psi))
+      }
+      .start()
+  }
+
   final case class CdcOp(k: Long, seq: Long, op: String,
                          st: Option[String], cents: Option[Long])
   final case class CdcRow(k: Long, live: Boolean, seq: Long,

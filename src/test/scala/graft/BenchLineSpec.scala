@@ -44,6 +44,20 @@ class BenchLineSpec extends AnyFunSuite {
     assert(node.get("n_queries").asInt == 0)
   }
 
+  test("median-of-3 dispersion block rides the line and stays in budget") {
+    val results = (1 to 303).map(i => (f"query_name_number_$i%03d", i * 0.01))
+    val spreads = results.map { case (_, t) => t * 0.2 }
+    val line = Bench.boundedLine(results.map(_._2).sum, results, Seq.empty,
+      "/root/testdata/sf0.1", generation = "656d5f24",
+      spreads = spreads, attempts = 3)
+    assert(line.length <= Bench.MaxLineChars, s"line length ${line.length}")
+    val node = mapper.readTree(line)
+    assert(node.get("protocol").asText == "median-of-3")
+    val d = node.get("dispersion")
+    assert(math.abs(d.get("max_spread").asDouble - 3.03 * 0.2) < 0.001)
+    assert(d.get("n_over_0.3s").asInt == spreads.count(_ > 0.3))
+  }
+
   test("property: many-error, huge-total boards always stay under the budget") {
     import org.scalacheck.Gen
     val gen = for {

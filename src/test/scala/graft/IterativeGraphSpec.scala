@@ -68,6 +68,32 @@ class IterativeGraphSpec extends SparkSpec {
       "convergence stop must be a fixpoint or a period-2 cycle member")
   }
 
+  test("spark.graft.reliableCheckpoint flips every iterative loop to reliable checkpoints") {
+    val edges = pathEdges(9)
+    val sources = Seq((0L, 0L)).toDF("node", "dist")
+    val localBfs = IterativeGraph.bfsDistances(edges, sources).as[(Long, Long)].collect().toMap
+    val localLp = IterativeGraph.labelPropLabels(edges).as[(Long, Long)].collect().toMap
+    val localCc = graft.dedup.Dedup.connectedComponentsStar(
+      edges.select(col("src").as("a"), col("dst").as("b")), "a", "b")
+      .as[(Long, Long)].collect().toMap
+    spark.conf.set(graft.operators.Checkpoints.ConfKey, "true")
+    try {
+      // one engine-level flag: the DataFrame loops (IterativeGraph) and
+      // the RDD-core loops (Dedup star) both switch to reliable
+      // checkpoint() — results identical, lineage now HDFS/FS-backed
+      val relBfs = IterativeGraph.bfsDistances(edges, sources).as[(Long, Long)].collect().toMap
+      val relLp = IterativeGraph.labelPropLabels(edges).as[(Long, Long)].collect().toMap
+      val relCc = graft.dedup.Dedup.connectedComponentsStar(
+        edges.select(col("src").as("a"), col("dst").as("b")), "a", "b")
+        .as[(Long, Long)].collect().toMap
+      assert(relBfs == localBfs)
+      assert(relLp == localLp)
+      assert(relCc == localCc)
+      // the reliable path really provisioned a checkpoint dir
+      assert(spark.sparkContext.getCheckpointDir.nonEmpty)
+    } finally spark.conf.unset(graft.operators.Checkpoints.ConfKey)
+  }
+
   test("convergence kernels reproduce the fixed-round oracle state on the real sf graph") {
     // the [q] hash-gate precondition: at test SF the fixpoint (or cycle
     // stop) coincides with the oracle's unrolled rounds

@@ -532,6 +532,46 @@ class StreamingSpec extends SparkSpec {
     assert(byBatch(1).chi2 > 100.0, s"novel-type batch must blow up: ${byBatch(1)}")
   }
 
+  test("psiStream scores the an_psi banded statistic per micro-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    // reference histogram: 50 rows in band 0, 50 in band 1 (bandCents
+    // 100 → band = floor(value)); built exactly as the batch an_psi
+    // banding would
+    val ref = Map(0L -> 50L, 1L -> 50L)
+    val got = scala.collection.mutable.ArrayBuffer.empty[EventsStream.PsiOut]
+    val in = MemoryStream[Ev]
+    val q = EventsStream.psiStream(in.toDF(), ref, bandCents = 100L,
+      got.synchronized { got += _ })
+    // batch 0 conforms exactly: 20 rows band 0, 20 rows band 1 → PSI 0
+    in.addData((1 to 40).map(i =>
+      Ev(i, ts(i), i % 7, "view", if (i % 2 == 0) 0.5 else 1.5)))
+    q.processAllAvailable()
+    // batch 1: all mass in band 0 → band 1 one-sided (50 ref rows
+    // skipped), PSI = (1.0 − 0.5)·ln(1.0/0.5)
+    in.addData((41 to 80).map(i => Ev(i, ts(i), i % 7, "view", 0.25)))
+    q.processAllAvailable()
+    // batch 2: a band the reference never saw (value 7.3 → band 7) is
+    // skipped with its own row mass counted
+    in.addData(Seq(Ev(81, ts(81), 3, "view", 0.25), Ev(82, ts(82), 3, "view", 7.3)))
+    q.processAllAvailable(); q.stop()
+    val byBatch = got.sortBy(_.batch_id)
+    assert(byBatch.size == 3)
+    assert(byBatch(0) == EventsStream.PsiOut(0, 40, 2, 0, 0.0))
+    assert(byBatch(1).n_bands_used == 1 && byBatch(1).n_rows_skipped == 50)
+    assert(math.abs(byBatch(1).psi - 0.5 * math.log(2.0)) < 1e-12, s"${byBatch(1)}")
+    // batch 2: band 0 two-sided; band 1 (50 ref) + band 7 (1 obs) skipped
+    assert(byBatch(2).n_bands_used == 1 && byBatch(2).n_rows_skipped == 51)
+    // batch parity: replaying the reference itself scores PSI 0
+    val got2 = scala.collection.mutable.ArrayBuffer.empty[EventsStream.PsiOut]
+    val in2 = MemoryStream[Ev]
+    val q2 = EventsStream.psiStream(in2.toDF(), ref, bandCents = 100L,
+      got2.synchronized { got2 += _ })
+    in2.addData((1 to 100).map(i =>
+      Ev(i, ts(i), i % 7, "view", if (i <= 50) 0.5 else 1.5)))
+    q2.processAllAvailable(); q2.stop()
+    assert(got2.head == EventsStream.PsiOut(0, 100, 2, 0, 0.0))
+  }
+
   test("cdcStream converges to the batch compaction under shuffled micro-batches") {
     import EventsStream.{CdcOp, CdcRow}
     implicit val sqlCtx = spark.sqlContext
