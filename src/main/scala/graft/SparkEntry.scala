@@ -13120,6 +13120,779 @@ object SparkEntry {
       |FROM g JOIN pl USING (lang)
       |GROUP BY g.lang ORDER BY g.lang""".stripMargin
 
+  /** Daily-revenue spine shared by the r12 market/risk family (max
+    * drawdown, Bollinger, VaR/ES, RSI, Wasserstein, CvM): ONE lineitem
+    * aggregate to exact cents BIGINT keyed by epoch day. The spine is
+    * calendar-bounded (~2.5k rows at ANY corpus size — 100 TB of facts
+    * still collapse to the same few thousand days), so every window
+    * below runs over a frame that fits one task by construction. */
+  private def dailyRevenueSpine(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(date_trunc("day", col("l_shipdate")).as("day"))
+      .agg((sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(24,8)")).cast("decimal(24,2)") * 100)
+        .cast("bigint").as("rev_c"))
+      .withColumn("d",
+        datediff(col("day").cast("date"), lit("1992-01-01").cast("date")))
+
+  private val dailySpineSql =
+    """SELECT date_trunc('day', l_shipdate) AS day,
+      |       CAST(ROUND(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,8))), 2) * 100 AS BIGINT) AS rev_c,
+      |       date_diff('day', DATE '1992-01-01', CAST(date_trunc('day', l_shipdate) AS DATE)) AS d
+      |FROM lineitem GROUP BY 1""".stripMargin
+
+  /** Maximum drawdown of the daily-revenue curve: running peak via a
+    * cumulative max over the day spine, drawdown = peak − level, argmax
+    * with earliest-trough tie-break. Pure integer cents end to end; the
+    * one division is the /100 dollars emission. The equity-curve risk
+    * primitive next to an_var_es (that one is distributional, this one
+    * is path-dependent). */
+  private def anMaxDrawdown(s: SparkSession, dir: String): DataFrame = {
+    val cum = Window.orderBy(col("d")).rowsBetween(Window.unboundedPreceding, 0)
+    dailyRevenueSpine(s, dir)
+      .withColumn("peak_c", max(col("rev_c")).over(cum))
+      .withColumn("dd_c", col("peak_c") - col("rev_c"))
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("dd_c").desc, col("day"))))
+      .filter(col("rnk") === 1)
+      .select(col("day").as("trough_day"),
+        (col("dd_c") / 100.0).as("max_drawdown"),
+        (col("peak_c") / 100.0).as("peak_at_trough"),
+        (col("rev_c") / 100.0).as("trough_rev"))
+  }
+
+  private val anMaxDrawdownSql =
+    s"""WITH daily AS ($dailySpineSql),
+       |c AS (SELECT day, rev_c,
+       |        MAX(rev_c) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak_c
+       |      FROM daily),
+       |r AS (SELECT day, rev_c, peak_c, peak_c - rev_c AS dd_c,
+       |        ROW_NUMBER() OVER (ORDER BY peak_c - rev_c DESC, day) AS rnk FROM c)
+       |SELECT day AS trough_day, dd_c / 100.0 AS max_drawdown,
+       |       peak_c / 100.0 AS peak_at_trough, rev_c / 100.0 AS trough_rev
+       |FROM r WHERE rnk = 1""".stripMargin
+
+  /** Bollinger-band breaches on daily revenue: trailing 20-calendar-day
+    * RANGE window (19 preceding + current over the epoch-day key, so a
+    * calendar gap SHRINKS the window rather than sliding old days in),
+    * breach test kept entirely in integers — z² > 2² is cross-multiplied
+    * to (n·x − S)² > 4·(n·Q − S²) with S, Q gathered in DECIMAL(38,0)
+    * (Q = Σ rev_c² would overflow BIGINT past ~1e13-cent days) — no
+    * float boundary anywhere, bit-identical on any engine. */
+  private def anBollinger(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("d")).rangeBetween(-19, 0)
+    val revD = col("rev_c").cast("decimal(38,0)")
+    dailyRevenueSpine(s, dir)
+      .withColumn("n_w", count(lit(1)).over(w))
+      .withColumn("s_w", sum(revD).over(w))
+      .withColumn("q_w", sum(revD * revD).over(w))
+      .filter(col("n_w") === 20)
+      .withColumn("dev", revD * lit(20) - col("s_w"))
+      .withColumn("var4", (col("q_w") * 20 - col("s_w") * col("s_w")) * 4)
+      .select(col("day"), (col("rev_c") / 100.0).as("rev"),
+        (col("dev") > 0 && col("dev") * col("dev") > col("var4")).as("breach_hi"),
+        (col("dev") < 0 && col("dev") * col("dev") > col("var4")).as("breach_lo"))
+      .orderBy(col("day"))
+  }
+
+  private val anBollingerSql =
+    s"""WITH daily AS ($dailySpineSql),
+       |w AS (SELECT day, rev_c,
+       |        COUNT(*) OVER tw AS n_w,
+       |        SUM(CAST(rev_c AS DECIMAL(38,0))) OVER tw AS s_w,
+       |        SUM(CAST(rev_c AS DECIMAL(38,0)) * CAST(rev_c AS DECIMAL(38,0))) OVER tw AS q_w
+       |      FROM daily
+       |      WINDOW tw AS (ORDER BY d RANGE BETWEEN 19 PRECEDING AND CURRENT ROW)),
+       |f AS (SELECT day, rev_c,
+       |        CAST(rev_c AS DECIMAL(38,0)) * 20 - s_w AS dev,
+       |        (q_w * 20 - s_w * s_w) * 4 AS var4
+       |      FROM w WHERE n_w = 20)
+       |SELECT day, rev_c / 100.0 AS rev,
+       |  (dev > 0 AND dev * dev > var4) AS breach_hi,
+       |  (dev < 0 AND dev * dev > var4) AS breach_lo
+       |FROM f ORDER BY day""".stripMargin
+
+  /** Historical VaR-95 / expected shortfall on day-over-day revenue
+    * changes: diffs over the day spine (calendar gaps treated as
+    * consecutive observations — the spine IS the series), k = ⌈n/20⌉ via
+    * integer ceiling division, VaR = the k-th smallest change (exact
+    * order statistic, (value, day) deterministic tie-break), ES = exact
+    * BIGINT sum of the k tail changes ÷ k at emission. Order statistics
+    * on the bounded day spine — no percentile aggregate, no global sort
+    * of fact rows. */
+  private def anVarEs(s: SparkSession, dir: String): DataFrame = {
+    val diffs = dailyRevenueSpine(s, dir)
+      .withColumn("chg_c", col("rev_c") - lag(col("rev_c"), 1).over(Window.orderBy(col("d"))))
+      .filter(col("chg_c").isNotNull)
+      .withColumn("rk", row_number().over(Window.orderBy(col("chg_c"), col("day"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("k", expr("(n + 19) div 20"))
+    diffs.filter(col("rk") <= col("k"))
+      .groupBy(col("n"), col("k"))
+      .agg(max(when(col("rk") === col("k"), col("chg_c"))).as("var_c"),
+        sum(col("chg_c")).as("tail_sum_c"))
+      .select(col("n"), col("k"),
+        (col("var_c") / 100.0).as("var95"),
+        (col("tail_sum_c").cast("double") / col("k").cast("double") / 100.0).as("es95"))
+  }
+
+  private val anVarEsSql =
+    s"""WITH daily AS ($dailySpineSql),
+       |ch AS (SELECT day, rev_c - LAG(rev_c) OVER (ORDER BY d) AS chg_c FROM daily),
+       |rk AS (SELECT day, chg_c,
+       |         ROW_NUMBER() OVER (ORDER BY chg_c, day) AS rk,
+       |         COUNT(*) OVER () AS n
+       |       FROM ch WHERE chg_c IS NOT NULL),
+       |kk AS (SELECT day, chg_c, rk, n, (n + 19) // 20 AS k FROM rk)
+       |SELECT n, k,
+       |  MAX(CASE WHEN rk = k THEN chg_c END) / 100.0 AS var95,
+       |  CAST(CAST(SUM(chg_c) AS BIGINT) AS DOUBLE) / CAST(k AS DOUBLE) / 100.0 AS es95
+       |FROM kk WHERE rk <= k GROUP BY n, k""".stripMargin
+
+  /** Cutler's RSI-14 on daily revenue: per-day gain/loss cents from the
+    * spine diffs, trailing 14-day RANGE sums (complete windows only),
+    * RSI = 100·G/(G+L) as one IEEE division of exact integers (flat
+    * 14-day stretch → both sums zero → pinned 50.0). The simple-average
+    * Cutler form, NOT Wilder's recursive EWMA — the recursion's α=1/14
+    * is not dyadic, so its float trajectory is not engine-replayable;
+    * the windowed form is exact. */
+  private def anRsi(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("d")).rangeBetween(-13, 0)
+    dailyRevenueSpine(s, dir)
+      .withColumn("chg_c", col("rev_c") - lag(col("rev_c"), 1).over(Window.orderBy(col("d"))))
+      .filter(col("chg_c").isNotNull)
+      .withColumn("gain_c", greatest(col("chg_c"), lit(0L)))
+      .withColumn("loss_c", greatest(-col("chg_c"), lit(0L)))
+      .withColumn("n_w", count(lit(1)).over(w))
+      .withColumn("g", sum(col("gain_c")).over(w))
+      .withColumn("l", sum(col("loss_c")).over(w))
+      .filter(col("n_w") === 14)
+      .select(col("day"),
+        when(col("g") + col("l") === 0, lit(50.0))
+          .otherwise((col("g") * 100).cast("double") /
+            (col("g") + col("l")).cast("double")).as("rsi"))
+      .orderBy(col("day"))
+  }
+
+  private val anRsiSql =
+    s"""WITH daily AS ($dailySpineSql),
+       |ch AS (SELECT day, d, rev_c - LAG(rev_c) OVER (ORDER BY d) AS chg_c FROM daily),
+       |gl AS (SELECT day, d, GREATEST(chg_c, 0) AS gain_c, GREATEST(-chg_c, 0) AS loss_c
+       |       FROM ch WHERE chg_c IS NOT NULL),
+       |w AS (SELECT day, COUNT(*) OVER tw AS n_w,
+       |        SUM(gain_c) OVER tw AS g, SUM(loss_c) OVER tw AS l
+       |      FROM gl
+       |      WINDOW tw AS (ORDER BY d RANGE BETWEEN 13 PRECEDING AND CURRENT ROW))
+       |SELECT day, CASE WHEN g + l = 0 THEN 50.0
+       |  ELSE CAST(g * 100 AS DOUBLE) / CAST(g + l AS DOUBLE) END AS rsi
+       |FROM w WHERE n_w = 14 ORDER BY day""".stripMargin
+
+  /** McNemar's paired-proportions test: customers active (≥1 order) in
+    * 1996 vs 1997 — the discordant cells b (96-only) and c (97-only)
+    * drive χ² = (b−c)²/(b+c). One distinct-flag aggregate per customer
+    * then four exact counts; the statistic is a single IEEE division of
+    * exact integers. The paired complement to an_abtest's independent
+    * two-proportion z. */
+  private def anMcnemar(s: SparkSession, dir: String): DataFrame = {
+    val flags = Tables.orders(s, dir)
+      .withColumn("yr", year(col("o_orderdate")))
+      .filter(col("yr").isin(1996, 1997))
+      .groupBy(col("o_custkey"))
+      .agg(max(when(col("yr") === 1996, 1).otherwise(0)).as("a96"),
+        max(when(col("yr") === 1997, 1).otherwise(0)).as("a97"))
+    Tables.customer(s, dir)
+      .join(flags, col("c_custkey") === col("o_custkey"), "left")
+      .na.fill(0, Seq("a96", "a97"))
+      .agg(
+        sum(when(col("a96") === 1 && col("a97") === 1, 1L).otherwise(0L)).as("n11"),
+        sum(when(col("a96") === 1 && col("a97") === 0, 1L).otherwise(0L)).as("b_only96"),
+        sum(when(col("a96") === 0 && col("a97") === 1, 1L).otherwise(0L)).as("c_only97"),
+        sum(when(col("a96") === 0 && col("a97") === 0, 1L).otherwise(0L)).as("n00"))
+      .select(col("n11"), col("b_only96"), col("c_only97"), col("n00"),
+        when(col("b_only96") + col("c_only97") === 0, lit(0.0))
+          .otherwise(((col("b_only96") - col("c_only97")) *
+            (col("b_only96") - col("c_only97"))).cast("double") /
+            (col("b_only96") + col("c_only97")).cast("double")).as("mcnemar"))
+  }
+
+  private val anMcnemarSql =
+    """WITH f AS (SELECT o_custkey,
+      |    MAX(CASE WHEN year(o_orderdate) = 1996 THEN 1 ELSE 0 END) AS a96,
+      |    MAX(CASE WHEN year(o_orderdate) = 1997 THEN 1 ELSE 0 END) AS a97
+      |  FROM orders WHERE year(o_orderdate) IN (1996, 1997) GROUP BY o_custkey),
+      |j AS (SELECT COALESCE(a96, 0) AS a96, COALESCE(a97, 0) AS a97
+      |      FROM customer LEFT JOIN f ON c_custkey = o_custkey)
+      |SELECT
+      |  CAST(SUM(CASE WHEN a96 = 1 AND a97 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+      |  CAST(SUM(CASE WHEN a96 = 1 AND a97 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b_only96,
+      |  CAST(SUM(CASE WHEN a96 = 0 AND a97 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c_only97,
+      |  CAST(SUM(CASE WHEN a96 = 0 AND a97 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n00,
+      |  CASE WHEN SUM(CASE WHEN a96 <> a97 THEN 1 ELSE 0 END) = 0 THEN 0.0
+      |    ELSE CAST((SUM(CASE WHEN a96 = 1 AND a97 = 0 THEN 1 ELSE 0 END)
+      |             - SUM(CASE WHEN a96 = 0 AND a97 = 1 THEN 1 ELSE 0 END))
+      |            * (SUM(CASE WHEN a96 = 1 AND a97 = 0 THEN 1 ELSE 0 END)
+      |             - SUM(CASE WHEN a96 = 0 AND a97 = 1 THEN 1 ELSE 0 END)) AS DOUBLE)
+      |       / CAST(SUM(CASE WHEN a96 <> a97 THEN 1 ELSE 0 END) AS DOUBLE) END AS mcnemar
+      |FROM j""".stripMargin
+
+  /** Cohen's kappa between two deterministic "raters" of customer value
+    * (balance ≥ 5000 vs ≥5 lifetime orders): the 2×2 agreement table in
+    * exact counts, κ computed in the cross-multiplied integer form
+    * (N·agree − Σ marginal products) / (N² − Σ marginal products) — one
+    * IEEE division, no intermediate float subtraction. Marginal products
+    * gathered in DECIMAL(38,0) (N² overflows BIGINT past ~3e9 rows). */
+  private def anCohenKappa(s: SparkSession, dir: String): DataFrame = {
+    val ordersPerCust = Tables.orders(s, dir)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_ord"))
+    Tables.customer(s, dir)
+      .join(ordersPerCust, col("c_custkey") === col("o_custkey"), "left")
+      .withColumn("r1", when(col("c_acctbal") >= 5000.0, 1).otherwise(0))
+      .withColumn("r2", when(coalesce(col("n_ord"), lit(0L)) >= 5, 1).otherwise(0))
+      .agg(
+        sum(when(col("r1") === 1 && col("r2") === 1, 1L).otherwise(0L)).as("n11"),
+        sum(when(col("r1") === 1 && col("r2") === 0, 1L).otherwise(0L)).as("n10"),
+        sum(when(col("r1") === 0 && col("r2") === 1, 1L).otherwise(0L)).as("n01"),
+        sum(when(col("r1") === 0 && col("r2") === 0, 1L).otherwise(0L)).as("n00"))
+      .withColumn("nn", (col("n11") + col("n10") + col("n01") + col("n00")).cast("decimal(38,0)"))
+      .withColumn("pe_num",
+        ((col("n11") + col("n10")).cast("decimal(38,0)") * (col("n11") + col("n01")).cast("decimal(38,0)") +
+         (col("n01") + col("n00")).cast("decimal(38,0)") * (col("n10") + col("n00")).cast("decimal(38,0)")))
+      .select(col("n11"), col("n10"), col("n01"), col("n00"),
+        ((col("nn") * (col("n11") + col("n00")).cast("decimal(38,0)") - col("pe_num")).cast("double") /
+          (col("nn") * col("nn") - col("pe_num")).cast("double")).as("kappa"))
+  }
+
+  private val anCohenKappaSql =
+    """WITH oc AS (SELECT o_custkey, COUNT(*) AS n_ord FROM orders GROUP BY o_custkey),
+      |r AS (SELECT CASE WHEN c_acctbal >= 5000.0 THEN 1 ELSE 0 END AS r1,
+      |        CASE WHEN COALESCE(n_ord, 0) >= 5 THEN 1 ELSE 0 END AS r2
+      |      FROM customer LEFT JOIN oc ON c_custkey = o_custkey),
+      |t AS (SELECT
+      |  CAST(SUM(CASE WHEN r1 = 1 AND r2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+      |  CAST(SUM(CASE WHEN r1 = 1 AND r2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+      |  CAST(SUM(CASE WHEN r1 = 0 AND r2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+      |  CAST(SUM(CASE WHEN r1 = 0 AND r2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n00
+      |  FROM r)
+      |SELECT n11, n10, n01, n00,
+      |  CAST(CAST(n11 + n10 + n01 + n00 AS DECIMAL(38,0)) * CAST(n11 + n00 AS DECIMAL(38,0))
+      |    - (CAST(n11 + n10 AS DECIMAL(38,0)) * CAST(n11 + n01 AS DECIMAL(38,0))
+      |       + CAST(n01 + n00 AS DECIMAL(38,0)) * CAST(n10 + n00 AS DECIMAL(38,0))) AS DOUBLE)
+      |  / CAST(CAST(n11 + n10 + n01 + n00 AS DECIMAL(38,0)) * CAST(n11 + n10 + n01 + n00 AS DECIMAL(38,0))
+      |    - (CAST(n11 + n10 AS DECIMAL(38,0)) * CAST(n11 + n01 AS DECIMAL(38,0))
+      |       + CAST(n01 + n00 AS DECIMAL(38,0)) * CAST(n10 + n00 AS DECIMAL(38,0))) AS DOUBLE) AS kappa
+      |FROM t""".stripMargin
+
+  /** 1-D Wasserstein (earth-mover) distance between the weekday-A and
+    * weekend-B daily-revenue distributions, on a portable d%7 calendar
+    * split: W₁ = Σ |F_A − F_B| dv over the sorted distinct-value spine,
+    * cross-multiplied to exact integers — |C_A·N_B − C_B·N_A| · gap
+    * gathered in DECIMAL(38,0), ONE division by N_A·N_B·100 at emission.
+    * The distribution-shift metric with units (dollars) that an_psi's
+    * banded score and an_ks_drift's sup-norm don't give. */
+  private def anWasserstein(s: SparkSession, dir: String): DataFrame = {
+    val sp = dailyRevenueSpine(s, dir)
+      .withColumn("grp", when(pmod(col("d"), lit(7)) < 5, lit("A")).otherwise(lit("B")))
+    val byVal = sp.groupBy(col("rev_c"))
+      .agg(sum(when(col("grp") === "A", 1L).otherwise(0L)).as("ca"),
+        sum(when(col("grp") === "B", 1L).otherwise(0L)).as("cb"))
+    val w = Window.orderBy(col("rev_c")).rowsBetween(Window.unboundedPreceding, 0)
+    byVal
+      .withColumn("na", sum(col("ca")).over(Window.partitionBy()))
+      .withColumn("nb", sum(col("cb")).over(Window.partitionBy()))
+      .withColumn("cca", sum(col("ca")).over(w))
+      .withColumn("ccb", sum(col("cb")).over(w))
+      .withColumn("gap", lead(col("rev_c"), 1).over(Window.orderBy(col("rev_c"))) - col("rev_c"))
+      .filter(col("gap").isNotNull)
+      .groupBy(col("na"), col("nb"))
+      .agg(sum(abs(col("cca").cast("decimal(38,0)") * col("nb") -
+        col("ccb").cast("decimal(38,0)") * col("na")) * col("gap")).as("num"))
+      .select(col("na").as("n_weekday"), col("nb").as("n_weekend"),
+        (col("num").cast("double") /
+          (col("na") * col("nb")).cast("double") / 100.0).as("w1_dollars"))
+  }
+
+  private val anWassersteinSql =
+    s"""WITH daily AS ($dailySpineSql),
+       |g AS (SELECT rev_c, CASE WHEN (d % 7) < 5 THEN 'A' ELSE 'B' END AS grp FROM daily),
+       |v AS (SELECT rev_c,
+       |        CAST(SUM(CASE WHEN grp = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+       |        CAST(SUM(CASE WHEN grp = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+       |      FROM g GROUP BY rev_c),
+       |c AS (SELECT rev_c, ca, cb,
+       |        SUM(ca) OVER () AS na, SUM(cb) OVER () AS nb,
+       |        SUM(ca) OVER (ORDER BY rev_c ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cca,
+       |        SUM(cb) OVER (ORDER BY rev_c ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ccb,
+       |        LEAD(rev_c) OVER (ORDER BY rev_c) - rev_c AS gap
+       |      FROM v)
+       |SELECT CAST(na AS BIGINT) AS n_weekday, CAST(nb AS BIGINT) AS n_weekend,
+       |  CAST(SUM(ABS(CAST(cca AS DECIMAL(38,0)) * nb - CAST(ccb AS DECIMAL(38,0)) * na) * gap) AS DOUBLE)
+       |    / CAST(na * nb AS DOUBLE) / 100.0 AS w1_dollars
+       |FROM c WHERE gap IS NOT NULL GROUP BY na, nb""".stripMargin
+
+  /** Two-sample Cramér–von Mises T between the same weekday/weekend
+    * daily-revenue split: pooled row_number ranks with the deterministic
+    * (rev_c, day) tie-break both engines order identically, U = n·Σ(r−i)²
+    * + m·Σ(s−j)² over exact integer ranks, T = U/(nm(n+m)) −
+    * (4nm−1)/(6(n+m)) as two exactly-rounded IEEE divisions of integers.
+    * The whole-CDF L² complement to an_ks_drift's sup-norm. */
+  private def anCvm(s: SparkSession, dir: String): DataFrame = {
+    val sp = dailyRevenueSpine(s, dir)
+      .withColumn("grp", when(pmod(col("d"), lit(7)) < 5, lit("A")).otherwise(lit("B")))
+      .withColumn("r", row_number().over(Window.orderBy(col("rev_c"), col("day"))).cast("long"))
+      .withColumn("i", row_number().over(
+        Window.partitionBy(col("grp")).orderBy(col("rev_c"), col("day"))).cast("long"))
+    sp.groupBy(col("grp"))
+      .agg(count(lit(1)).as("cnt"),
+        sum((col("r") - col("i")) * (col("r") - col("i"))).as("ss"))
+      .agg(
+        max(when(col("grp") === "A", col("cnt"))).as("n"),
+        max(when(col("grp") === "B", col("cnt"))).as("m"),
+        max(when(col("grp") === "A", col("ss"))).as("ssa"),
+        max(when(col("grp") === "B", col("ss"))).as("ssb"))
+      .select(col("n").as("n_weekday"), col("m").as("n_weekend"),
+        ((col("n") * col("ssa") + col("m") * col("ssb")).cast("double") /
+          (col("n") * col("m") * (col("n") + col("m"))).cast("double") -
+          (col("n") * col("m") * 4 - 1).cast("double") /
+            ((col("n") + col("m")) * 6).cast("double")).as("t_stat"))
+  }
+
+  private val anCvmSql =
+    s"""WITH daily AS ($dailySpineSql),
+       |g AS (SELECT day, rev_c, CASE WHEN (d % 7) < 5 THEN 'A' ELSE 'B' END AS grp FROM daily),
+       |r AS (SELECT grp,
+       |        CAST(ROW_NUMBER() OVER (ORDER BY rev_c, day) AS BIGINT) AS r,
+       |        CAST(ROW_NUMBER() OVER (PARTITION BY grp ORDER BY rev_c, day) AS BIGINT) AS i
+       |      FROM g),
+       |t AS (SELECT grp, COUNT(*) AS cnt, CAST(SUM((r - i) * (r - i)) AS BIGINT) AS ss
+       |      FROM r GROUP BY grp),
+       |p AS (SELECT
+       |        MAX(CASE WHEN grp = 'A' THEN cnt END) AS n,
+       |        MAX(CASE WHEN grp = 'B' THEN cnt END) AS m,
+       |        MAX(CASE WHEN grp = 'A' THEN ss END) AS ssa,
+       |        MAX(CASE WHEN grp = 'B' THEN ss END) AS ssb
+       |      FROM t)
+       |SELECT n AS n_weekday, m AS n_weekend,
+       |  CAST(n * ssa + m * ssb AS DOUBLE) / CAST(n * m * (n + m) AS DOUBLE)
+       |    - CAST(n * m * 4 - 1 AS DOUBLE) / CAST((n + m) * 6 AS DOUBLE) AS t_stat
+       |FROM p""".stripMargin
+
+  /** Churn-labeled customer base shared by the r12 model-eval/epi family
+    * (brier, calibration, info gain, odds/risk ratios, trend test):
+    * label g1 = no order in the trailing 90 days (the an_roc_auc
+    * definition), score v = acctbal cents. One orders aggregate + one
+    * broadcast anchor join — the corpus-sized side is touched once. */
+  private def churnLabeled(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val anchor = o.agg(max(col("o_orderdate")).as("mx"))
+    val last = o.groupBy(col("o_custkey")).agg(max(col("o_orderdate")).as("last_order"))
+    Tables.customer(s, dir)
+      .join(last, col("c_custkey") === col("o_custkey"), "left")
+      .crossJoin(broadcast(anchor))
+      .select(col("c_custkey"), col("c_mktsegment"),
+        (col("last_order").isNull ||
+          col("last_order") < col("mx") - expr("INTERVAL 90 DAYS")).cast("long").as("g1"),
+        (col("c_acctbal").cast("decimal(24,2)") * 100).cast("bigint").as("v"))
+  }
+
+  private val churnLabeledSql =
+    """SELECT c_custkey, c_mktsegment,
+      |    CASE WHEN last_order IS NULL OR last_order < mx - INTERVAL 90 DAY
+      |         THEN 1 ELSE 0 END AS g1,
+      |    CAST(CAST(c_acctbal AS DECIMAL(24,2)) * 100 AS BIGINT) AS v
+      |FROM customer
+      |LEFT JOIN (SELECT o_custkey, MAX(o_orderdate) AS last_order FROM orders GROUP BY 1)
+      |  ON c_custkey = o_custkey
+      |CROSS JOIN (SELECT MAX(o_orderdate) AS mx FROM orders)""".stripMargin
+
+  /** Brier score of the per-segment churn-rate model with the Murphy
+    * decomposition: the in-sample group-mean prediction makes each
+    * segment's Brier contribution EXACTLY k_g(n_g−k_g)/n_g (the
+    * cross-multiplied closed form — no per-row (p−y)² pass), gathered
+    * per-group as correctly-rounded doubles into a DECIMAL(38,18)
+    * order-independent sum. reliability is zero by construction for the
+    * in-sample model, so resolution = uncertainty − brier exactly. */
+  private def anBrier(s: SparkSession, dir: String): DataFrame = {
+    val grp = churnLabeled(s, dir).groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_g"), sum(col("g1")).as("k_g"))
+    def gather(c: Column) = sum(c.cast("decimal(38,18)")).cast("decimal(38,18)")
+    grp.agg(sum(col("n_g")).as("n"), sum(col("k_g")).as("k"),
+        gather((col("k_g") * (col("n_g") - col("k_g"))).cast("double") /
+          col("n_g").cast("double")).as("bsum"))
+      .select(col("n"), col("k"),
+        round(col("bsum").cast("double") / col("n").cast("double"), 6).as("brier"),
+        round((col("k") * (col("n") - col("k"))).cast("double") /
+          (col("n") * col("n")).cast("double"), 6).as("uncertainty"),
+        round((col("k") * (col("n") - col("k"))).cast("double") /
+            (col("n") * col("n")).cast("double") -
+          col("bsum").cast("double") / col("n").cast("double"), 6).as("resolution"))
+  }
+
+  private val anBrierSql =
+    s"""WITH lab AS ($churnLabeledSql),
+       |g AS (SELECT c_mktsegment, COUNT(*) AS n_g, CAST(SUM(g1) AS BIGINT) AS k_g
+       |      FROM lab GROUP BY 1),
+       |t AS (SELECT CAST(SUM(n_g) AS BIGINT) AS n, CAST(SUM(k_g) AS BIGINT) AS k,
+       |        CAST(SUM(CAST(CAST(k_g * (n_g - k_g) AS DOUBLE) / CAST(n_g AS DOUBLE)
+       |          AS DECIMAL(38,18))) AS DECIMAL(38,18)) AS bsum
+       |      FROM g)
+       |SELECT n, k,
+       |  ROUND(CAST(bsum AS DOUBLE) / CAST(n AS DOUBLE), 6) AS brier,
+       |  ROUND(CAST(k * (n - k) AS DOUBLE) / CAST(n * n AS DOUBLE), 6) AS uncertainty,
+       |  ROUND(CAST(k * (n - k) AS DOUBLE) / CAST(n * n AS DOUBLE)
+       |    - CAST(bsum AS DOUBLE) / CAST(n AS DOUBLE), 6) AS resolution
+       |FROM t""".stripMargin
+
+  /** Calibration / reliability table: 10 equal-width score bins over the
+    * exact [min, max] cent range via integer bucket arithmetic (bin =
+    * (v−min)·10 div (range+1) — no float boundary), per-bin mean score
+    * and observed churn rate as single IEEE divisions of exact integers.
+    * The per-bin view an_brier's one-number summary hides. */
+  private def anCalibration(s: SparkSession, dir: String): DataFrame = {
+    val lab = churnLabeled(s, dir)
+    val bounds = lab.agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+    lab.crossJoin(broadcast(bounds))
+      .withColumn("bin", expr("((v - mn) * 10) div (mx - mn + 1)"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_bin"), sum(col("v")).as("sv"), sum(col("g1")).as("k_bin"))
+      .select(col("bin"), col("n_bin"),
+        (col("sv").cast("double") / col("n_bin").cast("double") / 100.0).as("mean_score"),
+        (col("k_bin").cast("double") / col("n_bin").cast("double")).as("churn_rate"))
+      .orderBy(col("bin"))
+  }
+
+  private val anCalibrationSql =
+    s"""WITH lab AS ($churnLabeledSql),
+       |b AS (SELECT MIN(v) AS mn, MAX(v) AS mx FROM lab)
+       |SELECT ((v - mn) * 10) // (mx - mn + 1) AS bin, COUNT(*) AS n_bin,
+       |  CAST(CAST(SUM(v) AS BIGINT) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 100.0 AS mean_score,
+       |  CAST(CAST(SUM(g1) AS BIGINT) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS churn_rate
+       |FROM lab CROSS JOIN b GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Information gain of the market segment for churn: IG = H(Y) −
+    * H(Y|X) in the single-fraction ln form (N·lnN − Σn_y·ln n_y −
+    * Σn_x·ln n_x + Σn_xy·ln n_xy)/N — every count exact, every ln
+    * correctly rounded, terms gathered in DECIMAL(38,18), ROUND 6 at
+    * emission for the libm ulp (the an_entropy discipline). The
+    * feature-selection primitive next to an_stump_split's Gini. */
+  private def anInfoGain(s: SparkSession, dir: String): DataFrame = {
+    val lab = churnLabeled(s, dir)
+    val xy = lab.groupBy(col("c_mktsegment"), col("g1")).agg(count(lit(1)).as("n_xy"))
+    def gather(c: Column) = sum(c.cast("decimal(38,18)")).cast("decimal(38,18)")
+    def nln(c: Column) = c.cast("double") * log(c.cast("double"))
+    val tx = xy.groupBy(col("c_mktsegment")).agg(sum(col("n_xy")).as("n_x"))
+      .agg(gather(nln(col("n_x"))).as("sx"), sum(col("n_x")).as("n"))
+    val ty = xy.groupBy(col("g1")).agg(sum(col("n_xy")).as("n_y"))
+      .agg(gather(nln(col("n_y"))).as("sy"))
+    val txy = xy.agg(gather(nln(col("n_xy"))).as("sxy"))
+    tx.crossJoin(ty).crossJoin(txy)
+      .select(col("n"),
+        round((nln(col("n")).cast("decimal(38,18)") - col("sy")).cast("double") /
+          col("n").cast("double"), 6).as("h_y"),
+        round((nln(col("n")).cast("decimal(38,18)") - col("sy") - col("sx") + col("sxy"))
+          .cast("double") / col("n").cast("double"), 6).as("info_gain"))
+      .withColumn("h_y_given_x", round(col("h_y") - col("info_gain"), 6))
+  }
+
+  private val anInfoGainSql =
+    s"""WITH lab AS ($churnLabeledSql),
+       |xy AS (SELECT c_mktsegment, g1, COUNT(*) AS n_xy FROM lab GROUP BY 1, 2),
+       |tx AS (SELECT CAST(SUM(CAST(CAST(n_x AS DOUBLE) * ln(CAST(n_x AS DOUBLE))
+       |           AS DECIMAL(38,18))) AS DECIMAL(38,18)) AS sx,
+       |         CAST(SUM(n_x) AS BIGINT) AS n
+       |       FROM (SELECT c_mktsegment, CAST(SUM(n_xy) AS BIGINT) AS n_x FROM xy GROUP BY 1)),
+       |ty AS (SELECT CAST(SUM(CAST(CAST(n_y AS DOUBLE) * ln(CAST(n_y AS DOUBLE))
+       |           AS DECIMAL(38,18))) AS DECIMAL(38,18)) AS sy
+       |       FROM (SELECT g1, CAST(SUM(n_xy) AS BIGINT) AS n_y FROM xy GROUP BY 1)),
+       |txy AS (SELECT CAST(SUM(CAST(CAST(n_xy AS DOUBLE) * ln(CAST(n_xy AS DOUBLE))
+       |           AS DECIMAL(38,18))) AS DECIMAL(38,18)) AS sxy FROM xy),
+       |f AS (SELECT n,
+       |        ROUND(CAST(CAST(CAST(n AS DOUBLE) * ln(CAST(n AS DOUBLE)) AS DECIMAL(38,18)) - sy
+       |          AS DOUBLE) / CAST(n AS DOUBLE), 6) AS h_y,
+       |        ROUND(CAST(CAST(CAST(n AS DOUBLE) * ln(CAST(n AS DOUBLE)) AS DECIMAL(38,18))
+       |          - sy - sx + sxy AS DOUBLE) / CAST(n AS DOUBLE), 6) AS info_gain
+       |      FROM tx CROSS JOIN ty CROSS JOIN txy)
+       |SELECT n, h_y, info_gain, ROUND(h_y - info_gain, 6) AS h_y_given_x FROM f""".stripMargin
+
+  /** Odds ratio for the 2×2 (exposure: balance ≥ $5000) × (outcome:
+    * churn) table with the Woolf log-CI: OR = (a·d)/(b·c) as ONE IEEE
+    * division of exact integer cross-products (DECIMAL(38,0) — a·d
+    * overflows BIGINT past ~3e9-row cells), CI bounds through ln/sqrt
+    * ROUND 6. */
+  private def anOddsRatio(s: SparkSession, dir: String): DataFrame = {
+    val cells = churnLabeled(s, dir)
+      .withColumn("e", (col("v") >= 500000L).cast("int"))
+      .agg(
+        sum(when(col("e") === 1 && col("g1") === 1, 1L).otherwise(0L)).as("a"),
+        sum(when(col("e") === 1 && col("g1") === 0, 1L).otherwise(0L)).as("b"),
+        sum(when(col("e") === 0 && col("g1") === 1, 1L).otherwise(0L)).as("c"),
+        sum(when(col("e") === 0 && col("g1") === 0, 1L).otherwise(0L)).as("d"))
+    val se = sqrt(lit(1.0) / col("a") + lit(1.0) / col("b") +
+      lit(1.0) / col("c") + lit(1.0) / col("d"))
+    val lnOr = log((col("a").cast("decimal(38,0)") * col("d").cast("decimal(38,0)")).cast("double") /
+      (col("b").cast("decimal(38,0)") * col("c").cast("decimal(38,0)")).cast("double"))
+    cells.select(col("a"), col("b"), col("c"), col("d"),
+      ((col("a").cast("decimal(38,0)") * col("d").cast("decimal(38,0)")).cast("double") /
+        (col("b").cast("decimal(38,0)") * col("c").cast("decimal(38,0)")).cast("double")).as("odds_ratio"),
+      round(lnOr - lit(1.96) * se, 6).as("ln_ci_lo"),
+      round(lnOr + lit(1.96) * se, 6).as("ln_ci_hi"))
+  }
+
+  private val anOddsRatioSql =
+    s"""WITH lab AS ($churnLabeledSql),
+       |t AS (SELECT
+       |  CAST(SUM(CASE WHEN v >= 500000 AND g1 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+       |  CAST(SUM(CASE WHEN v >= 500000 AND g1 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+       |  CAST(SUM(CASE WHEN v < 500000 AND g1 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+       |  CAST(SUM(CASE WHEN v < 500000 AND g1 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d
+       |  FROM lab)
+       |SELECT a, b, c, d,
+       |  CAST(CAST(a AS DECIMAL(38,0)) * CAST(d AS DECIMAL(38,0)) AS DOUBLE)
+       |    / CAST(CAST(b AS DECIMAL(38,0)) * CAST(c AS DECIMAL(38,0)) AS DOUBLE) AS odds_ratio,
+       |  ROUND(ln(CAST(CAST(a AS DECIMAL(38,0)) * CAST(d AS DECIMAL(38,0)) AS DOUBLE)
+       |    / CAST(CAST(b AS DECIMAL(38,0)) * CAST(c AS DECIMAL(38,0)) AS DOUBLE))
+       |    - 1.96 * sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d), 6) AS ln_ci_lo,
+       |  ROUND(ln(CAST(CAST(a AS DECIMAL(38,0)) * CAST(d AS DECIMAL(38,0)) AS DOUBLE)
+       |    / CAST(CAST(b AS DECIMAL(38,0)) * CAST(c AS DECIMAL(38,0)) AS DOUBLE))
+       |    + 1.96 * sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d), 6) AS ln_ci_hi
+       |FROM t""".stripMargin
+
+  /** Relative risk + risk difference on the same 2×2: RR =
+    * a(c+d)/(c(a+b)) as one division of exact DECIMAL(38,0)
+    * cross-products; the risk difference is two exactly-rounded
+    * divisions and one subtraction (deterministic — both operands are
+    * fully determined doubles). Epidemiology's additive companion to
+    * an_odds_ratio's multiplicative view. */
+  private def anRiskRatio(s: SparkSession, dir: String): DataFrame =
+    churnLabeled(s, dir)
+      .withColumn("e", (col("v") >= 500000L).cast("int"))
+      .agg(
+        sum(when(col("e") === 1 && col("g1") === 1, 1L).otherwise(0L)).as("a"),
+        sum(when(col("e") === 1 && col("g1") === 0, 1L).otherwise(0L)).as("b"),
+        sum(when(col("e") === 0 && col("g1") === 1, 1L).otherwise(0L)).as("c"),
+        sum(when(col("e") === 0 && col("g1") === 0, 1L).otherwise(0L)).as("d"))
+      .select(col("a"), col("b"), col("c"), col("d"),
+        ((col("a").cast("decimal(38,0)") * (col("c") + col("d")).cast("decimal(38,0)")).cast("double") /
+          (col("c").cast("decimal(38,0)") * (col("a") + col("b")).cast("decimal(38,0)")).cast("double"))
+          .as("relative_risk"),
+        (col("a").cast("double") / (col("a") + col("b")).cast("double") -
+          col("c").cast("double") / (col("c") + col("d")).cast("double")).as("risk_diff"))
+
+  private val anRiskRatioSql =
+    s"""WITH lab AS ($churnLabeledSql),
+       |t AS (SELECT
+       |  CAST(SUM(CASE WHEN v >= 500000 AND g1 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+       |  CAST(SUM(CASE WHEN v >= 500000 AND g1 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+       |  CAST(SUM(CASE WHEN v < 500000 AND g1 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+       |  CAST(SUM(CASE WHEN v < 500000 AND g1 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d
+       |  FROM lab)
+       |SELECT a, b, c, d,
+       |  CAST(CAST(a AS DECIMAL(38,0)) * CAST(c + d AS DECIMAL(38,0)) AS DOUBLE)
+       |    / CAST(CAST(c AS DECIMAL(38,0)) * CAST(a + b AS DECIMAL(38,0)) AS DOUBLE) AS relative_risk,
+       |  CAST(a AS DOUBLE) / CAST(a + b AS DOUBLE)
+       |    - CAST(c AS DOUBLE) / CAST(c + d AS DOUBLE) AS risk_diff
+       |FROM t""".stripMargin
+
+  /** Cochran–Armitage trend test across four ordered balance bands
+    * (scores 0..3): χ²_trend in the fully cross-multiplied integer form
+    * (N·Σsk − K·Σsn)²·(N−1) / [K(N−K)(N·Σs²n − (Σsn)²)] — every product
+    * an exact DECIMAL(38,0), ONE IEEE division at emission. The
+    * dose-response test an_chi2_drift's unordered χ² cannot see. */
+  private def anCochranArmitage(s: SparkSession, dir: String): DataFrame = {
+    val banded = churnLabeled(s, dir)
+      .withColumn("sc", least(expr("greatest(v, 0) div 250000"), lit(3L)))
+    val d = (c: Column) => c.cast("decimal(38,0)")
+    banded
+      .agg(count(lit(1)).as("n"), sum(col("g1")).as("k"),
+        sum(col("sc") * col("g1")).as("sk"),
+        sum(col("sc")).as("sn"),
+        sum(col("sc") * col("sc")).as("s2n"))
+      .select(col("n"), col("k"),
+        ((d(col("n")) * d(col("sk")) - d(col("k")) * d(col("sn"))) *
+          (d(col("n")) * d(col("sk")) - d(col("k")) * d(col("sn"))) *
+          d(col("n") - 1)).cast("double")
+          ./((d(col("k")) * d(col("n") - col("k")) *
+            (d(col("n")) * d(col("s2n")) - d(col("sn")) * d(col("sn")))).cast("double"))
+          .as("trend_chi2"))
+  }
+
+  private val anCochranArmitageSql =
+    s"""WITH lab AS ($churnLabeledSql),
+       |b AS (SELECT g1, LEAST(GREATEST(v, 0) // 250000, 3) AS sc FROM lab),
+       |t AS (SELECT COUNT(*) AS n, CAST(SUM(g1) AS BIGINT) AS k,
+       |        CAST(SUM(sc * g1) AS BIGINT) AS sk, CAST(SUM(sc) AS BIGINT) AS sn,
+       |        CAST(SUM(sc * sc) AS BIGINT) AS s2n
+       |      FROM b)
+       |SELECT n, k,
+       |  CAST((CAST(n AS DECIMAL(38,0)) * CAST(sk AS DECIMAL(38,0))
+       |      - CAST(k AS DECIMAL(38,0)) * CAST(sn AS DECIMAL(38,0)))
+       |    * (CAST(n AS DECIMAL(38,0)) * CAST(sk AS DECIMAL(38,0))
+       |      - CAST(k AS DECIMAL(38,0)) * CAST(sn AS DECIMAL(38,0)))
+       |    * CAST(n - 1 AS DECIMAL(38,0)) AS DOUBLE)
+       |  / CAST(CAST(k AS DECIMAL(38,0)) * CAST(n - k AS DECIMAL(38,0))
+       |    * (CAST(n AS DECIMAL(38,0)) * CAST(s2n AS DECIMAL(38,0))
+       |      - CAST(sn AS DECIMAL(38,0)) * CAST(sn AS DECIMAL(38,0))) AS DOUBLE) AS trend_chi2
+       |FROM t""".stripMargin
+
+  /** Paired t-test on per-customer 1996-vs-1997 spend (cents; a year
+    * without orders contributes 0): t = Σd·√(n−1) / √(n·Σd² − (Σd)²)
+    * over exact DECIMAL sums — two correctly-rounded sqrts, one
+    * multiply, one division, same expression tree both engines. The
+    * within-subject complement to an_welch_ttest. */
+  private def anPairedTtest(s: SparkSession, dir: String): DataFrame = {
+    val spend = Tables.orders(s, dir)
+      .withColumn("yr", year(col("o_orderdate")))
+      .filter(col("yr").isin(1996, 1997))
+      .groupBy(col("o_custkey"))
+      .agg(
+        (sum(when(col("yr") === 1996, col("o_totalprice")).otherwise(0.0)
+          .cast("decimal(24,8)")).cast("decimal(24,2)") * 100).cast("bigint").as("s96"),
+        (sum(when(col("yr") === 1997, col("o_totalprice")).otherwise(0.0)
+          .cast("decimal(24,8)")).cast("decimal(24,2)") * 100).cast("bigint").as("s97"))
+      .withColumn("dc", col("s97") - col("s96"))
+    spend.agg(count(lit(1)).as("n"),
+        sum(col("dc").cast("decimal(38,0)")).as("sd"),
+        sum(col("dc").cast("decimal(38,0)") * col("dc").cast("decimal(38,0)")).as("sd2"))
+      .select(col("n"),
+        (col("sd").cast("double") / col("n").cast("double") / 100.0).as("mean_diff"),
+        (col("sd").cast("double") * sqrt((col("n") - 1).cast("double")) /
+          sqrt((col("n").cast("decimal(38,0)") * col("sd2") - col("sd") * col("sd"))
+            .cast("double"))).as("t_stat"))
+  }
+
+  private val anPairedTtestSql =
+    """WITH sp AS (SELECT o_custkey,
+      |    CAST(ROUND(SUM(CASE WHEN year(o_orderdate) = 1996 THEN CAST(o_totalprice AS DECIMAL(24,8)) ELSE 0 END), 2) * 100 AS BIGINT) AS s96,
+      |    CAST(ROUND(SUM(CASE WHEN year(o_orderdate) = 1997 THEN CAST(o_totalprice AS DECIMAL(24,8)) ELSE 0 END), 2) * 100 AS BIGINT) AS s97
+      |  FROM orders WHERE year(o_orderdate) IN (1996, 1997) GROUP BY o_custkey),
+      |t AS (SELECT COUNT(*) AS n,
+      |        CAST(SUM(CAST(s97 - s96 AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sd,
+      |        CAST(SUM(CAST(s97 - s96 AS DECIMAL(38,0)) * CAST(s97 - s96 AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sd2
+      |      FROM sp)
+      |SELECT n,
+      |  CAST(sd AS DOUBLE) / CAST(n AS DOUBLE) / 100.0 AS mean_diff,
+      |  CAST(sd AS DOUBLE) * sqrt(CAST(n - 1 AS DOUBLE))
+      |    / sqrt(CAST(CAST(n AS DECIMAL(38,0)) * sd2 - sd * sd AS DOUBLE)) AS t_stat
+      |FROM t""".stripMargin
+
+  /** Partial correlation of daily revenue and daily line volume
+    * controlling for daily order breadth (distinct orders): the three
+    * pairwise Pearson r from ONE exact decimal moment pass over the day
+    * spine, partial r = (r_xy − r_xz·r_yz)/√((1−r_xz²)(1−r_yz²)),
+    * everything after the exact sums a shared IEEE expression tree,
+    * ROUND 6 at emission. Disentangles "more orders" from "bigger
+    * lines" in the revenue–volume relationship. */
+  private def anPartialCorr(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.lineitem(s, dir)
+      .groupBy(date_trunc("day", col("l_shipdate")).as("day"))
+      .agg((sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(24,8)")).cast("decimal(24,2)") * 100).cast("bigint").as("x"),
+        count(lit(1)).as("y"),
+        countDistinct(col("l_orderkey")).as("z"))
+    val d = (c: Column) => c.cast("decimal(38,0)")
+    val m = daily.agg(count(lit(1)).as("n"),
+      sum(d(col("x"))).as("sx"), sum(d(col("y"))).as("sy"), sum(d(col("z"))).as("sz"),
+      sum(d(col("x")) * d(col("x"))).as("sxx"), sum(d(col("y")) * d(col("y"))).as("syy"),
+      sum(d(col("z")) * d(col("z"))).as("szz"),
+      sum(d(col("x")) * d(col("y"))).as("sxy"), sum(d(col("x")) * d(col("z"))).as("sxz"),
+      sum(d(col("y")) * d(col("z"))).as("syz"))
+    def r(sab: Column, sa: Column, sb: Column, saa: Column, sbb: Column) =
+      (col("n") * sab - sa * sb).cast("double") /
+        (sqrt((col("n") * saa - sa * sa).cast("double")) *
+          sqrt((col("n") * sbb - sb * sb).cast("double")))
+    m.withColumn("r_xy", r(col("sxy"), col("sx"), col("sy"), col("sxx"), col("syy")))
+      .withColumn("r_xz", r(col("sxz"), col("sx"), col("sz"), col("sxx"), col("szz")))
+      .withColumn("r_yz", r(col("syz"), col("sy"), col("sz"), col("syy"), col("szz")))
+      .select(col("n").as("n_days"),
+        round(col("r_xy"), 6).as("r_xy"),
+        round(col("r_xz"), 6).as("r_xz"),
+        round(col("r_yz"), 6).as("r_yz"),
+        round((col("r_xy") - col("r_xz") * col("r_yz")) /
+          sqrt((lit(1.0) - col("r_xz") * col("r_xz")) *
+            (lit(1.0) - col("r_yz") * col("r_yz"))), 6).as("r_xy_given_z"))
+  }
+
+  private val anPartialCorrSql =
+    """WITH daily AS (SELECT date_trunc('day', l_shipdate) AS day,
+      |    CAST(ROUND(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,8))), 2) * 100 AS BIGINT) AS x,
+      |    COUNT(*) AS y, COUNT(DISTINCT l_orderkey) AS z
+      |  FROM lineitem GROUP BY 1),
+      |m AS (SELECT COUNT(*) AS n,
+      |  CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+      |  CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy,
+      |  CAST(SUM(CAST(z AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sz,
+      |  CAST(SUM(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxx,
+      |  CAST(SUM(CAST(y AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS syy,
+      |  CAST(SUM(CAST(z AS DECIMAL(38,0)) * CAST(z AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS szz,
+      |  CAST(SUM(CAST(x AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxy,
+      |  CAST(SUM(CAST(x AS DECIMAL(38,0)) * CAST(z AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxz,
+      |  CAST(SUM(CAST(y AS DECIMAL(38,0)) * CAST(z AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS syz
+      |  FROM daily),
+      |rr AS (SELECT n,
+      |  CAST(n * sxy - sx * sy AS DOUBLE)
+      |    / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS r_xy,
+      |  CAST(n * sxz - sx * sz AS DOUBLE)
+      |    / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) * sqrt(CAST(n * szz - sz * sz AS DOUBLE))) AS r_xz,
+      |  CAST(n * syz - sy * sz AS DOUBLE)
+      |    / (sqrt(CAST(n * syy - sy * sy AS DOUBLE)) * sqrt(CAST(n * szz - sz * sz AS DOUBLE))) AS r_yz
+      |  FROM m)
+      |SELECT n AS n_days, ROUND(r_xy, 6) AS r_xy, ROUND(r_xz, 6) AS r_xz,
+      |  ROUND(r_yz, 6) AS r_yz,
+      |  ROUND((r_xy - r_xz * r_yz)
+      |    / sqrt((1.0 - r_xz * r_xz) * (1.0 - r_yz * r_yz)), 6) AS r_xy_given_z
+      |FROM rr""".stripMargin
+
+  /** Cross-correlation function (lags 0..7) between daily revenue and
+    * daily line volume: a bounded self-join of the day spine on d = d+lag
+    * (8 tiny equi-joins via one lag column explode), per-lag Pearson r
+    * from exact decimal moment sums, ROUND 6. Which lead/lag structure
+    * an_autocorr (same-series) can't show. */
+  private def anCcf(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.lineitem(s, dir)
+      .groupBy(date_trunc("day", col("l_shipdate")).as("day"))
+      .agg((sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(24,8)")).cast("decimal(24,2)") * 100).cast("bigint").as("x"),
+        count(lit(1)).as("y"))
+      .withColumn("d",
+        datediff(col("day").cast("date"), lit("1992-01-01").cast("date")))
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    val paired = daily.select(col("d"), col("x"))
+      .withColumn("lag", explode(sequence(lit(0), lit(7))))
+      .join(daily.select(col("d").as("d2"), col("y")), col("d2") === col("d") + col("lag"))
+    paired.groupBy(col("lag"))
+      .agg(count(lit(1)).as("n"),
+        sum(d38(col("x"))).as("sx"), sum(d38(col("y"))).as("sy"),
+        sum(d38(col("x")) * d38(col("x"))).as("sxx"),
+        sum(d38(col("y")) * d38(col("y"))).as("syy"),
+        sum(d38(col("x")) * d38(col("y"))).as("sxy"))
+      .select(col("lag"), col("n"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+            sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))), 6)
+          .as("ccf"))
+      .orderBy(col("lag"))
+  }
+
+  private val anCcfSql =
+    """WITH daily AS (SELECT
+      |    CAST(ROUND(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,8))), 2) * 100 AS BIGINT) AS x,
+      |    COUNT(*) AS y,
+      |    date_diff('day', DATE '1992-01-01', CAST(date_trunc('day', l_shipdate) AS DATE)) AS d
+      |  FROM lineitem GROUP BY date_trunc('day', l_shipdate)),
+      |p AS (SELECT l.lag, a.x, b.y
+      |      FROM daily a CROSS JOIN (SELECT unnest(range(0, 8)) AS lag) l
+      |      JOIN daily b ON b.d = a.d + l.lag),
+      |m AS (SELECT lag, COUNT(*) AS n,
+      |  CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+      |  CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy,
+      |  CAST(SUM(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxx,
+      |  CAST(SUM(CAST(y AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS syy,
+      |  CAST(SUM(CAST(x AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxy
+      |  FROM p GROUP BY lag)
+      |SELECT lag, n,
+      |  ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+      |    / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS ccf
+      |FROM m ORDER BY lag""".stripMargin
+
   // ----------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -13243,6 +14016,23 @@ object SparkEntry {
     "text_tokens" -> (textTokens _),
     "text_bpe_tokens" -> (textBpeTokens _),
     "text_bpe_train" -> (textBpeTrain _),
+    "an_max_drawdown" -> (anMaxDrawdown _),
+    "an_bollinger" -> (anBollinger _),
+    "an_var_es" -> (anVarEs _),
+    "an_rsi" -> (anRsi _),
+    "an_mcnemar" -> (anMcnemar _),
+    "an_cohen_kappa" -> (anCohenKappa _),
+    "an_wasserstein" -> (anWasserstein _),
+    "an_cvm" -> (anCvm _),
+    "an_brier" -> (anBrier _),
+    "an_calibration" -> (anCalibration _),
+    "an_info_gain" -> (anInfoGain _),
+    "an_odds_ratio" -> (anOddsRatio _),
+    "an_risk_ratio" -> (anRiskRatio _),
+    "an_cochran_armitage" -> (anCochranArmitage _),
+    "an_paired_ttest" -> (anPairedTtest _),
+    "an_partial_corr" -> (anPartialCorr _),
+    "an_ccf" -> (anCcf _),
     "an_spearman" -> (anSpearman _),
     "an_kendall_tau" -> (anKendallTau _),
     "an_roc_auc" -> (anRocAuc _),
@@ -13550,6 +14340,23 @@ object SparkEntry {
     "text_tokens" -> textTokensSql,
     "text_bpe_tokens" -> textBpeTokensSql,
     "text_bpe_train" -> textBpeTrainSql,
+    "an_max_drawdown" -> anMaxDrawdownSql,
+    "an_bollinger" -> anBollingerSql,
+    "an_var_es" -> anVarEsSql,
+    "an_rsi" -> anRsiSql,
+    "an_mcnemar" -> anMcnemarSql,
+    "an_cohen_kappa" -> anCohenKappaSql,
+    "an_wasserstein" -> anWassersteinSql,
+    "an_cvm" -> anCvmSql,
+    "an_brier" -> anBrierSql,
+    "an_calibration" -> anCalibrationSql,
+    "an_info_gain" -> anInfoGainSql,
+    "an_odds_ratio" -> anOddsRatioSql,
+    "an_risk_ratio" -> anRiskRatioSql,
+    "an_cochran_armitage" -> anCochranArmitageSql,
+    "an_paired_ttest" -> anPairedTtestSql,
+    "an_partial_corr" -> anPartialCorrSql,
+    "an_ccf" -> anCcfSql,
     "an_spearman" -> anSpearmanSql,
     "an_kendall_tau" -> anKendallTauSql,
     "an_roc_auc" -> anRocAucSql,

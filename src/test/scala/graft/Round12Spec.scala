@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariant pins for the round-12 market-risk / paired-test family
+  * (the oracle checks exact values at sf0.01; these pin SEMANTICS). */
+class Round12Spec extends SparkSpec {
+  import spark.implicits._
+
+  test("max drawdown is the peak-minus-trough identity and nonnegative") {
+    val r = SparkEntry.queries("an_max_drawdown")(spark, sfDir)
+      .select("max_drawdown", "peak_at_trough", "trough_rev")
+      .as[(Double, Double, Double)].head()
+    assert(r._1 >= 0.0)
+    assert(math.abs(r._1 - (r._2 - r._3)) < 1e-9, s"dd ${r._1} != peak ${r._2} - trough ${r._3}")
+  }
+
+  test("bollinger: a day never breaches both bands; windows are complete") {
+    val rows = SparkEntry.queries("an_bollinger")(spark, sfDir)
+      .select("breach_hi", "breach_lo").as[(Boolean, Boolean)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => !(r._1 && r._2)))
+  }
+
+  test("var/es: expected shortfall is at most VaR, k is the 5% ceiling") {
+    val r = SparkEntry.queries("an_var_es")(spark, sfDir)
+      .select("n", "k", "var95", "es95").as[(Long, Long, Double, Double)].head()
+    assert(r._2 == (r._1 + 19) / 20)
+    assert(r._4 <= r._3 + 1e-9, s"ES ${r._4} must not exceed VaR ${r._3} (mean of the k worst)")
+  }
+
+  test("rsi stays in [0, 100] and covers only complete 14-day windows") {
+    val rows = SparkEntry.queries("an_rsi")(spark, sfDir)
+      .select("rsi").as[Double].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(v => v >= 0.0 && v <= 100.0))
+  }
+
+  test("mcnemar cells partition the customer base") {
+    val r = SparkEntry.queries("an_mcnemar")(spark, sfDir)
+      .select("n11", "b_only96", "c_only97", "n00").as[(Long, Long, Long, Long)].head()
+    val nCust = Tables.customer(spark, sfDir).count()
+    assert(r._1 + r._2 + r._3 + r._4 == nCust)
+  }
+
+  test("cohen kappa matches the driver-side recomputation and is in [-1, 1]") {
+    val r = SparkEntry.queries("an_cohen_kappa")(spark, sfDir)
+      .select("n11", "n10", "n01", "n00", "kappa")
+      .as[(Long, Long, Long, Long, Double)].head()
+    val n = (r._1 + r._2 + r._3 + r._4).toDouble
+    val po = (r._1 + r._4) / n
+    val pe = ((r._1 + r._2) * (r._1 + r._3) + (r._3 + r._4) * (r._2 + r._4)) / (n * n)
+    assert(math.abs(r._5 - (po - pe) / (1 - pe)) < 1e-9)
+    assert(r._5 >= -1.0 && r._5 <= 1.0)
+  }
+
+  test("wasserstein distance is nonnegative and both splits are populated") {
+    val r = SparkEntry.queries("an_wasserstein")(spark, sfDir)
+      .select("n_weekday", "n_weekend", "w1_dollars").as[(Long, Long, Double)].head()
+    assert(r._1 > 0 && r._2 > 0)
+    assert(r._3 >= 0.0)
+  }
+
+  test("cvm statistic is finite and the splits cover the day spine") {
+    val r = SparkEntry.queries("an_cvm")(spark, sfDir)
+      .select("n_weekday", "n_weekend", "t_stat").as[(Long, Long, Double)].head()
+    assert(!r._3.isNaN && !r._3.isInfinite)
+    // CvM T is bounded below by its minimum -(4nm-1)/(6(n+m)) shift
+    assert(r._3 > -1.0)
+  }
+
+  test("brier decomposition: resolution = uncertainty - brier, brier in [0, 0.25]") {
+    val r = SparkEntry.queries("an_brier")(spark, sfDir)
+      .select("brier", "uncertainty", "resolution").as[(Double, Double, Double)].head()
+    assert(r._1 >= 0.0 && r._1 <= 0.25 + 1e-9)
+    assert(math.abs(r._3 - (r._2 - r._1)) < 2e-6)  // both ROUND(,6) emissions
+    assert(r._3 >= -1e-9, "in-sample group-mean model can't have negative resolution")
+  }
+
+  test("calibration bins cover the base and rates stay in [0,1]") {
+    val rows = SparkEntry.queries("an_calibration")(spark, sfDir)
+      .select("bin", "n_bin", "churn_rate").as[(Long, Long, Double)].collect()
+    assert(rows.map(_._2).sum == Tables.customer(spark, sfDir).count())
+    assert(rows.forall(r => r._1 >= 0 && r._1 <= 9))
+    assert(rows.forall(r => r._3 >= 0.0 && r._3 <= 1.0))
+  }
+
+  test("info gain is nonnegative and bounded by H(Y)") {
+    val r = SparkEntry.queries("an_info_gain")(spark, sfDir)
+      .select("h_y", "info_gain", "h_y_given_x").as[(Double, Double, Double)].head()
+    assert(r._2 >= -2e-6, "IG >= 0 (conditioning can't add entropy)")
+    assert(r._2 <= r._1 + 2e-6)
+    assert(math.abs(r._3 - (r._1 - r._2)) < 2e-6)
+  }
+
+  test("odds ratio CI brackets ln(OR)") {
+    val r = SparkEntry.queries("an_odds_ratio")(spark, sfDir)
+      .select("odds_ratio", "ln_ci_lo", "ln_ci_hi").as[(Double, Double, Double)].head()
+    val lnOr = math.log(r._1)
+    assert(r._2 <= lnOr + 1e-6 && lnOr <= r._3 + 1e-6)
+  }
+
+  test("risk ratio and risk difference agree in sign") {
+    val r = SparkEntry.queries("an_risk_ratio")(spark, sfDir)
+      .select("relative_risk", "risk_diff").as[(Double, Double)].head()
+    assert((r._1 >= 1.0) == (r._2 >= 0.0), s"RR ${r._1} and RD ${r._2} disagree on direction")
+  }
+
+  test("cochran-armitage trend chi2 is nonnegative") {
+    val r = SparkEntry.queries("an_cochran_armitage")(spark, sfDir)
+      .select("trend_chi2").as[Double].head()
+    assert(r >= 0.0 && !r.isNaN)
+  }
+
+  test("paired t-test mean_diff and t agree in sign") {
+    val r = SparkEntry.queries("an_paired_ttest")(spark, sfDir)
+      .select("mean_diff", "t_stat").as[(Double, Double)].head()
+    assert(r._1.sign == r._2.sign || r._1 == 0.0)
+  }
+
+  test("partial correlation stays in [-1, 1] and ccf(0) matches full corr") {
+    val p = SparkEntry.queries("an_partial_corr")(spark, sfDir)
+      .select("r_xy", "r_xy_given_z").as[(Double, Double)].head()
+    assert(p._2 >= -1.0 - 1e-9 && p._2 <= 1.0 + 1e-9)
+    val ccf0 = SparkEntry.queries("an_ccf")(spark, sfDir)
+      .filter(col("lag") === 0).select("ccf").as[Double].head()
+    assert(math.abs(ccf0 - p._1) < 2e-6, s"ccf lag-0 $ccf0 should equal r_xy ${p._1}")
+  }
+}
