@@ -13893,6 +13893,235 @@ object SparkEntry {
       |    / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS ccf
       |FROM m ORDER BY lag""".stripMargin
 
+  /** Lexical-richness panel per language: vocabulary V, token count N,
+    * hapax count V₁, TTR, Yule's K = 10⁴(Σf²−N)/N², Simpson's D =
+    * Σf(f−1)/(N(N−1)) — all from ONE (lang, word) count aggregate
+    * (posting-shaped: the shuffle carries words+counts, never
+    * documents), every statistic exact integers until a single IEEE
+    * division. The per-language diversity screen beside text_zipf's
+    * spectrum slope and text_vocab_growth's Heaps curve. */
+  private def textLexicalRichness(s: SparkSession, dir: String): DataFrame = {
+    val wf = Tables.documents(s, dir)
+      .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("f"))
+    val d = (c: Column) => c.cast("decimal(38,0)")
+    wf.groupBy(col("lang"))
+      .agg(sum(col("f")).as("n"), count(lit(1)).as("v"),
+        sum(when(col("f") === 1, 1L).otherwise(0L)).as("v1"),
+        sum(d(col("f")) * d(col("f"))).as("sf2"),
+        sum(d(col("f")) * d(col("f") - 1)).as("sff1"))
+      .select(col("lang"), col("n").as("n_tokens"), col("v").as("vocab"),
+        col("v1").as("hapax"),
+        (col("v").cast("double") / col("n").cast("double")).as("ttr"),
+        ((col("sf2") - col("n")).cast("double") * 10000.0 /
+          (d(col("n")) * d(col("n"))).cast("double")).as("yule_k"),
+        (col("sff1").cast("double") /
+          (d(col("n")) * d(col("n") - 1)).cast("double")).as("simpson_d"))
+      .orderBy(col("lang"))
+  }
+
+  private val textLexicalRichnessSql =
+    """WITH wf AS (SELECT lang, w, COUNT(*) AS f FROM (
+      |    SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents) t
+      |  WHERE w <> '' GROUP BY lang, w),
+      |a AS (SELECT lang, CAST(SUM(f) AS BIGINT) AS n, COUNT(*) AS v,
+      |        CAST(SUM(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+      |        CAST(SUM(CAST(f AS DECIMAL(38,0)) * CAST(f AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sf2,
+      |        CAST(SUM(CAST(f AS DECIMAL(38,0)) * CAST(f - 1 AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sff1
+      |      FROM wf GROUP BY lang)
+      |SELECT lang, n AS n_tokens, v AS vocab, v1 AS hapax,
+      |  CAST(v AS DOUBLE) / CAST(n AS DOUBLE) AS ttr,
+      |  CAST(sf2 - n AS DOUBLE) * 10000.0
+      |    / CAST(CAST(n AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0)) AS DOUBLE) AS yule_k,
+      |  CAST(sff1 AS DOUBLE)
+      |    / CAST(CAST(n AS DECIMAL(38,0)) * CAST(n - 1 AS DECIMAL(38,0)) AS DOUBLE) AS simpson_d
+      |FROM a ORDER BY lang""".stripMargin
+
+  /** Per-source 3-gram novelty: the fraction of a doc's DISTINCT word
+    * trigrams whose first corpus occurrence (min doc_id over the gram)
+    * is the doc itself — the "how much new text does this source add"
+    * curation signal. Spark groups grams by xxhash64 (the
+    * dedup_segments posture: only 8-byte keys shuffle, never gram
+    * text; a 64-bit collision over a ≤10⁹-gram vocabulary is
+    * negligible and the oracle's raw-gram grouping would surface one
+    * as a hash mismatch); min-doc_id aggregate + one posting join. */
+  private def textNgramNovelty(s: SparkSession, dir: String): DataFrame = {
+    val ws = split(col("text"), " ")
+    val grams = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        explode(when(size(ws) >= 3,
+          transform(sequence(lit(1), size(ws) - 2),
+            i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1),
+              element_at(ws, i + 2))))
+          .otherwise(array().cast("array<string>"))).as("g"))
+      .select(col("doc_id"), col("source"), xxhash64(col("g")).as("h"))
+      .distinct()
+    val first = grams.groupBy(col("h")).agg(min(col("doc_id")).as("first_doc"))
+    grams.join(first, "h")
+      .groupBy(col("source"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_grams"),
+        sum((col("doc_id") === col("first_doc")).cast("long")).as("novel_grams"))
+      .select(col("source"), col("n_docs"), col("n_grams"), col("novel_grams"),
+        (col("novel_grams").cast("double") / col("n_grams").cast("double")).as("novelty_rate"))
+      .orderBy(col("source"))
+  }
+
+  private val textNgramNoveltySql =
+    """WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+      |g AS (SELECT DISTINCT doc_id, source,
+      |        ws[CAST(j AS INT)] || ' ' || ws[CAST(j AS INT) + 1] || ' ' || ws[CAST(j AS INT) + 2] AS gram
+      |      FROM t, range(1, 100000) pos(j) WHERE j <= len(ws) - 2),
+      |f AS (SELECT gram, MIN(doc_id) AS first_doc FROM g GROUP BY gram)
+      |SELECT source, COUNT(DISTINCT g.doc_id) AS n_docs, COUNT(*) AS n_grams,
+      |  CAST(SUM(CASE WHEN g.doc_id = f.first_doc THEN 1 ELSE 0 END) AS BIGINT) AS novel_grams,
+      |  CAST(SUM(CASE WHEN g.doc_id = f.first_doc THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE) AS novelty_rate
+      |FROM g JOIN f USING (gram)
+      |GROUP BY source ORDER BY source""".stripMargin
+
+  /** RAKE keyword extraction (Rose et al. 2010) over the corpus:
+    * stopwords {a, the} delimit candidate phrases (gaps-islands on word
+    * positions: island id = pos − row_number over non-stop words per
+    * doc), word score = deg/freq over phrase members (deg = Σ phrase
+    * lengths containing the word), phrase score = Σ member scores
+    * gathered in DECIMAL(38,18), top-20 by (score, phrase) — all
+    * row-local until two posting-shaped aggregates over words. Phrase
+    * assembly is deterministic: array_sort on (pos, word) structs, not
+    * bare collect_list order. */
+  private def textRake(s: SparkSession, dir: String): DataFrame = {
+    val words = Tables.documents(s, dir)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+      .filter(col("w") =!= "")
+    val nonStop = words.filter(!col("w").isin("a", "the"))
+      .withColumn("grp", col("pos") - row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+    val phrases = nonStop.groupBy(col("doc_id"), col("grp"))
+      .agg(array_join(transform(array_sort(collect_list(struct(col("pos"), col("w")))),
+        x => x.getField("w")), " ").as("phrase"),
+        count(lit(1)).as("plen"))
+    val members = nonStop.join(phrases, Seq("doc_id", "grp"))
+    val wordStats = members.groupBy(col("w"))
+      .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
+    def gather(c: Column) = sum(c.cast("decimal(38,18)")).cast("decimal(38,18)")
+    val scored = members.join(wordStats, "w")
+      .groupBy(col("doc_id"), col("grp"), col("phrase"))
+      .agg(gather(col("deg").cast("double") / col("freq").cast("double")).as("sc"))
+    scored.groupBy(col("phrase"))
+      .agg(count(lit(1)).as("n_occ"), max(col("sc")).as("sc"))
+      .withColumn("score", round(col("sc").cast("double"), 6))
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("score").desc, col("phrase"))))
+      .filter(col("rnk") <= 20)
+      .select(col("rnk"), col("phrase"), col("n_occ"), col("score"))
+      .orderBy(col("rnk"))
+  }
+
+  private val textRakeSql =
+    """WITH wp AS (SELECT doc_id, CAST(j AS BIGINT) AS pos, ws[CAST(j AS INT)] AS w
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) t,
+      |       range(1, 100000) p(j)
+      |  WHERE j <= len(ws) AND ws[CAST(j AS INT)] <> ''),
+      |ns AS (SELECT doc_id, pos, w,
+      |         pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      |       FROM wp WHERE w NOT IN ('a', 'the')),
+      |ph AS (SELECT doc_id, grp,
+      |         string_agg(w, ' ' ORDER BY pos) AS phrase, COUNT(*) AS plen
+      |       FROM ns GROUP BY doc_id, grp),
+      |mem AS (SELECT ns.doc_id, ns.grp, ns.w, ph.phrase, ph.plen
+      |        FROM ns JOIN ph ON ns.doc_id = ph.doc_id AND ns.grp = ph.grp),
+      |ws AS (SELECT w, COUNT(*) AS freq, CAST(SUM(plen) AS BIGINT) AS deg
+      |       FROM mem GROUP BY w),
+      |sc AS (SELECT mem.doc_id, mem.grp, mem.phrase,
+      |         CAST(SUM(CAST(CAST(ws.deg AS DOUBLE) / CAST(ws.freq AS DOUBLE)
+      |           AS DECIMAL(38,18))) AS DECIMAL(38,18)) AS sc
+      |       FROM mem JOIN ws ON mem.w = ws.w
+      |       GROUP BY mem.doc_id, mem.grp, mem.phrase),
+      |agg AS (SELECT phrase, COUNT(*) AS n_occ,
+      |          ROUND(CAST(MAX(sc) AS DOUBLE), 6) AS score
+      |        FROM sc GROUP BY phrase),
+      |rk AS (SELECT phrase, n_occ, score,
+      |         ROW_NUMBER() OVER (ORDER BY score DESC, phrase) AS rnk FROM agg)
+      |SELECT rnk, phrase, n_occ, score FROM rk WHERE rnk <= 20 ORDER BY rnk""".stripMargin
+
+  /** Out-of-vocabulary rate per source against the corpus top-1000
+    * vocabulary ((count DESC, word ASC) deterministic cut): the
+    * tokenizer-coverage screen for a fixed-vocab model. Vocab is a
+    * 1000-row broadcast; the per-source pass is one posting aggregate
+    * joined against it — the corpus shuffles word counts once. */
+  private def textOovRate(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+    val vocab = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .withColumn("rnk", row_number().over(Window.orderBy(col("c").desc, col("w"))))
+      .filter(col("rnk") <= 1000)
+      .select(col("w"), lit(1).as("in_vocab"))
+    toks.groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+      .join(broadcast(vocab), Seq("w"), "left")
+      .groupBy(col("source"))
+      .agg(sum(col("c")).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, col("c")).otherwise(0L)).as("oov_tokens"))
+      .select(col("source"), col("n_tokens"), col("oov_tokens"),
+        (col("oov_tokens").cast("double") / col("n_tokens").cast("double")).as("oov_rate"))
+      .orderBy(col("source"))
+  }
+
+  private val textOovRateSql =
+    """WITH tok AS (SELECT source, w FROM (
+      |    SELECT source, unnest(string_split(text, ' ')) AS w FROM documents) t
+      |  WHERE w <> ''),
+      |vc AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY w),
+      |vocab AS (SELECT w FROM (
+      |    SELECT w, ROW_NUMBER() OVER (ORDER BY c DESC, w) AS rnk FROM vc) r
+      |  WHERE rnk <= 1000),
+      |sv AS (SELECT source, tok.w, COUNT(*) AS c,
+      |         MAX(CASE WHEN vocab.w IS NOT NULL THEN 1 ELSE 0 END) AS iv
+      |       FROM tok LEFT JOIN vocab ON tok.w = vocab.w
+      |       GROUP BY source, tok.w)
+      |SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(CASE WHEN iv = 0 THEN c ELSE 0 END) AS BIGINT) AS oov_tokens,
+      |  CAST(SUM(CASE WHEN iv = 0 THEN c ELSE 0 END) AS DOUBLE)
+      |    / CAST(SUM(c) AS DOUBLE) AS oov_rate
+      |FROM sv GROUP BY source ORDER BY source""".stripMargin
+
+  /** Word-length profile per language: mean length (exact integer sums,
+    * one division), max, and a 4-band histogram (1–2 / 3–5 / 6–8 / 9+)
+    * — the cheap morphology fingerprint that separates scripts and
+    * catches tokenizer-hostile sources. Row-local then one posting
+    * aggregate. */
+  private def textWordLengths(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .withColumn("l", length(col("w")).cast("long"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("l")).as("sum_len"),
+        max(col("l")).as("max_len"),
+        sum((col("l") <= 2).cast("long")).as("len_1_2"),
+        sum((col("l") >= 3 && col("l") <= 5).cast("long")).as("len_3_5"),
+        sum((col("l") >= 6 && col("l") <= 8).cast("long")).as("len_6_8"),
+        sum((col("l") >= 9).cast("long")).as("len_9p"))
+      .select(col("lang"), col("n_words"),
+        (col("sum_len").cast("double") / col("n_words").cast("double")).as("mean_len"),
+        col("max_len"), col("len_1_2"), col("len_3_5"), col("len_6_8"), col("len_9p"))
+      .orderBy(col("lang"))
+
+  private val textWordLengthsSql =
+    """WITH w AS (SELECT lang, length(w) AS l FROM (
+      |    SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents) t
+      |  WHERE w <> '')
+      |SELECT lang, COUNT(*) AS n_words,
+      |  CAST(CAST(SUM(l) AS BIGINT) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_len,
+      |  CAST(MAX(l) AS BIGINT) AS max_len,
+      |  CAST(SUM(CASE WHEN l <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS len_1_2,
+      |  CAST(SUM(CASE WHEN l BETWEEN 3 AND 5 THEN 1 ELSE 0 END) AS BIGINT) AS len_3_5,
+      |  CAST(SUM(CASE WHEN l BETWEEN 6 AND 8 THEN 1 ELSE 0 END) AS BIGINT) AS len_6_8,
+      |  CAST(SUM(CASE WHEN l >= 9 THEN 1 ELSE 0 END) AS BIGINT) AS len_9p
+      |FROM w GROUP BY lang ORDER BY lang""".stripMargin
+
   // ----------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -14033,6 +14262,11 @@ object SparkEntry {
     "an_paired_ttest" -> (anPairedTtest _),
     "an_partial_corr" -> (anPartialCorr _),
     "an_ccf" -> (anCcf _),
+    "text_lexical_richness" -> (textLexicalRichness _),
+    "text_ngram_novelty" -> (textNgramNovelty _),
+    "text_rake" -> (textRake _),
+    "text_oov_rate" -> (textOovRate _),
+    "text_word_lengths" -> (textWordLengths _),
     "an_spearman" -> (anSpearman _),
     "an_kendall_tau" -> (anKendallTau _),
     "an_roc_auc" -> (anRocAuc _),
@@ -14357,6 +14591,11 @@ object SparkEntry {
     "an_paired_ttest" -> anPairedTtestSql,
     "an_partial_corr" -> anPartialCorrSql,
     "an_ccf" -> anCcfSql,
+    "text_lexical_richness" -> textLexicalRichnessSql,
+    "text_ngram_novelty" -> textNgramNoveltySql,
+    "text_rake" -> textRakeSql,
+    "text_oov_rate" -> textOovRateSql,
+    "text_word_lengths" -> textWordLengthsSql,
     "an_spearman" -> anSpearmanSql,
     "an_kendall_tau" -> anKendallTauSql,
     "an_roc_auc" -> anRocAucSql,

@@ -126,4 +126,60 @@ class Round12Spec extends SparkSpec {
       .filter(col("lag") === 0).select("ccf").as[Double].head()
     assert(math.abs(ccf0 - p._1) < 2e-6, s"ccf lag-0 $ccf0 should equal r_xy ${p._1}")
   }
+
+  test("lexical richness: hapax <= vocab <= tokens, D and TTR in [0,1]") {
+    val rows = SparkEntry.queries("text_lexical_richness")(spark, sfDir)
+      .select("n_tokens", "vocab", "hapax", "ttr", "simpson_d")
+      .as[(Long, Long, Long, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r._3 <= r._2 && r._2 <= r._1)
+      assert(r._4 > 0.0 && r._4 <= 1.0)
+      assert(r._5 >= 0.0 && r._5 <= 1.0)
+    }
+  }
+
+  test("ngram novelty: every gram is novel exactly once corpus-wide") {
+    val rows = SparkEntry.queries("text_ngram_novelty")(spark, sfDir)
+      .select("n_grams", "novel_grams", "novelty_rate").as[(Long, Long, Double)].collect()
+    rows.foreach { r =>
+      assert(r._2 <= r._1)
+      assert(r._3 >= 0.0 && r._3 <= 1.0)
+    }
+    // the first doc of the corpus makes every one of its grams novel, so
+    // the corpus-wide novel total equals the number of DISTINCT gram keys
+    val distinctGrams = Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("w")).count()  // loose upper bound sanity
+    assert(rows.map(_._2).sum <= rows.map(_._1).sum)
+  }
+
+  test("rake: phrases contain no stopwords and scores rank descending") {
+    val rows = SparkEntry.queries("text_rake")(spark, sfDir)
+      .select("rnk", "phrase", "score").as[(Int, String, Double)].collect()
+      .sortBy(_._1)
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val words = r._2.split(" ")
+      assert(!words.contains("a") && !words.contains("the"), s"stopword in phrase '${r._2}'")
+    }
+    assert(rows.map(_._3).sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+  }
+
+  test("oov rate: top-1000 vocab covers most tokens; rates in [0,1]") {
+    val rows = SparkEntry.queries("text_oov_rate")(spark, sfDir)
+      .select("n_tokens", "oov_tokens", "oov_rate").as[(Long, Long, Double)].collect()
+    rows.foreach { r =>
+      assert(r._2 <= r._1)
+      assert(r._3 >= 0.0 && r._3 <= 1.0)
+    }
+  }
+
+  test("word lengths: histogram bands partition the word count") {
+    val rows = SparkEntry.queries("text_word_lengths")(spark, sfDir)
+      .select("n_words", "len_1_2", "len_3_5", "len_6_8", "len_9p")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    rows.foreach { r =>
+      assert(r._2 + r._3 + r._4 + r._5 == r._1, "bands must partition words")
+    }
+  }
 }
