@@ -14122,6 +14122,228 @@ object SparkEntry {
       |  CAST(SUM(CASE WHEN l >= 9 THEN 1 ELSE 0 END) AS BIGINT) AS len_9p
       |FROM w GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Letterbox/padding screen over REAL BMP decodes
+    * ([[graft.multimodal.BinaryColumns.bmpBorderBatch]]): every third
+    * document is synthesized with a FORCED uniform 1-pixel border
+    * (channel byte id%200) around md5-nibble interior pixels, the rest
+    * are md5 throughout — so the query must recover exactly the planted
+    * uniform set from the decoded raster. The oracle rederives border
+    * geometry (x/y from the pixel index) and the channel bytes in SQL;
+    * a raster mis-walk (stride, BGR order, bottom-up rows) breaks the
+    * hash. */
+  private def mmImageBorders(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir).select(col("doc_id").cast("long")).as[Long]
+    val payloads = docs.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { id =>
+        val w = 8 + (id % 5).toInt; val h = 8 + (id % 3).toInt
+        val rgb = Array.tabulate(3 * w * h) { p =>
+          val pxId = p / 3; val x = pxId % w; val y = pxId / w
+          val isBorder = x == 0 || x == w - 1 || y == 0 || y == h - 1
+          if (isBorder && id % 3 == 0) (id % 200).toByte
+          else md.digest(s"bord:$id:$p".getBytes("UTF-8"))(0)
+        }
+        (id, graft.multimodal.BinaryColumns.encodeBmp(w, h, rgb))
+      }
+    }.toDF("doc_id", "payload")
+    graft.multimodal.BinaryColumns.bmpBorderBatch(payloads)(s).toDF()
+      .orderBy(col("doc_id"))
+  }
+
+  private val mmImageBordersSql = {
+    def nib(i: Int) = s"(instr('0123456789abcdef', substr(h, $i, 1)) - 1)"
+    s"""WITH d AS (SELECT doc_id, CAST(8 + doc_id % 5 AS INT) AS w,
+       |    CAST(8 + doc_id % 3 AS INT) AS ht FROM documents),
+       |px0 AS (SELECT d.doc_id, d.w, d.ht, p.range AS p, (p.range // 3) AS px_id,
+       |    (p.range // 3) % d.w AS x, (p.range // 3) // d.w AS y
+       |  FROM d CROSS JOIN range(0, 360) p WHERE p.range < 3 * d.w * d.ht),
+       |pv AS (SELECT doc_id, px_id,
+       |    (x = 0 OR x = w - 1 OR y = 0 OR y = ht - 1) AS is_border,
+       |    CASE WHEN (x = 0 OR x = w - 1 OR y = 0 OR y = ht - 1) AND doc_id % 3 = 0
+       |      THEN doc_id % 200
+       |      ELSE 16 * ${nib(1)} + ${nib(2)} END AS v
+       |  FROM (SELECT *, md5('bord:' || CAST(doc_id AS VARCHAR) || ':' ||
+       |          CAST(p AS VARCHAR)) AS h FROM px0) t),
+       |lum AS (SELECT doc_id, px_id, MAX(CAST(is_border AS INT)) AS is_border,
+       |          CAST(SUM(v) AS BIGINT) AS lum
+       |        FROM pv GROUP BY doc_id, px_id)
+       |SELECT doc_id,
+       |  MIN(CASE WHEN is_border = 1 THEN lum END)
+       |    = MAX(CASE WHEN is_border = 1 THEN lum END) AS border_uniform,
+       |  MIN(CASE WHEN is_border = 1 THEN lum END) AS border_lum_min,
+       |  MAX(CASE WHEN is_border = 1 THEN lum END) AS border_lum_max,
+       |  CAST(SUM(is_border) AS BIGINT) AS n_border,
+       |  CAST(COALESCE(SUM(CASE WHEN is_border = 0 THEN lum END), 0) AS BIGINT) AS interior_lum_sum,
+       |  CAST(SUM(1 - is_border) AS BIGINT) AS n_interior
+       |FROM lum GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  /** Dominant quantized color over REAL BMP decodes
+    * ([[graft.multimodal.BinaryColumns.bmpDominantBatch]]): 2 bits per
+    * channel → 64-cell RGB cube, argmax cell with lowest-bin
+    * tie-break, from md5-nibble pixels. The oracle rebuilds each
+    * pixel's three channel bytes and replays the quantization +
+    * argmax; row-local per image, no shuffle beyond the final
+    * collect-ordered emission. */
+  private def mmImageDominant(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir).select(col("doc_id").cast("long")).as[Long]
+    val payloads = docs.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { id =>
+        val w = 8 + (id % 5).toInt; val h = 8 + (id % 3).toInt
+        val rgb = Array.tabulate(3 * w * h) { p =>
+          md.digest(s"dom:$id:$p".getBytes("UTF-8"))(0)
+        }
+        (id, graft.multimodal.BinaryColumns.encodeBmp(w, h, rgb))
+      }
+    }.toDF("doc_id", "payload")
+    graft.multimodal.BinaryColumns.bmpDominantBatch(payloads)(s).toDF()
+      .orderBy(col("doc_id"))
+  }
+
+  private val mmImageDominantSql = {
+    def nib(i: Int) = s"(instr('0123456789abcdef', substr(h, $i, 1)) - 1)"
+    s"""WITH d AS (SELECT doc_id, CAST(8 + doc_id % 5 AS INT) AS w,
+       |    CAST(8 + doc_id % 3 AS INT) AS ht FROM documents),
+       |pv AS (SELECT doc_id, (p // 3) AS px_id, p % 3 AS ch,
+       |    16 * ${nib(1)} + ${nib(2)} AS v
+       |  FROM (SELECT d.doc_id, p.range AS p,
+       |          md5('dom:' || CAST(d.doc_id AS VARCHAR) || ':' ||
+       |            CAST(p.range AS VARCHAR)) AS h, d.w, d.ht
+       |        FROM d CROSS JOIN range(0, 360) p
+       |        WHERE p.range < 3 * d.w * d.ht) t),
+       |bins AS (SELECT doc_id, px_id,
+       |    CAST(SUM(CASE WHEN ch = 0 THEN (v // 64) * 16
+       |                  WHEN ch = 1 THEN (v // 64) * 4
+       |                  ELSE v // 64 END) AS INT) AS bin
+       |  FROM pv GROUP BY doc_id, px_id),
+       |bc AS (SELECT doc_id, bin, COUNT(*) AS n FROM bins GROUP BY doc_id, bin),
+       |rk AS (SELECT doc_id, bin, n,
+       |         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY n DESC, bin) AS r,
+       |         CAST(SUM(n) OVER (PARTITION BY doc_id) AS BIGINT) AS n_px
+       |       FROM bc)
+       |SELECT doc_id, bin AS dom_bin, CAST(n AS BIGINT) AS n_px_bin, n_px
+       |FROM rk WHERE r = 1 ORDER BY doc_id""".stripMargin
+  }
+
+  /** Clipping audit over REAL WAV decodes
+    * ([[graft.multimodal.BinaryColumns.wavClippingBatch]]): every
+    * fourth document's md5-nibble int16 stream is over-amplified 4×
+    * with int16 saturation at synthesis, the decoder counts samples at
+    * or past |32000| — recovering exactly the planted hot set. The
+    * oracle replays the s16 derivation, the 4× saturating amplify
+    * (GREATEST/LEAST), and the threshold count. */
+  private def mmAudioClipping(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir).select(col("doc_id").cast("long")).as[Long]
+    val payloads = docs.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { id =>
+        val n = 32 + (id % 17).toInt
+        val samples = Array.tabulate(n) { p =>
+          val d = md.digest(s"clip:$id:$p".getBytes("UTF-8"))
+          val raw = (((d(0) & 0xFF) << 8) | (d(1) & 0xFF)).toShort.toInt
+          val v = if (id % 4 == 0) math.max(-32768, math.min(32767, raw * 4)) else raw
+          v.toShort
+        }
+        (id, graft.multimodal.BinaryColumns.encodeWav(8000, samples))
+      }
+    }.toDF("doc_id", "payload")
+    graft.multimodal.BinaryColumns.wavClippingBatch(payloads, 32000)(s).toDF()
+      .withColumn("clip_rate",
+        col("n_clipped").cast("double") / col("n_samples").cast("double"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val mmAudioClippingSql = {
+    def nib(i: Int) = s"(instr('0123456789abcdef', substr(h, $i, 1)) - 1)"
+    val u16 = s"(((${nib(1)} * 16 + ${nib(2)}) * 16 + ${nib(3)}) * 16 + ${nib(4)})"
+    s"""WITH d AS (SELECT doc_id, CAST(32 + doc_id % 17 AS INT) AS n FROM documents),
+       |s0 AS (SELECT d.doc_id, d.n, p.range AS p,
+       |         md5('clip:' || CAST(d.doc_id AS VARCHAR) || ':' ||
+       |             CAST(p.range AS VARCHAR)) AS h
+       |       FROM d CROSS JOIN range(0, 49) p WHERE p.range < d.n),
+       |sr AS (SELECT doc_id, n, p,
+       |         CASE WHEN $u16 >= 32768 THEN $u16 - 65536 ELSE $u16 END AS raw
+       |       FROM s0),
+       |sv AS (SELECT doc_id, n,
+       |         CASE WHEN doc_id % 4 = 0
+       |           THEN GREATEST(-32768, LEAST(32767, raw * 4)) ELSE raw END AS v
+       |       FROM sr)
+       |SELECT doc_id, CAST(MAX(n) AS BIGINT) AS n_samples,
+       |  CAST(SUM(CASE WHEN ABS(v) >= 32000 THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+       |  CAST(MAX(ABS(v)) AS BIGINT) AS max_abs,
+       |  CAST(SUM(v) AS BIGINT) AS sum_v,
+       |  CAST(SUM(CASE WHEN ABS(v) >= 32000 THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(MAX(n) AS DOUBLE) AS clip_rate
+       |FROM sv GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  /** Per-video motion profile over REAL AVI decodes — the aggregate
+    * view of mm_scene_cuts' boundary list: total and mean absolute
+    * frame-to-frame brightness change (exact integers, one division),
+    * moving-transition count. Same scene-structured synthesis as the
+    * cuts query (frames within a 3-frame scene identical by
+    * construction), same
+    * [[graft.multimodal.BinaryColumns.aviFrameSumsBatch]] movi walk —
+    * static-shot videos score 0 motion by construction, which the
+    * planted scene layout makes verifiable. */
+  private def mmVideoMotion(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir).select(col("doc_id").cast("long")).as[Long]
+    val payloads = docs.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { id =>
+        val w = 2 + (id % 3).toInt; val h = 1 + (id % 2).toInt
+        val nf = 6 + (id % 4).toInt
+        val frames = Array.tabulate(nf) { f =>
+          Array.tabulate(3 * w * h) { p =>
+            md.digest(s"mot:$id:${f / 3}:$p".getBytes("UTF-8"))(0)
+          }
+        }
+        (id, graft.multimodal.BinaryColumns.encodeAvi(w, h, 33333, frames))
+      }
+    }.toDF("doc_id", "payload")
+    val sums = graft.multimodal.BinaryColumns.aviFrameSumsBatch(payloads)(s).toDF()
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+    sums.withColumn("diff", abs(col("frame_sum") - lag(col("frame_sum"), 1).over(w)))
+      .filter(col("diff").isNotNull)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_transitions"),
+        sum(col("diff")).as("motion_total"),
+        sum((col("diff") > 0).cast("long")).as("n_moving"))
+      .select(col("doc_id"), col("n_transitions"), col("motion_total"), col("n_moving"),
+        (col("motion_total").cast("double") / col("n_transitions").cast("double"))
+          .as("mean_motion"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val mmVideoMotionSql =
+    """WITH d AS (SELECT doc_id, CAST(2 + doc_id % 3 AS INT) AS w,
+      |    CAST(1 + doc_id % 2 AS INT) AS ht,
+      |    CAST(6 + doc_id % 4 AS INT) AS nf FROM documents),
+      |px AS (SELECT d.doc_id, f.range AS f,
+      |    16 * (instr('0123456789abcdef', substr(md5('mot:' ||
+      |      CAST(d.doc_id AS VARCHAR) || ':' || CAST(f.range // 3 AS VARCHAR) || ':' ||
+      |      CAST(p.range AS VARCHAR)), 1, 1)) - 1)
+      |       + (instr('0123456789abcdef', substr(md5('mot:' ||
+      |      CAST(d.doc_id AS VARCHAR) || ':' || CAST(f.range // 3 AS VARCHAR) || ':' ||
+      |      CAST(p.range AS VARCHAR)), 2, 1)) - 1) AS v
+      |  FROM d CROSS JOIN range(0, 10) f CROSS JOIN range(0, 24) p
+      |  WHERE f.range < d.nf AND p.range < 3 * d.w * d.ht),
+      |fs AS (SELECT doc_id, f, CAST(SUM(v) AS BIGINT) AS frame_sum
+      |       FROM px GROUP BY doc_id, f),
+      |df AS (SELECT doc_id,
+      |         ABS(frame_sum - LAG(frame_sum) OVER (PARTITION BY doc_id ORDER BY f)) AS diff
+      |       FROM fs)
+      |SELECT doc_id, COUNT(*) AS n_transitions,
+      |  CAST(SUM(diff) AS BIGINT) AS motion_total,
+      |  CAST(SUM(CASE WHEN diff > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_moving,
+      |  CAST(SUM(diff) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_motion
+      |FROM df WHERE diff IS NOT NULL GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ----------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -14267,6 +14489,10 @@ object SparkEntry {
     "text_rake" -> (textRake _),
     "text_oov_rate" -> (textOovRate _),
     "text_word_lengths" -> (textWordLengths _),
+    "mm_image_borders" -> (mmImageBorders _),
+    "mm_image_dominant" -> (mmImageDominant _),
+    "mm_audio_clipping" -> (mmAudioClipping _),
+    "mm_video_motion" -> (mmVideoMotion _),
     "an_spearman" -> (anSpearman _),
     "an_kendall_tau" -> (anKendallTau _),
     "an_roc_auc" -> (anRocAuc _),
@@ -14596,6 +14822,10 @@ object SparkEntry {
     "text_rake" -> textRakeSql,
     "text_oov_rate" -> textOovRateSql,
     "text_word_lengths" -> textWordLengthsSql,
+    "mm_image_borders" -> mmImageBordersSql,
+    "mm_image_dominant" -> mmImageDominantSql,
+    "mm_audio_clipping" -> mmAudioClippingSql,
+    "mm_video_motion" -> mmVideoMotionSql,
     "an_spearman" -> anSpearmanSql,
     "an_kendall_tau" -> anKendallTauSql,
     "an_roc_auc" -> anRocAucSql,

@@ -683,6 +683,125 @@ object BinaryColumns {
       .mapPartitions { it => it.map { case (id, bytes) => decodeAvi(id, bytes) } }
   }
 
+  /** Border profile of a decoded BMP: uniformity and luminance range of
+    * the 1-pixel frame plus exact interior totals — the letterbox /
+    * pillarbox screen an image-curation pipeline runs before cropping
+    * (a uniform border is padding, not content). Luminance here is the
+    * exact integer channel sum r+g+b per pixel. */
+  final case class BmpBorder(doc_id: Long, border_uniform: Boolean,
+                             border_lum_min: Long, border_lum_max: Long,
+                             n_border: Long, interior_lum_sum: Long,
+                             n_interior: Long)
+
+  /** Per-partition batch border profile over REAL BMP decodes — the
+    * [[decodeBmpBatch]] seam with the raster walked once. */
+  def bmpBorderBatch(payloads: DataFrame)(implicit spark: SparkSession): Dataset[BmpBorder] = {
+    import spark.implicits._
+    payloads.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val in = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          val w = in.getInt(18); val h = in.getInt(22)
+          val px = decodeBmpPixels(id, bytes)
+          var bMin = Long.MaxValue; var bMax = Long.MinValue
+          var nB = 0L; var intSum = 0L; var nI = 0L
+          var i = 0
+          while (i < w * h) {
+            val x = i % w; val y = i / w
+            val lum = (px(3 * i) & 0xFF).toLong + (px(3 * i + 1) & 0xFF) +
+              (px(3 * i + 2) & 0xFF)
+            if (x == 0 || x == w - 1 || y == 0 || y == h - 1) {
+              nB += 1
+              if (lum < bMin) bMin = lum
+              if (lum > bMax) bMax = lum
+            } else { nI += 1; intSum += lum }
+            i += 1
+          }
+          BmpBorder(id, bMin == bMax, bMin, bMax, nB, intSum, nI)
+        }
+      }
+  }
+
+  /** Dominant quantized color of a decoded BMP: each pixel maps to a
+    * 64-cell RGB cube (2 bits per channel), argmax cell with the
+    * lowest-bin tie-break — the palette fingerprint for cheap
+    * color-based stratification before any model-based tagging. */
+  final case class BmpDominant(doc_id: Long, dom_bin: Int, n_px_bin: Long,
+                               n_px: Long)
+
+  /** Per-partition batch dominant-color over REAL BMP decodes. */
+  def bmpDominantBatch(payloads: DataFrame)(implicit spark: SparkSession): Dataset[BmpDominant] = {
+    import spark.implicits._
+    payloads.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val px = decodeBmpPixels(id, bytes)
+          val n = px.length / 3
+          val counts = new Array[Long](64)
+          var i = 0
+          while (i < n) {
+            val bin = ((px(3 * i) & 0xFF) >> 6) * 16 +
+              ((px(3 * i + 1) & 0xFF) >> 6) * 4 + ((px(3 * i + 2) & 0xFF) >> 6)
+            counts(bin) += 1
+            i += 1
+          }
+          var best = 0; var b = 1
+          while (b < 64) { if (counts(b) > counts(best)) best = b; b += 1 }
+          BmpDominant(id, best, counts(best), n.toLong)
+        }
+      }
+  }
+
+  /** Clipping profile of a decoded PCM stream: samples at or beyond the
+    * threshold magnitude, peak, and exact DC sum — the audio-quality
+    * gate that catches over-amplified recordings before feature
+    * extraction. */
+  final case class WavClipping(doc_id: Long, n_samples: Long, n_clipped: Long,
+                               max_abs: Long, sum_v: Long)
+
+  /** Per-partition batch clipping profile over REAL WAV decodes — the
+    * [[decodeWav]] container walk with a clip counter. */
+  def wavClippingBatch(payloads: DataFrame, threshold: Int)(
+      implicit spark: SparkSession): Dataset[WavClipping] = {
+    import spark.implicits._
+    payloads.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val in = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          def tag(off: Int) = new String(bytes, off, 4, "US-ASCII")
+          require(bytes.length >= 44 && tag(0) == "RIFF" && tag(8) == "WAVE",
+            s"doc $id: not a WAV payload")
+          var off = 12
+          var fmtOff = -1; var dataOff = -1; var dataSize = -1
+          while (off + 8 <= bytes.length && (fmtOff < 0 || dataOff < 0)) {
+            val sz = in.getInt(off + 4)
+            tag(off) match {
+              case "fmt " => fmtOff = off + 8
+              case "data" => dataOff = off + 8; dataSize = sz
+              case _ => ()
+            }
+            off += 8 + sz + (sz & 1)
+          }
+          require(fmtOff >= 0 && dataOff >= 0, s"doc $id: missing fmt/data chunk")
+          require(in.getShort(fmtOff).toInt == 1 && in.getShort(fmtOff + 2).toInt == 1 &&
+            in.getShort(fmtOff + 14).toInt == 16, s"doc $id: only PCM mono 16-bit supported")
+          require(bytes.length >= dataOff + dataSize, s"doc $id: truncated sample data")
+          val n = dataSize / 2
+          var clipped = 0L; var maxAbs = 0L; var sumV = 0L
+          var i = 0
+          while (i < n) {
+            val v = in.getShort(dataOff + 2 * i).toInt
+            val a = math.abs(v).toLong
+            if (a >= threshold) clipped += 1
+            if (a > maxAbs) maxAbs = a
+            sumV += v
+            i += 1
+          }
+          WavClipping(id, n.toLong, clipped, maxAbs, sumV)
+        }
+      }
+  }
+
   /** Full plumbing: payload → batch decode → re-join metadata. */
   def decodedFrame(df: DataFrame, textCol: String, idCol: String)
                   (implicit spark: SparkSession): DataFrame = {

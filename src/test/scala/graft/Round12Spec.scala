@@ -182,4 +182,45 @@ class Round12Spec extends SparkSpec {
       assert(r._2 + r._3 + r._4 + r._5 == r._1, "bands must partition words")
     }
   }
+
+  test("image borders: exactly the planted id%3==0 set decodes as uniform") {
+    val rows = SparkEntry.queries("mm_image_borders")(spark, sfDir)
+      .select("doc_id", "border_uniform").as[(Long, Boolean)].collect()
+    rows.foreach { case (id, uniform) =>
+      if (id % 3 == 0) assert(uniform, s"doc $id: planted uniform border not detected")
+      // md5 borders are uniform only with vanishing probability, but don't
+      // assert impossibility — the planted set must ALL be found
+    }
+    assert(rows.count(_._2) >= rows.count(r => r._1 % 3 == 0))
+  }
+
+  test("image dominant: bin in [0,64), bin count bounded by pixel count") {
+    val rows = SparkEntry.queries("mm_image_dominant")(spark, sfDir)
+      .select("dom_bin", "n_px_bin", "n_px").as[(Int, Long, Long)].collect()
+    rows.foreach { r =>
+      assert(r._1 >= 0 && r._1 < 64)
+      assert(r._2 >= 1 && r._2 <= r._3)
+    }
+  }
+
+  test("audio clipping: planted id%4==0 hot set clips, clean docs mostly don't") {
+    val rows = SparkEntry.queries("mm_audio_clipping")(spark, sfDir)
+      .select("doc_id", "n_samples", "n_clipped", "max_abs")
+      .as[(Long, Long, Long, Long)].collect()
+    val hot = rows.filter(_._1 % 4 == 0)
+    assert(hot.nonEmpty && hot.forall(_._3 > 0), "4x-amplified streams must clip")
+    rows.foreach(r => assert(r._3 <= r._2 && r._4 <= 32768))
+  }
+
+  test("video motion: scene structure means motion only at 3-frame boundaries") {
+    val rows = SparkEntry.queries("mm_video_motion")(spark, sfDir)
+      .select("doc_id", "n_transitions", "n_moving").as[(Long, Long, Long)].collect()
+    rows.foreach { case (id, nt, nm) =>
+      val nf = 6 + (id % 4)
+      assert(nt == nf - 1)
+      // frames within a 3-frame scene are identical; only scene boundaries move
+      val boundaries = (1L until nf).count(f => f / 3 != (f - 1) / 3)
+      assert(nm <= boundaries, s"doc $id: $nm moving transitions > $boundaries scene boundaries")
+    }
+  }
 }
