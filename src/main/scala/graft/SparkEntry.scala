@@ -14344,6 +14344,183 @@ object SparkEntry {
       |  CAST(SUM(diff) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_motion
       |FROM df WHERE diff IS NOT NULL GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Matryoshka-style dimension-truncation audit: top-5 neighbors from
+    * the first 16 dims vs the full 64, per-query overlap count — the
+    * retrieval-quality measurement behind "can we serve the cheap
+    * prefix embedding". Both sides run the declared brute-force eval
+    * baseline (guardQuadratic-fenced, queries broadcast); production
+    * retrieval at scale is the LSH/IVF path. 6-dp rounded ranking with
+    * id tie-breaks keeps both top-5 lists engine-replayable. */
+  private def simDimTruncate(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val q = emb.filter(col("vec_id") % 50 === 0)
+    val full = graft.similarity.VectorOps.bruteForceTopK(emb, q, k = 5)
+      .select(col("query_id"), col("neighbor_id"))
+    val trunc16 = emb.select(col("vec_id"), slice(col("embedding"), 1, 16).as("embedding"))
+    val qt = trunc16.filter(col("vec_id") % 50 === 0)
+    val part = graft.similarity.VectorOps.bruteForceTopK(trunc16, qt, k = 5)
+      .select(col("query_id"), col("neighbor_id").as("t_neighbor"))
+    full.join(part,
+        full("query_id") === part("query_id") &&
+          full("neighbor_id") === part("t_neighbor"), "left")
+      .groupBy(full("query_id").as("query_id"))
+      .agg(sum(when(col("t_neighbor").isNotNull, 1L).otherwise(0L)).as("overlap5"))
+      .select(col("query_id"), col("overlap5"),
+        (col("overlap5").cast("double") / 5.0).as("overlap_rate"))
+      .orderBy(col("query_id"))
+  }
+
+  private val simDimTruncateSql =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |q AS (SELECT vec_id, v FROM e WHERE vec_id % 50 = 0),
+      |sf AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+      |         ROUND(list_cosine_similarity(q.v, e.v), 6) AS sim
+      |       FROM q JOIN e ON e.vec_id <> q.vec_id),
+      |topf AS (SELECT query_id, neighbor_id FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+      |        ORDER BY sim DESC, neighbor_id) AS rank FROM sf) t
+      |  WHERE rank <= 5),
+      |et AS (SELECT vec_id, v[1:16] AS v FROM e),
+      |qt AS (SELECT vec_id, v FROM et WHERE vec_id % 50 = 0),
+      |st AS (SELECT qt.vec_id AS query_id, et.vec_id AS neighbor_id,
+      |         ROUND(list_cosine_similarity(qt.v, et.v), 6) AS sim
+      |       FROM qt JOIN et ON et.vec_id <> qt.vec_id),
+      |topt AS (SELECT query_id, neighbor_id FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+      |        ORDER BY sim DESC, neighbor_id) AS rank FROM st) t
+      |  WHERE rank <= 5)
+      |SELECT f.query_id,
+      |  CAST(SUM(CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS overlap5,
+      |  CAST(SUM(CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / 5.0 AS overlap_rate
+      |FROM topf f LEFT JOIN topt t
+      |  ON f.query_id = t.query_id AND f.neighbor_id = t.neighbor_id
+      |GROUP BY f.query_id ORDER BY f.query_id""".stripMargin
+
+  /** Per-label centroid drift between the two corpus halves (vec_id
+    * parity split): centroids in exact integer micro-units (Σ round(x·
+    * 10⁶) div n — division BEFORE the dot keeps every product inside
+    * 2⁵³), cosine between half-centroids as exact integer dots through
+    * one correctly-rounded sqrt·sqrt division, ROUND 6. The
+    * embedding-space monitoring twin of an_psi: did a label's region
+    * move between collection batches? One posting-shaped (label, half,
+    * dim) aggregate — corpus scanned once. */
+  private def simLabelDrift(s: SparkSession, dir: String): DataFrame = {
+    val q = Tables.embeddings(s, dir)
+      .select(col("label"), (col("vec_id") % 2).as("half"),
+        posexplode(graft.similarity.VectorOps.toDouble(col("embedding"))).as(Seq("j", "x")))
+      .withColumn("qi", round(col("x") * 1000000.0).cast("long"))
+    val cent = q.groupBy(col("label"), col("half"), col("j"))
+      .agg(sum(col("qi")).as("sq"), count(lit(1)).as("n"))
+      .withColumn("c", expr("sq div n"))
+    val a = cent.filter(col("half") === 0).select(col("label"), col("j"), col("c").as("ca"), col("n").as("na"))
+    val b = cent.filter(col("half") === 1).select(col("label"), col("j"), col("c").as("cb"), col("n").as("nb"))
+    a.join(b, Seq("label", "j"))
+      .groupBy(col("label"))
+      .agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+        sum(col("ca") * col("cb")).as("dot"),
+        sum(col("ca") * col("ca")).as("naa"),
+        sum(col("cb") * col("cb")).as("nbb"))
+      .select(col("label"), col("n_a"), col("n_b"),
+        round(col("dot").cast("double") /
+          (sqrt(col("naa").cast("double")) * sqrt(col("nbb").cast("double"))), 6)
+          .as("centroid_cos"))
+      .orderBy(col("label"))
+  }
+
+  private val simLabelDriftSql =
+    """WITH e AS (SELECT vec_id, label, vec_id % 2 AS half,
+      |    list_transform(embedding::DOUBLE[], x -> CAST(round(x * 1000000.0) AS BIGINT)) AS q
+      |  FROM embeddings),
+      |px AS (SELECT label, half, j.range AS j, q[CAST(j.range AS INT) + 1] AS qi
+      |       FROM e CROSS JOIN range(0, 64) j),
+      |cent AS (SELECT label, half, j, CAST(SUM(qi) AS BIGINT) // COUNT(*) AS c,
+      |           COUNT(*) AS n
+      |         FROM px GROUP BY label, half, j),
+      |j2 AS (SELECT a.label, a.j, a.c AS ca, b.c AS cb, a.n AS na, b.n AS nb
+      |       FROM cent a JOIN cent b ON a.label = b.label AND a.j = b.j
+      |       WHERE a.half = 0 AND b.half = 1)
+      |SELECT label, MAX(na) AS n_a, MAX(nb) AS n_b,
+      |  ROUND(CAST(SUM(ca * cb) AS DOUBLE)
+      |    / (sqrt(CAST(SUM(ca * ca) AS DOUBLE)) * sqrt(CAST(SUM(cb * cb) AS DOUBLE))), 6)
+      |    AS centroid_cos
+      |FROM j2 GROUP BY label ORDER BY label""".stripMargin
+
+  /** Embedding outlier screen: top-20 vectors by exact integer squared
+    * distance to the global micro-unit centroid — fully integer end to
+    * end (micro-quantized coords, floor-div centroid, Σ(q−c)² ≤
+    * 64·(2·10⁶)² per row, far inside 2⁵³), NO rounding anywhere. The
+    * cheap embedding-space anomaly gate before any kNN-based scoring;
+    * at scale the centroid is one 64-row broadcast and the scan is
+    * map-only. */
+  private def simEmbedOutliers(s: SparkSession, dir: String): DataFrame = {
+    val q = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"),
+        posexplode(graft.similarity.VectorOps.toDouble(col("embedding"))).as(Seq("j", "x")))
+      .withColumn("qi", round(col("x") * 1000000.0).cast("long"))
+    val cent = q.groupBy(col("j"))
+      .agg(sum(col("qi")).as("sq"), count(lit(1)).as("n"))
+      .select(col("j"), expr("sq div n").as("c"))
+    q.join(broadcast(cent), "j")
+      .groupBy(col("vec_id"), col("label"))
+      .agg(sum((col("qi") - col("c")) * (col("qi") - col("c"))).as("dist_sq"))
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("dist_sq").desc, col("vec_id"))))
+      .filter(col("rnk") <= 20)
+      .select(col("rnk"), col("vec_id"), col("label"), col("dist_sq"))
+      .orderBy(col("rnk"))
+  }
+
+  private val simEmbedOutliersSql =
+    """WITH e AS (SELECT vec_id, label,
+      |    list_transform(embedding::DOUBLE[], x -> CAST(round(x * 1000000.0) AS BIGINT)) AS q
+      |  FROM embeddings),
+      |px AS (SELECT vec_id, label, j.range AS j, q[CAST(j.range AS INT) + 1] AS qi
+      |       FROM e CROSS JOIN range(0, 64) j),
+      |cent AS (SELECT j, CAST(SUM(qi) AS BIGINT) // COUNT(*) AS c FROM px GROUP BY j),
+      |ds AS (SELECT vec_id, label,
+      |         CAST(SUM((qi - c) * (qi - c)) AS BIGINT) AS dist_sq
+      |       FROM px JOIN cent USING (j) GROUP BY vec_id, label),
+      |rk AS (SELECT vec_id, label, dist_sq,
+      |         ROW_NUMBER() OVER (ORDER BY dist_sq DESC, vec_id) AS rnk FROM ds)
+      |SELECT rnk, vec_id, label, dist_sq FROM rk WHERE rnk <= 20 ORDER BY rnk""".stripMargin
+
+  /** Radius search at cosine ≥ 0.30 over portable LSH band candidates
+    * ([[graft.similarity.VectorOps.rangeSearchPortable]]): every
+    * unordered pair sharing an SRP band scored once, 6-dp threshold —
+    * the similarity-FLOOR retrieval primitive next to top-k. Recall is
+    * band-bounded by construction (documented trade); the oracle
+    * replays hyperplanes, micro-quantization, band keys, the pair
+    * dedup, and the threshold bit-for-bit. */
+  private def simRangeSearch(s: SparkSession, dir: String): DataFrame =
+    graft.similarity.VectorOps.rangeSearchPortable(
+        Tables.embeddings(s, dir), tau = 0.30, dim = 64)
+      .orderBy(col("a_id"), col("b_id"))
+
+  private val simRangeSearchSql =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |vq AS (SELECT vec_id, v,
+      |    list_transform(v, x -> CAST(round(x * 1000000.0) AS BIGINT)) AS q
+      |  FROM e),
+      |planes AS (SELECT t1.range AS i, t2.range AS j,
+      |    2 * (instr('0123456789abcdef', substr(md5('lsh:' ||
+      |      CAST(t1.range AS VARCHAR) || ':' || CAST(t2.range AS VARCHAR)), 1, 1)) - 1) - 15 AS h
+      |  FROM range(0, 16) t1, range(0, 64) t2),
+      |bits AS (SELECT vq.vec_id, p.i,
+      |    CASE WHEN SUM(p.h * vq.q[CAST(p.j AS INT) + 1]) >= 0 THEN 1 ELSE 0 END AS b
+      |  FROM vq CROSS JOIN planes p GROUP BY vq.vec_id, p.i),
+      |bands AS (SELECT vec_id, CAST(i // 4 AS INT) AS band_id,
+      |    CAST(SUM(b * (1 << CAST(i % 4 AS INT))) AS BIGINT) AS band_key
+      |  FROM bits GROUP BY 1, 2),
+      |pairs AS (SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+      |  FROM bands a JOIN bands b USING (band_id, band_key)
+      |  WHERE a.vec_id < b.vec_id),
+      |scored AS (SELECT p.a_id, p.b_id,
+      |    ROUND(list_cosine_similarity(ea.v, eb.v), 6) AS sim
+      |  FROM pairs p JOIN e ea ON ea.vec_id = p.a_id
+      |               JOIN e eb ON eb.vec_id = p.b_id)
+      |SELECT a_id, b_id, sim FROM scored WHERE sim >= 0.30
+      |ORDER BY a_id, b_id""".stripMargin
+
   // ----------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -14493,6 +14670,10 @@ object SparkEntry {
     "mm_image_dominant" -> (mmImageDominant _),
     "mm_audio_clipping" -> (mmAudioClipping _),
     "mm_video_motion" -> (mmVideoMotion _),
+    "sim_dim_truncate" -> (simDimTruncate _),
+    "sim_label_drift" -> (simLabelDrift _),
+    "sim_embed_outliers" -> (simEmbedOutliers _),
+    "sim_range_search" -> (simRangeSearch _),
     "an_spearman" -> (anSpearman _),
     "an_kendall_tau" -> (anKendallTau _),
     "an_roc_auc" -> (anRocAuc _),
@@ -14826,6 +15007,10 @@ object SparkEntry {
     "mm_image_dominant" -> mmImageDominantSql,
     "mm_audio_clipping" -> mmAudioClippingSql,
     "mm_video_motion" -> mmVideoMotionSql,
+    "sim_dim_truncate" -> simDimTruncateSql,
+    "sim_label_drift" -> simLabelDriftSql,
+    "sim_embed_outliers" -> simEmbedOutliersSql,
+    "sim_range_search" -> simRangeSearchSql,
     "an_spearman" -> anSpearmanSql,
     "an_kendall_tau" -> anKendallTauSql,
     "an_roc_auc" -> anRocAucSql,

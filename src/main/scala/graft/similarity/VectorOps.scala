@@ -343,6 +343,37 @@ object VectorOps {
     bandCandidateTopK(e, q, k)
   }
 
+  /** Radius (threshold) search over LSH band candidates: all unordered
+    * pairs sharing at least one portable SRP band whose 6-dp exact
+    * cosine meets `tau` — the "find everything this similar" primitive
+    * beside top-k retrieval (dedup sweeps and recall audits want a
+    * similarity FLOOR, not a count). Candidate generation is the
+    * [[lshTopKPortable]] band join (sub-quadratic, integer-exact band
+    * keys); scoring rounds at 6 with (a,b) ordering so the pair set is
+    * engine-replayable. Recall is LSH-bounded by construction — pairs
+    * in no shared band are not scored — which is the documented
+    * production trade; the exact variant is bruteForceTopK at sampled
+    * scale. */
+  def rangeSearchPortable(embeddings: DataFrame, tau: Double, dim: Int,
+                          nBits: Int = 16, nBands: Int = 4,
+                          idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    def banded(df: DataFrame, id: String, vec: String, nrm: String): DataFrame = {
+      df.select(col(id), toDouble(col(vec)).as(vec))
+        .withColumn(nrm, norm(col(vec)))
+        .withColumn("band", explode(portableBandArray(col(vec), dim, nBits, nBands)))
+        .select(col(id), col(vec), col(nrm), col("band.band_id"), col("band.band_key"))
+    }
+    val a = banded(embeddings.select(col(idCol).as("a_id"), col(vecCol).as("av")), "a_id", "av", "an")
+    val b = banded(embeddings.select(col(idCol).as("b_id"), col(vecCol).as("bv")), "b_id", "bv", "bn")
+    a.join(b, Seq("band_id", "band_key"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), col("av"), col("bv"), col("an"), col("bn"))
+      .dropDuplicates("a_id", "b_id")
+      .withColumn("sim", round(dot(col("av"), col("bv")) / (col("an") * col("bn")), 6))
+      .filter(col("sim") >= tau)
+      .select(col("a_id"), col("b_id"), col("sim"))
+  }
+
   /** THREE-stage production retrieval: LSH band candidates →
     * int8-quantized candidate scoring → exact cosine rerank of the
     * top-`c` survivors. This is [[quantizedRerankTopK]] with its

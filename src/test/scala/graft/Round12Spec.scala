@@ -212,6 +212,40 @@ class Round12Spec extends SparkSpec {
     rows.foreach(r => assert(r._3 <= r._2 && r._4 <= 32768))
   }
 
+  test("dim truncate: overlap in [0,5]; identical dims would give 5") {
+    val rows = SparkEntry.queries("sim_dim_truncate")(spark, sfDir)
+      .select("overlap5").as[Long].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(v => v >= 0 && v <= 5))
+  }
+
+  test("label drift: centroid cosine within [-1, 1], halves populated") {
+    val rows = SparkEntry.queries("sim_label_drift")(spark, sfDir)
+      .select("n_a", "n_b", "centroid_cos").as[(Long, Long, Double)].collect()
+    rows.foreach { r =>
+      assert(r._1 > 0 && r._2 > 0)
+      assert(r._3 >= -1.0 - 1e-9 && r._3 <= 1.0 + 1e-9)
+    }
+  }
+
+  test("embed outliers: ranks strictly ordered by distance desc") {
+    val rows = SparkEntry.queries("sim_embed_outliers")(spark, sfDir)
+      .select("rnk", "dist_sq").as[(Int, Long)].collect().sortBy(_._1)
+    assert(rows.map(_._2).sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+    assert(rows.forall(_._2 >= 0))
+  }
+
+  test("range search: pairs ordered, sims at or above the floor") {
+    val rows = SparkEntry.queries("sim_range_search")(spark, sfDir)
+      .select("a_id", "b_id", "sim").as[(Long, Long, Double)].collect()
+    rows.foreach { r =>
+      assert(r._1 < r._2, "pairs must be (a < b) canonical")
+      assert(r._3 >= 0.30)
+    }
+    // every emitted pair appears exactly once
+    assert(rows.map(r => (r._1, r._2)).distinct.length == rows.length)
+  }
+
   test("video motion: scene structure means motion only at 3-frame boundaries") {
     val rows = SparkEntry.queries("mm_video_motion")(spark, sfDir)
       .select("doc_id", "n_transitions", "n_moving").as[(Long, Long, Long)].collect()
