@@ -14521,6 +14521,293 @@ object SparkEntry {
       |SELECT a_id, b_id, sim FROM scored WHERE sim >= 0.30
       |ORDER BY a_id, b_id""".stripMargin
 
+  /** Composite data-quality scorecard over the customer dimension: four
+    * production rules (negative balance, out-of-domain segment, blank
+    * name, orphaned — no orders) each contribute exact violation counts
+    * and an IEEE pass rate, plus a TOTAL row with the equal-weight
+    * composite. The orphan rule rides ONE left anti-ish aggregate
+    * (orders key set joined once); everything else is row-local. The
+    * one-stop health number etl_validate's per-rule table feeds. */
+  private def etlDqScore(s: SparkSession, dir: String): DataFrame = {
+    val hasOrders = Tables.orders(s, dir).select(col("o_custkey")).distinct()
+    val base = Tables.customer(s, dir)
+      .join(hasOrders, col("c_custkey") === col("o_custkey"), "left")
+    val agg = base.agg(
+      count(lit(1)).as("n"),
+      sum((col("c_acctbal") < 0).cast("long")).as("neg_bal"),
+      sum((!col("c_mktsegment").isin(
+        "AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")).cast("long")).as("bad_seg"),
+      sum((length(col("c_name")) === 0).cast("long")).as("blank_name"),
+      sum(col("o_custkey").isNull.cast("long")).as("orphans"))
+    val rules = Seq(("neg_balance", "neg_bal"), ("bad_segment", "bad_seg"),
+      ("blank_name", "blank_name"), ("no_orders", "orphans"))
+    val perRule = rules.map { case (label, c) =>
+      agg.select(lit(label).as("rule"), col(c).as("n_violations"),
+        (lit(1.0) - col(c).cast("double") / col("n").cast("double")).as("pass_rate"))
+    }.reduce(_.unionAll(_))
+    val total = agg.select(lit("TOTAL").as("rule"),
+      (col("neg_bal") + col("bad_seg") + col("blank_name") + col("orphans")).as("n_violations"),
+      (lit(1.0) - (col("neg_bal") + col("bad_seg") + col("blank_name") + col("orphans"))
+        .cast("double") / (col("n") * 4).cast("double")).as("pass_rate"))
+    perRule.unionAll(total).orderBy(col("rule"))
+  }
+
+  private val etlDqScoreSql =
+    """WITH b AS (SELECT c_acctbal, c_mktsegment, c_name, o_custkey
+      |  FROM customer LEFT JOIN (SELECT DISTINCT o_custkey FROM orders) o
+      |    ON c_custkey = o_custkey),
+      |a AS (SELECT COUNT(*) AS n,
+      |  CAST(SUM(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END) AS BIGINT) AS neg_bal,
+      |  CAST(SUM(CASE WHEN c_mktsegment NOT IN
+      |    ('AUTOMOBILE','BUILDING','FURNITURE','HOUSEHOLD','MACHINERY')
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS bad_seg,
+      |  CAST(SUM(CASE WHEN length(c_name) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS blank_name,
+      |  CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS orphans
+      |  FROM b)
+      |SELECT rule, n_violations, pass_rate FROM (
+      |  SELECT 'neg_balance' AS rule, neg_bal AS n_violations,
+      |    1.0 - CAST(neg_bal AS DOUBLE) / CAST(n AS DOUBLE) AS pass_rate FROM a
+      |  UNION ALL SELECT 'bad_segment', bad_seg,
+      |    1.0 - CAST(bad_seg AS DOUBLE) / CAST(n AS DOUBLE) FROM a
+      |  UNION ALL SELECT 'blank_name', blank_name,
+      |    1.0 - CAST(blank_name AS DOUBLE) / CAST(n AS DOUBLE) FROM a
+      |  UNION ALL SELECT 'no_orders', orphans,
+      |    1.0 - CAST(orphans AS DOUBLE) / CAST(n AS DOUBLE) FROM a
+      |  UNION ALL SELECT 'TOTAL', neg_bal + bad_seg + blank_name + orphans,
+      |    1.0 - CAST(neg_bal + bad_seg + blank_name + orphans AS DOUBLE)
+      |      / CAST(n * 4 AS DOUBLE) FROM a) t
+      |ORDER BY rule""".stripMargin
+
+  /** Schema inference over a stringified extract — the typed-ingest
+    * front door for schema-less CSV/JSON feeds: each candidate column's
+    * string values are classified by PORTABLE string algebra (translate
+    * digit-strip, split on '.', ISO-date shape checks — never regex,
+    * java.util.regex vs RE2 is not replay-safe), and the inferred type
+    * is the tightest class that covers every row. One row-local pass +
+    * a 4-row aggregate. */
+  private def etlTypeInfer(s: SparkSession, dir: String): DataFrame = {
+    // price string built from EXACT cents (decimal cast then integer
+    // split), not a float formatter — printf/format_number round-mode
+    // differences across engines are not replay-safe
+    val o = Tables.orders(s, dir)
+      .withColumn("cents", (col("o_totalprice").cast("decimal(24,2)") * 100).cast("bigint"))
+      .select(
+        col("o_orderkey").cast("string").as("c_key"),
+        concat(expr("cents div 100").cast("string"), lit("."),
+          lpad(pmod(col("cents"), lit(100)).cast("string"), 2, "0")).as("c_price"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("c_date"),
+        col("o_orderpriority").as("c_text"))
+    def digitsOnly(c: Column) = length(translate(c, "0123456789", "")) === 0 && length(c) > 0
+    def numericShape(c: Column) = {
+      // try_element_at: the ANSI-safe array probe (plain element_at
+      // throws on out-of-bounds under Spark 4's default ANSI mode)
+      val parts = split(c, "\\.")
+      digitsOnly(c) || (size(parts) === 2 &&
+        coalesce(digitsOnly(try_element_at(parts, lit(1))), lit(false)) &&
+        coalesce(digitsOnly(try_element_at(parts, lit(2))), lit(false)))
+    }
+    def dateShape(c: Column) =
+      length(c) === 10 && substring(c, 5, 1) === "-" && substring(c, 8, 1) === "-" &&
+        digitsOnly(substring(c, 1, 4)) && digitsOnly(substring(c, 6, 2)) &&
+        digitsOnly(substring(c, 9, 2))
+    val cols = Seq("c_key", "c_price", "c_date", "c_text")
+    cols.map { name =>
+      o.agg(count(lit(1)).as("n"),
+          sum(digitsOnly(col(name)).cast("long")).as("n_int"),
+          sum(numericShape(col(name)).cast("long")).as("n_numeric"),
+          sum(dateShape(col(name)).cast("long")).as("n_date"))
+        .select(lit(name).as("col_name"), col("n"), col("n_int"), col("n_numeric"),
+          col("n_date"),
+          when(col("n_int") === col("n"), "bigint")
+            .when(col("n_numeric") === col("n"), "double")
+            .when(col("n_date") === col("n"), "date")
+            .otherwise("string").as("inferred"))
+    }.reduce(_.unionAll(_)).orderBy(col("col_name"))
+  }
+
+  private val etlTypeInferSql = {
+    def digits(c: String) =
+      s"(length(translate($c, '0123456789', '')) = 0 AND length($c) > 0)"
+    def numeric(c: String) =
+      s"(${digits(c)} OR (len(string_split($c, '.')) = 2" +
+        s" AND ${digits(s"string_split($c, '.')[1]")}" +
+        s" AND ${digits(s"string_split($c, '.')[2]")}))"
+    def dateShape(c: String) =
+      s"(length($c) = 10 AND substr($c, 5, 1) = '-' AND substr($c, 8, 1) = '-'" +
+        s" AND ${digits(s"substr($c, 1, 4)")} AND ${digits(s"substr($c, 6, 2)")}" +
+        s" AND ${digits(s"substr($c, 9, 2)")})"
+    def one(name: String, expr: String) =
+      s"""SELECT '$name' AS col_name, COUNT(*) AS n,
+         |  CAST(SUM(CASE WHEN ${digits("v")} THEN 1 ELSE 0 END) AS BIGINT) AS n_int,
+         |  CAST(SUM(CASE WHEN ${numeric("v")} THEN 1 ELSE 0 END) AS BIGINT) AS n_numeric,
+         |  CAST(SUM(CASE WHEN ${dateShape("v")} THEN 1 ELSE 0 END) AS BIGINT) AS n_date,
+         |  CASE WHEN SUM(CASE WHEN ${digits("v")} THEN 1 ELSE 0 END) = COUNT(*) THEN 'bigint'
+         |       WHEN SUM(CASE WHEN ${numeric("v")} THEN 1 ELSE 0 END) = COUNT(*) THEN 'double'
+         |       WHEN SUM(CASE WHEN ${dateShape("v")} THEN 1 ELSE 0 END) = COUNT(*) THEN 'date'
+         |       ELSE 'string' END AS inferred
+         |FROM (SELECT $expr AS v FROM orders)""".stripMargin
+    val cents = "CAST(CAST(o_totalprice AS DECIMAL(24,2)) * 100 AS BIGINT)"
+    Seq(
+      one("c_key", "CAST(o_orderkey AS VARCHAR)"),
+      one("c_price", s"CAST($cents // 100 AS VARCHAR) || '.' || lpad(CAST($cents % 100 AS VARCHAR), 2, '0')"),
+      one("c_date", "strftime(o_orderdate, '%Y-%m-%d')"),
+      one("c_text", "o_orderpriority")
+    ).mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) u ORDER BY col_name")
+  }
+
+  /** Null-pattern (missingness-combination) mining: three measure
+    * columns get DETERMINISTIC planted nulls (md5-nibble gates at
+    * different rates), and the query surfaces every observed
+    * null-combination bitmask with counts — the MCAR/MNAR structure
+    * audit run before choosing an imputation strategy (correlated
+    * missingness invalidates per-column medians). One row-local
+    * projection + one tiny groupBy. */
+  private def etlNullPatterns(s: SparkSession, dir: String): DataFrame = {
+    def gate(tag: String, lim: Int) =
+      expr(s"(instr('0123456789abcdef', substr(md5(concat('$tag:', CAST(o_orderkey AS STRING))), 1, 1)) - 1) < $lim")
+    Tables.orders(s, dir)
+      .withColumn("m_price", when(gate("np1", 2), lit(null)).otherwise(col("o_totalprice")))
+      .withColumn("m_status", when(gate("np2", 3), lit(null)).otherwise(col("o_orderstatus")))
+      .withColumn("m_prio", when(gate("np1", 2) || gate("np3", 1), lit(null))
+        .otherwise(col("o_orderpriority")))
+      .select(concat(
+        when(col("m_price").isNull, "0").otherwise("1"),
+        when(col("m_status").isNull, "0").otherwise("1"),
+        when(col("m_prio").isNull, "0").otherwise("1")).as("pattern"))
+      .groupBy(col("pattern")).agg(count(lit(1)).as("n"))
+      .withColumn("share", col("n").cast("double") /
+        sum(col("n")).over(Window.partitionBy()).cast("double"))
+      .orderBy(col("pattern"))
+  }
+
+  private val etlNullPatternsSql =
+    """WITH g AS (SELECT
+      |    (instr('0123456789abcdef', substr(md5('np1:' || CAST(o_orderkey AS VARCHAR)), 1, 1)) - 1) < 2 AS g1,
+      |    (instr('0123456789abcdef', substr(md5('np2:' || CAST(o_orderkey AS VARCHAR)), 1, 1)) - 1) < 3 AS g2,
+      |    (instr('0123456789abcdef', substr(md5('np3:' || CAST(o_orderkey AS VARCHAR)), 1, 1)) - 1) < 1 AS g3
+      |  FROM orders),
+      |p AS (SELECT (CASE WHEN g1 THEN '0' ELSE '1' END)
+      |          || (CASE WHEN g2 THEN '0' ELSE '1' END)
+      |          || (CASE WHEN g1 OR g3 THEN '0' ELSE '1' END) AS pattern
+      |      FROM g)
+      |SELECT pattern, COUNT(*) AS n,
+      |  CAST(COUNT(*) AS DOUBLE) / CAST(SUM(COUNT(*)) OVER () AS DOUBLE) AS share
+      |FROM p GROUP BY pattern ORDER BY pattern""".stripMargin
+
+  /** Multi-currency conversion through a broadcast rate table: each
+    * nation gets a deterministic micro-unit rate (1 + nationkey/100,
+    * held as the integer 100+nationkey), customer balances convert in
+    * EXACT integer arithmetic — local = cents·(100+key) div 100 — and
+    * the per-nation reconciliation carries both exact sums. The
+    * standard finance-ETL shape: the fact table never shuffles, the
+    * 25-row rate dimension broadcasts. */
+  private def etlCurrencyConvert(s: SparkSession, dir: String): DataFrame = {
+    val rates = Tables.nation(s, dir)
+      .select(col("n_nationkey"), col("n_name"),
+        (lit(100) + col("n_nationkey")).as("rate_pct"))
+    Tables.customer(s, dir)
+      .withColumn("usd_c", (col("c_acctbal").cast("decimal(24,2)") * 100).cast("bigint"))
+      .join(broadcast(rates), col("c_nationkey") === col("n_nationkey"))
+      .withColumn("local_c", expr("(usd_c * rate_pct) div 100"))
+      .groupBy(col("n_name"), col("rate_pct"))
+      .agg(count(lit(1)).as("n_accounts"),
+        sum(col("usd_c")).as("usd_cents"),
+        sum(col("local_c")).as("local_cents"))
+      .orderBy(col("n_name"))
+  }
+
+  private val etlCurrencyConvertSql =
+    """WITH r AS (SELECT n_nationkey, n_name, 100 + n_nationkey AS rate_pct FROM nation),
+      |c AS (SELECT c_nationkey,
+      |        CAST(CAST(c_acctbal AS DECIMAL(24,2)) * 100 AS BIGINT) AS usd_c
+      |      FROM customer)
+      |SELECT n_name, rate_pct, COUNT(*) AS n_accounts,
+      |  CAST(SUM(usd_c) AS BIGINT) AS usd_cents,
+      |  CAST(SUM((usd_c * rate_pct) // 100) AS BIGINT) AS local_cents
+      |FROM c JOIN r ON c_nationkey = n_nationkey
+      |GROUP BY n_name, rate_pct ORDER BY n_name""".stripMargin
+
+  /** Timezone normalization of locally-stamped events: each user's feed
+    * carries a deterministic zone offset (user_id%5 → {0, +60, +330,
+    * +480, −300} minutes), local stamps are normalized back to UTC in
+    * exact epoch-micro arithmetic (no zone database — the offset table
+    * IS the contract, the replay-safe subset of tz handling), and the
+    * audit reconciles per-zone counts and UTC bounds. Row-local
+    * arithmetic + one tiny aggregate. */
+  private def etlTzNormalize(s: SparkSession, dir: String): DataFrame = {
+    val offMin = element_at(typedLit(Seq(0L, 60L, 330L, 480L, -300L)),
+      (pmod(col("user_id"), lit(5)) + 1).cast("int"))
+    Tables.events(s, dir)
+      .withColumn("off_min", offMin)
+      .withColumn("local_ts", timestamp_micros(unix_micros(col("ts")) + col("off_min") * 60000000L))
+      .withColumn("utc_ts", timestamp_micros(unix_micros(col("local_ts")) - col("off_min") * 60000000L))
+      .groupBy(col("off_min"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        min(col("utc_ts")).as("first_utc"),
+        max(col("utc_ts")).as("last_utc"),
+        sum((col("utc_ts") === col("ts")).cast("long")).as("n_roundtrip_exact"))
+      .orderBy(col("off_min"))
+  }
+
+  private val etlTzNormalizeSql =
+    """WITH e AS (SELECT user_id, ts,
+      |    CAST(([0, 60, 330, 480, -300])[CAST(user_id % 5 AS INT) + 1] AS BIGINT) AS off_min
+      |  FROM events),
+      |x AS (SELECT user_id, ts, off_min,
+      |    make_timestamp(epoch_us(ts) + off_min * 60000000) AS local_ts
+      |  FROM e),
+      |u AS (SELECT user_id, ts, off_min,
+      |    make_timestamp(epoch_us(local_ts) - off_min * 60000000) AS utc_ts
+      |  FROM x)
+      |SELECT off_min, COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users,
+      |  MIN(utc_ts) AS first_utc, MAX(utc_ts) AS last_utc,
+      |  CAST(SUM(CASE WHEN utc_ts = ts THEN 1 ELSE 0 END) AS BIGINT) AS n_roundtrip_exact
+      |FROM u GROUP BY off_min ORDER BY off_min""".stripMargin
+
+  /** Late-arrival audit: within each user's feed, an event is LATE when
+    * its event time precedes the running event-time maximum of earlier
+    * arrivals (arrival order = event_id). Windows partition by user —
+    * the per-key spine any streaming watermark policy is sized from —
+    * and the per-type rollup reports late counts and the worst
+    * lateness in exact micros. This is the batch measurement that
+    * calibrates EventsStream's watermark horizon. */
+  private def etlLatenessAudit(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(s, dir)
+      .withColumn("hwm_us", max(unix_micros(col("ts"))).over(w))
+      .withColumn("late_us",
+        when(col("hwm_us").isNotNull && col("hwm_us") > unix_micros(col("ts")),
+          col("hwm_us") - unix_micros(col("ts"))).otherwise(lit(0L)))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum((col("late_us") > 0).cast("long")).as("n_late"),
+        max(col("late_us")).as("max_late_us"),
+        sum(col("late_us")).as("sum_late_us"))
+      .select(col("event_type"), col("n_events"), col("n_late"), col("max_late_us"),
+        (col("n_late").cast("double") / col("n_events").cast("double")).as("late_rate"),
+        col("sum_late_us"))
+      .orderBy(col("event_type"))
+  }
+
+  private val etlLatenessAuditSql =
+    """WITH h AS (SELECT event_type, ts,
+      |    MAX(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hwm_us
+      |  FROM events),
+      |l AS (SELECT event_type,
+      |    CASE WHEN hwm_us IS NOT NULL AND hwm_us > epoch_us(ts)
+      |      THEN hwm_us - epoch_us(ts) ELSE 0 END AS late_us
+      |  FROM h)
+      |SELECT event_type, COUNT(*) AS n_events,
+      |  CAST(SUM(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+      |  CAST(MAX(late_us) AS BIGINT) AS max_late_us,
+      |  CAST(SUM(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE) AS late_rate,
+      |  CAST(SUM(late_us) AS BIGINT) AS sum_late_us
+      |FROM l GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // ----------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -14674,6 +14961,12 @@ object SparkEntry {
     "sim_label_drift" -> (simLabelDrift _),
     "sim_embed_outliers" -> (simEmbedOutliers _),
     "sim_range_search" -> (simRangeSearch _),
+    "etl_dq_score" -> (etlDqScore _),
+    "etl_type_infer" -> (etlTypeInfer _),
+    "etl_null_patterns" -> (etlNullPatterns _),
+    "etl_currency_convert" -> (etlCurrencyConvert _),
+    "etl_tz_normalize" -> (etlTzNormalize _),
+    "etl_lateness_audit" -> (etlLatenessAudit _),
     "an_spearman" -> (anSpearman _),
     "an_kendall_tau" -> (anKendallTau _),
     "an_roc_auc" -> (anRocAuc _),
@@ -15011,6 +15304,12 @@ object SparkEntry {
     "sim_label_drift" -> simLabelDriftSql,
     "sim_embed_outliers" -> simEmbedOutliersSql,
     "sim_range_search" -> simRangeSearchSql,
+    "etl_dq_score" -> etlDqScoreSql,
+    "etl_type_infer" -> etlTypeInferSql,
+    "etl_null_patterns" -> etlNullPatternsSql,
+    "etl_currency_convert" -> etlCurrencyConvertSql,
+    "etl_tz_normalize" -> etlTzNormalizeSql,
+    "etl_lateness_audit" -> etlLatenessAuditSql,
     "an_spearman" -> anSpearmanSql,
     "an_kendall_tau" -> anKendallTauSql,
     "an_roc_auc" -> anRocAucSql,

