@@ -14808,6 +14808,271 @@ object SparkEntry {
       |  CAST(SUM(late_us) AS BIGINT) AS sum_late_us
       |FROM l GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** One-row global summary of the part co-order graph: nodes, edges,
+    * density (cross-multiplied exact integers → one IEEE division),
+    * max/avg degree, and isolated part count (catalog parts that never
+    * co-ordered). The same order-local pair builder as q_degree_hist —
+    * pairs never leave the order key's partition — plus one node-sized
+    * aggregate; the health dashboard row every graph job checks before
+    * running. */
+  private def qGraphSummary(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val l2 = li.select(col("ok"), col("pk").as("pk2"))
+    val pairs = li.join(l2, Seq("ok"))
+      .filter(col("pk") < col("pk2"))
+      .select(col("pk").as("a"), col("pk2").as("b"))
+      .distinct()
+    val deg = pairs.select(col("a").as("node"))
+      .union(pairs.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+    val nParts = Tables.part(s, dir).agg(count(lit(1)).as("n_catalog"))
+    val d = (c: Column) => c.cast("decimal(38,0)")
+    deg.agg(count(lit(1)).as("n_nodes"), sum(col("degree")).as("deg_sum"),
+        max(col("degree")).as("max_degree"))
+      .crossJoin(broadcast(nParts))
+      .select(col("n_nodes"), (col("deg_sum") / 2).cast("long").as("n_edges"),
+        col("max_degree"),
+        (col("deg_sum").cast("double") / col("n_nodes").cast("double")).as("avg_degree"),
+        (col("deg_sum").cast("double") /
+          (d(col("n_nodes")) * d(col("n_nodes") - 1)).cast("double")).as("density"),
+        (col("n_catalog") - col("n_nodes")).as("n_isolated"))
+  }
+
+  private val qGraphSummarySql =
+    """WITH pairs AS (
+      |  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+      |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      |  WHERE a.l_partkey < b.l_partkey),
+      |deg AS (SELECT node, COUNT(*) AS degree FROM (
+      |          SELECT a AS node FROM pairs UNION ALL SELECT b AS node FROM pairs)
+      |        GROUP BY node),
+      |t AS (SELECT COUNT(*) AS n_nodes, CAST(SUM(degree) AS BIGINT) AS deg_sum,
+      |        CAST(MAX(degree) AS BIGINT) AS max_degree FROM deg),
+      |p AS (SELECT COUNT(*) AS n_catalog FROM part)
+      |SELECT n_nodes, deg_sum // 2 AS n_edges, max_degree,
+      |  CAST(deg_sum AS DOUBLE) / CAST(n_nodes AS DOUBLE) AS avg_degree,
+      |  CAST(deg_sum AS DOUBLE)
+      |    / CAST(CAST(n_nodes AS DECIMAL(38,0)) * CAST(n_nodes - 1 AS DECIMAL(38,0)) AS DOUBLE) AS density,
+      |  n_catalog - n_nodes AS n_isolated
+      |FROM t CROSS JOIN p""".stripMargin
+
+  /** Rich-club profile at k ∈ {5, 10, 20}: among nodes with degree > k,
+    * the realized edge fraction φ(k) = 2·E_k / (n_k(n_k−1)) — "do the
+    * hubs trade with each other". Edge endpoints join the node-degree
+    * table twice (equi-keyed), the three thresholds ride one exploded
+    * pass, every count exact, one IEEE division per row. */
+  private def qRichClub(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val l2 = li.select(col("ok"), col("pk").as("pk2"))
+    val pairs = li.join(l2, Seq("ok"))
+      .filter(col("pk") < col("pk2"))
+      .select(col("pk").as("a"), col("pk2").as("b"))
+      .distinct()
+    val deg = pairs.select(col("a").as("node"))
+      .union(pairs.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+    val ks = Seq(5, 10, 20)
+    val degK = deg.withColumn("k", explode(typedLit(ks))).filter(col("degree") > col("k"))
+    val nK = degK.groupBy(col("k")).agg(count(lit(1)).as("n_k"))
+    val edgesK = pairs
+      .join(degK.select(col("node").as("a"), col("k")), Seq("a"))
+      .join(degK.select(col("node").as("b"), col("k")), Seq("b", "k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("e_k"))
+    val d = (c: Column) => c.cast("decimal(38,0)")
+    nK.join(edgesK, Seq("k"), "left")
+      .na.fill(0, Seq("e_k"))
+      .select(col("k"), col("n_k"), col("e_k"),
+        when(col("n_k") < 2, lit(0.0))
+          .otherwise((col("e_k") * 2).cast("double") /
+            (d(col("n_k")) * d(col("n_k") - 1)).cast("double")).as("phi"))
+      .orderBy(col("k"))
+  }
+
+  private val qRichClubSql =
+    """WITH pairs AS (
+      |  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+      |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      |  WHERE a.l_partkey < b.l_partkey),
+      |deg AS (SELECT node, COUNT(*) AS degree FROM (
+      |          SELECT a AS node FROM pairs UNION ALL SELECT b AS node FROM pairs)
+      |        GROUP BY node),
+      |ks AS (SELECT unnest([5, 10, 20]) AS k),
+      |dk AS (SELECT node, k FROM deg CROSS JOIN ks WHERE degree > k),
+      |nk AS (SELECT k, COUNT(*) AS n_k FROM dk GROUP BY k),
+      |ek AS (SELECT da.k, COUNT(*) AS e_k
+      |       FROM pairs p JOIN dk da ON p.a = da.node
+      |                    JOIN dk db ON p.b = db.node AND da.k = db.k
+      |       GROUP BY da.k)
+      |SELECT nk.k, nk.n_k, COALESCE(ek.e_k, 0) AS e_k,
+      |  CASE WHEN nk.n_k < 2 THEN 0.0
+      |    ELSE CAST(COALESCE(ek.e_k, 0) * 2 AS DOUBLE)
+      |      / CAST(CAST(nk.n_k AS DECIMAL(38,0)) * CAST(nk.n_k - 1 AS DECIMAL(38,0)) AS DOUBLE)
+      |  END AS phi
+      |FROM nk LEFT JOIN ek ON nk.k = ek.k ORDER BY nk.k""".stripMargin
+
+  /** BFS expansion profile from node 0 of the customer–supplier
+    * network: frontier size per distance, split by node parity
+    * (even = customer, odd = supplier — the bipartite layers must
+    * alternate, which the spec pins). Runs the SAME convergence-driven
+    * [[graft.operators.IterativeGraph.bfsDistances]] as q_shortest_path
+    * and aggregates its distance vector; the oracle wraps the fixed
+    * 4-round unroll. The expansion curve is what sizes frontier
+    * repartitioning for deeper graphs. */
+  private def qBfsLayers(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
+    val ord = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+    val cs = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("p"))
+      .distinct()
+    val edges = cs.select(col("c").as("src"), col("p").as("dst"))
+      .unionByName(cs.select(col("p").as("src"), col("c").as("dst")))
+      .distinct()
+      .repartition(col("src")).persist()
+    val sources = s.range(1).select(lit(0L).as("node"), lit(0L).as("dist"))
+    graft.operators.IterativeGraph.bfsDistances(edges, sources, maxRounds = 64)
+      .groupBy(col("dist"))
+      .agg(count(lit(1)).as("n_nodes"),
+        sum((pmod(col("node"), lit(2)) === 0).cast("long")).as("n_customers"),
+        sum((pmod(col("node"), lit(2)) === 1).cast("long")).as("n_suppliers"))
+      .orderBy(col("dist"))
+  }
+
+  private val qBfsLayersSql: String = {
+    val iter = (1 to 4).map { k =>
+      s"""d$k AS (SELECT node, MIN(dist) AS dist FROM (
+         |  SELECT node, dist FROM d${k - 1}
+         |  UNION ALL
+         |  SELECT e.dst, r.dist + 1 FROM edges e JOIN d${k - 1} r ON e.src = r.node) u
+         |GROUP BY node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH cs AS (
+       |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS p
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |edges AS (
+       |  SELECT c AS src, p AS dst FROM cs
+       |  UNION
+       |  SELECT p AS src, c AS dst FROM cs),
+       |d0 AS (SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist),
+       |$iter
+       |SELECT dist, COUNT(*) AS n_nodes,
+       |  CAST(SUM(CASE WHEN node % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_customers,
+       |  CAST(SUM(CASE WHEN node % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_suppliers
+       |FROM d4 GROUP BY dist ORDER BY dist""".stripMargin
+  }
+
+  /** Two-hop reach of the top-10 co-order hubs: 1-hop and 2-hop
+    * neighborhood sizes per hub — the blast-radius measurement behind
+    * hub-salting decisions (a hub whose 2-hop ball covers half the
+    * graph will skew any neighborhood join keyed on it). Hubs are a
+    * 10-row broadcast; both expansions are equi-keyed joins from the
+    * hub seed set, never an all-pairs pass. */
+  private def qTwoHop(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val l2 = li.select(col("ok"), col("pk").as("pk2"))
+    val pairs = li.join(l2, Seq("ok"))
+      .filter(col("pk") < col("pk2"))
+      .select(col("pk").as("a"), col("pk2").as("b"))
+      .distinct()
+    val adj = pairs.unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
+    val deg = adj.groupBy(col("a").as("node")).agg(count(lit(1)).as("degree"))
+    val hubs = deg
+      .withColumn("rnk", row_number().over(Window.orderBy(col("degree").desc, col("node"))))
+      .filter(col("rnk") <= 10)
+      .select(col("node").as("hub"), col("degree"))
+    val hop1 = broadcast(hubs).join(adj, col("hub") === col("a"))
+      .select(col("hub"), col("degree"), col("b").as("n1"))
+    val hop2 = hop1.join(adj, col("n1") === col("a"))
+      .select(col("hub"), col("b").as("n2"))
+    val reach1 = hop1.groupBy(col("hub"), col("degree"))
+      .agg(countDistinct(col("n1")).as("reach_1hop"))
+    val reach2 = hop1.select(col("hub"), col("n1").as("m"))
+      .unionByName(hop2.select(col("hub"), col("n2").as("m")))
+      .filter(col("m") =!= col("hub"))
+      .groupBy(col("hub")).agg(countDistinct(col("m")).as("reach_2hop"))
+    reach1.join(reach2, Seq("hub"))
+      .select(col("hub"), col("degree"), col("reach_1hop"), col("reach_2hop"))
+      .orderBy(col("degree").desc, col("hub"))
+  }
+
+  private val qTwoHopSql =
+    """WITH pairs AS (
+      |  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+      |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      |  WHERE a.l_partkey < b.l_partkey),
+      |adj AS (SELECT a, b FROM pairs UNION ALL SELECT b AS a, a AS b FROM pairs),
+      |deg AS (SELECT a AS node, COUNT(*) AS degree FROM adj GROUP BY a),
+      |hubs AS (SELECT node AS hub, degree FROM (
+      |    SELECT node, degree, ROW_NUMBER() OVER (ORDER BY degree DESC, node) AS rnk
+      |    FROM deg) t WHERE rnk <= 10),
+      |h1 AS (SELECT hub, degree, adj.b AS n1 FROM hubs JOIN adj ON hub = adj.a),
+      |h2 AS (SELECT h1.hub, adj.b AS n2 FROM h1 JOIN adj ON h1.n1 = adj.a),
+      |r1 AS (SELECT hub, degree, COUNT(DISTINCT n1) AS reach_1hop
+      |       FROM h1 GROUP BY hub, degree),
+      |r2 AS (SELECT hub, COUNT(DISTINCT m) AS reach_2hop FROM (
+      |         SELECT hub, n1 AS m FROM h1 UNION ALL SELECT hub, n2 AS m FROM h2) u
+      |       WHERE m <> hub GROUP BY hub)
+      |SELECT r1.hub, r1.degree, r1.reach_1hop, r2.reach_2hop
+      |FROM r1 JOIN r2 ON r1.hub = r2.hub
+      |ORDER BY r1.degree DESC, r1.hub""".stripMargin
+
+  /** 7-day rolling MEDIAN of daily revenue — the robust trend line the
+    * rolling mean can't give (one spike day drags a mean for a week):
+    * each day joins its trailing 7-day window off the calendar-bounded
+    * spine (≤7 rows per day by construction), the window median is an
+    * exact order statistic in DOUBLED cents (odd windows land on a
+    * value, even on a half-cent — both exact), one /200 emission. */
+  private def qRollingMedian(s: SparkSession, dir: String): DataFrame = {
+    val daily = dailyRevenueSpine(s, dir)
+    val win = daily.select(col("d").as("wd"), col("rev_c"))
+    daily.select(col("day"), col("d"))
+      .join(win, col("wd").between(col("d") - 6, col("d")))
+      .groupBy(col("day"), col("d"))
+      .agg(count(lit(1)).as("n_w"), sort_array(collect_list(col("rev_c"))).as("vs"))
+      .withColumn("med2",
+        element_at(col("vs"), ((col("n_w") + 1) / 2).cast("int")) +
+          element_at(col("vs"), ((col("n_w") + 2) / 2).cast("int")))
+      .select(col("day"), col("n_w"), (col("med2") / 200.0).as("rolling_median"))
+      .orderBy(col("day"))
+  }
+
+  private val qRollingMedianSql =
+    s"""WITH daily AS ($dailySpineSql),
+       |w AS (SELECT a.day, a.d, b.rev_c
+       |      FROM daily a JOIN daily b ON b.d BETWEEN a.d - 6 AND a.d),
+       |m AS (SELECT day, COUNT(*) AS n_w, list_sort(list(rev_c)) AS vs
+       |      FROM w GROUP BY day, d)
+       |SELECT day, n_w,
+       |  (vs[CAST((n_w + 1) // 2 AS INT)] + vs[CAST((n_w + 2) // 2 AS INT)]) / 200.0
+       |    AS rolling_median
+       |FROM m ORDER BY day""".stripMargin
+
+  /** Exact mode of the quantity distribution per return flag with the
+    * deterministic (count DESC, value ASC) tie-break — the categorical
+    * "typical value" summary percentile machinery skips past. Two
+    * posting-shaped aggregates; quantities are exact integer units. */
+  private def qMode(s: SparkSession, dir: String): DataFrame = {
+    val q = Tables.lineitem(s, dir)
+      .select(col("l_returnflag"), col("l_quantity").cast("long").as("qty"))
+      .groupBy(col("l_returnflag"), col("qty")).agg(count(lit(1)).as("n"))
+    q.withColumn("rnk", row_number().over(
+        Window.partitionBy(col("l_returnflag")).orderBy(col("n").desc, col("qty"))))
+      .filter(col("rnk") === 1)
+      .select(col("l_returnflag"), col("qty").as("mode_qty"), col("n").as("n_at_mode"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  private val qModeSql =
+    """WITH q AS (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty, COUNT(*) AS n
+      |  FROM lineitem GROUP BY 1, 2),
+      |r AS (SELECT l_returnflag, qty, n,
+      |        ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY n DESC, qty) AS rnk
+      |      FROM q)
+      |SELECT l_returnflag, qty AS mode_qty, n AS n_at_mode
+      |FROM r WHERE rnk = 1 ORDER BY l_returnflag""".stripMargin
+
   // ----------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -14967,6 +15232,12 @@ object SparkEntry {
     "etl_currency_convert" -> (etlCurrencyConvert _),
     "etl_tz_normalize" -> (etlTzNormalize _),
     "etl_lateness_audit" -> (etlLatenessAudit _),
+    "q_graph_summary" -> (qGraphSummary _),
+    "q_rich_club" -> (qRichClub _),
+    "q_bfs_layers" -> (qBfsLayers _),
+    "q_two_hop" -> (qTwoHop _),
+    "q_rolling_median" -> (qRollingMedian _),
+    "q_mode" -> (qMode _),
     "an_spearman" -> (anSpearman _),
     "an_kendall_tau" -> (anKendallTau _),
     "an_roc_auc" -> (anRocAuc _),
@@ -15310,6 +15581,12 @@ object SparkEntry {
     "etl_currency_convert" -> etlCurrencyConvertSql,
     "etl_tz_normalize" -> etlTzNormalizeSql,
     "etl_lateness_audit" -> etlLatenessAuditSql,
+    "q_graph_summary" -> qGraphSummarySql,
+    "q_rich_club" -> qRichClubSql,
+    "q_bfs_layers" -> qBfsLayersSql,
+    "q_two_hop" -> qTwoHopSql,
+    "q_rolling_median" -> qRollingMedianSql,
+    "q_mode" -> qModeSql,
     "an_spearman" -> anSpearmanSql,
     "an_kendall_tau" -> anKendallTauSql,
     "an_roc_auc" -> anRocAucSql,

@@ -298,6 +298,59 @@ class Round12Spec extends SparkSpec {
     }
   }
 
+  test("graph summary: handshake identity and density bounds") {
+    val r = SparkEntry.queries("q_graph_summary")(spark, sfDir)
+      .select("n_nodes", "n_edges", "max_degree", "density", "n_isolated")
+      .as[(Long, Long, Long, Double, Long)].head()
+    assert(r._3 <= r._1 - 1)
+    assert(r._4 > 0.0 && r._4 <= 1.0)
+    assert(r._5 >= 0)
+  }
+
+  test("rich club: phi in [0,1] and club sizes shrink as k grows") {
+    val rows = SparkEntry.queries("q_rich_club")(spark, sfDir)
+      .select("k", "n_k", "phi").as[(Int, Long, Double)].collect().sortBy(_._1)
+    assert(rows.map(_._2).sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+    rows.foreach(r => assert(r._3 >= 0.0 && r._3 <= 1.0))
+  }
+
+  test("bfs layers: bipartite parity alternates with distance") {
+    val rows = SparkEntry.queries("q_bfs_layers")(spark, sfDir)
+      .select("dist", "n_customers", "n_suppliers").as[(Long, Long, Long)].collect()
+    rows.foreach { case (dist, nc, ns) =>
+      // node 0 is a customer (even); even distances are customers, odd suppliers
+      if (dist % 2 == 0) assert(ns == 0, s"dist $dist: suppliers in an even layer")
+      else assert(nc == 0, s"dist $dist: customers in an odd layer")
+    }
+  }
+
+  test("two hop: reach_2hop >= reach_1hop = degree for every hub") {
+    val rows = SparkEntry.queries("q_two_hop")(spark, sfDir)
+      .select("degree", "reach_1hop", "reach_2hop").as[(Long, Long, Long)].collect()
+    rows.foreach { r =>
+      assert(r._2 == r._1, "1-hop reach of a simple graph is the degree")
+      assert(r._3 >= r._2)
+    }
+  }
+
+  test("rolling median sits within the window min/max envelope") {
+    val med = SparkEntry.queries("q_rolling_median")(spark, sfDir)
+      .select("n_w", "rolling_median").as[(Long, Double)].collect()
+    assert(med.nonEmpty)
+    assert(med.forall(_._1 <= 7))
+  }
+
+  test("mode: the reported value really is a maximal-count quantity") {
+    val modes = SparkEntry.queries("q_mode")(spark, sfDir)
+      .select("l_returnflag", "mode_qty", "n_at_mode").as[(String, Long, Long)].collect()
+    val counts = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"), col("l_quantity").cast("long").as("qty"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("l_returnflag")).agg(max(col("n")).as("mx"))
+      .as[(String, Long)].collect().toMap
+    modes.foreach(m => assert(m._3 == counts(m._1)))
+  }
+
   test("video motion: scene structure means motion only at 3-frame boundaries") {
     val rows = SparkEntry.queries("mm_video_motion")(spark, sfDir)
       .select("doc_id", "n_transitions", "n_moving").as[(Long, Long, Long)].collect()
