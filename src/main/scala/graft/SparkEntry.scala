@@ -15073,6 +15073,375 @@ object SparkEntry {
       |SELECT l_returnflag, qty AS mode_qty, n AS n_at_mode
       |FROM r WHERE rnk = 1 ORDER BY l_returnflag""".stripMargin
 
+  /** Rescaled-range (Hurst) analysis of daily revenue at window sizes
+    * {8,16,32}: within each complete window the mean-adjusted cumulative
+    * deviation is kept EXACT by scaling through w (D_k = w·prefix_k −
+    * k·S, a DECIMAL(38,0) integer), so R/S = (maxD − minD)/√(w·Q − S²)
+    * is two exact operands through one correctly-rounded sqrt and
+    * division, ROUND 6 per window; the Hurst exponent is the 3-point
+    * ln-ln OLS slope over the per-size mean R/S. H≈0.5 = random walk,
+    * H>0.5 = trending — the long-memory screen beside an_autocorr. */
+  private def anHurst(s: SparkSession, dir: String): DataFrame = {
+    val daily = dailyRevenueSpine(s, dir)
+      .withColumn("idx", row_number().over(Window.orderBy(col("d"))).cast("long"))
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    val perW = Seq(8, 16, 32).map { w =>
+      val wl = lit(w.toLong)
+      val win = Window.partitionBy(col("win_id"))
+      val winOrd = Window.partitionBy(col("win_id")).orderBy(col("idx"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      daily
+        .withColumn("win_id", expr(s"(idx - 1) div $w"))
+        .withColumn("k", col("idx") - col("win_id") * wl)
+        .withColumn("cnt", count(lit(1)).over(win))
+        .filter(col("cnt") === wl)
+        .withColumn("sw", sum(d38(col("rev_c"))).over(win))
+        .withColumn("qw", sum(d38(col("rev_c")) * d38(col("rev_c"))).over(win))
+        .withColumn("pref", sum(d38(col("rev_c"))).over(winOrd))
+        .withColumn("dk", col("pref") * wl - d38(col("k")) * col("sw"))
+        .groupBy(col("win_id"))
+        .agg(max(col("dk")).as("mx"), min(col("dk")).as("mn"),
+          max(col("sw")).as("sw"), max(col("qw")).as("qw"))
+        .select(lit(w.toLong).as("w"),
+          round((col("mx") - col("mn")).cast("double") /
+            sqrt((col("qw") * wl - col("sw") * col("sw")).cast("double")), 6).as("rs"))
+    }.reduce(_.unionAll(_))
+    def gather(c: Column) = sum(c.cast("decimal(38,18)")).cast("decimal(38,18)")
+    val byW = perW.groupBy(col("w"))
+      .agg(count(lit(1)).as("n_windows"),
+        round(gather(col("rs")).cast("double") / count(lit(1)).cast("double"), 6).as("mean_rs"))
+    val fit = byW.agg(count(lit(1)).as("np"),
+        gather(log(col("w").cast("double"))).as("sx"),
+        gather(log(col("mean_rs"))).as("sy"),
+        gather(log(col("w").cast("double")) * log(col("w").cast("double"))).as("sxx"),
+        gather(log(col("w").cast("double")) * log(col("mean_rs"))).as("sxy"))
+      .select(round((col("np") * col("sxy") - col("sx") * col("sy")).cast("double") /
+        (col("np") * col("sxx") - col("sx") * col("sx")).cast("double"), 6).as("hurst"))
+    byW.crossJoin(broadcast(fit)).orderBy(col("w"))
+  }
+
+  private val anHurstSql = {
+    def one(w: Int) =
+      s"""SELECT CAST($w AS BIGINT) AS w, win_id,
+         |  ROUND(CAST(MAX(dk) - MIN(dk) AS DOUBLE)
+         |    / sqrt(CAST(MAX(qw) * $w - MAX(sw) * MAX(sw) AS DOUBLE)), 6) AS rs
+         |FROM (
+         |  SELECT win_id, k,
+         |    SUM(CAST(rev_c AS DECIMAL(38,0))) OVER (PARTITION BY win_id) AS sw,
+         |    SUM(CAST(rev_c AS DECIMAL(38,0)) * CAST(rev_c AS DECIMAL(38,0)))
+         |      OVER (PARTITION BY win_id) AS qw,
+         |    COUNT(*) OVER (PARTITION BY win_id) AS cnt,
+         |    SUM(CAST(rev_c AS DECIMAL(38,0))) OVER (PARTITION BY win_id ORDER BY idx
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * $w
+         |      - CAST(k AS DECIMAL(38,0)) *
+         |        SUM(CAST(rev_c AS DECIMAL(38,0))) OVER (PARTITION BY win_id) AS dk
+         |  FROM (SELECT rev_c, idx, (idx - 1) // $w AS win_id,
+         |          idx - ((idx - 1) // $w) * $w AS k FROM di) x) y
+         |WHERE cnt = $w GROUP BY win_id""".stripMargin
+    s"""WITH daily AS ($dailySpineSql),
+       |di AS (SELECT rev_c, CAST(ROW_NUMBER() OVER (ORDER BY d) AS BIGINT) AS idx FROM daily),
+       |rsw AS (${Seq(8, 16, 32).map(one).mkString("\nUNION ALL\n")}),
+       |byw AS (SELECT w, COUNT(*) AS n_windows,
+       |    ROUND(CAST(CAST(SUM(CAST(rs AS DECIMAL(38,18))) AS DECIMAL(38,18)) AS DOUBLE)
+       |      / CAST(COUNT(*) AS DOUBLE), 6) AS mean_rs
+       |  FROM rsw GROUP BY w),
+       |fit AS (SELECT ROUND(
+       |    CAST(COUNT(*) * CAST(SUM(CAST(ln(CAST(w AS DOUBLE)) * ln(mean_rs) AS DECIMAL(38,18))) AS DECIMAL(38,18))
+       |      - CAST(SUM(CAST(ln(CAST(w AS DOUBLE)) AS DECIMAL(38,18))) AS DECIMAL(38,18))
+       |        * CAST(SUM(CAST(ln(mean_rs) AS DECIMAL(38,18))) AS DECIMAL(38,18)) AS DOUBLE)
+       |    / CAST(COUNT(*) * CAST(SUM(CAST(ln(CAST(w AS DOUBLE)) * ln(CAST(w AS DOUBLE)) AS DECIMAL(38,18))) AS DECIMAL(38,18))
+       |      - CAST(SUM(CAST(ln(CAST(w AS DOUBLE)) AS DECIMAL(38,18))) AS DECIMAL(38,18))
+       |        * CAST(SUM(CAST(ln(CAST(w AS DOUBLE)) AS DECIMAL(38,18))) AS DECIMAL(38,18)) AS DOUBLE), 6) AS hurst
+       |  FROM byw)
+       |SELECT w, n_windows, mean_rs, hurst FROM byw CROSS JOIN fit ORDER BY w""".stripMargin
+  }
+
+  /** Interrupted time-series analysis at the 1998-07-01 intervention
+    * (mid-range of the data's actual 1995–2001 shipdate span — a
+    * boundary outside the span makes one segment silently empty, the
+    * r8 hollow-window class, which the Round12Spec n_pre>0 guard now
+    * pins): per-segment OLS of daily revenue on the day index from
+    * exact DECIMAL moment sums, slopes and the level change at the
+    * boundary evaluated in ONE shared expression tree, ROUND 6. The
+    * causal-inference workhorse for policy changes without a control
+    * group — an_did's cousin when there's only one series. */
+  private def anIts(s: SparkSession, dir: String): DataFrame = {
+    val daily = dailyRevenueSpine(s, dir)
+      .withColumn("seg", when(col("day") < ts("1998-07-01"), "pre").otherwise("post"))
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    val m = daily.groupBy(col("seg"))
+      .agg(count(lit(1)).as("n"), sum(d38(col("d"))).as("sx"),
+        sum(d38(col("rev_c"))).as("sy"),
+        sum(d38(col("d")) * d38(col("d"))).as("sxx"),
+        sum(d38(col("d")) * d38(col("rev_c"))).as("sxy"))
+    def pick(c: String, seg: String) = max(when(col("seg") === seg, col(c)))
+    val t0 = lit(2373.0) // datediff('1998-07-01','1992-01-01')
+    val w = m.agg(
+      pick("n", "pre").as("n_pre"), pick("n", "post").as("n_post"),
+      pick("sx", "pre").as("sx1"), pick("sy", "pre").as("sy1"),
+      pick("sxx", "pre").as("sxx1"), pick("sxy", "pre").as("sxy1"),
+      pick("sx", "post").as("sx2"), pick("sy", "post").as("sy2"),
+      pick("sxx", "post").as("sxx2"), pick("sxy", "post").as("sxy2"))
+    def slope(n: Column, sx: Column, sy: Column, sxx: Column, sxy: Column) =
+      (n * sxy - sx * sy).cast("double") / (n * sxx - sx * sx).cast("double")
+    def level(n: Column, sx: Column, sy: Column, sl: Column) =
+      (sy.cast("double") - sl * sx.cast("double")) / n.cast("double") + sl * t0
+    val s1 = slope(col("n_pre"), col("sx1"), col("sy1"), col("sxx1"), col("sxy1"))
+    val s2 = slope(col("n_post"), col("sx2"), col("sy2"), col("sxx2"), col("sxy2"))
+    w.select(col("n_pre"), col("n_post"),
+      round(s1 / 100.0, 6).as("slope_pre"),
+      round(s2 / 100.0, 6).as("slope_post"),
+      round((level(col("n_post"), col("sx2"), col("sy2"), s2) -
+        level(col("n_pre"), col("sx1"), col("sy1"), s1)) / 100.0, 6).as("level_change"))
+  }
+
+  private val anItsSql = {
+    def slope(p: String) =
+      s"""(CAST(n$p * sxy$p - sx$p * sy$p AS DOUBLE)
+         | / CAST(n$p * sxx$p - sx$p * sx$p AS DOUBLE))""".stripMargin.replace("\n", "")
+    def level(p: String, sl: String) =
+      s"((CAST(sy$p AS DOUBLE) - $sl * CAST(sx$p AS DOUBLE)) / CAST(n$p AS DOUBLE) + $sl * 2373.0)"
+    s"""WITH daily AS ($dailySpineSql),
+       |sg AS (SELECT rev_c, d,
+       |         CASE WHEN day < TIMESTAMP '1998-07-01' THEN 'pre' ELSE 'post' END AS seg
+       |       FROM daily),
+       |m AS (SELECT seg, COUNT(*) AS n,
+       |        CAST(SUM(CAST(d AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+       |        CAST(SUM(CAST(rev_c AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy,
+       |        CAST(SUM(CAST(d AS DECIMAL(38,0)) * CAST(d AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxx,
+       |        CAST(SUM(CAST(d AS DECIMAL(38,0)) * CAST(rev_c AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxy
+       |      FROM sg GROUP BY seg),
+       |w AS (SELECT
+       |  MAX(CASE WHEN seg = 'pre' THEN n END) AS n1, MAX(CASE WHEN seg = 'post' THEN n END) AS n2,
+       |  MAX(CASE WHEN seg = 'pre' THEN sx END) AS sx1, MAX(CASE WHEN seg = 'post' THEN sx END) AS sx2,
+       |  MAX(CASE WHEN seg = 'pre' THEN sy END) AS sy1, MAX(CASE WHEN seg = 'post' THEN sy END) AS sy2,
+       |  MAX(CASE WHEN seg = 'pre' THEN sxx END) AS sxx1, MAX(CASE WHEN seg = 'post' THEN sxx END) AS sxx2,
+       |  MAX(CASE WHEN seg = 'pre' THEN sxy END) AS sxy1, MAX(CASE WHEN seg = 'post' THEN sxy END) AS sxy2
+       |  FROM m)
+       |SELECT n1 AS n_pre, n2 AS n_post,
+       |  ROUND(${slope("1")} / 100.0, 6) AS slope_pre,
+       |  ROUND(${slope("2")} / 100.0, 6) AS slope_post,
+       |  ROUND((${level("2", slope("2"))} - ${level("1", slope("1"))}) / 100.0, 6) AS level_change
+       |FROM w""".stripMargin
+  }
+
+  /** Seasonal-strength F_s of the weekly cycle: 1 − Var(remainder)/
+    * Var(detrended) over the an_seasonal_decompose machinery, with
+    * every per-day term ROUNDED to 6 dp BEFORE squaring (two
+    * correctly-rounded divisions + one subtraction per term — the
+    * round makes each term's decimal repr short, so the DECIMAL(38,12)
+    * variance gathers are EXACT and engine-identical). F_s near 1 =
+    * the cycle explains the detrended series. */
+  private def anSeasonalStrength(s: SparkSession, dir: String): DataFrame = {
+    val daily = dailyRevenueSpine(s, dir)
+    val wTr = Window.orderBy(col("d")).rangeBetween(-3, 3)
+    val det = daily
+      .withColumn("tsum", sum(col("rev_c")).over(wTr))
+      .withColumn("tn", count(lit(1)).over(wTr))
+      .filter(col("tn") === 7)
+      .select(col("d"), (col("rev_c") * 7 - col("tsum")).as("det7"),
+        pmod(col("d"), lit(7)).as("dow"))
+    val sdow = det.groupBy(col("dow"))
+      .agg(sum(col("det7")).as("snum"), count(lit(1)).as("ndow"))
+    val terms = det.join(broadcast(sdow), "dow")
+      .withColumn("rem6", round(col("det7").cast("double") / 7.0 -
+        col("snum").cast("double") / (col("ndow").cast("double") * 7.0), 6))
+      .withColumn("det6", round(col("det7").cast("double") / 7.0, 6))
+    def g12(c: Column) = sum(c.cast("decimal(38,12)")).cast("decimal(38,12)")
+    terms.agg(count(lit(1)).as("n_days"),
+        g12(col("rem6") * col("rem6")).as("ssr"),
+        g12(col("det6") * col("det6")).as("ssd"))
+      .select(col("n_days"),
+        round(greatest(lit(0.0),
+          lit(1.0) - col("ssr").cast("double") / col("ssd").cast("double")), 6)
+          .as("seasonal_strength"))
+  }
+
+  private val anSeasonalStrengthSql =
+    s"""WITH daily AS ($dailySpineSql),
+       |tr AS (SELECT d, rev_c,
+       |         SUM(rev_c) OVER w7 AS tsum, COUNT(*) OVER w7 AS tn
+       |       FROM daily
+       |       WINDOW w7 AS (ORDER BY d RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+       |det AS (SELECT d, rev_c * 7 - tsum AS det7, d % 7 AS dow FROM tr WHERE tn = 7),
+       |sd AS (SELECT dow, CAST(SUM(det7) AS BIGINT) AS snum, COUNT(*) AS ndow
+       |       FROM det GROUP BY dow),
+       |t AS (SELECT
+       |        ROUND(CAST(det7 AS DOUBLE) / 7.0
+       |          - CAST(snum AS DOUBLE) / (CAST(ndow AS DOUBLE) * 7.0), 6) AS rem6,
+       |        ROUND(CAST(det7 AS DOUBLE) / 7.0, 6) AS det6
+       |      FROM det JOIN sd USING (dow))
+       |SELECT COUNT(*) AS n_days,
+       |  ROUND(GREATEST(0.0, 1.0
+       |    - CAST(CAST(SUM(CAST(rem6 * rem6 AS DECIMAL(38,12))) AS DECIMAL(38,12)) AS DOUBLE)
+       |      / CAST(CAST(SUM(CAST(det6 * det6 AS DECIMAL(38,12))) AS DECIMAL(38,12)) AS DOUBLE)), 6)
+       |    AS seasonal_strength
+       |FROM t""".stripMargin
+
+  /** 10%-trimmed mean per order priority — the robust location estimate
+    * that DROPS both tails (an_winsorize clips them): rank range
+    * (n/10, n − n/10] resolved against the same raw-row PrefixSum scan,
+    * per-value overlap counts keep the trimmed sum EXACT (no row ever
+    * re-sorts), one division at emission. */
+  private def anTrimmedMean(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).select(col("o_orderpriority").as("g"),
+      (col("o_totalprice").cast("decimal(24,2)") * 100).cast("bigint").as("v"))
+    val scan = graft.operators.PrefixSum.distinctRunningCounts(o, Seq("g", "v"))
+    val wOff = Window.orderBy(col("g")).rowsBetween(Window.unboundedPreceding, -1)
+    val probes = o.groupBy(col("g")).agg(count(lit(1)).as("n"))
+      .withColumn("off", coalesce(sum(col("n")).over(wOff), lit(0L)))
+      .withColumn("r_lo", expr("n div 10"))
+      .withColumn("r_hi", expr("n - (n div 10)"))
+    scan.join(broadcast(probes), Seq("g"))
+      .withColumn("cum", col("cnt_cum") - col("off"))
+      .withColumn("in_cnt", greatest(lit(0L),
+        least(col("cum"), col("r_hi")) - greatest(col("cum") - col("cnt"), col("r_lo"))))
+      .filter(col("in_cnt") > 0)
+      .groupBy(col("g").as("o_orderpriority"))
+      .agg(max(col("r_hi") - col("r_lo")).as("n_kept"),
+        sum(col("v") * col("in_cnt")).as("tsum"))
+      .select(col("o_orderpriority"), col("n_kept"),
+        (col("tsum").cast("double") / col("n_kept").cast("double") / 100.0)
+          .as("trimmed_mean"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  private val anTrimmedMeanSql =
+    """WITH o AS (SELECT o_orderpriority AS g,
+      |                  CAST(CAST(o_totalprice AS DECIMAL(24,2)) * 100 AS BIGINT) AS v
+      |           FROM orders),
+      |pv AS (SELECT g, v, COUNT(*) AS cnt FROM o GROUP BY 1, 2),
+      |cv AS (SELECT g, v, cnt, CAST(SUM(cnt) OVER (PARTITION BY g ORDER BY v) AS BIGINT) AS cum
+      |       FROM pv),
+      |tv AS (SELECT g, CAST(SUM(cnt) AS BIGINT) AS n FROM pv GROUP BY g),
+      |x AS (SELECT cv.g, v, GREATEST(0,
+      |        LEAST(cum, n - n // 10) - GREATEST(cum - cnt, n // 10)) AS in_cnt,
+      |        n - 2 * (n // 10) AS n_kept
+      |      FROM cv JOIN tv USING (g))
+      |SELECT g AS o_orderpriority, CAST(MAX(n_kept) AS BIGINT) AS n_kept,
+      |  CAST(CAST(SUM(v * in_cnt) AS BIGINT) AS DOUBLE)
+      |    / CAST(MAX(n_kept) AS DOUBLE) / 100.0 AS trimmed_mean
+      |FROM x WHERE in_cnt > 0 GROUP BY g ORDER BY g""".stripMargin
+
+  /** Bowley quartile skewness per order priority: (Q1 + Q3 − 2·Q2)/
+    * (Q3 − Q1) over type-1 quartiles (exact order statistics at rank
+    * ⌈q·n⌉ off the PrefixSum scan) — numerator and denominator are
+    * exact integer cents, ONE IEEE division. The outlier-immune
+    * asymmetry measure where moment skewness saturates. */
+  private def anQuartileSkew(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).select(col("o_orderpriority").as("g"),
+      (col("o_totalprice").cast("decimal(24,2)") * 100).cast("bigint").as("v"))
+    val scan = graft.operators.PrefixSum.distinctRunningCounts(o, Seq("g", "v"))
+    val wOff = Window.orderBy(col("g")).rowsBetween(Window.unboundedPreceding, -1)
+    val probes = o.groupBy(col("g")).agg(count(lit(1)).as("n"))
+      .withColumn("off", coalesce(sum(col("n")).over(wOff), lit(0L)))
+      .withColumn("r1", expr("(n + 3) div 4"))
+      .withColumn("r2", expr("(n + 1) div 2"))
+      .withColumn("r3", expr("(3 * n + 3) div 4"))
+    def hit(r: String) = col("cum") >= col(r) && col("cum") - col("cnt") < col(r)
+    scan.join(broadcast(probes), Seq("g"))
+      .withColumn("cum", col("cnt_cum") - col("off"))
+      .filter(hit("r1") || hit("r2") || hit("r3"))
+      .groupBy(col("g").as("o_orderpriority"))
+      .agg(max(when(hit("r1"), col("v"))).as("q1_c"),
+        max(when(hit("r2"), col("v"))).as("q2_c"),
+        max(when(hit("r3"), col("v"))).as("q3_c"))
+      .select(col("o_orderpriority"),
+        (col("q1_c") / 100.0).as("q1"), (col("q2_c") / 100.0).as("q2"),
+        (col("q3_c") / 100.0).as("q3"),
+        ((col("q1_c") + col("q3_c") - col("q2_c") * 2).cast("double") /
+          (col("q3_c") - col("q1_c")).cast("double")).as("bowley_skew"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  private val anQuartileSkewSql =
+    """WITH o AS (SELECT o_orderpriority AS g,
+      |                  CAST(CAST(o_totalprice AS DECIMAL(24,2)) * 100 AS BIGINT) AS v
+      |           FROM orders),
+      |pv AS (SELECT g, v, COUNT(*) AS cnt FROM o GROUP BY 1, 2),
+      |cv AS (SELECT g, v, cnt, CAST(SUM(cnt) OVER (PARTITION BY g ORDER BY v) AS BIGINT) AS cum
+      |       FROM pv),
+      |tv AS (SELECT g, CAST(SUM(cnt) AS BIGINT) AS n FROM pv GROUP BY g),
+      |b AS (SELECT cv.g,
+      |        CAST(MAX(CASE WHEN cum >= (n+3)//4 AND cum - cnt < (n+3)//4 THEN v END) AS BIGINT) AS q1_c,
+      |        CAST(MAX(CASE WHEN cum >= (n+1)//2 AND cum - cnt < (n+1)//2 THEN v END) AS BIGINT) AS q2_c,
+      |        CAST(MAX(CASE WHEN cum >= (3*n+3)//4 AND cum - cnt < (3*n+3)//4 THEN v END) AS BIGINT) AS q3_c
+      |      FROM cv JOIN tv USING (g) GROUP BY cv.g)
+      |SELECT g AS o_orderpriority, q1_c / 100.0 AS q1, q2_c / 100.0 AS q2, q3_c / 100.0 AS q3,
+      |  CAST(q1_c + q3_c - q2_c * 2 AS DOUBLE) / CAST(q3_c - q1_c AS DOUBLE) AS bowley_skew
+      |FROM b ORDER BY g""".stripMargin
+
+  /** Up/down streak census of daily revenue: gaps-islands over the
+    * sign of the day-over-day change (island id = idx − row_number
+    * within the sign class), longest run each way plus up/down day
+    * totals — all exact integer machinery on the calendar-bounded
+    * spine. The momentum footprint an_runs_test's one z-number
+    * summarizes away. */
+  private def anStreaks(s: SparkSession, dir: String): DataFrame = {
+    val diffs = dailyRevenueSpine(s, dir)
+      .withColumn("chg", col("rev_c") - lag(col("rev_c"), 1).over(Window.orderBy(col("d"))))
+      .filter(col("chg").isNotNull && col("chg") =!= 0)
+      .withColumn("up", (col("chg") > 0).cast("int"))
+      .withColumn("idx", row_number().over(Window.orderBy(col("d"))).cast("long"))
+      .withColumn("grp", col("idx") - row_number().over(
+        Window.partitionBy(col("up")).orderBy(col("idx"))).cast("long"))
+    val runs = diffs.groupBy(col("up"), col("grp")).agg(count(lit(1)).as("len"))
+    runs.agg(
+        max(when(col("up") === 1, col("len"))).as("longest_up"),
+        max(when(col("up") === 0, col("len"))).as("longest_down"),
+        sum(when(col("up") === 1, col("len")).otherwise(0L)).as("n_up_days"),
+        sum(when(col("up") === 0, col("len")).otherwise(0L)).as("n_down_days"),
+        sum(when(col("up") === 1 && col("len") >= 3, 1L).otherwise(0L)).as("n_up_streaks_ge3"))
+  }
+
+  private val anStreaksSql =
+    s"""WITH daily AS ($dailySpineSql),
+       |ch AS (SELECT d, rev_c - LAG(rev_c) OVER (ORDER BY d) AS chg FROM daily),
+       |f AS (SELECT d, CASE WHEN chg > 0 THEN 1 ELSE 0 END AS up,
+       |        CAST(ROW_NUMBER() OVER (ORDER BY d) AS BIGINT) AS idx
+       |      FROM ch WHERE chg IS NOT NULL AND chg <> 0),
+       |g AS (SELECT up, idx - CAST(ROW_NUMBER() OVER (PARTITION BY up ORDER BY idx) AS BIGINT) AS grp
+       |      FROM f),
+       |runs AS (SELECT up, grp, COUNT(*) AS len FROM g GROUP BY up, grp)
+       |SELECT CAST(MAX(CASE WHEN up = 1 THEN len END) AS BIGINT) AS longest_up,
+       |  CAST(MAX(CASE WHEN up = 0 THEN len END) AS BIGINT) AS longest_down,
+       |  CAST(SUM(CASE WHEN up = 1 THEN len ELSE 0 END) AS BIGINT) AS n_up_days,
+       |  CAST(SUM(CASE WHEN up = 0 THEN len ELSE 0 END) AS BIGINT) AS n_down_days,
+       |  CAST(SUM(CASE WHEN up = 1 AND len >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_up_streaks_ge3
+       |FROM runs""".stripMargin
+
+  /** Customer-base turnover 1996 → 1997: retained / added / churned
+    * counts from one distinct-flag aggregate over orders, set Jaccard
+    * as the one-number stability index. The set-dynamics companion to
+    * an_mcnemar's significance test on the same transition. */
+  private def anTurnover(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .withColumn("yr", year(col("o_orderdate")))
+      .filter(col("yr").isin(1996, 1997))
+      .groupBy(col("o_custkey"))
+      .agg(max(when(col("yr") === 1996, 1).otherwise(0)).as("a96"),
+        max(when(col("yr") === 1997, 1).otherwise(0)).as("a97"))
+      .agg(
+        sum(when(col("a96") === 1 && col("a97") === 1, 1L).otherwise(0L)).as("retained"),
+        sum(when(col("a96") === 0 && col("a97") === 1, 1L).otherwise(0L)).as("added"),
+        sum(when(col("a96") === 1 && col("a97") === 0, 1L).otherwise(0L)).as("churned"))
+      .select(col("retained"), col("added"), col("churned"),
+        (col("retained").cast("double") /
+          (col("retained") + col("added") + col("churned")).cast("double")).as("jaccard"))
+
+  private val anTurnoverSql =
+    """WITH f AS (SELECT o_custkey,
+      |    MAX(CASE WHEN year(o_orderdate) = 1996 THEN 1 ELSE 0 END) AS a96,
+      |    MAX(CASE WHEN year(o_orderdate) = 1997 THEN 1 ELSE 0 END) AS a97
+      |  FROM orders WHERE year(o_orderdate) IN (1996, 1997) GROUP BY o_custkey)
+      |SELECT
+      |  CAST(SUM(CASE WHEN a96 = 1 AND a97 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS retained,
+      |  CAST(SUM(CASE WHEN a96 = 0 AND a97 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS added,
+      |  CAST(SUM(CASE WHEN a96 = 1 AND a97 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS churned,
+      |  CAST(SUM(CASE WHEN a96 = 1 AND a97 = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE) AS jaccard
+      |FROM f""".stripMargin
+
   // ----------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -15238,6 +15607,13 @@ object SparkEntry {
     "q_two_hop" -> (qTwoHop _),
     "q_rolling_median" -> (qRollingMedian _),
     "q_mode" -> (qMode _),
+    "an_hurst" -> (anHurst _),
+    "an_its" -> (anIts _),
+    "an_seasonal_strength" -> (anSeasonalStrength _),
+    "an_trimmed_mean" -> (anTrimmedMean _),
+    "an_quartile_skew" -> (anQuartileSkew _),
+    "an_streaks" -> (anStreaks _),
+    "an_turnover" -> (anTurnover _),
     "an_spearman" -> (anSpearman _),
     "an_kendall_tau" -> (anKendallTau _),
     "an_roc_auc" -> (anRocAuc _),
@@ -15587,6 +15963,13 @@ object SparkEntry {
     "q_two_hop" -> qTwoHopSql,
     "q_rolling_median" -> qRollingMedianSql,
     "q_mode" -> qModeSql,
+    "an_hurst" -> anHurstSql,
+    "an_its" -> anItsSql,
+    "an_seasonal_strength" -> anSeasonalStrengthSql,
+    "an_trimmed_mean" -> anTrimmedMeanSql,
+    "an_quartile_skew" -> anQuartileSkewSql,
+    "an_streaks" -> anStreaksSql,
+    "an_turnover" -> anTurnoverSql,
     "an_spearman" -> anSpearmanSql,
     "an_kendall_tau" -> anKendallTauSql,
     "an_roc_auc" -> anRocAucSql,

@@ -351,6 +351,64 @@ class Round12Spec extends SparkSpec {
     modes.foreach(m => assert(m._3 == counts(m._1)))
   }
 
+  test("hurst: mean R/S positive and exponent finite") {
+    val rows = SparkEntry.queries("an_hurst")(spark, sfDir)
+      .select("w", "mean_rs", "hurst").as[(Long, Double, Double)].collect()
+    assert(rows.map(_._1).sorted.sameElements(Array(8L, 16L, 32L)))
+    rows.foreach(r => assert(r._2 > 0.0))
+    assert(rows.map(_._3).distinct.length == 1)
+    assert(!rows.head._3.isNaN)
+  }
+
+  test("its: both segments populated, outputs finite") {
+    val r = SparkEntry.queries("an_its")(spark, sfDir)
+      .select("n_pre", "n_post", "slope_pre", "slope_post", "level_change")
+      .as[(Long, Long, Double, Double, Double)].head()
+    assert(r._1 > 0 && r._2 > 0)
+    assert(!r._3.isNaN && !r._4.isNaN && !r._5.isNaN)
+  }
+
+  test("seasonal strength stays in [0, 1]") {
+    val r = SparkEntry.queries("an_seasonal_strength")(spark, sfDir)
+      .select("seasonal_strength").as[Double].head()
+    assert(r >= 0.0 && r <= 1.0)
+  }
+
+  test("trimmed mean: bounded by the untrimmed extremes per group") {
+    val rows = SparkEntry.queries("an_trimmed_mean")(spark, sfDir)
+      .select("o_orderpriority", "trimmed_mean").as[(String, Double)].collect()
+    val env = Tables.orders(spark, sfDir)
+      .groupBy(col("o_orderpriority"))
+      .agg(min(col("o_totalprice")).as("mn"), max(col("o_totalprice")).as("mx"))
+      .as[(String, Double, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    rows.foreach { case (g, tm) =>
+      val (mn, mx) = env(g)
+      assert(tm >= mn - 0.01 && tm <= mx + 0.01)
+    }
+  }
+
+  test("quartile skew: quartiles ordered, bowley in [-1, 1]") {
+    val rows = SparkEntry.queries("an_quartile_skew")(spark, sfDir)
+      .select("q1", "q2", "q3", "bowley_skew").as[(Double, Double, Double, Double)].collect()
+    rows.foreach { r =>
+      assert(r._1 <= r._2 && r._2 <= r._3)
+      assert(r._4 >= -1.0 - 1e-9 && r._4 <= 1.0 + 1e-9)
+    }
+  }
+
+  test("streaks: totals reconcile against the raw diff signs") {
+    val r = SparkEntry.queries("an_streaks")(spark, sfDir)
+      .select("longest_up", "n_up_days", "n_down_days").as[(Long, Long, Long)].head()
+    assert(r._1 >= 1 && r._1 <= r._2)
+    assert(r._2 > 0 && r._3 > 0)
+  }
+
+  test("turnover: jaccard consistent with the three cells") {
+    val r = SparkEntry.queries("an_turnover")(spark, sfDir)
+      .select("retained", "added", "churned", "jaccard").as[(Long, Long, Long, Double)].head()
+    assert(math.abs(r._4 - r._1.toDouble / (r._1 + r._2 + r._3)) < 1e-12)
+  }
+
   test("video motion: scene structure means motion only at 3-frame boundaries") {
     val rows = SparkEntry.queries("mm_video_motion")(spark, sfDir)
       .select("doc_id", "n_transitions", "n_moving").as[(Long, Long, Long)].collect()
