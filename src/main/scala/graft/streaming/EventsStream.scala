@@ -728,4 +728,44 @@ object EventsStream {
           .withColumn("batch_id", org.apache.spark.sql.functions.lit(batchId)))
       }
       .start()
+
+  final case class LateEvent(user_id: Long, event_id: Long, ts_us: Long)
+  final case class LatenessState(hwmUs: Long, n: Long, nLate: Long,
+                                 maxLateUs: Long, sumLateUs: Long)
+  final case class LatenessRow(user_id: Long, n_events: Long, n_late: Long,
+                               max_late_us: Long, sum_late_us: Long)
+
+  /** Streaming late-arrival audit — the incremental twin of the batch
+    * etl_lateness_audit query: per-user state carries the running
+    * event-time high-water-mark plus cumulative late counts (O(1) per
+    * user), each micro-batch replays its slice in arrival (event_id)
+    * order and emits the user's UPDATED cumulative row. Arrival order
+    * is the audit's semantic, so parity holds under any PREFIX slicing
+    * of the arrival sequence (batch boundaries anywhere, order across
+    * batches preserved — what a real ingest gives you); StreamingSpec
+    * pins stream ≡ batch per user under a 3-way prefix slicing. */
+  def latenessStream(events: Dataset[LateEvent])
+                    (implicit spark: SparkSession): Dataset[LatenessRow] = {
+    import spark.implicits._
+    def update(u: Long, it: Iterator[LateEvent],
+               state: GroupState[LatenessState]): Iterator[LatenessRow] = {
+      val sorted = it.toSeq.sortBy(_.event_id)
+      if (sorted.isEmpty) Iterator.empty
+      else {
+        var st = state.getOption.getOrElse(LatenessState(Long.MinValue, 0L, 0L, 0L, 0L))
+        sorted.foreach { e =>
+          val late =
+            if (st.hwmUs != Long.MinValue && st.hwmUs > e.ts_us) st.hwmUs - e.ts_us
+            else 0L
+          st = LatenessState(math.max(st.hwmUs, e.ts_us), st.n + 1,
+            st.nLate + (if (late > 0) 1L else 0L),
+            math.max(st.maxLateUs, late), st.sumLateUs + late)
+        }
+        state.update(st)
+        Iterator(LatenessRow(u, st.n, st.nLate, st.maxLateUs, st.sumLateUs))
+      }
+    }
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(update)
+  }
 }

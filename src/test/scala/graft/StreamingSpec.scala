@@ -607,4 +607,45 @@ class StreamingSpec extends SparkSpec {
       .as[(String, Long, Long, Long)].collect().toSet
     assert(got == want, "streamed materialization must equal batch compaction")
   }
+
+  test("latenessStream matches the batch lateness audit under prefix slicing") {
+    import graft.streaming.EventsStream.{LateEvent, LatenessRow}
+    implicit val sqlCtx = spark.sqlContext
+    implicit val ss = spark
+    // arrival order = event_id; event times wander back and forth so
+    // several arrivals are late against the running high-water-mark
+    val evs = Seq(
+      LateEvent(1, 1, 1000L), LateEvent(1, 2, 3000L), LateEvent(1, 3, 2000L),
+      LateEvent(2, 4, 500L), LateEvent(1, 5, 3000L), LateEvent(2, 6, 400L),
+      LateEvent(1, 7, 2500L), LateEvent(2, 8, 9000L), LateEvent(2, 9, 100L),
+      LateEvent(1, 10, 4000L))
+    // batch reference: per-user fold in arrival order
+    val want = evs.groupBy(_.user_id).map { case (u, es) =>
+      var hwm = Long.MinValue; var n = 0L; var nLate = 0L; var mx = 0L; var sm = 0L
+      es.sortBy(_.event_id).foreach { e =>
+        val late = if (hwm != Long.MinValue && hwm > e.ts_us) hwm - e.ts_us else 0L
+        hwm = math.max(hwm, e.ts_us); n += 1
+        if (late > 0) nLate += 1
+        mx = math.max(mx, late); sm += late
+      }
+      u -> ((n, nLate, mx, sm))
+    }
+    val in = MemoryStream[LateEvent]
+    val q = graft.streaming.EventsStream.latenessStream(in.toDS())
+      .writeStream.outputMode("update").format("memory").queryName("lateq").start()
+    // three PREFIX slices of the arrival sequence
+    in.addData(evs.take(4): _*); q.processAllAvailable()
+    in.addData(evs.slice(4, 7): _*); q.processAllAvailable()
+    in.addData(evs.drop(7): _*); q.processAllAvailable()
+    q.stop()
+    // last emitted row per user is the cumulative audit
+    val got = spark.table("lateq").as[LatenessRow].collect()
+      .groupBy(_.user_id).map { case (u, rows) => u -> rows.maxBy(_.n_events) }
+    want.foreach { case (u, (n, nLate, mx, sm)) =>
+      val r = got(u)
+      assert(r.n_events == n && r.n_late == nLate &&
+        r.max_late_us == mx && r.sum_late_us == sm,
+        s"user $u: stream $r vs batch ($n, $nLate, $mx, $sm)")
+    }
+  }
 }
