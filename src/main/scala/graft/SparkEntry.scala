@@ -15442,6 +15442,451 @@ object SparkEntry {
       |    / CAST(COUNT(*) AS DOUBLE) AS jaccard
       |FROM f""".stripMargin
 
+  /** Benjamini–Hochberg FDR control over the per-segment churn-rate
+    * z-tests (each segment vs the pooled rest): p-values through the
+    * Bowling logistic approximation of Φ (closed-form exp — the SAME
+    * expression both engines, ROUND 6; exact normal CDFs need erf,
+    * which neither engine guarantees bit-identical), BH step-up on the
+    * ROUNDED p with (p, segment) deterministic ranking. The multiple-
+    * comparisons gate an_abtest's single test doesn't give. */
+  private def anBhFdr(s: SparkSession, dir: String): DataFrame = {
+    val grp = churnLabeled(s, dir).groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_g"), sum(col("g1")).as("k_g"))
+    val tot = grp.agg(sum(col("n_g")).as("n"), sum(col("k_g")).as("k"))
+    val z = {
+      val p1 = col("k_g").cast("double") / col("n_g").cast("double")
+      val p0 = (col("k") - col("k_g")).cast("double") / (col("n") - col("n_g")).cast("double")
+      val pp = col("k").cast("double") / col("n").cast("double")
+      (p1 - p0) / sqrt(pp * (lit(1.0) - pp) *
+        (lit(1.0) / col("n_g").cast("double") +
+          lit(1.0) / (col("n") - col("n_g")).cast("double")))
+    }
+    val phi = (x: Column) => lit(1.0) / (lit(1.0) + exp(lit(-1.5976) * x -
+      lit(0.070566) * x * x * x))
+    val scored = grp.crossJoin(broadcast(tot))
+      .withColumn("z", round(z, 6))
+      .withColumn("p", round(lit(2.0) * (lit(1.0) - phi(abs(col("z")))), 6))
+    val m = 5
+    scored
+      .withColumn("rnk", row_number().over(Window.orderBy(col("p"), col("c_mktsegment"))).cast("long"))
+      .withColumn("thresh", round(col("rnk").cast("double") * 0.05 / m, 6))
+      .withColumn("cutoff", max(when(col("p") <= col("thresh"), col("rnk")))
+        .over(Window.partitionBy()))
+      .select(col("c_mktsegment"), col("z"), col("p"), col("rnk"), col("thresh"),
+        (col("cutoff").isNotNull && col("rnk") <= col("cutoff")).as("rejected"))
+      .orderBy(col("rnk"))
+  }
+
+  private val anBhFdrSql =
+    s"""WITH lab AS ($churnLabeledSql),
+       |g AS (SELECT c_mktsegment, COUNT(*) AS n_g, CAST(SUM(g1) AS BIGINT) AS k_g
+       |      FROM lab GROUP BY 1),
+       |t AS (SELECT CAST(SUM(n_g) AS BIGINT) AS n, CAST(SUM(k_g) AS BIGINT) AS k FROM g),
+       |zs AS (SELECT c_mktsegment,
+       |    ROUND((CAST(k_g AS DOUBLE) / CAST(n_g AS DOUBLE)
+       |        - CAST(k - k_g AS DOUBLE) / CAST(n - n_g AS DOUBLE))
+       |      / sqrt((CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+       |        * (1.0 - CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+       |        * (1.0 / CAST(n_g AS DOUBLE) + 1.0 / CAST(n - n_g AS DOUBLE))), 6) AS z
+       |  FROM g CROSS JOIN t),
+       |ps AS (SELECT c_mktsegment, z,
+       |    ROUND(2.0 * (1.0 - 1.0 / (1.0 + exp(-1.5976 * ABS(z)
+       |      - 0.070566 * ABS(z) * ABS(z) * ABS(z)))), 6) AS p
+       |  FROM zs),
+       |rk AS (SELECT c_mktsegment, z, p,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY p, c_mktsegment) AS BIGINT) AS rnk
+       |  FROM ps),
+       |th AS (SELECT *, ROUND(CAST(rnk AS DOUBLE) * 0.05 / 5, 6) AS thresh FROM rk),
+       |co AS (SELECT MAX(CASE WHEN p <= thresh THEN rnk END) AS cutoff FROM th)
+       |SELECT c_mktsegment, z, p, rnk, thresh,
+       |  (cutoff IS NOT NULL AND rnk <= cutoff) AS rejected
+       |FROM th CROSS JOIN co ORDER BY rnk""".stripMargin
+
+  /** Variance inflation factors for the three daily series (revenue,
+    * line volume, order breadth): VIF_j = 1/(1−R²_j|rest) with R² from
+    * the pairwise correlations in closed 3-variable form — the
+    * collinearity screen run before any multi-feature regression. Same
+    * exact moment pass as an_partial_corr; shared expression tree,
+    * ROUND 6. */
+  private def anVif(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.lineitem(s, dir)
+      .groupBy(date_trunc("day", col("l_shipdate")).as("day"))
+      .agg((sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(24,8)")).cast("decimal(24,2)") * 100).cast("bigint").as("x"),
+        count(lit(1)).as("y"),
+        countDistinct(col("l_orderkey")).as("z"))
+    val d = (c: Column) => c.cast("decimal(38,0)")
+    val m = daily.agg(count(lit(1)).as("n"),
+      sum(d(col("x"))).as("sx"), sum(d(col("y"))).as("sy"), sum(d(col("z"))).as("sz"),
+      sum(d(col("x")) * d(col("x"))).as("sxx"), sum(d(col("y")) * d(col("y"))).as("syy"),
+      sum(d(col("z")) * d(col("z"))).as("szz"),
+      sum(d(col("x")) * d(col("y"))).as("sxy"), sum(d(col("x")) * d(col("z"))).as("sxz"),
+      sum(d(col("y")) * d(col("z"))).as("syz"))
+    def r(sab: Column, sa: Column, sb: Column, saa: Column, sbb: Column) =
+      (col("n") * sab - sa * sb).cast("double") /
+        (sqrt((col("n") * saa - sa * sa).cast("double")) *
+          sqrt((col("n") * sbb - sb * sb).cast("double")))
+    val base = m
+      .withColumn("rxy", r(col("sxy"), col("sx"), col("sy"), col("sxx"), col("syy")))
+      .withColumn("rxz", r(col("sxz"), col("sx"), col("sz"), col("sxx"), col("szz")))
+      .withColumn("ryz", r(col("syz"), col("sy"), col("sz"), col("syy"), col("szz")))
+    def r2(rab: Column, rac: Column, rbc: Column) =
+      (rab * rab + rac * rac - lit(2.0) * rab * rac * rbc) / (lit(1.0) - rbc * rbc)
+    Seq(("revenue", (b: DataFrame) => r2(col("rxy"), col("rxz"), col("ryz"))),
+        ("volume", (b: DataFrame) => r2(col("rxy"), col("ryz"), col("rxz"))),
+        ("breadth", (b: DataFrame) => r2(col("rxz"), col("ryz"), col("rxy"))))
+      .map { case (name, f) =>
+        base.select(lit(name).as("series"),
+          round(f(base), 6).as("r2_on_rest"),
+          round(lit(1.0) / (lit(1.0) - f(base)), 6).as("vif"))
+      }.reduce(_.unionAll(_)).orderBy(col("series"))
+  }
+
+  private val anVifSql = {
+    def r(ab: String, a: String, b: String, aa: String, bb: String) =
+      s"""(CAST(n * s$ab - s$a * s$b AS DOUBLE)
+         | / (sqrt(CAST(n * s$aa - s$a * s$a AS DOUBLE)) * sqrt(CAST(n * s$bb - s$b * s$b AS DOUBLE))))""".stripMargin.replace("\n", "")
+    def r2(ab: String, ac: String, bc: String) =
+      s"(($ab * $ab + $ac * $ac - 2.0 * $ab * $ac * $bc) / (1.0 - $bc * $bc))"
+    val rxy = r("xy", "x", "y", "xx", "yy")
+    val rxz = r("xz", "x", "z", "xx", "zz")
+    val ryz = r("yz", "y", "z", "yy", "zz")
+    def one(name: String, e: String) =
+      s"SELECT '$name' AS series, ROUND($e, 6) AS r2_on_rest, ROUND(1.0 / (1.0 - $e), 6) AS vif FROM rr"
+    s"""WITH daily AS (SELECT
+       |    CAST(ROUND(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,8))), 2) * 100 AS BIGINT) AS x,
+       |    COUNT(*) AS y, COUNT(DISTINCT l_orderkey) AS z
+       |  FROM lineitem GROUP BY date_trunc('day', l_shipdate)),
+       |rr AS (SELECT COUNT(*) AS n,
+       |  CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+       |  CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy,
+       |  CAST(SUM(CAST(z AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sz,
+       |  CAST(SUM(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxx,
+       |  CAST(SUM(CAST(y AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS syy,
+       |  CAST(SUM(CAST(z AS DECIMAL(38,0)) * CAST(z AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS szz,
+       |  CAST(SUM(CAST(x AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxy,
+       |  CAST(SUM(CAST(x AS DECIMAL(38,0)) * CAST(z AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxz,
+       |  CAST(SUM(CAST(y AS DECIMAL(38,0)) * CAST(z AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS syz
+       |  FROM daily)
+       |SELECT * FROM (
+       |${one("revenue", r2(rxy, rxz, ryz))}
+       |UNION ALL
+       |${one("volume", r2(rxy, ryz, rxz))}
+       |UNION ALL
+       |${one("breadth", r2(rxz, ryz, rxy))}
+       |) u ORDER BY series""".stripMargin
+  }
+
+  /** Median survival time off the Kaplan–Meier churn curve: the
+    * earliest event time where the ROUNDED survival estimate drops to
+    * ≤ 0.5 (the compare runs on the same 6-dp value both engines
+    * computed — no fresh float boundary), with the curve value and
+    * risk-set size at that point. The one-number summary a retention
+    * team reads off an_kaplan_meier's full curve. */
+  private def anMedianSurvival(s: SparkSession, dir: String): DataFrame = {
+    val km = anKaplanMeier(s, dir)
+    km.filter(col("surv") <= 0.5)
+      .orderBy(col("t")).limit(1)
+      .select(col("t").as("median_t"), col("n_risk"), col("d"), col("surv"))
+  }
+
+  private val anMedianSurvivalSql =
+    // strip ONLY the trailing ORDER BY (a blanket replace would also
+    // hit the window's OVER (ORDER BY t ...) and break the cumulative
+    // product frame)
+    s"""WITH km AS (${anKaplanMeierSql.replace("FROM r WHERE d > 0 ORDER BY t", "FROM r WHERE d > 0")})
+       |SELECT t AS median_t, n_risk, d, surv FROM km
+       |WHERE surv <= 0.5 ORDER BY t LIMIT 1""".stripMargin
+
+  /** Log-rank hazard ratio between the BUILDING and AUTOMOBILE churn
+    * cohorts: HR = (O₁/E₁)/(O₀/E₀) with observed deaths exact integers
+    * and expected deaths the same DECIMAL(38,18) risk-set gathers as
+    * an_logrank, plus ln(HR) and its SE √(1/E₁+1/E₀) (ROUND 6). The
+    * effect-SIZE companion to an_logrank's significance z. */
+  private def anHazardRatio(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val anchor = o.agg(max(col("o_orderdate")).as("mx"))
+    val seg = Tables.customer(s, dir)
+      .filter(col("c_mktsegment").isin("BUILDING", "AUTOMOBILE"))
+      .select(col("c_custkey"), (col("c_mktsegment") === "BUILDING").cast("long").as("g"))
+    val cust = o.groupBy(col("o_custkey"))
+      .agg(min(col("o_orderdate")).as("f"), max(col("o_orderdate")).as("l"))
+      .join(seg, col("o_custkey") === col("c_custkey"))
+      .crossJoin(broadcast(anchor))
+      .select(datediff(col("l"), col("f")).cast("bigint").as("t"), col("g"),
+        (col("l") < col("mx") - expr("INTERVAL 90 DAYS")).cast("long").as("ev"))
+    val byT = cust.groupBy(col("t"))
+      .agg(sum(col("g")).as("c1"), sum(lit(1L) - col("g")).as("c0"),
+        sum(col("g") * col("ev")).as("d1"),
+        sum((lit(1L) - col("g")) * col("ev")).as("d0"))
+    val scan = graft.operators.PrefixSum.withRunningTotals(byT, Seq("t"),
+      Seq("c1", "c0", "d1", "d0"))
+    val tot = scan.agg(max(col("c1_cum")).as("n1t"), max(col("c0_cum")).as("n0t"))
+    def gather(c: Column) = sum(c.cast("decimal(38,18)")).cast("decimal(38,18)")
+    val n1 = (col("n1t") - (col("c1_cum") - col("c1"))).cast("double")
+    val n0 = (col("n0t") - (col("c0_cum") - col("c0"))).cast("double")
+    val nt = n1 + n0
+    val dt = (col("d1") + col("d0")).cast("double")
+    scan.crossJoin(broadcast(tot))
+      .filter(col("d1") + col("d0") > 0)
+      .agg(sum(col("d1")).as("o1"), sum(col("d0")).as("o0"),
+        gather(dt * n1 / nt).as("e1"),
+        gather(dt * n0 / nt).as("e0"))
+      .select(col("o1"), col("o0"),
+        round(col("e1").cast("double"), 6).as("e1"),
+        round(col("e0").cast("double"), 6).as("e0"),
+        round((col("o1").cast("double") / col("e1").cast("double")) /
+          (col("o0").cast("double") / col("e0").cast("double")), 6).as("hazard_ratio"),
+        round(log((col("o1").cast("double") / col("e1").cast("double")) /
+          (col("o0").cast("double") / col("e0").cast("double"))), 6).as("ln_hr"),
+        round(sqrt(lit(1.0) / col("e1").cast("double") +
+          lit(1.0) / col("e0").cast("double")), 6).as("se_ln_hr"))
+  }
+
+  private val anHazardRatioSql =
+    """WITH a AS (SELECT MAX(o_orderdate) AS mx FROM orders),
+      |seg AS (SELECT c_custkey,
+      |          CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS g
+      |        FROM customer WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE')),
+      |cust AS (SELECT date_diff('day', MIN(o_orderdate), MAX(o_orderdate)) AS t, seg.g,
+      |           CASE WHEN MAX(o_orderdate) < MAX(a.mx) - INTERVAL 90 DAY
+      |                THEN 1 ELSE 0 END AS ev
+      |         FROM orders JOIN seg ON o_custkey = c_custkey CROSS JOIN a
+      |         GROUP BY o_custkey, seg.g),
+      |bt AS (SELECT t, CAST(SUM(g) AS BIGINT) AS c1, CAST(SUM(1 - g) AS BIGINT) AS c0,
+      |              CAST(SUM(g * ev) AS BIGINT) AS d1,
+      |              CAST(SUM((1 - g) * ev) AS BIGINT) AS d0
+      |       FROM cust GROUP BY t),
+      |sc AS (SELECT t, c1, c0, d1, d0,
+      |         CAST(SUM(c1) OVER (ORDER BY t) AS BIGINT) AS c1_cum,
+      |         CAST(SUM(c0) OVER (ORDER BY t) AS BIGINT) AS c0_cum
+      |       FROM bt),
+      |tt AS (SELECT MAX(c1_cum) AS n1t, MAX(c0_cum) AS n0t FROM sc),
+      |agg AS (SELECT
+      |    CAST(SUM(d1) AS BIGINT) AS o1, CAST(SUM(d0) AS BIGINT) AS o0,
+      |    CAST(SUM(CAST(CAST(d1 + d0 AS DOUBLE)
+      |      * CAST(n1t - (c1_cum - c1) AS DOUBLE)
+      |      / (CAST(n1t - (c1_cum - c1) AS DOUBLE) + CAST(n0t - (c0_cum - c0) AS DOUBLE))
+      |      AS DECIMAL(38,18))) AS DECIMAL(38,18)) AS e1,
+      |    CAST(SUM(CAST(CAST(d1 + d0 AS DOUBLE)
+      |      * CAST(n0t - (c0_cum - c0) AS DOUBLE)
+      |      / (CAST(n1t - (c1_cum - c1) AS DOUBLE) + CAST(n0t - (c0_cum - c0) AS DOUBLE))
+      |      AS DECIMAL(38,18))) AS DECIMAL(38,18)) AS e0
+      |  FROM sc CROSS JOIN tt WHERE d1 + d0 > 0)
+      |SELECT o1, o0, ROUND(CAST(e1 AS DOUBLE), 6) AS e1, ROUND(CAST(e0 AS DOUBLE), 6) AS e0,
+      |  ROUND((CAST(o1 AS DOUBLE) / CAST(e1 AS DOUBLE))
+      |    / (CAST(o0 AS DOUBLE) / CAST(e0 AS DOUBLE)), 6) AS hazard_ratio,
+      |  ROUND(ln((CAST(o1 AS DOUBLE) / CAST(e1 AS DOUBLE))
+      |    / (CAST(o0 AS DOUBLE) / CAST(e0 AS DOUBLE))), 6) AS ln_hr,
+      |  ROUND(sqrt(1.0 / CAST(e1 AS DOUBLE) + 1.0 / CAST(e0 AS DOUBLE)), 6) AS se_ln_hr
+      |FROM agg""".stripMargin
+
+  /** Boilerplate-template census: documents sharing the same first-8-
+    * word prefix (the "generated from one template" signal a dedup
+    * sweep by full-document hash misses): prefixes with df ≥ 3, top-20
+    * by (df DESC, prefix), with the source spread per template. One
+    * posting-shaped prefix aggregate — the prefix (≤ 8 words) is the
+    * only text that shuffles. */
+  private def textTemplates(s: SparkSession, dir: String): DataFrame = {
+    val ws = split(col("text"), " ")
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        array_join(slice(ws, 1, 8), " ").as("prefix"))
+      .filter(size(ws) >= 8)
+      .groupBy(col("prefix"))
+      .agg(count(lit(1)).as("n_docs"), countDistinct(col("source")).as("n_sources"))
+      .filter(col("n_docs") >= 3)
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("n_docs").desc, col("prefix"))))
+      .filter(col("rnk") <= 20)
+      .select(col("rnk"), col("prefix"), col("n_docs"), col("n_sources"))
+      .orderBy(col("rnk"))
+  }
+
+  private val textTemplatesSql =
+    """WITH p AS (SELECT doc_id, source,
+      |    array_to_string(string_split(text, ' ')[1:8], ' ') AS prefix
+      |  FROM documents WHERE len(string_split(text, ' ')) >= 8),
+      |g AS (SELECT prefix, COUNT(*) AS n_docs, COUNT(DISTINCT source) AS n_sources
+      |      FROM p GROUP BY prefix HAVING COUNT(*) >= 3),
+      |r AS (SELECT prefix, n_docs, n_sources,
+      |        ROW_NUMBER() OVER (ORDER BY n_docs DESC, prefix) AS rnk FROM g)
+      |SELECT rnk, prefix, n_docs, n_sources FROM r WHERE rnk <= 20 ORDER BY rnk""".stripMargin
+
+  /** Thumbnail (2×2 box) downsample digest over REAL BMP decodes
+    * ([[graft.multimodal.BinaryColumns.bmpDownsampleBatch]]): per-block
+    * exact integer sums, no division, order-sensitive weighted digest —
+    * the resize step of an image pipeline with its correctness pinned
+    * by the oracle rederiving every block from md5-nibble pixels. */
+  private def mmImageDownsample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir).select(col("doc_id").cast("long")).as[Long]
+    val payloads = docs.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { id =>
+        val w = 8 + (id % 5).toInt; val h = 8 + (id % 3).toInt
+        val rgb = Array.tabulate(3 * w * h) { p =>
+          md.digest(s"dsm:$id:$p".getBytes("UTF-8"))(0)
+        }
+        (id, graft.multimodal.BinaryColumns.encodeBmp(w, h, rgb))
+      }
+    }.toDF("doc_id", "payload")
+    graft.multimodal.BinaryColumns.bmpDownsampleBatch(payloads)(s).toDF()
+      .orderBy(col("doc_id"))
+  }
+
+  private val mmImageDownsampleSql = {
+    def nib(i: Int) = s"(instr('0123456789abcdef', substr(h, $i, 1)) - 1)"
+    s"""WITH d AS (SELECT doc_id, CAST(8 + doc_id % 5 AS INT) AS w,
+       |    CAST(8 + doc_id % 3 AS INT) AS ht FROM documents),
+       |pv AS (SELECT doc_id, w, ht, (p // 3) AS px_id, 16 * ${nib(1)} + ${nib(2)} AS v
+       |  FROM (SELECT d.doc_id, d.w, d.ht, p.range AS p,
+       |          md5('dsm:' || CAST(d.doc_id AS VARCHAR) || ':' ||
+       |            CAST(p.range AS VARCHAR)) AS h
+       |        FROM d CROSS JOIN range(0, 360) p
+       |        WHERE p.range < 3 * d.w * d.ht) t),
+       |lum AS (SELECT doc_id, MAX(w) AS w, MAX(ht) AS ht, px_id,
+       |          CAST(SUM(v) AS BIGINT) AS lum
+       |        FROM pv GROUP BY doc_id, px_id),
+       |blk AS (SELECT doc_id, (px_id % w) // 2 AS bx, (px_id // w) // 2 AS by,
+       |          w // 2 AS ow, ht // 2 AS oh, lum
+       |        FROM lum
+       |        WHERE (px_id % w) < (w // 2) * 2 AND (px_id // w) < (ht // 2) * 2),
+       |bs AS (SELECT doc_id, MAX(ow) AS ow, MAX(oh) AS oh, by, bx,
+       |         CAST(SUM(lum) AS BIGINT) AS block_sum
+       |       FROM blk GROUP BY doc_id, by, bx)
+       |SELECT doc_id, CAST(MAX(ow) AS INT) AS out_w, CAST(MAX(oh) AS INT) AS out_h,
+       |  CAST(MAX(ow) * MAX(oh) AS BIGINT) AS n_blocks,
+       |  CAST(SUM(block_sum * (by * ow + bx + 1)) AS BIGINT) AS wdigest
+       |FROM bs GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  /** Keyframe extraction over REAL AVI decodes: frame 0 plus every
+    * scene boundary (where the exact frame total changes) is a
+    * keyframe — the per-SCENE sampling anchor mm_scene_cuts' boundary
+    * list feeds. Same movi walker, same scene-structured synthesis;
+    * emits the keyframe rows themselves (doc, frame index, exact
+    * total). */
+  private def mmVideoKeyframes(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir).select(col("doc_id").cast("long")).as[Long]
+    val payloads = docs.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { id =>
+        val w = 2 + (id % 3).toInt; val h = 1 + (id % 2).toInt
+        val nf = 6 + (id % 4).toInt
+        val frames = Array.tabulate(nf) { f =>
+          Array.tabulate(3 * w * h) { p =>
+            md.digest(s"kf:$id:${f / 3}:$p".getBytes("UTF-8"))(0)
+          }
+        }
+        (id, graft.multimodal.BinaryColumns.encodeAvi(w, h, 33333, frames))
+      }
+    }.toDF("doc_id", "payload")
+    val sums = graft.multimodal.BinaryColumns.aviFrameSumsBatch(payloads)(s).toDF()
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+    sums.withColumn("prev_sum", lag(col("frame_sum"), 1).over(w))
+      .filter(col("prev_sum").isNull || col("prev_sum") =!= col("frame_sum"))
+      .select(col("doc_id"), col("frame_idx").cast("long").as("kf_idx"), col("frame_sum"))
+      .orderBy(col("doc_id"), col("kf_idx"))
+  }
+
+  private val mmVideoKeyframesSql =
+    """WITH d AS (SELECT doc_id, CAST(2 + doc_id % 3 AS INT) AS w,
+      |    CAST(1 + doc_id % 2 AS INT) AS ht,
+      |    CAST(6 + doc_id % 4 AS INT) AS nf FROM documents),
+      |px AS (SELECT d.doc_id, f.range AS f,
+      |    16 * (instr('0123456789abcdef', substr(md5('kf:' ||
+      |      CAST(d.doc_id AS VARCHAR) || ':' || CAST(f.range // 3 AS VARCHAR) || ':' ||
+      |      CAST(p.range AS VARCHAR)), 1, 1)) - 1)
+      |       + (instr('0123456789abcdef', substr(md5('kf:' ||
+      |      CAST(d.doc_id AS VARCHAR) || ':' || CAST(f.range // 3 AS VARCHAR) || ':' ||
+      |      CAST(p.range AS VARCHAR)), 2, 1)) - 1) AS v
+      |  FROM d CROSS JOIN range(0, 10) f CROSS JOIN range(0, 24) p
+      |  WHERE f.range < d.nf AND p.range < 3 * d.w * d.ht),
+      |fs AS (SELECT doc_id, f, CAST(SUM(v) AS BIGINT) AS frame_sum
+      |       FROM px GROUP BY doc_id, f),
+      |lg AS (SELECT doc_id, f, frame_sum,
+      |         LAG(frame_sum) OVER (PARTITION BY doc_id ORDER BY f) AS prev_sum
+      |       FROM fs)
+      |SELECT doc_id, CAST(f AS BIGINT) AS kf_idx, frame_sum
+      |FROM lg WHERE prev_sum IS NULL OR prev_sum <> frame_sum
+      |ORDER BY doc_id, kf_idx""".stripMargin
+
+  /** Recall curve of the portable LSH retrieval vs the exact ranking at
+    * k ∈ {1, 5, 10}: the tuning measurement behind every band-layout
+    * decision (sim_lsh_auto optimizes FOR a recall target; this
+    * MEASURES the achieved curve). Exact side is the declared
+    * brute-force eval baseline on the sampled query set; recall is an
+    * exact integer hit count over one pair join, one division per k. */
+  private def simRecallAtK(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val q = emb.filter(col("vec_id") % 50 === 0)
+    val exact = graft.similarity.VectorOps.bruteForceTopK(emb, q, k = 10)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+    val approx = graft.similarity.VectorOps.lshTopKPortable(emb, q, k = 10, dim = 64)
+      .select(col("query_id"), col("neighbor_id").as("a_nb"), col("rank").as("a_rank"))
+    val nQ = q.count()
+    Seq(1, 5, 10).map { k =>
+      exact.filter(col("rank") <= k)
+        .join(approx.filter(col("a_rank") <= k),
+          exact("query_id") === approx("query_id") &&
+            col("neighbor_id") === col("a_nb"), "left")
+        .agg(sum(when(col("a_nb").isNotNull, 1L).otherwise(0L)).as("hits"))
+        .select(lit(k).as("k"), col("hits"),
+          (col("hits").cast("double") / lit(nQ * k).cast("double")).as("recall"))
+    }.reduce(_.unionAll(_)).orderBy(col("k"))
+  }
+
+  private val simRecallAtKSql = {
+    val lsh =
+      """vq AS (SELECT vec_id,
+        |    list_transform(v, x -> CAST(round(x * 1000000.0) AS BIGINT)) AS q
+        |  FROM e),
+        |planes AS (SELECT t1.range AS i, t2.range AS j,
+        |    2 * (instr('0123456789abcdef', substr(md5('lsh:' ||
+        |      CAST(t1.range AS VARCHAR) || ':' || CAST(t2.range AS VARCHAR)), 1, 1)) - 1) - 15 AS h
+        |  FROM range(0, 16) t1, range(0, 64) t2),
+        |bits AS (SELECT vq.vec_id, p.i,
+        |    CASE WHEN SUM(p.h * vq.q[CAST(p.j AS INT) + 1]) >= 0 THEN 1 ELSE 0 END AS b
+        |  FROM vq CROSS JOIN planes p GROUP BY vq.vec_id, p.i),
+        |bands AS (SELECT vec_id, CAST(i // 4 AS INT) AS band_id,
+        |    CAST(SUM(b * (1 << CAST(i % 4 AS INT))) AS BIGINT) AS band_key
+        |  FROM bits GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT qb.vec_id AS query_id, nb.vec_id AS neighbor_id
+        |  FROM bands qb JOIN bands nb USING (band_id, band_key)
+        |  WHERE qb.vec_id % 50 = 0 AND nb.vec_id <> qb.vec_id),
+        |ap AS (SELECT query_id, neighbor_id, rank FROM (
+        |  SELECT p.query_id, p.neighbor_id,
+        |    ROW_NUMBER() OVER (PARTITION BY p.query_id
+        |      ORDER BY ROUND(list_cosine_similarity(eq.v, en.v), 6) DESC, p.neighbor_id) AS rank
+        |  FROM cand p JOIN e eq ON eq.vec_id = p.query_id
+        |               JOIN e en ON en.vec_id = p.neighbor_id) t
+        |  WHERE rank <= 10)""".stripMargin
+    val exact =
+      """ex AS (SELECT query_id, neighbor_id, rank FROM (
+        |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+        |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |      ORDER BY ROUND(list_cosine_similarity(q.v, e.v), 6) DESC, e.vec_id) AS rank
+        |  FROM (SELECT vec_id, v FROM e WHERE vec_id % 50 = 0) q
+        |  JOIN e ON e.vec_id <> q.vec_id) t
+        |  WHERE rank <= 10)""".stripMargin
+    def one(k: Int) =
+      s"""SELECT $k AS k,
+         |  CAST(SUM(CASE WHEN ap.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+         |  CAST(SUM(CASE WHEN ap.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST((SELECT COUNT(*) FROM e WHERE vec_id % 50 = 0) * $k AS DOUBLE) AS recall
+         |FROM (SELECT * FROM ex WHERE rank <= $k) x
+         |LEFT JOIN (SELECT * FROM ap WHERE rank <= $k) ap
+         |  ON x.query_id = ap.query_id AND x.neighbor_id = ap.neighbor_id""".stripMargin
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |$lsh,
+       |$exact
+       |SELECT * FROM (
+       |${Seq(1, 5, 10).map(one).mkString("\nUNION ALL\n")}
+       |) u ORDER BY k""".stripMargin
+  }
+
   // ----------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -15614,6 +16059,14 @@ object SparkEntry {
     "an_quartile_skew" -> (anQuartileSkew _),
     "an_streaks" -> (anStreaks _),
     "an_turnover" -> (anTurnover _),
+    "an_bh_fdr" -> (anBhFdr _),
+    "an_vif" -> (anVif _),
+    "an_median_survival" -> (anMedianSurvival _),
+    "an_hazard_ratio" -> (anHazardRatio _),
+    "text_templates" -> (textTemplates _),
+    "mm_image_downsample" -> (mmImageDownsample _),
+    "mm_video_keyframes" -> (mmVideoKeyframes _),
+    "sim_recall_at_k" -> (simRecallAtK _),
     "an_spearman" -> (anSpearman _),
     "an_kendall_tau" -> (anKendallTau _),
     "an_roc_auc" -> (anRocAuc _),
@@ -15970,6 +16423,14 @@ object SparkEntry {
     "an_quartile_skew" -> anQuartileSkewSql,
     "an_streaks" -> anStreaksSql,
     "an_turnover" -> anTurnoverSql,
+    "an_bh_fdr" -> anBhFdrSql,
+    "an_vif" -> anVifSql,
+    "an_median_survival" -> anMedianSurvivalSql,
+    "an_hazard_ratio" -> anHazardRatioSql,
+    "text_templates" -> textTemplatesSql,
+    "mm_image_downsample" -> mmImageDownsampleSql,
+    "mm_video_keyframes" -> mmVideoKeyframesSql,
+    "sim_recall_at_k" -> simRecallAtKSql,
     "an_spearman" -> anSpearmanSql,
     "an_kendall_tau" -> anKendallTauSql,
     "an_roc_auc" -> anRocAucSql,

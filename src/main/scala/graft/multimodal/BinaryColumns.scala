@@ -802,6 +802,51 @@ object BinaryColumns {
       }
   }
 
+  /** 2×2 box-downsample digest of a decoded BMP: per block the EXACT
+    * integer sum of the four pixels' channel sums (no division — the
+    * thumbnail in 4×-scaled units), folded into an order-sensitive
+    * (block_idx+1)-weighted digest so a block-order mis-walk breaks
+    * the compare. Odd trailing rows/columns are excluded (floor
+    * geometry), matching what a strided thumbnail kernel reads. */
+  final case class BmpDownsample(doc_id: Long, out_w: Int, out_h: Int,
+                                 n_blocks: Long, wdigest: Long)
+
+  /** Per-partition batch 2×2 downsample over REAL BMP decodes. */
+  def bmpDownsampleBatch(payloads: DataFrame)(implicit spark: SparkSession): Dataset[BmpDownsample] = {
+    import spark.implicits._
+    payloads.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val in = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          val w = in.getInt(18); val h = in.getInt(22)
+          val px = decodeBmpPixels(id, bytes)
+          val ow = w / 2; val oh = h / 2
+          var digest = 0L
+          var by = 0
+          while (by < oh) {
+            var bx = 0
+            while (bx < ow) {
+              var blockSum = 0L
+              var dy = 0
+              while (dy < 2) {
+                var dx = 0
+                while (dx < 2) {
+                  val p = 3 * ((2 * by + dy) * w + (2 * bx + dx))
+                  blockSum += (px(p) & 0xFF).toLong + (px(p + 1) & 0xFF) + (px(p + 2) & 0xFF)
+                  dx += 1
+                }
+                dy += 1
+              }
+              digest += blockSum * (by.toLong * ow + bx + 1)
+              bx += 1
+            }
+            by += 1
+          }
+          BmpDownsample(id, ow, oh, ow.toLong * oh, digest)
+        }
+      }
+  }
+
   /** Full plumbing: payload → batch decode → re-join metadata. */
   def decodedFrame(df: DataFrame, textCol: String, idCol: String)
                   (implicit spark: SparkSession): DataFrame = {

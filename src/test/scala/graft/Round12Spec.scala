@@ -409,6 +409,87 @@ class Round12Spec extends SparkSpec {
     assert(math.abs(r._4 - r._1.toDouble / (r._1 + r._2 + r._3)) < 1e-12)
   }
 
+  test("bh fdr: rejections form a prefix of the p-value ranking") {
+    val rows = SparkEntry.queries("an_bh_fdr")(spark, sfDir)
+      .select("rnk", "p", "rejected").as[(Long, Double, Boolean)].collect().sortBy(_._1)
+    assert(rows.map(_._2).sliding(2).forall(p => p.length < 2 || p(0) <= p(1)),
+      "p must be sorted by rank")
+    val lastRejected = rows.filter(_._3).map(_._1)
+    if (lastRejected.nonEmpty)
+      assert(lastRejected.sameElements(1L to lastRejected.max),
+        "BH rejections must be a prefix of the ranking")
+  }
+
+  test("vif: >= 1 and consistent with the r2 on the rest") {
+    val rows = SparkEntry.queries("an_vif")(spark, sfDir)
+      .select("r2_on_rest", "vif").as[(Double, Double)].collect()
+    rows.foreach { r =>
+      assert(r._2 >= 1.0 - 1e-6)
+      // both columns round the RAW r2 at 6dp; recomputing from the rounded
+      // r2 amplifies that half-ulp by vif^2, so the tolerance must too
+      val tol = math.max(1e-4, 2e-6 * r._2 * r._2)
+      assert(math.abs(r._2 - 1.0 / (1.0 - r._1)) < tol)
+    }
+  }
+
+  test("median survival: the curve point really is at or below one half") {
+    val r = SparkEntry.queries("an_median_survival")(spark, sfDir)
+      .select("median_t", "surv").as[(Long, Double)].collect()
+    r.foreach { case (_, surv) => assert(surv <= 0.5) }
+  }
+
+  test("hazard ratio: expected deaths sum to observed deaths") {
+    val r = SparkEntry.queries("an_hazard_ratio")(spark, sfDir)
+      .select("o1", "o0", "e1", "e0", "hazard_ratio")
+      .as[(Long, Long, Double, Double, Double)].head()
+    // Σ(E1+E0) per time = Σ(d1+d0): expectations redistribute observed deaths
+    assert(math.abs((r._3 + r._4) - (r._1 + r._2)) < 1e-3)
+    assert(r._5 > 0.0)
+  }
+
+  test("templates: every reported prefix is 8 words with df >= 3") {
+    val rows = SparkEntry.queries("text_templates")(spark, sfDir)
+      .select("prefix", "n_docs").as[(String, Long)].collect()
+    rows.foreach { r =>
+      assert(r._1.split(" ").length == 8)
+      assert(r._2 >= 3)
+    }
+  }
+
+  test("image downsample: geometry is the floor half, digest nonzero") {
+    val rows = SparkEntry.queries("mm_image_downsample")(spark, sfDir)
+      .select("doc_id", "out_w", "out_h", "n_blocks", "wdigest")
+      .as[(Long, Int, Int, Long, Long)].collect()
+    rows.foreach { case (id, ow, oh, nb, dg) =>
+      assert(ow == (8 + id % 5) / 2 && oh == (8 + id % 3) / 2)
+      assert(nb == ow.toLong * oh)
+      assert(dg > 0)
+    }
+  }
+
+  test("video keyframes: frame 0 always a keyframe; count = scene count") {
+    val rows = SparkEntry.queries("mm_video_keyframes")(spark, sfDir)
+      .select("doc_id", "kf_idx").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    rows.foreach { case (id, kfs) =>
+      assert(kfs.head == 0, s"doc $id: frame 0 must be a keyframe")
+      val nf = 6 + (id % 4)
+      val scenes = (0L until nf).map(_ / 3).distinct.length
+      // the sum-based detector can merge adjacent scenes whose tiny-frame
+      // totals collide (observed on 12-byte frames), never split one
+      assert(kfs.length <= scenes, s"doc $id: ${kfs.length} keyframes > $scenes scenes")
+      kfs.tail.foreach(f =>
+        assert(f / 3 != (f - 1) / 3, s"doc $id: keyframe $f is not a scene boundary"))
+    }
+  }
+
+  test("recall at k: weakly sane curve, recall in [0,1]") {
+    val rows = SparkEntry.queries("sim_recall_at_k")(spark, sfDir)
+      .select("k", "recall").as[(Int, Double)].collect().sortBy(_._1)
+    assert(rows.map(_._1).sameElements(Array(1, 5, 10)))
+    rows.foreach(r => assert(r._2 >= 0.0 && r._2 <= 1.0))
+  }
+
   test("video motion: scene structure means motion only at 3-frame boundaries") {
     val rows = SparkEntry.queries("mm_video_motion")(spark, sfDir)
       .select("doc_id", "n_transitions", "n_moving").as[(Long, Long, Long)].collect()
