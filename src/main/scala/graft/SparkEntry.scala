@@ -15887,6 +15887,337 @@ object SparkEntry {
        |) u ORDER BY k""".stripMargin
   }
 
+  /** Two-period Poisson rate test on order arrivals (1998 H1 vs H2):
+    * z = (λ₁−λ₂)/√(k₁/t₁² + k₂/t₂²) from exact event counts and fixed
+    * integer exposure windows — the incident/arrival-rate change test
+    * beside an_abtest's proportion z. One filtered aggregate. */
+  private def anPoissonRate(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .withColumn("h", when(col("o_orderdate") >= ts("1998-01-01") &&
+        col("o_orderdate") < ts("1998-07-01"), 1)
+        .when(col("o_orderdate") >= ts("1998-07-01") &&
+          col("o_orderdate") < ts("1999-01-01"), 2))
+      .filter(col("h").isNotNull)
+    val t1 = 181.0; val t2 = 184.0
+    o.agg(sum(when(col("h") === 1, 1L).otherwise(0L)).as("k1"),
+        sum(when(col("h") === 2, 1L).otherwise(0L)).as("k2"))
+      .select(col("k1"), col("k2"),
+        round(col("k1").cast("double") / t1, 6).as("rate1"),
+        round(col("k2").cast("double") / t2, 6).as("rate2"),
+        round((col("k1").cast("double") / t1 - col("k2").cast("double") / t2) /
+          sqrt(col("k1").cast("double") / (t1 * t1) +
+            col("k2").cast("double") / (t2 * t2)), 6).as("z"))
+  }
+
+  private val anPoissonRateSql =
+    """WITH h AS (SELECT CASE
+      |    WHEN o_orderdate >= TIMESTAMP '1998-01-01' AND o_orderdate < TIMESTAMP '1998-07-01' THEN 1
+      |    WHEN o_orderdate >= TIMESTAMP '1998-07-01' AND o_orderdate < TIMESTAMP '1999-01-01' THEN 2
+      |  END AS h FROM orders),
+      |t AS (SELECT CAST(SUM(CASE WHEN h = 1 THEN 1 ELSE 0 END) AS BIGINT) AS k1,
+      |             CAST(SUM(CASE WHEN h = 2 THEN 1 ELSE 0 END) AS BIGINT) AS k2
+      |      FROM h WHERE h IS NOT NULL)
+      |SELECT k1, k2,
+      |  ROUND(CAST(k1 AS DOUBLE) / 181.0, 6) AS rate1,
+      |  ROUND(CAST(k2 AS DOUBLE) / 184.0, 6) AS rate2,
+      |  ROUND((CAST(k1 AS DOUBLE) / 181.0 - CAST(k2 AS DOUBLE) / 184.0)
+      |    / sqrt(CAST(k1 AS DOUBLE) / (181.0 * 181.0)
+      |         + CAST(k2 AS DOUBLE) / (184.0 * 184.0)), 6) AS z
+      |FROM t""".stripMargin
+
+  /** Second-digit Benford screen on order totals — the harder-to-game
+    * companion to an_benford's first digit: the second digit comes from
+    * exact integer cents arithmetic (leading-two-digit prefix via
+    * floor-log scaling done in INTEGERS: repeated division — here via
+    * string of the exact cents value, digit 2 of the digit string),
+    * expected P(d) = Σ_k log10(1+1/(10k+d)) as fixed literals, χ²
+    * distance from exact counts, ROUND 6. */
+  private def anBenford2(s: SparkSession, dir: String): DataFrame = {
+    // exact second significant digit: cents is an exact integer; its
+    // decimal digit string is engine-identical (no float formatting)
+    val digits = Tables.orders(s, dir)
+      .select((col("o_totalprice").cast("decimal(24,2)") * 100).cast("bigint").as("c"))
+      .filter(col("c") >= 10)
+      .select(substring(col("c").cast("string"), 2, 1).cast("int").as("d2"))
+    val expected = (0 to 9).map { d =>
+      d -> (1 to 9).map(k => math.log10(1.0 + 1.0 / (10 * k + d))).sum
+    }
+    val expDf = expected.map { case (d, p) =>
+      s.range(1).select(lit(d).as("d2"), lit(p).as("p_exp"))
+    }.reduce(_.unionAll(_))
+    val counts = digits.groupBy(col("d2")).agg(count(lit(1)).as("n_d"))
+    val tot = counts.agg(sum(col("n_d")).as("n"))
+    counts.join(broadcast(expDf), Seq("d2")).crossJoin(broadcast(tot))
+      .select(col("d2"), col("n_d"),
+        (col("n_d").cast("double") / col("n").cast("double")).as("p_obs"),
+        round(col("p_exp"), 6).as("p_exp"),
+        round((col("n_d").cast("double") / col("n").cast("double") - col("p_exp")) *
+          (col("n_d").cast("double") / col("n").cast("double") - col("p_exp")) /
+          col("p_exp") * col("n").cast("double"), 6).as("chi2_term"))
+      .orderBy(col("d2"))
+  }
+
+  private val anBenford2Sql = {
+    val exp = (0 to 9).map { d =>
+      val p = (1 to 9).map(k => math.log10(1.0 + 1.0 / (10 * k + d))).sum
+      s"SELECT $d AS d2, CAST($p AS DOUBLE) AS p_exp"
+    }.mkString(" UNION ALL ")
+    s"""WITH c AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(24,2)) * 100 AS BIGINT) AS c
+       |  FROM orders),
+       |d AS (SELECT CAST(substr(CAST(c AS VARCHAR), 2, 1) AS INT) AS d2
+       |      FROM c WHERE c >= 10),
+       |cnt AS (SELECT d2, COUNT(*) AS n_d FROM d GROUP BY d2),
+       |t AS (SELECT CAST(SUM(n_d) AS BIGINT) AS n FROM cnt),
+       |e AS ($exp)
+       |SELECT cnt.d2, n_d,
+       |  CAST(n_d AS DOUBLE) / CAST(n AS DOUBLE) AS p_obs,
+       |  ROUND(p_exp, 6) AS p_exp,
+       |  ROUND((CAST(n_d AS DOUBLE) / CAST(n AS DOUBLE) - p_exp)
+       |    * (CAST(n_d AS DOUBLE) / CAST(n AS DOUBLE) - p_exp)
+       |    / p_exp * CAST(n AS DOUBLE), 6) AS chi2_term
+       |FROM cnt JOIN e ON cnt.d2 = e.d2 CROSS JOIN t
+       |ORDER BY cnt.d2""".stripMargin
+  }
+
+  /** Peaks-over-threshold mean-excess analysis of order totals: the
+    * exact p95 cent threshold off the PrefixSum distinct-value scan,
+    * exceedance count, mean excess (exact BIGINT sum ÷ count), and the
+    * implied exponential tail rate 1/mean_excess — the extreme-value
+    * triage beside an_hill_tail's power-law index and an_gumbel's
+    * block maxima. */
+  private def anMeanExcess(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .select(lit(1).as("g"), (col("o_totalprice").cast("decimal(24,2)") * 100)
+        .cast("bigint").as("v"))
+    val scan = graft.operators.PrefixSum.distinctRunningCounts(o, Seq("g", "v"))
+    val probes = o.groupBy(col("g")).agg(count(lit(1)).as("n"))
+      .withColumn("r95", expr("(19 * n + 19) div 20"))
+    val hit = col("cnt_cum") >= col("r95") && col("cnt_cum") - col("cnt") < col("r95")
+    val thr = scan.join(broadcast(probes), Seq("g"))
+      .filter(hit).groupBy(col("g")).agg(max(col("v")).as("u"))
+    o.join(broadcast(thr), Seq("g"))
+      .filter(col("v") > col("u"))
+      .groupBy(col("u"))
+      .agg(count(lit(1)).as("n_exceed"), sum(col("v") - col("u")).as("excess_sum"))
+      .select((col("u") / 100.0).as("threshold"),
+        col("n_exceed"),
+        (col("excess_sum").cast("double") / col("n_exceed").cast("double") / 100.0)
+          .as("mean_excess"),
+        round(col("n_exceed").cast("double") * 100.0 /
+          col("excess_sum").cast("double"), 6).as("exp_rate"))
+  }
+
+  private val anMeanExcessSql =
+    """WITH o AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(24,2)) * 100 AS BIGINT) AS v
+      |  FROM orders),
+      |pv AS (SELECT v, COUNT(*) AS cnt FROM o GROUP BY v),
+      |cv AS (SELECT v, cnt, CAST(SUM(cnt) OVER (ORDER BY v) AS BIGINT) AS cum FROM pv),
+      |t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM pv),
+      |u AS (SELECT CAST(MAX(CASE WHEN cum >= (19*n+19)//20 AND cum - cnt < (19*n+19)//20
+      |        THEN v END) AS BIGINT) AS u
+      |      FROM cv CROSS JOIN t),
+      |x AS (SELECT o.v, u.u FROM o CROSS JOIN u WHERE o.v > u.u)
+      |SELECT MAX(u) / 100.0 AS threshold, COUNT(*) AS n_exceed,
+      |  CAST(CAST(SUM(v - u) AS BIGINT) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 100.0 AS mean_excess,
+      |  ROUND(CAST(COUNT(*) AS DOUBLE) * 100.0 / CAST(CAST(SUM(v - u) AS BIGINT) AS DOUBLE), 6) AS exp_rate
+      |FROM x""".stripMargin
+
+  /** ABC inventory classification of parts by revenue: cumulative
+    * revenue share off ONE PrefixSum scan over the part-revenue
+    * aggregate (A ≤ 80%, B ≤ 95%, C rest — boundaries compared in
+    * EXACT integers, share·total cross-multiplied), per-class part
+    * counts and revenue. The classic Pareto workhorse an_pareto's
+    * crossing points summarize. */
+  private def anAbc(s: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(s, dir)
+      .groupBy(col("l_partkey"))
+      .agg((sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(24,8)")).cast("decimal(24,2)") * 100).cast("bigint").as("rc"))
+      // descending-revenue order via ascending key (-rc, partkey):
+      // PrefixSum scans ascending, so feed it the negated measure
+      .select(col("l_partkey"), col("rc"), (-col("rc")).as("nrc"))
+    val scan = graft.operators.PrefixSum.withRunningTotals(
+      rev.select(col("nrc"), col("l_partkey"), col("rc")), Seq("nrc", "l_partkey"), Seq("rc"))
+    val tot = scan.agg(max(col("rc_cum")).as("total"))
+    scan.crossJoin(broadcast(tot))
+      .withColumn("cls",
+        when(col("rc_cum").cast("decimal(38,0)") * 100 <=
+          col("total").cast("decimal(38,0)") * 80, "A")
+          .when(col("rc_cum").cast("decimal(38,0)") * 100 <=
+            col("total").cast("decimal(38,0)") * 95, "B")
+          .otherwise(lit("C")))
+      .groupBy(col("cls"))
+      .agg(count(lit(1)).as("n_parts"), sum(col("rc")).as("rev_cents"))
+      .select(col("cls"), col("n_parts"), col("rev_cents"),
+        (col("rev_cents") / 100.0).as("revenue"))
+      .orderBy(col("cls"))
+  }
+
+  private val anAbcSql =
+    """WITH rev AS (SELECT l_partkey,
+      |    CAST(ROUND(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,8))), 2) * 100 AS BIGINT) AS rc
+      |  FROM lineitem GROUP BY l_partkey),
+      |sc AS (SELECT rc,
+      |         CAST(SUM(rc) OVER (ORDER BY -rc, l_partkey) AS BIGINT) AS rc_cum
+      |       FROM rev),
+      |t AS (SELECT CAST(SUM(rc) AS BIGINT) AS total FROM rev),
+      |c AS (SELECT rc,
+      |        CASE WHEN CAST(rc_cum AS DECIMAL(38,0)) * 100 <= CAST(total AS DECIMAL(38,0)) * 80 THEN 'A'
+      |             WHEN CAST(rc_cum AS DECIMAL(38,0)) * 100 <= CAST(total AS DECIMAL(38,0)) * 95 THEN 'B'
+      |             ELSE 'C' END AS cls
+      |      FROM sc CROSS JOIN t)
+      |SELECT cls, COUNT(*) AS n_parts, CAST(SUM(rc) AS BIGINT) AS rev_cents,
+      |  CAST(SUM(rc) AS BIGINT) / 100.0 AS revenue
+      |FROM c GROUP BY cls ORDER BY cls""".stripMargin
+
+  /** Join fan-out audit for orders ⋈ lineitem: the multiplicity
+    * histogram (lines per order), max fan-out with its key, and the
+    * row-expansion factor — the pre-join safety measurement that
+    * catches an unexpected 1:N blowup before it ships as a shuffle
+    * 100× the input. Two posting aggregates. */
+  private def qFanoutAudit(s: SparkSession, dir: String): DataFrame = {
+    val fan = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("fanout"))
+    fan.groupBy(col("fanout")).agg(count(lit(1)).as("n_orders"))
+      .crossJoin(broadcast(fan.agg(
+        max(col("fanout")).as("max_fanout"),
+        sum(col("fanout")).as("total_rows"),
+        count(lit(1)).as("total_keys"))))
+      .select(col("fanout"), col("n_orders"), col("max_fanout"),
+        (col("total_rows").cast("double") / col("total_keys").cast("double"))
+          .as("avg_fanout"))
+      .orderBy(col("fanout"))
+  }
+
+  private val qFanoutAuditSql =
+    """WITH f AS (SELECT l_orderkey, COUNT(*) AS fanout FROM lineitem GROUP BY 1),
+      |h AS (SELECT fanout, COUNT(*) AS n_orders FROM f GROUP BY fanout),
+      |t AS (SELECT CAST(MAX(fanout) AS BIGINT) AS max_fanout,
+      |             CAST(SUM(fanout) AS BIGINT) AS total_rows,
+      |             COUNT(*) AS total_keys FROM f)
+      |SELECT fanout, n_orders, max_fanout,
+      |  CAST(total_rows AS DOUBLE) / CAST(total_keys AS DOUBLE) AS avg_fanout
+      |FROM h CROSS JOIN t ORDER BY fanout""".stripMargin
+
+  /** Top-3 and bottom-3 parts by revenue per brand in ONE window pass:
+    * both directional ranks off the same (brand, revenue) aggregate,
+    * emitted with an end tag — the leaderboard query shape where
+    * running two separate top-k jobs would scan twice. */
+  private def qTopBottom(s: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir).select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("l_partkey"))
+      .agg((sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(24,8)")).cast("decimal(24,2)") * 100).cast("bigint").as("rc"))
+    val wTop = Window.partitionBy(col("p_brand")).orderBy(col("rc").desc, col("l_partkey"))
+    val wBot = Window.partitionBy(col("p_brand")).orderBy(col("rc"), col("l_partkey").desc)
+    rev.withColumn("r_top", row_number().over(wTop))
+      .withColumn("r_bot", row_number().over(wBot))
+      .filter(col("r_top") <= 3 || col("r_bot") <= 3)
+      .select(col("p_brand"), col("l_partkey"), (col("rc") / 100.0).as("revenue"),
+        when(col("r_top") <= 3, "top").otherwise("bottom").as("end_tag"),
+        when(col("r_top") <= 3, col("r_top")).otherwise(col("r_bot")).as("rnk"))
+      .orderBy(col("p_brand"), col("end_tag").desc, col("rnk"))
+  }
+
+  private val qTopBottomSql =
+    """WITH rev AS (SELECT p_brand, l_partkey,
+      |    CAST(ROUND(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,8))), 2) * 100 AS BIGINT) AS rc
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  GROUP BY p_brand, l_partkey),
+      |r AS (SELECT p_brand, l_partkey, rc,
+      |        ROW_NUMBER() OVER (PARTITION BY p_brand ORDER BY rc DESC, l_partkey) AS r_top,
+      |        ROW_NUMBER() OVER (PARTITION BY p_brand ORDER BY rc, l_partkey DESC) AS r_bot
+      |      FROM rev)
+      |SELECT p_brand, l_partkey, rc / 100.0 AS revenue,
+      |  CASE WHEN r_top <= 3 THEN 'top' ELSE 'bottom' END AS end_tag,
+      |  CAST(CASE WHEN r_top <= 3 THEN r_top ELSE r_bot END AS INT) AS rnk
+      |FROM r WHERE r_top <= 3 OR r_bot <= 3
+      |ORDER BY p_brand, end_tag DESC, rnk""".stripMargin
+
+  /** Load-volume anomaly screen: monthly order counts vs the trailing
+    * 6-month window (excluding self), flagged when the month deviates
+    * by more than 30% — compared in EXACT integers (10·n·w vs 13·sum /
+    * 7·sum cross-multiplication, no float boundary). The feed-health
+    * monitor that catches a half-delivered extract before it poisons
+    * downstream aggregates. */
+  private def etlVolumeAnomaly(s: SparkSession, dir: String): DataFrame = {
+    val monthly = Tables.orders(s, dir)
+      .groupBy(date_trunc("month", col("o_orderdate")).as("m"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("mi", (year(col("m")) * 12 + month(col("m"))).cast("long"))
+    val w = Window.orderBy(col("mi")).rangeBetween(-6, -1)
+    monthly
+      .withColumn("w_sum", sum(col("n")).over(w))
+      .withColumn("w_n", count(lit(1)).over(w))
+      .filter(col("w_n") === 6)
+      .select(col("m").as("month"), col("n").as("n_orders"),
+        (col("w_sum").cast("double") / col("w_n").cast("double")).as("trailing_avg"),
+        (col("n") * col("w_n") * 10 > col("w_sum") * 13 ||
+          col("n") * col("w_n") * 10 < col("w_sum") * 7).as("anomalous"))
+      .orderBy(col("month"))
+  }
+
+  private val etlVolumeAnomalySql =
+    """WITH m AS (SELECT date_trunc('month', o_orderdate) AS m, COUNT(*) AS n
+      |  FROM orders GROUP BY 1),
+      |mi AS (SELECT m, n, CAST(year(m) * 12 + month(m) AS BIGINT) AS mi FROM m),
+      |w AS (SELECT m, n,
+      |        SUM(n) OVER tw AS w_sum, COUNT(*) OVER tw AS w_n
+      |      FROM mi
+      |      WINDOW tw AS (ORDER BY mi RANGE BETWEEN 6 PRECEDING AND 1 PRECEDING))
+      |SELECT m AS month, n AS n_orders,
+      |  CAST(w_sum AS DOUBLE) / CAST(w_n AS DOUBLE) AS trailing_avg,
+      |  (n * w_n * 10 > w_sum * 13 OR n * w_n * 10 < w_sum * 7) AS anomalous
+      |FROM w WHERE w_n = 6 ORDER BY month""".stripMargin
+
+  /** Near-duplicate fact screen: order pairs from the SAME customer
+    * with the SAME exact total within 3 days — the double-billing /
+    * double-ingest audit. A deterministic ~6% of orders is INJECTED as
+    * a day-shifted clone (md5-gated, new surrogate key ok+10⁹), so the
+    * screen must recover exactly the planted duplicates from the
+    * combined feed — the raw synthetic totals are near-unique, which
+    * would otherwise make this a hollow always-empty check. The
+    * self-join keys on (custkey, cents): only true candidates pair,
+    * the day window filters after. */
+  private def etlNearDuplicateFacts(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(s, dir).select(col("o_custkey").as("ck"),
+      col("o_orderkey").as("ok"),
+      (col("o_totalprice").cast("decimal(24,2)") * 100).cast("bigint").as("v"),
+      col("o_orderdate").as("dt"))
+    val gate = expr("(instr('0123456789abcdef', substr(md5(concat('dup:', CAST(ok AS STRING))), 1, 1)) - 1) < 1")
+    val clones = base.filter(gate)
+      .select(col("ck"), (col("ok") + lit(1000000000L)).as("ok"), col("v"),
+        (col("dt") + expr("INTERVAL 1 DAYS")).as("dt"))
+    val o = base.unionByName(clones)
+    val o2 = o.select(col("ck"), col("ok").as("ok2"), col("v"), col("dt").as("dt2"))
+    o.join(o2, Seq("ck", "v"))
+      .filter(col("ok") < col("ok2") &&
+        abs(datediff(col("dt").cast("date"), col("dt2").cast("date"))) <= 3)
+      .select(col("ck").as("custkey"), col("ok").as("order_a"), col("ok2").as("order_b"),
+        (col("v") / 100.0).as("amount"),
+        datediff(col("dt2").cast("date"), col("dt").cast("date")).as("day_gap"))
+      .orderBy(col("custkey"), col("order_a"), col("order_b"))
+  }
+
+  private val etlNearDuplicateFactsSql =
+    """WITH b AS (SELECT o_custkey AS ck, o_orderkey AS ok,
+      |    CAST(CAST(o_totalprice AS DECIMAL(24,2)) * 100 AS BIGINT) AS v,
+      |    o_orderdate AS dt
+      |  FROM orders),
+      |o AS (SELECT * FROM b
+      |      UNION ALL
+      |      SELECT ck, ok + 1000000000 AS ok, v, dt + INTERVAL 1 DAY AS dt
+      |      FROM b
+      |      WHERE (instr('0123456789abcdef', substr(md5('dup:' || CAST(ok AS VARCHAR)), 1, 1)) - 1) < 1)
+      |SELECT a.ck AS custkey, a.ok AS order_a, b2.ok AS order_b,
+      |  a.v / 100.0 AS amount,
+      |  date_diff('day', CAST(a.dt AS DATE), CAST(b2.dt AS DATE)) AS day_gap
+      |FROM o a JOIN o b2 ON a.ck = b2.ck AND a.v = b2.v AND a.ok < b2.ok
+      |WHERE ABS(date_diff('day', CAST(a.dt AS DATE), CAST(b2.dt AS DATE))) <= 3
+      |ORDER BY custkey, order_a, order_b""".stripMargin
+
   // ----------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -16067,6 +16398,14 @@ object SparkEntry {
     "mm_image_downsample" -> (mmImageDownsample _),
     "mm_video_keyframes" -> (mmVideoKeyframes _),
     "sim_recall_at_k" -> (simRecallAtK _),
+    "an_poisson_rate" -> (anPoissonRate _),
+    "an_benford2" -> (anBenford2 _),
+    "an_mean_excess" -> (anMeanExcess _),
+    "an_abc" -> (anAbc _),
+    "q_fanout_audit" -> (qFanoutAudit _),
+    "q_top_bottom" -> (qTopBottom _),
+    "etl_volume_anomaly" -> (etlVolumeAnomaly _),
+    "etl_near_duplicate_facts" -> (etlNearDuplicateFacts _),
     "an_spearman" -> (anSpearman _),
     "an_kendall_tau" -> (anKendallTau _),
     "an_roc_auc" -> (anRocAuc _),
@@ -16431,6 +16770,14 @@ object SparkEntry {
     "mm_image_downsample" -> mmImageDownsampleSql,
     "mm_video_keyframes" -> mmVideoKeyframesSql,
     "sim_recall_at_k" -> simRecallAtKSql,
+    "an_poisson_rate" -> anPoissonRateSql,
+    "an_benford2" -> anBenford2Sql,
+    "an_mean_excess" -> anMeanExcessSql,
+    "an_abc" -> anAbcSql,
+    "q_fanout_audit" -> qFanoutAuditSql,
+    "q_top_bottom" -> qTopBottomSql,
+    "etl_volume_anomaly" -> etlVolumeAnomalySql,
+    "etl_near_duplicate_facts" -> etlNearDuplicateFactsSql,
     "an_spearman" -> anSpearmanSql,
     "an_kendall_tau" -> anKendallTauSql,
     "an_roc_auc" -> anRocAucSql,

@@ -490,6 +490,68 @@ class Round12Spec extends SparkSpec {
     rows.foreach(r => assert(r._2 >= 0.0 && r._2 <= 1.0))
   }
 
+  test("poisson rate: z sign matches the rate difference") {
+    val r = SparkEntry.queries("an_poisson_rate")(spark, sfDir)
+      .select("rate1", "rate2", "z").as[(Double, Double, Double)].head()
+    assert((r._1 >= r._2) == (r._3 >= 0.0))
+  }
+
+  test("benford2: observed shares sum to 1, expectations to 1") {
+    val rows = SparkEntry.queries("an_benford2")(spark, sfDir)
+      .select("p_obs", "p_exp").as[(Double, Double)].collect()
+    assert(rows.length == 10)
+    assert(math.abs(rows.map(_._1).sum - 1.0) < 1e-9)
+    assert(math.abs(rows.map(_._2).sum - 1.0) < 1e-4)
+  }
+
+  test("mean excess: threshold near p95, rate is the reciprocal") {
+    val r = SparkEntry.queries("an_mean_excess")(spark, sfDir)
+      .select("n_exceed", "mean_excess", "exp_rate").as[(Long, Double, Double)].head()
+    val n = Tables.orders(spark, sfDir).count()
+    assert(r._1 <= n / 10, "at most ~5-10% of rows exceed the p95 threshold")
+    assert(math.abs(r._3 - 1.0 / r._2) < 1e-4 * r._3)
+  }
+
+  test("abc: classes partition the parts and A carries the most revenue") {
+    val rows = SparkEntry.queries("an_abc")(spark, sfDir)
+      .select("cls", "n_parts", "rev_cents").as[(String, Long, Long)].collect()
+    val m = rows.map(r => r._1 -> r).toMap
+    assert(m.contains("A") && m.contains("C"))
+    assert(m("A")._3 >= m.getOrElse("B", ("B", 0L, 0L))._3)
+  }
+
+  test("fanout audit: histogram reconciles to lineitem row count") {
+    val rows = SparkEntry.queries("q_fanout_audit")(spark, sfDir)
+      .select("fanout", "n_orders").as[(Long, Long)].collect()
+    val total = rows.map(r => r._1 * r._2).sum
+    assert(total == Tables.lineitem(spark, sfDir).count())
+  }
+
+  test("top bottom: 3 + 3 per brand unless the brand is small") {
+    val rows = SparkEntry.queries("q_top_bottom")(spark, sfDir)
+      .select("p_brand", "end_tag").as[(String, String)].collect()
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      assert(rs.count(_._2 == "top") <= 3)
+      assert(rs.length <= 6)
+    }
+  }
+
+  test("volume anomaly: trailing average positive, windows complete") {
+    val rows = SparkEntry.queries("etl_volume_anomaly")(spark, sfDir)
+      .select("n_orders", "trailing_avg").as[(Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r._2 > 0.0))
+  }
+
+  test("near duplicate facts: every planted clone pair is recovered") {
+    val rows = SparkEntry.queries("etl_near_duplicate_facts")(spark, sfDir)
+      .select("order_a", "order_b", "day_gap").as[(Long, Long, Long)].collect()
+    // each planted clone (ok -> ok+1e9, +1 day) must appear as a pair
+    val planted = rows.filter(r => r._2 == r._1 + 1000000000L)
+    assert(planted.nonEmpty)
+    planted.foreach(r => assert(r._3 == 1, "clone pairs sit exactly 1 day apart"))
+  }
+
   test("video motion: scene structure means motion only at 3-frame boundaries") {
     val rows = SparkEntry.queries("mm_video_motion")(spark, sfDir)
       .select("doc_id", "n_transitions", "n_moving").as[(Long, Long, Long)].collect()
