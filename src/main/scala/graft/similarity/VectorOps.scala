@@ -359,8 +359,20 @@ object VectorOps {
   def portableBands(vec: Column, dim: Int, nBits: Int, nBands: Int): Column =
     portableBandArray(vec, dim, nBits, nBands)
 
+  /** Corpus-adaptive SRP band width for threshold search: bandBits =
+    * max(4, ⌊log2(n/40)⌋), computed in INTEGERS (binary digit length —
+    * no float log at the boundary) so a SQL oracle derives the same
+    * width from its own COUNT(*). Bucket count scales with n, holding
+    * the expected bucket size (≈40) constant — the candidate-pair
+    * workload stays O(n), where a FIXED width grows it O(n²/2^bits)
+    * (measured: exp 1.71 at the 10× probe before this). Wider bands
+    * lower per-band recall as the corpus grows — the same
+    * documented corpus-scaled trade as semanticDedup's nCells. */
+  def adaptiveBandBits(n: Long): Int =
+    math.max(4, 63 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n / 40)))
+
   def rangeSearchPortable(embeddings: DataFrame, tau: Double, dim: Int,
-                          nBits: Int = 16, nBands: Int = 4,
+                          nBands: Int = 4,
                           idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     // Candidate generation and scoring are SPLIT so the pair dedup
     // shuffles bare 16-byte id pairs, never vectors: carrying the two
@@ -368,6 +380,7 @@ object VectorOps {
     // (measured 6.1 s at sf0.1 — the whole query is that shuffle); the
     // deduped pair list re-joins the (id, vec, norm) table by key, the
     // same corpus-stays-put posture as lshRerankTopK.
+    val nBits = adaptiveBandBits(embeddings.count()) * nBands
     val bands = embeddings
       .select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
       .withColumn("band", explode(portableBandArray(col("v"), dim, nBits, nBands)))
