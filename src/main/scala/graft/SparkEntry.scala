@@ -16461,6 +16461,220 @@ object SparkEntry {
        |FROM fl GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  /** Greenwood standard errors on the Kaplan–Meier churn curve: the
+    * cumulative Σ d/(n(n−d)) rides a window over the same risk-set
+    * frame as an_kaplan_meier (each term an exactly-rounded rational,
+    * gathered DECIMAL(38,18)), se = S·√Σ at ROUND 6 — the confidence
+    * envelope the bare curve needs before anyone reads a 2% drop as
+    * real. Terminal all-event rows pin se to 0 with surv. */
+  private def anGreenwood(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val anchor = o.agg(max(col("o_orderdate")).as("mx"))
+    val cust = o.groupBy(col("o_custkey"))
+      .agg(min(col("o_orderdate")).as("f"), max(col("o_orderdate")).as("l"))
+      .crossJoin(broadcast(anchor))
+      .select(datediff(col("l"), col("f")).cast("bigint").as("t"),
+        (col("l") < col("mx") - expr("INTERVAL 90 DAYS")).cast("int").as("ev"))
+    val byT = cust.groupBy(col("t"))
+      .agg(count(lit(1)).as("n_at"), sum(col("ev")).cast("long").as("d"))
+    val wPrev = Window.orderBy(col("t")).rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.orderBy(col("t")).rowsBetween(Window.unboundedPreceding, 0)
+    byT.crossJoin(broadcast(cust.agg(count(lit(1)).as("n_total"))))
+      .withColumn("n_risk",
+        col("n_total") - coalesce(sum(col("n_at")).over(wPrev), lit(0L)))
+      .filter(col("d") > 0)
+      .withColumn("surv", when(col("d") === col("n_risk"), lit(0.0))
+        .otherwise(round(exp(sum(
+          log(lit(1.0) - col("d").cast("double") / col("n_risk").cast("double")))
+          .over(wCum)), 6)))
+      .withColumn("gw", sum(when(col("d") === col("n_risk"), lit(0.0))
+        .otherwise(col("d").cast("double") /
+          (col("n_risk").cast("double") * (col("n_risk") - col("d")).cast("double")))
+        .cast("decimal(38,18)")).over(wCum).cast("decimal(38,18)"))
+      .select(col("t"), col("n_risk"), col("d"), col("surv"),
+        when(col("surv") === 0.0, lit(0.0))
+          .otherwise(round(col("surv") * sqrt(col("gw").cast("double")), 6)).as("se"))
+      .orderBy(col("t"))
+  }
+
+  private val anGreenwoodSql =
+    """WITH a AS (SELECT MAX(o_orderdate) AS mx FROM orders),
+      |c AS (SELECT o_custkey, MIN(o_orderdate) AS f, MAX(o_orderdate) AS l
+      |      FROM orders GROUP BY 1),
+      |cust AS (SELECT CAST(date_diff('day', f, l) AS BIGINT) AS t,
+      |                CASE WHEN l < mx - INTERVAL 90 DAY THEN 1 ELSE 0 END AS ev
+      |         FROM c CROSS JOIN a),
+      |byt AS (SELECT t, COUNT(*) AS n_at, CAST(SUM(ev) AS BIGINT) AS d
+      |        FROM cust GROUP BY 1),
+      |tot AS (SELECT COUNT(*) AS n_total FROM cust),
+      |r AS (SELECT t, d, n_total - COALESCE(CAST(SUM(n_at) OVER (ORDER BY t
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS n_risk
+      |      FROM byt CROSS JOIN tot),
+      |f AS (SELECT t, n_risk, d,
+      |        CASE WHEN d = n_risk THEN 0.0
+      |             ELSE ROUND(EXP(SUM(LN(1.0 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE)))
+      |                    OVER cw), 6) END AS surv,
+      |        CAST(SUM(CAST(CASE WHEN d = n_risk THEN 0.0
+      |               ELSE CAST(d AS DOUBLE)
+      |                 / (CAST(n_risk AS DOUBLE) * CAST(n_risk - d AS DOUBLE)) END
+      |             AS DECIMAL(38,18))) OVER cw AS DECIMAL(38,18)) AS gw
+      |      FROM r WHERE d > 0
+      |      WINDOW cw AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT t, n_risk, d, surv,
+      |  CASE WHEN surv = 0.0 THEN 0.0
+      |       ELSE ROUND(surv * sqrt(CAST(gw AS DOUBLE)), 6) END AS se
+      |FROM f ORDER BY t""".stripMargin
+
+  /** Periodogram of daily revenue at candidate periods {7, 30, 91}:
+    * per-period cos/sin projections with each v·cos term gathered in
+    * DECIMAL(38,18) (the an_price_elasticity libm discipline), emitted
+    * as a NORMALIZED amplitude in dollars (2·√(c²+s²)/n/100, ROUND 6 —
+    * normalizing BEFORE the round keeps the libm ulp noise far below
+    * the 6-dp step; the raw power is n²-scaled where no emission
+    * rounding could absorb it). Confirms the weekly cycle the
+    * decompose/dow queries assume. */
+  private def anPeriodogram(s: SparkSession, dir: String): DataFrame = {
+    val daily = dailyRevenueSpine(s, dir)
+    def gather(c: Column) = sum(c.cast("decimal(38,18)")).cast("decimal(38,18)")
+    Seq(7, 30, 91).map { p =>
+      val ang = lit(2.0 * math.Pi) * pmod(col("d"), lit(p)).cast("double") / lit(p.toDouble)
+      daily.agg(count(lit(1)).as("n"),
+          gather(col("rev_c").cast("double") * cos(ang)).as("cs"),
+          gather(col("rev_c").cast("double") * sin(ang)).as("sn"))
+        .select(lit(p).as("period"), col("n").as("n_days"),
+          round(lit(2.0) * sqrt(col("cs").cast("double") * col("cs").cast("double") +
+            col("sn").cast("double") * col("sn").cast("double")) /
+            col("n").cast("double") / 100.0, 6).as("amplitude"))
+    }.reduce(_.unionAll(_)).orderBy(col("period"))
+  }
+
+  private val anPeriodogramSql = {
+    def one(p: Int) =
+      s"""SELECT $p AS period, COUNT(*) AS n_days,
+         |  ROUND(2.0 * sqrt(
+         |      CAST(CAST(SUM(CAST(CAST(rev_c AS DOUBLE) * cos(2.0 * pi() * CAST(d % $p AS DOUBLE) / $p.0) AS DECIMAL(38,18))) AS DECIMAL(38,18)) AS DOUBLE)
+         |    * CAST(CAST(SUM(CAST(CAST(rev_c AS DOUBLE) * cos(2.0 * pi() * CAST(d % $p AS DOUBLE) / $p.0) AS DECIMAL(38,18))) AS DECIMAL(38,18)) AS DOUBLE)
+         |    + CAST(CAST(SUM(CAST(CAST(rev_c AS DOUBLE) * sin(2.0 * pi() * CAST(d % $p AS DOUBLE) / $p.0) AS DECIMAL(38,18))) AS DECIMAL(38,18)) AS DOUBLE)
+         |    * CAST(CAST(SUM(CAST(CAST(rev_c AS DOUBLE) * sin(2.0 * pi() * CAST(d % $p AS DOUBLE) / $p.0) AS DECIMAL(38,18))) AS DECIMAL(38,18)) AS DOUBLE))
+         |    / CAST(COUNT(*) AS DOUBLE) / 100.0, 6) AS amplitude
+         |FROM daily""".stripMargin
+    s"""WITH daily AS ($dailySpineSql)
+       |SELECT * FROM (
+       |${Seq(7, 30, 91).map(one).mkString("\nUNION ALL\n")}
+       |) u ORDER BY period""".stripMargin
+  }
+
+  /** Win ratio (Pocock) between BUILDING and AUTOMOBILE customer
+    * balances: P(x₁ > x₀)/P(x₀ > x₁) from EXACT cross-multiplied win
+    * counts over the distinct-cent value spine (wins₁ = Σ c₁(v)·C₀(<v)
+    * via one cumulative join — the an_roc_auc rank machinery, never an
+    * all-pairs pass), ties reported separately, ONE division. */
+  private def anWinRatio(s: SparkSession, dir: String): DataFrame = {
+    val lab = Tables.customer(s, dir)
+      .filter(col("c_mktsegment").isin("BUILDING", "AUTOMOBILE"))
+      .select((col("c_mktsegment") === "BUILDING").cast("long").as("g"),
+        (col("c_acctbal").cast("decimal(24,2)") * 100).cast("bigint").as("v"))
+    val perV = lab.groupBy(col("v"))
+      .agg(sum(col("g")).as("c1"), sum(lit(1L) - col("g")).as("c0"))
+    val scan = graft.operators.PrefixSum.withRunningTotals(perV, Seq("v"), Seq("c1", "c0"))
+    scan
+      .withColumn("c0_below", col("c0_cum") - col("c0"))
+      .withColumn("c1_below", col("c1_cum") - col("c1"))
+      .agg(sum(col("c1") * col("c0_below")).as("wins1"),
+        sum(col("c0") * col("c1_below")).as("wins0"),
+        sum(col("c1") * col("c0")).as("ties"))
+      .select(col("wins1"), col("wins0"), col("ties"),
+        (col("wins1").cast("double") / col("wins0").cast("double")).as("win_ratio"))
+  }
+
+  private val anWinRatioSql =
+    """WITH lab AS (SELECT CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS g,
+      |    CAST(CAST(c_acctbal AS DECIMAL(24,2)) * 100 AS BIGINT) AS v
+      |  FROM customer WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE')),
+      |pv AS (SELECT v, CAST(SUM(g) AS BIGINT) AS c1, CAST(SUM(1 - g) AS BIGINT) AS c0
+      |       FROM lab GROUP BY v),
+      |cv AS (SELECT c1, c0,
+      |         CAST(SUM(c0) OVER (ORDER BY v) AS BIGINT) - c0 AS c0_below,
+      |         CAST(SUM(c1) OVER (ORDER BY v) AS BIGINT) - c1 AS c1_below
+      |       FROM pv)
+      |SELECT CAST(SUM(c1 * c0_below) AS BIGINT) AS wins1,
+      |  CAST(SUM(c0 * c1_below) AS BIGINT) AS wins0,
+      |  CAST(SUM(c1 * c0) AS BIGINT) AS ties,
+      |  CAST(SUM(c1 * c0_below) AS DOUBLE) / CAST(SUM(c0 * c1_below) AS DOUBLE) AS win_ratio
+      |FROM cv""".stripMargin
+
+  /** Geometric mean order value per priority: exp of the DECIMAL(38,18)
+    * ln-gather mean — the multiplicative average that matches how
+    * prices compound (one 10× order shifts an arithmetic mean, barely
+    * moves this). exp amplifies only RELATIVELY, so the 6-dp emission
+    * absorbs the gathered libm ulp at dollar scale. */
+  private def anGeometricMean(s: SparkSession, dir: String): DataFrame = {
+    def gather(c: Column) = sum(c.cast("decimal(38,18)")).cast("decimal(38,18)")
+    Tables.orders(s, dir)
+      .select(col("o_orderpriority").as("g"),
+        (col("o_totalprice").cast("decimal(24,2)") * 100).cast("bigint").as("v"))
+      .filter(col("v") > 0)
+      .groupBy(col("g").as("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), gather(log(col("v").cast("double"))).as("sl"))
+      .select(col("o_orderpriority"), col("n"),
+        round(exp(col("sl").cast("double") / col("n").cast("double")) / 100.0, 6)
+          .as("geo_mean"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  private val anGeometricMeanSql =
+    """WITH o AS (SELECT o_orderpriority AS g,
+      |    CAST(CAST(o_totalprice AS DECIMAL(24,2)) * 100 AS BIGINT) AS v
+      |  FROM orders)
+      |SELECT g AS o_orderpriority, COUNT(*) AS n,
+      |  ROUND(exp(CAST(CAST(SUM(CAST(ln(CAST(v AS DOUBLE)) AS DECIMAL(38,18))) AS DECIMAL(38,18)) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE)) / 100.0, 6) AS geo_mean
+      |FROM o WHERE v > 0 GROUP BY g ORDER BY g""".stripMargin
+
+  /** Embedding L2-norm profile per label: min/mean/max of the EXACT
+    * integer micro-unit squared norms (Σq² ≤ 64·(2·10⁶)², far inside
+    * 2⁵³ — no float until the final sqrt emissions) plus the
+    * unit-normalized count at ±0.1% — the "are these vectors
+    * normalized" sanity gate run before any cosine ANN (un-normalized
+    * mixes silently bias every dot-product ranking). */
+  private def simNormProfile(s: SparkSession, dir: String): DataFrame = {
+    val q = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"),
+        posexplode(graft.similarity.VectorOps.toDouble(col("embedding"))).as(Seq("j", "x")))
+      .withColumn("qi", round(col("x") * 1000000.0).cast("long"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(sum(col("qi") * col("qi")).as("n2"))
+    // unit norm in micro-units squared = 1e12; ±0.1% band in integers
+    q.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        min(col("n2")).as("min_n2"), max(col("n2")).as("max_n2"),
+        sum(col("n2")).as("sum_n2"),
+        sum((col("n2") >= 998001000000L && col("n2") <= 1002001000000L).cast("long"))
+          .as("n_unit"))
+      .select(col("label"), col("n_vecs"),
+        round(sqrt(col("min_n2").cast("double")) / 1000000.0, 6).as("min_norm"),
+        round(sqrt(col("sum_n2").cast("double") / col("n_vecs").cast("double")) / 1000000.0, 6)
+          .as("rms_norm"),
+        round(sqrt(col("max_n2").cast("double")) / 1000000.0, 6).as("max_norm"),
+        col("n_unit"))
+      .orderBy(col("label"))
+  }
+
+  private val simNormProfileSql =
+    """WITH e AS (SELECT vec_id, label,
+      |    list_transform(embedding::DOUBLE[], x -> CAST(round(x * 1000000.0) AS BIGINT)) AS q
+      |  FROM embeddings),
+      |n2 AS (SELECT vec_id, label, CAST(SUM(qi * qi) AS BIGINT) AS n2 FROM (
+      |    SELECT vec_id, label, q[CAST(j.range AS INT) + 1] AS qi
+      |    FROM e CROSS JOIN range(0, 64) j) t
+      |  GROUP BY vec_id, label)
+      |SELECT label, COUNT(*) AS n_vecs,
+      |  ROUND(sqrt(CAST(MIN(n2) AS DOUBLE)) / 1000000.0, 6) AS min_norm,
+      |  ROUND(sqrt(CAST(SUM(n2) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) / 1000000.0, 6) AS rms_norm,
+      |  ROUND(sqrt(CAST(MAX(n2) AS DOUBLE)) / 1000000.0, 6) AS max_norm,
+      |  CAST(SUM(CASE WHEN n2 BETWEEN 998001000000 AND 1002001000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_unit
+      |FROM n2 GROUP BY label ORDER BY label""".stripMargin
+
   // ----------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -16654,6 +16868,11 @@ object SparkEntry {
     "sim_band_occupancy" -> (simBandOccupancy _),
     "mm_audio_decimate" -> (mmAudioDecimate _),
     "mm_image_flip" -> (mmImageFlip _),
+    "an_greenwood" -> (anGreenwood _),
+    "an_periodogram" -> (anPeriodogram _),
+    "an_win_ratio" -> (anWinRatio _),
+    "an_geometric_mean" -> (anGeometricMean _),
+    "sim_norm_profile" -> (simNormProfile _),
     "an_spearman" -> (anSpearman _),
     "an_kendall_tau" -> (anKendallTau _),
     "an_roc_auc" -> (anRocAuc _),
@@ -17031,6 +17250,11 @@ object SparkEntry {
     "sim_band_occupancy" -> simBandOccupancySql,
     "mm_audio_decimate" -> mmAudioDecimateSql,
     "mm_image_flip" -> mmImageFlipSql,
+    "an_greenwood" -> anGreenwoodSql,
+    "an_periodogram" -> anPeriodogramSql,
+    "an_win_ratio" -> anWinRatioSql,
+    "an_geometric_mean" -> anGeometricMeanSql,
+    "sim_norm_profile" -> simNormProfileSql,
     "an_spearman" -> anSpearmanSql,
     "an_kendall_tau" -> anKendallTauSql,
     "an_roc_auc" -> anRocAucSql,

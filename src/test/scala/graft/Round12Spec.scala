@@ -589,6 +589,59 @@ class Round12Spec extends SparkSpec {
     assert(rows.nonEmpty && rows.forall(_ > 0))
   }
 
+  test("greenwood: se nonnegative and zero exactly at the terminal row") {
+    val rows = SparkEntry.queries("an_greenwood")(spark, sfDir)
+      .select("surv", "se").as[(Double, Double)].collect()
+    rows.foreach { r =>
+      assert(r._2 >= 0.0)
+      if (r._1 == 0.0) assert(r._2 == 0.0)
+    }
+  }
+
+  test("greenwood curve matches kaplan-meier on the shared columns") {
+    val km = SparkEntry.queries("an_kaplan_meier")(spark, sfDir)
+      .select("t", "surv").as[(Long, Double)].collect().toMap
+    val gw = SparkEntry.queries("an_greenwood")(spark, sfDir)
+      .select("t", "surv").as[(Long, Double)].collect()
+    gw.foreach { case (t, s) => assert(km(t) == s) }
+  }
+
+  test("periodogram: amplitudes nonnegative for all three periods") {
+    val rows = SparkEntry.queries("an_periodogram")(spark, sfDir)
+      .select("period", "amplitude").as[(Int, Double)].collect()
+    assert(rows.map(_._1).sorted.sameElements(Array(7, 30, 91)))
+    rows.foreach(r => assert(r._2 >= 0.0))
+  }
+
+  test("win ratio: wins + ties bounded by the pair count") {
+    val r = SparkEntry.queries("an_win_ratio")(spark, sfDir)
+      .select("wins1", "wins0", "ties").as[(Long, Long, Long)].head()
+    val lab = Tables.customer(spark, sfDir)
+      .filter(col("c_mktsegment").isin("BUILDING", "AUTOMOBILE"))
+      .groupBy(col("c_mktsegment")).count().as[(String, Long)].collect().toMap
+    val pairs = lab("BUILDING") * lab("AUTOMOBILE")
+    assert(r._1 + r._2 + r._3 == pairs, "wins + ties must partition all cross pairs")
+  }
+
+  test("geometric mean never exceeds the arithmetic mean (AM-GM)") {
+    val gm = SparkEntry.queries("an_geometric_mean")(spark, sfDir)
+      .select("o_orderpriority", "geo_mean").as[(String, Double)].collect().toMap
+    val am = Tables.orders(spark, sfDir)
+      .groupBy(col("o_orderpriority")).agg(avg(col("o_totalprice")).as("m"))
+      .as[(String, Double)].collect().toMap
+    gm.foreach { case (g, v) => assert(v <= am(g) + 1e-6, s"$g: GM $v > AM ${am(g)}") }
+  }
+
+  test("norm profile: min <= rms <= max, unit count bounded") {
+    val rows = SparkEntry.queries("sim_norm_profile")(spark, sfDir)
+      .select("n_vecs", "min_norm", "rms_norm", "max_norm", "n_unit")
+      .as[(Long, Double, Double, Double, Long)].collect()
+    rows.foreach { r =>
+      assert(r._2 <= r._3 + 1e-9 && r._3 <= r._4 + 1e-9)
+      assert(r._5 <= r._1)
+    }
+  }
+
   test("video motion: scene structure means motion only at 3-frame boundaries") {
     val rows = SparkEntry.queries("mm_video_motion")(spark, sfDir)
       .select("doc_id", "n_transitions", "n_moving").as[(Long, Long, Long)].collect()
