@@ -16675,6 +16675,185 @@ object SparkEntry {
       |  CAST(SUM(CASE WHEN n2 BETWEEN 998001000000 AND 1002001000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_unit
       |FROM n2 GROUP BY label ORDER BY label""".stripMargin
 
+  /** Theil T inequality index of customer balances with the
+    * within/between-nation decomposition — the additive property Gini
+    * lacks (T = T_between + Σ share·T_within exactly, which the spec
+    * pins): every x·ln(x/μ) term a correctly-rounded double gathered in
+    * DECIMAL(38,18), means as exact integer ratios, ROUND 6 at
+    * emission. Only positive balances enter (ln domain), with the
+    * excluded mass reported. */
+  private def anTheil(s: SparkSession, dir: String): DataFrame = {
+    def gather(c: Column) = sum(c.cast("decimal(38,18)")).cast("decimal(38,18)")
+    val pos = Tables.customer(s, dir)
+      .select(col("c_nationkey").as("nk"),
+        (col("c_acctbal").cast("decimal(24,2)") * 100).cast("bigint").as("v"))
+      .filter(col("v") > 0)
+    val tot = pos.agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+    val byN = pos.groupBy(col("nk"))
+      .agg(count(lit(1)).as("n_g"), sum(col("v")).as("sv_g"))
+    // overall T = (1/n)·Σ (x/μ)·ln(x/μ) with μ = sv/n: evaluate per row as
+    // (x·n/sv)·ln(x·n/sv) — exact integer products up to the one division
+    val rowTerm = pos.crossJoin(broadcast(tot))
+      .select(((col("v").cast("decimal(38,0)") * col("n")).cast("double") /
+        col("sv").cast("double")).as("r"))
+      .agg(gather(col("r") * log(col("r"))).as("st"), count(lit(1)).as("nr"))
+    val between = byN.crossJoin(broadcast(tot))
+      .select(((col("sv_g").cast("decimal(38,0)") * col("n")).cast("double") /
+        (col("sv").cast("decimal(38,0)") * col("n_g")).cast("double")).as("rb"),
+        (col("sv_g").cast("double") / col("sv").cast("double")).as("share"))
+      .agg(gather(col("share") * log(col("rb"))).as("tb"))
+    val excluded = Tables.customer(s, dir)
+      .agg(sum((col("c_acctbal") <= 0.0).cast("long")).as("n_excluded"))
+    rowTerm.crossJoin(between).crossJoin(broadcast(excluded))
+      .select(col("nr").as("n"),
+        round(col("st").cast("double") / col("nr").cast("double"), 6).as("theil_t"),
+        round(col("tb").cast("double"), 6).as("theil_between"),
+        round(col("st").cast("double") / col("nr").cast("double") -
+          col("tb").cast("double"), 6).as("theil_within"),
+        col("n_excluded"))
+  }
+
+  private val anTheilSql =
+    """WITH pos AS (SELECT c_nationkey AS nk,
+      |    CAST(CAST(c_acctbal AS DECIMAL(24,2)) * 100 AS BIGINT) AS v
+      |  FROM customer
+      |  WHERE CAST(CAST(c_acctbal AS DECIMAL(24,2)) * 100 AS BIGINT) > 0),
+      |t AS (SELECT COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS sv FROM pos),
+      |rt AS (SELECT CAST(SUM(CAST(r * ln(r) AS DECIMAL(38,18))) AS DECIMAL(38,18)) AS st,
+      |         COUNT(*) AS nr
+      |       FROM (SELECT CAST(CAST(v AS DECIMAL(38,0)) * n AS DOUBLE)
+      |               / CAST(sv AS DOUBLE) AS r
+      |             FROM pos CROSS JOIN t) x),
+      |bn AS (SELECT nk, COUNT(*) AS n_g, CAST(SUM(v) AS BIGINT) AS sv_g
+      |       FROM pos GROUP BY nk),
+      |tb AS (SELECT CAST(SUM(CAST(share * ln(rb) AS DECIMAL(38,18))) AS DECIMAL(38,18)) AS tb
+      |       FROM (SELECT
+      |           CAST(CAST(sv_g AS DECIMAL(38,0)) * n AS DOUBLE)
+      |             / CAST(CAST(sv AS DECIMAL(38,0)) * n_g AS DOUBLE) AS rb,
+      |           CAST(sv_g AS DOUBLE) / CAST(sv AS DOUBLE) AS share
+      |         FROM bn CROSS JOIN t) y),
+      |ex AS (SELECT CAST(SUM(CASE WHEN c_acctbal <= 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_excluded FROM customer)
+      |SELECT nr AS n,
+      |  ROUND(CAST(st AS DOUBLE) / CAST(nr AS DOUBLE), 6) AS theil_t,
+      |  ROUND(CAST(tb AS DOUBLE), 6) AS theil_between,
+      |  ROUND(CAST(st AS DOUBLE) / CAST(nr AS DOUBLE) - CAST(tb AS DOUBLE), 6) AS theil_within,
+      |  n_excluded
+      |FROM rt CROSS JOIN tb CROSS JOIN ex""".stripMargin
+
+  /** Compound annual growth rate of yearly revenue over the complete
+    * interior years (first/last calendar years are partial — including
+    * them fabricates growth): exact yearly cent sums, CAGR =
+    * exp(ln(last/first)/years) − 1 (exp∘ln, never pow — pow has no
+    * correctly-rounded guarantee on either engine), ROUND 6. */
+  private def anCagr(s: SparkSession, dir: String): DataFrame = {
+    val yearly = Tables.lineitem(s, dir)
+      .groupBy(year(col("l_shipdate")).as("yr"))
+      .agg((sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(24,8)")).cast("decimal(24,2)") * 100).cast("bigint").as("rc"))
+    val bounds = yearly.agg(min(col("yr")).as("y0"), max(col("yr")).as("y1"))
+    val interior = yearly.crossJoin(broadcast(bounds))
+      .filter(col("yr") > col("y0") && col("yr") < col("y1"))
+    val fl = interior.agg(min(col("yr")).as("first_yr"), max(col("yr")).as("last_yr"))
+    fl.join(broadcast(interior.select(col("yr"), col("rc").as("first_rc"))),
+        col("yr") === col("first_yr")).drop("yr")
+      .join(broadcast(interior.select(col("yr").as("yr2"), col("rc").as("last_rc"))),
+        col("yr2") === col("last_yr")).drop("yr2")
+      .select(col("first_yr"), col("last_yr"),
+        (col("first_rc") / 100.0).as("first_rev"),
+        (col("last_rc") / 100.0).as("last_rev"),
+        round(exp(log(col("last_rc").cast("double") / col("first_rc").cast("double")) /
+          (col("last_yr") - col("first_yr")).cast("double")) - 1.0, 6).as("cagr"))
+  }
+
+  private val anCagrSql =
+    """WITH y AS (SELECT year(l_shipdate) AS yr,
+      |    CAST(ROUND(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,8))), 2) * 100 AS BIGINT) AS rc
+      |  FROM lineitem GROUP BY 1),
+      |b AS (SELECT MIN(yr) AS y0, MAX(yr) AS y1 FROM y),
+      |i AS (SELECT yr, rc FROM y CROSS JOIN b WHERE yr > y0 AND yr < y1),
+      |f AS (SELECT MIN(yr) AS first_yr, MAX(yr) AS last_yr FROM i)
+      |SELECT first_yr, last_yr,
+      |  (SELECT rc FROM i WHERE yr = first_yr) / 100.0 AS first_rev,
+      |  (SELECT rc FROM i WHERE yr = last_yr) / 100.0 AS last_rev,
+      |  ROUND(exp(ln(CAST((SELECT rc FROM i WHERE yr = last_yr) AS DOUBLE)
+      |      / CAST((SELECT rc FROM i WHERE yr = first_yr) AS DOUBLE))
+      |    / CAST(last_yr - first_yr AS DOUBLE)) - 1.0, 6) AS cagr
+      |FROM f""".stripMargin
+
+  /** Day-of-week uniformity χ² on order counts: the significance test
+    * behind an_seasonal_dow's deviation table — exact counts, expected
+    * n/7, χ² cross-multiplied to integers over the common denominator
+    * (Σ(7·o_i − n)² / (7·n), ONE IEEE division). dow from the portable
+    * epoch-day d%7, not locale-dependent calendar functions. */
+  private def anDowChi2(s: SparkSession, dir: String): DataFrame = {
+    val cnt = Tables.orders(s, dir)
+      .select(pmod(datediff(col("o_orderdate").cast("date"),
+        lit("1992-01-01").cast("date")), lit(7)).as("dow"))
+      .groupBy(col("dow")).agg(count(lit(1)).as("o_i"))
+    val tot = cnt.agg(sum(col("o_i")).as("n"))
+    cnt.crossJoin(broadcast(tot))
+      .agg(max(col("n")).as("n"),
+        sum((col("o_i") * 7 - col("n")) * (col("o_i") * 7 - col("n"))).as("num"))
+      .select(col("n"),
+        (col("num").cast("double") / (col("n") * 7).cast("double")).as("chi2"))
+  }
+
+  private val anDowChi2Sql =
+    """WITH c AS (SELECT date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) % 7 AS dow,
+      |    COUNT(*) AS o_i
+      |  FROM orders GROUP BY 1),
+      |t AS (SELECT CAST(SUM(o_i) AS BIGINT) AS n FROM c)
+      |SELECT MAX(n) AS n,
+      |  CAST(SUM((o_i * 7 - n) * (o_i * 7 - n)) AS DOUBLE)
+      |    / CAST(MAX(n) * 7 AS DOUBLE) AS chi2
+      |FROM c CROSS JOIN t""".stripMargin
+
+  /** Gumbel return levels for weekly revenue maxima: method-of-moments
+    * fit (β = s·√6/π, μ = x̄ − γ·β with Euler–Mascheroni γ) from exact
+    * decimal moment sums over the block maxima, return level x_T = μ −
+    * β·ln(−ln(1−1/T)) at T ∈ {10, 52, 520} — the "biggest week we
+    * should plan for" translation of an_gumbel_maxima's fit. Shared
+    * IEEE expression tree, ROUND 6. */
+  private def anReturnLevel(s: SparkSession, dir: String): DataFrame = {
+    val weekly = dailyRevenueSpine(s, dir)
+      .groupBy(expr("d div 7").as("wk"))
+      .agg(max(col("rev_c")).as("mx"))
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    val m = weekly.agg(count(lit(1)).as("n"), sum(d38(col("mx"))).as("s1"),
+      sum(d38(col("mx")) * d38(col("mx"))).as("s2"))
+    val mean = col("s1").cast("double") / col("n").cast("double")
+    val sd = sqrt((col("n") * col("s2") - col("s1") * col("s1")).cast("double")) /
+      col("n").cast("double")
+    val beta = sd * math.sqrt(6.0) / math.Pi
+    val mu = mean - lit(0.5772156649015329) * beta
+    Seq(10, 52, 520).map { t =>
+      m.select(lit(t).as("t_weeks"), col("n").as("n_weeks"),
+        round((mu - beta * log(-log(lit(1.0) - lit(1.0) / t))) / 100.0, 6)
+          .as("return_level"))
+    }.reduce(_.unionAll(_)).orderBy(col("t_weeks"))
+  }
+
+  private val anReturnLevelSql = {
+    val mean = "CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)"
+    val sd = "sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)) / CAST(n AS DOUBLE)"
+    val beta = s"$sd * ${math.sqrt(6.0)} / ${math.Pi}"
+    val mu = s"$mean - 0.5772156649015329 * ($beta)"
+    def one(t: Int) =
+      s"""SELECT $t AS t_weeks, n AS n_weeks,
+         |  ROUND((($mu) - ($beta) * ln(-ln(1.0 - 1.0 / $t))) / 100.0, 6) AS return_level
+         |FROM m""".stripMargin
+    s"""WITH daily AS ($dailySpineSql),
+       |w AS (SELECT d // 7 AS wk, CAST(MAX(rev_c) AS BIGINT) AS mx FROM daily GROUP BY 1),
+       |m AS (SELECT COUNT(*) AS n,
+       |        CAST(SUM(CAST(mx AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s1,
+       |        CAST(SUM(CAST(mx AS DECIMAL(38,0)) * CAST(mx AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s2
+       |      FROM w)
+       |SELECT * FROM (
+       |${Seq(10, 52, 520).map(one).mkString("\nUNION ALL\n")}
+       |) u ORDER BY t_weeks""".stripMargin
+  }
+
   // ----------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -16873,6 +17052,10 @@ object SparkEntry {
     "an_win_ratio" -> (anWinRatio _),
     "an_geometric_mean" -> (anGeometricMean _),
     "sim_norm_profile" -> (simNormProfile _),
+    "an_theil" -> (anTheil _),
+    "an_cagr" -> (anCagr _),
+    "an_dow_chi2" -> (anDowChi2 _),
+    "an_return_level" -> (anReturnLevel _),
     "an_spearman" -> (anSpearman _),
     "an_kendall_tau" -> (anKendallTau _),
     "an_roc_auc" -> (anRocAuc _),
@@ -17255,6 +17438,10 @@ object SparkEntry {
     "an_win_ratio" -> anWinRatioSql,
     "an_geometric_mean" -> anGeometricMeanSql,
     "sim_norm_profile" -> simNormProfileSql,
+    "an_theil" -> anTheilSql,
+    "an_cagr" -> anCagrSql,
+    "an_dow_chi2" -> anDowChi2Sql,
+    "an_return_level" -> anReturnLevelSql,
     "an_spearman" -> anSpearmanSql,
     "an_kendall_tau" -> anKendallTauSql,
     "an_roc_auc" -> anRocAucSql,

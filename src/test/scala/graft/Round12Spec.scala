@@ -642,6 +642,36 @@ class Round12Spec extends SparkSpec {
     }
   }
 
+  test("theil: T = between + within (additive decomposition), all >= 0") {
+    val r = SparkEntry.queries("an_theil")(spark, sfDir)
+      .select("theil_t", "theil_between", "theil_within")
+      .as[(Double, Double, Double)].head()
+    assert(r._1 >= -1e-9 && r._2 >= -1e-9 && r._3 >= -1e-9)
+    assert(math.abs(r._1 - (r._2 + r._3)) < 3e-6, "decomposition must be additive")
+  }
+
+  test("cagr: reproduces the closed-form from the endpoint revenues") {
+    val r = SparkEntry.queries("an_cagr")(spark, sfDir)
+      .select("first_yr", "last_yr", "first_rev", "last_rev", "cagr")
+      .as[(Int, Int, Double, Double, Double)].head()
+    assert(r._2 > r._1)
+    val expect = math.pow(r._4 / r._3, 1.0 / (r._2 - r._1)) - 1.0
+    assert(math.abs(r._5 - expect) < 1e-5)
+  }
+
+  test("dow chi2 is nonnegative") {
+    val r = SparkEntry.queries("an_dow_chi2")(spark, sfDir)
+      .select("chi2").as[Double].head()
+    assert(r >= 0.0)
+  }
+
+  test("return levels increase with the return period") {
+    val rows = SparkEntry.queries("an_return_level")(spark, sfDir)
+      .select("t_weeks", "return_level").as[(Int, Double)].collect().sortBy(_._1)
+    assert(rows.map(_._2).sliding(2).forall(p => p.length < 2 || p(0) <= p(1)),
+      "longer horizons must not lower the return level")
+  }
+
   test("video motion: scene structure means motion only at 3-frame boundaries") {
     val rows = SparkEntry.queries("mm_video_motion")(spark, sfDir)
       .select("doc_id", "n_transitions", "n_moving").as[(Long, Long, Long)].collect()
