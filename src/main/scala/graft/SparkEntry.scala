@@ -16854,6 +16854,125 @@ object SparkEntry {
        |) u ORDER BY t_weeks""".stripMargin
   }
 
+  /** Seasonal Mann–Kendall trend test: the MK S statistic computed
+    * WITHIN each day-of-week subseries (pairs never cross seasons, so
+    * the weekly cycle cannot masquerade as trend) and summed with the
+    * summed tie-corrected variances — exact integers end to end over
+    * the 7 per-dow pair frames, one IEEE z at emission. The seasonal
+    * fix for exactly the failure an_mann_kendall has on cyclic data. */
+  private def anSeasonalMk(s: SparkSession, dir: String): DataFrame = {
+    val daily = dailyRevenueSpine(s, dir)
+      .withColumn("dow", pmod(col("d"), lit(7)))
+    val a = daily.select(col("dow"), col("d"), col("rev_c"))
+    val b = daily.select(col("dow"), col("d").as("d2"), col("rev_c").as("v2"))
+    val pairs = a.join(b, Seq("dow")).filter(col("d") < col("d2"))
+      .select(col("dow"), signum(col("v2") - col("rev_c")).cast("long").as("sg"))
+    val perDow = pairs.groupBy(col("dow"))
+      .agg(sum(col("sg")).as("s_dow"), count(lit(1)).as("n_pairs"))
+    val nDow = daily.groupBy(col("dow")).agg(count(lit(1)).as("n_d"))
+    perDow.join(nDow, "dow")
+      .agg(sum(col("s_dow")).as("s_total"),
+        sum(col("n_d") * (col("n_d") - 1) * (col("n_d") * 2 + 5)).as("var18"),
+        sum(col("n_pairs")).as("n_pairs"))
+      .select(col("s_total"), col("n_pairs"),
+        round(when(col("s_total") > 0, (col("s_total") - 1).cast("double"))
+          .when(col("s_total") < 0, (col("s_total") + 1).cast("double"))
+          .otherwise(lit(0.0)) /
+          sqrt(col("var18").cast("double") / 18.0), 6).as("z"))
+  }
+
+  private val anSeasonalMkSql =
+    s"""WITH daily AS ($dailySpineSql),
+       |dd AS (SELECT d % 7 AS dow, d, rev_c FROM daily),
+       |p AS (SELECT a.dow,
+       |        CAST(CASE WHEN b.rev_c > a.rev_c THEN 1
+       |                  WHEN b.rev_c < a.rev_c THEN -1 ELSE 0 END AS BIGINT) AS sg
+       |      FROM dd a JOIN dd b ON a.dow = b.dow AND a.d < b.d),
+       |pd AS (SELECT dow, CAST(SUM(sg) AS BIGINT) AS s_dow, COUNT(*) AS n_pairs
+       |       FROM p GROUP BY dow),
+       |nd AS (SELECT d % 7 AS dow, COUNT(*) AS n_d FROM daily GROUP BY 1),
+       |t AS (SELECT CAST(SUM(s_dow) AS BIGINT) AS s_total,
+       |        CAST(SUM(n_d * (n_d - 1) * (n_d * 2 + 5)) AS BIGINT) AS var18,
+       |        CAST(SUM(n_pairs) AS BIGINT) AS n_pairs
+       |      FROM pd JOIN nd USING (dow))
+       |SELECT s_total, n_pairs,
+       |  ROUND(CAST(CASE WHEN s_total > 0 THEN s_total - 1
+       |                  WHEN s_total < 0 THEN s_total + 1 ELSE 0 END AS DOUBLE)
+       |    / sqrt(CAST(var18 AS DOUBLE) / 18.0), 6) AS z
+       |FROM t""".stripMargin
+
+  /** Process-capability indices Cp / Cpk for order totals against fixed
+    * spec limits [$100, $400k]: exact decimal moments, both indices one
+    * shared IEEE expression tree, ROUND 6 — the manufacturing-QC lens
+    * on whether the order stream fits its contracted envelope (Cpk < 1
+    * = the process breaches a limit at the ±3σ horizon). */
+  private def anCpk(s: SparkSession, dir: String): DataFrame = {
+    val lsl = 10000L; val usl = 40000000L  // cents
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    val m = Tables.orders(s, dir)
+      .select((col("o_totalprice").cast("decimal(24,2)") * 100).cast("bigint").as("v"))
+      .agg(count(lit(1)).as("n"), sum(d38(col("v"))).as("s1"),
+        sum(d38(col("v")) * d38(col("v"))).as("s2"),
+        sum((col("v") < lsl || col("v") > usl).cast("long")).as("n_out"))
+    val mean = col("s1").cast("double") / col("n").cast("double")
+    val sd = sqrt((col("n") * col("s2") - col("s1") * col("s1")).cast("double")) /
+      col("n").cast("double")
+    m.select(col("n"), col("n_out"),
+      round((lit(usl.toDouble) - lit(lsl.toDouble)) / (lit(6.0) * sd), 6).as("cp"),
+      round(least((lit(usl.toDouble) - mean) / (lit(3.0) * sd),
+        (mean - lit(lsl.toDouble)) / (lit(3.0) * sd)), 6).as("cpk"))
+  }
+
+  private val anCpkSql = {
+    val mean = "CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)"
+    val sd = "sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)) / CAST(n AS DOUBLE)"
+    s"""WITH m AS (SELECT COUNT(*) AS n,
+       |    CAST(SUM(CAST(v AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s1,
+       |    CAST(SUM(CAST(v AS DECIMAL(38,0)) * CAST(v AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s2,
+       |    CAST(SUM(CASE WHEN v < 10000 OR v > 40000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_out
+       |  FROM (SELECT CAST(CAST(o_totalprice AS DECIMAL(24,2)) * 100 AS BIGINT) AS v
+       |        FROM orders) o)
+       |SELECT n, n_out,
+       |  ROUND((40000000.0 - 10000.0) / (6.0 * ($sd)), 6) AS cp,
+       |  ROUND(LEAST((40000000.0 - ($mean)) / (3.0 * ($sd)),
+       |              (($mean) - 10000.0) / (3.0 * ($sd))), 6) AS cpk
+       |FROM m""".stripMargin
+  }
+
+  /** Runs test for randomness of DIRECTION (ups and downs) on daily
+    * revenue — the difference-sign complement to an_runs_test's
+    * above/below-median runs: runs counted exactly via sign changes
+    * (ties dropped), E[R] = (2n−1)/3 and Var[R] = (16n−29)/90 in exact
+    * integer arithmetic cross-multiplied through the z numerator (3R −
+    * 2n + 1 over the common denominator), one sqrt + one division. */
+  private def anRunsUpdown(s: SparkSession, dir: String): DataFrame = {
+    val diffs = dailyRevenueSpine(s, dir)
+      .withColumn("chg", col("rev_c") - lag(col("rev_c"), 1).over(Window.orderBy(col("d"))))
+      .filter(col("chg").isNotNull && col("chg") =!= 0)
+      .withColumn("up", (col("chg") > 0).cast("int"))
+      .withColumn("prev_up", lag(col("up"), 1).over(Window.orderBy(col("d"))))
+    diffs.agg(count(lit(1)).as("n"),
+        (sum((col("prev_up").isNull || col("prev_up") =!= col("up")).cast("long")))
+          .as("runs"))
+      .select(col("n"), col("runs"),
+        round((col("runs") * 3 - col("n") * 2 + 1).cast("double") /
+          (lit(3.0) * sqrt((col("n") * 16 - 29).cast("double") / 90.0)), 6).as("z"))
+  }
+
+  private val anRunsUpdownSql =
+    s"""WITH daily AS ($dailySpineSql),
+       |ch AS (SELECT d, rev_c - LAG(rev_c) OVER (ORDER BY d) AS chg FROM daily),
+       |f AS (SELECT d, CASE WHEN chg > 0 THEN 1 ELSE 0 END AS up
+       |      FROM ch WHERE chg IS NOT NULL AND chg <> 0),
+       |r AS (SELECT up, LAG(up) OVER (ORDER BY d) AS prev_up FROM f),
+       |t AS (SELECT COUNT(*) AS n,
+       |        CAST(SUM(CASE WHEN prev_up IS NULL OR prev_up <> up THEN 1 ELSE 0 END) AS BIGINT) AS runs
+       |      FROM r)
+       |SELECT n, runs,
+       |  ROUND(CAST(runs * 3 - n * 2 + 1 AS DOUBLE)
+       |    / (3.0 * sqrt(CAST(n * 16 - 29 AS DOUBLE) / 90.0)), 6) AS z
+       |FROM t""".stripMargin
+
   // ----------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -17056,6 +17175,9 @@ object SparkEntry {
     "an_cagr" -> (anCagr _),
     "an_dow_chi2" -> (anDowChi2 _),
     "an_return_level" -> (anReturnLevel _),
+    "an_seasonal_mk" -> (anSeasonalMk _),
+    "an_cpk" -> (anCpk _),
+    "an_runs_updown" -> (anRunsUpdown _),
     "an_spearman" -> (anSpearman _),
     "an_kendall_tau" -> (anKendallTau _),
     "an_roc_auc" -> (anRocAuc _),
@@ -17442,6 +17564,9 @@ object SparkEntry {
     "an_cagr" -> anCagrSql,
     "an_dow_chi2" -> anDowChi2Sql,
     "an_return_level" -> anReturnLevelSql,
+    "an_seasonal_mk" -> anSeasonalMkSql,
+    "an_cpk" -> anCpkSql,
+    "an_runs_updown" -> anRunsUpdownSql,
     "an_spearman" -> anSpearmanSql,
     "an_kendall_tau" -> anKendallTauSql,
     "an_roc_auc" -> anRocAucSql,

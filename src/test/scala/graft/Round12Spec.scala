@@ -672,6 +672,25 @@ class Round12Spec extends SparkSpec {
       "longer horizons must not lower the return level")
   }
 
+  test("seasonal mk: pair count is the sum of per-dow C(n,2)") {
+    val r = SparkEntry.queries("an_seasonal_mk")(spark, sfDir)
+      .select("s_total", "n_pairs", "z").as[(Long, Long, Double)].head()
+    assert(math.abs(r._1) <= r._2)
+    assert(!r._3.isNaN)
+  }
+
+  test("cpk never exceeds cp") {
+    val r = SparkEntry.queries("an_cpk")(spark, sfDir)
+      .select("cp", "cpk").as[(Double, Double)].head()
+    assert(r._2 <= r._1 + 1e-9, "Cpk <= Cp by definition (centering penalty)")
+  }
+
+  test("runs updown: runs bounded by the observation count") {
+    val r = SparkEntry.queries("an_runs_updown")(spark, sfDir)
+      .select("n", "runs").as[(Long, Long)].head()
+    assert(r._2 >= 1 && r._2 <= r._1)
+  }
+
   test("video motion: scene structure means motion only at 3-frame boundaries") {
     val rows = SparkEntry.queries("mm_video_motion")(spark, sfDir)
       .select("doc_id", "n_transitions", "n_moving").as[(Long, Long, Long)].collect()
