@@ -16973,6 +16973,92 @@ object SparkEntry {
        |    / (3.0 * sqrt(CAST(n * 16 - 29 AS DOUBLE) / 90.0)), 6) AS z
        |FROM t""".stripMargin
 
+  /** String-width audit against declared column contracts: per string
+    * column of orders, the exact length envelope (min/max/avg) and the
+    * count breaching its declared width — the pre-DDL check before a
+    * VARCHAR(n) landing (a silent truncation at load is the classic
+    * lossy-migration bug). One row-local pass, three tiny aggregates. */
+  private def etlWidthAudit(s: SparkSession, dir: String): DataFrame = {
+    val widths = Seq(("o_orderstatus", 1), ("o_orderpriority", 15))
+    val o = Tables.orders(s, dir)
+    widths.map { case (c, w) =>
+      o.agg(count(lit(1)).as("n"),
+          min(length(col(c))).as("min_len"),
+          max(length(col(c))).as("max_len"),
+          sum(length(col(c)).cast("long")).as("sum_len"),
+          sum((length(col(c)) > w).cast("long")).as("n_over"))
+        .select(lit(c).as("col_name"), lit(w).as("declared_width"),
+          col("n"), col("min_len"), col("max_len"),
+          (col("sum_len").cast("double") / col("n").cast("double")).as("avg_len"),
+          col("n_over"))
+    }.reduce(_.unionAll(_)).orderBy(col("col_name"))
+  }
+
+  private val etlWidthAuditSql = {
+    def one(c: String, w: Int) =
+      s"""SELECT '$c' AS col_name, $w AS declared_width, COUNT(*) AS n,
+         |  CAST(MIN(length($c)) AS INT) AS min_len,
+         |  CAST(MAX(length($c)) AS INT) AS max_len,
+         |  CAST(SUM(length($c)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_len,
+         |  CAST(SUM(CASE WHEN length($c) > $w THEN 1 ELSE 0 END) AS BIGINT) AS n_over
+         |FROM orders""".stripMargin
+    s"""SELECT * FROM (
+       |${one("o_orderstatus", 1)}
+       |UNION ALL
+       |${one("o_orderpriority", 15)}
+       |) u ORDER BY col_name""".stripMargin
+  }
+
+  /** Weekend effect on daily revenue: Welch t between the weekday and
+    * weekend day-spine populations (the same portable d%7 split as
+    * an_wasserstein/an_cvm — now with the parametric effect estimate
+    * those distribution distances don't give): exact decimal moments
+    * per side, mean difference in dollars and the Welch t in one shared
+    * IEEE tree, ROUND 6. */
+  private def anWeekendEffect(s: SparkSession, dir: String): DataFrame = {
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    val m = dailyRevenueSpine(s, dir)
+      .withColumn("grp", when(pmod(col("d"), lit(7)) < 5, "wd").otherwise("we"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"), sum(d38(col("rev_c"))).as("s1"),
+        sum(d38(col("rev_c")) * d38(col("rev_c"))).as("s2"))
+    def pick(c: String, g: String) = max(when(col("grp") === g, col(c)))
+    val w = m.agg(pick("n", "wd").as("n1"), pick("s1", "wd").as("a1"), pick("s2", "wd").as("q1"),
+      pick("n", "we").as("n2"), pick("s1", "we").as("a2"), pick("s2", "we").as("q2"))
+    def mean(s1: Column, n: Column) = s1.cast("double") / n.cast("double")
+    def varN(n: Column, s1: Column, s2: Column) =
+      (n * s2 - s1 * s1).cast("double") / (n.cast("double") * n.cast("double") *
+        (n - 1).cast("double"))
+    w.select(col("n1").as("n_weekday"), col("n2").as("n_weekend"),
+      round((mean(col("a1"), col("n1")) - mean(col("a2"), col("n2"))) / 100.0, 6)
+        .as("mean_diff"),
+      round((mean(col("a1"), col("n1")) - mean(col("a2"), col("n2"))) /
+        sqrt(varN(col("n1"), col("a1"), col("q1")) +
+          varN(col("n2"), col("a2"), col("q2"))), 6).as("welch_t"))
+  }
+
+  private val anWeekendEffectSql = {
+    def mean(s1: String, n: String) = s"CAST($s1 AS DOUBLE) / CAST($n AS DOUBLE)"
+    def varN(n: String, s1: String, s2: String) =
+      s"CAST($n * $s2 - $s1 * $s1 AS DOUBLE) / (CAST($n AS DOUBLE) * CAST($n AS DOUBLE) * CAST($n - 1 AS DOUBLE))"
+    s"""WITH daily AS ($dailySpineSql),
+       |g AS (SELECT rev_c, CASE WHEN (d % 7) < 5 THEN 'wd' ELSE 'we' END AS grp FROM daily),
+       |m AS (SELECT grp, COUNT(*) AS n,
+       |        CAST(SUM(CAST(rev_c AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s1,
+       |        CAST(SUM(CAST(rev_c AS DECIMAL(38,0)) * CAST(rev_c AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s2
+       |      FROM g GROUP BY grp),
+       |w AS (SELECT
+       |  MAX(CASE WHEN grp = 'wd' THEN n END) AS n1, MAX(CASE WHEN grp = 'we' THEN n END) AS n2,
+       |  MAX(CASE WHEN grp = 'wd' THEN s1 END) AS a1, MAX(CASE WHEN grp = 'we' THEN s1 END) AS a2,
+       |  MAX(CASE WHEN grp = 'wd' THEN s2 END) AS q1, MAX(CASE WHEN grp = 'we' THEN s2 END) AS q2
+       |  FROM m)
+       |SELECT n1 AS n_weekday, n2 AS n_weekend,
+       |  ROUND((${mean("a1", "n1")} - ${mean("a2", "n2")}) / 100.0, 6) AS mean_diff,
+       |  ROUND((${mean("a1", "n1")} - ${mean("a2", "n2")})
+       |    / sqrt(${varN("n1", "a1", "q1")} + ${varN("n2", "a2", "q2")}), 6) AS welch_t
+       |FROM w""".stripMargin
+  }
+
   // ----------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -17178,6 +17264,8 @@ object SparkEntry {
     "an_seasonal_mk" -> (anSeasonalMk _),
     "an_cpk" -> (anCpk _),
     "an_runs_updown" -> (anRunsUpdown _),
+    "etl_width_audit" -> (etlWidthAudit _),
+    "an_weekend_effect" -> (anWeekendEffect _),
     "an_spearman" -> (anSpearman _),
     "an_kendall_tau" -> (anKendallTau _),
     "an_roc_auc" -> (anRocAuc _),
@@ -17567,6 +17655,8 @@ object SparkEntry {
     "an_seasonal_mk" -> anSeasonalMkSql,
     "an_cpk" -> anCpkSql,
     "an_runs_updown" -> anRunsUpdownSql,
+    "etl_width_audit" -> etlWidthAuditSql,
+    "an_weekend_effect" -> anWeekendEffectSql,
     "an_spearman" -> anSpearmanSql,
     "an_kendall_tau" -> anKendallTauSql,
     "an_roc_auc" -> anRocAucSql,

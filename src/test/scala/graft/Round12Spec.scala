@@ -691,6 +691,21 @@ class Round12Spec extends SparkSpec {
     assert(r._2 >= 1 && r._2 <= r._1)
   }
 
+  test("width audit: envelope ordered, over-width bounded") {
+    val rows = SparkEntry.queries("etl_width_audit")(spark, sfDir)
+      .select("n", "min_len", "max_len", "n_over").as[(Long, Int, Int, Long)].collect()
+    rows.foreach { r =>
+      assert(r._2 <= r._3)
+      assert(r._4 <= r._1)
+    }
+  }
+
+  test("weekend effect: t sign matches the mean difference") {
+    val r = SparkEntry.queries("an_weekend_effect")(spark, sfDir)
+      .select("mean_diff", "welch_t").as[(Double, Double)].head()
+    assert(r._1.sign == r._2.sign || r._1 == 0.0)
+  }
+
   test("video motion: scene structure means motion only at 3-frame boundaries") {
     val rows = SparkEntry.queries("mm_video_motion")(spark, sfDir)
       .select("doc_id", "n_transitions", "n_moving").as[(Long, Long, Long)].collect()
