@@ -21,6 +21,54 @@ import os, re, sys
 BASELINE = os.path.join(os.path.dirname(__file__), "plan_baseline.txt")
 LINE = re.compile(r"^(\w+)\s+(exch=.*)$")
 
+# HARD rule, independent of the baseline (so --update cannot bless a
+# violation): gwin (Plans.unboundedGlobalWindows — a Window with an
+# empty partition spec whose input subtree is NOT limit-bounded, i.e. a
+# SinglePartition exchange over a potentially data-sized frame) must be
+# 0 for every query not on this audited allowlist. Allowlisted frames
+# are bounded BY SOURCE, invisible to the structural detector:
+#   - day-spine series (dailyRevenueSpine: calendar-bounded, ≤ ~2500
+#     rows at ANY scale factor): an_autocorr, an_bollinger, an_rsi,
+#     an_cvm, an_max_drawdown, the SPC/changepoint/forecast family,
+#     an_hurst's multi-scale windows, an_theil_sen's day pairs …
+#   - distinct-event-time survival curves (≤ day-spine cardinality):
+#     an_kaplan_meier, an_nelson_aalen, an_greenwood, an_median_survival,
+#     an_rmst
+#   - group-cardinality offset/rank frames (key-domain-sized: order
+#     priorities, deciles, hypothesis lists, null-pattern combos):
+#     an_quantiles_by_group, an_weighted_median, an_winsorize,
+#     an_trimmed_mean, an_quartile_skew, an_decile_lift, an_bh_fdr,
+#     an_qte, an_mad_outliers, etl_null_patterns
+# A NEW query with gwin > 0 fails until its frame is audited and the
+# entry added here — the audit trail is this file's git history.
+GWIN_ALLOW = {
+    "an_autocorr": 2, "an_bh_fdr": 2, "an_bollinger": 3,
+    "an_changepoint": 2, "an_cvm": 1, "an_decile_lift": 1, "an_ewma": 1,
+    "an_forecast_naive": 1, "an_greenwood": 3, "an_hurst": 6,
+    "an_kaplan_meier": 2, "an_ljung_box": 1, "an_mad_outliers": 2,
+    "an_max_drawdown": 1, "an_mean_shift": 1, "an_median_survival": 2,
+    "an_nelson_aalen": 3, "an_pacf": 1, "an_page_hinkley": 3,
+    "an_peaks": 1, "an_qte": 1, "an_quantiles_by_group": 1,
+    "an_quartile_skew": 1, "an_rmst": 2, "an_rsi": 2, "an_runs_test": 2,
+    "an_runs_updown": 2, "an_seasonal_decompose": 1,
+    "an_seasonal_strength": 2, "an_spc_rules": 1, "an_spearman": 2,
+    "an_streaks": 2, "an_theil_sen": 4, "an_trimmed_mean": 1,
+    "an_var_es": 3, "an_wasserstein": 2, "an_weighted_median": 1,
+    "an_winsorize": 1, "an_xmr": 1, "etl_null_patterns": 1,
+    "etl_volume_anomaly": 1,
+}
+
+GWIN = re.compile(r"gwin=\s*(\d+)")
+
+
+def gwin_violations(fresh):
+    bad = []
+    for n, metrics in sorted(fresh.items()):
+        m = GWIN.search(metrics)
+        if m and int(m.group(1)) > GWIN_ALLOW.get(n, 0):
+            bad.append((n, int(m.group(1)), GWIN_ALLOW.get(n, 0)))
+    return bad
+
 
 def parse(path):
     out = {}
@@ -37,6 +85,16 @@ def main():
     fresh = parse(fresh_path)
     if not fresh:
         print(f"plan-gate: no plan lines parsed from {fresh_path}")
+        return 1
+    # the gwin rule runs FIRST and also on --update: a funnel cannot be
+    # recorded into the baseline
+    bad = gwin_violations(fresh)
+    for n, got, allowed in bad:
+        print(f"FAIL plan-gate {n}: gwin={got} > allowed {allowed} — "
+              f"unpartitioned Window over a non-limit-bounded frame "
+              f"(single-task funnel); use limit-first TakeOrdered or an "
+              f"aggregate argmax, or audit the frame and allowlist it")
+    if bad:
         return 1
     if "--update" in sys.argv:
         names = sorted(fresh)

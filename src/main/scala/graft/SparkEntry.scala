@@ -1941,8 +1941,11 @@ object SparkEntry {
     val withStats = o.crossJoin(broadcast(m))
       .withColumn("mu", col("s1") / col("n").cast("double"))
       .withColumn("dev", abs(col("v").cast("double") - col("mu")))
-    val w = Window.orderBy(col("dev").desc, col("k"))
-    withStats.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    // Argmax via orderBy+limit(1) → TakeOrderedAndProject (distributed
+    // per-partition top-1, driver merge of numPartitions rows) — NOT a
+    // global row_number window, which would funnel the whole fact
+    // through one task (the PrefixSum.scala cliff).
+    withStats.orderBy(col("dev").desc, col("k")).limit(1)
       .select(col("n"), col("k").as("suspect_key"), col("v").as("suspect_cents"),
         round(col("dev") /
           sqrt((col("s2") - col("s1") * col("s1") / col("n").cast("double")) /
@@ -3640,9 +3643,12 @@ object SparkEntry {
         log((col("c_xy").cast("double") / col("n_bi").cast("double")) /
           ((col("c_x").cast("double") / col("n_uni").cast("double")) *
             (col("c_y").cast("double") / col("n_uni").cast("double")))), 6))
+      // Top-20 via orderBy+limit → TakeOrderedAndProject; the rank
+      // window runs over the 20-row result, never the vocabulary-sized
+      // PMI table (the text_zipf limit-first pattern).
+      .orderBy(col("pmi").desc, col("w1"), col("w2")).limit(20)
       .withColumn("rnk", row_number().over(
         Window.orderBy(col("pmi").desc, col("w1"), col("w2"))))
-      .filter(col("rnk") <= 20)
       .select(col("rnk"), col("w1"), col("w2"), col("c_xy"), col("pmi"))
       .orderBy(col("rnk"))
   }
@@ -13383,15 +13389,17 @@ object SparkEntry {
       |FROM t""".stripMargin
 
   /** 1-D Wasserstein (earth-mover) distance between the weekday-A and
-    * weekend-B daily-revenue distributions, on a portable d%7 calendar
-    * split: W₁ = Σ |F_A − F_B| dv over the sorted distinct-value spine,
+    * weekend-B daily-revenue distributions, on a portable (d+2)%7
+    * calendar split (d counts from 1992-01-01, a Wednesday, so the +2
+    * anchor maps Mon–Fri → A and Sat/Sun → B — the true calendar):
+    * W₁ = Σ |F_A − F_B| dv over the sorted distinct-value spine,
     * cross-multiplied to exact integers — |C_A·N_B − C_B·N_A| · gap
     * gathered in DECIMAL(38,0), ONE division by N_A·N_B·100 at emission.
     * The distribution-shift metric with units (dollars) that an_psi's
     * banded score and an_ks_drift's sup-norm don't give. */
   private def anWasserstein(s: SparkSession, dir: String): DataFrame = {
     val sp = dailyRevenueSpine(s, dir)
-      .withColumn("grp", when(pmod(col("d"), lit(7)) < 5, lit("A")).otherwise(lit("B")))
+      .withColumn("grp", when(pmod(col("d") + 2, lit(7)) < 5, lit("A")).otherwise(lit("B")))
     val byVal = sp.groupBy(col("rev_c"))
       .agg(sum(when(col("grp") === "A", 1L).otherwise(0L)).as("ca"),
         sum(when(col("grp") === "B", 1L).otherwise(0L)).as("cb"))
@@ -13413,7 +13421,7 @@ object SparkEntry {
 
   private val anWassersteinSql =
     s"""WITH daily AS ($dailySpineSql),
-       |g AS (SELECT rev_c, CASE WHEN (d % 7) < 5 THEN 'A' ELSE 'B' END AS grp FROM daily),
+       |g AS (SELECT rev_c, CASE WHEN ((d + 2) % 7) < 5 THEN 'A' ELSE 'B' END AS grp FROM daily),
        |v AS (SELECT rev_c,
        |        CAST(SUM(CASE WHEN grp = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
        |        CAST(SUM(CASE WHEN grp = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS cb
@@ -13429,7 +13437,8 @@ object SparkEntry {
        |    / CAST(na * nb AS DOUBLE) / 100.0 AS w1_dollars
        |FROM c WHERE gap IS NOT NULL GROUP BY na, nb""".stripMargin
 
-  /** Two-sample Cramér–von Mises T between the same weekday/weekend
+  /** Two-sample Cramér–von Mises T between the same calendar-anchored
+    * (d+2)%7 weekday/weekend
     * daily-revenue split: pooled row_number ranks with the deterministic
     * (rev_c, day) tie-break both engines order identically, U = n·Σ(r−i)²
     * + m·Σ(s−j)² over exact integer ranks, T = U/(nm(n+m)) −
@@ -13437,7 +13446,7 @@ object SparkEntry {
     * The whole-CDF L² complement to an_ks_drift's sup-norm. */
   private def anCvm(s: SparkSession, dir: String): DataFrame = {
     val sp = dailyRevenueSpine(s, dir)
-      .withColumn("grp", when(pmod(col("d"), lit(7)) < 5, lit("A")).otherwise(lit("B")))
+      .withColumn("grp", when(pmod(col("d") + 2, lit(7)) < 5, lit("A")).otherwise(lit("B")))
       .withColumn("r", row_number().over(Window.orderBy(col("rev_c"), col("day"))).cast("long"))
       .withColumn("i", row_number().over(
         Window.partitionBy(col("grp")).orderBy(col("rev_c"), col("day"))).cast("long"))
@@ -13458,7 +13467,7 @@ object SparkEntry {
 
   private val anCvmSql =
     s"""WITH daily AS ($dailySpineSql),
-       |g AS (SELECT day, rev_c, CASE WHEN (d % 7) < 5 THEN 'A' ELSE 'B' END AS grp FROM daily),
+       |g AS (SELECT day, rev_c, CASE WHEN ((d + 2) % 7) < 5 THEN 'A' ELSE 'B' END AS grp FROM daily),
        |r AS (SELECT grp,
        |        CAST(ROW_NUMBER() OVER (ORDER BY rev_c, day) AS BIGINT) AS r,
        |        CAST(ROW_NUMBER() OVER (PARTITION BY grp ORDER BY rev_c, day) AS BIGINT) AS i
@@ -14011,9 +14020,11 @@ object SparkEntry {
     scored.groupBy(col("phrase"))
       .agg(count(lit(1)).as("n_occ"), max(col("sc")).as("sc"))
       .withColumn("score", round(col("sc").cast("double"), 6))
+      // Top-20 via orderBy+limit → TakeOrderedAndProject; rank the
+      // 20-row result, never the corpus-sized phrase table.
+      .orderBy(col("score").desc, col("phrase")).limit(20)
       .withColumn("rnk", row_number().over(
         Window.orderBy(col("score").desc, col("phrase"))))
-      .filter(col("rnk") <= 20)
       .select(col("rnk"), col("phrase"), col("n_occ"), col("score"))
       .orderBy(col("rnk"))
   }
@@ -14054,9 +14065,11 @@ object SparkEntry {
     val toks = Tables.documents(s, dir)
       .select(col("source"), explode(split(col("text"), " ")).as("w"))
       .filter(col("w") =!= "")
+    // Vocab cut via orderBy+limit → TakeOrderedAndProject (each
+    // partition keeps 1000, driver merges), not a global row_number
+    // window over the word-vocabulary-sized count table.
     val vocab = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
-      .withColumn("rnk", row_number().over(Window.orderBy(col("c").desc, col("w"))))
-      .filter(col("rnk") <= 1000)
+      .orderBy(col("c").desc, col("w")).limit(1000)
       .select(col("w"), lit(1).as("in_vocab"))
     toks.groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
       .join(broadcast(vocab), Seq("w"), "left")
@@ -14450,8 +14463,9 @@ object SparkEntry {
     * end (micro-quantized coords, floor-div centroid, Σ(q−c)² ≤
     * 64·(2·10⁶)² per row, far inside 2⁵³), NO rounding anywhere. The
     * cheap embedding-space anomaly gate before any kNN-based scoring;
-    * at scale the centroid is one 64-row broadcast and the scan is
-    * map-only. */
+    * at scale the centroid is one 64-row broadcast, the scan is
+    * map-only, and the top-20 cut is a distributed TakeOrdered (each
+    * partition keeps 20, the driver merges partition-count rows). */
   private def simEmbedOutliers(s: SparkSession, dir: String): DataFrame = {
     val q = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("label"),
@@ -14463,9 +14477,12 @@ object SparkEntry {
     q.join(broadcast(cent), "j")
       .groupBy(col("vec_id"), col("label"))
       .agg(sum((col("qi") - col("c")) * (col("qi") - col("c"))).as("dist_sq"))
+      // Top-20 via orderBy+limit → TakeOrderedAndProject (distributed);
+      // the rank window then runs over the 20-row result, never the
+      // corpus-sized frame (the text_zipf limit-first pattern).
+      .orderBy(col("dist_sq").desc, col("vec_id")).limit(20)
       .withColumn("rnk", row_number().over(
         Window.orderBy(col("dist_sq").desc, col("vec_id"))))
-      .filter(col("rnk") <= 20)
       .select(col("rnk"), col("vec_id"), col("label"), col("dist_sq"))
       .orderBy(col("rnk"))
   }
@@ -14919,11 +14936,14 @@ object SparkEntry {
   /** BFS expansion profile from node 0 of the customer–supplier
     * network: frontier size per distance, split by node parity
     * (even = customer, odd = supplier — the bipartite layers must
-    * alternate, which the spec pins). Runs the SAME convergence-driven
-    * [[graft.operators.IterativeGraph.bfsDistances]] as q_shortest_path
-    * and aggregates its distance vector; the oracle wraps the fixed
-    * 4-round unroll. The expansion curve is what sizes frontier
-    * repartitioning for deeper graphs. */
+    * alternate, which the spec pins). Runs
+    * [[graft.operators.IterativeGraph.bfsDistancesFixed]] at rounds=4 —
+    * the SAME horizon the oracle's 4-CTE unroll pins, so the two sides
+    * cannot diverge on a node at distance >4 (a convergence-driven run
+    * would find it, the fixed unroll would not — data-dependent skew).
+    * The convergence-driven engine itself is exercised by
+    * q_shortest_path and its deep-graph spec; the expansion curve here
+    * is what sizes frontier repartitioning for deeper graphs. */
   private def qBfsLayers(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
     val ord = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
@@ -14935,7 +14955,7 @@ object SparkEntry {
       .distinct()
       .repartition(col("src")).persist()
     val sources = s.range(1).select(lit(0L).as("node"), lit(0L).as("dist"))
-    graft.operators.IterativeGraph.bfsDistances(edges, sources, maxRounds = 64)
+    graft.operators.IterativeGraph.bfsDistancesFixed(edges, sources, rounds = 4)
       .groupBy(col("dist"))
       .agg(count(lit(1)).as("n_nodes"),
         sum((pmod(col("node"), lit(2)) === 0).cast("long")).as("n_customers"),
@@ -14982,9 +15002,9 @@ object SparkEntry {
       .distinct()
     val adj = pairs.unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
     val deg = adj.groupBy(col("a").as("node")).agg(count(lit(1)).as("degree"))
-    val hubs = deg
-      .withColumn("rnk", row_number().over(Window.orderBy(col("degree").desc, col("node"))))
-      .filter(col("rnk") <= 10)
+    // Hub cut via orderBy+limit → TakeOrderedAndProject, not a global
+    // row_number window over the node-sized degree table.
+    val hubs = deg.orderBy(col("degree").desc, col("node")).limit(10)
       .select(col("node").as("hub"), col("degree"))
     val hop1 = broadcast(hubs).join(adj, col("hub") === col("a"))
       .select(col("hub"), col("degree"), col("b").as("n1"))
@@ -15700,9 +15720,11 @@ object SparkEntry {
       .groupBy(col("prefix"))
       .agg(count(lit(1)).as("n_docs"), countDistinct(col("source")).as("n_sources"))
       .filter(col("n_docs") >= 3)
+      // Top-20 via orderBy+limit → TakeOrderedAndProject; rank the
+      // 20-row result, never the prefix-census-sized frame.
+      .orderBy(col("n_docs").desc, col("prefix")).limit(20)
       .withColumn("rnk", row_number().over(
         Window.orderBy(col("n_docs").desc, col("prefix"))))
-      .filter(col("rnk") <= 20)
       .select(col("rnk"), col("prefix"), col("n_docs"), col("n_sources"))
       .orderBy(col("rnk"))
   }
@@ -16792,9 +16814,13 @@ object SparkEntry {
         lit("1992-01-01").cast("date")), lit(7)).as("dow"))
       .groupBy(col("dow")).agg(count(lit(1)).as("o_i"))
     val tot = cnt.agg(sum(col("o_i")).as("n"))
+    // 7·o_i − n is squared: widen to DECIMAL(38,0) first so n ~ 1e10+
+    // at the 100 TB target can't overflow BIGINT (ANSI-mode divergence).
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
     cnt.crossJoin(broadcast(tot))
       .agg(max(col("n")).as("n"),
-        sum((col("o_i") * 7 - col("n")) * (col("o_i") * 7 - col("n"))).as("num"))
+        sum((d38(col("o_i")) * 7 - d38(col("n"))) *
+          (d38(col("o_i")) * 7 - d38(col("n")))).as("num"))
       .select(col("n"),
         (col("num").cast("double") / (col("n") * 7).cast("double")).as("chi2"))
   }
@@ -16805,7 +16831,8 @@ object SparkEntry {
       |  FROM orders GROUP BY 1),
       |t AS (SELECT CAST(SUM(o_i) AS BIGINT) AS n FROM c)
       |SELECT MAX(n) AS n,
-      |  CAST(SUM((o_i * 7 - n) * (o_i * 7 - n)) AS DOUBLE)
+      |  CAST(SUM((CAST(o_i AS DECIMAL(38,0)) * 7 - CAST(n AS DECIMAL(38,0)))
+      |    * (CAST(o_i AS DECIMAL(38,0)) * 7 - CAST(n AS DECIMAL(38,0)))) AS DOUBLE)
       |    / CAST(MAX(n) * 7 AS DOUBLE) AS chi2
       |FROM c CROSS JOIN t""".stripMargin
 
@@ -17010,15 +17037,16 @@ object SparkEntry {
   }
 
   /** Weekend effect on daily revenue: Welch t between the weekday and
-    * weekend day-spine populations (the same portable d%7 split as
-    * an_wasserstein/an_cvm — now with the parametric effect estimate
+    * weekend day-spine populations (the same calendar-anchored (d+2)%7
+    * split as an_wasserstein/an_cvm: 1992-01-01 is a Wednesday, so +2
+    * maps Mon–Fri → weekday — with the parametric effect estimate
     * those distribution distances don't give): exact decimal moments
     * per side, mean difference in dollars and the Welch t in one shared
     * IEEE tree, ROUND 6. */
   private def anWeekendEffect(s: SparkSession, dir: String): DataFrame = {
     val d38 = (c: Column) => c.cast("decimal(38,0)")
     val m = dailyRevenueSpine(s, dir)
-      .withColumn("grp", when(pmod(col("d"), lit(7)) < 5, "wd").otherwise("we"))
+      .withColumn("grp", when(pmod(col("d") + 2, lit(7)) < 5, "wd").otherwise("we"))
       .groupBy(col("grp"))
       .agg(count(lit(1)).as("n"), sum(d38(col("rev_c"))).as("s1"),
         sum(d38(col("rev_c")) * d38(col("rev_c"))).as("s2"))
@@ -17042,7 +17070,7 @@ object SparkEntry {
     def varN(n: String, s1: String, s2: String) =
       s"CAST($n * $s2 - $s1 * $s1 AS DOUBLE) / (CAST($n AS DOUBLE) * CAST($n AS DOUBLE) * CAST($n - 1 AS DOUBLE))"
     s"""WITH daily AS ($dailySpineSql),
-       |g AS (SELECT rev_c, CASE WHEN (d % 7) < 5 THEN 'wd' ELSE 'we' END AS grp FROM daily),
+       |g AS (SELECT rev_c, CASE WHEN ((d + 2) % 7) < 5 THEN 'wd' ELSE 'we' END AS grp FROM daily),
        |m AS (SELECT grp, COUNT(*) AS n,
        |        CAST(SUM(CAST(rev_c AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s1,
        |        CAST(SUM(CAST(rev_c AS DECIMAL(38,0)) * CAST(rev_c AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s2

@@ -380,18 +380,23 @@ object VectorOps {
     // (measured 6.1 s at sf0.1 — the whole query is that shuffle); the
     // deduped pair list re-joins the (id, vec, norm) table by key, the
     // same corpus-stays-put posture as lshRerankTopK.
-    val nBits = adaptiveBandBits(embeddings.count()) * nBands
-    val bands = embeddings
-      .select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
+    //
+    // The projected corpus is persisted (owned-cache lifecycle, released
+    // at the Verify/Bench per-query point) BEFORE the adaptive-width
+    // count: the count, the band build, and the (id, vec, norm) re-join
+    // all read the one cached projection instead of re-scanning the
+    // uncached input three times.
+    val proj = graft.operators.PrefixSum.persistOwned(
+      embeddings.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v")))
+    val nBits = adaptiveBandBits(proj.count()) * nBands
+    val bands = proj
       .withColumn("band", explode(portableBandArray(col("v"), dim, nBits, nBands)))
       .select(col("id"), col("band.band_id"), col("band.band_key"))
     val pairs = bands.as("x").join(bands.as("y"), Seq("band_id", "band_key"))
       .filter(col("x.id") < col("y.id"))
       .select(col("x.id").as("a_id"), col("y.id").as("b_id"))
       .distinct()
-    val vecs = embeddings
-      .select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
-      .withColumn("nrm", norm(col("v")))
+    val vecs = proj.withColumn("nrm", norm(col("v")))
     pairs
       .join(vecs.select(col("id").as("a_id"), col("v").as("av"), col("nrm").as("an")), "a_id")
       .join(vecs.select(col("id").as("b_id"), col("v").as("bv"), col("nrm").as("bn")), "b_id")

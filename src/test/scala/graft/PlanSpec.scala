@@ -243,6 +243,64 @@ class PlanSpec extends SparkSpec {
     graft.operators.PrefixSum.releaseCaches()
   }
 
+  test("Plans.unboundedGlobalWindows catches the funnel and passes the limit-first rewrite") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val base = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select(col("o_orderkey"), col("o_totalprice"))
+    // seeded violation: a global sequence number consumed WITHOUT a
+    // rank filter — the optimizer's InferWindowGroupLimit rewrite
+    // (which bounds the row_number+filter form into a per-partition
+    // group limit) cannot apply, so the whole scan funnels through the
+    // SinglePartition window. This is the class the detector exists
+    // for; the filtered form is additionally covered below.
+    val funnel = base
+      .withColumn("seq", row_number().over(Window.orderBy(col("o_totalprice").desc, col("o_orderkey"))))
+      .withColumn("half", col("seq") * 2)
+    assert(Plans.unboundedGlobalWindows(funnel.queryExecution.sparkPlan) === 1,
+      "the seeded unpartitioned-window funnel must be flagged")
+    // the row_number+filter form: either the optimizer bounds it with a
+    // WindowGroupLimit (detector sees a bounded subtree → 0) or it
+    // stays a raw funnel (→ 1, caught). Assert it never silently
+    // REGRESSES past the detector without one of the two shapes.
+    val filtered = base
+      .withColumn("rnk", row_number().over(Window.orderBy(col("o_totalprice").desc, col("o_orderkey"))))
+      .filter(col("rnk") <= 10)
+    val fp = filtered.queryExecution.sparkPlan
+    val hasGroupLimit = fp.collect {
+      case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec => w
+    }.nonEmpty
+    assert(hasGroupLimit || Plans.unboundedGlobalWindows(fp) === 1,
+      "rank-filter without a group limit must be flagged")
+    // the fix: limit-first TakeOrdered, then rank the 10-row result
+    val fixed = base.orderBy(col("o_totalprice").desc, col("o_orderkey")).limit(10)
+      .withColumn("rnk", row_number().over(Window.orderBy(col("o_totalprice").desc, col("o_orderkey"))))
+    assert(Plans.unboundedGlobalWindows(fixed.queryExecution.sparkPlan) === 0,
+      "the limit-first rewrite must pass")
+    // partitioned windows are never flagged (bounded per-key frames)
+    val perKey = base
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("o_orderkey") % 7).orderBy(col("o_totalprice"))))
+    assert(Plans.unboundedGlobalWindows(perKey.queryExecution.sparkPlan) === 0)
+    // a join of a limit-bounded side with an unbounded side stays
+    // unbounded — the conservative all-paths rule
+    val joined = base.orderBy(col("o_orderkey")).limit(5)
+      .select(col("o_orderkey"))
+      .join(base, "o_orderkey")
+      .withColumn("rnk", row_number().over(Window.orderBy(col("o_totalprice"))))
+    assert(Plans.unboundedGlobalWindows(joined.queryExecution.sparkPlan) === 1)
+  }
+
+  test("the seven r12 funnel queries plan zero unbounded global windows") {
+    for (name <- Seq("an_grubbs", "sim_embed_outliers", "q_two_hop",
+        "text_pmi_collocations", "text_rake", "text_oov_rate", "text_templates")) {
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      assert(Plans.unboundedGlobalWindows(df.queryExecution.sparkPlan) === 0,
+        s"$name must keep the limit-first/TakeOrdered posture")
+    }
+    graft.operators.PrefixSum.releaseCaches()
+  }
+
   test("q_degree_hist closes pairs equi-keyed on the order key") {
     val df = SparkEntry.queries("q_degree_hist")(spark, sfDir)
     val phys = df.queryExecution.executedPlan
