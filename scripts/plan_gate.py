@@ -65,7 +65,13 @@ def gwin_violations(fresh):
     bad = []
     for n, metrics in sorted(fresh.items()):
         m = GWIN.search(metrics)
-        if m and int(m.group(1)) > GWIN_ALLOW.get(n, 0):
+        if m is None:
+            # a plan line WITHOUT a gwin field means a stale Plans binary
+            # or output drift — the hard rule would silently not apply,
+            # so treat the absence itself as a violation (round-13
+            # advice: a pre-gwin dump must not re-baseline past the rule)
+            bad.append((n, None, GWIN_ALLOW.get(n, 0)))
+        elif int(m.group(1)) > GWIN_ALLOW.get(n, 0):
             bad.append((n, int(m.group(1)), GWIN_ALLOW.get(n, 0)))
     return bad
 
@@ -90,10 +96,15 @@ def main():
     # recorded into the baseline
     bad = gwin_violations(fresh)
     for n, got, allowed in bad:
-        print(f"FAIL plan-gate {n}: gwin={got} > allowed {allowed} — "
-              f"unpartitioned Window over a non-limit-bounded frame "
-              f"(single-task funnel); use limit-first TakeOrdered or an "
-              f"aggregate argmax, or audit the frame and allowlist it")
+        if got is None:
+            print(f"FAIL plan-gate {n}: plan line has NO gwin= field — "
+                  f"stale Plans binary or output-format drift; the hard "
+                  f"funnel rule cannot be evaluated, refusing to proceed")
+        else:
+            print(f"FAIL plan-gate {n}: gwin={got} > allowed {allowed} — "
+                  f"unpartitioned Window over a non-limit-bounded frame "
+                  f"(single-task funnel); use limit-first TakeOrdered or an "
+                  f"aggregate argmax, or audit the frame and allowlist it")
     if bad:
         return 1
     if "--update" in sys.argv:

@@ -72,23 +72,50 @@ object Bench {
       java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
         .asScala.map(_.getCollectionTime).sum
     }
-    val results = selected.map { case (name, fn) =>
-      def attempt(): Double = {
-        isolate()
-        val g0 = gcMillis
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() }
-        catch { case _: Throwable => failed += name; -1L }
-        val dt = (System.nanoTime() - t0) / 1e9
-        System.err.println(f"[bench] $name%-24s ${dt}%8.2fs gc=${gcMillis - g0}%5dms")
-        dt
-      }
-      val times = (1 to repeat).map(_ => attempt()).sorted
+    def attempt(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      isolate()
+      val g0 = gcMillis
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count() }
+      catch { case _: Throwable => failed += name; -1L }
+      val dt = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[bench] $name%-24s ${dt}%8.2fs gc=${gcMillis - g0}%5dms")
+      dt
+    }
+    // pass 1: every query at the base attempt count
+    val attempts = scala.collection.mutable.LinkedHashMap.empty[String, Vector[Double]]
+    selected.foreach { case (name, fn) =>
+      attempts(name) = (1 to repeat).map(_ => attempt(name, fn)).toVector
+    }
+    def medOf(ts: Vector[Double]): Double = {
+      val s = ts.sorted
       // lower median for even attempt counts (dev REPEAT=2 → min,
       // matching the old protocol for subset runs)
-      val med = times((times.size - 1) / 2)
-      name -> (med, times.last - times.head)
+      s((s.size - 1) / 2)
     }
+    // pass 2 (r13 verdict #4): the slow tail carries 3–5 s per-query
+    // spread on this box, which swamps round-over-round deltas at
+    // median-of-3 — re-run the TAIL_N slowest (by pass-1 median) up to
+    // TAIL_REPEAT total attempts so the recorded medians there are
+    // median-of-5. Cost: ~40 extra attempts over the queries that
+    // need them, not 2×388 over the fast majority that doesn't.
+    val tailRepeat = sys.env.getOrElse("SPARK_GRAFT_TAIL_REPEAT", "5").toInt
+    val tailN = sys.env.getOrElse("SPARK_GRAFT_TAIL_N", "20").toInt
+    if (tailRepeat > repeat && attempts.nonEmpty) {
+      val tail = attempts.toSeq.sortBy { case (_, ts) => -medOf(ts) }.take(tailN).map(_._1)
+      tail.foreach { name =>
+        val fn = selected(name)
+        attempts(name) ++= (attempts(name).size until tailRepeat).map(_ => attempt(name, fn))
+      }
+    }
+    val results = attempts.map { case (name, ts) =>
+      name -> (medOf(ts), ts.max - ts.min)
+    }
+    // the dispersion outlier, named with its RAW attempts (not just the
+    // aggregate max) so a round-over-round delta on the heavy tail is
+    // attributable from the artifact without a judge re-run
+    val worst = attempts.toSeq.sortBy { case (_, ts) => ts.min - ts.max }.headOption
+      .map { case (n, ts) => (n, ts: Seq[Double]) }
     val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
     // full per-query line first (for logs/humans — medians AND spreads),
     // then the bounded line LAST: the driver keeps only the final ~2000
@@ -98,15 +125,19 @@ object Bench {
     // caps itself — slowest queries first, the fast remainder rolled up
     // under "omitted", per-query spreads summarized as an aggregate
     // dispersion block.
+    val protocol =
+      if (tailRepeat > repeat) s"median-of-$repeat+tail$tailN@$tailRepeat"
+      else s"median-of-$repeat"
     val qs = results.map { case (k, (v, sp)) =>
       "\"" + k + "\":{\"med\":" + ms(v) + ",\"spread\":" + ms(sp) + "}"
     }.mkString("{", ",", "}")
     val allErrs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val gen = generationTag(sfDir)
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","protocol":"median-of-$repeat","testdata_generation":"$gen","queries":$qs,"errors":$allErrs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","protocol":"$protocol","testdata_generation":"$gen","queries":$qs,"errors":$allErrs,"sf":"$sfDir"}""")
     println(boundedLine(total, results.toSeq.map { case (k, (v, _)) => (k, v) },
       failed.toSeq, sfDir, gen,
-      spreads = results.values.map(_._2).toSeq, attempts = repeat))
+      spreads = results.values.map(_._2).toSeq, protocol = protocol,
+      worstSpread = worst))
     spark.stop()
   }
 
@@ -146,18 +177,24 @@ object Bench {
   def boundedLine(total: Double, results: Seq[(String, Double)],
                   failed: Seq[String], sfDir: String,
                   generation: String = "",
-                  spreads: Seq[Double] = Nil, attempts: Int = 0): String = {
+                  spreads: Seq[Double] = Nil, protocol: String = "",
+                  worstSpread: Option[(String, Seq[Double])] = None): String = {
     // aggregate dispersion of the median-of-N protocol: max and mean
-    // per-query spread plus how many queries moved more than the 0.3 s
-    // noise band — the round-over-round trust signal, kept aggregate so
-    // the bounded line's char budget still lists the slow tail
+    // per-query spread, how many queries moved more than the 0.3 s
+    // noise band, AND the argmax-spread query with its raw attempt
+    // times (r13 verdict #4: the aggregate alone left the heavy tail's
+    // deltas unattributable) — kept compact so the bounded line's char
+    // budget still lists the slow tail
     val dispField =
       if (spreads.isEmpty) ""
       else {
         val m = spreads.max
         val avg = spreads.sum / spreads.size
         val over = spreads.count(_ > 0.3)
-        s""""protocol":"median-of-$attempts","dispersion":{"max_spread":${ms(m)},"mean_spread":${ms(avg)},"n_over_0.3s":$over},"""
+        val worstField = worstSpread.map { case (n, ts) =>
+          s""","worst":{"q":"$n","attempts":[${ts.map(ms).mkString(",")}]}"""
+        }.getOrElse("")
+        s""""protocol":"$protocol","dispersion":{"max_spread":${ms(m)},"mean_spread":${ms(avg)},"n_over_0.3s":$over$worstField},"""
       }
     // errors: list names until the error budget is spent, count the rest
     val errKept = scala.collection.mutable.ArrayBuffer.empty[String]

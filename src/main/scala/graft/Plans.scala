@@ -20,20 +20,53 @@ object Plans {
     * real tree; executedPlan's AdaptiveSparkPlanExec wrapper has no
     * children until execution). */
   def unboundedGlobalWindows(p: org.apache.spark.sql.execution.SparkPlan): Int = {
-    def limitBounded(q: org.apache.spark.sql.execution.SparkPlan): Boolean = {
-      val n = q.getClass.getSimpleName
-      if (n.contains("Limit") || n.contains("TakeOrderedAndProject")) true
-      else if (q.children.isEmpty) false
-      else q.children.forall(limitBounded)
+    import org.apache.spark.sql.execution.{CollectLimitExec, GlobalLimitExec, LocalLimitExec, TakeOrderedAndProjectExec}
+    import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+    // A subtree is "bounded" when its row count cannot scale with the
+    // DATA (only with the limit k and, for per-task bounds, the task
+    // count): the concrete limit operators plus WindowGroupLimit in
+    // EITHER mode — Partial caps every map task at k rows (≤ k·tasks
+    // total into the downstream SinglePartition exchange), Final caps
+    // the output at k per key. Matching concrete node types, not class-
+    // name substrings, so an unrelated *Limit*-named operator can never
+    // silently bless a funnel (round-13 advice).
+    def limitBounded(q: org.apache.spark.sql.execution.SparkPlan): Boolean = q match {
+      case _: GlobalLimitExec | _: LocalLimitExec | _: CollectLimitExec |
+           _: TakeOrderedAndProjectExec | _: WindowGroupLimitExec => true
+      case _ if q.children.isEmpty => false
+      case _ => q.children.forall(limitBounded)
     }
     val self = p match {
-      case w: org.apache.spark.sql.execution.window.WindowExec
+      case w: WindowExec
         if w.partitionSpec.isEmpty && !limitBounded(w.child) => 1
-      case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec
-        if w.partitionSpec.isEmpty && !limitBounded(w.child) => 1
+      // a global WindowGroupLimit is itself a funnel only in Final mode
+      // (requires AllTuples → SinglePartition); the Partial pass runs
+      // distributed per map task and is never a violation. In practice
+      // the planner always feeds Final from a Partial (so its child is
+      // bounded); this arm catches a hand-built plan that skips it.
+      case w: WindowGroupLimitExec
+        if w.partitionSpec.isEmpty &&
+          w.mode == org.apache.spark.sql.execution.window.Final &&
+          !limitBounded(w.child) => 1
       case _ => 0
     }
     self + p.children.map(unboundedGlobalWindows).sum
+  }
+
+  /** Row count of each unpartitioned logical Window frame in `df`'s
+    * optimized plan — the rows a global window funnels through one
+    * task. plan_gate.py's GWIN_ALLOW entries claim their frames are
+    * bounded BY SOURCE (day-spine / key-domain); that claim is invisible
+    * to the structural detector, so GwinAuditSpec verifies it
+    * mechanically: evaluate this at two SFs and fail any allowlisted
+    * frame whose count scales with the data. */
+  def globalWindowFrameRows(df: org.apache.spark.sql.DataFrame): Seq[Long] = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val spark = df.sparkSession
+    df.queryExecution.optimizedPlan.collect {
+      case w: LWindow if w.partitionSpec.isEmpty =>
+        org.apache.spark.sql.graftbridge.PlanBridge.dataFrame(spark, w.child).count()
+    }
   }
 
   def main(args: Array[String]): Unit = {
@@ -50,7 +83,11 @@ object Plans {
       while ({ i = p.indexOf(tok, i); i >= 0 }) { n += 1; i += tok.length }
       n
     }
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    // dev knob: arg 2 = comma-list of query names to dump (subset audit)
+    val only = args.drop(1).headOption.map(_.split(",").toSet)
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .foreach { case (name, fn) =>
       try {
         val qe = fn(spark, sfDir).queryExecution
         val p = qe.executedPlan.toString()

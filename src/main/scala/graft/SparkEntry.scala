@@ -5452,12 +5452,19 @@ object SparkEntry {
     val S = 1000000000000000L // fixed-point scale 10^15
     var rank = nodes.withColumn("rank_f", lit(S / n)) // floor(S/n), exact
     (1 to 5).foreach { _ =>
-      rank = adj
+      // lazy per-iteration checkpoint (the q_hits/sim_mmr treatment):
+      // each rank vector becomes a LEAF of the next iteration's plan
+      // instead of re-deriving the whole unrolled chain — the r13 plan
+      // audit measured 137 Exchange nodes from the 5-deep unroll
+      // re-planning the persisted adjacency per iteration; the cut
+      // leaves one adjacency-join + gather subtree per iteration and
+      // materializes only when the next iteration first reads it
+      rank = graft.operators.Checkpoints.stabilizeLazy(adj
         .join(rank.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst").as("node"))
         .agg(sum(expr("rank_f div outdeg")).as("gather"))
         .select(col("node"),
-          (lit(3 * S / (20 * n)) + expr("17 * gather div 20")).as("rank_f"))
+          (lit(3 * S / (20 * n)) + expr("17 * gather div 20")).as("rank_f")))
     }
     rank.select(col("node"),
         (col("rank_f").cast("double") / lit(S.toDouble)).as("rank"))
@@ -7923,9 +7930,16 @@ object SparkEntry {
     val ok = sp.join(
       sp.groupBy(col("pk")).agg(count(lit(1)).as("nsup"))
         .filter(col("nsup") <= 20), Seq("pk"))
-    val e = ok.as("a").join(ok.as("b"), Seq("pk"))
-      .filter(col("a.sk") < col("b.sk"))
-      .select(col("a.sk").as("u"), col("b.sk").as("v")).distinct()
+    // the projected edge list feeds FIVE consumers (the e1/e2/e3
+    // closure joins, the degree table, the edge count); a lazy
+    // checkpoint makes each a leaf scan of the one materialized edge
+    // RDD instead of re-planning the scan→distinct→hub-cap→pair spine
+    // per consumer (the q_pagerank/q_hits lineage treatment — the r13
+    // plan audit measured 69 exchanges from the re-derivations)
+    val e = graft.operators.Checkpoints.stabilizeLazy(
+      ok.as("a").join(ok.as("b"), Seq("pk"))
+        .filter(col("a.sk") < col("b.sk"))
+        .select(col("a.sk").as("u"), col("b.sk").as("v")).distinct())
     val degs = e.select(col("u").as("x")).unionAll(e.select(col("v").as("x")))
       .groupBy(col("x")).agg(count(lit(1)).as("d"))
     val tri = e.as("e1").join(e.as("e2"), col("e1.v") === col("e2.u"))
@@ -11085,9 +11099,13 @@ object SparkEntry {
     val ok = sp.join(
       sp.groupBy(col("pk")).agg(count(lit(1)).as("nsup"))
         .filter(col("nsup") <= 20), Seq("pk"))
-    val e = ok.as("a").join(ok.as("b"), Seq("pk"))
-      .filter(col("a.sk") < col("b.sk"))
-      .select(col("a.sk").as("u"), col("b.sk").as("v")).distinct()
+    // same five-consumer edge list as q_triangles — lazy-checkpoint it
+    // so the closure joins and the degree table scan one materialized
+    // RDD (r13 plan audit: 55 exchanges from per-consumer re-derivation)
+    val e = graft.operators.Checkpoints.stabilizeLazy(
+      ok.as("a").join(ok.as("b"), Seq("pk"))
+        .filter(col("a.sk") < col("b.sk"))
+        .select(col("a.sk").as("u"), col("b.sk").as("v")).distinct())
     val degs = e.select(col("u").as("x")).unionAll(e.select(col("v").as("x")))
       .groupBy(col("x")).agg(count(lit(1)).as("d"))
     val corners = e.as("e1").join(e.as("e2"), col("e1.v") === col("e2.u"))
@@ -11144,9 +11162,13 @@ object SparkEntry {
       .select(col("a.sk").as("u"), col("b.sk").as("v")).distinct()
     val nat = Tables.supplier(s, dir)
       .select(col("s_suppkey").as("k"), col("s_nationkey").as("c"))
-    val lab = e
+    // the labeled edge list feeds THREE aggregates (m, e_c, d_c); the
+    // lazy checkpoint materializes the scan→distinct→hub-cap→pair→
+    // label spine once instead of once per aggregate (r13 plan audit:
+    // 53 exchanges — the q_triangles treatment)
+    val lab = graft.operators.Checkpoints.stabilizeLazy(e
       .join(broadcast(nat.withColumnRenamed("k", "u").withColumnRenamed("c", "cu")), Seq("u"))
-      .join(broadcast(nat.withColumnRenamed("k", "v").withColumnRenamed("c", "cv")), Seq("v"))
+      .join(broadcast(nat.withColumnRenamed("k", "v").withColumnRenamed("c", "cv")), Seq("v")))
     val m = lab.agg(count(lit(1)).as("m"))
     val ec = lab.filter(col("cu") === col("cv"))
       .groupBy(col("cu").as("comm")).agg(count(lit(1)).as("e_in"))

@@ -49,13 +49,17 @@ class BenchLineSpec extends AnyFunSuite {
     val spreads = results.map { case (_, t) => t * 0.2 }
     val line = Bench.boundedLine(results.map(_._2).sum, results, Seq.empty,
       "/root/testdata/sf0.1", generation = "656d5f24",
-      spreads = spreads, attempts = 3)
+      spreads = spreads, protocol = "median-of-3+tail20@5",
+      worstSpread = Some(("query_name_number_303", Seq(2.42, 3.03, 5.95, 2.50, 2.61))))
     assert(line.length <= Bench.MaxLineChars, s"line length ${line.length}")
     val node = mapper.readTree(line)
-    assert(node.get("protocol").asText == "median-of-3")
+    assert(node.get("protocol").asText == "median-of-3+tail20@5")
     val d = node.get("dispersion")
     assert(math.abs(d.get("max_spread").asDouble - 3.03 * 0.2) < 0.001)
     assert(d.get("n_over_0.3s").asInt == spreads.count(_ > 0.3))
+    // the named outlier carries its raw attempts for attribution
+    assert(d.get("worst").get("q").asText == "query_name_number_303")
+    assert(d.get("worst").get("attempts").size == 5)
   }
 
   test("property: many-error, huge-total boards always stay under the budget") {

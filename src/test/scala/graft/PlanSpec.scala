@@ -259,10 +259,15 @@ class PlanSpec extends SparkSpec {
       .withColumn("half", col("seq") * 2)
     assert(Plans.unboundedGlobalWindows(funnel.queryExecution.sparkPlan) === 1,
       "the seeded unpartitioned-window funnel must be flagged")
-    // the row_number+filter form: either the optimizer bounds it with a
-    // WindowGroupLimit (detector sees a bounded subtree → 0) or it
-    // stays a raw funnel (→ 1, caught). Assert it never silently
-    // REGRESSES past the detector without one of the two shapes.
+    // the row_number+filter form: the optimizer bounds it in one of two
+    // ways — InferWindowGroupLimit (a WindowGroupLimit pair under the
+    // window) or LimitPushDownThroughWindow (a Limit pushed BELOW the
+    // window; legal for row_number over a global order). Both are the
+    // optimizer doing the gate's job, so in both the detector must see
+    // a bounded subtree (0); in each branch the expected count is
+    // PINNED so a detector regression on this shape cannot hide behind
+    // the disjunction (round-13 advice). Only a plan with NEITHER
+    // bounding shape is a raw funnel the detector must flag.
     val filtered = base
       .withColumn("rnk", row_number().over(Window.orderBy(col("o_totalprice").desc, col("o_orderkey"))))
       .filter(col("rnk") <= 10)
@@ -270,8 +275,19 @@ class PlanSpec extends SparkSpec {
     val hasGroupLimit = fp.collect {
       case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec => w
     }.nonEmpty
-    assert(hasGroupLimit || Plans.unboundedGlobalWindows(fp) === 1,
-      "rank-filter without a group limit must be flagged")
+    val limitBelowWindow = fp.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+        if w.partitionSpec.isEmpty && w.child.collect {
+          case g: org.apache.spark.sql.execution.GlobalLimitExec => g
+          case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+        }.nonEmpty => w
+    }.nonEmpty
+    val det = Plans.unboundedGlobalWindows(fp)
+    if (hasGroupLimit || limitBelowWindow)
+      assert(det === 0,
+        s"optimizer-bounded rank-filter shape must not be flagged (groupLimit=$hasGroupLimit pushedLimit=$limitBelowWindow):\n$fp")
+    else
+      assert(det === 1, s"rank-filter with no bounding shape must be flagged:\n$fp")
     // the fix: limit-first TakeOrdered, then rank the 10-row result
     val fixed = base.orderBy(col("o_totalprice").desc, col("o_orderkey")).limit(10)
       .withColumn("rnk", row_number().over(Window.orderBy(col("o_totalprice").desc, col("o_orderkey"))))
