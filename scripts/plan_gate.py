@@ -40,7 +40,10 @@ LINE = re.compile(r"^(\w+)\s+(exch=.*)$")
 #     an_trimmed_mean, an_quartile_skew, an_decile_lift, an_bh_fdr,
 #     an_qte, an_mad_outliers, etl_null_patterns
 # A NEW query with gwin > 0 fails until its frame is audited and the
-# entry added here — the audit trail is this file's git history.
+# entry added here — the audit trail is this file's git history, and
+# the boundedness claim itself is machine-checked: GwinAuditSpec parses
+# THIS dict and fails any entry whose frame row-count scales with SF
+# (10× data → >3× frame without saturation at the next step).
 GWIN_ALLOW = {
     "an_autocorr": 2, "an_bh_fdr": 2, "an_bollinger": 3,
     "an_changepoint": 2, "an_cvm": 1, "an_decile_lift": 1, "an_ewma": 1,

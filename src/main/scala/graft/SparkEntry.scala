@@ -9247,13 +9247,19 @@ object SparkEntry {
     val li = Tables.lineitem(s, dir)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
     val l2 = li.select(col("ok"), col("pk").as("pk2"))
-    val pairs = li.join(l2, Seq("ok"))
-      .filter(col("pk") < col("pk2"))
-      .select(col("pk").as("a"), col("pk2").as("b"))
-      .distinct()
-    val deg = pairs.select(col("a").as("node"))
-      .union(pairs.select(col("b").as("node")))
-      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+    // pairs feeds four consumers (both unions × two branches) and deg
+    // two (the u- and v-side degree joins) — lazy checkpoints make each
+    // a leaf instead of re-planning the co-order pair spine per
+    // consumer (the q_triangles treatment; r14 plan audit: 17 exch)
+    val pairs = graft.operators.Checkpoints.stabilizeLazy(
+      li.join(l2, Seq("ok"))
+        .filter(col("pk") < col("pk2"))
+        .select(col("pk").as("a"), col("pk2").as("b"))
+        .distinct())
+    val deg = graft.operators.Checkpoints.stabilizeLazy(
+      pairs.select(col("a").as("node"))
+        .union(pairs.select(col("b").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("degree")))
     val dirEdges = pairs.select(col("a").as("u"), col("b").as("v"))
       .union(pairs.select(col("b").as("u"), col("a").as("v")))
     dirEdges
@@ -10642,10 +10648,15 @@ object SparkEntry {
     * DECIMAL(38,18) (order-independent), ROUND(·,6) at emission — the
     * an_price_elasticity recipe. */
   private def qLinkPred(s: SparkSession, dir: String): DataFrame = {
-    val os = Tables.lineitem(s, dir)
-      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk")).distinct()
+    // os feeds three consumers (deg, withDeg, the marginal counts) and
+    // withDeg self-joins — lazy checkpoints cut the re-derivations
+    // (the q_triangles treatment; r14 plan audit: 16 exch)
+    val os = graft.operators.Checkpoints.stabilizeLazy(
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk")).distinct())
     val deg = os.groupBy(col("ok")).agg(count(lit(1)).as("deg"))
-    val withDeg = os.join(deg.filter(col("deg") >= 2), "ok")
+    val withDeg = graft.operators.Checkpoints.stabilizeLazy(
+      os.join(deg.filter(col("deg") >= 2), "ok"))
     val pairs = withDeg.as("a").join(withDeg.as("b"),
         col("a.ok") === col("b.ok") && col("a.sk") < col("b.sk"))
       .select(col("a.sk").as("s_a"), col("b.sk").as("s_b"),
@@ -14862,10 +14873,13 @@ object SparkEntry {
     val li = Tables.lineitem(s, dir)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
     val l2 = li.select(col("ok"), col("pk").as("pk2"))
-    val pairs = li.join(l2, Seq("ok"))
-      .filter(col("pk") < col("pk2"))
-      .select(col("pk").as("a"), col("pk2").as("b"))
-      .distinct()
+    // both degree-union branches consume pairs — one lazy checkpoint,
+    // one pair-spine materialization (the q_triangles treatment)
+    val pairs = graft.operators.Checkpoints.stabilizeLazy(
+      li.join(l2, Seq("ok"))
+        .filter(col("pk") < col("pk2"))
+        .select(col("pk").as("a"), col("pk2").as("b"))
+        .distinct())
     val deg = pairs.select(col("a").as("node"))
       .union(pairs.select(col("b").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("degree"))
@@ -15022,14 +15036,21 @@ object SparkEntry {
       .filter(col("pk") < col("pk2"))
       .select(col("pk").as("a"), col("pk2").as("b"))
       .distinct()
-    val adj = pairs.unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
+    // adj feeds FOUR consumers (deg, both hop expansions, the reach
+    // union) and hop1 three (hop2, reach1, reach2) — lazy checkpoints
+    // make each a leaf scan instead of re-planning the co-order
+    // pair-join spine per consumer (the q_triangles treatment; the r13
+    // plan audit measured 42 exchanges from the re-derivations)
+    val adj = graft.operators.Checkpoints.stabilizeLazy(
+      pairs.unionByName(pairs.select(col("b").as("a"), col("a").as("b"))))
     val deg = adj.groupBy(col("a").as("node")).agg(count(lit(1)).as("degree"))
     // Hub cut via orderBy+limit → TakeOrderedAndProject, not a global
     // row_number window over the node-sized degree table.
     val hubs = deg.orderBy(col("degree").desc, col("node")).limit(10)
       .select(col("node").as("hub"), col("degree"))
-    val hop1 = broadcast(hubs).join(adj, col("hub") === col("a"))
-      .select(col("hub"), col("degree"), col("b").as("n1"))
+    val hop1 = graft.operators.Checkpoints.stabilizeLazy(
+      broadcast(hubs).join(adj, col("hub") === col("a"))
+        .select(col("hub"), col("degree"), col("b").as("n1")))
     val hop2 = hop1.join(adj, col("n1") === col("a"))
       .select(col("hub"), col("b").as("n2"))
     val reach1 = hop1.groupBy(col("hub"), col("degree"))

@@ -45,14 +45,28 @@ object Checkpoints {
     if (sc.getCheckpointDir.isEmpty)
       sc.setCheckpointDir(Files.createTempDirectory("graft-ckpt-").toString)
 
+  /** The checkpointed Dataset's LogicalRDD copies its origin plan's
+    * SIZE ESTIMATE (`originStats`) — which a convergence loop feeds
+    * back into the next round's estimate. A kernel whose round
+    * references the moving frame twice (k-core joins the alive set on
+    * both endpoints) squares that estimate per round: double-
+    * exponential BigInt growth that kills Catalyst sizing with
+    * "BigInteger would overflow supported range" near round 30
+    * (measured on DiameterProbe's 299-diameter chain). Dropping the
+    * copied stats resets every round to `defaultSizeInBytes` —
+    * "unknown/huge", the never-broadcast posture the kernels already
+    * assume (plan_baseline: zero drift across all 388 queries). */
+  private def statsSafe(df: DataFrame): DataFrame =
+    org.apache.spark.sql.graftbridge.PlanBridge.withoutOriginStats(df)
+
   /** Truncate `df`'s lineage per the engine checkpoint policy and
     * return the stabilized frame (always eager — the loops' probe
     * actions assume the round's work is done when stabilize returns). */
   def stabilize(df: DataFrame): DataFrame =
     if (reliableRequested(df)) {
       ensureDir(df.sparkSession.sparkContext)
-      df.checkpoint()
-    } else df.localCheckpoint(true)
+      statsSafe(df.checkpoint())
+    } else statsSafe(df.localCheckpoint(true))
 
   /** Lazy variant for model-sized self-referencing accumulators (the
     * MMR step loop): cuts lineage without scheduling a materialization
@@ -61,8 +75,8 @@ object Checkpoints {
   def stabilizeLazy(df: DataFrame): DataFrame =
     if (reliableRequested(df)) {
       ensureDir(df.sparkSession.sparkContext)
-      df.checkpoint(eager = false)
-    } else df.localCheckpoint(false)
+      statsSafe(df.checkpoint(eager = false))
+    } else statsSafe(df.localCheckpoint(false))
 
   /** RDD-core variant for the pointer-jumping / star loops. Marks the
     * RDD for truncation; the caller's own probe action materializes it

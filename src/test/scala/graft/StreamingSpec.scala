@@ -648,4 +648,70 @@ class StreamingSpec extends SparkSpec {
         s"user $u: stream $r vs batch ($n, $nLate, $mx, $sm)")
     }
   }
+
+  test("spcStream gates micro-batches against broadcast whole-history limits (batch parity)") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.streaming.EventsStream.{SpcDay, SpcLimits}
+    implicit val sqlCtx = spark.sqlContext
+    val evs = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Ev].collect().toSeq
+    // whole-history limits, SPARK-computed (the an_spc_rules m / an_xmr
+    // st aggregates over the events daily series) — an independent
+    // expression path from the stream's driver-side fold
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(sum((col("value").cast("decimal(24,2)") * 100).cast("bigint")).as("v"))
+    val mrF = daily.withColumn("mr",
+      abs(col("v") - lag(col("v"), 1).over(Window.orderBy(col("day")))))
+    val st = mrF.agg(count(lit(1)).as("n"),
+        sum(col("v").cast("decimal(38,0)")).as("sx"),
+        sum((col("v").cast("decimal(38,0)") * col("v")).cast("decimal(38,0)"))
+          .cast("double").as("s2"),
+        sum(col("mr").cast("decimal(38,0)")).as("smr"),
+        count(col("mr")).as("nmr"))
+      .collect().head
+    val limits = SpcLimits(st.getLong(0),
+      st.getDecimal(1).doubleValue(), st.getDouble(2),
+      st.getLong(0), BigInt(st.getDecimal(1).toBigInteger),
+      BigInt(st.getDecimal(3).toBigInteger), st.getLong(4))
+    def run(tag: String, slices: Seq[Seq[Ev]]): Seq[SpcDay] = {
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[SpcDay])]
+      val in = MemoryStream[Ev]
+      val q = graft.streaming.EventsStream.spcStream(in.toDF(), limits,
+        (id, days) => buf.synchronized { buf += id -> days })
+      slices.foreach { s => in.addData(s); q.processAllAvailable() }
+      q.stop()
+      buf.maxBy(_._1)._2
+    }
+    // slicing invariance: one batch ≡ four hash-scrambled micro-batches
+    val oneShot = run("one", Seq(evs))
+    val sliced = run("sliced",
+      evs.sortBy(e => (e.event_id * 2654435761L) % 1000003)
+        .grouped((evs.size + 3) / 4).toSeq)
+    assert(oneShot == sliced, "final SPC frame must not depend on batch slicing")
+    // Western-Electric parity vs the batch an_spc_rules query (whose
+    // limits ARE the whole-history moments; z there is round(·,6))
+    val batch = SparkEntry.queries("an_spc_rules")(spark, sfDir)
+      .select(col("day"), col("z"), col("rule1_beyond_3sd"), col("rule2_two_of_three_2sd"))
+      .as[(java.sql.Timestamp, Double, Boolean, Boolean)].collect().toSeq
+      .sortBy(_._1.getTime)
+    assert(oneShot.size == batch.size && oneShot.nonEmpty)
+    oneShot.zip(batch).foreach { case (s, (d, z, r1, r2)) =>
+      assert(s.day == d && s.rule1_beyond_3sd == r1 && s.rule2_two_of_three_2sd == r2,
+        s"WE flags drifted: stream $s vs batch ($d, $z, $r1, $r2)")
+      assert(math.abs(s.z - z) < 1e-6, s"z drifted: stream ${s.z} vs batch $z")
+    }
+    // XmR parity: the exact integer boundary replayed as Spark
+    // expressions over the daily frame (the an_xmr arithmetic)
+    val expXmr = mrF.crossJoin(broadcast(
+        mrF.agg(count(lit(1)).as("n"), sum(col("v").cast("decimal(38,0)")).as("sx"),
+          sum(col("mr").cast("decimal(38,0)")).as("smr"), count(col("mr")).as("nmr"))))
+      .select(col("day"),
+        (abs(col("v").cast("decimal(38,0)") * col("n") - col("sx")) * 100 * col("nmr") >
+          col("smr").cast("decimal(38,0)") * 266 * col("n")).as("viol"))
+      .as[(java.sql.Timestamp, Boolean)].collect().toMap
+    oneShot.foreach(s => assert(s.xmr_violation == expXmr(s.day),
+      s"XmR flag drifted on ${s.day}: stream ${s.xmr_violation}"))
+  }
 }
