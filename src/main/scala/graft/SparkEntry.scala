@@ -3624,15 +3624,21 @@ object SparkEntry {
   private def textPmiCollocations(s: SparkSession, dir: String): DataFrame = {
     val ws = split(col("text"), " ")
     val docs = Tables.documents(s, dir)
-    val bigrams = docs
+    // the posting tables are re-read (bigrams twice: totals + scoring;
+    // unigrams three times: totals + both sides of the scoring join) —
+    // without a cut each consumer re-runs the corpus explode, so the
+    // tokenization pass executed FIVE times (the textTfidf double-read
+    // problem, one worse). Lazy checkpoints run each explode once.
+    val bigrams = graft.operators.Checkpoints.stabilizeLazy(docs
       .select(explode(when(size(ws) >= 2,
         transform(sequence(lit(1), size(ws) - 1),
           i => struct(element_at(ws, i).as("w1"), element_at(ws, i + 1).as("w2"))))
         .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("b"))
       .select(col("b.w1"), col("b.w2"))
-      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_xy"))
-    val unigrams = docs.select(explode(ws).as("w"))
-      .groupBy(col("w")).agg(count(lit(1)).as("c_w"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_xy")))
+    val unigrams = graft.operators.Checkpoints.stabilizeLazy(
+      docs.select(explode(ws).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c_w")))
     val totals = bigrams.agg(sum(col("c_xy")).as("n_bi"))
       .crossJoin(unigrams.agg(sum(col("c_w")).as("n_uni")))
     bigrams.filter(col("c_xy") >= 5)
