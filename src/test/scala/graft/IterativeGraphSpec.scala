@@ -68,6 +68,25 @@ class IterativeGraphSpec extends SparkSpec {
       "convergence stop must be a fixpoint or a period-2 cycle member")
   }
 
+  test("deep double-reference loops do not compound checkpoint stats (the diam-299 crash)") {
+    // regression pin for the r14 DiameterProbe finding: a checkpointed
+    // round's LogicalRDD used to copy its origin plan's size ESTIMATE,
+    // and k-core references the alive frame on BOTH endpoints per
+    // round, SQUARING the estimate — double-exponential BigInt growth
+    // that crashed Catalyst sizing ("BigInteger would overflow
+    // supported range") near round 30 regardless of data size. A
+    // 70-path at k=2 peels for 35 rounds — past the pre-fix crash
+    // horizon on a 70-node frame.
+    val edges = pathEdges(70)
+    assert(IterativeGraph.kcoreAlive(edges, k = 2, maxRounds = 64).count() == 0)
+    // the mechanism: the cut frame re-plans from the conservative
+    // default size, never the origin estimate
+    val df = Seq((1L, 2L)).toDF("a", "b")
+    val cut = graft.operators.Checkpoints.stabilizeLazy(df.join(df, "a"))
+    assert(cut.queryExecution.optimizedPlan.stats.sizeInBytes == BigInt(Long.MaxValue),
+      "checkpoint must not carry the origin plan's size estimate")
+  }
+
   test("spark.graft.reliableCheckpoint flips every iterative loop to reliable checkpoints") {
     val edges = pathEdges(9)
     val sources = Seq((0L, 0L)).toDF("node", "dist")
