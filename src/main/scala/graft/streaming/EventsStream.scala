@@ -769,6 +769,76 @@ object EventsStream {
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(update)
   }
 
+  final case class HeavyHitter(key: Long, count: Long, err: Long)
+
+  /** Streaming heavy hitters — the live twin of the batch
+    * an_heavy_hitters query, built on the same mergeable Space-Saving
+    * summary ([[graft.functions.SpaceSaving]], Metwally ICDT'05 +
+    * Agarwal PODS'12 mergeability): each micro-batch runs the typed
+    * aggregator DISTRIBUTED over the batch (per-partition buffers,
+    * map-side combined — the batch query's exact execution shape), and
+    * the one capacity-sized summary row merges into the running
+    * cross-batch summary, so state is O(capacity) regardless of stream
+    * length and nothing row-sized is ever collected. Mergeability
+    * carries the batch guarantees across ANY micro-batch slicing:
+    * every key with true count > n/capacity is present, counts bound
+    * the truth from above with count − err from below, and with ≤
+    * capacity distinct keys (no eviction anywhere) the stream equals
+    * the exact batch counts under any slicing — the property
+    * StreamingSpec pins. */
+  def heavyHittersStream(events: DataFrame, keyCol: String, capacity: Int,
+                         onBatch: (Long, Seq[HeavyHitter]) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    val agg = new graft.functions.SpaceSaving(capacity)
+    var state = agg.zero
+    events.writeStream.outputMode("append")
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        val spark = df.sparkSession
+        import spark.implicits._
+        val batch = df.select(col(keyCol).cast("long").as("k")).as[Long]
+          .select(agg.toColumn).head()
+        synchronized {
+          state = agg.merge(state,
+            batch.map { case (k, c, e) => k -> (c, e) }.toMap)
+          onBatch(id, agg.finish(state).map { case (k, c, e) => HeavyHitter(k, c, e) })
+        }
+      }
+      .start()
+  }
+
+  /** Streaming distinct-count gate — the live twin of the batch
+    * an_hll_distinct path, on the SAME deterministic HLL pipeline
+    * ([[graft.functions.Sketches]]: tempered hash → register/rho →
+    * exact power-of-two harmonic sum → one double division): each
+    * micro-batch computes its register hits DISTRIBUTED (the batch
+    * hllHits aggregate, map-side combined), the ≤ m-row collect merges
+    * element-wise-max into the running m-register state, and the
+    * emitted estimate uses the identical integer shifts + the shared
+    * `hllAlphaNum` literal — so after ANY prefix under ANY slicing the
+    * stream estimate EQUALS the batch estimate over the same rows,
+    * bit-for-bit (StreamingSpec pins per-batch prefix parity). State is
+    * m ints, period. */
+  def hllDistinctStream(events: DataFrame, keyCol: String, m: Int,
+                        onBatch: (Long, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    val remWidth = graft.functions.Sketches.hllRemWidth(m)
+    val regs = new Array[Int](m) // rho per register; 0 = untouched
+    events.writeStream.outputMode("append")
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        val hits = graft.functions.Sketches.hllHits(df, col(keyCol), m)
+          .collect() // ≤ m rows by construction
+        synchronized {
+          hits.foreach { r =>
+            val reg = r.getLong(0).toInt
+            val rho = r.getInt(1)
+            if (rho > regs(reg)) regs(reg) = rho
+          }
+          val s = 1L << (remWidth + 1)
+          val z = regs.iterator.map(rho => s >> rho).sum
+          onBatch(id, math.floor(graft.functions.Sketches.hllAlphaNum(m) / z).toLong)
+        }
+      }
+      .start()
+  }
+
   /** Whole-history SPC limits, computed once by the batch layer and
     * broadcast to the stream (the psiStream reference-histogram
     * posture): Shewhart moments (n, Σv, Σv² over daily cent sums — the

@@ -649,6 +649,84 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("heavyHittersStream: exact under capacity, Space-Saving guarantees past it") {
+    import graft.streaming.EventsStream.HeavyHitter
+    implicit val sqlCtx = spark.sqlContext
+    // skewed key soup: two genuine heavy hitters over a uniform tail,
+    // arrival order scrambled by a deterministic hash
+    val soup: Seq[Long] = Seq.fill(1000)(1L) ++ Seq.fill(500)(2L) ++
+      (3L to 40L).flatMap(k => Seq.fill(15)(k))
+    val scrambled = soup.zipWithIndex
+      .sortBy { case (k, i) => (k * 2654435761L + i * 40503L) % 104729 }.map(_._1)
+    val exact = soup.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    def run(capacity: Int, slices: Int): Seq[HeavyHitter] = {
+      val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[HeavyHitter])]
+      val in = MemoryStream[Long]
+      val q = graft.streaming.EventsStream.heavyHittersStream(
+        in.toDF().withColumnRenamed("value", "k"), "k", capacity,
+        (id, hh) => got.synchronized { got += id -> hh })
+      scrambled.grouped((scrambled.size + slices - 1) / slices).foreach { s =>
+        in.addData(s); q.processAllAvailable()
+      }
+      q.stop()
+      got.maxBy(_._1)._2
+    }
+    // capacity ≥ distinct keys: no eviction anywhere → the stream IS
+    // the exact count table, identically under 1-batch and 4-batch runs
+    val one = run(64, 1)
+    val sliced = run(64, 4)
+    assert(one == sliced, "exact regime must be slicing-invariant")
+    assert(one.map(h => h.key -> h.count).toMap == exact && one.forall(_.err == 0))
+    // capacity 8 over 40 keys: eviction fires; the Space-Saving
+    // guarantees must survive cross-batch merging — every key with
+    // true count > n/capacity present, count bounds the truth from
+    // both sides for every surviving counter
+    val n = soup.size
+    val small = run(8, 4)
+    val present = small.map(_.key).toSet
+    exact.foreach { case (k, c) =>
+      if (c > n / 8) assert(present(k), s"heavy key $k (true $c > ${n / 8}) evicted") }
+    small.foreach { h =>
+      val t = exact(h.key)
+      assert(t <= h.count && h.count - h.err <= t,
+        s"bounds broken for ${h.key}: true $t, count ${h.count}, err ${h.err}")
+    }
+  }
+
+  test("hllDistinctStream: prefix estimates equal the batch HLL bit-for-bit") {
+    import graft.functions.Sketches
+    implicit val sqlCtx = spark.sqlContext
+    val m = 64
+    // ~2.6k distinct keys with repeats, arrival scrambled
+    val keys: Seq[Long] = (1L to 3000L).map(k => k * 7919 % 2609)
+    val scrambled = keys.zipWithIndex
+      .sortBy { case (k, i) => (k * 2654435761L + i) % 104729 }.map(_._1)
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val in = MemoryStream[Long]
+    val q = graft.streaming.EventsStream.hllDistinctStream(
+      in.toDF().withColumnRenamed("value", "k"), "k", m,
+      (id, est) => got.synchronized { got += id -> est })
+    var fed = Vector.empty[Long]
+    scrambled.grouped((scrambled.size + 3) / 4).zipWithIndex.foreach { case (s, i) =>
+      in.addData(s); q.processAllAvailable()
+      fed = fed ++ s
+      // the library BATCH path over the same prefix — distributed
+      // registers, exact harmonic sum, identical alpha literal
+      val batchEst = Sketches.hllRegisters(fed.toDF("k"), col("k"), m)
+        .agg(Sketches.hllZScaled(m))
+        .select(Sketches.hllEstimate(m, col("z_scaled")).as("est"))
+        .head().getLong(0)
+      val streamEst = got.synchronized { got.maxBy(_._1)._2 }
+      assert(streamEst == batchEst,
+        s"prefix ${i + 1}: stream $streamEst != batch $batchEst")
+    }
+    q.stop()
+    // sanity: the final estimate is in the HLL error band of the truth
+    val truth = keys.distinct.size.toDouble
+    val fin = got.maxBy(_._1)._2.toDouble
+    assert(math.abs(fin - truth) / truth < 0.4, s"estimate $fin vs true $truth")
+  }
+
   test("spcStream gates micro-batches against broadcast whole-history limits (batch parity)") {
     import org.apache.spark.sql.expressions.Window
     import graft.streaming.EventsStream.{SpcDay, SpcLimits}
