@@ -839,6 +839,46 @@ object EventsStream {
       .start()
   }
 
+  /** Streaming Count-Min frequency gate — the live twin of the batch
+    * an_cms_heavy probe path, completing the sketch-stream trio
+    * (frequent keys: [[heavyHittersStream]]; distinct count:
+    * [[hllDistinctStream]]; point frequency: this). Cell counts are
+    * ADDITIVE, so per batch the distributed cmsCells aggregate (the
+    * batch execution shape, ×depth expansion before partial agg)
+    * collects ≤ depth·width rows and adds into the running cell state;
+    * probe estimates then run the LIBRARY's cmsEstimate over the
+    * model-sized state frame — the identical hash family end to end,
+    * no arithmetic duplicated driver-side — so after ANY prefix under
+    * ANY slicing every probe estimate equals the batch estimate over
+    * the same rows exactly (StreamingSpec pins per-prefix parity and
+    * the CMS overestimate guarantee). */
+  def cmsStream(events: DataFrame, keyCol: String, probes: Seq[Long], width: Int,
+                onBatch: (Long, Map[Long, Long]) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    val state = scala.collection.mutable.Map.empty[(Int, Long), Long]
+      .withDefaultValue(0L)
+    events.writeStream.outputMode("append")
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        val spark = df.sparkSession
+        import spark.implicits._
+        val cells = graft.functions.Sketches
+          .cmsCells(df.select(col(keyCol).cast("long").as("k")), col("k"), width)
+          .collect() // ≤ depth·width rows by construction
+        synchronized {
+          cells.foreach { r =>
+            val cell = (r.getInt(0), r.getLong(1))
+            state(cell) = state(cell) + r.getLong(2)
+          }
+          val cellsDf = state.toSeq.map { case ((d, b), c) => (d, b, c) }
+            .toDF("d", "bucket", "c")
+          val est = graft.functions.Sketches
+            .cmsEstimate(cellsDf, probes.toDF("k"), col("k"), width)
+            .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+          onBatch(id, est)
+        }
+      }
+      .start()
+  }
+
   /** Whole-history SPC limits, computed once by the batch layer and
     * broadcast to the stream (the psiStream reference-histogram
     * posture): Shewhart moments (n, Σv, Σv² over daily cent sums — the

@@ -727,6 +727,40 @@ class StreamingSpec extends SparkSpec {
     assert(math.abs(fin - truth) / truth < 0.4, s"estimate $fin vs true $truth")
   }
 
+  test("cmsStream: prefix probe estimates equal the batch CMS exactly") {
+    import graft.functions.Sketches
+    implicit val sqlCtx = spark.sqlContext
+    val width = 32 // narrow: force collisions so the overestimate path is real
+    val keys: Seq[Long] = Seq.fill(800)(42L) ++ Seq.fill(300)(7L) ++
+      (1L to 500L).map(k => k * 6151 % 997)
+    val scrambled = keys.zipWithIndex
+      .sortBy { case (k, i) => (k * 2654435761L + i) % 104729 }.map(_._1)
+    val probes = Seq(42L, 7L, 13L, 999983L) // heavy, heavy, tail, never-seen-ish
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Map[Long, Long])]
+    val in = MemoryStream[Long]
+    val q = graft.streaming.EventsStream.cmsStream(
+      in.toDF().withColumnRenamed("value", "k"), "k", probes, width,
+      (id, est) => got.synchronized { got += id -> est })
+    var fed = Vector.empty[Long]
+    scrambled.grouped((scrambled.size + 2) / 3).zipWithIndex.foreach { case (s, i) =>
+      in.addData(s); q.processAllAvailable()
+      fed = fed ++ s
+      val batchEst = Sketches.cmsEstimate(
+          Sketches.cmsCells(fed.toDF("k"), col("k"), width),
+          probes.toDF("k"), col("k"), width)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val streamEst = got.synchronized { got.maxBy(_._1)._2 }
+      assert(streamEst == batchEst, s"prefix ${i + 1}: $streamEst != $batchEst")
+    }
+    q.stop()
+    // CMS guarantee on the final state: never an underestimate
+    val fin = got.maxBy(_._1)._2
+    val truth = keys.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      .withDefaultValue(0L)
+    probes.foreach(p => assert(fin(p) >= truth(p),
+      s"CMS underestimated $p: ${fin(p)} < ${truth(p)}"))
+  }
+
   test("spcStream gates micro-batches against broadcast whole-history limits (batch parity)") {
     import org.apache.spark.sql.expressions.Window
     import graft.streaming.EventsStream.{SpcDay, SpcLimits}
