@@ -46,11 +46,15 @@ LINE = re.compile(r"^(\w+)\s+(exch=.*)$")
 # (10× data → >3× frame without saturation at the next step).
 GWIN_ALLOW = {
     "an_autocorr": 2, "an_bh_fdr": 2, "an_bollinger": 3,
-    "an_changepoint": 2, "an_cvm": 1, "an_decile_lift": 1, "an_ewma": 1,
+    "an_changepoint": 2, "an_cvm": 1, "an_decile_lift": 1,
+    "an_durbin_watson": 1, "an_ewma": 1,
     "an_forecast_naive": 1, "an_greenwood": 3, "an_hurst": 6,
-    "an_kaplan_meier": 2, "an_ljung_box": 1, "an_mad_outliers": 2,
+    "an_kaplan_meier": 2, "an_kendall_w": 1, "an_ljung_box": 1,
+    "an_mad_outliers": 2,
     "an_max_drawdown": 1, "an_mean_shift": 1, "an_median_survival": 2,
-    "an_nelson_aalen": 3, "an_pacf": 1, "an_page_hinkley": 3,
+    "an_moods_median": 3,
+    "an_nelson_aalen": 3, "an_newey_west": 1, "an_pacf": 1,
+    "an_page_hinkley": 3, "an_page_trend": 1,
     "an_peaks": 1, "an_qte": 1, "an_quantiles_by_group": 1,
     "an_quartile_skew": 1, "an_rmst": 2, "an_rsi": 2, "an_runs_test": 2,
     "an_runs_updown": 2, "an_seasonal_decompose": 1,

@@ -722,6 +722,47 @@ object BinaryColumns {
       }
   }
 
+  /** Sharpness profile of a decoded BMP via the 4-neighbor Laplacian
+    * on luminance: lap(x,y) = 4·lum − lum(x±1,y) − lum(x,y±1) over
+    * interior pixels, reported as exact integer (count, Σlap, Σlap²) —
+    * variance-of-Laplacian is the classical cheap blur screen an image
+    * curation pipeline runs before any model-based scoring (a blurry
+    * image has almost no high-frequency energy). */
+  final case class BmpLaplacian(doc_id: Long, n_interior: Long,
+                                sum_lap: Long, sum_lap2: Long)
+
+  /** Per-partition batch Laplacian sums over REAL BMP decodes — the
+    * [[decodeBmpBatch]] seam; each payload's raster is decoded once and
+    * the stencil walked row-major. */
+  def bmpLaplacianBatch(payloads: DataFrame)(implicit spark: SparkSession): Dataset[BmpLaplacian] = {
+    import spark.implicits._
+    payloads.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val in = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          val w = in.getInt(18); val h = in.getInt(22)
+          val px = decodeBmpPixels(id, bytes)
+          def lum(x: Int, y: Int): Long = {
+            val o = 3 * (y * w + x)
+            (px(o) & 0xFF).toLong + (px(o + 1) & 0xFF) + (px(o + 2) & 0xFF)
+          }
+          var nI = 0L; var s1 = 0L; var s2 = 0L
+          var y = 1
+          while (y < h - 1) {
+            var x = 1
+            while (x < w - 1) {
+              val lap = 4 * lum(x, y) - lum(x - 1, y) - lum(x + 1, y) -
+                lum(x, y - 1) - lum(x, y + 1)
+              nI += 1; s1 += lap; s2 += lap * lap
+              x += 1
+            }
+            y += 1
+          }
+          BmpLaplacian(id, nI, s1, s2)
+        }
+      }
+  }
+
   /** Dominant quantized color of a decoded BMP: each pixel maps to a
     * 64-cell RGB cube (2 bits per channel), argmax cell with the
     * lowest-bin tie-break — the palette fingerprint for cheap
