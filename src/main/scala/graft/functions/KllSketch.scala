@@ -128,6 +128,21 @@ class KllSketch(k: Int) extends Aggregator[Double, KllBuffer, KllSummary] {
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[KllSummary]()
 }
 
+/** Buffer-out variant for cross-batch streaming state: identical
+  * reduce/merge to [[KllSketch]] but finish returns the BUFFER, so a
+  * foreachBatch loop can keep merging micro-batch sketches into one
+  * running compactor hierarchy (mergeable-summaries; the certified
+  * bounds add across merges). */
+class KllBufferAgg(k: Int) extends Aggregator[Double, KllBuffer, KllBuffer] {
+  private val inner = new KllSketch(k)
+  override def zero: KllBuffer = inner.zero
+  override def reduce(b: KllBuffer, x: Double): KllBuffer = inner.reduce(b, x)
+  override def merge(a: KllBuffer, b: KllBuffer): KllBuffer = inner.merge(a, b)
+  override def finish(b: KllBuffer): KllBuffer = b
+  override def bufferEncoder: Encoder[KllBuffer] = inner.bufferEncoder
+  override def outputEncoder: Encoder[KllBuffer] = inner.bufferEncoder
+}
+
 object KllSketch {
   /** Estimated rank of x: total weight of items ≤ x. Within errBound
     * of |{inputs ≤ x}| by the certified-bound invariant. */

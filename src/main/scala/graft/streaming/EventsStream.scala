@@ -879,6 +879,39 @@ object EventsStream {
       .start()
   }
 
+  /** Streaming quantile gate — the live twin of the batch an_kll_rank
+    * path, extending the sketch-stream family to order statistics
+    * (frequent keys: [[heavyHittersStream]]; distinct: [[hllDistinctStream]];
+    * point frequency: [[cmsStream]]; ranks/quantiles: this). Each
+    * micro-batch runs the DISTRIBUTED deterministic-KLL aggregate
+    * ([[graft.functions.KllBufferAgg]] — the batch execution shape,
+    * map-side combined, one compactor hierarchy collected per batch)
+    * and merges it into O(k·log(n/k)) cross-batch state via the
+    * library's own level-concatenate-recompact merge, so the certified
+    * worst-case rank bound ADDS across batches and the emitted summary
+    * GUARANTEES |rank_est(x) − true_rank(x)| ≤ errBound after every
+    * prefix under any slicing. In the exact regime (n ≤ k, zero
+    * compactions) the stream IS the exact order-statistic table,
+    * identically for any batch split (StreamingSpec pins both). */
+  def kllQuantileStream(events: DataFrame, valueCol: String, k: Int,
+                        onBatch: (Long, graft.functions.KllSummary) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    val agg = new graft.functions.KllBufferAgg(k)
+    val sketch = new graft.functions.KllSketch(k)
+    var state = sketch.zero
+    events.writeStream.outputMode("append")
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        val spark = df.sparkSession
+        import spark.implicits._
+        val batch = df.select(col(valueCol).cast("double").as("v")).as[Double]
+          .select(agg.toColumn).head() // one O(k·log) compactor hierarchy
+        synchronized {
+          state = sketch.merge(state, batch)
+          onBatch(id, sketch.finish(state))
+        }
+      }
+      .start()
+  }
+
   /** Whole-history SPC limits, computed once by the batch layer and
     * broadcast to the stream (the psiStream reference-histogram
     * posture): Shewhart moments (n, Σv, Σv² over daily cent sums — the

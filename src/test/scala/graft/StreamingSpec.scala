@@ -761,6 +761,61 @@ class StreamingSpec extends SparkSpec {
       s"CMS underestimated $p: ${fin(p)} < ${truth(p)}"))
   }
 
+  test("kllQuantileStream: exact regime is slicing-invariant; compaction regime holds the certified bound") {
+    import graft.functions.{KllSketch, KllSummary}
+    implicit val sqlCtx = spark.sqlContext
+    // 600 values with ties, scrambled arrival
+    val vals: Seq[Double] = (1 to 600).map(i => (i * 7919 % 211).toDouble)
+    val scrambled = vals.zipWithIndex
+      .sortBy { case (v, i) => (v.toLong * 2654435761L + i) % 104729 }.map(_._1)
+    val probes = Seq(10.0, 50.0, 105.0, 200.0, 500.0)
+    def trueRank(prefix: Seq[Double], x: Double): Long = prefix.count(_ <= x).toLong
+    def run(k: Int, slices: Int, checkExact: Boolean): KllSummary = {
+      val got = scala.collection.mutable.ArrayBuffer.empty[(Long, KllSummary)]
+      val in = MemoryStream[Double]
+      val q = graft.streaming.EventsStream.kllQuantileStream(
+        in.toDF().withColumnRenamed("value", "v"), "v", k,
+        (id, s) => got.synchronized { got += id -> s })
+      var fed = Vector.empty[Double]
+      scrambled.grouped((scrambled.size + slices - 1) / slices).foreach { s =>
+        in.addData(s); q.processAllAvailable()
+        fed = fed ++ s
+        val sum = got.synchronized { got.maxBy(_._1)._2 }
+        assert(sum.n == fed.size, s"n ${sum.n} != fed ${fed.size}")
+        probes.foreach { p =>
+          val est = KllSketch.rank(sum, p)
+          val tr = trueRank(fed, p)
+          if (checkExact)
+            assert(est == tr, s"exact regime: rank($p) $est != $tr after ${fed.size}")
+          else
+            assert(math.abs(est - tr) <= sum.errBound,
+              s"certified bound broken: rank($p) $est vs $tr, bound ${sum.errBound}")
+        }
+      }
+      q.stop()
+      got.maxBy(_._1)._2
+    }
+    // k ≥ n: no compaction anywhere → exact ranks after every prefix,
+    // identical under 1-slice and 4-slice runs
+    val one = run(1024, 1, checkExact = true)
+    val sliced = run(1024, 4, checkExact = true)
+    assert(one.errBound == 0 && sliced.errBound == 0)
+    assert(one.items == sliced.items, "exact regime must be slicing-invariant")
+    // k = 16 over 600 values: compactions fire per batch AND at merges;
+    // the certified bound must survive cross-batch merging
+    val small = run(16, 5, checkExact = false)
+    assert(small.errBound > 0, "compaction regime must have fired")
+    assert(small.items.map(_.weight).sum == vals.size,
+      "compaction must preserve total weight")
+    // quantile inverse stays within the bound too: the median estimate's
+    // true rank is within errBound + maxWeight of n/2
+    val med = KllSketch.quantile(small, 0.5)
+    val trueR = trueRank(scrambled, med)
+    val maxW = small.items.map(_.weight).max
+    assert(math.abs(trueR - vals.size / 2) <= small.errBound + maxW,
+      s"median $med true rank $trueR vs ${vals.size / 2}, bound ${small.errBound}+$maxW")
+  }
+
   test("spcStream gates micro-batches against broadcast whole-history limits (batch parity)") {
     import org.apache.spark.sql.expressions.Window
     import graft.streaming.EventsStream.{SpcDay, SpcLimits}
