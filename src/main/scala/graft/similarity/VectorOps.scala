@@ -529,6 +529,59 @@ object VectorOps {
       .select("query_id", "neighbor_id", "rank", "sim")
   }
 
+  /** nprobe sweep over the SAME IVF index: per sweep point the result
+    * is definitionally identical to [[ivfTopKPortable]] at that nProbe
+    * (same ranked probe list filtered at prb ≤ np, same candidate join,
+    * scoring and top-k), but the corpus cell ASSIGNMENT — the only
+    * data-sized pass — runs ONCE and is stabilized across all points
+    * instead of once per point. Returns (nprobe, query_id, neighbor_id,
+    * rank, sim). */
+  def ivfTopKSweep(embeddings: DataFrame, queries: DataFrame, k: Int,
+                   nProbes: Seq[Int], nCells: Int = 16,
+                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = embeddings.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
+    val quant: Column => Column =
+      v => transform(v, x => round(x * lit(1000000.0)).cast("long"))
+    val cents: Array[Array[Long]] =
+      e.orderBy(col("id")).limit(nCells)
+        .select(quant(col("v")).as("q"))
+        .collect().map(_.getSeq[Long](0).toArray)
+    val cnorms: Array[Double] = cents.map(c => math.sqrt(c.map(x => x * x).sum.toDouble))
+    def cellScores(vq: Column): Seq[Column] = cents.zip(cnorms).map { case (c, n) =>
+      aggregate(zip_with(vq, typedLit(c.toSeq), (a, b) => a * b),
+        lit(0L), (acc, x) => acc + x).cast("double") / lit(n)
+    }
+    val cells = graft.operators.Checkpoints.stabilizeLazy(e
+      .withColumn("cell_id", graft.functions.VectorExprs.nearest_cell_long(
+        quant(col("v")), cents.flatten, cnorms))
+      .select(col("id").as("neighbor_id"), col("v").as("nv"), col("cell_id"))
+      .withColumn("nn", norm(col("nv"))))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("cell_id"))
+    val rankedProbes = queries
+      .select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", norm(col("qv")))
+      .select(col("query_id"), col("qv"), col("qn"),
+        posexplode(array(cellScores(quant(col("qv"))): _*)).as(Seq("cell_id", "score")))
+      .withColumn("prb", row_number().over(wProbe))
+      .filter(col("prb") <= nProbes.max)
+      .select(col("query_id"), col("qv"), col("qn"), col("cell_id"), col("prb"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    nProbes.map { np =>
+      cells.join(broadcast(rankedProbes.filter(col("prb") <= np)
+          .select(col("query_id"), col("qv"), col("qn"), col("cell_id"))), Seq("cell_id"))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .withColumn("sim", round(dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 6))
+        .groupBy(col("query_id"), col("neighbor_id")).agg(max(col("sim")).as("sim"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(lit(np).as("nprobe"), col("query_id"), col("neighbor_id"),
+          col("rank"), col("sim"))
+    }.reduce(_.unionAll(_))
+  }
+
   /** SemDeDup-style semantic near-duplicate pruning (Abbas et al. 2023,
     * arXiv:2303.09540): assign every embedding to a coarse cell with the
     * SAME engine-portable integer quantizer as [[ivfTopKPortable]]

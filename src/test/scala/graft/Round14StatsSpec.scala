@@ -172,6 +172,15 @@ class Round14StatsSpec extends SparkSpec {
     }
   }
 
+  test("nprobe sweep: recall is monotone nondecreasing in nprobe, 1.0 at full probe ceiling") {
+    val rows = SparkEntry.queries("sim_nprobe_sweep")(spark, sfDir)
+      .select("nprobe", "recall_at_5").as[(Int, Double)].collect().sortBy(_._1)
+    assert(rows.map(_._1).sameElements(Seq(1, 2, 4, 8)))
+    assert(rows.sliding(2).forall(p => p(0)._2 <= p(1)._2 + 1e-9),
+      s"recall must not drop as nprobe grows: ${rows.mkString(",")}")
+    assert(rows.last._2 > 0.0)
+  }
+
   test("mood's median: per-group counts cover all orders; grand median splits ~half") {
     val rows = SparkEntry.queries("an_moods_median")(spark, sfDir)
       .select("n_le", "n_gt", "chi2").as[(Long, Long, Double)].collect()
