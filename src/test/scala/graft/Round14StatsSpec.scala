@@ -181,6 +181,24 @@ class Round14StatsSpec extends SparkSpec {
     assert(rows.last._2 > 0.0)
   }
 
+  test("brunner-munzel: p_hat in [0,1], near half for exchangeable synthetic groups") {
+    val r = SparkEntry.queries("an_brunner_munzel")(spark, sfDir)
+      .select("n_building", "n_automobile", "p_hat", "w_bm")
+      .as[(Long, Long, Double, Double)].head()
+    assert(r._1 > 0 && r._2 > 0)
+    assert(r._3 >= 0.0 && r._3 <= 1.0)
+    assert(math.abs(r._3 - 0.5) < 0.1, s"independent groups: p_hat ${r._3} should be near 0.5")
+    assert(!r._4.isNaN)
+  }
+
+  test("somers' d is in [-1,1] and pair counts never exceed untied-pair ceiling") {
+    val r = SparkEntry.queries("an_somers_d")(spark, sfDir)
+      .select("n", "c_pairs2", "d_pairs2", "somers_d")
+      .as[(Long, Long, Long, Double)].head()
+    assert(r._4 >= -1.0 && r._4 <= 1.0)
+    assert(r._2 + r._3 <= r._1 * (r._1 - 1), "C+D cannot exceed all ordered pairs")
+  }
+
   test("mood's median: per-group counts cover all orders; grand median splits ~half") {
     val rows = SparkEntry.queries("an_moods_median")(spark, sfDir)
       .select("n_le", "n_gt", "chi2").as[(Long, Long, Double)].collect()
