@@ -55,7 +55,7 @@ GWIN_ALLOW = {
     "an_moods_median": 3,
     "an_nelson_aalen": 3, "an_newey_west": 1, "an_pacf": 1,
     "an_page_hinkley": 3, "an_page_trend": 1,
-    "an_peaks": 1, "an_qte": 1, "an_quantiles_by_group": 1,
+    "an_peaks": 1, "an_qte": 1, "an_quade": 1, "an_quantiles_by_group": 1,
     "an_quartile_skew": 1, "an_rmst": 2, "an_rsi": 2, "an_runs_test": 2,
     "an_runs_updown": 2, "an_seasonal_decompose": 1,
     "an_seasonal_strength": 2, "an_spc_rules": 1, "an_spearman": 2,

@@ -199,6 +199,21 @@ class Round14StatsSpec extends SparkSpec {
     assert(r._2 + r._3 <= r._1 * (r._1 - 1), "C+D cannot exceed all ordered pairs")
   }
 
+  test("quade: doubled scores sum to zero within blocks, F nonnegative") {
+    val r = SparkEntry.queries("an_quade")(spark, sfDir)
+      .select("k_blocks", "m_items", "quade_f").as[(Long, Long, Double)].head()
+    assert(r._1 == 12 && r._2 == 5)
+    assert(r._3 >= 0.0, s"Quade F ${r._3} must be nonnegative")
+  }
+
+  test("anderson-darling A2 is near its null expectation 1 on exchangeable groups") {
+    val r = SparkEntry.queries("an_anderson_darling")(spark, sfDir)
+      .select("n_building", "n_automobile", "a2").as[(Long, Long, Double)].head()
+    assert(r._1 > 0 && r._2 > 0)
+    assert(r._3 > 0.0 && r._3 < 5.0,
+      s"A2 ${r._3} implausible for independent synthetic groups (E[A2]=1)")
+  }
+
   test("mood's median: per-group counts cover all orders; grand median splits ~half") {
     val rows = SparkEntry.queries("an_moods_median")(spark, sfDir)
       .select("n_le", "n_gt", "chi2").as[(Long, Long, Double)].collect()
