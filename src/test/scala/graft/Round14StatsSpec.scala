@@ -214,6 +214,30 @@ class Round14StatsSpec extends SparkSpec {
       s"A2 ${r._3} implausible for independent synthetic groups (E[A2]=1)")
   }
 
+  test("cmh: stratified tables cover all orders; OR positive; chi2 nonnegative") {
+    val r = SparkEntry.queries("an_cmh")(spark, sfDir)
+      .select("k_strata", "n", "cmh_chi2", "or_mh")
+      .as[(Long, Long, Double, Double)].head()
+    assert(r._1 == 5)
+    assert(r._2 == Tables.orders(spark, sfDir).count())
+    assert(r._3 >= 0.0 && r._4 > 0.0)
+  }
+
+  test("tost: lower t exceeds upper t by exactly the margin width in t-units") {
+    val r = SparkEntry.queries("an_tost")(spark, sfDir)
+      .select("t_lower", "t_upper", "equivalent").as[(Double, Double, Boolean)].head()
+    assert(r._1 > r._2, "t_lower = (diff+delta)/se must exceed t_upper = (diff-delta)/se")
+    assert(r._3 == (r._1 > 1.645 && r._2 < -1.645))
+  }
+
+  test("cohen's h is bounded by pi and zero iff equal proportions") {
+    val r = SparkEntry.queries("an_cohens_h")(spark, sfDir)
+      .select("p_small", "p_large", "cohens_h").as[(Double, Double, Double)].head()
+    assert(math.abs(r._3) <= math.Pi)
+    val recomputed = 2 * math.asin(math.sqrt(r._1)) - 2 * math.asin(math.sqrt(r._2))
+    assert(math.abs(r._3 - recomputed) < 1e-4, s"h ${r._3} vs $recomputed")
+  }
+
   test("mood's median: per-group counts cover all orders; grand median splits ~half") {
     val rows = SparkEntry.queries("an_moods_median")(spark, sfDir)
       .select("n_le", "n_gt", "chi2").as[(Long, Long, Double)].collect()
