@@ -912,6 +912,41 @@ object EventsStream {
       .start()
   }
 
+  /** Streaming weighted sample without replacement — the live twin of
+    * the batch [[graft.operators.Sampling.weightedSample]] (A-Res
+    * priority sampling with DETERMINISTIC tempered-hash priorities):
+    * each micro-batch computes its priorities distributed and runs the
+    * same O(k)-state [[graft.functions.TopKAggregate]] (map-side
+    * combined); the ≤ k batch survivors merge into the running top-k
+    * via the aggregator's own merge. Priorities are pure functions of
+    * the key and the top-k order is total (priority desc, id asc), so
+    * after ANY prefix under ANY slicing the stream sample EQUALS the
+    * batch weightedSample over the same rows exactly — the reproducible
+    * training-holdout property, live. State is k pairs, period. */
+  def weightedSampleStream(events: DataFrame, keyCol: String, weightCol: String, k: Int,
+                           onBatch: (Long, Seq[(Long, Double)]) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    val agg = new graft.functions.TopKAggregate(k)
+    var state = agg.zero
+    events.writeStream.outputMode("append")
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        val spark = df.sparkSession
+        import spark.implicits._
+        val batchTop = df
+          .select(col(keyCol).cast("long").as("id"), col(weightCol).cast("double").as("w"))
+          .withColumn("u",
+            (graft.functions.Sketches.temperedHash(col("id")) + 1).cast("double")
+              / lit(2147483648.0))
+          .select(pow(col("u"), lit(1.0) / col("w")).as("p"), col("id"))
+          .as[(Double, Long)]
+          .select(agg.toColumn).head()
+        synchronized {
+          state = agg.merge(state, batchTop)
+          onBatch(id, agg.finish(state).map { case (p, i) => i -> p })
+        }
+      }
+      .start()
+  }
+
   /** Whole-history SPC limits, computed once by the batch layer and
     * broadcast to the stream (the psiStream reference-histogram
     * posture): Shewhart moments (n, Σv, Σv² over daily cent sums — the

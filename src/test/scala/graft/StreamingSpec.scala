@@ -816,6 +816,42 @@ class StreamingSpec extends SparkSpec {
       s"median $med true rank $trueR vs ${vals.size / 2}, bound ${small.errBound}+$maxW")
   }
 
+  test("weightedSampleStream: prefix samples equal the batch weightedSample exactly") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // ids with spread-out weights; arrival scrambled
+    val rows: Seq[(Long, Double)] = (1L to 500L).map(i =>
+      (i * 7919 % 4093) -> (1.0 + (i * 31 % 97).toDouble))
+    val scrambled = rows.zipWithIndex
+      .sortBy { case ((id, _), i) => (id * 2654435761L + i) % 104729 }.map(_._1)
+    def batchSample(prefix: Seq[(Long, Double)]): Seq[(Long, Double)] =
+      graft.operators.Sampling.weightedSample(
+          prefix.toDF("id", "w"), col("id"), col("w"), 25)
+        .select(col("id"), col("priority")).as[(Long, Double)].collect().toSeq
+    def run(slices: Int): Seq[(Long, Double)] = {
+      val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[(Long, Double)])]
+      val in = MemoryStream[(Long, Double)]
+      val q = graft.streaming.EventsStream.weightedSampleStream(
+        in.toDF().toDF("id", "w"), "id", "w", 25,
+        (id, s) => got.synchronized { got += id -> s })
+      var fed = Vector.empty[(Long, Double)]
+      scrambled.grouped((scrambled.size + slices - 1) / slices).foreach { s =>
+        in.addData(s); q.processAllAvailable()
+        fed = fed ++ s
+        val stream = got.synchronized { got.maxBy(_._1)._2 }
+        val batch = batchSample(fed)
+        assert(stream == batch,
+          s"prefix ${fed.size}: stream sample != batch sample\n$stream\n$batch")
+      }
+      q.stop()
+      got.maxBy(_._1)._2
+    }
+    val one = run(1)
+    val sliced = run(4)
+    assert(one == sliced, "final sample must be slicing-invariant")
+    assert(one.size == 25)
+  }
+
   test("spcStream gates micro-batches against broadcast whole-history limits (batch parity)") {
     import org.apache.spark.sql.expressions.Window
     import graft.streaming.EventsStream.{SpcDay, SpcLimits}
