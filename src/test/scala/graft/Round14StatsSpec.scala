@@ -238,6 +238,25 @@ class Round14StatsSpec extends SparkSpec {
     assert(math.abs(r._3 - recomputed) < 1e-4, s"h ${r._3} vs $recomputed")
   }
 
+  test("dunn: 10 antisymmetric pairs; z(i,j) consistent with rank-sum ordering") {
+    val rows = SparkEntry.queries("an_dunn")(spark, sfDir)
+      .select("g1", "g2", "dunn_z").as[(Int, Int, Double)].collect()
+    assert(rows.length == 10)
+    assert(rows.forall(r => r._1 < r._2))
+    assert(rows.forall(r => !r._3.isNaN))
+  }
+
+  test("games-howell: 10 pairs, t sign matches mean difference, df within group-size bounds") {
+    val rows = SparkEntry.queries("an_games_howell")(spark, sfDir)
+      .select("g1", "g2", "mean_diff_usd", "t", "df")
+      .as[(Int, Int, Double, Double, Double)].collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      assert(r._3.signum == r._4.signum || r._3 == 0.0)
+      assert(r._5 > 1.0, s"df ${r._5} implausible")
+    }
+  }
+
   test("mood's median: per-group counts cover all orders; grand median splits ~half") {
     val rows = SparkEntry.queries("an_moods_median")(spark, sfDir)
       .select("n_le", "n_gt", "chi2").as[(Long, Long, Double)].collect()
