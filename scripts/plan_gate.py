@@ -45,7 +45,7 @@ LINE = re.compile(r"^(\w+)\s+(exch=.*)$")
 # THIS dict and fails any entry whose frame row-count scales with SF
 # (10× data → >3× frame without saturation at the next step).
 GWIN_ALLOW = {
-    "an_autocorr": 2, "an_bh_fdr": 2, "an_bollinger": 3,
+    "an_autocorr": 2, "an_bh_fdr": 2, "an_bollinger": 3, "an_by_fdr": 2,
     "an_changepoint": 2, "an_cvm": 1, "an_decile_lift": 1,
     "an_durbin_watson": 1, "an_ewma": 1,
     "an_forecast_naive": 1, "an_greenwood": 3, "an_hurst": 6,

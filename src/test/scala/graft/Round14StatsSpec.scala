@@ -257,6 +257,17 @@ class Round14StatsSpec extends SparkSpec {
     }
   }
 
+  test("by-fdr rejections are a subset of bh-fdr rejections (strictly harsher threshold)") {
+    val bh = SparkEntry.queries("an_bh_fdr")(spark, sfDir)
+      .select("c_mktsegment", "rejected").as[(String, Boolean)].collect().toMap
+    val by = SparkEntry.queries("an_by_fdr")(spark, sfDir)
+      .select("c_mktsegment", "rejected").as[(String, Boolean)].collect().toMap
+    assert(by.keySet == bh.keySet)
+    by.foreach { case (seg, rej) =>
+      assert(!rej || bh(seg), s"BY rejected $seg but BH did not — impossible")
+    }
+  }
+
   test("mood's median: per-group counts cover all orders; grand median splits ~half") {
     val rows = SparkEntry.queries("an_moods_median")(spark, sfDir)
       .select("n_le", "n_gt", "chi2").as[(Long, Long, Double)].collect()
