@@ -46,7 +46,7 @@ LINE = re.compile(r"^(\w+)\s+(exch=.*)$")
 # (10× data → >3× frame without saturation at the next step).
 GWIN_ALLOW = {
     "an_autocorr": 2, "an_bh_fdr": 2, "an_bollinger": 3, "an_by_fdr": 2,
-    "an_changepoint": 2, "an_cvm": 1, "an_decile_lift": 1,
+    "an_changepoint": 2, "an_conformal": 1, "an_cvm": 1, "an_decile_lift": 1,
     "an_durbin_watson": 1, "an_ewma": 1,
     "an_forecast_naive": 1, "an_greenwood": 3, "an_hurst": 6,
     "an_kaplan_meier": 2, "an_kendall_w": 1, "an_ljung_box": 1,

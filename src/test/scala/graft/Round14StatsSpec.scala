@@ -268,6 +268,26 @@ class Round14StatsSpec extends SparkSpec {
     }
   }
 
+  test("conformal: split is 80/20 and empirical coverage is near the 1-alpha guarantee") {
+    val r = SparkEntry.queries("an_conformal")(spark, sfDir)
+      .select("n_cal", "n_test", "q_hat_usd", "coverage")
+      .as[(Long, Long, Double, Double)].head()
+    assert(r._1 + r._2 > 0 && math.abs(r._1.toDouble / (r._1 + r._2) - 0.8) < 0.01)
+    assert(r._3 > 0)
+    assert(r._4 > 0.8 && r._4 <= 1.0,
+      s"coverage ${r._4} too far from the 0.9 conformal guarantee")
+  }
+
+  test("mmd2 equals its closed form from the reported moment gaps") {
+    val r = SparkEntry.queries("an_mmd")(spark, sfDir)
+      .select("moment1_gap", "moment2_gap", "mmd2_poly")
+      .as[(Double, Double, Double)].head()
+    val expect = r._2 * r._2 + 2.0 * r._1 * r._1
+    assert(r._3 >= 0.0)
+    assert(math.abs(r._3 - expect) / math.max(1.0, expect) < 1e-4,
+      s"mmd2 ${r._3} vs closed form $expect")
+  }
+
   test("mood's median: per-group counts cover all orders; grand median splits ~half") {
     val rows = SparkEntry.queries("an_moods_median")(spark, sfDir)
       .select("n_le", "n_gt", "chi2").as[(Long, Long, Double)].collect()
