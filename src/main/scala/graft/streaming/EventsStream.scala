@@ -976,6 +976,47 @@ object EventsStream {
     * stream the frame equals the batch computation over the same rows
     * under the same limits, regardless of micro-batch slicing
     * (StreamingSpec pins both parities). */
+  /** Batch-layer conformal parameters broadcast to the stream: the OLS
+    * fit and the calibration quantile q̂ are FIXED (an_conformal's
+    * split-conformal guarantee is for a frozen fit — recalibrating on
+    * the monitored stream would let a drifting process widen its own
+    * interval, the spcStream sin in conformal clothes). */
+  final case class ConformalFit(slope: Double, icept: Double, qhat: Double)
+  final case class ConformalDay(day: java.sql.Timestamp, d: Long, v: Long,
+                                resid: Double, outside: Boolean)
+
+  /** Streaming conformal-interval monitor — the live twin of
+    * an_conformal's held-out coverage check: each micro-batch
+    * contributes exact per-day cent sums (day-spine-bounded
+    * accumulator, the spcStream posture), and the emitted frame flags
+    * days whose |y − ŷ(d)| exceeds the broadcast q̂ — the residual
+    * arithmetic is the identical IEEE expression the batch query uses,
+    * so after ANY prefix under ANY slicing the flags equal the batch
+    * computation over the same rows under the same fit. */
+  def conformalStream(events: DataFrame, fit: ConformalFit,
+                      onBatch: (Long, Seq[ConformalDay]) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(fit.qhat > 0, s"degenerate conformal width: $fit")
+    val acc = scala.collection.mutable.Map.empty[(java.sql.Timestamp, Long), Long]
+    events.writeStream.outputMode("append")
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        val batchDays = df
+          .groupBy(date_trunc("day", col("ts")).as("day"),
+            datediff(date_trunc("day", col("ts")).cast("date"),
+              lit("1992-01-01").cast("date")).cast("long").as("d"))
+          .agg(sum((col("value").cast("decimal(24,2)") * 100).cast("bigint")).as("v"))
+          .collect().map(r => ((r.getTimestamp(0), r.getLong(1)), r.getLong(2)))
+        acc.synchronized {
+          batchDays.foreach { case (k, v) => acc(k) = acc.getOrElse(k, 0L) + v }
+          val out = acc.toSeq.sortBy(_._1._2).map { case ((day, d), v) =>
+            val resid = v.toDouble - fit.icept - fit.slope * d.toDouble
+            ConformalDay(day, d, v, resid, math.abs(resid) > fit.qhat)
+          }
+          onBatch(id, out)
+        }
+      }
+      .start()
+  }
+
   def spcStream(events: DataFrame, limits: SpcLimits,
                 onBatch: (Long, Seq[SpcDay]) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
     require(limits.n > 1 && limits.xN > 0, s"degenerate SPC limits: $limits")

@@ -852,6 +852,50 @@ class StreamingSpec extends SparkSpec {
     assert(one.size == 25)
   }
 
+  test("conformalStream flags equal the batch residual computation after every prefix") {
+    import graft.streaming.EventsStream.{ConformalDay, ConformalFit}
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // synthetic (ts, value) rows across 40 days, scrambled arrival,
+    // values sized so some day totals fall outside the fixed interval
+    val base = java.sql.Timestamp.valueOf("1995-03-01 00:00:00")
+    val rows: Seq[(java.sql.Timestamp, Double)] = (0 until 800).map { i =>
+      val day = i % 40
+      val ts = new java.sql.Timestamp(base.getTime + day * 86400000L + (i % 7) * 3600000L)
+      (ts, 50.0 + (i * 13 % 29).toDouble + (if (day % 11 == 0) 40.0 else 0.0))
+    }
+    val scrambled = rows.zipWithIndex
+      .sortBy { case (_, i) => (i * 2654435761L) % 104729 }.map(_._1)
+    val fit = ConformalFit(slope = 2.0, icept = 100000.0, qhat = 60000.0)
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[ConformalDay])]
+    val in = MemoryStream[(java.sql.Timestamp, Double)]
+    val q = graft.streaming.EventsStream.conformalStream(
+      in.toDF().toDF("ts", "value"), fit,
+      (id, days) => got.synchronized { got += id -> days })
+    var fed = Vector.empty[(java.sql.Timestamp, Double)]
+    scrambled.grouped((scrambled.size + 3) / 4).zipWithIndex.foreach { case (s, i) =>
+      in.addData(s); q.processAllAvailable()
+      fed = fed ++ s
+      // batch recomputation over the same prefix with identical arithmetic
+      val batch = fed.toDF("ts", "value")
+        .groupBy(date_trunc("day", col("ts")).as("day"),
+          datediff(date_trunc("day", col("ts")).cast("date"),
+            lit("1992-01-01").cast("date")).cast("long").as("d"))
+        .agg(sum((col("value").cast("decimal(24,2)") * 100).cast("bigint")).as("v"))
+        .withColumn("resid", col("v").cast("double") - fit.icept - lit(fit.slope) * col("d").cast("double"))
+        .withColumn("outside", abs(col("resid")) > fit.qhat)
+        .select(col("d"), col("v"), col("outside"))
+        .as[(Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+      val stream = got.synchronized { got.maxBy(_._1)._2 }
+        .map(c => (c.d, c.v, c.outside)).sortBy(_._1)
+      assert(stream == batch, s"prefix ${i + 1}: stream flags != batch flags")
+    }
+    q.stop()
+    val fin = got.maxBy(_._1)._2
+    assert(fin.exists(_.outside) && fin.exists(!_.outside),
+      "test data must exercise both sides of the interval")
+  }
+
   test("spcStream gates micro-batches against broadcast whole-history limits (batch parity)") {
     import org.apache.spark.sql.expressions.Window
     import graft.streaming.EventsStream.{SpcDay, SpcLimits}
