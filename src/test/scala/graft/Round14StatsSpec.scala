@@ -288,6 +288,17 @@ class Round14StatsSpec extends SparkSpec {
       s"mmd2 ${r._3} vs closed form $expect")
   }
 
+  test("ansari-bradley: statistic near its null mean on exchangeable groups, z finite") {
+    val r = SparkEntry.queries("an_ansari_bradley")(spark, sfDir)
+      .select("n_building", "n_automobile", "ab_stat", "z")
+      .as[(Long, Long, Double, Double)].head()
+    val n = (r._1 + r._2).toDouble
+    // E(T) ≈ n_a·(Σ min(r,N+1−r))/N ≈ n_a·N/4 for near-unique values
+    val e = r._1 * n / 4.0
+    assert(math.abs(r._3 - e) / e < 0.05, s"T ${r._3} far from null mean ≈ $e")
+    assert(math.abs(r._4) < 5.0, s"z ${r._4} implausible for exchangeable groups")
+  }
+
   test("mood's median: per-group counts cover all orders; grand median splits ~half") {
     val rows = SparkEntry.queries("an_moods_median")(spark, sfDir)
       .select("n_le", "n_gt", "chi2").as[(Long, Long, Double)].collect()
