@@ -13,6 +13,13 @@ import org.apache.spark.sql.expressions.Aggregator
   *
   * Ordering: higher value wins; ties break to the LOWER id (matching
   * `ORDER BY value DESC, id ASC` rank semantics).
+  *
+  * Ids are kept DISTINCT: a recurring id (within a batch, or across
+  * micro-batches in the streaming twin — its priorities are pure
+  * functions of the id) keeps only its best (value, id) entry rather
+  * than occupying multiple top-k slots, so a sample-without-replacement
+  * built on this never shrinks its effective size — the A-Res
+  * distinct-items assumption, enforced rather than assumed.
   */
 class TopKAggregate(k: Int) extends Aggregator[(Double, Long), Seq[(Double, Long)], Seq[(Double, Long)]] {
 
@@ -28,8 +35,9 @@ class TopKAggregate(k: Int) extends Aggregator[(Double, Long), Seq[(Double, Long
     if (buf.size >= k && better(buf.last, in)) buf
     else merge(buf, Vector(in))
 
+  // sort first so distinctBy keeps each id's BEST entry (first occurrence)
   override def merge(a: Seq[(Double, Long)], b: Seq[(Double, Long)]): Seq[(Double, Long)] =
-    (a ++ b).sortWith(better).take(k)
+    (a ++ b).sortWith(better).distinctBy(_._2).take(k)
 
   override def finish(buf: Seq[(Double, Long)]): Seq[(Double, Long)] =
     buf.sortWith(better)

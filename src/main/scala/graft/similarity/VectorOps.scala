@@ -492,6 +492,12 @@ object VectorOps {
         .select(quant(col("v")).as("q"))
         .collect().map(_.getSeq[Long](0).toArray))
     val cnorms: Array[Double] = cents.map(c => math.sqrt(c.map(x => x * x).sum.toDouble))
+    // an all-zero quantized centroid (degenerate embedding) would give
+    // cnorm = 0 → NaN cell scores, and NaN ordering silently skews the
+    // probe ranking — refuse loudly instead
+    require(cnorms.forall(_ > 0.0),
+      s"zero-norm centroid at index ${cnorms.indexWhere(_ <= 0.0)}: all-zero " +
+        "quantized embedding in the centroid set; supply trained centroidsInt")
     def cellScores(vq: Column): Seq[Column] = cents.zip(cnorms).map { case (c, n) =>
       aggregate(zip_with(vq, typedLit(c.toSeq), (a, b) => a * b),
         lit(0L), (acc, x) => acc + x).cast("double") / lit(n)
@@ -540,6 +546,7 @@ object VectorOps {
                    nProbes: Seq[Int], nCells: Int = 16,
                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(nProbes.nonEmpty, "nProbes sweep must name at least one probe count")
     val e = embeddings.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
     val quant: Column => Column =
       v => transform(v, x => round(x * lit(1000000.0)).cast("long"))
@@ -548,6 +555,11 @@ object VectorOps {
         .select(quant(col("v")).as("q"))
         .collect().map(_.getSeq[Long](0).toArray)
     val cnorms: Array[Double] = cents.map(c => math.sqrt(c.map(x => x * x).sum.toDouble))
+    // same zero-norm posture as ivfTopKPortable: NaN probe scores from a
+    // degenerate centroid would silently skew the probe ranking
+    require(cnorms.forall(_ > 0.0),
+      s"zero-norm centroid at index ${cnorms.indexWhere(_ <= 0.0)}: all-zero " +
+        "quantized embedding in the centroid set")
     def cellScores(vq: Column): Seq[Column] = cents.zip(cnorms).map { case (c, n) =>
       aggregate(zip_with(vq, typedLit(c.toSeq), (a, b) => a * b),
         lit(0L), (acc, x) => acc + x).cast("double") / lit(n)

@@ -9,6 +9,26 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * incrementally (watermark-bounded state instead of a full-shuffle
   * batch window). At 100 TB/day the batch queries backfill history and
   * these run the live tail — the standard lambda-free kappa split.
+  *
+  * ==Driver-state monitor contract (the foreachBatch sketch family)==
+  * The sketch/monitor streams (heavyHitters, hllDistinct, cms,
+  * kllQuantile, weightedSample, spc, conformal) keep their mergeable
+  * cross-batch state in DRIVER memory, unlike the
+  * flatMapGroupsWithState operators whose state lives in the
+  * fault-tolerant state store. Two consequences, by design:
+  *
+  *  - '''Retries are guarded, restarts are not.''' foreachBatch is
+  *    at-least-once; each stream tracks the last merged batchId and
+  *    skips re-merging a retried id (merges are deterministic per
+  *    batch), so within ONE uninterrupted run the documented
+  *    "equals batch after any prefix" parity holds exactly.
+  *  - '''Valid for one uninterrupted run only.''' On a query RESTART
+  *    the source resumes from checkpointed offsets while the driver
+  *    state restarts from zero — post-restart estimates would silently
+  *    cover only the post-restart suffix. Restart these monitors with
+  *    a FRESH checkpoint dir (replay from the start), or treat them as
+  *    run-scoped gates; for restart-durable state use the
+  *    flatMapGroupsWithState operators.
   */
 object EventsStream {
 
@@ -790,6 +810,7 @@ object EventsStream {
                          onBatch: (Long, Seq[HeavyHitter]) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
     val agg = new graft.functions.SpaceSaving(capacity)
     var state = agg.zero
+    var lastId = -1L // at-least-once guard: never double-merge a retried batch
     events.writeStream.outputMode("append")
       .foreachBatch { (df: DataFrame, id: Long) =>
         val spark = df.sparkSession
@@ -797,8 +818,11 @@ object EventsStream {
         val batch = df.select(col(keyCol).cast("long").as("k")).as[Long]
           .select(agg.toColumn).head()
         synchronized {
-          state = agg.merge(state,
-            batch.map { case (k, c, e) => k -> (c, e) }.toMap)
+          if (id > lastId) {
+            state = agg.merge(state,
+              batch.map { case (k, c, e) => k -> (c, e) }.toMap)
+            lastId = id
+          }
           onBatch(id, agg.finish(state).map { case (k, c, e) => HeavyHitter(k, c, e) })
         }
       }
@@ -821,15 +845,21 @@ object EventsStream {
                         onBatch: (Long, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
     val remWidth = graft.functions.Sketches.hllRemWidth(m)
     val regs = new Array[Int](m) // rho per register; 0 = untouched
+    // register-max merge is retry-idempotent, but the guard keeps the
+    // family contract (object scaladoc) uniform
+    var lastId = -1L
     events.writeStream.outputMode("append")
       .foreachBatch { (df: DataFrame, id: Long) =>
         val hits = graft.functions.Sketches.hllHits(df, col(keyCol), m)
           .collect() // ≤ m rows by construction
         synchronized {
-          hits.foreach { r =>
-            val reg = r.getLong(0).toInt
-            val rho = r.getInt(1)
-            if (rho > regs(reg)) regs(reg) = rho
+          if (id > lastId) {
+            hits.foreach { r =>
+              val reg = r.getLong(0).toInt
+              val rho = r.getInt(1)
+              if (rho > regs(reg)) regs(reg) = rho
+            }
+            lastId = id
           }
           val s = 1L << (remWidth + 1)
           val z = regs.iterator.map(rho => s >> rho).sum
@@ -856,6 +886,7 @@ object EventsStream {
                 onBatch: (Long, Map[Long, Long]) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
     val state = scala.collection.mutable.Map.empty[(Int, Long), Long]
       .withDefaultValue(0L)
+    var lastId = -1L // at-least-once guard: CMS cells are additive, a retry would double-add
     events.writeStream.outputMode("append")
       .foreachBatch { (df: DataFrame, id: Long) =>
         val spark = df.sparkSession
@@ -864,9 +895,12 @@ object EventsStream {
           .cmsCells(df.select(col(keyCol).cast("long").as("k")), col("k"), width)
           .collect() // ≤ depth·width rows by construction
         synchronized {
-          cells.foreach { r =>
-            val cell = (r.getInt(0), r.getLong(1))
-            state(cell) = state(cell) + r.getLong(2)
+          if (id > lastId) {
+            cells.foreach { r =>
+              val cell = (r.getInt(0), r.getLong(1))
+              state(cell) = state(cell) + r.getLong(2)
+            }
+            lastId = id
           }
           val cellsDf = state.toSeq.map { case ((d, b), c) => (d, b, c) }
             .toDF("d", "bucket", "c")
@@ -898,6 +932,7 @@ object EventsStream {
     val agg = new graft.functions.KllBufferAgg(k)
     val sketch = new graft.functions.KllSketch(k)
     var state = sketch.zero
+    var lastId = -1L // at-least-once guard: KLL weights are additive, a retry would double-add
     events.writeStream.outputMode("append")
       .foreachBatch { (df: DataFrame, id: Long) =>
         val spark = df.sparkSession
@@ -905,7 +940,10 @@ object EventsStream {
         val batch = df.select(col(valueCol).cast("double").as("v")).as[Double]
           .select(agg.toColumn).head() // one O(k·log) compactor hierarchy
         synchronized {
-          state = sketch.merge(state, batch)
+          if (id > lastId) {
+            state = sketch.merge(state, batch)
+            lastId = id
+          }
           onBatch(id, sketch.finish(state))
         }
       }
@@ -927,6 +965,7 @@ object EventsStream {
                            onBatch: (Long, Seq[(Long, Double)]) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
     val agg = new graft.functions.TopKAggregate(k)
     var state = agg.zero
+    var lastId = -1L // at-least-once guard, uniform with the sketch streams
     events.writeStream.outputMode("append")
       .foreachBatch { (df: DataFrame, id: Long) =>
         val spark = df.sparkSession
@@ -940,7 +979,10 @@ object EventsStream {
           .as[(Double, Long)]
           .select(agg.toColumn).head()
         synchronized {
-          state = agg.merge(state, batchTop)
+          if (id > lastId) {
+            state = agg.merge(state, batchTop)
+            lastId = id
+          }
           onBatch(id, agg.finish(state).map { case (p, i) => i -> p })
         }
       }
@@ -997,6 +1039,7 @@ object EventsStream {
                       onBatch: (Long, Seq[ConformalDay]) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
     require(fit.qhat > 0, s"degenerate conformal width: $fit")
     val acc = scala.collection.mutable.Map.empty[(java.sql.Timestamp, Long), Long]
+    var lastId = -1L // at-least-once guard: day-cent sums are additive, a retry would double-add
     events.writeStream.outputMode("append")
       .foreachBatch { (df: DataFrame, id: Long) =>
         val batchDays = df
@@ -1006,7 +1049,10 @@ object EventsStream {
           .agg(sum((col("value").cast("decimal(24,2)") * 100).cast("bigint")).as("v"))
           .collect().map(r => ((r.getTimestamp(0), r.getLong(1)), r.getLong(2)))
         acc.synchronized {
-          batchDays.foreach { case (k, v) => acc(k) = acc.getOrElse(k, 0L) + v }
+          if (id > lastId) {
+            batchDays.foreach { case (k, v) => acc(k) = acc.getOrElse(k, 0L) + v }
+            lastId = id
+          }
           val out = acc.toSeq.sortBy(_._1._2).map { case ((day, d), v) =>
             val resid = v.toDouble - fit.icept - fit.slope * d.toDouble
             ConformalDay(day, d, v, resid, math.abs(resid) > fit.qhat)
@@ -1026,6 +1072,7 @@ object EventsStream {
     val sd = math.sqrt((limits.s2 - limits.s1 * limits.s1 / limits.n.toDouble) /
       (limits.n.toDouble - 1.0))
     val acc = scala.collection.mutable.Map.empty[java.sql.Timestamp, Long]
+    var lastId = -1L // at-least-once guard: day-cent sums are additive, a retry would double-add
     events.writeStream.outputMode("append")
       .foreachBatch { (df: DataFrame, id: Long) =>
         val batchDays = df
@@ -1033,7 +1080,10 @@ object EventsStream {
           .agg(sum((col("value").cast("decimal(24,2)") * 100).cast("bigint")).as("v"))
           .collect().map(r => (r.getTimestamp(0), r.getLong(1)))
         acc.synchronized {
-          batchDays.foreach { case (d, v) => acc(d) = acc.getOrElse(d, 0L) + v }
+          if (id > lastId) {
+            batchDays.foreach { case (d, v) => acc(d) = acc.getOrElse(d, 0L) + v }
+            lastId = id
+          }
           val days = acc.toSeq.sortBy(_._1.getTime)
           val b2 = days.map { case (_, v) =>
             val z = (v.toDouble - mu) / sd

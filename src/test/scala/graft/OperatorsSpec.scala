@@ -143,6 +143,25 @@ class OperatorsSpec extends SparkSpec {
     assert(agg.finish(merged) == Seq((7.0, 3L), (7.0, 9L), (5.0, 2L)))
   }
 
+  test("TopKAggregate keeps one slot per id: a recurring id never shrinks the sample") {
+    val agg = new graft.functions.TopKAggregate(3)
+    // id 9 recurs (identical priority — the streaming A-Res shape where
+    // priority is a pure function of the id) and id 2 recurs with a
+    // worse score: neither may occupy two of the three slots
+    val items = Seq((7.0, 9L), (5.0, 2L), (7.0, 9L), (3.0, 2L), (4.0, 4L), (1.0, 1L))
+    val seqR = agg.finish(items.foldLeft(agg.zero)((b, x) => agg.reduce(b, x)))
+    assert(seqR == Seq((7.0, 9L), (5.0, 2L), (4.0, 4L)))
+    // merging a buffer with ITSELF (the at-least-once retry shape) is a no-op
+    val buf = items.foldLeft(agg.zero)((b, x) => agg.reduce(b, x))
+    assert(agg.finish(agg.merge(buf, buf)) == seqR)
+    // split-merge with the duplicate straddling the split agrees too
+    val (l, r) = items.splitAt(2)
+    val m2 = agg.merge(
+      l.foldLeft(agg.zero)((b, x) => agg.reduce(b, x)),
+      r.foldLeft(agg.zero)((b, x) => agg.reduce(b, x)))
+    assert(agg.finish(m2) == seqR)
+  }
+
   test("A-Res weighted sample: deterministic, weight-respecting, partition-invariant") {
     import spark.implicits._
     // 1000 unit-weight rows + one row carrying half the total mass:
