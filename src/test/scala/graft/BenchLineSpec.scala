@@ -50,16 +50,20 @@ class BenchLineSpec extends AnyFunSuite {
     val line = Bench.boundedLine(results.map(_._2).sum, results, Seq.empty,
       "/root/testdata/sf0.1", generation = "656d5f24",
       spreads = spreads, protocol = "median-of-3+tail20@5",
-      worstSpread = Some(("query_name_number_303", Seq(2.42, 3.03, 5.95, 2.50, 2.61))))
+      worstSpread = Some(("query_name_number_303", Seq(2.42, 3.03, 5.95, 2.50, 2.61),
+        Seq(120L, 95L, 2210L, 101L, 98L))))
     assert(line.length <= Bench.MaxLineChars, s"line length ${line.length}")
     val node = mapper.readTree(line)
     assert(node.get("protocol").asText == "median-of-3+tail20@5")
     val d = node.get("dispersion")
     assert(math.abs(d.get("max_spread").asDouble - 3.03 * 0.2) < 0.001)
     assert(d.get("n_over_0.3s").asInt == spreads.count(_ > 0.3))
-    // the named outlier carries its raw attempts for attribution
+    // the named outlier carries its raw attempts AND per-attempt GC time
+    // for attribution (collector noise vs scheduler event)
     assert(d.get("worst").get("q").asText == "query_name_number_303")
     assert(d.get("worst").get("attempts").size == 5)
+    assert(d.get("worst").get("gc_ms").size == 5)
+    assert(d.get("worst").get("gc_ms").get(2).asLong == 2210L)
   }
 
   test("property: many-error, huge-total boards always stay under the budget") {
