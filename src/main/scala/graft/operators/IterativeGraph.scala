@@ -107,29 +107,47 @@ object IterativeGraph {
   }
 
   /** Synchronous k-core peeling to the stable-alive-set fixpoint.
-    * Returns the surviving (node) frame; the caller re-derives in-core
-    * degrees from the edge list. Alive-set counts shrink monotonically,
-    * so count-equality IS set-equality — the probe is one count. */
-  def kcoreAlive(edges: DataFrame, k: Int, maxRounds: Int = 64): DataFrame = {
+    * Returns the surviving (node) frame; alive-set counts shrink
+    * monotonically, so count-equality IS set-equality — the probe is
+    * one count. */
+  def kcoreAlive(edges: DataFrame, k: Int, maxRounds: Int = 64): DataFrame =
+    kcoreWithDeg(edges, k, maxRounds).select(col("node"))
+
+  /** k-core peeling that returns (node, core_deg) — the in-core degree
+    * FROM THE FIXPOINT ROUND ITSELF, so the caller never re-joins the
+    * edge list against the result. Each round already computes every
+    * survivor's alive-neighbor count; at the count-stable fixpoint the
+    * last round's counts were measured against a set EQUAL to the final
+    * set (count-monotone equality is set equality), so they ARE the
+    * in-core degrees. Re-deriving them outside the loop costs two more
+    * edge joins AND drags the whole edge-construction subtree back into
+    * the final plan (r14: q_kcore at 17 exchanges with an edge-sized
+    * broadcast); here the final frame is a checkpoint LEAF. If the
+    * round CAP stops peeling before convergence, the counts are against
+    * the last superset — still an upper bound that a caller's
+    * `core_deg >= k` re-filter keeps sound. */
+  def kcoreWithDeg(edges: DataFrame, k: Int, maxRounds: Int = 64): DataFrame = {
+    require(maxRounds >= 1, s"peeling needs at least one round, got $maxRounds")
     var alive = edges.select(col("src").as("node")).distinct().stabilized
     var n = alive.count()
+    var withDeg: DataFrame = null
     var r = 0
     var converged = false
     while (!converged && r < maxRounds) {
-      alive = edges
-        .join(alive.withColumnRenamed("node", "src"), "src")
-        .join(alive.withColumnRenamed("node", "dst"), "dst")
+      withDeg = edges
+        .join(alive.select(col("node").as("src")), "src")
+        .join(alive.select(col("node").as("dst")), "dst")
         .groupBy(col("src").as("node"))
         .agg(count(lit(1)).as("core_deg"))
         .filter(col("core_deg") >= k)
-        .select(col("node"))
         .stabilized
+      alive = withDeg.select(col("node"))
       val m = alive.count()
       converged = m == n
       n = m
       r += 1
     }
-    alive
+    withDeg
   }
 
   /** Fixed-round peeling — the oracle-replay twin. */

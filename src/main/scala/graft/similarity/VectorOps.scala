@@ -571,22 +571,37 @@ object VectorOps {
       .withColumn("nn", norm(col("nv"))))
     val wProbe = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("cell_id"))
-    val rankedProbes = queries
+    // ranked probe list is query-sample-sized (≤ nQ·max(nProbes) rows)
+    // with one consumer PER SWEEP POINT — stabilize once so the probe
+    // scoring + window run once, not once per point
+    val rankedProbes = graft.operators.Checkpoints.stabilizeLazy(queries
       .select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv"))
       .withColumn("qn", norm(col("qv")))
       .select(col("query_id"), col("qv"), col("qn"),
         posexplode(array(cellScores(quant(col("qv"))): _*)).as(Seq("cell_id", "score")))
       .withColumn("prb", row_number().over(wProbe))
       .filter(col("prb") <= nProbes.max)
-      .select(col("query_id"), col("qv"), col("qn"), col("cell_id"), col("prb"))
+      .select(col("query_id"), col("qv"), col("qn"), col("cell_id"), col("prb")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
-    nProbes.map { np =>
-      cells.join(broadcast(rankedProbes.filter(col("prb") <= np)
-          .select(col("query_id"), col("qv"), col("qn"), col("cell_id"))), Seq("cell_id"))
+    // score candidates ONCE at max(nProbes): every neighbor sits in
+    // exactly one cell, so the pair (query, neighbor) is admitted at a
+    // sweep point np iff its cell's probe rank ≤ np — min_prb carries
+    // that threshold, and each point is a FILTER over the one scored
+    // frame (r14: the join + scoring re-ran per point, 22 exchanges).
+    // Per point the result is definitionally ivfTopKPortable's: same
+    // candidate set, same sim (round-6 cosine is cell-independent),
+    // same (sim desc, neighbor) rank order.
+    val cand = graft.operators.Checkpoints.stabilizeLazy(
+      cells.join(broadcast(rankedProbes
+          .select(col("query_id"), col("qv"), col("qn"), col("cell_id"), col("prb"))),
+          Seq("cell_id"))
         .filter(col("neighbor_id") =!= col("query_id"))
         .withColumn("sim", round(dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 6))
-        .groupBy(col("query_id"), col("neighbor_id")).agg(max(col("sim")).as("sim"))
+        .groupBy(col("query_id"), col("neighbor_id"))
+        .agg(max(col("sim")).as("sim"), min(col("prb")).as("min_prb")))
+    nProbes.map { np =>
+      cand.filter(col("min_prb") <= np)
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= k)
         .select(lit(np).as("nprobe"), col("query_id"), col("neighbor_id"),
