@@ -219,8 +219,24 @@ object IterativeGraph {
     * SFs), but the min over the pair is the same from either side, and
     * a fixed-unroll SQL oracle replays it as LEAST(state_k, state_k+1)
     * for any k past cycle entry. A true fixpoint is unchanged (min of
-    * two equal states). */
-  def labelPropLabels(edges: DataFrame, maxRounds: Int = 32): DataFrame = {
+    * two equal states).
+    *
+    * NON-CONVERGENCE SIGNAL: label propagation costs FLAT per round, so
+    * a chain-shaped graph (information travels one hop per round; the
+    * r14 diameter probe measured a 299-diameter chain UNCONVERGED at
+    * the cap with 268× the true community count) exhausts `maxRounds`
+    * silently if nothing looks. On a cap exit with labels still moving,
+    * `onUnconverged` fires with the count of labels that changed in the
+    * final round — the default logs a loud warning; monitoring callers
+    * (and the spec) pass their own hook. This converts the SURVEY's
+    * "not a reachability kernel" documentation into a detectable
+    * runtime condition. */
+  def labelPropLabels(edges: DataFrame, maxRounds: Int = 32,
+                      onUnconverged: Long => Unit = n => System.err.println(
+                        s"[graft] WARN labelPropLabels UNCONVERGED at round cap: " +
+                          s"$n labels still moving in the final round — chain-shaped " +
+                          "input? raise maxRounds or use connectedComponentsStar " +
+                          "for reachability")): DataFrame = {
     var prevPrev: DataFrame = null
     var fpPrevPrev: (Long, BigDecimal) = null
     var labels = edges.select(col("src").as("node")).distinct()
@@ -245,6 +261,16 @@ object IterativeGraph {
       labels = next
       fpLabels = fpNext
       r += 1
+    }
+    // cap exit: every in-loop return above is a PROVEN stop (fixpoint or
+    // 2-cycle), so reaching here means labels were still moving — count
+    // the final round's movers (one node-sized join over two
+    // checkpointed leaves, paid only on the failure path) and signal
+    if (prevPrev != null) {
+      val moved = labels
+        .join(prevPrev.withColumnRenamed("lbl", "prev_lbl"), "node")
+        .filter(col("lbl") =!= col("prev_lbl")).count()
+      if (moved > 0) onUnconverged(moved)
     }
     labels
   }

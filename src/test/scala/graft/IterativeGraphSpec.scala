@@ -68,6 +68,52 @@ class IterativeGraphSpec extends SparkSpec {
       "convergence stop must be a fixpoint or a period-2 cycle member")
   }
 
+  test("labelPropLabels signals non-convergence on the 299-diameter chain") {
+    // the r14 diameter-probe finding made detectable: LP moves
+    // information one hop per round, so a 299-diameter chain is still
+    // actively relabeling when the cap lands — the onUnconverged hook
+    // must fire with a positive mover count (default logs a warning)
+    val edges = pathEdges(300)
+    var signal = -1L
+    IterativeGraph.labelPropLabels(edges, maxRounds = 8,
+      onUnconverged = n => signal = n)
+    assert(signal > 0,
+      s"cap exit on the 299-chain must report moving labels, got $signal")
+    // and a graph that DOES settle within the cap stays silent
+    signal = -1L
+    IterativeGraph.labelPropLabels(pathEdges(4), maxRounds = 32,
+      onUnconverged = n => signal = n)
+    assert(signal == -1L, "a converged run must not fire the signal")
+  }
+
+  test("components kernel stays Th(log d): job count barely grows from diameter 29 to 299") {
+    // the r14 stretch gate: the diameter probe measured star-contraction
+    // at Th(log d) once; this pins it as a regression test. A Th(d)
+    // implementation (one hop per round, the labelProp cost shape)
+    // would add ~270 rounds of jobs between the two chains and fail.
+    def jobsFor(n: Int): Long = {
+      val counter = new java.util.concurrent.atomic.AtomicLong(0)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          counter.incrementAndGet()
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        graft.dedup.Dedup.connectedComponentsStar(
+          pathEdges(n).select(col("src").as("a"), col("dst").as("b")), "a", "b")
+          .count()
+        // listener events are async; a short settle keeps the count stable
+        Thread.sleep(300)
+      } finally spark.sparkContext.removeSparkListener(listener)
+      counter.get()
+    }
+    val jobs29 = jobsFor(30)   // diameter 29
+    val jobs299 = jobsFor(300) // diameter 299 — 10x deeper
+    assert(jobs299 <= jobs29 + 20,
+      s"components kernel regressed toward Th(d): $jobs299 jobs at diameter 299 " +
+        s"vs $jobs29 at 29 (allowance +20 covers the ~log2(10) extra rounds)")
+  }
+
   test("deep double-reference loops do not compound checkpoint stats (the diam-299 crash)") {
     // regression pin for the r14 DiameterProbe finding: a checkpointed
     // round's LogicalRDD used to copy its origin plan's size ESTIMATE,
