@@ -12,6 +12,13 @@ import pandas as pd
 
 sfdir, outdir = sys.argv[1], sys.argv[2]
 con = duckdb.connect()
+# dev knob: cap DuckDB's thread pool so several check.py instances can
+# run side by side (the quadratic dedup oracles at sf0.1 take hours
+# sequentially; fanning them out is the only way to finish a full
+# 10x-SF verify in one session)
+import os as _os
+if _os.environ.get("DUCKDB_THREADS"):
+    con.execute(f"SET threads={int(_os.environ['DUCKDB_THREADS'])}")
 for t in ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
