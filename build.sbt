@@ -31,4 +31,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Standard sizing for a driver that JIT-compiles 400+ queries' worth
+  // of generated code in one JVM (default cache is 240 MB). Measured
+  // neutral on the r15 bench box — kept as headroom, not as a fix; the
+  // pass-1 slowness it was suspected of causing was actually async
+  // unpersist drain (see Bench.isolate's blocking=true note).
+  "-XX:ReservedCodeCacheSize=512m",
+  "-XX:+UseCodeCacheFlushing",
 )

@@ -64,7 +64,12 @@ object Bench {
       graft.dedup.Dedup.releaseCaches()
       graft.operators.PrefixSum.releaseCaches()
       spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      // BLOCKING unpersist (r15): with blocking=false the predecessor's
+      // blocks drain asynchronously UNDER the next query's first
+      // attempts — unified-memory eviction pressure that showed up as
+      // pass-1 attempts 2-4x slower than the same query's post-warmup
+      // tail re-runs (an_rfm 8.0/4.5/4.0 vs 1.9/1.9, gc 328 ms vs 33).
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
       if (!sys.env.contains("SPARK_GRAFT_NOGC")) System.gc()
     }
     def gcMillis: Long = {
