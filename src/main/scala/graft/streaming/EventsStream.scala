@@ -13,22 +13,26 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * ==Driver-state monitor contract (the foreachBatch sketch family)==
   * The sketch/monitor streams (heavyHitters, hllDistinct, cms,
   * kllQuantile, weightedSample, spc, conformal) keep their mergeable
-  * cross-batch state in DRIVER memory, unlike the
+  * cross-batch state in driver memory between batches, unlike the
   * flatMapGroupsWithState operators whose state lives in the
-  * fault-tolerant state store. Two consequences, by design:
+  * fault-tolerant state store. The contract:
   *
-  *  - '''Retries are guarded, restarts are not.''' foreachBatch is
-  *    at-least-once; each stream tracks the last merged batchId and
-  *    skips re-merging a retried id (merges are deterministic per
-  *    batch), so within ONE uninterrupted run the documented
-  *    "equals batch after any prefix" parity holds exactly.
-  *  - '''Valid for one uninterrupted run only.''' On a query RESTART
-  *    the source resumes from checkpointed offsets while the driver
-  *    state restarts from zero — post-restart estimates would silently
-  *    cover only the post-restart suffix. Restart these monitors with
-  *    a FRESH checkpoint dir (replay from the start), or treat them as
-  *    run-scoped gates; for restart-durable state use the
-  *    flatMapGroupsWithState operators.
+  *  - '''Retries are guarded.''' foreachBatch is at-least-once; each
+  *    stream tracks the last merged batchId and skips re-merging a
+  *    retried id (merges are deterministic per batch), so the
+  *    documented "equals batch after any prefix" parity holds exactly.
+  *  - '''Restarts are safe when `checkpointDir` is supplied.''' Each
+  *    merged batch persists `(lastMergedBatchId, state)` atomically via
+  *    [[MonitorState]] under the same checkpoint dir Spark uses for the
+  *    source offsets, and a restarted monitor reloads it before its
+  *    first batch — offsets and sketch state recover TOGETHER, so a
+  *    kill-and-restart run emits exactly what an uninterrupted run
+  *    would (StreamingRestartSpec pins this per monitor). Persist
+  *    happens after merge, before the batch commits; the batchId guard
+  *    absorbs the replay of a batch that persisted but didn't commit.
+  *  - '''Without `checkpointDir` the monitor is run-scoped''': no
+  *    offset checkpoint, no state persistence — an in-process gate for
+  *    one uninterrupted run (the ScalaTest parity harness mode).
   */
 object EventsStream {
 
@@ -789,6 +793,29 @@ object EventsStream {
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(update)
   }
 
+  /** Shared durable-state plumbing for the sketch monitors: when a
+    * checkpoint dir is supplied, reload the newest persisted
+    * (lastMergedBatchId, state) before the first batch and route the
+    * stream writer through the SAME dir Spark checkpoints offsets to —
+    * the object-doc restart contract. Empty dir = run-scoped monitor. */
+  private final class MonitorHarness[S <: AnyRef](events: DataFrame,
+                                                  checkpointDir: String,
+                                                  zero: => S) {
+    private val durable = checkpointDir.nonEmpty
+    private val hc = events.sparkSession.sparkContext.hadoopConfiguration
+    private val loaded: Option[(Long, S)] =
+      if (durable) MonitorState.load[S](checkpointDir, hc) else None
+    var state: S = loaded.map(_._2).getOrElse(zero)
+    var lastId: Long = loaded.map(_._1).getOrElse(-1L)
+    /** Persist after merge, before the batch commits (see MonitorState). */
+    def persist(id: Long, s: S): Unit =
+      if (durable) MonitorState.save(checkpointDir, hc, id, s)
+    def writer: org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+      val w = events.writeStream.outputMode("append")
+      if (durable) w.option("checkpointLocation", checkpointDir) else w
+    }
+  }
+
   final case class HeavyHitter(key: Long, count: Long, err: Long)
 
   /** Streaming heavy hitters — the live twin of the batch
@@ -807,23 +834,24 @@ object EventsStream {
     * the exact batch counts under any slicing — the property
     * StreamingSpec pins. */
   def heavyHittersStream(events: DataFrame, keyCol: String, capacity: Int,
-                         onBatch: (Long, Seq[HeavyHitter]) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+                         onBatch: (Long, Seq[HeavyHitter]) => Unit,
+                         checkpointDir: String = ""): org.apache.spark.sql.streaming.StreamingQuery = {
     val agg = new graft.functions.SpaceSaving(capacity)
-    var state = agg.zero
-    var lastId = -1L // at-least-once guard: never double-merge a retried batch
-    events.writeStream.outputMode("append")
+    val h = new MonitorHarness[Map[Long, (Long, Long)]](events, checkpointDir, agg.zero)
+    h.writer
       .foreachBatch { (df: DataFrame, id: Long) =>
         val spark = df.sparkSession
         import spark.implicits._
         val batch = df.select(col(keyCol).cast("long").as("k")).as[Long]
           .select(agg.toColumn).head()
         synchronized {
-          if (id > lastId) {
-            state = agg.merge(state,
+          if (id > h.lastId) { // at-least-once guard: never double-merge a retried batch
+            h.state = agg.merge(h.state,
               batch.map { case (k, c, e) => k -> (c, e) }.toMap)
-            lastId = id
+            h.lastId = id
+            h.persist(id, h.state)
           }
-          onBatch(id, agg.finish(state).map { case (k, c, e) => HeavyHitter(k, c, e) })
+          onBatch(id, agg.finish(h.state).map { case (k, c, e) => HeavyHitter(k, c, e) })
         }
       }
       .start()
@@ -842,27 +870,29 @@ object EventsStream {
     * bit-for-bit (StreamingSpec pins per-batch prefix parity). State is
     * m ints, period. */
   def hllDistinctStream(events: DataFrame, keyCol: String, m: Int,
-                        onBatch: (Long, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+                        onBatch: (Long, Long) => Unit,
+                        checkpointDir: String = ""): org.apache.spark.sql.streaming.StreamingQuery = {
     val remWidth = graft.functions.Sketches.hllRemWidth(m)
-    val regs = new Array[Int](m) // rho per register; 0 = untouched
-    // register-max merge is retry-idempotent, but the guard keeps the
-    // family contract (object scaladoc) uniform
-    var lastId = -1L
-    events.writeStream.outputMode("append")
+    // rho per register; 0 = untouched. register-max merge is
+    // retry-idempotent, but the guard keeps the family contract
+    // (object scaladoc) uniform
+    val h = new MonitorHarness[Array[Int]](events, checkpointDir, new Array[Int](m))
+    h.writer
       .foreachBatch { (df: DataFrame, id: Long) =>
         val hits = graft.functions.Sketches.hllHits(df, col(keyCol), m)
           .collect() // ≤ m rows by construction
         synchronized {
-          if (id > lastId) {
+          if (id > h.lastId) {
             hits.foreach { r =>
               val reg = r.getLong(0).toInt
               val rho = r.getInt(1)
-              if (rho > regs(reg)) regs(reg) = rho
+              if (rho > h.state(reg)) h.state(reg) = rho
             }
-            lastId = id
+            h.lastId = id
+            h.persist(id, h.state)
           }
           val s = 1L << (remWidth + 1)
-          val z = regs.iterator.map(rho => s >> rho).sum
+          val z = h.state.iterator.map(rho => s >> rho).sum
           onBatch(id, math.floor(graft.functions.Sketches.hllAlphaNum(m) / z).toLong)
         }
       }
@@ -883,11 +913,10 @@ object EventsStream {
     * the same rows exactly (StreamingSpec pins per-prefix parity and
     * the CMS overestimate guarantee). */
   def cmsStream(events: DataFrame, keyCol: String, probes: Seq[Long], width: Int,
-                onBatch: (Long, Map[Long, Long]) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
-    val state = scala.collection.mutable.Map.empty[(Int, Long), Long]
-      .withDefaultValue(0L)
-    var lastId = -1L // at-least-once guard: CMS cells are additive, a retry would double-add
-    events.writeStream.outputMode("append")
+                onBatch: (Long, Map[Long, Long]) => Unit,
+                checkpointDir: String = ""): org.apache.spark.sql.streaming.StreamingQuery = {
+    val h = new MonitorHarness[Map[(Int, Long), Long]](events, checkpointDir, Map.empty)
+    h.writer
       .foreachBatch { (df: DataFrame, id: Long) =>
         val spark = df.sparkSession
         import spark.implicits._
@@ -895,14 +924,15 @@ object EventsStream {
           .cmsCells(df.select(col(keyCol).cast("long").as("k")), col("k"), width)
           .collect() // ≤ depth·width rows by construction
         synchronized {
-          if (id > lastId) {
-            cells.foreach { r =>
+          if (id > h.lastId) { // at-least-once guard: CMS cells are additive, a retry would double-add
+            h.state = cells.foldLeft(h.state) { (m, r) =>
               val cell = (r.getInt(0), r.getLong(1))
-              state(cell) = state(cell) + r.getLong(2)
+              m.updated(cell, m.getOrElse(cell, 0L) + r.getLong(2))
             }
-            lastId = id
+            h.lastId = id
+            h.persist(id, h.state)
           }
-          val cellsDf = state.toSeq.map { case ((d, b), c) => (d, b, c) }
+          val cellsDf = h.state.toSeq.map { case ((d, b), c) => (d, b, c) }
             .toDF("d", "bucket", "c")
           val est = graft.functions.Sketches
             .cmsEstimate(cellsDf, probes.toDF("k"), col("k"), width)
@@ -928,23 +958,24 @@ object EventsStream {
     * compactions) the stream IS the exact order-statistic table,
     * identically for any batch split (StreamingSpec pins both). */
   def kllQuantileStream(events: DataFrame, valueCol: String, k: Int,
-                        onBatch: (Long, graft.functions.KllSummary) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+                        onBatch: (Long, graft.functions.KllSummary) => Unit,
+                        checkpointDir: String = ""): org.apache.spark.sql.streaming.StreamingQuery = {
     val agg = new graft.functions.KllBufferAgg(k)
     val sketch = new graft.functions.KllSketch(k)
-    var state = sketch.zero
-    var lastId = -1L // at-least-once guard: KLL weights are additive, a retry would double-add
-    events.writeStream.outputMode("append")
+    val h = new MonitorHarness[graft.functions.KllBuffer](events, checkpointDir, sketch.zero)
+    h.writer
       .foreachBatch { (df: DataFrame, id: Long) =>
         val spark = df.sparkSession
         import spark.implicits._
         val batch = df.select(col(valueCol).cast("double").as("v")).as[Double]
           .select(agg.toColumn).head() // one O(k·log) compactor hierarchy
         synchronized {
-          if (id > lastId) {
-            state = sketch.merge(state, batch)
-            lastId = id
+          if (id > h.lastId) { // at-least-once guard: KLL weights are additive, a retry would double-add
+            h.state = sketch.merge(h.state, batch)
+            h.lastId = id
+            h.persist(id, h.state)
           }
-          onBatch(id, sketch.finish(state))
+          onBatch(id, sketch.finish(h.state))
         }
       }
       .start()
@@ -962,11 +993,11 @@ object EventsStream {
     * batch weightedSample over the same rows exactly — the reproducible
     * training-holdout property, live. State is k pairs, period. */
   def weightedSampleStream(events: DataFrame, keyCol: String, weightCol: String, k: Int,
-                           onBatch: (Long, Seq[(Long, Double)]) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+                           onBatch: (Long, Seq[(Long, Double)]) => Unit,
+                           checkpointDir: String = ""): org.apache.spark.sql.streaming.StreamingQuery = {
     val agg = new graft.functions.TopKAggregate(k)
-    var state = agg.zero
-    var lastId = -1L // at-least-once guard, uniform with the sketch streams
-    events.writeStream.outputMode("append")
+    val h = new MonitorHarness[Seq[(Double, Long)]](events, checkpointDir, agg.zero)
+    h.writer
       .foreachBatch { (df: DataFrame, id: Long) =>
         val spark = df.sparkSession
         import spark.implicits._
@@ -979,11 +1010,12 @@ object EventsStream {
           .as[(Double, Long)]
           .select(agg.toColumn).head()
         synchronized {
-          if (id > lastId) {
-            state = agg.merge(state, batchTop)
-            lastId = id
+          if (id > h.lastId) { // at-least-once guard, uniform with the sketch streams
+            h.state = agg.merge(h.state, batchTop)
+            h.lastId = id
+            h.persist(id, h.state)
           }
-          onBatch(id, agg.finish(state).map { case (p, i) => i -> p })
+          onBatch(id, agg.finish(h.state).map { case (p, i) => i -> p })
         }
       }
       .start()
@@ -1036,11 +1068,12 @@ object EventsStream {
     * so after ANY prefix under ANY slicing the flags equal the batch
     * computation over the same rows under the same fit. */
   def conformalStream(events: DataFrame, fit: ConformalFit,
-                      onBatch: (Long, Seq[ConformalDay]) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+                      onBatch: (Long, Seq[ConformalDay]) => Unit,
+                      checkpointDir: String = ""): org.apache.spark.sql.streaming.StreamingQuery = {
     require(fit.qhat > 0, s"degenerate conformal width: $fit")
-    val acc = scala.collection.mutable.Map.empty[(java.sql.Timestamp, Long), Long]
-    var lastId = -1L // at-least-once guard: day-cent sums are additive, a retry would double-add
-    events.writeStream.outputMode("append")
+    val h = new MonitorHarness[Map[(java.sql.Timestamp, Long), Long]](
+      events, checkpointDir, Map.empty)
+    h.writer
       .foreachBatch { (df: DataFrame, id: Long) =>
         val batchDays = df
           .groupBy(date_trunc("day", col("ts")).as("day"),
@@ -1048,12 +1081,15 @@ object EventsStream {
               lit("1992-01-01").cast("date")).cast("long").as("d"))
           .agg(sum((col("value").cast("decimal(24,2)") * 100).cast("bigint")).as("v"))
           .collect().map(r => ((r.getTimestamp(0), r.getLong(1)), r.getLong(2)))
-        acc.synchronized {
-          if (id > lastId) {
-            batchDays.foreach { case (k, v) => acc(k) = acc.getOrElse(k, 0L) + v }
-            lastId = id
+        synchronized {
+          if (id > h.lastId) { // at-least-once guard: day-cent sums are additive, a retry would double-add
+            h.state = batchDays.foldLeft(h.state) { case (m, (k, v)) =>
+              m.updated(k, m.getOrElse(k, 0L) + v)
+            }
+            h.lastId = id
+            h.persist(id, h.state)
           }
-          val out = acc.toSeq.sortBy(_._1._2).map { case ((day, d), v) =>
+          val out = h.state.toSeq.sortBy(_._1._2).map { case ((day, d), v) =>
             val resid = v.toDouble - fit.icept - fit.slope * d.toDouble
             ConformalDay(day, d, v, resid, math.abs(resid) > fit.qhat)
           }
@@ -1064,27 +1100,30 @@ object EventsStream {
   }
 
   def spcStream(events: DataFrame, limits: SpcLimits,
-                onBatch: (Long, Seq[SpcDay]) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+                onBatch: (Long, Seq[SpcDay]) => Unit,
+                checkpointDir: String = ""): org.apache.spark.sql.streaming.StreamingQuery = {
     require(limits.n > 1 && limits.xN > 0, s"degenerate SPC limits: $limits")
     // mirrored IEEE expression order vs the batch query (s1·s1/n, then
     // the subtraction, then /(n−1)) so z is bit-identical engine-wide
     val mu = limits.s1 / limits.n.toDouble
     val sd = math.sqrt((limits.s2 - limits.s1 * limits.s1 / limits.n.toDouble) /
       (limits.n.toDouble - 1.0))
-    val acc = scala.collection.mutable.Map.empty[java.sql.Timestamp, Long]
-    var lastId = -1L // at-least-once guard: day-cent sums are additive, a retry would double-add
-    events.writeStream.outputMode("append")
+    val h = new MonitorHarness[Map[java.sql.Timestamp, Long]](events, checkpointDir, Map.empty)
+    h.writer
       .foreachBatch { (df: DataFrame, id: Long) =>
         val batchDays = df
           .groupBy(date_trunc("day", col("ts")).as("day"))
           .agg(sum((col("value").cast("decimal(24,2)") * 100).cast("bigint")).as("v"))
           .collect().map(r => (r.getTimestamp(0), r.getLong(1)))
-        acc.synchronized {
-          if (id > lastId) {
-            batchDays.foreach { case (d, v) => acc(d) = acc.getOrElse(d, 0L) + v }
-            lastId = id
+        synchronized {
+          if (id > h.lastId) { // at-least-once guard: day-cent sums are additive, a retry would double-add
+            h.state = batchDays.foldLeft(h.state) { case (m, (d, v)) =>
+              m.updated(d, m.getOrElse(d, 0L) + v)
+            }
+            h.lastId = id
+            h.persist(id, h.state)
           }
-          val days = acc.toSeq.sortBy(_._1.getTime)
+          val days = h.state.toSeq.sortBy(_._1.getTime)
           val b2 = days.map { case (_, v) =>
             val z = (v.toDouble - mu) / sd
             if (z > 2.0) 1 else if (z < -2.0) -1 else 0
