@@ -67,6 +67,76 @@ GWIN_ALLOW = {
 
 GWIN = re.compile(r"gwin=\s*(\d+)")
 
+# HARD rule #2, independent of the baseline (r15 verdict #4): a plan
+# whose exchange count exceeds EXCH_BAR must carry an audited entry
+# here. exch counts every "Exchange" token in the plan string; reuse is
+# Plans.reusableExchanges — the canonicalized-DUPLICATE Exchange nodes
+# AQE's stage cache executes once instead of re-deriving (the r15
+# sim_recall_at_k finding: 27 string exchanges, 8 of them shares; the
+# checkpoint variant measured +0.55 s, so staying on reuse is right).
+# Each entry records the adjudicated ceiling (exch_max), the reuse
+# floor (reuse_min — a drop means a formerly-shared subtree now
+# re-derives), and the one-line justification. ExchAuditSpec parses
+# THIS dict and re-checks both halves in-process against the live
+# plans, so a stale entry fails CI, not just the dev loop.
+EXCH_BAR = 10
+EXCH_ALLOW = {
+    # name: (exch_max, reuse_min, why) — reuse is the canonicalized-
+    # duplicate Exchange count (Plans.reusableExchanges), the shares
+    # AQE's stage cache executes once
+    "an_basket": (13, 4, "pair co-occurrence over item-key-sized frames"),
+    "an_basket_triples": (18, 9, "triple co-occurrence ladder over item-key-sized frames (r15: 1.35 s)"),
+    "an_bh_fdr": (13, 5, "per-segment z ladder: k-sized segment frames + k-row step-up"),
+    "an_by_fdr": (13, 5, "same ladder as an_bh_fdr with the BY penalty"),
+    "an_cagr": (12, 5, "calendar-bounded yearly-sum frames"),
+    "an_cramers_v": (12, 0, "contingency cells + marginals: key-domain-sized"),
+    "an_dunn": (11, 0, "ten pairwise z's off the k-sized group frame, one corpus scan"),
+    "an_entropy_rate": (12, 4, "state-transition matrix: key-domain-sized"),
+    "an_friedman": (11, 0, "months x priorities rank frame, 12x5 at any SF"),
+    "an_growth_accounting": (12, 0, "calendar-bounded month cohort frames"),
+    "an_hhi": (12, 4, "per-segment share frames, k-sized"),
+    "an_hll_distinct": (15, 3, "m-register sketch frames (model-sized), one corpus scan (r15: 1.0 s)"),
+    "an_hll_set_est": (14, 4, "two m-register sketches + set algebra, model-sized"),
+    "an_hurst": (13, 10, "3 window scales over the calendar-bounded day spine"),
+    "an_mad_outliers": (12, 3, "two-level PrefixSum median/MAD frames, group-key-sized"),
+    "an_mase": (12, 4, "7 horizons over the calendar-bounded holdout spine"),
+    "dedup_containment": (15, 8, "prefix-blocking candidate ladder; shuffles carry 8-byte hashes (r15: 1.4 s)"),
+    "dedup_source_matrix": (13, 5, "per-source-pair rollups of the one banded candidate base"),
+    "dedup_threshold_sweep": (11, 4, "threshold sweep over the one banded candidate base"),
+    "sim_ivf_ann": (16, 4, "Lloyd rounds: k-sized centroid frames, one corpus scan per round"),
+    "sim_ivf_kmeans": (16, 4, "shares sim_ivf_ann's Lloyd shape"),
+    "sim_recall_at_k": (27, 8, "union branches share the brute-force/LSH executions (AQE canonical reuse; checkpoint variant +0.55 s, r15)"),
+}
+
+EXCH = re.compile(r"exch=\s*(\d+)")
+REUSE = re.compile(r"reuse=\s*(\d+)")
+
+
+def exch_violations(fresh):
+    bad = []
+    for n, metrics in sorted(fresh.items()):
+        em, rm = EXCH.search(metrics), REUSE.search(metrics)
+        if em is None or rm is None:
+            bad.append((n, "plan line has no exch=/reuse= field — stale "
+                           "Plans binary or output-format drift"))
+            continue
+        exch, reuse = int(em.group(1)), int(rm.group(1))
+        if n in EXCH_ALLOW:
+            mx, rmin, why = EXCH_ALLOW[n]
+            if exch > mx:
+                bad.append((n, f"exch={exch} > allowlisted {mx} ({why})"))
+            elif reuse < rmin:
+                bad.append((n, f"reuse={reuse} dropped below allowlisted "
+                               f"{rmin} — the shared-exchange adjudication "
+                               f"no longer holds ({why})"))
+        elif exch > EXCH_BAR:
+            bad.append((n, f"exch={exch} > bar {EXCH_BAR} with no "
+                           f"EXCH_ALLOW entry — adjudicate the plan "
+                           f"(ReusedExchange shares / key-domain-bounded "
+                           f"frames vs real re-derivation) and allowlist "
+                           f"it with a one-line justification"))
+    return bad
+
 
 def gwin_violations(fresh):
     bad = []
@@ -99,8 +169,9 @@ def main():
     if not fresh:
         print(f"plan-gate: no plan lines parsed from {fresh_path}")
         return 1
-    # the gwin rule runs FIRST and also on --update: a funnel cannot be
-    # recorded into the baseline
+    # the hard rules run FIRST and also on --update: neither a funnel
+    # nor an unadjudicated high-exchange plan can be recorded into the
+    # baseline
     bad = gwin_violations(fresh)
     for n, got, allowed in bad:
         if got is None:
@@ -112,7 +183,10 @@ def main():
                   f"unpartitioned Window over a non-limit-bounded frame "
                   f"(single-task funnel); use limit-first TakeOrdered or an "
                   f"aggregate argmax, or audit the frame and allowlist it")
-    if bad:
+    exch_bad = exch_violations(fresh)
+    for n, msg in exch_bad:
+        print(f"FAIL plan-gate {n}: {msg}")
+    if bad or exch_bad:
         return 1
     if "--update" in sys.argv:
         names = sorted(fresh)

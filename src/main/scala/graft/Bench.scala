@@ -77,23 +77,40 @@ object Bench {
       java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
         .asScala.map(_.getCollectionTime).sum
     }
-    def attempt(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Long) = {
+    // record=false → a discarded warmup: its timing is dropped AND its
+    // failure is NOT bookkept (a run the protocol says doesn't count
+    // must not be able to flag the query as failed — the recorded
+    // attempts right after it will fail on their own if the defect is
+    // real)
+    def attempt(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+                record: Boolean = true): (Double, Long) = {
       isolate()
       val g0 = gcMillis
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() }
-      catch { case _: Throwable => failed += name; -1L }
+      catch { case _: Throwable => if (record) failed += name; -1L }
       val dt = (System.nanoTime() - t0) / 1e9
       val gc = gcMillis - g0
-      System.err.println(f"[bench] $name%-24s ${dt}%8.2fs gc=${gc}%5dms")
+      val tag = if (record) "" else " (warmup, discarded)"
+      System.err.println(f"[bench] $name%-24s ${dt}%8.2fs gc=${gc}%5dms$tag")
       (dt, gc)
     }
-    // pass 1: every query at the base attempt count; GC collection time
-    // is recorded PER ATTEMPT (parallel vector) so a 3× outlier is
-    // attributable to GC vs scheduler from the artifact alone
+    // pass 1: every query at the base attempt count, preceded by ONE
+    // discarded warm attempt (r15 verdict #6): the artifact proved the
+    // residual pass-1 outliers are cold-code displacement — a query's
+    // first attempt runs with its JIT state evicted by the hundreds of
+    // queries since the session warmup (q_graph_summary 5.9/5.1/4.8
+    // cold vs 2.0/1.7 warm) — so the warm attempt absorbs the
+    // compilation transient and the recorded medians match dedicated
+    // re-run medians. SPARK_GRAFT_WARM=0 skips it (fast dev subsets).
+    // GC collection time is recorded PER ATTEMPT (parallel vector) so a
+    // 3× outlier is attributable to GC vs scheduler from the artifact
+    // alone.
+    val warmPass1 = sys.env.getOrElse("SPARK_GRAFT_WARM", "1") != "0"
     val attempts = scala.collection.mutable.LinkedHashMap.empty[String, Vector[Double]]
     val gcs = scala.collection.mutable.LinkedHashMap.empty[String, Vector[Long]]
     selected.foreach { case (name, fn) =>
+      if (warmPass1) attempt(name, fn, record = false)
       val rs = (1 to repeat).map(_ => attempt(name, fn)).toVector
       attempts(name) = rs.map(_._1); gcs(name) = rs.map(_._2)
     }
@@ -120,8 +137,7 @@ object Bench {
         // other queries' code paths having displaced its JIT state —
         // the first re-run attempt was systematically the 3× outlier
         // (q_pagerank 14.6 s on a 1-exchange plan). Warm, don't record.
-        attempt(name, fn) // logs its own line; result intentionally dropped
-        System.err.println(s"[bench] $name ^ tail warmup, discarded")
+        attempt(name, fn, record = false)
         val rs = (attempts(name).size until tailRepeat).map(_ => attempt(name, fn))
         attempts(name) ++= rs.map(_._1); gcs(name) ++= rs.map(_._2)
       }
@@ -145,9 +161,9 @@ object Bench {
     // caps itself — slowest queries first, the fast remainder rolled up
     // under "omitted", per-query spreads summarized as an aggregate
     // dispersion block.
-    val protocol =
-      if (tailRepeat > repeat) s"median-of-$repeat+tail$tailN@$tailRepeat"
-      else s"median-of-$repeat"
+    val protocol = (if (warmPass1) "warm1+" else "") +
+      (if (tailRepeat > repeat) s"median-of-$repeat+tail$tailN@$tailRepeat"
+       else s"median-of-$repeat")
     val qs = results.map { case (k, (v, sp)) =>
       "\"" + k + "\":{\"med\":" + ms(v) + ",\"spread\":" + ms(sp) + "}"
     }.mkString("{", ",", "}")

@@ -69,6 +69,37 @@ object Plans {
     }
   }
 
+  /** How many Exchange nodes in the plan are DUPLICATES of another by
+    * canonicalized equality — i.e. the shares AQE's stage cache will
+    * execute once at runtime (the r15 sim_recall_at_k finding: the plan
+    * STRING shows 27 exchanges but the union branches share one
+    * physical brute-force execution). Under AQE the initial plan never
+    * contains ReusedExchange nodes — reuse is decided at runtime by
+    * canonicalized matching — so this static count is the mechanical
+    * form of that adjudication: reuse = total − distinct canonical
+    * forms. A drop means a formerly-shared subtree now re-derives.
+    *
+    * Counted on an EnsureRequirements-prepared copy of `sparkPlan`:
+    * distribution-required exchanges don't exist yet at the sparkPlan
+    * level, and the AQE executedPlan wrapper exposes no children until
+    * execution — the prepared copy is the deterministic pre-execution
+    * view of the exchange tree the stage cache will dedupe. */
+  def reusableExchanges(qe: org.apache.spark.sql.execution.QueryExecution): Int = {
+    val prepared =
+      org.apache.spark.sql.execution.exchange.EnsureRequirements()(qe.sparkPlan)
+    val ex = prepared.collect { case e: org.apache.spark.sql.execution.exchange.Exchange => e }
+    ex.size - ex.map(_.canonicalized).distinct.size
+  }
+
+  /** Occurrences of `tok` in a plan string — the baseline's counting
+    * definition, shared with ExchAuditSpec so the audit and the gate
+    * can never disagree on what "exch" means. */
+  def countToken(p: String, tok: String): Int = {
+    var i = 0; var n = 0
+    while ({ i = p.indexOf(tok, i); i >= 0 }) { n += 1; i += tok.length }
+    n
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     // Engine.session, not a raw builder: the audit must inspect the
@@ -78,11 +109,7 @@ object Plans {
     // UNREWRITTEN plan.
     val spark: SparkSession = Engine.session("local[8]", shufflePartitions = 8)
     spark.sparkContext.setLogLevel("ERROR")
-    def count(p: String, tok: String): Int = {
-      var i = 0; var n = 0
-      while ({ i = p.indexOf(tok, i); i >= 0 }) { n += 1; i += tok.length }
-      n
-    }
+    def count(p: String, tok: String): Int = countToken(p, tok)
     // dev knob: arg 2 = comma-list of query names to dump (subset audit)
     val only = args.drop(1).headOption.map(_.split(",").toSet)
     SparkEntry.queries.toSeq.sortBy(_._1)
@@ -92,7 +119,12 @@ object Plans {
         val qe = fn(spark, sfDir).queryExecution
         val p = qe.executedPlan.toString()
         val gwin = unboundedGlobalWindows(qe.sparkPlan)
-        println(f"$name%-26s exch=${count(p, "Exchange")}%2d sort=${count(p, "Sort ")}%2d " +
+        // exch counts every "Exchange" token in the plan string; reuse
+        // counts the canonicalized-duplicate Exchange nodes AQE will
+        // execute once (see reusableExchanges) so plan_gate's
+        // EXCH_ALLOW can verify an adjudicated high-exch plan is still
+        // sharing, not silently re-deriving.
+        println(f"$name%-26s exch=${count(p, "Exchange")}%2d reuse=${reusableExchanges(qe)}%2d sort=${count(p, "Sort ")}%2d " +
           f"bhj=${count(p, "BroadcastHashJoin")}%2d smj=${count(p, "SortMergeJoin")}%2d " +
           f"shj=${count(p, "ShuffledHashJoin")}%2d bnlj=${count(p, "BroadcastNestedLoopJoin")}%2d " +
           f"cart=${count(p, "CartesianProduct")}%2d gwin=$gwin%2d")
