@@ -47,4 +47,29 @@ object Packing {
       .withColumn("bin",
         floor((col("n_tokens_cum") - col(tokensCol)) / lit(budget)).cast("long"))
   }
+
+  /** [[packBins]] continued from per-shard base offsets — the streaming
+    * ingest form, where earlier rows already landed and each micro-batch
+    * extends the per-shard greedy sequence. `bases` is the tiny
+    * (shard, base_cum) frame (one row per landed shard, broadcast);
+    * shards with no landed rows start at 0. Under id-ordered arrival
+    * (every landed id below every new id), the continued assignment is
+    * BY CONSTRUCTION identical to one packBins pass over landed ∪ new:
+    * the window sum at a new row is base + the within-batch prefix, both
+    * exact BIGINT additions. */
+  def packBinsFrom(df: DataFrame, idCol: String, tokensCol: String,
+                   budget: Long, shards: Int, bases: DataFrame): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    require(shards > 0 && shards <= 256, s"shards must be in [1, 256], got $shards")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("shard", contentShard(col(idCol), shards))
+      .join(broadcast(bases.select(col("shard"), col("base_cum"))), Seq("shard"), "left")
+      .na.fill(0L, Seq("base_cum"))
+      .withColumn("n_tokens_cum", sum(col(tokensCol)).over(w) + col("base_cum"))
+      .withColumn("bin",
+        floor((col("n_tokens_cum") - col(tokensCol)) / lit(budget)).cast("long"))
+      .drop("base_cum")
+  }
 }
