@@ -17,31 +17,38 @@ import graft.analytics.Summary
   * (exact while the unscaled value < 2^53). Counts stay BIGINT; rates
   * are integer-exact sums divided in double.
   */
-object SparkEntry {
+object SparkEntry extends SparkEntryAn1
+  with SparkEntryAn2
+  with SparkEntryAn3
+  with SparkEntryEtl
+  with SparkEntryMm
+  with SparkEntryRel
+  with SparkEntrySim
+  with SparkEntryText {
 
   /** Order-independent exact "money" sum → double (see convention above). */
-  private def moneySum(c: Column): Column =
+  private[graft] def moneySum(c: Column): Column =
     sum(c.cast("decimal(24,8)")).cast("decimal(24,2)").cast("double")
 
   // NOTE: DuckDB's decimal→decimal scale-down CAST truncates, so the
   // oracle uses ROUND(,2) (half-away-from-zero, = Spark's HALF_UP cast).
-  private val MONEY_SUM_SQL = "CAST(ROUND(SUM(CAST(%s AS DECIMAL(24,8))), 2) AS DOUBLE)"
-  private def moneySumSql(e: String): String = MONEY_SUM_SQL.format(e)
+  private[graft] val MONEY_SUM_SQL = "CAST(ROUND(SUM(CAST(%s AS DECIMAL(24,8))), 2) AS DOUBLE)"
+  private[graft] def moneySumSql(e: String): String = MONEY_SUM_SQL.format(e)
 
-  private def ts(s: String): Column = lit(s).cast("timestamp")
+  private[graft] def ts(s: String): Column = lit(s).cast("timestamp")
 
   /** Per-process scratch root: reused across Bench/Verify repeats inside
     * one JVM (no table-copy leak per iteration) but unique per process, so
     * a Bench overlapping a Verify in another JVM can't wipe each other's
     * live table files mid-query. */
-  private val scratchRoot: java.nio.file.Path = java.nio.file.Paths.get(
+  private[graft] val scratchRoot: java.nio.file.Path = java.nio.file.Paths.get(
     sys.props("java.io.tmpdir"), "graft_scratch",
     s"pid-${ProcessHandle.current().pid()}")
 
   /** Per-query scratch dir under [[scratchRoot]], wiped before each
     * invocation: fresh-dir semantics for the CAS/versioned/temp-and-swap
     * machinery without accumulating state across repeats. */
-  private def scratchDir(name: String): String = {
+  private[graft] def scratchDir(name: String): String = {
     val root = scratchRoot.resolve(name)
     if (java.nio.file.Files.exists(root)) {
       import scala.jdk.CollectionConverters._
@@ -58,2888 +65,11 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q1_agg")(spark, "/root/testdata/sf0.001")
 
-  // ---------------------------------------------------------------- C. core
-
-  private def q1Agg(s: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(s, dir)
-      .filter(col("l_shipdate") <= ts("1998-09-02 00:00:00"))
-      .groupBy(col("l_returnflag"), col("l_linestatus"))
-      .agg(
-        moneySum(col("l_quantity")).as("sum_qty"),
-        moneySum(col("l_extendedprice")).as("sum_base_price"),
-        moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
-        moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).as("sum_charge"),
-        (moneySum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
-        (moneySum(col("l_extendedprice")) / count(lit(1))).as("avg_price"),
-        count(lit(1)).as("count_order"))
-      .orderBy(col("l_returnflag"), col("l_linestatus"))
-
-  private val q1AggSql =
-    s"""SELECT l_returnflag, l_linestatus,
-       |  ${moneySumSql("l_quantity")} AS sum_qty,
-       |  ${moneySumSql("l_extendedprice")} AS sum_base_price,
-       |  ${moneySumSql("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
-       |  ${moneySumSql("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)")} AS sum_charge,
-       |  ${moneySumSql("l_quantity")} / COUNT(*) AS avg_qty,
-       |  ${moneySumSql("l_extendedprice")} / COUNT(*) AS avg_price,
-       |  COUNT(*) AS count_order
-       |FROM lineitem
-       |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
-       |GROUP BY l_returnflag, l_linestatus
-       |ORDER BY l_returnflag, l_linestatus""".stripMargin
-
-  private def q3JoinAgg(s: SparkSession, dir: String): DataFrame = {
-    val cust = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
-      .select("c_custkey")
-    val ord = Tables.orders(s, dir).filter(col("o_orderdate") < ts("1997-06-01 00:00:00"))
-      .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
-    val li = Tables.lineitem(s, dir).filter(col("l_shipdate") > ts("1997-06-01 00:00:00"))
-      .select("l_orderkey", "l_extendedprice", "l_discount")
-    li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-      .agg(moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
-      .orderBy(col("revenue").desc, col("l_orderkey"))
-      .limit(10)
-  }
-
-  private val q3JoinAggSql =
-    s"""SELECT l_orderkey, o_orderdate, o_orderpriority,
-       |  ${moneySumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue
-       |FROM lineitem
-       |JOIN orders ON l_orderkey = o_orderkey
-       |JOIN customer ON o_custkey = c_custkey
-       |WHERE c_mktsegment = 'BUILDING'
-       |  AND o_orderdate < TIMESTAMP '1997-06-01 00:00:00'
-       |  AND l_shipdate > TIMESTAMP '1997-06-01 00:00:00'
-       |GROUP BY l_orderkey, o_orderdate, o_orderpriority
-       |ORDER BY revenue DESC, l_orderkey
-       |LIMIT 10""".stripMargin
-
-  private def q5MultiJoin(s: SparkSession, dir: String): DataFrame = {
-    val region = Tables.region(s, dir)
-    val nation = Tables.nation(s, dir)
-    val supplier = Tables.supplier(s, dir)
-    val cust = Tables.customer(s, dir).select("c_custkey", "c_nationkey")
-    val ord = Tables.orders(s, dir)
-      .filter(col("o_orderdate") >= ts("1996-01-01 00:00:00") &&
-        col("o_orderdate") < ts("1998-01-01 00:00:00"))
-      .select("o_orderkey", "o_custkey")
-    val li = Tables.lineitem(s, dir)
-      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
-    li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
-      .join(cust, col("o_custkey") === col("c_custkey") &&
-        col("s_nationkey") === col("c_nationkey"))
-      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
-      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
-      .groupBy(col("r_name"), col("n_name"))
-      .agg(moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
-      .orderBy(col("r_name"), col("revenue").desc, col("n_name"))
-  }
-
-  private val q5MultiJoinSql =
-    s"""SELECT r_name, n_name,
-       |  ${moneySumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue
-       |FROM lineitem
-       |JOIN orders ON l_orderkey = o_orderkey
-       |JOIN supplier ON l_suppkey = s_suppkey
-       |JOIN customer ON o_custkey = c_custkey AND s_nationkey = c_nationkey
-       |JOIN nation ON c_nationkey = n_nationkey
-       |JOIN region ON n_regionkey = r_regionkey
-       |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
-       |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
-       |GROUP BY r_name, n_name
-       |ORDER BY r_name, revenue DESC, n_name""".stripMargin
-
-  private def qTopk(s: SparkSession, dir: String): DataFrame =
-    Tables.orders(s, dir)
-      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
-      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
-      .limit(15)
-
-  private val qTopkSql =
-    """SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
-      |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 15""".stripMargin
-
-  private def qWindow(s: SparkSession, dir: String): DataFrame = {
-    val byPrice = Window.partitionBy(col("o_custkey"))
-      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
-    val byDate = Window.partitionBy(col("o_custkey"))
-      .orderBy(col("o_orderdate"), col("o_orderkey"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.orders(s, dir)
-      .withColumn("rn", row_number().over(byPrice))
-      .withColumn("running_spend",
-        sum(col("o_totalprice").cast("decimal(24,2)")).over(byDate).cast("double"))
-      .filter(col("rn") <= 3)
-      .select("o_custkey", "o_orderkey", "o_totalprice", "rn", "running_spend")
-      .orderBy(col("o_custkey"), col("rn"))
-  }
-
-  private val qWindowSql =
-    """SELECT o_custkey, o_orderkey, o_totalprice, rn, running_spend FROM (
-      |  SELECT o_custkey, o_orderkey, o_totalprice,
-      |    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn,
-      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(24,2))) OVER (
-      |      PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
-      |  FROM orders) t
-      |WHERE rn <= 3
-      |ORDER BY o_custkey, rn""".stripMargin
-
-  private def qSemiAnti(s: SparkSession, dir: String): DataFrame = {
-    val cust = Tables.customer(s, dir)
-    val ord = Tables.orders(s, dir).select("o_custkey")
-    val semi = cust.join(ord, col("c_custkey") === col("o_custkey"), "left_semi")
-      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
-      .select(lit("with_orders").as("kind"), col("c_mktsegment"), col("n"))
-    val anti = cust.join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
-      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
-      .select(lit("no_orders").as("kind"), col("c_mktsegment"), col("n"))
-    semi.unionAll(anti).orderBy(col("kind"), col("c_mktsegment"))
-  }
-
-  private val qSemiAntiSql =
-    """SELECT 'with_orders' AS kind, c_mktsegment, COUNT(*) AS n
-      |FROM customer c WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
-      |GROUP BY c_mktsegment
-      |UNION ALL
-      |SELECT 'no_orders' AS kind, c_mktsegment, COUNT(*) AS n
-      |FROM customer c WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
-      |GROUP BY c_mktsegment
-      |ORDER BY kind, c_mktsegment""".stripMargin
-
-  private def qRollup(s: SparkSession, dir: String): DataFrame =
-    Tables.orders(s, dir)
-      .rollup(col("o_orderpriority"), col("o_orderstatus"))
-      .agg(count(lit(1)).as("n_orders"), moneySum(col("o_totalprice")).as("total_price"))
-      .orderBy(asc_nulls_first("o_orderpriority"), asc_nulls_first("o_orderstatus"))
-
-  private val qRollupSql =
-    s"""SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n_orders,
-       |  ${moneySumSql("o_totalprice")} AS total_price
-       |FROM orders
-       |GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
-       |ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin
-
-  /** Gap-based sessionization (30-min inactivity gap) — one shuffle on
-    * user_id, two window passes, then a session-grain aggregate. */
-  private def qEventsSessionize(s: SparkSession, dir: String): DataFrame = {
-    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    Tables.events(s, dir)
-      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
-      .withColumn("new_session",
-        when(col("prev_us").isNull ||
-          unix_micros(col("ts")) - col("prev_us") > lit(1800000000L), 1L).otherwise(0L))
-      .withColumn("session_id", sum(col("new_session")).over(
-        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .groupBy(col("user_id"), col("session_id"))
-      .agg(count(lit(1)).as("n_events"),
-        min(col("ts")).as("session_start"),
-        max(col("ts")).as("session_end"),
-        moneySum(col("value")).as("session_value"))
-      .orderBy(col("user_id"), col("session_id"))
-  }
-
-  private val qEventsSessionizeSql =
-    s"""WITH flagged AS (
-       |  SELECT user_id, event_id, ts, value,
-       |    CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
-       |           OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
-       |         THEN 1 ELSE 0 END AS new_session
-       |  FROM events
-       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-       |), sessions AS (
-       |  SELECT user_id, ts, value,
-       |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
-       |  FROM flagged
-       |)
-       |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
-       |  COUNT(*) AS n_events, MIN(ts) AS session_start, MAX(ts) AS session_end,
-       |  ${moneySumSql("value")} AS session_value
-       |FROM sessions
-       |GROUP BY user_id, session_id
-       |ORDER BY user_id, session_id""".stripMargin
-
-  private def qEventsWindowAgg(s: SparkSession, dir: String): DataFrame =
-    Tables.events(s, dir)
-      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"),
-        countDistinct(col("user_id")).as("n_users"),
-        moneySum(col("value")).as("total_value"))
-      .orderBy(col("hour"), col("event_type"))
-
-  private val qEventsWindowAggSql =
-    s"""SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n,
-       |  COUNT(DISTINCT user_id) AS n_users, ${moneySumSql("value")} AS total_value
-       |FROM events
-       |GROUP BY 1, 2
-       |ORDER BY hour, event_type""".stripMargin
-
-  /** Promo revenue share per ship month (TPC-H Q14 shape): fact ⋈
-    * broadcast dim, conditional aggregation, ratio of exact sums. */
-  private def q14Promo(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(s, dir)
-      .filter(col("l_shipdate") >= ts("1997-01-01 00:00:00") &&
-        col("l_shipdate") < ts("1998-01-01 00:00:00"))
-      .select("l_partkey", "l_extendedprice", "l_discount", "l_shipdate")
-    val part = Tables.part(s, dir).select("p_partkey", "p_type")
-    val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
-    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
-      .groupBy(date_trunc("month", col("l_shipdate")).as("ship_month"))
-      .agg(
-        moneySum(when(col("p_type") === "PROMO", rev).otherwise(lit(0.0))).as("promo_revenue"),
-        moneySum(rev).as("total_revenue"))
-      .withColumn("promo_pct", col("promo_revenue") * lit(100.0) / col("total_revenue"))
-      .orderBy(col("ship_month"))
-  }
-
-  private val q14PromoSql =
-    s"""SELECT ship_month, promo_revenue, total_revenue,
-       |  promo_revenue * 100.0 / total_revenue AS promo_pct
-       |FROM (
-       |  SELECT date_trunc('month', l_shipdate) AS ship_month,
-       |    ${moneySumSql("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END")} AS promo_revenue,
-       |    ${moneySumSql("l_extendedprice * (1.0 - l_discount)")} AS total_revenue
-       |  FROM lineitem JOIN part ON l_partkey = p_partkey
-       |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
-       |    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
-       |  GROUP BY 1) t
-       |ORDER BY ship_month""".stripMargin
-
-  /** Explicit GROUPING SETS — the general form rollup/cube specialize:
-    * per-status totals, per-priority totals, and the grand total in one
-    * Expand + single aggregate pass. */
-  private def qGroupingSets(s: SparkSession, dir: String): DataFrame =
-    Tables.orders(s, dir)
-      .groupingSets(
-        Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq()),
-        col("o_orderstatus"), col("o_orderpriority"))
-      .agg(count(lit(1)).as("n_orders"), moneySum(col("o_totalprice")).as("total_price"))
-      .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
-
-  private val qGroupingSetsSql =
-    s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
-       |  ${moneySumSql("o_totalprice")} AS total_price
-       |FROM orders
-       |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
-       |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
-
-  private def qCube(s: SparkSession, dir: String): DataFrame =
-    Tables.orders(s, dir)
-      .cube(col("o_orderstatus"), year(col("o_orderdate")).as("order_year"))
-      .agg(count(lit(1)).as("n_orders"), moneySum(col("o_totalprice")).as("total_price"))
-      .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("order_year"))
-
-  private val qCubeSql =
-    s"""SELECT o_orderstatus, CAST(year(o_orderdate) AS INT) AS order_year,
-       |  COUNT(*) AS n_orders, ${moneySumSql("o_totalprice")} AS total_price
-       |FROM orders
-       |GROUP BY CUBE(o_orderstatus, CAST(year(o_orderdate) AS INT))
-       |ORDER BY o_orderstatus NULLS FIRST, order_year NULLS FIRST""".stripMargin
-
-  /** As-of join: each click matched to the user's latest prior (or
-    * simultaneous) purchase. Oracle uses a correlated LATERAL top-1 so
-    * the tie-break (max purchase id at equal ts) is pinned on both
-    * engines. */
-  private def qAsofJoin(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(s, dir)
-    val clicks = ev.filter(col("event_type") === "click")
-      .select("event_id", "user_id", "ts")
-    val purchases = ev.filter(col("event_type") === "purchase")
-      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("pts"))
-    graft.operators.AsOf.joinPrior(clicks, purchases, Seq("user_id"),
-        "ts", "pts", Seq("purchase_id", "pts"))
-      // epoch micros, not timestamp: DuckDB's lateral re-times to a
-      // different resolution than the NANOS parquet column
-      .withColumn("asof_pts_us", unix_micros(col("asof_pts")))
-      .drop("asof_pts")
-      .orderBy(col("event_id"))
-  }
-
-  private val qAsofJoinSql =
-    """WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
-      |p AS (SELECT event_id AS purchase_id, user_id, ts AS pts FROM events WHERE event_type = 'purchase')
-      |SELECT c.event_id, c.user_id, c.ts,
-      |  m.purchase_id AS asof_purchase_id, epoch_us(m.pts) AS asof_pts_us
-      |FROM c LEFT JOIN LATERAL (
-      |  SELECT purchase_id, pts FROM p
-      |  WHERE p.user_id = c.user_id AND p.pts <= c.ts
-      |  ORDER BY p.pts DESC, p.purchase_id DESC LIMIT 1) m ON true
-      |ORDER BY c.event_id""".stripMargin
-
-  /** Salted skew join — identical results to the plain join, with the
-    * hot-key rows split across `salts` reducers. */
-  private def qSkewJoin(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(s, dir)
-      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
-    val ord = Tables.orders(s, dir)
-      .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
-    graft.operators.SkewJoin.saltedInner(li, ord, "l_orderkey", salts = 4)
-      .groupBy(col("o_orderpriority"))
-      .agg(moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
-        count(lit(1)).as("n_items"))
-      .orderBy(col("o_orderpriority"))
-  }
-
-  private val qSkewJoinSql =
-    s"""SELECT o_orderpriority,
-       |  ${moneySumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue,
-       |  COUNT(*) AS n_items
-       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
-
-  /** Bloom-pruned exact semi-join: the probe side is pre-filtered by a
-    * broadcast-size Bloom sketch of the build keys (map-only, inside
-    * the scan), then an exact semi-join removes false positives — same
-    * result as the plain semi-join with far fewer rows entering the
-    * exchange. */
-  private def qBloomSemi(s: SparkSession, dir: String): DataFrame = {
-    val building = Tables.customer(s, dir)
-      .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
-    graft.operators.BloomPrune.semiJoin(
-        Tables.orders(s, dir), "o_custkey", building, "c_custkey",
-        expectedKeys = 100000L, fpp = 0.01)
-      .groupBy(col("o_orderpriority"))
-      .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("total"))
-      .orderBy(col("o_orderpriority"))
-  }
-
-  private val qBloomSemiSql =
-    s"""SELECT o_orderpriority, COUNT(*) AS n, ${moneySumSql("o_totalprice")} AS total
-       |FROM orders o
-       |WHERE EXISTS (SELECT 1 FROM customer c
-       |              WHERE c.c_custkey = o.o_custkey AND c.c_mktsegment = 'BUILDING')
-       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
-
-  /** Null-safe equi-join (`<=>`): NULL keys match each other — Spark
-    * plans EqualNullSafe as a regular hash-join key, so this costs the
-    * same as a plain equi-join (no null-bucket fallback). */
-  private def qNullSafeJoin(s: SparkSession, dir: String): DataFrame = {
-    val ord = Tables.orders(s, dir)
-      .select(nullif(col("o_custkey") % 100, lit(0)).as("lk"), col("o_totalprice"))
-    val cust = Tables.customer(s, dir)
-      .select(nullif(col("c_custkey") % 100, lit(0)).as("rk"))
-    // aggregate pushdown below the join: with only ~100 distinct keys
-    // the raw join fans out |orders/key| × |customers/key| rows per key
-    // (O(n·m/k) total) just to be counted away. Both sides pre-aggregate
-    // to one row per key, the null-safe join runs on key-count rows, and
-    // the measures recombine exactly: count = n_ord × n_cust and
-    // sum = sum_ord × n_cust (DECIMAL, so the product is order-exact,
-    // same value as summing the replicated rows). */
-    val ordAgg = ord.groupBy(col("lk"))
-      .agg(count(lit(1)).as("no"),
-        sum(col("o_totalprice").cast("decimal(24,8)")).as("sp"))
-    val custAgg = cust.groupBy(col("rk")).agg(count(lit(1)).as("nc"))
-    ordAgg.join(custAgg, col("lk") <=> col("rk"))
-      .select(col("lk").as("k"), (col("no") * col("nc")).as("n"),
-        (col("sp") * col("nc")).cast("decimal(24,2)").cast("double").as("total"))
-      .orderBy(asc_nulls_first("k"))
-  }
-
-  private val qNullSafeJoinSql =
-    s"""SELECT lk AS k, COUNT(*) AS n, ${moneySumSql("o_totalprice")} AS total
-       |FROM (SELECT NULLIF(o_custkey % 100, 0) AS lk, o_totalprice FROM orders) o
-       |JOIN (SELECT NULLIF(c_custkey % 100, 0) AS rk FROM customer) c
-       |  ON o.lk IS NOT DISTINCT FROM c.rk
-       |GROUP BY lk ORDER BY k NULLS FIRST""".stripMargin
-
-  /** INTERSECT ALL / EXCEPT ALL — the multiset variants (kept distinct
-    * from q_setops' set semantics; Spark plans them as aggregated
-    * replication counts, not row-by-row loops). */
-  private def qSetopsAll(s: SparkSession, dir: String): DataFrame = {
-    val ord = Tables.orders(s, dir)
-    val f = ord.filter(col("o_orderstatus") === "F").select("o_custkey")
-    val o = ord.filter(col("o_orderstatus") === "O").select("o_custkey")
-    val both = f.intersectAll(o).agg(count(lit(1)).as("n"))
-      .select(lit("f_and_o_all").as("kind"), col("n"))
-    val only = f.exceptAll(o).agg(count(lit(1)).as("n"))
-      .select(lit("f_not_o_all").as("kind"), col("n"))
-    both.unionAll(only).orderBy(col("kind"))
-  }
-
-  private val qSetopsAllSql =
-    """SELECT 'f_and_o_all' AS kind, COUNT(*) AS n FROM (
-      |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
-      |  INTERSECT ALL
-      |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
-      |UNION ALL
-      |SELECT 'f_not_o_all', COUNT(*) FROM (
-      |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
-      |  EXCEPT ALL
-      |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
-      |ORDER BY kind""".stripMargin
-
-  private def qSetops(s: SparkSession, dir: String): DataFrame = {
-    val ord = Tables.orders(s, dir)
-    val f = ord.filter(col("o_orderstatus") === "F").select("o_custkey")
-    val o = ord.filter(col("o_orderstatus") === "O").select("o_custkey")
-    val both = f.intersect(o).agg(count(lit(1)).as("n"))
-      .select(lit("f_and_o").as("kind"), col("n"))
-    val only = f.except(o).agg(count(lit(1)).as("n"))
-      .select(lit("f_not_o").as("kind"), col("n"))
-    both.unionAll(only).orderBy(col("kind"))
-  }
-
-  private val qSetopsSql =
-    """SELECT 'f_and_o' AS kind, COUNT(*) AS n FROM (
-      |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
-      |  INTERSECT
-      |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
-      |UNION ALL
-      |SELECT 'f_not_o', COUNT(*) FROM (
-      |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
-      |  EXCEPT
-      |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
-      |ORDER BY kind""".stripMargin
-
-  // ------------------------------------------------------------- A. ETL core
-
-  /** Coerce-then-impute (reference transform.py §1): a string column with
-    * junk values is try_cast to double (junk → NULL), then median-imputed.
-    * NULLs are synthesized deterministically (the testdata has none). */
-  private def etlCleanImpute(s: SparkSession, dir: String): DataFrame = {
-    val base = Tables.lineitem(s, dir)
-      .withColumn("qty_str",
-        when(col("l_quantity") === 1.0, lit("n/a")).otherwise(col("l_quantity").cast("string")))
-      .select("l_orderkey", "l_linenumber", "qty_str")
-    val coerced = Clean.coerceNumeric(base, Seq("qty_str"))
-      .withColumnRenamed("qty_str", "qty_filled")
-    Clean.imputeMedian(coerced, Seq("qty_filled"))
-      .orderBy(col("l_orderkey"), col("l_linenumber"))
-  }
-
-  private val etlCleanImputeSql =
-    """WITH b AS (
-      |  SELECT l_orderkey, l_linenumber,
-      |    TRY_CAST(CASE WHEN l_quantity = 1.0 THEN 'n/a'
-      |                  ELSE CAST(l_quantity AS VARCHAR) END AS DOUBLE) AS q
-      |  FROM lineitem)
-      |SELECT l_orderkey, l_linenumber,
-      |  COALESCE(q, (SELECT quantile_cont(q, 0.5) FROM b)) AS qty_filled
-      |FROM b ORDER BY l_orderkey, l_linenumber""".stripMargin
-
-  private def etlFillUnknown(s: SparkSession, dir: String): DataFrame = {
-    val base = Tables.orders(s, dir)
-      .withColumn("prio", when(col("o_orderpriority") === "5-LOW", lit(null: String))
-        .otherwise(col("o_orderpriority")))
-    Clean.fillConstant(base, Seq("prio"))
-      .groupBy(col("prio")).agg(count(lit(1)).as("n"))
-      .orderBy(col("prio"))
-  }
-
-  private val etlFillUnknownSql =
-    """SELECT COALESCE(NULLIF(o_orderpriority, '5-LOW'), 'Unknown') AS prio, COUNT(*) AS n
-      |FROM orders GROUP BY 1 ORDER BY prio""".stripMargin
-
-  private def etlBucketize(s: SparkSession, dir: String): DataFrame =
-    Tables.customer(s, dir)
-      .withColumn("bal_group", Features.bucketize(col("c_acctbal"),
-        Seq(-1000.0, 0.0, 2500.0, 5000.0, Double.PositiveInfinity),
-        Seq("negative", "low", "mid", "high")))
-      .select("c_custkey", "c_acctbal", "bal_group")
-      .orderBy(col("c_custkey"))
-
-  private val etlBucketizeSql =
-    """SELECT c_custkey, c_acctbal,
-      |  CASE WHEN c_acctbal > -1000.0 AND c_acctbal <= 0.0 THEN 'negative'
-      |       WHEN c_acctbal > 0.0 AND c_acctbal <= 2500.0 THEN 'low'
-      |       WHEN c_acctbal > 2500.0 AND c_acctbal <= 5000.0 THEN 'mid'
-      |       WHEN c_acctbal > 5000.0 THEN 'high' END AS bal_group
-      |FROM customer ORDER BY c_custkey""".stripMargin
-
-  private def etlSegment(s: SparkSession, dir: String): DataFrame =
-    Tables.orders(s, dir)
-      .withColumn("price_segment", Features.segment3(col("o_totalprice"), 100000.0, 300000.0))
-      .select("o_orderkey", "o_totalprice", "price_segment")
-      .orderBy(col("o_orderkey"))
-
-  private val etlSegmentSql =
-    """SELECT o_orderkey, o_totalprice,
-      |  CASE WHEN o_totalprice < 100000.0 THEN 'Low'
-      |       WHEN o_totalprice <= 300000.0 THEN 'Medium'
-      |       ELSE 'High' END AS price_segment
-      |FROM orders ORDER BY o_orderkey""".stripMargin
-
-  private def etlFlags(s: SparkSession, dir: String): DataFrame =
-    Tables.events(s, dir)
-      .withColumn("is_conversion", Features.memberFlag(col("event_type"), Seq("purchase", "signup")))
-      .withColumn("is_click", Features.yesFlag(col("event_type"), "click"))
-      .select("event_id", "event_type", "is_conversion", "is_click")
-      .orderBy(col("event_id"))
-
-  private val etlFlagsSql =
-    """SELECT event_id, event_type,
-      |  CASE WHEN lower(trim(event_type)) IN ('purchase', 'signup') THEN 1 ELSE 0 END AS is_conversion,
-      |  CASE WHEN lower(trim(event_type)) = 'click' THEN 1 ELSE 0 END AS is_click
-      |FROM events ORDER BY event_id""".stripMargin
-
-  private def etlCodeMap(s: SparkSession, dir: String): DataFrame =
-    Tables.orders(s, dir)
-      .withColumn("priority_code", Features.codeMap(col("o_orderpriority"),
-        Map("1-urgent" -> 1, "2-high" -> 2, "3-medium" -> 3)))
-      .select("o_orderkey", "o_orderpriority", "priority_code")
-      .orderBy(col("o_orderkey"))
-
-  private val etlCodeMapSql =
-    """SELECT o_orderkey, o_orderpriority,
-      |  CASE lower(trim(o_orderpriority))
-      |    WHEN '1-urgent' THEN 1 WHEN '2-high' THEN 2 WHEN '3-medium' THEN 3
-      |    ELSE -1 END AS priority_code
-      |FROM orders ORDER BY o_orderkey""".stripMargin
-
-  /** Column drop + snake_case normalization before load
-    * (reference load.py:118-138, transform.py drops customerID/gender). */
-  private def etlNormalizeCols(s: SparkSession, dir: String): DataFrame = {
-    val dropped = Tables.customer(s, dir).drop("c_name")
-    dropped.columns.foldLeft(dropped)((d, c) =>
-      d.withColumnRenamed(c, Features.snakeCase(c)))
-      .orderBy(col("c_custkey"))
-  }
-
-  private val etlNormalizeColsSql =
-    """SELECT c_custkey, c_nationkey, c_acctbal, c_mktsegment
-      |FROM customer ORDER BY c_custkey""".stripMargin
-
-  private def etlValidate(s: SparkSession, dir: String): DataFrame =
-    Validate.run(Tables.orders(s, dir), Seq(
-      Validate.noNulls("o_orderkey"),
-      Validate.minRows(1000L),
-      Validate.domainSubset("o_orderstatus", Seq("F", "O", "P")),
-      Validate.domainComplete("o_orderpriority",
-        Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")),
-      Validate.inRange("o_totalprice", 0.0, 1000000.0)
-    )).orderBy(col("rule"))
-
-  private val etlValidateSql =
-    """SELECT 'no_nulls_o_orderkey' AS rule,
-      |  CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS metric,
-      |  SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) = 0 AS passed FROM orders
-      |UNION ALL
-      |SELECT 'row_count', COUNT(*), COUNT(*) >= 1000 FROM orders
-      |UNION ALL
-      |SELECT 'domain_subset_o_orderstatus',
-      |  CAST(SUM(CASE WHEN o_orderstatus NOT IN ('F','O','P') AND o_orderstatus IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT),
-      |  SUM(CASE WHEN o_orderstatus NOT IN ('F','O','P') AND o_orderstatus IS NOT NULL THEN 1 ELSE 0 END) = 0 FROM orders
-      |UNION ALL
-      |SELECT 'domain_complete_o_orderpriority',
-      |  CAST(COUNT(DISTINCT CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW') THEN o_orderpriority END) AS BIGINT),
-      |  COUNT(DISTINCT CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW') THEN o_orderpriority END) = 5 FROM orders
-      |UNION ALL
-      |SELECT 'in_range_o_totalprice',
-      |  CAST(SUM(CASE WHEN o_totalprice < 0.0 OR o_totalprice > 1000000.0 THEN 1 ELSE 0 END) AS BIGINT),
-      |  SUM(CASE WHEN o_totalprice < 0.0 OR o_totalprice > 1000000.0 THEN 1 ELSE 0 END) = 0 FROM orders
-      |ORDER BY rule""".stripMargin
-
-  private def etlDateFeatures(s: SparkSession, dir: String): DataFrame = {
-    val feats = graft.etl.Features.dateFeatures(col("o_orderdate"))
-    Tables.orders(s, dir)
-      .select(col("o_orderkey") +: col("o_orderdate") +:
-        feats.map { case (n, c) => c.cast("int").as(n) }: _*)
-      .orderBy(col("o_orderkey"))
-  }
-
-  private val etlDateFeaturesSql =
-    """SELECT o_orderkey, o_orderdate,
-      |  CAST(year(o_orderdate) AS INT) AS year,
-      |  CAST(quarter(o_orderdate) AS INT) AS quarter,
-      |  CAST(month(o_orderdate) AS INT) AS month,
-      |  CAST(day(o_orderdate) AS INT) AS day,
-      |  CAST(CASE WHEN day(o_orderdate) = 1 THEN 1 ELSE 0 END AS INT) AS is_month_start,
-      |  CAST(day(last_day(o_orderdate)) AS INT) AS days_in_month
-      |FROM orders ORDER BY o_orderkey""".stripMargin
-
-  /** Wide→long unpivot (pandas melt): the four lineitem measures become
-    * (metric, value) rows — one Expand pass, no join, no shuffle until
-    * the demo sort. */
-  private def etlUnpivot(s: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(s, dir)
-      .filter(col("l_orderkey") <= 100)
-      .unpivot(
-        Array(col("l_orderkey"), col("l_linenumber")),
-        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax")),
-        "metric", "value")
-      .orderBy(col("l_orderkey"), col("l_linenumber"), col("metric"))
-
-  private val etlUnpivotSql =
-    """SELECT l_orderkey, l_linenumber, metric, value FROM (
-      |  SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS value FROM lineitem
-      |  UNION ALL
-      |  SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
-      |  UNION ALL
-      |  SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
-      |  UNION ALL
-      |  SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem)
-      |WHERE l_orderkey <= 100
-      |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin
-
-  /** Frequency + target encoding (categorical → numeric features): one
-    * aggregate over the category, broadcast back — the standard
-    * train-time encoder shape (at scale the tiny code table broadcasts;
-    * the fact side never shuffles). */
-  private def etlFreqEncode(s: SparkSession, dir: String): DataFrame = {
-    val ord = Tables.orders(s, dir)
-    val enc = ord.groupBy(col("o_orderpriority")).agg(
-      count(lit(1)).as("cnt"),
-      sum((col("o_orderstatus") === "F").cast("long")).as("nf"))
-    val total = ord.count()
-    ord.join(broadcast(enc), "o_orderpriority")
-      .select(col("o_orderkey"), col("o_orderpriority"),
-        round(col("cnt") / lit(total.toDouble), 8).as("freq_enc"),
-        round(col("nf") / col("cnt").cast("double"), 8).as("target_enc"))
-      .orderBy(col("o_orderkey"))
-  }
-
-  private val etlFreqEncodeSql =
-    """WITH e AS (
-      |  SELECT o_orderpriority, COUNT(*) AS cnt,
-      |    SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS nf
-      |  FROM orders GROUP BY o_orderpriority),
-      |t AS (SELECT COUNT(*) AS total FROM orders)
-      |SELECT o.o_orderkey, o.o_orderpriority,
-      |  ROUND(e.cnt / (t.total * 1.0), 8) AS freq_enc,
-      |  ROUND(e.nf / (e.cnt * 1.0), 8) AS target_enc
-      |FROM orders o JOIN e ON o.o_orderpriority = e.o_orderpriority CROSS JOIN t
-      |ORDER BY o.o_orderkey""".stripMargin
-
-  /** Column profiling report: null and exact-distinct counts for a set
-    * of columns in ONE aggregate pass (multi-distinct plans as a single
-    * Expand) — the schema-quality sibling of etl_validate. */
-  private def etlProfile(s: SparkSession, dir: String): DataFrame = {
-    val cols_ = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
-    val aggs = cols_.flatMap(c => Seq(
-      sum(col(c).isNull.cast("long")).as(s"nulls_$c"),
-      count_distinct(col(c)).as(s"dist_$c")))
-    val stacked = cols_.map(c => s"'$c', nulls_$c, dist_$c").mkString(", ")
-    Tables.orders(s, dir)
-      .agg(aggs.head, aggs.tail: _*)
-      .selectExpr(s"stack(${cols_.size}, $stacked) AS (column_name, n_nulls, n_distinct)")
-      .orderBy(col("column_name"))
-  }
-
-  private val etlProfileSql =
-    """SELECT 'o_orderkey' AS column_name,
-      |  CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
-      |  COUNT(DISTINCT o_orderkey) AS n_distinct FROM orders
-      |UNION ALL
-      |SELECT 'o_custkey', CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
-      |  COUNT(DISTINCT o_custkey) FROM orders
-      |UNION ALL
-      |SELECT 'o_orderstatus', CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
-      |  COUNT(DISTINCT o_orderstatus) FROM orders
-      |UNION ALL
-      |SELECT 'o_orderpriority', CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
-      |  COUNT(DISTINCT o_orderpriority) FROM orders
-      |ORDER BY column_name""".stripMargin
-
-  /** Cross-table integrity: FK orphan counts + key uniqueness, one
-    * (rule, metric, passed) report (validate.py's reconciliation idea
-    * generalized to referential checks). */
-  private def etlFkCheck(s: SparkSession, dir: String): DataFrame = {
-    val orders = Tables.orders(s, dir)
-    val r1 = Validate.refIntegrity(orders, "o_custkey", Tables.customer(s, dir), "c_custkey")
-    val r2 = Validate.refIntegrity(Tables.lineitem(s, dir), "l_orderkey", orders, "o_orderkey")
-    val r3 = Validate.run(orders, Seq(Validate.uniqueKey("o_orderkey")))
-    r1.unionAll(r2).unionAll(r3).orderBy(col("rule"))
-  }
-
-  private val etlFkCheckSql =
-    """SELECT 'ref_integrity_o_custkey_to_c_custkey' AS rule,
-      |  CAST(COUNT(*) AS BIGINT) AS metric, COUNT(*) = 0 AS passed
-      |FROM orders o WHERE o_custkey IS NOT NULL
-      |  AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
-      |UNION ALL
-      |SELECT 'ref_integrity_l_orderkey_to_o_orderkey',
-      |  CAST(COUNT(*) AS BIGINT), COUNT(*) = 0
-      |FROM lineitem l WHERE l_orderkey IS NOT NULL
-      |  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
-      |UNION ALL
-      |SELECT 'unique_key_o_orderkey',
-      |  CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT),
-      |  COUNT(*) - COUNT(DISTINCT o_orderkey) = 0
-      |FROM orders
-      |ORDER BY rule""".stripMargin
-
-  private def etlStringNorm(s: SparkSession, dir: String): DataFrame =
-    Tables.customer(s, dir)
-      .select(col("c_custkey"),
-        upper(col("c_name")).as("name_upper"),
-        regexp_replace(col("c_name"), "[0-9]+", "#").as("name_tpl"),
-        length(col("c_name")).cast("long").as("name_len"),
-        lpad(col("c_custkey").cast("string"), 10, "0").as("key_pad"),
-        concat_ws("|", col("c_mktsegment"), col("c_name")).as("tagged"))
-      .orderBy(col("c_custkey"))
-
-  private val etlStringNormSql =
-    """SELECT c_custkey,
-      |  upper(c_name) AS name_upper,
-      |  regexp_replace(c_name, '[0-9]+', '#', 'g') AS name_tpl,
-      |  CAST(length(c_name) AS BIGINT) AS name_len,
-      |  lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS key_pad,
-      |  concat_ws('|', c_mktsegment, c_name) AS tagged
-      |FROM customer ORDER BY c_custkey""".stripMargin
-
-  private def etlJsonExtract(s: SparkSession, dir: String): DataFrame =
-    Tables.events(s, dir)
-      .withColumn("parsed", from_json(col("props"),
-        org.apache.spark.sql.types.StructType.fromDDL("k INT")))
-      .select(col("event_id"), col("parsed.k").cast("long").as("k_val"))
-      .orderBy(col("event_id"))
-
-  private val etlJsonExtractSql =
-    """SELECT event_id,
-      |  CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k_val
-      |FROM events ORDER BY event_id""".stripMargin
-
-  private def etlSample(s: SparkSession, dir: String): DataFrame =
-    graft.operators.Sampling.hashSample(
-        Tables.orders(s, dir), col("o_orderkey"), rate16 = 4)
-      .select("o_orderkey", "o_totalprice")
-      .orderBy(col("o_orderkey"))
-
-  private val etlSampleSql =
-    """SELECT o_orderkey, o_totalprice FROM orders
-      |WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) < '4'
-      |ORDER BY o_orderkey""".stripMargin
-
-  /** Quantile bucketing (pd.qcut's distributed shape): ONE tiny
-    * aggregate computes the quartile boundaries, then assignment is a
-    * map-only CASE — no global sort, no ntile window over all rows.
-    * Boundaries are rounded once on both engines so an on-boundary row
-    * can't flip buckets over a last-ulp interpolation difference.
-    *
-    * The boundaries themselves come from the PrefixSum distinct-value
-    * scan (rank probes at ⌊q(n−1)⌋+1 and +1, interpolated with the
-    * exact quarter fraction in cents — quarter-cent values are even
-    * multiples of the 4-dp half-step, so the rounding can never flip),
-    * NOT from the exact `percentile` aggregate: that buffers a
-    * value→count map of every distinct price in ONE aggregator — the
-    * same 100×-scale memory cliff the per-group queries shed in r8,
-    * just global. */
-  private def etlQuantileBucketize(s: SparkSession, dir: String): DataFrame = {
-    val ord = Tables.orders(s, dir)
-    val raw = ord
-      .select((col("o_totalprice").cast("decimal(24,2)") * 100).cast("bigint").as("v"))
-    // raw-row scan (run-length merge in-pass) — the distinct-value
-    // groupBy reduced nothing over near-unique prices
-    val scan = graft.operators.PrefixSum.distinctRunningCounts(raw, Seq("v"))
-    val probes = raw.agg(count(lit(1)).as("n"))
-      .select(explode(array(lit(1L), lit(2L), lit(3L))).as("qid"), col("n"))
-      .select(col("qid"), (col("qid") * (col("n") - 1)).as("pos4"))
-      .select(col("qid"), expr("pos4 div 4 + 1").as("r_lo"), (col("pos4") % 4).as("f4"))
-    val hitLo = col("cnt_cum") >= col("r_lo") && col("cnt_cum") - col("cnt") < col("r_lo")
-    val hitHi = col("cnt_cum") >= col("r_lo") + 1 &&
-      col("cnt_cum") - col("cnt") < col("r_lo") + 1
-    val qs = scan.crossJoin(broadcast(probes))
-      .filter(hitLo || hitHi)
-      .groupBy(col("qid"))
-      .agg(max(when(hitLo, col("v"))).as("v_lo"),
-        max(when(hitHi, col("v"))).as("v_hi"), first(col("f4")).as("f4"))
-      .select(col("qid"),
-        round((col("v_lo").cast("double") + col("f4").cast("double") / lit(4.0) *
-          (coalesce(col("v_hi"), col("v_lo")) - col("v_lo")).cast("double")) / lit(100.0), 4)
-          .as("q"))
-      .orderBy(col("qid"))
-      .collect()
-    val (q1, q2, q3) = (qs(0).getDouble(1), qs(1).getDouble(1), qs(2).getDouble(1))
-    ord.select(col("o_orderkey"), col("o_totalprice"),
-        when(col("o_totalprice") <= q1, "q1")
-          .when(col("o_totalprice") <= q2, "q2")
-          .when(col("o_totalprice") <= q3, "q3")
-          .otherwise("q4").as("price_quartile"))
-      .orderBy(col("o_orderkey"))
-  }
-
-  private val etlQuantileBucketizeSql =
-    """WITH q AS (
-      |  SELECT ROUND(quantile_cont(o_totalprice, 0.25), 4) AS q1,
-      |         ROUND(quantile_cont(o_totalprice, 0.5), 4) AS q2,
-      |         ROUND(quantile_cont(o_totalprice, 0.75), 4) AS q3
-      |  FROM orders)
-      |SELECT o_orderkey, o_totalprice,
-      |  CASE WHEN o_totalprice <= q.q1 THEN 'q1'
-      |       WHEN o_totalprice <= q.q2 THEN 'q2'
-      |       WHEN o_totalprice <= q.q3 THEN 'q3'
-      |       ELSE 'q4' END AS price_quartile
-      |FROM orders CROSS JOIN q
-      |ORDER BY o_orderkey""".stripMargin
-
-  /** Time-series resample with gap filling: the full hourly spine
-    * (sequence + explode × distinct series) left-joins the observed
-    * aggregate; missing hours fill with zeros. */
-  private def anResample(s: SparkSession, dir: String): DataFrame = {
-    val hourly = Tables.events(s, dir)
-      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"), moneySum(col("value")).as("total_value"))
-    val bounds = hourly.agg(min(col("hour")).as("lo"), max(col("hour")).as("hi"))
-    val spine = bounds
-      .select(explode(sequence(col("lo"), col("hi"), expr("interval 1 hour"))).as("hour"))
-      .crossJoin(hourly.select(col("event_type")).distinct())
-    spine.join(hourly, Seq("hour", "event_type"), "left")
-      .select(col("hour"), col("event_type"),
-        coalesce(col("n"), lit(0L)).as("n"),
-        coalesce(col("total_value"), lit(0.0)).as("total_value"))
-      .orderBy(col("hour"), col("event_type"))
-  }
-
-  private val anResampleSql =
-    s"""WITH hourly AS (
-       |  SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n,
-       |    ${moneySumSql("value")} AS total_value
-       |  FROM events GROUP BY 1, 2),
-       |spine AS (
-       |  SELECT unnest(generate_series((SELECT MIN(hour) FROM hourly),
-       |                                (SELECT MAX(hour) FROM hourly),
-       |                                INTERVAL 1 HOUR)) AS hour),
-       |grid AS (SELECT s.hour, t.event_type
-       |         FROM spine s CROSS JOIN (SELECT DISTINCT event_type FROM hourly) t)
-       |SELECT g.hour, g.event_type,
-       |  COALESCE(h.n, 0) AS n, COALESCE(h.total_value, 0.0) AS total_value
-       |FROM grid g LEFT JOIN hourly h
-       |  ON g.hour = h.hour AND g.event_type = h.event_type
-       |ORDER BY g.hour, g.event_type""".stripMargin
-
-  /** Sketch aggregates (HLL distinct, t-digest quantile) — approximate
-    * by design, so checked by ScalaTest tolerance vs the exact values
-    * rather than a hash oracle. */
-  private def anApproxStats(s: SparkSession, dir: String): DataFrame =
-    Tables.orders(s, dir).agg(
-      approx_count_distinct(col("o_custkey")).as("approx_customers"),
-      percentile_approx(col("o_totalprice"), lit(0.5), lit(1000)).as("approx_median_price"),
-      count(lit(1)).as("n"))
-
-  /** Second-moment statistics (stddev, correlation) computed from EXACT
-    * decimal power sums rather than Spark's streaming co-moments, whose
-    * low bits depend on partition merge order — same closed formulas on
-    * both engines, bit-identical results. */
-  private def anStatsMoments(s: SparkSession, dir: String): DataFrame = {
-    def dsum(c: Column) = sum(c.cast("decimal(38,8)")).cast("double")
-    val x = col("l_quantity"); val y = col("l_extendedprice")
-    Tables.lineitem(s, dir)
-      .groupBy(col("l_returnflag"))
-      .agg(count(lit(1)).as("n"),
-        dsum(x).as("sx"), dsum(y).as("sy"),
-        dsum(x * x).as("sxx"), dsum(y * y).as("syy"), dsum(x * y).as("sxy"))
-      // rounded: the squared-price sums overflow the 2^53 exact window,
-      // so the two engines' decimal→double conversions can differ by
-      // 1 ulp; rounding leaves ~6 orders of margin over that wobble
-      .select(col("l_returnflag"), col("n"),
-        round((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1), 6).as("var_qty"),
-        round(sqrt((col("syy") - col("sy") * col("sy") / col("n")) / (col("n") - 1)), 6).as("stddev_price"),
-        round((col("sxy") - col("sx") * col("sy") / col("n")) /
-          (sqrt(col("sxx") - col("sx") * col("sx") / col("n")) *
-            sqrt(col("syy") - col("sy") * col("sy") / col("n"))), 6).as("corr_qty_price"))
-      .orderBy(col("l_returnflag"))
-  }
-
-  private val anStatsMomentsSql =
-    """WITH m AS (
-      |  SELECT l_returnflag, COUNT(*) AS n,
-      |    CAST(SUM(CAST(l_quantity AS DECIMAL(38,8))) AS DOUBLE) AS sx,
-      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,8))) AS DOUBLE) AS sy,
-      |    CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,8))) AS DOUBLE) AS sxx,
-      |    CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,8))) AS DOUBLE) AS syy,
-      |    CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,8))) AS DOUBLE) AS sxy
-      |  FROM lineitem GROUP BY l_returnflag)
-      |SELECT l_returnflag, n,
-      |  ROUND((sxx - sx * sx / n) / (n - 1), 6) AS var_qty,
-      |  ROUND(sqrt((syy - sy * sy / n) / (n - 1)), 6) AS stddev_price,
-      |  ROUND((sxy - sx * sy / n) / (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n)), 6) AS corr_qty_price
-      |FROM m ORDER BY l_returnflag""".stripMargin
-
-  /** Exact interpolated quantiles per group (`quantile_cont`
-    * semantics: position q·(n−1), linear interpolation) WITHOUT a
-    * value-buffering percentile aggregate — Spark's exact `percentile`
-    * holds a per-group value→count map, which on a continuous money
-    * column grows linearly with the data (the 100×-scale memory
-    * cliff). Instead: collapse to distinct (group, cents) counts, run
-    * ONE [[graft.operators.PrefixSum]] scan over the composite
-    * (group, value) order — per-group cumulative = global running
-    * total − the group's offset, where offsets come from the
-    * groups-sized totals table — then pick each probe rank's crossing
-    * row. Interpolation fractions are quarters ((n−1)·pct mod 100 ∈
-    * {0,25,50,75}), so the interpolated cents value is exact binary
-    * and the 4-dp emission can never sit on a rounding boundary
-    * (multiples of $0.0025 are even multiples of the $0.00005
-    * half-step). State: distinct values only, fully distributed. */
-  private def anQuantilesByGroup(s: SparkSession, dir: String): DataFrame = {
-    val raw = Tables.orders(s, dir)
-      .select(col("o_orderpriority").as("g"),
-        (col("o_totalprice").cast("decimal(24,2)") * 100).cast("bigint").as("v"))
-    // raw-row scan (run-length merge in-pass) — the distinct-value
-    // groupBy reduced nothing over near-unique prices
-    val scan = graft.operators.PrefixSum.distinctRunningCounts(raw, Seq("g", "v"))
-    // group-count-sized (5 rows): offsets of each group within the scan
-    val wOff = Window.orderBy("g").rowsBetween(Window.unboundedPreceding, -1)
-    val probes = raw.groupBy("g").agg(count(lit(1)).as("n"))
-      .withColumn("off", coalesce(sum("n").over(wOff), lit(0L)))
-      .select(col("g"), col("n"), col("off"),
-        explode(array(lit(25L), lit(50L), lit(75L))).as("pct"))
-      .withColumn("k_lo", expr("(n - 1) * pct div 100 + 1"))
-      .withColumn("rem", expr("(n - 1) * pct % 100"))
-      .withColumn("k_hi", col("k_lo") + when(col("rem") > 0, 1L).otherwise(0L))
-    val hitLo = col("cum") >= col("k_lo") && col("cum") - col("cnt") < col("k_lo")
-    val hitHi = col("cum") >= col("k_hi") && col("cum") - col("cnt") < col("k_hi")
-    scan.join(broadcast(probes), Seq("g"))
-      .withColumn("cum", col("cnt_cum") - col("off"))
-      .filter(hitLo || hitHi)
-      .groupBy(col("g"), col("pct"))
-      .agg(max(when(hitLo, col("v"))).as("v_lo"),
-        max(when(hitHi, col("v"))).as("v_hi"),
-        first(col("rem")).as("rem"))
-      .withColumn("value", round(
-        (col("v_lo").cast("double") + col("rem").cast("double") / 100.0
-          * (col("v_hi") - col("v_lo")).cast("double")) / 100.0, 4))
-      .groupBy(col("g").as("o_orderpriority"))
-      .agg(max(when(col("pct") === 25, col("value"))).as("p25"),
-        max(when(col("pct") === 50, col("value"))).as("p50"),
-        max(when(col("pct") === 75, col("value"))).as("p75"))
-      .orderBy(col("o_orderpriority"))
-  }
-
-  private val anQuantilesByGroupSql =
-    """SELECT o_orderpriority,
-      |  ROUND(quantile_cont(o_totalprice, 0.25), 4) AS p25,
-      |  ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
-      |  ROUND(quantile_cont(o_totalprice, 0.75), 4) AS p75
-      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
-
-  /** Group-wise top-k through the bounded-memory typed Aggregator
-    * (O(k) state per group with map-side combine — see
-    * graft.functions.TopKAggregate) instead of a full window sort.
-    * Results identical to the rank() formulation, which is the oracle. */
-  private def qTopkPerGroup(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val agg = new graft.functions.TopKAggregate(5)
-    Tables.orders(s, dir)
-      .select(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
-      .as[(String, Double, Long)]
-      .groupByKey(_._1)
-      .mapValues(r => (r._2, r._3))
-      .agg(agg.toColumn.name("topk"))
-      .flatMap { case (prio, topk) =>
-        topk.zipWithIndex.map { case ((price, key), i) => (prio, key, price, i + 1) }
-      }
-      .toDF("o_orderpriority", "o_orderkey", "o_totalprice", "rank")
-      .orderBy(col("o_orderpriority"), col("rank"))
-  }
-
-  private val qTopkPerGroupSql =
-    """SELECT o_orderpriority, o_orderkey, o_totalprice, CAST(rn AS INT) AS rank
-      |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderpriority
-      |        ORDER BY o_totalprice DESC, o_orderkey) AS rn
-      |      FROM orders) t
-      |WHERE rn <= 5
-      |ORDER BY o_orderpriority, rank""".stripMargin
-
-  /** Corpus bigram document frequencies (top 20). */
-  private def textNgramFreq(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
-      .select(explode(graft.text.TextFunctions.shingles(col("text"), 2)).as("ngram"))
-      .groupBy(col("ngram")).agg(count(lit(1)).as("df"))
-      .orderBy(col("df").desc, col("ngram"))
-      .limit(20)
-
-  private val textNgramFreqSql =
-    """WITH sh AS (
-      |  SELECT doc_id, unnest(list_distinct([w[i] || ' ' || w[i+1] for i in range(1, len(w))])) AS ngram
-      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))
-      |SELECT ngram, COUNT(*) AS df FROM sh
-      |GROUP BY ngram ORDER BY df DESC, ngram LIMIT 20""".stripMargin
-
-  /** Time-RANGE rolling window: per customer, the 30-day trailing spend
-    * at each order — a range frame over epoch seconds, not a row frame,
-    * so peers at equal timestamps aggregate identically on any engine. */
-  private def anRolling30d(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("o_custkey"))
-      .orderBy(col("ts_sec"))
-      .rangeBetween(-30L * 86400L, 0L)
-    Tables.orders(s, dir)
-      .withColumn("ts_sec", unix_timestamp(col("o_orderdate")))
-      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
-        sum(col("o_totalprice").cast("decimal(24,8)")).over(w)
-          .cast("decimal(24,2)").cast("double").as("spend_30d"),
-        count(lit(1)).over(w).as("n_orders_30d"))
-      .orderBy(col("o_orderkey"))
-  }
-
-  private val anRolling30dSql =
-    """SELECT o_orderkey, o_custkey, o_orderdate,
-      |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(24,8))) OVER w, 2) AS DOUBLE) AS spend_30d,
-      |  COUNT(*) OVER w AS n_orders_30d
-      |FROM orders
-      |WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
-      |  RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)
-      |ORDER BY o_orderkey""".stripMargin
-
-  /** SCD Type-2 interval construction: each per-customer status change
-    * becomes a [valid_from, valid_to) row via lead() — the standard
-    * slowly-changing-dimension history build, one shuffle on the key. */
-  private def etlScd2(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("o_custkey"))
-      .orderBy(col("o_orderdate"), col("o_orderkey"))
-    Tables.orders(s, dir)
-      .select(col("o_custkey"), col("o_orderkey"), col("o_orderstatus"),
-        col("o_orderdate").as("valid_from"),
-        lead(col("o_orderdate"), 1).over(w).as("valid_to"),
-        (lead(col("o_orderdate"), 1).over(w).isNull).as("is_current"))
-      .orderBy(col("o_custkey"), col("o_orderkey"))
-  }
-
-  private val etlScd2Sql =
-    """SELECT o_custkey, o_orderkey, o_orderstatus,
-      |  o_orderdate AS valid_from,
-      |  LEAD(o_orderdate, 1) OVER w AS valid_to,
-      |  LEAD(o_orderdate, 1) OVER w IS NULL AS is_current
-      |FROM orders
-      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
-      |ORDER BY o_custkey, o_orderkey""".stripMargin
-
-  /** Window-function suite: lag/lead/ntile/percent_rank/dense_rank over
-    * per-customer order history. */
-  private def qWindowFuncs(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("o_custkey"))
-      .orderBy(col("o_orderdate"), col("o_orderkey"))
-    Tables.orders(s, dir)
-      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
-        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
-        lead(col("o_totalprice"), 1).over(w).as("next_price"),
-        ntile(4).over(w).as("quartile"),
-        percent_rank().over(w).as("pct_rank"),
-        dense_rank().over(w).as("drank"))
-      .orderBy(col("o_custkey"), col("o_orderkey"))
-  }
-
-  private val qWindowFuncsSql =
-    """SELECT o_custkey, o_orderkey, o_totalprice,
-      |  LAG(o_totalprice, 1) OVER w AS prev_price,
-      |  LEAD(o_totalprice, 1) OVER w AS next_price,
-      |  CAST(NTILE(4) OVER w AS INT) AS quartile,
-      |  PERCENT_RANK() OVER w AS pct_rank,
-      |  CAST(DENSE_RANK() OVER w AS INT) AS drank
-      |FROM orders
-      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
-      |ORDER BY o_custkey, o_orderkey""".stripMargin
-
-  /** Argmax per group with pinned tie-break (row_number, not max_by —
-    * max_by picks arbitrarily among ties). */
-  private def qArgmax(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("c_mktsegment"))
-      .orderBy(col("c_acctbal").desc, col("c_custkey"))
-    Tables.customer(s, dir)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select("c_mktsegment", "c_custkey", "c_acctbal")
-      .orderBy(col("c_mktsegment"))
-  }
-
-  private val qArgmaxSql =
-    """SELECT c_mktsegment, c_custkey, c_acctbal FROM (
-      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY c_mktsegment
-      |    ORDER BY c_acctbal DESC, c_custkey) AS rn
-      |  FROM customer) t
-      |WHERE rn = 1 ORDER BY c_mktsegment""".stripMargin
-
-  // ------------------------------------------------------------ B. analytics
-
-  private def anSummaryStats(s: SparkSession, dir: String): DataFrame =
-    Summary.summaryStats(Tables.orders(s, dir), col("o_orderstatus") === "F")
-      .orderBy(col("metric"))
-
-  private val anSummaryStatsSql =
-    """SELECT metric, value FROM (
-      |  SELECT 'total_rows' AS metric, CAST(COUNT(*) AS DOUBLE) AS value FROM orders
-      |  UNION ALL
-      |  SELECT 'unique_rows', CAST(COUNT(*) AS DOUBLE) FROM (SELECT DISTINCT * FROM orders)
-      |  UNION ALL
-      |  SELECT 'flag_percentage',
-      |    SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) * 100.0 / COUNT(*) FROM orders
-      |) ORDER BY metric""".stripMargin
-
-  private def anRateByGroup(s: SparkSession, dir: String): DataFrame =
-    Summary.rateByGroup(Tables.orders(s, dir), "o_orderpriority",
-      col("o_orderstatus") === "F")
-
-  private val anRateByGroupSql =
-    """SELECT o_orderpriority,
-      |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS rate
-      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
-
-  private def anValueCountsPct(s: SparkSession, dir: String): DataFrame =
-    Summary.valueCountsPct(Tables.customer(s, dir), "c_mktsegment")
-
-  private val anValueCountsPctSql =
-    """SELECT c_mktsegment, COUNT(*) AS count,
-      |  ROUND(COUNT(*) * 100.0 / SUM(COUNT(*)) OVER (), 2) AS pct
-      |FROM customer GROUP BY c_mktsegment
-      |ORDER BY count DESC, c_mktsegment""".stripMargin
-
-  private def anAvgByGroup(s: SparkSession, dir: String): DataFrame =
-    Summary.avgByGroup(Tables.orders(s, dir), "o_orderpriority", "o_totalprice")
-
-  private val anAvgByGroupSql =
-    """SELECT o_orderpriority,
-      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE) / COUNT(o_totalprice) AS avg_o_totalprice
-      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
-
-  private def anPivotCrosstab(s: SparkSession, dir: String): DataFrame =
-    Summary.crosstab(Tables.orders(s, dir), "o_orderpriority", "o_orderstatus",
-      Seq("F", "O", "P"))
-
-  /** Spark's native pivot operator (vs an_pivot_crosstab's manual
-    * conditional aggregation): explicit value list keeps it one
-    * aggregate pass with no distinct-values pre-scan. */
-  private def qPivot(s: SparkSession, dir: String): DataFrame =
-    Tables.orders(s, dir)
-      .groupBy(col("o_orderpriority"))
-      .pivot("o_orderstatus", Seq("F", "O", "P"))
-      .agg(moneySum(col("o_totalprice")))
-      .withColumnsRenamed(Map("F" -> "f_total", "O" -> "o_total", "P" -> "p_total"))
-      .orderBy(col("o_orderpriority"))
-
-  private val qPivotSql =
-    s"""SELECT o_orderpriority,
-       |  ${moneySumSql("CASE WHEN o_orderstatus = 'F' THEN o_totalprice END")} AS f_total,
-       |  ${moneySumSql("CASE WHEN o_orderstatus = 'O' THEN o_totalprice END")} AS o_total,
-       |  ${moneySumSql("CASE WHEN o_orderstatus = 'P' THEN o_totalprice END")} AS p_total
-       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
-
-  private val anPivotCrosstabSql =
-    """SELECT o_orderpriority,
-      |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS f_count,
-      |  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS o_count,
-      |  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS p_count
-      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
-
-  private def anHistogram(s: SparkSession, dir: String): DataFrame =
-    Summary.histogram(Tables.orders(s, dir), "o_totalprice", 0.0, 500000.0, 20)
-
-  private val anHistogramSql =
-    """SELECT CAST(LEAST(GREATEST(FLOOR((o_totalprice - 0.0) / 25000.0), 0), 19) AS INT) AS bucket,
-      |  0.0 + CAST(LEAST(GREATEST(FLOOR((o_totalprice - 0.0) / 25000.0), 0), 19) AS INT) * 25000.0 AS lo,
-      |  COUNT(*) AS count
-      |FROM orders WHERE o_totalprice IS NOT NULL
-      |GROUP BY 1, 2 ORDER BY bucket""".stripMargin
-
-  /** Count-Min heavy-hitter probe: one-pass depth-3/width-1024 sketch
-    * over lineitem supplier keys, then point estimates for suppkeys
-    * 1..20 next to the exact counts. The sketch shuffle is ≤ 3·1024
-    * rows per task at ANY input scale — contrast the exact count's
-    * full `groupBy(l_suppkey)` shuffle (kept here only because the
-    * probe set is verification-sized). DuckDB replays the identical
-    * bucket math, so `est` is hash-verified, not just bounds-checked.
-    */
-  private def anCmsHeavy(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(s, dir).select(col("l_suppkey"))
-    val cells = graft.functions.Sketches.cmsCells(li, col("l_suppkey"), 1024)
-    val probes = s.range(1, 21).select(col("id").as("suppkey"))
-    val exact = li.groupBy(col("l_suppkey").cast("long").as("suppkey"))
-      .agg(count(lit(1)).as("exact_count"))
-    graft.functions.Sketches.cmsEstimate(cells, probes, col("suppkey"), 1024)
-      .withColumnRenamed("k", "suppkey")
-      .join(broadcast(exact.join(broadcast(probes), Seq("suppkey"))), Seq("suppkey"), "left")
-      .select(col("suppkey"), col("est"),
-        coalesce(col("exact_count"), lit(0L)).as("exact_count"))
-  }
-
-  private val anCmsHeavySql =
-    """WITH seeds(d, a, b) AS (VALUES (0, 1000003, 12289), (1, 998244353, 769), (2, 786433, 65537)),
-      |k_rows AS (SELECT CAST(l_suppkey AS BIGINT) AS k FROM lineitem),
-      |cells AS (
-      |  SELECT d, ((k * a + b) % 2147483647) % 1024 AS bucket, count(*) AS c
-      |  FROM k_rows CROSS JOIN seeds GROUP BY 1, 2),
-      |probes AS (SELECT CAST(range AS BIGINT) AS suppkey FROM range(1, 21)),
-      |pb AS (SELECT suppkey, d, ((suppkey * a + b) % 2147483647) % 1024 AS bucket
-      |       FROM probes CROSS JOIN seeds),
-      |est AS (SELECT suppkey, min(coalesce(c, 0)) AS est
-      |        FROM pb LEFT JOIN cells USING (d, bucket) GROUP BY 1),
-      |ex AS (SELECT CAST(l_suppkey AS BIGINT) AS suppkey, count(*) AS exact_count
-      |       FROM lineitem GROUP BY 1)
-      |SELECT p.suppkey, e.est, coalesce(x.exact_count, 0) AS exact_count
-      |FROM probes p JOIN est e USING (suppkey) LEFT JOIN ex x USING (suppkey)""".stripMargin
-
-  /** HyperLogLog distinct customers per order priority plus a merged
-    * "ALL" row computed by register-wise max of the per-group sketches
-    * — the mergeability that lets a 1000-executor cluster union
-    * per-partition sketches instead of re-scanning. z_scaled is an
-    * exact integer (sum of powers of two), so the oracle compares the
-    * sketch state itself bit-for-bit; `est` adds one deterministic
-    * double division on top. Exact distincts ride along for reference.
-    */
-  private def anHllDistinct(s: SparkSession, dir: String): DataFrame = {
-    import graft.functions.Sketches
-    val m = 64
-    val ords = Tables.orders(s, dir)
-      .select(col("o_orderpriority").as("grp"), col("o_custkey"))
-    val perGrp = Sketches.hllRegisters(ords, col("o_custkey"), m, Seq("grp"))
-    val merged = perGrp.groupBy(col("register"))
-      .agg(max("rho").as("rho")).withColumn("grp", lit("ALL"))
-    val z = perGrp.unionByName(merged)
-      .groupBy("grp").agg(Sketches.hllZScaled(m))
-    val exact = ords.groupBy("grp").agg(countDistinct(col("o_custkey")).as("exact_distinct"))
-      .unionByName(ords.agg(countDistinct(col("o_custkey")).as("exact_distinct"))
-        .withColumn("grp", lit("ALL")))
-    z.select(col("grp"), col("z_scaled"),
-        Sketches.hllEstimate(m, col("z_scaled")).as("est"))
-      .join(broadcast(exact), Seq("grp"))
-  }
-
-  private val anHllDistinctSql =
-    s"""WITH t1 AS (
-      |  SELECT o_orderpriority AS grp,
-      |         ((CAST(o_custkey AS BIGINT) * 1000003 + 12289) % 2147483647) AS x
-      |  FROM orders),
-      |t2 AS (SELECT grp, xor(x, x >> 15) AS x FROM t1),
-      |t3 AS (SELECT grp, (x * 786433) % 2147483647 AS x FROM t2),
-      |h_rows AS (SELECT grp, xor(x, x >> 13) AS h FROM t3),
-      |hit AS (
-      |  SELECT grp, h % 64 AS register,
-      |         max(CASE WHEN h // 64 = 0 THEN 26 ELSE 26 - length(bin(h // 64)) END) AS rho
-      |  FROM h_rows GROUP BY 1, 2),
-      |spine AS (SELECT grp, CAST(range AS BIGINT) AS register
-      |          FROM (SELECT DISTINCT o_orderpriority AS grp FROM orders) CROSS JOIN range(0, 64)),
-      |full_regs AS (SELECT s.grp, s.register, coalesce(t.rho, 0) AS rho
-      |              FROM spine s LEFT JOIN hit t USING (grp, register)),
-      |all_regs AS (SELECT 'ALL' AS grp, register, max(rho) AS rho FROM full_regs GROUP BY 2),
-      |both_regs AS (SELECT * FROM full_regs UNION ALL SELECT * FROM all_regs),
-      |z AS (SELECT grp, CAST(sum(67108864 // (1 << rho)) AS BIGINT) AS z_scaled
-      |      FROM both_regs GROUP BY 1),
-      |ex AS (SELECT o_orderpriority AS grp, count(DISTINCT o_custkey) AS exact_distinct
-      |       FROM orders GROUP BY 1
-      |       UNION ALL
-      |       SELECT 'ALL', count(DISTINCT o_custkey) FROM orders)
-      |SELECT z.grp, z.z_scaled,
-      |       CAST(floor(${graft.functions.Sketches.hllAlphaNum(64)} / z.z_scaled) AS BIGINT) AS est,
-      |       ex.exact_distinct
-      |FROM z JOIN ex USING (grp)""".stripMargin
-
-  /** HLL set-operation estimates between two customer cohorts (orders
-    * with even vs %3==0 order keys — overlapping by construction):
-    * |A∪B| from the element-wise-max merged register table (an
-    * HLL-native operation), |A∩B| by inclusion-exclusion. The register
-    * pipeline is the same tempered integer hash the oracle replays, so
-    * est_a/est_b/est_union/est_intersect are ALL hash-verified — the
-    * triage-grade error model is documented, but the arithmetic is
-    * bit-exact. At 100 TB this answers "how much does corpus B overlap
-    * A" with two fixed-size sketch passes and no join. */
-  private def anHllSetEst(s: SparkSession, dir: String): DataFrame = {
-    import graft.functions.Sketches
-    val m = 64
-    val o = Tables.orders(s, dir)
-    val a = Sketches.hllRegisters(o.filter(col("o_orderkey") % 2 === 0), col("o_custkey"), m)
-    val b = Sketches.hllRegisters(o.filter(col("o_orderkey") % 3 === 0), col("o_custkey"), m)
-    Sketches.hllSetEstimates(a, b, m)
-  }
-
-  private val anHllSetEstSql = {
-    val alphaNum = graft.functions.Sketches.hllAlphaNum(64)
-    def regs(name: String, pred: String) =
-      s"""${name}_t1 AS (SELECT ((CAST(o_custkey AS BIGINT) * 1000003 + 12289) % 2147483647) AS x
-         |  FROM orders WHERE $pred),
-         |${name}_t2 AS (SELECT xor(x, x >> 15) AS x FROM ${name}_t1),
-         |${name}_t3 AS (SELECT (x * 786433) % 2147483647 AS x FROM ${name}_t2),
-         |${name}_h AS (SELECT xor(x, x >> 13) AS h FROM ${name}_t3),
-         |${name}_hit AS (SELECT h % 64 AS register,
-         |    max(CASE WHEN h // 64 = 0 THEN 26 ELSE 26 - length(bin(h // 64)) END) AS rho
-         |  FROM ${name}_h GROUP BY 1),
-         |${name}_regs AS (SELECT CAST(s.range AS BIGINT) AS register, coalesce(t.rho, 0) AS rho
-         |  FROM range(0, 64) s LEFT JOIN ${name}_hit t ON s.range = t.register)""".stripMargin
-    s"""WITH ${regs("a", "o_orderkey % 2 = 0")},
-       |${regs("b", "o_orderkey % 3 = 0")},
-       |u_regs AS (SELECT register, max(rho) AS rho
-       |  FROM (SELECT * FROM a_regs UNION ALL SELECT * FROM b_regs) GROUP BY 1),
-       |za AS (SELECT CAST(floor($alphaNum / sum(67108864 // (1 << rho))) AS BIGINT) AS est_a FROM a_regs),
-       |zb AS (SELECT CAST(floor($alphaNum / sum(67108864 // (1 << rho))) AS BIGINT) AS est_b FROM b_regs),
-       |zu AS (SELECT CAST(floor($alphaNum / sum(67108864 // (1 << rho))) AS BIGINT) AS est_union FROM u_regs)
-       |SELECT est_a, est_b, est_union,
-       |       greatest(CAST(0 AS BIGINT), est_a + est_b - est_union) AS est_intersect
-       |FROM za CROSS JOIN zb CROSS JOIN zu""".stripMargin
-  }
-
-  /** t-digest body quantiles per return flag (SURVEY's last declared
-    * leftover): mergeable O(δ) centroid state per group, k1 scale
-    * function concentrating resolution at the tails. Estimates are
-    * partition-split dependent within the t-digest rank-error envelope,
-    * so this is oracle=rows (stable 3×4 output grid) with the accuracy
-    * envelope pinned in TDigestSpec — the hash-verifiable quantile
-    * family lives in an_kll_rank / an_tail_quantiles. The per-group
-    * digests are centroid lists small enough to collect; the probe
-    * evaluation is driver-side arithmetic over that model-sized state
-    * (same posture as KMeans centroids). */
-  private def anTdigest(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val td = udaf(new graft.functions.TDigest(100))
-    val probes = Seq(0.25, 0.5, 0.75, 0.95)
-    val digests = Tables.lineitem(s, dir)
-      .groupBy(col("l_returnflag").as("grp"))
-      .agg(td(col("l_extendedprice")).as("cs"))
-      .as[(String, Seq[graft.functions.Centroid])].collect()
-    val out = for ((g, cs) <- digests.toSeq; q <- probes)
-      yield (g, q, graft.functions.TDigest.quantile(cs, q))
-    out.toDF("grp", "q", "est").orderBy(col("grp"), col("q"))
-  }
-
-  /** Space-Saving heavy hitters over a 32-key domain: capacity 64 ≥
-    * distinct keys puts the sketch in its exact regime (no eviction →
-    * deterministic, DuckDB-comparable counts, err = 0); the eviction /
-    * merge-widening regime is property-tested in SpaceSavingSpec. The
-    * buffer is O(capacity) per task and combines map-side — at 100 TB
-    * the shuffle carries 64 counters per task, not the key space. */
-  private def anHeavyHitters(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val ks = Tables.lineitem(s, dir)
-      .select((col("l_suppkey") % 32).cast("long").as("k")).as[Long]
-    ks.select(new graft.functions.SpaceSaving(64).toColumn.name("hh"))
-      .select(explode(col("hh")).as("h"))
-      .select(col("h._1").as("k"), col("h._2").as("est"), col("h._3").as("err"))
-  }
-
-  private val anHeavyHittersSql =
-    """SELECT l_suppkey % 32 AS k, count(*) AS est, CAST(0 AS BIGINT) AS err
-      |FROM lineitem GROUP BY 1""".stripMargin
-
-  /** Join-cardinality estimation by CMS inner product (Cormode &
-    * Muthukrishnan §4.2): |A ⋈ B on k| = Σ_k f_A(k)·f_B(k), estimated
-    * as min over depths of the bucket-wise count product — each side
-    * is ONE fixed-size sketch pass, no shuffle of either table, which
-    * is how a planner sizes a 100 TB join before running it. The
-    * expected overestimate is n_A·n_B/width per depth (width 16384
-    * keeps it under ~10% here); the exact join count rides along to
-    * show the error. DuckDB replays both sketches and the product, so
-    * the ESTIMATE itself is hash-verified. */
-  private def anJoinSizeEst(s: SparkSession, dir: String): DataFrame = {
-    import graft.functions.Sketches
-    val w = 16384
-    val oc = Sketches.cmsCells(
-      Tables.orders(s, dir).select(col("o_custkey")), col("o_custkey"), w)
-    val cc = Sketches.cmsCells(
-      Tables.customer(s, dir).select(col("c_custkey")), col("c_custkey"), w)
-    val est = oc.withColumnRenamed("c", "ca")
-      .join(cc.withColumnRenamed("c", "cb"), Seq("d", "bucket"))
-      .groupBy("d").agg(sum(col("ca") * col("cb")).as("z"))
-      .agg(min(col("z")).as("est_join_rows"))
-    val exact = Tables.orders(s, dir)
-      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
-      .agg(count(lit(1)).as("exact_join_rows"))
-    est.crossJoin(exact)
-  }
-
-  private val anJoinSizeEstSql =
-    """WITH seeds(d, a, b) AS (VALUES (0, 1000003, 12289), (1, 998244353, 769), (2, 786433, 65537)),
-      |oc AS (SELECT d, ((CAST(o_custkey AS BIGINT) * a + b) % 2147483647) % 16384 AS bucket,
-      |              count(*) AS ca
-      |       FROM orders CROSS JOIN seeds GROUP BY 1, 2),
-      |cc AS (SELECT d, ((CAST(c_custkey AS BIGINT) * a + b) % 2147483647) % 16384 AS bucket,
-      |              count(*) AS cb
-      |       FROM customer CROSS JOIN seeds GROUP BY 1, 2),
-      |z AS (SELECT oc.d, sum(oc.ca * cc.cb) AS z
-      |      FROM oc JOIN cc ON oc.d = cc.d AND oc.bucket = cc.bucket GROUP BY 1),
-      |est AS (SELECT CAST(min(z) AS BIGINT) AS est_join_rows FROM z),
-      |ex AS (SELECT count(*) AS exact_join_rows
-      |       FROM orders JOIN customer ON o_custkey = c_custkey)
-      |SELECT est.est_join_rows, ex.exact_join_rows FROM est, ex""".stripMargin
-
-  /** Benchmark decontamination: flag corpus documents sharing any
-    * 5-token shingle with a benchmark set (docs 0..19 stand in for the
-    * held-out eval set) — the GPT-3/Pile-style n-gram contamination
-    * check. The benchmark gram set is tiny by construction and
-    * broadcasts; the corpus side explodes to (doc_id, gram) and
-    * semi-joins without shuffling, then the count aggregate carries
-    * only matched scalars — at 100 TB the corpus never moves, exactly
-    * like the other broadcast-probe operators. */
-  private def textContaminate(s: SparkSession, dir: String): DataFrame = {
-    val grams = Tables.documents(s, dir)
-      .select(col("doc_id"), graft.text.TextFunctions.words(col("text")).as("ws"))
-      // sequence(1, n) with n < 1 would generate DESCENDING [1..n] —
-      // guard short docs to an empty gram list instead
-      .select(col("doc_id"), explode(expr(
-        """CASE WHEN size(ws) >= 5
-          |THEN transform(sequence(1, size(ws) - 4), i -> array_join(slice(ws, i, 5), ' '))
-          |ELSE array() END""".stripMargin)).as("gram"))
-    val bench = grams.filter(col("doc_id") < 20).select("gram").distinct()
-    grams.filter(col("doc_id") >= 20)
-      .join(broadcast(bench), Seq("gram"), "left_semi")
-      .groupBy("doc_id").agg(countDistinct(col("gram")).as("n_hits"))
-      .orderBy(col("doc_id"))
-  }
-
-  private val textContaminateSql =
-    """WITH lists AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
-      |grams AS (SELECT doc_id, array_to_string(l[i:i+4], ' ') AS gram
-      |          FROM lists, UNNEST(range(1, greatest(len(l) - 3, 1))) AS t(i)),
-      |bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id < 20)
-      |SELECT g.doc_id, count(DISTINCT g.gram) AS n_hits
-      |FROM grams g JOIN bench b USING (gram)
-      |WHERE g.doc_id >= 20
-      |GROUP BY 1 ORDER BY doc_id""".stripMargin
-
-  /** Mann–Kendall trend test over daily revenue — the nonparametric
-    * complement to an_linreg's slope and an_runs_test's randomness
-    * check: S = Σ_{i<j} sign(y_j − y_i) over the ~30-day series, with
-    * the tie-corrected variance, both EXACT integers (the pair frame is
-    * days², tiny at any SF because the distributed part is the daily
-    * aggregate); z is one IEEE expression over those integers,
-    * ROUND(·,6) by the statistical-family convention. */
-  private def anMannKendall(s: SparkSession, dir: String): DataFrame = {
-    val daily = Tables.events(s, dir)
-      .groupBy(date_trunc("day", col("ts")).as("day"))
-      .agg(sum((col("value").cast("decimal(24,2)") * 100).cast("bigint")).as("v"))
-    val a = daily.select(col("day").as("d1"), col("v").as("v1"))
-    val b = daily.select(col("day").as("d2"), col("v").as("v2"))
-    val pairs = a.join(b, col("d1") < col("d2"))
-      .agg(sum(signum(col("v2") - col("v1")).cast("long")).as("s_stat"))
-    val ties = daily.groupBy(col("v")).agg(count(lit(1)).as("t"))
-      .agg(sum(expr("t * (t - 1) * (2 * t + 5)")).as("tie_adj"),
-        sum(col("t")).as("n"))
-    pairs.crossJoin(ties)
-      .select(col("n"), col("s_stat"),
-        (expr("n * (n - 1) * (2 * n + 5)") - col("tie_adj")).as("var18x"))
-      .select(col("n"), col("s_stat"),
-        // A constant (or single-day) series has var18x = 0; define z = 0
-        // there instead of emitting NULL/NaN from the zero division.
-        round(
-          when(col("var18x") > 0,
-            when(col("s_stat") > 0, (col("s_stat") - 1).cast("double"))
-              .when(col("s_stat") < 0, (col("s_stat") + 1).cast("double"))
-              .otherwise(lit(0.0)) /
-              sqrt(col("var18x").cast("double") / lit(18.0)))
-            .otherwise(lit(0.0)), 6).as("z_mk"))
-  }
-
-  private val anMannKendallSql =
-    """WITH daily AS (SELECT date_trunc('day', ts) AS day,
-      |    CAST(SUM(CAST(CAST(value AS DECIMAL(24,2)) * 100 AS BIGINT)) AS BIGINT) AS v
-      |  FROM events GROUP BY 1),
-      |p AS (SELECT CAST(SUM(CASE WHEN b.v > a.v THEN 1
-      |                           WHEN b.v < a.v THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
-      |      FROM daily a JOIN daily b ON a.day < b.day),
-      |t AS (SELECT CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_adj,
-      |             CAST(SUM(t) AS BIGINT) AS n
-      |      FROM (SELECT COUNT(*) AS t FROM daily GROUP BY v) g)
-      |SELECT n, s_stat,
-      |  ROUND(CASE WHEN n * (n - 1) * (2 * n + 5) - tie_adj > 0 THEN
-      |    (CASE WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE)
-      |          WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE)
-      |          ELSE 0.0 END)
-      |    / sqrt(CAST(n * (n - 1) * (2 * n + 5) - tie_adj AS DOUBLE) / 18.0)
-      |    ELSE 0.0 END, 6) AS z_mk
-      |FROM p CROSS JOIN t""".stripMargin
-
-  /** Theil–Sen robust slope over daily revenue — the estimator half of
-    * the Mann–Kendall pair (MK detects the trend, this sizes it,
-    * outlier-robustly): the median of all pairwise slopes. Day indices
-    * are exact integer ranks, each slope is ONE IEEE division of exact
-    * integers (identical on both engines), and the median is an order
-    * statistic over the days²-sized slope frame with a deterministic
-    * (slope, i, j) tie order — no numeric fuzz anywhere before the
-    * final ROUND(·,6) emission. Distributed part = the daily aggregate;
-    * the pair frame is tiny at any SF. */
-  private def anTheilSen(s: SparkSession, dir: String): DataFrame = {
-    val daily = Tables.events(s, dir)
-      .groupBy(date_trunc("day", col("ts")).as("day"))
-      .agg(sum((col("value").cast("decimal(24,2)") * 100).cast("bigint")).as("v"))
-      .withColumn("i", row_number().over(Window.orderBy(col("day"))).cast("long"))
-    val a = daily.select(col("i").as("i1"), col("v").as("v1"))
-    val b = daily.select(col("i").as("i2"), col("v").as("v2"))
-    val slopes = a.join(b, col("i1") < col("i2"))
-      .select(col("i1"), col("i2"),
-        ((col("v2") - col("v1")).cast("double") /
-          (col("i2") - col("i1")).cast("double")).as("slope"))
-    // Fully lazy: the pair count rides along as a window total instead of
-    // an eager .count() action (which recomputed the unpersisted pair join
-    // once for the count and again for the ranked result). The pair frame
-    // is days²-sized, so the single-partition windows are driver-cheap.
-    val ranked = slopes
-      .withColumn("rn",
-        row_number().over(Window.orderBy(col("slope"), col("i1"), col("i2"))))
-      .withColumn("m", count(lit(1)).over(
-        Window.partitionBy().rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
-    val kLo = floor((col("m") + 1) / 2)
-    val kHi = floor(col("m") / 2) + 1
-    ranked.filter(col("rn") === kLo || col("rn") === kHi)
-      .agg(max(col("m")).as("n_pairs"),
-        round((max(when(col("rn") === kLo, col("slope"))) +
-          max(when(col("rn") === kHi, col("slope")))) / 2.0, 6).as("slope_cpd"))
-      .select(col("n_pairs"), col("slope_cpd"))
-  }
-
-  private val anTheilSenSql =
-    """WITH daily AS (SELECT date_trunc('day', ts) AS day,
-      |    CAST(SUM(CAST(CAST(value AS DECIMAL(24,2)) * 100 AS BIGINT)) AS BIGINT) AS v
-      |  FROM events GROUP BY 1),
-      |r AS (SELECT v, CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i FROM daily),
-      |sl AS (SELECT a.i AS i1, b.i AS i2,
-      |    CAST(b.v - a.v AS DOUBLE) / CAST(b.i - a.i AS DOUBLE) AS slope
-      |  FROM r a JOIN r b ON a.i < b.i),
-      |m AS (SELECT COUNT(*) AS m FROM sl),
-      |rk AS (SELECT slope, row_number() OVER (ORDER BY slope, i1, i2) AS rn FROM sl)
-      |SELECT m.m AS n_pairs,
-      |  ROUND(((SELECT slope FROM rk WHERE rn = (m.m + 1) // 2)
-      |       + (SELECT slope FROM rk WHERE rn = m.m // 2 + 1)) / 2.0, 6) AS slope_cpd
-      |FROM m""".stripMargin
-
-  /** Per-user interval-union coverage — merge each user's overlapping
-    * 30-minute activity intervals and report the union length and
-    * island count (the "how much wall-clock was this user actually
-    * active" question that naive per-event sums double-count). Island
-    * detection is the gaps-and-islands running-max pattern on exact
-    * epoch seconds: a new island starts where the interval's start
-    * clears the running max end; everything is integer, windows
-    * partition by user — fully distributed, no cross-user state. */
-  private def qIntervalCoverage(s: SparkSession, dir: String): DataFrame = {
-    val iv = Tables.events(s, dir)
-      .select(col("user_id"),
-        unix_micros(col("ts")).as("st"),
-        (unix_micros(col("ts")) + 1800L * 1000000L).as("en"))
-    val wSeq = Window.partitionBy(col("user_id")).orderBy(col("st"), col("en"))
-    val marked = iv
-      .withColumn("max_en_prev",
-        max(col("en")).over(wSeq.rowsBetween(Window.unboundedPreceding, -1)))
-      .withColumn("new_island",
-        when(col("max_en_prev").isNull || col("st") > col("max_en_prev"), 1L).otherwise(0L))
-      .withColumn("island",
-        sum(col("new_island")).over(wSeq.rowsBetween(Window.unboundedPreceding, 0)))
-    marked.groupBy(col("user_id"), col("island"))
-      .agg(min(col("st")).as("i_st"), max(col("en")).as("i_en"),
-        count(lit(1)).as("n_iv"))
-      .groupBy(col("user_id"))
-      .agg(sum(col("n_iv")).as("n_intervals"),
-        count(lit(1)).as("n_islands"),
-        (sum(col("i_en") - col("i_st")) / lit(1000000L)).cast("long").as("covered_sec"))
-      .orderBy(col("user_id"))
-  }
-
-  private val qIntervalCoverageSql =
-    """WITH iv AS (SELECT user_id,
-      |    CAST(epoch_us(ts) AS BIGINT) AS st,
-      |    CAST(epoch_us(ts) AS BIGINT) + 1800 * 1000000 AS en
-      |  FROM events),
-      |mk AS (SELECT user_id, st, en,
-      |         MAX(en) OVER (PARTITION BY user_id ORDER BY st, en
-      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS max_en_prev
-      |       FROM iv),
-      |isl AS (SELECT user_id, st, en,
-      |          CAST(SUM(CASE WHEN max_en_prev IS NULL OR st > max_en_prev
-      |                        THEN 1 ELSE 0 END)
-      |            OVER (PARTITION BY user_id ORDER BY st, en
-      |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS island
-      |        FROM mk),
-      |g AS (SELECT user_id, island, MIN(st) AS i_st, MAX(en) AS i_en,
-      |        COUNT(*) AS n_iv
-      |      FROM isl GROUP BY 1, 2)
-      |SELECT user_id, CAST(SUM(n_iv) AS BIGINT) AS n_intervals,
-      |  COUNT(*) AS n_islands,
-      |  CAST(CAST(SUM(i_en - i_st) AS BIGINT) // 1000000 AS BIGINT) AS covered_sec
-      |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin
-
-  /** Orders exceeding 1.5× their OWN customer's average — the
-    * correlated-subquery decorrelation pattern: what SQL writes as a
-    * per-row subquery runs as one customer-partitioned window, and the
-    * comparison v > 1.5·avg is algebraically cleared to the EXACT
-    * integer test 2·v·n > 3·Σv (no doubles anywhere) — so the operator
-    * is pure window + integer filter, one shuffle on the customer key
-    * plus the segment dimension join. */
-  private def qCorrelatedExceed(s: SparkSession, dir: String): DataFrame = {
-    val o = Tables.orders(s, dir).select(col("o_custkey"),
-      (col("o_totalprice").cast("decimal(24,2)") * 100).cast("bigint").as("v"))
-    val w = Window.partitionBy(col("o_custkey"))
-    val flagged = o
-      .withColumn("s", sum(col("v")).over(w))
-      .withColumn("n", count(lit(1)).over(w))
-      .withColumn("exceed", lit(2L) * col("v") * col("n") > lit(3L) * col("s"))
-    flagged.join(Tables.customer(s, dir)
-        .select(col("c_custkey").as("o_custkey"), col("c_mktsegment").as("segment")),
-        "o_custkey")
-      .groupBy(col("segment"))
-      .agg(count(lit(1)).as("n_orders"),
-        sum(when(col("exceed"), 1L).otherwise(0L)).as("n_exceed"))
-      .withColumn("pct_exceed",
-        round(col("n_exceed").cast("double") / col("n_orders").cast("double"), 6))
-      .orderBy(col("segment"))
-  }
-
-  private val qCorrelatedExceedSql =
-    """WITH o AS (SELECT o_custkey,
-      |    CAST(CAST(o_totalprice AS DECIMAL(24,2)) * 100 AS BIGINT) AS v
-      |  FROM orders),
-      |f AS (SELECT o_custkey, v,
-      |        CAST(SUM(v) OVER (PARTITION BY o_custkey) AS BIGINT) AS s,
-      |        COUNT(*) OVER (PARTITION BY o_custkey) AS n
-      |      FROM o)
-      |SELECT c.c_mktsegment AS segment, COUNT(*) AS n_orders,
-      |  CAST(SUM(CASE WHEN 2 * f.v * f.n > 3 * f.s THEN 1 ELSE 0 END) AS BIGINT) AS n_exceed,
-      |  ROUND(CAST(SUM(CASE WHEN 2 * f.v * f.n > 3 * f.s THEN 1 ELSE 0 END) AS DOUBLE)
-      |    / CAST(COUNT(*) AS DOUBLE), 6) AS pct_exceed
-      |FROM f JOIN customer c ON c.c_custkey = f.o_custkey
-      |GROUP BY 1 ORDER BY 1""".stripMargin
-
-  /** Monthly price indices (Laspeyres / Paasche / Fisher) of the parts
-    * basket vs the first month — the economics rollup the reference's
-    * revenue trends stop short of: did revenue move because of PRICE or
-    * VOLUME? Per-(part, month) unit prices are quantized once to
-    * DECIMAL(28,6) (the quantized-term trick: an irrational per-part
-    * ratio becomes an exact decimal BEFORE the basket sum, so the
-    * weighted sums are order-independent exact decimals on both
-    * engines), weights are integer quantities, and each index is one
-    * ratio of exact decimals. Shuffles: one (part, month) aggregate +
-    * one join against the broadcast base month. */
-  private def anPriceIndex(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(s, dir).select(
-      date_trunc("month", col("l_shipdate")).as("month"), col("l_partkey"),
-      (col("l_extendedprice").cast("decimal(24,2)") * 100).cast("bigint").as("sp_c"),
-      col("l_quantity").cast("bigint").as("q"))
-    val pm = li.groupBy(col("month"), col("l_partkey"))
-      .agg(sum(col("sp_c")).as("sp"), sum(col("q")).as("sq"))
-      .withColumn("price6",
-        round(col("sp").cast("double") / col("sq").cast("double"), 6)
-          .cast("decimal(28,6)"))
-    val base = pm.crossJoin(broadcast(pm.agg(min(col("month")).as("m0"))))
-      .filter(col("month") === col("m0"))
-      .select(col("l_partkey"), col("price6").as("p0"), col("sq").as("q0"))
-    pm.join(base, "l_partkey")
-      .groupBy(col("month"))
-      .agg(count(lit(1)).as("n_parts"),
-        sum(col("price6") * col("q0")).cast("double").as("lt_num"),
-        sum(col("p0") * col("q0")).cast("double").as("lt_den"),
-        sum(col("price6") * col("sq")).cast("double").as("pa_num"),
-        sum(col("p0") * col("sq")).cast("double").as("pa_den"))
-      .select(substring(col("month").cast("string"), 1, 10).as("month"), col("n_parts"),
-        round(col("lt_num") / col("lt_den"), 6).as("laspeyres"),
-        round(col("pa_num") / col("pa_den"), 6).as("paasche"),
-        round(sqrt((col("lt_num") / col("lt_den")) * (col("pa_num") / col("pa_den"))), 6)
-          .as("fisher"))
-      .orderBy(col("month"))
-  }
-
-  private val anPriceIndexSql =
-    """WITH li AS (SELECT date_trunc('month', l_shipdate) AS month, l_partkey,
-      |    CAST(CAST(l_extendedprice AS DECIMAL(24,2)) * 100 AS BIGINT) AS sp_c,
-      |    CAST(l_quantity AS BIGINT) AS q
-      |  FROM lineitem),
-      |pm AS (SELECT month, l_partkey,
-      |         CAST(SUM(sp_c) AS BIGINT) AS sp, CAST(SUM(q) AS BIGINT) AS sq
-      |       FROM li GROUP BY 1, 2),
-      |pq AS (SELECT month, l_partkey, sq,
-      |         CAST(ROUND(CAST(sp AS DOUBLE) / CAST(sq AS DOUBLE), 6) AS DECIMAL(28,6)) AS price6
-      |       FROM pm),
-      |m0 AS (SELECT MIN(month) AS m0 FROM pq),
-      |base AS (SELECT l_partkey, price6 AS p0, sq AS q0
-      |         FROM pq CROSS JOIN m0 WHERE month = m0)
-      |SELECT substr(CAST(t.month AS VARCHAR), 1, 10) AS month, COUNT(*) AS n_parts,
-      |  ROUND(CAST(SUM(t.price6 * b.q0) AS DOUBLE) / CAST(SUM(b.p0 * b.q0) AS DOUBLE), 6) AS laspeyres,
-      |  ROUND(CAST(SUM(t.price6 * t.sq) AS DOUBLE) / CAST(SUM(b.p0 * t.sq) AS DOUBLE), 6) AS paasche,
-      |  ROUND(sqrt((CAST(SUM(t.price6 * b.q0) AS DOUBLE) / CAST(SUM(b.p0 * b.q0) AS DOUBLE))
-      |           * (CAST(SUM(t.price6 * t.sq) AS DOUBLE) / CAST(SUM(b.p0 * t.sq) AS DOUBLE))), 6) AS fisher
-      |FROM pq t JOIN base b USING (l_partkey)
-      |GROUP BY 1 ORDER BY month""".stripMargin
-
-  /** Nearest-in-time as-of join ([[graft.operators.AsOf.joinNearest]]
-    * — pandas merge_asof direction='nearest'): each click matched to
-    * its closest purchase by the same user within ±2 h, ties to the
-    * prior side. One shuffle on the user key; the pick is a row-local
-    * compare of the backward and forward carries. */
-  private def qAsofNearest(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(s, dir)
-    val clicks = ev.filter(col("event_type") === "click")
-      .select(col("event_id"), col("user_id"), col("ts"))
-    val purchases = ev.filter(col("event_type") === "purchase")
-      .select(col("event_id"), col("user_id"), col("ts"))
-    graft.operators.AsOf.joinNearest(clicks, purchases, Seq("user_id"),
-        "ts", "ts", Seq("event_id"), toleranceUs = 7200000000L)
-      .select(col("event_id").as("click_id"),
-        col("asof_event_id").as("purchase_id"),
-        col("asof_delta_us").as("delta_us"))
-      .orderBy(col("click_id"))
-  }
-
-  private val qAsofNearestSql =
-    """WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
-      |p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
-      |pick AS (SELECT c.event_id AS click_id, c.ts,
-      |  (SELECT p.event_id FROM p WHERE p.user_id = c.user_id AND p.ts <= c.ts
-      |   ORDER BY p.ts DESC, p.event_id DESC LIMIT 1) AS prior_id,
-      |  (SELECT p.ts FROM p WHERE p.user_id = c.user_id AND p.ts <= c.ts
-      |   ORDER BY p.ts DESC, p.event_id DESC LIMIT 1) AS prior_ts,
-      |  (SELECT p.event_id FROM p WHERE p.user_id = c.user_id AND p.ts > c.ts
-      |   ORDER BY p.ts ASC, p.event_id ASC LIMIT 1) AS next_id,
-      |  (SELECT p.ts FROM p WHERE p.user_id = c.user_id AND p.ts > c.ts
-      |   ORDER BY p.ts ASC, p.event_id ASC LIMIT 1) AS next_ts
-      |  FROM c),
-      |d AS (SELECT click_id,
-      |        prior_id, next_id,
-      |        CAST(epoch_us(ts) AS BIGINT) - CAST(epoch_us(prior_ts) AS BIGINT) AS dp,
-      |        CAST(epoch_us(next_ts) AS BIGINT) - CAST(epoch_us(ts) AS BIGINT) AS dn
-      |      FROM pick)
-      |SELECT click_id,
-      |  CASE WHEN prior_id IS NOT NULL AND dp <= 7200000000
-      |            AND (next_id IS NULL OR dp <= dn) THEN prior_id
-      |       WHEN next_id IS NOT NULL AND dn <= 7200000000 THEN next_id
-      |       END AS purchase_id,
-      |  CASE WHEN prior_id IS NOT NULL AND dp <= 7200000000
-      |            AND (next_id IS NULL OR dp <= dn) THEN dp
-      |       WHEN next_id IS NOT NULL AND dn <= 7200000000 THEN -dn
-      |       END AS delta_us
-      |FROM d ORDER BY click_id""".stripMargin
-
-  /** Spearman rank correlation between daily revenue and daily event
-    * volume — the monotone-association screen that, unlike Pearson
-    * (an_corr_matrix), ignores the revenue distribution's heavy tail.
-    * Ranks are deterministic integer row_numbers with (value, day)
-    * tie-break (documented: ties take distinct consecutive ranks, not
-    * averaged — identical on both engines), so every sum in the
-    * Pearson-on-ranks formula is an exact integer; one sqrt + division
-    * at emission. Distributed part = the daily aggregate; the rank
-    * windows run on the days-sized frame. */
-  private def anSpearman(s: SparkSession, dir: String): DataFrame = {
-    val daily = Tables.events(s, dir)
-      .groupBy(date_trunc("day", col("ts")).as("day"))
-      .agg(sum((col("value").cast("decimal(24,2)") * 100).cast("bigint")).as("v"),
-        count(lit(1)).as("m"))
-    val ranked = daily
-      .withColumn("r1", row_number().over(Window.orderBy(col("v"), col("day"))).cast("long"))
-      .withColumn("r2", row_number().over(Window.orderBy(col("m"), col("day"))).cast("long"))
-    ranked.agg(count(lit(1)).as("n"),
-        sum(col("r1") * col("r1")).as("s11"),
-        sum(col("r1") * col("r2")).as("s12"),
-        sum(col("r1")).as("s1"), sum(col("r2")).as("s2"),
-        sum(col("r2") * col("r2")).as("s22"))
-      .select(col("n"),
-        round((col("n") * col("s12") - col("s1") * col("s2")).cast("double") /
-          sqrt(((col("n") * col("s11") - col("s1") * col("s1")) *
-            (col("n") * col("s22") - col("s2") * col("s2"))).cast("double")), 6)
-          .as("rho"))
-  }
-
-  private val anSpearmanSql =
-    """WITH daily AS (SELECT date_trunc('day', ts) AS day,
-      |    CAST(SUM(CAST(CAST(value AS DECIMAL(24,2)) * 100 AS BIGINT)) AS BIGINT) AS v,
-      |    COUNT(*) AS m
-      |  FROM events GROUP BY 1),
-      |r AS (SELECT CAST(row_number() OVER (ORDER BY v, day) AS BIGINT) AS r1,
-      |             CAST(row_number() OVER (ORDER BY m, day) AS BIGINT) AS r2
-      |      FROM daily),
-      |a AS (SELECT COUNT(*) AS n,
-      |             CAST(SUM(r1 * r1) AS BIGINT) AS s11,
-      |             CAST(SUM(r1 * r2) AS BIGINT) AS s12,
-      |             CAST(SUM(r1) AS BIGINT) AS s1, CAST(SUM(r2) AS BIGINT) AS s2,
-      |             CAST(SUM(r2 * r2) AS BIGINT) AS s22
-      |      FROM r)
-      |SELECT n, ROUND(CAST(n * s12 - s1 * s2 AS DOUBLE)
-      |  / sqrt(CAST((n * s11 - s1 * s1) * (n * s22 - s2 * s2) AS DOUBLE)), 6) AS rho
-      |FROM a""".stripMargin
-
-  /** Kendall's tau-b between daily revenue and daily event volume —
-    * the pair-concordance companion to an_spearman (robust to ties by
-    * construction, the estimator Mann–Kendall's S generalizes). All
-    * counts are exact integers over the days² pair frame (tiny at any
-    * SF); tau-b's tie-corrected denominator takes one sqrt at
-    * emission. */
-  private def anKendallTau(s: SparkSession, dir: String): DataFrame = {
-    val daily = Tables.events(s, dir)
-      .groupBy(date_trunc("day", col("ts")).as("day"))
-      .agg(sum((col("value").cast("decimal(24,2)") * 100).cast("bigint")).as("v"),
-        count(lit(1)).as("m"))
-    val a = daily.select(col("day").as("d1"), col("v").as("v1"), col("m").as("m1"))
-    val b = daily.select(col("day").as("d2"), col("v").as("v2"), col("m").as("m2"))
-    val pairs = a.join(b, col("d1") < col("d2"))
-      .agg(count(lit(1)).as("n0"),
-        sum(when((col("v2") > col("v1")) && (col("m2") > col("m1")), 1L)
-          .when((col("v2") < col("v1")) && (col("m2") < col("m1")), 1L)
-          .otherwise(0L)).as("conc"),
-        sum(when((col("v2") > col("v1")) && (col("m2") < col("m1")), 1L)
-          .when((col("v2") < col("v1")) && (col("m2") > col("m1")), 1L)
-          .otherwise(0L)).as("disc"),
-        sum(when(col("v1") === col("v2"), 1L).otherwise(0L)).as("tx"),
-        sum(when(col("m1") === col("m2"), 1L).otherwise(0L)).as("ty"))
-    pairs.select(col("n0"), (col("conc") - col("disc")).as("s_k"),
-        round((col("conc") - col("disc")).cast("double") /
-          sqrt(((col("n0") - col("tx")) * (col("n0") - col("ty"))).cast("double")), 6)
-          .as("tau_b"))
-  }
-
-  private val anKendallTauSql =
-    """WITH daily AS (SELECT date_trunc('day', ts) AS day,
-      |    CAST(SUM(CAST(CAST(value AS DECIMAL(24,2)) * 100 AS BIGINT)) AS BIGINT) AS v,
-      |    COUNT(*) AS m
-      |  FROM events GROUP BY 1),
-      |p AS (SELECT COUNT(*) AS n0,
-      |  CAST(SUM(CASE WHEN (b.v > a.v AND b.m > a.m) OR (b.v < a.v AND b.m < a.m)
-      |                THEN 1 ELSE 0 END) AS BIGINT) AS conc,
-      |  CAST(SUM(CASE WHEN (b.v > a.v AND b.m < a.m) OR (b.v < a.v AND b.m > a.m)
-      |                THEN 1 ELSE 0 END) AS BIGINT) AS disc,
-      |  CAST(SUM(CASE WHEN a.v = b.v THEN 1 ELSE 0 END) AS BIGINT) AS tx,
-      |  CAST(SUM(CASE WHEN a.m = b.m THEN 1 ELSE 0 END) AS BIGINT) AS ty
-      |  FROM daily a JOIN daily b ON a.day < b.day)
-      |SELECT n0, conc - disc AS s_k,
-      |  ROUND(CAST(conc - disc AS DOUBLE)
-      |    / sqrt(CAST((n0 - tx) * (n0 - ty) AS DOUBLE)), 6) AS tau_b
-      |FROM p""".stripMargin
-
-  /** Jarque–Bera normality screen on order totals — sits next to
-    * an_stats_moments (which stops at variance/correlation): skewness,
-    * excess kurtosis and the JB statistic from one pass of raw power
-    * sums in DECIMAL(38,0) cents (exact through Σv⁴ up to ~10⁹ rows —
-    * the an_kruskal decimal→double ulp class beyond 2^53, absorbed by
-    * ROUND 6). The formula replays in SQL in the identical operation
-    * order, so the doubles agree bit-for-bit before rounding. */
-  private def anJarqueBera(s: SparkSession, dir: String): DataFrame = {
-    val v = (col("o_totalprice").cast("decimal(24,2)") * 100).cast("decimal(38,0)")
-    def d(c: Column) = sum(c).cast("double")
-    val moments = Tables.orders(s, dir)
-      .agg(count(lit(1)).as("n"), d(v).as("s1"), d(v * v).as("s2"),
-        d(v * v * v).as("s3"), d(v * v * v * v).as("s4"))
-    val n = col("n").cast("double")
-    val mu = col("s1") / n
-    val m2 = col("s2") / n - mu * mu
-    val m3 = col("s3") / n - lit(3.0) * mu * (col("s2") / n) + lit(2.0) * mu * mu * mu
-    val m4 = col("s4") / n - lit(4.0) * mu * (col("s3") / n) +
-      lit(6.0) * mu * mu * (col("s2") / n) - lit(3.0) * mu * mu * mu * mu
-    val skew = m3 / sqrt(m2 * m2 * m2)
-    val kurt = m4 / (m2 * m2)
-    moments.select(col("n"),
-      round(skew, 6).as("skewness"),
-      round(kurt - 3.0, 6).as("excess_kurtosis"),
-      round(n / 6.0 * (skew * skew + (kurt - 3.0) * (kurt - 3.0) / 4.0), 6).as("jb_stat"))
-  }
-
-  private val anJarqueBeraSql =
-    """WITH m AS (SELECT COUNT(*) AS n,
-      |    CAST(SUM(v) AS DOUBLE) AS s1, CAST(SUM(v * v) AS DOUBLE) AS s2,
-      |    CAST(SUM(v * v * v) AS DOUBLE) AS s3,
-      |    CAST(SUM(v * v * v * v) AS DOUBLE) AS s4
-      |  FROM (SELECT CAST(CAST(CAST(o_totalprice AS DECIMAL(24,2)) * 100 AS BIGINT)
-      |               AS DECIMAL(38,0)) AS v FROM orders) t),
-      |d AS (SELECT n, CAST(n AS DOUBLE) AS nd, s1, s2, s3, s4,
-      |        s1 / CAST(n AS DOUBLE) AS mu FROM m),
-      |c AS (SELECT n, nd, mu,
-      |        s2 / nd - mu * mu AS m2,
-      |        s3 / nd - 3.0 * mu * (s2 / nd) + 2.0 * mu * mu * mu AS m3,
-      |        s4 / nd - 4.0 * mu * (s3 / nd) + 6.0 * mu * mu * (s2 / nd)
-      |          - 3.0 * mu * mu * mu * mu AS m4
-      |      FROM d)
-      |SELECT n, ROUND(m3 / sqrt(m2 * m2 * m2), 6) AS skewness,
-      |  ROUND(m4 / (m2 * m2) - 3.0, 6) AS excess_kurtosis,
-      |  ROUND(nd / 6.0 * ((m3 / sqrt(m2 * m2 * m2)) * (m3 / sqrt(m2 * m2 * m2))
-      |    + (m4 / (m2 * m2) - 3.0) * (m4 / (m2 * m2) - 3.0) / 4.0), 6) AS jb_stat
-      |FROM c""".stripMargin
-
-  /** Grubbs outlier statistic on order totals: G = max|v−μ|/s with the
-    * argmax order key (ties → lowest key) — the single-outlier screen
-    * next to an_mad_outliers' bulk screen. One moment pass + one
-    * argmax pass over the same scan; exact integer cents until the
-    * final division. (The t-based critical value is a lookup the
-    * caller applies; the statistic is the distributed part.) */
-  private def anGrubbs(s: SparkSession, dir: String): DataFrame = {
-    val o = Tables.orders(s, dir).select(col("o_orderkey").as("k"),
-      (col("o_totalprice").cast("decimal(24,2)") * 100).cast("bigint").as("v"))
-    val m = o.agg(count(lit(1)).as("n"),
-      sum(col("v").cast("decimal(38,0)")).cast("double").as("s1"),
-      sum((col("v").cast("decimal(38,0)") * col("v")).cast("decimal(38,0)"))
-        .cast("double").as("s2"))
-    val withStats = o.crossJoin(broadcast(m))
-      .withColumn("mu", col("s1") / col("n").cast("double"))
-      .withColumn("dev", abs(col("v").cast("double") - col("mu")))
-    // Argmax via orderBy+limit(1) → TakeOrderedAndProject (distributed
-    // per-partition top-1, driver merge of numPartitions rows) — NOT a
-    // global row_number window, which would funnel the whole fact
-    // through one task (the PrefixSum.scala cliff).
-    withStats.orderBy(col("dev").desc, col("k")).limit(1)
-      .select(col("n"), col("k").as("suspect_key"), col("v").as("suspect_cents"),
-        round(col("dev") /
-          sqrt((col("s2") - col("s1") * col("s1") / col("n").cast("double")) /
-            (col("n").cast("double") - 1.0)), 6).as("g_stat"))
-  }
-
-  private val anGrubbsSql =
-    """WITH o AS (SELECT o_orderkey AS k,
-      |    CAST(CAST(o_totalprice AS DECIMAL(24,2)) * 100 AS BIGINT) AS v
-      |  FROM orders),
-      |m AS (SELECT COUNT(*) AS n,
-      |    CAST(SUM(CAST(v AS DECIMAL(38,0))) AS DOUBLE) AS s1,
-      |    CAST(SUM(CAST(CAST(v AS DECIMAL(38,0)) * v AS DECIMAL(38,0))) AS DOUBLE) AS s2
-      |  FROM o),
-      |d AS (SELECT o.k, o.v, m.n, m.s1, m.s2,
-      |        abs(CAST(o.v AS DOUBLE) - m.s1 / CAST(m.n AS DOUBLE)) AS dev,
-      |        row_number() OVER (ORDER BY abs(CAST(o.v AS DOUBLE)
-      |          - m.s1 / CAST(m.n AS DOUBLE)) DESC, o.k) AS rn
-      |      FROM o CROSS JOIN m)
-      |SELECT n, k AS suspect_key, v AS suspect_cents,
-      |  ROUND(dev / sqrt((s2 - s1 * s1 / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)), 6) AS g_stat
-      |FROM d WHERE rn = 1""".stripMargin
-
-  /** Cohen's d effect size between the two experiment arms (the
-    * an_abtest split): standardized mean difference with the pooled
-    * sample SD — the "is the lift big or just significant" companion
-    * the t-test family omits. One grouped moment pass in exact decimal
-    * cents; three IEEE ops at emission. */
-  private def anCohensD(s: SparkSession, dir: String): DataFrame = {
-    val o = Tables.orders(s, dir).select((col("o_custkey") % 2).cast("int").as("grp"),
-      (col("o_totalprice").cast("decimal(24,2)") * 100).cast("bigint").as("v"))
-    val g = o.groupBy(col("grp"))
-      .agg(count(lit(1)).as("n"),
-        sum(col("v").cast("decimal(38,0)")).cast("double").as("s1"),
-        sum((col("v").cast("decimal(38,0)") * col("v")).cast("decimal(38,0)"))
-          .cast("double").as("s2"))
-    val p = g.groupBy()
-      .pivot(col("grp"), Seq(0, 1))
-      .agg(first(col("n")).as("n"), first(col("s1")).as("s1"), first(col("s2")).as("s2"))
-    def nn(i: Int) = col(s"${i}_n").cast("double")
-    def mu(i: Int) = col(s"${i}_s1") / nn(i)
-    def ss(i: Int) = col(s"${i}_s2") - col(s"${i}_s1") * col(s"${i}_s1") / nn(i)
-    p.select(col("0_n").as("n0"), col("1_n").as("n1"),
-      round(mu(1) / 100.0, 2).as("mean_1_usd"),
-      round(mu(0) / 100.0, 2).as("mean_0_usd"),
-      round((mu(1) - mu(0)) /
-        sqrt((ss(0) + ss(1)) / (nn(0) + nn(1) - 2.0)), 6).as("cohens_d"))
-  }
-
-  private val anCohensDSql =
-    """WITH o AS (SELECT CAST(o_custkey % 2 AS INT) AS grp,
-      |    CAST(CAST(o_totalprice AS DECIMAL(24,2)) * 100 AS BIGINT) AS v
-      |  FROM orders),
-      |g AS (SELECT grp, COUNT(*) AS n,
-      |    CAST(SUM(CAST(v AS DECIMAL(38,0))) AS DOUBLE) AS s1,
-      |    CAST(SUM(CAST(CAST(v AS DECIMAL(38,0)) * v AS DECIMAL(38,0))) AS DOUBLE) AS s2
-      |  FROM o GROUP BY grp),
-      |p AS (SELECT
-      |    MAX(CASE WHEN grp = 0 THEN n END) AS n0,
-      |    MAX(CASE WHEN grp = 1 THEN n END) AS n1,
-      |    MAX(CASE WHEN grp = 0 THEN s1 END) AS s10,
-      |    MAX(CASE WHEN grp = 1 THEN s1 END) AS s11,
-      |    MAX(CASE WHEN grp = 0 THEN s2 END) AS s20,
-      |    MAX(CASE WHEN grp = 1 THEN s2 END) AS s21
-      |  FROM g)
-      |SELECT n0, n1,
-      |  ROUND(s11 / CAST(n1 AS DOUBLE) / 100.0, 2) AS mean_1_usd,
-      |  ROUND(s10 / CAST(n0 AS DOUBLE) / 100.0, 2) AS mean_0_usd,
-      |  ROUND((s11 / CAST(n1 AS DOUBLE) - s10 / CAST(n0 AS DOUBLE))
-      |    / sqrt(((s20 - s10 * s10 / CAST(n0 AS DOUBLE))
-      |          + (s21 - s11 * s11 / CAST(n1 AS DOUBLE)))
-      |        / (CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE) - 2.0)), 6) AS cohens_d
-      |FROM p""".stripMargin
-
-  /** Brown–Forsythe (median-based Levene) variance-homogeneity test of
-    * account balances across market segments — the assumption check in
-    * front of the ANOVA/t-test family (an_anova assumes equal
-    * variances; this tests that). Per-group medians are EXACT order
-    * statistics kept in integer form as med2 = lo+hi middle values
-    * (2×median), deviations z2 = |2v − med2| are exact BIGINTs, and
-    * the one-way F on deviations comes from decimal Σz2/Σz2² sums —
-    * the whole statistic is integer until a handful of mirrored IEEE
-    * ops. Rank windows partition by segment (distributed), the
-    * 5-row median table broadcasts back. */
-  private def anLevene(s: SparkSession, dir: String): DataFrame = {
-    val c = Tables.customer(s, dir).select(col("c_mktsegment").as("g"),
-      (col("c_acctbal").cast("decimal(24,2)") * 100).cast("bigint").as("v"),
-      col("c_custkey").as("k"))
-    val ranked = c
-      .withColumn("rn", row_number().over(Window.partitionBy(col("g"))
-        .orderBy(col("v"), col("k"))).cast("long"))
-      .withColumn("n_g", count(lit(1)).over(Window.partitionBy(col("g"))))
-    val med2 = ranked
-      .filter(col("rn") === expr("(n_g + 1) div 2") || col("rn") === expr("n_g div 2 + 1"))
-      .groupBy(col("g"))
-      .agg((sum(when(col("rn") === expr("(n_g + 1) div 2"), col("v")).otherwise(0L)) +
-        sum(when(col("rn") === expr("n_g div 2 + 1"), col("v")).otherwise(0L))).as("med2"))
-    val z = c.join(broadcast(med2), "g")
-      .select(col("g"), abs(lit(2L) * col("v") - col("med2")).as("z2"))
-    val gStats = z.groupBy(col("g"))
-      .agg(count(lit(1)).as("n"),
-        sum(col("z2").cast("decimal(38,0)")).cast("double").as("sz"),
-        sum((col("z2").cast("decimal(38,0)") * col("z2")).cast("decimal(38,0)"))
-          .cast("double").as("qz"))
-    val agg = gStats.agg(count(lit(1)).as("k_groups"), sum(col("n")).as("n_total"),
-        sum(col("sz")).as("s_all"))
-    gStats.crossJoin(broadcast(agg))
-      .select(col("k_groups"), col("n_total"),
-        (col("n").cast("double") *
-          (col("sz") / (col("n").cast("double") * 2.0) -
-            col("s_all") / (col("n_total").cast("double") * 2.0)) *
-          (col("sz") / (col("n").cast("double") * 2.0) -
-            col("s_all") / (col("n_total").cast("double") * 2.0))).as("num_g"),
-        (col("qz") / 4.0 - col("sz") * col("sz") / (col("n").cast("double") * 4.0))
-          .as("den_g"))
-      .groupBy(col("k_groups"), col("n_total"))
-      .agg(sum(col("num_g")).as("num"), sum(col("den_g")).as("den"))
-      .select(col("k_groups"), col("n_total"),
-        round((col("n_total") - col("k_groups")).cast("double") /
-          (col("k_groups") - 1).cast("double") * col("num") / col("den"), 6)
-          .as("bf_f_stat"))
-  }
-
-  private val anLeveneSql =
-    """WITH c AS (SELECT c_mktsegment AS g,
-      |    CAST(CAST(c_acctbal AS DECIMAL(24,2)) * 100 AS BIGINT) AS v,
-      |    c_custkey AS k
-      |  FROM customer),
-      |r AS (SELECT g, v,
-      |        CAST(row_number() OVER (PARTITION BY g ORDER BY v, k) AS BIGINT) AS rn,
-      |        COUNT(*) OVER (PARTITION BY g) AS n_g
-      |      FROM c),
-      |med AS (SELECT g,
-      |          CAST(SUM(CASE WHEN rn = (n_g + 1) // 2 THEN v ELSE 0 END)
-      |             + SUM(CASE WHEN rn = n_g // 2 + 1 THEN v ELSE 0 END) AS BIGINT) AS med2
-      |        FROM r WHERE rn = (n_g + 1) // 2 OR rn = n_g // 2 + 1
-      |        GROUP BY g),
-      |z AS (SELECT c.g, abs(2 * c.v - med.med2) AS z2 FROM c JOIN med USING (g)),
-      |gs AS (SELECT g, COUNT(*) AS n,
-      |         CAST(SUM(CAST(z2 AS DECIMAL(38,0))) AS DOUBLE) AS sz,
-      |         CAST(SUM(CAST(CAST(z2 AS DECIMAL(38,0)) * z2 AS DECIMAL(38,0))) AS DOUBLE) AS qz
-      |       FROM z GROUP BY g),
-      |tot AS (SELECT COUNT(*) AS k_groups, CAST(SUM(n) AS BIGINT) AS n_total,
-      |          SUM(sz) AS s_all FROM gs),
-      |parts AS (SELECT t.k_groups, t.n_total,
-      |            CAST(g.n AS DOUBLE)
-      |              * (g.sz / (2.0 * CAST(g.n AS DOUBLE)) - t.s_all / (2.0 * CAST(t.n_total AS DOUBLE)))
-      |              * (g.sz / (2.0 * CAST(g.n AS DOUBLE)) - t.s_all / (2.0 * CAST(t.n_total AS DOUBLE))) AS num_g,
-      |            g.qz / 4.0 - g.sz * g.sz / (4.0 * CAST(g.n AS DOUBLE)) AS den_g
-      |          FROM gs g CROSS JOIN tot t)
-      |SELECT k_groups, n_total,
-      |  ROUND(CAST(n_total - k_groups AS DOUBLE) / CAST(k_groups - 1 AS DOUBLE)
-      |    * SUM(num_g) / SUM(den_g), 6) AS bf_f_stat
-      |FROM parts GROUP BY k_groups, n_total""".stripMargin
-
-  /** Nelson–Aalen cumulative hazard over the same churn survival frame
-    * as an_kaplan_meier (KM estimates survival multiplicatively; NA
-    * estimates the hazard additively and is the better-behaved
-    * estimator in heavy ties): H(t) = Σ d_i/n_i with its variance
-    * Σ d_i/n_i², both sequential cumulative window sums over the
-    * event-time frame — the risk-set construction is the one KM scan,
-    * the cumulation runs on the days-sized event table. */
-  private def anNelsonAalen(s: SparkSession, dir: String): DataFrame = {
-    val o = Tables.orders(s, dir)
-    val anchor = o.agg(max(col("o_orderdate")).as("mx"))
-    val cust = o.groupBy(col("o_custkey"))
-      .agg(min(col("o_orderdate")).as("f"), max(col("o_orderdate")).as("l"))
-      .crossJoin(broadcast(anchor))
-      .select(datediff(col("l"), col("f")).cast("bigint").as("t"),
-        (col("l") < col("mx") - expr("INTERVAL 90 DAYS")).cast("int").as("ev"))
-    val byT = cust.groupBy(col("t"))
-      .agg(count(lit(1)).as("n_at"), sum(col("ev")).cast("long").as("d"))
-    val wPrev = Window.orderBy(col("t")).rowsBetween(Window.unboundedPreceding, -1)
-    val wCum = Window.orderBy(col("t")).rowsBetween(Window.unboundedPreceding, 0)
-    byT.crossJoin(broadcast(cust.agg(count(lit(1)).as("n_total"))))
-      .withColumn("n_risk",
-        col("n_total") - coalesce(sum(col("n_at")).over(wPrev), lit(0L)))
-      .filter(col("d") > 0)
-      .withColumn("na_cumhaz", round(
-        sum(col("d").cast("double") / col("n_risk").cast("double")).over(wCum), 6))
-      .withColumn("na_var", round(
-        sum(col("d").cast("double") /
-          (col("n_risk").cast("double") * col("n_risk").cast("double"))).over(wCum), 6))
-      .select(col("t"), col("n_risk"), col("d"), col("na_cumhaz"), col("na_var"))
-      .orderBy(col("t"))
-  }
-
-  private val anNelsonAalenSql =
-    """WITH a AS (SELECT MAX(o_orderdate) AS mx FROM orders),
-      |c AS (SELECT o_custkey, MIN(o_orderdate) AS f, MAX(o_orderdate) AS l
-      |      FROM orders GROUP BY 1),
-      |cust AS (SELECT CAST(date_diff('day', f, l) AS BIGINT) AS t,
-      |                CASE WHEN l < mx - INTERVAL 90 DAY THEN 1 ELSE 0 END AS ev
-      |         FROM c CROSS JOIN a),
-      |byt AS (SELECT t, COUNT(*) AS n_at, CAST(SUM(ev) AS BIGINT) AS d
-      |        FROM cust GROUP BY 1),
-      |tot AS (SELECT COUNT(*) AS n_total FROM cust),
-      |r AS (SELECT t, d, n_total - COALESCE(CAST(SUM(n_at) OVER (ORDER BY t
-      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS n_risk
-      |      FROM byt CROSS JOIN tot)
-      |SELECT t, n_risk, d,
-      |  ROUND(SUM(CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE))
-      |    OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS na_cumhaz,
-      |  ROUND(SUM(CAST(d AS DOUBLE) / (CAST(n_risk AS DOUBLE) * CAST(n_risk AS DOUBLE)))
-      |    OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS na_var
-      |FROM r WHERE d > 0 ORDER BY t""".stripMargin
-
-  /** Page–Hinkley drift detector over daily revenue — the sequential
-    * change monitor next to an_cusum/an_mean_shift (PH tracks the
-    * cumulative deviation from the RUNNING mean, so it needs no
-    * reference window): m_t = Σ(x_s − mean_s), PH_t = m_t − min m_s.
-    * Every term is an integer sum divided once (running mean) and the
-    * cumulations are sequential ordered window sums — deterministic on
-    * both engines; the daily aggregate is the distributed part. */
-  private def anPageHinkley(s: SparkSession, dir: String): DataFrame = {
-    val daily = Tables.events(s, dir)
-      .groupBy(date_trunc("day", col("ts")).as("day"))
-      .agg(sum((col("value").cast("decimal(24,2)") * 100).cast("bigint")).as("v"))
-    val wCum = Window.orderBy(col("day")).rowsBetween(Window.unboundedPreceding, 0)
-    val scored = daily
-      .withColumn("rn", row_number().over(Window.orderBy(col("day"))).cast("long"))
-      .withColumn("s", sum(col("v")).over(wCum))
-      .withColumn("dev", col("v").cast("double") -
-        col("s").cast("double") / col("rn").cast("double"))
-      .withColumn("m", sum(col("dev")).over(wCum))
-      .withColumn("ph", col("m") - min(col("m")).over(wCum))
-    scored.orderBy(col("ph").desc, col("day")).limit(1)
-      .select(col("rn").as("n_days_seen"), col("day").as("peak_day"),
-        round(col("ph") / 100.0, 6).as("ph_max_usd"))
-  }
-
-  private val anPageHinkleySql =
-    """WITH daily AS (SELECT date_trunc('day', ts) AS day,
-      |    CAST(SUM(CAST(CAST(value AS DECIMAL(24,2)) * 100 AS BIGINT)) AS BIGINT) AS v
-      |  FROM events GROUP BY 1),
-      |s1 AS (SELECT day, v,
-      |         CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS rn,
-      |         CAST(SUM(v) OVER (ORDER BY day
-      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS s
-      |       FROM daily),
-      |s2 AS (SELECT day, rn,
-      |         CAST(v AS DOUBLE) - CAST(s AS DOUBLE) / CAST(rn AS DOUBLE) AS dev
-      |       FROM s1),
-      |s3 AS (SELECT day, rn, SUM(dev) OVER (ORDER BY day
-      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m
-      |       FROM s2),
-      |s4 AS (SELECT day, rn, m - MIN(m) OVER (ORDER BY day
-      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph
-      |       FROM s3)
-      |SELECT rn AS n_days_seen, day AS peak_day, ROUND(ph / 100.0, 6) AS ph_max_usd
-      |FROM s4 ORDER BY ph DESC, day LIMIT 1""".stripMargin
-
-  /** Single change-point by binary segmentation over daily revenue —
-    * the locator the an_mean_shift detector implies: the split t that
-    * maximizes the between-segment SSE gain S_t²/t + (S_n−S_t)²/(n−t)
-    * − S_n²/n. Prefix sums are exact BIGINT cents (window-cumulated),
-    * the gain is a mirrored IEEE expression, argmax ties break to the
-    * earliest day. Daily aggregate distributed; the argmax runs on the
-    * days-sized frame. */
-  private def anChangepoint(s: SparkSession, dir: String): DataFrame = {
-    val daily = Tables.events(s, dir)
-      .groupBy(date_trunc("day", col("ts")).as("day"))
-      .agg(sum((col("value").cast("decimal(24,2)") * 100).cast("bigint")).as("v"))
-    val wCum = Window.orderBy(col("day")).rowsBetween(Window.unboundedPreceding, 0)
-    val pre = daily
-      .withColumn("t", row_number().over(Window.orderBy(col("day"))).cast("long"))
-      .withColumn("s_t", sum(col("v")).over(wCum))
-    val tot = pre.agg(max(col("t")).as("n"), max(col("s_t")).as("s_n"))
-    val gains = pre.crossJoin(broadcast(tot))
-      .filter(col("t") < col("n"))
-      .withColumn("gain",
-        col("s_t").cast("double") * col("s_t").cast("double") / col("t").cast("double") +
-          (col("s_n") - col("s_t")).cast("double") * (col("s_n") - col("s_t")).cast("double") /
-            (col("n") - col("t")).cast("double") -
-          col("s_n").cast("double") * col("s_n").cast("double") / col("n").cast("double"))
-    gains.orderBy(col("gain").desc, col("day")).limit(1)
-      .select(col("day").as("split_day"), col("t"), col("n"),
-        round(col("s_t").cast("double") / col("t").cast("double") / 100.0, 2)
-          .as("mean_before_usd"),
-        round((col("s_n") - col("s_t")).cast("double") /
-          (col("n") - col("t")).cast("double") / 100.0, 2).as("mean_after_usd"),
-        round(col("gain") / 10000.0, 6).as("gain_usd2"))
-  }
-
-  private val anChangepointSql =
-    """WITH daily AS (SELECT date_trunc('day', ts) AS day,
-      |    CAST(SUM(CAST(CAST(value AS DECIMAL(24,2)) * 100 AS BIGINT)) AS BIGINT) AS v
-      |  FROM events GROUP BY 1),
-      |pre AS (SELECT day,
-      |          CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t,
-      |          CAST(SUM(v) OVER (ORDER BY day
-      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS s_t
-      |        FROM daily),
-      |tot AS (SELECT MAX(t) AS n, MAX(s_t) AS s_n FROM pre),
-      |g AS (SELECT day, t, n, s_t, s_n,
-      |        CAST(s_t AS DOUBLE) * CAST(s_t AS DOUBLE) / CAST(t AS DOUBLE)
-      |        + CAST(s_n - s_t AS DOUBLE) * CAST(s_n - s_t AS DOUBLE) / CAST(n - t AS DOUBLE)
-      |        - CAST(s_n AS DOUBLE) * CAST(s_n AS DOUBLE) / CAST(n AS DOUBLE) AS gain
-      |      FROM pre CROSS JOIN tot WHERE t < n)
-      |SELECT day AS split_day, t, n,
-      |  ROUND(CAST(s_t AS DOUBLE) / CAST(t AS DOUBLE) / 100.0, 2) AS mean_before_usd,
-      |  ROUND(CAST(s_n - s_t AS DOUBLE) / CAST(n - t AS DOUBLE) / 100.0, 2) AS mean_after_usd,
-      |  ROUND(gain / 10000.0, 6) AS gain_usd2
-      |FROM g ORDER BY gain DESC, day LIMIT 1""".stripMargin
-
-  /** Shewhart control chart with Western Electric rules over daily
-    * revenue — the SPC view of the series an_cusum/an_page_hinkley
-    * monitor sequentially: per day the z-score against the whole-series
-    * mean/SD, rule 1 (one point beyond 3σ) and rule 2 (two of three
-    * consecutive points beyond 2σ on the same side, via two lag
-    * windows). All inputs are exact integer cents; z is one mirrored
-    * IEEE expression; the flags are integer comparisons on identical
-    * doubles. */
-  private def anSpcRules(s: SparkSession, dir: String): DataFrame = {
-    val daily = Tables.events(s, dir)
-      .groupBy(date_trunc("day", col("ts")).as("day"))
-      .agg(sum((col("value").cast("decimal(24,2)") * 100).cast("bigint")).as("v"))
-    val m = daily.agg(count(lit(1)).as("n"),
-      sum(col("v").cast("decimal(38,0)")).cast("double").as("s1"),
-      sum((col("v").cast("decimal(38,0)") * col("v")).cast("decimal(38,0)"))
-        .cast("double").as("s2"))
-    val wDay = Window.orderBy(col("day"))
-    daily.crossJoin(broadcast(m))
-      .withColumn("mu", col("s1") / col("n").cast("double"))
-      .withColumn("sd", sqrt((col("s2") - col("s1") * col("s1") / col("n").cast("double")) /
-        (col("n").cast("double") - 1.0)))
-      .withColumn("z", (col("v").cast("double") - col("mu")) / col("sd"))
-      .withColumn("b2", when(col("z") > 2.0, 1).when(col("z") < -2.0, -1).otherwise(0))
-      .withColumn("b2l1", coalesce(lag(col("b2"), 1).over(wDay), lit(0)))
-      .withColumn("b2l2", coalesce(lag(col("b2"), 2).over(wDay), lit(0)))
-      .select(col("day"), round(col("z"), 6).as("z"),
-        (abs(col("z")) > 3.0).as("rule1_beyond_3sd"),
-        ((when(col("b2") === 1, 1).otherwise(0) + when(col("b2l1") === 1, 1).otherwise(0) +
-          when(col("b2l2") === 1, 1).otherwise(0) >= 2) ||
-          (when(col("b2") === -1, 1).otherwise(0) + when(col("b2l1") === -1, 1).otherwise(0) +
-            when(col("b2l2") === -1, 1).otherwise(0) >= 2)).as("rule2_two_of_three_2sd"))
-      .orderBy(col("day"))
-  }
-
-  private val anSpcRulesSql =
-    """WITH daily AS (SELECT date_trunc('day', ts) AS day,
-      |    CAST(SUM(CAST(CAST(value AS DECIMAL(24,2)) * 100 AS BIGINT)) AS BIGINT) AS v
-      |  FROM events GROUP BY 1),
-      |m AS (SELECT COUNT(*) AS n,
-      |    CAST(SUM(CAST(v AS DECIMAL(38,0))) AS DOUBLE) AS s1,
-      |    CAST(SUM(CAST(CAST(v AS DECIMAL(38,0)) * v AS DECIMAL(38,0))) AS DOUBLE) AS s2
-      |  FROM daily),
-      |z AS (SELECT day,
-      |        (CAST(v AS DOUBLE) - s1 / CAST(n AS DOUBLE))
-      |          / sqrt((s2 - s1 * s1 / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)) AS z
-      |      FROM daily CROSS JOIN m),
-      |b AS (SELECT day, z,
-      |        CASE WHEN z > 2.0 THEN 1 WHEN z < -2.0 THEN -1 ELSE 0 END AS b2
-      |      FROM z),
-      |l AS (SELECT day, z, b2,
-      |        COALESCE(lag(b2, 1) OVER (ORDER BY day), 0) AS b2l1,
-      |        COALESCE(lag(b2, 2) OVER (ORDER BY day), 0) AS b2l2
-      |      FROM b)
-      |SELECT day, ROUND(z, 6) AS z,
-      |  abs(z) > 3.0 AS rule1_beyond_3sd,
-      |  ((CASE WHEN b2 = 1 THEN 1 ELSE 0 END + CASE WHEN b2l1 = 1 THEN 1 ELSE 0 END
-      |    + CASE WHEN b2l2 = 1 THEN 1 ELSE 0 END) >= 2)
-      |  OR ((CASE WHEN b2 = -1 THEN 1 ELSE 0 END + CASE WHEN b2l1 = -1 THEN 1 ELSE 0 END
-      |    + CASE WHEN b2l2 = -1 THEN 1 ELSE 0 END) >= 2) AS rule2_two_of_three_2sd
-      |FROM l ORDER BY day""".stripMargin
-
-  /** k-core decomposition (k=10, convergence-driven synchronous peeling
-    * via [[graft.operators.IterativeGraph.kcoreWithDeg]]; the DuckDB
-    * oracle unrolls 4 fixed rounds, equal to the fixpoint at every test
-    * SF where peeling settles in 1) — the graph-robustness screen next
-    * to q_degree_hist: nodes that
-    * survive repeated removal of under-connected neighbors, with their
-    * in-core degree. Each round joins the static co-located edge list
-    * against the alive set on BOTH endpoints and re-counts — the
-    * alive vector is the only moving exchange, localCheckpoint'd per
-    * round because each round references it twice (the q_shortest_path
-    * lineage discipline). */
-  private def qKcore(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
-    val ord = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
-    val cs = li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("p"))
-      .distinct()
-    val edges = cs.select(col("c").as("src"), col("p").as("dst"))
-      .unionByName(cs.select(col("p").as("src"), col("c").as("dst")))
-      .distinct()
-      .repartition(col("src")).persist()
-    // convergence-driven peeling (count-stable fixpoint, capped) — the
-    // oracle unrolls 4 fixed rounds, which equals the fixpoint whenever
-    // peeling settles within 4 (measured: 1 round at every test SF); at
-    // a 100× SF where 4 rounds would stop short, this keeps peeling.
-    // The in-core degrees come FROM the fixpoint round (kcoreWithDeg),
-    // not a post-loop re-join — the re-derive dragged the whole edge
-    // subtree back into the final plan (r14: 17 exchanges, an edge-sized
-    // broadcast); now the final frame is the checkpoint leaf + sort.
-    graft.operators.IterativeGraph.kcoreWithDeg(edges, k = 10, maxRounds = 64)
-      // Re-assert the core bound on the emitted rows: if the capped
-      // rounds ever stop short of the fixpoint at a larger SF,
-      // under-degree nodes are dropped here instead of being mislabeled
-      // as 10-core members.
-      .filter(col("core_deg") >= 10)
-      .orderBy(col("node"))
-  }
-
-  private val qKcoreSql: String = {
-    val iter = (1 to 4).map { k =>
-      s"""a$k AS (SELECT e.src AS node FROM edges e
-         |  JOIN a${k - 1} s ON e.src = s.node
-         |  JOIN a${k - 1} t ON e.dst = t.node
-         |  GROUP BY e.src HAVING COUNT(*) >= 10)""".stripMargin
-    }.mkString(",\n")
-    s"""WITH cs AS (
-       |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS p
-       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-       |edges AS (
-       |  SELECT c AS src, p AS dst FROM cs
-       |  UNION
-       |  SELECT p AS src, c AS dst FROM cs),
-       |a0 AS (SELECT DISTINCT src AS node FROM edges),
-       |$iter
-       |SELECT e.src AS node, COUNT(*) AS core_deg FROM edges e
-       |  JOIN a4 s ON e.src = s.node
-       |  JOIN a4 t ON e.dst = t.node
-       |GROUP BY e.src HAVING COUNT(*) >= 10 ORDER BY node""".stripMargin
-  }
-
-  /** Row-level quarantine audit — [[graft.etl.Validate.quarantine]]
-    * under the hard oracle: two is-bad predicates route every order row
-    * to clean or quarantine-with-reasons, and the audit reports per-rule
-    * failure counts plus the clean / quarantined / multi-rule totals.
-    * The quarantined stream's reason counts are derived by exploding
-    * the ACTUAL `__reasons` arrays the split produced (not recomputed
-    * from the predicates), so the oracle verifies the routing itself.
-    * One row-local projection + one tiny aggregate — no shuffle of the
-    * table at any scale. */
-  private def etlQuarantine(s: SparkSession, dir: String): DataFrame = {
-    val rules = Seq(
-      "price_range" ->
-        !(col("o_totalprice") >= 1000.0 && col("o_totalprice") <= 400000.0),
-      "status_domain" -> !col("o_orderstatus").isin("F", "O"))
-    val (clean, bad) = graft.etl.Validate.quarantine(Tables.orders(s, dir), rules)
-    val perRule = bad.select(explode(col("__reasons")).as("rule"))
-      .groupBy(col("rule")).agg(count(lit(1)).as("n_rows"))
-    val totals = clean.agg(count(lit(1)).as("c")).crossJoin(
-        bad.agg(count(lit(1)).as("q"),
-          sum(when(size(col("__reasons")) > 1, 1L).otherwise(0L)).as("m")))
-      .selectExpr("stack(3, '_clean', c, '_quarantined', q, '_multi', m) as (rule, n_rows)")
-    perRule.unionByName(totals).orderBy(col("rule"))
-  }
-
-  private val etlQuarantineSql =
-    """WITH f AS (SELECT
-      |    (NOT (o_totalprice >= 1000.0 AND o_totalprice <= 400000.0)) AS f1,
-      |    (o_orderstatus NOT IN ('F', 'O')) AS f2
-      |  FROM orders)
-      |SELECT '_clean' AS rule,
-      |  CAST(SUM(CASE WHEN NOT (f1 OR f2) THEN 1 ELSE 0 END) AS BIGINT) AS n_rows FROM f
-      |UNION ALL SELECT '_multi',
-      |  CAST(SUM(CASE WHEN f1 AND f2 THEN 1 ELSE 0 END) AS BIGINT) FROM f
-      |UNION ALL SELECT '_quarantined',
-      |  CAST(SUM(CASE WHEN f1 OR f2 THEN 1 ELSE 0 END) AS BIGINT) FROM f
-      |UNION ALL SELECT 'price_range',
-      |  CAST(SUM(CASE WHEN f1 THEN 1 ELSE 0 END) AS BIGINT) FROM f
-      |UNION ALL SELECT 'status_domain',
-      |  CAST(SUM(CASE WHEN f2 THEN 1 ELSE 0 END) AS BIGINT) FROM f
-      |ORDER BY rule""".stripMargin
-
-  /** Quantile treatment effects — the distributional view an average
-    * treatment effect (an_did / an_bootstrap_diff) hides: per decile,
-    * the gap between the two groups' exact type-7 quantiles. Rides the
-    * same raw-row PrefixSum order-statistic scan as
-    * an_quantiles_by_group (no value-buffering percentile anywhere),
-    * with 2 groups × 9 deciles of rank probes broadcast into the scan;
-    * the interpolation and /100 cents→dollars emission reuse that
-    * query's proven ROUND(·,4) recipe, and the QTE is a difference of
-    * identically-rounded doubles — bit-identical by construction. */
-  private def anQte(s: SparkSession, dir: String): DataFrame = {
-    val raw = Tables.orders(s, dir)
-      .select((col("o_custkey") % 2).cast("int").as("g"),
-        (col("o_totalprice").cast("decimal(24,2)") * 100).cast("bigint").as("v"))
-    val scan = graft.operators.PrefixSum.distinctRunningCounts(raw, Seq("g", "v"))
-    val wOff = Window.orderBy("g").rowsBetween(Window.unboundedPreceding, -1)
-    val probes = raw.groupBy("g").agg(count(lit(1)).as("n"))
-      .withColumn("off", coalesce(sum("n").over(wOff), lit(0L)))
-      .select(col("g"), col("n"), col("off"),
-        explode(array((1 to 9).map(i => lit(i * 10L)): _*)).as("pct"))
-      .withColumn("k_lo", expr("(n - 1) * pct div 100 + 1"))
-      .withColumn("rem", expr("(n - 1) * pct % 100"))
-      .withColumn("k_hi", col("k_lo") + when(col("rem") > 0, 1L).otherwise(0L))
-    val hitLo = col("cum") >= col("k_lo") && col("cum") - col("cnt") < col("k_lo")
-    val hitHi = col("cum") >= col("k_hi") && col("cum") - col("cnt") < col("k_hi")
-    scan.join(broadcast(probes), Seq("g"))
-      .withColumn("cum", col("cnt_cum") - col("off"))
-      .filter(hitLo || hitHi)
-      .groupBy(col("g"), col("pct"))
-      .agg(max(when(hitLo, col("v"))).as("v_lo"),
-        max(when(hitHi, col("v"))).as("v_hi"),
-        first(col("rem")).as("rem"))
-      .withColumn("value", round(
-        (col("v_lo").cast("double") + col("rem").cast("double") / 100.0
-          * (col("v_hi") - col("v_lo")).cast("double")) / 100.0, 4))
-      .groupBy(col("pct"))
-      .agg(max(when(col("g") === 0, col("value"))).as("q_control"),
-        max(when(col("g") === 1, col("value"))).as("q_treat"))
-      .withColumn("qte", col("q_treat") - col("q_control"))
-      .orderBy(col("pct"))
-  }
-
-  private val anQteSql: String = {
-    val per = (1 to 9).map(i =>
-      s"SELECT g, CAST(${i * 10} AS BIGINT) AS pct, ROUND(quantile_cont(v, 0.$i), 4) AS q FROM o GROUP BY g")
-      .mkString("\n  UNION ALL ")
-    s"""WITH o AS (SELECT CAST(o_custkey % 2 AS INT) AS g, o_totalprice AS v
-       |  FROM orders),
-       |q AS (
-       |  $per)
-       |SELECT pct,
-       |  MAX(CASE WHEN g = 0 THEN q END) AS q_control,
-       |  MAX(CASE WHEN g = 1 THEN q END) AS q_treat,
-       |  MAX(CASE WHEN g = 1 THEN q END) - MAX(CASE WHEN g = 0 THEN q END) AS qte
-       |FROM q GROUP BY pct ORDER BY pct""".stripMargin
-  }
-
-  /** SPAN-level decontamination — the surgical complement to
-    * text_contaminate's doc-level screen: per corpus doc, WHERE the
-    * benchmark 5-grams land (window positions) and the longest
-    * consecutive contaminated run, which is what separates "drop the
-    * doc" from "cut the quoted span and keep the rest". Same posture as
-    * the dedup_substring islands scan (per-doc window, 16-byte hashes
-    * only) with the held-out gram set BROADCAST — the corpus never
-    * shuffles for membership, the documented decontamination shape. */
-  private def textContaminateSpans(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
-    val bench = graft.text.Decontam
-      .gramWindows(docs.filter(col("doc_id") < 20), "text", "doc_id")
-      .select(col("h")).distinct()
-    graft.text.Decontam
-      .spanStats(docs.filter(col("doc_id") >= 20), bench, "text", "doc_id")
-      .orderBy(col("doc_id"))
-  }
-
-  private val textContaminateSpansSql =
-    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-      |l AS (SELECT doc_id, list_transform(range(1, greatest(len(ws) - 3, 1)),
-      |        i -> md5(array_to_string(ws[i:i+4], ' '))) AS lst FROM t),
-      |g AS (SELECT doc_id, generate_subscripts(lst, 1) - 1 AS pos,
-      |        unnest(lst) AS h FROM l),
-      |bench AS (SELECT DISTINCT h FROM g WHERE doc_id < 20),
-      |f AS (SELECT g.doc_id, g.pos, b.h IS NOT NULL AS c
-      |      FROM g LEFT JOIN bench b ON g.h = b.h
-      |      WHERE g.doc_id >= 20),
-      |byd AS (SELECT doc_id, COUNT(*) AS n_windows,
-      |          CAST(SUM(CASE WHEN c THEN 1 ELSE 0 END) AS BIGINT) AS n_contam
-      |        FROM f GROUP BY doc_id),
-      |runs AS (SELECT doc_id, CAST(MAX(run) AS BIGINT) AS max_run FROM (
-      |    SELECT doc_id, grp, COUNT(*) AS run FROM (
-      |      SELECT doc_id, pos,
-      |        pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
-      |      FROM f WHERE c) x GROUP BY doc_id, grp) y GROUP BY doc_id)
-      |SELECT b.doc_id, b.n_windows, b.n_contam,
-      |  COALESCE(r.max_run, 0) AS max_run
-      |FROM byd b LEFT JOIN runs r USING (doc_id) ORDER BY b.doc_id""".stripMargin
-
-  /** Tail-exact quantiles (the REQ/t-digest use case, answered exactly):
-    * TailQuantiles keeps the exact smallest/largest 1024 values in O(T)
-    * mergeable state, so every probe within the retained tails — min,
-    * p0.0001, p0.001, p0.999, p0.9999, max — is the TRUE order
-    * statistic, hash-verified against DuckDB's row_number, not bounds-
-    * checked. Budget rule: q stays exact while min(ceil(qn), n−ceil(qn))
-    * ≤ T (T=1024 covers p0.001 to n=1M, p0.0001 to n=10M); probes past
-    * the budget answer NULL with exact=false (TailQuantiles.probe) and
-    * route to the KLL body sketch, an_kll_rank — no negative-index
-    * hazard when the scale factor grows. One tiny aggregate, no sort,
-    * no shuffle of raw rows. */
-  private def anTailQuantiles(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val agg = new graft.functions.TailQuantiles(1024)
-    val st = Tables.lineitem(s, dir).select(col("l_extendedprice")).as[Double]
-      .groupByKey(_ => 0)
-      .agg(agg.toColumn.name("st"))
-      .select(col("st._1").as("n"), col("st._2").as("lo"), col("st._3").as("hi"))
-    graft.functions.TailQuantiles.probe(st,
-      Seq(0.0, 0.0001, 0.001, 0.999, 0.9999, 1.0))
-  }
-
-  private val anTailQuantilesSql =
-    """WITH nn AS (SELECT count(*) AS n FROM lineitem),
-      |probes(q) AS (VALUES (0.0),(0.0001),(0.001),(0.999),(0.9999),(1.0)),
-      |r AS (SELECT q, greatest(1, CAST(ceil(q * nn.n) AS BIGINT)) AS rnk, nn.n AS n
-      |      FROM probes, nn),
-      |s AS (SELECT l_extendedprice AS v,
-      |      row_number() OVER (ORDER BY l_extendedprice) AS rn FROM lineitem)
-      |SELECT CAST(r.q AS DOUBLE) AS q, r.rnk,
-      |       CASE WHEN r.rnk <= least(1024, r.n) OR r.n - r.rnk < least(1024, r.n)
-      |            THEN s.v END AS value,
-      |       (r.rnk <= least(1024, r.n) OR r.n - r.rnk < least(1024, r.n)) AS exact
-      |FROM r JOIN s ON s.rn = r.rnk ORDER BY q""".stripMargin
-
-  /** KMV/theta distinct sketch per order priority + an ALL rollup: the
-    * k smallest distinct tempered hashes are a uniform sample of the
-    * key set, the estimate is one integer division — everything
-    * deterministic, so the oracle hash-verifies the sample size, θ,
-    * AND the estimate (contrast an_hll_distinct, where only the
-    * register state is integer-exact). Groups under k distinct keys
-    * land in the exact regime (est = true distinct). The aggregator
-    * carries O(k) state map-side — same shuffle shape as top-k. */
-  private def anThetaDistinct(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    import graft.functions.{KmvSketch, Sketches}
-    val k = 256
-    val ords = Tables.orders(s, dir)
-      .select(col("o_orderpriority").as("grp"),
-        Sketches.temperedHash(col("o_custkey")).as("h"))
-      .as[(String, Long)]
-    val perGrp = ords.groupByKey(_._1)
-      .agg(new KmvSketch[(String, Long)](k, _._2).toColumn.name("sample"))
-      .toDF("grp", "sample")
-    val all = ords.map(_._2)
-      .select(new KmvSketch[Long](k, identity).toColumn.name("sample"))
-      .toDF("sample").withColumn("grp", lit("ALL"))
-    perGrp.unionByName(all)
-      .select(col("grp"),
-        size(col("sample")).cast("long").as("n_sample"),
-        element_at(col("sample"), -1).as("theta_h"),
-        when(size(col("sample")) < k, size(col("sample")).cast("long"))
-          .otherwise(expr(s"${(k - 1).toLong * graft.functions.Sketches.P} div element_at(sample, -1)"))
-          .as("est"))
-  }
-
-  private val anThetaDistinctSql =
-    s"""WITH t1 AS (
-      |  SELECT o_orderpriority AS grp,
-      |         ((CAST(o_custkey AS BIGINT) * 1000003 + 12289) % 2147483647) AS x
-      |  FROM orders),
-      |t2 AS (SELECT grp, xor(x, x >> 15) AS x FROM t1),
-      |t3 AS (SELECT grp, (x * 786433) % 2147483647 AS x FROM t2),
-      |h_rows AS (SELECT grp, xor(x, x >> 13) AS h FROM t3),
-      |dh AS (SELECT DISTINCT grp, h FROM h_rows),
-      |rk AS (SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS r FROM dh),
-      |g AS (SELECT grp, count(*) AS n_sample, max(h) AS theta_h FROM rk WHERE r <= 256 GROUP BY 1),
-      |alldh AS (SELECT DISTINCT h FROM h_rows),
-      |allrk AS (SELECT h, row_number() OVER (ORDER BY h) AS r FROM alldh),
-      |allg AS (SELECT 'ALL' AS grp, count(*) AS n_sample, max(h) AS theta_h FROM allrk WHERE r <= 256),
-      |u AS (SELECT * FROM g UNION ALL SELECT * FROM allg)
-      |SELECT grp, n_sample, theta_h,
-      |  CASE WHEN n_sample < 256 THEN n_sample
-      |       ELSE ${255L * graft.functions.Sketches.P} // theta_h END AS est
-      |FROM u""".stripMargin
-
-  /** KLL quantile-sketch rank probes per order status: each group
-    * aggregates into an O(k) compactor hierarchy (map-side combined,
-    * mergeable — the shuffle carries one sketch per task, never the
-    * values), then fixed price thresholds are ranked against the
-    * flattened summary. EXACT-ORACLE REGIME CONTRACT (SURVEY §2 B):
-    * k = 131072 ≥ the largest per-status group through sf0.1 (the
-    * largest SF any driver artifact measures — r15's full sf0.1 verify
-    * caught k = 16384 tripping compactions there: err_bound 5 vs the
-    * exact oracle's 0), so within that horizon no compaction fires,
-    * errBound = 0 and every rank is the EXACT count of rows ≤ probe —
-    * hash-verified. Beyond the horizon (sf1: ~750k-row groups),
-    * compactions fire BY DESIGN and the sketch self-certifies its rank
-    * error (the compaction regime is property-tested in SketchesSpec
-    * against that bound); widening the exact horizon is one k bump. */
-  private def anKllRank(s: SparkSession, dir: String): DataFrame = {
-    val kll = udaf(new graft.functions.KllSketch(131072))
-    val probes = typedLit(Seq(75000.0, 150000.0, 300000.0))
-    Tables.orders(s, dir)
-      .groupBy(col("o_orderstatus").as("grp"))
-      .agg(kll(col("o_totalprice").cast("double")).as("sk"))
-      .select(col("grp"), explode(probes).as("probe"), col("sk"))
-      .select(col("grp"), col("probe"),
-        aggregate(
-          filter(col("sk.items"), i => i.getField("value") <= col("probe")),
-          lit(0L), (acc, i) => acc + i.getField("weight")).as("rank_est"),
-        col("sk.n").as("n"),
-        col("sk.errBound").as("err_bound"))
-  }
-
-  private val anKllRankSql =
-    """WITH p(probe) AS (VALUES (CAST(75000.0 AS DOUBLE)), (150000.0), (300000.0))
-      |SELECT o_orderstatus AS grp, p.probe,
-      |       count(*) FILTER (WHERE o_totalprice <= p.probe) AS rank_est,
-      |       count(*) AS n, CAST(0 AS BIGINT) AS err_bound
-      |FROM orders CROSS JOIN p
-      |GROUP BY 1, 2""".stripMargin
-
-  /** Weighted sample without replacement, k = 100 over orders weighted
-    * by price — A-Res priority sampling (Efraimidis & Spirakis, IPL'06:
-    * top-k by u^(1/w) is a weight-proportional sample) made
-    * DETERMINISTIC by drawing u from the tempered hash of the key:
-    * u = (h+1)/2^31 is exact in double (the divisor is a power of
-    * two), so both engines compute identical priorities and the oracle
-    * hash-verifies the SAMPLE ITSELF — no seeded-RNG parity games.
-    * The top-k runs through [[graft.functions.TopKAggregate]]: O(k)
-    * state per task, combined map-side, so a 100 TB scan shuffles k
-    * survivors per task, never the population (the global-sort
-    * formulation would shuffle everything). pow() is the one libm op
-    * (1-ulp engine skew) — priorities are spread ~10^8 ulp apart, so a
-    * rank flip needs a ~10^-8-relative tie; the id tie-break covers
-    * exact equality. */
-  private def etlWeightedSample(s: SparkSession, dir: String): DataFrame = {
-    val orders = Tables.orders(s, dir)
-    graft.operators.Sampling
-      .weightedSample(orders, col("o_orderkey"), col("o_totalprice"), 100)
-      .select("id")
-      .join(orders.select(col("o_orderkey").cast("long").as("id"),
-        col("o_totalprice").cast("double").as("w")), "id")
-  }
-
-  private val etlWeightedSampleSql =
-    """WITH t1 AS (SELECT CAST(o_orderkey AS BIGINT) AS id,
-      |                   CAST(o_totalprice AS DOUBLE) AS w,
-      |                   ((CAST(o_orderkey AS BIGINT) * 1000003 + 12289) % 2147483647) AS x
-      |            FROM orders),
-      |t2 AS (SELECT id, w, xor(x, x >> 15) AS x FROM t1),
-      |t3 AS (SELECT id, w, (x * 786433) % 2147483647 AS x FROM t2),
-      |pri AS (SELECT id, w,
-      |               pow((xor(x, x >> 13) + 1) / 2147483648.0, 1.0 / w) AS p
-      |        FROM t3)
-      |SELECT id, w FROM pri ORDER BY p DESC, id LIMIT 100""".stripMargin
-
-  // -------------------------------------------------- D. training-data ops
-
-  private def dedupExact(s: SparkSession, dir: String): DataFrame =
-    graft.dedup.Dedup.exact(Tables.documents(s, dir), "text", "doc_id")
-      .orderBy(col("text_hash"))
-
-  private val dedupExactSql =
-    """SELECT md5(text) AS text_hash, MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
-      |FROM documents GROUP BY 1 ORDER BY text_hash""".stripMargin
-
-  /** Segment-level dedup (the CCNet paragraph/line-dedup shape): split
-    * each document into non-overlapping 10-token segments, find segments
-    * occurring in more than 2 distinct documents, drop those
-    * occurrences, and reassemble the cleaned text in order. Scale shape:
-    * the duplicated-segment set is small by construction (only repeats
-    * survive the HAVING) and broadcasts; the corpus explodes to
-    * (doc_id, idx, segment) once and anti-joins the broadcast set
-    * without shuffling, so the only corpus-sized shuffle is the
-    * reassembly groupBy(doc_id). Documents whose every segment is
-    * boilerplate vanish — that is the inner-semantics contract.
-    *
-    * The dup-detection aggregate and the anti-join run on
-    * xxhash64(seg), never the segment text (the Dedup.exact posture,
-    * Dedup.scala): the corpus-wide exchange carries 16 bytes per
-    * (hash, doc) pair instead of 10-token strings, so the ONLY
-    * text-bearing shuffle is the per-document reassembly. */
-  private def dedupSegments(s: SparkSession, dir: String): DataFrame = {
-    val segLen = 10
-    val segs = Tables.documents(s, dir)
-      .select(col("doc_id"), graft.text.TextFunctions.words(col("text")).as("ws"))
-      .select(col("doc_id"),
-        expr(s"CAST(ceil(size(ws) / $segLen.0) AS INT)").as("n_seg"),
-        expr(
-          s"""CASE WHEN size(ws) >= 1
-             |THEN transform(sequence(0, CAST(ceil(size(ws) / $segLen.0) AS INT) - 1),
-             |               i -> array_join(slice(ws, i * $segLen + 1, $segLen), ' '))
-             |ELSE array() END""".stripMargin).as("arr"))
-      .select(col("doc_id"), col("n_seg"),
-        posexplode(col("arr")).as(Seq("idx", "seg")))
-      .withColumn("seg_h", xxhash64(col("seg")))
-    val dup = segs.groupBy("seg_h")
-      .agg(countDistinct(col("doc_id")).as("nd"))
-      .filter(col("nd") > 2).select("seg_h")
-    segs.join(broadcast(dup), Seq("seg_h"), "left_anti")
-      .groupBy("doc_id")
-      .agg(max(col("n_seg")).as("n_seg"),
-        count(lit(1)).as("n_kept"),
-        expr("array_join(transform(array_sort(collect_list(struct(idx, seg))), x -> x.seg), ' ')")
-          .as("clean_text"))
-      .orderBy(col("doc_id"))
-  }
-
-  private val dedupSegmentsSql =
-    """WITH lists AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
-      |segs AS (SELECT doc_id, CAST(i AS INT) AS idx,
-      |         array_to_string(l[(i*10+1):(i*10+10)], ' ') AS seg,
-      |         CAST(ceil(len(l) / 10.0) AS INT) AS n_seg
-      |         FROM lists, UNNEST(range(CAST(ceil(len(l) / 10.0) AS BIGINT))) AS t(i)),
-      |dup AS (SELECT seg FROM segs GROUP BY seg HAVING count(DISTINCT doc_id) > 2)
-      |SELECT doc_id, max(n_seg) AS n_seg, count(*) AS n_kept,
-      |       string_agg(seg, ' ' ORDER BY idx) AS clean_text
-      |FROM segs WHERE seg NOT IN (SELECT seg FROM dup)
-      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
-
-  /** Domain mixing with fractional epochs (the training-mixture shape:
-    * per-source sampling rate ρ, where ρ>1 up-samples by duplication
-    * and ρ<1 down-samples): every doc emits floor(ρ) full copies plus
-    * one more iff its deterministic md5-uniform falls under frac(ρ),
-    * so realized counts converge to ρ·n per source and the exact row
-    * set replays on any engine. Here ρ is derived from the source id
-    * (0.25/1.0/1.75/2.5 by index mod 4) so the oracle can recompute it;
-    * in production ρ comes from a mixture plan table. Pure map-side —
-    * project + explode, zero shuffle (the orderBy is presentation). */
-  private def textMixEpochs(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
-      .withColumn("m", regexp_extract(col("source"), "(\\d+)", 1).cast("int") % 4)
-      .withColumn("full_copies",
-        expr("CASE m WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 1 ELSE 2 END"))
-      .withColumn("thr",
-        expr("CASE m WHEN 0 THEN '4' WHEN 1 THEN '0' WHEN 2 THEN 'c' ELSE '8' END"))
-      .withColumn("n_copies", col("full_copies") +
-        when(substring(md5(concat(col("doc_id").cast("string"), lit(":"), col("source"))), 1, 1)
-          < col("thr"), 1).otherwise(0))
-      // sequence(0, -1) generates DESCENDING [0,-1] — guard n_copies=0
-      .select(col("doc_id"), col("source"),
-        explode(expr(
-          "CASE WHEN n_copies >= 1 THEN sequence(0, n_copies - 1) ELSE array() END"))
-          .as("epoch_i"))
-      .select(col("doc_id"), col("source"), col("epoch_i").cast("long").as("epoch"))
-      .orderBy(col("doc_id"), col("epoch"))
-
-  private val textMixEpochsSql =
-    """WITH d AS (SELECT doc_id, source,
-      |        CAST(regexp_extract(source, '(\d+)', 1) AS INT) % 4 AS m FROM documents),
-      |c AS (SELECT doc_id, source,
-      |        (CASE m WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 1 ELSE 2 END) +
-      |        (CASE WHEN substr(md5(doc_id || ':' || source), 1, 1) <
-      |              (CASE m WHEN 0 THEN '4' WHEN 1 THEN '0' WHEN 2 THEN 'c' ELSE '8' END)
-      |         THEN 1 ELSE 0 END) AS n FROM d)
-      |SELECT doc_id, source, CAST(t.e AS BIGINT) AS epoch
-      |FROM c, UNNEST(range(c.n)) AS t(e)
-      |ORDER BY doc_id, epoch""".stripMargin
-
   /** DuckDB-side word-3-gram distinct shingle list (1-based lists). */
-  private val duckShingles =
+  private[graft] val duckShingles =
     """SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
       |    for i in range(1, len(w)-1)]) AS shingles
       |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)""".stripMargin
-
-  private def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame =
-    graft.dedup.Dedup.ngramJaccardPairs(Tables.documents(s, dir), "text", "doc_id",
-        k = 3, tau = 0.05)
-      .orderBy(col("doc_a"), col("doc_b"))
-
-  private val dedupNgramJaccardSql =
-    s"""WITH sh AS ($duckShingles)
-       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |  len(list_intersect(a.shingles, b.shingles)) * 1.0 /
-       |    (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) AS jaccard
-       |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-       |WHERE len(list_intersect(a.shingles, b.shingles)) * 1.0 /
-       |    (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) >= 0.05
-       |ORDER BY doc_a, doc_b""".stripMargin
-
-  /** Incremental dedup: the newest fifth of the corpus (by doc_id)
-    * arrives as today's batch and pairs only against the historical
-    * 80% — corpus×corpus work never re-runs. The cutoff is relative
-    * (0.8·(max+1)) so the batch/corpus shape holds at every SF; the
-    * max() comes from parquet footer stats, not a data scan. */
-  private def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
-    val cut = docs.agg(floor((max(col("doc_id")) + 1) * 0.8).cast("long"))
-      .head().getLong(0)
-    graft.dedup.Dedup.incrementalJaccardPairs(
-        docs.filter(col("doc_id") >= cut), docs.filter(col("doc_id") < cut),
-        "text", "doc_id", k = 3, tau = 0.05)
-      .orderBy(col("doc_new"), col("doc_old"))
-  }
-
-  private val dedupIncrementalSql =
-    s"""WITH sh AS ($duckShingles),
-       |cut AS (SELECT CAST(floor((max(doc_id) + 1) * 0.8) AS BIGINT) AS cut FROM documents)
-       |SELECT a.doc_id AS doc_new, b.doc_id AS doc_old,
-       |  len(list_intersect(a.shingles, b.shingles)) * 1.0 /
-       |    (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) AS jaccard
-       |FROM sh a JOIN sh b ON a.doc_id >= (SELECT cut FROM cut) AND b.doc_id < (SELECT cut FROM cut)
-       |WHERE len(list_intersect(a.shingles, b.shingles)) * 1.0 /
-       |    (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) >= 0.05
-       |ORDER BY doc_new, doc_old""".stripMargin
-
-  /** MinHash-LSH candidates verified by exact Jaccard. The oracle is the
-    * EXACT τ>=0.5 pair set: valid because verification removes all false
-    * positives and the 16×4 banding's recall at τ>=0.5 is empirically
-    * complete on this corpus (checked against the brute-force pairs). */
-  private def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame =
-    graft.dedup.Dedup.minhashLshPairs(Tables.documents(s, dir), "text", "doc_id",
-        k = 3, tau = 0.5)
-      .orderBy(col("doc_a"), col("doc_b"))
-
-  private val dedupMinhashLshSql =
-    s"""WITH sh AS ($duckShingles)
-       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |  len(list_intersect(a.shingles, b.shingles)) * 1.0 /
-       |    (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) AS jaccard
-       |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-       |WHERE len(list_intersect(a.shingles, b.shingles)) * 1.0 /
-       |    (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) >= 0.5
-       |ORDER BY doc_a, doc_b""".stripMargin
-
-  /** Prefix-filtered exact all-pairs Jaccard (PPJoin). The oracle is the
-    * plain exact pair set at the same tau — prefix filtering prunes
-    * candidates, never results. */
-  private def dedupPpjoin(s: SparkSession, dir: String): DataFrame =
-    graft.dedup.Dedup.ppjoinJaccardPairs(Tables.documents(s, dir), "text", "doc_id",
-        k = 3, tau = 0.6)
-      .orderBy(col("doc_a"), col("doc_b"))
-
-  private val dedupPpjoinSql =
-    s"""WITH sh AS ($duckShingles)
-       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |  len(list_intersect(a.shingles, b.shingles)) * 1.0 /
-       |    (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) AS jaccard
-       |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-       |WHERE len(list_intersect(a.shingles, b.shingles)) * 1.0 /
-       |    (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) >= 0.6
-       |ORDER BY doc_a, doc_b""".stripMargin
-
-  /** SimHash pairs under the FULL hash oracle: the per-word hash is
-    * [[graft.dedup.Dedup.fastPortableWordHash]] (two poly-mod-P
-    * code-point folds through the Sketches xor-shift temper, packed to
-    * 62 bits — the codegen'd [[graft.functions.PolyWordHash62]] kernel,
-    * ~8× cheaper than the md5-nibble form it replaced), and everything
-    * downstream — bit votes, majority threshold, 16-bit banding,
-    * Hamming distance — is exact integer arithmetic, so the DuckDB
-    * oracle rederives the signatures and pairs bit-for-bit. */
-  private def dedupSimhash(s: SparkSession, dir: String): DataFrame =
-    graft.dedup.Dedup.simhashPairs(Tables.documents(s, dir), "text", "doc_id",
-        maxHamming = 3, wordHash = graft.dedup.Dedup.fastPortableWordHash)
-      .orderBy(col("doc_a"), col("doc_b"))
-
-  /** DuckDB replay of the portable SimHash pipeline: identical word
-    * split, the poly+temper 62-bit word hash rederived code-point-by-
-    * code-point (list_reduce over ord() — same BIGINT fold as the
-    * codegen kernel), per-bit ±1 vote sums, majority bits reassembled
-    * to the signature, 4×16-bit candidate bands, popcount(xor) Hamming
-    * — exact integers end to end. */
-  private val dedupSimhashSql = {
-    // poly fold acc=(acc*m+cp)%P over code points, then the xor-shift temper
-    def polyT(m: Int, a2: Long) = {
-      val p = s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
-                 |      list_transform(split(wd, ''), c -> CAST(ord(c) AS BIGINT))),
-                 |      (acc, x) -> (acc * $m + x) % 2147483647)""".stripMargin
-      s"""xor((xor($p, $p >> 15) * $a2) % 2147483647,
-         |    ((xor($p, $p >> 15) * $a2) % 2147483647) >> 13)""".stripMargin
-    }
-    s"""WITH w AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS wd
-       |           FROM documents),
-       |hv AS (SELECT doc_id,
-       |         ${polyT(131, 786433L)} * 2147483648 + ${polyT(137, 65537L)} AS hv
-       |       FROM w),
-       |bits AS (SELECT doc_id, t.range AS b,
-       |                CASE WHEN SUM(CASE WHEN ((hv >> CAST(t.range AS INT)) & 1) = 1
-       |                                   THEN 1 ELSE -1 END) > 0 THEN 1 ELSE 0 END AS bit
-       |         FROM hv, range(0, 62) t GROUP BY 1, 2),
-       |sh AS (SELECT doc_id,
-       |              CAST(SUM(bit * (CAST(1 AS BIGINT) << CAST(b AS INT))) AS BIGINT) AS simhash
-       |       FROM bits GROUP BY 1),
-       |bands AS (SELECT doc_id, simhash, t.range AS band_id,
-       |                 (simhash >> (CAST(t.range AS INT) * 16)) & 65535 AS band_key
-       |          FROM sh, range(0, 4) t),
-       |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
-       |                x.simhash AS sa, y.simhash AS sb
-       |         FROM bands x JOIN bands y
-       |           ON x.band_id = y.band_id AND x.band_key = y.band_key
-       |              AND x.doc_id < y.doc_id)
-       |SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
-       |FROM cand
-       |WHERE bit_count(xor(sa, sb)) <= 3
-       |ORDER BY doc_a, doc_b""".stripMargin
-  }
-
-  private def dedupEmbedding(s: SparkSession, dir: String): DataFrame =
-    graft.dedup.Dedup.embeddingPairs(Tables.embeddings(s, dir), "vec_id", "embedding",
-        tau = 0.4)
-      .orderBy(col("vec_a"), col("vec_b"))
-
-  private val dedupEmbeddingSql =
-    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
-      |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-      |  ROUND(list_cosine_similarity(a.v, b.v), 6) AS sim
-      |FROM e a JOIN e b ON a.vec_id < b.vec_id
-      |WHERE list_cosine_similarity(a.v, b.v) >= 0.4
-      |ORDER BY vec_a, vec_b""".stripMargin
-
-  private def simTopkCosine(s: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(s, dir)
-    graft.similarity.VectorOps.bruteForceTopK(
-        emb, emb.filter(col("vec_id") % 50 === 0), k = 5)
-      .orderBy(col("query_id"), col("rank"))
-  }
-
-  private val simTopkCosineSql =
-    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-      |q AS (SELECT vec_id, v FROM e WHERE vec_id % 50 = 0),
-      |s AS (
-      |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
-      |    ROUND(list_cosine_similarity(q.v, e.v), 6) AS sim
-      |  FROM q JOIN e ON e.vec_id <> q.vec_id)
-      |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, sim FROM (
-      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
-      |  FROM s) t
-      |WHERE rank <= 5
-      |ORDER BY query_id, rank""".stripMargin
 
   /** DuckDB replay of [[graft.similarity.VectorOps.lshTopKPortable]]:
     * derives the SAME md5-nibble integer hyperplanes in SQL, quantizes
@@ -2947,7 +77,7 @@ object SparkEntry {
     * exact-integer sign bits, and ranks candidates by 6-dp cosine with
     * id tie-breaks — every step integer-exact or correctly-rounded, so
     * the hash oracle holds bit-for-bit. */
-  private def lshOracleSql(nBits: Int, nBands: Int, dim: Int = 64, k: Int = 5): String = {
+  private[graft] def lshOracleSql(nBits: Int, nBands: Int, dim: Int = 64, k: Int = 5): String = {
     val bandBits = nBits / nBands
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |vq AS (SELECT vec_id,
@@ -2978,112 +108,13 @@ object SparkEntry {
        |ORDER BY query_id, rank""".stripMargin
   }
 
-  /** LSH-bucketed ANN under the FULL hash oracle: the signature uses
-    * [[graft.similarity.VectorOps.md5Hyperplanes]] integer planes
-    * against micro-unit-quantized vectors, so the DuckDB oracle
-    * replays bucket assignment, candidate join, and ranking
-    * bit-for-bit (recall vs brute force additionally asserted in
-    * ScalaTest). */
-  private def simLshAnn(s: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(s, dir)
-    graft.similarity.VectorOps.lshTopKPortable(
-        emb, emb.filter(col("vec_id") % 50 === 0), k = 5, dim = 64)
-      .orderBy(col("query_id"), col("rank"))
-  }
-
-  private val simLshAnnSql = lshOracleSql(nBits = 16, nBands = 4)
-
   /** The (bands × rows) layout [[graft.similarity.LshTuning]] plans for
     * sim_lsh_auto — computed once so the Spark query and its DuckDB
     * oracle agree on the same constants by construction. */
-  private val lshAutoPlan =
+  private[graft] val lshAutoPlan =
     graft.similarity.LshTuning.tuneCosine(
       simThreshold = 0.9, recall = 0.9, maxHashes = 64,
       bgSim = 0.0, maxBgProb = 0.1)
-
-  /** LSH ANN with the band layout planned from a recall target instead
-    * of hand-picked constants (planner S-curve math exact-checked in
-    * LshTuningSpec). Same portable signature as [[simLshAnn]], so the
-    * tuned layout also sits under the full hash oracle. */
-  private def simLshAuto(s: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(s, dir)
-    graft.similarity.VectorOps.lshTopKPortable(
-        emb, emb.filter(col("vec_id") % 50 === 0), k = 5, dim = 64,
-        nBits = lshAutoPlan.totalHashes, nBands = lshAutoPlan.bands)
-      .orderBy(col("query_id"), col("rank"))
-  }
-
-  private val simLshAutoSql =
-    lshOracleSql(nBits = lshAutoPlan.totalHashes, nBands = lshAutoPlan.bands)
-
-  /** IVF-bucketed ANN under the FULL hash oracle:
-    * [[graft.similarity.VectorOps.ivfTopKPortable]] scores every cell
-    * as an exact-integer dot over one correctly-rounded sqrt and
-    * division, so the DuckDB oracle replays cell assignment, nProbe
-    * probing, candidate ranking AND the brute-force recall join
-    * bit-for-bit. Emits per-query `recall_at_k` vs the in-query exact
-    * truth (floor additionally asserted in ScalaTest). */
-  private def simIvfAnn(s: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(s, dir)
-    val q = emb.filter(col("vec_id") % 50 === 0)
-    val approx = graft.similarity.VectorOps.ivfTopKPortable(emb, q, k = 5)
-    graft.similarity.VectorOps.withRecallAtK(
-        approx, graft.similarity.VectorOps.bruteForceTopK(emb, q, k = 5), k = 5)
-      .orderBy(col("query_id"), col("rank"))
-  }
-
-  /** DuckDB replay of [[graft.similarity.VectorOps.ivfTopKPortable]]
-    * plus the recall join: same first-16-by-id centroids quantized to
-    * BIGINT micro-units, exact integer dots, one sqrt/division per
-    * score — every ranked value bit-identical to the Spark side. */
-  private val simIvfAnnSql =
-    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-      |vq AS (SELECT vec_id, list_transform(v, x -> CAST(round(x * 1000000.0) AS BIGINT)) AS q
-      |       FROM e),
-      |cent AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cell_id,
-      |                list_transform(v, x -> CAST(round(x * 1000000.0) AS BIGINT)) AS c
-      |         FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 16) t0),
-      |cn AS (SELECT cell_id,
-      |              sqrt(CAST(CAST(list_sum(list_transform(c, x -> x * x)) AS BIGINT) AS DOUBLE)) AS nrm
-      |       FROM cent),
-      |comp AS (SELECT cell_id, t.range AS j, c[CAST(t.range AS INT) + 1] AS cj
-      |         FROM cent, range(0, 64) t),
-      |dots AS (SELECT vq.vec_id, comp.cell_id,
-      |                CAST(SUM(comp.cj * vq.q[CAST(comp.j AS INT) + 1]) AS BIGINT) AS dt
-      |         FROM vq CROSS JOIN comp GROUP BY 1, 2),
-      |ranked AS (SELECT d.vec_id, d.cell_id,
-      |                  ROW_NUMBER() OVER (PARTITION BY d.vec_id
-      |                    ORDER BY CAST(d.dt AS DOUBLE) / cn.nrm DESC, d.cell_id) AS rn
-      |           FROM dots d JOIN cn USING (cell_id)),
-      |assign AS (SELECT vec_id AS neighbor_id, cell_id FROM ranked WHERE rn = 1),
-      |probes AS (SELECT vec_id AS query_id, cell_id FROM ranked
-      |           WHERE rn <= 4 AND vec_id % 50 = 0),
-      |pairs AS (SELECT DISTINCT p.query_id, a.neighbor_id
-      |          FROM probes p JOIN assign a USING (cell_id)
-      |          WHERE a.neighbor_id <> p.query_id),
-      |scored AS (SELECT p.query_id, p.neighbor_id,
-      |                  ROUND(list_cosine_similarity(eq.v, en.v), 6) AS sim
-      |           FROM pairs p JOIN e eq ON eq.vec_id = p.query_id
-      |                        JOIN e en ON en.vec_id = p.neighbor_id),
-      |topk AS (SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, sim FROM (
-      |           SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-      |               ORDER BY sim DESC, neighbor_id) AS rank
-      |           FROM scored) t WHERE rank <= 5),
-      |exact AS (SELECT query_id, neighbor_id FROM (
-      |            SELECT q.vec_id AS query_id, e2.vec_id AS neighbor_id,
-      |                   ROW_NUMBER() OVER (PARTITION BY q.vec_id
-      |                     ORDER BY ROUND(list_cosine_similarity(q.v, e2.v), 6) DESC,
-      |                              e2.vec_id) AS r
-      |            FROM e q JOIN e e2 ON e2.vec_id <> q.vec_id
-      |            WHERE q.vec_id % 50 = 0) tx WHERE r <= 5),
-      |rec AS (SELECT t.query_id, COUNT(*) / 5.0 AS recall_at_k
-      |        FROM topk t JOIN exact x
-      |          ON x.query_id = t.query_id AND x.neighbor_id = t.neighbor_id
-      |        GROUP BY 1)
-      |SELECT t.query_id, t.neighbor_id, t.rank, t.sim,
-      |       COALESCE(r.recall_at_k, 0.0) AS recall_at_k
-      |FROM topk t LEFT JOIN rec r USING (query_id)
-      |ORDER BY query_id, rank""".stripMargin
 
   /** IVF with a TRAINED coarse quantizer, promoted to the FULL hash
     * oracle (round-10 verdict #6): training is
@@ -3100,187 +131,8 @@ object SparkEntry {
     * KMeans.refit warm starts). Memoized per (dataset, k, iters);
     * training is deterministic, so the cached centroids are identical
     * to a fresh fit. */
-  private val kmeansIntModels =
+  private[graft] val kmeansIntModels =
     new java.util.concurrent.ConcurrentHashMap[(String, Int, Int), Array[Array[Long]]]
-
-  private def simIvfKmeans(s: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(s, dir)
-    val cents = kmeansIntModels.computeIfAbsent((dir, 16, 3),
-      _ => graft.similarity.KMeans.fitIntPortable(emb, "vec_id", "embedding",
-        k = 16, iters = 3))
-    val q = emb.filter(col("vec_id") % 50 === 0)
-    val approx = graft.similarity.VectorOps.ivfTopKPortable(
-      emb, q, k = 5, centroidsInt = Some(cents))
-    graft.similarity.VectorOps.withRecallAtK(
-        approx, graft.similarity.VectorOps.bruteForceTopK(emb, q, k = 5), k = 5)
-      .orderBy(col("query_id"), col("rank"))
-  }
-
-  /** DuckDB replay of the trained-quantizer IVF: retrain the integer
-    * spherical k-means (3 unrolled Lloyd iterations — init from the 16
-    * lowest-id vectors, raw-integer-dot argmax assignment with ties to
-    * the lowest cell, exact BIGINT coordinate sums, truncating `//`
-    * mean, floor-micro-unit re-normalization), then the
-    * ivfTopKPortable probe/rank/recall pipeline against the trained
-    * cells. Every value is an exact integer or a correctly-rounded
-    * IEEE double, so the hash gate pins the TRAINING, not just the
-    * retrieval. */
-  private val simIvfKmeansSql: String = {
-    // one Lloyd iteration: cPrev -> cNext (carrying empty cells)
-    def iterSql(i: Int): String = {
-      val p = s"c${i - 1}"
-      s"""comp$i AS (SELECT cell_id, t.range AS j, c[CAST(t.range AS INT) + 1] AS cj
-         |         FROM $p, range(0, 64) t),
-         |asg$i AS (SELECT vec_id, cell_id FROM (
-         |           SELECT vq.vec_id, comp$i.cell_id,
-         |                  ROW_NUMBER() OVER (PARTITION BY vq.vec_id
-         |                    ORDER BY CAST(SUM(comp$i.cj * vq.q[CAST(comp$i.j AS INT) + 1]) AS BIGINT) DESC,
-         |                             comp$i.cell_id) AS rn
-         |           FROM vq CROSS JOIN comp$i GROUP BY 1, 2) t WHERE rn = 1),
-         |m$i AS (SELECT a.cell_id, t.range AS j,
-         |               CAST(SUM(vq.q[CAST(t.range AS INT) + 1]) AS BIGINT) // COUNT(*) AS m
-         |        FROM asg$i a JOIN vq USING (vec_id), range(0, 64) t
-         |        GROUP BY 1, 2),
-         |mn$i AS (SELECT cell_id, sqrt(CAST(CAST(SUM(m * m) AS BIGINT) AS DOUBLE)) AS nrm
-         |         FROM m$i GROUP BY 1),
-         |c$i AS (SELECT m.cell_id,
-         |               list(CAST(FLOOR(CAST(m.m AS DOUBLE) * 1000000.0 / mn.nrm) AS BIGINT)
-         |                    ORDER BY m.j) AS c
-         |        FROM m$i m JOIN mn$i mn USING (cell_id)
-         |        WHERE mn.nrm > 0 GROUP BY m.cell_id
-         |        UNION ALL
-         |        SELECT p.cell_id, p.c FROM $p p
-         |        WHERE p.cell_id NOT IN (SELECT cell_id FROM mn$i WHERE nrm > 0))""".stripMargin
-    }
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-       |vq AS (SELECT vec_id, list_transform(v, x -> CAST(round(x * 1000000.0) AS BIGINT)) AS q
-       |       FROM e),
-       |c0r AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cell_id, q
-       |        FROM (SELECT vec_id, q FROM vq ORDER BY vec_id LIMIT 16) t0),
-       |c0n AS (SELECT cell_id, sqrt(CAST(CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS DOUBLE)) AS nrm
-       |        FROM c0r),
-       |c0 AS (SELECT r.cell_id,
-       |              CASE WHEN n.nrm > 0
-       |                   THEN list_transform(r.q, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0 / n.nrm) AS BIGINT))
-       |                   ELSE r.q END AS c
-       |       FROM c0r r JOIN c0n n USING (cell_id)),
-       |${(1 to 3).map(iterSql).mkString(",\n")},
-       |cent AS (SELECT cell_id, c FROM c3),
-       |cn AS (SELECT cell_id,
-       |              sqrt(CAST(CAST(list_sum(list_transform(c, x -> x * x)) AS BIGINT) AS DOUBLE)) AS nrm
-       |       FROM cent),
-       |comp AS (SELECT cell_id, t.range AS j, c[CAST(t.range AS INT) + 1] AS cj
-       |         FROM cent, range(0, 64) t),
-       |dots AS (SELECT vq.vec_id, comp.cell_id,
-       |                CAST(SUM(comp.cj * vq.q[CAST(comp.j AS INT) + 1]) AS BIGINT) AS dt
-       |         FROM vq CROSS JOIN comp GROUP BY 1, 2),
-       |ranked AS (SELECT d.vec_id, d.cell_id,
-       |                  ROW_NUMBER() OVER (PARTITION BY d.vec_id
-       |                    ORDER BY CAST(d.dt AS DOUBLE) / cn.nrm DESC, d.cell_id) AS rn
-       |           FROM dots d JOIN cn USING (cell_id)),
-       |assign AS (SELECT vec_id AS neighbor_id, cell_id FROM ranked WHERE rn = 1),
-       |probes AS (SELECT vec_id AS query_id, cell_id FROM ranked
-       |           WHERE rn <= 4 AND vec_id % 50 = 0),
-       |pairs AS (SELECT DISTINCT p.query_id, a.neighbor_id
-       |          FROM probes p JOIN assign a USING (cell_id)
-       |          WHERE a.neighbor_id <> p.query_id),
-       |scored AS (SELECT p.query_id, p.neighbor_id,
-       |                  ROUND(list_cosine_similarity(eq.v, en.v), 6) AS sim
-       |           FROM pairs p JOIN e eq ON eq.vec_id = p.query_id
-       |                        JOIN e en ON en.vec_id = p.neighbor_id),
-       |topk AS (SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, sim FROM (
-       |           SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-       |               ORDER BY sim DESC, neighbor_id) AS rank
-       |           FROM scored) t WHERE rank <= 5),
-       |exact AS (SELECT query_id, neighbor_id FROM (
-       |            SELECT q.vec_id AS query_id, e2.vec_id AS neighbor_id,
-       |                   ROW_NUMBER() OVER (PARTITION BY q.vec_id
-       |                     ORDER BY ROUND(list_cosine_similarity(q.v, e2.v), 6) DESC,
-       |                              e2.vec_id) AS r
-       |            FROM e q JOIN e e2 ON e2.vec_id <> q.vec_id
-       |            WHERE q.vec_id % 50 = 0) tx WHERE r <= 5),
-       |rec AS (SELECT t.query_id, COUNT(*) / 5.0 AS recall_at_k
-       |        FROM topk t JOIN exact x
-       |          ON x.query_id = t.query_id AND x.neighbor_id = t.neighbor_id
-       |        GROUP BY 1)
-       |SELECT t.query_id, t.neighbor_id, t.rank, t.sim,
-       |       COALESCE(r.recall_at_k, 0.0) AS recall_at_k
-       |FROM topk t LEFT JOIN rec r USING (query_id)
-       |ORDER BY query_id, rank""".stripMargin
-  }
-
-  /** SemDeDup semantic near-dup pruning under the FULL hash oracle:
-    * [[graft.similarity.VectorOps.semanticDedup]] assigns the corpus to
-    * the portable integer IVF cells (the sim_ivf_ann quantizer), pairs
-    * ONLY within a cell, and drops the higher id of any pair with
-    * round(cosine,6) ≥ 0.35, emitting (dropped, kept representative,
-    * sim, cell). Cell-local O(Σ|cell|²) — at 100 TB `nCells` scales
-    * with the corpus so cells stay bounded, the published SemDeDup
-    * shape (Abbas et al. 2023) — and the DuckDB oracle replays cell
-    * assignment and the drop set bit-for-bit. */
-  private def simSemanticDedup(s: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(s, dir)
-    // the published SemDeDup scale knob: cells GROW with the corpus so
-    // cell size (and the within-cell pair scan) stays bounded — with a
-    // FIXED nCells the O(Σ|cell|²) scan is O(n²/nCells), super-linear
-    // (the r11 sf1 probe measured exp 1.11 at fixed 16). n div 320
-    // keeps every driver test SF at exactly 16 cells, so the oracle
-    // surface is unchanged. NOTE: this count() is an eager action at
-    // query-construction time; it is cheap ONLY because
-    // Tables.embeddings is a bare parquet scan (metadata count, no
-    // data read). A driver-side action is intrinsic here — the model
-    // construction (first-nCells centroid collect inside
-    // semanticDedup) needs nCells before any plan exists — but if the
-    // source ever gains a filter or a non-parquet format, sample or
-    // snapshot the corpus size instead of full-counting it. The guard
-    // below fails loudly the moment that assumption breaks: a bare
-    // relation optimizes to a leaf plan; a filter/join/format wrapper
-    // does not.
-    require(emb.queryExecution.optimizedPlan.children.isEmpty,
-      "sim_semantic_dedup sizes nCells with a metadata-only count(); " +
-        "Tables.embeddings is no longer a bare scan — replace the eager " +
-        "count with a sampled/snapshot corpus-size estimate")
-    val nCells = math.max(16L, emb.count() / 320L).toInt
-    graft.similarity.VectorOps.semanticDedup(emb, tau = 0.35, nCells = nCells)
-      .orderBy(col("drop_id"))
-  }
-
-  /** DuckDB replay of [[graft.similarity.VectorOps.semanticDedup]]:
-    * the sim_ivf_ann assign CTE, then the within-cell pair scan with
-    * the same keep-lowest-id drop policy and (sim DESC, keep_id)
-    * representative argmax. */
-  private val simSemanticDedupSql =
-    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-      |vq AS (SELECT vec_id, list_transform(v, x -> CAST(round(x * 1000000.0) AS BIGINT)) AS q
-      |       FROM e),
-      |kk AS (SELECT greatest(16, COUNT(*) // 320) AS k FROM e),
-      |cent AS (SELECT CAST(t0.rn - 1 AS INT) AS cell_id,
-      |                list_transform(t0.v, x -> CAST(round(x * 1000000.0) AS BIGINT)) AS c
-      |         FROM (SELECT vec_id, v, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn
-      |               FROM e) t0 CROSS JOIN kk WHERE t0.rn <= kk.k),
-      |cn AS (SELECT cell_id,
-      |              sqrt(CAST(CAST(list_sum(list_transform(c, x -> x * x)) AS BIGINT) AS DOUBLE)) AS nrm
-      |       FROM cent),
-      |comp AS (SELECT cell_id, t.range AS j, c[CAST(t.range AS INT) + 1] AS cj
-      |         FROM cent, range(0, 64) t),
-      |dots AS (SELECT vq.vec_id, comp.cell_id,
-      |                CAST(SUM(comp.cj * vq.q[CAST(comp.j AS INT) + 1]) AS BIGINT) AS dt
-      |         FROM vq CROSS JOIN comp GROUP BY 1, 2),
-      |ranked AS (SELECT d.vec_id, d.cell_id,
-      |                  ROW_NUMBER() OVER (PARTITION BY d.vec_id
-      |                    ORDER BY CAST(d.dt AS DOUBLE) / cn.nrm DESC, d.cell_id) AS rn
-      |           FROM dots d JOIN cn USING (cell_id)),
-      |assign AS (SELECT vec_id AS id, cell_id FROM ranked WHERE rn = 1),
-      |p AS (SELECT b.id AS drop_id, a.id AS keep_id, a.cell_id,
-      |             ROUND(list_cosine_similarity(ea.v, eb.v), 6) AS sim
-      |      FROM assign a JOIN assign b ON a.cell_id = b.cell_id AND a.id < b.id
-      |      JOIN e ea ON ea.vec_id = a.id JOIN e eb ON eb.vec_id = b.id),
-      |r AS (SELECT drop_id, keep_id AS rep_id, sim, cell_id,
-      |             ROW_NUMBER() OVER (PARTITION BY drop_id
-      |               ORDER BY sim DESC, keep_id) AS rn
-      |      FROM p WHERE sim >= 0.35)
-      |SELECT drop_id, rep_id, sim, cell_id FROM r WHERE rn = 1
-      |ORDER BY drop_id""".stripMargin
 
   /** Product-quantized ANN, promoted to the FULL hash oracle (round-10
     * verdict #6): the per-subspace codebooks are trained by
@@ -3291,1140 +143,8 @@ object SparkEntry {
     * replays encode/decode/rank bit-for-bit. Same fit-once
     * posture as [[simIvfKmeans]]: the codebooks are a per-corpus model
     * (recall + compression trade vs int8 still asserted in ScalaTest). */
-  private val pqIntModels =
+  private[graft] val pqIntModels =
     new java.util.concurrent.ConcurrentHashMap[String, graft.similarity.Quantize.PqIntModel]
-
-  private def simPq(s: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(s, dir)
-    val model = pqIntModels.computeIfAbsent(dir,
-      _ => graft.similarity.Quantize.pqTrainIntPortable(emb, "vec_id", "embedding",
-        dim = 64, m = 8, k = 16, iters = 2))
-    val q = emb.filter(col("vec_id") % 50 === 0)
-    // PRODUCTION PATH ONLY (round-11 verdict #3, the sim_rerank fence):
-    // encode + ADC top-k from the cached codebooks. The O(q·n)
-    // brute-force recall baseline is an EVAL harness, not part of the
-    // operator — it lives in SimilaritySpec ("pqTopKInt keeps PQ
-    // retrieval quality under the integer codebooks"), so the bench
-    // entry measures what a user would run at 100 TB.
-    graft.similarity.Quantize.pqTopKInt(emb, q, k = 5, model)
-      .orderBy(col("query_id"), col("rank"))
-  }
-
-  /** DuckDB replay of the integer-PQ pipeline: retrain each of the 8
-    * sub-codebooks (2 unrolled L2 Lloyd iterations; argmin via the
-    * all-BIGINT 2·dot−‖c‖² form, ties → lowest code; truncating `//`
-    * means; empty cells carry), re-encode and reconstruct every corpus
-    * vector, ADC-rank with exact integer dots and one sqrt per norm,
-    * and re-derive recall@5 — the training itself sits under the hash
-    * gate. */
-  private val simPqSql: String = {
-    val m = 8; val sub = 8 // dim 64 = 8 subspaces × 8 coords
-    def lo(s: Int) = s * sub + 1
-    def hi(s: Int) = (s + 1) * sub
-    // one L2 Lloyd iteration for subspace s: b{s}_{i-1} -> b{s}_{i}
-    def iterSql(s: Int, i: Int): String = {
-      val p = s"b${s}_${i - 1}"
-      s"""bc${s}_$i AS (SELECT code, t.range AS j, c[CAST(t.range AS INT) + 1] AS cj
-         |        FROM $p, range(0, $sub) t),
-         |bn${s}_$i AS (SELECT code, CAST(list_sum(list_transform(c, x -> x * x)) AS BIGINT) AS n2
-         |        FROM $p),
-         |ba${s}_$i AS (SELECT vec_id, code FROM (
-         |          SELECT sv.vec_id, d.code,
-         |                 ROW_NUMBER() OVER (PARTITION BY sv.vec_id
-         |                   ORDER BY 2 * d.dt - n.n2 DESC, d.code) AS rn
-         |          FROM (SELECT bc.code, sv2.vec_id,
-         |                       CAST(SUM(bc.cj * sv2.sq[CAST(bc.j AS INT) + 1]) AS BIGINT) AS dt
-         |                FROM sv$s sv2 CROSS JOIN bc${s}_$i bc GROUP BY 1, 2) d
-         |          JOIN bn${s}_$i n USING (code) JOIN sv$s sv ON sv.vec_id = d.vec_id) t
-         |        WHERE rn = 1),
-         |bm${s}_$i AS (SELECT a.code, t.range AS j,
-         |               CAST(SUM(sv.sq[CAST(t.range AS INT) + 1]) AS BIGINT) // COUNT(*) AS mj
-         |        FROM ba${s}_$i a JOIN sv$s sv USING (vec_id), range(0, $sub) t
-         |        GROUP BY 1, 2),
-         |b${s}_$i AS (SELECT code, list(mj ORDER BY j) AS c FROM bm${s}_$i GROUP BY code
-         |        UNION ALL
-         |        SELECT p.code, p.c FROM $p p
-         |        WHERE p.code NOT IN (SELECT code FROM bm${s}_$i))""".stripMargin
-    }
-    val perSub = (0 until m).map { s =>
-      (s"""sv$s AS (SELECT vec_id, q[${lo(s)}:${hi(s)}] AS sq FROM vq),
-          |b${s}_0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS code, sq AS c
-          |        FROM (SELECT vec_id, sq FROM sv$s ORDER BY vec_id LIMIT 16) t0)""".stripMargin
-        +: (1 to 2).map(i => iterSql(s, i))).mkString(",\n")
-    }.mkString(",\n")
-    // final per-subspace encode against b{s}_2 and reconstruction
-    val encs = (0 until m).map { s =>
-      s"""fe$s AS (SELECT vec_id, code FROM (
-         |          SELECT d.vec_id, d.code,
-         |                 ROW_NUMBER() OVER (PARTITION BY d.vec_id
-         |                   ORDER BY 2 * d.dt - n.n2 DESC, d.code) AS rn
-         |          FROM (SELECT b.code, sv2.vec_id,
-         |                       CAST(list_sum(list_transform(list_zip(b.c, sv2.sq),
-         |                            z -> z[1] * z[2])) AS BIGINT) AS dt
-         |                FROM sv$s sv2 CROSS JOIN b${s}_2 b) d
-         |          JOIN (SELECT code, CAST(list_sum(list_transform(c, x -> x * x)) AS BIGINT) AS n2
-         |                FROM b${s}_2) n USING (code)) t
-         |        WHERE rn = 1),
-         |fd$s AS (SELECT e.vec_id, $s AS s, b.c FROM fe$s e JOIN b${s}_2 b USING (code))""".stripMargin
-    }.mkString(",\n")
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-       |vq AS (SELECT vec_id, list_transform(v, x -> CAST(round(x * 1000000.0) AS BIGINT)) AS q
-       |       FROM e),
-       |$perSub,
-       |$encs,
-       |recd AS (SELECT vec_id, flatten(list(c ORDER BY s)) AS nv
-       |         FROM (${(0 until m).map(s => s"SELECT * FROM fd$s").mkString(" UNION ALL ")}) u
-       |         GROUP BY vec_id),
-       |nn2 AS (SELECT vec_id, CAST(list_sum(list_transform(nv, x -> x * x)) AS BIGINT) AS n2
-       |        FROM recd),
-       |qn2 AS (SELECT vec_id, CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS n2
-       |        FROM vq WHERE vec_id % 50 = 0),
-       |scored AS (SELECT q.vec_id AS query_id, r.vec_id AS neighbor_id,
-       |                  ROUND(CAST(CAST(list_sum(list_transform(list_zip(q.q, r.nv),
-       |                        z -> z[1] * z[2])) AS BIGINT) AS DOUBLE)
-       |                    / (sqrt(CAST(qn.n2 AS DOUBLE)) * sqrt(CAST(nn.n2 AS DOUBLE))), 6) AS sim
-       |           FROM vq q JOIN qn2 qn ON qn.vec_id = q.vec_id
-       |                     CROSS JOIN recd r JOIN nn2 nn ON nn.vec_id = r.vec_id
-       |           WHERE q.vec_id % 50 = 0 AND r.vec_id <> q.vec_id),
-       |topk AS (SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, sim FROM (
-       |           SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-       |               ORDER BY sim DESC, neighbor_id) AS rank
-       |           FROM scored) t WHERE rank <= 5)
-       |SELECT query_id, neighbor_id, rank, sim
-       |FROM topk ORDER BY query_id, rank""".stripMargin
-      // MATERIALIZED on every CTE: DuckDB INLINES plain CTEs (re-evaluates
-      // per reference), and the Lloyd chain references its predecessor 3×
-      // per level — 3-deep × 8 subspaces exploded to exponential
-      // re-evaluation (measured: >60 GB of temp spill at sf0.1 before
-      // running out of disk). The hint changes evaluation only, never
-      // values; each CTE now computes exactly once.
-      .replace(" AS (SELECT", " AS MATERIALIZED (SELECT")
-  }
-
-  /** MMR-diversified retrieval ([[graft.similarity.VectorOps.mmrTopK]]
-    * — λ=0.7, pool 10, k 5): the de-duplicating selector between ANN
-    * retrieval and a training batch. The greedy steps are unrolled
-    * pool-sized stages; the oracle replays every pick including the
-    * λ-tradeoff ((1.0 − 0.7) is spelled as that expression on BOTH
-    * engines — the two doubles differ from a literal 0.3). */
-  private def simMmr(s: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(s, dir)
-    graft.similarity.VectorOps.mmrTopK(
-        emb, emb.filter(col("vec_id") % 50 === 0), k = 5, pool = 10, lambda = 0.7)
-      .orderBy(col("query_id"), col("step"))
-  }
-
-  private val simMmrSql: String = {
-    val steps = (2 to 5).map { t =>
-      s"""p$t AS (SELECT query_id, cand_id, sim, redundancy, $t AS step FROM (
-         |    SELECT r.query_id, r.cand_id, r.sim, m.redundancy,
-         |      row_number() OVER (PARTITION BY r.query_id
-         |        ORDER BY r.sim * 0.7 - m.redundancy * (1.0 - 0.7) DESC, r.cand_id) AS rn
-         |    FROM cands r
-         |    JOIN (SELECT d.query_id, d.a_id AS cand_id, MAX(d.sim_ab) AS redundancy
-         |          FROM dd d JOIN s${t - 1} s
-         |            ON s.query_id = d.query_id AND s.cand_id = d.b_id
-         |          GROUP BY 1, 2) m
-         |      ON m.query_id = r.query_id AND m.cand_id = r.cand_id
-         |    WHERE NOT EXISTS (SELECT 1 FROM s${t - 1} s2
-         |                      WHERE s2.query_id = r.query_id AND s2.cand_id = r.cand_id)) z
-         |  WHERE rn = 1),
-         |s$t AS (SELECT * FROM s${t - 1} UNION ALL SELECT * FROM p$t)""".stripMargin
-    }.mkString(",\n")
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-       |cands AS (SELECT query_id, cand_id, sim FROM (
-       |    SELECT q.vec_id AS query_id, n.vec_id AS cand_id,
-       |           ROUND(list_cosine_similarity(q.v, n.v), 6) AS sim,
-       |           row_number() OVER (PARTITION BY q.vec_id
-       |             ORDER BY ROUND(list_cosine_similarity(q.v, n.v), 6) DESC, n.vec_id) AS rn
-       |    FROM e q JOIN e n ON n.vec_id <> q.vec_id
-       |    WHERE q.vec_id % 50 = 0) t WHERE rn <= 10),
-       |dd AS (SELECT a.query_id, a.cand_id AS a_id, b.cand_id AS b_id,
-       |         ROUND(list_cosine_similarity(ea.v, eb.v), 6) AS sim_ab
-       |       FROM cands a JOIN cands b
-       |         ON a.query_id = b.query_id AND a.cand_id <> b.cand_id
-       |       JOIN e ea ON ea.vec_id = a.cand_id
-       |       JOIN e eb ON eb.vec_id = b.cand_id),
-       |s1 AS (SELECT query_id, cand_id, sim, 0.0 AS redundancy, 1 AS step FROM (
-       |    SELECT *, row_number() OVER (PARTITION BY query_id
-       |      ORDER BY sim DESC, cand_id) AS rn FROM cands) t WHERE rn = 1),
-       |$steps
-       |SELECT query_id, CAST(step AS INT) AS step, cand_id, sim,
-       |       ROUND(redundancy, 6) AS redundancy
-       |FROM s5 ORDER BY query_id, step""".stripMargin
-  }
-
-  private def textLangid(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
-      .select(col("doc_id"), graft.text.TextFunctions.langId(col("text")).as("lang_pred"))
-      .orderBy(col("doc_id"))
-
-  private val textLangidSql = {
-    def cnt(ws: Seq[String]) =
-      s"len(list_filter(string_split(text, ' '), x -> x IN (${ws.map(w => s"'$w'").mkString(",")})))"
-    val de = cnt(graft.text.TextFunctions.Stopwords("de"))
-    val en = cnt(graft.text.TextFunctions.Stopwords("en"))
-    val es = cnt(graft.text.TextFunctions.Stopwords("es"))
-    val fr = cnt(graft.text.TextFunctions.Stopwords("fr"))
-    s"""SELECT doc_id,
-       |  CASE WHEN GREATEST($de, $en, $es, $fr) = 0 THEN 'und'
-       |       WHEN $de = GREATEST($de, $en, $es, $fr) THEN 'de'
-       |       WHEN $en = GREATEST($de, $en, $es, $fr) THEN 'en'
-       |       WHEN $es = GREATEST($de, $en, $es, $fr) THEN 'es'
-       |       WHEN $fr = GREATEST($de, $en, $es, $fr) THEN 'fr'
-       |       ELSE 'und' END AS lang_pred
-       |FROM documents ORDER BY doc_id""".stripMargin
-  }
-
-  /** Trigram-profile language ID (the langid upgrade): same contract
-    * as text_langid, scored from character trigrams instead of 5
-    * marker words. The oracle recomputes the identical replace-
-    * shrinkage trigram counts in SQL. */
-  private def textLangid3(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
-      .select(col("doc_id"),
-        graft.text.TextFunctions.langIdTrigram(col("text")).as("lang_pred"))
-      .orderBy(col("doc_id"))
-
-  private val textLangid3Sql = {
-    def score(tris: Seq[String]) =
-      tris.map(t => s"(len(t) - len(replace(t, '$t', ''))) / 3").mkString(" + ")
-    val p = graft.text.TextFunctions.TrigramProfiles
-    val (de, en, es, fr) = (score(p("de")), score(p("en")), score(p("es")), score(p("fr")))
-    s"""WITH padded AS (SELECT doc_id, ' ' || lower(text) || ' ' AS t FROM documents),
-       |s AS (SELECT doc_id, $de AS sde, $en AS sen, $es AS ses, $fr AS sfr FROM padded)
-       |SELECT doc_id,
-       |  CASE WHEN GREATEST(sde, sen, ses, sfr) = 0 THEN 'und'
-       |       WHEN sde = GREATEST(sde, sen, ses, sfr) THEN 'de'
-       |       WHEN sen = GREATEST(sde, sen, ses, sfr) THEN 'en'
-       |       WHEN ses = GREATEST(sde, sen, ses, sfr) THEN 'es'
-       |       WHEN sfr = GREATEST(sde, sen, ses, sfr) THEN 'fr'
-       |       ELSE 'und' END AS lang_pred
-       |FROM s ORDER BY doc_id""".stripMargin
-  }
-
-  private def textQuality(s: SparkSession, dir: String): DataFrame = {
-    val cols = graft.text.TextFunctions.qualityColumns(col("text"))
-    val intCols = Set("n_chars", "n_words")
-    Tables.documents(s, dir)
-      .select(col("doc_id") +: cols.map { case (n, c) =>
-        (if (intCols(n)) c.cast("long") else c).as(n) }: _*)
-      .orderBy(col("doc_id"))
-  }
-
-  private val textQualitySql =
-    """SELECT doc_id,
-      |  CAST(length(text) AS BIGINT) AS n_chars,
-      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
-      |  len(list_distinct(string_split(text, ' '))) * 1.0 / len(string_split(text, ' ')) AS distinct_ratio,
-      |  len(list_filter(string_split(text, ' '), x -> x IN ('the','a','and','of','is'))) * 1.0
-      |    / len(string_split(text, ' ')) AS stopword_ratio,
-      |  len(regexp_extract_all(text, '[^a-z0-9 ]')) * 1.0 / length(text) AS punct_ratio,
-      |  (length(text) - len(string_split(text, ' ')) + 1) * 1.0 / len(string_split(text, ' ')) AS mean_word_len,
-      |  (len(list_distinct(string_split(text, ' '))) * 1.0 / len(string_split(text, ' '))) * 0.5
-      |    + LEAST((len(list_filter(string_split(text, ' '), x -> x IN ('the','a','and','of','is'))) * 1.0
-      |        / len(string_split(text, ' '))) * 4.0, 1.0) * 0.3
-      |    + (1.0 - LEAST((len(regexp_extract_all(text, '[^a-z0-9 ]')) * 1.0 / length(text)) * 10.0, 1.0)) * 0.2
-      |    AS quality_score
-      |FROM documents ORDER BY doc_id""".stripMargin
-
-  private def textTokens(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
-      .select(col("doc_id"),
-        graft.text.TextFunctions.tokenCount(col("text")).cast("long").as("n_ws_tokens"),
-        graft.text.TextFunctions.bpeTokenEstimate(col("text")).cast("long").as("n_bpe_tokens"),
-        (length(col("text")) * lit(1.0) /
-          graft.text.TextFunctions.bpeTokenEstimate(col("text"))).as("chars_per_token"))
-      .orderBy(col("doc_id"))
-
-  private val textTokensSql =
-    """SELECT doc_id,
-      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
-      |  CAST(len(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_bpe_tokens,
-      |  length(text) * 1.0 / len(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9 ]')) AS chars_per_token
-      |FROM documents ORDER BY doc_id""".stripMargin
-
-  /** Real merge-table BPE token counts ([[graft.functions.BpeTokens]]
-    * — 32 ordered public merges, leftmost-greedy, codegen'd): training
-    * budgets are set in BPE tokens, and the whitespace/regex estimates
-    * (text_tokens) can be ~2× off on merge-heavy English. Row-local
-    * projection, no shuffle at any scale; the kernel's double-pass
-    * literal-replace semantics replay in SQL as a nested replace()
-    * chain, so the count sits under the full hash oracle. */
-  private def textBpeTokens(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
-      .select(col("doc_id"),
-        size(filter(split(col("text"), " "), w => w =!= lit("")))
-          .cast("long").as("n_words"),
-        graft.functions.BpeTokens.bpe_token_count(col("text")).as("n_bpe"))
-      .withColumn("bpe_per_word",
-        when(col("n_words") > 0,
-          round(col("n_bpe").cast("double") / col("n_words"), 6)).otherwise(lit(0.0)))
-      .orderBy(col("doc_id"))
-
-  private val textBpeTokensSql: String = {
-    val base = "' ' || array_to_string(split(w, ''), ' ') || ' '"
-    val chain = graft.functions.BpeTokens.Merges.foldLeft(base) { case (acc, (a, b)) =>
-      val p = s"' $a $b '"
-      val r = s"' $a$b '"
-      s"replace(replace($acc, $p, $r), $p, $r)"
-    }
-    s"""SELECT doc_id,
-       |  CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT) AS n_words,
-       |  CAST(COALESCE(list_sum(list_transform(
-       |         list_filter(string_split(text, ' '), w -> w <> ''),
-       |         w -> len(string_split(trim($chain), ' ')))), 0) AS BIGINT) AS n_bpe,
-       |  CASE WHEN len(list_filter(string_split(text, ' '), w -> w <> '')) > 0
-       |       THEN ROUND(CAST(COALESCE(list_sum(list_transform(
-       |              list_filter(string_split(text, ' '), w -> w <> ''),
-       |              w -> len(string_split(trim($chain), ' ')))), 0) AS DOUBLE)
-       |            / len(list_filter(string_split(text, ' '), w -> w <> '')), 6)
-       |       ELSE 0.0 END AS bpe_per_word
-       |FROM documents ORDER BY doc_id""".stripMargin
-  }
-
-  /** Corpus-TRAINED BPE merges ([[graft.text.BpeTrain.trainMerges]] —
-    * the tokenizer-training primitive beside text_bpe_tokens' fixed
-    * table): 8 exact merge steps over the distinct-word frequency
-    * table, each one vocab-sized aggregate + a 1-row argmax action,
-    * emitting the learned (merge_idx, left, right, pair_count) table.
-    * The corpus is scanned once; every training step rides the
-    * persisted vocab table, so at 100 TB the cost is the word-count
-    * aggregation plus 8 vocab-sized passes. The DuckDB oracle replays
-    * training verbatim as an unrolled CTE chain (argmax tie-break:
-    * count DESC, then lexicographic pair — both engines binary-order
-    * the ASCII units identically). */
-  private def textBpeTrain(s: SparkSession, dir: String): DataFrame =
-    graft.text.BpeTrain.trainMerges(Tables.documents(s, dir), "text", nMerges = 8)
-      .orderBy(col("merge_idx"))
-
-  private val textBpeTrainSql: String = {
-    val n = 8
-    def iter(i: Int) =
-      s"""p$i AS (SELECT t[CAST(j AS INT)] AS a, t[CAST(j AS INT) + 1] AS b,
-         |        CAST(SUM(freq) AS BIGINT) AS c
-         |     FROM (SELECT freq, string_split(trim(repr), ' ') AS t FROM r${i - 1}) x,
-         |          range(1, ${graft.text.BpeTrain.MaxWordUnits}) pos(j)
-         |     WHERE j <= len(t) - 1 GROUP BY 1, 2),
-         |b$i AS (SELECT a, b, c FROM p$i ORDER BY c DESC, a, b LIMIT 1),
-         |r$i AS (SELECT w, freq,
-         |        replace(replace(repr, ' ' || a || ' ' || b || ' ', ' ' || a || b || ' '),
-         |                ' ' || a || ' ' || b || ' ', ' ' || a || b || ' ') AS repr
-         |     FROM r${i - 1} CROSS JOIN b$i)""".stripMargin
-    s"""WITH wds AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
-       |wf AS (SELECT w, COUNT(*) AS freq FROM wds WHERE w <> '' GROUP BY w),
-       |r0 AS (SELECT w, freq,
-       |       ' ' || array_to_string(string_split(w, ''), ' ') || ' ' AS repr FROM wf),
-       |${(1 to n).map(iter).mkString(",\n")}
-       |SELECT merge_idx, left_unit, right_unit, pair_count FROM (
-       |${(1 to n).map(i =>
-          s"SELECT $i AS merge_idx, a AS left_unit, b AS right_unit, c AS pair_count FROM b$i")
-          .mkString(" UNION ALL ")}
-       |) u ORDER BY merge_idx""".stripMargin
-  }
-
-  /** Top-20 bigram collocations by pointwise mutual information — the
-    * phrase miner next to an_bigram_logprob (that one screens documents
-    * with corpus probabilities; this one surfaces the phrases
-    * themselves): PMI = ln((c_xy/N_bi) / ((c_x/N_u)(c_y/N_u))) over
-    * min-count-5 bigrams, ranked desc with (w1, w2) tie-break. Two
-    * posting-shaped partial-aggregated groupBys (bigrams, unigrams) —
-    * the shuffle carries token counts, never documents — then a tiny
-    * broadcast of the two totals; the standard distributed collocation
-    * shape at any corpus size. */
-  private def textPmiCollocations(s: SparkSession, dir: String): DataFrame = {
-    val ws = split(col("text"), " ")
-    val docs = Tables.documents(s, dir)
-    // the posting tables are re-read (bigrams twice: totals + scoring;
-    // unigrams three times: totals + both sides of the scoring join) —
-    // without a cut each consumer re-runs the corpus explode, so the
-    // tokenization pass executed FIVE times (the textTfidf double-read
-    // problem, one worse). Lazy checkpoints run each explode once.
-    val bigrams = graft.operators.Checkpoints.stabilizeLazy(docs
-      .select(explode(when(size(ws) >= 2,
-        transform(sequence(lit(1), size(ws) - 1),
-          i => struct(element_at(ws, i).as("w1"), element_at(ws, i + 1).as("w2"))))
-        .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("b"))
-      .select(col("b.w1"), col("b.w2"))
-      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_xy")))
-    val unigrams = graft.operators.Checkpoints.stabilizeLazy(
-      docs.select(explode(ws).as("w"))
-        .groupBy(col("w")).agg(count(lit(1)).as("c_w")))
-    val totals = bigrams.agg(sum(col("c_xy")).as("n_bi"))
-      .crossJoin(unigrams.agg(sum(col("c_w")).as("n_uni")))
-    bigrams.filter(col("c_xy") >= 5)
-      .join(unigrams.select(col("w").as("w1"), col("c_w").as("c_x")), "w1")
-      .join(unigrams.select(col("w").as("w2"), col("c_w").as("c_y")), "w2")
-      .crossJoin(broadcast(totals))
-      .withColumn("pmi", round(
-        log((col("c_xy").cast("double") / col("n_bi").cast("double")) /
-          ((col("c_x").cast("double") / col("n_uni").cast("double")) *
-            (col("c_y").cast("double") / col("n_uni").cast("double")))), 6))
-      // Top-20 via orderBy+limit → TakeOrderedAndProject; the rank
-      // window runs over the 20-row result, never the vocabulary-sized
-      // PMI table (the text_zipf limit-first pattern).
-      .orderBy(col("pmi").desc, col("w1"), col("w2")).limit(20)
-      .withColumn("rnk", row_number().over(
-        Window.orderBy(col("pmi").desc, col("w1"), col("w2"))))
-      .select(col("rnk"), col("w1"), col("w2"), col("c_xy"), col("pmi"))
-      .orderBy(col("rnk"))
-  }
-
-  private val textPmiCollocationsSql =
-    """WITH t AS (SELECT string_split(text, ' ') AS ws FROM documents),
-      |bi AS (SELECT ws[CAST(i AS INT)] AS w1, ws[CAST(i AS INT) + 1] AS w2
-      |       FROM t, unnest(range(1, greatest(len(ws), 1))) AS u(i)),
-      |bg AS (SELECT w1, w2, COUNT(*) AS c_xy FROM bi GROUP BY 1, 2),
-      |un AS (SELECT unnest(ws) AS w FROM t),
-      |ug AS (SELECT w, COUNT(*) AS c_w FROM un GROUP BY 1),
-      |tot AS (SELECT (SELECT CAST(SUM(c_xy) AS BIGINT) FROM bg) AS n_bi,
-      |               (SELECT CAST(SUM(c_w) AS BIGINT) FROM ug) AS n_uni),
-      |sc AS (SELECT b.w1, b.w2, b.c_xy,
-      |         ROUND(ln((CAST(b.c_xy AS DOUBLE) / CAST(tot.n_bi AS DOUBLE))
-      |           / ((CAST(x.c_w AS DOUBLE) / CAST(tot.n_uni AS DOUBLE))
-      |              * (CAST(y.c_w AS DOUBLE) / CAST(tot.n_uni AS DOUBLE)))), 6) AS pmi
-      |       FROM bg b JOIN ug x ON x.w = b.w1 JOIN ug y ON y.w = b.w2
-      |            CROSS JOIN tot
-      |       WHERE b.c_xy >= 5)
-      |SELECT CAST(rnk AS BIGINT) AS rnk, w1, w2, c_xy, pmi FROM (
-      |  SELECT *, row_number() OVER (ORDER BY pmi DESC, w1, w2) AS rnk FROM sc) z
-      |WHERE rnk <= 20 ORDER BY rnk""".stripMargin
-
-  private def textFingerprint(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
-      .select(col("doc_id"),
-        graft.text.TextFunctions.contentFingerprint(col("text")).as("content_fp"),
-        substring(graft.text.TextFunctions.contentFingerprint(col("text")), 1, 8).as("fp_prefix"))
-      .orderBy(col("doc_id"))
-
-  private val textFingerprintSql =
-    """SELECT doc_id, md5(text) AS content_fp, substr(md5(text), 1, 8) AS fp_prefix
-      |FROM documents ORDER BY doc_id""".stripMargin
-
-  /** TF-IDF top-3 terms per document: one posting aggregate for tf, one
-    * for df, idf = ln(N/df); scores rounded once, rank pinned by
-    * (score desc, term). */
-  private def textTfidf(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
-    // df comes from a partial-aggregated groupBy over the tf rows (one
-    // row per doc-term, so count per term = document frequency) joined
-    // back broadcast — a term-partitioned window would serialize each
-    // Zipf-head term's posting list through a single task; the corpus
-    // size joins in as a broadcast scalar. tf is eagerly checkpointed
-    // because BOTH branches (df counts and the scoring join) consume
-    // it — without materialization the explode+aggregate runs twice
-    // (AQE re-plans each branch, so exchange reuse does not
-    // deduplicate them), and a lazy persist still pays a second
-    // plan+probe pass. tf is the post-combine (doc, term) table — tiny
-    // next to the exploded token stream it summarizes.
-    val nDf = docs.agg(count(lit(1)).cast("double").as("n_docs"))
-    // tokenize ONCE into a named column before the Generate — inlining
-    // words(text) into both explode() and size() re-runs the regex
-    // tokenizer per expression (Catalyst does not CSE across a
-    // Generate boundary)
-    val words = docs
-      .select(col("doc_id"), graft.text.TextFunctions.words(col("text")).as("ws"))
-      .select(col("doc_id"), explode(col("ws")).as("term"), size(col("ws")).as("nw"))
-    val tf = words.groupBy(col("doc_id"), col("term"), col("nw"))
-      .agg(count(lit(1)).as("tf"))
-      .localCheckpoint()
-    val dfCounts = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val w = Window.partitionBy(col("doc_id"))
-      .orderBy(col("score").desc, col("term"))
-    tf.join(broadcast(dfCounts), "term")
-      .crossJoin(broadcast(nDf))
-      .withColumn("score",
-        round((col("tf") / col("nw")) * log(col("n_docs") / col("df")), 8))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 3)
-      .select(col("doc_id"), col("term"), col("rank"), col("score"))
-      .orderBy(col("doc_id"), col("rank"))
-  }
-
-  private val textTfidfSql =
-    """WITH w AS (
-      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term,
-      |    len(string_split(text, ' ')) AS nw
-      |  FROM documents),
-      |tf AS (SELECT doc_id, term, nw, COUNT(*) AS tf FROM w GROUP BY doc_id, term, nw),
-      |df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM w GROUP BY term),
-      |n AS (SELECT COUNT(*) AS n FROM documents)
-      |SELECT doc_id, term, CAST(rank AS INT) AS rank, score FROM (
-      |  SELECT tf.doc_id, tf.term,
-      |    ROUND((tf.tf * 1.0 / tf.nw) * ln(n.n * 1.0 / df.df), 8) AS score,
-      |    ROW_NUMBER() OVER (PARTITION BY tf.doc_id
-      |      ORDER BY ROUND((tf.tf * 1.0 / tf.nw) * ln(n.n * 1.0 / df.df), 8) DESC, tf.term) AS rank
-      |  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n) t
-      |WHERE rank <= 3
-      |ORDER BY doc_id, rank""".stripMargin
-
-  /** Language-balanced corpus sample: language-ID then a deterministic
-    * per-language cap — operator composition (text.langId ∘
-    * Sampling.stratified), the standard "balance the long tail" step. */
-  private def textLangSample(s: SparkSession, dir: String): DataFrame =
-    graft.operators.Sampling.stratified(
-        Tables.documents(s, dir)
-          .select(col("doc_id"), graft.text.TextFunctions.langId(col("text")).as("lang")),
-        col("lang"), col("doc_id"), n = 50)
-      .orderBy(col("lang"), col("doc_id"))
-
-  private val textLangSampleSql = {
-    def cnt(ws: Seq[String]) =
-      s"len(list_filter(string_split(text, ' '), x -> x IN (${ws.map(w => s"'$w'").mkString(",")})))"
-    val de = cnt(graft.text.TextFunctions.Stopwords("de"))
-    val en = cnt(graft.text.TextFunctions.Stopwords("en"))
-    val es = cnt(graft.text.TextFunctions.Stopwords("es"))
-    val fr = cnt(graft.text.TextFunctions.Stopwords("fr"))
-    s"""WITH l AS (
-       |  SELECT doc_id,
-       |    CASE WHEN GREATEST($de, $en, $es, $fr) = 0 THEN 'und'
-       |         WHEN $de = GREATEST($de, $en, $es, $fr) THEN 'de'
-       |         WHEN $en = GREATEST($de, $en, $es, $fr) THEN 'en'
-       |         WHEN $es = GREATEST($de, $en, $es, $fr) THEN 'es'
-       |         WHEN $fr = GREATEST($de, $en, $es, $fr) THEN 'fr'
-       |         ELSE 'und' END AS lang
-       |  FROM documents)
-       |SELECT doc_id, lang FROM (
-       |  SELECT doc_id, lang, ROW_NUMBER() OVER (PARTITION BY lang
-       |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
-       |  FROM l) t
-       |WHERE rn <= 50
-       |ORDER BY lang, doc_id""".stripMargin
-  }
-
-  /** Sequence packing: documents → fixed-token-budget training bins,
-    * sharded by content hash so shards pack in parallel. */
-  private def textPack(s: SparkSession, dir: String): DataFrame =
-    graft.text.Packing.packBins(
-        Tables.documents(s, dir)
-          .select(col("doc_id"),
-            graft.text.TextFunctions.bpeTokenEstimate(col("text")).cast("long").as("n_tokens")),
-        "doc_id", "n_tokens", budget = 2048L, shards = 8)
-      .select("doc_id", "n_tokens", "shard", "n_tokens_cum", "bin")
-      .orderBy(col("doc_id"))
-
-  private val textPackSql =
-    """WITH t AS (
-      |  SELECT doc_id,
-      |    CAST(len(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_tokens,
-      |    CAST(((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
-      |        + strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) % 8 AS INT) AS shard
-      |  FROM documents)
-      |SELECT doc_id, n_tokens, shard,
-      |  CAST(SUM(n_tokens) OVER w AS BIGINT) AS n_tokens_cum,
-      |  CAST(FLOOR((SUM(n_tokens) OVER w - n_tokens) / 2048.0) AS BIGINT) AS bin
-      |FROM t
-      |WINDOW w AS (PARTITION BY shard ORDER BY doc_id
-      |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-      |ORDER BY doc_id""".stripMargin
-
-  /** The end-to-end curation pipeline the reference IS (extract.py →
-    * transform.py → validate.py → load.py as a file handoff;
-    * reference scripts/transform.py:1), composed as ONE [[graft.etl
-    * .Pipeline]] over the synthetic corpus: extract → clean (trim +
-    * whitespace squeeze) → feature-engineer (token estimate + lexical
-    * richness) → validate/quarantine (null/empty text, token bounds) →
-    * exact dedup (min-id keeper per content hash) → curation gate
-    * (richness ≥ 0.3) → shard-pack (token-budget bins, 8 content-hash
-    * shards) → per-shard MANIFEST. The emitted digest is the
-    * etl_table_fingerprint recipe over (doc_id|bin): md5-derived 48-bit
-    * terms summed in DECIMAL(38,0), emitted as a digit string — so the
-    * oracle hash-verifies the ENTIRE DAG (any row surviving the wrong
-    * gate, deduped to the wrong keeper, or packed into the wrong bin
-    * shifts a digest). Every stage is a lazy Catalyst transform; the
-    * only shuffles are the dedup hash partition and the per-shard pack
-    * window — at 100 TB the DAG is the same plan with more partitions. */
-  private def pipelineRun(s: SparkSession, dir: String): DataFrame =
-    graft.etl.Pipeline(graft.etl.Curation.batchStages)
-      .apply(Tables.documents(s, dir).select(col("doc_id"), col("text")))
-
-  private val pipelineRunSql: String = {
-    def nib(i: Int) = s"(instr('0123456789abcdef', substr(h, $i, 1)) - 1)"
-    val h48 = (2 to 12).map(nib)
-      .foldLeft(s"CAST(${nib(1)} AS BIGINT)")((a, b) => s"($a * 16 + $b)")
-    """WITH c AS (SELECT doc_id,
-      |    regexp_replace(trim(text), '\s+', ' ', 'g') AS text FROM documents),
-      |f AS (SELECT doc_id, text,
-      |    CAST(len(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_tokens,
-      |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-      |      / CAST(len(string_split(text, ' ')) AS DOUBLE) AS richness
-      |  FROM c),
-      |q AS (SELECT * FROM f WHERE NOT (text IS NULL OR len(text) = 0)
-      |    AND n_tokens BETWEEN 5 AND 4096),
-      |d AS (SELECT * FROM (
-      |    SELECT *, MIN(doc_id) OVER (PARTITION BY md5(text)) AS keeper FROM q) t
-      |  WHERE doc_id = keeper),
-      |g AS (SELECT doc_id, n_tokens FROM d WHERE richness >= 0.3),
-      |p AS (SELECT doc_id, n_tokens,
-      |    CAST(((instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
-      |      + instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) % 8 AS INT) AS shard
-      |  FROM g),
-      |b AS (SELECT doc_id, n_tokens, shard,
-      |    CAST(FLOOR((SUM(n_tokens) OVER w - n_tokens) / 2048.0) AS BIGINT) AS bin
-      |  FROM p
-      |  WINDOW w AS (PARTITION BY shard ORDER BY doc_id
-      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
-      |r AS (SELECT shard, bin, n_tokens,
-      |    md5(CAST(doc_id AS VARCHAR) || '|' || CAST(bin AS VARCHAR)) AS h FROM b)
-      |SELECT shard, COUNT(*) AS n_docs,
-      |  CAST(COUNT(DISTINCT bin) AS BIGINT) AS n_bins,
-      |  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
-      |""".stripMargin +
-      s"  CAST(CAST(SUM(CAST(CAST($h48 AS BIGINT) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS VARCHAR) AS digest\n" +
-      "FROM r GROUP BY shard ORDER BY shard"
-  }
-
-  /** Stratified deterministic sample: min(n, |group|) rows per group by
-    * md5(key) order — reproducible per-stratum holdouts. */
-  private def etlStratifiedSample(s: SparkSession, dir: String): DataFrame =
-    graft.operators.Sampling.stratified(
-        Tables.orders(s, dir), col("o_orderpriority"), col("o_orderkey"), n = 100)
-      .select("o_orderkey", "o_orderpriority", "o_totalprice")
-      .orderBy(col("o_orderpriority"), col("o_orderkey"))
-
-  private val etlStratifiedSampleSql =
-    """SELECT o_orderkey, o_orderpriority, o_totalprice FROM (
-      |  SELECT o_orderkey, o_orderpriority, o_totalprice,
-      |    ROW_NUMBER() OVER (PARTITION BY o_orderpriority
-      |      ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey) AS rn
-      |  FROM orders) t
-      |WHERE rn <= 100
-      |ORDER BY o_orderpriority, o_orderkey""".stripMargin
-
-  /** Per-group z-score outlier report from exact decimal power sums. */
-  private def anOutliers(s: SparkSession, dir: String): DataFrame =
-    graft.analytics.Outliers.zScoreReport(Tables.orders(s, dir),
-      "o_orderpriority", "o_totalprice", zTau = 2.0)
-
-  private val anOutliersSql =
-    """WITH m AS (
-      |  SELECT o_orderpriority, COUNT(*) AS n,
-      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(38,8))) AS DOUBLE) AS sx,
-      |    CAST(SUM(CAST(o_totalprice * o_totalprice AS DECIMAL(38,8))) AS DOUBLE) AS sxx
-      |  FROM orders GROUP BY o_orderpriority),
-      |s AS (
-      |  SELECT o_orderpriority, n, sx / n AS mean,
-      |    sqrt((sxx - sx * sx / n) / (n - 1)) AS stddev
-      |  FROM m)
-      |SELECT o.o_orderpriority, MAX(s.n) AS n,
-      |  ROUND(MAX(s.mean), 6) AS mean,
-      |  ROUND(MAX(s.stddev), 6) AS stddev,
-      |  CAST(SUM(CASE WHEN abs((o.o_totalprice - s.mean) / s.stddev) > 2.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
-      |  ROUND(MAX(abs((o.o_totalprice - s.mean) / s.stddev)), 6) AS max_abs_z
-      |FROM orders o JOIN s ON o.o_orderpriority = s.o_orderpriority
-      |GROUP BY o.o_orderpriority
-      |ORDER BY o.o_orderpriority""".stripMargin
-
-  private def mmBinaryMeta(s: SparkSession, dir: String): DataFrame =
-    graft.multimodal.BinaryColumns.decodedFrame(
-        Tables.documents(s, dir), "text", "doc_id")(s)
-      .orderBy(col("doc_id"))
-
-  private val mmBinaryMetaSql =
-    """SELECT doc_id,
-      |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
-      |  sha256(text) AS sha256,
-      |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-      |  CAST(ascii(substr(text, 1, 1)) AS INT) AS head_byte,
-      |  'stub-v1' AS decoder
-      |FROM documents ORDER BY doc_id""".stripMargin
-
-  /** REAL image decode under the hash oracle: each document gets a
-    * genuine 24-bit BMP synthesized from md5-nibble pixel bytes
-    * (engine-portable derivation), ENCODED in the actual on-disk
-    * format (bottom-up BGR rows, 4-byte-padded strides) and DECODED
-    * back by the header-parsing pixel-walking reader
-    * ([[graft.multimodal.BinaryColumns.decodeBmp]]) in mapPartitions.
-    * The oracle rederives the pixel bytes in SQL and checks geometry,
-    * exact integer channel sums, and the encoder's stride/file-size
-    * arithmetic — a mis-parse of padding, channel order, or row flip
-    * breaks the hash. Variable per-doc geometry exercises every
-    * padding case (w ∈ 1..5 → stride pad 1,2,0,3,1). */
-  /** Perceptual-hash image dedup over REAL decodes — the multimodal ×
-    * dedup crossover: 8×8 images are synthesized from md5 nibbles
-    * (25 base patterns; per doc_id%4 class: exact copy, tiny-noise
-    * near-dup, or full-noise distinct), encoded as genuine 24-bit BMPs,
-    * decoded back by the real parser
-    * ([[graft.multimodal.BinaryColumns.decodeBmpPixels]]) in
-    * mapPartitions, and average-hashed (63-bit: gray > image mean per
-    * pixel — bit 63 dropped so the Σ bit·2^p gather stays inside BIGINT
-    * on both engines, the dedup_simhash precedent). Equal-hash groups
-    * (n≥2) are the perceptual-duplicate families — tiny-noise copies
-    * mostly land in their family's hash, full-noise docs drop out.
-    * Group-by on the 8-byte hash: linear, no pair join; the oracle
-    * rederives pixels, grays, mean and hash from the synthesis formula
-    * in SQL, so a mis-decode (row flip, BGR swap, stride slip) breaks
-    * the hash compare. */
-  private def mmImageDedup(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val docs = Tables.documents(s, dir).select(col("doc_id").cast("long")).as[Long]
-    val hashes = docs.mapPartitions { it =>
-      val md = java.security.MessageDigest.getInstance("MD5")
-      def nib2(key: String): Int = {
-        val b0 = md.digest(key.getBytes("UTF-8"))(0)
-        ((b0 >> 4) & 0xF) * 16 + (b0 & 0xF)
-      }
-      it.map { id =>
-        val fam = id % 25
-        val rgb = Array.tabulate(192) { p =>
-          val base = nib2(s"img:$fam:$p")
-          val v =
-            if (id % 4 == 0) base
-            else if (id % 4 == 1) (base + nib2(s"n:$id:$p") % 4) % 256
-            else (base + nib2(s"n:$id:$p")) % 256
-          v.toByte
-        }
-        val px = graft.multimodal.BinaryColumns.decodeBmpPixels(id,
-          graft.multimodal.BinaryColumns.encodeBmp(8, 8, rgb))
-        val gray = Array.tabulate(64)(q =>
-          ((px(3 * q) & 0xFF) + (px(3 * q + 1) & 0xFF) + (px(3 * q + 2) & 0xFF)) / 3)
-        val mean = gray.sum / 64
-        var h = 0L; var q = 0
-        while (q < 63) { if (gray(q) > mean) h |= 1L << q; q += 1 }
-        (id, h)
-      }
-    }.toDF("doc_id", "ahash")
-    hashes.groupBy(col("ahash"))
-      .agg(count(lit(1)).as("n_imgs"),
-        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
-      .filter(col("n_imgs") >= 2)
-      .orderBy(col("ahash"))
-  }
-
-  private val mmImageDedupSql: String = {
-    def nib2(expr: String) =
-      s"""(16 * (instr('0123456789abcdef', substr(md5($expr), 1, 1)) - 1)
-         | + (instr('0123456789abcdef', substr(md5($expr), 2, 1)) - 1))""".stripMargin
-    val b = nib2("'img:' || CAST(doc_id % 25 AS VARCHAR) || ':' || CAST(p.range AS VARCHAR)")
-    val n = nib2("'n:' || CAST(doc_id AS VARCHAR) || ':' || CAST(p.range AS VARCHAR)")
-    s"""WITH d AS (SELECT doc_id FROM documents),
-       |px AS (SELECT doc_id, p.range AS p,
-       |    CASE WHEN doc_id % 4 = 0 THEN $b
-       |         WHEN doc_id % 4 = 1 THEN ($b + ($n % 4)) % 256
-       |         ELSE ($b + $n) % 256 END AS v
-       |  FROM d CROSS JOIN range(0, 192) p),
-       |gr AS (SELECT doc_id, p // 3 AS q, CAST(SUM(v) // 3 AS BIGINT) AS gray
-       |       FROM px GROUP BY doc_id, p // 3),
-       |mn AS (SELECT doc_id, CAST(SUM(gray) // 64 AS BIGINT) AS mean
-       |       FROM gr GROUP BY doc_id),
-       |bits AS (SELECT g.doc_id,
-       |    CAST(SUM(CASE WHEN q < 63 AND gray > mean
-       |             THEN (CAST(1 AS BIGINT) << CAST(q AS INT)) ELSE 0 END) AS BIGINT) AS ahash
-       |  FROM gr g JOIN mn ON g.doc_id = mn.doc_id GROUP BY g.doc_id)
-       |SELECT ahash, COUNT(*) AS n_imgs, MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
-       |FROM bits GROUP BY ahash HAVING COUNT(*) >= 2 ORDER BY ahash""".stripMargin
-  }
-
-  private def mmDecodeStats(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val docs = Tables.documents(s, dir).select(col("doc_id").cast("long")).as[Long]
-    val payloads = docs.mapPartitions { it =>
-      val md = java.security.MessageDigest.getInstance("MD5")
-      it.map { id =>
-        val w = 1 + (id % 5).toInt; val h = 1 + (id % 3).toInt
-        val rgb = Array.tabulate(3 * w * h) { p =>
-          // byte = first two md5 hex nibbles, the oracle's derivation
-          md.digest(s"px:$id:$p".getBytes("UTF-8"))(0)
-        }
-        (id, graft.multimodal.BinaryColumns.encodeBmp(w, h, rgb))
-      }
-    }.toDF("doc_id", "payload")
-    graft.multimodal.BinaryColumns.decodeBmpBatch(payloads)(s).toDF()
-      .orderBy(col("doc_id"))
-  }
-
-  private val mmDecodeStatsSql =
-    """WITH d AS (SELECT doc_id, CAST(1 + doc_id % 5 AS INT) AS width,
-      |    CAST(1 + doc_id % 3 AS INT) AS height FROM documents),
-      |px AS (SELECT d.doc_id, d.width, d.height, p.range AS p,
-      |    16 * (instr('0123456789abcdef', substr(md5('px:' ||
-      |      CAST(d.doc_id AS VARCHAR) || ':' || CAST(p.range AS VARCHAR)), 1, 1)) - 1)
-      |       + (instr('0123456789abcdef', substr(md5('px:' ||
-      |      CAST(d.doc_id AS VARCHAR) || ':' || CAST(p.range AS VARCHAR)), 2, 1)) - 1) AS v
-      |  FROM d CROSS JOIN range(0, 45) p
-      |  WHERE p.range < 3 * d.width * d.height)
-      |SELECT doc_id, MAX(width) AS width, MAX(height) AS height, 24 AS bpp,
-      |  CAST(MAX(width) * MAX(height) AS BIGINT) AS n_px,
-      |  CAST(SUM(CASE WHEN p % 3 = 0 THEN v END) AS BIGINT) AS sum_r,
-      |  CAST(SUM(CASE WHEN p % 3 = 1 THEN v END) AS BIGINT) AS sum_g,
-      |  CAST(SUM(CASE WHEN p % 3 = 2 THEN v END) AS BIGINT) AS sum_b,
-      |  CAST(54 + ((3 * MAX(width) + 3) // 4) * 4 * MAX(height) AS BIGINT) AS file_bytes
-      |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin
-
-  /** Region features from a REAL raster decode — the thumbnail/tiling
-    * operator over [[graft.multimodal.BinaryColumns.decodeBmpPixels]]
-    * (the decoder the perceptual-hash path uses, here under the hash
-    * oracle directly): larger synthetic BMPs (up to 16×12, md5-nibble
-    * pixels) are container-encoded, raster-decoded per partition, and
-    * reduced to a 2×2 grid of exact integer brightness sums. The
-    * oracle rederives every pixel byte AND the tile geometry in SQL,
-    * so a row-order flip, BGR swap, or stride mistake in the decoder
-    * breaks the hash. 4 rows per document, decode is map-only. */
-  private def mmImageTiles(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val docs = Tables.documents(s, dir).select(col("doc_id").cast("long")).as[Long]
-    val payloads = docs.mapPartitions { it =>
-      val md = java.security.MessageDigest.getInstance("MD5")
-      it.map { id =>
-        val w = 8 + (id % 9).toInt; val h = 8 + (id % 5).toInt
-        val rgb = Array.tabulate(3 * w * h) { p =>
-          md.digest(s"tile:$id:$p".getBytes("UTF-8"))(0)
-        }
-        (id, graft.multimodal.BinaryColumns.encodeBmp(w, h, rgb))
-      }
-    }.toDF("doc_id", "payload")
-    graft.multimodal.BinaryColumns.bmpTileBatch(payloads)(s).toDF()
-      .orderBy(col("doc_id"), col("tile"))
-  }
-
-  private val mmImageTilesSql =
-    """WITH d AS (SELECT doc_id, CAST(8 + doc_id % 9 AS INT) AS w,
-      |    CAST(8 + doc_id % 5 AS INT) AS h FROM documents),
-      |px AS (SELECT d.doc_id, d.w, d.h, p.range AS p,
-      |    16 * (instr('0123456789abcdef', substr(md5('tile:' ||
-      |      CAST(d.doc_id AS VARCHAR) || ':' || CAST(p.range AS VARCHAR)), 1, 1)) - 1)
-      |       + (instr('0123456789abcdef', substr(md5('tile:' ||
-      |      CAST(d.doc_id AS VARCHAR) || ':' || CAST(p.range AS VARCHAR)), 2, 1)) - 1) AS v
-      |  FROM d CROSS JOIN range(0, 576) p
-      |  WHERE p.range < 3 * d.w * d.h),
-      |t AS (SELECT doc_id, v,
-      |        CAST((2 * ((p // 3) // w) // h) * 2 + 2 * ((p // 3) % w) // w AS INT) AS tile
-      |      FROM px)
-      |SELECT doc_id, tile, CAST(COUNT(*) // 3 AS BIGINT) AS n_px,
-      |  CAST(SUM(v) AS BIGINT) AS sum_rgb
-      |FROM t GROUP BY doc_id, tile ORDER BY doc_id, tile""".stripMargin
-
-  /** REAL audio decode under the hash oracle — the WAV twin of
-    * [[mmDecodeStats]]: each document gets a genuine RIFF/WAVE PCM
-    * payload (16-bit LE mono samples synthesized from md5 nibbles,
-    * engine-portable), encoded in the actual container format and
-    * decoded back by the chunk-walking parser
-    * ([[graft.multimodal.BinaryColumns.decodeWav]]) in mapPartitions.
-    * The oracle rederives the samples in SQL and checks format
-    * fields, exact integer amplitude sums, strict sign-change zero
-    * crossings, and container size arithmetic — a mis-parse of chunk
-    * offsets, sample signedness, or LE byte order breaks the hash.
-    * Variable per-doc geometry (n ∈ 32..48, rate ∈ {8,9,10} kHz)
-    * exercises length and truncating-duration cases. */
-  private def mmWavStats(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val docs = Tables.documents(s, dir).select(col("doc_id").cast("long")).as[Long]
-    val payloads = docs.mapPartitions { it =>
-      val md = java.security.MessageDigest.getInstance("MD5")
-      it.map { id =>
-        val n = 32 + (id % 17).toInt
-        val rate = 8000 + 1000 * (id % 3).toInt
-        val samples = Array.tabulate(n) { p =>
-          val d = md.digest(s"au:$id:$p".getBytes("UTF-8"))
-          // s16 = first four md5 hex nibbles, the oracle's derivation
-          (((d(0) & 0xFF) << 8) | (d(1) & 0xFF)).toShort
-        }
-        (id, graft.multimodal.BinaryColumns.encodeWav(rate, samples))
-      }
-    }.toDF("doc_id", "payload")
-    graft.multimodal.BinaryColumns.decodeWavBatch(payloads)(s).toDF()
-      .orderBy(col("doc_id"))
-  }
-
-  private val mmWavStatsSql = {
-    def nib(i: Int) = s"(instr('0123456789abcdef', substr(h, $i, 1)) - 1)"
-    val u16 = s"(((${nib(1)} * 16 + ${nib(2)}) * 16 + ${nib(3)}) * 16 + ${nib(4)})"
-    s"""WITH d AS (SELECT doc_id, CAST(32 + doc_id % 17 AS INT) AS n,
-       |                  CAST(8000 + 1000 * (doc_id % 3) AS INT) AS rate
-       |           FROM documents),
-       |smp0 AS (SELECT d.doc_id, d.n, d.rate, p.range AS p,
-       |                md5('au:' || CAST(d.doc_id AS VARCHAR) || ':' ||
-       |                    CAST(p.range AS VARCHAR)) AS h
-       |         FROM d CROSS JOIN range(0, 49) p WHERE p.range < d.n),
-       |sv AS (SELECT doc_id, n, rate, p,
-       |              CASE WHEN $u16 >= 32768 THEN $u16 - 65536 ELSE $u16 END AS v
-       |       FROM smp0),
-       |lg AS (SELECT doc_id, v, LAG(v) OVER (PARTITION BY doc_id ORDER BY p) AS pv
-       |       FROM sv),
-       |zc AS (SELECT doc_id,
-       |              CAST(SUM(CASE WHEN pv * v < 0 THEN 1 ELSE 0 END) AS BIGINT) AS zero_cross
-       |       FROM lg GROUP BY doc_id),
-       |ag AS (SELECT doc_id, MAX(n) AS n, MAX(rate) AS rate,
-       |              CAST(SUM(ABS(v)) AS BIGINT) AS sum_abs,
-       |              CAST(MAX(ABS(v)) AS BIGINT) AS max_abs,
-       |              CAST(SUM(v) AS BIGINT) AS sum_v
-       |       FROM sv GROUP BY doc_id)
-       |SELECT a.doc_id, CAST(a.n AS BIGINT) AS n_samples, a.rate AS sample_rate,
-       |       CAST(a.n * 1000000 // a.rate AS BIGINT) AS duration_us,
-       |       a.sum_abs, a.max_abs, a.sum_v, z.zero_cross,
-       |       CAST(44 + 2 * a.n AS BIGINT) AS file_bytes
-       |FROM ag a JOIN zc z USING (doc_id)
-       |ORDER BY doc_id""".stripMargin
-  }
-
-  /** REAL video decode under the hash oracle — completing the
-    * image/audio/video triple: each document gets a genuine AVI
-    * container (RIFF with hdrl/strl headers and a movi LIST of
-    * uncompressed bottom-up DIB frames) synthesized from md5-nibble
-    * pixel bytes, decoded back by the nested-LIST chunk walker
-    * ([[graft.multimodal.BinaryColumns.decodeAvi]]) in mapPartitions.
-    * The oracle rederives every frame's pixels in SQL and checks
-    * geometry, exact channel sums, the (index+1)-weighted frame sum
-    * (order-sensitive — a frame-order mis-parse breaks the hash), and
-    * the full container size arithmetic. */
-  private def mmAviFrames(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val docs = Tables.documents(s, dir).select(col("doc_id").cast("long")).as[Long]
-    val payloads = docs.mapPartitions { it =>
-      val md = java.security.MessageDigest.getInstance("MD5")
-      it.map { id =>
-        val w = 2 + (id % 3).toInt; val h = 1 + (id % 2).toInt
-        val nf = 2 + (id % 4).toInt
-        val uspf = 33333 + (id % 2).toInt * 6667
-        val frames = Array.tabulate(nf) { f =>
-          Array.tabulate(3 * w * h) { p =>
-            // byte = first two md5 hex nibbles, the oracle's derivation
-            md.digest(s"fr:$id:$f:$p".getBytes("UTF-8"))(0)
-          }
-        }
-        (id, graft.multimodal.BinaryColumns.encodeAvi(w, h, uspf, frames))
-      }
-    }.toDF("doc_id", "payload")
-    graft.multimodal.BinaryColumns.decodeAviBatch(payloads)(s).toDF()
-      .orderBy(col("doc_id"))
-  }
-
-  private val mmAviFramesSql = {
-    def nib(i: Int) = s"(instr('0123456789abcdef', substr(h, $i, 1)) - 1)"
-    s"""WITH d AS (SELECT doc_id, CAST(2 + doc_id % 3 AS INT) AS w,
-       |                  CAST(1 + doc_id % 2 AS INT) AS ht,
-       |                  CAST(2 + doc_id % 4 AS INT) AS nf,
-       |                  CAST(33333 + (doc_id % 2) * 6667 AS BIGINT) AS uspf
-       |           FROM documents),
-       |px0 AS (SELECT d.doc_id, d.w, d.ht, d.nf, d.uspf, f.range AS f, p.range AS p,
-       |               md5('fr:' || CAST(d.doc_id AS VARCHAR) || ':' ||
-       |                   CAST(f.range AS VARCHAR) || ':' || CAST(p.range AS VARCHAR)) AS h
-       |        FROM d CROSS JOIN range(0, 5) f CROSS JOIN range(0, 24) p
-       |        WHERE f.range < d.nf AND p.range < 3 * d.w * d.ht),
-       |px AS (SELECT doc_id, w, ht, nf, uspf, f, p,
-       |              16 * ${nib(1)} + ${nib(2)} AS v
-       |       FROM px0)
-       |SELECT doc_id, CAST(MAX(nf) AS BIGINT) AS n_frames,
-       |       MAX(w) AS width, MAX(ht) AS height,
-       |       MAX(uspf) AS us_per_frame,
-       |       CAST(MAX(nf) * MAX(w) * MAX(ht) AS BIGINT) AS n_px_total,
-       |       CAST(SUM(CASE WHEN p % 3 = 0 THEN v END) AS BIGINT) AS sum_r,
-       |       CAST(SUM(CASE WHEN p % 3 = 1 THEN v END) AS BIGINT) AS sum_g,
-       |       CAST(SUM(CASE WHEN p % 3 = 2 THEN v END) AS BIGINT) AS sum_b,
-       |       CAST(SUM((f + 1) * v) AS BIGINT) AS wsum,
-       |       CAST(224 + MAX(nf) * (8 + ((3 * MAX(w) + 3) // 4) * 4 * MAX(ht)) AS BIGINT) AS file_bytes
-       |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin
-  }
-
-  /** Ordered funnel over the event stream: view → click (at/after the
-    * first view) → purchase (at/after that click), counted per user.
-    * Three same-key aggregates; every join co-partitions on user_id. */
-  private def anFunnel(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(s, dir).select("user_id", "event_type", "ts")
-    val v = ev.groupBy(col("user_id"))
-      .agg(min(when(col("event_type") === "view", col("ts"))).as("v_ts"))
-    val c = ev.join(v, "user_id")
-      .groupBy(col("user_id"), col("v_ts"))
-      .agg(min(when(col("event_type") === "click" && col("ts") >= col("v_ts"), col("ts"))).as("c_ts"))
-    val p = ev.join(c, "user_id")
-      .groupBy(col("user_id"), col("v_ts"), col("c_ts"))
-      .agg(min(when(col("event_type") === "purchase" && col("ts") >= col("c_ts"), col("ts"))).as("p_ts"))
-    p.agg(
-      count(lit(1)).as("n_users"),
-      sum(col("v_ts").isNotNull.cast("long")).as("n_view"),
-      sum(col("c_ts").isNotNull.cast("long")).as("n_view_click"),
-      sum(col("p_ts").isNotNull.cast("long")).as("n_view_click_purchase"))
-  }
-
-  private val anFunnelSql =
-    """WITH v AS (
-      |  SELECT user_id, MIN(CASE WHEN event_type = 'view' THEN ts END) AS v_ts
-      |  FROM events GROUP BY user_id),
-      |c AS (
-      |  SELECT e.user_id, v.v_ts,
-      |    MIN(CASE WHEN e.event_type = 'click' AND e.ts >= v.v_ts THEN e.ts END) AS c_ts
-      |  FROM events e JOIN v ON e.user_id = v.user_id
-      |  GROUP BY e.user_id, v.v_ts),
-      |p AS (
-      |  SELECT e.user_id, c.v_ts, c.c_ts,
-      |    MIN(CASE WHEN e.event_type = 'purchase' AND e.ts >= c.c_ts THEN e.ts END) AS p_ts
-      |  FROM events e JOIN c ON e.user_id = c.user_id
-      |  GROUP BY e.user_id, c.v_ts, c.c_ts)
-      |SELECT COUNT(*) AS n_users,
-      |  CAST(SUM(CASE WHEN v_ts IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
-      |  CAST(SUM(CASE WHEN c_ts IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_view_click,
-      |  CAST(SUM(CASE WHEN p_ts IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_view_click_purchase
-      |FROM p""".stripMargin
-
-  /** Day-grain cohort retention: users grouped by first-seen day,
-    * counted distinct per day offset. */
-  private def anRetentionCohort(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(s, dir)
-      .select(col("user_id"), to_date(col("ts")).as("day"))
-    val first = ev.groupBy(col("user_id")).agg(min(col("day")).as("cohort"))
-    ev.join(first, "user_id")
-      // ISO string, not DATE: date columns round-trip as different
-      // logical types through parquet vs a SQL client
-      .groupBy(date_format(col("cohort"), "yyyy-MM-dd").as("cohort"),
-        datediff(col("day"), col("cohort")).as("day_offset"))
-      .agg(countDistinct(col("user_id")).as("n_users"))
-      .orderBy(col("cohort"), col("day_offset"))
-  }
-
-  private val anRetentionCohortSql =
-    """WITH f AS (
-      |  SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort
-      |  FROM events GROUP BY user_id)
-      |SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort,
-      |  CAST(date_diff('day', f.cohort, CAST(e.ts AS DATE)) AS INT) AS day_offset,
-      |  COUNT(DISTINCT e.user_id) AS n_users
-      |FROM events e JOIN f ON e.user_id = f.user_id
-      |GROUP BY 1, 2 ORDER BY cohort, day_offset""".stripMargin
-
-  /** Array-agg coverage: per-group sorted distinct collection, emitted
-    * as a joined string (engine-portable; raw list columns compare
-    * poorly across clients). */
-  private def qCollect(s: SparkSession, dir: String): DataFrame =
-    Tables.orders(s, dir)
-      .groupBy(col("o_orderpriority"))
-      .agg(
-        array_join(array_sort(collect_set(col("o_orderstatus"))), ",").as("statuses"),
-        countDistinct(col("o_orderstatus")).as("n_statuses"))
-      .orderBy(col("o_orderpriority"))
-
-  private val qCollectSql =
-    """SELECT o_orderpriority,
-      |  string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses,
-      |  COUNT(DISTINCT o_orderstatus) AS n_statuses
-      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
-
-  /** Upsert / latest-record-wins merge (the SCD & Delta-MERGE pattern
-    * composed from built-ins): a base table unioned with an updates
-    * slice, deduped per key by (version desc) with row_number — NOT
-    * dropDuplicates, whose survivor is partition-order-dependent.
-    * Output re-aggregates so the check stays compact. */
-  private def qMergeLatest(s: SparkSession, dir: String): DataFrame = {
-    val base = Tables.orders(s, dir)
-      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"), lit(1).as("version"))
-    val updates = Tables.orders(s, dir).filter(col("o_orderstatus") === "O")
-      .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
-        (col("o_totalprice") * lit(1.1)).as("o_totalprice"), lit(2).as("version"))
-    val w = Window.partitionBy(col("o_orderkey")).orderBy(col("version").desc)
-    base.unionAll(updates)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .groupBy(col("o_orderstatus"))
-      .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("total"))
-      .orderBy(col("o_orderstatus"))
-  }
-
-  private val qMergeLatestSql =
-    s"""WITH merged AS (
-       |  SELECT * FROM (
-       |    SELECT o_orderkey, o_orderstatus, o_totalprice, 1 AS version FROM orders
-       |    UNION ALL
-       |    SELECT o_orderkey, 'U', o_totalprice * 1.1, 2 FROM orders WHERE o_orderstatus = 'O')
-       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY o_orderkey ORDER BY version DESC) = 1)
-       |SELECT o_orderstatus, COUNT(*) AS n, ${moneySumSql("o_totalprice")} AS total
-       |FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
-
-  /** Binned range join (no equi key): purchases matched to the "view"
-    * events in their trailing 5-minute window. Without bucketing this
-    * plans as a BroadcastNestedLoopJoin (O(n·m)); RangeJoin turns it
-    * into a hash join on 5-minute bins + an exact re-check. */
-  private def qRangeJoin(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(s, dir)
-    val views = ev.filter(col("event_type") === "view").select(col("ts").as("v_ts"))
-    val purchases = ev.filter(col("event_type") === "purchase")
-      .select(col("event_id"), (col("ts") - expr("INTERVAL 5 MINUTES")).as("lo"),
-        col("ts").as("hi"))
-    graft.operators.RangeJoin.pointInIntervalTs(views, "v_ts", purchases, "lo", "hi",
-        binSeconds = 300)
-      .groupBy(col("event_id")).agg(count(lit(1)).as("n_prior_views"))
-      .orderBy(col("event_id"))
-  }
-
-  private val qRangeJoinSql =
-    """SELECT p.event_id, COUNT(*) AS n_prior_views
-      |FROM events p JOIN events v
-      |  ON v.ts >= p.ts - INTERVAL 5 MINUTE AND v.ts < p.ts
-      |WHERE p.event_type = 'purchase' AND v.event_type = 'view'
-      |GROUP BY 1 ORDER BY 1""".stripMargin
-
-  /** Near-dup pairs → KEEP/DROP clusters: connected components over the
-    * exact n-gram Jaccard pair list (min reachable id = cluster id).
-    * The oracle recomputes the transitive closure with a recursive CTE. */
-  private def dedupClusters(s: SparkSession, dir: String): DataFrame = {
-    val pairs = graft.dedup.Dedup.ngramJaccardPairs(
-      Tables.documents(s, dir), "text", "doc_id", k = 3, tau = 0.05)
-    graft.dedup.Dedup.connectedComponents(pairs, "doc_a", "doc_b")
-      .select(col("id").as("doc_id"), col("cluster_id"))
-      .orderBy(col("doc_id"))
-  }
-
-  // Oracle pair base in the INVERTED-INDEX form (explode shingles, join
-  // on shingle, count shared per pair): on distinct-shingle lists the
-  // shared count c EQUALS len(list_intersect), and a pair with zero
-  // shared shingles has Jaccard 0 < τ — so the pair set is IDENTICAL to
-  // the naive n² list_intersect join, while DuckDB evaluates it in
-  // minutes instead of hours at sf0.1 (the r15 full 10×-SF verify made
-  // the naive form's cost the gate's bottleneck: 2.5 h per cluster key).
-  private val dedupClustersSql =
-    s"""WITH RECURSIVE sh AS ($duckShingles),
-       |sz AS (SELECT doc_id, len(shingles) AS n FROM sh),
-       |ex AS (SELECT doc_id, unnest(shingles) AS g FROM sh),
-       |shared AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
-       |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
-       |  GROUP BY 1, 2),
-       |pairs AS (SELECT doc_a, doc_b FROM shared
-       |  JOIN sz sa ON sa.doc_id = shared.doc_a
-       |  JOIN sz sb ON sb.doc_id = shared.doc_b
-       |  WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.05),
-       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
-       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
-       |walk(id, lbl) AS (
-       |  SELECT src, src FROM edges
-       |  UNION
-       |  SELECT e.src, w.lbl FROM walk w JOIN edges e ON e.dst = w.id)
-       |SELECT id AS doc_id, MIN(lbl) AS cluster_id FROM walk GROUP BY 1 ORDER BY 1""".stripMargin
-
-  /** [[dedupClusters]] through the OTHER components engine: alternating
-    * large-star/small-star edge rewriting (Kiveris et al.), the shape
-    * for graphs where even the (id, label) table is a memory hazard.
-    * Same pair list, same oracle, same min-label contract — so the
-    * driver's hash gate now pins BOTH scale paths to the recursive-CTE
-    * transitive closure, not just the pointer-jumping one. */
-  private def dedupClustersStar(s: SparkSession, dir: String): DataFrame = {
-    val pairs = graft.dedup.Dedup.ngramJaccardPairs(
-      Tables.documents(s, dir), "text", "doc_id", k = 3, tau = 0.05)
-    graft.dedup.Dedup.connectedComponentsStar(pairs, "doc_a", "doc_b")
-      .select(col("id").as("doc_id"), col("cluster_id"))
-      .orderBy(col("doc_id"))
-  }
-
-  /** Sliding-window sequence chunking (RAG/pretraining shape): 64-token
-    * chunks on a 48-token stride (16-token overlap), one Expand pass —
-    * starts come from `sequence(0, n-1, stride)`, the chunk itself is a
-    * slice. No shuffle at all: chunking is embarrassingly row-local. */
-  private def textChunk(s: SparkSession, dir: String): DataFrame = {
-    val (chunkLen, stride) = (64, 48)
-    Tables.documents(s, dir)
-      .select(col("doc_id"), graft.text.TextFunctions.words(col("text")).as("w"))
-      .select(col("doc_id"), col("w"),
-        posexplode(sequence(lit(0), size(col("w")) - 1, lit(stride))).as(Seq("chunk_id", "start")))
-      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
-        concat_ws(" ", slice(col("w"), col("start") + 1, lit(chunkLen))).as("chunk"),
-        size(slice(col("w"), col("start") + 1, lit(chunkLen))).cast("long").as("n_tokens"))
-      .orderBy(col("doc_id"), col("chunk_id"))
-  }
-
-  private val textChunkSql =
-    """WITH w AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
-      |s AS (SELECT doc_id, w, unnest(range(0, len(w), 48)) AS start FROM w)
-      |SELECT doc_id, CAST(start/48 AS BIGINT) AS chunk_id,
-      |  array_to_string(w[start+1 : least(start+64, len(w))], ' ') AS chunk,
-      |  least(start+64, len(w)) - start AS n_tokens
-      |FROM s ORDER BY doc_id, chunk_id""".stripMargin
 
   /** Gopher-style repetition signals: the fraction of tokens taken by
     * the most frequent unigram / bigram per document — the standard
@@ -4435,7 +155,7 @@ object SparkEntry {
     * grams. The exploded groupBy formulation computes the same values
     * with 3 shuffles of |corpus tokens| rows; per-document metrics
     * should never leave the row. */
-  private def topRunFrac(arr: Column): Column = {
+  private[graft] def topRunFrac(arr: Column): Column = {
     val sorted = array_sort(arr)
     val best = aggregate(sorted,
       struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
@@ -4447,619 +167,6 @@ object SparkEntry {
     best * lit(1.0) / size(arr)
   }
 
-  /** The composed C4/Gopher-style quality gate: every keep/drop signal
-    * (length, lexical diversity, top-word repetition, language) in ONE
-    * row-local projection — a single scan, one tokenize, no shuffle
-    * except the presentation sort. `reasons` lists every failed check
-    * (concat_ws drops the null passes), so the drop report doubles as
-    * the filter audit log a 100 TB curation run needs. */
-  private def textFilterPipeline(s: SparkSession, dir: String): DataFrame = {
-    import graft.text.TextFunctions
-    val docs = Tables.documents(s, dir)
-      .select(col("doc_id"), TextFunctions.words(col("text")).as("ws"))
-    val nWords = size(col("ws"))
-    val distinctRatio = size(array_distinct(col("ws"))) * lit(1.0) / nWords
-    val checks = Seq(
-      "too_short" -> (nWords < 10),
-      "low_diversity" -> (distinctRatio < 0.2),
-      "repetitive" -> (topRunFrac(col("ws")) > 0.2),
-      "not_en" -> (TextFunctions.langIdWords(col("ws")) =!= "en"))
-    docs
-      .withColumn("reasons", concat_ws(",",
-        checks.map { case (n, c) => when(c, lit(n)) }: _*))
-      .select(col("doc_id"), (col("reasons") === "").as("keep"), col("reasons"))
-      .orderBy(col("doc_id"))
-  }
-
-  private val textFilterPipelineSql = {
-    def cnt(ws: Seq[String]) =
-      s"len(list_filter(w, x -> x IN (${ws.map(w => s"'$w'").mkString(",")})))"
-    val de = cnt(graft.text.TextFunctions.Stopwords("de"))
-    val en = cnt(graft.text.TextFunctions.Stopwords("en"))
-    val es = cnt(graft.text.TextFunctions.Stopwords("es"))
-    val fr = cnt(graft.text.TextFunctions.Stopwords("fr"))
-    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-       |cnt AS (SELECT doc_id, gram, count(*) AS c
-       |        FROM (SELECT doc_id, unnest(w) AS gram FROM w) GROUP BY 1, 2),
-       |top AS (SELECT doc_id, max(c) * 1.0 / sum(c) AS top_word_frac FROM cnt GROUP BY 1),
-       |sig AS (SELECT w.doc_id,
-       |  concat_ws(',',
-       |    CASE WHEN len(w) < 10 THEN 'too_short' END,
-       |    CASE WHEN len(list_distinct(w)) * 1.0 / len(w) < 0.2 THEN 'low_diversity' END,
-       |    CASE WHEN top.top_word_frac > 0.2 THEN 'repetitive' END,
-       |    CASE WHEN (CASE WHEN GREATEST($de, $en, $es, $fr) = 0 THEN 'und'
-       |               WHEN $de = GREATEST($de, $en, $es, $fr) THEN 'de'
-       |               WHEN $en = GREATEST($de, $en, $es, $fr) THEN 'en'
-       |               WHEN $es = GREATEST($de, $en, $es, $fr) THEN 'es'
-       |               WHEN $fr = GREATEST($de, $en, $es, $fr) THEN 'fr'
-       |               ELSE 'und' END) <> 'en' THEN 'not_en' END) AS reasons
-       |  FROM w JOIN top USING (doc_id))
-       |SELECT doc_id, reasons = '' AS keep, reasons FROM sig ORDER BY doc_id""".stripMargin
-  }
-
-  private def textRepetition(s: SparkSession, dir: String): DataFrame = {
-    val w = graft.text.TextFunctions.words(col("text"))
-    val bigrams = transform(sequence(lit(1), size(w) - 1),
-      i => concat_ws(" ", element_at(w, i), element_at(w, i + 1)))
-    Tables.documents(s, dir)
-      .select(col("doc_id"),
-        round(topRunFrac(w), 8).as("top_word_frac"),
-        round(topRunFrac(bigrams), 8).as("top_bigram_frac"))
-      .orderBy(col("doc_id"))
-  }
-
-  private val textRepetitionSql =
-    """WITH w AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
-      |grams AS (
-      |  SELECT doc_id, 'uni' AS g, unnest(w) AS gram FROM w
-      |  UNION ALL
-      |  SELECT doc_id, 'bi' AS g,
-      |    unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS gram FROM w),
-      |cnt AS (SELECT doc_id, g, gram, COUNT(*) AS c FROM grams GROUP BY 1,2,3),
-      |agg AS (SELECT doc_id, g, MAX(c) AS mx, SUM(c) AS tot FROM cnt GROUP BY 1,2)
-      |SELECT doc_id,
-      |  MAX(CASE WHEN g='uni' THEN ROUND(mx * 1.0 / tot, 8) END) AS top_word_frac,
-      |  MAX(CASE WHEN g='bi' THEN ROUND(mx * 1.0 / tot, 8) END) AS top_bigram_frac
-      |FROM agg GROUP BY 1 ORDER BY 1""".stripMargin
-
-  /** int8 scalar quantization report over the embedding corpus —
-    * per-vector affine codes + dequantization MSE (the quality gate
-    * before committing to 4×-smaller storage). Map-only. */
-  private def simQuantize(s: SparkSession, dir: String): DataFrame =
-    graft.similarity.Quantize.report(Tables.embeddings(s, dir), "vec_id", "embedding")
-      .orderBy(col("vec_id"))
-
-  private val simQuantizeSql =
-    """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-      |p AS (SELECT vec_id, v, list_aggregate(v,'min') AS vmin, list_aggregate(v,'max') AS vmax,
-      |      (list_aggregate(v,'max') - list_aggregate(v,'min'))/255.0 AS scale FROM e)
-      |SELECT vec_id, ROUND(vmin,6) AS v_min, ROUND(vmax,6) AS v_max,
-      |  ROUND(list_aggregate(list_transform(v, x -> CASE WHEN scale = 0 THEN 0.0 ELSE
-      |     (x - (vmin + FLOOR((x - vmin)/scale + 0.5)*scale)) * (x - (vmin + FLOOR((x - vmin)/scale + 0.5)*scale)) END), 'sum') / len(v), 12) AS mse
-      |FROM p ORDER BY vec_id""".stripMargin
-
-  /** Schema-drift tolerant projection (reference notebook `safe_find`):
-    * the upstream delivered arbitrarily re-cased/re-spaced column names;
-    * SchemaResolver maps the expected names back on, then the query
-    * proceeds as if nothing drifted. Resolution is driver-side only —
-    * the physical plan is identical to the undrifted query's. */
-  private def etlResolveCols(s: SparkSession, dir: String): DataFrame = {
-    val drifted = Tables.orders(s, dir).toDF(
-      "Order Key", "CUST_KEY", "OrderStatus", "Total-Price", "order date", "Priority")
-    val resolved = graft.etl.SchemaResolver.select(drifted, Seq(
-      "o_orderstatus" -> Seq("status", "order_status"),
-      "total_price" -> Seq("totalprice", "total price")))
-    resolved.groupBy(col("o_orderstatus"))
-      .agg(count(lit(1)).as("n"), moneySum(col("total_price")).as("total"))
-      .orderBy(col("o_orderstatus"))
-  }
-
-  private val etlResolveColsSql =
-    s"""SELECT o_orderstatus, COUNT(*) AS n, ${moneySumSql("o_totalprice")} AS total
-       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
-
-  /** Customer-level enrichment (order count + lifetime spend on every
-    * order row) through the opt-in plans.AggJoinToWindow optimizer pass:
-    * the self-join-with-aggregate is rewritten to a single-scan Window
-    * (WindowRewriteSpec asserts one scan, a Window, no Join). The conf
-    * is scoped to a cloned session; the oracle runs the plain join form,
-    * so the rewrite must be result-identical. At scale this is the
-    * sort-merge-regime win: one exchange+sort instead of scan×2 + two
-    * exchanges + join when the key cardinality is too big to broadcast.
-    */
-  private def qAggJoinWindow(s: SparkSession, dir: String): DataFrame = {
-    val scoped = s.newSession()
-    scoped.conf.set(graft.plans.AggJoinToWindow.ConfKey, "true")
-    val o = Tables.orders(scoped, dir)
-    val agg = o.groupBy("o_custkey").agg(
-      count(lit(1)).as("cust_orders"),
-      moneySum(col("o_totalprice")).as("cust_spend"))
-    o.select("o_orderkey", "o_custkey", "o_totalprice")
-      .join(agg, "o_custkey")
-      .select(col("o_orderkey"), col("o_custkey"),
-        col("cust_orders"), col("cust_spend"))
-  }
-
-  private val qAggJoinWindowSql =
-    s"""SELECT o.o_orderkey, o.o_custkey, a.cust_orders, a.cust_spend
-       |FROM orders o
-       |JOIN (SELECT o_custkey, COUNT(*) AS cust_orders,
-       |        ${moneySumSql("o_totalprice")} AS cust_spend
-       |      FROM orders GROUP BY o_custkey) a
-       |  ON o.o_custkey = a.o_custkey""".stripMargin
-
-  /** Snapshots + IncrementalAgg end-to-end under the hard oracle:
-    * orders lands in three append commits on a fresh manifest table,
-    * the aggregate state is built at v1 and refreshed to v3 by
-    * scanning ONLY the files each commit added (never the whole
-    * table — the 100 TB point of delta maintenance), and the final
-    * state is emitted. The DuckDB oracle aggregates the full orders
-    * table in one shot: the incremental path must be bit-identical
-    * (IncrementalAgg's exact DECIMAL(24,8) mergeable-state contract).
-    */
-  private def etlSnapshotAgg(s: SparkSession, dir: String): DataFrame = {
-    import graft.etl.{IncrementalAgg, Snapshots}
-    val table = scratchDir("snapagg") + "/orders_snap"
-    val o = Tables.orders(s, dir)
-      .select(col("o_orderstatus"), col("o_totalprice"), col("o_orderkey"))
-    (0 to 2).foreach { i =>
-      Snapshots.commit(
-        o.filter(col("o_orderkey") % 3 === i).drop("o_orderkey"), table, "append")
-    }
-    val keys = Seq("o_orderstatus"); val measures = Seq("o_totalprice")
-    val st1 = IncrementalAgg.aggregate(Snapshots.read(s, table, Some(1)), keys, measures)
-    val st2 = IncrementalAgg.refresh(st1, IncrementalAgg.delta(s, table, 1, 2), keys, measures)
-    val st3 = IncrementalAgg.refresh(st2, IncrementalAgg.delta(s, table, 2, 3), keys, measures)
-    st3.select(col("o_orderstatus"), col("n"),
-        col("sum_o_totalprice").cast("decimal(24,2)").cast("double").as("spend"))
-      .orderBy(col("o_orderstatus"))
-  }
-
-  private val etlSnapshotAggSql =
-    s"""SELECT o_orderstatus, COUNT(*) AS n, ${moneySumSql("o_totalprice")} AS spend
-       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
-
-  /** Snapshot pinned reads / time travel under the hard oracle: v1 and
-    * v2 append two thirds of orders, v3 OVERWRITES with the last third.
-    * A reader pinned to v2 must see exactly v1+v2's rows; the latest
-    * reader sees only v3's — both aggregated and union'd with a version
-    * tag, so the oracle (which recomputes each slice from the source
-    * table) verifies immutability AND overwrite semantics by hash.
-    */
-  private def etlSnapshotRead(s: SparkSession, dir: String): DataFrame = {
-    import graft.etl.Snapshots
-    val table = scratchDir("snapread") + "/orders_snap"
-    val o = Tables.orders(s, dir)
-      .select(col("o_orderstatus"), col("o_totalprice"), col("o_orderkey"))
-    Snapshots.commit(o.filter(col("o_orderkey") % 3 === 0).drop("o_orderkey"), table, "append")
-    Snapshots.commit(o.filter(col("o_orderkey") % 3 === 1).drop("o_orderkey"), table, "append")
-    Snapshots.commit(o.filter(col("o_orderkey") % 3 === 2).drop("o_orderkey"), table, "overwrite")
-    def agg(df: DataFrame, tag: String): DataFrame =
-      df.groupBy(col("o_orderstatus"))
-        .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("spend"))
-        .withColumn("snap", lit(tag))
-    agg(Snapshots.read(s, table, Some(2)), "v2")
-      .unionByName(agg(Snapshots.read(s, table), "v3"))
-      .orderBy(col("snap"), col("o_orderstatus"))
-  }
-
-  private val etlSnapshotReadSql =
-    s"""WITH t AS (SELECT o_orderstatus, o_totalprice, o_orderkey % 3 AS m FROM orders),
-       |v2 AS (SELECT o_orderstatus, COUNT(*) AS n,
-       |         ${moneySumSql("o_totalprice")} AS spend, 'v2' AS snap
-       |       FROM t WHERE m IN (0, 1) GROUP BY o_orderstatus),
-       |v3 AS (SELECT o_orderstatus, COUNT(*) AS n,
-       |         ${moneySumSql("o_totalprice")} AS spend, 'v3' AS snap
-       |       FROM t WHERE m = 2 GROUP BY o_orderstatus)
-       |SELECT * FROM v2 UNION ALL SELECT * FROM v3
-       |ORDER BY snap, o_orderstatus""".stripMargin
-
-  /** MERGE-by-key upsert end-to-end under the hard oracle: the base
-    * table (orders with key % 4 ≠ 3) lands in a fresh parquet dir, then
-    * one CDC batch UPDATES every key % 8 == 0 row (price +1000, status
-    * 'U') and INSERTS the held-out key % 4 == 3 rows. Load.upsertParquet
-    * merges batch-wins-by-key (broadcast anti-join, temp-and-swap
-    * rewrite); the per-status digest of the REWRITTEN DIR is emitted and
-    * the oracle reconstructs the same MERGE in SQL — so the sink's merge
-    * semantics, not just a frame transform, is what gets hash-checked.
-    */
-  private def etlUpsert(s: SparkSession, dir: String): DataFrame = {
-    val tmp = scratchDir("upsert") + "/orders"
-    val o = Tables.orders(s, dir)
-      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
-    o.filter(col("o_orderkey") % 4 =!= 3).write.parquet(tmp)
-    val updates = o.filter(col("o_orderkey") % 8 === 0)
-        .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0))
-        .withColumn("o_orderstatus", lit("U"))
-      .unionByName(o.filter(col("o_orderkey") % 4 === 3))
-    graft.etl.Load.upsertParquet(s, tmp, updates, Seq("o_orderkey"))
-    s.read.parquet(tmp)
-      .groupBy(col("o_orderstatus"))
-      .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("spend"))
-      .orderBy(col("o_orderstatus"))
-  }
-
-  private val etlUpsertSql =
-    s"""WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice
-       |              FROM orders WHERE o_orderkey % 4 <> 3),
-       |upd AS (SELECT o_orderkey, 'U' AS o_orderstatus,
-       |               o_totalprice + 1000.0 AS o_totalprice
-       |        FROM orders WHERE o_orderkey % 8 = 0
-       |        UNION ALL
-       |        SELECT o_orderkey, o_orderstatus, o_totalprice
-       |        FROM orders WHERE o_orderkey % 4 = 3),
-       |merged AS (SELECT * FROM upd
-       |           UNION ALL
-       |           SELECT b.* FROM base b
-       |           WHERE b.o_orderkey NOT IN (SELECT o_orderkey FROM upd))
-       |SELECT o_orderstatus, COUNT(*) AS n, ${moneySumSql("o_totalprice")} AS spend
-       |FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
-
-  /** Partition-scoped upsert under the hard oracle — the genuine 100 TB
-    * path: orders partitioned by order-year, a CDC batch touching ONLY
-    * year 1996 (price +500 on key % 16 == 0). upsertPartitioned prunes
-    * the scan and the rewrite to the touched partition (untouched year
-    * dirs are never opened); the emitted per-year digest proves both
-    * the merge AND that every other partition survived byte-identical.
-    */
-  private def etlUpsertPart(s: SparkSession, dir: String): DataFrame = {
-    val tmp = scratchDir("upsert_part") + "/orders"
-    val o = Tables.orders(s, dir)
-      .select(col("o_orderkey"), col("o_totalprice"),
-        year(col("o_orderdate")).as("o_year"))
-    o.write.partitionBy("o_year").parquet(tmp)
-    val updates = o.filter(col("o_year") === 1996 && col("o_orderkey") % 16 === 0)
-      .withColumn("o_totalprice", col("o_totalprice") + lit(500.0))
-    graft.etl.Load.upsertPartitioned(s, tmp, updates, Seq("o_orderkey"), "o_year")
-    s.read.parquet(tmp)
-      .groupBy(col("o_year").cast("int").as("o_year"))
-      .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("spend"))
-      .orderBy(col("o_year"))
-  }
-
-  private val etlUpsertPartSql =
-    s"""WITH t AS (SELECT o_orderkey, o_totalprice,
-       |                  CAST(year(o_orderdate) AS INT) AS o_year FROM orders),
-       |merged AS (SELECT o_orderkey, o_totalprice + 500.0 AS o_totalprice, o_year
-       |           FROM t WHERE o_year = 1996 AND o_orderkey % 16 = 0
-       |           UNION ALL
-       |           SELECT * FROM t
-       |           WHERE NOT (o_year = 1996 AND o_orderkey % 16 = 0))
-       |SELECT o_year, COUNT(*) AS n, ${moneySumSql("o_totalprice")} AS spend
-       |FROM merged GROUP BY o_year ORDER BY o_year""".stripMargin
-
-  /** Schema-evolution read under the hard oracle: generation 1 files
-    * carry (o_orderkey, o_totalprice), generation 2 adds o_orderstatus.
-    * Extract.parquetEvolved merges the schemas so gen-1 rows surface the
-    * added column as NULL — the digest groups by the evolved column and
-    * the oracle recomputes the same split from the source table, so the
-    * mergeSchema semantics (old files don't block new columns) is what
-    * gets hash-verified. */
-  private def etlSchemaEvolve(s: SparkSession, dir: String): DataFrame = {
-    val tmp = scratchDir("evolve") + "/orders"
-    val o = Tables.orders(s, dir)
-    o.filter(col("o_orderkey") % 2 === 0)
-      .select(col("o_orderkey"), col("o_totalprice"))
-      .write.parquet(s"$tmp/gen=1")
-    o.filter(col("o_orderkey") % 2 === 1)
-      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
-      .write.parquet(s"$tmp/gen=2")
-    graft.etl.Extract.parquetEvolved(s, tmp)
-      .groupBy(coalesce(col("o_orderstatus"), lit("<pre-evolution>")).as("status"))
-      .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("spend"))
-      .orderBy(col("status"))
-  }
-
-  private val etlSchemaEvolveSql =
-    s"""SELECT CASE WHEN o_orderkey % 2 = 0 THEN '<pre-evolution>'
-       |            ELSE o_orderstatus END AS status,
-       |       COUNT(*) AS n, ${moneySumSql("o_totalprice")} AS spend
-       |FROM orders GROUP BY status ORDER BY status""".stripMargin
-
-  /** Small-files compaction under the hard oracle: orders lands
-    * fragmented (64 tiny files), Load.compactParquet rewrites the dir
-    * to its size-targeted file count via temp-and-swap, and the digest
-    * of the COMPACTED DIR is hash-checked against the source table —
-    * the maintenance pass must be a pure layout change, byte-preserving
-    * on content. The file-count policy itself is asserted in EtlSpec;
-    * here the oracle guards what compaction must never touch: the rows.
-    */
-  private def etlCompact(s: SparkSession, dir: String): DataFrame = {
-    val tmp = scratchDir("compact") + "/orders"
-    Tables.orders(s, dir)
-      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
-      .repartition(64).write.parquet(tmp)
-    graft.etl.Load.compactParquet(s, tmp)
-    s.read.parquet(tmp)
-      .groupBy(col("o_orderstatus"))
-      .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("spend"),
-        sum(col("o_orderkey")).as("key_sum"))
-      .orderBy(col("o_orderstatus"))
-  }
-
-  private val etlCompactSql =
-    s"""SELECT o_orderstatus, COUNT(*) AS n, ${moneySumSql("o_totalprice")} AS spend,
-       |       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
-       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
-
-  /** CSV sink → source round-trip under the hard oracle: orders goes
-    * out through Load.CsvSink and back in through Extract.csv with an
-    * explicit schema, and the digest of what came BACK is hash-checked
-    * against the source table — so the text serialization (Double
-    * shortest-round-trip formatting, header handling, NULL encoding) is
-    * what gets verified, not just the write call succeeding. */
-  private def etlCsvRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.types._
-    val tmp = scratchDir("csv") + "/orders"
-    val o = Tables.orders(s, dir)
-      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
-    graft.etl.Load.CsvSink(tmp).write(o)
-    val schema = StructType(Seq(
-      StructField("o_orderkey", LongType), StructField("o_orderstatus", StringType),
-      StructField("o_totalprice", DoubleType)))
-    graft.etl.Extract.csv(s, tmp, Some(schema))
-      .groupBy(col("o_orderstatus"))
-      .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("spend"),
-        sum(col("o_orderkey")).as("key_sum"))
-      .orderBy(col("o_orderstatus"))
-  }
-
-  private val etlCsvRoundtripSql =
-    s"""SELECT o_orderstatus, COUNT(*) AS n, ${moneySumSql("o_totalprice")} AS spend,
-       |       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
-       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
-
-  /** One-pass load audit under the hard oracle: orders is written
-    * through a sink with Load.writeObserved, whose metrics (row count,
-    * null count, exact money sum) ride the write job via the
-    * Observation API — no second scan. The OBSERVED values are emitted
-    * as the query result and hash-checked against DuckDB recomputing
-    * them from the source: the audit numbers a 100 TB load reports for
-    * free must be the exact truth, not an approximation. */
-  private def etlWriteObserved(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val tmp = scratchDir("obs") + "/orders"
-    val o = Tables.orders(s, dir)
-      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
-    val m = graft.etl.Load.writeObserved(o, graft.etl.Load.ParquetSink(tmp),
-      Map("n" -> count(lit(1)),
-        "n_null_status" -> sum(when(col("o_orderstatus").isNull, 1L).otherwise(0L)),
-        "spend" -> moneySum(col("o_totalprice"))))
-    Seq((m("n").asInstanceOf[Long], m("n_null_status").asInstanceOf[Long],
-      m("spend").asInstanceOf[Double])).toDF("n", "n_null_status", "spend")
-  }
-
-  private val etlWriteObservedSql =
-    s"""SELECT COUNT(*) AS n,
-       |  CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_status,
-       |  ${moneySumSql("o_totalprice")} AS spend
-       |FROM orders""".stripMargin
-
-  /** JDBC sink → source round-trip under the hard oracle (the
-    * reference's hosted-database load, stood in by embedded Derby —
-    * networkless, ships with Spark): a deterministic orders slice goes
-    * out through JdbcSink (batched inserts, snake_cased identifiers)
-    * and back via readBack, and the digest of what the DATABASE returns
-    * is hash-checked against the source table — type mapping (double ↔
-    * DOUBLE, string ↔ CLOB), batching, and identifier normalization all
-    * sit inside the verified loop. Each invocation uses a fresh
-    * in-memory db name, so bench repeats don't collide. */
-  private def etlJdbcRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val db = "graftq" + java.util.UUID.randomUUID().toString.take(8)
-    val url = s"jdbc:derby:memory:$db;create=true"
-    val o = Tables.orders(s, dir)
-      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
-      .filter(col("o_orderkey") % 10 === 0) // JDBC-sized slice, still 1.5k+ rows
-    val sink = graft.etl.Load.JdbcSink(url, "orders_load", numPartitions = 4,
-      mode = org.apache.spark.sql.SaveMode.Overwrite)
-    sink.write(o)
-    sink.readBack(s).get
-      .groupBy(col("o_orderstatus"))
-      .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("spend"),
-        sum(col("o_orderkey")).as("key_sum"))
-      .orderBy(col("o_orderstatus"))
-  }
-
-  private val etlJdbcRoundtripSql =
-    s"""SELECT o_orderstatus, COUNT(*) AS n, ${moneySumSql("o_totalprice")} AS spend,
-       |       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
-       |FROM orders WHERE o_orderkey % 10 = 0
-       |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
-
-  /** JSON sink → source round-trip under the hard oracle, completing
-    * the text-format pair with [[etlCsvRoundtrip]]: line-delimited JSON
-    * out through Load.JsonSink, back through Extract.json with an
-    * explicit schema (no inference pass at scale), digest hash-checked
-    * against the source — number formatting and field completeness are
-    * what's on trial. */
-  private def etlJsonRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.types._
-    val tmp = scratchDir("json") + "/orders"
-    val o = Tables.orders(s, dir)
-      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
-    graft.etl.Load.JsonSink(tmp).write(o)
-    val schema = StructType(Seq(
-      StructField("o_orderkey", LongType), StructField("o_orderstatus", StringType),
-      StructField("o_totalprice", DoubleType)))
-    graft.etl.Extract.json(s, tmp, Some(schema))
-      .groupBy(col("o_orderstatus"))
-      .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("spend"),
-        sum(col("o_orderkey")).as("key_sum"))
-      .orderBy(col("o_orderstatus"))
-  }
-
-  private val etlJsonRoundtripSql =
-    s"""SELECT o_orderstatus, COUNT(*) AS n, ${moneySumSql("o_totalprice")} AS spend,
-       |       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
-       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
-
-  /** Multimodal frame sampling under the hard oracle: payloads (UTF-8
-    * bytes standing in for media) are chopped into 16-byte frames and
-    * every 4th is kept — the video/audio frame-extraction plumbing.
-    * The per-doc digest (frame count, kept bytes, last frame index) is
-    * pure integer arithmetic over byte lengths, so DuckDB recomputes it
-    * exactly from strlen(text): the explode shape, stride filter, and
-    * short-last-frame handling are all hash-verified, complementing
-    * mm_binary_meta's metadata checks. */
-  private def mmFrameDigest(s: SparkSession, dir: String): DataFrame = {
-    implicit val sp: SparkSession = s
-    val p = graft.multimodal.BinaryColumns.withPayload(
-      Tables.documents(s, dir), "text", "doc_id")
-    graft.multimodal.BinaryColumns.frameSample(p, frameSize = 16, stride = 4)
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_frames"),
-        sum(col("frame_len")).as("frame_bytes"),
-        max(col("frame_no")).cast("long").as("last_frame"))
-      .orderBy(col("doc_id"))
-  }
-
-  private val mmFrameDigestSql =
-    """WITH d AS (SELECT doc_id, strlen(text) AS len FROM documents),
-      |c AS (SELECT doc_id, len, CAST(ceil(len / 16.0) AS BIGINT) AS n_chunks FROM d)
-      |SELECT doc_id,
-      |  (n_chunks - 1) // 4 + 1 AS n_frames,
-      |  16 * ((n_chunks - 1) // 4 + 1)
-      |    - CASE WHEN (n_chunks - 1) % 4 = 0 AND len % 16 > 0
-      |           THEN 16 - (len % 16) ELSE 0 END AS frame_bytes,
-      |  4 * ((n_chunks - 1) // 4) AS last_frame
-      |FROM c ORDER BY doc_id""".stripMargin
-
-  /** Multi-dimensional layout under the hard oracle: orders is
-    * REWRITTEN along the Hilbert curve over (custkey mod 512, price
-    * bucket) — the Layout.hilbertWrite path, range-exchange and all —
-    * and a 2-D box filter runs over the clustered copy. The oracle
-    * recomputes the box from the source table, so the clustering
-    * rewrite provably loses and duplicates nothing; the file-skipping
-    * WIN of the layout is measured separately in LayoutSpec (footer
-    * stats), since pruning is a planner effect the digest can't see. */
-  private def etlLayoutBox(s: SparkSession, dir: String): DataFrame = {
-    val tmp = scratchDir("layout") + "/orders"
-    val o = Tables.orders(s, dir).select(
-      col("o_orderkey"), (col("o_custkey") % 512).as("cx"),
-      floor(col("o_totalprice") / 1000).as("py"))
-    graft.operators.Layout.hilbertWrite(o, col("cx"), col("py"), tmp, 16)
-    s.read.parquet(tmp)
-      .filter(col("cx").between(100, 131) && col("py").between(20, 60))
-      .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"),
-        min(col("cx")).as("min_cx"), max(col("py")).as("max_py"))
-  }
-
-  private val etlLayoutBoxSql =
-    """WITH t AS (SELECT o_orderkey, o_custkey % 512 AS cx,
-      |                  CAST(floor(o_totalprice / 1000) AS BIGINT) AS py FROM orders)
-      |SELECT COUNT(*) AS n, CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
-      |       MIN(cx) AS min_cx, MAX(py) AS max_py
-      |FROM t WHERE cx BETWEEN 100 AND 131 AND py BETWEEN 20 AND 60""".stripMargin
-
-  /** Per-group OLS regression (slope / intercept / r²) of extended
-    * price on quantity, computed from EXACT decimal power sums — the
-    * same one-shuffle closed-form pattern as [[anStatsMoments]], so the
-    * fit is a single partial-aggregable pass no matter the table size
-    * (the co-moment state is 5 decimals + a count per group; Spark's
-    * streaming regr_* would be merge-order-sensitive in the low bits).
-    */
-  private def anLinreg(s: SparkSession, dir: String): DataFrame = {
-    def dsum(c: Column) = sum(c.cast("decimal(38,8)")).cast("double")
-    val x = col("l_quantity"); val y = col("l_extendedprice")
-    Tables.lineitem(s, dir)
-      .groupBy(col("l_returnflag"))
-      .agg(count(lit(1)).as("n"),
-        dsum(x).as("sx"), dsum(y).as("sy"),
-        dsum(x * x).as("sxx"), dsum(y * y).as("syy"), dsum(x * y).as("sxy"))
-      .select(col("l_returnflag"), col("n"),
-        round((col("n") * col("sxy") - col("sx") * col("sy")) /
-          (col("n") * col("sxx") - col("sx") * col("sx")), 6).as("slope"),
-        round((col("sy") - col("sx") *
-            ((col("n") * col("sxy") - col("sx") * col("sy")) /
-             (col("n") * col("sxx") - col("sx") * col("sx")))) / col("n"), 4)
-          .as("intercept"),
-        // r² at ROUND(·,6): the n·sxy − sx·sy numerator CANCELS, so the
-        // engines' last-ulp skew is amplified ~1e3× and unrounded emission
-        // diverges (measured: 1e-13 relative at sf0.01) — 6 places absorbs
-        // it; square via IEEE multiply, not libm pow
-        round(((col("n") * col("sxy") - col("sx") * col("sy")) *
-          (col("n") * col("sxy") - col("sx") * col("sy"))) /
-          ((col("n") * col("sxx") - col("sx") * col("sx")) *
-           (col("n") * col("syy") - col("sy") * col("sy"))), 6).as("r2"))
-      .orderBy(col("l_returnflag"))
-  }
-
-  private val anLinregSql =
-    """WITH m AS (
-      |  SELECT l_returnflag, COUNT(*) AS n,
-      |    CAST(SUM(CAST(l_quantity AS DECIMAL(38,8))) AS DOUBLE) AS sx,
-      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,8))) AS DOUBLE) AS sy,
-      |    CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,8))) AS DOUBLE) AS sxx,
-      |    CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,8))) AS DOUBLE) AS syy,
-      |    CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,8))) AS DOUBLE) AS sxy
-      |  FROM lineitem GROUP BY l_returnflag)
-      |SELECT l_returnflag, n,
-      |  ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
-      |  ROUND((sy - sx * ((n * sxy - sx * sy) / (n * sxx - sx * sx))) / n, 4) AS intercept,
-      |  ROUND(((n * sxy - sx * sy) * (n * sxy - sx * sy)) /
-      |        ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
-      |FROM m ORDER BY l_returnflag""".stripMargin
-
-  /** Gaps-and-islands: per supplier, 7-day shipment coverage intervals
-    * merged into maximal overlapping runs ("islands") with one window
-    * pass — cummax of interval end over the preceding rows marks island
-    * starts, a running sum of those flags numbers the islands. Classic
-    * interval-merge without a self-join: two sorts on the same
-    * (suppkey) partitioning, so at 100 TB it is one exchange + in-
-    * partition sorts, never an O(n²) overlap join. Tie order is pinned
-    * (start, end, orderkey, linenumber) for cross-engine determinism. */
-  private def qGapsIslands(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(s, dir).select(
-      col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
-      col("l_shipdate").as("start_ts"),
-      (col("l_shipdate") + expr("INTERVAL 7 DAYS")).as("end_ts"))
-    val ord = Window.partitionBy(col("l_suppkey"))
-      .orderBy(col("start_ts"), col("end_ts"), col("l_orderkey"), col("l_linenumber"))
-    val prevMax = max(col("end_ts")).over(
-      ord.rowsBetween(Window.unboundedPreceding, -1))
-    val flagged = li.withColumn("new_island",
-      when(prevMax.isNull || col("start_ts") > prevMax, 1L).otherwise(0L))
-    val islands = flagged.withColumn("island",
-      sum(col("new_island")).over(ord.rowsBetween(Window.unboundedPreceding, 0)))
-      .groupBy(col("l_suppkey"), col("island"))
-      .agg(min(col("start_ts")).as("i_start"), max(col("end_ts")).as("i_end"),
-        count(lit(1)).as("n_intervals"))
-    islands.groupBy(col("l_suppkey"))
-      .agg(count(lit(1)).as("n_islands"),
-        sum(datediff(col("i_end"), col("i_start")).cast("long")).as("covered_days"),
-        max(datediff(col("i_end"), col("i_start")).cast("long")).as("max_island_days"),
-        sum(col("n_intervals")).as("n_intervals"))
-      .orderBy(col("l_suppkey"))
-  }
-
-  private val qGapsIslandsSql =
-    """WITH iv AS (
-      |  SELECT l_suppkey, l_orderkey, l_linenumber,
-      |         l_shipdate AS start_ts,
-      |         l_shipdate + INTERVAL 7 DAY AS end_ts
-      |  FROM lineitem),
-      |flagged AS (
-      |  SELECT *, CASE WHEN prev_max IS NULL OR start_ts > prev_max
-      |                 THEN 1 ELSE 0 END AS new_island
-      |  FROM (SELECT *, MAX(end_ts) OVER (PARTITION BY l_suppkey
-      |          ORDER BY start_ts, end_ts, l_orderkey, l_linenumber
-      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
-      |        FROM iv) t),
-      |numbered AS (
-      |  SELECT *, SUM(new_island) OVER (PARTITION BY l_suppkey
-      |    ORDER BY start_ts, end_ts, l_orderkey, l_linenumber
-      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
-      |  FROM flagged),
-      |islands AS (
-      |  SELECT l_suppkey, island, MIN(start_ts) AS i_start,
-      |         MAX(end_ts) AS i_end, COUNT(*) AS n_intervals
-      |  FROM numbered GROUP BY l_suppkey, island)
-      |SELECT l_suppkey, COUNT(*) AS n_islands,
-      |  CAST(SUM(date_diff('day', i_start, i_end)) AS BIGINT) AS covered_days,
-      |  CAST(MAX(date_diff('day', i_start, i_end)) AS BIGINT) AS max_island_days,
-      |  CAST(SUM(n_intervals) AS BIGINT) AS n_intervals
-      |FROM islands GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin
-
   /** Per-group exact median as an INTEGER in doubled units (med2 =
     * v@⌈n/2⌉ + v@(⌊n/2⌋+1), i.e. 2·median — integral whether n is odd
     * or even): distinct-value counts + one [[graft.operators.PrefixSum]]
@@ -5067,7 +174,7 @@ object SparkEntry {
     * = global running total − group offset (offsets from the
     * groups-sized totals table). No value-buffering aggregate; state is
     * distinct values, fully distributed. Input must be (g, v, cnt). */
-  private def groupedMedian2(perV: DataFrame, g: String, v: String): DataFrame = {
+  private[graft] def groupedMedian2(perV: DataFrame, g: String, v: String): DataFrame = {
     val scan = graft.operators.PrefixSum.withRunningTotals(perV, Seq(g, v), Seq("cnt"))
     val wOff = Window.orderBy(g).rowsBetween(Window.unboundedPreceding, -1)
     val probes = perV.groupBy(g).agg(sum("cnt").as("n"))
@@ -5102,7 +209,7 @@ object SparkEntry {
     * .distinctRunningCounts]] scan over RAW (g, v) rows — no groupBy
     * exchange anywhere: multiplicities fall out of the sorted scan's
     * run-length merge, and only the groups-sized probe table aggregates. */
-  private def groupedMedian2Raw(raw: DataFrame, g: String, v: String): DataFrame = {
+  private[graft] def groupedMedian2Raw(raw: DataFrame, g: String, v: String): DataFrame = {
     val scan = graft.operators.PrefixSum.distinctRunningCounts(raw, Seq(g, v))
     val wOff = Window.orderBy(g).rowsBetween(Window.unboundedPreceding, -1)
     val probes = raw.groupBy(g).agg(count(lit(1)).as("n"))
@@ -5119,5056 +226,6 @@ object SparkEntry {
         first(col("n")).as("n"))
   }
 
-  private def anMadOutliers(s: SparkSession, dir: String): DataFrame = {
-    val o = Tables.orders(s, dir).select(col("o_orderpriority").as("g"),
-      (col("o_totalprice").cast("decimal(24,2)") * 100).cast("bigint").as("v"))
-    // raw-row medians: near-unique prices make a distinct-value groupBy
-    // a no-reduction hash aggregate (it DOUBLED this query's bench
-    // entry), so both medians run distinctRunningCounts scans over raw
-    // rows and the outlier screen reuses the mad scan's distinct
-    // (g, adev, cnt) rows — the orders-sized frame is never aggregated,
-    // only range-sorted
-    val med = groupedMedian2Raw(o, "g", "v").select(col("g"), col("med2"))
-    val dev = o.join(broadcast(med), Seq("g"))
-      .select(col("g"), abs(col("v") * 2 - col("med2")).as("adev")) // half-cents
-    val madScan = graft.operators.PrefixSum.distinctRunningCounts(dev, Seq("g", "adev"))
-    val wOff = Window.orderBy(col("g")).rowsBetween(Window.unboundedPreceding, -1)
-    val probes = o.groupBy(col("g")).agg(count(lit(1)).as("n"))
-      .withColumn("off", coalesce(sum("n").over(wOff), lit(0L)))
-      .withColumn("k_lo", expr("(n + 1) div 2"))
-      .withColumn("k_hi", expr("n div 2 + 1"))
-    val hitLo = col("cum") >= col("k_lo") && col("cum") - col("cnt") < col("k_lo")
-    val hitHi = col("cum") >= col("k_hi") && col("cum") - col("cnt") < col("k_hi")
-    val mad = madScan.join(broadcast(probes), Seq("g"))
-      .withColumn("cum", col("cnt_cum") - col("off"))
-      .filter(hitLo || hitHi)
-      .groupBy(col("g"))
-      .agg((max(when(hitLo, col("adev"))) + max(when(hitHi, col("adev")))).as("mad4"))
-    // final screen over the mad scan's distinct rows (cnt-weighted), not
-    // the raw deviation frame — quarter-cents mad4 vs half-cents adev
-    madScan.join(broadcast(mad), Seq("g")).join(broadcast(med), Seq("g"))
-      .groupBy(col("g").as("o_orderpriority"))
-      .agg(sum(col("cnt")).as("n"),
-        round(first(col("med2")).cast("double") / 200.0, 6).as("med"),
-        round(first(col("mad4")).cast("double") / 400.0, 6).as("mad"),
-        sum(when(lit(13490L) * col("adev") > lit(35000L) * col("mad4"), col("cnt"))
-          .otherwise(0L)).as("n_outliers"))
-      .orderBy(col("o_orderpriority"))
-  }
-
-  private val anMadOutliersSql =
-    """WITH o AS (SELECT o_orderpriority AS g,
-      |                  CAST(CAST(o_totalprice AS DECIMAL(24,2)) * 100 AS BIGINT) AS v
-      |           FROM orders),
-      |pv AS (SELECT g, v, COUNT(*) AS cnt FROM o GROUP BY 1, 2),
-      |cv AS (SELECT g, v, cnt, CAST(SUM(cnt) OVER (PARTITION BY g ORDER BY v) AS BIGINT) AS cum
-      |       FROM pv),
-      |tv AS (SELECT g, CAST(SUM(cnt) AS BIGINT) AS n FROM pv GROUP BY g),
-      |med AS (SELECT c.g,
-      |          CAST(MAX(CASE WHEN cum >= (n+1)//2 AND cum - cnt < (n+1)//2 THEN v END)
-      |             + MAX(CASE WHEN cum >= n//2+1 AND cum - cnt < n//2+1 THEN v END) AS BIGINT) AS med2
-      |        FROM cv c JOIN tv USING (g) GROUP BY c.g),
-      |dev AS (SELECT o.g, ABS(o.v * 2 - m.med2) AS adev FROM o JOIN med m USING (g)),
-      |pa AS (SELECT g, adev, COUNT(*) AS cnt FROM dev GROUP BY 1, 2),
-      |ca AS (SELECT g, adev, cnt, CAST(SUM(cnt) OVER (PARTITION BY g ORDER BY adev) AS BIGINT) AS cum
-      |       FROM pa),
-      |mad AS (SELECT c.g,
-      |          CAST(MAX(CASE WHEN cum >= (n+1)//2 AND cum - cnt < (n+1)//2 THEN adev END)
-      |             + MAX(CASE WHEN cum >= n//2+1 AND cum - cnt < n//2+1 THEN adev END) AS BIGINT) AS mad4
-      |        FROM ca c JOIN tv USING (g) GROUP BY c.g)
-      |SELECT d.g AS o_orderpriority, COUNT(*) AS n,
-      |  ROUND(CAST(ANY_VALUE(m.med2) AS DOUBLE) / 200.0, 6) AS med,
-      |  ROUND(CAST(ANY_VALUE(a.mad4) AS DOUBLE) / 400.0, 6) AS mad,
-      |  CAST(SUM(CASE WHEN 13490 * d.adev > 35000 * a.mad4 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
-      |FROM dev d JOIN mad a USING (g) JOIN med m USING (g)
-      |GROUP BY d.g ORDER BY d.g""".stripMargin
-
-  /** Unicode NFC normalization under the hard oracle. The corpus is
-    * ASCII, so the query MANUFACTURES decomposed text deterministically
-    * (every 'e' becomes 'e' + U+0301 combining acute) and then runs the
-    * codegen'd [[graft.functions.NfcNormalize]] expression, which must
-    * compose those sequences back to precomposed 'é'. The per-doc char
-    * counts before/after plus an md5 of the normalized UTF-8 bytes are
-    * hash-checked against DuckDB's nfc_normalize — so the composition
-    * actually happening (length shrinks by exactly the injected count)
-    * is what's verified, not an identity pass. Row-local, map-only. */
-  private def textNfc(s: SparkSession, dir: String): DataFrame = {
-    val decomposed = regexp_replace(col("text"), "e", "e\u0301")
-    val norm = graft.functions.NfcNormalize.nfc(decomposed)
-    Tables.documents(s, dir)
-      .select(col("doc_id"),
-        length(decomposed).as("n_chars_dec"),
-        length(norm).as("n_chars_nfc"),
-        md5(norm.cast("binary")).as("nfc_digest"))
-      .orderBy(col("doc_id"))
-  }
-
-  private val textNfcSql =
-    """WITH t AS (SELECT doc_id, replace(text, 'e', 'e' || chr(769)) AS dec
-      |           FROM documents)
-      |SELECT doc_id,
-      |  length(dec) AS n_chars_dec,
-      |  length(nfc_normalize(dec)) AS n_chars_nfc,
-      |  md5(nfc_normalize(dec)) AS nfc_digest
-      |FROM t ORDER BY doc_id""".stripMargin
-
-  /** Edit-distance (Levenshtein) near-dup detection with prefix
-    * blocking — the fuzzy-matching complement to the token-set dedup
-    * family: two deterministic blocking keys (head-16 and a mid-slice)
-    * shrink the candidate space to same-block pairs, then the exact
-    * distance over 128-char heads confirms. At 100 TB the joins are
-    * ordinary hash-equi-joins on short keys and the quadratic work is
-    * confined to same-block groups (cap enforced by block design, same
-    * posture as the LSH band join); never an all-pairs scan. */
-  private def dedupEditdist(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(s, dir).select(col("doc_id"),
-      substring(col("text"), 1, 16).as("b1"),
-      substring(col("text"), 65, 16).as("b2"),
-      substring(col("text"), 1, 128).as("head"))
-    val a = d.select(col("doc_id").as("id_a"), col("b1"), col("b2"), col("head").as("head_a"))
-    val b = d.select(col("doc_id").as("id_b"), col("b1").as("c1"), col("b2").as("c2"), col("head").as("head_b"))
-    val byB1 = a.join(b, col("b1") === col("c1") && col("id_a") < col("id_b"))
-    val byB2 = a.join(b, col("b2") === col("c2") && col("id_a") < col("id_b"))
-    byB1.select("id_a", "id_b", "head_a", "head_b")
-      .unionByName(byB2.select("id_a", "id_b", "head_a", "head_b"))
-      .distinct()
-      .select(col("id_a"), col("id_b"),
-        levenshtein(col("head_a"), col("head_b")).as("dist"))
-      .filter(col("dist") <= 8)
-      .orderBy(col("id_a"), col("id_b"))
-  }
-
-  private val dedupEditdistSql =
-    """WITH d AS (SELECT doc_id, substr(text, 1, 16) AS b1,
-      |                  substr(text, 65, 16) AS b2,
-      |                  substr(text, 1, 128) AS head
-      |           FROM documents),
-      |cand AS (
-      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-      |         a.head AS head_a, b.head AS head_b
-      |  FROM d a JOIN d b ON a.b1 = b.b1 AND a.doc_id < b.doc_id
-      |  UNION
-      |  SELECT a.doc_id, b.doc_id, a.head, b.head
-      |  FROM d a JOIN d b ON a.b2 = b.b2 AND a.doc_id < b.doc_id)
-      |SELECT id_a, id_b, levenshtein(head_a, head_b) AS dist
-      |FROM cand WHERE levenshtein(head_a, head_b) <= 8
-      |ORDER BY id_a, id_b""".stripMargin
-
-  /** Copy-on-write row-level DELETE under the hard oracle: orders lands
-    * range-clustered on the key, then Snapshots.delete removes a narrow
-    * key range — rewriting ONLY the files that contain matches (the
-    * carry-forward of untouched files is asserted in SnapshotsSpec).
-    * Both the pinned pre-delete version and the post-delete latest are
-    * digested, so immutability of history AND the delete semantics are
-    * hash-checked together. */
-  private def etlSnapshotDelete(s: SparkSession, dir: String): DataFrame = {
-    import graft.etl.Snapshots
-    val table = scratchDir("snapdel") + "/orders_snap"
-    val o = Tables.orders(s, dir)
-      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
-      .repartitionByRange(8, col("o_orderkey"))
-    Snapshots.commit(o, table, "append")
-    Snapshots.delete(s, table, col("o_orderkey") <= 2000)
-    def agg(df: DataFrame, tag: String): DataFrame =
-      df.groupBy(col("o_orderstatus"))
-        .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("spend"))
-        .withColumn("snap", lit(tag))
-    agg(Snapshots.read(s, table, Some(1)), "v1")
-      .unionByName(agg(Snapshots.read(s, table), "v2"))
-      .orderBy(col("snap"), col("o_orderstatus"))
-  }
-
-  private val etlSnapshotDeleteSql =
-    s"""WITH v1 AS (SELECT o_orderstatus, COUNT(*) AS n,
-       |         ${moneySumSql("o_totalprice")} AS spend, 'v1' AS snap
-       |       FROM orders GROUP BY o_orderstatus),
-       |v2 AS (SELECT o_orderstatus, COUNT(*) AS n,
-       |         ${moneySumSql("o_totalprice")} AS spend, 'v2' AS snap
-       |       FROM orders WHERE NOT (o_orderkey <= 2000)
-       |       GROUP BY o_orderstatus)
-       |SELECT * FROM v1 UNION ALL SELECT * FROM v2
-       |ORDER BY snap, o_orderstatus""".stripMargin
-
-  /** Snapshot version diff under the hard oracle: v1 is the base
-    * orders slice, v2 overwrites it with a CDC-shaped transform (drop
-    * key % 11 rows, reprice key % 5 rows). Snapshots.diff tags the
-    * multiset delta added/removed; the digest groups it by change ×
-    * status and the oracle reconstructs the same delta with EXCEPT ALL
-    * — so the diff audit ("what did this commit do") is itself what
-    * gets hash-verified. */
-  private def etlSnapshotDiff(s: SparkSession, dir: String): DataFrame = {
-    import graft.etl.Snapshots
-    val table = scratchDir("snapdiff") + "/orders_snap"
-    val o = Tables.orders(s, dir)
-      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
-    Snapshots.commit(o, table, "append")
-    val v2 = o.filter(col("o_orderkey") % 11 =!= 0)
-      .withColumn("o_totalprice",
-        when(col("o_orderkey") % 5 === 0, col("o_totalprice") + lit(100.0))
-          .otherwise(col("o_totalprice")))
-    Snapshots.commit(v2, table, "overwrite")
-    Snapshots.diff(s, table, 1, 2)
-      .groupBy(col("change"), col("o_orderstatus"))
-      .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("spend"))
-      .orderBy(col("change"), col("o_orderstatus"))
-  }
-
-  private val etlSnapshotDiffSql =
-    s"""WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
-       |v2 AS (SELECT o_orderkey, o_orderstatus,
-       |         CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 100.0
-       |              ELSE o_totalprice END AS o_totalprice
-       |       FROM base WHERE o_orderkey % 11 <> 0),
-       |delta AS (
-       |  SELECT *, 'added' AS change FROM (SELECT * FROM v2 EXCEPT ALL SELECT * FROM base)
-       |  UNION ALL
-       |  SELECT *, 'removed' AS change FROM (SELECT * FROM base EXCEPT ALL SELECT * FROM v2))
-       |SELECT change, o_orderstatus, COUNT(*) AS n,
-       |       ${moneySumSql("o_totalprice")} AS spend
-       |FROM delta GROUP BY change, o_orderstatus
-       |ORDER BY change, o_orderstatus""".stripMargin
-
-  /** Zero-copy rollback under the hard oracle: v1 is the good table, v2
-    * overwrites it with a corrupted load (half the rows dropped, prices
-    * doubled), restore publishes v3 referencing v1's files — one
-    * manifest write, no data movement at any table size. The digest
-    * reads BOTH the bad v2 (still pinned-readable for forensics) and
-    * the restored latest; the oracle recomputes each from the source,
-    * so restore-equals-original is what's hash-verified. */
-  private def etlSnapshotRestore(s: SparkSession, dir: String): DataFrame = {
-    import graft.etl.Snapshots
-    val table = scratchDir("snaprestore") + "/orders_snap"
-    val o = Tables.orders(s, dir)
-      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
-    Snapshots.commit(o, table, "append")
-    Snapshots.commit(
-      o.filter(col("o_orderkey") % 2 === 0)
-        .withColumn("o_totalprice", col("o_totalprice") * 2), table, "overwrite")
-    Snapshots.restore(s, table, 1)
-    def agg(df: DataFrame, tag: String): DataFrame =
-      df.groupBy(col("o_orderstatus"))
-        .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("spend"))
-        .withColumn("snap", lit(tag))
-    agg(Snapshots.read(s, table, Some(2)), "bad")
-      .unionByName(agg(Snapshots.read(s, table), "restored"))
-      .orderBy(col("snap"), col("o_orderstatus"))
-  }
-
-  private val etlSnapshotRestoreSql =
-    s"""WITH bad AS (SELECT o_orderstatus, COUNT(*) AS n,
-       |         ${moneySumSql("o_totalprice * 2")} AS spend, 'bad' AS snap
-       |       FROM orders WHERE o_orderkey % 2 = 0 GROUP BY o_orderstatus),
-       |res AS (SELECT o_orderstatus, COUNT(*) AS n,
-       |         ${moneySumSql("o_totalprice")} AS spend, 'restored' AS snap
-       |       FROM orders GROUP BY o_orderstatus)
-       |SELECT * FROM bad UNION ALL SELECT * FROM res
-       |ORDER BY snap, o_orderstatus""".stripMargin
-
-  /** Time-weighted average per user — the IoT/metrics aggregate where a
-    * reading holds until the next one arrives, so plain AVG over-weights
-    * bursts. One window pass (lead on the per-user timeline) then a
-    * grouped sum: hold durations are exact integer micros, the
-    * value×duration products go through decimal sums for
-    * order-independence, and the final division happens once in double.
-    * Same shuffle shape as SCD2: a single exchange on the key. */
-  private def anTwa(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts"), col("event_id"))
-    Tables.events(s, dir)
-      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
-      .withColumn("dur_us",
-        lead(unix_micros(col("ts")), 1).over(w) - unix_micros(col("ts")))
-      .filter(col("dur_us").isNotNull)
-      .groupBy(col("user_id"))
-      .agg(count(lit(1)).as("n_holds"),
-        sum(col("dur_us")).as("span_us"),
-        round(
-          sum((col("value") * col("dur_us")).cast("decimal(38,6)")).cast("double") /
-            sum(col("dur_us")).cast("double"), 6).as("twa"))
-      .orderBy(col("user_id"))
-  }
-
-  private val anTwaSql =
-    """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus, value FROM events),
-      |d AS (SELECT user_id, value,
-      |        LEAD(tus, 1) OVER (PARTITION BY user_id ORDER BY tus, event_id) - tus AS dur_us
-      |      FROM e)
-      |SELECT user_id, COUNT(*) AS n_holds, CAST(SUM(dur_us) AS BIGINT) AS span_us,
-      |  ROUND(CAST(SUM(CAST(value * dur_us AS DECIMAL(38,6))) AS DOUBLE) /
-      |        CAST(SUM(dur_us) AS DOUBLE), 6) AS twa
-      |FROM d WHERE dur_us IS NOT NULL
-      |GROUP BY user_id ORDER BY user_id""".stripMargin
-
-  /** Benford first-digit screen — the classic anomaly/fraud test on a
-    * money column: observed leading-digit frequencies vs the Benford
-    * expectation log10(1+1/d), with per-digit chi-square contributions.
-    * The digit is extracted through INTEGER string conversion (never
-    * double formatting, which engines disagree on); counts are exact,
-    * the only floating math is the final expected/chi2 arithmetic on
-    * exactly-equal inputs, rounded. One groupBy on a 9-value key. */
-  private def anBenford(s: SparkSession, dir: String): DataFrame = {
-    val o = Tables.orders(s, dir)
-      // floor, not a bare bigint cast: Spark's double→long truncates
-      // while other engines round — floor pins the semantics everywhere
-      .select(substring(floor(col("o_totalprice")).cast("bigint").cast("string"), 1, 1)
-        .cast("int").as("digit"))
-      .filter(col("digit") >= 1) // sub-1.0 values have no leading digit
-      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
-    val tot = o.agg(sum(col("n")).cast("double").as("tot"))
-    o.crossJoin(broadcast(tot))
-      .withColumn("expected", col("tot") * log(10.0, lit(1.0) + lit(1.0) / col("digit")))
-      .select(col("digit"), col("n"),
-        round(col("n") / col("tot"), 6).as("pct"),
-        round(col("expected"), 2).as("exp_n"),
-        round(pow(col("n") - col("expected"), 2) / col("expected"), 6).as("chi2_part"))
-      .orderBy(col("digit"))
-  }
-
-  private val anBenfordSql =
-    """WITH d AS (SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
-      |           FROM orders),
-      |c AS (SELECT digit, COUNT(*) AS n FROM d WHERE digit >= 1 GROUP BY digit),
-      |t AS (SELECT CAST(SUM(n) AS DOUBLE) AS tot FROM c)
-      |SELECT digit, n,
-      |  ROUND(n / tot, 6) AS pct,
-      |  ROUND(tot * log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 2) AS exp_n,
-      |  ROUND(POW(n - tot * log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 2)
-      |        / (tot * log10(1.0 + 1.0 / CAST(digit AS DOUBLE))), 6) AS chi2_part
-      |FROM c, t ORDER BY digit""".stripMargin
-
-  /** Sliding mean-shift scan — change detection over the daily revenue
-    * series: at each day, the mean of the trailing 14 days vs the mean
-    * of the leading 14 days (two RANGE frames over epoch days), flag
-    * where the level moved by more than the threshold. Both window
-    * means come from exact decimal sums ÷ exact counts, so the scan is
-    * engine-reproducible; the series itself is one groupBy of the fact
-    * table and the windows never leave the single time-ordered
-    * partition spine (range-partitioned by date at scale). */
-  private def anMeanShift(s: SparkSession, dir: String): DataFrame = {
-    // cents as BIGINT: every window sum, mean (integer division at 1e-4
-    // scale) and the threshold compare below is pure integer arithmetic
-    // — bit-identical on any engine, no double-rounding boundaries
-    val daily = Tables.lineitem(s, dir)
-      .groupBy(date_trunc("day", col("l_shipdate")).as("day"))
-      .agg((sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-          .cast("decimal(24,8)")).cast("decimal(24,2)") * 100)
-        .cast("bigint").as("rev_c"))
-      .withColumn("d", datediff(col("day").cast("date"), lit("1992-01-01").cast("date")))
-    val pre = Window.orderBy(col("d")).rangeBetween(-14, -1)
-    val post = Window.orderBy(col("d")).rangeBetween(0, 13)
-    daily
-      .withColumn("pre_s", sum(col("rev_c")).over(pre) * 100)
-      .withColumn("pre_n", count(lit(1)).over(pre))
-      .withColumn("post_s", sum(col("rev_c")).over(post) * 100)
-      .withColumn("post_n", count(lit(1)).over(post))
-      .withColumn("pre_q", expr("pre_s div pre_n"))
-      .withColumn("post_q", expr("post_s div post_n"))
-      .filter(col("pre_q").isNotNull)
-      .select(col("day"),
-        (col("pre_q") / 10000.0).as("pre_mean"),
-        (col("post_q") / 10000.0).as("post_mean"),
-        ((col("post_q") - col("pre_q")) / 10000.0).as("shift"),
-        (abs(col("post_q") - col("pre_q")) * 2 > col("pre_q")).as("flagged"))
-      .orderBy(col("day"))
-  }
-
-  private val anMeanShiftSql =
-    """WITH daily AS (
-      |  SELECT date_trunc('day', l_shipdate) AS day,
-      |         CAST(ROUND(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,8))), 2) * 100 AS BIGINT) AS rev_c
-      |  FROM lineitem GROUP BY 1),
-      |dd AS (SELECT day, rev_c,
-      |         date_diff('day', DATE '1992-01-01', CAST(day AS DATE)) AS d FROM daily),
-      |w AS (SELECT day,
-      |        (SUM(rev_c) OVER pre * 100) // (COUNT(*) OVER pre) AS pre_q,
-      |        (SUM(rev_c) OVER post * 100) // (COUNT(*) OVER post) AS post_q
-      |      FROM dd
-      |      WINDOW pre AS (ORDER BY d RANGE BETWEEN 14 PRECEDING AND 1 PRECEDING),
-      |             post AS (ORDER BY d RANGE BETWEEN CURRENT ROW AND 13 FOLLOWING))
-      |SELECT day, pre_q / 10000.0 AS pre_mean, post_q / 10000.0 AS post_mean,
-      |  (post_q - pre_q) / 10000.0 AS shift,
-      |  ABS(post_q - pre_q) * 2 > pre_q AS flagged
-      |FROM w WHERE pre_q IS NOT NULL ORDER BY day""".stripMargin
-
-  /** PageRank over the customer–supplier trading network (undirected:
-    * both edge directions materialized), five power iterations at
-    * damping 0.85 — iterative graph compute under the hard oracle. The
-    * determinism discipline that makes a 5-deep iterated computation
-    * hash-comparable across engines: ranks live in FIXED-POINT BIGINT
-    * (scale 10^15) — per-edge contributions are floor divisions of
-    * nonnegative integers, gathers are exact integer sums, and the
-    * damping update 3·S/(20n) + 17·g/20 is integer arithmetic too, so
-    * both engines walk IDENTICAL rank vectors by construction. (A
-    * double iteration is NOT replayable: Spark's double→DECIMAL(38,18)
-    * cast goes through shortest-roundtrip toString while DuckDB
-    * converts the exact binary value — measured 1-ulp skew at the 18th
-    * decimal.) The floor quantization loses < n·10⁻¹⁵ of rank mass per
-    * iteration — noise, and identically on every engine. Only the
-    * final emission divides into double (int→double is IEEE
-    * correctly-rounded). At scale each iteration shuffles ONLY the
-    * node-sized rank
-    * vector: the edge⋈degree adjacency is static, pre-partitioned on
-    * src once and persisted, so no node-sized broadcast ever happens —
-    * the dedup_clusters execution shape with a rank payload instead of
-    * labels, and the posture that survives a graph too big for any
-    * executor's memory. */
-  private def qPagerank(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
-    val ord = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
-    val cs = li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("p"))
-      .distinct()
-    // the edge list and degrees are STATIC across iterations — persist
-    // them or the lazy 5-iteration plan recomputes the scan+distinct+
-    // join spine five times (Verify/Bench isolation clears the cache
-    // after each query, same discipline as the dedup builders)
-    val edges = cs.select(col("c").as("src"), col("p").as("dst"))
-      .unionByName(cs.select(col("p").as("src"), col("c").as("dst")))
-      .distinct()
-    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    // edge⋈degree is STATIC across iterations: join it once, hash-
-    // partition on src, persist — each iteration then shuffle-joins the
-    // node-sized rank vector against the co-located adjacency (rank is
-    // the ONLY moving exchange; nothing node-sized is ever broadcast,
-    // so the plan holds when the graph outgrows executor memory)
-    val adj = edges.join(deg, "src").repartition(col("src")).persist()
-    val nodes = adj.select(col("src").as("node")).distinct()
-    val n = nodes.count() // scalar: the node count parameterizes the teleport term
-    val S = 1000000000000000L // fixed-point scale 10^15
-    var rank = nodes.withColumn("rank_f", lit(S / n)) // floor(S/n), exact
-    (1 to 5).foreach { _ =>
-      // lazy per-iteration checkpoint (the q_hits/sim_mmr treatment):
-      // each rank vector becomes a LEAF of the next iteration's plan
-      // instead of re-deriving the whole unrolled chain — the r13 plan
-      // audit measured 137 Exchange nodes from the 5-deep unroll
-      // re-planning the persisted adjacency per iteration; the cut
-      // leaves one adjacency-join + gather subtree per iteration and
-      // materializes only when the next iteration first reads it
-      rank = graft.operators.Checkpoints.stabilizeLazy(adj
-        .join(rank.withColumnRenamed("node", "src"), "src")
-        .groupBy(col("dst").as("node"))
-        .agg(sum(expr("rank_f div outdeg")).as("gather"))
-        .select(col("node"),
-          (lit(3 * S / (20 * n)) + expr("17 * gather div 20")).as("rank_f")))
-    }
-    rank.select(col("node"),
-        (col("rank_f").cast("double") / lit(S.toDouble)).as("rank"))
-      .orderBy(col("node"))
-  }
-
-  private val qPagerankSql: String = {
-    val iter = (1 to 5).map { k =>
-      s"""r$k AS (
-         |  SELECT e.dst AS node,
-         |    3000000000000000 // (20 * (SELECT n FROM nn))
-         |      + (17 * SUM(r.rank_f // dg.outdeg)) // 20 AS rank_f
-         |  FROM edges e
-         |  JOIN r${k - 1} r ON e.src = r.node
-         |  JOIN deg dg ON dg.src = e.src
-         |  GROUP BY e.dst)""".stripMargin
-    }.mkString(",\n")
-    s"""WITH cs AS (
-       |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS p
-       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-       |edges AS (
-       |  SELECT c AS src, p AS dst FROM cs
-       |  UNION
-       |  SELECT p AS src, c AS dst FROM cs),
-       |deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
-       |nodes AS (SELECT DISTINCT src AS node FROM edges),
-       |nn AS (SELECT COUNT(*) AS n FROM nodes),
-       |r0 AS (SELECT node, 1000000000000000 // (SELECT n FROM nn) AS rank_f FROM nodes),
-       |$iter
-       |SELECT node, CAST(rank_f AS DOUBLE) / 1000000000000000.0 AS rank
-       |FROM r5 ORDER BY node""".stripMargin
-  }
-
-  /** Bucket-co-located join under the hard oracle — the brief's
-    * "pre-partitioning for co-located joins" made concrete: both sides
-    * land as 16-bucket sorted tables on the join key, broadcast is
-    * disabled in a scoped session, and the join planner consumes the
-    * bucketed layout directly — a SortMergeJoin with ZERO exchange and
-    * zero sort on either side (asserted in spec). At 100 TB this is the
-    * fact-to-fact join without shuffling either table. The digest is
-    * collected (5 rows) so the scratch tables can be dropped eagerly. */
-  private def qBucketedJoin(s: SparkSession, dir: String): DataFrame = {
-    import graft.etl.Load.BucketedTableSink
-    val scoped = s.newSession()
-    scoped.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    // one-file-per-bucket sorted scans may declare their sort order
-    // (post-3.0 this is behind a legacy flag; scoped here, not global)
-    scoped.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
-    val sfx = java.util.UUID.randomUUID().toString.take(8)
-    val tOrd = s"orders_bkt_$sfx"; val tCust = s"cust_bkt_$sfx"
-    try {
-      BucketedTableSink(tOrd, "o_custkey", 16, sortCol = Some("o_custkey"), oneFilePerBucket = true)
-        .write(Tables.orders(scoped, dir).select("o_custkey", "o_totalprice"))
-      BucketedTableSink(tCust, "c_custkey", 16, sortCol = Some("c_custkey"), oneFilePerBucket = true)
-        .write(Tables.customer(scoped, dir).select("c_custkey", "c_mktsegment"))
-      val rows = scoped.table(tOrd)
-        .join(scoped.table(tCust), col("o_custkey") === col("c_custkey"))
-        .groupBy(col("c_mktsegment"))
-        .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("spend"))
-        .orderBy(col("c_mktsegment"))
-        .collect() // 5 rows — lets the scratch tables drop before return
-      import scala.jdk.CollectionConverters._
-      s.createDataFrame(rows.toSeq.asJava,
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("c_mktsegment",
-            org.apache.spark.sql.types.StringType),
-          org.apache.spark.sql.types.StructField("n",
-            org.apache.spark.sql.types.LongType, nullable = false),
-          org.apache.spark.sql.types.StructField("spend",
-            org.apache.spark.sql.types.DoubleType))))
-    } finally {
-      scoped.sql(s"DROP TABLE IF EXISTS $tOrd")
-      scoped.sql(s"DROP TABLE IF EXISTS $tCust")
-    }
-  }
-
-  private val qBucketedJoinSql =
-    s"""SELECT c_mktsegment, COUNT(*) AS n, ${moneySumSql("o_totalprice")} AS spend
-       |FROM orders JOIN customer ON o_custkey = c_custkey
-       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
-
-  /** Lag-k autocorrelation of the daily revenue series (k = 1 and 7 —
-    * day-over-day persistence and weekly seasonality): pairs from a lag
-    * window, then the exact-decimal-power-sum correlation of
-    * [[anStatsMoments]] over each pair set. One narrow window pass plus
-    * a two-row aggregate. */
-  private def anAutocorr(s: SparkSession, dir: String): DataFrame = {
-    def dsum(c: Column) = sum(c.cast("decimal(38,8)")).cast("double")
-    val daily = Tables.lineitem(s, dir)
-      .groupBy(date_trunc("day", col("l_shipdate")).as("day"))
-      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-          .cast("decimal(24,8)")).cast("decimal(24,2)").cast("double").as("rev"))
-    val w = Window.orderBy(col("day"))
-    val lagged = daily.select(col("rev").as("x"),
-      lag(col("rev"), 1).over(w).as("l1"),
-      lag(col("rev"), 7).over(w).as("l7"))
-    def corrOf(yc: String) = {
-      val p = lagged.filter(col(yc).isNotNull)
-        .agg(count(lit(1)).as("n"), dsum(col("x")).as("sx"), dsum(col(yc)).as("sy"),
-          dsum(col("x") * col("x")).as("sxx"), dsum(col(yc) * col(yc)).as("syy"),
-          dsum(col("x") * col(yc)).as("sxy"))
-      p.select(lit(yc).as("lag"), col("n"),
-        round((col("n") * col("sxy") - col("sx") * col("sy")) /
-          (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
-           sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 9).as("autocorr"))
-    }
-    corrOf("l1").unionByName(corrOf("l7")).orderBy(col("lag"))
-  }
-
-  private val anAutocorrSql =
-    """WITH daily AS (
-      |  SELECT date_trunc('day', l_shipdate) AS day,
-      |    CAST(ROUND(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,8))), 2) AS DOUBLE) AS rev
-      |  FROM lineitem GROUP BY 1),
-      |lagged AS (
-      |  SELECT rev AS x,
-      |    LAG(rev, 1) OVER (ORDER BY day) AS l1,
-      |    LAG(rev, 7) OVER (ORDER BY day) AS l7
-      |  FROM daily),
-      |s AS (
-      |  SELECT 'l1' AS lag, COUNT(*) AS n,
-      |    CAST(SUM(CAST(x AS DECIMAL(38,8))) AS DOUBLE) AS sx,
-      |    CAST(SUM(CAST(l1 AS DECIMAL(38,8))) AS DOUBLE) AS sy,
-      |    CAST(SUM(CAST(x * x AS DECIMAL(38,8))) AS DOUBLE) AS sxx,
-      |    CAST(SUM(CAST(l1 * l1 AS DECIMAL(38,8))) AS DOUBLE) AS syy,
-      |    CAST(SUM(CAST(x * l1 AS DECIMAL(38,8))) AS DOUBLE) AS sxy
-      |  FROM lagged WHERE l1 IS NOT NULL
-      |  UNION ALL
-      |  SELECT 'l7', COUNT(*),
-      |    CAST(SUM(CAST(x AS DECIMAL(38,8))) AS DOUBLE),
-      |    CAST(SUM(CAST(l7 AS DECIMAL(38,8))) AS DOUBLE),
-      |    CAST(SUM(CAST(x * x AS DECIMAL(38,8))) AS DOUBLE),
-      |    CAST(SUM(CAST(l7 * l7 AS DECIMAL(38,8))) AS DOUBLE),
-      |    CAST(SUM(CAST(x * l7 AS DECIMAL(38,8))) AS DOUBLE)
-      |  FROM lagged WHERE l7 IS NOT NULL)
-      |SELECT lag, n,
-      |  ROUND((n * sxy - sx * sy) /
-      |        (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 9) AS autocorr
-      |FROM s ORDER BY lag""".stripMargin
-
-  /** Deterministic surrogate-key assignment — the scale-safe replacement for
-    * monotonically_increasing_id (whose values depend on partition
-    * layout): key = md5 of the natural key, auditable and reproducible
-    * on any engine/cluster/partitioning. The digest counts keys,
-    * distinct keys (collision audit: must be equal), and pins the
-    * lexicographic extremes. */
-  private def etlSurrogateKeys(s: SparkSession, dir: String): DataFrame =
-    Tables.orders(s, dir)
-      .select(md5(concat_ws("|", lit("ord"), col("o_orderkey"))).as("sk"))
-      .agg(count(lit(1)).as("n"),
-        countDistinct(col("sk")).as("n_distinct"),
-        min(col("sk")).as("sk_min"), max(col("sk")).as("sk_max"))
-
-  private val etlSurrogateKeysSql =
-    """WITH k AS (SELECT md5('ord' || '|' || CAST(o_orderkey AS VARCHAR)) AS sk
-      |           FROM orders)
-      |SELECT COUNT(*) AS n, COUNT(DISTINCT sk) AS n_distinct,
-      |       MIN(sk) AS sk_min, MAX(sk) AS sk_max
-      |FROM k""".stripMargin
-
-  /** Two-sample Kolmogorov–Smirnov test between the finished ('F') and
-    * open ('O') order-price distributions — the train/serve
-    * distribution-drift check a feature pipeline runs before every
-    * refresh. Integer-exact: prices become cents BIGINT through the
-    * decimal cast (never a double*100 truncation), the two ECDFs are
-    * cumulative counts over DISTINCT cents values, and the KS statistic
-    * is maximized as the integer cross-product |c1·n2 − c2·n1| — only
-    * the final d_stat emission divides. Scale shape: one groupBy
-    * collapses the corpus to distinct values, then
-    * [[graft.operators.PrefixSum]] computes both running counts as a
-    * distributed two-pass scan — no single-partition window anywhere.
-    * Ties are impossible after the distinct-value aggregate, so the
-    * scan's unique-order-key contract holds. */
-  private def anKsDrift(s: SparkSession, dir: String): DataFrame = {
-    val base = Tables.orders(s, dir)
-      .filter(col("o_orderstatus").isin("F", "O"))
-      .select((col("o_totalprice").cast("decimal(24,2)") * 100).cast("bigint").as("v"),
-        when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("g1"),
-        when(col("o_orderstatus") === "O", 1L).otherwise(0L).as("g2"))
-    val perV = base.groupBy("v").agg(sum(col("g1")).as("c1"), sum(col("g2")).as("c2"))
-    val cum = graft.operators.PrefixSum.withRunningTotals(perV, Seq("v"), Seq("c1", "c2"))
-    val tot = perV.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
-    cum.crossJoin(broadcast(tot))
-      .select(col("v"), col("n1"), col("n2"),
-        abs(col("c1_cum") * col("n2") - col("c2_cum") * col("n1")).as("d_num"))
-      .agg(max(struct(col("d_num"), col("v"), col("n1"), col("n2"))).as("m"))
-      .select(col("m.n1").as("n1"), col("m.n2").as("n2"),
-        col("m.d_num").as("d_num"), col("m.v").as("v_at"),
-        // unrounded: exact-int divisions are IEEE correctly-rounded, so the
-        // identical expression tree is bit-identical cross-engine; ROUND(·,9)
-        // itself is the divergent op (SURVEY §5, the an_ewma lesson)
-        ((col("m.d_num").cast("double") / col("m.n1").cast("double"))
-          / col("m.n2").cast("double")).as("d_stat"))
-  }
-
-  private val anKsDriftSql =
-    """WITH b AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(24,2)) * 100 AS BIGINT) AS v,
-      |                  o_orderstatus AS st
-      |           FROM orders WHERE o_orderstatus IN ('F','O')),
-      |p AS (SELECT v, COUNT(*) FILTER (WHERE st = 'F') AS c1,
-      |               COUNT(*) FILTER (WHERE st = 'O') AS c2
-      |      FROM b GROUP BY v),
-      |c AS (SELECT v, CAST(SUM(c1) OVER (ORDER BY v) AS BIGINT) AS c1c,
-      |               CAST(SUM(c2) OVER (ORDER BY v) AS BIGINT) AS c2c FROM p),
-      |t AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2 FROM p),
-      |d AS (SELECT v, n1, n2, CAST(ABS(c1c*n2 - c2c*n1) AS BIGINT) AS d_num FROM c, t)
-      |SELECT n1, n2, d_num, v AS v_at,
-      |       (CAST(d_num AS DOUBLE) / CAST(n1 AS DOUBLE)) / CAST(n2 AS DOUBLE) AS d_stat
-      |FROM d ORDER BY d_num DESC, v DESC LIMIT 1""".stripMargin
-
-  /** Gini coefficient of customer spend concentration (the
-    * "how skewed is my corpus/revenue" audit): per-customer spend in
-    * cents BIGINT, globally ranked ascending by (spend, custkey) —
-    * a UNIQUE order, so ranks are well-defined — through the
-    * [[graft.operators.PrefixSum]] distributed scan instead of a
-    * single-partition ROW_NUMBER window. G = (2·Σrᵢxᵢ − (n+1)·Σxᵢ)
-    * / (n·Σxᵢ): the rank-weighted sum goes through DECIMAL(38,0)
-    * (the per-element product stays in BIGINT range; the SUM would
-    * not past sf1), and only the final ratio divides in double. */
-  private def anGini(s: SparkSession, dir: String): DataFrame = {
-    val spend = Tables.orders(s, dir)
-      .groupBy(col("o_custkey"))
-      .agg((sum(col("o_totalprice").cast("decimal(24,8)")).cast("decimal(24,2)") * 100)
-        .cast("bigint").as("x"))
-    val ranked = graft.operators.PrefixSum
-      .withRunningTotals(spend, Seq("x", "o_custkey"), Seq("x"))
-    val a = ranked.agg(count(lit(1)).as("n"), sum(col("x")).as("sum_cents"),
-      sum((col("x") * col("rn")).cast("decimal(38,0)")).cast("double").as("w"))
-    // unrounded: every input is an exactly-cast integer and the tree is
-    // identical on both engines — +,·,/ are IEEE correctly-rounded
-    a.select(col("n"), col("sum_cents"), col("w").as("rank_weighted"),
-      ((lit(2.0) * col("w")
-          - (col("n").cast("double") + lit(1.0)) * col("sum_cents").cast("double"))
-        / (col("n").cast("double") * col("sum_cents").cast("double"))).as("gini"))
-  }
-
-  private val anGiniSql =
-    """WITH spend AS (SELECT o_custkey,
-      |    CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(24,8))), 2) * 100 AS BIGINT) AS x
-      |  FROM orders GROUP BY o_custkey),
-      |r AS (SELECT x, ROW_NUMBER() OVER (ORDER BY x, o_custkey) AS rn FROM spend),
-      |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sum_cents,
-      |             CAST(SUM(CAST(x * rn AS DECIMAL(38,0))) AS DOUBLE) AS w FROM r)
-      |SELECT n, sum_cents, w AS rank_weighted,
-      |  (2.0*w - (CAST(n AS DOUBLE)+1.0)*CAST(sum_cents AS DOUBLE)) /
-      |  (CAST(n AS DOUBLE)*CAST(sum_cents AS DOUBLE)) AS gini
-      |FROM a""".stripMargin
-
-  /** k-anonymity audit (Sweeney, IJUFKS'02) over a quasi-identifier
-    * tuple — the privacy gate a training-data release runs before
-    * shipping: group customers by (nation, market segment, account-
-    * balance band) and report the k (smallest group), how many groups
-    * fall under k=5, and how many rows sit in those re-identifiable
-    * groups. One groupBy plus a summary aggregate; the band boundary
-    * uses the shared parquet doubles through identical IEEE ops on
-    * both engines, so banding is cross-engine stable. */
-  private def etlKanon(s: SparkSession, dir: String): DataFrame =
-    Tables.customer(s, dir)
-      .groupBy(col("c_nationkey"), col("c_mktsegment"),
-        floor(col("c_acctbal") / 1000.0).cast("bigint").as("bal_band"))
-      .agg(count(lit(1)).as("sz"))
-      .agg(count(lit(1)).as("n_groups"), min(col("sz")).as("k_anonymity"),
-        sum(when(col("sz") < 5, 1L).otherwise(0L)).as("groups_lt5"),
-        sum(when(col("sz") < 5, col("sz")).otherwise(0L)).as("rows_at_risk"))
-
-  private val etlKanonSql =
-    """WITH g AS (SELECT c_nationkey, c_mktsegment,
-      |                  CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
-      |                  COUNT(*) AS sz
-      |           FROM customer GROUP BY 1, 2, 3)
-      |SELECT CAST(COUNT(*) AS BIGINT) AS n_groups, MIN(sz) AS k_anonymity,
-      |       CAST(SUM(CASE WHEN sz < 5 THEN 1 ELSE 0 END) AS BIGINT) AS groups_lt5,
-      |       CAST(SUM(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT) AS rows_at_risk
-      |FROM g""".stripMargin
-
-  /** Leakage-free k-fold target encoding — the ML-prep shape where a
-    * category's target rate must be computed WITHOUT each row's own
-    * fold (plain target encoding leaks the label into the feature;
-    * the k-fold exclusion is the standard fix). fold = natural key mod
-    * 5 (deterministic, engine-portable), per-(category, fold) counts in
-    * one groupBy, and each fold's out-of-fold encoding comes from the
-    * category total minus its own fold via a window over the tiny
-    * (cat × fold) aggregate — the corpus is scanned once; integers
-    * throughout, one final division. */
-  private def etlKfoldEncode(s: SparkSession, dir: String): DataFrame = {
-    val base = Tables.orders(s, dir).select(
-      col("o_orderpriority").as("cat"),
-      (col("o_orderkey") % 5).as("fold"),
-      when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("y"))
-    val pf = base.groupBy("cat", "fold")
-      .agg(count(lit(1)).as("n_f"), sum("y").as("pos_f"))
-    val w = Window.partitionBy("cat")
-    pf.select(col("cat"), col("fold"), col("n_f"), col("pos_f"),
-        (sum("n_f").over(w) - col("n_f")).as("n_out"),
-        (sum("pos_f").over(w) - col("pos_f")).as("pos_out"))
-      // unrounded single int/int division (IEEE, cross-engine identical);
-      // guarded: a category living in one fold has n_out=0 and the engines
-      // disagree on double x/0 (Spark NULL vs DuckDB inf) — emit NULL
-      .withColumn("enc",
-        when(col("n_out") > 0,
-          col("pos_out").cast("double") / col("n_out").cast("double")))
-      .orderBy("cat", "fold")
-  }
-
-  private val etlKfoldEncodeSql =
-    """WITH b AS (SELECT o_orderpriority AS cat, o_orderkey % 5 AS fold,
-      |                  CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
-      |           FROM orders),
-      |pf AS (SELECT cat, fold, COUNT(*) AS n_f, CAST(SUM(y) AS BIGINT) AS pos_f
-      |       FROM b GROUP BY 1, 2),
-      |o AS (SELECT cat, fold, n_f, pos_f,
-      |        CAST(SUM(n_f) OVER (PARTITION BY cat) - n_f AS BIGINT) AS n_out,
-      |        CAST(SUM(pos_f) OVER (PARTITION BY cat) - pos_f AS BIGINT) AS pos_out
-      |      FROM pf)
-      |SELECT cat, fold, n_f, pos_f, n_out, pos_out,
-      |       CASE WHEN n_out > 0
-      |            THEN CAST(pos_out AS DOUBLE) / CAST(n_out AS DOUBLE) END AS enc
-      |FROM o ORDER BY cat, fold""".stripMargin
-
-  /** Hashing-trick feature bucketing (Weinberger et al., ICML'09) with
-    * a collision audit: categorical features hash into 32 buckets via
-    * two md5 hex nibbles — nibble values through
-    * instr('0123456789abcdef', ·), so the hash is replayable on any
-    * engine with md5/substr/instr, unlike engine-native hash()
-    * functions. 256 two-nibble values mod 32 is exactly uniform. The
-    * audit reports rows and DISTINCT feature values per bucket (the
-    * collision structure the dimensionality reduction trades away).
-    * Map-side projection + one groupBy on a small int key. */
-  private def etlFeatureHash(s: SparkSession, dir: String): DataFrame = {
-    val c = Tables.customer(s, dir)
-    val feats = c.select(concat(lit("seg="), col("c_mktsegment")).as("feat"))
-      .unionAll(c.select(concat(lit("nat="), col("c_nationkey").cast("string")).as("feat")))
-    feats
-      .withColumn("bucket", expr(
-        """((instr('0123456789abcdef', substr(md5(feat), 1, 1)) - 1) * 16
-          | + instr('0123456789abcdef', substr(md5(feat), 2, 1)) - 1) % 32""".stripMargin)
-        .cast("long"))
-      .groupBy("bucket")
-      .agg(count(lit(1)).as("n"), countDistinct(col("feat")).as("n_values"))
-      .orderBy("bucket")
-  }
-
-  private val etlFeatureHashSql =
-    """WITH f AS (SELECT 'seg=' || c_mktsegment AS feat FROM customer
-      |           UNION ALL
-      |           SELECT 'nat=' || CAST(c_nationkey AS VARCHAR) FROM customer),
-      |h AS (SELECT feat,
-      |        CAST(((instr('0123456789abcdef', substr(md5(feat), 1, 1)) - 1) * 16
-      |              + instr('0123456789abcdef', substr(md5(feat), 2, 1)) - 1) % 32
-      |             AS BIGINT) AS bucket
-      |      FROM f)
-      |SELECT bucket, COUNT(*) AS n, COUNT(DISTINCT feat) AS n_values
-      |FROM h GROUP BY bucket ORDER BY bucket""".stripMargin
-
-  /** Day-of-week seasonality decomposition of the daily revenue series:
-    * per-ISO-weekday day counts, revenue cents, the integer deviation
-    * numerator rev·total_days − total_rev·n_days (sign = above/below
-    * trend, exact), and the seasonal index (dow mean ÷ overall mean).
-    * The series is one groupBy of the fact table; the dow rollup is a
-    * 7-row aggregate with its totals broadcast back. */
-  private def anSeasonalDow(s: SparkSession, dir: String): DataFrame = {
-    val daily = Tables.lineitem(s, dir)
-      .groupBy(date_trunc("day", col("l_shipdate")).as("day"))
-      .agg((sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-          .cast("decimal(24,8)")).cast("decimal(24,2)") * 100)
-        .cast("bigint").as("rev_c"))
-    val byDow = daily
-      .groupBy((weekday(col("day")) + 1).cast("long").as("dow"))
-      .agg(count(lit(1)).as("n_days"), sum("rev_c").as("rev"))
-    val tot = byDow.agg(sum("n_days").as("td"), sum("rev").as("tr"))
-    byDow.crossJoin(broadcast(tot))
-      .select(col("dow"), col("n_days"), col("rev"),
-        (col("rev") * col("td") - col("tr") * col("n_days")).as("dev_num"),
-        // unrounded: int-fed IEEE divisions, identical tree both engines
-        ((col("rev").cast("double") / col("n_days").cast("double"))
-          / (col("tr").cast("double") / col("td").cast("double"))).as("seasonal_idx"))
-      .orderBy("dow")
-  }
-
-  private val anSeasonalDowSql =
-    """WITH daily AS (SELECT date_trunc('day', l_shipdate) AS day,
-      |    CAST(ROUND(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,8))), 2) * 100 AS BIGINT) AS rev_c
-      |  FROM lineitem GROUP BY 1),
-      |d AS (SELECT CAST(isodow(CAST(day AS DATE)) AS BIGINT) AS dow, COUNT(*) AS n_days,
-      |             CAST(SUM(rev_c) AS BIGINT) AS rev FROM daily GROUP BY 1),
-      |t AS (SELECT CAST(SUM(n_days) AS BIGINT) AS td, CAST(SUM(rev) AS BIGINT) AS tr FROM d)
-      |SELECT dow, n_days, rev, CAST(rev*td - tr*n_days AS BIGINT) AS dev_num,
-      |  (CAST(rev AS DOUBLE) / CAST(n_days AS DOUBLE)) /
-      |  (CAST(tr AS DOUBLE) / CAST(td AS DOUBLE)) AS seasonal_idx
-      |FROM d, t ORDER BY dow""".stripMargin
-
-  /** Truncated EWMA of the daily revenue series with DYADIC weights —
-    * α = 1/2, so the k-th lag's weight 2^(19−k) is exactly
-    * representable and the whole smoothing numerator is one BIGINT
-    * dot-product over the last 20 days: bit-identical on any engine,
-    * where a recursive float EWMA would drift by evaluation order.
-    * Truncation at 20 taps discards < 2^-20 of the mass (the standard
-    * windowed-EWMA form); warm-up rows (rn < 20) are not emitted. One
-    * groupBy builds the series; the lag window rides the same
-    * time-ordered spine as [[anMeanShift]] (range-partitioned by date
-    * at scale). */
-  private def anEwma(s: SparkSession, dir: String): DataFrame = {
-    val daily = Tables.lineitem(s, dir)
-      .groupBy(date_trunc("day", col("l_shipdate")).as("day"))
-      .agg((sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-          .cast("decimal(24,8)")).cast("decimal(24,2)") * 100)
-        .cast("bigint").as("rev_c"))
-    val w = Window.orderBy(col("day"))
-    val num = (0 until 20)
-      .map(k => lag(col("rev_c"), k).over(w) * lit(1L << (19 - k)))
-      .reduce(_ + _)
-    daily
-      .select(col("day"), col("rev_c"),
-        row_number().over(w).as("rn"), num.as("ewma_num"))
-      .filter(col("rn") >= 20)
-      .select(col("day"), col("rev_c"), col("ewma_num"),
-        // no ROUND: the division of a shared BIGINT by two constants is
-        // already bit-identical IEEE; rounding to 9 places would
-        // DIVERGE by an ulp where engines' round impls disagree
-        (col("ewma_num").cast("double") / lit(1048575.0) / lit(100.0)).as("ewma"))
-      .orderBy(col("day"))
-  }
-
-  private val anEwmaSql = {
-    val terms = (0 until 20)
-      .map(k => s"LAG(rev_c, $k) OVER (ORDER BY day) * ${1L << (19 - k)}")
-      .mkString(" + ")
-    s"""WITH daily AS (SELECT date_trunc('day', l_shipdate) AS day,
-       |    CAST(ROUND(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,8))), 2) * 100 AS BIGINT) AS rev_c
-       |  FROM lineitem GROUP BY 1),
-       |w AS (SELECT day, rev_c, ROW_NUMBER() OVER (ORDER BY day) AS rn,
-       |        $terms AS ewma_num
-       |      FROM daily)
-       |SELECT day, rev_c, CAST(ewma_num AS BIGINT) AS ewma_num,
-       |  CAST(ewma_num AS DOUBLE) / 1048575.0 / 100.0 AS ewma
-       |FROM w WHERE rn >= 20 ORDER BY day""".stripMargin
-  }
-
-  /** ORC sink → source round-trip under the hard oracle, completing the
-    * columnar-format pair with parquet (`etl_compact`/`etl_upsert`):
-    * orders goes out through Load.OrcSink and back through Extract.orc,
-    * and the digest of what came BACK is hash-checked against the
-    * source — ORC's type mapping (double, string, bigint) and
-    * stripe-level round-tripping are what's verified. ORC ships in
-    * Spark proper; predicate pushdown and column pruning apply to the
-    * read-back scan exactly as for parquet. */
-  private def etlOrcRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val tmp = scratchDir("orc") + "/orders"
-    val o = Tables.orders(s, dir)
-      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
-    graft.etl.Load.OrcSink(tmp).write(o)
-    graft.etl.Extract.orc(s, tmp)
-      .groupBy(col("o_orderstatus"))
-      .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("spend"),
-        sum(col("o_orderkey")).as("key_sum"))
-      .orderBy(col("o_orderstatus"))
-  }
-
-  private val etlOrcRoundtripSql =
-    s"""SELECT o_orderstatus, COUNT(*) AS n, ${moneySumSql("o_totalprice")} AS spend,
-       |       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
-       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
-
-  /** Categorical distribution drift via the chi-square statistic —
-    * completes the drift pair with [[anKsDrift]] (numeric): the
-    * order-priority mix before 1998 (reference window) vs after
-    * (current window). Integer-exact cross-products: dev_num =
-    * c·R − r·C (sums to zero over categories, a spec invariant), and
-    * the per-category chi-square part (c−e)²/e algebraically
-    * rearranged to dev_num²/(R·C·r) — evaluated as an explicit
-    * double expression tree both engines compute bit-identically
-    * (no ROUND: shared integer inputs + same IEEE ops need none).
-    * One groupBy over the fact table; totals broadcast back. */
-  private def anChi2Drift(s: SparkSession, dir: String): DataFrame = {
-    val base = Tables.orders(s, dir).select(col("o_orderpriority").as("cat"),
-      when(col("o_orderdate") < lit("1998-01-01").cast("timestamp"), 1L)
-        .otherwise(0L).as("is_ref"))
-    val perCat = base.groupBy("cat")
-      .agg(sum(col("is_ref")).as("r"), sum(lit(1L) - col("is_ref")).as("c"))
-    val tot = perCat.agg(sum("r").as("rt"), sum("c").as("ct"))
-    val dn = col("c") * col("rt") - col("r") * col("ct")
-    perCat.crossJoin(broadcast(tot))
-      .select(col("cat"), col("r"), col("c"), dn.as("dev_num"),
-        when(col("r") > 0,
-          (dn.cast("double") * dn.cast("double")) /
-            ((col("rt").cast("double") * col("ct").cast("double")) * col("r").cast("double")))
-          .as("chi2_part"))
-      .orderBy("cat")
-  }
-
-  private val anChi2DriftSql =
-    """WITH b AS (SELECT o_orderpriority AS cat,
-      |                  CASE WHEN o_orderdate < TIMESTAMP '1998-01-01' THEN 1 ELSE 0 END AS is_ref
-      |           FROM orders),
-      |p AS (SELECT cat, CAST(SUM(is_ref) AS BIGINT) AS r,
-      |             CAST(SUM(1 - is_ref) AS BIGINT) AS c FROM b GROUP BY cat),
-      |t AS (SELECT CAST(SUM(r) AS BIGINT) AS rt, CAST(SUM(c) AS BIGINT) AS ct FROM p)
-      |SELECT cat, r, c, CAST(c*rt - r*ct AS BIGINT) AS dev_num,
-      |  CASE WHEN r > 0 THEN
-      |    (CAST(c*rt - r*ct AS DOUBLE) * CAST(c*rt - r*ct AS DOUBLE))
-      |    / ((CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)) * CAST(r AS DOUBLE))
-      |  END AS chi2_part
-      |FROM p, t ORDER BY cat""".stripMargin
-
-  /** k-anonymity generalization ladder — the fix for what [[etlKanon]]
-    * audits: evaluate candidate quasi-identifier coarsenings
-    * (account-balance band widths 500→5000) in ONE pass by exploding
-    * each row into every candidate width, then report per width the
-    * group count, the achieved k, and rows still under k=5 — the
-    * release picks the narrowest width whose k clears the bar
-    * (generalize minimally, Sweeney'02 §5). Shuffle is |widths|×rows
-    * of small tuples, one exchange. */
-  private def etlKanonGeneralize(s: SparkSession, dir: String): DataFrame =
-    Tables.customer(s, dir)
-      .select(col("c_nationkey"), col("c_mktsegment"), col("c_acctbal"),
-        explode(array(lit(500), lit(1000), lit(2000), lit(5000))).as("width"))
-      .groupBy(col("width"), col("c_nationkey"), col("c_mktsegment"),
-        floor(col("c_acctbal") / col("width").cast("double")).cast("bigint").as("band"))
-      .agg(count(lit(1)).as("sz"))
-      .groupBy(col("width").cast("long").as("width"))
-      .agg(count(lit(1)).as("n_groups"), min("sz").as("k"),
-        sum(when(col("sz") < 5, col("sz")).otherwise(0L)).as("rows_at_risk"))
-      .withColumn("meets_k5", col("k") >= 5)
-      .orderBy("width")
-
-  private val etlKanonGeneralizeSql =
-    """WITH w AS (SELECT UNNEST([500, 1000, 2000, 5000]) AS width),
-      |g AS (SELECT width, c_nationkey, c_mktsegment,
-      |             CAST(FLOOR(c_acctbal / CAST(width AS DOUBLE)) AS BIGINT) AS band,
-      |             COUNT(*) AS sz
-      |      FROM customer, w GROUP BY 1, 2, 3, 4),
-      |a AS (SELECT CAST(width AS BIGINT) AS width, COUNT(*) AS n_groups, MIN(sz) AS k,
-      |             CAST(SUM(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT) AS rows_at_risk
-      |      FROM g GROUP BY 1)
-      |SELECT width, n_groups, k, rows_at_risk, k >= 5 AS meets_k5
-      |FROM a ORDER BY width""".stripMargin
-
-  /** Exact global order statistics (p25/p50/p75 of line-item price as
-    * TRUE lower order statistics, rank ⌈q·n⌉) WITHOUT approxQuantile
-    * and without a global sort: collapse to distinct cents values, run
-    * the [[graft.operators.PrefixSum]] distributed scan for cumulative
-    * counts, and pick each probe's crossing row (first cum ≥ rank) with
-    * a 3-row broadcast — the scan is the only exchange beyond the
-    * distinct-value groupBy. Rank arithmetic is pure integer
-    * (⌈qn⌉ via (q·n + d−1) div d), so the emitted values are exact
-    * order statistics, not interpolations. */
-  private def qExactMedian(s: SparkSession, dir: String): DataFrame = {
-    val raw = Tables.lineitem(s, dir)
-      .select((col("l_extendedprice").cast("decimal(24,2)") * 100).cast("bigint").as("v"))
-    // raw-row scan: near-unique prices make the distinct-value groupBy a
-    // no-reduction hash aggregate; run-length merging inside the sorted
-    // scan gets the same (v, cnt, cnt_cum) rows for one exchange
-    val scan = graft.operators.PrefixSum.distinctRunningCounts(raw, Seq("v"))
-    val probes = raw.agg(count(lit(1)).as("n"))
-      .select(explode(array(lit(25L), lit(50L), lit(75L))).as("pct"), col("n"))
-      .withColumn("r", expr(
-        "CASE pct WHEN 25 THEN (n+3) div 4 WHEN 50 THEN (n+1) div 2 ELSE (3*n+3) div 4 END"))
-    scan.crossJoin(broadcast(probes))
-      .filter(col("cnt_cum") >= col("r") && col("cnt_cum") - col("cnt") < col("r"))
-      .select(col("pct"), col("r").as("rank"), col("n"), col("v").as("value"))
-      .orderBy("pct")
-  }
-
-  private val qExactMedianSql =
-    """WITH p AS (SELECT CAST(CAST(l_extendedprice AS DECIMAL(24,2)) * 100 AS BIGINT) AS v,
-      |                  COUNT(*) AS cnt
-      |           FROM lineitem GROUP BY 1),
-      |c AS (SELECT v, cnt, CAST(SUM(cnt) OVER (ORDER BY v) AS BIGINT) AS cum FROM p),
-      |t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM p),
-      |pr AS (SELECT pct, n,
-      |         CASE pct WHEN 25 THEN (n+3)//4 WHEN 50 THEN (n+1)//2 ELSE (3*n+3)//4 END AS r
-      |       FROM t, (SELECT UNNEST([CAST(25 AS BIGINT), 50, 75]) AS pct))
-      |SELECT pct, r AS rank, n, v AS value
-      |FROM c, pr WHERE cum >= r AND cum - cnt < r ORDER BY pct""".stripMargin
-
-  /** Deterministic pseudonymization (salted md5 tokens) with the two
-    * audits that make masking production-safe: a collision audit
-    * (distinct tokens must equal distinct keys) and a JOINABILITY
-    * audit — fact rows mapped through the same token function must
-    * join the masked dimension exactly as the raw keys did, proving
-    * referential integrity survives the masking. Tokens are
-    * engine-portable (md5 over a salted decimal string), so a
-    * downstream system can re-derive them; row-local projection +
-    * one join on the 14-char token. */
-  private def etlPseudonymize(s: SparkSession, dir: String): DataFrame = {
-    def tok(c: Column): Column =
-      concat(lit("c-"), substring(md5(concat(lit("s1|"), c.cast("string"))), 1, 12))
-    val cust = Tables.customer(s, dir).select(tok(col("c_custkey")).as("t"))
-    val ords = Tables.orders(s, dir).select(tok(col("o_custkey")).as("t"))
-    val a = cust.agg(count(lit(1)).as("n_cust"), countDistinct(col("t")).as("n_tokens"))
-    val j = ords.join(cust.distinct(), Seq("t")).agg(count(lit(1)).as("n_orders_joined"))
-    val o = Tables.orders(s, dir).agg(count(lit(1)).as("n_orders"))
-    a.crossJoin(j).crossJoin(o)
-      .select(col("n_cust"), col("n_tokens"),
-        (col("n_cust") - col("n_tokens")).as("n_collisions"),
-        col("n_orders"), col("n_orders_joined"))
-  }
-
-  private val etlPseudonymizeSql =
-    """WITH ct AS (SELECT 'c-' || substr(md5('s1|' || CAST(c_custkey AS VARCHAR)), 1, 12) AS t
-      |            FROM customer),
-      |ot AS (SELECT 'c-' || substr(md5('s1|' || CAST(o_custkey AS VARCHAR)), 1, 12) AS t
-      |       FROM orders),
-      |a AS (SELECT COUNT(*) AS n_cust, COUNT(DISTINCT t) AS n_tokens FROM ct),
-      |j AS (SELECT COUNT(*) AS n_orders_joined
-      |      FROM ot JOIN (SELECT DISTINCT t FROM ct) d USING (t)),
-      |o AS (SELECT COUNT(*) AS n_orders FROM orders)
-      |SELECT n_cust, n_tokens, CAST(n_cust - n_tokens AS BIGINT) AS n_collisions,
-      |       n_orders, n_orders_joined
-      |FROM a, j, o""".stripMargin
-
-  /** Two-proportion z-test (A/B experiment readout): variants by
-    * user-id parity, success = the user ever made a HIGH-VALUE
-    * purchase (≥100 — plain "ever purchased" is degenerate here: every
-    * user converts and the pooled variance is zero). Counts are exact
-    * integers; the z statistic is one shared double expression tree —
-    * division and sqrt are both correctly-rounded under IEEE 754, so
-    * both engines emit the IDENTICAL double with no rounding fuzz.
-    * Two same-key aggregates, then a 2-row pivot. */
-  private def anAbtest(s: SparkSession, dir: String): DataFrame = {
-    val zExpr =
-      """(CAST(c1 AS DOUBLE)/CAST(n1 AS DOUBLE) - CAST(c2 AS DOUBLE)/CAST(n2 AS DOUBLE))
-        | / sqrt((CAST(c1+c2 AS DOUBLE)/CAST(n1+n2 AS DOUBLE))
-        |        * (1.0 - CAST(c1+c2 AS DOUBLE)/CAST(n1+n2 AS DOUBLE))
-        |        * (1.0/CAST(n1 AS DOUBLE) + 1.0/CAST(n2 AS DOUBLE)))""".stripMargin
-    Tables.events(s, dir)
-      .groupBy(col("user_id"))
-      .agg(max((col("event_type") === "purchase" && col("value") >= 100.0)
-        .cast("long")).as("conv"))
-      .groupBy((col("user_id") % 2).as("variant"))
-      .agg(count(lit(1)).as("n"), sum("conv").as("c"))
-      .agg(sum(when(col("variant") === 0, col("n"))).as("n1"),
-        sum(when(col("variant") === 0, col("c"))).as("c1"),
-        sum(when(col("variant") === 1, col("n"))).as("n2"),
-        sum(when(col("variant") === 1, col("c"))).as("c2"))
-      .withColumn("z", expr(zExpr))
-  }
-
-  private val anAbtestSql =
-    """WITH u AS (SELECT user_id,
-      |             MAX(CASE WHEN event_type = 'purchase' AND value >= 100.0
-      |                 THEN 1 ELSE 0 END) AS conv
-      |           FROM events GROUP BY user_id),
-      |v AS (SELECT user_id % 2 AS variant, COUNT(*) AS n, CAST(SUM(conv) AS BIGINT) AS c
-      |      FROM u GROUP BY 1),
-      |w AS (SELECT
-      |        CAST(SUM(CASE WHEN variant = 0 THEN n END) AS BIGINT) AS n1,
-      |        CAST(SUM(CASE WHEN variant = 0 THEN c END) AS BIGINT) AS c1,
-      |        CAST(SUM(CASE WHEN variant = 1 THEN n END) AS BIGINT) AS n2,
-      |        CAST(SUM(CASE WHEN variant = 1 THEN c END) AS BIGINT) AS c2
-      |      FROM v)
-      |SELECT n1, c1, n2, c2,
-      |  (CAST(c1 AS DOUBLE)/CAST(n1 AS DOUBLE) - CAST(c2 AS DOUBLE)/CAST(n2 AS DOUBLE))
-      |  / sqrt((CAST(c1+c2 AS DOUBLE)/CAST(n1+n2 AS DOUBLE))
-      |         * (1.0 - CAST(c1+c2 AS DOUBLE)/CAST(n1+n2 AS DOUBLE))
-      |         * (1.0/CAST(n1 AS DOUBLE) + 1.0/CAST(n2 AS DOUBLE))) AS z
-      |FROM w""".stripMargin
-
-  /** Shannon entropy of the corpus composition (source mix and language
-    * mix — the "how diverse is my training mixture" audit). Numeric
-    * discipline for an irrational-valued aggregate: H = ln(N) −
-    * (Σ c·ln c)/N, where each c·ln c term is cast to DECIMAL(38,18)
-    * before summing (order-independent, the q_pagerank gather
-    * pattern — a plain double sum would be partition-order dependent),
-    * and the emission is ROUND(·, 6) to absorb the ≤1-ulp libm ln()
-    * skew between engines (the an_benford precedent). Normalized
-    * entropy H/ln(k) reads as 0..1 balance. One groupBy per dimension
-    * over tiny category tables. */
-  private def anEntropy(s: SparkSession, dir: String): DataFrame = {
-    def entropyOf(dim: String): DataFrame = {
-      val cat = Tables.documents(s, dir).groupBy(col(dim).as("cat"))
-        .agg(count(lit(1)).as("c"))
-      cat.agg(count(lit(1)).as("k"), sum("c").as("n"),
-          sum((col("c").cast("double") * log(col("c").cast("double")))
-            .cast("decimal(38,18)")).as("s"))
-        .select(lit(dim).as("dim"), col("k"), col("n"),
-          round(log(col("n").cast("double"))
-            - col("s").cast("double") / col("n").cast("double"), 6).as("h_nats"),
-          round((log(col("n").cast("double"))
-            - col("s").cast("double") / col("n").cast("double"))
-            / log(col("k").cast("double")), 6).as("h_norm"))
-    }
-    entropyOf("source").unionByName(entropyOf("lang")).orderBy("dim")
-  }
-
-  private val anEntropySql = {
-    def one(dim: String) =
-      s"""SELECT '$dim' AS dim, k, n,
-         |  ROUND(ln(CAST(n AS DOUBLE)) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6) AS h_nats,
-         |  ROUND((ln(CAST(n AS DOUBLE)) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
-         |        / ln(CAST(k AS DOUBLE)), 6) AS h_norm
-         |FROM (SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(c) AS BIGINT) AS n,
-         |             SUM(CAST(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)) AS DECIMAL(38,18))) AS s
-         |      FROM (SELECT $dim, COUNT(*) AS c FROM documents GROUP BY $dim))""".stripMargin
-    s"""${one("source")}
-       |UNION ALL
-       |${one("lang")}
-       |ORDER BY dim""".stripMargin
-  }
-
-  /** Zipf-law slope of the token frequency spectrum — the corpus
-    * health probe (natural text runs slope ≈ −1; templated/duplicated
-    * corpora flatten or steepen it): top-50 token document frequencies,
-    * OLS of ln(freq) on ln(rank) with the deterministic (freq desc,
-    * token) rank tie-break. The regression sums go through
-    * DECIMAL(38,18) (order-independent) and emit under ROUND(·, 6)
-    * (libm ulp absorption, as [[anEntropy]]). Token counting is the
-    * text_ngram_freq shape; the spectrum fit runs on 50 rows. */
-  private def textZipf(s: SparkSession, dir: String): DataFrame = {
-    val top = Tables.documents(s, dir)
-      .select(explode(split(lower(col("text")), "\\s+")).as("tok"))
-      .filter(length(col("tok")) > 0)
-      .groupBy("tok").agg(count(lit(1)).as("f"))
-      .orderBy(col("f").desc, col("tok")).limit(50)
-    val xy = top.select(
-      log(row_number().over(Window.orderBy(col("f").desc, col("tok"))).cast("double")).as("x"),
-      log(col("f").cast("double")).as("y"))
-    def dsum(c: Column) = sum(c.cast("decimal(38,18)"))
-    xy.agg(count(lit(1)).as("n"), dsum(col("x")).as("sx"), dsum(col("y")).as("sy"),
-        dsum(col("x") * col("x")).as("sxx"), dsum(col("x") * col("y")).as("sxy"))
-      .select(col("n"),
-        round((col("n").cast("double") * col("sxy").cast("double")
-            - col("sx").cast("double") * col("sy").cast("double"))
-          / (col("n").cast("double") * col("sxx").cast("double")
-            - col("sx").cast("double") * col("sx").cast("double")), 6).as("zipf_slope"))
-  }
-
-  private val textZipfSql =
-    """WITH tok AS (
-      |  SELECT t AS tok, COUNT(*) AS f
-      |  FROM (SELECT UNNEST(string_split_regex(lower(text), '\s+')) AS t FROM documents)
-      |  WHERE len(t) > 0 GROUP BY t ORDER BY f DESC, tok LIMIT 50),
-      |xy AS (SELECT ln(CAST(ROW_NUMBER() OVER (ORDER BY f DESC, tok) AS DOUBLE)) AS x,
-      |              ln(CAST(f AS DOUBLE)) AS y FROM tok),
-      |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
-      |             SUM(CAST(x AS DECIMAL(38,18))) AS sx, SUM(CAST(y AS DECIMAL(38,18))) AS sy,
-      |             SUM(CAST(x*x AS DECIMAL(38,18))) AS sxx, SUM(CAST(x*y AS DECIMAL(38,18))) AS sxy
-      |      FROM xy)
-      |SELECT n,
-      |  ROUND((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
-      |        / (CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)), 6)
-      |    AS zipf_slope
-      |FROM a""".stripMargin
-
-  /** Cumulative user-growth curve: each user's first-seen day, new
-    * users per day, and the running total through the
-    * [[graft.operators.PrefixSum]] distributed scan (days are unique
-    * after the per-day rollup — the scan's contract). Two same-key
-    * exchanges (user, then day); the growth curve never funnels
-    * through a single-partition window. */
-  private def anUserGrowth(s: SparkSession, dir: String): DataFrame = {
-    val firstSeen = Tables.events(s, dir)
-      .groupBy(col("user_id"))
-      .agg(min(date_trunc("day", col("ts"))).as("day"))
-    val perDay = firstSeen.groupBy("day").agg(count(lit(1)).as("new_users"))
-    graft.operators.PrefixSum.withRunningTotals(perDay, Seq("day"), Seq("new_users"))
-      .select(col("day"), col("new_users"), col("new_users_cum").as("cum_users"))
-      .orderBy("day")
-  }
-
-  private val anUserGrowthSql =
-    """WITH f AS (SELECT user_id, MIN(date_trunc('day', ts)) AS day
-      |           FROM events GROUP BY user_id),
-      |d AS (SELECT day, COUNT(*) AS new_users FROM f GROUP BY day)
-      |SELECT day, new_users,
-      |       CAST(SUM(new_users) OVER (ORDER BY day) AS BIGINT) AS cum_users
-      |FROM d ORDER BY day""".stripMargin
-
-  /** CUSUM change-point detection over the daily revenue series —
-    * the classic "when did the level move" scan, fully integer: the
-    * per-day deviation is scaled by n (dev = rev·n − S, so no division
-    * ever happens) and its running sum comes from the
-    * [[graft.operators.PrefixSum]] distributed scan; the extreme
-    * excursions and their argmax/argmin days (struct-ordered
-    * tie-breaks) are the change-point report. Complements
-    * [[anMeanShift]] (local windows) with the global-drift view. */
-  private def anCusum(s: SparkSession, dir: String): DataFrame = {
-    val daily = Tables.lineitem(s, dir)
-      .groupBy(date_trunc("day", col("l_shipdate")).as("day"))
-      .agg((sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-          .cast("decimal(24,8)")).cast("decimal(24,2)") * 100)
-        .cast("bigint").as("rev_c"))
-    val tot = daily.agg(count(lit(1)).as("n"), sum("rev_c").as("s"))
-    val dev = daily.crossJoin(broadcast(tot))
-      .select(col("day"), (col("rev_c") * col("n") - col("s")).as("dev"))
-    val scan = graft.operators.PrefixSum.withRunningTotals(dev, Seq("day"), Seq("dev"))
-    scan.agg(count(lit(1)).as("n"),
-        max(struct(col("dev_cum"), col("day"))).as("hi"),
-        min(struct(col("dev_cum"), col("day"))).as("lo"))
-      .select(col("n"), col("hi.dev_cum").as("max_cusum"), col("hi.day").as("max_day"),
-        col("lo.dev_cum").as("min_cusum"), col("lo.day").as("min_day"))
-  }
-
-  private val anCusumSql =
-    """WITH daily AS (SELECT date_trunc('day', l_shipdate) AS day,
-      |    CAST(ROUND(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,8))), 2) * 100 AS BIGINT) AS rev_c
-      |  FROM lineitem GROUP BY 1),
-      |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(rev_c) AS BIGINT) AS s FROM daily),
-      |c AS (SELECT day, CAST(SUM(rev_c*n - s) OVER (ORDER BY day) AS BIGINT) AS cum
-      |      FROM daily, t),
-      |hi AS (SELECT cum AS max_cusum, day AS max_day FROM c ORDER BY cum DESC, day DESC LIMIT 1),
-      |lo AS (SELECT cum AS min_cusum, day AS min_day FROM c ORDER BY cum ASC, day ASC LIMIT 1)
-      |SELECT n, max_cusum, max_day, min_cusum, min_day FROM t, hi, lo""".stripMargin
-
-  /** Cohort lifetime-value matrix: users grouped by first-seen day,
-    * purchase revenue rolled up per (cohort, day-age), and the
-    * running LTV per cohort — the window partitions BY COHORT, so the
-    * cumulative sum never leaves a key's partition (contrast the
-    * global scans above). Revenue stays in cents BIGINT end to end. */
-  private def anCohortLtv(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(s, dir)
-    val firstSeen = ev.groupBy(col("user_id"))
-      .agg(min(date_trunc("day", col("ts"))).as("cohort_day"))
-    val rev = ev.filter(col("event_type") === "purchase")
-      .join(firstSeen, "user_id")
-      .groupBy(col("cohort_day"),
-        datediff(date_trunc("day", col("ts")).cast("date"),
-          col("cohort_day").cast("date")).cast("long").as("age"))
-      .agg((sum(col("value").cast("decimal(24,8)")).cast("decimal(24,2)") * 100)
-        .cast("bigint").as("rev_c"))
-    val w = Window.partitionBy("cohort_day").orderBy("age")
-    rev.withColumn("ltv_c", sum("rev_c").over(w))
-      .orderBy("cohort_day", "age")
-  }
-
-  private val anCohortLtvSql =
-    """WITH f AS (SELECT user_id, MIN(date_trunc('day', ts)) AS cohort_day
-      |           FROM events GROUP BY user_id),
-      |r AS (SELECT cohort_day,
-      |        CAST(date_diff('day', CAST(cohort_day AS DATE),
-      |                       CAST(date_trunc('day', e.ts) AS DATE)) AS BIGINT) AS age,
-      |        CAST(ROUND(SUM(CAST(e.value AS DECIMAL(24,8))), 2) * 100 AS BIGINT) AS rev_c
-      |      FROM events e JOIN f USING (user_id)
-      |      WHERE e.event_type = 'purchase'
-      |      GROUP BY 1, 2)
-      |SELECT cohort_day, age, rev_c,
-      |       CAST(SUM(rev_c) OVER (PARTITION BY cohort_day ORDER BY age) AS BIGINT) AS ltv_c
-      |FROM r ORDER BY cohort_day, age""".stripMargin
-
-  /** Seasonal-naive forecast backtest (ŷ_t = y_{t−7}) over the last 28
-    * days of the revenue series — the baseline any forecasting pipeline
-    * must beat, with integer-exact error accounting: per-day absolute
-    * errors in cents, summed exactly; the relative error is one final
-    * division. Lag + tail-filter on the time spine; everything before
-    * the 28-day holdout only feeds the lag. */
-  private def anForecastNaive(s: SparkSession, dir: String): DataFrame = {
-    val daily = Tables.lineitem(s, dir)
-      .groupBy(date_trunc("day", col("l_shipdate")).as("day"))
-      .agg((sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-          .cast("decimal(24,8)")).cast("decimal(24,2)") * 100)
-        .cast("bigint").as("rev_c"))
-    val w = Window.orderBy(col("day"))
-    daily
-      .select(col("day"), col("rev_c"),
-        lag(col("rev_c"), 7).over(w).as("pred_c"),
-        row_number().over(Window.orderBy(col("day").desc)).as("rd"))
-      .filter(col("rd") <= 28 && col("pred_c").isNotNull)
-      .agg(count(lit(1)).as("n"),
-        sum(abs(col("rev_c") - col("pred_c"))).as("abs_err_c"),
-        sum("rev_c").as("actual_c"))
-      .withColumn("rel_err",
-        col("abs_err_c").cast("double") / col("actual_c").cast("double"))
-  }
-
-  private val anForecastNaiveSql =
-    """WITH daily AS (SELECT date_trunc('day', l_shipdate) AS day,
-      |    CAST(ROUND(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,8))), 2) * 100 AS BIGINT) AS rev_c
-      |  FROM lineitem GROUP BY 1),
-      |l AS (SELECT day, rev_c,
-      |        LAG(rev_c, 7) OVER (ORDER BY day) AS pred_c,
-      |        ROW_NUMBER() OVER (ORDER BY day DESC) AS rd
-      |      FROM daily)
-      |SELECT COUNT(*) AS n,
-      |  CAST(SUM(ABS(rev_c - pred_c)) AS BIGINT) AS abs_err_c,
-      |  CAST(SUM(rev_c) AS BIGINT) AS actual_c,
-      |  CAST(SUM(ABS(rev_c - pred_c)) AS DOUBLE) / CAST(SUM(rev_c) AS DOUBLE) AS rel_err
-      |FROM l WHERE rd <= 28 AND pred_c IS NOT NULL""".stripMargin
-
-  /** Multi-horizon rolling-origin backtest of the naive forecaster
-    * (ŷ_t = y_{t−h}, h = 1..7) over the last-28-day holdout of daily
-    * revenue — the "which lead time is still usable" evaluation a
-    * forecasting pipeline runs before promoting a model (one WAPE
-    * number per horizon, not one blended score). The horizon fan-out
-    * is a 7-element `sequence` explode on the day spine joined back by
-    * exact epoch-day keys; per-day errors are exact cents, MAE and
-    * signed bias sum as BIGINTs, and WAPE is the single final
-    * division. The spine is days-sized, so the global row_number
-    * window is bounded by the calendar, not the data. */
-  private def anMapeBacktest(s: SparkSession, dir: String): DataFrame = {
-    val daily = Tables.lineitem(s, dir)
-      .groupBy(date_trunc("day", col("l_shipdate")).as("day"))
-      .agg((sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-          .cast("decimal(24,8)")).cast("decimal(24,2)") * 100)
-        .cast("bigint").as("rev_c"))
-      .select(datediff(col("day").cast("date"), lit("1970-01-01").cast("date"))
-        .cast("long").as("dno"), col("rev_c"))
-    val holdout = daily
-      .withColumn("rd", row_number().over(Window.orderBy(col("dno").desc)))
-      .filter(col("rd") <= 28)
-      .select(col("dno"), col("rev_c"),
-        explode(sequence(lit(1L), lit(7L))).as("h"))
-      .withColumn("pdno", col("dno") - col("h"))
-    holdout
-      .join(daily.select(col("dno").as("pdno"), col("rev_c").as("pred_c")), "pdno")
-      .groupBy(col("h"))
-      .agg(count(lit(1)).as("n"),
-        sum(abs(col("rev_c") - col("pred_c"))).as("abs_err_c"),
-        sum(col("rev_c") - col("pred_c")).as("bias_c"),
-        sum("rev_c").as("actual_c"))
-      .withColumn("wape",
-        col("abs_err_c").cast("double") / col("actual_c").cast("double"))
-      .orderBy(col("h"))
-  }
-
-  private val anMapeBacktestSql =
-    """WITH daily AS (SELECT
-      |    CAST(date_diff('day', DATE '1970-01-01',
-      |                   CAST(date_trunc('day', l_shipdate) AS DATE)) AS BIGINT) AS dno,
-      |    CAST(ROUND(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,8))), 2) * 100 AS BIGINT) AS rev_c
-      |  FROM lineitem GROUP BY 1),
-      |hold AS (SELECT dno, rev_c FROM (
-      |    SELECT dno, rev_c, ROW_NUMBER() OVER (ORDER BY dno DESC) AS rd FROM daily) t
-      |  WHERE rd <= 28),
-      |x AS (SELECT CAST(t.range AS BIGINT) AS h, ho.dno, ho.rev_c
-      |      FROM hold ho CROSS JOIN range(1, 8) t),
-      |j AS (SELECT x.h, x.rev_c, p.rev_c AS pred_c
-      |      FROM x JOIN daily p ON p.dno = x.dno - x.h)
-      |SELECT h, COUNT(*) AS n,
-      |  CAST(SUM(ABS(rev_c - pred_c)) AS BIGINT) AS abs_err_c,
-      |  CAST(SUM(rev_c - pred_c) AS BIGINT) AS bias_c,
-      |  CAST(SUM(rev_c) AS BIGINT) AS actual_c,
-      |  CAST(SUM(ABS(rev_c - pred_c)) AS DOUBLE) / CAST(SUM(rev_c) AS DOUBLE) AS wape
-      |FROM j GROUP BY h ORDER BY h""".stripMargin
-
-  /** Top user journeys: each user's first five events (deterministic
-    * (ts, event_id) order) joined into a path string, counted and
-    * ranked — the product-analytics "what do users actually do" query.
-    * The per-user window is PARTITIONED (never global), path assembly
-    * is the dedup_segments sorted-collect idiom, and only the tiny
-    * path→count table is globally ranked. */
-  private def anUserPaths(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    Tables.events(s, dir)
-      .select(col("user_id"), col("event_type"), row_number().over(w).as("rn"))
-      .filter(col("rn") <= 5)
-      .groupBy("user_id")
-      .agg(expr("array_join(transform(array_sort(collect_list(struct(rn, event_type))), x -> x.event_type), '>')")
-        .as("path"))
-      .groupBy("path").agg(count(lit(1)).as("n"))
-      .orderBy(col("n").desc, col("path")).limit(10)
-  }
-
-  private val anUserPathsSql =
-    """WITH e AS (SELECT user_id, event_type,
-      |             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
-      |           FROM events),
-      |p AS (SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
-      |      FROM e WHERE rn <= 5 GROUP BY user_id)
-      |SELECT path, COUNT(*) AS n FROM p GROUP BY path
-      |ORDER BY n DESC, path LIMIT 10""".stripMargin
-
-  /** Event-type Markov transition matrix (the path-analysis companion
-    * to [[anUserPaths]]): per-user lag pairs under the deterministic
-    * (ts, event_id) order, integer transition counts, and row
-    * probabilities as one shared double division. The lag window is
-    * per-user partitioned; the (from × to) matrix is category-sized. */
-  private def anMarkov(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    val pairs = Tables.events(s, dir)
-      .select(col("user_id"), col("event_type").as("to_type"),
-        lag(col("event_type"), 1).over(w).as("from_type"))
-      .filter(col("from_type").isNotNull)
-      .groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
-    val wf = Window.partitionBy("from_type")
-    pairs
-      .withColumn("row_total", sum("n").over(wf))
-      .withColumn("p", col("n").cast("double") / col("row_total").cast("double"))
-      .orderBy("from_type", "to_type")
-  }
-
-  private val anMarkovSql =
-    """WITH e AS (SELECT user_id, event_type AS to_type,
-      |             LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS from_type
-      |           FROM events),
-      |c AS (SELECT from_type, to_type, COUNT(*) AS n
-      |      FROM e WHERE from_type IS NOT NULL GROUP BY 1, 2)
-      |SELECT from_type, to_type, n,
-      |       CAST(SUM(n) OVER (PARTITION BY from_type) AS BIGINT) AS row_total,
-      |       CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p
-      |FROM c ORDER BY from_type, to_type""".stripMargin
-
-  /** RFM segmentation (recency / frequency / monetary quintiles) with
-    * the scale-correct assignment: exact quintile BOUNDARIES come from
-    * [[graft.operators.PrefixSum]] crossing-row probes over each
-    * dimension's distinct-value counts (the q_exact_median machinery,
-    * rank ⌈k·n/5⌉), the 12 boundary values broadcast back, and every
-    * customer is scored MAP-SIDE against them — no global rank over
-    * the customer table itself. Ties share a bucket (boundaries are
-    * order statistics), so the segmentation is deterministic on any
-    * engine. Emits segment sizes and per-segment averages. */
-  private def anRfm(s: SparkSession, dir: String): DataFrame = {
-    val maxDate = Tables.orders(s, dir).agg(max(col("o_orderdate")).as("mx"))
-    // cached: the per-customer aggregate feeds three boundary scans AND
-    // the final scoring pass — uncached it recomputes the orders groupBy
-    // seven times (measured 2× the whole query's cost at sf0.1).
-    // Freed by the harness-wide clearCache between queries.
-    val rfm = Tables.orders(s, dir).crossJoin(broadcast(maxDate))
-      .groupBy(col("o_custkey"))
-      .agg(min(datediff(col("mx").cast("date"), col("o_orderdate").cast("date")).cast("long"))
-          .as("recency"),
-        count(lit(1)).as("frequency"),
-        (sum(col("o_totalprice").cast("decimal(24,8)")).cast("decimal(24,2)") * 100)
-          .cast("bigint").as("monetary"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // ONE boundary pass for all three dimensions (was three separate
-    // distinct-value scans over the same per-customer aggregate): unpivot
-    // to (dim, v), count distinct values once, run a single PrefixSum
-    // scan ordered by (dim, v), and rebase each dim's running total by
-    // the lexicographically-prior dims' row counts — the Clean.medians
-    // fused-boundary precedent applied across dimensions.
-    val perV = rfm
-      .selectExpr("stack(3, 'recency', recency, 'frequency', frequency, " +
-        "'monetary', monetary) as (dim, v)")
-      .groupBy(col("dim"), col("v")).agg(count(lit(1)).as("cnt"))
-    // distinct-value tables here are customer-aggregate-sized; 8 scan
-    // partitions keep the narrow passes from being all task overhead
-    val scan = graft.operators.PrefixSum.withRunningTotals(perV, Seq("dim", "v"),
-      Seq("cnt"), numParts = 8)
-    val dimTot = perV.groupBy(col("dim")).agg(sum("cnt").as("n"))
-      .withColumn("off", coalesce(sum(col("n")).over(
-        Window.orderBy(col("dim")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-    val probes = dimTot
-      .select(col("dim"), col("n"), col("off"),
-        explode(array(lit(1L), lit(2L), lit(3L), lit(4L))).as("k"))
-      .withColumn("r", expr("(k * n + 4) div 5"))
-    val hits = scan.join(broadcast(probes), "dim")
-      .filter(col("cnt_cum") - col("off") >= col("r") &&
-        col("cnt_cum") - col("cnt") - col("off") < col("r"))
-      .groupBy(col("dim")).pivot(col("k"), Seq(1, 2, 3, 4)).agg(first(col("v")))
-      .select(col("dim"), col("1").as("b1"), col("2").as("b2"),
-        col("3").as("b3"), col("4").as("b4"))
-    // 12 boundary values — model-sized, collected once and scored as
-    // literals (the KMeans-centroids pattern); a DataFrame-side join
-    // would re-evaluate the scan per use
-    val b: Map[String, Array[Long]] = hits
-      .collect()
-      .map(r => r.getString(0) -> Array(r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
-      .toMap
-    def score(dim: String): Column = {
-      val bs = b(dim)
-      when(col(dim) <= bs(0), 1L).when(col(dim) <= bs(1), 2L)
-        .when(col(dim) <= bs(2), 3L).when(col(dim) <= bs(3), 4L).otherwise(5L)
-    }
-    val scored = Seq("recency", "frequency", "monetary").foldLeft(rfm) { (df, dim) =>
-      df.withColumn(s"${dim.head}q", score(dim))
-    }
-    scored.groupBy(col("rq"), col("fq"), col("mq"))
-      .agg(count(lit(1)).as("n_customers"), sum(col("monetary")).as("monetary_c"))
-      .orderBy("rq", "fq", "mq")
-  }
-
-  private val anRfmSql = {
-    def bounds(dim: String) =
-      s"""SELECT '$dim' AS dim,
-         |  MIN(CASE WHEN k = 1 THEN v END) AS b1, MIN(CASE WHEN k = 2 THEN v END) AS b2,
-         |  MIN(CASE WHEN k = 3 THEN v END) AS b3, MIN(CASE WHEN k = 4 THEN v END) AS b4
-         |FROM (
-         |  SELECT k, v FROM
-         |    (SELECT v, cnt, CAST(SUM(cnt) OVER (ORDER BY v) AS BIGINT) AS cum
-         |     FROM (SELECT $dim AS v, COUNT(*) AS cnt FROM rfm GROUP BY 1)) c,
-         |    (SELECT k, (k * n + 4)//5 AS r
-         |     FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM rfm),
-         |          (SELECT UNNEST([CAST(1 AS BIGINT), 2, 3, 4]) AS k)) p
-         |  WHERE cum >= r AND cum - cnt < r)""".stripMargin
-    s"""WITH mx AS (SELECT MAX(o_orderdate) AS mx FROM orders),
-       |rfm AS (SELECT o_custkey,
-       |          CAST(MIN(date_diff('day', CAST(o_orderdate AS DATE), CAST(mx AS DATE))) AS BIGINT) AS recency,
-       |          COUNT(*) AS frequency,
-       |          CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(24,8))), 2) * 100 AS BIGINT) AS monetary
-       |        FROM orders, mx GROUP BY o_custkey),
-       |b AS (${bounds("recency")} UNION ALL ${bounds("frequency")} UNION ALL ${bounds("monetary")}),
-       |scored AS (SELECT
-       |    CASE WHEN recency <= rb.b1 THEN 1 WHEN recency <= rb.b2 THEN 2
-       |         WHEN recency <= rb.b3 THEN 3 WHEN recency <= rb.b4 THEN 4 ELSE 5 END AS rq,
-       |    CASE WHEN frequency <= fb.b1 THEN 1 WHEN frequency <= fb.b2 THEN 2
-       |         WHEN frequency <= fb.b3 THEN 3 WHEN frequency <= fb.b4 THEN 4 ELSE 5 END AS fq,
-       |    CASE WHEN monetary <= mb.b1 THEN 1 WHEN monetary <= mb.b2 THEN 2
-       |         WHEN monetary <= mb.b3 THEN 3 WHEN monetary <= mb.b4 THEN 4 ELSE 5 END AS mq,
-       |    monetary
-       |  FROM rfm,
-       |       (SELECT * FROM b WHERE dim = 'recency') rb,
-       |       (SELECT * FROM b WHERE dim = 'frequency') fb,
-       |       (SELECT * FROM b WHERE dim = 'monetary') mb)
-       |SELECT CAST(rq AS BIGINT) AS rq, CAST(fq AS BIGINT) AS fq, CAST(mq AS BIGINT) AS mq,
-       |       COUNT(*) AS n_customers, CAST(SUM(monetary) AS BIGINT) AS monetary_c
-       |FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
-  }
-
-  /** TPC-H Q7 shape (volume shipping between two nations by year): the
-    * two-dimension star where BOTH fact sides carry a nation attribute.
-    * Scale discipline: each nation dim is filtered to the pair BEFORE
-    * its join (membership prefilter — the OR only couples sides at the
-    * end, so the asymmetric pair filter runs on the reduced rows), both
-    * dims broadcast, and the date filter pushes to the lineitem scan. */
-  private def q7Volume(s: SparkSession, dir: String): DataFrame = {
-    val pair = Seq("NATION_3", "NATION_7")
-    val li = Tables.lineitem(s, dir)
-      .filter(col("l_shipdate").between("1995-01-01", "1996-12-31"))
-    val n1 = Tables.nation(s, dir).filter(col("n_name").isin(pair: _*))
-      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
-    val n2 = Tables.nation(s, dir).filter(col("n_name").isin(pair: _*))
-      .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
-    li.join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
-      .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
-      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
-      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
-      .filter(col("supp_nation") =!= col("cust_nation"))
-      .groupBy(col("supp_nation"), col("cust_nation"),
-        year(col("l_shipdate")).cast("long").as("l_year"))
-      .agg(moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
-      .orderBy("supp_nation", "cust_nation", "l_year")
-  }
-
-  private val q7VolumeSql =
-    s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
-       |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
-       |  ${moneySumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue
-       |FROM lineitem
-       |JOIN supplier ON l_suppkey = s_suppkey
-       |JOIN orders ON l_orderkey = o_orderkey
-       |JOIN customer ON o_custkey = c_custkey
-       |JOIN nation n1 ON s_nationkey = n1.n_nationkey
-       |JOIN nation n2 ON c_nationkey = n2.n_nationkey
-       |WHERE n1.n_name IN ('NATION_3', 'NATION_7')
-       |  AND n2.n_name IN ('NATION_3', 'NATION_7')
-       |  AND n1.n_name <> n2.n_name
-       |  AND l_shipdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31'
-       |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
-
-  /** Lorenz curve deciles (the chartable companion to [[anGini]]):
-    * customers ranked by spend, decile = ((rn−1)·10) div n + 1, per-
-    * decile spend and the cumulative share at each decile boundary —
-    * rank AND running spend come from ONE [[graft.operators.PrefixSum]]
-    * pass (the scan emits both), the boundary value is max(cum) inside
-    * each decile (cum is monotone), and shares divide once at the end.
-    * Integer-exact until the final two divisions. */
-  private def anLorenz(s: SparkSession, dir: String): DataFrame = {
-    val spend = Tables.orders(s, dir)
-      .groupBy(col("o_custkey"))
-      .agg((sum(col("o_totalprice").cast("decimal(24,8)")).cast("decimal(24,2)") * 100)
-        .cast("bigint").as("x"))
-    val scan = graft.operators.PrefixSum
-      .withRunningTotals(spend, Seq("x", "o_custkey"), Seq("x"))
-    val tot = spend.agg(count(lit(1)).as("n"), sum("x").as("s"))
-    scan.crossJoin(broadcast(tot))
-      .withColumn("decile", expr("((rn - 1) * 10) div n + 1"))
-      .groupBy("decile", "s")
-      .agg(count(lit(1)).as("n_cust"), sum("x").as("spend_c"), max("x_cum").as("cum_c"))
-      .select(col("decile"), col("n_cust"), col("spend_c"), col("cum_c"),
-        (col("spend_c").cast("double") / col("s").cast("double")).as("share"),
-        (col("cum_c").cast("double") / col("s").cast("double")).as("cum_share"))
-      .orderBy("decile")
-  }
-
-  private val anLorenzSql =
-    """WITH spend AS (SELECT o_custkey,
-      |    CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(24,8))), 2) * 100 AS BIGINT) AS x
-      |  FROM orders GROUP BY o_custkey),
-      |r AS (SELECT x, ROW_NUMBER() OVER (ORDER BY x, o_custkey) AS rn,
-      |             CAST(SUM(x) OVER (ORDER BY x, o_custkey) AS BIGINT) AS x_cum
-      |      FROM spend),
-      |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS s FROM spend),
-      |d AS (SELECT ((rn - 1) * 10)//n + 1 AS decile, s,
-      |             COUNT(*) AS n_cust, CAST(SUM(x) AS BIGINT) AS spend_c,
-      |             CAST(MAX(x_cum) AS BIGINT) AS cum_c
-      |      FROM r, t GROUP BY 1, 2)
-      |SELECT CAST(decile AS BIGINT) AS decile, n_cust, spend_c, cum_c,
-      |       CAST(spend_c AS DOUBLE) / CAST(s AS DOUBLE) AS share,
-      |       CAST(cum_c AS DOUBLE) / CAST(s AS DOUBLE) AS cum_share
-      |FROM d ORDER BY decile""".stripMargin
-
-  /** ε-differentially-private release of group counts with SEEDED
-    * Laplace noise (Dwork et al. TCC'06; seeded DP = the reproducible-
-    * release variant: the noise draw is a deterministic function of a
-    * salted group hash, so reruns and the oracle replay the exact same
-    * release). The uniform comes from six md5 hex nibbles (engine-
-    * portable, as etl_feature_hash), inverse-CDF'd through the shared
-    * Laplace formula; ROUND(·,6) absorbs libm ln ulp skew. Sensitivity
-    * 1 count query, scale b = 2 ⇒ ε = 0.5. Map-side after one
-    * groupBy. */
-  private def etlDpCounts(s: SparkSession, dir: String): DataFrame = {
-    def nib(i: Int) = s"(instr('0123456789abcdef', substr(md5('dp1|' || cat), $i, 1)) - 1)"
-    val uExpr = s"(((((${nib(1)} * 16 + ${nib(2)}) * 16 + ${nib(3)}) * 16 + ${nib(4)}) * 16 + ${nib(5)}) * 16 + ${nib(6)}) / 16777216.0"
-    val noisy = s"ROUND(c + (-2.0 * sign($uExpr - 0.5) * ln(1.0 - 2.0 * abs($uExpr - 0.5))), 6)"
-    Tables.customer(s, dir)
-      .groupBy(col("c_mktsegment").as("cat"))
-      .agg(count(lit(1)).as("c"))
-      .withColumn("noisy_count", expr(noisy))
-      .select(col("cat"), col("noisy_count"))
-      .orderBy("cat")
-  }
-
-  private val etlDpCountsSql = {
-    def nib(i: Int) = s"(instr('0123456789abcdef', substr(md5('dp1|' || cat), $i, 1)) - 1)"
-    val uExpr = s"(((((${nib(1)} * 16 + ${nib(2)}) * 16 + ${nib(3)}) * 16 + ${nib(4)}) * 16 + ${nib(5)}) * 16 + ${nib(6)}) / 16777216.0"
-    s"""WITH g AS (SELECT c_mktsegment AS cat, COUNT(*) AS c FROM customer GROUP BY 1)
-       |SELECT cat,
-       |  ROUND(c + (-2.0 * sign($uExpr - 0.5) * ln(1.0 - 2.0 * abs($uExpr - 0.5))), 6) AS noisy_count
-       |FROM g ORDER BY cat""".stripMargin
-  }
-
-  /** Sample-ratio-mismatch check — the A/B trust gate that runs BEFORE
-    * [[anAbtest]] reads out: user counts per variant vs the designed
-    * 50/50 split, chi-square (n0−n1)²/(n0+n1) with 1 df, flagged at
-    * the 95% critical value. Pure integers until one division. */
-  private def anAbSrm(s: SparkSession, dir: String): DataFrame =
-    Tables.events(s, dir)
-      .select(col("user_id")).distinct()
-      .groupBy((col("user_id") % 2).as("variant"))
-      .agg(count(lit(1)).as("n"))
-      .agg(sum(when(col("variant") === 0, col("n"))).as("n0"),
-        sum(when(col("variant") === 1, col("n"))).as("n1"))
-      .select(col("n0"), col("n1"),
-        ((col("n0") - col("n1")) * (col("n0") - col("n1"))).as("srm_num"),
-        (((col("n0") - col("n1")) * (col("n0") - col("n1"))).cast("double")
-          / (col("n0") + col("n1")).cast("double")).as("chi2"))
-      .withColumn("srm_detected", col("chi2") > 3.841)
-
-  private val anAbSrmSql =
-    """WITH u AS (SELECT DISTINCT user_id FROM events),
-      |v AS (SELECT user_id % 2 AS variant, COUNT(*) AS n FROM u GROUP BY 1),
-      |w AS (SELECT CAST(SUM(CASE WHEN variant = 0 THEN n END) AS BIGINT) AS n0,
-      |             CAST(SUM(CASE WHEN variant = 1 THEN n END) AS BIGINT) AS n1 FROM v)
-      |SELECT n0, n1, CAST((n0 - n1) * (n0 - n1) AS BIGINT) AS srm_num,
-      |  CAST((n0 - n1) * (n0 - n1) AS DOUBLE) / CAST(n0 + n1 AS DOUBLE) AS chi2,
-      |  (CAST((n0 - n1) * (n0 - n1) AS DOUBLE) / CAST(n0 + n1 AS DOUBLE)) > 3.841 AS srm_detected
-      |FROM w""".stripMargin
-
-  /** Time-hierarchy ROLLUP (year → quarter → month revenue with
-    * subtotals at every level) — the calendar companion to the
-    * categorical q_rollup: one Expand pass, partial aggregation before
-    * the shuffle, NULL level markers disambiguated by GROUPING(). */
-  private def qTimeRollup(s: SparkSession, dir: String): DataFrame =
-    Tables.orders(s, dir)
-      .select(year(col("o_orderdate")).cast("long").as("y"),
-        quarter(col("o_orderdate")).cast("long").as("q"),
-        month(col("o_orderdate")).cast("long").as("m"),
-        col("o_totalprice"))
-      .rollup(col("y"), col("q"), col("m"))
-      .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("revenue"))
-      // y/q/m are never NULL in the data, so NULL markers identify the
-      // rollup level portably (no reliance on engine GROUPING() support)
-      .withColumn("lvl", expr(
-        """CAST(CASE WHEN y IS NULL THEN 4 ELSE 0 END
-          |   + CASE WHEN q IS NULL THEN 2 ELSE 0 END
-          |   + CASE WHEN m IS NULL THEN 1 ELSE 0 END AS BIGINT)""".stripMargin))
-      .orderBy(col("lvl").desc, col("y"), col("q"), col("m"))
-
-  private val qTimeRollupSql =
-    s"""WITH b AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
-       |  CAST(quarter(o_orderdate) AS BIGINT) AS q,
-       |  CAST(month(o_orderdate) AS BIGINT) AS m, o_totalprice FROM orders),
-       |r AS (SELECT y, q, m, COUNT(*) AS n, ${moneySumSql("o_totalprice")} AS revenue
-       |      FROM b GROUP BY ROLLUP (y, q, m))
-       |SELECT y, q, m, n, revenue,
-       |  CAST(CASE WHEN y IS NULL THEN 4 ELSE 0 END
-       |     + CASE WHEN q IS NULL THEN 2 ELSE 0 END
-       |     + CASE WHEN m IS NULL THEN 1 ELSE 0 END AS BIGINT) AS lvl
-       |FROM r ORDER BY lvl DESC, y, q, m""".stripMargin
-
-  /** Malformed-input coercion audit, end-to-end through the PERMISSIVE
-    * text path: a CSV is WRITTEN with deterministic corruption ('N/A'
-    * injected into the price of every 97th key — the reference data's
-    * TotalCharges blanks), read back with a typed schema (malformed
-    * numerics coerce to NULL rather than failing the load), and the
-    * audit counts rows, coerced NULLs, and the surviving money sum.
-    * The oracle recomputes all three arithmetically from the clean
-    * table, so the text round-trip AND the coercion rule are what's
-    * hash-verified. */
-  private def etlCoerceAudit(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.types._
-    val tmp = scratchDir("coerce") + "/orders"
-    Tables.orders(s, dir)
-      .select(col("o_orderkey"),
-        when(col("o_orderkey") % 97 === 0, lit("N/A"))
-          .otherwise(col("o_totalprice").cast("string")).as("o_totalprice"))
-      .write.mode("overwrite").option("header", "true").csv(tmp)
-    val schema = StructType(Seq(
-      StructField("o_orderkey", LongType), StructField("o_totalprice", DoubleType)))
-    graft.etl.Extract.csv(s, tmp, Some(schema))
-      .agg(count(lit(1)).as("n"),
-        sum(col("o_totalprice").isNull.cast("long")).as("n_coerced"),
-        moneySum(col("o_totalprice")).as("clean_sum"))
-  }
-
-  private val etlCoerceAuditSql =
-    s"""SELECT COUNT(*) AS n,
-       |  CAST(SUM(CASE WHEN o_orderkey % 97 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_coerced,
-       |  ${moneySumSql("CASE WHEN o_orderkey % 97 = 0 THEN NULL ELSE o_totalprice END")} AS clean_sum
-       |FROM orders""".stripMargin
-
-  /** Order-independent whole-table content fingerprint — the
-    * reconciliation primitive for "are these two copies identical"
-    * across engines/clusters without sorting or moving the table: each
-    * row hashes to an md5-derived 48-bit integer (hex nibbles through
-    * the engine-portable instr trick), and the fingerprint is the
-    * exact SUM — commutative, so partitioning and order are
-    * irrelevant, and any single-row change shifts it. The sum runs in
-    * DECIMAL(38,0) and is emitted as a digit string: uniform 48-bit
-    * terms mean the BIGINT sum would wrap past ~65K rows (n·2^47 >
-    * Long.MaxValue), silently on Spark and loudly on engines that
-    * widen — decimal accumulation keeps the fingerprint exact to
-    * ~10^23 rows, and the string emission pins one cross-engine
-    * representation. Map-side projection + one scalar aggregate. */
-  private def etlTableFingerprint(s: SparkSession, dir: String): DataFrame = {
-    def nib(i: Int) = s"(instr('0123456789abcdef', substr(h, $i, 1)) - 1)"
-    // fold in BIGINT from the first term — 16^12 = 2^48 overflows INT32
-    val h48 = (2 to 12).map(nib)
-      .foldLeft(s"CAST(${nib(1)} AS BIGINT)")((a, b) => s"($a * 16 + $b)")
-    Tables.orders(s, dir)
-      .select(md5(concat_ws("|", col("o_orderkey"), col("o_orderstatus"),
-        col("o_orderpriority"))).as("h"))
-      .selectExpr(s"CAST($h48 AS BIGINT) AS hv")
-      .agg(count(lit(1)).as("n"),
-        sum(col("hv").cast("decimal(38,0)")).cast("decimal(38,0)")
-          .cast("string").as("fingerprint"))
-  }
-
-  private val etlTableFingerprintSql = {
-    def nib(i: Int) = s"(instr('0123456789abcdef', substr(h, $i, 1)) - 1)"
-    val h48 = (2 to 12).map(nib)
-      .foldLeft(s"CAST(${nib(1)} AS BIGINT)")((a, b) => s"($a * 16 + $b)")
-    s"""WITH r AS (SELECT md5(CAST(o_orderkey AS VARCHAR) || '|' || o_orderstatus
-       |                      || '|' || o_orderpriority) AS h FROM orders)
-       |SELECT COUNT(*) AS n,
-       |  CAST(CAST(SUM(CAST(CAST($h48 AS BIGINT) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS VARCHAR) AS fingerprint
-       |FROM r""".stripMargin
-  }
-
-  /** DAU / WAU / stickiness — the product-analytics heartbeat, built
-    * with the scale-correct trick for windowed DISTINCT (which window
-    * functions cannot express): each (user, active-day) pair explodes
-    * into the 7 report days it contributes to, then one groupBy counts
-    * distinct users per report day. Work is 7× the distinct activity
-    * pairs — linear, partitioned, no cross-day state. */
-  private def anDauWau(s: SparkSession, dir: String): DataFrame = {
-    val ud = Tables.events(s, dir)
-      .select(to_date(col("ts")).as("d"), col("user_id")).distinct()
-    val wau = ud
-      .select(explode(sequence(col("d"), date_add(col("d"), 6))).as("report_day"),
-        col("user_id"))
-      .groupBy("report_day").agg(countDistinct("user_id").as("wau"))
-    val dau = ud.groupBy(col("d").as("report_day"))
-      .agg(countDistinct("user_id").as("dau"))
-    wau.join(dau, Seq("report_day"), "left")
-      .select(col("report_day").cast("timestamp").as("report_day"),
-        coalesce(col("dau"), lit(0L)).as("dau"), col("wau"),
-        (coalesce(col("dau"), lit(0L)).cast("double") / col("wau").cast("double"))
-          .as("stickiness"))
-      .orderBy("report_day")
-  }
-
-  private val anDauWauSql =
-    """WITH ud AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
-      |w AS (SELECT d + CAST(k AS INTEGER) AS report_day, user_id
-      |      FROM ud, (SELECT UNNEST(range(7)) AS k)),
-      |wau AS (SELECT report_day, COUNT(DISTINCT user_id) AS wau FROM w GROUP BY 1),
-      |dau AS (SELECT d AS report_day, COUNT(DISTINCT user_id) AS dau FROM ud GROUP BY 1)
-      |SELECT CAST(report_day AS TIMESTAMP) AS report_day,
-      |  CAST(COALESCE(dau, 0) AS BIGINT) AS dau, wau,
-      |  CAST(COALESCE(dau, 0) AS DOUBLE) / CAST(wau AS DOUBLE) AS stickiness
-      |FROM wau LEFT JOIN dau USING (report_day) ORDER BY report_day""".stripMargin
-
-  /** Quality-aware dedup: near-dup clusters keep their BEST document
-    * (highest composite quality score, doc-id tie-break) instead of the
-    * arbitrary min-id — the policy real corpus dedup ships with. Joins
-    * the [[dedupClusters]] components with the [[textQuality]] score
-    * (both independently hash-verified) and arg-maxes per cluster; the
-    * quality doubles are bit-identical across engines, so the ordering
-    * — and therefore the keeper choice — replays exactly. */
-  private def dedupKeepBest(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
-    val pairs = graft.dedup.Dedup.ngramJaccardPairs(docs, "text", "doc_id", k = 3, tau = 0.05)
-    val clusters = graft.dedup.Dedup.connectedComponents(pairs, "doc_a", "doc_b")
-      .select(col("id").as("doc_id"), col("cluster_id"))
-    val q = graft.text.TextFunctions.qualityColumns(col("text")).toMap.apply("quality_score")
-    val joined = clusters.join(docs.select(col("doc_id"), q.as("q")), "doc_id")
-    joined.groupBy("cluster_id")
-      .agg(count(lit(1)).as("n_docs"),
-        expr("max_by(doc_id, struct(q, -doc_id))").as("keeper_id"))
-      .withColumn("n_dropped", col("n_docs") - 1)
-      .orderBy("cluster_id")
-  }
-
-  // same inverted-index pair base as dedupClustersSql (provably the
-  // same pair set; hours → minutes at sf0.1)
-  private val dedupKeepBestSql =
-    s"""WITH RECURSIVE sh AS ($duckShingles),
-       |sz AS (SELECT doc_id, len(shingles) AS n FROM sh),
-       |ex AS (SELECT doc_id, unnest(shingles) AS g FROM sh),
-       |shared AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
-       |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
-       |  GROUP BY 1, 2),
-       |pairs AS (SELECT doc_a, doc_b FROM shared
-       |  JOIN sz sa ON sa.doc_id = shared.doc_a
-       |  JOIN sz sb ON sb.doc_id = shared.doc_b
-       |  WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.05),
-       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
-       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
-       |walk(id, lbl) AS (
-       |  SELECT src, src FROM edges
-       |  UNION
-       |  SELECT e.src, w.lbl FROM walk w JOIN edges e ON e.dst = w.id),
-       |cl AS (SELECT id AS doc_id, MIN(lbl) AS cluster_id FROM walk GROUP BY 1),
-       |q AS (SELECT doc_id,
-       |  (len(list_distinct(string_split(text, ' '))) * 1.0 / len(string_split(text, ' '))) * 0.5
-       |    + LEAST((len(list_filter(string_split(text, ' '), x -> x IN ('the','a','and','of','is'))) * 1.0
-       |        / len(string_split(text, ' '))) * 4.0, 1.0) * 0.3
-       |    + (1.0 - LEAST((len(regexp_extract_all(text, '[^a-z0-9 ]')) * 1.0 / length(text)) * 10.0, 1.0)) * 0.2
-       |    AS q
-       |  FROM documents),
-       |j AS (SELECT cl.cluster_id, cl.doc_id, q.q FROM cl JOIN q USING (doc_id)),
-       |r AS (SELECT cluster_id, doc_id,
-       |        ROW_NUMBER() OVER (PARTITION BY cluster_id ORDER BY q DESC, doc_id) AS rk
-       |      FROM j)
-       |SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
-       |  MIN(CASE WHEN rk = 1 THEN doc_id END) AS keeper_id,
-       |  CAST(COUNT(*) - 1 AS BIGINT) AS n_dropped
-       |FROM r GROUP BY cluster_id ORDER BY cluster_id""".stripMargin
-
-  /** Normalization-aware exact dedup: documents hash AFTER lowercasing,
-    * punctuation stripping, and whitespace collapse — the cheap
-    * canonicalization that catches trivially-reformatted copies plain
-    * content hashing misses. Emits the audit delta: raw-distinct vs
-    * normalized-distinct (the extra merges are the near-free wins
-    * before any MinHash machinery runs). Shuffles hashes only. */
-  private def dedupNormalized(s: SparkSession, dir: String): DataFrame = {
-    val norm = trim(regexp_replace(
-      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
-    Tables.documents(s, dir)
-      .select(md5(col("text")).as("h_raw"), md5(norm).as("h_norm"))
-      .agg(count(lit(1)).as("n_docs"),
-        countDistinct(col("h_raw")).as("n_raw_distinct"),
-        countDistinct(col("h_norm")).as("n_norm_distinct"))
-      .withColumn("n_extra_merged", col("n_raw_distinct") - col("n_norm_distinct"))
-  }
-
-  private val dedupNormalizedSql =
-    """WITH h AS (SELECT md5(text) AS h_raw,
-      |  md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
-      |                          ' +', ' ', 'g'))) AS h_norm
-      |  FROM documents)
-      |SELECT COUNT(*) AS n_docs,
-      |  COUNT(DISTINCT h_raw) AS n_raw_distinct,
-      |  COUNT(DISTINCT h_norm) AS n_norm_distinct,
-      |  CAST(COUNT(DISTINCT h_raw) - COUNT(DISTINCT h_norm) AS BIGINT) AS n_extra_merged
-      |FROM h""".stripMargin
-
-  /** Experiment power readout — the minimum detectable effect at
-    * 80% power / 95% confidence for the CURRENT variant sizes and
-    * pooled conversion (the "is this test even worth running longer"
-    * answer, computed alongside [[anAbtest]]/[[anAbSrm]]):
-    * MDE = (z_α/2 + z_β)·√(2·p̂(1−p̂)/n̄). Constants and one shared
-    * IEEE sqrt ⇒ bit-identical, no rounding. */
-  private def anPower(s: SparkSession, dir: String): DataFrame = {
-    val mdeExpr =
-      """(1.959963985 + 0.841621234)
-        | * sqrt(2.0 * (CAST(c1+c2 AS DOUBLE)/CAST(n1+n2 AS DOUBLE))
-        |             * (1.0 - CAST(c1+c2 AS DOUBLE)/CAST(n1+n2 AS DOUBLE))
-        |             / (CAST(n1+n2 AS DOUBLE) / 2.0))""".stripMargin
-    Tables.events(s, dir)
-      .groupBy(col("user_id"))
-      .agg(max((col("event_type") === "purchase" && col("value") >= 100.0)
-        .cast("long")).as("conv"))
-      .groupBy((col("user_id") % 2).as("variant"))
-      .agg(count(lit(1)).as("n"), sum("conv").as("c"))
-      .agg(sum(when(col("variant") === 0, col("n"))).as("n1"),
-        sum(when(col("variant") === 0, col("c"))).as("c1"),
-        sum(when(col("variant") === 1, col("n"))).as("n2"),
-        sum(when(col("variant") === 1, col("c"))).as("c2"))
-      .withColumn("p_pool", expr("CAST(c1+c2 AS DOUBLE)/CAST(n1+n2 AS DOUBLE)"))
-      .withColumn("mde", expr(mdeExpr))
-  }
-
-  private val anPowerSql =
-    """WITH u AS (SELECT user_id,
-      |             MAX(CASE WHEN event_type = 'purchase' AND value >= 100.0
-      |                 THEN 1 ELSE 0 END) AS conv
-      |           FROM events GROUP BY user_id),
-      |v AS (SELECT user_id % 2 AS variant, COUNT(*) AS n, CAST(SUM(conv) AS BIGINT) AS c
-      |      FROM u GROUP BY 1),
-      |w AS (SELECT
-      |        CAST(SUM(CASE WHEN variant = 0 THEN n END) AS BIGINT) AS n1,
-      |        CAST(SUM(CASE WHEN variant = 0 THEN c END) AS BIGINT) AS c1,
-      |        CAST(SUM(CASE WHEN variant = 1 THEN n END) AS BIGINT) AS n2,
-      |        CAST(SUM(CASE WHEN variant = 1 THEN c END) AS BIGINT) AS c2
-      |      FROM v)
-      |SELECT n1, c1, n2, c2,
-      |  CAST(c1+c2 AS DOUBLE)/CAST(n1+n2 AS DOUBLE) AS p_pool,
-      |  (1.959963985 + 0.841621234)
-      |  * sqrt(2.0 * (CAST(c1+c2 AS DOUBLE)/CAST(n1+n2 AS DOUBLE))
-      |              * (1.0 - CAST(c1+c2 AS DOUBLE)/CAST(n1+n2 AS DOUBLE))
-      |              / (CAST(n1+n2 AS DOUBLE) / 2.0)) AS mde
-      |FROM w""".stripMargin
-
-  /** Weekday × hour activity heatmap (the ops-dashboard staple): event
-    * counts and exact money volume per (ISO weekday, hour-of-day) cell.
-    * One groupBy on a 7×24-bounded key. */
-  private def anHeatmap(s: SparkSession, dir: String): DataFrame =
-    Tables.events(s, dir)
-      .groupBy((weekday(col("ts")) + 1).cast("long").as("dow"),
-        hour(col("ts")).cast("long").as("hod"))
-      .agg(count(lit(1)).as("n"), moneySum(col("value")).as("volume"))
-      .orderBy("dow", "hod")
-
-  private val anHeatmapSql =
-    s"""SELECT CAST(isodow(CAST(ts AS DATE)) AS BIGINT) AS dow,
-       |  CAST(hour(ts) AS BIGINT) AS hod,
-       |  COUNT(*) AS n, ${moneySumSql("value")} AS volume
-       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
-
-  /** New-vs-returning daily split (the growth dashboard's second
-    * line after [[anUserGrowth]]): per active (user, day), new iff the
-    * day is the user's first-seen day; one distinct pass, one join
-    * back on user_id, one day rollup. */
-  private def anNewReturning(s: SparkSession, dir: String): DataFrame = {
-    val ud = Tables.events(s, dir)
-      .select(date_trunc("day", col("ts")).as("day"), col("user_id")).distinct()
-    val first = ud.groupBy("user_id").agg(min("day").as("first_day"))
-    ud.join(first, "user_id")
-      .groupBy("day")
-      .agg(sum((col("day") === col("first_day")).cast("long")).as("n_new"),
-        sum((col("day") =!= col("first_day")).cast("long")).as("n_returning"))
-      .orderBy("day")
-  }
-
-  private val anNewReturningSql =
-    """WITH ud AS (SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events),
-      |f AS (SELECT user_id, MIN(day) AS first_day FROM ud GROUP BY user_id)
-      |SELECT day,
-      |  CAST(SUM(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
-      |  CAST(SUM(CASE WHEN day <> first_day THEN 1 ELSE 0 END) AS BIGINT) AS n_returning
-      |FROM ud JOIN f USING (user_id) GROUP BY day ORDER BY day""".stripMargin
-
-  /** View→purchase conversion-lag histogram: per converting user, the
-    * whole days between the first view and the first purchase at or
-    * after it, bucketed — the funnel-latency readout that tells a
-    * growth team whether conversion is an impulse or a deliberation.
-    * Integer day arithmetic on the shared millisecond timestamps. */
-  private def anConversionLag(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(s, dir).select("user_id", "event_type", "ts")
-    val v = ev.groupBy("user_id")
-      .agg(min(when(col("event_type") === "view", col("ts"))).as("v_ts"))
-    val p = ev.join(v, "user_id")
-      .groupBy(col("user_id"), col("v_ts"))
-      .agg(min(when(col("event_type") === "purchase" && col("ts") >= col("v_ts"), col("ts")))
-        .as("p_ts"))
-      .filter(col("v_ts").isNotNull && col("p_ts").isNotNull)
-    p.groupBy(datediff(col("p_ts").cast("date"), col("v_ts").cast("date"))
-        .cast("long").as("lag_days"))
-      .agg(count(lit(1)).as("n_users"))
-      .orderBy("lag_days")
-  }
-
-  private val anConversionLagSql =
-    """WITH v AS (SELECT user_id, MIN(CASE WHEN event_type = 'view' THEN ts END) AS v_ts
-      |           FROM events GROUP BY user_id),
-      |p AS (SELECT e.user_id, v.v_ts,
-      |        MIN(CASE WHEN e.event_type = 'purchase' AND e.ts >= v.v_ts THEN e.ts END) AS p_ts
-      |      FROM events e JOIN v USING (user_id)
-      |      GROUP BY e.user_id, v.v_ts)
-      |SELECT CAST(date_diff('day', CAST(v_ts AS DATE), CAST(p_ts AS DATE)) AS BIGINT) AS lag_days,
-      |       COUNT(*) AS n_users
-      |FROM p WHERE v_ts IS NOT NULL AND p_ts IS NOT NULL
-      |GROUP BY 1 ORDER BY 1""".stripMargin
-
-  /** Partition-layout audit before a partitioned write: row counts per
-    * candidate partition value (order month), the size envelope, and
-    * the skew ratio max/avg — the number that says whether this
-    * partitioning produces one elephant task at 100 TB. One bounded-key
-    * groupBy plus a summary aggregate. */
-  private def etlPartitionAudit(s: SparkSession, dir: String): DataFrame = {
-    val perPart = Tables.orders(s, dir)
-      .groupBy(date_trunc("month", col("o_orderdate")).as("part"))
-      .agg(count(lit(1)).as("rows"))
-    perPart.agg(count(lit(1)).as("n_partitions"),
-        min("rows").as("rows_min"), max("rows").as("rows_max"),
-        sum("rows").as("rows_total"))
-      .withColumn("skew_ratio", expr(
-        "CAST(rows_max AS DOUBLE) * CAST(n_partitions AS DOUBLE) / CAST(rows_total AS DOUBLE)"))
-  }
-
-  private val etlPartitionAuditSql =
-    """WITH p AS (SELECT date_trunc('month', o_orderdate) AS part, COUNT(*) AS rows
-      |           FROM orders GROUP BY 1)
-      |SELECT COUNT(*) AS n_partitions, MIN(rows) AS rows_min, MAX(rows) AS rows_max,
-      |  CAST(SUM(rows) AS BIGINT) AS rows_total,
-      |  CAST(MAX(rows) AS DOUBLE) * CAST(COUNT(*) AS DOUBLE) / CAST(SUM(rows) AS DOUBLE) AS skew_ratio
-      |FROM p""".stripMargin
-
-  /** Market-basket pair affinity: parts bought together in an order,
-    * top pairs by co-occurrence with LIFT (P(ab)/(P(a)·P(b)) — the
-    * "is this pairing real or just two popular items" correction).
-    * Pair explosion is bounded by lines-per-order² (order-local
-    * self-join on the order key, never a corpus cross join); item
-    * marginals broadcast back. Counts exact; lift is one shared
-    * double expression. */
-  private def anBasket(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(s, dir)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
-    val tot = li.agg(countDistinct(col("ok")).as("n_orders"))
-    val pairs = li.as("a").join(li.as("b"),
-        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-      .groupBy(col("a.pk").as("part_a"), col("b.pk").as("part_b"))
-      .agg(count(lit(1)).as("n_ab"))
-    val marg = li.groupBy(col("pk")).agg(count(lit(1)).as("n_one"))
-    pairs
-      .join(broadcast(marg.select(col("pk").as("part_a"), col("n_one").as("n_a"))), "part_a")
-      .join(broadcast(marg.select(col("pk").as("part_b"), col("n_one").as("n_b"))), "part_b")
-      .orderBy(col("n_ab").desc, col("part_a"), col("part_b")).limit(20)
-      .crossJoin(broadcast(tot))
-      .select(col("part_a"), col("part_b"), col("n_ab"), col("n_a"), col("n_b"),
-        expr("CAST(n_ab AS DOUBLE) * CAST(n_orders AS DOUBLE) / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))")
-          .as("lift"))
-  }
-
-  private val anBasketSql =
-    """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
-      |t AS (SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n_orders FROM li),
-      |p AS (SELECT a.pk AS part_a, b.pk AS part_b, COUNT(*) AS n_ab
-      |      FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
-      |      GROUP BY 1, 2),
-      |m AS (SELECT pk, COUNT(*) AS n_one FROM li GROUP BY pk),
-      |top AS (SELECT part_a, part_b, n_ab FROM p
-      |        ORDER BY n_ab DESC, part_a, part_b LIMIT 20)
-      |SELECT part_a, part_b, n_ab, ma.n_one AS n_a, mb.n_one AS n_b,
-      |  CAST(n_ab AS DOUBLE) * CAST(n_orders AS DOUBLE)
-      |    / (CAST(ma.n_one AS DOUBLE) * CAST(mb.n_one AS DOUBLE)) AS lift
-      |FROM top JOIN m ma ON top.part_a = ma.pk
-      |         JOIN m mb ON top.part_b = mb.pk, t
-      |ORDER BY n_ab DESC, part_a, part_b""".stripMargin
-
-  /** Dedup threshold tuning curve: how many near-dup pairs each Jaccard
-    * cutoff would keep — computed in ONE pass over the pair list (pairs
-    * explode into every threshold at or below their similarity), so
-    * choosing τ costs one scan instead of re-running the dedup per
-    * candidate. The curve is monotone by construction (spec). */
-  private def dedupThresholdSweep(s: SparkSession, dir: String): DataFrame = {
-    val pairs = graft.dedup.Dedup.ngramJaccardPairs(
-      Tables.documents(s, dir), "text", "doc_id", k = 3, tau = 0.05)
-    pairs
-      .select(explode(expr(
-        "filter(array(0.05D, 0.1D, 0.2D, 0.3D, 0.4D, 0.5D), t -> jaccard >= t)"))
-        .as("threshold"))
-      .groupBy("threshold").agg(count(lit(1)).as("n_pairs"))
-      .orderBy("threshold")
-  }
-
-  private val dedupThresholdSweepSql =
-    s"""WITH sh AS ($duckShingles),
-       |pairs AS (SELECT len(list_intersect(a.shingles, b.shingles)) * 1.0 /
-       |    (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) AS jaccard
-       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
-       |k AS (SELECT UNNEST(list_filter([0.05, 0.1, 0.2, 0.3, 0.4, 0.5], t -> jaccard >= t))
-       |        AS threshold
-       |      FROM pairs WHERE jaccard >= 0.05)
-       |SELECT threshold, COUNT(*) AS n_pairs
-       |FROM k GROUP BY threshold ORDER BY threshold""".stripMargin
-
-  /** Pareto concentration readout — "how few customers cover 50/80/90%
-    * of revenue": customers ranked by spend DESCENDING through the
-    * [[graft.operators.PrefixSum]] scan (order key (−spend, custkey) —
-    * unique, so ranks are well-defined), each target share answered by
-    * its integer-exact crossing row (cum·100 ⋛ t·total — no division
-    * until the emitted percentage). The 80/20 rule, measured. */
-  private def anPareto(s: SparkSession, dir: String): DataFrame = {
-    val spend = Tables.orders(s, dir)
-      .groupBy(col("o_custkey"))
-      .agg((sum(col("o_totalprice").cast("decimal(24,8)")).cast("decimal(24,2)") * 100)
-        .cast("bigint").as("x"))
-      .withColumn("neg", -col("x"))
-    val scan = graft.operators.PrefixSum
-      .withRunningTotals(spend, Seq("neg", "o_custkey"), Seq("x"))
-    val tot = spend.agg(count(lit(1)).as("n"), sum("x").as("s"))
-    scan.crossJoin(broadcast(tot))
-      .select(col("rn"), col("x"), col("x_cum"), col("n"), col("s"),
-        explode(array(lit(50L), lit(80L), lit(90L))).as("target_pct"))
-      .filter(col("x_cum") * 100 >= col("target_pct") * col("s") &&
-        (col("x_cum") - col("x")) * 100 < col("target_pct") * col("s"))
-      .select(col("target_pct"), col("rn").as("n_customers"), col("n"),
-        (col("rn").cast("double") / col("n").cast("double")).as("pct_customers"))
-      .orderBy("target_pct")
-  }
-
-  private val anParetoSql =
-    """WITH spend AS (SELECT o_custkey,
-      |    CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(24,8))), 2) * 100 AS BIGINT) AS x
-      |  FROM orders GROUP BY o_custkey),
-      |r AS (SELECT x, ROW_NUMBER() OVER (ORDER BY -x, o_custkey) AS rn,
-      |             CAST(SUM(x) OVER (ORDER BY -x, o_custkey) AS BIGINT) AS x_cum
-      |      FROM spend),
-      |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS s FROM spend),
-      |k AS (SELECT UNNEST([CAST(50 AS BIGINT), 80, 90]) AS target_pct)
-      |SELECT target_pct, CAST(rn AS BIGINT) AS n_customers, n,
-      |       CAST(rn AS DOUBLE) / CAST(n AS DOUBLE) AS pct_customers
-      |FROM r, t, k
-      |WHERE x_cum * 100 >= target_pct * s AND (x_cum - x) * 100 < target_pct * s
-      |ORDER BY target_pct""".stripMargin
-
-  /** Cross-source contamination matrix — which corpus sources
-    * near-duplicate each other (the curation question behind source
-    * weighting and decontamination): undirected (source, source) pair
-    * counts over the exact Jaccard near-dup list. Pair list is the
-    * shared sub-quadratic builder; the doc→source join is
-    * broadcast-sized. */
-  private def dedupSourceMatrix(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
-    val pairs = graft.dedup.Dedup.ngramJaccardPairs(docs, "text", "doc_id", k = 3, tau = 0.05)
-    val src = docs.select(col("doc_id"), col("source"))
-    pairs
-      .join(broadcast(src.select(col("doc_id").as("doc_a"), col("source").as("sa"))), "doc_a")
-      .join(broadcast(src.select(col("doc_id").as("doc_b"), col("source").as("sb"))), "doc_b")
-      .groupBy(least(col("sa"), col("sb")).as("source_x"),
-        greatest(col("sa"), col("sb")).as("source_y"))
-      .agg(count(lit(1)).as("n_pairs"))
-      .orderBy("source_x", "source_y")
-  }
-
-  private val dedupSourceMatrixSql =
-    s"""WITH sh AS ($duckShingles),
-       |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-       |  WHERE len(list_intersect(a.shingles, b.shingles)) * 1.0 /
-       |    (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) >= 0.05)
-       |SELECT LEAST(da.source, db.source) AS source_x,
-       |       GREATEST(da.source, db.source) AS source_y,
-       |       COUNT(*) AS n_pairs
-       |FROM pairs JOIN documents da ON pairs.doc_a = da.doc_id
-       |           JOIN documents db ON pairs.doc_b = db.doc_id
-       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
-
-  /** Column-level profile drift between the reference and current
-    * windows (the table-health companion to [[anKsDrift]]/
-    * [[anChi2Drift]]'s distribution tests): row counts, distinct
-    * cardinalities of the categorical columns, and the exact-cents
-    * price mean, each emitted as (metric, ref, cur, rel_delta) rows.
-    * One aggregate per window over the fact table; the report is
-    * metric-count-sized. Means divide exact integers in shared IEEE
-    * doubles; rel_delta = cur/ref − 1. */
-  private def anProfileDrift(s: SparkSession, dir: String): DataFrame = {
-    def profile(label: String, f: Column): DataFrame =
-      Tables.orders(s, dir).filter(f)
-        .agg(count(lit(1)).cast("double").as("n_rows"),
-          countDistinct(col("o_orderpriority")).cast("double").as("nd_priority"),
-          countDistinct(col("o_orderstatus")).cast("double").as("nd_status"),
-          (sum((col("o_totalprice").cast("decimal(24,2)") * 100).cast("bigint"))
-            .cast("double") / count(lit(1)).cast("double")).as("mean_cents"))
-        .select(explode(expr(
-          """array(struct('n_rows' AS metric, n_rows AS v),
-            |      struct('nd_priority' AS metric, nd_priority AS v),
-            |      struct('nd_status' AS metric, nd_status AS v),
-            |      struct('mean_cents' AS metric, mean_cents AS v))""".stripMargin)).as(label))
-        .select(col(s"$label.metric").as("metric"), col(s"$label.v").as(label))
-    val split = lit("1998-01-01").cast("timestamp")
-    profile("ref", col("o_orderdate") < split)
-      .join(profile("cur", col("o_orderdate") >= split), "metric")
-      .withColumn("rel_delta", expr("cur / ref - 1.0"))
-      .orderBy("metric")
-  }
-
-  private val anProfileDriftSql = {
-    def win(label: String, cond: String) =
-      s"""SELECT m AS metric, v AS $label FROM (
-         |  SELECT UNNEST(['n_rows', 'nd_priority', 'nd_status', 'mean_cents']) AS m,
-         |         UNNEST([CAST(COUNT(*) AS DOUBLE),
-         |                 CAST(COUNT(DISTINCT o_orderpriority) AS DOUBLE),
-         |                 CAST(COUNT(DISTINCT o_orderstatus) AS DOUBLE),
-         |                 CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(24,2)) * 100 AS BIGINT)) AS DOUBLE)
-         |                   / CAST(COUNT(*) AS DOUBLE)]) AS v
-         |  FROM orders WHERE $cond)""".stripMargin
-    s"""WITH r AS (${win("ref", "o_orderdate < TIMESTAMP '1998-01-01'")}),
-       |c AS (${win("cur", "o_orderdate >= TIMESTAMP '1998-01-01'")})
-       |SELECT metric, ref, cur, cur / ref - 1.0 AS rel_delta
-       |FROM r JOIN c USING (metric) ORDER BY metric""".stripMargin
-  }
-
-  /** Inter-purchase interval histogram (repeat-purchase cadence): per
-    * user, the whole days between consecutive purchases (partitioned
-    * lag window, (ts, event_id) tie-break), rolled into a global gap
-    * histogram — the "how often do buyers come back" readout. */
-  private def anRepeatPurchase(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    Tables.events(s, dir)
-      .filter(col("event_type") === "purchase")
-      .select(col("user_id"), col("ts"), col("event_id"))
-      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
-      .filter(col("prev_ts").isNotNull)
-      .groupBy(datediff(col("ts").cast("date"), col("prev_ts").cast("date"))
-        .cast("long").as("gap_days"))
-      .agg(count(lit(1)).as("n_gaps"))
-      .orderBy("gap_days")
-  }
-
-  private val anRepeatPurchaseSql =
-    """WITH p AS (SELECT user_id, ts, event_id,
-      |             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
-      |           FROM events WHERE event_type = 'purchase')
-      |SELECT CAST(date_diff('day', CAST(prev_ts AS DATE), CAST(ts AS DATE)) AS BIGINT) AS gap_days,
-      |       COUNT(*) AS n_gaps
-      |FROM p WHERE prev_ts IS NOT NULL
-      |GROUP BY 1 ORDER BY 1""".stripMargin
-
-  /** Month-over-month revenue growth per priority segment: exact-cents
-    * monthly rollup, previous month from a SEGMENT-partitioned lag
-    * window (never a global spine), growth as one shared division.
-    * First months are not emitted (no baseline). */
-  private def qMomGrowth(s: SparkSession, dir: String): DataFrame = {
-    val monthly = Tables.orders(s, dir)
-      .groupBy(col("o_orderpriority").as("seg"),
-        date_trunc("month", col("o_orderdate")).as("month"))
-      .agg((sum(col("o_totalprice").cast("decimal(24,8)")).cast("decimal(24,2)") * 100)
-        .cast("bigint").as("rev_c"))
-    val w = Window.partitionBy("seg").orderBy("month")
-    monthly
-      .withColumn("prev_c", lag(col("rev_c"), 1).over(w))
-      .filter(col("prev_c").isNotNull)
-      .select(col("seg"), col("month"), col("rev_c"), col("prev_c"),
-        (col("rev_c").cast("double") / col("prev_c").cast("double") - 1.0).as("growth"))
-      .orderBy("seg", "month")
-  }
-
-  private val qMomGrowthSql =
-    """WITH m AS (SELECT o_orderpriority AS seg, date_trunc('month', o_orderdate) AS month,
-      |    CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(24,8))), 2) * 100 AS BIGINT) AS rev_c
-      |  FROM orders GROUP BY 1, 2),
-      |l AS (SELECT seg, month, rev_c,
-      |        LAG(rev_c) OVER (PARTITION BY seg ORDER BY month) AS prev_c
-      |      FROM m)
-      |SELECT seg, month, rev_c, prev_c,
-      |       CAST(rev_c AS DOUBLE) / CAST(prev_c AS DOUBLE) - 1.0 AS growth
-      |FROM l WHERE prev_c IS NOT NULL ORDER BY seg, month""".stripMargin
-
-  /** CDC log compaction — the change-capture primitive every lakehouse
-    * ingest needs: a log of I/U/D operations with per-key sequence
-    * numbers collapses to latest-op-wins final state, deletes drop the
-    * key entirely. The log is MANUFACTURED deterministically from
-    * orders (inserts = all keys; updates flip every 5th key to status
-    * 'U' at seq 2; deletes remove every 7th key at seq 3), compaction
-    * is one row_number window over (key, seq desc) — a single exchange
-    * on the key, the upsertParquet/q_merge_latest execution shape —
-    * and the digest aggregates the SURVIVING state per status, so
-    * op precedence, delete semantics, and the seq tie-break are all
-    * hash-verified. At 100 TB: shuffle carries (key, seq, op, status,
-    * cents) — never full rows of a wide table. */
-  private def etlCdcCompact(s: SparkSession, dir: String): DataFrame = {
-    val o = Tables.orders(s, dir).select(col("o_orderkey").as("k"),
-      col("o_orderstatus").as("st"),
-      (col("o_totalprice").cast("decimal(24,2)") * 100).cast("bigint").as("cents"))
-    val ins = o.select(col("k"), lit(1L).as("seq"), lit("I").as("op"),
-      col("st"), col("cents"))
-    val upd = o.filter(col("k") % 5 === 0).select(col("k"), lit(2L).as("seq"),
-      lit("U").as("op"), lit("U").as("st"), (col("cents") + 100L).as("cents"))
-    val del = o.filter(col("k") % 7 === 0).select(col("k"), lit(3L).as("seq"),
-      lit("D").as("op"), lit(null).cast("string").as("st"),
-      lit(null).cast("bigint").as("cents"))
-    val log = ins.unionByName(upd).unionByName(del)
-    val w = Window.partitionBy(col("k")).orderBy(col("seq").desc)
-    log.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1 && col("op") =!= "D")
-      .groupBy(col("st"))
-      .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents_sum"),
-        sum(col("k")).as("key_sum"))
-      .orderBy(col("st"))
-  }
-
-  private val etlCdcCompactSql =
-    """WITH o AS (SELECT o_orderkey AS k, o_orderstatus AS st,
-      |                  CAST(CAST(o_totalprice AS DECIMAL(24,2)) * 100 AS BIGINT) AS cents
-      |           FROM orders),
-      |log AS (
-      |  SELECT k, CAST(1 AS BIGINT) AS seq, 'I' AS op, st, cents FROM o
-      |  UNION ALL
-      |  SELECT k, 2, 'U', 'U', cents + 100 FROM o WHERE k % 5 = 0
-      |  UNION ALL
-      |  SELECT k, 3, 'D', NULL, NULL FROM o WHERE k % 7 = 0),
-      |latest AS (
-      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
-      |  FROM log)
-      |SELECT st, COUNT(*) AS n,
-      |       CAST(SUM(cents) AS BIGINT) AS cents_sum,
-      |       CAST(SUM(k) AS BIGINT) AS key_sum
-      |FROM latest WHERE rn = 1 AND op <> 'D'
-      |GROUP BY st ORDER BY st""".stripMargin
-
-  /** SCD2 dimension lookup — the fact-side counterpart of [[etlScd2]]:
-    * facts join the slowly-changing dimension AT THEIR OWN EVENT TIME
-    * (interval membership against [valid_from, valid_to)), not at the
-    * dimension's latest state. The versioned dimension is built
-    * deterministically (every 4th customer changes segment to
-    * 'MOVED-<old>' on 1995-07-01; others carry one open-ended
-    * version), and the join is an equi-join on custkey + a range
-    * filter on the date — at scale ONE shuffle on the key, never a
-    * range-only join, because the key carries the co-location and the
-    * interval predicate prunes per-row (the classic late-arriving-fact
-    * lookup). The digest groups revenue by the segment THE FACT SAW,
-    * so version selection is what's hash-verified. */
-  private def qScd2Lookup(s: SparkSession, dir: String): DataFrame = {
-    val cut = ts("1995-07-01")
-    val cust = Tables.customer(s, dir).select(col("c_custkey"), col("c_mktsegment"))
-    val v1 = cust.select(col("c_custkey"), col("c_mktsegment").as("seg"),
-      ts("1990-01-01").as("vfrom"),
-      when(col("c_custkey") % 4 === 0, cut).otherwise(ts("2999-01-01")).as("vto"))
-    val v2 = cust.filter(col("c_custkey") % 4 === 0)
-      .select(col("c_custkey"), concat(lit("MOVED-"), col("c_mktsegment")).as("seg"),
-        cut.as("vfrom"), ts("2999-01-01").as("vto"))
-    val dim = v1.unionByName(v2)
-    Tables.orders(s, dir)
-      .join(dim, col("o_custkey") === col("c_custkey")
-        && col("o_orderdate") >= col("vfrom") && col("o_orderdate") < col("vto"))
-      .groupBy(col("seg"))
-      .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("revenue"),
-        sum(col("o_orderkey")).as("key_sum"))
-      .orderBy(col("seg"))
-  }
-
-  private val qScd2LookupSql =
-    s"""WITH v1 AS (SELECT c_custkey, c_mktsegment AS seg,
-       |             TIMESTAMP '1990-01-01' AS vfrom,
-       |             CASE WHEN c_custkey % 4 = 0 THEN TIMESTAMP '1995-07-01'
-       |                  ELSE TIMESTAMP '2999-01-01' END AS vto
-       |            FROM customer),
-       |v2 AS (SELECT c_custkey, 'MOVED-' || c_mktsegment AS seg,
-       |              TIMESTAMP '1995-07-01' AS vfrom, TIMESTAMP '2999-01-01' AS vto
-       |       FROM customer WHERE c_custkey % 4 = 0),
-       |dim AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
-       |SELECT seg, COUNT(*) AS n, ${moneySumSql("o_totalprice")} AS revenue,
-       |       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
-       |FROM orders JOIN dim ON o_custkey = c_custkey
-       |  AND o_orderdate >= vfrom AND o_orderdate < vto
-       |GROUP BY seg ORDER BY seg""".stripMargin
-
-  /** Exact WEIGHTED median per group — the robust center of a weighted
-    * distribution (price weighted by shipped quantity): the value at
-    * weight-rank ⌈W/2⌉ / ⌊W/2⌋+1, computed by [[groupedMedian2]] with
-    * integer quantity weights as the counts — the same distinct-value
-    * + PrefixSum order-statistic scan, zero value-buffering state.
-    * Emitted in doubled units → exact at 6 dp. */
-  private def anWeightedMedian(s: SparkSession, dir: String): DataFrame = {
-    val raw = Tables.lineitem(s, dir)
-      .select(col("l_returnflag").as("g"),
-        (col("l_extendedprice").cast("decimal(24,2)") * 100).cast("bigint").as("v"),
-        col("l_quantity").cast("bigint").as("w"))
-    // raw-row scan with weight run-sums (sumCols): same hit logic as
-    // [[groupedMedian2]] but cnt/cum are WEIGHTS, and the no-reduction
-    // distinct-value groupBy over near-unique prices is gone
-    val scan = graft.operators.PrefixSum.distinctRunningCounts(
-      raw, Seq("g", "v"), sumCols = Seq("w"))
-    val wOff = Window.orderBy(col("g")).rowsBetween(Window.unboundedPreceding, -1)
-    val probes = raw.groupBy(col("g")).agg(sum(col("w")).as("n"))
-      .withColumn("off", coalesce(sum("n").over(wOff), lit(0L)))
-      .withColumn("k_lo", expr("(n + 1) div 2"))
-      .withColumn("k_hi", expr("n div 2 + 1"))
-    val hitLo = col("cum") >= col("k_lo") && col("cum") - col("w") < col("k_lo")
-    val hitHi = col("cum") >= col("k_hi") && col("cum") - col("w") < col("k_hi")
-    scan.join(broadcast(probes), Seq("g"))
-      .withColumn("cum", col("w_cum") - col("off"))
-      .filter(hitLo || hitHi)
-      .groupBy(col("g"))
-      .agg((max(when(hitLo, col("v"))) + max(when(hitHi, col("v")))).as("med2"),
-        first(col("n")).as("n"))
-      .select(col("g").as("l_returnflag"), col("n").as("total_weight"),
-        round(col("med2").cast("double") / 200.0, 6).as("wmedian"))
-      .orderBy(col("l_returnflag"))
-  }
-
-  private val anWeightedMedianSql =
-    """WITH b AS (SELECT l_returnflag AS g,
-      |                  CAST(CAST(l_extendedprice AS DECIMAL(24,2)) * 100 AS BIGINT) AS v,
-      |                  CAST(l_quantity AS BIGINT) AS w
-      |           FROM lineitem),
-      |pv AS (SELECT g, v, CAST(SUM(w) AS BIGINT) AS cnt FROM b GROUP BY 1, 2),
-      |cv AS (SELECT g, v, cnt, CAST(SUM(cnt) OVER (PARTITION BY g ORDER BY v) AS BIGINT) AS cum
-      |       FROM pv),
-      |tv AS (SELECT g, CAST(SUM(cnt) AS BIGINT) AS n FROM pv GROUP BY g)
-      |SELECT c.g AS l_returnflag, MAX(n) AS total_weight,
-      |  ROUND(CAST(MAX(CASE WHEN cum >= (n+1)//2 AND cum - cnt < (n+1)//2 THEN v END)
-      |           + MAX(CASE WHEN cum >= n//2+1 AND cum - cnt < n//2+1 THEN v END)
-      |        AS DOUBLE) / 200.0, 6) AS wmedian
-      |FROM cv c JOIN tv USING (g) GROUP BY c.g ORDER BY c.g""".stripMargin
-
-  /** Sweep-line concurrency — "how many sessions are open at once",
-    * the capacity-planning primitive window functions can't express
-    * directly at scale: each event holds a slot for one hour, the
-    * hold becomes a +1 delta at its start and a −1 at its end, and
-    * the running sum of deltas over the GLOBAL time order — the
-    * [[graft.operators.PrefixSum]] distributed scan, not a
-    * single-partition window — is the concurrency curve; per day,
-    * emit the max and the closing value. Tie order (t, delta, event
-    * id) closes holds BEFORE opening new ones at the same instant, so
-    * touching holds never double-count — and makes the scan's order
-    * key unique, its determinism contract. Pure integers end-to-end. */
-  private def anConcurrency(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(s, dir)
-      .select(unix_micros(col("ts")).as("t"), col("event_id"))
-    val deltas = ev.select(col("t"), lit(1L).as("d"), col("event_id"))
-      .unionByName(ev.select((col("t") + 3600000000L).as("t"),
-        lit(-1L).as("d"), col("event_id")))
-    val scan = graft.operators.PrefixSum
-      .withRunningTotals(deltas, Seq("t", "d", "event_id"), Seq("d"))
-    scan.groupBy(date_trunc("day", timestamp_micros(col("t"))).as("day"))
-      .agg(max(col("d_cum")).as("max_conc"), min(col("d_cum")).as("min_conc"),
-        count(lit(1)).as("n_points"))
-      .orderBy(col("day"))
-  }
-
-  private val anConcurrencySql =
-    """WITH ev AS (SELECT epoch_us(ts) AS t, event_id FROM events),
-      |d AS (SELECT t, CAST(1 AS BIGINT) AS d, event_id FROM ev
-      |      UNION ALL
-      |      SELECT t + 3600000000, -1, event_id FROM ev),
-      |c AS (SELECT t, CAST(SUM(d) OVER (ORDER BY t, d, event_id) AS BIGINT) AS run
-      |      FROM d)
-      |SELECT date_trunc('day', make_timestamp(t)) AS day,
-      |       MAX(run) AS max_conc, MIN(run) AS min_conc, COUNT(*) AS n_points
-      |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
-
-  /** Linear revenue attribution — each user's purchase value is split
-    * equally across their view/click touchpoints, INTEGER-EXACT: per
-    * touch floor(V/k) cents with the remainder V mod k credited to the
-    * user's earliest touch (deterministic tie-break on (ts, event id)),
-    * so total credited cents reconcile to total purchase cents
-    * EXACTLY — the audit property float attribution can't give. Users
-    * with purchases but no touchpoints land in a '(none)' bucket, so
-    * the reconciliation covers every cent. Per-user aggregates + one
-    * per-user window; shuffles on user_id only. */
-  private def anAttribution(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(s, dir).select(col("user_id"), col("event_id"),
-      col("ts"), col("event_type"),
-      (col("value").cast("decimal(24,2)") * 100).cast("bigint").as("cents"))
-    val v = ev.filter(col("event_type") === "purchase")
-      .groupBy(col("user_id")).agg(sum(col("cents")).as("v"))
-    val touches = ev.filter(col("event_type").isin("view", "click"))
-      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
-    val k = touches.groupBy(col("user_id")).agg(count(lit(1)).as("k"))
-    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    val credited = touches.join(v, "user_id").join(k, "user_id")
-      .withColumn("rn", row_number().over(w))
-      .select(col("event_type"),
-        (expr("v div k") + when(col("rn") === 1, col("v") % col("k"))
-          .otherwise(0L)).as("credit"))
-    val untouched = v.join(k, Seq("user_id"), "left_anti")
-      .select(lit("(none)").as("event_type"), col("v").as("credit"))
-    credited.unionByName(untouched)
-      .groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("credit")).as("credit_cents"))
-      .orderBy(col("event_type"))
-  }
-
-  private val anAttributionSql =
-    """WITH ev AS (SELECT user_id, event_id, ts, event_type,
-      |                   CAST(CAST(value AS DECIMAL(24,2)) * 100 AS BIGINT) AS cents
-      |            FROM events),
-      |v AS (SELECT user_id, CAST(SUM(cents) AS BIGINT) AS v FROM ev
-      |      WHERE event_type = 'purchase' GROUP BY user_id),
-      |t AS (SELECT user_id, event_id, ts, event_type FROM ev
-      |      WHERE event_type IN ('view', 'click')),
-      |k AS (SELECT user_id, COUNT(*) AS k FROM t GROUP BY user_id),
-      |c AS (SELECT t.event_type,
-      |        v // k + CASE WHEN ROW_NUMBER() OVER (PARTITION BY t.user_id
-      |                        ORDER BY t.ts, t.event_id) = 1
-      |                      THEN v % k ELSE 0 END AS credit
-      |      FROM t JOIN v USING (user_id) JOIN k USING (user_id)),
-      |u AS (SELECT '(none)' AS event_type, v AS credit
-      |      FROM v WHERE user_id NOT IN (SELECT user_id FROM k))
-      |SELECT event_type, COUNT(*) AS n, CAST(SUM(credit) AS BIGINT) AS credit_cents
-      |FROM (SELECT * FROM c UNION ALL SELECT * FROM u)
-      |GROUP BY event_type ORDER BY event_type""".stripMargin
-
-  /** Corpus-trained bigram language-model scoring — the perplexity-ish
-    * quality screen a training-data pipeline runs to find unnatural
-    * text (boilerplate, shuffled tokens score low): bigram and unigram
-    * counts over the whole corpus (two groupBys), then each document's
-    * mean log transition probability ln(c(a,b)/c(a)) via a shuffle
-    * join of its bigrams against the model. Bigrams are generated
-    * map-side (adjacent-pair transform over the token array, no
-    * self-join). Per-doc means emit at ROUND(·,6): ln is libm (±1 ulp
-    * cross-engine) and the per-doc sum is short, so 6 places absorb
-    * it — the an_entropy discipline. Top/bottom-scoring docs are
-    * what a curation pass would keep/drop. */
-  private def anBigramLogprob(s: SparkSession, dir: String): DataFrame = {
-    // drop empty tokens INSIDE the array (leading/trailing-space splits
-    // differ between engines) and guard 1-token docs (Spark's
-    // sequence(0,-1) is a descending range, not empty)
-    val toks = Tables.documents(s, dir).select(col("doc_id"),
-      expr("filter(split(lower(text), '\\\\s+'), x -> x != '')").as("w"))
-      .filter(size(col("w")) >= 2)
-    val bi = toks.select(col("doc_id"), explode(expr(
-      "transform(sequence(0, size(w) - 2), i -> struct(w[i] AS a, w[i + 1] AS b))"))
-      .as("p")).select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
-    val cab = bi.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_ab"))
-    val ca = bi.groupBy(col("a")).agg(count(lit(1)).as("c_a"))
-    // Gather the libm ln terms in DECIMAL(38,18) so the per-doc sum is
-    // order-independent (the q_pagerank gather rule) — a plain double sum
-    // over a shuffle join is partition-order-dependent and can flip a
-    // ROUND(·,6) boundary between runs/engines.
-    bi.join(cab, Seq("a", "b")).join(ca, Seq("a"))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_bigrams"),
-        round(sum(log(col("c_ab").cast("double") / col("c_a").cast("double"))
-            .cast("decimal(38,18)")).cast("double")
-          / count(lit(1)).cast("double"), 6).as("mean_logprob"))
-      .orderBy(col("doc_id"))
-  }
-
-  private val anBigramLogprobSql =
-    """WITH toks AS (SELECT doc_id,
-      |                list_filter(string_split_regex(lower(text), '\s+'),
-      |                            x -> x <> '') AS w
-      |              FROM documents
-      |              WHERE len(list_filter(string_split_regex(lower(text), '\s+'),
-      |                                    x -> x <> '')) >= 2),
-      |bi AS (SELECT doc_id, w[i] AS a, w[i + 1] AS b
-      |       FROM toks, UNNEST(range(1, len(w))) AS r(i)),
-      |cab AS (SELECT a, b, COUNT(*) AS c_ab FROM bi GROUP BY 1, 2),
-      |ca AS (SELECT a, COUNT(*) AS c_a FROM bi GROUP BY 1)
-      |SELECT doc_id, COUNT(*) AS n_bigrams,
-      |       ROUND(CAST(SUM(CAST(ln(CAST(c_ab AS DOUBLE) / CAST(c_a AS DOUBLE))
-      |                           AS DECIMAL(38,18))) AS DOUBLE)
-      |             / CAST(COUNT(*) AS DOUBLE), 6) AS mean_logprob
-      |FROM bi JOIN cab USING (a, b) JOIN ca USING (a)
-      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
-
-  /** PII scan/redaction audit — the privacy screen before a corpus
-    * ships: the ASCII test corpus carries no PII, so the query
-    * MANUFACTURES it deterministically (every 3rd doc gains an email,
-    * every 5th a phone number — the [[textNfc]] injection discipline),
-    * then counts matches and verifies the redacted length drop
-    * per doc. Patterns stay in the regex subset whose semantics are
-    * identical across Java regex and RE2-style engines (character
-    * classes, +, literal dot). Row-local, map-only — the 100 TB shape
-    * is a pure projection. */
-  private def textPiiAudit(s: SparkSession, dir: String): DataFrame = {
-    val injected = Tables.documents(s, dir).select(col("doc_id"),
-      concat(col("text"),
-        when(col("doc_id") % 3 === 0,
-          concat(lit(" user"), col("doc_id").cast("string"), lit("@example.com")))
-          .otherwise(lit("")),
-        when(col("doc_id") % 5 === 0,
-          concat(lit(" 555-01"), lpad((col("doc_id") % 100).cast("string"), 2, "0")))
-          .otherwise(lit(""))).as("t"))
-    // [.] instead of \. — identical across engines AND sidesteps the
-    // string-literal backslash-escape differences between Spark SQL
-    // and DuckDB entirely
-    val emailRe = "[a-z0-9]+@[a-z0-9]+[.][a-z]+"
-    val phoneRe = "[0-9]{3}-[0-9]{4,6}"
-    injected.select(col("doc_id"),
-        size(expr(s"regexp_extract_all(t, '$emailRe', 0)")).cast("long").as("n_email"),
-        size(expr(s"regexp_extract_all(t, '$phoneRe', 0)")).cast("long").as("n_phone"),
-        (length(col("t")) - length(
-          regexp_replace(regexp_replace(col("t"), emailRe, "<EMAIL>"),
-            phoneRe, "<PHONE>"))).as("len_drop"))
-      .orderBy(col("doc_id"))
-  }
-
-  private val textPiiAuditSql =
-    """WITH inj AS (SELECT doc_id,
-      |    text || CASE WHEN doc_id % 3 = 0
-      |                 THEN ' user' || CAST(doc_id AS VARCHAR) || '@example.com'
-      |                 ELSE '' END
-      |         || CASE WHEN doc_id % 5 = 0
-      |                 THEN ' 555-01' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
-      |                 ELSE '' END AS t
-      |  FROM documents)
-      |SELECT doc_id,
-      |  CAST(len(regexp_extract_all(t, '[a-z0-9]+@[a-z0-9]+[.][a-z]+')) AS BIGINT) AS n_email,
-      |  CAST(len(regexp_extract_all(t, '[0-9]{3}-[0-9]{4,6}')) AS BIGINT) AS n_phone,
-      |  CAST(strlen(t) - strlen(regexp_replace(regexp_replace(t,
-      |    '[a-z0-9]+@[a-z0-9]+[.][a-z]+', '<EMAIL>', 'g'),
-      |    '[0-9]{3}-[0-9]{4,6}', '<PHONE>', 'g')) AS BIGINT) AS len_drop
-      |FROM inj ORDER BY doc_id""".stripMargin
-
-  /** Merkle-style partition reconciliation — "which shards of these
-    * two 100 TB copies differ", answered by exchanging BUCKET
-    * fingerprints instead of rows: both copies (B carries
-    * deterministic corruption — every 101st key's price bumped one
-    * cent, every 997th key dropped) fold each row's md5-derived
-    * 48-bit hash into a per-bucket DECIMAL(38,0) sum + count
-    * ([[etlTableFingerprint]]'s primitive, bucketed by key mod 64),
-    * and a full outer join of the 64-row summaries flags the buckets
-    * needing repair. Only flagged buckets would be re-shipped — the
-    * anti-entropy protocol of replicated stores, as one declarative
-    * plan. */
-  private def etlMerkleDiff(s: SparkSession, dir: String): DataFrame = {
-    def nib(src: String, i: Int) = s"(instr('0123456789abcdef', substr($src, $i, 1)) - 1)"
-    def h48(src: String) = (2 to 12).map(nib(src, _))
-      .foldLeft(s"CAST(${nib(src, 1)} AS BIGINT)")((a, b) => s"($a * 16 + $b)")
-    val base = Tables.orders(s, dir).select(col("o_orderkey").as("k"),
-      (col("o_totalprice").cast("decimal(24,2)") * 100).cast("bigint").as("cents"))
-    val a = base
-    val b = base.filter(col("k") % 997 =!= 0)
-      .select(col("k"), when(col("k") % 101 === 0, col("cents") + 1L)
-        .otherwise(col("cents")).as("cents"))
-    def buckets(df: DataFrame, side: String) = df
-      .withColumn("h", md5(concat_ws("|", col("k"), col("cents"))))
-      .selectExpr("k % 64 AS bucket", s"CAST(${h48("h")} AS BIGINT) AS hv")
-      .groupBy(col("bucket"))
-      .agg(count(lit(1)).as(s"n_$side"),
-        sum(col("hv").cast("decimal(38,0)")).cast("decimal(38,0)")
-          .cast("string").as(s"fp_$side"))
-    buckets(a, "a").join(buckets(b, "b"), Seq("bucket"), "full_outer")
-      .select(col("bucket"), col("n_a"), col("n_b"),
-        (col("n_a") <=> col("n_b") && col("fp_a") <=> col("fp_b")).as("in_sync"))
-      .orderBy(col("bucket"))
-  }
-
-  private val etlMerkleDiffSql = {
-    def nib(i: Int) = s"(instr('0123456789abcdef', substr(h, $i, 1)) - 1)"
-    val h48 = (2 to 12).map(nib)
-      .foldLeft(s"CAST(${nib(1)} AS BIGINT)")((a, b) => s"($a * 16 + $b)")
-    s"""WITH base AS (SELECT o_orderkey AS k,
-       |                CAST(CAST(o_totalprice AS DECIMAL(24,2)) * 100 AS BIGINT) AS cents
-       |              FROM orders),
-       |a AS (SELECT k, cents FROM base),
-       |b AS (SELECT k, CASE WHEN k % 101 = 0 THEN cents + 1 ELSE cents END AS cents
-       |      FROM base WHERE k % 997 <> 0),
-       |ha AS (SELECT k % 64 AS bucket,
-       |              md5(CAST(k AS VARCHAR) || '|' || CAST(cents AS VARCHAR)) AS h FROM a),
-       |hb AS (SELECT k % 64 AS bucket,
-       |              md5(CAST(k AS VARCHAR) || '|' || CAST(cents AS VARCHAR)) AS h FROM b),
-       |fa AS (SELECT bucket, COUNT(*) AS n_a,
-       |         CAST(CAST(SUM(CAST(CAST($h48 AS BIGINT) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS VARCHAR) AS fp_a
-       |       FROM ha GROUP BY bucket),
-       |fb AS (SELECT bucket, COUNT(*) AS n_b,
-       |         CAST(CAST(SUM(CAST(CAST($h48 AS BIGINT) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS VARCHAR) AS fp_b
-       |       FROM hb GROUP BY bucket)
-       |SELECT bucket, n_a, n_b,
-       |       (n_a IS NOT DISTINCT FROM n_b AND fp_a IS NOT DISTINCT FROM fp_b) AS in_sync
-       |FROM fa FULL OUTER JOIN fb USING (bucket)
-       |ORDER BY bucket""".stripMargin
-  }
-
-  /** One-hot categorical encoding ([[graft.etl.Features.oneHot]] —
-    * pd.get_dummies shape, fixed category list so the schema is
-    * data-independent). Map-only projection; indicators land as INT so
-    * a downstream feature matrix can sum them without casts. */
-  private def etlOnehot(s: SparkSession, dir: String): DataFrame = {
-    val cols = Features.oneHot(col("o_orderpriority"),
-      Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"), "prio") ++
-      Features.oneHot(col("o_orderstatus"), Seq("F", "O", "P"), "status")
-    Tables.orders(s, dir)
-      .select(col("o_orderkey") +: cols.map { case (n, c) => c.as(n) }: _*)
-      .orderBy(col("o_orderkey"))
-  }
-
-  private val etlOnehotSql =
-    """SELECT o_orderkey,
-      |  CAST(o_orderpriority = '1-URGENT' AS INT) AS prio_1_urgent,
-      |  CAST(o_orderpriority = '2-HIGH' AS INT) AS prio_2_high,
-      |  CAST(o_orderpriority = '3-MEDIUM' AS INT) AS prio_3_medium,
-      |  CAST(o_orderpriority = '4-NOT SPECIFIED' AS INT) AS prio_4_not_specified,
-      |  CAST(o_orderpriority = '5-LOW' AS INT) AS prio_5_low,
-      |  CAST(o_orderstatus = 'F' AS INT) AS status_f,
-      |  CAST(o_orderstatus = 'O' AS INT) AS status_o,
-      |  CAST(o_orderstatus = 'P' AS INT) AS status_p
-      |FROM orders ORDER BY o_orderkey""".stripMargin
-
-  /** Per-segment feature scaling — z-score and min-max of account
-    * balance, the standard ML-prep normalizations. ONE tiny per-segment
-    * aggregate (decimal sums, exact) broadcast back onto the rows; the
-    * scaling itself is a map-only projection. The z-score rounds at 6
-    * (the decimal→double sum conversions carry a 1-ulp wobble past the
-    * 2^53 window — the an_stats_moments discipline); min-max divides
-    * bit-identical doubles and ships unrounded. */
-  private def etlScale(s: SparkSession, dir: String): DataFrame = {
-    val c = Tables.customer(s, dir)
-    def dsum(x: Column) = sum(x.cast("decimal(38,8)")).cast("double")
-    val stats = c.groupBy(col("c_mktsegment")).agg(
-      count(lit(1)).as("n"),
-      dsum(col("c_acctbal")).as("sx"),
-      dsum(col("c_acctbal") * col("c_acctbal")).as("sxx"),
-      min(col("c_acctbal")).as("mn"), max(col("c_acctbal")).as("mx"))
-    c.join(broadcast(stats), Seq("c_mktsegment"))
-      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
-        round((col("c_acctbal") - col("sx") / col("n")) /
-          sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1)), 6)
-          .as("z"),
-        ((col("c_acctbal") - col("mn")) / (col("mx") - col("mn"))).as("minmax"))
-      .orderBy(col("c_custkey"))
-  }
-
-  private val etlScaleSql =
-    """WITH st AS (SELECT c_mktsegment, COUNT(*) AS n,
-      |    CAST(SUM(CAST(c_acctbal AS DECIMAL(38,8))) AS DOUBLE) AS sx,
-      |    CAST(SUM(CAST(c_acctbal * c_acctbal AS DECIMAL(38,8))) AS DOUBLE) AS sxx,
-      |    MIN(c_acctbal) AS mn, MAX(c_acctbal) AS mx
-      |  FROM customer GROUP BY 1)
-      |SELECT c_custkey, c_mktsegment, c_acctbal,
-      |  ROUND((c_acctbal - sx / n) / sqrt((sxx - sx * sx / n) / (n - 1)), 6) AS z,
-      |  (c_acctbal - mn) / (mx - mn) AS minmax
-      |FROM customer JOIN st USING (c_mktsegment) ORDER BY c_custkey""".stripMargin
-
-  /** Behavioral churn by market segment — the telecom-reference question
-    * asked of activity data instead of a label column: a customer is
-    * churned when their last order is >90 days before the corpus' max
-    * order date, never-active when they have no orders at all. One
-    * per-customer aggregate + one custkey-partitioned join; the anchor
-    * date is a 1-row broadcast. The rate divides exact integer counts
-    * (IEEE division, bit-identical) so it ships unrounded. */
-  private def anChurnRate(s: SparkSession, dir: String): DataFrame = {
-    val o = Tables.orders(s, dir)
-    val anchor = o.agg(max(col("o_orderdate")).as("mx"))
-    val last = o.groupBy(col("o_custkey")).agg(max(col("o_orderdate")).as("last_order"))
-    val cutoff = col("mx") - expr("INTERVAL 90 DAYS")
-    val churnedCond = col("last_order").isNull || col("last_order") < cutoff
-    Tables.customer(s, dir)
-      .join(last, col("c_custkey") === col("o_custkey"), "left")
-      .crossJoin(broadcast(anchor))
-      .groupBy(col("c_mktsegment"))
-      .agg(count(lit(1)).as("n_customers"),
-        sum(when(col("last_order") >= cutoff, 1L).otherwise(0L)).as("n_active"),
-        sum(when(col("last_order").isNotNull && col("last_order") < cutoff, 1L)
-          .otherwise(0L)).as("n_churned"),
-        sum(when(col("last_order").isNull, 1L).otherwise(0L)).as("n_never"),
-        (sum(when(churnedCond, 1L).otherwise(0L)).cast("double") /
-          count(lit(1)).cast("double")).as("churn_rate"))
-      .orderBy(col("c_mktsegment"))
-  }
-
-  private val anChurnRateSql =
-    """WITH a AS (SELECT MAX(o_orderdate) AS mx FROM orders),
-      |l AS (SELECT o_custkey, MAX(o_orderdate) AS last_order FROM orders GROUP BY 1)
-      |SELECT c_mktsegment, COUNT(*) AS n_customers,
-      |  CAST(SUM(CASE WHEN last_order >= mx - INTERVAL 90 DAY THEN 1 ELSE 0 END) AS BIGINT) AS n_active,
-      |  CAST(SUM(CASE WHEN last_order IS NOT NULL AND last_order < mx - INTERVAL 90 DAY THEN 1 ELSE 0 END) AS BIGINT) AS n_churned,
-      |  CAST(SUM(CASE WHEN last_order IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_never,
-      |  CAST(SUM(CASE WHEN last_order IS NULL OR last_order < mx - INTERVAL 90 DAY THEN 1 ELSE 0 END) AS DOUBLE)
-      |    / CAST(COUNT(*) AS DOUBLE) AS churn_rate
-      |FROM customer LEFT JOIN l ON c_custkey = o_custkey CROSS JOIN a
-      |GROUP BY 1 ORDER BY 1""".stripMargin
-
-  /** Pairwise Pearson correlation matrix over the four lineitem
-    * measures — ONE aggregate pass computes every moment (4 sums, 4
-    * square-sums, 6 cross-sums, all decimal-exact), then the 6 pair
-    * rows are map-only projections of that single 1-row result. The
-    * naive alternative (one corr() call per pair) scans the table 6
-    * times. Emits at ROUND(·,6): the decimal→double conversions carry
-    * a 1-ulp wobble past the 2^53 window (an_stats_moments). */
-  private def anCorrMatrix(s: SparkSession, dir: String): DataFrame = {
-    val cols = Seq("l_quantity" -> "qty", "l_extendedprice" -> "price",
-      "l_discount" -> "disc", "l_tax" -> "tax")
-    val pairs = cols.combinations(2).map { case Seq(a, b) => (a, b) }.toSeq
-    def dsum(x: Column) = sum(x.cast("decimal(38,8)")).cast("double")
-    val aggs = Seq(count(lit(1)).as("n")) ++
-      cols.map { case (c, a) => dsum(col(c)).as(s"s_$a") } ++
-      cols.map { case (c, a) => dsum(col(c) * col(c)).as(s"ss_$a") } ++
-      pairs.map { case ((ca, aa), (cb, ab)) =>
-        dsum(col(ca) * col(cb)).as(s"sp_${aa}_$ab") }
-    val m = Tables.lineitem(s, dir).agg(aggs.head, aggs.tail: _*)
-    pairs.map { case ((_, aa), (_, ab)) =>
-      m.select(lit(aa).as("col_a"), lit(ab).as("col_b"),
-        round((col(s"sp_${aa}_$ab") - col(s"s_$aa") * col(s"s_$ab") / col("n")) /
-          (sqrt(col(s"ss_$aa") - col(s"s_$aa") * col(s"s_$aa") / col("n")) *
-            sqrt(col(s"ss_$ab") - col(s"s_$ab") * col(s"s_$ab") / col("n"))), 6)
-          .as("corr"))
-    }.reduce(_ unionByName _).orderBy(col("col_a"), col("col_b"))
-  }
-
-  private val anCorrMatrixSql = {
-    val cols = Seq("l_quantity" -> "qty", "l_extendedprice" -> "price",
-      "l_discount" -> "disc", "l_tax" -> "tax")
-    val pairs = cols.combinations(2).map { case Seq(a, b) => (a, b) }.toSeq
-    val sums = cols.map { case (c, a) =>
-      s"CAST(SUM(CAST($c AS DECIMAL(38,8))) AS DOUBLE) AS s_$a, " +
-        s"CAST(SUM(CAST($c * $c AS DECIMAL(38,8))) AS DOUBLE) AS ss_$a" }
-    val cross = pairs.map { case ((ca, aa), (cb, ab)) =>
-      s"CAST(SUM(CAST($ca * $cb AS DECIMAL(38,8))) AS DOUBLE) AS sp_${aa}_$ab" }
-    val rows = pairs.map { case ((_, aa), (_, ab)) =>
-      s"""SELECT '$aa' AS col_a, '$ab' AS col_b,
-         |  ROUND((sp_${aa}_$ab - s_$aa * s_$ab / n) /
-         |    (sqrt(ss_$aa - s_$aa * s_$aa / n) * sqrt(ss_$ab - s_$ab * s_$ab / n)), 6) AS corr
-         |FROM m""".stripMargin }
-    s"""WITH m AS (SELECT COUNT(*) AS n,
-       |  ${(sums ++ cross).mkString(",\n  ")}
-       |  FROM lineitem)
-       |${rows.mkString("\nUNION ALL\n")}
-       |ORDER BY col_a, col_b""".stripMargin
-  }
-
-  /** Shard-manifest packing for a training corpus — documents are
-    * assigned to byte-capped shards (the WebDataset/tar-shard layout)
-    * by NEXT-FIT over the canonical (source, doc_id) order: a doc's
-    * shard is its start offset in the concatenated stream divided by
-    * the cap. The global running offset is ONE
-    * [[graft.operators.PrefixSum]] scan (no single-partition window);
-    * everything after is an ordinary shard_id aggregate. The manifest
-    * (doc ranges + byte totals per shard) is what a downstream loader
-    * seeks into. */
-  private def mmShardPack(s: SparkSession, dir: String): DataFrame = {
-    val cap = 32768L
-    val d = Tables.documents(s, dir).select(col("source"), col("doc_id"),
-      octet_length(col("text")).cast("bigint").as("bytes"))
-    val scan = graft.operators.PrefixSum.withRunningTotals(
-      d, Seq("source", "doc_id"), Seq("bytes"))
-    scan.select(col("source"), col("doc_id"), col("bytes"),
-        expr(s"(bytes_cum - bytes) div $cap").as("shard_id"))
-      .groupBy(col("shard_id"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("bytes")).as("shard_bytes"),
-        countDistinct(col("source")).as("n_sources"),
-        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
-      .orderBy(col("shard_id"))
-  }
-
-  private val mmShardPackSql =
-    """WITH d AS (SELECT source, doc_id,
-      |             CAST(strlen(text) AS BIGINT) AS bytes FROM documents),
-      |c AS (SELECT source, doc_id, bytes,
-      |        CAST(SUM(bytes) OVER (ORDER BY source, doc_id) AS BIGINT) AS cum
-      |      FROM d)
-      |SELECT (cum - bytes) // 32768 AS shard_id, COUNT(*) AS n_docs,
-      |  CAST(SUM(bytes) AS BIGINT) AS shard_bytes,
-      |  COUNT(DISTINCT source) AS n_sources,
-      |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
-      |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
-
-  /** Early-arriving facts (Kimball's late-arriving dimension): orders
-    * referencing customers missing from the dimension snapshot (a
-    * deterministic ~87% md5 subset stands in for the lagging dim feed)
-    * are counted and their distinct missing members surfaced — the
-    * rows a warehouse would land as "inferred members" to be enriched
-    * when the dimension catches up. One custkey join (broadcast-able
-    * dim at this shape, shuffle-partitioned when the dim is wide). */
-  private def etlEarlyFact(s: SparkSession, dir: String): DataFrame = {
-    val dim = Tables.customer(s, dir)
-      .filter(substring(md5(col("c_custkey").cast("string")), 1, 1) < "e")
-      .select(col("c_custkey"))
-    Tables.orders(s, dir)
-      .join(dim, col("o_custkey") === col("c_custkey"), "left")
-      .groupBy(col("o_orderstatus"))
-      .agg(count(lit(1)).as("n_facts"),
-        sum(when(col("c_custkey").isNotNull, 1L).otherwise(0L)).as("n_matched"),
-        sum(when(col("c_custkey").isNull, 1L).otherwise(0L)).as("n_inferred"),
-        countDistinct(when(col("c_custkey").isNull, col("o_custkey")))
-          .as("n_inferred_members"))
-      .orderBy(col("o_orderstatus"))
-  }
-
-  private val etlEarlyFactSql =
-    """WITH dim AS (SELECT c_custkey FROM customer
-      |             WHERE substr(md5(CAST(c_custkey AS VARCHAR)), 1, 1) < 'e')
-      |SELECT o_orderstatus, COUNT(*) AS n_facts,
-      |  CAST(SUM(CASE WHEN c_custkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
-      |  CAST(SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_inferred,
-      |  COUNT(DISTINCT CASE WHEN c_custkey IS NULL THEN o_custkey END) AS n_inferred_members
-      |FROM orders LEFT JOIN dim ON o_custkey = c_custkey
-      |GROUP BY 1 ORDER BY 1""".stripMargin
-
-  /** Triangle census of the supplier co-purchase graph (suppliers are
-    * adjacent when they ship the same part). The bipartite→unipartite
-    * projection is HUB-CAPPED: parts with >20 distinct suppliers are
-    * dropped before pairing, bounding the per-part fan-out at C(20,2)
-    * — the standard guard that keeps a co-occurrence projection from
-    * going quadratic on hot keys at scale. Triangles close u<v<w paths
-    * with two edge-keyed shuffle joins (no broadcast of anything
-    * data-sized); wedges come from the degree table. The clustering
-    * coefficient divides exact integers — bit-identical, unrounded. */
-  private def qTriangles(s: SparkSession, dir: String): DataFrame = {
-    val sp = Tables.lineitem(s, dir)
-      .select(col("l_suppkey").as("sk"), col("l_partkey").as("pk")).distinct()
-    val ok = sp.join(
-      sp.groupBy(col("pk")).agg(count(lit(1)).as("nsup"))
-        .filter(col("nsup") <= 20), Seq("pk"))
-    // the projected edge list feeds FIVE consumers (the e1/e2/e3
-    // closure joins, the degree table, the edge count); a lazy
-    // checkpoint makes each a leaf scan of the one materialized edge
-    // RDD instead of re-planning the scan→distinct→hub-cap→pair spine
-    // per consumer (the q_pagerank/q_hits lineage treatment — the r13
-    // plan audit measured 69 exchanges from the re-derivations)
-    val e = graft.operators.Checkpoints.stabilizeLazy(
-      ok.as("a").join(ok.as("b"), Seq("pk"))
-        .filter(col("a.sk") < col("b.sk"))
-        .select(col("a.sk").as("u"), col("b.sk").as("v")).distinct())
-    val degs = e.select(col("u").as("x")).unionAll(e.select(col("v").as("x")))
-      .groupBy(col("x")).agg(count(lit(1)).as("d"))
-    val tri = e.as("e1").join(e.as("e2"), col("e1.v") === col("e2.u"))
-      .join(e.as("e3"),
-        col("e1.u") === col("e3.u") && col("e2.v") === col("e3.v"))
-      .agg(count(lit(1)).as("n_triangles"))
-    degs.agg(count(lit(1)).as("n_nodes"),
-        sum(expr("d * (d - 1) div 2")).as("n_wedges"))
-      .crossJoin(e.agg(count(lit(1)).as("n_edges")))
-      .crossJoin(tri)
-      .select(col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"),
-        (lit(3.0) * col("n_triangles").cast("double") /
-          col("n_wedges").cast("double")).as("global_cc"))
-  }
-
-  private val qTrianglesSql =
-    """WITH sp AS (SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk FROM lineitem),
-      |pd AS (SELECT pk, COUNT(*) AS nsup FROM sp GROUP BY 1),
-      |ok AS (SELECT sp.sk, sp.pk FROM sp JOIN pd USING (pk) WHERE nsup <= 20),
-      |e AS (SELECT DISTINCT a.sk AS u, b.sk AS v
-      |      FROM ok a JOIN ok b ON a.pk = b.pk AND a.sk < b.sk),
-      |d AS (SELECT x, COUNT(*) AS dg
-      |      FROM (SELECT u AS x FROM e UNION ALL SELECT v AS x FROM e) GROUP BY 1),
-      |tri AS (SELECT COUNT(*) AS n_triangles
-      |        FROM e e1 JOIN e e2 ON e1.v = e2.u
-      |          JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
-      |dagg AS (SELECT COUNT(*) AS n_nodes,
-      |           CAST(SUM(dg * (dg - 1) // 2) AS BIGINT) AS n_wedges FROM d),
-      |ne AS (SELECT COUNT(*) AS n_edges FROM e)
-      |SELECT n_nodes, n_edges, n_wedges, n_triangles,
-      |  3.0 * CAST(n_triangles AS DOUBLE) / CAST(n_wedges AS DOUBLE) AS global_cc
-      |FROM dagg, ne, tri""".stripMargin
-
-  /** Two-stage ANN: int8-quantized candidate scan → exact cosine
-    * rerank ([[graft.similarity.VectorOps.quantizedRerankTopK]]).
-    * Every step is deterministic (exact integer candidate dots,
-    * half-up codes, 6-dp rerank with id tie-breaks), so unlike the
-    * LSH/IVF family this retrieval path sits under the full hash
-    * oracle rather than a recall spec. */
-  private def simRerank(s: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(s, dir)
-    graft.similarity.VectorOps.quantizedRerankTopK(
-        emb, emb.filter(col("vec_id") % 50 === 0), c = 20, k = 5)
-      .orderBy(col("query_id"), col("rank"))
-  }
-
-  private val simRerankSql =
-    """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-      |p AS (SELECT vec_id, v,
-      |        list_aggregate(list_transform(v, x -> abs(x)), 'max') / 127.0 AS s FROM e),
-      |c AS (SELECT vec_id, v,
-      |        list_transform(v, x -> CASE WHEN s = 0 THEN 0.0
-      |                                    ELSE FLOOR(x / s + 0.5) END) AS q
-      |      FROM p),
-      |n AS (SELECT vec_id, v, q, list_dot_product(q, q) AS n2 FROM c),
-      |qs AS (SELECT * FROM n WHERE vec_id % 50 = 0),
-      |s1 AS (SELECT qs.vec_id AS query_id, n.vec_id AS neighbor_id,
-      |         qs.v AS qv, n.v AS nv,
-      |         list_dot_product(qs.q, n.q) / sqrt(qs.n2 * n.n2) AS qscore
-      |       FROM qs JOIN n ON n.vec_id <> qs.vec_id),
-      |s2 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-      |                   ORDER BY qscore DESC, neighbor_id) AS crank FROM s1),
-      |s3 AS (SELECT query_id, neighbor_id,
-      |         ROUND(list_cosine_similarity(qv, nv), 6) AS sim
-      |       FROM s2 WHERE crank <= 20)
-      |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, sim FROM (
-      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-      |              ORDER BY sim DESC, neighbor_id) AS rank FROM s3) t
-      |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
-
-  /** THREE-stage retrieval — the production ANN composition: LSH band
-    * candidates → int8 candidate scan → exact cosine rerank
-    * ([[graft.similarity.VectorOps.lshRerankTopK]]). Sub-quadratic
-    * end to end AND fully deterministic, so unlike a sampled-recall
-    * check the whole pipeline sits under the hash oracle: portable SRP
-    * bands, exact-integer code scores, 6-dp rerank. */
-  private def simLshRerank(s: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(s, dir)
-    graft.similarity.VectorOps.lshRerankTopK(
-        emb, emb.filter(col("vec_id") % 50 === 0), c = 20, k = 5, dim = 64)
-      .orderBy(col("query_id"), col("rank"))
-  }
-
-  /** DuckDB replay of [[simLshRerank]]: the [[lshOracleSql]] band
-    * derivation feeds the [[simRerankSql]] quantized-scan + rerank
-    * tail — every stage exact-integer or correctly-rounded. */
-  private val simLshRerankSql =
-    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-      |vq AS (SELECT vec_id,
-      |    list_transform(v, x -> CAST(round(x * 1000000.0) AS BIGINT)) AS q
-      |  FROM e),
-      |planes AS (SELECT t1.range AS i, t2.range AS j,
-      |    2 * (instr('0123456789abcdef', substr(md5('lsh:' ||
-      |      CAST(t1.range AS VARCHAR) || ':' || CAST(t2.range AS VARCHAR)), 1, 1)) - 1) - 15 AS h
-      |  FROM range(0, 16) t1, range(0, 64) t2),
-      |bits AS (SELECT vq.vec_id, p.i,
-      |    CASE WHEN SUM(p.h * vq.q[CAST(p.j AS INT) + 1]) >= 0 THEN 1 ELSE 0 END AS b
-      |  FROM vq CROSS JOIN planes p GROUP BY vq.vec_id, p.i),
-      |bands AS (SELECT vec_id, CAST(i // 4 AS INT) AS band_id,
-      |    CAST(SUM(b * (1 << CAST(i % 4 AS INT))) AS BIGINT) AS band_key
-      |  FROM bits GROUP BY 1, 2),
-      |pairs AS (SELECT DISTINCT qb.vec_id AS query_id, nb.vec_id AS neighbor_id
-      |  FROM bands qb JOIN bands nb USING (band_id, band_key)
-      |  WHERE qb.vec_id % 50 = 0 AND nb.vec_id <> qb.vec_id),
-      |p8 AS (SELECT vec_id, v,
-      |        list_aggregate(list_transform(v, x -> abs(x)), 'max') / 127.0 AS s FROM e),
-      |c8 AS (SELECT vec_id, v,
-      |        list_transform(v, x -> CASE WHEN s = 0 THEN 0.0
-      |                                    ELSE FLOOR(x / s + 0.5) END) AS q
-      |      FROM p8),
-      |n8 AS (SELECT vec_id, v, q, list_dot_product(q, q) AS n2 FROM c8),
-      |s1 AS (SELECT pr.query_id, pr.neighbor_id, qn.v AS qv, nn.v AS nv,
-      |         list_dot_product(qn.q, nn.q) / sqrt(qn.n2 * nn.n2) AS qscore
-      |       FROM pairs pr JOIN n8 qn ON qn.vec_id = pr.query_id
-      |                     JOIN n8 nn ON nn.vec_id = pr.neighbor_id),
-      |s2 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-      |                   ORDER BY qscore DESC, neighbor_id) AS crank FROM s1),
-      |s3 AS (SELECT query_id, neighbor_id,
-      |         ROUND(list_cosine_similarity(qv, nv), 6) AS sim
-      |       FROM s2 WHERE crank <= 20)
-      |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, sim FROM (
-      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-      |              ORDER BY sim DESC, neighbor_id) AS rank FROM s3) t
-      |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
-
-  /** Kaplan–Meier survival curve over customer lifetimes (first→last
-    * order days; a customer still active at the 90-day recency cutoff
-    * is CENSORED, not an event — the distinction that makes KM the
-    * right estimator where a naive churn histogram is biased). Risk
-    * sets come from lifetime-value counts with a cumulative window
-    * over the DISTINCT-lifetime table (bounded by the calendar span,
-    * not the row count — the an_ewma small-series discipline); the
-    * survival product is exp∘Σln over event times only, emitted at
-    * ROUND(·,6) to absorb libm ulp skew (an_entropy), with the
-    * everyone-churns terminal row pinned to exactly 0 on both engines
-    * (Spark ln(0) is NULL, DuckDB -inf — the CASE sidesteps both). */
-  private def anKaplanMeier(s: SparkSession, dir: String): DataFrame = {
-    val o = Tables.orders(s, dir)
-    val anchor = o.agg(max(col("o_orderdate")).as("mx"))
-    val cust = o.groupBy(col("o_custkey"))
-      .agg(min(col("o_orderdate")).as("f"), max(col("o_orderdate")).as("l"))
-      .crossJoin(broadcast(anchor))
-      .select(datediff(col("l"), col("f")).cast("bigint").as("t"),
-        (col("l") < col("mx") - expr("INTERVAL 90 DAYS")).cast("int").as("ev"))
-    val byT = cust.groupBy(col("t"))
-      .agg(count(lit(1)).as("n_at"), sum(col("ev")).cast("long").as("d"))
-    val wPrev = Window.orderBy(col("t")).rowsBetween(Window.unboundedPreceding, -1)
-    val wCum = Window.orderBy(col("t")).rowsBetween(Window.unboundedPreceding, 0)
-    byT.crossJoin(broadcast(cust.agg(count(lit(1)).as("n_total"))))
-      .withColumn("n_risk",
-        col("n_total") - coalesce(sum(col("n_at")).over(wPrev), lit(0L)))
-      .filter(col("d") > 0)
-      .withColumn("surv", when(col("d") === col("n_risk"), lit(0.0))
-        .otherwise(round(exp(sum(
-          log(lit(1.0) - col("d").cast("double") / col("n_risk").cast("double")))
-          .over(wCum)), 6)))
-      .select(col("t"), col("n_risk"), col("d"), col("surv"))
-      .orderBy(col("t"))
-  }
-
-  private val anKaplanMeierSql =
-    """WITH a AS (SELECT MAX(o_orderdate) AS mx FROM orders),
-      |c AS (SELECT o_custkey, MIN(o_orderdate) AS f, MAX(o_orderdate) AS l
-      |      FROM orders GROUP BY 1),
-      |cust AS (SELECT CAST(date_diff('day', f, l) AS BIGINT) AS t,
-      |                CASE WHEN l < mx - INTERVAL 90 DAY THEN 1 ELSE 0 END AS ev
-      |         FROM c CROSS JOIN a),
-      |byt AS (SELECT t, COUNT(*) AS n_at, CAST(SUM(ev) AS BIGINT) AS d
-      |        FROM cust GROUP BY 1),
-      |tot AS (SELECT COUNT(*) AS n_total FROM cust),
-      |r AS (SELECT t, d, n_total - COALESCE(CAST(SUM(n_at) OVER (ORDER BY t
-      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS n_risk
-      |      FROM byt CROSS JOIN tot)
-      |SELECT t, n_risk, d,
-      |  CASE WHEN d = n_risk THEN 0.0
-      |       ELSE ROUND(EXP(SUM(LN(1.0 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE)))
-      |              OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6)
-      |  END AS surv
-      |FROM r WHERE d > 0 ORDER BY t""".stripMargin
-
-  /** kNN label classification over the embedding corpus — the eval a
-    * pipeline runs to check an embedding space separates its labels:
-    * top-5 cosine neighbors vote (plurality, smallest-label tie-break
-    * — every step deterministic, so unlike most ML evals this one
-    * sits under the full hash oracle), scored per true label. The
-    * neighbor search is the [[graft.similarity.VectorOps
-    * .bruteForceTopK]] exact baseline on a query sample; at corpus
-    * scale the same vote runs unchanged over lshTopK/ivfTopK
-    * candidates. */
-  private def simKnnClassify(s: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(s, dir)
-    val labels = emb.select(col("vec_id"), col("label"))
-    val top = graft.similarity.VectorOps.bruteForceTopK(
-      emb, emb.filter(col("vec_id") % 10 === 0), k = 5)
-    val votes = top.join(labels.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
-      .groupBy(col("query_id"), col("label")).agg(count(lit(1)).as("cnt"))
-    val wVote = Window.partitionBy(col("query_id"))
-      .orderBy(col("cnt").desc, col("label"))
-    val pred = votes.withColumn("rn", row_number().over(wVote))
-      .filter(col("rn") === 1)
-      .select(col("query_id"), col("label").as("pred"))
-    pred.join(labels.withColumnRenamed("vec_id", "query_id"), "query_id")
-      .groupBy(col("label"))
-      .agg(count(lit(1)).as("n"),
-        sum(when(col("pred") === col("label"), 1L).otherwise(0L)).as("n_correct"))
-      .withColumn("acc",
-        col("n_correct").cast("double") / col("n").cast("double"))
-      .orderBy(col("label"))
-  }
-
-  private val simKnnClassifySql =
-    """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
-      |q AS (SELECT vec_id, label, v FROM e WHERE vec_id % 10 = 0),
-      |s AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, e.label AS nlabel,
-      |        ROUND(list_cosine_similarity(q.v, e.v), 6) AS sim
-      |      FROM q JOIN e ON e.vec_id <> q.vec_id),
-      |top AS (SELECT query_id, nlabel FROM (
-      |          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-      |                      ORDER BY sim DESC, neighbor_id) AS rank FROM s) t
-      |        WHERE rank <= 5),
-      |votes AS (SELECT query_id, nlabel, COUNT(*) AS cnt FROM top GROUP BY 1, 2),
-      |pred AS (SELECT query_id, nlabel AS pred FROM (
-      |           SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-      |                       ORDER BY cnt DESC, nlabel) AS rn FROM votes) t
-      |         WHERE rn = 1)
-      |SELECT q.label, COUNT(*) AS n,
-      |  CAST(SUM(CASE WHEN p.pred = q.label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
-      |  CAST(SUM(CASE WHEN p.pred = q.label THEN 1 ELSE 0 END) AS DOUBLE)
-      |    / CAST(COUNT(*) AS DOUBLE) AS acc
-      |FROM pred p JOIN q ON p.query_id = q.vec_id
-      |GROUP BY q.label ORDER BY q.label""".stripMargin
-
-  /** Directed shingle containment ([[graft.dedup.Dedup
-    * .containmentPairs]]) — the asymmetric screen Jaccard can't do: a
-    * short doc quoted whole inside a long one. Hash-verified against
-    * the exact list-intersection oracle. */
-  private def dedupContainment(s: SparkSession, dir: String): DataFrame =
-    graft.dedup.Dedup.containmentPairs(Tables.documents(s, dir), "text", "doc_id",
-        k = 3, tau = 0.5)
-      .orderBy(col("src"), col("dst"))
-
-  private val dedupContainmentSql =
-    s"""WITH sh AS ($duckShingles),
-       |common AS (
-       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |    len(list_intersect(a.shingles, b.shingles)) AS n_common,
-       |    len(a.shingles) AS na, len(b.shingles) AS nb
-       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-       |  WHERE len(list_intersect(a.shingles, b.shingles)) > 0),
-       |dir AS (
-       |  SELECT doc_a AS src, doc_b AS dst, n_common * 1.0 / na AS containment FROM common
-       |  UNION ALL
-       |  SELECT doc_b AS src, doc_a AS dst, n_common * 1.0 / nb AS containment FROM common)
-       |SELECT src, dst, containment FROM dir
-       |WHERE containment >= 0.5 ORDER BY src, dst""".stripMargin
-
-  /** Winsorized mean per order priority — the robust mean where the
-    * tails are CLIPPED to the p10/p90 order statistics instead of
-    * dropped (trimming changes n; winsorizing doesn't). Boundaries are
-    * exact type-1 quantiles in cents (pure integer ranks ⌈n/10⌉ and
-    * ⌈9n/10⌉ — no interpolation) probed from the same distinct-value
-    * PrefixSum scan as [[groupedMedian2]]; the clipped mean divides an
-    * exact BIGINT cent sum — no value-buffering aggregate anywhere,
-    * bit-identical on both engines unrounded. */
-  private def anWinsorize(s: SparkSession, dir: String): DataFrame = {
-    val o = Tables.orders(s, dir).select(col("o_orderpriority").as("g"),
-      (col("o_totalprice").cast("decimal(24,2)") * 100).cast("bigint").as("v"))
-    // raw-row scan (run-length merge in-pass) — the distinct-value
-    // groupBy reduced nothing over near-unique prices
-    val scan = graft.operators.PrefixSum.distinctRunningCounts(o, Seq("g", "v"))
-    val wOff = Window.orderBy(col("g")).rowsBetween(Window.unboundedPreceding, -1)
-    val probes = o.groupBy(col("g")).agg(count(lit(1)).as("n"))
-      .withColumn("off", coalesce(sum(col("n")).over(wOff), lit(0L)))
-      .withColumn("r_lo", expr("(n + 9) div 10"))
-      .withColumn("r_hi", expr("(9 * n + 9) div 10"))
-    val hitLo = col("cum") >= col("r_lo") && col("cum") - col("cnt") < col("r_lo")
-    val hitHi = col("cum") >= col("r_hi") && col("cum") - col("cnt") < col("r_hi")
-    val bounds = scan.join(broadcast(probes), Seq("g"))
-      .withColumn("cum", col("cnt_cum") - col("off"))
-      .filter(hitLo || hitHi)
-      .groupBy(col("g"))
-      .agg(max(when(hitLo, col("v"))).as("lo"), max(when(hitHi, col("v"))).as("hi"))
-    o.join(broadcast(bounds), Seq("g"))
-      .select(col("g"), greatest(col("lo"), least(col("hi"), col("v"))).as("w"),
-        (col("v") < col("lo") || col("v") > col("hi")).cast("long").as("clipped"))
-      .groupBy(col("g").as("o_orderpriority"))
-      .agg(count(lit(1)).as("n"), sum(col("clipped")).as("n_clipped"),
-        (sum(col("w")).cast("double") / count(lit(1)).cast("double") / lit(100.0))
-          .as("wmean"))
-      .orderBy(col("o_orderpriority"))
-  }
-
-  private val anWinsorizeSql =
-    """WITH o AS (SELECT o_orderpriority AS g,
-      |                  CAST(CAST(o_totalprice AS DECIMAL(24,2)) * 100 AS BIGINT) AS v
-      |           FROM orders),
-      |pv AS (SELECT g, v, COUNT(*) AS cnt FROM o GROUP BY 1, 2),
-      |cv AS (SELECT g, v, cnt, CAST(SUM(cnt) OVER (PARTITION BY g ORDER BY v) AS BIGINT) AS cum
-      |       FROM pv),
-      |tv AS (SELECT g, CAST(SUM(cnt) AS BIGINT) AS n FROM pv GROUP BY g),
-      |b AS (SELECT c.g,
-      |        CAST(MAX(CASE WHEN cum >= (n+9)//10 AND cum - cnt < (n+9)//10 THEN v END) AS BIGINT) AS lo,
-      |        CAST(MAX(CASE WHEN cum >= (9*n+9)//10 AND cum - cnt < (9*n+9)//10 THEN v END) AS BIGINT) AS hi
-      |      FROM cv c JOIN tv USING (g) GROUP BY c.g)
-      |SELECT o.g AS o_orderpriority, COUNT(*) AS n,
-      |  CAST(SUM(CASE WHEN o.v < b.lo OR o.v > b.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
-      |  CAST(SUM(GREATEST(b.lo, LEAST(b.hi, o.v))) AS DOUBLE)
-      |    / CAST(COUNT(*) AS DOUBLE) / 100.0 AS wmean
-      |FROM o JOIN b USING (g)
-      |GROUP BY o.g ORDER BY o.g""".stripMargin
-
-  /** Decile lift table — the model-eval staple: customers deciled by
-    * account balance (the stand-in score), behavioral churn as the
-    * outcome, per-decile rate + cumulative lift vs the base rate.
-    * Deciling runs on distinct-value counts (a value's rows share a
-    * decile — ties never straddle) through the PrefixSum scan: no
-    * global sort, no ntile window over all rows. Every emitted rate
-    * is a ratio of exact integers — unrounded, bit-identical. */
-  private def anDecileLift(s: SparkSession, dir: String): DataFrame = {
-    val o = Tables.orders(s, dir)
-    val anchor = o.agg(max(col("o_orderdate")).as("mx"))
-    val last = o.groupBy(col("o_custkey")).agg(max(col("o_orderdate")).as("last_order"))
-    val sc = Tables.customer(s, dir)
-      .join(last, col("c_custkey") === col("o_custkey"), "left")
-      .crossJoin(broadcast(anchor))
-      .select((col("c_acctbal").cast("decimal(24,2)") * 100).cast("bigint").as("v"),
-        (col("last_order").isNull ||
-          col("last_order") < col("mx") - expr("INTERVAL 90 DAYS")).cast("long").as("churn"))
-    val perV = sc.groupBy(col("v"))
-      .agg(count(lit(1)).as("cnt"), sum(col("churn")).as("ch"))
-    val tot = perV.agg(sum(col("cnt")).as("n_total"), sum(col("ch")).as("ch_total"))
-    val scan = graft.operators.PrefixSum.withRunningTotals(perV, Seq("v"), Seq("cnt"))
-    val wCum = Window.orderBy(col("decile")).rowsBetween(Window.unboundedPreceding, 0)
-    scan.crossJoin(broadcast(tot))
-      .select(expr("((cnt_cum - 1) * 10) div n_total + 1").as("decile"),
-        col("cnt"), col("ch"), col("n_total"), col("ch_total"))
-      .groupBy(col("decile"))
-      .agg(sum(col("cnt")).as("n_cust"), sum(col("ch")).as("n_churn"),
-        first(col("n_total")).as("n_total"), first(col("ch_total")).as("ch_total"))
-      .withColumn("churn_rate",
-        col("n_churn").cast("double") / col("n_cust").cast("double"))
-      .withColumn("cum_lift",
-        (sum(col("n_churn")).over(wCum).cast("double") /
-          sum(col("n_cust")).over(wCum).cast("double")) /
-          (col("ch_total").cast("double") / col("n_total").cast("double")))
-      .select(col("decile"), col("n_cust"), col("n_churn"),
-        col("churn_rate"), col("cum_lift"))
-      .orderBy(col("decile"))
-  }
-
-  private val anDecileLiftSql =
-    """WITH a AS (SELECT MAX(o_orderdate) AS mx FROM orders),
-      |l AS (SELECT o_custkey, MAX(o_orderdate) AS last_order FROM orders GROUP BY 1),
-      |sc AS (SELECT CAST(CAST(c_acctbal AS DECIMAL(24,2)) * 100 AS BIGINT) AS v,
-      |         CASE WHEN last_order IS NULL OR last_order < mx - INTERVAL 90 DAY
-      |              THEN 1 ELSE 0 END AS churn
-      |       FROM customer LEFT JOIN l ON c_custkey = o_custkey CROSS JOIN a),
-      |pv AS (SELECT v, COUNT(*) AS cnt, CAST(SUM(churn) AS BIGINT) AS ch
-      |       FROM sc GROUP BY 1),
-      |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_total,
-      |               CAST(SUM(ch) AS BIGINT) AS ch_total FROM pv),
-      |cv AS (SELECT v, cnt, ch, CAST(SUM(cnt) OVER (ORDER BY v) AS BIGINT) AS cum
-      |       FROM pv),
-      |bd AS (SELECT ((cum - 1) * 10) // n_total + 1 AS decile,
-      |         CAST(SUM(cnt) AS BIGINT) AS n_cust, CAST(SUM(ch) AS BIGINT) AS n_churn,
-      |         ANY_VALUE(n_total) AS n_total, ANY_VALUE(ch_total) AS ch_total
-      |       FROM cv CROSS JOIN tot GROUP BY 1)
-      |SELECT decile, n_cust, n_churn,
-      |  CAST(n_churn AS DOUBLE) / CAST(n_cust AS DOUBLE) AS churn_rate,
-      |  (CAST(CAST(SUM(n_churn) OVER (ORDER BY decile) AS BIGINT) AS DOUBLE) /
-      |   CAST(CAST(SUM(n_cust) OVER (ORDER BY decile) AS BIGINT) AS DOUBLE)) /
-      |  (CAST(ch_total AS DOUBLE) / CAST(n_total AS DOUBLE)) AS cum_lift
-      |FROM bd ORDER BY decile""".stripMargin
-
-  /** Classical seasonal decomposition of daily revenue: trend = the
-    * centered 7-day moving window, seasonal = per-ISO-dow mean of the
-    * detrended series. INTEGER-EXACT until the single final division:
-    * interior days (full 7-day window) satisfy 7·detrended = 7·rev_c −
-    * trend_sum in cents — an exact BIGINT — so the per-dow seasonal is
-    * one exact-int ratio, not an order-dependent double sum. The RANGE
-    * frame runs over the day INDEX (calendar gaps shrink the window
-    * and those edge days are excluded with the n_w=7 filter rather
-    * than fudged). Bounded distinct-day series — the an_ewma
-    * small-series window discipline. */
-  private def anSeasonalDecompose(s: SparkSession, dir: String): DataFrame = {
-    val daily = Tables.lineitem(s, dir)
-      .groupBy(date_trunc("day", col("l_shipdate")).as("day"))
-      .agg((sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-          .cast("decimal(24,8)")).cast("decimal(24,2)") * 100)
-        .cast("bigint").as("rev_c"))
-      .withColumn("di",
-        datediff(col("day"), lit("1992-01-01").cast("date")).cast("long"))
-    val w = Window.orderBy(col("di")).rangeBetween(-3, 3)
-    daily
-      .select(col("day"), col("rev_c"),
-        sum(col("rev_c")).over(w).as("tsum"), count(lit(1)).over(w).as("nw"))
-      .filter(col("nw") === 7)
-      .groupBy((weekday(col("day")) + 1).cast("long").as("dow"))
-      .agg(count(lit(1)).as("n_days"),
-        sum(col("rev_c")).as("rc"),
-        sum(lit(7L) * col("rev_c") - col("tsum")).as("dev_c7"))
-      .select(col("dow"), col("n_days"),
-        (col("rc").cast("double") / col("n_days").cast("double") / lit(100.0))
-          .as("mean_rev"),
-        (col("dev_c7").cast("double") / col("n_days").cast("double") / lit(700.0))
-          .as("seasonal"))
-      .orderBy(col("dow"))
-  }
-
-  private val anSeasonalDecomposeSql =
-    """WITH daily AS (SELECT date_trunc('day', l_shipdate) AS day,
-      |    CAST(ROUND(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,8))), 2) * 100 AS BIGINT) AS rev_c
-      |  FROM lineitem GROUP BY 1),
-      |ix AS (SELECT day, rev_c,
-      |         CAST(date_diff('day', DATE '1992-01-01', CAST(day AS DATE)) AS BIGINT) AS di
-      |       FROM daily),
-      |t AS (SELECT day, rev_c,
-      |        CAST(SUM(rev_c) OVER (ORDER BY di RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT) AS tsum,
-      |        COUNT(*) OVER (ORDER BY di RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS nw
-      |      FROM ix)
-      |SELECT CAST(isodow(CAST(day AS DATE)) AS BIGINT) AS dow, COUNT(*) AS n_days,
-      |  CAST(CAST(SUM(rev_c) AS BIGINT) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 100.0 AS mean_rev,
-      |  CAST(CAST(SUM(7 * rev_c - tsum) AS BIGINT) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 700.0 AS seasonal
-      |FROM t WHERE nw = 7 GROUP BY 1 ORDER BY 1""".stripMargin
-
-  /** Price elasticity of demand per brand: OLS slope of ln(quantity)
-    * on ln(1 − discount). The libm-dependent ln terms are evaluated
-    * once per DISTINCT (discount, quantity) cell (tiny domain) with
-    * counts as weights, and every weighted term is cast to
-    * DECIMAL(38,18) before SUM — the order-independent gather the
-    * q_pagerank/an_entropy rules record — so the only cross-engine
-    * skew is the ≤1-ulp ln itself, absorbed by the ROUND(·,6)
-    * emission even through the covariance cancellation. */
-  private def anPriceElasticity(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(s, dir).join(
-      broadcast(Tables.part(s, dir).select(col("p_partkey"), col("p_brand"))),
-      col("l_partkey") === col("p_partkey"))
-    val perV = li.groupBy(col("p_brand"), col("l_discount").as("d"),
-        col("l_quantity").as("q"))
-      .agg(count(lit(1)).as("cnt"))
-    def g(x: Column) = sum((col("cnt") * x).cast("decimal(38,18)")).cast("double")
-    val x = log(lit(1.0) - col("d"))
-    val y = log(col("q"))
-    perV.groupBy(col("p_brand"))
-      .agg(sum(col("cnt")).as("n"),
-        g(x).as("sx"), g(y).as("sy"), g(x * x).as("sxx"), g(x * y).as("sxy"))
-      .select(col("p_brand"), col("n"),
-        round((col("n") * col("sxy") - col("sx") * col("sy")) /
-          (col("n") * col("sxx") - col("sx") * col("sx")), 6).as("elasticity"))
-      .orderBy(col("p_brand"))
-  }
-
-  private val anPriceElasticitySql =
-    """WITH li AS (SELECT p_brand, l_discount AS d, l_quantity AS q, COUNT(*) AS cnt
-      |            FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1, 2, 3),
-      |m AS (SELECT p_brand, CAST(SUM(cnt) AS BIGINT) AS n,
-      |        CAST(SUM(CAST(cnt * ln(1.0 - d) AS DECIMAL(38,18))) AS DOUBLE) AS sx,
-      |        CAST(SUM(CAST(cnt * ln(q) AS DECIMAL(38,18))) AS DOUBLE) AS sy,
-      |        CAST(SUM(CAST(cnt * (ln(1.0 - d) * ln(1.0 - d)) AS DECIMAL(38,18))) AS DOUBLE) AS sxx,
-      |        CAST(SUM(CAST(cnt * (ln(1.0 - d) * ln(q)) AS DECIMAL(38,18))) AS DOUBLE) AS sxy
-      |      FROM li GROUP BY 1)
-      |SELECT p_brand, n,
-      |  ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS elasticity
-      |FROM m ORDER BY p_brand""".stripMargin
-
-  /** Peak detection over daily revenue — a day is a peak when it
-    * strictly dominates BOTH its ±3-day flanks (directional RANGE
-    * windows over the day index, so calendar gaps shrink a flank
-    * instead of sliding rows in) and clears an integer prominence
-    * gate: 20·(rev − flank_max) > rev, i.e. >5% above the taller
-    * flank. Pure integer cents compares — bit-identical anywhere;
-    * emitted prominence is the exact cent gap. Edge days with an
-    * empty flank can't be peaks (the marketing-calendar convention:
-    * a peak needs both sides). */
-  private def anPeaks(s: SparkSession, dir: String): DataFrame = {
-    val daily = Tables.lineitem(s, dir)
-      .groupBy(date_trunc("day", col("l_shipdate")).as("day"))
-      .agg((sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-          .cast("decimal(24,8)")).cast("decimal(24,2)") * 100)
-        .cast("bigint").as("rev_c"))
-      .withColumn("di",
-        datediff(col("day"), lit("1992-01-01").cast("date")).cast("long"))
-    val wL = Window.orderBy(col("di")).rangeBetween(-3, -1)
-    val wR = Window.orderBy(col("di")).rangeBetween(1, 3)
-    daily
-      .select(col("day"), col("rev_c"),
-        max(col("rev_c")).over(wL).as("ml"), max(col("rev_c")).over(wR).as("mr"))
-      .filter(col("ml").isNotNull && col("mr").isNotNull &&
-        col("rev_c") > col("ml") && col("rev_c") > col("mr") &&
-        lit(20L) * (col("rev_c") - greatest(col("ml"), col("mr"))) > col("rev_c"))
-      .select(col("day"), col("rev_c"),
-        (col("rev_c") - greatest(col("ml"), col("mr"))).as("prominence_c"))
-      .orderBy(col("day"))
-  }
-
-  private val anPeaksSql =
-    """WITH daily AS (SELECT date_trunc('day', l_shipdate) AS day,
-      |    CAST(ROUND(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,8))), 2) * 100 AS BIGINT) AS rev_c
-      |  FROM lineitem GROUP BY 1),
-      |ix AS (SELECT day, rev_c,
-      |         CAST(date_diff('day', DATE '1992-01-01', CAST(day AS DATE)) AS BIGINT) AS di
-      |       FROM daily),
-      |f AS (SELECT day, rev_c,
-      |        CAST(MAX(rev_c) OVER (ORDER BY di RANGE BETWEEN 3 PRECEDING AND 1 PRECEDING) AS BIGINT) AS ml,
-      |        CAST(MAX(rev_c) OVER (ORDER BY di RANGE BETWEEN 1 FOLLOWING AND 3 FOLLOWING) AS BIGINT) AS mr
-      |      FROM ix)
-      |SELECT day, rev_c, CAST(rev_c - GREATEST(ml, mr) AS BIGINT) AS prominence_c
-      |FROM f
-      |WHERE ml IS NOT NULL AND mr IS NOT NULL
-      |  AND rev_c > ml AND rev_c > mr
-      |  AND 20 * (rev_c - GREATEST(ml, mr)) > rev_c
-      |ORDER BY day""".stripMargin
-
-  /** Wald–Wolfowitz runs test on the daily revenue direction series —
-    * "is the day-over-day up/down sequence random, or does momentum/
-    * mean-reversion structure it?" Runs are counted with one lag
-    * compare + sum (flat days dropped, the standard tie handling);
-    * the z statistic (R − μ)/σ with μ = 2n₁n₂/n + 1 and σ² =
-    * 2n₁n₂(2n₁n₂ − n)/(n²(n−1)) is pure IEEE arithmetic on exact
-    * integers — division and sqrt are correctly rounded, so the
-    * emission is bit-identical unrounded on any engine. */
-  private def anRunsTest(s: SparkSession, dir: String): DataFrame = {
-    val daily = Tables.lineitem(s, dir)
-      .groupBy(date_trunc("day", col("l_shipdate")).as("day"))
-      .agg((sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-          .cast("decimal(24,8)")).cast("decimal(24,2)") * 100)
-        .cast("bigint").as("rev_c"))
-    val wLag = Window.orderBy(col("day"))
-    val moves = daily
-      .withColumn("prev", lag(col("rev_c"), 1).over(wLag))
-      .filter(col("prev").isNotNull && col("rev_c") =!= col("prev"))
-      .withColumn("up", (col("rev_c") > col("prev")).cast("long"))
-    val runs = moves
-      .withColumn("pu", lag(col("up"), 1).over(wLag))
-      .select(
-        sum(col("up")).as("n_up"),
-        sum(lit(1L) - col("up")).as("n_down"),
-        (sum(when(col("pu").isNull || col("pu") =!= col("up"), 1L)
-          .otherwise(0L))).as("n_runs"))
-    runs.select(col("n_up"), col("n_down"), col("n_runs"),
-        (lit(2.0) * col("n_up") * col("n_down") /
-          (col("n_up") + col("n_down")) + lit(1.0)).as("expected_runs"))
-      .withColumn("z",
-        (col("n_runs") - col("expected_runs")) /
-          sqrt((lit(2.0) * col("n_up") * col("n_down") *
-            (lit(2.0) * col("n_up") * col("n_down") - col("n_up") - col("n_down"))) /
-            ((col("n_up") + col("n_down")) * (col("n_up") + col("n_down")) *
-              (col("n_up") + col("n_down") - lit(1.0)))))
-  }
-
-  private val anRunsTestSql =
-    """WITH daily AS (SELECT date_trunc('day', l_shipdate) AS day,
-      |    CAST(ROUND(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,8))), 2) * 100 AS BIGINT) AS rev_c
-      |  FROM lineitem GROUP BY 1),
-      |m AS (SELECT day, rev_c, LAG(rev_c) OVER (ORDER BY day) AS prev FROM daily),
-      |mv AS (SELECT day, CASE WHEN rev_c > prev THEN 1 ELSE 0 END AS up
-      |       FROM m WHERE prev IS NOT NULL AND rev_c <> prev),
-      |r AS (SELECT up, LAG(up) OVER (ORDER BY day) AS pu FROM mv),
-      |agg AS (SELECT CAST(SUM(up) AS BIGINT) AS n_up,
-      |               CAST(SUM(1 - up) AS BIGINT) AS n_down,
-      |               CAST(SUM(CASE WHEN pu IS NULL OR pu <> up THEN 1 ELSE 0 END) AS BIGINT) AS n_runs
-      |        FROM r)
-      |SELECT n_up, n_down, n_runs,
-      |  2.0 * n_up * n_down / (n_up + n_down) + 1.0 AS expected_runs,
-      |  (n_runs - (2.0 * n_up * n_down / (n_up + n_down) + 1.0)) /
-      |  sqrt((2.0 * n_up * n_down * (2.0 * n_up * n_down - n_up - n_down)) /
-      |       ((n_up + n_down) * (n_up + n_down) * (n_up + n_down - 1.0))) AS z
-      |FROM agg""".stripMargin
-
-  /** Exact 7-day rolling DISTINCT users per day — the metric that
-    * defeats naive partial aggregation (distinct counts don't merge
-    * across sliding windows). The scale shape: a user is active on day
-    * d iff they have an event in [d−6, d], i.e. iff d falls in the
-    * union of [a, a+6] intervals over their active days — so merge
-    * each user's overlapping intervals (gaps-and-islands with a 6-day
-    * extension, one per-user window), emit ±1 sweep deltas at interval
-    * ends, and ONE [[graft.operators.PrefixSum]] scan over the day
-    * axis yields every day's exact count. Work is O(active user-days),
-    * never O(days × users); the spine is folded in as zero-deltas so
-    * quiet days emit 0 rather than vanish. The oracle cross-checks
-    * with the O(days·events) range-join + COUNT(DISTINCT) definition
-    * — tractable at sf, which is exactly what an oracle is for. */
-  private def anRollingDistinct(s: SparkSession, dir: String): DataFrame = {
-    val epoch = lit("1970-01-01").cast("date")
-    val days = Tables.events(s, dir)
-      .select(col("user_id"),
-        datediff(date_trunc("day", col("ts")), epoch).cast("long").as("d"))
-      .distinct()
-    val w = Window.partitionBy(col("user_id")).orderBy(col("d"))
-    val isl = days
-      .withColumn("prev", lag(col("d"), 1).over(w))
-      .withColumn("brk",
-        when(col("prev").isNull || col("d") - col("prev") > 6, 1L).otherwise(0L))
-      .withColumn("island",
-        sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
-      .groupBy(col("user_id"), col("island"))
-      .agg(min(col("d")).as("s"), (max(col("d")) + 6).as("e"))
-    val deltas = isl.select(col("s").as("d"), lit(1L).as("delta"))
-      .unionByName(isl.select((col("e") + 1).as("d"), lit(-1L).as("delta")))
-    val bounds = days.agg(min(col("d")).as("lo"), max(col("d")).as("hi"))
-    val spine = bounds
-      .select(explode(sequence(col("lo"), col("hi"))).as("d"), lit(0L).as("delta"))
-    val merged = deltas.unionByName(spine)
-      .groupBy(col("d")).agg(sum(col("delta")).as("delta"))
-    graft.operators.PrefixSum.withRunningTotals(merged, Seq("d"), Seq("delta"))
-      .crossJoin(broadcast(bounds))
-      .filter(col("d") >= col("lo") && col("d") <= col("hi"))
-      .select(date_add(epoch, col("d").cast("int")).cast("timestamp").as("day"),
-        col("delta_cum").as("n_active_7d"))
-      .orderBy(col("day"))
-  }
-
-  private val anRollingDistinctSql =
-    """WITH ev AS (SELECT DISTINCT user_id,
-      |    CAST(date_diff('day', DATE '1970-01-01', CAST(date_trunc('day', ts) AS DATE)) AS BIGINT) AS d
-      |  FROM events),
-      |b AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM ev),
-      |spine AS (SELECT CAST(t.d AS BIGINT) AS d FROM b, UNNEST(range(b.lo, b.hi + 1)) AS t(d))
-      |SELECT CAST(DATE '1970-01-01' + CAST(s.d AS INTEGER) AS TIMESTAMP) AS day,
-      |  COUNT(DISTINCT e.user_id) AS n_active_7d
-      |FROM spine s LEFT JOIN ev e ON e.d BETWEEN s.d - 6 AND s.d
-      |GROUP BY 1 ORDER BY 1""".stripMargin
-
-  /** One-way ANOVA across customer market segments on order totals —
-    * "does segment explain spend?". Numeric discipline for an
-    * O(N)-row sum-of-squares: values are exact cents, the grand mean
-    * is pre-subtracted as an INTEGER shift m0 = S div N (SSB/SST are
-    * shift-invariant, and centering keeps every squared term small
-    * enough that Σ(v−m0)² is an exact DECIMAL(38,0) at any SF instead
-    * of a drifting double). SSB gathers the per-group s'²/n doubles
-    * through DECIMAL(38,18) (order-independent, the q_pagerank
-    * pattern); SST converts ONE exact integer; F is then pure IEEE on
-    * identical expression trees — bit-stable unrounded. Two narrow
-    * aggregations (per-group, then a 5-row gather) + one broadcast of
-    * a single grand-total row: no shuffle beyond the segment groupBy. */
-  private def anAnova(s: SparkSession, dir: String): DataFrame = {
-    val o = Tables.orders(s, dir)
-      .join(broadcast(Tables.customer(s, dir)
-        .select(col("c_custkey"), col("c_mktsegment"))),
-        col("o_custkey") === col("c_custkey"))
-      .select(col("c_mktsegment").as("g"),
-        (col("o_totalprice").cast("decimal(24,2)") * 100).cast("bigint").as("v"))
-    val grand = o.agg(sum(col("v")).as("s0"), count(lit(1)).as("n0"))
-      .select(expr("s0 div n0").as("m0"))
-    val per = o.crossJoin(broadcast(grand))
-      .select(col("g"), (col("v") - col("m0")).as("c"))
-      .groupBy(col("g"))
-      .agg(count(lit(1)).as("n_g"), sum(col("c")).as("sp_g"),
-        sum((col("c").cast("decimal(18,0)") * col("c").cast("decimal(18,0)"))
-          .cast("decimal(38,0)")).as("qp_g"))
-    per.agg(count(lit(1)).as("k"), sum(col("n_g")).as("n"),
-        sum(col("sp_g")).as("sp"), sum(col("qp_g")).as("qp"),
-        sum((col("sp_g").cast("double") * col("sp_g").cast("double") /
-          col("n_g").cast("double")).cast("decimal(38,18)")).as("ssb_gather"))
-      .select(col("k"), col("n"),
-        (col("ssb_gather").cast("double") -
-          col("sp").cast("double") * col("sp").cast("double") /
-            col("n").cast("double")).as("ss_between"),
-        (col("qp").cast("double") -
-          col("sp").cast("double") * col("sp").cast("double") /
-            col("n").cast("double")).as("ss_total"))
-      .select(col("k"), col("n"), col("ss_between"),
-        (col("ss_total") - col("ss_between")).as("ss_within"),
-        ((col("ss_between") / (col("k") - lit(1)).cast("double")) /
-          ((col("ss_total") - col("ss_between")) /
-            (col("n") - col("k")).cast("double"))).as("f_stat"))
-  }
-
-  private val anAnovaSql =
-    """WITH o AS (SELECT c.c_mktsegment AS g,
-      |    CAST(CAST(o.o_totalprice AS DECIMAL(24,2)) * 100 AS BIGINT) AS v
-      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
-      |m AS (SELECT CAST(SUM(v) AS BIGINT) // COUNT(*) AS m0 FROM o),
-      |per AS (SELECT g, COUNT(*) AS n_g,
-      |    CAST(SUM(v - m0) AS BIGINT) AS sp_g,
-      |    CAST(SUM(CAST(CAST(v - m0 AS DECIMAL(18,0)) * CAST(v - m0 AS DECIMAL(18,0))
-      |             AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS qp_g
-      |  FROM o CROSS JOIN m GROUP BY g),
-      |t AS (SELECT COUNT(*) AS k, CAST(SUM(n_g) AS BIGINT) AS n,
-      |        CAST(SUM(sp_g) AS BIGINT) AS sp,
-      |        CAST(SUM(qp_g) AS DECIMAL(38,0)) AS qp,
-      |        CAST(SUM(CAST(CAST(sp_g AS DOUBLE) * CAST(sp_g AS DOUBLE)
-      |              / CAST(n_g AS DOUBLE) AS DECIMAL(38,18))) AS DECIMAL(38,18)) AS ssb_gather
-      |      FROM per),
-      |d AS (SELECT k, n,
-      |        CAST(ssb_gather AS DOUBLE)
-      |          - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE) / CAST(n AS DOUBLE) AS ss_between,
-      |        CAST(qp AS DOUBLE)
-      |          - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE) / CAST(n AS DOUBLE) AS ss_total
-      |      FROM t)
-      |SELECT k, n, ss_between, ss_total - ss_between AS ss_within,
-      |  (ss_between / CAST(k - 1 AS DOUBLE))
-      |    / ((ss_total - ss_between) / CAST(n - k AS DOUBLE)) AS f_stat
-      |FROM d""".stripMargin
-
-  /** Tukey HSD post-hoc pairwise comparisons after [[anAnova]]: for
-    * every market-segment pair, the studentized-range statistic
-    * q = |mean_i − mean_j| / √(MSW/2 · (1/n_i + 1/n_j)) — the "WHICH
-    * groups differ" follow-up an omnibus F cannot answer. Reuses the
-    * exact-cents centered sums of the ANOVA (the m0 integer shift
-    * cancels in every mean difference), so per-group state is 3 exact
-    * numbers; the pair fan-out is k², a model-sized frame (k = number
-    * of segments), cross-joined with the 1-row MSW total — the only
-    * data-sized work is the same single groupBy as an_anova. Doubles
-    * are computed on identical expression trees both sides, emitted
-    * unrounded. */
-  private def anTukeyHsd(s: SparkSession, dir: String): DataFrame = {
-    val o = Tables.orders(s, dir)
-      .join(broadcast(Tables.customer(s, dir)
-        .select(col("c_custkey"), col("c_mktsegment"))),
-        col("o_custkey") === col("c_custkey"))
-      .select(col("c_mktsegment").as("g"),
-        (col("o_totalprice").cast("decimal(24,2)") * 100).cast("bigint").as("v"))
-    val grand = o.agg(sum(col("v")).as("s0"), count(lit(1)).as("n0"))
-      .select(expr("s0 div n0").as("m0"))
-    // per is k = |segments| rows (key-domain-bounded) with THREE
-    // consumers (MSW total, both pair sides) — stabilize once (the
-    // an_conformal treatment) so the data-sized centered groupBy runs
-    // once and the final plan hangs off a checkpoint leaf
-    val per = graft.operators.Checkpoints.stabilizeLazy(o.crossJoin(broadcast(grand))
-      .select(col("g"), (col("v") - col("m0")).as("c"))
-      .groupBy(col("g"))
-      .agg(count(lit(1)).as("n_g"), sum(col("c")).as("sp_g"),
-        sum((col("c").cast("decimal(18,0)") * col("c").cast("decimal(18,0)"))
-          .cast("decimal(38,0)")).as("qp_g")))
-    val msw = per.agg(count(lit(1)).as("k"), sum(col("n_g")).as("n"),
-        sum(col("qp_g")).as("qp"),
-        sum((col("sp_g").cast("double") * col("sp_g").cast("double") /
-          col("n_g").cast("double")).cast("decimal(38,18)")).as("ssb_gather"))
-      .select(((col("qp").cast("double") - col("ssb_gather").cast("double")) /
-        (col("n") - col("k")).cast("double")).as("ms_within"))
-    val a = per.select(col("g").as("g_a"), col("n_g").as("n_a"), col("sp_g").as("sp_a"))
-    val b = per.select(col("g").as("g_b"), col("n_g").as("n_b"), col("sp_g").as("sp_b"))
-    a.join(broadcast(b), col("g_a") < col("g_b"))
-      .crossJoin(broadcast(msw))
-      .select(col("g_a"), col("g_b"), col("n_a"), col("n_b"),
-        (col("sp_a").cast("double") / col("n_a").cast("double") -
-          col("sp_b").cast("double") / col("n_b").cast("double")).as("mean_diff_c"),
-        (abs(col("sp_a").cast("double") / col("n_a").cast("double") -
-          col("sp_b").cast("double") / col("n_b").cast("double")) /
-          sqrt(col("ms_within") / lit(2.0) *
-            (lit(1.0) / col("n_a").cast("double") +
-              lit(1.0) / col("n_b").cast("double")))).as("q_stat"))
-      .orderBy(col("g_a"), col("g_b"))
-  }
-
-  private val anTukeyHsdSql =
-    """WITH o AS (SELECT c.c_mktsegment AS g,
-      |    CAST(CAST(o.o_totalprice AS DECIMAL(24,2)) * 100 AS BIGINT) AS v
-      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
-      |m AS (SELECT CAST(SUM(v) AS BIGINT) // COUNT(*) AS m0 FROM o),
-      |per AS (SELECT g, COUNT(*) AS n_g,
-      |    CAST(SUM(v - m0) AS BIGINT) AS sp_g,
-      |    CAST(SUM(CAST(CAST(v - m0 AS DECIMAL(18,0)) * CAST(v - m0 AS DECIMAL(18,0))
-      |             AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS qp_g
-      |  FROM o CROSS JOIN m GROUP BY g),
-      |t AS (SELECT COUNT(*) AS k, CAST(SUM(n_g) AS BIGINT) AS n,
-      |        CAST(SUM(qp_g) AS DECIMAL(38,0)) AS qp,
-      |        CAST(SUM(CAST(CAST(sp_g AS DOUBLE) * CAST(sp_g AS DOUBLE)
-      |              / CAST(n_g AS DOUBLE) AS DECIMAL(38,18))) AS DECIMAL(38,18)) AS ssb_gather
-      |      FROM per),
-      |w AS (SELECT (CAST(qp AS DOUBLE) - CAST(ssb_gather AS DOUBLE))
-      |               / CAST(n - k AS DOUBLE) AS ms_within FROM t)
-      |SELECT a.g AS g_a, b.g AS g_b, a.n_g AS n_a, b.n_g AS n_b,
-      |  CAST(a.sp_g AS DOUBLE) / CAST(a.n_g AS DOUBLE)
-      |    - CAST(b.sp_g AS DOUBLE) / CAST(b.n_g AS DOUBLE) AS mean_diff_c,
-      |  ABS(CAST(a.sp_g AS DOUBLE) / CAST(a.n_g AS DOUBLE)
-      |      - CAST(b.sp_g AS DOUBLE) / CAST(b.n_g AS DOUBLE))
-      |    / sqrt(w.ms_within / 2.0
-      |           * (1.0 / CAST(a.n_g AS DOUBLE) + 1.0 / CAST(b.n_g AS DOUBLE))) AS q_stat
-      |FROM per a JOIN per b ON a.g < b.g CROSS JOIN w
-      |ORDER BY g_a, g_b""".stripMargin
-
-  /** Friedman test across order priorities blocked by month — the
-    * nonparametric repeated-measures complement to [[anKruskal]]:
-    * monthly revenue per priority is ranked WITHIN each month, so a
-    * priority that consistently outranks the others is detected even
-    * when month-to-month level shifts swamp the between-group
-    * variance. Midranks stay integer as doubled ranks
-    * (2r = 2·cnt_less + cnt_eq + 1, the an_mannwhitney recipe, here
-    * from two tiny per-block windows over k=5 rows); only complete
-    * blocks (all 5 priorities) score. Q = 3·Σ(2R_j)²/(n·k·(k+1)) −
-    * 3·n·(k+1) — exact BIGINTs into straight-line IEEE, unrounded.
-    * One data-sized groupBy; everything after is months×5 rows. */
-  private def anFriedman(s: SparkSession, dir: String): DataFrame = {
-    val m = Tables.orders(s, dir)
-      .groupBy(date_trunc("month", col("o_orderdate")).as("blk"),
-        col("o_orderpriority").as("trt"))
-      .agg((sum(col("o_totalprice").cast("decimal(24,8)")).cast("decimal(24,2)") * 100)
-        .cast("bigint").as("v"))
-    val full = m.groupBy(col("blk")).agg(count(lit(1)).as("kk"))
-      .filter(col("kk") === 5).select(col("blk"))
-    val mm = m.join(full, "blk")
-    val wLess = Window.partitionBy(col("blk")).orderBy(col("v"))
-    val wEq = Window.partitionBy(col("blk"), col("v"))
-    val ranked = mm.select(col("blk"), col("trt"),
-      (lit(2) * (rank().over(wLess) - 1) + count(lit(1)).over(wEq) + 1)
-        .cast("long").as("r2"))
-    val perTrt = ranked.groupBy(col("trt")).agg(sum(col("r2")).as("s2"))
-    val nBlocks = full.agg(count(lit(1)).as("n"))
-    perTrt.agg(count(lit(1)).as("k"), sum(col("s2") * col("s2")).as("s2sq"))
-      .crossJoin(broadcast(nBlocks))
-      .select(col("k"), col("n"),
-        (lit(3.0) * col("s2sq").cast("double") /
-          (col("n") * col("k") * (col("k") + 1)).cast("double") -
-          (lit(3) * col("n") * (col("k") + 1)).cast("double")).as("q_friedman"))
-  }
-
-  private val anFriedmanSql =
-    """WITH m AS (SELECT date_trunc('month', o_orderdate) AS blk, o_orderpriority AS trt,
-      |    CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(24,8))), 2) * 100 AS BIGINT) AS v
-      |  FROM orders GROUP BY 1, 2),
-      |fb AS (SELECT blk FROM m GROUP BY blk HAVING COUNT(*) = 5),
-      |mm AS (SELECT m.* FROM m JOIN fb USING (blk)),
-      |r AS (SELECT trt, CAST(2 * (RANK() OVER (PARTITION BY blk ORDER BY v) - 1)
-      |             + COUNT(*) OVER (PARTITION BY blk, v) + 1 AS BIGINT) AS r2 FROM mm),
-      |s AS (SELECT trt, CAST(SUM(r2) AS BIGINT) AS s2 FROM r GROUP BY trt),
-      |t AS (SELECT COUNT(*) AS k, CAST(SUM(s2 * s2) AS BIGINT) AS s2sq FROM s),
-      |nb AS (SELECT COUNT(*) AS n FROM fb)
-      |SELECT k, n,
-      |  3.0 * CAST(s2sq AS DOUBLE) / CAST(n * k * (k + 1) AS DOUBLE)
-      |    - CAST(3 * n * (k + 1) AS DOUBLE) AS q_friedman
-      |FROM t, nb""".stripMargin
-
-  /** Herfindahl–Hirschman concentration of supplier revenue within
-    * each region — "is this region's supply chain one bankruptcy away
-    * from trouble". Exact cents per (region, supplier) from ONE
-    * data-sized groupBy (dims broadcast onto lineitem); shares are one
-    * division each and HHI gathers share² through DECIMAL(38,18)
-    * (order-independent), ROUND(·,6) at emission. */
-  private def anHhi(s: SparkSession, dir: String): DataFrame = {
-    val dims = Tables.supplier(s, dir).select(col("s_suppkey"), col("s_nationkey"))
-      .join(Tables.nation(s, dir).select(col("n_nationkey"), col("n_regionkey")),
-        col("s_nationkey") === col("n_nationkey"))
-      .join(Tables.region(s, dir).select(col("r_regionkey"), col("r_name")),
-        col("n_regionkey") === col("r_regionkey"))
-      .select(col("s_suppkey"), col("r_name"))
-    val rev = Tables.lineitem(s, dir)
-      .join(broadcast(dims), col("l_suppkey") === col("s_suppkey"))
-      .groupBy(col("r_name"), col("s_suppkey"))
-      .agg((sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-          .cast("decimal(24,8)")).cast("decimal(24,2)") * 100)
-        .cast("bigint").as("rev_c"))
-    val tot = rev.groupBy(col("r_name")).agg(sum(col("rev_c")).as("tot_c"))
-    rev.join(broadcast(tot), "r_name")
-      .groupBy(col("r_name"))
-      .agg(count(lit(1)).as("n_suppliers"),
-        round(sum((col("rev_c").cast("double") / col("tot_c").cast("double") *
-            (col("rev_c").cast("double") / col("tot_c").cast("double")))
-          .cast("decimal(38,18)")).cast("double"), 6).as("hhi"))
-      .orderBy(col("r_name"))
-  }
-
-  private val anHhiSql =
-    """WITH dims AS (SELECT s.s_suppkey, r.r_name
-      |  FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
-      |                  JOIN region r ON n.n_regionkey = r.r_regionkey),
-      |rev AS (SELECT d.r_name, l.l_suppkey,
-      |    CAST(ROUND(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(24,8))), 2) * 100 AS BIGINT) AS rev_c
-      |  FROM lineitem l JOIN dims d ON l.l_suppkey = d.s_suppkey
-      |  GROUP BY 1, 2),
-      |tot AS (SELECT r_name, CAST(SUM(rev_c) AS BIGINT) AS tot_c FROM rev GROUP BY 1)
-      |SELECT rev.r_name, COUNT(*) AS n_suppliers,
-      |  ROUND(CAST(CAST(SUM(CAST(CAST(rev_c AS DOUBLE) / CAST(tot_c AS DOUBLE)
-      |        * (CAST(rev_c AS DOUBLE) / CAST(tot_c AS DOUBLE)) AS DECIMAL(38,18)))
-      |      AS DECIMAL(38,18)) AS DOUBLE), 6) AS hhi
-      |FROM rev JOIN tot USING (r_name)
-      |GROUP BY rev.r_name ORDER BY rev.r_name""".stripMargin
-
-  /** Capture–recapture audience estimate (Chapman's corrected
-    * Lincoln–Petersen): users active in the first half-month are the
-    * marked sample, users active in the second half the recapture;
-    * N̂ = (n₁+1)(n₂+1)/(m+1) − 1 estimates the TRUE audience the two
-    * samples drew from — the "how many users do we actually have"
-    * answer when any one window undercounts. Two distinct-user scans
-    * (shuffles carry user ids only) collapse to one 1-row frame;
-    * N̂ and its standard error are straight-line IEEE over exact
-    * BIGINTs, unrounded. */
-  private def anCaptureRecapture(s: SparkSession, dir: String): DataFrame = {
-    val cut = lit("2024-01-16").cast("timestamp")
-    val e = Tables.events(s, dir)
-      .select(col("user_id"), (col("ts") < cut).as("first_half"))
-    val flags = e.groupBy(col("user_id"))
-      .agg(max(when(col("first_half"), 1L).otherwise(0L)).as("in1"),
-        max(when(!col("first_half"), 1L).otherwise(0L)).as("in2"))
-    flags.agg(sum(col("in1")).as("n1"), sum(col("in2")).as("n2"),
-        sum(col("in1") * col("in2")).as("m"))
-      .select(col("n1"), col("n2"), col("m"),
-        (((col("n1") + 1) * (col("n2") + 1)).cast("double") /
-          (col("m") + 1).cast("double") - lit(1.0)).as("n_hat"))
-      .withColumn("se_hat",
-        sqrt(((col("n1") + 1) * (col("n2") + 1)).cast("double") *
-          ((col("n1") - col("m")) * (col("n2") - col("m"))).cast("double") /
-          (((col("m") + 1) * (col("m") + 1)).cast("double") *
-            (col("m") + 2).cast("double"))))
-  }
-
-  private val anCaptureRecaptureSql =
-    """WITH f AS (SELECT user_id,
-      |    MAX(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END) AS in1,
-      |    MAX(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END) AS in2
-      |  FROM events GROUP BY user_id),
-      |t AS (SELECT CAST(SUM(in1) AS BIGINT) AS n1, CAST(SUM(in2) AS BIGINT) AS n2,
-      |        CAST(SUM(in1 * in2) AS BIGINT) AS m FROM f)
-      |SELECT n1, n2, m,
-      |  CAST((n1 + 1) * (n2 + 1) AS DOUBLE) / CAST(m + 1 AS DOUBLE) - 1.0 AS n_hat,
-      |  sqrt(CAST((n1 + 1) * (n2 + 1) AS DOUBLE)
-      |       * CAST((n1 - m) * (n2 - m) AS DOUBLE)
-      |       / (CAST((m + 1) * (m + 1) AS DOUBLE) * CAST(m + 2 AS DOUBLE))) AS se_hat
-      |FROM t""".stripMargin
-
-  /** Gumbel extreme-value fit over monthly block maxima of daily
-    * revenue (method of moments): β̂ = s·√6/π, μ̂ = x̄ − γ·β̂, plus the
-    * 12-month return level μ̂ − β̂·ln(−ln(1 − 1/12)) — the capacity
-    * question "what daily peak should next year expect". Daily cents →
-    * monthly maxima (two partial-aggregable passes); moments use the
-    * an_anova integer grand-shift so Σc² is an exact DECIMAL(38,0) at
-    * any SF; the fit is straight-line IEEE over those exact integers
-    * with γ and π as shared literals, unrounded. */
-  private def anGumbelMaxima(s: SparkSession, dir: String): DataFrame = {
-    val daily = Tables.lineitem(s, dir)
-      .groupBy(date_trunc("day", col("l_shipdate")).as("day"))
-      .agg((sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-          .cast("decimal(24,8)")).cast("decimal(24,2)") * 100)
-        .cast("bigint").as("rev_c"))
-    val maxima = daily.groupBy(date_trunc("month", col("day")).as("mon"))
-      .agg(max(col("rev_c")).as("mx"))
-    val grand = maxima.agg(sum(col("mx")).as("s0"), count(lit(1)).as("n0"))
-      .select(expr("s0 div n0").as("m0"))
-    maxima.crossJoin(broadcast(grand))
-      .select(col("m0"), (col("mx") - col("m0")).as("c"))
-      .agg(max(col("m0")).as("m0"), count(lit(1)).as("n"),
-        sum(col("c")).as("sp"),
-        sum((col("c").cast("decimal(18,0)") * col("c").cast("decimal(18,0)"))
-          .cast("decimal(38,0)")).as("qp"))
-      .select(col("n"),
-        (col("m0").cast("double") +
-          col("sp").cast("double") / col("n").cast("double")).as("mean_c"),
-        sqrt((col("qp").cast("double") -
-          col("sp").cast("double") * col("sp").cast("double") /
-            col("n").cast("double")) / (col("n") - 1).cast("double")).as("sd_c"))
-      .select(col("n"), col("mean_c"), col("sd_c"),
-        (col("sd_c") * sqrt(lit(6.0)) / lit(3.141592653589793)).as("beta_c"))
-      .select(col("n"), col("mean_c"), col("sd_c"), col("beta_c"),
-        (col("mean_c") - lit(0.5772156649015329) * col("beta_c")).as("mu_c"))
-      .withColumn("ret12_c",
-        col("mu_c") - col("beta_c") * log(-log(lit(1.0) - lit(1.0) / lit(12.0))))
-  }
-
-  private val anGumbelMaximaSql =
-    """WITH daily AS (SELECT date_trunc('day', l_shipdate) AS day,
-      |    CAST(ROUND(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,8))), 2) * 100 AS BIGINT) AS rev_c
-      |  FROM lineitem GROUP BY 1),
-      |mx AS (SELECT date_trunc('month', day) AS mon, MAX(rev_c) AS mx FROM daily GROUP BY 1),
-      |g AS (SELECT CAST(SUM(mx) AS BIGINT) // COUNT(*) AS m0 FROM mx),
-      |t AS (SELECT MAX(m0) AS m0, COUNT(*) AS n,
-      |        CAST(SUM(mx - m0) AS BIGINT) AS sp,
-      |        CAST(SUM(CAST(CAST(mx - m0 AS DECIMAL(18,0)) * CAST(mx - m0 AS DECIMAL(18,0))
-      |             AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS qp
-      |      FROM mx CROSS JOIN g),
-      |mo AS (SELECT n,
-      |         CAST(m0 AS DOUBLE) + CAST(sp AS DOUBLE) / CAST(n AS DOUBLE) AS mean_c,
-      |         sqrt((CAST(qp AS DOUBLE)
-      |               - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE) / CAST(n AS DOUBLE))
-      |              / CAST(n - 1 AS DOUBLE)) AS sd_c
-      |       FROM t),
-      |b AS (SELECT n, mean_c, sd_c, sd_c * sqrt(6.0) / 3.141592653589793 AS beta_c FROM mo),
-      |u AS (SELECT n, mean_c, sd_c, beta_c,
-      |        mean_c - 0.5772156649015329 * beta_c AS mu_c FROM b)
-      |SELECT n, mean_c, sd_c, beta_c, mu_c,
-      |  mu_c - beta_c * ln(-ln(1.0 - 1.0 / 12.0)) AS ret12_c
-      |FROM u""".stripMargin
-
-  /** Instrumental-variable (Wald) estimator — the causal-inference
-    * step beyond [[anDid]]/[[anCuped]] when exposure is endogenous:
-    * with the deterministic user-parity instrument Z, exposure X =
-    * per-user view count and outcome Y = per-user purchase cents,
-    * β̂_IV = (Ȳ₁−Ȳ₀)/(X̄₁−X̄₀), plus the first-stage strength
-    * X̄₁−X̄₀ a practitioner must inspect before trusting the ratio.
-    * One per-user aggregate (ids+ints shuffle), a 2-row arm collapse,
-    * straight-line IEEE over exact BIGINTs, unrounded. */
-  private def anIvWald(s: SparkSession, dir: String): DataFrame = {
-    val perUser = Tables.events(s, dir)
-      .groupBy(col("user_id"))
-      .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("x"),
-        sum(when(col("event_type") === "purchase",
-          (col("value").cast("decimal(24,2)") * 100).cast("bigint"))
-          .otherwise(0L)).as("y"))
-    perUser.groupBy((col("user_id") % 2).as("z"))
-      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"))
-      .agg(sum(when(col("z") === 1, col("n"))).as("n1"),
-        sum(when(col("z") === 0, col("n"))).as("n0"),
-        sum(when(col("z") === 1, col("sx"))).as("sx1"),
-        sum(when(col("z") === 0, col("sx"))).as("sx0"),
-        sum(when(col("z") === 1, col("sy"))).as("sy1"),
-        sum(when(col("z") === 0, col("sy"))).as("sy0"))
-      .select(col("n1"), col("n0"),
-        (col("sx1").cast("double") / col("n1").cast("double") -
-          col("sx0").cast("double") / col("n0").cast("double")).as("first_stage"),
-        (col("sy1").cast("double") / col("n1").cast("double") -
-          col("sy0").cast("double") / col("n0").cast("double")).as("reduced_form"))
-      .withColumn("beta_iv", col("reduced_form") / col("first_stage"))
-  }
-
-  private val anIvWaldSql =
-    """WITH u AS (SELECT user_id,
-      |    CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS x,
-      |    CAST(SUM(CASE WHEN event_type = 'purchase'
-      |             THEN CAST(CAST(value AS DECIMAL(24,2)) * 100 AS BIGINT) ELSE 0 END) AS BIGINT) AS y
-      |  FROM events GROUP BY user_id),
-      |z AS (SELECT user_id % 2 AS z, COUNT(*) AS n,
-      |        CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy
-      |      FROM u GROUP BY 1),
-      |t AS (SELECT
-      |    MAX(CASE WHEN z = 1 THEN n END) AS n1, MAX(CASE WHEN z = 0 THEN n END) AS n0,
-      |    MAX(CASE WHEN z = 1 THEN sx END) AS sx1, MAX(CASE WHEN z = 0 THEN sx END) AS sx0,
-      |    MAX(CASE WHEN z = 1 THEN sy END) AS sy1, MAX(CASE WHEN z = 0 THEN sy END) AS sy0
-      |  FROM z),
-      |d AS (SELECT n1, n0,
-      |        CAST(sx1 AS DOUBLE) / CAST(n1 AS DOUBLE)
-      |          - CAST(sx0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS first_stage,
-      |        CAST(sy1 AS DOUBLE) / CAST(n1 AS DOUBLE)
-      |          - CAST(sy0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS reduced_form
-      |      FROM t)
-      |SELECT n1, n0, first_stage, reduced_form,
-      |  reduced_form / first_stage AS beta_iv
-      |FROM d""".stripMargin
-
-  /** Post-stratified average treatment effect: users are stratified by
-    * PRE-period activity (first-half event count bucketed 0–2), treat
-    * is the parity split, and the outcome is second-half purchase
-    * cents; ATE = Σ_s (n_s/N)(ȳ₁ₛ − ȳ₀ₛ) — the variance-reduction
-    * design that stops a heavy-user imbalance from masquerading as an
-    * effect (the blocking complement to [[anCuped]]'s regression
-    * adjustment). Per-user flags → per-(stratum, arm) exact sums → a
-    * strata-sized frame; the weighted contrast gathers through
-    * DECIMAL(38,18) (order-independent), ROUND(·,6) at emission. */
-  private def anStratifiedAte(s: SparkSession, dir: String): DataFrame = {
-    val cut = lit("2024-01-16").cast("timestamp")
-    val perUser = Tables.events(s, dir)
-      .groupBy(col("user_id"))
-      .agg(sum(when(col("ts") < cut, 1L).otherwise(0L)).as("pre_n"),
-        sum(when(col("ts") >= cut && col("event_type") === "purchase",
-          (col("value").cast("decimal(24,2)") * 100).cast("bigint"))
-          .otherwise(0L)).as("y"))
-      .select((col("user_id") % 2).as("treat"),
-        least(col("pre_n"), lit(2L)).as("stratum"), col("y"))
-    val cells = perUser.groupBy(col("stratum"), col("treat"))
-      .agg(count(lit(1)).as("n"), sum(col("y")).as("sy"))
-    val strata = cells.groupBy(col("stratum"))
-      .agg(sum(col("n")).as("n_s"),
-        sum(when(col("treat") === 1, col("sy"))).as("sy1"),
-        sum(when(col("treat") === 1, col("n"))).as("n1"),
-        sum(when(col("treat") === 0, col("sy"))).as("sy0"),
-        sum(when(col("treat") === 0, col("n"))).as("n0"))
-      .filter(col("n1") > 0 && col("n0") > 0)
-    val tot = strata.agg(sum(col("n_s")).as("nn"))
-    strata.crossJoin(broadcast(tot))
-      .agg(count(lit(1)).as("n_strata"), max(col("nn")).as("n_users"),
-        round(sum((col("n_s").cast("double") / col("nn").cast("double") *
-            (col("sy1").cast("double") / col("n1").cast("double") -
-              col("sy0").cast("double") / col("n0").cast("double")))
-          .cast("decimal(38,18)")).cast("double"), 6).as("ate_c"))
-  }
-
-  private val anStratifiedAteSql =
-    """WITH u AS (SELECT user_id % 2 AS treat,
-      |    LEAST(CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END) AS BIGINT), 2) AS stratum,
-      |    CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16' AND event_type = 'purchase'
-      |             THEN CAST(CAST(value AS DECIMAL(24,2)) * 100 AS BIGINT) ELSE 0 END) AS BIGINT) AS y
-      |  FROM events GROUP BY user_id),
-      |c AS (SELECT stratum, treat, COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS sy
-      |      FROM u GROUP BY 1, 2),
-      |s AS (SELECT stratum, CAST(SUM(n) AS BIGINT) AS n_s,
-      |        CAST(MAX(CASE WHEN treat = 1 THEN sy END) AS BIGINT) AS sy1,
-      |        CAST(MAX(CASE WHEN treat = 1 THEN n END) AS BIGINT) AS n1,
-      |        CAST(MAX(CASE WHEN treat = 0 THEN sy END) AS BIGINT) AS sy0,
-      |        CAST(MAX(CASE WHEN treat = 0 THEN n END) AS BIGINT) AS n0
-      |      FROM c GROUP BY stratum
-      |      HAVING n1 > 0 AND n0 > 0),
-      |t AS (SELECT CAST(SUM(n_s) AS BIGINT) AS nn FROM s)
-      |SELECT COUNT(*) AS n_strata, MAX(nn) AS n_users,
-      |  ROUND(CAST(CAST(SUM(CAST(CAST(n_s AS DOUBLE) / CAST(nn AS DOUBLE)
-      |        * (CAST(sy1 AS DOUBLE) / CAST(n1 AS DOUBLE)
-      |           - CAST(sy0 AS DOUBLE) / CAST(n0 AS DOUBLE)) AS DECIMAL(38,18)))
-      |      AS DECIMAL(38,18)) AS DOUBLE), 6) AS ate_c
-      |FROM s CROSS JOIN t""".stripMargin
-
-  /** Index-of-dispersion (variance-to-mean) test of per-user daily
-    * event counts against the Poisson hypothesis — the "is activity
-    * bursty or memoryless" screen that decides whether rate metrics
-    * can assume independence. Counts are exact integers over ACTIVE
-    * (user, day) pairs (zero days are not observed exposure —
-    * documented choice); Σc and Σc² are exact BIGINTs, D = s²/x̄ and
-    * the χ²-approximating statistic (n−1)·D straight-line IEEE,
-    * unrounded. One data-sized groupBy, then scalars. */
-  private def anDispersion(s: SparkSession, dir: String): DataFrame = {
-    val counts = Tables.events(s, dir)
-      .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
-      .agg(count(lit(1)).as("c"))
-    counts.agg(count(lit(1)).as("n"), sum(col("c")).as("sc"),
-        sum(col("c") * col("c")).as("sc2"))
-      .select(col("n"), col("sc"),
-        (col("sc").cast("double") / col("n").cast("double")).as("mean_c"),
-        ((col("sc2").cast("double") -
-          col("sc").cast("double") * col("sc").cast("double") /
-            col("n").cast("double")) / (col("n") - 1).cast("double")).as("var_c"))
-      .withColumn("dispersion", col("var_c") / col("mean_c"))
-      .withColumn("chi2_stat", (col("n") - 1).cast("double") * col("dispersion"))
-  }
-
-  private val anDispersionSql =
-    """WITH c AS (SELECT user_id, date_trunc('day', ts) AS day, COUNT(*) AS c
-      |  FROM events GROUP BY 1, 2),
-      |t AS (SELECT COUNT(*) AS n, CAST(SUM(c) AS BIGINT) AS sc,
-      |        CAST(SUM(c * c) AS BIGINT) AS sc2 FROM c),
-      |d AS (SELECT n, sc,
-      |        CAST(sc AS DOUBLE) / CAST(n AS DOUBLE) AS mean_c,
-      |        (CAST(sc2 AS DOUBLE)
-      |         - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE) / CAST(n AS DOUBLE))
-      |          / CAST(n - 1 AS DOUBLE) AS var_c
-      |      FROM t)
-      |SELECT n, sc, mean_c, var_c, var_c / mean_c AS dispersion,
-      |  CAST(n - 1 AS DOUBLE) * (var_c / mean_c) AS chi2_stat
-      |FROM d""".stripMargin
-
-  /** Mann–Whitney U (rank-sum) test — urgent vs low-priority order
-    * totals, the nonparametric two-sample location test. Ranks are
-    * midranks over the POOLED sample, computed scale-first: aggregate
-    * to distinct cent values (value → total count, group-1 count),
-    * then ONE [[graft.operators.PrefixSum]] scan gives each value's
-    * exclusive cumulative count, so its doubled midrank 2·r̄ =
-    * 2·cum_before + t + 1 is an exact integer — no global row window,
-    * no half-rank doubles. The doubled rank sum 2R₁, the tie term
-    * Σ(t³−t), n₁, n₂ are exact BIGINTs (overflow needs N > ~3e9 rows
-    * in the two priority classes); U, the tie-corrected σ, and z are
-    * pure IEEE on those ints — emitted unrounded, bit-stable. */
-  private def anMannWhitney(s: SparkSession, dir: String): DataFrame = {
-    val o = Tables.orders(s, dir)
-      .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
-      .select((col("o_orderpriority") === "1-URGENT").cast("long").as("g1"),
-        (col("o_totalprice").cast("decimal(24,2)") * 100).cast("bigint").as("v"))
-    val perV = o.groupBy(col("v"))
-      .agg(count(lit(1)).as("cnt"), sum(col("g1")).as("c1"))
-    val scan = graft.operators.PrefixSum.withRunningTotals(perV, Seq("v"), Seq("cnt"))
-    scan
-      .select(col("cnt"), col("c1"),
-        (lit(2L) * (col("cnt_cum") - col("cnt")) + col("cnt") + lit(1L)).as("r2"))
-      .agg(sum(col("c1")).as("n1"), sum(col("cnt") - col("c1")).as("n2"),
-        sum(col("c1") * col("r2")).as("r2_1"),
-        sum(col("cnt") * col("cnt") * col("cnt") - col("cnt")).as("ties"))
-      .select(col("n1"), col("n2"), col("r2_1"), col("ties"),
-        ((col("r2_1") - col("n1") * (col("n1") + lit(1L))).cast("double") / lit(2.0))
-          .as("u1"))
-      .withColumn("z",
-        (col("u1") - col("n1").cast("double") * col("n2").cast("double") / lit(2.0)) /
-          sqrt((col("n1").cast("double") * col("n2").cast("double") / lit(12.0)) *
-            ((col("n1") + col("n2") + lit(1L)).cast("double") -
-              col("ties").cast("double") /
-                ((col("n1") + col("n2")).cast("double") *
-                  (col("n1") + col("n2") - lit(1L)).cast("double")))))
-  }
-
-  private val anMannWhitneySql =
-    """WITH o AS (SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS g1,
-      |    CAST(CAST(o_totalprice AS DECIMAL(24,2)) * 100 AS BIGINT) AS v
-      |  FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
-      |pv AS (SELECT v, COUNT(*) AS cnt, CAST(SUM(g1) AS BIGINT) AS c1 FROM o GROUP BY v),
-      |cv AS (SELECT cnt, c1,
-      |         2 * (CAST(SUM(cnt) OVER (ORDER BY v) AS BIGINT) - cnt) + cnt + 1 AS r2
-      |       FROM pv),
-      |agg AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1,
-      |          CAST(SUM(cnt - c1) AS BIGINT) AS n2,
-      |          CAST(SUM(c1 * r2) AS BIGINT) AS r2_1,
-      |          CAST(SUM(cnt * cnt * cnt - cnt) AS BIGINT) AS ties
-      |        FROM cv)
-      |SELECT n1, n2, r2_1, ties,
-      |  CAST(r2_1 - n1 * (n1 + 1) AS DOUBLE) / 2.0 AS u1,
-      |  (CAST(r2_1 - n1 * (n1 + 1) AS DOUBLE) / 2.0
-      |     - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2.0)
-      |  / sqrt((CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0)
-      |         * (CAST(n1 + n2 + 1 AS DOUBLE)
-      |            - CAST(ties AS DOUBLE)
-      |              / (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 - 1 AS DOUBLE)))) AS z
-      |FROM agg""".stripMargin
-
-  /** Kruskal–Wallis H across ALL five order priorities — the k-group
-    * extension of [[anMannWhitney]], same scale posture: ONE pooled
-    * PrefixSum scan over distinct cent values yields every value's
-    * doubled midrank as an exact integer; per-group doubled rank sums
-    * 2R_g are exact BIGINTs; the deviation form H = 12/(N(N+1)) ·
-    * Σ(2R_g − n_g(N+1))²/(4n_g) keeps each squared term centered
-    * (group-mean-rank deviations, not raw rank sums — the an_anova m0
-    * trick in rank space) before the DECIMAL(38,18) gather; the tie
-    * correction divides by 1 − Σ(t³−t)/(N³−N) in pure IEEE. H is
-    * emitted ROUND(·,6): once the gathered term sum crosses 2⁵³ the
-    * decimal→double re-conversion rounds engine-dependently in the
-    * last ulp (seen at sf0.1), the exact skew class the 6dp rule
-    * absorbs. */
-  private def anKruskal(s: SparkSession, dir: String): DataFrame = {
-    val o = Tables.orders(s, dir)
-      .select(col("o_orderpriority").as("g"),
-        (col("o_totalprice").cast("decimal(24,2)") * 100).cast("bigint").as("v"))
-    val perV = o.groupBy(col("v")).agg(count(lit(1)).as("cnt"))
-    val scan = graft.operators.PrefixSum.withRunningTotals(perV, Seq("v"), Seq("cnt"))
-      .select(col("v"),
-        (lit(2L) * (col("cnt_cum") - col("cnt")) + col("cnt") + lit(1L)).as("r2"),
-        col("cnt"))
-    val grand = scan.agg(sum(col("cnt")).as("n"),
-      sum(col("cnt") * col("cnt") * col("cnt") - col("cnt")).as("ties"))
-    val perG = o.groupBy(col("g"), col("v")).agg(count(lit(1)).as("c"))
-      .join(scan.select(col("v"), col("r2")), Seq("v"))
-      .groupBy(col("g"))
-      .agg(sum(col("c")).as("n_g"), sum(col("c") * col("r2")).as("r2_g"))
-    perG.crossJoin(broadcast(grand))
-      .select(col("n_g"),
-        ((col("r2_g") - col("n_g") * (col("n") + lit(1L))).cast("double") *
-          (col("r2_g") - col("n_g") * (col("n") + lit(1L))).cast("double") /
-          (lit(4.0) * col("n_g").cast("double"))).as("term"),
-        col("n"), col("ties"))
-      .groupBy(col("n"), col("ties"))
-      .agg(count(lit(1)).as("k"),
-        sum(col("term").cast("decimal(38,18)")).as("dev_gather"))
-      .select(col("k"), col("n"),
-        round(lit(12.0) / (col("n").cast("double") * (col("n") + lit(1L)).cast("double")) *
-          col("dev_gather").cast("double") /
-          (lit(1.0) - col("ties").cast("double") /
-            (col("n").cast("double") * col("n").cast("double") *
-              col("n").cast("double") - col("n").cast("double"))), 6).as("h_stat"))
-  }
-
-  private val anKruskalSql =
-    """WITH o AS (SELECT o_orderpriority AS g,
-      |    CAST(CAST(o_totalprice AS DECIMAL(24,2)) * 100 AS BIGINT) AS v
-      |  FROM orders),
-      |pv AS (SELECT v, COUNT(*) AS cnt FROM o GROUP BY v),
-      |cv AS (SELECT v, 2 * (CAST(SUM(cnt) OVER (ORDER BY v) AS BIGINT) - cnt) + cnt + 1 AS r2,
-      |         cnt
-      |       FROM pv),
-      |grand AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n,
-      |            CAST(SUM(cnt * cnt * cnt - cnt) AS BIGINT) AS ties
-      |          FROM cv),
-      |pg AS (SELECT g, CAST(SUM(c) AS BIGINT) AS n_g, CAST(SUM(c * r2) AS BIGINT) AS r2_g
-      |       FROM (SELECT g, o.v, COUNT(*) AS c FROM o GROUP BY g, o.v) gv
-      |       JOIN cv ON gv.v = cv.v GROUP BY g),
-      |terms AS (SELECT n_g,
-      |            CAST(r2_g - n_g * (n + 1) AS DOUBLE) * CAST(r2_g - n_g * (n + 1) AS DOUBLE)
-      |              / (4.0 * CAST(n_g AS DOUBLE)) AS term,
-      |            n, ties
-      |          FROM pg CROSS JOIN grand),
-      |agg AS (SELECT n, ties, COUNT(*) AS k,
-      |          CAST(SUM(CAST(term AS DECIMAL(38,18))) AS DECIMAL(38,18)) AS dev_gather
-      |        FROM terms GROUP BY n, ties)
-      |SELECT k, n,
-      |  ROUND(12.0 / (CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE))
-      |    * CAST(dev_gather AS DOUBLE)
-      |    / (1.0 - CAST(ties AS DOUBLE)
-      |             / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
-      |                - CAST(n AS DOUBLE))), 6) AS h_stat
-      |FROM agg""".stripMargin
-
-  /** Degree distribution of the co-purchase part graph — the shape
-    * audit run before any graph algorithm (q_pagerank, q_triangles)
-    * to pick hub caps and partition counts. Edges are distinct
-    * same-order part pairs: the self-join keys on l_orderkey, so each
-    * order contributes ≤ C(items,2) local pairs (TPC-H orders hold ≤7
-    * lines — the join is narrow-per-key and never quadratic in the
-    * table); degree = distinct-neighbor count over the symmetrized
-    * pair set; the histogram is a tiny final groupBy. */
-  private def qDegreeHist(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(s, dir)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-    val l2 = li.select(col("ok"), col("pk").as("pk2"))
-    val pairs = li.join(l2, Seq("ok"))
-      .filter(col("pk") < col("pk2"))
-      .select(col("pk").as("a"), col("pk2").as("b"))
-      .distinct()
-    val deg = pairs.select(col("a").as("node"))
-      .union(pairs.select(col("b").as("node")))
-      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
-    deg.groupBy(col("degree")).agg(count(lit(1)).as("n_parts"))
-      .orderBy(col("degree"))
-  }
-
-  private val qDegreeHistSql =
-    """WITH pairs AS (
-      |  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
-      |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
-      |  WHERE a.l_partkey < b.l_partkey),
-      |deg AS (SELECT node, COUNT(*) AS degree FROM (
-      |          SELECT a AS node FROM pairs
-      |          UNION ALL
-      |          SELECT b AS node FROM pairs) GROUP BY node)
-      |SELECT degree, COUNT(*) AS n_parts FROM deg
-      |GROUP BY degree ORDER BY degree""".stripMargin
-
-  /** Degree assortativity of the part co-order graph (Newman's r):
-    * Pearson correlation of endpoint degrees over the directed-both-
-    * ways edge view — "do hub parts co-occur with hubs or with leaves",
-    * the one-number mixing diagnostic that decides whether hub-salting
-    * is needed before graph partitioning. Shapes: the same order-local
-    * pair builder as [[qDegreeHist]] (pairs never leave the order key's
-    * partition), degrees via one node-sized groupBy joined back by
-    * endpoint, and the correlation from exact BIGINT edge sums
-    * (Σj, Σjk, Σj² over both directions; the both-ways view makes
-    * Σk = Σj and Σk² = Σj² by construction) collapsed on one row;
-    * r is straight-line IEEE over those exact integers, unrounded. */
-  private def qAssortativity(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(s, dir)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-    val l2 = li.select(col("ok"), col("pk").as("pk2"))
-    // pairs feeds four consumers (both unions × two branches) and deg
-    // two (the u- and v-side degree joins) — lazy checkpoints make each
-    // a leaf instead of re-planning the co-order pair spine per
-    // consumer (the q_triangles treatment; r14 plan audit: 17 exch)
-    val pairs = graft.operators.Checkpoints.stabilizeLazy(
-      li.join(l2, Seq("ok"))
-        .filter(col("pk") < col("pk2"))
-        .select(col("pk").as("a"), col("pk2").as("b"))
-        .distinct())
-    val deg = graft.operators.Checkpoints.stabilizeLazy(
-      pairs.select(col("a").as("node"))
-        .union(pairs.select(col("b").as("node")))
-        .groupBy(col("node")).agg(count(lit(1)).as("degree")))
-    val dirEdges = pairs.select(col("a").as("u"), col("b").as("v"))
-      .union(pairs.select(col("b").as("u"), col("a").as("v")))
-    dirEdges
-      .join(deg.select(col("node").as("u"), col("degree").as("ju")), "u")
-      .join(deg.select(col("node").as("v"), col("degree").as("kv")), "v")
-      .agg(count(lit(1)).as("m"), sum(col("ju")).as("sj"),
-        sum(col("ju") * col("kv")).as("sjk"),
-        sum(col("ju") * col("ju")).as("sj2"))
-      .select(col("m"),
-        ((col("sjk").cast("double") / col("m").cast("double") -
-          (col("sj").cast("double") / col("m").cast("double")) *
-            (col("sj").cast("double") / col("m").cast("double"))) /
-          (col("sj2").cast("double") / col("m").cast("double") -
-            (col("sj").cast("double") / col("m").cast("double")) *
-              (col("sj").cast("double") / col("m").cast("double"))))
-          .as("assortativity"))
-  }
-
-  private val qAssortativitySql =
-    """WITH pairs AS (
-      |  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
-      |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
-      |  WHERE a.l_partkey < b.l_partkey),
-      |deg AS (SELECT node, COUNT(*) AS degree FROM (
-      |          SELECT a AS node FROM pairs
-      |          UNION ALL
-      |          SELECT b AS node FROM pairs) GROUP BY node),
-      |de AS (SELECT a AS u, b AS v FROM pairs
-      |       UNION ALL
-      |       SELECT b AS u, a AS v FROM pairs),
-      |j AS (SELECT du.degree AS ju, dv.degree AS kv
-      |      FROM de JOIN deg du ON de.u = du.node
-      |              JOIN deg dv ON de.v = dv.node),
-      |t AS (SELECT COUNT(*) AS m, CAST(SUM(ju) AS BIGINT) AS sj,
-      |        CAST(SUM(ju * kv) AS BIGINT) AS sjk,
-      |        CAST(SUM(ju * ju) AS BIGINT) AS sj2 FROM j)
-      |SELECT m,
-      |  (CAST(sjk AS DOUBLE) / CAST(m AS DOUBLE)
-      |   - (CAST(sj AS DOUBLE) / CAST(m AS DOUBLE))
-      |     * (CAST(sj AS DOUBLE) / CAST(m AS DOUBLE)))
-      |  / (CAST(sj2 AS DOUBLE) / CAST(m AS DOUBLE)
-      |     - (CAST(sj AS DOUBLE) / CAST(m AS DOUBLE))
-      |       * (CAST(sj AS DOUBLE) / CAST(m AS DOUBLE))) AS assortativity
-      |FROM t""".stripMargin
-
-  /** Month-over-month top movers: the 15 parts with the largest
-    * absolute revenue swing between the final month of the data and
-    * the month before it — the "what changed" drill-down a rollup
-    * cannot answer. The two-month window comes from one 1-row max-day
-    * broadcast (no global sort of the fact table); per-(part, month)
-    * cents are exact, the month pivot is a two-arm conditional
-    * aggregate, and only the part-sized delta table is ranked. */
-  private def qTopMovers(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(s, dir)
-      .select(col("l_partkey").as("pk"),
-        date_trunc("month", col("l_shipdate")).as("mon"),
-        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
-    val lastMon = li.agg(max(col("mon")).as("m1"))
-      .select(col("m1"), add_months(col("m1"), -1).cast("timestamp").as("m0"))
-    val twoMon = li.crossJoin(broadcast(lastMon))
-      .filter(col("mon") === col("m1") || col("mon") === col("m0"))
-    twoMon.groupBy(col("pk"))
-      .agg((sum(when(col("mon") === col("m1"), col("rev")).otherwise(lit(0.0))
-          .cast("decimal(24,8)")).cast("decimal(24,2)") * 100)
-        .cast("bigint").as("rev1_c"),
-        (sum(when(col("mon") === col("m0"), col("rev")).otherwise(lit(0.0))
-          .cast("decimal(24,8)")).cast("decimal(24,2)") * 100)
-        .cast("bigint").as("rev0_c"))
-      .withColumn("delta_c", col("rev1_c") - col("rev0_c"))
-      .orderBy(abs(col("delta_c")).desc, col("pk")).limit(15)
-  }
-
-  private val qTopMoversSql =
-    """WITH li AS (SELECT l_partkey AS pk, date_trunc('month', l_shipdate) AS mon,
-      |    l_extendedprice * (1.0 - l_discount) AS rev
-      |  FROM lineitem),
-      |lm AS (SELECT MAX(mon) AS m1, MAX(mon) - INTERVAL 1 MONTH AS m0 FROM li),
-      |tm AS (SELECT li.* , lm.m1, lm.m0 FROM li CROSS JOIN lm
-      |       WHERE li.mon = lm.m1 OR li.mon = lm.m0),
-      |d AS (SELECT pk,
-      |    CAST(ROUND(SUM(CASE WHEN mon = m1 THEN CAST(rev AS DECIMAL(24,8)) ELSE CAST(0.0 AS DECIMAL(24,8)) END), 2) * 100 AS BIGINT) AS rev1_c,
-      |    CAST(ROUND(SUM(CASE WHEN mon = m0 THEN CAST(rev AS DECIMAL(24,8)) ELSE CAST(0.0 AS DECIMAL(24,8)) END), 2) * 100 AS BIGINT) AS rev0_c
-      |  FROM tm GROUP BY pk)
-      |SELECT pk, rev1_c, rev0_c, rev1_c - rev0_c AS delta_c
-      |FROM d ORDER BY ABS(rev1_c - rev0_c) DESC, pk LIMIT 15""".stripMargin
-
-  /** Single-source BFS shortest paths over the undirected customer–
-    * supplier co-transaction graph (same bipartite node encoding as
-    * q_pagerank) — the graph surface widened from centrality/closure to
-    * path analytics. Convergence-driven min-plus relaxation from
-    * customer node 0 ([[graft.operators.IterativeGraph.bfsDistances]];
-    * the DuckDB oracle unrolls 4 fixed rounds, equal to the fixpoint at
-    * every test SF where BFS completes in 3); every distance is an
-    * exact integer, so the unrolled-CTE DuckDB
-    * oracle replays the frontier bit-for-bit. Scale posture matches
-    * q_pagerank: the static edge list is hash-partitioned on src and
-    * persisted ONCE; each round shuffles only the node-sized
-    * (node, dist) vector into the co-located adjacency — nothing
-    * node-sized is broadcast and no frontier ever lands on the driver,
-    * so the plan survives graphs that outgrow executor memory. */
-  private def qShortestPath(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
-    val ord = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
-    val cs = li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("p"))
-      .distinct()
-    val edges = cs.select(col("c").as("src"), col("p").as("dst"))
-      .unionByName(cs.select(col("p").as("src"), col("c").as("dst")))
-      .distinct()
-      .repartition(col("src")).persist()
-    // convergence-driven min-plus relaxation (see IterativeGraph for the
-    // lineage/probe discipline) — the oracle unrolls 4 fixed rounds,
-    // which equals the fixpoint whenever BFS from node 0 completes in ≤4
-    // hops (measured: 3 at every test SF); at a 100× SF with a deeper
-    // graph this keeps relaxing instead of silently truncating paths.
-    val sources = s.range(1).select(lit(0L).as("node"), lit(0L).as("dist"))
-    graft.operators.IterativeGraph.bfsDistances(edges, sources, maxRounds = 64)
-      .orderBy(col("node"))
-  }
-
-  private val qShortestPathSql: String = {
-    val iter = (1 to 4).map { k =>
-      s"""d$k AS (SELECT node, MIN(dist) AS dist FROM (
-         |  SELECT node, dist FROM d${k - 1}
-         |  UNION ALL
-         |  SELECT e.dst, r.dist + 1 FROM edges e JOIN d${k - 1} r ON e.src = r.node) u
-         |GROUP BY node)""".stripMargin
-    }.mkString(",\n")
-    s"""WITH cs AS (
-       |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS p
-       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-       |edges AS (
-       |  SELECT c AS src, p AS dst FROM cs
-       |  UNION
-       |  SELECT p AS src, c AS dst FROM cs),
-       |d0 AS (SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist),
-       |$iter
-       |SELECT node, dist FROM d4 ORDER BY node""".stripMargin
-  }
-
-  /** Poisson-bootstrap 95% CI for the mean order value — resampling
-    * uncertainty at pipeline scale without materializing B resamples:
-    * every row draws a deterministic pseudo-Poisson(1) weight per
-    * replica via [[graft.functions.Sketches.poissonWeight]] (tempered
-    * mod-p integer hash — all-integer hot path, no per-draw string
-    * hashing; measured ~8× faster than an md5-nibble draw at sf0.1),
-    * so all 64 replicas ride ONE scan with map-side partial
-    * aggregation and the replica frame is 64 rows. Replica means are
-    * IEEE divisions of exact integer sums, the CI bounds are order
-    * statistics of the 64-row frame — every intermediate is exact and
-    * the DuckDB oracle replays the whole construction bit-for-bit.
-    * At 100 TB the exploded (row × 64) stream never shuffles at full
-    * width: partial aggregation collapses it to 64 rows per task. */
-  private def anBootstrapCi(s: SparkSession, dir: String): DataFrame = {
-    val o = Tables.orders(s, dir).select(col("o_orderkey").as("k"),
-      (col("o_totalprice").cast("decimal(24,2)") * 100).cast("bigint").as("v"))
-    val drawn = o.select(col("k"), col("v"),
-        explode(sequence(lit(0), lit(63))).as("b"))
-      .withColumn("w",
-        graft.functions.Sketches.poissonWeight(col("k"), col("b"), 64))
-    val reps = drawn.groupBy(col("b"))
-      .agg(sum(col("w")).as("n_eff"), sum(col("w") * col("v")).as("tot"))
-      .select(col("b"),
-        (col("tot").cast("double") / col("n_eff").cast("double")).as("mb"))
-    // 64 rows: the unpartitioned window is a 64-row sort, not a funnel
-    val ranked = reps.withColumn("rn",
-      row_number().over(Window.orderBy(col("mb"), col("b"))))
-    val lo = ranked.filter(col("rn") === 2).select(col("mb").as("lo_cents"))
-    val hi = ranked.filter(col("rn") === 63).select(col("mb").as("hi_cents"))
-    val base = o.agg(
-      (sum(col("v")).cast("double") / count(lit(1)).cast("double")).as("mean_cents"))
-    base.crossJoin(lo).crossJoin(hi).withColumn("n_boot", lit(64L))
-  }
-
-  private val anBootstrapCiSql: String = {
-    val w = graft.functions.Sketches.PoissonCdfP
-      .map(t => s"(CASE WHEN u >= $t THEN 1 ELSE 0 END)").mkString(" + ")
-    s"""WITH o AS (SELECT o_orderkey AS k,
-       |    CAST(CAST(o_totalprice AS DECIMAL(24,2)) * 100 AS BIGINT) AS v
-       |  FROM orders),
-       |d AS (SELECT k, v, t.range AS b FROM o, range(0, 64) t),
-       |t1 AS (SELECT b, v,
-       |    (((k * 64 + b) % 2147483647) * 1000003 + 12289) % 2147483647 AS x
-       |  FROM d),
-       |t2 AS (SELECT b, v, xor(x, x >> 15) AS x FROM t1),
-       |t3 AS (SELECT b, v, (x * 786433) % 2147483647 AS x FROM t2),
-       |t4 AS (SELECT b, v, xor(x, x >> 13) AS u FROM t3),
-       |ww AS (SELECT b, v, $w AS w FROM t4),
-       |r AS (SELECT b, CAST(SUM(w) AS BIGINT) AS n_eff,
-       |        CAST(SUM(w * v) AS BIGINT) AS tot
-       |      FROM ww GROUP BY b),
-       |m AS (SELECT b, CAST(tot AS DOUBLE) / CAST(n_eff AS DOUBLE) AS mb FROM r),
-       |rk AS (SELECT mb, row_number() OVER (ORDER BY mb, b) AS rn FROM m),
-       |base AS (SELECT CAST(CAST(SUM(v) AS BIGINT) AS DOUBLE)
-       |                / CAST(COUNT(*) AS DOUBLE) AS mean_cents FROM o)
-       |SELECT base.mean_cents, lo.mb AS lo_cents, hi.mb AS hi_cents,
-       |  CAST(64 AS BIGINT) AS n_boot
-       |FROM base, (SELECT mb FROM rk WHERE rn = 2) lo,
-       |     (SELECT mb FROM rk WHERE rn = 63) hi""".stripMargin
-  }
-
-  /** CLUSTER bootstrap CI for a treatment effect — the methodologically
-    * honest uncertainty for unit-randomized metrics: the resampling unit
-    * is the CUSTOMER, not the order row, and because the Poisson weight
-    * is a deterministic function of (custkey, replica) every order of a
-    * customer shares its replica weight with ZERO extra shuffle or
-    * per-user pre-aggregation — cluster semantics fall out of the draw
-    * being keyed on the cluster id. Per replica: weighted group means,
-    * diff; CI = order statistics of the 64 replica diffs; the point
-    * estimate is the exact unweighted diff. Same all-integer tempered
-    * draw + partial-agg posture as an_bootstrap_ci. */
-  private def anBootstrapDiff(s: SparkSession, dir: String): DataFrame = {
-    val o = Tables.orders(s, dir).select(col("o_custkey").as("ck"),
-      (col("o_custkey") % 2).cast("int").as("g"),
-      (col("o_totalprice").cast("decimal(24,2)") * 100).cast("bigint").as("v"))
-    val drawn = o.select(col("ck"), col("g"), col("v"),
-        explode(sequence(lit(0), lit(63))).as("b"))
-      .withColumn("w",
-        graft.functions.Sketches.poissonWeight(col("ck"), col("b"), 64))
-    val reps = drawn.groupBy(col("b"))
-      .agg(sum(when(col("g") === 1, col("w")).otherwise(0L)).as("n1"),
-        sum(when(col("g") === 1, col("w") * col("v")).otherwise(0L)).as("t1"),
-        sum(when(col("g") === 0, col("w")).otherwise(0L)).as("n0"),
-        sum(when(col("g") === 0, col("w") * col("v")).otherwise(0L)).as("t0"))
-      .select(col("b"),
-        (col("t1").cast("double") / col("n1").cast("double") -
-          col("t0").cast("double") / col("n0").cast("double")).as("db"))
-    val ranked = reps.withColumn("rn",
-      row_number().over(Window.orderBy(col("db"), col("b"))))
-    val lo = ranked.filter(col("rn") === 2).select(col("db").as("lo_cents"))
-    val hi = ranked.filter(col("rn") === 63).select(col("db").as("hi_cents"))
-    val base = o.agg(
-      (sum(when(col("g") === 1, col("v"))).cast("double") /
-        sum(when(col("g") === 1, 1L).otherwise(0L)).cast("double") -
-       sum(when(col("g") === 0, col("v"))).cast("double") /
-        sum(when(col("g") === 0, 1L).otherwise(0L)).cast("double")).as("diff_cents"))
-    base.crossJoin(lo).crossJoin(hi).withColumn("n_boot", lit(64L))
-  }
-
-  private val anBootstrapDiffSql: String = {
-    val w = graft.functions.Sketches.PoissonCdfP
-      .map(t => s"(CASE WHEN u >= $t THEN 1 ELSE 0 END)").mkString(" + ")
-    s"""WITH o AS (SELECT o_custkey AS ck, CAST(o_custkey % 2 AS INT) AS g,
-       |    CAST(CAST(o_totalprice AS DECIMAL(24,2)) * 100 AS BIGINT) AS v
-       |  FROM orders),
-       |d AS (SELECT ck, g, v, t.range AS b FROM o, range(0, 64) t),
-       |t1 AS (SELECT g, v, b,
-       |    (((ck * 64 + b) % 2147483647) * 1000003 + 12289) % 2147483647 AS x
-       |  FROM d),
-       |t2 AS (SELECT g, v, b, xor(x, x >> 15) AS x FROM t1),
-       |t3 AS (SELECT g, v, b, (x * 786433) % 2147483647 AS x FROM t2),
-       |t4 AS (SELECT g, v, b, xor(x, x >> 13) AS u FROM t3),
-       |ww AS (SELECT g, v, b, $w AS w FROM t4),
-       |r AS (SELECT b,
-       |    CAST(SUM(CASE WHEN g = 1 THEN w ELSE 0 END) AS BIGINT) AS n1,
-       |    CAST(SUM(CASE WHEN g = 1 THEN w * v ELSE 0 END) AS BIGINT) AS t1,
-       |    CAST(SUM(CASE WHEN g = 0 THEN w ELSE 0 END) AS BIGINT) AS n0,
-       |    CAST(SUM(CASE WHEN g = 0 THEN w * v ELSE 0 END) AS BIGINT) AS t0
-       |  FROM ww GROUP BY b),
-       |m AS (SELECT b, CAST(t1 AS DOUBLE) / CAST(n1 AS DOUBLE)
-       |             - CAST(t0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS db FROM r),
-       |rk AS (SELECT db, row_number() OVER (ORDER BY db, b) AS rn FROM m),
-       |base AS (SELECT
-       |    CAST(CAST(SUM(CASE WHEN g = 1 THEN v END) AS BIGINT) AS DOUBLE)
-       |      / CAST(SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS DOUBLE)
-       |    - CAST(CAST(SUM(CASE WHEN g = 0 THEN v END) AS BIGINT) AS DOUBLE)
-       |      / CAST(SUM(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS diff_cents
-       |  FROM o)
-       |SELECT base.diff_cents, lo.db AS lo_cents, hi.db AS hi_cents,
-       |  CAST(64 AS BIGINT) AS n_boot
-       |FROM base, (SELECT db FROM rk WHERE rn = 2) lo,
-       |     (SELECT db FROM rk WHERE rn = 63) hi""".stripMargin
-  }
-
-  /** Welch's unequal-variance t-test between two customer segments'
-    * order values — the two-sample mean comparison next to an_anova's
-    * k-group F and an_mannwhitney's rank test. Same exactness recipe as
-    * an_anova: integer grand-mean shift keeps Σdev and Σdev² exact
-    * (BIGINT / DECIMAL(38,0)) at any SF; t and the Welch–Satterthwaite
-    * df are straight-line IEEE over those sums, ROUND(·,6) because the
-    * DECIMAL(38,0)→double image crosses 2^53 at scale (the recorded
-    * an_kruskal ulp-skew class). One broadcast-joined scan, one
-    * two-group aggregate — map-side partial all the way. */
-  private def anWelchTtest(s: SparkSession, dir: String): DataFrame = {
-    val o = Tables.orders(s, dir)
-      .join(broadcast(Tables.customer(s, dir)
-        .select(col("c_custkey"), col("c_mktsegment"))),
-        col("o_custkey") === col("c_custkey"))
-      .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
-      .select(col("c_mktsegment").as("g"),
-        (col("o_totalprice").cast("decimal(24,2)") * 100).cast("bigint").as("v"))
-    val grand = o.agg(sum(col("v")).as("s0"), count(lit(1)).as("n0"))
-      .select(expr("s0 div n0").as("m0"))
-    val per = o.crossJoin(broadcast(grand))
-      .select(col("g"), (col("v") - col("m0")).as("c"))
-      .groupBy(col("g"))
-      .agg(count(lit(1)).as("n_g"), sum(col("c")).as("sp_g"),
-        sum((col("c").cast("decimal(18,0)") * col("c").cast("decimal(18,0)"))
-          .cast("decimal(38,0)")).as("qp_g"))
-      .select(col("g"), col("n_g"),
-        (col("sp_g").cast("double") / col("n_g").cast("double")).as("mdev"),
-        ((col("qp_g").cast("double") -
-          col("sp_g").cast("double") * col("sp_g").cast("double") /
-            col("n_g").cast("double")) /
-          (col("n_g") - lit(1)).cast("double")).as("s2"))
-    val agg = per.agg(
-      max(when(col("g") === "BUILDING", col("n_g"))).as("n1"),
-      max(when(col("g") === "BUILDING", col("mdev"))).as("m1"),
-      max(when(col("g") === "BUILDING", col("s2"))).as("s21"),
-      max(when(col("g") === "MACHINERY", col("n_g"))).as("n2"),
-      max(when(col("g") === "MACHINERY", col("mdev"))).as("m2"),
-      max(when(col("g") === "MACHINERY", col("s2"))).as("s22"))
-    // se terms spelled x*x (not pow) — pow(x, 2.0) is not guaranteed
-    // correctly rounded and need not agree across engines
-    val se1 = col("s21") / col("n1").cast("double")
-    val se2 = col("s22") / col("n2").cast("double")
-    agg.select(col("n1"), col("n2"),
-      round((col("m1") - col("m2")) / sqrt(se1 + se2), 6).as("t_welch"),
-      round(((se1 + se2) * (se1 + se2)) /
-        (se1 * se1 / (col("n1") - lit(1)).cast("double") +
-         se2 * se2 / (col("n2") - lit(1)).cast("double")), 6).as("df_welch"))
-  }
-
-  private val anWelchTtestSql =
-    """WITH o AS (SELECT c.c_mktsegment AS g,
-      |    CAST(CAST(o.o_totalprice AS DECIMAL(24,2)) * 100 AS BIGINT) AS v
-      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
-      |  WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')),
-      |m AS (SELECT CAST(SUM(v) AS BIGINT) // COUNT(*) AS m0 FROM o),
-      |per AS (SELECT g, COUNT(*) AS n_g,
-      |    CAST(SUM(v - m0) AS BIGINT) AS sp_g,
-      |    CAST(SUM(CAST(CAST(v - m0 AS DECIMAL(18,0)) * CAST(v - m0 AS DECIMAL(18,0))
-      |             AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS qp_g
-      |  FROM o CROSS JOIN m GROUP BY g),
-      |st AS (SELECT g, n_g,
-      |    CAST(sp_g AS DOUBLE) / CAST(n_g AS DOUBLE) AS mdev,
-      |    (CAST(qp_g AS DOUBLE) - CAST(sp_g AS DOUBLE) * CAST(sp_g AS DOUBLE)
-      |       / CAST(n_g AS DOUBLE)) / CAST(n_g - 1 AS DOUBLE) AS s2
-      |  FROM per),
-      |p AS (SELECT
-      |    MAX(CASE WHEN g = 'BUILDING' THEN n_g END) AS n1,
-      |    MAX(CASE WHEN g = 'BUILDING' THEN mdev END) AS m1,
-      |    MAX(CASE WHEN g = 'BUILDING' THEN s2 END) AS s21,
-      |    MAX(CASE WHEN g = 'MACHINERY' THEN n_g END) AS n2,
-      |    MAX(CASE WHEN g = 'MACHINERY' THEN mdev END) AS m2,
-      |    MAX(CASE WHEN g = 'MACHINERY' THEN s2 END) AS s22
-      |  FROM st)
-      |SELECT n1, n2,
-      |  ROUND((m1 - m2) / sqrt(s21 / n1 + s22 / n2), 6) AS t_welch,
-      |  ROUND(((s21 / n1 + s22 / n2) * (s21 / n1 + s22 / n2)) /
-      |    ((s21 / n1) * (s21 / n1) / (n1 - 1)
-      |     + (s22 / n2) * (s22 / n2) / (n2 - 1)), 6) AS df_welch
-      |FROM p""".stripMargin
-
-  /** Exact repeated-substring screen (the "dedup training data at the
-    * substring level" operator): every 8-word window is hashed, windows
-    * whose exact text occurs in ≥2 distinct docs are flagged, and each
-    * doc reports its window count, flagged count and longest CONSECUTIVE
-    * flagged run (gaps-islands per doc) — the run length is what
-    * separates boilerplate quotation from wholesale copying. Scale: the
-    * frequency join is an AGGREGATE posting join (gram → doc-frequency),
-    * not a pair join — a boilerplate gram in n docs costs n rows, never
-    * n²; windows are doc_id-partitioned for the run scan; only 8-byte
-    * xxhash64 values shuffle, never text (the oracle groups md5 digests
-    * of the same grams — the hash is internal to each side, so the two
-    * only need to agree on collision-freedom, not on the hash). */
-  private def dedupSubstring(s: SparkSession, dir: String): DataFrame = {
-    val ws = split(col("text"), " ")
-    val grams = when(size(ws) >= 8,
-        transform(sequence(lit(1), size(ws) - 7),
-          i => xxhash64(array_join(slice(ws, i, lit(8)), " "))))
-      .otherwise(array().cast("array<bigint>"))
-    val g = Tables.documents(s, dir)
-      .select(col("doc_id"), posexplode(grams).as(Seq("pos", "h")))
-    val df = g.groupBy(col("h")).agg(countDistinct(col("doc_id")).as("nd"))
-    val flagged = g.join(df, "h")
-      .select(col("doc_id"), col("pos"), (col("nd") >= 2).as("shared"))
-    val byDoc = flagged.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_windows"),
-        sum(when(col("shared"), 1L).otherwise(0L)).as("n_dup"))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val runs = flagged.filter(col("shared"))
-      .withColumn("grp", col("pos") - row_number().over(w))
-      .groupBy(col("doc_id"), col("grp")).agg(count(lit(1)).as("run"))
-      .groupBy(col("doc_id")).agg(max(col("run")).as("max_run"))
-    byDoc.join(runs, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_windows"), col("n_dup"),
-        coalesce(col("max_run"), lit(0L)).as("max_run"))
-      .orderBy(col("doc_id"))
-  }
-
-  private val dedupSubstringSql =
-    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-      |l AS (SELECT doc_id, list_transform(range(1, greatest(len(ws) - 6, 1)),
-      |        i -> md5(array_to_string(ws[i:i+7], ' '))) AS lst FROM t),
-      |g AS (SELECT doc_id, generate_subscripts(lst, 1) - 1 AS pos,
-      |        unnest(lst) AS h FROM l),
-      |df AS (SELECT h, COUNT(DISTINCT doc_id) AS nd FROM g GROUP BY h),
-      |f AS (SELECT doc_id, pos, nd >= 2 AS shared FROM g JOIN df USING (h)),
-      |byd AS (SELECT doc_id, COUNT(*) AS n_windows,
-      |          CAST(SUM(CASE WHEN shared THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
-      |        FROM f GROUP BY doc_id),
-      |runs AS (SELECT doc_id, CAST(MAX(run) AS BIGINT) AS max_run FROM (
-      |    SELECT doc_id, grp, COUNT(*) AS run FROM (
-      |      SELECT doc_id, pos,
-      |        pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
-      |      FROM f WHERE shared) x GROUP BY doc_id, grp) y GROUP BY doc_id)
-      |SELECT b.doc_id, b.n_windows, b.n_dup,
-      |  COALESCE(r.max_run, 0) AS max_run
-      |FROM byd b LEFT JOIN runs r USING (doc_id) ORDER BY b.doc_id""".stripMargin
-
-  /** Difference-in-differences estimator over the events stream — the
-    * quasi-experimental complement to an_abtest: 2×2 (treat × post)
-    * cell means of event value with the interaction contrast
-    * (m11−m10)−(m01−m00). Exactness: cents-BIGINT cell sums + counts
-    * (one partial-aggregable pass), means and the DiD are straight-line
-    * IEEE over those exact integers, emitted unrounded (the an_abtest
-    * rule: division trees over identical exact ints are bit-identical). */
-  private def anDid(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.events(s, dir).select(
-      (col("user_id") % 2).cast("int").as("treat"),
-      (col("ts") >= lit("2024-01-16").cast("timestamp")).cast("int").as("post"),
-      (col("value").cast("decimal(24,2)") * 100).cast("bigint").as("v"))
-    val cells = e.groupBy(col("treat"), col("post"))
-      .agg(count(lit(1)).as("n"), sum(col("v")).as("tot"))
-      .select(col("treat"), col("post"),
-        col("n"), (col("tot").cast("double") / col("n").cast("double")).as("m"))
-    def cell(t: Int, p: Int, c: String) =
-      max(when(col("treat") === t && col("post") === p, col(c)))
-    cells.agg(
-        cell(0, 0, "n").as("n00"), cell(0, 1, "n").as("n01"),
-        cell(1, 0, "n").as("n10"), cell(1, 1, "n").as("n11"),
-        cell(0, 0, "m").as("m00"), cell(0, 1, "m").as("m01"),
-        cell(1, 0, "m").as("m10"), cell(1, 1, "m").as("m11"))
-      .withColumn("did_cents",
-        (col("m11") - col("m10")) - (col("m01") - col("m00")))
-  }
-
-  private val anDidSql =
-    """WITH e AS (SELECT CAST(user_id % 2 AS INT) AS treat,
-      |    CAST(ts >= TIMESTAMP '2024-01-16' AS INT) AS post,
-      |    CAST(CAST(value AS DECIMAL(24,2)) * 100 AS BIGINT) AS v
-      |  FROM events),
-      |cells AS (SELECT treat, post, COUNT(*) AS n,
-      |    CAST(CAST(SUM(v) AS BIGINT) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS m
-      |  FROM e GROUP BY treat, post),
-      |p AS (SELECT
-      |    MAX(CASE WHEN treat = 0 AND post = 0 THEN n END) AS n00,
-      |    MAX(CASE WHEN treat = 0 AND post = 1 THEN n END) AS n01,
-      |    MAX(CASE WHEN treat = 1 AND post = 0 THEN n END) AS n10,
-      |    MAX(CASE WHEN treat = 1 AND post = 1 THEN n END) AS n11,
-      |    MAX(CASE WHEN treat = 0 AND post = 0 THEN m END) AS m00,
-      |    MAX(CASE WHEN treat = 0 AND post = 1 THEN m END) AS m01,
-      |    MAX(CASE WHEN treat = 1 AND post = 0 THEN m END) AS m10,
-      |    MAX(CASE WHEN treat = 1 AND post = 1 THEN m END) AS m11
-      |  FROM cells)
-      |SELECT n00, n01, n10, n11, m00, m01, m10, m11,
-      |  (m11 - m10) - (m01 - m00) AS did_cents
-      |FROM p""".stripMargin
-
-  /** l-diversity audit — the sensitive-attribute companion to etl_kanon:
-    * k-anonymity bounds re-identification but a uniform sensitive value
-    * inside a QI group still leaks; this reports, per (segment, nation)
-    * QI group over the order fact, the distinct-priority count l, and
-    * aggregates the min l, the groups below l=3 and the row mass exposed
-    * in them. One groupBy tree, counts only — exact at any SF. */
-  private def etlLdiversity(s: SparkSession, dir: String): DataFrame = {
-    val rows = Tables.orders(s, dir)
-      .join(broadcast(Tables.customer(s, dir)
-        .select(col("c_custkey"), col("c_mktsegment"), col("c_nationkey"))),
-        col("o_custkey") === col("c_custkey"))
-      .select(col("c_mktsegment").as("seg"), col("c_nationkey").as("nat"),
-        col("o_orderpriority").as("sv"))
-    val groups = rows.groupBy(col("seg"), col("nat"))
-      .agg(count(lit(1)).as("n_rows"), countDistinct(col("sv")).as("l"))
-    groups.agg(count(lit(1)).as("n_groups"), min(col("l")).as("min_l"),
-      sum(when(col("l") < 3, 1L).otherwise(0L)).as("n_below_3"),
-      sum(when(col("l") < 3, col("n_rows")).otherwise(0L)).as("rows_exposed"),
-      sum(col("n_rows")).as("n_rows"))
-  }
-
-  private val etlLdiversitySql =
-    """WITH r AS (SELECT c.c_mktsegment AS seg, c.c_nationkey AS nat,
-      |    o.o_orderpriority AS sv
-      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
-      |g AS (SELECT seg, nat, COUNT(*) AS n_rows, COUNT(DISTINCT sv) AS l
-      |      FROM r GROUP BY seg, nat)
-      |SELECT COUNT(*) AS n_groups, CAST(MIN(l) AS BIGINT) AS min_l,
-      |  CAST(SUM(CASE WHEN l < 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_below_3,
-      |  CAST(SUM(CASE WHEN l < 3 THEN n_rows ELSE 0 END) AS BIGINT) AS rows_exposed,
-      |  CAST(SUM(n_rows) AS BIGINT) AS n_rows
-      |FROM g""".stripMargin
-
-  /** URL canonicalization + variant collapse — the web-ingest ETL step
-    * (the corpus has no URL column, so deterministic messy variants are
-    * manufactured per doc, the text_pii_audit injection recipe): case
-    * noise, www. prefixes, explicit :443 default ports, trailing
-    * slashes, utm_* tracking params and fragments. Normalization is
-    * pure portable string algebra — split-at-#/? (never regex: Spark
-    * regex is java.util.regex, DuckDB is RE2 — not replay-safe),
-    * lowercase host, strip default port/www./trailing slash, drop
-    * utm_* params keeping the rest in order — and the canonical groups
-    * are hash-checked: 500 raw docs collapse to 50 canonicals. Row-local
-    * projection + one groupBy; scales like any dedup-key build. */
-  private def etlUrlNormalize(s: SparkSession, dir: String): DataFrame = {
-    val id = col("doc_id")
-    val hostCore = concat(
-      when(id % 2 === 0, lit("www.")).otherwise(lit("")),
-      lit("cdn"), (id % 5).cast("string"), lit(".example.com"),
-      when(id % 5 === 0, lit(":443")).otherwise(lit("")))
-    val raw = concat(lit("https://"),
-      when(id % 3 === 0, upper(hostCore)).otherwise(hostCore),
-      lit("/docs/"), (id % 25).cast("string"),
-      when(id % 4 === 1, lit("/")).otherwise(lit("")),
-      when(id % 2 === 1 && id % 3 === 2,
-          concat(lit("?utm_source=feed&ref=2&utm_campaign="), (id % 7).cast("string")))
-        .when(id % 2 === 1,
-          concat(lit("?utm_source=feed&utm_campaign="), (id % 7).cast("string")))
-        .when(id % 3 === 2, lit("?ref=2")).otherwise(lit("")),
-      when(id % 4 === 2, concat(lit("#p"), (id % 3).cast("string"))).otherwise(lit("")))
-    Tables.documents(s, dir).select(id.as("doc_id"), raw.as("u"))
-      .withColumn("u1", substring_index(col("u"), "#", 1))
-      .withColumn("base", substring_index(col("u1"), "?", 1))
-      .withColumn("q", when(instr(col("u1"), "?") > 0,
-        substring_index(col("u1"), "?", -1)).otherwise(lit("")))
-      .withColumn("params", array_join(filter(split(col("q"), "&"),
-        p => p =!= lit("") && !p.startsWith("utm_")), "&"))
-      .withColumn("rest", expr("substring(base, 9)"))
-      .withColumn("hostport", substring_index(col("rest"), "/", 1))
-      .withColumn("path", expr("substring(rest, length(hostport) + 1)"))
-      .withColumn("h1", lower(col("hostport")))
-      .withColumn("h2", when(expr("substring(h1, length(h1) - 3)") === ":443",
-        expr("substring(h1, 1, length(h1) - 4)")).otherwise(col("h1")))
-      .withColumn("host", when(substring(col("h2"), 1, 4) === "www.",
-        expr("substring(h2, 5)")).otherwise(col("h2")))
-      .withColumn("cpath", when(length(col("path")) > 1 &&
-          expr("substring(path, length(path))") === "/",
-        expr("substring(path, 1, length(path) - 1)")).otherwise(col("path")))
-      .withColumn("canonical", concat(lit("https://"), col("host"), col("cpath"),
-        when(col("params") =!= "", concat(lit("?"), col("params"))).otherwise(lit(""))))
-      .groupBy(col("canonical"))
-      .agg(count(lit(1)).as("n_docs"), countDistinct(col("u")).as("n_variants"))
-      .orderBy(col("canonical"))
-  }
-
-  private val etlUrlNormalizeSql =
-    """WITH raw AS (SELECT doc_id,
-      |    'https://' ||
-      |    (CASE WHEN doc_id % 3 = 0
-      |      THEN upper((CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE '' END) || 'cdn' || (doc_id % 5) || '.example.com' || (CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END))
-      |      ELSE (CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE '' END) || 'cdn' || (doc_id % 5) || '.example.com' || (CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END) END) ||
-      |    '/docs/' || (doc_id % 25) ||
-      |    (CASE WHEN doc_id % 4 = 1 THEN '/' ELSE '' END) ||
-      |    (CASE WHEN doc_id % 2 = 1 AND doc_id % 3 = 2 THEN '?utm_source=feed&ref=2&utm_campaign=' || (doc_id % 7)
-      |          WHEN doc_id % 2 = 1 THEN '?utm_source=feed&utm_campaign=' || (doc_id % 7)
-      |          WHEN doc_id % 3 = 2 THEN '?ref=2' ELSE '' END) ||
-      |    (CASE WHEN doc_id % 4 = 2 THEN '#p' || (doc_id % 3) ELSE '' END) AS u
-      |  FROM documents),
-      |s1 AS (SELECT doc_id, u, split_part(u, '#', 1) AS u1 FROM raw),
-      |s2 AS (SELECT doc_id, u, split_part(u1, '?', 1) AS base, split_part(u1, '?', 2) AS q FROM s1),
-      |s3 AS (SELECT doc_id, u, base,
-      |    array_to_string(list_filter(string_split(q, '&'), p -> p <> '' AND NOT starts_with(p, 'utm_')), '&') AS params
-      |  FROM s2),
-      |s4 AS (SELECT doc_id, u, params, substr(base, 9) AS rest FROM s3),
-      |s5 AS (SELECT doc_id, u, params, split_part(rest, '/', 1) AS hostport,
-      |    substr(rest, length(split_part(rest, '/', 1)) + 1) AS path FROM s4),
-      |s6 AS (SELECT doc_id, u, params, path, lower(hostport) AS h1 FROM s5),
-      |s7 AS (SELECT doc_id, u, params, path,
-      |    CASE WHEN right(h1, 4) = ':443' THEN left(h1, length(h1) - 4) ELSE h1 END AS h2 FROM s6),
-      |s8 AS (SELECT doc_id, u, params, path,
-      |    CASE WHEN left(h2, 4) = 'www.' THEN substr(h2, 5) ELSE h2 END AS host FROM s7),
-      |s9 AS (SELECT doc_id, u, params, host,
-      |    CASE WHEN length(path) > 1 AND right(path, 1) = '/' THEN left(path, length(path) - 1) ELSE path END AS cpath FROM s8),
-      |canon AS (SELECT doc_id, u,
-      |    'https://' || host || cpath || (CASE WHEN params <> '' THEN '?' || params ELSE '' END) AS canonical FROM s9)
-      |SELECT canonical, COUNT(*) AS n_docs, COUNT(DISTINCT u) AS n_variants
-      |FROM canon GROUP BY canonical ORDER BY canonical""".stripMargin
-
-  /** Holt double-exponential smoothing (level + trend) over daily event
-    * revenue — completes the forecasting family (seasonal-naive:
-    * an_forecast_naive, flat EWMA: an_ewma, decomposition:
-    * an_seasonal_decompose) with the trend model. α = β = 1/2 makes
-    * every update an exact dyadic average of integer cents ((x+y)/2 —
-    * IEEE-exact, engine-portable like an_ewma's dyadic taps), so the
-    * whole recursion and the h-step forecasts are bit-identical in the
-    * oracle's 30 unrolled one-row CTE steps. The daily aggregate is the
-    * distributed part (one groupBy over the event log); the recursion
-    * folds over the ~30-row day series on the driver — model-sized
-    * state, the documented centroids pattern (a year is 365 doubles). */
-  private def anHoltForecast(s: SparkSession, dir: String): DataFrame = {
-    // Driver-state bound: this collect is DAYS-sized (a year is 365
-    // longs), never row-sized — the distributed work is the groupBy
-    // above. At cluster scale the collected series needs no
-    // checkpointing; if the recursion itself ever moved executor-side
-    // (it does not), preemptible executors would want reliable
-    // checkpoint() instead of localCheckpoint (the IterativeGraph note).
-    val daily = Tables.events(s, dir)
-      .groupBy(date_trunc("day", col("ts")).as("day"))
-      .agg(sum((col("value").cast("decimal(24,2)") * 100).cast("bigint")).as("rev_c"))
-      .orderBy(col("day"))
-      .select(col("rev_c")).as[Long](org.apache.spark.sql.Encoders.scalaLong)
-      .collect()
-    require(daily.length >= 3, s"Holt needs >= 3 days, got ${daily.length}")
-    // The oracle SQL unrolls exactly 31 recursion steps (s2..s31); a longer
-    // series would silently diverge from it, so fail loudly instead.
-    require(daily.length <= 31,
-      s"Holt oracle unrolls 31 steps; got ${daily.length} days — see the " +
-        "an_holt_forecast CALENDAR-HORIZON CONTRACT in SURVEY §2: widen " +
-        "anHoltForecastSql's CTE unroll and this require in lockstep")
-    var l = daily(0).toDouble
-    var b = daily(1).toDouble - daily(0).toDouble
-    daily.drop(1).foreach { y =>
-      val lNew = (y.toDouble + (l + b)) / 2.0
-      b = ((lNew - l) + b) / 2.0
-      l = lNew
-    }
-    import s.implicits._
-    Seq((daily.length.toLong, l, b, l + 7.0 * b))
-      .toDF("n_days", "level_cents", "trend_cents", "fc7_cents")
-  }
-
-  private val anHoltForecastSql: String = {
-    // i-th observation (1-based) as a one-row scalar: day-ordered rank
-    def y(i: String) = s"(SELECT rev_c FROM r WHERE rn = $i)"
-    val steps = (2 to 31).map { t =>
-      s"""s$t AS (SELECT CASE WHEN n >= $t
-         |    THEN (CAST(${y(t.toString)} AS DOUBLE) + (l + b)) / 2.0 ELSE l END AS l,
-         |  CASE WHEN n >= $t
-         |    THEN (((CAST(${y(t.toString)} AS DOUBLE) + (l + b)) / 2.0 - l) + b) / 2.0
-         |    ELSE b END AS b, n
-         |  FROM s${t - 1})""".stripMargin
-    }.mkString(",\n")
-    s"""WITH daily AS (SELECT date_trunc('day', ts) AS day,
-       |    CAST(SUM(CAST(CAST(value AS DECIMAL(24,2)) * 100 AS BIGINT)) AS BIGINT) AS rev_c
-       |  FROM events GROUP BY 1),
-       |r AS (SELECT rev_c, ROW_NUMBER() OVER (ORDER BY day) AS rn FROM daily),
-       |s1 AS (SELECT CAST(${y("1")} AS DOUBLE) AS l,
-       |              CAST(${y("2")} AS DOUBLE) - CAST(${y("1")} AS DOUBLE) AS b,
-       |              (SELECT COUNT(*) FROM r) AS n),
-       |$steps
-       |SELECT n AS n_days, l AS level_cents, b AS trend_cents,
-       |  l + 7.0 * b AS fc7_cents FROM s31""".stripMargin
-  }
-
-  /** Holt–Winters additive seasonal smoothing (period 7, α=β=γ=1/2) —
-    * an_holt_forecast plus the weekly seasonal ring the raw Holt model
-    * aliases into its trend. All three recursions use dyadic 1/2
-    * smoothing (IEEE-exact halvings, the an_ewma recipe); the only
-    * non-dyadic op is the one init division by 7 (a single correctly-
-    * rounded IEEE divide, identical on both engines). Level/trend
-    * init: l=mean(first week), b=0; seasonal init s_i = x_i − l. The
-    * oracle unrolls the t=8..31 recursion with the 7-slot seasonal
-    * ring carried through every CTE step. Daily aggregate distributed;
-    * the fold is days-sized driver state (the Holt posture). */
-  private def anHoltWinters(s: SparkSession, dir: String): DataFrame = {
-    val daily = Tables.events(s, dir)
-      .groupBy(date_trunc("day", col("ts")).as("day"))
-      .agg(sum((col("value").cast("decimal(24,2)") * 100).cast("bigint")).as("rev_c"))
-      .orderBy(col("day"))
-      .select(col("rev_c")).as[Long](org.apache.spark.sql.Encoders.scalaLong)
-      .collect()
-    require(daily.length >= 8, s"Holt-Winters needs >= 8 days, got ${daily.length}")
-    require(daily.length <= 31,
-      s"oracle unrolls 31 steps; got ${daily.length} days — see the " +
-        "an_holt_winters CALENDAR-HORIZON CONTRACT in SURVEY §2: widen " +
-        "anHoltWintersSql's CTE unroll and this require in lockstep")
-    val x = daily.map(_.toDouble)
-    var l = x.take(7).sum / 7.0
-    var b = 0.0
-    val ring = Array.tabulate(7)(i => x(i) - l) // slot i == (t-1) % 7
-    var t = 8
-    while (t <= x.length) {
-      val xt = x(t - 1)
-      val slot = (t - 1) % 7
-      val sp = ring(slot)
-      val lNew = (xt - sp) / 2.0 + (l + b) / 2.0
-      val bNew = (lNew - l) / 2.0 + b / 2.0
-      ring(slot) = (xt - l - b) / 2.0 + sp / 2.0
-      l = lNew; b = bNew
-      t += 1
-    }
-    val n = x.length
-    val fc7 = l + 7.0 * b + ring((n + 6) % 7)
-    import s.implicits._
-    Seq((n.toLong, l, b, fc7)).toDF("n_days", "level_cents", "trend_cents", "fc7_cents")
-  }
-
-  private val anHoltWintersSql: String = {
-    def y(i: Int) = s"(SELECT rev_c FROM r WHERE rn = $i)"
-    val sInit = (0 until 7).map(i => s"CAST(${y(i + 1)} AS DOUBLE) - l AS s$i").mkString(", ")
-    val steps = (8 to 31).map { t =>
-      val slot = (t - 1) % 7
-      val carries = (0 until 7).filter(_ != slot).map(i => s"s$i").mkString(", ")
-      s"""s$t AS (SELECT n,
-         |  CASE WHEN n >= $t THEN (CAST(${y(t)} AS DOUBLE) - s$slot) / 2.0 + (l + b) / 2.0
-         |       ELSE l END AS l,
-         |  CASE WHEN n >= $t THEN (((CAST(${y(t)} AS DOUBLE) - s$slot) / 2.0 + (l + b) / 2.0) - l) / 2.0 + b / 2.0
-         |       ELSE b END AS b,
-         |  CASE WHEN n >= $t THEN (CAST(${y(t)} AS DOUBLE) - l - b) / 2.0 + s$slot / 2.0
-         |       ELSE s$slot END AS s$slot,
-         |  $carries
-         |  FROM s${t - 1})""".stripMargin
-    }.mkString(",\n")
-    val fcSlot = (0 until 7).map(i =>
-      s"WHEN (n + 6) % 7 = $i THEN s$i").mkString(" ")
-    s"""WITH daily AS (SELECT date_trunc('day', ts) AS day,
-       |    CAST(SUM(CAST(CAST(value AS DECIMAL(24,2)) * 100 AS BIGINT)) AS BIGINT) AS rev_c
-       |  FROM events GROUP BY 1),
-       |r AS (SELECT rev_c, ROW_NUMBER() OVER (ORDER BY day) AS rn FROM daily),
-       |i0 AS (SELECT (CAST(${y(1)} AS DOUBLE) + ${y(2)} + ${y(3)} + ${y(4)}
-       |             + ${y(5)} + ${y(6)} + ${y(7)}) / 7.0 AS l,
-       |              (SELECT COUNT(*) FROM r) AS n),
-       |s7 AS (SELECT n, l, 0.0 AS b, $sInit FROM i0),
-       |$steps
-       |SELECT n AS n_days, l AS level_cents, b AS trend_cents,
-       |  l + 7.0 * b + (CASE $fcSlot END) AS fc7_cents FROM s31""".stripMargin
-  }
-
-  /** Largest-Triangle-Three-Buckets downsampling of daily revenue to
-    * 12 points — the dashboard-decimation operator (keep the visual
-    * shape of a series with a fixed point budget): first/last pinned,
-    * 10 interior buckets, each bucket contributing the point with the
-    * largest triangle area against the PREVIOUS chosen point and the
-    * NEXT bucket's centroid. The selection is sequential by
-    * construction (each step needs the prior winner), so the fold runs
-    * on the collected days-sized series (the Holt driver-state
-    * posture) and the oracle unrolls the 10 bucket steps as CTEs; the
-    * area comparison is a mirrored IEEE expression over exact integer
-    * cents with argmax ties to the earliest day. */
-  private def anLttb(s: SparkSession, dir: String): DataFrame = {
-    val daily = Tables.events(s, dir)
-      .groupBy(date_trunc("day", col("ts")).as("day"))
-      .agg(sum((col("value").cast("decimal(24,2)") * 100).cast("bigint")).as("v"))
-      .orderBy(col("day"))
-      .select(substring(col("day").cast("string"), 1, 10), col("v"))
-      .as[(String, Long)](org.apache.spark.sql.Encoders.tuple(
-        org.apache.spark.sql.Encoders.STRING, org.apache.spark.sql.Encoders.scalaLong))
-      .collect()
-    val n = daily.length
-    require(n >= 12, s"LTTB to 12 points needs >= 12 days, got $n — see the " +
-      "an_lttb SPAN CONTRACT in SURVEY §2 (no upper horizon: buckets scale with n)")
-    val buckets = 10
-    // interior ranks 2..n-1 split into 10 buckets (rank space, 1-based)
-    def lo(i: Int) = (i.toLong * (n - 2) / buckets).toInt + 2
-    def hi(i: Int) = ((i + 1).toLong * (n - 2) / buckets).toInt + 1
-    val sel = scala.collection.mutable.ArrayBuffer[Int](1) // ranks, first pinned
-    var px = 1.0
-    var py = daily(0)._2.toDouble
-    (0 until buckets).foreach { i =>
-      val (ax, ay) =
-        if (i < buckets - 1) {
-          val r = (lo(i + 1) to hi(i + 1))
-          (r.map(_.toDouble).sum / r.size, r.map(k => daily(k - 1)._2.toDouble).sum / r.size)
-        } else (n.toDouble, daily(n - 1)._2.toDouble)
-      var bestR = lo(i)
-      var bestA = -1.0
-      (lo(i) to hi(i)).foreach { r =>
-        val x = r.toDouble
-        val y = daily(r - 1)._2.toDouble
-        val a = math.abs((px - ax) * (y - py) - (px - x) * (ay - py))
-        if (a > bestA) { bestA = a; bestR = r } // strict: ties keep earliest
-      }
-      sel += bestR
-      px = bestR.toDouble
-      py = daily(bestR - 1)._2.toDouble
-    }
-    sel += n
-    import s.implicits._
-    sel.toSeq.zipWithIndex
-      .map { case (r, i) =>
-        (i.toLong + 1, r.toLong, daily(r - 1)._1, daily(r - 1)._2) }
-      .toDF("seq", "x_rank", "day", "y_cents")
-  }
-
-  private val anLttbSql: String = {
-    // bucket i membership in rank space (n is a runtime scalar)
-    def loB(i: Int) = s"($i * (n - 2)) // 10 + 2"
-    def hiB(i: Int) = s"(${i + 1} * (n - 2)) // 10 + 1"
-    val steps = (0 until 10).map { i =>
-      val nextAvg =
-        if (i < 9)
-          s"""na$i AS (SELECT AVG(CAST(rn AS DOUBLE)) AS ax, AVG(CAST(v AS DOUBLE)) AS ay
-             |        FROM r CROSS JOIN t WHERE rn >= ${loB(i + 1)} AND rn <= ${hiB(i + 1)})""".stripMargin
-        else
-          s"""na$i AS (SELECT CAST(n AS DOUBLE) AS ax,
-             |               (SELECT CAST(v AS DOUBLE) FROM r CROSS JOIN t WHERE rn = n) AS ay
-             |        FROM t)""".stripMargin
-      val prev = if (i == 0) "sel_init" else s"sel${i - 1}"
-      s"""$nextAvg,
-         |sel$i AS (SELECT b.rn, b.v FROM r b CROSS JOIN t CROSS JOIN $prev p CROSS JOIN na$i a
-         |          WHERE b.rn >= ${loB(i)} AND b.rn <= ${hiB(i)}
-         |          ORDER BY abs((CAST(p.rn AS DOUBLE) - a.ax) * (CAST(b.v AS DOUBLE) - CAST(p.v AS DOUBLE))
-         |                     - (CAST(p.rn AS DOUBLE) - CAST(b.rn AS DOUBLE)) * (a.ay - CAST(p.v AS DOUBLE))) DESC,
-         |                   b.rn
-         |          LIMIT 1)""".stripMargin
-    }.mkString(",\n")
-    val picks = (Seq("SELECT 1 AS seq, rn, v FROM sel_init") ++
-      (0 until 10).map(i => s"SELECT ${i + 2} AS seq, rn, v FROM sel$i") ++
-      Seq("SELECT 12 AS seq, rn, v FROM r CROSS JOIN t WHERE rn = n")).mkString("\n  UNION ALL ")
-    s"""WITH daily AS (SELECT date_trunc('day', ts) AS day,
-       |    CAST(SUM(CAST(CAST(value AS DECIMAL(24,2)) * 100 AS BIGINT)) AS BIGINT) AS v
-       |  FROM events GROUP BY 1),
-       |r AS (SELECT day, v, CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS rn
-       |      FROM daily),
-       |t AS (SELECT COUNT(*) AS n FROM r),
-       |sel_init AS (SELECT rn, v FROM r WHERE rn = 1),
-       |$steps,
-       |p AS ($picks)
-       |SELECT CAST(p.seq AS BIGINT) AS seq, p.rn AS x_rank,
-       |       substr(CAST(r.day AS VARCHAR), 1, 10) AS day, p.v AS y_cents
-       |FROM p JOIN r ON r.rn = p.rn ORDER BY seq""".stripMargin
-  }
-
   /** Partial autocorrelation (lags 1..5) of daily revenue via
     * Durbin–Levinson — the AR-order picker an_autocorr motivates (ACF
     * says "correlated"; PACF says "how many AR terms"). Lagged
@@ -10178,12 +235,12 @@ object SparkEntry {
     * with the oracle SQL (both engines parse the identical arithmetic
     * → identical IEEE op order), so five chained rational recursions
     * stay bit-identical before the final ROUND. */
-  private val pacfRs: Seq[(String, String)] =
+  private[graft] val pacfRs: Seq[(String, String)] =
     Seq("mu" -> "sx / nd") ++ (1 to 5).map(k =>
       s"r$k" -> (s"(a$k - mu * (h$k + t$k) + m$k * mu * mu) " +
         s"/ (a0 - 2.0 * mu * sx + nd * mu * mu)"))
 
-  private val pacfSteps: Seq[(String, String)] = Seq(
+  private[graft] val pacfSteps: Seq[(String, String)] = Seq(
     "phi11" -> "r1",
     "phi22" -> "(r2 - phi11 * r1) / (1.0 - phi11 * r1)",
     "phi21" -> "phi11 - phi22 * phi11",
@@ -10198,3031 +255,6 @@ object SparkEntry {
     "phi55" -> ("(r5 - (phi41 * r4 + phi42 * r3 + phi43 * r2 + phi44 * r1)) " +
       "/ (1.0 - (phi41 * r1 + phi42 * r2 + phi43 * r3 + phi44 * r4))"))
 
-  private def anPacf(s: SparkSession, dir: String): DataFrame = {
-    val daily = Tables.events(s, dir)
-      .groupBy(date_trunc("day", col("ts")).as("day"))
-      .agg(sum((col("value").cast("decimal(24,2)") * 100).cast("bigint")).as("x"))
-    val w = Window.orderBy(col("day"))
-    val lagged = daily.select(col("x") +: (1 to 5).map(k =>
-      lag(col("x"), k).over(w).as(s"l$k")): _*)
-    def dec(c: Column) = c.cast("decimal(38,0)")
-    val aggs = Seq(count(lit(1)).cast("double").as("nd"),
-        sum(dec(col("x"))).cast("double").as("sx"),
-        sum(dec(col("x")) * col("x")).cast("double").as("a0")) ++
-      (1 to 5).flatMap { k =>
-        val lk = col(s"l$k")
-        Seq(sum(when(lk.isNotNull, dec(col("x")) * lk).otherwise(dec(lit(0))))
-            .cast("double").as(s"a$k"),
-          sum(when(lk.isNotNull, dec(lk)).otherwise(dec(lit(0)))).cast("double").as(s"h$k"),
-          sum(when(lk.isNotNull, dec(col("x"))).otherwise(dec(lit(0)))).cast("double").as(s"t$k"),
-          sum(when(lk.isNotNull, 1L).otherwise(0L)).cast("double").as(s"m$k"))
-      }
-    val base = lagged.agg(aggs.head, aggs.tail: _*)
-    val solved = (pacfRs ++ pacfSteps).foldLeft(base) { case (df, (n, e)) =>
-      df.selectExpr("*", s"$e AS $n")
-    }
-    solved.selectExpr("CAST(nd AS BIGINT) AS n_days",
-      "ROUND(phi11, 6) AS pacf_1", "ROUND(phi22, 6) AS pacf_2",
-      "ROUND(phi33, 6) AS pacf_3", "ROUND(phi44, 6) AS pacf_4",
-      "ROUND(phi55, 6) AS pacf_5")
-  }
-
-  private val anPacfSql: String = {
-    val aggCols = (1 to 5).map { k =>
-      s"""    CAST(SUM(CASE WHEN l$k IS NOT NULL THEN CAST(x AS DECIMAL(38,0)) * l$k ELSE 0 END) AS DOUBLE) AS a$k,
-         |    CAST(SUM(CASE WHEN l$k IS NOT NULL THEN CAST(l$k AS DECIMAL(38,0)) ELSE 0 END) AS DOUBLE) AS h$k,
-         |    CAST(SUM(CASE WHEN l$k IS NOT NULL THEN CAST(x AS DECIMAL(38,0)) ELSE 0 END) AS DOUBLE) AS t$k,
-         |    CAST(SUM(CASE WHEN l$k IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) AS m$k""".stripMargin
-    }.mkString(",\n")
-    val chain = (pacfRs ++ pacfSteps).zipWithIndex.map { case ((n, e), i) =>
-      val prev = if (i == 0) "base" else s"c${i - 1}"
-      s"c$i AS (SELECT *, $e AS $n FROM $prev)"
-    }.mkString(",\n")
-    val last = s"c${pacfRs.length + pacfSteps.length - 1}"
-    s"""WITH daily AS (SELECT date_trunc('day', ts) AS day,
-       |    CAST(SUM(CAST(CAST(value AS DECIMAL(24,2)) * 100 AS BIGINT)) AS BIGINT) AS x
-       |  FROM events GROUP BY 1),
-       |lagged AS (SELECT x,
-       |    ${(1 to 5).map(k => s"LAG(x, $k) OVER (ORDER BY day) AS l$k").mkString(", ")}
-       |  FROM daily),
-       |base AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd,
-       |    CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
-       |    CAST(SUM(CAST(x AS DECIMAL(38,0)) * x) AS DOUBLE) AS a0,
-       |$aggCols
-       |  FROM lagged),
-       |$chain
-       |SELECT CAST(nd AS BIGINT) AS n_days,
-       |  ROUND(phi11, 6) AS pacf_1, ROUND(phi22, 6) AS pacf_2,
-       |  ROUND(phi33, 6) AS pacf_3, ROUND(phi44, 6) AS pacf_4,
-       |  ROUND(phi55, 6) AS pacf_5
-       |FROM $last""".stripMargin
-  }
-
-  /** CUPED variance reduction — the pre-experiment-covariate adjustment
-    * that sits between an_ab_srm (trust) and an_abtest/an_did (effect):
-    * per user, pre-period and post-period value sums (X, Y) from ONE
-    * user-keyed pass; θ = cov(X,Y)/var(X) in the integer computational
-    * form (n·ΣXY − ΣX·ΣY over n·ΣX² − ΣX², cross-products accumulated
-    * in DECIMAL(38,0) — exact at any SF); per-variant adjusted means
-    * Ȳ_g − θ(X̄_g − X̄) and the realized variance-reduction factor.
-    * ROUND(·,6) on every emitted double: the decimal sums cross 2⁵³ at
-    * scale (the recorded an_kruskal decimal→double ulp class). */
-  private def anCuped(s: SparkSession, dir: String): DataFrame = {
-    val split = lit("2024-01-16").cast("timestamp")
-    val perUser = Tables.events(s, dir)
-      .select(col("user_id"),
-        (col("value").cast("decimal(24,2)") * 100).cast("bigint").as("v"),
-        (col("ts") < split).as("pre"))
-      .groupBy(col("user_id"))
-      .agg(sum(when(col("pre"), col("v")).otherwise(0L)).as("x"),
-        sum(when(!col("pre"), col("v")).otherwise(0L)).as("y"))
-      .select(col("user_id"), col("x"), col("y"),
-        (col("user_id") % 2).cast("int").as("grp"))
-    def d38(c: Column) = c.cast("decimal(19,0)")
-    val tot = perUser.agg(
-      count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
-      sum((d38(col("x")) * d38(col("x"))).cast("decimal(38,0)")).as("sxx"),
-      sum((d38(col("x")) * d38(col("y"))).cast("decimal(38,0)")).as("sxy"),
-      sum((d38(col("y")) * d38(col("y"))).cast("decimal(38,0)")).as("syy"))
-    val grp = perUser.groupBy(col("grp"))
-      .agg(count(lit(1)).as("n_g"), sum(col("x")).as("sx_g"), sum(col("y")).as("sy_g"))
-    def g(i: Int, c: String) = max(when(col("grp") === i, col(c)))
-    val gw = grp.agg(
-      g(0, "n_g").as("n0"), g(0, "sx_g").as("sx0"), g(0, "sy_g").as("sy0"),
-      g(1, "n_g").as("n1"), g(1, "sx_g").as("sx1"), g(1, "sy_g").as("sy1"))
-    val nD = col("n").cast("double")
-    val theta = (nD * col("sxy").cast("double") -
-        col("sx").cast("double") * col("sy").cast("double")) /
-      (nD * col("sxx").cast("double") -
-        col("sx").cast("double") * col("sx").cast("double"))
-    val rho2 = ((nD * col("sxy").cast("double") -
-        col("sx").cast("double") * col("sy").cast("double")) *
-        (nD * col("sxy").cast("double") -
-          col("sx").cast("double") * col("sy").cast("double"))) /
-      ((nD * col("sxx").cast("double") -
-          col("sx").cast("double") * col("sx").cast("double")) *
-        (nD * col("syy").cast("double") -
-          col("sy").cast("double") * col("sy").cast("double")))
-    tot.crossJoin(gw).select(
-      col("n").as("n_users"),
-      round(theta, 6).as("theta"),
-      round(col("sy0").cast("double") / col("n0").cast("double"), 6).as("raw_mean_0"),
-      round(col("sy1").cast("double") / col("n1").cast("double"), 6).as("raw_mean_1"),
-      round(col("sy0").cast("double") / col("n0").cast("double") -
-        theta * (col("sx0").cast("double") / col("n0").cast("double") -
-          col("sx").cast("double") / nD), 6).as("adj_mean_0"),
-      round(col("sy1").cast("double") / col("n1").cast("double") -
-        theta * (col("sx1").cast("double") / col("n1").cast("double") -
-          col("sx").cast("double") / nD), 6).as("adj_mean_1"),
-      round(rho2, 6).as("var_reduction"))
-  }
-
-  private val anCupedSql =
-    """WITH pu AS (SELECT user_id,
-      |    CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16'
-      |        THEN CAST(CAST(value AS DECIMAL(24,2)) * 100 AS BIGINT)
-      |        ELSE 0 END) AS BIGINT) AS x,
-      |    CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16'
-      |        THEN CAST(CAST(value AS DECIMAL(24,2)) * 100 AS BIGINT)
-      |        ELSE 0 END) AS BIGINT) AS y,
-      |    CAST(user_id % 2 AS INT) AS grp
-      |  FROM events GROUP BY user_id),
-      |tot AS (SELECT COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS sx,
-      |    CAST(SUM(y) AS BIGINT) AS sy,
-      |    CAST(SUM(CAST(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0)) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxx,
-      |    CAST(SUM(CAST(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxy,
-      |    CAST(SUM(CAST(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS syy
-      |  FROM pu),
-      |gw AS (SELECT
-      |    MAX(CASE WHEN grp = 0 THEN n_g END) AS n0,
-      |    MAX(CASE WHEN grp = 0 THEN sx_g END) AS sx0,
-      |    MAX(CASE WHEN grp = 0 THEN sy_g END) AS sy0,
-      |    MAX(CASE WHEN grp = 1 THEN n_g END) AS n1,
-      |    MAX(CASE WHEN grp = 1 THEN sx_g END) AS sx1,
-      |    MAX(CASE WHEN grp = 1 THEN sy_g END) AS sy1
-      |  FROM (SELECT grp, COUNT(*) AS n_g, CAST(SUM(x) AS BIGINT) AS sx_g,
-      |          CAST(SUM(y) AS BIGINT) AS sy_g
-      |        FROM pu GROUP BY grp) g)
-      |SELECT n AS n_users,
-      |  ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-      |      / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS theta,
-      |  ROUND(CAST(sy0 AS DOUBLE) / CAST(n0 AS DOUBLE), 6) AS raw_mean_0,
-      |  ROUND(CAST(sy1 AS DOUBLE) / CAST(n1 AS DOUBLE), 6) AS raw_mean_1,
-      |  ROUND(CAST(sy0 AS DOUBLE) / CAST(n0 AS DOUBLE)
-      |    - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-      |       / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
-      |      * (CAST(sx0 AS DOUBLE) / CAST(n0 AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS adj_mean_0,
-      |  ROUND(CAST(sy1 AS DOUBLE) / CAST(n1 AS DOUBLE)
-      |    - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-      |       / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
-      |      * (CAST(sx1 AS DOUBLE) / CAST(n1 AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS adj_mean_1,
-      |  ROUND(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-      |         * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
-      |      / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-      |         * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS var_reduction
-      |FROM tot CROSS JOIN gw""".stripMargin
-
-  /** Synchronous label-propagation communities over the customer–
-    * supplier graph — completes the graph family (centrality:
-    * q_pagerank, reach: q_shortest_path, closure: q_triangles,
-    * components: dedup_clusters) with community detection. Synchronous
-    * rounds to the stable-or-2-cycle stop
-    * ([[graft.operators.IterativeGraph.labelPropLabels]]; the DuckDB
-    * oracle unrolls 3 fixed rounds — a member of the measured period-2
-    * limit cycle at every test SF): every node adopts its
-    * neighborhood's plurality label, ties broken by the SMALLEST label
-    * — a deterministic integer argmax the DuckDB oracle replays with
-    * the same (count DESC, label ASC) window rank. Per round: one
-    * shuffle of the node-sized label vector into the co-located
-    * adjacency, one (dst,label) count, one dst-partitioned top-1 window
-    * (WindowGroupLimit keeps it partial). */
-  private def qLabelProp(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
-    val ord = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
-    val cs = li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("p"))
-      .distinct()
-    val edges = cs.select(col("c").as("src"), col("p").as("dst"))
-      .unionByName(cs.select(col("p").as("src"), col("c").as("dst")))
-      .distinct()
-      .repartition(col("src")).persist()
-    // Convergence-driven with 2-cycle detection: synchronous plurality
-    // LP on this bipartite graph enters the classic period-2 limit
-    // cycle (measured: by round 3 at every test SF, entry parity
-    // flipping between SFs), resolved to the parity-independent
-    // elementwise min of the two oscillating states — which the oracle
-    // replays as LEAST(l3, l4) on its fixed unroll.
-    val labels = graft.operators.IterativeGraph.labelPropLabels(edges, maxRounds = 32)
-    labels.groupBy(col("lbl").as("community"))
-      .agg(count(lit(1)).as("n_nodes"), min(col("node")).as("min_node"),
-        max(col("node")).as("max_node"))
-      .orderBy(col("community"))
-  }
-
-  private val qLabelPropSql: String = {
-    val iter = (1 to 4).map { k =>
-      s"""l$k AS (
-         |  SELECT node, lbl FROM (
-         |    SELECT e.dst AS node, r.lbl, COUNT(*) AS cnt,
-         |      row_number() OVER (PARTITION BY e.dst
-         |                         ORDER BY COUNT(*) DESC, r.lbl ASC) AS rn
-         |    FROM edges e JOIN l${k - 1} r ON e.src = r.node
-         |    GROUP BY e.dst, r.lbl) v
-         |  WHERE rn = 1)""".stripMargin
-    }.mkString(",\n")
-    // The kernel stops on fixpoint-or-2-cycle and resolves a cycle to
-    // the elementwise min of the two oscillating states; rounds 3 and 4
-    // are both past cycle entry at every test SF, so LEAST(l3, l4)
-    // replays that canonical member regardless of entry parity (and
-    // equals the fixpoint when LP converged by round 3).
-    s"""WITH cs AS (
-       |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS p
-       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-       |edges AS (
-       |  SELECT c AS src, p AS dst FROM cs
-       |  UNION
-       |  SELECT p AS src, c AS dst FROM cs),
-       |l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM edges),
-       |$iter,
-       |fin AS (SELECT a.node, LEAST(a.lbl, b.lbl) AS lbl
-       |        FROM l3 a JOIN l4 b ON a.node = b.node)
-       |SELECT lbl AS community, COUNT(*) AS n_nodes,
-       |  CAST(MIN(node) AS BIGINT) AS min_node,
-       |  CAST(MAX(node) AS BIGINT) AS max_node
-       |FROM fin GROUP BY lbl ORDER BY community""".stripMargin
-  }
-
-  /** ROC AUC of account balance as a churn score — the ranking-quality
-    * readout a training pipeline wants before shipping a model feature
-    * (reference notebook's churn flag, promoted to an evaluation
-    * metric). Label = behavioral churn per [[anChurnRate]] (no order
-    * inside the 90-day recency window, never-ordered counts as
-    * churned); score = c_acctbal in cents. AUC is the Mann–Whitney
-    * identity AUC = (R₁ − n₁(n₁+1)/2)/(n₁n₀) computed on the
-    * [[anMannWhitney]] pooled-midrank posture: distinct cent values +
-    * ONE [[graft.operators.PrefixSum]] scan make the doubled midrank
-    * 2·r̄ = 2·cum_before + t + 1 an exact integer, so the doubled rank
-    * sum 2R₁ is an exact BIGINT and AUC is one division of exact
-    * integers — no global row window, bit-stable unrounded. */
-  private def anRocAuc(s: SparkSession, dir: String): DataFrame = {
-    val o = Tables.orders(s, dir)
-    val anchor = o.agg(max(col("o_orderdate")).as("mx"))
-    val last = o.groupBy(col("o_custkey")).agg(max(col("o_orderdate")).as("last_order"))
-    val cutoff = col("mx") - expr("INTERVAL 90 DAYS")
-    val labeled = Tables.customer(s, dir)
-      .join(last, col("c_custkey") === col("o_custkey"), "left")
-      .crossJoin(broadcast(anchor))
-      .select(
-        (col("last_order").isNull || col("last_order") < cutoff).cast("long").as("g1"),
-        (col("c_acctbal").cast("decimal(24,2)") * 100).cast("bigint").as("v"))
-    val perV = labeled.groupBy(col("v"))
-      .agg(count(lit(1)).as("cnt"), sum(col("g1")).as("c1"))
-    val scan = graft.operators.PrefixSum.withRunningTotals(perV, Seq("v"), Seq("cnt"))
-    scan
-      .select(col("cnt"), col("c1"),
-        (lit(2L) * (col("cnt_cum") - col("cnt")) + col("cnt") + lit(1L)).as("r2"))
-      .agg(sum(col("c1")).as("n1"), sum(col("cnt") - col("c1")).as("n0"),
-        sum(col("c1") * col("r2")).as("r2_1"))
-      .select(col("n1"), col("n0"),
-        ((col("r2_1") - col("n1") * (col("n1") + lit(1L))).cast("double") /
-          (lit(2.0) * col("n1").cast("double") * col("n0").cast("double")))
-          .as("auc"))
-  }
-
-  private val anRocAucSql =
-    """WITH a AS (SELECT MAX(o_orderdate) AS mx FROM orders),
-      |l AS (SELECT o_custkey, MAX(o_orderdate) AS last_order FROM orders GROUP BY 1),
-      |lab AS (SELECT
-      |    CASE WHEN last_order IS NULL OR last_order < mx - INTERVAL 90 DAY
-      |         THEN 1 ELSE 0 END AS g1,
-      |    CAST(CAST(c_acctbal AS DECIMAL(24,2)) * 100 AS BIGINT) AS v
-      |  FROM customer LEFT JOIN l ON c_custkey = o_custkey CROSS JOIN a),
-      |pv AS (SELECT v, COUNT(*) AS cnt, CAST(SUM(g1) AS BIGINT) AS c1 FROM lab GROUP BY v),
-      |cv AS (SELECT cnt, c1,
-      |         2 * (CAST(SUM(cnt) OVER (ORDER BY v) AS BIGINT) - cnt) + cnt + 1 AS r2
-      |       FROM pv),
-      |agg AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1,
-      |          CAST(SUM(cnt - c1) AS BIGINT) AS n0,
-      |          CAST(SUM(c1 * r2) AS BIGINT) AS r2_1
-      |        FROM cv)
-      |SELECT n1, n0,
-      |  CAST(r2_1 - n1 * (n1 + 1) AS DOUBLE)
-      |    / (2.0 * CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE)) AS auc
-      |FROM agg""".stripMargin
-
-  /** Cramér's V association between market segment and nation over the
-    * customer dimension — the effect-size companion to the chi-square
-    * drift tests (an_chi2_drift reports the statistic; V normalizes it
-    * to [0,1] so "is this association material" survives N growing).
-    * Exact integer contingency cells o and marginals r, c; each cell's
-    * deviation numerator o·N − r·c is an exact BIGINT; the per-cell
-    * chi-square terms are IEEE doubles gathered through DECIMAL(38,18)
-    * (order-independent — the an_kruskal gather), ROUND(·,6) at
-    * emission. One groupBy tree + two tiny broadcast marginals. */
-  private def anCramersV(s: SparkSession, dir: String): DataFrame = {
-    val base = Tables.customer(s, dir)
-      .select(col("c_mktsegment").as("a"), col("c_nationkey").as("b"))
-    val cells = base.groupBy(col("a"), col("b")).agg(count(lit(1)).as("o"))
-    val rowm = cells.groupBy(col("a")).agg(sum(col("o")).as("r"))
-    val colm = cells.groupBy(col("b")).agg(sum(col("o")).as("c"))
-    val tot = cells.agg(sum(col("o")).as("n"),
-      countDistinct(col("a")).as("ka"), countDistinct(col("b")).as("kb"))
-    val dn = col("o") * col("n") - col("r") * col("c")
-    val terms = cells
-      .join(broadcast(rowm), "a").join(broadcast(colm), "b")
-      .crossJoin(broadcast(tot))
-      .select(col("n"), col("ka"), col("kb"),
-        ((dn.cast("double") * dn.cast("double")) /
-          (col("n").cast("double") * col("r").cast("double") * col("c").cast("double")))
-          .cast("decimal(38,18)").as("term"))
-    terms.groupBy(col("n"), col("ka"), col("kb"))
-      .agg(sum(col("term")).cast("double").as("chi2g"))
-      .select(col("n"), col("ka"), col("kb"),
-        round(col("chi2g") / col("n").cast("double"), 6).as("phi2"),
-        round(sqrt(col("chi2g") / (col("n").cast("double") *
-          least(col("ka") - 1, col("kb") - 1).cast("double"))), 6).as("v"))
-  }
-
-  private val anCramersVSql =
-    """WITH base AS (SELECT c_mktsegment AS a, c_nationkey AS b FROM customer),
-      |cells AS (SELECT a, b, COUNT(*) AS o FROM base GROUP BY a, b),
-      |rm AS (SELECT a, CAST(SUM(o) AS BIGINT) AS r FROM cells GROUP BY a),
-      |cm AS (SELECT b, CAST(SUM(o) AS BIGINT) AS c FROM cells GROUP BY b),
-      |t AS (SELECT CAST(SUM(o) AS BIGINT) AS n,
-      |        CAST(COUNT(DISTINCT a) AS BIGINT) AS ka,
-      |        CAST(COUNT(DISTINCT b) AS BIGINT) AS kb FROM cells),
-      |terms AS (SELECT n, ka, kb,
-      |    CAST((CAST(o*n - r*c AS DOUBLE) * CAST(o*n - r*c AS DOUBLE))
-      |      / (CAST(n AS DOUBLE) * CAST(r AS DOUBLE) * CAST(c AS DOUBLE))
-      |      AS DECIMAL(38,18)) AS term
-      |  FROM cells JOIN rm USING (a) JOIN cm USING (b) CROSS JOIN t),
-      |g AS (SELECT n, ka, kb, CAST(SUM(term) AS DOUBLE) AS chi2g
-      |      FROM terms GROUP BY n, ka, kb)
-      |SELECT n, ka, kb,
-      |  ROUND(chi2g / CAST(n AS DOUBLE), 6) AS phi2,
-      |  ROUND(sqrt(chi2g / (CAST(n AS DOUBLE)
-      |    * CAST(LEAST(ka - 1, kb - 1) AS DOUBLE))), 6) AS v
-      |FROM g""".stripMargin
-
-  /** Ljung–Box portmanteau test (lags 1..7) on daily revenue — "is
-    * there ANY autocorrelation left", the residual-whiteness gate a
-    * forecasting pipeline runs after an_holt_forecast/an_forecast_naive.
-    * Exactness recipe: the mean is cleared by the integer grand-shift
-    * (dev_t = n·x_t − S is an exact BIGINT of cents), every lag-k
-    * cross product Σ dev_t·dev_{t−k} and the denominator Σ dev_t² are
-    * exact DECIMAL(38,0) sums, each ρ_k = num_k/den is one division
-    * ROUND(·,6) (the gathered sums cross 2⁵³, the recorded
-    * decimal→double ulp-skew class), and Q = n(n+2)·Σ ρ_k²/(n−k) is
-    * straight-line IEEE over those identically-rounded doubles.
-    * Distributed part = the daily aggregate; the lag windows run on the
-    * days-sized frame. */
-  private def anLjungBox(s: SparkSession, dir: String): DataFrame = {
-    val daily = Tables.lineitem(s, dir)
-      .groupBy(date_trunc("day", col("l_shipdate")).as("day"))
-      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-          .cast("decimal(24,8)")).cast("decimal(24,2)").as("revd"))
-      .select(col("day"), (col("revd") * 100).cast("bigint").as("x"))
-    val tot = daily.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
-    val dev = daily.crossJoin(broadcast(tot))
-      .select(col("day"), col("n"), (col("n") * col("x") - col("sx")).as("d"))
-    val w = Window.orderBy(col("day"))
-    val lagged = dev.select(col("n") +: col("d") +:
-      (1 to 7).map(k => lag(col("d"), k).over(w).as(s"l$k")): _*)
-    // operands to DECIMAL(19,0) BEFORE the product: d is days·cents-sized
-    // (~1e12 at sf0.1) so a raw BIGINT d·d overflows long
-    def d19(c: Column) = c.cast("decimal(19,0)")
-    val sums = lagged.groupBy(col("n")).agg(
-      sum((d19(col("d")) * d19(col("d"))).cast("decimal(38,0)")).as("den"),
-      (1 to 7).map(k =>
-        sum((d19(col("d")) * d19(col(s"l$k"))).cast("decimal(38,0)")).as(s"num$k")): _*)
-    val rhos = sums.select(col("n") +: (1 to 7).map(k =>
-      round(col(s"num$k").cast("double") / col("den").cast("double"), 6)
-        .as(s"rho$k")): _*)
-    val qTerms = (1 to 7).map(k =>
-      col(s"rho$k") * col(s"rho$k") / (col("n") - lit(k)).cast("double"))
-    rhos.select(col("n") +: (1 to 7).map(k => col(s"rho$k")) :+
-      round(col("n").cast("double") * (col("n") + lit(2L)).cast("double") *
-        qTerms.reduce(_ + _), 6).as("q_lb"): _*)
-  }
-
-  private val anLjungBoxSql = {
-    val nums = (1 to 7).map(k =>
-      s"CAST(SUM(CAST(CAST(d AS DECIMAL(19,0)) * CAST(l$k AS DECIMAL(19,0)) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS num$k")
-      .mkString(",\n      ")
-    val lags = (1 to 7).map(k => s"LAG(d, $k) OVER (ORDER BY day) AS l$k").mkString(", ")
-    val rhos = (1 to 7).map(k =>
-      s"ROUND(CAST(num$k AS DOUBLE) / CAST(den AS DOUBLE), 6) AS rho$k").mkString(",\n      ")
-    val qTerms = (1 to 7).map(k => s"rho$k * rho$k / CAST(n - $k AS DOUBLE)").mkString(" + ")
-    s"""WITH daily AS (
-       |  SELECT date_trunc('day', l_shipdate) AS day,
-       |    CAST(ROUND(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,8))), 2) * 100 AS BIGINT) AS x
-       |  FROM lineitem GROUP BY 1),
-       |t AS (SELECT COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS sx FROM daily),
-       |dev AS (SELECT day, n, n * x - sx AS d FROM daily CROSS JOIN t),
-       |lagged AS (SELECT n, d, $lags FROM dev),
-       |s AS (SELECT n,
-       |      CAST(SUM(CAST(CAST(d AS DECIMAL(19,0)) * CAST(d AS DECIMAL(19,0)) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS den,
-       |      $nums
-       |      FROM lagged GROUP BY n),
-       |r AS (SELECT n,
-       |      $rhos
-       |      FROM s)
-       |SELECT n, rho1, rho2, rho3, rho4, rho5, rho6, rho7,
-       |  ROUND(CAST(n AS DOUBLE) * CAST(n + 2 AS DOUBLE) * ($qTerms), 6) AS q_lb
-       |FROM r""".stripMargin
-  }
-
-  /** Three-item market-basket affinity — the triple extension of
-    * [[anBasket]]: the pair lift can be high while the triple is pure
-    * coincidence (and vice versa: bundles). Same scale bound: triples
-    * are generated ORDER-LOCALLY (two self-joins on the order key with
-    * p₁<p₂<p₃ — at most C(lines-per-order,3) rows per order, never a
-    * corpus cross join), marginals broadcast, lift vs the independence
-    * rate n_abc·N²/(n_a·n_b·n_c) in exact-integer-fed doubles. */
-  private def anBasketTriples(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(s, dir)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
-    val tot = li.agg(countDistinct(col("ok")).as("n_orders"))
-    val triples = li.as("a")
-      .join(li.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-      .join(li.as("c"), col("a.ok") === col("c.ok") && col("b.pk") < col("c.pk"))
-      .groupBy(col("a.pk").as("part_a"), col("b.pk").as("part_b"), col("c.pk").as("part_c"))
-      .agg(count(lit(1)).as("n_abc"))
-    val marg = li.groupBy(col("pk")).agg(count(lit(1)).as("n_one"))
-    triples
-      .join(broadcast(marg.select(col("pk").as("part_a"), col("n_one").as("n_a"))), "part_a")
-      .join(broadcast(marg.select(col("pk").as("part_b"), col("n_one").as("n_b"))), "part_b")
-      .join(broadcast(marg.select(col("pk").as("part_c"), col("n_one").as("n_c"))), "part_c")
-      .orderBy(col("n_abc").desc, col("part_a"), col("part_b"), col("part_c")).limit(15)
-      .crossJoin(broadcast(tot))
-      .select(col("part_a"), col("part_b"), col("part_c"), col("n_abc"),
-        col("n_a"), col("n_b"), col("n_c"),
-        (col("n_abc").cast("double") * col("n_orders").cast("double") *
-          col("n_orders").cast("double") /
-          (col("n_a").cast("double") * col("n_b").cast("double") *
-            col("n_c").cast("double"))).as("lift3"))
-  }
-
-  private val anBasketTriplesSql =
-    """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
-      |t AS (SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n_orders FROM li),
-      |p AS (SELECT a.pk AS part_a, b.pk AS part_b, c.pk AS part_c, COUNT(*) AS n_abc
-      |      FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
-      |                JOIN li c ON a.ok = c.ok AND b.pk < c.pk
-      |      GROUP BY 1, 2, 3),
-      |m AS (SELECT pk, COUNT(*) AS n_one FROM li GROUP BY pk),
-      |top AS (SELECT part_a, part_b, part_c, n_abc FROM p
-      |        ORDER BY n_abc DESC, part_a, part_b, part_c LIMIT 15)
-      |SELECT part_a, part_b, part_c, n_abc,
-      |  ma.n_one AS n_a, mb.n_one AS n_b, mc.n_one AS n_c,
-      |  CAST(n_abc AS DOUBLE) * CAST(n_orders AS DOUBLE) * CAST(n_orders AS DOUBLE)
-      |    / (CAST(ma.n_one AS DOUBLE) * CAST(mb.n_one AS DOUBLE) * CAST(mc.n_one AS DOUBLE)) AS lift3
-      |FROM top JOIN m ma ON top.part_a = ma.pk
-      |         JOIN m mb ON top.part_b = mb.pk
-      |         JOIN m mc ON top.part_c = mc.pk, t
-      |ORDER BY n_abc DESC, part_a, part_b, part_c""".stripMargin
-
-  /** Skyline (Pareto-front) query over orders, maximizing (totalprice,
-    * orderdate): the multi-criteria "best tradeoffs" operator a plain
-    * top-k cannot express — no order on the front dominates another.
-    * Scale shape: collapse to distinct price levels (level → max date,
-    * one exchange), then ONE [[graft.operators.PrefixSum.withRunningMax]]
-    * exclusive prefix-max scan in price-descending order decides every
-    * level's survival (`max date` > best date seen at any strictly
-    * higher price) — never the O(n²) dominance self-join the oracle
-    * runs as the definitional NOT EXISTS check. Survivor (price, date)
-    * pairs broadcast back onto orders so same-price-same-date ties all
-    * surface. Integer cents + epoch days end to end. */
-  private def qSkyline(s: SparkSession, dir: String): DataFrame = {
-    val o = Tables.orders(s, dir).select(col("o_orderkey"),
-      (col("o_totalprice").cast("decimal(24,2)") * 100).cast("bigint").as("p"),
-      datediff(col("o_orderdate").cast("date"), lit("1970-01-01").cast("date"))
-        .cast("long").as("d"))
-    val levels = o.groupBy(col("p")).agg(max(col("d")).as("maxd"))
-      .select((-col("p")).as("negp"), col("p"), col("maxd"))
-    val scan = graft.operators.PrefixSum.withRunningMax(levels, Seq("negp"), Seq("maxd"))
-    val front = scan.filter(col("maxd") > col("maxd_pmax"))
-      .select(col("p"), col("maxd").as("d"))
-    o.join(broadcast(front), Seq("p", "d"))
-      .select(col("o_orderkey"), col("p").as("price_cents"), col("d").as("day_no"))
-      .orderBy(col("price_cents").desc, col("o_orderkey"))
-  }
-
-  private val qSkylineSql =
-    """WITH o AS (SELECT o_orderkey,
-      |    CAST(CAST(o_totalprice AS DECIMAL(24,2)) * 100 AS BIGINT) AS p,
-      |    CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS d
-      |  FROM orders)
-      |SELECT o1.o_orderkey, o1.p AS price_cents, o1.d AS day_no
-      |FROM o o1
-      |WHERE NOT EXISTS (
-      |  SELECT 1 FROM o o2
-      |  WHERE o2.p >= o1.p AND o2.d >= o1.d AND (o2.p > o1.p OR o2.d > o1.d))
-      |ORDER BY price_cents DESC, o_orderkey""".stripMargin
-
-  /** Key-sequence gap audit over the orderkeys SURVIVING a validation
-    * filter (status ≠ 'F') — the "did a whole range get dropped"
-    * reconciliation check: scattered single holes are ordinary rejects,
-    * a long contiguous dropped run is a systematic upstream failure
-    * (the full key space is dense, so every hole here is a filtered
-    * row). Two [[graft.operators.PrefixSum]] scans, no single-partition
-    * window: global rank turns contiguous runs into islands (key − rank
-    * is run-constant), islands aggregate to (start, end), a second rank
-    * scan pairs each island with its successor by an equi-join on
-    * rank+1, and the gap between them is emitted. Top-10 by
-    * (gap_len DESC, gap_start) — all exact integers. */
-  private def qSequenceGaps(s: SparkSession, dir: String): DataFrame = {
-    val keys = Tables.orders(s, dir).filter(col("o_orderstatus") =!= "F")
-      .select(col("o_orderkey").cast("long").as("k")).distinct()
-    val ranked = graft.operators.PrefixSum.withRunningTotals(keys, Seq("k"), Nil)
-    val islands = ranked.select(col("k"), (col("k") - col("rn")).as("isl"))
-      .groupBy(col("isl")).agg(min(col("k")).as("s"), max(col("k")).as("e"))
-    val iRanked = graft.operators.PrefixSum.withRunningTotals(
-      islands.select(col("s"), col("e")), Seq("s"), Nil)
-    val cur = iRanked.select(col("e").as("prev_end"), (col("rn") + 1).as("j"))
-    val nxt = iRanked.select(col("s").as("next_start"), col("rn").as("j"))
-    cur.join(nxt, "j")
-      .select(col("prev_end"), (col("prev_end") + 1).as("gap_start"),
-        (col("next_start") - col("prev_end") - 1).as("gap_len"))
-      .orderBy(col("gap_len").desc, col("gap_start")).limit(10)
-  }
-
-  private val qSequenceGapsSql =
-    """WITH d AS (SELECT DISTINCT CAST(o_orderkey AS BIGINT) AS k FROM orders
-      |           WHERE o_orderstatus <> 'F'),
-      |l AS (SELECT k, LEAD(k) OVER (ORDER BY k) AS nk FROM d)
-      |SELECT k AS prev_end, k + 1 AS gap_start, nk - k - 1 AS gap_len
-      |FROM l WHERE nk - k > 1
-      |ORDER BY gap_len DESC, gap_start LIMIT 10""".stripMargin
-
-  /** Link prediction over the order–supplier bipartite graph: for
-    * supplier pairs appearing in the same order, the three classic
-    * scores — common neighbors (co-orders), Jaccard of order sets, and
-    * Adamic–Adar Σ 1/ln(deg w) which discounts common neighbors that
-    * are promiscuous hubs. Scale bound: pair generation is ORDER-LOCAL
-    * (≤C(suppliers-per-order,2) per order — suppliers-per-order ≤
-    * lines-per-order ≤ 7 by schema), so the pair space never leaves
-    * the order key's partition; per-supplier order counts broadcast.
-    * Exactness: cn/n_a/n_b exact BIGINTs rank the top-20 (integer
-    * tie-break (cn DESC, s_a, s_b)); the Adamic–Adar libm ln terms are
-    * evaluated once per (order, pair) row and gathered through
-    * DECIMAL(38,18) (order-independent), ROUND(·,6) at emission — the
-    * an_price_elasticity recipe. */
-  private def qLinkPred(s: SparkSession, dir: String): DataFrame = {
-    // os feeds three consumers (deg, withDeg, the marginal counts) and
-    // withDeg self-joins — lazy checkpoints cut the re-derivations
-    // (the q_triangles treatment; r14 plan audit: 16 exch)
-    val os = graft.operators.Checkpoints.stabilizeLazy(
-      Tables.lineitem(s, dir)
-        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk")).distinct())
-    val deg = os.groupBy(col("ok")).agg(count(lit(1)).as("deg"))
-    val withDeg = graft.operators.Checkpoints.stabilizeLazy(
-      os.join(deg.filter(col("deg") >= 2), "ok"))
-    val pairs = withDeg.as("a").join(withDeg.as("b"),
-        col("a.ok") === col("b.ok") && col("a.sk") < col("b.sk"))
-      .select(col("a.sk").as("s_a"), col("b.sk").as("s_b"),
-        (lit(1.0) / log(col("a.deg").cast("double"))).cast("decimal(38,18)").as("aaterm"))
-    val scored = pairs.groupBy(col("s_a"), col("s_b"))
-      .agg(count(lit(1)).as("cn"), sum(col("aaterm")).as("aag"))
-    val marg = os.groupBy(col("sk")).agg(count(lit(1)).as("n_one"))
-    scored
-      .join(broadcast(marg.select(col("sk").as("s_a"), col("n_one").as("n_a"))), "s_a")
-      .join(broadcast(marg.select(col("sk").as("s_b"), col("n_one").as("n_b"))), "s_b")
-      .orderBy(col("cn").desc, col("s_a"), col("s_b")).limit(20)
-      .select(col("s_a"), col("s_b"), col("cn"), col("n_a"), col("n_b"),
-        (col("cn").cast("double") /
-          (col("n_a") + col("n_b") - col("cn")).cast("double")).as("jaccard"),
-        round(col("aag").cast("double"), 6).as("adamic_adar"))
-  }
-
-  private val qLinkPredSql =
-    """WITH os AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem),
-      |dg AS (SELECT ok, COUNT(*) AS deg FROM os GROUP BY ok),
-      |wd AS (SELECT os.ok, os.sk, dg.deg FROM os JOIN dg ON os.ok = dg.ok WHERE dg.deg >= 2),
-      |p AS (SELECT a.sk AS s_a, b.sk AS s_b, COUNT(*) AS cn,
-      |        CAST(SUM(CAST(1.0 / ln(CAST(a.deg AS DOUBLE)) AS DECIMAL(38,18))) AS DECIMAL(38,18)) AS aag
-      |      FROM wd a JOIN wd b ON a.ok = b.ok AND a.sk < b.sk
-      |      GROUP BY 1, 2),
-      |m AS (SELECT sk, COUNT(*) AS n_one FROM os GROUP BY sk),
-      |top AS (SELECT s_a, s_b, cn, aag FROM p ORDER BY cn DESC, s_a, s_b LIMIT 20)
-      |SELECT s_a, s_b, cn, ma.n_one AS n_a, mb.n_one AS n_b,
-      |  CAST(cn AS DOUBLE) / CAST(ma.n_one + mb.n_one - cn AS DOUBLE) AS jaccard,
-      |  ROUND(CAST(aag AS DOUBLE), 6) AS adamic_adar
-      |FROM top JOIN m ma ON top.s_a = ma.sk
-      |         JOIN m mb ON top.s_b = mb.sk
-      |ORDER BY cn DESC, s_a, s_b""".stripMargin
-
-  /** Windowed audio features from REAL RIFF/WAVE PCM decodes — the
-    * frame-level feature pass (energy / peak / zero-crossing per
-    * fixed-width window) an audio training pipeline runs before VAD or
-    * silence trimming. Payloads are genuine WAV containers synthesized
-    * from md5-derived int16 samples (the [[mmWavStats]] corpus),
-    * decoded per partition by
-    * [[graft.multimodal.BinaryColumns.decodeWavWindows]] into
-    * 16-sample windows of exact integer features; the oracle
-    * rederives samples AND window geometry from the doc ids, so a
-    * header mis-walk, sample misalignment, or window-boundary bug
-    * breaks the hash. Row-local end to end — no shuffle beyond the
-    * final presentation sort. */
-  private def mmAudioWindows(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val docs = Tables.documents(s, dir).select(col("doc_id").cast("long")).as[Long]
-    val payloads = docs.mapPartitions { it =>
-      val md = java.security.MessageDigest.getInstance("MD5")
-      it.map { id =>
-        val n = 32 + (id % 17).toInt
-        val rate = 8000 + 1000 * (id % 3).toInt
-        val samples = Array.tabulate(n) { p =>
-          val d = md.digest(s"au:$id:$p".getBytes("UTF-8"))
-          (((d(0) & 0xFF) << 8) | (d(1) & 0xFF)).toShort
-        }
-        (id, graft.multimodal.BinaryColumns.encodeWav(rate, samples))
-      }
-    }.toDF("doc_id", "payload")
-    graft.multimodal.BinaryColumns.decodeWavWindowsBatch(payloads, win = 16)(s).toDF()
-      .orderBy(col("doc_id"), col("win_id"))
-  }
-
-  private val mmAudioWindowsSql = {
-    def nib(i: Int) = s"(instr('0123456789abcdef', substr(h, $i, 1)) - 1)"
-    val u16 = s"(((${nib(1)} * 16 + ${nib(2)}) * 16 + ${nib(3)}) * 16 + ${nib(4)})"
-    s"""WITH d AS (SELECT doc_id, CAST(32 + doc_id % 17 AS INT) AS n
-       |           FROM documents),
-       |smp0 AS (SELECT d.doc_id, p.range AS p,
-       |                md5('au:' || CAST(d.doc_id AS VARCHAR) || ':' ||
-       |                    CAST(p.range AS VARCHAR)) AS h
-       |         FROM d CROSS JOIN range(0, 49) p WHERE p.range < d.n),
-       |sv AS (SELECT doc_id, p, CAST(p // 16 AS INT) AS win_id,
-       |              CASE WHEN $u16 >= 32768 THEN $u16 - 65536 ELSE $u16 END AS v
-       |       FROM smp0),
-       |lg AS (SELECT doc_id, win_id, p, v,
-       |              LAG(v) OVER (PARTITION BY doc_id, win_id ORDER BY p) AS pv
-       |       FROM sv)
-       |SELECT doc_id, win_id, COUNT(*) AS n_in_win,
-       |       CAST(SUM(CAST(v AS BIGINT) * CAST(v AS BIGINT)) AS BIGINT) AS sum_sq,
-       |       CAST(MAX(ABS(v)) AS BIGINT) AS max_abs,
-       |       CAST(SUM(v) AS BIGINT) AS sum_v,
-       |       CAST(SUM(CASE WHEN pv * v < 0 THEN 1 ELSE 0 END) AS BIGINT) AS zero_cross
-       |FROM lg GROUP BY doc_id, win_id
-       |ORDER BY doc_id, win_id""".stripMargin
-  }
-
-  /** NDCG@5 retrieval-quality evaluation of the banded-LSH ANN path
-    * against the exact brute-force ranking — the graded companion to
-    * sim_ivf_ann's recall column (recall says WHETHER the true
-    * neighbors were found; NDCG says whether they surfaced at the TOP
-    * of the list). Relevance is binary membership in the exact top-5;
-    * DCG discounts by ln2/ln(rank+1) — the SAME straight-line libm
-    * expression both engines evaluate, gathered per query over ≤5 rows
-    * through DECIMAL(38,18) and ROUND(·,6) (the an_entropy libm-ulp
-    * recipe). The exact side is the documented O(q·n) evaluation
-    * baseline (guard posture of sim_ivf_ann's recall join); the
-    * retrieval path under test stays banded/sub-quadratic. A final
-    * query_id = −1 row carries the corpus mean of the per-query
-    * NDCGs. */
-  private def simNdcg(s: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(s, dir)
-    val queries = emb.filter(col("vec_id") % 50 === 0)
-    val lsh = graft.similarity.VectorOps.lshTopKPortable(emb, queries, k = 5, dim = 64)
-      .select(col("query_id"), col("neighbor_id"), col("rank"))
-    val exact = graft.similarity.VectorOps.bruteForceTopK(emb, queries, k = 5)
-      .select(col("query_id"), col("neighbor_id"), lit(1L).as("rel"))
-    val dcgTerm = coalesce(col("rel"), lit(0L)).cast("double") *
-      log(lit(2.0)) / log((col("rank") + 1).cast("double"))
-    val idcgTerm = log(lit(2.0)) / log((col("rank") + 1).cast("double"))
-    // perQ is output-sized (one row per sampled query) with TWO
-    // consumers (the emitted rows + the corpus-mean fold) — stabilize
-    // once so the LSH + brute-force evaluation runs once, not twice
-    val perQ = graft.operators.Checkpoints.stabilizeLazy(
-      lsh.join(exact, Seq("query_id", "neighbor_id"), "left")
-      .groupBy(col("query_id"))
-      .agg(sum(coalesce(col("rel"), lit(0L))).as("n_hits"),
-        sum(dcgTerm.cast("decimal(38,18)")).as("dcgg"),
-        sum(idcgTerm.cast("decimal(38,18)")).as("idcgg"))
-      .select(col("query_id"), col("n_hits"),
-        round(col("dcgg").cast("double") / col("idcgg").cast("double"), 6).as("ndcg")))
-    val mean = perQ.agg(count(lit(1)).as("nq"), sum(col("n_hits")).as("n_hits"),
-        sum(col("ndcg").cast("decimal(38,18)")).as("ng"))
-      .select(lit(-1L).as("query_id"), col("n_hits"),
-        round(col("ng").cast("double") / col("nq").cast("double"), 6).as("ndcg"))
-    perQ.unionByName(mean).orderBy(col("query_id"))
-  }
-
-  private val simNdcgSql = {
-    val lshCtes =
-      """e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        |vq AS (SELECT vec_id,
-        |    list_transform(v, x -> CAST(round(x * 1000000.0) AS BIGINT)) AS q
-        |  FROM e),
-        |planes AS (SELECT t1.range AS i, t2.range AS j,
-        |    2 * (instr('0123456789abcdef', substr(md5('lsh:' ||
-        |      CAST(t1.range AS VARCHAR) || ':' || CAST(t2.range AS VARCHAR)), 1, 1)) - 1) - 15 AS h
-        |  FROM range(0, 16) t1, range(0, 64) t2),
-        |bits AS (SELECT vq.vec_id, p.i,
-        |    CASE WHEN SUM(p.h * vq.q[CAST(p.j AS INT) + 1]) >= 0 THEN 1 ELSE 0 END AS b
-        |  FROM vq CROSS JOIN planes p GROUP BY vq.vec_id, p.i),
-        |bands AS (SELECT vec_id, CAST(i // 4 AS INT) AS band_id,
-        |    CAST(SUM(b * (1 << CAST(i % 4 AS INT))) AS BIGINT) AS band_key
-        |  FROM bits GROUP BY 1, 2),
-        |pairs AS (SELECT DISTINCT qb.vec_id AS query_id, nb.vec_id AS neighbor_id
-        |  FROM bands qb JOIN bands nb USING (band_id, band_key)
-        |  WHERE qb.vec_id % 50 = 0 AND nb.vec_id <> qb.vec_id),
-        |scored AS (SELECT p.query_id, p.neighbor_id,
-        |    ROUND(list_cosine_similarity(eq.v, en.v), 6) AS sim
-        |  FROM pairs p JOIN e eq ON eq.vec_id = p.query_id
-        |               JOIN e en ON en.vec_id = p.neighbor_id),
-        |lsh AS (SELECT query_id, neighbor_id, rank FROM (
-        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-        |      ORDER BY sim DESC, neighbor_id) AS rank
-        |  FROM scored) t WHERE rank <= 5),
-        |bf AS (SELECT q.vec_id AS query_id, e2.vec_id AS neighbor_id,
-        |    ROUND(list_cosine_similarity(q.v, e2.v), 6) AS sim
-        |  FROM e q JOIN e e2 ON e2.vec_id <> q.vec_id
-        |  WHERE q.vec_id % 50 = 0),
-        |exact AS (SELECT query_id, neighbor_id, 1 AS rel FROM (
-        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-        |      ORDER BY sim DESC, neighbor_id) AS rank
-        |  FROM bf) t WHERE rank <= 5)""".stripMargin
-    s"""WITH $lshCtes,
-       |perq AS (SELECT l.query_id,
-       |    CAST(SUM(COALESCE(x.rel, 0)) AS BIGINT) AS n_hits,
-       |    CAST(SUM(CAST(CAST(COALESCE(x.rel, 0) AS DOUBLE) * ln(2.0)
-       |      / ln(CAST(l.rank + 1 AS DOUBLE)) AS DECIMAL(38,18))) AS DECIMAL(38,18)) AS dcgg,
-       |    CAST(SUM(CAST(ln(2.0)
-       |      / ln(CAST(l.rank + 1 AS DOUBLE)) AS DECIMAL(38,18))) AS DECIMAL(38,18)) AS idcgg
-       |  FROM lsh l LEFT JOIN exact x
-       |    ON l.query_id = x.query_id AND l.neighbor_id = x.neighbor_id
-       |  GROUP BY l.query_id),
-       |pq AS (SELECT query_id, n_hits,
-       |    ROUND(CAST(dcgg AS DOUBLE) / CAST(idcgg AS DOUBLE), 6) AS ndcg FROM perq),
-       |mean AS (SELECT CAST(-1 AS BIGINT) AS query_id,
-       |    CAST(SUM(n_hits) AS BIGINT) AS n_hits,
-       |    ROUND(CAST(CAST(SUM(CAST(ndcg AS DECIMAL(38,18))) AS DECIMAL(38,18)) AS DOUBLE)
-       |      / CAST(COUNT(*) AS DOUBLE), 6) AS ndcg
-       |  FROM pq)
-       |SELECT query_id, n_hits, ndcg FROM pq
-       |UNION ALL SELECT query_id, n_hits, ndcg FROM mean
-       |ORDER BY query_id""".stripMargin
-  }
-
-  /** Wilcoxon signed-rank test over the PAIRED daily click-vs-view
-    * value series — the matched-pairs member of the nonparametric
-    * family (an_mannwhitney is the unpaired two-sample, an_friedman the
-    * k-sample blocked design; this is the n=2 blocked case with exact
-    * rank arithmetic instead of Friedman's within-block ranks). Daily
-    * cent sums per type are exact BIGINTs; zero diffs drop (the
-    * standard Wilcoxon reduction); midranks over |d| come from the
-    * distinct-|d| frame (days-sized, so the rank join is a broadcast):
-    * doubled midrank 2r = 2·(#strictly below) + ties + 1 is an exact
-    * integer, hence the doubled positive-rank sum W2 = 2·W⁺ is exact.
-    * z uses the tie-corrected variance with every input integer:
-    * 48·var = 2n(n+1)(2n+1) − Σ(t³−t), so z is ONE IEEE expression
-    * over exact BIGINTs, ROUND(·,6); a degenerate series (all diffs
-    * tied away or n < 2) pins z = 0 (the an_mann_kendall guard). */
-  private def anWilcoxonSignedRank(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(s, dir)
-    def dailyOf(t: String, out: String) = ev.filter(col("event_type") === t)
-      .groupBy(date_trunc("day", col("ts")).as("day"))
-      .agg(sum((col("value").cast("decimal(24,2)") * 100).cast("bigint")).as(out))
-    val d = dailyOf("click", "a").join(dailyOf("view", "b"), "day")
-      .select((col("a") - col("b")).as("d"))
-      .filter(col("d") =!= 0)
-      .select(abs(col("d")).as("ad"), (col("d") > 0).cast("long").as("pos"))
-    // distinct-|d| frame: days-sized, so the sub-count join broadcasts
-    val pv = d.groupBy(col("ad"))
-      .agg(count(lit(1)).as("t"), sum(col("pos")).as("p"))
-    val below = pv.select(col("ad").as("ad2"), col("t").as("t2"))
-    val ranked = pv.join(broadcast(below), col("ad2") < col("ad"), "left")
-      .groupBy(col("ad"), col("t"), col("p"))
-      .agg(coalesce(sum(col("t2")), lit(0L)).as("nb"))
-      .select(col("t"), col("p"),
-        (lit(2L) * col("nb") + col("t") + lit(1L)).as("r2"))
-    ranked.agg(
-        sum(col("t")).as("n"),
-        sum(col("p") * col("r2")).as("w2"),
-        sum(col("t") * col("t") * col("t") - col("t")).as("tie3"))
-      .select(col("n"), col("w2"),
-        (lit(2L) * col("n") * (col("n") + 1) * (lit(2L) * col("n") + 1) -
-          col("tie3")).as("v48"))
-      .select(col("n").as("n_pairs"), col("w2").as("w_plus2"),
-        round(
-          when(col("v48") > 0,
-            (col("w2") - col("n") * (col("n") + 1) / 2).cast("double") /
-              sqrt(col("v48").cast("double") / lit(12.0)))
-            .otherwise(lit(0.0)), 6).as("z_w"))
-  }
-
-  private val anWilcoxonSignedRankSql =
-    """WITH da AS (SELECT date_trunc('day', ts) AS day,
-      |    CAST(SUM(CAST(CAST(value AS DECIMAL(24,2)) * 100 AS BIGINT)) AS BIGINT) AS a
-      |  FROM events WHERE event_type = 'click' GROUP BY 1),
-      |db AS (SELECT date_trunc('day', ts) AS day,
-      |    CAST(SUM(CAST(CAST(value AS DECIMAL(24,2)) * 100 AS BIGINT)) AS BIGINT) AS b
-      |  FROM events WHERE event_type = 'view' GROUP BY 1),
-      |d AS (SELECT abs(a - b) AS ad, CASE WHEN a - b > 0 THEN 1 ELSE 0 END AS pos
-      |      FROM da JOIN db USING (day) WHERE a <> b),
-      |pv AS (SELECT ad, COUNT(*) AS t, CAST(SUM(pos) AS BIGINT) AS p FROM d GROUP BY ad),
-      |rk AS (SELECT pv.ad, pv.t, pv.p,
-      |         2 * COALESCE((SELECT SUM(x.t) FROM pv x WHERE x.ad < pv.ad), 0) + pv.t + 1 AS r2
-      |       FROM pv),
-      |agg AS (SELECT CAST(SUM(t) AS BIGINT) AS n,
-      |          CAST(SUM(p * r2) AS BIGINT) AS w2,
-      |          CAST(SUM(t * t * t - t) AS BIGINT) AS tie3
-      |        FROM rk)
-      |SELECT n AS n_pairs, w2 AS w_plus2,
-      |  ROUND(CASE WHEN 2 * n * (n + 1) * (2 * n + 1) - tie3 > 0 THEN
-      |      CAST(w2 - n * (n + 1) / 2 AS DOUBLE)
-      |      / sqrt(CAST(2 * n * (n + 1) * (2 * n + 1) - tie3 AS DOUBLE) / 12.0)
-      |    ELSE 0.0 END, 6) AS z_w
-      |FROM agg""".stripMargin
-
-  /** Cliff's delta effect size between BUILDING and AUTOMOBILE order
-    * values — the magnitude companion to an_mannwhitney's significance
-    * readout (δ = P(X>Y) − P(X<Y), robust where Cohen's d assumes
-    * normality). Both dominance counts come from ONE distinct-cent-
-    * value [[graft.operators.PrefixSum]] scan carrying both groups'
-    * multiplicities: gt = Σ_v a(v)·cumB(<v), lt = Σ_v b(v)·cumA(<v) —
-    * exact BIGINTs, no pair join (the days² trick doesn't apply here:
-    * order values are data-sized, so dominance MUST come from the scan,
-    * not enumeration). δ is one exact-integer division, unrounded. */
-  private def anCliffsDelta(s: SparkSession, dir: String): DataFrame = {
-    val o = Tables.orders(s, dir).join(
-      Tables.customer(s, dir).filter(col("c_mktsegment").isin("BUILDING", "AUTOMOBILE"))
-        .select(col("c_custkey"), col("c_mktsegment")),
-      col("o_custkey") === col("c_custkey"))
-      .select((col("o_totalprice").cast("decimal(24,2)") * 100).cast("bigint").as("v"),
-        (col("c_mktsegment") === "BUILDING").cast("long").as("isa"))
-    val pv = o.groupBy(col("v"))
-      .agg(sum(col("isa")).as("ca"), sum(lit(1L) - col("isa")).as("cb"))
-    val scan = graft.operators.PrefixSum.withRunningTotals(pv, Seq("v"), Seq("ca", "cb"))
-    scan
-      .select(col("ca"), col("cb"),
-        (col("ca_cum") - col("ca")).as("cuma"), (col("cb_cum") - col("cb")).as("cumb"))
-      .agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"),
-        sum(col("ca") * col("cumb")).as("gt"),
-        sum(col("cb") * col("cuma")).as("lt"))
-      .select(col("n_a"), col("n_b"), col("gt"), col("lt"),
-        ((col("gt") - col("lt")).cast("double") /
-          (col("n_a") * col("n_b")).cast("double")).as("cliffs_delta"))
-  }
-
-  private val anCliffsDeltaSql =
-    """WITH o AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(24,2)) * 100 AS BIGINT) AS v,
-      |    CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS isa
-      |  FROM orders JOIN customer ON o_custkey = c_custkey
-      |  WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE')),
-      |pv AS (SELECT v, CAST(SUM(isa) AS BIGINT) AS ca,
-      |              CAST(SUM(1 - isa) AS BIGINT) AS cb FROM o GROUP BY v),
-      |sc AS (SELECT ca, cb,
-      |         CAST(SUM(ca) OVER (ORDER BY v) AS BIGINT) - ca AS cuma,
-      |         CAST(SUM(cb) OVER (ORDER BY v) AS BIGINT) - cb AS cumb
-      |       FROM pv),
-      |agg AS (SELECT CAST(SUM(ca) AS BIGINT) AS n_a, CAST(SUM(cb) AS BIGINT) AS n_b,
-      |          CAST(SUM(ca * cumb) AS BIGINT) AS gt,
-      |          CAST(SUM(cb * cuma) AS BIGINT) AS lt
-      |        FROM sc)
-      |SELECT n_a, n_b, gt, lt,
-      |  CAST(gt - lt AS DOUBLE) / CAST(n_a * n_b AS DOUBLE) AS cliffs_delta
-      |FROM agg""".stripMargin
-
-  /** Hodges–Lehmann location shift of the paired daily click-vs-view
-    * series: the median of all Walsh averages (dᵢ+dⱼ)/2, i ≤ j — the
-    * estimator the Wilcoxon signed-rank test inverts (its robust
-    * "how big is the shift" answer, 29% breakdown vs the mean-diff's
-    * 0%). The Walsh frame is days², tiny at any SF because the
-    * distributed work is the daily aggregate (the an_mann_kendall pair
-    * discipline); doubled sums s2 = dᵢ+dⱼ stay exact cents, and the
-    * median is an exact order statistic over the s2 multiset (lower +
-    * upper middle summed — still integer), so only the final /400
-    * (÷2 Walsh, ÷2 middle-pair, ÷100 cents) is IEEE, unrounded. */
-  private def anHodgesLehmann(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(s, dir)
-    def dailyOf(t: String, out: String) = ev.filter(col("event_type") === t)
-      .groupBy(date_trunc("day", col("ts")).as("day"))
-      .agg(sum((col("value").cast("decimal(24,2)") * 100).cast("bigint")).as(out))
-    val d = dailyOf("click", "a").join(dailyOf("view", "b"), "day")
-      .select(col("day"), (col("a") - col("b")).as("d"))
-    val walsh = d.select(col("day").as("d1"), col("d").as("x"))
-      .join(d.select(col("day").as("d2"), col("d").as("y")), col("d1") <= col("d2"))
-      .select((col("x") + col("y")).as("s2"))
-    val pv = walsh.groupBy(col("s2")).agg(count(lit(1)).as("cnt"))
-    val scan = graft.operators.PrefixSum.withRunningTotals(pv, Seq("s2"), Seq("cnt"))
-    val tot = scan.agg(max(col("cnt_cum")).as("m"))
-    scan.crossJoin(broadcast(tot))
-      .select(col("s2"), col("cnt"), col("cnt_cum"), col("m"),
-        // floor-divide: Spark's `/` is DOUBLE division, and a fractional
-        // rank bound would shift the < / <= window off the oracle's //
-        floor((col("m") + 1) / 2).cast("long").as("k1"),
-        (floor(col("m") / 2).cast("long") + 1).as("k2"))
-      .agg(max(col("m")).as("n_walsh"),
-        sum(when(col("cnt_cum") - col("cnt") < col("k1") && col("k1") <= col("cnt_cum"),
-          col("s2")).otherwise(lit(0L))).as("lo2"),
-        sum(when(col("cnt_cum") - col("cnt") < col("k2") && col("k2") <= col("cnt_cum"),
-          col("s2")).otherwise(lit(0L))).as("hi2"))
-      .select(col("n_walsh"), col("lo2"), col("hi2"),
-        ((col("lo2") + col("hi2")).cast("double") / lit(400.0)).as("hl_shift"))
-  }
-
-  private val anHodgesLehmannSql =
-    """WITH da AS (SELECT date_trunc('day', ts) AS day,
-      |    CAST(SUM(CAST(CAST(value AS DECIMAL(24,2)) * 100 AS BIGINT)) AS BIGINT) AS a
-      |  FROM events WHERE event_type = 'click' GROUP BY 1),
-      |db AS (SELECT date_trunc('day', ts) AS day,
-      |    CAST(SUM(CAST(CAST(value AS DECIMAL(24,2)) * 100 AS BIGINT)) AS BIGINT) AS b
-      |  FROM events WHERE event_type = 'view' GROUP BY 1),
-      |d AS (SELECT day, a - b AS d FROM da JOIN db USING (day)),
-      |w AS (SELECT p.d + q.d AS s2 FROM d p JOIN d q ON p.day <= q.day),
-      |pv AS (SELECT s2, COUNT(*) AS cnt FROM w GROUP BY s2),
-      |sc AS (SELECT s2, cnt, CAST(SUM(cnt) OVER (ORDER BY s2) AS BIGINT) AS cnt_cum FROM pv),
-      |t AS (SELECT MAX(cnt_cum) AS m FROM sc),
-      |agg AS (SELECT MAX(m) AS n_walsh,
-      |    CAST(SUM(CASE WHEN cnt_cum - cnt < (m + 1) // 2 AND (m + 1) // 2 <= cnt_cum
-      |                  THEN s2 ELSE 0 END) AS BIGINT) AS lo2,
-      |    CAST(SUM(CASE WHEN cnt_cum - cnt < m // 2 + 1 AND m // 2 + 1 <= cnt_cum
-      |                  THEN s2 ELSE 0 END) AS BIGINT) AS hi2
-      |  FROM sc CROSS JOIN t)
-      |SELECT n_walsh, lo2, hi2, CAST(lo2 + hi2 AS DOUBLE) / 400.0 AS hl_shift
-      |FROM agg""".stripMargin
-
-  /** Mutual information between market segment and order price band —
-    * the symmetric dependence readout the chi-square family
-    * (an_chi2_drift / an_cramers_v) approximates linearly: MI sees ANY
-    * deviation from independence, and the normalized form
-    * NMI = MI/√(H_a·H_b) lands in [0,1] for cross-dataset comparison
-    * (the feature-selection screen a training pipeline runs before
-    * paying for a model fit). Contingency cells and marginals are
-    * exact BIGINTs from one groupBy tree + two broadcast marginals
-    * (the an_cramers_v posture); each plog term is IEEE gathered
-    * through DECIMAL(38,18) (order-independent sum — the an_kruskal
-    * gather), ROUND(·,6) at emission to absorb libm ulp skew. */
-  private def anMutualInfo(s: SparkSession, dir: String): DataFrame = {
-    val base = Tables.orders(s, dir).join(
-      Tables.customer(s, dir).select(col("c_custkey"), col("c_mktsegment")),
-      col("o_custkey") === col("c_custkey"))
-      .select(col("c_mktsegment").as("a"),
-        floor((col("o_totalprice").cast("decimal(24,2)") * 100).cast("bigint")
-          / lit(5000000L)).as("b"))
-    // cells is k_seg × k_band (≤ ~100 rows, key-domain-bounded) but four
-    // branches hang off it — stabilize ONCE (the an_conformal treatment)
-    // so the data-sized orders⋈customer aggregation runs once AND the
-    // final plan carries a checkpoint leaf instead of re-deriving the
-    // cell subtree per marginal (r14: 33 exchanges of re-derivation)
-    val cells = graft.operators.Checkpoints.stabilizeLazy(
-      base.groupBy(col("a"), col("b")).agg(count(lit(1)).as("o")))
-    // the marginals are ≤ |segments| / |bands| rows, each with TWO+
-    // consumers (the MI join and an entropy fold) — stabilize them too
-    // so each re-derivation is a leaf read, not a repeated aggregation
-    val rowm = graft.operators.Checkpoints.stabilizeLazy(
-      cells.groupBy(col("a")).agg(sum(col("o")).as("r")))
-    val colm = graft.operators.Checkpoints.stabilizeLazy(
-      cells.groupBy(col("b")).agg(sum(col("o")).as("c")))
-    val tot = graft.operators.Checkpoints.stabilizeLazy(
-      cells.agg(sum(col("o")).as("n")))
-    def gather(c: Column) = sum(c.cast("decimal(38,18)")).cast("decimal(38,18)")
-    val mi = cells
-      .join(broadcast(rowm), "a").join(broadcast(colm), "b")
-      .crossJoin(broadcast(tot))
-      .agg(max(col("n")).as("n"),
-        gather(col("o").cast("double") / col("n").cast("double") *
-          log((col("o") * col("n")).cast("double") /
-            (col("r") * col("c")).cast("double"))).as("mig"))
-    val ha = rowm.crossJoin(broadcast(tot))
-      .agg(gather(lit(-1.0) * col("r").cast("double") / col("n").cast("double") *
-        log(col("r").cast("double") / col("n").cast("double"))).as("hag"))
-    val hb = colm.crossJoin(broadcast(tot))
-      .agg(gather(lit(-1.0) * col("c").cast("double") / col("n").cast("double") *
-        log(col("c").cast("double") / col("n").cast("double"))).as("hbg"))
-    mi.crossJoin(ha).crossJoin(hb)
-      .select(col("n"),
-        round(col("mig").cast("double"), 6).as("mi"),
-        round(col("hag").cast("double"), 6).as("h_seg"),
-        round(col("hbg").cast("double"), 6).as("h_band"),
-        round(col("mig").cast("double") /
-          sqrt(col("hag").cast("double") * col("hbg").cast("double")), 6).as("nmi"))
-  }
-
-  private val anMutualInfoSql =
-    """WITH base AS (SELECT c_mktsegment AS a,
-      |    CAST(CAST(o_totalprice AS DECIMAL(24,2)) * 100 AS BIGINT) // 5000000 AS b
-      |  FROM orders JOIN customer ON o_custkey = c_custkey),
-      |cells AS (SELECT a, b, COUNT(*) AS o FROM base GROUP BY a, b),
-      |rm AS (SELECT a, CAST(SUM(o) AS BIGINT) AS r FROM cells GROUP BY a),
-      |cm AS (SELECT b, CAST(SUM(o) AS BIGINT) AS c FROM cells GROUP BY b),
-      |t AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells),
-      |mi AS (SELECT MAX(n) AS n,
-      |    CAST(SUM(CAST(CAST(o AS DOUBLE) / CAST(n AS DOUBLE)
-      |      * ln(CAST(o * n AS DOUBLE) / CAST(r * c AS DOUBLE)) AS DECIMAL(38,18)))
-      |      AS DECIMAL(38,18)) AS mig
-      |  FROM cells JOIN rm USING (a) JOIN cm USING (b) CROSS JOIN t),
-      |ha AS (SELECT CAST(SUM(CAST(-1.0 * CAST(r AS DOUBLE) / CAST(n AS DOUBLE)
-      |      * ln(CAST(r AS DOUBLE) / CAST(n AS DOUBLE)) AS DECIMAL(38,18)))
-      |      AS DECIMAL(38,18)) AS hag FROM rm CROSS JOIN t),
-      |hb AS (SELECT CAST(SUM(CAST(-1.0 * CAST(c AS DOUBLE) / CAST(n AS DOUBLE)
-      |      * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) AS DECIMAL(38,18)))
-      |      AS DECIMAL(38,18)) AS hbg FROM cm CROSS JOIN t)
-      |SELECT n, ROUND(CAST(mig AS DOUBLE), 6) AS mi,
-      |  ROUND(CAST(hag AS DOUBLE), 6) AS h_seg,
-      |  ROUND(CAST(hbg AS DOUBLE), 6) AS h_band,
-      |  ROUND(CAST(mig AS DOUBLE)
-      |    / sqrt(CAST(hag AS DOUBLE) * CAST(hbg AS DOUBLE)), 6) AS nmi
-      |FROM mi CROSS JOIN ha CROSS JOIN hb""".stripMargin
-
-  /** Per-node (LOCAL) clustering coefficients of the supplier
-    * co-purchase graph — the node-level refinement of q_triangles'
-    * single global census: which suppliers sit in tightly-closed
-    * cliques vs open hubs (the feature a graph-ML pipeline attaches to
-    * each node). Same hub-capped projection as q_triangles (parts with
-    * >20 suppliers dropped — bounded fan-out at scale); each closed
-    * u<v<w triangle is credited to ALL THREE corners via one explode,
-    * so per-node counts need no second pass; cc = 2t/(d(d−1)) is one
-    * IEEE division of exact integers, unrounded. Top-20 by (cc DESC,
-    * node) over degree ≥ 3 nodes — a bounded, deterministic readout. */
-  private def qClusteringCoeff(s: SparkSession, dir: String): DataFrame = {
-    val sp = Tables.lineitem(s, dir)
-      .select(col("l_suppkey").as("sk"), col("l_partkey").as("pk")).distinct()
-    val ok = sp.join(
-      sp.groupBy(col("pk")).agg(count(lit(1)).as("nsup"))
-        .filter(col("nsup") <= 20), Seq("pk"))
-    // same five-consumer edge list as q_triangles — lazy-checkpoint it
-    // so the closure joins and the degree table scan one materialized
-    // RDD (r13 plan audit: 55 exchanges from per-consumer re-derivation)
-    val e = graft.operators.Checkpoints.stabilizeLazy(
-      ok.as("a").join(ok.as("b"), Seq("pk"))
-        .filter(col("a.sk") < col("b.sk"))
-        .select(col("a.sk").as("u"), col("b.sk").as("v")).distinct())
-    val degs = e.select(col("u").as("x")).unionAll(e.select(col("v").as("x")))
-      .groupBy(col("x")).agg(count(lit(1)).as("d"))
-    val corners = e.as("e1").join(e.as("e2"), col("e1.v") === col("e2.u"))
-      .join(e.as("e3"),
-        col("e1.u") === col("e3.u") && col("e2.v") === col("e3.v"))
-      .select(explode(array(col("e1.u"), col("e1.v"), col("e2.v"))).as("x"))
-      .groupBy(col("x")).agg(count(lit(1)).as("t"))
-    degs.filter(col("d") >= 3)
-      .join(corners, Seq("x"), "left")
-      .select(col("x").as("supp"), col("d").as("degree"),
-        coalesce(col("t"), lit(0L)).as("n_tri"),
-        (lit(2.0) * coalesce(col("t"), lit(0L)).cast("double") /
-          (col("d") * (col("d") - 1)).cast("double")).as("local_cc"))
-      .orderBy(col("local_cc").desc, col("supp")).limit(20)
-  }
-
-  private val qClusteringCoeffSql =
-    """WITH sp AS (SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk FROM lineitem),
-      |pd AS (SELECT pk, COUNT(*) AS nsup FROM sp GROUP BY 1),
-      |ok AS (SELECT sp.sk, sp.pk FROM sp JOIN pd USING (pk) WHERE nsup <= 20),
-      |e AS (SELECT DISTINCT a.sk AS u, b.sk AS v
-      |      FROM ok a JOIN ok b ON a.pk = b.pk AND a.sk < b.sk),
-      |d AS (SELECT x, COUNT(*) AS dg
-      |      FROM (SELECT u AS x FROM e UNION ALL SELECT v AS x FROM e) GROUP BY 1),
-      |tc AS (SELECT x, COUNT(*) AS t FROM (
-      |         SELECT UNNEST([e1.u, e1.v, e2.v]) AS x
-      |         FROM e e1 JOIN e e2 ON e1.v = e2.u
-      |           JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v) GROUP BY 1)
-      |SELECT d.x AS supp, d.dg AS degree,
-      |  COALESCE(tc.t, 0) AS n_tri,
-      |  2.0 * CAST(COALESCE(tc.t, 0) AS DOUBLE)
-      |    / CAST(d.dg * (d.dg - 1) AS DOUBLE) AS local_cc
-      |FROM d LEFT JOIN tc ON d.x = tc.x
-      |WHERE d.dg >= 3
-      |ORDER BY local_cc DESC, supp LIMIT 20""".stripMargin
-
-  /** Newman modularity of the supplier co-purchase graph under the
-    * NATION partition — "does purchasing stay within borders?", the
-    * quality score that tells a platform whether nation is a real
-    * community axis before paying for graph clustering (q_label_prop
-    * discovers communities; this EVALUATES a given one). e_c (in-
-    * community edges), d_c (degree mass), and m are exact BIGINTs from
-    * the edge list joined twice against the tiny supplier→nation map
-    * (broadcast); Q = Σ_c [e_c/m − (d_c/2m)²] over ≤25 communities,
-    * gathered DECIMAL(38,18) (order-independent), ROUND(·,6). */
-  private def qModularity(s: SparkSession, dir: String): DataFrame = {
-    val sp = Tables.lineitem(s, dir)
-      .select(col("l_suppkey").as("sk"), col("l_partkey").as("pk")).distinct()
-    val ok = sp.join(
-      sp.groupBy(col("pk")).agg(count(lit(1)).as("nsup"))
-        .filter(col("nsup") <= 20), Seq("pk"))
-    val e = ok.as("a").join(ok.as("b"), Seq("pk"))
-      .filter(col("a.sk") < col("b.sk"))
-      .select(col("a.sk").as("u"), col("b.sk").as("v")).distinct()
-    val nat = Tables.supplier(s, dir)
-      .select(col("s_suppkey").as("k"), col("s_nationkey").as("c"))
-    // the labeled edge list feeds THREE aggregates (m, e_c, d_c); the
-    // lazy checkpoint materializes the scan→distinct→hub-cap→pair→
-    // label spine once instead of once per aggregate (r13 plan audit:
-    // 53 exchanges — the q_triangles treatment)
-    val lab = graft.operators.Checkpoints.stabilizeLazy(e
-      .join(broadcast(nat.withColumnRenamed("k", "u").withColumnRenamed("c", "cu")), Seq("u"))
-      .join(broadcast(nat.withColumnRenamed("k", "v").withColumnRenamed("c", "cv")), Seq("v")))
-    val m = lab.agg(count(lit(1)).as("m"))
-    val ec = lab.filter(col("cu") === col("cv"))
-      .groupBy(col("cu").as("comm")).agg(count(lit(1)).as("e_in"))
-    val dc = lab.select(col("cu").as("comm")).unionAll(lab.select(col("cv").as("comm")))
-      .groupBy(col("comm")).agg(count(lit(1)).as("d_c"))
-    val terms = dc.join(ec, Seq("comm"), "left")
-      .select(col("comm"), coalesce(col("e_in"), lit(0L)).as("e_in"), col("d_c"))
-      .crossJoin(broadcast(m))
-      .select(col("comm"), col("e_in"), col("d_c"), col("m"),
-        (col("e_in").cast("double") / col("m").cast("double") -
-          (col("d_c").cast("double") / (lit(2.0) * col("m").cast("double"))) *
-          (col("d_c").cast("double") / (lit(2.0) * col("m").cast("double")))).as("q_term"))
-    terms.agg(count(lit(1)).as("n_comms"), max(col("m")).as("n_edges"),
-        sum(col("q_term").cast("decimal(38,18)")).cast("decimal(38,18)").as("qg"))
-      .select(col("n_comms"), col("n_edges"),
-        round(col("qg").cast("double"), 6).as("modularity"))
-  }
-
-  private val qModularitySql =
-    """WITH sp AS (SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk FROM lineitem),
-      |pd AS (SELECT pk, COUNT(*) AS nsup FROM sp GROUP BY 1),
-      |ok AS (SELECT sp.sk, sp.pk FROM sp JOIN pd USING (pk) WHERE nsup <= 20),
-      |e AS (SELECT DISTINCT a.sk AS u, b.sk AS v
-      |      FROM ok a JOIN ok b ON a.pk = b.pk AND a.sk < b.sk),
-      |lab AS (SELECT e.u, e.v, su.s_nationkey AS cu, sv.s_nationkey AS cv
-      |        FROM e JOIN supplier su ON e.u = su.s_suppkey
-      |               JOIN supplier sv ON e.v = sv.s_suppkey),
-      |m AS (SELECT COUNT(*) AS m FROM lab),
-      |ec AS (SELECT cu AS comm, COUNT(*) AS e_in FROM lab WHERE cu = cv GROUP BY 1),
-      |dc AS (SELECT comm, COUNT(*) AS d_c FROM (
-      |         SELECT cu AS comm FROM lab UNION ALL SELECT cv AS comm FROM lab) GROUP BY 1),
-      |terms AS (SELECT dc.comm, COALESCE(ec.e_in, 0) AS e_in, dc.d_c, m.m,
-      |    CAST(COALESCE(ec.e_in, 0) AS DOUBLE) / CAST(m.m AS DOUBLE)
-      |      - (CAST(dc.d_c AS DOUBLE) / (2.0 * CAST(m.m AS DOUBLE)))
-      |        * (CAST(dc.d_c AS DOUBLE) / (2.0 * CAST(m.m AS DOUBLE))) AS q_term
-      |  FROM dc LEFT JOIN ec ON dc.comm = ec.comm CROSS JOIN m)
-      |SELECT COUNT(*) AS n_comms, MAX(m) AS n_edges,
-      |  ROUND(CAST(CAST(SUM(CAST(q_term AS DECIMAL(38,18))) AS DECIMAL(38,18)) AS DOUBLE), 6)
-      |    AS modularity
-      |FROM terms""".stripMargin
-
-  /** HITS hubs-and-authorities over the directed customer→part
-    * purchase bipartite — the ranking pair PageRank can't express
-    * (q_pagerank scores one undirected role; HITS separates "broad
-    * buyers" from "widely-bought parts"). Two full mutual-
-    * reinforcement rounds with INTEGER max-rescale replacing the usual
-    * float L2 normalization: after every half-step x ← x·10⁶ div
-    * max(x), so every score is an exact BIGINT and the fixed-round
-    * unroll is bit-identical on any engine (the q_label_prop fixed-
-    * round oracle discipline; ranking stabilizes by round 2 on every
-    * test SF). Each half-step is one edge-keyed shuffle agg + a 1-row
-    * max broadcast — nothing node-sized is ever collected. */
-  private def qHits(s: SparkSession, dir: String): DataFrame = {
-    // the edge list feeds all four half-steps and each rescale reads its
-    // input twice (max + scale) — persist both or the lazy tree doubles
-    // per stage (2⁴ edge scans); released at the Verify/Bench point
-    val edges = graft.operators.PrefixSum.persistOwned(
-      Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
-        .join(Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey")),
-          col("o_orderkey") === col("l_orderkey"))
-        .select(col("o_custkey").as("c"), col("l_partkey").as("p")).distinct())
-    def rescale(df0: DataFrame, key: String, v: String): DataFrame = {
-      // lazy per-stage checkpoint (the sim_mmr treatment): each
-      // half-step becomes a LEAF in every downstream plan instead of
-      // re-deriving the whole chain — the r11 plan audit measured 216
-      // Exchange nodes from the 4-half-step unroll re-planning its
-      // persisted inputs; a lazy localCheckpoint cuts that to one
-      // stage-sized subtree per half-step with no extra job (the
-      // node-sized frame materializes when the next stage first reads
-      // it)
-      val df = graft.operators.Checkpoints.stabilizeLazy(df0)
-      val mx = df.agg(max(col(v)).as("mx"))
-      df.crossJoin(broadcast(mx))
-        .select(col(key), expr(s"$v * 1000000 div mx").as(v))
-    }
-    // round 1: a1(p) = Σ_c h0 = 10⁶·indeg(p), rescaled
-    val a1 = rescale(
-      edges.groupBy(col("p")).agg((count(lit(1)) * lit(1000000L)).as("a")), "p", "a")
-    val h1 = rescale(
-      edges.join(a1, Seq("p")).groupBy(col("c")).agg(sum(col("a")).as("h")), "c", "h")
-    val a2 = rescale(
-      edges.join(h1, Seq("c")).groupBy(col("p")).agg(sum(col("h")).as("a")), "p", "a")
-    val h2 = rescale(
-      edges.join(a2, Seq("p")).groupBy(col("c")).agg(sum(col("a")).as("h")), "c", "h")
-    val topA = a2.orderBy(col("a").desc, col("p")).limit(10)
-      .select(lit("authority").as("role"), col("p").as("node"), col("a").as("score"))
-    val topH = h2.orderBy(col("h").desc, col("c")).limit(10)
-      .select(lit("hub").as("role"), col("c").as("node"), col("h").as("score"))
-    topA.unionByName(topH).orderBy(col("role"), col("score").desc, col("node"))
-  }
-
-  private val qHitsSql =
-    """WITH edges AS (SELECT DISTINCT o_custkey AS c, l_partkey AS p
-      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
-      |a1r AS (SELECT p, COUNT(*) * 1000000 AS a FROM edges GROUP BY 1),
-      |a1 AS (SELECT p, a * 1000000 // (SELECT MAX(a) FROM a1r) AS a FROM a1r),
-      |h1r AS (SELECT c, CAST(SUM(a) AS BIGINT) AS h
-      |        FROM edges JOIN a1 USING (p) GROUP BY 1),
-      |h1 AS (SELECT c, h * 1000000 // (SELECT MAX(h) FROM h1r) AS h FROM h1r),
-      |a2r AS (SELECT p, CAST(SUM(h) AS BIGINT) AS a
-      |        FROM edges JOIN h1 USING (c) GROUP BY 1),
-      |a2 AS (SELECT p, a * 1000000 // (SELECT MAX(a) FROM a2r) AS a FROM a2r),
-      |h2r AS (SELECT c, CAST(SUM(a) AS BIGINT) AS h
-      |        FROM edges JOIN a2 USING (p) GROUP BY 1),
-      |h2 AS (SELECT c, h * 1000000 // (SELECT MAX(h) FROM h2r) AS h FROM h2r),
-      |ta AS (SELECT 'authority' AS role, p AS node, a AS score
-      |       FROM a2 ORDER BY a DESC, p LIMIT 10),
-      |th AS (SELECT 'hub' AS role, c AS node, h AS score
-      |       FROM h2 ORDER BY h DESC, c LIMIT 10)
-      |SELECT role, node, score FROM (SELECT * FROM ta UNION ALL SELECT * FROM th)
-      |ORDER BY role, score DESC, node""".stripMargin
-
-  /** Fog-style readability per document — the curation signal that
-    * separates "simple training prose" from jargon walls where
-    * text_quality's ratios can't (they never see word SHAPE). Syllables
-    * are vowel-group counts via ONE translate (vowels→'a', every other
-    * letter→'b') + sentinel + substring-delete — pure portable string
-    * algebra, no regex (the etl_url_normalize replay-safety rule);
-    * the corpus has no sentence punctuation, so the Gunning-Fog grade
-    * uses the standard fixed 20-word pseudo-sentence. Row-local
-    * projection: no shuffle at any scale. */
-  private def textReadability(s: SparkSession, dir: String): DataFrame = {
-    val syllAgg =
-      """aggregate(filter(split(text, ' '), w -> w <> ''), 0L, (acc, w) ->
-        |  acc + greatest(1L,
-        |    length(translate(w, 'abcdefghijklmnopqrstuvwxyz',
-        |                        'abbbabbbabbbbbabbbbbabbbbb') || 'b') -
-        |    length(replace(translate(w, 'abcdefghijklmnopqrstuvwxyz',
-        |                                'abbbabbbabbbbbabbbbbabbbbb') || 'b',
-        |                   'ab', 'b'))))""".stripMargin.replace("\n", " ")
-    val complexCnt =
-      """size(filter(split(text, ' '), w -> w <> '' AND
-        |  length(translate(w, 'abcdefghijklmnopqrstuvwxyz',
-        |                      'abbbabbbabbbbbabbbbbabbbbb') || 'b') -
-        |  length(replace(translate(w, 'abcdefghijklmnopqrstuvwxyz',
-        |                              'abbbabbbabbbbbabbbbbabbbbb') || 'b',
-        |                 'ab', 'b')) >= 3))""".stripMargin.replace("\n", " ")
-    Tables.documents(s, dir)
-      .select(col("doc_id"),
-        expr("size(filter(split(text, ' '), w -> w <> ''))").cast("long").as("n_words"),
-        expr(syllAgg).as("n_syll"),
-        expr(complexCnt).cast("long").as("n_complex"))
-      .filter(col("n_words") > 0)
-      .select(col("doc_id"), col("n_words"), col("n_syll"), col("n_complex"),
-        round(col("n_syll").cast("double") / col("n_words").cast("double"), 6)
-          .as("syll_per_word"),
-        round(lit(0.4) * (lit(20.0) +
-          lit(100.0) * col("n_complex").cast("double") / col("n_words").cast("double")), 4)
-          .as("fog_grade"))
-      .orderBy(col("doc_id"))
-  }
-
-  private val textReadabilitySql = {
-    val tr = "translate(w, 'abcdefghijklmnopqrstuvwxyz', 'abbbabbbabbbbbabbbbbabbbbb') || 'b'"
-    s"""WITH d AS (SELECT doc_id,
-       |    list_filter(string_split(text, ' '), w -> w <> '') AS ws
-       |  FROM documents),
-       |c AS (SELECT doc_id,
-       |    CAST(len(ws) AS BIGINT) AS n_words,
-       |    CAST(COALESCE(list_sum(list_transform(ws, w ->
-       |      greatest(1, length($tr) - length(replace($tr, 'ab', 'b'))))), 0) AS BIGINT)
-       |      AS n_syll,
-       |    CAST(len(list_filter(ws, w ->
-       |      length($tr) - length(replace($tr, 'ab', 'b')) >= 3)) AS BIGINT) AS n_complex
-       |  FROM d)
-       |SELECT doc_id, n_words, n_syll, n_complex,
-       |  ROUND(CAST(n_syll AS DOUBLE) / CAST(n_words AS DOUBLE), 6) AS syll_per_word,
-       |  ROUND(0.4 * (20.0 + 100.0 * CAST(n_complex AS DOUBLE)
-       |    / CAST(n_words AS DOUBLE)), 4) AS fog_grade
-       |FROM c WHERE n_words > 0 ORDER BY doc_id""".stripMargin
-  }
-
-  /** Heaps-law vocabulary growth over the corpus in ingest order — the
-    * "is more data still buying new vocabulary" curve that decides
-    * when corpus collection saturates. Terms' first-occurrence doc ids
-    * come from one explode + min groupBy (no window over the token
-    * stream); 50-doc buckets then carry (tokens, new-vocab) through
-    * ONE [[graft.operators.PrefixSum]] scan — cumulative counts stay
-    * exact BIGINTs, and the Heaps exponent estimate
-    * ln(vocab)/ln(tokens) is one IEEE expression, ROUND(·,6). */
-  private def textVocabGrowth(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
-    val words = docs.select(col("doc_id"),
-      explode(expr("filter(split(text, ' '), w -> w <> '')")).as("term"))
-    val firstDoc = words.groupBy(col("term")).agg(min(col("doc_id")).as("fd"))
-      .groupBy((col("fd") / 50).cast("bigint").as("bucket"))
-      .agg(count(lit(1)).as("vocab_new"))
-    val tokens = docs.select((col("doc_id") / 50).cast("bigint").as("bucket"),
-        expr("size(filter(split(text, ' '), w -> w <> ''))").cast("long").as("nw"))
-      .groupBy(col("bucket")).agg(sum(col("nw")).as("tokens"), count(lit(1)).as("n_docs"))
-    val merged = tokens.join(firstDoc, Seq("bucket"), "left")
-      .select(col("bucket"), col("n_docs"), col("tokens"),
-        coalesce(col("vocab_new"), lit(0L)).as("vocab_new"))
-    graft.operators.PrefixSum.withRunningTotals(merged, Seq("bucket"),
-        Seq("tokens", "vocab_new"))
-      .select(col("bucket"), col("n_docs"), col("tokens_cum"),
-        col("vocab_new_cum").as("vocab_cum"),
-        round(log(col("vocab_new_cum").cast("double")) /
-          log(col("tokens_cum").cast("double")), 6).as("heaps_beta"))
-      .orderBy(col("bucket"))
-  }
-
-  private val textVocabGrowthSql =
-    """WITH w AS (SELECT doc_id,
-      |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
-      |  FROM documents),
-      |f1 AS (SELECT term, CAST(MIN(doc_id) // 50 AS BIGINT) AS bucket2
-      |       FROM w GROUP BY term),
-      |fd2 AS (SELECT bucket2, COUNT(*) AS vocab_new FROM f1 GROUP BY 1),
-      |tk AS (SELECT CAST(doc_id // 50 AS BIGINT) AS bucket,
-      |         CAST(SUM(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS BIGINT)
-      |           AS tokens,
-      |         COUNT(*) AS n_docs
-      |       FROM documents GROUP BY 1),
-      |m AS (SELECT bucket, n_docs, tokens, COALESCE(vocab_new, 0) AS vocab_new
-      |      FROM tk LEFT JOIN fd2 ON tk.bucket = fd2.bucket2)
-      |SELECT bucket, n_docs,
-      |  CAST(SUM(tokens) OVER (ORDER BY bucket) AS BIGINT) AS tokens_cum,
-      |  CAST(SUM(vocab_new) OVER (ORDER BY bucket) AS BIGINT) AS vocab_cum,
-      |  ROUND(ln(CAST(SUM(vocab_new) OVER (ORDER BY bucket) AS DOUBLE))
-      |    / ln(CAST(SUM(tokens) OVER (ORDER BY bucket) AS DOUBLE)), 6) AS heaps_beta
-      |FROM m ORDER BY bucket""".stripMargin
-
-  /** Jensen–Shannon divergence between two sources' unigram
-    * distributions — the symmetric, bounded [0, ln 2] drift metric for
-    * TEXT (an_ks_drift/an_chi2_drift watch numeric columns; corpus mix
-    * shift lives in the token distribution). Counts per term are exact
-    * BIGINTs from one explode + groupBy per side, full-outer joined on
-    * term (smoothing-free: JS is finite on disjoint support, which is
-    * WHY it beats KL here); each plog term gathers DECIMAL(38,18)
-    * (the an_kruskal order-independent sum), ROUND(·,6); js_norm
-    * divides by ln 2 for the [0,1] readout. */
-  private def textJsDivergence(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
-    def termCounts(src: String, out: String) = docs
-      .filter(col("source") === src)
-      .select(explode(expr("filter(split(text, ' '), w -> w <> '')")).as("term"))
-      .groupBy(col("term")).agg(count(lit(1)).as(out))
-    val p = termCounts("src0", "cp")
-    val q = termCounts("src1", "cq")
-    val joined = p.join(q, Seq("term"), "full_outer")
-      .select(col("term"), coalesce(col("cp"), lit(0L)).as("cp"),
-        coalesce(col("cq"), lit(0L)).as("cq"))
-    val tot = joined.agg(sum(col("cp")).as("np"), sum(col("cq")).as("nq"),
-      count(lit(1)).as("vocab"))
-    def gather(c: Column) = sum(c.cast("decimal(38,18)")).cast("decimal(38,18)")
-    val pp = col("cp").cast("double") / col("np").cast("double")
-    val qq = col("cq").cast("double") / col("nq").cast("double")
-    val mm = (pp + qq) / lit(2.0)
-    joined.crossJoin(broadcast(tot))
-      .agg(max(col("np")).as("n_src0"), max(col("nq")).as("n_src1"),
-        max(col("vocab")).as("vocab"),
-        gather(when(col("cp") > 0, pp * log(pp / mm)).otherwise(lit(0.0))).as("klp"),
-        gather(when(col("cq") > 0, qq * log(qq / mm)).otherwise(lit(0.0))).as("klq"))
-      .select(col("n_src0"), col("n_src1"), col("vocab"),
-        round((col("klp").cast("double") + col("klq").cast("double")) / 2.0, 6).as("js"),
-        round((col("klp").cast("double") + col("klq").cast("double")) / 2.0 /
-          math.log(2.0), 6).as("js_norm"))
-  }
-
-  private val textJsDivergenceSql =
-    """WITH p AS (SELECT unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS term
-      |           FROM documents WHERE source = 'src0'),
-      |pc AS (SELECT term, COUNT(*) AS cp FROM p GROUP BY term),
-      |q AS (SELECT unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS term
-      |      FROM documents WHERE source = 'src1'),
-      |qc AS (SELECT term, COUNT(*) AS cq FROM q GROUP BY term),
-      |j AS (SELECT COALESCE(pc.term, qc.term) AS term,
-      |        COALESCE(cp, 0) AS cp, COALESCE(cq, 0) AS cq
-      |      FROM pc FULL OUTER JOIN qc ON pc.term = qc.term),
-      |t AS (SELECT CAST(SUM(cp) AS BIGINT) AS np, CAST(SUM(cq) AS BIGINT) AS nq,
-      |        COUNT(*) AS vocab FROM j),
-      |g AS (SELECT MAX(np) AS n_src0, MAX(nq) AS n_src1, MAX(vocab) AS vocab,
-      |    CAST(SUM(CAST(CASE WHEN cp > 0 THEN
-      |      (CAST(cp AS DOUBLE) / CAST(np AS DOUBLE))
-      |        * ln((CAST(cp AS DOUBLE) / CAST(np AS DOUBLE))
-      |          / ((CAST(cp AS DOUBLE) / CAST(np AS DOUBLE)
-      |              + CAST(cq AS DOUBLE) / CAST(nq AS DOUBLE)) / 2.0))
-      |      ELSE 0.0 END AS DECIMAL(38,18))) AS DECIMAL(38,18)) AS klp,
-      |    CAST(SUM(CAST(CASE WHEN cq > 0 THEN
-      |      (CAST(cq AS DOUBLE) / CAST(nq AS DOUBLE))
-      |        * ln((CAST(cq AS DOUBLE) / CAST(nq AS DOUBLE))
-      |          / ((CAST(cp AS DOUBLE) / CAST(np AS DOUBLE)
-      |              + CAST(cq AS DOUBLE) / CAST(nq AS DOUBLE)) / 2.0))
-      |      ELSE 0.0 END AS DECIMAL(38,18))) AS DECIMAL(38,18)) AS klq
-      |  FROM j CROSS JOIN t)
-      |SELECT n_src0, n_src1, vocab,
-      |  ROUND((CAST(klp AS DOUBLE) + CAST(klq AS DOUBLE)) / 2.0, 6) AS js,
-      |  ROUND((CAST(klp AS DOUBLE) + CAST(klq AS DOUBLE)) / 2.0 / ln(2.0), 6) AS js_norm
-      |FROM g""".stripMargin
-
-  /** 8-bin luminance histograms over REAL BMP decodes — the exposure/
-    * contrast profile an image-curation pipeline screens on (all-dark /
-    * all-blown images drop before any model-based scoring). Same
-    * synthesize→encode→genuinely-decode seam as mm_image_tiles
-    * ([[graft.multimodal.BinaryColumns.bmpHistogramBatch]]); lum =
-    * r+g+b per pixel, bin = lum div 96, all-zero bins emitted (fixed 8
-    * rows/doc — schema-stable). The oracle rederives every pixel from
-    * the md5 nibbles and rebuilds the histogram in SQL, so a channel-
-    * order or stride mis-decode breaks the hash. Row-local decode: no
-    * shuffle before the final order. */
-  private def mmImageHist(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val docs = Tables.documents(s, dir).select(col("doc_id").cast("long")).as[Long]
-    val payloads = docs.mapPartitions { it =>
-      val md = java.security.MessageDigest.getInstance("MD5")
-      it.map { id =>
-        val w = 8 + (id % 5).toInt; val h = 8 + (id % 3).toInt
-        val rgb = Array.tabulate(3 * w * h) { p =>
-          md.digest(s"hist:$id:$p".getBytes("UTF-8"))(0)
-        }
-        (id, graft.multimodal.BinaryColumns.encodeBmp(w, h, rgb))
-      }
-    }.toDF("doc_id", "payload")
-    graft.multimodal.BinaryColumns.bmpHistogramBatch(payloads)(s).toDF()
-      .orderBy(col("doc_id"), col("bin"))
-  }
-
-  private val mmImageHistSql =
-    """WITH d AS (SELECT doc_id, CAST(8 + doc_id % 5 AS INT) AS w,
-      |    CAST(8 + doc_id % 3 AS INT) AS h FROM documents),
-      |px AS (SELECT d.doc_id, p.range // 3 AS px_id,
-      |    16 * (instr('0123456789abcdef', substr(md5('hist:' ||
-      |      CAST(d.doc_id AS VARCHAR) || ':' || CAST(p.range AS VARCHAR)), 1, 1)) - 1)
-      |       + (instr('0123456789abcdef', substr(md5('hist:' ||
-      |      CAST(d.doc_id AS VARCHAR) || ':' || CAST(p.range AS VARCHAR)), 2, 1)) - 1) AS v
-      |  FROM d CROSS JOIN range(0, 360) p
-      |  WHERE p.range < 3 * d.w * d.h),
-      |lum AS (SELECT doc_id, px_id, CAST(SUM(v) AS BIGINT) AS lum
-      |        FROM px GROUP BY doc_id, px_id),
-      |hist AS (SELECT doc_id, CAST(lum // 96 AS INT) AS bin,
-      |           COUNT(*) AS n_px, CAST(SUM(lum) AS BIGINT) AS sum_lum
-      |         FROM lum GROUP BY 1, 2)
-      |SELECT d.doc_id, CAST(b.range AS INT) AS bin,
-      |  COALESCE(h.n_px, 0) AS n_px, COALESCE(h.sum_lum, 0) AS sum_lum
-      |FROM (SELECT DISTINCT doc_id FROM d) d CROSS JOIN range(0, 8) b
-      |LEFT JOIN hist h ON h.doc_id = d.doc_id AND h.bin = b.range
-      |ORDER BY d.doc_id, bin""".stripMargin
-
-  /** Scene-cut detection over REAL AVI decodes — the shot-boundary
-    * pass a video-curation pipeline runs before frame sampling (sample
-    * per SCENE, not per fixed stride, or long static shots dominate).
-    * Synthesized videos carry genuine scene structure (frames within a
-    * 3-frame scene are identical by construction); the container is
-    * decoded per frame by the movi walker
-    * ([[graft.multimodal.BinaryColumns.aviFrameSumsBatch]]), then a
-    * doc-keyed lag window diffs consecutive exact frame totals and
-    * emits the boundaries where the total changes. The oracle
-    * rederives per-frame sums from the md5 nibbles and replays the
-    * same lag — a frame-order mis-parse breaks the hash. */
-  private def mmSceneCuts(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val docs = Tables.documents(s, dir).select(col("doc_id").cast("long")).as[Long]
-    val payloads = docs.mapPartitions { it =>
-      val md = java.security.MessageDigest.getInstance("MD5")
-      it.map { id =>
-        val w = 2 + (id % 3).toInt; val h = 1 + (id % 2).toInt
-        val nf = 6 + (id % 4).toInt
-        val frames = Array.tabulate(nf) { f =>
-          Array.tabulate(3 * w * h) { p =>
-            md.digest(s"sc:$id:${f / 3}:$p".getBytes("UTF-8"))(0)
-          }
-        }
-        (id, graft.multimodal.BinaryColumns.encodeAvi(w, h, 33333, frames))
-      }
-    }.toDF("doc_id", "payload")
-    val sums = graft.multimodal.BinaryColumns.aviFrameSumsBatch(payloads)(s).toDF()
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
-    sums.withColumn("prev_sum", lag(col("frame_sum"), 1).over(w))
-      .filter(col("prev_sum").isNotNull && col("prev_sum") =!= col("frame_sum"))
-      .select(col("doc_id"), col("frame_idx").cast("long").as("cut_at"),
-        col("prev_sum"), col("frame_sum"))
-      .orderBy(col("doc_id"), col("cut_at"))
-  }
-
-  private val mmSceneCutsSql =
-    """WITH d AS (SELECT doc_id, CAST(2 + doc_id % 3 AS INT) AS w,
-      |    CAST(1 + doc_id % 2 AS INT) AS ht,
-      |    CAST(6 + doc_id % 4 AS INT) AS nf FROM documents),
-      |px AS (SELECT d.doc_id, f.range AS f,
-      |    16 * (instr('0123456789abcdef', substr(md5('sc:' ||
-      |      CAST(d.doc_id AS VARCHAR) || ':' || CAST(f.range // 3 AS VARCHAR) || ':' ||
-      |      CAST(p.range AS VARCHAR)), 1, 1)) - 1)
-      |       + (instr('0123456789abcdef', substr(md5('sc:' ||
-      |      CAST(d.doc_id AS VARCHAR) || ':' || CAST(f.range // 3 AS VARCHAR) || ':' ||
-      |      CAST(p.range AS VARCHAR)), 2, 1)) - 1) AS v
-      |  FROM d CROSS JOIN range(0, 10) f CROSS JOIN range(0, 24) p
-      |  WHERE f.range < d.nf AND p.range < 3 * d.w * d.ht),
-      |fs AS (SELECT doc_id, f, CAST(SUM(v) AS BIGINT) AS frame_sum
-      |       FROM px GROUP BY doc_id, f),
-      |lg AS (SELECT doc_id, f, frame_sum,
-      |         LAG(frame_sum) OVER (PARTITION BY doc_id ORDER BY f) AS prev_sum
-      |       FROM fs)
-      |SELECT doc_id, CAST(f AS BIGINT) AS cut_at, prev_sum, frame_sum
-      |FROM lg WHERE prev_sum IS NOT NULL AND prev_sum <> frame_sum
-      |ORDER BY doc_id, cut_at""".stripMargin
-
-  /** Average precision (PR-curve area) of the acctbal churn score —
-    * the rare-positive companion to an_roc_auc: ROC flatters a
-    * classifier when negatives dominate; AP weights by the positive
-    * class only, which is what a churn-save campaign actually pays
-    * for. Ties-grouped step interpolation needs NO neighbor access:
-    * AP = Σ_v (pos(v)/P) · precision(≥v) with both cumulative counts
-    * read off the SAME distinct-cent [[graft.operators.PrefixSum]]
-    * scan as an_roc_auc (score DESCENDS, so ≥v counts are total −
-    * below); each exact-rational term gathers DECIMAL(38,18),
-    * ROUND(·,6). */
-  private def anPrAuc(s: SparkSession, dir: String): DataFrame = {
-    val o = Tables.orders(s, dir)
-    val anchor = o.agg(max(col("o_orderdate")).as("mx"))
-    val last = o.groupBy(col("o_custkey")).agg(max(col("o_orderdate")).as("last_order"))
-    val cutoff = col("mx") - expr("INTERVAL 90 DAYS")
-    val labeled = Tables.customer(s, dir)
-      .join(last, col("c_custkey") === col("o_custkey"), "left")
-      .crossJoin(broadcast(anchor))
-      .select(
-        (col("last_order").isNull || col("last_order") < cutoff).cast("long").as("g1"),
-        (col("c_acctbal").cast("decimal(24,2)") * 100).cast("bigint").as("v"))
-    val perV = labeled.groupBy(col("v"))
-      .agg(count(lit(1)).as("cnt"), sum(col("g1")).as("c1"))
-    val scan = graft.operators.PrefixSum.withRunningTotals(perV, Seq("v"), Seq("cnt", "c1"))
-    val tot = scan.agg(max(col("cnt_cum")).as("n"), max(col("c1_cum")).as("p"))
-    scan.crossJoin(broadcast(tot))
-      .select(col("c1"), col("p"),
-        (col("p") - (col("c1_cum") - col("c1"))).as("tp_gte"),
-        (col("n") - (col("cnt_cum") - col("cnt"))).as("cnt_gte"))
-      .agg(max(col("p")).as("n_pos"),
-        sum((col("c1").cast("double") / col("p").cast("double") *
-          (col("tp_gte").cast("double") / col("cnt_gte").cast("double")))
-          .cast("decimal(38,18)")).cast("decimal(38,18)").as("apg"))
-      .select(col("n_pos"), round(col("apg").cast("double"), 6).as("avg_precision"))
-  }
-
-  private val anPrAucSql =
-    """WITH a AS (SELECT MAX(o_orderdate) AS mx FROM orders),
-      |l AS (SELECT o_custkey, MAX(o_orderdate) AS last_order FROM orders GROUP BY 1),
-      |lab AS (SELECT
-      |    CASE WHEN last_order IS NULL OR last_order < mx - INTERVAL 90 DAY
-      |         THEN 1 ELSE 0 END AS g1,
-      |    CAST(CAST(c_acctbal AS DECIMAL(24,2)) * 100 AS BIGINT) AS v
-      |  FROM customer LEFT JOIN l ON c_custkey = o_custkey CROSS JOIN a),
-      |pv AS (SELECT v, COUNT(*) AS cnt, CAST(SUM(g1) AS BIGINT) AS c1 FROM lab GROUP BY v),
-      |sc AS (SELECT cnt, c1,
-      |         CAST(SUM(cnt) OVER (ORDER BY v) AS BIGINT) AS cnt_cum,
-      |         CAST(SUM(c1) OVER (ORDER BY v) AS BIGINT) AS c1_cum
-      |       FROM pv),
-      |t AS (SELECT MAX(cnt_cum) AS n, MAX(c1_cum) AS p FROM sc)
-      |SELECT MAX(p) AS n_pos,
-      |  ROUND(CAST(CAST(SUM(CAST(
-      |    CAST(c1 AS DOUBLE) / CAST(p AS DOUBLE)
-      |      * (CAST(p - (c1_cum - c1) AS DOUBLE) / CAST(n - (cnt_cum - cnt) AS DOUBLE))
-      |    AS DECIMAL(38,18))) AS DECIMAL(38,18)) AS DOUBLE), 6) AS avg_precision
-      |FROM sc CROSS JOIN t""".stripMargin
-
-  /** Croston's intermittent-demand forecast per part — the estimator
-    * for the slow-moving long tail where an_forecast_naive/an_holt on
-    * the dense daily total are blind (most SKUs sell on a few days a
-    * month; forecasting their zeros as signal biases every EWMA).
-    * Demand SIZE and inter-arrival GAP each get the truncated DYADIC
-    * EWMA (α = 1/2, 8 taps — the an_ewma exactness trick: weights
-    * 2^(7−k) keep both numerators exact BIGINTs), evaluated at each
-    * part's LAST demand event via keyed lag windows (partitioned by
-    * part — nothing global); forecast/day = z_num/p_num, ONE IEEE
-    * division, ROUND(·,6). Parts need ≥ 9 events so all 8 gap taps
-    * exist. */
-  private def anCroston(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.lineitem(s, dir)
-      .groupBy(col("l_partkey").as("pk"), col("l_shipdate").as("day"))
-      .agg(sum((col("l_quantity").cast("decimal(24,2)") * 100).cast("bigint")).as("q"))
-    val w = Window.partitionBy(col("pk")).orderBy(col("day"))
-    val zNum = (0 until 8).map(k => lag(col("q"), k).over(w) * lit(1L << (7 - k))).reduce(_ + _)
-    val pNum = (0 until 8).map(k => lag(col("gap"), k).over(w) * lit(1L << (7 - k))).reduce(_ + _)
-    d.withColumn("gap", datediff(col("day"), lag(col("day"), 1).over(w)).cast("long"))
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n_events", count(lit(1)).over(Window.partitionBy(col("pk"))))
-      .withColumn("z_num", zNum)
-      .withColumn("p_num", pNum)
-      .filter(col("rn") === col("n_events") && col("n_events") >= 9)
-      .select(col("pk"), col("n_events"), col("z_num"), col("p_num"),
-        round(col("z_num").cast("double") / col("p_num").cast("double"), 6)
-          .as("croston_per_day"))
-      .orderBy(col("pk"))
-  }
-
-  private val anCrostonSql = {
-    val zTerms = (0 until 8).map(k =>
-      s"LAG(q, $k) OVER (PARTITION BY pk ORDER BY day) * ${1L << (7 - k)}").mkString(" + ")
-    val pTerms = (0 until 8).map(k =>
-      s"LAG(gap, $k) OVER (PARTITION BY pk ORDER BY day) * ${1L << (7 - k)}").mkString(" + ")
-    s"""WITH d AS (SELECT l_partkey AS pk, l_shipdate AS day,
-       |    CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(24,2)) * 100 AS BIGINT)) AS BIGINT) AS q
-       |  FROM lineitem GROUP BY 1, 2),
-       |g AS (SELECT pk, day, q,
-       |        CAST(date_diff('day', LAG(day) OVER (PARTITION BY pk ORDER BY day), day)
-       |          AS BIGINT) AS gap,
-       |        ROW_NUMBER() OVER (PARTITION BY pk ORDER BY day) AS rn,
-       |        COUNT(*) OVER (PARTITION BY pk) AS n_events
-       |      FROM d),
-       |f AS (SELECT pk, n_events, rn,
-       |        $zTerms AS z_num,
-       |        $pTerms AS p_num
-       |      FROM g)
-       |SELECT pk, CAST(n_events AS BIGINT) AS n_events,
-       |  CAST(z_num AS BIGINT) AS z_num, CAST(p_num AS BIGINT) AS p_num,
-       |  ROUND(CAST(z_num AS DOUBLE) / CAST(p_num AS DOUBLE), 6) AS croston_per_day
-       |FROM f WHERE rn = n_events AND n_events >= 9
-       |ORDER BY pk""".stripMargin
-  }
-
-  /** SAX symbolization of the daily revenue series — the symbolic
-    * compression that turns a numeric time series into WORDS so motif
-    * mining / anomaly grep run on string machinery (the text-side
-    * operators) instead of floats. z-normalization uses μ and σ built
-    * from exact integer Σv and Σv² (one IEEE expression each, shared
-    * by both engines); 4-symbol alphabet at the standard N(0,1)
-    * quartile breakpoints ±0.6745 and 0; the per-week word is an
-    * ORDER-PINNED string aggregation (day-sorted), so the whole
-    * readout is deterministic text under the hash oracle. */
-  private def anSax(s: SparkSession, dir: String): DataFrame = {
-    val daily = Tables.lineitem(s, dir)
-      .groupBy(date_trunc("day", col("l_shipdate")).as("day"))
-      .agg(sum((col("l_extendedprice").cast("decimal(24,2)") * 100).cast("bigint")).as("v"))
-    // v² in cents² tops BIGINT over a multi-year span — the square sum
-    // rides DECIMAL(38,0) (exact integers, order-independent)
-    val stats = daily.agg(count(lit(1)).as("n"), sum(col("v")).as("s1"),
-      sum(col("v").cast("decimal(38,0)") * col("v")).as("s2"))
-    val z = (col("v").cast("double") - col("s1").cast("double") / col("n").cast("double")) /
-      sqrt((col("s2").cast("double") * col("n").cast("double") -
-        col("s1").cast("double") * col("s1").cast("double")) /
-        (col("n").cast("double") * col("n").cast("double")))
-    daily.crossJoin(broadcast(stats))
-      .select(col("day"),
-        when(z < -0.6745, lit("a")).when(z < 0.0, lit("b"))
-          .when(z < 0.6745, lit("c")).otherwise(lit("d")).as("sym"))
-      .groupBy(date_trunc("week", col("day")).as("week"))
-      .agg(count(lit(1)).as("n_days"),
-        expr("array_join(transform(array_sort(collect_list(struct(day, sym))), x -> x.sym), '')")
-          .as("sax_word"))
-      .orderBy(col("week"))
-  }
-
-  private val anSaxSql =
-    """WITH daily AS (SELECT date_trunc('day', l_shipdate) AS day,
-      |    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(24,2)) * 100 AS BIGINT)) AS BIGINT) AS v
-      |  FROM lineitem GROUP BY 1),
-      |st AS (SELECT COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS s1,
-      |              CAST(SUM(CAST(v AS DECIMAL(38,0)) * v) AS DECIMAL(38,0)) AS s2
-      |       FROM daily),
-      |sym AS (SELECT day,
-      |    CASE WHEN (CAST(v AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
-      |           / sqrt((CAST(s2 AS DOUBLE) * CAST(n AS DOUBLE)
-      |                   - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
-      |                  / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) < -0.6745 THEN 'a'
-      |         WHEN (CAST(v AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
-      |           / sqrt((CAST(s2 AS DOUBLE) * CAST(n AS DOUBLE)
-      |                   - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
-      |                  / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) < 0.0 THEN 'b'
-      |         WHEN (CAST(v AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
-      |           / sqrt((CAST(s2 AS DOUBLE) * CAST(n AS DOUBLE)
-      |                   - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
-      |                  / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) < 0.6745 THEN 'c'
-      |         ELSE 'd' END AS sym
-      |  FROM daily CROSS JOIN st)
-      |SELECT date_trunc('week', day) AS week, COUNT(*) AS n_days,
-      |  string_agg(sym, '' ORDER BY day) AS sax_word
-      |FROM sym GROUP BY 1 ORDER BY week""".stripMargin
-
-  /** Rare-category collapse over the customer-nation axis of orders —
-    * the long-tail guard every categorical encoder needs BEFORE
-    * one-hot/target encoding (a category seen 12 times gets a noise
-    * embedding; collapsing the tail to OTHER caps cardinality at
-    * scale, where new tail categories appear continuously). Share
-    * test on exact integers (cnt·10000 < threshold·total — no float
-    * compare at the boundary); output keeps the collapse AUDITABLE:
-    * per surviving category + OTHER, member-category count and row
-    * coverage. */
-  private def etlRareCollapse(s: SparkSession, dir: String): DataFrame = {
-    val base = Tables.orders(s, dir).join(
-      Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey")),
-      col("o_custkey") === col("c_custkey"))
-      .select(col("c_nationkey").as("cat"))
-    val counts = base.groupBy(col("cat")).agg(count(lit(1)).as("cnt"))
-    val tot = counts.agg(sum(col("cnt")).as("n"))
-    counts.crossJoin(broadcast(tot))
-      // keep categories with share >= 3% — exact integer cross-multiply
-      .select(when(col("cnt") * 10000 >= lit(300L) * col("n"),
-          col("cat").cast("string")).otherwise(lit("OTHER")).as("category"),
-        col("cnt"), col("n"))
-      .groupBy(col("category"))
-      .agg(count(lit(1)).as("n_source_cats"), sum(col("cnt")).as("n_rows"),
-        max(col("n")).as("n"))
-      .select(col("category"), col("n_source_cats"), col("n_rows"),
-        round(col("n_rows").cast("double") / col("n").cast("double"), 6).as("share"))
-      .orderBy(col("category"))
-  }
-
-  private val etlRareCollapseSql =
-    """WITH base AS (SELECT c_nationkey AS cat
-      |  FROM orders JOIN customer ON o_custkey = c_custkey),
-      |c AS (SELECT cat, COUNT(*) AS cnt FROM base GROUP BY cat),
-      |t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM c),
-      |m AS (SELECT CASE WHEN cnt * 10000 >= 300 * n THEN CAST(cat AS VARCHAR)
-      |                  ELSE 'OTHER' END AS category, cnt, n
-      |      FROM c CROSS JOIN t)
-      |SELECT category, COUNT(*) AS n_source_cats,
-      |  CAST(SUM(cnt) AS BIGINT) AS n_rows,
-      |  ROUND(CAST(SUM(cnt) AS DOUBLE) / CAST(MAX(n) AS DOUBLE), 6) AS share
-      |FROM m GROUP BY category ORDER BY category""".stripMargin
-
-  /** Clustering-quality readout (purity + Adjusted Rand Index) of the
-    * portable IVF cell assignment against the embeddings' ground-truth
-    * labels — the evaluation that tells a curation pipeline whether its
-    * cheap geometric cells are a usable proxy for semantic classes
-    * before spending on supervised labeling. Assignment is the
-    * sim_ivf_ann/sim_semantic_dedup quantizer (map-only codegen'd
-    * argmax, oracle-replayed); the contingency table and all pair
-    * counts C(n,2) are exact BIGINTs, so purity and ARI are a handful
-    * of IEEE ops over exact integers, ROUND(·,6). */
-  private def simClusterPurity(s: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(s, dir)
-    val e = emb.select(col("vec_id").as("id"),
-      graft.similarity.VectorOps.toDouble(col("embedding")).as("v"),
-      col("label").cast("long").as("lbl"))
-    val quant: Column => Column =
-      v => transform(v, x => round(x * lit(1000000.0)).cast("long"))
-    val cents: Array[Array[Long]] = e.orderBy(col("id")).limit(16)
-      .select(quant(col("v")).as("q"))
-      .collect().map(_.getSeq[Long](0).toArray)
-    val cnorms: Array[Double] = cents.map(c => math.sqrt(c.map(x => x * x).sum.toDouble))
-    val cells = e.withColumn("cell_id", graft.functions.VectorExprs.nearest_cell_long(
-        quant(col("v")), cents.flatten, cnorms))
-      .select(col("cell_id"), col("lbl"))
-    val cont = graft.operators.PrefixSum.persistOwned(
-      cells.groupBy(col("cell_id"), col("lbl")).agg(count(lit(1)).as("nij")))
-    val aRows = cont.groupBy(col("cell_id"))
-      .agg(sum(col("nij")).as("a"), max(col("nij")).as("mx"))
-    val bRows = cont.groupBy(col("lbl")).agg(sum(col("nij")).as("b"))
-    val sij = cont.agg(sum(expr("nij * (nij - 1) div 2")).as("sij"))
-    val sa = aRows.agg(sum(expr("a * (a - 1) div 2")).as("sa"),
-      sum(col("mx")).as("maxsum"), count(lit(1)).as("n_cells"), sum(col("a")).as("n"))
-    val sb = bRows.agg(sum(expr("b * (b - 1) div 2")).as("sb"),
-      count(lit(1)).as("n_labels"))
-    sij.crossJoin(sa).crossJoin(sb)
-      .select(col("n"), col("n_cells"), col("n_labels"),
-        round(col("maxsum").cast("double") / col("n").cast("double"), 6).as("purity"),
-        round(
-          (col("sij").cast("double") -
-            col("sa").cast("double") * col("sb").cast("double") /
-              (col("n") * (col("n") - 1) / 2).cast("double")) /
-          ((col("sa") + col("sb")).cast("double") / lit(2.0) -
-            col("sa").cast("double") * col("sb").cast("double") /
-              (col("n") * (col("n") - 1) / 2).cast("double")), 6).as("ari"))
-  }
-
-  private val simClusterPuritySql =
-    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, CAST(label AS BIGINT) AS lbl
-      |           FROM embeddings),
-      |vq AS (SELECT vec_id, lbl,
-      |         list_transform(v, x -> CAST(round(x * 1000000.0) AS BIGINT)) AS q FROM e),
-      |cent AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cell_id,
-      |                list_transform(v, x -> CAST(round(x * 1000000.0) AS BIGINT)) AS c
-      |         FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 16) t0),
-      |cn AS (SELECT cell_id,
-      |         sqrt(CAST(CAST(list_sum(list_transform(c, x -> x * x)) AS BIGINT) AS DOUBLE)) AS nrm
-      |       FROM cent),
-      |comp AS (SELECT cell_id, t.range AS j, c[CAST(t.range AS INT) + 1] AS cj
-      |         FROM cent, range(0, 64) t),
-      |dots AS (SELECT vq.vec_id, vq.lbl, comp.cell_id,
-      |                CAST(SUM(comp.cj * vq.q[CAST(comp.j AS INT) + 1]) AS BIGINT) AS dt
-      |         FROM vq CROSS JOIN comp GROUP BY 1, 2, 3),
-      |ranked AS (SELECT d.vec_id, d.lbl, d.cell_id,
-      |                  ROW_NUMBER() OVER (PARTITION BY d.vec_id
-      |                    ORDER BY CAST(d.dt AS DOUBLE) / cn.nrm DESC, d.cell_id) AS rn
-      |           FROM dots d JOIN cn USING (cell_id)),
-      |cont AS (SELECT cell_id, lbl, COUNT(*) AS nij
-      |         FROM ranked WHERE rn = 1 GROUP BY 1, 2),
-      |ar AS (SELECT cell_id, CAST(SUM(nij) AS BIGINT) AS a,
-      |              CAST(MAX(nij) AS BIGINT) AS mx FROM cont GROUP BY 1),
-      |br AS (SELECT lbl, CAST(SUM(nij) AS BIGINT) AS b FROM cont GROUP BY 1),
-      |x AS (SELECT CAST(SUM(nij * (nij - 1) // 2) AS BIGINT) AS sij FROM cont),
-      |y AS (SELECT CAST(SUM(a * (a - 1) // 2) AS BIGINT) AS sa,
-      |             CAST(SUM(mx) AS BIGINT) AS maxsum,
-      |             COUNT(*) AS n_cells, CAST(SUM(a) AS BIGINT) AS n FROM ar),
-      |z AS (SELECT CAST(SUM(b * (b - 1) // 2) AS BIGINT) AS sb, COUNT(*) AS n_labels FROM br)
-      |SELECT n, n_cells, n_labels,
-      |  ROUND(CAST(maxsum AS DOUBLE) / CAST(n AS DOUBLE), 6) AS purity,
-      |  ROUND((CAST(sij AS DOUBLE)
-      |         - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE) / CAST(n * (n - 1) // 2 AS DOUBLE))
-      |      / ((CAST(sa AS DOUBLE) + CAST(sb AS DOUBLE)) / 2.0
-      |         - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE) / CAST(n * (n - 1) // 2 AS DOUBLE)),
-      |    6) AS ari
-      |FROM x CROSS JOIN y CROSS JOIN z""".stripMargin
-
-  /** Exact-replay permutation test on the paired daily click-vs-view
-    * diffs — the assumption-free significance check beside an_wilcoxon
-    * (that one relies on the normal approximation of the rank sum;
-    * this one builds the null by actually sign-flipping the pairs).
-    * The 128 "random" sign patterns are DETERMINISTIC tempered-hash
-    * draws keyed on (day-rank · 128 + replica) — the an_bootstrap_ci
-    * trick, so the DuckDB oracle replays every permutation bit-for-bit
-    * and the p-value is an exact rational (n_extreme+1)/(R+1). All
-    * 128 replica sums ride ONE scan of the days-sized diff frame with
-    * map-side partial aggregation. */
-  private def anPermutationTest(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(s, dir)
-    def dailyOf(t: String, out: String) = ev.filter(col("event_type") === t)
-      .groupBy(date_trunc("day", col("ts")).as("day"))
-      .agg(sum((col("value").cast("decimal(24,2)") * 100).cast("bigint")).as(out))
-    val d0 = dailyOf("click", "a").join(dailyOf("view", "b"), "day")
-      .select(col("day"), (col("a") - col("b")).as("d"), lit(1L).as("one"))
-    // 1-based day rank without a global window: cnt_cum of the
-    // distinct-day PrefixSum scan IS the rank (one row per day)
-    val d = graft.operators.PrefixSum.persistOwned(
-      graft.operators.PrefixSum.withRunningTotals(d0, Seq("day"), Seq("one"))
-        .select(col("d"), col("one_cum").as("idx")))
-    val s0 = d.agg(sum(col("d")).as("s_obs"), count(lit(1)).as("n_days"))
-    val reps = d.select(col("d"), col("idx"), explode(sequence(lit(0), lit(127))).as("r"))
-      .withColumn("u", graft.functions.Sketches.temperedHash(
-        col("idx") * 128 + col("r")))
-      .select(col("r"),
-        (when(col("u") % 2 === 1, lit(-1L)).otherwise(lit(1L)) * col("d")).as("sd"))
-      .groupBy(col("r")).agg(sum(col("sd")).as("s_r"))
-    reps.crossJoin(broadcast(s0))
-      .agg(max(col("n_days")).as("n_days"), max(col("s_obs")).as("s_obs"),
-        sum((abs(col("s_r")) >= abs(col("s_obs"))).cast("long")).as("n_extreme"))
-      .select(col("n_days"), col("s_obs"), col("n_extreme"),
-        round((col("n_extreme") + 1).cast("double") / lit(129.0), 6).as("p_value"))
-  }
-
-  private val anPermutationTestSql =
-    """WITH da AS (SELECT date_trunc('day', ts) AS day,
-      |    CAST(SUM(CAST(CAST(value AS DECIMAL(24,2)) * 100 AS BIGINT)) AS BIGINT) AS a
-      |  FROM events WHERE event_type = 'click' GROUP BY 1),
-      |db AS (SELECT date_trunc('day', ts) AS day,
-      |    CAST(SUM(CAST(CAST(value AS DECIMAL(24,2)) * 100 AS BIGINT)) AS BIGINT) AS b
-      |  FROM events WHERE event_type = 'view' GROUP BY 1),
-      |d AS (SELECT a - b AS d, ROW_NUMBER() OVER (ORDER BY day) AS idx
-      |      FROM da JOIN db USING (day)),
-      |s0 AS (SELECT CAST(SUM(d) AS BIGINT) AS s_obs, COUNT(*) AS n_days FROM d),
-      |t1 AS (SELECT r.range AS r, d.d,
-      |    (((d.idx * 128 + r.range) % 2147483647) * 1000003 + 12289) % 2147483647 AS x
-      |  FROM d CROSS JOIN range(0, 128) r),
-      |t2 AS (SELECT r, d, xor(x, x >> 15) AS x FROM t1),
-      |t3 AS (SELECT r, d, (x * 786433) % 2147483647 AS x FROM t2),
-      |t4 AS (SELECT r, d, xor(x, x >> 13) AS u FROM t3),
-      |sr AS (SELECT r, CAST(SUM(CASE WHEN u % 2 = 1 THEN -d ELSE d END) AS BIGINT) AS s_r
-      |       FROM t4 GROUP BY r)
-      |SELECT MAX(n_days) AS n_days, MAX(s_obs) AS s_obs,
-      |  CAST(SUM(CASE WHEN ABS(s_r) >= ABS(s_obs) THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme,
-      |  ROUND(CAST(CAST(SUM(CASE WHEN ABS(s_r) >= ABS(s_obs) THEN 1 ELSE 0 END) AS BIGINT)
-      |    + 1 AS DOUBLE) / 129.0, 6) AS p_value
-      |FROM sr CROSS JOIN s0""".stripMargin
-
-  /** Log-rank test comparing BUILDING vs AUTOMOBILE churn survival —
-    * the two-sample significance companion to an_kaplan_meier's single
-    * curve (KM shows the curves; log-rank says whether they differ
-    * beyond risk-set noise). Same lifetime/censor construction
-    * (customer lifetime in days, 90-day recency censor); per distinct
-    * lifetime the at-risk counts come from ONE
-    * [[graft.operators.PrefixSum]] scan over (leavers₁, leavers₀,
-    * deaths₁, deaths₀) — n_g(t) = N_g − cum_g(<t), exact BIGINTs; the
-    * hypergeometric E and V terms are exact-integer-fed IEEE gathered
-    * DECIMAL(38,18) (nt ≤ 1 terms drop), z ROUND(·,6). */
-  private def anLogrank(s: SparkSession, dir: String): DataFrame = {
-    val o = Tables.orders(s, dir)
-    val anchor = o.agg(max(col("o_orderdate")).as("mx"))
-    val seg = Tables.customer(s, dir)
-      .filter(col("c_mktsegment").isin("BUILDING", "AUTOMOBILE"))
-      .select(col("c_custkey"), (col("c_mktsegment") === "BUILDING").cast("long").as("g"))
-    val cust = o.groupBy(col("o_custkey"))
-      .agg(min(col("o_orderdate")).as("f"), max(col("o_orderdate")).as("l"))
-      .join(seg, col("o_custkey") === col("c_custkey"))
-      .crossJoin(broadcast(anchor))
-      .select(datediff(col("l"), col("f")).cast("bigint").as("t"), col("g"),
-        (col("l") < col("mx") - expr("INTERVAL 90 DAYS")).cast("long").as("ev"))
-    val byT = cust.groupBy(col("t"))
-      .agg(sum(col("g")).as("c1"), sum(lit(1L) - col("g")).as("c0"),
-        sum(col("g") * col("ev")).as("d1"),
-        sum((lit(1L) - col("g")) * col("ev")).as("d0"))
-    val scan = graft.operators.PrefixSum.withRunningTotals(byT, Seq("t"),
-      Seq("c1", "c0", "d1", "d0"))
-    val tot = scan.agg(max(col("c1_cum")).as("n1t"), max(col("c0_cum")).as("n0t"))
-    def gather(c: Column) = sum(c.cast("decimal(38,18)")).cast("decimal(38,18)")
-    val n1 = (col("n1t") - (col("c1_cum") - col("c1"))).cast("double")
-    val n0 = (col("n0t") - (col("c0_cum") - col("c0"))).cast("double")
-    val nt = n1 + n0
-    val dt = (col("d1") + col("d0")).cast("double")
-    scan.crossJoin(broadcast(tot))
-      .filter(col("d1") + col("d0") > 0)
-      .agg(max(col("n1t")).as("n1"), max(col("n0t")).as("n0"),
-        sum(col("d1")).as("o1"),
-        gather(dt * n1 / nt).as("e1"),
-        gather(when(nt > 1.0,
-          dt * (n1 / nt) * (n0 / nt) * (nt - dt) / (nt - 1.0))
-          .otherwise(lit(0.0))).as("v"))
-      .select(col("n1"), col("n0"), col("o1"),
-        round(col("e1").cast("double"), 6).as("e1"),
-        round(
-          when(col("v").cast("double") > 0,
-            (col("o1").cast("double") - col("e1").cast("double")) /
-              sqrt(col("v").cast("double")))
-            .otherwise(lit(0.0)), 6).as("z_logrank"))
-  }
-
-  private val anLogrankSql =
-    """WITH a AS (SELECT MAX(o_orderdate) AS mx FROM orders),
-      |seg AS (SELECT c_custkey,
-      |          CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS g
-      |        FROM customer WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE')),
-      |cust AS (SELECT date_diff('day', MIN(o_orderdate), MAX(o_orderdate)) AS t, seg.g,
-      |           CASE WHEN MAX(o_orderdate) < MAX(a.mx) - INTERVAL 90 DAY
-      |                THEN 1 ELSE 0 END AS ev
-      |         FROM orders JOIN seg ON o_custkey = c_custkey CROSS JOIN a
-      |         GROUP BY o_custkey, seg.g),
-      |bt AS (SELECT t, CAST(SUM(g) AS BIGINT) AS c1, CAST(SUM(1 - g) AS BIGINT) AS c0,
-      |              CAST(SUM(g * ev) AS BIGINT) AS d1,
-      |              CAST(SUM((1 - g) * ev) AS BIGINT) AS d0
-      |       FROM cust GROUP BY t),
-      |sc AS (SELECT t, c1, c0, d1, d0,
-      |         CAST(SUM(c1) OVER (ORDER BY t) AS BIGINT) AS c1_cum,
-      |         CAST(SUM(c0) OVER (ORDER BY t) AS BIGINT) AS c0_cum
-      |       FROM bt),
-      |tt AS (SELECT MAX(c1_cum) AS n1t, MAX(c0_cum) AS n0t FROM sc),
-      |terms AS (SELECT d1, d0,
-      |    CAST(n1t - (c1_cum - c1) AS DOUBLE) AS n1,
-      |    CAST(n0t - (c0_cum - c0) AS DOUBLE) AS n0,
-      |    n1t, n0t
-      |  FROM sc CROSS JOIN tt WHERE d1 + d0 > 0)
-      |SELECT MAX(n1t) AS n1, MAX(n0t) AS n0, CAST(SUM(d1) AS BIGINT) AS o1,
-      |  ROUND(CAST(CAST(SUM(CAST(CAST(d1 + d0 AS DOUBLE) * n1 / (n1 + n0)
-      |    AS DECIMAL(38,18))) AS DECIMAL(38,18)) AS DOUBLE), 6) AS e1,
-      |  ROUND(CASE WHEN CAST(CAST(SUM(CAST(CASE WHEN n1 + n0 > 1.0 THEN
-      |        CAST(d1 + d0 AS DOUBLE) * (n1 / (n1 + n0)) * (n0 / (n1 + n0))
-      |          * (n1 + n0 - CAST(d1 + d0 AS DOUBLE)) / (n1 + n0 - 1.0)
-      |      ELSE 0.0 END AS DECIMAL(38,18))) AS DECIMAL(38,18)) AS DOUBLE) > 0
-      |    THEN (CAST(CAST(SUM(d1) AS BIGINT) AS DOUBLE)
-      |          - CAST(CAST(SUM(CAST(CAST(d1 + d0 AS DOUBLE) * n1 / (n1 + n0)
-      |              AS DECIMAL(38,18))) AS DECIMAL(38,18)) AS DOUBLE))
-      |      / sqrt(CAST(CAST(SUM(CAST(CASE WHEN n1 + n0 > 1.0 THEN
-      |          CAST(d1 + d0 AS DOUBLE) * (n1 / (n1 + n0)) * (n0 / (n1 + n0))
-      |            * (n1 + n0 - CAST(d1 + d0 AS DOUBLE)) / (n1 + n0 - 1.0)
-      |        ELSE 0.0 END AS DECIMAL(38,18))) AS DECIMAL(38,18)) AS DOUBLE))
-      |    ELSE 0.0 END, 6) AS z_logrank
-      |FROM terms""".stripMargin
-
-  /** Growth accounting over daily active users — the four-way split
-    * (new / retained / resurrected / churned) that explains WHERE a
-    * DAU curve's movement comes from, which an_new_returning's two-way
-    * split can't (returning conflates "came back yesterday too" with
-    * "resurrected after a gap", and nothing counts leavers). Presence
-    * classes come from ONE distinct (user, day) frame: first day per
-    * user (new), a self equi-join on (user, day−1) for retained vs
-    * resurrected, and the mirror anti-side for churned attributed to
-    * the day AFTER the last visit — all keyed joins, exact BIGINT
-    * counts, full-outer merged on the day axis. */
-  private def anGrowthAccounting(s: SparkSession, dir: String): DataFrame = {
-    val ud = graft.operators.PrefixSum.persistOwned(
-      Tables.events(s, dir)
-        .select(date_trunc("day", col("ts")).as("day"), col("user_id")).distinct())
-    val first = ud.groupBy(col("user_id")).agg(min(col("day")).as("first_day"))
-    val prev = ud.select(col("user_id"),
-      (col("day") + expr("INTERVAL 1 DAY")).as("day"), lit(1L).as("was_prev"))
-    val today = ud.join(first, "user_id")
-      .join(prev, Seq("user_id", "day"), "left")
-      .groupBy(col("day"))
-      .agg(sum((col("day") === col("first_day")).cast("long")).as("n_new"),
-        sum((col("day") =!= col("first_day") && col("was_prev").isNotNull)
-          .cast("long")).as("n_retained"),
-        sum((col("day") =!= col("first_day") && col("was_prev").isNull)
-          .cast("long")).as("n_resurrected"))
-    val churn = prev.join(ud, Seq("user_id", "day"), "left_anti")
-      .groupBy(col("day")).agg(count(lit(1)).as("n_churned"))
-    today.join(churn, Seq("day"), "full_outer")
-      .select(col("day"),
-        coalesce(col("n_new"), lit(0L)).as("n_new"),
-        coalesce(col("n_retained"), lit(0L)).as("n_retained"),
-        coalesce(col("n_resurrected"), lit(0L)).as("n_resurrected"),
-        coalesce(col("n_churned"), lit(0L)).as("n_churned"))
-      .orderBy(col("day"))
-  }
-
-  private val anGrowthAccountingSql =
-    """WITH ud AS (SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events),
-      |f AS (SELECT user_id, MIN(day) AS first_day FROM ud GROUP BY user_id),
-      |p AS (SELECT user_id, day + INTERVAL 1 DAY AS day, 1 AS was_prev FROM ud),
-      |t AS (SELECT ud.day,
-      |    CAST(SUM(CASE WHEN ud.day = f.first_day THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
-      |    CAST(SUM(CASE WHEN ud.day <> f.first_day AND p.was_prev IS NOT NULL
-      |             THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
-      |    CAST(SUM(CASE WHEN ud.day <> f.first_day AND p.was_prev IS NULL
-      |             THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
-      |  FROM ud JOIN f USING (user_id)
-      |  LEFT JOIN p ON p.user_id = ud.user_id AND p.day = ud.day
-      |  GROUP BY ud.day),
-      |c AS (SELECT p.day, COUNT(*) AS n_churned
-      |      FROM p LEFT JOIN ud ON ud.user_id = p.user_id AND ud.day = p.day
-      |      WHERE ud.user_id IS NULL GROUP BY p.day)
-      |SELECT COALESCE(t.day, c.day) AS day,
-      |  COALESCE(n_new, 0) AS n_new, COALESCE(n_retained, 0) AS n_retained,
-      |  COALESCE(n_resurrected, 0) AS n_resurrected,
-      |  COALESCE(n_churned, 0) AS n_churned
-      |FROM t FULL OUTER JOIN c ON t.day = c.day
-      |ORDER BY day""".stripMargin
-
-  /** Energy-threshold VAD over REAL WAV decodes — the silence-trim
-    * pass an audio-curation pipeline runs before paying for
-    * transcription (mm_audio_windows emits the frame features; this
-    * DECIDES, per clip, what survives the trim). 8-sample windows from
-    * the genuine container decode
-    * ([[graft.multimodal.BinaryColumns.decodeWavWindowsBatch]]);
-    * active ⇔ energy sum_sq ≥ 8·3·10⁸ (an exact integer compare — no
-    * mean-square float at the boundary); per clip: active count,
-    * first/last active window (−1 when fully silent), and the
-    * trimmed-span window count. Oracle rederives window energies from
-    * the md5 sample synthesis and replays the threshold. */
-  private def mmAudioVad(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val docs = Tables.documents(s, dir).select(col("doc_id").cast("long")).as[Long]
-    val payloads = docs.mapPartitions { it =>
-      val md = java.security.MessageDigest.getInstance("MD5")
-      it.map { id =>
-        val n = 32 + (id % 17).toInt
-        val rate = 8000 + 1000 * (id % 3).toInt
-        val samples = Array.tabulate(n) { p =>
-          val d = md.digest(s"au:$id:$p".getBytes("UTF-8"))
-          (((d(0) & 0xFF) << 8) | (d(1) & 0xFF)).toShort
-        }
-        (id, graft.multimodal.BinaryColumns.encodeWav(rate, samples))
-      }
-    }.toDF("doc_id", "payload")
-    val wins = graft.multimodal.BinaryColumns.decodeWavWindowsBatch(payloads, win = 8)(s)
-      .toDF()
-      .withColumn("active",
-        (col("sum_sq") >= col("n_in_win") * lit(300000000L)).cast("long"))
-    wins.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_windows"), sum(col("active")).as("n_active"),
-        coalesce(min(when(col("active") === 1, col("win_id"))), lit(-1))
-          .cast("long").as("first_active"),
-        coalesce(max(when(col("active") === 1, col("win_id"))), lit(-1))
-          .cast("long").as("last_active"))
-      .withColumn("kept_windows",
-        when(col("n_active") > 0, col("last_active") - col("first_active") + 1)
-          .otherwise(lit(0L)))
-      .orderBy(col("doc_id"))
-  }
-
-  private val mmAudioVadSql = {
-    def nib(i: Int) = s"(instr('0123456789abcdef', substr(h, $i, 1)) - 1)"
-    val u16 = s"(((${nib(1)} * 16 + ${nib(2)}) * 16 + ${nib(3)}) * 16 + ${nib(4)})"
-    s"""WITH d AS (SELECT doc_id, CAST(32 + doc_id % 17 AS INT) AS n FROM documents),
-       |smp0 AS (SELECT d.doc_id, p.range AS p,
-       |                md5('au:' || CAST(d.doc_id AS VARCHAR) || ':' ||
-       |                    CAST(p.range AS VARCHAR)) AS h
-       |         FROM d CROSS JOIN range(0, 49) p WHERE p.range < d.n),
-       |sv AS (SELECT doc_id, p,
-       |              CASE WHEN $u16 >= 32768 THEN $u16 - 65536 ELSE $u16 END AS v
-       |       FROM smp0),
-       |w AS (SELECT doc_id, CAST(p // 8 AS INT) AS win_id, COUNT(*) AS n_in_win,
-       |             CAST(SUM(CAST(v AS BIGINT) * v) AS BIGINT) AS sum_sq
-       |      FROM sv GROUP BY 1, 2),
-       |act AS (SELECT doc_id, win_id,
-       |          CASE WHEN sum_sq >= n_in_win * 300000000 THEN 1 ELSE 0 END AS active
-       |        FROM w),
-       |ag AS (SELECT doc_id, COUNT(*) AS n_windows,
-       |         CAST(SUM(active) AS BIGINT) AS n_active,
-       |         CAST(COALESCE(MIN(CASE WHEN active = 1 THEN win_id END), -1) AS BIGINT)
-       |           AS first_active,
-       |         CAST(COALESCE(MAX(CASE WHEN active = 1 THEN win_id END), -1) AS BIGINT)
-       |           AS last_active
-       |       FROM act GROUP BY doc_id)
-       |SELECT doc_id, n_windows, n_active, first_active, last_active,
-       |  CASE WHEN n_active > 0 THEN last_active - first_active + 1
-       |       ELSE 0 END AS kept_windows
-       |FROM ag ORDER BY doc_id""".stripMargin
-  }
-
-  /** KS separation statistic of the acctbal churn score — the
-    * credit-scoring companion to an_roc_auc/an_pr_auc: max over
-    * thresholds of |TPR − FPR|, the single "how far apart are the two
-    * score distributions" number risk teams gate models on. Both
-    * cumulative rates read off the SAME distinct-cent
-    * [[graft.operators.PrefixSum]] scan; the max is an order-
-    * independent aggregate over exact-rational terms, the argmax
-    * threshold ties to the LOWEST score cent via a conditional min
-    * against the 1-row max broadcast. ROUND(·,6) at emission. */
-  private def anKsModel(s: SparkSession, dir: String): DataFrame = {
-    val o = Tables.orders(s, dir)
-    val anchor = o.agg(max(col("o_orderdate")).as("mx"))
-    val last = o.groupBy(col("o_custkey")).agg(max(col("o_orderdate")).as("last_order"))
-    val cutoff = col("mx") - expr("INTERVAL 90 DAYS")
-    val labeled = Tables.customer(s, dir)
-      .join(last, col("c_custkey") === col("o_custkey"), "left")
-      .crossJoin(broadcast(anchor))
-      .select(
-        (col("last_order").isNull || col("last_order") < cutoff).cast("long").as("g1"),
-        (col("c_acctbal").cast("decimal(24,2)") * 100).cast("bigint").as("v"))
-    val perV = labeled.groupBy(col("v"))
-      .agg(count(lit(1)).as("cnt"), sum(col("g1")).as("c1"))
-    val scan = graft.operators.PrefixSum.persistOwned(
-      graft.operators.PrefixSum.withRunningTotals(perV, Seq("v"), Seq("cnt", "c1")))
-    val tot = scan.agg(max(col("cnt_cum")).as("n"), max(col("c1_cum")).as("p"))
-    val diffs = scan.crossJoin(broadcast(tot))
-      .select(col("v"), col("p"), (col("n") - col("p")).as("neg"),
-        abs(col("c1_cum").cast("double") / col("p").cast("double") -
-          (col("cnt_cum") - col("c1_cum")).cast("double") /
-            (col("n") - col("p")).cast("double")).as("sep"))
-    val mx = diffs.agg(max(col("sep")).as("ks_raw"))
-    diffs.crossJoin(broadcast(mx))
-      .agg(max(col("p")).as("n_pos"), max(col("neg")).as("n_neg"),
-        min(when(col("sep") === col("ks_raw"), col("v"))).as("ks_threshold_cents"),
-        max(col("ks_raw")).as("ks_raw"))
-      .select(col("n_pos"), col("n_neg"), col("ks_threshold_cents"),
-        round(col("ks_raw"), 6).as("ks"))
-  }
-
-  private val anKsModelSql =
-    """WITH a AS (SELECT MAX(o_orderdate) AS mx FROM orders),
-      |l AS (SELECT o_custkey, MAX(o_orderdate) AS last_order FROM orders GROUP BY 1),
-      |lab AS (SELECT
-      |    CASE WHEN last_order IS NULL OR last_order < mx - INTERVAL 90 DAY
-      |         THEN 1 ELSE 0 END AS g1,
-      |    CAST(CAST(c_acctbal AS DECIMAL(24,2)) * 100 AS BIGINT) AS v
-      |  FROM customer LEFT JOIN l ON c_custkey = o_custkey CROSS JOIN a),
-      |pv AS (SELECT v, COUNT(*) AS cnt, CAST(SUM(g1) AS BIGINT) AS c1 FROM lab GROUP BY v),
-      |sc AS (SELECT v,
-      |         CAST(SUM(cnt) OVER (ORDER BY v) AS BIGINT) AS cnt_cum,
-      |         CAST(SUM(c1) OVER (ORDER BY v) AS BIGINT) AS c1_cum
-      |       FROM pv),
-      |t AS (SELECT MAX(cnt_cum) AS n, MAX(c1_cum) AS p FROM sc),
-      |df AS (SELECT v, p, n - p AS neg,
-      |         ABS(CAST(c1_cum AS DOUBLE) / CAST(p AS DOUBLE)
-      |             - CAST(cnt_cum - c1_cum AS DOUBLE) / CAST(n - p AS DOUBLE)) AS sep
-      |       FROM sc CROSS JOIN t),
-      |m AS (SELECT MAX(sep) AS ks_raw FROM df)
-      |SELECT MAX(p) AS n_pos, MAX(neg) AS n_neg,
-      |  MIN(CASE WHEN sep = ks_raw THEN v END) AS ks_threshold_cents,
-      |  ROUND(MAX(ks_raw), 6) AS ks
-      |FROM df CROSS JOIN m""".stripMargin
-
-  /** Population Stability Index of the order-value distribution,
-    * early half vs late half of the calendar — the model-monitoring
-    * drift gate (PSI > 0.25 = retrain) beside text_js_divergence's
-    * corpus version: PSI is the industry band-level symmetric-KL on
-    * NUMERIC features. The split point is the data-derived midpoint
-    * day (exact integer day arithmetic — generation-proof, no
-    * hardcoded year); bands are the an_mutual_info 50k-dollar cents
-    * bands; band shares are exact rationals and each (pA−pB)·ln(pA/pB)
-    * term gathers DECIMAL(38,18) over bands present in BOTH halves
-    * (PSI is undefined on empty bands; the skipped mass is reported,
-    * not silently dropped). ROUND(·,6). */
-  private def anPsi(s: SparkSession, dir: String): DataFrame = {
-    val o = Tables.orders(s, dir)
-    val bounds = o.agg(min(col("o_orderdate")).as("mn"), max(col("o_orderdate")).as("mxd"))
-    val banded = o.crossJoin(broadcast(bounds))
-      .select(
-        (datediff(col("o_orderdate"), col("mn")) * 2 <
-          datediff(col("mxd"), col("mn"))).cast("long").as("early"),
-        floor((col("o_totalprice").cast("decimal(24,2)") * 100).cast("bigint")
-          / lit(5000000L)).as("band"))
-    val perBand = banded.groupBy(col("band"))
-      .agg(sum(col("early")).as("ca"), sum(lit(1L) - col("early")).as("cb"))
-    val tot = perBand.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
-    def gather(c: Column) = sum(c.cast("decimal(38,18)")).cast("decimal(38,18)")
-    val pa = col("ca").cast("double") / col("na").cast("double")
-    val pb = col("cb").cast("double") / col("nb").cast("double")
-    perBand.crossJoin(broadcast(tot))
-      .agg(max(col("na")).as("n_early"), max(col("nb")).as("n_late"),
-        sum((col("ca") > 0 && col("cb") > 0).cast("long")).as("n_bands_used"),
-        sum(when(col("ca") === 0 || col("cb") === 0, col("ca") + col("cb"))
-          .otherwise(lit(0L))).as("n_rows_skipped"),
-        gather(when(col("ca") > 0 && col("cb") > 0,
-          (pa - pb) * log(pa / pb)).otherwise(lit(0.0))).as("psig"))
-      .select(col("n_early"), col("n_late"), col("n_bands_used"),
-        col("n_rows_skipped"), round(col("psig").cast("double"), 6).as("psi"))
-  }
-
-  private val anPsiSql =
-    """WITH b AS (SELECT MIN(o_orderdate) AS mn, MAX(o_orderdate) AS mxd FROM orders),
-      |bd AS (SELECT
-      |    CASE WHEN date_diff('day', mn, o_orderdate) * 2
-      |              < date_diff('day', mn, mxd) THEN 1 ELSE 0 END AS early,
-      |    CAST(CAST(o_totalprice AS DECIMAL(24,2)) * 100 AS BIGINT) // 5000000 AS band
-      |  FROM orders CROSS JOIN b),
-      |pb AS (SELECT band, CAST(SUM(early) AS BIGINT) AS ca,
-      |              CAST(SUM(1 - early) AS BIGINT) AS cb
-      |       FROM bd GROUP BY band),
-      |t AS (SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb FROM pb)
-      |SELECT MAX(na) AS n_early, MAX(nb) AS n_late,
-      |  CAST(SUM(CASE WHEN ca > 0 AND cb > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_bands_used,
-      |  CAST(SUM(CASE WHEN ca = 0 OR cb = 0 THEN ca + cb ELSE 0 END) AS BIGINT)
-      |    AS n_rows_skipped,
-      |  ROUND(CAST(CAST(SUM(CAST(CASE WHEN ca > 0 AND cb > 0 THEN
-      |      (CAST(ca AS DOUBLE) / CAST(na AS DOUBLE) - CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))
-      |      * ln((CAST(ca AS DOUBLE) / CAST(na AS DOUBLE))
-      |           / (CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE)))
-      |    ELSE 0.0 END AS DECIMAL(38,18))) AS DECIMAL(38,18)) AS DOUBLE), 6) AS psi
-      |FROM pb CROSS JOIN t""".stripMargin
-
-  /** Perceptual video dedup over REAL AVI decodes — the video member
-    * of the dedup family (mm_image_dedup hashes stills; a video's
-    * identity is its frame SEQUENCE, so the fingerprint concatenates
-    * per-frame average-hashes in order — two videos with the same
-    * frames shuffled do NOT collide). Three synthesis classes per
-    * 25-family corpus (exact copy / tiny-noise / full-noise), genuine
-    * encode→[[graft.multimodal.BinaryColumns.decodeAviFrames]] decode,
-    * 7-bit per-frame hash (gray > frame mean, last pixel dropped),
-    * fingerprint = Σ fh·128^f — exact BIGINT. Equal-fingerprint groups
-    * n≥2: linear group-by, no pair join; the oracle rederives every
-    * pixel so a frame-order or row-flip mis-decode breaks the hash. */
-  private def mmVideoDedup(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val docs = Tables.documents(s, dir).select(col("doc_id").cast("long")).as[Long]
-    val prints = docs.mapPartitions { it =>
-      val md = java.security.MessageDigest.getInstance("MD5")
-      def nib2(key: String): Int = {
-        val b0 = md.digest(key.getBytes("UTF-8"))(0)
-        ((b0 >> 4) & 0xF) * 16 + (b0 & 0xF)
-      }
-      it.map { id =>
-        val fam = id % 25
-        val frames = Array.tabulate(3) { f =>
-          Array.tabulate(24) { p =>
-            val base = nib2(s"vid:$fam:$f:$p")
-            val v =
-              if (id % 4 == 0) base
-              else if (id % 4 == 1) (base + nib2(s"vn:$id:$f:$p") % 4) % 256
-              else (base + nib2(s"vn:$id:$f:$p")) % 256
-            v.toByte
-          }
-        }
-        val payload = graft.multimodal.BinaryColumns.encodeAvi(4, 2, 33333, frames)
-        val decoded = graft.multimodal.BinaryColumns.decodeAviFrames(id, payload)
-        var fp = 0L
-        var scale = 1L
-        decoded.foreach { rgb =>
-          val gray = Array.tabulate(8)(q =>
-            ((rgb(3 * q) & 0xFF) + (rgb(3 * q + 1) & 0xFF) + (rgb(3 * q + 2) & 0xFF)) / 3)
-          val mean = gray.sum / 8
-          var fh = 0L; var q = 0
-          while (q < 7) { if (gray(q) > mean) fh |= 1L << q; q += 1 }
-          fp += fh * scale
-          scale *= 128L
-        }
-        (id, fp)
-      }
-    }.toDF("doc_id", "vprint")
-    prints.groupBy(col("vprint"))
-      .agg(count(lit(1)).as("n_videos"),
-        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
-      .filter(col("n_videos") >= 2)
-      .orderBy(col("vprint"))
-  }
-
-  private val mmVideoDedupSql: String = {
-    def nib2(expr: String) =
-      s"""(16 * (instr('0123456789abcdef', substr(md5($expr), 1, 1)) - 1)
-         | + (instr('0123456789abcdef', substr(md5($expr), 2, 1)) - 1))""".stripMargin
-    val b = nib2("'vid:' || CAST(doc_id % 25 AS VARCHAR) || ':' || CAST(f.range AS VARCHAR) || ':' || CAST(p.range AS VARCHAR)")
-    val n = nib2("'vn:' || CAST(doc_id AS VARCHAR) || ':' || CAST(f.range AS VARCHAR) || ':' || CAST(p.range AS VARCHAR)")
-    s"""WITH d AS (SELECT doc_id FROM documents),
-       |px AS (SELECT doc_id, f.range AS f, p.range AS p,
-       |    CASE WHEN doc_id % 4 = 0 THEN $b
-       |         WHEN doc_id % 4 = 1 THEN ($b + ($n % 4)) % 256
-       |         ELSE ($b + $n) % 256 END AS v
-       |  FROM d CROSS JOIN range(0, 3) f CROSS JOIN range(0, 24) p),
-       |gr AS (SELECT doc_id, f, p // 3 AS q, CAST(SUM(v) // 3 AS BIGINT) AS gray
-       |       FROM px GROUP BY doc_id, f, p // 3),
-       |mn AS (SELECT doc_id, f, CAST(SUM(gray) // 8 AS BIGINT) AS mean
-       |       FROM gr GROUP BY doc_id, f),
-       |fh AS (SELECT gr.doc_id, gr.f,
-       |         CAST(SUM(CASE WHEN gr.gray > mn.mean AND gr.q < 7
-       |                       THEN CAST(1 AS BIGINT) << CAST(gr.q AS INT)
-       |                       ELSE 0 END) AS BIGINT) AS fhash
-       |       FROM gr JOIN mn ON gr.doc_id = mn.doc_id AND gr.f = mn.f
-       |       GROUP BY gr.doc_id, gr.f),
-       |fp AS (SELECT doc_id,
-       |         CAST(SUM(fhash * (CAST(1 AS BIGINT) << CAST(7 * f AS INT))) AS BIGINT) AS vprint
-       |       FROM fh GROUP BY doc_id)
-       |SELECT vprint, COUNT(*) AS n_videos,
-       |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
-       |FROM fp GROUP BY vprint HAVING COUNT(*) >= 2
-       |ORDER BY vprint""".stripMargin
-  }
-
-  /** Hill tail-index estimator over order values — the heavy-tail
-    * gauge that says whether revenue concentration has a finite
-    * variance at all (an_gumbel_maxima models block maxima; Hill
-    * reads the tail exponent straight from the top order statistics,
-    * the standard fat-tail screen before trusting any mean-based
-    * capacity plan). Top-k membership with ties comes from the
-    * distinct-cent [[graft.operators.PrefixSum]] scan: per value,
-    * rows-in-top-k = clamp(k − rows_above, 0, cnt) and the (k+1)-th
-    * reference value is a conditional aggregate — no global sort of
-    * raw rows; ln terms gather DECIMAL(38,18), ROUND(·,6). */
-  private def anHillTail(s: SparkSession, dir: String): DataFrame = {
-    val k = 100L
-    val perV = Tables.orders(s, dir)
-      .select((col("o_totalprice").cast("decimal(24,2)") * 100).cast("bigint").as("v"))
-      .groupBy(col("v")).agg(count(lit(1)).as("cnt"))
-    val scan = graft.operators.PrefixSum.persistOwned(
-      graft.operators.PrefixSum.withRunningTotals(perV, Seq("v"), Seq("cnt")))
-    val tot = scan.agg(max(col("cnt_cum")).as("n"))
-    val withAbove = scan.crossJoin(broadcast(tot))
-      .select(col("v"), col("cnt"), (col("n") - col("cnt_cum")).as("above"))
-    // x_ref = the (k+1)-th value from the top (rank ∈ [above+1, above+cnt])
-    val xref = withAbove
-      .agg(sum(when(col("above") < k + 1 && lit(k + 1) <= col("above") + col("cnt"),
-        col("v")).otherwise(lit(0L))).as("x_ref"))
-    def gather(c: Column) = sum(c.cast("decimal(38,18)")).cast("decimal(38,18)")
-    withAbove.crossJoin(broadcast(xref))
-      .select(col("v"), col("x_ref"),
-        greatest(lit(0L), least(col("cnt"), lit(k) - col("above"))).as("m"))
-      .agg(max(col("x_ref")).as("x_ref_cents"),
-        gather(col("m").cast("double") *
-          log(col("v").cast("double") / col("x_ref").cast("double"))).as("hg"))
-      .select(lit(k).as("k"), col("x_ref_cents"),
-        round(col("hg").cast("double") / lit(k.toDouble), 6).as("hill_inv_alpha"),
-        round(lit(k.toDouble) / col("hg").cast("double"), 6).as("tail_alpha"))
-  }
-
-  private val anHillTailSql =
-    """WITH pv AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(24,2)) * 100 AS BIGINT) AS v,
-      |              COUNT(*) AS cnt
-      |       FROM orders GROUP BY 1),
-      |sc AS (SELECT v, cnt, CAST(SUM(cnt) OVER (ORDER BY v) AS BIGINT) AS cnt_cum FROM pv),
-      |t AS (SELECT MAX(cnt_cum) AS n FROM sc),
-      |wa AS (SELECT v, cnt, n - cnt_cum AS above FROM sc CROSS JOIN t),
-      |xr AS (SELECT CAST(SUM(CASE WHEN above < 101 AND 101 <= above + cnt
-      |                            THEN v ELSE 0 END) AS BIGINT) AS x_ref FROM wa),
-      |g AS (SELECT MAX(x_ref) AS x_ref_cents,
-      |    CAST(SUM(CAST(CAST(greatest(0, least(cnt, 100 - above)) AS DOUBLE)
-      |      * ln(CAST(v AS DOUBLE) / CAST(x_ref AS DOUBLE)) AS DECIMAL(38,18)))
-      |      AS DECIMAL(38,18)) AS hg
-      |  FROM wa CROSS JOIN xr)
-      |SELECT CAST(100 AS BIGINT) AS k, x_ref_cents,
-      |  ROUND(CAST(hg AS DOUBLE) / 100.0, 6) AS hill_inv_alpha,
-      |  ROUND(100.0 / CAST(hg AS DOUBLE), 6) AS tail_alpha
-      |FROM g""".stripMargin
-
-  /** Best decision-stump split of the acctbal churn score by Gini
-    * gain — "is this feature worth a tree node", the single-feature
-    * importance probe a feature store runs before training (an_ks_model
-    * scores ranking power; Gini gain scores SPLITTING power, and the
-    * argmax threshold is the stump a 1-node tree would pick). Every
-    * candidate threshold's child impurities are exact rationals off
-    * the shared distinct-cent PrefixSum scan; gain maximization +
-    * lowest-cent tie-break reuse the an_ks_model conditional-min
-    * pattern. ROUND(·,6). */
-  private def anStumpSplit(s: SparkSession, dir: String): DataFrame = {
-    val o = Tables.orders(s, dir)
-    val anchor = o.agg(max(col("o_orderdate")).as("mx"))
-    val last = o.groupBy(col("o_custkey")).agg(max(col("o_orderdate")).as("last_order"))
-    val cutoff = col("mx") - expr("INTERVAL 90 DAYS")
-    val labeled = Tables.customer(s, dir)
-      .join(last, col("c_custkey") === col("o_custkey"), "left")
-      .crossJoin(broadcast(anchor))
-      .select(
-        (col("last_order").isNull || col("last_order") < cutoff).cast("long").as("g1"),
-        (col("c_acctbal").cast("decimal(24,2)") * 100).cast("bigint").as("v"))
-    val perV = labeled.groupBy(col("v"))
-      .agg(count(lit(1)).as("cnt"), sum(col("g1")).as("c1"))
-    val scan = graft.operators.PrefixSum.persistOwned(
-      graft.operators.PrefixSum.withRunningTotals(perV, Seq("v"), Seq("cnt", "c1")))
-    val tot = scan.agg(max(col("cnt_cum")).as("n"), max(col("c1_cum")).as("p"))
-    val nl = col("cnt_cum").cast("double")
-    val pl = col("c1_cum").cast("double")
-    val nr = (col("n") - col("cnt_cum")).cast("double")
-    val pr = (col("p") - col("c1_cum")).cast("double")
-    val nn = col("n").cast("double")
-    val pp = col("p").cast("double")
-    val giniParent = lit(1.0) - (pp / nn) * (pp / nn) -
-      ((nn - pp) / nn) * ((nn - pp) / nn)
-    val giniL = lit(1.0) - (pl / nl) * (pl / nl) - ((nl - pl) / nl) * ((nl - pl) / nl)
-    val giniR = lit(1.0) - (pr / nr) * (pr / nr) - ((nr - pr) / nr) * ((nr - pr) / nr)
-    val gain = giniParent - (nl / nn) * giniL - (nr / nn) * giniR
-    val cands = scan.crossJoin(broadcast(tot))
-      .filter(col("cnt_cum") < col("n")) // right child must be non-empty
-      .select(col("v"), col("cnt_cum").as("n_left"), col("c1_cum").as("pos_left"),
-        col("n"), col("p"), gain.as("gain"))
-    val mx = cands.agg(max(col("gain")).as("best_gain"))
-    cands.crossJoin(broadcast(mx))
-      .agg(max(col("n")).as("n"), max(col("p")).as("n_pos"),
-        min(when(col("gain") === col("best_gain"), col("v"))).as("split_cents"),
-        min(when(col("gain") === col("best_gain"), col("n_left"))).as("n_left"),
-        min(when(col("gain") === col("best_gain"), col("pos_left"))).as("pos_left"),
-        max(col("best_gain")).as("best_gain"))
-      .select(col("n"), col("n_pos"), col("split_cents"), col("n_left"), col("pos_left"),
-        round(col("best_gain"), 6).as("gini_gain"))
-  }
-
-  private val anStumpSplitSql =
-    """WITH a AS (SELECT MAX(o_orderdate) AS mx FROM orders),
-      |l AS (SELECT o_custkey, MAX(o_orderdate) AS last_order FROM orders GROUP BY 1),
-      |lab AS (SELECT
-      |    CASE WHEN last_order IS NULL OR last_order < mx - INTERVAL 90 DAY
-      |         THEN 1 ELSE 0 END AS g1,
-      |    CAST(CAST(c_acctbal AS DECIMAL(24,2)) * 100 AS BIGINT) AS v
-      |  FROM customer LEFT JOIN l ON c_custkey = o_custkey CROSS JOIN a),
-      |pv AS (SELECT v, COUNT(*) AS cnt, CAST(SUM(g1) AS BIGINT) AS c1 FROM lab GROUP BY v),
-      |sc AS (SELECT v,
-      |         CAST(SUM(cnt) OVER (ORDER BY v) AS BIGINT) AS cnt_cum,
-      |         CAST(SUM(c1) OVER (ORDER BY v) AS BIGINT) AS c1_cum
-      |       FROM pv),
-      |t AS (SELECT MAX(cnt_cum) AS n, MAX(c1_cum) AS p FROM sc),
-      |cd AS (SELECT v, cnt_cum AS n_left, c1_cum AS pos_left, n, p,
-      |    (1.0 - (CAST(p AS DOUBLE) / n) * (CAST(p AS DOUBLE) / n)
-      |         - (CAST(n - p AS DOUBLE) / n) * (CAST(n - p AS DOUBLE) / n))
-      |    - (CAST(cnt_cum AS DOUBLE) / n)
-      |      * (1.0 - (CAST(c1_cum AS DOUBLE) / cnt_cum) * (CAST(c1_cum AS DOUBLE) / cnt_cum)
-      |             - (CAST(cnt_cum - c1_cum AS DOUBLE) / cnt_cum)
-      |               * (CAST(cnt_cum - c1_cum AS DOUBLE) / cnt_cum))
-      |    - (CAST(n - cnt_cum AS DOUBLE) / n)
-      |      * (1.0 - (CAST(p - c1_cum AS DOUBLE) / (n - cnt_cum))
-      |               * (CAST(p - c1_cum AS DOUBLE) / (n - cnt_cum))
-      |             - (CAST((n - cnt_cum) - (p - c1_cum) AS DOUBLE) / (n - cnt_cum))
-      |               * (CAST((n - cnt_cum) - (p - c1_cum) AS DOUBLE) / (n - cnt_cum)))
-      |    AS gain
-      |  FROM sc CROSS JOIN t WHERE cnt_cum < n),
-      |m AS (SELECT MAX(gain) AS best_gain FROM cd)
-      |SELECT MAX(n) AS n, MAX(p) AS n_pos,
-      |  MIN(CASE WHEN gain = best_gain THEN v END) AS split_cents,
-      |  MIN(CASE WHEN gain = best_gain THEN n_left END) AS n_left,
-      |  MIN(CASE WHEN gain = best_gain THEN pos_left END) AS pos_left,
-      |  ROUND(MAX(best_gain), 6) AS gini_gain
-      |FROM cd CROSS JOIN m""".stripMargin
-
-  /** Price-volume-mix decomposition of revenue growth, early vs late
-    * calendar half, per market segment — the FP&A bridge that answers
-    * "did revenue move because we charged more, sold more, or sold a
-    * different mix" (an_mom_growth shows THAT revenue moved;
-    * q_top_movers shows WHO; this shows WHY). Laspeyres convention:
-    * price effect = (p_B − p_A)·q_A, volume effect = p_A·(q_B − q_A),
-    * cross = Δrev − price − volume (reported, not hidden). Quantities
-    * and cents revenues are exact BIGINTs from one lineitem pass; unit
-    * prices are single IEEE divisions; effects ROUND(·,2) in dollars.
-    * Segments present in only one half are dropped with their mass
-    * reported in the ALL row's cross term. */
-  private def anPriceVolumeMix(s: SparkSession, dir: String): DataFrame = {
-    val o = Tables.orders(s, dir)
-    val bounds = o.agg(min(col("o_orderdate")).as("mn"), max(col("o_orderdate")).as("mxd"))
-    val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_quantity"),
-      col("l_extendedprice"))
-    val seg = Tables.customer(s, dir).select(col("c_custkey"), col("c_mktsegment"))
-    val base = li.join(o.select(col("o_orderkey"), col("o_custkey"), col("o_orderdate")),
-        col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(seg), col("o_custkey") === col("c_custkey"))
-      .crossJoin(broadcast(bounds))
-      .select(col("c_mktsegment").as("segment"),
-        (datediff(col("o_orderdate"), col("mn")) * 2 <
-          datediff(col("mxd"), col("mn"))).cast("long").as("early"),
-        (col("l_quantity").cast("decimal(24,2)") * 100).cast("bigint").as("q"),
-        (col("l_extendedprice").cast("decimal(24,2)") * 100).cast("bigint").as("r"))
-    val perSeg = base.groupBy(col("segment"))
-      .agg(sum(col("early") * col("q")).as("qa"),
-        sum((lit(1L) - col("early")) * col("q")).as("qb"),
-        sum(col("early") * col("r")).as("ra"),
-        sum((lit(1L) - col("early")) * col("r")).as("rb"))
-      .filter(col("qa") > 0 && col("qb") > 0)
-    val pa = col("ra").cast("double") / col("qa").cast("double")
-    val pb = col("rb").cast("double") / col("qb").cast("double")
-    perSeg
-      .select(col("segment"),
-        col("ra"), col("rb"),
-        round((pb - pa) * col("qa").cast("double") / lit(100.0) / lit(100.0), 2)
-          .as("price_effect"),
-        round(pa * (col("qb") - col("qa")).cast("double") / lit(100.0) / lit(100.0), 2)
-          .as("volume_effect"),
-        round(((col("rb") - col("ra")).cast("double") -
-          (pb - pa) * col("qa").cast("double") -
-          pa * (col("qb") - col("qa")).cast("double")) / lit(100.0) / lit(100.0), 2)
-          .as("cross_effect"))
-      .orderBy(col("segment"))
-  }
-
-  private val anPriceVolumeMixSql =
-    """WITH b AS (SELECT MIN(o_orderdate) AS mn, MAX(o_orderdate) AS mxd FROM orders),
-      |base AS (SELECT c_mktsegment AS segment,
-      |    CASE WHEN date_diff('day', mn, o_orderdate) * 2
-      |              < date_diff('day', mn, mxd) THEN 1 ELSE 0 END AS early,
-      |    CAST(CAST(l_quantity AS DECIMAL(24,2)) * 100 AS BIGINT) AS q,
-      |    CAST(CAST(l_extendedprice AS DECIMAL(24,2)) * 100 AS BIGINT) AS r
-      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-      |  JOIN customer ON o_custkey = c_custkey CROSS JOIN b),
-      |ps AS (SELECT segment,
-      |         CAST(SUM(early * q) AS BIGINT) AS qa,
-      |         CAST(SUM((1 - early) * q) AS BIGINT) AS qb,
-      |         CAST(SUM(early * r) AS BIGINT) AS ra,
-      |         CAST(SUM((1 - early) * r) AS BIGINT) AS rb
-      |       FROM base GROUP BY segment
-      |       HAVING CAST(SUM(early * q) AS BIGINT) > 0
-      |          AND CAST(SUM((1 - early) * q) AS BIGINT) > 0)
-      |SELECT segment, ra, rb,
-      |  ROUND((CAST(rb AS DOUBLE) / qb - CAST(ra AS DOUBLE) / qa)
-      |    * CAST(qa AS DOUBLE) / 100.0 / 100.0, 2) AS price_effect,
-      |  ROUND(CAST(ra AS DOUBLE) / qa
-      |    * CAST(qb - qa AS DOUBLE) / 100.0 / 100.0, 2) AS volume_effect,
-      |  ROUND((CAST(rb - ra AS DOUBLE)
-      |    - (CAST(rb AS DOUBLE) / qb - CAST(ra AS DOUBLE) / qa) * CAST(qa AS DOUBLE)
-      |    - CAST(ra AS DOUBLE) / qa * CAST(qb - qa AS DOUBLE)) / 100.0 / 100.0, 2)
-      |    AS cross_effect
-      |FROM ps ORDER BY segment""".stripMargin
-
-  /** Qini step-area of acctbal as an uplift-targeting score, BUILDING
-    * (treated) vs AUTOMOBILE (control) churn — the causal-ML
-    * evaluation beside an_roc_auc's observational one: ROC asks "does
-    * the score rank churners", Qini asks "does targeting by the score
-    * capture incremental treated-vs-control difference". Ties-grouped
-    * RIGHT-endpoint step sum needs no neighbor access (the an_pr_auc
-    * recipe): at each distinct cent, the targeted-fraction increment
-    * and the Qini value q = Y_T − Y_C·N_T(v)/N_C(v) both read off ONE
-    * descending-cumulative PrefixSum scan; terms gather
-    * DECIMAL(38,18), ROUND(·,6); thresholds with no control mass yet
-    * contribute the uncorrected Y_T (the standard convention,
-    * deterministic on both engines). */
-  private def anQini(s: SparkSession, dir: String): DataFrame = {
-    val o = Tables.orders(s, dir)
-    val anchor = o.agg(max(col("o_orderdate")).as("mx"))
-    val last = o.groupBy(col("o_custkey")).agg(max(col("o_orderdate")).as("last_order"))
-    val cutoff = col("mx") - expr("INTERVAL 90 DAYS")
-    val labeled = Tables.customer(s, dir)
-      .filter(col("c_mktsegment").isin("BUILDING", "AUTOMOBILE"))
-      .join(last, col("c_custkey") === col("o_custkey"), "left")
-      .crossJoin(broadcast(anchor))
-      .select(
-        (col("c_mktsegment") === "BUILDING").cast("long").as("t"),
-        (col("last_order").isNull || col("last_order") < cutoff).cast("long").as("y"),
-        (col("c_acctbal").cast("decimal(24,2)") * 100).cast("bigint").as("v"))
-    val perV = labeled.groupBy(col("v"))
-      .agg(sum(col("t")).as("nt"), sum(lit(1L) - col("t")).as("nc"),
-        sum(col("t") * col("y")).as("yt"),
-        sum((lit(1L) - col("t")) * col("y")).as("yc"))
-    val scan = graft.operators.PrefixSum.persistOwned(
-      graft.operators.PrefixSum.withRunningTotals(perV, Seq("v"),
-        Seq("nt", "nc", "yt", "yc")))
-    val tot = scan.agg(max(col("nt_cum")).as("ntt"), max(col("nc_cum")).as("nct"),
-      max(col("yt_cum")).as("ytt"), max(col("yc_cum")).as("yct"))
-    def gather(c: Column) = sum(c.cast("decimal(38,18)")).cast("decimal(38,18)")
-    // score targets DESC: ≥v cumulatives = total − below
-    val ntg = (col("ntt") - (col("nt_cum") - col("nt"))).cast("double")
-    val ncg = (col("nct") - (col("nc_cum") - col("nc"))).cast("double")
-    val ytg = (col("ytt") - (col("yt_cum") - col("yt"))).cast("double")
-    val ycg = (col("yct") - (col("yc_cum") - col("yc"))).cast("double")
-    val q = when(ncg > 0, ytg - ycg * ntg / ncg).otherwise(ytg)
-    val inc = (col("nt") + col("nc")).cast("double") /
-      (col("ntt") + col("nct")).cast("double")
-    val area = scan.crossJoin(broadcast(tot))
-      .agg(gather(inc * q).as("qini_area"))
-    area.crossJoin(broadcast(tot))
-      .select(col("ntt").as("n_treated"), col("nct").as("n_control"),
-        round(col("ytt").cast("double") -
-          col("yct").cast("double") * col("ntt").cast("double") /
-            col("nct").cast("double"), 6).as("total_uplift"),
-        round(col("qini_area").cast("double"), 6).as("qini_step_area"))
-  }
-
-  private val anQiniSql =
-    """WITH a AS (SELECT MAX(o_orderdate) AS mx FROM orders),
-      |l AS (SELECT o_custkey, MAX(o_orderdate) AS last_order FROM orders GROUP BY 1),
-      |lab AS (SELECT
-      |    CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS t,
-      |    CASE WHEN last_order IS NULL OR last_order < mx - INTERVAL 90 DAY
-      |         THEN 1 ELSE 0 END AS y,
-      |    CAST(CAST(c_acctbal AS DECIMAL(24,2)) * 100 AS BIGINT) AS v
-      |  FROM customer LEFT JOIN l ON c_custkey = o_custkey CROSS JOIN a
-      |  WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE')),
-      |pv AS (SELECT v, CAST(SUM(t) AS BIGINT) AS nt, CAST(SUM(1 - t) AS BIGINT) AS nc,
-      |              CAST(SUM(t * y) AS BIGINT) AS yt,
-      |              CAST(SUM((1 - t) * y) AS BIGINT) AS yc
-      |       FROM lab GROUP BY v),
-      |sc AS (SELECT v, nt, nc, yt, yc,
-      |         CAST(SUM(nt) OVER (ORDER BY v) AS BIGINT) AS nt_cum,
-      |         CAST(SUM(nc) OVER (ORDER BY v) AS BIGINT) AS nc_cum,
-      |         CAST(SUM(yt) OVER (ORDER BY v) AS BIGINT) AS yt_cum,
-      |         CAST(SUM(yc) OVER (ORDER BY v) AS BIGINT) AS yc_cum
-      |       FROM pv),
-      |t AS (SELECT MAX(nt_cum) AS ntt, MAX(nc_cum) AS nct,
-      |             MAX(yt_cum) AS ytt, MAX(yc_cum) AS yct FROM sc),
-      |g AS (SELECT MAX(ntt) AS n_treated, MAX(nct) AS n_control,
-      |    CAST(SUM(CAST(
-      |      (CAST(nt + nc AS DOUBLE) / CAST(ntt + nct AS DOUBLE)) *
-      |      (CASE WHEN nct - (nc_cum - nc) > 0 THEN
-      |         CAST(ytt - (yt_cum - yt) AS DOUBLE)
-      |           - CAST(yct - (yc_cum - yc) AS DOUBLE)
-      |             * CAST(ntt - (nt_cum - nt) AS DOUBLE)
-      |             / CAST(nct - (nc_cum - nc) AS DOUBLE)
-      |       ELSE CAST(ytt - (yt_cum - yt) AS DOUBLE) END)
-      |      AS DECIMAL(38,18))) AS DECIMAL(38,18)) AS qini_area
-      |  FROM sc CROSS JOIN t)
-      |SELECT n_treated, n_control,
-      |  ROUND(CAST(ytt AS DOUBLE)
-      |    - CAST(yct AS DOUBLE) * CAST(ntt AS DOUBLE) / CAST(nct AS DOUBLE), 6)
-      |    AS total_uplift,
-      |  ROUND(CAST(qini_area AS DOUBLE), 6) AS qini_step_area
-      |FROM g CROSS JOIN t""".stripMargin
-
-  /** Cochran's Q test across the five event types' per-user
-    * participation flags — the BINARY-blocked member of the
-    * nonparametric family (an_friedman ranks continuous outcomes per
-    * block; Cochran's Q asks whether k binary "did the user do X"
-    * treatments differ, the engagement-mix significance test).
-    * Column totals G_j, row totals L_i, ΣL and ΣL² are ALL exact
-    * BIGINTs from two keyed aggregations; Q = k(k−1)·Σ(G−Ḡ)²/(kΣL −
-    * ΣL²) is one IEEE expression over them — computed with the
-    * integer identity k·Σ(kG−ΣG)² / (k²·(kΣL−ΣL²)·(k−1)⁻¹...) kept
-    * plainly as doubles fed by exact integers, ROUND(·,6);
-    * degenerate denominator pins Q = 0. */
-  private def anCochranQ(s: SparkSession, dir: String): DataFrame = {
-    val types = Seq("click", "view", "purchase", "signup", "error")
-    val flags = Tables.events(s, dir)
-      .filter(col("event_type").isin(types: _*))
-      .select(col("user_id"), col("event_type")).distinct()
-    val rowT = flags.groupBy(col("user_id")).agg(count(lit(1)).as("li"))
-    val rows = rowT.agg(sum(col("li")).as("sl"),
-      sum(col("li") * col("li")).as("sl2"), count(lit(1)).as("n_users"))
-    val colT = flags.groupBy(col("event_type")).agg(count(lit(1)).as("g"))
-    val k = lit(types.size.toLong)
-    val cols = colT.agg(sum(col("g")).as("sg"),
-      sum(col("g") * col("g")).as("sg2"), count(lit(1)).as("k_present"))
-    rows.crossJoin(cols)
-      .select(col("n_users"), col("k_present"), col("sg"), col("sl"),
-        // k(k−1)(kΣG² − (ΣG)²)/k over k(kΣL − ΣL²)... algebra folded:
-        // Q = (k−1)(kΣG² − (ΣG)²) / (kΣL − ΣL²), all-integer inputs
-        round(
-          when(k * col("sl") - col("sl2") > 0,
-            ((k - 1) * (k * col("sg2") - col("sg") * col("sg"))).cast("double") /
-              (k * col("sl") - col("sl2")).cast("double"))
-            .otherwise(lit(0.0)), 6).as("cochran_q"))
-  }
-
-  private val anCochranQSql =
-    """WITH f AS (SELECT DISTINCT user_id, event_type FROM events
-      |           WHERE event_type IN ('click','view','purchase','signup','error')),
-      |r AS (SELECT CAST(SUM(li) AS BIGINT) AS sl,
-      |             CAST(SUM(li * li) AS BIGINT) AS sl2,
-      |             COUNT(*) AS n_users
-      |      FROM (SELECT user_id, COUNT(*) AS li FROM f GROUP BY user_id) t),
-      |c AS (SELECT CAST(SUM(g) AS BIGINT) AS sg,
-      |             CAST(SUM(g * g) AS BIGINT) AS sg2,
-      |             COUNT(*) AS k_present
-      |      FROM (SELECT event_type, COUNT(*) AS g FROM f GROUP BY event_type) t)
-      |SELECT n_users, k_present, sg, sl,
-      |  ROUND(CASE WHEN 5 * sl - sl2 > 0 THEN
-      |      CAST(4 * (5 * sg2 - sg * sg) AS DOUBLE) / CAST(5 * sl - sl2 AS DOUBLE)
-      |    ELSE 0.0 END, 6) AS cochran_q
-      |FROM r CROSS JOIN c""".stripMargin
-
-  /** Allen interval-relation census between each user's click and view
-    * activity intervals — the temporal-logic census that tells a
-    * sessionization/attribution design which join semantics the data
-    * actually needs (q_interval_coverage measures union mass; this
-    * classifies HOW the two signals' intervals relate). Intervals are
-    * the 30-minute windows of q_interval_coverage; every (click,view)
-    * interval pair per user is classified into the six symmetric
-    * Allen classes on exact epoch-micro endpoints (before / meets /
-    * overlaps / starts-or-finishes / contains / equals — strict
-    * integer comparisons, no float time). Pair fan-out is per-user
-    * bounded; the join is user-keyed. */
-  private def qIntervalRelations(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(s, dir)
-    def iv(t: String) = ev.filter(col("event_type") === t)
-      .select(col("user_id"),
-        unix_micros(col("ts")).as("st"),
-        (unix_micros(col("ts")) + 1800L * 1000000L).as("en"))
-    val c = iv("click").select(col("user_id"), col("st").as("ast"), col("en").as("aen"))
-    val v = iv("view").select(col("user_id"), col("st").as("bst"), col("en").as("ben"))
-    val rel = when(col("aen") < col("bst") || col("ben") < col("ast"), lit("before"))
-      .when(col("aen") === col("bst") || col("ben") === col("ast"), lit("meets"))
-      .when(col("ast") === col("bst") && col("aen") === col("ben"), lit("equals"))
-      .when((col("ast") < col("bst") && col("aen") > col("ben")) ||
-        (col("bst") < col("ast") && col("ben") > col("aen")), lit("contains"))
-      .when(col("ast") === col("bst") || col("aen") === col("ben"), lit("aligns"))
-      .otherwise(lit("overlaps"))
-    c.join(v, "user_id")
-      .select(rel.as("relation"))
-      .groupBy(col("relation")).agg(count(lit(1)).as("n_pairs"))
-      .orderBy(col("relation"))
-  }
-
-  private val qIntervalRelationsSql =
-    """WITH c AS (SELECT user_id, epoch_us(ts) AS ast,
-      |                  epoch_us(ts) + 1800 * 1000000 AS aen
-      |           FROM events WHERE event_type = 'click'),
-      |v AS (SELECT user_id, epoch_us(ts) AS bst,
-      |             epoch_us(ts) + 1800 * 1000000 AS ben
-      |      FROM events WHERE event_type = 'view'),
-      |p AS (SELECT CASE
-      |        WHEN aen < bst OR ben < ast THEN 'before'
-      |        WHEN aen = bst OR ben = ast THEN 'meets'
-      |        WHEN ast = bst AND aen = ben THEN 'equals'
-      |        WHEN (ast < bst AND aen > ben) OR (bst < ast AND ben > aen) THEN 'contains'
-      |        WHEN ast = bst OR aen = ben THEN 'aligns'
-      |        ELSE 'overlaps' END AS relation
-      |      FROM c JOIN v USING (user_id))
-      |SELECT relation, COUNT(*) AS n_pairs
-      |FROM p GROUP BY relation ORDER BY relation""".stripMargin
-
-  /** Entropy rate of the per-user event-type Markov chain — how
-    * predictable the NEXT action is given the current one (an_markov
-    * publishes the transition matrix; the entropy rate compresses it
-    * to the one number that bounds any next-event model's achievable
-    * log-loss). Transitions come from a user-keyed lag window with
-    * the deterministic (ts, event_id) tie order; H = −Σ (n_ij/N)·
-    * ln(n_ij/n_i) over exact BIGINT counts — the empirical-π form,
-    * gathered DECIMAL(38,18), ROUND(·,6), with ln(k_states) reported
-    * for the normalized readout. */
-  private def anEntropyRate(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    val trans = Tables.events(s, dir)
-      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
-      .withColumn("prev", lag(col("event_type"), 1).over(w))
-      .filter(col("prev").isNotNull)
-      .groupBy(col("prev"), col("event_type").as("cur"))
-      .agg(count(lit(1)).as("nij"))
-    val rowm = trans.groupBy(col("prev")).agg(sum(col("nij")).as("ni"))
-    val tot = trans.agg(sum(col("nij")).as("n"),
-      countDistinct(col("cur")).as("k_states"))
-    def gather(c: Column) = sum(c.cast("decimal(38,18)")).cast("decimal(38,18)")
-    trans.join(broadcast(rowm), "prev").crossJoin(broadcast(tot))
-      .agg(max(col("n")).as("n_transitions"), max(col("k_states")).as("k_states"),
-        gather(lit(-1.0) * col("nij").cast("double") / col("n").cast("double") *
-          log(col("nij").cast("double") / col("ni").cast("double"))).as("hg"))
-      .select(col("n_transitions"), col("k_states"),
-        round(col("hg").cast("double"), 6).as("entropy_rate"),
-        round(col("hg").cast("double") /
-          log(col("k_states").cast("double")), 6).as("normalized_rate"))
-  }
-
-  private val anEntropyRateSql =
-    """WITH tr AS (SELECT prev, event_type AS cur, COUNT(*) AS nij FROM (
-      |    SELECT user_id, event_type,
-      |           LAG(event_type) OVER (PARTITION BY user_id
-      |             ORDER BY ts, event_id) AS prev
-      |    FROM events) t
-      |  WHERE prev IS NOT NULL GROUP BY prev, event_type),
-      |rm AS (SELECT prev, CAST(SUM(nij) AS BIGINT) AS ni FROM tr GROUP BY prev),
-      |t AS (SELECT CAST(SUM(nij) AS BIGINT) AS n,
-      |             COUNT(DISTINCT cur) AS k_states FROM tr)
-      |SELECT MAX(n) AS n_transitions, MAX(k_states) AS k_states,
-      |  ROUND(CAST(CAST(SUM(CAST(-1.0 * CAST(nij AS DOUBLE) / CAST(n AS DOUBLE)
-      |    * ln(CAST(nij AS DOUBLE) / CAST(ni AS DOUBLE)) AS DECIMAL(38,18)))
-      |    AS DECIMAL(38,18)) AS DOUBLE), 6) AS entropy_rate,
-      |  ROUND(CAST(CAST(SUM(CAST(-1.0 * CAST(nij AS DOUBLE) / CAST(n AS DOUBLE)
-      |    * ln(CAST(nij AS DOUBLE) / CAST(ni AS DOUBLE)) AS DECIMAL(38,18)))
-      |    AS DECIMAL(38,18)) AS DOUBLE)
-      |    / ln(CAST(MAX(k_states) AS DOUBLE)), 6) AS normalized_rate
-      |FROM tr JOIN rm USING (prev) CROSS JOIN t""".stripMargin
-
-  /** Term burstiness (Fano factor) for the corpus's top-30 terms —
-    * the dispersion signal that separates topical words (bursty:
-    * present heavily in few docs) from function words (even spread),
-    * which TF-IDF conflates when document frequency saturates.
-    * Zero-count docs are IN the statistics (Fano over all D docs, not
-    * just containing docs): VMR = (D·Σc² − T²)/(D·T) — every input an
-    * exact BIGINT from one explode + groupBy, the ratio one IEEE
-    * division, ROUND(·,6); top-30 by (total DESC, term) is a bounded
-    * deterministic readout. */
-  private def textBurstiness(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
-    val nDocs = docs.agg(count(lit(1)).as("d"))
-    val perDocTerm = docs
-      .select(col("doc_id"), explode(expr("filter(split(text, ' '), w -> w <> '')")).as("term"))
-      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("c"))
-    val perTerm = perDocTerm.groupBy(col("term"))
-      .agg(sum(col("c")).as("t"), sum(col("c") * col("c")).as("s2"),
-        count(lit(1)).as("df"))
-    perTerm.crossJoin(broadcast(nDocs))
-      .select(col("term"), col("t"), col("df"),
-        round((col("d") * col("s2") - col("t") * col("t")).cast("double") /
-          (col("d") * col("t")).cast("double"), 6).as("fano"))
-      .orderBy(col("t").desc, col("term")).limit(30)
-  }
-
-  private val textBurstinessSql =
-    """WITH d AS (SELECT COUNT(*) AS d FROM documents),
-      |pdt AS (SELECT doc_id, term, COUNT(*) AS c FROM (
-      |    SELECT doc_id, unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS term
-      |    FROM documents) t GROUP BY doc_id, term),
-      |pt AS (SELECT term, CAST(SUM(c) AS BIGINT) AS t,
-      |              CAST(SUM(c * c) AS BIGINT) AS s2,
-      |              COUNT(*) AS df
-      |       FROM pdt GROUP BY term)
-      |SELECT term, t, df,
-      |  ROUND(CAST(d.d * s2 - t * t AS DOUBLE) / CAST(d.d * t AS DOUBLE), 6) AS fano
-      |FROM pt CROSS JOIN d
-      |ORDER BY t DESC, term LIMIT 30""".stripMargin
-
-  /** Per-image luminance entropy over REAL BMP decodes — the
-    * information-content screen beside mm_image_hist's raw bins
-    * (uniform noise scores ln 8, a flat/blown image near 0; curation
-    * drops both tails). Same hist: synthesis and genuine container
-    * decode; the 8-bin histogram and its Shannon entropy are computed
-    * IN the decode kernel (row-local, zero shuffle before the final
-    * order), entropy over non-empty bins ROUND(·,6); the oracle
-    * rederives pixels→bins→entropy in SQL. */
-  private def mmImageEntropy(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val docs = Tables.documents(s, dir).select(col("doc_id").cast("long")).as[Long]
-    // the kernel emits non-empty (doc, bin, count) rows; the entropy
-    // SUM runs in the DataFrame through the DECIMAL(38,18) gather so
-    // term-addition order matches the oracle (a kernel-side double
-    // fold would sum in bin order while SQL sums in scan order)
-    val rows = docs.mapPartitions { it =>
-      val md = java.security.MessageDigest.getInstance("MD5")
-      it.flatMap { id =>
-        val w = 8 + (id % 5).toInt; val h = 8 + (id % 3).toInt
-        val rgb = Array.tabulate(3 * w * h) { p =>
-          md.digest(s"hist:$id:$p".getBytes("UTF-8"))(0)
-        }
-        val px = graft.multimodal.BinaryColumns.decodeBmpPixels(id,
-          graft.multimodal.BinaryColumns.encodeBmp(w, h, rgb))
-        val bins = new Array[Long](8)
-        var i = 0
-        while (i < px.length) {
-          bins(((px(i) & 0xFF) + (px(i + 1) & 0xFF) + (px(i + 2) & 0xFF)) / 96) += 1
-          i += 3
-        }
-        (0 until 8).filter(bins(_) > 0)
-          .map(b => (id, (w * h).toLong, b, bins(b)))
-      }
-    }.toDF("doc_id", "n_px", "bin", "b")
-    def gather(c: Column) = sum(c.cast("decimal(38,18)")).cast("decimal(38,18)")
-    rows.groupBy(col("doc_id"))
-      .agg(max(col("n_px")).as("n_px"), count(lit(1)).as("n_bins_used"),
-        gather(lit(-1.0) * col("b").cast("double") / col("n_px").cast("double") *
-          log(col("b").cast("double") / col("n_px").cast("double"))).as("eg"))
-      .select(col("doc_id"), col("n_px"), col("n_bins_used"),
-        round(col("eg").cast("double"), 6).as("entropy"))
-      .orderBy(col("doc_id"))
-  }
-
-  private val mmImageEntropySql =
-    """WITH d AS (SELECT doc_id, CAST(8 + doc_id % 5 AS INT) AS w,
-      |    CAST(8 + doc_id % 3 AS INT) AS h FROM documents),
-      |px AS (SELECT d.doc_id, d.w, d.h, p.range // 3 AS px_id,
-      |    16 * (instr('0123456789abcdef', substr(md5('hist:' ||
-      |      CAST(d.doc_id AS VARCHAR) || ':' || CAST(p.range AS VARCHAR)), 1, 1)) - 1)
-      |       + (instr('0123456789abcdef', substr(md5('hist:' ||
-      |      CAST(d.doc_id AS VARCHAR) || ':' || CAST(p.range AS VARCHAR)), 2, 1)) - 1) AS v
-      |  FROM d CROSS JOIN range(0, 360) p
-      |  WHERE p.range < 3 * d.w * d.h),
-      |lum AS (SELECT doc_id, MAX(w) AS w, MAX(h) AS h, px_id,
-      |               CAST(SUM(v) AS BIGINT) AS lum
-      |        FROM px GROUP BY doc_id, px_id),
-      |hist AS (SELECT doc_id, MAX(w * h) AS npx, lum // 96 AS bin, COUNT(*) AS b
-      |         FROM lum GROUP BY doc_id, lum // 96)
-      |SELECT doc_id, CAST(MAX(npx) AS BIGINT) AS n_px,
-      |  COUNT(*) AS n_bins_used,
-      |  ROUND(CAST(CAST(SUM(CAST(-1.0 * CAST(b AS DOUBLE) / CAST(npx AS DOUBLE)
-      |    * ln(CAST(b AS DOUBLE) / CAST(npx AS DOUBLE)) AS DECIMAL(38,18)))
-      |    AS DECIMAL(38,18)) AS DOUBLE), 6) AS entropy
-      |FROM hist GROUP BY doc_id ORDER BY doc_id""".stripMargin
-
-  /** Restricted mean survival time at τ = 365 days — the clinically
-    * standard "how many of the next 365 days does an average customer
-    * survive" summary that stays valid when hazards cross and the
-    * log-rank/hazard-ratio story breaks down (an_kaplan_meier draws
-    * the curve; RMST is its area up to τ). Same lifetime/censor
-    * construction and the same bounded distinct-lifetime axis; step
-    * widths come from LEAD on that axis (the KM cumulative-window
-    * precedent — the axis is calendar-bounded, never row-sized);
-    * survival steps reuse KM's ROUND(·,6) exp∘Σln, widths are exact
-    * integer days, and the area gathers DECIMAL(38,18), ROUND(·,4). */
-  private def anRmst(s: SparkSession, dir: String): DataFrame = {
-    val tau = 365L
-    val o = Tables.orders(s, dir)
-    val anchor = o.agg(max(col("o_orderdate")).as("mx"))
-    val cust = o.groupBy(col("o_custkey"))
-      .agg(min(col("o_orderdate")).as("f"), max(col("o_orderdate")).as("l"))
-      .crossJoin(broadcast(anchor))
-      .select(datediff(col("l"), col("f")).cast("bigint").as("t"),
-        (col("l") < col("mx") - expr("INTERVAL 90 DAYS")).cast("int").as("ev"))
-    val byT = cust.groupBy(col("t"))
-      .agg(count(lit(1)).as("n_at"), sum(col("ev")).cast("long").as("d"))
-    val wPrev = Window.orderBy(col("t")).rowsBetween(Window.unboundedPreceding, -1)
-    val wCum = Window.orderBy(col("t")).rowsBetween(Window.unboundedPreceding, 0)
-    val wLead = Window.orderBy(col("t"))
-    // steps is the distinct-lifetime axis (calendar-bounded, ≤ ~2500
-    // rows) with TWO consumers (the head stats and the area gather) —
-    // stabilize once so the survival windows and the orders-sized
-    // lifetime aggregation run once, not per consumer
-    val steps = graft.operators.Checkpoints.stabilizeLazy(
-      byT.crossJoin(broadcast(cust.agg(count(lit(1)).as("n_total"))))
-      .withColumn("n_risk",
-        col("n_total") - coalesce(sum(col("n_at")).over(wPrev), lit(0L)))
-      .filter(col("d") > 0)
-      .withColumn("surv", when(col("d") === col("n_risk"), lit(0.0))
-        .otherwise(round(exp(sum(
-          log(lit(1.0) - col("d").cast("double") / col("n_risk").cast("double")))
-          .over(wCum)), 6)))
-      .withColumn("t_next", coalesce(lead(col("t"), 1).over(wLead), lit(tau)))
-      .withColumn("width",
-        greatest(lit(0L), least(col("t_next"), lit(tau)) - least(col("t"), lit(tau)))))
-    def gather(c: Column) = sum(c.cast("decimal(38,18)")).cast("decimal(38,18)")
-    val head = steps.agg(min(col("t")).as("t1"), max(col("n_total")).as("n"))
-    steps.agg(gather(col("surv") * col("width").cast("double")).as("areag"))
-      .crossJoin(broadcast(head))
-      .select(lit(tau).as("tau_days"), col("n"),
-        round(least(col("t1"), lit(tau)).cast("double") +
-          col("areag").cast("double"), 4).as("rmst_days"))
-  }
-
-  private val anRmstSql =
-    """WITH a AS (SELECT MAX(o_orderdate) AS mx FROM orders),
-      |c AS (SELECT o_custkey, MIN(o_orderdate) AS f, MAX(o_orderdate) AS l
-      |      FROM orders GROUP BY 1),
-      |cust AS (SELECT CAST(date_diff('day', f, l) AS BIGINT) AS t,
-      |                CASE WHEN l < mx - INTERVAL 90 DAY THEN 1 ELSE 0 END AS ev
-      |         FROM c CROSS JOIN a),
-      |byt AS (SELECT t, COUNT(*) AS n_at, CAST(SUM(ev) AS BIGINT) AS d
-      |        FROM cust GROUP BY 1),
-      |tot AS (SELECT COUNT(*) AS n_total FROM cust),
-      |r AS (SELECT t, d, n_total,
-      |        n_total - COALESCE(CAST(SUM(n_at) OVER (ORDER BY t
-      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS n_risk
-      |      FROM byt CROSS JOIN tot),
-      |ev AS (SELECT t, d, n_total, n_risk FROM r WHERE d > 0),
-      |st AS (SELECT t, n_total,
-      |         CASE WHEN d = n_risk THEN 0.0
-      |              ELSE ROUND(exp(SUM(ln(1.0 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE)))
-      |                OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6)
-      |         END AS surv,
-      |         COALESCE(LEAD(t) OVER (ORDER BY t), 365) AS t_next
-      |       FROM ev),
-      |w AS (SELECT surv, n_total, t,
-      |        greatest(0, least(t_next, 365) - least(t, 365)) AS width FROM st),
-      |g AS (SELECT MAX(n_total) AS n, MIN(t) AS t1,
-      |        CAST(SUM(CAST(surv * CAST(width AS DOUBLE) AS DECIMAL(38,18)))
-      |          AS DECIMAL(38,18)) AS areag
-      |      FROM w)
-      |SELECT CAST(365 AS BIGINT) AS tau_days, n,
-      |  ROUND(CAST(least(t1, 365) AS DOUBLE) + CAST(areag AS DOUBLE), 4) AS rmst_days
-      |FROM g""".stripMargin
-
-  /** DeLong standard error of the acctbal churn AUC — the uncertainty
-    * an_roc_auc's point estimate needs before two models can be
-    * compared honestly (an AUC of 0.62 ± 0.01 and one of 0.62 ± 0.2
-    * are different findings). Placement values per DISTINCT score cent
-    * come from the same PrefixSum cumulatives (doubled placements
-    * 2·below + at are exact BIGINTs); the placement variances S10/S01
-    * gather DECIMAL(38,18) around the exact-rational AUC; SE =
-    * √(S10/n1 + S01/n0), ROUND(·,6). */
-  private def anAucSe(s: SparkSession, dir: String): DataFrame = {
-    val o = Tables.orders(s, dir)
-    val anchor = o.agg(max(col("o_orderdate")).as("mx"))
-    val last = o.groupBy(col("o_custkey")).agg(max(col("o_orderdate")).as("last_order"))
-    val cutoff = col("mx") - expr("INTERVAL 90 DAYS")
-    val labeled = Tables.customer(s, dir)
-      .join(last, col("c_custkey") === col("o_custkey"), "left")
-      .crossJoin(broadcast(anchor))
-      .select(
-        (col("last_order").isNull || col("last_order") < cutoff).cast("long").as("g1"),
-        (col("c_acctbal").cast("decimal(24,2)") * 100).cast("bigint").as("v"))
-    val perV = labeled.groupBy(col("v"))
-      .agg(count(lit(1)).as("cnt"), sum(col("g1")).as("c1"))
-    val scan = graft.operators.PrefixSum.persistOwned(
-      graft.operators.PrefixSum.withRunningTotals(perV, Seq("v"), Seq("cnt", "c1")))
-    val tot = scan.agg(max(col("cnt_cum")).as("n"), max(col("c1_cum")).as("n1"))
-    def gather(c: Column) = sum(c.cast("decimal(38,18)")).cast("decimal(38,18)")
-    val c0 = col("cnt") - col("c1")
-    val negBelow = (col("cnt_cum") - col("cnt")) - (col("c1_cum") - col("c1"))
-    val posBelow = col("c1_cum") - col("c1")
-    val n0 = (col("n") - col("n1"))
-    val posAbove = col("n1") - col("c1_cum")
-    // AUC as the exact Mann–Whitney rational (the an_roc_auc identity)
-    val aucExpr = col("auc_num").cast("double") /
-      (lit(2.0) * col("n1").cast("double") * (col("n") - col("n1")).cast("double"))
-    val aucNum = scan.crossJoin(broadcast(tot))
-      .agg(sum(col("c1") * (lit(2L) * negBelow + c0)).as("auc_num"))
-    scan.crossJoin(broadcast(tot)).crossJoin(broadcast(aucNum))
-      .agg(max(col("n1")).as("n_pos"), max(n0).as("n_neg"),
-        max(aucExpr).as("auc"),
-        gather(col("c1").cast("double") *
-          ((lit(2L) * negBelow + c0).cast("double") /
-            (lit(2.0) * n0.cast("double")) - aucExpr) *
-          ((lit(2L) * negBelow + c0).cast("double") /
-            (lit(2.0) * n0.cast("double")) - aucExpr)).as("s10g"),
-        gather(c0.cast("double") *
-          ((lit(2L) * posAbove + col("c1")).cast("double") /
-            (lit(2.0) * col("n1").cast("double")) - aucExpr) *
-          ((lit(2L) * posAbove + col("c1")).cast("double") /
-            (lit(2.0) * col("n1").cast("double")) - aucExpr)).as("s01g"))
-      .select(col("n_pos"), col("n_neg"), round(col("auc"), 6).as("auc"),
-        round(sqrt(
-          col("s10g").cast("double") / (col("n_pos") - 1).cast("double") /
-            col("n_pos").cast("double") +
-          col("s01g").cast("double") / (col("n_neg") - 1).cast("double") /
-            col("n_neg").cast("double")), 6).as("auc_se"))
-  }
-
-  private val anAucSeSql =
-    """WITH a AS (SELECT MAX(o_orderdate) AS mx FROM orders),
-      |l AS (SELECT o_custkey, MAX(o_orderdate) AS last_order FROM orders GROUP BY 1),
-      |lab AS (SELECT
-      |    CASE WHEN last_order IS NULL OR last_order < mx - INTERVAL 90 DAY
-      |         THEN 1 ELSE 0 END AS g1,
-      |    CAST(CAST(c_acctbal AS DECIMAL(24,2)) * 100 AS BIGINT) AS v
-      |  FROM customer LEFT JOIN l ON c_custkey = o_custkey CROSS JOIN a),
-      |pv AS (SELECT v, COUNT(*) AS cnt, CAST(SUM(g1) AS BIGINT) AS c1 FROM lab GROUP BY v),
-      |sc AS (SELECT v, cnt, c1,
-      |         CAST(SUM(cnt) OVER (ORDER BY v) AS BIGINT) AS cnt_cum,
-      |         CAST(SUM(c1) OVER (ORDER BY v) AS BIGINT) AS c1_cum
-      |       FROM pv),
-      |t AS (SELECT MAX(cnt_cum) AS n, MAX(c1_cum) AS n1 FROM sc),
-      |an AS (SELECT CAST(SUM(c1 * (2 * ((cnt_cum - cnt) - (c1_cum - c1)) + (cnt - c1)))
-      |         AS BIGINT) AS auc_num
-      |       FROM sc CROSS JOIN t),
-      |g AS (SELECT MAX(n1) AS n_pos, MAX(n - n1) AS n_neg,
-      |    MAX(CAST(auc_num AS DOUBLE) / (2.0 * CAST(n1 AS DOUBLE) * CAST(n - n1 AS DOUBLE)))
-      |      AS auc,
-      |    CAST(SUM(CAST(CAST(c1 AS DOUBLE) *
-      |      (CAST(2 * ((cnt_cum - cnt) - (c1_cum - c1)) + (cnt - c1) AS DOUBLE)
-      |         / (2.0 * CAST(n - n1 AS DOUBLE))
-      |       - CAST(auc_num AS DOUBLE) / (2.0 * CAST(n1 AS DOUBLE) * CAST(n - n1 AS DOUBLE)))
-      |      * (CAST(2 * ((cnt_cum - cnt) - (c1_cum - c1)) + (cnt - c1) AS DOUBLE)
-      |         / (2.0 * CAST(n - n1 AS DOUBLE))
-      |       - CAST(auc_num AS DOUBLE) / (2.0 * CAST(n1 AS DOUBLE) * CAST(n - n1 AS DOUBLE)))
-      |      AS DECIMAL(38,18))) AS DECIMAL(38,18)) AS s10g,
-      |    CAST(SUM(CAST(CAST(cnt - c1 AS DOUBLE) *
-      |      (CAST(2 * (n1 - c1_cum) + c1 AS DOUBLE) / (2.0 * CAST(n1 AS DOUBLE))
-      |       - CAST(auc_num AS DOUBLE) / (2.0 * CAST(n1 AS DOUBLE) * CAST(n - n1 AS DOUBLE)))
-      |      * (CAST(2 * (n1 - c1_cum) + c1 AS DOUBLE) / (2.0 * CAST(n1 AS DOUBLE))
-      |       - CAST(auc_num AS DOUBLE) / (2.0 * CAST(n1 AS DOUBLE) * CAST(n - n1 AS DOUBLE)))
-      |      AS DECIMAL(38,18))) AS DECIMAL(38,18)) AS s01g
-      |  FROM sc CROSS JOIN t CROSS JOIN an)
-      |SELECT n_pos, n_neg, ROUND(auc, 6) AS auc,
-      |  ROUND(sqrt(CAST(s10g AS DOUBLE) / CAST(n_pos - 1 AS DOUBLE) / CAST(n_pos AS DOUBLE)
-      |           + CAST(s01g AS DOUBLE) / CAST(n_neg - 1 AS DOUBLE) / CAST(n_neg AS DOUBLE)),
-      |    6) AS auc_se
-      |FROM g""".stripMargin
-
   /** Character-bigram entropy per language — the script-level
     * complexity profile that separates languages (and catches
     * mislabeled/garbled spans) where the word-level stopword counters
@@ -13235,47 +267,7 @@ object SparkEntry {
     * is unbounded, so a document longer than N-1 chars would silently
     * diverge the two sides. One constant feeds both the SQL text and a
     * loud Spark-side require. */
-  private val CharEntropyMaxLen = 10000
-
-  private def textCharEntropy(s: SparkSession, dir: String): DataFrame = {
-    // native one-pass bigram kernel (CharBigrams) — the interpreted
-    // transform(sequence)+substring chain probed mildly super-linear
-    // (exp 1.08 at sf1) from per-row array materialization
-    val over = Tables.documents(s, dir)
-      .filter(length(col("text")) > CharEntropyMaxLen - 1).limit(1).count()
-    require(over == 0,
-      s"text_char_entropy oracle unrolls positions to ${CharEntropyMaxLen - 1} " +
-        "chars; a longer document would silently diverge Spark vs oracle")
-    val grams = Tables.documents(s, dir)
-      .filter(length(col("text")) >= 2)
-      .select(col("lang"),
-        explode(graft.functions.VectorExprs.char_bigrams(col("text"))).as("bg"))
-      .groupBy(col("lang"), col("bg")).agg(count(lit(1)).as("c"))
-    val perLang = grams.groupBy(col("lang")).agg(sum(col("c")).as("n"))
-    def gather(c: Column) = sum(c.cast("decimal(38,18)")).cast("decimal(38,18)")
-    grams.join(broadcast(perLang), "lang")
-      .groupBy(col("lang"))
-      .agg(max(col("n")).as("n_bigrams"), count(lit(1)).as("vocab"),
-        gather(lit(-1.0) * col("c").cast("double") / col("n").cast("double") *
-          log(col("c").cast("double") / col("n").cast("double"))).as("hg"))
-      .select(col("lang"), col("n_bigrams"), col("vocab"),
-        round(col("hg").cast("double"), 6).as("char_entropy"))
-      .orderBy(col("lang"))
-  }
-
-  private val textCharEntropySql =
-    s"""WITH g AS (SELECT lang, bg, COUNT(*) AS c FROM (
-      |    SELECT lang, substr(text, CAST(i.range AS INT), 2) AS bg
-      |    FROM documents CROSS JOIN range(1, $CharEntropyMaxLen) i
-      |    WHERE length(text) >= 2 AND i.range <= length(text) - 1) t
-      |  GROUP BY lang, bg),
-      |pl AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS n FROM g GROUP BY lang)
-      |SELECT g.lang, MAX(pl.n) AS n_bigrams, COUNT(*) AS vocab,
-      |  ROUND(CAST(CAST(SUM(CAST(-1.0 * CAST(c AS DOUBLE) / CAST(pl.n AS DOUBLE)
-      |    * ln(CAST(c AS DOUBLE) / CAST(pl.n AS DOUBLE)) AS DECIMAL(38,18)))
-      |    AS DECIMAL(38,18)) AS DOUBLE), 6) AS char_entropy
-      |FROM g JOIN pl USING (lang)
-      |GROUP BY g.lang ORDER BY g.lang""".stripMargin
+  private[graft] val CharEntropyMaxLen = 10000
 
   /** Daily-revenue spine shared by the r12 market/risk family (max
     * drawdown, Bollinger, VaR/ES, RSI, Wasserstein, CvM): ONE lineitem
@@ -13283,7 +275,7 @@ object SparkEntry {
     * calendar-bounded (~2.5k rows at ANY corpus size — 100 TB of facts
     * still collapse to the same few thousand days), so every window
     * below runs over a frame that fits one task by construction. */
-  private def dailyRevenueSpine(s: SparkSession, dir: String): DataFrame =
+  private[graft] def dailyRevenueSpine(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .groupBy(date_trunc("day", col("l_shipdate")).as("day"))
       .agg((sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
@@ -13292,356 +284,18 @@ object SparkEntry {
       .withColumn("d",
         datediff(col("day").cast("date"), lit("1992-01-01").cast("date")))
 
-  private val dailySpineSql =
+  private[graft] val dailySpineSql =
     """SELECT date_trunc('day', l_shipdate) AS day,
       |       CAST(ROUND(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,8))), 2) * 100 AS BIGINT) AS rev_c,
       |       date_diff('day', DATE '1992-01-01', CAST(date_trunc('day', l_shipdate) AS DATE)) AS d
       |FROM lineitem GROUP BY 1""".stripMargin
-
-  /** Maximum drawdown of the daily-revenue curve: running peak via a
-    * cumulative max over the day spine, drawdown = peak − level, argmax
-    * with earliest-trough tie-break. Pure integer cents end to end; the
-    * one division is the /100 dollars emission. The equity-curve risk
-    * primitive next to an_var_es (that one is distributional, this one
-    * is path-dependent). */
-  private def anMaxDrawdown(s: SparkSession, dir: String): DataFrame = {
-    val cum = Window.orderBy(col("d")).rowsBetween(Window.unboundedPreceding, 0)
-    dailyRevenueSpine(s, dir)
-      .withColumn("peak_c", max(col("rev_c")).over(cum))
-      .withColumn("dd_c", col("peak_c") - col("rev_c"))
-      .withColumn("rnk", row_number().over(
-        Window.orderBy(col("dd_c").desc, col("day"))))
-      .filter(col("rnk") === 1)
-      .select(col("day").as("trough_day"),
-        (col("dd_c") / 100.0).as("max_drawdown"),
-        (col("peak_c") / 100.0).as("peak_at_trough"),
-        (col("rev_c") / 100.0).as("trough_rev"))
-  }
-
-  private val anMaxDrawdownSql =
-    s"""WITH daily AS ($dailySpineSql),
-       |c AS (SELECT day, rev_c,
-       |        MAX(rev_c) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak_c
-       |      FROM daily),
-       |r AS (SELECT day, rev_c, peak_c, peak_c - rev_c AS dd_c,
-       |        ROW_NUMBER() OVER (ORDER BY peak_c - rev_c DESC, day) AS rnk FROM c)
-       |SELECT day AS trough_day, dd_c / 100.0 AS max_drawdown,
-       |       peak_c / 100.0 AS peak_at_trough, rev_c / 100.0 AS trough_rev
-       |FROM r WHERE rnk = 1""".stripMargin
-
-  /** Bollinger-band breaches on daily revenue: trailing 20-calendar-day
-    * RANGE window (19 preceding + current over the epoch-day key, so a
-    * calendar gap SHRINKS the window rather than sliding old days in),
-    * breach test kept entirely in integers — z² > 2² is cross-multiplied
-    * to (n·x − S)² > 4·(n·Q − S²) with S, Q gathered in DECIMAL(38,0)
-    * (Q = Σ rev_c² would overflow BIGINT past ~1e13-cent days) — no
-    * float boundary anywhere, bit-identical on any engine. */
-  private def anBollinger(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.orderBy(col("d")).rangeBetween(-19, 0)
-    val revD = col("rev_c").cast("decimal(38,0)")
-    dailyRevenueSpine(s, dir)
-      .withColumn("n_w", count(lit(1)).over(w))
-      .withColumn("s_w", sum(revD).over(w))
-      .withColumn("q_w", sum(revD * revD).over(w))
-      .filter(col("n_w") === 20)
-      .withColumn("dev", revD * lit(20) - col("s_w"))
-      .withColumn("var4", (col("q_w") * 20 - col("s_w") * col("s_w")) * 4)
-      .select(col("day"), (col("rev_c") / 100.0).as("rev"),
-        (col("dev") > 0 && col("dev") * col("dev") > col("var4")).as("breach_hi"),
-        (col("dev") < 0 && col("dev") * col("dev") > col("var4")).as("breach_lo"))
-      .orderBy(col("day"))
-  }
-
-  private val anBollingerSql =
-    s"""WITH daily AS ($dailySpineSql),
-       |w AS (SELECT day, rev_c,
-       |        COUNT(*) OVER tw AS n_w,
-       |        SUM(CAST(rev_c AS DECIMAL(38,0))) OVER tw AS s_w,
-       |        SUM(CAST(rev_c AS DECIMAL(38,0)) * CAST(rev_c AS DECIMAL(38,0))) OVER tw AS q_w
-       |      FROM daily
-       |      WINDOW tw AS (ORDER BY d RANGE BETWEEN 19 PRECEDING AND CURRENT ROW)),
-       |f AS (SELECT day, rev_c,
-       |        CAST(rev_c AS DECIMAL(38,0)) * 20 - s_w AS dev,
-       |        (q_w * 20 - s_w * s_w) * 4 AS var4
-       |      FROM w WHERE n_w = 20)
-       |SELECT day, rev_c / 100.0 AS rev,
-       |  (dev > 0 AND dev * dev > var4) AS breach_hi,
-       |  (dev < 0 AND dev * dev > var4) AS breach_lo
-       |FROM f ORDER BY day""".stripMargin
-
-  /** Historical VaR-95 / expected shortfall on day-over-day revenue
-    * changes: diffs over the day spine (calendar gaps treated as
-    * consecutive observations — the spine IS the series), k = ⌈n/20⌉ via
-    * integer ceiling division, VaR = the k-th smallest change (exact
-    * order statistic, (value, day) deterministic tie-break), ES = exact
-    * BIGINT sum of the k tail changes ÷ k at emission. Order statistics
-    * on the bounded day spine — no percentile aggregate, no global sort
-    * of fact rows. */
-  private def anVarEs(s: SparkSession, dir: String): DataFrame = {
-    val diffs = dailyRevenueSpine(s, dir)
-      .withColumn("chg_c", col("rev_c") - lag(col("rev_c"), 1).over(Window.orderBy(col("d"))))
-      .filter(col("chg_c").isNotNull)
-      .withColumn("rk", row_number().over(Window.orderBy(col("chg_c"), col("day"))))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
-      .withColumn("k", expr("(n + 19) div 20"))
-    diffs.filter(col("rk") <= col("k"))
-      .groupBy(col("n"), col("k"))
-      .agg(max(when(col("rk") === col("k"), col("chg_c"))).as("var_c"),
-        sum(col("chg_c")).as("tail_sum_c"))
-      .select(col("n"), col("k"),
-        (col("var_c") / 100.0).as("var95"),
-        (col("tail_sum_c").cast("double") / col("k").cast("double") / 100.0).as("es95"))
-  }
-
-  private val anVarEsSql =
-    s"""WITH daily AS ($dailySpineSql),
-       |ch AS (SELECT day, rev_c - LAG(rev_c) OVER (ORDER BY d) AS chg_c FROM daily),
-       |rk AS (SELECT day, chg_c,
-       |         ROW_NUMBER() OVER (ORDER BY chg_c, day) AS rk,
-       |         COUNT(*) OVER () AS n
-       |       FROM ch WHERE chg_c IS NOT NULL),
-       |kk AS (SELECT day, chg_c, rk, n, (n + 19) // 20 AS k FROM rk)
-       |SELECT n, k,
-       |  MAX(CASE WHEN rk = k THEN chg_c END) / 100.0 AS var95,
-       |  CAST(CAST(SUM(chg_c) AS BIGINT) AS DOUBLE) / CAST(k AS DOUBLE) / 100.0 AS es95
-       |FROM kk WHERE rk <= k GROUP BY n, k""".stripMargin
-
-  /** Cutler's RSI-14 on daily revenue: per-day gain/loss cents from the
-    * spine diffs, trailing 14-day RANGE sums (complete windows only),
-    * RSI = 100·G/(G+L) as one IEEE division of exact integers (flat
-    * 14-day stretch → both sums zero → pinned 50.0). The simple-average
-    * Cutler form, NOT Wilder's recursive EWMA — the recursion's α=1/14
-    * is not dyadic, so its float trajectory is not engine-replayable;
-    * the windowed form is exact. */
-  private def anRsi(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.orderBy(col("d")).rangeBetween(-13, 0)
-    dailyRevenueSpine(s, dir)
-      .withColumn("chg_c", col("rev_c") - lag(col("rev_c"), 1).over(Window.orderBy(col("d"))))
-      .filter(col("chg_c").isNotNull)
-      .withColumn("gain_c", greatest(col("chg_c"), lit(0L)))
-      .withColumn("loss_c", greatest(-col("chg_c"), lit(0L)))
-      .withColumn("n_w", count(lit(1)).over(w))
-      .withColumn("g", sum(col("gain_c")).over(w))
-      .withColumn("l", sum(col("loss_c")).over(w))
-      .filter(col("n_w") === 14)
-      .select(col("day"),
-        when(col("g") + col("l") === 0, lit(50.0))
-          .otherwise((col("g") * 100).cast("double") /
-            (col("g") + col("l")).cast("double")).as("rsi"))
-      .orderBy(col("day"))
-  }
-
-  private val anRsiSql =
-    s"""WITH daily AS ($dailySpineSql),
-       |ch AS (SELECT day, d, rev_c - LAG(rev_c) OVER (ORDER BY d) AS chg_c FROM daily),
-       |gl AS (SELECT day, d, GREATEST(chg_c, 0) AS gain_c, GREATEST(-chg_c, 0) AS loss_c
-       |       FROM ch WHERE chg_c IS NOT NULL),
-       |w AS (SELECT day, COUNT(*) OVER tw AS n_w,
-       |        SUM(gain_c) OVER tw AS g, SUM(loss_c) OVER tw AS l
-       |      FROM gl
-       |      WINDOW tw AS (ORDER BY d RANGE BETWEEN 13 PRECEDING AND CURRENT ROW))
-       |SELECT day, CASE WHEN g + l = 0 THEN 50.0
-       |  ELSE CAST(g * 100 AS DOUBLE) / CAST(g + l AS DOUBLE) END AS rsi
-       |FROM w WHERE n_w = 14 ORDER BY day""".stripMargin
-
-  /** McNemar's paired-proportions test: customers active (≥1 order) in
-    * 1996 vs 1997 — the discordant cells b (96-only) and c (97-only)
-    * drive χ² = (b−c)²/(b+c). One distinct-flag aggregate per customer
-    * then four exact counts; the statistic is a single IEEE division of
-    * exact integers. The paired complement to an_abtest's independent
-    * two-proportion z. */
-  private def anMcnemar(s: SparkSession, dir: String): DataFrame = {
-    val flags = Tables.orders(s, dir)
-      .withColumn("yr", year(col("o_orderdate")))
-      .filter(col("yr").isin(1996, 1997))
-      .groupBy(col("o_custkey"))
-      .agg(max(when(col("yr") === 1996, 1).otherwise(0)).as("a96"),
-        max(when(col("yr") === 1997, 1).otherwise(0)).as("a97"))
-    Tables.customer(s, dir)
-      .join(flags, col("c_custkey") === col("o_custkey"), "left")
-      .na.fill(0, Seq("a96", "a97"))
-      .agg(
-        sum(when(col("a96") === 1 && col("a97") === 1, 1L).otherwise(0L)).as("n11"),
-        sum(when(col("a96") === 1 && col("a97") === 0, 1L).otherwise(0L)).as("b_only96"),
-        sum(when(col("a96") === 0 && col("a97") === 1, 1L).otherwise(0L)).as("c_only97"),
-        sum(when(col("a96") === 0 && col("a97") === 0, 1L).otherwise(0L)).as("n00"))
-      .select(col("n11"), col("b_only96"), col("c_only97"), col("n00"),
-        when(col("b_only96") + col("c_only97") === 0, lit(0.0))
-          .otherwise(((col("b_only96") - col("c_only97")) *
-            (col("b_only96") - col("c_only97"))).cast("double") /
-            (col("b_only96") + col("c_only97")).cast("double")).as("mcnemar"))
-  }
-
-  private val anMcnemarSql =
-    """WITH f AS (SELECT o_custkey,
-      |    MAX(CASE WHEN year(o_orderdate) = 1996 THEN 1 ELSE 0 END) AS a96,
-      |    MAX(CASE WHEN year(o_orderdate) = 1997 THEN 1 ELSE 0 END) AS a97
-      |  FROM orders WHERE year(o_orderdate) IN (1996, 1997) GROUP BY o_custkey),
-      |j AS (SELECT COALESCE(a96, 0) AS a96, COALESCE(a97, 0) AS a97
-      |      FROM customer LEFT JOIN f ON c_custkey = o_custkey)
-      |SELECT
-      |  CAST(SUM(CASE WHEN a96 = 1 AND a97 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n11,
-      |  CAST(SUM(CASE WHEN a96 = 1 AND a97 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b_only96,
-      |  CAST(SUM(CASE WHEN a96 = 0 AND a97 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c_only97,
-      |  CAST(SUM(CASE WHEN a96 = 0 AND a97 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n00,
-      |  CASE WHEN SUM(CASE WHEN a96 <> a97 THEN 1 ELSE 0 END) = 0 THEN 0.0
-      |    ELSE CAST((SUM(CASE WHEN a96 = 1 AND a97 = 0 THEN 1 ELSE 0 END)
-      |             - SUM(CASE WHEN a96 = 0 AND a97 = 1 THEN 1 ELSE 0 END))
-      |            * (SUM(CASE WHEN a96 = 1 AND a97 = 0 THEN 1 ELSE 0 END)
-      |             - SUM(CASE WHEN a96 = 0 AND a97 = 1 THEN 1 ELSE 0 END)) AS DOUBLE)
-      |       / CAST(SUM(CASE WHEN a96 <> a97 THEN 1 ELSE 0 END) AS DOUBLE) END AS mcnemar
-      |FROM j""".stripMargin
-
-  /** Cohen's kappa between two deterministic "raters" of customer value
-    * (balance ≥ 5000 vs ≥5 lifetime orders): the 2×2 agreement table in
-    * exact counts, κ computed in the cross-multiplied integer form
-    * (N·agree − Σ marginal products) / (N² − Σ marginal products) — one
-    * IEEE division, no intermediate float subtraction. Marginal products
-    * gathered in DECIMAL(38,0) (N² overflows BIGINT past ~3e9 rows). */
-  private def anCohenKappa(s: SparkSession, dir: String): DataFrame = {
-    val ordersPerCust = Tables.orders(s, dir)
-      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_ord"))
-    Tables.customer(s, dir)
-      .join(ordersPerCust, col("c_custkey") === col("o_custkey"), "left")
-      .withColumn("r1", when(col("c_acctbal") >= 5000.0, 1).otherwise(0))
-      .withColumn("r2", when(coalesce(col("n_ord"), lit(0L)) >= 5, 1).otherwise(0))
-      .agg(
-        sum(when(col("r1") === 1 && col("r2") === 1, 1L).otherwise(0L)).as("n11"),
-        sum(when(col("r1") === 1 && col("r2") === 0, 1L).otherwise(0L)).as("n10"),
-        sum(when(col("r1") === 0 && col("r2") === 1, 1L).otherwise(0L)).as("n01"),
-        sum(when(col("r1") === 0 && col("r2") === 0, 1L).otherwise(0L)).as("n00"))
-      .withColumn("nn", (col("n11") + col("n10") + col("n01") + col("n00")).cast("decimal(38,0)"))
-      .withColumn("pe_num",
-        ((col("n11") + col("n10")).cast("decimal(38,0)") * (col("n11") + col("n01")).cast("decimal(38,0)") +
-         (col("n01") + col("n00")).cast("decimal(38,0)") * (col("n10") + col("n00")).cast("decimal(38,0)")))
-      .select(col("n11"), col("n10"), col("n01"), col("n00"),
-        ((col("nn") * (col("n11") + col("n00")).cast("decimal(38,0)") - col("pe_num")).cast("double") /
-          (col("nn") * col("nn") - col("pe_num")).cast("double")).as("kappa"))
-  }
-
-  private val anCohenKappaSql =
-    """WITH oc AS (SELECT o_custkey, COUNT(*) AS n_ord FROM orders GROUP BY o_custkey),
-      |r AS (SELECT CASE WHEN c_acctbal >= 5000.0 THEN 1 ELSE 0 END AS r1,
-      |        CASE WHEN COALESCE(n_ord, 0) >= 5 THEN 1 ELSE 0 END AS r2
-      |      FROM customer LEFT JOIN oc ON c_custkey = o_custkey),
-      |t AS (SELECT
-      |  CAST(SUM(CASE WHEN r1 = 1 AND r2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n11,
-      |  CAST(SUM(CASE WHEN r1 = 1 AND r2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n10,
-      |  CAST(SUM(CASE WHEN r1 = 0 AND r2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n01,
-      |  CAST(SUM(CASE WHEN r1 = 0 AND r2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n00
-      |  FROM r)
-      |SELECT n11, n10, n01, n00,
-      |  CAST(CAST(n11 + n10 + n01 + n00 AS DECIMAL(38,0)) * CAST(n11 + n00 AS DECIMAL(38,0))
-      |    - (CAST(n11 + n10 AS DECIMAL(38,0)) * CAST(n11 + n01 AS DECIMAL(38,0))
-      |       + CAST(n01 + n00 AS DECIMAL(38,0)) * CAST(n10 + n00 AS DECIMAL(38,0))) AS DOUBLE)
-      |  / CAST(CAST(n11 + n10 + n01 + n00 AS DECIMAL(38,0)) * CAST(n11 + n10 + n01 + n00 AS DECIMAL(38,0))
-      |    - (CAST(n11 + n10 AS DECIMAL(38,0)) * CAST(n11 + n01 AS DECIMAL(38,0))
-      |       + CAST(n01 + n00 AS DECIMAL(38,0)) * CAST(n10 + n00 AS DECIMAL(38,0))) AS DOUBLE) AS kappa
-      |FROM t""".stripMargin
-
-  /** 1-D Wasserstein (earth-mover) distance between the weekday-A and
-    * weekend-B daily-revenue distributions, on a portable (d+2)%7
-    * calendar split (d counts from 1992-01-01, a Wednesday, so the +2
-    * anchor maps Mon–Fri → A and Sat/Sun → B — the true calendar):
-    * W₁ = Σ |F_A − F_B| dv over the sorted distinct-value spine,
-    * cross-multiplied to exact integers — |C_A·N_B − C_B·N_A| · gap
-    * gathered in DECIMAL(38,0), ONE division by N_A·N_B·100 at emission.
-    * The distribution-shift metric with units (dollars) that an_psi's
-    * banded score and an_ks_drift's sup-norm don't give. */
-  private def anWasserstein(s: SparkSession, dir: String): DataFrame = {
-    val sp = dailyRevenueSpine(s, dir)
-      .withColumn("grp", when(pmod(col("d") + 2, lit(7)) < 5, lit("A")).otherwise(lit("B")))
-    val byVal = sp.groupBy(col("rev_c"))
-      .agg(sum(when(col("grp") === "A", 1L).otherwise(0L)).as("ca"),
-        sum(when(col("grp") === "B", 1L).otherwise(0L)).as("cb"))
-    val w = Window.orderBy(col("rev_c")).rowsBetween(Window.unboundedPreceding, 0)
-    byVal
-      .withColumn("na", sum(col("ca")).over(Window.partitionBy()))
-      .withColumn("nb", sum(col("cb")).over(Window.partitionBy()))
-      .withColumn("cca", sum(col("ca")).over(w))
-      .withColumn("ccb", sum(col("cb")).over(w))
-      .withColumn("gap", lead(col("rev_c"), 1).over(Window.orderBy(col("rev_c"))) - col("rev_c"))
-      .filter(col("gap").isNotNull)
-      .groupBy(col("na"), col("nb"))
-      .agg(sum(abs(col("cca").cast("decimal(38,0)") * col("nb") -
-        col("ccb").cast("decimal(38,0)") * col("na")) * col("gap")).as("num"))
-      .select(col("na").as("n_weekday"), col("nb").as("n_weekend"),
-        (col("num").cast("double") /
-          (col("na") * col("nb")).cast("double") / 100.0).as("w1_dollars"))
-  }
-
-  private val anWassersteinSql =
-    s"""WITH daily AS ($dailySpineSql),
-       |g AS (SELECT rev_c, CASE WHEN ((d + 2) % 7) < 5 THEN 'A' ELSE 'B' END AS grp FROM daily),
-       |v AS (SELECT rev_c,
-       |        CAST(SUM(CASE WHEN grp = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
-       |        CAST(SUM(CASE WHEN grp = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS cb
-       |      FROM g GROUP BY rev_c),
-       |c AS (SELECT rev_c, ca, cb,
-       |        SUM(ca) OVER () AS na, SUM(cb) OVER () AS nb,
-       |        SUM(ca) OVER (ORDER BY rev_c ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cca,
-       |        SUM(cb) OVER (ORDER BY rev_c ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ccb,
-       |        LEAD(rev_c) OVER (ORDER BY rev_c) - rev_c AS gap
-       |      FROM v)
-       |SELECT CAST(na AS BIGINT) AS n_weekday, CAST(nb AS BIGINT) AS n_weekend,
-       |  CAST(SUM(ABS(CAST(cca AS DECIMAL(38,0)) * nb - CAST(ccb AS DECIMAL(38,0)) * na) * gap) AS DOUBLE)
-       |    / CAST(na * nb AS DOUBLE) / 100.0 AS w1_dollars
-       |FROM c WHERE gap IS NOT NULL GROUP BY na, nb""".stripMargin
-
-  /** Two-sample Cramér–von Mises T between the same calendar-anchored
-    * (d+2)%7 weekday/weekend
-    * daily-revenue split: pooled row_number ranks with the deterministic
-    * (rev_c, day) tie-break both engines order identically, U = n·Σ(r−i)²
-    * + m·Σ(s−j)² over exact integer ranks, T = U/(nm(n+m)) −
-    * (4nm−1)/(6(n+m)) as two exactly-rounded IEEE divisions of integers.
-    * The whole-CDF L² complement to an_ks_drift's sup-norm. */
-  private def anCvm(s: SparkSession, dir: String): DataFrame = {
-    val sp = dailyRevenueSpine(s, dir)
-      .withColumn("grp", when(pmod(col("d") + 2, lit(7)) < 5, lit("A")).otherwise(lit("B")))
-      .withColumn("r", row_number().over(Window.orderBy(col("rev_c"), col("day"))).cast("long"))
-      .withColumn("i", row_number().over(
-        Window.partitionBy(col("grp")).orderBy(col("rev_c"), col("day"))).cast("long"))
-    sp.groupBy(col("grp"))
-      .agg(count(lit(1)).as("cnt"),
-        sum((col("r") - col("i")) * (col("r") - col("i"))).as("ss"))
-      .agg(
-        max(when(col("grp") === "A", col("cnt"))).as("n"),
-        max(when(col("grp") === "B", col("cnt"))).as("m"),
-        max(when(col("grp") === "A", col("ss"))).as("ssa"),
-        max(when(col("grp") === "B", col("ss"))).as("ssb"))
-      .select(col("n").as("n_weekday"), col("m").as("n_weekend"),
-        ((col("n") * col("ssa") + col("m") * col("ssb")).cast("double") /
-          (col("n") * col("m") * (col("n") + col("m"))).cast("double") -
-          (col("n") * col("m") * 4 - 1).cast("double") /
-            ((col("n") + col("m")) * 6).cast("double")).as("t_stat"))
-  }
-
-  private val anCvmSql =
-    s"""WITH daily AS ($dailySpineSql),
-       |g AS (SELECT day, rev_c, CASE WHEN ((d + 2) % 7) < 5 THEN 'A' ELSE 'B' END AS grp FROM daily),
-       |r AS (SELECT grp,
-       |        CAST(ROW_NUMBER() OVER (ORDER BY rev_c, day) AS BIGINT) AS r,
-       |        CAST(ROW_NUMBER() OVER (PARTITION BY grp ORDER BY rev_c, day) AS BIGINT) AS i
-       |      FROM g),
-       |t AS (SELECT grp, COUNT(*) AS cnt, CAST(SUM((r - i) * (r - i)) AS BIGINT) AS ss
-       |      FROM r GROUP BY grp),
-       |p AS (SELECT
-       |        MAX(CASE WHEN grp = 'A' THEN cnt END) AS n,
-       |        MAX(CASE WHEN grp = 'B' THEN cnt END) AS m,
-       |        MAX(CASE WHEN grp = 'A' THEN ss END) AS ssa,
-       |        MAX(CASE WHEN grp = 'B' THEN ss END) AS ssb
-       |      FROM t)
-       |SELECT n AS n_weekday, m AS n_weekend,
-       |  CAST(n * ssa + m * ssb AS DOUBLE) / CAST(n * m * (n + m) AS DOUBLE)
-       |    - CAST(n * m * 4 - 1 AS DOUBLE) / CAST((n + m) * 6 AS DOUBLE) AS t_stat
-       |FROM p""".stripMargin
 
   /** Churn-labeled customer base shared by the r12 model-eval/epi family
     * (brier, calibration, info gain, odds/risk ratios, trend test):
     * label g1 = no order in the trailing 90 days (the an_roc_auc
     * definition), score v = acctbal cents. One orders aggregate + one
     * broadcast anchor join — the corpus-sized side is touched once. */
-  private def churnLabeled(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def churnLabeled(s: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(s, dir)
     val anchor = o.agg(max(col("o_orderdate")).as("mx"))
     val last = o.groupBy(col("o_custkey")).agg(max(col("o_orderdate")).as("last_order"))
@@ -13654,7 +308,7 @@ object SparkEntry {
         (col("c_acctbal").cast("decimal(24,2)") * 100).cast("bigint").as("v"))
   }
 
-  private val churnLabeledSql =
+  private[graft] val churnLabeledSql =
     """SELECT c_custkey, c_mktsegment,
       |    CASE WHEN last_order IS NULL OR last_order < mx - INTERVAL 90 DAY
       |         THEN 1 ELSE 0 END AS g1,
@@ -13663,5788 +317,6 @@ object SparkEntry {
       |LEFT JOIN (SELECT o_custkey, MAX(o_orderdate) AS last_order FROM orders GROUP BY 1)
       |  ON c_custkey = o_custkey
       |CROSS JOIN (SELECT MAX(o_orderdate) AS mx FROM orders)""".stripMargin
-
-  /** Brier score of the per-segment churn-rate model with the Murphy
-    * decomposition: the in-sample group-mean prediction makes each
-    * segment's Brier contribution EXACTLY k_g(n_g−k_g)/n_g (the
-    * cross-multiplied closed form — no per-row (p−y)² pass), gathered
-    * per-group as correctly-rounded doubles into a DECIMAL(38,18)
-    * order-independent sum. reliability is zero by construction for the
-    * in-sample model, so resolution = uncertainty − brier exactly. */
-  private def anBrier(s: SparkSession, dir: String): DataFrame = {
-    val grp = churnLabeled(s, dir).groupBy(col("c_mktsegment"))
-      .agg(count(lit(1)).as("n_g"), sum(col("g1")).as("k_g"))
-    def gather(c: Column) = sum(c.cast("decimal(38,18)")).cast("decimal(38,18)")
-    grp.agg(sum(col("n_g")).as("n"), sum(col("k_g")).as("k"),
-        gather((col("k_g") * (col("n_g") - col("k_g"))).cast("double") /
-          col("n_g").cast("double")).as("bsum"))
-      .select(col("n"), col("k"),
-        round(col("bsum").cast("double") / col("n").cast("double"), 6).as("brier"),
-        round((col("k") * (col("n") - col("k"))).cast("double") /
-          (col("n") * col("n")).cast("double"), 6).as("uncertainty"),
-        round((col("k") * (col("n") - col("k"))).cast("double") /
-            (col("n") * col("n")).cast("double") -
-          col("bsum").cast("double") / col("n").cast("double"), 6).as("resolution"))
-  }
-
-  private val anBrierSql =
-    s"""WITH lab AS ($churnLabeledSql),
-       |g AS (SELECT c_mktsegment, COUNT(*) AS n_g, CAST(SUM(g1) AS BIGINT) AS k_g
-       |      FROM lab GROUP BY 1),
-       |t AS (SELECT CAST(SUM(n_g) AS BIGINT) AS n, CAST(SUM(k_g) AS BIGINT) AS k,
-       |        CAST(SUM(CAST(CAST(k_g * (n_g - k_g) AS DOUBLE) / CAST(n_g AS DOUBLE)
-       |          AS DECIMAL(38,18))) AS DECIMAL(38,18)) AS bsum
-       |      FROM g)
-       |SELECT n, k,
-       |  ROUND(CAST(bsum AS DOUBLE) / CAST(n AS DOUBLE), 6) AS brier,
-       |  ROUND(CAST(k * (n - k) AS DOUBLE) / CAST(n * n AS DOUBLE), 6) AS uncertainty,
-       |  ROUND(CAST(k * (n - k) AS DOUBLE) / CAST(n * n AS DOUBLE)
-       |    - CAST(bsum AS DOUBLE) / CAST(n AS DOUBLE), 6) AS resolution
-       |FROM t""".stripMargin
-
-  /** Calibration / reliability table: 10 equal-width score bins over the
-    * exact [min, max] cent range via integer bucket arithmetic (bin =
-    * (v−min)·10 div (range+1) — no float boundary), per-bin mean score
-    * and observed churn rate as single IEEE divisions of exact integers.
-    * The per-bin view an_brier's one-number summary hides. */
-  private def anCalibration(s: SparkSession, dir: String): DataFrame = {
-    val lab = churnLabeled(s, dir)
-    val bounds = lab.agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
-    lab.crossJoin(broadcast(bounds))
-      .withColumn("bin", expr("((v - mn) * 10) div (mx - mn + 1)"))
-      .groupBy(col("bin"))
-      .agg(count(lit(1)).as("n_bin"), sum(col("v")).as("sv"), sum(col("g1")).as("k_bin"))
-      .select(col("bin"), col("n_bin"),
-        (col("sv").cast("double") / col("n_bin").cast("double") / 100.0).as("mean_score"),
-        (col("k_bin").cast("double") / col("n_bin").cast("double")).as("churn_rate"))
-      .orderBy(col("bin"))
-  }
-
-  private val anCalibrationSql =
-    s"""WITH lab AS ($churnLabeledSql),
-       |b AS (SELECT MIN(v) AS mn, MAX(v) AS mx FROM lab)
-       |SELECT ((v - mn) * 10) // (mx - mn + 1) AS bin, COUNT(*) AS n_bin,
-       |  CAST(CAST(SUM(v) AS BIGINT) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 100.0 AS mean_score,
-       |  CAST(CAST(SUM(g1) AS BIGINT) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS churn_rate
-       |FROM lab CROSS JOIN b GROUP BY 1 ORDER BY 1""".stripMargin
-
-  /** Information gain of the market segment for churn: IG = H(Y) −
-    * H(Y|X) in the single-fraction ln form (N·lnN − Σn_y·ln n_y −
-    * Σn_x·ln n_x + Σn_xy·ln n_xy)/N — every count exact, every ln
-    * correctly rounded, terms gathered in DECIMAL(38,18), ROUND 6 at
-    * emission for the libm ulp (the an_entropy discipline). The
-    * feature-selection primitive next to an_stump_split's Gini. */
-  private def anInfoGain(s: SparkSession, dir: String): DataFrame = {
-    val lab = churnLabeled(s, dir)
-    // xy is |segments|×2 cells (key-domain-bounded) with THREE consumers
-    // (both marginals + the joint term) — stabilize once so the
-    // data-sized churn aggregation runs once, not per consumer
-    val xy = graft.operators.Checkpoints.stabilizeLazy(
-      lab.groupBy(col("c_mktsegment"), col("g1")).agg(count(lit(1)).as("n_xy")))
-    def gather(c: Column) = sum(c.cast("decimal(38,18)")).cast("decimal(38,18)")
-    def nln(c: Column) = c.cast("double") * log(c.cast("double"))
-    val tx = xy.groupBy(col("c_mktsegment")).agg(sum(col("n_xy")).as("n_x"))
-      .agg(gather(nln(col("n_x"))).as("sx"), sum(col("n_x")).as("n"))
-    val ty = xy.groupBy(col("g1")).agg(sum(col("n_xy")).as("n_y"))
-      .agg(gather(nln(col("n_y"))).as("sy"))
-    val txy = xy.agg(gather(nln(col("n_xy"))).as("sxy"))
-    tx.crossJoin(ty).crossJoin(txy)
-      .select(col("n"),
-        round((nln(col("n")).cast("decimal(38,18)") - col("sy")).cast("double") /
-          col("n").cast("double"), 6).as("h_y"),
-        round((nln(col("n")).cast("decimal(38,18)") - col("sy") - col("sx") + col("sxy"))
-          .cast("double") / col("n").cast("double"), 6).as("info_gain"))
-      .withColumn("h_y_given_x", round(col("h_y") - col("info_gain"), 6))
-  }
-
-  private val anInfoGainSql =
-    s"""WITH lab AS ($churnLabeledSql),
-       |xy AS (SELECT c_mktsegment, g1, COUNT(*) AS n_xy FROM lab GROUP BY 1, 2),
-       |tx AS (SELECT CAST(SUM(CAST(CAST(n_x AS DOUBLE) * ln(CAST(n_x AS DOUBLE))
-       |           AS DECIMAL(38,18))) AS DECIMAL(38,18)) AS sx,
-       |         CAST(SUM(n_x) AS BIGINT) AS n
-       |       FROM (SELECT c_mktsegment, CAST(SUM(n_xy) AS BIGINT) AS n_x FROM xy GROUP BY 1)),
-       |ty AS (SELECT CAST(SUM(CAST(CAST(n_y AS DOUBLE) * ln(CAST(n_y AS DOUBLE))
-       |           AS DECIMAL(38,18))) AS DECIMAL(38,18)) AS sy
-       |       FROM (SELECT g1, CAST(SUM(n_xy) AS BIGINT) AS n_y FROM xy GROUP BY 1)),
-       |txy AS (SELECT CAST(SUM(CAST(CAST(n_xy AS DOUBLE) * ln(CAST(n_xy AS DOUBLE))
-       |           AS DECIMAL(38,18))) AS DECIMAL(38,18)) AS sxy FROM xy),
-       |f AS (SELECT n,
-       |        ROUND(CAST(CAST(CAST(n AS DOUBLE) * ln(CAST(n AS DOUBLE)) AS DECIMAL(38,18)) - sy
-       |          AS DOUBLE) / CAST(n AS DOUBLE), 6) AS h_y,
-       |        ROUND(CAST(CAST(CAST(n AS DOUBLE) * ln(CAST(n AS DOUBLE)) AS DECIMAL(38,18))
-       |          - sy - sx + sxy AS DOUBLE) / CAST(n AS DOUBLE), 6) AS info_gain
-       |      FROM tx CROSS JOIN ty CROSS JOIN txy)
-       |SELECT n, h_y, info_gain, ROUND(h_y - info_gain, 6) AS h_y_given_x FROM f""".stripMargin
-
-  /** Odds ratio for the 2×2 (exposure: balance ≥ $5000) × (outcome:
-    * churn) table with the Woolf log-CI: OR = (a·d)/(b·c) as ONE IEEE
-    * division of exact integer cross-products (DECIMAL(38,0) — a·d
-    * overflows BIGINT past ~3e9-row cells), CI bounds through ln/sqrt
-    * ROUND 6. */
-  private def anOddsRatio(s: SparkSession, dir: String): DataFrame = {
-    val cells = churnLabeled(s, dir)
-      .withColumn("e", (col("v") >= 500000L).cast("int"))
-      .agg(
-        sum(when(col("e") === 1 && col("g1") === 1, 1L).otherwise(0L)).as("a"),
-        sum(when(col("e") === 1 && col("g1") === 0, 1L).otherwise(0L)).as("b"),
-        sum(when(col("e") === 0 && col("g1") === 1, 1L).otherwise(0L)).as("c"),
-        sum(when(col("e") === 0 && col("g1") === 0, 1L).otherwise(0L)).as("d"))
-    val se = sqrt(lit(1.0) / col("a") + lit(1.0) / col("b") +
-      lit(1.0) / col("c") + lit(1.0) / col("d"))
-    val lnOr = log((col("a").cast("decimal(38,0)") * col("d").cast("decimal(38,0)")).cast("double") /
-      (col("b").cast("decimal(38,0)") * col("c").cast("decimal(38,0)")).cast("double"))
-    cells.select(col("a"), col("b"), col("c"), col("d"),
-      ((col("a").cast("decimal(38,0)") * col("d").cast("decimal(38,0)")).cast("double") /
-        (col("b").cast("decimal(38,0)") * col("c").cast("decimal(38,0)")).cast("double")).as("odds_ratio"),
-      round(lnOr - lit(1.96) * se, 6).as("ln_ci_lo"),
-      round(lnOr + lit(1.96) * se, 6).as("ln_ci_hi"))
-  }
-
-  private val anOddsRatioSql =
-    s"""WITH lab AS ($churnLabeledSql),
-       |t AS (SELECT
-       |  CAST(SUM(CASE WHEN v >= 500000 AND g1 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a,
-       |  CAST(SUM(CASE WHEN v >= 500000 AND g1 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
-       |  CAST(SUM(CASE WHEN v < 500000 AND g1 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c,
-       |  CAST(SUM(CASE WHEN v < 500000 AND g1 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d
-       |  FROM lab)
-       |SELECT a, b, c, d,
-       |  CAST(CAST(a AS DECIMAL(38,0)) * CAST(d AS DECIMAL(38,0)) AS DOUBLE)
-       |    / CAST(CAST(b AS DECIMAL(38,0)) * CAST(c AS DECIMAL(38,0)) AS DOUBLE) AS odds_ratio,
-       |  ROUND(ln(CAST(CAST(a AS DECIMAL(38,0)) * CAST(d AS DECIMAL(38,0)) AS DOUBLE)
-       |    / CAST(CAST(b AS DECIMAL(38,0)) * CAST(c AS DECIMAL(38,0)) AS DOUBLE))
-       |    - 1.96 * sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d), 6) AS ln_ci_lo,
-       |  ROUND(ln(CAST(CAST(a AS DECIMAL(38,0)) * CAST(d AS DECIMAL(38,0)) AS DOUBLE)
-       |    / CAST(CAST(b AS DECIMAL(38,0)) * CAST(c AS DECIMAL(38,0)) AS DOUBLE))
-       |    + 1.96 * sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d), 6) AS ln_ci_hi
-       |FROM t""".stripMargin
-
-  /** Relative risk + risk difference on the same 2×2: RR =
-    * a(c+d)/(c(a+b)) as one division of exact DECIMAL(38,0)
-    * cross-products; the risk difference is two exactly-rounded
-    * divisions and one subtraction (deterministic — both operands are
-    * fully determined doubles). Epidemiology's additive companion to
-    * an_odds_ratio's multiplicative view. */
-  private def anRiskRatio(s: SparkSession, dir: String): DataFrame =
-    churnLabeled(s, dir)
-      .withColumn("e", (col("v") >= 500000L).cast("int"))
-      .agg(
-        sum(when(col("e") === 1 && col("g1") === 1, 1L).otherwise(0L)).as("a"),
-        sum(when(col("e") === 1 && col("g1") === 0, 1L).otherwise(0L)).as("b"),
-        sum(when(col("e") === 0 && col("g1") === 1, 1L).otherwise(0L)).as("c"),
-        sum(when(col("e") === 0 && col("g1") === 0, 1L).otherwise(0L)).as("d"))
-      .select(col("a"), col("b"), col("c"), col("d"),
-        ((col("a").cast("decimal(38,0)") * (col("c") + col("d")).cast("decimal(38,0)")).cast("double") /
-          (col("c").cast("decimal(38,0)") * (col("a") + col("b")).cast("decimal(38,0)")).cast("double"))
-          .as("relative_risk"),
-        (col("a").cast("double") / (col("a") + col("b")).cast("double") -
-          col("c").cast("double") / (col("c") + col("d")).cast("double")).as("risk_diff"))
-
-  private val anRiskRatioSql =
-    s"""WITH lab AS ($churnLabeledSql),
-       |t AS (SELECT
-       |  CAST(SUM(CASE WHEN v >= 500000 AND g1 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a,
-       |  CAST(SUM(CASE WHEN v >= 500000 AND g1 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
-       |  CAST(SUM(CASE WHEN v < 500000 AND g1 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c,
-       |  CAST(SUM(CASE WHEN v < 500000 AND g1 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d
-       |  FROM lab)
-       |SELECT a, b, c, d,
-       |  CAST(CAST(a AS DECIMAL(38,0)) * CAST(c + d AS DECIMAL(38,0)) AS DOUBLE)
-       |    / CAST(CAST(c AS DECIMAL(38,0)) * CAST(a + b AS DECIMAL(38,0)) AS DOUBLE) AS relative_risk,
-       |  CAST(a AS DOUBLE) / CAST(a + b AS DOUBLE)
-       |    - CAST(c AS DOUBLE) / CAST(c + d AS DOUBLE) AS risk_diff
-       |FROM t""".stripMargin
-
-  /** Cochran–Armitage trend test across four ordered balance bands
-    * (scores 0..3): χ²_trend in the fully cross-multiplied integer form
-    * (N·Σsk − K·Σsn)²·(N−1) / [K(N−K)(N·Σs²n − (Σsn)²)] — every product
-    * an exact DECIMAL(38,0), ONE IEEE division at emission. The
-    * dose-response test an_chi2_drift's unordered χ² cannot see. */
-  private def anCochranArmitage(s: SparkSession, dir: String): DataFrame = {
-    val banded = churnLabeled(s, dir)
-      .withColumn("sc", least(expr("greatest(v, 0) div 250000"), lit(3L)))
-    val d = (c: Column) => c.cast("decimal(38,0)")
-    banded
-      .agg(count(lit(1)).as("n"), sum(col("g1")).as("k"),
-        sum(col("sc") * col("g1")).as("sk"),
-        sum(col("sc")).as("sn"),
-        sum(col("sc") * col("sc")).as("s2n"))
-      .select(col("n"), col("k"),
-        ((d(col("n")) * d(col("sk")) - d(col("k")) * d(col("sn"))) *
-          (d(col("n")) * d(col("sk")) - d(col("k")) * d(col("sn"))) *
-          d(col("n") - 1)).cast("double")
-          ./((d(col("k")) * d(col("n") - col("k")) *
-            (d(col("n")) * d(col("s2n")) - d(col("sn")) * d(col("sn")))).cast("double"))
-          .as("trend_chi2"))
-  }
-
-  private val anCochranArmitageSql =
-    s"""WITH lab AS ($churnLabeledSql),
-       |b AS (SELECT g1, LEAST(GREATEST(v, 0) // 250000, 3) AS sc FROM lab),
-       |t AS (SELECT COUNT(*) AS n, CAST(SUM(g1) AS BIGINT) AS k,
-       |        CAST(SUM(sc * g1) AS BIGINT) AS sk, CAST(SUM(sc) AS BIGINT) AS sn,
-       |        CAST(SUM(sc * sc) AS BIGINT) AS s2n
-       |      FROM b)
-       |SELECT n, k,
-       |  CAST((CAST(n AS DECIMAL(38,0)) * CAST(sk AS DECIMAL(38,0))
-       |      - CAST(k AS DECIMAL(38,0)) * CAST(sn AS DECIMAL(38,0)))
-       |    * (CAST(n AS DECIMAL(38,0)) * CAST(sk AS DECIMAL(38,0))
-       |      - CAST(k AS DECIMAL(38,0)) * CAST(sn AS DECIMAL(38,0)))
-       |    * CAST(n - 1 AS DECIMAL(38,0)) AS DOUBLE)
-       |  / CAST(CAST(k AS DECIMAL(38,0)) * CAST(n - k AS DECIMAL(38,0))
-       |    * (CAST(n AS DECIMAL(38,0)) * CAST(s2n AS DECIMAL(38,0))
-       |      - CAST(sn AS DECIMAL(38,0)) * CAST(sn AS DECIMAL(38,0))) AS DOUBLE) AS trend_chi2
-       |FROM t""".stripMargin
-
-  /** Paired t-test on per-customer 1996-vs-1997 spend (cents; a year
-    * without orders contributes 0): t = Σd·√(n−1) / √(n·Σd² − (Σd)²)
-    * over exact DECIMAL sums — two correctly-rounded sqrts, one
-    * multiply, one division, same expression tree both engines. The
-    * within-subject complement to an_welch_ttest. */
-  private def anPairedTtest(s: SparkSession, dir: String): DataFrame = {
-    val spend = Tables.orders(s, dir)
-      .withColumn("yr", year(col("o_orderdate")))
-      .filter(col("yr").isin(1996, 1997))
-      .groupBy(col("o_custkey"))
-      .agg(
-        (sum(when(col("yr") === 1996, col("o_totalprice")).otherwise(0.0)
-          .cast("decimal(24,8)")).cast("decimal(24,2)") * 100).cast("bigint").as("s96"),
-        (sum(when(col("yr") === 1997, col("o_totalprice")).otherwise(0.0)
-          .cast("decimal(24,8)")).cast("decimal(24,2)") * 100).cast("bigint").as("s97"))
-      .withColumn("dc", col("s97") - col("s96"))
-    spend.agg(count(lit(1)).as("n"),
-        sum(col("dc").cast("decimal(38,0)")).as("sd"),
-        sum(col("dc").cast("decimal(38,0)") * col("dc").cast("decimal(38,0)")).as("sd2"))
-      .select(col("n"),
-        (col("sd").cast("double") / col("n").cast("double") / 100.0).as("mean_diff"),
-        (col("sd").cast("double") * sqrt((col("n") - 1).cast("double")) /
-          sqrt((col("n").cast("decimal(38,0)") * col("sd2") - col("sd") * col("sd"))
-            .cast("double"))).as("t_stat"))
-  }
-
-  private val anPairedTtestSql =
-    """WITH sp AS (SELECT o_custkey,
-      |    CAST(ROUND(SUM(CASE WHEN year(o_orderdate) = 1996 THEN CAST(o_totalprice AS DECIMAL(24,8)) ELSE 0 END), 2) * 100 AS BIGINT) AS s96,
-      |    CAST(ROUND(SUM(CASE WHEN year(o_orderdate) = 1997 THEN CAST(o_totalprice AS DECIMAL(24,8)) ELSE 0 END), 2) * 100 AS BIGINT) AS s97
-      |  FROM orders WHERE year(o_orderdate) IN (1996, 1997) GROUP BY o_custkey),
-      |t AS (SELECT COUNT(*) AS n,
-      |        CAST(SUM(CAST(s97 - s96 AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sd,
-      |        CAST(SUM(CAST(s97 - s96 AS DECIMAL(38,0)) * CAST(s97 - s96 AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sd2
-      |      FROM sp)
-      |SELECT n,
-      |  CAST(sd AS DOUBLE) / CAST(n AS DOUBLE) / 100.0 AS mean_diff,
-      |  CAST(sd AS DOUBLE) * sqrt(CAST(n - 1 AS DOUBLE))
-      |    / sqrt(CAST(CAST(n AS DECIMAL(38,0)) * sd2 - sd * sd AS DOUBLE)) AS t_stat
-      |FROM t""".stripMargin
-
-  /** Partial correlation of daily revenue and daily line volume
-    * controlling for daily order breadth (distinct orders): the three
-    * pairwise Pearson r from ONE exact decimal moment pass over the day
-    * spine, partial r = (r_xy − r_xz·r_yz)/√((1−r_xz²)(1−r_yz²)),
-    * everything after the exact sums a shared IEEE expression tree,
-    * ROUND 6 at emission. Disentangles "more orders" from "bigger
-    * lines" in the revenue–volume relationship. */
-  private def anPartialCorr(s: SparkSession, dir: String): DataFrame = {
-    val daily = Tables.lineitem(s, dir)
-      .groupBy(date_trunc("day", col("l_shipdate")).as("day"))
-      .agg((sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-          .cast("decimal(24,8)")).cast("decimal(24,2)") * 100).cast("bigint").as("x"),
-        count(lit(1)).as("y"),
-        countDistinct(col("l_orderkey")).as("z"))
-    val d = (c: Column) => c.cast("decimal(38,0)")
-    val m = daily.agg(count(lit(1)).as("n"),
-      sum(d(col("x"))).as("sx"), sum(d(col("y"))).as("sy"), sum(d(col("z"))).as("sz"),
-      sum(d(col("x")) * d(col("x"))).as("sxx"), sum(d(col("y")) * d(col("y"))).as("syy"),
-      sum(d(col("z")) * d(col("z"))).as("szz"),
-      sum(d(col("x")) * d(col("y"))).as("sxy"), sum(d(col("x")) * d(col("z"))).as("sxz"),
-      sum(d(col("y")) * d(col("z"))).as("syz"))
-    def r(sab: Column, sa: Column, sb: Column, saa: Column, sbb: Column) =
-      (col("n") * sab - sa * sb).cast("double") /
-        (sqrt((col("n") * saa - sa * sa).cast("double")) *
-          sqrt((col("n") * sbb - sb * sb).cast("double")))
-    m.withColumn("r_xy", r(col("sxy"), col("sx"), col("sy"), col("sxx"), col("syy")))
-      .withColumn("r_xz", r(col("sxz"), col("sx"), col("sz"), col("sxx"), col("szz")))
-      .withColumn("r_yz", r(col("syz"), col("sy"), col("sz"), col("syy"), col("szz")))
-      .select(col("n").as("n_days"),
-        round(col("r_xy"), 6).as("r_xy"),
-        round(col("r_xz"), 6).as("r_xz"),
-        round(col("r_yz"), 6).as("r_yz"),
-        round((col("r_xy") - col("r_xz") * col("r_yz")) /
-          sqrt((lit(1.0) - col("r_xz") * col("r_xz")) *
-            (lit(1.0) - col("r_yz") * col("r_yz"))), 6).as("r_xy_given_z"))
-  }
-
-  private val anPartialCorrSql =
-    """WITH daily AS (SELECT date_trunc('day', l_shipdate) AS day,
-      |    CAST(ROUND(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,8))), 2) * 100 AS BIGINT) AS x,
-      |    COUNT(*) AS y, COUNT(DISTINCT l_orderkey) AS z
-      |  FROM lineitem GROUP BY 1),
-      |m AS (SELECT COUNT(*) AS n,
-      |  CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
-      |  CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy,
-      |  CAST(SUM(CAST(z AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sz,
-      |  CAST(SUM(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxx,
-      |  CAST(SUM(CAST(y AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS syy,
-      |  CAST(SUM(CAST(z AS DECIMAL(38,0)) * CAST(z AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS szz,
-      |  CAST(SUM(CAST(x AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxy,
-      |  CAST(SUM(CAST(x AS DECIMAL(38,0)) * CAST(z AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxz,
-      |  CAST(SUM(CAST(y AS DECIMAL(38,0)) * CAST(z AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS syz
-      |  FROM daily),
-      |rr AS (SELECT n,
-      |  CAST(n * sxy - sx * sy AS DOUBLE)
-      |    / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS r_xy,
-      |  CAST(n * sxz - sx * sz AS DOUBLE)
-      |    / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) * sqrt(CAST(n * szz - sz * sz AS DOUBLE))) AS r_xz,
-      |  CAST(n * syz - sy * sz AS DOUBLE)
-      |    / (sqrt(CAST(n * syy - sy * sy AS DOUBLE)) * sqrt(CAST(n * szz - sz * sz AS DOUBLE))) AS r_yz
-      |  FROM m)
-      |SELECT n AS n_days, ROUND(r_xy, 6) AS r_xy, ROUND(r_xz, 6) AS r_xz,
-      |  ROUND(r_yz, 6) AS r_yz,
-      |  ROUND((r_xy - r_xz * r_yz)
-      |    / sqrt((1.0 - r_xz * r_xz) * (1.0 - r_yz * r_yz)), 6) AS r_xy_given_z
-      |FROM rr""".stripMargin
-
-  /** Cross-correlation function (lags 0..7) between daily revenue and
-    * daily line volume: a bounded self-join of the day spine on d = d+lag
-    * (8 tiny equi-joins via one lag column explode), per-lag Pearson r
-    * from exact decimal moment sums, ROUND 6. Which lead/lag structure
-    * an_autocorr (same-series) can't show. */
-  private def anCcf(s: SparkSession, dir: String): DataFrame = {
-    val daily = Tables.lineitem(s, dir)
-      .groupBy(date_trunc("day", col("l_shipdate")).as("day"))
-      .agg((sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-          .cast("decimal(24,8)")).cast("decimal(24,2)") * 100).cast("bigint").as("x"),
-        count(lit(1)).as("y"))
-      .withColumn("d",
-        datediff(col("day").cast("date"), lit("1992-01-01").cast("date")))
-    val d38 = (c: Column) => c.cast("decimal(38,0)")
-    val paired = daily.select(col("d"), col("x"))
-      .withColumn("lag", explode(sequence(lit(0), lit(7))))
-      .join(daily.select(col("d").as("d2"), col("y")), col("d2") === col("d") + col("lag"))
-    paired.groupBy(col("lag"))
-      .agg(count(lit(1)).as("n"),
-        sum(d38(col("x"))).as("sx"), sum(d38(col("y"))).as("sy"),
-        sum(d38(col("x")) * d38(col("x"))).as("sxx"),
-        sum(d38(col("y")) * d38(col("y"))).as("syy"),
-        sum(d38(col("x")) * d38(col("y"))).as("sxy"))
-      .select(col("lag"), col("n"),
-        round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
-          (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
-            sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))), 6)
-          .as("ccf"))
-      .orderBy(col("lag"))
-  }
-
-  private val anCcfSql =
-    """WITH daily AS (SELECT
-      |    CAST(ROUND(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,8))), 2) * 100 AS BIGINT) AS x,
-      |    COUNT(*) AS y,
-      |    date_diff('day', DATE '1992-01-01', CAST(date_trunc('day', l_shipdate) AS DATE)) AS d
-      |  FROM lineitem GROUP BY date_trunc('day', l_shipdate)),
-      |p AS (SELECT l.lag, a.x, b.y
-      |      FROM daily a CROSS JOIN (SELECT unnest(range(0, 8)) AS lag) l
-      |      JOIN daily b ON b.d = a.d + l.lag),
-      |m AS (SELECT lag, COUNT(*) AS n,
-      |  CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
-      |  CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy,
-      |  CAST(SUM(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxx,
-      |  CAST(SUM(CAST(y AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS syy,
-      |  CAST(SUM(CAST(x AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxy
-      |  FROM p GROUP BY lag)
-      |SELECT lag, n,
-      |  ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
-      |    / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS ccf
-      |FROM m ORDER BY lag""".stripMargin
-
-  /** Lexical-richness panel per language: vocabulary V, token count N,
-    * hapax count V₁, TTR, Yule's K = 10⁴(Σf²−N)/N², Simpson's D =
-    * Σf(f−1)/(N(N−1)) — all from ONE (lang, word) count aggregate
-    * (posting-shaped: the shuffle carries words+counts, never
-    * documents), every statistic exact integers until a single IEEE
-    * division. The per-language diversity screen beside text_zipf's
-    * spectrum slope and text_vocab_growth's Heaps curve. */
-  private def textLexicalRichness(s: SparkSession, dir: String): DataFrame = {
-    val wf = Tables.documents(s, dir)
-      .select(col("lang"), explode(split(col("text"), " ")).as("w"))
-      .filter(col("w") =!= "")
-      .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("f"))
-    val d = (c: Column) => c.cast("decimal(38,0)")
-    wf.groupBy(col("lang"))
-      .agg(sum(col("f")).as("n"), count(lit(1)).as("v"),
-        sum(when(col("f") === 1, 1L).otherwise(0L)).as("v1"),
-        sum(d(col("f")) * d(col("f"))).as("sf2"),
-        sum(d(col("f")) * d(col("f") - 1)).as("sff1"))
-      .select(col("lang"), col("n").as("n_tokens"), col("v").as("vocab"),
-        col("v1").as("hapax"),
-        (col("v").cast("double") / col("n").cast("double")).as("ttr"),
-        ((col("sf2") - col("n")).cast("double") * 10000.0 /
-          (d(col("n")) * d(col("n"))).cast("double")).as("yule_k"),
-        (col("sff1").cast("double") /
-          (d(col("n")) * d(col("n") - 1)).cast("double")).as("simpson_d"))
-      .orderBy(col("lang"))
-  }
-
-  private val textLexicalRichnessSql =
-    """WITH wf AS (SELECT lang, w, COUNT(*) AS f FROM (
-      |    SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents) t
-      |  WHERE w <> '' GROUP BY lang, w),
-      |a AS (SELECT lang, CAST(SUM(f) AS BIGINT) AS n, COUNT(*) AS v,
-      |        CAST(SUM(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT) AS v1,
-      |        CAST(SUM(CAST(f AS DECIMAL(38,0)) * CAST(f AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sf2,
-      |        CAST(SUM(CAST(f AS DECIMAL(38,0)) * CAST(f - 1 AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sff1
-      |      FROM wf GROUP BY lang)
-      |SELECT lang, n AS n_tokens, v AS vocab, v1 AS hapax,
-      |  CAST(v AS DOUBLE) / CAST(n AS DOUBLE) AS ttr,
-      |  CAST(sf2 - n AS DOUBLE) * 10000.0
-      |    / CAST(CAST(n AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0)) AS DOUBLE) AS yule_k,
-      |  CAST(sff1 AS DOUBLE)
-      |    / CAST(CAST(n AS DECIMAL(38,0)) * CAST(n - 1 AS DECIMAL(38,0)) AS DOUBLE) AS simpson_d
-      |FROM a ORDER BY lang""".stripMargin
-
-  /** Per-source 3-gram novelty: the fraction of a doc's DISTINCT word
-    * trigrams whose first corpus occurrence (min doc_id over the gram)
-    * is the doc itself — the "how much new text does this source add"
-    * curation signal. Spark groups grams by xxhash64 (the
-    * dedup_segments posture: only 8-byte keys shuffle, never gram
-    * text; a 64-bit collision over a ≤10⁹-gram vocabulary is
-    * negligible and the oracle's raw-gram grouping would surface one
-    * as a hash mismatch); min-doc_id aggregate + one posting join. */
-  private def textNgramNovelty(s: SparkSession, dir: String): DataFrame = {
-    val ws = split(col("text"), " ")
-    val grams = Tables.documents(s, dir)
-      .select(col("doc_id"), col("source"),
-        explode(when(size(ws) >= 3,
-          transform(sequence(lit(1), size(ws) - 2),
-            i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1),
-              element_at(ws, i + 2))))
-          .otherwise(array().cast("array<string>"))).as("g"))
-      .select(col("doc_id"), col("source"), xxhash64(col("g")).as("h"))
-      .distinct()
-    val first = grams.groupBy(col("h")).agg(min(col("doc_id")).as("first_doc"))
-    grams.join(first, "h")
-      .groupBy(col("source"))
-      .agg(countDistinct(col("doc_id")).as("n_docs"),
-        count(lit(1)).as("n_grams"),
-        sum((col("doc_id") === col("first_doc")).cast("long")).as("novel_grams"))
-      .select(col("source"), col("n_docs"), col("n_grams"), col("novel_grams"),
-        (col("novel_grams").cast("double") / col("n_grams").cast("double")).as("novelty_rate"))
-      .orderBy(col("source"))
-  }
-
-  private val textNgramNoveltySql =
-    """WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
-      |g AS (SELECT DISTINCT doc_id, source,
-      |        ws[CAST(j AS INT)] || ' ' || ws[CAST(j AS INT) + 1] || ' ' || ws[CAST(j AS INT) + 2] AS gram
-      |      FROM t, range(1, 100000) pos(j) WHERE j <= len(ws) - 2),
-      |f AS (SELECT gram, MIN(doc_id) AS first_doc FROM g GROUP BY gram)
-      |SELECT source, COUNT(DISTINCT g.doc_id) AS n_docs, COUNT(*) AS n_grams,
-      |  CAST(SUM(CASE WHEN g.doc_id = f.first_doc THEN 1 ELSE 0 END) AS BIGINT) AS novel_grams,
-      |  CAST(SUM(CASE WHEN g.doc_id = f.first_doc THEN 1 ELSE 0 END) AS DOUBLE)
-      |    / CAST(COUNT(*) AS DOUBLE) AS novelty_rate
-      |FROM g JOIN f USING (gram)
-      |GROUP BY source ORDER BY source""".stripMargin
-
-  /** RAKE keyword extraction (Rose et al. 2010) over the corpus:
-    * stopwords {a, the} delimit candidate phrases (gaps-islands on word
-    * positions: island id = pos − row_number over non-stop words per
-    * doc), word score = deg/freq over phrase members (deg = Σ phrase
-    * lengths containing the word), phrase score = Σ member scores
-    * gathered in DECIMAL(38,18), top-20 by (score, phrase) — all
-    * row-local until two posting-shaped aggregates over words. Phrase
-    * assembly is deterministic: array_sort on (pos, word) structs, not
-    * bare collect_list order. */
-  private def textRake(s: SparkSession, dir: String): DataFrame = {
-    val words = Tables.documents(s, dir)
-      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
-      .filter(col("w") =!= "")
-    val nonStop = words.filter(!col("w").isin("a", "the"))
-      .withColumn("grp", col("pos") - row_number().over(
-        Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
-    val phrases = nonStop.groupBy(col("doc_id"), col("grp"))
-      .agg(array_join(transform(array_sort(collect_list(struct(col("pos"), col("w")))),
-        x => x.getField("w")), " ").as("phrase"),
-        count(lit(1)).as("plen"))
-    val members = nonStop.join(phrases, Seq("doc_id", "grp"))
-    val wordStats = members.groupBy(col("w"))
-      .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
-    def gather(c: Column) = sum(c.cast("decimal(38,18)")).cast("decimal(38,18)")
-    val scored = members.join(wordStats, "w")
-      .groupBy(col("doc_id"), col("grp"), col("phrase"))
-      .agg(gather(col("deg").cast("double") / col("freq").cast("double")).as("sc"))
-    scored.groupBy(col("phrase"))
-      .agg(count(lit(1)).as("n_occ"), max(col("sc")).as("sc"))
-      .withColumn("score", round(col("sc").cast("double"), 6))
-      // Top-20 via orderBy+limit → TakeOrderedAndProject; rank the
-      // 20-row result, never the corpus-sized phrase table.
-      .orderBy(col("score").desc, col("phrase")).limit(20)
-      .withColumn("rnk", row_number().over(
-        Window.orderBy(col("score").desc, col("phrase"))))
-      .select(col("rnk"), col("phrase"), col("n_occ"), col("score"))
-      .orderBy(col("rnk"))
-  }
-
-  private val textRakeSql =
-    """WITH wp AS (SELECT doc_id, CAST(j AS BIGINT) AS pos, ws[CAST(j AS INT)] AS w
-      |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) t,
-      |       range(1, 100000) p(j)
-      |  WHERE j <= len(ws) AND ws[CAST(j AS INT)] <> ''),
-      |ns AS (SELECT doc_id, pos, w,
-      |         pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
-      |       FROM wp WHERE w NOT IN ('a', 'the')),
-      |ph AS (SELECT doc_id, grp,
-      |         string_agg(w, ' ' ORDER BY pos) AS phrase, COUNT(*) AS plen
-      |       FROM ns GROUP BY doc_id, grp),
-      |mem AS (SELECT ns.doc_id, ns.grp, ns.w, ph.phrase, ph.plen
-      |        FROM ns JOIN ph ON ns.doc_id = ph.doc_id AND ns.grp = ph.grp),
-      |ws AS (SELECT w, COUNT(*) AS freq, CAST(SUM(plen) AS BIGINT) AS deg
-      |       FROM mem GROUP BY w),
-      |sc AS (SELECT mem.doc_id, mem.grp, mem.phrase,
-      |         CAST(SUM(CAST(CAST(ws.deg AS DOUBLE) / CAST(ws.freq AS DOUBLE)
-      |           AS DECIMAL(38,18))) AS DECIMAL(38,18)) AS sc
-      |       FROM mem JOIN ws ON mem.w = ws.w
-      |       GROUP BY mem.doc_id, mem.grp, mem.phrase),
-      |agg AS (SELECT phrase, COUNT(*) AS n_occ,
-      |          ROUND(CAST(MAX(sc) AS DOUBLE), 6) AS score
-      |        FROM sc GROUP BY phrase),
-      |rk AS (SELECT phrase, n_occ, score,
-      |         ROW_NUMBER() OVER (ORDER BY score DESC, phrase) AS rnk FROM agg)
-      |SELECT rnk, phrase, n_occ, score FROM rk WHERE rnk <= 20 ORDER BY rnk""".stripMargin
-
-  /** Out-of-vocabulary rate per source against the corpus top-1000
-    * vocabulary ((count DESC, word ASC) deterministic cut): the
-    * tokenizer-coverage screen for a fixed-vocab model. Vocab is a
-    * 1000-row broadcast; the per-source pass is one posting aggregate
-    * joined against it — the corpus shuffles word counts once. */
-  private def textOovRate(s: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.documents(s, dir)
-      .select(col("source"), explode(split(col("text"), " ")).as("w"))
-      .filter(col("w") =!= "")
-    // Vocab cut via orderBy+limit → TakeOrderedAndProject (each
-    // partition keeps 1000, driver merges), not a global row_number
-    // window over the word-vocabulary-sized count table.
-    val vocab = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
-      .orderBy(col("c").desc, col("w")).limit(1000)
-      .select(col("w"), lit(1).as("in_vocab"))
-    toks.groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
-      .join(broadcast(vocab), Seq("w"), "left")
-      .groupBy(col("source"))
-      .agg(sum(col("c")).as("n_tokens"),
-        sum(when(col("in_vocab").isNull, col("c")).otherwise(0L)).as("oov_tokens"))
-      .select(col("source"), col("n_tokens"), col("oov_tokens"),
-        (col("oov_tokens").cast("double") / col("n_tokens").cast("double")).as("oov_rate"))
-      .orderBy(col("source"))
-  }
-
-  private val textOovRateSql =
-    """WITH tok AS (SELECT source, w FROM (
-      |    SELECT source, unnest(string_split(text, ' ')) AS w FROM documents) t
-      |  WHERE w <> ''),
-      |vc AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY w),
-      |vocab AS (SELECT w FROM (
-      |    SELECT w, ROW_NUMBER() OVER (ORDER BY c DESC, w) AS rnk FROM vc) r
-      |  WHERE rnk <= 1000),
-      |sv AS (SELECT source, tok.w, COUNT(*) AS c,
-      |         MAX(CASE WHEN vocab.w IS NOT NULL THEN 1 ELSE 0 END) AS iv
-      |       FROM tok LEFT JOIN vocab ON tok.w = vocab.w
-      |       GROUP BY source, tok.w)
-      |SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens,
-      |  CAST(SUM(CASE WHEN iv = 0 THEN c ELSE 0 END) AS BIGINT) AS oov_tokens,
-      |  CAST(SUM(CASE WHEN iv = 0 THEN c ELSE 0 END) AS DOUBLE)
-      |    / CAST(SUM(c) AS DOUBLE) AS oov_rate
-      |FROM sv GROUP BY source ORDER BY source""".stripMargin
-
-  /** Word-length profile per language: mean length (exact integer sums,
-    * one division), max, and a 4-band histogram (1–2 / 3–5 / 6–8 / 9+)
-    * — the cheap morphology fingerprint that separates scripts and
-    * catches tokenizer-hostile sources. Row-local then one posting
-    * aggregate. */
-  private def textWordLengths(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
-      .select(col("lang"), explode(split(col("text"), " ")).as("w"))
-      .filter(col("w") =!= "")
-      .withColumn("l", length(col("w")).cast("long"))
-      .groupBy(col("lang"))
-      .agg(count(lit(1)).as("n_words"),
-        sum(col("l")).as("sum_len"),
-        max(col("l")).as("max_len"),
-        sum((col("l") <= 2).cast("long")).as("len_1_2"),
-        sum((col("l") >= 3 && col("l") <= 5).cast("long")).as("len_3_5"),
-        sum((col("l") >= 6 && col("l") <= 8).cast("long")).as("len_6_8"),
-        sum((col("l") >= 9).cast("long")).as("len_9p"))
-      .select(col("lang"), col("n_words"),
-        (col("sum_len").cast("double") / col("n_words").cast("double")).as("mean_len"),
-        col("max_len"), col("len_1_2"), col("len_3_5"), col("len_6_8"), col("len_9p"))
-      .orderBy(col("lang"))
-
-  private val textWordLengthsSql =
-    """WITH w AS (SELECT lang, length(w) AS l FROM (
-      |    SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents) t
-      |  WHERE w <> '')
-      |SELECT lang, COUNT(*) AS n_words,
-      |  CAST(CAST(SUM(l) AS BIGINT) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_len,
-      |  CAST(MAX(l) AS BIGINT) AS max_len,
-      |  CAST(SUM(CASE WHEN l <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS len_1_2,
-      |  CAST(SUM(CASE WHEN l BETWEEN 3 AND 5 THEN 1 ELSE 0 END) AS BIGINT) AS len_3_5,
-      |  CAST(SUM(CASE WHEN l BETWEEN 6 AND 8 THEN 1 ELSE 0 END) AS BIGINT) AS len_6_8,
-      |  CAST(SUM(CASE WHEN l >= 9 THEN 1 ELSE 0 END) AS BIGINT) AS len_9p
-      |FROM w GROUP BY lang ORDER BY lang""".stripMargin
-
-  /** Letterbox/padding screen over REAL BMP decodes
-    * ([[graft.multimodal.BinaryColumns.bmpBorderBatch]]): every third
-    * document is synthesized with a FORCED uniform 1-pixel border
-    * (channel byte id%200) around md5-nibble interior pixels, the rest
-    * are md5 throughout — so the query must recover exactly the planted
-    * uniform set from the decoded raster. The oracle rederives border
-    * geometry (x/y from the pixel index) and the channel bytes in SQL;
-    * a raster mis-walk (stride, BGR order, bottom-up rows) breaks the
-    * hash. */
-  private def mmImageBorders(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val docs = Tables.documents(s, dir).select(col("doc_id").cast("long")).as[Long]
-    val payloads = docs.mapPartitions { it =>
-      val md = java.security.MessageDigest.getInstance("MD5")
-      it.map { id =>
-        val w = 8 + (id % 5).toInt; val h = 8 + (id % 3).toInt
-        val rgb = Array.tabulate(3 * w * h) { p =>
-          val pxId = p / 3; val x = pxId % w; val y = pxId / w
-          val isBorder = x == 0 || x == w - 1 || y == 0 || y == h - 1
-          if (isBorder && id % 3 == 0) (id % 200).toByte
-          else md.digest(s"bord:$id:$p".getBytes("UTF-8"))(0)
-        }
-        (id, graft.multimodal.BinaryColumns.encodeBmp(w, h, rgb))
-      }
-    }.toDF("doc_id", "payload")
-    graft.multimodal.BinaryColumns.bmpBorderBatch(payloads)(s).toDF()
-      .orderBy(col("doc_id"))
-  }
-
-  private val mmImageBordersSql = {
-    def nib(i: Int) = s"(instr('0123456789abcdef', substr(h, $i, 1)) - 1)"
-    s"""WITH d AS (SELECT doc_id, CAST(8 + doc_id % 5 AS INT) AS w,
-       |    CAST(8 + doc_id % 3 AS INT) AS ht FROM documents),
-       |px0 AS (SELECT d.doc_id, d.w, d.ht, p.range AS p, (p.range // 3) AS px_id,
-       |    (p.range // 3) % d.w AS x, (p.range // 3) // d.w AS y
-       |  FROM d CROSS JOIN range(0, 360) p WHERE p.range < 3 * d.w * d.ht),
-       |pv AS (SELECT doc_id, px_id,
-       |    (x = 0 OR x = w - 1 OR y = 0 OR y = ht - 1) AS is_border,
-       |    CASE WHEN (x = 0 OR x = w - 1 OR y = 0 OR y = ht - 1) AND doc_id % 3 = 0
-       |      THEN doc_id % 200
-       |      ELSE 16 * ${nib(1)} + ${nib(2)} END AS v
-       |  FROM (SELECT *, md5('bord:' || CAST(doc_id AS VARCHAR) || ':' ||
-       |          CAST(p AS VARCHAR)) AS h FROM px0) t),
-       |lum AS (SELECT doc_id, px_id, MAX(CAST(is_border AS INT)) AS is_border,
-       |          CAST(SUM(v) AS BIGINT) AS lum
-       |        FROM pv GROUP BY doc_id, px_id)
-       |SELECT doc_id,
-       |  MIN(CASE WHEN is_border = 1 THEN lum END)
-       |    = MAX(CASE WHEN is_border = 1 THEN lum END) AS border_uniform,
-       |  MIN(CASE WHEN is_border = 1 THEN lum END) AS border_lum_min,
-       |  MAX(CASE WHEN is_border = 1 THEN lum END) AS border_lum_max,
-       |  CAST(SUM(is_border) AS BIGINT) AS n_border,
-       |  CAST(COALESCE(SUM(CASE WHEN is_border = 0 THEN lum END), 0) AS BIGINT) AS interior_lum_sum,
-       |  CAST(SUM(1 - is_border) AS BIGINT) AS n_interior
-       |FROM lum GROUP BY doc_id ORDER BY doc_id""".stripMargin
-  }
-
-  /** Dominant quantized color over REAL BMP decodes
-    * ([[graft.multimodal.BinaryColumns.bmpDominantBatch]]): 2 bits per
-    * channel → 64-cell RGB cube, argmax cell with lowest-bin
-    * tie-break, from md5-nibble pixels. The oracle rebuilds each
-    * pixel's three channel bytes and replays the quantization +
-    * argmax; row-local per image, no shuffle beyond the final
-    * collect-ordered emission. */
-  private def mmImageDominant(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val docs = Tables.documents(s, dir).select(col("doc_id").cast("long")).as[Long]
-    val payloads = docs.mapPartitions { it =>
-      val md = java.security.MessageDigest.getInstance("MD5")
-      it.map { id =>
-        val w = 8 + (id % 5).toInt; val h = 8 + (id % 3).toInt
-        val rgb = Array.tabulate(3 * w * h) { p =>
-          md.digest(s"dom:$id:$p".getBytes("UTF-8"))(0)
-        }
-        (id, graft.multimodal.BinaryColumns.encodeBmp(w, h, rgb))
-      }
-    }.toDF("doc_id", "payload")
-    graft.multimodal.BinaryColumns.bmpDominantBatch(payloads)(s).toDF()
-      .orderBy(col("doc_id"))
-  }
-
-  private val mmImageDominantSql = {
-    def nib(i: Int) = s"(instr('0123456789abcdef', substr(h, $i, 1)) - 1)"
-    s"""WITH d AS (SELECT doc_id, CAST(8 + doc_id % 5 AS INT) AS w,
-       |    CAST(8 + doc_id % 3 AS INT) AS ht FROM documents),
-       |pv AS (SELECT doc_id, (p // 3) AS px_id, p % 3 AS ch,
-       |    16 * ${nib(1)} + ${nib(2)} AS v
-       |  FROM (SELECT d.doc_id, p.range AS p,
-       |          md5('dom:' || CAST(d.doc_id AS VARCHAR) || ':' ||
-       |            CAST(p.range AS VARCHAR)) AS h, d.w, d.ht
-       |        FROM d CROSS JOIN range(0, 360) p
-       |        WHERE p.range < 3 * d.w * d.ht) t),
-       |bins AS (SELECT doc_id, px_id,
-       |    CAST(SUM(CASE WHEN ch = 0 THEN (v // 64) * 16
-       |                  WHEN ch = 1 THEN (v // 64) * 4
-       |                  ELSE v // 64 END) AS INT) AS bin
-       |  FROM pv GROUP BY doc_id, px_id),
-       |bc AS (SELECT doc_id, bin, COUNT(*) AS n FROM bins GROUP BY doc_id, bin),
-       |rk AS (SELECT doc_id, bin, n,
-       |         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY n DESC, bin) AS r,
-       |         CAST(SUM(n) OVER (PARTITION BY doc_id) AS BIGINT) AS n_px
-       |       FROM bc)
-       |SELECT doc_id, bin AS dom_bin, CAST(n AS BIGINT) AS n_px_bin, n_px
-       |FROM rk WHERE r = 1 ORDER BY doc_id""".stripMargin
-  }
-
-  /** Clipping audit over REAL WAV decodes
-    * ([[graft.multimodal.BinaryColumns.wavClippingBatch]]): every
-    * fourth document's md5-nibble int16 stream is over-amplified 4×
-    * with int16 saturation at synthesis, the decoder counts samples at
-    * or past |32000| — recovering exactly the planted hot set. The
-    * oracle replays the s16 derivation, the 4× saturating amplify
-    * (GREATEST/LEAST), and the threshold count. */
-  private def mmAudioClipping(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val docs = Tables.documents(s, dir).select(col("doc_id").cast("long")).as[Long]
-    val payloads = docs.mapPartitions { it =>
-      val md = java.security.MessageDigest.getInstance("MD5")
-      it.map { id =>
-        val n = 32 + (id % 17).toInt
-        val samples = Array.tabulate(n) { p =>
-          val d = md.digest(s"clip:$id:$p".getBytes("UTF-8"))
-          val raw = (((d(0) & 0xFF) << 8) | (d(1) & 0xFF)).toShort.toInt
-          val v = if (id % 4 == 0) math.max(-32768, math.min(32767, raw * 4)) else raw
-          v.toShort
-        }
-        (id, graft.multimodal.BinaryColumns.encodeWav(8000, samples))
-      }
-    }.toDF("doc_id", "payload")
-    graft.multimodal.BinaryColumns.wavClippingBatch(payloads, 32000)(s).toDF()
-      .withColumn("clip_rate",
-        col("n_clipped").cast("double") / col("n_samples").cast("double"))
-      .orderBy(col("doc_id"))
-  }
-
-  private val mmAudioClippingSql = {
-    def nib(i: Int) = s"(instr('0123456789abcdef', substr(h, $i, 1)) - 1)"
-    val u16 = s"(((${nib(1)} * 16 + ${nib(2)}) * 16 + ${nib(3)}) * 16 + ${nib(4)})"
-    s"""WITH d AS (SELECT doc_id, CAST(32 + doc_id % 17 AS INT) AS n FROM documents),
-       |s0 AS (SELECT d.doc_id, d.n, p.range AS p,
-       |         md5('clip:' || CAST(d.doc_id AS VARCHAR) || ':' ||
-       |             CAST(p.range AS VARCHAR)) AS h
-       |       FROM d CROSS JOIN range(0, 49) p WHERE p.range < d.n),
-       |sr AS (SELECT doc_id, n, p,
-       |         CASE WHEN $u16 >= 32768 THEN $u16 - 65536 ELSE $u16 END AS raw
-       |       FROM s0),
-       |sv AS (SELECT doc_id, n,
-       |         CASE WHEN doc_id % 4 = 0
-       |           THEN GREATEST(-32768, LEAST(32767, raw * 4)) ELSE raw END AS v
-       |       FROM sr)
-       |SELECT doc_id, CAST(MAX(n) AS BIGINT) AS n_samples,
-       |  CAST(SUM(CASE WHEN ABS(v) >= 32000 THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
-       |  CAST(MAX(ABS(v)) AS BIGINT) AS max_abs,
-       |  CAST(SUM(v) AS BIGINT) AS sum_v,
-       |  CAST(SUM(CASE WHEN ABS(v) >= 32000 THEN 1 ELSE 0 END) AS DOUBLE)
-       |    / CAST(MAX(n) AS DOUBLE) AS clip_rate
-       |FROM sv GROUP BY doc_id ORDER BY doc_id""".stripMargin
-  }
-
-  /** Per-video motion profile over REAL AVI decodes — the aggregate
-    * view of mm_scene_cuts' boundary list: total and mean absolute
-    * frame-to-frame brightness change (exact integers, one division),
-    * moving-transition count. Same scene-structured synthesis as the
-    * cuts query (frames within a 3-frame scene identical by
-    * construction), same
-    * [[graft.multimodal.BinaryColumns.aviFrameSumsBatch]] movi walk —
-    * static-shot videos score 0 motion by construction, which the
-    * planted scene layout makes verifiable. */
-  private def mmVideoMotion(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val docs = Tables.documents(s, dir).select(col("doc_id").cast("long")).as[Long]
-    val payloads = docs.mapPartitions { it =>
-      val md = java.security.MessageDigest.getInstance("MD5")
-      it.map { id =>
-        val w = 2 + (id % 3).toInt; val h = 1 + (id % 2).toInt
-        val nf = 6 + (id % 4).toInt
-        val frames = Array.tabulate(nf) { f =>
-          Array.tabulate(3 * w * h) { p =>
-            md.digest(s"mot:$id:${f / 3}:$p".getBytes("UTF-8"))(0)
-          }
-        }
-        (id, graft.multimodal.BinaryColumns.encodeAvi(w, h, 33333, frames))
-      }
-    }.toDF("doc_id", "payload")
-    val sums = graft.multimodal.BinaryColumns.aviFrameSumsBatch(payloads)(s).toDF()
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
-    sums.withColumn("diff", abs(col("frame_sum") - lag(col("frame_sum"), 1).over(w)))
-      .filter(col("diff").isNotNull)
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_transitions"),
-        sum(col("diff")).as("motion_total"),
-        sum((col("diff") > 0).cast("long")).as("n_moving"))
-      .select(col("doc_id"), col("n_transitions"), col("motion_total"), col("n_moving"),
-        (col("motion_total").cast("double") / col("n_transitions").cast("double"))
-          .as("mean_motion"))
-      .orderBy(col("doc_id"))
-  }
-
-  private val mmVideoMotionSql =
-    """WITH d AS (SELECT doc_id, CAST(2 + doc_id % 3 AS INT) AS w,
-      |    CAST(1 + doc_id % 2 AS INT) AS ht,
-      |    CAST(6 + doc_id % 4 AS INT) AS nf FROM documents),
-      |px AS (SELECT d.doc_id, f.range AS f,
-      |    16 * (instr('0123456789abcdef', substr(md5('mot:' ||
-      |      CAST(d.doc_id AS VARCHAR) || ':' || CAST(f.range // 3 AS VARCHAR) || ':' ||
-      |      CAST(p.range AS VARCHAR)), 1, 1)) - 1)
-      |       + (instr('0123456789abcdef', substr(md5('mot:' ||
-      |      CAST(d.doc_id AS VARCHAR) || ':' || CAST(f.range // 3 AS VARCHAR) || ':' ||
-      |      CAST(p.range AS VARCHAR)), 2, 1)) - 1) AS v
-      |  FROM d CROSS JOIN range(0, 10) f CROSS JOIN range(0, 24) p
-      |  WHERE f.range < d.nf AND p.range < 3 * d.w * d.ht),
-      |fs AS (SELECT doc_id, f, CAST(SUM(v) AS BIGINT) AS frame_sum
-      |       FROM px GROUP BY doc_id, f),
-      |df AS (SELECT doc_id,
-      |         ABS(frame_sum - LAG(frame_sum) OVER (PARTITION BY doc_id ORDER BY f)) AS diff
-      |       FROM fs)
-      |SELECT doc_id, COUNT(*) AS n_transitions,
-      |  CAST(SUM(diff) AS BIGINT) AS motion_total,
-      |  CAST(SUM(CASE WHEN diff > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_moving,
-      |  CAST(SUM(diff) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_motion
-      |FROM df WHERE diff IS NOT NULL GROUP BY doc_id ORDER BY doc_id""".stripMargin
-
-  /** Matryoshka-style dimension-truncation audit: top-5 neighbors from
-    * the first 16 dims vs the full 64, per-query overlap count — the
-    * retrieval-quality measurement behind "can we serve the cheap
-    * prefix embedding". Both sides run the declared brute-force eval
-    * baseline (guardQuadratic-fenced, queries broadcast); production
-    * retrieval at scale is the LSH/IVF path. 6-dp rounded ranking with
-    * id tie-breaks keeps both top-5 lists engine-replayable. */
-  private def simDimTruncate(s: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(s, dir)
-    val q = emb.filter(col("vec_id") % 50 === 0)
-    val full = graft.similarity.VectorOps.bruteForceTopK(emb, q, k = 5)
-      .select(col("query_id"), col("neighbor_id"))
-    val trunc16 = emb.select(col("vec_id"), slice(col("embedding"), 1, 16).as("embedding"))
-    val qt = trunc16.filter(col("vec_id") % 50 === 0)
-    val part = graft.similarity.VectorOps.bruteForceTopK(trunc16, qt, k = 5)
-      .select(col("query_id"), col("neighbor_id").as("t_neighbor"))
-    full.join(part,
-        full("query_id") === part("query_id") &&
-          full("neighbor_id") === part("t_neighbor"), "left")
-      .groupBy(full("query_id").as("query_id"))
-      .agg(sum(when(col("t_neighbor").isNotNull, 1L).otherwise(0L)).as("overlap5"))
-      .select(col("query_id"), col("overlap5"),
-        (col("overlap5").cast("double") / 5.0).as("overlap_rate"))
-      .orderBy(col("query_id"))
-  }
-
-  private val simDimTruncateSql =
-    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-      |q AS (SELECT vec_id, v FROM e WHERE vec_id % 50 = 0),
-      |sf AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
-      |         ROUND(list_cosine_similarity(q.v, e.v), 6) AS sim
-      |       FROM q JOIN e ON e.vec_id <> q.vec_id),
-      |topf AS (SELECT query_id, neighbor_id FROM (
-      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-      |        ORDER BY sim DESC, neighbor_id) AS rank FROM sf) t
-      |  WHERE rank <= 5),
-      |et AS (SELECT vec_id, v[1:16] AS v FROM e),
-      |qt AS (SELECT vec_id, v FROM et WHERE vec_id % 50 = 0),
-      |st AS (SELECT qt.vec_id AS query_id, et.vec_id AS neighbor_id,
-      |         ROUND(list_cosine_similarity(qt.v, et.v), 6) AS sim
-      |       FROM qt JOIN et ON et.vec_id <> qt.vec_id),
-      |topt AS (SELECT query_id, neighbor_id FROM (
-      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-      |        ORDER BY sim DESC, neighbor_id) AS rank FROM st) t
-      |  WHERE rank <= 5)
-      |SELECT f.query_id,
-      |  CAST(SUM(CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS overlap5,
-      |  CAST(SUM(CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / 5.0 AS overlap_rate
-      |FROM topf f LEFT JOIN topt t
-      |  ON f.query_id = t.query_id AND f.neighbor_id = t.neighbor_id
-      |GROUP BY f.query_id ORDER BY f.query_id""".stripMargin
-
-  /** Per-label centroid drift between the two corpus halves (vec_id
-    * parity split): centroids in exact integer micro-units (Σ round(x·
-    * 10⁶) div n — division BEFORE the dot keeps every product inside
-    * 2⁵³), cosine between half-centroids as exact integer dots through
-    * one correctly-rounded sqrt·sqrt division, ROUND 6. The
-    * embedding-space monitoring twin of an_psi: did a label's region
-    * move between collection batches? One posting-shaped (label, half,
-    * dim) aggregate — corpus scanned once. */
-  private def simLabelDrift(s: SparkSession, dir: String): DataFrame = {
-    val q = Tables.embeddings(s, dir)
-      .select(col("label"), (col("vec_id") % 2).as("half"),
-        posexplode(graft.similarity.VectorOps.toDouble(col("embedding"))).as(Seq("j", "x")))
-      .withColumn("qi", round(col("x") * 1000000.0).cast("long"))
-    val cent = q.groupBy(col("label"), col("half"), col("j"))
-      .agg(sum(col("qi")).as("sq"), count(lit(1)).as("n"))
-      .withColumn("c", expr("sq div n"))
-    val a = cent.filter(col("half") === 0).select(col("label"), col("j"), col("c").as("ca"), col("n").as("na"))
-    val b = cent.filter(col("half") === 1).select(col("label"), col("j"), col("c").as("cb"), col("n").as("nb"))
-    a.join(b, Seq("label", "j"))
-      .groupBy(col("label"))
-      .agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
-        sum(col("ca") * col("cb")).as("dot"),
-        sum(col("ca") * col("ca")).as("naa"),
-        sum(col("cb") * col("cb")).as("nbb"))
-      .select(col("label"), col("n_a"), col("n_b"),
-        round(col("dot").cast("double") /
-          (sqrt(col("naa").cast("double")) * sqrt(col("nbb").cast("double"))), 6)
-          .as("centroid_cos"))
-      .orderBy(col("label"))
-  }
-
-  private val simLabelDriftSql =
-    """WITH e AS (SELECT vec_id, label, vec_id % 2 AS half,
-      |    list_transform(embedding::DOUBLE[], x -> CAST(round(x * 1000000.0) AS BIGINT)) AS q
-      |  FROM embeddings),
-      |px AS (SELECT label, half, j.range AS j, q[CAST(j.range AS INT) + 1] AS qi
-      |       FROM e CROSS JOIN range(0, 64) j),
-      |cent AS (SELECT label, half, j, CAST(SUM(qi) AS BIGINT) // COUNT(*) AS c,
-      |           COUNT(*) AS n
-      |         FROM px GROUP BY label, half, j),
-      |j2 AS (SELECT a.label, a.j, a.c AS ca, b.c AS cb, a.n AS na, b.n AS nb
-      |       FROM cent a JOIN cent b ON a.label = b.label AND a.j = b.j
-      |       WHERE a.half = 0 AND b.half = 1)
-      |SELECT label, MAX(na) AS n_a, MAX(nb) AS n_b,
-      |  ROUND(CAST(SUM(ca * cb) AS DOUBLE)
-      |    / (sqrt(CAST(SUM(ca * ca) AS DOUBLE)) * sqrt(CAST(SUM(cb * cb) AS DOUBLE))), 6)
-      |    AS centroid_cos
-      |FROM j2 GROUP BY label ORDER BY label""".stripMargin
-
-  /** Embedding outlier screen: top-20 vectors by exact integer squared
-    * distance to the global micro-unit centroid — fully integer end to
-    * end (micro-quantized coords, floor-div centroid, Σ(q−c)² ≤
-    * 64·(2·10⁶)² per row, far inside 2⁵³), NO rounding anywhere. The
-    * cheap embedding-space anomaly gate before any kNN-based scoring;
-    * at scale the centroid is one 64-row broadcast, the scan is
-    * map-only, and the top-20 cut is a distributed TakeOrdered (each
-    * partition keeps 20, the driver merges partition-count rows). */
-  private def simEmbedOutliers(s: SparkSession, dir: String): DataFrame = {
-    val q = Tables.embeddings(s, dir)
-      .select(col("vec_id"), col("label"),
-        posexplode(graft.similarity.VectorOps.toDouble(col("embedding"))).as(Seq("j", "x")))
-      .withColumn("qi", round(col("x") * 1000000.0).cast("long"))
-    val cent = q.groupBy(col("j"))
-      .agg(sum(col("qi")).as("sq"), count(lit(1)).as("n"))
-      .select(col("j"), expr("sq div n").as("c"))
-    q.join(broadcast(cent), "j")
-      .groupBy(col("vec_id"), col("label"))
-      .agg(sum((col("qi") - col("c")) * (col("qi") - col("c"))).as("dist_sq"))
-      // Top-20 via orderBy+limit → TakeOrderedAndProject (distributed);
-      // the rank window then runs over the 20-row result, never the
-      // corpus-sized frame (the text_zipf limit-first pattern).
-      .orderBy(col("dist_sq").desc, col("vec_id")).limit(20)
-      .withColumn("rnk", row_number().over(
-        Window.orderBy(col("dist_sq").desc, col("vec_id"))))
-      .select(col("rnk"), col("vec_id"), col("label"), col("dist_sq"))
-      .orderBy(col("rnk"))
-  }
-
-  private val simEmbedOutliersSql =
-    """WITH e AS (SELECT vec_id, label,
-      |    list_transform(embedding::DOUBLE[], x -> CAST(round(x * 1000000.0) AS BIGINT)) AS q
-      |  FROM embeddings),
-      |px AS (SELECT vec_id, label, j.range AS j, q[CAST(j.range AS INT) + 1] AS qi
-      |       FROM e CROSS JOIN range(0, 64) j),
-      |cent AS (SELECT j, CAST(SUM(qi) AS BIGINT) // COUNT(*) AS c FROM px GROUP BY j),
-      |ds AS (SELECT vec_id, label,
-      |         CAST(SUM((qi - c) * (qi - c)) AS BIGINT) AS dist_sq
-      |       FROM px JOIN cent USING (j) GROUP BY vec_id, label),
-      |rk AS (SELECT vec_id, label, dist_sq,
-      |         ROW_NUMBER() OVER (ORDER BY dist_sq DESC, vec_id) AS rnk FROM ds)
-      |SELECT rnk, vec_id, label, dist_sq FROM rk WHERE rnk <= 20 ORDER BY rnk""".stripMargin
-
-  /** Radius search at cosine ≥ 0.30 over portable LSH band candidates
-    * ([[graft.similarity.VectorOps.rangeSearchPortable]]): every
-    * unordered pair sharing an SRP band scored once, 6-dp threshold —
-    * the similarity-FLOOR retrieval primitive next to top-k. Band
-    * width is CORPUS-ADAPTIVE (bandBits = max(4, ⌊log2(n/40)⌋) via
-    * integer binary-digit length — the 10× probe measured exp 1.71 at
-    * a fixed width, linear after), so recall is band-bounded AND
-    * corpus-scaled, the documented semanticDedup-style trade. The
-    * oracle derives the same width from its own COUNT(*) and replays
-    * hyperplanes, micro-quantization, band keys, dedup, threshold. */
-  private def simRangeSearch(s: SparkSession, dir: String): DataFrame =
-    graft.similarity.VectorOps.rangeSearchPortable(
-        Tables.embeddings(s, dir), tau = 0.30, dim = 64)
-      .orderBy(col("a_id"), col("b_id"))
-
-  private val simRangeSearchSql =
-    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-      |nb AS (SELECT GREATEST(4, length(bin((SELECT COUNT(*) FROM e) // 40)) - 1) AS bandbits),
-      |vq AS (SELECT vec_id, v,
-      |    list_transform(v, x -> CAST(round(x * 1000000.0) AS BIGINT)) AS q
-      |  FROM e),
-      |planes AS (SELECT t1.range AS i, t2.range AS j,
-      |    2 * (instr('0123456789abcdef', substr(md5('lsh:' ||
-      |      CAST(t1.range AS VARCHAR) || ':' || CAST(t2.range AS VARCHAR)), 1, 1)) - 1) - 15 AS h
-      |  FROM range(0, 64) t1, range(0, 64) t2, nb WHERE t1.range < 4 * nb.bandbits),
-      |bits AS (SELECT vq.vec_id, p.i,
-      |    CASE WHEN SUM(p.h * vq.q[CAST(p.j AS INT) + 1]) >= 0 THEN 1 ELSE 0 END AS b
-      |  FROM vq CROSS JOIN planes p GROUP BY vq.vec_id, p.i),
-      |bands AS (SELECT vec_id, CAST(i // bandbits AS INT) AS band_id,
-      |    CAST(SUM(b * (1 << CAST(i % bandbits AS INT))) AS BIGINT) AS band_key
-      |  FROM bits CROSS JOIN nb GROUP BY 1, 2),
-      |pairs AS (SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
-      |  FROM bands a JOIN bands b USING (band_id, band_key)
-      |  WHERE a.vec_id < b.vec_id),
-      |scored AS (SELECT p.a_id, p.b_id,
-      |    ROUND(list_cosine_similarity(ea.v, eb.v), 6) AS sim
-      |  FROM pairs p JOIN e ea ON ea.vec_id = p.a_id
-      |               JOIN e eb ON eb.vec_id = p.b_id)
-      |SELECT a_id, b_id, sim FROM scored WHERE sim >= 0.30
-      |ORDER BY a_id, b_id""".stripMargin
-
-  /** Composite data-quality scorecard over the customer dimension: four
-    * production rules (negative balance, out-of-domain segment, blank
-    * name, orphaned — no orders) each contribute exact violation counts
-    * and an IEEE pass rate, plus a TOTAL row with the equal-weight
-    * composite. The orphan rule rides ONE left anti-ish aggregate
-    * (orders key set joined once); everything else is row-local. The
-    * one-stop health number etl_validate's per-rule table feeds. */
-  private def etlDqScore(s: SparkSession, dir: String): DataFrame = {
-    val hasOrders = Tables.orders(s, dir).select(col("o_custkey")).distinct()
-    val base = Tables.customer(s, dir)
-      .join(hasOrders, col("c_custkey") === col("o_custkey"), "left")
-    val agg = base.agg(
-      count(lit(1)).as("n"),
-      sum((col("c_acctbal") < 0).cast("long")).as("neg_bal"),
-      sum((!col("c_mktsegment").isin(
-        "AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")).cast("long")).as("bad_seg"),
-      sum((length(col("c_name")) === 0).cast("long")).as("blank_name"),
-      sum(col("o_custkey").isNull.cast("long")).as("orphans"))
-    val rules = Seq(("neg_balance", "neg_bal"), ("bad_segment", "bad_seg"),
-      ("blank_name", "blank_name"), ("no_orders", "orphans"))
-    val perRule = rules.map { case (label, c) =>
-      agg.select(lit(label).as("rule"), col(c).as("n_violations"),
-        (lit(1.0) - col(c).cast("double") / col("n").cast("double")).as("pass_rate"))
-    }.reduce(_.unionAll(_))
-    val total = agg.select(lit("TOTAL").as("rule"),
-      (col("neg_bal") + col("bad_seg") + col("blank_name") + col("orphans")).as("n_violations"),
-      (lit(1.0) - (col("neg_bal") + col("bad_seg") + col("blank_name") + col("orphans"))
-        .cast("double") / (col("n") * 4).cast("double")).as("pass_rate"))
-    perRule.unionAll(total).orderBy(col("rule"))
-  }
-
-  private val etlDqScoreSql =
-    """WITH b AS (SELECT c_acctbal, c_mktsegment, c_name, o_custkey
-      |  FROM customer LEFT JOIN (SELECT DISTINCT o_custkey FROM orders) o
-      |    ON c_custkey = o_custkey),
-      |a AS (SELECT COUNT(*) AS n,
-      |  CAST(SUM(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END) AS BIGINT) AS neg_bal,
-      |  CAST(SUM(CASE WHEN c_mktsegment NOT IN
-      |    ('AUTOMOBILE','BUILDING','FURNITURE','HOUSEHOLD','MACHINERY')
-      |    THEN 1 ELSE 0 END) AS BIGINT) AS bad_seg,
-      |  CAST(SUM(CASE WHEN length(c_name) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS blank_name,
-      |  CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS orphans
-      |  FROM b)
-      |SELECT rule, n_violations, pass_rate FROM (
-      |  SELECT 'neg_balance' AS rule, neg_bal AS n_violations,
-      |    1.0 - CAST(neg_bal AS DOUBLE) / CAST(n AS DOUBLE) AS pass_rate FROM a
-      |  UNION ALL SELECT 'bad_segment', bad_seg,
-      |    1.0 - CAST(bad_seg AS DOUBLE) / CAST(n AS DOUBLE) FROM a
-      |  UNION ALL SELECT 'blank_name', blank_name,
-      |    1.0 - CAST(blank_name AS DOUBLE) / CAST(n AS DOUBLE) FROM a
-      |  UNION ALL SELECT 'no_orders', orphans,
-      |    1.0 - CAST(orphans AS DOUBLE) / CAST(n AS DOUBLE) FROM a
-      |  UNION ALL SELECT 'TOTAL', neg_bal + bad_seg + blank_name + orphans,
-      |    1.0 - CAST(neg_bal + bad_seg + blank_name + orphans AS DOUBLE)
-      |      / CAST(n * 4 AS DOUBLE) FROM a) t
-      |ORDER BY rule""".stripMargin
-
-  /** Schema inference over a stringified extract — the typed-ingest
-    * front door for schema-less CSV/JSON feeds: each candidate column's
-    * string values are classified by PORTABLE string algebra (translate
-    * digit-strip, split on '.', ISO-date shape checks — never regex,
-    * java.util.regex vs RE2 is not replay-safe), and the inferred type
-    * is the tightest class that covers every row. One row-local pass +
-    * a 4-row aggregate. */
-  private def etlTypeInfer(s: SparkSession, dir: String): DataFrame = {
-    // price string built from EXACT cents (decimal cast then integer
-    // split), not a float formatter — printf/format_number round-mode
-    // differences across engines are not replay-safe
-    val o = Tables.orders(s, dir)
-      .withColumn("cents", (col("o_totalprice").cast("decimal(24,2)") * 100).cast("bigint"))
-      .select(
-        col("o_orderkey").cast("string").as("c_key"),
-        concat(expr("cents div 100").cast("string"), lit("."),
-          lpad(pmod(col("cents"), lit(100)).cast("string"), 2, "0")).as("c_price"),
-        date_format(col("o_orderdate"), "yyyy-MM-dd").as("c_date"),
-        col("o_orderpriority").as("c_text"))
-    def digitsOnly(c: Column) = length(translate(c, "0123456789", "")) === 0 && length(c) > 0
-    def numericShape(c: Column) = {
-      // try_element_at: the ANSI-safe array probe (plain element_at
-      // throws on out-of-bounds under Spark 4's default ANSI mode)
-      val parts = split(c, "\\.")
-      digitsOnly(c) || (size(parts) === 2 &&
-        coalesce(digitsOnly(try_element_at(parts, lit(1))), lit(false)) &&
-        coalesce(digitsOnly(try_element_at(parts, lit(2))), lit(false)))
-    }
-    def dateShape(c: Column) =
-      length(c) === 10 && substring(c, 5, 1) === "-" && substring(c, 8, 1) === "-" &&
-        digitsOnly(substring(c, 1, 4)) && digitsOnly(substring(c, 6, 2)) &&
-        digitsOnly(substring(c, 9, 2))
-    val cols = Seq("c_key", "c_price", "c_date", "c_text")
-    cols.map { name =>
-      o.agg(count(lit(1)).as("n"),
-          sum(digitsOnly(col(name)).cast("long")).as("n_int"),
-          sum(numericShape(col(name)).cast("long")).as("n_numeric"),
-          sum(dateShape(col(name)).cast("long")).as("n_date"))
-        .select(lit(name).as("col_name"), col("n"), col("n_int"), col("n_numeric"),
-          col("n_date"),
-          when(col("n_int") === col("n"), "bigint")
-            .when(col("n_numeric") === col("n"), "double")
-            .when(col("n_date") === col("n"), "date")
-            .otherwise("string").as("inferred"))
-    }.reduce(_.unionAll(_)).orderBy(col("col_name"))
-  }
-
-  private val etlTypeInferSql = {
-    def digits(c: String) =
-      s"(length(translate($c, '0123456789', '')) = 0 AND length($c) > 0)"
-    def numeric(c: String) =
-      s"(${digits(c)} OR (len(string_split($c, '.')) = 2" +
-        s" AND ${digits(s"string_split($c, '.')[1]")}" +
-        s" AND ${digits(s"string_split($c, '.')[2]")}))"
-    def dateShape(c: String) =
-      s"(length($c) = 10 AND substr($c, 5, 1) = '-' AND substr($c, 8, 1) = '-'" +
-        s" AND ${digits(s"substr($c, 1, 4)")} AND ${digits(s"substr($c, 6, 2)")}" +
-        s" AND ${digits(s"substr($c, 9, 2)")})"
-    def one(name: String, expr: String) =
-      s"""SELECT '$name' AS col_name, COUNT(*) AS n,
-         |  CAST(SUM(CASE WHEN ${digits("v")} THEN 1 ELSE 0 END) AS BIGINT) AS n_int,
-         |  CAST(SUM(CASE WHEN ${numeric("v")} THEN 1 ELSE 0 END) AS BIGINT) AS n_numeric,
-         |  CAST(SUM(CASE WHEN ${dateShape("v")} THEN 1 ELSE 0 END) AS BIGINT) AS n_date,
-         |  CASE WHEN SUM(CASE WHEN ${digits("v")} THEN 1 ELSE 0 END) = COUNT(*) THEN 'bigint'
-         |       WHEN SUM(CASE WHEN ${numeric("v")} THEN 1 ELSE 0 END) = COUNT(*) THEN 'double'
-         |       WHEN SUM(CASE WHEN ${dateShape("v")} THEN 1 ELSE 0 END) = COUNT(*) THEN 'date'
-         |       ELSE 'string' END AS inferred
-         |FROM (SELECT $expr AS v FROM orders)""".stripMargin
-    val cents = "CAST(CAST(o_totalprice AS DECIMAL(24,2)) * 100 AS BIGINT)"
-    Seq(
-      one("c_key", "CAST(o_orderkey AS VARCHAR)"),
-      one("c_price", s"CAST($cents // 100 AS VARCHAR) || '.' || lpad(CAST($cents % 100 AS VARCHAR), 2, '0')"),
-      one("c_date", "strftime(o_orderdate, '%Y-%m-%d')"),
-      one("c_text", "o_orderpriority")
-    ).mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) u ORDER BY col_name")
-  }
-
-  /** Null-pattern (missingness-combination) mining: three measure
-    * columns get DETERMINISTIC planted nulls (md5-nibble gates at
-    * different rates), and the query surfaces every observed
-    * null-combination bitmask with counts — the MCAR/MNAR structure
-    * audit run before choosing an imputation strategy (correlated
-    * missingness invalidates per-column medians). One row-local
-    * projection + one tiny groupBy. */
-  private def etlNullPatterns(s: SparkSession, dir: String): DataFrame = {
-    def gate(tag: String, lim: Int) =
-      expr(s"(instr('0123456789abcdef', substr(md5(concat('$tag:', CAST(o_orderkey AS STRING))), 1, 1)) - 1) < $lim")
-    Tables.orders(s, dir)
-      .withColumn("m_price", when(gate("np1", 2), lit(null)).otherwise(col("o_totalprice")))
-      .withColumn("m_status", when(gate("np2", 3), lit(null)).otherwise(col("o_orderstatus")))
-      .withColumn("m_prio", when(gate("np1", 2) || gate("np3", 1), lit(null))
-        .otherwise(col("o_orderpriority")))
-      .select(concat(
-        when(col("m_price").isNull, "0").otherwise("1"),
-        when(col("m_status").isNull, "0").otherwise("1"),
-        when(col("m_prio").isNull, "0").otherwise("1")).as("pattern"))
-      .groupBy(col("pattern")).agg(count(lit(1)).as("n"))
-      .withColumn("share", col("n").cast("double") /
-        sum(col("n")).over(Window.partitionBy()).cast("double"))
-      .orderBy(col("pattern"))
-  }
-
-  private val etlNullPatternsSql =
-    """WITH g AS (SELECT
-      |    (instr('0123456789abcdef', substr(md5('np1:' || CAST(o_orderkey AS VARCHAR)), 1, 1)) - 1) < 2 AS g1,
-      |    (instr('0123456789abcdef', substr(md5('np2:' || CAST(o_orderkey AS VARCHAR)), 1, 1)) - 1) < 3 AS g2,
-      |    (instr('0123456789abcdef', substr(md5('np3:' || CAST(o_orderkey AS VARCHAR)), 1, 1)) - 1) < 1 AS g3
-      |  FROM orders),
-      |p AS (SELECT (CASE WHEN g1 THEN '0' ELSE '1' END)
-      |          || (CASE WHEN g2 THEN '0' ELSE '1' END)
-      |          || (CASE WHEN g1 OR g3 THEN '0' ELSE '1' END) AS pattern
-      |      FROM g)
-      |SELECT pattern, COUNT(*) AS n,
-      |  CAST(COUNT(*) AS DOUBLE) / CAST(SUM(COUNT(*)) OVER () AS DOUBLE) AS share
-      |FROM p GROUP BY pattern ORDER BY pattern""".stripMargin
-
-  /** Multi-currency conversion through a broadcast rate table: each
-    * nation gets a deterministic micro-unit rate (1 + nationkey/100,
-    * held as the integer 100+nationkey), customer balances convert in
-    * EXACT integer arithmetic — local = cents·(100+key) div 100 — and
-    * the per-nation reconciliation carries both exact sums. The
-    * standard finance-ETL shape: the fact table never shuffles, the
-    * 25-row rate dimension broadcasts. */
-  private def etlCurrencyConvert(s: SparkSession, dir: String): DataFrame = {
-    val rates = Tables.nation(s, dir)
-      .select(col("n_nationkey"), col("n_name"),
-        (lit(100) + col("n_nationkey")).as("rate_pct"))
-    Tables.customer(s, dir)
-      .withColumn("usd_c", (col("c_acctbal").cast("decimal(24,2)") * 100).cast("bigint"))
-      .join(broadcast(rates), col("c_nationkey") === col("n_nationkey"))
-      .withColumn("local_c", expr("(usd_c * rate_pct) div 100"))
-      .groupBy(col("n_name"), col("rate_pct"))
-      .agg(count(lit(1)).as("n_accounts"),
-        sum(col("usd_c")).as("usd_cents"),
-        sum(col("local_c")).as("local_cents"))
-      .orderBy(col("n_name"))
-  }
-
-  private val etlCurrencyConvertSql =
-    """WITH r AS (SELECT n_nationkey, n_name, 100 + n_nationkey AS rate_pct FROM nation),
-      |c AS (SELECT c_nationkey,
-      |        CAST(CAST(c_acctbal AS DECIMAL(24,2)) * 100 AS BIGINT) AS usd_c
-      |      FROM customer)
-      |SELECT n_name, rate_pct, COUNT(*) AS n_accounts,
-      |  CAST(SUM(usd_c) AS BIGINT) AS usd_cents,
-      |  CAST(SUM((usd_c * rate_pct) // 100) AS BIGINT) AS local_cents
-      |FROM c JOIN r ON c_nationkey = n_nationkey
-      |GROUP BY n_name, rate_pct ORDER BY n_name""".stripMargin
-
-  /** Timezone normalization of locally-stamped events: each user's feed
-    * carries a deterministic zone offset (user_id%5 → {0, +60, +330,
-    * +480, −300} minutes), local stamps are normalized back to UTC in
-    * exact epoch-micro arithmetic (no zone database — the offset table
-    * IS the contract, the replay-safe subset of tz handling), and the
-    * audit reconciles per-zone counts and UTC bounds. Row-local
-    * arithmetic + one tiny aggregate. */
-  private def etlTzNormalize(s: SparkSession, dir: String): DataFrame = {
-    val offMin = element_at(typedLit(Seq(0L, 60L, 330L, 480L, -300L)),
-      (pmod(col("user_id"), lit(5)) + 1).cast("int"))
-    Tables.events(s, dir)
-      .withColumn("off_min", offMin)
-      .withColumn("local_ts", timestamp_micros(unix_micros(col("ts")) + col("off_min") * 60000000L))
-      .withColumn("utc_ts", timestamp_micros(unix_micros(col("local_ts")) - col("off_min") * 60000000L))
-      .groupBy(col("off_min"))
-      .agg(count(lit(1)).as("n_events"),
-        countDistinct(col("user_id")).as("n_users"),
-        min(col("utc_ts")).as("first_utc"),
-        max(col("utc_ts")).as("last_utc"),
-        sum((col("utc_ts") === col("ts")).cast("long")).as("n_roundtrip_exact"))
-      .orderBy(col("off_min"))
-  }
-
-  private val etlTzNormalizeSql =
-    """WITH e AS (SELECT user_id, ts,
-      |    CAST(([0, 60, 330, 480, -300])[CAST(user_id % 5 AS INT) + 1] AS BIGINT) AS off_min
-      |  FROM events),
-      |x AS (SELECT user_id, ts, off_min,
-      |    make_timestamp(epoch_us(ts) + off_min * 60000000) AS local_ts
-      |  FROM e),
-      |u AS (SELECT user_id, ts, off_min,
-      |    make_timestamp(epoch_us(local_ts) - off_min * 60000000) AS utc_ts
-      |  FROM x)
-      |SELECT off_min, COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users,
-      |  MIN(utc_ts) AS first_utc, MAX(utc_ts) AS last_utc,
-      |  CAST(SUM(CASE WHEN utc_ts = ts THEN 1 ELSE 0 END) AS BIGINT) AS n_roundtrip_exact
-      |FROM u GROUP BY off_min ORDER BY off_min""".stripMargin
-
-  /** Late-arrival audit: within each user's feed, an event is LATE when
-    * its event time precedes the running event-time maximum of earlier
-    * arrivals (arrival order = event_id). Windows partition by user —
-    * the per-key spine any streaming watermark policy is sized from —
-    * and the per-type rollup reports late counts and the worst
-    * lateness in exact micros. This is the batch measurement that
-    * calibrates EventsStream's watermark horizon. */
-  private def etlLatenessAudit(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    Tables.events(s, dir)
-      .withColumn("hwm_us", max(unix_micros(col("ts"))).over(w))
-      .withColumn("late_us",
-        when(col("hwm_us").isNotNull && col("hwm_us") > unix_micros(col("ts")),
-          col("hwm_us") - unix_micros(col("ts"))).otherwise(lit(0L)))
-      .groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n_events"),
-        sum((col("late_us") > 0).cast("long")).as("n_late"),
-        max(col("late_us")).as("max_late_us"),
-        sum(col("late_us")).as("sum_late_us"))
-      .select(col("event_type"), col("n_events"), col("n_late"), col("max_late_us"),
-        (col("n_late").cast("double") / col("n_events").cast("double")).as("late_rate"),
-        col("sum_late_us"))
-      .orderBy(col("event_type"))
-  }
-
-  private val etlLatenessAuditSql =
-    """WITH h AS (SELECT event_type, ts,
-      |    MAX(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY event_id
-      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hwm_us
-      |  FROM events),
-      |l AS (SELECT event_type,
-      |    CASE WHEN hwm_us IS NOT NULL AND hwm_us > epoch_us(ts)
-      |      THEN hwm_us - epoch_us(ts) ELSE 0 END AS late_us
-      |  FROM h)
-      |SELECT event_type, COUNT(*) AS n_events,
-      |  CAST(SUM(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
-      |  CAST(MAX(late_us) AS BIGINT) AS max_late_us,
-      |  CAST(SUM(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS DOUBLE)
-      |    / CAST(COUNT(*) AS DOUBLE) AS late_rate,
-      |  CAST(SUM(late_us) AS BIGINT) AS sum_late_us
-      |FROM l GROUP BY event_type ORDER BY event_type""".stripMargin
-
-  /** One-row global summary of the part co-order graph: nodes, edges,
-    * density (cross-multiplied exact integers → one IEEE division),
-    * max/avg degree, and isolated part count (catalog parts that never
-    * co-ordered). The same order-local pair builder as q_degree_hist —
-    * pairs never leave the order key's partition — plus one node-sized
-    * aggregate; the health dashboard row every graph job checks before
-    * running. */
-  private def qGraphSummary(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(s, dir)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-    val l2 = li.select(col("ok"), col("pk").as("pk2"))
-    // both degree-union branches consume pairs — one lazy checkpoint,
-    // one pair-spine materialization (the q_triangles treatment)
-    val pairs = graft.operators.Checkpoints.stabilizeLazy(
-      li.join(l2, Seq("ok"))
-        .filter(col("pk") < col("pk2"))
-        .select(col("pk").as("a"), col("pk2").as("b"))
-        .distinct())
-    val deg = pairs.select(col("a").as("node"))
-      .union(pairs.select(col("b").as("node")))
-      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
-    val nParts = Tables.part(s, dir).agg(count(lit(1)).as("n_catalog"))
-    val d = (c: Column) => c.cast("decimal(38,0)")
-    deg.agg(count(lit(1)).as("n_nodes"), sum(col("degree")).as("deg_sum"),
-        max(col("degree")).as("max_degree"))
-      .crossJoin(broadcast(nParts))
-      .select(col("n_nodes"), (col("deg_sum") / 2).cast("long").as("n_edges"),
-        col("max_degree"),
-        (col("deg_sum").cast("double") / col("n_nodes").cast("double")).as("avg_degree"),
-        (col("deg_sum").cast("double") /
-          (d(col("n_nodes")) * d(col("n_nodes") - 1)).cast("double")).as("density"),
-        (col("n_catalog") - col("n_nodes")).as("n_isolated"))
-  }
-
-  private val qGraphSummarySql =
-    """WITH pairs AS (
-      |  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
-      |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
-      |  WHERE a.l_partkey < b.l_partkey),
-      |deg AS (SELECT node, COUNT(*) AS degree FROM (
-      |          SELECT a AS node FROM pairs UNION ALL SELECT b AS node FROM pairs)
-      |        GROUP BY node),
-      |t AS (SELECT COUNT(*) AS n_nodes, CAST(SUM(degree) AS BIGINT) AS deg_sum,
-      |        CAST(MAX(degree) AS BIGINT) AS max_degree FROM deg),
-      |p AS (SELECT COUNT(*) AS n_catalog FROM part)
-      |SELECT n_nodes, deg_sum // 2 AS n_edges, max_degree,
-      |  CAST(deg_sum AS DOUBLE) / CAST(n_nodes AS DOUBLE) AS avg_degree,
-      |  CAST(deg_sum AS DOUBLE)
-      |    / CAST(CAST(n_nodes AS DECIMAL(38,0)) * CAST(n_nodes - 1 AS DECIMAL(38,0)) AS DOUBLE) AS density,
-      |  n_catalog - n_nodes AS n_isolated
-      |FROM t CROSS JOIN p""".stripMargin
-
-  /** Rich-club profile at k ∈ {5, 10, 20}: among nodes with degree > k,
-    * the realized edge fraction φ(k) = 2·E_k / (n_k(n_k−1)) — "do the
-    * hubs trade with each other". Edge endpoints join the node-degree
-    * table twice (equi-keyed), the three thresholds ride one exploded
-    * pass, every count exact, one IEEE division per row. */
-  private def qRichClub(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(s, dir)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-    val l2 = li.select(col("ok"), col("pk").as("pk2"))
-    // pairs feeds THREE consumers (both union arms of deg + the edge
-    // count join) and degK another three (n_k + both endpoint joins) —
-    // stabilize each once so the lineitem self-join runs once, not per
-    // consumer, and the final plan hangs off two checkpoint leaves
-    val pairs = graft.operators.Checkpoints.stabilizeLazy(li.join(l2, Seq("ok"))
-      .filter(col("pk") < col("pk2"))
-      .select(col("pk").as("a"), col("pk2").as("b"))
-      .distinct())
-    val deg = pairs.select(col("a").as("node"))
-      .union(pairs.select(col("b").as("node")))
-      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
-    val ks = Seq(5, 10, 20)
-    val degK = graft.operators.Checkpoints.stabilizeLazy(
-      deg.withColumn("k", explode(typedLit(ks))).filter(col("degree") > col("k")))
-    val nK = degK.groupBy(col("k")).agg(count(lit(1)).as("n_k"))
-    val edgesK = pairs
-      .join(degK.select(col("node").as("a"), col("k")), Seq("a"))
-      .join(degK.select(col("node").as("b"), col("k")), Seq("b", "k"))
-      .groupBy(col("k")).agg(count(lit(1)).as("e_k"))
-    val d = (c: Column) => c.cast("decimal(38,0)")
-    nK.join(edgesK, Seq("k"), "left")
-      .na.fill(0, Seq("e_k"))
-      .select(col("k"), col("n_k"), col("e_k"),
-        when(col("n_k") < 2, lit(0.0))
-          .otherwise((col("e_k") * 2).cast("double") /
-            (d(col("n_k")) * d(col("n_k") - 1)).cast("double")).as("phi"))
-      .orderBy(col("k"))
-  }
-
-  private val qRichClubSql =
-    """WITH pairs AS (
-      |  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
-      |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
-      |  WHERE a.l_partkey < b.l_partkey),
-      |deg AS (SELECT node, COUNT(*) AS degree FROM (
-      |          SELECT a AS node FROM pairs UNION ALL SELECT b AS node FROM pairs)
-      |        GROUP BY node),
-      |ks AS (SELECT unnest([5, 10, 20]) AS k),
-      |dk AS (SELECT node, k FROM deg CROSS JOIN ks WHERE degree > k),
-      |nk AS (SELECT k, COUNT(*) AS n_k FROM dk GROUP BY k),
-      |ek AS (SELECT da.k, COUNT(*) AS e_k
-      |       FROM pairs p JOIN dk da ON p.a = da.node
-      |                    JOIN dk db ON p.b = db.node AND da.k = db.k
-      |       GROUP BY da.k)
-      |SELECT nk.k, nk.n_k, COALESCE(ek.e_k, 0) AS e_k,
-      |  CASE WHEN nk.n_k < 2 THEN 0.0
-      |    ELSE CAST(COALESCE(ek.e_k, 0) * 2 AS DOUBLE)
-      |      / CAST(CAST(nk.n_k AS DECIMAL(38,0)) * CAST(nk.n_k - 1 AS DECIMAL(38,0)) AS DOUBLE)
-      |  END AS phi
-      |FROM nk LEFT JOIN ek ON nk.k = ek.k ORDER BY nk.k""".stripMargin
-
-  /** BFS expansion profile from node 0 of the customer–supplier
-    * network: frontier size per distance, split by node parity
-    * (even = customer, odd = supplier — the bipartite layers must
-    * alternate, which the spec pins). Runs
-    * [[graft.operators.IterativeGraph.bfsDistancesFixed]] at rounds=4 —
-    * the SAME horizon the oracle's 4-CTE unroll pins, so the two sides
-    * cannot diverge on a node at distance >4 (a convergence-driven run
-    * would find it, the fixed unroll would not — data-dependent skew).
-    * The convergence-driven engine itself is exercised by
-    * q_shortest_path and its deep-graph spec; the expansion curve here
-    * is what sizes frontier repartitioning for deeper graphs. */
-  private def qBfsLayers(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
-    val ord = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
-    val cs = li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("p"))
-      .distinct()
-    val edges = cs.select(col("c").as("src"), col("p").as("dst"))
-      .unionByName(cs.select(col("p").as("src"), col("c").as("dst")))
-      .distinct()
-      .repartition(col("src")).persist()
-    val sources = s.range(1).select(lit(0L).as("node"), lit(0L).as("dist"))
-    graft.operators.IterativeGraph.bfsDistancesFixed(edges, sources, rounds = 4)
-      .groupBy(col("dist"))
-      .agg(count(lit(1)).as("n_nodes"),
-        sum((pmod(col("node"), lit(2)) === 0).cast("long")).as("n_customers"),
-        sum((pmod(col("node"), lit(2)) === 1).cast("long")).as("n_suppliers"))
-      .orderBy(col("dist"))
-  }
-
-  private val qBfsLayersSql: String = {
-    val iter = (1 to 4).map { k =>
-      s"""d$k AS (SELECT node, MIN(dist) AS dist FROM (
-         |  SELECT node, dist FROM d${k - 1}
-         |  UNION ALL
-         |  SELECT e.dst, r.dist + 1 FROM edges e JOIN d${k - 1} r ON e.src = r.node) u
-         |GROUP BY node)""".stripMargin
-    }.mkString(",\n")
-    s"""WITH cs AS (
-       |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS p
-       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-       |edges AS (
-       |  SELECT c AS src, p AS dst FROM cs
-       |  UNION
-       |  SELECT p AS src, c AS dst FROM cs),
-       |d0 AS (SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist),
-       |$iter
-       |SELECT dist, COUNT(*) AS n_nodes,
-       |  CAST(SUM(CASE WHEN node % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_customers,
-       |  CAST(SUM(CASE WHEN node % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_suppliers
-       |FROM d4 GROUP BY dist ORDER BY dist""".stripMargin
-  }
-
-  /** Two-hop reach of the top-10 co-order hubs: 1-hop and 2-hop
-    * neighborhood sizes per hub — the blast-radius measurement behind
-    * hub-salting decisions (a hub whose 2-hop ball covers half the
-    * graph will skew any neighborhood join keyed on it). Hubs are a
-    * 10-row broadcast; both expansions are equi-keyed joins from the
-    * hub seed set, never an all-pairs pass. */
-  private def qTwoHop(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(s, dir)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-    val l2 = li.select(col("ok"), col("pk").as("pk2"))
-    val pairs = li.join(l2, Seq("ok"))
-      .filter(col("pk") < col("pk2"))
-      .select(col("pk").as("a"), col("pk2").as("b"))
-      .distinct()
-    // adj feeds FOUR consumers (deg, both hop expansions, the reach
-    // union) and hop1 three (hop2, reach1, reach2) — lazy checkpoints
-    // make each a leaf scan instead of re-planning the co-order
-    // pair-join spine per consumer (the q_triangles treatment; the r13
-    // plan audit measured 42 exchanges from the re-derivations)
-    val adj = graft.operators.Checkpoints.stabilizeLazy(
-      pairs.unionByName(pairs.select(col("b").as("a"), col("a").as("b"))))
-    val deg = adj.groupBy(col("a").as("node")).agg(count(lit(1)).as("degree"))
-    // Hub cut via orderBy+limit → TakeOrderedAndProject, not a global
-    // row_number window over the node-sized degree table.
-    val hubs = deg.orderBy(col("degree").desc, col("node")).limit(10)
-      .select(col("node").as("hub"), col("degree"))
-    val hop1 = graft.operators.Checkpoints.stabilizeLazy(
-      broadcast(hubs).join(adj, col("hub") === col("a"))
-        .select(col("hub"), col("degree"), col("b").as("n1")))
-    val hop2 = hop1.join(adj, col("n1") === col("a"))
-      .select(col("hub"), col("b").as("n2"))
-    val reach1 = hop1.groupBy(col("hub"), col("degree"))
-      .agg(countDistinct(col("n1")).as("reach_1hop"))
-    val reach2 = hop1.select(col("hub"), col("n1").as("m"))
-      .unionByName(hop2.select(col("hub"), col("n2").as("m")))
-      .filter(col("m") =!= col("hub"))
-      .groupBy(col("hub")).agg(countDistinct(col("m")).as("reach_2hop"))
-    reach1.join(reach2, Seq("hub"))
-      .select(col("hub"), col("degree"), col("reach_1hop"), col("reach_2hop"))
-      .orderBy(col("degree").desc, col("hub"))
-  }
-
-  private val qTwoHopSql =
-    """WITH pairs AS (
-      |  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
-      |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
-      |  WHERE a.l_partkey < b.l_partkey),
-      |adj AS (SELECT a, b FROM pairs UNION ALL SELECT b AS a, a AS b FROM pairs),
-      |deg AS (SELECT a AS node, COUNT(*) AS degree FROM adj GROUP BY a),
-      |hubs AS (SELECT node AS hub, degree FROM (
-      |    SELECT node, degree, ROW_NUMBER() OVER (ORDER BY degree DESC, node) AS rnk
-      |    FROM deg) t WHERE rnk <= 10),
-      |h1 AS (SELECT hub, degree, adj.b AS n1 FROM hubs JOIN adj ON hub = adj.a),
-      |h2 AS (SELECT h1.hub, adj.b AS n2 FROM h1 JOIN adj ON h1.n1 = adj.a),
-      |r1 AS (SELECT hub, degree, COUNT(DISTINCT n1) AS reach_1hop
-      |       FROM h1 GROUP BY hub, degree),
-      |r2 AS (SELECT hub, COUNT(DISTINCT m) AS reach_2hop FROM (
-      |         SELECT hub, n1 AS m FROM h1 UNION ALL SELECT hub, n2 AS m FROM h2) u
-      |       WHERE m <> hub GROUP BY hub)
-      |SELECT r1.hub, r1.degree, r1.reach_1hop, r2.reach_2hop
-      |FROM r1 JOIN r2 ON r1.hub = r2.hub
-      |ORDER BY r1.degree DESC, r1.hub""".stripMargin
-
-  /** 7-day rolling MEDIAN of daily revenue — the robust trend line the
-    * rolling mean can't give (one spike day drags a mean for a week):
-    * each day joins its trailing 7-day window off the calendar-bounded
-    * spine (≤7 rows per day by construction), the window median is an
-    * exact order statistic in DOUBLED cents (odd windows land on a
-    * value, even on a half-cent — both exact), one /200 emission. */
-  private def qRollingMedian(s: SparkSession, dir: String): DataFrame = {
-    val daily = dailyRevenueSpine(s, dir)
-    val win = daily.select(col("d").as("wd"), col("rev_c"))
-    daily.select(col("day"), col("d"))
-      .join(win, col("wd").between(col("d") - 6, col("d")))
-      .groupBy(col("day"), col("d"))
-      .agg(count(lit(1)).as("n_w"), sort_array(collect_list(col("rev_c"))).as("vs"))
-      .withColumn("med2",
-        element_at(col("vs"), ((col("n_w") + 1) / 2).cast("int")) +
-          element_at(col("vs"), ((col("n_w") + 2) / 2).cast("int")))
-      .select(col("day"), col("n_w"), (col("med2") / 200.0).as("rolling_median"))
-      .orderBy(col("day"))
-  }
-
-  private val qRollingMedianSql =
-    s"""WITH daily AS ($dailySpineSql),
-       |w AS (SELECT a.day, a.d, b.rev_c
-       |      FROM daily a JOIN daily b ON b.d BETWEEN a.d - 6 AND a.d),
-       |m AS (SELECT day, COUNT(*) AS n_w, list_sort(list(rev_c)) AS vs
-       |      FROM w GROUP BY day, d)
-       |SELECT day, n_w,
-       |  (vs[CAST((n_w + 1) // 2 AS INT)] + vs[CAST((n_w + 2) // 2 AS INT)]) / 200.0
-       |    AS rolling_median
-       |FROM m ORDER BY day""".stripMargin
-
-  /** Exact mode of the quantity distribution per return flag with the
-    * deterministic (count DESC, value ASC) tie-break — the categorical
-    * "typical value" summary percentile machinery skips past. Two
-    * posting-shaped aggregates; quantities are exact integer units. */
-  private def qMode(s: SparkSession, dir: String): DataFrame = {
-    val q = Tables.lineitem(s, dir)
-      .select(col("l_returnflag"), col("l_quantity").cast("long").as("qty"))
-      .groupBy(col("l_returnflag"), col("qty")).agg(count(lit(1)).as("n"))
-    q.withColumn("rnk", row_number().over(
-        Window.partitionBy(col("l_returnflag")).orderBy(col("n").desc, col("qty"))))
-      .filter(col("rnk") === 1)
-      .select(col("l_returnflag"), col("qty").as("mode_qty"), col("n").as("n_at_mode"))
-      .orderBy(col("l_returnflag"))
-  }
-
-  private val qModeSql =
-    """WITH q AS (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty, COUNT(*) AS n
-      |  FROM lineitem GROUP BY 1, 2),
-      |r AS (SELECT l_returnflag, qty, n,
-      |        ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY n DESC, qty) AS rnk
-      |      FROM q)
-      |SELECT l_returnflag, qty AS mode_qty, n AS n_at_mode
-      |FROM r WHERE rnk = 1 ORDER BY l_returnflag""".stripMargin
-
-  /** Rescaled-range (Hurst) analysis of daily revenue at window sizes
-    * {8,16,32}: within each complete window the mean-adjusted cumulative
-    * deviation is kept EXACT by scaling through w (D_k = w·prefix_k −
-    * k·S, a DECIMAL(38,0) integer), so R/S = (maxD − minD)/√(w·Q − S²)
-    * is two exact operands through one correctly-rounded sqrt and
-    * division, ROUND 6 per window; the Hurst exponent is the 3-point
-    * ln-ln OLS slope over the per-size mean R/S. H≈0.5 = random walk,
-    * H>0.5 = trending — the long-memory screen beside an_autocorr. */
-  private def anHurst(s: SparkSession, dir: String): DataFrame = {
-    val daily = dailyRevenueSpine(s, dir)
-      .withColumn("idx", row_number().over(Window.orderBy(col("d"))).cast("long"))
-    val d38 = (c: Column) => c.cast("decimal(38,0)")
-    val perW = Seq(8, 16, 32).map { w =>
-      val wl = lit(w.toLong)
-      val win = Window.partitionBy(col("win_id"))
-      val winOrd = Window.partitionBy(col("win_id")).orderBy(col("idx"))
-        .rowsBetween(Window.unboundedPreceding, 0)
-      daily
-        .withColumn("win_id", expr(s"(idx - 1) div $w"))
-        .withColumn("k", col("idx") - col("win_id") * wl)
-        .withColumn("cnt", count(lit(1)).over(win))
-        .filter(col("cnt") === wl)
-        .withColumn("sw", sum(d38(col("rev_c"))).over(win))
-        .withColumn("qw", sum(d38(col("rev_c")) * d38(col("rev_c"))).over(win))
-        .withColumn("pref", sum(d38(col("rev_c"))).over(winOrd))
-        .withColumn("dk", col("pref") * wl - d38(col("k")) * col("sw"))
-        .groupBy(col("win_id"))
-        .agg(max(col("dk")).as("mx"), min(col("dk")).as("mn"),
-          max(col("sw")).as("sw"), max(col("qw")).as("qw"))
-        .select(lit(w.toLong).as("w"),
-          round((col("mx") - col("mn")).cast("double") /
-            sqrt((col("qw") * wl - col("sw") * col("sw")).cast("double")), 6).as("rs"))
-    }.reduce(_.unionAll(_))
-    def gather(c: Column) = sum(c.cast("decimal(38,18)")).cast("decimal(38,18)")
-    val byW = perW.groupBy(col("w"))
-      .agg(count(lit(1)).as("n_windows"),
-        round(gather(col("rs")).cast("double") / count(lit(1)).cast("double"), 6).as("mean_rs"))
-    val fit = byW.agg(count(lit(1)).as("np"),
-        gather(log(col("w").cast("double"))).as("sx"),
-        gather(log(col("mean_rs"))).as("sy"),
-        gather(log(col("w").cast("double")) * log(col("w").cast("double"))).as("sxx"),
-        gather(log(col("w").cast("double")) * log(col("mean_rs"))).as("sxy"))
-      .select(round((col("np") * col("sxy") - col("sx") * col("sy")).cast("double") /
-        (col("np") * col("sxx") - col("sx") * col("sx")).cast("double"), 6).as("hurst"))
-    byW.crossJoin(broadcast(fit)).orderBy(col("w"))
-  }
-
-  private val anHurstSql = {
-    def one(w: Int) =
-      s"""SELECT CAST($w AS BIGINT) AS w, win_id,
-         |  ROUND(CAST(MAX(dk) - MIN(dk) AS DOUBLE)
-         |    / sqrt(CAST(MAX(qw) * $w - MAX(sw) * MAX(sw) AS DOUBLE)), 6) AS rs
-         |FROM (
-         |  SELECT win_id, k,
-         |    SUM(CAST(rev_c AS DECIMAL(38,0))) OVER (PARTITION BY win_id) AS sw,
-         |    SUM(CAST(rev_c AS DECIMAL(38,0)) * CAST(rev_c AS DECIMAL(38,0)))
-         |      OVER (PARTITION BY win_id) AS qw,
-         |    COUNT(*) OVER (PARTITION BY win_id) AS cnt,
-         |    SUM(CAST(rev_c AS DECIMAL(38,0))) OVER (PARTITION BY win_id ORDER BY idx
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * $w
-         |      - CAST(k AS DECIMAL(38,0)) *
-         |        SUM(CAST(rev_c AS DECIMAL(38,0))) OVER (PARTITION BY win_id) AS dk
-         |  FROM (SELECT rev_c, idx, (idx - 1) // $w AS win_id,
-         |          idx - ((idx - 1) // $w) * $w AS k FROM di) x) y
-         |WHERE cnt = $w GROUP BY win_id""".stripMargin
-    s"""WITH daily AS ($dailySpineSql),
-       |di AS (SELECT rev_c, CAST(ROW_NUMBER() OVER (ORDER BY d) AS BIGINT) AS idx FROM daily),
-       |rsw AS (${Seq(8, 16, 32).map(one).mkString("\nUNION ALL\n")}),
-       |byw AS (SELECT w, COUNT(*) AS n_windows,
-       |    ROUND(CAST(CAST(SUM(CAST(rs AS DECIMAL(38,18))) AS DECIMAL(38,18)) AS DOUBLE)
-       |      / CAST(COUNT(*) AS DOUBLE), 6) AS mean_rs
-       |  FROM rsw GROUP BY w),
-       |fit AS (SELECT ROUND(
-       |    CAST(COUNT(*) * CAST(SUM(CAST(ln(CAST(w AS DOUBLE)) * ln(mean_rs) AS DECIMAL(38,18))) AS DECIMAL(38,18))
-       |      - CAST(SUM(CAST(ln(CAST(w AS DOUBLE)) AS DECIMAL(38,18))) AS DECIMAL(38,18))
-       |        * CAST(SUM(CAST(ln(mean_rs) AS DECIMAL(38,18))) AS DECIMAL(38,18)) AS DOUBLE)
-       |    / CAST(COUNT(*) * CAST(SUM(CAST(ln(CAST(w AS DOUBLE)) * ln(CAST(w AS DOUBLE)) AS DECIMAL(38,18))) AS DECIMAL(38,18))
-       |      - CAST(SUM(CAST(ln(CAST(w AS DOUBLE)) AS DECIMAL(38,18))) AS DECIMAL(38,18))
-       |        * CAST(SUM(CAST(ln(CAST(w AS DOUBLE)) AS DECIMAL(38,18))) AS DECIMAL(38,18)) AS DOUBLE), 6) AS hurst
-       |  FROM byw)
-       |SELECT w, n_windows, mean_rs, hurst FROM byw CROSS JOIN fit ORDER BY w""".stripMargin
-  }
-
-  /** Interrupted time-series analysis at the 1998-07-01 intervention
-    * (mid-range of the data's actual 1995–2001 shipdate span — a
-    * boundary outside the span makes one segment silently empty, the
-    * r8 hollow-window class, which the Round12Spec n_pre>0 guard now
-    * pins): per-segment OLS of daily revenue on the day index from
-    * exact DECIMAL moment sums, slopes and the level change at the
-    * boundary evaluated in ONE shared expression tree, ROUND 6. The
-    * causal-inference workhorse for policy changes without a control
-    * group — an_did's cousin when there's only one series. */
-  private def anIts(s: SparkSession, dir: String): DataFrame = {
-    val daily = dailyRevenueSpine(s, dir)
-      .withColumn("seg", when(col("day") < ts("1998-07-01"), "pre").otherwise("post"))
-    val d38 = (c: Column) => c.cast("decimal(38,0)")
-    val m = daily.groupBy(col("seg"))
-      .agg(count(lit(1)).as("n"), sum(d38(col("d"))).as("sx"),
-        sum(d38(col("rev_c"))).as("sy"),
-        sum(d38(col("d")) * d38(col("d"))).as("sxx"),
-        sum(d38(col("d")) * d38(col("rev_c"))).as("sxy"))
-    def pick(c: String, seg: String) = max(when(col("seg") === seg, col(c)))
-    val t0 = lit(2373.0) // datediff('1998-07-01','1992-01-01')
-    val w = m.agg(
-      pick("n", "pre").as("n_pre"), pick("n", "post").as("n_post"),
-      pick("sx", "pre").as("sx1"), pick("sy", "pre").as("sy1"),
-      pick("sxx", "pre").as("sxx1"), pick("sxy", "pre").as("sxy1"),
-      pick("sx", "post").as("sx2"), pick("sy", "post").as("sy2"),
-      pick("sxx", "post").as("sxx2"), pick("sxy", "post").as("sxy2"))
-    def slope(n: Column, sx: Column, sy: Column, sxx: Column, sxy: Column) =
-      (n * sxy - sx * sy).cast("double") / (n * sxx - sx * sx).cast("double")
-    def level(n: Column, sx: Column, sy: Column, sl: Column) =
-      (sy.cast("double") - sl * sx.cast("double")) / n.cast("double") + sl * t0
-    val s1 = slope(col("n_pre"), col("sx1"), col("sy1"), col("sxx1"), col("sxy1"))
-    val s2 = slope(col("n_post"), col("sx2"), col("sy2"), col("sxx2"), col("sxy2"))
-    w.select(col("n_pre"), col("n_post"),
-      round(s1 / 100.0, 6).as("slope_pre"),
-      round(s2 / 100.0, 6).as("slope_post"),
-      round((level(col("n_post"), col("sx2"), col("sy2"), s2) -
-        level(col("n_pre"), col("sx1"), col("sy1"), s1)) / 100.0, 6).as("level_change"))
-  }
-
-  private val anItsSql = {
-    def slope(p: String) =
-      s"""(CAST(n$p * sxy$p - sx$p * sy$p AS DOUBLE)
-         | / CAST(n$p * sxx$p - sx$p * sx$p AS DOUBLE))""".stripMargin.replace("\n", "")
-    def level(p: String, sl: String) =
-      s"((CAST(sy$p AS DOUBLE) - $sl * CAST(sx$p AS DOUBLE)) / CAST(n$p AS DOUBLE) + $sl * 2373.0)"
-    s"""WITH daily AS ($dailySpineSql),
-       |sg AS (SELECT rev_c, d,
-       |         CASE WHEN day < TIMESTAMP '1998-07-01' THEN 'pre' ELSE 'post' END AS seg
-       |       FROM daily),
-       |m AS (SELECT seg, COUNT(*) AS n,
-       |        CAST(SUM(CAST(d AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
-       |        CAST(SUM(CAST(rev_c AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy,
-       |        CAST(SUM(CAST(d AS DECIMAL(38,0)) * CAST(d AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxx,
-       |        CAST(SUM(CAST(d AS DECIMAL(38,0)) * CAST(rev_c AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxy
-       |      FROM sg GROUP BY seg),
-       |w AS (SELECT
-       |  MAX(CASE WHEN seg = 'pre' THEN n END) AS n1, MAX(CASE WHEN seg = 'post' THEN n END) AS n2,
-       |  MAX(CASE WHEN seg = 'pre' THEN sx END) AS sx1, MAX(CASE WHEN seg = 'post' THEN sx END) AS sx2,
-       |  MAX(CASE WHEN seg = 'pre' THEN sy END) AS sy1, MAX(CASE WHEN seg = 'post' THEN sy END) AS sy2,
-       |  MAX(CASE WHEN seg = 'pre' THEN sxx END) AS sxx1, MAX(CASE WHEN seg = 'post' THEN sxx END) AS sxx2,
-       |  MAX(CASE WHEN seg = 'pre' THEN sxy END) AS sxy1, MAX(CASE WHEN seg = 'post' THEN sxy END) AS sxy2
-       |  FROM m)
-       |SELECT n1 AS n_pre, n2 AS n_post,
-       |  ROUND(${slope("1")} / 100.0, 6) AS slope_pre,
-       |  ROUND(${slope("2")} / 100.0, 6) AS slope_post,
-       |  ROUND((${level("2", slope("2"))} - ${level("1", slope("1"))}) / 100.0, 6) AS level_change
-       |FROM w""".stripMargin
-  }
-
-  /** Seasonal-strength F_s of the weekly cycle: 1 − Var(remainder)/
-    * Var(detrended) over the an_seasonal_decompose machinery, with
-    * every per-day term ROUNDED to 6 dp BEFORE squaring (two
-    * correctly-rounded divisions + one subtraction per term — the
-    * round makes each term's decimal repr short, so the DECIMAL(38,12)
-    * variance gathers are EXACT and engine-identical). F_s near 1 =
-    * the cycle explains the detrended series. */
-  private def anSeasonalStrength(s: SparkSession, dir: String): DataFrame = {
-    val daily = dailyRevenueSpine(s, dir)
-    val wTr = Window.orderBy(col("d")).rangeBetween(-3, 3)
-    val det = daily
-      .withColumn("tsum", sum(col("rev_c")).over(wTr))
-      .withColumn("tn", count(lit(1)).over(wTr))
-      .filter(col("tn") === 7)
-      .select(col("d"), (col("rev_c") * 7 - col("tsum")).as("det7"),
-        pmod(col("d"), lit(7)).as("dow"))
-    val sdow = det.groupBy(col("dow"))
-      .agg(sum(col("det7")).as("snum"), count(lit(1)).as("ndow"))
-    val terms = det.join(broadcast(sdow), "dow")
-      .withColumn("rem6", round(col("det7").cast("double") / 7.0 -
-        col("snum").cast("double") / (col("ndow").cast("double") * 7.0), 6))
-      .withColumn("det6", round(col("det7").cast("double") / 7.0, 6))
-    def g12(c: Column) = sum(c.cast("decimal(38,12)")).cast("decimal(38,12)")
-    terms.agg(count(lit(1)).as("n_days"),
-        g12(col("rem6") * col("rem6")).as("ssr"),
-        g12(col("det6") * col("det6")).as("ssd"))
-      .select(col("n_days"),
-        round(greatest(lit(0.0),
-          lit(1.0) - col("ssr").cast("double") / col("ssd").cast("double")), 6)
-          .as("seasonal_strength"))
-  }
-
-  private val anSeasonalStrengthSql =
-    s"""WITH daily AS ($dailySpineSql),
-       |tr AS (SELECT d, rev_c,
-       |         SUM(rev_c) OVER w7 AS tsum, COUNT(*) OVER w7 AS tn
-       |       FROM daily
-       |       WINDOW w7 AS (ORDER BY d RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
-       |det AS (SELECT d, rev_c * 7 - tsum AS det7, d % 7 AS dow FROM tr WHERE tn = 7),
-       |sd AS (SELECT dow, CAST(SUM(det7) AS BIGINT) AS snum, COUNT(*) AS ndow
-       |       FROM det GROUP BY dow),
-       |t AS (SELECT
-       |        ROUND(CAST(det7 AS DOUBLE) / 7.0
-       |          - CAST(snum AS DOUBLE) / (CAST(ndow AS DOUBLE) * 7.0), 6) AS rem6,
-       |        ROUND(CAST(det7 AS DOUBLE) / 7.0, 6) AS det6
-       |      FROM det JOIN sd USING (dow))
-       |SELECT COUNT(*) AS n_days,
-       |  ROUND(GREATEST(0.0, 1.0
-       |    - CAST(CAST(SUM(CAST(rem6 * rem6 AS DECIMAL(38,12))) AS DECIMAL(38,12)) AS DOUBLE)
-       |      / CAST(CAST(SUM(CAST(det6 * det6 AS DECIMAL(38,12))) AS DECIMAL(38,12)) AS DOUBLE)), 6)
-       |    AS seasonal_strength
-       |FROM t""".stripMargin
-
-  /** 10%-trimmed mean per order priority — the robust location estimate
-    * that DROPS both tails (an_winsorize clips them): rank range
-    * (n/10, n − n/10] resolved against the same raw-row PrefixSum scan,
-    * per-value overlap counts keep the trimmed sum EXACT (no row ever
-    * re-sorts), one division at emission. */
-  private def anTrimmedMean(s: SparkSession, dir: String): DataFrame = {
-    val o = Tables.orders(s, dir).select(col("o_orderpriority").as("g"),
-      (col("o_totalprice").cast("decimal(24,2)") * 100).cast("bigint").as("v"))
-    val scan = graft.operators.PrefixSum.distinctRunningCounts(o, Seq("g", "v"))
-    val wOff = Window.orderBy(col("g")).rowsBetween(Window.unboundedPreceding, -1)
-    val probes = o.groupBy(col("g")).agg(count(lit(1)).as("n"))
-      .withColumn("off", coalesce(sum(col("n")).over(wOff), lit(0L)))
-      .withColumn("r_lo", expr("n div 10"))
-      .withColumn("r_hi", expr("n - (n div 10)"))
-    scan.join(broadcast(probes), Seq("g"))
-      .withColumn("cum", col("cnt_cum") - col("off"))
-      .withColumn("in_cnt", greatest(lit(0L),
-        least(col("cum"), col("r_hi")) - greatest(col("cum") - col("cnt"), col("r_lo"))))
-      .filter(col("in_cnt") > 0)
-      .groupBy(col("g").as("o_orderpriority"))
-      .agg(max(col("r_hi") - col("r_lo")).as("n_kept"),
-        sum(col("v") * col("in_cnt")).as("tsum"))
-      .select(col("o_orderpriority"), col("n_kept"),
-        (col("tsum").cast("double") / col("n_kept").cast("double") / 100.0)
-          .as("trimmed_mean"))
-      .orderBy(col("o_orderpriority"))
-  }
-
-  private val anTrimmedMeanSql =
-    """WITH o AS (SELECT o_orderpriority AS g,
-      |                  CAST(CAST(o_totalprice AS DECIMAL(24,2)) * 100 AS BIGINT) AS v
-      |           FROM orders),
-      |pv AS (SELECT g, v, COUNT(*) AS cnt FROM o GROUP BY 1, 2),
-      |cv AS (SELECT g, v, cnt, CAST(SUM(cnt) OVER (PARTITION BY g ORDER BY v) AS BIGINT) AS cum
-      |       FROM pv),
-      |tv AS (SELECT g, CAST(SUM(cnt) AS BIGINT) AS n FROM pv GROUP BY g),
-      |x AS (SELECT cv.g, v, GREATEST(0,
-      |        LEAST(cum, n - n // 10) - GREATEST(cum - cnt, n // 10)) AS in_cnt,
-      |        n - 2 * (n // 10) AS n_kept
-      |      FROM cv JOIN tv USING (g))
-      |SELECT g AS o_orderpriority, CAST(MAX(n_kept) AS BIGINT) AS n_kept,
-      |  CAST(CAST(SUM(v * in_cnt) AS BIGINT) AS DOUBLE)
-      |    / CAST(MAX(n_kept) AS DOUBLE) / 100.0 AS trimmed_mean
-      |FROM x WHERE in_cnt > 0 GROUP BY g ORDER BY g""".stripMargin
-
-  /** Bowley quartile skewness per order priority: (Q1 + Q3 − 2·Q2)/
-    * (Q3 − Q1) over type-1 quartiles (exact order statistics at rank
-    * ⌈q·n⌉ off the PrefixSum scan) — numerator and denominator are
-    * exact integer cents, ONE IEEE division. The outlier-immune
-    * asymmetry measure where moment skewness saturates. */
-  private def anQuartileSkew(s: SparkSession, dir: String): DataFrame = {
-    val o = Tables.orders(s, dir).select(col("o_orderpriority").as("g"),
-      (col("o_totalprice").cast("decimal(24,2)") * 100).cast("bigint").as("v"))
-    val scan = graft.operators.PrefixSum.distinctRunningCounts(o, Seq("g", "v"))
-    val wOff = Window.orderBy(col("g")).rowsBetween(Window.unboundedPreceding, -1)
-    val probes = o.groupBy(col("g")).agg(count(lit(1)).as("n"))
-      .withColumn("off", coalesce(sum(col("n")).over(wOff), lit(0L)))
-      .withColumn("r1", expr("(n + 3) div 4"))
-      .withColumn("r2", expr("(n + 1) div 2"))
-      .withColumn("r3", expr("(3 * n + 3) div 4"))
-    def hit(r: String) = col("cum") >= col(r) && col("cum") - col("cnt") < col(r)
-    scan.join(broadcast(probes), Seq("g"))
-      .withColumn("cum", col("cnt_cum") - col("off"))
-      .filter(hit("r1") || hit("r2") || hit("r3"))
-      .groupBy(col("g").as("o_orderpriority"))
-      .agg(max(when(hit("r1"), col("v"))).as("q1_c"),
-        max(when(hit("r2"), col("v"))).as("q2_c"),
-        max(when(hit("r3"), col("v"))).as("q3_c"))
-      .select(col("o_orderpriority"),
-        (col("q1_c") / 100.0).as("q1"), (col("q2_c") / 100.0).as("q2"),
-        (col("q3_c") / 100.0).as("q3"),
-        ((col("q1_c") + col("q3_c") - col("q2_c") * 2).cast("double") /
-          (col("q3_c") - col("q1_c")).cast("double")).as("bowley_skew"))
-      .orderBy(col("o_orderpriority"))
-  }
-
-  private val anQuartileSkewSql =
-    """WITH o AS (SELECT o_orderpriority AS g,
-      |                  CAST(CAST(o_totalprice AS DECIMAL(24,2)) * 100 AS BIGINT) AS v
-      |           FROM orders),
-      |pv AS (SELECT g, v, COUNT(*) AS cnt FROM o GROUP BY 1, 2),
-      |cv AS (SELECT g, v, cnt, CAST(SUM(cnt) OVER (PARTITION BY g ORDER BY v) AS BIGINT) AS cum
-      |       FROM pv),
-      |tv AS (SELECT g, CAST(SUM(cnt) AS BIGINT) AS n FROM pv GROUP BY g),
-      |b AS (SELECT cv.g,
-      |        CAST(MAX(CASE WHEN cum >= (n+3)//4 AND cum - cnt < (n+3)//4 THEN v END) AS BIGINT) AS q1_c,
-      |        CAST(MAX(CASE WHEN cum >= (n+1)//2 AND cum - cnt < (n+1)//2 THEN v END) AS BIGINT) AS q2_c,
-      |        CAST(MAX(CASE WHEN cum >= (3*n+3)//4 AND cum - cnt < (3*n+3)//4 THEN v END) AS BIGINT) AS q3_c
-      |      FROM cv JOIN tv USING (g) GROUP BY cv.g)
-      |SELECT g AS o_orderpriority, q1_c / 100.0 AS q1, q2_c / 100.0 AS q2, q3_c / 100.0 AS q3,
-      |  CAST(q1_c + q3_c - q2_c * 2 AS DOUBLE) / CAST(q3_c - q1_c AS DOUBLE) AS bowley_skew
-      |FROM b ORDER BY g""".stripMargin
-
-  /** Up/down streak census of daily revenue: gaps-islands over the
-    * sign of the day-over-day change (island id = idx − row_number
-    * within the sign class), longest run each way plus up/down day
-    * totals — all exact integer machinery on the calendar-bounded
-    * spine. The momentum footprint an_runs_test's one z-number
-    * summarizes away. */
-  private def anStreaks(s: SparkSession, dir: String): DataFrame = {
-    val diffs = dailyRevenueSpine(s, dir)
-      .withColumn("chg", col("rev_c") - lag(col("rev_c"), 1).over(Window.orderBy(col("d"))))
-      .filter(col("chg").isNotNull && col("chg") =!= 0)
-      .withColumn("up", (col("chg") > 0).cast("int"))
-      .withColumn("idx", row_number().over(Window.orderBy(col("d"))).cast("long"))
-      .withColumn("grp", col("idx") - row_number().over(
-        Window.partitionBy(col("up")).orderBy(col("idx"))).cast("long"))
-    val runs = diffs.groupBy(col("up"), col("grp")).agg(count(lit(1)).as("len"))
-    runs.agg(
-        max(when(col("up") === 1, col("len"))).as("longest_up"),
-        max(when(col("up") === 0, col("len"))).as("longest_down"),
-        sum(when(col("up") === 1, col("len")).otherwise(0L)).as("n_up_days"),
-        sum(when(col("up") === 0, col("len")).otherwise(0L)).as("n_down_days"),
-        sum(when(col("up") === 1 && col("len") >= 3, 1L).otherwise(0L)).as("n_up_streaks_ge3"))
-  }
-
-  private val anStreaksSql =
-    s"""WITH daily AS ($dailySpineSql),
-       |ch AS (SELECT d, rev_c - LAG(rev_c) OVER (ORDER BY d) AS chg FROM daily),
-       |f AS (SELECT d, CASE WHEN chg > 0 THEN 1 ELSE 0 END AS up,
-       |        CAST(ROW_NUMBER() OVER (ORDER BY d) AS BIGINT) AS idx
-       |      FROM ch WHERE chg IS NOT NULL AND chg <> 0),
-       |g AS (SELECT up, idx - CAST(ROW_NUMBER() OVER (PARTITION BY up ORDER BY idx) AS BIGINT) AS grp
-       |      FROM f),
-       |runs AS (SELECT up, grp, COUNT(*) AS len FROM g GROUP BY up, grp)
-       |SELECT CAST(MAX(CASE WHEN up = 1 THEN len END) AS BIGINT) AS longest_up,
-       |  CAST(MAX(CASE WHEN up = 0 THEN len END) AS BIGINT) AS longest_down,
-       |  CAST(SUM(CASE WHEN up = 1 THEN len ELSE 0 END) AS BIGINT) AS n_up_days,
-       |  CAST(SUM(CASE WHEN up = 0 THEN len ELSE 0 END) AS BIGINT) AS n_down_days,
-       |  CAST(SUM(CASE WHEN up = 1 AND len >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_up_streaks_ge3
-       |FROM runs""".stripMargin
-
-  /** Customer-base turnover 1996 → 1997: retained / added / churned
-    * counts from one distinct-flag aggregate over orders, set Jaccard
-    * as the one-number stability index. The set-dynamics companion to
-    * an_mcnemar's significance test on the same transition. */
-  private def anTurnover(s: SparkSession, dir: String): DataFrame =
-    Tables.orders(s, dir)
-      .withColumn("yr", year(col("o_orderdate")))
-      .filter(col("yr").isin(1996, 1997))
-      .groupBy(col("o_custkey"))
-      .agg(max(when(col("yr") === 1996, 1).otherwise(0)).as("a96"),
-        max(when(col("yr") === 1997, 1).otherwise(0)).as("a97"))
-      .agg(
-        sum(when(col("a96") === 1 && col("a97") === 1, 1L).otherwise(0L)).as("retained"),
-        sum(when(col("a96") === 0 && col("a97") === 1, 1L).otherwise(0L)).as("added"),
-        sum(when(col("a96") === 1 && col("a97") === 0, 1L).otherwise(0L)).as("churned"))
-      .select(col("retained"), col("added"), col("churned"),
-        (col("retained").cast("double") /
-          (col("retained") + col("added") + col("churned")).cast("double")).as("jaccard"))
-
-  private val anTurnoverSql =
-    """WITH f AS (SELECT o_custkey,
-      |    MAX(CASE WHEN year(o_orderdate) = 1996 THEN 1 ELSE 0 END) AS a96,
-      |    MAX(CASE WHEN year(o_orderdate) = 1997 THEN 1 ELSE 0 END) AS a97
-      |  FROM orders WHERE year(o_orderdate) IN (1996, 1997) GROUP BY o_custkey)
-      |SELECT
-      |  CAST(SUM(CASE WHEN a96 = 1 AND a97 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS retained,
-      |  CAST(SUM(CASE WHEN a96 = 0 AND a97 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS added,
-      |  CAST(SUM(CASE WHEN a96 = 1 AND a97 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS churned,
-      |  CAST(SUM(CASE WHEN a96 = 1 AND a97 = 1 THEN 1 ELSE 0 END) AS DOUBLE)
-      |    / CAST(COUNT(*) AS DOUBLE) AS jaccard
-      |FROM f""".stripMargin
-
-  /** Benjamini–Hochberg FDR control over the per-segment churn-rate
-    * z-tests (each segment vs the pooled rest): p-values through the
-    * Bowling logistic approximation of Φ (closed-form exp — the SAME
-    * expression both engines, ROUND 6; exact normal CDFs need erf,
-    * which neither engine guarantees bit-identical), BH step-up on the
-    * ROUNDED p with (p, segment) deterministic ranking. The multiple-
-    * comparisons gate an_abtest's single test doesn't give. */
-  private def anBhFdr(s: SparkSession, dir: String): DataFrame = {
-    val grp = churnLabeled(s, dir).groupBy(col("c_mktsegment"))
-      .agg(count(lit(1)).as("n_g"), sum(col("g1")).as("k_g"))
-    val tot = grp.agg(sum(col("n_g")).as("n"), sum(col("k_g")).as("k"))
-    val z = {
-      val p1 = col("k_g").cast("double") / col("n_g").cast("double")
-      val p0 = (col("k") - col("k_g")).cast("double") / (col("n") - col("n_g")).cast("double")
-      val pp = col("k").cast("double") / col("n").cast("double")
-      (p1 - p0) / sqrt(pp * (lit(1.0) - pp) *
-        (lit(1.0) / col("n_g").cast("double") +
-          lit(1.0) / (col("n") - col("n_g")).cast("double")))
-    }
-    val phi = (x: Column) => lit(1.0) / (lit(1.0) + exp(lit(-1.5976) * x -
-      lit(0.070566) * x * x * x))
-    val scored = grp.crossJoin(broadcast(tot))
-      .withColumn("z", round(z, 6))
-      .withColumn("p", round(lit(2.0) * (lit(1.0) - phi(abs(col("z")))), 6))
-    val m = 5
-    scored
-      .withColumn("rnk", row_number().over(Window.orderBy(col("p"), col("c_mktsegment"))).cast("long"))
-      .withColumn("thresh", round(col("rnk").cast("double") * 0.05 / m, 6))
-      .withColumn("cutoff", max(when(col("p") <= col("thresh"), col("rnk")))
-        .over(Window.partitionBy()))
-      .select(col("c_mktsegment"), col("z"), col("p"), col("rnk"), col("thresh"),
-        (col("cutoff").isNotNull && col("rnk") <= col("cutoff")).as("rejected"))
-      .orderBy(col("rnk"))
-  }
-
-  private val anBhFdrSql =
-    s"""WITH lab AS ($churnLabeledSql),
-       |g AS (SELECT c_mktsegment, COUNT(*) AS n_g, CAST(SUM(g1) AS BIGINT) AS k_g
-       |      FROM lab GROUP BY 1),
-       |t AS (SELECT CAST(SUM(n_g) AS BIGINT) AS n, CAST(SUM(k_g) AS BIGINT) AS k FROM g),
-       |zs AS (SELECT c_mktsegment,
-       |    ROUND((CAST(k_g AS DOUBLE) / CAST(n_g AS DOUBLE)
-       |        - CAST(k - k_g AS DOUBLE) / CAST(n - n_g AS DOUBLE))
-       |      / sqrt((CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
-       |        * (1.0 - CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
-       |        * (1.0 / CAST(n_g AS DOUBLE) + 1.0 / CAST(n - n_g AS DOUBLE))), 6) AS z
-       |  FROM g CROSS JOIN t),
-       |ps AS (SELECT c_mktsegment, z,
-       |    ROUND(2.0 * (1.0 - 1.0 / (1.0 + exp(-1.5976 * ABS(z)
-       |      - 0.070566 * ABS(z) * ABS(z) * ABS(z)))), 6) AS p
-       |  FROM zs),
-       |rk AS (SELECT c_mktsegment, z, p,
-       |    CAST(ROW_NUMBER() OVER (ORDER BY p, c_mktsegment) AS BIGINT) AS rnk
-       |  FROM ps),
-       |th AS (SELECT *, ROUND(CAST(rnk AS DOUBLE) * 0.05 / 5, 6) AS thresh FROM rk),
-       |co AS (SELECT MAX(CASE WHEN p <= thresh THEN rnk END) AS cutoff FROM th)
-       |SELECT c_mktsegment, z, p, rnk, thresh,
-       |  (cutoff IS NOT NULL AND rnk <= cutoff) AS rejected
-       |FROM th CROSS JOIN co ORDER BY rnk""".stripMargin
-
-  /** Variance inflation factors for the three daily series (revenue,
-    * line volume, order breadth): VIF_j = 1/(1−R²_j|rest) with R² from
-    * the pairwise correlations in closed 3-variable form — the
-    * collinearity screen run before any multi-feature regression. Same
-    * exact moment pass as an_partial_corr; shared expression tree,
-    * ROUND 6. */
-  private def anVif(s: SparkSession, dir: String): DataFrame = {
-    val daily = Tables.lineitem(s, dir)
-      .groupBy(date_trunc("day", col("l_shipdate")).as("day"))
-      .agg((sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-          .cast("decimal(24,8)")).cast("decimal(24,2)") * 100).cast("bigint").as("x"),
-        count(lit(1)).as("y"),
-        countDistinct(col("l_orderkey")).as("z"))
-    val d = (c: Column) => c.cast("decimal(38,0)")
-    val m = daily.agg(count(lit(1)).as("n"),
-      sum(d(col("x"))).as("sx"), sum(d(col("y"))).as("sy"), sum(d(col("z"))).as("sz"),
-      sum(d(col("x")) * d(col("x"))).as("sxx"), sum(d(col("y")) * d(col("y"))).as("syy"),
-      sum(d(col("z")) * d(col("z"))).as("szz"),
-      sum(d(col("x")) * d(col("y"))).as("sxy"), sum(d(col("x")) * d(col("z"))).as("sxz"),
-      sum(d(col("y")) * d(col("z"))).as("syz"))
-    def r(sab: Column, sa: Column, sb: Column, saa: Column, sbb: Column) =
-      (col("n") * sab - sa * sb).cast("double") /
-        (sqrt((col("n") * saa - sa * sa).cast("double")) *
-          sqrt((col("n") * sbb - sb * sb).cast("double")))
-    val base = m
-      .withColumn("rxy", r(col("sxy"), col("sx"), col("sy"), col("sxx"), col("syy")))
-      .withColumn("rxz", r(col("sxz"), col("sx"), col("sz"), col("sxx"), col("szz")))
-      .withColumn("ryz", r(col("syz"), col("sy"), col("sz"), col("syy"), col("szz")))
-    def r2(rab: Column, rac: Column, rbc: Column) =
-      (rab * rab + rac * rac - lit(2.0) * rab * rac * rbc) / (lit(1.0) - rbc * rbc)
-    Seq(("revenue", (b: DataFrame) => r2(col("rxy"), col("rxz"), col("ryz"))),
-        ("volume", (b: DataFrame) => r2(col("rxy"), col("ryz"), col("rxz"))),
-        ("breadth", (b: DataFrame) => r2(col("rxz"), col("ryz"), col("rxy"))))
-      .map { case (name, f) =>
-        base.select(lit(name).as("series"),
-          round(f(base), 6).as("r2_on_rest"),
-          round(lit(1.0) / (lit(1.0) - f(base)), 6).as("vif"))
-      }.reduce(_.unionAll(_)).orderBy(col("series"))
-  }
-
-  private val anVifSql = {
-    def r(ab: String, a: String, b: String, aa: String, bb: String) =
-      s"""(CAST(n * s$ab - s$a * s$b AS DOUBLE)
-         | / (sqrt(CAST(n * s$aa - s$a * s$a AS DOUBLE)) * sqrt(CAST(n * s$bb - s$b * s$b AS DOUBLE))))""".stripMargin.replace("\n", "")
-    def r2(ab: String, ac: String, bc: String) =
-      s"(($ab * $ab + $ac * $ac - 2.0 * $ab * $ac * $bc) / (1.0 - $bc * $bc))"
-    val rxy = r("xy", "x", "y", "xx", "yy")
-    val rxz = r("xz", "x", "z", "xx", "zz")
-    val ryz = r("yz", "y", "z", "yy", "zz")
-    def one(name: String, e: String) =
-      s"SELECT '$name' AS series, ROUND($e, 6) AS r2_on_rest, ROUND(1.0 / (1.0 - $e), 6) AS vif FROM rr"
-    s"""WITH daily AS (SELECT
-       |    CAST(ROUND(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,8))), 2) * 100 AS BIGINT) AS x,
-       |    COUNT(*) AS y, COUNT(DISTINCT l_orderkey) AS z
-       |  FROM lineitem GROUP BY date_trunc('day', l_shipdate)),
-       |rr AS (SELECT COUNT(*) AS n,
-       |  CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
-       |  CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy,
-       |  CAST(SUM(CAST(z AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sz,
-       |  CAST(SUM(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxx,
-       |  CAST(SUM(CAST(y AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS syy,
-       |  CAST(SUM(CAST(z AS DECIMAL(38,0)) * CAST(z AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS szz,
-       |  CAST(SUM(CAST(x AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxy,
-       |  CAST(SUM(CAST(x AS DECIMAL(38,0)) * CAST(z AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxz,
-       |  CAST(SUM(CAST(y AS DECIMAL(38,0)) * CAST(z AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS syz
-       |  FROM daily)
-       |SELECT * FROM (
-       |${one("revenue", r2(rxy, rxz, ryz))}
-       |UNION ALL
-       |${one("volume", r2(rxy, ryz, rxz))}
-       |UNION ALL
-       |${one("breadth", r2(rxz, ryz, rxy))}
-       |) u ORDER BY series""".stripMargin
-  }
-
-  /** Median survival time off the Kaplan–Meier churn curve: the
-    * earliest event time where the ROUNDED survival estimate drops to
-    * ≤ 0.5 (the compare runs on the same 6-dp value both engines
-    * computed — no fresh float boundary), with the curve value and
-    * risk-set size at that point. The one-number summary a retention
-    * team reads off an_kaplan_meier's full curve. */
-  private def anMedianSurvival(s: SparkSession, dir: String): DataFrame = {
-    val km = anKaplanMeier(s, dir)
-    km.filter(col("surv") <= 0.5)
-      .orderBy(col("t")).limit(1)
-      .select(col("t").as("median_t"), col("n_risk"), col("d"), col("surv"))
-  }
-
-  private val anMedianSurvivalSql =
-    // strip ONLY the trailing ORDER BY (a blanket replace would also
-    // hit the window's OVER (ORDER BY t ...) and break the cumulative
-    // product frame)
-    s"""WITH km AS (${anKaplanMeierSql.replace("FROM r WHERE d > 0 ORDER BY t", "FROM r WHERE d > 0")})
-       |SELECT t AS median_t, n_risk, d, surv FROM km
-       |WHERE surv <= 0.5 ORDER BY t LIMIT 1""".stripMargin
-
-  /** Log-rank hazard ratio between the BUILDING and AUTOMOBILE churn
-    * cohorts: HR = (O₁/E₁)/(O₀/E₀) with observed deaths exact integers
-    * and expected deaths the same DECIMAL(38,18) risk-set gathers as
-    * an_logrank, plus ln(HR) and its SE √(1/E₁+1/E₀) (ROUND 6). The
-    * effect-SIZE companion to an_logrank's significance z. */
-  private def anHazardRatio(s: SparkSession, dir: String): DataFrame = {
-    val o = Tables.orders(s, dir)
-    val anchor = o.agg(max(col("o_orderdate")).as("mx"))
-    val seg = Tables.customer(s, dir)
-      .filter(col("c_mktsegment").isin("BUILDING", "AUTOMOBILE"))
-      .select(col("c_custkey"), (col("c_mktsegment") === "BUILDING").cast("long").as("g"))
-    val cust = o.groupBy(col("o_custkey"))
-      .agg(min(col("o_orderdate")).as("f"), max(col("o_orderdate")).as("l"))
-      .join(seg, col("o_custkey") === col("c_custkey"))
-      .crossJoin(broadcast(anchor))
-      .select(datediff(col("l"), col("f")).cast("bigint").as("t"), col("g"),
-        (col("l") < col("mx") - expr("INTERVAL 90 DAYS")).cast("long").as("ev"))
-    val byT = cust.groupBy(col("t"))
-      .agg(sum(col("g")).as("c1"), sum(lit(1L) - col("g")).as("c0"),
-        sum(col("g") * col("ev")).as("d1"),
-        sum((lit(1L) - col("g")) * col("ev")).as("d0"))
-    val scan = graft.operators.PrefixSum.withRunningTotals(byT, Seq("t"),
-      Seq("c1", "c0", "d1", "d0"))
-    val tot = scan.agg(max(col("c1_cum")).as("n1t"), max(col("c0_cum")).as("n0t"))
-    def gather(c: Column) = sum(c.cast("decimal(38,18)")).cast("decimal(38,18)")
-    val n1 = (col("n1t") - (col("c1_cum") - col("c1"))).cast("double")
-    val n0 = (col("n0t") - (col("c0_cum") - col("c0"))).cast("double")
-    val nt = n1 + n0
-    val dt = (col("d1") + col("d0")).cast("double")
-    scan.crossJoin(broadcast(tot))
-      .filter(col("d1") + col("d0") > 0)
-      .agg(sum(col("d1")).as("o1"), sum(col("d0")).as("o0"),
-        gather(dt * n1 / nt).as("e1"),
-        gather(dt * n0 / nt).as("e0"))
-      .select(col("o1"), col("o0"),
-        round(col("e1").cast("double"), 6).as("e1"),
-        round(col("e0").cast("double"), 6).as("e0"),
-        round((col("o1").cast("double") / col("e1").cast("double")) /
-          (col("o0").cast("double") / col("e0").cast("double")), 6).as("hazard_ratio"),
-        round(log((col("o1").cast("double") / col("e1").cast("double")) /
-          (col("o0").cast("double") / col("e0").cast("double"))), 6).as("ln_hr"),
-        round(sqrt(lit(1.0) / col("e1").cast("double") +
-          lit(1.0) / col("e0").cast("double")), 6).as("se_ln_hr"))
-  }
-
-  private val anHazardRatioSql =
-    """WITH a AS (SELECT MAX(o_orderdate) AS mx FROM orders),
-      |seg AS (SELECT c_custkey,
-      |          CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS g
-      |        FROM customer WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE')),
-      |cust AS (SELECT date_diff('day', MIN(o_orderdate), MAX(o_orderdate)) AS t, seg.g,
-      |           CASE WHEN MAX(o_orderdate) < MAX(a.mx) - INTERVAL 90 DAY
-      |                THEN 1 ELSE 0 END AS ev
-      |         FROM orders JOIN seg ON o_custkey = c_custkey CROSS JOIN a
-      |         GROUP BY o_custkey, seg.g),
-      |bt AS (SELECT t, CAST(SUM(g) AS BIGINT) AS c1, CAST(SUM(1 - g) AS BIGINT) AS c0,
-      |              CAST(SUM(g * ev) AS BIGINT) AS d1,
-      |              CAST(SUM((1 - g) * ev) AS BIGINT) AS d0
-      |       FROM cust GROUP BY t),
-      |sc AS (SELECT t, c1, c0, d1, d0,
-      |         CAST(SUM(c1) OVER (ORDER BY t) AS BIGINT) AS c1_cum,
-      |         CAST(SUM(c0) OVER (ORDER BY t) AS BIGINT) AS c0_cum
-      |       FROM bt),
-      |tt AS (SELECT MAX(c1_cum) AS n1t, MAX(c0_cum) AS n0t FROM sc),
-      |agg AS (SELECT
-      |    CAST(SUM(d1) AS BIGINT) AS o1, CAST(SUM(d0) AS BIGINT) AS o0,
-      |    CAST(SUM(CAST(CAST(d1 + d0 AS DOUBLE)
-      |      * CAST(n1t - (c1_cum - c1) AS DOUBLE)
-      |      / (CAST(n1t - (c1_cum - c1) AS DOUBLE) + CAST(n0t - (c0_cum - c0) AS DOUBLE))
-      |      AS DECIMAL(38,18))) AS DECIMAL(38,18)) AS e1,
-      |    CAST(SUM(CAST(CAST(d1 + d0 AS DOUBLE)
-      |      * CAST(n0t - (c0_cum - c0) AS DOUBLE)
-      |      / (CAST(n1t - (c1_cum - c1) AS DOUBLE) + CAST(n0t - (c0_cum - c0) AS DOUBLE))
-      |      AS DECIMAL(38,18))) AS DECIMAL(38,18)) AS e0
-      |  FROM sc CROSS JOIN tt WHERE d1 + d0 > 0)
-      |SELECT o1, o0, ROUND(CAST(e1 AS DOUBLE), 6) AS e1, ROUND(CAST(e0 AS DOUBLE), 6) AS e0,
-      |  ROUND((CAST(o1 AS DOUBLE) / CAST(e1 AS DOUBLE))
-      |    / (CAST(o0 AS DOUBLE) / CAST(e0 AS DOUBLE)), 6) AS hazard_ratio,
-      |  ROUND(ln((CAST(o1 AS DOUBLE) / CAST(e1 AS DOUBLE))
-      |    / (CAST(o0 AS DOUBLE) / CAST(e0 AS DOUBLE))), 6) AS ln_hr,
-      |  ROUND(sqrt(1.0 / CAST(e1 AS DOUBLE) + 1.0 / CAST(e0 AS DOUBLE)), 6) AS se_ln_hr
-      |FROM agg""".stripMargin
-
-  /** Boilerplate-template census: documents sharing the same first-8-
-    * word prefix (the "generated from one template" signal a dedup
-    * sweep by full-document hash misses): prefixes with df ≥ 3, top-20
-    * by (df DESC, prefix), with the source spread per template. One
-    * posting-shaped prefix aggregate — the prefix (≤ 8 words) is the
-    * only text that shuffles. */
-  private def textTemplates(s: SparkSession, dir: String): DataFrame = {
-    val ws = split(col("text"), " ")
-    Tables.documents(s, dir)
-      .select(col("doc_id"), col("source"),
-        array_join(slice(ws, 1, 8), " ").as("prefix"))
-      .filter(size(ws) >= 8)
-      .groupBy(col("prefix"))
-      .agg(count(lit(1)).as("n_docs"), countDistinct(col("source")).as("n_sources"))
-      .filter(col("n_docs") >= 3)
-      // Top-20 via orderBy+limit → TakeOrderedAndProject; rank the
-      // 20-row result, never the prefix-census-sized frame.
-      .orderBy(col("n_docs").desc, col("prefix")).limit(20)
-      .withColumn("rnk", row_number().over(
-        Window.orderBy(col("n_docs").desc, col("prefix"))))
-      .select(col("rnk"), col("prefix"), col("n_docs"), col("n_sources"))
-      .orderBy(col("rnk"))
-  }
-
-  private val textTemplatesSql =
-    """WITH p AS (SELECT doc_id, source,
-      |    array_to_string(string_split(text, ' ')[1:8], ' ') AS prefix
-      |  FROM documents WHERE len(string_split(text, ' ')) >= 8),
-      |g AS (SELECT prefix, COUNT(*) AS n_docs, COUNT(DISTINCT source) AS n_sources
-      |      FROM p GROUP BY prefix HAVING COUNT(*) >= 3),
-      |r AS (SELECT prefix, n_docs, n_sources,
-      |        ROW_NUMBER() OVER (ORDER BY n_docs DESC, prefix) AS rnk FROM g)
-      |SELECT rnk, prefix, n_docs, n_sources FROM r WHERE rnk <= 20 ORDER BY rnk""".stripMargin
-
-  /** Thumbnail (2×2 box) downsample digest over REAL BMP decodes
-    * ([[graft.multimodal.BinaryColumns.bmpDownsampleBatch]]): per-block
-    * exact integer sums, no division, order-sensitive weighted digest —
-    * the resize step of an image pipeline with its correctness pinned
-    * by the oracle rederiving every block from md5-nibble pixels. */
-  private def mmImageDownsample(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val docs = Tables.documents(s, dir).select(col("doc_id").cast("long")).as[Long]
-    val payloads = docs.mapPartitions { it =>
-      val md = java.security.MessageDigest.getInstance("MD5")
-      it.map { id =>
-        val w = 8 + (id % 5).toInt; val h = 8 + (id % 3).toInt
-        val rgb = Array.tabulate(3 * w * h) { p =>
-          md.digest(s"dsm:$id:$p".getBytes("UTF-8"))(0)
-        }
-        (id, graft.multimodal.BinaryColumns.encodeBmp(w, h, rgb))
-      }
-    }.toDF("doc_id", "payload")
-    graft.multimodal.BinaryColumns.bmpDownsampleBatch(payloads)(s).toDF()
-      .orderBy(col("doc_id"))
-  }
-
-  private val mmImageDownsampleSql = {
-    def nib(i: Int) = s"(instr('0123456789abcdef', substr(h, $i, 1)) - 1)"
-    s"""WITH d AS (SELECT doc_id, CAST(8 + doc_id % 5 AS INT) AS w,
-       |    CAST(8 + doc_id % 3 AS INT) AS ht FROM documents),
-       |pv AS (SELECT doc_id, w, ht, (p // 3) AS px_id, 16 * ${nib(1)} + ${nib(2)} AS v
-       |  FROM (SELECT d.doc_id, d.w, d.ht, p.range AS p,
-       |          md5('dsm:' || CAST(d.doc_id AS VARCHAR) || ':' ||
-       |            CAST(p.range AS VARCHAR)) AS h
-       |        FROM d CROSS JOIN range(0, 360) p
-       |        WHERE p.range < 3 * d.w * d.ht) t),
-       |lum AS (SELECT doc_id, MAX(w) AS w, MAX(ht) AS ht, px_id,
-       |          CAST(SUM(v) AS BIGINT) AS lum
-       |        FROM pv GROUP BY doc_id, px_id),
-       |blk AS (SELECT doc_id, (px_id % w) // 2 AS bx, (px_id // w) // 2 AS by,
-       |          w // 2 AS ow, ht // 2 AS oh, lum
-       |        FROM lum
-       |        WHERE (px_id % w) < (w // 2) * 2 AND (px_id // w) < (ht // 2) * 2),
-       |bs AS (SELECT doc_id, MAX(ow) AS ow, MAX(oh) AS oh, by, bx,
-       |         CAST(SUM(lum) AS BIGINT) AS block_sum
-       |       FROM blk GROUP BY doc_id, by, bx)
-       |SELECT doc_id, CAST(MAX(ow) AS INT) AS out_w, CAST(MAX(oh) AS INT) AS out_h,
-       |  CAST(MAX(ow) * MAX(oh) AS BIGINT) AS n_blocks,
-       |  CAST(SUM(block_sum * (by * ow + bx + 1)) AS BIGINT) AS wdigest
-       |FROM bs GROUP BY doc_id ORDER BY doc_id""".stripMargin
-  }
-
-  /** Keyframe extraction over REAL AVI decodes: frame 0 plus every
-    * scene boundary (where the exact frame total changes) is a
-    * keyframe — the per-SCENE sampling anchor mm_scene_cuts' boundary
-    * list feeds. Same movi walker, same scene-structured synthesis;
-    * emits the keyframe rows themselves (doc, frame index, exact
-    * total). */
-  private def mmVideoKeyframes(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val docs = Tables.documents(s, dir).select(col("doc_id").cast("long")).as[Long]
-    val payloads = docs.mapPartitions { it =>
-      val md = java.security.MessageDigest.getInstance("MD5")
-      it.map { id =>
-        val w = 2 + (id % 3).toInt; val h = 1 + (id % 2).toInt
-        val nf = 6 + (id % 4).toInt
-        val frames = Array.tabulate(nf) { f =>
-          Array.tabulate(3 * w * h) { p =>
-            md.digest(s"kf:$id:${f / 3}:$p".getBytes("UTF-8"))(0)
-          }
-        }
-        (id, graft.multimodal.BinaryColumns.encodeAvi(w, h, 33333, frames))
-      }
-    }.toDF("doc_id", "payload")
-    val sums = graft.multimodal.BinaryColumns.aviFrameSumsBatch(payloads)(s).toDF()
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
-    sums.withColumn("prev_sum", lag(col("frame_sum"), 1).over(w))
-      .filter(col("prev_sum").isNull || col("prev_sum") =!= col("frame_sum"))
-      .select(col("doc_id"), col("frame_idx").cast("long").as("kf_idx"), col("frame_sum"))
-      .orderBy(col("doc_id"), col("kf_idx"))
-  }
-
-  private val mmVideoKeyframesSql =
-    """WITH d AS (SELECT doc_id, CAST(2 + doc_id % 3 AS INT) AS w,
-      |    CAST(1 + doc_id % 2 AS INT) AS ht,
-      |    CAST(6 + doc_id % 4 AS INT) AS nf FROM documents),
-      |px AS (SELECT d.doc_id, f.range AS f,
-      |    16 * (instr('0123456789abcdef', substr(md5('kf:' ||
-      |      CAST(d.doc_id AS VARCHAR) || ':' || CAST(f.range // 3 AS VARCHAR) || ':' ||
-      |      CAST(p.range AS VARCHAR)), 1, 1)) - 1)
-      |       + (instr('0123456789abcdef', substr(md5('kf:' ||
-      |      CAST(d.doc_id AS VARCHAR) || ':' || CAST(f.range // 3 AS VARCHAR) || ':' ||
-      |      CAST(p.range AS VARCHAR)), 2, 1)) - 1) AS v
-      |  FROM d CROSS JOIN range(0, 10) f CROSS JOIN range(0, 24) p
-      |  WHERE f.range < d.nf AND p.range < 3 * d.w * d.ht),
-      |fs AS (SELECT doc_id, f, CAST(SUM(v) AS BIGINT) AS frame_sum
-      |       FROM px GROUP BY doc_id, f),
-      |lg AS (SELECT doc_id, f, frame_sum,
-      |         LAG(frame_sum) OVER (PARTITION BY doc_id ORDER BY f) AS prev_sum
-      |       FROM fs)
-      |SELECT doc_id, CAST(f AS BIGINT) AS kf_idx, frame_sum
-      |FROM lg WHERE prev_sum IS NULL OR prev_sum <> frame_sum
-      |ORDER BY doc_id, kf_idx""".stripMargin
-
-  /** Recall curve of the portable LSH retrieval vs the exact ranking at
-    * k ∈ {1, 5, 10}: the tuning measurement behind every band-layout
-    * decision (sim_lsh_auto optimizes FOR a recall target; this
-    * MEASURES the achieved curve). Exact side is the declared
-    * brute-force eval baseline on the sampled query set; recall is an
-    * exact integer hit count over one pair join, one division per k. */
-  private def simRecallAtK(s: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(s, dir)
-    val q = emb.filter(col("vec_id") % 50 === 0)
-    // NOT stabilized, deliberately (r15): the three sweep points re-plan
-    // these frames, but Spark's ReusedExchange shares the one physical
-    // brute-force/LSH execution across the union branches — the 27
-    // "exchanges" in the plan STRING are reuse-deduped at runtime, and a
-    // localCheckpoint here measured +0.55 s (the RDD round-trip costs
-    // more than the free reuse). Plan-gate documents the high count as
-    // reuse, not re-derivation.
-    val exact = graft.similarity.VectorOps.bruteForceTopK(emb, q, k = 10)
-      .select(col("query_id"), col("neighbor_id"), col("rank"))
-    val approx = graft.similarity.VectorOps.lshTopKPortable(emb, q, k = 10, dim = 64)
-      .select(col("query_id"), col("neighbor_id").as("a_nb"), col("rank").as("a_rank"))
-    val nQ = q.count()
-    Seq(1, 5, 10).map { k =>
-      exact.filter(col("rank") <= k)
-        .join(approx.filter(col("a_rank") <= k),
-          exact("query_id") === approx("query_id") &&
-            col("neighbor_id") === col("a_nb"), "left")
-        .agg(sum(when(col("a_nb").isNotNull, 1L).otherwise(0L)).as("hits"))
-        .select(lit(k).as("k"), col("hits"),
-          (col("hits").cast("double") / lit(nQ * k).cast("double")).as("recall"))
-    }.reduce(_.unionAll(_)).orderBy(col("k"))
-  }
-
-  private val simRecallAtKSql = {
-    val lsh =
-      """vq AS (SELECT vec_id,
-        |    list_transform(v, x -> CAST(round(x * 1000000.0) AS BIGINT)) AS q
-        |  FROM e),
-        |planes AS (SELECT t1.range AS i, t2.range AS j,
-        |    2 * (instr('0123456789abcdef', substr(md5('lsh:' ||
-        |      CAST(t1.range AS VARCHAR) || ':' || CAST(t2.range AS VARCHAR)), 1, 1)) - 1) - 15 AS h
-        |  FROM range(0, 16) t1, range(0, 64) t2),
-        |bits AS (SELECT vq.vec_id, p.i,
-        |    CASE WHEN SUM(p.h * vq.q[CAST(p.j AS INT) + 1]) >= 0 THEN 1 ELSE 0 END AS b
-        |  FROM vq CROSS JOIN planes p GROUP BY vq.vec_id, p.i),
-        |bands AS (SELECT vec_id, CAST(i // 4 AS INT) AS band_id,
-        |    CAST(SUM(b * (1 << CAST(i % 4 AS INT))) AS BIGINT) AS band_key
-        |  FROM bits GROUP BY 1, 2),
-        |cand AS (SELECT DISTINCT qb.vec_id AS query_id, nb.vec_id AS neighbor_id
-        |  FROM bands qb JOIN bands nb USING (band_id, band_key)
-        |  WHERE qb.vec_id % 50 = 0 AND nb.vec_id <> qb.vec_id),
-        |ap AS (SELECT query_id, neighbor_id, rank FROM (
-        |  SELECT p.query_id, p.neighbor_id,
-        |    ROW_NUMBER() OVER (PARTITION BY p.query_id
-        |      ORDER BY ROUND(list_cosine_similarity(eq.v, en.v), 6) DESC, p.neighbor_id) AS rank
-        |  FROM cand p JOIN e eq ON eq.vec_id = p.query_id
-        |               JOIN e en ON en.vec_id = p.neighbor_id) t
-        |  WHERE rank <= 10)""".stripMargin
-    val exact =
-      """ex AS (SELECT query_id, neighbor_id, rank FROM (
-        |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
-        |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
-        |      ORDER BY ROUND(list_cosine_similarity(q.v, e.v), 6) DESC, e.vec_id) AS rank
-        |  FROM (SELECT vec_id, v FROM e WHERE vec_id % 50 = 0) q
-        |  JOIN e ON e.vec_id <> q.vec_id) t
-        |  WHERE rank <= 10)""".stripMargin
-    def one(k: Int) =
-      s"""SELECT $k AS k,
-         |  CAST(SUM(CASE WHEN ap.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
-         |  CAST(SUM(CASE WHEN ap.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
-         |    / CAST((SELECT COUNT(*) FROM e WHERE vec_id % 50 = 0) * $k AS DOUBLE) AS recall
-         |FROM (SELECT * FROM ex WHERE rank <= $k) x
-         |LEFT JOIN (SELECT * FROM ap WHERE rank <= $k) ap
-         |  ON x.query_id = ap.query_id AND x.neighbor_id = ap.neighbor_id""".stripMargin
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-       |$lsh,
-       |$exact
-       |SELECT * FROM (
-       |${Seq(1, 5, 10).map(one).mkString("\nUNION ALL\n")}
-       |) u ORDER BY k""".stripMargin
-  }
-
-  /** Two-period Poisson rate test on order arrivals (1998 H1 vs H2):
-    * z = (λ₁−λ₂)/√(k₁/t₁² + k₂/t₂²) from exact event counts and fixed
-    * integer exposure windows — the incident/arrival-rate change test
-    * beside an_abtest's proportion z. One filtered aggregate. */
-  private def anPoissonRate(s: SparkSession, dir: String): DataFrame = {
-    val o = Tables.orders(s, dir)
-      .withColumn("h", when(col("o_orderdate") >= ts("1998-01-01") &&
-        col("o_orderdate") < ts("1998-07-01"), 1)
-        .when(col("o_orderdate") >= ts("1998-07-01") &&
-          col("o_orderdate") < ts("1999-01-01"), 2))
-      .filter(col("h").isNotNull)
-    val t1 = 181.0; val t2 = 184.0
-    o.agg(sum(when(col("h") === 1, 1L).otherwise(0L)).as("k1"),
-        sum(when(col("h") === 2, 1L).otherwise(0L)).as("k2"))
-      .select(col("k1"), col("k2"),
-        round(col("k1").cast("double") / t1, 6).as("rate1"),
-        round(col("k2").cast("double") / t2, 6).as("rate2"),
-        round((col("k1").cast("double") / t1 - col("k2").cast("double") / t2) /
-          sqrt(col("k1").cast("double") / (t1 * t1) +
-            col("k2").cast("double") / (t2 * t2)), 6).as("z"))
-  }
-
-  private val anPoissonRateSql =
-    """WITH h AS (SELECT CASE
-      |    WHEN o_orderdate >= TIMESTAMP '1998-01-01' AND o_orderdate < TIMESTAMP '1998-07-01' THEN 1
-      |    WHEN o_orderdate >= TIMESTAMP '1998-07-01' AND o_orderdate < TIMESTAMP '1999-01-01' THEN 2
-      |  END AS h FROM orders),
-      |t AS (SELECT CAST(SUM(CASE WHEN h = 1 THEN 1 ELSE 0 END) AS BIGINT) AS k1,
-      |             CAST(SUM(CASE WHEN h = 2 THEN 1 ELSE 0 END) AS BIGINT) AS k2
-      |      FROM h WHERE h IS NOT NULL)
-      |SELECT k1, k2,
-      |  ROUND(CAST(k1 AS DOUBLE) / 181.0, 6) AS rate1,
-      |  ROUND(CAST(k2 AS DOUBLE) / 184.0, 6) AS rate2,
-      |  ROUND((CAST(k1 AS DOUBLE) / 181.0 - CAST(k2 AS DOUBLE) / 184.0)
-      |    / sqrt(CAST(k1 AS DOUBLE) / (181.0 * 181.0)
-      |         + CAST(k2 AS DOUBLE) / (184.0 * 184.0)), 6) AS z
-      |FROM t""".stripMargin
-
-  /** Second-digit Benford screen on order totals — the harder-to-game
-    * companion to an_benford's first digit: the second digit comes from
-    * exact integer cents arithmetic (leading-two-digit prefix via
-    * floor-log scaling done in INTEGERS: repeated division — here via
-    * string of the exact cents value, digit 2 of the digit string),
-    * expected P(d) = Σ_k log10(1+1/(10k+d)) as fixed literals, χ²
-    * distance from exact counts, ROUND 6. */
-  private def anBenford2(s: SparkSession, dir: String): DataFrame = {
-    // exact second significant digit: cents is an exact integer; its
-    // decimal digit string is engine-identical (no float formatting)
-    val digits = Tables.orders(s, dir)
-      .select((col("o_totalprice").cast("decimal(24,2)") * 100).cast("bigint").as("c"))
-      .filter(col("c") >= 10)
-      .select(substring(col("c").cast("string"), 2, 1).cast("int").as("d2"))
-    val expected = (0 to 9).map { d =>
-      d -> (1 to 9).map(k => math.log10(1.0 + 1.0 / (10 * k + d))).sum
-    }
-    val expDf = expected.map { case (d, p) =>
-      s.range(1).select(lit(d).as("d2"), lit(p).as("p_exp"))
-    }.reduce(_.unionAll(_))
-    val counts = digits.groupBy(col("d2")).agg(count(lit(1)).as("n_d"))
-    val tot = counts.agg(sum(col("n_d")).as("n"))
-    counts.join(broadcast(expDf), Seq("d2")).crossJoin(broadcast(tot))
-      .select(col("d2"), col("n_d"),
-        (col("n_d").cast("double") / col("n").cast("double")).as("p_obs"),
-        round(col("p_exp"), 6).as("p_exp"),
-        round((col("n_d").cast("double") / col("n").cast("double") - col("p_exp")) *
-          (col("n_d").cast("double") / col("n").cast("double") - col("p_exp")) /
-          col("p_exp") * col("n").cast("double"), 6).as("chi2_term"))
-      .orderBy(col("d2"))
-  }
-
-  private val anBenford2Sql = {
-    val exp = (0 to 9).map { d =>
-      val p = (1 to 9).map(k => math.log10(1.0 + 1.0 / (10 * k + d))).sum
-      s"SELECT $d AS d2, CAST($p AS DOUBLE) AS p_exp"
-    }.mkString(" UNION ALL ")
-    s"""WITH c AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(24,2)) * 100 AS BIGINT) AS c
-       |  FROM orders),
-       |d AS (SELECT CAST(substr(CAST(c AS VARCHAR), 2, 1) AS INT) AS d2
-       |      FROM c WHERE c >= 10),
-       |cnt AS (SELECT d2, COUNT(*) AS n_d FROM d GROUP BY d2),
-       |t AS (SELECT CAST(SUM(n_d) AS BIGINT) AS n FROM cnt),
-       |e AS ($exp)
-       |SELECT cnt.d2, n_d,
-       |  CAST(n_d AS DOUBLE) / CAST(n AS DOUBLE) AS p_obs,
-       |  ROUND(p_exp, 6) AS p_exp,
-       |  ROUND((CAST(n_d AS DOUBLE) / CAST(n AS DOUBLE) - p_exp)
-       |    * (CAST(n_d AS DOUBLE) / CAST(n AS DOUBLE) - p_exp)
-       |    / p_exp * CAST(n AS DOUBLE), 6) AS chi2_term
-       |FROM cnt JOIN e ON cnt.d2 = e.d2 CROSS JOIN t
-       |ORDER BY cnt.d2""".stripMargin
-  }
-
-  /** Peaks-over-threshold mean-excess analysis of order totals: the
-    * exact p95 cent threshold off the PrefixSum distinct-value scan,
-    * exceedance count, mean excess (exact BIGINT sum ÷ count), and the
-    * implied exponential tail rate 1/mean_excess — the extreme-value
-    * triage beside an_hill_tail's power-law index and an_gumbel's
-    * block maxima. */
-  private def anMeanExcess(s: SparkSession, dir: String): DataFrame = {
-    val o = Tables.orders(s, dir)
-      .select(lit(1).as("g"), (col("o_totalprice").cast("decimal(24,2)") * 100)
-        .cast("bigint").as("v"))
-    val scan = graft.operators.PrefixSum.distinctRunningCounts(o, Seq("g", "v"))
-    val probes = o.groupBy(col("g")).agg(count(lit(1)).as("n"))
-      .withColumn("r95", expr("(19 * n + 19) div 20"))
-    val hit = col("cnt_cum") >= col("r95") && col("cnt_cum") - col("cnt") < col("r95")
-    val thr = scan.join(broadcast(probes), Seq("g"))
-      .filter(hit).groupBy(col("g")).agg(max(col("v")).as("u"))
-    o.join(broadcast(thr), Seq("g"))
-      .filter(col("v") > col("u"))
-      .groupBy(col("u"))
-      .agg(count(lit(1)).as("n_exceed"), sum(col("v") - col("u")).as("excess_sum"))
-      .select((col("u") / 100.0).as("threshold"),
-        col("n_exceed"),
-        (col("excess_sum").cast("double") / col("n_exceed").cast("double") / 100.0)
-          .as("mean_excess"),
-        round(col("n_exceed").cast("double") * 100.0 /
-          col("excess_sum").cast("double"), 6).as("exp_rate"))
-  }
-
-  private val anMeanExcessSql =
-    """WITH o AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(24,2)) * 100 AS BIGINT) AS v
-      |  FROM orders),
-      |pv AS (SELECT v, COUNT(*) AS cnt FROM o GROUP BY v),
-      |cv AS (SELECT v, cnt, CAST(SUM(cnt) OVER (ORDER BY v) AS BIGINT) AS cum FROM pv),
-      |t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM pv),
-      |u AS (SELECT CAST(MAX(CASE WHEN cum >= (19*n+19)//20 AND cum - cnt < (19*n+19)//20
-      |        THEN v END) AS BIGINT) AS u
-      |      FROM cv CROSS JOIN t),
-      |x AS (SELECT o.v, u.u FROM o CROSS JOIN u WHERE o.v > u.u)
-      |SELECT MAX(u) / 100.0 AS threshold, COUNT(*) AS n_exceed,
-      |  CAST(CAST(SUM(v - u) AS BIGINT) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 100.0 AS mean_excess,
-      |  ROUND(CAST(COUNT(*) AS DOUBLE) * 100.0 / CAST(CAST(SUM(v - u) AS BIGINT) AS DOUBLE), 6) AS exp_rate
-      |FROM x""".stripMargin
-
-  /** ABC inventory classification of parts by revenue: cumulative
-    * revenue share off ONE PrefixSum scan over the part-revenue
-    * aggregate (A ≤ 80%, B ≤ 95%, C rest — boundaries compared in
-    * EXACT integers, share·total cross-multiplied), per-class part
-    * counts and revenue. The classic Pareto workhorse an_pareto's
-    * crossing points summarize. */
-  private def anAbc(s: SparkSession, dir: String): DataFrame = {
-    val rev = Tables.lineitem(s, dir)
-      .groupBy(col("l_partkey"))
-      .agg((sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-          .cast("decimal(24,8)")).cast("decimal(24,2)") * 100).cast("bigint").as("rc"))
-      // descending-revenue order via ascending key (-rc, partkey):
-      // PrefixSum scans ascending, so feed it the negated measure
-      .select(col("l_partkey"), col("rc"), (-col("rc")).as("nrc"))
-    val scan = graft.operators.PrefixSum.withRunningTotals(
-      rev.select(col("nrc"), col("l_partkey"), col("rc")), Seq("nrc", "l_partkey"), Seq("rc"))
-    val tot = scan.agg(max(col("rc_cum")).as("total"))
-    scan.crossJoin(broadcast(tot))
-      .withColumn("cls",
-        when(col("rc_cum").cast("decimal(38,0)") * 100 <=
-          col("total").cast("decimal(38,0)") * 80, "A")
-          .when(col("rc_cum").cast("decimal(38,0)") * 100 <=
-            col("total").cast("decimal(38,0)") * 95, "B")
-          .otherwise(lit("C")))
-      .groupBy(col("cls"))
-      .agg(count(lit(1)).as("n_parts"), sum(col("rc")).as("rev_cents"))
-      .select(col("cls"), col("n_parts"), col("rev_cents"),
-        (col("rev_cents") / 100.0).as("revenue"))
-      .orderBy(col("cls"))
-  }
-
-  private val anAbcSql =
-    """WITH rev AS (SELECT l_partkey,
-      |    CAST(ROUND(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,8))), 2) * 100 AS BIGINT) AS rc
-      |  FROM lineitem GROUP BY l_partkey),
-      |sc AS (SELECT rc,
-      |         CAST(SUM(rc) OVER (ORDER BY -rc, l_partkey) AS BIGINT) AS rc_cum
-      |       FROM rev),
-      |t AS (SELECT CAST(SUM(rc) AS BIGINT) AS total FROM rev),
-      |c AS (SELECT rc,
-      |        CASE WHEN CAST(rc_cum AS DECIMAL(38,0)) * 100 <= CAST(total AS DECIMAL(38,0)) * 80 THEN 'A'
-      |             WHEN CAST(rc_cum AS DECIMAL(38,0)) * 100 <= CAST(total AS DECIMAL(38,0)) * 95 THEN 'B'
-      |             ELSE 'C' END AS cls
-      |      FROM sc CROSS JOIN t)
-      |SELECT cls, COUNT(*) AS n_parts, CAST(SUM(rc) AS BIGINT) AS rev_cents,
-      |  CAST(SUM(rc) AS BIGINT) / 100.0 AS revenue
-      |FROM c GROUP BY cls ORDER BY cls""".stripMargin
-
-  /** Join fan-out audit for orders ⋈ lineitem: the multiplicity
-    * histogram (lines per order), max fan-out with its key, and the
-    * row-expansion factor — the pre-join safety measurement that
-    * catches an unexpected 1:N blowup before it ships as a shuffle
-    * 100× the input. Two posting aggregates. */
-  private def qFanoutAudit(s: SparkSession, dir: String): DataFrame = {
-    val fan = Tables.lineitem(s, dir)
-      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("fanout"))
-    fan.groupBy(col("fanout")).agg(count(lit(1)).as("n_orders"))
-      .crossJoin(broadcast(fan.agg(
-        max(col("fanout")).as("max_fanout"),
-        sum(col("fanout")).as("total_rows"),
-        count(lit(1)).as("total_keys"))))
-      .select(col("fanout"), col("n_orders"), col("max_fanout"),
-        (col("total_rows").cast("double") / col("total_keys").cast("double"))
-          .as("avg_fanout"))
-      .orderBy(col("fanout"))
-  }
-
-  private val qFanoutAuditSql =
-    """WITH f AS (SELECT l_orderkey, COUNT(*) AS fanout FROM lineitem GROUP BY 1),
-      |h AS (SELECT fanout, COUNT(*) AS n_orders FROM f GROUP BY fanout),
-      |t AS (SELECT CAST(MAX(fanout) AS BIGINT) AS max_fanout,
-      |             CAST(SUM(fanout) AS BIGINT) AS total_rows,
-      |             COUNT(*) AS total_keys FROM f)
-      |SELECT fanout, n_orders, max_fanout,
-      |  CAST(total_rows AS DOUBLE) / CAST(total_keys AS DOUBLE) AS avg_fanout
-      |FROM h CROSS JOIN t ORDER BY fanout""".stripMargin
-
-  /** Top-3 and bottom-3 parts by revenue per brand in ONE window pass:
-    * both directional ranks off the same (brand, revenue) aggregate,
-    * emitted with an end tag — the leaderboard query shape where
-    * running two separate top-k jobs would scan twice. */
-  private def qTopBottom(s: SparkSession, dir: String): DataFrame = {
-    val rev = Tables.lineitem(s, dir)
-      .join(broadcast(Tables.part(s, dir).select(col("p_partkey"), col("p_brand"))),
-        col("l_partkey") === col("p_partkey"))
-      .groupBy(col("p_brand"), col("l_partkey"))
-      .agg((sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-          .cast("decimal(24,8)")).cast("decimal(24,2)") * 100).cast("bigint").as("rc"))
-    val wTop = Window.partitionBy(col("p_brand")).orderBy(col("rc").desc, col("l_partkey"))
-    val wBot = Window.partitionBy(col("p_brand")).orderBy(col("rc"), col("l_partkey").desc)
-    rev.withColumn("r_top", row_number().over(wTop))
-      .withColumn("r_bot", row_number().over(wBot))
-      .filter(col("r_top") <= 3 || col("r_bot") <= 3)
-      .select(col("p_brand"), col("l_partkey"), (col("rc") / 100.0).as("revenue"),
-        when(col("r_top") <= 3, "top").otherwise("bottom").as("end_tag"),
-        when(col("r_top") <= 3, col("r_top")).otherwise(col("r_bot")).as("rnk"))
-      .orderBy(col("p_brand"), col("end_tag").desc, col("rnk"))
-  }
-
-  private val qTopBottomSql =
-    """WITH rev AS (SELECT p_brand, l_partkey,
-      |    CAST(ROUND(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,8))), 2) * 100 AS BIGINT) AS rc
-      |  FROM lineitem JOIN part ON l_partkey = p_partkey
-      |  GROUP BY p_brand, l_partkey),
-      |r AS (SELECT p_brand, l_partkey, rc,
-      |        ROW_NUMBER() OVER (PARTITION BY p_brand ORDER BY rc DESC, l_partkey) AS r_top,
-      |        ROW_NUMBER() OVER (PARTITION BY p_brand ORDER BY rc, l_partkey DESC) AS r_bot
-      |      FROM rev)
-      |SELECT p_brand, l_partkey, rc / 100.0 AS revenue,
-      |  CASE WHEN r_top <= 3 THEN 'top' ELSE 'bottom' END AS end_tag,
-      |  CAST(CASE WHEN r_top <= 3 THEN r_top ELSE r_bot END AS INT) AS rnk
-      |FROM r WHERE r_top <= 3 OR r_bot <= 3
-      |ORDER BY p_brand, end_tag DESC, rnk""".stripMargin
-
-  /** Load-volume anomaly screen: monthly order counts vs the trailing
-    * 6-month window (excluding self), flagged when the month deviates
-    * by more than 30% — compared in EXACT integers (10·n·w vs 13·sum /
-    * 7·sum cross-multiplication, no float boundary). The feed-health
-    * monitor that catches a half-delivered extract before it poisons
-    * downstream aggregates. */
-  private def etlVolumeAnomaly(s: SparkSession, dir: String): DataFrame = {
-    val monthly = Tables.orders(s, dir)
-      .groupBy(date_trunc("month", col("o_orderdate")).as("m"))
-      .agg(count(lit(1)).as("n"))
-      .withColumn("mi", (year(col("m")) * 12 + month(col("m"))).cast("long"))
-    val w = Window.orderBy(col("mi")).rangeBetween(-6, -1)
-    monthly
-      .withColumn("w_sum", sum(col("n")).over(w))
-      .withColumn("w_n", count(lit(1)).over(w))
-      .filter(col("w_n") === 6)
-      .select(col("m").as("month"), col("n").as("n_orders"),
-        (col("w_sum").cast("double") / col("w_n").cast("double")).as("trailing_avg"),
-        (col("n") * col("w_n") * 10 > col("w_sum") * 13 ||
-          col("n") * col("w_n") * 10 < col("w_sum") * 7).as("anomalous"))
-      .orderBy(col("month"))
-  }
-
-  private val etlVolumeAnomalySql =
-    """WITH m AS (SELECT date_trunc('month', o_orderdate) AS m, COUNT(*) AS n
-      |  FROM orders GROUP BY 1),
-      |mi AS (SELECT m, n, CAST(year(m) * 12 + month(m) AS BIGINT) AS mi FROM m),
-      |w AS (SELECT m, n,
-      |        SUM(n) OVER tw AS w_sum, COUNT(*) OVER tw AS w_n
-      |      FROM mi
-      |      WINDOW tw AS (ORDER BY mi RANGE BETWEEN 6 PRECEDING AND 1 PRECEDING))
-      |SELECT m AS month, n AS n_orders,
-      |  CAST(w_sum AS DOUBLE) / CAST(w_n AS DOUBLE) AS trailing_avg,
-      |  (n * w_n * 10 > w_sum * 13 OR n * w_n * 10 < w_sum * 7) AS anomalous
-      |FROM w WHERE w_n = 6 ORDER BY month""".stripMargin
-
-  /** Near-duplicate fact screen: order pairs from the SAME customer
-    * with the SAME exact total within 3 days — the double-billing /
-    * double-ingest audit. A deterministic ~6% of orders is INJECTED as
-    * a day-shifted clone (md5-gated, new surrogate key ok+10⁹), so the
-    * screen must recover exactly the planted duplicates from the
-    * combined feed — the raw synthetic totals are near-unique, which
-    * would otherwise make this a hollow always-empty check. The
-    * self-join keys on (custkey, cents): only true candidates pair,
-    * the day window filters after. */
-  private def etlNearDuplicateFacts(s: SparkSession, dir: String): DataFrame = {
-    val base = Tables.orders(s, dir).select(col("o_custkey").as("ck"),
-      col("o_orderkey").as("ok"),
-      (col("o_totalprice").cast("decimal(24,2)") * 100).cast("bigint").as("v"),
-      col("o_orderdate").as("dt"))
-    val gate = expr("(instr('0123456789abcdef', substr(md5(concat('dup:', CAST(ok AS STRING))), 1, 1)) - 1) < 1")
-    val clones = base.filter(gate)
-      .select(col("ck"), (col("ok") + lit(1000000000L)).as("ok"), col("v"),
-        (col("dt") + expr("INTERVAL 1 DAYS")).as("dt"))
-    val o = base.unionByName(clones)
-    val o2 = o.select(col("ck"), col("ok").as("ok2"), col("v"), col("dt").as("dt2"))
-    o.join(o2, Seq("ck", "v"))
-      .filter(col("ok") < col("ok2") &&
-        abs(datediff(col("dt").cast("date"), col("dt2").cast("date"))) <= 3)
-      .select(col("ck").as("custkey"), col("ok").as("order_a"), col("ok2").as("order_b"),
-        (col("v") / 100.0).as("amount"),
-        datediff(col("dt2").cast("date"), col("dt").cast("date")).as("day_gap"))
-      .orderBy(col("custkey"), col("order_a"), col("order_b"))
-  }
-
-  private val etlNearDuplicateFactsSql =
-    """WITH b AS (SELECT o_custkey AS ck, o_orderkey AS ok,
-      |    CAST(CAST(o_totalprice AS DECIMAL(24,2)) * 100 AS BIGINT) AS v,
-      |    o_orderdate AS dt
-      |  FROM orders),
-      |o AS (SELECT * FROM b
-      |      UNION ALL
-      |      SELECT ck, ok + 1000000000 AS ok, v, dt + INTERVAL 1 DAY AS dt
-      |      FROM b
-      |      WHERE (instr('0123456789abcdef', substr(md5('dup:' || CAST(ok AS VARCHAR)), 1, 1)) - 1) < 1)
-      |SELECT a.ck AS custkey, a.ok AS order_a, b2.ok AS order_b,
-      |  a.v / 100.0 AS amount,
-      |  date_diff('day', CAST(a.dt AS DATE), CAST(b2.dt AS DATE)) AS day_gap
-      |FROM o a JOIN o b2 ON a.ck = b2.ck AND a.v = b2.v AND a.ok < b2.ok
-      |WHERE ABS(date_diff('day', CAST(a.dt AS DATE), CAST(b2.dt AS DATE))) <= 3
-      |ORDER BY custkey, order_a, order_b""".stripMargin
-
-  /** XmR (individuals / moving-range) control chart on daily revenue —
-    * the small-sample SPC companion to an_spc_rules' Shewhart z: limits
-    * x̄ ± 2.66·MR̄ evaluated ENTIRELY in cross-multiplied integers
-    * (266·n·ΣMR and 100·nMR·|n·x − Σx| sides — no float boundary at
-    * the flag), violations counted exactly. */
-  private def anXmr(s: SparkSession, dir: String): DataFrame = {
-    val daily = dailyRevenueSpine(s, dir)
-      .withColumn("mr", abs(col("rev_c") - lag(col("rev_c"), 1).over(Window.orderBy(col("d")))))
-    val d38 = (c: Column) => c.cast("decimal(38,0)")
-    val stats = daily.agg(count(lit(1)).as("n"), sum(d38(col("rev_c"))).as("sx"),
-      sum(d38(col("mr"))).as("smr"),
-      count(col("mr")).as("nmr"))
-    daily.crossJoin(broadcast(stats))
-      .withColumn("dev100", abs(d38(col("rev_c")) * col("n") - col("sx")) *
-        100 * col("nmr"))
-      .withColumn("lim", d38(col("smr")) * 266 * col("n"))
-      .agg(max(col("n")).as("n_days"),
-        sum((col("dev100") > col("lim")).cast("long")).as("n_violations"),
-        max(when(col("dev100") > col("lim"), col("day"))).as("last_violation"))
-      .select(col("n_days"), col("n_violations"), col("last_violation"))
-  }
-
-  private val anXmrSql =
-    s"""WITH daily AS ($dailySpineSql),
-       |mr AS (SELECT day, rev_c,
-       |         ABS(rev_c - LAG(rev_c) OVER (ORDER BY d)) AS mr
-       |       FROM daily),
-       |st AS (SELECT COUNT(*) AS n,
-       |         CAST(SUM(CAST(rev_c AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
-       |         CAST(SUM(CAST(mr AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS smr,
-       |         COUNT(mr) AS nmr
-       |       FROM mr),
-       |f AS (SELECT day,
-       |        ABS(CAST(rev_c AS DECIMAL(38,0)) * n - sx) * 100 * nmr AS dev100,
-       |        CAST(smr AS DECIMAL(38,0)) * 266 * n AS lim,
-       |        n
-       |      FROM mr CROSS JOIN st)
-       |SELECT MAX(n) AS n_days,
-       |  CAST(SUM(CASE WHEN dev100 > lim THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
-       |  MAX(CASE WHEN dev100 > lim THEN day END) AS last_violation
-       |FROM f""".stripMargin
-
-  /** Inter-order gap distribution: median and p90 of per-customer
-    * day gaps between consecutive orders (exact order statistics over
-    * the distinct-gap counts — bounded domain, the gap values are
-    * ≤ span days), plus mean in exact integers. The recency-cadence
-    * fingerprint behind churn-cutoff choices (an_churn_rate's 90-day
-    * cutoff should sit in this distribution's tail, which the spec
-    * checks). */
-  private def anOrderGaps(s: SparkSession, dir: String): DataFrame = {
-    val gaps = Tables.orders(s, dir)
-      .select(col("o_custkey").as("ck"), col("o_orderdate").as("dt"),
-        col("o_orderkey").as("ok"))
-      .withColumn("gap", datediff(col("dt").cast("date"),
-        lag(col("dt"), 1).over(Window.partitionBy(col("ck")).orderBy(col("dt"), col("ok"))).cast("date")))
-      .filter(col("gap").isNotNull)
-      .select(col("gap").cast("long").as("g"))
-    val byG = gaps.groupBy(col("g")).agg(count(lit(1)).as("cnt"))
-    val scan = graft.operators.PrefixSum.withRunningTotals(byG, Seq("g"), Seq("cnt"))
-    val tot = gaps.agg(count(lit(1)).as("n"), sum(col("g")).as("sg"))
-    def rank(r: Column) = col("cnt_cum") >= r && col("cnt_cum") - col("cnt") < r
-    scan.crossJoin(broadcast(tot))
-      .withColumn("r50", expr("(n + 1) div 2"))
-      .withColumn("r90", expr("(9 * n + 9) div 10"))
-      .filter(rank(col("r50")) || rank(col("r90")))
-      .agg(max(col("n")).as("n_gaps"),
-        max(when(rank(col("r50")), col("g"))).as("median_gap"),
-        max(when(rank(col("r90")), col("g"))).as("p90_gap"),
-        max(col("sg")).as("sg"))
-      .select(col("n_gaps"), col("median_gap"), col("p90_gap"),
-        (col("sg").cast("double") / col("n_gaps").cast("double")).as("mean_gap"))
-  }
-
-  private val anOrderGapsSql =
-    """WITH g AS (SELECT CAST(date_diff('day',
-      |      CAST(LAG(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DATE),
-      |      CAST(o_orderdate AS DATE)) AS BIGINT) AS g
-      |  FROM orders),
-      |gg AS (SELECT g FROM g WHERE g IS NOT NULL),
-      |bg AS (SELECT g, COUNT(*) AS cnt FROM gg GROUP BY g),
-      |cv AS (SELECT g, cnt, CAST(SUM(cnt) OVER (ORDER BY g) AS BIGINT) AS cum FROM bg),
-      |t AS (SELECT COUNT(*) AS n, CAST(SUM(g) AS BIGINT) AS sg FROM gg)
-      |SELECT MAX(n) AS n_gaps,
-      |  CAST(MAX(CASE WHEN cum >= (n+1)//2 AND cum - cnt < (n+1)//2 THEN g END) AS BIGINT) AS median_gap,
-      |  CAST(MAX(CASE WHEN cum >= (9*n+9)//10 AND cum - cnt < (9*n+9)//10 THEN g END) AS BIGINT) AS p90_gap,
-      |  CAST(MAX(sg) AS DOUBLE) / CAST(MAX(n) AS DOUBLE) AS mean_gap
-      |FROM cv CROSS JOIN t""".stripMargin
-
-  /** LSH band-occupancy audit: the bucket-size histogram of the
-    * portable SRP bands — the load-balance measurement for the band
-    * join (one elephant bucket = one straggler task; the candidate
-    * count Σ n(n−1)/2 per bucket is EXACTLY the join's pair workload,
-    * which this emits in cross-multiplied integers). The operational
-    * twin of sim_lsh_auto's analytic planning. */
-  private def simBandOccupancy(s: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(s, dir)
-    val bands = emb.select(col("vec_id"),
-        explode(graft.similarity.VectorOps.portableBands(col("embedding"), 64, 16, 4)).as("band"))
-      .select(col("band.band_id"), col("band.band_key"))
-    val occ = bands.groupBy(col("band_id"), col("band_key")).agg(count(lit(1)).as("sz"))
-    occ.groupBy(col("sz")).agg(count(lit(1)).as("n_buckets"))
-      .crossJoin(broadcast(occ.agg(
-        max(col("sz")).as("max_bucket"),
-        sum((col("sz").cast("decimal(38,0)") * (col("sz") - 1) / 2)
-          .cast("decimal(38,0)")).as("total_pairs"))))
-      .select(col("sz"), col("n_buckets"), col("max_bucket"),
-        col("total_pairs").cast("long").as("total_candidate_pairs"))
-      .orderBy(col("sz"))
-  }
-
-  private val simBandOccupancySql =
-    """WITH e AS (SELECT vec_id,
-      |    list_transform(embedding::DOUBLE[], x -> CAST(round(x * 1000000.0) AS BIGINT)) AS q
-      |  FROM embeddings),
-      |planes AS (SELECT t1.range AS i, t2.range AS j,
-      |    2 * (instr('0123456789abcdef', substr(md5('lsh:' ||
-      |      CAST(t1.range AS VARCHAR) || ':' || CAST(t2.range AS VARCHAR)), 1, 1)) - 1) - 15 AS h
-      |  FROM range(0, 16) t1, range(0, 64) t2),
-      |bits AS (SELECT e.vec_id, p.i,
-      |    CASE WHEN SUM(p.h * e.q[CAST(p.j AS INT) + 1]) >= 0 THEN 1 ELSE 0 END AS b
-      |  FROM e CROSS JOIN planes p GROUP BY e.vec_id, p.i),
-      |bands AS (SELECT vec_id, CAST(i // 4 AS INT) AS band_id,
-      |    CAST(SUM(b * (1 << CAST(i % 4 AS INT))) AS BIGINT) AS band_key
-      |  FROM bits GROUP BY 1, 2),
-      |occ AS (SELECT band_id, band_key, COUNT(*) AS sz FROM bands GROUP BY 1, 2),
-      |t AS (SELECT CAST(MAX(sz) AS BIGINT) AS max_bucket,
-      |        CAST(SUM(CAST(sz AS DECIMAL(38,0)) * (sz - 1) / 2) AS BIGINT) AS total_pairs
-      |      FROM occ)
-      |SELECT sz, COUNT(*) AS n_buckets, max_bucket,
-      |  total_pairs AS total_candidate_pairs
-      |FROM occ CROSS JOIN t GROUP BY sz, max_bucket, total_pairs ORDER BY sz""".stripMargin
-
-  /** 2× audio decimation over REAL WAV decodes: every second sample of
-    * the genuine PCM stream (the cheapest resample), with exact integer
-    * stats of the decimated stream — the sample-rate-reduction step of
-    * an audio pipeline with the stride arithmetic pinned by the oracle
-    * rederiving the kept samples. */
-  private def mmAudioDecimate(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val docs = Tables.documents(s, dir).select(col("doc_id").cast("long")).as[Long]
-    val payloads = docs.mapPartitions { it =>
-      val md = java.security.MessageDigest.getInstance("MD5")
-      it.map { id =>
-        val n = 32 + (id % 17).toInt
-        val samples = Array.tabulate(n) { p =>
-          val d = md.digest(s"dec:$id:$p".getBytes("UTF-8"))
-          (((d(0) & 0xFF) << 8) | (d(1) & 0xFF)).toShort
-        }
-        val kept = Array.tabulate((n + 1) / 2)(i => samples(2 * i))
-        (id, graft.multimodal.BinaryColumns.encodeWav(8000, kept))
-      }
-    }.toDF("doc_id", "payload")
-    graft.multimodal.BinaryColumns.decodeWavBatch(payloads)(s).toDF()
-      .select(col("doc_id"), col("n_samples"), col("sum_abs"), col("max_abs"), col("sum_v"))
-      .orderBy(col("doc_id"))
-  }
-
-  private val mmAudioDecimateSql = {
-    def nib(i: Int) = s"(instr('0123456789abcdef', substr(h, $i, 1)) - 1)"
-    val u16 = s"(((${nib(1)} * 16 + ${nib(2)}) * 16 + ${nib(3)}) * 16 + ${nib(4)})"
-    s"""WITH d AS (SELECT doc_id, CAST(32 + doc_id % 17 AS INT) AS n FROM documents),
-       |s0 AS (SELECT d.doc_id, d.n, p.range AS p,
-       |         md5('dec:' || CAST(d.doc_id AS VARCHAR) || ':' ||
-       |             CAST(p.range AS VARCHAR)) AS h
-       |       FROM d CROSS JOIN range(0, 49) p
-       |       WHERE p.range < d.n AND p.range % 2 = 0),
-       |sv AS (SELECT doc_id, n,
-       |         CASE WHEN $u16 >= 32768 THEN $u16 - 65536 ELSE $u16 END AS v
-       |       FROM s0)
-       |SELECT doc_id, CAST((MAX(n) + 1) // 2 AS BIGINT) AS n_samples,
-       |  CAST(SUM(ABS(v)) AS BIGINT) AS sum_abs,
-       |  CAST(MAX(ABS(v)) AS BIGINT) AS max_abs,
-       |  CAST(SUM(v) AS BIGINT) AS sum_v
-       |FROM sv GROUP BY doc_id ORDER BY doc_id""".stripMargin
-  }
-
-  /** Horizontal-flip digest over REAL BMP decodes — the augmentation
-    * op whose correctness is all coordinate arithmetic: the flipped
-    * raster's (position+1)-weighted luminance digest only matches the
-    * oracle if x → w−1−x is applied against the right stride and row
-    * order. Row-local per image. */
-  private def mmImageFlip(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val docs = Tables.documents(s, dir).select(col("doc_id").cast("long")).as[Long]
-    val payloads = docs.mapPartitions { it =>
-      val md = java.security.MessageDigest.getInstance("MD5")
-      it.map { id =>
-        val w = 8 + (id % 5).toInt; val h = 8 + (id % 3).toInt
-        val rgb = Array.tabulate(3 * w * h) { p =>
-          md.digest(s"flp:$id:$p".getBytes("UTF-8"))(0)
-        }
-        (id, graft.multimodal.BinaryColumns.encodeBmp(w, h, rgb))
-      }
-    }.toDF("doc_id", "payload")
-    payloads.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
-      .mapPartitions { it =>
-        it.map { case (id, bytes) =>
-          val in = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
-          val w = in.getInt(18); val h = in.getInt(22)
-          val px = graft.multimodal.BinaryColumns.decodeBmpPixels(id, bytes)
-          var digest = 0L
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              val src = 3 * (y * w + (w - 1 - x))
-              val lum = (px(src) & 0xFF).toLong + (px(src + 1) & 0xFF) + (px(src + 2) & 0xFF)
-              digest += lum * (y.toLong * w + x + 1)
-              x += 1
-            }
-            y += 1
-          }
-          (id, w, h, digest)
-        }
-      }.toDF("doc_id", "w", "h", "flip_digest")
-      .orderBy(col("doc_id"))
-  }
-
-  private val mmImageFlipSql = {
-    def nib(i: Int) = s"(instr('0123456789abcdef', substr(h, $i, 1)) - 1)"
-    s"""WITH d AS (SELECT doc_id, CAST(8 + doc_id % 5 AS INT) AS w,
-       |    CAST(8 + doc_id % 3 AS INT) AS ht FROM documents),
-       |pv AS (SELECT doc_id, w, ht, (p // 3) AS px_id, 16 * ${nib(1)} + ${nib(2)} AS v
-       |  FROM (SELECT d.doc_id, d.w, d.ht, p.range AS p,
-       |          md5('flp:' || CAST(d.doc_id AS VARCHAR) || ':' ||
-       |            CAST(p.range AS VARCHAR)) AS h
-       |        FROM d CROSS JOIN range(0, 360) p
-       |        WHERE p.range < 3 * d.w * d.ht) t),
-       |lum AS (SELECT doc_id, MAX(w) AS w, MAX(ht) AS ht, px_id,
-       |          CAST(SUM(v) AS BIGINT) AS lum
-       |        FROM pv GROUP BY doc_id, px_id),
-       |fl AS (SELECT doc_id, w, ht,
-       |         lum * ((px_id // w) * w + (w - 1 - (px_id % w)) + 1) AS term
-       |       FROM lum)
-       |SELECT doc_id, CAST(MAX(w) AS INT) AS w, CAST(MAX(ht) AS INT) AS h,
-       |  CAST(SUM(term) AS BIGINT) AS flip_digest
-       |FROM fl GROUP BY doc_id ORDER BY doc_id""".stripMargin
-  }
-
-  /** Greenwood standard errors on the Kaplan–Meier churn curve: the
-    * cumulative Σ d/(n(n−d)) rides a window over the same risk-set
-    * frame as an_kaplan_meier (each term an exactly-rounded rational,
-    * gathered DECIMAL(38,18)), se = S·√Σ at ROUND 6 — the confidence
-    * envelope the bare curve needs before anyone reads a 2% drop as
-    * real. Terminal all-event rows pin se to 0 with surv. */
-  private def anGreenwood(s: SparkSession, dir: String): DataFrame = {
-    val o = Tables.orders(s, dir)
-    val anchor = o.agg(max(col("o_orderdate")).as("mx"))
-    val cust = o.groupBy(col("o_custkey"))
-      .agg(min(col("o_orderdate")).as("f"), max(col("o_orderdate")).as("l"))
-      .crossJoin(broadcast(anchor))
-      .select(datediff(col("l"), col("f")).cast("bigint").as("t"),
-        (col("l") < col("mx") - expr("INTERVAL 90 DAYS")).cast("int").as("ev"))
-    val byT = cust.groupBy(col("t"))
-      .agg(count(lit(1)).as("n_at"), sum(col("ev")).cast("long").as("d"))
-    val wPrev = Window.orderBy(col("t")).rowsBetween(Window.unboundedPreceding, -1)
-    val wCum = Window.orderBy(col("t")).rowsBetween(Window.unboundedPreceding, 0)
-    byT.crossJoin(broadcast(cust.agg(count(lit(1)).as("n_total"))))
-      .withColumn("n_risk",
-        col("n_total") - coalesce(sum(col("n_at")).over(wPrev), lit(0L)))
-      .filter(col("d") > 0)
-      .withColumn("surv", when(col("d") === col("n_risk"), lit(0.0))
-        .otherwise(round(exp(sum(
-          log(lit(1.0) - col("d").cast("double") / col("n_risk").cast("double")))
-          .over(wCum)), 6)))
-      .withColumn("gw", sum(when(col("d") === col("n_risk"), lit(0.0))
-        .otherwise(col("d").cast("double") /
-          (col("n_risk").cast("double") * (col("n_risk") - col("d")).cast("double")))
-        .cast("decimal(38,18)")).over(wCum).cast("decimal(38,18)"))
-      .select(col("t"), col("n_risk"), col("d"), col("surv"),
-        when(col("surv") === 0.0, lit(0.0))
-          .otherwise(round(col("surv") * sqrt(col("gw").cast("double")), 6)).as("se"))
-      .orderBy(col("t"))
-  }
-
-  private val anGreenwoodSql =
-    """WITH a AS (SELECT MAX(o_orderdate) AS mx FROM orders),
-      |c AS (SELECT o_custkey, MIN(o_orderdate) AS f, MAX(o_orderdate) AS l
-      |      FROM orders GROUP BY 1),
-      |cust AS (SELECT CAST(date_diff('day', f, l) AS BIGINT) AS t,
-      |                CASE WHEN l < mx - INTERVAL 90 DAY THEN 1 ELSE 0 END AS ev
-      |         FROM c CROSS JOIN a),
-      |byt AS (SELECT t, COUNT(*) AS n_at, CAST(SUM(ev) AS BIGINT) AS d
-      |        FROM cust GROUP BY 1),
-      |tot AS (SELECT COUNT(*) AS n_total FROM cust),
-      |r AS (SELECT t, d, n_total - COALESCE(CAST(SUM(n_at) OVER (ORDER BY t
-      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS n_risk
-      |      FROM byt CROSS JOIN tot),
-      |f AS (SELECT t, n_risk, d,
-      |        CASE WHEN d = n_risk THEN 0.0
-      |             ELSE ROUND(EXP(SUM(LN(1.0 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE)))
-      |                    OVER cw), 6) END AS surv,
-      |        CAST(SUM(CAST(CASE WHEN d = n_risk THEN 0.0
-      |               ELSE CAST(d AS DOUBLE)
-      |                 / (CAST(n_risk AS DOUBLE) * CAST(n_risk - d AS DOUBLE)) END
-      |             AS DECIMAL(38,18))) OVER cw AS DECIMAL(38,18)) AS gw
-      |      FROM r WHERE d > 0
-      |      WINDOW cw AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
-      |SELECT t, n_risk, d, surv,
-      |  CASE WHEN surv = 0.0 THEN 0.0
-      |       ELSE ROUND(surv * sqrt(CAST(gw AS DOUBLE)), 6) END AS se
-      |FROM f ORDER BY t""".stripMargin
-
-  /** Periodogram of daily revenue at candidate periods {7, 30, 91}:
-    * per-period cos/sin projections with each v·cos term gathered in
-    * DECIMAL(38,18) (the an_price_elasticity libm discipline), emitted
-    * as a NORMALIZED amplitude in dollars (2·√(c²+s²)/n/100, ROUND 6 —
-    * normalizing BEFORE the round keeps the libm ulp noise far below
-    * the 6-dp step; the raw power is n²-scaled where no emission
-    * rounding could absorb it). Confirms the weekly cycle the
-    * decompose/dow queries assume. */
-  private def anPeriodogram(s: SparkSession, dir: String): DataFrame = {
-    val daily = dailyRevenueSpine(s, dir)
-    def gather(c: Column) = sum(c.cast("decimal(38,18)")).cast("decimal(38,18)")
-    Seq(7, 30, 91).map { p =>
-      val ang = lit(2.0 * math.Pi) * pmod(col("d"), lit(p)).cast("double") / lit(p.toDouble)
-      daily.agg(count(lit(1)).as("n"),
-          gather(col("rev_c").cast("double") * cos(ang)).as("cs"),
-          gather(col("rev_c").cast("double") * sin(ang)).as("sn"))
-        .select(lit(p).as("period"), col("n").as("n_days"),
-          round(lit(2.0) * sqrt(col("cs").cast("double") * col("cs").cast("double") +
-            col("sn").cast("double") * col("sn").cast("double")) /
-            col("n").cast("double") / 100.0, 6).as("amplitude"))
-    }.reduce(_.unionAll(_)).orderBy(col("period"))
-  }
-
-  private val anPeriodogramSql = {
-    def one(p: Int) =
-      s"""SELECT $p AS period, COUNT(*) AS n_days,
-         |  ROUND(2.0 * sqrt(
-         |      CAST(CAST(SUM(CAST(CAST(rev_c AS DOUBLE) * cos(2.0 * pi() * CAST(d % $p AS DOUBLE) / $p.0) AS DECIMAL(38,18))) AS DECIMAL(38,18)) AS DOUBLE)
-         |    * CAST(CAST(SUM(CAST(CAST(rev_c AS DOUBLE) * cos(2.0 * pi() * CAST(d % $p AS DOUBLE) / $p.0) AS DECIMAL(38,18))) AS DECIMAL(38,18)) AS DOUBLE)
-         |    + CAST(CAST(SUM(CAST(CAST(rev_c AS DOUBLE) * sin(2.0 * pi() * CAST(d % $p AS DOUBLE) / $p.0) AS DECIMAL(38,18))) AS DECIMAL(38,18)) AS DOUBLE)
-         |    * CAST(CAST(SUM(CAST(CAST(rev_c AS DOUBLE) * sin(2.0 * pi() * CAST(d % $p AS DOUBLE) / $p.0) AS DECIMAL(38,18))) AS DECIMAL(38,18)) AS DOUBLE))
-         |    / CAST(COUNT(*) AS DOUBLE) / 100.0, 6) AS amplitude
-         |FROM daily""".stripMargin
-    s"""WITH daily AS ($dailySpineSql)
-       |SELECT * FROM (
-       |${Seq(7, 30, 91).map(one).mkString("\nUNION ALL\n")}
-       |) u ORDER BY period""".stripMargin
-  }
-
-  /** Win ratio (Pocock) between BUILDING and AUTOMOBILE customer
-    * balances: P(x₁ > x₀)/P(x₀ > x₁) from EXACT cross-multiplied win
-    * counts over the distinct-cent value spine (wins₁ = Σ c₁(v)·C₀(<v)
-    * via one cumulative join — the an_roc_auc rank machinery, never an
-    * all-pairs pass), ties reported separately, ONE division. */
-  private def anWinRatio(s: SparkSession, dir: String): DataFrame = {
-    val lab = Tables.customer(s, dir)
-      .filter(col("c_mktsegment").isin("BUILDING", "AUTOMOBILE"))
-      .select((col("c_mktsegment") === "BUILDING").cast("long").as("g"),
-        (col("c_acctbal").cast("decimal(24,2)") * 100).cast("bigint").as("v"))
-    val perV = lab.groupBy(col("v"))
-      .agg(sum(col("g")).as("c1"), sum(lit(1L) - col("g")).as("c0"))
-    val scan = graft.operators.PrefixSum.withRunningTotals(perV, Seq("v"), Seq("c1", "c0"))
-    scan
-      .withColumn("c0_below", col("c0_cum") - col("c0"))
-      .withColumn("c1_below", col("c1_cum") - col("c1"))
-      .agg(sum(col("c1") * col("c0_below")).as("wins1"),
-        sum(col("c0") * col("c1_below")).as("wins0"),
-        sum(col("c1") * col("c0")).as("ties"))
-      .select(col("wins1"), col("wins0"), col("ties"),
-        (col("wins1").cast("double") / col("wins0").cast("double")).as("win_ratio"))
-  }
-
-  private val anWinRatioSql =
-    """WITH lab AS (SELECT CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS g,
-      |    CAST(CAST(c_acctbal AS DECIMAL(24,2)) * 100 AS BIGINT) AS v
-      |  FROM customer WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE')),
-      |pv AS (SELECT v, CAST(SUM(g) AS BIGINT) AS c1, CAST(SUM(1 - g) AS BIGINT) AS c0
-      |       FROM lab GROUP BY v),
-      |cv AS (SELECT c1, c0,
-      |         CAST(SUM(c0) OVER (ORDER BY v) AS BIGINT) - c0 AS c0_below,
-      |         CAST(SUM(c1) OVER (ORDER BY v) AS BIGINT) - c1 AS c1_below
-      |       FROM pv)
-      |SELECT CAST(SUM(c1 * c0_below) AS BIGINT) AS wins1,
-      |  CAST(SUM(c0 * c1_below) AS BIGINT) AS wins0,
-      |  CAST(SUM(c1 * c0) AS BIGINT) AS ties,
-      |  CAST(SUM(c1 * c0_below) AS DOUBLE) / CAST(SUM(c0 * c1_below) AS DOUBLE) AS win_ratio
-      |FROM cv""".stripMargin
-
-  /** Geometric mean order value per priority: exp of the DECIMAL(38,18)
-    * ln-gather mean — the multiplicative average that matches how
-    * prices compound (one 10× order shifts an arithmetic mean, barely
-    * moves this). exp amplifies only RELATIVELY, so the 6-dp emission
-    * absorbs the gathered libm ulp at dollar scale. */
-  private def anGeometricMean(s: SparkSession, dir: String): DataFrame = {
-    def gather(c: Column) = sum(c.cast("decimal(38,18)")).cast("decimal(38,18)")
-    Tables.orders(s, dir)
-      .select(col("o_orderpriority").as("g"),
-        (col("o_totalprice").cast("decimal(24,2)") * 100).cast("bigint").as("v"))
-      .filter(col("v") > 0)
-      .groupBy(col("g").as("o_orderpriority"))
-      .agg(count(lit(1)).as("n"), gather(log(col("v").cast("double"))).as("sl"))
-      .select(col("o_orderpriority"), col("n"),
-        round(exp(col("sl").cast("double") / col("n").cast("double")) / 100.0, 6)
-          .as("geo_mean"))
-      .orderBy(col("o_orderpriority"))
-  }
-
-  private val anGeometricMeanSql =
-    """WITH o AS (SELECT o_orderpriority AS g,
-      |    CAST(CAST(o_totalprice AS DECIMAL(24,2)) * 100 AS BIGINT) AS v
-      |  FROM orders)
-      |SELECT g AS o_orderpriority, COUNT(*) AS n,
-      |  ROUND(exp(CAST(CAST(SUM(CAST(ln(CAST(v AS DOUBLE)) AS DECIMAL(38,18))) AS DECIMAL(38,18)) AS DOUBLE)
-      |    / CAST(COUNT(*) AS DOUBLE)) / 100.0, 6) AS geo_mean
-      |FROM o WHERE v > 0 GROUP BY g ORDER BY g""".stripMargin
-
-  /** Embedding L2-norm profile per label: min/mean/max of the EXACT
-    * integer micro-unit squared norms (Σq² ≤ 64·(2·10⁶)², far inside
-    * 2⁵³ — no float until the final sqrt emissions) plus the
-    * unit-normalized count at ±0.1% — the "are these vectors
-    * normalized" sanity gate run before any cosine ANN (un-normalized
-    * mixes silently bias every dot-product ranking). */
-  private def simNormProfile(s: SparkSession, dir: String): DataFrame = {
-    val q = Tables.embeddings(s, dir)
-      .select(col("vec_id"), col("label"),
-        posexplode(graft.similarity.VectorOps.toDouble(col("embedding"))).as(Seq("j", "x")))
-      .withColumn("qi", round(col("x") * 1000000.0).cast("long"))
-      .groupBy(col("vec_id"), col("label"))
-      .agg(sum(col("qi") * col("qi")).as("n2"))
-    // unit norm in micro-units squared = 1e12; ±0.1% band in integers
-    q.groupBy(col("label"))
-      .agg(count(lit(1)).as("n_vecs"),
-        min(col("n2")).as("min_n2"), max(col("n2")).as("max_n2"),
-        sum(col("n2")).as("sum_n2"),
-        sum((col("n2") >= 998001000000L && col("n2") <= 1002001000000L).cast("long"))
-          .as("n_unit"))
-      .select(col("label"), col("n_vecs"),
-        round(sqrt(col("min_n2").cast("double")) / 1000000.0, 6).as("min_norm"),
-        round(sqrt(col("sum_n2").cast("double") / col("n_vecs").cast("double")) / 1000000.0, 6)
-          .as("rms_norm"),
-        round(sqrt(col("max_n2").cast("double")) / 1000000.0, 6).as("max_norm"),
-        col("n_unit"))
-      .orderBy(col("label"))
-  }
-
-  private val simNormProfileSql =
-    """WITH e AS (SELECT vec_id, label,
-      |    list_transform(embedding::DOUBLE[], x -> CAST(round(x * 1000000.0) AS BIGINT)) AS q
-      |  FROM embeddings),
-      |n2 AS (SELECT vec_id, label, CAST(SUM(qi * qi) AS BIGINT) AS n2 FROM (
-      |    SELECT vec_id, label, q[CAST(j.range AS INT) + 1] AS qi
-      |    FROM e CROSS JOIN range(0, 64) j) t
-      |  GROUP BY vec_id, label)
-      |SELECT label, COUNT(*) AS n_vecs,
-      |  ROUND(sqrt(CAST(MIN(n2) AS DOUBLE)) / 1000000.0, 6) AS min_norm,
-      |  ROUND(sqrt(CAST(SUM(n2) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) / 1000000.0, 6) AS rms_norm,
-      |  ROUND(sqrt(CAST(MAX(n2) AS DOUBLE)) / 1000000.0, 6) AS max_norm,
-      |  CAST(SUM(CASE WHEN n2 BETWEEN 998001000000 AND 1002001000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_unit
-      |FROM n2 GROUP BY label ORDER BY label""".stripMargin
-
-  /** Theil T inequality index of customer balances with the
-    * within/between-nation decomposition — the additive property Gini
-    * lacks (T = T_between + Σ share·T_within exactly, which the spec
-    * pins): every x·ln(x/μ) term a correctly-rounded double gathered in
-    * DECIMAL(38,18), means as exact integer ratios, ROUND 6 at
-    * emission. Only positive balances enter (ln domain), with the
-    * excluded mass reported. */
-  private def anTheil(s: SparkSession, dir: String): DataFrame = {
-    def gather(c: Column) = sum(c.cast("decimal(38,18)")).cast("decimal(38,18)")
-    val pos = Tables.customer(s, dir)
-      .select(col("c_nationkey").as("nk"),
-        (col("c_acctbal").cast("decimal(24,2)") * 100).cast("bigint").as("v"))
-      .filter(col("v") > 0)
-    val tot = pos.agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
-    val byN = pos.groupBy(col("nk"))
-      .agg(count(lit(1)).as("n_g"), sum(col("v")).as("sv_g"))
-    // overall T = (1/n)·Σ (x/μ)·ln(x/μ) with μ = sv/n: evaluate per row as
-    // (x·n/sv)·ln(x·n/sv) — exact integer products up to the one division
-    val rowTerm = pos.crossJoin(broadcast(tot))
-      .select(((col("v").cast("decimal(38,0)") * col("n")).cast("double") /
-        col("sv").cast("double")).as("r"))
-      .agg(gather(col("r") * log(col("r"))).as("st"), count(lit(1)).as("nr"))
-    val between = byN.crossJoin(broadcast(tot))
-      .select(((col("sv_g").cast("decimal(38,0)") * col("n")).cast("double") /
-        (col("sv").cast("decimal(38,0)") * col("n_g")).cast("double")).as("rb"),
-        (col("sv_g").cast("double") / col("sv").cast("double")).as("share"))
-      .agg(gather(col("share") * log(col("rb"))).as("tb"))
-    val excluded = Tables.customer(s, dir)
-      .agg(sum((col("c_acctbal") <= 0.0).cast("long")).as("n_excluded"))
-    rowTerm.crossJoin(between).crossJoin(broadcast(excluded))
-      .select(col("nr").as("n"),
-        round(col("st").cast("double") / col("nr").cast("double"), 6).as("theil_t"),
-        round(col("tb").cast("double"), 6).as("theil_between"),
-        round(col("st").cast("double") / col("nr").cast("double") -
-          col("tb").cast("double"), 6).as("theil_within"),
-        col("n_excluded"))
-  }
-
-  private val anTheilSql =
-    """WITH pos AS (SELECT c_nationkey AS nk,
-      |    CAST(CAST(c_acctbal AS DECIMAL(24,2)) * 100 AS BIGINT) AS v
-      |  FROM customer
-      |  WHERE CAST(CAST(c_acctbal AS DECIMAL(24,2)) * 100 AS BIGINT) > 0),
-      |t AS (SELECT COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS sv FROM pos),
-      |rt AS (SELECT CAST(SUM(CAST(r * ln(r) AS DECIMAL(38,18))) AS DECIMAL(38,18)) AS st,
-      |         COUNT(*) AS nr
-      |       FROM (SELECT CAST(CAST(v AS DECIMAL(38,0)) * n AS DOUBLE)
-      |               / CAST(sv AS DOUBLE) AS r
-      |             FROM pos CROSS JOIN t) x),
-      |bn AS (SELECT nk, COUNT(*) AS n_g, CAST(SUM(v) AS BIGINT) AS sv_g
-      |       FROM pos GROUP BY nk),
-      |tb AS (SELECT CAST(SUM(CAST(share * ln(rb) AS DECIMAL(38,18))) AS DECIMAL(38,18)) AS tb
-      |       FROM (SELECT
-      |           CAST(CAST(sv_g AS DECIMAL(38,0)) * n AS DOUBLE)
-      |             / CAST(CAST(sv AS DECIMAL(38,0)) * n_g AS DOUBLE) AS rb,
-      |           CAST(sv_g AS DOUBLE) / CAST(sv AS DOUBLE) AS share
-      |         FROM bn CROSS JOIN t) y),
-      |ex AS (SELECT CAST(SUM(CASE WHEN c_acctbal <= 0.0 THEN 1 ELSE 0 END) AS BIGINT)
-      |         AS n_excluded FROM customer)
-      |SELECT nr AS n,
-      |  ROUND(CAST(st AS DOUBLE) / CAST(nr AS DOUBLE), 6) AS theil_t,
-      |  ROUND(CAST(tb AS DOUBLE), 6) AS theil_between,
-      |  ROUND(CAST(st AS DOUBLE) / CAST(nr AS DOUBLE) - CAST(tb AS DOUBLE), 6) AS theil_within,
-      |  n_excluded
-      |FROM rt CROSS JOIN tb CROSS JOIN ex""".stripMargin
-
-  /** Compound annual growth rate of yearly revenue over the complete
-    * interior years (first/last calendar years are partial — including
-    * them fabricates growth): exact yearly cent sums, CAGR =
-    * exp(ln(last/first)/years) − 1 (exp∘ln, never pow — pow has no
-    * correctly-rounded guarantee on either engine), ROUND 6. */
-  private def anCagr(s: SparkSession, dir: String): DataFrame = {
-    val yearly = Tables.lineitem(s, dir)
-      .groupBy(year(col("l_shipdate")).as("yr"))
-      .agg((sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-          .cast("decimal(24,8)")).cast("decimal(24,2)") * 100).cast("bigint").as("rc"))
-    val bounds = yearly.agg(min(col("yr")).as("y0"), max(col("yr")).as("y1"))
-    val interior = yearly.crossJoin(broadcast(bounds))
-      .filter(col("yr") > col("y0") && col("yr") < col("y1"))
-    val fl = interior.agg(min(col("yr")).as("first_yr"), max(col("yr")).as("last_yr"))
-    fl.join(broadcast(interior.select(col("yr"), col("rc").as("first_rc"))),
-        col("yr") === col("first_yr")).drop("yr")
-      .join(broadcast(interior.select(col("yr").as("yr2"), col("rc").as("last_rc"))),
-        col("yr2") === col("last_yr")).drop("yr2")
-      .select(col("first_yr"), col("last_yr"),
-        (col("first_rc") / 100.0).as("first_rev"),
-        (col("last_rc") / 100.0).as("last_rev"),
-        round(exp(log(col("last_rc").cast("double") / col("first_rc").cast("double")) /
-          (col("last_yr") - col("first_yr")).cast("double")) - 1.0, 6).as("cagr"))
-  }
-
-  private val anCagrSql =
-    """WITH y AS (SELECT year(l_shipdate) AS yr,
-      |    CAST(ROUND(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,8))), 2) * 100 AS BIGINT) AS rc
-      |  FROM lineitem GROUP BY 1),
-      |b AS (SELECT MIN(yr) AS y0, MAX(yr) AS y1 FROM y),
-      |i AS (SELECT yr, rc FROM y CROSS JOIN b WHERE yr > y0 AND yr < y1),
-      |f AS (SELECT MIN(yr) AS first_yr, MAX(yr) AS last_yr FROM i)
-      |SELECT first_yr, last_yr,
-      |  (SELECT rc FROM i WHERE yr = first_yr) / 100.0 AS first_rev,
-      |  (SELECT rc FROM i WHERE yr = last_yr) / 100.0 AS last_rev,
-      |  ROUND(exp(ln(CAST((SELECT rc FROM i WHERE yr = last_yr) AS DOUBLE)
-      |      / CAST((SELECT rc FROM i WHERE yr = first_yr) AS DOUBLE))
-      |    / CAST(last_yr - first_yr AS DOUBLE)) - 1.0, 6) AS cagr
-      |FROM f""".stripMargin
-
-  /** Day-of-week uniformity χ² on order counts: the significance test
-    * behind an_seasonal_dow's deviation table — exact counts, expected
-    * n/7, χ² cross-multiplied to integers over the common denominator
-    * (Σ(7·o_i − n)² / (7·n), ONE IEEE division). dow from the portable
-    * epoch-day d%7, not locale-dependent calendar functions. */
-  private def anDowChi2(s: SparkSession, dir: String): DataFrame = {
-    val cnt = Tables.orders(s, dir)
-      .select(pmod(datediff(col("o_orderdate").cast("date"),
-        lit("1992-01-01").cast("date")), lit(7)).as("dow"))
-      .groupBy(col("dow")).agg(count(lit(1)).as("o_i"))
-    val tot = cnt.agg(sum(col("o_i")).as("n"))
-    // 7·o_i − n is squared: widen to DECIMAL(38,0) first so n ~ 1e10+
-    // at the 100 TB target can't overflow BIGINT (ANSI-mode divergence).
-    val d38 = (c: Column) => c.cast("decimal(38,0)")
-    cnt.crossJoin(broadcast(tot))
-      .agg(max(col("n")).as("n"),
-        sum((d38(col("o_i")) * 7 - d38(col("n"))) *
-          (d38(col("o_i")) * 7 - d38(col("n")))).as("num"))
-      .select(col("n"),
-        (col("num").cast("double") / (col("n") * 7).cast("double")).as("chi2"))
-  }
-
-  private val anDowChi2Sql =
-    """WITH c AS (SELECT date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) % 7 AS dow,
-      |    COUNT(*) AS o_i
-      |  FROM orders GROUP BY 1),
-      |t AS (SELECT CAST(SUM(o_i) AS BIGINT) AS n FROM c)
-      |SELECT MAX(n) AS n,
-      |  CAST(SUM((CAST(o_i AS DECIMAL(38,0)) * 7 - CAST(n AS DECIMAL(38,0)))
-      |    * (CAST(o_i AS DECIMAL(38,0)) * 7 - CAST(n AS DECIMAL(38,0)))) AS DOUBLE)
-      |    / CAST(MAX(n) * 7 AS DOUBLE) AS chi2
-      |FROM c CROSS JOIN t""".stripMargin
-
-  /** Gumbel return levels for weekly revenue maxima: method-of-moments
-    * fit (β = s·√6/π, μ = x̄ − γ·β with Euler–Mascheroni γ) from exact
-    * decimal moment sums over the block maxima, return level x_T = μ −
-    * β·ln(−ln(1−1/T)) at T ∈ {10, 52, 520} — the "biggest week we
-    * should plan for" translation of an_gumbel_maxima's fit. Shared
-    * IEEE expression tree, ROUND 6. */
-  private def anReturnLevel(s: SparkSession, dir: String): DataFrame = {
-    val weekly = dailyRevenueSpine(s, dir)
-      .groupBy(expr("d div 7").as("wk"))
-      .agg(max(col("rev_c")).as("mx"))
-    val d38 = (c: Column) => c.cast("decimal(38,0)")
-    val m = weekly.agg(count(lit(1)).as("n"), sum(d38(col("mx"))).as("s1"),
-      sum(d38(col("mx")) * d38(col("mx"))).as("s2"))
-    val mean = col("s1").cast("double") / col("n").cast("double")
-    val sd = sqrt((col("n") * col("s2") - col("s1") * col("s1")).cast("double")) /
-      col("n").cast("double")
-    val beta = sd * math.sqrt(6.0) / math.Pi
-    val mu = mean - lit(0.5772156649015329) * beta
-    Seq(10, 52, 520).map { t =>
-      m.select(lit(t).as("t_weeks"), col("n").as("n_weeks"),
-        round((mu - beta * log(-log(lit(1.0) - lit(1.0) / t))) / 100.0, 6)
-          .as("return_level"))
-    }.reduce(_.unionAll(_)).orderBy(col("t_weeks"))
-  }
-
-  private val anReturnLevelSql = {
-    val mean = "CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)"
-    val sd = "sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)) / CAST(n AS DOUBLE)"
-    val beta = s"$sd * ${math.sqrt(6.0)} / ${math.Pi}"
-    val mu = s"$mean - 0.5772156649015329 * ($beta)"
-    def one(t: Int) =
-      s"""SELECT $t AS t_weeks, n AS n_weeks,
-         |  ROUND((($mu) - ($beta) * ln(-ln(1.0 - 1.0 / $t))) / 100.0, 6) AS return_level
-         |FROM m""".stripMargin
-    s"""WITH daily AS ($dailySpineSql),
-       |w AS (SELECT d // 7 AS wk, CAST(MAX(rev_c) AS BIGINT) AS mx FROM daily GROUP BY 1),
-       |m AS (SELECT COUNT(*) AS n,
-       |        CAST(SUM(CAST(mx AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s1,
-       |        CAST(SUM(CAST(mx AS DECIMAL(38,0)) * CAST(mx AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s2
-       |      FROM w)
-       |SELECT * FROM (
-       |${Seq(10, 52, 520).map(one).mkString("\nUNION ALL\n")}
-       |) u ORDER BY t_weeks""".stripMargin
-  }
-
-  /** Seasonal Mann–Kendall trend test: the MK S statistic computed
-    * WITHIN each day-of-week subseries (pairs never cross seasons, so
-    * the weekly cycle cannot masquerade as trend) and summed with the
-    * summed tie-corrected variances — exact integers end to end over
-    * the 7 per-dow pair frames, one IEEE z at emission. The seasonal
-    * fix for exactly the failure an_mann_kendall has on cyclic data. */
-  private def anSeasonalMk(s: SparkSession, dir: String): DataFrame = {
-    val daily = dailyRevenueSpine(s, dir)
-      .withColumn("dow", pmod(col("d"), lit(7)))
-    val a = daily.select(col("dow"), col("d"), col("rev_c"))
-    val b = daily.select(col("dow"), col("d").as("d2"), col("rev_c").as("v2"))
-    val pairs = a.join(b, Seq("dow")).filter(col("d") < col("d2"))
-      .select(col("dow"), signum(col("v2") - col("rev_c")).cast("long").as("sg"))
-    val perDow = pairs.groupBy(col("dow"))
-      .agg(sum(col("sg")).as("s_dow"), count(lit(1)).as("n_pairs"))
-    val nDow = daily.groupBy(col("dow")).agg(count(lit(1)).as("n_d"))
-    perDow.join(nDow, "dow")
-      .agg(sum(col("s_dow")).as("s_total"),
-        sum(col("n_d") * (col("n_d") - 1) * (col("n_d") * 2 + 5)).as("var18"),
-        sum(col("n_pairs")).as("n_pairs"))
-      .select(col("s_total"), col("n_pairs"),
-        round(when(col("s_total") > 0, (col("s_total") - 1).cast("double"))
-          .when(col("s_total") < 0, (col("s_total") + 1).cast("double"))
-          .otherwise(lit(0.0)) /
-          sqrt(col("var18").cast("double") / 18.0), 6).as("z"))
-  }
-
-  private val anSeasonalMkSql =
-    s"""WITH daily AS ($dailySpineSql),
-       |dd AS (SELECT d % 7 AS dow, d, rev_c FROM daily),
-       |p AS (SELECT a.dow,
-       |        CAST(CASE WHEN b.rev_c > a.rev_c THEN 1
-       |                  WHEN b.rev_c < a.rev_c THEN -1 ELSE 0 END AS BIGINT) AS sg
-       |      FROM dd a JOIN dd b ON a.dow = b.dow AND a.d < b.d),
-       |pd AS (SELECT dow, CAST(SUM(sg) AS BIGINT) AS s_dow, COUNT(*) AS n_pairs
-       |       FROM p GROUP BY dow),
-       |nd AS (SELECT d % 7 AS dow, COUNT(*) AS n_d FROM daily GROUP BY 1),
-       |t AS (SELECT CAST(SUM(s_dow) AS BIGINT) AS s_total,
-       |        CAST(SUM(n_d * (n_d - 1) * (n_d * 2 + 5)) AS BIGINT) AS var18,
-       |        CAST(SUM(n_pairs) AS BIGINT) AS n_pairs
-       |      FROM pd JOIN nd USING (dow))
-       |SELECT s_total, n_pairs,
-       |  ROUND(CAST(CASE WHEN s_total > 0 THEN s_total - 1
-       |                  WHEN s_total < 0 THEN s_total + 1 ELSE 0 END AS DOUBLE)
-       |    / sqrt(CAST(var18 AS DOUBLE) / 18.0), 6) AS z
-       |FROM t""".stripMargin
-
-  /** Process-capability indices Cp / Cpk for order totals against fixed
-    * spec limits [$100, $400k]: exact decimal moments, both indices one
-    * shared IEEE expression tree, ROUND 6 — the manufacturing-QC lens
-    * on whether the order stream fits its contracted envelope (Cpk < 1
-    * = the process breaches a limit at the ±3σ horizon). */
-  private def anCpk(s: SparkSession, dir: String): DataFrame = {
-    val lsl = 10000L; val usl = 40000000L  // cents
-    val d38 = (c: Column) => c.cast("decimal(38,0)")
-    val m = Tables.orders(s, dir)
-      .select((col("o_totalprice").cast("decimal(24,2)") * 100).cast("bigint").as("v"))
-      .agg(count(lit(1)).as("n"), sum(d38(col("v"))).as("s1"),
-        sum(d38(col("v")) * d38(col("v"))).as("s2"),
-        sum((col("v") < lsl || col("v") > usl).cast("long")).as("n_out"))
-    val mean = col("s1").cast("double") / col("n").cast("double")
-    val sd = sqrt((col("n") * col("s2") - col("s1") * col("s1")).cast("double")) /
-      col("n").cast("double")
-    m.select(col("n"), col("n_out"),
-      round((lit(usl.toDouble) - lit(lsl.toDouble)) / (lit(6.0) * sd), 6).as("cp"),
-      round(least((lit(usl.toDouble) - mean) / (lit(3.0) * sd),
-        (mean - lit(lsl.toDouble)) / (lit(3.0) * sd)), 6).as("cpk"))
-  }
-
-  private val anCpkSql = {
-    val mean = "CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)"
-    val sd = "sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)) / CAST(n AS DOUBLE)"
-    s"""WITH m AS (SELECT COUNT(*) AS n,
-       |    CAST(SUM(CAST(v AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s1,
-       |    CAST(SUM(CAST(v AS DECIMAL(38,0)) * CAST(v AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s2,
-       |    CAST(SUM(CASE WHEN v < 10000 OR v > 40000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_out
-       |  FROM (SELECT CAST(CAST(o_totalprice AS DECIMAL(24,2)) * 100 AS BIGINT) AS v
-       |        FROM orders) o)
-       |SELECT n, n_out,
-       |  ROUND((40000000.0 - 10000.0) / (6.0 * ($sd)), 6) AS cp,
-       |  ROUND(LEAST((40000000.0 - ($mean)) / (3.0 * ($sd)),
-       |              (($mean) - 10000.0) / (3.0 * ($sd))), 6) AS cpk
-       |FROM m""".stripMargin
-  }
-
-  /** Runs test for randomness of DIRECTION (ups and downs) on daily
-    * revenue — the difference-sign complement to an_runs_test's
-    * above/below-median runs: runs counted exactly via sign changes
-    * (ties dropped), E[R] = (2n−1)/3 and Var[R] = (16n−29)/90 in exact
-    * integer arithmetic cross-multiplied through the z numerator (3R −
-    * 2n + 1 over the common denominator), one sqrt + one division. */
-  private def anRunsUpdown(s: SparkSession, dir: String): DataFrame = {
-    val diffs = dailyRevenueSpine(s, dir)
-      .withColumn("chg", col("rev_c") - lag(col("rev_c"), 1).over(Window.orderBy(col("d"))))
-      .filter(col("chg").isNotNull && col("chg") =!= 0)
-      .withColumn("up", (col("chg") > 0).cast("int"))
-      .withColumn("prev_up", lag(col("up"), 1).over(Window.orderBy(col("d"))))
-    diffs.agg(count(lit(1)).as("n"),
-        (sum((col("prev_up").isNull || col("prev_up") =!= col("up")).cast("long")))
-          .as("runs"))
-      .select(col("n"), col("runs"),
-        round((col("runs") * 3 - col("n") * 2 + 1).cast("double") /
-          (lit(3.0) * sqrt((col("n") * 16 - 29).cast("double") / 90.0)), 6).as("z"))
-  }
-
-  private val anRunsUpdownSql =
-    s"""WITH daily AS ($dailySpineSql),
-       |ch AS (SELECT d, rev_c - LAG(rev_c) OVER (ORDER BY d) AS chg FROM daily),
-       |f AS (SELECT d, CASE WHEN chg > 0 THEN 1 ELSE 0 END AS up
-       |      FROM ch WHERE chg IS NOT NULL AND chg <> 0),
-       |r AS (SELECT up, LAG(up) OVER (ORDER BY d) AS prev_up FROM f),
-       |t AS (SELECT COUNT(*) AS n,
-       |        CAST(SUM(CASE WHEN prev_up IS NULL OR prev_up <> up THEN 1 ELSE 0 END) AS BIGINT) AS runs
-       |      FROM r)
-       |SELECT n, runs,
-       |  ROUND(CAST(runs * 3 - n * 2 + 1 AS DOUBLE)
-       |    / (3.0 * sqrt(CAST(n * 16 - 29 AS DOUBLE) / 90.0)), 6) AS z
-       |FROM t""".stripMargin
-
-  /** String-width audit against declared column contracts: per string
-    * column of orders, the exact length envelope (min/max/avg) and the
-    * count breaching its declared width — the pre-DDL check before a
-    * VARCHAR(n) landing (a silent truncation at load is the classic
-    * lossy-migration bug). One row-local pass, three tiny aggregates. */
-  private def etlWidthAudit(s: SparkSession, dir: String): DataFrame = {
-    val widths = Seq(("o_orderstatus", 1), ("o_orderpriority", 15))
-    val o = Tables.orders(s, dir)
-    widths.map { case (c, w) =>
-      o.agg(count(lit(1)).as("n"),
-          min(length(col(c))).as("min_len"),
-          max(length(col(c))).as("max_len"),
-          sum(length(col(c)).cast("long")).as("sum_len"),
-          sum((length(col(c)) > w).cast("long")).as("n_over"))
-        .select(lit(c).as("col_name"), lit(w).as("declared_width"),
-          col("n"), col("min_len"), col("max_len"),
-          (col("sum_len").cast("double") / col("n").cast("double")).as("avg_len"),
-          col("n_over"))
-    }.reduce(_.unionAll(_)).orderBy(col("col_name"))
-  }
-
-  private val etlWidthAuditSql = {
-    def one(c: String, w: Int) =
-      s"""SELECT '$c' AS col_name, $w AS declared_width, COUNT(*) AS n,
-         |  CAST(MIN(length($c)) AS INT) AS min_len,
-         |  CAST(MAX(length($c)) AS INT) AS max_len,
-         |  CAST(SUM(length($c)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_len,
-         |  CAST(SUM(CASE WHEN length($c) > $w THEN 1 ELSE 0 END) AS BIGINT) AS n_over
-         |FROM orders""".stripMargin
-    s"""SELECT * FROM (
-       |${one("o_orderstatus", 1)}
-       |UNION ALL
-       |${one("o_orderpriority", 15)}
-       |) u ORDER BY col_name""".stripMargin
-  }
-
-  /** Weekend effect on daily revenue: Welch t between the weekday and
-    * weekend day-spine populations (the same calendar-anchored (d+2)%7
-    * split as an_wasserstein/an_cvm: 1992-01-01 is a Wednesday, so +2
-    * maps Mon–Fri → weekday — with the parametric effect estimate
-    * those distribution distances don't give): exact decimal moments
-    * per side, mean difference in dollars and the Welch t in one shared
-    * IEEE tree, ROUND 6. */
-  private def anWeekendEffect(s: SparkSession, dir: String): DataFrame = {
-    val d38 = (c: Column) => c.cast("decimal(38,0)")
-    val m = dailyRevenueSpine(s, dir)
-      .withColumn("grp", when(pmod(col("d") + 2, lit(7)) < 5, "wd").otherwise("we"))
-      .groupBy(col("grp"))
-      .agg(count(lit(1)).as("n"), sum(d38(col("rev_c"))).as("s1"),
-        sum(d38(col("rev_c")) * d38(col("rev_c"))).as("s2"))
-    def pick(c: String, g: String) = max(when(col("grp") === g, col(c)))
-    val w = m.agg(pick("n", "wd").as("n1"), pick("s1", "wd").as("a1"), pick("s2", "wd").as("q1"),
-      pick("n", "we").as("n2"), pick("s1", "we").as("a2"), pick("s2", "we").as("q2"))
-    def mean(s1: Column, n: Column) = s1.cast("double") / n.cast("double")
-    def varN(n: Column, s1: Column, s2: Column) =
-      (n * s2 - s1 * s1).cast("double") / (n.cast("double") * n.cast("double") *
-        (n - 1).cast("double"))
-    w.select(col("n1").as("n_weekday"), col("n2").as("n_weekend"),
-      round((mean(col("a1"), col("n1")) - mean(col("a2"), col("n2"))) / 100.0, 6)
-        .as("mean_diff"),
-      round((mean(col("a1"), col("n1")) - mean(col("a2"), col("n2"))) /
-        sqrt(varN(col("n1"), col("a1"), col("q1")) +
-          varN(col("n2"), col("a2"), col("q2"))), 6).as("welch_t"))
-  }
-
-  private val anWeekendEffectSql = {
-    def mean(s1: String, n: String) = s"CAST($s1 AS DOUBLE) / CAST($n AS DOUBLE)"
-    def varN(n: String, s1: String, s2: String) =
-      s"CAST($n * $s2 - $s1 * $s1 AS DOUBLE) / (CAST($n AS DOUBLE) * CAST($n AS DOUBLE) * CAST($n - 1 AS DOUBLE))"
-    s"""WITH daily AS ($dailySpineSql),
-       |g AS (SELECT rev_c, CASE WHEN ((d + 2) % 7) < 5 THEN 'wd' ELSE 'we' END AS grp FROM daily),
-       |m AS (SELECT grp, COUNT(*) AS n,
-       |        CAST(SUM(CAST(rev_c AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s1,
-       |        CAST(SUM(CAST(rev_c AS DECIMAL(38,0)) * CAST(rev_c AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s2
-       |      FROM g GROUP BY grp),
-       |w AS (SELECT
-       |  MAX(CASE WHEN grp = 'wd' THEN n END) AS n1, MAX(CASE WHEN grp = 'we' THEN n END) AS n2,
-       |  MAX(CASE WHEN grp = 'wd' THEN s1 END) AS a1, MAX(CASE WHEN grp = 'we' THEN s1 END) AS a2,
-       |  MAX(CASE WHEN grp = 'wd' THEN s2 END) AS q1, MAX(CASE WHEN grp = 'we' THEN s2 END) AS q2
-       |  FROM m)
-       |SELECT n1 AS n_weekday, n2 AS n_weekend,
-       |  ROUND((${mean("a1", "n1")} - ${mean("a2", "n2")}) / 100.0, 6) AS mean_diff,
-       |  ROUND((${mean("a1", "n1")} - ${mean("a2", "n2")})
-       |    / sqrt(${varN("n1", "a1", "q1")} + ${varN("n2", "a2", "q2")}), 6) AS welch_t
-       |FROM w""".stripMargin
-  }
-
-  /** Durbin–Watson autocorrelation test on the residuals of the daily-
-    * revenue OLS trend: the standard "is the trend model leaving serial
-    * structure on the table" gate run before trusting an_linreg-style
-    * fits on time series. OLS normal-equation sums are EXACT decimals
-    * over the day spine (calendar-bounded frame), slope/intercept one
-    * shared IEEE tree, residuals bit-identical per row in both engines,
-    * and the DW numerator/denominator are exact decimal sums of those
-    * doubles — deterministic under any partitioning. DW ≈ 2(1 − ρ₁). */
-  private def anDurbinWatson(s: SparkSession, dir: String): DataFrame = {
-    val d38 = (c: Column) => c.cast("decimal(38,0)")
-    val spine = dailyRevenueSpine(s, dir).select(col("d"), col("rev_c"))
-    val m = spine.agg(count(lit(1)).as("n"),
-      sum(d38(col("d"))).as("sx"), sum(d38(col("rev_c"))).as("sy"),
-      sum(d38(col("d")) * d38(col("d"))).as("sxx"),
-      sum(d38(col("d")) * d38(col("rev_c"))).as("sxy"))
-    val slope = (d38(col("n")) * col("sxy") - col("sx") * col("sy")).cast("double") /
-      (d38(col("n")) * col("sxx") - col("sx") * col("sx")).cast("double")
-    val icept = (col("sy").cast("double") - col("sx").cast("double") * col("slope")) /
-      col("n").cast("double")
-    val e = spine.crossJoin(broadcast(m.select(col("n"), col("sx"), col("sy"), slope.as("slope"))
-        .select(col("n"), col("slope"), icept.as("icept"))))
-      .select(col("d"), col("n"), col("slope"),
-        (col("rev_c").cast("double") - col("icept") -
-          col("slope") * col("d").cast("double")).as("e"))
-    val lagW = Window.orderBy(col("d"))
-    e.withColumn("ep", lag(col("e"), 1).over(lagW))
-      .agg(max(col("n")).as("n_days"), round(max(col("slope")), 6).as("slope"),
-        sum(when(col("ep").isNotNull,
-          ((col("e") - col("ep")) * (col("e") - col("ep"))).cast("decimal(38,8)"))).as("num"),
-        sum((col("e") * col("e")).cast("decimal(38,8)")).as("den"))
-      .select(col("n_days"), col("slope"),
-        round(col("num").cast("double") / col("den").cast("double"), 6).as("dw"))
-  }
-
-  private val anDurbinWatsonSql =
-    s"""WITH daily AS ($dailySpineSql),
-       |m AS (SELECT COUNT(*) AS n,
-       |  SUM(CAST(d AS DECIMAL(38,0))) AS sx, SUM(CAST(rev_c AS DECIMAL(38,0))) AS sy,
-       |  SUM(CAST(d AS DECIMAL(38,0)) * CAST(d AS DECIMAL(38,0))) AS sxx,
-       |  SUM(CAST(d AS DECIMAL(38,0)) * CAST(rev_c AS DECIMAL(38,0))) AS sxy
-       |  FROM daily),
-       |b AS (SELECT n,
-       |  CAST(CAST(n AS DECIMAL(38,0)) * sxy - sx * sy AS DOUBLE)
-       |    / CAST(CAST(n AS DECIMAL(38,0)) * sxx - sx * sx AS DOUBLE) AS slope,
-       |  sx, sy FROM m),
-       |p AS (SELECT n, slope,
-       |  (CAST(sy AS DOUBLE) - CAST(sx AS DOUBLE) * slope) / CAST(n AS DOUBLE) AS icept
-       |  FROM b),
-       |e AS (SELECT d, n, slope,
-       |  CAST(rev_c AS DOUBLE) - icept - slope * CAST(d AS DOUBLE) AS e
-       |  FROM daily CROSS JOIN p),
-       |l AS (SELECT n, slope, e, LAG(e) OVER (ORDER BY d) AS ep FROM e)
-       |SELECT MAX(n) AS n_days, ROUND(MAX(slope), 6) AS slope,
-       |  ROUND(CAST(SUM(CASE WHEN ep IS NOT NULL
-       |      THEN CAST((e - ep) * (e - ep) AS DECIMAL(38,8)) END) AS DOUBLE)
-       |    / CAST(SUM(CAST(e * e AS DECIMAL(38,8))) AS DOUBLE), 6) AS dw
-       |FROM l""".stripMargin
-
-  /** Paired sign test on week-over-week daily revenue (day d vs d−7,
-    * same weekday — the nonparametric "is revenue drifting up" check
-    * that needs no distributional assumption an_weekend_effect's Welch
-    * t carries): exact integer sign counts off one day-spine self-join,
-    * normal-approximation z in one IEEE expression. Ties (exact-cents
-    * equality) are dropped per the classical test. */
-  private def anSignTest(s: SparkSession, dir: String): DataFrame = {
-    val spine = dailyRevenueSpine(s, dir).select(col("d"), col("rev_c"))
-    val prev = spine.select((col("d") + 7).as("d"), col("rev_c").as("prev_c"))
-    spine.join(prev, Seq("d"))
-      .agg(count(lit(1)).as("n_pairs"),
-        sum((col("rev_c") > col("prev_c")).cast("long")).as("n_pos"),
-        sum((col("rev_c") < col("prev_c")).cast("long")).as("n_neg"))
-      .select(col("n_pairs"), col("n_pos"), col("n_neg"),
-        round((lit(2.0) * col("n_pos").cast("double") -
-            (col("n_pos") + col("n_neg")).cast("double")) /
-          sqrt((col("n_pos") + col("n_neg")).cast("double")), 6).as("z"))
-  }
-
-  private val anSignTestSql =
-    s"""WITH daily AS ($dailySpineSql),
-       |p AS (SELECT a.rev_c AS cur, b.rev_c AS prev
-       |      FROM daily a JOIN daily b ON a.d = b.d + 7),
-       |c AS (SELECT COUNT(*) AS n_pairs,
-       |  CAST(SUM(CASE WHEN cur > prev THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
-       |  CAST(SUM(CASE WHEN cur < prev THEN 1 ELSE 0 END) AS BIGINT) AS n_neg
-       |  FROM p)
-       |SELECT n_pairs, n_pos, n_neg,
-       |  ROUND((2.0 * CAST(n_pos AS DOUBLE) - CAST(n_pos + n_neg AS DOUBLE))
-       |    / sqrt(CAST(n_pos + n_neg AS DOUBLE)), 6) AS z
-       |FROM c""".stripMargin
-
-  /** Two-sample F test for equality of variances between the returned
-    * ('R') and accepted ('A') lineitem price populations — the
-    * variance-ratio complement to an_welch_ttest's mean comparison and
-    * the classical gate before pooling. Prices are exact cents, both
-    * variance numerators n·Σx² − (Σx)² are EXACT integer decimals
-    * (zero float cancellation), one division each, F one more. */
-  private def anFTest(s: SparkSession, dir: String): DataFrame = {
-    val d38 = (c: Column) => c.cast("decimal(38,0)")
-    val cents = (col("l_extendedprice").cast("decimal(24,2)") * 100).cast("bigint")
-    val g = Tables.lineitem(s, dir)
-      .filter(col("l_returnflag").isin("A", "R"))
-      .select(col("l_returnflag").as("grp"), cents.as("v"))
-      .groupBy(col("grp"))
-      .agg(count(lit(1)).as("n"), sum(d38(col("v"))).as("s1"),
-        sum(d38(col("v")) * d38(col("v"))).as("s2"))
-    def varDollars(n: Column, s1: Column, s2: Column): Column =
-      ((n.cast("decimal(38,0)") * s2 - s1 * s1).cast("double") /
-        (n.cast("double") * (n - 1).cast("double"))) / 1e4
-    val w = g.agg(
-      max(when(col("grp") === "A", col("n"))).as("n_a"),
-      max(when(col("grp") === "R", col("n"))).as("n_r"),
-      max(when(col("grp") === "A", col("s1"))).as("a1"),
-      max(when(col("grp") === "R", col("s1"))).as("r1"),
-      max(when(col("grp") === "A", col("s2"))).as("a2"),
-      max(when(col("grp") === "R", col("s2"))).as("r2"))
-    w.select(col("n_a"), col("n_r"),
-      round(varDollars(col("n_a"), col("a1"), col("a2")), 2).as("var_a"),
-      round(varDollars(col("n_r"), col("r1"), col("r2")), 2).as("var_r"),
-      round(varDollars(col("n_a"), col("a1"), col("a2")) /
-        varDollars(col("n_r"), col("r1"), col("r2")), 6).as("f_ratio"))
-  }
-
-  private val anFTestSql = {
-    def varD(n: String, s1: String, s2: String) =
-      s"((CAST(CAST($n AS DECIMAL(38,0)) * $s2 - $s1 * $s1 AS DOUBLE) " +
-        s"/ (CAST($n AS DOUBLE) * CAST($n - 1 AS DOUBLE))) / 1e4)"
-    s"""WITH v AS (SELECT l_returnflag AS grp,
-       |    CAST(CAST(l_extendedprice AS DECIMAL(24,2)) * 100 AS BIGINT) AS v
-       |  FROM lineitem WHERE l_returnflag IN ('A', 'R')),
-       |g AS (SELECT grp, COUNT(*) AS n,
-       |    SUM(CAST(v AS DECIMAL(38,0))) AS s1,
-       |    SUM(CAST(v AS DECIMAL(38,0)) * CAST(v AS DECIMAL(38,0))) AS s2
-       |  FROM v GROUP BY grp),
-       |w AS (SELECT
-       |  MAX(CASE WHEN grp = 'A' THEN n END) AS n_a, MAX(CASE WHEN grp = 'R' THEN n END) AS n_r,
-       |  MAX(CASE WHEN grp = 'A' THEN s1 END) AS a1, MAX(CASE WHEN grp = 'R' THEN s1 END) AS r1,
-       |  MAX(CASE WHEN grp = 'A' THEN s2 END) AS a2, MAX(CASE WHEN grp = 'R' THEN s2 END) AS r2
-       |  FROM g)
-       |SELECT n_a, n_r,
-       |  ROUND(${varD("n_a", "a1", "a2")}, 2) AS var_a,
-       |  ROUND(${varD("n_r", "r1", "r2")}, 2) AS var_r,
-       |  ROUND(${varD("n_a", "a1", "a2")} / ${varD("n_r", "r1", "r2")}, 6) AS f_ratio
-       |FROM w""".stripMargin
-  }
-
-  /** Bartlett's test for homogeneity of variances across all three
-    * return-flag groups — the k-sample generalization of an_f_test
-    * (and the assumption check an_anova leans on; an_levene is its
-    * robust cousin, Bartlett is the classical normal-theory form).
-    * Per-group variances from EXACT integer-cents moment sums; the
-    * k-sized (3-row) reduction sums ln-variance terms through
-    * DECIMAL(38,18) so the result is partitioning-independent. */
-  private def anBartlett(s: SparkSession, dir: String): DataFrame = {
-    val d38 = (c: Column) => c.cast("decimal(38,0)")
-    val cents = (col("l_extendedprice").cast("decimal(24,2)") * 100).cast("bigint")
-    val g = Tables.lineitem(s, dir)
-      .select(col("l_returnflag").as("grp"), cents.as("v"))
-      .groupBy(col("grp"))
-      .agg(count(lit(1)).as("n"), sum(d38(col("v"))).as("s1"),
-        sum(d38(col("v")) * d38(col("v"))).as("s2"))
-      // dollars² variance, one IEEE division off the exact numerator
-      .select(col("grp"), col("n"),
-        (((d38(col("n")) * col("s2") - col("s1") * col("s1")).cast("double") /
-          (col("n").cast("double") * (col("n") - 1).cast("double"))) / 1e4).as("vr"))
-    val d18 = (c: Column) => c.cast("decimal(38,18)")
-    val m = g.agg(count(lit(1)).as("k"), sum(col("n")).as("nn"),
-      sum(d18((col("n") - 1).cast("double") * col("vr"))).as("sw"),
-      sum(d18((col("n") - 1).cast("double") * log(col("vr")))).as("slnv"),
-      sum(d18(lit(1.0) / (col("n") - 1).cast("double"))).as("sinv"))
-    m.select(col("k"), col("nn").as("n"),
-      round(col("sw").cast("double") / (col("nn") - col("k")).cast("double"), 2)
-        .as("pooled_var"),
-      round(((col("nn") - col("k")).cast("double") *
-          log(col("sw").cast("double") / (col("nn") - col("k")).cast("double")) -
-          col("slnv").cast("double")) /
-        (lit(1.0) + (col("sinv").cast("double") -
-            lit(1.0) / (col("nn") - col("k")).cast("double")) /
-          (lit(3.0) * (col("k") - 1).cast("double"))), 6).as("bartlett_chi2"))
-  }
-
-  private val anBartlettSql =
-    """WITH v AS (SELECT l_returnflag AS grp,
-      |    CAST(CAST(l_extendedprice AS DECIMAL(24,2)) * 100 AS BIGINT) AS v
-      |  FROM lineitem),
-      |g AS (SELECT grp, COUNT(*) AS n,
-      |    SUM(CAST(v AS DECIMAL(38,0))) AS s1,
-      |    SUM(CAST(v AS DECIMAL(38,0)) * CAST(v AS DECIMAL(38,0))) AS s2
-      |  FROM v GROUP BY grp),
-      |vr AS (SELECT grp, n,
-      |    (CAST(CAST(n AS DECIMAL(38,0)) * s2 - s1 * s1 AS DOUBLE)
-      |      / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))) / 1e4 AS vr
-      |  FROM g),
-      |m AS (SELECT COUNT(*) AS k, CAST(SUM(n) AS BIGINT) AS nn,
-      |    SUM(CAST(CAST(n - 1 AS DOUBLE) * vr AS DECIMAL(38,18))) AS sw,
-      |    SUM(CAST(CAST(n - 1 AS DOUBLE) * ln(vr) AS DECIMAL(38,18))) AS slnv,
-      |    SUM(CAST(1.0 / CAST(n - 1 AS DOUBLE) AS DECIMAL(38,18))) AS sinv
-      |  FROM vr)
-      |SELECT k, nn AS n,
-      |  ROUND(CAST(sw AS DOUBLE) / CAST(nn - k AS DOUBLE), 2) AS pooled_var,
-      |  ROUND((CAST(nn - k AS DOUBLE) * ln(CAST(sw AS DOUBLE) / CAST(nn - k AS DOUBLE))
-      |      - CAST(slnv AS DOUBLE))
-      |    / (1.0 + (CAST(sinv AS DOUBLE) - 1.0 / CAST(nn - k AS DOUBLE))
-      |      / (3.0 * CAST(k - 1 AS DOUBLE))), 6) AS bartlett_chi2
-      |FROM m""".stripMargin
-
-  /** Mood's median test across order priorities: does any priority
-    * class skew above/below the GRAND median order value? The exact
-    * grand median is an order statistic off the same run-length
-    * prefix-sum scan as q_exact_median (no global row_number over the
-    * near-unique price domain), the 2×k contingency is exact integer
-    * counts, and the χ² reduction runs through DECIMAL(38,18) on the
-    * k-sized frame. The nonparametric k-sample location gate next to
-    * an_kruskal (ranks) and an_moods' count-only robustness. */
-  private def anMoodsMedian(s: SparkSession, dir: String): DataFrame = {
-    val cents = (col("o_totalprice").cast("decimal(24,2)") * 100).cast("bigint")
-    val raw = Tables.orders(s, dir)
-      .select(col("o_orderpriority"), cents.as("v"))
-    val scan = graft.operators.PrefixSum.distinctRunningCounts(
-      raw.select(col("v")), Seq("v"))
-    val med = scan
-      .crossJoin(broadcast(raw.agg(count(lit(1)).as("n"))))
-      .filter(col("cnt_cum") >= expr("(n + 1) div 2") &&
-        col("cnt_cum") - col("cnt") < expr("(n + 1) div 2"))
-      .select(col("v").as("med_c"))
-    // contingency + totals + chi2 all in ONE pass over the k-sized (5
-    // priorities) frame: the totals and the chi2 reduction are stacked
-    // unpartitioned windows over a key-domain-bounded frame (GWIN
-    // allowlisted, machine-audited), not agg+crossJoin re-derivations
-    // that would rescan orders three times at 100 TB.
-    val cls = raw.crossJoin(broadcast(med))
-      .groupBy(col("o_orderpriority"), col("med_c"))
-      .agg(sum((col("v") <= col("med_c")).cast("long")).as("n_le"),
-        sum((col("v") > col("med_c")).cast("long")).as("n_gt"))
-    val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val ni = (col("n_le") + col("n_gt")).cast("double")
-    val eLe = ni * col("t_le").cast("double") / col("nn").cast("double")
-    val eGt = ni * col("t_gt").cast("double") / col("nn").cast("double")
-    val term = (col("n_le").cast("double") - eLe) * (col("n_le").cast("double") - eLe) / eLe +
-      (col("n_gt").cast("double") - eGt) * (col("n_gt").cast("double") - eGt) / eGt
-    cls
-      .withColumn("t_le", sum(col("n_le")).over(wAll))
-      .withColumn("t_gt", sum(col("n_gt")).over(wAll))
-      .withColumn("nn", sum(col("n_le") + col("n_gt")).over(wAll))
-      .withColumn("chi2",
-        round(sum(term.cast("decimal(38,18)")).over(wAll).cast("double"), 6))
-      .select(col("o_orderpriority"), col("n_le"), col("n_gt"),
-        (col("med_c") / 100.0).as("grand_median"), col("chi2"))
-      .orderBy(col("o_orderpriority"))
-  }
-
-  private val anMoodsMedianSql =
-    """WITH v AS (SELECT o_orderpriority,
-      |    CAST(CAST(o_totalprice AS DECIMAL(24,2)) * 100 AS BIGINT) AS v
-      |  FROM orders),
-      |p AS (SELECT v.v, COUNT(*) AS cnt FROM v GROUP BY 1),
-      |c AS (SELECT v, cnt, CAST(SUM(cnt) OVER (ORDER BY v) AS BIGINT) AS cum FROM p),
-      |t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM p),
-      |md AS (SELECT v AS med_c FROM c, t
-      |       WHERE cum >= (n+1)//2 AND cum - cnt < (n+1)//2),
-      |cls AS (SELECT o_orderpriority,
-      |    CAST(SUM(CASE WHEN v.v <= med_c THEN 1 ELSE 0 END) AS BIGINT) AS n_le,
-      |    CAST(SUM(CASE WHEN v.v > med_c THEN 1 ELSE 0 END) AS BIGINT) AS n_gt
-      |  FROM v CROSS JOIN md GROUP BY 1),
-      |tot AS (SELECT CAST(SUM(n_le) AS BIGINT) AS t_le, CAST(SUM(n_gt) AS BIGINT) AS t_gt,
-      |    CAST(SUM(n_le + n_gt) AS BIGINT) AS nn FROM cls),
-      |chi AS (SELECT ROUND(CAST(SUM(CAST(
-      |    (CAST(n_le AS DOUBLE) - CAST(n_le + n_gt AS DOUBLE) * CAST(t_le AS DOUBLE) / CAST(nn AS DOUBLE))
-      |    * (CAST(n_le AS DOUBLE) - CAST(n_le + n_gt AS DOUBLE) * CAST(t_le AS DOUBLE) / CAST(nn AS DOUBLE))
-      |    / (CAST(n_le + n_gt AS DOUBLE) * CAST(t_le AS DOUBLE) / CAST(nn AS DOUBLE))
-      |    + (CAST(n_gt AS DOUBLE) - CAST(n_le + n_gt AS DOUBLE) * CAST(t_gt AS DOUBLE) / CAST(nn AS DOUBLE))
-      |    * (CAST(n_gt AS DOUBLE) - CAST(n_le + n_gt AS DOUBLE) * CAST(t_gt AS DOUBLE) / CAST(nn AS DOUBLE))
-      |    / (CAST(n_le + n_gt AS DOUBLE) * CAST(t_gt AS DOUBLE) / CAST(nn AS DOUBLE))
-      |  AS DECIMAL(38,18))) AS DOUBLE), 6) AS chi2
-      |  FROM cls CROSS JOIN tot)
-      |SELECT o_orderpriority, n_le, n_gt, med_c / 100.0 AS grand_median, chi2
-      |FROM cls CROSS JOIN md CROSS JOIN chi ORDER BY o_orderpriority""".stripMargin
-
-  /** Jonckheere–Terpstra ordered-alternative trend test: do order
-    * values TREND across the ordered priority classes (1-URGENT <…<
-    * 5-LOW)? Strictly stronger than an_kruskal's any-difference when
-    * the alternative is monotone. JT = Σ_{i<j} U_ij is assembled from
-    * ONE distinct-cent PrefixSum scan carrying all five groups'
-    * multiplicities and running totals (the an_cliffs_delta posture —
-    * no pair join over the data-sized value domain); doubled 2·JT stays
-    * an exact integer through the ½-tie terms, and the normal z widens
-    * n²(2n+3)-scale terms to DECIMAL(38,0) (BIGINT overflows past ~1e6
-    * rows per the an_dow_chi2 lesson). */
-  private def anJonckheere(s: SparkSession, dir: String): DataFrame = {
-    val d38 = (c: Column) => c.cast("decimal(38,0)")
-    val cents = (col("o_totalprice").cast("decimal(24,2)") * 100).cast("bigint")
-    val o = Tables.orders(s, dir)
-      .select(substring(col("o_orderpriority"), 1, 1).cast("int").as("g"), cents.as("v"))
-    val cAggs = (1 to 5).map(i => sum((col("g") === i).cast("long")).as(s"c$i"))
-    val pv = o.groupBy(col("v")).agg(cAggs.head, cAggs.tail: _*)
-    val scan = graft.operators.PrefixSum.withRunningTotals(
-      pv, Seq("v"), (1 to 5).map(i => s"c$i"))
-    // 2·U_ij contribution at value v: 2·c_j(v)·[#group-i below v] +
-    // c_i(v)·c_j(v) (the tie pairs count ½ each)
-    // DECIMAL(18,0) factors: wide enough for any per-value count or
-    // running total, and the product stays inside DECIMAL width in BOTH
-    // engines (DuckDB silently promotes an overflowing decimal multiply
-    // to DOUBLE, which would de-exact the statistic)
-    val d18i = (c: Column) => c.cast("decimal(18,0)")
-    val jt2Term = (for { i <- 1 to 5; j <- (i + 1) to 5 } yield
-      lit(2) * d18i(col(s"c$j")) * (d18i(col(s"c${i}_cum")) - d18i(col(s"c$i"))) +
-        d18i(col(s"c$i")) * d18i(col(s"c$j"))).reduce(_ + _)
-    val mAggs = (1 to 5).map(i => sum(col(s"c$i")).as(s"n$i")) :+
-      sum(jt2Term).as("jt2")
-    val m = scan.agg(mAggs.head, mAggs.tail: _*)
-    val n = (1 to 5).map(i => col(s"n$i")).reduce(_ + _)
-    val sumNi2 = (1 to 5).map(i => d38(col(s"n$i")) * d38(col(s"n$i"))).reduce(_ + _)
-    val sumVarI = (1 to 5).map(i => d38(col(s"n$i")) * d38(col(s"n$i")) *
-      (d38(col(s"n$i")) * 2 + 3)).reduce(_ + _)
-    m.select(n.as("n"), col("jt2").cast("bigint").as("jt2"),
-      round((col("jt2").cast("double") / 2.0 -
-          (d38(n) * d38(n) - sumNi2).cast("double") / 4.0) /
-        sqrt((d38(n) * d38(n) * (d38(n) * 2 + 3) - sumVarI).cast("double") / 72.0), 6)
-        .as("z"))
-  }
-
-  private val anJonckheereSql = {
-    val cs = (1 to 5).map(i =>
-      s"CAST(SUM(CASE WHEN g = $i THEN 1 ELSE 0 END) AS BIGINT) AS c$i").mkString(", ")
-    val cums = (1 to 5).map(i =>
-      s"CAST(SUM(c$i) OVER (ORDER BY v) AS BIGINT) - c$i AS lt$i").mkString(", ")
-    val jt2 = (for { i <- 1 to 5; j <- (i + 1) to 5 } yield
-      s"2 * CAST(c$j AS DECIMAL(18,0)) * CAST(lt$i AS DECIMAL(18,0)) " +
-        s"+ CAST(c$i AS DECIMAL(18,0)) * CAST(c$j AS DECIMAL(18,0))").mkString(" + ")
-    val n = (1 to 5).map(i => s"n$i").mkString(" + ")
-    val sumNi2 = (1 to 5).map(i =>
-      s"CAST(n$i AS DECIMAL(38,0)) * CAST(n$i AS DECIMAL(38,0))").mkString(" + ")
-    val sumVarI = (1 to 5).map(i =>
-      s"CAST(n$i AS DECIMAL(38,0)) * CAST(n$i AS DECIMAL(38,0)) " +
-        s"* (CAST(n$i AS DECIMAL(38,0)) * 2 + 3)").mkString(" + ")
-    s"""WITH o AS (SELECT CAST(substr(o_orderpriority, 1, 1) AS INT) AS g,
-       |    CAST(CAST(o_totalprice AS DECIMAL(24,2)) * 100 AS BIGINT) AS v
-       |  FROM orders),
-       |pv AS (SELECT v, $cs FROM o GROUP BY v),
-       |sc AS (SELECT v, c1, c2, c3, c4, c5, $cums FROM pv),
-       |m AS (SELECT ${(1 to 5).map(i => s"CAST(SUM(c$i) AS BIGINT) AS n$i").mkString(", ")},
-       |    CAST(SUM($jt2) AS DECIMAL(38,0)) AS jt2 FROM sc)
-       |SELECT $n AS n, CAST(jt2 AS BIGINT) AS jt2,
-       |  ROUND((CAST(jt2 AS DOUBLE) / 2.0
-       |      - CAST(CAST($n AS DECIMAL(38,0)) * CAST($n AS DECIMAL(38,0)) - ($sumNi2) AS DOUBLE) / 4.0)
-       |    / sqrt(CAST(CAST($n AS DECIMAL(38,0)) * CAST($n AS DECIMAL(38,0))
-       |        * (CAST($n AS DECIMAL(38,0)) * 2 + 3) - ($sumVarI) AS DOUBLE) / 72.0), 6) AS z
-       |FROM m""".stripMargin
-  }
-
-  /** Kendall's W concordance: do the 12 calendar months agree on how
-    * the five priority classes rank by revenue? The judges×items frame
-    * is key-domain-bounded (12×5 at ANY scale — the distributed work is
-    * the monthly aggregate), ranks are tie-free by near-unique revenue
-    * cents with a deterministic item tie-break, and 4·S stays an exact
-    * integer via the doubled deviation (2R − k(m+1))². W = 3·S4 /
-    * (k²·m·(m²−1)) with S4 = Σ(2Rⱼ−k(m+1))². */
-  private def anKendallW(s: SparkSession, dir: String): DataFrame = {
-    val cents = (col("o_totalprice").cast("decimal(24,2)") * 100).cast("bigint")
-    val monthly = Tables.orders(s, dir)
-      .groupBy(month(col("o_orderdate")).as("mth"),
-        substring(col("o_orderpriority"), 1, 1).cast("int").as("item"))
-      .agg(sum(cents).as("rev_c"))
-    val rnk = monthly.withColumn("rnk", row_number().over(
-      Window.partitionBy(col("mth")).orderBy(col("rev_c"), col("item"))))
-    val rsum = rnk.groupBy(col("item"))
-      .agg(sum(col("rnk")).as("r"), count(lit(1)).as("kj"))
-    val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val withKm = rsum
-      .withColumn("k", max(col("kj")).over(wAll))
-      .withColumn("m", count(lit(1)).over(wAll))
-    val dev = col("r") * 2 - col("k") * (col("m") + 1)
-    withKm.agg(max(col("k")).as("k_judges"), max(col("m")).as("m_items"),
-        sum(dev * dev).as("s4"))
-      .select(col("k_judges"), col("m_items"), col("s4"),
-        round(lit(3.0) * col("s4").cast("double") /
-          (col("k_judges") * col("k_judges") * col("m_items") *
-            (col("m_items") * col("m_items") - 1)).cast("double"), 6).as("w"))
-  }
-
-  private val anKendallWSql =
-    """WITH monthly AS (SELECT month(o_orderdate) AS mth,
-      |    CAST(substr(o_orderpriority, 1, 1) AS INT) AS item,
-      |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(24,2)) * 100 AS BIGINT)) AS BIGINT) AS rev_c
-      |  FROM orders GROUP BY 1, 2),
-      |r AS (SELECT item,
-      |    ROW_NUMBER() OVER (PARTITION BY mth ORDER BY rev_c, item) AS rnk
-      |  FROM monthly),
-      |rs AS (SELECT item, CAST(SUM(rnk) AS BIGINT) AS r, COUNT(*) AS kj FROM r GROUP BY item),
-      |km AS (SELECT r, MAX(kj) OVER () AS k, COUNT(*) OVER () AS m FROM rs),
-      |agg AS (SELECT MAX(k) AS k_judges, MAX(m) AS m_items,
-      |    CAST(SUM((r * 2 - k * (m + 1)) * (r * 2 - k * (m + 1))) AS BIGINT) AS s4
-      |  FROM km)
-      |SELECT k_judges, m_items, s4,
-      |  ROUND(3.0 * CAST(s4 AS DOUBLE)
-      |    / CAST(k_judges * k_judges * m_items * (m_items * m_items - 1) AS DOUBLE), 6) AS w
-      |FROM agg""".stripMargin
-
-  /** Cronbach's alpha over the four quarter-of-year spend "items" per
-    * customer — the internal-consistency coefficient re-expressed for
-    * behavioral panels (do the quarters measure the same underlying
-    * propensity?). The item matrix is customers×4 built in ONE orders
-    * pass (conditional exact-cents sums, zero-filled through the
-    * customer dimension so non-purchasers count), all four item
-    * variances AND the total-score variance from exact decimal moment
-    * sums in one reduction; α = k/(k−1)·(1 − Σvarᵢ/var_total). */
-  private def anCronbachAlpha(s: SparkSession, dir: String): DataFrame = {
-    val d38 = (c: Column) => c.cast("decimal(38,0)")
-    val cents = (col("o_totalprice").cast("decimal(24,2)") * 100).cast("bigint")
-    val q = quarter(col("o_orderdate"))
-    val qAggs = (1 to 4).map(i => sum(when(q === i, cents).otherwise(0L)).as(s"q$i"))
-    val per = Tables.orders(s, dir)
-      .groupBy(col("o_custkey"))
-      .agg(qAggs.head, qAggs.tail: _*)
-    val all = Tables.customer(s, dir).select(col("c_custkey"))
-      .join(per, col("c_custkey") === col("o_custkey"), "left")
-      .select((1 to 4).map(i => coalesce(col(s"q$i"), lit(0L)).as(s"q$i")): _*)
-      .withColumn("tot", (1 to 4).map(i => col(s"q$i")).reduce(_ + _))
-    val aAggs = count(lit(1)).as("n") +:
-      (1 to 4).flatMap(i => Seq(sum(d38(col(s"q$i"))).as(s"s1_$i"),
-        sum(d38(col(s"q$i")) * d38(col(s"q$i"))).as(s"s2_$i"))) :+
-      sum(d38(col("tot"))).as("s1_t") :+
-      sum(d38(col("tot")) * d38(col("tot"))).as("s2_t")
-    val m = all.agg(aAggs.head, aAggs.tail: _*)
-    def vr(s1: String, s2: String): Column =
-      (d38(col("n")) * col(s2) - col(s1) * col(s1)).cast("double") /
-        (col("n").cast("double") * (col("n") - 1).cast("double"))
-    val sumVi = (1 to 4).map(i => vr(s"s1_$i", s"s2_$i")).reduce(_ + _)
-    m.select(col("n").as("n_customers"),
-      round(vr("s1_t", "s2_t") / 1e4, 2).as("var_total"),
-      round(lit(4.0) / 3.0 * (lit(1.0) - sumVi / vr("s1_t", "s2_t")), 6).as("alpha"))
-  }
-
-  private val anCronbachAlphaSql = {
-    def vr(s1: String, s2: String) =
-      s"(CAST(CAST(n AS DECIMAL(38,0)) * $s2 - $s1 * $s1 AS DOUBLE) " +
-        s"/ (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)))"
-    val sumVi = (1 to 4).map(i => vr(s"s1_$i", s"s2_$i")).mkString(" + ")
-    s"""WITH per AS (SELECT o_custkey,
-       |    ${(1 to 4).map(i => s"CAST(SUM(CASE WHEN quarter(o_orderdate) = $i " +
-      s"THEN CAST(CAST(o_totalprice AS DECIMAL(24,2)) * 100 AS BIGINT) ELSE 0 END) AS BIGINT) AS q$i")
-      .mkString(", ")}
-       |  FROM orders GROUP BY o_custkey),
-       |allc AS (SELECT ${(1 to 4).map(i => s"COALESCE(q$i, 0) AS q$i").mkString(", ")},
-       |    COALESCE(q1, 0) + COALESCE(q2, 0) + COALESCE(q3, 0) + COALESCE(q4, 0) AS tot
-       |  FROM customer LEFT JOIN per ON c_custkey = o_custkey),
-       |m AS (SELECT COUNT(*) AS n,
-       |    ${(1 to 4).map(i => s"SUM(CAST(q$i AS DECIMAL(38,0))) AS s1_$i, " +
-      s"SUM(CAST(q$i AS DECIMAL(38,0)) * CAST(q$i AS DECIMAL(38,0))) AS s2_$i").mkString(", ")},
-       |    SUM(CAST(tot AS DECIMAL(38,0))) AS s1_t,
-       |    SUM(CAST(tot AS DECIMAL(38,0)) * CAST(tot AS DECIMAL(38,0))) AS s2_t
-       |  FROM allc)
-       |SELECT n AS n_customers,
-       |  ROUND(${vr("s1_t", "s2_t")} / 1e4, 2) AS var_total,
-       |  ROUND(4.0 / 3.0 * (1.0 - ($sumVi) / ${vr("s1_t", "s2_t")}), 6) AS alpha
-       |FROM m""".stripMargin
-  }
-
-  /** Bland–Altman agreement between the billed line price and the
-    * catalog-implied price (retail × quantity): mean difference (bias),
-    * limits of agreement ±1.96·SD, and the count of lines outside them
-    * — the method-comparison summary that a correlation can't give.
-    * Differences are EXACT cents off the decimal product, moments exact
-    * decimals; the outside-LoA pass re-reads with the broadcast scalar
-    * (an_dow_chi2 posture). */
-  private def anBlandAltman(s: SparkSession, dir: String): DataFrame = {
-    val d38 = (c: Column) => c.cast("decimal(38,0)")
-    val m1 = (col("l_extendedprice").cast("decimal(24,2)") * 100).cast("bigint")
-    val m2 = ((col("p_retailprice").cast("decimal(24,2)") *
-      col("l_quantity").cast("decimal(10,0)")).cast("decimal(24,2)") * 100).cast("bigint")
-    val j = Tables.lineitem(s, dir)
-      .join(Tables.part(s, dir), col("l_partkey") === col("p_partkey"))
-      .select((m1 - m2).as("d"))
-    val stats = j.agg(count(lit(1)).as("n"), sum(d38(col("d"))).as("s1"),
-      sum(d38(col("d")) * d38(col("d"))).as("s2"))
-    val mean = col("s1").cast("double") / col("n").cast("double")
-    val sd = sqrt((d38(col("n")) * col("s2") - col("s1") * col("s1")).cast("double") /
-      (col("n").cast("double") * (col("n") - 1).cast("double")))
-    val withBands = stats.select(col("n"), mean.as("mu"), sd.as("sd"))
-    j.crossJoin(broadcast(withBands))
-      .agg(max(col("n")).as("n"),
-        round(max(col("mu")) / 100.0, 4).as("mean_diff"),
-        round(max(col("sd")) / 100.0, 4).as("sd_diff"),
-        round((max(col("mu")) - lit(1.96) * max(col("sd"))) / 100.0, 4).as("loa_lo"),
-        round((max(col("mu")) + lit(1.96) * max(col("sd"))) / 100.0, 4).as("loa_hi"),
-        sum((abs(col("d").cast("double") - col("mu")) >
-          lit(1.96) * col("sd")).cast("long")).as("n_outside"))
-  }
-
-  private val anBlandAltmanSql =
-    """WITH j AS (SELECT
-      |    CAST(CAST(l_extendedprice AS DECIMAL(24,2)) * 100 AS BIGINT)
-      |    - CAST(CAST(CAST(p_retailprice AS DECIMAL(24,2))
-      |        * CAST(l_quantity AS DECIMAL(10,0)) AS DECIMAL(24,2)) * 100 AS BIGINT) AS d
-      |  FROM lineitem JOIN part ON l_partkey = p_partkey),
-      |st AS (SELECT COUNT(*) AS n, SUM(CAST(d AS DECIMAL(38,0))) AS s1,
-      |    SUM(CAST(d AS DECIMAL(38,0)) * CAST(d AS DECIMAL(38,0))) AS s2 FROM j),
-      |b AS (SELECT n, CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
-      |    sqrt(CAST(CAST(n AS DECIMAL(38,0)) * s2 - s1 * s1 AS DOUBLE)
-      |      / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))) AS sd
-      |  FROM st)
-      |SELECT MAX(n) AS n,
-      |  ROUND(MAX(mu) / 100.0, 4) AS mean_diff,
-      |  ROUND(MAX(sd) / 100.0, 4) AS sd_diff,
-      |  ROUND((MAX(mu) - 1.96 * MAX(sd)) / 100.0, 4) AS loa_lo,
-      |  ROUND((MAX(mu) + 1.96 * MAX(sd)) / 100.0, 4) AS loa_hi,
-      |  CAST(SUM(CASE WHEN ABS(CAST(d AS DOUBLE) - mu) > 1.96 * sd
-      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outside
-      |FROM j CROSS JOIN b""".stripMargin
-
-  /** Deming (errors-in-variables, λ=1) regression of daily revenue on
-    * daily line count — two error-carrying "instruments" measuring the
-    * same latent daily activity (corr ≈ 0.85 on this corpus), where OLS
-    * (an_linreg) is attenuation-biased toward 0. Closed form off
-    * exact-decimal centered moments over the calendar-bounded day
-    * frame: slope = (Syy−Sxx+√((Syy−Sxx)²+4Sxy²))/(2Sxy); the moment
-    * differences stay exact integers until the final IEEE tree. */
-  private def anDeming(s: SparkSession, dir: String): DataFrame = {
-    val d38 = (c: Column) => c.cast("decimal(38,0)")
-    val j = Tables.lineitem(s, dir)
-      .groupBy(date_trunc("day", col("l_shipdate")).as("day"))
-      .agg(count(lit(1)).as("x"),
-        (sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-            .cast("decimal(24,8)")).cast("decimal(24,2)") * 100)
-          .cast("bigint").as("y"))
-    val m = j.agg(count(lit(1)).as("n"),
-      sum(d38(col("x"))).as("sx"), sum(d38(col("y"))).as("sy"),
-      sum(d38(col("x")) * d38(col("x"))).as("sxx"),
-      sum(d38(col("y")) * d38(col("y"))).as("syy"),
-      sum(d38(col("x")) * d38(col("y"))).as("sxy"))
-    val cxx = (d38(col("n")) * col("sxx") - col("sx") * col("sx")).cast("double")
-    val cyy = (d38(col("n")) * col("syy") - col("sy") * col("sy")).cast("double")
-    val cxy = (d38(col("n")) * col("sxy") - col("sx") * col("sy")).cast("double")
-    val slope = (cyy - cxx + sqrt((cyy - cxx) * (cyy - cxx) +
-      lit(4.0) * cxy * cxy)) / (lit(2.0) * cxy)
-    m.select(col("n"), round(slope, 6).as("slope"),
-      round((col("sy").cast("double") - slope * col("sx").cast("double")) /
-        col("n").cast("double") / 100.0, 4).as("intercept"))
-  }
-
-  private val anDemingSql = {
-    val cxx = "CAST(CAST(n AS DECIMAL(38,0)) * sxx - sx * sx AS DOUBLE)"
-    val cyy = "CAST(CAST(n AS DECIMAL(38,0)) * syy - sy * sy AS DOUBLE)"
-    val cxy = "CAST(CAST(n AS DECIMAL(38,0)) * sxy - sx * sy AS DOUBLE)"
-    val slope = s"(($cyy - $cxx + sqrt(($cyy - $cxx) * ($cyy - $cxx) " +
-      s"+ 4.0 * $cxy * $cxy)) / (2.0 * $cxy))"
-    s"""WITH j AS (SELECT COUNT(*) AS x,
-       |    CAST(ROUND(SUM(CAST(l_extendedprice * (1.0 - l_discount)
-       |      AS DECIMAL(24,8))), 2) * 100 AS BIGINT) AS y
-       |  FROM lineitem GROUP BY date_trunc('day', l_shipdate)),
-       |m AS (SELECT COUNT(*) AS n,
-       |    SUM(CAST(x AS DECIMAL(38,0))) AS sx, SUM(CAST(y AS DECIMAL(38,0))) AS sy,
-       |    SUM(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0))) AS sxx,
-       |    SUM(CAST(y AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))) AS syy,
-       |    SUM(CAST(x AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))) AS sxy
-       |  FROM j)
-       |SELECT n, ROUND($slope, 6) AS slope,
-       |  ROUND((CAST(sy AS DOUBLE) - $slope * CAST(sx AS DOUBLE))
-       |    / CAST(n AS DOUBLE) / 100.0, 4) AS intercept
-       |FROM m""".stripMargin
-  }
-
-  /** MASE + sMAPE rolling backtest — the scale-free companions to
-    * an_mape_backtest's WAPE on the same 28-day holdout × 7 horizons:
-    * MASE divides each horizon's MAE by the in-sample MAE of the 7-day
-    * seasonal naive (Hyndman's unit-free yardstick, defined when a day
-    * is zero where MAPE explodes), sMAPE gathers its bounded per-day
-    * ratios through DECIMAL(38,18). The holdout split is an exact max-
-    * day broadcast scalar, not a global rank window. */
-  private def anMase(s: SparkSession, dir: String): DataFrame = {
-    // the spine feeds FIVE consumers (cutoff, train×2, holdout, pred
-    // join) — stabilize it once so the lineitem aggregate runs once,
-    // not five times (the text_pmi_collocations lesson)
-    val daily = graft.operators.Checkpoints.stabilizeLazy(
-      dailyRevenueSpine(s, dir)
-        .select(col("d").cast("long").as("dno"), col("rev_c")))
-    val cut = daily.agg((max(col("dno")) - 28).as("cutoff"))
-    val train = daily.crossJoin(broadcast(cut)).filter(col("dno") <= col("cutoff"))
-    // day-spine frames are calendar-bounded — broadcast explicitly
-    // (the stabilized frame carries no stats, so auto-broadcast is off)
-    val insample = train.as("a").join(
-      broadcast(train.select((col("dno") + 7).as("dno"), col("rev_c").as("snaive_c"))),
-      "dno")
-      .agg(sum(abs(col("rev_c") - col("snaive_c"))).as("is_abs_c"),
-        count(lit(1)).as("is_n"))
-    val hold = daily.crossJoin(broadcast(cut)).filter(col("dno") > col("cutoff"))
-      .select(col("dno"), col("rev_c"), explode(sequence(lit(1L), lit(7L))).as("h"))
-      .withColumn("pdno", col("dno") - col("h"))
-      .join(broadcast(daily.select(col("dno").as("pdno"), col("rev_c").as("pred_c"))),
-        "pdno")
-    val d18 = (c: Column) => c.cast("decimal(38,18)")
-    hold.groupBy(col("h"))
-      .agg(count(lit(1)).as("n"),
-        sum(abs(col("rev_c") - col("pred_c"))).as("abs_err_c"),
-        sum(d18(lit(2.0) * abs(col("rev_c") - col("pred_c")).cast("double") /
-          (col("rev_c") + col("pred_c")).cast("double"))).as("sm"))
-      .crossJoin(broadcast(insample))
-      .select(col("h"), col("n"),
-        round((col("abs_err_c").cast("double") / col("n").cast("double")) /
-          (col("is_abs_c").cast("double") / col("is_n").cast("double")), 6).as("mase"),
-        round(col("sm").cast("double") / col("n").cast("double"), 6).as("smape"))
-      .orderBy(col("h"))
-  }
-
-  private val anMaseSql =
-    s"""WITH daily AS (SELECT CAST(d AS BIGINT) AS dno, rev_c FROM ($dailySpineSql)),
-       |cut AS (SELECT MAX(dno) - 28 AS cutoff FROM daily),
-       |train AS (SELECT dno, rev_c FROM daily CROSS JOIN cut WHERE dno <= cutoff),
-       |ins AS (SELECT CAST(SUM(ABS(a.rev_c - b.rev_c)) AS BIGINT) AS is_abs_c,
-       |    COUNT(*) AS is_n
-       |  FROM train a JOIN train b ON a.dno = b.dno + 7),
-       |hold AS (SELECT h.dno, h.rev_c, CAST(t.range AS BIGINT) AS h
-       |  FROM (SELECT dno, rev_c FROM daily CROSS JOIN cut WHERE dno > cutoff) h
-       |  CROSS JOIN range(1, 8) t),
-       |j AS (SELECT hold.h, hold.rev_c, p.rev_c AS pred_c
-       |  FROM hold JOIN daily p ON p.dno = hold.dno - hold.h),
-       |g AS (SELECT h, COUNT(*) AS n,
-       |    CAST(SUM(ABS(rev_c - pred_c)) AS BIGINT) AS abs_err_c,
-       |    SUM(CAST(2.0 * CAST(ABS(rev_c - pred_c) AS DOUBLE)
-       |      / CAST(rev_c + pred_c AS DOUBLE) AS DECIMAL(38,18))) AS sm
-       |  FROM j GROUP BY h)
-       |SELECT h, n,
-       |  ROUND((CAST(abs_err_c AS DOUBLE) / CAST(n AS DOUBLE))
-       |    / (CAST(is_abs_c AS DOUBLE) / CAST(is_n AS DOUBLE)), 6) AS mase,
-       |  ROUND(CAST(sm AS DOUBLE) / CAST(n AS DOUBLE), 6) AS smape
-       |FROM g CROSS JOIN ins ORDER BY h""".stripMargin
-
-  /** Cook's distance over the daily-revenue OLS fit: the ten most
-    * influential days (Dᵢ = eᵢ²hᵢ / (p·s²(1−hᵢ)²), p=2) — the
-    * regression-diagnostics "which days bent the trend line" answer.
-    * One exact-decimal stats pass (SSE via the centered-moment identity
-    * Syy−b·Sxy, no residual re-aggregation), one row-local pass for
-    * e/h/D, limit-first TakeOrdered on the rounded statistic with a
-    * day tie-break. */
-  private def anCooksDistance(s: SparkSession, dir: String): DataFrame = {
-    val d38 = (c: Column) => c.cast("decimal(38,0)")
-    val spine = dailyRevenueSpine(s, dir).select(col("d"), col("rev_c"))
-    val m0 = spine.agg(count(lit(1)).as("n"),
-      sum(d38(col("d"))).as("sx"), sum(d38(col("rev_c"))).as("sy"),
-      sum(d38(col("d")) * d38(col("d"))).as("sxx"),
-      sum(d38(col("rev_c")) * d38(col("rev_c"))).as("syy"),
-      sum(d38(col("d")) * d38(col("rev_c"))).as("sxy"))
-    val cxx = (d38(col("n")) * col("sxx") - col("sx") * col("sx")).cast("double")
-    val cyy = (d38(col("n")) * col("syy") - col("sy") * col("sy")).cast("double")
-    val cxy = (d38(col("n")) * col("sxy") - col("sx") * col("sy")).cast("double")
-    val m = m0.select(col("n"),
-      (cxy / cxx).as("slope"),
-      ((col("sy").cast("double") - col("sx").cast("double") * (cxy / cxx)) /
-        col("n").cast("double")).as("icept"),
-      (col("sx").cast("double") / col("n").cast("double")).as("xbar"),
-      (cxx / col("n").cast("double")).as("sxx_c"),
-      // SSE = (Cyy − b·Cxy)/n off the exact centered moments
-      ((cyy - (cxy / cxx) * cxy) / col("n").cast("double")).as("sse"))
-    spine.crossJoin(broadcast(m))
-      .withColumn("e", col("rev_c").cast("double") - col("icept") -
-        col("slope") * col("d").cast("double"))
-      .withColumn("hlev", lit(1.0) / col("n").cast("double") +
-        (col("d").cast("double") - col("xbar")) * (col("d").cast("double") - col("xbar")) /
-          col("sxx_c"))
-      .withColumn("s2", col("sse") / (col("n") - 2).cast("double"))
-      .select(col("d").as("day_no"),
-        round(col("e") / 100.0, 2).as("resid_usd"),
-        round(col("hlev"), 6).as("leverage"),
-        round(col("e") * col("e") * col("hlev") /
-          (lit(2.0) * col("s2") * (lit(1.0) - col("hlev")) *
-            (lit(1.0) - col("hlev"))), 6).as("cooks_d"))
-      .orderBy(col("cooks_d").desc, col("day_no")).limit(10)
-  }
-
-  private val anCooksDistanceSql = {
-    val cxx = "CAST(CAST(n AS DECIMAL(38,0)) * sxx - sx * sx AS DOUBLE)"
-    val cyy = "CAST(CAST(n AS DECIMAL(38,0)) * syy - sy * sy AS DOUBLE)"
-    val cxy = "CAST(CAST(n AS DECIMAL(38,0)) * sxy - sx * sy AS DOUBLE)"
-    s"""WITH daily AS ($dailySpineSql),
-       |m0 AS (SELECT COUNT(*) AS n,
-       |    SUM(CAST(d AS DECIMAL(38,0))) AS sx, SUM(CAST(rev_c AS DECIMAL(38,0))) AS sy,
-       |    SUM(CAST(d AS DECIMAL(38,0)) * CAST(d AS DECIMAL(38,0))) AS sxx,
-       |    SUM(CAST(rev_c AS DECIMAL(38,0)) * CAST(rev_c AS DECIMAL(38,0))) AS syy,
-       |    SUM(CAST(d AS DECIMAL(38,0)) * CAST(rev_c AS DECIMAL(38,0))) AS sxy
-       |  FROM daily),
-       |m AS (SELECT n, ($cxy / $cxx) AS slope,
-       |    (CAST(sy AS DOUBLE) - CAST(sx AS DOUBLE) * ($cxy / $cxx)) / CAST(n AS DOUBLE) AS icept,
-       |    CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS xbar,
-       |    $cxx / CAST(n AS DOUBLE) AS sxx_c,
-       |    ($cyy - ($cxy / $cxx) * $cxy) / CAST(n AS DOUBLE) AS sse
-       |  FROM m0),
-       |r AS (SELECT d AS day_no,
-       |    CAST(rev_c AS DOUBLE) - icept - slope * CAST(d AS DOUBLE) AS e,
-       |    1.0 / CAST(n AS DOUBLE)
-       |      + (CAST(d AS DOUBLE) - xbar) * (CAST(d AS DOUBLE) - xbar) / sxx_c AS hlev,
-       |    sse / CAST(n - 2 AS DOUBLE) AS s2
-       |  FROM daily CROSS JOIN m)
-       |SELECT day_no, ROUND(e / 100.0, 2) AS resid_usd,
-       |  ROUND(hlev, 6) AS leverage,
-       |  ROUND(e * e * hlev / (2.0 * s2 * (1.0 - hlev) * (1.0 - hlev)), 6) AS cooks_d
-       |FROM r
-       |ORDER BY ROUND(e * e * hlev / (2.0 * s2 * (1.0 - hlev) * (1.0 - hlev)), 6) DESC, day_no
-       |LIMIT 10""".stripMargin
-  }
-
-  /** Breusch–Pagan heteroskedasticity test on the daily-revenue trend
-    * residuals: regress e² on the day index, BP = n·R²_aux — the "is
-    * the variance itself trending" gate that decides whether an_linreg
-    * standard errors can be trusted. Residuals are bit-identical
-    * doubles off the exact OLS sums (the an_durbin_watson discipline);
-    * the auxiliary sums gather e²-scale terms through DECIMAL(38,6)
-    * so the reduction is partitioning-independent. */
-  private def anBreuschPagan(s: SparkSession, dir: String): DataFrame = {
-    val d38 = (c: Column) => c.cast("decimal(38,0)")
-    val spine = dailyRevenueSpine(s, dir).select(col("d"), col("rev_c"))
-    val m = spine.agg(count(lit(1)).as("n"),
-      sum(d38(col("d"))).as("sx"), sum(d38(col("rev_c"))).as("sy"),
-      sum(d38(col("d")) * d38(col("d"))).as("sxx"),
-      sum(d38(col("d")) * d38(col("rev_c"))).as("sxy"))
-    val slope = (d38(col("n")) * col("sxy") - col("sx") * col("sy")).cast("double") /
-      (d38(col("n")) * col("sxx") - col("sx") * col("sx")).cast("double")
-    val withB = m.select(col("n"), col("sx"), col("sxx"), slope.as("slope"),
-      ((col("sy").cast("double") - col("sx").cast("double") * slope) /
-        col("n").cast("double")).as("icept"))
-    val d6 = (c: Column) => c.cast("decimal(38,6)")
-    // u = e² in DOLLARS² (fixed rescale keeps the aux sums inside
-    // DECIMAL(38,6) headroom at any SF; R² is scale-invariant)
-    val aux = spine.crossJoin(broadcast(withB))
-      .withColumn("e", (col("rev_c").cast("double") - col("icept") -
-        col("slope") * col("d").cast("double")) / 100.0)
-      .withColumn("u", col("e") * col("e"))
-      .agg(max(col("n")).as("n"),
-        max(col("sx")).as("sx"), max(col("sxx")).as("sxx"),
-        sum(d6(col("u"))).as("su"),
-        sum(d6(col("u") * col("d").cast("double"))).as("sdu"),
-        sum(d6(col("u") * col("u"))).as("suu"))
-    val sxuC = col("n").cast("double") * col("sdu").cast("double") -
-      col("sx").cast("double") * col("su").cast("double")
-    val sxxC = (d38(col("n")) * col("sxx") - col("sx") * col("sx")).cast("double")
-    val suuC = col("n").cast("double") * col("suu").cast("double") -
-      col("su").cast("double") * col("su").cast("double")
-    aux.select(col("n").as("n_days"),
-      round(sxuC * sxuC / (sxxC * suuC), 6).as("r2_aux"),
-      round(col("n").cast("double") * sxuC * sxuC / (sxxC * suuC), 6).as("bp"))
-  }
-
-  private val anBreuschPaganSql = {
-    val slope = "(CAST(CAST(n AS DECIMAL(38,0)) * sxy - sx * sy AS DOUBLE) " +
-      "/ CAST(CAST(n AS DECIMAL(38,0)) * sxx - sx * sx AS DOUBLE))"
-    val sxuC = "(CAST(n AS DOUBLE) * CAST(sdu AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(su AS DOUBLE))"
-    val sxxC = "CAST(CAST(n AS DECIMAL(38,0)) * sxx - sx * sx AS DOUBLE)"
-    val suuC = "(CAST(n AS DOUBLE) * CAST(suu AS DOUBLE) - CAST(su AS DOUBLE) * CAST(su AS DOUBLE))"
-    s"""WITH daily AS ($dailySpineSql),
-       |m AS (SELECT COUNT(*) AS n,
-       |    SUM(CAST(d AS DECIMAL(38,0))) AS sx, SUM(CAST(rev_c AS DECIMAL(38,0))) AS sy,
-       |    SUM(CAST(d AS DECIMAL(38,0)) * CAST(d AS DECIMAL(38,0))) AS sxx,
-       |    SUM(CAST(d AS DECIMAL(38,0)) * CAST(rev_c AS DECIMAL(38,0))) AS sxy
-       |  FROM daily),
-       |b AS (SELECT n, sx, sxx, $slope AS slope,
-       |    (CAST(sy AS DOUBLE) - CAST(sx AS DOUBLE) * $slope) / CAST(n AS DOUBLE) AS icept
-       |  FROM m),
-       |e AS (SELECT d, n, sx, sxx,
-       |    (CAST(rev_c AS DOUBLE) - icept - slope * CAST(d AS DOUBLE)) / 100.0 AS e
-       |  FROM daily CROSS JOIN b),
-       |aux AS (SELECT MAX(n) AS n, MAX(sx) AS sx, MAX(sxx) AS sxx,
-       |    SUM(CAST(e * e AS DECIMAL(38,6))) AS su,
-       |    SUM(CAST(e * e * CAST(d AS DOUBLE) AS DECIMAL(38,6))) AS sdu,
-       |    SUM(CAST(e * e * e * e AS DECIMAL(38,6))) AS suu
-       |  FROM e)
-       |SELECT n AS n_days,
-       |  ROUND($sxuC * $sxuC / ($sxxC * $suuC), 6) AS r2_aux,
-       |  ROUND(CAST(n AS DOUBLE) * $sxuC * $sxuC / ($sxxC * $suuC), 6) AS bp
-       |FROM aux""".stripMargin
-  }
-
-  /** Multi-column exact distinct counts per ship month in ONE pass —
-    * orders/parts/suppliers/line count side by side. Spark plans the
-    * three COUNT(DISTINCT) through a single Expand (3× row multiply,
-    * one shuffle on the month grouping) instead of three scans — at 100 TB
-    * the difference between one pass and three. The relational
-    * cardinality-dashboard primitive next to an_hll_set_est's sketch
-    * variant. */
-  private def qCountDistinctMulti(s: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(s, dir)
-      .groupBy(date_trunc("month", col("l_shipdate")).as("mon"))
-      .agg(countDistinct(col("l_orderkey")).as("n_orders"),
-        countDistinct(col("l_partkey")).as("n_parts"),
-        countDistinct(col("l_suppkey")).as("n_suppliers"),
-        count(lit(1)).as("n_lines"))
-      .orderBy(col("mon"))
-
-  private val qCountDistinctMultiSql =
-    """SELECT date_trunc('month', l_shipdate) AS mon,
-      |  COUNT(DISTINCT l_orderkey) AS n_orders,
-      |  COUNT(DISTINCT l_partkey) AS n_parts,
-      |  COUNT(DISTINCT l_suppkey) AS n_suppliers,
-      |  COUNT(*) AS n_lines
-      |FROM lineitem GROUP BY 1 ORDER BY mon""".stripMargin
-
-  /** Gopher-style quality-rule scorecard per source (Rae et al. 2021
-    * §A1.1 adapted to this corpus's vocabulary): word-count bounds,
-    * mean-word-length band, minimum stopword evidence, and top-word
-    * dominance — reported as PER-RULE failure counts so a curation run
-    * can see WHICH gate bites before applying text_filter_pipeline's
-    * keep/drop. Row-local flags except top-word share (posting-shaped
-    * per-doc aggregate, the text_filter_pipeline machinery). */
-  private def textGopherRules(s: SparkSession, dir: String): DataFrame = {
-    import graft.text.TextFunctions
-    val docs = Tables.documents(s, dir)
-      .select(col("doc_id"), col("source"), TextFunctions.words(col("text")).as("ws"))
-    val nWords = size(col("ws"))
-    val meanLen = (aggregate(col("ws"), lit(0L), (acc, w) => acc + length(w))
-      .cast("double") / nWords.cast("double"))
-    val nStop = size(filter(col("ws"),
-      w => w.isin(TextFunctions.Stopwords("en"): _*)))
-    val top = docs.select(col("doc_id"), explode(col("ws")).as("w"))
-      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id"))
-      .agg((max(col("c")).cast("double") / sum(col("c")).cast("double")).as("top_frac"))
-    docs.join(top, Seq("doc_id"))
-      .select(col("source"),
-        (nWords < 50).cast("long").as("f_words"),
-        (meanLen < 3.0 || meanLen > 10.0).cast("long").as("f_mean_len"),
-        (nStop < 2).cast("long").as("f_stopwords"),
-        (col("top_frac") > 0.2).cast("long").as("f_top_word"))
-      .groupBy(col("source"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col("f_words")).as("n_fail_words"),
-        sum(col("f_mean_len")).as("n_fail_mean_len"),
-        sum(col("f_stopwords")).as("n_fail_stopwords"),
-        sum(col("f_top_word")).as("n_fail_top_word"),
-        sum(when(col("f_words") + col("f_mean_len") + col("f_stopwords") +
-          col("f_top_word") === 0, 1L).otherwise(0L)).as("n_pass"))
-      .orderBy(col("source"))
-  }
-
-  private val textGopherRulesSql = {
-    val stop = graft.text.TextFunctions.Stopwords("en")
-      .map(w => s"'$w'").mkString(",")
-    s"""WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
-       |cnt AS (SELECT doc_id, gram, COUNT(*) AS c
-       |    FROM (SELECT doc_id, unnest(ws) AS gram FROM w) GROUP BY 1, 2),
-       |top AS (SELECT doc_id, CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS top_frac
-       |    FROM cnt GROUP BY 1),
-       |f AS (SELECT source,
-       |    CASE WHEN len(ws) < 50 THEN 1 ELSE 0 END AS f_words,
-       |    CASE WHEN CAST(list_sum(list_transform(ws, x -> length(x))) AS DOUBLE)
-       |        / CAST(len(ws) AS DOUBLE) < 3.0
-       |      OR CAST(list_sum(list_transform(ws, x -> length(x))) AS DOUBLE)
-       |        / CAST(len(ws) AS DOUBLE) > 10.0 THEN 1 ELSE 0 END AS f_mean_len,
-       |    CASE WHEN len(list_filter(ws, x -> x IN ($stop))) < 2 THEN 1 ELSE 0 END AS f_stopwords,
-       |    CASE WHEN top.top_frac > 0.2 THEN 1 ELSE 0 END AS f_top_word
-       |  FROM w JOIN top USING (doc_id))
-       |SELECT source, COUNT(*) AS n_docs,
-       |  CAST(SUM(f_words) AS BIGINT) AS n_fail_words,
-       |  CAST(SUM(f_mean_len) AS BIGINT) AS n_fail_mean_len,
-       |  CAST(SUM(f_stopwords) AS BIGINT) AS n_fail_stopwords,
-       |  CAST(SUM(f_top_word) AS BIGINT) AS n_fail_top_word,
-       |  CAST(SUM(CASE WHEN f_words + f_mean_len + f_stopwords + f_top_word = 0
-       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
-       |FROM f GROUP BY source ORDER BY source""".stripMargin
-  }
-
-  /** Cuzick's trend test across the ordered priority classes — the
-    * rank-based cousin of an_jonckheere (Wilcoxon-type score statistic
-    * vs pair counts; both detect monotone alternatives an_kruskal
-    * dilutes). Because the group scores are l_i = i, the weighted rank
-    * sum collapses to posting sums: ONE distinct-cent scan with
-    * (count, Σscore, Σscore²) per value + the running total — no
-    * per-group pivot at all. 2T stays an exact integer via doubled
-    * midranks; the tie-corrected variance is exact decimals to the
-    * final IEEE division. */
-  private def anCuzick(s: SparkSession, dir: String): DataFrame = {
-    val d38 = (c: Column) => c.cast("decimal(38,0)")
-    val cents = (col("o_totalprice").cast("decimal(24,2)") * 100).cast("bigint")
-    val o = Tables.orders(s, dir)
-      .select(substring(col("o_orderpriority"), 1, 1).cast("long").as("g"), cents.as("v"))
-    val pv = o.groupBy(col("v"))
-      .agg(count(lit(1)).as("ct"), sum(col("g")).as("sw"),
-        sum(col("g") * col("g")).as("sw2"))
-    val scan = graft.operators.PrefixSum.withRunningTotals(pv, Seq("v"), Seq("ct"))
-    val m = scan.agg(sum(col("ct")).as("n"),
-      sum(col("sw")).as("lsum"), sum(col("sw2")).as("l2sum"),
-      // 2T = Σ_v Σg(v)·(2·cumlt + ct + 1), doubled midranks exact
-      sum(d38(col("sw")) *
-        (d38(col("ct_cum") - col("ct")) * 2 + d38(col("ct")) + 1)).as("t2"),
-      sum(d38(col("ct")) * d38(col("ct")) * d38(col("ct")) - d38(col("ct"))).as("ties"))
-    val n38 = d38(col("n"))
-    val varT = ((n38 + 1) * (n38 * d38(col("l2sum")) -
-      d38(col("lsum")) * d38(col("lsum")))).cast("double") / 12.0 *
-      (lit(1.0) - col("ties").cast("double") /
-        (n38 * n38 * n38 - n38).cast("double"))
-    m.select(col("n"), col("t2").cast("bigint").as("t2"),
-      round((col("t2").cast("double") / 2.0 -
-          ((n38 + 1) * d38(col("lsum"))).cast("double") / 2.0) / sqrt(varT), 6)
-        .as("z"))
-  }
-
-  private val anCuzickSql =
-    """WITH o AS (SELECT CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS g,
-      |    CAST(CAST(o_totalprice AS DECIMAL(24,2)) * 100 AS BIGINT) AS v
-      |  FROM orders),
-      |pv AS (SELECT v, COUNT(*) AS ct, CAST(SUM(g) AS BIGINT) AS sw,
-      |    CAST(SUM(g * g) AS BIGINT) AS sw2 FROM o GROUP BY v),
-      |sc AS (SELECT ct, sw, sw2,
-      |    CAST(SUM(ct) OVER (ORDER BY v) AS BIGINT) - ct AS cumlt FROM pv),
-      |m AS (SELECT CAST(SUM(ct) AS BIGINT) AS n,
-      |    CAST(SUM(sw) AS BIGINT) AS lsum, CAST(SUM(sw2) AS BIGINT) AS l2sum,
-      |    CAST(SUM(CAST(sw AS DECIMAL(18,0)) *
-      |      (CAST(cumlt AS DECIMAL(18,0)) * 2 + CAST(ct AS DECIMAL(18,0)) + 1))
-      |      AS DECIMAL(38,0)) AS t2,
-      |    CAST(SUM(CAST(ct AS DECIMAL(18,0)) * CAST(ct AS DECIMAL(18,0))
-      |        * CAST(ct AS DECIMAL(18,0)) - CAST(ct AS DECIMAL(18,0)))
-      |      AS DECIMAL(38,0)) AS ties
-      |  FROM sc)
-      |SELECT n, CAST(t2 AS BIGINT) AS t2,
-      |  ROUND((CAST(t2 AS DOUBLE) / 2.0
-      |      - CAST((CAST(n AS DECIMAL(38,0)) + 1) * CAST(lsum AS DECIMAL(38,0)) AS DOUBLE) / 2.0)
-      |    / sqrt(CAST((CAST(n AS DECIMAL(38,0)) + 1)
-      |        * (CAST(n AS DECIMAL(38,0)) * CAST(l2sum AS DECIMAL(38,0))
-      |          - CAST(lsum AS DECIMAL(38,0)) * CAST(lsum AS DECIMAL(38,0))) AS DOUBLE) / 12.0
-      |      * (1.0 - CAST(ties AS DOUBLE)
-      |        / CAST(CAST(n AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0))
-      |            * CAST(n AS DECIMAL(38,0)) - CAST(n AS DECIMAL(38,0)) AS DOUBLE))), 6) AS z
-      |FROM m""".stripMargin
-
-  /** Page's L trend test over the months×priorities rank table — the
-    * ordered-alternative refinement of an_friedman exactly as
-    * an_jonckheere refines an_kruskal, sharing an_kendall_w's
-    * key-domain-bounded (12×5) rank frame. L = Σ j·Rⱼ is an exact
-    * integer; E and Var are the closed-form k·m expressions, z one
-    * IEEE division ROUND 6. */
-  private def anPageTrend(s: SparkSession, dir: String): DataFrame = {
-    val cents = (col("o_totalprice").cast("decimal(24,2)") * 100).cast("bigint")
-    val monthly = Tables.orders(s, dir)
-      .groupBy(month(col("o_orderdate")).as("mth"),
-        substring(col("o_orderpriority"), 1, 1).cast("int").as("item"))
-      .agg(sum(cents).as("rev_c"))
-    val rnk = monthly.withColumn("rnk", row_number().over(
-      Window.partitionBy(col("mth")).orderBy(col("rev_c"), col("item"))))
-    val rsum = rnk.groupBy(col("item"))
-      .agg(sum(col("rnk")).as("r"), count(lit(1)).as("kj"))
-    val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val withKm = rsum
-      .withColumn("k", max(col("kj")).over(wAll))
-      .withColumn("m", count(lit(1)).over(wAll))
-    withKm.agg(max(col("k")).as("k_judges"), max(col("m")).as("m_items"),
-        sum(col("item") * col("r")).as("l"))
-      .select(col("k_judges"), col("m_items"), col("l"),
-        round((col("l").cast("double") -
-            col("k_judges").cast("double") * col("m_items").cast("double") *
-              (col("m_items") + 1).cast("double") * (col("m_items") + 1).cast("double") / 4.0) /
-          sqrt(col("k_judges").cast("double") *
-            col("m_items").cast("double") * col("m_items").cast("double") *
-            (col("m_items") + 1).cast("double") * (col("m_items") + 1).cast("double") *
-            (col("m_items") - 1).cast("double") / 144.0), 6).as("z"))
-  }
-
-  private val anPageTrendSql =
-    """WITH monthly AS (SELECT month(o_orderdate) AS mth,
-      |    CAST(substr(o_orderpriority, 1, 1) AS INT) AS item,
-      |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(24,2)) * 100 AS BIGINT)) AS BIGINT) AS rev_c
-      |  FROM orders GROUP BY 1, 2),
-      |r AS (SELECT item,
-      |    ROW_NUMBER() OVER (PARTITION BY mth ORDER BY rev_c, item) AS rnk
-      |  FROM monthly),
-      |rs AS (SELECT item, CAST(SUM(rnk) AS BIGINT) AS r, COUNT(*) AS kj FROM r GROUP BY item),
-      |km AS (SELECT item, r, MAX(kj) OVER () AS k, COUNT(*) OVER () AS m FROM rs),
-      |agg AS (SELECT MAX(k) AS k_judges, MAX(m) AS m_items,
-      |    CAST(SUM(item * r) AS BIGINT) AS l FROM km)
-      |SELECT k_judges, m_items, l,
-      |  ROUND((CAST(l AS DOUBLE)
-      |      - CAST(k_judges AS DOUBLE) * CAST(m_items AS DOUBLE)
-      |        * CAST(m_items + 1 AS DOUBLE) * CAST(m_items + 1 AS DOUBLE) / 4.0)
-      |    / sqrt(CAST(k_judges AS DOUBLE) * CAST(m_items AS DOUBLE) * CAST(m_items AS DOUBLE)
-      |      * CAST(m_items + 1 AS DOUBLE) * CAST(m_items + 1 AS DOUBLE)
-      |      * CAST(m_items - 1 AS DOUBLE) / 144.0), 6) AS z
-      |FROM agg""".stripMargin
-
-  /** Delta-method standard error for the ratio metric revenue-per-
-    * order, per market segment — the A/B-experimentation primitive for
-    * cluster-randomized ratio metrics (Deng et al.: users are the
-    * randomization unit, so the naive per-order SE is wrong; the
-    * customer-level delta method is right). Customer-level (orders,
-    * revenue) moments are exact decimals in one pass over the
-    * customer-joined orders; Var(R̂) ≈ (s_y² − 2R·s_xy + R²·s_x²)
-    * / (n·x̄²), one shared IEEE tree. */
-  private def anDeltaMethod(s: SparkSession, dir: String): DataFrame = {
-    val d38 = (c: Column) => c.cast("decimal(38,0)")
-    val cents = (col("o_totalprice").cast("decimal(24,2)") * 100).cast("bigint")
-    val per = Tables.orders(s, dir)
-      .groupBy(col("o_custkey"))
-      .agg(count(lit(1)).as("x"), sum(cents).as("y"))
-    val all = Tables.customer(s, dir).select(col("c_custkey"), col("c_mktsegment"))
-      .join(per, col("c_custkey") === col("o_custkey"), "left")
-      .select(col("c_mktsegment").as("segment"),
-        coalesce(col("x"), lit(0L)).as("x"), coalesce(col("y"), lit(0L)).as("y"))
-    val m = all.groupBy(col("segment"))
-      .agg(count(lit(1)).as("n"),
-        sum(d38(col("x"))).as("sx"), sum(d38(col("y"))).as("sy"),
-        sum(d38(col("x")) * d38(col("x"))).as("sxx"),
-        sum(d38(col("y")) * d38(col("y"))).as("syy"),
-        sum(d38(col("x")) * d38(col("y"))).as("sxy"))
-    val nD = col("n").cast("double")
-    val xbar = col("sx").cast("double") / nD
-    val r = col("sy").cast("double") / col("sx").cast("double")
-    def svar(a: String, b: String, sab: Column): Column =
-      (d38(col("n")) * sab).cast("double") / (nD * (nD - 1)) -
-        (col(a).cast("double") / nD) * (col(b).cast("double") / (nD - 1))
-    val vy = svar("sy", "sy", col("syy"))
-    val vx = svar("sx", "sx", col("sxx"))
-    val cxy = svar("sx", "sy", col("sxy"))
-    m.select(col("segment"), col("n").as("n_customers"),
-      round(r / 100.0, 4).as("rev_per_order"),
-      round(sqrt((vy - lit(2.0) * r * cxy + r * r * vx) / (nD * xbar * xbar)) /
-        100.0, 6).as("se_delta"))
-      .orderBy(col("segment"))
-  }
-
-  private val anDeltaMethodSql = {
-    def svar(a: String, b: String, sab: String) =
-      s"(CAST(CAST(n AS DECIMAL(38,0)) * $sab AS DOUBLE) " +
-        s"/ (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)) " +
-        s"- (CAST($a AS DOUBLE) / CAST(n AS DOUBLE)) " +
-        s"* (CAST($b AS DOUBLE) / CAST(n - 1 AS DOUBLE)))"
-    val vy = svar("sy", "sy", "syy"); val vx = svar("sx", "sx", "sxx")
-    val cxy = svar("sx", "sy", "sxy")
-    val r = "(CAST(sy AS DOUBLE) / CAST(sx AS DOUBLE))"
-    s"""WITH per AS (SELECT o_custkey, COUNT(*) AS x,
-       |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(24,2)) * 100 AS BIGINT)) AS BIGINT) AS y
-       |  FROM orders GROUP BY o_custkey),
-       |allc AS (SELECT c_mktsegment AS segment,
-       |    COALESCE(x, 0) AS x, COALESCE(y, 0) AS y
-       |  FROM customer LEFT JOIN per ON c_custkey = o_custkey),
-       |m AS (SELECT segment, COUNT(*) AS n,
-       |    SUM(CAST(x AS DECIMAL(38,0))) AS sx, SUM(CAST(y AS DECIMAL(38,0))) AS sy,
-       |    SUM(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0))) AS sxx,
-       |    SUM(CAST(y AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))) AS syy,
-       |    SUM(CAST(x AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))) AS sxy
-       |  FROM allc GROUP BY segment)
-       |SELECT segment, n AS n_customers,
-       |  ROUND($r / 100.0, 4) AS rev_per_order,
-       |  ROUND(sqrt(($vy - 2.0 * $r * $cxy + $r * $r * $vx)
-       |    / (CAST(n AS DOUBLE) * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
-       |      * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))) / 100.0, 6) AS se_delta
-       |FROM m ORDER BY segment""".stripMargin
-  }
-
-  /** Newey–West (HAC, Bartlett kernel, L=7) standard error for the
-    * daily-revenue trend slope — the econometrics answer to what
-    * an_durbin_watson detects: when residuals are serially correlated,
-    * the OLS SE lies; the HAC SE widens it honestly. Residuals are
-    * bit-identical doubles off the exact OLS sums, rescaled to dollars
-    * for DECIMAL(38,6) gather headroom; the seven lag products ride
-    * ONE ordered window over the calendar-bounded day frame. */
-  private def anNeweyWest(s: SparkSession, dir: String): DataFrame = {
-    val d38 = (c: Column) => c.cast("decimal(38,0)")
-    val spine = dailyRevenueSpine(s, dir).select(col("d"), col("rev_c"))
-    val m = spine.agg(count(lit(1)).as("n"),
-      sum(d38(col("d"))).as("sx"), sum(d38(col("rev_c"))).as("sy"),
-      sum(d38(col("d")) * d38(col("d"))).as("sxx"),
-      sum(d38(col("rev_c")) * d38(col("rev_c"))).as("syy"),
-      sum(d38(col("d")) * d38(col("rev_c"))).as("sxy"))
-    val cxx = (d38(col("n")) * col("sxx") - col("sx") * col("sx")).cast("double")
-    val cyy = (d38(col("n")) * col("syy") - col("sy") * col("sy")).cast("double")
-    val cxy = (d38(col("n")) * col("sxy") - col("sx") * col("sy")).cast("double")
-    val b = m.select(col("n"), (cxy / cxx).as("slope"),
-      ((col("sy").cast("double") - col("sx").cast("double") * (cxy / cxx)) /
-        col("n").cast("double")).as("icept"),
-      (col("sx").cast("double") / col("n").cast("double")).as("xbar"),
-      (cxx / col("n").cast("double")).as("sxx_c"),
-      ((cyy - (cxy / cxx) * cxy) / col("n").cast("double")).as("sse_c"))
-    val d6 = (c: Column) => c.cast("decimal(38,6)")
-    val lagW = Window.orderBy(col("d"))
-    val vRow = spine.crossJoin(broadcast(b))
-      // v_t = (x_t − x̄)·e_t with e in DOLLARS (gather headroom)
-      .withColumn("v", (col("d").cast("double") - col("xbar")) *
-        ((col("rev_c").cast("double") - col("icept") -
-          col("slope") * col("d").cast("double")) / 100.0))
-    val lagged = (1 to 7).foldLeft(vRow) { (df, l) =>
-      df.withColumn(s"v$l", lag(col("v"), l).over(lagW)) }
-    val gAggs = sum(d6(col("v") * col("v"))).as("g0") +:
-      (1 to 7).map(l => sum(when(col(s"v$l").isNotNull,
-        d6(col("v") * col(s"v$l")))).as(s"g$l"))
-    val g = lagged.agg(gAggs.head, gAggs.tail: _*)
-      .crossJoin(broadcast(b.select(col("n"), col("slope"), col("sxx_c"), col("sse_c"))))
-    val sHac = col("g0").cast("double") +
-      (1 to 7).map(l => lit(2.0) * (lit(1.0) - lit(l / 8.0)) *
-        col(s"g$l").cast("double")).reduce(_ + _)
-    val nD = col("n").cast("double")
-    g.select(col("n").as("n_days"),
-      round(col("slope") / 100.0, 6).as("slope_usd"),
-      round(sqrt((col("sse_c") / 1e4 / (nD - 2)) / (nD * col("sxx_c"))), 6).as("se_ols"),
-      round(sqrt(sHac / (nD * col("sxx_c")) / (nD * col("sxx_c")) * nD), 6).as("se_nw"),
-      round(sqrt(sHac / (nD * col("sxx_c")) / (nD * col("sxx_c")) * nD) /
-        sqrt((col("sse_c") / 1e4 / (nD - 2)) / (nD * col("sxx_c"))), 4).as("se_ratio"))
-  }
-
-  private val anNeweyWestSql = {
-    val cxx = "CAST(CAST(n AS DECIMAL(38,0)) * sxx - sx * sx AS DOUBLE)"
-    val cyy = "CAST(CAST(n AS DECIMAL(38,0)) * syy - sy * sy AS DOUBLE)"
-    val cxy = "CAST(CAST(n AS DECIMAL(38,0)) * sxy - sx * sy AS DOUBLE)"
-    val sHac = "(CAST(g0 AS DOUBLE) + " + (1 to 7).map(l =>
-      s"2.0 * (1.0 - ${l / 8.0}) * CAST(g$l AS DOUBLE)").mkString(" + ") + ")"
-    val seOls = "sqrt((sse_c / 1e4 / (CAST(n AS DOUBLE) - 2)) / (CAST(n AS DOUBLE) * sxx_c))"
-    val seNw = s"sqrt($sHac / (CAST(n AS DOUBLE) * sxx_c) / (CAST(n AS DOUBLE) * sxx_c) * CAST(n AS DOUBLE))"
-    s"""WITH daily AS ($dailySpineSql),
-       |m AS (SELECT COUNT(*) AS n,
-       |    SUM(CAST(d AS DECIMAL(38,0))) AS sx, SUM(CAST(rev_c AS DECIMAL(38,0))) AS sy,
-       |    SUM(CAST(d AS DECIMAL(38,0)) * CAST(d AS DECIMAL(38,0))) AS sxx,
-       |    SUM(CAST(rev_c AS DECIMAL(38,0)) * CAST(rev_c AS DECIMAL(38,0))) AS syy,
-       |    SUM(CAST(d AS DECIMAL(38,0)) * CAST(rev_c AS DECIMAL(38,0))) AS sxy
-       |  FROM daily),
-       |b AS (SELECT n, ($cxy / $cxx) AS slope,
-       |    (CAST(sy AS DOUBLE) - CAST(sx AS DOUBLE) * ($cxy / $cxx)) / CAST(n AS DOUBLE) AS icept,
-       |    CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS xbar,
-       |    $cxx / CAST(n AS DOUBLE) AS sxx_c,
-       |    ($cyy - ($cxy / $cxx) * $cxy) / CAST(n AS DOUBLE) AS sse_c
-       |  FROM m),
-       |v AS (SELECT d,
-       |    (CAST(d AS DOUBLE) - xbar)
-       |      * ((CAST(rev_c AS DOUBLE) - icept - slope * CAST(d AS DOUBLE)) / 100.0) AS v
-       |  FROM daily CROSS JOIN b),
-       |l AS (SELECT v, ${(1 to 7).map(l => s"LAG(v, $l) OVER (ORDER BY d) AS v$l").mkString(", ")}
-       |  FROM v),
-       |g AS (SELECT SUM(CAST(v * v AS DECIMAL(38,6))) AS g0,
-       |    ${(1 to 7).map(l => s"SUM(CASE WHEN v$l IS NOT NULL THEN CAST(v * v$l AS DECIMAL(38,6)) END) AS g$l").mkString(", ")}
-       |  FROM l)
-       |SELECT n AS n_days,
-       |  ROUND(slope / 100.0, 6) AS slope_usd,
-       |  ROUND($seOls, 6) AS se_ols,
-       |  ROUND($seNw, 6) AS se_nw,
-       |  ROUND($seNw / $seOls, 4) AS se_ratio
-       |FROM g CROSS JOIN b""".stripMargin
-  }
-
-  /** Atkinson inequality index (ε=1) of order values per market
-    * segment: 1 − geometric/arithmetic mean — the welfare-weighted
-    * complement to an_gini/an_lorenz (ε=1 weights transfers at the
-    * bottom of the distribution). Arithmetic mean from exact cents,
-    * ln terms gathered DECIMAL(38,18); scale-invariant so the cents
-    * basis cancels. */
-  private def anAtkinson(s: SparkSession, dir: String): DataFrame = {
-    val d38 = (c: Column) => c.cast("decimal(38,0)")
-    val d18 = (c: Column) => c.cast("decimal(38,18)")
-    val cents = (col("o_totalprice").cast("decimal(24,2)") * 100).cast("bigint")
-    Tables.orders(s, dir)
-      .join(Tables.customer(s, dir).select(col("c_custkey"), col("c_mktsegment")),
-        col("o_custkey") === col("c_custkey"))
-      .select(col("c_mktsegment").as("segment"), cents.as("v"))
-      .groupBy(col("segment"))
-      .agg(count(lit(1)).as("n"), sum(d38(col("v"))).as("s1"),
-        sum(d18(log(col("v").cast("double")))).as("slnv"))
-      .select(col("segment"), col("n"),
-        round(col("s1").cast("double") / col("n").cast("double") / 100.0, 2)
-          .as("mean_usd"),
-        round(lit(1.0) - exp(col("slnv").cast("double") / col("n").cast("double")) /
-          (col("s1").cast("double") / col("n").cast("double")), 6).as("atkinson"))
-      .orderBy(col("segment"))
-  }
-
-  private val anAtkinsonSql =
-    """WITH o AS (SELECT c_mktsegment AS segment,
-      |    CAST(CAST(o_totalprice AS DECIMAL(24,2)) * 100 AS BIGINT) AS v
-      |  FROM orders JOIN customer ON o_custkey = c_custkey),
-      |m AS (SELECT segment, COUNT(*) AS n,
-      |    SUM(CAST(v AS DECIMAL(38,0))) AS s1,
-      |    SUM(CAST(ln(CAST(v AS DOUBLE)) AS DECIMAL(38,18))) AS slnv
-      |  FROM o GROUP BY segment)
-      |SELECT segment, n,
-      |  ROUND(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) / 100.0, 2) AS mean_usd,
-      |  ROUND(1.0 - exp(CAST(slnv AS DOUBLE) / CAST(n AS DOUBLE))
-      |    / (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS atkinson
-      |FROM m ORDER BY segment""".stripMargin
-
-  /** Variance-of-Laplacian blur screen over REAL BMP decodes — the
-    * classical cheap sharpness gate an image-curation pipeline runs
-    * before any model-based scoring (a blurry image has almost no
-    * high-frequency energy, so the Laplacian variance collapses). Same
-    * synthesize→encode→genuinely-decode seam as mm_image_hist
-    * ([[graft.multimodal.BinaryColumns.bmpLaplacianBatch]]); the
-    * stencil sums are exact integers, variance one IEEE division. The
-    * oracle rederives every pixel from the md5 nibbles and replays the
-    * 4-neighbor stencil with coordinate joins — a stride, row-order, or
-    * interior-boundary bug breaks the hash. Row-local decode: zero
-    * shuffle before the final order. */
-  private def mmImageBlur(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val docs = Tables.documents(s, dir).select(col("doc_id").cast("long")).as[Long]
-    val payloads = docs.mapPartitions { it =>
-      val md = java.security.MessageDigest.getInstance("MD5")
-      it.map { id =>
-        val w = 8 + (id % 5).toInt; val h = 8 + (id % 3).toInt
-        val rgb = Array.tabulate(3 * w * h) { p =>
-          md.digest(s"blur:$id:$p".getBytes("UTF-8"))(0)
-        }
-        (id, graft.multimodal.BinaryColumns.encodeBmp(w, h, rgb))
-      }
-    }.toDF("doc_id", "payload")
-    graft.multimodal.BinaryColumns.bmpLaplacianBatch(payloads)(s).toDF()
-      .select(col("doc_id"), col("n_interior"), col("sum_lap"), col("sum_lap2"),
-        round((col("n_interior").cast("double") * col("sum_lap2").cast("double") -
-            col("sum_lap").cast("double") * col("sum_lap").cast("double")) /
-          (col("n_interior").cast("double") * col("n_interior").cast("double")), 6)
-          .as("lap_var"))
-      .orderBy(col("doc_id"))
-  }
-
-  private val mmImageBlurSql =
-    """WITH d AS (SELECT doc_id, CAST(8 + doc_id % 5 AS INT) AS w,
-      |    CAST(8 + doc_id % 3 AS INT) AS h FROM documents),
-      |raw AS (SELECT d.doc_id, d.w, d.h, p.range AS p,
-      |    16 * (instr('0123456789abcdef', substr(md5('blur:' ||
-      |      CAST(d.doc_id AS VARCHAR) || ':' || CAST(p.range AS VARCHAR)), 1, 1)) - 1)
-      |       + (instr('0123456789abcdef', substr(md5('blur:' ||
-      |      CAST(d.doc_id AS VARCHAR) || ':' || CAST(p.range AS VARCHAR)), 2, 1)) - 1) AS v
-      |  FROM d CROSS JOIN range(0, 360) p
-      |  WHERE p.range < 3 * d.w * d.h),
-      |lum AS (SELECT doc_id, MAX(w) AS w, CAST((p // 3) % MAX(w) AS INT) AS x,
-      |    CAST((p // 3) // MAX(w) AS INT) AS y, CAST(SUM(v) AS BIGINT) AS lum
-      |  FROM raw GROUP BY doc_id, p // 3),
-      |lap AS (SELECT c.doc_id,
-      |    4 * c.lum - l.lum - r.lum - u.lum - dn.lum AS lap
-      |  FROM lum c
-      |  JOIN lum l  ON l.doc_id = c.doc_id AND l.y = c.y AND l.x = c.x - 1
-      |  JOIN lum r  ON r.doc_id = c.doc_id AND r.y = c.y AND r.x = c.x + 1
-      |  JOIN lum u  ON u.doc_id = c.doc_id AND u.x = c.x AND u.y = c.y - 1
-      |  JOIN lum dn ON dn.doc_id = c.doc_id AND dn.x = c.x AND dn.y = c.y + 1),
-      |g AS (SELECT doc_id, COUNT(*) AS n_interior,
-      |    CAST(SUM(lap) AS BIGINT) AS sum_lap,
-      |    CAST(SUM(lap * lap) AS BIGINT) AS sum_lap2
-      |  FROM lap GROUP BY doc_id)
-      |SELECT doc_id, n_interior, sum_lap, sum_lap2,
-      |  ROUND((CAST(n_interior AS DOUBLE) * CAST(sum_lap2 AS DOUBLE)
-      |      - CAST(sum_lap AS DOUBLE) * CAST(sum_lap AS DOUBLE))
-      |    / (CAST(n_interior AS DOUBLE) * CAST(n_interior AS DOUBLE)), 6) AS lap_var
-      |FROM g ORDER BY doc_id""".stripMargin
-
-  /** IVF nprobe tuning sweep: recall@5 at nprobe ∈ {1,2,4,8} against
-    * the fenced brute-force truth — the accuracy-vs-cost curve an ANN
-    * deployment reads before pinning its serving nprobe (the
-    * sim_lsh_auto planning story, for the IVF path). The exact top-5
-    * table is computed ONCE and stabilized (four sweep points share
-    * it); each point is the shared [[graft.similarity.VectorOps
-    * .ivfTopKPortable]] scoring, so the oracle replays all four probes
-    * plus the truth bit-for-bit. Hit counts are exact integers; recall
-    * one division. */
-  private def simNprobeSweep(s: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(s, dir)
-    val q = emb.filter(col("vec_id") % 50 === 0)
-    val exact = graft.operators.Checkpoints.stabilizeLazy(
-      graft.similarity.VectorOps.bruteForceTopK(emb, q, k = 5)
-        .select(col("query_id"), col("neighbor_id")))
-    val nQ = broadcast(q.agg(countDistinct(col("vec_id")).as("n_queries")))
-    graft.similarity.VectorOps.ivfTopKSweep(emb, q, k = 5, nProbes = Seq(1, 2, 4, 8))
-      // queries×5 rows — broadcast explicitly (stabilized = no stats)
-      .join(broadcast(exact), Seq("query_id", "neighbor_id"))
-      .groupBy(col("nprobe")).agg(count(lit(1)).as("n_hits"))
-      .crossJoin(nQ)
-      .select(col("nprobe"), col("n_queries"), col("n_hits"),
-        round(col("n_hits").cast("double") /
-          (col("n_queries").cast("double") * 5.0), 6).as("recall_at_5"))
-      .orderBy(col("nprobe"))
-  }
-
-  private val simNprobeSweepSql = {
-    def point(np: Int) =
-      s"""SELECT $np AS nprobe, (SELECT n_queries FROM nq) AS n_queries,
-         |  (SELECT COUNT(*) FROM (
-         |     SELECT t.query_id, t.neighbor_id FROM (
-         |       SELECT query_id, neighbor_id FROM (
-         |         SELECT s.query_id, s.neighbor_id,
-         |                ROW_NUMBER() OVER (PARTITION BY s.query_id
-         |                  ORDER BY s.sim DESC, s.neighbor_id) AS rank
-         |         FROM (SELECT p.query_id, a.neighbor_id,
-         |                      ROUND(list_cosine_similarity(eq.v, en.v), 6) AS sim
-         |               FROM (SELECT vec_id AS query_id, cell_id FROM ranked
-         |                     WHERE rn <= $np AND vec_id % 50 = 0) p
-         |               JOIN assign a USING (cell_id)
-         |               JOIN e eq ON eq.vec_id = p.query_id
-         |               JOIN e en ON en.vec_id = a.neighbor_id
-         |               WHERE a.neighbor_id <> p.query_id
-         |               GROUP BY p.query_id, a.neighbor_id, eq.v, en.v) s) t0
-         |       WHERE rank <= 5) t
-         |     JOIN exact x ON x.query_id = t.query_id AND x.neighbor_id = t.neighbor_id) h)
-         |  AS n_hits""".stripMargin
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-       |vq AS (SELECT vec_id, list_transform(v, x -> CAST(round(x * 1000000.0) AS BIGINT)) AS q
-       |       FROM e),
-       |cent AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cell_id,
-       |                list_transform(v, x -> CAST(round(x * 1000000.0) AS BIGINT)) AS c
-       |         FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 16) t0),
-       |cn AS (SELECT cell_id,
-       |              sqrt(CAST(CAST(list_sum(list_transform(c, x -> x * x)) AS BIGINT) AS DOUBLE)) AS nrm
-       |       FROM cent),
-       |comp AS (SELECT cell_id, t.range AS j, c[CAST(t.range AS INT) + 1] AS cj
-       |         FROM cent, range(0, 64) t),
-       |dots AS (SELECT vq.vec_id, comp.cell_id,
-       |                CAST(SUM(comp.cj * vq.q[CAST(comp.j AS INT) + 1]) AS BIGINT) AS dt
-       |         FROM vq CROSS JOIN comp GROUP BY 1, 2),
-       |ranked AS (SELECT d.vec_id, d.cell_id,
-       |                  ROW_NUMBER() OVER (PARTITION BY d.vec_id
-       |                    ORDER BY CAST(d.dt AS DOUBLE) / cn.nrm DESC, d.cell_id) AS rn
-       |           FROM dots d JOIN cn USING (cell_id)),
-       |assign AS (SELECT vec_id AS neighbor_id, cell_id FROM ranked WHERE rn = 1),
-       |exact AS (SELECT query_id, neighbor_id FROM (
-       |            SELECT qv.vec_id AS query_id, e2.vec_id AS neighbor_id,
-       |                   ROW_NUMBER() OVER (PARTITION BY qv.vec_id
-       |                     ORDER BY ROUND(list_cosine_similarity(qv.v, e2.v), 6) DESC,
-       |                              e2.vec_id) AS r
-       |            FROM e qv JOIN e e2 ON e2.vec_id <> qv.vec_id
-       |            WHERE qv.vec_id % 50 = 0) tx WHERE r <= 5),
-       |nq AS (SELECT COUNT(DISTINCT vec_id) AS n_queries FROM e WHERE vec_id % 50 = 0),
-       |pts AS (${Seq(1, 2, 4, 8).map(point).mkString("\nUNION ALL\n")})
-       |SELECT nprobe, n_queries, CAST(n_hits AS BIGINT) AS n_hits,
-       |  ROUND(CAST(n_hits AS DOUBLE) / (CAST(n_queries AS DOUBLE) * 5.0), 6) AS recall_at_5
-       |FROM pts ORDER BY nprobe""".stripMargin
-  }
-
-  /** Brunner–Munzel test, BUILDING vs AUTOMOBILE order values — the
-    * modern replacement for Mann–Whitney when the two groups may have
-    * UNEQUAL variances/shapes (the nonparametric Behrens–Fisher
-    * problem; an_mannwhitney assumes exchangeable shapes, this doesn't).
-    * Placements P_ij = combined midrank − within-group midrank collapse
-    * to exact integers when doubled (2P_b = 2·cumlt_a + c_a at each
-    * distinct value), so both placement moments ride the SAME one
-    * distinct-cent PrefixSum scan as an_cliffs_delta — no pair join,
-    * no per-observation rank table. p̂ = P(X<Y)+½P(X=Y) and the W
-    * statistic are one shared IEEE tree off exact sums. */
-  private def anBrunnerMunzel(s: SparkSession, dir: String): DataFrame = {
-    val d18i = (c: Column) => c.cast("decimal(18,0)")
-    val o = Tables.orders(s, dir).join(
-      Tables.customer(s, dir).filter(col("c_mktsegment").isin("BUILDING", "AUTOMOBILE"))
-        .select(col("c_custkey"), col("c_mktsegment")),
-      col("o_custkey") === col("c_custkey"))
-      .select((col("o_totalprice").cast("decimal(24,2)") * 100).cast("bigint").as("v"),
-        (col("c_mktsegment") === "BUILDING").cast("long").as("isa"))
-    val pv = o.groupBy(col("v"))
-      .agg(sum(col("isa")).as("ca"), sum(lit(1L) - col("isa")).as("cb"))
-    val scan = graft.operators.PrefixSum.withRunningTotals(pv, Seq("v"), Seq("ca", "cb"))
-    // doubled placements: 2P_a(v) = 2·cumlt_b + c_b, 2P_b(v) = 2·cumlt_a + c_a
-    val p2a = d18i(col("cb_cum") - col("cb")) * 2 + d18i(col("cb"))
-    val p2b = d18i(col("ca_cum") - col("ca")) * 2 + d18i(col("ca"))
-    val m = scan.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"),
-      sum(d18i(col("ca")) * p2a).as("sa"), sum(d18i(col("ca")) * p2a * p2a).as("saa"),
-      sum(d18i(col("cb")) * p2b).as("sb"), sum(d18i(col("cb")) * p2b * p2b).as("sbb"))
-    val na = col("na").cast("double"); val nb = col("nb").cast("double")
-    val pbarA = col("sa").cast("double") / (na * 2.0)
-    val pbarB = col("sb").cast("double") / (nb * 2.0)
-    // S_i² = [Σ(2P)²·c − (Σ2P·c)²/n_i] / (4(n_i−1))
-    val s2a = (col("saa").cast("double") - col("sa").cast("double") *
-      col("sa").cast("double") / na) / ((na - 1.0) * 4.0)
-    val s2b = (col("sbb").cast("double") - col("sb").cast("double") *
-      col("sb").cast("double") / nb) / ((nb - 1.0) * 4.0)
-    val nTot = na + nb
-    val sigma2 = nTot * (s2a / (nb * nb) + s2b / (na * na))
-    val diff = (pbarB - pbarA) + (nb - na) / 2.0
-    m.select(col("na").as("n_building"), col("nb").as("n_automobile"),
-      round(pbarB / na, 6).as("p_hat"),
-      round(diff / (sqrt(nTot) * sqrt(sigma2)), 6).as("w_bm"))
-  }
-
-  private val anBrunnerMunzelSql = {
-    val p2a = "(CAST(cumlt_b AS DECIMAL(18,0)) * 2 + CAST(cb AS DECIMAL(18,0)))"
-    val p2b = "(CAST(cumlt_a AS DECIMAL(18,0)) * 2 + CAST(ca AS DECIMAL(18,0)))"
-    val na = "CAST(na AS DOUBLE)"; val nb = "CAST(nb AS DOUBLE)"
-    val pbarA = s"(CAST(sa AS DOUBLE) / (2.0 * $na))"
-    val pbarB = s"(CAST(sb AS DOUBLE) / (2.0 * $nb))"
-    val s2a = s"((CAST(saa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) / $na) / (4.0 * ($na - 1.0)))"
-    val s2b = s"((CAST(sbb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE) / $nb) / (4.0 * ($nb - 1.0)))"
-    val nTot = s"($na + $nb)"
-    s"""WITH o AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(24,2)) * 100 AS BIGINT) AS v,
-       |    CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS isa
-       |  FROM orders JOIN customer ON o_custkey = c_custkey
-       |  WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE')),
-       |pv AS (SELECT v, CAST(SUM(isa) AS BIGINT) AS ca,
-       |              CAST(SUM(1 - isa) AS BIGINT) AS cb FROM o GROUP BY v),
-       |sc AS (SELECT ca, cb,
-       |         CAST(SUM(ca) OVER (ORDER BY v) AS BIGINT) - ca AS cumlt_a,
-       |         CAST(SUM(cb) OVER (ORDER BY v) AS BIGINT) - cb AS cumlt_b
-       |       FROM pv),
-       |m AS (SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb,
-       |    CAST(SUM(CAST(ca AS DECIMAL(18,0)) * $p2a) AS DECIMAL(38,0)) AS sa,
-       |    CAST(SUM(CAST(ca AS DECIMAL(18,0)) * $p2a * $p2a) AS DECIMAL(38,0)) AS saa,
-       |    CAST(SUM(CAST(cb AS DECIMAL(18,0)) * $p2b) AS DECIMAL(38,0)) AS sb,
-       |    CAST(SUM(CAST(cb AS DECIMAL(18,0)) * $p2b * $p2b) AS DECIMAL(38,0)) AS sbb
-       |  FROM sc)
-       |SELECT na AS n_building, nb AS n_automobile,
-       |  ROUND($pbarB / $na, 6) AS p_hat,
-       |  ROUND((($pbarB - $pbarA) + ($nb - $na) / 2.0)
-       |    / (sqrt($nTot) * sqrt($nTot * ($s2a / ($nb * $nb) + $s2b / ($na * $na)))), 6) AS w_bm
-       |FROM m""".stripMargin
-  }
-
-  /** Somers' D (discount | quantity band) — the ASYMMETRIC ordinal
-    * association (how well does the quantity band predict the discount
-    * band) next to an_kendall_tau's symmetric version. Both ordinal
-    * domains are tiny (5 × 11 cells), so concordant/discordant pair
-    * counts are a cell×cell cross join over the key-domain-bounded
-    * contingency frame — never a row-pair join; counts widen to
-    * DECIMAL(18,0) factors so the products stay exact at any corpus
-    * size (the an_jonckheere width contract). */
-  private def anSomersD(s: SparkSession, dir: String): DataFrame = {
-    val d18i = (c: Column) => c.cast("decimal(18,0)")
-    val li = Tables.lineitem(s, dir).select(
-      ceil(col("l_quantity") / 10.0).cast("int").as("qx"),
-      round(col("l_discount") * 100).cast("int").as("dy"))
-    val cells = li.groupBy(col("qx"), col("dy")).agg(count(lit(1)).as("c"))
-    val a = cells.select(col("qx").as("x1"), col("dy").as("y1"), col("c").as("c1"))
-    val b = cells.select(col("qx").as("x2"), col("dy").as("y2"), col("c").as("c2"))
-    val pairs = a.join(broadcast(b), col("x1") < col("x2"))
-      .agg(
-        sum(when(col("y1") < col("y2"), d18i(col("c1")) * d18i(col("c2")))
-          .otherwise(lit(0).cast("decimal(18,0)"))).as("cc"),
-        sum(when(col("y1") > col("y2"), d18i(col("c1")) * d18i(col("c2")))
-          .otherwise(lit(0).cast("decimal(18,0)"))).as("dd"))
-    val rowTot = cells.groupBy(col("qx")).agg(sum(col("c")).as("nx"))
-      .agg(sum(d18i(col("nx")) * d18i(col("nx")) - d18i(col("nx"))).as("tx"),
-        sum(col("nx")).as("n"))
-    pairs.crossJoin(broadcast(rowTot))
-      .select(col("n"),
-        (col("cc") * 2).cast("bigint").as("c_pairs2"),
-        (col("dd") * 2).cast("bigint").as("d_pairs2"),
-        round((col("cc") - col("dd")).cast("double") * 2.0 /
-          (d18i(col("n")) * d18i(col("n")) - d18i(col("n")) - col("tx")).cast("double"), 6)
-          .as("somers_d"))
-  }
-
-  private val anSomersDSql =
-    """WITH li AS (SELECT CAST(CEIL(l_quantity / 10.0) AS INT) AS qx,
-      |    CAST(ROUND(l_discount * 100) AS INT) AS dy FROM lineitem),
-      |cells AS (SELECT qx, dy, COUNT(*) AS c FROM li GROUP BY 1, 2),
-      |pairs AS (SELECT
-      |    CAST(SUM(CASE WHEN a.dy < b.dy
-      |      THEN CAST(a.c AS DECIMAL(18,0)) * CAST(b.c AS DECIMAL(18,0))
-      |      ELSE CAST(0 AS DECIMAL(18,0)) END) AS DECIMAL(38,0)) AS cc,
-      |    CAST(SUM(CASE WHEN a.dy > b.dy
-      |      THEN CAST(a.c AS DECIMAL(18,0)) * CAST(b.c AS DECIMAL(18,0))
-      |      ELSE CAST(0 AS DECIMAL(18,0)) END) AS DECIMAL(38,0)) AS dd
-      |  FROM cells a JOIN cells b ON a.qx < b.qx),
-      |rt AS (SELECT CAST(SUM(CAST(nx AS DECIMAL(18,0)) * CAST(nx AS DECIMAL(18,0))
-      |      - CAST(nx AS DECIMAL(18,0))) AS DECIMAL(38,0)) AS tx,
-      |    CAST(SUM(nx) AS BIGINT) AS n
-      |  FROM (SELECT qx, CAST(SUM(c) AS BIGINT) AS nx FROM cells GROUP BY qx) t)
-      |SELECT n,
-      |  CAST(cc * 2 AS BIGINT) AS c_pairs2, CAST(dd * 2 AS BIGINT) AS d_pairs2,
-      |  ROUND(CAST(cc - dd AS DOUBLE) * 2.0
-      |    / CAST(CAST(n AS DECIMAL(18,0)) * CAST(n AS DECIMAL(18,0))
-      |        - CAST(n AS DECIMAL(18,0)) - tx AS DOUBLE), 6) AS somers_d
-      |FROM pairs CROSS JOIN rt""".stripMargin
-
-  /** Quade test over the months×priorities frame — the weighted
-    * Friedman (blocks with a LARGER revenue spread get more say, via
-    * rank-of-range block weights), more powerful than an_friedman when
-    * block scales differ. Everything is exact integers on the
-    * key-domain-bounded 12×5 frame: within-block ranks, block-range
-    * ranks Q_i, doubled scores 2S = Q·(2r−(m+1)), and
-    * F = (k−1)·ΣS_j²·4k / (4k·ΣS² − ΣS_j²·4k)… reduced to ONE IEEE
-    * division of exact integers: F = (k−1)·T / (k·A4 − T) with
-    * A4 = Σ(2S)², T = Σ_j(2S_j)². */
-  private def anQuade(s: SparkSession, dir: String): DataFrame = {
-    val cents = (col("o_totalprice").cast("decimal(24,2)") * 100).cast("bigint")
-    val monthly = Tables.orders(s, dir)
-      .groupBy(month(col("o_orderdate")).as("mth"),
-        substring(col("o_orderpriority"), 1, 1).cast("long").as("item"))
-      .agg(sum(cents).as("rev_c"))
-    val rnk = monthly.withColumn("r", row_number().over(
-      Window.partitionBy(col("mth")).orderBy(col("rev_c"), col("item"))).cast("long"))
-    val blockRange = monthly.groupBy(col("mth"))
-      .agg((max(col("rev_c")) - min(col("rev_c"))).as("rng"))
-      .withColumn("q", row_number().over(
-        Window.orderBy(col("rng"), col("mth"))).cast("long"))
-    val scored = rnk.join(broadcast(blockRange.select(col("mth"), col("q"))), Seq("mth"))
-      .withColumn("k", count(lit(1)).over(Window.partitionBy(col("item"))))
-      .withColumn("m", count(lit(1)).over(Window.partitionBy(col("mth"))))
-      .withColumn("s2", col("q") * (col("r") * 2 - (col("m") + 1)))
-    val perItem = scored.groupBy(col("item"))
-      .agg(sum(col("s2")).as("sj2"), max(col("k")).as("k"), max(col("m")).as("m"),
-        sum(col("s2") * col("s2")).as("a4j"))
-    perItem.agg(max(col("k")).as("k_blocks"), max(col("m")).as("m_items"),
-        sum(col("a4j")).as("a4"), sum(col("sj2") * col("sj2")).as("t"))
-      .select(col("k_blocks"), col("m_items"), col("a4"), col("t"),
-        round((col("k_blocks") - 1).cast("double") * col("t").cast("double") /
-          (col("k_blocks").cast("double") * col("a4").cast("double") -
-            col("t").cast("double")), 6).as("quade_f"))
-  }
-
-  private val anQuadeSql =
-    """WITH monthly AS (SELECT month(o_orderdate) AS mth,
-      |    CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS item,
-      |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(24,2)) * 100 AS BIGINT)) AS BIGINT) AS rev_c
-      |  FROM orders GROUP BY 1, 2),
-      |rnk AS (SELECT mth, item,
-      |    CAST(ROW_NUMBER() OVER (PARTITION BY mth ORDER BY rev_c, item) AS BIGINT) AS r
-      |  FROM monthly),
-      |br AS (SELECT mth,
-      |    CAST(ROW_NUMBER() OVER (ORDER BY MAX(rev_c) - MIN(rev_c), mth) AS BIGINT) AS q
-      |  FROM monthly GROUP BY mth),
-      |sc AS (SELECT rnk.item, br.q * (rnk.r * 2 - (m.m + 1)) AS s2
-      |  FROM rnk JOIN br USING (mth)
-      |  CROSS JOIN (SELECT COUNT(DISTINCT item) AS m FROM monthly) m),
-      |pi AS (SELECT item, CAST(SUM(s2) AS BIGINT) AS sj2,
-      |    CAST(SUM(s2 * s2) AS BIGINT) AS a4j, COUNT(*) AS k
-      |  FROM sc GROUP BY item),
-      |agg AS (SELECT MAX(k) AS k_blocks, COUNT(*) AS m_items,
-      |    CAST(SUM(a4j) AS BIGINT) AS a4, CAST(SUM(sj2 * sj2) AS BIGINT) AS t
-      |  FROM pi)
-      |SELECT k_blocks, m_items, a4, t,
-      |  ROUND(CAST(k_blocks - 1 AS DOUBLE) * CAST(t AS DOUBLE)
-      |    / (CAST(k_blocks AS DOUBLE) * CAST(a4 AS DOUBLE) - CAST(t AS DOUBLE)), 6) AS quade_f
-      |FROM agg""".stripMargin
-
-  /** Two-sample Anderson–Darling (Scholz–Stephens 1987 A²akN, midrank
-    * ties form, k=2) BUILDING vs AUTOMOBILE — the distributional
-    * two-sample test that weights the TAILS where an_ks_drift's max-gap
-    * is tail-blind. Rides the same one distinct-cent PrefixSum scan as
-    * an_brunner_munzel; doubled midrank cumulatives keep every
-    * numerator/denominator factor an exact integer, the per-value
-    * contribution is one shared IEEE expression gathered through
-    * DECIMAL(38,18). Under H0, E[A²] = k−1 = 1. */
-  private def anAndersonDarling(s: SparkSession, dir: String): DataFrame = {
-    val o = Tables.orders(s, dir).join(
-      Tables.customer(s, dir).filter(col("c_mktsegment").isin("BUILDING", "AUTOMOBILE"))
-        .select(col("c_custkey"), col("c_mktsegment")),
-      col("o_custkey") === col("c_custkey"))
-      .select((col("o_totalprice").cast("decimal(24,2)") * 100).cast("bigint").as("v"),
-        (col("c_mktsegment") === "BUILDING").cast("long").as("isa"))
-    val pv = o.groupBy(col("v"))
-      .agg(sum(col("isa")).as("ca"), sum(lit(1L) - col("isa")).as("cb"))
-    val scan = graft.operators.PrefixSum.withRunningTotals(pv, Seq("v"), Seq("ca", "cb"))
-    val tot = broadcast(pv.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb")))
-    val d18 = (c: Column) => c.cast("decimal(38,18)")
-    val j = scan.crossJoin(tot)
-      .withColumn("l", col("ca") + col("cb"))
-      .withColumn("nn", col("na") + col("nb"))
-      // doubled midrank cumulatives: B2 = 2·cum − l, M2_i = 2·cum_i − f_i
-      .withColumn("b2", (col("ca_cum") + col("cb_cum")) * 2 - col("l"))
-      .withColumn("m2a", col("ca_cum") * 2 - col("ca"))
-      .withColumn("m2b", col("cb_cum") * 2 - col("cb"))
-    val den = (col("b2").cast("double") *
-      (col("nn").cast("double") * 2.0 - col("b2").cast("double")) -
-      col("nn").cast("double") * col("l").cast("double"))
-    def num(m2: Column, ni: Column): Column = {
-      val x = col("nn").cast("double") * m2.cast("double") -
-        ni.cast("double") * col("b2").cast("double")
-      x * x / ni.cast("double")
-    }
-    val contrib = when(den > 0.0,
-      col("l").cast("double") * (num(col("m2a"), col("na")) +
-        num(col("m2b"), col("nb"))) / den).otherwise(lit(0.0))
-    j.agg(max(col("na")).as("n_building"), max(col("nb")).as("n_automobile"),
-        sum(d18(contrib)).as("s"))
-      .select(col("n_building"), col("n_automobile"),
-        round(((col("n_building") + col("n_automobile") - 1).cast("double") /
-          ((col("n_building") + col("n_automobile")).cast("double") *
-            (col("n_building") + col("n_automobile")).cast("double"))) *
-          col("s").cast("double"), 6).as("a2"))
-  }
-
-  private val anAndersonDarlingSql = {
-    val den = "(CAST(b2 AS DOUBLE) * (CAST(nn AS DOUBLE) * 2.0 - CAST(b2 AS DOUBLE)) " +
-      "- CAST(nn AS DOUBLE) * CAST(l AS DOUBLE))"
-    def num(m2: String, ni: String) =
-      s"((CAST(nn AS DOUBLE) * CAST($m2 AS DOUBLE) - CAST($ni AS DOUBLE) * CAST(b2 AS DOUBLE)) " +
-        s"* (CAST(nn AS DOUBLE) * CAST($m2 AS DOUBLE) - CAST($ni AS DOUBLE) * CAST(b2 AS DOUBLE)) " +
-        s"/ CAST($ni AS DOUBLE))"
-    s"""WITH o AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(24,2)) * 100 AS BIGINT) AS v,
-       |    CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS isa
-       |  FROM orders JOIN customer ON o_custkey = c_custkey
-       |  WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE')),
-       |pv AS (SELECT v, CAST(SUM(isa) AS BIGINT) AS ca,
-       |              CAST(SUM(1 - isa) AS BIGINT) AS cb FROM o GROUP BY v),
-       |tot AS (SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb FROM pv),
-       |sc AS (SELECT ca, cb, ca + cb AS l,
-       |         CAST(SUM(ca) OVER (ORDER BY v) AS BIGINT) AS ca_cum,
-       |         CAST(SUM(cb) OVER (ORDER BY v) AS BIGINT) AS cb_cum
-       |       FROM pv),
-       |j AS (SELECT ca, cb, l, na, nb, na + nb AS nn,
-       |         (ca_cum + cb_cum) * 2 - l AS b2,
-       |         ca_cum * 2 - ca AS m2a, cb_cum * 2 - cb AS m2b
-       |       FROM sc CROSS JOIN tot)
-       |SELECT MAX(na) AS n_building, MAX(nb) AS n_automobile,
-       |  ROUND((CAST(MAX(na) + MAX(nb) - 1 AS DOUBLE)
-       |      / (CAST(MAX(na) + MAX(nb) AS DOUBLE) * CAST(MAX(na) + MAX(nb) AS DOUBLE)))
-       |    * CAST(SUM(CAST(CASE WHEN $den > 0.0
-       |        THEN CAST(l AS DOUBLE) * (${num("m2a", "na")} + ${num("m2b", "nb")}) / $den
-       |        ELSE 0.0 END AS DECIMAL(38,18))) AS DOUBLE), 6) AS a2
-       |FROM j""".stripMargin
-  }
-
-  /** Cochran–Mantel–Haenszel test + Mantel–Haenszel common odds ratio
-    * across segment strata: is urgent priority associated with
-    * high-value orders AFTER controlling for market segment — the
-    * confounder-adjusted 2×2 family member next to an_odds_ratio's
-    * crude (collapsed) estimate, which Simpson's paradox can invert.
-    * One pass builds the five exact-integer 2×2 tables; per-stratum
-    * hypergeometric terms are one shared IEEE tree gathered
-    * DECIMAL(38,18) over the k-sized frame. */
-  private def anCmh(s: SparkSession, dir: String): DataFrame = {
-    val o = Tables.orders(s, dir).join(
-      Tables.customer(s, dir).select(col("c_custkey"), col("c_mktsegment")),
-      col("o_custkey") === col("c_custkey"))
-      .select(col("c_mktsegment").as("stratum"),
-        substring(col("o_orderpriority"), 1, 1).isin("1", "2").cast("long").as("exp"),
-        (col("o_totalprice") > 150000.0).cast("long").as("hi"))
-    val tabs = o.groupBy(col("stratum"))
-      .agg(sum(col("exp") * col("hi")).as("a"),
-        sum(col("exp") * (lit(1L) - col("hi"))).as("b"),
-        sum((lit(1L) - col("exp")) * col("hi")).as("c"),
-        sum((lit(1L) - col("exp")) * (lit(1L) - col("hi"))).as("d"))
-    val nk = (col("a") + col("b") + col("c") + col("d")).cast("double")
-    val n1 = (col("a") + col("b")).cast("double"); val n0 = (col("c") + col("d")).cast("double")
-    val m1 = (col("a") + col("c")).cast("double"); val m0 = (col("b") + col("d")).cast("double")
-    val d18 = (c: Column) => c.cast("decimal(38,18)")
-    tabs.agg(count(lit(1)).as("k_strata"),
-        sum(col("a") + col("b") + col("c") + col("d")).as("n"),
-        sum(d18(col("a").cast("double") - n1 * m1 / nk)).as("dev"),
-        sum(d18(n1 * n0 * m1 * m0 / (nk * nk * (nk - 1.0)))).as("vr"),
-        sum(d18(col("a").cast("double") * col("d").cast("double") / nk)).as("adn"),
-        sum(d18(col("b").cast("double") * col("c").cast("double") / nk)).as("bcn"))
-      .select(col("k_strata"), col("n"),
-        round(col("dev").cast("double") * col("dev").cast("double") /
-          col("vr").cast("double"), 6).as("cmh_chi2"),
-        round(col("adn").cast("double") / col("bcn").cast("double"), 6).as("or_mh"))
-  }
-
-  private val anCmhSql =
-    """WITH o AS (SELECT c_mktsegment AS stratum,
-      |    CASE WHEN substr(o_orderpriority, 1, 1) IN ('1', '2') THEN 1 ELSE 0 END AS e,
-      |    CASE WHEN o_totalprice > 150000.0 THEN 1 ELSE 0 END AS hi
-      |  FROM orders JOIN customer ON o_custkey = c_custkey),
-      |t AS (SELECT stratum,
-      |    CAST(SUM(e * hi) AS BIGINT) AS a, CAST(SUM(e * (1 - hi)) AS BIGINT) AS b,
-      |    CAST(SUM((1 - e) * hi) AS BIGINT) AS c, CAST(SUM((1 - e) * (1 - hi)) AS BIGINT) AS d
-      |  FROM o GROUP BY stratum),
-      |terms AS (SELECT a, b, c, d,
-      |    CAST(a + b + c + d AS DOUBLE) AS nk,
-      |    CAST(a + b AS DOUBLE) AS n1, CAST(c + d AS DOUBLE) AS n0,
-      |    CAST(a + c AS DOUBLE) AS m1, CAST(b + d AS DOUBLE) AS m0
-      |  FROM t)
-      |SELECT COUNT(*) AS k_strata, CAST(SUM(a + b + c + d) AS BIGINT) AS n,
-      |  ROUND(CAST(SUM(CAST(CAST(a AS DOUBLE) - n1 * m1 / nk AS DECIMAL(38,18))) AS DOUBLE)
-      |      * CAST(SUM(CAST(CAST(a AS DOUBLE) - n1 * m1 / nk AS DECIMAL(38,18))) AS DOUBLE)
-      |    / CAST(SUM(CAST(n1 * n0 * m1 * m0 / (nk * nk * (nk - 1.0)) AS DECIMAL(38,18))) AS DOUBLE), 6)
-      |    AS cmh_chi2,
-      |  ROUND(CAST(SUM(CAST(CAST(a AS DOUBLE) * CAST(d AS DOUBLE) / nk AS DECIMAL(38,18))) AS DOUBLE)
-      |    / CAST(SUM(CAST(CAST(b AS DOUBLE) * CAST(c AS DOUBLE) / nk AS DECIMAL(38,18))) AS DOUBLE), 6)
-      |    AS or_mh
-      |FROM terms""".stripMargin
-
-  /** TOST equivalence test on the weekday/weekend daily-revenue split
-    * — the A/B question an_weekend_effect's difference test can't
-    * answer: not "is there a difference" but "is the difference
-    * PROVABLY within ±5% of the grand mean" (absence of evidence vs
-    * evidence of absence). Same calendar-anchored split and exact
-    * decimal moments as an_weekend_effect; both one-sided Welch t's
-    * share one IEEE tree, equivalence gate at z=1.645. */
-  private def anTost(s: SparkSession, dir: String): DataFrame = {
-    val d38 = (c: Column) => c.cast("decimal(38,0)")
-    val g = dailyRevenueSpine(s, dir)
-      .select(col("rev_c"),
-        (pmod(col("d") + 2, lit(7)) < 5).cast("long").as("iswd"))
-      .groupBy(col("iswd"))
-      .agg(count(lit(1)).as("n"), sum(d38(col("rev_c"))).as("s1"),
-        sum(d38(col("rev_c")) * d38(col("rev_c"))).as("s2"))
-    val w = g.agg(
-      max(when(col("iswd") === 1, col("n"))).as("n1"),
-      max(when(col("iswd") === 0, col("n"))).as("n2"),
-      max(when(col("iswd") === 1, col("s1"))).as("a1"),
-      max(when(col("iswd") === 0, col("s1"))).as("a2"),
-      max(when(col("iswd") === 1, col("s2"))).as("q1"),
-      max(when(col("iswd") === 0, col("s2"))).as("q2"))
-    def mean(s1: Column, n: Column) = s1.cast("double") / n.cast("double")
-    def varN(n: Column, s1: Column, s2: Column) =
-      (d38(n) * s2 - s1 * s1).cast("double") /
-        (n.cast("double") * n.cast("double") * (n - 1).cast("double"))
-    val diff = mean(col("a1"), col("n1")) - mean(col("a2"), col("n2"))
-    val se = sqrt(varN(col("n1"), col("a1"), col("q1")) +
-      varN(col("n2"), col("a2"), col("q2")))
-    val grand = (col("a1") + col("a2")).cast("double") /
-      (col("n1") + col("n2")).cast("double")
-    val delta = grand * 0.05
-    val tLo = (diff + delta) / se
-    val tHi = (diff - delta) / se
-    w.select(col("n1").as("n_weekday"), col("n2").as("n_weekend"),
-      round(diff / 100.0, 4).as("mean_diff_usd"),
-      round(delta / 100.0, 4).as("margin_usd"),
-      round(tLo, 6).as("t_lower"), round(tHi, 6).as("t_upper"),
-      (tLo > 1.645 && tHi < -1.645).as("equivalent"))
-  }
-
-  private val anTostSql = {
-    def mean(s1: String, n: String) = s"(CAST($s1 AS DOUBLE) / CAST($n AS DOUBLE))"
-    def varN(n: String, s1: String, s2: String) =
-      s"(CAST(CAST($n AS DECIMAL(38,0)) * $s2 - $s1 * $s1 AS DOUBLE) " +
-        s"/ (CAST($n AS DOUBLE) * CAST($n AS DOUBLE) * CAST($n - 1 AS DOUBLE)))"
-    val diff = s"(${mean("a1", "n1")} - ${mean("a2", "n2")})"
-    val se = s"sqrt(${varN("n1", "a1", "q1")} + ${varN("n2", "a2", "q2")})"
-    val delta = "(CAST(a1 + a2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE) * 0.05)"
-    s"""WITH daily AS ($dailySpineSql),
-       |g AS (SELECT CASE WHEN ((d + 2) % 7) < 5 THEN 1 ELSE 0 END AS iswd,
-       |    COUNT(*) AS n,
-       |    CAST(SUM(CAST(rev_c AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s1,
-       |    CAST(SUM(CAST(rev_c AS DECIMAL(38,0)) * CAST(rev_c AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s2
-       |  FROM daily GROUP BY 1),
-       |w AS (SELECT
-       |  MAX(CASE WHEN iswd = 1 THEN n END) AS n1, MAX(CASE WHEN iswd = 0 THEN n END) AS n2,
-       |  MAX(CASE WHEN iswd = 1 THEN s1 END) AS a1, MAX(CASE WHEN iswd = 0 THEN s1 END) AS a2,
-       |  MAX(CASE WHEN iswd = 1 THEN s2 END) AS q1, MAX(CASE WHEN iswd = 0 THEN s2 END) AS q2
-       |  FROM g)
-       |SELECT n1 AS n_weekday, n2 AS n_weekend,
-       |  ROUND($diff / 100.0, 4) AS mean_diff_usd,
-       |  ROUND($delta / 100.0, 4) AS margin_usd,
-       |  ROUND(($diff + $delta) / $se, 6) AS t_lower,
-       |  ROUND(($diff - $delta) / $se, 6) AS t_upper,
-       |  (($diff + $delta) / $se > 1.645 AND ($diff - $delta) / $se < -1.645) AS equivalent
-       |FROM w""".stripMargin
-  }
-
-  /** Cohen's h effect size between the return rates of small and large
-    * quantity bands — the PROPORTION effect size (arcsine-stabilized,
-    * comparable across baseline rates) that an_odds_ratio's ratio and
-    * an_abtest's z don't give. Exact integer counts, h one shared IEEE
-    * tree: h = 2·asin(√p₁) − 2·asin(√p₂). */
-  private def anCohensH(s: SparkSession, dir: String): DataFrame = {
-    val g = Tables.lineitem(s, dir)
-      .select((col("l_quantity") <= 25.0).cast("long").as("small"),
-        (col("l_returnflag") === "R").cast("long").as("ret"))
-      .agg(sum(col("small")).as("n1"),
-        sum(lit(1L) - col("small")).as("n2"),
-        sum(col("small") * col("ret")).as("r1"),
-        sum((lit(1L) - col("small")) * col("ret")).as("r2"))
-    val p1 = col("r1").cast("double") / col("n1").cast("double")
-    val p2 = col("r2").cast("double") / col("n2").cast("double")
-    g.select(col("n1").as("n_small"), col("n2").as("n_large"),
-      round(p1, 6).as("p_small"), round(p2, 6).as("p_large"),
-      round(asin(sqrt(p1)) * 2.0 - asin(sqrt(p2)) * 2.0, 6).as("cohens_h"))
-  }
-
-  private val anCohensHSql =
-    """WITH g AS (SELECT
-      |    CAST(SUM(CASE WHEN l_quantity <= 25.0 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
-      |    CAST(SUM(CASE WHEN l_quantity > 25.0 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
-      |    CAST(SUM(CASE WHEN l_quantity <= 25.0 AND l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS r1,
-      |    CAST(SUM(CASE WHEN l_quantity > 25.0 AND l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS r2
-      |  FROM lineitem)
-      |SELECT n1 AS n_small, n2 AS n_large,
-      |  ROUND(CAST(r1 AS DOUBLE) / CAST(n1 AS DOUBLE), 6) AS p_small,
-      |  ROUND(CAST(r2 AS DOUBLE) / CAST(n2 AS DOUBLE), 6) AS p_large,
-      |  ROUND(asin(sqrt(CAST(r1 AS DOUBLE) / CAST(n1 AS DOUBLE))) * 2.0
-      |    - asin(sqrt(CAST(r2 AS DOUBLE) / CAST(n2 AS DOUBLE))) * 2.0, 6) AS cohens_h
-      |FROM g""".stripMargin
-
-  /** Dunn's post-hoc test: all ten pairwise rank comparisons across
-    * the priority classes — the nonparametric follow-up an_kruskal
-    * needs (Kruskal says "SOME group differs"; Dunn says WHICH, on the
-    * shared global midranks, which pairwise Mann–Whitneys would get
-    * wrong). Doubled per-group midrank sums 2S_i = Σ c_i·(2·cumlt+ct+1)
-    * and the tie term ride ONE distinct-cent PrefixSum scan; the 10
-    * pair z's are a cross join of the k-sized group frame. */
-  private def anDunn(s: SparkSession, dir: String): DataFrame = {
-    val d18i = (c: Column) => c.cast("decimal(18,0)")
-    val cents = (col("o_totalprice").cast("decimal(24,2)") * 100).cast("bigint")
-    val o = Tables.orders(s, dir)
-      .select(substring(col("o_orderpriority"), 1, 1).cast("int").as("g"), cents.as("v"))
-    val cAggs = (1 to 5).map(i => sum((col("g") === i).cast("long")).as(s"c$i"))
-    val pv = o.groupBy(col("v")).agg(cAggs.head, cAggs.tail: _*)
-      .withColumn("ct", (1 to 5).map(i => col(s"c$i")).reduce(_ + _))
-    val scan = graft.operators.PrefixSum.withRunningTotals(pv, Seq("v"), Seq("ct"))
-    val mid2 = d18i(col("ct_cum") - col("ct")) * 2 + d18i(col("ct")) + 1
-    val mAggs = (1 to 5).map(i => sum(d18i(col(s"c$i")) * mid2).as(s"s2_$i")) ++
-      (1 to 5).map(i => sum(col(s"c$i")).as(s"n$i")) :+
-      sum(d18i(col("ct")) * d18i(col("ct")) * d18i(col("ct")) - d18i(col("ct"))).as("ties")
-    val m = scan.agg(mAggs.head, mAggs.tail: _*)
-    val groups = (1 to 5).map(i => m.select(lit(i).as("gi"),
-      col(s"n$i").as("ni"), col(s"s2_$i").as("si2"),
-      ((1 to 5).map(j => col(s"n$j")).reduce(_ + _)).as("nn"), col("ties")))
-      .reduce(_.unionAll(_))
-    val a = groups.select(col("gi").as("g1"), col("ni").as("n1"),
-      col("si2").as("sa2"), col("nn"), col("ties"))
-    val b = groups.select(col("gi").as("g2"), col("ni").as("n2"), col("si2").as("sb2"))
-    val nD = col("nn").cast("double")
-    val varBase = nD * (nD + 1.0) / 12.0 -
-      col("ties").cast("double") / ((nD - 1.0) * 12.0)
-    val rbarDiff = col("sa2").cast("double") / (col("n1").cast("double") * 2.0) -
-      col("sb2").cast("double") / (col("n2").cast("double") * 2.0)
-    a.join(broadcast(b), col("g1") < col("g2"))
-      .select(col("g1"), col("g2"),
-        round(rbarDiff / sqrt(varBase *
-          (lit(1.0) / col("n1").cast("double") + lit(1.0) / col("n2").cast("double"))), 6)
-          .as("dunn_z"))
-      .orderBy(col("g1"), col("g2"))
-  }
-
-  private val anDunnSql = {
-    val cs = (1 to 5).map(i =>
-      s"CAST(SUM(CASE WHEN g = $i THEN 1 ELSE 0 END) AS BIGINT) AS c$i").mkString(", ")
-    val mid2 = "(CAST(cumlt AS DECIMAL(18,0)) * 2 + CAST(ct AS DECIMAL(18,0)) + 1)"
-    val sums = (1 to 5).map(i =>
-      s"CAST(SUM(CAST(c$i AS DECIMAL(18,0)) * $mid2) AS DECIMAL(38,0)) AS s2_$i").mkString(", ")
-    val ns = (1 to 5).map(i => s"CAST(SUM(c$i) AS BIGINT) AS n$i").mkString(", ")
-    val un = (1 to 5).map(i =>
-      s"SELECT $i AS gi, n$i AS ni, s2_$i AS si2, n1+n2+n3+n4+n5 AS nn, ties FROM m")
-      .mkString(" UNION ALL ")
-    s"""WITH o AS (SELECT CAST(substr(o_orderpriority, 1, 1) AS INT) AS g,
-       |    CAST(CAST(o_totalprice AS DECIMAL(24,2)) * 100 AS BIGINT) AS v
-       |  FROM orders),
-       |pv AS (SELECT v, $cs FROM o GROUP BY v),
-       |sc AS (SELECT c1, c2, c3, c4, c5, c1+c2+c3+c4+c5 AS ct,
-       |    CAST(SUM(c1+c2+c3+c4+c5) OVER (ORDER BY v) AS BIGINT) - (c1+c2+c3+c4+c5) AS cumlt
-       |  FROM pv),
-       |m AS (SELECT $sums, $ns,
-       |    CAST(SUM(CAST(ct AS DECIMAL(18,0)) * CAST(ct AS DECIMAL(18,0))
-       |        * CAST(ct AS DECIMAL(18,0)) - CAST(ct AS DECIMAL(18,0))) AS DECIMAL(38,0)) AS ties
-       |  FROM sc),
-       |grp AS ($un)
-       |SELECT a.gi AS g1, b.gi AS g2,
-       |  ROUND((CAST(a.si2 AS DOUBLE) / (CAST(a.ni AS DOUBLE) * 2.0)
-       |      - CAST(b.si2 AS DOUBLE) / (CAST(b.ni AS DOUBLE) * 2.0))
-       |    / sqrt((CAST(a.nn AS DOUBLE) * (CAST(a.nn AS DOUBLE) + 1.0) / 12.0
-       |        - CAST(a.ties AS DOUBLE) / ((CAST(a.nn AS DOUBLE) - 1.0) * 12.0))
-       |      * (1.0 / CAST(a.ni AS DOUBLE) + 1.0 / CAST(b.ni AS DOUBLE))), 6) AS dunn_z
-       |FROM grp a JOIN grp b ON a.gi < b.gi
-       |ORDER BY g1, g2""".stripMargin
-  }
-
-  /** Games–Howell post-hoc: all ten pairwise Welch comparisons across
-    * the priority classes — the parametric follow-up to an_anova under
-    * UNEQUAL variances (an_tukey_hsd assumes a pooled variance; this
-    * doesn't). Per-group exact integer-cents moments in one pass; each
-    * pair's t and Welch–Satterthwaite df are one shared IEEE tree over
-    * the k-sized cross join. */
-  private def anGamesHowell(s: SparkSession, dir: String): DataFrame = {
-    val d38 = (c: Column) => c.cast("decimal(38,0)")
-    val cents = (col("o_totalprice").cast("decimal(24,2)") * 100).cast("bigint")
-    val g = Tables.orders(s, dir)
-      .select(substring(col("o_orderpriority"), 1, 1).cast("int").as("g"), cents.as("v"))
-      .groupBy(col("g"))
-      .agg(count(lit(1)).as("n"), sum(d38(col("v"))).as("s1"),
-        sum(d38(col("v")) * d38(col("v"))).as("s2"))
-    def se2(n: Column, s1: Column, s2: Column): Column =
-      (d38(n) * s2 - s1 * s1).cast("double") /
-        (n.cast("double") * n.cast("double") * (n - 1).cast("double"))
-    val a = g.select(col("g").as("g1"), col("n").as("n1"),
-      (col("s1").cast("double") / col("n").cast("double")).as("m1"),
-      se2(col("n"), col("s1"), col("s2")).as("v1"))
-    val b = g.select(col("g").as("g2"), col("n").as("n2"),
-      (col("s1").cast("double") / col("n").cast("double")).as("m2"),
-      se2(col("n"), col("s1"), col("s2")).as("v2"))
-    val se = sqrt(col("v1") + col("v2"))
-    val df = (col("v1") + col("v2")) * (col("v1") + col("v2")) /
-      (col("v1") * col("v1") / (col("n1") - 1).cast("double") +
-        col("v2") * col("v2") / (col("n2") - 1).cast("double"))
-    a.join(broadcast(b), col("g1") < col("g2"))
-      .select(col("g1"), col("g2"),
-        round((col("m1") - col("m2")) / 100.0, 4).as("mean_diff_usd"),
-        round((col("m1") - col("m2")) / se, 6).as("t"),
-        round(df, 2).as("df"))
-      .orderBy(col("g1"), col("g2"))
-  }
-
-  private val anGamesHowellSql = {
-    val se2 = "(CAST(CAST(n AS DECIMAL(38,0)) * s2 - s1 * s1 AS DOUBLE) " +
-      "/ (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)))"
-    s"""WITH g AS (SELECT CAST(substr(o_orderpriority, 1, 1) AS INT) AS g,
-       |    COUNT(*) AS n,
-       |    SUM(CAST(CAST(CAST(o_totalprice AS DECIMAL(24,2)) * 100 AS BIGINT) AS DECIMAL(38,0))) AS s1,
-       |    SUM(CAST(CAST(CAST(o_totalprice AS DECIMAL(24,2)) * 100 AS BIGINT) AS DECIMAL(38,0))
-       |      * CAST(CAST(CAST(o_totalprice AS DECIMAL(24,2)) * 100 AS BIGINT) AS DECIMAL(38,0))) AS s2
-       |  FROM orders GROUP BY 1),
-       |p AS (SELECT g AS gi, n, CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS m, $se2 AS v FROM g)
-       |SELECT a.gi AS g1, b.gi AS g2,
-       |  ROUND((a.m - b.m) / 100.0, 4) AS mean_diff_usd,
-       |  ROUND((a.m - b.m) / sqrt(a.v + b.v), 6) AS t,
-       |  ROUND((a.v + b.v) * (a.v + b.v)
-       |    / (a.v * a.v / CAST(a.n - 1 AS DOUBLE) + b.v * b.v / CAST(b.n - 1 AS DOUBLE)), 2) AS df
-       |FROM p a JOIN p b ON a.gi < b.gi
-       |ORDER BY g1, g2""".stripMargin
-  }
-
-  /** Benjamini–Yekutieli FDR over the same per-segment churn z-tests
-    * as an_bh_fdr — the dependence-robust variant (BH's guarantee
-    * needs independence/PRDS; BY divides the step-up threshold by
-    * c(m)=Σ1/i and holds under ARBITRARY dependence, the right default
-    * when the segment tests share the pooled-rest denominator). Same
-    * Bowling-Φ p-values and deterministic ranking; only the threshold
-    * changes — c(5) = 137/60. */
-  private def anByFdr(s: SparkSession, dir: String): DataFrame = {
-    val grp = churnLabeled(s, dir).groupBy(col("c_mktsegment"))
-      .agg(count(lit(1)).as("n_g"), sum(col("g1")).as("k_g"))
-    val tot = grp.agg(sum(col("n_g")).as("n"), sum(col("k_g")).as("k"))
-    val z = {
-      val p1 = col("k_g").cast("double") / col("n_g").cast("double")
-      val p0 = (col("k") - col("k_g")).cast("double") / (col("n") - col("n_g")).cast("double")
-      val pp = col("k").cast("double") / col("n").cast("double")
-      (p1 - p0) / sqrt(pp * (lit(1.0) - pp) *
-        (lit(1.0) / col("n_g").cast("double") +
-          lit(1.0) / (col("n") - col("n_g")).cast("double")))
-    }
-    val phi = (x: Column) => lit(1.0) / (lit(1.0) + exp(lit(-1.5976) * x -
-      lit(0.070566) * x * x * x))
-    val scored = grp.crossJoin(broadcast(tot))
-      .withColumn("z", round(z, 6))
-      .withColumn("p", round(lit(2.0) * (lit(1.0) - phi(abs(col("z")))), 6))
-    val m = 5
-    val cM = (1 to m).map(1.0 / _).sum // 137/60, the BY dependence penalty
-    scored
-      .withColumn("rnk", row_number().over(Window.orderBy(col("p"), col("c_mktsegment"))).cast("long"))
-      .withColumn("thresh", round(col("rnk").cast("double") * 0.05 / (m * cM), 6))
-      .withColumn("cutoff", max(when(col("p") <= col("thresh"), col("rnk")))
-        .over(Window.partitionBy()))
-      .select(col("c_mktsegment"), col("z"), col("p"), col("rnk"), col("thresh"),
-        (col("cutoff").isNotNull && col("rnk") <= col("cutoff")).as("rejected"))
-      .orderBy(col("rnk"))
-  }
-
-  private val anByFdrSql =
-    s"""WITH lab AS ($churnLabeledSql),
-       |g AS (SELECT c_mktsegment, COUNT(*) AS n_g, CAST(SUM(g1) AS BIGINT) AS k_g
-       |      FROM lab GROUP BY 1),
-       |t AS (SELECT CAST(SUM(n_g) AS BIGINT) AS n, CAST(SUM(k_g) AS BIGINT) AS k FROM g),
-       |zs AS (SELECT c_mktsegment,
-       |    ROUND((CAST(k_g AS DOUBLE) / CAST(n_g AS DOUBLE)
-       |        - CAST(k - k_g AS DOUBLE) / CAST(n - n_g AS DOUBLE))
-       |      / sqrt((CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
-       |        * (1.0 - CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
-       |        * (1.0 / CAST(n_g AS DOUBLE) + 1.0 / CAST(n - n_g AS DOUBLE))), 6) AS z
-       |  FROM g CROSS JOIN t),
-       |ps AS (SELECT c_mktsegment, z,
-       |    ROUND(2.0 * (1.0 - 1.0 / (1.0 + exp(-1.5976 * ABS(z)
-       |      - 0.070566 * ABS(z) * ABS(z) * ABS(z)))), 6) AS p
-       |  FROM zs),
-       |rk AS (SELECT c_mktsegment, z, p,
-       |    CAST(ROW_NUMBER() OVER (ORDER BY p, c_mktsegment) AS BIGINT) AS rnk
-       |  FROM ps),
-       |th AS (SELECT *, ROUND(CAST(rnk AS DOUBLE) * 0.05
-       |    / (5 * (1.0 + 1.0/2 + 1.0/3 + 1.0/4 + 1.0/5)), 6) AS thresh FROM rk),
-       |co AS (SELECT MAX(CASE WHEN p <= thresh THEN rnk END) AS cutoff FROM th)
-       |SELECT c_mktsegment, z, p, rnk, thresh,
-       |  (cutoff IS NOT NULL AND rnk <= cutoff) AS rejected
-       |FROM th CROSS JOIN co ORDER BY rnk""".stripMargin
-
-  /** Split-conformal prediction interval for the daily-revenue trend
-    * forecast: fit OLS on the first 80% of days, take the
-    * ⌈(n+1)(1−α)⌉-th absolute-residual order statistic on that
-    * calibration window (α = 0.1), and report the EMPIRICAL coverage of
-    * ŷ ± q̂ on the held-out 20% — the distribution-free interval
-    * machinery a forecast consumer should demand before trusting
-    * an_linreg's normal-theory bands. Exact decimal OLS sums;
-    * residuals bit-identical doubles; the order statistic and the
-    * 80/20 split ride the calendar-bounded day frame (allowlisted). */
-  private def anConformal(s: SparkSession, dir: String): DataFrame = {
-    val d38 = (c: Column) => c.cast("decimal(38,0)")
-    // the marked day frame feeds FOUR consumers (fit sums, calibration
-    // scores, the q̂ rank, the test coverage) — stabilize it once so the
-    // lineitem aggregate and the rank window run once, not per consumer
-    val spine = dailyRevenueSpine(s, dir).select(col("d"), col("rev_c"))
-      .withColumn("rn", row_number().over(Window.orderBy(col("d"))).cast("long"))
-    val nTot = broadcast(spine.agg(max(col("rn")).as("n_all")))
-    val marked = graft.operators.Checkpoints.stabilizeLazy(spine.crossJoin(nTot)
-      .withColumn("is_cal", col("rn") <= (col("n_all") * 8) / 10))
-    val m = marked.filter(col("is_cal"))
-      .agg(count(lit(1)).as("n"),
-        sum(d38(col("d"))).as("sx"), sum(d38(col("rev_c"))).as("sy"),
-        sum(d38(col("d")) * d38(col("d"))).as("sxx"),
-        sum(d38(col("d")) * d38(col("rev_c"))).as("sxy"))
-    val slope = (d38(col("n")) * col("sxy") - col("sx") * col("sy")).cast("double") /
-      (d38(col("n")) * col("sxx") - col("sx") * col("sx")).cast("double")
-    val fit = broadcast(m.select(col("n").as("n_cal"), slope.as("slope"),
-      ((col("sy").cast("double") - col("sx").cast("double") * slope) /
-        col("n").cast("double")).as("icept")))
-    val scored = graft.operators.Checkpoints.stabilizeLazy(marked.crossJoin(fit)
-      .withColumn("score", abs(col("rev_c").cast("double") - col("icept") -
-        col("slope") * col("d").cast("double"))))
-    // conformal quantile: the ⌈(n_cal+1)·0.9⌉-th smallest calibration
-    // score, deterministic (score, d) order on the day-sized frame
-    val qhat = broadcast(scored.filter(col("is_cal"))
-      .withColumn("srnk", row_number().over(
-        Window.orderBy(col("score"), col("d"))).cast("long"))
-      .filter(col("srnk") === ceil((col("n_cal") + 1) * 0.9).cast("long"))
-      .select(col("score").as("qhat")))
-    scored.filter(!col("is_cal")).crossJoin(qhat)
-      .agg(max(col("n_cal")).as("n_cal"), count(lit(1)).as("n_test"),
-        round(max(col("qhat")) / 100.0, 4).as("q_hat_usd"),
-        round(sum((col("score") <= col("qhat")).cast("long")).cast("double") /
-          count(lit(1)).cast("double"), 6).as("coverage"))
-  }
-
-  private val anConformalSql = {
-    val slope = "(CAST(CAST(n AS DECIMAL(38,0)) * sxy - sx * sy AS DOUBLE) " +
-      "/ CAST(CAST(n AS DECIMAL(38,0)) * sxx - sx * sx AS DOUBLE))"
-    s"""WITH daily AS ($dailySpineSql),
-       |sp AS (SELECT d, rev_c, ROW_NUMBER() OVER (ORDER BY d) AS rn FROM daily),
-       |nt AS (SELECT MAX(rn) AS n_all FROM sp),
-       |mk AS (SELECT d, rev_c, rn <= (n_all * 8) // 10 AS is_cal FROM sp CROSS JOIN nt),
-       |m AS (SELECT COUNT(*) AS n,
-       |    SUM(CAST(d AS DECIMAL(38,0))) AS sx, SUM(CAST(rev_c AS DECIMAL(38,0))) AS sy,
-       |    SUM(CAST(d AS DECIMAL(38,0)) * CAST(d AS DECIMAL(38,0))) AS sxx,
-       |    SUM(CAST(d AS DECIMAL(38,0)) * CAST(rev_c AS DECIMAL(38,0))) AS sxy
-       |  FROM mk WHERE is_cal),
-       |fit AS (SELECT n AS n_cal, $slope AS slope,
-       |    (CAST(sy AS DOUBLE) - CAST(sx AS DOUBLE) * $slope) / CAST(n AS DOUBLE) AS icept
-       |  FROM m),
-       |sc AS (SELECT mk.d, mk.is_cal, fit.n_cal,
-       |    ABS(CAST(rev_c AS DOUBLE) - icept - slope * CAST(d AS DOUBLE)) AS score
-       |  FROM mk CROSS JOIN fit),
-       |q AS (SELECT score AS qhat FROM (
-       |    SELECT score, n_cal, ROW_NUMBER() OVER (ORDER BY score, d) AS srnk
-       |    FROM sc WHERE is_cal) t
-       |  WHERE srnk = CAST(CEIL((n_cal + 1) * 0.9) AS BIGINT))
-       |SELECT MAX(n_cal) AS n_cal, COUNT(*) AS n_test,
-       |  ROUND(MAX(qhat) / 100.0, 4) AS q_hat_usd,
-       |  ROUND(CAST(SUM(CASE WHEN score <= qhat THEN 1 ELSE 0 END) AS DOUBLE)
-       |    / CAST(COUNT(*) AS DOUBLE), 6) AS coverage
-       |FROM sc CROSS JOIN q WHERE NOT is_cal""".stripMargin
-  }
-
-  /** Maximum Mean Discrepancy with the quadratic polynomial kernel
-    * k(x,y) = (xy/s² + 1)², BUILDING vs AUTOMOBILE order values — the
-    * kernel two-sample statistic in its rare CLOSED-FORM case: for a
-    * degree-2 polynomial kernel the population MMD² collapses to
-    * (m₂ᴾ−m₂Q)² + 2(m₁ᴾ−m₁Q)² over scaled moments, so the entire
-    * test is exact decimal moment sums + one IEEE tree (no kernel
-    * matrix, no quadratic pair work — the moment-matching view of MMD
-    * made literal). Complements an_anderson_darling's rank view with a
-    * moment view of the same two-sample question. */
-  private def anMmd(s: SparkSession, dir: String): DataFrame = {
-    val d38 = (c: Column) => c.cast("decimal(38,0)")
-    val o = Tables.orders(s, dir).join(
-      Tables.customer(s, dir).filter(col("c_mktsegment").isin("BUILDING", "AUTOMOBILE"))
-        .select(col("c_custkey"), col("c_mktsegment")),
-      col("o_custkey") === col("c_custkey"))
-      .select((col("o_totalprice").cast("decimal(24,2)") * 100).cast("bigint").as("v"),
-        (col("c_mktsegment") === "BUILDING").cast("long").as("isa"))
-    val g = o.groupBy(col("isa"))
-      .agg(count(lit(1)).as("n"), sum(d38(col("v"))).as("s1"),
-        sum(d38(col("v")) * d38(col("v"))).as("s2"))
-    val w = g.agg(
-      max(when(col("isa") === 1, col("n"))).as("na"),
-      max(when(col("isa") === 0, col("n"))).as("nb"),
-      max(when(col("isa") === 1, col("s1"))).as("a1"),
-      max(when(col("isa") === 0, col("s1"))).as("b1"),
-      max(when(col("isa") === 1, col("s2"))).as("a2"),
-      max(when(col("isa") === 0, col("s2"))).as("b2"))
-    // scale x to $1000 units: m1 = s1/(n·1e5), m2 = s2/(n·1e10)
-    def m1(s1: String, n: String) = col(s1).cast("double") / (col(n).cast("double") * 1e5)
-    def m2(s2: String, n: String) = col(s2).cast("double") / (col(n).cast("double") * 1e10)
-    val d1 = m1("a1", "na") - m1("b1", "nb")
-    val d2 = m2("a2", "na") - m2("b2", "nb")
-    w.select(col("na").as("n_building"), col("nb").as("n_automobile"),
-      round(d1, 6).as("moment1_gap"),
-      round(d2, 6).as("moment2_gap"),
-      round(d2 * d2 + d1 * d1 * 2.0, 6).as("mmd2_poly"))
-  }
-
-  private val anMmdSql = {
-    def m1(s1: String, n: String) = s"(CAST($s1 AS DOUBLE) / (CAST($n AS DOUBLE) * 1e5))"
-    def m2(s2: String, n: String) = s"(CAST($s2 AS DOUBLE) / (CAST($n AS DOUBLE) * 1e10))"
-    val d1 = s"(${m1("a1", "na")} - ${m1("b1", "nb")})"
-    val d2 = s"(${m2("a2", "na")} - ${m2("b2", "nb")})"
-    s"""WITH o AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(24,2)) * 100 AS BIGINT) AS v,
-       |    CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS isa
-       |  FROM orders JOIN customer ON o_custkey = c_custkey
-       |  WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE')),
-       |g AS (SELECT isa, COUNT(*) AS n,
-       |    SUM(CAST(v AS DECIMAL(38,0))) AS s1,
-       |    SUM(CAST(v AS DECIMAL(38,0)) * CAST(v AS DECIMAL(38,0))) AS s2
-       |  FROM o GROUP BY isa),
-       |w AS (SELECT
-       |  MAX(CASE WHEN isa = 1 THEN n END) AS na, MAX(CASE WHEN isa = 0 THEN n END) AS nb,
-       |  MAX(CASE WHEN isa = 1 THEN s1 END) AS a1, MAX(CASE WHEN isa = 0 THEN s1 END) AS b1,
-       |  MAX(CASE WHEN isa = 1 THEN s2 END) AS a2, MAX(CASE WHEN isa = 0 THEN s2 END) AS b2
-       |  FROM g)
-       |SELECT na AS n_building, nb AS n_automobile,
-       |  ROUND($d1, 6) AS moment1_gap,
-       |  ROUND($d2, 6) AS moment2_gap,
-       |  ROUND($d2 * $d2 + $d1 * $d1 * 2.0, 6) AS mmd2_poly
-       |FROM w""".stripMargin
-  }
-
-  /** Ansari–Bradley scale test, BUILDING vs AUTOMOBILE order values —
-    * the RANK-based dispersion comparison completing the two-sample
-    * family (location: an_mannwhitney/an_brunner_munzel; omnibus:
-    * an_anderson_darling; scale: this — where an_f_test/an_bartlett
-    * need normality, AB doesn't). Scores a(r) = min(r, N+1−r) fold
-    * ranks from both ends; a tied run's averaged score is a CLOSED-FORM
-    * pair of triangular sums over its rank range, so the statistic
-    * rides the same one distinct-cent PrefixSum scan — no
-    * per-observation rank table. Tie-exact null moments
-    * (Hollander–Wolfe): E = n_a·S/N, Var = n_a·n_b(N·Σa²w − S²)/
-    * (N²(N−1)) with Σa²w = ΣS_run²/t_run. */
-  private def anAnsariBradley(s: SparkSession, dir: String): DataFrame = {
-    val o = Tables.orders(s, dir).join(
-      Tables.customer(s, dir).filter(col("c_mktsegment").isin("BUILDING", "AUTOMOBILE"))
-        .select(col("c_custkey"), col("c_mktsegment")),
-      col("o_custkey") === col("c_custkey"))
-      .select((col("o_totalprice").cast("decimal(24,2)") * 100).cast("bigint").as("v"),
-        (col("c_mktsegment") === "BUILDING").cast("long").as("isa"))
-    val pv = o.groupBy(col("v"))
-      .agg(sum(col("isa")).as("ca"), sum(lit(1L) - col("isa")).as("cb"))
-    val scan = graft.operators.PrefixSum.withRunningTotals(pv, Seq("v"), Seq("ca", "cb"))
-    val tot = broadcast(pv.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb")))
-    val d18 = (c: Column) => c.cast("decimal(38,18)")
-    val d18i = (c: Column) => c.cast("decimal(18,0)")
-    // tied run spans ranks [lo, hi]; DOUBLED scores keep everything an
-    // exact integer (no halving): 2·Σ r = b(b+1) − (a−1)a, and the
-    // folded high part 2·Σ(N+1−r) = 2(N+1)·len − 2·Σ r. DECIMAL(18,0)
-    // factors per the an_jonckheere width contract.
-    def tri2(a: Column, b: Column): Column =
-      when(b >= a, d18i(b) * (d18i(b) + 1) - (d18i(a) - 1) * d18i(a))
-        .otherwise(lit(0).cast("decimal(37,0)"))
-    val j = scan.crossJoin(tot)
-      .withColumn("t", col("ca") + col("cb"))
-      .withColumn("nn", col("na") + col("nb"))
-      .withColumn("lo", col("ca_cum") + col("cb_cum") - col("t") + 1)
-      .withColumn("hi", col("ca_cum") + col("cb_cum"))
-      .withColumn("fold", expr("(nn + 1) div 2"))
-      .withColumn("srun2",
-        tri2(col("lo"), least(col("hi"), col("fold"))) +
-          when(col("hi") > col("fold"),
-            (d18i(col("nn")) + 1) * 2 *
-              d18i(col("hi") - greatest(col("lo"), col("fold") + 1) + 1) -
-              tri2(greatest(col("lo"), col("fold") + 1), col("hi")))
-            .otherwise(lit(0).cast("decimal(37,0)")))
-    val m = j.agg(max(col("na")).as("na"), max(col("nb")).as("nb"),
-      // T = Σ c_a·(srun2/2)/t per run, gathered exactly
-      sum(d18(col("ca").cast("double") * col("srun2").cast("double") /
-        (col("t").cast("double") * 2.0))).as("tstat"),
-      sum(col("srun2")).as("s_all2"),
-      // Σ a²·weight = Σ (srun2/2t)²·t = Σ srun2²/(4t)
-      sum(d18(col("srun2").cast("double") * col("srun2").cast("double") /
-        (col("t").cast("double") * 4.0))).as("a2w"))
-    val na = col("na").cast("double"); val nb = col("nb").cast("double")
-    val nn = na + nb
-    val e = na * (col("s_all2").cast("double") / 2.0) / nn
-    val vr = na * nb * (nn * col("a2w").cast("double") -
-      (col("s_all2").cast("double") / 2.0) * (col("s_all2").cast("double") / 2.0)) /
-      (nn * nn * (nn - 1.0))
-    m.select(col("na").as("n_building"), col("nb").as("n_automobile"),
-      round(col("tstat").cast("double"), 4).as("ab_stat"),
-      round((col("tstat").cast("double") - e) / sqrt(vr), 6).as("z"))
-  }
-
-  private val anAnsariBradleySql = {
-    def tri2(a: String, b: String) =
-      s"(CASE WHEN $b >= $a THEN CAST($b AS DECIMAL(18,0)) * (CAST($b AS DECIMAL(18,0)) + 1) " +
-        s"- (CAST($a AS DECIMAL(18,0)) - 1) * CAST($a AS DECIMAL(18,0)) " +
-        s"ELSE CAST(0 AS DECIMAL(37,0)) END)"
-    s"""WITH o AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(24,2)) * 100 AS BIGINT) AS v,
-       |    CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS isa
-       |  FROM orders JOIN customer ON o_custkey = c_custkey
-       |  WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE')),
-       |pv AS (SELECT v, CAST(SUM(isa) AS BIGINT) AS ca,
-       |              CAST(SUM(1 - isa) AS BIGINT) AS cb FROM o GROUP BY v),
-       |tot AS (SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb FROM pv),
-       |sc AS (SELECT ca, cb, ca + cb AS t,
-       |         CAST(SUM(ca + cb) OVER (ORDER BY v) AS BIGINT) AS hi
-       |       FROM pv),
-       |j AS (SELECT ca, cb, t, na, nb, na + nb AS nn,
-       |         hi - t + 1 AS lo, hi, (na + nb + 1) // 2 AS fold
-       |       FROM sc CROSS JOIN tot),
-       |r AS (SELECT ca, cb, t, na, nb, nn,
-       |    ${tri2("lo", "LEAST(hi, fold)")}
-       |      + (CASE WHEN hi > fold
-       |         THEN (CAST(nn AS DECIMAL(18,0)) + 1) * 2
-       |                * CAST(hi - GREATEST(lo, fold + 1) + 1 AS DECIMAL(18,0))
-       |              - ${tri2("GREATEST(lo, fold + 1)", "hi")}
-       |         ELSE CAST(0 AS DECIMAL(37,0)) END) AS srun2
-       |  FROM j),
-       |m AS (SELECT MAX(na) AS na, MAX(nb) AS nb,
-       |    SUM(CAST(CAST(ca AS DOUBLE) * CAST(srun2 AS DOUBLE)
-       |      / (CAST(t AS DOUBLE) * 2.0) AS DECIMAL(38,18))) AS tstat,
-       |    CAST(SUM(srun2) AS DECIMAL(38,0)) AS s_all2,
-       |    SUM(CAST(CAST(srun2 AS DOUBLE) * CAST(srun2 AS DOUBLE)
-       |      / (CAST(t AS DOUBLE) * 4.0) AS DECIMAL(38,18))) AS a2w
-       |  FROM r)
-       |SELECT na AS n_building, nb AS n_automobile,
-       |  ROUND(CAST(tstat AS DOUBLE), 4) AS ab_stat,
-       |  ROUND((CAST(tstat AS DOUBLE)
-       |      - CAST(na AS DOUBLE) * (CAST(s_all2 AS DOUBLE) / 2.0) / CAST(na + nb AS DOUBLE))
-       |    / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
-       |      * (CAST(na + nb AS DOUBLE) * CAST(a2w AS DOUBLE)
-       |        - (CAST(s_all2 AS DOUBLE) / 2.0) * (CAST(s_all2 AS DOUBLE) / 2.0))
-       |      / (CAST(na + nb AS DOUBLE) * CAST(na + nb AS DOUBLE)
-       |        * (CAST(na + nb AS DOUBLE) - 1.0))), 6) AS z
-       |FROM m""".stripMargin
-  }
 
   // ----------------------------------------------------------------- wiring
 
