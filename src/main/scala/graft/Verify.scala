@@ -52,6 +52,15 @@ object Verify {
     // check.py can assert SURVEY §2 ↔ SparkEntry.queries lockstep
     Files.writeString(Paths.get(s"$outDir/registered_queries.json"),
       SparkEntry.queries.keys.toSeq.sorted.map(q).mkString("[", ",", "]"))
+    // measured-vs-bound envelopes for the two no-oracle sketch keys
+    // (r15 verdict #7): the correctness artifact carries a recorded
+    // bound-satisfaction line for them each round, not just `no_oracle`
+    if (only.forall(o => o("an_approx_stats") || o("an_tdigest")))
+      try Files.writeString(Paths.get(s"$outDir/sketch_error_envelopes.json"),
+        ErrorEnvelopes.report(spark, sfDir))
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] envelope report failed: ${e.getMessage}")
+      }
     spark.stop()
   }
 }
