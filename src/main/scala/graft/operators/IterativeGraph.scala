@@ -125,8 +125,18 @@ object IterativeGraph {
     * broadcast); here the final frame is a checkpoint LEAF. If the
     * round CAP stops peeling before convergence, the counts are against
     * the last superset — still an upper bound that a caller's
-    * `core_deg >= k` re-filter keeps sound. */
-  def kcoreWithDeg(edges: DataFrame, k: Int, maxRounds: Int = 64): DataFrame = {
+    * `core_deg >= k` re-filter keeps sound for MEMBERSHIP, but the
+    * emitted core_deg VALUES can overstate and would diverge from a
+    * fixed-unroll oracle, so a cap exit with peeling still active fires
+    * `onUnconverged` with the final round's removal count (the
+    * labelPropLabels signal pattern) instead of returning
+    * superset-measured degrees silently. */
+  def kcoreWithDeg(edges: DataFrame, k: Int, maxRounds: Int = 64,
+                   onUnconverged: Long => Unit = n => System.err.println(
+                     s"[graft] WARN kcoreWithDeg UNCONVERGED at round cap: " +
+                       s"$n nodes still peeling in the final round — emitted " +
+                       "core_deg values are superset-measured upper bounds; " +
+                       "raise maxRounds")): DataFrame = {
     require(maxRounds >= 1, s"peeling needs at least one round, got $maxRounds")
     var alive = edges.select(col("src").as("node")).distinct().stabilized
     var n = alive.count()
@@ -144,6 +154,7 @@ object IterativeGraph {
       alive = withDeg.select(col("node"))
       val m = alive.count()
       converged = m == n
+      if (!converged && r + 1 == maxRounds) onUnconverged(n - m)
       n = m
       r += 1
     }

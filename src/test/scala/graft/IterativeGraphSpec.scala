@@ -86,6 +86,24 @@ class IterativeGraphSpec extends SparkSpec {
     assert(signal == -1L, "a converged run must not fire the signal")
   }
 
+  test("kcoreWithDeg signals a cap exit while peeling is still active") {
+    // k=2 peeling on a path consumes one endpoint pair per round, so a
+    // long path capped early is still actively peeling — the emitted
+    // core_deg values are then superset-measured upper bounds and the
+    // hook must say so (the r15 advice #4 silent-regime close-out)
+    val edges = pathEdges(40)
+    var signal = -1L
+    IterativeGraph.kcoreWithDeg(edges, k = 2, maxRounds = 3,
+      onUnconverged = n => signal = n)
+    assert(signal > 0,
+      s"cap exit mid-peel must report the final round's removals, got $signal")
+    // a run that reaches the fixpoint inside the cap stays silent
+    signal = -1L
+    IterativeGraph.kcoreWithDeg(pathEdges(6), k = 2, maxRounds = 64,
+      onUnconverged = n => signal = n)
+    assert(signal == -1L, "a converged peel must not fire the signal")
+  }
+
   test("components kernel stays Th(log d): job count barely grows from diameter 29 to 299") {
     // the r14 stretch gate: the diameter probe measured star-contraction
     // at Th(log d) once; this pins it as a regression test. A Th(d)
