@@ -3462,9 +3462,15 @@ private[graft] trait SparkEntryAn1 { this: SparkEntry.type =>
     * of a drifting double). SSB gathers the per-group s'²/n doubles
     * through DECIMAL(38,18) (order-independent, the q_pagerank
     * pattern); SST converts ONE exact integer; F is then pure IEEE on
-    * identical expression trees — bit-stable unrounded. Two narrow
-    * aggregations (per-group, then a 5-row gather) + one broadcast of
-    * a single grand-total row: no shuffle beyond the segment groupBy. */
+    * identical expression trees. EMISSION CONTRACT (r16, caught by the
+    * sf1 gate): the gathered SSB terms outgrow ~16 significant digits
+    * at sf1, where Spark's and DuckDB's double→decimal quantization
+    * differ at the last ulp — so the emitted statistics are the
+    * SCALE-STABLE O(1) ratios, ROUND 6 (eta_sq = SSB/SST and F), never
+    * the raw cents² sums whose ABSOLUTE ulp wobble grows with SF and
+    * which no fixed rounding can absorb. Two narrow aggregations
+    * (per-group, then a 5-row gather) + one broadcast of a single
+    * grand-total row: no shuffle beyond the segment groupBy. */
   private[graft] def anAnova(s: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(s, dir)
       .join(broadcast(Tables.customer(s, dir)
@@ -3491,11 +3497,11 @@ private[graft] trait SparkEntryAn1 { this: SparkEntry.type =>
         (col("qp").cast("double") -
           col("sp").cast("double") * col("sp").cast("double") /
             col("n").cast("double")).as("ss_total"))
-      .select(col("k"), col("n"), col("ss_between"),
-        (col("ss_total") - col("ss_between")).as("ss_within"),
-        ((col("ss_between") / (col("k") - lit(1)).cast("double")) /
+      .select(col("k"), col("n"),
+        round(col("ss_between") / col("ss_total"), 6).as("eta_sq"),
+        round((col("ss_between") / (col("k") - lit(1)).cast("double")) /
           ((col("ss_total") - col("ss_between")) /
-            (col("n") - col("k")).cast("double"))).as("f_stat"))
+            (col("n") - col("k")).cast("double")), 6).as("f_stat"))
   }
 
   private[graft] lazy val anAnovaSql =
@@ -3520,9 +3526,9 @@ private[graft] trait SparkEntryAn1 { this: SparkEntry.type =>
       |        CAST(qp AS DOUBLE)
       |          - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE) / CAST(n AS DOUBLE) AS ss_total
       |      FROM t)
-      |SELECT k, n, ss_between, ss_total - ss_between AS ss_within,
-      |  (ss_between / CAST(k - 1 AS DOUBLE))
-      |    / ((ss_total - ss_between) / CAST(n - k AS DOUBLE)) AS f_stat
+      |SELECT k, n, ROUND(ss_between / ss_total, 6) AS eta_sq,
+      |  ROUND((ss_between / CAST(k - 1 AS DOUBLE))
+      |    / ((ss_total - ss_between) / CAST(n - k AS DOUBLE)), 6) AS f_stat
       |FROM d""".stripMargin
 
   /** Tukey HSD post-hoc pairwise comparisons after [[anAnova]]: for
@@ -3534,8 +3540,13 @@ private[graft] trait SparkEntryAn1 { this: SparkEntry.type =>
     * numbers; the pair fan-out is k², a model-sized frame (k = number
     * of segments), cross-joined with the 1-row MSW total — the only
     * data-sized work is the same single groupBy as an_anova. Doubles
-    * are computed on identical expression trees both sides, emitted
-    * unrounded. */
+    * are computed on identical expression trees both sides; mean_diff_c
+    * is pure IEEE over exact integers (bit-identical unrounded at any
+    * SF), while q_stat passes through the DECIMAL(38,18) SSB gather
+    * whose double→decimal quantization differs at the last ulp once
+    * the gathered terms outgrow ~16 significant digits (caught by the
+    * r16 sf1 gate) — q is O(1..10), so ROUND 6 absorbs it with ~9
+    * orders of margin. */
   private[graft] def anTukeyHsd(s: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(s, dir)
       .join(broadcast(Tables.customer(s, dir)
@@ -3568,11 +3579,11 @@ private[graft] trait SparkEntryAn1 { this: SparkEntry.type =>
       .select(col("g_a"), col("g_b"), col("n_a"), col("n_b"),
         (col("sp_a").cast("double") / col("n_a").cast("double") -
           col("sp_b").cast("double") / col("n_b").cast("double")).as("mean_diff_c"),
-        (abs(col("sp_a").cast("double") / col("n_a").cast("double") -
+        round(abs(col("sp_a").cast("double") / col("n_a").cast("double") -
           col("sp_b").cast("double") / col("n_b").cast("double")) /
           sqrt(col("ms_within") / lit(2.0) *
             (lit(1.0) / col("n_a").cast("double") +
-              lit(1.0) / col("n_b").cast("double")))).as("q_stat"))
+              lit(1.0) / col("n_b").cast("double"))), 6).as("q_stat"))
       .orderBy(col("g_a"), col("g_b"))
   }
 
@@ -3596,10 +3607,10 @@ private[graft] trait SparkEntryAn1 { this: SparkEntry.type =>
       |SELECT a.g AS g_a, b.g AS g_b, a.n_g AS n_a, b.n_g AS n_b,
       |  CAST(a.sp_g AS DOUBLE) / CAST(a.n_g AS DOUBLE)
       |    - CAST(b.sp_g AS DOUBLE) / CAST(b.n_g AS DOUBLE) AS mean_diff_c,
-      |  ABS(CAST(a.sp_g AS DOUBLE) / CAST(a.n_g AS DOUBLE)
+      |  ROUND(ABS(CAST(a.sp_g AS DOUBLE) / CAST(a.n_g AS DOUBLE)
       |      - CAST(b.sp_g AS DOUBLE) / CAST(b.n_g AS DOUBLE))
       |    / sqrt(w.ms_within / 2.0
-      |           * (1.0 / CAST(a.n_g AS DOUBLE) + 1.0 / CAST(b.n_g AS DOUBLE))) AS q_stat
+      |           * (1.0 / CAST(a.n_g AS DOUBLE) + 1.0 / CAST(b.n_g AS DOUBLE))), 6) AS q_stat
       |FROM per a JOIN per b ON a.g < b.g CROSS JOIN w
       |ORDER BY g_a, g_b""".stripMargin
 }

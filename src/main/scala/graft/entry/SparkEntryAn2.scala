@@ -193,6 +193,13 @@ private[graft] trait SparkEntryAn2 { this: SparkEntry.type =>
         col("mu_c") - col("beta_c") * log(-log(lit(1.0) - lit(1.0) / lit(12.0))))
   }
 
+  // WIDTH CONTRACT (the an_jonckheere class, tripped at the r16 sf1
+  // gate): mx − m0 deviations are monthly maxima of DAILY REVENUE,
+  // which grows linearly with SF — 1.08e9 cents at sf1, whose square
+  // has 19 digits. DuckDB ENFORCES the declared operand precision
+  // (DECIMAL(18)² errored at sf1) where Spark widens the result, so
+  // the oracle squares through DECIMAL(19,0) (19×19 → int128-exact
+  // DECIMAL(38,0), headroom to ~1e19-cent deviations ≈ sf1e10).
   private[graft] lazy val anGumbelMaximaSql =
     """WITH daily AS (SELECT date_trunc('day', l_shipdate) AS day,
       |    CAST(ROUND(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,8))), 2) * 100 AS BIGINT) AS rev_c
@@ -201,7 +208,7 @@ private[graft] trait SparkEntryAn2 { this: SparkEntry.type =>
       |g AS (SELECT CAST(SUM(mx) AS BIGINT) // COUNT(*) AS m0 FROM mx),
       |t AS (SELECT MAX(m0) AS m0, COUNT(*) AS n,
       |        CAST(SUM(mx - m0) AS BIGINT) AS sp,
-      |        CAST(SUM(CAST(CAST(mx - m0 AS DECIMAL(18,0)) * CAST(mx - m0 AS DECIMAL(18,0))
+      |        CAST(SUM(CAST(CAST(mx - m0 AS DECIMAL(19,0)) * CAST(mx - m0 AS DECIMAL(19,0))
       |             AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS qp
       |      FROM mx CROSS JOIN g),
       |mo AS (SELECT n,

@@ -760,17 +760,22 @@ class MlPrepSpec extends SparkSpec {
     assert(got.map(_._1).sum == total, "every customer lands in a segment row")
   }
 
-  test("ANOVA decomposes SST into non-negative between + within") {
+  test("ANOVA emits consistent scale-stable statistics (eta_sq recomposes F)") {
     val got = SparkEntry.queries("an_anova")(spark, sfDir)
-      .select("k", "n", "ss_between", "ss_within", "f_stat")
-      .as[(Long, Long, Double, Double, Double)].head()
-    val (k, n, ssb, ssw, f) = got
+      .select("k", "n", "eta_sq", "f_stat")
+      .as[(Long, Long, Double, Double)].head()
+    val (k, n, eta, f) = got
     assert(k == 5, "TPC-H has 5 market segments")
     assert(n == Tables.orders(spark, sfDir).count())
-    assert(ssb >= 0 && ssw >= 0, s"sum of squares must be non-negative: $ssb / $ssw")
+    assert(eta >= 0 && eta <= 1, s"eta_sq out of [0,1]: $eta")
     assert(f >= 0 && !f.isNaN, s"F out of range: $f")
-    val fWant = (ssb / (k - 1).toDouble) / (ssw / (n - k).toDouble)
-    assert(f == fWant, "F must recompose from the emitted decomposition")
+    // F and eta² describe the same decomposition: F = (eta/(1−eta)) ·
+    // (n−k)/(k−1) — both are ROUND 6 emissions, so the recomposition
+    // holds to the rounding resolution amplified by the ratio's
+    // sensitivity at small eta (|dF/deta| ≈ F/eta)
+    val fWant = (eta / (1.0 - eta)) * ((n - k).toDouble / (k - 1).toDouble)
+    assert(math.abs(f - fWant) <= 2e-6 * (fWant / eta).max(1.0),
+      s"F $f must recompose from eta_sq (want ~$fWant)")
   }
 
   test("Mann-Whitney U matches a driver-side midrank brute force") {
