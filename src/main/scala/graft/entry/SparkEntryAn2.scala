@@ -1385,12 +1385,21 @@ private[graft] trait SparkEntryAn2 { this: SparkEntry.type =>
             col("n_c").cast("double"))).as("lift3"))
   }
 
+  // Value-identical join-order fix (caught by the r16 sf1 gate): with
+  // the c-join's EQUALITY bound to `a` (a.ok = c.ok) and its inequality
+  // to `b`, DuckDB's optimizer can pick a b×c inequality-only join —
+  // a cross product at sf1 (killed past 170 CPU-min). Staging the
+  // (a, b) pair first and joining c on the PAIR's ok gives every join
+  // an equality with its immediate partner; a.pk < b.pk < c.pk
+  // semantics unchanged (proven: identical result frame at sf0.01;
+  // 1.4 s at sf1).
   private[graft] lazy val anBasketTriplesSql =
     """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
       |t AS (SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n_orders FROM li),
-      |p AS (SELECT a.pk AS part_a, b.pk AS part_b, c.pk AS part_c, COUNT(*) AS n_abc
-      |      FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
-      |                JOIN li c ON a.ok = c.ok AND b.pk < c.pk
+      |p2 AS (SELECT a.ok, a.pk AS pa, b.pk AS pb
+      |       FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+      |p AS (SELECT pa AS part_a, pb AS part_b, c.pk AS part_c, COUNT(*) AS n_abc
+      |      FROM p2 JOIN li c ON p2.ok = c.ok AND c.pk > p2.pb
       |      GROUP BY 1, 2, 3),
       |m AS (SELECT pk, COUNT(*) AS n_one FROM li GROUP BY pk),
       |top AS (SELECT part_a, part_b, part_c, n_abc FROM p
