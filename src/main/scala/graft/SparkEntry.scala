@@ -71,6 +71,26 @@ object SparkEntry extends SparkEntryAn1
       |    for i in range(1, len(w)-1)]) AS shingles
       |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)""".stripMargin
 
+  /** DuckDB inverted-index Jaccard pair base — the r15 cluster-family
+    * oracle rewrite, generalized in r16 to EVERY all-pairs oracle after
+    * the sf1 gate killed the naive n² list_intersect self-join on
+    * dedup_containment (the shingle lists are distinct, so the
+    * per-shared-gram COUNT(*) equals len(list_intersect) exactly, and
+    * a c = 0 pair is simply absent — value-identical for any emission
+    * thresholded above 0). Yields CTEs `sh/sz/ex/shared/jp`; jp carries
+    * (doc_a < doc_b, c, na, nb, jaccard). */
+  private[graft] val duckJaccardPairs =
+    s"""sh AS ($duckShingles),
+       |sz AS (SELECT doc_id, len(shingles) AS n FROM sh),
+       |ex AS (SELECT doc_id, unnest(shingles) AS g FROM sh),
+       |shared AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+       |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |jp AS (SELECT doc_a, doc_b, c, sa.n AS na, sb.n AS nb,
+       |    c * 1.0 / (sa.n + sb.n - c) AS jaccard
+       |  FROM shared JOIN sz sa ON sa.doc_id = shared.doc_a
+       |              JOIN sz sb ON sb.doc_id = shared.doc_b)""".stripMargin
+
   /** DuckDB replay of [[graft.similarity.VectorOps.lshTopKPortable]]:
     * derives the SAME md5-nibble integer hyperplanes in SQL, quantizes
     * vectors to the same BIGINT micro-units, reassembles band keys from

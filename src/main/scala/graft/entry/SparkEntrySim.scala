@@ -87,13 +87,9 @@ private[graft] trait SparkEntrySim { this: SparkEntry.type =>
       .orderBy(col("doc_a"), col("doc_b"))
 
   private[graft] lazy val dedupNgramJaccardSql =
-    s"""WITH sh AS ($duckShingles)
-       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |  len(list_intersect(a.shingles, b.shingles)) * 1.0 /
-       |    (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) AS jaccard
-       |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-       |WHERE len(list_intersect(a.shingles, b.shingles)) * 1.0 /
-       |    (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) >= 0.05
+    s"""WITH $duckJaccardPairs
+       |SELECT doc_a, doc_b, jaccard FROM jp
+       |WHERE jaccard >= 0.05
        |ORDER BY doc_a, doc_b""".stripMargin
 
   /** Incremental dedup: the newest fifth of the corpus (by doc_id)
@@ -113,13 +109,18 @@ private[graft] trait SparkEntrySim { this: SparkEntry.type =>
 
   private[graft] lazy val dedupIncrementalSql =
     s"""WITH sh AS ($duckShingles),
-       |cut AS (SELECT CAST(floor((max(doc_id) + 1) * 0.8) AS BIGINT) AS cut FROM documents)
-       |SELECT a.doc_id AS doc_new, b.doc_id AS doc_old,
-       |  len(list_intersect(a.shingles, b.shingles)) * 1.0 /
-       |    (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) AS jaccard
-       |FROM sh a JOIN sh b ON a.doc_id >= (SELECT cut FROM cut) AND b.doc_id < (SELECT cut FROM cut)
-       |WHERE len(list_intersect(a.shingles, b.shingles)) * 1.0 /
-       |    (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) >= 0.05
+       |cut AS (SELECT CAST(floor((max(doc_id) + 1) * 0.8) AS BIGINT) AS cut FROM documents),
+       |sz AS (SELECT doc_id, len(shingles) AS n FROM sh),
+       |ex AS (SELECT doc_id, unnest(shingles) AS g FROM sh),
+       |shared AS (SELECT a.doc_id AS doc_new, b.doc_id AS doc_old, COUNT(*) AS c
+       |  FROM ex a JOIN ex b ON a.g = b.g
+       |  WHERE a.doc_id >= (SELECT cut FROM cut) AND b.doc_id < (SELECT cut FROM cut)
+       |  GROUP BY 1, 2)
+       |SELECT doc_new, doc_old,
+       |  c * 1.0 / (sa.n + sb.n - c) AS jaccard
+       |FROM shared JOIN sz sa ON sa.doc_id = shared.doc_new
+       |            JOIN sz sb ON sb.doc_id = shared.doc_old
+       |WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.05
        |ORDER BY doc_new, doc_old""".stripMargin
 
   /** MinHash-LSH candidates verified by exact Jaccard. The oracle is the
@@ -132,13 +133,9 @@ private[graft] trait SparkEntrySim { this: SparkEntry.type =>
       .orderBy(col("doc_a"), col("doc_b"))
 
   private[graft] lazy val dedupMinhashLshSql =
-    s"""WITH sh AS ($duckShingles)
-       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |  len(list_intersect(a.shingles, b.shingles)) * 1.0 /
-       |    (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) AS jaccard
-       |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-       |WHERE len(list_intersect(a.shingles, b.shingles)) * 1.0 /
-       |    (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) >= 0.5
+    s"""WITH $duckJaccardPairs
+       |SELECT doc_a, doc_b, jaccard FROM jp
+       |WHERE jaccard >= 0.5
        |ORDER BY doc_a, doc_b""".stripMargin
 
   /** Prefix-filtered exact all-pairs Jaccard (PPJoin). The oracle is the
@@ -150,13 +147,9 @@ private[graft] trait SparkEntrySim { this: SparkEntry.type =>
       .orderBy(col("doc_a"), col("doc_b"))
 
   private[graft] lazy val dedupPpjoinSql =
-    s"""WITH sh AS ($duckShingles)
-       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |  len(list_intersect(a.shingles, b.shingles)) * 1.0 /
-       |    (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) AS jaccard
-       |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-       |WHERE len(list_intersect(a.shingles, b.shingles)) * 1.0 /
-       |    (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) >= 0.6
+    s"""WITH $duckJaccardPairs
+       |SELECT doc_a, doc_b, jaccard FROM jp
+       |WHERE jaccard >= 0.6
        |ORDER BY doc_a, doc_b""".stripMargin
 
   /** SimHash pairs under the FULL hash oracle: the per-word hash is
@@ -895,13 +888,10 @@ private[graft] trait SparkEntrySim { this: SparkEntry.type =>
   }
 
   private[graft] lazy val dedupThresholdSweepSql =
-    s"""WITH sh AS ($duckShingles),
-       |pairs AS (SELECT len(list_intersect(a.shingles, b.shingles)) * 1.0 /
-       |    (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) AS jaccard
-       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+    s"""WITH $duckJaccardPairs,
        |k AS (SELECT UNNEST(list_filter([0.05, 0.1, 0.2, 0.3, 0.4, 0.5], t -> jaccard >= t))
        |        AS threshold
-       |      FROM pairs WHERE jaccard >= 0.05)
+       |      FROM jp WHERE jaccard >= 0.05)
        |SELECT threshold, COUNT(*) AS n_pairs
        |FROM k GROUP BY threshold ORDER BY threshold""".stripMargin
 
@@ -925,11 +915,8 @@ private[graft] trait SparkEntrySim { this: SparkEntry.type =>
   }
 
   private[graft] lazy val dedupSourceMatrixSql =
-    s"""WITH sh AS ($duckShingles),
-       |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-       |  WHERE len(list_intersect(a.shingles, b.shingles)) * 1.0 /
-       |    (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) >= 0.05)
+    s"""WITH $duckJaccardPairs,
+       |pairs AS (SELECT doc_a, doc_b FROM jp WHERE jaccard >= 0.05)
        |SELECT LEAST(da.source, db.source) AS source_x,
        |       GREATEST(da.source, db.source) AS source_y,
        |       COUNT(*) AS n_pairs
@@ -1091,17 +1078,11 @@ private[graft] trait SparkEntrySim { this: SparkEntry.type =>
       .orderBy(col("src"), col("dst"))
 
   private[graft] lazy val dedupContainmentSql =
-    s"""WITH sh AS ($duckShingles),
-       |common AS (
-       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |    len(list_intersect(a.shingles, b.shingles)) AS n_common,
-       |    len(a.shingles) AS na, len(b.shingles) AS nb
-       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-       |  WHERE len(list_intersect(a.shingles, b.shingles)) > 0),
+    s"""WITH $duckJaccardPairs,
        |dir AS (
-       |  SELECT doc_a AS src, doc_b AS dst, n_common * 1.0 / na AS containment FROM common
+       |  SELECT doc_a AS src, doc_b AS dst, c * 1.0 / na AS containment FROM jp
        |  UNION ALL
-       |  SELECT doc_b AS src, doc_a AS dst, n_common * 1.0 / nb AS containment FROM common)
+       |  SELECT doc_b AS src, doc_a AS dst, c * 1.0 / nb AS containment FROM jp)
        |SELECT src, dst, containment FROM dir
        |WHERE containment >= 0.5 ORDER BY src, dst""".stripMargin
 
