@@ -652,23 +652,26 @@ private[graft] trait SparkEntrySim { this: SparkEntry.type =>
          |    WHERE NOT EXISTS (SELECT 1 FROM s${t - 1} s2
          |                      WHERE s2.query_id = r.query_id AND s2.cand_id = r.cand_id)) z
          |  WHERE rn = 1),
-         |s$t AS (SELECT * FROM s${t - 1} UNION ALL SELECT * FROM p$t)""".stripMargin
+         |s$t AS MATERIALIZED (SELECT * FROM s${t - 1} UNION ALL SELECT * FROM p$t)""".stripMargin
     }.mkString(",\n")
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-       |cands AS (SELECT query_id, cand_id, sim FROM (
+       |qs AS (SELECT vec_id, v FROM e WHERE vec_id % 50 = 0),
+       |cands AS MATERIALIZED (SELECT query_id, cand_id, sim FROM (
        |    SELECT q.vec_id AS query_id, n.vec_id AS cand_id,
        |           ROUND(list_cosine_similarity(q.v, n.v), 6) AS sim,
        |           row_number() OVER (PARTITION BY q.vec_id
        |             ORDER BY ROUND(list_cosine_similarity(q.v, n.v), 6) DESC, n.vec_id) AS rn
-       |    FROM e q JOIN e n ON n.vec_id <> q.vec_id
-       |    WHERE q.vec_id % 50 = 0) t WHERE rn <= 10),
-       |dd AS (SELECT a.query_id, a.cand_id AS a_id, b.cand_id AS b_id,
+       |    -- query filter hoisted into qs: as a WHERE under the
+       |    -- inequality join, DuckDB materialized the FULL corpus
+       |    -- cross join first (~75 GB spill at sf1, r16 gate)
+       |    FROM qs q JOIN e n ON n.vec_id <> q.vec_id) t WHERE rn <= 10),
+       |dd AS MATERIALIZED (SELECT a.query_id, a.cand_id AS a_id, b.cand_id AS b_id,
        |         ROUND(list_cosine_similarity(ea.v, eb.v), 6) AS sim_ab
        |       FROM cands a JOIN cands b
        |         ON a.query_id = b.query_id AND a.cand_id <> b.cand_id
        |       JOIN e ea ON ea.vec_id = a.cand_id
        |       JOIN e eb ON eb.vec_id = b.cand_id),
-       |s1 AS (SELECT query_id, cand_id, sim, 0.0 AS redundancy, 1 AS step FROM (
+       |s1 AS MATERIALIZED (SELECT query_id, cand_id, sim, 0.0 AS redundancy, 1 AS step FROM (
        |    SELECT *, row_number() OVER (PARTITION BY query_id
        |      ORDER BY sim DESC, cand_id) AS rn FROM cands) t WHERE rn = 1),
        |$steps
