@@ -800,16 +800,23 @@ object EventsStream {
     * the object-doc restart contract. Empty dir = run-scoped monitor. */
   private final class MonitorHarness[S <: AnyRef](events: DataFrame,
                                                   checkpointDir: String,
+                                                  fingerprint: String,
                                                   zero: => S) {
+    /** Per-stream lock: each monitor's merge+persist section synchronizes
+      * on ITS OWN harness, so concurrently running monitors in one
+      * process never serialize each other's persist I/O on a slow FS
+      * (a bare `synchronized` here would lock the shared EventsStream
+      * singleton across all of them). */
+    val lock = new Object
     private val durable = checkpointDir.nonEmpty
     private val hc = events.sparkSession.sparkContext.hadoopConfiguration
     private val loaded: Option[(Long, S)] =
-      if (durable) MonitorState.load[S](checkpointDir, hc) else None
+      if (durable) MonitorState.load[S](checkpointDir, hc, fingerprint) else None
     var state: S = loaded.map(_._2).getOrElse(zero)
     var lastId: Long = loaded.map(_._1).getOrElse(-1L)
     /** Persist after merge, before the batch commits (see MonitorState). */
     def persist(id: Long, s: S): Unit =
-      if (durable) MonitorState.save(checkpointDir, hc, id, s)
+      if (durable) MonitorState.save(checkpointDir, hc, id, s, fingerprint)
     def writer: org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
       val w = events.writeStream.outputMode("append")
       if (durable) w.option("checkpointLocation", checkpointDir) else w
@@ -837,14 +844,15 @@ object EventsStream {
                          onBatch: (Long, Seq[HeavyHitter]) => Unit,
                          checkpointDir: String = ""): org.apache.spark.sql.streaming.StreamingQuery = {
     val agg = new graft.functions.SpaceSaving(capacity)
-    val h = new MonitorHarness[Map[Long, (Long, Long)]](events, checkpointDir, agg.zero)
+    val h = new MonitorHarness[Map[Long, (Long, Long)]](events, checkpointDir,
+      s"spacesaving:capacity=$capacity", agg.zero)
     h.writer
       .foreachBatch { (df: DataFrame, id: Long) =>
         val spark = df.sparkSession
         import spark.implicits._
         val batch = df.select(col(keyCol).cast("long").as("k")).as[Long]
           .select(agg.toColumn).head()
-        synchronized {
+        h.lock.synchronized {
           if (id > h.lastId) { // at-least-once guard: never double-merge a retried batch
             h.state = agg.merge(h.state,
               batch.map { case (k, c, e) => k -> (c, e) }.toMap)
@@ -876,12 +884,12 @@ object EventsStream {
     // rho per register; 0 = untouched. register-max merge is
     // retry-idempotent, but the guard keeps the family contract
     // (object scaladoc) uniform
-    val h = new MonitorHarness[Array[Int]](events, checkpointDir, new Array[Int](m))
+    val h = new MonitorHarness[Array[Int]](events, checkpointDir, s"hll:m=$m", new Array[Int](m))
     h.writer
       .foreachBatch { (df: DataFrame, id: Long) =>
         val hits = graft.functions.Sketches.hllHits(df, col(keyCol), m)
           .collect() // ≤ m rows by construction
-        synchronized {
+        h.lock.synchronized {
           if (id > h.lastId) {
             hits.foreach { r =>
               val reg = r.getLong(0).toInt
@@ -915,7 +923,8 @@ object EventsStream {
   def cmsStream(events: DataFrame, keyCol: String, probes: Seq[Long], width: Int,
                 onBatch: (Long, Map[Long, Long]) => Unit,
                 checkpointDir: String = ""): org.apache.spark.sql.streaming.StreamingQuery = {
-    val h = new MonitorHarness[Map[(Int, Long), Long]](events, checkpointDir, Map.empty)
+    val h = new MonitorHarness[Map[(Int, Long), Long]](events, checkpointDir,
+      s"cms:width=$width", Map.empty)
     h.writer
       .foreachBatch { (df: DataFrame, id: Long) =>
         val spark = df.sparkSession
@@ -923,7 +932,7 @@ object EventsStream {
         val cells = graft.functions.Sketches
           .cmsCells(df.select(col(keyCol).cast("long").as("k")), col("k"), width)
           .collect() // ≤ depth·width rows by construction
-        synchronized {
+        h.lock.synchronized {
           if (id > h.lastId) { // at-least-once guard: CMS cells are additive, a retry would double-add
             h.state = cells.foldLeft(h.state) { (m, r) =>
               val cell = (r.getInt(0), r.getLong(1))
@@ -962,14 +971,15 @@ object EventsStream {
                         checkpointDir: String = ""): org.apache.spark.sql.streaming.StreamingQuery = {
     val agg = new graft.functions.KllBufferAgg(k)
     val sketch = new graft.functions.KllSketch(k)
-    val h = new MonitorHarness[graft.functions.KllBuffer](events, checkpointDir, sketch.zero)
+    val h = new MonitorHarness[graft.functions.KllBuffer](events, checkpointDir,
+      s"kll:k=$k", sketch.zero)
     h.writer
       .foreachBatch { (df: DataFrame, id: Long) =>
         val spark = df.sparkSession
         import spark.implicits._
         val batch = df.select(col(valueCol).cast("double").as("v")).as[Double]
           .select(agg.toColumn).head() // one O(k·log) compactor hierarchy
-        synchronized {
+        h.lock.synchronized {
           if (id > h.lastId) { // at-least-once guard: KLL weights are additive, a retry would double-add
             h.state = sketch.merge(h.state, batch)
             h.lastId = id
@@ -996,7 +1006,8 @@ object EventsStream {
                            onBatch: (Long, Seq[(Long, Double)]) => Unit,
                            checkpointDir: String = ""): org.apache.spark.sql.streaming.StreamingQuery = {
     val agg = new graft.functions.TopKAggregate(k)
-    val h = new MonitorHarness[Seq[(Double, Long)]](events, checkpointDir, agg.zero)
+    val h = new MonitorHarness[Seq[(Double, Long)]](events, checkpointDir,
+      s"ares:k=$k", agg.zero)
     h.writer
       .foreachBatch { (df: DataFrame, id: Long) =>
         val spark = df.sparkSession
@@ -1009,7 +1020,7 @@ object EventsStream {
           .select(pow(col("u"), lit(1.0) / col("w")).as("p"), col("id"))
           .as[(Double, Long)]
           .select(agg.toColumn).head()
-        synchronized {
+        h.lock.synchronized {
           if (id > h.lastId) { // at-least-once guard, uniform with the sketch streams
             h.state = agg.merge(h.state, batchTop)
             h.lastId = id
@@ -1072,7 +1083,7 @@ object EventsStream {
                       checkpointDir: String = ""): org.apache.spark.sql.streaming.StreamingQuery = {
     require(fit.qhat > 0, s"degenerate conformal width: $fit")
     val h = new MonitorHarness[Map[(java.sql.Timestamp, Long), Long]](
-      events, checkpointDir, Map.empty)
+      events, checkpointDir, "conformal:day-cents", Map.empty)
     h.writer
       .foreachBatch { (df: DataFrame, id: Long) =>
         val batchDays = df
@@ -1081,7 +1092,7 @@ object EventsStream {
               lit("1992-01-01").cast("date")).cast("long").as("d"))
           .agg(sum((col("value").cast("decimal(24,2)") * 100).cast("bigint")).as("v"))
           .collect().map(r => ((r.getTimestamp(0), r.getLong(1)), r.getLong(2)))
-        synchronized {
+        h.lock.synchronized {
           if (id > h.lastId) { // at-least-once guard: day-cent sums are additive, a retry would double-add
             h.state = batchDays.foldLeft(h.state) { case (m, (k, v)) =>
               m.updated(k, m.getOrElse(k, 0L) + v)
@@ -1108,14 +1119,15 @@ object EventsStream {
     val mu = limits.s1 / limits.n.toDouble
     val sd = math.sqrt((limits.s2 - limits.s1 * limits.s1 / limits.n.toDouble) /
       (limits.n.toDouble - 1.0))
-    val h = new MonitorHarness[Map[java.sql.Timestamp, Long]](events, checkpointDir, Map.empty)
+    val h = new MonitorHarness[Map[java.sql.Timestamp, Long]](events, checkpointDir,
+      "spc:day-cents", Map.empty)
     h.writer
       .foreachBatch { (df: DataFrame, id: Long) =>
         val batchDays = df
           .groupBy(date_trunc("day", col("ts")).as("day"))
           .agg(sum((col("value").cast("decimal(24,2)") * 100).cast("bigint")).as("v"))
           .collect().map(r => (r.getTimestamp(0), r.getLong(1)))
-        synchronized {
+        h.lock.synchronized {
           if (id > h.lastId) { // at-least-once guard: day-cent sums are additive, a retry would double-add
             h.state = batchDays.foldLeft(h.state) { case (m, (d, v)) =>
               m.updated(d, m.getOrElse(d, 0L) + v)

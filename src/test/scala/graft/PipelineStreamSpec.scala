@@ -76,4 +76,93 @@ class PipelineStreamSpec extends SparkSpec {
     val landed = graft.etl.Snapshots.read(spark, table)
     assert(landed.groupBy("text_h").count().filter(org.apache.spark.sql.functions.col("count") > 1).count() == 0)
   }
+
+  // ---- out-of-order arrival under the horizon contract (r16 verdict #1) ----
+
+  private def corpus: Seq[(Long, String)] =
+    Tables.documents(spark, sfDir).select("doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+
+  /** Worst observed displacement of a feed order: max over rows of
+    * (id high-water mark at arrival − the row's id) — the exact bound
+    * the horizon contract is stated in. */
+  private def maxDisplacement(feed: Seq[(Long, String)]): Long = {
+    var hwm = Long.MinValue; var d = 0L
+    feed.foreach { case (id, _) =>
+      hwm = math.max(hwm, id); d = math.max(d, hwm - id)
+    }
+    d
+  }
+
+  private def runShuffled(feedSlices: Seq[Seq[(Long, String)]], horizon: Long,
+                          killAfterSlice: Option[Int]): Seq[(Int, Long, Long, Long, String)] = {
+    val (src, ckpt, table) = (tmp("pshuf_src"), tmp("pshuf_ckpt"), tmp("pshuf_tbl") + "/t")
+    def feed(s: Seq[(Long, String)]): Unit =
+      s.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(src)
+    def start() = graft.streaming.PipelineStream.curationStream(
+      spark.readStream.schema("doc_id LONG, text STRING").parquet(src), table, ckpt,
+      horizon = horizon)
+    var q = start()
+    feedSlices.zipWithIndex.foreach { case (s, i) =>
+      feed(s); q.processAllAvailable()
+      if (killAfterSlice.contains(i)) {
+        // kill: stop + delete the commit marker, forcing a full replay of
+        // the batch against the already-committed main AND carry tables
+        q.stop()
+        val commits = new java.io.File(s"$ckpt/commits")
+        val lastCommit = commits.listFiles().filter(_.getName.forall(_.isDigit))
+          .maxBy(_.getName.toLong)
+        val crc = new java.io.File(commits, s".${lastCommit.getName}.crc")
+        assert(lastCommit.delete()); if (crc.exists()) crc.delete()
+        q = start()
+      }
+    }
+    q.processAllAvailable(); q.stop()
+    graft.streaming.PipelineStream.flushPending(spark, table)
+    manifestRows(graft.streaming.PipelineStream.manifest(spark, table))
+  }
+
+  test("near-ordered (block-shuffled) feed within the horizon: final manifest equals the batch DAG, through a mid-stream kill") {
+    val rows = corpus
+    // permute within blocks of 40 — a near-ordered ingest with bounded
+    // displacement, the shape a real id-monotone feed actually has
+    val shuffled = rows.grouped(40)
+      .flatMap(b => b.sortBy { case (id, _) => (id * 2654435761L) % 104729 }).toSeq
+    assert(shuffled != rows, "the shuffle must actually reorder")
+    val horizon = maxDisplacement(shuffled)
+    assert(horizon > 0)
+    val slices = Seq(shuffled.take(7), shuffled.slice(7, shuffled.size / 3),
+      shuffled.drop(shuffled.size / 3))
+    val got = runShuffled(slices, horizon, killAfterSlice = Some(1))
+    assert(got == batchManifest(rows), "shuffled stream != batch DAG")
+    assert(got == manifestRows(SparkEntry.queries("pipeline_run")(spark, sfDir)),
+      "shuffled stream != the registered batch pipeline_run")
+  }
+
+  test("fully-shuffled feed with an adequate horizon: the reorder buffer + terminal flush reproduce the batch pack") {
+    val rows = corpus
+    val shuffled = rows.sortBy { case (id, _) => (id * 40503L + 17) % 65521 }
+    val horizon = maxDisplacement(shuffled)
+    val third = shuffled.size / 3
+    val got = runShuffled(
+      Seq(shuffled.take(third), shuffled.slice(third, 2 * third), shuffled.drop(2 * third)),
+      horizon, killAfterSlice = None)
+    assert(got == batchManifest(rows), "fully-shuffled stream != batch DAG")
+  }
+
+  test("changing the horizon against an existing carry table fails loud") {
+    val rows = corpus.take(60)
+    val (src, ckpt, table) = (tmp("pfp_src"), tmp("pfp_ckpt"), tmp("pfp_tbl") + "/t")
+    rows.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(src)
+    val q = graft.streaming.PipelineStream.curationStream(
+      spark.readStream.schema("doc_id LONG, text STRING").parquet(src), table, ckpt,
+      horizon = 16L)
+    q.processAllAvailable(); q.stop()
+    val e = intercept[IllegalStateException] {
+      graft.streaming.PipelineStream.curateBatch(
+        rows.toDF("doc_id", "text"), table, batchId = 1L, horizon = 8L)
+    }
+    assert(e.getMessage.contains("horizon=16") && e.getMessage.contains("horizon=8"))
+  }
 }

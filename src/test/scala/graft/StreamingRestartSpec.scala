@@ -206,6 +206,85 @@ class StreamingRestartSpec extends SparkSpec {
     assert(restarted.size == 12) // a zeroed restart would cover only B's days
   }
 
+  // ---- MonitorState envelope contract (version / fingerprint / torn file) ----
+
+  private def hc = spark.sparkContext.hadoopConfiguration
+
+  test("MonitorState: a stale-version state file fails loud with the named remediation") {
+    import graft.streaming.MonitorState
+    val ckpt = tmp("ms_ver")
+    // craft a file with the right magic but a future version
+    val dir = new java.io.File(ckpt, "graft-monitor-state"); dir.mkdirs()
+    val f = new java.io.File(dir, f"state-${3L}%020d")
+    val raw = new java.io.FileOutputStream(f)
+    val env = new java.io.DataOutputStream(raw)
+    env.writeInt(0x474d5301); env.writeInt(MonitorState.Version + 1); env.writeUTF("")
+    val out = new java.io.ObjectOutputStream(raw)
+    out.writeObject(Map(1L -> 2L)); out.close()
+    val e = intercept[IllegalStateException] {
+      MonitorState.load[Map[Long, Long]](ckpt, hc)
+    }
+    assert(e.getMessage.contains(s"state version ${MonitorState.Version + 1}"))
+    assert(e.getMessage.contains("FRESH checkpoint dir"), e.getMessage)
+  }
+
+  test("MonitorState: a pre-envelope (r16-format) state file fails loud, not with a bare stream error") {
+    import graft.streaming.MonitorState
+    val ckpt = tmp("ms_preenv")
+    val dir = new java.io.File(ckpt, "graft-monitor-state"); dir.mkdirs()
+    val f = new java.io.File(dir, f"state-${1L}%020d")
+    val out = new java.io.ObjectOutputStream(new java.io.FileOutputStream(f))
+    out.writeObject(Map(1L -> 2L)); out.close() // the old layout: object first
+    val e = intercept[IllegalStateException] {
+      MonitorState.load[Map[Long, Long]](ckpt, hc)
+    }
+    assert(e.getMessage.contains("pre-envelope"), e.getMessage)
+  }
+
+  test("MonitorState: a parameter-fingerprint mismatch refuses to reload (changed sketch params, same dir)") {
+    import graft.streaming.MonitorState
+    val ckpt = tmp("ms_fp")
+    MonitorState.save(ckpt, hc, 1L, Map(7L -> 9L), fingerprint = "hll:m=64")
+    assert(MonitorState.load[Map[Long, Long]](ckpt, hc, "hll:m=64").contains(1L -> Map(7L -> 9L)))
+    val e = intercept[IllegalStateException] {
+      MonitorState.load[Map[Long, Long]](ckpt, hc, "hll:m=128")
+    }
+    assert(e.getMessage.contains("hll:m=64") && e.getMessage.contains("hll:m=128"))
+  }
+
+  test("MonitorState: a torn newest file is deleted and the previous version recovered") {
+    import graft.streaming.MonitorState
+    val ckpt = tmp("ms_torn")
+    MonitorState.save(ckpt, hc, 1L, Map(1L -> 10L))
+    MonitorState.save(ckpt, hc, 2L, Map(1L -> 10L, 2L -> 20L))
+    // tear the newest file the way a non-atomic object-store rename does:
+    // truncate it mid-stream
+    val dir = new java.io.File(ckpt, "graft-monitor-state")
+    val newest = new java.io.File(dir, f"state-${2L}%020d")
+    val bytes = java.nio.file.Files.readAllBytes(newest.toPath)
+    java.nio.file.Files.write(newest.toPath, bytes.take(bytes.length / 2))
+    val crc = new java.io.File(dir, f".state-${2L}%020d.crc")
+    if (crc.exists()) crc.delete() // local FS checksum shadow
+    val got = MonitorState.load[Map[Long, Long]](ckpt, hc)
+    assert(got.contains(1L -> Map(1L -> 10L)), s"fallback failed: $got")
+    assert(!newest.exists(), "the torn file should have been dropped")
+  }
+
+  test("restarting a monitor with changed parameters against the same checkpoint fails loud (no silent wrong estimates)") {
+    val (src, ckpt) = (tmp("fp_src"), tmp("fp_ckpt"))
+    writeLongs(src, partA)
+    val got = collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val q1 = EventsStream.hllDistinctStream(longStream(src), "k", 64,
+      (id, est) => got.synchronized { got += id -> est }, ckpt)
+    q1.processAllAvailable(); q1.stop()
+    // same checkpoint dir, different m: deserializing 64 registers into a
+    // 128-register monitor must refuse, not ArrayIndexOutOfBounds later
+    val e = intercept[IllegalStateException] {
+      EventsStream.hllDistinctStream(longStream(src), "k", 128, (_, _) => (), ckpt)
+    }
+    assert(e.getMessage.contains("hll:m=64") && e.getMessage.contains("hll:m=128"))
+  }
+
   test("spcStream: restart resumes the day-sum accumulator under fixed limits") {
     import EventsStream.{SpcDay, SpcLimits}
     val limits = SpcLimits(n = 20, s1 = 20000.0, s2 = 2.1e7,
