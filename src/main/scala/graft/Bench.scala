@@ -1,9 +1,60 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** Host/JVM fingerprint snapshot (r16 verdict #2): the one number
+    * that moved the wrong way in r16 (+4.2% driver vs −8% dev, under
+    * machine-verified zero plan drift) was unattributable because the
+    * artifact carried nothing about the machine state. Snapshot
+    * load/steal/GC before and after the run so a code-vs-environment
+    * delta question answers itself from the artifact. */
+  final case class EnvSnap(load1: Double, stealTicks: Long, totalTicks: Long,
+                           gcMs: Long)
+  private def procFile(path: String): Seq[String] =
+    try {
+      val src = scala.io.Source.fromFile(path)
+      try src.getLines().toList finally src.close()
+    } catch { case _: Throwable => Nil }
+  def envSnap(): EnvSnap = {
+    val load1 = procFile("/proc/loadavg").headOption
+      .flatMap(_.split("\\s+").headOption).flatMap(_.toDoubleOption).getOrElse(-1.0)
+    // /proc/stat first line: cpu user nice system idle iowait irq softirq steal ...
+    val cpu = procFile("/proc/stat").headOption.map(_.split("\\s+").drop(1)
+      .flatMap(_.toLongOption)).getOrElse(Array.empty[Long])
+    val steal = if (cpu.length > 7) cpu(7) else -1L
+    val total = if (cpu.nonEmpty) cpu.sum else -1L
+    val gc = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).sum
+    }
+    EnvSnap(load1, steal, total, gc)
+  }
+  /** Compact env block for the driver-facing line: cpu model + current
+    * MHz, logical processors, 1-min load before/after, steal share of
+    * the run's cpu ticks, total JVM GC seconds, and what main this JVM
+    * was launched as (an in-process sbt shares the heap/JIT with the
+    * bench; a forked java does not). */
+  def envField(pre: EnvSnap, post: EnvSnap): String = {
+    val info = procFile("/proc/cpuinfo")
+    val model = info.find(_.startsWith("model name")).map(_.split(":").last.trim)
+      .getOrElse("unknown").replaceAll("\"", "").take(40)
+    val mhz = info.find(_.startsWith("cpu MHz")).map(_.split(":").last.trim)
+      .flatMap(_.toDoubleOption).getOrElse(-1.0)
+    val stealPct =
+      if (pre.stealTicks < 0 || post.totalTicks <= pre.totalTicks) -1.0
+      else 100.0 * (post.stealTicks - pre.stealTicks) / (post.totalTicks - pre.totalTicks).toDouble
+    val cmd = sys.props.getOrElse("sun.java.command", "?").split("\\s+").head
+    val heapGb = Runtime.getRuntime.maxMemory / (1 << 30)
+    s""""env":{"cpu":"$model","mhz":${ms(mhz)},"procs":${Runtime.getRuntime.availableProcessors},""" +
+      s""""load1":[${ms(pre.load1)},${ms(post.load1)}],"steal_pct":${ms(stealPct)},""" +
+      s""""gc_s":${ms((post.gcMs - pre.gcMs) / 1000.0)},"heap_gb":$heapGb,"main":"$cmd"}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val envPre = envSnap()
     // the engine's real posture (AQE + coalescing + skew handling +
     // graft extensions) — benching a stripped-down session measured a
     // configuration no user would run
@@ -169,11 +220,12 @@ object Bench {
     }.mkString("{", ",", "}")
     val allErrs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val gen = generationTag(sfDir)
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","protocol":"$protocol","testdata_generation":"$gen","queries":$qs,"errors":$allErrs,"sf":"$sfDir"}""")
+    val env = envField(envPre, envSnap())
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","protocol":"$protocol","testdata_generation":"$gen",$env,"queries":$qs,"errors":$allErrs,"sf":"$sfDir"}""")
     println(boundedLine(total, results.toSeq.map { case (k, (v, _)) => (k, v) },
       failed.toSeq, sfDir, gen,
       spreads = results.values.map(_._2).toSeq, protocol = protocol,
-      worstSpread = worst))
+      worstSpread = worst, envField = env))
     spark.stop()
   }
 
@@ -214,7 +266,8 @@ object Bench {
                   failed: Seq[String], sfDir: String,
                   generation: String = "",
                   spreads: Seq[Double] = Nil, protocol: String = "",
-                  worstSpread: Option[(String, Seq[Double], Seq[Long])] = None): String = {
+                  worstSpread: Option[(String, Seq[Double], Seq[Long])] = None,
+                  envField: String = ""): String = {
     // aggregate dispersion of the median-of-N protocol: max and mean
     // per-query spread, how many queries moved more than the 0.3 s
     // noise band, AND the argmax-spread query with its raw attempt
@@ -242,7 +295,8 @@ object Bench {
     val errField = errKept.map("\"" + _ + "\"").mkString("[", ",", "]") +
       (if (errsOmitted > 0) s""","errors_omitted":$errsOmitted""" else "")
     val genField = if (generation.isEmpty) "" else s""""testdata_generation":"$generation","""
-    val head = s"""{"metric":"total","value":${ms(total)},"unit":"sec",$genField$dispField"n_queries":${results.size},"errors":$errField,"sf":"$sfDir","queries":{"""
+    val envF = if (envField.isEmpty) "" else envField + ","
+    val head = s"""{"metric":"total","value":${ms(total)},"unit":"sec",$genField$envF$dispField"n_queries":${results.size},"errors":$errField,"sf":"$sfDir","queries":{"""
     val sorted = results.sortBy { case (_, t) => -t }
     val entries = sorted.map { case (k, v) => "\"" + k + "\":" + ms(v) }
     // exact-width packing: the candidate line for `k` kept entries uses

@@ -55,9 +55,11 @@ object Verify {
     // measured-vs-bound envelopes for the two no-oracle sketch keys
     // (r15 verdict #7): the correctness artifact carries a recorded
     // bound-satisfaction line for them each round, not just `no_oracle`
-    if (only.forall(o => o("an_approx_stats") || o("an_tdigest")))
+    val envKeys = Set("an_approx_stats", "an_tdigest")
+      .filter(k => only.forall(_.contains(k)))
+    if (envKeys.nonEmpty)
       try Files.writeString(Paths.get(s"$outDir/sketch_error_envelopes.json"),
-        ErrorEnvelopes.report(spark, sfDir))
+        ErrorEnvelopes.report(spark, sfDir, envKeys))
       catch { case e: Throwable =>
         System.err.println(s"[verify] envelope report failed: ${e.getMessage}")
       }

@@ -364,21 +364,21 @@ private[graft] trait SparkEntrySim { this: SparkEntry.type =>
     // one Lloyd iteration: cPrev -> cNext (carrying empty cells)
     def iterSql(i: Int): String = {
       val p = s"c${i - 1}"
-      s"""comp$i AS (SELECT cell_id, t.range AS j, c[CAST(t.range AS INT) + 1] AS cj
+      s"""comp$i AS MATERIALIZED (SELECT cell_id, t.range AS j, c[CAST(t.range AS INT) + 1] AS cj
          |         FROM $p, range(0, 64) t),
-         |asg$i AS (SELECT vec_id, cell_id FROM (
+         |asg$i AS MATERIALIZED (SELECT vec_id, cell_id FROM (
          |           SELECT vq.vec_id, comp$i.cell_id,
          |                  ROW_NUMBER() OVER (PARTITION BY vq.vec_id
          |                    ORDER BY CAST(SUM(comp$i.cj * vq.q[CAST(comp$i.j AS INT) + 1]) AS BIGINT) DESC,
          |                             comp$i.cell_id) AS rn
          |           FROM vq CROSS JOIN comp$i GROUP BY 1, 2) t WHERE rn = 1),
-         |m$i AS (SELECT a.cell_id, t.range AS j,
+         |m$i AS MATERIALIZED (SELECT a.cell_id, t.range AS j,
          |               CAST(SUM(vq.q[CAST(t.range AS INT) + 1]) AS BIGINT) // COUNT(*) AS m
          |        FROM asg$i a JOIN vq USING (vec_id), range(0, 64) t
          |        GROUP BY 1, 2),
-         |mn$i AS (SELECT cell_id, sqrt(CAST(CAST(SUM(m * m) AS BIGINT) AS DOUBLE)) AS nrm
+         |mn$i AS MATERIALIZED (SELECT cell_id, sqrt(CAST(CAST(SUM(m * m) AS BIGINT) AS DOUBLE)) AS nrm
          |         FROM m$i GROUP BY 1),
-         |c$i AS (SELECT m.cell_id,
+         |c$i AS MATERIALIZED (SELECT m.cell_id,
          |               list(CAST(FLOOR(CAST(m.m AS DOUBLE) * 1000000.0 / mn.nrm) AS BIGINT)
          |                    ORDER BY m.j) AS c
          |        FROM m$i m JOIN mn$i mn USING (cell_id)
@@ -387,54 +387,54 @@ private[graft] trait SparkEntrySim { this: SparkEntry.type =>
          |        SELECT p.cell_id, p.c FROM $p p
          |        WHERE p.cell_id NOT IN (SELECT cell_id FROM mn$i WHERE nrm > 0))""".stripMargin
     }
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-       |vq AS (SELECT vec_id, list_transform(v, x -> CAST(round(x * 1000000.0) AS BIGINT)) AS q
+    s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |vq AS MATERIALIZED (SELECT vec_id, list_transform(v, x -> CAST(round(x * 1000000.0) AS BIGINT)) AS q
        |       FROM e),
-       |c0r AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cell_id, q
+       |c0r AS MATERIALIZED (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cell_id, q
        |        FROM (SELECT vec_id, q FROM vq ORDER BY vec_id LIMIT 16) t0),
-       |c0n AS (SELECT cell_id, sqrt(CAST(CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS DOUBLE)) AS nrm
+       |c0n AS MATERIALIZED (SELECT cell_id, sqrt(CAST(CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS DOUBLE)) AS nrm
        |        FROM c0r),
-       |c0 AS (SELECT r.cell_id,
+       |c0 AS MATERIALIZED (SELECT r.cell_id,
        |              CASE WHEN n.nrm > 0
        |                   THEN list_transform(r.q, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0 / n.nrm) AS BIGINT))
        |                   ELSE r.q END AS c
        |       FROM c0r r JOIN c0n n USING (cell_id)),
        |${(1 to 3).map(iterSql).mkString(",\n")},
-       |cent AS (SELECT cell_id, c FROM c3),
-       |cn AS (SELECT cell_id,
+       |cent AS MATERIALIZED (SELECT cell_id, c FROM c3),
+       |cn AS MATERIALIZED (SELECT cell_id,
        |              sqrt(CAST(CAST(list_sum(list_transform(c, x -> x * x)) AS BIGINT) AS DOUBLE)) AS nrm
        |       FROM cent),
-       |comp AS (SELECT cell_id, t.range AS j, c[CAST(t.range AS INT) + 1] AS cj
+       |comp AS MATERIALIZED (SELECT cell_id, t.range AS j, c[CAST(t.range AS INT) + 1] AS cj
        |         FROM cent, range(0, 64) t),
-       |dots AS (SELECT vq.vec_id, comp.cell_id,
+       |dots AS MATERIALIZED (SELECT vq.vec_id, comp.cell_id,
        |                CAST(SUM(comp.cj * vq.q[CAST(comp.j AS INT) + 1]) AS BIGINT) AS dt
        |         FROM vq CROSS JOIN comp GROUP BY 1, 2),
-       |ranked AS (SELECT d.vec_id, d.cell_id,
+       |ranked AS MATERIALIZED (SELECT d.vec_id, d.cell_id,
        |                  ROW_NUMBER() OVER (PARTITION BY d.vec_id
        |                    ORDER BY CAST(d.dt AS DOUBLE) / cn.nrm DESC, d.cell_id) AS rn
        |           FROM dots d JOIN cn USING (cell_id)),
-       |assign AS (SELECT vec_id AS neighbor_id, cell_id FROM ranked WHERE rn = 1),
-       |probes AS (SELECT vec_id AS query_id, cell_id FROM ranked
+       |assign AS MATERIALIZED (SELECT vec_id AS neighbor_id, cell_id FROM ranked WHERE rn = 1),
+       |probes AS MATERIALIZED (SELECT vec_id AS query_id, cell_id FROM ranked
        |           WHERE rn <= 4 AND vec_id % 50 = 0),
-       |pairs AS (SELECT DISTINCT p.query_id, a.neighbor_id
+       |pairs AS MATERIALIZED (SELECT DISTINCT p.query_id, a.neighbor_id
        |          FROM probes p JOIN assign a USING (cell_id)
        |          WHERE a.neighbor_id <> p.query_id),
-       |scored AS (SELECT p.query_id, p.neighbor_id,
+       |scored AS MATERIALIZED (SELECT p.query_id, p.neighbor_id,
        |                  ROUND(list_cosine_similarity(eq.v, en.v), 6) AS sim
        |           FROM pairs p JOIN e eq ON eq.vec_id = p.query_id
        |                        JOIN e en ON en.vec_id = p.neighbor_id),
-       |topk AS (SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, sim FROM (
+       |topk AS MATERIALIZED (SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, sim FROM (
        |           SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
        |               ORDER BY sim DESC, neighbor_id) AS rank
        |           FROM scored) t WHERE rank <= 5),
-       |exact AS (SELECT query_id, neighbor_id FROM (
+       |exact AS MATERIALIZED (SELECT query_id, neighbor_id FROM (
        |            SELECT q.vec_id AS query_id, e2.vec_id AS neighbor_id,
        |                   ROW_NUMBER() OVER (PARTITION BY q.vec_id
        |                     ORDER BY ROUND(list_cosine_similarity(q.v, e2.v), 6) DESC,
        |                              e2.vec_id) AS r
        |            FROM e q JOIN e e2 ON e2.vec_id <> q.vec_id
        |            WHERE q.vec_id % 50 = 0) tx WHERE r <= 5),
-       |rec AS (SELECT t.query_id, COUNT(*) / 5.0 AS recall_at_k
+       |rec AS MATERIALIZED (SELECT t.query_id, COUNT(*) / 5.0 AS recall_at_k
        |        FROM topk t JOIN exact x
        |          ON x.query_id = t.query_id AND x.neighbor_id = t.neighbor_id
        |        GROUP BY 1)
