@@ -77,6 +77,8 @@ ORACLE_ALLOW = {
     # re-certification vehicle for this class (an_anova was the instance
     # that crossed the line and got a ROUND contract in r16).
     "an_autocorr": {"unrounded-double-sum": "lag products of demeaned cents; sf1 green"},
+    "an_breslow_day": {"unrounded-double-sum": "per-stratum (a-at)^2/Var terms feed the scale-free BD/Tarone chi2 ROUND 6; sf10 green (r17)"},
+    "an_james_stein": {"unrounded-double-sum": "within-SS and 1/n_g terms feed the scale-free shrinkage ratio c ROUND 6; sf10 green (r17)"},
     "an_corr_matrix": {"unrounded-double-sum": "power sums feed a ratio downstream; sf1 green"},
     "an_durbin_watson": {"unrounded-double-sum": "residual diffs; sf1 green"},
     "an_geometric_mean": {"unrounded-double-sum": "log sums, slow-growing; sf1 green"},

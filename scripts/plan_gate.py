@@ -46,6 +46,7 @@ LINE = re.compile(r"^(\w+)\s+(exch=.*)$")
 # (10× data → >3× frame without saturation at the next step).
 GWIN_ALLOW = {
     "an_autocorr": 2, "an_bh_fdr": 2, "an_bollinger": 3, "an_by_fdr": 2,
+    "an_kpss": 1, "an_sprt": 2,
     "an_changepoint": 2, "an_conformal": 1, "an_cvm": 1, "an_decile_lift": 1,
     "an_durbin_watson": 1, "an_ewma": 1,
     "an_forecast_naive": 1, "an_greenwood": 3, "an_hurst": 6,
@@ -92,6 +93,9 @@ EXCH_ALLOW = {
     "an_cramers_v": (12, 0, "contingency cells + marginals: key-domain-sized"),
     "an_dunn": (11, 0, "ten pairwise z's off the k-sized group frame, one corpus scan"),
     "an_entropy_rate": (12, 4, "state-transition matrix: key-domain-sized"),
+    "an_fisher_exact": (28, 12, "five consumers of the ONE persisted ln-factorial scan (support slice + 3 lookup joins + margin constants); the string count includes the cached subtree's lineage repeated per InMemoryRelation reference, the scan itself runs once"),
+    "an_james_stein": (11, 2, "k-sized group-moment frames + 1-row shrinkage broadcast, one corpus scan"),
+    "an_kpss": (26, 2, "calendar-bounded day-spine frames only (~2.5k rows at any SF): the persisted ranked-deviation frame feeds the partial-sum scan and both lag-join sides; string count repeats the cached lineage"),
     "an_friedman": (11, 0, "months x priorities rank frame, 12x5 at any SF"),
     "an_growth_accounting": (12, 0, "calendar-bounded month cohort frames"),
     "an_hhi": (12, 4, "per-segment share frames, k-sized"),

@@ -764,7 +764,13 @@ object SparkEntry extends SparkEntryAn1
     "an_by_fdr" -> (anByFdr _),
     "an_conformal" -> (anConformal _),
     "an_mmd" -> (anMmd _),
-    "an_ansari_bradley" -> (anAnsariBradley _)
+    "an_ansari_bradley" -> (anAnsariBradley _),
+    "an_breslow_day" -> (anBreslowDay _),
+    "an_fisher_exact" -> (anFisherExact _),
+    "an_sprt" -> (anSprt _),
+    "an_kpss" -> (anKpss _),
+    "an_chow_test" -> (anChowTest _),
+    "an_james_stein" -> (anJamesStein _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1189,6 +1195,12 @@ object SparkEntry extends SparkEntryAn1
     "an_by_fdr" -> anByFdrSql,
     "an_conformal" -> anConformalSql,
     "an_mmd" -> anMmdSql,
-    "an_ansari_bradley" -> anAnsariBradleySql
+    "an_ansari_bradley" -> anAnsariBradleySql,
+    "an_breslow_day" -> anBreslowDaySql,
+    "an_fisher_exact" -> anFisherExactSql,
+    "an_sprt" -> anSprtSql,
+    "an_kpss" -> anKpssSql,
+    "an_chow_test" -> anChowTestSql,
+    "an_james_stein" -> anJamesSteinSql
   )
 }

@@ -3613,4 +3613,166 @@ private[graft] trait SparkEntryAn1 { this: SparkEntry.type =>
       |           * (1.0 / CAST(a.n_g AS DOUBLE) + 1.0 / CAST(b.n_g AS DOUBLE))), 6) AS q_stat
       |FROM per a JOIN per b ON a.g < b.g CROSS JOIN w
       |ORDER BY g_a, g_b""".stripMargin
+
+  // SPRT hypotheses + Wald boundaries, shared literals on both engines
+  // (interpolated into the oracle as shortest-round-trip doubles, so the
+  // per-day LLR trees are bit-identical — no engine-local ln() of the
+  // SAME constant can differ): H0 p=0.15 vs H1 p=0.20, alpha=beta=0.05.
+  private[graft] val SprtL1 = math.log(0.20 / 0.15)
+  private[graft] val SprtL0 = math.log((1.0 - 0.20) / (1.0 - 0.15))
+  private[graft] val SprtBound = math.log(0.95 / 0.05)
+
+  /** Wald's sequential probability ratio test over the daily purchase
+    * conversion walk — the sequential A/B monitor that [[anAbtest]]'s
+    * fixed-horizon z cannot be (peeking inflates its alpha; the SPRT's
+    * boundaries ln((1−β)/α) hold under CONTINUOUS monitoring). Each
+    * day's cumulative LLR is evaluated in ONE IEEE expression from
+    * EXACT integer prefix counts (x·ln(p1/p0) + (n−x)·ln(q1/q0)) — no
+    * float accumulation, so the walk is bit-identical on both engines.
+    * The prefix counts run over the calendar-bounded event-day spine
+    * (~30 rows at any SF — the allowlisted gwin class); the decision
+    * is the first boundary crossing. ROUND 6 at emission. */
+  private[graft] def anSprt(s: SparkSession, dir: String): DataFrame = {
+    val perDay = Tables.events(s, dir)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_d"),
+        sum((col("event_type") === "purchase").cast("long")).as("x_d"))
+    val w = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val walk = perDay
+      .select(col("day"), sum("x_d").over(w).as("xc"), sum("n_d").over(w).as("nc"))
+      .select(col("day"), col("xc"), col("nc"),
+        (col("xc").cast("double") * lit(SprtL1) +
+          (col("nc") - col("xc")).cast("double") * lit(SprtL0)).as("llr"))
+    val crossed = walk
+      .filter(col("llr") >= lit(SprtBound) || col("llr") <= lit(-SprtBound))
+      .agg(min(struct(col("day"), col("llr"))).as("f"))
+      .select(col("f.day").as("cross_day"), col("f.llr").as("cross_llr"))
+    walk.agg(count(lit(1)).as("n_days"),
+        max(struct(col("day"), col("llr"), col("xc"), col("nc"))).as("f"))
+      .select(col("n_days"), col("f.nc").as("n_events"),
+        col("f.xc").as("x_purchases"), col("f.llr").as("llr_last"))
+      .crossJoin(broadcast(crossed))
+      .select(col("n_days"), col("n_events"), col("x_purchases"),
+        round(col("llr_last"), 6).as("llr_final"),
+        col("cross_day"),
+        when(col("cross_llr") >= lit(SprtBound), lit("accept_h1"))
+          .when(col("cross_llr") <= lit(-SprtBound), lit("accept_h0"))
+          .otherwise(lit("continue")).as("decision"))
+  }
+
+  private[graft] lazy val anSprtSql =
+    s"""WITH d AS (SELECT date_trunc('day', ts) AS day, COUNT(*) AS n_d,
+       |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS x_d
+       |  FROM events GROUP BY 1),
+       |w AS (SELECT day,
+       |    CAST(SUM(x_d) OVER (ORDER BY day) AS BIGINT) AS xc,
+       |    CAST(SUM(n_d) OVER (ORDER BY day) AS BIGINT) AS nc FROM d),
+       |k AS (SELECT day, xc, nc,
+       |    CAST(xc AS DOUBLE) * ($SprtL1) + CAST(nc - xc AS DOUBLE) * ($SprtL0) AS llr
+       |  FROM w),
+       |x AS (SELECT MIN(day) AS cross_day FROM k
+       |      WHERE llr >= ($SprtBound) OR llr <= -($SprtBound)),
+       |xx AS (SELECT x.cross_day, k.llr AS cross_llr
+       |       FROM x LEFT JOIN k ON k.day = x.cross_day),
+       |f AS (SELECT COUNT(*) AS n_days FROM k),
+       |l AS (SELECT nc AS n_events, xc AS x_purchases, llr AS llr_last
+       |      FROM k ORDER BY day DESC LIMIT 1)
+       |SELECT n_days, n_events, x_purchases, ROUND(llr_last, 6) AS llr_final,
+       |  cross_day,
+       |  CASE WHEN cross_llr >= ($SprtBound) THEN 'accept_h1'
+       |       WHEN cross_llr <= -($SprtBound) THEN 'accept_h0'
+       |       ELSE 'continue' END AS decision
+       |FROM f CROSS JOIN l CROSS JOIN xx""".stripMargin
+
+  /** KPSS level-stationarity test on the daily revenue series — the
+    * null-reversed companion to [[anMannKendall]]/[[anHurst]]: the
+    * null HERE is stationarity, so a small η is evidence the series
+    * is level-stable (the property an SF-growing fact stream must be
+    * tested FOR, not against). Fully exact construction: deviations
+    * scaled by n (E_t = n·y_t − Σy, never a float mean), partial sums
+    * and the Bartlett-weighted autocovariances as DECIMAL(38,0)
+    * integer algebra — η = ΣP²·(l+1)/(n·EX) with
+    * EX = (l+1)·G0 + 2·Σ_j (l+1−j)·G_j divides exact decimals once,
+    * at emission. The spine is calendar-bounded (~2.5k rows at any
+    * SF); lag pairs join on the dense rank, l = ⌊4(n/100)^¼⌋ lags
+    * (Schwert). Emits the scale-free η and the long-run/short-run
+    * variance ratio, ROUND 6. WIDTH CONTRACT: ΣP_t² at DECIMAL(38,0)
+    * holds through ~100× the sf10-probed daily-revenue level. */
+  private[graft] def anKpss(s: SparkSession, dir: String): DataFrame = {
+    val spine = dailyRevenueSpine(s, dir).select("day", "rev_c")
+    val tot = spine.agg(count(lit(1)).as("n"), sum("rev_c").as("sv"))
+    val wOrd = Window.orderBy("day")
+    val wCum = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // the ranked deviation frame feeds three consumers (the partial-sum
+    // scan and both sides of the lag join) — persist the ~2.5k-row spine
+    // once so the global rank window runs once, not three times
+    val e = graft.operators.PrefixSum.persistOwned(
+      spine.crossJoin(broadcast(tot))
+        .select(row_number().over(wOrd).cast("long").as("t"),
+          (col("rev_c") * col("n") - col("sv")).as("ne")))
+    val p = e.select(col("t"), col("ne"),
+      sum(col("ne").cast("decimal(38,0)")).over(wCum).as("pt"))
+    val g = p.agg(
+      sum((col("ne").cast("decimal(38,0)") * col("ne").cast("decimal(38,0)"))
+        .cast("decimal(38,0)")).as("g0"),
+      sum((col("pt") * col("pt")).cast("decimal(38,0)")).as("sp2"))
+    val lF = tot.select(col("n"),
+      floor(lit(4.0) * pow(col("n").cast("double") / 100.0, 0.25)).cast("long").as("l"))
+    val js = lF.filter(col("l") >= 1)
+      .select(col("l"), explode(sequence(lit(1L), col("l"))).as("j"))
+    val e2 = e.select(col("t").as("t2"), col("ne").as("ne2"))
+    val gj = e.crossJoin(broadcast(js))
+      .join(e2, col("t2") === col("t") - col("j"))
+      .groupBy(col("j"), col("l"))
+      .agg(sum((col("ne").cast("decimal(38,0)") * col("ne2").cast("decimal(38,0)"))
+        .cast("decimal(38,0)")).as("gjv"))
+    val ws = gj.agg(sum((col("gjv") * (col("l") - col("j") + 1).cast("decimal(38,0)"))
+      .cast("decimal(38,0)")).as("wsr"))
+    g.crossJoin(broadcast(ws)).crossJoin(broadcast(lF))
+      .select(col("n"), col("l").as("lag_l"),
+        ((col("l") + 1).cast("decimal(38,0)") * col("g0") +
+          coalesce(col("wsr"), lit(0).cast("decimal(38,0)")) * 2).as("exd"),
+        col("sp2"), col("g0"))
+      .select(col("n"), col("lag_l"),
+        round(col("sp2").cast("double") * (col("lag_l") + 1).cast("double") /
+          (col("n").cast("double") * col("exd").cast("double")), 6).as("kpss_eta"),
+        round(col("exd").cast("double") /
+          ((col("lag_l") + 1).cast("double") * col("g0").cast("double")), 6)
+          .as("lrv_ratio"))
+  }
+
+  private[graft] lazy val anKpssSql =
+    s"""WITH daily AS MATERIALIZED (SELECT date_trunc('day', l_shipdate) AS day,
+       |    CAST(ROUND(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,8))), 2) * 100 AS BIGINT) AS rev_c
+       |  FROM lineitem GROUP BY 1),
+       |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(rev_c) AS BIGINT) AS sv
+       |      FROM daily),
+       |e AS MATERIALIZED (SELECT row_number() OVER (ORDER BY day) AS tt,
+       |    rev_c * n - sv AS ne FROM daily CROSS JOIN t),
+       |p AS (SELECT tt, ne,
+       |    SUM(CAST(ne AS DECIMAL(38,0))) OVER (ORDER BY tt) AS pt FROM e),
+       |g AS (SELECT
+       |    CAST(SUM(CAST(CAST(ne AS DECIMAL(38,0)) * CAST(ne AS DECIMAL(38,0)) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS g0,
+       |    CAST(SUM(CAST(pt * pt AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sp2 FROM p),
+       |lf AS (SELECT n,
+       |    CAST(floor(4.0 * pow(CAST(n AS DOUBLE) / 100.0, 0.25)) AS BIGINT) AS l
+       |  FROM t),
+       |js AS (SELECT l, unnest(generate_series(1, l)) AS j FROM lf WHERE l >= 1),
+       |gj AS (SELECT js.j, js.l,
+       |    CAST(SUM(CAST(CAST(a.ne AS DECIMAL(38,0)) * CAST(b.ne AS DECIMAL(38,0)) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS gjv
+       |  FROM e a CROSS JOIN js JOIN e b ON b.tt = a.tt - js.j
+       |  GROUP BY js.j, js.l),
+       |ws AS (SELECT CAST(SUM(CAST(gjv * CAST(l - j + 1 AS DECIMAL(38,0)) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS wsr FROM gj),
+       |x AS (SELECT n, l AS lag_l,
+       |    CAST(l + 1 AS DECIMAL(38,0)) * g0 + COALESCE(wsr, 0) * 2 AS exd,
+       |    sp2, g0
+       |  FROM g CROSS JOIN ws CROSS JOIN lf)
+       |SELECT n, lag_l,
+       |  ROUND(CAST(sp2 AS DOUBLE) * CAST(lag_l + 1 AS DOUBLE)
+       |    / (CAST(n AS DOUBLE) * CAST(exd AS DOUBLE)), 6) AS kpss_eta,
+       |  ROUND(CAST(exd AS DOUBLE)
+       |    / (CAST(lag_l + 1 AS DOUBLE) * CAST(g0 AS DOUBLE)), 6) AS lrv_ratio
+       |FROM x""".stripMargin
 }

@@ -3621,4 +3621,183 @@ private[graft] trait SparkEntryAn2 { this: SparkEntry.type =>
       round((level(col("n_post"), col("sx2"), col("sy2"), s2) -
         level(col("n_pre"), col("sx1"), col("sy1"), s1)) / 100.0, 6).as("level_change"))
   }
+
+  /** Chow structural-break test on the daily-revenue trend at the
+    * fixed calendar split 1998-06-01 — the regression companion to
+    * [[anChangepoint]]/[[anCusum]]'s level scans: did the SLOPE of the
+    * revenue~time line change across the break, tested by
+    * F = ((RSS_p − RSS_1 − RSS_2)/p) / ((RSS_1+RSS_2)/(n−2p)), p = 2.
+    * One lineitem pass to the daily spine, one 2-group aggregate of
+    * exact decimal power sums (x = epoch-day index, y = cents); the
+    * pooled moments are the exact SUMS of the per-segment moments, so
+    * the three RSS values come off one shared tree of centered moments
+    * scaled by n (n·Σyy − (Σy)², never a float mean). Slopes emit
+    * UNROUNDED (single division of exact decimals — pure IEEE, the
+    * an_tukey mean_diff contract); F is scale-free, ROUND 6.
+    * WIDTH CONTRACT: n·Σy² at DECIMAL(38,0) holds to ~1e4× daily
+    * revenue of the sf10-probed level (the an_gumbel class). */
+  private[graft] def anChowTest(s: SparkSession, dir: String): DataFrame = {
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    val seg = dailyRevenueSpine(s, dir)
+      .select((col("day").cast("date") >= lit("1998-06-01").cast("date"))
+        .cast("long").as("g"),
+        col("d").cast("long").as("x"), col("rev_c").as("y"))
+    val gm = seg.groupBy("g").agg(count(lit(1)).as("n"),
+      sum(d38(col("x"))).as("sx"),
+      sum((d38(col("x")) * d38(col("x"))).cast("decimal(38,0)")).as("sxx"),
+      sum(d38(col("y"))).as("sy"),
+      sum((d38(col("y")) * d38(col("y"))).cast("decimal(38,0)")).as("syy"),
+      sum((d38(col("x")) * d38(col("y"))).cast("decimal(38,0)")).as("sxy"))
+    val w = gm.agg(
+      max(when(col("g") === 0, col("n"))).as("n1"),
+      max(when(col("g") === 1, col("n"))).as("n2"),
+      max(when(col("g") === 0, col("sx"))).as("sx1"),
+      max(when(col("g") === 1, col("sx"))).as("sx2"),
+      max(when(col("g") === 0, col("sxx"))).as("sxx1"),
+      max(when(col("g") === 1, col("sxx"))).as("sxx2"),
+      max(when(col("g") === 0, col("sy"))).as("sy1"),
+      max(when(col("g") === 1, col("sy"))).as("sy2"),
+      max(when(col("g") === 0, col("syy"))).as("syy1"),
+      max(when(col("g") === 1, col("syy"))).as("syy2"),
+      max(when(col("g") === 0, col("sxy"))).as("sxy1"),
+      max(when(col("g") === 1, col("sxy"))).as("sxy2"))
+    def rss(n: Column, sx: Column, sxx: Column, sy: Column, syy: Column,
+        sxy: Column): Column = {
+      val sxxC = (d38(n) * sxx - sx * sx).cast("double")
+      val sxyC = (d38(n) * sxy - sx * sy).cast("double")
+      val syyC = (d38(n) * syy - sy * sy).cast("double")
+      (syyC - sxyC * sxyC / sxxC) / n.cast("double")
+    }
+    def slope(n: Column, sx: Column, sxx: Column, sy: Column, sxy: Column): Column =
+      (d38(n) * sxy - sx * sy).cast("double") / (d38(n) * sxx - sx * sx).cast("double")
+    val r1 = rss(col("n1"), col("sx1"), col("sxx1"), col("sy1"), col("syy1"), col("sxy1"))
+    val r2 = rss(col("n2"), col("sx2"), col("sxx2"), col("sy2"), col("syy2"), col("sxy2"))
+    val rp = rss(col("n1") + col("n2"), col("sx1") + col("sx2"),
+      col("sxx1") + col("sxx2"), col("sy1") + col("sy2"),
+      col("syy1") + col("syy2"), col("sxy1") + col("sxy2"))
+    w.select(col("n1"), col("n2"),
+      slope(col("n1"), col("sx1"), col("sxx1"), col("sy1"), col("sxy1")).as("slope1_c"),
+      slope(col("n2"), col("sx2"), col("sxx2"), col("sy2"), col("sxy2")).as("slope2_c"),
+      round(((rp - r1 - r2) / lit(2.0)) /
+        ((r1 + r2) / (col("n1") + col("n2") - 4).cast("double")), 6).as("f_stat"))
+  }
+
+  private[graft] lazy val anChowTestSql = {
+    def mom(g: Int, c: String, suffix: String) =
+      s"MAX(CASE WHEN g = $g THEN $c END) AS $c$suffix"
+    def rss(n: String, sx: String, sxx: String, sy: String, syy: String, sxy: String) =
+      s"""((CAST(CAST($n AS DECIMAL(38,0)) * $syy - $sy * $sy AS DOUBLE)
+         |  - CAST(CAST($n AS DECIMAL(38,0)) * $sxy - $sx * $sy AS DOUBLE)
+         |    * CAST(CAST($n AS DECIMAL(38,0)) * $sxy - $sx * $sy AS DOUBLE)
+         |    / CAST(CAST($n AS DECIMAL(38,0)) * $sxx - $sx * $sx AS DOUBLE))
+         | / CAST($n AS DOUBLE))""".stripMargin
+    def slope(n: String, sx: String, sxx: String, sy: String, sxy: String) =
+      s"""(CAST(CAST($n AS DECIMAL(38,0)) * $sxy - $sx * $sy AS DOUBLE)
+         | / CAST(CAST($n AS DECIMAL(38,0)) * $sxx - $sx * $sx AS DOUBLE))""".stripMargin
+    val r1 = rss("n1", "sx1", "sxx1", "sy1", "syy1", "sxy1")
+    val r2 = rss("n2", "sx2", "sxx2", "sy2", "syy2", "sxy2")
+    val rp = rss("(n1 + n2)", "(sx1 + sx2)", "(sxx1 + sxx2)", "(sy1 + sy2)",
+      "(syy1 + syy2)", "(sxy1 + sxy2)")
+    s"""WITH daily AS (SELECT date_trunc('day', l_shipdate) AS day,
+       |    CAST(ROUND(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,8))), 2) * 100 AS BIGINT) AS rev_c
+       |  FROM lineitem GROUP BY 1),
+       |seg AS (SELECT CASE WHEN CAST(day AS DATE) >= DATE '1998-06-01' THEN 1 ELSE 0 END AS g,
+       |    CAST(date_diff('day', DATE '1992-01-01', CAST(day AS DATE)) AS BIGINT) AS x,
+       |    rev_c AS y
+       |  FROM daily),
+       |gm AS (SELECT g, COUNT(*) AS n,
+       |    CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+       |    CAST(SUM(CAST(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0)) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxx,
+       |    CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy,
+       |    CAST(SUM(CAST(CAST(y AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0)) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS syy,
+       |    CAST(SUM(CAST(CAST(x AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0)) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxy
+       |  FROM seg GROUP BY g),
+       |w AS (SELECT ${mom(0, "n", "1")}, ${mom(1, "n", "2")},
+       |    ${mom(0, "sx", "1")}, ${mom(1, "sx", "2")},
+       |    ${mom(0, "sxx", "1")}, ${mom(1, "sxx", "2")},
+       |    ${mom(0, "sy", "1")}, ${mom(1, "sy", "2")},
+       |    ${mom(0, "syy", "1")}, ${mom(1, "syy", "2")},
+       |    ${mom(0, "sxy", "1")}, ${mom(1, "sxy", "2")}
+       |  FROM gm)
+       |SELECT n1, n2,
+       |  ${slope("n1", "sx1", "sxx1", "sy1", "sxy1")} AS slope1_c,
+       |  ${slope("n2", "sx2", "sxx2", "sy2", "sxy2")} AS slope2_c,
+       |  ROUND((($rp - $r1 - $r2) / 2.0)
+       |    / (($r1 + $r2) / CAST(n1 + n2 - 4 AS DOUBLE)), 6) AS f_stat
+       |FROM w""".stripMargin
+  }
+
+  /** James–Stein (empirical-Bayes) shrinkage of per-nation mean
+    * balances toward the grand mean — the estimator that DOMINATES
+    * raw group means in total squared error once k ≥ 4 (Stein's
+    * paradox), and the principled answer to "this nation has 12
+    * customers, do I trust its mean?": ĉ = max(0, 1 − (k−3)·v̄/SSB)
+    * with v̄ the averaged sampling variance σ̂²·mean(1/n_g) from the
+    * pooled within-group variance. One corpus pass to per-group exact
+    * decimal power sums, one k-sized gather (deviations, 1/n_g terms
+    * DECIMAL(38,18)); raw and shrunk means emit ROUND 6 in dollars. */
+  private[graft] def anJamesStein(s: SparkSession, dir: String): DataFrame = {
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    val d18 = (c: Column) => c.cast("decimal(38,18)")
+    val g = Tables.customer(s, dir)
+      .select(col("c_nationkey").as("nk"),
+        (col("c_acctbal").cast("decimal(24,2)") * 100).cast("bigint").as("v"))
+      .groupBy("nk")
+      .agg(count(lit(1)).as("n_g"), sum(d38(col("v"))).as("s1"),
+        sum((d38(col("v")) * d38(col("v"))).cast("decimal(38,0)")).as("s2"))
+    val tot = g.agg(count(lit(1)).as("k"), sum("n_g").as("n"), sum("s1").as("s"))
+    val gm = g.crossJoin(broadcast(tot))
+      .select(col("nk"), col("n_g"), col("k"), col("n"),
+        (col("s1").cast("double") / col("n_g").cast("double")).as("raw"),
+        (col("s").cast("double") / col("n").cast("double")).as("grand"),
+        (col("s2").cast("double") -
+          col("s1").cast("double") * col("s1").cast("double") /
+            col("n_g").cast("double")).as("wss"))
+    val cF = gm.agg(max(col("k")).as("k"), max(col("n")).as("n"),
+        sum(d18(col("wss"))).as("wss_sum"),
+        sum(d18((col("raw") - col("grand")) * (col("raw") - col("grand")))).as("ssb"),
+        sum(d18(lit(1.0) / col("n_g").cast("double"))).as("sinv"))
+      .select(greatest(lit(0.0), lit(1.0) -
+        (col("k") - 3).cast("double") *
+          ((col("wss_sum").cast("double") / (col("n") - col("k")).cast("double")) *
+            (col("sinv").cast("double") / col("k").cast("double"))) /
+          col("ssb").cast("double")).as("c"))
+    gm.crossJoin(broadcast(cF))
+      .select(col("nk").as("c_nationkey"), col("n_g"),
+        round(col("raw") / 100.0, 6).as("raw_mean"),
+        round((col("grand") + col("c") * (col("raw") - col("grand"))) / 100.0, 6)
+          .as("js_mean"),
+        round(col("c"), 6).as("shrink_c"))
+      .orderBy("c_nationkey")
+  }
+
+  private[graft] lazy val anJamesSteinSql =
+    """WITH b AS (SELECT c_nationkey AS nk,
+      |    CAST(CAST(c_acctbal AS DECIMAL(24,2)) * 100 AS BIGINT) AS v
+      |  FROM customer),
+      |g AS (SELECT nk, COUNT(*) AS n_g,
+      |    CAST(SUM(CAST(v AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s1,
+      |    CAST(SUM(CAST(CAST(v AS DECIMAL(38,0)) * CAST(v AS DECIMAL(38,0)) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s2
+      |  FROM b GROUP BY nk),
+      |t AS (SELECT COUNT(*) AS k, CAST(SUM(n_g) AS BIGINT) AS n,
+      |    CAST(SUM(s1) AS DECIMAL(38,0)) AS s FROM g),
+      |gm AS (SELECT nk, n_g, k, n,
+      |    CAST(s1 AS DOUBLE) / CAST(n_g AS DOUBLE) AS raw,
+      |    CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS grand,
+      |    CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n_g AS DOUBLE) AS wss
+      |  FROM g CROSS JOIN t),
+      |c AS (SELECT greatest(0.0, 1.0 -
+      |      CAST(MAX(k) - 3 AS DOUBLE)
+      |      * ((CAST(SUM(CAST(wss AS DECIMAL(38,18))) AS DOUBLE)
+      |          / CAST(MAX(n) - MAX(k) AS DOUBLE))
+      |         * (CAST(SUM(CAST(1.0 / CAST(n_g AS DOUBLE) AS DECIMAL(38,18))) AS DOUBLE)
+      |            / CAST(MAX(k) AS DOUBLE)))
+      |      / CAST(SUM(CAST((raw - grand) * (raw - grand) AS DECIMAL(38,18))) AS DOUBLE)) AS c
+      |  FROM gm)
+      |SELECT nk AS c_nationkey, n_g,
+      |  ROUND(raw / 100.0, 6) AS raw_mean,
+      |  ROUND((grand + c * (raw - grand)) / 100.0, 6) AS js_mean,
+      |  ROUND(c, 6) AS shrink_c
+      |FROM gm CROSS JOIN c
+      |ORDER BY c_nationkey""".stripMargin
 }

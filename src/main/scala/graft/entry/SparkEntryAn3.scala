@@ -3247,4 +3247,252 @@ private[graft] trait SparkEntryAn3 { this: SparkEntry.type =>
        |        * (CAST(na + nb AS DOUBLE) - 1.0))), 6) AS z
        |FROM m""".stripMargin
   }
+
+  /** Breslow–Day homogeneity test (with Tarone's correction) across
+    * the same segment strata as [[anCmh]] — the question the CMH
+    * common odds ratio SILENTLY assumes away: is one OR per stratum
+    * even the right model, or does the priority↔value association
+    * differ by segment (effect modification, where pooling misleads)?
+    * Per stratum the expected cell ã under the MH common ψ solves the
+    * standard quadratic (1−ψ)ã² + [N−n1−m1+ψ(n1+m1)]ã − ψ·n1·m1 = 0
+    * (valid root selected by the open-interval test, ψ≈1 degenerating
+    * to the linear solution — the same CASE tree on both engines);
+    * X²_BD = Σ(a−ã)²/Var(ã), Tarone subtracts (Σ(a−ã))²/ΣVar. One
+    * corpus pass builds the exact-integer 2×2s; everything after is
+    * k-sized IEEE over shared literals, terms gathered DECIMAL(38,18),
+    * ROUND 6 at emission. */
+  private[graft] def anBreslowDay(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).join(
+      Tables.customer(s, dir).select(col("c_custkey"), col("c_mktsegment")),
+      col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("stratum"),
+        substring(col("o_orderpriority"), 1, 1).isin("1", "2").cast("long").as("exp"),
+        (col("o_totalprice") > 150000.0).cast("long").as("hi"))
+    val tabs = o.groupBy(col("stratum"))
+      .agg(sum(col("exp") * col("hi")).as("a"),
+        sum(col("exp") * (lit(1L) - col("hi"))).as("b"),
+        sum((lit(1L) - col("exp")) * col("hi")).as("c"),
+        sum((lit(1L) - col("exp")) * (lit(1L) - col("hi"))).as("d"))
+    val d18 = (c: Column) => c.cast("decimal(38,18)")
+    val nkD = (col("a") + col("b") + col("c") + col("d")).cast("double")
+    val psi = tabs.agg(
+      sum(d18(col("a").cast("double") * col("d").cast("double") / nkD)).as("adn"),
+      sum(d18(col("b").cast("double") * col("c").cast("double") / nkD)).as("bcn"))
+      .select((col("adn").cast("double") / col("bcn").cast("double")).as("psi"))
+    val aD = col("a").cast("double")
+    val n1 = (col("a") + col("b")).cast("double")
+    val m1 = (col("a") + col("c")).cast("double")
+    val qA = lit(1.0) - col("psi")
+    val qB = (n1 + m1) * col("psi") + (nkD - n1 - m1)
+    val qC = -col("psi") * n1 * m1
+    val sq = sqrt(qB * qB - lit(4.0) * qA * qC)
+    val r1 = (-qB + sq) / (lit(2.0) * qA)
+    val r2 = (-qB - sq) / (lit(2.0) * qA)
+    val loB = greatest(lit(0.0), n1 + m1 - nkD)
+    val hiB = least(n1, m1)
+    val at = when(abs(qA) < 1e-12, -qC / qB)
+      .when(r1 > loB && r1 < hiB, r1).otherwise(r2)
+    val per = tabs.crossJoin(broadcast(psi))
+      .select(col("psi"), col("a"), col("b"), col("c"), col("d"),
+        at.as("at"),
+        (lit(1.0) / (lit(1.0) / at + lit(1.0) / (n1 - at) + lit(1.0) / (m1 - at) +
+          lit(1.0) / (nkD - n1 - m1 + at))).as("v"),
+        (aD - at).as("dev"))
+    per.agg(count(lit(1)).as("k_strata"),
+        sum(col("a") + col("b") + col("c") + col("d")).as("n"),
+        max(col("psi")).as("psi"),
+        sum(d18(col("dev") * col("dev") / col("v"))).as("bd"),
+        sum(d18(col("dev"))).as("sd"),
+        sum(d18(col("v"))).as("sv"))
+      .select(col("k_strata"), col("n"),
+        round(col("psi"), 6).as("or_mh"),
+        round(col("bd").cast("double"), 6).as("bd_chi2"),
+        round(col("bd").cast("double") -
+          col("sd").cast("double") * col("sd").cast("double") /
+            col("sv").cast("double"), 6).as("tarone_chi2"),
+        (col("k_strata") - 1).as("df"))
+  }
+
+  private[graft] lazy val anBreslowDaySql =
+    """WITH o AS (SELECT c_mktsegment AS stratum,
+      |    CASE WHEN substr(o_orderpriority, 1, 1) IN ('1', '2') THEN 1 ELSE 0 END AS e,
+      |    CASE WHEN o_totalprice > 150000.0 THEN 1 ELSE 0 END AS hi
+      |  FROM orders JOIN customer ON o_custkey = c_custkey),
+      |t AS MATERIALIZED (SELECT stratum,
+      |    CAST(SUM(e * hi) AS BIGINT) AS a, CAST(SUM(e * (1 - hi)) AS BIGINT) AS b,
+      |    CAST(SUM((1 - e) * hi) AS BIGINT) AS c, CAST(SUM((1 - e) * (1 - hi)) AS BIGINT) AS d
+      |  FROM o GROUP BY stratum),
+      |ps AS (SELECT
+      |    CAST(SUM(CAST(CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+      |        / CAST(a + b + c + d AS DOUBLE) AS DECIMAL(38,18))) AS DOUBLE)
+      |    / CAST(SUM(CAST(CAST(b AS DOUBLE) * CAST(c AS DOUBLE)
+      |        / CAST(a + b + c + d AS DOUBLE) AS DECIMAL(38,18))) AS DOUBLE) AS psi
+      |  FROM t),
+      |q AS (SELECT psi, a, b, c, d,
+      |    CAST(a AS DOUBLE) AS ad, CAST(a + b + c + d AS DOUBLE) AS nk,
+      |    CAST(a + b AS DOUBLE) AS n1, CAST(a + c AS DOUBLE) AS m1,
+      |    1.0 - psi AS qa,
+      |    (CAST(a + b AS DOUBLE) + CAST(a + c AS DOUBLE)) * psi
+      |      + (CAST(a + b + c + d AS DOUBLE) - CAST(a + b AS DOUBLE) - CAST(a + c AS DOUBLE)) AS qb,
+      |    -psi * CAST(a + b AS DOUBLE) * CAST(a + c AS DOUBLE) AS qc
+      |  FROM t CROSS JOIN ps),
+      |r AS (SELECT psi, a, b, c, d, ad, nk, n1, m1,
+      |    CASE WHEN abs(qa) < 1e-12 THEN -qc / qb
+      |         WHEN (-qb + sqrt(qb * qb - 4.0 * qa * qc)) / (2.0 * qa) > greatest(0.0, n1 + m1 - nk)
+      |          AND (-qb + sqrt(qb * qb - 4.0 * qa * qc)) / (2.0 * qa) < least(n1, m1)
+      |         THEN (-qb + sqrt(qb * qb - 4.0 * qa * qc)) / (2.0 * qa)
+      |         ELSE (-qb - sqrt(qb * qb - 4.0 * qa * qc)) / (2.0 * qa) END AS at
+      |  FROM q),
+      |u AS (SELECT psi, a, b, c, d, ad - at AS dev,
+      |    1.0 / (1.0 / at + 1.0 / (n1 - at) + 1.0 / (m1 - at)
+      |           + 1.0 / (nk - n1 - m1 + at)) AS v
+      |  FROM r)
+      |SELECT COUNT(*) AS k_strata, CAST(SUM(a + b + c + d) AS BIGINT) AS n,
+      |  ROUND(MAX(psi), 6) AS or_mh,
+      |  ROUND(CAST(SUM(CAST(dev * dev / v AS DECIMAL(38,18))) AS DOUBLE), 6) AS bd_chi2,
+      |  ROUND(CAST(SUM(CAST(dev * dev / v AS DECIMAL(38,18))) AS DOUBLE)
+      |    - CAST(SUM(CAST(dev AS DECIMAL(38,18))) AS DOUBLE)
+      |      * CAST(SUM(CAST(dev AS DECIMAL(38,18))) AS DOUBLE)
+      |      / CAST(SUM(CAST(v AS DECIMAL(38,18))) AS DOUBLE), 6) AS tarone_chi2,
+      |  COUNT(*) - 1 AS df
+      |FROM u""".stripMargin
+
+  /** Fisher's exact test on the supplier 2×2 (even-nation exposure ×
+    * high-balance outcome) — the small-margin inference chi-square
+    * approximations get wrong, computed EXACTLY at any margin size:
+    * the hypergeometric PMF over the full support comes from an exact
+    * distributed ln-factorial table — global supplier ranks 1..N via
+    * [[graft.operators.PrefixSum]] (no single-partition window), each
+    * rank's ln(i) gathered DECIMAL(38,18) and prefix-scanned by the
+    * decimal two-pass scan, so lf(x) is the engine-exact decimal sum
+    * of correctly-rounded doubles in ANY evaluation order. Support
+    * rows look up their four lf arguments by equality join (linear,
+    * co-partitioned — never quadratic); ln pmf(k) is exact decimal
+    * algebra, one exp() per support point, tail sums gathered. Two-
+    * sided inclusion uses the R convention pmf(k) ≤ pmf(a)·(1+1e-7)
+    * (the slack is 1e-7 relative where cross-engine exp() wobble is
+    * ~1e-13, and exact symmetric ties are decimal-exact equal on both
+    * engines, so inclusion is deterministic). ROUND 6 at emission. */
+  private[graft] def anFisherExact(s: SparkSession, dir: String): DataFrame = {
+    val d18zero = lit(java.math.BigDecimal.ZERO).cast("decimal(38,18)")
+    val sup = Tables.supplier(s, dir)
+      .select(col("s_suppkey"),
+        (pmod(col("s_nationkey"), lit(2)) === 0).cast("long").as("e"),
+        (col("s_acctbal") > 5000.0).cast("long").as("o"))
+    val marg = sup.agg(count(lit(1)).as("nn"), sum("e").as("n1"),
+      sum("o").as("m1"), sum(col("e") * col("o")).as("a"))
+    val ranked = graft.operators.PrefixSum
+      .distinctRunningCounts(sup.select("s_suppkey"), Seq("s_suppkey"))
+      .select(col("cnt_cum").as("i"),
+        log(col("cnt_cum").cast("double")).cast("decimal(38,18)").as("lt"))
+    // the lf table feeds five consumers (margin constants, the support
+    // slice, three lookup joins) — persist ONCE under the PrefixSum
+    // owned-cache lifecycle so the decimal scan runs once, not five times
+    val lf = graft.operators.PrefixSum.persistOwned(
+      graft.operators.PrefixSum
+        .withRunningDecimalTotals(ranked, Seq("i"), Seq("lt"))
+        .select(col("i"), col("lt_cum").as("lf")))
+    val lfM = lf.crossJoin(broadcast(marg))
+    val consts = lfM.agg(
+      max(when(col("i") === col("n1"), col("lf"))).as("lf_n1"),
+      max(when(col("i") === col("m1"), col("lf"))).as("lf_m1"),
+      max(when(col("i") === col("nn") - col("n1"), col("lf"))).as("lf_nn1"),
+      max(when(col("i") === col("nn") - col("m1"), col("lf"))).as("lf_nm1"),
+      max(when(col("i") === col("nn"), col("lf"))).as("lf_n"))
+    val support = lfM
+      .filter(col("i") <= least(col("n1"), col("m1")) &&
+        col("i") >= greatest(lit(1L), col("n1") + col("m1") - col("nn")))
+      .select(col("i").as("k"), col("lf").as("lf_k"),
+        col("nn"), col("n1"), col("m1"), col("a"))
+      .unionByName(marg.filter(col("n1") + col("m1") - col("nn") <= 0)
+        .select(lit(0L).as("k"), d18zero.as("lf_k"),
+          col("nn"), col("n1"), col("m1"), col("a")))
+    val lf2 = lf.select(col("i").as("i2"), col("lf").as("lf_m1k"))
+    val lf3 = lf.select(col("i").as("i3"), col("lf").as("lf_n1k"))
+    val lf4 = lf.select(col("i").as("i4"), col("lf").as("lf_dk"))
+    val terms = support
+      .join(lf2, col("i2") === col("m1") - col("k"), "left")
+      .join(lf3, col("i3") === col("n1") - col("k"), "left")
+      .join(lf4, col("i4") === col("nn") - col("m1") - col("n1") + col("k"), "left")
+      .crossJoin(broadcast(consts))
+      .select(col("k"), col("a"), col("nn"), col("n1"), col("m1"),
+        exp((coalesce(col("lf_m1"), d18zero) + coalesce(col("lf_n1"), d18zero) +
+          coalesce(col("lf_nm1"), d18zero) + coalesce(col("lf_nn1"), d18zero) -
+          coalesce(col("lf_n"), d18zero) -
+          col("lf_k") - coalesce(col("lf_m1k"), d18zero) -
+          coalesce(col("lf_n1k"), d18zero) - coalesce(col("lf_dk"), d18zero))
+          .cast("double")).as("pmf"))
+    val atA = terms.filter(col("k") === col("a")).select(col("pmf").as("pmf_a"))
+    terms.crossJoin(broadcast(atA))
+      .agg(max(col("nn")).as("n"), max(col("n1")).as("n_exposed"),
+        max(col("m1")).as("n_outcome"), max(col("a")).as("a"),
+        sum(when(col("pmf") <= col("pmf_a") * lit(1.0000001),
+          col("pmf").cast("decimal(38,18)"))).as("p2"),
+        sum(when(col("k") <= col("a"),
+          col("pmf").cast("decimal(38,18)"))).as("pl"),
+        sum(when(col("k") >= col("a"),
+          col("pmf").cast("decimal(38,18)"))).as("pg"))
+      .select(col("n"), col("n_exposed"), col("n_outcome"), col("a"),
+        // Haldane–Anscombe +0.5 correction: finite at degenerate
+        // margins (an empty cell would be an engine-divergent 1/0)
+        round((col("a").cast("double") + 0.5) *
+          ((col("n") - col("n_exposed") - col("n_outcome") + col("a")).cast("double") + 0.5) /
+          (((col("n_exposed") - col("a")).cast("double") + 0.5) *
+            ((col("n_outcome") - col("a")).cast("double") + 0.5)), 6).as("odds_ratio"),
+        round(col("p2").cast("double"), 6).as("p_two"),
+        round(col("pl").cast("double"), 6).as("p_less"),
+        round(col("pg").cast("double"), 6).as("p_greater"))
+  }
+
+  private[graft] lazy val anFisherExactSql =
+    """WITH s AS MATERIALIZED (SELECT s_suppkey,
+      |    CASE WHEN s_nationkey % 2 = 0 THEN 1 ELSE 0 END AS e,
+      |    CASE WHEN s_acctbal > 5000.0 THEN 1 ELSE 0 END AS o
+      |  FROM supplier),
+      |m AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS nn,
+      |    CAST(SUM(e) AS BIGINT) AS n1, CAST(SUM(o) AS BIGINT) AS m1,
+      |    CAST(SUM(e * o) AS BIGINT) AS a FROM s),
+      |lf AS MATERIALIZED (SELECT i,
+      |    SUM(CAST(ln(CAST(i AS DOUBLE)) AS DECIMAL(38,18))) OVER (ORDER BY i) AS lf
+      |  FROM (SELECT row_number() OVER (ORDER BY s_suppkey) AS i FROM s) r),
+      |c AS MATERIALIZED (SELECT
+      |    MAX(CASE WHEN i = n1 THEN lf END) AS lf_n1,
+      |    MAX(CASE WHEN i = m1 THEN lf END) AS lf_m1,
+      |    MAX(CASE WHEN i = nn - n1 THEN lf END) AS lf_nn1,
+      |    MAX(CASE WHEN i = nn - m1 THEN lf END) AS lf_nm1,
+      |    MAX(CASE WHEN i = nn THEN lf END) AS lf_n
+      |  FROM lf CROSS JOIN m),
+      |sup AS MATERIALIZED (
+      |  SELECT i AS k, lf AS lf_k, nn, n1, m1, a FROM lf CROSS JOIN m
+      |  WHERE i <= least(n1, m1) AND i >= greatest(1, n1 + m1 - nn)
+      |  UNION ALL
+      |  SELECT 0, CAST(0 AS DECIMAL(38,18)), nn, n1, m1, a FROM m
+      |  WHERE n1 + m1 - nn <= 0),
+      |t AS MATERIALIZED (SELECT sup.k, sup.a, sup.nn, sup.n1, sup.m1,
+      |    exp(CAST(COALESCE(c.lf_m1, 0) + COALESCE(c.lf_n1, 0)
+      |      + COALESCE(c.lf_nm1, 0) + COALESCE(c.lf_nn1, 0) - COALESCE(c.lf_n, 0)
+      |      - sup.lf_k - COALESCE(l2.lf, 0) - COALESCE(l3.lf, 0)
+      |      - COALESCE(l4.lf, 0) AS DOUBLE)) AS pmf
+      |  FROM sup
+      |  LEFT JOIN lf l2 ON l2.i = sup.m1 - sup.k
+      |  LEFT JOIN lf l3 ON l3.i = sup.n1 - sup.k
+      |  LEFT JOIN lf l4 ON l4.i = sup.nn - sup.m1 - sup.n1 + sup.k
+      |  CROSS JOIN c),
+      |pa AS (SELECT pmf AS pmf_a FROM t WHERE k = a),
+      |agg AS (SELECT MAX(nn) AS n, MAX(n1) AS n_exposed, MAX(m1) AS n_outcome,
+      |    MAX(a) AS a,
+      |    SUM(CASE WHEN pmf <= pmf_a * 1.0000001
+      |             THEN CAST(pmf AS DECIMAL(38,18)) END) AS p2,
+      |    SUM(CASE WHEN k <= a THEN CAST(pmf AS DECIMAL(38,18)) END) AS pl,
+      |    SUM(CASE WHEN k >= a THEN CAST(pmf AS DECIMAL(38,18)) END) AS pg
+      |  FROM t CROSS JOIN pa)
+      |SELECT n, n_exposed, n_outcome, a,
+      |  ROUND((CAST(a AS DOUBLE) + 0.5)
+      |      * (CAST(n - n_exposed - n_outcome + a AS DOUBLE) + 0.5)
+      |    / ((CAST(n_exposed - a AS DOUBLE) + 0.5)
+      |      * (CAST(n_outcome - a AS DOUBLE) + 0.5)), 6) AS odds_ratio,
+      |  ROUND(CAST(p2 AS DOUBLE), 6) AS p_two,
+      |  ROUND(CAST(pl AS DOUBLE), 6) AS p_less,
+      |  ROUND(CAST(pg AS DOUBLE), 6) AS p_greater
+      |FROM agg""".stripMargin
 }

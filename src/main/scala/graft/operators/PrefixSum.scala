@@ -240,4 +240,59 @@ object PrefixSum {
       StructField(rankCol, LongType, nullable = false))
     spark.createDataFrame(out, outSchema)
   }
+
+  /** [[withRunningTotals]] for DECIMAL(38,18) value columns: running
+    * totals accumulate in java.math.BigDecimal (exact — decimal adds
+    * carry the same order-independence guarantee the BIGINT path gives
+    * integers), emitted as `<c>_cum` DECIMAL(38,18). The globally-exact
+    * prefix scan over gathered doubles (each term a correctly-rounded
+    * double CAST to decimal) is what makes data-sized ln/log prefix
+    * tables engine-portable: DuckDB's window SUM over the same decimal
+    * terms lands the identical cumulative values in any evaluation
+    * order. Same two-pass shape, same determinism contract (`orderCols`
+    * a unique key), same owned-cache lifecycle. */
+  def withRunningDecimalTotals(df: DataFrame, orderCols: Seq[String],
+      sumCols: Seq[String], numParts: Int = 32): DataFrame = {
+    import org.apache.spark.sql.types.DataTypes
+    val dec38 = DataTypes.createDecimalType(38, 18)
+    val spark = df.sparkSession
+    val sorted = df
+      .repartitionByRange(numParts, orderCols.map(col): _*)
+      .sortWithinPartitions(orderCols.map(col): _*)
+    persistOwned(sorted)
+    val schema = sorted.schema
+    val idx = sumCols.map(schema.fieldIndex).toArray
+    val zero = java.math.BigDecimal.ZERO
+    def term(r: Row, i: Int): java.math.BigDecimal = {
+      val v = r.getDecimal(i); if (v == null) zero else v
+    }
+    val rdd = sorted.rdd // single instance: both passes see one partitioning
+    val nP = rdd.getNumPartitions
+    val subtotals: Map[Int, Array[java.math.BigDecimal]] =
+      rdd.mapPartitionsWithIndex { (pid, it) =>
+        val s = Array.fill(idx.length)(zero)
+        it.foreach { r =>
+          var j = 0; while (j < idx.length) { s(j) = s(j).add(term(r, idx(j))); j += 1 }
+        }
+        Iterator((pid, s))
+      }.collect().toMap
+    val off = new Array[Array[java.math.BigDecimal]](nP)
+    var acc = Array.fill(idx.length)(zero)
+    for (p <- 0 until nP) {
+      off(p) = acc.clone()
+      subtotals.get(p).foreach { s =>
+        acc = acc.zip(s).map { case (a, b) => a.add(b) }
+      }
+    }
+    val out = rdd.mapPartitionsWithIndex { (pid, it) =>
+      val s = off(pid).clone()
+      it.map { r =>
+        var j = 0; while (j < idx.length) { s(j) = s(j).add(term(r, idx(j))); j += 1 }
+        Row.fromSeq(r.toSeq ++ s.map(_.setScale(18)).toSeq)
+      }
+    }
+    val outSchema = StructType(schema.fields ++
+      sumCols.map(c => StructField(c + "_cum", dec38, nullable = false)))
+    spark.createDataFrame(out, outSchema)
+  }
 }
