@@ -77,6 +77,10 @@ ORACLE_ALLOW = {
     # re-certification vehicle for this class (an_anova was the instance
     # that crossed the line and got a ROUND contract in r16).
     "an_autocorr": {"unrounded-double-sum": "lag products of demeaned cents; sf1 green"},
+    "an_moran_i": {"unrounded-double-sum": "per-region deviation products of k=25 nation MEANS (not sums) - magnitudes bounded by the balance range at any SF; r17 sf1 green"},
+    "an_geary_c": {"unrounded-double-sum": "same k-sized nation-mean deviation frame as an_moran_i; r17 sf1 green"},
+    "text_heaps_fit": {"unrounded-double-sum": "ln(cumulative) terms bounded ~40 per checkpoint; checkpoint count grows only logarithmically in token magnitude; r17 sf1 green"},
+    "sim_silhouette": {"unrounded-double-sum": "per-vector silhouette terms bounded in [-1,1]; per-cell means divide by the cell count at emission ROUND 6; r17 sf1 green"},
     "an_breslow_day": {"unrounded-double-sum": "per-stratum (a-at)^2/Var terms feed the scale-free BD/Tarone chi2 ROUND 6; sf10 green (r17)"},
     "an_james_stein": {"unrounded-double-sum": "within-SS and 1/n_g terms feed the scale-free shrinkage ratio c ROUND 6; sf10 green (r17)"},
     "an_corr_matrix": {"unrounded-double-sum": "power sums feed a ratio downstream; sf1 green"},

@@ -20,6 +20,7 @@ import graft.analytics.Summary
 object SparkEntry extends SparkEntryAn1
   with SparkEntryAn2
   with SparkEntryAn3
+  with SparkEntryAn4
   with SparkEntryEtl
   with SparkEntryMm
   with SparkEntryRel
@@ -770,7 +771,24 @@ object SparkEntry extends SparkEntryAn1
     "an_sprt" -> (anSprt _),
     "an_kpss" -> (anKpss _),
     "an_chow_test" -> (anChowTest _),
-    "an_james_stein" -> (anJamesStein _)
+    "an_james_stein" -> (anJamesStein _),
+    "an_pettitt" -> (anPettitt _),
+    "an_buishand" -> (anBuishand _),
+    "an_von_neumann" -> (anVonNeumann _),
+    "an_cox_stuart" -> (anCoxStuart _),
+    "an_wald_wolfowitz" -> (anWaldWolfowitz _),
+    "an_moran_i" -> (anMoranI _),
+    "an_geary_c" -> (anGearyC _),
+    "an_granger" -> (anGranger _),
+    "an_weibull_fit" -> (anWeibullFit _),
+    "an_weighted_logrank" -> (anWeightedLogrank _),
+    "text_coverage_curve" -> (textCoverageCurve _),
+    "text_heaps_fit" -> (textHeapsFit _),
+    "an_youden" -> (anYouden _),
+    "an_lilliefors" -> (anLilliefors _),
+    "an_fleiss_kappa" -> (anFleissKappa _),
+    "text_langid_eval" -> (textLangidEval _),
+    "sim_silhouette" -> (simSilhouette _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1201,6 +1219,23 @@ object SparkEntry extends SparkEntryAn1
     "an_sprt" -> anSprtSql,
     "an_kpss" -> anKpssSql,
     "an_chow_test" -> anChowTestSql,
-    "an_james_stein" -> anJamesSteinSql
+    "an_james_stein" -> anJamesSteinSql,
+    "an_pettitt" -> anPettittSql,
+    "an_buishand" -> anBuishandSql,
+    "an_von_neumann" -> anVonNeumannSql,
+    "an_cox_stuart" -> anCoxStuartSql,
+    "an_wald_wolfowitz" -> anWaldWolfowitzSql,
+    "an_moran_i" -> anMoranISql,
+    "an_geary_c" -> anGearyCSql,
+    "an_granger" -> anGrangerSql,
+    "an_weibull_fit" -> anWeibullFitSql,
+    "an_weighted_logrank" -> anWeightedLogrankSql,
+    "text_coverage_curve" -> textCoverageCurveSql,
+    "text_heaps_fit" -> textHeapsFitSql,
+    "an_youden" -> anYoudenSql,
+    "an_lilliefors" -> anLillieforsSql,
+    "an_fleiss_kappa" -> anFleissKappaSql,
+    "text_langid_eval" -> textLangidEvalSql,
+    "sim_silhouette" -> simSilhouetteSql
   )
 }

@@ -1,0 +1,948 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Round-17 wave-2 analytics: the classical change-point / randomness /
+  * spatial-autocorrelation / causality battery over the shared spines
+  * (day-spine series, nation/region key frames, survival risk sets),
+  * split into a fourth trait file to keep every family file under the
+  * ~4k-line maintainability bar. Same scope rules as
+  * [[SparkEntryAn1]]–[[SparkEntryAn3]]: the self-type gives members the
+  * registry object's scope; moved vals stay lazy. */
+private[graft] trait SparkEntryAn4 { this: SparkEntry.type =>
+
+  /** Pettitt change-point test on daily revenue — the RANK-based,
+    * distribution-free companion to [[anChangepoint]]'s mean-shift scan
+    * and [[anCusum]]'s drift alarm: where did the revenue distribution
+    * most plausibly break, with significance that survives the heavy
+    * tails that invalidate a Gaussian CUSUM? U_t = Σ_{i≤t} A_i −
+    * t(n+1) where A_i = 2·cnt_lt + cnt_eq + 1 is TWICE the average
+    * (midrank) rank — so every U_t is an exact BIGINT off two
+    * spine-bounded prefix scans (value order for midranks, time order
+    * for the partial sums; the day spine is calendar-bounded, ~2.5k
+    * rows at ANY corpus size). K = max|U_t| over t < n, t* the
+    * earliest maximizing day, p = 2·exp(−6K²/(n³+n²)) one IEEE
+    * expression off exact integers, ROUND(·,6). */
+  private[graft] def anPettitt(s: SparkSession, dir: String): DataFrame = {
+    val sp = dailyRevenueSpine(s, dir)
+      .select(col("d").cast("long").as("d"), col("rev_c"))
+    val wv = Window.orderBy("rev_c")
+    val vr = sp.groupBy(col("rev_c")).agg(count(lit(1)).as("ceq"))
+      .withColumn("clt", coalesce(sum(col("ceq"))
+        .over(wv.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("rev_c"), (lit(2L) * col("clt") + col("ceq") + lit(1L)).as("a2"))
+    val wd = Window.orderBy("d")
+    val u = sp.join(vr, Seq("rev_c"))
+      .withColumn("t", row_number().over(wd).cast("long"))
+      .withColumn("s2", sum(col("a2")).over(wd))
+    val n = sp.agg(count(lit(1)).as("n"))
+    val uu = u.crossJoin(broadcast(n))
+      .filter(col("t") < col("n"))
+      .select(col("d"), col("n"),
+        (col("s2") - col("t") * (col("n") + lit(1L))).as("u"))
+    val k = uu.agg(max(abs(col("u"))).as("k"))
+    val kd = col("k_stat").cast("double")
+    val nd = col("n").cast("double")
+    uu.crossJoin(broadcast(k))
+      .filter(abs(col("u")) === col("k"))
+      .agg(max(col("n")).as("n"), max(col("k")).as("k_stat"),
+        min(col("d")).as("t_star_d"))
+      .select(col("n"), col("k_stat"), col("t_star_d"),
+        round(lit(2.0) * exp(lit(-6.0) * kd * kd /
+          (nd * nd * nd + nd * nd)), 6).as("p_value"))
+  }
+
+  private[graft] lazy val anPettittSql =
+    s"""WITH daily AS ($dailySpineSql),
+       |sp AS (SELECT CAST(d AS BIGINT) AS d, rev_c FROM daily),
+       |vc AS (SELECT rev_c, COUNT(*) AS ceq FROM sp GROUP BY 1),
+       |vr AS (SELECT rev_c,
+       |    2 * CAST(COALESCE(SUM(ceq) OVER (ORDER BY rev_c
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |    + ceq + 1 AS a2
+       |  FROM vc),
+       |u AS (SELECT d, CAST(ROW_NUMBER() OVER (ORDER BY d) AS BIGINT) AS t,
+       |        CAST(SUM(a2) OVER (ORDER BY d) AS BIGINT) AS s2
+       |      FROM sp JOIN vr USING (rev_c)),
+       |nn AS (SELECT COUNT(*) AS n FROM sp),
+       |uu AS (SELECT d, nn.n AS n, s2 - t * (nn.n + 1) AS u
+       |       FROM u CROSS JOIN nn WHERE t < nn.n),
+       |k AS (SELECT MAX(ABS(u)) AS k FROM uu)
+       |SELECT MAX(n) AS n, MAX(k.k) AS k_stat, MIN(d) AS t_star_d,
+       |  ROUND(2.0 * EXP(-6.0 * CAST(MAX(k.k) AS DOUBLE) * CAST(MAX(k.k) AS DOUBLE)
+       |    / (CAST(MAX(n) AS DOUBLE) * CAST(MAX(n) AS DOUBLE) * CAST(MAX(n) AS DOUBLE)
+       |       + CAST(MAX(n) AS DOUBLE) * CAST(MAX(n) AS DOUBLE))), 6) AS p_value
+       |FROM uu CROSS JOIN k WHERE ABS(u) = k.k""".stripMargin
+
+  /** Buishand range test on daily revenue — the CUMULATIVE-DEVIATION
+    * homogeneity companion to [[anPettitt]] (Pettitt locates a rank
+    * break; Buishand asks whether the rescaled adjusted partial sums
+    * ever wander further than a homogeneous series allows). The
+    * partial sums are kept exact by n-scaling: n·S_t = n·cum_t − t·T
+    * (DECIMAL(38,0) — never a float mean), so max/min are decided on
+    * exact integers; R/σ̂√n and Q/σ̂√n divide once in double with
+    * σ̂√n = √((n·Σy² − T²)/n), ROUND(·,6). WIDTH CONTRACT: n·Σy² at
+    * DECIMAL(38,0) holds to ~1e3× the sf10-probed daily revenue level
+    * (the an_kpss class). */
+  private[graft] def anBuishand(s: SparkSession, dir: String): DataFrame = {
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    val sp = dailyRevenueSpine(s, dir)
+      .select(col("d").cast("long").as("d"), col("rev_c"))
+    val wd = Window.orderBy("d")
+    val cum = sp.withColumn("t", row_number().over(wd).cast("long"))
+      .withColumn("cy", sum(col("rev_c")).over(wd))
+    val tot = sp.agg(count(lit(1)).as("n"), sum(d38(col("rev_c"))).as("ty"),
+      sum((d38(col("rev_c")) * d38(col("rev_c"))).cast("decimal(38,0)")).as("tyy"))
+    val ns = cum.crossJoin(broadcast(tot))
+      .select(col("n"), col("ty"), col("tyy"),
+        (d38(col("n")) * d38(col("cy")) - d38(col("t")) * col("ty"))
+          .cast("decimal(38,0)").as("nst"))
+    val sigSqrtN = sqrt((d38(col("n")) * col("tyy") - col("ty") * col("ty"))
+      .cast("double") / col("n").cast("double"))
+    ns.agg(max(col("n")).as("n"), max(col("ty")).as("ty"),
+        max(col("tyy")).as("tyy"),
+        max(col("nst")).as("mx"), min(col("nst")).as("mn"))
+      .select(col("n"),
+        round(((col("mx") - col("mn")).cast("double") / col("n").cast("double"))
+          / sigSqrtN, 6).as("rb_stat"),
+        round((greatest(abs(col("mx")), abs(col("mn"))).cast("double")
+          / col("n").cast("double")) / sigSqrtN, 6).as("q_stat"))
+  }
+
+  private[graft] lazy val anBuishandSql = {
+    val sig = """sqrt(CAST(CAST(n AS DECIMAL(38,0)) * tyy - ty * ty AS DOUBLE)
+                | / CAST(n AS DOUBLE))""".stripMargin.replace("\n", "")
+    s"""WITH daily AS ($dailySpineSql),
+       |sp AS (SELECT CAST(d AS BIGINT) AS d, rev_c FROM daily),
+       |cum AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY d) AS BIGINT) AS t,
+       |          CAST(SUM(rev_c) OVER (ORDER BY d) AS BIGINT) AS cy
+       |        FROM sp),
+       |tot AS (SELECT COUNT(*) AS n,
+       |    CAST(SUM(CAST(rev_c AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS ty,
+       |    CAST(SUM(CAST(CAST(rev_c AS DECIMAL(38,0)) * CAST(rev_c AS DECIMAL(38,0)) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS tyy
+       |  FROM sp),
+       |ns AS (SELECT n, ty, tyy,
+       |    CAST(CAST(n AS DECIMAL(38,0)) * CAST(cy AS DECIMAL(38,0))
+       |      - CAST(t AS DECIMAL(38,0)) * ty AS DECIMAL(38,0)) AS nst
+       |  FROM cum CROSS JOIN tot),
+       |ag AS (SELECT MAX(n) AS n, MAX(ty) AS ty, MAX(tyy) AS tyy,
+       |        MAX(nst) AS mx, MIN(nst) AS mn FROM ns)
+       |SELECT n,
+       |  ROUND((CAST(mx - mn AS DOUBLE) / CAST(n AS DOUBLE)) / $sig, 6) AS rb_stat,
+       |  ROUND((CAST(GREATEST(ABS(mx), ABS(mn)) AS DOUBLE) / CAST(n AS DOUBLE))
+       |    / $sig, 6) AS q_stat
+       |FROM ag""".stripMargin
+  }
+
+  /** Von Neumann successive-difference ratio on daily revenue — the
+    * lag-free randomness screen this family was missing: η =
+    * Σ(y_t−y_{t−1})²/Σ(y−ȳ)² sits near 2 for white noise, collapses
+    * toward 0 under trend/positive autocorrelation (what
+    * [[anDurbinWatson]] tests on REGRESSION residuals, tested here on
+    * the raw series). Exact form: η = n·Σd²/(n·Σy² − T²) — numerator
+    * and denominator exact DECIMAL(38,0) off one lag pass + one
+    * moment pass over the calendar-bounded spine, one double division;
+    * z = (η − 2)/√(4(n−2)/((n−1)(n+1))), both ROUND(·,6). */
+  private[graft] def anVonNeumann(s: SparkSession, dir: String): DataFrame = {
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    val sp = dailyRevenueSpine(s, dir)
+      .select(col("d").cast("long").as("d"), col("rev_c"))
+    val wd = Window.orderBy("d")
+    val dd = sp.withColumn("py", lag(col("rev_c"), 1).over(wd))
+      .filter(col("py").isNotNull)
+      .select((col("rev_c") - col("py")).as("df"))
+      .agg(sum((d38(col("df")) * d38(col("df"))).cast("decimal(38,0)")).as("sdd"))
+    val tot = sp.agg(count(lit(1)).as("n"), sum(d38(col("rev_c"))).as("ty"),
+      sum((d38(col("rev_c")) * d38(col("rev_c"))).cast("decimal(38,0)")).as("tyy"))
+    val nd = col("n").cast("double")
+    val vn = (d38(col("n")) * col("sdd")).cast("double") /
+      (d38(col("n")) * col("tyy") - col("ty") * col("ty")).cast("double")
+    dd.crossJoin(broadcast(tot))
+      .select(col("n"), round(vn, 6).as("vn_ratio"),
+        round((vn - lit(2.0)) /
+          sqrt(lit(4.0) * (nd - lit(2.0)) / ((nd - lit(1.0)) * (nd + lit(1.0)))), 6)
+          .as("z_vn"))
+  }
+
+  private[graft] lazy val anVonNeumannSql = {
+    val vn = """(CAST(CAST(n AS DECIMAL(38,0)) * sdd AS DOUBLE)
+               | / CAST(CAST(n AS DECIMAL(38,0)) * tyy - ty * ty AS DOUBLE))"""
+      .stripMargin.replace("\n", "")
+    s"""WITH daily AS ($dailySpineSql),
+       |sp AS (SELECT CAST(d AS BIGINT) AS d, rev_c FROM daily),
+       |dd AS (SELECT CAST(SUM(CAST(CAST(df AS DECIMAL(38,0)) * CAST(df AS DECIMAL(38,0)) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sdd
+       |  FROM (SELECT rev_c - LAG(rev_c) OVER (ORDER BY d) AS df FROM sp)
+       |  WHERE df IS NOT NULL),
+       |tot AS (SELECT COUNT(*) AS n,
+       |    CAST(SUM(CAST(rev_c AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS ty,
+       |    CAST(SUM(CAST(CAST(rev_c AS DECIMAL(38,0)) * CAST(rev_c AS DECIMAL(38,0)) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS tyy
+       |  FROM sp)
+       |SELECT n, ROUND($vn, 6) AS vn_ratio,
+       |  ROUND(($vn - 2.0)
+       |    / sqrt(4.0 * (CAST(n AS DOUBLE) - 2.0)
+       |      / ((CAST(n AS DOUBLE) - 1.0) * (CAST(n AS DOUBLE) + 1.0))), 6) AS z_vn
+       |FROM dd CROSS JOIN tot""".stripMargin
+  }
+
+  /** Cox–Stuart trend sign test on daily revenue — the assumption-free
+    * "is it even going UP" screen underneath [[anMannKendall]]'s full
+    * pairwise trend statistic: pair day i with day i+⌈n/2⌉ (the odd
+    * middle day drops), count sign(later − earlier), and test the
+    * positive count against Binomial(N′, ½) with a continuity-
+    * corrected normal z = sign(D)·(|D|−1)/√N′ where D = S⁺ − S⁻ (ties
+    * drop). The pairing is one spine-bounded self-join on the row
+    * index; every count is an exact BIGINT, z ROUND(·,6). */
+  private[graft] def anCoxStuart(s: SparkSession, dir: String): DataFrame = {
+    val sp = dailyRevenueSpine(s, dir)
+      .select(col("d").cast("long").as("d"), col("rev_c"))
+    val wd = Window.orderBy("d")
+    val r = sp.withColumn("i", row_number().over(wd).cast("long"))
+    val n = sp.agg(count(lit(1)).as("n"))
+    val rr = r.crossJoin(broadcast(n))
+    val a = rr.filter(col("i") <= expr("n div 2"))
+      .select(col("i").as("p"), col("rev_c").as("y1"), col("n"))
+    val b = rr.filter(col("i") > col("n") - expr("n div 2"))
+      .select((col("i") - (col("n") - expr("n div 2"))).as("p"),
+        col("rev_c").as("y2"))
+    val cnt = a.join(b, Seq("p"))
+      .agg(max(col("n")).as("n"),
+        sum((col("y2") > col("y1")).cast("long")).as("s_plus"),
+        sum((col("y2") < col("y1")).cast("long")).as("s_minus"))
+    val dSt = col("s_plus") - col("s_minus")
+    val np = col("s_plus") + col("s_minus")
+    val mag = (abs(dSt) - lit(1L)).cast("double") / sqrt(np.cast("double"))
+    cnt.select(col("n"), np.as("n_pairs"), col("s_plus"), col("s_minus"),
+      round(when(dSt > 0, mag).when(dSt < 0, -mag).otherwise(lit(0.0)), 6)
+        .as("z_trend"))
+  }
+
+  private[graft] lazy val anCoxStuartSql =
+    s"""WITH daily AS ($dailySpineSql),
+       |sp AS (SELECT CAST(d AS BIGINT) AS d, rev_c FROM daily),
+       |r AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY d) AS BIGINT) AS i, rev_c
+       |      FROM sp),
+       |nn AS (SELECT COUNT(*) AS n FROM sp),
+       |a AS (SELECT i AS p, rev_c AS y1, nn.n AS n FROM r CROSS JOIN nn
+       |      WHERE i <= nn.n // 2),
+       |b AS (SELECT i - (nn.n - nn.n // 2) AS p, rev_c AS y2
+       |      FROM r CROSS JOIN nn WHERE i > nn.n - nn.n // 2),
+       |cnt AS (SELECT MAX(n) AS n,
+       |    CAST(SUM(CASE WHEN y2 > y1 THEN 1 ELSE 0 END) AS BIGINT) AS s_plus,
+       |    CAST(SUM(CASE WHEN y2 < y1 THEN 1 ELSE 0 END) AS BIGINT) AS s_minus
+       |  FROM a JOIN b USING (p))
+       |SELECT n, s_plus + s_minus AS n_pairs, s_plus, s_minus,
+       |  ROUND(CASE
+       |    WHEN s_plus - s_minus > 0 THEN
+       |      CAST(ABS(s_plus - s_minus) - 1 AS DOUBLE)
+       |        / sqrt(CAST(s_plus + s_minus AS DOUBLE))
+       |    WHEN s_plus - s_minus < 0 THEN
+       |      -(CAST(ABS(s_plus - s_minus) - 1 AS DOUBLE)
+       |        / sqrt(CAST(s_plus + s_minus AS DOUBLE)))
+       |    ELSE 0.0 END, 6) AS z_trend
+       |FROM cnt""".stripMargin
+
+  /** Wald–Wolfowitz two-sample runs test — BUILDING vs AUTOMOBILE
+    * account balances interleaved on one global value order: if the two
+    * segments draw from one distribution the group labels alternate
+    * freely (many runs); clustering of either label collapses the run
+    * count. The global order is (v, g, custkey) — a deterministic
+    * total order both engines share, which IS the tie contract (runs
+    * tests are undefined under free tie permutation; pinning the order
+    * pins the statistic). Ranks come from ONE
+    * [[graft.operators.PrefixSum]] scan (no single-partition window
+    * over the corpus-sized frame); boundaries are a rank self-join on
+    * rn = rn+1 (equi-join, shuffle on 8-byte keys); R, n₁, n₀ exact
+    * BIGINTs; z = (R − μ)/σ with μ = 1 + 2n₁n₀/n, σ² =
+    * 2n₁n₀(2n₁n₀−n)/(n²(n−1)), ROUND(·,6). */
+  private[graft] def anWaldWolfowitz(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+      .filter(col("c_mktsegment").isin("BUILDING", "AUTOMOBILE"))
+      .select((col("c_mktsegment") === "BUILDING").cast("long").as("g"),
+        (col("c_acctbal").cast("decimal(24,2)") * 100).cast("bigint").as("v"),
+        col("c_custkey").cast("long").as("ck"))
+    val scan = graft.operators.PrefixSum.withRunningTotals(
+      c, Seq("v", "g", "ck"), Seq("g"))
+    val tot = scan.agg(max(col("rn")).as("n"), max(col("g_cum")).as("n1"))
+    val sw = scan.as("a").join(scan.as("b"), col("a.rn") === col("b.rn") - 1)
+      .agg(sum((col("a.g") =!= col("b.g")).cast("long")).as("switches"))
+    val n1d = col("n1").cast("double")
+    val n0d = (col("n") - col("n1")).cast("double")
+    val nd = col("n").cast("double")
+    val t2 = (lit(2L) * col("n1") * (col("n") - col("n1"))).cast("double")
+    val mu = lit(1.0) + lit(2.0) * n1d * n0d / nd
+    val vr = t2 * (t2 - nd) / (nd * nd * (nd - lit(1.0)))
+    sw.crossJoin(broadcast(tot))
+      .select(col("n1"), (col("n") - col("n1")).as("n0"),
+        (col("switches") + lit(1L)).as("runs"),
+        round(((col("switches") + lit(1L)).cast("double") - mu) / sqrt(vr), 6)
+          .as("z_runs"))
+  }
+
+  private[graft] lazy val anWaldWolfowitzSql =
+    """WITH c AS (SELECT CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS g,
+      |    CAST(CAST(c_acctbal AS DECIMAL(24,2)) * 100 AS BIGINT) AS v,
+      |    c_custkey AS ck
+      |  FROM customer WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE')),
+      |r AS (SELECT g, LAG(g) OVER (ORDER BY v, g, ck) AS pg FROM c),
+      |t AS (SELECT COUNT(*) AS n, CAST(SUM(g) AS BIGINT) AS n1,
+      |        CAST(SUM(CASE WHEN pg IS NOT NULL AND g <> pg THEN 1 ELSE 0 END) AS BIGINT) + 1 AS runs
+      |      FROM r)
+      |SELECT n1, n - n1 AS n0, runs,
+      |  ROUND((CAST(runs AS DOUBLE)
+      |      - (1.0 + 2.0 * CAST(n1 AS DOUBLE) * CAST(n - n1 AS DOUBLE)
+      |         / CAST(n AS DOUBLE)))
+      |    / sqrt(CAST(2 * n1 * (n - n1) AS DOUBLE)
+      |      * (CAST(2 * n1 * (n - n1) AS DOUBLE) - CAST(n AS DOUBLE))
+      |      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))), 6)
+      |    AS z_runs
+      |FROM t""".stripMargin
+
+  /** Per-nation mean-balance deviations + region frame shared by
+    * [[anMoranI]]/[[anGearyC]]: one customer pass to per-nation exact
+    * decimal sums (k = 25 nations at ANY corpus size), nation→region by
+    * broadcast, the grand mean an UNWEIGHTED mean of the k per-nation
+    * means (the spatial-stats convention — the unit of analysis is the
+    * areal unit, not the customer) gathered DECIMAL(38,18). Returns
+    * (nk, rk, z) with z the double deviation. */
+  private def nationDeviations(s: SparkSession, dir: String): DataFrame = {
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    val d18 = (c: Column) => c.cast("decimal(38,18)")
+    val nat = Tables.nation(s, dir)
+      .select(col("n_nationkey").as("nk"), col("n_regionkey").as("rk"))
+    val g = Tables.customer(s, dir)
+      .select(col("c_nationkey").as("nk"),
+        (col("c_acctbal").cast("decimal(24,2)") * 100).cast("bigint").as("v"))
+      .groupBy(col("nk"))
+      .agg(count(lit(1)).as("n_g"), sum(d38(col("v"))).as("s1"))
+      .join(broadcast(nat), Seq("nk"))
+      .select(col("nk"), col("rk"),
+        (col("s1").cast("double") / col("n_g").cast("double")).as("m"))
+    val gr = g.agg(count(lit(1)).as("k"), sum(d18(col("m"))).as("sm"))
+    g.crossJoin(broadcast(gr))
+      .select(col("nk"), col("rk"), col("k"),
+        (col("m") - col("sm").cast("double") / col("k").cast("double")).as("z"))
+  }
+
+  private val nationDeviationsSql =
+    """nat AS (SELECT n_nationkey AS nk, n_regionkey AS rk FROM nation),
+      |gg AS (SELECT c_nationkey AS nk, COUNT(*) AS n_g,
+      |    CAST(SUM(CAST(CAST(CAST(c_acctbal AS DECIMAL(24,2)) * 100 AS BIGINT) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s1
+      |  FROM customer GROUP BY c_nationkey),
+      |g AS (SELECT gg.nk, rk, CAST(s1 AS DOUBLE) / CAST(n_g AS DOUBLE) AS m
+      |  FROM gg JOIN nat ON gg.nk = nat.nk),
+      |gr AS (SELECT COUNT(*) AS k,
+      |    CAST(SUM(CAST(m AS DECIMAL(38,18))) AS DECIMAL(38,18)) AS sm FROM g),
+      |dev AS (SELECT nk, rk, k,
+      |    m - CAST(sm AS DOUBLE) / CAST(k AS DOUBLE) AS z
+      |  FROM g CROSS JOIN gr)""".stripMargin
+
+  /** Moran's I over per-nation mean balances with binary same-region
+    * contiguity weights — the "is geography leaking into the metric"
+    * screen: under the null (no spatial structure) E[I] = −1/(k−1);
+    * same-region nations moving together push I positive. For block
+    * weights the double sum collapses per region to (Σz)² − Σz² — NO
+    * pair join, one k-sized gather; W = Σ n_r(n_r−1), S₁ = 2W, S₂ =
+    * 4Σ n_r(n_r−1)² exact integers, and the normality z uses the
+    * closed-form Var(I) = (k²S₁ − kS₂ + 3W²)/(W²(k²−1)) − E[I]².
+    * I, E, z ROUND(·,6). */
+  private[graft] def anMoranI(s: SparkSession, dir: String): DataFrame = {
+    val d18 = (c: Column) => c.cast("decimal(38,18)")
+    val dev = nationDeviations(s, dir)
+    val reg = dev.groupBy(col("rk"))
+      .agg(max(col("k")).as("k"), count(lit(1)).as("n_r"),
+        sum(d18(col("z"))).as("sz"),
+        sum(d18(col("z") * col("z"))).as("szz"))
+    val kd = col("k").cast("double")
+    val wd = col("w").cast("double")
+    val ei = lit(-1.0) / (kd - lit(1.0))
+    val agg = reg.agg(max(col("k")).as("k"),
+      sum(col("n_r") * (col("n_r") - lit(1L))).as("w"),
+      sum(col("n_r") * (col("n_r") - lit(1L)) * (col("n_r") - lit(1L))).as("w2"),
+      sum(d18(col("sz").cast("double") * col("sz").cast("double") -
+        col("szz").cast("double"))).as("num"),
+      sum(col("szz")).as("den"))
+    val iStat = (kd / wd) *
+      (col("num").cast("double") / col("den").cast("double"))
+    val s1 = lit(2.0) * wd
+    val s2 = lit(4.0) * col("w2").cast("double")
+    val varI = (kd * kd * s1 - kd * s2 + lit(3.0) * wd * wd) /
+      (wd * wd * (kd * kd - lit(1.0))) - ei * ei
+    agg.select(col("k"), col("w"),
+      round(iStat, 6).as("moran_i"), round(ei, 6).as("e_i"),
+      round((iStat - ei) / sqrt(varI), 6).as("z_i"))
+  }
+
+  private[graft] lazy val anMoranISql = {
+    val i = """((CAST(k AS DOUBLE) / CAST(w AS DOUBLE))
+              | * (CAST(num AS DOUBLE) / CAST(den AS DOUBLE)))"""
+      .stripMargin.replace("\n", "")
+    val ei = "(-1.0 / (CAST(k AS DOUBLE) - 1.0))"
+    val varI =
+      """((CAST(k AS DOUBLE) * CAST(k AS DOUBLE) * (2.0 * CAST(w AS DOUBLE))
+        |  - CAST(k AS DOUBLE) * (4.0 * CAST(w2 AS DOUBLE))
+        |  + 3.0 * CAST(w AS DOUBLE) * CAST(w AS DOUBLE))
+        | / (CAST(w AS DOUBLE) * CAST(w AS DOUBLE)
+        |    * (CAST(k AS DOUBLE) * CAST(k AS DOUBLE) - 1.0))
+        | - (-1.0 / (CAST(k AS DOUBLE) - 1.0)) * (-1.0 / (CAST(k AS DOUBLE) - 1.0)))"""
+        .stripMargin.replace("\n", "")
+    s"""WITH $nationDeviationsSql,
+       |reg AS (SELECT rk, MAX(k) AS k, COUNT(*) AS n_r,
+       |    CAST(SUM(CAST(z AS DECIMAL(38,18))) AS DECIMAL(38,18)) AS sz,
+       |    CAST(SUM(CAST(z * z AS DECIMAL(38,18))) AS DECIMAL(38,18)) AS szz
+       |  FROM dev GROUP BY rk),
+       |ag AS (SELECT MAX(k) AS k,
+       |    CAST(SUM(n_r * (n_r - 1)) AS BIGINT) AS w,
+       |    CAST(SUM(n_r * (n_r - 1) * (n_r - 1)) AS BIGINT) AS w2,
+       |    CAST(SUM(CAST(CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE)
+       |      - CAST(szz AS DOUBLE) AS DECIMAL(38,18))) AS DECIMAL(38,18)) AS num,
+       |    CAST(SUM(szz) AS DECIMAL(38,18)) AS den
+       |  FROM reg)
+       |SELECT k, w, ROUND($i, 6) AS moran_i, ROUND($ei, 6) AS e_i,
+       |  ROUND(($i - $ei) / sqrt($varI), 6) AS z_i
+       |FROM ag""".stripMargin
+  }
+
+  /** Geary's C over the same nation/region frame — [[anMoranI]]'s
+    * LOCAL-contrast dual (Moran correlates deviations; Geary sums
+    * squared NEIGHBOR DIFFERENCES, so it is the more sensitive of the
+    * two to single discordant nations): C = ((k−1)/(2W))·ΣΣw(z_i−z_j)²
+    * /Σz², the block-weight double sum collapsing per region to
+    * 2(n_r·Σz² − (Σz)²); E[C] = 1, Var(C) = ((2S₁+S₂)(k−1) − 4W²)
+    * /(2(k+1)W²) under normality. C and z ROUND(·,6). */
+  private[graft] def anGearyC(s: SparkSession, dir: String): DataFrame = {
+    val d18 = (c: Column) => c.cast("decimal(38,18)")
+    val dev = nationDeviations(s, dir)
+    val reg = dev.groupBy(col("rk"))
+      .agg(max(col("k")).as("k"), count(lit(1)).as("n_r"),
+        sum(d18(col("z"))).as("sz"),
+        sum(d18(col("z") * col("z"))).as("szz"))
+    val agg = reg.agg(max(col("k")).as("k"),
+      sum(col("n_r") * (col("n_r") - lit(1L))).as("w"),
+      sum(col("n_r") * (col("n_r") - lit(1L)) * (col("n_r") - lit(1L))).as("w2"),
+      sum(d18(lit(2.0) * (col("n_r").cast("double") *
+        col("szz").cast("double") -
+        col("sz").cast("double") * col("sz").cast("double")))).as("numc"),
+      sum(col("szz")).as("den"))
+    val kd = col("k").cast("double")
+    val wd = col("w").cast("double")
+    val cStat = ((kd - lit(1.0)) / (lit(2.0) * wd)) *
+      (col("numc").cast("double") / col("den").cast("double"))
+    val s1 = lit(2.0) * wd
+    val s2 = lit(4.0) * col("w2").cast("double")
+    val varC = ((lit(2.0) * s1 + s2) * (kd - lit(1.0)) - lit(4.0) * wd * wd) /
+      (lit(2.0) * (kd + lit(1.0)) * wd * wd)
+    agg.select(col("k"), col("w"),
+      round(cStat, 6).as("geary_c"),
+      round((cStat - lit(1.0)) / sqrt(varC), 6).as("z_c"))
+  }
+
+  private[graft] lazy val anGearyCSql = {
+    val c = """(((CAST(k AS DOUBLE) - 1.0) / (2.0 * CAST(w AS DOUBLE)))
+              | * (CAST(numc AS DOUBLE) / CAST(den AS DOUBLE)))"""
+      .stripMargin.replace("\n", "")
+    val varC =
+      """(((2.0 * (2.0 * CAST(w AS DOUBLE)) + 4.0 * CAST(w2 AS DOUBLE))
+        |   * (CAST(k AS DOUBLE) - 1.0)
+        |  - 4.0 * CAST(w AS DOUBLE) * CAST(w AS DOUBLE))
+        | / (2.0 * (CAST(k AS DOUBLE) + 1.0)
+        |    * CAST(w AS DOUBLE) * CAST(w AS DOUBLE)))"""
+        .stripMargin.replace("\n", "")
+    s"""WITH $nationDeviationsSql,
+       |reg AS (SELECT rk, MAX(k) AS k, COUNT(*) AS n_r,
+       |    CAST(SUM(CAST(z AS DECIMAL(38,18))) AS DECIMAL(38,18)) AS sz,
+       |    CAST(SUM(CAST(z * z AS DECIMAL(38,18))) AS DECIMAL(38,18)) AS szz
+       |  FROM dev GROUP BY rk),
+       |ag AS (SELECT MAX(k) AS k,
+       |    CAST(SUM(n_r * (n_r - 1)) AS BIGINT) AS w,
+       |    CAST(SUM(n_r * (n_r - 1) * (n_r - 1)) AS BIGINT) AS w2,
+       |    CAST(SUM(CAST(2.0 * (CAST(n_r AS DOUBLE) * CAST(szz AS DOUBLE)
+       |      - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE)) AS DECIMAL(38,18))) AS DECIMAL(38,18)) AS numc,
+       |    CAST(SUM(szz) AS DECIMAL(38,18)) AS den
+       |  FROM reg)
+       |SELECT k, w, ROUND($c, 6) AS geary_c,
+       |  ROUND(($c - 1.0) / sqrt($varC), 6) AS z_c
+       |FROM ag""".stripMargin
+  }
+
+  /** Granger-causality F-test (lag 1): does yesterday's shipped
+    * QUANTITY improve today's revenue forecast beyond yesterday's
+    * revenue alone — the directional companion to [[anCcf]]'s
+    * symmetric cross-correlation. Both series come from ONE lineitem
+    * day-aggregate (exact cents + exact unit counts); the lag pairing
+    * is a spine-bounded window; restricted (y_t ~ y_{t−1}) and
+    * unrestricted (+ x_{t−1}) OLS solve CLOSED-FORM off one exact
+    * decimal moment matrix — C_ab = n·Σab − Σa·Σb all DECIMAL(38,0),
+    * the 2×2 determinant solve and both RSS in double off the shared
+    * tree. F = (RSS_r − RSS_u)/(RSS_u/(n−3)) ROUND 6; the x
+    * coefficient ROUNDs 6 too — its tree divides products of
+    * decimal→double casts whose int128→binary64 conversions the two
+    * engines round differently once the moments pass 2^53 (observed
+    * one ulp at sf1), so the single-division unrounded contract does
+    * NOT apply; rss_gain is scale-free ROUND 6.
+    * WIDTH CONTRACT: n·Σy² at DECIMAL(38,0) — the an_kpss class. */
+  private[graft] def anGranger(s: SparkSession, dir: String): DataFrame = {
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    val sp = Tables.lineitem(s, dir)
+      .groupBy(date_trunc("day", col("l_shipdate")).as("day"))
+      .agg((sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(24,8)")).cast("decimal(24,2)") * 100)
+          .cast("bigint").as("y"),
+        sum(col("l_quantity").cast("decimal(24,0)")).cast("bigint").as("x"))
+    val wd = Window.orderBy("day")
+    val lagd = sp
+      .withColumn("u", lag(col("y"), 1).over(wd))
+      .withColumn("v", lag(col("x"), 1).over(wd))
+      .filter(col("u").isNotNull)
+      .select(col("y").as("w"), col("u"), col("v"))
+    def p(a: Column, b: Column) = sum((d38(a) * d38(b)).cast("decimal(38,0)"))
+    val m = lagd.agg(count(lit(1)).as("n"),
+      sum(d38(col("u"))).as("su"), sum(d38(col("v"))).as("sv"),
+      sum(d38(col("w"))).as("sw"),
+      p(col("u"), col("u")).as("suu"), p(col("v"), col("v")).as("svv"),
+      p(col("w"), col("w")).as("sww"), p(col("u"), col("v")).as("suv"),
+      p(col("u"), col("w")).as("suw"), p(col("v"), col("w")).as("svw"))
+    def cc(sab: Column, sa: Column, sb: Column) =
+      (d38(col("n")) * sab - sa * sb).cast("double")
+    val cuu = cc(col("suu"), col("su"), col("su"))
+    val cvv = cc(col("svv"), col("sv"), col("sv"))
+    val cww = cc(col("sww"), col("sw"), col("sw"))
+    val cuv = cc(col("suv"), col("su"), col("sv"))
+    val cuw = cc(col("suw"), col("su"), col("sw"))
+    val cvw = cc(col("svw"), col("sv"), col("sw"))
+    val det = cuu * cvv - cuv * cuv
+    val b = (cuw * cvv - cvw * cuv) / det
+    val c2 = (cvw * cuu - cuw * cuv) / det
+    val nd = col("n").cast("double")
+    val rssr = (cww - cuw * cuw / cuu) / nd
+    val rssu = (cww - b * cuw - c2 * cvw) / nd
+    m.select(col("n"),
+      round((rssr - rssu) / (rssu / (nd - lit(3.0))), 6).as("f_stat"),
+      round(c2, 6).as("x_coef"),
+      round((rssr - rssu) / rssr, 6).as("rss_gain"))
+  }
+
+  private[graft] lazy val anGrangerSql = {
+    def cc(sab: String, sa: String, sb: String) =
+      s"CAST(CAST(n AS DECIMAL(38,0)) * $sab - $sa * $sb AS DOUBLE)"
+    val (cuu, cvv, cww) = (cc("suu", "su", "su"), cc("svv", "sv", "sv"),
+      cc("sww", "sw", "sw"))
+    val (cuv, cuw, cvw) = (cc("suv", "su", "sv"), cc("suw", "su", "sw"),
+      cc("svw", "sv", "sw"))
+    val det = s"($cuu * $cvv - $cuv * $cuv)"
+    val b = s"(($cuw * $cvv - $cvw * $cuv) / $det)"
+    val c2 = s"(($cvw * $cuu - $cuw * $cuv) / $det)"
+    val rssr = s"(($cww - $cuw * $cuw / $cuu) / CAST(n AS DOUBLE))"
+    val rssu = s"(($cww - $b * $cuw - $c2 * $cvw) / CAST(n AS DOUBLE))"
+    def pp(a: String, bb: String) =
+      s"CAST(SUM(CAST(CAST($a AS DECIMAL(38,0)) * CAST($bb AS DECIMAL(38,0)) AS DECIMAL(38,0))) AS DECIMAL(38,0))"
+    s"""WITH sp AS (SELECT date_trunc('day', l_shipdate) AS day,
+       |    CAST(ROUND(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,8))), 2) * 100 AS BIGINT) AS y,
+       |    CAST(SUM(CAST(l_quantity AS DECIMAL(24,0))) AS BIGINT) AS x
+       |  FROM lineitem GROUP BY 1),
+       |lagd AS (SELECT w, u, v FROM (
+       |    SELECT y AS w, LAG(y) OVER (ORDER BY day) AS u,
+       |           LAG(x) OVER (ORDER BY day) AS v
+       |    FROM sp) WHERE u IS NOT NULL),
+       |m AS (SELECT COUNT(*) AS n,
+       |    CAST(SUM(CAST(u AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS su,
+       |    CAST(SUM(CAST(v AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sv,
+       |    CAST(SUM(CAST(w AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sw,
+       |    ${pp("u", "u")} AS suu, ${pp("v", "v")} AS svv,
+       |    ${pp("w", "w")} AS sww, ${pp("u", "v")} AS suv,
+       |    ${pp("u", "w")} AS suw, ${pp("v", "w")} AS svw
+       |  FROM lagd)
+       |SELECT n,
+       |  ROUND(($rssr - $rssu) / ($rssu / (CAST(n AS DOUBLE) - 3.0)), 6) AS f_stat,
+       |  ROUND($c2, 6) AS x_coef,
+       |  ROUND(($rssr - $rssu) / $rssr, 6) AS rss_gain
+       |FROM m""".stripMargin
+  }
+
+  /** Weibull shape/scale fit of the order-value distribution by
+    * median-rank regression — the parametric tail model next to
+    * [[anHillTail]]'s nonparametric index: sort values, assign Bernard
+    * median ranks F_i = (i−0.3)/(n+0.4), and OLS ln(−ln(1−F)) on ln v;
+    * the slope IS the Weibull shape, exp(−intercept/slope) the scale.
+    * Global ranks come from ONE [[graft.operators.PrefixSum]] scan (no
+    * single-partition window over the corpus-sized frame); each
+    * per-row ln term is a correctly-rounded double gathered
+    * DECIMAL(38,18) (the an_fisher_exact ln-table contract — exact sum
+    * of identical doubles in any order), so the OLS moments are
+    * engine-portable. shape/scale/r² ROUND(·,6). */
+  private[graft] def anWeibullFit(s: SparkSession, dir: String): DataFrame = {
+    val d18 = (c: Column) => c.cast("decimal(38,18)")
+    val o = Tables.orders(s, dir)
+      .select((col("o_totalprice").cast("decimal(24,2)") * 100)
+        .cast("bigint").as("v"), col("o_orderkey").cast("long").as("ok"))
+    val scan = graft.operators.PrefixSum.withRunningTotals(
+      o, Seq("v", "ok"), Seq("v"))
+    val tot = scan.agg(max(col("rn")).as("n"))
+    val xE = log(col("v").cast("double") / lit(100.0))
+    val fE = (col("rn").cast("double") - lit(0.3)) /
+      (col("n").cast("double") + lit(0.4))
+    val yE = log(-log(lit(1.0) - fE))
+    val m = scan.crossJoin(broadcast(tot))
+      .agg(max(col("n")).as("n"),
+        sum(d18(xE)).as("sx"), sum(d18(yE)).as("sy"),
+        sum(d18(xE * xE)).as("sxx"), sum(d18(xE * yE)).as("sxy"),
+        sum(d18(yE * yE)).as("syy"))
+    val nd = col("n").cast("double")
+    val (sx, sy) = (col("sx").cast("double"), col("sy").cast("double"))
+    val (sxx, sxy, syy) = (col("sxx").cast("double"),
+      col("sxy").cast("double"), col("syy").cast("double"))
+    val slope = (nd * sxy - sx * sy) / (nd * sxx - sx * sx)
+    val icept = (sy - slope * sx) / nd
+    val r2 = ((nd * sxy - sx * sy) * (nd * sxy - sx * sy)) /
+      ((nd * sxx - sx * sx) * (nd * syy - sy * sy))
+    m.select(col("n"), round(slope, 6).as("shape"),
+      round(exp(-(icept / slope)), 6).as("scale"),
+      round(r2, 6).as("r2"))
+  }
+
+  private[graft] lazy val anWeibullFitSql = {
+    val x = "ln(CAST(v AS DOUBLE) / 100.0)"
+    val f = "(CAST(rn AS DOUBLE) - 0.3) / (CAST(n AS DOUBLE) + 0.4)"
+    val y = s"ln(-ln(1.0 - $f))"
+    def g(e: String) = s"CAST(SUM(CAST($e AS DECIMAL(38,18))) AS DECIMAL(38,18))"
+    val slope = """((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   |  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                   | / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   |  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))"""
+      .stripMargin.replace("\n", "")
+    val icept = s"((CAST(sy AS DOUBLE) - $slope * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE))"
+    val r2 = """(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                |   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                |  * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                |   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+                | / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                |   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                |  * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                |   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))))"""
+      .stripMargin.replace("\n", "")
+    s"""WITH o AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(24,2)) * 100 AS BIGINT) AS v,
+       |    o_orderkey AS ok FROM orders),
+       |rk AS (SELECT v, CAST(ROW_NUMBER() OVER (ORDER BY v, ok) AS BIGINT) AS rn
+       |       FROM o),
+       |nn AS (SELECT COUNT(*) AS n FROM o),
+       |m AS (SELECT MAX(n) AS n,
+       |    ${g(x)} AS sx, ${g(y)} AS sy,
+       |    ${g(s"$x * $x")} AS sxx, ${g(s"$x * $y")} AS sxy,
+       |    ${g(s"$y * $y")} AS syy
+       |  FROM rk CROSS JOIN nn)
+       |SELECT n, ROUND($slope, 6) AS shape,
+       |  ROUND(exp(-($icept / $slope)), 6) AS scale,
+       |  ROUND($r2, 6) AS r2
+       |FROM m""".stripMargin
+  }
+
+  /** Weighted log-rank family — Gehan–Breslow (early-difference
+    * weighted) and Tarone–Ware (√n_t) alongside the unweighted
+    * statistic, all off [[anLogrank]]'s ONE PrefixSum risk-set scan:
+    * the three weightings answer WHICH PART of the survival horizon
+    * separates BUILDING from AUTOMOBILE (Gehan up-weights early
+    * deaths where risk sets are full; log-rank weights late deaths
+    * equally). Weights are normalized w = n_t/N (z is scale-invariant
+    * in w, and the normalized form keeps every gathered term bounded
+    * — no DECIMAL-width growth with SF); each z = Σw(d₁−e)/√(Σw²v)
+    * with exact-integer-fed IEEE terms gathered DECIMAL(38,18),
+    * ROUND(·,6). */
+  private[graft] def anWeightedLogrank(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val anchor = o.agg(max(col("o_orderdate")).as("mx"))
+    val seg = Tables.customer(s, dir)
+      .filter(col("c_mktsegment").isin("BUILDING", "AUTOMOBILE"))
+      .select(col("c_custkey"), (col("c_mktsegment") === "BUILDING").cast("long").as("g"))
+    val cust = o.groupBy(col("o_custkey"))
+      .agg(min(col("o_orderdate")).as("f"), max(col("o_orderdate")).as("l"))
+      .join(seg, col("o_custkey") === col("c_custkey"))
+      .crossJoin(broadcast(anchor))
+      .select(datediff(col("l"), col("f")).cast("bigint").as("t"), col("g"),
+        (col("l") < col("mx") - expr("INTERVAL 90 DAYS")).cast("long").as("ev"))
+    val byT = cust.groupBy(col("t"))
+      .agg(sum(col("g")).as("c1"), sum(lit(1L) - col("g")).as("c0"),
+        sum(col("g") * col("ev")).as("d1"),
+        sum((lit(1L) - col("g")) * col("ev")).as("d0"))
+    val scan = graft.operators.PrefixSum.withRunningTotals(byT, Seq("t"),
+      Seq("c1", "c0", "d1", "d0"))
+    val tot = scan.agg(max(col("c1_cum")).as("n1t"), max(col("c0_cum")).as("n0t"))
+    def gather(c: Column) = sum(c.cast("decimal(38,18)")).cast("decimal(38,18)")
+    val n1 = (col("n1t") - (col("c1_cum") - col("c1"))).cast("double")
+    val n0 = (col("n0t") - (col("c0_cum") - col("c0"))).cast("double")
+    val nt = n1 + n0
+    val dt = (col("d1") + col("d0")).cast("double")
+    val e = dt * n1 / nt
+    val v = when(nt > 1.0,
+      dt * (n1 / nt) * (n0 / nt) * (nt - dt) / (nt - 1.0)).otherwise(lit(0.0))
+    val diff = col("d1").cast("double") - e
+    val wg = nt / (col("n1t") + col("n0t")).cast("double")
+    val wtw = sqrt(wg)
+    val agg = scan.crossJoin(broadcast(tot))
+      .filter(col("d1") + col("d0") > 0)
+      .agg(max(col("n1t")).as("n1"), max(col("n0t")).as("n0"),
+        gather(diff).as("num_lr"), gather(v).as("den_lr"),
+        gather(wg * diff).as("num_g"), gather(wg * wg * v).as("den_g"),
+        gather(wtw * diff).as("num_tw"), gather(wtw * wtw * v).as("den_tw"))
+    def z(num: String, den: String) =
+      round(when(col(den).cast("double") > 0,
+        col(num).cast("double") / sqrt(col(den).cast("double")))
+        .otherwise(lit(0.0)), 6)
+    agg.select(col("n1"), col("n0"),
+      z("num_lr", "den_lr").as("z_logrank"),
+      z("num_g", "den_g").as("z_gehan"),
+      z("num_tw", "den_tw").as("z_tarone_ware"))
+  }
+
+  private[graft] lazy val anWeightedLogrankSql = {
+    def g(e: String) = s"CAST(SUM(CAST($e AS DECIMAL(38,18))) AS DECIMAL(38,18))"
+    val e = "CAST(d1 + d0 AS DOUBLE) * n1 / (n1 + n0)"
+    val v = """CASE WHEN n1 + n0 > 1.0 THEN
+              |      CAST(d1 + d0 AS DOUBLE) * (n1 / (n1 + n0)) * (n0 / (n1 + n0))
+              |        * (n1 + n0 - CAST(d1 + d0 AS DOUBLE)) / (n1 + n0 - 1.0)
+              |    ELSE 0.0 END""".stripMargin.replace("\n", "")
+    val diff = s"(CAST(d1 AS DOUBLE) - $e)"
+    val wg = "((n1 + n0) / CAST(n1t + n0t AS DOUBLE))"
+    val wtw = s"sqrt($wg)"
+    def z(num: String, den: String) =
+      s"""ROUND(CASE WHEN CAST($den AS DOUBLE) > 0
+         |  THEN CAST($num AS DOUBLE) / sqrt(CAST($den AS DOUBLE))
+         |  ELSE 0.0 END, 6)""".stripMargin.replace("\n", "")
+    s"""WITH a AS (SELECT MAX(o_orderdate) AS mx FROM orders),
+       |seg AS (SELECT c_custkey,
+       |          CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS g
+       |        FROM customer WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE')),
+       |cust AS (SELECT date_diff('day', MIN(o_orderdate), MAX(o_orderdate)) AS t, seg.g,
+       |           CASE WHEN MAX(o_orderdate) < MAX(a.mx) - INTERVAL 90 DAY
+       |                THEN 1 ELSE 0 END AS ev
+       |         FROM orders JOIN seg ON o_custkey = c_custkey CROSS JOIN a
+       |         GROUP BY o_custkey, seg.g),
+       |bt AS (SELECT t, CAST(SUM(g) AS BIGINT) AS c1, CAST(SUM(1 - g) AS BIGINT) AS c0,
+       |              CAST(SUM(g * ev) AS BIGINT) AS d1,
+       |              CAST(SUM((1 - g) * ev) AS BIGINT) AS d0
+       |       FROM cust GROUP BY t),
+       |sc AS (SELECT t, c1, c0, d1, d0,
+       |         CAST(SUM(c1) OVER (ORDER BY t) AS BIGINT) AS c1_cum,
+       |         CAST(SUM(c0) OVER (ORDER BY t) AS BIGINT) AS c0_cum
+       |       FROM bt),
+       |tt AS (SELECT MAX(c1_cum) AS n1t, MAX(c0_cum) AS n0t FROM sc),
+       |terms AS (SELECT d1, d0, n1t, n0t,
+       |    CAST(n1t - (c1_cum - c1) AS DOUBLE) AS n1,
+       |    CAST(n0t - (c0_cum - c0) AS DOUBLE) AS n0
+       |  FROM sc CROSS JOIN tt WHERE d1 + d0 > 0),
+       |ag AS (SELECT MAX(n1t) AS n1, MAX(n0t) AS n0,
+       |    ${g(diff)} AS num_lr, ${g(v)} AS den_lr,
+       |    ${g(s"$wg * $diff")} AS num_g, ${g(s"$wg * $wg * ($v)")} AS den_g,
+       |    ${g(s"$wtw * $diff")} AS num_tw, ${g(s"$wtw * $wtw * ($v)")} AS den_tw
+       |  FROM terms)
+       |SELECT n1, n0,
+       |  ${z("num_lr", "den_lr")} AS z_logrank,
+       |  ${z("num_g", "den_g")} AS z_gehan,
+       |  ${z("num_tw", "den_tw")} AS z_tarone_ware
+       |FROM ag""".stripMargin
+  }
+
+  /** Youden's J optimal cutoff on the churn-vs-balance ROC — the
+    * operating-POINT companion to [[anRocAuc]]'s whole-curve area
+    * (AUC says the score ranks; J says where to CUT it): classifier
+    * "churn when balance ≤ t", J(t) = TPR − FPR maximized as the exact
+    * BIGINT M(t) = n₀·cum₁(t) − n₁·(cum(t) − cum₁(t)) so the argmax is
+    * decided on integers, never on float ties; cutoff = the smallest
+    * maximizing cent value. Same labeled frame and ONE
+    * [[graft.operators.PrefixSum]] scan as the AUC (no corpus-sized
+    * single-partition window); J/TPR/FPR ROUND(·,6). */
+  private[graft] def anYouden(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val anchor = o.agg(max(col("o_orderdate")).as("mx"))
+    val last = o.groupBy(col("o_custkey")).agg(max(col("o_orderdate")).as("last_order"))
+    val cutoff = col("mx") - expr("INTERVAL 90 DAYS")
+    val labeled = Tables.customer(s, dir)
+      .join(last, col("c_custkey") === col("o_custkey"), "left")
+      .crossJoin(broadcast(anchor))
+      .select(
+        (col("last_order").isNull || col("last_order") < cutoff).cast("long").as("g1"),
+        (col("c_acctbal").cast("decimal(24,2)") * 100).cast("bigint").as("v"))
+    val perV = labeled.groupBy(col("v"))
+      .agg(count(lit(1)).as("cnt"), sum(col("g1")).as("c1"))
+    val scan = graft.operators.PrefixSum.withRunningTotals(
+      perV, Seq("v"), Seq("cnt", "c1"))
+    val tot = scan.agg(max(col("cnt_cum")).as("n"), max(col("c1_cum")).as("n1"))
+    val withM = scan.crossJoin(broadcast(tot))
+      .select(col("v"), col("n"), col("n1"), col("cnt_cum"), col("c1_cum"),
+        ((col("n") - col("n1")) * col("c1_cum") -
+          col("n1") * (col("cnt_cum") - col("c1_cum"))).as("m"))
+    val best = withM.agg(max(col("m")).as("mmax"))
+    withM.crossJoin(broadcast(best))
+      .filter(col("m") === col("mmax"))
+      .orderBy(col("v")).limit(1)
+      .select(col("n1"), (col("n") - col("n1")).as("n0"), col("v").as("cutoff_c"),
+        round(col("mmax").cast("double") /
+          (col("n1").cast("double") * (col("n") - col("n1")).cast("double")), 6)
+          .as("j_stat"),
+        round(col("c1_cum").cast("double") / col("n1").cast("double"), 6).as("tpr"),
+        round((col("cnt_cum") - col("c1_cum")).cast("double") /
+          (col("n") - col("n1")).cast("double"), 6).as("fpr"))
+  }
+
+  private[graft] lazy val anYoudenSql =
+    """WITH a AS (SELECT MAX(o_orderdate) AS mx FROM orders),
+      |l AS (SELECT o_custkey, MAX(o_orderdate) AS last_order FROM orders GROUP BY 1),
+      |lab AS (SELECT
+      |    CASE WHEN last_order IS NULL OR last_order < mx - INTERVAL 90 DAY
+      |         THEN 1 ELSE 0 END AS g1,
+      |    CAST(CAST(c_acctbal AS DECIMAL(24,2)) * 100 AS BIGINT) AS v
+      |  FROM customer LEFT JOIN l ON c_custkey = o_custkey CROSS JOIN a),
+      |pv AS (SELECT v, COUNT(*) AS cnt, CAST(SUM(g1) AS BIGINT) AS c1 FROM lab GROUP BY v),
+      |cv AS (SELECT v, CAST(SUM(cnt) OVER (ORDER BY v) AS BIGINT) AS cnt_cum,
+      |         CAST(SUM(c1) OVER (ORDER BY v) AS BIGINT) AS c1_cum
+      |       FROM pv),
+      |tt AS (SELECT MAX(cnt_cum) AS n, MAX(c1_cum) AS n1 FROM cv),
+      |m AS (SELECT v, n, n1, cnt_cum, c1_cum,
+      |        (n - n1) * c1_cum - n1 * (cnt_cum - c1_cum) AS m
+      |      FROM cv CROSS JOIN tt),
+      |best AS (SELECT MAX(m) AS mmax FROM m),
+      |pick AS (SELECT * FROM m CROSS JOIN best WHERE m = mmax
+      |         ORDER BY v LIMIT 1)
+      |SELECT n1, n - n1 AS n0, v AS cutoff_c,
+      |  ROUND(CAST(mmax AS DOUBLE)
+      |    / (CAST(n1 AS DOUBLE) * CAST(n - n1 AS DOUBLE)), 6) AS j_stat,
+      |  ROUND(CAST(c1_cum AS DOUBLE) / CAST(n1 AS DOUBLE), 6) AS tpr,
+      |  ROUND(CAST(cnt_cum - c1_cum AS DOUBLE) / CAST(n - n1 AS DOUBLE), 6) AS fpr
+      |FROM pick""".stripMargin
+
+  /** Lilliefors normality test on customer balances — the
+    * ESTIMATED-PARAMETER KS this family was missing ([[anJarqueBera]]
+    * screens moments; this measures the maximum CDF distance against
+    * N(μ̂, σ̂²), the hypothesis a "balances look normal" claim actually
+    * makes). μ̂/σ̂ from exact decimal sums; per distinct cent value the
+    * two-sided EDF gap uses cum/n (upper) and (cum−cnt)/n (lower) off
+    * ONE [[graft.operators.PrefixSum]] scan; Φ via the Zelen–Severo
+    * 26.2.17 rational tail (pure arithmetic + one exp, the SAME
+    * shortest-round-trip constants in both engines — no erf
+    * dependency). D and √n·D ROUND(·,6). */
+  private[graft] def anLilliefors(s: SparkSession, dir: String): DataFrame = {
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    val v = Tables.customer(s, dir)
+      .select((col("c_acctbal").cast("decimal(24,2)") * 100).cast("bigint").as("v"))
+    val perV = v.groupBy(col("v")).agg(count(lit(1)).as("cnt"))
+    val scan = graft.operators.PrefixSum.withRunningTotals(perV, Seq("v"), Seq("cnt"))
+    val tot = v.agg(count(lit(1)).as("n"), sum(d38(col("v"))).as("s1"),
+      sum((d38(col("v")) * d38(col("v"))).cast("decimal(38,0)")).as("s2"))
+    val nd = col("n").cast("double")
+    val mu = col("s1").cast("double") / nd
+    val sd = sqrt((d38(col("n")) * col("s2") - col("s1") * col("s1")).cast("double") /
+      (nd * (nd - lit(1.0))))
+    val z = (col("v").cast("double") - mu) / sd
+    val az = abs(z)
+    val t = lit(1.0) / (lit(1.0) + lit(0.2316419) * az)
+    val poly = t * (lit(0.319381530) + t * (lit(-0.356563782) + t *
+      (lit(1.781477937) + t * (lit(-1.821255978) + t * lit(1.330274429)))))
+    val phiAbs = lit(1.0) - lit(0.3989422804014327) * exp(lit(-0.5) * az * az) * poly
+    val cdf = when(z >= 0, phiAbs).otherwise(lit(1.0) - phiAbs)
+    scan.crossJoin(broadcast(tot))
+      .select(col("n"),
+        greatest(col("cnt_cum").cast("double") / nd - cdf,
+          cdf - (col("cnt_cum") - col("cnt")).cast("double") / nd).as("gap"))
+      .groupBy(col("n")).agg(max(col("gap")).as("d"))
+      .select(col("n"), round(col("d"), 6).as("d_stat"),
+        round(sqrt(col("n").cast("double")) * col("d"), 6).as("sqrt_n_d"))
+  }
+
+  private[graft] lazy val anLillieforsSql = {
+    val mu = "(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))"
+    val sd = """sqrt(CAST(CAST(n AS DECIMAL(38,0)) * s2 - s1 * s1 AS DOUBLE)
+               | / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))"""
+      .stripMargin.replace("\n", "")
+    val z = s"((CAST(v AS DOUBLE) - $mu) / $sd)"
+    val az = s"ABS($z)"
+    val t = s"(1.0 / (1.0 + 0.2316419 * $az))"
+    val poly = s"($t * (0.319381530 + $t * (-0.356563782 + $t * (1.781477937 + $t * (-1.821255978 + $t * 1.330274429)))))"
+    val phiAbs = s"(1.0 - 0.3989422804014327 * EXP(-0.5 * $az * $az) * $poly)"
+    val cdf = s"(CASE WHEN $z >= 0 THEN $phiAbs ELSE 1.0 - $phiAbs END)"
+    s"""WITH b AS (SELECT CAST(CAST(c_acctbal AS DECIMAL(24,2)) * 100 AS BIGINT) AS v
+       |  FROM customer),
+       |pv AS (SELECT v, COUNT(*) AS cnt FROM b GROUP BY v),
+       |sc AS (SELECT v, cnt, CAST(SUM(cnt) OVER (ORDER BY v) AS BIGINT) AS cnt_cum
+       |       FROM pv),
+       |tot AS (SELECT COUNT(*) AS n,
+       |    CAST(SUM(CAST(v AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s1,
+       |    CAST(SUM(CAST(CAST(v AS DECIMAL(38,0)) * CAST(v AS DECIMAL(38,0)) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s2
+       |  FROM b),
+       |gaps AS (SELECT n,
+       |    GREATEST(CAST(cnt_cum AS DOUBLE) / CAST(n AS DOUBLE) - $cdf,
+       |      $cdf - CAST(cnt_cum - cnt AS DOUBLE) / CAST(n AS DOUBLE)) AS gap
+       |  FROM sc CROSS JOIN tot)
+       |SELECT n, ROUND(MAX(gap), 6) AS d_stat,
+       |  ROUND(sqrt(CAST(n AS DOUBLE)) * MAX(gap), 6) AS sqrt_n_d
+       |FROM gaps GROUP BY n""".stripMargin
+  }
+
+  /** Fleiss' kappa across the four Gopher quality rules treated as m=4
+    * binary raters per document — the MULTI-rater agreement number
+    * [[anCohenKappa]] (two raters) can't produce, and the honest answer
+    * to "do these curation rules even measure one construct": per doc
+    * n₁ = #failing rules, P̄ = Σ[n₁(n₁−1) + (m−n₁)(m−n₁−1)]/(n·m(m−1))
+    * entirely from the exact integers Σn₁ and Σn₁², P_e = p₀² + p₁²,
+    * κ = (P̄ − P_e)/(1 − P_e) one IEEE tree ROUND(·,6). Same per-doc
+    * flag expressions as [[textGopherRules]] (one explode tree for the
+    * top-word share, row-local flags otherwise). */
+  private[graft] def anFleissKappa(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.TextFunctions
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), TextFunctions.words(col("text")).as("ws"))
+    val nWords = size(col("ws"))
+    val meanLen = (aggregate(col("ws"), lit(0L), (acc, w) => acc + length(w))
+      .cast("double") / nWords.cast("double"))
+    val nStop = size(filter(col("ws"),
+      w => w.isin(TextFunctions.Stopwords("en"): _*)))
+    val top = docs.select(col("doc_id"), explode(col("ws")).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg((max(col("c")).cast("double") / sum(col("c")).cast("double")).as("top_frac"))
+    val n1 = docs.join(top, Seq("doc_id"))
+      .select(((nWords < 50).cast("long") +
+        (meanLen < 3.0 || meanLen > 10.0).cast("long") +
+        (nStop < 2).cast("long") +
+        (col("top_frac") > 0.2).cast("long")).as("n1"))
+    val agg = n1.agg(count(lit(1)).as("n"), sum(col("n1")).as("s1"),
+      sum(col("n1") * col("n1")).as("s2"))
+    val nd = col("n").cast("double")
+    val pbar = (lit(2L) * col("s2") - lit(8L) * col("s1") + lit(12L) * col("n"))
+      .cast("double") / (lit(12.0) * nd)
+    val p1 = col("s1").cast("double") / (lit(4.0) * nd)
+    val pe = p1 * p1 + (lit(1.0) - p1) * (lit(1.0) - p1)
+    agg.select(col("n").as("n_docs"), col("s1").as("n_fail_total"),
+      round(p1, 6).as("p_fail"), round(pbar, 6).as("p_bar"),
+      round((pbar - pe) / (lit(1.0) - pe), 6).as("kappa"))
+  }
+
+  private[graft] lazy val anFleissKappaSql = {
+    val stop = graft.text.TextFunctions.Stopwords("en")
+      .map(w => s"'$w'").mkString(",")
+    val p1 = "(CAST(s1 AS DOUBLE) / (4.0 * CAST(n AS DOUBLE)))"
+    val pbar = "(CAST(2 * s2 - 8 * s1 + 12 * n AS DOUBLE) / (12.0 * CAST(n AS DOUBLE)))"
+    val pe = s"($p1 * $p1 + (1.0 - $p1) * (1.0 - $p1))"
+    s"""WITH w AS (SELECT doc_id,
+       |    list_filter(string_split(text, ' '), x -> x <> '') AS ws
+       |  FROM documents),
+       |cnt AS (SELECT doc_id, gram, COUNT(*) AS c
+       |    FROM (SELECT doc_id, unnest(ws) AS gram FROM w) GROUP BY 1, 2),
+       |top AS (SELECT doc_id, CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS top_frac
+       |    FROM cnt GROUP BY 1),
+       |f AS (SELECT
+       |    (CASE WHEN len(ws) < 50 THEN 1 ELSE 0 END) +
+       |    (CASE WHEN CAST(list_sum(list_transform(ws, x -> length(x))) AS DOUBLE)
+       |        / CAST(len(ws) AS DOUBLE) < 3.0
+       |      OR CAST(list_sum(list_transform(ws, x -> length(x))) AS DOUBLE)
+       |        / CAST(len(ws) AS DOUBLE) > 10.0 THEN 1 ELSE 0 END) +
+       |    (CASE WHEN len(list_filter(ws, x -> x IN ($stop))) < 2 THEN 1 ELSE 0 END) +
+       |    (CASE WHEN top.top_frac > 0.2 THEN 1 ELSE 0 END) AS n1
+       |  FROM w JOIN top USING (doc_id)),
+       |ag AS (SELECT COUNT(*) AS n, CAST(SUM(n1) AS BIGINT) AS s1,
+       |        CAST(SUM(n1 * n1) AS BIGINT) AS s2 FROM f)
+       |SELECT n AS n_docs, s1 AS n_fail_total,
+       |  ROUND($p1, 6) AS p_fail, ROUND($pbar, 6) AS p_bar,
+       |  ROUND(($pbar - $pe) / (1.0 - $pe), 6) AS kappa
+       |FROM ag""".stripMargin
+  }
+}

@@ -360,7 +360,12 @@ private[graft] trait SparkEntrySim { this: SparkEntry.type =>
     * cells. Every value is an exact integer or a correctly-rounded
     * IEEE double, so the hash gate pins the TRAINING, not just the
     * retrieval. */
-  private[graft] lazy val simIvfKmeansSql: String = {
+  /** The trained-quantizer CTE chain shared by [[simIvfKmeansSql]] and
+    * [[simSilhouetteSql]]: quantize (vq), seed from the 16 lowest-id
+    * vectors (c0), 3 unrolled Lloyd iterations, ending at
+    * `cent (cell_id, c)` — extracted so the silhouette oracle trains
+    * the IDENTICAL integer k-means rather than drifting a copy. */
+  private[graft] lazy val ivfTrainedCentSql: String = {
     // one Lloyd iteration: cPrev -> cNext (carrying empty cells)
     def iterSql(i: Int): String = {
       val p = s"c${i - 1}"
@@ -387,7 +392,7 @@ private[graft] trait SparkEntrySim { this: SparkEntry.type =>
          |        SELECT p.cell_id, p.c FROM $p p
          |        WHERE p.cell_id NOT IN (SELECT cell_id FROM mn$i WHERE nrm > 0))""".stripMargin
     }
-    s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s"""e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |vq AS MATERIALIZED (SELECT vec_id, list_transform(v, x -> CAST(round(x * 1000000.0) AS BIGINT)) AS q
        |       FROM e),
        |c0r AS MATERIALIZED (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cell_id, q
@@ -400,7 +405,11 @@ private[graft] trait SparkEntrySim { this: SparkEntry.type =>
        |                   ELSE r.q END AS c
        |       FROM c0r r JOIN c0n n USING (cell_id)),
        |${(1 to 3).map(iterSql).mkString(",\n")},
-       |cent AS MATERIALIZED (SELECT cell_id, c FROM c3),
+       |cent AS MATERIALIZED (SELECT cell_id, c FROM c3)""".stripMargin
+  }
+
+  private[graft] lazy val simIvfKmeansSql: String = {
+    s"""WITH $ivfTrainedCentSql,
        |cn AS MATERIALIZED (SELECT cell_id,
        |              sqrt(CAST(CAST(list_sum(list_transform(c, x -> x * x)) AS BIGINT) AS DOUBLE)) AS nrm
        |       FROM cent),
@@ -1761,5 +1770,82 @@ private[graft] trait SparkEntrySim { this: SparkEntry.type =>
        |SELECT nprobe, n_queries, CAST(n_hits AS BIGINT) AS n_hits,
        |  ROUND(CAST(n_hits AS DOUBLE) / (CAST(n_queries AS DOUBLE) * 5.0), 6) AS recall_at_5
        |FROM pts ORDER BY nprobe""".stripMargin
+  }
+  /** Simplified silhouette of the trained integer IVF k-means cells —
+    * the cluster-GEOMETRY quality score beside [[simClusterPurity]]'s
+    * label-agreement view: per vector, a = cosine distance to its own
+    * (best) centroid, b = distance to the runner-up centroid, s =
+    * (b−a)/max(a,b) = (cos₁−cos₂)/(1−cos₂) since the assignment IS the
+    * argmax. Uses the SAME cached trained quantizer as sim_ivf_kmeans
+    * (KMeans.fitIntPortable 16×3) so the silhouette scores the model
+    * the retrieval path actually serves; per-vector work is 16 exact
+    * BIGINT dots — map-only over the corpus, a partitioned (per-vector)
+    * rank window, never a pair join. Per-cell mean s gathers
+    * DECIMAL(38,18), ROUND(·,6). */
+  private[graft] def simSilhouette(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val cents = kmeansIntModels.computeIfAbsent((dir, 16, 3),
+      _ => graft.similarity.KMeans.fitIntPortable(emb, "vec_id", "embedding",
+        k = 16, iters = 3))
+    val cnorms = cents.map(c => math.sqrt(c.map(x => x * x).sum.toDouble))
+    val quant: Column => Column =
+      v => transform(v, x => round(x * lit(1000000.0)).cast("long"))
+    val vq = emb.select(col("vec_id"),
+        quant(graft.similarity.VectorOps.toDouble(col("embedding"))).as("q"))
+      .withColumn("vnrm",
+        sqrt(aggregate(col("q"), lit(0L), (acc, x) => acc + x * x).cast("double")))
+    val cosCols: Seq[Column] = cents.toSeq.zip(cnorms).map { case (c, n) =>
+      aggregate(zip_with(col("q"), typedLit(c.toSeq), (a, b) => a * b),
+        lit(0L), (acc, x) => acc + x).cast("double") / (lit(n) * col("vnrm"))
+    }
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cs").desc, col("cell_id"))
+    val ranked = vq
+      .select(col("vec_id"), posexplode(array(cosCols: _*)).as(Seq("cell_id", "cs")))
+      .withColumn("rn", row_number().over(w))
+    val sil = ranked.filter(col("rn") === 1)
+      .select(col("vec_id"), col("cell_id"), col("cs").as("c1"))
+      .join(ranked.filter(col("rn") === 2)
+        .select(col("vec_id"), col("cs").as("c2")), Seq("vec_id"))
+      .select(col("cell_id"),
+        when(lit(1.0) - col("c2") > 0,
+          (col("c1") - col("c2")) / (lit(1.0) - col("c2")))
+          .otherwise(lit(0.0)).as("s"))
+    sil.groupBy(col("cell_id"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("s").cast("decimal(38,18)")).cast("decimal(38,18)").as("ss"))
+      .select(col("cell_id").cast("long").as("cell_id"), col("n_vecs"),
+        round(col("ss").cast("double") / col("n_vecs").cast("double"), 6)
+          .as("mean_sil"))
+      .orderBy(col("cell_id"))
+  }
+
+  private[graft] lazy val simSilhouetteSql: String = {
+    s"""WITH $ivfTrainedCentSql,
+       |cn AS MATERIALIZED (SELECT cell_id,
+       |              sqrt(CAST(CAST(list_sum(list_transform(c, x -> x * x)) AS BIGINT) AS DOUBLE)) AS nrm
+       |       FROM cent),
+       |vn AS MATERIALIZED (SELECT vec_id,
+       |              sqrt(CAST(CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS DOUBLE)) AS nrm
+       |       FROM vq),
+       |comp AS MATERIALIZED (SELECT cell_id, t.range AS j, c[CAST(t.range AS INT) + 1] AS cj
+       |         FROM cent, range(0, 64) t),
+       |dots AS MATERIALIZED (SELECT vq.vec_id, comp.cell_id,
+       |                CAST(SUM(comp.cj * vq.q[CAST(comp.j AS INT) + 1]) AS BIGINT) AS dt
+       |         FROM vq CROSS JOIN comp GROUP BY 1, 2),
+       |cosr AS MATERIALIZED (SELECT d.vec_id, d.cell_id,
+       |           CAST(d.dt AS DOUBLE) / (cn.nrm * vn.nrm) AS cs,
+       |           ROW_NUMBER() OVER (PARTITION BY d.vec_id
+       |             ORDER BY CAST(d.dt AS DOUBLE) / (cn.nrm * vn.nrm) DESC, d.cell_id) AS rn
+       |         FROM dots d JOIN cn USING (cell_id) JOIN vn ON vn.vec_id = d.vec_id),
+       |sil AS (SELECT a.vec_id, a.cell_id,
+       |          CASE WHEN 1.0 - b.cs > 0 THEN (a.cs - b.cs) / (1.0 - b.cs)
+       |               ELSE 0.0 END AS s
+       |        FROM (SELECT vec_id, cell_id, cs FROM cosr WHERE rn = 1) a
+       |        JOIN (SELECT vec_id, cs FROM cosr WHERE rn = 2) b USING (vec_id))
+       |SELECT CAST(cell_id AS BIGINT) AS cell_id, COUNT(*) AS n_vecs,
+       |  ROUND(CAST(CAST(SUM(CAST(s AS DECIMAL(38,18))) AS DECIMAL(38,18)) AS DOUBLE)
+       |    / CAST(COUNT(*) AS DOUBLE), 6) AS mean_sil
+       |FROM sil GROUP BY cell_id ORDER BY cell_id""".stripMargin
   }
 }

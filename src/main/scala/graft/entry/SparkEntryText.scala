@@ -167,6 +167,38 @@ private[graft] trait SparkEntryText { this: SparkEntry.type =>
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  /** Language-ID confusion matrix against the corpus's labeled `lang`
+    * column — the EVALUATION the labeled data makes free (text_langid
+    * emits predictions; this scores them, the per-pair error structure
+    * a lang-filter threshold decision actually needs). One exact-count
+    * groupBy over (truth, prediction); the predictor is the SAME
+    * marker-word scorer as [[textLangid]] so the matrix scores the
+    * shipped model, not a copy. */
+  private[graft] def textLangidEval(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("lang"), graft.text.TextFunctions.langId(col("text")).as("lang_pred"))
+      .groupBy(col("lang"), col("lang_pred")).agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("lang_pred"))
+
+  private[graft] lazy val textLangidEvalSql = {
+    def cnt(ws: Seq[String]) =
+      s"len(list_filter(string_split(text, ' '), x -> x IN (${ws.map(w => s"'$w'").mkString(",")})))"
+    val de = cnt(graft.text.TextFunctions.Stopwords("de"))
+    val en = cnt(graft.text.TextFunctions.Stopwords("en"))
+    val es = cnt(graft.text.TextFunctions.Stopwords("es"))
+    val fr = cnt(graft.text.TextFunctions.Stopwords("fr"))
+    s"""WITH p AS (SELECT lang,
+       |  CASE WHEN GREATEST($de, $en, $es, $fr) = 0 THEN 'und'
+       |       WHEN $de = GREATEST($de, $en, $es, $fr) THEN 'de'
+       |       WHEN $en = GREATEST($de, $en, $es, $fr) THEN 'en'
+       |       WHEN $es = GREATEST($de, $en, $es, $fr) THEN 'es'
+       |       WHEN $fr = GREATEST($de, $en, $es, $fr) THEN 'fr'
+       |       ELSE 'und' END AS lang_pred
+       |FROM documents)
+       |SELECT lang, lang_pred, COUNT(*) AS n
+       |FROM p GROUP BY lang, lang_pred ORDER BY lang, lang_pred""".stripMargin
+  }
+
   /** Trigram-profile language ID (the langid upgrade): same contract
     * as text_langid, scored from character trigrams instead of 5
     * marker words. The oracle recomputes the identical replace-
@@ -1317,5 +1349,145 @@ private[graft] trait SparkEntryText { this: SparkEntry.type =>
        |  CAST(SUM(CASE WHEN f_words + f_mean_len + f_stopwords + f_top_word = 0
        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
        |FROM f GROUP BY source ORDER BY source""".stripMargin
+  }
+
+  /** Top-k vocabulary token-coverage curve — the tokenizer-budget
+    * planning number ([[textZipf]] fits the rank-frequency LAW; this
+    * emits the operational readout: what fraction of all corpus tokens
+    * the k most frequent terms absorb, for candidate vocab sizes k).
+    * Vocab counts are exact BIGINTs from one explode+groupBy; the
+    * frequency-descending global order (−count, term — deterministic
+    * tie order shared by both engines) and cumulative covered-token
+    * totals come from ONE [[graft.operators.PrefixSum]] scan, never a
+    * single-partition window over the vocab-sized frame; each k row
+    * gathers max(cum ≤ k) against the exact total. coverage ROUND 6. */
+  private[graft] def textCoverageCurve(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ks = Seq(1L, 5L, 10L, 25L, 100L, 10000L)
+    val tc = Tables.documents(s, dir)
+      .select(explode(expr("filter(split(text, ' '), w -> w <> '')")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      .select(col("term"), col("cnt"), (-col("cnt")).as("sc"))
+    val scan = graft.operators.PrefixSum.withRunningTotals(
+      tc, Seq("sc", "term"), Seq("cnt"))
+    val tot = scan.agg(max(col("cnt_cum")).as("total"), max(col("rn")).as("vocab"))
+    val kdf = ks.toDF("k")
+    scan.crossJoin(broadcast(kdf)).filter(col("rn") <= col("k"))
+      .groupBy(col("k"))
+      .agg(max(col("rn")).as("top_terms"), max(col("cnt_cum")).as("covered"))
+      .crossJoin(broadcast(tot))
+      .select(col("k"), col("top_terms"), col("covered"), col("total"),
+        round(col("covered").cast("double") / col("total").cast("double"), 6)
+          .as("coverage"))
+      .orderBy(col("k"))
+  }
+
+  private[graft] lazy val textCoverageCurveSql =
+    """WITH tc AS (SELECT term, COUNT(*) AS cnt FROM (
+      |    SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+      |    FROM documents) GROUP BY term),
+      |scan AS (SELECT term, cnt,
+      |    CAST(SUM(cnt) OVER (ORDER BY -cnt, term) AS BIGINT) AS cnt_cum,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY -cnt, term) AS BIGINT) AS rn
+      |  FROM tc),
+      |tot AS (SELECT MAX(cnt_cum) AS total, MAX(rn) AS vocab FROM scan),
+      |ks AS (SELECT CAST(unnest([1, 5, 10, 25, 100, 10000]) AS BIGINT) AS k)
+      |SELECT k, MAX(rn) AS top_terms, MAX(cnt_cum) AS covered,
+      |  MAX(tot.total) AS total,
+      |  ROUND(CAST(MAX(cnt_cum) AS DOUBLE) / CAST(MAX(tot.total) AS DOUBLE), 6)
+      |    AS coverage
+      |FROM scan CROSS JOIN ks CROSS JOIN tot
+      |WHERE rn <= k GROUP BY k ORDER BY k""".stripMargin
+
+  /** Heaps-law parameter fit K·n^β — the REGRESSION over
+    * [[textVocabGrowth]]'s checkpoint curve (vocab_growth emits the
+    * raw curve plus a point estimate per bucket; this fits ONE (K, β)
+    * by OLS of ln V on ln n across all checkpoints, the number a
+    * corpus-collection plan actually extrapolates with). Checkpoint
+    * cumulative (tokens, vocab) pairs come from the same
+    * explode + min-first-doc + ONE [[graft.operators.PrefixSum]]
+    * construction; each ln term is a correctly-rounded double gathered
+    * DECIMAL(38,18) (order-independent, engine-portable); β, K, r²
+    * ROUND(·,6). */
+  private[graft] def textHeapsFit(s: SparkSession, dir: String): DataFrame = {
+    val d18 = (c: Column) => c.cast("decimal(38,18)")
+    val docs = Tables.documents(s, dir)
+    val words = docs.select(col("doc_id"),
+      explode(expr("filter(split(text, ' '), w -> w <> '')")).as("term"))
+    val firstDoc = words.groupBy(col("term")).agg(min(col("doc_id")).as("fd"))
+      .groupBy((col("fd") / 50).cast("bigint").as("bucket"))
+      .agg(count(lit(1)).as("vocab_new"))
+    val tokens = docs.select((col("doc_id") / 50).cast("bigint").as("bucket"),
+        expr("size(filter(split(text, ' '), w -> w <> ''))").cast("long").as("nw"))
+      .groupBy(col("bucket")).agg(sum(col("nw")).as("tokens"))
+    val merged = tokens.join(firstDoc, Seq("bucket"), "left")
+      .select(col("bucket"), col("tokens"),
+        coalesce(col("vocab_new"), lit(0L)).as("vocab_new"))
+    val scan = graft.operators.PrefixSum.withRunningTotals(merged, Seq("bucket"),
+      Seq("tokens", "vocab_new"))
+    val xE = log(col("tokens_cum").cast("double"))
+    val yE = log(col("vocab_new_cum").cast("double"))
+    val m = scan.filter(col("tokens_cum") > 0 && col("vocab_new_cum") > 0)
+      .agg(count(lit(1)).as("n"),
+        sum(d18(xE)).as("sx"), sum(d18(yE)).as("sy"),
+        sum(d18(xE * xE)).as("sxx"), sum(d18(xE * yE)).as("sxy"),
+        sum(d18(yE * yE)).as("syy"))
+    val nd = col("n").cast("double")
+    val (sx, sy) = (col("sx").cast("double"), col("sy").cast("double"))
+    val (sxx, sxy, syy) = (col("sxx").cast("double"),
+      col("sxy").cast("double"), col("syy").cast("double"))
+    val slope = (nd * sxy - sx * sy) / (nd * sxx - sx * sx)
+    val icept = (sy - slope * sx) / nd
+    val r2 = ((nd * sxy - sx * sy) * (nd * sxy - sx * sy)) /
+      ((nd * sxx - sx * sx) * (nd * syy - sy * sy))
+    m.select(col("n").as("n_checkpoints"),
+      round(slope, 6).as("heaps_beta"),
+      round(exp(icept), 6).as("heaps_k"),
+      round(r2, 6).as("r2"))
+  }
+
+  private[graft] lazy val textHeapsFitSql = {
+    val x = "ln(CAST(tokens_cum AS DOUBLE))"
+    val y = "ln(CAST(vocab_cum AS DOUBLE))"
+    def g(e: String) = s"CAST(SUM(CAST($e AS DECIMAL(38,18))) AS DECIMAL(38,18))"
+    val slope = """((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   |  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                   | / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   |  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))"""
+      .stripMargin.replace("\n", "")
+    val icept = s"((CAST(sy AS DOUBLE) - $slope * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE))"
+    val r2 = """(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                |   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                |  * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                |   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+                | / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                |   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                |  * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                |   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))))"""
+      .stripMargin.replace("\n", "")
+    s"""WITH w AS (SELECT doc_id,
+       |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+       |  FROM documents),
+       |f1 AS (SELECT term, CAST(MIN(doc_id) // 50 AS BIGINT) AS bucket2
+       |       FROM w GROUP BY term),
+       |fd2 AS (SELECT bucket2, COUNT(*) AS vocab_new FROM f1 GROUP BY 1),
+       |tk AS (SELECT CAST(doc_id // 50 AS BIGINT) AS bucket,
+       |         CAST(SUM(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS BIGINT)
+       |           AS tokens
+       |       FROM documents GROUP BY 1),
+       |mg AS (SELECT bucket, tokens, COALESCE(vocab_new, 0) AS vocab_new
+       |      FROM tk LEFT JOIN fd2 ON tk.bucket = fd2.bucket2),
+       |cp AS (SELECT CAST(SUM(tokens) OVER (ORDER BY bucket) AS BIGINT) AS tokens_cum,
+       |         CAST(SUM(vocab_new) OVER (ORDER BY bucket) AS BIGINT) AS vocab_cum
+       |       FROM mg),
+       |m AS (SELECT COUNT(*) AS n,
+       |    ${g(x)} AS sx, ${g(y)} AS sy,
+       |    ${g(s"$x * $x")} AS sxx, ${g(s"$x * $y")} AS sxy,
+       |    ${g(s"$y * $y")} AS syy
+       |  FROM cp WHERE tokens_cum > 0 AND vocab_cum > 0)
+       |SELECT n AS n_checkpoints, ROUND($slope, 6) AS heaps_beta,
+       |  ROUND(exp($icept), 6) AS heaps_k,
+       |  ROUND($r2, 6) AS r2
+       |FROM m""".stripMargin
   }
 }
