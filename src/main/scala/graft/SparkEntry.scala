@@ -788,7 +788,13 @@ object SparkEntry extends SparkEntryAn1
     "an_lilliefors" -> (anLilliefors _),
     "an_fleiss_kappa" -> (anFleissKappa _),
     "text_langid_eval" -> (textLangidEval _),
-    "sim_silhouette" -> (simSilhouette _)
+    "sim_silhouette" -> (simSilhouette _),
+    "an_gamma_fit" -> (anGammaFit _),
+    "an_lognormal_fit" -> (anLognormalFit _),
+    "an_skellam" -> (anSkellam _),
+    "an_bowker" -> (anBowker _),
+    "an_mcc" -> (anMcc _),
+    "an_dunnett" -> (anDunnett _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1236,6 +1242,12 @@ object SparkEntry extends SparkEntryAn1
     "an_lilliefors" -> anLillieforsSql,
     "an_fleiss_kappa" -> anFleissKappaSql,
     "text_langid_eval" -> textLangidEvalSql,
-    "sim_silhouette" -> simSilhouetteSql
+    "sim_silhouette" -> simSilhouetteSql,
+    "an_gamma_fit" -> anGammaFitSql,
+    "an_lognormal_fit" -> anLognormalFitSql,
+    "an_skellam" -> anSkellamSql,
+    "an_bowker" -> anBowkerSql,
+    "an_mcc" -> anMccSql,
+    "an_dunnett" -> anDunnettSql
   )
 }

@@ -945,4 +945,316 @@ private[graft] trait SparkEntryAn4 { this: SparkEntry.type =>
        |  ROUND(($pbar - $pe) / (1.0 - $pe), 6) AS kappa
        |FROM ag""".stripMargin
   }
+
+  /** Gamma(k, θ) fit of the order-value distribution by method of
+    * moments — the LIGHT-tailed member of the parametric trio beside
+    * [[anWeibullFit]] (regression fit) and [[anLognormalFit]]
+    * (log-moment fit); disagreement across the three IS the
+    * model-selection signal. k = m²/v is scale-free off the exact
+    * decimal moments (cents cancel), θ re-emits in dollars; one corpus
+    * pass, one IEEE tree, ROUND(·,6). */
+  private[graft] def anGammaFit(s: SparkSession, dir: String): DataFrame = {
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    val m = Tables.orders(s, dir)
+      .select((col("o_totalprice").cast("decimal(24,2)") * 100).cast("bigint").as("v"))
+      .agg(count(lit(1)).as("n"), sum(d38(col("v"))).as("s1"),
+        sum((d38(col("v")) * d38(col("v"))).cast("decimal(38,0)")).as("s2"))
+    val nd = col("n").cast("double")
+    val mean = col("s1").cast("double") / nd
+    val vr = (d38(col("n")) * col("s2") - col("s1") * col("s1")).cast("double") /
+      (nd * (nd - lit(1.0)))
+    m.select(col("n"), round((mean * mean) / vr, 6).as("shape"),
+      round((vr / mean) / lit(100.0), 6).as("scale"),
+      round(mean / lit(100.0), 6).as("mean"),
+      round(sqrt(vr) / mean, 6).as("cv"))
+  }
+
+  private[graft] lazy val anGammaFitSql = {
+    val mean = "(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))"
+    val vr = """(CAST(CAST(n AS DECIMAL(38,0)) * s2 - s1 * s1 AS DOUBLE)
+               | / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))"""
+      .stripMargin.replace("\n", "")
+    s"""WITH m AS (SELECT COUNT(*) AS n,
+       |    CAST(SUM(CAST(CAST(CAST(o_totalprice AS DECIMAL(24,2)) * 100 AS BIGINT) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s1,
+       |    CAST(SUM(CAST(CAST(CAST(CAST(o_totalprice AS DECIMAL(24,2)) * 100 AS BIGINT) AS DECIMAL(38,0)) * CAST(CAST(CAST(o_totalprice AS DECIMAL(24,2)) * 100 AS BIGINT) AS DECIMAL(38,0)) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s2
+       |  FROM orders)
+       |SELECT n, ROUND(($mean * $mean) / $vr, 6) AS shape,
+       |  ROUND(($vr / $mean) / 100.0, 6) AS scale,
+       |  ROUND($mean / 100.0, 6) AS mean,
+       |  ROUND(sqrt($vr) / $mean, 6) AS cv
+       |FROM m""".stripMargin
+  }
+
+  /** Lognormal(μ, σ) fit of the order-value distribution by log-space
+    * moments — the multiplicative-process member of the parametric
+    * trio: μ̂/σ̂ are the exact-gather moments of ln v (each ln term a
+    * correctly-rounded double summed DECIMAL(38,18), the
+    * an_weibull_fit contract), median = e^μ and mean = e^{μ+σ²/2}
+    * re-emit in dollars, all ROUND(·,6). */
+  private[graft] def anLognormalFit(s: SparkSession, dir: String): DataFrame = {
+    val d18 = (c: Column) => c.cast("decimal(38,18)")
+    val xE = log(col("v").cast("double") / lit(100.0))
+    val m = Tables.orders(s, dir)
+      .select((col("o_totalprice").cast("decimal(24,2)") * 100).cast("bigint").as("v"))
+      .agg(count(lit(1)).as("n"), sum(d18(xE)).as("sx"),
+        sum(d18(xE * xE)).as("sxx"))
+    val nd = col("n").cast("double")
+    val mu = col("sx").cast("double") / nd
+    val sig2 = (nd * col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double")) / (nd * (nd - lit(1.0)))
+    m.select(col("n"), round(mu, 6).as("mu"),
+      round(sqrt(sig2), 6).as("sigma"),
+      round(exp(mu), 6).as("median"),
+      round(exp(mu + sig2 / lit(2.0)), 6).as("mean"))
+  }
+
+  private[graft] lazy val anLognormalFitSql = {
+    val x = "ln(CAST(v AS DOUBLE) / 100.0)"
+    val mu = "(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))"
+    val sig2 = """((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  |  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                  | / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))"""
+      .stripMargin.replace("\n", "")
+    s"""WITH o AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(24,2)) * 100 AS BIGINT) AS v
+       |  FROM orders),
+       |m AS (SELECT COUNT(*) AS n,
+       |    CAST(SUM(CAST($x AS DECIMAL(38,18))) AS DECIMAL(38,18)) AS sx,
+       |    CAST(SUM(CAST($x * $x AS DECIMAL(38,18))) AS DECIMAL(38,18)) AS sxx
+       |  FROM o)
+       |SELECT n, ROUND($mu, 6) AS mu,
+       |  ROUND(sqrt($sig2), 6) AS sigma,
+       |  ROUND(exp($mu), 6) AS median,
+       |  ROUND(exp($mu + $sig2 / 2.0), 6) AS mean
+       |FROM m""".stripMargin
+  }
+
+  /** Skellam/conditional-binomial rate-equality test: are purchases and
+    * clicks generated at the same Poisson rate? Conditional on the
+    * total N = X₁ + X₂, X₁ ~ Bin(N, ½) under H₀ — so the test needs NO
+    * rate estimate: z = (X₁ − N/2)/√(N/4) from two exact BIGINT counts,
+    * p two-sided via the same Zelen–Severo Φ tail as [[anLilliefors]].
+    * One events pass; z and p ROUND(·,6). */
+  private[graft] def anSkellam(s: SparkSession, dir: String): DataFrame = {
+    val m = Tables.events(s, dir)
+      .filter(col("event_type").isin("purchase", "click"))
+      .agg(sum((col("event_type") === "purchase").cast("long")).as("x1"),
+        sum((col("event_type") === "click").cast("long")).as("x2"))
+    val nd = (col("x1") + col("x2")).cast("double")
+    val z = (col("x1").cast("double") - nd / lit(2.0)) / sqrt(nd / lit(4.0))
+    val az = abs(z)
+    val t = lit(1.0) / (lit(1.0) + lit(0.2316419) * az)
+    val poly = t * (lit(0.319381530) + t * (lit(-0.356563782) + t *
+      (lit(1.781477937) + t * (lit(-1.821255978) + t * lit(1.330274429)))))
+    val tail = lit(0.3989422804014327) * exp(lit(-0.5) * az * az) * poly
+    m.select(col("x1").as("n_purchase"), col("x2").as("n_click"),
+      round(z, 6).as("z_rate"), round(lit(2.0) * tail, 6).as("p_value"))
+  }
+
+  private[graft] lazy val anSkellamSql = {
+    val nd = "CAST(x1 + x2 AS DOUBLE)"
+    val z = s"((CAST(x1 AS DOUBLE) - $nd / 2.0) / sqrt($nd / 4.0))"
+    val az = s"ABS($z)"
+    val t = s"(1.0 / (1.0 + 0.2316419 * $az))"
+    val poly = s"($t * (0.319381530 + $t * (-0.356563782 + $t * (1.781477937 + $t * (-1.821255978 + $t * 1.330274429)))))"
+    val tail = s"(0.3989422804014327 * EXP(-0.5 * $az * $az) * $poly)"
+    s"""WITH m AS (SELECT
+       |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS x1,
+       |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS x2
+       |  FROM events WHERE event_type IN ('purchase', 'click'))
+       |SELECT x1 AS n_purchase, x2 AS n_click,
+       |  ROUND($z, 6) AS z_rate, ROUND(2.0 * $tail, 6) AS p_value
+       |FROM m""".stripMargin
+  }
+
+  /** Bowker symmetry test over the language-ID confusion matrix — the
+    * k×k generalization of [[anMcnemar]], asked of [[textLangidEval]]'s
+    * matrix: are misclassifications SYMMETRIC (de→en as often as
+    * en→de), or does the classifier drift directionally? Off-diagonal
+    * cells pair by unordered key (least, greatest); χ²_B =
+    * Σ(n_ij − n_ji)²/(n_ij + n_ji) from exact BIGINT cells (the signed
+    * difference is one CASE sum), df = #non-empty pairs; χ² gathered
+    * DECIMAL(38,18), ROUND(·,6). */
+  private[graft] def anBowker(s: SparkSession, dir: String): DataFrame = {
+    val d18 = (c: Column) => c.cast("decimal(38,18)")
+    val cells = Tables.documents(s, dir)
+      .select(col("lang"), graft.text.TextFunctions.langId(col("text")).as("pred"))
+      .filter(col("lang") =!= col("pred"))
+      .groupBy(col("lang"), col("pred")).agg(count(lit(1)).as("n"))
+    val pairs = cells
+      .select(least(col("lang"), col("pred")).as("a"),
+        greatest(col("lang"), col("pred")).as("b"),
+        when(col("lang") < col("pred"), col("n")).otherwise(-col("n")).as("sn"),
+        col("n"))
+      .groupBy(col("a"), col("b"))
+      .agg(sum(col("sn")).as("d"), sum(col("n")).as("s"))
+    pairs.agg(count(lit(1)).as("df"),
+        sum(d18((col("d") * col("d")).cast("double") / col("s").cast("double")))
+          .cast("decimal(38,18)").as("chi2"))
+      .select(col("df"), round(col("chi2").cast("double"), 6).as("chi2_bowker"))
+  }
+
+  private[graft] lazy val anBowkerSql = {
+    def cnt(ws: Seq[String]) =
+      s"len(list_filter(string_split(text, ' '), x -> x IN (${ws.map(w => s"'$w'").mkString(",")})))"
+    val de = cnt(graft.text.TextFunctions.Stopwords("de"))
+    val en = cnt(graft.text.TextFunctions.Stopwords("en"))
+    val es = cnt(graft.text.TextFunctions.Stopwords("es"))
+    val fr = cnt(graft.text.TextFunctions.Stopwords("fr"))
+    s"""WITH p AS (SELECT lang,
+       |  CASE WHEN GREATEST($de, $en, $es, $fr) = 0 THEN 'und'
+       |       WHEN $de = GREATEST($de, $en, $es, $fr) THEN 'de'
+       |       WHEN $en = GREATEST($de, $en, $es, $fr) THEN 'en'
+       |       WHEN $es = GREATEST($de, $en, $es, $fr) THEN 'es'
+       |       WHEN $fr = GREATEST($de, $en, $es, $fr) THEN 'fr'
+       |       ELSE 'und' END AS pred
+       |FROM documents),
+       |cells AS (SELECT lang, pred, COUNT(*) AS n FROM p
+       |          WHERE lang <> pred GROUP BY 1, 2),
+       |pairs AS (SELECT LEAST(lang, pred) AS a, GREATEST(lang, pred) AS b,
+       |    CAST(SUM(CASE WHEN lang < pred THEN n ELSE -n END) AS BIGINT) AS d,
+       |    CAST(SUM(n) AS BIGINT) AS s
+       |  FROM cells GROUP BY 1, 2)
+       |SELECT COUNT(*) AS df,
+       |  ROUND(CAST(CAST(SUM(CAST(CAST(d * d AS DOUBLE) / CAST(s AS DOUBLE)
+       |    AS DECIMAL(38,18))) AS DECIMAL(38,18)) AS DOUBLE), 6) AS chi2_bowker
+       |FROM pairs""".stripMargin
+  }
+
+  /** Matthews correlation coefficient of the churn classifier AT
+    * [[anYouden]]'s optimal cutoff — the prevalence-robust single
+    * number for the operating point J selected (J ignores class
+    * balance; MCC punishes a cutoff that games the minority class).
+    * Same labeled frame, same PrefixSum scan, same integer-argmax
+    * cutoff; the 2×2 (tp, fp, fn, tn) are exact BIGINTs, the MCC
+    * numerator an exact integer product, the denominator √ of a
+    * 4-factor double product, ROUND(·,6). */
+  private[graft] def anMcc(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val anchor = o.agg(max(col("o_orderdate")).as("mx"))
+    val last = o.groupBy(col("o_custkey")).agg(max(col("o_orderdate")).as("last_order"))
+    val cutoff = col("mx") - expr("INTERVAL 90 DAYS")
+    val labeled = Tables.customer(s, dir)
+      .join(last, col("c_custkey") === col("o_custkey"), "left")
+      .crossJoin(broadcast(anchor))
+      .select(
+        (col("last_order").isNull || col("last_order") < cutoff).cast("long").as("g1"),
+        (col("c_acctbal").cast("decimal(24,2)") * 100).cast("bigint").as("v"))
+    val perV = labeled.groupBy(col("v"))
+      .agg(count(lit(1)).as("cnt"), sum(col("g1")).as("c1"))
+    val scan = graft.operators.PrefixSum.withRunningTotals(
+      perV, Seq("v"), Seq("cnt", "c1"))
+    val tot = scan.agg(max(col("cnt_cum")).as("n"), max(col("c1_cum")).as("n1"))
+    val withM = scan.crossJoin(broadcast(tot))
+      .select(col("v"), col("n"), col("n1"), col("cnt_cum"), col("c1_cum"),
+        ((col("n") - col("n1")) * col("c1_cum") -
+          col("n1") * (col("cnt_cum") - col("c1_cum"))).as("m"))
+    val best = withM.agg(max(col("m")).as("mmax"))
+    val pick = withM.crossJoin(broadcast(best))
+      .filter(col("m") === col("mmax"))
+      .orderBy(col("v")).limit(1)
+      .select(col("v").as("cutoff_c"),
+        col("c1_cum").as("tp"), (col("cnt_cum") - col("c1_cum")).as("fp"),
+        (col("n1") - col("c1_cum")).as("fn"),
+        (col("n") - col("n1") - (col("cnt_cum") - col("c1_cum"))).as("tn"))
+    val num = (col("tp") * col("tn") - col("fp") * col("fn")).cast("double")
+    val den = sqrt((col("tp") + col("fp")).cast("double") *
+      (col("tp") + col("fn")).cast("double") *
+      (col("tn") + col("fp")).cast("double") *
+      (col("tn") + col("fn")).cast("double"))
+    pick.select(col("cutoff_c"), col("tp"), col("fp"), col("fn"), col("tn"),
+      round(num / den, 6).as("mcc"))
+  }
+
+  private[graft] lazy val anMccSql =
+    """WITH a AS (SELECT MAX(o_orderdate) AS mx FROM orders),
+      |l AS (SELECT o_custkey, MAX(o_orderdate) AS last_order FROM orders GROUP BY 1),
+      |lab AS (SELECT
+      |    CASE WHEN last_order IS NULL OR last_order < mx - INTERVAL 90 DAY
+      |         THEN 1 ELSE 0 END AS g1,
+      |    CAST(CAST(c_acctbal AS DECIMAL(24,2)) * 100 AS BIGINT) AS v
+      |  FROM customer LEFT JOIN l ON c_custkey = o_custkey CROSS JOIN a),
+      |pv AS (SELECT v, COUNT(*) AS cnt, CAST(SUM(g1) AS BIGINT) AS c1 FROM lab GROUP BY v),
+      |cv AS (SELECT v, CAST(SUM(cnt) OVER (ORDER BY v) AS BIGINT) AS cnt_cum,
+      |         CAST(SUM(c1) OVER (ORDER BY v) AS BIGINT) AS c1_cum
+      |       FROM pv),
+      |tt AS (SELECT MAX(cnt_cum) AS n, MAX(c1_cum) AS n1 FROM cv),
+      |m AS (SELECT v, n, n1, cnt_cum, c1_cum,
+      |        (n - n1) * c1_cum - n1 * (cnt_cum - c1_cum) AS m
+      |      FROM cv CROSS JOIN tt),
+      |best AS (SELECT MAX(m) AS mmax FROM m),
+      |pick AS (SELECT v AS cutoff_c, c1_cum AS tp, cnt_cum - c1_cum AS fp,
+      |           n1 - c1_cum AS fn, n - n1 - (cnt_cum - c1_cum) AS tn
+      |         FROM m CROSS JOIN best WHERE m = mmax
+      |         ORDER BY v LIMIT 1)
+      |SELECT cutoff_c, tp, fp, fn, tn,
+      |  ROUND(CAST(tp * tn - fp * fn AS DOUBLE)
+      |    / sqrt(CAST(tp + fp AS DOUBLE) * CAST(tp + fn AS DOUBLE)
+      |         * CAST(tn + fp AS DOUBLE) * CAST(tn + fn AS DOUBLE)), 6) AS mcc
+      |FROM pick""".stripMargin
+
+  /** Dunnett-style many-to-one comparisons: each order priority's mean
+    * value against the 1-URGENT control — the question [[anAnova]]'s
+    * omnibus F and [[anTukeyHsd]]'s all-pairs sweep both overshoot when
+    * the design HAS a control (k−1 focused contrasts, not k(k−1)/2):
+    * per-group exact decimal moments in one pass, pooled s² from
+    * gathered within-group sums — at DECIMAL(38,6), NOT (38,18): order
+    * cents² reaches ~5e20 per group at sf1, past (38,18)'s 1e20
+    * integer budget, and at that magnitude the double's own ulp is
+    * ~100 so 6 decimals is already beyond exact (1e32 headroom holds
+    * the sf100 decade) — each
+    * t_i = (m_i − m_c)/√(s²(1/n_i + 1/n_c)) one shared IEEE tree;
+    * mean_diff in dollars and t ROUND(·,6). (Critical values are
+    * Dunnett-table lookups — the statistics emit, the table stays with
+    * the analyst.) */
+  private[graft] def anDunnett(s: SparkSession, dir: String): DataFrame = {
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    val d18 = (c: Column) => c.cast("decimal(38,18)")
+    val g = Tables.orders(s, dir)
+      .select(col("o_orderpriority").as("grp"),
+        (col("o_totalprice").cast("decimal(24,2)") * 100).cast("bigint").as("v"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_g"), sum(d38(col("v"))).as("s1"),
+        sum((d38(col("v")) * d38(col("v"))).cast("decimal(38,0)")).as("s2"))
+    val wss = (col("s2").cast("double") -
+      col("s1").cast("double") * col("s1").cast("double") / col("n_g").cast("double"))
+    val pool = g.agg(count(lit(1)).as("k"), sum(col("n_g")).as("nn"),
+      sum(wss.cast("decimal(38,6)")).as("wss_sum"))
+    val ctl = g.filter(col("grp") === "1-URGENT")
+      .select(col("n_g").as("n_c"), col("s1").as("s1_c"))
+    val s2p = col("wss_sum").cast("double") / (col("nn") - col("k")).cast("double")
+    val mi = col("s1").cast("double") / col("n_g").cast("double")
+    val mc = col("s1_c").cast("double") / col("n_c").cast("double")
+    g.filter(col("grp") =!= "1-URGENT")
+      .crossJoin(broadcast(pool)).crossJoin(broadcast(ctl))
+      .select(col("grp"), col("n_g"),
+        round((mi - mc) / lit(100.0), 6).as("mean_diff"),
+        round((mi - mc) / sqrt(s2p * (lit(1.0) / col("n_g").cast("double") +
+          lit(1.0) / col("n_c").cast("double"))), 6).as("t_stat"))
+      .orderBy(col("grp"))
+  }
+
+  private[graft] lazy val anDunnettSql = {
+    val mi = "(CAST(s1 AS DOUBLE) / CAST(n_g AS DOUBLE))"
+    val mc = "(CAST(s1_c AS DOUBLE) / CAST(n_c AS DOUBLE))"
+    val s2p = "(CAST(wss_sum AS DOUBLE) / CAST(nn - k AS DOUBLE))"
+    s"""WITH b AS (SELECT o_orderpriority AS grp,
+       |    CAST(CAST(o_totalprice AS DECIMAL(24,2)) * 100 AS BIGINT) AS v
+       |  FROM orders),
+       |g AS (SELECT grp, COUNT(*) AS n_g,
+       |    CAST(SUM(CAST(v AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s1,
+       |    CAST(SUM(CAST(CAST(v AS DECIMAL(38,0)) * CAST(v AS DECIMAL(38,0)) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s2
+       |  FROM b GROUP BY grp),
+       |pool AS (SELECT COUNT(*) AS k, CAST(SUM(n_g) AS BIGINT) AS nn,
+       |    CAST(SUM(CAST(CAST(s2 AS DOUBLE)
+       |      - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n_g AS DOUBLE)
+       |      AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS wss_sum
+       |  FROM g),
+       |ctl AS (SELECT n_g AS n_c, s1 AS s1_c FROM g WHERE grp = '1-URGENT')
+       |SELECT grp, n_g,
+       |  ROUND(($mi - $mc) / 100.0, 6) AS mean_diff,
+       |  ROUND(($mi - $mc) / sqrt($s2p * (1.0 / CAST(n_g AS DOUBLE)
+       |    + 1.0 / CAST(n_c AS DOUBLE))), 6) AS t_stat
+       |FROM g CROSS JOIN pool CROSS JOIN ctl
+       |WHERE grp <> '1-URGENT' ORDER BY grp""".stripMargin
+  }
 }
