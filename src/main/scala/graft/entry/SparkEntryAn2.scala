@@ -3631,9 +3631,12 @@ private[graft] trait SparkEntryAn2 { this: SparkEntry.type =>
     * exact decimal power sums (x = epoch-day index, y = cents); the
     * pooled moments are the exact SUMS of the per-segment moments, so
     * the three RSS values come off one shared tree of centered moments
-    * scaled by n (n·Σyy − (Σy)², never a float mean). Slopes emit
-    * UNROUNDED (single division of exact decimals — pure IEEE, the
-    * an_tukey mean_diff contract); F is scale-free, ROUND 6.
+    * scaled by n (n·Σyy − (Σy)², never a float mean). Slopes ROUND 6
+    * — the an_granger lesson generalized: the division is of exact
+    * decimals, but once those pass 2^53 the two engines' int128→
+    * binary64 input casts can round differently (observed one ulp at
+    * sf1), so the unrounded single-division contract only holds below
+    * that width; F is scale-free, ROUND 6.
     * WIDTH CONTRACT: n·Σy² at DECIMAL(38,0) holds to ~1e4× daily
     * revenue of the sf10-probed level (the an_gumbel class). */
   private[graft] def anChowTest(s: SparkSession, dir: String): DataFrame = {
@@ -3676,8 +3679,8 @@ private[graft] trait SparkEntryAn2 { this: SparkEntry.type =>
       col("sxx1") + col("sxx2"), col("sy1") + col("sy2"),
       col("syy1") + col("syy2"), col("sxy1") + col("sxy2"))
     w.select(col("n1"), col("n2"),
-      slope(col("n1"), col("sx1"), col("sxx1"), col("sy1"), col("sxy1")).as("slope1_c"),
-      slope(col("n2"), col("sx2"), col("sxx2"), col("sy2"), col("sxy2")).as("slope2_c"),
+      round(slope(col("n1"), col("sx1"), col("sxx1"), col("sy1"), col("sxy1")), 6).as("slope1_c"),
+      round(slope(col("n2"), col("sx2"), col("sxx2"), col("sy2"), col("sxy2")), 6).as("slope2_c"),
       round(((rp - r1 - r2) / lit(2.0)) /
         ((r1 + r2) / (col("n1") + col("n2") - 4).cast("double")), 6).as("f_stat"))
   }
@@ -3720,8 +3723,8 @@ private[graft] trait SparkEntryAn2 { this: SparkEntry.type =>
        |    ${mom(0, "sxy", "1")}, ${mom(1, "sxy", "2")}
        |  FROM gm)
        |SELECT n1, n2,
-       |  ${slope("n1", "sx1", "sxx1", "sy1", "sxy1")} AS slope1_c,
-       |  ${slope("n2", "sx2", "sxx2", "sy2", "sxy2")} AS slope2_c,
+       |  ROUND(${slope("n1", "sx1", "sxx1", "sy1", "sxy1")}, 6) AS slope1_c,
+       |  ROUND(${slope("n2", "sx2", "sxx2", "sy2", "sxy2")}, 6) AS slope2_c,
        |  ROUND((($rp - $r1 - $r2) / 2.0)
        |    / (($r1 + $r2) / CAST(n1 + n2 - 4 AS DOUBLE)), 6) AS f_stat
        |FROM w""".stripMargin
