@@ -81,6 +81,7 @@ ORACLE_ALLOW = {
     "an_geary_c": {"unrounded-double-sum": "same k-sized nation-mean deviation frame as an_moran_i; r17 sf1 green"},
     "text_heaps_fit": {"unrounded-double-sum": "ln(cumulative) terms bounded ~40 per checkpoint; checkpoint count grows only logarithmically in token magnitude; r17 sf1 green"},
     "sim_silhouette": {"unrounded-double-sum": "per-vector silhouette terms bounded in [-1,1]; per-cell means divide by the cell count at emission ROUND 6; r17 sf1 green"},
+    "an_cochrane_orcutt": {"unrounded-double-sum": "residuals normalized by sqrt(Cyy) BEFORE gathering (bounded <= 1 at any SF); rho/slopes ROUND 6 at emission; r17 sf10 green"},
     "an_breslow_day": {"unrounded-double-sum": "per-stratum (a-at)^2/Var terms feed the scale-free BD/Tarone chi2 ROUND 6; sf10 green (r17)"},
     "an_james_stein": {"unrounded-double-sum": "within-SS and 1/n_g terms feed the scale-free shrinkage ratio c ROUND 6; sf10 green (r17)"},
     "an_corr_matrix": {"unrounded-double-sum": "power sums feed a ratio downstream; sf1 green"},

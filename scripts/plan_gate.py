@@ -48,7 +48,7 @@ GWIN_ALLOW = {
     "an_autocorr": 2, "an_bh_fdr": 2, "an_bollinger": 3, "an_by_fdr": 2,
     "an_kpss": 1, "an_sprt": 2,
     "an_pettitt": 4, "an_buishand": 1, "an_von_neumann": 1,
-    "an_cox_stuart": 2, "an_granger": 1,
+    "an_cox_stuart": 2, "an_granger": 1, "an_cochrane_orcutt": 2,
     "an_changepoint": 2, "an_conformal": 1, "an_cvm": 1, "an_decile_lift": 1,
     "an_durbin_watson": 1, "an_ewma": 1,
     "an_forecast_naive": 1, "an_greenwood": 3, "an_hurst": 6,
@@ -99,6 +99,8 @@ EXCH_ALLOW = {
     "an_james_stein": (11, 2, "k-sized group-moment frames + 1-row shrinkage broadcast, one corpus scan"),
     "an_kpss": (26, 2, "calendar-bounded day-spine frames only (~2.5k rows at any SF): the persisted ranked-deviation frame feeds the partial-sum scan and both lag-join sides; string count repeats the cached lineage"),
     "an_pettitt": (19, 10, "calendar-bounded day-spine frames only: the midrank value scan + time-order partial-sum scan + the argmax re-filter each re-reference the spine; 10 of the 19 are canonical shares"),
+    "an_cochrane_orcutt": (14, 5, "calendar-bounded day-spine frames only: stage-1 fit, residual lag scan and quasi-differenced moments each re-reference the spine; 5 canonical shares"),
+    "an_brown_forsythe": (12, 4, "priority-keyed value-grouped frames: the per-group median row-locators and the deviation pass re-reference the grouped scan; 4 canonical shares"),
     "an_cox_stuart": (11, 5, "day-spine index self-join: both pairing halves + the count broadcast re-reference the ranked spine; 5 canonical shares"),
     "an_friedman": (11, 0, "months x priorities rank frame, 12x5 at any SF"),
     "an_growth_accounting": (12, 0, "calendar-bounded month cohort frames"),

@@ -794,7 +794,11 @@ object SparkEntry extends SparkEntryAn1
     "an_skellam" -> (anSkellam _),
     "an_bowker" -> (anBowker _),
     "an_mcc" -> (anMcc _),
-    "an_dunnett" -> (anDunnett _)
+    "an_dunnett" -> (anDunnett _),
+    "an_cochrane_orcutt" -> (anCochraneOrcutt _),
+    "an_hotelling_t2" -> (anHotellingT2 _),
+    "an_brown_forsythe" -> (anBrownForsythe _),
+    "etl_bitemporal" -> (etlBitemporal _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1248,6 +1252,10 @@ object SparkEntry extends SparkEntryAn1
     "an_skellam" -> anSkellamSql,
     "an_bowker" -> anBowkerSql,
     "an_mcc" -> anMccSql,
-    "an_dunnett" -> anDunnettSql
+    "an_dunnett" -> anDunnettSql,
+    "an_cochrane_orcutt" -> anCochraneOrcuttSql,
+    "an_hotelling_t2" -> anHotellingT2Sql,
+    "an_brown_forsythe" -> anBrownForsytheSql,
+    "etl_bitemporal" -> etlBitemporalSql
   )
 }

@@ -1257,4 +1257,291 @@ private[graft] trait SparkEntryAn4 { this: SparkEntry.type =>
        |FROM g CROSS JOIN pool CROSS JOIN ctl
        |WHERE grp <> '1-URGENT' ORDER BY grp""".stripMargin
   }
+
+  /** Cochrane–Orcutt AR(1)-corrected trend slope for daily revenue —
+    * the FIX for what [[anDurbinWatson]] diagnoses: positively
+    * autocorrelated residuals make the OLS trend's significance lie,
+    * and the CO transform (y_t − ρy_{t−1} on x_t − ρx_{t−1}) re-fits
+    * the slope on quasi-differenced data. Stage 1 OLS comes off exact
+    * DECIMAL(38,0) moments; residuals are NORMALIZED by √C_yy before
+    * any gather (u_t bounded ≤ 1 — no DECIMAL-width growth with SF,
+    * the an_weighted_logrank normalization trick), ρ = Σu·u₋₁/Σu₋₁²
+    * and the transformed moments gather DECIMAL(38,18); the slope
+    * de-normalizes once at emission. ρ and both slopes ($/day)
+    * ROUND(·,6). */
+  private[graft] def anCochraneOrcutt(s: SparkSession, dir: String): DataFrame = {
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    val d18 = (c: Column) => c.cast("decimal(38,18)")
+    val sp = dailyRevenueSpine(s, dir)
+      .select(col("d").cast("long").as("x"), col("rev_c").as("y"))
+    def pr(a: Column, b: Column) = sum((d38(a) * d38(b)).cast("decimal(38,0)"))
+    val m = sp.agg(count(lit(1)).as("n"), sum(d38(col("x"))).as("sx"),
+      sum(d38(col("y"))).as("sy"), pr(col("x"), col("x")).as("sxx"),
+      pr(col("x"), col("y")).as("sxy"), pr(col("y"), col("y")).as("syy"))
+    val nd = col("n").cast("double")
+    val cxx = (d38(col("n")) * col("sxx") - col("sx") * col("sx")).cast("double")
+    val cxy = (d38(col("n")) * col("sxy") - col("sx") * col("sy")).cast("double")
+    val cyy = (d38(col("n")) * col("syy") - col("sy") * col("sy")).cast("double")
+    val fit = m.select(col("n"), (cxy / cxx).as("b"),
+      ((col("sy").cast("double") - (cxy / cxx) * col("sx").cast("double")) / nd).as("a"),
+      sqrt(cyy).as("nrm"))
+    val wd = Window.orderBy("x")
+    val u = sp.crossJoin(broadcast(fit))
+      .select(col("x"), col("n"), col("b"),
+        ((col("y").cast("double") - col("a") - col("b") * col("x").cast("double"))
+          / col("nrm")).as("u"))
+      .withColumn("ul", lag(col("u"), 1).over(wd))
+      .withColumn("xl", lag(col("x"), 1).over(wd))
+    val rhoF = u.filter(col("ul").isNotNull)
+      .agg((sum(d18(col("u") * col("ul"))).cast("double") /
+        sum(d18(col("ul") * col("ul"))).cast("double")).as("rho"))
+    val t = u.filter(col("ul").isNotNull).crossJoin(broadcast(rhoF))
+      .select(col("n"), col("b"), col("rho"),
+        (col("x").cast("double") - col("rho") * col("xl").cast("double")).as("xs"),
+        (col("u") - col("rho") * col("ul")).as("ys"))
+    val mt = t.agg(max(col("n")).as("n"), max(col("b")).as("b"),
+      max(col("rho")).as("rho"), count(lit(1)).as("n2"),
+      sum(d18(col("xs"))).as("sxs"), sum(d18(col("ys"))).as("sys"),
+      sum(d18(col("xs") * col("xs"))).as("sxxs"),
+      sum(d18(col("xs") * col("ys"))).as("sxys"))
+    val n2d = col("n2").cast("double")
+    val slopeN = (n2d * col("sxys").cast("double") -
+      col("sxs").cast("double") * col("sys").cast("double")) /
+      (n2d * col("sxxs").cast("double") -
+        col("sxs").cast("double") * col("sxs").cast("double"))
+    // the CO slope regresses NORMALIZED y* on raw x*, so de-normalize
+    mt.crossJoin(broadcast(m.select(
+        sqrt((d38(col("n")) * col("syy") - col("sy") * col("sy")).cast("double"))
+          .as("nrm2"))))
+      .select(col("n"), col("n2"), round(col("rho"), 6).as("rho"),
+        round(col("b") / lit(100.0), 6).as("slope_ols"),
+        round(slopeN * col("nrm2") / lit(100.0), 6).as("slope_co"))
+  }
+
+  private[graft] lazy val anCochraneOrcuttSql = {
+    def pr(a: String, b: String) =
+      s"CAST(SUM(CAST(CAST($a AS DECIMAL(38,0)) * CAST($b AS DECIMAL(38,0)) AS DECIMAL(38,0))) AS DECIMAL(38,0))"
+    val cxx = "CAST(CAST(n AS DECIMAL(38,0)) * sxx - sx * sx AS DOUBLE)"
+    val cxy = "CAST(CAST(n AS DECIMAL(38,0)) * sxy - sx * sy AS DOUBLE)"
+    val cyy = "CAST(CAST(n AS DECIMAL(38,0)) * syy - sy * sy AS DOUBLE)"
+    val slopeN = """((CAST(n2 AS DOUBLE) * CAST(sxys AS DOUBLE)
+                    |  - CAST(sxs AS DOUBLE) * CAST(sys AS DOUBLE))
+                    | / (CAST(n2 AS DOUBLE) * CAST(sxxs AS DOUBLE)
+                    |  - CAST(sxs AS DOUBLE) * CAST(sxs AS DOUBLE)))"""
+      .stripMargin.replace("\n", "")
+    s"""WITH daily AS ($dailySpineSql),
+       |sp AS (SELECT CAST(d AS BIGINT) AS x, rev_c AS y FROM daily),
+       |m AS (SELECT COUNT(*) AS n,
+       |    CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+       |    CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy,
+       |    ${pr("x", "x")} AS sxx, ${pr("x", "y")} AS sxy, ${pr("y", "y")} AS syy
+       |  FROM sp),
+       |fit AS (SELECT n, ($cxy / $cxx) AS b,
+       |    ((CAST(sy AS DOUBLE) - ($cxy / $cxx) * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)) AS a,
+       |    sqrt($cyy) AS nrm
+       |  FROM m),
+       |u AS (SELECT x, n, b,
+       |    ((CAST(y AS DOUBLE) - a - b * CAST(x AS DOUBLE)) / nrm) AS u,
+       |    LAG((CAST(y AS DOUBLE) - a - b * CAST(x AS DOUBLE)) / nrm)
+       |      OVER (ORDER BY x) AS ul,
+       |    LAG(x) OVER (ORDER BY x) AS xl
+       |  FROM sp CROSS JOIN fit),
+       |rho AS (SELECT CAST(CAST(SUM(CAST(u * ul AS DECIMAL(38,18))) AS DECIMAL(38,18)) AS DOUBLE)
+       |      / CAST(CAST(SUM(CAST(ul * ul AS DECIMAL(38,18))) AS DECIMAL(38,18)) AS DOUBLE) AS rho
+       |    FROM u WHERE ul IS NOT NULL),
+       |t AS (SELECT n, b, rho.rho AS rho,
+       |    (CAST(x AS DOUBLE) - rho.rho * CAST(xl AS DOUBLE)) AS xs,
+       |    (u - rho.rho * ul) AS ys
+       |  FROM u CROSS JOIN rho WHERE ul IS NOT NULL),
+       |mt AS (SELECT MAX(n) AS n, MAX(b) AS b, MAX(rho) AS rho, COUNT(*) AS n2,
+       |    CAST(SUM(CAST(xs AS DECIMAL(38,18))) AS DECIMAL(38,18)) AS sxs,
+       |    CAST(SUM(CAST(ys AS DECIMAL(38,18))) AS DECIMAL(38,18)) AS sys,
+       |    CAST(SUM(CAST(xs * xs AS DECIMAL(38,18))) AS DECIMAL(38,18)) AS sxxs,
+       |    CAST(SUM(CAST(xs * ys AS DECIMAL(38,18))) AS DECIMAL(38,18)) AS sxys
+       |  FROM t),
+       |nr AS (SELECT sqrt($cyy) AS nrm2 FROM m)
+       |SELECT n, n2, ROUND(rho, 6) AS rho,
+       |  ROUND(b / 100.0, 6) AS slope_ols,
+       |  ROUND($slopeN * nrm2 / 100.0, 6) AS slope_co
+       |FROM mt CROSS JOIN nr""".stripMargin
+  }
+
+  /** Hotelling T² two-sample test on the BIVARIATE customer profile
+    * (balance, order count), BUILDING vs AUTOMOBILE — the joint test
+    * the univariate family cannot compose ([[anWelchTtest]] per
+    * coordinate ignores the covariance; two marginally-insignificant
+    * shifts along the correlation axis ARE jointly significant). Per
+    * group one pass to the exact DECIMAL(38,0) SSCP sums; pooled 2×2
+    * covariance, closed-form inverse, T² = (n₁n₀/n)·d′S⁻¹d and its
+    * exact F transform one shared IEEE tree; T²/F ROUND(·,6). */
+  private[graft] def anHotellingT2(s: SparkSession, dir: String): DataFrame = {
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    val oc = Tables.orders(s, dir).groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("noi"))
+    val base = Tables.customer(s, dir)
+      .filter(col("c_mktsegment").isin("BUILDING", "AUTOMOBILE"))
+      .join(oc, col("c_custkey") === col("o_custkey"), "left")
+      .select((col("c_mktsegment") === "BUILDING").cast("long").as("g"),
+        (col("c_acctbal").cast("decimal(24,2)") * 100).cast("bigint").as("b"),
+        coalesce(col("noi"), lit(0L)).as("o"))
+    val gm = base.groupBy(col("g")).agg(count(lit(1)).as("n_g"),
+      sum(d38(col("b"))).as("s1"), sum(d38(col("o"))).as("s2"),
+      sum((d38(col("b")) * d38(col("b"))).cast("decimal(38,0)")).as("s11"),
+      sum((d38(col("o")) * d38(col("o"))).cast("decimal(38,0)")).as("s22"),
+      sum((d38(col("b")) * d38(col("o"))).cast("decimal(38,0)")).as("s12"))
+    def pick(c: String, g: Int) = max(when(col("g") === g, col(c)))
+    val w = gm.agg(
+      pick("n_g", 1).as("n1"), pick("n_g", 0).as("n0"),
+      pick("s1", 1).as("s1a"), pick("s1", 0).as("s1b"),
+      pick("s2", 1).as("s2a"), pick("s2", 0).as("s2b"),
+      pick("s11", 1).as("s11a"), pick("s11", 0).as("s11b"),
+      pick("s22", 1).as("s22a"), pick("s22", 0).as("s22b"),
+      pick("s12", 1).as("s12a"), pick("s12", 0).as("s12b"))
+    def cm(sab: Column, sa: Column, sb: Column, n: Column) =
+      sab.cast("double") - sa.cast("double") * sb.cast("double") / n.cast("double")
+    val (n1d, n0d) = (col("n1").cast("double"), col("n0").cast("double"))
+    val nm2 = n1d + n0d - lit(2.0)
+    val s11p = (cm(col("s11a"), col("s1a"), col("s1a"), col("n1")) +
+      cm(col("s11b"), col("s1b"), col("s1b"), col("n0"))) / nm2
+    val s22p = (cm(col("s22a"), col("s2a"), col("s2a"), col("n1")) +
+      cm(col("s22b"), col("s2b"), col("s2b"), col("n0"))) / nm2
+    val s12p = (cm(col("s12a"), col("s1a"), col("s2a"), col("n1")) +
+      cm(col("s12b"), col("s1b"), col("s2b"), col("n0"))) / nm2
+    val d1 = col("s1a").cast("double") / n1d - col("s1b").cast("double") / n0d
+    val d2 = col("s2a").cast("double") / n1d - col("s2b").cast("double") / n0d
+    val det = s11p * s22p - s12p * s12p
+    val t2 = (n1d * n0d / (n1d + n0d)) *
+      (d1 * d1 * s22p - lit(2.0) * d1 * d2 * s12p + d2 * d2 * s11p) / det
+    w.select(col("n1"), col("n0"), round(t2, 6).as("t2_stat"),
+      round(t2 * (n1d + n0d - lit(3.0)) / (lit(2.0) * nm2), 6).as("f_stat"))
+  }
+
+  private[graft] lazy val anHotellingT2Sql = {
+    def cm(sab: String, sa: String, sb: String, n: String) =
+      s"(CAST($sab AS DOUBLE) - CAST($sa AS DOUBLE) * CAST($sb AS DOUBLE) / CAST($n AS DOUBLE))"
+    val nm2 = "(CAST(n1 AS DOUBLE) + CAST(n0 AS DOUBLE) - 2.0)"
+    val s11p = s"((${cm("s11a", "s1a", "s1a", "n1")} + ${cm("s11b", "s1b", "s1b", "n0")}) / $nm2)"
+    val s22p = s"((${cm("s22a", "s2a", "s2a", "n1")} + ${cm("s22b", "s2b", "s2b", "n0")}) / $nm2)"
+    val s12p = s"((${cm("s12a", "s1a", "s2a", "n1")} + ${cm("s12b", "s1b", "s2b", "n0")}) / $nm2)"
+    val d1 = "(CAST(s1a AS DOUBLE) / CAST(n1 AS DOUBLE) - CAST(s1b AS DOUBLE) / CAST(n0 AS DOUBLE))"
+    val d2 = "(CAST(s2a AS DOUBLE) / CAST(n1 AS DOUBLE) - CAST(s2b AS DOUBLE) / CAST(n0 AS DOUBLE))"
+    val t2 = s"""((CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE)
+                 | / (CAST(n1 AS DOUBLE) + CAST(n0 AS DOUBLE)))
+                 | * ($d1 * $d1 * $s22p - 2.0 * $d1 * $d2 * $s12p + $d2 * $d2 * $s11p)
+                 | / ($s11p * $s22p - $s12p * $s12p))"""
+      .stripMargin.replace("\n", "")
+    def pick(c: String, g: Int, out: String) =
+      s"MAX(CASE WHEN g = $g THEN $c END) AS $out"
+    s"""WITH oc AS (SELECT o_custkey, COUNT(*) AS noi FROM orders GROUP BY 1),
+       |base AS (SELECT CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS g,
+       |    CAST(CAST(c_acctbal AS DECIMAL(24,2)) * 100 AS BIGINT) AS b,
+       |    COALESCE(noi, 0) AS o
+       |  FROM customer LEFT JOIN oc ON c_custkey = o_custkey
+       |  WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE')),
+       |gm AS (SELECT g, COUNT(*) AS n_g,
+       |    CAST(SUM(CAST(b AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s1,
+       |    CAST(SUM(CAST(o AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s2,
+       |    CAST(SUM(CAST(CAST(b AS DECIMAL(38,0)) * CAST(b AS DECIMAL(38,0)) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s11,
+       |    CAST(SUM(CAST(CAST(o AS DECIMAL(38,0)) * CAST(o AS DECIMAL(38,0)) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s22,
+       |    CAST(SUM(CAST(CAST(b AS DECIMAL(38,0)) * CAST(o AS DECIMAL(38,0)) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s12
+       |  FROM base GROUP BY g),
+       |w AS (SELECT ${pick("n_g", 1, "n1")}, ${pick("n_g", 0, "n0")},
+       |    ${pick("s1", 1, "s1a")}, ${pick("s1", 0, "s1b")},
+       |    ${pick("s2", 1, "s2a")}, ${pick("s2", 0, "s2b")},
+       |    ${pick("s11", 1, "s11a")}, ${pick("s11", 0, "s11b")},
+       |    ${pick("s22", 1, "s22a")}, ${pick("s22", 0, "s22b")},
+       |    ${pick("s12", 1, "s12a")}, ${pick("s12", 0, "s12b")}
+       |  FROM gm)
+       |SELECT n1, n0, ROUND($t2, 6) AS t2_stat,
+       |  ROUND($t2 * (CAST(n1 AS DOUBLE) + CAST(n0 AS DOUBLE) - 3.0)
+       |    / (2.0 * $nm2), 6) AS f_stat
+       |FROM w""".stripMargin
+  }
+
+  /** Brown–Forsythe robust variance-homogeneity test across order
+    * priorities — [[anLevene]] centered at the MEDIAN instead of the
+    * mean, the variant that keeps its size under the heavy-tailed
+    * skew that makes mean-centered Levene liberal. Per-group exact
+    * medians come off one value-grouped scan with PARTITIONED
+    * cumulative windows (scalable — no global window); the doubled
+    * median 2m keeps the .5-cent midpoint exact, so every deviation
+    * z = |2v − 2m| is an exact BIGINT and the one-way F on z runs the
+    * same exact DECIMAL(38,0) moment tree as [[anAnova]]; the one
+    * double-fed gather (Σ s_g²/n_g) runs at DECIMAL(38,6) — the
+    * an_dunnett width posture, z² sums reach ~1e21 at sf1;
+    * F ROUND(·,6). */
+  private[graft] def anBrownForsythe(s: SparkSession, dir: String): DataFrame = {
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    val d6 = (c: Column) => c.cast("decimal(38,6)")
+    val b = Tables.orders(s, dir)
+      .select(col("o_orderpriority").as("grp"),
+        (col("o_totalprice").cast("decimal(24,2)") * 100).cast("bigint").as("v"))
+    val pv = b.groupBy(col("grp"), col("v")).agg(count(lit(1)).as("cnt"))
+    val wg = Window.partitionBy(col("grp")).orderBy(col("v"))
+    val scan = pv.withColumn("cum", sum(col("cnt")).over(wg))
+    val ng = b.groupBy(col("grp")).agg(count(lit(1)).as("n_g"))
+    val withN = scan.join(broadcast(ng), Seq("grp"))
+    def at(pos: Column, out: String) = withN
+      .filter(col("cum") >= pos && col("cum") - col("cnt") < pos)
+      .select(col("grp"), col("v").as(out))
+    val lo = expr("(n_g + 1) div 2")
+    val hi = expr("n_g div 2 + 1")
+    val med = at(lo, "vlo").join(at(hi, "vhi"), Seq("grp"))
+      .select(col("grp"), (col("vlo") + col("vhi")).as("m2"))
+    val z = b.join(broadcast(med), Seq("grp"))
+      .select(col("grp"), abs(lit(2L) * col("v") - col("m2")).as("z"))
+    val zg = z.groupBy(col("grp")).agg(count(lit(1)).as("n_g"),
+      sum(d38(col("z"))).as("sz"),
+      sum((d38(col("z")) * d38(col("z"))).cast("decimal(38,0)")).as("szz"))
+    val agg = zg.agg(count(lit(1)).as("k"), sum(col("n_g")).as("nn"),
+      sum(col("sz")).as("st"),
+      sum(d6(col("sz").cast("double") * col("sz").cast("double") /
+        col("n_g").cast("double"))).as("sb"),
+      sum(col("szz")).as("szz"))
+    val nnd = col("nn").cast("double")
+    val kd = col("k").cast("double")
+    val ssb = col("sb").cast("double") -
+      col("st").cast("double") * col("st").cast("double") / nnd
+    val ssw = col("szz").cast("double") - col("sb").cast("double")
+    agg.select(col("k"), col("nn").as("n"),
+      round((ssb / (kd - lit(1.0))) / (ssw / (nnd - kd)), 6).as("f_bf"))
+  }
+
+  private[graft] lazy val anBrownForsytheSql = {
+    val ssb = """(CAST(sb AS DOUBLE)
+                | - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / CAST(nn AS DOUBLE))"""
+      .stripMargin.replace("\n", "")
+    val ssw = "(CAST(szz AS DOUBLE) - CAST(sb AS DOUBLE))"
+    s"""WITH b AS (SELECT o_orderpriority AS grp,
+       |    CAST(CAST(o_totalprice AS DECIMAL(24,2)) * 100 AS BIGINT) AS v
+       |  FROM orders),
+       |pv AS (SELECT grp, v, COUNT(*) AS cnt FROM b GROUP BY grp, v),
+       |scan AS (SELECT grp, v, cnt,
+       |    CAST(SUM(cnt) OVER (PARTITION BY grp ORDER BY v) AS BIGINT) AS cum
+       |  FROM pv),
+       |ng AS (SELECT grp, COUNT(*) AS n_g FROM b GROUP BY grp),
+       |wn AS (SELECT scan.*, ng.n_g FROM scan JOIN ng USING (grp)),
+       |med AS (SELECT l.grp, l.v + h.v AS m2 FROM
+       |    (SELECT grp, v FROM wn
+       |     WHERE cum >= (n_g + 1) // 2 AND cum - cnt < (n_g + 1) // 2) l
+       |    JOIN
+       |    (SELECT grp, v FROM wn
+       |     WHERE cum >= n_g // 2 + 1 AND cum - cnt < n_g // 2 + 1) h
+       |    USING (grp)),
+       |z AS (SELECT b.grp, ABS(2 * v - m2) AS z FROM b JOIN med USING (grp)),
+       |zg AS (SELECT grp, COUNT(*) AS n_g,
+       |    CAST(SUM(CAST(z AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sz,
+       |    CAST(SUM(CAST(CAST(z AS DECIMAL(38,0)) * CAST(z AS DECIMAL(38,0)) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS szz
+       |  FROM z GROUP BY grp),
+       |ag AS (SELECT COUNT(*) AS k, CAST(SUM(n_g) AS BIGINT) AS nn,
+       |    CAST(SUM(sz) AS DECIMAL(38,0)) AS st,
+       |    CAST(SUM(CAST(CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE)
+       |      / CAST(n_g AS DOUBLE) AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS sb,
+       |    CAST(SUM(szz) AS DECIMAL(38,0)) AS szz
+       |  FROM zg)
+       |SELECT k, nn AS n,
+       |  ROUND(($ssb / (CAST(k AS DOUBLE) - 1.0))
+       |    / ($ssw / (CAST(nn AS DOUBLE) - CAST(k AS DOUBLE))), 6) AS f_bf
+       |FROM ag""".stripMargin
+  }
 }

@@ -2133,4 +2133,65 @@ private[graft] trait SparkEntryEtl { this: SparkEntry.type =>
        |${one("o_orderpriority", 15)}
        |) u ORDER BY col_name""".stripMargin
   }
+
+  /** Bitemporal order ledger + as-of transaction-time query — the
+    * correction-aware view [[etlScd2]] (valid time only) cannot give:
+    * each order lands version 1 at its order date; orders with
+    * returned lineitems (l_returnflag = 'R') land version 2 at the
+    * last returned item's ship date, restating the amount net of
+    * returns. The as-of query reads the ledger AS THE SYSTEM KNEW IT
+    * at T₀ = 1997-01-01: the latest version with tx_from ≤ T₀ per
+    * order (orders not yet booked at T₀ drop out), rolled up monthly —
+    * exact-cent BIGINT amounts, correction counts, restatement delta.
+    * One orders pass + one returned-lineitem aggregate, keyed join,
+    * calendar-bounded output. */
+  private[graft] def etlBitemporal(s: SparkSession, dir: String): DataFrame = {
+    val t0 = lit("1997-01-01").cast("timestamp")
+    val ret = Tables.lineitem(s, dir)
+      .filter(col("l_returnflag") === "R")
+      .groupBy(col("l_orderkey"))
+      .agg(max(col("l_shipdate")).as("tx2"),
+        (sum(col("l_extendedprice").cast("decimal(24,8)")).cast("decimal(24,2)") * 100)
+          .cast("bigint").as("ret_c"))
+    val o = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderdate"),
+        (col("o_totalprice").cast("decimal(24,2)") * 100).cast("bigint").as("amt_c"))
+      .join(ret, col("o_orderkey") === col("l_orderkey"), "left")
+      .filter(col("o_orderdate") <= t0)
+    val picked = o.select(
+      date_trunc("month", col("o_orderdate")).as("month"),
+      when(col("tx2").isNotNull && col("tx2") <= t0, lit(1L)).otherwise(lit(0L))
+        .as("corrected"),
+      when(col("tx2").isNotNull && col("tx2") <= t0, col("amt_c") - col("ret_c"))
+        .otherwise(col("amt_c")).as("asof_c"),
+      col("amt_c"))
+    picked.groupBy(col("month"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("corrected")).as("n_corrected"),
+        (sum(col("asof_c")).cast("double") / 100.0).as("asof_amount"),
+        ((sum(col("amt_c")) - sum(col("asof_c"))).cast("double") / 100.0)
+          .as("restated_down"))
+      .orderBy(col("month"))
+  }
+
+  private[graft] lazy val etlBitemporalSql =
+    """WITH ret AS (SELECT l_orderkey, MAX(l_shipdate) AS tx2,
+      |    CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(24,8))), 2) * 100 AS BIGINT) AS ret_c
+      |  FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1),
+      |o AS (SELECT o_orderkey, o_orderdate,
+      |    CAST(CAST(o_totalprice AS DECIMAL(24,2)) * 100 AS BIGINT) AS amt_c,
+      |    tx2, ret_c
+      |  FROM orders LEFT JOIN ret ON o_orderkey = l_orderkey
+      |  WHERE o_orderdate <= TIMESTAMP '1997-01-01'),
+      |picked AS (SELECT date_trunc('month', o_orderdate) AS month,
+      |    CASE WHEN tx2 IS NOT NULL AND tx2 <= TIMESTAMP '1997-01-01'
+      |         THEN 1 ELSE 0 END AS corrected,
+      |    CASE WHEN tx2 IS NOT NULL AND tx2 <= TIMESTAMP '1997-01-01'
+      |         THEN amt_c - ret_c ELSE amt_c END AS asof_c,
+      |    amt_c
+      |  FROM o)
+      |SELECT month, COUNT(*) AS n_orders,
+      |  CAST(SUM(corrected) AS BIGINT) AS n_corrected,
+      |  CAST(SUM(asof_c) AS DOUBLE) / 100.0 AS asof_amount,
+      |  CAST(SUM(amt_c) - SUM(asof_c) AS DOUBLE) / 100.0 AS restated_down
+      |FROM picked GROUP BY month ORDER BY month""".stripMargin
 }
