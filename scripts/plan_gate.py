@@ -101,6 +101,7 @@ EXCH_ALLOW = {
     "an_pettitt": (19, 10, "calendar-bounded day-spine frames only: the midrank value scan + time-order partial-sum scan + the argmax re-filter each re-reference the spine; 10 of the 19 are canonical shares"),
     "an_cochrane_orcutt": (14, 5, "calendar-bounded day-spine frames only: stage-1 fit, residual lag scan and quasi-differenced moments each re-reference the spine; 5 canonical shares"),
     "an_brown_forsythe": (12, 4, "priority-keyed value-grouped frames: the per-group median row-locators and the deviation pass re-reference the grouped scan; 4 canonical shares"),
+    "an_weighted_kappa": (20, 9, "five consumers (cells/marginals/total/weighted sums) of the ONE persisted rank scan; downstream frames are 25-cell/5-row key-domain-sized; 9 canonical shares"),
     "an_cox_stuart": (11, 5, "day-spine index self-join: both pairing halves + the count broadcast re-reference the ranked spine; 5 canonical shares"),
     "an_friedman": (11, 0, "months x priorities rank frame, 12x5 at any SF"),
     "an_growth_accounting": (12, 0, "calendar-bounded month cohort frames"),

@@ -798,7 +798,10 @@ object SparkEntry extends SparkEntryAn1
     "an_cochrane_orcutt" -> (anCochraneOrcutt _),
     "an_hotelling_t2" -> (anHotellingT2 _),
     "an_brown_forsythe" -> (anBrownForsythe _),
-    "etl_bitemporal" -> (etlBitemporal _)
+    "etl_bitemporal" -> (etlBitemporal _),
+    "an_gwet_ac1" -> (anGwetAc1 _),
+    "an_weighted_kappa" -> (anWeightedKappa _),
+    "an_dffits" -> (anDffits _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1256,6 +1259,9 @@ object SparkEntry extends SparkEntryAn1
     "an_cochrane_orcutt" -> anCochraneOrcuttSql,
     "an_hotelling_t2" -> anHotellingT2Sql,
     "an_brown_forsythe" -> anBrownForsytheSql,
-    "etl_bitemporal" -> etlBitemporalSql
+    "etl_bitemporal" -> etlBitemporalSql,
+    "an_gwet_ac1" -> anGwetAc1Sql,
+    "an_weighted_kappa" -> anWeightedKappaSql,
+    "an_dffits" -> anDffitsSql
   )
 }

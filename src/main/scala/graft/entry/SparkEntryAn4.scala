@@ -1544,4 +1544,218 @@ private[graft] trait SparkEntryAn4 { this: SparkEntry.type =>
        |    / ($ssw / (CAST(nn AS DOUBLE) - CAST(k AS DOUBLE))), 6) AS f_bf
        |FROM ag""".stripMargin
   }
+
+  /** Shared per-document Gopher-rater fail-count moments (n, Σn₁, Σn₁²)
+    * for [[anFleissKappa]]/[[anGwetAc1]] — one explode tree for the
+    * top-word share, row-local flags otherwise, m = 4 raters. */
+  private def gopherRaterMoments(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.TextFunctions
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), TextFunctions.words(col("text")).as("ws"))
+    val nWords = size(col("ws"))
+    val meanLen = (aggregate(col("ws"), lit(0L), (acc, w) => acc + length(w))
+      .cast("double") / nWords.cast("double"))
+    val nStop = size(filter(col("ws"),
+      w => w.isin(TextFunctions.Stopwords("en"): _*)))
+    val top = docs.select(col("doc_id"), explode(col("ws")).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg((max(col("c")).cast("double") / sum(col("c")).cast("double")).as("top_frac"))
+    docs.join(top, Seq("doc_id"))
+      .select(((nWords < 50).cast("long") +
+        (meanLen < 3.0 || meanLen > 10.0).cast("long") +
+        (nStop < 2).cast("long") +
+        (col("top_frac") > 0.2).cast("long")).as("n1"))
+      .agg(count(lit(1)).as("n"), sum(col("n1")).as("s1"),
+        sum(col("n1") * col("n1")).as("s2"))
+  }
+
+  private val gopherRaterMomentsSql = {
+    val stop = graft.text.TextFunctions.Stopwords("en")
+      .map(w => s"'$w'").mkString(",")
+    s"""w AS (SELECT doc_id,
+       |    list_filter(string_split(text, ' '), x -> x <> '') AS ws
+       |  FROM documents),
+       |cnt AS (SELECT doc_id, gram, COUNT(*) AS c
+       |    FROM (SELECT doc_id, unnest(ws) AS gram FROM w) GROUP BY 1, 2),
+       |top AS (SELECT doc_id, CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS top_frac
+       |    FROM cnt GROUP BY 1),
+       |f AS (SELECT
+       |    (CASE WHEN len(ws) < 50 THEN 1 ELSE 0 END) +
+       |    (CASE WHEN CAST(list_sum(list_transform(ws, x -> length(x))) AS DOUBLE)
+       |        / CAST(len(ws) AS DOUBLE) < 3.0
+       |      OR CAST(list_sum(list_transform(ws, x -> length(x))) AS DOUBLE)
+       |        / CAST(len(ws) AS DOUBLE) > 10.0 THEN 1 ELSE 0 END) +
+       |    (CASE WHEN len(list_filter(ws, x -> x IN ($stop))) < 2 THEN 1 ELSE 0 END) +
+       |    (CASE WHEN top.top_frac > 0.2 THEN 1 ELSE 0 END) AS n1
+       |  FROM w JOIN top USING (doc_id)),
+       |ag AS (SELECT COUNT(*) AS n, CAST(SUM(n1) AS BIGINT) AS s1,
+       |        CAST(SUM(n1 * n1) AS BIGINT) AS s2 FROM f)""".stripMargin
+  }
+
+  /** Gwet's AC1 over the same four-rater Gopher frame as
+    * [[anFleissKappa]] — the agreement coefficient that does NOT
+    * collapse under prevalence skew (the "kappa paradox": when one
+    * category dominates, P_e ≈ P̄ and Fleiss reads near-zero despite
+    * raters almost always agreeing; AC1's chance term 2π(1−π) stays
+    * small instead). Same exact-integer moments, one IEEE tree,
+    * ROUND(·,6) — emitted beside the Fleiss κ on the SAME data, so
+    * the pair IS the prevalence diagnostic. */
+  private[graft] def anGwetAc1(s: SparkSession, dir: String): DataFrame = {
+    val agg = gopherRaterMoments(s, dir)
+    val nd = col("n").cast("double")
+    val pbar = (lit(2L) * col("s2") - lit(8L) * col("s1") + lit(12L) * col("n"))
+      .cast("double") / (lit(12.0) * nd)
+    val p1 = col("s1").cast("double") / (lit(4.0) * nd)
+    val peK = p1 * p1 + (lit(1.0) - p1) * (lit(1.0) - p1)
+    val peG = lit(2.0) * p1 * (lit(1.0) - p1)
+    agg.select(col("n").as("n_docs"),
+      round(p1, 6).as("p_fail"), round(pbar, 6).as("p_bar"),
+      round((pbar - peK) / (lit(1.0) - peK), 6).as("fleiss_kappa"),
+      round((pbar - peG) / (lit(1.0) - peG), 6).as("gwet_ac1"))
+  }
+
+  private[graft] lazy val anGwetAc1Sql = {
+    val p1 = "(CAST(s1 AS DOUBLE) / (4.0 * CAST(n AS DOUBLE)))"
+    val pbar = "(CAST(2 * s2 - 8 * s1 + 12 * n AS DOUBLE) / (12.0 * CAST(n AS DOUBLE)))"
+    val peK = s"($p1 * $p1 + (1.0 - $p1) * (1.0 - $p1))"
+    val peG = s"(2.0 * $p1 * (1.0 - $p1))"
+    s"""WITH $gopherRaterMomentsSql
+       |SELECT n AS n_docs,
+       |  ROUND($p1, 6) AS p_fail, ROUND($pbar, 6) AS p_bar,
+       |  ROUND(($pbar - $peK) / (1.0 - $peK), 6) AS fleiss_kappa,
+       |  ROUND(($pbar - $peG) / (1.0 - $peG), 6) AS gwet_ac1
+       |FROM ag""".stripMargin
+  }
+
+  /** Linearly-weighted Cohen's kappa between order PRIORITY and the
+    * order-value QUINTILE — ordinal-vs-ordinal agreement where
+    * [[anCohenKappa]]'s unweighted form throws away the ordering (a
+    * 1-URGENT order landing in the 2nd quintile is a near-miss, not a
+    * full disagreement): quintiles from exact global PrefixSum ranks
+    * (bucket = (5·rank − 1) div n + 1 — ntile semantics, deterministic
+    * (v, orderkey) tie order), 25 exact BIGINT cells + marginals, and
+    * κ_w = 1 − n·Σ|i−j|·o_ij / Σ|i−j|·r_i·c_j stays EXACT integers
+    * until one final division, ROUND(·,6). */
+  private[graft] def anWeightedKappa(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .select(substring(col("o_orderpriority"), 1, 1).cast("long").as("pri"),
+        (col("o_totalprice").cast("decimal(24,2)") * 100).cast("bigint").as("v"),
+        col("o_orderkey").cast("long").as("ok"))
+    val scan = graft.operators.PrefixSum.withRunningTotals(
+      o.select(col("v"), col("ok"), col("pri")), Seq("v", "ok"), Seq("pri"))
+    val n = scan.agg(max(col("rn")).as("n"))
+    val cells = scan.crossJoin(broadcast(n))
+      .select(col("pri"), expr("(5 * rn - 1) div n + 1").cast("long").as("q5"))
+      .groupBy(col("pri"), col("q5")).agg(count(lit(1)).as("o"))
+    val rm = cells.groupBy(col("pri")).agg(sum(col("o")).as("r"))
+    val cm = cells.groupBy(col("q5")).agg(sum(col("o")).as("c"))
+    val tot = cells.agg(sum(col("o")).as("nn"))
+    val num = cells
+      .agg(sum(abs(col("pri") - col("q5")) * col("o")).as("wo"))
+    val den = rm.crossJoin(broadcast(cm))
+      .agg(sum(abs(col("pri") - col("q5")) * col("r") * col("c")).as("wrc"))
+    num.crossJoin(broadcast(den)).crossJoin(broadcast(tot))
+      .select(col("nn").as("n"),
+        round(lit(1.0) - (col("nn") * col("wo")).cast("double") /
+          col("wrc").cast("double"), 6).as("kappa_w"))
+  }
+
+  private[graft] lazy val anWeightedKappaSql =
+    """WITH o AS (SELECT CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS pri,
+      |    CAST(CAST(o_totalprice AS DECIMAL(24,2)) * 100 AS BIGINT) AS v,
+      |    o_orderkey AS ok
+      |  FROM orders),
+      |rk AS (SELECT pri, CAST(ROW_NUMBER() OVER (ORDER BY v, ok) AS BIGINT) AS rn
+      |       FROM o),
+      |nn AS (SELECT COUNT(*) AS n FROM o),
+      |cells AS (SELECT pri, (5 * rn - 1) // n + 1 AS q5, COUNT(*) AS o
+      |          FROM rk CROSS JOIN nn GROUP BY 1, 2),
+      |rm AS (SELECT pri, CAST(SUM(o) AS BIGINT) AS r FROM cells GROUP BY 1),
+      |cm AS (SELECT q5, CAST(SUM(o) AS BIGINT) AS c FROM cells GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(o) AS BIGINT) AS nn FROM cells),
+      |num AS (SELECT CAST(SUM(ABS(pri - q5) * o) AS BIGINT) AS wo FROM cells),
+      |den AS (SELECT CAST(SUM(ABS(pri - q5) * r * c) AS BIGINT) AS wrc
+      |        FROM rm CROSS JOIN cm)
+      |SELECT nn AS n,
+      |  ROUND(1.0 - CAST(nn * wo AS DOUBLE) / CAST(wrc AS DOUBLE), 6) AS kappa_w
+      |FROM num CROSS JOIN den CROSS JOIN tot""".stripMargin
+
+  /** DFFITS influence scan over the daily-revenue trend — the
+    * DELETION-scaled companion to [[anCooksDistance]] (Cook's D uses
+    * the full-sample s²; DFFITS divides by the leave-one-out s_(t), so
+    * a single wild day can't mask its own influence): same spine, same
+    * exact-decimal moment fit, h_t and e_t one shared IEEE tree,
+    * s_(t)² = ((n−2)s² − e²/(1−h))/(n−3) closed form, top-10 days by
+    * |DFFITS| (day-ascending tie order). ROUND(·,6). */
+  private[graft] def anDffits(s: SparkSession, dir: String): DataFrame = {
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    val spine = dailyRevenueSpine(s, dir).select(col("d"), col("rev_c"))
+    val m0 = spine.agg(count(lit(1)).as("n"),
+      sum(d38(col("d"))).as("sx"), sum(d38(col("rev_c"))).as("sy"),
+      sum(d38(col("d")) * d38(col("d"))).as("sxx"),
+      sum(d38(col("rev_c")) * d38(col("rev_c"))).as("syy"),
+      sum(d38(col("d")) * d38(col("rev_c"))).as("sxy"))
+    val cxx = (d38(col("n")) * col("sxx") - col("sx") * col("sx")).cast("double")
+    val cyy = (d38(col("n")) * col("syy") - col("sy") * col("sy")).cast("double")
+    val cxy = (d38(col("n")) * col("sxy") - col("sx") * col("sy")).cast("double")
+    val m = m0.select(col("n"),
+      (cxy / cxx).as("slope"),
+      ((col("sy").cast("double") - col("sx").cast("double") * (cxy / cxx)) /
+        col("n").cast("double")).as("icept"),
+      (col("sx").cast("double") / col("n").cast("double")).as("xbar"),
+      (cxx / col("n").cast("double")).as("sxx_c"),
+      ((cyy - (cxy / cxx) * cxy) / col("n").cast("double")).as("sse"))
+    val nd = col("n").cast("double")
+    val e = col("rev_c").cast("double") - col("icept") -
+      col("slope") * col("d").cast("double")
+    val h = lit(1.0) / nd +
+      (col("d").cast("double") - col("xbar")) *
+        (col("d").cast("double") - col("xbar")) / col("sxx_c")
+    spine.crossJoin(broadcast(m))
+      .withColumn("e", e).withColumn("hlev", h)
+      .withColumn("s2i",
+        ((nd - lit(2.0)) * (col("sse") / (nd - lit(2.0))) -
+          col("e") * col("e") / (lit(1.0) - col("hlev"))) / (nd - lit(3.0)))
+      .select(col("d").as("day_no"),
+        round(col("e") / 100.0, 2).as("resid_usd"),
+        round(col("hlev"), 6).as("leverage"),
+        round(col("e") * sqrt(col("hlev")) /
+          (sqrt(col("s2i")) * (lit(1.0) - col("hlev"))), 6).as("dffits"))
+      .orderBy(abs(col("dffits")).desc, col("day_no")).limit(10)
+  }
+
+  private[graft] lazy val anDffitsSql = {
+    val cxx = "CAST(CAST(n AS DECIMAL(38,0)) * sxx - sx * sx AS DOUBLE)"
+    val cyy = "CAST(CAST(n AS DECIMAL(38,0)) * syy - sy * sy AS DOUBLE)"
+    val cxy = "CAST(CAST(n AS DECIMAL(38,0)) * sxy - sx * sy AS DOUBLE)"
+    s"""WITH daily AS ($dailySpineSql),
+       |m0 AS (SELECT COUNT(*) AS n,
+       |    SUM(CAST(d AS DECIMAL(38,0))) AS sx, SUM(CAST(rev_c AS DECIMAL(38,0))) AS sy,
+       |    SUM(CAST(d AS DECIMAL(38,0)) * CAST(d AS DECIMAL(38,0))) AS sxx,
+       |    SUM(CAST(rev_c AS DECIMAL(38,0)) * CAST(rev_c AS DECIMAL(38,0))) AS syy,
+       |    SUM(CAST(d AS DECIMAL(38,0)) * CAST(rev_c AS DECIMAL(38,0))) AS sxy
+       |  FROM daily),
+       |m AS (SELECT n, ($cxy / $cxx) AS slope,
+       |    ((CAST(sy AS DOUBLE) - CAST(sx AS DOUBLE) * ($cxy / $cxx)) / CAST(n AS DOUBLE)) AS icept,
+       |    (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) AS xbar,
+       |    ($cxx / CAST(n AS DOUBLE)) AS sxx_c,
+       |    (($cyy - ($cxy / $cxx) * $cxy) / CAST(n AS DOUBLE)) AS sse
+       |  FROM m0),
+       |pt AS (SELECT d AS day_no,
+       |    (CAST(rev_c AS DOUBLE) - icept - slope * CAST(d AS DOUBLE)) AS e,
+       |    (1.0 / CAST(n AS DOUBLE)
+       |      + (CAST(d AS DOUBLE) - xbar) * (CAST(d AS DOUBLE) - xbar) / sxx_c) AS hlev,
+       |    n, sse
+       |  FROM daily CROSS JOIN m),
+       |sc AS (SELECT day_no, e, hlev,
+       |    (((CAST(n AS DOUBLE) - 2.0) * (sse / (CAST(n AS DOUBLE) - 2.0))
+       |      - e * e / (1.0 - hlev)) / (CAST(n AS DOUBLE) - 3.0)) AS s2i
+       |  FROM pt)
+       |SELECT day_no, ROUND(e / 100.0, 2) AS resid_usd,
+       |  ROUND(hlev, 6) AS leverage,
+       |  ROUND(e * sqrt(hlev) / (sqrt(s2i) * (1.0 - hlev)), 6) AS dffits
+       |FROM sc ORDER BY ABS(ROUND(e * sqrt(hlev) / (sqrt(s2i) * (1.0 - hlev)), 6)) DESC, day_no
+       |LIMIT 10""".stripMargin
+  }
 }
