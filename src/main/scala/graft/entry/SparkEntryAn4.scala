@@ -751,7 +751,15 @@ private[graft] trait SparkEntryAn4 { this: SparkEntry.type =>
     * maximizing cent value. Same labeled frame and ONE
     * [[graft.operators.PrefixSum]] scan as the AUC (no corpus-sized
     * single-partition window); J/TPR/FPR ROUND(·,6). */
-  private[graft] def anYouden(s: SparkSession, dir: String): DataFrame = {
+  /** Shared churn-labeled balance scan + Youden-J integer-argmax cutoff
+    * row for [[anYouden]]/[[anMcc]]: churn label (no order in 90 days)
+    * per customer, per-cent-value counts through one
+    * [[graft.operators.PrefixSum]] scan, m = (n−n₁)·c1_cum −
+    * n₁·(cnt_cum−c1_cum) maximized in exact integers, smallest-v
+    * tie-break. Emits ONE row (v, n, n1, cnt_cum, c1_cum, mmax) both
+    * keys derive from, so "MCC at anYouden's cutoff" is structural,
+    * not copy-discipline (r17 advice #2). */
+  private def youdenCutoffPick(s: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(s, dir)
     val anchor = o.agg(max(col("o_orderdate")).as("mx"))
     val last = o.groupBy(col("o_custkey")).agg(max(col("o_orderdate")).as("last_order"))
@@ -775,17 +783,13 @@ private[graft] trait SparkEntryAn4 { this: SparkEntry.type =>
     withM.crossJoin(broadcast(best))
       .filter(col("m") === col("mmax"))
       .orderBy(col("v")).limit(1)
-      .select(col("n1"), (col("n") - col("n1")).as("n0"), col("v").as("cutoff_c"),
-        round(col("mmax").cast("double") /
-          (col("n1").cast("double") * (col("n") - col("n1")).cast("double")), 6)
-          .as("j_stat"),
-        round(col("c1_cum").cast("double") / col("n1").cast("double"), 6).as("tpr"),
-        round((col("cnt_cum") - col("c1_cum")).cast("double") /
-          (col("n") - col("n1")).cast("double"), 6).as("fpr"))
+      .select(col("v"), col("n"), col("n1"), col("cnt_cum"), col("c1_cum"), col("mmax"))
   }
 
-  private[graft] lazy val anYoudenSql =
-    """WITH a AS (SELECT MAX(o_orderdate) AS mx FROM orders),
+  /** Shared CTE prefix ending in `pick` (one row: v, n, n1, cnt_cum,
+    * c1_cum, mmax) — the SQL twin of [[youdenCutoffPick]]. */
+  private val youdenCutoffPickSql =
+    """a AS (SELECT MAX(o_orderdate) AS mx FROM orders),
       |l AS (SELECT o_custkey, MAX(o_orderdate) AS last_order FROM orders GROUP BY 1),
       |lab AS (SELECT
       |    CASE WHEN last_order IS NULL OR last_order < mx - INTERVAL 90 DAY
@@ -801,8 +805,22 @@ private[graft] trait SparkEntryAn4 { this: SparkEntry.type =>
       |        (n - n1) * c1_cum - n1 * (cnt_cum - c1_cum) AS m
       |      FROM cv CROSS JOIN tt),
       |best AS (SELECT MAX(m) AS mmax FROM m),
-      |pick AS (SELECT * FROM m CROSS JOIN best WHERE m = mmax
-      |         ORDER BY v LIMIT 1)
+      |pick AS (SELECT v, n, n1, cnt_cum, c1_cum, mmax
+      |         FROM m CROSS JOIN best WHERE m = mmax
+      |         ORDER BY v LIMIT 1)""".stripMargin
+
+  private[graft] def anYouden(s: SparkSession, dir: String): DataFrame =
+    youdenCutoffPick(s, dir)
+      .select(col("n1"), (col("n") - col("n1")).as("n0"), col("v").as("cutoff_c"),
+        round(col("mmax").cast("double") /
+          (col("n1").cast("double") * (col("n") - col("n1")).cast("double")), 6)
+          .as("j_stat"),
+        round(col("c1_cum").cast("double") / col("n1").cast("double"), 6).as("tpr"),
+        round((col("cnt_cum") - col("c1_cum")).cast("double") /
+          (col("n") - col("n1")).cast("double"), 6).as("fpr"))
+
+  private[graft] lazy val anYoudenSql =
+    s"""WITH $youdenCutoffPickSql
       |SELECT n1, n - n1 AS n0, v AS cutoff_c,
       |  ROUND(CAST(mmax AS DOUBLE)
       |    / (CAST(n1 AS DOUBLE) * CAST(n - n1 AS DOUBLE)), 6) AS j_stat,
@@ -883,29 +901,11 @@ private[graft] trait SparkEntryAn4 { this: SparkEntry.type =>
     * to "do these curation rules even measure one construct": per doc
     * n₁ = #failing rules, P̄ = Σ[n₁(n₁−1) + (m−n₁)(m−n₁−1)]/(n·m(m−1))
     * entirely from the exact integers Σn₁ and Σn₁², P_e = p₀² + p₁²,
-    * κ = (P̄ − P_e)/(1 − P_e) one IEEE tree ROUND(·,6). Same per-doc
-    * flag expressions as [[textGopherRules]] (one explode tree for the
-    * top-word share, row-local flags otherwise). */
+    * κ = (P̄ − P_e)/(1 − P_e) one IEEE tree ROUND(·,6). Moments come
+    * from the shared [[gopherRaterMoments]] tree (also feeding
+    * [[anGwetAc1]]), so the two keys can never drift apart. */
   private[graft] def anFleissKappa(s: SparkSession, dir: String): DataFrame = {
-    import graft.text.TextFunctions
-    val docs = Tables.documents(s, dir)
-      .select(col("doc_id"), TextFunctions.words(col("text")).as("ws"))
-    val nWords = size(col("ws"))
-    val meanLen = (aggregate(col("ws"), lit(0L), (acc, w) => acc + length(w))
-      .cast("double") / nWords.cast("double"))
-    val nStop = size(filter(col("ws"),
-      w => w.isin(TextFunctions.Stopwords("en"): _*)))
-    val top = docs.select(col("doc_id"), explode(col("ws")).as("w"))
-      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id"))
-      .agg((max(col("c")).cast("double") / sum(col("c")).cast("double")).as("top_frac"))
-    val n1 = docs.join(top, Seq("doc_id"))
-      .select(((nWords < 50).cast("long") +
-        (meanLen < 3.0 || meanLen > 10.0).cast("long") +
-        (nStop < 2).cast("long") +
-        (col("top_frac") > 0.2).cast("long")).as("n1"))
-    val agg = n1.agg(count(lit(1)).as("n"), sum(col("n1")).as("s1"),
-      sum(col("n1") * col("n1")).as("s2"))
+    val agg = gopherRaterMoments(s, dir)
     val nd = col("n").cast("double")
     val pbar = (lit(2L) * col("s2") - lit(8L) * col("s1") + lit(12L) * col("n"))
       .cast("double") / (lit(12.0) * nd)
@@ -917,29 +917,10 @@ private[graft] trait SparkEntryAn4 { this: SparkEntry.type =>
   }
 
   private[graft] lazy val anFleissKappaSql = {
-    val stop = graft.text.TextFunctions.Stopwords("en")
-      .map(w => s"'$w'").mkString(",")
     val p1 = "(CAST(s1 AS DOUBLE) / (4.0 * CAST(n AS DOUBLE)))"
     val pbar = "(CAST(2 * s2 - 8 * s1 + 12 * n AS DOUBLE) / (12.0 * CAST(n AS DOUBLE)))"
     val pe = s"($p1 * $p1 + (1.0 - $p1) * (1.0 - $p1))"
-    s"""WITH w AS (SELECT doc_id,
-       |    list_filter(string_split(text, ' '), x -> x <> '') AS ws
-       |  FROM documents),
-       |cnt AS (SELECT doc_id, gram, COUNT(*) AS c
-       |    FROM (SELECT doc_id, unnest(ws) AS gram FROM w) GROUP BY 1, 2),
-       |top AS (SELECT doc_id, CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS top_frac
-       |    FROM cnt GROUP BY 1),
-       |f AS (SELECT
-       |    (CASE WHEN len(ws) < 50 THEN 1 ELSE 0 END) +
-       |    (CASE WHEN CAST(list_sum(list_transform(ws, x -> length(x))) AS DOUBLE)
-       |        / CAST(len(ws) AS DOUBLE) < 3.0
-       |      OR CAST(list_sum(list_transform(ws, x -> length(x))) AS DOUBLE)
-       |        / CAST(len(ws) AS DOUBLE) > 10.0 THEN 1 ELSE 0 END) +
-       |    (CASE WHEN len(list_filter(ws, x -> x IN ($stop))) < 2 THEN 1 ELSE 0 END) +
-       |    (CASE WHEN top.top_frac > 0.2 THEN 1 ELSE 0 END) AS n1
-       |  FROM w JOIN top USING (doc_id)),
-       |ag AS (SELECT COUNT(*) AS n, CAST(SUM(n1) AS BIGINT) AS s1,
-       |        CAST(SUM(n1 * n1) AS BIGINT) AS s2 FROM f)
+    s"""WITH $gopherRaterMomentsSql
        |SELECT n AS n_docs, s1 AS n_fail_total,
        |  ROUND($p1, 6) AS p_fail, ROUND($pbar, 6) AS p_bar,
        |  ROUND(($pbar - $pe) / (1.0 - $pe), 6) AS kappa
@@ -1124,34 +1105,12 @@ private[graft] trait SparkEntryAn4 { this: SparkEntry.type =>
     * [[anYouden]]'s optimal cutoff — the prevalence-robust single
     * number for the operating point J selected (J ignores class
     * balance; MCC punishes a cutoff that games the minority class).
-    * Same labeled frame, same PrefixSum scan, same integer-argmax
-    * cutoff; the 2×2 (tp, fp, fn, tn) are exact BIGINTs, the MCC
+    * Derived from the SAME [[youdenCutoffPick]] frame anYouden emits
+    * from; the 2×2 (tp, fp, fn, tn) are exact BIGINTs, the MCC
     * numerator an exact integer product, the denominator √ of a
     * 4-factor double product, ROUND(·,6). */
   private[graft] def anMcc(s: SparkSession, dir: String): DataFrame = {
-    val o = Tables.orders(s, dir)
-    val anchor = o.agg(max(col("o_orderdate")).as("mx"))
-    val last = o.groupBy(col("o_custkey")).agg(max(col("o_orderdate")).as("last_order"))
-    val cutoff = col("mx") - expr("INTERVAL 90 DAYS")
-    val labeled = Tables.customer(s, dir)
-      .join(last, col("c_custkey") === col("o_custkey"), "left")
-      .crossJoin(broadcast(anchor))
-      .select(
-        (col("last_order").isNull || col("last_order") < cutoff).cast("long").as("g1"),
-        (col("c_acctbal").cast("decimal(24,2)") * 100).cast("bigint").as("v"))
-    val perV = labeled.groupBy(col("v"))
-      .agg(count(lit(1)).as("cnt"), sum(col("g1")).as("c1"))
-    val scan = graft.operators.PrefixSum.withRunningTotals(
-      perV, Seq("v"), Seq("cnt", "c1"))
-    val tot = scan.agg(max(col("cnt_cum")).as("n"), max(col("c1_cum")).as("n1"))
-    val withM = scan.crossJoin(broadcast(tot))
-      .select(col("v"), col("n"), col("n1"), col("cnt_cum"), col("c1_cum"),
-        ((col("n") - col("n1")) * col("c1_cum") -
-          col("n1") * (col("cnt_cum") - col("c1_cum"))).as("m"))
-    val best = withM.agg(max(col("m")).as("mmax"))
-    val pick = withM.crossJoin(broadcast(best))
-      .filter(col("m") === col("mmax"))
-      .orderBy(col("v")).limit(1)
+    val pick = youdenCutoffPick(s, dir)
       .select(col("v").as("cutoff_c"),
         col("c1_cum").as("tp"), (col("cnt_cum") - col("c1_cum")).as("fp"),
         (col("n1") - col("c1_cum")).as("fn"),
@@ -1166,31 +1125,15 @@ private[graft] trait SparkEntryAn4 { this: SparkEntry.type =>
   }
 
   private[graft] lazy val anMccSql =
-    """WITH a AS (SELECT MAX(o_orderdate) AS mx FROM orders),
-      |l AS (SELECT o_custkey, MAX(o_orderdate) AS last_order FROM orders GROUP BY 1),
-      |lab AS (SELECT
-      |    CASE WHEN last_order IS NULL OR last_order < mx - INTERVAL 90 DAY
-      |         THEN 1 ELSE 0 END AS g1,
-      |    CAST(CAST(c_acctbal AS DECIMAL(24,2)) * 100 AS BIGINT) AS v
-      |  FROM customer LEFT JOIN l ON c_custkey = o_custkey CROSS JOIN a),
-      |pv AS (SELECT v, COUNT(*) AS cnt, CAST(SUM(g1) AS BIGINT) AS c1 FROM lab GROUP BY v),
-      |cv AS (SELECT v, CAST(SUM(cnt) OVER (ORDER BY v) AS BIGINT) AS cnt_cum,
-      |         CAST(SUM(c1) OVER (ORDER BY v) AS BIGINT) AS c1_cum
-      |       FROM pv),
-      |tt AS (SELECT MAX(cnt_cum) AS n, MAX(c1_cum) AS n1 FROM cv),
-      |m AS (SELECT v, n, n1, cnt_cum, c1_cum,
-      |        (n - n1) * c1_cum - n1 * (cnt_cum - c1_cum) AS m
-      |      FROM cv CROSS JOIN tt),
-      |best AS (SELECT MAX(m) AS mmax FROM m),
-      |pick AS (SELECT v AS cutoff_c, c1_cum AS tp, cnt_cum - c1_cum AS fp,
+    s"""WITH $youdenCutoffPickSql,
+      |cm AS (SELECT v AS cutoff_c, c1_cum AS tp, cnt_cum - c1_cum AS fp,
       |           n1 - c1_cum AS fn, n - n1 - (cnt_cum - c1_cum) AS tn
-      |         FROM m CROSS JOIN best WHERE m = mmax
-      |         ORDER BY v LIMIT 1)
+      |       FROM pick)
       |SELECT cutoff_c, tp, fp, fn, tn,
       |  ROUND(CAST(tp * tn - fp * fn AS DOUBLE)
       |    / sqrt(CAST(tp + fp AS DOUBLE) * CAST(tp + fn AS DOUBLE)
       |         * CAST(tn + fp AS DOUBLE) * CAST(tn + fn AS DOUBLE)), 6) AS mcc
-      |FROM pick""".stripMargin
+      |FROM cm""".stripMargin
 
   /** Dunnett-style many-to-one comparisons: each order priority's mean
     * value against the 1-URGENT control — the question [[anAnova]]'s

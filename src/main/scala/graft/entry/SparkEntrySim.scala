@@ -1794,9 +1794,16 @@ private[graft] trait SparkEntrySim { this: SparkEntry.type =>
         quant(graft.similarity.VectorOps.toDouble(col("embedding"))).as("q"))
       .withColumn("vnrm",
         sqrt(aggregate(col("q"), lit(0L), (acc, x) => acc + x * x).cast("double")))
+    // zero-norm guard (r17 advice #4): an all-zero quantized embedding
+    // (or a degenerate empty cell's centroid) would divide by zero —
+    // NaN in Spark, engine-dependent in DuckDB, and NaN ordering inside
+    // the rank window diverges silently. Emit cosine 0, matching the
+    // 1-c2 > 0 defensive pattern below.
     val cosCols: Seq[Column] = cents.toSeq.zip(cnorms).map { case (c, n) =>
-      aggregate(zip_with(col("q"), typedLit(c.toSeq), (a, b) => a * b),
-        lit(0L), (acc, x) => acc + x).cast("double") / (lit(n) * col("vnrm"))
+      when(lit(n) * col("vnrm") > 0,
+        aggregate(zip_with(col("q"), typedLit(c.toSeq), (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x).cast("double") / (lit(n) * col("vnrm")))
+        .otherwise(lit(0.0))
     }
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("cs").desc, col("cell_id"))
@@ -1834,9 +1841,12 @@ private[graft] trait SparkEntrySim { this: SparkEntry.type =>
        |                CAST(SUM(comp.cj * vq.q[CAST(comp.j AS INT) + 1]) AS BIGINT) AS dt
        |         FROM vq CROSS JOIN comp GROUP BY 1, 2),
        |cosr AS MATERIALIZED (SELECT d.vec_id, d.cell_id,
-       |           CAST(d.dt AS DOUBLE) / (cn.nrm * vn.nrm) AS cs,
+       |           CASE WHEN cn.nrm * vn.nrm > 0
+       |                THEN CAST(d.dt AS DOUBLE) / (cn.nrm * vn.nrm) ELSE 0.0 END AS cs,
        |           ROW_NUMBER() OVER (PARTITION BY d.vec_id
-       |             ORDER BY CAST(d.dt AS DOUBLE) / (cn.nrm * vn.nrm) DESC, d.cell_id) AS rn
+       |             ORDER BY CASE WHEN cn.nrm * vn.nrm > 0
+       |                THEN CAST(d.dt AS DOUBLE) / (cn.nrm * vn.nrm) ELSE 0.0 END DESC,
+       |               d.cell_id) AS rn
        |         FROM dots d JOIN cn USING (cell_id) JOIN vn ON vn.vec_id = d.vec_id),
        |sil AS (SELECT a.vec_id, a.cell_id,
        |          CASE WHEN 1.0 - b.cs > 0 THEN (a.cs - b.cs) / (1.0 - b.cs)

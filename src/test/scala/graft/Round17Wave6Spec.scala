@@ -81,7 +81,12 @@ class Round17Wave6Spec extends SparkSpec {
       val s2i = (sse - e(i) * e(i) / (1.0 - h)) / (n - 3.0)
       (e(i) * math.sqrt(h) / (math.sqrt(s2i) * (1.0 - h)), sp(i)._1)
     }
-    val top = dffits.sortBy { case (v, d) => (-math.abs(v), d) }.take(10)
+    // order by the ROUND(·,6) magnitude — the engine/oracle ordering
+    // contract — so a rounded tie at the top-10 boundary resolves the
+    // same way here as there (r17 advice #3)
+    def r6(v: Double): Double = BigDecimal(v)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val top = dffits.sortBy { case (v, d) => (-math.abs(r6(v)), d) }.take(10)
     val rows = SparkEntry.queries("an_dffits")(spark, sfDir)
       .select("day_no", "dffits").as[(Long, Double)].collect()
     assert(rows.length == 10)
