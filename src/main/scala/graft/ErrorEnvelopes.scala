@@ -3,13 +3,13 @@ package graft
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Measured-vs-bound error for the two registry keys that have no
-  * cross-engine oracle BY DESIGN (`an_approx_stats`, `an_tdigest` —
-  * partition-order-dependent sketch estimates; see SURVEY §5): instead
-  * of a DuckDB hash, each round records the estimates' measured error
-  * against the EXACT statistic and the sketch's declared envelope, so
-  * the correctness artifact carries a number for them, not just
-  * `no_oracle`. Bounds mirror the property specs:
+/** Measured-vs-bound error for the two sketch keys whose raw estimates
+  * are not cross-engine replayable (`an_approx_stats`, `an_tdigest`).
+  * Since r18 their [q] emissions are SELF-CERTIFIED frames under the
+  * DuckDB hash oracle (exact halves + in-bound booleans); this report
+  * still records the measured error MAGNITUDES each round (the
+  * booleans alone would hide how much envelope headroom remains).
+  * Bounds mirror the property specs:
   *
   *  - approx_count_distinct: HLL++ default rsd 0.05 → envelope 4·rsd
   *    (relative error, ~1e-4 tail probability);
@@ -39,7 +39,8 @@ object ErrorEnvelopes {
 
     if (keys("an_approx_stats")) {
       // --- an_approx_stats: HLL distinct + approx median over orders ---
-      val row = SparkEntry.queries("an_approx_stats")(s, dir).head()
+      // (raw estimates: the [q] emission is now the certified frame)
+      val row = SparkEntry.approxStatsRaw(s, dir).head()
       val approxCust = row.getLong(0)
       val approxMed = row.getDouble(1)
       val n = row.getLong(2)
@@ -57,7 +58,8 @@ object ErrorEnvelopes {
 
     if (keys("an_tdigest")) {
       // --- an_tdigest: 4 probes × groups over lineitem prices ---
-      val probes = SparkEntry.queries("an_tdigest")(s, dir).collect()
+      // (raw estimates: the [q] emission is now the certified frame)
+      val probes = SparkEntry.tdigestRaw(s, dir).collect()
         .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
       // one pass: per (grp, q, est) conditional rank counts + group sizes
       val li = Tables.lineitem(s, dir).select(col("l_returnflag").as("grp"),

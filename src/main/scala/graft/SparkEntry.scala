@@ -1096,6 +1096,8 @@ object SparkEntry extends SparkEntryAn1
     "text_filter_pipeline" -> textFilterPipelineSql,
     "an_theta_distinct" -> anThetaDistinctSql,
     "an_kll_rank" -> anKllRankSql,
+    "an_approx_stats" -> anApproxStatsSql,
+    "an_tdigest" -> anTdigestSql,
     "etl_weighted_sample" -> etlWeightedSampleSql,
     "etl_snapshot_agg" -> etlSnapshotAggSql,
     "etl_snapshot_read" -> etlSnapshotReadSql,

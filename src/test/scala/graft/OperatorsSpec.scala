@@ -246,11 +246,16 @@ class OperatorsSpec extends SparkSpec {
 
   test("approx stats land within tolerance of exact values") {
     val ord = Tables.orders(spark, sfDir)
-    val row = SparkEntry.queries("an_approx_stats")(spark, sfDir).head()
+    val row = SparkEntry.approxStatsRaw(spark, sfDir).head()
     val exactCust = ord.select(count_distinct(col("o_custkey"))).as[Long].head()
     val exactMed = ord.select(percentile(col("o_totalprice"), lit(0.5))).as[Double].head()
     assert(math.abs(row.getLong(0) - exactCust) <= 0.05 * exactCust)
     assert(math.abs(row.getDouble(1) - exactMed) <= 0.05 * exactMed)
+    // the certified [q] frame must assert its own envelope TRUE (the
+    // oracle hash-compares these booleans against literal true)
+    val cert = SparkEntry.queries("an_approx_stats")(spark, sfDir).head()
+    assert(cert.getAs[Boolean]("distinct_in_bound"))
+    assert(cert.getAs[Boolean]("median_rank_in_bound"))
   }
 
   test("triangle census matches a driver-side adjacency-set count") {
