@@ -42,9 +42,16 @@ import graft.etl.{Curation, Snapshots}
   * the buffer a late-arriving smaller id displaces a pending larger
   * one, and a duplicate of an already-landed hash anti-joins away.
   * `horizon = 0` is the strictly-ordered contract (every arrival
-  * releases immediately). Rows beyond the contract (displacement >
-  * horizon) still land exactly once and deterministically per arrival
-  * schedule — the parity guarantee, not correctness, is what degrades.
+  * releases immediately). A document arriving BEYOND the contract
+  * (displacement > horizon: its doc_id is at or below the release
+  * threshold already passed) is never packed — packing it would
+  * silently diverge from the batch DAG's global-order pack and keeper
+  * choice, exactly the shape of the r16 out-of-order finding. Instead
+  * it lands in the carry table's cumulative quarantine rows (kind
+  * "q", with the release threshold in force at arrival and a named
+  * reason — the [[graft.etl.Validate]] fix-and-replay posture), read
+  * back via [[lateAudit]]; everything in-contract stays
+  * batch-identical (PipelineStreamSpec pins both halves).
   *
   * ==Exactly-once / restart==
   * Every read in a batch is PINNED at snapshot version `batchId` (the
@@ -114,11 +121,28 @@ object PipelineStream {
       if (batchMax.isNullAt(0)) hwmPrev else math.max(hwmPrev, batchMax.getLong(0))
     val thr = if (hwmNew == Long.MinValue) Long.MinValue else hwmNew - horizon
 
+    // beyond-horizon quarantine (r17 verdict #4): an arrival whose
+    // doc_id is at or below the PREVIOUS batch's release threshold
+    // missed its slot — packing it now would diverge from the batch
+    // DAG's global-order pack/keeper. Route it (gated rows only — the
+    // batch DAG would drop gate-failures anyway) to the cumulative
+    // kind-"q" rows with the threshold in force at arrival; the carry
+    // overwrite's CAS keeps the audit exactly-once under replays.
+    val thrPrev =
+      if (hwmPrev == Long.MinValue) Long.MinValue else hwmPrev - horizon
+    val lateNew =
+      if (hwmPrev == Long.MinValue) curated.limit(0)
+      else curated.filter(col("doc_id") <= thrPrev)
+    val inWin =
+      if (hwmPrev == Long.MinValue) curated
+      else curated.filter(col("doc_id") > thrPrev)
+    val latePrev = carry.filter(col("kind") === "q")
+
     // cross-batch dedup: seen-set anti-join, then the min-id keeper over
     // buffer ∪ arrivals (a late smaller id displaces a pending larger one)
     val fresh = landed match {
-      case Some(t) => curated.join(t.select(col("text_h")), Seq("text_h"), "left_anti")
-      case None => curated
+      case Some(t) => inWin.join(t.select(col("text_h")), Seq("text_h"), "left_anti")
+      case None => inWin
     }
     val pendingPrev = carry.filter(col("kind") === "p")
       .select(col("doc_id"), col("text_h"), col("n_tokens"))
@@ -147,6 +171,12 @@ object PipelineStream {
     val carryNew = widen(still.withColumn("kind", lit("p")))
       .unionByName(widen(basesNew.withColumn("kind", lit("b"))))
       .unionByName(widen(Seq((hwmNew, fp)).toDF("hwm", "fp").withColumn("kind", lit("m"))))
+      .unionByName(latePrev)
+      .unionByName(widen(lateNew
+        .select(col("doc_id"), col("text_h"), col("n_tokens"))
+        .withColumn("kind", lit("q"))
+        .withColumn("hwm", lit(thrPrev))
+        .withColumn("fp", lit("beyond-horizon"))))
     try {
       Snapshots.commit(carryNew, carryTable(table), "overwrite",
         targetVersion = Some(vPrev + 1))
@@ -185,6 +215,10 @@ object PipelineStream {
     val metaOld = carry.filter(col("kind") === "m").select(col("hwm"), col("fp"))
     val carryNew = widen(basesNew.withColumn("kind", lit("b")))
       .unionByName(widen(metaOld.withColumn("kind", lit("m"))))
+      // quarantined beyond-horizon rows survive the drain: they are a
+      // fix-and-replay audit, not pending work — flushing must not pack
+      // them (that would reintroduce the divergence) nor drop them
+      .unionByName(carry.filter(col("kind") === "q"))
     try {
       Snapshots.commit(carryNew, ct, "overwrite", targetVersion = Some(v + 1))
     } catch { case _: java.util.ConcurrentModificationException => () }
@@ -205,6 +239,23 @@ object PipelineStream {
         ()
       }
       .start()
+
+  /** Beyond-horizon quarantine audit: every document that arrived
+    * after its release slot had passed (displacement > horizon), with
+    * the release threshold in force at arrival and the routed reason —
+    * the fix-and-replay surface (the `etl_quarantine` posture). These
+    * rows are NEVER packed; re-ingesting them under a fresh table (or
+    * a widened horizon) is the replay path. O(late rows) scalars, no
+    * text. */
+  def lateAudit(spark: SparkSession, table: String): DataFrame = {
+    val ct = carryTable(table)
+    val v = Snapshots.latestVersion(spark, ct)
+    val rows =
+      if (v == 0) emptyCarry(spark) else Snapshots.read(spark, ct, Some(v))
+    rows.filter(col("kind") === "q")
+      .select(col("doc_id"), col("text_h"), col("n_tokens"),
+        col("hwm").as("release_thr_at_arrival"), col("fp").as("reason"))
+  }
 
   /** The per-shard manifest of everything landed so far — the same
     * digest recipe as the batch DAG's final stage, so stream-vs-batch

@@ -151,6 +151,40 @@ class PipelineStreamSpec extends SparkSpec {
     assert(got == batchManifest(rows), "fully-shuffled stream != batch DAG")
   }
 
+  test("a document arriving beyond the horizon lands in the quarantine audit, never the pack; everything else keeps batch parity") {
+    val rows = corpus.take(120)
+    val holdout = rows(10)
+    val onTime = rows.patch(10, Nil, 1)
+    val (src, ckpt, table) = (tmp("plate_src"), tmp("plate_ckpt"), tmp("plate_tbl") + "/t")
+    def feed(s: Seq[(Long, String)]): Unit =
+      s.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(src)
+    val q = graft.streaming.PipelineStream.curationStream(
+      spark.readStream.schema("doc_id LONG, text STRING").parquet(src), table, ckpt,
+      horizon = 8L)
+    // batch 1: the in-order feed minus the holdout (displacement 0,
+    // within any horizon); batch 2: the holdout alone, displaced far
+    // past horizon=8 — its release slot passed in batch 1
+    feed(onTime); q.processAllAvailable()
+    feed(Seq(holdout)); q.processAllAvailable(); q.stop()
+    graft.streaming.PipelineStream.flushPending(spark, table)
+
+    // quarantine audit: exactly the holdout, with the routed reason and
+    // the release threshold that was in force when it arrived
+    val late = graft.streaming.PipelineStream.lateAudit(spark, table)
+      .collect().map(r => (r.getLong(0), r.getString(4), r.getLong(3)))
+    assert(late.toSeq == Seq((holdout._1, "beyond-horizon", onTime.map(_._1).max - 8L)),
+      s"late audit: ${late.toSeq}")
+
+    // the landed corpus equals the batch DAG over the ON-TIME rows —
+    // the quarantined doc neither packed nor disturbed any keeper
+    assert(manifestRows(graft.streaming.PipelineStream.manifest(spark, table)) ==
+      batchManifest(onTime), "parity of the in-contract rows broke")
+
+    // and the audit survives a terminal drain (idempotent flush)
+    graft.streaming.PipelineStream.flushPending(spark, table)
+    assert(graft.streaming.PipelineStream.lateAudit(spark, table).count() == 1)
+  }
+
   test("changing the horizon against an existing carry table fails loud") {
     val rows = corpus.take(60)
     val (src, ckpt, table) = (tmp("pfp_src"), tmp("pfp_ckpt"), tmp("pfp_tbl") + "/t")
