@@ -10,8 +10,18 @@ import org.apache.spark.sql.functions._
   * composes lazily on top of these.
   */
 object Tables {
-  def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Metamorphic-sweep perturbation hook (graft.Metamorphic): when > 0,
+    * every source scan is forced through a round-robin repartition to
+    * this many partitions, so a query's result can be checked for
+    * partition-layout independence — the property the engine's
+    * decimal-gather and order-statistic contracts claim. 0 (the
+    * default, and the only value outside the sweep) is a no-op. */
+  @volatile private[graft] var perturbParts: Int = 0
+
+  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (perturbParts > 0) df.repartition(perturbParts) else df
+  }
 
   def region(s: SparkSession, d: String): DataFrame   = t(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame   = t(s, d, "nation")
