@@ -51,6 +51,58 @@ object Bench {
       s""""gc_s":${ms((post.gcMs - pre.gcMs) / 1000.0)},"heap_gb":$heapGb,"main":"$cmd"}"""
   }
 
+  /** Per-query physical-plan fingerprint for the measured-vs-carried
+    * protocol (r17 verdict #6): md5 of the canonicalized sparkPlan
+    * string (exprIds normalized) with scratch paths masked (write-path
+    * queries plan over fresh temp dirs every run). A query whose
+    * fingerprint differs from the carry file's is re-measured; equal
+    * fingerprint + outside the heavy tail + outside the rotating
+    * sample ⇒ the carried median is reused, cutting the board's
+    * ~40 sbt-minutes to the queries whose timing can actually have
+    * changed. */
+  def planHash(df: org.apache.spark.sql.DataFrame): String = {
+    val raw =
+      try df.queryExecution.sparkPlan.canonicalized.toString
+      catch { case _: Throwable => df.queryExecution.sparkPlan.toString }
+    val masked = raw
+      .replaceAll("/tmp/[^\\s,)\\]}]+", "/tmp/X")
+      .replaceAll("file:[^\\s,)\\]}]*", "file:X")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(masked.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+  }
+
+  /** Compact summary of the paired pinned-jar A/B artifact (absent →
+    * empty string; nonempty results end with a trailing comma so the
+    * caller can splice them between fields). */
+  def pairedField(path: String): String = {
+    val f = new java.io.File(path)
+    if (!f.exists()) return ""
+    val txt =
+      try { val src = scala.io.Source.fromFile(f); try src.mkString finally src.close() }
+      catch { case _: Throwable => return "" }
+    def num(k: String): Option[String] =
+      ("\"" + k + "\": ?(-?[0-9.eE]+)").r.findFirstMatchIn(txt).map(_.group(1))
+    (for {
+      mr <- num("median_ratio"); n <- num("n_queries")
+      over <- num("n_over_1\\.2"); mx <- num("max_ratio"); mn <- num("min_ratio")
+    } yield s""""paired_vs_r17":{"n":$n,"median_ratio":$mr,"min_ratio":$mn,""" +
+      s""""max_ratio":$mx,"n_over_1.2":$over,"file":"$path"},""").getOrElse("")
+  }
+
+  /** Minimal JSON reader for the flat carry file (no JSON lib on the
+    * main classpath): parses {"queries":{name:{"med":x,"spread":y,
+    * "plan_hash":"h"},...}} with a regex over one-entry-per-match. */
+  def readCarry(path: String): Map[String, (Double, Double, String)] = {
+    val f = new java.io.File(path)
+    if (!f.exists()) return Map.empty
+    val txt = scala.io.Source.fromFile(f).mkString
+    val entry = ("\"([a-z0-9_]+)\":\\{\"med\":([-0-9.eE]+),\"spread\":([-0-9.eE]+)," +
+      "\"plan_hash\":\"([0-9a-f]+)\"\\}").r
+    entry.findAllMatchIn(txt).map { m =>
+      m.group(1) -> ((m.group(2).toDouble, m.group(3).toDouble, m.group(4)))
+    }.toMap
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -104,6 +156,28 @@ object Bench {
     val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "3").toInt
     val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
+    val gen = generationTag(sfDir)
+
+    // measured-vs-carried protocol (r17 verdict #6): a query is
+    // re-measured when its plan fingerprint drifted from the carry
+    // file, when it sits in the heavy tail (carried med ≥ CARRY_BAR —
+    // the tail is where regressions matter and noise is largest, so it
+    // is measured EVERY round), or when it falls in the rotating ~20%
+    // sample (keyed on name + testdata generation, which changes per
+    // round — every query is re-measured at least every ~5 rounds even
+    // with a stable plan). Everything else carries its last measured
+    // median, marked as carried in the artifact. SPARK_GRAFT_FULL=1
+    // disables carrying (the full-measure protocol, used to regenerate
+    // the carry file).
+    val carryPath = sys.env.getOrElse("SPARK_GRAFT_CARRY", "scripts/bench_carry.json")
+    val fullRun = sys.env.get("SPARK_GRAFT_FULL").contains("1")
+    val carry = if (fullRun) Map.empty[String, (Double, Double, String)]
+                else readCarry(carryPath)
+    val carryBar = sys.env.getOrElse("SPARK_GRAFT_CARRY_BAR", "1.0").toDouble
+    def rotSample(name: String): Boolean = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      (md.digest((name + gen).getBytes("UTF-8"))(0) & 0xff) % 5 == 0
+    }
     // per-query isolation (outside the timed region): drop every cached
     // block the previous query left behind — dedup builders persist
     // shingle frames, connectedComponents leaves its final label RDD —
@@ -160,7 +234,27 @@ object Bench {
     val warmPass1 = sys.env.getOrElse("SPARK_GRAFT_WARM", "1") != "0"
     val attempts = scala.collection.mutable.LinkedHashMap.empty[String, Vector[Double]]
     val gcs = scala.collection.mutable.LinkedHashMap.empty[String, Vector[Long]]
+    // pass 0: plan fingerprints + the measure/carry split. Building the
+    // DataFrame runs any eager (model-fit / digest) construction once;
+    // isolate() right after keeps that out of the next measurement.
+    val hashes = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val carriedRes = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
+    val toMeasure = scala.collection.mutable.LinkedHashMap.empty[String, (SparkSession, String) => org.apache.spark.sql.DataFrame]
     selected.foreach { case (name, fn) =>
+      val ph = try planHash(fn(spark, sfDir)) catch { case _: Throwable => "err" }
+      hashes(name) = ph
+      carry.get(name) match {
+        case Some((med, spread, h))
+          if h == ph && ph != "err" && med < carryBar && !rotSample(name) =>
+          carriedRes(name) = (med, spread)
+          isolate()
+        case _ => toMeasure(name) = fn
+      }
+    }
+    if (carry.nonEmpty)
+      System.err.println(s"[bench] carry: ${carriedRes.size} carried, " +
+        s"${toMeasure.size} measured (drift/tail/rotation/new)")
+    toMeasure.foreach { case (name, fn) =>
       if (warmPass1) attempt(name, fn, record = false)
       val rs = (1 to repeat).map(_ => attempt(name, fn)).toVector
       attempts(name) = rs.map(_._1); gcs(name) = rs.map(_._2)
@@ -193,9 +287,10 @@ object Bench {
         attempts(name) ++= rs.map(_._1); gcs(name) ++= rs.map(_._2)
       }
     }
-    val results = attempts.map { case (name, ts) =>
+    val measured = attempts.map { case (name, ts) =>
       name -> (medOf(ts), ts.max - ts.min)
     }
+    val results = measured ++ carriedRes
     // the dispersion outlier, named with its RAW attempts AND their GC
     // times (not just the aggregate max) so a round-over-round delta on
     // the heavy tail is attributable from the artifact without a judge
@@ -214,18 +309,47 @@ object Bench {
     // dispersion block.
     val protocol = (if (warmPass1) "warm1+" else "") +
       (if (tailRepeat > repeat) s"median-of-$repeat+tail$tailN@$tailRepeat"
-       else s"median-of-$repeat")
+       else s"median-of-$repeat") +
+      (if (carriedRes.nonEmpty) s"+carry(bar=${ms(carryBar)}s,rot=20%)" else "")
     val qs = results.map { case (k, (v, sp)) =>
-      "\"" + k + "\":{\"med\":" + ms(v) + ",\"spread\":" + ms(sp) + "}"
+      "\"" + k + "\":{\"med\":" + ms(v) + ",\"spread\":" + ms(sp) +
+        (if (carriedRes.contains(k)) ",\"carried\":true" else "") + "}"
     }.mkString("{", ",", "}")
     val allErrs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val gen = generationTag(sfDir)
     val env = envField(envPre, envSnap())
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","protocol":"$protocol","testdata_generation":"$gen",$env,"queries":$qs,"errors":$allErrs,"sf":"$sfDir"}""")
+    // carried-vs-measured split (r17 verdict #6): the total always
+    // reconciles (measured_sec + carried_sec), and a reader can see
+    // exactly how much of the board was timed THIS run
+    val carryField =
+      if (carry.isEmpty) ""
+      else s""""carry":{"measured":${measured.size},"carried":${carriedRes.size},""" +
+        s""""measured_sec":${ms(measured.values.map(_._1).sum)},""" +
+        s""""carried_sec":${ms(carriedRes.values.map(_._1).sum)}},"""
+    // paired pinned-jar A/B summary (r17 verdict #1): the dev-session
+    // artifact scripts/paired_vs_r17.json carries the full per-query
+    // pairs; its summary is embedded so the driver-facing artifact
+    // answers code-vs-host in-band
+    val paired = pairedField(sys.env.getOrElse("SPARK_GRAFT_PAIRED",
+      "scripts/paired_vs_r17.json"))
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","protocol":"$protocol","testdata_generation":"$gen",$env,$carryField$paired"queries":$qs,"errors":$allErrs,"sf":"$sfDir"}""")
     println(boundedLine(total, results.toSeq.map { case (k, (v, _)) => (k, v) },
       failed.toSeq, sfDir, gen,
       spreads = results.values.map(_._2).toSeq, protocol = protocol,
-      worstSpread = worst, envField = env))
+      worstSpread = worst,
+      envField = (env + "," + carryField + paired).stripSuffix(",")))
+    // carry-file regeneration: measured queries land fresh entries
+    // (med/spread/plan hash), carried queries keep their last measured
+    // values — run with SPARK_GRAFT_FULL=1 SPARK_GRAFT_WRITE_CARRY=1
+    // for a from-scratch file
+    if (sys.env.get("SPARK_GRAFT_WRITE_CARRY").contains("1")) {
+      val entries = results.toSeq.sortBy(_._1).map { case (k, (v, sp)) =>
+        val h = if (carriedRes.contains(k)) carry(k)._3 else hashes.getOrElse(k, "err")
+        s""""$k":{"med":${ms(v)},"spread":${ms(sp)},"plan_hash":"$h"}"""
+      }.mkString(",")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(carryPath),
+        s"""{"generated":"$gen","queries":{$entries}}""")
+      System.err.println(s"[bench] carry file written: $carryPath (${results.size} entries)")
+    }
     spark.stop()
   }
 
