@@ -19,9 +19,16 @@ object Tables {
   @volatile private[graft] var perturbParts: Int = 0
 
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$dir/$name.parquet")
+    val df = bare(spark, dir, name)
     if (perturbParts > 0) df.repartition(perturbParts) else df
   }
+
+  /** Bare scan, NEVER perturbed — only for metadata-only sizing counts
+    * (sim_semantic_dedup's nCells) where an injected repartition would
+    * turn a footer-stats count into a data read. Row count is layout-
+    * independent, so the metamorphic contract is unaffected. */
+  private[graft] def bare(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
 
   def region(s: SparkSession, d: String): DataFrame   = t(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame   = t(s, d, "nation")

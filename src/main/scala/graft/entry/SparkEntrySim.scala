@@ -480,11 +480,19 @@ private[graft] trait SparkEntrySim { this: SparkEntry.type =>
     // below fails loudly the moment that assumption breaks: a bare
     // relation optimizes to a leaf plan; a filter/join/format wrapper
     // does not.
-    require(emb.queryExecution.optimizedPlan.children.isEmpty,
+    // (a metamorphic-sweep Repartition wrapper is row-preserving and
+    // peels off; anything else — filter/join/format — still fails loud)
+    def unwrap(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan):
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = p match {
+      case r: org.apache.spark.sql.catalyst.plans.logical.RepartitionOperation =>
+        unwrap(r.child)
+      case other => other
+    }
+    require(unwrap(emb.queryExecution.optimizedPlan).children.isEmpty,
       "sim_semantic_dedup sizes nCells with a metadata-only count(); " +
         "Tables.embeddings is no longer a bare scan — replace the eager " +
         "count with a sampled/snapshot corpus-size estimate")
-    val nCells = math.max(16L, emb.count() / 320L).toInt
+    val nCells = math.max(16L, Tables.bare(s, dir, "embeddings").count() / 320L).toInt
     graft.similarity.VectorOps.semanticDedup(emb, tau = 0.35, nCells = nCells)
       .orderBy(col("drop_id"))
   }
