@@ -10,7 +10,11 @@ Sources (all already-committed artifacts / code, no re-execution):
   - FULLVERIFY_*.json artifacts      → sf certification level
   - scripts/plan_gate.py             → EXCH_ALLOW / GWIN_ALLOW entries
 
-Usage: scripts/gen_inventory.py <verifyOutDir> [> SURVEY_INVENTORY.json]
+Usage: scripts/gen_inventory.py <verifyOutDir> > /tmp/inv.json
+       && mv /tmp/inv.json SURVEY_INVENTORY.json
+(write to a TEMP file first — the script READS the existing
+SURVEY_INVENTORY.json to preserve archived full contracts, so a direct
+`> SURVEY_INVENTORY.json` truncates its own input.)
 """
 import json, os, re, sys
 
@@ -66,6 +70,8 @@ for fname, level in [
     ("FULLVERIFY_sf1_r17_wave2.json", "sf1"),
     ("FULLVERIFY_sf10_r17.json", "sf10"),
     ("FULLVERIFY_sf10_r17_wave2.json", "sf10"),
+    ("FULLVERIFY_sf1_r18_wave.json", "sf1"),
+    ("FULLVERIFY_sf10_r18_wave.json", "sf10"),
     ("FULLVERIFY_sf10_heavy_r18.json", "sf10"),
 ]:
     p = os.path.join(root, fname)

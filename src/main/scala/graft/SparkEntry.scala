@@ -21,6 +21,7 @@ object SparkEntry extends SparkEntryAn1
   with SparkEntryAn2
   with SparkEntryAn3
   with SparkEntryAn4
+  with SparkEntryAn5
   with SparkEntryEtl
   with SparkEntryMm
   with SparkEntryRel
@@ -801,7 +802,19 @@ object SparkEntry extends SparkEntryAn1
     "etl_bitemporal" -> (etlBitemporal _),
     "an_gwet_ac1" -> (anGwetAc1 _),
     "an_weighted_kappa" -> (anWeightedKappa _),
-    "an_dffits" -> (anDffits _)
+    "an_dffits" -> (anDffits _),
+    "an_kuiper" -> (anKuiper _),
+    "an_goldfeld_quandt" -> (anGoldfeldQuandt _),
+    "an_theil_u" -> (anTheilU _),
+    "an_cusum_sq" -> (anCusumSq _),
+    "an_bartels_rank" -> (anBartelsRank _),
+    "an_snht" -> (anSnht _),
+    "an_foster_stuart" -> (anFosterStuart _),
+    "an_palma" -> (anPalma _),
+    "an_tracking_signal" -> (anTrackingSignal _),
+    "an_spectral_entropy" -> (anSpectralEntropy _),
+    "text_yule_k" -> (textYuleK _),
+    "q_katz" -> (qKatz _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1264,6 +1277,18 @@ object SparkEntry extends SparkEntryAn1
     "etl_bitemporal" -> etlBitemporalSql,
     "an_gwet_ac1" -> anGwetAc1Sql,
     "an_weighted_kappa" -> anWeightedKappaSql,
-    "an_dffits" -> anDffitsSql
+    "an_dffits" -> anDffitsSql,
+    "an_kuiper" -> anKuiperSql,
+    "an_goldfeld_quandt" -> anGoldfeldQuandtSql,
+    "an_theil_u" -> anTheilUSql,
+    "an_cusum_sq" -> anCusumSqSql,
+    "an_bartels_rank" -> anBartelsRankSql,
+    "an_snht" -> anSnhtSql,
+    "an_foster_stuart" -> anFosterStuartSql,
+    "an_palma" -> anPalmaSql,
+    "an_tracking_signal" -> anTrackingSignalSql,
+    "an_spectral_entropy" -> anSpectralEntropySql,
+    "text_yule_k" -> textYuleKSql,
+    "q_katz" -> qKatzSql
   )
 }

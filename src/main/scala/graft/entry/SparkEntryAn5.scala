@@ -1,0 +1,693 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Round-18 analytics wave: goodness-of-fit / heteroscedasticity /
+  * forecast-quality / records / concentration additions over the shared
+  * spines, in a fifth trait file (same scope rules as
+  * [[SparkEntryAn1]]–[[SparkEntryAn4]]: self-typed to the registry
+  * object, SQL twins beside each kernel, exact integer/decimal algebra
+  * until one emission-time division, ROUND(·,6)). */
+private[graft] trait SparkEntryAn5 { this: SparkEntry.type =>
+
+  /** Kuiper's V test of customer balances against N(μ̂, σ̂²) — the
+    * ROTATION-invariant companion to [[anLilliefors]]: V = D⁺ + D⁻
+    * weights both EDF tails equally (KS's D = max of the two is
+    * center-heavy), the standard choice for cyclic/boundary-sensitive
+    * deviation. Same machinery: μ̂/σ̂ from exact decimal sums, two-sided
+    * EDF gaps per distinct cent value off ONE
+    * [[graft.operators.PrefixSum]] scan, Φ via the shared Zelen–Severo
+    * rational tail. V and √n·V ROUND(·,6). */
+  private[graft] def anKuiper(s: SparkSession, dir: String): DataFrame = {
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    val v = Tables.customer(s, dir)
+      .select((col("c_acctbal").cast("decimal(24,2)") * 100).cast("bigint").as("v"))
+    val perV = v.groupBy(col("v")).agg(count(lit(1)).as("cnt"))
+    val scan = graft.operators.PrefixSum.withRunningTotals(perV, Seq("v"), Seq("cnt"))
+    val tot = v.agg(count(lit(1)).as("n"), sum(d38(col("v"))).as("s1"),
+      sum((d38(col("v")) * d38(col("v"))).cast("decimal(38,0)")).as("s2"))
+    val nd = col("n").cast("double")
+    val mu = col("s1").cast("double") / nd
+    val sd = sqrt((d38(col("n")) * col("s2") - col("s1") * col("s1")).cast("double") /
+      (nd * (nd - lit(1.0))))
+    val z = (col("v").cast("double") - mu) / sd
+    val az = abs(z)
+    val t = lit(1.0) / (lit(1.0) + lit(0.2316419) * az)
+    val poly = t * (lit(0.319381530) + t * (lit(-0.356563782) + t *
+      (lit(1.781477937) + t * (lit(-1.821255978) + t * lit(1.330274429)))))
+    val phiAbs = lit(1.0) - lit(0.3989422804014327) * exp(lit(-0.5) * az * az) * poly
+    val cdf = when(z >= 0, phiAbs).otherwise(lit(1.0) - phiAbs)
+    scan.crossJoin(broadcast(tot))
+      .select(col("n"),
+        (col("cnt_cum").cast("double") / nd - cdf).as("up"),
+        (cdf - (col("cnt_cum") - col("cnt")).cast("double") / nd).as("dn"))
+      .groupBy(col("n")).agg(max(col("up")).as("dp"), max(col("dn")).as("dm"))
+      .select(col("n"), round(col("dp") + col("dm"), 6).as("v_stat"),
+        round(sqrt(col("n").cast("double")) * (col("dp") + col("dm")), 6)
+          .as("sqrt_n_v"))
+  }
+
+  private[graft] lazy val anKuiperSql = {
+    val z = "((CAST(v AS DOUBLE) - mu) / sd)"
+    val az = s"ABS($z)"
+    val t = s"(1.0 / (1.0 + 0.2316419 * $az))"
+    val poly = s"($t * (0.319381530 + $t * (-0.356563782 + $t * " +
+      s"(1.781477937 + $t * (-1.821255978 + $t * 1.330274429)))))"
+    val phiAbs = s"(1.0 - 0.3989422804014327 * EXP(-0.5 * $az * $az) * $poly)"
+    val cdf = s"(CASE WHEN $z >= 0 THEN $phiAbs ELSE 1.0 - $phiAbs END)"
+    s"""WITH b AS (SELECT CAST(CAST(c_acctbal AS DECIMAL(24,2)) * 100 AS BIGINT) AS v
+       |  FROM customer),
+       |pv AS (SELECT v, COUNT(*) AS cnt FROM b GROUP BY v),
+       |sc AS (SELECT v, cnt, CAST(SUM(cnt) OVER (ORDER BY v) AS BIGINT) AS cnt_cum
+       |       FROM pv),
+       |tot AS (SELECT COUNT(*) AS n,
+       |    CAST(SUM(CAST(v AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s1,
+       |    CAST(SUM(CAST(CAST(v AS DECIMAL(38,0)) * CAST(v AS DECIMAL(38,0)) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s2
+       |  FROM b),
+       |ms AS (SELECT n, CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+       |    sqrt(CAST(CAST(n AS DECIMAL(38,0)) * s2 - s1 * s1 AS DOUBLE)
+       |      / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) AS sd
+       |  FROM tot),
+       |gaps AS (SELECT n,
+       |    CAST(cnt_cum AS DOUBLE) / CAST(n AS DOUBLE) - $cdf AS up,
+       |    $cdf - CAST(cnt_cum - cnt AS DOUBLE) / CAST(n AS DOUBLE) AS dn
+       |  FROM sc CROSS JOIN ms)
+       |SELECT n, ROUND(MAX(up) + MAX(dn), 6) AS v_stat,
+       |  ROUND(sqrt(CAST(n AS DOUBLE)) * (MAX(up) + MAX(dn)), 6) AS sqrt_n_v
+       |FROM gaps GROUP BY n""".stripMargin
+  }
+
+  /** Goldfeld–Quandt heteroscedasticity test on the daily-revenue trend
+    * fit — the split-sample complement to [[anBreuschPagan]]'s
+    * auxiliary regression: OLS of rev on day separately over the FIRST
+    * and LAST thirds of the time-ordered spine (middle third dropped,
+    * the classical power choice), F = (SSE₂/df₂)/(SSE₁/df₁) detects
+    * variance growing with the regressor. Segment moments are exact
+    * DECIMAL(38,0) power sums; SSE via the centered closed form in one
+    * shared IEEE tree (the magnitudes pass 2^53, so the emission is
+    * ROUND(·,6) with ~9 orders of margin over the cast ulp — the
+    * an_granger boundary contract). Spine-bounded frames throughout. */
+  private[graft] def anGoldfeldQuandt(s: SparkSession, dir: String): DataFrame = {
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    val sp = dailyRevenueSpine(s, dir)
+      .select(col("d").cast("long").as("d"), col("rev_c"))
+    val wd = Window.orderBy("d")
+    val n = sp.agg(count(lit(1)).as("n"))
+    val seg = sp.withColumn("t", row_number().over(wd).cast("long"))
+      .crossJoin(broadcast(n))
+      .withColumn("g",
+        when(col("t") <= expr("n div 3"), lit(1L))
+          .when(col("t") > col("n") - expr("n div 3"), lit(2L)))
+      .filter(col("g").isNotNull)
+    val m = seg.groupBy(col("g"))
+      .agg(count(lit(1)).as("ng"),
+        sum(d38(col("d"))).as("sx"), sum(d38(col("rev_c"))).as("sy"),
+        sum((d38(col("d")) * d38(col("d"))).cast("decimal(38,0)")).as("sxx"),
+        sum((d38(col("d")) * d38(col("rev_c"))).cast("decimal(38,0)")).as("sxy"),
+        sum((d38(col("rev_c")) * d38(col("rev_c"))).cast("decimal(38,0)")).as("syy"))
+    val ngd = col("ng").cast("double")
+    val cxx = (d38(col("ng")) * col("sxx") - col("sx") * col("sx")).cast("double")
+    val cxy = (d38(col("ng")) * col("sxy") - col("sx") * col("sy")).cast("double")
+    val cyy = (d38(col("ng")) * col("syy") - col("sy") * col("sy")).cast("double")
+    val sse = (cyy - cxy * cxy / cxx) / ngd
+    val withSse = m.select(col("g"), col("ng"), sse.as("sse"))
+    val one = withSse.filter(col("g") === 1)
+      .select(col("ng").as("n1"), col("sse").as("sse1"))
+    val two = withSse.filter(col("g") === 2)
+      .select(col("ng").as("n2"), col("sse").as("sse2"))
+    one.crossJoin(broadcast(two))
+      .select(col("n1"), col("n2"),
+        round((col("sse2") / (col("n2").cast("double") - lit(2.0))) /
+          (col("sse1") / (col("n1").cast("double") - lit(2.0))), 6).as("f_gq"))
+  }
+
+  private[graft] lazy val anGoldfeldQuandtSql = {
+    val cxx = "CAST(CAST(ng AS DECIMAL(38,0)) * sxx - sx * sx AS DOUBLE)"
+    val cxy = "CAST(CAST(ng AS DECIMAL(38,0)) * sxy - sx * sy AS DOUBLE)"
+    val cyy = "CAST(CAST(ng AS DECIMAL(38,0)) * syy - sy * sy AS DOUBLE)"
+    val sse = s"(($cyy - $cxy * $cxy / $cxx) / CAST(ng AS DOUBLE))"
+    s"""WITH daily AS ($dailySpineSql),
+       |sp AS (SELECT CAST(d AS BIGINT) AS d, rev_c,
+       |         CAST(ROW_NUMBER() OVER (ORDER BY d) AS BIGINT) AS t
+       |       FROM daily),
+       |nn AS (SELECT COUNT(*) AS n FROM sp),
+       |seg AS (SELECT d, rev_c,
+       |          CASE WHEN t <= n // 3 THEN 1
+       |               WHEN t > n - n // 3 THEN 2 END AS g
+       |        FROM sp CROSS JOIN nn),
+       |m AS (SELECT g, COUNT(*) AS ng,
+       |    CAST(SUM(CAST(d AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+       |    CAST(SUM(CAST(rev_c AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy,
+       |    CAST(SUM(CAST(CAST(d AS DECIMAL(38,0)) * CAST(d AS DECIMAL(38,0)) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxx,
+       |    CAST(SUM(CAST(CAST(d AS DECIMAL(38,0)) * CAST(rev_c AS DECIMAL(38,0)) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxy,
+       |    CAST(SUM(CAST(CAST(rev_c AS DECIMAL(38,0)) * CAST(rev_c AS DECIMAL(38,0)) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS syy
+       |  FROM seg WHERE g IS NOT NULL GROUP BY g),
+       |se AS (SELECT g, ng, $sse AS sse FROM m)
+       |SELECT a.ng AS n1, b.ng AS n2,
+       |  ROUND((b.sse / (CAST(b.ng AS DOUBLE) - 2.0))
+       |    / (a.sse / (CAST(a.ng AS DOUBLE) - 2.0)), 6) AS f_gq
+       |FROM se a CROSS JOIN se b WHERE a.g = 1 AND b.g = 2""".stripMargin
+  }
+
+  /** Theil's U forecast-accuracy pair for the seasonal-naive
+    * one-week-back forecast of daily revenue — the SCALE-FREE quality
+    * numbers beside [[anMase]]'s absolute-error ratio: U1 ∈ [0,1]
+    * (RMSE over the sum of root mean squares, 0 = perfect) and U2
+    * (RMSE of the forecast relative to the random-walk RMSE, < 1 =
+    * beats naive persistence). Squared errors and squares are exact
+    * DECIMAL(38,0) off two lag windows over the calendar-bounded
+    * spine; three square roots + two divisions at emission,
+    * ROUND(·,6). */
+  private[graft] def anTheilU(s: SparkSession, dir: String): DataFrame = {
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    val sp = dailyRevenueSpine(s, dir)
+      .select(col("d").cast("long").as("d"), col("rev_c"))
+    val wd = Window.orderBy("d")
+    val f = sp.withColumn("fc", lag(col("rev_c"), 7).over(wd))
+      .withColumn("py", lag(col("rev_c"), 1).over(wd))
+      .filter(col("fc").isNotNull && col("py").isNotNull)
+    val agg = f.agg(count(lit(1)).as("n"),
+      sum((d38(col("rev_c") - col("fc")) * d38(col("rev_c") - col("fc")))
+        .cast("decimal(38,0)")).as("se"),
+      sum((d38(col("rev_c")) * d38(col("rev_c"))).cast("decimal(38,0)")).as("sy"),
+      sum((d38(col("fc")) * d38(col("fc"))).cast("decimal(38,0)")).as("sf"),
+      sum((d38(col("rev_c") - col("py")) * d38(col("rev_c") - col("py")))
+        .cast("decimal(38,0)")).as("sw"))
+    val nd = col("n").cast("double")
+    agg.select(col("n").as("n_eval"),
+      round(sqrt(col("se").cast("double") / nd) /
+        (sqrt(col("sy").cast("double") / nd) + sqrt(col("sf").cast("double") / nd)),
+        6).as("u1"),
+      round(sqrt(col("se").cast("double")) / sqrt(col("sw").cast("double")), 6)
+        .as("u2"))
+  }
+
+  private[graft] lazy val anTheilUSql =
+    s"""WITH daily AS ($dailySpineSql),
+       |sp AS (SELECT CAST(d AS BIGINT) AS d, rev_c FROM daily),
+       |f AS (SELECT rev_c,
+       |        LAG(rev_c, 7) OVER (ORDER BY d) AS fc,
+       |        LAG(rev_c, 1) OVER (ORDER BY d) AS py
+       |      FROM sp),
+       |ag AS (SELECT COUNT(*) AS n,
+       |    CAST(SUM(CAST(CAST(rev_c - fc AS DECIMAL(38,0)) * CAST(rev_c - fc AS DECIMAL(38,0)) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS se,
+       |    CAST(SUM(CAST(CAST(rev_c AS DECIMAL(38,0)) * CAST(rev_c AS DECIMAL(38,0)) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy,
+       |    CAST(SUM(CAST(CAST(fc AS DECIMAL(38,0)) * CAST(fc AS DECIMAL(38,0)) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sf,
+       |    CAST(SUM(CAST(CAST(rev_c - py AS DECIMAL(38,0)) * CAST(rev_c - py AS DECIMAL(38,0)) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sw
+       |  FROM f WHERE fc IS NOT NULL AND py IS NOT NULL)
+       |SELECT n AS n_eval,
+       |  ROUND(sqrt(CAST(se AS DOUBLE) / CAST(n AS DOUBLE))
+       |    / (sqrt(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+       |     + sqrt(CAST(sf AS DOUBLE) / CAST(n AS DOUBLE))), 6) AS u1,
+       |  ROUND(sqrt(CAST(se AS DOUBLE)) / sqrt(CAST(sw AS DOUBLE)), 6) AS u2
+       |FROM ag""".stripMargin
+
+  /** CUSUM-of-squares variance-instability scan on daily revenue
+    * (Brown–Durbin–Evans shape) — the VARIANCE companion to
+    * [[anCusum]]'s mean-drift alarm and [[anChangepoint]]'s mean-shift
+    * scan: s_k = Σ_{i≤k} y²/Σy² should climb the diagonal k/n; the
+    * maximum excursion max_k |s_k − k/n| = max|n·P_k − k·T|/(n·T)
+    * flags a variance regime change at its argmax day. n·P_k − k·T is
+    * EXACT DECIMAL(38,0) off one prefix scan; one division at
+    * emission; argmax day by the exact integer excursion (earliest-day
+    * tie-break), statistic ROUND(·,6). */
+  private[graft] def anCusumSq(s: SparkSession, dir: String): DataFrame = {
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    val sp = dailyRevenueSpine(s, dir)
+      .select(col("d").cast("long").as("d"), col("rev_c"))
+    val wd = Window.orderBy("d")
+    val cum = sp
+      .withColumn("t", row_number().over(wd).cast("long"))
+      .withColumn("p", sum((d38(col("rev_c")) * d38(col("rev_c")))
+        .cast("decimal(38,0)")).over(wd))
+    val tot = sp.agg(count(lit(1)).as("n"),
+      sum((d38(col("rev_c")) * d38(col("rev_c"))).cast("decimal(38,0)")).as("ty"))
+    val exc = cum.crossJoin(broadcast(tot))
+      .select(col("d"), col("n"), col("ty"),
+        abs(d38(col("n")) * col("p") - d38(col("t")) * col("ty"))
+          .cast("decimal(38,0)").as("e"))
+    val mx = exc.agg(max(col("e")).as("emax"))
+    exc.crossJoin(broadcast(mx)).filter(col("e") === col("emax"))
+      .orderBy(col("d")).limit(1)
+      .select(col("n"), col("d").as("argmax_day"),
+        round(col("emax").cast("double") /
+          (d38(col("n")) * col("ty")).cast("double"), 6).as("cusum_sq_stat"))
+  }
+
+  private[graft] lazy val anCusumSqSql =
+    s"""WITH daily AS ($dailySpineSql),
+       |sp AS (SELECT CAST(d AS BIGINT) AS d, rev_c FROM daily),
+       |cum AS (SELECT d, CAST(ROW_NUMBER() OVER (ORDER BY d) AS BIGINT) AS t,
+       |          CAST(SUM(CAST(CAST(rev_c AS DECIMAL(38,0)) * CAST(rev_c AS DECIMAL(38,0)) AS DECIMAL(38,0))) OVER (ORDER BY d) AS DECIMAL(38,0)) AS p
+       |        FROM sp),
+       |tot AS (SELECT COUNT(*) AS n,
+       |    CAST(SUM(CAST(CAST(rev_c AS DECIMAL(38,0)) * CAST(rev_c AS DECIMAL(38,0)) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS ty
+       |  FROM sp),
+       |exc AS (SELECT d, n, ty,
+       |    CAST(ABS(CAST(n AS DECIMAL(38,0)) * p - CAST(t AS DECIMAL(38,0)) * ty) AS DECIMAL(38,0)) AS e
+       |  FROM cum CROSS JOIN tot),
+       |mx AS (SELECT MAX(e) AS emax FROM exc)
+       |SELECT n, d AS argmax_day,
+       |  ROUND(CAST(emax AS DOUBLE) / CAST(CAST(n AS DECIMAL(38,0)) * ty AS DOUBLE), 6) AS cusum_sq_stat
+       |FROM exc CROSS JOIN mx WHERE e = emax
+       |ORDER BY d LIMIT 1""".stripMargin
+
+  /** Bartels' rank version of the von Neumann ratio on daily revenue —
+    * the RANK-based randomness screen beside [[anVonNeumann]] (raw
+    * values) and [[anRunsUpdown]] (signs): RVN = Σ(R_t − R_{t+1})² /
+    * Σ(R_t − R̄)² with midranks for ties, ≈ 2 under randomness,
+    * small under trend. Using TWICE-midranks A = 2·clt + ceq + 1 (the
+    * [[anPettitt]] integer machinery) both sums stay EXACT BIGINTs
+    * (ΣA = n(n+1) identically, so the denominator is ΣA² − n(n+1)²;
+    * the common factor 4 cancels); one division, z = (RVN − 2)/√Var
+    * with the exact small-sample variance 4(n−2)(5n²−2n−9)/
+    * (5n(n+1)(n−1)²), both ROUND(·,6). */
+  private[graft] def anBartelsRank(s: SparkSession, dir: String): DataFrame = {
+    val sp = dailyRevenueSpine(s, dir)
+      .select(col("d").cast("long").as("d"), col("rev_c"))
+    val wv = Window.orderBy("rev_c")
+    val vr = sp.groupBy(col("rev_c")).agg(count(lit(1)).as("ceq"))
+      .withColumn("clt", coalesce(sum(col("ceq"))
+        .over(wv.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("rev_c"), (lit(2L) * col("clt") + col("ceq") + lit(1L)).as("a2"))
+    val wd = Window.orderBy("d")
+    val r = sp.join(vr, Seq("rev_c"))
+      .withColumn("nx", lead(col("a2"), 1).over(wd))
+    val agg = r.agg(count(lit(1)).as("n"),
+      sum(when(col("nx").isNotNull,
+        (col("a2") - col("nx")) * (col("a2") - col("nx"))).otherwise(lit(0L))).as("num"),
+      sum(col("a2") * col("a2")).as("saa"))
+    val nd = col("n").cast("double")
+    val den = (col("saa") - col("n") * (col("n") + 1L) * (col("n") + 1L)).cast("double")
+    val rvn = col("num").cast("double") / den
+    val vr2 = lit(4.0) * (nd - 2.0) * (lit(5.0) * nd * nd - lit(2.0) * nd - lit(9.0)) /
+      (lit(5.0) * nd * (nd + 1.0) * (nd - 1.0) * (nd - 1.0))
+    agg.select(col("n"), round(rvn, 6).as("rvn"),
+      round((rvn - lit(2.0)) / sqrt(vr2), 6).as("z"))
+  }
+
+  private[graft] lazy val anBartelsRankSql = {
+    val nd = "CAST(n AS DOUBLE)"
+    val rvn = "(CAST(num AS DOUBLE) / CAST(saa - n * (n + 1) * (n + 1) AS DOUBLE))"
+    val vr2 = s"(4.0 * ($nd - 2.0) * (5.0 * $nd * $nd - 2.0 * $nd - 9.0) " +
+      s"/ (5.0 * $nd * ($nd + 1.0) * ($nd - 1.0) * ($nd - 1.0)))"
+    s"""WITH daily AS ($dailySpineSql),
+       |sp AS (SELECT CAST(d AS BIGINT) AS d, rev_c FROM daily),
+       |vr AS (SELECT rev_c,
+       |         2 * (CAST(SUM(COUNT(*)) OVER (ORDER BY rev_c) AS BIGINT) - COUNT(*))
+       |           + COUNT(*) + 1 AS a2
+       |       FROM sp GROUP BY rev_c),
+       |r AS (SELECT a2, LEAD(a2, 1) OVER (ORDER BY d) AS nx
+       |      FROM sp JOIN vr USING (rev_c)),
+       |ag AS (SELECT COUNT(*) AS n,
+       |        CAST(SUM(CASE WHEN nx IS NOT NULL THEN (a2 - nx) * (a2 - nx) ELSE 0 END) AS BIGINT) AS num,
+       |        CAST(SUM(a2 * a2) AS BIGINT) AS saa
+       |      FROM r)
+       |SELECT n, ROUND($rvn, 6) AS rvn,
+       |  ROUND(($rvn - 2.0) / sqrt($vr2), 6) AS z
+       |FROM ag""".stripMargin
+  }
+
+  /** Standard Normal Homogeneity Test (Alexandersson) on daily revenue
+    * — the parametric single-break scan beside [[anPettitt]] (ranks)
+    * and [[anBuishand]] (range): T = max_k [k·z̄₁² + (n−k)·z̄₂²] with
+    * z standardized by the sample std. Both segment means reduce to
+    * ONE exact integer D_k = n·P_k − k·T (P_k the prefix sum), since
+    * T_k = D_k²·(1/k + 1/(n−k))/(n²·s²) — so the scan is one exact
+    * prefix pass with one shared IEEE tree per k; argmax day by the
+    * ROUND(·,6) statistic (earliest-day tie-break, the an_dffits
+    * ordering contract), T_max ROUND(·,6). */
+  private[graft] def anSnht(s: SparkSession, dir: String): DataFrame = {
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    val sp = dailyRevenueSpine(s, dir)
+      .select(col("d").cast("long").as("d"), col("rev_c"))
+    val wd = Window.orderBy("d")
+    val cum = sp
+      .withColumn("t", row_number().over(wd).cast("long"))
+      .withColumn("p", sum(col("rev_c")).over(wd))
+    val tot = sp.agg(count(lit(1)).as("n"), sum(d38(col("rev_c"))).as("ty"),
+      sum((d38(col("rev_c")) * d38(col("rev_c"))).cast("decimal(38,0)")).as("tyy"))
+    val nd = col("n").cast("double")
+    val s2 = (d38(col("n")) * col("tyy") - col("ty") * col("ty")).cast("double") /
+      (nd * (nd - lit(1.0)))
+    val dk = (d38(col("n")) * d38(col("p")) - d38(col("t")) * col("ty"))
+      .cast("decimal(38,0)")
+    val tk = dk.cast("double") * dk.cast("double") *
+      (lit(1.0) / col("t").cast("double") +
+        lit(1.0) / (nd - col("t").cast("double"))) / (nd * nd * s2)
+    val scan = cum.crossJoin(broadcast(tot))
+      .filter(col("t") < col("n"))
+      .select(col("d"), col("n"), round(tk, 6).as("tk"))
+    scan.orderBy(col("tk").desc, col("d")).limit(1)
+      .select(col("n"), col("d").as("argmax_day"), col("tk").as("t_max"))
+  }
+
+  /** Foster–Stuart records test on daily revenue — trend detection
+    * through RECORD events (a new all-time high/low), the extreme-value
+    * complement to [[anMannKendall]]'s all-pairs slope sign: under
+    * randomness records arrive at rate 1/t, so D = #upper − #lower
+    * records has mean 0 and variance 2(H_n − 1). Records are exact
+    * integers off strict running max/min (first day excluded — no
+    * prior); H_n gathers each 1/t term as DECIMAL(38,18) (the
+    * double→decimal direction rounds identically in both engines, and
+    * the decimal SUM is order-free where a double sum is not). D exact,
+    * z = D/√(2(H_n−1)) ROUND(·,6). */
+  private[graft] def anFosterStuart(s: SparkSession, dir: String): DataFrame = {
+    val sp = dailyRevenueSpine(s, dir)
+      .select(col("d").cast("long").as("d"), col("rev_c"))
+    val wd = Window.orderBy("d")
+    val prior = wd.rowsBetween(Window.unboundedPreceding, -1)
+    val rec = sp
+      .withColumn("t", row_number().over(wd).cast("long"))
+      .withColumn("pmx", max(col("rev_c")).over(prior))
+      .withColumn("pmn", min(col("rev_c")).over(prior))
+      .filter(col("t") > 1L)
+      .select(col("t"),
+        (col("rev_c") > col("pmx")).cast("long").as("u"),
+        (col("rev_c") < col("pmn")).cast("long").as("l"))
+    val agg = rec.agg((max(col("t"))).as("n"),
+      sum(col("u")).as("n_up"), sum(col("l")).as("n_dn"),
+      sum((lit(1.0) / col("t").cast("double")).cast("decimal(38,18)"))
+        .cast("decimal(38,18)").as("hsum"))
+    // hsum = Σ_{t=2..n} 1/t = H_n − 1 exactly (the frame starts at t=2)
+    agg.select(col("n"), col("n_up"), col("n_dn"),
+      (col("n_up") - col("n_dn")).as("d_stat"),
+      round((col("n_up") - col("n_dn")).cast("double") /
+        sqrt(lit(2.0) * col("hsum").cast("double")), 6).as("z"))
+  }
+
+  private[graft] lazy val anFosterStuartSql =
+    s"""WITH daily AS ($dailySpineSql),
+       |sp AS (SELECT CAST(d AS BIGINT) AS d, rev_c FROM daily),
+       |rec AS (SELECT CAST(ROW_NUMBER() OVER w AS BIGINT) AS t,
+       |          CASE WHEN rev_c > MAX(rev_c) OVER
+       |            (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |            THEN 1 ELSE 0 END AS u,
+       |          CASE WHEN rev_c < MIN(rev_c) OVER
+       |            (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |            THEN 1 ELSE 0 END AS l
+       |        FROM sp WINDOW w AS (ORDER BY d)
+       |        QUALIFY t > 1),
+       |ag AS (SELECT MAX(t) AS n, CAST(SUM(u) AS BIGINT) AS n_up,
+       |         CAST(SUM(l) AS BIGINT) AS n_dn,
+       |         CAST(SUM(CAST(1.0 / CAST(t AS DOUBLE) AS DECIMAL(38,18))) AS DECIMAL(38,18)) AS hsum
+       |       FROM rec)
+       |SELECT n, n_up, n_dn, n_up - n_dn AS d_stat,
+       |  ROUND(CAST(n_up - n_dn AS DOUBLE)
+       |    / sqrt(2.0 * CAST(hsum AS DOUBLE)), 6) AS z
+       |FROM ag""".stripMargin
+
+  /** Palma concentration ratio of order values — the income-inequality
+    * view beside [[anGini]]/[[anLorenz]]: share of total value held by
+    * the top 10% of orders over the share of the bottom 40% (the Palma
+    * claim: the middle 50% is stable, the tails carry the story).
+    * Rank cuts k40 = 2n div 5, k90 = 9n div 10 land INSIDE tie runs,
+    * so each distinct cent value contributes clamp(cut − below, 0,
+    * cnt) rows to a tail — all exact integers off ONE
+    * [[graft.operators.PrefixSum]] scan; shares and the ratio divide
+    * exact decimals once, ROUND(·,6). */
+  private[graft] def anPalma(s: SparkSession, dir: String): DataFrame = {
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    val v = Tables.orders(s, dir)
+      .select((col("o_totalprice").cast("decimal(24,2)") * 100).cast("bigint").as("v"))
+    val perV = v.groupBy(col("v")).agg(count(lit(1)).as("cnt"))
+    val scan = graft.operators.PrefixSum.withRunningTotals(perV, Seq("v"), Seq("cnt"))
+    val tot = v.agg(count(lit(1)).as("n"), sum(d38(col("v"))).as("tv"))
+    val cuts = scan.crossJoin(broadcast(tot))
+      .select(col("v"), col("cnt"), col("cnt_cum"), col("n"), col("tv"),
+        expr("2 * n div 5").as("k40"), expr("9 * n div 10").as("k90"))
+    val take = cuts.agg(max(col("n")).as("n"), max(col("tv")).as("tv"),
+      sum(d38(greatest(lit(0L), least(col("cnt"),
+        col("k40") - (col("cnt_cum") - col("cnt"))))) * d38(col("v")))
+        .cast("decimal(38,0)").as("bot40"),
+      sum(d38(greatest(lit(0L), least(col("cnt"), col("cnt_cum") - col("k90"))))
+        * d38(col("v"))).cast("decimal(38,0)").as("top10"))
+    take.select(col("n"),
+      round(col("bot40").cast("double") / col("tv").cast("double"), 6).as("bot40_share"),
+      round(col("top10").cast("double") / col("tv").cast("double"), 6).as("top10_share"),
+      round(col("top10").cast("double") / col("bot40").cast("double"), 6).as("palma_ratio"))
+  }
+
+  private[graft] lazy val anPalmaSql =
+    """WITH b AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(24,2)) * 100 AS BIGINT) AS v
+      |  FROM orders),
+      |pv AS (SELECT v, COUNT(*) AS cnt FROM b GROUP BY v),
+      |sc AS (SELECT v, cnt, CAST(SUM(cnt) OVER (ORDER BY v) AS BIGINT) AS cnt_cum
+      |       FROM pv),
+      |tot AS (SELECT COUNT(*) AS n,
+      |    CAST(SUM(CAST(v AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS tv
+      |  FROM b),
+      |cuts AS (SELECT v, cnt, cnt_cum, n, tv,
+      |    (2 * n) // 5 AS k40, (9 * n) // 10 AS k90
+      |  FROM sc CROSS JOIN tot),
+      |tk AS (SELECT MAX(n) AS n, MAX(tv) AS tv,
+      |    CAST(SUM(CAST(GREATEST(0, LEAST(cnt, k40 - (cnt_cum - cnt))) AS DECIMAL(38,0))
+      |      * CAST(v AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS bot40,
+      |    CAST(SUM(CAST(GREATEST(0, LEAST(cnt, cnt_cum - k90)) AS DECIMAL(38,0))
+      |      * CAST(v AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS top10
+      |  FROM cuts)
+      |SELECT n,
+      |  ROUND(CAST(bot40 AS DOUBLE) / CAST(tv AS DOUBLE), 6) AS bot40_share,
+      |  ROUND(CAST(top10 AS DOUBLE) / CAST(tv AS DOUBLE), 6) AS top10_share,
+      |  ROUND(CAST(top10 AS DOUBLE) / CAST(bot40 AS DOUBLE), 6) AS palma_ratio
+      |FROM tk""".stripMargin
+
+  /** Tracking signal of the seasonal-naive forecast over the last 28
+    * days — the live forecast-bias MONITOR beside [[anMapeBacktest]]'s
+    * magnitude score: TS_k = cumulative error / MAD_k = k·ΣE/Σ|E|
+    * stays in ±4 for an unbiased forecast; a drifting series trips it.
+    * Errors are exact cents; per-day TS is one double division off
+    * exact integer prefix sums (28-row frame), ROUND(·,6); emits the
+    * final TS and the worst |TS| over the window. */
+  private[graft] def anTrackingSignal(s: SparkSession, dir: String): DataFrame = {
+    val sp = dailyRevenueSpine(s, dir)
+      .select(col("d").cast("long").as("d"), col("rev_c"))
+    val wd = Window.orderBy("d")
+    val ev = sp
+      .withColumn("fc", lag(col("rev_c"), 7).over(wd))
+      .withColumn("rd", row_number().over(Window.orderBy(col("d").desc)))
+      .filter(col("rd") <= 28 && col("fc").isNotNull)
+      .select(col("d"), (col("rev_c") - col("fc")).as("e"))
+    val wk = Window.orderBy("d")
+    val ts = ev
+      .withColumn("k", row_number().over(wk).cast("long"))
+      .withColumn("ce", sum(col("e")).over(wk))
+      .withColumn("ca", sum(abs(col("e"))).over(wk))
+      .select(col("k"),
+        round((col("k") * col("ce")).cast("double") / col("ca").cast("double"), 6)
+          .as("ts"))
+    val nEval = ts.agg(max(col("k")).as("n_eval"))
+    ts.crossJoin(broadcast(nEval))
+      .agg(max(col("n_eval")).as("n_eval"),
+        max(when(col("k") === col("n_eval"), col("ts"))).as("ts_final"),
+        max(abs(col("ts"))).as("max_abs_ts"))
+  }
+
+  private[graft] lazy val anTrackingSignalSql =
+    s"""WITH daily AS ($dailySpineSql),
+       |sp AS (SELECT CAST(d AS BIGINT) AS d, rev_c FROM daily),
+       |ev AS (SELECT d, rev_c - fc AS e FROM (
+       |         SELECT d, rev_c, LAG(rev_c, 7) OVER (ORDER BY d) AS fc,
+       |           ROW_NUMBER() OVER (ORDER BY d DESC) AS rd
+       |         FROM sp)
+       |       WHERE rd <= 28 AND fc IS NOT NULL),
+       |ts AS (SELECT CAST(ROW_NUMBER() OVER w AS BIGINT) AS k,
+       |         ROUND(CAST(CAST(ROW_NUMBER() OVER w AS BIGINT)
+       |             * CAST(SUM(e) OVER w AS BIGINT) AS DOUBLE)
+       |           / CAST(CAST(SUM(ABS(e)) OVER w AS BIGINT) AS DOUBLE), 6) AS ts
+       |       FROM ev WINDOW w AS (ORDER BY d)),
+       |ne AS (SELECT MAX(k) AS n_eval FROM ts)
+       |SELECT MAX(n_eval) AS n_eval,
+       |  MAX(CASE WHEN k = n_eval THEN ts END) AS ts_final,
+       |  MAX(ABS(ts)) AS max_abs_ts
+       |FROM ts CROSS JOIN ne""".stripMargin
+
+  /** Spectral entropy of daily revenue over the period grid 2..60 —
+    * the one-number "how concentrated is the seasonality" summary
+    * beside [[anPeriodogram]]'s named-period amplitudes and
+    * [[anSeasonalStrength]]: H = −Σ p_k ln p_k / ln(#periods) of the
+    * normalized pseudo-spectrum (0 = one pure cycle, 1 = white).
+    * Per-period cos/sin projections gather v·cos terms in
+    * DECIMAL(38,18) (the periodogram libm discipline); powers are
+    * normalized amplitudes in dollars so the (38,18) integer budget
+    * holds at any SF; the 59-row entropy gather is DECIMAL(38,18)
+    * (order-free), ROUND(·,6). */
+  private[graft] def anSpectralEntropy(s: SparkSession, dir: String): DataFrame = {
+    val daily = dailyRevenueSpine(s, dir)
+    def gather(c: Column) = sum(c.cast("decimal(38,18)")).cast("decimal(38,18)")
+    val byP = daily
+      .select(col("d"), col("rev_c"), explode(sequence(lit(2), lit(60))).as("p"))
+      .withColumn("ang",
+        lit(2.0 * math.Pi) * pmod(col("d"), col("p")).cast("double") /
+          col("p").cast("double"))
+      .groupBy(col("p"))
+      .agg(count(lit(1)).as("n"),
+        gather(col("rev_c").cast("double") * cos(col("ang"))).as("cs"),
+        gather(col("rev_c").cast("double") * sin(col("ang"))).as("sn"))
+      .select(col("p"),
+        (lit(4.0) * (col("cs").cast("double") * col("cs").cast("double") +
+          col("sn").cast("double") * col("sn").cast("double")) /
+          (col("n").cast("double") * col("n").cast("double") * lit(10000.0)))
+          .as("pw"))
+    val tot = byP.agg(sum(col("pw").cast("decimal(38,18)"))
+      .cast("decimal(38,18)").as("tp"), count(lit(1)).as("m"))
+    byP.crossJoin(broadcast(tot))
+      .select(col("m"),
+        ((col("pw") / col("tp").cast("double")) *
+          log(col("pw") / col("tp").cast("double"))).cast("decimal(38,18)").as("plp"))
+      .groupBy(col("m"))
+      .agg(sum(col("plp")).cast("decimal(38,18)").as("sum_plp"))
+      .select(col("m").as("n_periods"),
+        round(-col("sum_plp").cast("double") / log(col("m").cast("double")), 6)
+          .as("spectral_entropy"))
+  }
+
+  private[graft] lazy val anSpectralEntropySql = {
+    val cs = "CAST(CAST(SUM(CAST(CAST(rev_c AS DOUBLE) * cos(ang) AS DECIMAL(38,18))) AS DECIMAL(38,18)) AS DOUBLE)"
+    val sn = "CAST(CAST(SUM(CAST(CAST(rev_c AS DOUBLE) * sin(ang) AS DECIMAL(38,18))) AS DECIMAL(38,18)) AS DOUBLE)"
+    s"""WITH daily AS ($dailySpineSql),
+       |g AS (SELECT d, rev_c, t.range AS p,
+       |        2.0 * pi() * CAST(d % t.range AS DOUBLE) / CAST(t.range AS DOUBLE) AS ang
+       |      FROM daily, range(2, 61) t),
+       |byp AS (SELECT p, COUNT(*) AS n, $cs AS cs, $sn AS sn
+       |        FROM g GROUP BY p),
+       |pw AS (SELECT p,
+       |         4.0 * (cs * cs + sn * sn)
+       |           / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * 10000.0) AS pw
+       |       FROM byp),
+       |tot AS (SELECT CAST(SUM(CAST(pw AS DECIMAL(38,18))) AS DECIMAL(38,18)) AS tp,
+       |          COUNT(*) AS m
+       |        FROM pw)
+       |SELECT m AS n_periods,
+       |  ROUND(-CAST(CAST(SUM(CAST((pw / CAST(tp AS DOUBLE))
+       |      * ln(pw / CAST(tp AS DOUBLE)) AS DECIMAL(38,18))) AS DECIMAL(38,18)) AS DOUBLE)
+       |    / ln(CAST(m AS DOUBLE)), 6) AS spectral_entropy
+       |FROM pw CROSS JOIN tot GROUP BY m""".stripMargin
+  }
+
+  /** Yule's K lexical-repetitiveness characteristic + Simpson diversity
+    * per language — corpus-statistics companions to
+    * [[textLexicalRichness]]'s TTR family that are (unlike TTR)
+    * length-invariant: K = 10⁴·(Σc² − N)/N², D = (Σc² − N)/(N(N−1))
+    * over unigram frequencies c. One explode + one (lang, word)
+    * aggregate (posting-shaped, the text_tfidf shuffle); Σc and Σc²
+    * exact BIGINTs; one division each at emission, K ROUND(·,6), D
+    * ROUND(·,9) (its natural scale is 1e-4). */
+  private[graft] def textYuleK(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.TextFunctions
+    val cnt = Tables.documents(s, dir)
+      .select(col("lang"), explode(TextFunctions.words(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("c"))
+    val agg = cnt.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_types"), sum(col("c")).as("n_tokens"),
+        sum(col("c") * col("c")).as("s2"))
+    val nd = col("n_tokens").cast("double")
+    agg.select(col("lang"), col("n_tokens"), col("n_types"),
+      round(lit(10000.0) * (col("s2") - col("n_tokens")).cast("double") / (nd * nd), 6)
+        .as("yule_k"),
+      round((col("s2") - col("n_tokens")).cast("double") /
+        (nd * (nd - lit(1.0))), 9).as("simpson_d"))
+      .orderBy(col("lang"))
+  }
+
+  private[graft] lazy val textYuleKSql =
+    """WITH w AS (SELECT lang, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+      |  FROM documents),
+      |cnt AS (SELECT lang, w, COUNT(*) AS c FROM w GROUP BY 1, 2),
+      |ag AS (SELECT lang, COUNT(*) AS n_types, CAST(SUM(c) AS BIGINT) AS n_tokens,
+      |         CAST(SUM(c * c) AS BIGINT) AS s2
+      |       FROM cnt GROUP BY lang)
+      |SELECT lang, n_tokens, n_types,
+      |  ROUND(10000.0 * CAST(s2 - n_tokens AS DOUBLE)
+      |    / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE)), 6) AS yule_k,
+      |  ROUND(CAST(s2 - n_tokens AS DOUBLE)
+      |    / (CAST(n_tokens AS DOUBLE) * (CAST(n_tokens AS DOUBLE) - 1.0)), 9) AS simpson_d
+      |FROM ag ORDER BY lang""".stripMargin
+
+  /** Katz centrality (3 unrolled iterations, α = 1/50, β = 1) over the
+    * undirected customer–supplier network — the attenuation-based
+    * influence score beside [[qPagerank]]'s random-walk rank (Katz
+    * counts ALL walks, degree-damped, so high-degree hubs and their
+    * neighborhoods separate differently than under rank diffusion).
+    * DIVISION-FREE exact arithmetic: carrying x'_k = 50^k·x_k turns
+    * the update into x'_k = 50^k·S + Σ_nbr x'_{k−1} — pure
+    * DECIMAL(38,0) integer sums (order-free, no rounding anywhere),
+    * normalized once at emission by 50³·S. Per iteration: one
+    * node-sized shuffle against the persisted adjacency (the
+    * q_pagerank execution posture). Top-20 by the EXACT integer score,
+    * node-ascending tie-break; emitted score ROUND(·,6). */
+  private[graft] def qKatz(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
+    val ord = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+    val cs = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("p"))
+      .distinct()
+    val edges = cs.select(col("c").as("src"), col("p").as("dst"))
+      .unionByName(cs.select(col("p").as("src"), col("c").as("dst")))
+      .distinct()
+    val adj = edges.repartition(col("src")).persist()
+    val S = 1000000L
+    var x = adj.select(col("src").as("node")).distinct()
+      .withColumn("xf", lit(S).cast("decimal(38,0)"))
+    (1 to 3).foreach { k =>
+      val const = BigDecimal(math.pow(50.0, k).toLong * S)
+      x = graft.operators.Checkpoints.stabilizeLazy(adj
+        .join(x.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("xf")).cast("decimal(38,0)").as("g"))
+        .select(col("node"),
+          (lit(const).cast("decimal(38,0)") + col("g")).cast("decimal(38,0)").as("xf")))
+    }
+    val norm = 125000.0 * S
+    x.orderBy(col("xf").desc, col("node")).limit(20)
+      .select(col("node"),
+        round(col("xf").cast("double") / lit(norm), 6).as("katz"))
+  }
+
+  private[graft] lazy val qKatzSql: String = {
+    val iter = (1 to 3).map { k =>
+      val const = math.pow(50.0, k).toLong * 1000000L
+      s"""k$k AS (
+         |  SELECT e.dst AS node,
+         |    CAST($const + SUM(x.xf) AS DECIMAL(38,0)) AS xf
+         |  FROM edges e JOIN k${k - 1} x ON e.src = x.node
+         |  GROUP BY e.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH cs AS (
+       |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS p
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |edges AS (
+       |  SELECT c AS src, p AS dst FROM cs
+       |  UNION
+       |  SELECT p AS src, c AS dst FROM cs),
+       |k0 AS (SELECT DISTINCT src AS node, CAST(1000000 AS DECIMAL(38,0)) AS xf
+       |       FROM edges),
+       |$iter
+       |SELECT node, ROUND(CAST(xf AS DOUBLE) / 125000000000.0, 6) AS katz
+       |FROM k3 ORDER BY xf DESC, node LIMIT 20""".stripMargin
+  }
+
+  private[graft] lazy val anSnhtSql = {
+    val nd = "CAST(n AS DOUBLE)"
+    val s2 = s"(CAST(CAST(n AS DECIMAL(38,0)) * tyy - ty * ty AS DOUBLE) / ($nd * ($nd - 1.0)))"
+    val dk = "CAST(CAST(n AS DECIMAL(38,0)) * CAST(p AS DECIMAL(38,0)) - CAST(t AS DECIMAL(38,0)) * ty AS DECIMAL(38,0))"
+    val tk = s"(CAST($dk AS DOUBLE) * CAST($dk AS DOUBLE) " +
+      s"* (1.0 / CAST(t AS DOUBLE) + 1.0 / ($nd - CAST(t AS DOUBLE))) / ($nd * $nd * $s2))"
+    s"""WITH daily AS ($dailySpineSql),
+       |sp AS (SELECT CAST(d AS BIGINT) AS d, rev_c FROM daily),
+       |cum AS (SELECT d, CAST(ROW_NUMBER() OVER (ORDER BY d) AS BIGINT) AS t,
+       |          CAST(SUM(rev_c) OVER (ORDER BY d) AS BIGINT) AS p
+       |        FROM sp),
+       |tot AS (SELECT COUNT(*) AS n,
+       |    CAST(SUM(CAST(rev_c AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS ty,
+       |    CAST(SUM(CAST(CAST(rev_c AS DECIMAL(38,0)) * CAST(rev_c AS DECIMAL(38,0)) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS tyy
+       |  FROM sp),
+       |scan AS (SELECT d, n, ROUND($tk, 6) AS tk
+       |         FROM cum CROSS JOIN tot WHERE t < n)
+       |SELECT n, d AS argmax_day, tk AS t_max
+       |FROM scan ORDER BY tk DESC, d LIMIT 1""".stripMargin
+  }
+}

@@ -1,0 +1,252 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Independent-recompute pins for the r18 operator wave: every statistic
+  * re-derived driver-side from the raw collected data (plain Scala
+  * doubles/BigInt, no shared query machinery), so a semantic error
+  * common to the Scala kernel and its SQL oracle (the same-hand hazard)
+  * still fails here. Tolerances are 1e-6-relative on rounded emissions.
+  */
+class Round18WaveSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def spine: Seq[(Long, Long)] =
+    SparkEntry.dailyRevenueSpine(spark, sfDir)
+      .select(col("d").cast("long"), col("rev_c"))
+      .orderBy("d").as[(Long, Long)].collect().toSeq
+
+  private def close(a: Double, b: Double, tol: Double = 1e-6): Boolean =
+    math.abs(a - b) <= tol * math.max(1.0, math.abs(b))
+
+  test("kuiper matches a direct EDF-vs-normal recompute") {
+    val vs = Tables.customer(spark, sfDir)
+      .select((col("c_acctbal").cast("decimal(24,2)") * 100).cast("bigint"))
+      .as[Long].collect().sorted
+    val n = vs.length.toDouble
+    val mu = vs.map(_.toDouble).sum / n
+    val sd = math.sqrt(vs.map(v => (v - mu) * (v - mu)).sum / (n - 1))
+    def phi(z: Double): Double = {
+      val az = math.abs(z)
+      val t = 1.0 / (1.0 + 0.2316419 * az)
+      val poly = t * (0.319381530 + t * (-0.356563782 + t *
+        (1.781477937 + t * (-1.821255978 + t * 1.330274429))))
+      val p = 1.0 - 0.3989422804014327 * math.exp(-0.5 * az * az) * poly
+      if (z >= 0) p else 1.0 - p
+    }
+    // per distinct value: cum count and below-count
+    val grouped = vs.groupBy(identity).view.mapValues(_.length).toSeq.sortBy(_._1)
+    var cum = 0L
+    var dp = Double.MinValue; var dm = Double.MinValue
+    grouped.foreach { case (v, c) =>
+      val below = cum; cum += c
+      val cdf = phi((v - mu) / sd)
+      dp = math.max(dp, cum / n - cdf)
+      dm = math.max(dm, cdf - below / n)
+    }
+    val r = SparkEntry.queries("an_kuiper")(spark, sfDir)
+      .select("v_stat").as[Double].head()
+    assert(close(r, dp + dm), s"$r vs ${dp + dm}")
+  }
+
+  test("goldfeld-quandt matches two direct third-segment OLS fits") {
+    val sp = spine
+    val n = sp.length
+    val k = n / 3
+    def sse(seg: Seq[(Long, Long)]): Double = {
+      val m = seg.length.toDouble
+      val xs = seg.map(_._1.toDouble); val ys = seg.map(_._2.toDouble)
+      val (sx, sy) = (xs.sum, ys.sum)
+      val b = (m * xs.zip(ys).map(p => p._1 * p._2).sum - sx * sy) /
+        (m * xs.map(x => x * x).sum - sx * sx)
+      val a = (sy - b * sx) / m
+      seg.map { case (x, y) => val e = y - a - b * x; e * e }.sum
+    }
+    val f = (sse(sp.takeRight(k)) / (k - 2.0)) / (sse(sp.take(k)) / (k - 2.0))
+    val r = SparkEntry.queries("an_goldfeld_quandt")(spark, sfDir)
+      .select("f_gq").as[Double].head()
+    assert(close(r, f, 1e-5), s"$r vs $f")
+  }
+
+  test("theil u1/u2 match a direct lag recompute") {
+    val sp = spine.map(_._2.toDouble)
+    val rows = (7 until sp.length).map(i => (sp(i), sp(i - 7), sp(i - 1)))
+    val n = rows.length.toDouble
+    val se = rows.map { case (y, f, _) => (y - f) * (y - f) }.sum
+    val sy = rows.map { case (y, _, _) => y * y }.sum
+    val sf = rows.map { case (_, f, _) => f * f }.sum
+    val sw = rows.map { case (y, _, p) => (y - p) * (y - p) }.sum
+    val u1 = math.sqrt(se / n) / (math.sqrt(sy / n) + math.sqrt(sf / n))
+    val u2 = math.sqrt(se) / math.sqrt(sw)
+    val r = SparkEntry.queries("an_theil_u")(spark, sfDir)
+      .select("u1", "u2").as[(Double, Double)].head()
+    assert(close(r._1, u1) && close(r._2, u2), s"$r vs ($u1, $u2)")
+  }
+
+  test("cusum-of-squares statistic and argmax day match a direct scan") {
+    val sp = spine
+    val sq = sp.map { case (_, y) => BigInt(y) * BigInt(y) }
+    val tot = sq.sum
+    val n = BigInt(sp.length)
+    var p = BigInt(0)
+    val exc = sp.zip(sq).map { case ((d, _), s) =>
+      p += s; (d, (n * p - BigInt(sp.indexWhere(_._1 == d) + 1) * tot).abs)
+    }
+    val emax = exc.map(_._2).max
+    val day = exc.filter(_._2 == emax).map(_._1).min
+    val stat = BigDecimal(emax).toDouble / BigDecimal(n * tot).toDouble
+    val r = SparkEntry.queries("an_cusum_sq")(spark, sfDir)
+      .select("argmax_day", "cusum_sq_stat").as[(Long, Double)].head()
+    assert(r._1 == day, s"day ${r._1} vs $day")
+    assert(close(r._2, stat), s"${r._2} vs $stat")
+  }
+
+  test("bartels rank ratio matches a direct midrank recompute") {
+    val ys = spine.map(_._2)
+    val n = ys.length.toDouble
+    // midranks via sorted positions
+    val sorted = ys.sorted.zipWithIndex
+    val rankOf = sorted.groupBy(_._1).map { case (v, xs) =>
+      v -> (xs.map(_._2 + 1).sum.toDouble / xs.length)
+    }
+    val r = ys.map(rankOf)
+    val num = r.sliding(2).map { case Seq(a, b) => (a - b) * (a - b) }.sum
+    val rbar = r.sum / n
+    val den = r.map(x => (x - rbar) * (x - rbar)).sum
+    val rvn = num / den
+    val got = SparkEntry.queries("an_bartels_rank")(spark, sfDir)
+      .select("rvn").as[Double].head()
+    assert(close(got, rvn), s"$got vs $rvn")
+  }
+
+  test("snht statistic matches a direct two-segment z recompute") {
+    val ys = spine.map(_._2.toDouble)
+    val n = ys.length
+    val mu = ys.sum / n
+    val s = math.sqrt(ys.map(y => (y - mu) * (y - mu)).sum / (n - 1))
+    val ts = (1 until n).map { k =>
+      val z1 = ys.take(k).map(y => (y - mu) / s).sum / k
+      val z2 = ys.drop(k).map(y => (y - mu) / s).sum / (n - k)
+      k * z1 * z1 + (n - k) * z2 * z2
+    }
+    val tmax = ts.max
+    val got = SparkEntry.queries("an_snht")(spark, sfDir)
+      .select("t_max").as[Double].head()
+    assert(close(got, tmax, 1e-5), s"$got vs $tmax")
+  }
+
+  test("foster-stuart record counts and z match a direct scan") {
+    val ys = spine.map(_._2)
+    var mx = ys.head; var mn = ys.head
+    var up = 0L; var dn = 0L; var h = 0.0
+    (1 until ys.length).foreach { i =>
+      if (ys(i) > mx) up += 1
+      if (ys(i) < mn) dn += 1
+      mx = math.max(mx, ys(i)); mn = math.min(mn, ys(i))
+      h += 1.0 / (i + 1)
+    }
+    val z = (up - dn).toDouble / math.sqrt(2.0 * h)
+    val r = SparkEntry.queries("an_foster_stuart")(spark, sfDir)
+      .select("n_up", "n_dn", "z").as[(Long, Long, Double)].head()
+    assert(r._1 == up && r._2 == dn, s"records (${r._1},${r._2}) vs ($up,$dn)")
+    assert(close(r._3, z), s"${r._3} vs $z")
+  }
+
+  test("palma shares match a direct sorted-tail recompute") {
+    val vs = Tables.orders(spark, sfDir)
+      .select((col("o_totalprice").cast("decimal(24,2)") * 100).cast("bigint"))
+      .as[Long].collect().sorted.toSeq
+    val n = vs.length
+    val tot = vs.map(BigInt(_)).sum
+    val k40 = 2 * n / 5; val k90 = 9 * n / 10
+    val bot = vs.take(k40).map(BigInt(_)).sum
+    val top = vs.drop(k90).map(BigInt(_)).sum
+    val r = SparkEntry.queries("an_palma")(spark, sfDir)
+      .select("bot40_share", "top10_share", "palma_ratio")
+      .as[(Double, Double, Double)].head()
+    assert(close(r._1, BigDecimal(bot).toDouble / BigDecimal(tot).toDouble))
+    assert(close(r._2, BigDecimal(top).toDouble / BigDecimal(tot).toDouble))
+    assert(close(r._3, BigDecimal(top).toDouble / BigDecimal(bot).toDouble))
+  }
+
+  test("tracking signal matches a direct prefix recompute over the last 28 days") {
+    val sp = spine
+    val withF = sp.zipWithIndex.collect {
+      case ((_, y), i) if i >= 7 => y - sp(i - 7)._2
+    }
+    val ev = withF.takeRight(28)
+    var ce = 0L; var ca = 0L
+    val ts = ev.zipWithIndex.map { case (e, i) =>
+      ce += e; ca += math.abs(e)
+      BigDecimal((i + 1).toLong * ce).toDouble / ca.toDouble
+    }
+    def r6(v: Double) = BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val r = SparkEntry.queries("an_tracking_signal")(spark, sfDir)
+      .select("ts_final", "max_abs_ts").as[(Double, Double)].head()
+    assert(close(r._1, ts.last, 1e-5), s"${r._1} vs ${ts.last}")
+    assert(close(r._2, ts.map(t => math.abs(r6(t))).max, 1e-5),
+      s"${r._2} vs ${ts.map(t => math.abs(r6(t))).max}")
+  }
+
+  test("spectral entropy matches a direct period-grid DFT") {
+    val sp = spine
+    val n = sp.length.toDouble
+    val pw = (2 to 60).map { p =>
+      var c = 0.0; var s2 = 0.0
+      sp.foreach { case (d, y) =>
+        val ang = 2.0 * math.Pi * (((d % p) + p) % p) / p
+        c += y * math.cos(ang); s2 += y * math.sin(ang)
+      }
+      4.0 * (c * c + s2 * s2) / (n * n * 10000.0)
+    }
+    val tp = pw.sum
+    val h = -pw.map(x => x / tp * math.log(x / tp)).sum / math.log(59.0)
+    val got = SparkEntry.queries("an_spectral_entropy")(spark, sfDir)
+      .select("spectral_entropy").as[Double].head()
+    assert(close(got, h, 1e-5), s"$got vs $h")
+  }
+
+  test("yule's k matches a direct token-count recompute") {
+    val docs = Tables.documents(spark, sfDir)
+      .select("lang", "text").as[(String, String)].collect()
+    val byLang = docs.groupBy(_._1)
+    val rows = SparkEntry.queries("text_yule_k")(spark, sfDir)
+      .select("lang", "n_tokens", "yule_k").as[(String, Long, Double)].collect()
+    rows.foreach { case (lang, nTok, k) =>
+      val counts = byLang(lang).flatMap(_._2.split(" ").filter(_.nonEmpty))
+        .groupBy(identity).map(_._2.length.toLong)
+      val nn = counts.sum
+      val s2 = counts.map(c => c * c).sum
+      assert(nn == nTok, s"$lang tokens $nTok vs $nn")
+      val kk = 1e4 * (s2 - nn).toDouble / (nn.toDouble * nn.toDouble)
+      assert(close(k, kk), s"$lang: $k vs $kk")
+    }
+  }
+
+  test("katz top-20 matches a direct adjacency iteration") {
+    val cs = Tables.lineitem(spark, sfDir)
+      .join(Tables.orders(spark, sfDir),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("p"))
+      .distinct().as[(Long, Long)].collect()
+    val edges = (cs.map { case (c, p) => (c, p) } ++ cs.map { case (c, p) => (p, c) }).distinct
+    val adj = edges.groupBy(_._1).map { case (s0, es) => s0 -> es.map(_._2) }
+    val nodes = adj.keySet
+    val S = BigInt(1000000)
+    var x = nodes.map(_ -> S).toMap
+    (1 to 3).foreach { k =>
+      val const = BigInt(math.pow(50.0, k).toLong) * S
+      x = nodes.map { nd =>
+        nd -> (const + adj(nd).map(x).sum)
+      }.toMap
+    }
+    val top = x.toSeq.sortBy { case (nd, v) => (-v, nd) }.take(20)
+    val got = SparkEntry.queries("q_katz")(spark, sfDir)
+      .select("node", "katz").as[(Long, Double)].collect()
+    got.zip(top).foreach { case ((n1, kz), (n2, xv)) =>
+      assert(n1 == n2, s"order: $n1 vs $n2")
+      val expect = BigDecimal(xv).toDouble / 1.25e11
+      assert(close(kz, expect), s"node $n1: $kz vs $expect")
+    }
+  }
+}
