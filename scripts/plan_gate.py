@@ -49,6 +49,7 @@ GWIN_ALLOW = {
     "an_by_fdr": 2,
     "an_cusum_sq": 4, "an_foster_stuart": 1, "an_goldfeld_quandt": 2,
     "an_snht": 1, "an_theil_u": 1, "an_tracking_signal": 2,
+    "an_diebold_mariano": 2, "an_cuminc": 4,
     "an_kpss": 1, "an_sprt": 2,
     "an_pettitt": 4, "an_buishand": 1, "an_von_neumann": 1,
     "an_cox_stuart": 2, "an_granger": 1, "an_cochrane_orcutt": 2,
@@ -97,6 +98,7 @@ EXCH_ALLOW = {
     "an_cagr": (12, 5, "calendar-bounded yearly-sum frames"),
     "an_cramers_v": (12, 0, "contingency cells + marginals: key-domain-sized"),
     "an_cusum_sq": (11, 6, "calendar-bounded day-spine frames only: the squared prefix scan feeds the excursion frame, the max broadcast and the argmax re-filter; 6 canonical shares"),
+    "an_cuminc": (12, 0, "distinct-event-time survival frames (day-spine cardinality): risk-set scan + the hasR semi-join + three curve windows, all spine-bounded"),
     "an_goldfeld_quandt": (11, 5, "calendar-bounded day-spine frames only: the segmented-moment frame feeds both segment selections + the n broadcast; 5 canonical shares"),
     "an_dunn": (11, 0, "ten pairwise z's off the k-sized group frame, one corpus scan"),
     "an_entropy_rate": (12, 4, "state-transition matrix: key-domain-sized"),

@@ -814,7 +814,12 @@ object SparkEntry extends SparkEntryAn1
     "an_tracking_signal" -> (anTrackingSignal _),
     "an_spectral_entropy" -> (anSpectralEntropy _),
     "text_yule_k" -> (textYuleK _),
-    "q_katz" -> (qKatz _)
+    "q_katz" -> (qKatz _),
+    "an_mood_scale" -> (anMoodScale _),
+    "an_blomqvist_beta" -> (anBlomqvistBeta _),
+    "an_diebold_mariano" -> (anDieboldMariano _),
+    "an_dixon_q" -> (anDixonQ _),
+    "an_cuminc" -> (anCumulativeIncidence _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1289,6 +1294,11 @@ object SparkEntry extends SparkEntryAn1
     "an_tracking_signal" -> anTrackingSignalSql,
     "an_spectral_entropy" -> anSpectralEntropySql,
     "text_yule_k" -> textYuleKSql,
-    "q_katz" -> qKatzSql
+    "q_katz" -> qKatzSql,
+    "an_mood_scale" -> anMoodScaleSql,
+    "an_blomqvist_beta" -> anBlomqvistBetaSql,
+    "an_diebold_mariano" -> anDieboldMarianoSql,
+    "an_dixon_q" -> anDixonQSql,
+    "an_cuminc" -> anCumulativeIncidenceSql
   )
 }

@@ -670,6 +670,297 @@ private[graft] trait SparkEntryAn5 { this: SparkEntry.type =>
        |FROM k3 ORDER BY xf DESC, node LIMIT 20""".stripMargin
   }
 
+  /** Mood's scale test between BUILDING and AUTOMOBILE customer
+    * balances — the DISPERSION rank test beside [[anAnsariBradley]]
+    * (different score function: squared central rank distance, more
+    * power against smooth scale alternatives): T = Σ_{g=1}(R_i −
+    * (N+1)/2)². In TWICE-midrank units A = 2·below + cnt + 1 the
+    * group sum T' = Σ cnt₁(v)·(A_v − (N+1))² = 4T is an EXACT BIGINT
+    * off one PrefixSum scan; E[T] = n₁(N²−1)/12 and Var[T] =
+    * n₁n₂(N+1)(N²−4)/180 are exact closed forms; z one IEEE tree,
+    * ROUND(·,6). */
+  private[graft] def anMoodScale(s: SparkSession, dir: String): DataFrame = {
+    val lab = Tables.customer(s, dir)
+      .filter(col("c_mktsegment").isin("BUILDING", "AUTOMOBILE"))
+      .select((col("c_mktsegment") === "BUILDING").cast("long").as("g"),
+        (col("c_acctbal").cast("decimal(24,2)") * 100).cast("bigint").as("v"))
+    val perV = lab.groupBy(col("v"))
+      .agg(sum(col("g")).as("c1"), count(lit(1)).as("cnt"))
+    val scan = graft.operators.PrefixSum.withRunningTotals(perV, Seq("v"), Seq("cnt"))
+    val tot = lab.agg(count(lit(1)).as("nn"), sum(col("g")).as("n1"))
+    val a = lit(2L) * (col("cnt_cum") - col("cnt")) + col("cnt") + lit(1L)
+    val tp = scan.crossJoin(broadcast(tot))
+      .select(col("n1"), col("nn"),
+        (col("c1") * (a - (col("nn") + 1L)) * (a - (col("nn") + 1L))).as("term"))
+      .groupBy(col("n1"), col("nn")).agg(sum(col("term")).as("tp"))
+    val nd = col("nn").cast("double"); val n1d = col("n1").cast("double")
+    val n2d = nd - n1d
+    val tStat = col("tp").cast("double") / lit(4.0)
+    val et = n1d * (nd * nd - lit(1.0)) / lit(12.0)
+    val vt = n1d * n2d * (nd + lit(1.0)) * (nd * nd - lit(4.0)) / lit(180.0)
+    tp.select(col("n1"), (col("nn") - col("n1")).as("n2"),
+      round(tStat, 6).as("t_stat"), round((tStat - et) / sqrt(vt), 6).as("z"))
+  }
+
+  private[graft] lazy val anMoodScaleSql = {
+    val t = "(CAST(tp AS DOUBLE) / 4.0)"
+    val nd = "CAST(nn AS DOUBLE)"; val n1d = "CAST(n1 AS DOUBLE)"
+    val n2d = s"($nd - $n1d)"
+    val et = s"($n1d * ($nd * $nd - 1.0) / 12.0)"
+    val vt = s"($n1d * $n2d * ($nd + 1.0) * ($nd * $nd - 4.0) / 180.0)"
+    s"""WITH lab AS (SELECT CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS g,
+       |    CAST(CAST(c_acctbal AS DECIMAL(24,2)) * 100 AS BIGINT) AS v
+       |  FROM customer WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE')),
+       |pv AS (SELECT v, CAST(SUM(g) AS BIGINT) AS c1, COUNT(*) AS cnt FROM lab GROUP BY v),
+       |sc AS (SELECT v, c1, cnt,
+       |         CAST(SUM(cnt) OVER (ORDER BY v) AS BIGINT) AS cnt_cum
+       |       FROM pv),
+       |tot AS (SELECT COUNT(*) AS nn, CAST(SUM(g) AS BIGINT) AS n1 FROM lab),
+       |tp AS (SELECT n1, nn,
+       |    CAST(SUM(c1 * (2 * (cnt_cum - cnt) + cnt + 1 - (nn + 1))
+       |           * (2 * (cnt_cum - cnt) + cnt + 1 - (nn + 1))) AS BIGINT) AS tp
+       |  FROM sc CROSS JOIN tot GROUP BY n1, nn)
+       |SELECT n1, nn - n1 AS n2, ROUND($t, 6) AS t_stat,
+       |  ROUND(($t - $et) / sqrt($vt), 6) AS z
+       |FROM tp""".stripMargin
+  }
+
+  /** Blomqvist's β (medial correlation) between line-item quantity and
+    * extended price — the quadrant-count dependence screen beside
+    * [[anSpearman]]/[[anKendallTau]]: β = (n₁₁ + n₀₀ − n₁₀ − n₀₁)/m
+    * over points split at the two LOWER MEDIANS (rank (n+1) div 2 via
+    * exact distinct-value cumulative counts — deterministic under
+    * ties), points ON either median excluded (classical treatment).
+    * All counts exact BIGINTs; β one division, z = β√m, ROUND(·,6). */
+  private[graft] def anBlomqvistBeta(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_quantity").cast("decimal(24,2)").cast("bigint").as("x"),
+        (col("l_extendedprice").cast("decimal(24,2)") * 100).cast("bigint").as("y"))
+    def lowerMedian(c: String): DataFrame = {
+      val perV = li.groupBy(col(c).as("v")).agg(count(lit(1)).as("cnt"))
+      val scan = graft.operators.PrefixSum.withRunningTotals(perV, Seq("v"), Seq("cnt"))
+      val n = li.agg(count(lit(1)).as("n"))
+      scan.crossJoin(broadcast(n))
+        .filter(col("cnt_cum") >= expr("(n + 1) div 2") &&
+          col("cnt_cum") - col("cnt") < expr("(n + 1) div 2"))
+        .select(col("v").as(s"med_$c"))
+    }
+    val mx = lowerMedian("x"); val my = lowerMedian("y")
+    val q = li.crossJoin(broadcast(mx)).crossJoin(broadcast(my))
+      .filter(col("x") =!= col("med_x") && col("y") =!= col("med_y"))
+      .agg(count(lit(1)).as("m"),
+        sum(((col("x") > col("med_x")) === (col("y") > col("med_y")))
+          .cast("long")).as("conc"))
+    q.select(col("m"),
+      round((lit(2L) * col("conc") - col("m")).cast("double") /
+        col("m").cast("double"), 6).as("beta"),
+      round((lit(2L) * col("conc") - col("m")).cast("double") /
+        col("m").cast("double") * sqrt(col("m").cast("double")), 6).as("z"))
+  }
+
+  private[graft] lazy val anBlomqvistBetaSql =
+    """WITH li AS (SELECT CAST(CAST(l_quantity AS DECIMAL(24,2)) AS BIGINT) AS x,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(24,2)) * 100 AS BIGINT) AS y
+      |  FROM lineitem),
+      |nx AS (SELECT COUNT(*) AS n FROM li),
+      |medx AS (SELECT v AS med_x FROM (
+      |    SELECT v, cnt, CAST(SUM(cnt) OVER (ORDER BY v) AS BIGINT) AS cnt_cum
+      |    FROM (SELECT x AS v, COUNT(*) AS cnt FROM li GROUP BY x)) CROSS JOIN nx
+      |  WHERE cnt_cum >= (n + 1) // 2 AND cnt_cum - cnt < (n + 1) // 2),
+      |medy AS (SELECT v AS med_y FROM (
+      |    SELECT v, cnt, CAST(SUM(cnt) OVER (ORDER BY v) AS BIGINT) AS cnt_cum
+      |    FROM (SELECT y AS v, COUNT(*) AS cnt FROM li GROUP BY y)) CROSS JOIN nx
+      |  WHERE cnt_cum >= (n + 1) // 2 AND cnt_cum - cnt < (n + 1) // 2),
+      |q AS (SELECT COUNT(*) AS m,
+      |    CAST(SUM(CASE WHEN (x > med_x) = (y > med_y) THEN 1 ELSE 0 END) AS BIGINT) AS conc
+      |  FROM li CROSS JOIN medx CROSS JOIN medy
+      |  WHERE x <> med_x AND y <> med_y)
+      |SELECT m,
+      |  ROUND(CAST(2 * conc - m AS DOUBLE) / CAST(m AS DOUBLE), 6) AS beta,
+      |  ROUND(CAST(2 * conc - m AS DOUBLE) / CAST(m AS DOUBLE)
+      |    * sqrt(CAST(m AS DOUBLE)), 6) AS z
+      |FROM q""".stripMargin
+
+  /** Diebold–Mariano forecast-comparison test: is the seasonal-naive
+    * (lag-7) daily-revenue forecast significantly better than the
+    * random walk (lag-1)? d_t = e₁² − e₂² in exact cents²;
+    * WIDTH-SAFE at any SF via scale normalization — pass 1 takes
+    * scale = Σ|d| (exact DECIMAL(38,0)), pass 2 gathers d/scale and
+    * (d/scale)² in DECIMAL(38,18) (values O(1/n), squares O(1/n²) —
+    * the integer budget never binds); DM = d̄/√(γ₀/n) is scale-free so
+    * the normalization cancels exactly. ROUND(·,6) absorbs the >2^53
+    * decimal→double cast ulp (the an_granger contract). */
+  private[graft] def anDieboldMariano(s: SparkSession, dir: String): DataFrame = {
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    val sp = dailyRevenueSpine(s, dir)
+      .select(col("d").cast("long").as("d"), col("rev_c"))
+    val wd = Window.orderBy("d")
+    val dRows = sp
+      .withColumn("f7", lag(col("rev_c"), 7).over(wd))
+      .withColumn("f1", lag(col("rev_c"), 1).over(wd))
+      .filter(col("f7").isNotNull && col("f1").isNotNull)
+      .select(((d38(col("rev_c") - col("f7")) * d38(col("rev_c") - col("f7"))) -
+        (d38(col("rev_c") - col("f1")) * d38(col("rev_c") - col("f1"))))
+        .cast("decimal(38,0)").as("dd"))
+    val scale = dRows.agg(sum(abs(col("dd"))).cast("decimal(38,0)").as("sc"),
+      count(lit(1)).as("n"))
+    val g18 = (c: Column) => sum(c.cast("decimal(38,18)")).cast("decimal(38,18)")
+    val agg = dRows.crossJoin(broadcast(scale))
+      .select(col("n"),
+        (col("dd").cast("double") / col("sc").cast("double")).as("u"))
+      .groupBy(col("n"))
+      .agg(g18(col("u")).as("su"), g18(col("u") * col("u")).as("suu"))
+    val nd = col("n").cast("double")
+    val mean = col("su").cast("double") / nd
+    val g0 = col("suu").cast("double") / nd - mean * mean
+    agg.select(col("n").as("n_eval"),
+      round(mean / sqrt(g0 / nd), 6).as("dm_stat"))
+  }
+
+  private[graft] lazy val anDieboldMarianoSql = {
+    val mean = "(CAST(su AS DOUBLE) / CAST(n AS DOUBLE))"
+    val g0 = s"(CAST(suu AS DOUBLE) / CAST(n AS DOUBLE) - $mean * $mean)"
+    s"""WITH daily AS ($dailySpineSql),
+       |sp AS (SELECT CAST(d AS BIGINT) AS d, rev_c FROM daily),
+       |f AS (SELECT rev_c,
+       |        LAG(rev_c, 7) OVER (ORDER BY d) AS f7,
+       |        LAG(rev_c, 1) OVER (ORDER BY d) AS f1
+       |      FROM sp),
+       |dd AS (SELECT CAST(CAST(rev_c - f7 AS DECIMAL(38,0)) * CAST(rev_c - f7 AS DECIMAL(38,0))
+       |             - CAST(rev_c - f1 AS DECIMAL(38,0)) * CAST(rev_c - f1 AS DECIMAL(38,0))
+       |           AS DECIMAL(38,0)) AS dd
+       |       FROM f WHERE f7 IS NOT NULL AND f1 IS NOT NULL),
+       |sc AS (SELECT CAST(SUM(ABS(dd)) AS DECIMAL(38,0)) AS sc, COUNT(*) AS n FROM dd),
+       |ag AS (SELECT n,
+       |    CAST(SUM(CAST(CAST(dd AS DOUBLE) / CAST(sc AS DOUBLE) AS DECIMAL(38,18))) AS DECIMAL(38,18)) AS su,
+       |    CAST(SUM(CAST((CAST(dd AS DOUBLE) / CAST(sc AS DOUBLE))
+       |           * (CAST(dd AS DOUBLE) / CAST(sc AS DOUBLE)) AS DECIMAL(38,18))) AS DECIMAL(38,18)) AS suu
+       |  FROM dd CROSS JOIN sc GROUP BY n)
+       |SELECT n AS n_eval, ROUND($mean / sqrt($g0 / CAST(n AS DOUBLE)), 6) AS dm_stat
+       |FROM ag""".stripMargin
+  }
+
+  /** Dixon's Q single-outlier screen per order priority — the
+    * small-frame gap-ratio complement to [[anGrubbs]] (which needs
+    * near-normality; Q only compares extreme gaps): Q_high = (x₍ₙ₎ −
+    * x₍ₙ₋₁₎)/range over DISTINCT values (the tie-robust form — a tied
+    * extreme is not an outlier), Q_low symmetric. Per-group max, min,
+    * runner-up extremes from two aggregate passes (the group frame is
+    * key-domain-sized), all exact cents; one division each,
+    * ROUND(·,6). */
+  private[graft] def anDixonQ(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .select(col("o_orderpriority").as("grp"),
+        (col("o_totalprice").cast("decimal(24,2)") * 100).cast("bigint").as("v"))
+    val ext = o.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"), max(col("v")).as("mx"), min(col("v")).as("mn"))
+    val sub = o.join(broadcast(ext), Seq("grp"))
+      .groupBy(col("grp"))
+      .agg(max(when(col("v") < col("mx"), col("v"))).as("submax"),
+        min(when(col("v") > col("mn"), col("v"))).as("submin"))
+    ext.join(broadcast(sub), Seq("grp"))
+      .select(col("grp"), col("n"),
+        round((col("mx") - col("submax")).cast("double") /
+          (col("mx") - col("mn")).cast("double"), 6).as("q_high"),
+        round((col("submin") - col("mn")).cast("double") /
+          (col("mx") - col("mn")).cast("double"), 6).as("q_low"))
+      .orderBy(col("grp"))
+  }
+
+  private[graft] lazy val anDixonQSql =
+    """WITH o AS (SELECT o_orderpriority AS grp,
+      |    CAST(CAST(o_totalprice AS DECIMAL(24,2)) * 100 AS BIGINT) AS v
+      |  FROM orders),
+      |ext AS (SELECT grp, COUNT(*) AS n, MAX(v) AS mx, MIN(v) AS mn
+      |        FROM o GROUP BY grp),
+      |sub AS (SELECT o.grp,
+      |          MAX(CASE WHEN v < mx THEN v END) AS submax,
+      |          MIN(CASE WHEN v > mn THEN v END) AS submin
+      |        FROM o JOIN ext ON o.grp = ext.grp GROUP BY o.grp)
+      |SELECT grp, n,
+      |  ROUND(CAST(mx - submax AS DOUBLE) / CAST(mx - mn AS DOUBLE), 6) AS q_high,
+      |  ROUND(CAST(submin - mn AS DOUBLE) / CAST(mx - mn AS DOUBLE), 6) AS q_low
+      |FROM ext JOIN sub USING (grp) ORDER BY grp""".stripMargin
+
+  /** Aalen–Johansen cumulative incidence for COMPETING churn causes —
+    * what [[anKaplanMeier]] overstates when churners split into
+    * distinct outcomes (1 − KM treats competing events as censoring):
+    * cause 1 = churned with return history (any R line item), cause 2
+    * = churned clean. CIF_j(t) = Σ_{s≤t} S(s⁻)·d_j(s)/n(s) with
+    * S(s⁻) the all-cause KM just before s — per the KM discipline the
+    * survival product is exp(Σ ln) over an ORDER BY t running window
+    * (a sequential fold, identical IEEE order in both engines), the
+    * risk set exact integers off one prev-window scan, CIF ROUND(·,6).
+    * The two CIFs + their sum vs 1−KM IS the competing-risk bias
+    * readout. */
+  private[graft] def anCumulativeIncidence(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val anchor = o.agg(max(col("o_orderdate")).as("mx"))
+    val hasR = Tables.lineitem(s, dir).filter(col("l_returnflag") === "R")
+      .join(o.select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("rk")).distinct()
+    val cust = o.groupBy(col("o_custkey"))
+      .agg(min(col("o_orderdate")).as("f"), max(col("o_orderdate")).as("l"))
+      .crossJoin(broadcast(anchor))
+      .join(hasR, col("o_custkey") === col("rk"), "left")
+      .select(datediff(col("l"), col("f")).cast("bigint").as("t"),
+        (col("l") < col("mx") - expr("INTERVAL 90 DAYS")).cast("long").as("ev"),
+        col("rk").isNotNull.cast("long").as("r"))
+    val byT = cust.groupBy(col("t"))
+      .agg(count(lit(1)).as("n_at"),
+        sum(col("ev") * col("r")).as("d1"),
+        sum(col("ev") * (lit(1L) - col("r"))).as("d2"))
+    val wPrev = Window.orderBy(col("t")).rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.orderBy(col("t")).rowsBetween(Window.unboundedPreceding, 0)
+    val r = byT.crossJoin(broadcast(cust.agg(count(lit(1)).as("n_total"))))
+      .withColumn("n_risk",
+        col("n_total") - coalesce(sum(col("n_at")).over(wPrev), lit(0L)))
+      .filter(col("d1") + col("d2") > 0)
+    val dTot = (col("d1") + col("d2")).cast("double")
+    val logTerm = when(col("d1") + col("d2") === col("n_risk"), lit(0.0))
+      .otherwise(log(lit(1.0) - dTot / col("n_risk").cast("double")))
+    r.withColumn("sPrev", exp(coalesce(sum(logTerm).over(wPrev), lit(0.0))))
+      .withColumn("cif1", round(sum(col("sPrev") *
+        col("d1").cast("double") / col("n_risk").cast("double")).over(wCum), 6))
+      .withColumn("cif2", round(sum(col("sPrev") *
+        col("d2").cast("double") / col("n_risk").cast("double")).over(wCum), 6))
+      .select(col("t"), col("n_risk"), col("d1"), col("d2"),
+        col("cif1"), col("cif2"))
+      .orderBy(col("t"))
+  }
+
+  private[graft] lazy val anCumulativeIncidenceSql =
+    """WITH a AS (SELECT MAX(o_orderdate) AS mx FROM orders),
+      |hr AS (SELECT DISTINCT o_custkey AS rk
+      |       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |       WHERE l_returnflag = 'R'),
+      |c AS (SELECT o_custkey, MIN(o_orderdate) AS f, MAX(o_orderdate) AS l
+      |      FROM orders GROUP BY 1),
+      |cust AS (SELECT CAST(date_diff('day', f, l) AS BIGINT) AS t,
+      |           CASE WHEN l < mx - INTERVAL 90 DAY THEN 1 ELSE 0 END AS ev,
+      |           CASE WHEN rk IS NOT NULL THEN 1 ELSE 0 END AS r
+      |         FROM c CROSS JOIN a LEFT JOIN hr ON c.o_custkey = hr.rk),
+      |byt AS (SELECT t, COUNT(*) AS n_at,
+      |          CAST(SUM(ev * r) AS BIGINT) AS d1,
+      |          CAST(SUM(ev * (1 - r)) AS BIGINT) AS d2
+      |        FROM cust GROUP BY 1),
+      |tot AS (SELECT COUNT(*) AS n_total FROM cust),
+      |rs AS (SELECT t, d1, d2, n_total - COALESCE(CAST(SUM(n_at) OVER (ORDER BY t
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS n_risk
+      |       FROM byt CROSS JOIN tot),
+      |f AS (SELECT t, n_risk, d1, d2,
+      |        EXP(COALESCE(SUM(CASE WHEN d1 + d2 = n_risk THEN 0.0
+      |              ELSE LN(1.0 - CAST(d1 + d2 AS DOUBLE) / CAST(n_risk AS DOUBLE)) END)
+      |            OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0)) AS sprev
+      |      FROM rs WHERE d1 + d2 > 0)
+      |SELECT t, n_risk, d1, d2,
+      |  ROUND(SUM(sprev * CAST(d1 AS DOUBLE) / CAST(n_risk AS DOUBLE))
+      |    OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS cif1,
+      |  ROUND(SUM(sprev * CAST(d2 AS DOUBLE) / CAST(n_risk AS DOUBLE))
+      |    OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS cif2
+      |FROM f ORDER BY t""".stripMargin
+
   private[graft] lazy val anSnhtSql = {
     val nd = "CAST(n AS DOUBLE)"
     val s2 = s"(CAST(CAST(n AS DECIMAL(38,0)) * tyy - ty * ty AS DOUBLE) / ($nd * ($nd - 1.0)))"

@@ -223,6 +223,117 @@ class Round18WaveSpec extends SparkSpec {
     }
   }
 
+  test("mood scale statistic matches a direct midrank recompute") {
+    val lab = Tables.customer(spark, sfDir)
+      .filter(col("c_mktsegment").isin("BUILDING", "AUTOMOBILE"))
+      .select((col("c_mktsegment") === "BUILDING").cast("long"),
+        (col("c_acctbal").cast("decimal(24,2)") * 100).cast("bigint"))
+      .as[(Long, Long)].collect()
+    val all = lab.map(_._2).sorted
+    val nn = all.length.toDouble
+    val rankOf = all.zipWithIndex.groupBy(_._1).map { case (v, xs) =>
+      v -> xs.map(_._2 + 1).sum.toDouble / xs.length
+    }
+    val t = lab.filter(_._1 == 1L).map { case (_, v) =>
+      val r = rankOf(v) - (nn + 1) / 2.0; r * r
+    }.sum
+    val got = SparkEntry.queries("an_mood_scale")(spark, sfDir)
+      .select("t_stat").as[Double].head()
+    assert(close(got, t), s"$got vs $t")
+  }
+
+  test("blomqvist beta matches a direct quadrant count") {
+    val pts = Tables.lineitem(spark, sfDir)
+      .select(col("l_quantity").cast("decimal(24,2)").cast("bigint"),
+        (col("l_extendedprice").cast("decimal(24,2)") * 100).cast("bigint"))
+      .as[(Long, Long)].collect()
+    def lowerMed(vs: Seq[Long]): Long = vs.sorted.apply((vs.length + 1) / 2 - 1)
+    val (mx, my) = (lowerMed(pts.map(_._1).toSeq), lowerMed(pts.map(_._2).toSeq))
+    val used = pts.filter { case (x, y) => x != mx && y != my }
+    val conc = used.count { case (x, y) => (x > mx) == (y > my) }
+    val beta = (2.0 * conc - used.length) / used.length
+    val got = SparkEntry.queries("an_blomqvist_beta")(spark, sfDir)
+      .select("beta").as[Double].head()
+    assert(close(got, beta), s"$got vs $beta")
+  }
+
+  test("diebold-mariano matches a direct loss-differential recompute") {
+    val sp = spine.map(_._2)
+    val ds = (7 until sp.length).map { i =>
+      val e1 = (sp(i) - sp(i - 7)).toDouble
+      val e2 = (sp(i) - sp(i - 1)).toDouble
+      e1 * e1 - e2 * e2
+    }
+    val n = ds.length.toDouble
+    val mean = ds.sum / n
+    val g0 = ds.map(d => (d - mean) * (d - mean)).sum / n
+    val dm = mean / math.sqrt(g0 / n)
+    val got = SparkEntry.queries("an_diebold_mariano")(spark, sfDir)
+      .select("dm_stat").as[Double].head()
+    assert(close(got, dm, 1e-5), s"$got vs $dm")
+  }
+
+  test("dixon q matches direct per-group gap ratios") {
+    val byG = Tables.orders(spark, sfDir)
+      .select(col("o_orderpriority"),
+        (col("o_totalprice").cast("decimal(24,2)") * 100).cast("bigint"))
+      .as[(String, Long)].collect().groupBy(_._1)
+    val rows = SparkEntry.queries("an_dixon_q")(spark, sfDir)
+      .select("grp", "q_high", "q_low").as[(String, Double, Double)].collect()
+    rows.foreach { case (g, qh, ql) =>
+      val vs = byG(g).map(_._2)
+      val mx = vs.max; val mn = vs.min
+      val submax = vs.filter(_ < mx).max; val submin = vs.filter(_ > mn).min
+      assert(close(qh, (mx - submax).toDouble / (mx - mn)), s"$g high")
+      assert(close(ql, (submin - mn).toDouble / (mx - mn)), s"$g low")
+    }
+  }
+
+  test("cumulative incidence matches a direct Aalen-Johansen fold and bounds 1-KM") {
+    val o = Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_orderdate").cast("date"))
+      .as[(Long, java.sql.Date)].collect()
+    val mx = o.map(_._2.getTime).max
+    val rk = Tables.lineitem(spark, sfDir).filter(col("l_returnflag") === "R")
+      .join(Tables.orders(spark, sfDir), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey")).as[Long].collect().toSet
+    val day = 86400000L
+    val cust = o.groupBy(_._1).map { case (ck, rows) =>
+      val f = rows.map(_._2.getTime).min; val l = rows.map(_._2.getTime).max
+      val t = (l - f) / day
+      val ev = l < mx - 90 * day
+      (t, ev, rk.contains(ck))
+    }.toSeq
+    val nTotal = cust.size
+    val byT = cust.groupBy(_._1).toSeq.sortBy(_._1).map { case (t, xs) =>
+      (t, xs.size.toLong, xs.count(x => x._2 && x._3).toLong,
+        xs.count(x => x._2 && !x._3).toLong)
+    }
+    var atRiskDrop = 0L; var logS = 0.0; var cif1 = 0.0; var cif2 = 0.0
+    val expect = byT.flatMap { case (t, nAt, d1, d2) =>
+      val nRisk = nTotal - atRiskDrop
+      atRiskDrop += nAt
+      if (d1 + d2 > 0) {
+        val sPrev = math.exp(logS)
+        cif1 += sPrev * d1 / nRisk; cif2 += sPrev * d2 / nRisk
+        if (d1 + d2 < nRisk) logS += math.log(1.0 - (d1 + d2).toDouble / nRisk)
+        Some((t, nRisk, d1, d2, cif1, cif2))
+      } else { atRiskDrop += 0; None }
+    }
+    val got = SparkEntry.queries("an_cuminc")(spark, sfDir)
+      .select("t", "n_risk", "d1", "d2", "cif1", "cif2")
+      .as[(Long, Long, Long, Long, Double, Double)].collect()
+    assert(got.length == expect.length)
+    got.zip(expect).foreach { case ((t, nr, d1, d2, c1, c2), (et, enr, ed1, ed2, ec1, ec2)) =>
+      assert(t == et && nr == enr && d1 == ed1 && d2 == ed2, s"frame at $t")
+      assert(close(c1, ec1, 1e-5) && close(c2, ec2, 1e-5), s"cif at $t")
+    }
+    // competing-risk sanity: CIF1 + CIF2 tracks 1 − KM (equal here since
+    // both derive from the same all-cause hazard), and each CIF ≤ total
+    val (lc1, lc2) = (got.last._5, got.last._6)
+    assert(lc1 + lc2 <= 1.0 + 1e-9 && lc1 >= 0 && lc2 >= 0)
+  }
+
   test("katz top-20 matches a direct adjacency iteration") {
     val cs = Tables.lineitem(spark, sfDir)
       .join(Tables.orders(spark, sfDir),
