@@ -72,15 +72,22 @@ for fname, level in [
     ("FULLVERIFY_sf10_r17_wave2.json", "sf10"),
     ("FULLVERIFY_sf1_r18_wave.json", "sf1"),
     ("FULLVERIFY_sf10_r18_wave.json", "sf10"),
-    ("FULLVERIFY_sf10_heavy_r18.json", "sf10"),
+    # (FULLVERIFY_sf10_heavy_r18 is a bounded-heap COMPLETION probe, not
+    # a hash certification - deliberately not on this ladder)
 ]:
     p = os.path.join(root, fname)
     if not os.path.exists(p):
         continue
     order = {"sf0.01": 0, "sf0.1": 1, "sf1": 2, "sf10": 3}
     for k, v in json.load(open(p)).get("keys", {}).items():
-        if v == "ok" and order[level] > order.get(sf_level.get(k, "sf0.01"), 0):
+        # values carry annotations ("ok (oracle rewritten...)",
+        # "bound-certified" for the sketch keys' documented compaction
+        # regime) — both count as certification at that level
+        if ((v.startswith("ok") or v.startswith("bound-certified"))
+                and order[level] > order.get(sf_level.get(k, "sf0.01"), 0)):
             sf_level[k] = level
+            if v.startswith("bound-certified"):
+                sf_level[k + "::bound"] = level
 
 # --- plan adjudications out of plan_gate.py (the audited allowlists)
 gate = open(os.path.join(root, "scripts", "plan_gate.py")).read()
@@ -106,6 +113,8 @@ for k in sorted(registered):
         "oracle": "sql" if k in oracle_sql else "rows",
         "sf_certified": sf_level.get(k, "sf0.01"),
     }
+    if k + "::bound" in sf_level:
+        e["bound_certified"] = True  # self-certified error bound, not a hash
     if k in gwin:
         e["gwin_allow"] = int(gwin[k])
     if k in exch:
