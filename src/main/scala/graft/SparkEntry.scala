@@ -819,7 +819,11 @@ object SparkEntry extends SparkEntryAn1
     "an_blomqvist_beta" -> (anBlomqvistBeta _),
     "an_diebold_mariano" -> (anDieboldMariano _),
     "an_dixon_q" -> (anDixonQ _),
-    "an_cuminc" -> (anCumulativeIncidence _)
+    "an_cuminc" -> (anCumulativeIncidence _),
+    "an_cucconi" -> (anCucconi _),
+    "an_lepage" -> (anLepage _),
+    "an_rayleigh_dow" -> (anRayleighDow _),
+    "text_bigram_cond_entropy" -> (textBigramCondEntropy _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1299,6 +1303,10 @@ object SparkEntry extends SparkEntryAn1
     "an_blomqvist_beta" -> anBlomqvistBetaSql,
     "an_diebold_mariano" -> anDieboldMarianoSql,
     "an_dixon_q" -> anDixonQSql,
-    "an_cuminc" -> anCumulativeIncidenceSql
+    "an_cuminc" -> anCumulativeIncidenceSql,
+    "an_cucconi" -> anCucconiSql,
+    "an_lepage" -> anLepageSql,
+    "an_rayleigh_dow" -> anRayleighDowSql,
+    "text_bigram_cond_entropy" -> textBigramCondEntropySql
   )
 }

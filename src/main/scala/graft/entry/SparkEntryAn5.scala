@@ -961,6 +961,260 @@ private[graft] trait SparkEntryAn5 { this: SparkEntry.type =>
       |    OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS cif2
       |FROM f ORDER BY t""".stripMargin
 
+  /** Cucconi's combined location-scale rank test, BUILDING vs
+    * AUTOMOBILE balances — the one-statistic two-sample omnibus beside
+    * [[anLepage]] (older than Lepage, uses squared ranks from BOTH
+    * ends): U from ΣR², V from Σ(N+1−R)², C = (U² + V² − 2ρUV)/
+    * (2(1−ρ²)) with ρ = 2(N²−4)/((2N+1)(8N+11)) − 1. In twice-midrank
+    * units (A = 2·below + cnt + 1) both squared-rank sums are exact
+    * BIGINTs/4 off ONE PrefixSum scan; U, V, ρ, C one shared IEEE
+    * tree, ROUND(·,6). */
+  private[graft] def anCucconi(s: SparkSession, dir: String): DataFrame = {
+    val lab = Tables.customer(s, dir)
+      .filter(col("c_mktsegment").isin("BUILDING", "AUTOMOBILE"))
+      .select((col("c_mktsegment") === "BUILDING").cast("long").as("g"),
+        (col("c_acctbal").cast("decimal(24,2)") * 100).cast("bigint").as("v"))
+    val perV = lab.groupBy(col("v"))
+      .agg(sum(col("g")).as("c1"), count(lit(1)).as("cnt"))
+    val scan = graft.operators.PrefixSum.withRunningTotals(perV, Seq("v"), Seq("cnt"))
+    val tot = lab.agg(count(lit(1)).as("nn"), sum(col("g")).as("n1"))
+    val a = lit(2L) * (col("cnt_cum") - col("cnt")) + col("cnt") + lit(1L)
+    val b = lit(2L) * (col("nn") + 1L) - a // twice-(N+1−R)
+    val sums = scan.crossJoin(broadcast(tot))
+      .select(col("n1"), col("nn"),
+        (col("c1") * a * a).as("s1t"), (col("c1") * b * b).as("s2t"))
+      .groupBy(col("n1"), col("nn"))
+      .agg(sum(col("s1t")).as("qa"), sum(col("s2t")).as("qb"))
+    val nd = col("nn").cast("double"); val n1d = col("n1").cast("double")
+    val n2d = nd - n1d
+    val s1 = col("qa").cast("double") / lit(4.0)
+    val s2 = col("qb").cast("double") / lit(4.0)
+    val den = sqrt(n1d * n2d * (nd + 1.0) * (lit(2.0) * nd + 1.0) *
+      (lit(8.0) * nd + 11.0) / lit(5.0))
+    val u = (lit(6.0) * s1 - n1d * (nd + 1.0) * (lit(2.0) * nd + 1.0)) / den
+    val v = (lit(6.0) * s2 - n1d * (nd + 1.0) * (lit(2.0) * nd + 1.0)) / den
+    val rho = lit(2.0) * (nd * nd - 4.0) /
+      ((lit(2.0) * nd + 1.0) * (lit(8.0) * nd + 11.0)) - lit(1.0)
+    sums.select(col("n1"), (col("nn") - col("n1")).as("n2"),
+      round(u, 6).as("u"), round(v, 6).as("v"),
+      round((u * u + v * v - lit(2.0) * rho * u * v) /
+        (lit(2.0) * (lit(1.0) - rho * rho)), 6).as("c_stat"))
+  }
+
+  private[graft] lazy val anCucconiSql = {
+    val nd = "CAST(nn AS DOUBLE)"; val n1d = "CAST(n1 AS DOUBLE)"
+    val n2d = s"($nd - $n1d)"
+    val s1 = "(CAST(qa AS DOUBLE) / 4.0)"; val s2 = "(CAST(qb AS DOUBLE) / 4.0)"
+    val den = s"sqrt($n1d * $n2d * ($nd + 1.0) * (2.0 * $nd + 1.0) * (8.0 * $nd + 11.0) / 5.0)"
+    val u = s"((6.0 * $s1 - $n1d * ($nd + 1.0) * (2.0 * $nd + 1.0)) / $den)"
+    val v = s"((6.0 * $s2 - $n1d * ($nd + 1.0) * (2.0 * $nd + 1.0)) / $den)"
+    val rho = s"(2.0 * ($nd * $nd - 4.0) / ((2.0 * $nd + 1.0) * (8.0 * $nd + 11.0)) - 1.0)"
+    s"""WITH lab AS (SELECT CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS g,
+       |    CAST(CAST(c_acctbal AS DECIMAL(24,2)) * 100 AS BIGINT) AS v
+       |  FROM customer WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE')),
+       |pv AS (SELECT v, CAST(SUM(g) AS BIGINT) AS c1, COUNT(*) AS cnt FROM lab GROUP BY v),
+       |sc AS (SELECT v, c1, cnt,
+       |         CAST(SUM(cnt) OVER (ORDER BY v) AS BIGINT) AS cnt_cum
+       |       FROM pv),
+       |tot AS (SELECT COUNT(*) AS nn, CAST(SUM(g) AS BIGINT) AS n1 FROM lab),
+       |qq AS (SELECT n1, nn,
+       |    CAST(SUM(c1 * (2 * (cnt_cum - cnt) + cnt + 1)
+       |           * (2 * (cnt_cum - cnt) + cnt + 1)) AS BIGINT) AS qa,
+       |    CAST(SUM(c1 * (2 * (nn + 1) - (2 * (cnt_cum - cnt) + cnt + 1))
+       |           * (2 * (nn + 1) - (2 * (cnt_cum - cnt) + cnt + 1))) AS BIGINT) AS qb
+       |  FROM sc CROSS JOIN tot GROUP BY n1, nn)
+       |SELECT n1, nn - n1 AS n2, ROUND($u, 6) AS u, ROUND($v, 6) AS v,
+       |  ROUND(($u * $u + $v * $v - 2.0 * $rho * $u * $v)
+       |    / (2.0 * (1.0 - $rho * $rho)), 6) AS c_stat
+       |FROM qq""".stripMargin
+  }
+
+  /** Lepage's combined location-scale test on the same two-sample frame
+    * — L = W_z² + AB_z², the Wilcoxon rank-sum z (location) plus the
+    * Ansari–Bradley z (scale, scores min(R, N+1−R) from both ends),
+    * each exact-integer off the ONE twice-midrank scan: ΣA = rank sum
+    * ×2, Σmin(A, 2(N+1)−A) = AB scores ×2; AB's mean/variance switch
+    * on N's parity (exact closed forms, integer mod identical in both
+    * engines). No tie-correction BY CONTRACT (cent values are
+    * near-distinct; the statistic is defined as implemented).
+    * ROUND(·,6). */
+  private[graft] def anLepage(s: SparkSession, dir: String): DataFrame = {
+    val lab = Tables.customer(s, dir)
+      .filter(col("c_mktsegment").isin("BUILDING", "AUTOMOBILE"))
+      .select((col("c_mktsegment") === "BUILDING").cast("long").as("g"),
+        (col("c_acctbal").cast("decimal(24,2)") * 100).cast("bigint").as("v"))
+    val perV = lab.groupBy(col("v"))
+      .agg(sum(col("g")).as("c1"), count(lit(1)).as("cnt"))
+    val scan = graft.operators.PrefixSum.withRunningTotals(perV, Seq("v"), Seq("cnt"))
+    val tot = lab.agg(count(lit(1)).as("nn"), sum(col("g")).as("n1"))
+    val a = lit(2L) * (col("cnt_cum") - col("cnt")) + col("cnt") + lit(1L)
+    val sums = scan.crossJoin(broadcast(tot))
+      .select(col("n1"), col("nn"),
+        (col("c1") * a).as("wt"),
+        (col("c1") * least(a, lit(2L) * (col("nn") + 1L) - a)).as("st"))
+      .groupBy(col("n1"), col("nn"))
+      .agg(sum(col("wt")).as("w2"), sum(col("st")).as("s2"))
+    val nd = col("nn").cast("double"); val n1d = col("n1").cast("double")
+    val n2d = nd - n1d
+    val w = col("w2").cast("double") / lit(2.0)
+    val ab = col("s2").cast("double") / lit(2.0)
+    val ew = n1d * (nd + 1.0) / lit(2.0)
+    val vw = n1d * n2d * (nd + 1.0) / lit(12.0)
+    val even = col("nn") % 2 === 0
+    val eab = when(even, n1d * (nd + 2.0) / lit(4.0))
+      .otherwise(n1d * (nd + 1.0) * (nd + 1.0) / (lit(4.0) * nd))
+    val vab = when(even, n1d * n2d * (nd + 2.0) * (nd - 2.0) /
+        (lit(48.0) * (nd - 1.0)))
+      .otherwise(n1d * n2d * (nd + 1.0) * (lit(3.0) + nd * nd) /
+        (lit(48.0) * nd * nd))
+    val wz = (w - ew) / sqrt(vw)
+    val abz = (ab - eab) / sqrt(vab)
+    sums.select(col("n1"), (col("nn") - col("n1")).as("n2"),
+      round(wz, 6).as("wilcoxon_z"), round(abz, 6).as("ansari_z"),
+      round(wz * wz + abz * abz, 6).as("lepage_l"))
+  }
+
+  private[graft] lazy val anLepageSql = {
+    val nd = "CAST(nn AS DOUBLE)"; val n1d = "CAST(n1 AS DOUBLE)"
+    val n2d = s"($nd - $n1d)"
+    val w = "(CAST(w2 AS DOUBLE) / 2.0)"; val ab = "(CAST(s2 AS DOUBLE) / 2.0)"
+    val ew = s"($n1d * ($nd + 1.0) / 2.0)"
+    val vw = s"($n1d * $n2d * ($nd + 1.0) / 12.0)"
+    val eab = (s"(CASE WHEN nn % 2 = 0 THEN $n1d * ($nd + 2.0) / 4.0 " +
+      s"ELSE $n1d * ($nd + 1.0) * ($nd + 1.0) / (4.0 * $nd) END)")
+    val vab = (s"(CASE WHEN nn % 2 = 0 THEN $n1d * $n2d * ($nd + 2.0) * ($nd - 2.0) / (48.0 * ($nd - 1.0)) " +
+      s"ELSE $n1d * $n2d * ($nd + 1.0) * (3.0 + $nd * $nd) / (48.0 * $nd * $nd) END)")
+    val wz = s"(($w - $ew) / sqrt($vw))"
+    val abz = s"(($ab - $eab) / sqrt($vab))"
+    s"""WITH lab AS (SELECT CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS g,
+       |    CAST(CAST(c_acctbal AS DECIMAL(24,2)) * 100 AS BIGINT) AS v
+       |  FROM customer WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE')),
+       |pv AS (SELECT v, CAST(SUM(g) AS BIGINT) AS c1, COUNT(*) AS cnt FROM lab GROUP BY v),
+       |sc AS (SELECT v, c1, cnt,
+       |         CAST(SUM(cnt) OVER (ORDER BY v) AS BIGINT) AS cnt_cum
+       |       FROM pv),
+       |tot AS (SELECT COUNT(*) AS nn, CAST(SUM(g) AS BIGINT) AS n1 FROM lab),
+       |qq AS (SELECT n1, nn,
+       |    CAST(SUM(c1 * (2 * (cnt_cum - cnt) + cnt + 1)) AS BIGINT) AS w2,
+       |    CAST(SUM(c1 * LEAST(2 * (cnt_cum - cnt) + cnt + 1,
+       |          2 * (nn + 1) - (2 * (cnt_cum - cnt) + cnt + 1))) AS BIGINT) AS s2
+       |  FROM sc CROSS JOIN tot GROUP BY n1, nn)
+       |SELECT n1, nn - n1 AS n2, ROUND($wz, 6) AS wilcoxon_z,
+       |  ROUND($abz, 6) AS ansari_z,
+       |  ROUND($wz * $wz + $abz * $abz, 6) AS lepage_l
+       |FROM qq""".stripMargin
+  }
+
+  /** Rayleigh test of order-date day-of-week uniformity — CIRCULAR
+    * statistics the [[anDowChi2]] categorical test can't give: the
+    * resultant R̄ = |Σe^{iθ}|/n measures DIRECTIONAL concentration
+    * (chi² sees any non-uniformity; Rayleigh sees a preferred phase).
+    * dow = epoch-day mod 7 (pure integer arithmetic — never the
+    * engines' dayofweek conventions); cos/sin of the 7 angles are
+    * SHARED Scala-printed shortest-round-trip literals in both the
+    * Column tree and the SQL (the Zelen–Severo constant discipline),
+    * so C = Σ cnt_k·cos_k is a 7-term exact-count dot product.
+    * z = n·R̄², mean direction via atan2, ROUND(·,6). */
+  private[graft] def anRayleighDow(s: SparkSession, dir: String): DataFrame = {
+    val cnt = Tables.orders(s, dir)
+      .select(pmod(datediff(col("o_orderdate").cast("date"),
+        lit("1992-01-01").cast("date")), lit(7)).as("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("cnt"))
+    val cosK = (0 to 6).map(k => math.cos(2.0 * math.Pi * k / 7.0))
+    val sinK = (0 to 6).map(k => math.sin(2.0 * math.Pi * k / 7.0))
+    def pick(vs: Seq[Double]): Column =
+      (1 to 6).foldLeft(when(col("k") === 0, lit(vs(0)))) {
+        (acc, k) => acc.when(col("k") === k, lit(vs(k)))
+      }
+    val agg = cnt.agg(sum(col("cnt")).as("n"),
+      sum(col("cnt").cast("double") * pick(cosK)).cast("decimal(38,6)").as("c"),
+      sum(col("cnt").cast("double") * pick(sinK)).cast("decimal(38,6)").as("s"))
+    val nd = col("n").cast("double")
+    val rbar = sqrt(col("c").cast("double") * col("c").cast("double") +
+      col("s").cast("double") * col("s").cast("double")) / nd
+    agg.select(col("n"), round(rbar, 6).as("r_bar"),
+      round(nd * rbar * rbar, 6).as("rayleigh_z"),
+      round(atan2(col("s").cast("double"), col("c").cast("double")), 6)
+        .as("mean_dir"))
+  }
+
+  private[graft] lazy val anRayleighDowSql = {
+    val cosK = (0 to 6).map(k => math.cos(2.0 * math.Pi * k / 7.0))
+    val sinK = (0 to 6).map(k => math.sin(2.0 * math.Pi * k / 7.0))
+    def caseOf(vs: Seq[Double]) =
+      "CASE k " + (0 to 6).map(k => s"WHEN $k THEN ${vs(k)}").mkString(" ") + " END"
+    val rbar = "(sqrt(CAST(c AS DOUBLE) * CAST(c AS DOUBLE) " +
+      "+ CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) / CAST(n AS DOUBLE))"
+    s"""WITH d AS (SELECT date_diff('day', DATE '1992-01-01',
+       |      CAST(o_orderdate AS DATE)) % 7 AS k
+       |    FROM orders),
+       |cnt AS (SELECT k, COUNT(*) AS cnt FROM d GROUP BY k),
+       |ag AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+       |    CAST(SUM(CAST(cnt AS DOUBLE) * (${caseOf(cosK)})) AS DECIMAL(38,6)) AS c,
+       |    CAST(SUM(CAST(cnt AS DOUBLE) * (${caseOf(sinK)})) AS DECIMAL(38,6)) AS s
+       |  FROM cnt)
+       |SELECT n, ROUND($rbar, 6) AS r_bar,
+       |  ROUND(CAST(n AS DOUBLE) * $rbar * $rbar, 6) AS rayleigh_z,
+       |  ROUND(atan2(CAST(s AS DOUBLE), CAST(c AS DOUBLE)), 6) AS mean_dir
+       |FROM ag""".stripMargin
+  }
+
+  /** Word-bigram conditional entropy H(W₂|W₁) per language — the
+    * sequence-predictability number beside [[textCharEntropy]]'s
+    * character view and an_entropy_rate's event-transition view: H =
+    * −(1/N)Σ c₁₂·ln(c₁₂/c₁) over adjacent-word-pair counts, with
+    * perplexity exp(H) beside it. Posting-shaped (the
+    * text_pmi_collocations bigram explode, keyed by lang); counts
+    * exact BIGINTs; per-bigram ln-ratio terms gather DECIMAL(38,18)
+    * (bounded by N·ln N — inside the integer budget at any SF); one
+    * division, ROUND(·,6). */
+  private[graft] def textBigramCondEntropy(s: SparkSession, dir: String): DataFrame = {
+    val ws = split(col("text"), " ")
+    val bi = Tables.documents(s, dir)
+      .select(col("lang"), explode(when(size(ws) >= 2,
+        transform(sequence(lit(1), size(ws) - 1),
+          i => struct(element_at(ws, i).as("w1"), element_at(ws, i + 1).as("w2"))))
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("b"))
+      .select(col("lang"), col("b.w1"), col("b.w2"))
+      .groupBy(col("lang"), col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val uni = bi.groupBy(col("lang"), col("w1")).agg(sum(col("c12")).as("c1"))
+    val terms = bi.join(uni, Seq("lang", "w1"))
+      .select(col("lang"),
+        (col("c12").cast("double") *
+          log(col("c12").cast("double") / col("c1").cast("double")))
+          .cast("decimal(38,18)").as("t"),
+        col("c12"))
+    terms.groupBy(col("lang"))
+      .agg(sum(col("c12")).as("n_bigrams"),
+        sum(col("t")).cast("decimal(38,18)").as("st"))
+      .select(col("lang"), col("n_bigrams"),
+        round(-col("st").cast("double") / col("n_bigrams").cast("double"), 6)
+          .as("cond_entropy"),
+        round(exp(-col("st").cast("double") / col("n_bigrams").cast("double")), 6)
+          .as("perplexity"))
+      .orderBy(col("lang"))
+  }
+
+  private[graft] lazy val textBigramCondEntropySql =
+    """WITH t AS (SELECT lang, string_split(text, ' ') AS ws FROM documents),
+      |bi AS (SELECT lang, ws[CAST(i AS INT)] AS w1, ws[CAST(i AS INT) + 1] AS w2
+      |       FROM t, unnest(range(1, greatest(len(ws), 1))) AS u(i)),
+      |bg AS (SELECT lang, w1, w2, COUNT(*) AS c12 FROM bi GROUP BY 1, 2, 3),
+      |ug AS (SELECT lang, w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM bg GROUP BY 1, 2),
+      |tm AS (SELECT bg.lang,
+      |         CAST(CAST(bg.c12 AS DOUBLE)
+      |           * ln(CAST(bg.c12 AS DOUBLE) / CAST(ug.c1 AS DOUBLE))
+      |           AS DECIMAL(38,18)) AS t,
+      |         bg.c12
+      |       FROM bg JOIN ug ON bg.lang = ug.lang AND bg.w1 = ug.w1),
+      |ag AS (SELECT lang, CAST(SUM(c12) AS BIGINT) AS n_bigrams,
+      |         CAST(SUM(t) AS DECIMAL(38,18)) AS st
+      |       FROM tm GROUP BY lang)
+      |SELECT lang, n_bigrams,
+      |  ROUND(-CAST(st AS DOUBLE) / CAST(n_bigrams AS DOUBLE), 6) AS cond_entropy,
+      |  ROUND(EXP(-CAST(st AS DOUBLE) / CAST(n_bigrams AS DOUBLE)), 6) AS perplexity
+      |FROM ag ORDER BY lang""".stripMargin
+
   private[graft] lazy val anSnhtSql = {
     val nd = "CAST(n AS DOUBLE)"
     val s2 = s"(CAST(CAST(n AS DECIMAL(38,0)) * tyy - ty * ty AS DOUBLE) / ($nd * ($nd - 1.0)))"

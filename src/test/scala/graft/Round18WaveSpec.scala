@@ -334,6 +334,93 @@ class Round18WaveSpec extends SparkSpec {
     assert(lc1 + lc2 <= 1.0 + 1e-9 && lc1 >= 0 && lc2 >= 0)
   }
 
+  private def twoSampleRanks: (Seq[(Long, Long)], Map[Long, Double], Double, Double) = {
+    val lab = Tables.customer(spark, sfDir)
+      .filter(col("c_mktsegment").isin("BUILDING", "AUTOMOBILE"))
+      .select((col("c_mktsegment") === "BUILDING").cast("long"),
+        (col("c_acctbal").cast("decimal(24,2)") * 100).cast("bigint"))
+      .as[(Long, Long)].collect().toSeq
+    val all = lab.map(_._2).sorted
+    val rankOf = all.zipWithIndex.groupBy(_._1).map { case (v, xs) =>
+      v -> xs.map(_._2 + 1).sum.toDouble / xs.length
+    }
+    (lab, rankOf, all.length.toDouble, lab.count(_._1 == 1L).toDouble)
+  }
+
+  test("cucconi matches a direct squared-rank recompute") {
+    val (lab, rankOf, nn, n1) = twoSampleRanks
+    val n2 = nn - n1
+    val g1 = lab.filter(_._1 == 1L).map(p => rankOf(p._2))
+    val s1 = g1.map(r => r * r).sum
+    val s2 = g1.map(r => (nn + 1 - r) * (nn + 1 - r)).sum
+    val den = math.sqrt(n1 * n2 * (nn + 1) * (2 * nn + 1) * (8 * nn + 11) / 5.0)
+    val u = (6 * s1 - n1 * (nn + 1) * (2 * nn + 1)) / den
+    val v = (6 * s2 - n1 * (nn + 1) * (2 * nn + 1)) / den
+    val rho = 2 * (nn * nn - 4) / ((2 * nn + 1) * (8 * nn + 11)) - 1
+    val c = (u * u + v * v - 2 * rho * u * v) / (2 * (1 - rho * rho))
+    val got = SparkEntry.queries("an_cucconi")(spark, sfDir)
+      .select("c_stat").as[Double].head()
+    assert(close(got, c, 1e-5), s"$got vs $c")
+  }
+
+  test("lepage matches a direct rank-sum + ansari recompute") {
+    val (lab, rankOf, nn, n1) = twoSampleRanks
+    val n2 = nn - n1
+    val g1 = lab.filter(_._1 == 1L).map(p => rankOf(p._2))
+    val w = g1.sum
+    val ab = g1.map(r => math.min(r, nn + 1 - r)).sum
+    val wz = (w - n1 * (nn + 1) / 2) / math.sqrt(n1 * n2 * (nn + 1) / 12.0)
+    val even = nn.toLong % 2 == 0
+    val eab = if (even) n1 * (nn + 2) / 4.0 else n1 * (nn + 1) * (nn + 1) / (4 * nn)
+    val vab = if (even) n1 * n2 * (nn + 2) * (nn - 2) / (48 * (nn - 1))
+              else n1 * n2 * (nn + 1) * (3 + nn * nn) / (48 * nn * nn)
+    val abz = (ab - eab) / math.sqrt(vab)
+    val got = SparkEntry.queries("an_lepage")(spark, sfDir)
+      .select("wilcoxon_z", "ansari_z", "lepage_l").as[(Double, Double, Double)].head()
+    assert(close(got._1, wz), s"${got._1} vs $wz")
+    assert(close(got._2, abz), s"${got._2} vs $abz")
+    assert(close(got._3, wz * wz + abz * abz, 1e-5))
+  }
+
+  test("rayleigh dow matches a direct circular recompute") {
+    val ks = Tables.orders(spark, sfDir)
+      .select(pmod(datediff(col("o_orderdate").cast("date"),
+        lit("1992-01-01").cast("date")), lit(7)).cast("long"))
+      .as[Long].collect()
+    val n = ks.length.toDouble
+    val c = ks.map(k => math.cos(2 * math.Pi * k / 7.0)).sum
+    val s2 = ks.map(k => math.sin(2 * math.Pi * k / 7.0)).sum
+    val rbar = math.sqrt(c * c + s2 * s2) / n
+    val got = SparkEntry.queries("an_rayleigh_dow")(spark, sfDir)
+      .select("r_bar", "rayleigh_z").as[(Double, Double)].head()
+    assert(close(got._1, rbar, 1e-4), s"${got._1} vs $rbar")
+    assert(close(got._2, n * rbar * rbar, 1e-4))
+  }
+
+  test("bigram conditional entropy matches a direct count recompute") {
+    val docs = Tables.documents(spark, sfDir)
+      .select("lang", "text").as[(String, String)].collect()
+    val rows = SparkEntry.queries("text_bigram_cond_entropy")(spark, sfDir)
+      .select("lang", "n_bigrams", "cond_entropy")
+      .as[(String, Long, Double)].collect()
+    rows.foreach { case (lang, nb, h) =>
+      val pairs = docs.filter(_._1 == lang).flatMap { case (_, t) =>
+        val ws = t.split(" ")
+        ws.sliding(2).collect { case Array(a, b) => (a, b) }
+      }
+      val c12 = pairs.groupBy(identity).map(_._2.length.toLong)
+      val c1 = pairs.groupBy(_._1).map { case (_, xs) => xs.length.toLong }
+      val c1of = pairs.groupBy(_._1).map { case (w, xs) => w -> xs.length.toLong }
+      val n = pairs.length.toDouble
+      assert(nb == pairs.length, s"$lang n $nb vs ${pairs.length}")
+      val hh = -pairs.groupBy(identity).map { case ((w1, _), xs) =>
+        val cc = xs.length.toDouble
+        cc * math.log(cc / c1of(w1))
+      }.sum / n
+      assert(close(h, hh, 1e-5), s"$lang: $h vs $hh")
+    }
+  }
+
   test("katz top-20 matches a direct adjacency iteration") {
     val cs = Tables.lineitem(spark, sfDir)
       .join(Tables.orders(spark, sfDir),
