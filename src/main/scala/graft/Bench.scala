@@ -342,13 +342,21 @@ object Bench {
     // values — run with SPARK_GRAFT_FULL=1 SPARK_GRAFT_WRITE_CARRY=1
     // for a from-scratch file
     if (sys.env.get("SPARK_GRAFT_WRITE_CARRY").contains("1")) {
-      val entries = results.toSeq.sortBy(_._1).map { case (k, (v, sp)) =>
+      // MERGE into the existing file (a subset run must extend the
+      // carry, never shrink it): this run's results win per key,
+      // untouched keys keep their prior entries verbatim
+      val prior = readCarry(carryPath)
+      val merged = prior ++ results.map { case (k, (v, sp)) =>
         val h = if (carriedRes.contains(k)) carry(k)._3 else hashes.getOrElse(k, "err")
+        k -> ((v, sp, h))
+      }
+      val entries = merged.toSeq.sortBy(_._1).map { case (k, (v, sp, h)) =>
         s""""$k":{"med":${ms(v)},"spread":${ms(sp)},"plan_hash":"$h"}"""
       }.mkString(",")
       java.nio.file.Files.writeString(java.nio.file.Paths.get(carryPath),
         s"""{"generated":"$gen","queries":{$entries}}""")
-      System.err.println(s"[bench] carry file written: $carryPath (${results.size} entries)")
+      System.err.println(s"[bench] carry file written: $carryPath " +
+        s"(${merged.size} entries, ${results.size} from this run)")
     }
     spark.stop()
   }
