@@ -100,6 +100,9 @@ ORACLE_ALLOW = {
     "an_twa": {"unrounded-double-sum": "exact integer micros through the double cast; sf1 green"},
     "etl_scale": {"unrounded-double-sum": "per-group z-scale power sums; sf1 green"},
     "q_modularity": {"unrounded-double-sum": "degree products over edges; sf1 green"},
+    "sim_diversity": {"pure-inequality-join": "pairwise join over a FIXED 200-row probe set (vec_id < 200 is SF-invariant under the key-shifted scale copies) - 19,900 pairs bounded at any SF; r18 sf10 green",
+                      "unrounded-double-sum": "per-pair ROUND-6 cosines bounded in [-1,1] feed the mean-over-19,900 ratio; r18 sf10 green"},
+    "etl_value_entropy": {"unrounded-double-sum": "c*ln c profiling gathers feed the H = ln n - S/n per-row ratio downstream, ROUND 6; r18 sf10 green"},
     "an_rayleigh_dow": {"unrounded-double-sum": "7-term exact-count x literal-cosine dot products feed the R/n resultant ratio downstream, ROUND 6; r18 sf10 green"},
     "text_bigram_cond_entropy": {"unrounded-double-sum": "c12*ln(c12/c1) entropy terms feed the per-token H = -S/N ratio downstream, ROUND 6; r18 sf10 green"},
     "an_spectral_entropy": {"unrounded-double-sum": "amplitude-normalized period powers (rev scaled by n\u00b2\u00b710\u2074) feed the p/\u03a3p ratio downstream; entropy gather bounded in [-1/e,0] per term; emission ROUND 6 / ln 59; r18 sf1 green"},

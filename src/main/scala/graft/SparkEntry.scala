@@ -823,7 +823,10 @@ object SparkEntry extends SparkEntryAn1
     "an_cucconi" -> (anCucconi _),
     "an_lepage" -> (anLepage _),
     "an_rayleigh_dow" -> (anRayleighDow _),
-    "text_bigram_cond_entropy" -> (textBigramCondEntropy _)
+    "text_bigram_cond_entropy" -> (textBigramCondEntropy _),
+    "text_hapax" -> (textHapax _),
+    "sim_diversity" -> (simDiversity _),
+    "etl_value_entropy" -> (etlValueEntropy _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1307,6 +1310,9 @@ object SparkEntry extends SparkEntryAn1
     "an_cucconi" -> anCucconiSql,
     "an_lepage" -> anLepageSql,
     "an_rayleigh_dow" -> anRayleighDowSql,
-    "text_bigram_cond_entropy" -> textBigramCondEntropySql
+    "text_bigram_cond_entropy" -> textBigramCondEntropySql,
+    "text_hapax" -> textHapaxSql,
+    "sim_diversity" -> simDiversitySql,
+    "etl_value_entropy" -> etlValueEntropySql
   )
 }

@@ -1215,6 +1215,144 @@ private[graft] trait SparkEntryAn5 { this: SparkEntry.type =>
       |  ROUND(EXP(-CAST(st AS DOUBLE) / CAST(n_bigrams AS DOUBLE)), 6) AS perplexity
       |FROM ag ORDER BY lang""".stripMargin
 
+  /** Hapax-legomena profile per language — the rare-tail vocabulary
+    * shape beside [[textYuleK]]'s repetitiveness and heaps_fit's growth
+    * curve: V1 (once-words), V2 (twice-words), hapax rate V1/V, Sichel
+    * S = V2/V, and the token-mass share V1/N. A corpus whose hapax
+    * rate collapses is template-saturated; one rising is OCR-noisy.
+    * One posting aggregate, exact BIGINTs, three divisions at
+    * emission, ROUND(·,6). */
+  private[graft] def textHapax(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.TextFunctions
+    val cnt = Tables.documents(s, dir)
+      .select(col("lang"), explode(TextFunctions.words(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("c"))
+    cnt.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_types"), sum(col("c")).as("n_tokens"),
+        sum((col("c") === 1).cast("long")).as("v1"),
+        sum((col("c") === 2).cast("long")).as("v2"))
+      .select(col("lang"), col("n_tokens"), col("n_types"), col("v1"), col("v2"),
+        round(col("v1").cast("double") / col("n_types").cast("double"), 6)
+          .as("hapax_rate"),
+        round(col("v2").cast("double") / col("n_types").cast("double"), 6)
+          .as("sichel_s"),
+        round(col("v1").cast("double") / col("n_tokens").cast("double"), 6)
+          .as("hapax_token_share"))
+      .orderBy(col("lang"))
+  }
+
+  private[graft] lazy val textHapaxSql =
+    """WITH w AS (SELECT lang, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+      |  FROM documents),
+      |cnt AS (SELECT lang, w, COUNT(*) AS c FROM w GROUP BY 1, 2),
+      |ag AS (SELECT lang, COUNT(*) AS n_types, CAST(SUM(c) AS BIGINT) AS n_tokens,
+      |         CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+      |         CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS v2
+      |       FROM cnt GROUP BY lang)
+      |SELECT lang, n_tokens, n_types, v1, v2,
+      |  ROUND(CAST(v1 AS DOUBLE) / CAST(n_types AS DOUBLE), 6) AS hapax_rate,
+      |  ROUND(CAST(v2 AS DOUBLE) / CAST(n_types AS DOUBLE), 6) AS sichel_s,
+      |  ROUND(CAST(v1 AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS hapax_token_share
+      |FROM ag ORDER BY lang""".stripMargin
+
+  /** Embedding-corpus diversity: mean/min pairwise cosine over a FIXED
+    * 200-vector probe set (vec_id < 200 — the id domain is key-shifted
+    * per scale copy, so the probe set is 200 rows at ANY SF and the
+    * pair frame is a bounded 19,900 rows, never corpus-quadratic).
+    * The collapse detector for an embedding pipeline: mean pairwise
+    * cosine drifting toward 1 means the embedder lost its spread.
+    * Exact integer dots on the shared micro-unit quantization
+    * (round(x·10⁶) — the sim-family portability discipline), per-pair
+    * ROUND(cos, 6), mean via a DECIMAL(38,18) gather. */
+  private[graft] def simDiversity(s: SparkSession, dir: String): DataFrame = {
+    val quant: Column => Column =
+      v => transform(v, x => round(x * lit(1000000.0)).cast("long"))
+    val probe = Tables.embeddings(s, dir).filter(col("vec_id") < 200)
+      .select(col("vec_id"),
+        quant(graft.similarity.VectorOps.toDouble(col("embedding"))).as("q"))
+      .withColumn("nrm",
+        sqrt(aggregate(col("q"), lit(0L), (acc, x) => acc + x * x).cast("double")))
+    val a = probe.select(col("vec_id").as("ia"), col("q").as("qa"), col("nrm").as("na"))
+    val b = probe.select(col("vec_id").as("ib"), col("q").as("qb"), col("nrm").as("nb"))
+    val pairs = a.join(broadcast(b), col("ia") < col("ib"))
+      .select(round(
+        aggregate(zip_with(col("qa"), col("qb"), (x, y) => x * y),
+          lit(0L), (acc, x) => acc + x).cast("double") /
+          (col("na") * col("nb")), 6).as("cs"))
+    pairs.agg(count(lit(1)).as("n_pairs"),
+        sum(col("cs").cast("decimal(38,18)")).cast("decimal(38,18)").as("sc"),
+        min(col("cs")).as("min_cos"), max(col("cs")).as("max_cos"))
+      .select(col("n_pairs"),
+        round(col("sc").cast("double") / col("n_pairs").cast("double"), 6)
+          .as("mean_cos"),
+        col("min_cos"), col("max_cos"))
+  }
+
+  private[graft] lazy val simDiversitySql =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      |           WHERE vec_id < 200),
+      |vq AS (SELECT vec_id,
+      |         list_transform(v, x -> CAST(round(x * 1000000.0) AS BIGINT)) AS q
+      |       FROM e),
+      |vn AS (SELECT vec_id, q,
+      |         sqrt(CAST(CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS DOUBLE)) AS nrm
+      |       FROM vq),
+      |pr AS (SELECT ROUND(
+      |         CAST(CAST(list_sum(list_transform(range(1, len(a.q) + 1),
+      |             i -> a.q[CAST(i AS INT)] * b.q[CAST(i AS INT)])) AS BIGINT) AS DOUBLE)
+      |           / (a.nrm * b.nrm), 6) AS cs
+      |       FROM vn a JOIN vn b ON a.vec_id < b.vec_id)
+      |SELECT COUNT(*) AS n_pairs,
+      |  ROUND(CAST(CAST(SUM(CAST(cs AS DECIMAL(38,18))) AS DECIMAL(38,18)) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE), 6) AS mean_cos,
+      |  MIN(cs) AS min_cos, MAX(cs) AS max_cos
+      |FROM pr""".stripMargin
+
+  /** Per-column value-distribution entropy + concentration over the
+    * order dimensions — the information-content companion to
+    * etl_profile's null/distinct census (the pre-encoding audit: a
+    * column with near-zero entropy one-hot-encodes to dead weight; a
+    * top-share near 1 is a constant in disguise). H = −Σ p ln p with
+    * c·ln c gathered DECIMAL(38,18) (the an_entropy discipline),
+    * top_share = max(c)/n exact, both ROUND(·,6). */
+  private[graft] def etlValueEntropy(s: SparkSession, dir: String): DataFrame = {
+    // the synthetic orders schema has no ship priority; the third
+    // profiled dimension is the calendar month (bounded domain)
+    val o = Tables.orders(s, dir)
+      .withColumn("o_month", month(col("o_orderdate").cast("date")))
+    def one(cname: String): DataFrame = {
+      val cnt = o.groupBy(col(cname).cast("string").as("v"))
+        .agg(count(lit(1)).as("c"))
+      cnt.agg(sum(col("c")).as("n"), count(lit(1)).as("n_distinct"),
+          max(col("c")).as("cmax"),
+          sum((col("c").cast("double") * log(col("c").cast("double")))
+            .cast("decimal(38,18)")).cast("decimal(38,18)").as("slc"))
+        .select(lit(cname).as("column"), col("n"), col("n_distinct"),
+          round(log(col("n").cast("double")) -
+            col("slc").cast("double") / col("n").cast("double"), 6).as("entropy"),
+          round(col("cmax").cast("double") / col("n").cast("double"), 6)
+            .as("top_share"))
+    }
+    Seq("o_orderpriority", "o_orderstatus", "o_month")
+      .map(one).reduce(_.unionAll(_)).orderBy(col("column"))
+  }
+
+  private[graft] lazy val etlValueEntropySql = {
+    def one(c: String) =
+      s"""SELECT '$c' AS "column", n, n_distinct,
+         |  ROUND(ln(CAST(n AS DOUBLE)) - CAST(slc AS DOUBLE) / CAST(n AS DOUBLE), 6) AS entropy,
+         |  ROUND(CAST(cmax AS DOUBLE) / CAST(n AS DOUBLE), 6) AS top_share
+         |FROM (SELECT CAST(SUM(c) AS BIGINT) AS n, COUNT(*) AS n_distinct,
+         |        CAST(MAX(c) AS BIGINT) AS cmax,
+         |        CAST(SUM(CAST(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)) AS DECIMAL(38,18))) AS DECIMAL(38,18)) AS slc
+         |      FROM (SELECT CAST($c AS VARCHAR) AS v, COUNT(*) AS c
+         |            FROM (SELECT *, month(CAST(o_orderdate AS DATE)) AS o_month
+         |                  FROM orders) GROUP BY 1))""".stripMargin
+    Seq("o_orderpriority", "o_orderstatus", "o_month").map(one)
+      .mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) u ORDER BY \"column\"")
+  }
+
   private[graft] lazy val anSnhtSql = {
     val nd = "CAST(n AS DOUBLE)"
     val s2 = s"(CAST(CAST(n AS DECIMAL(38,0)) * tyy - ty * ty AS DOUBLE) / ($nd * ($nd - 1.0)))"

@@ -421,6 +421,54 @@ class Round18WaveSpec extends SparkSpec {
     }
   }
 
+  test("hapax profile matches a direct count recompute") {
+    val docs = Tables.documents(spark, sfDir)
+      .select("lang", "text").as[(String, String)].collect()
+    val rows = SparkEntry.queries("text_hapax")(spark, sfDir)
+      .select("lang", "n_types", "v1", "v2").as[(String, Long, Long, Long)].collect()
+    rows.foreach { case (lang, nt, v1, v2) =>
+      val counts = docs.filter(_._1 == lang)
+        .flatMap(_._2.split(" ").filter(_.nonEmpty))
+        .groupBy(identity).map(_._2.length)
+      assert(counts.size == nt && counts.count(_ == 1) == v1 &&
+        counts.count(_ == 2) == v2, s"$lang: ($nt,$v1,$v2)")
+    }
+  }
+
+  test("embedding diversity matches a direct pairwise recompute") {
+    val vs = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 200)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect()
+      .map { case (id, v) =>
+        id -> v.map(x => math.round(x.toDouble * 1000000.0)).toArray
+      }
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val cos = for (i <- vs.indices; j <- i + 1 until vs.length) yield {
+      val (a, b) = (vs(i)._2, vs(j)._2)
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum.toDouble
+      r6(dot / (math.sqrt(a.map(x => x.toDouble * x).sum) *
+        math.sqrt(b.map(x => x.toDouble * x).sum)))
+    }
+    val got = SparkEntry.queries("sim_diversity")(spark, sfDir)
+      .select("n_pairs", "mean_cos", "min_cos", "max_cos")
+      .as[(Long, Double, Double, Double)].head()
+    assert(got._1 == cos.length)
+    assert(close(got._2, cos.sum / cos.length, 1e-5))
+    assert(got._3 == cos.min && got._4 == cos.max)
+  }
+
+  test("value entropy matches a direct frequency recompute") {
+    val pr = Tables.orders(spark, sfDir)
+      .select("o_orderpriority").as[String].collect()
+    val n = pr.length.toDouble
+    val h = math.log(n) -
+      pr.groupBy(identity).map(_._2.length.toDouble).map(c => c * math.log(c)).sum / n
+    val got = SparkEntry.queries("etl_value_entropy")(spark, sfDir)
+      .filter(col("column") === "o_orderpriority")
+      .select("entropy").as[Double].head()
+    assert(close(got, h, 1e-5), s"$got vs $h")
+  }
+
   test("katz top-20 matches a direct adjacency iteration") {
     val cs = Tables.lineitem(spark, sfDir)
       .join(Tables.orders(spark, sfDir),
