@@ -67,6 +67,11 @@ object Bench {
     val masked = raw
       .replaceAll("/tmp/[^\\s,)\\]}]+", "/tmp/X")
       .replaceAll("file:[^\\s,)\\]}]*", "file:X")
+      // JVM-assigned identities: lambda classes (mapPartitions codecs,
+      // RDD-backed cores) and object hash suffixes differ per JVM — a
+      // hash built on them re-measures ~55 stable plans every run
+      .replaceAll("\\$\\$Lambda[$/][0-9a-fx$/.]+", "\\$\\$Lambda")
+      .replaceAll("@[0-9a-f]{6,}", "@X")
     val md = java.security.MessageDigest.getInstance("MD5")
     md.digest(masked.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
   }
@@ -243,9 +248,15 @@ object Bench {
     selected.foreach { case (name, fn) =>
       val ph = try planHash(fn(spark, sfDir)) catch { case _: Throwable => "err" }
       hashes(name) = ph
+      if (sys.env.contains("SPARK_GRAFT_PRINT_HASHES"))
+        System.err.println(s"[planhash] $name $ph")
+      // REHASH mode: refresh every entry's plan hash under the current
+      // masking WITHOUT re-measuring (used after a masking change — the
+      // meds stay, only the drift keys change)
+      val rehash = sys.env.get("SPARK_GRAFT_REHASH_CARRY").contains("1")
       carry.get(name) match {
         case Some((med, spread, h))
-          if h == ph && ph != "err" && med < carryBar && !rotSample(name) =>
+          if rehash || (h == ph && ph != "err" && med < carryBar && !rotSample(name)) =>
           carriedRes(name) = (med, spread)
           isolate()
         case _ => toMeasure(name) = fn
@@ -345,9 +356,11 @@ object Bench {
       // MERGE into the existing file (a subset run must extend the
       // carry, never shrink it): this run's results win per key,
       // untouched keys keep their prior entries verbatim
+      val rehash = sys.env.get("SPARK_GRAFT_REHASH_CARRY").contains("1")
       val prior = readCarry(carryPath)
       val merged = prior ++ results.map { case (k, (v, sp)) =>
-        val h = if (carriedRes.contains(k)) carry(k)._3 else hashes.getOrElse(k, "err")
+        val h = if (carriedRes.contains(k) && !rehash) carry(k)._3
+                else hashes.getOrElse(k, "err")
         k -> ((v, sp, h))
       }
       val entries = merged.toSeq.sortBy(_._1).map { case (k, (v, sp, h)) =>
