@@ -62,8 +62,13 @@ class Server:
         for line in self.p.stdout:
             line = line.strip()
             if line.startswith(f"RESULT {q} "):
-                _, _, ts, gcs = line.split(" ", 3)
-                return json.loads(ts), json.loads(gcs)
+                parts = line.split(" ")
+                ts, gcs = json.loads(parts[2]), json.loads(parts[3])
+                # ok-flags per attempt (r18 advice #1); a pinned jar
+                # predating the field reports all-ok (its attempts were
+                # trusted under the old protocol — flagging is forward)
+                oks = json.loads(parts[4]) if len(parts) > 4 else [1] * len(ts)
+                return ts, gcs, oks
             if line.startswith("ERR"):
                 raise RuntimeError(f"{self.name}: {line}")
         raise RuntimeError(f"{self.name} died mid-query {q}")
@@ -102,25 +107,36 @@ def main():
         for qi, q in enumerate(queries):
             pre = host_snap()
             ta, tb, ga, gb = [], [], [], []
+            fa = fb = 0  # failed attempts per side (excluded from medians)
             for blk in range(blocks):
                 warm = blk == 0
                 ra = a.run(q, per_block, warm)
                 rb = b.run(q, per_block, warm)
-                ta += ra[0]; ga += ra[1]
-                tb += rb[0]; gb += rb[1]
+                ta += [t for t, o in zip(ra[0], ra[2]) if o]
+                ga += [g for g, o in zip(ra[1], ra[2]) if o]
+                fa += ra[2].count(0)
+                tb += [t for t, o in zip(rb[0], rb[2]) if o]
+                gb += [g for g, o in zip(rb[1], rb[2]) if o]
+                fb += rb[2].count(0)
             post = host_snap()
-            ma, mb = med(ta), med(tb)
+            # a side with zero successful attempts has no median; the pair
+            # is recorded as failed, never as a (fast) timing
+            ma = med(ta) if ta else None
+            mb = med(tb) if tb else None
+            ratio = round(mb / ma, 4) if ma and mb and ma > 0 else None
             results[q] = {
                 "a_attempts": ta, "b_attempts": tb,
                 "a_gc_ms": ga, "b_gc_ms": gb,
+                "a_failed_attempts": fa, "b_failed_attempts": fb,
                 "a_med": ma, "b_med": mb,
-                "ratio_b_over_a": round(mb / ma, 4) if ma > 0 else None,
+                "ratio_b_over_a": ratio,
                 "load1": [pre["load1"], post["load1"]],
                 "steal_pct": round(steal_pct(pre, post), 3),
             }
+            fmt = lambda v: f"{v:.3f}" if v is not None else "FAIL"
             print(f"[paired] {qi+1}/{len(queries)} {q:28s} "
-                  f"A={ma:.3f} B={mb:.3f} ratio={mb/ma:.3f} "
-                  f"load1={post['load1']:.2f}", file=sys.stderr)
+                  f"A={fmt(ma)} B={fmt(mb)} ratio={fmt(ratio)} "
+                  f"fails={fa}/{fb} load1={post['load1']:.2f}", file=sys.stderr)
     finally:
         a.stop(); b.stop()
     snap_end = host_snap()
@@ -138,6 +154,10 @@ def main():
         "max_ratio": ratios[-1] if ratios else None,
         "n_over_1.2": sum(1 for r in ratios if r > 1.2),
         "n_under_0.8": sum(1 for r in ratios if r < 0.8),
+        "n_failed_pairs": sum(1 for r in results.values()
+                              if r["ratio_b_over_a"] is None),
+        "n_failed_attempts": sum(r["a_failed_attempts"] + r["b_failed_attempts"]
+                                 for r in results.values()),
         "host": {"start": snap0, "ready": snap_ready, "end": snap_end,
                  "steal_pct_overall": round(steal_pct(snap0, snap_end), 3)},
     }

@@ -94,19 +94,68 @@ object Bench {
       s""""max_ratio":$mx,"n_over_1.2":$over,"file":"$path"},""").getOrElse("")
   }
 
+  /** One carried measurement: median/spread, the plan fingerprint it
+    * was measured under, the testdata generation it was measured
+    * AGAINST (r18 advice #2: a carried median from a previous
+    * generation must be visible as such — regeneration masquerading as
+    * regression was the r10 attribution hazard), and the fingerprint of
+    * the key's implementing source file at measure time (r18 verdict
+    * #4: a same-plan runtime regression — an eval-loop change in a
+    * native expression, a partitioner choice the plan string doesn't
+    * show — re-measures immediately instead of hiding until the
+    * rotating sample lands on it). */
+  final case class CarryEntry(med: Double, spread: Double, planHash: String,
+                              gen: String, src: String)
+
   /** Minimal JSON reader for the flat carry file (no JSON lib on the
     * main classpath): parses {"queries":{name:{"med":x,"spread":y,
-    * "plan_hash":"h"},...}} with a regex over one-entry-per-match. */
-  def readCarry(path: String): Map[String, (Double, Double, String)] = {
+    * "plan_hash":"h"[,"gen":"g"][,"src":"s"]},...}} with a regex over
+    * one-entry-per-match; pre-r19 entries lack gen/src and parse with
+    * both empty (→ stale by definition, re-measured once). */
+  def readCarry(path: String): Map[String, CarryEntry] = {
     val f = new java.io.File(path)
     if (!f.exists()) return Map.empty
     val txt = scala.io.Source.fromFile(f).mkString
     val entry = ("\"([a-z0-9_]+)\":\\{\"med\":([-0-9.eE]+),\"spread\":([-0-9.eE]+)," +
-      "\"plan_hash\":\"([0-9a-f]+)\"\\}").r
+      "\"plan_hash\":\"([0-9a-f]+)\"" +
+      "(?:,\"gen\":\"([0-9a-f]*)\")?(?:,\"src\":\"([0-9a-f]*)\")?\\}").r
     entry.findAllMatchIn(txt).map { m =>
-      m.group(1) -> ((m.group(2).toDouble, m.group(3).toDouble, m.group(4)))
+      m.group(1) -> CarryEntry(m.group(2).toDouble, m.group(3).toDouble,
+        m.group(4), Option(m.group(5)).getOrElse(""), Option(m.group(6)).getOrElse(""))
     }.toMap
   }
+
+  /** key → fingerprint of its implementing source file (r18 verdict
+    * #4). Parses the registry wiring in SparkEntry.scala
+    * (`"key" -> (method _)`) and locates each method's defining entry
+    * file, so a key re-measures whenever the file that implements it
+    * changed since its last measurement — the diff-keyed trigger that
+    * closes the same-plan-runtime-regression blind spot while keeping
+    * the carry's ~60% cost saving. Source-tree access is the dev/driver
+    * reality (sbt runs from the repo root); when sources are absent
+    * (bare-jar run) the map is empty and the trigger inert. */
+  def srcFingerprints(): Map[String, String] = try {
+    val root = new java.io.File("src/main/scala/graft")
+    if (!root.isDirectory) return Map.empty
+    def read(f: java.io.File) =
+      new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+    val entryDir = Option(new java.io.File(root, "entry").listFiles())
+      .getOrElse(Array.empty[java.io.File]).filter(_.getName.endsWith(".scala"))
+    val files = entryDir :+ new java.io.File(root, "SparkEntry.scala")
+    val texts = files.map(f => f.getName -> read(f)).toMap
+    def h(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    val fileHash = texts.map { case (n, t) => n -> h(t) }
+    val defFile = scala.collection.mutable.Map.empty[String, String]
+    texts.foreach { case (n, t) =>
+      "def ([A-Za-z0-9]+)\\(".r.findAllMatchIn(t)
+        .foreach(m => if (!defFile.contains(m.group(1))) defFile(m.group(1)) = n)
+    }
+    "\"([a-z0-9_]+)\" -> \\(([A-Za-z0-9]+) _\\)".r
+      .findAllMatchIn(texts("SparkEntry.scala")).map { m =>
+        m.group(1) -> defFile.get(m.group(2)).map(fileHash).getOrElse("")
+      }.toMap
+  } catch { case _: Throwable => Map.empty }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -176,8 +225,12 @@ object Bench {
     // the carry file).
     val carryPath = sys.env.getOrElse("SPARK_GRAFT_CARRY", "scripts/bench_carry.json")
     val fullRun = sys.env.get("SPARK_GRAFT_FULL").contains("1")
-    val carry = if (fullRun) Map.empty[String, (Double, Double, String)]
+    val carry = if (fullRun) Map.empty[String, CarryEntry]
                 else readCarry(carryPath)
+    // diff-keyed trigger (r18 verdict #4): current per-key implementing-
+    // file fingerprints; empty when sources are unavailable (trigger
+    // inert — plan drift / tail / rotation still apply)
+    val srcNow = srcFingerprints()
     val carryBar = sys.env.getOrElse("SPARK_GRAFT_CARRY_BAR", "1.0").toDouble
     def rotSample(name: String): Boolean = {
       val md = java.security.MessageDigest.getInstance("MD5")
@@ -245,6 +298,15 @@ object Bench {
     val hashes = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val carriedRes = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
     val toMeasure = scala.collection.mutable.LinkedHashMap.empty[String, (SparkSession, String) => org.apache.spark.sql.DataFrame]
+    // measured-set reconciliation (r18 verdict #4): per-reason counts so
+    // the artifact distinguishes WHY each key was re-measured — first
+    // matching reason wins in priority order new > drift > src_diff >
+    // tail > rotation — plus how many carried entries are stale-gen
+    // (measured against a previous testdata generation; marked, and
+    // refreshed by rotation within ~5 rounds)
+    val reasons = scala.collection.mutable.LinkedHashMap(
+      "new" -> 0, "drift" -> 0, "src_diff" -> 0, "tail" -> 0, "rotation" -> 0)
+    var carriedStaleGen = 0
     selected.foreach { case (name, fn) =>
       val ph = try planHash(fn(spark, sfDir)) catch { case _: Throwable => "err" }
       hashes(name) = ph
@@ -255,16 +317,33 @@ object Bench {
       // meds stay, only the drift keys change)
       val rehash = sys.env.get("SPARK_GRAFT_REHASH_CARRY").contains("1")
       carry.get(name) match {
-        case Some((med, spread, h))
-          if rehash || (h == ph && ph != "err" && med < carryBar && !rotSample(name)) =>
-          carriedRes(name) = (med, spread)
+        case Some(ce) if rehash =>
+          carriedRes(name) = (ce.med, ce.spread)
           isolate()
-        case _ => toMeasure(name) = fn
+        case Some(ce) =>
+          val srcDiff = srcNow.get(name).exists(now => now.nonEmpty && now != ce.src)
+          val drifted = ce.planHash != ph || ph == "err"
+          val inTail = ce.med >= carryBar
+          val rotated = rotSample(name)
+          if (drifted || srcDiff || inTail || rotated) {
+            toMeasure(name) = fn
+            val why = if (drifted) "drift" else if (srcDiff) "src_diff"
+                      else if (inTail) "tail" else "rotation"
+            reasons(why) += 1
+          } else {
+            carriedRes(name) = (ce.med, ce.spread)
+            if (ce.gen != gen) carriedStaleGen += 1
+            isolate()
+          }
+        case None =>
+          toMeasure(name) = fn
+          if (carry.nonEmpty) reasons("new") += 1
       }
     }
     if (carry.nonEmpty)
-      System.err.println(s"[bench] carry: ${carriedRes.size} carried, " +
-        s"${toMeasure.size} measured (drift/tail/rotation/new)")
+      System.err.println(s"[bench] carry: ${carriedRes.size} carried " +
+        s"($carriedStaleGen stale-gen), ${toMeasure.size} measured " +
+        reasons.map { case (k, v) => s"$k=$v" }.mkString("(", " ", ")"))
     toMeasure.foreach { case (name, fn) =>
       if (warmPass1) attempt(name, fn, record = false)
       val rs = (1 to repeat).map(_ => attempt(name, fn)).toVector
@@ -334,6 +413,8 @@ object Bench {
     val carryField =
       if (carry.isEmpty) ""
       else s""""carry":{"measured":${measured.size},"carried":${carriedRes.size},""" +
+        s""""carried_stale_gen":$carriedStaleGen,""" +
+        reasons.map { case (k, v) => s""""$k":$v""" }.mkString("\"reasons\":{", ",", "},") +
         s""""measured_sec":${ms(measured.values.map(_._1).sum)},""" +
         s""""carried_sec":${ms(carriedRes.values.map(_._1).sum)}},"""
     // paired pinned-jar A/B summary (r17 verdict #1): the dev-session
@@ -359,12 +440,20 @@ object Bench {
       val rehash = sys.env.get("SPARK_GRAFT_REHASH_CARRY").contains("1")
       val prior = readCarry(carryPath)
       val merged = prior ++ results.map { case (k, (v, sp)) =>
-        val h = if (carriedRes.contains(k) && !rehash) carry(k)._3
-                else hashes.getOrElse(k, "err")
-        k -> ((v, sp, h))
+        // carried entries keep their measured-time metadata (plan hash
+        // unless rehashing, generation, src fingerprint); measured
+        // entries stamp all three fresh
+        val ce =
+          if (carriedRes.contains(k))
+            carry(k).copy(med = v, spread = sp,
+              planHash = if (rehash) hashes.getOrElse(k, "err") else carry(k).planHash)
+          else CarryEntry(v, sp, hashes.getOrElse(k, "err"), gen,
+            srcNow.getOrElse(k, ""))
+        k -> ce
       }
-      val entries = merged.toSeq.sortBy(_._1).map { case (k, (v, sp, h)) =>
-        s""""$k":{"med":${ms(v)},"spread":${ms(sp)},"plan_hash":"$h"}"""
+      val entries = merged.toSeq.sortBy(_._1).map { case (k, ce) =>
+        s""""$k":{"med":${ms(ce.med)},"spread":${ms(ce.spread)},""" +
+          s""""plan_hash":"${ce.planHash}","gen":"${ce.gen}","src":"${ce.src}"}"""
       }.mkString(",")
       java.nio.file.Files.writeString(java.nio.file.Paths.get(carryPath),
         s"""{"generated":"$gen","queries":{$entries}}""")

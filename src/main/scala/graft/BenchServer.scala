@@ -16,7 +16,9 @@ import org.apache.spark.sql.SparkSession
   *   RUN <name> <attempts> warm|nowarm  → runs the query (one
   *     discarded warm attempt when `warm`, then <attempts> recorded,
   *     Bench.isolate-equivalent hygiene between attempts) and prints
-  *     `RESULT <name> [t1,t2,...] [gc1,gc2,...]` (seconds, ms).
+  *     `RESULT <name> [t1,t2,...] [gc1,gc2,...] [ok1,ok2,...]`
+  *     (seconds, ms, 1/0 success per attempt — a failed attempt's
+  *     elapsed time must not pass as a normal timing).
   *   EXIT → stops the session and the JVM.
   *
   * The file is self-contained on the r16/r17 SparkEntry surface
@@ -62,12 +64,17 @@ object BenchServer {
       java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
         .asScala.map(_.getCollectionTime).sum
     }
-    def attempt(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Long) = {
+    // per-attempt success is part of the protocol (r18 advice #1): a
+    // query that errors in one of the two paired jars must not silently
+    // record a (typically fast) elapsed time as a normal attempt — the
+    // RESULT line carries an ok-flag per attempt so the controller can
+    // exclude or flag failed attempts instead of skewing the A/B medians
+    def attempt(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Long, Int) = {
       isolate()
       val g0 = gcMillis
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      ((System.nanoTime() - t0) / 1e9, gcMillis - g0)
+      val ok = try { fn(spark, sfDir).count(); 1 } catch { case _: Throwable => 0 }
+      ((System.nanoTime() - t0) / 1e9, gcMillis - g0, ok)
     }
     println("READY"); Console.out.flush()
     scala.io.Source.stdin.getLines().foreach { line =>
@@ -79,7 +86,7 @@ object BenchServer {
               val rs = (1 to nStr.toInt).map(_ => attempt(fn))
               def f(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
               println(s"RESULT $name [${rs.map(r => f(r._1)).mkString(",")}] " +
-                s"[${rs.map(_._2).mkString(",")}]")
+                s"[${rs.map(_._2).mkString(",")}] [${rs.map(_._3).mkString(",")}]")
             case None => println(s"ERR unknown query: $name")
           }
           Console.out.flush()

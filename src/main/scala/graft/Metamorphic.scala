@@ -28,10 +28,13 @@ object Metamorphic {
   /** Row-ORDER-independent, row-MULTIPLICITY-sensitive content hash:
     * columns name-sorted (the driver compare's convention), every
     * value rendered to a string (binary via base64), per-row md5 split
-    * into two 60-bit integers, each SUMMED through DECIMAL(38,0) —
-    * order-free, collision-resistant at board row counts, and cheap
-    * (one aggregate, no sort, no collect of data-sized state). NULL
-    * and the empty string hash differently (explicit NUL sentinel). */
+    * into its two 64-bit halves (hex digits 1-16 and 17-32 — the full
+    * 128-bit digest participates; r18 advice #4 caught the earlier
+    * 15-char substrings dropping digits 16 and 32), each SUMMED through
+    * DECIMAL(38,0) — order-free, collision-resistant at board row
+    * counts, and cheap (one aggregate, no sort, no collect of
+    * data-sized state). NULL and the empty string hash differently
+    * (explicit NUL sentinel). */
   def contentHash(df: DataFrame): String = {
     val fields = df.schema.fields.sortBy(_.name).toSeq
     val parts: Seq[Column] = fields.map { f =>
@@ -43,8 +46,8 @@ object Metamorphic {
     }
     val r = df.select(md5(concat_ws("\u0001", parts: _*)).as("h"))
       .agg(count(lit(1)).as("n"),
-        sum(conv(substring(col("h"), 1, 15), 16, 10).cast("decimal(38,0)")).as("h1"),
-        sum(conv(substring(col("h"), 17, 15), 16, 10).cast("decimal(38,0)")).as("h2"))
+        sum(conv(substring(col("h"), 1, 16), 16, 10).cast("decimal(38,0)")).as("h1"),
+        sum(conv(substring(col("h"), 17, 16), 16, 10).cast("decimal(38,0)")).as("h2"))
       .head()
     s"n=${r.get(0)};a=${r.get(1)};b=${r.get(2)}"
   }

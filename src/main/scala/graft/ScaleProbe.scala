@@ -30,15 +30,14 @@ object ScaleProbe {
     val sfDir = args.headOption.getOrElse("/tmp/graft_sf10")
     val outJson = args.lift(1).getOrElse("/tmp/scale_probe.json")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
-    // shuffle-partition sizing is part of the contract under test: at
-    // 1000× the driver SF a 32-partition reduce aggregate concentrates
-    // ~4M rows per task — with 16 concurrent tasks sharing a bounded
-    // heap the per-task execution-memory slice can't hold the initial
-    // hash pages (the q_two_hop sf10 finding). 8×cores keeps per-task
-    // state inside the slice, exactly the spill-aware sizing SURVEY §5
-    // prescribes for real clusters; override via SPARK_GRAFT_SHUFFLE.
-    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE",
-      (cpus.toInt * 8).toString).toInt
+    // shuffle-partition sizing is part of the contract under test — and
+    // since r19 it is the ENGINE's contract, not the probe's: Engine
+    // .session sets AQE initialPartitionNum = max(8×cores, shuffle
+    // partitions) so reduce aggregates start at spill-safe parallelism
+    // and coalesce down (the q_two_hop sf10 finding: OOM at a static 32,
+    // green at 128). The probe therefore runs the engine DEFAULT; the
+    // env override remains a dev knob only.
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "32").toInt
     val spark = Engine.session(s"local[$cpus]", shufflePartitions = shuffle)
     spark.sparkContext.setLogLevel("ERROR")
     val keys = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)

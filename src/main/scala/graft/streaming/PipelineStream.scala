@@ -130,13 +130,36 @@ object PipelineStream {
     // overwrite's CAS keeps the audit exactly-once under replays.
     val thrPrev =
       if (hwmPrev == Long.MinValue) Long.MinValue else hwmPrev - horizon
-    val lateNew =
+    val lateRaw =
       if (hwmPrev == Long.MinValue) curated.limit(0)
       else curated.filter(col("doc_id") <= thrPrev)
     val inWin =
       if (hwmPrev == Long.MinValue) curated
       else curated.filter(col("doc_id") > thrPrev)
     val latePrev = carry.filter(col("kind") === "q")
+    // the audit is per-DOCUMENT, not per-arrival (r18 advice #3): a late
+    // duplicate of an already-landed hash is not a lost document (the
+    // keeper would have anti-joined it away on time too), and the same
+    // late document re-arriving across batches must not re-audit — so
+    // lateNew anti-joins the landed seen-set and the existing kind-"q"
+    // rows, and keeps one row (min doc_id) per hash within the batch.
+    // A late arrival whose hash is merely PENDING stays audited: it IS
+    // a missed keeper (the batch DAG would have kept the smaller id).
+    val lateNew = {
+      val unlanded = landed match {
+        case Some(t) => lateRaw.join(t.select(col("text_h")), Seq("text_h"), "left_anti")
+        case None => lateRaw
+      }
+      unlanded
+        .join(latePrev.select(col("text_h")), Seq("text_h"), "left_anti")
+        .withColumn("__k", min(col("doc_id")).over(Window.partitionBy(col("text_h"))))
+        .filter(col("doc_id") === col("__k")).drop("__k")
+        // after the min-id keeper the survivors of one hash are
+        // bit-identical rows (doc_id = the min, n_tokens a function of
+        // the text), so this dedup of a literally re-fed arrival is
+        // deterministic
+        .dropDuplicates("text_h")
+    }
 
     // cross-batch dedup: seen-set anti-join, then the min-id keeper over
     // buffer ∪ arrivals (a late smaller id displaces a pending larger one)

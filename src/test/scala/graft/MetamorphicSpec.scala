@@ -37,6 +37,19 @@ class MetamorphicSpec extends SparkSpec {
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
   }
 
+  test("contentHash consumes the FULL 128-bit digest (two 64-bit halves, r18 advice #4)") {
+    import spark.implicits._
+    val vals = Seq("a", "b", "")
+    val got = Metamorphic.contentHash(vals.toDF("v"))
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val hs = vals.map(md5hex)
+    val a = hs.map(h => BigInt(h.substring(0, 16), 16)).sum
+    val b = hs.map(h => BigInt(h.substring(16, 32), 16)).sum
+    assert(got == s"n=3;a=$a;b=$b",
+      s"contentHash must sum md5 digits 1-16 and 17-32 exactly: got $got")
+  }
+
   keys.foreach { name =>
     test(s"$name is partition-layout independent") {
       val fn = SparkEntry.queries(name)

@@ -185,6 +185,36 @@ class PipelineStreamSpec extends SparkSpec {
     assert(graft.streaming.PipelineStream.lateAudit(spark, table).count() == 1)
   }
 
+  test("the quarantine audit is per-document (r18 advice #3): late re-arrivals and late duplicates of landed docs do not re-audit") {
+    val rows = corpus.take(120)
+    val holdout = rows(10)
+    val onTime = rows.patch(10, Nil, 1)
+    val (src, ckpt, table) = (tmp("pldd_src"), tmp("pldd_ckpt"), tmp("pldd_tbl") + "/t")
+    def feed(s: Seq[(Long, String)]): Unit =
+      s.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(src)
+    val q = graft.streaming.PipelineStream.curationStream(
+      spark.readStream.schema("doc_id LONG, text STRING").parquet(src), table, ckpt,
+      horizon = 8L)
+    feed(onTime); q.processAllAvailable()
+    // one batch carrying the holdout TWICE (same doc, same arrival
+    // wave) plus a beyond-horizon duplicate of an already-LANDED text
+    // under a fresh id — the landed duplicate would have anti-joined
+    // away even on time, so it is not a lost document
+    val landedDup = (onTime.head._1 - 1000L, onTime.head._2)
+    feed(Seq(holdout, holdout, landedDup)); q.processAllAvailable()
+    // and the SAME late document re-arriving in a later batch
+    feed(Seq(holdout)); q.processAllAvailable(); q.stop()
+
+    val late = graft.streaming.PipelineStream.lateAudit(spark, table)
+      .collect().map(r => (r.getLong(0), r.getString(4)))
+    assert(late.toSeq == Seq((holdout._1, "beyond-horizon")),
+      s"audit must hold exactly one row for the one lost document: ${late.toSeq}")
+    // in-contract parity is undisturbed by any of the late noise
+    graft.streaming.PipelineStream.flushPending(spark, table)
+    assert(manifestRows(graft.streaming.PipelineStream.manifest(spark, table)) ==
+      batchManifest(onTime), "parity of the in-contract rows broke")
+  }
+
   test("changing the horizon against an existing carry table fails loud") {
     val rows = corpus.take(60)
     val (src, ckpt, table) = (tmp("pfp_src"), tmp("pfp_ckpt"), tmp("pfp_tbl") + "/t")
