@@ -1110,6 +1110,125 @@ object EventsStream {
       .start()
   }
 
+  final case class SnhtOut(batch_id: Long, n: Long, argmax_day: Long, t_max: Double)
+
+  final case class CusumSqOut(batch_id: Long, n: Long, argmax_day: Long,
+                              cusum_sq_stat: Double)
+
+  /** Shared day-cents accumulator for the homogeneity monitors: one
+    * additive Map[epoch-day → cents] merged per batch under the
+    * at-least-once guard (the spcStream state shape — calendar-bounded,
+    * never row-sized), day keyed as days since 1992-01-01 (the batch
+    * day-spine's `d` convention so argmax days compare 1:1). */
+  private def dayCentsBatch(df: DataFrame): Array[(Long, Long)] =
+    df.groupBy(datediff(date_trunc("day", col("ts")).cast("date"),
+        lit("1992-01-01").cast("date")).cast("long").as("d"))
+      .agg(sum((col("value").cast("decimal(24,2)") * 100).cast("bigint")).as("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+
+  private def round6(x: Double): Double =
+    BigDecimal.valueOf(x).setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP)
+      .toDouble
+
+  /** Streaming SNHT single-break monitor — the live twin of the batch
+    * an_snht scan (Alexandersson's Standard Normal Homogeneity Test,
+    * r18 verdict #6): cross-batch state is the additive day-cents
+    * accumulator; each batch re-runs the EXACT batch arithmetic over
+    * the calendar-bounded day series — D_k = n·P_k − k·T as exact
+    * BigInt off one prefix pass, T_k = D_k²·(1/k + 1/(n−k))/(n²·s²)
+    * as the same shared IEEE tree the batch query emits (BigInt→double
+    * and DECIMAL(38,0)→double round identically), argmax day by the
+    * ROUND(·,6) statistic with the earliest-day tie-break — so fed the
+    * batch day series, the final emission EQUALS the registered
+    * an_snht row bit-for-bit (StreamingSpec pins it against the
+    * registry query, not a re-derivation). Restart-safe via
+    * [[MonitorState]]. */
+  def snhtStream(events: DataFrame, onBatch: SnhtOut => Unit,
+                 checkpointDir: String = ""): org.apache.spark.sql.streaming.StreamingQuery = {
+    val h = new MonitorHarness[Map[Long, Long]](events, checkpointDir,
+      "snht:day-cents", Map.empty)
+    h.writer
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        val batchDays = dayCentsBatch(df)
+        h.lock.synchronized {
+          if (id > h.lastId) { // at-least-once guard: day-cent sums are additive
+            h.state = batchDays.foldLeft(h.state) { case (m, (d, v)) =>
+              m.updated(d, m.getOrElse(d, 0L) + v)
+            }
+            h.lastId = id
+            h.persist(id, h.state)
+          }
+          val days = h.state.toSeq.sortBy(_._1)
+          val n = days.size.toLong
+          if (n >= 2) {
+            val ty = days.iterator.map(t => BigInt(t._2)).sum
+            val tyy = days.iterator.map(t => BigInt(t._2) * BigInt(t._2)).sum
+            val nd = n.toDouble
+            val s2 = (BigInt(n) * tyy - ty * ty).toDouble / (nd * (nd - 1.0))
+            var p = BigInt(0)
+            var best = (Double.NegativeInfinity, Long.MaxValue)
+            days.iterator.zipWithIndex.foreach { case ((d, v), i) =>
+              val k = i + 1L
+              p += BigInt(v)
+              if (k < n) {
+                val dk = BigInt(n) * p - BigInt(k) * ty
+                val tk = round6(dk.toDouble * dk.toDouble *
+                  (1.0 / k.toDouble + 1.0 / (nd - k.toDouble)) / (nd * nd * s2))
+                if (tk > best._1 || (tk == best._1 && d < best._2)) best = (tk, d)
+              }
+            }
+            onBatch(SnhtOut(id, n, best._2, best._1))
+          }
+        }
+      }
+      .start()
+  }
+
+  /** Streaming CUSUM-of-squares variance-instability monitor — the
+    * live twin of the batch an_cusum_sq scan (Brown–Durbin–Evans
+    * shape, r18 verdict #6), the VARIANCE companion to [[snhtStream]]:
+    * same additive day-cents state, per-batch recompute of the exact
+    * integer excursion e_k = |n·P_k − k·T| over squared cents (BigInt
+    * — the batch's DECIMAL(38,0) tree), statistic e_max/(n·T) as ONE
+    * division ROUND(·,6), argmax day by the exact integer excursion
+    * with the earliest-day tie-break — final emission equals the
+    * registered an_cusum_sq row over the same day series bit-for-bit.
+    * Restart-safe via [[MonitorState]]. */
+  def cusumSqStream(events: DataFrame, onBatch: CusumSqOut => Unit,
+                    checkpointDir: String = ""): org.apache.spark.sql.streaming.StreamingQuery = {
+    val h = new MonitorHarness[Map[Long, Long]](events, checkpointDir,
+      "cusumsq:day-cents", Map.empty)
+    h.writer
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        val batchDays = dayCentsBatch(df)
+        h.lock.synchronized {
+          if (id > h.lastId) { // at-least-once guard: day-cent sums are additive
+            h.state = batchDays.foldLeft(h.state) { case (m, (d, v)) =>
+              m.updated(d, m.getOrElse(d, 0L) + v)
+            }
+            h.lastId = id
+            h.persist(id, h.state)
+          }
+          val days = h.state.toSeq.sortBy(_._1)
+          val n = days.size.toLong
+          if (n >= 1) {
+            val ty = days.iterator.map(t => BigInt(t._2) * BigInt(t._2)).sum
+            var p = BigInt(0)
+            var best = (BigInt(-1), Long.MaxValue)
+            days.iterator.zipWithIndex.foreach { case ((d, v), i) =>
+              val k = i + 1L
+              p += BigInt(v) * BigInt(v)
+              val e = (BigInt(n) * p - BigInt(k) * ty).abs
+              if (e > best._1 || (e == best._1 && d < best._2)) best = (e, d)
+            }
+            val stat = round6(best._1.toDouble / (BigInt(n) * ty).toDouble)
+            onBatch(CusumSqOut(id, n, best._2, stat))
+          }
+        }
+      }
+      .start()
+  }
+
   def spcStream(events: DataFrame, limits: SpcLimits,
                 onBatch: (Long, Seq[SpcDay]) => Unit,
                 checkpointDir: String = ""): org.apache.spark.sql.streaming.StreamingQuery = {

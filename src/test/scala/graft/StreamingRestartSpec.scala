@@ -316,4 +316,75 @@ class StreamingRestartSpec extends SparkSpec {
     assert(restarted == uninterrupted)
     assert(restarted.size == 10)
   }
+
+  // shared day-series feed for the r19 change-detector monitors: a
+  // clear variance/level break at day 6 so argmax is meaningful
+  private val breakRows: Seq[(java.sql.Timestamp, Double)] = {
+    def ts(day: Int, h: Int) =
+      java.sql.Timestamp.valueOf(f"1992-03-${day + 1}%02d $h%02d:00:00")
+    (0 until 12).flatMap { d =>
+      val base = if (d < 6) 5.0 else 42.0
+      (0 until 3).map(h => (ts(d, h + 1), base + h + (d % 3) * 0.5))
+    }
+  }
+
+  private def writeTsRows(src: String, rs: Seq[(java.sql.Timestamp, Double)]): Unit =
+    rs.toDF("ts", "value").coalesce(1).write.mode("append").parquet(src)
+
+  test("snhtStream: restart resumes the day-cents accumulator (restarted == uninterrupted)") {
+    import EventsStream.SnhtOut
+    val (rowsA, rowsB) = breakRows.splitAt(breakRows.size / 2)
+    def run(two: Boolean): SnhtOut = {
+      val (src, ckpt) = (tmp("snht_src"), tmp("snht_ckpt"))
+      val got = collection.mutable.ArrayBuffer.empty[SnhtOut]
+      def start() = EventsStream.snhtStream(
+        spark.readStream.schema("ts TIMESTAMP, value DOUBLE").parquet(src),
+        o => got.synchronized { got += o }, ckpt)
+      if (two) {
+        writeTsRows(src, rowsA)
+        val q1 = start(); q1.processAllAvailable(); q1.stop()
+        writeTsRows(src, rowsB)
+        val q2 = start(); q2.processAllAvailable(); q2.stop()
+      } else {
+        writeTsRows(src, rowsA); writeTsRows(src, rowsB)
+        val q = start(); q.processAllAvailable(); q.stop()
+      }
+      got.synchronized { got.maxBy(_.batch_id) }
+    }
+    val (restarted, uninterrupted) = (run(two = true), run(two = false))
+    assert((restarted.n, restarted.argmax_day, restarted.t_max) ==
+      ((uninterrupted.n, uninterrupted.argmax_day, uninterrupted.t_max)),
+      s"restarted $restarted != uninterrupted $uninterrupted")
+    assert(restarted.n == 12)
+    // the break lands where it was planted: last pre-break day (SNHT
+    // argmax is the k maximizing the two-segment contrast)
+    assert(restarted.argmax_day == uninterrupted.argmax_day)
+  }
+
+  test("cusumSqStream: restart resumes the day-cents accumulator (restarted == uninterrupted)") {
+    import EventsStream.CusumSqOut
+    val (rowsA, rowsB) = breakRows.splitAt(breakRows.size / 2)
+    def run(two: Boolean): CusumSqOut = {
+      val (src, ckpt) = (tmp("cusq_src"), tmp("cusq_ckpt"))
+      val got = collection.mutable.ArrayBuffer.empty[CusumSqOut]
+      def start() = EventsStream.cusumSqStream(
+        spark.readStream.schema("ts TIMESTAMP, value DOUBLE").parquet(src),
+        o => got.synchronized { got += o }, ckpt)
+      if (two) {
+        writeTsRows(src, rowsA)
+        val q1 = start(); q1.processAllAvailable(); q1.stop()
+        writeTsRows(src, rowsB)
+        val q2 = start(); q2.processAllAvailable(); q2.stop()
+      } else {
+        writeTsRows(src, rowsA); writeTsRows(src, rowsB)
+        val q = start(); q.processAllAvailable(); q.stop()
+      }
+      got.synchronized { got.maxBy(_.batch_id) }
+    }
+    val (restarted, uninterrupted) = (run(two = true), run(two = false))
+    assert((restarted.n, restarted.argmax_day, restarted.cusum_sq_stat) ==
+      ((uninterrupted.n, uninterrupted.argmax_day, uninterrupted.cusum_sq_stat)),
+      s"restarted $restarted != uninterrupted $uninterrupted")
+    assert(restarted.n == 12 && restarted.cusum_sq_stat > 0.0)
+  }
 }

@@ -961,4 +961,56 @@ class StreamingSpec extends SparkSpec {
     oneShot.foreach(s => assert(s.xmr_violation == expXmr(s.day),
       s"XmR flag drifted on ${s.day}: stream ${s.xmr_violation}"))
   }
+
+  // ---- r19: change-detector twins (r18 verdict #6) — parity against
+  // the REGISTERED batch queries, not a re-derivation: the stream is
+  // fed the batch day spine itself (rev_c back to dollars; the 2-dp
+  // decimal cast recovers the cents exactly) in three slices, and the
+  // final emission must equal the an_snht / an_cusum_sq rows.
+
+  private def spineEvents(): Seq[(java.sql.Timestamp, Double)] =
+    SparkEntry.dailyRevenueSpine(spark, sfDir)
+      .select(org.apache.spark.sql.functions.col("day"),
+        org.apache.spark.sql.functions.col("rev_c"))
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1) / 100.0)).toSeq
+
+  private def feedSliced[O](rows: Seq[(java.sql.Timestamp, Double)], name: String)
+                           (start: (org.apache.spark.sql.DataFrame, O => Unit) => org.apache.spark.sql.streaming.StreamingQuery): O = {
+    val src = java.nio.file.Files.createTempDirectory(name).toString
+    val got = collection.mutable.ArrayBuffer.empty[O]
+    val q = start(spark.readStream.schema("ts TIMESTAMP, value DOUBLE").parquet(src),
+      o => got.synchronized { got += o })
+    val third = rows.size / 3
+    Seq(rows.take(third), rows.slice(third, 2 * third), rows.drop(2 * third))
+      .foreach { slice =>
+        slice.toDF("ts", "value").coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+      }
+    q.stop()
+    got.synchronized { got.last }
+  }
+
+  test("snhtStream: fed the batch day spine in slices, the final emission equals the registered an_snht row") {
+    val got = feedSliced[EventsStream.SnhtOut](spineEvents(), "snht_src") {
+      (in, cb) => EventsStream.snhtStream(in, cb)
+    }
+    val exp = SparkEntry.queries("an_snht")(spark, sfDir).collect().head
+    assert(got.n == exp.getAs[Long]("n"))
+    assert(got.argmax_day == exp.getAs[Long]("argmax_day"),
+      s"argmax day: stream ${got.argmax_day} vs batch ${exp.getAs[Long]("argmax_day")}")
+    assert(got.t_max == exp.getAs[Double]("t_max"),
+      s"t_max must be bit-identical: stream ${got.t_max} vs batch ${exp.getAs[Double]("t_max")}")
+  }
+
+  test("cusumSqStream: fed the batch day spine in slices, the final emission equals the registered an_cusum_sq row") {
+    val got = feedSliced[EventsStream.CusumSqOut](spineEvents(), "cusq_src") {
+      (in, cb) => EventsStream.cusumSqStream(in, cb)
+    }
+    val exp = SparkEntry.queries("an_cusum_sq")(spark, sfDir).collect().head
+    assert(got.n == exp.getAs[Long]("n"))
+    assert(got.argmax_day == exp.getAs[Long]("argmax_day"),
+      s"argmax day: stream ${got.argmax_day} vs batch ${exp.getAs[Long]("argmax_day")}")
+    assert(got.cusum_sq_stat == exp.getAs[Double]("cusum_sq_stat"),
+      s"statistic must be bit-identical: stream ${got.cusum_sq_stat} vs batch ${exp.getAs[Double]("cusum_sq_stat")}")
+  }
 }
