@@ -107,6 +107,7 @@ ORACLE_ALLOW = {
     "text_bigram_cond_entropy": {"unrounded-double-sum": "c12*ln(c12/c1) entropy terms feed the per-token H = -S/N ratio downstream, ROUND 6; r18 sf10 green"},
     "an_spectral_entropy": {"unrounded-double-sum": "amplitude-normalized period powers (rev scaled by n\u00b2\u00b710\u2074) feed the p/\u03a3p ratio downstream; entropy gather bounded in [-1/e,0] per term; emission ROUND 6 / ln 59; r18 sf1 green"},
     "sim_ndcg": {"unrounded-double-sum": "DCG terms bounded by 1/log2(rank); sf1 green"},
+    "an_watson_u2": {"unrounded-double-sum": "per-tie-run CvM terms (u,e in [0,1]) are each <= run-count/n and sum to W2 <= 1-ish at any SF; one double per run from exact DECIMAL(38,0) integers, DECIMAL(38,12)-gathered order-free; r19"},
 }
 # ORACLE_ALLOW_END
 

@@ -70,6 +70,11 @@ GWIN_ALLOW = {
     "an_var_es": 3, "an_wasserstein": 2, "an_weighted_median": 1,
     "an_winsorize": 1, "an_xmr": 1, "etl_null_patterns": 1,
     "etl_volume_anomaly": 1,
+    # r19 wave: turning-points / difference-sign scan the day spine
+    # (calendar-bounded lead/lag); yuen's two windows are the per-group
+    # rank-offset frames over the 2-segment key domain (the
+    # an_trimmed_mean probes shape, instantiated once per pivot branch)
+    "an_turning_points": 1, "an_difference_sign": 1, "an_yuen_ttest": 2,
 }
 
 GWIN = re.compile(r"gwin=\s*(\d+)")

@@ -26,7 +26,8 @@ object SparkEntry extends SparkEntryAn1
   with SparkEntryMm
   with SparkEntryRel
   with SparkEntrySim
-  with SparkEntryText {
+  with SparkEntryText
+  with SparkEntryAn6 {
 
   /** Order-independent exact "money" sum → double (see convention above). */
   private[graft] def moneySum(c: Column): Column =
@@ -431,6 +432,15 @@ object SparkEntry extends SparkEntryAn1
     "an_summary_stats" -> (anSummaryStats _),
     "an_rate_by_group" -> (anRateByGroup _),
     "an_value_counts_pct" -> (anValueCountsPct _),
+    "an_hoover" -> (anHoover _),
+    "an_rosenbluth" -> (anRosenbluth _),
+    "an_simpson" -> (anSimpson _),
+    "an_turning_points" -> (anTurningPoints _),
+    "an_difference_sign" -> (anDifferenceSign _),
+    "an_gastwirth" -> (anGastwirth _),
+    "an_yuen_ttest" -> (anYuenTtest _),
+    "an_watson_u2" -> (anWatsonU2 _),
+    "text_sentence_stats" -> (textSentenceStats _),
     "an_avg_by_group" -> (anAvgByGroup _),
     "an_pivot_crosstab" -> (anPivotCrosstab _),
     "q_pivot" -> (qPivot _),
@@ -916,6 +926,15 @@ object SparkEntry extends SparkEntryAn1
     "an_summary_stats" -> anSummaryStatsSql,
     "an_rate_by_group" -> anRateByGroupSql,
     "an_value_counts_pct" -> anValueCountsPctSql,
+    "an_hoover" -> anHooverSql,
+    "an_rosenbluth" -> anRosenbluthSql,
+    "an_simpson" -> anSimpsonSql,
+    "an_turning_points" -> anTurningPointsSql,
+    "an_difference_sign" -> anDifferenceSignSql,
+    "an_gastwirth" -> anGastwirthSql,
+    "an_yuen_ttest" -> anYuenTtestSql,
+    "an_watson_u2" -> anWatsonU2Sql,
+    "text_sentence_stats" -> textSentenceStatsSql,
     "an_avg_by_group" -> anAvgByGroupSql,
     "an_pivot_crosstab" -> anPivotCrosstabSql,
     "q_pivot" -> qPivotSql,
