@@ -2013,15 +2013,19 @@ private[graft] trait SparkEntryAn3 { this: SparkEntry.type =>
       sum(d38(col("d")) * d38(col("rev_c"))).as("sxy"))
     val slope = (d38(col("n")) * col("sxy") - col("sx") * col("sy")).cast("double") /
       (d38(col("n")) * col("sxx") - col("sx") * col("sx")).cast("double")
-    val withB = m.select(col("n"), col("sx"), col("sxx"), slope.as("slope"),
+    val withB = m.select(col("n"), col("sx"), col("sxx"), col("sy"), slope.as("slope"),
       ((col("sy").cast("double") - col("sx").cast("double") * slope) /
         col("n").cast("double")).as("icept"))
     val d6 = (c: Column) => c.cast("decimal(38,6)")
-    // u = e² in DOLLARS² (fixed rescale keeps the aux sums inside
-    // DECIMAL(38,6) headroom at any SF; R² is scale-invariant)
+    // u = e² of the MEAN-RELATIVE residual (e scaled by ȳ, not a fixed
+    // /100): R² is invariant under any constant rescale of u, and the
+    // relative residual is O(1) at ANY scale factor — the r19 sf10
+    // probe caught the fixed dollar rescale overflowing DECIMAL(38,6)
+    // at 1000× (Σu² grew with the 4th power of the revenue level)
     val aux = spine.crossJoin(broadcast(withB))
+      .withColumn("ybar", col("sy").cast("double") / col("n").cast("double"))
       .withColumn("e", (col("rev_c").cast("double") - col("icept") -
-        col("slope") * col("d").cast("double")) / 100.0)
+        col("slope") * col("d").cast("double")) / col("ybar"))
       .withColumn("u", col("e") * col("e"))
       .agg(max(col("n")).as("n"),
         max(col("sx")).as("sx"), max(col("sxx")).as("sxx"),
@@ -2050,16 +2054,17 @@ private[graft] trait SparkEntryAn3 { this: SparkEntry.type =>
        |    SUM(CAST(d AS DECIMAL(38,0)) * CAST(d AS DECIMAL(38,0))) AS sxx,
        |    SUM(CAST(d AS DECIMAL(38,0)) * CAST(rev_c AS DECIMAL(38,0))) AS sxy
        |  FROM daily),
-       |b AS (SELECT n, sx, sxx, $slope AS slope,
+       |b AS (SELECT n, sx, sxx, sy, $slope AS slope,
        |    (CAST(sy AS DOUBLE) - CAST(sx AS DOUBLE) * $slope) / CAST(n AS DOUBLE) AS icept
        |  FROM m),
        |e AS (SELECT d, n, sx, sxx,
-       |    (CAST(rev_c AS DOUBLE) - icept - slope * CAST(d AS DOUBLE)) / 100.0 AS e
+       |    (CAST(rev_c AS DOUBLE) - icept - slope * CAST(d AS DOUBLE))
+       |      / (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) AS e
        |  FROM daily CROSS JOIN b),
        |aux AS (SELECT MAX(n) AS n, MAX(sx) AS sx, MAX(sxx) AS sxx,
        |    SUM(CAST(e * e AS DECIMAL(38,6))) AS su,
-       |    SUM(CAST(e * e * CAST(d AS DOUBLE) AS DECIMAL(38,6))) AS sdu,
-       |    SUM(CAST(e * e * e * e AS DECIMAL(38,6))) AS suu
+       |    SUM(CAST((e * e) * CAST(d AS DOUBLE) AS DECIMAL(38,6))) AS sdu,
+       |    SUM(CAST((e * e) * (e * e) AS DECIMAL(38,6))) AS suu
        |  FROM e)
        |SELECT n AS n_days,
        |  ROUND($sxuC * $sxuC / ($sxxC * $suuC), 6) AS r2_aux,
