@@ -306,10 +306,10 @@ private[graft] trait SparkEntryAn1 { this: SparkEntry.type =>
     """WITH seeds(d, a, b) AS (VALUES (0, 1000003, 12289), (1, 998244353, 769), (2, 786433, 65537)),
       |k_rows AS (SELECT CAST(l_suppkey AS BIGINT) AS k FROM lineitem),
       |cells AS (
-      |  SELECT d, ((k * a + b) % 2147483647) % 1024 AS bucket, count(*) AS c
+      |  SELECT d, (((k % 2147483647) * a + b) % 2147483647) % 1024 AS bucket, count(*) AS c
       |  FROM k_rows CROSS JOIN seeds GROUP BY 1, 2),
       |probes AS (SELECT CAST(range AS BIGINT) AS suppkey FROM range(1, 21)),
-      |pb AS (SELECT suppkey, d, ((suppkey * a + b) % 2147483647) % 1024 AS bucket
+      |pb AS (SELECT suppkey, d, (((suppkey % 2147483647) * a + b) % 2147483647) % 1024 AS bucket
       |       FROM probes CROSS JOIN seeds),
       |est AS (SELECT suppkey, min(coalesce(c, 0)) AS est
       |        FROM pb LEFT JOIN cells USING (d, bucket) GROUP BY 1),
@@ -525,10 +525,10 @@ private[graft] trait SparkEntryAn1 { this: SparkEntry.type =>
 
   private[graft] lazy val anJoinSizeEstSql =
     """WITH seeds(d, a, b) AS (VALUES (0, 1000003, 12289), (1, 998244353, 769), (2, 786433, 65537)),
-      |oc AS (SELECT d, ((CAST(o_custkey AS BIGINT) * a + b) % 2147483647) % 16384 AS bucket,
+      |oc AS (SELECT d, (((CAST(o_custkey AS BIGINT) % 2147483647) * a + b) % 2147483647) % 16384 AS bucket,
       |              count(*) AS ca
       |       FROM orders CROSS JOIN seeds GROUP BY 1, 2),
-      |cc AS (SELECT d, ((CAST(c_custkey AS BIGINT) * a + b) % 2147483647) % 16384 AS bucket,
+      |cc AS (SELECT d, (((CAST(c_custkey AS BIGINT) % 2147483647) * a + b) % 2147483647) % 16384 AS bucket,
       |              count(*) AS cb
       |       FROM customer CROSS JOIN seeds GROUP BY 1, 2),
       |z AS (SELECT oc.d, sum(oc.ca * cc.cb) AS z
