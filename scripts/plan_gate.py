@@ -75,6 +75,12 @@ GWIN_ALLOW = {
     # rank-offset frames over the 2-segment key domain (the
     # an_trimmed_mean probes shape, instantiated once per pivot branch)
     "an_turning_points": 1, "an_difference_sign": 1, "an_yuen_ttest": 2,
+    # r19 second wave: all three are calendar-bounded day-spine lag
+    # windows (~2.5k rows at ANY corpus size); the >1 counts are the
+    # ONE logical window's lineage repeated through the broadcast
+    # scalar-attachment branches (base/Σu² cross joins), not extra
+    # single-task funnels
+    "an_dickey_fuller": 1, "an_variance_ratio": 5, "an_arch_lm": 5,
 }
 
 GWIN = re.compile(r"gwin=\s*(\d+)")
@@ -105,6 +111,8 @@ EXCH_ALLOW = {
     "an_cusum_sq": (11, 6, "calendar-bounded day-spine frames only: the squared prefix scan feeds the excursion frame, the max broadcast and the argmax re-filter; 6 canonical shares"),
     "an_cuminc": (12, 0, "distinct-event-time survival frames (day-spine cardinality): risk-set scan + the hasR semi-join + three curve windows, all spine-bounded"),
     "an_goldfeld_quandt": (11, 5, "calendar-bounded day-spine frames only: the segmented-moment frame feeds both segment selections + the n broadcast; 5 canonical shares"),
+    "an_arch_lm": (11, 7, "calendar-bounded day-spine frames only: the increment frame feeds the m/S_r broadcast, the Sigma-u^2 broadcast, and the pair regression; 7 canonical shares"),
+    "an_variance_ratio": (14, 9, "calendar-bounded day-spine frames only: one lag frame feeds the m/S_r broadcast and BOTH centered-square gathers (q=1 and q=5 branches); 9 canonical shares"),
     "an_dunn": (11, 0, "ten pairwise z's off the k-sized group frame, one corpus scan"),
     "an_entropy_rate": (12, 4, "state-transition matrix: key-domain-sized"),
     "an_fisher_exact": (28, 12, "five consumers of the ONE persisted ln-factorial scan (support slice + 3 lookup joins + margin constants); the string count includes the cached subtree's lineage repeated per InMemoryRelation reference, the scan itself runs once"),

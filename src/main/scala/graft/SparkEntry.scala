@@ -27,7 +27,9 @@ object SparkEntry extends SparkEntryAn1
   with SparkEntryRel
   with SparkEntrySim
   with SparkEntryText
-  with SparkEntryAn6 {
+  with SparkEntryAn6
+  with SparkEntryAn7
+  with SparkEntryAn8 {
 
   /** Order-independent exact "money" sum → double (see convention above). */
   private[graft] def moneySum(c: Column): Column =
@@ -441,6 +443,20 @@ object SparkEntry extends SparkEntryAn1
     "an_yuen_ttest" -> (anYuenTtest _),
     "an_watson_u2" -> (anWatsonU2 _),
     "text_sentence_stats" -> (textSentenceStats _),
+    "an_dickey_fuller" -> (anDickeyFuller _),
+    "an_variance_ratio" -> (anVarianceRatio _),
+    "an_arch_lm" -> (anArchLm _),
+    "an_dagostino" -> (anDagostino _),
+    "an_hartley" -> (anHartley _),
+    "an_point_biserial" -> (anPointBiserial _),
+    "an_lin_ccc" -> (anLinCcc _),
+    "an_icc" -> (anIcc _),
+    "an_gk_gamma" -> (anGkGamma _),
+    "an_sobel" -> (anSobel _),
+    "an_siegel_tukey" -> (anSiegelTukey _),
+    "an_kde" -> (anKde _),
+    "etl_train_test_split" -> (etlTrainTestSplit _),
+    "text_unigram_xent" -> (textUnigramXent _),
     "an_avg_by_group" -> (anAvgByGroup _),
     "an_pivot_crosstab" -> (anPivotCrosstab _),
     "q_pivot" -> (qPivot _),
@@ -935,6 +951,20 @@ object SparkEntry extends SparkEntryAn1
     "an_yuen_ttest" -> anYuenTtestSql,
     "an_watson_u2" -> anWatsonU2Sql,
     "text_sentence_stats" -> textSentenceStatsSql,
+    "an_dickey_fuller" -> anDickeyFullerSql,
+    "an_variance_ratio" -> anVarianceRatioSql,
+    "an_arch_lm" -> anArchLmSql,
+    "an_dagostino" -> anDagostinoSql,
+    "an_hartley" -> anHartleySql,
+    "an_point_biserial" -> anPointBiserialSql,
+    "an_lin_ccc" -> anLinCccSql,
+    "an_icc" -> anIccSql,
+    "an_gk_gamma" -> anGkGammaSql,
+    "an_sobel" -> anSobelSql,
+    "an_siegel_tukey" -> anSiegelTukeySql,
+    "an_kde" -> anKdeSql,
+    "etl_train_test_split" -> etlTrainTestSplitSql,
+    "text_unigram_xent" -> textUnigramXentSql,
     "an_avg_by_group" -> anAvgByGroupSql,
     "an_pivot_crosstab" -> anPivotCrosstabSql,
     "q_pivot" -> qPivotSql,
