@@ -104,6 +104,15 @@ ORACLE_ALLOW = {
                       "unrounded-double-sum": "per-pair ROUND-6 cosines bounded in [-1,1] feed the mean-over-19,900 ratio; r18 sf10 green"},
     "etl_value_entropy": {"unrounded-double-sum": "c*ln c profiling gathers feed the H = ln n - S/n per-row ratio downstream, ROUND 6; r18 sf10 green"},
     "an_rayleigh_dow": {"unrounded-double-sum": "7-term exact-count x literal-cosine dot products feed the R/n resultant ratio downstream, ROUND 6; r18 sf10 green"},
+    # r19 waves (all four certified at sf10 in FULLVERIFY_sf10_r19_waveA/B)
+    "an_kde": {"unrounded-double-sum": "per-point Gaussian kernel terms bounded <= 1 on a FIXED 21-point grid; density ROUND 6; r19 sf10 green"},
+    "an_hartley": {"unrounded-double-sum": "per-group variance doubles from exact centered integers feed the scale-free F_max/Cochran-C ratios, ROUND 6; r19 sf10 green"},
+    "an_arch_lm": {"unrounded-double-sum": "self-normalized squares x = m^2*u^2/sum(u^2) bounded at any SF; LM scale-free ROUND 6; r19 sf10 green"},
+    "text_unigram_xent": {"unrounded-double-sum": "per-doc cross-entropy terms bounded by ln(vocab); bucket means ROUND 6; r19 sf10 green"},
+    "an_scheffe": {"pure-inequality-join": "group-pair frame, k^2 groups (the an_tukey_hsd shape)",
+                   "narrow-decimal-product": "centered-cents square, same width contract as an_tukey_hsd; F emitted scale-free ROUND 6; r19 sf10 green"},
+    "an_woolf": {"unrounded-double-sum": "per-stratum w/lnOR terms over the k~5 strata frame; chi2 and pooled lnOR scale-free ROUND 6; r19 sf10 green"},
+    "an_cointegration": {"unrounded-double-sum": "DF regression sums of max-normalized residuals bounded in [-1,1]; rho/t scale-free ROUND 6; r19 sf10 green"},
     "text_bigram_cond_entropy": {"unrounded-double-sum": "c12*ln(c12/c1) entropy terms feed the per-token H = -S/N ratio downstream, ROUND 6; r18 sf10 green"},
     "an_spectral_entropy": {"unrounded-double-sum": "amplitude-normalized period powers (rev scaled by n\u00b2\u00b710\u2074) feed the p/\u03a3p ratio downstream; entropy gather bounded in [-1/e,0] per term; emission ROUND 6 / ln 59; r18 sf1 green"},
     "sim_ndcg": {"unrounded-double-sum": "DCG terms bounded by 1/log2(rank); sf1 green"},

@@ -81,6 +81,13 @@ GWIN_ALLOW = {
     # scalar-attachment branches (base/Σu² cross joins), not extra
     # single-task funnels
     "an_dickey_fuller": 1, "an_variance_ratio": 5, "an_arch_lm": 5,
+    # r19 third wave: an_g_test's global window runs over the
+    # event-type × day-of-week cells frame (key-domain bounded, ≤ 35
+    # rows at ANY corpus size — the window is HOW the corpus-sized
+    # events table gets away with ONE scan); an_cointegration's lag is
+    # the calendar-bounded day-spine DF regression (an_dickey_fuller's
+    # frame applied to the residual series)
+    "an_g_test": 1, "an_cointegration": 1,
 }
 
 GWIN = re.compile(r"gwin=\s*(\d+)")

@@ -29,7 +29,8 @@ object SparkEntry extends SparkEntryAn1
   with SparkEntryText
   with SparkEntryAn6
   with SparkEntryAn7
-  with SparkEntryAn8 {
+  with SparkEntryAn8
+  with SparkEntryAn9 {
 
   /** Order-independent exact "money" sum → double (see convention above). */
   private[graft] def moneySum(c: Column): Column =
@@ -455,6 +456,17 @@ object SparkEntry extends SparkEntryAn1
     "an_sobel" -> (anSobel _),
     "an_siegel_tukey" -> (anSiegelTukey _),
     "an_kde" -> (anKde _),
+    "an_g_test" -> (anGTest _),
+    "an_scheffe" -> (anScheffe _),
+    "an_woolf" -> (anWoolf _),
+    "an_stuart_maxwell" -> (anStuartMaxwell _),
+    "an_beta_fit" -> (anBetaFit _),
+    "an_negbin_fit" -> (anNegbinFit _),
+    "an_mahalanobis" -> (anMahalanobis _),
+    "an_pca2" -> (anPca2 _),
+    "an_jackknife_ratio" -> (anJackknifeRatio _),
+    "an_cointegration" -> (anCointegration _),
+    "an_lorenz_asymmetry" -> (anLorenzAsymmetry _),
     "etl_train_test_split" -> (etlTrainTestSplit _),
     "text_unigram_xent" -> (textUnigramXent _),
     "an_avg_by_group" -> (anAvgByGroup _),
@@ -963,6 +975,17 @@ object SparkEntry extends SparkEntryAn1
     "an_sobel" -> anSobelSql,
     "an_siegel_tukey" -> anSiegelTukeySql,
     "an_kde" -> anKdeSql,
+    "an_g_test" -> anGTestSql,
+    "an_scheffe" -> anScheffeSql,
+    "an_woolf" -> anWoolfSql,
+    "an_stuart_maxwell" -> anStuartMaxwellSql,
+    "an_beta_fit" -> anBetaFitSql,
+    "an_negbin_fit" -> anNegbinFitSql,
+    "an_mahalanobis" -> anMahalanobisSql,
+    "an_pca2" -> anPca2Sql,
+    "an_jackknife_ratio" -> anJackknifeRatioSql,
+    "an_cointegration" -> anCointegrationSql,
+    "an_lorenz_asymmetry" -> anLorenzAsymmetrySql,
     "etl_train_test_split" -> etlTrainTestSplitSql,
     "text_unigram_xent" -> textUnigramXentSql,
     "an_avg_by_group" -> anAvgByGroupSql,

@@ -39,8 +39,15 @@ private[graft] trait SparkEntryAn8 { this: SparkEntry.type =>
     val msb = ssb / (kd - lit(1.0))
     val msw = ssw / (nd - kd)
     val k0 = (nd - col("sn2").cast("double") / nd) / (kd - lit(1.0))
+    // msb/msw are cents²-scaled (grow with the data), and their exact
+    // DECIMAL inputs pass 2^53 at sf1 where the two engines' int128→
+    // binary64 casts can differ by one ulp (the an_chow_test lesson —
+    // observed here as a 2e-4 wobble at msb ~ 2e12 that ROUND 6 cannot
+    // absorb at that magnitude). Emit only the SCALE-FREE views: the
+    // F ratio msb/msw and k₀, where the relative ulp cancels to 1e-16
+    // and ROUND(·,6) holds at any SF.
     j.select(col("k"), col("nn").as("n"),
-      round(msb, 6).as("msb"), round(msw, 6).as("msw"),
+      round(msb / msw, 6).as("f_ratio"), round(k0, 6).as("k0"),
       round((msb - msw) / (msb + (k0 - lit(1.0)) * msw), 6).as("icc1"))
   }
 
@@ -65,7 +72,7 @@ private[graft] trait SparkEntryAn8 { this: SparkEntry.type =>
       |m AS (SELECT k, nn, ssb / (kd - 1.0) AS msb, ssw / (nd - kd) AS msw,
       |        (nd - CAST(sn2 AS DOUBLE) / nd) / (kd - 1.0) AS k0
       |      FROM d)
-      |SELECT k, nn AS n, ROUND(msb, 6) AS msb, ROUND(msw, 6) AS msw,
+      |SELECT k, nn AS n, ROUND(msb / msw, 6) AS f_ratio, ROUND(k0, 6) AS k0,
       |  ROUND((msb - msw) / (msb + (k0 - 1.0) * msw), 6) AS icc1
       |FROM m""".stripMargin
 
