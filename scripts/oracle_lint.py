@@ -113,6 +113,13 @@ ORACLE_ALLOW = {
                    "narrow-decimal-product": "centered-cents square, same width contract as an_tukey_hsd; F emitted scale-free ROUND 6; r19 sf10 green"},
     "an_woolf": {"unrounded-double-sum": "per-stratum w/lnOR terms over the k~5 strata frame; chi2 and pooled lnOR scale-free ROUND 6; r19 sf10 green"},
     "an_cointegration": {"unrounded-double-sum": "DF regression sums of max-normalized residuals bounded in [-1,1]; rho/t scale-free ROUND 6; r19 sf10 green"},
+    # r19 fourth wave (normal-scores family; all three sf10-certified in
+    # the wave-4 check logs): per-value Phi^-1 scores bounded ~|6| at
+    # any SF, gathered DECIMAL(38,12); every emission is a scale-free
+    # ratio (chi2-form or W'), ROUND 6
+    "an_van_der_waerden": {"unrounded-double-sum": "count x bounded-score products feed T = sum(A_g^2/n_g)/s^2 scale-free ROUND 6; r19 sf10 green"},
+    "an_shapiro_francia": {"unrounded-double-sum": "Blom-score x cents products over the calendar-bounded spine feed the W' correlation ratio ROUND 6; r19 sf10 green"},
+    "an_fligner_killeen": {"unrounded-double-sum": "count x bounded-score products feed X2 = sum n_g(Abar_g - abar)^2 / V^2 scale-free ROUND 6; r19 sf10 green"},
     "text_bigram_cond_entropy": {"unrounded-double-sum": "c12*ln(c12/c1) entropy terms feed the per-token H = -S/N ratio downstream, ROUND 6; r18 sf10 green"},
     "an_spectral_entropy": {"unrounded-double-sum": "amplitude-normalized period powers (rev scaled by n\u00b2\u00b710\u2074) feed the p/\u03a3p ratio downstream; entropy gather bounded in [-1/e,0] per term; emission ROUND 6 / ln 59; r18 sf1 green"},
     "sim_ndcg": {"unrounded-double-sum": "DCG terms bounded by 1/log2(rank); sf1 green"},

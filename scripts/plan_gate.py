@@ -88,6 +88,11 @@ GWIN_ALLOW = {
     # the calendar-bounded day-spine DF regression (an_dickey_fuller's
     # frame applied to the residual series)
     "an_g_test": 1, "an_cointegration": 1,
+    # r19 fourth wave: an_shapiro_francia's global sort rank runs over
+    # the calendar-bounded day spine; an_fligner_killeen's offset
+    # window runs over the k-row group frame (the an_quantiles_by_group
+    # probe machinery)
+    "an_shapiro_francia": 1, "an_fligner_killeen": 1,
 }
 
 GWIN = re.compile(r"gwin=\s*(\d+)")
@@ -143,6 +148,7 @@ EXCH_ALLOW = {
     "dedup_threshold_sweep": (11, 4, "threshold sweep over the one banded candidate base"),
     "sim_ivf_ann": (16, 4, "Lloyd rounds: k-sized centroid frames, one corpus scan per round"),
     "sim_ivf_kmeans": (16, 4, "shares sim_ivf_ann's Lloyd shape"),
+    "an_fligner_killeen": (16, 2, "two rank ladders (per-group median scan, pooled |dev| scan) + the k-sized median/score broadcasts; every frame distinct-value- or key-domain-sized, the corpus is scanned twice (median pass + deviation pass) by construction"),
     "sim_recall_at_k": (27, 8, "union branches share the brute-force/LSH executions (AQE canonical reuse; checkpoint variant +0.55 s, r15)"),
 }
 

@@ -30,7 +30,8 @@ object SparkEntry extends SparkEntryAn1
   with SparkEntryAn6
   with SparkEntryAn7
   with SparkEntryAn8
-  with SparkEntryAn9 {
+  with SparkEntryAn9
+  with SparkEntryAn10 {
 
   /** Order-independent exact "money" sum → double (see convention above). */
   private[graft] def moneySum(c: Column): Column =
@@ -467,6 +468,9 @@ object SparkEntry extends SparkEntryAn1
     "an_jackknife_ratio" -> (anJackknifeRatio _),
     "an_cointegration" -> (anCointegration _),
     "an_lorenz_asymmetry" -> (anLorenzAsymmetry _),
+    "an_van_der_waerden" -> (anVanDerWaerden _),
+    "an_shapiro_francia" -> (anShapiroFrancia _),
+    "an_fligner_killeen" -> (anFlignerKilleen _),
     "etl_train_test_split" -> (etlTrainTestSplit _),
     "text_unigram_xent" -> (textUnigramXent _),
     "an_avg_by_group" -> (anAvgByGroup _),
@@ -986,6 +990,9 @@ object SparkEntry extends SparkEntryAn1
     "an_jackknife_ratio" -> anJackknifeRatioSql,
     "an_cointegration" -> anCointegrationSql,
     "an_lorenz_asymmetry" -> anLorenzAsymmetrySql,
+    "an_van_der_waerden" -> anVanDerWaerdenSql,
+    "an_shapiro_francia" -> anShapiroFranciaSql,
+    "an_fligner_killeen" -> anFlignerKilleenSql,
     "etl_train_test_split" -> etlTrainTestSplitSql,
     "text_unigram_xent" -> textUnigramXentSql,
     "an_avg_by_group" -> anAvgByGroupSql,
