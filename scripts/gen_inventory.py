@@ -76,6 +76,7 @@ for fname, level in [
     ("FULLVERIFY_sf10_r19_waveA.json", "sf10"),
     ("FULLVERIFY_sf10_r19_waveB.json", "sf10"),
     ("FULLVERIFY_sf10_r19_waveC.json", "sf10"),
+    ("FULLVERIFY_sf10_r19_waveD.json", "sf10"),
     # (FULLVERIFY_sf10_heavy_r18 is a bounded-heap COMPLETION probe, not
     # a hash certification - deliberately not on this ladder)
 ]:
