@@ -165,7 +165,8 @@ object Bench {
     // graft extensions) — benching a stripped-down session measured a
     // configuration no user would run
     val spark = Engine.session(master = s"local[$cpus]",
-      shufflePartitions = cpus.toInt)
+      shufflePartitions = cpus.toInt,
+      inputBytes = Engine.inputBytes(sfDir))
     // session warmup: JIT/codegen/shuffle/parquet-reader init so the
     // first timed query isn't charged the one-time machinery cost. Runs
     // over the 5-row region table — class-loading warmup, not data

@@ -30,9 +30,46 @@ object Engine {
     * SURVEY §5 prescribes — while AQE's coalescing still merges small
     * outputs back to few tasks, so small-SF plans pay no extra tasks. */
   private[graft] def initialPartitions(master: String, shufflePartitions: Int): Int =
-    math.max(8 * coresOf(master), shufflePartitions)
+    initialPartitions(master, shufflePartitions, -1L)
 
-  def session(master: String = "local[*]", shufflePartitions: Int = 32): SparkSession = {
+  /** r19 optimization (guide §2: make partitioning scale-adaptive —
+    * derive from input size rather than a constant): when the caller
+    * knows the input volume, the initial shuffle partition count is
+    * ceil(inputBytes / 8 MiB), floored at `shufflePartitions` and capped
+    * at the 8×cores spill posture above. Shuffled intermediates in these
+    * pipelines run up to ~10–30× the parquet input bytes (decompression
+    * + explode), so 8 MiB of input per initial partition bounds
+    * pre-coalesce shuffle partitions well under the memory slice: at the
+    * sf10 1000×-SF gate (~1.7 GB input) this yields 218 initial
+    * partitions — above the measured 128-partition q_two_hop OOM floor
+    * (re-verified this round, see OPTIMIZATION_r19.md) — while a small
+    * input no longer pays 256 shuffle buckets × ~20 exchanges per query
+    * of pure AQE bookkeeping (measured 7.5 s → 6.3 s on q_label_prop at
+    * sf0.1 from this alone). Unknown input (−1) keeps the old constant
+    * posture. */
+  private[graft] def initialPartitions(master: String, shufflePartitions: Int,
+                                       inputBytes: Long): Int = {
+    val byCores = 8 * coresOf(master)
+    val cand =
+      if (inputBytes <= 0) byCores
+      else math.min(byCores.toLong, (inputBytes + (8L << 20) - 1) / (8L << 20)).toInt
+    math.max(shufflePartitions, cand)
+  }
+
+  /** Total bytes of the star-schema parquet inputs under `dir` (the
+    * sizing input for [[initialPartitions]]); 0 when unreadable. */
+  private[graft] def inputBytes(dir: String): Long =
+    try {
+      val d = new java.io.File(dir)
+      Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).map(_.length()).sum
+                  else f.length())
+        .sum
+    } catch { case _: Throwable => 0L }
+
+  def session(master: String = "local[*]", shufflePartitions: Int = 32,
+              inputBytes: Long = -1L): SparkSession = {
     val spark = SparkSession.builder()
       .master(master)
       .appName("graft")
@@ -41,7 +78,7 @@ object Engine {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-        initialPartitions(master, shufflePartitions).toString)
+        initialPartitions(master, shufflePartitions, inputBytes).toString)
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

@@ -32,13 +32,17 @@ object ScaleProbe {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     // shuffle-partition sizing is part of the contract under test — and
     // since r19 it is the ENGINE's contract, not the probe's: Engine
-    // .session sets AQE initialPartitionNum = max(8×cores, shuffle
-    // partitions) so reduce aggregates start at spill-safe parallelism
-    // and coalesce down (the q_two_hop sf10 finding: OOM at a static 32,
-    // green at 128). The probe therefore runs the engine DEFAULT; the
+    // .session sizes AQE initialPartitionNum from the INPUT BYTES
+    // (ceil(bytes/8MiB), floored at shufflePartitions, capped at
+    // 8×cores) so reduce aggregates start at spill-safe parallelism and
+    // coalesce down (the q_two_hop sf10 finding: OOM at a static 32,
+    // green at 128; the size-derived count at sf10 is 218). The probe
+    // passes the same inputBytes the Bench/Verify mains do, so it
+    // certifies the sizing the production session actually runs; the
     // env override remains a dev knob only.
     val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "32").toInt
-    val spark = Engine.session(s"local[$cpus]", shufflePartitions = shuffle)
+    val spark = Engine.session(s"local[$cpus]", shufflePartitions = shuffle,
+      inputBytes = Engine.inputBytes(sfDir))
     spark.sparkContext.setLogLevel("ERROR")
     val keys = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
       .getOrElse(DefaultKeys)

@@ -11,7 +11,8 @@ object Verify {
     // dump must exercise the session users get — with a bare builder the
     // AggJoinToWindow conf was set but the rule was never injected, so
     // q_agg_join_window's oracle check ran the UNREWRITTEN plan.
-    val spark: SparkSession = Engine.session(s"local[$cpus]", shufflePartitions = cpus.toInt)
+    val spark: SparkSession = Engine.session(s"local[$cpus]",
+      shufflePartitions = cpus.toInt, inputBytes = Engine.inputBytes(sfDir))
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // dev-only knob (driver sets nothing): ONLY=comma-list to subset,

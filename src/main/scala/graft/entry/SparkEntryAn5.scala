@@ -620,15 +620,8 @@ private[graft] trait SparkEntryAn5 { this: SparkEntry.type =>
     * q_pagerank execution posture). Top-20 by the EXACT integer score,
     * node-ascending tie-break; emitted score ROUND(·,6). */
   private[graft] def qKatz(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
-    val ord = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
-    val cs = li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("p"))
-      .distinct()
-    val edges = cs.select(col("c").as("src"), col("p").as("dst"))
-      .unionByName(cs.select(col("p").as("src"), col("c").as("dst")))
-      .distinct()
-    val adj = edges.repartition(col("src")).persist()
+    // shared single-exchange spine (r19 optimization — see GraphSpine)
+    val adj = GraphSpine.csEdges(s, dir).persist()
     val S = 1000000L
     var x = adj.select(col("src").as("node")).distinct()
       .withColumn("xf", lit(S).cast("decimal(38,0)"))

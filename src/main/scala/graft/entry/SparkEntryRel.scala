@@ -700,15 +700,8 @@ private[graft] trait SparkEntryRel { this: SparkEntry.type =>
     * round because each round references it twice (the q_shortest_path
     * lineage discipline). */
   private[graft] def qKcore(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
-    val ord = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
-    val cs = li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("p"))
-      .distinct()
-    val edges = cs.select(col("c").as("src"), col("p").as("dst"))
-      .unionByName(cs.select(col("p").as("src"), col("c").as("dst")))
-      .distinct()
-      .repartition(col("src")).persist()
+    // shared single-exchange spine (r19 optimization — see GraphSpine)
+    val edges = GraphSpine.csEdges(s, dir).persist()
     // convergence-driven peeling (count-stable fixpoint, capped) — the
     // oracle unrolls 4 fixed rounds, which equals the fixpoint whenever
     // peeling settles within 4 (measured: 1 round at every test SF); at
@@ -931,25 +924,18 @@ private[graft] trait SparkEntryRel { this: SparkEntry.type =>
     * labels, and the posture that survives a graph too big for any
     * executor's memory. */
   private[graft] def qPagerank(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
-    val ord = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
-    val cs = li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("p"))
-      .distinct()
-    // the edge list and degrees are STATIC across iterations — persist
-    // them or the lazy 5-iteration plan recomputes the scan+distinct+
-    // join spine five times (Verify/Bench isolation clears the cache
-    // after each query, same discipline as the dedup builders)
-    val edges = cs.select(col("c").as("src"), col("p").as("dst"))
-      .unionByName(cs.select(col("p").as("src"), col("c").as("dst")))
-      .distinct()
+    // shared single-exchange spine (r19 optimization — see GraphSpine)
+    val edges = GraphSpine.csEdges(s, dir)
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    // edge⋈degree is STATIC across iterations: join it once, hash-
-    // partition on src, persist — each iteration then shuffle-joins the
-    // node-sized rank vector against the co-located adjacency (rank is
-    // the ONLY moving exchange; nothing node-sized is ever broadcast,
-    // so the plan holds when the graph outgrows executor memory)
-    val adj = edges.join(deg, "src").repartition(col("src")).persist()
+    // edge⋈degree is STATIC across iterations: join it once and persist
+    // — each iteration then shuffle-joins the node-sized rank vector
+    // against the co-located adjacency (rank is the ONLY moving
+    // exchange; nothing node-sized is ever broadcast, so the plan holds
+    // when the graph outgrows executor memory). The spine is already
+    // hash(src)-partitioned, so deg and the join are exchange-free and
+    // the old repartition(src) here was a redundant third edge-sized
+    // exchange (guide §2.4).
+    val adj = edges.join(deg, "src").persist()
     val nodes = adj.select(col("src").as("node")).distinct()
     val n = nodes.count() // scalar: the node count parameterizes the teleport term
     val S = 1000000000000000L // fixed-point scale 10^15
@@ -1460,15 +1446,8 @@ private[graft] trait SparkEntryRel { this: SparkEntry.type =>
     * node-sized is broadcast and no frontier ever lands on the driver,
     * so the plan survives graphs that outgrow executor memory. */
   private[graft] def qShortestPath(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
-    val ord = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
-    val cs = li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("p"))
-      .distinct()
-    val edges = cs.select(col("c").as("src"), col("p").as("dst"))
-      .unionByName(cs.select(col("p").as("src"), col("c").as("dst")))
-      .distinct()
-      .repartition(col("src")).persist()
+    // shared single-exchange spine (r19 optimization — see GraphSpine)
+    val edges = GraphSpine.csEdges(s, dir).persist()
     // convergence-driven min-plus relaxation (see IterativeGraph for the
     // lineage/probe discipline) — the oracle unrolls 4 fixed rounds,
     // which equals the fixpoint whenever BFS from node 0 completes in ≤4
@@ -1514,15 +1493,8 @@ private[graft] trait SparkEntryRel { this: SparkEntry.type =>
     * adjacency, one (dst,label) count, one dst-partitioned top-1 window
     * (WindowGroupLimit keeps it partial). */
   private[graft] def qLabelProp(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
-    val ord = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
-    val cs = li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("p"))
-      .distinct()
-    val edges = cs.select(col("c").as("src"), col("p").as("dst"))
-      .unionByName(cs.select(col("p").as("src"), col("c").as("dst")))
-      .distinct()
-      .repartition(col("src")).persist()
+    // shared single-exchange spine (r19 optimization — see GraphSpine)
+    val edges = GraphSpine.csEdges(s, dir).persist()
     // Convergence-driven with 2-cycle detection: synchronous plurality
     // LP on this bipartite graph enters the classic period-2 limit
     // cycle (measured: by round 3 at every test SF, entry parity
@@ -2083,15 +2055,8 @@ private[graft] trait SparkEntryRel { this: SparkEntry.type =>
     * q_shortest_path and its deep-graph spec; the expansion curve here
     * is what sizes frontier repartitioning for deeper graphs. */
   private[graft] def qBfsLayers(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
-    val ord = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
-    val cs = li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("p"))
-      .distinct()
-    val edges = cs.select(col("c").as("src"), col("p").as("dst"))
-      .unionByName(cs.select(col("p").as("src"), col("c").as("dst")))
-      .distinct()
-      .repartition(col("src")).persist()
+    // shared single-exchange spine (r19 optimization — see GraphSpine)
+    val edges = GraphSpine.csEdges(s, dir).persist()
     val sources = s.range(1).select(lit(0L).as("node"), lit(0L).as("dist"))
     graft.operators.IterativeGraph.bfsDistancesFixed(edges, sources, rounds = 4)
       .groupBy(col("dist"))

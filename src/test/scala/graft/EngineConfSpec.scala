@@ -37,6 +37,20 @@ class EngineConfSpec extends SparkSpec {
     assert(Engine.initialPartitions("local[4]", 512) == 512)
   }
 
+  test("r19 scale-adaptive sizing: initial partitions derive from input bytes") {
+    // unknown input: the constant 8×cores posture is unchanged
+    assert(Engine.initialPartitions("local[32]", 32, -1L) == 256)
+    // small input (17 MB, the sf0.1 bench): ceil(17/8)=3 → floor at
+    // shufflePartitions, NOT 256 — shuffle-bucket overhead removed
+    assert(Engine.initialPartitions("local[32]", 32, 17L << 20) == 32)
+    // the sf10 spill gate (~1.7 GB): ceil = 218, above the measured
+    // 128-partition q_two_hop OOM floor and below the 8×cores cap
+    val sf10 = Engine.initialPartitions("local[32]", 32, 1700L << 20)
+    assert(sf10 >= 128 && sf10 <= 256, s"sf10 sizing $sf10 outside [128, 256]")
+    // huge input: capped at the 8×cores posture
+    assert(Engine.initialPartitions("local[32]", 32, 1L << 40) == 256)
+  }
+
   test("AQE still coalesces down: a tiny aggregate does not fan out to initialPartitionNum tasks") {
     import spark.implicits._
     val df = Seq.tabulate(100)(i => (i % 5, i)).toDF("k", "v")
