@@ -149,7 +149,7 @@ EXCH_ALLOW = {
     "sim_ivf_ann": (16, 4, "Lloyd rounds: k-sized centroid frames, one corpus scan per round"),
     "sim_ivf_kmeans": (16, 4, "shares sim_ivf_ann's Lloyd shape"),
     "an_fligner_killeen": (16, 2, "two rank ladders (per-group median scan, pooled |dev| scan) + the k-sized median/score broadcasts; every frame distinct-value- or key-domain-sized, the corpus is scanned twice (median pass + deviation pass) by construction"),
-    "sim_recall_at_k": (27, 8, "union branches share the brute-force/LSH executions (AQE canonical reuse; checkpoint variant +0.55 s, r15)"),
+    "sim_recall_at_k": (30, 8, "union branches share the brute-force/LSH executions (AQE canonical reuse; checkpoint variant +0.55 s, r15); +3 in r19 from the corpus scan-spread repartition repeated per branch, same canonical-reuse class"),
 }
 
 EXCH = re.compile(r"exch=\s*(\d+)")

@@ -111,6 +111,32 @@ object DevProbe {
           graft.operators.PrefixSum.releaseCaches()
           spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
         }
+      case e if e.startsWith("jobs:") =>
+        val q = e.stripPrefix("jobs:")
+        import org.apache.spark.scheduler._
+        val jobs = new java.util.concurrent.ConcurrentHashMap[Int, (Long, Int)]()
+        val done = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Int)]
+        val listener = new SparkListener {
+          override def onJobStart(js: SparkListenerJobStart): Unit =
+            jobs.put(js.jobId, (System.nanoTime(), js.stageInfos.map(_.numTasks).sum))
+          override def onJobEnd(je: SparkListenerJobEnd): Unit = {
+            Option(jobs.get(je.jobId)).foreach { case (t0, nt) =>
+              done.synchronized { done += ((je.jobId, System.nanoTime() - t0, nt)) }
+            }
+          }
+        }
+        spark.sparkContext.addSparkListener(listener)
+        val t0 = System.nanoTime()
+        val df = SparkEntry.queries(q)(spark, dir)
+        val tb = System.nanoTime()
+        val n = df.count()
+        val t1 = System.nanoTime()
+        Thread.sleep(500)
+        spark.sparkContext.removeSparkListener(listener)
+        println(f"[probe] jobs:$q build=${(tb - t0) / 1e9}%.3f total=${(t1 - t0) / 1e9}%.3f rows=$n njobs=${done.size}")
+        done.sortBy(_._1).foreach { case (id, dt, nt) =>
+          println(f"[probe]   job$id%-4d ${dt / 1e9}%7.3fs tasks=$nt")
+        }
       case e if e.startsWith("explain:") =>
         val q = e.stripPrefix("explain:")
         val df = SparkEntry.queries(q)(spark, dir)

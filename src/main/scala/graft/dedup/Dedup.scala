@@ -50,6 +50,10 @@ object Dedup {
   /** Per-doc distinct word k-gram shingle sets (the base for Jaccard
     * and MinHash variants). */
   def shingleSets(df: DataFrame, textCol: String, idCol: String, k: Int = 3): DataFrame =
+    // NOT spread (r19): the shingle frame is persisted and re-read by
+    // 4+ downstream jobs per query; a 32-block cache costs more in
+    // repeated task scheduling than the one-shot parallel shingling
+    // saves (measured +0.5..1.3 s on every multi-consumer jaccard key)
     df.select(col(idCol).as("doc_id"),
       TextFunctions.shingles(col(textCol), k).as("shingles"))
 
@@ -280,7 +284,7 @@ object Dedup {
     * a SQL oracle can replay the signature bit-for-bit). */
   def simhash(df: DataFrame, textCol: String, idCol: String,
               wordHash: Column => Column = xxhash64(_)): DataFrame =
-    df.select(col(idCol).as("doc_id"),
+    graft.operators.Spread.forCompute(df).select(col(idCol).as("doc_id"),
       graft.functions.SimHash64.simhash64(
         transform(array_distinct(TextFunctions.words(col(textCol))), wordHash))
         .as("simhash"))

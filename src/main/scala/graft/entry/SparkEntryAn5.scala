@@ -1163,7 +1163,7 @@ private[graft] trait SparkEntryAn5 { this: SparkEntry.type =>
     * division, ROUND(·,6). */
   private[graft] def textBigramCondEntropy(s: SparkSession, dir: String): DataFrame = {
     val ws = split(col("text"), " ")
-    val bi = Tables.documents(s, dir)
+    val bi = graft.operators.Spread.forCompute(Tables.documents(s, dir))
       .select(col("lang"), explode(when(size(ws) >= 2,
         transform(sequence(lit(1), size(ws) - 1),
           i => struct(element_at(ws, i).as("w1"), element_at(ws, i + 1).as("w2"))))

@@ -45,7 +45,7 @@ private[graft] trait SparkEntrySim { this: SparkEntry.type =>
     * text-bearing shuffle is the per-document reassembly. */
   private[graft] def dedupSegments(s: SparkSession, dir: String): DataFrame = {
     val segLen = 10
-    val segs = Tables.documents(s, dir)
+    val segs = graft.operators.Spread.forCompute(Tables.documents(s, dir))
       .select(col("doc_id"), graft.text.TextFunctions.words(col("text")).as("ws"))
       .select(col("doc_id"),
         expr(s"CAST(ceil(size(ws) / $segLen.0) AS INT)").as("n_seg"),
@@ -1124,8 +1124,13 @@ private[graft] trait SparkEntrySim { this: SparkEntry.type =>
         transform(sequence(lit(1), size(ws) - 7),
           i => xxhash64(array_join(slice(ws, i, lit(8)), " "))))
       .otherwise(array().cast("array<bigint>"))
-    val g = Tables.documents(s, dir)
-      .select(col("doc_id"), posexplode(grams).as(Seq("pos", "h")))
+    // lazy checkpoint: THREE consumers (df counts, the flag join, the
+    // run scan) would otherwise each re-run the spread+window-hash
+    // explode subtree (r19; also keeps the exchange audit at one
+    // spread exchange instead of three re-derivations)
+    val g = graft.operators.Checkpoints.stabilizeLazy(
+      graft.operators.Spread.forCompute(Tables.documents(s, dir))
+        .select(col("doc_id"), posexplode(grams).as(Seq("pos", "h"))))
     val df = g.groupBy(col("h")).agg(countDistinct(col("doc_id")).as("nd"))
     val flagged = g.join(df, "h")
       .select(col("doc_id"), col("pos"), (col("nd") >= 2).as("shared"))

@@ -357,7 +357,7 @@ private[graft] trait SparkEntryText { this: SparkEntry.type =>
     * shape at any corpus size. */
   private[graft] def textPmiCollocations(s: SparkSession, dir: String): DataFrame = {
     val ws = split(col("text"), " ")
-    val docs = Tables.documents(s, dir)
+    val docs = graft.operators.Spread.forCompute(Tables.documents(s, dir))
     // the posting tables are re-read (bigrams twice: totals + scoring;
     // unigrams three times: totals + both sides of the scoring join) —
     // without a cut each consumer re-runs the corpus explode, so the
@@ -1075,7 +1075,7 @@ private[graft] trait SparkEntryText { this: SparkEntry.type =>
     * as a hash mismatch); min-doc_id aggregate + one posting join. */
   private[graft] def textNgramNovelty(s: SparkSession, dir: String): DataFrame = {
     val ws = split(col("text"), " ")
-    val grams = Tables.documents(s, dir)
+    val grams = graft.operators.Spread.forCompute(Tables.documents(s, dir))
       .select(col("doc_id"), col("source"),
         explode(when(size(ws) >= 3,
           transform(sequence(lit(1), size(ws) - 2),

@@ -338,7 +338,10 @@ object VectorOps {
         .withColumn("band", explode(portableBandArray(col(vec), dim, nBits, nBands)))
         .select(col(id), col(vec), col(nrm), col("band.band_id"), col("band.band_key"))
     }
-    val e = banded(embeddings.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv")), "neighbor_id", "nv", "nn")
+    // corpus-side SRP signatures are the expensive map work — spread a
+    // single-split scan before computing them (r19, guide §2.5)
+    val e = banded(graft.operators.Spread.forCompute(
+      embeddings.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"))), "neighbor_id", "nv", "nn")
     val q = banded(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")), "query_id", "qv", "qn")
     bandCandidateTopK(e, q, k)
   }
@@ -387,11 +390,14 @@ object VectorOps {
     // all read the one cached projection instead of re-scanning the
     // uncached input three times.
     val proj = graft.operators.PrefixSum.persistOwned(
-      embeddings.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v")))
+      graft.operators.Spread.forCompute(
+        embeddings.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))))
     val nBits = adaptiveBandBits(proj.count()) * nBands
-    val bands = proj
+    // lazy checkpoint: the self-join consumes the banded frame twice —
+    // without a cut both sides re-run the SRP signature pass (r19)
+    val bands = graft.operators.Checkpoints.stabilizeLazy(proj
       .withColumn("band", explode(portableBandArray(col("v"), dim, nBits, nBands)))
-      .select(col("id"), col("band.band_id"), col("band.band_key"))
+      .select(col("id"), col("band.band_id"), col("band.band_key")))
     val pairs = bands.as("x").join(bands.as("y"), Seq("band_id", "band_key"))
       .filter(col("x.id") < col("y.id"))
       .select(col("x.id").as("a_id"), col("y.id").as("b_id"))
@@ -431,7 +437,9 @@ object VectorOps {
         .withColumn(norm2, dot(col(codes), col(codes)))
         .select(col(id), col(codes), col(norm2), col("band.band_id"), col("band.band_key"))
     }
-    val e = coded(embeddings, "neighbor_id", "nq", "nn2")
+    // corpus-side band+code signatures are the expensive map work —
+    // spread a single-split scan before computing them (r19, guide §2.5)
+    val e = coded(graft.operators.Spread.forCompute(embeddings), "neighbor_id", "nq", "nn2")
     val q = coded(queries, "query_id", "qq", "qn2")
     val wCand = Window.partitionBy(col("query_id"))
       .orderBy(col("qscore").desc, col("neighbor_id"))

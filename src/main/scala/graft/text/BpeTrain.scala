@@ -46,7 +46,10 @@ object BpeTrain {
   def trainMerges(docs: DataFrame, textCol: String, nMerges: Int): DataFrame = {
     val spark = docs.sparkSession
     require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
-    val wf = docs.select(explode(split(col(textCol), " ")).as("w"))
+    // tokenization explode is the expensive map work — spread a
+    // single-split scan before computing it (r19, guide §2.5)
+    val wf = graft.operators.Spread.forCompute(docs)
+      .select(explode(split(col(textCol), " ")).as("w"))
       .filter(col("w") =!= "")
       .groupBy("w").agg(count(lit(1)).as("freq"))
     // vocab-sized working table, scanned once per merge step; released

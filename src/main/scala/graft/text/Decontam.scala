@@ -29,7 +29,10 @@ object Decontam {
         transform(sequence(lit(1), size(ws) - 4),
           i => md5(array_join(slice(ws, i, lit(5)), " "))))
       .otherwise(array().cast("array<string>"))
-    docs.select(col(idCol).as("doc_id"), posexplode(grams).as(Seq("pos", "h")))
+    // 5-gram md5 hashing is the expensive map work — spread a
+    // single-split scan before computing it (r19, guide §2.5)
+    graft.operators.Spread.forCompute(docs)
+      .select(col(idCol).as("doc_id"), posexplode(grams).as(Seq("pos", "h")))
   }
 
   /** Per-doc span statistics against a held-out gram frame `bench`
@@ -37,10 +40,13 @@ object Decontam {
     * max_run). */
   def spanStats(docs: DataFrame, bench: DataFrame,
                 textCol: String, idCol: String): DataFrame = {
-    val flagged = gramWindows(docs, textCol, idCol)
-      .join(broadcast(bench.select(col("h")).withColumn("hit", lit(1))),
-        Seq("h"), "left")
-      .select(col("doc_id"), col("pos"), col("hit").isNotNull.as("c"))
+    // lazy checkpoint: both consumers (byDoc, runs) would otherwise
+    // re-run the spread+gram-hash explode subtree (r19)
+    val flagged = graft.operators.Checkpoints.stabilizeLazy(
+      gramWindows(docs, textCol, idCol)
+        .join(broadcast(bench.select(col("h")).withColumn("hit", lit(1))),
+          Seq("h"), "left")
+        .select(col("doc_id"), col("pos"), col("hit").isNotNull.as("c")))
     val byDoc = flagged.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_windows"),
         sum(when(col("c"), 1L).otherwise(0L)).as("n_contam"))
