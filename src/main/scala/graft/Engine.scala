@@ -50,9 +50,17 @@ object Engine {
   private[graft] def initialPartitions(master: String, shufflePartitions: Int,
                                        inputBytes: Long): Int = {
     val byCores = 8 * coresOf(master)
+    // ceiling: the size-derived count may EXCEED 8×cores (spill safety
+    // scales with data, not cores — the r18 q_two_hop sf10 aggregate
+    // ran at 98% of an 8 GiB heap at the core-derived 128 and tips
+    // over on a marginally different generation; at the size-derived
+    // 285 it has honest headroom) but stays bounded so the M×R shuffle
+    // block count (guide §2.2) cannot grow quadratically without
+    // limit at very large inputs — AQE coalescing handles the rest.
+    val ceiling = math.max(byCores, 4096)
     val cand =
       if (inputBytes <= 0) byCores
-      else math.min(byCores.toLong, (inputBytes + (8L << 20) - 1) / (8L << 20)).toInt
+      else math.min(ceiling.toLong, (inputBytes + (8L << 20) - 1) / (8L << 20)).toInt
     math.max(shufflePartitions, cand)
   }
 

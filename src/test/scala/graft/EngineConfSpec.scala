@@ -43,12 +43,13 @@ class EngineConfSpec extends SparkSpec {
     // small input (17 MB, the sf0.1 bench): ceil(17/8)=3 → floor at
     // shufflePartitions, NOT 256 — shuffle-bucket overhead removed
     assert(Engine.initialPartitions("local[32]", 32, 17L << 20) == 32)
-    // the sf10 spill gate (~1.7 GB): ceil = 218, above the measured
-    // 128-partition q_two_hop OOM floor and below the 8×cores cap
-    val sf10 = Engine.initialPartitions("local[32]", 32, 1700L << 20)
-    assert(sf10 >= 128 && sf10 <= 256, s"sf10 sizing $sf10 outside [128, 256]")
-    // huge input: capped at the 8×cores posture
-    assert(Engine.initialPartitions("local[32]", 32, 1L << 40) == 256)
+    // the sf10 spill gate (~2.2 GB): size-derived count above the
+    // measured 128-partition q_two_hop OOM floor WITH headroom (the
+    // 128-sized r18 run peaked at 98% of the 8 GiB heap)
+    val sf10 = Engine.initialPartitions("local[16]", 32, 2280L << 20)
+    assert(sf10 > 128 && sf10 <= 512, s"sf10 sizing $sf10 outside (128, 512]")
+    // huge input: bounded by the block-count ceiling, not unbounded
+    assert(Engine.initialPartitions("local[32]", 32, 1L << 50) == 4096)
   }
 
   test("AQE still coalesces down: a tiny aggregate does not fan out to initialPartitionNum tasks") {
